@@ -1,0 +1,40 @@
+"""paimon_python_spark — a PySpark-native analytics engine with the
+capabilities of apache/paimon-python (a streaming data-lake table format
+SDK), rebuilt Spark-first.
+
+The reference (``/root/reference``, apache/paimon-python) exposes a
+catalog/table/read-builder/write-builder API whose read side is
+scan → pushdown → (for primary-key tables) sort-merge + dedup merge-on-read,
+and whose write side is Arrow batch ingestion + a snapshot/commit protocol
+(see SURVEY.md). This package re-expresses that surface on Spark:
+
+- every read is a composed DataFrame (Catalyst handles pushdown/pruning),
+- merge-on-read is a window-function dedup, not an iterator tree,
+- the commit protocol is driver-side JSON snapshots/manifests,
+- all relational operators (joins/aggs/windows/SQL) come from Spark itself
+  (the reference delegates them to DuckDB/pandas after the read —
+  pypaimon/api/table_read.py:47-56).
+
+Public API mirrors ``pypaimon.api`` (pypaimon/api/__init__.py):
+Catalog, Schema, Table, ReadBuilder, TableScan, Plan, Split, TableRead,
+BatchWriteBuilder, BatchTableWrite, BatchTableCommit, CommitMessage,
+PredicateBuilder, Predicate.
+"""
+
+from paimon_python_spark.catalog import Catalog
+from paimon_python_spark.schema import Schema
+from paimon_python_spark.predicate import Predicate, PredicateBuilder
+from paimon_python_spark.table import Table
+from paimon_python_spark.session import get_spark, set_spark
+
+__all__ = [
+    "Catalog",
+    "Schema",
+    "Table",
+    "Predicate",
+    "PredicateBuilder",
+    "get_spark",
+    "set_spark",
+]
+
+__version__ = "0.1.0"

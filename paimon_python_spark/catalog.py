@@ -1,0 +1,104 @@
+"""Filesystem catalog: databases + tables under a warehouse path.
+
+Mirrors pypaimon/api/catalog.py:24-45 (``Catalog.create(options)``,
+``get_table``, ``create_database``, ``create_table``) and the reference's
+filesystem-warehouse layout: ``<warehouse>/<db>.db/<table>/``. Metadata
+is JSON on disk — no JVM, no external service; Spark only enters the
+picture when a table is read or written.
+"""
+
+from __future__ import annotations
+
+import os
+
+from paimon_python_spark.schema import Schema
+from paimon_python_spark.table import Table
+
+
+class DatabaseNotExistException(Exception):
+    pass
+
+
+class DatabaseAlreadyExistException(Exception):
+    pass
+
+
+class TableNotExistException(Exception):
+    pass
+
+
+class TableAlreadyExistException(Exception):
+    pass
+
+
+class Catalog:
+    """Filesystem-backed catalog (the reference's only shipped catalog)."""
+
+    def __init__(self, warehouse: str, options: dict):
+        self.warehouse = warehouse
+        self.options = options
+
+    @staticmethod
+    def create(catalog_options: dict) -> "Catalog":
+        """Reference signature: ``Catalog.create({'warehouse': path, ...})``
+        (pypaimon/py4j/java_implementation.py:50-55)."""
+        warehouse = catalog_options.get("warehouse")
+        if not warehouse:
+            raise ValueError("Paimon catalog option 'warehouse' is required.")
+        os.makedirs(warehouse, exist_ok=True)
+        return Catalog(warehouse, dict(catalog_options))
+
+    # -- paths --
+
+    def _db_path(self, database_name: str) -> str:
+        return os.path.join(self.warehouse, f"{database_name}.db")
+
+    def _table_path(self, identifier: str) -> str:
+        db, table = self._split(identifier)
+        return os.path.join(self._db_path(db), table)
+
+    @staticmethod
+    def _split(identifier: str) -> tuple[str, str]:
+        parts = identifier.split(".")
+        if len(parts) != 2:
+            raise ValueError(
+                f"Cannot get splits from '{identifier}', please use 'database.table' format."
+            )
+        return parts[0], parts[1]
+
+    # -- API (catalog.py:24-45) --
+
+    def create_database(self, name: str, ignore_if_exists: bool, properties: dict | None = None) -> None:
+        path = self._db_path(name)
+        if os.path.isdir(path):
+            if ignore_if_exists:
+                return
+            raise DatabaseAlreadyExistException(f"Database {name} already exists.")
+        os.makedirs(path)
+
+    def create_table(self, identifier: str, schema: Schema, ignore_if_exists: bool) -> None:
+        db, _ = self._split(identifier)
+        if not os.path.isdir(self._db_path(db)):
+            raise DatabaseNotExistException(f"Database {db} does not exist.")
+        path = self._table_path(identifier)
+        if os.path.isdir(path):
+            if ignore_if_exists:
+                return
+            raise TableAlreadyExistException(f"Table {identifier} already exists.")
+        # Reference restriction: PK tables must declare a fixed bucket count
+        # ('bucket': 'N'); dynamic bucket / cross-partition update tables
+        # cannot be written (java_utils.py:56-61).
+        os.makedirs(os.path.join(path, "schema"))
+        with open(os.path.join(path, "schema", "schema-0.json"), "w") as f:
+            f.write(schema.to_json())
+        from paimon_python_spark.metadata import MetadataStore
+
+        MetadataStore(path).init_dirs()
+
+    def get_table(self, identifier: str) -> Table:
+        path = self._table_path(identifier)
+        if not os.path.isdir(path):
+            raise TableNotExistException(f"Table {identifier} does not exist.")
+        with open(os.path.join(path, "schema", "schema-0.json")) as f:
+            schema = Schema.from_json(f.read())
+        return Table(identifier, path, schema)

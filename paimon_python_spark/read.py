@@ -1,0 +1,193 @@
+"""TableRead: planned splits → DataFrame (scale path) or Arrow/pandas/
+DuckDB (driver materialization, reference-API parity).
+
+The reference's read pipeline for PK tables is an iterator tree —
+Concat(Filter?(KeyValueUnwrap(DropDelete(SortMerge([KeyValueWrap(...)]))))
+(SURVEY §2.3, pypaimon/pynative/util/reader_converter.py:41-90). The
+whole tree collapses into one declarative Spark expression::
+
+    window = Window.partitionBy(*merge_keys).orderBy(desc(_SEQUENCE_NUMBER))
+    files.withColumn('rn', row_number().over(window)).filter('rn = 1')
+         .filter(_VALUE_KIND in (+I, +U))      # DropDeleteReader
+         .select(*value_cols)                  # KeyValueUnwrapReader
+         .filter(residual_predicate)           # filter-placement rule
+
+which replaces SortMergeReader (sort_merge_reader.py:198-271),
+DeduplicateMergeFunction (:78-108), DropDeleteReader
+(drop_delete_reader.py:26-62) and KeyValueUnwrapReader
+(key_value_unwrap_reader.py:28-74). Catalyst/AQE pick the physical
+strategy; at scale the window's shuffle is the merge's one unavoidable
+exchange, and it is keyed exactly on the merge key.
+
+Append tables read back verbatim in commit order
+(test_pynative_reader.py:64-92): the scale path is a plain multi-file
+scan; the driver-materialization path (`to_arrow`/`to_pandas`) reads via
+pyarrow dataset in manifest order — the very thing the reference does
+(pyarrow_dataset_reader.py:31-71) — so tiny reads don't pay a Spark job.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import pyarrow as pa
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from paimon_python_spark.scan import Split
+from paimon_python_spark.session import get_spark
+from paimon_python_spark.write import (
+    ADD_KINDS,
+    KIND_COL,
+    SEQ_COL,
+)
+
+
+class TableRead:
+    def __init__(self, read_builder):
+        self.read_builder = read_builder
+        self.table = read_builder.table
+        self.schema = self.table.schema
+
+    # ---- the scale path ----
+
+    def to_df(self, splits: Optional[List[Split]] = None) -> DataFrame:
+        """Compose the read as a lazy DataFrame. ``splits=None`` plans a
+        fresh scan (with this builder's pushdowns)."""
+        if splits is None:
+            splits = self.read_builder.new_scan().plan().splits()
+        paths = [p for s in splits for p in s.file_paths()]
+        spark = get_spark()
+        schema = self.schema
+        is_pk = schema.is_primary_key_table()
+
+        if not paths:
+            df = spark.createDataFrame([], schema.spark_schema)
+            return self._finish(df)
+
+        physical = T.StructType(list(schema.spark_schema.fields))
+        if is_pk:
+            physical = T.StructType(
+                physical.fields
+                + [
+                    T.StructField(SEQ_COL, T.LongType(), False),
+                    T.StructField(KIND_COL, T.IntegerType(), False),
+                ]
+            )
+        fmt = schema.file_format()
+        df = spark.read.schema(physical).format(fmt).load(paths)
+
+        if is_pk:
+            merge_keys = list(
+                dict.fromkeys(schema.partition_keys + schema.primary_keys)
+            )
+            w = Window.partitionBy(*merge_keys).orderBy(F.col(SEQ_COL).desc())
+            df = (
+                df.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .filter(F.col(KIND_COL).isin(*ADD_KINDS))
+                .select(*[f.name for f in schema.spark_schema.fields])
+            )
+        return self._finish(df)
+
+    def _finish(self, df: DataFrame) -> DataFrame:
+        pred = self.read_builder._predicate
+        if pred is not None:
+            # full residual filter after the merge — the reference's
+            # correctness rule (reader_convert_func.py:56-59); on append
+            # tables Catalyst pushes it down to the scan anyway.
+            df = df.filter(pred.to_column())
+        proj = self.read_builder._projection
+        if proj is not None:
+            df = df.select(*proj)
+        return df
+
+    # ---- driver materialization (reference API parity) ----
+
+    def to_arrow(self, splits: Optional[List[Split]] = None) -> pa.Table:
+        if splits is None:
+            splits = self.read_builder.new_scan().plan().splits()
+        if not self.schema.is_primary_key_table():
+            return self._arrow_append(splits)
+        # PK: merged output in deterministic key order (the reference's
+        # sort-merge emits key order per split).
+        merge_keys = list(
+            dict.fromkeys(self.schema.partition_keys + self.schema.primary_keys)
+        )
+        df = self.to_df(splits)
+        order = [k for k in merge_keys if k in df.columns]
+        if order:
+            df = df.orderBy(*order)
+        return self._df_to_arrow(df)
+
+    def _arrow_append(self, splits: List[Split]) -> pa.Table:
+        import pyarrow.dataset as ds
+
+        from paimon_python_spark.types import spark_schema_to_pa
+
+        paths = [p for s in splits for p in s.file_paths()]
+        proj = self.read_builder._projection
+        pred = self.read_builder._predicate
+        pa_schema = spark_schema_to_pa(self.schema.spark_schema)
+        cols = proj if proj is not None else self.schema.field_names
+        if not paths:
+            return pa.table(
+                {c: pa.array([], pa_schema.field(c).type) for c in cols}
+            )
+        fmt = self.schema.file_format()
+        dataset = ds.dataset(paths, format=fmt, schema=pa_schema)
+        filt = pred.to_arrow() if pred is not None else None
+        return dataset.to_table(columns=list(cols), filter=filt)
+
+    def _df_to_arrow(self, df: DataFrame) -> pa.Table:
+        from paimon_python_spark.types import spark_schema_to_pa
+
+        tbl = df.toArrow()
+        # normalize to the declared schema types (Spark may widen)
+        target = pa.schema(
+            [spark_schema_to_pa(T.StructType([df.schema[n]]))[0] for n in df.columns]
+        ) if df.columns else tbl.schema
+        try:
+            return tbl.cast(target)
+        except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+            return tbl
+
+    def to_arrow_batch_reader(
+        self, splits: Optional[List[Split]] = None, batch_size: int = 1024
+    ) -> pa.RecordBatchReader:
+        # reference transfers 1024-row batches (ParallelBytesReader.java:52)
+        table = self.to_arrow(splits)
+        return pa.RecordBatchReader.from_batches(
+            table.schema, table.to_batches(max_chunksize=batch_size)
+        )
+
+    def to_pandas(self, splits: Optional[List[Split]] = None):
+        return self.to_arrow(splits).to_pandas()
+
+    def to_duckdb(
+        self,
+        splits: Optional[List[Split]] = None,
+        table_name: str = "table",
+        connection=None,
+    ):
+        """Register the materialized read in DuckDB
+        (java_implementation.py:244-253). For SQL at scale use
+        ``to_df().createOrReplaceTempView`` + ``spark.sql`` instead."""
+        import duckdb
+
+        con = connection or duckdb.connect(database=":memory:")
+        con.register(table_name, self.to_arrow(splits))
+        return con
+
+    def to_ray(self, splits: Optional[List[Split]] = None):
+        import ray  # optional dependency, as in the reference
+
+        return ray.data.from_arrow(self.to_arrow(splits))
+
+    def to_record_generator(self, splits: Optional[List[Split]] = None):
+        """Row-at-a-time generator (java_implementation.py:260-289)."""
+        reader = self.to_arrow_batch_reader(splits)
+        for batch in reader:
+            for row in batch.to_pylist():
+                yield row

@@ -1,0 +1,126 @@
+"""Driver-side scan planning: snapshot → manifests → pruned splits.
+
+Replaces the reference's JVM planning (snapshot → manifest list →
+manifest entries → DataSplits with stats-based file skipping,
+java_implementation.py:154-205). All pruning happens here on the driver
+BEFORE any Spark job launches — at 100 TB this is the difference between
+"read 3 files" and "list 3 million":
+
+- partition pruning: predicate evaluated against partition values,
+- file skipping: predicate evaluated against per-column min/max/null
+  stats from the manifest (append tables: the full predicate; PK tables:
+  only the primary-key sub-predicate — value columns may be stale in old
+  LSM runs, so value predicates must wait until after the merge; this is
+  the reference's filter-placement rule, pyarrow_dataset_reader.py:40-42 +
+  predicate_utils.py:22-56),
+- limit pushdown: split planning stops once Σ row_count ≥ limit
+  (split-granular semantics, test_pynative_reader.py:166-181).
+
+Split granularity mirrors the reference: PK tables → one split per
+(partition, bucket) (the merge unit); append tables → one split per file
+(commit order preserved).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+from paimon_python_spark.metadata import DataFileMeta, MetadataStore
+from paimon_python_spark.predicate import Predicate
+
+
+@dataclass
+class Split:
+    """Unit of scan parallelism (pypaimon/api/split.py:24-35): exposes
+    row_count / file_size / file_paths like the reference's Split
+    (test_object_metadata.py:48-73)."""
+
+    files: List[DataFileMeta]
+    partition: dict = field(default_factory=dict)
+    bucket: int = 0
+    table_path: str = ""
+
+    def row_count(self) -> int:
+        return sum(f.row_count for f in self.files)
+
+    def file_size(self) -> int:
+        return sum(f.file_size for f in self.files)
+
+    def file_paths(self) -> List[str]:
+        return [os.path.join(self.table_path, f.path) for f in self.files]
+
+
+@dataclass
+class Plan:
+    _splits: List[Split]
+
+    def splits(self) -> List[Split]:
+        return self._splits
+
+
+class TableScan:
+    def __init__(self, read_builder):
+        self.read_builder = read_builder
+        self.table = read_builder.table
+        self.store = MetadataStore(self.table.table_path)
+
+    def plan(self) -> Plan:
+        schema = self.table.schema
+        predicate: Optional[Predicate] = self.read_builder._predicate
+        limit: Optional[int] = self.read_builder._limit
+
+        files = self.store.live_files()
+
+        if predicate is not None:
+            part_keys = set(schema.partition_keys)
+            # partition pruning: only the partition-key sub-predicate can
+            # eliminate a partition.
+            part_pred = predicate.keep_only_fields(part_keys) if part_keys else None
+            # file-stats pruning: append → full predicate; PK → key-field
+            # predicate only (filter-placement rule).
+            if schema.is_primary_key_table():
+                stats_pred = predicate.keep_only_fields(
+                    set(schema.trimmed_primary_keys) | part_keys
+                )
+            else:
+                stats_pred = predicate
+
+            kept = []
+            for f in files:
+                if part_pred is not None and not part_pred.test_by_value(f.partition):
+                    continue
+                if stats_pred is not None and not stats_pred.test_by_stats(f.stats):
+                    continue
+                kept.append(f)
+            files = kept
+
+        splits = self._group(files, schema)
+
+        if limit is not None:
+            trimmed, total = [], 0
+            for s in splits:
+                if total >= limit:
+                    break
+                trimmed.append(s)
+                total += s.row_count()
+            splits = trimmed
+
+        return Plan(splits)
+
+    def _group(self, files: List[DataFileMeta], schema) -> List[Split]:
+        table_path = self.table.table_path
+        if not schema.is_primary_key_table():
+            # one split per file, commit order (ConcatRecordReader parity)
+            return [
+                Split([f], partition=f.partition, bucket=f.bucket, table_path=table_path)
+                for f in files
+            ]
+        groups: dict[tuple, Split] = {}
+        for f in files:
+            key = (tuple(sorted(f.partition.items())), f.bucket)
+            if key not in groups:
+                groups[key] = Split([], partition=f.partition, bucket=f.bucket, table_path=table_path)
+            groups[key].files.append(f)
+        return list(groups.values())

@@ -1,0 +1,97 @@
+"""Table + ReadBuilder: the user-facing query-building surface.
+
+Mirrors pypaimon/api/table.py:26-35 (Table → read/write builders) and
+pypaimon/api/read_builder.py (with_filter / with_projection / with_limit
+→ new_scan / new_read). Pushdowns are recorded here and consumed by the
+scan planner (driver-side pruning) and the DataFrame recipe (Catalyst
+pushdown) — the reference sends them to the JVM instead
+(java_implementation.py:109-127).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+from paimon_python_spark.predicate import Predicate, PredicateBuilder
+from paimon_python_spark.schema import Schema
+
+
+class Table:
+    def __init__(self, identifier: str, table_path: str, schema: Schema):
+        self.identifier = identifier
+        self.table_path = table_path
+        self.schema = schema
+
+    def new_read_builder(self) -> "ReadBuilder":
+        return ReadBuilder(self)
+
+    def new_batch_write_builder(self):
+        # Reference rejects dynamic-bucket (PK table without 'bucket': 'N')
+        # and cross-partition tables at builder creation
+        # (java_utils.py:56-61, test_write_and_read.py:144-153).
+        from paimon_python_spark.write import BatchWriteBuilder
+
+        if self.schema.is_primary_key_table():
+            if self.schema.num_buckets() < 1:
+                raise TypeError(
+                    "Doesn't support writing dynamic bucket or cross partition table."
+                )
+            if not self.schema.trimmed_primary_keys:
+                raise TypeError(
+                    "Doesn't support writing dynamic bucket or cross partition table."
+                )
+        return BatchWriteBuilder(self)
+
+
+class ReadBuilder:
+    """Accumulates pushdowns; produces TableScan (planning) and TableRead
+    (execution). API: pypaimon/api/read_builder.py."""
+
+    def __init__(self, table: Table):
+        self.table = table
+        self._predicate: Optional[Predicate] = None
+        self._projection: Optional[List[str]] = None
+        self._limit: Optional[int] = None
+
+    def new_predicate_builder(self) -> PredicateBuilder:
+        return PredicateBuilder(self.table.schema.field_names)
+
+    def with_filter(self, predicate: Predicate) -> "ReadBuilder":
+        """Pushdown filter — applied "as much as possible, but is not
+        guaranteed to be complete" (read_builder.py:31-34); our reader
+        always applies the full residual after the scan/merge."""
+        self._predicate = predicate
+        return self
+
+    def with_projection(self, projection: List[str]) -> "ReadBuilder":
+        """Name-list projection; reordering allowed; empty list → empty
+        frame (test_write_and_read.py:458-518)."""
+        for name in projection:
+            if name not in self.table.schema.field_names:
+                raise ValueError(f"Field {name} not in table schema")
+        self._projection = projection
+        return self
+
+    def with_limit(self, limit: int) -> "ReadBuilder":
+        """Split-granular limit: scan planning stops once the planned
+        splits' row count reaches the limit; the read returns those whole
+        splits, not exactly N rows (test_pynative_reader.py:166-181)."""
+        self._limit = limit
+        return self
+
+    def new_scan(self):
+        from paimon_python_spark.scan import TableScan
+
+        return TableScan(self)
+
+    def new_read(self):
+        from paimon_python_spark.read import TableRead
+
+        return TableRead(self)
+
+    def read_type(self) -> list[str]:
+        """The projected field names (mirrors read_type() reflecting the
+        projection, test_object_metadata.py:36-47)."""
+        if self._projection is None:
+            return self.table.schema.field_names
+        return list(self._projection)

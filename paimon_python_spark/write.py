@@ -1,0 +1,455 @@
+"""Batch write + commit: Spark jobs produce data files, the driver
+publishes them atomically via manifest + snapshot JSON.
+
+Reference behavior being re-expressed (SURVEY §3.2):
+- ``BatchTableWrite.write_arrow / write_arrow_batch / write_pandas``
+  ingest batches (java_implementation.py:352-377); the JVM's BytesWriter
+  checks schema types-ignoring-nullability (BytesWriter.java:59-99) and
+  appends rows to per-bucket LSM level-0 files.
+- ``prepare_commit`` returns CommitMessages (new files per
+  partition/bucket); ``commit`` creates a snapshot
+  (java_implementation.py:379-407, table_commit.py:24-36).
+- ``overwrite(static_partition)``: None → whole table (or dynamic
+  partitions if the table option says so), {'f0':'1'} → that partition
+  only (write_builder.py:28-32, semantics test
+  test_write_and_read.py:311-383).
+
+Spark-first design decisions:
+- Data files physically contain **all** schema columns (partition values
+  included), so reads never depend on directory-based partition
+  discovery; the directory layout (``__pt_<k>=v/__bucket=N``) exists for
+  pruning/inspection and is derived from shadow columns at write time.
+- PK tables get two extra physical columns: ``_SEQUENCE_NUMBER`` (int64,
+  strictly increasing per commit — last write wins) and ``_VALUE_KIND``
+  (int32 RowKind: 0=+I, 1=-U, 2=+U, 3=-D — row_kind.py:22-57).
+- Bucket = ``pmod(murmur3(trimmed_pk), num_buckets)`` via ``F.hash`` —
+  deterministic across commits so a key always lands in one bucket and
+  merge-on-read stays partition-local.
+- Per-file stats (min/max/null_count) are harvested from parquet footers
+  on the driver after the job — footer reads only, no data scan — and
+  feed the scan planner's file skipping.
+
+Sequence-number layout (int64): ``(snapshot_id+1) << 45 | call_idx << 40
+| row``. The arrow/pandas ingestion path stamps dense row numbers before
+the data reaches Spark (exact input order, like the reference's
+per-record sequencing); the distributed ``write_dataframe`` path uses
+``monotonically_increasing_id`` (≤128 input partitions per call — at
+larger parallelism repartition first, or accept that intra-call
+duplicate-key ordering follows partition layout, which Spark cannot
+observe anyway).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import urllib.parse
+from typing import List, Optional
+
+import pyarrow as pa
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from paimon_python_spark.metadata import (
+    DataFileMeta,
+    ManifestEntry,
+    MetadataStore,
+    Snapshot,
+)
+from paimon_python_spark.session import get_spark
+from paimon_python_spark.types import check_write_schema_compatible, pa_schema_to_spark
+
+SEQ_COL = "_SEQUENCE_NUMBER"
+KIND_COL = "_VALUE_KIND"
+BUCKET_COL = "__bucket"
+PART_PREFIX = "__pt_"
+
+# RowKind byte values (pypaimon/pynative/common/row/row_kind.py:22-57)
+ROWKIND_INSERT = 0  # +I
+ROWKIND_UPDATE_BEFORE = 1  # -U
+ROWKIND_UPDATE_AFTER = 2  # +U
+ROWKIND_DELETE = 3  # -D
+ADD_KINDS = (ROWKIND_INSERT, ROWKIND_UPDATE_AFTER)
+
+_SEQ_COMMIT_SHIFT = 45
+_SEQ_CALL_SHIFT = 40
+
+
+class CommitMessage:
+    """New files produced by a write, grouped for the committer
+    (the reference's serialized CommitMessage, java_implementation.py:379-381)."""
+
+    def __init__(self, files: List[DataFileMeta]):
+        self.files = files
+
+    def is_empty(self) -> bool:
+        return not self.files
+
+
+class BatchWriteBuilder:
+    def __init__(self, table):
+        self.table = table
+        self._overwrite = False
+        self._static_partition: Optional[dict] = None
+
+    def overwrite(self, static_partition: Optional[dict] = None) -> "BatchWriteBuilder":
+        self._overwrite = True
+        self._static_partition = static_partition
+        return self
+
+    def new_write(self) -> "BatchTableWrite":
+        return BatchTableWrite(self.table)
+
+    def new_commit(self) -> "BatchTableCommit":
+        return BatchTableCommit(self.table, self._overwrite, self._static_partition)
+
+
+class BatchTableWrite:
+    def __init__(self, table):
+        self.table = table
+        self.schema = table.schema
+        self.store = MetadataStore(table.table_path)
+        base_snapshot = self.store.latest_snapshot_id() or 0
+        self._seq_base = (base_snapshot + 1) << _SEQ_COMMIT_SHIFT
+        self._call_idx = 0
+        self._row_counter = 0
+        self._pending: List[DataFileMeta] = []
+        self._known_files = self._scan_data_dir()
+        self._closed = False
+
+    # ---- ingestion APIs (reference parity) ----
+
+    def write_pandas(self, dataframe) -> None:
+        # pandas is coerced to the table's arrow schema, exactly like the
+        # reference (RecordBatch.from_pandas(df, schema=self._arrow_schema),
+        # java_implementation.py:369-371) — so e.g. pandas int64 data fits
+        # an int32 column. write_arrow stays strict (BytesWriter.java:59-66).
+        table = pa.Table.from_pandas(
+            dataframe, schema=self.schema.pa_schema, preserve_index=False
+        )
+        self.write_arrow(table)
+
+    def write_arrow_batch(self, record_batch: pa.RecordBatch) -> None:
+        self.write_arrow(pa.Table.from_batches([record_batch]))
+
+    def write_arrow(self, table: pa.Table) -> None:
+        data_schema = pa_schema_to_spark(table.schema, allow_extended_types=True)
+        check_write_schema_compatible(self.schema.spark_schema, data_schema)
+        n = table.num_rows
+        if self.schema.is_primary_key_table():
+            # dense, input-ordered sequence numbers — exact "last write
+            # wins" within and across calls, like the reference's
+            # per-record sequencing.
+            start = self._seq_base + (self._call_idx << _SEQ_CALL_SHIFT)
+            table = table.append_column(
+                SEQ_COL, pa.array(range(start, start + n), pa.int64())
+            )
+            table = table.append_column(
+                KIND_COL, pa.array([ROWKIND_INSERT] * n, pa.int32())
+            )
+        spark = get_spark()
+        df = spark.createDataFrame(
+            table, schema=self._physical_schema() if self.schema.is_primary_key_table() else self.schema.spark_schema
+        )
+        # driver-provided batch: keep one output file per partition/bucket
+        # (the LSM "one sorted run per commit" analogue) instead of one
+        # per default parallelism slice.
+        self._write_physical(df.coalesce(1))
+
+    def write_dataframe(self, df: DataFrame, row_kind_col: Optional[str] = None) -> None:
+        """Scale path: distributed write of an arbitrary DataFrame.
+
+        ``row_kind_col`` names an int column holding RowKind values
+        (0/1/2/3) to support changelog ingestion (deletes/updates); rows
+        are inserts otherwise.
+        """
+        kind = (
+            F.col(row_kind_col).cast("int")
+            if row_kind_col
+            else F.lit(ROWKIND_INSERT).cast("int")
+        )
+        data_cols = [f.name for f in df.schema.fields if f.name != row_kind_col]
+        check_write_schema_compatible(
+            self.schema.spark_schema,
+            T.StructType([df.schema[c] for c in data_cols]),
+        )
+        if self.schema.is_primary_key_table():
+            base = self._seq_base + (self._call_idx << _SEQ_CALL_SHIFT)
+            df = df.withColumn(
+                SEQ_COL, (F.lit(base) + F.monotonically_increasing_id()).cast("long")
+            ).withColumn(KIND_COL, kind)
+            df = df.select(*data_cols, SEQ_COL, KIND_COL)
+        else:
+            df = df.select(*data_cols)
+        self._write_physical(df)
+
+    # ---- physical write ----
+
+    def _physical_schema(self) -> T.StructType:
+        fields = list(self.schema.spark_schema.fields)
+        if self.schema.is_primary_key_table():
+            fields += [
+                T.StructField(SEQ_COL, T.LongType(), False),
+                T.StructField(KIND_COL, T.IntegerType(), False),
+            ]
+        return T.StructType(fields)
+
+    def _write_physical(self, df: DataFrame) -> None:
+        if self._closed:
+            raise RuntimeError("write has been closed")
+        schema = self.schema
+        layout_cols: List[str] = []
+        for pk in schema.partition_keys:
+            shadow = PART_PREFIX + pk
+            df = df.withColumn(shadow, F.col(pk).cast("string"))
+            layout_cols.append(shadow)
+        if schema.is_primary_key_table():
+            nb = schema.num_buckets()
+            df = df.withColumn(
+                BUCKET_COL,
+                F.pmod(F.hash(*[F.col(k) for k in schema.trimmed_primary_keys]), F.lit(nb)),
+            )
+            layout_cols.append(BUCKET_COL)
+            # co-locate each bucket into one task → one file per bucket
+            # per call (the LSM "sorted run" analogue); at scale this is
+            # the shuffle that makes merge-on-read partition-local.
+            df = df.repartition(*[F.col(c) for c in layout_cols])
+
+        writer = df.write.mode("append")
+        if layout_cols:
+            writer = writer.partitionBy(*layout_cols)
+        fmt = schema.file_format()
+        writer.format(fmt).save(self.store.data_dir)
+
+        self._pending.extend(self._harvest_new_files())
+        self._call_idx += 1
+
+    def _scan_data_dir(self) -> set[str]:
+        found = set()
+        for root, _dirs, files in os.walk(self.store.data_dir):
+            for name in files:
+                if name.startswith("part-") and not name.endswith((".crc", "_SUCCESS")):
+                    found.add(os.path.join(root, name))
+        return found
+
+    def _harvest_new_files(self) -> List[DataFileMeta]:
+        """Diff the data dir against the known set, then read footers for
+        stats. Driver-side listing per write call: fine at lake-format
+        commit rates (a production object-store impl would take the file
+        list straight from the Spark committer instead)."""
+        current = self._scan_data_dir()
+        new_paths = sorted(current - self._known_files)
+        self._known_files = current
+        metas = []
+        for path in new_paths:
+            metas.append(self._file_meta(path))
+        return metas
+
+    def _file_meta(self, path: str) -> DataFileMeta:
+        rel = os.path.relpath(path, self.table.table_path)
+        partition = self._parse_partition(path)
+        bucket = self._parse_bucket(path)
+        size = os.path.getsize(path)
+        rows, stats = _collect_parquet_stats(path) if path.endswith(".parquet") else _collect_generic_stats(path, self.schema)
+        min_seq = max_seq = None
+        if SEQ_COL in stats:
+            min_seq = stats[SEQ_COL].get("min")
+            max_seq = stats[SEQ_COL].get("max")
+        return DataFileMeta(
+            path=rel,
+            row_count=rows,
+            file_size=size,
+            partition=partition,
+            bucket=bucket,
+            min_seq=min_seq,
+            max_seq=max_seq,
+            stats=stats,
+        )
+
+    def _parse_partition(self, path: str) -> dict:
+        spec = {}
+        spark_types = {f.name: f.dataType for f in self.schema.spark_schema.fields}
+        for seg in path.split(os.sep):
+            if seg.startswith(PART_PREFIX) and "=" in seg:
+                k, v = seg.split("=", 1)
+                name = k[len(PART_PREFIX):]
+                value = urllib.parse.unquote(v)
+                if value == "__HIVE_DEFAULT_PARTITION__":
+                    spec[name] = None
+                    continue
+                dt = spark_types.get(name)
+                if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+                    spec[name] = int(value)
+                elif isinstance(dt, (T.FloatType, T.DoubleType)):
+                    spec[name] = float(value)
+                elif isinstance(dt, T.BooleanType):
+                    spec[name] = value.lower() == "true"
+                else:
+                    spec[name] = value
+        return spec
+
+    @staticmethod
+    def _parse_bucket(path: str) -> int:
+        for seg in path.split(os.sep):
+            if seg.startswith(BUCKET_COL + "="):
+                return int(seg.split("=", 1)[1])
+        return 0
+
+    # ---- commit handoff ----
+
+    def prepare_commit(self) -> List[CommitMessage]:
+        return [CommitMessage(list(self._pending))]
+
+    def close(self) -> None:
+        self._closed = True
+
+
+class BatchTableCommit:
+    def __init__(self, table, overwrite: bool, static_partition: Optional[dict]):
+        self.table = table
+        self.store = MetadataStore(table.table_path)
+        self._overwrite = overwrite
+        self._static_partition = static_partition
+        self._closed = False
+
+    def commit(self, commit_messages: List[CommitMessage]) -> None:
+        if self._closed:
+            raise RuntimeError("commit has been closed")
+        new_files: List[DataFileMeta] = []
+        for msg in commit_messages:
+            new_files.extend(msg.files)
+        if not new_files and not self._overwrite:
+            return
+
+        prev = self.store.latest_snapshot()
+        prev_total = prev.total_record_count if prev else 0
+        entries = [ManifestEntry("ADD", f) for f in new_files]
+        commit_kind = "APPEND"
+        manifests: List[str]
+        deleted_rows = 0
+
+        if self._overwrite:
+            commit_kind = "OVERWRITE"
+            live = self.store.live_files(prev)
+            to_delete = self._overwritten_files(live, new_files)
+            deleted_rows = sum(f.row_count for f in to_delete)
+            if to_delete or entries:
+                entries = [ManifestEntry("DELETE", f) for f in to_delete] + entries
+            if self._whole_table_overwrite():
+                # fresh base manifest: planning stays O(live files)
+                manifest = self.store.write_manifest(
+                    [ManifestEntry("ADD", f) for f in new_files]
+                )
+                manifests = [manifest]
+                deleted_rows = prev_total
+            else:
+                manifest = self.store.write_manifest(entries)
+                manifests = (prev.manifests if prev else []) + [manifest]
+        else:
+            manifest = self.store.write_manifest(entries)
+            manifests = (prev.manifests if prev else []) + [manifest]
+
+        added_rows = sum(f.row_count for f in new_files)
+        snapshot = Snapshot(
+            id=(prev.id + 1) if prev else 1,
+            schema_id=0,
+            commit_kind=commit_kind,
+            manifests=manifests,
+            total_record_count=prev_total - deleted_rows + added_rows,
+            delta_record_count=added_rows,
+            time_millis=int(time.time() * 1000),
+        )
+        self.store.write_snapshot(snapshot)
+
+    def _dynamic_overwrite(self) -> bool:
+        # Paimon's dynamic-partition-overwrite defaults to true; F6 sets it
+        # to 'false' to get whole-table semantics on a partitioned table.
+        return (
+            self.table.schema.options.get("dynamic-partition-overwrite", "true")
+            == "true"
+        )
+
+    def _whole_table_overwrite(self) -> bool:
+        if self._static_partition:
+            return False
+        if not self.table.schema.partition_keys:
+            return True
+        return not self._dynamic_overwrite()
+
+    def _overwritten_files(
+        self, live: List[DataFileMeta], new_files: List[DataFileMeta]
+    ) -> List[DataFileMeta]:
+        if self._static_partition:
+            spec = {str(k): str(v) for k, v in self._static_partition.items()}
+            return [
+                f
+                for f in live
+                if all(str(f.partition.get(k)) == v for k, v in spec.items())
+            ]
+        if not self.table.schema.partition_keys or not self._dynamic_overwrite():
+            return list(live)
+        # dynamic: only partitions present in the new data are replaced
+        new_parts = {tuple(sorted(f.partition.items())) for f in new_files}
+        return [
+            f for f in live if tuple(sorted(f.partition.items())) in new_parts
+        ]
+
+    def close(self) -> None:
+        self._closed = True
+
+
+# ---- driver-side stats harvesting ----
+
+
+def _json_safe(v):
+    if isinstance(v, (int, float, str, bool)) or v is None:
+        return v
+    return None  # timestamps/binary: skip stats rather than mis-compare
+
+
+def _collect_parquet_stats(path: str) -> tuple[int, dict]:
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    rows = md.num_rows
+    agg: dict[str, dict] = {}
+    for rg in range(md.num_row_groups):
+        group = md.row_group(rg)
+        for ci in range(group.num_columns):
+            col = group.column(ci)
+            name = col.path_in_schema
+            if "." in name:  # nested: skip
+                continue
+            st = col.statistics
+            cur = agg.setdefault(
+                name, {"min": None, "max": None, "null_count": 0, "row_count": rows}
+            )
+            if st is None:
+                cur["null_count"] = None
+                continue
+            if st.null_count is not None and cur["null_count"] is not None:
+                cur["null_count"] += st.null_count
+            else:
+                cur["null_count"] = None
+            mn, mx = _json_safe(st.min if st.has_min_max else None), _json_safe(
+                st.max if st.has_min_max else None
+            )
+            if mn is not None and (cur["min"] is None or mn < cur["min"]):
+                cur["min"] = mn
+            if mx is not None and (cur["max"] is None or mx > cur["max"]):
+                cur["max"] = mx
+    return rows, agg
+
+
+def _collect_generic_stats(path: str, schema) -> tuple[int, dict]:
+    """ORC/Avro fallback: row count via pyarrow dataset; no column stats
+    (scan-planner then simply can't skip these files)."""
+    import pyarrow.dataset as ds
+
+    fmt = "orc" if path.endswith(".orc") else "parquet"
+    try:
+        dataset = ds.dataset(path, format=fmt)
+        return dataset.count_rows(), {}
+    except Exception:
+        return 0, {}
