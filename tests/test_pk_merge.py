@@ -1,0 +1,235 @@
+"""Primary-key merge-on-read suite — modeled on the reference's
+pypaimon/pynative/tests/test_pynative_reader.py (F4/F5 fixtures):
+multi-commit dedup, partitioned PK with cross-partition keys, filters on
+both table kinds, limit split-semantics, delete-row handling."""
+
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from paimon_python_spark import Schema
+
+F4_PK = pa.schema(
+    [pa.field("f0", pa.int32(), False), ("f1", pa.string()), ("f2", pa.string())]
+)
+
+
+def _write(table, df, row_kind_col=None):
+    wb = table.new_batch_write_builder()
+    w, c = wb.new_write(), wb.new_commit()
+    if row_kind_col is None:
+        w.write_pandas(df)
+    else:
+        from pyspark.sql import types as T
+
+        from paimon_python_spark.session import get_spark
+
+        schema = T.StructType(
+            list(table.schema.spark_schema.fields)
+            + [T.StructField(row_kind_col, T.IntegerType(), False)]
+        )
+        w.write_dataframe(
+            get_spark().createDataFrame(df, schema=schema), row_kind_col=row_kind_col
+        )
+    c.commit(w.prepare_commit())
+    w.close()
+    c.close()
+
+
+def test_pk_two_commit_merge(catalog):
+    # F4: last-write-wins across two overlapping commits
+    # (test_pynative_reader.py:47-62,185-208)
+    catalog.create_table(
+        "default.t", Schema(F4_PK, primary_keys=["f0"], options={"bucket": "1"}), False
+    )
+    t = catalog.get_table("default.t")
+    _write(
+        t,
+        pd.DataFrame(
+            {"f0": [1, 2, 3, 4], "f1": ["a", "b", "c", None], "f2": ["A", "B", "C", "D"]}
+        ),
+    )
+    _write(t, pd.DataFrame({"f0": [2, 3, 6], "f1": ["x", "y", "z"], "f2": ["X", "Y", "Z"]}))
+    result = t.new_read_builder().new_read().to_pandas()
+    expected = pd.DataFrame(
+        {
+            "f0": [1, 2, 3, 4, 6],
+            "f1": ["a", "x", "y", None, "z"],
+            "f2": ["A", "X", "Y", "D", "Z"],
+        }
+    )
+    pd.testing.assert_frame_equal(result, expected, check_dtype=False)
+
+
+def test_pk_duplicates_within_one_commit(catalog):
+    """Within one write, the later row for a key wins (sequence numbers
+    are dense in input order, like the reference's per-record seq)."""
+    catalog.create_table(
+        "default.t", Schema(F4_PK, primary_keys=["f0"], options={"bucket": "1"}), False
+    )
+    t = catalog.get_table("default.t")
+    _write(
+        t,
+        pd.DataFrame(
+            {"f0": [1, 1, 1], "f1": ["first", "second", "third"], "f2": ["x", "y", "z"]}
+        ),
+    )
+    result = t.new_read_builder().new_read().to_pandas()
+    assert list(result["f1"]) == ["third"]
+
+
+def test_partitioned_pk_cross_partition(catalog):
+    # F5 (test_pynative_reader.py:272-315)
+    schema = Schema(
+        pa.schema(
+            [
+                pa.field("user_id", pa.int32(), False),
+                ("item_id", pa.int32()),
+                ("behavior", pa.string()),
+                pa.field("dt", pa.string(), False),
+            ]
+        ),
+        partition_keys=["dt"],
+        primary_keys=["dt", "user_id"],
+        options={"bucket": "2"},
+    )
+    catalog.create_table("default.t", schema, False)
+    t = catalog.get_table("default.t")
+    _write(
+        t,
+        pd.DataFrame(
+            {
+                "user_id": [1, 2, 3, 4],
+                "item_id": [1001, 1002, 1003, 1004],
+                "behavior": ["b-1", "b-2", "b-3", None],
+                "dt": ["p-1"] * 4,
+            }
+        ),
+    )
+    _write(
+        t,
+        pd.DataFrame(
+            {
+                "user_id": [5, 2, 7, 8],
+                "item_id": [1005, 1002, 1007, 1008],
+                "behavior": ["b-5", "b-2-new", "b-7", None],
+                "dt": ["p-2", "p-1", "p-1", "p-2"],
+            }
+        ),
+    )
+    result = (
+        t.new_read_builder()
+        .new_read()
+        .to_pandas()
+        .sort_values(["dt", "user_id"])
+        .reset_index(drop=True)
+    )
+    assert len(result) == 7
+    assert result.loc[result.user_id == 2, "behavior"].iloc[0] == "b-2-new"
+    # same user_id in different partitions is a different row
+    assert sorted(result.loc[result.dt == "p-2", "user_id"]) == [5, 8]
+
+
+def test_pk_filter_after_merge(catalog):
+    """Value-column filter must apply AFTER the merge: a key whose latest
+    value fails the filter must not resurface its older value
+    (the reference's filter-placement rule, reader_convert_func.py:56-59)."""
+    catalog.create_table(
+        "default.t", Schema(F4_PK, primary_keys=["f0"], options={"bucket": "1"}), False
+    )
+    t = catalog.get_table("default.t")
+    _write(t, pd.DataFrame({"f0": [1, 2], "f1": ["keep", "keep"], "f2": ["A", "B"]}))
+    _write(t, pd.DataFrame({"f0": [2], "f1": ["drop"], "f2": ["B2"]}))
+    pb = t.new_read_builder().new_predicate_builder()
+    rb = t.new_read_builder().with_filter(pb.equal("f1", "keep"))
+    result = rb.new_read().to_pandas(rb.new_scan().plan().splits())
+    # key 2's latest value is 'drop' → key 2 absent entirely (its old
+    # 'keep' row must NOT come back)
+    assert list(result["f0"]) == [1]
+
+
+def test_pk_key_filter_prunes_files(catalog):
+    """PK-field predicates may prune files below the merge (safe because
+    merge is per key; predicate_utils.py:22-56)."""
+    catalog.create_table(
+        "default.t", Schema(F4_PK, primary_keys=["f0"], options={"bucket": "1"}), False
+    )
+    t = catalog.get_table("default.t")
+    _write(t, pd.DataFrame({"f0": [1, 2], "f1": ["a", "b"], "f2": ["A", "B"]}))
+    _write(t, pd.DataFrame({"f0": [100, 200], "f1": ["c", "d"], "f2": ["C", "D"]}))
+    pb = t.new_read_builder().new_predicate_builder()
+    rb = t.new_read_builder().with_filter(pb.equal("f0", 100))
+    splits = rb.new_scan().plan().splits()
+    assert sum(len(s.files) for s in splits) == 1  # second file only
+    assert list(rb.new_read().to_pandas(splits)["f0"]) == [100]
+
+
+def test_pk_value_filter_does_not_prune(catalog):
+    """Value-column stats must NOT prune PK files (older runs may carry
+    stale values; pyarrow_dataset_reader.py:40-42)."""
+    catalog.create_table(
+        "default.t", Schema(F4_PK, primary_keys=["f0"], options={"bucket": "1"}), False
+    )
+    t = catalog.get_table("default.t")
+    _write(t, pd.DataFrame({"f0": [1], "f1": ["old"], "f2": ["A"]}))
+    _write(t, pd.DataFrame({"f0": [1], "f1": ["new"], "f2": ["B"]}))
+    pb = t.new_read_builder().new_predicate_builder()
+    rb = t.new_read_builder().with_filter(pb.equal("f1", "old"))
+    splits = rb.new_scan().plan().splits()
+    # both files still scanned (the 'old' file alone would wrongly revive
+    # the superseded row)
+    assert sum(len(s.files) for s in splits) == 2
+    # and the merged result is empty: key 1's latest value is 'new'
+    assert rb.new_read().to_pandas(splits).empty
+
+
+def test_limit_split_granular(catalog):
+    # limit=1 returns the whole first split (4 rows), not 1 row
+    # (test_pynative_reader.py:166-181)
+    catalog.create_table("default.t", Schema(F4_PK), False)
+    t = catalog.get_table("default.t")
+    _write(
+        t,
+        pd.DataFrame(
+            {"f0": [1, 2, 3, 4], "f1": ["a", "b", "c", None], "f2": ["A", "B", "C", "D"]}
+        ),
+    )
+    _write(
+        t,
+        pd.DataFrame(
+            {"f0": [5, 6, 7, 8], "f1": ["e", "f", "g", "h"], "f2": ["E", "F", "G", None]}
+        ),
+    )
+    rb = t.new_read_builder().with_limit(1)
+    splits = rb.new_scan().plan().splits()
+    assert sum(s.row_count() for s in splits) == 4
+    assert len(rb.new_read().to_pandas(splits)) == 4
+
+
+def test_delete_rows_dropped(catalog):
+    """RowKind -D rows delete the key on merge (DropDeleteReader,
+    drop_delete_reader.py:26-62); ingested via write_dataframe's
+    changelog column."""
+    catalog.create_table(
+        "default.t", Schema(F4_PK, primary_keys=["f0"], options={"bucket": "1"}), False
+    )
+    t = catalog.get_table("default.t")
+    _write(t, pd.DataFrame({"f0": [1, 2, 3], "f1": ["a", "b", "c"], "f2": ["A", "B", "C"]}))
+    deletes = pd.DataFrame(
+        {"f0": [2], "f1": ["b"], "f2": ["B"], "_kind": [3]}  # 3 = -D
+    )
+    _write(t, deletes, row_kind_col="_kind")
+    result = t.new_read_builder().new_read().to_pandas()
+    assert list(result["f0"]) == [1, 3]
+
+
+def test_pk_key_ordered_output(catalog):
+    """to_arrow/to_pandas on a PK table returns key order (sort-merge
+    parity, sort_merge_reader.py:198-259)."""
+    catalog.create_table(
+        "default.t", Schema(F4_PK, primary_keys=["f0"], options={"bucket": "1"}), False
+    )
+    t = catalog.get_table("default.t")
+    _write(t, pd.DataFrame({"f0": [3, 1, 2], "f1": ["c", "a", "b"], "f2": ["C", "A", "B"]}))
+    result = t.new_read_builder().new_read().to_pandas()
+    assert list(result["f0"]) == [1, 2, 3]

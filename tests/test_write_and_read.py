@@ -1,0 +1,223 @@
+"""Write/read round-trip suite — modeled on the reference's
+pypaimon/py4j/tests/test_write_and_read.py (SURVEY §5): all write APIs ×
+all read APIs, overwrite semantics, schema-mismatch errors, projection
+incl. empty & reordered, parallel multi-commit reads."""
+
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from paimon_python_spark import Catalog, Schema
+
+SIMPLE = pa.schema([("f0", pa.int32()), ("f1", pa.string())])
+
+
+def _write(table, df, overwrite=None, do_overwrite=False):
+    wb = table.new_batch_write_builder()
+    if do_overwrite:
+        wb.overwrite(overwrite)
+    w, c = wb.new_write(), wb.new_commit()
+    w.write_pandas(df)
+    c.commit(w.prepare_commit())
+    w.close()
+    c.close()
+
+
+def test_write_read_all_apis(catalog):
+    catalog.create_table("default.t", Schema(SIMPLE), False)
+    t = catalog.get_table("default.t")
+    df = pd.DataFrame({"f0": [1, 2, 3], "f1": ["a", "b", "c"]})
+
+    wb = t.new_batch_write_builder()
+    w, c = wb.new_write(), wb.new_commit()
+    w.write_pandas(df)
+    w.write_arrow(pa.table({"f0": pa.array([4], pa.int32()), "f1": pa.array(["d"])}))
+    w.write_arrow_batch(
+        pa.RecordBatch.from_pydict(
+            {"f0": pa.array([5], pa.int32()), "f1": pa.array(["e"])}
+        )
+    )
+    c.commit(w.prepare_commit())
+    w.close()
+    c.close()
+
+    rb = t.new_read_builder()
+    splits = rb.new_scan().plan().splits()
+    read = rb.new_read()
+
+    expected = pd.DataFrame(
+        {"f0": pd.array([1, 2, 3, 4, 5], dtype="int32"), "f1": list("abcde")}
+    )
+    result_pd = read.to_pandas(splits).sort_values("f0").reset_index(drop=True)
+    pd.testing.assert_frame_equal(result_pd, expected, check_dtype=False)
+
+    arrow = read.to_arrow(splits)
+    assert arrow.num_rows == 5
+    assert [f.name for f in arrow.schema] == ["f0", "f1"]
+
+    batches = list(read.to_arrow_batch_reader(splits, batch_size=2))
+    assert sum(b.num_rows for b in batches) == 5
+
+    rows = list(read.to_record_generator(splits))
+    assert {r["f1"] for r in rows} == set("abcde")
+
+    sdf = read.to_df(splits)
+    assert sdf.count() == 5
+
+    con = read.to_duckdb(splits, table_name="duckdb_table")
+    assert con.execute("SELECT count(*) FROM duckdb_table WHERE f0 < 4").fetchone()[0] == 3
+
+
+def test_multi_commit_parallel_read(catalog):
+    catalog.create_table("default.t", Schema(SIMPLE), False)
+    t = catalog.get_table("default.t")
+    for i in range(4):
+        _write(t, pd.DataFrame({"f0": [i], "f1": [chr(ord("a") + i)]}))
+    rb = t.new_read_builder()
+    splits = rb.new_scan().plan().splits()
+    assert len(splits) == 4
+    result = rb.new_read().to_pandas(splits)
+    # append reads come back in commit order (ConcatRecordReader parity)
+    assert list(result["f0"]) == [0, 1, 2, 3]
+
+
+def test_empty_table_read(catalog):
+    catalog.create_table("default.t", Schema(SIMPLE), False)
+    t = catalog.get_table("default.t")
+    rb = t.new_read_builder()
+    assert rb.new_scan().plan().splits() == []
+    assert rb.new_read().to_pandas().empty
+    assert rb.new_read().to_df().count() == 0
+
+
+def test_write_wrong_width_rejected(catalog):
+    catalog.create_table("default.t", Schema(SIMPLE), False)
+    t = catalog.get_table("default.t")
+    w = t.new_batch_write_builder().new_write()
+    with pytest.raises(ValueError, match="Input schema isn't consistent with table schema"):
+        w.write_arrow(pa.table({"f0": pa.array([1], pa.int64()), "f1": pa.array(["a"])}))
+
+
+def test_nullability_ignored(catalog):
+    # test_write_and_read.py:412-456: non-null table column accepts a
+    # nullable input column (types only are checked)
+    schema = Schema(pa.schema([pa.field("f0", pa.int32(), False), ("f1", pa.string())]))
+    catalog.create_table("default.t", schema, False)
+    t = catalog.get_table("default.t")
+    w = t.new_batch_write_builder().new_write()
+    w.write_arrow(
+        pa.table({"f0": pa.array([1, 2], pa.int32()), "f1": pa.array(["a", None])})
+    )
+    wb = t.new_batch_write_builder()
+    c = wb.new_commit()
+    c.commit(w.prepare_commit())
+    assert len(t.new_read_builder().new_read().to_pandas()) == 2
+
+
+def test_overwrite_semantics(catalog):
+    # F6 (test_write_and_read.py:311-383)
+    schema = Schema(
+        SIMPLE,
+        partition_keys=["f0"],
+        options={"dynamic-partition-overwrite": "false"},
+    )
+    catalog.create_table("default.t", schema, False)
+    t = catalog.get_table("default.t")
+
+    _write(t, pd.DataFrame({"f0": [1, 2], "f1": ["apple", "banana"]}))
+    df = t.new_read_builder().new_read().to_pandas().sort_values("f0")
+    assert list(df["f1"]) == ["apple", "banana"]
+
+    _write(t, pd.DataFrame({"f0": [1], "f1": ["watermelon"]}), {"f0": "1"}, True)
+    df = t.new_read_builder().new_read().to_pandas().sort_values("f0")
+    assert list(df["f1"]) == ["watermelon", "banana"]
+
+    _write(t, pd.DataFrame({"f0": [3], "f1": ["Neo"]}), None, True)
+    df = t.new_read_builder().new_read().to_pandas()
+    assert list(df["f1"]) == ["Neo"]
+
+
+def test_dynamic_partition_overwrite(catalog):
+    schema = Schema(SIMPLE, partition_keys=["f0"])  # default: dynamic
+    catalog.create_table("default.t", schema, False)
+    t = catalog.get_table("default.t")
+    _write(t, pd.DataFrame({"f0": [1, 2], "f1": ["apple", "banana"]}))
+    # overwrite(None) + dynamic=true → only partition 1 (present in new
+    # data) is replaced; partition 2 survives
+    _write(t, pd.DataFrame({"f0": [1], "f1": ["watermelon"]}), None, True)
+    df = t.new_read_builder().new_read().to_pandas().sort_values("f0")
+    assert list(df["f1"]) == ["watermelon", "banana"]
+
+
+def test_projection(catalog):
+    # F7 (test_write_and_read.py:458-518)
+    schema = Schema(
+        pa.schema(
+            [("f0", pa.int64()), ("f1", pa.string()), ("f2", pa.bool_()), ("f3", pa.string())]
+        )
+    )
+    catalog.create_table("default.t", schema, False)
+    t = catalog.get_table("default.t")
+    _write(
+        t,
+        pd.DataFrame(
+            {
+                "f0": [1, 2, 3],
+                "f1": ["a", "b", "c"],
+                "f2": [True, True, False],
+                "f3": ["A", "B", "C"],
+            }
+        ),
+    )
+    rb = t.new_read_builder().with_projection([])
+    assert rb.new_read().to_pandas(rb.new_scan().plan().splits()).empty
+
+    rb = t.new_read_builder().with_projection(["f3", "f2"])
+    result = rb.new_read().to_pandas(rb.new_scan().plan().splits())
+    assert list(result.columns) == ["f3", "f2"]
+    assert list(result["f3"]) == ["A", "B", "C"]
+
+    assert rb.read_type() == ["f3", "f2"]
+
+    with pytest.raises(ValueError):
+        t.new_read_builder().with_projection(["nope"])
+
+
+def test_split_metadata(catalog):
+    # test_object_metadata.py:48-73
+    catalog.create_table("default.t", Schema(SIMPLE), False)
+    t = catalog.get_table("default.t")
+    _write(t, pd.DataFrame({"f0": [1, 2, 3], "f1": ["a", "b", "c"]}))
+    splits = t.new_read_builder().new_scan().plan().splits()
+    assert len(splits) == 1
+    s = splits[0]
+    assert s.row_count() == 3
+    assert s.file_size() > 0
+    assert len(s.file_paths()) == 1
+    assert s.file_paths()[0].endswith(".parquet")
+
+
+def test_cannot_write_dynamic_bucket(catalog):
+    schema = Schema(SIMPLE, primary_keys=["f0"])
+    catalog.create_table("default.t", schema, False)
+    t = catalog.get_table("default.t")
+    with pytest.raises(TypeError) as e:
+        t.new_batch_write_builder()
+    assert str(e.value) == "Doesn't support writing dynamic bucket or cross partition table."
+
+
+def test_catalog_errors(catalog):
+    from paimon_python_spark.catalog import (
+        DatabaseNotExistException,
+        TableAlreadyExistException,
+        TableNotExistException,
+    )
+
+    with pytest.raises(TableNotExistException):
+        catalog.get_table("default.nope")
+    with pytest.raises(DatabaseNotExistException):
+        catalog.create_table("nodb.t", Schema(SIMPLE), False)
+    catalog.create_table("default.t", Schema(SIMPLE), False)
+    with pytest.raises(TableAlreadyExistException):
+        catalog.create_table("default.t", Schema(SIMPLE), False)
+    catalog.create_table("default.t", Schema(SIMPLE), True)  # ignore_if_exists
