@@ -1,10 +1,20 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` maps operator names (SURVEY.md §2 + the LLM-pipeline
+extension ops) to (spark, sf_dir) → DataFrame callables; ``oracle_sql()``
+gives the DuckDB-equivalent SQL the driver hash-compares against at
+sf0.01.
+
+Determinism rules used throughout (so Spark and DuckDB hash-match):
+- raw column values pass through untouched (bit-identical in both
+  engines — parquet is the common source of truth);
+- computed floating-point aggregates are ``round(x, 2)`` in BOTH engines;
+- thresholds on ratios use integer cross-multiplication, not float
+  division (e.g. ``5*|A∩B| >= 3*|A∪B|`` for Jaccard ≥ 0.6);
+- timestamps never appear raw in outputs — they become epoch millis
+  (bigint) or 'yyyy-MM-dd' strings;
+- every computed column is aliased identically in the DataFrame code and
+  the SQL.
 """
 
 from __future__ import annotations
@@ -12,27 +22,792 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.ts is parquet TIMESTAMP(NANOS); Spark reads it as a long of
+    epoch-nanos under ``nanosAsLong`` (DuckDB keeps full ns precision, so
+    all event-time logic below is computed on the ns value — no
+    truncation mismatch). Millis for output = ``ts div 1_000_000``."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query (TPC-H Q1 pricing summary) on sf0.001."""
+    return q1_pricing_summary(spark, "/root/testdata/sf0.001")
+
+
+# =====================================================================
+# Relational suite (the operators the reference delegates to DuckDB —
+# SURVEY §2.5 — expressed natively on Spark)
+# =====================================================================
+
+
+def q1_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 2) AS avg_qty,
+       round(avg(l_extendedprice), 2) AS avg_price,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q3_shipping_priority(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1998-01-01")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1998-01-01")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+Q3_SQL = """
+SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate, o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY l_orderkey, orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+def q5_local_supplier(spark, sf_dir):
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("n_name"))
+    )
+
+
+Q5_SQL = """
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
+def q6_forecast_revenue(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+            "revenue"
+        )
+    )
+
+
+Q6_SQL = """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+
+def q10_returned_items(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1997-07-01")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+Q10_SQL = """
+SELECT c_custkey, c_name, c_acctbal, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-07-01'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+def q18_large_orders(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 250)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_totalprice",
+            F.round("total_qty", 2).alias("total_qty"),
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(50)
+    )
+
+
+Q18_SQL = """
+SELECT c_name, c_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+       o_totalprice, round(total_qty, 2) AS total_qty
+FROM (
+  SELECT l_orderkey, sum(l_quantity) AS total_qty
+  FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 250
+) big
+JOIN orders ON big.l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 50
+"""
+
+
+def join_semi_exists(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1996-01-01")
+    )
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+        .orderBy("c_mktsegment")
+    )
+
+
+JOIN_SEMI_SQL = """
+SELECT c_mktsegment, count(*) AS n_customers
+FROM customer
+WHERE EXISTS (
+  SELECT 1 FROM orders WHERE o_custkey = c_custkey
+    AND o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01')
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+def join_anti_not_exists(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1995-04-01")
+    )
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+JOIN_ANTI_SQL = """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders WHERE o_custkey = c_custkey
+    AND o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1995-04-01')
+ORDER BY c_custkey
+"""
+
+
+def window_topk_per_group(spark, sf_dir):
+    part = _t(spark, sf_dir, "part")
+    w = W.partitionBy("p_brand").orderBy(F.col("p_retailprice").desc(), F.col("p_partkey"))
+    return (
+        part.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("p_brand", "rk", "p_partkey", "p_name", "p_retailprice")
+        .orderBy("p_brand", "rk")
+    )
+
+
+WINDOW_TOPK_SQL = """
+SELECT p_brand, rk, p_partkey, p_name, p_retailprice FROM (
+  SELECT p_brand, p_partkey, p_name, p_retailprice,
+         row_number() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS rk
+  FROM part) t
+WHERE rk <= 3
+ORDER BY p_brand, rk
+"""
+
+
+def window_running_sum(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 100)
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_spend"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+WINDOW_RUNNING_SQL = """
+SELECT o_custkey, o_orderkey,
+       round(sum(o_totalprice) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend
+FROM orders WHERE o_custkey <= 100
+ORDER BY o_custkey, o_orderkey
+"""
+
+
+def rollup_agg(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n",
+            "sum_qty",
+        )
+        .orderBy("returnflag", "linestatus")
+    )
+
+
+ROLLUP_SQL = """
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY returnflag, linestatus
+"""
+
+
+def cube_agg(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    return (
+        ev.cube("event_type", (F.col("user_id") % 10).alias("user_mod"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            F.coalesce(F.col("user_mod").cast("long"), F.lit(-1)).alias("user_mod"),
+            "n",
+            "sum_value",
+        )
+        .orderBy("event_type", "user_mod")
+    )
+
+
+CUBE_SQL = """
+SELECT coalesce(event_type, 'ALL') AS event_type,
+       coalesce(user_mod, -1) AS user_mod,
+       count(*) AS n, round(sum(value), 2) AS sum_value
+FROM (SELECT event_type, user_id % 10 AS user_mod, value FROM events) t
+GROUP BY CUBE (event_type, user_mod)
+ORDER BY event_type, user_mod
+"""
+
+
+def pivot_agg(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+        .withColumnsRenamed({"O": "qty_open", "F": "qty_filled"})
+        .orderBy("l_returnflag")
+    )
+
+
+PIVOT_SQL = """
+SELECT l_returnflag,
+       round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS qty_open,
+       round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS qty_filled
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+def setop_except(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    a = orders.filter(
+        (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1996-01-01")
+    ).select("o_custkey")
+    b = orders.filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    ).select("o_custkey")
+    # subtract = EXCEPT DISTINCT (set semantics, matching SQL EXCEPT)
+    return a.subtract(b).orderBy("o_custkey")
+
+
+SETOP_EXCEPT_SQL = """
+SELECT DISTINCT o_custkey FROM orders
+WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'
+EXCEPT
+SELECT DISTINCT o_custkey FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+ORDER BY o_custkey
+"""
+
+
+def setop_intersect(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    a = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_nationkey")
+    b = cust.filter(F.col("c_mktsegment") == "MACHINERY").select("c_nationkey")
+    return a.intersect(b).orderBy("c_nationkey")
+
+
+SETOP_INTERSECT_SQL = """
+SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+INTERSECT
+SELECT c_nationkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+ORDER BY c_nationkey
+"""
+
+
+def agg_count_distinct(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+AGG_DISTINCT_SQL = """
+SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def agg_conditional(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.round(
+            F.sum(F.when(F.col("l_returnflag") == "R", F.col("l_extendedprice"))), 2
+        ).alias("returned_value"),
+        F.count(F.when(F.col("l_discount") > 0.05, 1)).alias("n_discounted"),
+        F.round(
+            F.sum(
+                F.when(
+                    F.col("l_quantity") > 25,
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                ).otherwise(F.lit(0.0))
+            ),
+            2,
+        ).alias("bulk_revenue"),
+    )
+
+
+AGG_CONDITIONAL_SQL = """
+SELECT round(sum(CASE WHEN l_returnflag = 'R' THEN l_extendedprice END), 2) AS returned_value,
+       count(CASE WHEN l_discount > 0.05 THEN 1 END) AS n_discounted,
+       round(sum(CASE WHEN l_quantity > 25 THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END), 2) AS bulk_revenue
+FROM lineitem
+"""
+
+
+def scalar_string_funcs(spark, sf_dir):
+    part = _t(spark, sf_dir, "part").filter(F.col("p_partkey") <= 200)
+    return part.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_upper"),
+        F.length("p_name").alias("name_len"),
+        F.substring("p_type", 1, 5).alias("type_prefix"),
+        F.concat_ws("-", "p_brand", F.col("p_size").cast("string")).alias("brand_size"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_snake"),
+        F.lpad(F.col("p_partkey").cast("string"), 8, "0").alias("padded_key"),
+    ).orderBy("p_partkey")
+
+
+SCALAR_STRING_SQL = """
+SELECT p_partkey, upper(p_brand) AS brand_upper, length(p_name) AS name_len,
+       substr(p_type, 1, 5) AS type_prefix,
+       p_brand || '-' || CAST(p_size AS VARCHAR) AS brand_size,
+       replace(p_name, ' ', '_') AS name_snake,
+       lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS padded_key
+FROM part WHERE p_partkey <= 200 ORDER BY p_partkey
+"""
+
+
+def scalar_date_funcs(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            F.year("o_orderdate").alias("yr"),
+            F.quarter("o_orderdate").alias("qtr"),
+            (F.weekday("o_orderdate") + F.lit(1)).alias("isodow"),
+        )
+        .groupBy("yr", "qtr", "isodow")
+        .agg(F.count("*").alias("n"))
+        .orderBy("yr", "qtr", "isodow")
+    )
+
+
+SCALAR_DATE_SQL = """
+SELECT year(o_orderdate) AS yr, quarter(o_orderdate) AS qtr,
+       isodow(o_orderdate) AS isodow, count(*) AS n
+FROM orders GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+
+
+def scalar_json_funcs(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    return (
+        ev.select(
+            "event_type",
+            F.get_json_object("props", "$.k").cast("long").alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SCALAR_JSON_SQL = """
+SELECT event_type, sum(k) AS sum_k, min(k) AS min_k, max(k) AS max_k
+FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events) t
+GROUP BY event_type ORDER BY event_type
+"""
+
+
+# =====================================================================
+# Merge-on-read semantics as a standalone query (the engine's core
+# operator — window dedup, SURVEY §2.3 — oracle-checkable on events)
+# =====================================================================
+
+
+def mor_latest_by_key(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    w = W.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", "value")
+        .orderBy("user_id", "event_type")
+    )
+
+
+MOR_LATEST_SQL = """
+SELECT user_id, event_type, event_id, value FROM (
+  SELECT user_id, event_type, event_id, value,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events) t
+WHERE rn = 1
+ORDER BY user_id, event_type
+"""
+
+
+# =====================================================================
+# Event-time operators (tumbling windows, sessionization, as-of join)
+# =====================================================================
+
+
+def events_tumbling_window(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    # 5-minute tumbling bucket, computed on epoch-nanos integers
+    return (
+        ev.withColumn("bucket", F.expr("ts div 300000000000"))
+        .groupBy("bucket", "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .orderBy("bucket", "event_type")
+    )
+
+
+EVENTS_TUMBLING_SQL = """
+SELECT epoch_ns(ts) // 300000000000 AS bucket, event_type,
+       count(*) AS n, round(sum(value), 2) AS sum_value
+FROM events GROUP BY bucket, event_type ORDER BY bucket, event_type
+"""
+
+
+def events_sessionize(spark, sf_dir):
+    """Sessionization: a >30-min silence starts a new session; pure
+    integer/window math so the oracle matches exactly."""
+    ev = _events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts") - F.lag("ts").over(w)  # epoch-nanos integers
+    sessionized = ev.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 1800 * 10**9), F.lit(1)).otherwise(F.lit(0)),
+    ).withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    return (
+        sessionized.groupBy("user_id", "session_id")
+        .agg(F.count("*").alias("n_events"))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.max("n_events").alias("max_session_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+EVENTS_SESSIONIZE_SQL = """
+WITH gaps AS (
+  SELECT user_id, event_id, epoch_ns(ts) AS ns,
+         epoch_ns(ts) - lag(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+  FROM events),
+marked AS (
+  SELECT user_id, event_id, ns,
+         CASE WHEN gap IS NULL OR gap > 1800000000000 THEN 1 ELSE 0 END AS new_session
+  FROM gaps),
+sessions AS (
+  SELECT user_id, event_id,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ns, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM marked),
+per_session AS (
+  SELECT user_id, session_id, count(*) AS n_events FROM sessions GROUP BY 1, 2)
+SELECT user_id, count(*) AS n_sessions, max(n_events) AS max_session_events
+FROM per_session GROUP BY user_id ORDER BY user_id
+"""
+
+
+def events_asof_join(spark, sf_dir):
+    """As-of join: for each purchase, the most recent prior-or-equal
+    'view' by the same user. Spark lacks a native as-of join; the
+    scale-safe recipe is the union-and-window trick — one shuffle on
+    user_id, no row explosion (vs. join+groupBy which is quadratic per
+    user). Oracle: DuckDB's native ASOF LEFT JOIN."""
+    ev = _events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("ns"), "event_id", F.lit(1).alias("is_p")
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("ns"), "event_id", F.lit(0).alias("is_p")
+    )
+    merged = purchases.unionByName(views)
+    # views sort before purchases at the same instant (is_p ascending) so
+    # "prior or equal" includes same-timestamp views
+    w = W.partitionBy("user_id").orderBy("ns", "is_p").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    lastview = F.last(F.when(F.col("is_p") == 0, F.col("ns")), ignorenulls=True).over(w)
+    return (
+        merged.withColumn("last_view_ns", lastview)
+        .filter(F.col("is_p") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("purchase_id"),
+            F.expr("ns div 1000000").alias("purchase_ms"),
+            F.expr("last_view_ns div 1000000").alias("last_view_ms"),
+        )
+        .orderBy("user_id", "purchase_id")
+    )
+
+
+EVENTS_ASOF_SQL = """
+SELECT p.user_id, p.event_id AS purchase_id,
+       epoch_ns(p.ts) // 1000000 AS purchase_ms,
+       epoch_ns(v.ts) // 1000000 AS last_view_ms
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON p.user_id = v.user_id AND p.ts >= v.ts
+ORDER BY p.user_id, purchase_id
+"""
+
+
+# =====================================================================
+# registry
+# =====================================================================
+
+_QUERIES: dict[str, Callable] = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_shipping_priority": q3_shipping_priority,
+    "q5_local_supplier": q5_local_supplier,
+    "q6_forecast_revenue": q6_forecast_revenue,
+    "q10_returned_items": q10_returned_items,
+    "q18_large_orders": q18_large_orders,
+    "join_semi_exists": join_semi_exists,
+    "join_anti_not_exists": join_anti_not_exists,
+    "window_topk_per_group": window_topk_per_group,
+    "window_running_sum": window_running_sum,
+    "rollup_agg": rollup_agg,
+    "cube_agg": cube_agg,
+    "pivot_agg": pivot_agg,
+    "setop_except": setop_except,
+    "setop_intersect": setop_intersect,
+    "agg_count_distinct": agg_count_distinct,
+    "agg_conditional": agg_conditional,
+    "scalar_string_funcs": scalar_string_funcs,
+    "scalar_date_funcs": scalar_date_funcs,
+    "scalar_json_funcs": scalar_json_funcs,
+    "mor_latest_by_key": mor_latest_by_key,
+    "events_tumbling_window": events_tumbling_window,
+    "events_sessionize": events_sessionize,
+    "events_asof_join": events_asof_join,
+}
+
+_ORACLES: dict[str, str] = {
+    "q1_pricing_summary": Q1_SQL,
+    "q3_shipping_priority": Q3_SQL,
+    "q5_local_supplier": Q5_SQL,
+    "q6_forecast_revenue": Q6_SQL,
+    "q10_returned_items": Q10_SQL,
+    "q18_large_orders": Q18_SQL,
+    "join_semi_exists": JOIN_SEMI_SQL,
+    "join_anti_not_exists": JOIN_ANTI_SQL,
+    "window_topk_per_group": WINDOW_TOPK_SQL,
+    "window_running_sum": WINDOW_RUNNING_SQL,
+    "rollup_agg": ROLLUP_SQL,
+    "cube_agg": CUBE_SQL,
+    "pivot_agg": PIVOT_SQL,
+    "setop_except": SETOP_EXCEPT_SQL,
+    "setop_intersect": SETOP_INTERSECT_SQL,
+    "agg_count_distinct": AGG_DISTINCT_SQL,
+    "agg_conditional": AGG_CONDITIONAL_SQL,
+    "scalar_string_funcs": SCALAR_STRING_SQL,
+    "scalar_date_funcs": SCALAR_DATE_SQL,
+    "scalar_json_funcs": SCALAR_JSON_SQL,
+    "mor_latest_by_key": MOR_LATEST_SQL,
+    "events_tumbling_window": EVENTS_TUMBLING_SQL,
+    "events_sessionize": EVENTS_SESSIONIZE_SQL,
+    "events_asof_join": EVENTS_ASOF_SQL,
+}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(_ORACLES)

@@ -62,5 +62,6 @@ def configure_builder(builder: SparkSession.Builder, shuffle_partitions: int = 3
         .config("spark.sql.parquet.mergeSchema", "false")
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
         .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
