@@ -747,6 +747,316 @@ ORDER BY p.user_id, purchase_id
 
 
 # =====================================================================
+# LLM-pipeline extension operators (paimon_python_spark.operators /
+# .functions) — dedup, similarity search, text analysis, multimodal
+# =====================================================================
+
+_SH_SQL = """
+  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(w) - 2),
+         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+  WHERE len(w) >= 3
+"""
+
+
+def dedup_exact(spark, sf_dir):
+    from paimon_python_spark.operators import exact_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return exact_dedup(docs, on=["text"], id_col="doc_id").orderBy("keep_id")
+
+
+DEDUP_EXACT_SQL = """
+SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+FROM documents GROUP BY text ORDER BY keep_id
+"""
+
+
+def dedup_minhash_lsh(spark, sf_dir):
+    from paimon_python_spark.operators import minhash_lsh_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(
+        docs, "doc_id", "text", num_hashes=16, bands=4, jaccard_num=1, jaccard_den=2
+    ).orderBy("doc_a", "doc_b")
+
+
+def _minhash_oracle() -> str:
+    sig_elems = ",\n    ".join(
+        f"list_min(list_transform(sh, s -> md5('{j}:' || s)))" for j in range(16)
+    )
+    return f"""
+WITH sh AS ({_SH_SQL}),
+sig AS (SELECT doc_id, sh, [{sig_elems}] AS sig FROM sh),
+bands AS (
+  SELECT doc_id, b, sig[b*4+1] || sig[b*4+2] || sig[b*4+3] || sig[b*4+4] AS band_key
+  FROM sig, generate_series(0, 3) t(b)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+  FROM bands a JOIN bands b2 ON a.b = b2.b AND a.band_key = b2.band_key
+   AND a.doc_id < b2.doc_id)
+SELECT doc_a, doc_b,
+       len(list_intersect(sa.sh, sb.sh)) AS intersect_size,
+       len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) AS union_size
+FROM cand JOIN sh sa ON sa.doc_id = doc_a JOIN sh sb ON sb.doc_id = doc_b
+WHERE len(list_intersect(sa.sh, sb.sh)) * 2 >= (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) * 1
+ORDER BY doc_a, doc_b
+"""
+
+
+def dedup_ngram_jaccard(spark, sf_dir):
+    from paimon_python_spark.operators import ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(
+        docs, "doc_id", "text", shingle_n=3, jaccard_num=3, jaccard_den=5
+    ).orderBy("doc_a", "doc_b")
+
+
+NGRAM_JACCARD_SQL = f"""
+WITH sh AS ({_SH_SQL}),
+inv AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS intersect_size
+  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+sizes AS (SELECT doc_id, len(sh) AS n_sh FROM sh)
+SELECT doc_a, doc_b, intersect_size,
+       sa.n_sh + sb.n_sh - intersect_size AS union_size
+FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+WHERE intersect_size * 5 >= (sa.n_sh + sb.n_sh - intersect_size) * 3
+ORDER BY doc_a, doc_b
+"""
+
+
+def dedup_simhash(spark, sf_dir):
+    from paimon_python_spark.operators import simhash_fingerprints
+
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_fingerprints(docs, "doc_id", "text", bits=16).orderBy("doc_id")
+
+
+def _simhash_oracle() -> str:
+    chars = ", ".join(
+        "CASE WHEN list_sum(list_transform(w, x -> "
+        f"CASE WHEN substr(md5(x), {j + 1}, 1) >= '8' THEN 1 ELSE -1 END)) > 0 "
+        "THEN '1' ELSE '0' END"
+        for j in range(16)
+    )
+    return f"""
+SELECT doc_id, concat({chars}) AS simhash
+FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+ORDER BY doc_id
+"""
+
+
+_DOT64 = (
+    "list_sum(list_transform(generate_series(1, 64), "
+    "i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE))"
+)
+
+
+def dedup_embedding_cosine(spark, sf_dir):
+    from paimon_python_spark.operators import embedding_cosine_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_cosine_pairs(emb, "vec_id", "embedding", threshold=0.45).orderBy(
+        "id_a", "id_b"
+    )
+
+
+EMBEDDING_COSINE_SQL = f"""
+WITH scored AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(({_DOT64.format(a='a.embedding', b='b.embedding')}) /
+               (sqrt({_DOT64.format(a='a.embedding', b='a.embedding')}) *
+                sqrt({_DOT64.format(a='b.embedding', b='b.embedding')})), 6) AS cos_sim
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+SELECT id_a, id_b, cos_sim FROM scored WHERE cos_sim >= 0.45
+ORDER BY id_a, id_b
+"""
+
+
+def _query_vec(spark, sf_dir) -> list[float]:
+    # fetch the query vector (vec_id=0) — a driver-side point lookup
+    row = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == 0)
+        .select("embedding")
+        .head()
+    )
+    return [float(x) for x in row[0]]
+
+
+def ann_topk_cosine(spark, sf_dir):
+    from paimon_python_spark.operators import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+    return brute_force_topk(emb, "vec_id", "embedding", _query_vec(spark, sf_dir), k=10)
+
+
+ANN_TOPK_SQL = f"""
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT vec_id,
+         round(({_DOT64.format(a='embedding', b='qe')}) /
+               (sqrt({_DOT64.format(a='embedding', b='embedding')}) *
+                sqrt({_DOT64.format(a='qe', b='qe')})), 6) AS cos_sim
+  FROM embeddings, q WHERE vec_id <> 0)
+SELECT vec_id, rank, cos_sim FROM (
+  SELECT vec_id, cos_sim,
+         row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS rank
+  FROM scored) t
+WHERE rank <= 10 ORDER BY rank
+"""
+
+
+def ann_lsh_bucket(spark, sf_dir):
+    from paimon_python_spark.operators import lsh_bucket_topk
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+    # 4 planes → 16 buckets: enough recall at the 500–5000-vector test
+    # scales; at real scale raise planes so buckets stay ~1k vectors.
+    return lsh_bucket_topk(
+        emb, "vec_id", "embedding", _query_vec(spark, sf_dir), k=10, planes=4
+    )
+
+
+def _ann_lsh_oracle(sf_dir: str) -> str:
+    """Same hyperplane constants, same bucket expr, inlined into SQL.
+    The query bucket is computed in plain Python from the md5-derived
+    signs — identical on both sides by construction."""
+    import duckdb
+
+    from paimon_python_spark.operators import hyperplane_signs
+
+    signs = hyperplane_signs(4, 64)
+    q = duckdb.sql(
+        f"SELECT embedding FROM read_parquet('{sf_dir}/embeddings.parquet') WHERE vec_id = 0"
+    ).fetchone()[0]
+    qbucket = "".join(
+        "1" if sum(s * float(v) for s, v in zip(row, q)) > 0 else "0" for row in signs
+    )
+    bucket_chars = ", ".join(
+        "CASE WHEN list_sum(list_transform(generate_series(1, 64), "
+        f"i -> embedding[i]::DOUBLE * ([{', '.join(str(s) for s in row)}])[i]::DOUBLE)) > 0 "
+        "THEN '1' ELSE '0' END"
+        for row in signs
+    )
+    return f"""
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+bucketed AS (
+  SELECT vec_id, embedding, concat({bucket_chars}) AS bucket
+  FROM embeddings WHERE vec_id <> 0),
+scored AS (
+  SELECT vec_id,
+         round(({_DOT64.format(a='embedding', b='qe')}) /
+               (sqrt({_DOT64.format(a='embedding', b='embedding')}) *
+                sqrt({_DOT64.format(a='qe', b='qe')})), 6) AS cos_sim
+  FROM bucketed, q WHERE bucket = '{qbucket}')
+SELECT vec_id, rank, cos_sim FROM (
+  SELECT vec_id, cos_sim,
+         row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS rank
+  FROM scored) t
+WHERE rank <= 10 ORDER BY rank
+"""
+
+
+def text_quality_stats(spark, sf_dir):
+    from paimon_python_spark.functions import text_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return text_stats(docs, "doc_id", "text").orderBy("doc_id")
+
+
+TEXT_STATS_SQL = """
+SELECT doc_id,
+       len(w) AS n_words,
+       length(text) AS n_chars,
+       len(list_distinct(w)) AS n_distinct_words,
+       CAST(floor((length(text) - (len(w) - 1)) * 100 / len(w)) AS BIGINT) AS avg_word_len_x100,
+       CAST(floor(len(list_distinct(w)) * 100 / len(w)) AS BIGINT) AS distinct_pct,
+       (len(w) >= 5 AND len(w) <= 100000
+        AND floor(len(list_distinct(w)) * 100 / len(w)) >= 20) AS quality_ok
+FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents) t
+ORDER BY doc_id
+"""
+
+
+def text_lang_id(spark, sf_dir):
+    from paimon_python_spark.functions import lang_id
+
+    docs = _t(spark, sf_dir, "documents")
+    return lang_id(docs, "doc_id", "text").orderBy("doc_id")
+
+
+def _lang_id_oracle() -> str:
+    from paimon_python_spark.functions import LANG_MARKERS
+    from paimon_python_spark.functions.text import lang_id_case_sql
+
+    score_cols = ",\n       ".join(
+        f"len(list_filter(w, x -> list_contains([{', '.join(repr(m) for m in markers)}], x))) AS s_{lang}"
+        for lang, markers in LANG_MARKERS.items()
+    )
+    return f"""
+SELECT doc_id, s_en, s_de, s_es, s_fr, s_zh, {lang_id_case_sql()} AS lang_pred
+FROM (
+  SELECT doc_id,
+       {score_cols}
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) t) s
+ORDER BY doc_id
+"""
+
+
+def text_token_counts(spark, sf_dir):
+    from paimon_python_spark.functions import token_counts
+
+    docs = _t(spark, sf_dir, "documents")
+    return token_counts(docs, "doc_id", "text").orderBy("doc_id")
+
+
+TOKEN_COUNTS_SQL = r"""
+SELECT doc_id,
+       len(regexp_split_to_array(text, '\s+')) AS n_ws_tokens,
+       len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS n_re_tokens
+FROM documents ORDER BY doc_id
+"""
+
+
+def text_fingerprint(spark, sf_dir):
+    from paimon_python_spark.functions import doc_fingerprints
+
+    docs = _t(spark, sf_dir, "documents")
+    return doc_fingerprints(docs, "doc_id", "text").orderBy("doc_id")
+
+
+TEXT_FINGERPRINT_SQL = r"""
+SELECT doc_id,
+       md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fingerprint,
+       substr(md5(lower(regexp_replace(text, '\s+', ' ', 'g'))), 1, 8) AS fp_bucket
+FROM documents ORDER BY doc_id
+"""
+
+
+def mm_binary_meta(spark, sf_dir):
+    from paimon_python_spark.functions import binary_metadata
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    return binary_metadata(docs, "doc_id", "payload").orderBy("doc_id")
+
+
+MM_BINARY_META_SQL = """
+SELECT doc_id,
+       octet_length(encode(text)) AS n_bytes,
+       sha256(text) AS sha256,
+       'application/octet-stream' AS mime_sniffed
+FROM documents ORDER BY doc_id
+"""
+
+
+# =====================================================================
 # registry
 # =====================================================================
 
@@ -775,6 +1085,18 @@ _QUERIES: dict[str, Callable] = {
     "events_tumbling_window": events_tumbling_window,
     "events_sessionize": events_sessionize,
     "events_asof_join": events_asof_join,
+    "dedup_exact": dedup_exact,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_simhash": dedup_simhash,
+    "dedup_embedding_cosine": dedup_embedding_cosine,
+    "ann_topk_cosine": ann_topk_cosine,
+    "ann_lsh_bucket": ann_lsh_bucket,
+    "text_quality_stats": text_quality_stats,
+    "text_lang_id": text_lang_id,
+    "text_token_counts": text_token_counts,
+    "text_fingerprint": text_fingerprint,
+    "mm_binary_meta": mm_binary_meta,
 }
 
 _ORACLES: dict[str, str] = {
@@ -802,6 +1124,14 @@ _ORACLES: dict[str, str] = {
     "events_tumbling_window": EVENTS_TUMBLING_SQL,
     "events_sessionize": EVENTS_SESSIONIZE_SQL,
     "events_asof_join": EVENTS_ASOF_SQL,
+    "dedup_exact": DEDUP_EXACT_SQL,
+    "dedup_ngram_jaccard": NGRAM_JACCARD_SQL,
+    "dedup_embedding_cosine": EMBEDDING_COSINE_SQL,
+    "ann_topk_cosine": ANN_TOPK_SQL,
+    "text_quality_stats": TEXT_STATS_SQL,
+    "text_token_counts": TOKEN_COUNTS_SQL,
+    "text_fingerprint": TEXT_FINGERPRINT_SQL,
+    "mm_binary_meta": MM_BINARY_META_SQL,
 }
 
 
@@ -810,4 +1140,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(_ORACLES)
+    out = dict(_ORACLES)
+    out["dedup_minhash_lsh"] = _minhash_oracle()
+    out["dedup_simhash"] = _simhash_oracle()
+    out["text_lang_id"] = _lang_id_oracle()
+    out["ann_lsh_bucket"] = _ann_lsh_oracle("/root/testdata/sf0.01")
+    return out

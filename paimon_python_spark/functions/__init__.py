@@ -1,0 +1,27 @@
+"""Column-level function library for text analysis and multimodal
+(binary) columns — all built-in-function expressions (JVM-side,
+whole-stage codegen), no Python in the hot path."""
+
+from paimon_python_spark.functions.text import (
+    text_stats,
+    lang_id,
+    doc_fingerprints,
+    token_counts,
+    LANG_MARKERS,
+)
+from paimon_python_spark.functions.multimodal import (
+    binary_metadata,
+    decode_image_stub,
+    frame_sample_stub,
+)
+
+__all__ = [
+    "text_stats",
+    "lang_id",
+    "doc_fingerprints",
+    "token_counts",
+    "LANG_MARKERS",
+    "binary_metadata",
+    "decode_image_stub",
+    "frame_sample_stub",
+]

@@ -1,0 +1,111 @@
+"""Text-analysis operators: token counting, quality scoring, language
+ID, document fingerprinting.
+
+Everything is integer/string math over built-in functions so results
+are deterministic across engines (the quality ratios are scaled
+integers, not float divisions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Tiny marker-word lists per language (an n-gram/stopword-presence
+# heuristic — the classic cheap language-ID baseline). Deterministic
+# argmax with a fixed preference order on ties.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "is"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "es": ["el", "los", "una", "es", "y"],
+    "fr": ["le", "les", "et", "est", "une"],
+    "zh": ["的", "是", "在", "了"],
+}
+
+# BPE-ish token pattern: alphanumeric runs or single non-space symbols
+TOKEN_PATTERN = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+
+
+def token_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Whitespace tokens + regex (BPE-ish) tokens per document."""
+    return df.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), "\\s+")).alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_PATTERN), 0)).alias(
+            "n_re_tokens"
+        ),
+    )
+
+
+def text_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Quality-scoring stats: word/char counts, scaled-integer ratios,
+    and a boolean quality gate — the length/punct/stopword-ratio style
+    heuristics used to filter web corpora, in exact integer math."""
+    w = F.split(F.col(text_col), " ")
+    n_words = F.size(w)
+    n_chars = F.length(text_col)
+    n_distinct = F.size(F.array_distinct(w))
+    sum_word_len = n_chars - (n_words - 1)  # single-space-separated text
+    return df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        n_chars.alias("n_chars"),
+        n_distinct.alias("n_distinct_words"),
+        F.floor(sum_word_len * 100 / n_words).cast("long").alias("avg_word_len_x100"),
+        F.floor(n_distinct * 100 / n_words).cast("long").alias("distinct_pct"),
+        (
+            (n_words >= 5)
+            & (n_words <= 100000)
+            & (F.floor(n_distinct * 100 / n_words) >= 20)
+        ).alias("quality_ok"),
+    )
+
+
+def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Marker-word language ID: score = marker hits (with multiplicity);
+    argmax with fixed order en>de>es>fr>zh, 'und' when all zero."""
+    out = df.withColumn("w", F.split(F.col(text_col), " "))
+    for lang, markers in LANG_MARKERS.items():
+        arr = ", ".join(f"'{m}'" for m in markers)
+        out = out.withColumn(
+            f"s_{lang}",
+            F.expr(f"size(filter(w, x -> array_contains(array({arr}), x)))"),
+        )
+    langs = list(LANG_MARKERS)
+    case = "CASE "
+    for i, lang in enumerate(langs):
+        rest = [f"s_{lang} >= s_{other}" for other in langs[i + 1 :]]
+        conds = rest + [f"s_{lang} > 0"]
+        case += f"WHEN {' AND '.join(conds)} THEN '{lang}' "
+    case += "ELSE 'und' END"
+    return out.select(
+        F.col(id_col),
+        *[F.col(f"s_{lang}") for lang in langs],
+        F.expr(case).alias("lang_pred"),
+    )
+
+
+def lang_id_case_sql() -> str:
+    """The identical CASE expression for a SQL oracle (same argmax
+    tie-order)."""
+    langs = list(LANG_MARKERS)
+    case = "CASE "
+    for i, lang in enumerate(langs):
+        rest = [f"s_{lang} >= s_{other}" for other in langs[i + 1 :]]
+        conds = rest + [f"s_{lang} > 0"]
+        case += f"WHEN {' AND '.join(conds)} THEN '{lang}' "
+    case += "ELSE 'und' END"
+    return case
+
+
+def doc_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Document fingerprints: md5 of whitespace-normalized lowercase text
+    (content-defined identity for exact dedup across formatting), plus a
+    coarse 8-hex-char prefix usable as a shard/bucket key."""
+    norm = F.lower(F.regexp_replace(F.col(text_col), "\\s+", " "))
+    fp = F.md5(norm)
+    return df.select(
+        F.col(id_col),
+        fp.alias("fingerprint"),
+        F.substring(fp, 1, 8).alias("fp_bucket"),
+    )

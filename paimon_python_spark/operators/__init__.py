@@ -1,0 +1,38 @@
+"""Scale-path data-pipeline operators (LLM training-data prep) —
+DataFrame→DataFrame, no driver materialization, composable at 100 TB.
+
+These extend the reference's surface (which stops at scan/merge,
+SURVEY §2.5) with the dedup / similarity / text / multimodal operators a
+training-data pipeline needs. Design rules:
+
+- hashing is md5-based (identical across engines → DuckDB-oracle-able),
+- thresholds use integer cross-multiplication, not float division,
+- every op is shuffle-conscious: LSH banding replaces all-pairs joins,
+  per-row sequential float reductions keep results deterministic.
+"""
+
+from paimon_python_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_fingerprints,
+    embedding_cosine_pairs,
+)
+from paimon_python_spark.operators.similarity import (
+    cosine_similarity_col,
+    brute_force_topk,
+    lsh_bucket_topk,
+    hyperplane_signs,
+)
+
+__all__ = [
+    "exact_dedup",
+    "minhash_lsh_pairs",
+    "ngram_jaccard_pairs",
+    "simhash_fingerprints",
+    "embedding_cosine_pairs",
+    "cosine_similarity_col",
+    "brute_force_topk",
+    "lsh_bucket_topk",
+    "hyperplane_signs",
+]

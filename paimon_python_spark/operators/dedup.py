@@ -1,0 +1,237 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+All are pure DataFrame compositions (built-in functions only — no Python
+UDFs in any hot path) so Catalyst/AQE own the physical plan. Shuffle
+budget per op is noted; the LSH variants exist precisely because the
+exact all-pairs joins don't survive a 100× scale-up.
+
+Determinism contract (what makes these DuckDB-oracle-able): hash
+functions are md5 over utf8 (identical bytes in any engine), shingles
+use 1-based ``element_at`` indexing (mirrors SQL list indexing), Jaccard
+thresholds are integer cross-multiplications.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_dedup(df: DataFrame, on: list[str], id_col: str) -> DataFrame:
+    """Exact dedup: one survivor (min id) per duplicate group.
+
+    One hash-aggregate shuffle on ``on``; map-side partial aggregation
+    makes this the cheapest possible dedup at any scale.
+    """
+    return (
+        df.groupBy(*on)
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_copies"))
+        .select("keep_id", "n_copies")
+    )
+
+
+def _shingle_expr(text_col: str, n: int) -> str:
+    """SQL expr producing the DISTINCT word-``n``-gram shingle set.
+
+    1-based element_at keeps the expression line-for-line portable to
+    DuckDB list indexing (the oracle uses w[i]||' '||w[i+1]...).
+    """
+    parts = ", ".join(f"element_at(w, i + {k})" for k in range(n))
+    return (
+        f"array_distinct(transform(sequence(1, size(w) - {n - 1}), "
+        f"i -> concat_ws(' ', {parts})))"
+    )
+
+
+def with_shingles(
+    df: DataFrame, text_col: str, n: int = 3, min_words: int | None = None
+) -> DataFrame:
+    """Add ``sh``: the distinct word n-gram shingle set of ``text_col``."""
+    min_words = n if min_words is None else min_words
+    return (
+        df.withColumn("w", F.split(F.col(text_col), " "))
+        .filter(F.size("w") >= min_words)
+        .withColumn("sh", F.expr(_shingle_expr(text_col, n)))
+        .drop("w")
+    )
+
+
+def minhash_signature_expr(num_hashes: int) -> str:
+    """SQL expr: MinHash signature (array of ``num_hashes`` hex strings)
+    over the shingle set ``sh``. Hash family h_j(s) = md5('j:' || s);
+    the minimum is lexicographic over hex — a total order any engine
+    agrees on."""
+    mins = ", ".join(
+        f"array_min(transform(sh, s -> md5(concat('{j}:', s))))"
+        for j in range(num_hashes)
+    )
+    return f"array({mins})"
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    jaccard_num: int = 1,
+    jaccard_den: int = 2,
+) -> DataFrame:
+    """MinHash + LSH near-duplicate pairs, verified by exact Jaccard.
+
+    Pipeline (the standard shingle→minhash→band→bucket-join shape):
+      1. distinct word shingles per doc (narrow, no shuffle),
+      2. minhash signature per doc (narrow),
+      3. explode into ``bands`` band-keys; self-join on (band, band_key)
+         — the ONLY shuffle, keyed on band values, so cost scales with
+         collisions rather than |docs|²,
+      4. verify candidates with exact Jaccard on the shingle sets using
+         integer math: keep iff den·|A∩B| ≥ num·|A∪B|.
+
+    Returns (doc_a, doc_b, intersect_size, union_size), doc_a < doc_b.
+    """
+    rows_per_band = num_hashes // bands
+    sh = with_shingles(df.select(id_col, text_col), text_col, shingle_n).withColumn(
+        "sig", F.expr(minhash_signature_expr(num_hashes))
+    )
+    band_key = F.concat_ws(
+        "",
+        *[
+            F.element_at("sig", F.col("band") * rows_per_band + F.lit(k + 1))
+            for k in range(rows_per_band)
+        ],
+    )
+    banded = (
+        sh.select(id_col, "sig")
+        .withColumn("band", F.explode(F.sequence(F.lit(0), F.lit(bands - 1))))
+        .withColumn("band_key", band_key)
+        .select(id_col, "band", "band_key")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .distinct()
+    )
+    sets = sh.select(F.col(id_col), F.col("sh"))
+    return (
+        cand.join(sets.withColumnsRenamed({id_col: "doc_a", "sh": "sh_a"}), "doc_a")
+        .join(sets.withColumnsRenamed({id_col: "doc_b", "sh": "sh_b"}), "doc_b")
+        .withColumn("intersect_size", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "union_size", F.size("sh_a") + F.size("sh_b") - F.col("intersect_size")
+        )
+        .filter(
+            F.col("intersect_size") * jaccard_den >= F.col("union_size") * jaccard_num
+        )
+        .select("doc_a", "doc_b", "intersect_size", "union_size")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    jaccard_num: int = 3,
+    jaccard_den: int = 5,
+) -> DataFrame:
+    """Exact n-gram Jaccard pairs via inverted index (explode + shuffle on
+    shingle). Exact but heavier than MinHash-LSH: the shuffle carries one
+    row per (doc, shingle) and the join fans out per shared shingle —
+    use for moderate corpora or post-LSH verification at scale."""
+    sh = with_shingles(df.select(id_col, text_col), text_col, shingle_n)
+    sizes = sh.select(F.col(id_col), F.size("sh").alias("n_sh"))
+    inv = sh.select(F.col(id_col), F.explode("sh").alias("shingle"))
+    a = inv.alias("a")
+    b = inv.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .agg(F.count("*").alias("intersect_size"))
+    )
+    return (
+        inter.join(sizes.withColumnsRenamed({id_col: "doc_a", "n_sh": "n_a"}), "doc_a")
+        .join(sizes.withColumnsRenamed({id_col: "doc_b", "n_sh": "n_b"}), "doc_b")
+        .withColumn(
+            "union_size", F.col("n_a") + F.col("n_b") - F.col("intersect_size")
+        )
+        .filter(
+            F.col("intersect_size") * jaccard_den >= F.col("union_size") * jaccard_num
+        )
+        .select("doc_a", "doc_b", "intersect_size", "union_size")
+    )
+
+
+def simhash_expr(bits: int = 16) -> str:
+    """SQL expr: ``bits``-bit SimHash of the word array ``w`` as a
+    '0'/'1' string. Bit j votes +1 when the j-th hex digit of md5(word)
+    has its top bit set (digit ≥ '8'), else −1; ties → '0'."""
+    votes = [
+        (
+            "aggregate(w, 0, (acc, x) -> acc + "
+            f"(CASE WHEN substring(md5(x), {j + 1}, 1) >= '8' THEN 1 ELSE -1 END))"
+        )
+        for j in range(bits)
+    ]
+    chars = ", ".join(f"CASE WHEN ({v}) > 0 THEN '1' ELSE '0' END" for v in votes)
+    return f"concat({chars})"
+
+
+def simhash_fingerprints(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 16
+) -> DataFrame:
+    """Per-document SimHash fingerprint (narrow, embarrassingly parallel;
+    pair-finding then goes through band-bucketing like minhash_lsh_pairs)."""
+    return (
+        df.select(id_col, text_col)
+        .withColumn("w", F.split(F.col(text_col), " "))
+        .select(F.col(id_col), F.expr(simhash_expr(bits)).alias("simhash"))
+    )
+
+
+def embedding_cosine_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Embedding near-duplicate pairs by cosine similarity.
+
+    All-pairs variant (O(n²/2) compare, one broadcast or shuffle join) —
+    correct baseline; at scale swap the candidate generation for
+    ``similarity.lsh_bucket_topk``'s hyperplane buckets. The dot product
+    is a sequential left-fold in double precision, rounded before the
+    threshold so engines agree at the boundary.
+    """
+    from paimon_python_spark.operators.similarity import cosine_similarity_col
+
+    a = df.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
+    )
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_sim", F.round(cosine_similarity_col("va", "vb"), round_digits))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )

@@ -1,0 +1,129 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k is the correctness baseline (one pass, no
+index); hyperplane-LSH bucketing is the scale path — candidate sets
+shrink by ~2^planes while staying fully deterministic (plane weights are
+md5-derived ±1 constants computed in plain Python and inlined into the
+expression, so a SQL oracle can inline the very same constants).
+
+No Python UDFs: dot products are ``aggregate(zip_with(...))`` —
+sequential left-folds in double precision inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot_expr(a: str, b: str) -> str:
+    """Sequential double-precision dot product of two array columns.
+    Left-fold order is what DuckDB's list_sum(list_transform(...)) also
+    produces — bit-identical results."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def cosine_similarity_col(a: str, b: str) -> Column:
+    return F.expr(
+        f"({dot_expr(a, b)}) / (sqrt({dot_expr(a, a)}) * sqrt({dot_expr(b, b)}))"
+    )
+
+
+def brute_force_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_vec: list[float],
+    k: int = 10,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Exact cosine top-k against a literal query vector.
+
+    One narrow scan + a global top-k (Spark's TakeOrderedAndProject —
+    per-partition heaps then a driver merge of k·partitions rows; no full
+    sort, no shuffle of the data). Ordering key is (rounded cos desc,
+    id) so ranking is engine-independent.
+    """
+    lit_vec = "array(" + ", ".join(f"CAST({v!r} AS DOUBLE)" for v in query_vec) + ")"
+    scored = df.select(
+        F.col(id_col),
+        F.round(
+            F.expr(
+                f"({dot_expr(vec_col, lit_vec)}) / "
+                f"(sqrt({dot_expr(vec_col, vec_col)}) * sqrt({dot_expr(lit_vec, lit_vec)}))"
+            ),
+            round_digits,
+        ).alias("cos_sim"),
+    )
+    # limit(k) compiles to TakeOrderedAndProject; the rank window then
+    # runs over k rows only (single tiny partition — intentional).
+    return (
+        scored.orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
+        .withColumn(
+            "rank",
+            F.row_number().over(Window.orderBy(F.col("cos_sim").desc(), F.col(id_col))),
+        )
+        .select(F.col(id_col), "rank", "cos_sim")
+    )
+
+
+def hyperplane_signs(planes: int, dims: int) -> list[list[int]]:
+    """Deterministic ±1 hyperplane weights: sign of bit derived from
+    md5('{plane}:{dim}'). Plain-Python constants — the same numbers can
+    be inlined into a SQL oracle or shipped to any engine."""
+    signs = []
+    for p in range(planes):
+        row = []
+        for d in range(dims):
+            h = hashlib.md5(f"{p}:{d}".encode()).hexdigest()
+            row.append(1 if int(h[0], 16) >= 8 else -1)
+        signs.append(row)
+    return signs
+
+
+def bucket_expr(vec_col: str, signs: list[list[int]]) -> str:
+    """SQL expr: LSH bucket id ('0'/'1' string, one char per plane) —
+    sign of the projection of the vector onto each hyperplane."""
+    chars = []
+    for row in signs:
+        lit = "array(" + ", ".join(f"CAST({s} AS DOUBLE)" for s in row) + ")"
+        chars.append(
+            f"CASE WHEN ({dot_expr(vec_col, lit)}) > 0 THEN '1' ELSE '0' END"
+        )
+    return "concat(" + ", ".join(chars) + ")"
+
+
+def lsh_bucket_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_vec: list[float],
+    k: int = 10,
+    planes: int = 8,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Approximate top-k: rank only vectors sharing the query's
+    hyperplane-LSH bucket. With p planes the candidate set is ~n/2^p —
+    the shuffle-free ANN recipe for the 100 TB case (bucket is a
+    partition-prunable column when persisted)."""
+    dims = len(query_vec)
+    signs = hyperplane_signs(planes, dims)
+    qbucket = "".join(
+        "1" if sum(s * v for s, v in zip(row, query_vec)) > 0 else "0"
+        for row in signs
+    )
+    bucketed = df.withColumn("bucket", F.expr(bucket_expr(vec_col, signs)))
+    return brute_force_topk(
+        bucketed.filter(F.col("bucket") == qbucket),
+        id_col,
+        vec_col,
+        query_vec,
+        k,
+        round_digits,
+    )

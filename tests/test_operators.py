@@ -1,0 +1,194 @@
+"""Extension-operator suite: dedup / similarity / text / multimodal over
+the driver testdata at sf0.001 (full oracle checks run via
+tools/check_oracle.py at sf0.01; these tests pin semantics and the
+mapInPandas plumbing that has no SQL oracle)."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def test_exact_dedup_groups(spark):
+    from paimon_python_spark.operators import exact_dedup
+
+    df = spark.createDataFrame(
+        [(1, "x"), (2, "x"), (3, "y")], "id long, text string"
+    )
+    out = exact_dedup(df, on=["text"], id_col="id").orderBy("keep_id").collect()
+    assert [(r.keep_id, r.n_copies) for r in out] == [(1, 2), (3, 1)]
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    from paimon_python_spark.operators import minhash_lsh_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tomorrow")
+    far = "completely different words about spark window aggregation pipelines here"
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], "doc_id long, text string"
+    )
+    pairs = minhash_lsh_pairs(df, "doc_id", "text", jaccard_num=1, jaccard_den=2)
+    got = {(r.doc_a, r.doc_b) for r in pairs.collect()}
+    assert (1, 2) in got
+    assert all(3 not in p for p in got)
+
+
+def test_ngram_jaccard_symmetric_threshold(spark):
+    from paimon_python_spark.operators import ngram_jaccard_pairs
+
+    a = "w1 w2 w3 w4 w5 w6"
+    df = spark.createDataFrame([(1, a), (2, a), (3, "z1 z2 z3 z4")],
+                               "doc_id long, text string")
+    pairs = ngram_jaccard_pairs(df, "doc_id", "text").collect()
+    assert [(p.doc_a, p.doc_b) for p in pairs] == [(1, 2)]
+    assert pairs[0].intersect_size == pairs[0].union_size  # identical docs
+
+
+def test_simhash_identical_docs_equal(spark):
+    from paimon_python_spark.operators import simhash_fingerprints
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta gamma"), (3, "delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    fps = {r.doc_id: r.simhash for r in simhash_fingerprints(df, "doc_id", "text").collect()}
+    assert fps[1] == fps[2]
+    assert fps[1] != fps[3]
+    assert len(fps[1]) == 16 and set(fps[1]) <= {"0", "1"}
+
+
+def test_brute_force_topk_self_similarity(spark, emb):
+    from paimon_python_spark.operators import brute_force_topk
+
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 1).head()["embedding"]]
+    # query vector included → rank 1 must be the vector itself, cos 1.0
+    out = brute_force_topk(emb, "vec_id", "embedding", qvec, k=5).collect()
+    assert out[0].vec_id == 1
+    assert out[0].cos_sim == pytest.approx(1.0, abs=1e-6)
+    assert [r.rank for r in out] == [1, 2, 3, 4, 5]
+
+
+def test_lsh_bucket_subset_of_brute_force_order(spark, emb):
+    from paimon_python_spark.operators import brute_force_topk, lsh_bucket_topk
+
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    rest = emb.filter(F.col("vec_id") != 0)
+    brute = [r.vec_id for r in brute_force_topk(rest, "vec_id", "embedding", qvec, k=50).collect()]
+    lsh = [r.vec_id for r in lsh_bucket_topk(rest, "vec_id", "embedding", qvec, k=10, planes=2).collect()]
+    # LSH results are genuine vectors ranked consistently with brute force
+    assert lsh, "bucket should not be empty with 2 planes"
+    brute_pos = {v: i for i, v in enumerate(brute)}
+    pos = [brute_pos[v] for v in lsh if v in brute_pos]
+    assert pos == sorted(pos)
+
+
+def test_text_stats_integer_math(spark):
+    from paimon_python_spark.functions import text_stats
+
+    df = spark.createDataFrame([(1, "aa bb aa")], "doc_id long, text string")
+    row = text_stats(df, "doc_id", "text").head()
+    assert row.n_words == 3
+    assert row.n_chars == 8
+    assert row.n_distinct_words == 2
+    assert row.avg_word_len_x100 == 200
+    assert row.distinct_pct == 66
+    assert not row.quality_ok  # fewer than 5 words
+
+
+def test_lang_id_markers(spark):
+    from paimon_python_spark.functions import lang_id
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog is a pet"),
+            (2, "der hund und die katze ist"),
+            (3, "xyzzy plugh quux"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.lang_pred for r in lang_id(df, "doc_id", "text").collect()}
+    assert out == {1: "en", 2: "de", 3: "und"}
+
+
+def test_fingerprint_normalizes_whitespace(spark):
+    from paimon_python_spark.functions import doc_fingerprints
+
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, "other text")],
+        "doc_id long, text string",
+    )
+    fp = {r.doc_id: r.fingerprint for r in doc_fingerprints(df, "doc_id", "text").collect()}
+    assert fp[1] == fp[2]
+    assert fp[1] != fp[3]
+
+
+def test_binary_metadata_and_sniff(spark):
+    from paimon_python_spark.functions import binary_metadata
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"\xff\xd8\xff\xe0rest")), (2, bytearray(b"plain"))],
+        "id long, payload binary",
+    )
+    out = {r.id: r for r in binary_metadata(df, "id", "payload").collect()}
+    assert out[1].mime_sniffed == "image/jpeg"
+    assert out[2].mime_sniffed == "application/octet-stream"
+    assert out[2].n_bytes == 5
+    assert len(out[2].sha256) == 64
+
+
+def test_decode_image_stub_plumbing(spark, docs):
+    """The mapInPandas decode path: binary in → fixed-width features out,
+    deterministic, partition-local (no oracle possible — the decode is a
+    stub; the distributed contract is what's under test)."""
+    from paimon_python_spark.functions import decode_image_stub
+
+    binary = docs.select("doc_id", F.encode("text", "UTF-8").alias("img"))
+    out = decode_image_stub(binary, "doc_id", "img")
+    rows = out.collect()
+    assert len(rows) == docs.count()
+    assert all(64 <= r.width < 128 and 64 <= r.height < 128 for r in rows)
+    # deterministic across runs
+    again = decode_image_stub(binary, "doc_id", "img").collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_frame_sample_stub_fanout(spark):
+    from paimon_python_spark.functions import frame_sample_stub
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"v" * 1000)), (2, bytearray(b"w" * 100))],
+        "id long, video binary",
+    )
+    out = frame_sample_stub(df, "id", "video", every_nth=5).collect()
+    per_id = {}
+    for r in out:
+        per_id.setdefault(r.id, []).append(r.frame_idx)
+    assert per_id[1] == [0, 5]  # 10 frames, every 5th
+    assert per_id[2] == [0]
+
+
+def test_embedding_cosine_pairs_threshold(spark):
+    from paimon_python_spark.operators import embedding_cosine_pairs
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),
+            (2, [1.0, 0.001, 0.0]),
+            (3, [0.0, 1.0, 0.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    pairs = embedding_cosine_pairs(df, "vec_id", "embedding", threshold=0.99).collect()
+    assert [(p.id_a, p.id_b) for p in pairs] == [(1, 2)]
