@@ -782,12 +782,20 @@ def dedup_minhash_lsh(spark, sf_dir):
 
 
 def _minhash_oracle() -> str:
-    sig_elems = ",\n    ".join(
-        f"list_min(list_transform(sh, s -> md5('{j}:' || s)))" for j in range(16)
-    )
+    # same rotation hash family as minhash_signature_expr: one md5 per
+    # shingle, h_j = circular rotation of the hex digest by j chars
+    sig_elems = []
+    for j in range(16):
+        if j == 0:
+            rot = "x"
+        else:
+            rot = f"substr(x, {j + 1}, {32 - j}) || substr(x, 1, {j})"
+        sig_elems.append(f"list_min(list_transform(hs, x -> {rot}))")
+    sig_list = ",\n    ".join(sig_elems)
     return f"""
 WITH sh AS ({_SH_SQL}),
-sig AS (SELECT doc_id, sh, [{sig_elems}] AS sig FROM sh),
+hashed AS (SELECT doc_id, sh, list_transform(sh, s -> md5(s)) AS hs FROM sh),
+sig AS (SELECT doc_id, sh, [{sig_list}] AS sig FROM hashed),
 bands AS (
   SELECT doc_id, b, sig[b*4+1] || sig[b*4+2] || sig[b*4+3] || sig[b*4+4] AS band_key
   FROM sig, generate_series(0, 3) t(b)),
@@ -838,14 +846,15 @@ def dedup_simhash(spark, sf_dir):
 
 def _simhash_oracle() -> str:
     chars = ", ".join(
-        "CASE WHEN list_sum(list_transform(w, x -> "
-        f"CASE WHEN substr(md5(x), {j + 1}, 1) >= '8' THEN 1 ELSE -1 END)) > 0 "
+        "CASE WHEN list_sum(list_transform(hw, x -> "
+        f"CASE WHEN substr(x, {j + 1}, 1) >= '8' THEN 1 ELSE -1 END)) > 0 "
         "THEN '1' ELSE '0' END"
         for j in range(16)
     )
     return f"""
 SELECT doc_id, concat({chars}) AS simhash
-FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+FROM (SELECT doc_id, list_transform(string_split(text, ' '), x -> md5(x)) AS hw
+      FROM documents)
 ORDER BY doc_id
 """
 

@@ -1,0 +1,98 @@
+#!/usr/bin/env python
+"""Benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1) on
+local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query executes fully via the noop sink (no driver collect, no
+result materialization cost — pure engine time).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "q18_large_orders",
+    "window_topk_per_group",
+    "rollup_agg",
+    "agg_count_distinct",
+    "mor_latest_by_key",
+    "events_tumbling_window",
+    "events_sessionize",
+    "events_asof_join",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "text_quality_stats",
+    "text_lang_id",
+    "text_fingerprint",
+    "ann_topk_cosine",
+    "ann_lsh_bucket",
+]
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    from pyspark.sql import SparkSession
+
+    from paimon_python_spark.session import configure_builder, set_spark
+
+    spark = configure_builder(
+        SparkSession.builder.master(f"local[{cpus}]").appName("paimon_spark_bench"),
+        shuffle_partitions=int(cpus),
+    ).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    set_spark(spark)
+
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+
+    # warmup: JVM JIT, codegen, parquet footer caches — not query cost
+    spark.range(1_000_000).selectExpr("sum(id)").write.mode("overwrite").format(
+        "noop"
+    ).save()
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(1000).write.mode(
+        "overwrite"
+    ).format("noop").save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        df.write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -59,14 +59,23 @@ def with_shingles(
 
 def minhash_signature_expr(num_hashes: int) -> str:
     """SQL expr: MinHash signature (array of ``num_hashes`` hex strings)
-    over the shingle set ``sh``. Hash family h_j(s) = md5('j:' || s);
-    the minimum is lexicographic over hex — a total order any engine
-    agrees on."""
-    mins = ", ".join(
-        f"array_min(transform(sh, s -> md5(concat('{j}:', s))))"
-        for j in range(num_hashes)
-    )
-    return f"array({mins})"
+    over the shingle set ``sh``.
+
+    Hash family: ONE md5 per shingle, then ``num_hashes`` circular
+    rotations of the 32-hex-char digest — h_j(s) = rot_j(md5(s)). Each
+    rotation induces a different lexicographic order, giving independent-
+    enough minima at 1/num_hashes of the hashing cost (md5 dominates the
+    signature stage at corpus scale). Minimum is lexicographic over hex —
+    a total order any engine agrees on.
+    """
+    mins = []
+    for j in range(num_hashes):
+        if j == 0:
+            rot = "x"
+        else:
+            rot = f"concat(substring(x, {j + 1}, {32 - j}), substring(x, 1, {j}))"
+        mins.append(f"array_min(transform(hs, x -> {rot}))")
+    return f"array({', '.join(mins)})"
 
 
 def minhash_lsh_pairs(
@@ -93,9 +102,16 @@ def minhash_lsh_pairs(
     Returns (doc_a, doc_b, intersect_size, union_size), doc_a < doc_b.
     """
     rows_per_band = num_hashes // bands
-    sh = with_shingles(df.select(id_col, text_col), text_col, shingle_n).withColumn(
-        "sig", F.expr(minhash_signature_expr(num_hashes))
+    sh = (
+        with_shingles(df.select(id_col, text_col), text_col, shingle_n)
+        .withColumn("hs", F.expr("transform(sh, s -> md5(s))"))
+        .withColumn("sig", F.expr(minhash_signature_expr(num_hashes)))
+        .drop("hs")
     )
+    # signatures feed both the band explosion and the verification join;
+    # persist so the md5 stage runs once (at scale: write signatures to a
+    # table and reuse across dedup rounds)
+    sh = sh.persist()
     band_key = F.concat_ws(
         "",
         *[
@@ -183,10 +199,12 @@ def simhash_expr(bits: int = 16) -> str:
     """SQL expr: ``bits``-bit SimHash of the word array ``w`` as a
     '0'/'1' string. Bit j votes +1 when the j-th hex digit of md5(word)
     has its top bit set (digit ≥ '8'), else −1; ties → '0'."""
+    # one md5 per word (hw), reused by all ``bits`` votes — identical
+    # result to hashing inside each vote at 1/bits the hashing cost
     votes = [
         (
-            "aggregate(w, 0, (acc, x) -> acc + "
-            f"(CASE WHEN substring(md5(x), {j + 1}, 1) >= '8' THEN 1 ELSE -1 END))"
+            "aggregate(hw, 0, (acc, x) -> acc + "
+            f"(CASE WHEN substring(x, {j + 1}, 1) >= '8' THEN 1 ELSE -1 END))"
         )
         for j in range(bits)
     ]
@@ -202,6 +220,7 @@ def simhash_fingerprints(
     return (
         df.select(id_col, text_col)
         .withColumn("w", F.split(F.col(text_col), " "))
+        .withColumn("hw", F.expr("transform(w, x -> md5(x))"))
         .select(F.col(id_col), F.expr(simhash_expr(bits)).alias("simhash"))
     )
 
