@@ -95,10 +95,56 @@ class Catalog:
 
         MetadataStore(path).init_dirs()
 
+    @staticmethod
+    def _latest_schema_file(path: str) -> str:
+        schema_dir = os.path.join(path, "schema")
+        versions = [
+            int(n[len("schema-"):-len(".json")])
+            for n in os.listdir(schema_dir)
+            if n.startswith("schema-") and n.endswith(".json")
+        ]
+        return os.path.join(schema_dir, f"schema-{max(versions)}.json")
+
     def get_table(self, identifier: str) -> Table:
         path = self._table_path(identifier)
         if not os.path.isdir(path):
             raise TableNotExistException(f"Table {identifier} does not exist.")
-        with open(os.path.join(path, "schema", "schema-0.json")) as f:
+        with open(self._latest_schema_file(path)) as f:
             schema = Schema.from_json(f.read())
         return Table(identifier, path, schema)
+
+    def alter_table_add_column(
+        self, identifier: str, name: str, pa_type, nullable: bool = True
+    ) -> None:
+        """Schema evolution: append a nullable column as schema-(N+1).
+
+        Read-side NULL-filling for files written under older schemas is
+        automatic (the reader passes the latest schema to the parquet
+        scan — the reference does the same with an ``index_mapping``,
+        data_file_record_reader.py:86-98)."""
+        import pyarrow as pa
+        from pyspark.sql import types as T
+
+        from paimon_python_spark.types import pa_type_to_spark
+
+        path = self._table_path(identifier)
+        if not os.path.isdir(path):
+            raise TableNotExistException(f"Table {identifier} does not exist.")
+        current_file = self._latest_schema_file(path)
+        with open(current_file) as f:
+            schema = Schema.from_json(f.read())
+        if name in schema.field_names:
+            raise ValueError(f"Column {name} already exists.")
+        if not nullable:
+            raise ValueError("Added columns must be nullable (old files lack them).")
+        spark_type = (
+            pa_type_to_spark(pa_type, allow_extended_types=True, field_name=name)
+            if isinstance(pa_type, pa.DataType)
+            else pa_type
+        )
+        schema.spark_schema = T.StructType(
+            list(schema.spark_schema.fields) + [T.StructField(name, spark_type, True)]
+        )
+        version = int(os.path.basename(current_file)[len("schema-"):-len(".json")]) + 1
+        with open(os.path.join(path, "schema", f"schema-{version}.json"), "w") as f:
+            f.write(schema.to_json())

@@ -1,0 +1,130 @@
+"""Compaction: rewrite fragmented (partition, bucket) groups into single
+files and publish a COMPACT snapshot.
+
+The reference's commits may produce a compaction snapshot alongside the
+data snapshot (pypaimon/api/table_commit.py:28-32); the LSM sorted runs
+it collapses are exactly our per-commit files. Spark-first equivalence:
+
+- PK groups: run the merge-on-read recipe once (window dedup + drop
+  deletes) and write the survivors as ONE sorted run, preserving each
+  row's ``_SEQUENCE_NUMBER`` (so later un-compacted writes still win by
+  sequence) and stamping kind=+I (deletes are physically dropped at the
+  "max level", like an LSM full compaction).
+- Append groups: concatenate small files (file-count threshold).
+
+Each group rewrite is an independent Spark job over only that group's
+files; the commit atomically swaps old files for new via DELETE+ADD
+manifest entries. At scale this is the small-files problem solver: scan
+cost goes from O(commits) files per bucket back to O(1).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql import Window
+
+from paimon_python_spark.metadata import (
+    DataFileMeta,
+    ManifestEntry,
+    MetadataStore,
+    Snapshot,
+)
+from paimon_python_spark.session import get_spark
+from paimon_python_spark.write import (
+    ADD_KINDS,
+    BUCKET_COL,
+    KIND_COL,
+    PART_PREFIX,
+    ROWKIND_INSERT,
+    SEQ_COL,
+    DataFileHarvester,
+)
+
+
+def compact_table(table, small_file_threshold: int = 2) -> Optional[int]:
+    """Compact every (partition, bucket) group with ≥ ``small_file_threshold``
+    files. Returns the new snapshot id, or None if nothing to do."""
+    import time
+
+    store = MetadataStore(table.table_path)
+    schema = table.schema
+    prev = store.latest_snapshot()
+    if prev is None:
+        return None
+    live = store.live_files(prev)
+
+    groups: dict[tuple, List[DataFileMeta]] = {}
+    for f in live:
+        key = (tuple(sorted(f.partition.items())), f.bucket)
+        groups.setdefault(key, []).append(f)
+
+    to_rewrite = {k: v for k, v in groups.items() if len(v) >= small_file_threshold}
+    if not to_rewrite:
+        return None
+
+    spark = get_spark()
+    harvester = DataFileHarvester(table)
+    is_pk = schema.is_primary_key_table()
+    physical = T.StructType(list(schema.spark_schema.fields))
+    if is_pk:
+        physical = T.StructType(
+            physical.fields
+            + [
+                T.StructField(SEQ_COL, T.LongType(), False),
+                T.StructField(KIND_COL, T.IntegerType(), False),
+            ]
+        )
+
+    import os
+
+    new_files: List[DataFileMeta] = []
+    old_files: List[DataFileMeta] = []
+    for (part_items, bucket), files in to_rewrite.items():
+        paths = [os.path.join(table.table_path, f.path) for f in files]
+        df = spark.read.schema(physical).format(schema.file_format()).load(paths)
+        if is_pk:
+            keys = list(dict.fromkeys(schema.partition_keys + schema.primary_keys))
+            w = Window.partitionBy(*keys).orderBy(F.col(SEQ_COL).desc())
+            df = (
+                df.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .filter(F.col(KIND_COL).isin(*ADD_KINDS))  # drop -D at max level
+                .drop("__rn")
+                .withColumn(KIND_COL, F.lit(ROWKIND_INSERT))
+                .sortWithinPartitions(*keys)  # keep the run key-sorted
+            )
+        layout_cols = []
+        for pk in schema.partition_keys:
+            shadow = PART_PREFIX + pk
+            df = df.withColumn(shadow, F.col(pk).cast("string"))
+            layout_cols.append(shadow)
+        if is_pk:
+            df = df.withColumn(BUCKET_COL, F.lit(bucket))
+            layout_cols.append(BUCKET_COL)
+        writer = df.coalesce(1).write.mode("append")
+        if layout_cols:
+            writer = writer.partitionBy(*layout_cols)
+        writer.format(schema.file_format()).save(store.data_dir)
+        new_files.extend(harvester.harvest_new_files())
+        old_files.extend(files)
+
+    entries = [ManifestEntry("DELETE", f) for f in old_files] + [
+        ManifestEntry("ADD", f) for f in new_files
+    ]
+    manifest = store.write_manifest(entries)
+    removed = sum(f.row_count for f in old_files)
+    added = sum(f.row_count for f in new_files)
+    snapshot = Snapshot(
+        id=prev.id + 1,
+        schema_id=0,
+        commit_kind="COMPACT",
+        manifests=prev.manifests + [manifest],
+        total_record_count=prev.total_record_count - removed + added,
+        delta_record_count=added,
+        time_millis=int(time.time() * 1000),
+    )
+    store.write_snapshot(snapshot)
+    return snapshot.id

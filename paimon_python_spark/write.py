@@ -105,6 +105,88 @@ class BatchWriteBuilder:
         return BatchTableCommit(self.table, self._overwrite, self._static_partition)
 
 
+class DataFileHarvester:
+    """Detects and describes the files a Spark write job just produced:
+    diff the data dir against the known set, then read footers for
+    stats. Driver-side listing per write call — fine at lake-format
+    commit rates (a production object-store impl would take the file
+    list straight from the Spark committer instead)."""
+
+    def __init__(self, table):
+        self.table = table
+        self.schema = table.schema
+        self.store = MetadataStore(table.table_path)
+        self._known_files = self.scan_data_dir()
+
+    def scan_data_dir(self) -> set[str]:
+        found = set()
+        for root, _dirs, files in os.walk(self.store.data_dir):
+            for name in files:
+                if name.startswith("part-") and not name.endswith((".crc", "_SUCCESS")):
+                    found.add(os.path.join(root, name))
+        return found
+
+    def harvest_new_files(self) -> List[DataFileMeta]:
+        current = self.scan_data_dir()
+        new_paths = sorted(current - self._known_files)
+        self._known_files = current
+        return [self.file_meta(path) for path in new_paths]
+
+    def file_meta(self, path: str) -> DataFileMeta:
+        rel = os.path.relpath(path, self.table.table_path)
+        partition = self._parse_partition(path)
+        bucket = self._parse_bucket(path)
+        size = os.path.getsize(path)
+        rows, stats = (
+            _collect_parquet_stats(path)
+            if path.endswith(".parquet")
+            else _collect_generic_stats(path, self.schema)
+        )
+        min_seq = max_seq = None
+        if SEQ_COL in stats:
+            min_seq = stats[SEQ_COL].get("min")
+            max_seq = stats[SEQ_COL].get("max")
+        return DataFileMeta(
+            path=rel,
+            row_count=rows,
+            file_size=size,
+            partition=partition,
+            bucket=bucket,
+            min_seq=min_seq,
+            max_seq=max_seq,
+            stats=stats,
+        )
+
+    def _parse_partition(self, path: str) -> dict:
+        spec = {}
+        spark_types = {f.name: f.dataType for f in self.schema.spark_schema.fields}
+        for seg in path.split(os.sep):
+            if seg.startswith(PART_PREFIX) and "=" in seg:
+                k, v = seg.split("=", 1)
+                name = k[len(PART_PREFIX):]
+                value = urllib.parse.unquote(v)
+                if value == "__HIVE_DEFAULT_PARTITION__":
+                    spec[name] = None
+                    continue
+                dt = spark_types.get(name)
+                if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+                    spec[name] = int(value)
+                elif isinstance(dt, (T.FloatType, T.DoubleType)):
+                    spec[name] = float(value)
+                elif isinstance(dt, T.BooleanType):
+                    spec[name] = value.lower() == "true"
+                else:
+                    spec[name] = value
+        return spec
+
+    @staticmethod
+    def _parse_bucket(path: str) -> int:
+        for seg in path.split(os.sep):
+            if seg.startswith(BUCKET_COL + "="):
+                return int(seg.split("=", 1)[1])
+        return 0
+
+
 class BatchTableWrite:
     def __init__(self, table):
         self.table = table
@@ -113,9 +195,8 @@ class BatchTableWrite:
         base_snapshot = self.store.latest_snapshot_id() or 0
         self._seq_base = (base_snapshot + 1) << _SEQ_COMMIT_SHIFT
         self._call_idx = 0
-        self._row_counter = 0
         self._pending: List[DataFileMeta] = []
-        self._known_files = self._scan_data_dir()
+        self._harvester = DataFileHarvester(table)
         self._closed = False
 
     # ---- ingestion APIs (reference parity) ----
@@ -222,79 +303,8 @@ class BatchTableWrite:
         fmt = schema.file_format()
         writer.format(fmt).save(self.store.data_dir)
 
-        self._pending.extend(self._harvest_new_files())
+        self._pending.extend(self._harvester.harvest_new_files())
         self._call_idx += 1
-
-    def _scan_data_dir(self) -> set[str]:
-        found = set()
-        for root, _dirs, files in os.walk(self.store.data_dir):
-            for name in files:
-                if name.startswith("part-") and not name.endswith((".crc", "_SUCCESS")):
-                    found.add(os.path.join(root, name))
-        return found
-
-    def _harvest_new_files(self) -> List[DataFileMeta]:
-        """Diff the data dir against the known set, then read footers for
-        stats. Driver-side listing per write call: fine at lake-format
-        commit rates (a production object-store impl would take the file
-        list straight from the Spark committer instead)."""
-        current = self._scan_data_dir()
-        new_paths = sorted(current - self._known_files)
-        self._known_files = current
-        metas = []
-        for path in new_paths:
-            metas.append(self._file_meta(path))
-        return metas
-
-    def _file_meta(self, path: str) -> DataFileMeta:
-        rel = os.path.relpath(path, self.table.table_path)
-        partition = self._parse_partition(path)
-        bucket = self._parse_bucket(path)
-        size = os.path.getsize(path)
-        rows, stats = _collect_parquet_stats(path) if path.endswith(".parquet") else _collect_generic_stats(path, self.schema)
-        min_seq = max_seq = None
-        if SEQ_COL in stats:
-            min_seq = stats[SEQ_COL].get("min")
-            max_seq = stats[SEQ_COL].get("max")
-        return DataFileMeta(
-            path=rel,
-            row_count=rows,
-            file_size=size,
-            partition=partition,
-            bucket=bucket,
-            min_seq=min_seq,
-            max_seq=max_seq,
-            stats=stats,
-        )
-
-    def _parse_partition(self, path: str) -> dict:
-        spec = {}
-        spark_types = {f.name: f.dataType for f in self.schema.spark_schema.fields}
-        for seg in path.split(os.sep):
-            if seg.startswith(PART_PREFIX) and "=" in seg:
-                k, v = seg.split("=", 1)
-                name = k[len(PART_PREFIX):]
-                value = urllib.parse.unquote(v)
-                if value == "__HIVE_DEFAULT_PARTITION__":
-                    spec[name] = None
-                    continue
-                dt = spark_types.get(name)
-                if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
-                    spec[name] = int(value)
-                elif isinstance(dt, (T.FloatType, T.DoubleType)):
-                    spec[name] = float(value)
-                elif isinstance(dt, T.BooleanType):
-                    spec[name] = value.lower() == "true"
-                else:
-                    spec[name] = value
-        return spec
-
-    @staticmethod
-    def _parse_bucket(path: str) -> int:
-        for seg in path.split(os.sep):
-            if seg.startswith(BUCKET_COL + "="):
-                return int(seg.split("=", 1)[1])
-        return 0
 
     # ---- commit handoff ----
 

@@ -33,8 +33,10 @@ def test_exact_dedup_groups(spark):
 def test_minhash_lsh_finds_near_dups(spark):
     from paimon_python_spark.operators import minhash_lsh_pairs
 
-    base = "the quick brown fox jumps over the lazy dog again and again today"
-    near = base.replace("today", "tomorrow")
+    # high-similarity pair (1 word of 40 changed → Jaccard ≈ 0.93: a band
+    # collision is near-certain; LSH recall is probabilistic below ~0.8)
+    base = " ".join(f"w{i}" for i in range(40))
+    near = base.replace("w39", "changed")
     far = "completely different words about spark window aggregation pipelines here"
     df = spark.createDataFrame(
         [(1, base), (2, near), (3, far)], "doc_id long, text string"

@@ -1,0 +1,262 @@
+"""Streaming (incremental / changelog / structured), compaction, ORC
+format, and schema-evolution suites."""
+
+import pandas as pd
+import pyarrow as pa
+import pytest
+from pyspark.sql import functions as F
+
+from paimon_python_spark import Schema
+
+PK3 = pa.schema(
+    [pa.field("k", pa.int32(), False), ("v", pa.string()), ("v2", pa.string())]
+)
+
+
+def _write(table, df):
+    wb = table.new_batch_write_builder()
+    w, c = wb.new_write(), wb.new_commit()
+    w.write_pandas(df)
+    c.commit(w.prepare_commit())
+    w.close()
+    c.close()
+
+
+# ---- incremental reads ----
+
+
+def test_read_incremental_per_snapshot(catalog):
+    from paimon_python_spark.streaming import read_incremental
+
+    catalog.create_table("default.t", Schema(pa.schema([("f0", pa.int32()), ("f1", pa.string())])), False)
+    t = catalog.get_table("default.t")
+    _write(t, pd.DataFrame({"f0": [1, 2], "f1": ["a", "b"]}))
+    _write(t, pd.DataFrame({"f0": [3], "f1": ["c"]}))
+    _write(t, pd.DataFrame({"f0": [4], "f1": ["d"]}))
+
+    assert sorted(read_incremental(t, 0, 1).toPandas()["f0"]) == [1, 2]
+    assert sorted(read_incremental(t, 1, 2).toPandas()["f0"]) == [3]
+    assert sorted(read_incremental(t, 1, 3).toPandas()["f0"]) == [3, 4]
+    assert read_incremental(t, 3, 3).count() == 0
+
+
+def test_read_incremental_pk_changelog_rows(catalog):
+    from paimon_python_spark.streaming import read_incremental
+
+    catalog.create_table(
+        "default.t", Schema(PK3, primary_keys=["k"], options={"bucket": "1"}), False
+    )
+    t = catalog.get_table("default.t")
+    _write(t, pd.DataFrame({"k": [1, 2], "v": ["a", "b"], "v2": ["A", "B"]}))
+    _write(t, pd.DataFrame({"k": [2], "v": ["b2"], "v2": ["B2"]}))
+    inc = read_incremental(t, 1, 2).toPandas()
+    assert list(inc["k"]) == [2]
+    assert list(inc["_row_kind"]) == ["+I"]
+    assert "_SEQUENCE_NUMBER" in inc.columns
+
+
+def test_stream_snapshots_generator(catalog):
+    from paimon_python_spark.streaming import stream_snapshots
+
+    catalog.create_table("default.t", Schema(pa.schema([("f0", pa.int32()), ("f1", pa.string())])), False)
+    t = catalog.get_table("default.t")
+    _write(t, pd.DataFrame({"f0": [1], "f1": ["a"]}))
+    _write(t, pd.DataFrame({"f0": [2], "f1": ["b"]}))
+    batches = list(stream_snapshots(t, max_batches=2))
+    assert [sid for sid, _ in batches] == [1, 2]
+    assert [int(df.toPandas()["f0"].iloc[0]) for _, df in batches] == [1, 2]
+
+
+def test_changelog_diff(catalog):
+    from paimon_python_spark.streaming import changelog_diff
+
+    catalog.create_table(
+        "default.t", Schema(PK3, primary_keys=["k"], options={"bucket": "1"}), False
+    )
+    t = catalog.get_table("default.t")
+    _write(t, pd.DataFrame({"k": [1, 2, 3], "v": ["a", "b", "c"], "v2": ["A", "B", "C"]}))
+    # snapshot 2: update k=2, add k=4; snapshot 3: delete k=3 via changelog write
+    _write(t, pd.DataFrame({"k": [2, 4], "v": ["b2", "d"], "v2": ["B", "D"]}))
+
+    diff = changelog_diff(t, 1, 2).toPandas().set_index("k")
+    assert diff.loc[2, "_row_kind"] == "+U"
+    assert diff.loc[2, "v"] == "b2"
+    assert diff.loc[2, "_before_v"] == "b"
+    assert diff.loc[4, "_row_kind"] == "+I"
+    assert len(diff) == 2
+
+    # delete via write_dataframe changelog column
+    from pyspark.sql import types as T
+
+    from paimon_python_spark.session import get_spark
+
+    wb = t.new_batch_write_builder()
+    w, c = wb.new_write(), wb.new_commit()
+    schema = T.StructType(
+        list(t.schema.spark_schema.fields) + [T.StructField("_kind", T.IntegerType())]
+    )
+    w.write_dataframe(
+        get_spark().createDataFrame(
+            pd.DataFrame({"k": [3], "v": ["c"], "v2": ["C"], "_kind": [3]}), schema=schema
+        ),
+        row_kind_col="_kind",
+    )
+    c.commit(w.prepare_commit())
+    diff2 = changelog_diff(t, 2, 3).toPandas()
+    assert list(diff2["_row_kind"]) == ["-D"]
+    assert list(diff2["k"]) == [3]
+
+
+# ---- structured streaming ----
+
+
+def test_structured_streaming_tumbling(spark, tmp_path):
+    from paimon_python_spark.streaming import tumbling_counts
+
+    src = str(tmp_path / "stream_src")
+    events = spark.createDataFrame(
+        [
+            ("2024-01-01 00:01:00", "click", 1.0),
+            ("2024-01-01 00:02:00", "click", 2.0),
+            ("2024-01-01 00:07:00", "view", 3.0),
+        ],
+        "ts_s string, event_type string, value double",
+    ).select(F.col("ts_s").cast("timestamp").alias("ts"), "event_type", "value")
+    events.write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    out = tumbling_counts(stream, window_len="5 minutes", watermark="10 minutes")
+    q = (
+        out.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("tumbling_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        res = spark.sql(
+            "SELECT event_type, n, sum_value FROM tumbling_out ORDER BY window_start, event_type"
+        ).collect()
+    finally:
+        q.stop()
+    assert [(r.event_type, r.n, r.sum_value) for r in res] == [
+        ("click", 2, 3.0),
+        ("view", 1, 3.0),
+    ]
+
+
+def test_structured_streaming_dedup(spark, tmp_path):
+    from paimon_python_spark.streaming import streaming_dedup
+
+    src = str(tmp_path / "dedup_src")
+    events = spark.createDataFrame(
+        [
+            ("2024-01-01 00:01:00", 1),
+            ("2024-01-01 00:02:00", 1),
+            ("2024-01-01 00:03:00", 2),
+        ],
+        "ts_s string, id int",
+    ).select(F.col("ts_s").cast("timestamp").alias("ts"), "id")
+    events.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    out = streaming_dedup(stream, ["id"], watermark="10 minutes")
+    q = out.writeStream.outputMode("append").format("memory").queryName("dedup_out").start()
+    try:
+        q.processAllAvailable()
+        res = spark.sql("SELECT id FROM dedup_out ORDER BY id").collect()
+    finally:
+        q.stop()
+    assert [r.id for r in res] == [1, 2]
+
+
+# ---- compaction ----
+
+
+def test_compaction_pk_collapses_runs(catalog):
+    from paimon_python_spark.compaction import compact_table
+
+    catalog.create_table(
+        "default.t", Schema(PK3, primary_keys=["k"], options={"bucket": "1"}), False
+    )
+    t = catalog.get_table("default.t")
+    _write(t, pd.DataFrame({"k": [1, 2], "v": ["a", "b"], "v2": ["A", "B"]}))
+    _write(t, pd.DataFrame({"k": [2, 3], "v": ["b2", "c"], "v2": ["B2", "C"]}))
+    before = t.new_read_builder().new_read().to_pandas()
+
+    snap_id = compact_table(t)
+    assert snap_id == 3
+
+    splits = t.new_read_builder().new_scan().plan().splits()
+    assert sum(len(s.files) for s in splits) == 1  # two runs → one file
+    after = t.new_read_builder().new_read().to_pandas()
+    pd.testing.assert_frame_equal(before, after)
+
+    # post-compaction writes still win over compacted rows
+    _write(t, pd.DataFrame({"k": [2], "v": ["b3"], "v2": ["B3"]}))
+    final = t.new_read_builder().new_read().to_pandas().set_index("k")
+    assert final.loc[2, "v"] == "b3"
+
+
+def test_compaction_append_small_files(catalog):
+    from paimon_python_spark.compaction import compact_table
+
+    catalog.create_table("default.t", Schema(pa.schema([("f0", pa.int32()), ("f1", pa.string())])), False)
+    t = catalog.get_table("default.t")
+    for i in range(3):
+        _write(t, pd.DataFrame({"f0": [i], "f1": [str(i)]}))
+    assert compact_table(t) == 4
+    splits = t.new_read_builder().new_scan().plan().splits()
+    assert sum(len(s.files) for s in splits) == 1
+    assert sorted(t.new_read_builder().new_read().to_pandas()["f0"]) == [0, 1, 2]
+
+
+# ---- ORC format ----
+
+
+def test_orc_round_trip_append_and_pk(catalog):
+    schema = Schema(
+        pa.schema([("f0", pa.int64()), ("f1", pa.string())]),
+        options={"file.format": "orc"},
+    )
+    catalog.create_table("default.t_orc", schema, False)
+    t = catalog.get_table("default.t_orc")
+    _write(t, pd.DataFrame({"f0": [1, 2, 3], "f1": ["a", "b", None]}))
+    out = t.new_read_builder().new_read().to_pandas()
+    assert sorted(out["f0"]) == [1, 2, 3]
+
+    pb = t.new_read_builder().new_predicate_builder()
+    rb = t.new_read_builder().with_filter(pb.is_null("f1"))
+    assert list(rb.new_read().to_pandas()["f0"]) == [3]
+
+    pk = Schema(
+        pa.schema([pa.field("k", pa.int64(), False), ("v", pa.string())]),
+        primary_keys=["k"],
+        options={"bucket": "1", "file.format": "orc"},
+    )
+    catalog.create_table("default.t_orc_pk", pk, False)
+    t2 = catalog.get_table("default.t_orc_pk")
+    _write(t2, pd.DataFrame({"k": [1, 2], "v": ["a", "b"]}))
+    _write(t2, pd.DataFrame({"k": [2], "v": ["b2"]}))
+    out = t2.new_read_builder().new_read().to_pandas()
+    assert list(out["v"]) == ["a", "b2"]
+
+
+# ---- schema evolution ----
+
+
+def test_schema_evolution_add_column(catalog):
+    catalog.create_table("default.t", Schema(pa.schema([("f0", pa.int32()), ("f1", pa.string())])), False)
+    t = catalog.get_table("default.t")
+    _write(t, pd.DataFrame({"f0": [1], "f1": ["a"]}))
+
+    catalog.alter_table_add_column("default.t", "f2", pa.string())
+    t = catalog.get_table("default.t")
+    assert t.schema.field_names == ["f0", "f1", "f2"]
+    _write(t, pd.DataFrame({"f0": [2], "f1": ["b"], "f2": ["new"]}))
+
+    out = t.new_read_builder().new_read().to_pandas().sort_values("f0")
+    # old file NULL-fills the new column (index_mapping equivalent)
+    assert list(out["f2"]) == [None, "new"]
+
+    with pytest.raises(ValueError):
+        catalog.alter_table_add_column("default.t", "f2", pa.string())
