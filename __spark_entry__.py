@@ -1066,6 +1066,184 @@ FROM documents ORDER BY doc_id
 
 
 # =====================================================================
+# Table-format round trips: the engine's own write→commit→read path
+# (catalog, snapshots, bucketed PK merge-on-read, overwrite) exercised
+# inside the oracle gate. Each builds a table in a temp warehouse from
+# testdata deterministically, reads it back through the engine, and the
+# oracle reproduces the expected end state with plain SQL over the raw
+# parquet.
+# =====================================================================
+
+
+def _fresh_warehouse(tag: str) -> str:
+    import shutil
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix=f"pps_contract_{tag}_")
+    shutil.rmtree(path, ignore_errors=True)
+    return path
+
+
+def paimon_pk_upsert_roundtrip(spark, sf_dir):
+    """PK table, two commits: all orders, then an upsert of every third
+    order with doubled (rounded) price — merge-on-read must surface
+    exactly the upserts. Covers: catalog, PK writes with sequence
+    numbers, bucketing (4 buckets), window-dedup merge."""
+    from paimon_python_spark import Catalog, Schema
+
+    wh = _fresh_warehouse("pk")
+    cat = Catalog.create({"warehouse": wh})
+    cat.create_database("default", True)
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+    )
+    cat.create_table(
+        "default.orders_pk",
+        Schema(
+            orders.schema,
+            primary_keys=["o_orderkey"],
+            options={"bucket": "4", "extended-types": "true"},
+        ),
+        False,
+    )
+    t = cat.get_table("default.orders_pk")
+
+    wb = t.new_batch_write_builder()
+    w, c = wb.new_write(), wb.new_commit()
+    w.write_dataframe(orders)
+    c.commit(w.prepare_commit())
+    w.close()
+    c.close()
+
+    upserts = orders.filter(F.col("o_orderkey") % 3 == 0).withColumn(
+        "o_totalprice", F.round(F.col("o_totalprice") * 2, 2)
+    )
+    wb = t.new_batch_write_builder()
+    w, c = wb.new_write(), wb.new_commit()
+    w.write_dataframe(upserts)
+    c.commit(w.prepare_commit())
+    w.close()
+    c.close()
+
+    return t.new_read_builder().new_read().to_df().orderBy("o_orderkey")
+
+
+PAIMON_PK_UPSERT_SQL = """
+SELECT o_orderkey, o_custkey, o_orderstatus,
+       CASE WHEN o_orderkey % 3 = 0 THEN round(o_totalprice * 2, 2)
+            ELSE o_totalprice END AS o_totalprice,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate
+FROM orders ORDER BY o_orderkey
+"""
+
+
+def paimon_scan_pushdown_roundtrip(spark, sf_dir):
+    """Append table: write lineitem subset, read back through the
+    engine's predicate/projection pushdown (PredicateBuilder surface +
+    manifest stats skipping)."""
+    from paimon_python_spark import Catalog, Schema
+
+    wh = _fresh_warehouse("scan")
+    cat = Catalog.create({"warehouse": wh})
+    cat.create_database("default", True)
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity", "l_extendedprice", "l_returnflag"
+    )
+    cat.create_table("default.li", Schema(li.schema), False)
+    t = cat.get_table("default.li")
+    wb = t.new_batch_write_builder()
+    w, c = wb.new_write(), wb.new_commit()
+    w.write_dataframe(li)
+    c.commit(w.prepare_commit())
+    w.close()
+    c.close()
+
+    rb = t.new_read_builder()
+    pb = rb.new_predicate_builder()
+    pred = pb.and_predicates(
+        [
+            pb.equal("l_returnflag", "R"),
+            pb.between("l_quantity", 10, 20),
+            pb.is_not_null("l_partkey"),
+        ]
+    )
+    rb = rb.with_filter(pred).with_projection(
+        ["l_orderkey", "l_partkey", "l_quantity"]
+    )
+    return rb.new_read().to_df(rb.new_scan().plan().splits()).orderBy(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+
+
+PAIMON_SCAN_SQL = """
+SELECT l_orderkey, l_partkey, l_quantity
+FROM lineitem
+WHERE l_returnflag = 'R' AND l_quantity BETWEEN 10 AND 20 AND l_partkey IS NOT NULL
+ORDER BY l_orderkey, l_partkey, l_quantity
+"""
+
+
+def paimon_partition_overwrite_roundtrip(spark, sf_dir):
+    """Partitioned append table + static-partition INSERT OVERWRITE:
+    partition 'R' replaced by its quantity-halved version, others
+    untouched. Covers partition layout, partition pruning at commit, and
+    the overwrite DELETE+ADD manifest semantics."""
+    from paimon_python_spark import Catalog, Schema
+
+    wh = _fresh_warehouse("ow")
+    cat = Catalog.create({"warehouse": wh})
+    cat.create_database("default", True)
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"
+    )
+    cat.create_table(
+        "default.li_part", Schema(li.schema, partition_keys=["l_returnflag"]), False
+    )
+    t = cat.get_table("default.li_part")
+    wb = t.new_batch_write_builder()
+    w, c = wb.new_write(), wb.new_commit()
+    w.write_dataframe(li)
+    c.commit(w.prepare_commit())
+    w.close()
+    c.close()
+
+    replacement = li.filter(F.col("l_returnflag") == "R").withColumn(
+        "l_quantity", F.round(F.col("l_quantity") / 2, 2)
+    )
+    wb = t.new_batch_write_builder().overwrite({"l_returnflag": "R"})
+    w, c = wb.new_write(), wb.new_commit()
+    w.write_dataframe(replacement)
+    c.commit(w.prepare_commit())
+    w.close()
+    c.close()
+
+    return (
+        t.new_read_builder()
+        .new_read()
+        .to_df()
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+PAIMON_OVERWRITE_SQL = """
+SELECT l_returnflag, count(*) AS n,
+       round(sum(CASE WHEN l_returnflag = 'R' THEN round(l_quantity / 2, 2)
+                      ELSE l_quantity END), 2) AS sum_qty
+FROM lineitem
+GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+# =====================================================================
 # registry
 # =====================================================================
 
@@ -1106,6 +1284,9 @@ _QUERIES: dict[str, Callable] = {
     "text_token_counts": text_token_counts,
     "text_fingerprint": text_fingerprint,
     "mm_binary_meta": mm_binary_meta,
+    "paimon_pk_upsert_roundtrip": paimon_pk_upsert_roundtrip,
+    "paimon_scan_pushdown_roundtrip": paimon_scan_pushdown_roundtrip,
+    "paimon_partition_overwrite_roundtrip": paimon_partition_overwrite_roundtrip,
 }
 
 _ORACLES: dict[str, str] = {
@@ -1141,6 +1322,9 @@ _ORACLES: dict[str, str] = {
     "text_token_counts": TOKEN_COUNTS_SQL,
     "text_fingerprint": TEXT_FINGERPRINT_SQL,
     "mm_binary_meta": MM_BINARY_META_SQL,
+    "paimon_pk_upsert_roundtrip": PAIMON_PK_UPSERT_SQL,
+    "paimon_scan_pushdown_roundtrip": PAIMON_SCAN_SQL,
+    "paimon_partition_overwrite_roundtrip": PAIMON_OVERWRITE_SQL,
 }
 
 
