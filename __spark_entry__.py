@@ -1244,6 +1244,679 @@ GROUP BY l_returnflag ORDER BY l_returnflag
 
 
 # =====================================================================
+# TPC-H remainder, adapted to the reduced testdata schema (no partsupp,
+# no comment/phone/shipmode/receiptdate columns). Each keeps the
+# original query's operator shape (correlated EXISTS, scalar subquery,
+# left-join histogram, min-cost-per-group, OR-of-ranges, ...) and stays
+# hash-deterministic: MIN/MAX over stored doubles (order-independent),
+# integer-exact quantity sums, rounded money aggregates, tie-breaks on
+# integer keys only.
+# =====================================================================
+
+
+def q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 adapted: cheapest supplier per part (unit price from
+    lineitem instead of partsupp). MIN of stored-value ratios is
+    order-independent, so cross-engine ranking is exact."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_size").between(10, 20)) & (F.col("p_type") == "LARGE")
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    cost = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_partkey", "p_brand", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
+    )
+    w = W.partitionBy("p_partkey").orderBy("unit_cost", "l_suppkey")
+    return (
+        cost.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .select(
+            "p_partkey",
+            "p_brand",
+            F.col("s_name"),
+            F.col("n_name"),
+            F.round("unit_cost", 2).alias("unit_cost"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+Q2_SQL = """
+WITH cost AS (
+  SELECT p_partkey, p_brand, l_suppkey,
+         min(l_extendedprice / l_quantity) AS unit_cost
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_size BETWEEN 10 AND 20 AND p_type = 'LARGE'
+  GROUP BY p_partkey, p_brand, l_suppkey
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY p_partkey
+                               ORDER BY unit_cost, l_suppkey) AS rn
+  FROM cost
+)
+SELECT p_partkey, p_brand, s_name, n_name, round(unit_cost, 2) AS unit_cost
+FROM ranked
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE rn = 1
+ORDER BY p_partkey
+"""
+
+
+def q4_order_priority(spark, sf_dir):
+    """TPC-H Q4 adapted: orders in a quarter having at least one line
+    shipped after the order date (EXISTS → left-semi join with a
+    cross-table condition)."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1997-04-01")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        orders.join(
+            li,
+            (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+Q4_SQL = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def q7_volume_shipping(spark, sf_dir):
+    """TPC-H Q7: revenue shipped between two nations by year (two
+    independent nation joins on one fact scan)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7")
+    rpair = (F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), supp.s_nationkey == F.col("sn_key"))
+        .join(F.broadcast(n2), cust.c_nationkey == F.col("cn_key"))
+        .filter(pair | rpair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+Q7_SQL = """
+SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         year(l_shipdate) AS l_year,
+         l_extendedprice * (1 - l_discount) AS volume
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+    AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+      OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+def q8_market_share(spark, sf_dir):
+    """TPC-H Q8 adapted: NATION_5 suppliers' share of ECONOMY-part
+    volume sold to REGION_1 customers, by year. Numerator and
+    denominator reported separately (rounded) so no float-division
+    boundary enters the hash."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation_c = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("c_regionkey")
+    )
+    nation_s = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation_c), cust.c_nationkey == F.col("cn_key"))
+        .join(F.broadcast(region), F.col("c_regionkey") == region.r_regionkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation_s), supp.s_nationkey == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_5", vol).otherwise(0.0)),
+                2,
+            ).alias("nation_volume"),
+            F.round(F.sum(vol), 2).alias("total_volume"),
+        )
+        .orderBy("o_year")
+    )
+
+
+Q8_SQL = """
+SELECT year(o_orderdate) AS o_year,
+       round(sum(CASE WHEN n2.n_name = 'NATION_5'
+                      THEN l_extendedprice * (1 - l_discount) ELSE 0 END), 2)
+         AS nation_volume,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_volume
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN part ON l_partkey = p_partkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN region ON n1.n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND p_type = 'ECONOMY' AND r_name = 'ASIA'
+GROUP BY year(o_orderdate)
+ORDER BY o_year
+"""
+
+
+def q9_product_profit(spark, sf_dir):
+    """TPC-H Q9 adapted: profit by supplier nation and year; supply
+    cost proxied as half the part retail price (no partsupp table)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - (
+        F.col("p_retailprice") * 0.5 * F.col("l_quantity")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(F.round(F.sum(profit), 2).alias("sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+Q9_SQL = """
+SELECT n_name AS nation, year(o_orderdate) AS o_year,
+       round(sum(l_extendedprice * (1 - l_discount)
+                 - p_retailprice * 0.5 * l_quantity), 2) AS sum_profit
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_type = 'STANDARD'
+GROUP BY n_name, year(o_orderdate)
+ORDER BY nation, o_year DESC
+"""
+
+
+def q11_important_stock(spark, sf_dir):
+    """TPC-H Q11 adapted: parts whose NATION_3-supplied sales value
+    exceeds 1/1000 of the nation total (scalar-subquery HAVING).
+    Both sides of the threshold are pre-rounded so the comparison is
+    engine-stable."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    value = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    per_part = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy("l_partkey")
+        .agg(F.round(F.sum(value), 2).alias("part_value"))
+    )
+    total = per_part.agg(F.round(F.sum("part_value"), 2).alias("total_value"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("part_value") * 1000 > F.col("total_value"))
+        .select("l_partkey", "part_value")
+        .orderBy(F.col("part_value").desc(), "l_partkey")
+    )
+
+
+Q11_SQL = """
+WITH per_part AS (
+  SELECT l_partkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS part_value
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_3'
+  GROUP BY l_partkey
+)
+SELECT l_partkey, part_value
+FROM per_part
+WHERE part_value * 1000 > (SELECT round(sum(part_value), 2) FROM per_part)
+ORDER BY part_value DESC, l_partkey
+"""
+
+
+def q12_shipping_lag(spark, sf_dir):
+    """TPC-H Q12 adapted (no shipmode column): bucket lineitems by
+    ship lag (days from order to ship date), counting critical- vs
+    normal-priority orders per bucket."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    lag_bucket = F.when(
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) <= 30, "FAST"
+    ).otherwise("SLOW")
+    critical = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.year("l_shipdate") == 1997)
+        .groupBy(lag_bucket.alias("lag_bucket"))
+        .agg(
+            F.sum(F.when(critical, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(critical, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("lag_bucket")
+    )
+
+
+Q12_SQL = """
+SELECT CASE WHEN date_diff('day', o_orderdate, l_shipdate) <= 30
+            THEN 'FAST' ELSE 'SLOW' END AS lag_bucket,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+         AS high_line_count,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END)
+         AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE year(l_shipdate) = 1997
+GROUP BY 1
+ORDER BY lag_bucket
+"""
+
+
+def q13_customer_distribution(spark, sf_dir):
+    """TPC-H Q13: orders-per-customer histogram (left outer join +
+    double aggregation)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") != "P")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+Q13_SQL = """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderstatus <> 'P'
+  GROUP BY c_custkey
+) c_orders
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q14_promo_revenue(spark, sf_dir):
+    """TPC-H Q14: promo vs total revenue for one month, reported as
+    two rounded sums (no division in the hashed output)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-03-01") & (F.col("l_shipdate") < "1997-04-01")
+    )
+    part = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.join(F.broadcast(part), li.l_partkey == part.p_partkey).agg(
+        F.round(F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0)), 2).alias(
+            "promo_revenue"
+        ),
+        F.round(F.sum(rev), 2).alias("total_revenue"),
+    )
+
+
+Q14_SQL = """
+SELECT round(sum(CASE WHEN p_type = 'PROMO'
+                      THEN l_extendedprice * (1 - l_discount) ELSE 0 END), 2)
+         AS promo_revenue,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-03-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+"""
+
+
+def q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15: supplier(s) with max quarterly revenue; the max is
+    taken over pre-rounded revenues so the tie condition is exact."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-04-01")
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    revenue = (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("total_revenue")
+        )
+    )
+    return (
+        revenue.withColumn(
+            "max_rev", F.max("total_revenue").over(W.partitionBy(F.lit(1)))
+        )
+        .filter(F.col("total_revenue") == F.col("max_rev"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+Q15_SQL = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+def q16_supplier_cnt(spark, sf_dir):
+    """TPC-H Q16 adapted: distinct suppliers per part attribute combo
+    (supplier-part pairs from lineitem instead of partsupp);
+    negative-balance suppliers excluded via NOT IN."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#9")
+        & (F.col("p_type") != "PROMO")
+        & (F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49))
+    )
+    bad_supp = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0)
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(
+            F.broadcast(bad_supp),
+            li.l_suppkey == bad_supp.s_suppkey,
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size"
+        )
+    )
+
+
+Q16_SQL = """
+SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#9' AND p_type <> 'PROMO'
+  AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+def q17_small_quantity_revenue(spark, sf_dir):
+    """TPC-H Q17: revenue from small-quantity orders of one brand.
+    The correlated per-part average is join-computed; 5*qty < avg_sum/n
+    is rewritten as 5*qty*n < sum (integer-exact both sides since
+    quantities are whole numbers)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#13")
+    per_part = li.groupBy(F.col("l_partkey").alias("ap_partkey")).agg(
+        F.sum("l_quantity").alias("qty_sum"), F.count("*").alias("qty_n")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(per_part), li.l_partkey == F.col("ap_partkey"))
+        .filter(F.col("l_quantity") * 5 * F.col("qty_n") < F.col("qty_sum"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+Q17_SQL = """
+WITH per_part AS (
+  SELECT l_partkey AS ap_partkey, sum(l_quantity) AS qty_sum,
+         count(*) AS qty_n
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly, count(*) AS n_lines
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN per_part ON l_partkey = ap_partkey
+WHERE p_brand = 'Brand#13' AND l_quantity * 5 * qty_n < qty_sum
+"""
+
+
+def q19_discounted_revenue(spark, sf_dir):
+    """TPC-H Q19: disjunction of three brand/size/quantity range
+    predicates over the part-lineitem join."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    b1 = (
+        (F.col("p_brand") == "Brand#1")
+        & (F.col("p_size").between(1, 5))
+        & (F.col("l_quantity").between(1, 11))
+    )
+    b2 = (
+        (F.col("p_brand") == "Brand#13")
+        & (F.col("p_size").between(1, 10))
+        & (F.col("l_quantity").between(10, 20))
+    )
+    b3 = (
+        (F.col("p_brand") == "Brand#23")
+        & (F.col("p_size").between(1, 15))
+        & (F.col("l_quantity").between(20, 30))
+    )
+    return j.filter(b1 | b2 | b3).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+Q19_SQL = """
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def q20_excess_suppliers(spark, sf_dir):
+    """TPC-H Q20 adapted: suppliers who shipped more than 400 units of
+    SMALL-type parts in 1997 (semi join against an aggregated
+    subquery; quantity sums are integer-exact)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "SMALL")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    heavy = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 400)
+    )
+    return (
+        supp.join(heavy, supp.s_suppkey == heavy.l_suppkey, "left_semi")
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .select("s_suppkey", "s_name", "n_name")
+        .orderBy("s_suppkey")
+    )
+
+
+Q20_SQL = """
+SELECT s_suppkey, s_name, n_name
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE s_suppkey IN (
+  SELECT l_suppkey
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_type = 'SMALL'
+    AND l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate < TIMESTAMP '1998-01-01'
+  GROUP BY l_suppkey
+  HAVING sum(l_quantity) > 400
+)
+ORDER BY s_suppkey
+"""
+
+
+def q21_waiting_suppliers(spark, sf_dir):
+    """TPC-H Q21 adapted: suppliers who were the SOLE supplier with a
+    returned line on a multi-supplier finalized order. The correlated
+    EXISTS / NOT EXISTS pair is computed as per-order supplier stats
+    (one aggregation) then joined back — same result, one shuffle."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    supp = _t(spark, sf_dir, "supplier")
+    li_f = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "l_orderkey", "l_suppkey", "l_returnflag"
+    )
+    order_stats = li_f.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_supp_returned"),
+    )
+    culprit = (
+        li_f.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+        .join(
+            order_stats.filter(
+                (F.col("n_supp") > 1) & (F.col("n_supp_returned") == 1)
+            ),
+            "l_orderkey",
+        )
+    )
+    return (
+        culprit.groupBy("l_suppkey")
+        .agg(F.count("*").alias("numwait"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .select("s_name", "numwait")
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )
+
+
+Q21_SQL = """
+WITH li_f AS (
+  SELECT l_orderkey, l_suppkey, l_returnflag
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+), order_stats AS (
+  SELECT l_orderkey, count(DISTINCT l_suppkey) AS n_supp,
+         count(DISTINCT CASE WHEN l_returnflag = 'R' THEN l_suppkey END)
+           AS n_supp_returned
+  FROM li_f GROUP BY l_orderkey
+), culprit AS (
+  SELECT DISTINCT f.l_orderkey, f.l_suppkey
+  FROM li_f f
+  JOIN order_stats s ON f.l_orderkey = s.l_orderkey
+  WHERE f.l_returnflag = 'R' AND s.n_supp > 1 AND s.n_supp_returned = 1
+)
+SELECT s_name, count(*) AS numwait
+FROM culprit JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+"""
+
+
+def q22_global_sales(spark, sf_dir):
+    """TPC-H Q22 adapted: per-nation count and balance of rich
+    customers (above positive-average balance, rounded before compare)
+    with no orders since 2000 (anti join + scalar subquery)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") >= "2000-01-01")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.round(F.avg("c_acctbal"), 2).alias("avg_bal")
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+Q22_SQL = """
+SELECT c_nationkey, count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal
+FROM customer
+WHERE c_acctbal > (SELECT round(avg(c_acctbal), 2) FROM customer
+                   WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+"""
+
+
+# =====================================================================
 # registry
 # =====================================================================
 
@@ -1254,6 +1927,22 @@ _QUERIES: dict[str, Callable] = {
     "q6_forecast_revenue": q6_forecast_revenue,
     "q10_returned_items": q10_returned_items,
     "q18_large_orders": q18_large_orders,
+    "q2_min_cost_supplier": q2_min_cost_supplier,
+    "q4_order_priority": q4_order_priority,
+    "q7_volume_shipping": q7_volume_shipping,
+    "q8_market_share": q8_market_share,
+    "q9_product_profit": q9_product_profit,
+    "q11_important_stock": q11_important_stock,
+    "q12_shipping_lag": q12_shipping_lag,
+    "q13_customer_distribution": q13_customer_distribution,
+    "q14_promo_revenue": q14_promo_revenue,
+    "q15_top_supplier": q15_top_supplier,
+    "q16_supplier_cnt": q16_supplier_cnt,
+    "q17_small_quantity_revenue": q17_small_quantity_revenue,
+    "q19_discounted_revenue": q19_discounted_revenue,
+    "q20_excess_suppliers": q20_excess_suppliers,
+    "q21_waiting_suppliers": q21_waiting_suppliers,
+    "q22_global_sales": q22_global_sales,
     "join_semi_exists": join_semi_exists,
     "join_anti_not_exists": join_anti_not_exists,
     "window_topk_per_group": window_topk_per_group,
@@ -1296,6 +1985,22 @@ _ORACLES: dict[str, str] = {
     "q6_forecast_revenue": Q6_SQL,
     "q10_returned_items": Q10_SQL,
     "q18_large_orders": Q18_SQL,
+    "q2_min_cost_supplier": Q2_SQL,
+    "q4_order_priority": Q4_SQL,
+    "q7_volume_shipping": Q7_SQL,
+    "q8_market_share": Q8_SQL,
+    "q9_product_profit": Q9_SQL,
+    "q11_important_stock": Q11_SQL,
+    "q12_shipping_lag": Q12_SQL,
+    "q13_customer_distribution": Q13_SQL,
+    "q14_promo_revenue": Q14_SQL,
+    "q15_top_supplier": Q15_SQL,
+    "q16_supplier_cnt": Q16_SQL,
+    "q17_small_quantity_revenue": Q17_SQL,
+    "q19_discounted_revenue": Q19_SQL,
+    "q20_excess_suppliers": Q20_SQL,
+    "q21_waiting_suppliers": Q21_SQL,
+    "q22_global_sales": Q22_SQL,
     "join_semi_exists": JOIN_SEMI_SQL,
     "join_anti_not_exists": JOIN_ANTI_SQL,
     "window_topk_per_group": WINDOW_TOPK_SQL,
