@@ -1243,6 +1243,119 @@ GROUP BY l_returnflag ORDER BY l_returnflag
 """
 
 
+def paimon_time_travel_roundtrip(spark, sf_dir):
+    """Time travel: two commits, read back at snapshot 1 — only the
+    first commit's rows are visible (ReadBuilder.with_snapshot, the
+    engine's scan.snapshot-id equivalent)."""
+    from paimon_python_spark import Catalog, Schema
+
+    wh = _fresh_warehouse("tt")
+    cat = Catalog.create({"warehouse": wh})
+    cat.create_database("default", True)
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal", "c_mktsegment"
+    )
+    cat.create_table("default.cust", Schema(cust.schema), False)
+    t = cat.get_table("default.cust")
+    for batch in (
+        cust.filter(F.col("c_custkey") <= 500),
+        cust.filter(F.col("c_custkey") > 500),
+    ):
+        wb = t.new_batch_write_builder()
+        w, c = wb.new_write(), wb.new_commit()
+        w.write_dataframe(batch)
+        c.commit(w.prepare_commit())
+        w.close()
+        c.close()
+
+    rb = t.new_read_builder().with_snapshot(1)
+    return rb.new_read().to_df(rb.new_scan().plan().splits()).orderBy("c_custkey")
+
+
+PAIMON_TIME_TRAVEL_SQL = """
+SELECT c_custkey, c_nationkey, c_acctbal, c_mktsegment
+FROM customer WHERE c_custkey <= 500 ORDER BY c_custkey
+"""
+
+
+def paimon_incremental_read_roundtrip(spark, sf_dir):
+    """Incremental read: three commits, read the delta (1, 3] — rows of
+    commits 2 and 3 only (the micro-batch a streaming consumer of the
+    table would receive)."""
+    from paimon_python_spark import Catalog, Schema
+    from paimon_python_spark.streaming.incremental import read_incremental
+
+    wh = _fresh_warehouse("inc")
+    cat = Catalog.create({"warehouse": wh})
+    cat.create_database("default", True)
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey", "s_acctbal")
+    cat.create_table("default.supp", Schema(supp.schema), False)
+    t = cat.get_table("default.supp")
+    for lo, hi in ((0, 30), (30, 60), (60, 10_000_000)):
+        wb = t.new_batch_write_builder()
+        w, c = wb.new_write(), wb.new_commit()
+        w.write_dataframe(
+            supp.filter((F.col("s_suppkey") > lo) & (F.col("s_suppkey") <= hi))
+        )
+        c.commit(w.prepare_commit())
+        w.close()
+        c.close()
+
+    return read_incremental(t, from_snapshot=1, to_snapshot=3).orderBy("s_suppkey")
+
+
+PAIMON_INCREMENTAL_SQL = """
+SELECT s_suppkey, s_nationkey, s_acctbal
+FROM supplier WHERE s_suppkey > 30 ORDER BY s_suppkey
+"""
+
+
+def paimon_changelog_diff_roundtrip(spark, sf_dir):
+    """Changelog between two snapshots of a PK table: upsert every 10th
+    supplier's balance, diff merged states → one +U row per changed key
+    with before/after images (the full-compaction changelog-producer
+    recipe: one full-outer join of two merged reads)."""
+    from paimon_python_spark import Catalog, Schema
+    from paimon_python_spark.streaming.incremental import changelog_diff
+
+    wh = _fresh_warehouse("cdc")
+    cat = Catalog.create({"warehouse": wh})
+    cat.create_database("default", True)
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_acctbal")
+    cat.create_table(
+        "default.supp_pk",
+        Schema(supp.schema, primary_keys=["s_suppkey"], options={"bucket": "2"}),
+        False,
+    )
+    t = cat.get_table("default.supp_pk")
+    wb = t.new_batch_write_builder()
+    w, c = wb.new_write(), wb.new_commit()
+    w.write_dataframe(supp)
+    c.commit(w.prepare_commit())
+    w.close()
+    c.close()
+
+    upserts = supp.filter(F.col("s_suppkey") % 10 == 0).withColumn(
+        "s_acctbal", F.round(F.col("s_acctbal") + 1000, 2)
+    )
+    wb = t.new_batch_write_builder()
+    w, c = wb.new_write(), wb.new_commit()
+    w.write_dataframe(upserts)
+    c.commit(w.prepare_commit())
+    w.close()
+    c.close()
+
+    return changelog_diff(t, from_snapshot=1, to_snapshot=2).orderBy("s_suppkey")
+
+
+PAIMON_CHANGELOG_SQL = """
+SELECT '+U' AS _row_kind, s_suppkey, s_name,
+       round(s_acctbal + 1000, 2) AS s_acctbal,
+       s_name AS _before_s_name, s_acctbal AS _before_s_acctbal
+FROM supplier WHERE s_suppkey % 10 = 0 ORDER BY s_suppkey
+"""
+
+
 # =====================================================================
 # TPC-H remainder, adapted to the reduced testdata schema (no partsupp,
 # no comment/phone/shipmode/receiptdate columns). Each keeps the
@@ -1976,6 +2089,9 @@ _QUERIES: dict[str, Callable] = {
     "paimon_pk_upsert_roundtrip": paimon_pk_upsert_roundtrip,
     "paimon_scan_pushdown_roundtrip": paimon_scan_pushdown_roundtrip,
     "paimon_partition_overwrite_roundtrip": paimon_partition_overwrite_roundtrip,
+    "paimon_time_travel_roundtrip": paimon_time_travel_roundtrip,
+    "paimon_incremental_read_roundtrip": paimon_incremental_read_roundtrip,
+    "paimon_changelog_diff_roundtrip": paimon_changelog_diff_roundtrip,
 }
 
 _ORACLES: dict[str, str] = {
@@ -2030,6 +2146,9 @@ _ORACLES: dict[str, str] = {
     "paimon_pk_upsert_roundtrip": PAIMON_PK_UPSERT_SQL,
     "paimon_scan_pushdown_roundtrip": PAIMON_SCAN_SQL,
     "paimon_partition_overwrite_roundtrip": PAIMON_OVERWRITE_SQL,
+    "paimon_time_travel_roundtrip": PAIMON_TIME_TRAVEL_SQL,
+    "paimon_incremental_read_roundtrip": PAIMON_INCREMENTAL_SQL,
+    "paimon_changelog_diff_roundtrip": PAIMON_CHANGELOG_SQL,
 }
 
 

@@ -71,7 +71,11 @@ class TableScan:
         predicate: Optional[Predicate] = self.read_builder._predicate
         limit: Optional[int] = self.read_builder._limit
 
-        files = self.store.live_files()
+        snapshot_id = self.read_builder._snapshot_id
+        if snapshot_id is not None:
+            files = self.store.live_files(self.store.read_snapshot(snapshot_id))
+        else:
+            files = self.store.live_files()
 
         if predicate is not None:
             part_keys = set(schema.partition_keys)

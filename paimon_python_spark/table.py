@@ -52,6 +52,7 @@ class ReadBuilder:
         self._predicate: Optional[Predicate] = None
         self._projection: Optional[List[str]] = None
         self._limit: Optional[int] = None
+        self._snapshot_id: Optional[int] = None
 
     def new_predicate_builder(self) -> PredicateBuilder:
         return PredicateBuilder(self.table.schema.field_names)
@@ -77,6 +78,14 @@ class ReadBuilder:
         splits' row count reaches the limit; the read returns those whole
         splits, not exactly N rows (test_pynative_reader.py:166-181)."""
         self._limit = limit
+        return self
+
+    def with_snapshot(self, snapshot_id: int) -> "ReadBuilder":
+        """Time travel: plan the scan against a historical snapshot
+        instead of the latest one (Paimon's ``scan.snapshot-id``). The
+        snapshot's manifest list fully determines the live file set, so
+        this is a planning-time choice — the read recipe is unchanged."""
+        self._snapshot_id = snapshot_id
         return self
 
     def new_scan(self):

@@ -221,3 +221,34 @@ def test_catalog_errors(catalog):
     with pytest.raises(TableAlreadyExistException):
         catalog.create_table("default.t", Schema(SIMPLE), False)
     catalog.create_table("default.t", Schema(SIMPLE), True)  # ignore_if_exists
+
+
+def test_time_travel_with_snapshot(catalog):
+    """with_snapshot(n) reads the table as of commit n; PK tables merge
+    only the files live at that snapshot."""
+    catalog.create_table("default.tt", Schema(SIMPLE), False)
+    t = catalog.get_table("default.tt")
+    _write(t, pd.DataFrame({"f0": [1, 2], "f1": ["a", "b"]}))
+    _write(t, pd.DataFrame({"f0": [3], "f1": ["c"]}))
+
+    rb = t.new_read_builder().with_snapshot(1)
+    out = rb.new_read().to_pandas(rb.new_scan().plan().splits())
+    assert sorted(out["f0"].tolist()) == [1, 2]
+
+    rb2 = t.new_read_builder()
+    out2 = rb2.new_read().to_pandas()
+    assert sorted(out2["f0"].tolist()) == [1, 2, 3]
+
+    catalog.create_table(
+        "default.tt_pk",
+        Schema(SIMPLE, primary_keys=["f0"], options={"bucket": "1"}),
+        False,
+    )
+    tp = catalog.get_table("default.tt_pk")
+    _write(tp, pd.DataFrame({"f0": [1, 2], "f1": ["a", "b"]}))
+    _write(tp, pd.DataFrame({"f0": [2], "f1": ["B"]}))
+    rb3 = tp.new_read_builder().with_snapshot(1)
+    out3 = rb3.new_read().to_pandas(rb3.new_scan().plan().splits())
+    assert out3.sort_values("f0")["f1"].tolist() == ["a", "b"]
+    out4 = tp.new_read_builder().new_read().to_pandas()
+    assert out4.sort_values("f0")["f1"].tolist() == ["a", "B"]
