@@ -1356,6 +1356,65 @@ FROM supplier WHERE s_suppkey % 10 = 0 ORDER BY s_suppkey
 """
 
 
+def paimon_agg_merge_roundtrip(spark, sf_dir):
+    """Aggregation merge engine: PK table keyed on customer where reads
+    merge rows by per-field aggregates (sum of spend, max of last order
+    date) instead of last-write-wins. Two commits of order halves must
+    read back as the aggregate over all orders — the merge is a hash
+    aggregate, not a window, so map-side partial aggregation halves the
+    shuffle at scale."""
+    from paimon_python_spark import Catalog, Schema
+
+    wh = _fresh_warehouse("aggme")
+    cat = Catalog.create({"warehouse": wh})
+    cat.create_database("default", True)
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.col("o_totalprice").alias("spend"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("last_order"),
+    )
+    cat.create_table(
+        "default.cust_rollup",
+        Schema(
+            orders.schema,
+            primary_keys=["o_custkey"],
+            options={
+                "bucket": "4",
+                "merge-engine": "aggregation",
+                "fields.spend.aggregate-function": "sum",
+                "fields.last_order.aggregate-function": "max",
+            },
+        ),
+        False,
+    )
+    t = cat.get_table("default.cust_rollup")
+    for half in (
+        orders.filter(F.col("o_custkey") % 2 == 0),
+        orders.filter(F.col("o_custkey") % 2 == 1),
+    ):
+        wb = t.new_batch_write_builder()
+        w, c = wb.new_write(), wb.new_commit()
+        w.write_dataframe(half)
+        c.commit(w.prepare_commit())
+        w.close()
+        c.close()
+
+    return (
+        t.new_read_builder()
+        .new_read()
+        .to_df()
+        .select("o_custkey", F.round("spend", 2).alias("spend"), "last_order")
+        .orderBy("o_custkey")
+    )
+
+
+PAIMON_AGG_MERGE_SQL = """
+SELECT o_custkey, round(sum(o_totalprice), 2) AS spend,
+       max(strftime(o_orderdate, '%Y-%m-%d')) AS last_order
+FROM orders GROUP BY o_custkey ORDER BY o_custkey
+"""
+
+
 # =====================================================================
 # TPC-H remainder, adapted to the reduced testdata schema (no partsupp,
 # no comment/phone/shipmode/receiptdate columns). Each keeps the
@@ -2092,6 +2151,7 @@ _QUERIES: dict[str, Callable] = {
     "paimon_time_travel_roundtrip": paimon_time_travel_roundtrip,
     "paimon_incremental_read_roundtrip": paimon_incremental_read_roundtrip,
     "paimon_changelog_diff_roundtrip": paimon_changelog_diff_roundtrip,
+    "paimon_agg_merge_roundtrip": paimon_agg_merge_roundtrip,
 }
 
 _ORACLES: dict[str, str] = {
@@ -2149,6 +2209,7 @@ _ORACLES: dict[str, str] = {
     "paimon_time_travel_roundtrip": PAIMON_TIME_TRAVEL_SQL,
     "paimon_incremental_read_roundtrip": PAIMON_INCREMENTAL_SQL,
     "paimon_changelog_diff_roundtrip": PAIMON_CHANGELOG_SQL,
+    "paimon_agg_merge_roundtrip": PAIMON_AGG_MERGE_SQL,
 }
 
 

@@ -44,6 +44,127 @@ from paimon_python_spark.write import (
 )
 
 
+#: merge-engine option values (Paimon table-format semantics; the
+#: reference SDK only ever reads deduplicate tables, but the format
+#: defines all four — paimon docs "merge-engine").
+MERGE_ENGINES = ("deduplicate", "first-row", "partial-update", "aggregation")
+
+#: supported fields.<name>.aggregate-function values for the
+#: aggregation merge engine.
+AGG_FUNCTIONS = (
+    "sum",
+    "min",
+    "max",
+    "last_value",
+    "last_non_null_value",
+    "first_value",
+    "bool_and",
+    "bool_or",
+    "listagg",
+)
+
+
+def merge_on_read(
+    df: DataFrame, schema, seq_col: str = None, kind_col: str = None
+) -> DataFrame:
+    """Collapse raw LSM rows (value fields + sequence + kind) into the
+    table's merged state according to the schema's merge-engine option.
+
+    Every engine is a single exchange keyed on the merge key:
+
+    - ``deduplicate`` (default): latest row per key wins; deletes drop
+      the key — one window sort, ``row_number() == 1``.
+    - ``first-row``: earliest row per key wins (same window, ascending).
+    - ``partial-update``: per value column, the latest NON-NULL value
+      across versions — ``last(col, ignorenulls=True)`` over the full
+      frame of the same window; delete rows remove the key.
+    - ``aggregation``: per-field aggregate configured via
+      ``fields.<name>.aggregate-function`` (default last_non_null_value)
+      — a hash aggregate, which beats a window at scale because partial
+      (map-side) aggregation halves the shuffle volume.
+    """
+    seq_col = seq_col or SEQ_COL
+    kind_col = kind_col or KIND_COL
+    engine = schema.options.get("merge-engine", "deduplicate")
+    if engine not in MERGE_ENGINES:
+        raise ValueError(f"unknown merge-engine {engine!r}; one of {MERGE_ENGINES}")
+    merge_keys = list(dict.fromkeys(schema.partition_keys + schema.primary_keys))
+    value_cols = [
+        f.name for f in schema.spark_schema.fields if f.name not in merge_keys
+    ]
+    out_cols = [f.name for f in schema.spark_schema.fields]
+
+    if engine == "deduplicate" or engine == "first-row":
+        order = F.col(seq_col).asc() if engine == "first-row" else F.col(seq_col).desc()
+        w = Window.partitionBy(*merge_keys).orderBy(order)
+        return (
+            df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .filter(F.col(kind_col).isin(*ADD_KINDS))
+            .select(*out_cols)
+        )
+
+    if engine == "partial-update":
+        w = Window.partitionBy(*merge_keys).orderBy(F.col(seq_col).asc())
+        w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        filled = df.select(
+            *merge_keys,
+            seq_col,
+            kind_col,
+            *[F.last(c, ignorenulls=True).over(w_full).alias(c) for c in value_cols],
+        )
+        w_desc = Window.partitionBy(*merge_keys).orderBy(F.col(seq_col).desc())
+        return (
+            filled.withColumn("__rn", F.row_number().over(w_desc))
+            .filter(F.col("__rn") == 1)
+            .filter(F.col(kind_col).isin(*ADD_KINDS))
+            .select(*out_cols)
+        )
+
+    # aggregation: one hash aggregate; retractions (-U/-D) are not
+    # retractable per-field, so they are excluded before aggregating
+    # (Paimon likewise requires aggregate functions to opt into retract).
+    aggs = []
+    for c in value_cols:
+        fn = schema.options.get(f"fields.{c}.aggregate-function", "last_non_null_value")
+        if fn not in AGG_FUNCTIONS:
+            raise ValueError(
+                f"unknown aggregate-function {fn!r} for field {c!r}; "
+                f"one of {AGG_FUNCTIONS}"
+            )
+        col = F.col(c)
+        if fn == "sum":
+            aggs.append(F.sum(col).alias(c))
+        elif fn == "min":
+            aggs.append(F.min(col).alias(c))
+        elif fn == "max":
+            aggs.append(F.max(col).alias(c))
+        elif fn == "last_value":
+            aggs.append(F.max_by(col, F.col(seq_col)).alias(c))
+        elif fn == "last_non_null_value":
+            aggs.append(
+                F.max_by(col, F.when(col.isNotNull(), F.col(seq_col))).alias(c)
+            )
+        elif fn == "first_value":
+            aggs.append(F.min_by(col, F.col(seq_col)).alias(c))
+        elif fn == "bool_and":
+            aggs.append(F.min(col.cast("boolean")).alias(c))
+        elif fn == "bool_or":
+            aggs.append(F.max(col.cast("boolean")).alias(c))
+        elif fn == "listagg":
+            aggs.append(
+                F.concat_ws(
+                    ",", F.array_sort(F.collect_list(F.struct(seq_col, c))).getField(c)
+                ).alias(c)
+            )
+    return (
+        df.filter(F.col(kind_col).isin(*ADD_KINDS))
+        .groupBy(*merge_keys)
+        .agg(*aggs)
+        .select(*out_cols)
+    )
+
+
 class TableRead:
     def __init__(self, read_builder):
         self.read_builder = read_builder
@@ -79,16 +200,7 @@ class TableRead:
         df = spark.read.schema(physical).format(fmt).load(paths)
 
         if is_pk:
-            merge_keys = list(
-                dict.fromkeys(schema.partition_keys + schema.primary_keys)
-            )
-            w = Window.partitionBy(*merge_keys).orderBy(F.col(SEQ_COL).desc())
-            df = (
-                df.withColumn("__rn", F.row_number().over(w))
-                .filter(F.col("__rn") == 1)
-                .filter(F.col(KIND_COL).isin(*ADD_KINDS))
-                .select(*[f.name for f in schema.spark_schema.fields])
-            )
+            df = merge_on_read(df, schema)
         return self._finish(df)
 
     def _finish(self, df: DataFrame) -> DataFrame:

@@ -126,14 +126,9 @@ def changelog_diff(table, from_snapshot: int, to_snapshot: int) -> DataFrame:
         else:
             paths = [os.path.join(table.table_path, f.path) for f in files]
             df = spark.read.schema(physical).format(schema.file_format()).load(paths)
-        keys = list(dict.fromkeys(schema.partition_keys + schema.primary_keys))
-        w = Window.partitionBy(*keys).orderBy(F.col(SEQ_COL).desc())
-        return (
-            df.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .filter(F.col(KIND_COL).isin(*ADD_KINDS))
-            .select(*[f.name for f in schema.spark_schema.fields])
-        )
+        from paimon_python_spark.read import merge_on_read
+
+        return merge_on_read(df, schema)
 
     keys = list(dict.fromkeys(schema.partition_keys + schema.primary_keys))
     vals = [c for c in schema.field_names if c not in keys]

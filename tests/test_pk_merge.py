@@ -233,3 +233,74 @@ def test_pk_key_ordered_output(catalog):
     _write(t, pd.DataFrame({"f0": [3, 1, 2], "f1": ["c", "a", "b"], "f2": ["C", "A", "B"]}))
     result = t.new_read_builder().new_read().to_pandas()
     assert list(result["f0"]) == [1, 2, 3]
+
+
+MERGE_SCHEMA = pa.schema(
+    [("k", pa.int32()), ("a", pa.string()), ("b", pa.string())]
+)
+
+
+def _mk(catalog, name, options):
+    catalog.create_table(
+        f"default.{name}",
+        Schema(
+            MERGE_SCHEMA,
+            primary_keys=["k"],
+            options={"bucket": "1", **options},
+        ),
+        False,
+    )
+    return catalog.get_table(f"default.{name}")
+
+
+def test_merge_engine_first_row(catalog):
+    t = _mk(catalog, "fr", {"merge-engine": "first-row"})
+    _write(t, pd.DataFrame({"k": [1, 2], "a": ["a1", "a2"], "b": ["b1", "b2"]}))
+    _write(t, pd.DataFrame({"k": [2, 3], "a": ["A2", "a3"], "b": ["B2", "b3"]}))
+    out = t.new_read_builder().new_read().to_pandas().sort_values("k")
+    assert out["a"].tolist() == ["a1", "a2", "a3"]  # first write wins for k=2
+
+
+def test_merge_engine_partial_update(catalog):
+    t = _mk(catalog, "pu", {"merge-engine": "partial-update"})
+    _write(t, pd.DataFrame({"k": [1, 2], "a": ["a1", "a2"], "b": ["b1", "b2"]}))
+    # second commit patches only column a for k=1 and only b for k=2
+    _write(t, pd.DataFrame({"k": [1, 2], "a": ["A1", None], "b": [None, "B2"]}))
+    out = (
+        t.new_read_builder().new_read().to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    assert out["a"].tolist() == ["A1", "a2"]
+    assert out["b"].tolist() == ["b1", "B2"]
+
+
+def test_merge_engine_aggregation(catalog):
+    schema = pa.schema([("k", pa.int32()), ("cnt", pa.int64()), ("hi", pa.int64())])
+    catalog.create_table(
+        "default.agg",
+        Schema(
+            schema,
+            primary_keys=["k"],
+            options={
+                "bucket": "1",
+                "merge-engine": "aggregation",
+                "fields.cnt.aggregate-function": "sum",
+                "fields.hi.aggregate-function": "max",
+            },
+        ),
+        False,
+    )
+    t = catalog.get_table("default.agg")
+    _write(t, pd.DataFrame({"k": [1, 1, 2], "cnt": [1, 2, 5], "hi": [10, 30, 7]}))
+    _write(t, pd.DataFrame({"k": [1, 2], "cnt": [4, 1], "hi": [20, 90]}))
+    out = (
+        t.new_read_builder().new_read().to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    assert out["cnt"].tolist() == [7, 6]
+    assert out["hi"].tolist() == [30, 90]
+
+
+def test_merge_engine_unknown_rejected(catalog):
+    t = _mk(catalog, "bad_me", {"merge-engine": "nonsense"})
+    _write(t, pd.DataFrame({"k": [1], "a": ["x"], "b": ["y"]}))
+    with pytest.raises(ValueError, match="merge-engine"):
+        t.new_read_builder().new_read().to_pandas()
