@@ -1415,6 +1415,42 @@ FROM orders GROUP BY o_custkey ORDER BY o_custkey
 """
 
 
+def paimon_delete_rows_roundtrip(spark, sf_dir):
+    """Row-level DELETE: load parts into a PK table, delete_where
+    (p_size < 10) writes -D tombstones (no file rewrite), merge-on-read
+    drops those keys."""
+    from paimon_python_spark import Catalog, Schema
+
+    wh = _fresh_warehouse("del")
+    cat = Catalog.create({"warehouse": wh})
+    cat.create_database("default", True)
+    part = _t(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size", "p_retailprice"
+    )
+    cat.create_table(
+        "default.part_pk",
+        Schema(part.schema, primary_keys=["p_partkey"], options={"bucket": "2"}),
+        False,
+    )
+    t = cat.get_table("default.part_pk")
+    wb = t.new_batch_write_builder()
+    w, c = wb.new_write(), wb.new_commit()
+    w.write_dataframe(part)
+    c.commit(w.prepare_commit())
+    w.close()
+    c.close()
+
+    pb = t.new_read_builder().new_predicate_builder()
+    t.delete_where(pb.less_than("p_size", 10))
+    return t.new_read_builder().new_read().to_df().orderBy("p_partkey")
+
+
+PAIMON_DELETE_SQL = """
+SELECT p_partkey, p_brand, p_size, p_retailprice
+FROM part WHERE p_size >= 10 ORDER BY p_partkey
+"""
+
+
 # =====================================================================
 # TPC-H remainder, adapted to the reduced testdata schema (no partsupp,
 # no comment/phone/shipmode/receiptdate columns). Each keeps the
@@ -2152,6 +2188,7 @@ _QUERIES: dict[str, Callable] = {
     "paimon_incremental_read_roundtrip": paimon_incremental_read_roundtrip,
     "paimon_changelog_diff_roundtrip": paimon_changelog_diff_roundtrip,
     "paimon_agg_merge_roundtrip": paimon_agg_merge_roundtrip,
+    "paimon_delete_rows_roundtrip": paimon_delete_rows_roundtrip,
 }
 
 _ORACLES: dict[str, str] = {
@@ -2210,6 +2247,7 @@ _ORACLES: dict[str, str] = {
     "paimon_incremental_read_roundtrip": PAIMON_INCREMENTAL_SQL,
     "paimon_changelog_diff_roundtrip": PAIMON_CHANGELOG_SQL,
     "paimon_agg_merge_roundtrip": PAIMON_AGG_MERGE_SQL,
+    "paimon_delete_rows_roundtrip": PAIMON_DELETE_SQL,
 }
 
 

@@ -42,6 +42,99 @@ class Table:
                 )
         return BatchWriteBuilder(self)
 
+    def delete_where(self, predicate: Predicate) -> None:
+        """Row-level DELETE on a primary-key table: the matching rows of
+        the current merged state are re-written as RowKind -D records and
+        committed; merge-on-read then drops those keys. One read job +
+        one write job — no file rewrite (the LSM absorbs the tombstones;
+        compaction reclaims the space later)."""
+        from pyspark.sql import functions as F
+
+        if not self.schema.is_primary_key_table():
+            raise ValueError("delete_where requires a primary-key table")
+        rb = self.new_read_builder().with_filter(predicate)
+        victims = rb.new_read().to_df().withColumn("__rk", F.lit(3))
+        wb = self.new_batch_write_builder()
+        w, c = wb.new_write(), wb.new_commit()
+        try:
+            w.write_dataframe(victims, row_kind_col="__rk")
+            c.commit(w.prepare_commit())
+        finally:
+            w.close()
+            c.close()
+
+    # -- system tables (Paimon's table$snapshots / table$files) --
+
+    def snapshots(self):
+        """Snapshot history as a DataFrame (metadata-sized — built on
+        the driver like Paimon's snapshots system table)."""
+        from pyspark.sql import types as T
+
+        from paimon_python_spark.metadata import MetadataStore
+        from paimon_python_spark.session import get_spark
+
+        store = MetadataStore(self.table_path)
+        rows = []
+        latest = store.latest_snapshot_id() or 0
+        for sid in range(1, latest + 1):
+            s = store.read_snapshot(sid)
+            rows.append(
+                (
+                    s.id,
+                    s.commit_kind,
+                    s.commit_user,
+                    s.time_millis,
+                    s.total_record_count,
+                    s.delta_record_count,
+                    len(s.manifests),
+                )
+            )
+        schema = T.StructType(
+            [
+                T.StructField("snapshot_id", T.LongType(), False),
+                T.StructField("commit_kind", T.StringType(), False),
+                T.StructField("commit_user", T.StringType(), False),
+                T.StructField("time_millis", T.LongType(), False),
+                T.StructField("total_record_count", T.LongType(), False),
+                T.StructField("delta_record_count", T.LongType(), False),
+                T.StructField("manifest_count", T.IntegerType(), False),
+            ]
+        )
+        return get_spark().createDataFrame(rows, schema)
+
+    def files(self, snapshot_id: Optional[int] = None):
+        """Live data files (with stats) as a DataFrame — the files
+        system table; drives compaction decisions and debugging."""
+        from pyspark.sql import types as T
+
+        from paimon_python_spark.metadata import MetadataStore
+        from paimon_python_spark.session import get_spark
+
+        store = MetadataStore(self.table_path)
+        snap = store.read_snapshot(snapshot_id) if snapshot_id else None
+        rows = [
+            (
+                f.path,
+                {k: str(v) for k, v in f.partition.items()},
+                f.bucket,
+                f.row_count,
+                f.file_size,
+            )
+            for f in store.live_files(snap)
+        ]
+        schema = T.StructType(
+            [
+                T.StructField("file_path", T.StringType(), False),
+                T.StructField(
+                    "partition", T.MapType(T.StringType(), T.StringType()), True
+                ),
+                T.StructField("bucket", T.IntegerType(), False),
+                T.StructField("row_count", T.LongType(), False),
+                T.StructField("file_size", T.LongType(), False),
+            ]
+        )
+        return get_spark().createDataFrame(rows, schema)
+
 
 class ReadBuilder:
     """Accumulates pushdowns; produces TableScan (planning) and TableRead

@@ -304,3 +304,34 @@ def test_merge_engine_unknown_rejected(catalog):
     _write(t, pd.DataFrame({"k": [1], "a": ["x"], "b": ["y"]}))
     with pytest.raises(ValueError, match="merge-engine"):
         t.new_read_builder().new_read().to_pandas()
+
+
+def test_delete_where(catalog):
+    t = _mk(catalog, "delw", {})
+    _write(t, pd.DataFrame({"k": [1, 2, 3], "a": ["a", "b", "c"], "b": ["A", "B", "C"]}))
+    pb = t.new_read_builder().new_predicate_builder()
+    t.delete_where(pb.less_than("k", 3))
+    out = t.new_read_builder().new_read().to_pandas()
+    assert out["k"].tolist() == [3]
+    # snapshot 1 (time travel) still sees all three
+    rb = t.new_read_builder().with_snapshot(1)
+    assert len(rb.new_read().to_pandas(rb.new_scan().plan().splits())) == 3
+    # append tables refuse row-level delete
+    catalog.create_table("default.ap_del", Schema(MERGE_SCHEMA), False)
+    ap = catalog.get_table("default.ap_del")
+    with pytest.raises(ValueError, match="primary-key"):
+        ap.delete_where(pb.less_than("k", 3))
+
+
+def test_system_tables(catalog):
+    t = _mk(catalog, "systab", {})
+    _write(t, pd.DataFrame({"k": [1], "a": ["a"], "b": ["A"]}))
+    _write(t, pd.DataFrame({"k": [2], "a": ["b"], "b": ["B"]}))
+    snaps = t.snapshots().toPandas()
+    assert snaps["snapshot_id"].tolist() == [1, 2]
+    assert set(snaps["commit_kind"]) == {"APPEND"}
+    files = t.files().toPandas()
+    assert len(files) == 2
+    assert (files["row_count"] == 1).all()
+    old = t.files(snapshot_id=1).toPandas()
+    assert len(old) == 1
