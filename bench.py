@@ -18,11 +18,19 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
     "q1_pricing_summary",
+    "q2_min_cost_supplier",
     "q3_shipping_priority",
+    "q4_order_priority",
     "q5_local_supplier",
     "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q9_product_profit",
     "q10_returned_items",
+    "q13_customer_distribution",
+    "q16_supplier_cnt",
     "q18_large_orders",
+    "q21_waiting_suppliers",
+    "paimon_pk_upsert_roundtrip",
     "window_topk_per_group",
     "rollup_agg",
     "agg_count_distinct",
