@@ -24,6 +24,7 @@ from paimon_python_spark.streaming.windows import (
     session_aggregate,
     streaming_dedup,
 )
+from paimon_python_spark.streaming.stateful import running_totals
 
 __all__ = [
     "read_incremental",
@@ -32,4 +33,5 @@ __all__ = [
     "tumbling_counts",
     "session_aggregate",
     "streaming_dedup",
+    "running_totals",
 ]

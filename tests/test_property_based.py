@@ -1,0 +1,147 @@
+"""Property-based tests (hypothesis): the invariants that must hold for
+ANY data, not just the fixtures.
+
+The reference has no property tests (SURVEY §5); these guard the parts
+where a subtle bug would silently corrupt results — predicate semantics
+(3-valued NULL logic), PK merge (last-write-wins with deletes), and the
+write→read round trip.
+"""
+
+import pandas as pd
+import pyarrow as pa
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from paimon_python_spark import Schema
+
+SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# small int/None values exercise NULL logic and duplicate keys heavily
+VALS = st.lists(
+    st.one_of(st.none(), st.integers(min_value=-3, max_value=3)),
+    min_size=0,
+    max_size=12,
+)
+
+
+_COUNTER = iter(range(10**9))
+
+
+def _table(catalog, prefix, pk=None):
+    schema = pa.schema([("k", pa.int64()), ("v", pa.int64())])
+    opts = {"bucket": "2"} if pk else {}
+    name = f"{prefix}_{next(_COUNTER)}"
+    catalog.create_table(
+        f"default.{name}", Schema(schema, primary_keys=pk, options=opts), False
+    )
+    return catalog.get_table(f"default.{name}")
+
+
+def _write(table, df):
+    wb = table.new_batch_write_builder()
+    w, c = wb.new_write(), wb.new_commit()
+    w.write_pandas(df)
+    c.commit(w.prepare_commit())
+    w.close()
+    c.close()
+
+
+@given(vals=VALS)
+@settings(**SETTINGS)
+def test_not_equal_drops_nulls(catalog_pb, vals):
+    """not_equal must use SQL 3-valued logic: NULL != x is not TRUE
+    (test_pynative_reader.py:140-153)."""
+    t = _table(catalog_pb, "ne")
+    df = pd.DataFrame({"k": range(len(vals)), "v": pd.array(vals, dtype="Int64")})
+    _write(t, df)
+    pb = t.new_read_builder().new_predicate_builder()
+    rb = t.new_read_builder().with_filter(pb.not_equal("v", 1))
+    got = sorted(rb.new_read().to_pandas()["k"].tolist())
+    expected = [i for i, v in enumerate(vals) if v is not None and v != 1]
+    assert got == expected
+
+
+@given(vals=VALS)
+@settings(**SETTINGS)
+def test_is_null_partitions_rows(catalog_pb, vals):
+    """is_null + is_not_null exactly partition the rows."""
+    t = _table(catalog_pb, "nl")
+    df = pd.DataFrame({"k": range(len(vals)), "v": pd.array(vals, dtype="Int64")})
+    _write(t, df)
+    pb = t.new_read_builder().new_predicate_builder()
+    rb_null = t.new_read_builder().with_filter(pb.is_null("v"))
+    rb_not = t.new_read_builder().with_filter(pb.is_not_null("v"))
+    got_null = sorted(rb_null.new_read().to_pandas()["k"].tolist())
+    got_not = sorted(rb_not.new_read().to_pandas()["k"].tolist())
+    assert got_null == [i for i, v in enumerate(vals) if v is None]
+    assert got_not == [i for i, v in enumerate(vals) if v is not None]
+    assert len(got_null) + len(got_not) == len(vals)
+
+
+@given(
+    commits=st.lists(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=4),
+                st.integers(min_value=-100, max_value=100),
+            ),
+            min_size=1,
+            max_size=5,
+        ),
+        min_size=1,
+        max_size=4,
+    )
+)
+@settings(**SETTINGS)
+def test_pk_merge_is_last_write_wins(catalog_pb, commits):
+    """For any commit sequence, the merged table equals a dict built by
+    replaying all rows in order — per key, the last write wins."""
+    t = _table(catalog_pb, "lww", pk=["k"])
+    expected: dict[int, int] = {}
+    for commit in commits:
+        _write(t, pd.DataFrame({"k": [k for k, _ in commit], "v": [v for _, v in commit]}))
+        for k, v in commit:
+            expected[k] = v
+    out = t.new_read_builder().new_read().to_pandas()
+    got = dict(zip(out["k"].tolist(), out["v"].tolist()))
+    assert got == expected
+
+
+@given(vals=st.lists(st.integers(min_value=-5, max_value=5), min_size=0, max_size=10))
+@settings(**SETTINGS)
+def test_between_matches_python_slice(catalog_pb, vals):
+    """between is both-ends-inclusive (predicate.py:29-95 contract)."""
+    t = _table(catalog_pb, "bt")
+    _write(t, pd.DataFrame({"k": range(len(vals)), "v": vals}))
+    pb = t.new_read_builder().new_predicate_builder()
+    rb = t.new_read_builder().with_filter(pb.between("v", -2, 2))
+    got = sorted(rb.new_read().to_pandas()["k"].tolist())
+    assert got == [i for i, v in enumerate(vals) if -2 <= v <= 2]
+
+
+@pytest.fixture(scope="module")
+def catalog_pb(tmp_path_factory):
+    """Module-scoped catalog: hypothesis re-runs the test body many
+    times; a fresh warehouse per example would leak fixtures."""
+    import shutil
+
+    from paimon_python_spark import Catalog
+    from paimon_python_spark.session import configure_builder, set_spark
+    from pyspark.sql import SparkSession
+
+    spark = configure_builder(
+        SparkSession.builder.master("local[4]").appName("paimon_python_spark_tests"),
+        shuffle_partitions=4,
+    ).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    set_spark(spark)
+    path = str(tmp_path_factory.mktemp("pps_prop_wh"))
+    cat = Catalog.create({"warehouse": path})
+    cat.create_database("default", True)
+    yield cat
+    shutil.rmtree(path, ignore_errors=True)

@@ -260,3 +260,47 @@ def test_schema_evolution_add_column(catalog):
 
     with pytest.raises(ValueError):
         catalog.alter_table_add_column("default.t", "f2", pa.string())
+
+
+def test_stateful_running_totals(spark, tmp_path):
+    """applyInPandasWithState: per-key state persists across
+    micro-batches (second batch continues the first batch's totals)."""
+    from paimon_python_spark.streaming.stateful import running_totals
+
+    src = str(tmp_path / "stateful_src")
+    batch1 = spark.createDataFrame(
+        [("click", 1.0), ("click", 2.0), ("view", 5.0)],
+        "event_type string, value double",
+    )
+    batch1.write.mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema(batch1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = running_totals(stream, key_col="event_type", value_col="value")
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("running_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        batch2 = spark.createDataFrame(
+            [("click", 10.0)], "event_type string, value double"
+        )
+        batch2.write.mode("append").parquet(src)
+        q.processAllAvailable()
+        res = spark.sql(
+            "SELECT event_type, n, sum_value FROM running_out"
+        ).collect()
+    finally:
+        q.stop()
+    # last emitted row per key reflects cumulative state
+    latest = {}
+    for r in res:
+        latest[r.event_type] = (r.n, r.sum_value)
+    assert latest["click"] == (3, 13.0)
+    assert latest["view"] == (1, 5.0)
