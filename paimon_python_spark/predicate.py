@@ -209,6 +209,25 @@ class Predicate:
             return out
         return {self.field}
 
+    def equality_sets(self) -> dict:
+        """Finite candidate-value sets implied by this predicate, per
+        field: ``{field: {v1, v2, ...}}`` for conjunctive ``equal`` /
+        ``in`` constraints. Sound for pruning: the predicate can only
+        match rows whose field value is in the set. Fields without a
+        finite constraint are absent; ``or`` nodes contribute nothing
+        (pruning then simply doesn't fire — never unsound)."""
+        if self.method == "and":
+            out: dict = {}
+            for c in self.children or []:
+                for f, vals in c.equality_sets().items():
+                    out[f] = out[f] & vals if f in out else set(vals)
+            return out
+        if self.method == "equal":
+            return {self.field: {self.literals[0]}}
+        if self.method == "in":
+            return {self.field: set(self.literals or [])}
+        return {}
+
     def keep_only_fields(self, allowed: set) -> Optional["Predicate"]:
         """Return the sub-predicate that references only ``allowed``
         fields, weakening where necessary (drop non-conforming conjuncts;

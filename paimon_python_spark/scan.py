@@ -100,6 +100,13 @@ class TableScan:
                 kept.append(f)
             files = kept
 
+            # bucket pruning: an equality (or small IN) constraint on the
+            # full trimmed primary key pins the writer's pmod(hash, n)
+            # bucket — a point lookup opens 1/n of the surviving files.
+            buckets = self._candidate_buckets(predicate, schema)
+            if buckets is not None:
+                files = [f for f in files if f.bucket in buckets]
+
         splits = self._group(files, schema)
 
         if limit is not None:
@@ -112,6 +119,40 @@ class TableScan:
             splits = trimmed
 
         return Plan(splits)
+
+    @staticmethod
+    def _candidate_buckets(predicate, schema) -> Optional[set]:
+        """Buckets the predicate's rows can live in, or None when the
+        predicate doesn't pin every trimmed-PK field to a finite set
+        (or the combination count would explode)."""
+        if predicate is None or not schema.is_primary_key_table():
+            return None
+        nb = schema.num_buckets()
+        if nb < 1:
+            return None
+        keys = schema.trimmed_primary_keys
+        eq = predicate.equality_sets()
+        if not all(k in eq and eq[k] for k in keys):
+            return None
+        combos = 1
+        for k in keys:
+            combos *= len(eq[k])
+            if combos > 256:
+                return None
+
+        from itertools import product
+
+        from paimon_python_spark.bucketing import bucket_of
+
+        dtypes = [schema.spark_schema[k].dataType for k in keys]
+        try:
+            return {
+                bucket_of(list(vals), dtypes, nb)
+                for vals in product(*[sorted(eq[k], key=repr) for k in keys])
+            }
+        except TypeError:
+            # unsupported key type for the driver-side hash — skip pruning
+            return None
 
     def _group(self, files: List[DataFileMeta], schema) -> List[Split]:
         table_path = self.table.table_path

@@ -335,3 +335,43 @@ def test_system_tables(catalog):
     assert (files["row_count"] == 1).all()
     old = t.files(snapshot_id=1).toPandas()
     assert len(old) == 1
+
+
+def test_bucket_pruning_point_lookup(catalog):
+    """Equality on the full PK prunes the plan to the key's bucket (the
+    driver-side murmur3 replica of the writer's pmod(hash, n))."""
+    catalog.create_table(
+        "default.bp",
+        Schema(
+            pa.schema([("k", pa.int64()), ("v", pa.string())]),
+            primary_keys=["k"],
+            options={"bucket": "8"},
+        ),
+        False,
+    )
+    t = catalog.get_table("default.bp")
+    _write(t, pd.DataFrame({"k": list(range(64)), "v": [f"v{i}" for i in range(64)]}))
+
+    full = t.new_read_builder().new_scan().plan().splits()
+    assert len(full) == 8  # one split per bucket
+
+    pb = t.new_read_builder().new_predicate_builder()
+    for probe in (0, 17, 63):
+        rb = t.new_read_builder().with_filter(pb.equal("k", probe))
+        splits = rb.new_scan().plan().splits()
+        assert len(splits) == 1, f"k={probe} should plan exactly one bucket"
+        out = rb.new_read().to_pandas(splits)
+        assert out["k"].tolist() == [probe]
+        assert out["v"].tolist() == [f"v{probe}"]
+
+    # IN over several keys: union of their buckets, never more than 8
+    rb = t.new_read_builder().with_filter(pb.is_in("k", [1, 2, 3]))
+    splits = rb.new_scan().plan().splits()
+    assert 1 <= len(splits) <= 3
+    out = rb.new_read().to_pandas(splits)
+    assert sorted(out["k"].tolist()) == [1, 2, 3]
+
+    # range predicate cannot pin buckets — full plan, still correct
+    rb = t.new_read_builder().with_filter(pb.less_than("k", 3))
+    out = rb.new_read().to_pandas(rb.new_scan().plan().splits())
+    assert sorted(out["k"].tolist()) == [0, 1, 2]
