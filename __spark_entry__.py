@@ -931,6 +931,81 @@ def ann_lsh_bucket(spark, sf_dir):
     )
 
 
+def ann_ivf_cell(spark, sf_dir):
+    """IVF-flat ANN: 8 centroids (vectors 1..8 as deterministic seeds —
+    production trains them offline), nprobe=2. Cell assignment is a
+    partition-prunable column at scale."""
+    from paimon_python_spark.operators import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+    centroids = [
+        [float(x) for x in r[0]]
+        for r in (
+            _t(spark, sf_dir, "embeddings")
+            .filter(F.col("vec_id").between(1, 8))
+            .orderBy("vec_id")
+            .select("embedding")
+            .collect()
+        )
+    ]
+    return ivf_topk(
+        emb, "vec_id", "embedding", _query_vec(spark, sf_dir), centroids, k=10, nprobe=2
+    )
+
+
+def _ann_ivf_oracle(sf_dir: str) -> str:
+    """Same centroid literals, same assignment expression, same probe
+    cells (computed with the identical left-fold double arithmetic)."""
+    import duckdb
+
+    rows = duckdb.sql(
+        f"SELECT vec_id, embedding FROM read_parquet('{sf_dir}/embeddings.parquet') "
+        "WHERE vec_id BETWEEN 1 AND 8 ORDER BY vec_id"
+    ).fetchall()
+    centroids = [[float(x) for x in r[1]] for r in rows]
+    q = duckdb.sql(
+        f"SELECT embedding FROM read_parquet('{sf_dir}/embeddings.parquet') WHERE vec_id = 0"
+    ).fetchone()[0]
+    qv = [float(x) for x in q]
+    probe = sorted(
+        range(len(centroids)),
+        key=lambda i: (
+            -sum(float(a) * float(b) for a, b in zip(centroids[i], qv)),
+            i,
+        ),
+    )[:2]
+    probe_cells = ", ".join(str(i + 1) for i in probe)
+
+    def clit(c):
+        return "[" + ", ".join(repr(v) for v in c) + "]"
+
+    dots = ", ".join(
+        "list_sum(list_transform(generate_series(1, 64), "
+        f"i -> embedding[i]::DOUBLE * ({clit(c)})[i]::DOUBLE))"
+        for c in centroids
+    )
+    assign = (
+        f"list_position([{dots}], list_aggregate([{dots}], 'max'))"
+    )
+    return f"""
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+celled AS (
+  SELECT vec_id, embedding, {assign} AS cell
+  FROM embeddings WHERE vec_id <> 0),
+scored AS (
+  SELECT vec_id,
+         round(({_DOT64.format(a='embedding', b='qe')}) /
+               (sqrt({_DOT64.format(a='embedding', b='embedding')}) *
+                sqrt({_DOT64.format(a='qe', b='qe')})), 6) AS cos_sim
+  FROM celled, q WHERE cell IN ({probe_cells}))
+SELECT vec_id, rank, cos_sim FROM (
+  SELECT vec_id, cos_sim,
+         row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS rank
+  FROM scored) t
+WHERE rank <= 10 ORDER BY rank
+"""
+
+
 def _ann_lsh_oracle(sf_dir: str) -> str:
     """Same hyperplane constants, same bucket expr, inlined into SQL.
     The query bucket is computed in plain Python from the md5-derived
@@ -2176,6 +2251,7 @@ _QUERIES: dict[str, Callable] = {
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "ann_topk_cosine": ann_topk_cosine,
     "ann_lsh_bucket": ann_lsh_bucket,
+    "ann_ivf_cell": ann_ivf_cell,
     "text_quality_stats": text_quality_stats,
     "text_lang_id": text_lang_id,
     "text_token_counts": text_token_counts,
@@ -2261,4 +2337,5 @@ def oracle_sql() -> dict[str, str]:
     out["dedup_simhash"] = _simhash_oracle()
     out["text_lang_id"] = _lang_id_oracle()
     out["ann_lsh_bucket"] = _ann_lsh_oracle("/root/testdata/sf0.01")
+    out["ann_ivf_cell"] = _ann_ivf_oracle("/root/testdata/sf0.01")
     return out

@@ -22,6 +22,7 @@ from paimon_python_spark.operators.similarity import (
     cosine_similarity_col,
     brute_force_topk,
     lsh_bucket_topk,
+    ivf_topk,
     hyperplane_signs,
 )
 
@@ -34,5 +35,6 @@ __all__ = [
     "cosine_similarity_col",
     "brute_force_topk",
     "lsh_bucket_topk",
+    "ivf_topk",
     "hyperplane_signs",
 ]

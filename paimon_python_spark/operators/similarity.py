@@ -99,6 +99,68 @@ def bucket_expr(vec_col: str, signs: list[list[int]]) -> str:
     return "concat(" + ", ".join(chars) + ")"
 
 
+def ivf_dots_expr(vec_col: str, centroids: list[list[float]]) -> str:
+    """SQL expr: array of dot products with each centroid (computed
+    once, then reused for the argmax so the 2·nlist·dims fold doesn't
+    run twice per row)."""
+    dots = ", ".join(
+        dot_expr(
+            vec_col,
+            "array(" + ", ".join(f"CAST({v!r} AS DOUBLE)" for v in c) + ")",
+        )
+        for c in centroids
+    )
+    return f"array({dots})"
+
+
+def ivf_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_vec: list[float],
+    centroids: list[list[float]],
+    k: int = 10,
+    nprobe: int = 2,
+    round_digits: int = 6,
+) -> DataFrame:
+    """IVF-flat approximate top-k: vectors are assigned to the nearest
+    of ``nlist`` centroids; the query scans only its ``nprobe`` nearest
+    cells.
+
+    The 100 TB shape: centroids are a tiny table trained offline and
+    inlined/broadcast; the cell id is a persisted, partition-prunable
+    column (write the table partitioned by cell and a probe reads
+    nprobe/nlist of the data — same planner path as partition pruning).
+    Probe cells are computed driver-side in plain Python with the same
+    left-fold double arithmetic, so an external engine agrees on the
+    cells chosen.
+    """
+    probe = sorted(
+        range(len(centroids)),
+        key=lambda i: (
+            -sum(float(a) * float(b) for a, b in zip(centroids[i], query_vec)),
+            i,
+        ),
+    )[:nprobe]
+    probe_cells = [i + 1 for i in probe]  # 1-based, matching array_position
+    # cell id: 1-based index of the max dot product; ties break to the
+    # smallest index via first-occurrence array_position — engine-
+    # independent because the folds are bit-identical sequential doubles
+    celled = (
+        df.withColumn("__ds", F.expr(ivf_dots_expr(vec_col, centroids)))
+        .withColumn("cell", F.expr("array_position(__ds, array_max(__ds))"))
+        .drop("__ds")
+    )
+    return brute_force_topk(
+        celled.filter(F.col("cell").isin(probe_cells)),
+        id_col,
+        vec_col,
+        query_vec,
+        k,
+        round_digits,
+    )
+
+
 def lsh_bucket_topk(
     df: DataFrame,
     id_col: str,
