@@ -26,6 +26,7 @@ from paimon_python_spark.schema import Schema
 from paimon_python_spark.predicate import Predicate, PredicateBuilder
 from paimon_python_spark.table import Table
 from paimon_python_spark.session import get_spark, set_spark
+from paimon_python_spark.maintenance import expire_snapshots
 
 __all__ = [
     "Catalog",
@@ -35,6 +36,7 @@ __all__ = [
     "PredicateBuilder",
     "get_spark",
     "set_spark",
+    "expire_snapshots",
 ]
 
 __version__ = "0.1.0"

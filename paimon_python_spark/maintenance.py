@@ -1,0 +1,73 @@
+"""Lake maintenance: snapshot expiration.
+
+Paimon expires old snapshots to bound metadata growth and reclaim the
+space of files that are no longer live anywhere (overwritten partitions,
+compacted-away sorted runs, deleted keys). The invariant: every KEPT
+snapshot must stay fully readable — so a data file is deletable only
+when it is live in NO kept snapshot, and a manifest only when NO kept
+snapshot's replay references it. Expired snapshot ids stop being valid
+time-travel targets (as in Paimon).
+
+Everything here is driver-side metadata work plus filesystem deletes —
+O(files released), no Spark job.
+"""
+
+from __future__ import annotations
+
+import os
+
+from paimon_python_spark.metadata import MetadataStore
+
+
+def expire_snapshots(table, keep_last_n: int = 1) -> dict:
+    """Expire all but the newest ``keep_last_n`` snapshots.
+
+    Returns ``{"snapshots_deleted": n, "manifests_deleted": n,
+    "data_files_deleted": n}``.
+    """
+    if keep_last_n < 1:
+        raise ValueError("keep_last_n must be >= 1")
+    store = MetadataStore(table.table_path)
+    latest = store.latest_snapshot_id() or 0
+    cutoff = latest - keep_last_n + 1
+    if cutoff <= 1:
+        return {"snapshots_deleted": 0, "manifests_deleted": 0, "data_files_deleted": 0}
+
+    kept = [store.read_snapshot(sid) for sid in range(cutoff, latest + 1)]
+    expired = [store.read_snapshot(sid) for sid in range(1, cutoff)]
+
+    kept_manifests = {m for s in kept for m in s.manifests}
+    live_paths = {f.path for s in kept for f in store.live_files(s)}
+
+    # every file any expired manifest ever ADDed, minus what's still live
+    expired_manifests = {m for s in expired for m in s.manifests} - kept_manifests
+    dead_paths = set()
+    for mname in expired_manifests | kept_manifests:
+        for entry in store.read_manifest(mname):
+            if entry.kind == "ADD" and entry.file.path not in live_paths:
+                dead_paths.add(entry.file.path)
+
+    n_files = 0
+    for rel in dead_paths:
+        p = os.path.join(table.table_path, rel)
+        if os.path.exists(p):
+            os.remove(p)
+            n_files += 1
+    n_manifests = 0
+    for mname in expired_manifests:
+        p = os.path.join(store.manifest_dir, mname)
+        if os.path.exists(p):
+            os.remove(p)
+            n_manifests += 1
+    n_snapshots = 0
+    for s in expired:
+        p = os.path.join(store.snapshot_dir, f"snapshot-{s.id}.json")
+        if os.path.exists(p):
+            os.remove(p)
+            n_snapshots += 1
+
+    return {
+        "snapshots_deleted": n_snapshots,
+        "manifests_deleted": n_manifests,
+        "data_files_deleted": n_files,
+    }

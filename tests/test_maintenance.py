@@ -1,0 +1,99 @@
+"""Snapshot expiration: kept snapshots stay fully readable; files live
+nowhere in the kept range are physically reclaimed."""
+
+import os
+
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from paimon_python_spark import Schema
+from paimon_python_spark.maintenance import expire_snapshots
+
+SIMPLE = pa.schema([("f0", pa.int32()), ("f1", pa.string())])
+
+
+def _write(table, df, overwrite=False):
+    wb = table.new_batch_write_builder()
+    if overwrite:
+        wb.overwrite(None)
+    w, c = wb.new_write(), wb.new_commit()
+    w.write_pandas(df)
+    c.commit(w.prepare_commit())
+    w.close()
+    c.close()
+
+
+def _count_data_files(table):
+    n = 0
+    for root, _, files in os.walk(os.path.join(table.table_path, "data")):
+        n += sum(1 for f in files if not f.startswith(("_", ".")))
+    return n
+
+
+def test_expire_reclaims_overwritten_files(catalog):
+    catalog.create_table("default.exp", Schema(SIMPLE), False)
+    t = catalog.get_table("default.exp")
+    _write(t, pd.DataFrame({"f0": [1, 2], "f1": ["a", "b"]}))
+    _write(t, pd.DataFrame({"f0": [3], "f1": ["c"]}))
+    # whole-table overwrite makes snapshots 1-2's files dead
+    _write(t, pd.DataFrame({"f0": [9], "f1": ["z"]}), overwrite=True)
+    files_before = _count_data_files(t)
+
+    stats = expire_snapshots(t, keep_last_n=1)
+    assert stats["snapshots_deleted"] == 2
+    assert stats["data_files_deleted"] >= 2
+    assert _count_data_files(t) < files_before
+
+    out = t.new_read_builder().new_read().to_pandas()
+    assert out["f0"].tolist() == [9]
+    # expired snapshot is no longer a valid time-travel target
+    rb = t.new_read_builder().with_snapshot(1)
+    with pytest.raises(FileNotFoundError):
+        rb.new_scan().plan()
+
+
+def test_expire_keeps_live_append_files(catalog):
+    """Pure appends: old snapshots expire but every file is still live
+    in the latest snapshot — nothing must be deleted."""
+    catalog.create_table("default.exp2", Schema(SIMPLE), False)
+    t = catalog.get_table("default.exp2")
+    for i in range(3):
+        _write(t, pd.DataFrame({"f0": [i], "f1": [str(i)]}))
+    stats = expire_snapshots(t, keep_last_n=1)
+    assert stats["snapshots_deleted"] == 2
+    assert stats["data_files_deleted"] == 0
+    out = t.new_read_builder().new_read().to_pandas()
+    assert sorted(out["f0"].tolist()) == [0, 1, 2]
+
+
+def test_expire_noop_when_nothing_to_expire(catalog):
+    catalog.create_table("default.exp3", Schema(SIMPLE), False)
+    t = catalog.get_table("default.exp3")
+    _write(t, pd.DataFrame({"f0": [1], "f1": ["a"]}))
+    stats = expire_snapshots(t, keep_last_n=5)
+    assert stats == {
+        "snapshots_deleted": 0,
+        "manifests_deleted": 0,
+        "data_files_deleted": 0,
+    }
+
+
+def test_expire_after_compaction_reclaims_runs(catalog):
+    from paimon_python_spark.compaction import compact_table
+
+    catalog.create_table(
+        "default.exp4",
+        Schema(SIMPLE, primary_keys=["f0"], options={"bucket": "1"}),
+        False,
+    )
+    t = catalog.get_table("default.exp4")
+    _write(t, pd.DataFrame({"f0": [1, 2], "f1": ["a", "b"]}))
+    _write(t, pd.DataFrame({"f0": [2, 3], "f1": ["B", "c"]}))
+    compact_table(t)
+    files_before = _count_data_files(t)
+    stats = expire_snapshots(t, keep_last_n=1)
+    assert stats["data_files_deleted"] >= 2  # the pre-compaction runs
+    assert _count_data_files(t) < files_before
+    out = t.new_read_builder().new_read().to_pandas().sort_values("f0")
+    assert out["f1"].tolist() == ["a", "B", "c"]
