@@ -297,6 +297,32 @@ class BatchTableWrite:
             # the shuffle that makes merge-on-read partition-local.
             df = df.repartition(*[F.col(c) for c in layout_cols])
 
+        # optional write clustering: sorting within each task makes the
+        # per-file min/max stats tight on the sort columns, so the scan
+        # planner's stats pruning actually skips files on those
+        # dimensions (the poor-man's z-order; at 100 TB this is the
+        # difference between stats that prune and stats that span the
+        # whole domain in every file).
+        sort_cols = [
+            c.strip()
+            for c in schema.options.get("write.sort-columns", "").split(",")
+            if c.strip()
+        ]
+        if sort_cols:
+            if schema.is_primary_key_table():
+                # bucket co-location must survive: sort only inside each
+                # bucket's task (runs come out key-clustered per bucket)
+                df = df.sortWithinPartitions(*sort_cols)
+            else:
+                # range-partition so each FILE covers a disjoint range —
+                # that's what makes min/max stats disjoint and prunable.
+                # Explicit partition count: AQE would otherwise coalesce
+                # a small write into one file and erase the clustering.
+                n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+                df = df.repartitionByRange(n, *sort_cols).sortWithinPartitions(
+                    *sort_cols
+                )
+
         writer = df.write.mode("append")
         if layout_cols:
             writer = writer.partitionBy(*layout_cols)

@@ -252,3 +252,39 @@ def test_time_travel_with_snapshot(catalog):
     assert out3.sort_values("f0")["f1"].tolist() == ["a", "b"]
     out4 = tp.new_read_builder().new_read().to_pandas()
     assert out4.sort_values("f0")["f1"].tolist() == ["a", "B"]
+
+
+def test_write_sort_columns_tightens_stats(catalog, spark):
+    """write.sort-columns clusters rows so per-file min/max prune: with
+    interleaved writes of the same key ranges, sorted files must yield
+    fewer planned splits for a range predicate than unsorted ones."""
+    import pyspark.sql.functions as F
+
+    schema_pa = pa.schema([("k", pa.int64()), ("v", pa.string())])
+    catalog.create_table(
+        "default.sorted", Schema(schema_pa, options={"write.sort-columns": "k"}), False
+    )
+    t = catalog.get_table("default.sorted")
+    # one commit, many partitions: each task sorts its slice
+    df = spark.range(0, 4000).select(
+        F.col("id").alias("k"), F.col("id").cast("string").alias("v")
+    ).repartition(8)
+    wb = t.new_batch_write_builder()
+    w, c = wb.new_write(), wb.new_commit()
+    w.write_dataframe(df)
+    c.commit(w.prepare_commit())
+    w.close()
+    c.close()
+
+    pb = t.new_read_builder().new_predicate_builder()
+    rb = t.new_read_builder().with_filter(pb.equal("k", 1234))
+    out = rb.new_read().to_pandas(rb.new_scan().plan().splits())
+    assert out["k"].tolist() == [1234]
+    # stats exist and are tight enough that a point probe doesn't open
+    # every file
+    all_splits = t.new_read_builder().new_scan().plan().splits()
+    probe_splits = rb.new_scan().plan().splits()
+    # range clustering makes file stats disjoint: a point probe plans
+    # exactly one of the many files
+    assert len(all_splits) > 1
+    assert len(probe_splits) == 1
