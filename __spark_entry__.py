@@ -1490,6 +1490,90 @@ FROM orders GROUP BY o_custkey ORDER BY o_custkey
 """
 
 
+def paimon_first_row_roundtrip(spark, sf_dir):
+    """first-row merge engine: earliest write per key wins. Second
+    commit re-writes every customer with a sentinel balance; the read
+    must still surface the original rows."""
+    from paimon_python_spark import Catalog, Schema
+
+    wh = _fresh_warehouse("fr")
+    cat = Catalog.create({"warehouse": wh})
+    cat.create_database("default", True)
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey", "c_acctbal")
+    cat.create_table(
+        "default.cust_fr",
+        Schema(
+            cust.schema,
+            primary_keys=["c_custkey"],
+            options={"bucket": "2", "merge-engine": "first-row"},
+        ),
+        False,
+    )
+    t = cat.get_table("default.cust_fr")
+    for batch in (cust, cust.withColumn("c_acctbal", F.lit(-1.0))):
+        wb = t.new_batch_write_builder()
+        w, c = wb.new_write(), wb.new_commit()
+        w.write_dataframe(batch)
+        c.commit(w.prepare_commit())
+        w.close()
+        c.close()
+    return t.new_read_builder().new_read().to_df().orderBy("c_custkey")
+
+
+PAIMON_FIRST_ROW_SQL = """
+SELECT c_custkey, c_nationkey, c_acctbal FROM customer ORDER BY c_custkey
+"""
+
+
+def paimon_partial_update_roundtrip(spark, sf_dir):
+    """partial-update merge engine: commit 1 writes full supplier rows;
+    commit 2 patches ONLY the balance column (name NULL); the read must
+    combine latest non-null per column."""
+    from paimon_python_spark import Catalog, Schema
+
+    wh = _fresh_warehouse("pu")
+    cat = Catalog.create({"warehouse": wh})
+    cat.create_database("default", True)
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_acctbal")
+    cat.create_table(
+        "default.supp_pu",
+        Schema(
+            supp.schema,
+            primary_keys=["s_suppkey"],
+            options={"bucket": "2", "merge-engine": "partial-update"},
+        ),
+        False,
+    )
+    t = cat.get_table("default.supp_pu")
+    wb = t.new_batch_write_builder()
+    w, c = wb.new_write(), wb.new_commit()
+    w.write_dataframe(supp)
+    c.commit(w.prepare_commit())
+    w.close()
+    c.close()
+
+    patch = supp.filter(F.col("s_suppkey") % 3 == 0).select(
+        "s_suppkey",
+        F.lit(None).cast("string").alias("s_name"),
+        F.round(F.col("s_acctbal") * 10, 2).alias("s_acctbal"),
+    )
+    wb = t.new_batch_write_builder()
+    w, c = wb.new_write(), wb.new_commit()
+    w.write_dataframe(patch)
+    c.commit(w.prepare_commit())
+    w.close()
+    c.close()
+    return t.new_read_builder().new_read().to_df().orderBy("s_suppkey")
+
+
+PAIMON_PARTIAL_UPDATE_SQL = """
+SELECT s_suppkey, s_name,
+       CASE WHEN s_suppkey % 3 = 0 THEN round(s_acctbal * 10, 2)
+            ELSE s_acctbal END AS s_acctbal
+FROM supplier ORDER BY s_suppkey
+"""
+
+
 def paimon_delete_rows_roundtrip(spark, sf_dir):
     """Row-level DELETE: load parts into a PK table, delete_where
     (p_size < 10) writes -D tombstones (no file rewrite), merge-on-read
@@ -2265,6 +2349,8 @@ _QUERIES: dict[str, Callable] = {
     "paimon_changelog_diff_roundtrip": paimon_changelog_diff_roundtrip,
     "paimon_agg_merge_roundtrip": paimon_agg_merge_roundtrip,
     "paimon_delete_rows_roundtrip": paimon_delete_rows_roundtrip,
+    "paimon_first_row_roundtrip": paimon_first_row_roundtrip,
+    "paimon_partial_update_roundtrip": paimon_partial_update_roundtrip,
 }
 
 _ORACLES: dict[str, str] = {
@@ -2324,6 +2410,8 @@ _ORACLES: dict[str, str] = {
     "paimon_changelog_diff_roundtrip": PAIMON_CHANGELOG_SQL,
     "paimon_agg_merge_roundtrip": PAIMON_AGG_MERGE_SQL,
     "paimon_delete_rows_roundtrip": PAIMON_DELETE_SQL,
+    "paimon_first_row_roundtrip": PAIMON_FIRST_ROW_SQL,
+    "paimon_partial_update_roundtrip": PAIMON_PARTIAL_UPDATE_SQL,
 }
 
 
