@@ -1490,6 +1490,54 @@ FROM orders GROUP BY o_custkey ORDER BY o_custkey
 """
 
 
+def paimon_avro_roundtrip(spark, sf_dir):
+    """file.format=avro: distributed write through mapInPandas + the
+    engine's pure-Python Avro codec (no spark-avro jar in this env),
+    distributed read through binaryFile + codec decode. Stats computed
+    at harvest keep file skipping working on avro files too."""
+    from paimon_python_spark import Catalog, Schema
+
+    wh = _fresh_warehouse("avro")
+    cat = Catalog.create({"warehouse": wh})
+    cat.create_database("default", True)
+    nat = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal", "c_mktsegment"
+    )
+    cat.create_table(
+        "default.cust_avro", Schema(cust.schema, options={"file.format": "avro"}), False
+    )
+    t = cat.get_table("default.cust_avro")
+    wb = t.new_batch_write_builder()
+    w, c = wb.new_write(), wb.new_commit()
+    w.write_dataframe(cust)
+    c.commit(w.prepare_commit())
+    w.close()
+    c.close()
+
+    pb = t.new_read_builder().new_predicate_builder()
+    rb = t.new_read_builder().with_filter(pb.equal("c_mktsegment", "BUILDING"))
+    return (
+        rb.new_read()
+        .to_df(rb.new_scan().plan().splits())
+        .join(F.broadcast(nat), F.col("c_nationkey") == nat.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+        .orderBy("n_name")
+    )
+
+
+PAIMON_AVRO_SQL = """
+SELECT n_name, count(*) AS n, round(sum(c_acctbal), 2) AS total_bal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY n_name ORDER BY n_name
+"""
+
+
 def paimon_first_row_roundtrip(spark, sf_dir):
     """first-row merge engine: earliest write per key wins. Second
     commit re-writes every customer with a sentinel balance; the read
@@ -2349,6 +2397,7 @@ _QUERIES: dict[str, Callable] = {
     "paimon_changelog_diff_roundtrip": paimon_changelog_diff_roundtrip,
     "paimon_agg_merge_roundtrip": paimon_agg_merge_roundtrip,
     "paimon_delete_rows_roundtrip": paimon_delete_rows_roundtrip,
+    "paimon_avro_roundtrip": paimon_avro_roundtrip,
     "paimon_first_row_roundtrip": paimon_first_row_roundtrip,
     "paimon_partial_update_roundtrip": paimon_partial_update_roundtrip,
 }
@@ -2410,6 +2459,7 @@ _ORACLES: dict[str, str] = {
     "paimon_changelog_diff_roundtrip": PAIMON_CHANGELOG_SQL,
     "paimon_agg_merge_roundtrip": PAIMON_AGG_MERGE_SQL,
     "paimon_delete_rows_roundtrip": PAIMON_DELETE_SQL,
+    "paimon_avro_roundtrip": PAIMON_AVRO_SQL,
     "paimon_first_row_roundtrip": PAIMON_FIRST_ROW_SQL,
     "paimon_partial_update_roundtrip": PAIMON_PARTIAL_UPDATE_SQL,
 }

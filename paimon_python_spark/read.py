@@ -44,6 +44,36 @@ from paimon_python_spark.write import (
 )
 
 
+def _read_avro_df(spark, paths: List[str], physical: T.StructType) -> DataFrame:
+    """Distributed Avro scan without the spark-avro DataSource: the
+    ``binaryFile`` source parallelizes over files, each task decodes its
+    files with the engine codec and emits Arrow batches via
+    ``mapInPandas``. Not vectorized like parquet, but fully distributed
+    and schema-checked at the tool-call layer."""
+    import pandas as pd
+
+    from paimon_python_spark.avro_codec import read_avro_table
+
+    names = [f.name for f in physical.fields]
+
+    def decode(batches):
+        for pdf in batches:
+            frames = []
+            for content in pdf["content"]:
+                fnames, rows = read_avro_table(bytes(content))
+                frame = pd.DataFrame(rows, columns=fnames)
+                # schema evolution: fill columns the old file lacks
+                for n in names:
+                    if n not in frame.columns:
+                        frame[n] = None
+                frames.append(frame[names])
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    binary = spark.read.format("binaryFile").load(paths).select("content")
+    return binary.mapInPandas(decode, physical)
+
+
 #: merge-engine option values (Paimon table-format semantics; the
 #: reference SDK only ever reads deduplicate tables, but the format
 #: defines all four — paimon docs "merge-engine").
@@ -197,7 +227,10 @@ class TableRead:
                 ]
             )
         fmt = schema.file_format()
-        df = spark.read.schema(physical).format(fmt).load(paths)
+        if fmt == "avro":
+            df = _read_avro_df(spark, paths, physical)
+        else:
+            df = spark.read.schema(physical).format(fmt).load(paths)
 
         if is_pk:
             df = merge_on_read(df, schema)
@@ -248,7 +281,30 @@ class TableRead:
                 {c: pa.array([], pa_schema.field(c).type) for c in cols}
             )
         fmt = self.schema.file_format()
-        dataset = ds.dataset(paths, format=fmt, schema=pa_schema)
+        if fmt == "avro":
+            # driver-side codec decode in manifest order (same shape as
+            # the reference's fastavro reader); the scale path is to_df
+            from paimon_python_spark.avro_codec import read_avro_table
+
+            frames = []
+            for p in paths:
+                with open(p, "rb") as f:
+                    names, rows = read_avro_table(f.read())
+                frames.append(
+                    pa.table(
+                        {
+                            c: pa.array(
+                                [r[names.index(c)] if c in names else None for r in rows],
+                                pa_schema.field(c).type,
+                            )
+                            for c in self.schema.field_names
+                        }
+                    )
+                )
+            table = pa.concat_tables(frames)
+            dataset = ds.dataset(table)
+        else:
+            dataset = ds.dataset(paths, format=fmt, schema=pa_schema)
         filt = pred.to_arrow() if pred is not None else None
         return dataset.to_table(columns=list(cols), filter=filt)
 

@@ -323,14 +323,73 @@ class BatchTableWrite:
                     *sort_cols
                 )
 
-        writer = df.write.mode("append")
-        if layout_cols:
-            writer = writer.partitionBy(*layout_cols)
         fmt = schema.file_format()
-        writer.format(fmt).save(self.store.data_dir)
+        if fmt == "avro":
+            self._write_avro_distributed(df, layout_cols)
+        else:
+            writer = df.write.mode("append")
+            if layout_cols:
+                writer = writer.partitionBy(*layout_cols)
+            writer.format(fmt).save(self.store.data_dir)
 
         self._pending.extend(self._harvester.harvest_new_files())
         self._call_idx += 1
+
+    def _write_avro_distributed(self, df: DataFrame, layout_cols: List[str]) -> None:
+        """Avro writes run inside Spark tasks via ``mapInPandas`` (no
+        spark-avro DataSource in this environment): each task groups its
+        rows by layout values and writes one container file per group
+        into the same hive-style directory layout the parquet writer
+        produces, so planning/harvesting/reading are format-agnostic."""
+        import pandas as pd
+
+        from paimon_python_spark.avro_codec import write_avro
+
+        data_dir = self.store.data_dir
+        out_fields = [f for f in df.schema.fields if f.name not in layout_cols]
+        out_schema = T.StructType(out_fields)
+        names = [f.name for f in out_fields]
+        layout = list(layout_cols)
+
+        def to_rows(pdf: "pd.DataFrame") -> list:
+            cols = [pdf[n].tolist() for n in names]
+            rows = []
+            for tup in zip(*cols) if cols else []:
+                rows.append(
+                    tuple(None if pd.isna(v) else v for v in tup)
+                )
+            return rows
+
+        def write_batches(batches):
+            groups: dict = {}
+            for pdf in batches:
+                if layout:
+                    for key, g in pdf.groupby(layout, dropna=False, sort=False):
+                        key = key if isinstance(key, tuple) else (key,)
+                        groups.setdefault(key, []).append(g[names])
+                else:
+                    groups.setdefault((), []).append(pdf[names])
+            import uuid as _uuid
+
+            n = 0
+            for key, parts in groups.items():
+                subdir = data_dir
+                for c, v in zip(layout, key):
+                    sval = (
+                        "__HIVE_DEFAULT_PARTITION__"
+                        if v is None or (isinstance(v, float) and pd.isna(v))
+                        else str(v)
+                    )
+                    subdir = os.path.join(subdir, f"{c}={sval}")
+                os.makedirs(subdir, exist_ok=True)
+                path = os.path.join(subdir, f"part-{_uuid.uuid4().hex}.avro")
+                write_avro(
+                    path, to_rows(pd.concat(parts, ignore_index=True)), out_schema
+                )
+                n += 1
+            yield pd.DataFrame({"files": [n]})
+
+        df.mapInPandas(write_batches, "files long").collect()
 
     # ---- commit handoff ----
 
@@ -479,13 +538,34 @@ def _collect_parquet_stats(path: str) -> tuple[int, dict]:
 
 
 def _collect_generic_stats(path: str, schema) -> tuple[int, dict]:
-    """ORC/Avro fallback: row count via pyarrow dataset; no column stats
-    (scan-planner then simply can't skip these files)."""
+    """ORC fallback: row count via pyarrow dataset; no column stats
+    (scan-planner then simply can't skip those files). Avro: decode with
+    the engine codec and compute real min/max/null stats — the files are
+    our own, written one commit earlier."""
+    if path.endswith(".avro"):
+        from paimon_python_spark.avro_codec import read_avro_table
+
+        try:
+            with open(path, "rb") as f:
+                names, rows = read_avro_table(f.read())
+        except Exception:
+            return 0, {}
+        stats: dict[str, dict] = {}
+        for i, name in enumerate(names):
+            col = [r[i] for r in rows]
+            non_null = [v for v in col if v is not None]
+            stats[name] = {
+                "min": _json_safe(min(non_null)) if non_null else None,
+                "max": _json_safe(max(non_null)) if non_null else None,
+                "null_count": len(col) - len(non_null),
+                "row_count": len(rows),
+            }
+        return len(rows), stats
+
     import pyarrow.dataset as ds
 
-    fmt = "orc" if path.endswith(".orc") else "parquet"
     try:
-        dataset = ds.dataset(path, format=fmt)
+        dataset = ds.dataset(path, format="orc")
         return dataset.count_rows(), {}
     except Exception:
         return 0, {}
