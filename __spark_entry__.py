@@ -1140,6 +1140,93 @@ FROM documents ORDER BY doc_id
 """
 
 
+def events_sliding_window(spark, sf_dir):
+    """Sliding window (10-min length, 5-min slide): each event lands in
+    two overlapping buckets — the explode-into-slides recipe Spark's
+    window() uses internally, expressed on epoch-nanos integers so the
+    oracle matches bit-for-bit."""
+    ev = _events(spark, sf_dir)
+    slide = 300 * 10**9  # 5 min in ns
+    # window starts covering ts: the two slide-aligned starts in
+    # (ts - length, ts]
+    return (
+        ev.withColumn(
+            "win_start",
+            F.explode(
+                F.array(
+                    (F.col("ts") - F.col("ts") % slide) - slide,
+                    F.col("ts") - F.col("ts") % slide,
+                )
+            ),
+        )
+        .groupBy("win_start", "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .orderBy("win_start", "event_type")
+    )
+
+
+EVENTS_SLIDING_SQL = """
+SELECT win_start, event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+FROM (
+  SELECT unnest([
+           (epoch_ns(ts) - epoch_ns(ts) % 300000000000) - 300000000000,
+           epoch_ns(ts) - epoch_ns(ts) % 300000000000
+         ]) AS win_start,
+         event_type, value
+  FROM events) t
+GROUP BY win_start, event_type
+ORDER BY win_start, event_type
+"""
+
+
+def events_interval_join(spark, sf_dir):
+    """Stream-stream interval join: every 'error' event matched to the
+    same user's 'click' events in the preceding 10 minutes. The range
+    condition keeps state bounded under watermarks in the streaming
+    version; in batch it's the same inequality join."""
+    ev = _events(spark, sf_dir)
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("user_id").alias("e_user"),
+        F.col("event_id").alias("error_id"),
+        F.col("ts").alias("e_ts"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    lookback = 600 * 10**9  # 10 min in ns
+    return (
+        errors.join(
+            clicks,
+            (F.col("e_user") == F.col("c_user"))
+            & (F.col("c_ts") <= F.col("e_ts"))
+            & (F.col("c_ts") > F.col("e_ts") - lookback),
+        )
+        .select(
+            F.col("e_user").alias("user_id"),
+            "error_id",
+            "click_id",
+            ((F.col("e_ts") - F.col("c_ts")) / F.lit(10**6)).cast("long").alias(
+                "lag_ms"
+            ),
+        )
+        .orderBy("user_id", "error_id", "click_id")
+    )
+
+
+EVENTS_INTERVAL_SQL = """
+SELECT e.user_id AS user_id, e.event_id AS error_id, c.event_id AS click_id,
+       (epoch_ns(e.ts) - epoch_ns(c.ts)) // 1000000 AS lag_ms
+FROM events e JOIN events c
+  ON e.user_id = c.user_id
+ AND c.ts <= e.ts
+ AND epoch_ns(c.ts) > epoch_ns(e.ts) - 600000000000
+WHERE e.event_type = 'error' AND c.event_type = 'click'
+ORDER BY user_id, error_id, click_id
+"""
+
+
 # =====================================================================
 # Table-format round trips: the engine's own write→commit→read path
 # (catalog, snapshots, bucketed PK merge-on-read, overwrite) exercised
@@ -2376,6 +2463,8 @@ _QUERIES: dict[str, Callable] = {
     "events_tumbling_window": events_tumbling_window,
     "events_sessionize": events_sessionize,
     "events_asof_join": events_asof_join,
+    "events_sliding_window": events_sliding_window,
+    "events_interval_join": events_interval_join,
     "dedup_exact": dedup_exact,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -2443,6 +2532,8 @@ _ORACLES: dict[str, str] = {
     "events_tumbling_window": EVENTS_TUMBLING_SQL,
     "events_sessionize": EVENTS_SESSIONIZE_SQL,
     "events_asof_join": EVENTS_ASOF_SQL,
+    "events_sliding_window": EVENTS_SLIDING_SQL,
+    "events_interval_join": EVENTS_INTERVAL_SQL,
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_ngram_jaccard": NGRAM_JACCARD_SQL,
     "dedup_embedding_cosine": EMBEDDING_COSINE_SQL,
