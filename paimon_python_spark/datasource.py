@@ -1,0 +1,299 @@
+"""Spark Python Data Source for the table format:
+``spark.read.format("paimon_spark")`` and
+``spark.readStream.format("paimon_spark")``.
+
+This is the idiomatic Spark-integration layer (Spark 4 Python Data
+Source API) on top of the same planner the builder API uses:
+
+- batch: one ``InputPartition`` per planned Split — PK merge runs
+  per-partition (a Split is exactly one (partition, bucket), the
+  merge unit, so the executor-local merge is correct with no shuffle
+  at all);
+- pushed filters (EqualTo/In/comparisons/IsNull) re-enter the engine's
+  predicate tree, so partition pruning, stats file-skipping, and PK
+  bucket pruning all fire before partitions are even created;
+- streaming: a ``SimpleDataSourceStreamReader`` whose offsets are
+  snapshot ids — each micro-batch is the delta manifests between two
+  snapshots (exact replay on recovery), turning the commit log into a
+  first-class Structured Streaming source.
+
+The DataFrame-composition path (``table.new_read_builder()...to_df()``)
+remains the throughput path (vectorized parquet, codegen); this source
+trades that for API integration (SQL ``USING``, readStream) and keeps
+data movement Arrow-batched.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Iterator, List
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
+from pyspark.sql import types as T
+
+
+def _load_schema(table_path: str):
+    from paimon_python_spark.schema import Schema
+
+    schema_dir = os.path.join(table_path, "schema")
+    versions = [
+        int(n[len("schema-") : -len(".json")])
+        for n in os.listdir(schema_dir)
+        if n.startswith("schema-") and n.endswith(".json")
+    ]
+    with open(os.path.join(schema_dir, f"schema-{max(versions)}.json")) as f:
+        return Schema.from_json(f.read())
+
+
+def _filters_to_predicate(filters, field_names):
+    """Translate Spark DS filters into the engine predicate tree; any
+    filter we can't express is left to Spark (returned as unsupported)."""
+    from pyspark.sql.datasource import (
+        EqualTo,
+        GreaterThan,
+        GreaterThanOrEqual,
+        In,
+        IsNotNull,
+        IsNull,
+        LessThan,
+        LessThanOrEqual,
+    )
+
+    from paimon_python_spark.predicate import PredicateBuilder
+
+    pb = PredicateBuilder(field_names)
+    supported, unsupported = [], []
+    for f in filters:
+        try:
+            col = f.attribute[0] if len(f.attribute) == 1 else None
+            if col is None or col not in field_names:
+                unsupported.append(f)
+                continue
+            if isinstance(f, EqualTo):
+                supported.append((f, pb.equal(col, f.value)))
+            elif isinstance(f, In):
+                supported.append((f, pb.is_in(col, list(f.values))))
+            elif isinstance(f, GreaterThan):
+                supported.append((f, pb.greater_than(col, f.value)))
+            elif isinstance(f, GreaterThanOrEqual):
+                supported.append((f, pb.greater_or_equal(col, f.value)))
+            elif isinstance(f, LessThan):
+                supported.append((f, pb.less_than(col, f.value)))
+            elif isinstance(f, LessThanOrEqual):
+                supported.append((f, pb.less_or_equal(col, f.value)))
+            elif isinstance(f, IsNull):
+                supported.append((f, pb.is_null(col)))
+            elif isinstance(f, IsNotNull):
+                supported.append((f, pb.is_not_null(col)))
+            else:
+                unsupported.append(f)
+        except Exception:
+            unsupported.append(f)
+    return supported, unsupported
+
+
+class _SplitPartition(InputPartition):
+    def __init__(self, paths: List[str], fmt: str):
+        self.paths = paths
+        self.fmt = fmt
+
+
+class PaimonBatchReader(DataSourceReader):
+    def __init__(self, table_path: str, schema):
+        self.table_path = table_path
+        self.table_schema = schema
+        self._predicate = None
+
+    def pushFilters(self, filters):
+        supported, unsupported = _filters_to_predicate(
+            filters, self.table_schema.field_names
+        )
+        if supported:
+            from paimon_python_spark.predicate import PredicateBuilder
+
+            pb = PredicateBuilder(self.table_schema.field_names)
+            self._predicate = pb.and_predicates([p for _, p in supported])
+            if self.table_schema.is_primary_key_table():
+                # merge-correctness: value-column predicates must run
+                # AFTER the merge — keep them Spark-side; planner still
+                # prunes with the key sub-predicate
+                yield from (f for f, _ in supported)
+        yield from unsupported
+
+    def partitions(self):
+        from paimon_python_spark.table import Table
+
+        table = Table("ds", self.table_path, self.table_schema)
+        rb = table.new_read_builder()
+        if self._predicate is not None:
+            rb = rb.with_filter(self._predicate)
+        splits = rb.new_scan().plan().splits()
+        fmt = self.table_schema.file_format()
+        return [_SplitPartition(s.file_paths(), fmt) for s in splits] or [
+            _SplitPartition([], fmt)
+        ]
+
+    def read(self, partition: _SplitPartition) -> Iterator:
+        import pyarrow as pa
+        import pyarrow.dataset as ds
+
+        from paimon_python_spark.types import spark_schema_to_pa
+        from paimon_python_spark.write import ADD_KINDS, KIND_COL, SEQ_COL
+
+        schema = self.table_schema
+        if not partition.paths:
+            return
+        logical_pa = spark_schema_to_pa(schema.spark_schema)
+        is_pk = schema.is_primary_key_table()
+        if is_pk:
+            physical = pa.schema(
+                list(logical_pa)
+                + [pa.field(SEQ_COL, pa.int64()), pa.field(KIND_COL, pa.int32())]
+            )
+        else:
+            physical = logical_pa
+
+        if partition.fmt == "avro":
+            from paimon_python_spark.avro_codec import read_avro_table
+
+            frames = []
+            for p in partition.paths:
+                with open(p, "rb") as f:
+                    names, rows = read_avro_table(f.read())
+                frames.append(
+                    pa.table(
+                        {
+                            fld.name: pa.array(
+                                [
+                                    r[names.index(fld.name)]
+                                    if fld.name in names
+                                    else None
+                                    for r in rows
+                                ],
+                                fld.type,
+                            )
+                            for fld in physical
+                        }
+                    )
+                )
+            tbl = pa.concat_tables(frames)
+        else:
+            tbl = ds.dataset(
+                partition.paths, format=partition.fmt, schema=physical
+            ).to_table()
+
+        if is_pk:
+            # executor-local merge: this partition IS one (partition,
+            # bucket) — all runs for these keys are in hand
+            pdf = tbl.to_pandas()
+            keys = list(
+                dict.fromkeys(schema.partition_keys + schema.primary_keys)
+            )
+            pdf = (
+                pdf.sort_values(SEQ_COL, ascending=False)
+                .drop_duplicates(subset=keys, keep="first")
+            )
+            pdf = pdf[pdf[KIND_COL].isin(ADD_KINDS)]
+            tbl = pa.Table.from_pandas(
+                pdf[[f.name for f in schema.spark_schema.fields]],
+                schema=logical_pa,
+                preserve_index=False,
+            )
+        yield from tbl.to_batches(max_chunksize=4096)
+
+
+class PaimonStreamReader(SimpleDataSourceStreamReader):
+    """Snapshot-id offsets: each micro-batch is the rows ADDed between
+    two snapshots (APPEND/OVERWRITE deltas; COMPACT rewrites skipped,
+    as in the engine's incremental reader)."""
+
+    def __init__(self, table_path: str, schema):
+        self.table_path = table_path
+        self.table_schema = schema
+
+    def initialOffset(self) -> dict:
+        return {"snapshot": 0}
+
+    def _latest(self) -> int:
+        from paimon_python_spark.metadata import MetadataStore
+
+        return MetadataStore(self.table_path).latest_snapshot_id() or 0
+
+    def _rows_between(self, start: int, end: int):
+        import pyarrow.dataset as ds
+
+        from paimon_python_spark.metadata import MetadataStore
+        from paimon_python_spark.streaming.incremental import _delta_files
+        from paimon_python_spark.types import spark_schema_to_pa
+
+        store = MetadataStore(self.table_path)
+        files = _delta_files(store, start, end)
+        if not files:
+            return []
+        schema = self.table_schema
+        paths = [os.path.join(self.table_path, f.path) for f in files]
+        logical_pa = spark_schema_to_pa(schema.spark_schema)
+        fmt = schema.file_format()
+        if fmt == "avro":
+            from paimon_python_spark.avro_codec import read_avro_table
+
+            out = []
+            names = schema.field_names
+            for p in paths:
+                with open(p, "rb") as f:
+                    fnames, rows = read_avro_table(f.read())
+                idx = [fnames.index(n) for n in names]
+                out.extend(tuple(r[i] for i in idx) for r in rows)
+            return out
+        tbl = ds.dataset(paths, format=fmt).to_table(
+            columns=schema.field_names
+        )
+        cols = [tbl.column(c).to_pylist() for c in schema.field_names]
+        return [tuple(r) for r in zip(*cols)]
+
+    def read(self, start: dict):
+        end = self._latest()
+        if end <= start["snapshot"]:
+            return iter([]), start
+        # list iterator: the harness copy.copy()s cached iterators, which
+        # plain generators don't support
+        return iter(self._rows_between(start["snapshot"], end)), {"snapshot": end}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter(self._rows_between(start["snapshot"], end["snapshot"]))
+
+
+class PaimonSparkDataSource(DataSource):
+    """``spark.dataSource.register(PaimonSparkDataSource)`` then
+    ``spark.read.format("paimon_spark").option("path", table_path)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "paimon_spark"
+
+    def _table_path(self) -> str:
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("paimon_spark requires .option('path', <table dir>)")
+        return path
+
+    def schema(self):
+        return _load_schema(self._table_path()).spark_schema
+
+    def reader(self, schema: T.StructType) -> PaimonBatchReader:
+        path = self._table_path()
+        return PaimonBatchReader(path, _load_schema(path))
+
+    def simpleStreamReader(self, schema) -> PaimonStreamReader:
+        path = self._table_path()
+        return PaimonStreamReader(path, _load_schema(path))
+
+
+def register(spark) -> None:
+    spark.dataSource.register(PaimonSparkDataSource)

@@ -1,0 +1,105 @@
+"""Python Data Source integration: spark.read.format('paimon_spark')
+and the snapshot-offset streaming source."""
+
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from paimon_python_spark import Schema
+
+SIMPLE = pa.schema([("f0", pa.int64()), ("f1", pa.string())])
+
+
+def _write(table, df):
+    wb = table.new_batch_write_builder()
+    w, c = wb.new_write(), wb.new_commit()
+    w.write_pandas(df)
+    c.commit(w.prepare_commit())
+    w.close()
+    c.close()
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _register(request):
+    from paimon_python_spark.datasource import register
+    from paimon_python_spark.session import get_spark
+
+    spark = get_spark()
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    register(spark)
+
+
+def test_batch_read_append(catalog, spark):
+    catalog.create_table("default.ds_ap", Schema(SIMPLE), False)
+    t = catalog.get_table("default.ds_ap")
+    _write(t, pd.DataFrame({"f0": [1, 2, 3], "f1": ["a", "b", None]}))
+    out = (
+        spark.read.format("paimon_spark")
+        .option("path", t.table_path)
+        .load()
+        .toPandas()
+        .sort_values("f0")
+    )
+    assert out["f0"].tolist() == [1, 2, 3]
+    assert out["f1"].tolist() == ["a", "b", None]
+
+
+def test_batch_read_pk_merges_per_partition(catalog, spark):
+    catalog.create_table(
+        "default.ds_pk",
+        Schema(SIMPLE, primary_keys=["f0"], options={"bucket": "2"}),
+        False,
+    )
+    t = catalog.get_table("default.ds_pk")
+    _write(t, pd.DataFrame({"f0": [1, 2, 3], "f1": ["a", "b", "c"]}))
+    _write(t, pd.DataFrame({"f0": [2], "f1": ["B"]}))
+    out = (
+        spark.read.format("paimon_spark")
+        .option("path", t.table_path)
+        .load()
+        .toPandas()
+        .sort_values("f0")
+    )
+    assert out["f1"].tolist() == ["a", "B", "c"]
+
+
+def test_batch_read_filter_pushdown(catalog, spark):
+    catalog.create_table("default.ds_f", Schema(SIMPLE), False)
+    t = catalog.get_table("default.ds_f")
+    _write(t, pd.DataFrame({"f0": [1, 2], "f1": ["a", "b"]}))
+    _write(t, pd.DataFrame({"f0": [10, 20], "f1": ["x", "y"]}))
+    df = (
+        spark.read.format("paimon_spark")
+        .option("path", t.table_path)
+        .load()
+        .filter("f0 >= 10")
+    )
+    out = df.toPandas().sort_values("f0")
+    assert out["f0"].tolist() == [10, 20]
+    # the engine's stats pruning fired inside partitions(): only the
+    # second commit's file should have been scanned
+    assert df.rdd.getNumPartitions() <= 2
+
+
+def test_stream_read_snapshot_offsets(catalog, spark):
+    catalog.create_table("default.ds_s", Schema(SIMPLE), False)
+    t = catalog.get_table("default.ds_s")
+    _write(t, pd.DataFrame({"f0": [1], "f1": ["a"]}))
+
+    q = (
+        spark.readStream.format("paimon_spark")
+        .option("path", t.table_path)
+        .load()
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ds_stream_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        _write(t, pd.DataFrame({"f0": [2], "f1": ["b"]}))
+        q.processAllAvailable()
+        res = spark.sql("SELECT f0 FROM ds_stream_out ORDER BY f0").collect()
+    finally:
+        q.stop()
+    assert [r.f0 for r in res] == [1, 2]
