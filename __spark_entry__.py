@@ -1067,6 +1067,86 @@ ORDER BY doc_id
 """
 
 
+def text_punct_stopword(spark, sf_dir):
+    from paimon_python_spark.functions import punct_stopword_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return punct_stopword_stats(docs, "doc_id", "text").orderBy("doc_id")
+
+
+TEXT_PUNCT_STOPWORD_SQL = r"""
+SELECT doc_id,
+       n_punct,
+       CAST(floor(n_punct * 10000 / n_chars) AS BIGINT) AS punct_ratio_x10000,
+       n_stopwords,
+       CAST(floor(n_stopwords * 10000 / n_words) AS BIGINT) AS stopword_ratio_x10000
+FROM (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         len(string_split(text, ' ')) AS n_words,
+         length(text) - length(regexp_replace(text, '[.,;:!?''"()\[\]{}-]', '', 'g'))
+           AS n_punct,
+         len(list_filter(string_split(text, ' '),
+             x -> lower(x) IN ('the','a','an','and','or','of','to','in','is','it')))
+           AS n_stopwords
+  FROM documents) t
+ORDER BY doc_id
+"""
+
+
+def paimon_datasource_roundtrip(spark, sf_dir):
+    """spark.read.format('paimon_spark'): write a PK table through the
+    engine, read it back through the registered Python Data Source with
+    a pushed filter — pruning happens in the source's planner, the merge
+    happens executor-locally per bucket."""
+    from paimon_python_spark import Catalog, Schema
+    from paimon_python_spark.datasource import register
+
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    register(spark)
+    wh = _fresh_warehouse("ds")
+    cat = Catalog.create({"warehouse": wh})
+    cat.create_database("default", True)
+    nation = _t(spark, sf_dir, "nation")
+    cat.create_table(
+        "default.nat_pk",
+        Schema(nation.schema, primary_keys=["n_nationkey"], options={"bucket": "2"}),
+        False,
+    )
+    t = cat.get_table("default.nat_pk")
+    wb = t.new_batch_write_builder()
+    w, c = wb.new_write(), wb.new_commit()
+    w.write_dataframe(nation)
+    c.commit(w.prepare_commit())
+    w.close()
+    c.close()
+    # upsert: move every nation to region 9
+    upd = nation.filter(F.col("n_nationkey") < 5).withColumn(
+        "n_regionkey", F.lit(9).cast("int")
+    )
+    wb = t.new_batch_write_builder()
+    w, c = wb.new_write(), wb.new_commit()
+    w.write_dataframe(upd)
+    c.commit(w.prepare_commit())
+    w.close()
+    c.close()
+
+    return (
+        spark.read.format("paimon_spark")
+        .option("path", t.table_path)
+        .load()
+        .filter(F.col("n_nationkey") >= 2)
+        .orderBy("n_nationkey")
+    )
+
+
+PAIMON_DATASOURCE_SQL = """
+SELECT n_nationkey, n_name,
+       CASE WHEN n_nationkey < 5 THEN 9 ELSE n_regionkey END AS n_regionkey
+FROM nation WHERE n_nationkey >= 2 ORDER BY n_nationkey
+"""
+
+
 def text_lang_id(spark, sf_dir):
     from paimon_python_spark.functions import lang_id
 
@@ -2474,6 +2554,8 @@ _QUERIES: dict[str, Callable] = {
     "ann_lsh_bucket": ann_lsh_bucket,
     "ann_ivf_cell": ann_ivf_cell,
     "text_quality_stats": text_quality_stats,
+    "text_punct_stopword": text_punct_stopword,
+    "paimon_datasource_roundtrip": paimon_datasource_roundtrip,
     "text_lang_id": text_lang_id,
     "text_token_counts": text_token_counts,
     "text_fingerprint": text_fingerprint,
@@ -2539,6 +2621,8 @@ _ORACLES: dict[str, str] = {
     "dedup_embedding_cosine": EMBEDDING_COSINE_SQL,
     "ann_topk_cosine": ANN_TOPK_SQL,
     "text_quality_stats": TEXT_STATS_SQL,
+    "text_punct_stopword": TEXT_PUNCT_STOPWORD_SQL,
+    "paimon_datasource_roundtrip": PAIMON_DATASOURCE_SQL,
     "text_token_counts": TOKEN_COUNTS_SQL,
     "text_fingerprint": TEXT_FINGERPRINT_SQL,
     "mm_binary_meta": MM_BINARY_META_SQL,

@@ -4,6 +4,7 @@ whole-stage codegen), no Python in the hot path."""
 
 from paimon_python_spark.functions.text import (
     text_stats,
+    punct_stopword_stats,
     lang_id,
     doc_fingerprints,
     token_counts,
@@ -17,6 +18,7 @@ from paimon_python_spark.functions.multimodal import (
 
 __all__ = [
     "text_stats",
+    "punct_stopword_stats",
     "lang_id",
     "doc_fingerprints",
     "token_counts",

@@ -61,6 +61,38 @@ def text_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+#: the tiny English stopword list used for the stopword-ratio quality
+#: signal; at corpus scale this inlines into the expression (no join)
+STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+
+def punct_stopword_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Punctuation and stopword ratios — the classic web-corpus quality
+    signals — as scaled integers (exact in any engine). One narrow pass,
+    all built-ins: regexp_replace length-delta counts punctuation,
+    a filtered word-array size counts stopwords."""
+    w = F.split(F.col(text_col), " ")
+    n_words = F.size(w)
+    n_chars = F.length(text_col)
+    n_punct = n_chars - F.length(
+        F.regexp_replace(F.col(text_col), r"[.,;:!?'\"()\[\]{}-]", "")
+    )
+    sw_list = ", ".join(f"'{s}'" for s in STOPWORDS)
+    n_stop = F.size(
+        F.expr(f"filter(w, x -> lower(x) IN ({sw_list}))")
+    )
+    return (
+        df.select(F.col(id_col), F.col(text_col), w.alias("w"))
+        .select(
+            F.col(id_col),
+            n_punct.alias("n_punct"),
+            F.floor(n_punct * 10000 / n_chars).cast("long").alias("punct_ratio_x10000"),
+            n_stop.alias("n_stopwords"),
+            F.floor(n_stop * 10000 / n_words).cast("long").alias("stopword_ratio_x10000"),
+        )
+    )
+
+
 def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Marker-word language ID: score = marker hits (with multiplicity);
     argmax with fixed order en>de>es>fr>zh, 'und' when all zero."""
