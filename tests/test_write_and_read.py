@@ -288,3 +288,39 @@ def test_write_sort_columns_tightens_stats(catalog, spark):
     # exactly one of the many files
     assert len(all_splits) > 1
     assert len(probe_splits) == 1
+
+
+def test_zorder_clustering_prunes_both_dims(catalog, spark):
+    """write.zorder-columns: after z-order clustering on (x, y), a
+    selective range predicate on EITHER column prunes files — the
+    property plain linear sorting only gives its leading column."""
+    import pyspark.sql.functions as F
+
+    schema_pa = pa.schema([("x", pa.int64()), ("y", pa.int64())])
+    catalog.create_table(
+        "default.zorder",
+        Schema(schema_pa, options={"write.zorder-columns": "x,y"}),
+        False,
+    )
+    t = catalog.get_table("default.zorder")
+    # 64x64 grid: x and y each uniform in [0, 64)
+    df = spark.range(0, 4096).select(
+        (F.col("id") % 64).alias("x"), (F.col("id") / 64).cast("long").alias("y")
+    )
+    wb = t.new_batch_write_builder()
+    w, c = wb.new_write(), wb.new_commit()
+    w.write_dataframe(df)
+    c.commit(w.prepare_commit())
+    w.close()
+    c.close()
+
+    all_splits = t.new_read_builder().new_scan().plan().splits()
+    assert len(all_splits) > 2
+    pb = t.new_read_builder().new_predicate_builder()
+    for col in ("x", "y"):
+        rb = t.new_read_builder().with_filter(pb.between(col, 0, 7))
+        pruned = rb.new_scan().plan().splits()
+        assert len(pruned) < len(all_splits), f"no pruning on {col}"
+        out = rb.new_read().to_pandas(pruned)
+        assert out[col].between(0, 7).all()
+        assert len(out) == 8 * 64
