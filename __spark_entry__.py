@@ -1094,6 +1094,27 @@ ORDER BY doc_id
 """
 
 
+def text_chunking(spark, sf_dir):
+    """Fixed-size word chunks with overlap (100/20) — the pre-embedding
+    chunking stage of an LLM pipeline, as a narrow map-only explode."""
+    from paimon_python_spark.functions import chunk_text
+
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_text(docs, "doc_id", "text", 100, 20).orderBy("doc_id", "chunk_idx")
+
+
+TEXT_CHUNKING_SQL = """
+SELECT doc_id,
+       (s - 1) // 80 AS chunk_idx,
+       array_to_string(w[s : least(s + 99, len(w))], ' ') AS chunk_text,
+       least(s + 99, len(w)) - s + 1 AS n_words
+FROM (
+  SELECT doc_id, w, unnest(range(1, greatest(len(w) - 20, 1) + 1, 80)) AS s
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) base) t
+ORDER BY doc_id, chunk_idx
+"""
+
+
 def paimon_datasource_roundtrip(spark, sf_dir):
     """spark.read.format('paimon_spark'): write a PK table through the
     engine, read it back through the registered Python Data Source with
@@ -2555,6 +2576,7 @@ _QUERIES: dict[str, Callable] = {
     "ann_ivf_cell": ann_ivf_cell,
     "text_quality_stats": text_quality_stats,
     "text_punct_stopword": text_punct_stopword,
+    "text_chunking": text_chunking,
     "paimon_datasource_roundtrip": paimon_datasource_roundtrip,
     "text_lang_id": text_lang_id,
     "text_token_counts": text_token_counts,
@@ -2622,6 +2644,7 @@ _ORACLES: dict[str, str] = {
     "ann_topk_cosine": ANN_TOPK_SQL,
     "text_quality_stats": TEXT_STATS_SQL,
     "text_punct_stopword": TEXT_PUNCT_STOPWORD_SQL,
+    "text_chunking": TEXT_CHUNKING_SQL,
     "paimon_datasource_roundtrip": PAIMON_DATASOURCE_SQL,
     "text_token_counts": TOKEN_COUNTS_SQL,
     "text_fingerprint": TEXT_FINGERPRINT_SQL,

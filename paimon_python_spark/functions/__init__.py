@@ -5,6 +5,7 @@ whole-stage codegen), no Python in the hot path."""
 from paimon_python_spark.functions.text import (
     text_stats,
     punct_stopword_stats,
+    chunk_text,
     lang_id,
     doc_fingerprints,
     token_counts,
@@ -19,6 +20,7 @@ from paimon_python_spark.functions.multimodal import (
 __all__ = [
     "text_stats",
     "punct_stopword_stats",
+    "chunk_text",
     "lang_id",
     "doc_fingerprints",
     "token_counts",

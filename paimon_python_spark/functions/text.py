@@ -130,6 +130,45 @@ def lang_id_case_sql() -> str:
     return case
 
 
+def chunk_text(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_words: int = 100,
+    overlap_words: int = 20,
+) -> DataFrame:
+    """Split documents into fixed-size word chunks with overlap — the
+    standard pre-embedding chunking step of an LLM data pipeline.
+
+    Pure built-ins (sequence → transform → explode): the explode is
+    narrow (no shuffle), so chunking 100 TB of documents is a single
+    map-only stage. Output: (id, chunk_idx, chunk_text, n_words).
+    """
+    stride = chunk_words - overlap_words
+    if stride <= 0:
+        raise ValueError("chunk_words must exceed overlap_words")
+    w = F.split(F.col(text_col), " ")
+    # chunk starts: 1, 1+stride, ... (1-based, SQL slice indexing); the
+    # sequence stops once a chunk would add no new words
+    chunks = (
+        f"transform(sequence(1, greatest(size(w) - {overlap_words}, 1), {stride}), "
+        f"s -> slice(w, s, {chunk_words}))"
+    )
+    return (
+        df.select(F.col(id_col), w.alias("w"))
+        .select(
+            F.col(id_col),
+            F.posexplode(F.expr(chunks)).alias("chunk_idx", "chunk_words_arr"),
+        )
+        .select(
+            F.col(id_col),
+            "chunk_idx",
+            F.concat_ws(" ", "chunk_words_arr").alias("chunk_text"),
+            F.size("chunk_words_arr").alias("n_words"),
+        )
+    )
+
+
 def doc_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Document fingerprints: md5 of whitespace-normalized lowercase text
     (content-defined identity for exact dedup across formatting), plus a
