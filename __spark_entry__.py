@@ -1810,6 +1810,65 @@ FROM supplier ORDER BY s_suppkey
 """
 
 
+def paimon_sequence_group_roundtrip(spark, sf_dir):
+    """partial-update with a sequence-group: s_acctbal versions on
+    bal_ver, not on commit order. A LATER commit carrying a LOWER
+    bal_ver must not clobber the balance, while the un-grouped s_name
+    column still follows plain commit order."""
+    from paimon_python_spark import Catalog, Schema
+
+    wh = _fresh_warehouse("sg")
+    cat = Catalog.create({"warehouse": wh})
+    cat.create_database("default", True)
+    supp = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_acctbal", F.lit(2).cast("int").alias("bal_ver")
+    )
+    cat.create_table(
+        "default.supp_sg",
+        Schema(
+            supp.schema,
+            primary_keys=["s_suppkey"],
+            options={
+                "bucket": "2",
+                "merge-engine": "partial-update",
+                "fields.bal_ver.sequence-group": "s_acctbal",
+            },
+        ),
+        False,
+    )
+    t = cat.get_table("default.supp_sg")
+    stale = supp.filter(F.col("s_suppkey") % 3 == 0).select(
+        "s_suppkey",
+        F.concat(F.col("s_name"), F.lit("!")).alias("s_name"),
+        F.lit(-999.0).alias("s_acctbal"),
+        F.lit(1).cast("int").alias("bal_ver"),
+    )
+    fresh = supp.filter(F.col("s_suppkey") % 5 == 0).select(
+        "s_suppkey",
+        F.lit(None).cast("string").alias("s_name"),
+        F.round(F.col("s_acctbal") * 2, 2).alias("s_acctbal"),
+        F.lit(3).cast("int").alias("bal_ver"),
+    )
+    for batch in (supp, stale, fresh):
+        wb = t.new_batch_write_builder()
+        w, c = wb.new_write(), wb.new_commit()
+        w.write_dataframe(batch)
+        c.commit(w.prepare_commit())
+        w.close()
+        c.close()
+    return t.new_read_builder().new_read().to_df().orderBy("s_suppkey")
+
+
+PAIMON_SEQUENCE_GROUP_SQL = """
+SELECT s_suppkey,
+       CASE WHEN s_suppkey % 3 = 0 THEN s_name || '!' ELSE s_name END AS s_name,
+       CASE WHEN s_suppkey % 5 = 0 THEN round(s_acctbal * 2, 2)
+            ELSE s_acctbal END AS s_acctbal,
+       CASE WHEN s_suppkey % 5 = 0 THEN 3 ELSE 2 END AS bal_ver
+FROM supplier ORDER BY s_suppkey
+"""
+
+
 def paimon_delete_rows_roundtrip(spark, sf_dir):
     """Row-level DELETE: load parts into a PK table, delete_where
     (p_size < 10) writes -D tombstones (no file rewrite), merge-on-read
@@ -2593,6 +2652,7 @@ _QUERIES: dict[str, Callable] = {
     "paimon_avro_roundtrip": paimon_avro_roundtrip,
     "paimon_first_row_roundtrip": paimon_first_row_roundtrip,
     "paimon_partial_update_roundtrip": paimon_partial_update_roundtrip,
+    "paimon_sequence_group_roundtrip": paimon_sequence_group_roundtrip,
 }
 
 _ORACLES: dict[str, str] = {
@@ -2660,6 +2720,7 @@ _ORACLES: dict[str, str] = {
     "paimon_avro_roundtrip": PAIMON_AVRO_SQL,
     "paimon_first_row_roundtrip": PAIMON_FIRST_ROW_SQL,
     "paimon_partial_update_roundtrip": PAIMON_PARTIAL_UPDATE_SQL,
+    "paimon_sequence_group_roundtrip": PAIMON_SEQUENCE_GROUP_SQL,
 }
 
 

@@ -106,8 +106,15 @@ def merge_on_read(
       the key — one window sort, ``row_number() == 1``.
     - ``first-row``: earliest row per key wins (same window, ascending).
     - ``partial-update``: per value column, the latest NON-NULL value
-      across versions — ``last(col, ignorenulls=True)`` over the full
-      frame of the same window; delete rows remove the key.
+      across versions, as ONE hash aggregate (map-side combine halves
+      the shuffle vs the window formulation); delete rows remove the
+      key. ``fields.<g>.sequence-group = c1,c2`` scopes columns c1,c2
+      to a per-group version field ``g``: they only take a value from
+      the row with the greatest ``(g, _SEQUENCE_NUMBER)`` among rows
+      where both the column and ``g`` are non-null, so a stale patch
+      (lower ``g``) cannot clobber a newer value even if it commits
+      later. Paimon's sequence-group contract; the reference delegates
+      it to the Java writer (pypaimon/api/table_write.py:27-48).
     - ``aggregation``: per-field aggregate configured via
       ``fields.<name>.aggregate-function`` (default last_non_null_value)
       — a hash aggregate, which beats a window at scale because partial
@@ -135,18 +142,38 @@ def merge_on_read(
         )
 
     if engine == "partial-update":
-        w = Window.partitionBy(*merge_keys).orderBy(F.col(seq_col).asc())
-        w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-        filled = df.select(
-            *merge_keys,
-            seq_col,
-            kind_col,
-            *[F.last(c, ignorenulls=True).over(w_full).alias(c) for c in value_cols],
-        )
-        w_desc = Window.partitionBy(*merge_keys).orderBy(F.col(seq_col).desc())
+        # fields.<g>.sequence-group = "c1,c2" -> columns c1,c2 version on g
+        groups: dict = {}
+        for opt, val in schema.options.items():
+            if opt.startswith("fields.") and opt.endswith(".sequence-group"):
+                g = opt[len("fields.") : -len(".sequence-group")]
+                cols = [c.strip() for c in val.split(",") if c.strip()]
+                missing = [c for c in [g, *cols] if c not in value_cols]
+                if missing:
+                    raise ValueError(
+                        f"sequence-group {g!r}: not value columns: {missing}"
+                    )
+                groups[g] = cols
+        col_group = {c: g for g, cols in groups.items() for c in cols}
+
+        aggs = [F.max_by(F.col(kind_col), F.col(seq_col)).alias(kind_col)]
+        for c in value_cols:
+            col = F.col(c)
+            if c in groups:  # a group's version field: highest version seen
+                aggs.append(F.max(col).alias(c))
+            elif c in col_group:
+                g = F.col(col_group[c])
+                order = F.when(
+                    col.isNotNull() & g.isNotNull(), F.struct(g, F.col(seq_col))
+                )
+                aggs.append(F.max_by(col, order).alias(c))
+            else:  # default: latest non-null by commit sequence
+                aggs.append(
+                    F.max_by(col, F.when(col.isNotNull(), F.col(seq_col))).alias(c)
+                )
         return (
-            filled.withColumn("__rn", F.row_number().over(w_desc))
-            .filter(F.col("__rn") == 1)
+            df.groupBy(*merge_keys)
+            .agg(*aggs)
             .filter(F.col(kind_col).isin(*ADD_KINDS))
             .select(*out_cols)
         )

@@ -273,6 +273,60 @@ def test_merge_engine_partial_update(catalog):
     assert out["b"].tolist() == ["b1", "B2"]
 
 
+def test_merge_engine_partial_update_sequence_group(catalog):
+    # column `a` versions on `ver` (sequence-group); `b` on commit order.
+    # A later commit with a LOWER ver must not clobber `a`.
+    schema = pa.schema(
+        [("k", pa.int32()), ("a", pa.string()), ("b", pa.string()), ("ver", pa.int32())]
+    )
+    catalog.create_table(
+        "default.pusg",
+        Schema(
+            schema,
+            primary_keys=["k"],
+            options={
+                "bucket": "1",
+                "merge-engine": "partial-update",
+                "fields.ver.sequence-group": "a",
+            },
+        ),
+        False,
+    )
+    t = catalog.get_table("default.pusg")
+    _write(t, pd.DataFrame({"k": [1, 2], "a": ["a1", "a2"], "b": ["b1", "b2"], "ver": [2, 2]}))
+    # stale patch: ver=1 < 2 -> `a` keeps "a1"; `b` (no group) updates
+    _write(t, pd.DataFrame({"k": [1], "a": ["STALE"], "b": ["B1"], "ver": [1]}))
+    # fresh patch: ver=3 -> `a` updates; null `a` never overwrites
+    _write(t, pd.DataFrame({"k": [2, 1], "a": ["A2", None], "b": [None, None], "ver": [3, 3]}))
+    out = (
+        t.new_read_builder().new_read().to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    assert out["a"].tolist() == ["a1", "A2"]
+    assert out["b"].tolist() == ["B1", "b2"]
+    assert out["ver"].tolist() == [3, 3]
+
+
+def test_merge_engine_sequence_group_bad_column(catalog):
+    schema = pa.schema([("k", pa.int32()), ("a", pa.string()), ("ver", pa.int32())])
+    catalog.create_table(
+        "default.pusg_bad",
+        Schema(
+            schema,
+            primary_keys=["k"],
+            options={
+                "bucket": "1",
+                "merge-engine": "partial-update",
+                "fields.ver.sequence-group": "nope",
+            },
+        ),
+        False,
+    )
+    t = catalog.get_table("default.pusg_bad")
+    _write(t, pd.DataFrame({"k": [1], "a": ["x"], "ver": [1]}))
+    with pytest.raises(ValueError, match="sequence-group"):
+        t.new_read_builder().new_read().to_pandas()
+
+
 def test_merge_engine_aggregation(catalog):
     schema = pa.schema([("k", pa.int32()), ("cnt", pa.int64()), ("hi", pa.int64())])
     catalog.create_table(
