@@ -1693,7 +1693,12 @@ def paimon_avro_roundtrip(spark, sf_dir):
         "c_custkey", "c_nationkey", "c_acctbal", "c_mktsegment"
     )
     cat.create_table(
-        "default.cust_avro", Schema(cust.schema, options={"file.format": "avro"}), False
+        "default.cust_avro",
+        Schema(
+            cust.schema,
+            options={"file.format": "avro", "file.compression": "deflate"},
+        ),
+        False,
     )
     t = cat.get_table("default.cust_avro")
     wb = t.new_batch_write_builder()

@@ -4,7 +4,7 @@ The reference reads Avro via fastavro
 (pypaimon/pynative/reader/avro_format_reader.py:30-83); this container
 has neither fastavro nor the spark-avro DataSource, so the engine ships
 its own codec for the subset the table format needs: primitive column
-types, nullable via ``["null", T]`` unions, null codec (no compression).
+types, nullable via ``["null", T]`` unions, null + deflate codecs.
 Wire format follows the Avro 1.11 spec (magic ``Obj\\x01``, metadata
 map, sync-marker-delimited blocks, zigzag-varint longs).
 
@@ -22,7 +22,10 @@ import json
 import os
 import struct
 import uuid
+import zlib
 from typing import Any, List
+
+CODECS = ("null", "deflate")
 
 from pyspark.sql import types as T
 
@@ -128,8 +131,15 @@ def _decode_value(buf: io.BytesIO, avro_type: str) -> Any:
 # ---- container file ----
 
 
-def write_avro(path: str, rows: List[tuple], schema: T.StructType) -> None:
-    """Write rows (tuples in schema field order) as one Avro OCF."""
+def write_avro(
+    path: str, rows: List[tuple], schema: T.StructType, codec: str = "null"
+) -> None:
+    """Write rows (tuples in schema field order) as one Avro OCF.
+
+    ``codec``: ``null`` (raw) or ``deflate`` (RFC 1951 raw DEFLATE per
+    the Avro spec — zlib with negative wbits, no header/checksum)."""
+    if codec not in CODECS:
+        raise ValueError(f"avro codec: unsupported codec {codec!r}; one of {CODECS}")
     atypes = [_avro_type(f.dataType) for f in schema.fields]
     sync = uuid.uuid5(uuid.NAMESPACE_OID, os.path.basename(path)).bytes
 
@@ -141,10 +151,13 @@ def write_avro(path: str, rows: List[tuple], schema: T.StructType) -> None:
             else:
                 body += _zigzag_encode(1)  # union branch: value
                 _encode_value(v, at, body)
+    if codec == "deflate":
+        comp = zlib.compressobj(6, zlib.DEFLATED, -15)
+        body = comp.compress(bytes(body)) + comp.flush()
 
     meta = {
         "avro.schema": avro_schema_json(schema).encode(),
-        "avro.codec": b"null",
+        "avro.codec": codec.encode(),
     }
     out = bytearray(MAGIC)
     out += _zigzag_encode(len(meta))
@@ -192,8 +205,9 @@ def read_avro_table(data: bytes) -> tuple[List[str], List[tuple]]:
             vlen = _zigzag_decode(buf)
             meta[k] = buf.read(vlen)
         n_meta = _zigzag_decode(buf)
-    if meta.get("avro.codec", b"null") not in (b"null", b""):
-        raise ValueError(f"unsupported avro codec {meta['avro.codec']!r}")
+    codec = meta.get("avro.codec", b"null") or b"null"
+    if codec.decode() not in CODECS:
+        raise ValueError(f"unsupported avro codec {codec!r}")
     file_schema = json.loads(meta["avro.schema"])
     field_types = []
     for f in file_schema["fields"]:
@@ -212,15 +226,19 @@ def read_avro_table(data: bytes) -> tuple[List[str], List[tuple]]:
             break
         buf.seek(-1, os.SEEK_CUR)
         n_records = _zigzag_decode(buf)
-        _block_bytes = _zigzag_decode(buf)
+        block_bytes = _zigzag_decode(buf)
+        block = buf.read(block_bytes)
+        if codec == b"deflate":
+            block = zlib.decompress(block, -15)
+        bbuf = io.BytesIO(block)
         for _ in range(n_records):
             row = []
             for nullable, at in field_types:
                 if nullable:
-                    branch = _zigzag_decode(buf)
-                    row.append(None if branch == 0 else _decode_value(buf, at))
+                    branch = _zigzag_decode(bbuf)
+                    row.append(None if branch == 0 else _decode_value(bbuf, at))
                 else:
-                    row.append(_decode_value(buf, at))
+                    row.append(_decode_value(bbuf, at))
             rows.append(tuple(row))
         if buf.read(16) != sync:
             raise ValueError("sync marker mismatch — corrupt avro block")

@@ -332,12 +332,15 @@ class BatchTableWrite:
                 )
 
         fmt = schema.file_format()
+        compression = schema.options.get("file.compression", "")
         if fmt == "avro":
-            self._write_avro_distributed(df, layout_cols)
+            self._write_avro_distributed(df, layout_cols, codec=compression or "null")
         else:
             writer = df.write.mode("append")
             if layout_cols:
                 writer = writer.partitionBy(*layout_cols)
+            if compression:
+                writer = writer.option("compression", compression)
             writer.format(fmt).save(self.store.data_dir)
 
         self._pending.extend(self._harvester.harvest_new_files())
@@ -378,7 +381,9 @@ class BatchTableWrite:
             .drop("__zkey", *bucket_cols)
         )
 
-    def _write_avro_distributed(self, df: DataFrame, layout_cols: List[str]) -> None:
+    def _write_avro_distributed(
+        self, df: DataFrame, layout_cols: List[str], codec: str = "null"
+    ) -> None:
         """Avro writes run inside Spark tasks via ``mapInPandas`` (no
         spark-avro DataSource in this environment): each task groups its
         rows by layout values and writes one container file per group
@@ -427,7 +432,10 @@ class BatchTableWrite:
                 os.makedirs(subdir, exist_ok=True)
                 path = os.path.join(subdir, f"part-{_uuid.uuid4().hex}.avro")
                 write_avro(
-                    path, to_rows(pd.concat(parts, ignore_index=True)), out_schema
+                    path,
+                    to_rows(pd.concat(parts, ignore_index=True)),
+                    out_schema,
+                    codec=codec,
                 )
                 n += 1
             yield pd.DataFrame({"files": [n]})

@@ -367,3 +367,65 @@ def test_avro_partitioned_and_stats_pruning(catalog):
     splits2 = rb2.new_scan().plan().splits()
     assert sum(s.row_count() for s in splits2) == 1
     assert rb2.new_read().to_pandas(splits2)["k"].tolist() == [3]
+
+
+def test_avro_deflate_codec_unit():
+    """Codec-level deflate round trip: compressed blocks, smaller file,
+    spec-compliant raw-DEFLATE (readable back without the engine)."""
+    import os
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from paimon_python_spark.avro_codec import read_avro_table, write_avro
+
+    schema = T.StructType(
+        [T.StructField("a", T.LongType()), T.StructField("s", T.StringType())]
+    )
+    rows = [(i, "x" * 50) for i in range(500)] + [(None, None)]
+    d = tempfile.mkdtemp()
+    raw, comp = os.path.join(d, "raw.avro"), os.path.join(d, "c.avro")
+    write_avro(raw, rows, schema, codec="null")
+    write_avro(comp, rows, schema, codec="deflate")
+    assert os.path.getsize(comp) < os.path.getsize(raw) / 5  # repetitive data
+    with open(comp, "rb") as f:
+        names, got = read_avro_table(f.read())
+    assert names == ["a", "s"]
+    assert got == rows
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="codec"):
+        write_avro(os.path.join(d, "bad.avro"), rows, schema, codec="snappy")
+
+
+def test_parquet_compression_option(catalog):
+    """file.compression flows to the parquet writer (zstd extension)."""
+    import glob
+    import os
+
+    schema = Schema(
+        pa.schema([("f0", pa.int64())]), options={"file.compression": "zstd"}
+    )
+    catalog.create_table("default.t_zstd", schema, False)
+    t = catalog.get_table("default.t_zstd")
+    _write(t, pd.DataFrame({"f0": [1, 2, 3]}))
+    files = glob.glob(os.path.join(t.table_path, "data", "**", "*.parquet"), recursive=True)
+    assert files and all(f.endswith(".zstd.parquet") for f in files)
+    assert sorted(t.new_read_builder().new_read().to_pandas()["f0"]) == [1, 2, 3]
+
+
+def test_avro_deflate_table_round_trip(catalog):
+    """file.compression=deflate on an avro PK table: distributed write
+    compresses inside tasks; merge-on-read decodes transparently."""
+    schema = Schema(
+        pa.schema([pa.field("k", pa.int64(), False), ("v", pa.string())]),
+        primary_keys=["k"],
+        options={"bucket": "2", "file.format": "avro", "file.compression": "deflate"},
+    )
+    catalog.create_table("default.t_avro_defl", schema, False)
+    t = catalog.get_table("default.t_avro_defl")
+    _write(t, pd.DataFrame({"k": [1, 2, 3], "v": ["a", "b", "c"]}))
+    _write(t, pd.DataFrame({"k": [2], "v": ["b2"]}))
+    out = t.new_read_builder().new_read().to_pandas().sort_values("k")
+    assert out["v"].tolist() == ["a", "b2", "c"]
