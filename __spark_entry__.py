@@ -508,6 +508,63 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def sketch_quantile_summary(spark, sf_dir):
+    """Per-brand price quantiles (percentile_cont semantics). Exact
+    interpolated percentile at test scale; same call shape swaps to
+    percentile_approx (t-digest-style) at 100 TB."""
+    from paimon_python_spark.functions import quantile_summary
+
+    part = _t(spark, sf_dir, "part")
+    return quantile_summary(
+        part, ["p_brand"], "p_retailprice", (0.5, 0.9, 0.99)
+    ).orderBy("p_brand")
+
+
+SKETCH_QUANTILE_SQL = """
+SELECT p_brand,
+       round(quantile_cont(p_retailprice, 0.5), 2) AS p50,
+       round(quantile_cont(p_retailprice, 0.9), 2) AS p90,
+       round(quantile_cont(p_retailprice, 0.99), 2) AS p99
+FROM part GROUP BY p_brand ORDER BY p_brand
+"""
+
+
+def sketch_histogram(spark, sf_dir):
+    """Fixed-width histogram of order totals: one hash aggregate,
+    IEEE-exact bucket arithmetic (floor of a double division) so the
+    bucket ids hash-match any engine."""
+    from paimon_python_spark.functions import numeric_histogram
+
+    orders = _t(spark, sf_dir, "orders")
+    return numeric_histogram(orders, "o_totalprice", 0.0, 600000.0, 24).orderBy(
+        "bucket"
+    )
+
+
+SKETCH_HISTOGRAM_SQL = """
+SELECT bucket, round(0.0 + bucket * 25000.0, 2) AS lo, count(*) AS n
+FROM (
+  SELECT least(23, greatest(0, CAST(floor((o_totalprice - 0.0) / 25000.0) AS int)))
+         AS bucket
+  FROM orders
+) GROUP BY bucket ORDER BY bucket
+"""
+
+
+def sketch_approx_distinct(spark, sf_dir):
+    """Per-flag HLL++ distinct order count (rsd 5%): mergeable ~KB
+    sketch state per group instead of a distinct-set shuffle — the
+    100 TB path for COUNT(DISTINCT). Genuinely approximate, so no SQL
+    oracle; the driver records the weaker rows-only check and unit
+    tests pin the rsd envelope against exact counts."""
+    from paimon_python_spark.functions import group_distinct_sketch
+
+    li = _t(spark, sf_dir, "lineitem")
+    return group_distinct_sketch(li, ["l_returnflag"], "l_orderkey", 0.05).orderBy(
+        "l_returnflag"
+    )
+
+
 def agg_conditional(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     return li.agg(
@@ -2621,6 +2678,9 @@ _QUERIES: dict[str, Callable] = {
     "setop_intersect": setop_intersect,
     "agg_count_distinct": agg_count_distinct,
     "agg_conditional": agg_conditional,
+    "sketch_quantile_summary": sketch_quantile_summary,
+    "sketch_histogram": sketch_histogram,
+    "sketch_approx_distinct": sketch_approx_distinct,
     "scalar_string_funcs": scalar_string_funcs,
     "scalar_date_funcs": scalar_date_funcs,
     "scalar_json_funcs": scalar_json_funcs,
@@ -2694,6 +2754,8 @@ _ORACLES: dict[str, str] = {
     "setop_intersect": SETOP_INTERSECT_SQL,
     "agg_count_distinct": AGG_DISTINCT_SQL,
     "agg_conditional": AGG_CONDITIONAL_SQL,
+    "sketch_quantile_summary": SKETCH_QUANTILE_SQL,
+    "sketch_histogram": SKETCH_HISTOGRAM_SQL,
     "scalar_string_funcs": SCALAR_STRING_SQL,
     "scalar_date_funcs": SCALAR_DATE_SQL,
     "scalar_json_funcs": SCALAR_JSON_SQL,

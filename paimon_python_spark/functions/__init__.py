@@ -16,6 +16,11 @@ from paimon_python_spark.functions.multimodal import (
     decode_image_stub,
     frame_sample_stub,
 )
+from paimon_python_spark.functions.sketches import (
+    group_distinct_sketch,
+    quantile_summary,
+    numeric_histogram,
+)
 
 __all__ = [
     "text_stats",
@@ -28,4 +33,7 @@ __all__ = [
     "binary_metadata",
     "decode_image_stub",
     "frame_sample_stub",
+    "group_distinct_sketch",
+    "quantile_summary",
+    "numeric_histogram",
 ]

@@ -1,0 +1,79 @@
+"""Sketch-style and distributional aggregates.
+
+The reference delegates all aggregation to DuckDB after the scan
+(pypaimon/api/table_read.py:47-56); a 100 TB engine needs the
+sub-linear versions built in. Everything here is a single hash
+aggregate (map-side partial + final), so shuffle volume is the number
+of groups x sketch size, never the row count:
+
+- HLL distinct counts: Spark's ``approx_count_distinct`` (HyperLogLog++,
+  fixed xxhash64 seed) — deterministic for a given dataset and rsd,
+  mergeable across partitions, ~1.5 KB of state per group instead of a
+  distinct-set shuffle.
+- Exact interpolated quantiles: ``percentile`` (SQL percentile_cont
+  semantics). Exact beats t-digest at test scale and is oracle-checkable;
+  at 100 TB swap in ``percentile_approx`` with the same call shape.
+- Fixed-width histograms: one ``floor((x - lo) / w)`` bucket expression +
+  hash agg; bucket arithmetic is IEEE-double-exact so it hash-matches any
+  engine.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def group_distinct_sketch(
+    df: DataFrame, keys: List[str], col: str, rsd: float = 0.05
+) -> DataFrame:
+    """Per-group approximate distinct count (HLL++, relative error rsd).
+
+    Output: keys..., approx_distinct (long). Genuinely approximate —
+    there is no cross-engine oracle; the exactness contract is covered
+    by unit tests against exact countDistinct at small scale.
+    """
+    return df.groupBy(*keys).agg(
+        F.approx_count_distinct(col, rsd).alias("approx_distinct")
+    )
+
+
+def quantile_summary(
+    df: DataFrame, keys: List[str], col: str, probs: Sequence[float] = (0.5, 0.9, 0.99)
+) -> DataFrame:
+    """Per-group interpolated quantiles (percentile_cont semantics),
+    one output column per probability: ``p50``, ``p90``, ...
+
+    Uses exact ``percentile`` (single hash agg; state = per-group value
+    buffer). At 100 TB call sites should pass a pre-aggregated or
+    sampled frame, or swap to ``percentile_approx`` — same output shape.
+    """
+    aggs = [
+        F.round(F.percentile(F.col(col), F.lit(p)), 2).alias(
+            f"p{str(p * 100).rstrip('0').rstrip('.').replace('.', '_')}"
+        )
+        for p in probs
+    ]
+    return df.groupBy(*keys).agg(*aggs)
+
+
+def numeric_histogram(
+    df: DataFrame, col: str, lo: float, hi: float, nbins: int
+) -> DataFrame:
+    """Fixed-width histogram over [lo, hi): bucket index, inclusive lower
+    bound, and row count. Out-of-range rows clamp into the edge buckets
+    (standard width_bucket behavior minus the overflow buckets).
+    """
+    w = (hi - lo) / nbins
+    bucket = F.least(
+        F.lit(nbins - 1),
+        F.greatest(F.lit(0), F.floor((F.col(col) - lo) / w).cast("int")),
+    )
+    return (
+        df.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+        .withColumn("lo", F.round(F.lit(lo) + F.col("bucket") * w, 2))
+        .select("bucket", "lo", "n")
+    )

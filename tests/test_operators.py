@@ -194,3 +194,47 @@ def test_embedding_cosine_pairs_threshold(spark):
     )
     pairs = embedding_cosine_pairs(df, "vec_id", "embedding", threshold=0.99).collect()
     assert [(p.id_a, p.id_b) for p in pairs] == [(1, 2)]
+
+
+def test_group_distinct_sketch_within_rsd(spark):
+    from paimon_python_spark.functions import group_distinct_sketch
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    approx = {
+        r.l_returnflag: r.approx_distinct
+        for r in group_distinct_sketch(li, ["l_returnflag"], "l_orderkey").collect()
+    }
+    exact = {
+        r.l_returnflag: r.n
+        for r in li.groupBy("l_returnflag")
+        .agg(F.countDistinct("l_orderkey").alias("n"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for k, n in exact.items():
+        assert abs(approx[k] - n) <= max(3, 0.15 * n), (k, approx[k], n)
+
+
+def test_quantile_summary_exact(spark):
+    import numpy as np
+
+    from paimon_python_spark.functions import quantile_summary
+
+    df = spark.createDataFrame([(1, float(v)) for v in range(101)], "g int, x double")
+    row = quantile_summary(df, ["g"], "x", (0.5, 0.9)).collect()[0]
+    assert row.p50 == round(float(np.percentile(range(101), 50)), 2)
+    assert row.p90 == round(float(np.percentile(range(101), 90)), 2)
+
+
+def test_numeric_histogram_counts_and_clamp(spark):
+    from paimon_python_spark.functions import numeric_histogram
+
+    df = spark.createDataFrame(
+        [(v,) for v in [-5.0, 0.0, 9.9, 10.0, 25.0, 99.0, 150.0]], "x double"
+    )
+    out = {r.bucket: (r.lo, r.n) for r in numeric_histogram(df, "x", 0.0, 100.0, 10).collect()}
+    assert out[0] == (0.0, 3)   # -5 clamps in, 0.0 and 9.9 in-range
+    assert out[1] == (10.0, 1)
+    assert out[2] == (20.0, 1)
+    assert out[9] == (90.0, 2)  # 99 in-range, 150 clamps into top bucket
+    assert sum(n for _, n in out.values()) == 7
