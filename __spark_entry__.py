@@ -565,6 +565,64 @@ def sketch_approx_distinct(spark, sf_dir):
     )
 
 
+def sample_split_assign(spark, sf_dir):
+    """Deterministic 80/10/10 train/val/test split of the documents
+    corpus keyed on md5(doc_id): a row's split never changes when other
+    rows arrive, survives any repartition, and is a pure scan-side
+    projection (zero shuffle beyond the final count)."""
+    from paimon_python_spark.operators import train_val_test_split
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        train_val_test_split(docs, "doc_id")
+        .groupBy("split")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+        .orderBy("split")
+    )
+
+
+# thresholds: round(0.8*65536)=52429=0xcccd, round(0.9*65536)=58982=0xe666
+SAMPLE_SPLIT_SQL = """
+SELECT split, count(*) AS n_docs, sum(n_chars) AS total_chars
+FROM (
+  SELECT CASE WHEN substr(md5(CAST(doc_id AS varchar)), 1, 4) < 'cccd' THEN 'train'
+              WHEN substr(md5(CAST(doc_id AS varchar)), 1, 4) < 'e666' THEN 'val'
+              ELSE 'test' END AS split,
+         n_chars
+  FROM documents
+) GROUP BY split ORDER BY split
+"""
+
+
+def sample_stratified(spark, sf_dir):
+    """Per-stratum deterministic downsampling (class rebalancing for
+    training data): keep 50% of clicks, 10% of views, 100% of
+    purchases, selected by md5(event_id) so the subset is reproducible
+    across engines and runs."""
+    from paimon_python_spark.operators import stratified_hash_sample
+
+    ev = _events(spark, sf_dir)
+    kept = stratified_hash_sample(
+        ev, "event_id", ["event_type"], {"click": 0.5, "view": 0.1, "purchase": 1.0}
+    )
+    return (
+        kept.groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .orderBy("event_type")
+    )
+
+
+# thresholds: 0.5->0x8000, 0.1->0x199a, 1.0->0x10000 (every prefix < it)
+SAMPLE_STRATIFIED_SQL = """
+SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+FROM events
+WHERE substr(md5(CAST(event_id AS varchar)), 1, 4) <
+      CASE event_type WHEN 'click' THEN '8000' WHEN 'view' THEN '199a'
+                      WHEN 'purchase' THEN 'g' ELSE '0000' END
+GROUP BY event_type ORDER BY event_type
+"""
+
+
 def agg_conditional(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     return li.agg(
@@ -2681,6 +2739,8 @@ _QUERIES: dict[str, Callable] = {
     "sketch_quantile_summary": sketch_quantile_summary,
     "sketch_histogram": sketch_histogram,
     "sketch_approx_distinct": sketch_approx_distinct,
+    "sample_split_assign": sample_split_assign,
+    "sample_stratified": sample_stratified,
     "scalar_string_funcs": scalar_string_funcs,
     "scalar_date_funcs": scalar_date_funcs,
     "scalar_json_funcs": scalar_json_funcs,
@@ -2756,6 +2816,8 @@ _ORACLES: dict[str, str] = {
     "agg_conditional": AGG_CONDITIONAL_SQL,
     "sketch_quantile_summary": SKETCH_QUANTILE_SQL,
     "sketch_histogram": SKETCH_HISTOGRAM_SQL,
+    "sample_split_assign": SAMPLE_SPLIT_SQL,
+    "sample_stratified": SAMPLE_STRATIFIED_SQL,
     "scalar_string_funcs": SCALAR_STRING_SQL,
     "scalar_date_funcs": SCALAR_DATE_SQL,
     "scalar_json_funcs": SCALAR_JSON_SQL,

@@ -18,6 +18,12 @@ from paimon_python_spark.operators.dedup import (
     simhash_fingerprints,
     embedding_cosine_pairs,
 )
+from paimon_python_spark.operators.sampling import (
+    hash_sample,
+    train_val_test_split,
+    stratified_hash_sample,
+    split_column,
+)
 from paimon_python_spark.operators.similarity import (
     cosine_similarity_col,
     brute_force_topk,
@@ -37,4 +43,8 @@ __all__ = [
     "lsh_bucket_topk",
     "ivf_topk",
     "hyperplane_signs",
+    "hash_sample",
+    "train_val_test_split",
+    "stratified_hash_sample",
+    "split_column",
 ]

@@ -1,0 +1,98 @@
+"""Deterministic sampling and dataset splitting.
+
+Training pipelines need samples and train/val/test splits that are (a)
+reproducible run-over-run, (b) independent of partitioning and row
+order, and (c) consistent when the dataset grows (a row's assignment
+never changes because other rows arrived). Spark's ``df.sample`` is
+seed-stable only for a fixed partitioning, so it fails (b) and (c).
+
+Everything here keys off ``md5(id)`` instead: a pure per-row projection
+— no shuffle, no state, embarrassingly parallel at 100 TB — and the
+same function every engine implements bit-identically, so results are
+DuckDB-oracle-able. Fractions are mapped to 16-bit hex-prefix
+thresholds: lowercase fixed-width hex compares lexicographically in
+value order, so ``substr(md5(x), 1, 4) < '0ccd'`` IS ``hash(x) <
+0.05 * 2^16`` in any engine with no hex→int conversion needed.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+_SPACE = 1 << 16  # 4 hex chars of the md5 digest
+
+
+def _hex_threshold(fraction: float) -> str:
+    """Smallest 4-hex-char string h such that the share of 16-bit hash
+    values strictly below h is >= fraction."""
+    n = min(_SPACE, max(0, round(fraction * _SPACE)))
+    if n >= _SPACE:
+        # 'g' sorts after every hex char: keeps ALL rows. '10000' would
+        # NOT (lexicographic compare: 'f3ab' > '10000').
+        return "g"
+    return format(n, "04x")
+
+
+def _hash_prefix(id_col: str) -> Column:
+    return F.substring(F.md5(F.col(id_col).cast("string").cast("binary")), 1, 4)
+
+
+def hash_sample(df: DataFrame, id_col: str, fraction: float) -> DataFrame:
+    """Deterministic ~fraction sample: keep rows whose md5(id) 16-bit
+    prefix falls below the fraction threshold. Pure filter — Catalyst
+    pushes it into the scan; zero shuffle at any scale."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    return df.filter(_hash_prefix(id_col) < F.lit(_hex_threshold(fraction)))
+
+
+def split_column(id_col: str, weights: Sequence[float], names: Sequence[str]) -> Column:
+    """Column assigning each row a split name by md5-prefix range.
+    Weights are normalized; boundaries are cumulative thresholds."""
+    if len(weights) != len(names) or not names:
+        raise ValueError("weights and names must be same nonzero length")
+    total = float(sum(weights))
+    h = _hash_prefix(id_col)
+    acc = 0.0
+    branches = []
+    for w, name in zip(weights[:-1], names[:-1]):
+        acc += w / total
+        branches.append((_hex_threshold(acc), name))
+    # ordered CASE chain: first matching (smallest) bound wins
+    out = None
+    for bound, name in branches:
+        cond = h < F.lit(bound)
+        out = F.when(cond, F.lit(name)) if out is None else out.when(cond, F.lit(name))
+    return (out.otherwise(F.lit(names[-1])) if out is not None else F.lit(names[-1]))
+
+
+def train_val_test_split(
+    df: DataFrame,
+    id_col: str,
+    weights: Sequence[float] = (0.8, 0.1, 0.1),
+    names: Sequence[str] = ("train", "val", "test"),
+) -> DataFrame:
+    """Tag every row with a deterministic split assignment. A row's
+    split depends only on its own id — stable under growth, reshuffle,
+    and recompute — which is the property naive ``randomSplit`` lacks."""
+    return df.withColumn("split", split_column(id_col, weights, names))
+
+
+def stratified_hash_sample(
+    df: DataFrame, id_col: str, strata_cols: List[str], fractions: dict
+) -> DataFrame:
+    """Per-stratum deterministic sampling: ``fractions`` maps a stratum
+    value (of the single stratum column) to its keep-fraction; missing
+    strata default to 0. Still a pure filter (the fraction lookup is a
+    literal CASE), so it runs scan-side at any scale."""
+    if len(strata_cols) != 1:
+        raise ValueError("stratified_hash_sample supports one stratum column")
+    s = F.col(strata_cols[0])
+    thr = None
+    for val, frac in sorted(fractions.items()):
+        lit = F.lit(_hex_threshold(frac))
+        thr = F.when(s == val, lit) if thr is None else thr.when(s == val, lit)
+    thr = thr.otherwise(F.lit("0000")) if thr is not None else F.lit("0000")
+    return df.filter(_hash_prefix(id_col) < thr)

@@ -238,3 +238,50 @@ def test_numeric_histogram_counts_and_clamp(spark):
     assert out[2] == (20.0, 1)
     assert out[9] == (90.0, 2)  # 99 in-range, 150 clamps into top bucket
     assert sum(n for _, n in out.values()) == 7
+
+
+def test_hash_sample_deterministic_and_partition_invariant(spark):
+    from paimon_python_spark.operators import hash_sample
+
+    df = spark.range(2000).withColumnRenamed("id", "k")
+    a = sorted(r.k for r in hash_sample(df, "k", 0.25).collect())
+    b = sorted(r.k for r in hash_sample(df.repartition(13), "k", 0.25).collect())
+    assert a == b  # same subset under any partitioning
+    assert 0.18 < len(a) / 2000 < 0.32
+    # growth-stable: the 0..999 subset of the big sample == sampling 0..1000
+    small = sorted(r.k for r in hash_sample(spark.range(1000).withColumnRenamed("id", "k"), "k", 0.25).collect())
+    assert [k for k in a if k < 1000] == small
+    assert hash_sample(df, "k", 0.0).count() == 0
+    assert hash_sample(df, "k", 1.0).count() == 2000  # 'g' threshold keeps all
+
+
+def test_train_val_test_split_assignment(spark):
+    from paimon_python_spark.operators import train_val_test_split
+
+    df = spark.range(5000).withColumnRenamed("id", "k")
+    counts = {
+        r.split: r.n
+        for r in train_val_test_split(df, "k").groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    assert set(counts) == {"train", "val", "test"}
+    assert counts["train"] + counts["val"] + counts["test"] == 5000
+    assert 0.75 < counts["train"] / 5000 < 0.85
+    # every row gets exactly one split and it is stable across calls
+    again = {
+        r.split: r.n
+        for r in train_val_test_split(df, "k").groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts == again
+
+
+def test_stratified_hash_sample_fractions(spark):
+    from paimon_python_spark.operators import stratified_hash_sample
+
+    rows = [(i, "a" if i % 2 == 0 else "b") for i in range(4000)]
+    df = spark.createDataFrame(rows, "k long, s string")
+    out = stratified_hash_sample(df, "k", ["s"], {"a": 1.0, "b": 0.1})
+    counts = {r.s: r.n for r in out.groupBy("s").agg(F.count("*").alias("n")).collect()}
+    assert counts["a"] == 2000          # fraction 1.0 keeps every row
+    assert 100 < counts.get("b", 0) < 320
+    with pytest.raises(ValueError, match="one stratum"):
+        stratified_hash_sample(df, "k", ["s", "k"], {})
