@@ -1989,6 +1989,67 @@ FROM supplier ORDER BY s_suppkey
 """
 
 
+def paimon_stream_sink_roundtrip(spark, sf_dir):
+    """Streaming ingestion: events flow through a Structured Streaming
+    file source into a PK table via the foreachBatch sink (one atomic
+    snapshot per micro-batch); the aggregation merge engine folds each
+    user's events into running totals. The batch read of the final
+    table must equal a plain GROUP BY over the same input."""
+    import os
+    import tempfile
+
+    from paimon_python_spark import Catalog, Schema
+    from paimon_python_spark.streaming import StreamingTableSink
+
+    wh = _fresh_warehouse("ssink")
+    cat = Catalog.create({"warehouse": wh})
+    cat.create_database("default", True)
+    ev = _events(spark, sf_dir).select(
+        "user_id", "value", F.lit(1).cast("long").alias("cnt")
+    )
+    cat.create_table(
+        "default.user_totals",
+        Schema(
+            ev.schema,
+            primary_keys=["user_id"],
+            options={
+                "bucket": "2",
+                "merge-engine": "aggregation",
+                "fields.value.aggregate-function": "sum",
+                "fields.cnt.aggregate-function": "sum",
+            },
+        ),
+        False,
+    )
+    t = cat.get_table("default.user_totals")
+    # the file stream source wants a directory: expose the events file
+    # through a temp dir symlink (testdata itself is read-only)
+    src_dir = tempfile.mkdtemp(prefix="ssink_src")
+    os.symlink(
+        os.path.abspath(f"{sf_dir}/events.parquet"),
+        os.path.join(src_dir, "events.parquet"),
+    )
+    stream = (
+        spark.readStream.schema(_events(spark, sf_dir).schema)
+        .parquet(src_dir)
+        .select("user_id", "value", F.lit(1).cast("long").alias("cnt"))
+    )
+    q = StreamingTableSink(t, stream_id="contract").attach(
+        stream, checkpoint=tempfile.mkdtemp(prefix="ssink_ckpt"), trigger_once=True
+    )
+    q.awaitTermination(300)
+    merged = t.new_read_builder().new_read().to_df()
+    return merged.select(
+        "user_id", F.round(F.col("value"), 2).alias("value_sum"), "cnt"
+    ).orderBy("user_id")
+
+
+PAIMON_STREAM_SINK_SQL = """
+SELECT user_id, round(sum(value), 2) AS value_sum, count(*) AS cnt
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
 def paimon_delete_rows_roundtrip(spark, sf_dir):
     """Row-level DELETE: load parts into a PK table, delete_where
     (p_size < 10) writes -D tombstones (no file rewrite), merge-on-read
@@ -2778,6 +2839,7 @@ _QUERIES: dict[str, Callable] = {
     "paimon_first_row_roundtrip": paimon_first_row_roundtrip,
     "paimon_partial_update_roundtrip": paimon_partial_update_roundtrip,
     "paimon_sequence_group_roundtrip": paimon_sequence_group_roundtrip,
+    "paimon_stream_sink_roundtrip": paimon_stream_sink_roundtrip,
 }
 
 _ORACLES: dict[str, str] = {
@@ -2850,6 +2912,7 @@ _ORACLES: dict[str, str] = {
     "paimon_first_row_roundtrip": PAIMON_FIRST_ROW_SQL,
     "paimon_partial_update_roundtrip": PAIMON_PARTIAL_UPDATE_SQL,
     "paimon_sequence_group_roundtrip": PAIMON_SEQUENCE_GROUP_SQL,
+    "paimon_stream_sink_roundtrip": PAIMON_STREAM_SINK_SQL,
 }
 
 

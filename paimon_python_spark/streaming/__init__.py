@@ -11,7 +11,10 @@ Here the same semantics surface three ways:
 - :func:`changelog_diff` — exact ±I/-U/+U/-D changelog between any two
   snapshots, derived from merged states with one full-outer join,
 - :mod:`.windows` — watermarked event-time operators (tumbling/sliding/
-  session windows, stateful dedup) on Structured Streaming.
+  session windows, stateful dedup) on Structured Streaming,
+- :mod:`.sink` — continuous ingestion INTO a table: foreachBatch where
+  every micro-batch is one atomic snapshot commit, idempotent on
+  replayed batch ids.
 """
 
 from paimon_python_spark.streaming.incremental import (
@@ -25,8 +28,11 @@ from paimon_python_spark.streaming.windows import (
     streaming_dedup,
 )
 from paimon_python_spark.streaming.stateful import running_totals
+from paimon_python_spark.streaming.sink import StreamingTableSink, stream_upsert
 
 __all__ = [
+    "StreamingTableSink",
+    "stream_upsert",
     "read_incremental",
     "changelog_diff",
     "stream_snapshots",

@@ -429,3 +429,52 @@ def test_avro_deflate_table_round_trip(catalog):
     _write(t, pd.DataFrame({"k": [2], "v": ["b2"]}))
     out = t.new_read_builder().new_read().to_pandas().sort_values("k")
     assert out["v"].tolist() == ["a", "b2", "c"]
+
+
+def test_streaming_sink_upsert(catalog, spark, tmp_path):
+    """foreachBatch sink: micro-batches become atomic PK commits;
+    restarts with the same checkpoint continue batch numbering; a
+    replayed batch id is skipped (idempotent)."""
+    from paimon_python_spark.streaming import StreamingTableSink
+
+    pk = Schema(
+        pa.schema([pa.field("k", pa.int64(), False), ("v", pa.string())]),
+        primary_keys=["k"],
+        options={"bucket": "2"},
+    )
+    catalog.create_table("default.t_sink", pk, False)
+    t = catalog.get_table("default.t_sink")
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    base.write.parquet(src)
+
+    sink = StreamingTableSink(t, stream_id="s1")
+    stream = spark.readStream.schema(base.schema).parquet(src)
+    q = sink.attach(stream, checkpoint=ckpt, trigger_once=True)
+    q.awaitTermination(120)
+    out = t.new_read_builder().new_read().to_pandas().sort_values("k")
+    assert out["v"].tolist() == ["a", "b"]
+    from paimon_python_spark.metadata import MetadataStore
+
+    snaps_after_first = MetadataStore(t.table_path).latest_snapshot_id()
+
+    # second run, same checkpoint: new file = new batch, upserts k=2
+    spark.createDataFrame([(2, "b2"), (3, "c")], "k long, v string").write.mode(
+        "append"
+    ).parquet(src)
+    stream = spark.readStream.schema(base.schema).parquet(src)
+    q = sink.attach(stream, checkpoint=ckpt, trigger_once=True)
+    q.awaitTermination(120)
+    out = t.new_read_builder().new_read().to_pandas().sort_values("k")
+    assert out["v"].tolist() == ["a", "b2", "c"]
+    assert (
+        MetadataStore(t.table_path).latest_snapshot_id() == snaps_after_first + 1
+    )  # one commit per batch
+
+    # replaying an already-committed batch id is a no-op
+    replay = spark.createDataFrame([(9, "z")], "k long, v string")
+    sink.write_batch(replay, batch_id=sink.last_committed_batch())
+    out = t.new_read_builder().new_read().to_pandas()
+    assert 9 not in out["k"].tolist()
