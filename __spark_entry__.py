@@ -1656,6 +1656,40 @@ FROM customer WHERE c_custkey <= 500 ORDER BY c_custkey
 """
 
 
+def paimon_tag_read_roundtrip(spark, sf_dir):
+    """Tags: pin snapshot 1 as 'release', expire everything but the
+    latest snapshot, then read through the tag — the pinned state must
+    remain fully readable (files protected from reclamation) even
+    though its snapshot is outside the keep window."""
+    from paimon_python_spark import Catalog, Schema, create_tag, expire_snapshots
+
+    wh = _fresh_warehouse("tag")
+    cat = Catalog.create({"warehouse": wh})
+    cat.create_database("default", True)
+    nat = _t(spark, sf_dir, "nation")
+    cat.create_table("default.nat", Schema(nat.schema), False)
+    t = cat.get_table("default.nat")
+    for batch in (nat, nat.withColumn("n_name", F.upper(F.col("n_name")))):
+        wb = t.new_batch_write_builder()
+        if batch is not nat:
+            wb.overwrite(None)
+        w, c = wb.new_write(), wb.new_commit()
+        w.write_dataframe(batch)
+        c.commit(w.prepare_commit())
+        w.close()
+        c.close()
+    create_tag(t, "release", 1)
+    expire_snapshots(t, keep_last_n=1)
+
+    rb = t.new_read_builder().with_tag("release")
+    return rb.new_read().to_df().orderBy("n_nationkey")
+
+
+PAIMON_TAG_READ_SQL = """
+SELECT * FROM nation ORDER BY n_nationkey
+"""
+
+
 def paimon_incremental_read_roundtrip(spark, sf_dir):
     """Incremental read: three commits, read the delta (1, 3] — rows of
     commits 2 and 3 only (the micro-batch a streaming consumer of the
@@ -2831,6 +2865,7 @@ _QUERIES: dict[str, Callable] = {
     "paimon_scan_pushdown_roundtrip": paimon_scan_pushdown_roundtrip,
     "paimon_partition_overwrite_roundtrip": paimon_partition_overwrite_roundtrip,
     "paimon_time_travel_roundtrip": paimon_time_travel_roundtrip,
+    "paimon_tag_read_roundtrip": paimon_tag_read_roundtrip,
     "paimon_incremental_read_roundtrip": paimon_incremental_read_roundtrip,
     "paimon_changelog_diff_roundtrip": paimon_changelog_diff_roundtrip,
     "paimon_agg_merge_roundtrip": paimon_agg_merge_roundtrip,
@@ -2904,6 +2939,7 @@ _ORACLES: dict[str, str] = {
     "paimon_scan_pushdown_roundtrip": PAIMON_SCAN_SQL,
     "paimon_partition_overwrite_roundtrip": PAIMON_OVERWRITE_SQL,
     "paimon_time_travel_roundtrip": PAIMON_TIME_TRAVEL_SQL,
+    "paimon_tag_read_roundtrip": PAIMON_TAG_READ_SQL,
     "paimon_incremental_read_roundtrip": PAIMON_INCREMENTAL_SQL,
     "paimon_changelog_diff_roundtrip": PAIMON_CHANGELOG_SQL,
     "paimon_agg_merge_roundtrip": PAIMON_AGG_MERGE_SQL,

@@ -27,6 +27,7 @@ from paimon_python_spark.predicate import Predicate, PredicateBuilder
 from paimon_python_spark.table import Table
 from paimon_python_spark.session import get_spark, set_spark
 from paimon_python_spark.maintenance import expire_snapshots
+from paimon_python_spark.tags import create_tag, delete_tag, list_tags
 
 __all__ = [
     "Catalog",
@@ -37,6 +38,9 @@ __all__ = [
     "get_spark",
     "set_spark",
     "expire_snapshots",
+    "create_tag",
+    "delete_tag",
+    "list_tags",
 ]
 
 __version__ = "0.1.0"

@@ -25,6 +25,8 @@ def expire_snapshots(table, keep_last_n: int = 1) -> dict:
     Returns ``{"snapshots_deleted": n, "manifests_deleted": n,
     "data_files_deleted": n}``.
     """
+    from paimon_python_spark.tags import list_tags
+
     if keep_last_n < 1:
         raise ValueError("keep_last_n must be >= 1")
     store = MetadataStore(table.table_path)
@@ -33,8 +35,22 @@ def expire_snapshots(table, keep_last_n: int = 1) -> dict:
     if cutoff <= 1:
         return {"snapshots_deleted": 0, "manifests_deleted": 0, "data_files_deleted": 0}
 
-    kept = [store.read_snapshot(sid) for sid in range(cutoff, latest + 1)]
-    expired = [store.read_snapshot(sid) for sid in range(1, cutoff)]
+    # tagged snapshots are pinned: they stay readable (snapshot file,
+    # manifests, data files) no matter how old they are
+    tagged_ids = set(list_tags(table).values())
+
+    def _exists(sid: int) -> bool:
+        return os.path.exists(os.path.join(store.snapshot_dir, f"snapshot-{sid}.json"))
+
+    kept_ids = (set(range(cutoff, latest + 1)) | tagged_ids) & {
+        sid for sid in range(1, latest + 1) if _exists(sid)
+    }
+    kept = [store.read_snapshot(sid) for sid in sorted(kept_ids)]
+    expired = [
+        store.read_snapshot(sid)
+        for sid in range(1, cutoff)
+        if sid not in kept_ids and _exists(sid)
+    ]
 
     kept_manifests = {m for s in kept for m in s.manifests}
     live_paths = {f.path for s in kept for f in store.live_files(s)}

@@ -73,10 +73,16 @@ class Table:
         from paimon_python_spark.metadata import MetadataStore
         from paimon_python_spark.session import get_spark
 
+        import os
+
         store = MetadataStore(self.table_path)
         rows = []
         latest = store.latest_snapshot_id() or 0
         for sid in range(1, latest + 1):
+            if not os.path.exists(
+                os.path.join(store.snapshot_dir, f"snapshot-{sid}.json")
+            ):
+                continue  # expired
             s = store.read_snapshot(sid)
             rows.append(
                 (
@@ -135,6 +141,35 @@ class Table:
         )
         return get_spark().createDataFrame(rows, schema)
 
+    # -- tags (durable named snapshots, survive expiration) --
+
+    def create_tag(self, name: str, snapshot_id: Optional[int] = None) -> int:
+        from paimon_python_spark.tags import create_tag
+
+        return create_tag(self, name, snapshot_id)
+
+    def delete_tag(self, name: str) -> bool:
+        from paimon_python_spark.tags import delete_tag
+
+        return delete_tag(self, name)
+
+    def tags(self):
+        """Tags system table: (tag_name, snapshot_id)."""
+        from pyspark.sql import types as T
+
+        from paimon_python_spark.session import get_spark
+        from paimon_python_spark.tags import list_tags
+
+        schema = T.StructType(
+            [
+                T.StructField("tag_name", T.StringType(), False),
+                T.StructField("snapshot_id", T.LongType(), False),
+            ]
+        )
+        return get_spark().createDataFrame(
+            sorted(list_tags(self).items()), schema
+        )
+
 
 class ReadBuilder:
     """Accumulates pushdowns; produces TableScan (planning) and TableRead
@@ -180,6 +215,13 @@ class ReadBuilder:
         this is a planning-time choice — the read recipe is unchanged."""
         self._snapshot_id = snapshot_id
         return self
+
+    def with_tag(self, name: str) -> "ReadBuilder":
+        """Pin the read to a tagged snapshot (Paimon's ``scan.tag-name``):
+        tag resolution at plan time, then identical to with_snapshot."""
+        from paimon_python_spark.tags import resolve_tag
+
+        return self.with_snapshot(resolve_tag(self.table, name))
 
     def new_scan(self):
         from paimon_python_spark.scan import TableScan

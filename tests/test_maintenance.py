@@ -97,3 +97,70 @@ def test_expire_after_compaction_reclaims_runs(catalog):
     assert _count_data_files(t) < files_before
     out = t.new_read_builder().new_read().to_pandas().sort_values("f0")
     assert out["f1"].tolist() == ["a", "B", "c"]
+
+
+def test_tags_create_list_read_delete(catalog):
+    from paimon_python_spark import create_tag, delete_tag, list_tags
+
+    catalog.create_table(
+        "default.t_tags", Schema(pa.schema([("f0", pa.int64())])), False
+    )
+    t = catalog.get_table("default.t_tags")
+    _write(t, pd.DataFrame({"f0": [1, 2]}))
+    assert create_tag(t, "v1") == 1
+    _write(t, pd.DataFrame({"f0": [3]}))
+    assert t.create_tag("v2") == 2
+
+    assert list_tags(t) == {"v1": 1, "v2": 2}
+    assert [(r.tag_name, r.snapshot_id) for r in t.tags().collect()] == [
+        ("v1", 1),
+        ("v2", 2),
+    ]
+
+    # tag-pinned read sees the old state
+    rb = t.new_read_builder().with_tag("v1")
+    assert sorted(rb.new_read().to_pandas()["f0"]) == [1, 2]
+    assert sorted(t.new_read_builder().new_read().to_pandas()["f0"]) == [1, 2, 3]
+
+    with pytest.raises(ValueError, match="already exists"):
+        create_tag(t, "v1")
+    with pytest.raises(ValueError, match="unknown tag"):
+        t.new_read_builder().with_tag("nope")
+    with pytest.raises(ValueError, match="invalid tag name"):
+        create_tag(t, "../escape")
+
+    assert delete_tag(t, "v1") is True
+    assert delete_tag(t, "v1") is False
+    assert list_tags(t) == {"v2": 2}
+
+
+def test_tagged_snapshot_survives_expiration(catalog):
+    from paimon_python_spark import create_tag, delete_tag
+
+    catalog.create_table(
+        "default.t_tagexp",
+        Schema(pa.schema([("k", pa.int64())])),
+        False,
+    )
+    t = catalog.get_table("default.t_tagexp")
+    _write(t, pd.DataFrame({"k": [1]}), overwrite=True)
+    create_tag(t, "pinned", 1)
+    _write(t, pd.DataFrame({"k": [2]}), overwrite=True)  # drops snap-1 files
+    _write(t, pd.DataFrame({"k": [3]}), overwrite=True)
+
+    stats = expire_snapshots(t, keep_last_n=1)
+    assert stats["snapshots_deleted"] == 1  # snap 2 expired; snap 1 pinned
+
+    # the tagged snapshot remains fully readable after expiration
+    rb = t.new_read_builder().with_tag("pinned")
+    assert rb.new_read().to_pandas()["k"].tolist() == [1]
+    assert t.new_read_builder().new_read().to_pandas()["k"].tolist() == [3]
+    # untagged old snapshot is gone as a time-travel target
+    with pytest.raises(Exception):
+        t.new_read_builder().with_snapshot(2).new_read().to_pandas()
+
+    # untag -> the next expiration reclaims it
+    delete_tag(t, "pinned")
+    stats2 = expire_snapshots(t, keep_last_n=1)
+    assert stats2["snapshots_deleted"] == 1
+    assert stats2["data_files_deleted"] >= 1
