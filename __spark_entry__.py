@@ -1656,6 +1656,53 @@ FROM customer WHERE c_custkey <= 500 ORDER BY c_custkey
 """
 
 
+def paimon_bloom_index_roundtrip(spark, sf_dir):
+    """Bloom file index (file-index.bloom-filter.columns): point lookup
+    on a high-cardinality unsorted column. Two interleaved commits make
+    min/max useless (both files span the whole custkey domain); the
+    bloom bitmap is what skips files. Result must equal the plain
+    filter."""
+    from paimon_python_spark import Catalog, Schema
+
+    wh = _fresh_warehouse("bloom")
+    cat = Catalog.create({"warehouse": wh})
+    cat.create_database("default", True)
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cat.create_table(
+        "default.ord_bloom",
+        Schema(
+            orders.schema,
+            options={"file-index.bloom-filter.columns": "o_custkey"},
+        ),
+        False,
+    )
+    t = cat.get_table("default.ord_bloom")
+    for batch in (
+        orders.filter(F.col("o_orderkey") % 2 == 0),
+        orders.filter(F.col("o_orderkey") % 2 == 1),
+    ):
+        wb = t.new_batch_write_builder()
+        w, c = wb.new_write(), wb.new_commit()
+        w.write_dataframe(batch)
+        c.commit(w.prepare_commit())
+        w.close()
+        c.close()
+
+    probe = orders.agg(F.min("o_custkey")).first()[0]
+    pb = t.new_read_builder().new_predicate_builder()
+    rb = t.new_read_builder().with_filter(pb.equal("o_custkey", int(probe)))
+    return rb.new_read().to_df(rb.new_scan().plan().splits()).orderBy("o_orderkey")
+
+
+PAIMON_BLOOM_INDEX_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+WHERE o_custkey = (SELECT min(o_custkey) FROM orders)
+ORDER BY o_orderkey
+"""
+
+
 def paimon_tag_read_roundtrip(spark, sf_dir):
     """Tags: pin snapshot 1 as 'release', expire everything but the
     latest snapshot, then read through the tag — the pinned state must
@@ -2866,6 +2913,7 @@ _QUERIES: dict[str, Callable] = {
     "paimon_partition_overwrite_roundtrip": paimon_partition_overwrite_roundtrip,
     "paimon_time_travel_roundtrip": paimon_time_travel_roundtrip,
     "paimon_tag_read_roundtrip": paimon_tag_read_roundtrip,
+    "paimon_bloom_index_roundtrip": paimon_bloom_index_roundtrip,
     "paimon_incremental_read_roundtrip": paimon_incremental_read_roundtrip,
     "paimon_changelog_diff_roundtrip": paimon_changelog_diff_roundtrip,
     "paimon_agg_merge_roundtrip": paimon_agg_merge_roundtrip,
@@ -2940,6 +2988,7 @@ _ORACLES: dict[str, str] = {
     "paimon_partition_overwrite_roundtrip": PAIMON_OVERWRITE_SQL,
     "paimon_time_travel_roundtrip": PAIMON_TIME_TRAVEL_SQL,
     "paimon_tag_read_roundtrip": PAIMON_TAG_READ_SQL,
+    "paimon_bloom_index_roundtrip": PAIMON_BLOOM_INDEX_SQL,
     "paimon_incremental_read_roundtrip": PAIMON_INCREMENTAL_SQL,
     "paimon_changelog_diff_roundtrip": PAIMON_CHANGELOG_SQL,
     "paimon_agg_merge_roundtrip": PAIMON_AGG_MERGE_SQL,

@@ -25,6 +25,8 @@ from typing import Any, List, Optional
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from paimon_python_spark.bloom import might_contain as _bloom_might_contain
+
 LEAF_OPS = {
     "equal",
     "notEqual",
@@ -174,9 +176,12 @@ class Predicate:
             if nulls is not None and rows is not None and nulls == rows:
                 return False
             return True
+        bloom = s.get("bloom")
         try:
             if m == "equal":
-                return mn <= lits[0] <= mx
+                if not mn <= lits[0] <= mx:
+                    return False
+                return bloom is None or _bloom_might_contain(bloom, lits[0])
             if m == "notEqual":
                 return not (mn == mx == lits[0] and (nulls or 0) == 0)
             if m == "lessThan":
@@ -188,7 +193,11 @@ class Predicate:
             if m == "greaterOrEqual":
                 return mx >= lits[0]
             if m == "in":
-                return any(mn <= v <= mx for v in lits)
+                return any(
+                    mn <= v <= mx
+                    and (bloom is None or _bloom_might_contain(bloom, v))
+                    for v in lits
+                )
             if m == "between":
                 return not (lits[1] < mn or lits[0] > mx)
             if m == "startsWith" and isinstance(mn, str) and isinstance(mx, str):

@@ -51,6 +51,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from paimon_python_spark.bloom import build_hex
 from paimon_python_spark.metadata import (
     DataFileMeta,
     ManifestEntry,
@@ -146,6 +147,12 @@ class DataFileHarvester:
         if SEQ_COL in stats:
             min_seq = stats[SEQ_COL].get("min")
             max_seq = stats[SEQ_COL].get("max")
+        for col in self._bloom_columns():
+            vals = _column_values(path, col)
+            if vals is not None:
+                bloom_hex = build_hex(vals)
+                if bloom_hex:
+                    stats.setdefault(col, {})["bloom"] = bloom_hex
         return DataFileMeta(
             path=rel,
             row_count=rows,
@@ -156,6 +163,18 @@ class DataFileHarvester:
             max_seq=max_seq,
             stats=stats,
         )
+
+    def _bloom_columns(self) -> List[str]:
+        """file-index.bloom-filter.columns: per-file bloom bitmaps for
+        equality file skipping (the min/max-can't-prune case: point
+        lookups on high-cardinality unsorted columns)."""
+        return [
+            c.strip()
+            for c in self.schema.options.get(
+                "file-index.bloom-filter.columns", ""
+            ).split(",")
+            if c.strip()
+        ]
 
     def _parse_partition(self, path: str) -> dict:
         spec = {}
@@ -586,6 +605,33 @@ def _collect_parquet_stats(path: str) -> tuple[int, dict]:
             if mx is not None and (cur["max"] is None or mx > cur["max"]):
                 cur["max"] = mx
     return rows, agg
+
+
+def _column_values(path: str, col: str):
+    """All values of one column of a data file (for bloom building), or
+    None when the format/column can't be read column-pruned. Driver-side
+    like the footer stats; a production impl would fold this into the
+    write tasks."""
+    try:
+        if path.endswith(".parquet"):
+            import pyarrow.parquet as pq
+
+            pf = pq.ParquetFile(path)
+            if col not in pf.schema_arrow.names:
+                return None
+            return pf.read(columns=[col]).column(col).to_pylist()
+        if path.endswith(".avro"):
+            from paimon_python_spark.avro_codec import read_avro_table
+
+            with open(path, "rb") as f:
+                names, rows = read_avro_table(f.read())
+            if col not in names:
+                return None
+            i = names.index(col)
+            return [r[i] for r in rows]
+    except Exception:
+        return None
+    return None
 
 
 def _collect_generic_stats(path: str, schema) -> tuple[int, dict]:

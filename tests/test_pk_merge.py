@@ -429,3 +429,50 @@ def test_bucket_pruning_point_lookup(catalog):
     rb = t.new_read_builder().with_filter(pb.less_than("k", 3))
     out = rb.new_read().to_pandas(rb.new_scan().plan().splits())
     assert sorted(out["k"].tolist()) == [0, 1, 2]
+
+
+def test_bloom_unit_no_false_negatives():
+    from paimon_python_spark.bloom import build_hex, might_contain
+
+    vals = [f"key-{i}" for i in range(500)] + [17, 3.5, True, None]
+    h = build_hex(vals)
+    for v in vals:
+        if v is not None:
+            assert might_contain(h, v), v
+    assert might_contain(h, 17.0)  # canonical: int 17 == float 17.0
+    # absent values: mostly rejected (allow bloom's ~2% false positives)
+    fp = sum(might_contain(h, f"absent-{i}") for i in range(500))
+    assert fp < 40
+
+
+def test_bloom_file_index_prunes_point_lookup(catalog):
+    """file-index.bloom-filter.columns: a point lookup on a
+    high-cardinality unsorted VALUE column skips files whose bloom
+    rejects the key — min/max alone could not (both files span the
+    whole domain)."""
+    schema = pa.schema([("id", pa.int64()), ("ref", pa.string())])
+    catalog.create_table(
+        "default.t_bloom",
+        Schema(
+            schema.with_metadata(None),
+            options={"file-index.bloom-filter.columns": "ref"},
+        ),
+        False,
+    )
+    t = catalog.get_table("default.t_bloom")
+    # two commits; refs interleave so min/max spans overlap completely
+    _write(t, pd.DataFrame({"id": range(0, 100), "ref": [f"r{i:04d}" for i in range(0, 200, 2)]}))
+    _write(t, pd.DataFrame({"id": range(100, 200), "ref": [f"r{i:04d}" for i in range(1, 200, 2)]}))
+
+    pb = t.new_read_builder().new_predicate_builder()
+    rb = t.new_read_builder().with_filter(pb.equal("ref", "r0100"))  # even: file 1
+    splits = rb.new_scan().plan().splits()
+    assert sum(s.row_count() for s in splits) == 100  # one file, not two
+    assert rb.new_read().to_pandas()["id"].tolist() == [50]
+
+    # in-predicate with keys from both files keeps both
+    rb2 = t.new_read_builder().with_filter(pb.is_in("ref", ["r0100", "r0101"]))
+    assert sum(s.row_count() for s in rb2.new_scan().plan().splits()) == 200
+    # absent key (inside min/max) prunes everything
+    rb3 = t.new_read_builder().with_filter(pb.equal("ref", "zzzz-absent"))
+    assert rb3.new_read().to_pandas().empty
