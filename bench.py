@@ -46,6 +46,11 @@ HEADLINE = [
     "text_fingerprint",
     "ann_topk_cosine",
     "ann_lsh_bucket",
+    "sketch_quantile_summary",
+    "sketch_histogram",
+    "sketch_approx_distinct",
+    "sample_split_assign",
+    "sample_stratified",
 ]
 
 

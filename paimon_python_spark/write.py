@@ -604,7 +604,37 @@ def _collect_parquet_stats(path: str) -> tuple[int, dict]:
                 cur["min"] = mn
             if mx is not None and (cur["max"] is None or mx > cur["max"]):
                 cur["max"] = mx
+    for cur in agg.values():
+        cur["min"] = _truncate_min(cur["min"])
+        cur["max"] = _truncate_max(cur["max"])
     return rows, agg
+
+
+_STATS_MAX_LEN = 64
+
+
+def _truncate_min(v):
+    """Manifest-friendly string min: a prefix is always <= the full
+    value, so truncation stays a SOUND lower bound. Without this, a
+    documents-style table embeds whole documents in every manifest
+    entry (metadata amplification that breaks planning at 100 TB)."""
+    if isinstance(v, str) and len(v) > _STATS_MAX_LEN:
+        return v[:_STATS_MAX_LEN]
+    return v
+
+
+def _truncate_max(v):
+    """Sound upper bound: truncate then increment the last character
+    that isn't already the max code point (parquet's truncation rule).
+    Falls back to the full value if every char is U+10FFFF."""
+    if not (isinstance(v, str) and len(v) > _STATS_MAX_LEN):
+        return v
+    t = v[:_STATS_MAX_LEN]
+    for i in range(len(t) - 1, -1, -1):
+        cp = ord(t[i])
+        if cp < 0x10FFFF:
+            return t[:i] + chr(cp + 1)
+    return v
 
 
 def _column_values(path: str, col: str):
@@ -652,8 +682,8 @@ def _collect_generic_stats(path: str, schema) -> tuple[int, dict]:
             col = [r[i] for r in rows]
             non_null = [v for v in col if v is not None]
             stats[name] = {
-                "min": _json_safe(min(non_null)) if non_null else None,
-                "max": _json_safe(max(non_null)) if non_null else None,
+                "min": _truncate_min(_json_safe(min(non_null))) if non_null else None,
+                "max": _truncate_max(_json_safe(max(non_null))) if non_null else None,
                 "null_count": len(col) - len(non_null),
                 "row_count": len(rows),
             }

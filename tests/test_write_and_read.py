@@ -324,3 +324,46 @@ def test_zorder_clustering_prunes_both_dims(catalog, spark):
         out = rb.new_read().to_pandas(pruned)
         assert out[col].between(0, 7).all()
         assert len(out) == 8 * 64
+
+
+def test_long_string_stats_truncated_but_sound(catalog):
+    import json
+    import os
+
+    from paimon_python_spark import Schema
+    import pyarrow as pa
+    import pandas as pd
+
+    catalog.create_table(
+        "default.t_longstats",
+        Schema(pa.schema([("k", pa.int64()), ("body", pa.string())])),
+        False,
+    )
+    t = catalog.get_table("default.t_longstats")
+    long_a = "a" * 500
+    long_z = "z" * 500
+    wb = t.new_batch_write_builder()
+    w, c = wb.new_write(), wb.new_commit()
+    w.write_pandas(pd.DataFrame({"k": [1, 2], "body": [long_a, long_z]}))
+    c.commit(w.prepare_commit())
+    w.close()
+    c.close()
+
+    # manifest stats are bounded in size...
+    mdir = os.path.join(t.table_path, "manifest")
+    entries = []
+    for fn in os.listdir(mdir):
+        with open(os.path.join(mdir, fn)) as f:
+            data = json.load(f)
+        entries.extend(e for e in data["entries"] if e.get("file"))
+    st = entries[0]["file"]["stats"]["body"]
+    assert len(st["min"]) <= 64 and len(st["max"]) <= 65
+    assert st["min"] <= long_a  # sound lower bound
+    assert st["max"] >= long_z  # sound upper bound
+
+    # ...and pruning on the truncated stats still answers correctly
+    pb = t.new_read_builder().new_predicate_builder()
+    rb = t.new_read_builder().with_filter(pb.equal("body", long_z))
+    assert rb.new_read().to_pandas()["k"].tolist() == [2]
+    rb2 = t.new_read_builder().with_filter(pb.greater_than("body", "zz"))
+    assert rb2.new_read().to_pandas()["k"].tolist() == [2]
