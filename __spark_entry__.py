@@ -1068,6 +1068,29 @@ def ann_ivf_cell(spark, sf_dir):
     )
 
 
+def ann_ivf_trained(spark, sf_dir):
+    """IVF with TRAINED centroids: distributed Lloyd's k-means (one
+    scan + one k·dims-sized shuffle per iteration), then the probe
+    scans nprobe of nlist cells. Iterative — no SQL oracle; the driver
+    records the rows-only check and unit tests pin convergence and
+    partitioning-independence."""
+    from paimon_python_spark.operators import ivf_topk, kmeans_fit
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    cents = kmeans_fit(emb, "vec_id", "embedding", k=8, iters=3)
+    return ivf_topk(
+        emb.filter(F.col("vec_id") != 0),
+        "vec_id",
+        "embedding",
+        _query_vec(spark, sf_dir),
+        cents,
+        k=10,
+        nprobe=2,
+    )
+
+
 def _ann_ivf_oracle(sf_dir: str) -> str:
     """Same centroid literals, same assignment expression, same probe
     cells (computed with the identical left-fold double arithmetic)."""
@@ -2900,6 +2923,7 @@ _QUERIES: dict[str, Callable] = {
     "ann_topk_cosine": ann_topk_cosine,
     "ann_lsh_bucket": ann_lsh_bucket,
     "ann_ivf_cell": ann_ivf_cell,
+    "ann_ivf_trained": ann_ivf_trained,
     "text_quality_stats": text_quality_stats,
     "text_punct_stopword": text_punct_stopword,
     "text_chunking": text_chunking,

@@ -29,6 +29,7 @@ from paimon_python_spark.operators.similarity import (
     brute_force_topk,
     lsh_bucket_topk,
     ivf_topk,
+    kmeans_fit,
     hyperplane_signs,
 )
 
@@ -42,6 +43,7 @@ __all__ = [
     "brute_force_topk",
     "lsh_bucket_topk",
     "ivf_topk",
+    "kmeans_fit",
     "hyperplane_signs",
     "hash_sample",
     "train_val_test_split",

@@ -161,6 +161,64 @@ def ivf_topk(
     )
 
 
+def kmeans_fit(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    iters: int = 5,
+) -> list[list[float]]:
+    """Distributed Lloyd's k-means: trains the IVF centroids.
+
+    Per iteration: one narrow scan (assign each vector to its nearest
+    centroid — argmax of ``x·c − ‖c‖²/2``, the squared-L2 argmin) plus
+    one hash-aggregate shuffle whose payload is k·dims running sums —
+    map-side combine makes the shuffle size independent of row count,
+    so 5 iterations over 100 TB move ~5·k·dims·partitions doubles.
+    Driver state is just the k×dims centroid matrix, re-inlined as
+    literals each round (same broadcast-small-side pattern as the
+    probe path).
+
+    Init is deterministic: the k vectors with the smallest
+    ``md5(id)`` — order-independent, partitioning-independent, and
+    reproducible across engines (no seed to disagree on). Empty cells
+    keep their previous centroid.
+    """
+    first = df.select(F.size(vec_col)).first()
+    if first is None:
+        raise ValueError("kmeans_fit: empty input")
+    dims = first[0]
+    seed_rows = (
+        df.select(id_col, vec_col)
+        .orderBy(F.md5(F.col(id_col).cast("string").cast("binary")), F.col(id_col))
+        .limit(k)
+        .collect()
+    )
+    centroids = [[float(v) for v in r[1]] for r in seed_rows]
+    if len(centroids) < k:
+        raise ValueError(f"kmeans_fit: need >= {k} rows, have {len(centroids)}")
+
+    avg_cols = [
+        F.avg(F.element_at(F.col(vec_col), d + 1)).alias(f"d{d}") for d in range(dims)
+    ]
+    for _ in range(iters):
+        # score_i = x·c_i − ‖c_i‖²/2; argmax == nearest centroid in L2
+        scores = ", ".join(
+            f"({dot_expr(vec_col, 'array(' + ', '.join(f'CAST({v!r} AS DOUBLE)' for v in c) + ')')})"
+            f" - CAST({sum(v * v for v in c) / 2.0!r} AS DOUBLE)"
+            for c in centroids
+        )
+        assigned = df.withColumn("__s", F.expr(f"array({scores})")).withColumn(
+            "cell", F.expr("array_position(__s, array_max(__s))")
+        )
+        rows = assigned.groupBy("cell").agg(*avg_cols).collect()
+        new = list(centroids)
+        for r in rows:
+            new[int(r["cell"]) - 1] = [float(r[f"d{d}"]) for d in range(dims)]
+        centroids = new
+    return centroids
+
+
 def lsh_bucket_topk(
     df: DataFrame,
     id_col: str,

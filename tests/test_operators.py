@@ -285,3 +285,40 @@ def test_stratified_hash_sample_fractions(spark):
     assert 100 < counts.get("b", 0) < 320
     with pytest.raises(ValueError, match="one stratum"):
         stratified_hash_sample(df, "k", ["s", "k"], {})
+
+
+def test_kmeans_fit_recovers_separated_clusters(spark):
+    from paimon_python_spark.operators import kmeans_fit
+
+    # three well-separated 4-d clusters
+    import itertools
+
+    rows = []
+    centers = [[10.0, 0.0, 0.0, 0.0], [0.0, 10.0, 0.0, 0.0], [0.0, 0.0, 10.0, 0.0]]
+    i = 0
+    for cx, off in itertools.product(range(3), [-0.5, -0.25, 0.0, 0.25, 0.5]):
+        vec = [v + (off if d == cx else 0.0) for d, v in enumerate(centers[cx])]
+        rows.append((i, vec))
+        i += 1
+    df = spark.createDataFrame(rows, "id long, vec array<double>")
+    got = kmeans_fit(df, "id", "vec", k=3, iters=6)
+    # every true center is ~matched by one learned centroid
+    for c in centers:
+        best = min(sum((a - b) ** 2 for a, b in zip(c, g)) for g in got)
+        assert best < 1.0, (c, got)
+    # deterministic: same input -> same centroids, regardless of partitioning
+    again = kmeans_fit(df.repartition(7), "id", "vec", k=3, iters=6)
+    for a, b in zip(got, again):
+        assert all(abs(x - y) < 1e-9 for x, y in zip(a, b))
+
+
+def test_kmeans_fit_feeds_ivf(spark, emb):
+    from paimon_python_spark.operators import ivf_topk, kmeans_fit
+
+    df = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    cents = kmeans_fit(df, "vec_id", "v", k=4, iters=3)
+    assert len(cents) == 4 and len(cents[0]) == 64
+    q = [float(v) for v in df.select("v").first()[0]]
+    out = ivf_topk(df, "vec_id", "v", q, cents, k=5, nprobe=2).collect()
+    assert len(out) == 5
+    assert out[0].cos_sim >= out[-1].cos_sim
