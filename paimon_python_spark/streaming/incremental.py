@@ -10,6 +10,9 @@ data plane stays a lazy DataFrame per batch.
 
 from __future__ import annotations
 
+import json
+import os
+import re
 import time
 from typing import Iterator, Optional
 
@@ -161,21 +164,63 @@ def changelog_diff(table, from_snapshot: int, to_snapshot: int) -> DataFrame:
 
 
 def stream_snapshots(
-    table, poll_interval_s: float = 1.0, from_snapshot: int = 0, max_batches: Optional[int] = None
+    table,
+    poll_interval_s: float = 1.0,
+    from_snapshot: int = 0,
+    max_batches: Optional[int] = None,
+    consumer_id: Optional[str] = None,
 ) -> Iterator[tuple[int, DataFrame]]:
     """Driver-side poll loop: yield (snapshot_id, delta DataFrame) as
     commits land — the micro-batch source a scheduler (or foreachBatch)
-    consumes. Bounded by ``max_batches`` for testing."""
+    consumes. Bounded by ``max_batches`` for testing.
+
+    ``consumer_id`` gives the loop durable progress (Paimon's
+    consumer-id option): the next snapshot to read is persisted under
+    ``<table>/consumer/`` after each yield, so a restarted consumer
+    resumes where it left off instead of re-reading from
+    ``from_snapshot``. Progress advances when the CALLER finishes with
+    the yielded batch (next iteration), so a crash mid-batch replays
+    that batch — at-least-once, like Paimon's consumer."""
     store = MetadataStore(table.table_path)
     current = from_snapshot
+    if consumer_id is not None:
+        persisted = read_consumer_offset(table, consumer_id)
+        if persisted is not None:
+            current = max(current, persisted)
     emitted = 0
     while max_batches is None or emitted < max_batches:
         latest = store.latest_snapshot_id() or 0
         while current < latest:
             nxt = current + 1
             yield nxt, read_incremental(table, current, nxt)
+            if consumer_id is not None:
+                _write_consumer_offset(table, consumer_id, nxt)
             current = nxt
             emitted += 1
             if max_batches is not None and emitted >= max_batches:
                 return
         time.sleep(poll_interval_s)
+
+
+def _consumer_path(table, consumer_id: str) -> str:
+    if not re.match(r"^[A-Za-z0-9][A-Za-z0-9._-]*$", consumer_id):
+        raise ValueError(f"invalid consumer id {consumer_id!r}")
+    return os.path.join(table.table_path, "consumer", f"consumer-{consumer_id}.json")
+
+
+def read_consumer_offset(table, consumer_id: str) -> Optional[int]:
+    """Last fully-consumed snapshot id for this consumer, or None."""
+    try:
+        with open(_consumer_path(table, consumer_id)) as f:
+            return json.load(f)["next_snapshot"]
+    except (FileNotFoundError, KeyError, ValueError):
+        return None
+
+
+def _write_consumer_offset(table, consumer_id: str, snapshot_id: int) -> None:
+    path = _consumer_path(table, consumer_id)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = f"{path}.tmp"
+    with open(tmp, "w") as f:
+        json.dump({"next_snapshot": snapshot_id}, f)
+    os.replace(tmp, path)

@@ -141,6 +141,38 @@ class Table:
         )
         return get_spark().createDataFrame(rows, schema)
 
+    def partitions(self):
+        """Partitions system table: per-partition record/file/byte
+        totals from the manifests (metadata-only — the planner's view,
+        no data scan), like Paimon's ``table$partitions``."""
+        from pyspark.sql import types as T
+
+        from paimon_python_spark.metadata import MetadataStore
+        from paimon_python_spark.session import get_spark
+
+        store = MetadataStore(self.table_path)
+        agg: dict = {}
+        for f in store.live_files():
+            key = tuple(sorted((k, str(v)) for k, v in f.partition.items()))
+            cur = agg.setdefault(key, [0, 0, 0])
+            cur[0] += f.row_count
+            cur[1] += 1
+            cur[2] += f.file_size
+        rows = [
+            (dict(k), rc, fc, fs) for k, (rc, fc, fs) in sorted(agg.items())
+        ]
+        schema = T.StructType(
+            [
+                T.StructField(
+                    "partition", T.MapType(T.StringType(), T.StringType()), True
+                ),
+                T.StructField("record_count", T.LongType(), False),
+                T.StructField("file_count", T.LongType(), False),
+                T.StructField("total_size", T.LongType(), False),
+            ]
+        )
+        return get_spark().createDataFrame(rows, schema)
+
     # -- tags (durable named snapshots, survive expiration) --
 
     def create_tag(self, name: str, snapshot_id: Optional[int] = None) -> int:

@@ -478,3 +478,49 @@ def test_streaming_sink_upsert(catalog, spark, tmp_path):
     sink.write_batch(replay, batch_id=sink.last_committed_batch())
     out = t.new_read_builder().new_read().to_pandas()
     assert 9 not in out["k"].tolist()
+
+
+def test_consumer_offsets_resume(catalog):
+    from paimon_python_spark.streaming import stream_snapshots
+    from paimon_python_spark.streaming.incremental import read_consumer_offset
+
+    catalog.create_table(
+        "default.t_consumer", Schema(pa.schema([("f0", pa.int32())])), False
+    )
+    t = catalog.get_table("default.t_consumer")
+    _writes = [pd.DataFrame({"f0": [i]}) for i in (1, 2, 3)]
+    for df in _writes[:2]:
+        _write(t, df)
+
+    got = [sid for sid, _ in stream_snapshots(t, consumer_id="c1", max_batches=2)]
+    assert got == [1, 2]
+    assert read_consumer_offset(t, "c1") == 2
+
+    # restart with the same consumer id: resumes after snapshot 2
+    _write(t, _writes[2])
+    resumed = list(stream_snapshots(t, consumer_id="c1", max_batches=1))
+    assert [sid for sid, _ in resumed] == [3]
+    assert int(resumed[0][1].toPandas()["f0"].iloc[0]) == 3
+
+    # a different consumer starts from scratch
+    fresh = [sid for sid, _ in stream_snapshots(t, consumer_id="c2", max_batches=3)]
+    assert fresh == [1, 2, 3]
+
+    with pytest.raises(ValueError, match="invalid consumer id"):
+        list(stream_snapshots(t, consumer_id="../evil", max_batches=1))
+
+
+def test_partitions_system_table(catalog):
+    schema = Schema(
+        pa.schema([("k", pa.int64()), ("part", pa.string())]),
+        partition_keys=["part"],
+    )
+    catalog.create_table("default.t_partsys", schema, False)
+    t = catalog.get_table("default.t_partsys")
+    _write(t, pd.DataFrame({"k": [1, 2, 3], "part": ["x", "x", "y"]}))
+    _write(t, pd.DataFrame({"k": [4], "part": ["x"]}))
+    rows = {r.partition["part"]: r for r in t.partitions().collect()}
+    assert rows["x"].record_count == 3
+    assert rows["x"].file_count == 2  # one per commit
+    assert rows["y"].record_count == 1
+    assert all(r.total_size > 0 for r in rows.values())
