@@ -2154,6 +2154,70 @@ FROM events GROUP BY user_id ORDER BY user_id
 """
 
 
+def paimon_merge_into_roundtrip(spark, sf_dir):
+    """MERGE INTO: one key-partitioned join + one atomic changelog
+    commit applies conditional update (+U), delete (-D), and insert
+    (+I) actions; merge-on-read then surfaces the post-MERGE state."""
+    from paimon_python_spark import Catalog, Schema
+
+    wh = _fresh_warehouse("mi")
+    cat = Catalog.create({"warehouse": wh})
+    cat.create_database("default", True)
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_acctbal")
+    cat.create_table(
+        "default.supp_mi",
+        Schema(supp.schema, primary_keys=["s_suppkey"], options={"bucket": "2"}),
+        False,
+    )
+    t = cat.get_table("default.supp_mi")
+    wb = t.new_batch_write_builder()
+    w, c = wb.new_write(), wb.new_commit()
+    w.write_dataframe(supp)
+    c.commit(w.prepare_commit())
+    w.close()
+    c.close()
+
+    k = F.col("s_suppkey")
+    source = (
+        supp.filter((k % 3 == 0) & (k % 7 != 0)).select(
+            "s_suppkey", "s_name", F.lit(100.0).alias("s_acctbal"), F.lit("U").alias("op")
+        )
+        .unionByName(
+            supp.filter(k % 7 == 0).select(
+                "s_suppkey", "s_name", "s_acctbal", F.lit("D").alias("op")
+            )
+        )
+        .unionByName(
+            supp.filter(k % 5 == 0).select(
+                (k + 100000).alias("s_suppkey"),
+                F.concat(F.lit("NEW_"), F.col("s_name")).alias("s_name"),
+                "s_acctbal",
+                F.lit("I").alias("op"),
+            )
+        )
+    )
+    t.merge_into(
+        source,
+        matched_update={"s_acctbal": "round(tgt.s_acctbal + src.s_acctbal, 2)"},
+        matched_update_condition="src.op = 'U'",
+        matched_delete_condition="src.op = 'D'",
+    )
+    return t.new_read_builder().new_read().to_df().orderBy("s_suppkey")
+
+
+PAIMON_MERGE_INTO_SQL = """
+SELECT * FROM (
+  SELECT s_suppkey, s_name,
+         CASE WHEN s_suppkey % 3 = 0 THEN round(s_acctbal + 100, 2)
+              ELSE s_acctbal END AS s_acctbal
+  FROM supplier WHERE s_suppkey % 7 <> 0
+  UNION ALL
+  SELECT s_suppkey + 100000, 'NEW_' || s_name, s_acctbal
+  FROM supplier WHERE s_suppkey % 5 = 0
+) ORDER BY s_suppkey
+"""
+
+
 def paimon_delete_rows_roundtrip(spark, sf_dir):
     """Row-level DELETE: load parts into a PK table, delete_where
     (p_size < 10) writes -D tombstones (no file rewrite), merge-on-read
@@ -2947,6 +3011,7 @@ _QUERIES: dict[str, Callable] = {
     "paimon_partial_update_roundtrip": paimon_partial_update_roundtrip,
     "paimon_sequence_group_roundtrip": paimon_sequence_group_roundtrip,
     "paimon_stream_sink_roundtrip": paimon_stream_sink_roundtrip,
+    "paimon_merge_into_roundtrip": paimon_merge_into_roundtrip,
 }
 
 _ORACLES: dict[str, str] = {
@@ -3022,6 +3087,7 @@ _ORACLES: dict[str, str] = {
     "paimon_partial_update_roundtrip": PAIMON_PARTIAL_UPDATE_SQL,
     "paimon_sequence_group_roundtrip": PAIMON_SEQUENCE_GROUP_SQL,
     "paimon_stream_sink_roundtrip": PAIMON_STREAM_SINK_SQL,
+    "paimon_merge_into_roundtrip": PAIMON_MERGE_INTO_SQL,
 }
 
 

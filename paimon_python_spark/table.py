@@ -141,6 +141,13 @@ class Table:
         )
         return get_spark().createDataFrame(rows, schema)
 
+    def merge_into(self, source, **kwargs) -> None:
+        """MERGE source into this PK table (see
+        :func:`paimon_python_spark.merge.merge_into`)."""
+        from paimon_python_spark.merge import merge_into
+
+        merge_into(self, source, **kwargs)
+
     def partitions(self):
         """Partitions system table: per-partition record/file/byte
         totals from the manifests (metadata-only — the planner's view,

@@ -476,3 +476,68 @@ def test_bloom_file_index_prunes_point_lookup(catalog):
     # absent key (inside min/max) prunes everything
     rb3 = t.new_read_builder().with_filter(pb.equal("ref", "zzzz-absent"))
     assert rb3.new_read().to_pandas().empty
+
+
+def test_merge_into_update_delete_insert(catalog):
+    schema = pa.schema(
+        [pa.field("k", pa.int64(), False), ("bal", pa.float64()), ("status", pa.string())]
+    )
+    catalog.create_table(
+        "default.t_merge",
+        Schema(schema, primary_keys=["k"], options={"bucket": "2"}),
+        False,
+    )
+    t = catalog.get_table("default.t_merge")
+    _write(
+        t,
+        pd.DataFrame(
+            {"k": [1, 2, 3, 4], "bal": [10.0, 20.0, 30.0, 40.0], "status": ["a"] * 4}
+        ),
+    )
+
+    from paimon_python_spark.session import get_spark
+
+    source = get_spark().createDataFrame(
+        [
+            (2, 5.0, "upd"),     # matched, delta -> update
+            (3, -999.0, "del"),  # matched, status 'del' -> delete
+            (9, 90.0, "new"),    # not matched -> insert
+            (4, 0.0, "skip"),    # matched, no condition hit -> untouched
+        ],
+        "k long, bal double, status string",
+    )
+    t.merge_into(
+        source,
+        matched_update={"bal": "tgt.bal + src.bal", "status": "src.status"},
+        matched_update_condition="src.status = 'upd'",
+        matched_delete_condition="src.status = 'del'",
+    )
+    out = (
+        t.new_read_builder().new_read().to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    assert out["k"].tolist() == [1, 2, 4, 9]      # 3 deleted, 9 inserted
+    assert out["bal"].tolist() == [10.0, 25.0, 40.0, 90.0]
+    assert out["status"].tolist() == ["a", "upd", "a", "new"]
+
+
+def test_merge_into_guards(catalog):
+    schema = pa.schema([pa.field("k", pa.int64(), False), ("v", pa.string())])
+    catalog.create_table("default.t_merge_g", Schema(schema), False)
+    t = catalog.get_table("default.t_merge_g")
+    from paimon_python_spark.session import get_spark
+
+    src = get_spark().createDataFrame([(1, "x")], "k long, v string")
+    with pytest.raises(ValueError, match="primary-key"):
+        t.merge_into(src, matched_update={"v": "src.v"})
+
+    catalog.create_table(
+        "default.t_merge_pk",
+        Schema(schema, primary_keys=["k"], options={"bucket": "1"}),
+        False,
+    )
+    t2 = catalog.get_table("default.t_merge_pk")
+    _write(t2, pd.DataFrame({"k": [1], "v": ["a"]}))
+    with pytest.raises(ValueError, match="unknown update columns"):
+        t2.merge_into(src, matched_update={"nope": "1"})
+    with pytest.raises(ValueError, match="join-key"):
+        t2.merge_into(src, matched_update={"k": "src.k"})
