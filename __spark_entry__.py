@@ -2254,6 +2254,49 @@ FROM part WHERE p_size >= 10 ORDER BY p_partkey
 """
 
 
+def paimon_update_rows_roundtrip(spark, sf_dir):
+    """Row-level UPDATE: update_where rewrites matching merged rows as
+    +U records in one commit (no file rewrite); merge-on-read surfaces
+    the updated values."""
+    from paimon_python_spark import Catalog, Schema
+
+    wh = _fresh_warehouse("updw")
+    cat = Catalog.create({"warehouse": wh})
+    cat.create_database("default", True)
+    part = _t(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size", "p_retailprice"
+    )
+    cat.create_table(
+        "default.part_upd",
+        Schema(part.schema, primary_keys=["p_partkey"], options={"bucket": "2"}),
+        False,
+    )
+    t = cat.get_table("default.part_upd")
+    wb = t.new_batch_write_builder()
+    w, c = wb.new_write(), wb.new_commit()
+    w.write_dataframe(part)
+    c.commit(w.prepare_commit())
+    w.close()
+    c.close()
+
+    pb = t.new_read_builder().new_predicate_builder()
+    t.update_where(
+        pb.less_than("p_size", 10),
+        {"p_retailprice": "round(p_retailprice * 1.1, 2)", "p_brand": "'MARKDOWN'"},
+    )
+    return t.new_read_builder().new_read().to_df().orderBy("p_partkey")
+
+
+PAIMON_UPDATE_SQL = """
+SELECT p_partkey,
+       CASE WHEN p_size < 10 THEN 'MARKDOWN' ELSE p_brand END AS p_brand,
+       p_size,
+       CASE WHEN p_size < 10 THEN round(p_retailprice * 1.1, 2)
+            ELSE p_retailprice END AS p_retailprice
+FROM part ORDER BY p_partkey
+"""
+
+
 # =====================================================================
 # TPC-H remainder, adapted to the reduced testdata schema (no partsupp,
 # no comment/phone/shipmode/receiptdate columns). Each keeps the
@@ -3006,6 +3049,7 @@ _QUERIES: dict[str, Callable] = {
     "paimon_changelog_diff_roundtrip": paimon_changelog_diff_roundtrip,
     "paimon_agg_merge_roundtrip": paimon_agg_merge_roundtrip,
     "paimon_delete_rows_roundtrip": paimon_delete_rows_roundtrip,
+    "paimon_update_rows_roundtrip": paimon_update_rows_roundtrip,
     "paimon_avro_roundtrip": paimon_avro_roundtrip,
     "paimon_first_row_roundtrip": paimon_first_row_roundtrip,
     "paimon_partial_update_roundtrip": paimon_partial_update_roundtrip,
@@ -3082,6 +3126,7 @@ _ORACLES: dict[str, str] = {
     "paimon_changelog_diff_roundtrip": PAIMON_CHANGELOG_SQL,
     "paimon_agg_merge_roundtrip": PAIMON_AGG_MERGE_SQL,
     "paimon_delete_rows_roundtrip": PAIMON_DELETE_SQL,
+    "paimon_update_rows_roundtrip": PAIMON_UPDATE_SQL,
     "paimon_avro_roundtrip": PAIMON_AVRO_SQL,
     "paimon_first_row_roundtrip": PAIMON_FIRST_ROW_SQL,
     "paimon_partial_update_roundtrip": PAIMON_PARTIAL_UPDATE_SQL,

@@ -113,6 +113,36 @@ class Catalog:
             schema = Schema.from_json(f.read())
         return Table(identifier, path, schema)
 
+    # -- beyond the reference ABC: listing/dropping (Paimon-Java catalog
+    # surface, handy for tooling) --
+
+    def list_databases(self) -> list[str]:
+        return sorted(
+            n[: -len(".db")]
+            for n in os.listdir(self.warehouse)
+            if n.endswith(".db") and os.path.isdir(os.path.join(self.warehouse, n))
+        )
+
+    def list_tables(self, database_name: str) -> list[str]:
+        path = self._db_path(database_name)
+        if not os.path.isdir(path):
+            raise DatabaseNotExistException(f"Database {database_name} does not exist.")
+        return sorted(
+            n
+            for n in os.listdir(path)
+            if os.path.isdir(os.path.join(path, n, "schema"))
+        )
+
+    def drop_table(self, identifier: str, ignore_if_not_exists: bool = False) -> None:
+        import shutil
+
+        path = self._table_path(identifier)
+        if not os.path.isdir(path):
+            if ignore_if_not_exists:
+                return
+            raise TableNotExistException(f"Table {identifier} does not exist.")
+        shutil.rmtree(path)
+
     def alter_table_add_column(
         self, identifier: str, name: str, pa_type, nullable: bool = True
     ) -> None:

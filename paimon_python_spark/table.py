@@ -63,6 +63,44 @@ class Table:
             w.close()
             c.close()
 
+    def update_where(self, predicate: Predicate, set_exprs: dict) -> None:
+        """Row-level UPDATE on a primary-key table: matching rows of the
+        current merged state are re-written with ``set_exprs`` applied
+        (SQL strings over the row's columns) as RowKind +U records in
+        one commit. Same shape as delete_where: one bounded read + one
+        write, no file rewrite."""
+        from pyspark.sql import functions as F
+
+        if not self.schema.is_primary_key_table():
+            raise ValueError("update_where requires a primary-key table")
+        cols = self.schema.field_names
+        unknown = set(set_exprs) - set(cols)
+        if unknown:
+            raise ValueError(f"update_where: unknown columns {sorted(unknown)}")
+        pks = set(self.schema.primary_keys)
+        if set(set_exprs) & pks:
+            raise ValueError(
+                "update_where: cannot update primary-key columns "
+                "(delete + insert instead)"
+            )
+        rb = self.new_read_builder().with_filter(predicate)
+        updated = (
+            rb.new_read()
+            .to_df()
+            .select(
+                *[F.expr(set_exprs.get(c, c)).alias(c) for c in cols],
+            )
+            .withColumn("__rk", F.lit(2))
+        )
+        wb = self.new_batch_write_builder()
+        w, c = wb.new_write(), wb.new_commit()
+        try:
+            w.write_dataframe(updated, row_kind_col="__rk")
+            c.commit(w.prepare_commit())
+        finally:
+            w.close()
+            c.close()
+
     # -- system tables (Paimon's table$snapshots / table$files) --
 
     def snapshots(self):
@@ -254,6 +292,30 @@ class ReadBuilder:
         this is a planning-time choice — the read recipe is unchanged."""
         self._snapshot_id = snapshot_id
         return self
+
+    def with_timestamp(self, timestamp_millis: int) -> "ReadBuilder":
+        """Pin the read to the last snapshot committed at or before the
+        given epoch-millis (Paimon's ``scan.timestamp-millis``)."""
+        import os
+
+        from paimon_python_spark.metadata import MetadataStore
+
+        store = MetadataStore(self.table.table_path)
+        latest = store.latest_snapshot_id() or 0
+        best = None
+        for sid in range(1, latest + 1):
+            if not os.path.exists(
+                os.path.join(store.snapshot_dir, f"snapshot-{sid}.json")
+            ):
+                continue
+            s = store.read_snapshot(sid)
+            if s.time_millis <= timestamp_millis:
+                best = sid
+        if best is None:
+            raise ValueError(
+                f"no snapshot committed at or before {timestamp_millis}"
+            )
+        return self.with_snapshot(best)
 
     def with_tag(self, name: str) -> "ReadBuilder":
         """Pin the read to a tagged snapshot (Paimon's ``scan.tag-name``):

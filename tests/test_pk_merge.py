@@ -541,3 +541,63 @@ def test_merge_into_guards(catalog):
         t2.merge_into(src, matched_update={"nope": "1"})
     with pytest.raises(ValueError, match="join-key"):
         t2.merge_into(src, matched_update={"k": "src.k"})
+
+
+def test_update_where(catalog):
+    t = _mk(catalog, "updw", {})
+    _write(t, pd.DataFrame({"k": [1, 2, 3], "a": ["a", "b", "c"], "b": ["A", "B", "C"]}))
+    pb = t.new_read_builder().new_predicate_builder()
+    t.update_where(pb.less_than("k", 3), {"a": "upper(a)", "b": "concat(b, '!')"})
+    out = (
+        t.new_read_builder().new_read().to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    assert out["a"].tolist() == ["A", "B", "c"]
+    assert out["b"].tolist() == ["A!", "B!", "C"]
+
+    with pytest.raises(ValueError, match="primary-key"):
+        catalog.create_table(
+            "default.t_upd_app", Schema(pa.schema([("x", pa.int64())])), False
+        )
+        catalog.get_table("default.t_upd_app").update_where(pb.less_than("k", 3), {})
+    with pytest.raises(ValueError, match="unknown columns"):
+        t.update_where(pb.less_than("k", 3), {"zz": "1"})
+    with pytest.raises(ValueError, match="primary-key columns"):
+        t.update_where(pb.less_than("k", 3), {"k": "k + 1"})
+
+
+def test_with_timestamp_time_travel(catalog):
+    from paimon_python_spark.metadata import MetadataStore
+
+    t = _mk(catalog, "ts_tt", {})
+    _write(t, pd.DataFrame({"k": [1], "a": ["a"], "b": ["A"]}))
+    _write(t, pd.DataFrame({"k": [2], "a": ["b"], "b": ["B"]}))
+    store = MetadataStore(t.table_path)
+    t1 = store.read_snapshot(1).time_millis
+    t2 = store.read_snapshot(2).time_millis
+
+    rb = t.new_read_builder().with_timestamp(t1)
+    assert sorted(rb.new_read().to_pandas()["k"]) == [1]
+    rb2 = t.new_read_builder().with_timestamp(max(t2, t1 + 1))
+    assert sorted(rb2.new_read().to_pandas()["k"]) == [1, 2]
+    with pytest.raises(ValueError, match="no snapshot"):
+        t.new_read_builder().with_timestamp(t1 - 10_000)
+
+
+def test_catalog_list_and_drop(catalog):
+    from paimon_python_spark.catalog import TableNotExistException
+
+    catalog.create_table(
+        "default.t_list_a", Schema(pa.schema([("x", pa.int64())])), False
+    )
+    catalog.create_table(
+        "default.t_list_b", Schema(pa.schema([("x", pa.int64())])), False
+    )
+    assert "default" in catalog.list_databases()
+    tables = catalog.list_tables("default")
+    assert {"t_list_a", "t_list_b"} <= set(tables)
+
+    catalog.drop_table("default.t_list_a")
+    assert "t_list_a" not in catalog.list_tables("default")
+    with pytest.raises(TableNotExistException):
+        catalog.drop_table("default.t_list_a")
+    catalog.drop_table("default.t_list_a", ignore_if_not_exists=True)
