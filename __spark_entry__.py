@@ -927,6 +927,40 @@ ORDER BY doc_a, doc_b
 """
 
 
+def dedup_cluster_reps(spark, sf_dir):
+    """Near-dup pairs → transitive clusters: min-label propagation
+    (connected components) assigns every paired doc the smallest doc_id
+    reachable from it. The step between pair mining and survivor
+    selection in a corpus-dedup pipeline."""
+    from paimon_python_spark.operators import connected_components, minhash_lsh_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, "doc_id", "text", num_hashes=16, bands=4, jaccard_num=1, jaccard_den=2
+    )
+    return (
+        connected_components(pairs, "doc_a", "doc_b")
+        .withColumnRenamed("node", "doc_id")
+        .orderBy("doc_id")
+    )
+
+
+def _dedup_cluster_oracle() -> str:
+    pairs_body = _minhash_oracle().rsplit("ORDER BY", 1)[0]
+    return f"""
+WITH RECURSIVE pairs AS ({pairs_body}),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a WHERE e.b <> r.a),
+best AS (SELECT a, min(b) AS mn FROM reach GROUP BY a)
+SELECT a AS doc_id, least(a, mn) AS cluster FROM best ORDER BY doc_id
+"""
+
+
 def dedup_ngram_jaccard(spark, sf_dir):
     from paimon_python_spark.operators import ngram_jaccard_pairs
 
@@ -3024,6 +3058,7 @@ _QUERIES: dict[str, Callable] = {
     "events_interval_join": events_interval_join,
     "dedup_exact": dedup_exact,
     "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_cluster_reps": dedup_cluster_reps,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_simhash": dedup_simhash,
     "dedup_embedding_cosine": dedup_embedding_cosine,
@@ -3143,6 +3178,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     out = dict(_ORACLES)
     out["dedup_minhash_lsh"] = _minhash_oracle()
+    out["dedup_cluster_reps"] = _dedup_cluster_oracle()
     out["dedup_simhash"] = _simhash_oracle()
     out["text_lang_id"] = _lang_id_oracle()
     out["ann_lsh_bucket"] = _ann_lsh_oracle("/root/testdata/sf0.01")

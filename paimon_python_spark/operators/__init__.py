@@ -17,6 +17,8 @@ from paimon_python_spark.operators.dedup import (
     ngram_jaccard_pairs,
     simhash_fingerprints,
     embedding_cosine_pairs,
+    connected_components,
+    fuzzy_dedup_survivors,
 )
 from paimon_python_spark.operators.sampling import (
     hash_sample,
@@ -39,6 +41,8 @@ __all__ = [
     "ngram_jaccard_pairs",
     "simhash_fingerprints",
     "embedding_cosine_pairs",
+    "connected_components",
+    "fuzzy_dedup_survivors",
     "cosine_similarity_col",
     "brute_force_topk",
     "lsh_bucket_topk",

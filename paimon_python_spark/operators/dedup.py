@@ -254,3 +254,84 @@ def embedding_cosine_pairs(
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )
+
+
+def connected_components(
+    pairs: DataFrame, a_col: str, b_col: str, max_iter: int = 25
+) -> DataFrame:
+    """Connected components over a pair list: (node, cluster) where
+    ``cluster`` is the smallest node id reachable from ``node`` —
+    min-label propagation iterated to convergence.
+
+    This turns near-duplicate PAIRS (MinHash/LSH output) into dedup
+    GROUPS: transitively-linked docs share a cluster, and "keep the
+    cluster min" is then one filter. Deterministic (min is
+    order-independent), so a recursive-SQL oracle agrees exactly.
+
+    Scale shape: per iteration one join + one hash aggregate, both
+    keyed on node id; rounds needed = component diameter, which for
+    near-dup clusters is tiny (dups of a doc link to each other). The
+    driver sees only the one-row convergence count per round. For
+    adversarially long chain graphs swap in large-star/small-star
+    (alternating min over 2-hop neighborhoods) — same operator shape.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("cluster", F.col("node"))
+        .persist()
+    )
+    try:
+        for _ in range(max_iter):
+            nbr_min = (
+                edges.join(labels, edges.dst == labels.node)
+                .groupBy("src")
+                .agg(F.min("cluster").alias("nbr_min"))
+            )
+            new_labels = (
+                labels.join(nbr_min, labels.node == nbr_min.src, "left")
+                .select(
+                    "node",
+                    F.least(
+                        F.col("cluster"), F.coalesce("nbr_min", F.col("cluster"))
+                    ).alias("cluster"),
+                )
+                .persist()
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "node")
+                .filter("n.cluster <> o.cluster")
+                .count()
+            )
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                break
+        return labels.select("node", "cluster")
+    finally:
+        edges.unpersist()
+
+
+def fuzzy_dedup_survivors(
+    df: DataFrame, pairs: DataFrame, id_col: str, a_col: str = "doc_a", b_col: str = "doc_b"
+) -> DataFrame:
+    """Rows of ``df`` that survive near-dup removal: docs in no pair,
+    plus each cluster's minimum id. One anti-join + one semi-join
+    against the (tiny relative to the corpus) component labels."""
+    comps = connected_components(pairs, a_col, b_col)
+    keep = comps.filter(F.col("node") == F.col("cluster")).select(
+        F.col("node").alias(id_col)
+    )
+    in_pairs = comps.select(F.col("node").alias(id_col))
+    return df.join(in_pairs, id_col, "left_anti").unionByName(
+        df.join(keep, id_col, "left_semi")
+    )

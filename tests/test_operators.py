@@ -322,3 +322,35 @@ def test_kmeans_fit_feeds_ivf(spark, emb):
     out = ivf_topk(df, "vec_id", "v", q, cents, k=5, nprobe=2).collect()
     assert len(out) == 5
     assert out[0].cos_sim >= out[-1].cos_sim
+
+
+def test_connected_components_chain_and_clique(spark):
+    from paimon_python_spark.operators import connected_components
+
+    pairs = spark.createDataFrame(
+        # chain 1-2-3-4 (diameter 3), clique {10,11,12}, pair {20,21}
+        [(1, 2), (2, 3), (3, 4), (10, 11), (10, 12), (11, 12), (20, 21)],
+        "doc_a long, doc_b long",
+    )
+    got = {
+        r.node: r.cluster
+        for r in connected_components(pairs, "doc_a", "doc_b").collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_fuzzy_dedup_survivors(spark):
+    from paimon_python_spark.operators import fuzzy_dedup_survivors
+
+    docs = spark.createDataFrame(
+        [(i, f"doc{i}") for i in range(1, 8)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "doc_a long, doc_b long"
+    )
+    kept = sorted(
+        r.doc_id
+        for r in fuzzy_dedup_survivors(docs, pairs, "doc_id").collect()
+    )
+    # clusters {1,2,3} -> keep 1; {5,6} -> keep 5; 4 and 7 untouched
+    assert kept == [1, 4, 5, 7]
