@@ -91,6 +91,7 @@ AGG_FUNCTIONS = (
     "bool_and",
     "bool_or",
     "listagg",
+    "product",
 )
 
 
@@ -130,6 +131,12 @@ def merge_on_read(
         f.name for f in schema.spark_schema.fields if f.name not in merge_keys
     ]
     out_cols = [f.name for f in schema.spark_schema.fields]
+
+    # ignore-delete: -D records are dropped BEFORE merging, so a delete
+    # can never erase a key (Paimon's option for replaying CDC streams
+    # that carry deletes you want to ignore).
+    if schema.options.get("ignore-delete", "false").lower() == "true":
+        df = df.filter(F.col(kind_col).isin(*ADD_KINDS))
 
     if engine == "deduplicate" or engine == "first-row":
         order = F.col(seq_col).asc() if engine == "first-row" else F.col(seq_col).desc()
@@ -214,6 +221,8 @@ def merge_on_read(
                     ",", F.array_sort(F.collect_list(F.struct(seq_col, c))).getField(c)
                 ).alias(c)
             )
+        elif fn == "product":
+            aggs.append(F.product(col).alias(c))
     return (
         df.filter(F.col(kind_col).isin(*ADD_KINDS))
         .groupBy(*merge_keys)

@@ -601,3 +601,40 @@ def test_catalog_list_and_drop(catalog):
     with pytest.raises(TableNotExistException):
         catalog.drop_table("default.t_list_a")
     catalog.drop_table("default.t_list_a", ignore_if_not_exists=True)
+
+
+def test_ignore_delete_option(catalog):
+    t = _mk(catalog, "igdel", {"ignore-delete": "true"})
+    _write(t, pd.DataFrame({"k": [1, 2], "a": ["a", "b"], "b": ["A", "B"]}))
+    # a -D row for k=1 arrives but the table ignores deletes
+    _write(
+        t,
+        pd.DataFrame({"k": [1], "a": ["a"], "b": ["A"], "__rk": [3]}),
+        row_kind_col="__rk",
+    )
+    out = t.new_read_builder().new_read().to_pandas().sort_values("k")
+    assert out["k"].tolist() == [1, 2]  # key 1 still present
+
+
+def test_aggregation_product_function(catalog):
+    schema = pa.schema([("k", pa.int32()), ("factor", pa.float64())])
+    catalog.create_table(
+        "default.agg_prod",
+        Schema(
+            schema,
+            primary_keys=["k"],
+            options={
+                "bucket": "1",
+                "merge-engine": "aggregation",
+                "fields.factor.aggregate-function": "product",
+            },
+        ),
+        False,
+    )
+    t = catalog.get_table("default.agg_prod")
+    _write(t, pd.DataFrame({"k": [1, 1, 2], "factor": [2.0, 3.0, 5.0]}))
+    _write(t, pd.DataFrame({"k": [1], "factor": [4.0]}))
+    out = (
+        t.new_read_builder().new_read().to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    assert out["factor"].tolist() == [24.0, 5.0]
