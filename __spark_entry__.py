@@ -1395,6 +1395,111 @@ FROM documents ORDER BY doc_id
 """
 
 
+def text_pii_scrub(spark, sf_dir):
+    """PII scrubbing: count + mask emails/phones/IPs (synthetic PII is
+    appended per doc so the masking path is actually exercised). Pure
+    regexp projection — map-only at any scale."""
+    from paimon_python_spark.functions import scrub_pii
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact: user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com 123-456-7890 at 10.0.0.1"),
+        ).alias("text"),
+    )
+    return scrub_pii(docs, "doc_id", "text").orderBy("doc_id")
+
+
+TEXT_PII_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         text || ' contact: user' || CAST(doc_id AS varchar)
+              || '@example.com 123-456-7890 at 10.0.0.1' AS text
+  FROM documents)
+SELECT doc_id,
+       len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+       len(regexp_extract_all(text, '\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}')) AS n_phone,
+       len(regexp_extract_all(text, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS n_ipv4,
+       length(
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}', '<PHONE>', 'g'),
+           '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IPV4>', 'g')
+       ) AS masked_len
+FROM t ORDER BY doc_id
+"""
+
+
+def window_lead_lag(spark, sf_dir):
+    """lead/lag over each customer's order sequence: price delta vs the
+    previous order and the next order's key — one partitioned window
+    sort (keyed shuffle) regardless of scale."""
+    orders = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderkey")
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            F.round(
+                F.col("o_totalprice") - F.lag("o_totalprice").over(w), 2
+            ).alias("delta_prev"),
+            F.lead("o_orderkey").over(w).alias("next_orderkey"),
+            F.row_number().over(w).alias("order_seq"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+WINDOW_LEAD_LAG_SQL = """
+SELECT o_custkey, o_orderkey,
+       round(o_totalprice - lag(o_totalprice) OVER w, 2) AS delta_prev,
+       lead(o_orderkey) OVER w AS next_orderkey,
+       row_number() OVER w AS order_seq
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+ORDER BY o_custkey, o_orderkey
+"""
+
+
+def scalar_array_funcs(spark, sf_dir):
+    """Array scalar coverage over the embeddings column: size, slices,
+    element access, and a sequential-fold L1 norm (same left-fold both
+    engines, rounded)."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    return (
+        emb.select(
+            "vec_id",
+            F.size("v").alias("dims"),
+            F.round(F.element_at("v", 1), 6).alias("first_val"),
+            F.round(F.element_at("v", -1), 6).alias("last_val"),
+            F.round(
+                F.expr("aggregate(v, CAST(0.0 AS DOUBLE), (acc, x) -> acc + abs(x))"),
+                4,
+            ).alias("l1_norm"),
+            F.size(F.expr("filter(v, x -> x > 0)")).alias("n_positive"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+SCALAR_ARRAY_SQL = """
+SELECT vec_id,
+       len(v) AS dims,
+       round(v[1], 6) AS first_val,
+       round(v[-1], 6) AS last_val,
+       round(list_sum(list_transform(v, x -> abs(x))), 4) AS l1_norm,
+       len(list_filter(v, x -> x > 0)) AS n_positive
+FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+ORDER BY vec_id
+"""
+
+
 def mm_binary_meta(spark, sf_dir):
     from paimon_python_spark.functions import binary_metadata
 
@@ -3073,6 +3178,9 @@ _QUERIES: dict[str, Callable] = {
     "text_lang_id": text_lang_id,
     "text_token_counts": text_token_counts,
     "text_fingerprint": text_fingerprint,
+    "text_pii_scrub": text_pii_scrub,
+    "window_lead_lag": window_lead_lag,
+    "scalar_array_funcs": scalar_array_funcs,
     "mm_binary_meta": mm_binary_meta,
     "paimon_pk_upsert_roundtrip": paimon_pk_upsert_roundtrip,
     "paimon_scan_pushdown_roundtrip": paimon_scan_pushdown_roundtrip,
@@ -3150,6 +3258,9 @@ _ORACLES: dict[str, str] = {
     "paimon_datasource_roundtrip": PAIMON_DATASOURCE_SQL,
     "text_token_counts": TOKEN_COUNTS_SQL,
     "text_fingerprint": TEXT_FINGERPRINT_SQL,
+    "text_pii_scrub": TEXT_PII_SQL,
+    "window_lead_lag": WINDOW_LEAD_LAG_SQL,
+    "scalar_array_funcs": SCALAR_ARRAY_SQL,
     "mm_binary_meta": MM_BINARY_META_SQL,
     "paimon_pk_upsert_roundtrip": PAIMON_PK_UPSERT_SQL,
     "paimon_scan_pushdown_roundtrip": PAIMON_SCAN_SQL,

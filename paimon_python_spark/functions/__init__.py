@@ -9,7 +9,9 @@ from paimon_python_spark.functions.text import (
     lang_id,
     doc_fingerprints,
     token_counts,
+    scrub_pii,
     LANG_MARKERS,
+    PII_PATTERNS,
 )
 from paimon_python_spark.functions.multimodal import (
     binary_metadata,
@@ -29,7 +31,9 @@ __all__ = [
     "lang_id",
     "doc_fingerprints",
     "token_counts",
+    "scrub_pii",
     "LANG_MARKERS",
+    "PII_PATTERNS",
     "binary_metadata",
     "decode_image_stub",
     "frame_sample_stub",

@@ -181,3 +181,35 @@ def doc_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return df.select(F.col(id_col), F.md5(norm).alias("fingerprint")).withColumn(
         "fp_bucket", F.substring("fingerprint", 1, 8)
     )
+
+
+PII_PATTERNS = {
+    # simple, engine-portable character-class regexes (no lookaround):
+    # the same pattern string behaves identically in Java regex and RE2
+    "email": "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "phone": "\\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}",
+    "ipv4": "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}",
+}
+
+
+def scrub_pii(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """PII scrubbing for training corpora: count and mask emails /
+    phone numbers / IPv4 literals. Pure regexp projection (JVM-side,
+    no shuffle); counts come from ``regexp_count`` and the masked text
+    replaces each match class with ``<EMAIL>`` / ``<PHONE>`` / ``<IP>``.
+
+    The pattern set is deliberately lookaround-free so any RE2-class
+    engine (the DuckDB oracle included) matches the same spans.
+    """
+    out = df.select(
+        F.col(id_col),
+        F.col(text_col).alias("__t"),
+        *[
+            F.regexp_count(F.col(text_col), F.lit(p)).alias(f"n_{name}")
+            for name, p in PII_PATTERNS.items()
+        ],
+    )
+    masked = F.col("__t")
+    for name, p in PII_PATTERNS.items():
+        masked = F.regexp_replace(masked, p, f"<{name.upper()}>")
+    return out.withColumn("masked_len", F.length(masked)).drop("__t")

@@ -354,3 +354,22 @@ def test_fuzzy_dedup_survivors(spark):
     )
     # clusters {1,2,3} -> keep 1; {5,6} -> keep 5; 4 and 7 untouched
     assert kept == [1, 4, 5, 7]
+
+
+def test_scrub_pii_counts_and_masks(spark):
+    from paimon_python_spark.functions import scrub_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at bob@x.org or call 555-123-4567"),
+            (2, "server 192.168.0.1 is fine"),
+            (3, "no pii here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in scrub_pii(df, "doc_id", "text").collect()}
+    assert (out[1].n_email, out[1].n_phone, out[1].n_ipv4) == (1, 1, 0)
+    assert (out[2].n_email, out[2].n_phone, out[2].n_ipv4) == (0, 0, 1)
+    assert (out[3].n_email, out[3].n_phone, out[3].n_ipv4) == (0, 0, 0)
+    assert out[3].masked_len == len("no pii here")
+    assert out[1].masked_len == len("mail me at <EMAIL> or call <PHONE>")
