@@ -26,6 +26,7 @@ from paimon_python_spark.streaming.windows import (
     tumbling_counts,
     session_aggregate,
     streaming_dedup,
+    stream_stream_interval_join,
 )
 from paimon_python_spark.streaming.stateful import running_totals
 from paimon_python_spark.streaming.sink import StreamingTableSink, stream_upsert
@@ -39,5 +40,6 @@ __all__ = [
     "tumbling_counts",
     "session_aggregate",
     "streaming_dedup",
+    "stream_stream_interval_join",
     "running_totals",
 ]

@@ -60,6 +60,40 @@ def session_aggregate(
     )
 
 
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    lower: str = "0 seconds",
+    upper: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Stream-stream inner join: match right-side events that occur in
+    ``[left_ts + lower, left_ts + upper]`` for the same key.
+
+    Both sides are watermarked and the join condition is time-bounded
+    in BOTH directions — that pair of constraints is what lets Spark
+    evict state (each side holds only the in-horizon window of rows),
+    so the join runs indefinitely on unbounded streams. Without the
+    time bound the state would grow without limit; this is the
+    canonical clicks-after-impressions shape.
+    """
+    l = left.withWatermark(left_ts, watermark).alias("l")
+    r = right.withWatermark(right_ts, watermark).alias("r")
+    cond = (
+        (F.col(f"l.{key_col}") == F.col(f"r.{key_col}"))
+        & (F.col(f"r.{right_ts}") >= F.expr(f"l.{left_ts} + interval {lower}"))
+        & (F.col(f"r.{right_ts}") <= F.expr(f"l.{left_ts} + interval {upper}"))
+    )
+    return l.join(r, cond, "inner").select(
+        F.col(f"l.{key_col}").alias(key_col),
+        F.col(f"l.{left_ts}").alias("left_ts"),
+        F.col(f"r.{right_ts}").alias("right_ts"),
+    )
+
+
 def streaming_dedup(
     events: DataFrame,
     id_cols: list[str],

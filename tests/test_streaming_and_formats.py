@@ -524,3 +524,40 @@ def test_partitions_system_table(catalog):
     assert rows["x"].file_count == 2  # one per commit
     assert rows["y"].record_count == 1
     assert all(r.total_size > 0 for r in rows.values())
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    from paimon_python_spark.streaming import stream_stream_interval_join
+
+    imp_src = str(tmp_path / "impressions")
+    clk_src = str(tmp_path / "clicks")
+    impressions = spark.createDataFrame(
+        [("2024-01-01 00:00:00", 1), ("2024-01-01 00:30:00", 2)],
+        "ts_s string, ad_id int",
+    ).select(F.col("ts_s").cast("timestamp").alias("ts"), "ad_id")
+    clicks = spark.createDataFrame(
+        [
+            ("2024-01-01 00:05:00", 1),   # within 10 min of impression 1 -> joins
+            ("2024-01-01 00:20:00", 1),   # 20 min later -> outside window
+            ("2024-01-01 00:31:00", 2),   # within -> joins
+        ],
+        "ts_s string, ad_id int",
+    ).select(F.col("ts_s").cast("timestamp").alias("ts"), "ad_id")
+    impressions.write.parquet(imp_src)
+    clicks.write.parquet(clk_src)
+
+    li = spark.readStream.schema(impressions.schema).parquet(imp_src)
+    ri = spark.readStream.schema(clicks.schema).parquet(clk_src)
+    out = stream_stream_interval_join(li, ri, "ad_id")
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ssj_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        res = spark.sql("SELECT ad_id FROM ssj_out ORDER BY ad_id").collect()
+    finally:
+        q.stop()
+    assert [r.ad_id for r in res] == [1, 2]
