@@ -1287,6 +1287,58 @@ ORDER BY doc_id, chunk_idx
 """
 
 
+def paimon_datasource_write_roundtrip(spark, sf_dir):
+    """df.write.format('paimon_spark'): the standard Spark write API
+    drives the engine's commit protocol — each save() is one atomic
+    snapshot; partition dirs and footer stats land exactly as the
+    builder writer produces them, so planner pruning works on the
+    result."""
+    from paimon_python_spark import Catalog, Schema
+    from paimon_python_spark.datasource import register
+
+    register(spark)
+    wh = _fresh_warehouse("dsw")
+    cat = Catalog.create({"warehouse": wh})
+    cat.create_database("default", True)
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", "c_mktsegment"
+    )
+    cat.create_table(
+        "default.cust_dsw",
+        Schema(cust.schema, partition_keys=["c_mktsegment"]),
+        False,
+    )
+    t = cat.get_table("default.cust_dsw")
+    for batch in (
+        cust.filter(F.col("c_custkey") % 2 == 0),
+        cust.filter(F.col("c_custkey") % 2 == 1),
+    ):
+        batch.write.format("paimon_spark").option("path", t.table_path).mode(
+            "append"
+        ).save()
+
+    pb = t.new_read_builder().new_predicate_builder()
+    rb = t.new_read_builder().with_filter(pb.equal("c_mktsegment", "BUILDING"))
+    return (
+        rb.new_read()
+        .to_df(rb.new_scan().plan().splits())
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+            F.min("c_custkey").alias("min_key"),
+            F.max("c_custkey").alias("max_key"),
+        )
+    )
+
+
+PAIMON_DS_WRITE_SQL = """
+SELECT c_mktsegment, count(*) AS n, round(sum(c_acctbal), 2) AS total_bal,
+       min(c_custkey) AS min_key, max(c_custkey) AS max_key
+FROM customer WHERE c_mktsegment = 'BUILDING' GROUP BY c_mktsegment
+"""
+
+
 def paimon_datasource_roundtrip(spark, sf_dir):
     """spark.read.format('paimon_spark'): write a PK table through the
     engine, read it back through the registered Python Data Source with
@@ -3175,6 +3227,7 @@ _QUERIES: dict[str, Callable] = {
     "text_punct_stopword": text_punct_stopword,
     "text_chunking": text_chunking,
     "paimon_datasource_roundtrip": paimon_datasource_roundtrip,
+    "paimon_datasource_write_roundtrip": paimon_datasource_write_roundtrip,
     "text_lang_id": text_lang_id,
     "text_token_counts": text_token_counts,
     "text_fingerprint": text_fingerprint,
@@ -3256,6 +3309,7 @@ _ORACLES: dict[str, str] = {
     "text_punct_stopword": TEXT_PUNCT_STOPWORD_SQL,
     "text_chunking": TEXT_CHUNKING_SQL,
     "paimon_datasource_roundtrip": PAIMON_DATASOURCE_SQL,
+    "paimon_datasource_write_roundtrip": PAIMON_DS_WRITE_SQL,
     "text_token_counts": TOKEN_COUNTS_SQL,
     "text_fingerprint": TEXT_FINGERPRINT_SQL,
     "text_pii_scrub": TEXT_PII_SQL,

@@ -1,6 +1,7 @@
 """Spark Python Data Source for the table format:
-``spark.read.format("paimon_spark")`` and
-``spark.readStream.format("paimon_spark")``.
+``spark.read.format("paimon_spark")``,
+``spark.readStream.format("paimon_spark")``, and
+``df.write.format("paimon_spark")`` (append tables).
 
 This is the idiomatic Spark-integration layer (Spark 4 Python Data
 Source API) on top of the same planner the builder API uses:
@@ -32,8 +33,10 @@ from typing import Iterator, List
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 from pyspark.sql import types as T
 
@@ -269,6 +272,113 @@ class PaimonStreamReader(SimpleDataSourceStreamReader):
         return iter(self._rows_between(start["snapshot"], end["snapshot"]))
 
 
+class _WrittenFiles(WriterCommitMessage):
+    def __init__(self, paths: List[str]):
+        self.paths = paths
+
+
+class PaimonBatchWriter(DataSourceWriter):
+    """``df.write.format("paimon_spark")`` for APPEND tables.
+
+    Executor side (``write``): each task buffers its rows and writes
+    one parquet file per partition-value group, hive-style, directly
+    into the table's data dir — the same layout the engine writer
+    produces — and reports the relative paths as its commit message.
+
+    Driver side (``commit``): only when EVERY task succeeded, the
+    reported files are described (footer stats for pruning) and
+    committed through the engine's snapshot protocol — one atomic
+    snapshot, exactly like the builder API's commit. ``abort`` removes
+    the orphan files, so a failed job leaves no visible state (readers
+    only ever see committed snapshots either way).
+
+    PK tables need bucket assignment + sequence numbers, which are a
+    distributed concern (the engine's write_dataframe does them as
+    DataFrame ops); they are rejected here rather than half-supported.
+    """
+
+    def __init__(self, table_path: str, schema, overwrite: bool):
+        self.table_path = table_path
+        self.schema = schema
+        self.overwrite = overwrite
+        if schema.is_primary_key_table():
+            raise ValueError(
+                "paimon_spark writer supports append tables; use "
+                "table.new_batch_write_builder().new_write().write_dataframe() "
+                "for primary-key tables"
+            )
+
+    def write(self, iterator) -> _WrittenFiles:
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from paimon_python_spark.types import spark_schema_to_pa
+
+        # partition values shape the directory layout but the columns
+        # stay IN the file too (the engine's writer keeps them and uses
+        # shadow __pt_ dirs purely for pruning)
+        part_keys = list(self.schema.partition_keys)
+        data_cols = [f.name for f in self.schema.spark_schema.fields]
+        pa_schema = spark_schema_to_pa(self.schema.spark_schema)
+        groups: dict = {}
+        for row in iterator:
+            key = tuple(row[k] for k in part_keys)
+            groups.setdefault(key, []).append(tuple(row[c] for c in data_cols))
+
+        from paimon_python_spark.write import PART_PREFIX
+
+        data_dir = os.path.join(self.table_path, "data")
+        written: List[str] = []
+        for key, rows in groups.items():
+            subdir = data_dir
+            for k, v in zip(part_keys, key):
+                sval = "__HIVE_DEFAULT_PARTITION__" if v is None else str(v)
+                subdir = os.path.join(subdir, f"{PART_PREFIX}{k}={sval}")
+            os.makedirs(subdir, exist_ok=True)
+            fname = f"part-{uuid.uuid4().hex}-py.parquet"
+            path = os.path.join(subdir, fname)
+            cols = list(zip(*rows)) if rows else [[] for _ in data_cols]
+            table = pa.Table.from_arrays(
+                [pa.array(c, type=f.type) for c, f in zip(cols, pa_schema)],
+                schema=pa_schema,
+            )
+            pq.write_table(table, path)
+            written.append(os.path.relpath(path, self.table_path))
+        return _WrittenFiles(written)
+
+    def commit(self, messages) -> None:
+        from paimon_python_spark.table import Table
+        from paimon_python_spark.write import (
+            BatchTableCommit,
+            CommitMessage,
+            DataFileHarvester,
+        )
+
+        table = Table("datasource.write", self.table_path, self.schema)
+        harvester = DataFileHarvester(table)
+        files = [
+            harvester.file_meta(os.path.join(self.table_path, rel))
+            for m in messages
+            if m is not None
+            for rel in m.paths
+        ]
+        commit = BatchTableCommit(
+            table, overwrite=self.overwrite, static_partition=None
+        )
+        commit.commit([CommitMessage(files)])
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if m is None:
+                continue
+            for rel in m.paths:
+                p = os.path.join(self.table_path, rel)
+                if os.path.exists(p):
+                    os.remove(p)
+
+
 class PaimonSparkDataSource(DataSource):
     """``spark.dataSource.register(PaimonSparkDataSource)`` then
     ``spark.read.format("paimon_spark").option("path", table_path)``."""
@@ -293,6 +403,10 @@ class PaimonSparkDataSource(DataSource):
     def simpleStreamReader(self, schema) -> PaimonStreamReader:
         path = self._table_path()
         return PaimonStreamReader(path, _load_schema(path))
+
+    def writer(self, schema: T.StructType, overwrite: bool) -> PaimonBatchWriter:
+        path = self._table_path()
+        return PaimonBatchWriter(path, _load_schema(path), overwrite)
 
 
 def register(spark) -> None:

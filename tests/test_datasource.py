@@ -103,3 +103,55 @@ def test_stream_read_snapshot_offsets(catalog, spark):
     finally:
         q.stop()
     assert [r.f0 for r in res] == [1, 2]
+
+
+def test_datasource_write_append_and_overwrite(catalog, spark):
+    catalog.create_table(
+        "default.ds_wr",
+        Schema(
+            pa.schema([("f0", pa.int64()), ("f1", pa.string()), ("part", pa.string())]),
+            partition_keys=["part"],
+        ),
+        False,
+    )
+    t = catalog.get_table("default.ds_wr")
+
+    df = spark.createDataFrame(
+        [(1, "a", "x"), (2, "b", "y")], "f0 long, f1 string, part string"
+    )
+    df.write.format("paimon_spark").option("path", t.table_path).mode("append").save()
+    df2 = spark.createDataFrame([(3, "c", "x")], "f0 long, f1 string, part string")
+    df2.write.format("paimon_spark").option("path", t.table_path).mode("append").save()
+
+    out = t.new_read_builder().new_read().to_pandas().sort_values("f0")
+    assert out["f0"].tolist() == [1, 2, 3]
+    assert out["part"].tolist() == ["x", "y", "x"]
+
+    # snapshot per write job; partition pruning sees the hive dirs
+    pb = t.new_read_builder().new_predicate_builder()
+    rb = t.new_read_builder().with_filter(pb.equal("part", "x"))
+    assert sorted(rb.new_read().to_pandas()["f0"]) == [1, 3]
+
+    # overwrite follows the table's dynamic-partition-overwrite default:
+    # only the partitions present in the new data are replaced
+    spark.createDataFrame(
+        [(9, "z", "x")], "f0 long, f1 string, part string"
+    ).write.format("paimon_spark").option("path", t.table_path).mode(
+        "overwrite"
+    ).save()
+    out = t.new_read_builder().new_read().to_pandas().sort_values("f0")
+    assert out["f0"].tolist() == [2, 9]  # partition x replaced, y kept
+
+
+def test_datasource_write_rejects_pk_table(catalog, spark):
+    catalog.create_table(
+        "default.ds_wr_pk",
+        Schema(SIMPLE, primary_keys=["f0"], options={"bucket": "1"}),
+        False,
+    )
+    t = catalog.get_table("default.ds_wr_pk")
+    df = spark.createDataFrame([(1, "a")], "f0 long, f1 string")
+    with pytest.raises(Exception, match="append tables"):
+        df.write.format("paimon_spark").option("path", t.table_path).mode(
+            "append"
+        ).save()
