@@ -26,7 +26,7 @@ from paimon_python_spark.schema import Schema
 from paimon_python_spark.predicate import Predicate, PredicateBuilder
 from paimon_python_spark.table import Table
 from paimon_python_spark.session import get_spark, set_spark
-from paimon_python_spark.maintenance import expire_snapshots
+from paimon_python_spark.maintenance import expire_snapshots, rollback_to
 from paimon_python_spark.tags import create_tag, delete_tag, list_tags
 
 __all__ = [
@@ -38,6 +38,7 @@ __all__ = [
     "get_spark",
     "set_spark",
     "expire_snapshots",
+    "rollback_to",
     "create_tag",
     "delete_tag",
     "list_tags",

@@ -133,6 +133,18 @@ class Catalog:
             if os.path.isdir(os.path.join(path, n, "schema"))
         )
 
+    def rename_table(self, from_identifier: str, to_identifier: str) -> None:
+        src = self._table_path(from_identifier)
+        if not os.path.isdir(src):
+            raise TableNotExistException(f"Table {from_identifier} does not exist.")
+        dst = self._table_path(to_identifier)
+        db, _ = self._split(to_identifier)
+        if not os.path.isdir(self._db_path(db)):
+            raise DatabaseNotExistException(f"Database {db} does not exist.")
+        if os.path.isdir(dst):
+            raise TableAlreadyExistException(f"Table {to_identifier} already exists.")
+        os.rename(src, dst)
+
     def drop_table(self, identifier: str, ignore_if_not_exists: bool = False) -> None:
         import shutil
 

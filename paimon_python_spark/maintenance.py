@@ -1,4 +1,4 @@
-"""Lake maintenance: snapshot expiration.
+"""Lake maintenance: snapshot expiration, rollback.
 
 Paimon expires old snapshots to bound metadata growth and reclaim the
 space of files that are no longer live anywhere (overwritten partitions,
@@ -87,3 +87,43 @@ def expire_snapshots(table, keep_last_n: int = 1) -> dict:
         "manifests_deleted": n_manifests,
         "data_files_deleted": n_files,
     }
+
+
+def rollback_to(table, snapshot_id: int = None, tag: str = None) -> int:
+    """Roll the table back to an earlier state — by snapshot id or tag —
+    by committing a REVERT snapshot that reuses the target's manifest
+    list verbatim. History stays linear and append-only (time travel to
+    the in-between states keeps working until they expire), the revert
+    itself is O(1) metadata, and no data file is touched — expiration
+    reclaims whatever the revert orphaned, later, under its usual
+    every-kept-snapshot-stays-readable invariant.
+
+    Returns the new snapshot id.
+    """
+    import time as _time
+
+    from paimon_python_spark.metadata import Snapshot
+    from paimon_python_spark.tags import resolve_tag
+
+    if (snapshot_id is None) == (tag is None):
+        raise ValueError("rollback_to: pass exactly one of snapshot_id / tag")
+    if tag is not None:
+        snapshot_id = resolve_tag(table, tag)
+    store = MetadataStore(table.table_path)
+    target = store.read_snapshot(snapshot_id)  # raises if expired/absent
+    latest = store.latest_snapshot_id() or 0
+    new_id = latest + 1
+    store.write_snapshot(
+        Snapshot(
+            id=new_id,
+            schema_id=target.schema_id,
+            commit_user="rollback",
+            commit_kind="OVERWRITE",
+            time_millis=int(_time.time() * 1000),
+            manifests=list(target.manifests),
+            total_record_count=target.total_record_count,
+            delta_record_count=target.total_record_count
+            - (store.read_snapshot(latest).total_record_count if latest else 0),
+        )
+    )
+    return new_id

@@ -164,3 +164,57 @@ def test_tagged_snapshot_survives_expiration(catalog):
     stats2 = expire_snapshots(t, keep_last_n=1)
     assert stats2["snapshots_deleted"] == 1
     assert stats2["data_files_deleted"] >= 1
+
+
+def test_rollback_to_snapshot_and_tag(catalog):
+    from paimon_python_spark import create_tag, rollback_to
+
+    catalog.create_table(
+        "default.t_rb", Schema(pa.schema([("k", pa.int64())])), False
+    )
+    t = catalog.get_table("default.t_rb")
+    _write(t, pd.DataFrame({"k": [1]}))
+    create_tag(t, "good", 1)
+    _write(t, pd.DataFrame({"k": [2]}))
+    _write(t, pd.DataFrame({"k": [3]}))
+    assert sorted(t.new_read_builder().new_read().to_pandas()["k"]) == [1, 2, 3]
+
+    new_id = rollback_to(t, tag="good")
+    assert new_id == 4
+    assert sorted(t.new_read_builder().new_read().to_pandas()["k"]) == [1]
+    # time travel to the pre-rollback state still works (linear history)
+    rb = t.new_read_builder().with_snapshot(3)
+    assert sorted(rb.new_read().to_pandas()["k"]) == [1, 2, 3]
+    # writes continue on top of the revert
+    _write(t, pd.DataFrame({"k": [7]}))
+    assert sorted(t.new_read_builder().new_read().to_pandas()["k"]) == [1, 7]
+
+    with pytest.raises(ValueError, match="exactly one"):
+        rollback_to(t)
+    with pytest.raises(ValueError, match="exactly one"):
+        rollback_to(t, snapshot_id=1, tag="good")
+
+
+def test_rename_table(catalog):
+    from paimon_python_spark.catalog import (
+        TableAlreadyExistException,
+        TableNotExistException,
+    )
+
+    catalog.create_table(
+        "default.t_ren", Schema(pa.schema([("k", pa.int64())])), False
+    )
+    t = catalog.get_table("default.t_ren")
+    _write(t, pd.DataFrame({"k": [5]}))
+    catalog.rename_table("default.t_ren", "default.t_ren2")
+    t2 = catalog.get_table("default.t_ren2")
+    assert t2.new_read_builder().new_read().to_pandas()["k"].tolist() == [5]
+    with pytest.raises(TableNotExistException):
+        catalog.get_table("default.t_ren")
+    with pytest.raises(TableNotExistException):
+        catalog.rename_table("default.t_ren", "default.x")
+    catalog.create_table(
+        "default.t_ren3", Schema(pa.schema([("k", pa.int64())])), False
+    )
+    with pytest.raises(TableAlreadyExistException):
+        catalog.rename_table("default.t_ren3", "default.t_ren2")
