@@ -2409,6 +2409,179 @@ SELECT * FROM (
 """
 
 
+def paimon_orc_roundtrip(spark, sf_dir):
+    """file.format=orc: native Spark ORC writer/reader through the
+    commit protocol (reference reads ORC via pyarrow dataset,
+    reader_convert_func.py:93-109; we use the JVM vectorized ORC
+    source). Harvest falls back to pyarrow-dataset row counts for ORC
+    stats (write.py)."""
+    from paimon_python_spark import Catalog, Schema
+
+    wh = _fresh_warehouse("orc")
+    cat = Catalog.create({"warehouse": wh})
+    cat.create_database("default", True)
+    part = _t(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_type", "p_size", "p_retailprice"
+    )
+    cat.create_table(
+        "default.part_orc",
+        Schema(part.schema, options={"file.format": "orc"}),
+        False,
+    )
+    t = cat.get_table("default.part_orc")
+    wb = t.new_batch_write_builder()
+    w, c = wb.new_write(), wb.new_commit()
+    w.write_dataframe(part)
+    c.commit(w.prepare_commit())
+    w.close()
+    c.close()
+
+    pb = t.new_read_builder().new_predicate_builder()
+    rb = t.new_read_builder().with_filter(pb.greater_than("p_size", 25))
+    return (
+        rb.new_read()
+        .to_df(rb.new_scan().plan().splits())
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("p_retailprice"), 2).alias("total_price"),
+            F.max("p_size").alias("max_size"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+PAIMON_ORC_SQL = """
+SELECT p_brand, count(*) AS n, round(sum(p_retailprice), 2) AS total_price,
+       max(p_size) AS max_size
+FROM part WHERE p_size > 25
+GROUP BY p_brand ORDER BY p_brand
+"""
+
+
+def paimon_compact_roundtrip(spark, sf_dir):
+    """Full compaction: three overlapping PK commits leave 3 sorted
+    runs per bucket; compact_table k-way-merges each (partition,
+    bucket) group into one file and publishes a COMPACT snapshot
+    (DELETE+ADD manifest swap). The read after compaction must equal
+    the merge-on-read result before it — latest sequence wins."""
+    from paimon_python_spark import Catalog, Schema
+    from paimon_python_spark.compaction import compact_table
+
+    wh = _fresh_warehouse("cmp")
+    cat = Catalog.create({"warehouse": wh})
+    cat.create_database("default", True)
+    supp = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey", "s_acctbal"
+    )
+    cat.create_table(
+        "default.supp_cmp",
+        Schema(supp.schema, primary_keys=["s_suppkey"], options={"bucket": "2"}),
+        False,
+    )
+    t = cat.get_table("default.supp_cmp")
+    for commit_round in range(3):
+        wb = t.new_batch_write_builder()
+        w, c = wb.new_write(), wb.new_commit()
+        batch = supp.filter(F.col("s_suppkey") % 3 <= commit_round).withColumn(
+            "s_acctbal", F.round(F.col("s_acctbal") + commit_round * 10, 2)
+        )
+        w.write_dataframe(batch)
+        c.commit(w.prepare_commit())
+        w.close()
+        c.close()
+
+    new_id = compact_table(t, small_file_threshold=2)
+    assert new_id is not None, "compaction should have rewritten 3 runs/bucket"
+    return t.new_read_builder().new_read().to_df().orderBy("s_suppkey")
+
+
+# each key's last write is commit r where r = 2 (everyone matches round 2
+# since s_suppkey % 3 <= 2 always) -> s_acctbal + 20
+PAIMON_COMPACT_SQL = """
+SELECT s_suppkey, s_nationkey, round(s_acctbal + 20, 2) AS s_acctbal
+FROM supplier ORDER BY s_suppkey
+"""
+
+
+def paimon_schema_evolution_roundtrip(spark, sf_dir):
+    """Schema evolution add-column: commit 1 under schema-0 (two
+    columns), ALTER adds a nullable string column (schema-1), commit 2
+    writes three columns. Files written under schema-0 are NULL-filled
+    at read (reference: index_mapping, data_file_record_reader.py:86-98;
+    here the scan just selects the latest schema with missing columns
+    as NULL)."""
+    import pyarrow as pa
+
+    from paimon_python_spark import Catalog, Schema
+
+    wh = _fresh_warehouse("evo")
+    cat = Catalog.create({"warehouse": wh})
+    cat.create_database("default", True)
+    cust = _t(spark, sf_dir, "customer")
+    old = cust.filter(F.col("c_custkey") % 2 == 0).select("c_custkey", "c_acctbal")
+    cat.create_table("default.cust_evo", Schema(old.schema), False)
+    t = cat.get_table("default.cust_evo")
+    wb = t.new_batch_write_builder()
+    w, c = wb.new_write(), wb.new_commit()
+    w.write_dataframe(old)
+    c.commit(w.prepare_commit())
+    w.close()
+    c.close()
+
+    cat.alter_table_add_column("default.cust_evo", "c_mktsegment", pa.string())
+    t = cat.get_table("default.cust_evo")
+    new = cust.filter(F.col("c_custkey") % 2 == 1).select(
+        "c_custkey", "c_acctbal", "c_mktsegment"
+    )
+    wb = t.new_batch_write_builder()
+    w, c = wb.new_write(), wb.new_commit()
+    w.write_dataframe(new)
+    c.commit(w.prepare_commit())
+    w.close()
+    c.close()
+
+    return t.new_read_builder().new_read().to_df().orderBy("c_custkey")
+
+
+PAIMON_EVOLUTION_SQL = """
+SELECT c_custkey, c_acctbal,
+       CASE WHEN c_custkey % 2 = 1 THEN c_mktsegment ELSE NULL END AS c_mktsegment
+FROM customer ORDER BY c_custkey
+"""
+
+
+def paimon_rollback_roundtrip(spark, sf_dir):
+    """rollback_to: two commits, roll the table back to snapshot 1 —
+    the second commit's rows disappear from the default read and a new
+    rollback snapshot caps the history (maintenance.py; reference
+    exposes snapshot history via table_commit.py:28-32)."""
+    from paimon_python_spark import Catalog, Schema, rollback_to
+
+    wh = _fresh_warehouse("rb")
+    cat = Catalog.create({"warehouse": wh})
+    cat.create_database("default", True)
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_acctbal")
+    cat.create_table("default.supp_rb", Schema(supp.schema), False)
+    t = cat.get_table("default.supp_rb")
+    for pred in (F.col("s_suppkey") % 2 == 0, F.col("s_suppkey") % 2 == 1):
+        wb = t.new_batch_write_builder()
+        w, c = wb.new_write(), wb.new_commit()
+        w.write_dataframe(supp.filter(pred))
+        c.commit(w.prepare_commit())
+        w.close()
+        c.close()
+
+    rollback_to(t, snapshot_id=1)
+    return t.new_read_builder().new_read().to_df().orderBy("s_suppkey")
+
+
+PAIMON_ROLLBACK_SQL = """
+SELECT s_suppkey, s_name, s_acctbal
+FROM supplier WHERE s_suppkey % 2 = 0 ORDER BY s_suppkey
+"""
+
+
 def paimon_delete_rows_roundtrip(spark, sf_dir):
     """Row-level DELETE: load parts into a PK table, delete_where
     (p_size < 10) writes -D tombstones (no file rewrite), merge-on-read
@@ -3252,6 +3425,10 @@ _QUERIES: dict[str, Callable] = {
     "paimon_sequence_group_roundtrip": paimon_sequence_group_roundtrip,
     "paimon_stream_sink_roundtrip": paimon_stream_sink_roundtrip,
     "paimon_merge_into_roundtrip": paimon_merge_into_roundtrip,
+    "paimon_orc_roundtrip": paimon_orc_roundtrip,
+    "paimon_compact_roundtrip": paimon_compact_roundtrip,
+    "paimon_schema_evolution_roundtrip": paimon_schema_evolution_roundtrip,
+    "paimon_rollback_roundtrip": paimon_rollback_roundtrip,
 }
 
 _ORACLES: dict[str, str] = {
@@ -3333,6 +3510,10 @@ _ORACLES: dict[str, str] = {
     "paimon_sequence_group_roundtrip": PAIMON_SEQUENCE_GROUP_SQL,
     "paimon_stream_sink_roundtrip": PAIMON_STREAM_SINK_SQL,
     "paimon_merge_into_roundtrip": PAIMON_MERGE_INTO_SQL,
+    "paimon_orc_roundtrip": PAIMON_ORC_SQL,
+    "paimon_compact_roundtrip": PAIMON_COMPACT_SQL,
+    "paimon_schema_evolution_roundtrip": PAIMON_EVOLUTION_SQL,
+    "paimon_rollback_roundtrip": PAIMON_ROLLBACK_SQL,
 }
 
 
