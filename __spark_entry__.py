@@ -2582,6 +2582,60 @@ FROM supplier WHERE s_suppkey % 2 = 0 ORDER BY s_suppkey
 """
 
 
+def paimon_dv_roundtrip(spark, sf_dir):
+    """Deletion-vectors mode: upserts and deletes are resolved at
+    COMMIT time into a per-file position index, so the read plan is a
+    narrow scan + broadcast anti-join — no key-window shuffle at all
+    (deletion_vectors.py; the plan audit asserts shuffle-freedom). Same
+    visible state as deduplicate merge-on-read."""
+    from paimon_python_spark import Catalog, Schema
+
+    wh = _fresh_warehouse("dv")
+    cat = Catalog.create({"warehouse": wh})
+    cat.create_database("default", True)
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    cat.create_table(
+        "default.orders_dv",
+        Schema(
+            orders.schema,
+            primary_keys=["o_orderkey"],
+            options={"bucket": "4", "deletion-vectors.enabled": "true"},
+        ),
+        False,
+    )
+    t = cat.get_table("default.orders_dv")
+
+    def commit(df, kind_col=None):
+        wb = t.new_batch_write_builder()
+        w, c = wb.new_write(), wb.new_commit()
+        w.write_dataframe(df, row_kind_col=kind_col)
+        c.commit(w.prepare_commit())
+        w.close()
+        c.close()
+
+    commit(orders)
+    commit(
+        orders.filter(F.col("o_orderkey") % 3 == 0).withColumn(
+            "o_totalprice", F.round(F.col("o_totalprice") * 2, 2)
+        )
+    )
+    commit(
+        orders.filter(F.col("o_orderkey") % 7 == 0).withColumn("__rk", F.lit(3)),
+        kind_col="__rk",
+    )
+    return t.new_read_builder().new_read().to_df().orderBy("o_orderkey")
+
+
+PAIMON_DV_SQL = """
+SELECT o_orderkey, o_custkey, o_orderstatus,
+       CASE WHEN o_orderkey % 3 = 0 THEN round(o_totalprice * 2, 2)
+            ELSE o_totalprice END AS o_totalprice
+FROM orders WHERE o_orderkey % 7 <> 0 ORDER BY o_orderkey
+"""
+
+
 def paimon_delete_rows_roundtrip(spark, sf_dir):
     """Row-level DELETE: load parts into a PK table, delete_where
     (p_size < 10) writes -D tombstones (no file rewrite), merge-on-read
@@ -3426,6 +3480,7 @@ _QUERIES: dict[str, Callable] = {
     "paimon_stream_sink_roundtrip": paimon_stream_sink_roundtrip,
     "paimon_merge_into_roundtrip": paimon_merge_into_roundtrip,
     "paimon_orc_roundtrip": paimon_orc_roundtrip,
+    "paimon_dv_roundtrip": paimon_dv_roundtrip,
     "paimon_compact_roundtrip": paimon_compact_roundtrip,
     "paimon_schema_evolution_roundtrip": paimon_schema_evolution_roundtrip,
     "paimon_rollback_roundtrip": paimon_rollback_roundtrip,
@@ -3511,6 +3566,7 @@ _ORACLES: dict[str, str] = {
     "paimon_stream_sink_roundtrip": PAIMON_STREAM_SINK_SQL,
     "paimon_merge_into_roundtrip": PAIMON_MERGE_INTO_SQL,
     "paimon_orc_roundtrip": PAIMON_ORC_SQL,
+    "paimon_dv_roundtrip": PAIMON_DV_SQL,
     "paimon_compact_roundtrip": PAIMON_COMPACT_SQL,
     "paimon_schema_evolution_roundtrip": PAIMON_EVOLUTION_SQL,
     "paimon_rollback_roundtrip": PAIMON_ROLLBACK_SQL,

@@ -117,6 +117,19 @@ def compact_table(table, small_file_threshold: int = 2) -> Optional[int]:
     manifest = store.write_manifest(entries)
     removed = sum(f.row_count for f in old_files)
     added = sum(f.row_count for f in new_files)
+
+    # deletion vectors: compaction rewrites files to their merged state,
+    # so marks on the rewritten files die with them; marks on untouched
+    # files stay valid and carry over.
+    from paimon_python_spark.deletion_vectors import prune_dv, read_dv, write_dv
+
+    dv_index = None
+    gone = {f.path for f in old_files}
+    kept_live = [f for f in live if f.path not in gone] + new_files
+    dv = prune_dv(read_dv(table.table_path, prev), kept_live)
+    if dv:
+        dv_index = write_dv(table.table_path, prev.id + 1, dv)
+
     snapshot = Snapshot(
         id=prev.id + 1,
         schema_id=0,
@@ -125,6 +138,7 @@ def compact_table(table, small_file_threshold: int = 2) -> Optional[int]:
         total_record_count=prev.total_record_count - removed + added,
         delta_record_count=added,
         time_millis=int(time.time() * 1000),
+        dv_index=dv_index,
     )
     store.write_snapshot(snapshot)
     return snapshot.id

@@ -121,6 +121,7 @@ def rollback_to(table, snapshot_id: int = None, tag: str = None) -> int:
             commit_kind="OVERWRITE",
             time_millis=int(_time.time() * 1000),
             manifests=list(target.manifests),
+            dv_index=target.dv_index,  # DV state travels with the manifests
             total_record_count=target.total_record_count,
             delta_record_count=target.total_record_count
             - (store.read_snapshot(latest).total_record_count if latest else 0),

@@ -83,9 +83,12 @@ class Snapshot:
     delta_record_count: int
     commit_user: str = "paimon_python_spark"
     time_millis: int = 0
+    # deletion-vector index file under index/ (None = no DVs at this
+    # snapshot); see deletion_vectors.py
+    dv_index: Optional[str] = None
 
     def to_dict(self) -> dict:
-        return {
+        d = {
             "version": 1,
             "id": self.id,
             "schema_id": self.schema_id,
@@ -96,6 +99,9 @@ class Snapshot:
             "commit_user": self.commit_user,
             "time_millis": self.time_millis,
         }
+        if self.dv_index:
+            d["dv_index"] = self.dv_index
+        return d
 
     @classmethod
     def from_dict(cls, d: dict) -> "Snapshot":
@@ -108,6 +114,7 @@ class Snapshot:
             delta_record_count=d["delta_record_count"],
             commit_user=d.get("commit_user", ""),
             time_millis=d.get("time_millis", 0),
+            dv_index=d.get("dv_index"),
         )
 
 

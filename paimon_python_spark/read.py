@@ -269,8 +269,37 @@ class TableRead:
             df = spark.read.schema(physical).format(fmt).load(paths)
 
         if is_pk:
-            df = merge_on_read(df, schema)
+            from paimon_python_spark.deletion_vectors import dv_enabled
+
+            if dv_enabled(schema):
+                df = self._dv_read(df)
+            else:
+                df = merge_on_read(df, schema)
         return self._finish(df)
+
+    def _dv_read(self, df: DataFrame) -> DataFrame:
+        """Deletion-vector read: merge-on-read WITHOUT the key-window
+        shuffle. Superseded row versions were marked at commit time
+        (deletion_vectors.py), so the merged state is scan → broadcast
+        anti-join on (file, position) → drop ``-D`` rows — a narrow,
+        whole-stage-codegen plan that scales linearly with the data and
+        never exchanges it."""
+        from paimon_python_spark.deletion_vectors import apply_dv, read_dv
+        from paimon_python_spark.metadata import MetadataStore
+
+        schema = self.schema
+        store = MetadataStore(self.table.table_path)
+        sid = self.read_builder._snapshot_id
+        snap = store.read_snapshot(sid) if sid is not None else store.latest_snapshot()
+        dv = read_dv(self.table.table_path, snap)
+        df = df.select(
+            "*",
+            F.col("_metadata.file_path").alias("__fp"),
+            F.col("_metadata.row_index").alias("__pos"),
+        )
+        df = apply_dv(df, self.table.table_path, dv)
+        out_cols = [f.name for f in schema.spark_schema.fields]
+        return df.filter(F.col(KIND_COL).isin(*ADD_KINDS)).select(*out_cols)
 
     def _finish(self, df: DataFrame) -> DataFrame:
         pred = self.read_builder._predicate

@@ -52,6 +52,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from paimon_python_spark.bloom import build_hex
+from paimon_python_spark.deletion_vectors import check_dv_options, dv_enabled, read_dv
 from paimon_python_spark.metadata import (
     DataFileMeta,
     ManifestEntry,
@@ -91,6 +92,7 @@ class CommitMessage:
 class BatchWriteBuilder:
     def __init__(self, table):
         self.table = table
+        check_dv_options(table.schema)
         self._overwrite = False
         self._static_partition: Optional[dict] = None
 
@@ -493,12 +495,15 @@ class BatchTableCommit:
         commit_kind = "APPEND"
         manifests: List[str]
         deleted_rows = 0
+        kept_files: Optional[List[DataFileMeta]] = None
 
         if self._overwrite:
             commit_kind = "OVERWRITE"
             live = self.store.live_files(prev)
             to_delete = self._overwritten_files(live, new_files)
             deleted_rows = sum(f.row_count for f in to_delete)
+            gone = {f.path for f in to_delete}
+            kept_files = [f for f in live if f.path not in gone]
             if to_delete or entries:
                 entries = [ManifestEntry("DELETE", f) for f in to_delete] + entries
             if self._whole_table_overwrite():
@@ -515,6 +520,22 @@ class BatchTableCommit:
             manifest = self.store.write_manifest(entries)
             manifests = (prev.manifests if prev else []) + [manifest]
 
+        dv_index = None
+        if dv_enabled(self.table.schema) and new_files:
+            from paimon_python_spark.deletion_vectors import build_commit_dv, write_dv
+
+            if kept_files is None:
+                kept_files = self.store.live_files(prev) if prev else []
+            dv = build_commit_dv(
+                self.table,
+                new_files,
+                kept_files,
+                read_dv(self.table.table_path, prev),
+            )
+            if dv:
+                sid = (prev.id + 1) if prev else 1
+                dv_index = write_dv(self.table.table_path, sid, dv)
+
         added_rows = sum(f.row_count for f in new_files)
         snapshot = Snapshot(
             id=(prev.id + 1) if prev else 1,
@@ -524,6 +545,7 @@ class BatchTableCommit:
             total_record_count=prev_total - deleted_rows + added_rows,
             delta_record_count=added_rows,
             time_millis=int(time.time() * 1000),
+            dv_index=dv_index,
         )
         self.store.write_snapshot(snapshot)
 
