@@ -2636,6 +2636,55 @@ FROM orders WHERE o_orderkey % 7 <> 0 ORDER BY o_orderkey
 """
 
 
+def paimon_sort_compact_roundtrip(spark, sf_dir):
+    """Sort compaction (Paimon's 'compact order_by' procedure): three
+    interleaved commits leave every file's l_quantity min/max spanning
+    the whole domain; sort_compact_table rewrites the table
+    range-clustered so per-file stats become disjoint and the planner's
+    file skipping fires again. The read after compaction must surface
+    identical data (here: a range aggregate)."""
+    from paimon_python_spark import Catalog, Schema, sort_compact_table
+
+    wh = _fresh_warehouse("sc")
+    cat = Catalog.create({"warehouse": wh})
+    cat.create_database("default", True)
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag"
+    )
+    cat.create_table("default.li_sc", Schema(li.schema), False)
+    t = cat.get_table("default.li_sc")
+    for c in range(3):
+        wb = t.new_batch_write_builder()
+        w, cm = wb.new_write(), wb.new_commit()
+        w.write_dataframe(li.filter(F.col("l_orderkey") % 3 == c))
+        cm.commit(w.prepare_commit())
+        w.close()
+        cm.close()
+
+    sid = sort_compact_table(t, ["l_quantity"])
+    assert sid is not None
+
+    pb = t.new_read_builder().new_predicate_builder()
+    rb = t.new_read_builder().with_filter(pb.between("l_quantity", 5, 15))
+    return (
+        rb.new_read()
+        .to_df(rb.new_scan().plan().splits())
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+PAIMON_SORT_COMPACT_SQL = """
+SELECT l_returnflag, count(*) AS n, round(sum(l_extendedprice), 2) AS total_price
+FROM lineitem WHERE l_quantity BETWEEN 5 AND 15
+GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
 def paimon_delete_rows_roundtrip(spark, sf_dir):
     """Row-level DELETE: load parts into a PK table, delete_where
     (p_size < 10) writes -D tombstones (no file rewrite), merge-on-read
@@ -3482,6 +3531,7 @@ _QUERIES: dict[str, Callable] = {
     "paimon_orc_roundtrip": paimon_orc_roundtrip,
     "paimon_dv_roundtrip": paimon_dv_roundtrip,
     "paimon_compact_roundtrip": paimon_compact_roundtrip,
+    "paimon_sort_compact_roundtrip": paimon_sort_compact_roundtrip,
     "paimon_schema_evolution_roundtrip": paimon_schema_evolution_roundtrip,
     "paimon_rollback_roundtrip": paimon_rollback_roundtrip,
 }
@@ -3568,6 +3618,7 @@ _ORACLES: dict[str, str] = {
     "paimon_orc_roundtrip": PAIMON_ORC_SQL,
     "paimon_dv_roundtrip": PAIMON_DV_SQL,
     "paimon_compact_roundtrip": PAIMON_COMPACT_SQL,
+    "paimon_sort_compact_roundtrip": PAIMON_SORT_COMPACT_SQL,
     "paimon_schema_evolution_roundtrip": PAIMON_EVOLUTION_SQL,
     "paimon_rollback_roundtrip": PAIMON_ROLLBACK_SQL,
 }

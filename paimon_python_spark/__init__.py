@@ -27,7 +27,7 @@ from paimon_python_spark.predicate import Predicate, PredicateBuilder
 from paimon_python_spark.table import Table
 from paimon_python_spark.session import get_spark, set_spark
 from paimon_python_spark.maintenance import expire_snapshots, rollback_to
-from paimon_python_spark.compaction import compact_table
+from paimon_python_spark.compaction import compact_table, sort_compact_table
 from paimon_python_spark.tags import create_tag, delete_tag, list_tags
 
 __all__ = [
@@ -41,6 +41,7 @@ __all__ = [
     "expire_snapshots",
     "rollback_to",
     "compact_table",
+    "sort_compact_table",
     "create_tag",
     "delete_tag",
     "list_tags",

@@ -142,3 +142,96 @@ def compact_table(table, small_file_threshold: int = 2) -> Optional[int]:
     )
     store.write_snapshot(snapshot)
     return snapshot.id
+
+
+def sort_compact_table(
+    table, sort_columns: List[str], zorder: bool = False
+) -> Optional[int]:
+    """Ordered full rewrite of an append table (Paimon's *sort compact*
+    procedure, ``compact order_by``): read every live file, cluster the
+    rows on ``sort_columns`` — range-partition + sort for linear order,
+    bit-interleaved quantile buckets for ``zorder=True`` — and swap all
+    old files for the new clustered set in one COMPACT snapshot.
+
+    Why this matters at scale: after months of unordered ingestion every
+    file's min/max spans the whole domain and stats pruning is dead. One
+    sort compaction restores disjoint per-file ranges on the listed
+    columns, so the scan planner goes back to opening O(matching) files
+    instead of O(all). The rewrite is one shuffle over the table — paid
+    once, amortized over every subsequent query.
+
+    PK tables are rejected: their layout is owned by the bucket function
+    (cluster within buckets at write time via ``write.sort-columns``).
+    Returns the new snapshot id, or None if the table is empty.
+    """
+    import os
+    import time
+
+    from paimon_python_spark.write import zorder_cluster
+
+    schema = table.schema
+    if schema.is_primary_key_table():
+        raise ValueError(
+            "sort_compact_table: primary-key tables keep their bucket layout; "
+            "use write.sort-columns to cluster inside buckets instead"
+        )
+    missing = [c for c in sort_columns if c not in schema.field_names]
+    if missing or not sort_columns:
+        raise ValueError(f"sort_compact_table: unknown sort columns {missing}")
+    if schema.file_format() == "avro":
+        raise ValueError("sort_compact_table: supported for parquet/orc tables")
+
+    store = MetadataStore(table.table_path)
+    prev = store.latest_snapshot()
+    if prev is None:
+        return None
+    live = store.live_files(prev)
+    if not live:
+        return None
+
+    spark = get_spark()
+    harvester = DataFileHarvester(table)
+    physical = T.StructType(list(schema.spark_schema.fields))
+    paths = [os.path.join(table.table_path, f.path) for f in live]
+    df = spark.read.schema(physical).format(schema.file_format()).load(paths)
+
+    if zorder:
+        df = zorder_cluster(df, sort_columns)
+    else:
+        n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        df = df.repartitionByRange(n, *sort_columns).sortWithinPartitions(
+            *sort_columns
+        )
+
+    layout_cols = []
+    for pk in schema.partition_keys:
+        shadow = PART_PREFIX + pk
+        df = df.withColumn(shadow, F.col(pk).cast("string"))
+        layout_cols.append(shadow)
+    writer = df.write.mode("append")
+    if layout_cols:
+        writer = writer.partitionBy(*layout_cols)
+    compression = schema.options.get("file.compression", "")
+    if compression:
+        writer = writer.option("compression", compression)
+    writer.format(schema.file_format()).save(store.data_dir)
+    new_files = harvester.harvest_new_files()
+
+    entries = [ManifestEntry("DELETE", f) for f in live] + [
+        ManifestEntry("ADD", f) for f in new_files
+    ]
+    manifest = store.write_manifest(entries)
+    added = sum(f.row_count for f in new_files)
+    snapshot = Snapshot(
+        id=prev.id + 1,
+        schema_id=0,
+        commit_kind="COMPACT",
+        manifests=prev.manifests + [manifest],
+        total_record_count=prev.total_record_count
+        - sum(f.row_count for f in live)
+        + added,
+        delta_record_count=added,
+        time_millis=int(time.time() * 1000),
+    )
+    store.write_snapshot(snapshot)
+    return snapshot.id

@@ -83,8 +83,16 @@ class TableScan:
             # eliminate a partition.
             part_pred = predicate.keep_only_fields(part_keys) if part_keys else None
             # file-stats pruning: append → full predicate; PK → key-field
-            # predicate only (filter-placement rule).
-            if schema.is_primary_key_table():
+            # predicate only (filter-placement rule: a value predicate
+            # may hold for a stale version and fail for the live one, so
+            # value stats of one run say nothing about the merged row).
+            # EXCEPT in deletion-vector mode: the merge was resolved at
+            # commit time, every visible row comes verbatim from one
+            # file, so the full predicate can skip files again — value
+            # predicates prune PK tables exactly like append tables.
+            from paimon_python_spark.deletion_vectors import dv_enabled
+
+            if schema.is_primary_key_table() and not dv_enabled(schema):
                 stats_pred = predicate.keep_only_fields(
                     set(schema.trimmed_primary_keys) | part_keys
                 )

@@ -74,6 +74,42 @@ ROWKIND_UPDATE_AFTER = 2  # +U
 ROWKIND_DELETE = 3  # -D
 ADD_KINDS = (ROWKIND_INSERT, ROWKIND_UPDATE_AFTER)
 
+
+def zorder_cluster(df: DataFrame, cols: List[str], bits: int = 6) -> DataFrame:
+    """Multi-dimension clustering (write.zorder-columns, sort compaction):
+    bucket each column into 2^bits quantile buckets (boundaries from a
+    one-pass approxQuantile on the driver — layout-only, so approximation
+    is fine), interleave the bucket bits into a z-value, and
+    range-partition + sort on it. Files then have TIGHT min/max on EVERY
+    listed column, so stats pruning fires for predicates on any of them —
+    the property plain sort-columns only gives the leading column. The
+    whole thing is one extra shuffle at write time."""
+    n_buckets = 2**bits
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    bucket_cols = []
+    for ci, c in enumerate(cols):
+        bounds = df.stat.approxQuantile(c, probs, 0.01)
+        # bucket index = how many boundaries are <= value (0..2^bits-1)
+        arr = "array(" + ", ".join(repr(b) for b in bounds) + ")"
+        df = df.withColumn(
+            f"__zb_{ci}",
+            F.expr(f"size(filter({arr}, b -> b <= CAST(`{c}` AS DOUBLE)))"),
+        )
+        bucket_cols.append(f"__zb_{ci}")
+    # interleave: dim ci's bit b lands at position b*len(cols)+ci
+    parts = [
+        f"(((`{bc}` >> {b}) & 1) << {b * len(cols) + ci})"
+        for ci, bc in enumerate(bucket_cols)
+        for b in range(bits)
+    ]
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return (
+        df.withColumn("__zkey", F.expr(" + ".join(parts)))
+        .repartitionByRange(n, F.col("__zkey"))
+        .sortWithinPartitions("__zkey")
+        .drop("__zkey", *bucket_cols)
+    )
+
 _SEQ_COMMIT_SHIFT = 45
 _SEQ_CALL_SHIFT = 40
 
@@ -368,39 +404,7 @@ class BatchTableWrite:
         self._call_idx += 1
 
     def _zorder_cluster(self, df: DataFrame, cols: List[str], bits: int = 6) -> DataFrame:
-        """Multi-dimension clustering (write.zorder-columns): bucket each
-        column into 2^bits quantile buckets (boundaries from a one-pass
-        approxQuantile on the driver — layout-only, so approximation is
-        fine), interleave the bucket bits into a z-value, and
-        range-partition + sort on it. Files then have TIGHT min/max on
-        EVERY listed column, so stats pruning fires for predicates on any
-        of them — the property plain sort-columns only gives the leading
-        column. The whole thing is one extra shuffle at write time."""
-        n_buckets = 2**bits
-        probs = [i / n_buckets for i in range(1, n_buckets)]
-        bucket_cols = []
-        for ci, c in enumerate(cols):
-            bounds = df.stat.approxQuantile(c, probs, 0.01)
-            # bucket index = how many boundaries are <= value (0..2^bits-1)
-            arr = "array(" + ", ".join(repr(b) for b in bounds) + ")"
-            df = df.withColumn(
-                f"__zb_{ci}",
-                F.expr(f"size(filter({arr}, b -> b <= CAST(`{c}` AS DOUBLE)))"),
-            )
-            bucket_cols.append(f"__zb_{ci}")
-        # interleave: dim ci's bit b lands at position b*len(cols)+ci
-        parts = [
-            f"(((`{bc}` >> {b}) & 1) << {b * len(cols) + ci})"
-            for ci, bc in enumerate(bucket_cols)
-            for b in range(bits)
-        ]
-        n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-        return (
-            df.withColumn("__zkey", F.expr(" + ".join(parts)))
-            .repartitionByRange(n, F.col("__zkey"))
-            .sortWithinPartitions("__zkey")
-            .drop("__zkey", *bucket_cols)
-        )
+        return zorder_cluster(df, cols, bits)
 
     def _write_avro_distributed(
         self, df: DataFrame, layout_cols: List[str], codec: str = "null"

@@ -161,3 +161,38 @@ def test_dv_invalid_option_combinations(catalog, schema_kwargs, options):
     t = catalog.get_table("default.bad")
     with pytest.raises(ValueError):
         t.new_batch_write_builder()
+
+
+def test_dv_value_predicate_skips_files(catalog):
+    """In DV mode the merge is resolved at commit, so value-column stats
+    can prune files (scan.py); without DVs the planner must keep all
+    runs of a bucket."""
+    df1 = pd.DataFrame({"k": [1, 2, 3], "v": [10, 11, 12]})
+    df2 = pd.DataFrame({"k": [4, 5, 6], "v": [100, 101, 102]})
+    for name, opts in (
+        ("default.dvp", {"bucket": "1", "deletion-vectors.enabled": "true"}),
+        ("default.plain", {"bucket": "1"}),
+    ):
+        catalog.create_table(
+            name,
+            Schema(pa.Schema.from_pandas(df1), primary_keys=["k"], options=opts),
+            False,
+        )
+        t = catalog.get_table(name)
+        _commit(t, df1)
+        _commit(t, df2)
+
+    def planned(t, lo, hi):
+        pb = t.new_read_builder().new_predicate_builder()
+        rb = t.new_read_builder().with_filter(pb.between("v", lo, hi))
+        return sum(len(s.file_paths()) for s in rb.new_scan().plan().splits())
+
+    dv_t = catalog.get_table("default.dvp")
+    plain_t = catalog.get_table("default.plain")
+    assert planned(dv_t, 50, 200) == 1  # first run's stats exclude it
+    assert planned(plain_t, 50, 200) == 2  # value stats can't prune runs
+
+    pb = dv_t.new_read_builder().new_predicate_builder()
+    rb = dv_t.new_read_builder().with_filter(pb.between("v", 50, 200))
+    out = rb.new_read().to_df(rb.new_scan().plan().splits()).toPandas()
+    assert sorted(out.v) == [100, 101, 102]

@@ -218,3 +218,83 @@ def test_rename_table(catalog):
     )
     with pytest.raises(TableAlreadyExistException):
         catalog.rename_table("default.t_ren3", "default.t_ren2")
+
+
+# ---- sort compaction ----
+
+
+def _unsorted_commits(catalog, name="default.sc", n_commits=3):
+    import pandas as pd
+    import pyarrow as pa
+
+    from paimon_python_spark import Schema
+
+    rng = list(range(300))
+    df0 = pd.DataFrame({"k": rng, "v": [i % 7 for i in rng]})
+    catalog.create_table(name, Schema(pa.Schema.from_pandas(df0)), False)
+    t = catalog.get_table(name)
+    for c in range(n_commits):
+        # interleaved values: every file's min/max spans the whole domain
+        chunk = df0[df0.k % n_commits == c]
+        wb = t.new_batch_write_builder()
+        w, cm = wb.new_write(), wb.new_commit()
+        w.write_pandas(chunk)
+        cm.commit(w.prepare_commit())
+        w.close()
+        cm.close()
+    return t, df0
+
+
+def _planned_files(t, pred):
+    rb = t.new_read_builder().with_filter(pred)
+    return sum(len(s.file_paths()) for s in rb.new_scan().plan().splits())
+
+
+def test_sort_compact_restores_stats_pruning(catalog):
+    from paimon_python_spark import sort_compact_table
+
+    t, df0 = _unsorted_commits(catalog)
+    pb = t.new_read_builder().new_predicate_builder()
+    pred = pb.between("k", 10, 20)
+    before = _planned_files(t, pred)
+    assert before == 3  # every unsorted file overlaps the range
+
+    sid = sort_compact_table(t, ["k"])
+    assert sid is not None
+    after = _planned_files(t, pred)
+    assert after < before  # disjoint ranges: most files now skipped
+
+    out = t.new_read_builder().new_read().to_pandas().sort_values("k")
+    assert list(out.k) == list(df0.k)
+    assert list(out.v) == list(df0.v)
+
+
+def test_sort_compact_zorder_keeps_data(catalog):
+    from paimon_python_spark import sort_compact_table
+
+    t, df0 = _unsorted_commits(catalog, name="default.scz")
+    sid = sort_compact_table(t, ["k", "v"], zorder=True)
+    assert sid is not None
+    out = t.new_read_builder().new_read().to_pandas().sort_values("k")
+    assert list(out.k) == list(df0.k)
+
+
+def test_sort_compact_rejects_pk_and_unknown_columns(catalog):
+    import pandas as pd
+    import pyarrow as pa
+    import pytest
+
+    from paimon_python_spark import Schema, sort_compact_table
+
+    df = pd.DataFrame({"k": [1], "v": ["a"]})
+    catalog.create_table(
+        "default.pkt",
+        Schema(pa.Schema.from_pandas(df), primary_keys=["k"], options={"bucket": "1"}),
+        False,
+    )
+    with pytest.raises(ValueError):
+        sort_compact_table(catalog.get_table("default.pkt"), ["k"])
+
+    catalog.create_table("default.ap", Schema(pa.Schema.from_pandas(df)), False)
+    with pytest.raises(ValueError):
+        sort_compact_table(catalog.get_table("default.ap"), ["nope"])
