@@ -2685,6 +2685,62 @@ GROUP BY l_returnflag ORDER BY l_returnflag
 """
 
 
+def paimon_branch_roundtrip(spark, sf_dir):
+    """Branching: create a dev branch (O(1) metadata), upsert every 4th
+    supplier's balance on the branch while main stays untouched, then
+    fast_forward the branch to main. Covers branch creation, isolated
+    branch commits (shared data pool, branch-local snapshot chain), and
+    the manifest-swap publish (branches.py)."""
+    from paimon_python_spark import (
+        Catalog,
+        Schema,
+        as_branch,
+        create_branch,
+        fast_forward,
+    )
+
+    wh = _fresh_warehouse("br")
+    cat = Catalog.create({"warehouse": wh})
+    cat.create_database("default", True)
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_acctbal")
+    cat.create_table(
+        "default.supp_br",
+        Schema(supp.schema, primary_keys=["s_suppkey"], options={"bucket": "2"}),
+        False,
+    )
+    t = cat.get_table("default.supp_br")
+    wb = t.new_batch_write_builder()
+    w, c = wb.new_write(), wb.new_commit()
+    w.write_dataframe(supp)
+    c.commit(w.prepare_commit())
+    w.close()
+    c.close()
+
+    create_branch(t, "dev")
+    b = as_branch(t, "dev")
+    wb = b.new_batch_write_builder()
+    w, c = wb.new_write(), wb.new_commit()
+    w.write_dataframe(
+        supp.filter(F.col("s_suppkey") % 4 == 0).withColumn(
+            "s_acctbal", F.round(F.col("s_acctbal") + 500, 2)
+        )
+    )
+    c.commit(w.prepare_commit())
+    w.close()
+    c.close()
+
+    fast_forward(t, "dev")
+    return t.new_read_builder().new_read().to_df().orderBy("s_suppkey")
+
+
+PAIMON_BRANCH_SQL = """
+SELECT s_suppkey, s_name,
+       CASE WHEN s_suppkey % 4 = 0 THEN round(s_acctbal + 500, 2)
+            ELSE s_acctbal END AS s_acctbal
+FROM supplier ORDER BY s_suppkey
+"""
+
+
 def paimon_delete_rows_roundtrip(spark, sf_dir):
     """Row-level DELETE: load parts into a PK table, delete_where
     (p_size < 10) writes -D tombstones (no file rewrite), merge-on-read
@@ -3534,6 +3590,7 @@ _QUERIES: dict[str, Callable] = {
     "paimon_sort_compact_roundtrip": paimon_sort_compact_roundtrip,
     "paimon_schema_evolution_roundtrip": paimon_schema_evolution_roundtrip,
     "paimon_rollback_roundtrip": paimon_rollback_roundtrip,
+    "paimon_branch_roundtrip": paimon_branch_roundtrip,
 }
 
 _ORACLES: dict[str, str] = {
@@ -3621,6 +3678,7 @@ _ORACLES: dict[str, str] = {
     "paimon_sort_compact_roundtrip": PAIMON_SORT_COMPACT_SQL,
     "paimon_schema_evolution_roundtrip": PAIMON_EVOLUTION_SQL,
     "paimon_rollback_roundtrip": PAIMON_ROLLBACK_SQL,
+    "paimon_branch_roundtrip": PAIMON_BRANCH_SQL,
 }
 
 

@@ -28,6 +28,13 @@ from paimon_python_spark.table import Table
 from paimon_python_spark.session import get_spark, set_spark
 from paimon_python_spark.maintenance import expire_snapshots, rollback_to
 from paimon_python_spark.compaction import compact_table, sort_compact_table
+from paimon_python_spark.branches import (
+    as_branch,
+    create_branch,
+    delete_branch,
+    fast_forward,
+    list_branches,
+)
 from paimon_python_spark.tags import create_tag, delete_tag, list_tags
 
 __all__ = [
@@ -42,6 +49,11 @@ __all__ = [
     "rollback_to",
     "compact_table",
     "sort_compact_table",
+    "create_branch",
+    "as_branch",
+    "list_branches",
+    "delete_branch",
+    "fast_forward",
     "create_tag",
     "delete_tag",
     "list_tags",

@@ -72,7 +72,12 @@ def _index_dir(table_path: str) -> str:
 
 
 def dv_file_name(snapshot_id: int) -> str:
-    return f"dv-{snapshot_id}.json"
+    import uuid
+
+    # uuid suffix: branches share the main table's index dir (immutable
+    # files, branch-local snapshot chains), so names must not collide
+    # across chains that reuse snapshot ids.
+    return f"dv-{snapshot_id}-{uuid.uuid4().hex[:8]}.json"
 
 
 def read_dv(table_path: str, snapshot: Optional[Snapshot]) -> dict[str, list[int]]:
