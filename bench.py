@@ -80,6 +80,36 @@ def main():
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(1000).write.mode(
         "overwrite"
     ).format("noop").save()
+    # warm the table write/commit/merge-read codegen paths with a tiny
+    # 100-row PK roundtrip (same JIT'd pipeline the paimon_* queries use)
+    import shutil
+    import tempfile
+
+    from paimon_python_spark import Catalog, Schema
+
+    _wh = tempfile.mkdtemp(prefix="bench_warm_")
+    try:
+        _cat = Catalog.create({"warehouse": _wh})
+        _cat.create_database("default", True)
+        _tiny = spark.range(100).selectExpr("id AS k", "id * 2 AS v")
+        _cat.create_table(
+            "default.warm",
+            Schema(_tiny.schema, primary_keys=["k"], options={"bucket": "2"}),
+            False,
+        )
+        _t = _cat.get_table("default.warm")
+        for _ in range(2):
+            _wb = _t.new_batch_write_builder()
+            _w, _c = _wb.new_write(), _wb.new_commit()
+            _w.write_dataframe(_tiny)
+            _c.commit(_w.prepare_commit())
+            _w.close()
+            _c.close()
+        _t.new_read_builder().new_read().to_df().write.mode("overwrite").format(
+            "noop"
+        ).save()
+    finally:
+        shutil.rmtree(_wh, ignore_errors=True)
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -199,17 +199,19 @@ def simhash_expr(bits: int = 16) -> str:
     """SQL expr: ``bits``-bit SimHash of the word array ``w`` as a
     '0'/'1' string. Bit j votes +1 when the j-th hex digit of md5(word)
     has its top bit set (digit ≥ '8'), else −1; ties → '0'."""
-    # one md5 per word (hw), reused by all ``bits`` votes — identical
-    # result to hashing inside each vote at 1/bits the hashing cost
-    votes = [
-        (
-            "aggregate(hw, 0, (acc, x) -> acc + "
-            f"(CASE WHEN substring(x, {j + 1}, 1) >= '8' THEN 1 ELSE -1 END))"
-        )
-        for j in range(bits)
-    ]
-    chars = ", ".join(f"CASE WHEN ({v}) > 0 THEN '1' ELSE '0' END" for v in votes)
-    return f"concat({chars})"
+    # one md5 per word (hw), and ONE aggregate pass accumulating all
+    # ``bits`` vote counters at once (zip_with against the digit-index
+    # array). Equivalent to per-bit aggregates but ~bits× less array
+    # traversal and a far smaller expression tree — the 16-aggregate
+    # form took ~2s of whole-stage-codegen compilation alone.
+    idx = ", ".join(str(j + 1) for j in range(bits))
+    return (
+        "array_join(transform("
+        f"aggregate(hw, array_repeat(0, {bits}), (acc, x) -> "
+        f"zip_with(acc, array({idx}), (a, j) -> a + "
+        "(CASE WHEN substring(x, j, 1) >= '8' THEN 1 ELSE -1 END))), "
+        "v -> CASE WHEN v > 0 THEN '1' ELSE '0' END), '')"
+    )
 
 
 def simhash_fingerprints(
