@@ -2741,6 +2741,66 @@ FROM supplier ORDER BY s_suppkey
 """
 
 
+def paimon_audit_log_roundtrip(spark, sf_dir):
+    """Audit-log system table: after an insert-all commit, an upsert
+    commit (every 5th supplier, +100 balance) and a row-level DELETE
+    (every 7th), ``table.audit_log()`` surfaces every STORED row with
+    its RowKind — +I for both insert commits, -D tombstones carrying the
+    merged values at delete time. Covers read.py:audit_log_df (the batch
+    view of the reference's RowKind changelog model,
+    pypaimon/pynative/common/row/row_kind.py:22-57)."""
+    from paimon_python_spark import Catalog, Schema
+
+    wh = _fresh_warehouse("al")
+    cat = Catalog.create({"warehouse": wh})
+    cat.create_database("default", True)
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_acctbal")
+    cat.create_table(
+        "default.supp_al",
+        Schema(supp.schema, primary_keys=["s_suppkey"], options={"bucket": "2"}),
+        False,
+    )
+    t = cat.get_table("default.supp_al")
+    wb = t.new_batch_write_builder()
+    w, c = wb.new_write(), wb.new_commit()
+    w.write_dataframe(supp)
+    c.commit(w.prepare_commit())
+    w.close()
+    c.close()
+
+    wb = t.new_batch_write_builder()
+    w, c = wb.new_write(), wb.new_commit()
+    w.write_dataframe(
+        supp.filter(F.col("s_suppkey") % 5 == 0).withColumn(
+            "s_acctbal", F.round(F.col("s_acctbal") + 100, 2)
+        )
+    )
+    c.commit(w.prepare_commit())
+    w.close()
+    c.close()
+
+    pb = t.new_read_builder().new_predicate_builder()
+    # predicate tree has no arithmetic — enumerate the %7 keys for is_in
+    t.delete_where(pb.is_in("s_suppkey", list(range(0, 100000, 7))))
+    return t.audit_log().orderBy("s_suppkey", "rowkind", "s_acctbal")
+
+
+PAIMON_AUDIT_LOG_SQL = """
+SELECT * FROM (
+  SELECT '+I' AS rowkind, s_suppkey, s_acctbal FROM supplier
+  UNION ALL
+  SELECT '+I', s_suppkey, round(s_acctbal + 100, 2) FROM supplier
+  WHERE s_suppkey % 5 = 0
+  UNION ALL
+  SELECT '-D', s_suppkey,
+         CASE WHEN s_suppkey % 5 = 0 THEN round(s_acctbal + 100, 2)
+              ELSE s_acctbal END
+  FROM supplier WHERE s_suppkey % 7 = 0
+)
+ORDER BY s_suppkey, rowkind, s_acctbal
+"""
+
+
 def paimon_delete_rows_roundtrip(spark, sf_dir):
     """Row-level DELETE: load parts into a PK table, delete_where
     (p_size < 10) writes -D tombstones (no file rewrite), merge-on-read
@@ -3577,6 +3637,7 @@ _QUERIES: dict[str, Callable] = {
     "paimon_changelog_diff_roundtrip": paimon_changelog_diff_roundtrip,
     "paimon_agg_merge_roundtrip": paimon_agg_merge_roundtrip,
     "paimon_delete_rows_roundtrip": paimon_delete_rows_roundtrip,
+    "paimon_audit_log_roundtrip": paimon_audit_log_roundtrip,
     "paimon_update_rows_roundtrip": paimon_update_rows_roundtrip,
     "paimon_avro_roundtrip": paimon_avro_roundtrip,
     "paimon_first_row_roundtrip": paimon_first_row_roundtrip,
@@ -3665,6 +3726,7 @@ _ORACLES: dict[str, str] = {
     "paimon_changelog_diff_roundtrip": PAIMON_CHANGELOG_SQL,
     "paimon_agg_merge_roundtrip": PAIMON_AGG_MERGE_SQL,
     "paimon_delete_rows_roundtrip": PAIMON_DELETE_SQL,
+    "paimon_audit_log_roundtrip": PAIMON_AUDIT_LOG_SQL,
     "paimon_update_rows_roundtrip": PAIMON_UPDATE_SQL,
     "paimon_avro_roundtrip": PAIMON_AVRO_SQL,
     "paimon_first_row_roundtrip": PAIMON_FIRST_ROW_SQL,

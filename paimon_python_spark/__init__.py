@@ -30,6 +30,7 @@ from paimon_python_spark.maintenance import expire_snapshots, rollback_to
 from paimon_python_spark.compaction import compact_table, sort_compact_table
 from paimon_python_spark.branches import (
     as_branch,
+    branch_info,
     create_branch,
     delete_branch,
     fast_forward,
@@ -52,6 +53,7 @@ __all__ = [
     "create_branch",
     "as_branch",
     "list_branches",
+    "branch_info",
     "delete_branch",
     "fast_forward",
     "create_tag",

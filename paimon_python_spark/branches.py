@@ -121,6 +121,23 @@ def list_branches(table) -> List[str]:
     )
 
 
+def branch_info(table) -> List[tuple]:
+    """(branch_name, created_from_snapshot) rows for the branches system
+    table. The seed snapshot a branch was created from is the smallest id
+    in its chain (create_branch copies it in verbatim)."""
+    main = _main_path(table)
+    out = []
+    for name in list_branches(table):
+        sdir = MetadataStore(_branch_path(main, name)).snapshot_dir
+        ids = [
+            int(f[len("snapshot-") : -len(".json")])
+            for f in os.listdir(sdir)
+            if f.startswith("snapshot-") and f.endswith(".json")
+        ]
+        out.append((name, min(ids) if ids else None))
+    return out
+
+
 def delete_branch(table, name: str) -> None:
     import shutil
 

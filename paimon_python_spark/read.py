@@ -231,6 +231,61 @@ def merge_on_read(
     )
 
 
+#: RowKind int → Paimon's short string form (row_kind.py:22-57)
+ROWKIND_STRINGS = {0: "+I", 1: "-U", 2: "+U", 3: "-D"}
+
+
+def audit_log_df(table, snapshot_id: Optional[int] = None) -> DataFrame:
+    """Paimon's ``table$audit_log`` system table: every STORED row (no
+    merge, no drop-delete) with a leading ``rowkind`` string column.
+
+    The reference surfaces RowKind through its changelog row model
+    (pypaimon/pynative/common/row/row_kind.py:22-57); audit_log is the
+    batch view of it. Append tables are all ``+I``. The plan is a plain
+    multi-file scan plus one CASE projection — narrow, no shuffle, so it
+    scales like the raw scan at any data size."""
+    spark = get_spark()
+    schema = table.schema
+    rb = table.new_read_builder()
+    if snapshot_id is not None:
+        rb = rb.with_snapshot(snapshot_id)
+    splits = rb.new_scan().plan().splits()
+    paths = [p for s in splits for p in s.file_paths()]
+    out_fields = [T.StructField("rowkind", T.StringType(), False)] + list(
+        schema.spark_schema.fields
+    )
+    if not paths:
+        return spark.createDataFrame([], T.StructType(out_fields))
+
+    is_pk = schema.is_primary_key_table()
+    physical = T.StructType(list(schema.spark_schema.fields))
+    if is_pk:
+        physical = T.StructType(
+            physical.fields
+            + [
+                T.StructField(SEQ_COL, T.LongType(), False),
+                T.StructField(KIND_COL, T.IntegerType(), False),
+            ]
+        )
+    fmt = schema.file_format()
+    if fmt == "avro":
+        df = _read_avro_df(spark, paths, physical)
+    else:
+        df = spark.read.schema(physical).format(fmt).load(paths)
+
+    if is_pk:
+        kind = F.col(KIND_COL)
+        rowkind = F.when(kind == 0, "+I")
+        for k, s in ROWKIND_STRINGS.items():
+            if k:
+                rowkind = rowkind.when(kind == k, s)
+        rowkind = rowkind.otherwise("+I")
+    else:
+        rowkind = F.lit("+I")
+    cols = [rowkind.alias("rowkind")] + [f.name for f in schema.spark_schema.fields]
+    return df.select(*cols)
+
+
 class TableRead:
     def __init__(self, read_builder):
         self.read_builder = read_builder

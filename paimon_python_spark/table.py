@@ -179,6 +179,30 @@ class Table:
         )
         return get_spark().createDataFrame(rows, schema)
 
+    def audit_log(self, snapshot_id: Optional[int] = None):
+        """Audit-log system table: every stored row (pre-merge) with a
+        leading ``rowkind`` string column (``+I``/``-U``/``+U``/``-D``)
+        — Paimon's ``table$audit_log`` over the reference's RowKind
+        changelog model (pypaimon/pynative/common/row/row_kind.py:22-57)."""
+        from paimon_python_spark.read import audit_log_df
+
+        return audit_log_df(self, snapshot_id)
+
+    def branches(self):
+        """Branches system table: (branch_name, created_from_snapshot)."""
+        from pyspark.sql import types as T
+
+        from paimon_python_spark.branches import branch_info
+        from paimon_python_spark.session import get_spark
+
+        schema = T.StructType(
+            [
+                T.StructField("branch_name", T.StringType(), False),
+                T.StructField("created_from_snapshot", T.LongType(), True),
+            ]
+        )
+        return get_spark().createDataFrame(branch_info(self), schema)
+
     def merge_into(self, source, **kwargs) -> None:
         """MERGE source into this PK table (see
         :func:`paimon_python_spark.merge.merge_into`)."""
