@@ -1570,6 +1570,68 @@ FROM documents ORDER BY doc_id
 """
 
 
+def mm_image_features(spark, sf_dir):
+    """Multimodal decode plumbing: Arrow-batched mapInPandas over a
+    binary payload column producing fixed-width image features
+    (functions/multimodal.py:decode_image_stub). The deterministic fake
+    decode (dims/intensity from byte stats) is SQL-expressible, so the
+    whole binary→mapInPandas→features pipeline is oracle-gated; a real
+    PIL decoder swaps into the same contract."""
+    from paimon_python_spark.functions import decode_image_stub
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    return (
+        decode_image_stub(docs, "doc_id", "payload")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    )
+
+
+# ASCII corpus (verified): per-char codepoint == byte value, so DuckDB
+# can recompute the stub's byte stats with ord(); single IEEE division
+# (integer sum / integer count) is bit-exact across engines.
+MM_IMAGE_FEATURES_SQL = """
+SELECT doc_id,
+       length(text) AS n_bytes,
+       64 + (ord(substring(text, 1, 1)) % 64) AS width,
+       64 + (length(text) % 64) AS height,
+       3 AS channels,
+       list_sum(list_transform(range(1, least(length(text), 64) + 1),
+                               i -> ord(substring(text, i, 1))))
+         / least(length(text), 64) AS mean_intensity
+FROM documents ORDER BY doc_id
+"""
+
+
+def mm_frame_sample(spark, sf_dir):
+    """Multimodal 1:N fan-out plumbing: frame sampling from a 'video'
+    binary via mapInPandas (functions/multimodal.py:frame_sample_stub) —
+    one output row per sampled frame, no driver involvement. Frame count
+    derives from byte length (deterministic stub), making the explosion
+    oracle-checkable; frame_sha (not SQL-expressible) is projected out."""
+    from paimon_python_spark.functions import frame_sample_stub
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    return (
+        frame_sample_stub(docs, "doc_id", "payload", every_nth=1)
+        .select(F.col("id").alias("doc_id"), "frame_idx")
+        .orderBy("doc_id", "frame_idx")
+    )
+
+
+MM_FRAME_SAMPLE_SQL = """
+SELECT doc_id, CAST(f AS INT) AS frame_idx
+FROM (SELECT doc_id,
+             unnest(range(0, greatest(1, length(text) // 100))) AS f
+      FROM documents)
+ORDER BY doc_id, frame_idx
+"""
+
+
 def events_sliding_window(spark, sf_dir):
     """Sliding window (10-min length, 5-min slide): each event lands in
     two overlapping buckets — the explode-into-slides recipe Spark's
@@ -2741,6 +2803,54 @@ FROM supplier ORDER BY s_suppkey
 """
 
 
+def paimon_rescale_roundtrip(spark, sf_dir):
+    """Bucket rescaling (compaction.py:rescale_bucket): PK table at
+    bucket=2, an upsert commit, then rescale to 5 buckets — a full-merge
+    rewrite shuffled on the NEW bucket hash, published with a schema
+    version bump. The merged state must be byte-identical before and
+    after (the rescale is pure physical re-layout)."""
+    from paimon_python_spark import Catalog, Schema, rescale_bucket
+
+    wh = _fresh_warehouse("rs")
+    cat = Catalog.create({"warehouse": wh})
+    cat.create_database("default", True)
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_type", "p_retailprice")
+    cat.create_table(
+        "default.part_rs",
+        Schema(part.schema, primary_keys=["p_partkey"], options={"bucket": "2"}),
+        False,
+    )
+    t = cat.get_table("default.part_rs")
+    wb = t.new_batch_write_builder()
+    w, c = wb.new_write(), wb.new_commit()
+    w.write_dataframe(part)
+    c.commit(w.prepare_commit())
+    w.close()
+    c.close()
+
+    wb = t.new_batch_write_builder()
+    w, c = wb.new_write(), wb.new_commit()
+    w.write_dataframe(
+        part.filter(F.col("p_partkey") % 3 == 0).withColumn(
+            "p_retailprice", F.round(F.col("p_retailprice") + 1, 2)
+        )
+    )
+    c.commit(w.prepare_commit())
+    w.close()
+    c.close()
+
+    rescale_bucket(t, 5)
+    return t.new_read_builder().new_read().to_df().orderBy("p_partkey")
+
+
+PAIMON_RESCALE_SQL = """
+SELECT p_partkey, p_type,
+       CASE WHEN p_partkey % 3 = 0 THEN round(p_retailprice + 1, 2)
+            ELSE p_retailprice END AS p_retailprice
+FROM part ORDER BY p_partkey
+"""
+
+
 def paimon_audit_log_roundtrip(spark, sf_dir):
     """Audit-log system table: after an insert-all commit, an upsert
     commit (every 5th supplier, +100 balance) and a row-level DELETE
@@ -3627,6 +3737,8 @@ _QUERIES: dict[str, Callable] = {
     "window_lead_lag": window_lead_lag,
     "scalar_array_funcs": scalar_array_funcs,
     "mm_binary_meta": mm_binary_meta,
+    "mm_image_features": mm_image_features,
+    "mm_frame_sample": mm_frame_sample,
     "paimon_pk_upsert_roundtrip": paimon_pk_upsert_roundtrip,
     "paimon_scan_pushdown_roundtrip": paimon_scan_pushdown_roundtrip,
     "paimon_partition_overwrite_roundtrip": paimon_partition_overwrite_roundtrip,
@@ -3638,6 +3750,7 @@ _QUERIES: dict[str, Callable] = {
     "paimon_agg_merge_roundtrip": paimon_agg_merge_roundtrip,
     "paimon_delete_rows_roundtrip": paimon_delete_rows_roundtrip,
     "paimon_audit_log_roundtrip": paimon_audit_log_roundtrip,
+    "paimon_rescale_roundtrip": paimon_rescale_roundtrip,
     "paimon_update_rows_roundtrip": paimon_update_rows_roundtrip,
     "paimon_avro_roundtrip": paimon_avro_roundtrip,
     "paimon_first_row_roundtrip": paimon_first_row_roundtrip,
@@ -3716,6 +3829,8 @@ _ORACLES: dict[str, str] = {
     "window_lead_lag": WINDOW_LEAD_LAG_SQL,
     "scalar_array_funcs": SCALAR_ARRAY_SQL,
     "mm_binary_meta": MM_BINARY_META_SQL,
+    "mm_image_features": MM_IMAGE_FEATURES_SQL,
+    "mm_frame_sample": MM_FRAME_SAMPLE_SQL,
     "paimon_pk_upsert_roundtrip": PAIMON_PK_UPSERT_SQL,
     "paimon_scan_pushdown_roundtrip": PAIMON_SCAN_SQL,
     "paimon_partition_overwrite_roundtrip": PAIMON_OVERWRITE_SQL,
@@ -3727,6 +3842,7 @@ _ORACLES: dict[str, str] = {
     "paimon_agg_merge_roundtrip": PAIMON_AGG_MERGE_SQL,
     "paimon_delete_rows_roundtrip": PAIMON_DELETE_SQL,
     "paimon_audit_log_roundtrip": PAIMON_AUDIT_LOG_SQL,
+    "paimon_rescale_roundtrip": PAIMON_RESCALE_SQL,
     "paimon_update_rows_roundtrip": PAIMON_UPDATE_SQL,
     "paimon_avro_roundtrip": PAIMON_AVRO_SQL,
     "paimon_first_row_roundtrip": PAIMON_FIRST_ROW_SQL,

@@ -26,8 +26,16 @@ from paimon_python_spark.schema import Schema
 from paimon_python_spark.predicate import Predicate, PredicateBuilder
 from paimon_python_spark.table import Table
 from paimon_python_spark.session import get_spark, set_spark
-from paimon_python_spark.maintenance import expire_snapshots, rollback_to
-from paimon_python_spark.compaction import compact_table, sort_compact_table
+from paimon_python_spark.maintenance import (
+    expire_snapshots,
+    remove_orphan_files,
+    rollback_to,
+)
+from paimon_python_spark.compaction import (
+    compact_table,
+    rescale_bucket,
+    sort_compact_table,
+)
 from paimon_python_spark.branches import (
     as_branch,
     branch_info,
@@ -47,8 +55,10 @@ __all__ = [
     "get_spark",
     "set_spark",
     "expire_snapshots",
+    "remove_orphan_files",
     "rollback_to",
     "compact_table",
+    "rescale_bucket",
     "sort_compact_table",
     "create_branch",
     "as_branch",

@@ -235,3 +235,117 @@ def sort_compact_table(
     )
     store.write_snapshot(snapshot)
     return snapshot.id
+
+
+def rescale_bucket(table, new_buckets: int) -> Optional[int]:
+    """Change a PK table's bucket count (Paimon's *rescale bucket*
+    overwrite procedure): full-merge every live row, re-hash into
+    ``new_buckets`` buckets, swap all files in one COMPACT snapshot, and
+    publish the option change as a new schema version.
+
+    Paimon likewise requires a full INSERT OVERWRITE to rescale — the
+    bucket function pins row→file placement, so a bucket-count change is
+    necessarily a rewrite of the whole table (one shuffle keyed on the
+    new bucket, then bucket-local file writes). At scale you run it per
+    partition; the snapshot swap keeps readers consistent either way.
+    Sequence numbers survive the rewrite so later un-compacted writes
+    still win by sequence; deletes are physically dropped (max level).
+    """
+    import os
+    import time
+
+    schema = table.schema
+    if not schema.is_primary_key_table():
+        raise ValueError("rescale_bucket requires a primary-key table")
+    if new_buckets < 1:
+        raise ValueError(f"invalid bucket count {new_buckets}")
+    if new_buckets == schema.num_buckets():
+        return None
+
+    store = MetadataStore(table.table_path)
+    prev = store.latest_snapshot()
+
+    # publish the option change as schema-(N+1) BEFORE the data rewrite:
+    # a reader that sees the new schema with old files still merges
+    # correctly (bucket count only steers writes and bucket pruning).
+    schema.options["bucket"] = str(new_buckets)
+    sdir = os.path.join(table.table_path, "schema")
+    versions = [
+        int(n[len("schema-") : -len(".json")])
+        for n in os.listdir(sdir)
+        if n.startswith("schema-") and n.endswith(".json")
+    ]
+    new_version = max(versions) + 1
+    with open(os.path.join(sdir, f"schema-{new_version}.json"), "w") as f:
+        f.write(schema.to_json())
+
+    if prev is None:
+        return None
+    live = store.live_files(prev)
+    if not live:
+        return None
+
+    spark = get_spark()
+    harvester = DataFileHarvester(table)
+    physical = T.StructType(
+        list(schema.spark_schema.fields)
+        + [
+            T.StructField(SEQ_COL, T.LongType(), False),
+            T.StructField(KIND_COL, T.IntegerType(), False),
+        ]
+    )
+    paths = [os.path.join(table.table_path, f.path) for f in live]
+    df = spark.read.schema(physical).format(schema.file_format()).load(paths)
+
+    keys = list(dict.fromkeys(schema.partition_keys + schema.primary_keys))
+    w = Window.partitionBy(*keys).orderBy(F.col(SEQ_COL).desc())
+    df = (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .filter(F.col(KIND_COL).isin(*ADD_KINDS))
+        .drop("__rn")
+        .withColumn(KIND_COL, F.lit(ROWKIND_INSERT))
+    )
+
+    layout_cols = []
+    for pk in schema.partition_keys:
+        shadow = PART_PREFIX + pk
+        df = df.withColumn(shadow, F.col(pk).cast("string"))
+        layout_cols.append(shadow)
+    df = df.withColumn(
+        BUCKET_COL,
+        F.pmod(
+            F.hash(*[F.col(k) for k in schema.trimmed_primary_keys]),
+            F.lit(new_buckets),
+        ),
+    )
+    layout_cols.append(BUCKET_COL)
+    df = df.repartition(*[F.col(c) for c in layout_cols]).sortWithinPartitions(*keys)
+
+    writer = df.write.mode("append").partitionBy(*layout_cols)
+    compression = schema.options.get("file.compression", "")
+    if compression:
+        writer = writer.option("compression", compression)
+    writer.format(schema.file_format()).save(store.data_dir)
+    new_files = harvester.harvest_new_files()
+
+    entries = [ManifestEntry("DELETE", f) for f in live] + [
+        ManifestEntry("ADD", f) for f in new_files
+    ]
+    manifest = store.write_manifest(entries)
+    added = sum(f.row_count for f in new_files)
+    snapshot = Snapshot(
+        id=prev.id + 1,
+        schema_id=new_version,
+        commit_kind="COMPACT",
+        manifests=prev.manifests + [manifest],
+        total_record_count=prev.total_record_count
+        - sum(f.row_count for f in live)
+        + added,
+        delta_record_count=added,
+        time_millis=int(time.time() * 1000),
+        # every file was rewritten to merged state: all DV marks die
+        dv_index=None,
+    )
+    store.write_snapshot(snapshot)
+    return snapshot.id

@@ -128,3 +128,39 @@ def rollback_to(table, snapshot_id: int = None, tag: str = None) -> int:
         )
     )
     return new_id
+
+
+def remove_orphan_files(table, older_than_seconds: float = 3600.0) -> dict:
+    """Delete data files in ``data/`` that NO manifest references —
+    debris from failed/abandoned write jobs whose prepare_commit never
+    committed (Paimon's ``remove_orphan_files`` procedure).
+
+    A grace period (default 1h) protects files an in-flight writer has
+    just produced but not yet committed: only orphans whose mtime is
+    older than ``older_than_seconds`` are removed. Driver-side walk —
+    O(files in data/) stat calls, no Spark job; at object-store scale
+    the walk becomes a LIST + the same mtime filter.
+
+    Returns ``{"orphans_deleted": n, "bytes_reclaimed": n}``.
+    """
+    import time as _time
+
+    store = MetadataStore(table.table_path)
+    known = store.known_data_paths()
+    now = _time.time()
+    n, reclaimed = 0, 0
+    for dirpath, _dirnames, filenames in os.walk(store.data_dir):
+        for fname in filenames:
+            if fname.startswith(("_", ".")):  # spark markers (_SUCCESS)
+                continue
+            full = os.path.join(dirpath, fname)
+            rel = os.path.relpath(full, table.table_path)
+            if rel in known:
+                continue
+            st = os.stat(full)
+            if now - st.st_mtime < older_than_seconds:
+                continue
+            reclaimed += st.st_size
+            os.remove(full)
+            n += 1
+    return {"orphans_deleted": n, "bytes_reclaimed": reclaimed}

@@ -298,3 +298,100 @@ def test_sort_compact_rejects_pk_and_unknown_columns(catalog):
     catalog.create_table("default.ap", Schema(pa.Schema.from_pandas(df)), False)
     with pytest.raises(ValueError):
         sort_compact_table(catalog.get_table("default.ap"), ["nope"])
+
+
+def _commit_df(t, frame):
+    import pandas as pd  # noqa: F401
+
+    wb = t.new_batch_write_builder()
+    w, c = wb.new_write(), wb.new_commit()
+    w.write_pandas(frame)
+    c.commit(w.prepare_commit())
+    w.close()
+    c.close()
+
+
+def test_rescale_bucket_rewrites_and_preserves_state(catalog):
+    import pandas as pd
+    import pyarrow as pa
+
+    from paimon_python_spark import Schema, rescale_bucket
+
+    df = pd.DataFrame({"k": list(range(20)), "v": [f"v{i}" for i in range(20)]})
+    catalog.create_table(
+        "default.rs",
+        Schema(pa.Schema.from_pandas(df), primary_keys=["k"], options={"bucket": "2"}),
+        False,
+    )
+    t = catalog.get_table("default.rs")
+    _commit_df(t, df)
+    _commit_df(t, pd.DataFrame({"k": [3, 7], "v": ["V3", "V7"]}))  # upserts
+    pb = t.new_read_builder().new_predicate_builder()
+    t.delete_where(pb.equal("k", 5))
+
+    sid = rescale_bucket(t, 5)
+    assert sid is not None
+
+    # merged state unchanged, now spread over 5 buckets
+    out = t.new_read_builder().new_read().to_pandas().sort_values("k")
+    expect = {i: f"v{i}" for i in range(20)}
+    expect[3], expect[7] = "V3", "V7"
+    del expect[5]
+    assert dict(zip(out.k, out.v)) == expect
+    buckets = {r.bucket for r in t.files().collect()}
+    assert buckets == set(range(5))
+
+    # later writes use the new count; merge stays correct across the mix
+    _commit_df(t, pd.DataFrame({"k": [3], "v": ["V3b"]}))
+    out2 = t.new_read_builder().new_read().to_pandas()
+    assert dict(zip(out2.k, out2.v))[3] == "V3b"
+
+    # reloading from the catalog sees the evolved schema option
+    assert catalog.get_table("default.rs").schema.num_buckets() == 5
+    # no-op and error paths
+    assert rescale_bucket(t, 5) is None
+
+
+def test_rescale_bucket_rejects_append_tables(catalog):
+    import pandas as pd
+    import pyarrow as pa
+    import pytest
+
+    from paimon_python_spark import Schema, rescale_bucket
+
+    df = pd.DataFrame({"k": [1]})
+    catalog.create_table("default.rsap", Schema(pa.Schema.from_pandas(df)), False)
+    with pytest.raises(ValueError):
+        rescale_bucket(catalog.get_table("default.rsap"), 4)
+
+
+def test_remove_orphan_files(catalog):
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+
+    from paimon_python_spark import Schema, remove_orphan_files
+
+    df = pd.DataFrame({"k": [1, 2, 3]})
+    catalog.create_table("default.orph", Schema(pa.Schema.from_pandas(df)), False)
+    t = catalog.get_table("default.orph")
+    _commit_df(t, df)
+
+    # plant an orphan (uncommitted debris) and an in-grace-period file
+    data_dir = os.path.join(t.table_path, "data")
+    old = os.path.join(data_dir, "part-orphan-old.parquet")
+    new = os.path.join(data_dir, "part-orphan-new.parquet")
+    for p in (old, new):
+        with open(p, "wb") as f:
+            f.write(b"debris")
+    os.utime(old, (0, 0))  # ancient mtime
+
+    stats = remove_orphan_files(t, older_than_seconds=3600)
+    assert stats["orphans_deleted"] == 1
+    assert not os.path.exists(old)
+    assert os.path.exists(new)  # grace period protects fresh files
+
+    # committed data untouched
+    out = t.new_read_builder().new_read().to_pandas()
+    assert sorted(out.k) == [1, 2, 3]
