@@ -95,25 +95,31 @@ def punct_stopword_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame
 
 def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Marker-word language ID: score = marker hits (with multiplicity);
-    argmax with fixed order en>de>es>fr>zh, 'und' when all zero."""
-    out = df.withColumn("w", F.split(F.col(text_col), " "))
-    for lang, markers in LANG_MARKERS.items():
-        arr = ", ".join(f"'{m}'" for m in markers)
-        out = out.withColumn(
-            f"s_{lang}",
-            F.expr(f"size(filter(w, x -> array_contains(array({arr}), x)))"),
-        )
+    argmax with fixed order en>de>es>fr>zh, 'und' when all zero.
+
+    The per-language scores are computed ONCE behind a Generate barrier
+    (``inline(array(named_struct(...)))``): a plain projection would let
+    CollapseProject inline each interpreted higher-order ``filter`` into
+    every argmax CASE branch (~25 copies), which blows up both the
+    optimized expression tree (one-shot planning cost measured at 28s)
+    and per-row work. CollapseProject cannot merge across Generate, so
+    the CASE downstream references real attributes.
+    """
+    struct_fields = ", ".join(
+        f"'s_{lang}', size(filter(w, x -> x IN ({', '.join(repr(m) for m in markers)})))"
+        for lang, markers in LANG_MARKERS.items()
+    )
+    scored = df.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("w")
+    ).select(
+        F.col(id_col),
+        F.expr(f"inline(array(named_struct({struct_fields})))"),
+    )
     langs = list(LANG_MARKERS)
-    case = "CASE "
-    for i, lang in enumerate(langs):
-        rest = [f"s_{lang} >= s_{other}" for other in langs[i + 1 :]]
-        conds = rest + [f"s_{lang} > 0"]
-        case += f"WHEN {' AND '.join(conds)} THEN '{lang}' "
-    case += "ELSE 'und' END"
-    return out.select(
+    return scored.select(
         F.col(id_col),
         *[F.col(f"s_{lang}") for lang in langs],
-        F.expr(case).alias("lang_pred"),
+        F.expr(lang_id_case_sql()).alias("lang_pred"),
     )
 
 
