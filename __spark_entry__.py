@@ -897,22 +897,24 @@ def dedup_minhash_lsh(spark, sf_dir):
 
 
 def _minhash_oracle() -> str:
-    # same rotation hash family as minhash_signature_expr: one md5 per
-    # shingle, h_j = circular rotation of the hex digest by j chars
-    sig_elems = []
-    for j in range(16):
-        if j == 0:
-            rot = "x"
-        else:
-            rot = f"substr(x, {j + 1}, {32 - j}) || substr(x, 1, {j})"
-        sig_elems.append(f"list_min(list_transform(hs, x -> {rot}))")
+    # same affine hash family as minhash_signature_expr: one md5 per
+    # shingle, x = first 7 hex chars as int, h_j = (a_j*x + b_j) mod p
+    from paimon_python_spark.operators.dedup import MINHASH_P, minhash_coeffs
+
+    sig_elems = [
+        f"list_min(list_transform(hs, x -> ({a} * x + {b}) % {MINHASH_P}))"
+        for a, b in minhash_coeffs(16)
+    ]
     sig_list = ",\n    ".join(sig_elems)
     return f"""
 WITH sh AS ({_SH_SQL}),
-hashed AS (SELECT doc_id, sh, list_transform(sh, s -> md5(s)) AS hs FROM sh),
+hashed AS (SELECT doc_id, sh,
+  list_transform(sh, s -> ('0x' || substr(md5(s), 1, 7))::BIGINT) AS hs FROM sh),
 sig AS (SELECT doc_id, sh, [{sig_list}] AS sig FROM hashed),
 bands AS (
-  SELECT doc_id, b, sig[b*4+1] || sig[b*4+2] || sig[b*4+3] || sig[b*4+4] AS band_key
+  SELECT doc_id, b,
+    sig[b*4+1]::VARCHAR || '-' || sig[b*4+2]::VARCHAR || '-' ||
+    sig[b*4+3]::VARCHAR || '-' || sig[b*4+4]::VARCHAR AS band_key
   FROM sig, generate_series(0, 3) t(b)),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b

@@ -57,31 +57,42 @@ def with_shingles(
     )
 
 
+#: modulus for the affine MinHash family (prime, < 2^30)
+MINHASH_P = 1_000_000_007
+
+
+def minhash_coeffs(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a_j, b_j) coefficients for the affine hash family
+    h_j(x) = (a_j*x + b_j) mod MINHASH_P. a_j < 2^31 and x < 2^28 keep
+    a_j*x + b_j well inside a 64-bit signed integer in any engine."""
+    return [
+        ((j * 2654435761 + 1) % (2**31 - 1) | 1, (j * 40503 + 12345) % MINHASH_P)
+        for j in range(num_hashes)
+    ]
+
+
 def minhash_signature_expr(num_hashes: int) -> str:
-    """SQL expr: MinHash signature (array of ``num_hashes`` hex strings)
+    """SQL expr: MinHash signature (array of ``num_hashes`` bigints)
     over the shingle set ``sh``.
 
-    Hash family: ONE md5 per shingle, then ``num_hashes`` circular
-    rotations of the 32-hex-char digest — h_j(s) = rot_j(md5(s)). Each
-    rotation induces a different lexicographic order, giving independent-
-    enough minima at 1/num_hashes of the hashing cost (md5 dominates the
-    signature stage at corpus scale). Minimum is lexicographic over hex —
-    a total order any engine agrees on.
+    Hash family: ONE md5 per shingle, its first 7 hex chars parsed as a
+    28-bit integer x, then ``num_hashes`` affine hashes
+    h_j(x) = (a_j*x + b_j) mod p — pure 64-bit integer math that any
+    engine (the DuckDB oracle included) computes identically, at a
+    fraction of the cost of string-rotation minima (integer compare vs
+    32-char concat+compare per shingle per hash).
     """
-    rots = []
-    for j in range(num_hashes):
-        if j == 0:
-            rots.append("x")
-        else:
-            rots.append(f"concat(substring(x, {j + 1}, {32 - j}), substring(x, 1, {j}))")
-    # ONE aggregate pass keeping all num_hashes running minima at once
-    # (vs num_hashes array_min passes over hs): ~2x faster end-to-end,
-    # bit-identical output (lexicographic minimum is associative)
-    arr = ", ".join(rots)
+    hashes = ", ".join(
+        f"({a}L * x + {b}L) % {MINHASH_P}L" for a, b in minhash_coeffs(num_hashes)
+    )
+    # ONE aggregate pass keeping all num_hashes running minima at once;
+    # md5+conv evaluated once per shingle inside the aggregate input
     return (
-        f"aggregate(hs, array_repeat(CAST(NULL AS STRING), {num_hashes}), "
-        f"(acc, x) -> zip_with(acc, array({arr}), "
-        "(a, r) -> CASE WHEN a IS NULL OR r < a THEN r ELSE a END))"
+        "aggregate("
+        "transform(sh, s -> CAST(conv(substring(md5(s), 1, 7), 16, 10) AS BIGINT)), "
+        f"array_repeat(CAST(NULL AS BIGINT), {num_hashes}), "
+        f"(acc, x) -> zip_with(acc, array({hashes}), "
+        "(a, h) -> CASE WHEN a IS NULL OR h < a THEN h ELSE a END))"
     )
 
 
@@ -109,18 +120,15 @@ def minhash_lsh_pairs(
     Returns (doc_a, doc_b, intersect_size, union_size), doc_a < doc_b.
     """
     rows_per_band = num_hashes // bands
-    sh = (
-        with_shingles(df.select(id_col, text_col), text_col, shingle_n)
-        .withColumn("hs", F.expr("transform(sh, s -> md5(s))"))
-        .withColumn("sig", F.expr(minhash_signature_expr(num_hashes)))
-        .drop("hs")
+    sh = with_shingles(df.select(id_col, text_col), text_col, shingle_n).withColumn(
+        "sig", F.expr(minhash_signature_expr(num_hashes))
     )
     # signatures feed both the band explosion and the verification join;
     # persist so the md5 stage runs once (at scale: write signatures to a
     # table and reuse across dedup rounds)
     sh = sh.persist()
     band_key = F.concat_ws(
-        "",
+        "-",
         *[
             F.element_at("sig", F.col("band") * rows_per_band + F.lit(k + 1))
             for k in range(rows_per_band)
