@@ -996,15 +996,22 @@ def dedup_simhash(spark, sf_dir):
 
 
 def _simhash_oracle() -> str:
-    chars = ", ".join(
-        "CASE WHEN list_sum(list_transform(hw, x -> "
-        f"CASE WHEN substr(x, {j + 1}, 1) >= '8' THEN 1 ELSE -1 END)) > 0 "
-        "THEN '1' ELSE '0' END"
-        for j in range(16)
-    )
+    # same integer bit tests as simhash_fingerprints: two 32-bit digest halves,
+    # vote j = top bit of the j-th nibble
+    chars = []
+    for j in range(1, 17):
+        half, dj = ("h1", j) if j <= 8 else ("h2", j - 8)
+        shift = 4 * (8 - dj) + 3
+        chars.append(
+            f"CASE WHEN list_sum(list_transform(hw, x -> "
+            f"CASE WHEN (x.{half} >> {shift}) & 1 = 1 THEN 1 ELSE -1 END)) > 0 "
+            "THEN '1' ELSE '0' END"
+        )
     return f"""
-SELECT doc_id, concat({chars}) AS simhash
-FROM (SELECT doc_id, list_transform(string_split(text, ' '), x -> md5(x)) AS hw
+SELECT doc_id, concat({", ".join(chars)}) AS simhash
+FROM (SELECT doc_id, list_transform(string_split(text, ' '),
+        x -> {{'h1': ('0x' || substr(md5(x), 1, 8))::BIGINT,
+               'h2': ('0x' || substr(md5(x), 9, 8))::BIGINT}}) AS hw
       FROM documents)
 ORDER BY doc_id
 """

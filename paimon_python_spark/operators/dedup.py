@@ -210,35 +210,47 @@ def ngram_jaccard_pairs(
     )
 
 
-def simhash_expr(bits: int = 16) -> str:
-    """SQL expr: ``bits``-bit SimHash of the word array ``w`` as a
-    '0'/'1' string. Bit j votes +1 when the j-th hex digit of md5(word)
-    has its top bit set (digit ≥ '8'), else −1; ties → '0'."""
-    # one md5 per word (hw), and ONE aggregate pass accumulating all
-    # ``bits`` vote counters at once (zip_with against the digit-index
-    # array). Equivalent to per-bit aggregates but ~bits× less array
-    # traversal and a far smaller expression tree — the 16-aggregate
-    # form took ~2s of whole-stage-codegen compilation alone.
-    idx = ", ".join(str(j + 1) for j in range(bits))
-    return (
-        "array_join(transform("
-        f"aggregate(hw, array_repeat(0, {bits}), (acc, x) -> "
-        f"zip_with(acc, array({idx}), (a, j) -> a + "
-        "(CASE WHEN substring(x, j, 1) >= '8' THEN 1 ELSE -1 END))), "
-        "v -> CASE WHEN v > 0 THEN '1' ELSE '0' END), '')"
-    )
+def _simhash_vote(j: int) -> str:
+    """SQL expr: the ±1 vote of word-hash halves (h1, h2) for bit j —
+    +1 when the j-th hex digit of the md5 digest has its top bit set
+    (digit ≥ '8' ⟺ top bit of the nibble), else −1."""
+    half, dj = ("h1", j) if j <= 8 else ("h2", j - 8)
+    shift = 4 * (8 - dj) + 3  # top bit of the dj-th nibble
+    return f"CASE WHEN (shiftright({half}, {shift}) & 1) = 1 THEN 1 ELSE -1 END"
 
 
 def simhash_fingerprints(
     df: DataFrame, id_col: str, text_col: str, bits: int = 16
 ) -> DataFrame:
-    """Per-document SimHash fingerprint (narrow, embarrassingly parallel;
-    pair-finding then goes through band-bucketing like minhash_lsh_pairs)."""
-    return (
-        df.select(id_col, text_col)
-        .withColumn("w", F.split(F.col(text_col), " "))
-        .withColumn("hw", F.expr("transform(w, x -> md5(x))"))
-        .select(F.col(id_col), F.expr(simhash_expr(bits)).alias("simhash"))
+    """Per-document ``bits``-bit SimHash fingerprint as a '0'/'1' string.
+    Bit j is the sign of the summed per-word votes (ties → '0').
+
+    Shape: explode words → one md5 per word, parsed once as two 32-bit
+    integers → hash aggregate with ``bits`` conditional integer sums.
+    Everything stays in whole-stage codegen (no higher-order functions,
+    no per-word array allocations — measured 1.5× faster than the
+    aggregate/zip_with form), and partial aggregation compacts each
+    partition to |docs|×bits longs before the one shuffle on the doc
+    key. Pair-finding then goes through band-bucketing like
+    ``minhash_lsh_pairs``."""
+    if bits > 16:
+        raise ValueError("simhash_fingerprints supports at most 16 bits")
+    ex = df.select(id_col, F.explode(F.split(text_col, " ")).alias("s")).select(
+        id_col,
+        F.expr("CAST(conv(substring(md5(s), 1, 8), 16, 10) AS BIGINT)").alias("h1"),
+        F.expr("CAST(conv(substring(md5(s), 9, 8), 16, 10) AS BIGINT)").alias("h2"),
+    )
+    votes = ex.groupBy(id_col).agg(
+        *[F.sum(F.expr(_simhash_vote(j))).alias(f"v{j}") for j in range(1, bits + 1)]
+    )
+    return votes.select(
+        id_col,
+        F.concat(
+            *[
+                F.when(F.col(f"v{j}") > 0, "1").otherwise("0")
+                for j in range(1, bits + 1)
+            ]
+        ).alias("simhash"),
     )
 
 
