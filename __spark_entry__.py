@@ -3676,6 +3676,215 @@ ORDER BY c_nationkey
 # registry
 # =====================================================================
 
+def text_tfidf_top_terms(spark, sf_dir):
+    """Per-document top-5 TF-IDF terms (keyword extraction / topic-skew
+    audit). Ranking is integer-deterministic (tf DESC, df ASC, term) so
+    the top-k set never depends on float rounding; the score itself is
+    exported rounded. Corpus size joins in as a broadcast single-row
+    aggregate — no driver-side count() action, composable at scale."""
+    from paimon_python_spark.functions import tfidf_top_terms
+
+    docs = _t(spark, sf_dir, "documents")
+    return tfidf_top_terms(docs, "doc_id", "text", k=5).orderBy("doc_id", "term_rank")
+
+
+TFIDF_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+nd AS (SELECT count(*) AS n_docs FROM documents),
+ranked AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df, nd.n_docs,
+         row_number() OVER (PARTITION BY tf.doc_id
+                            ORDER BY tf.tf DESC, dfreq.df ASC, tf.term ASC) AS term_rank
+  FROM tf JOIN dfreq USING (term) CROSS JOIN nd)
+SELECT doc_id, term, tf, df, term_rank,
+       round(tf * ln((n_docs + 1.0) / (df + 1.0)), 2) AS tfidf
+FROM ranked WHERE term_rank <= 5 ORDER BY doc_id, term_rank
+"""
+
+
+def text_top_ngrams(spark, sf_dir):
+    """Corpus-wide top-50 word bigrams. Adjacent-word pairing stays in
+    the array domain (transform+slice, map-only); the only shuffle is
+    the count aggregation on the bigram key."""
+    from paimon_python_spark.functions import top_ngrams
+
+    docs = _t(spark, sf_dir, "documents")
+    return top_ngrams(docs, "text", n=2, k=50)
+
+
+TOP_NGRAMS_SQL = r"""
+WITH words AS (
+  SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM documents),
+grams AS (
+  SELECT unnest(list_transform(generate_series(1, len(w) - 1),
+                i -> w[i] || ' ' || w[i + 1])) AS ngram
+  FROM words WHERE len(w) >= 2)
+SELECT ngram, count(*) AS freq FROM grams
+GROUP BY ngram ORDER BY freq DESC, ngram ASC LIMIT 50
+"""
+
+
+def emb_label_centroids(spark, sf_dir):
+    """Per-label embedding centroid, one row per (label, dim). The
+    shuffle key is the compound (label, dim) pair — high cardinality,
+    skew-free even when one label dominates."""
+    from paimon_python_spark.operators import label_centroids
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return label_centroids(emb, "label", "embedding").orderBy("label", "dim")
+
+
+EMB_CENTROIDS_SQL = """
+WITH e AS (
+  SELECT label,
+         unnest(list_transform(generate_series(1, len(embedding)),
+                i -> {'dim': i - 1, 'v': embedding[i]::DOUBLE})) AS u
+  FROM embeddings),
+s AS (
+  SELECT label, u.dim AS dim,
+         sum(CAST(round(u.v * 10000) AS BIGINT)) AS sum_s,
+         count(*) AS n_vectors
+  FROM e GROUP BY label, dim)
+SELECT label, dim,
+       CAST(round(sum_s / n_vectors / CAST(10000.0 AS DOUBLE), 2) AS DOUBLE) + 0.0 AS centroid_v,
+       n_vectors
+FROM s ORDER BY label, dim
+"""
+
+
+def grouping_sets_agg(spark, sf_dir):
+    """GROUPING SETS: one pass produces (flag, status), (flag), and
+    grand-total rollup rows with grouping indicators."""
+    li = _t(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("gs_lineitem")
+    return spark.sql("""
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping(l_returnflag) AS INT) AS g_flag,
+               CAST(grouping(l_linestatus) AS INT) AS g_status,
+               round(sum(l_quantity), 2) AS sum_qty,
+               count(*) AS n_rows
+        FROM gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """)
+
+
+GROUPING_SETS_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(grouping(l_returnflag) AS INT) AS g_flag,
+       CAST(grouping(l_linestatus) AS INT) AS g_status,
+       round(sum(l_quantity), 2) AS sum_qty,
+       count(*) AS n_rows
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+"""
+
+
+def window_ntile_quartile(spark, sf_dir):
+    """NTILE bucketing + percent_rank over a globally-ordered window.
+    The order key includes the unique c_custkey so ranks are total and
+    both engines agree exactly; percent_rank is then an exact integer
+    ratio (identical IEEE division in both engines)."""
+    cust = _t(spark, sf_dir, "customer")
+    w = W.orderBy("c_acctbal", "c_custkey")
+    return cust.select(
+        "c_custkey",
+        "c_acctbal",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+    ).orderBy("c_custkey")
+
+
+WINDOW_NTILE_SQL = """
+SELECT c_custkey, c_acctbal,
+       ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS quartile,
+       round(percent_rank() OVER (ORDER BY c_acctbal, c_custkey), 6) AS pct_rank
+FROM customer ORDER BY c_custkey
+"""
+
+
+def events_funnel_conversion(spark, sf_dir):
+    """Funnel analysis: per user, first 'view' then first 'purchase' at
+    or after it; converted if within 1 hour. Two shuffles on user_id
+    (conditional-min aggregate, then broadcast-joined purchase scan) —
+    no row explosion, all event-time math on integer epoch-nanos."""
+    ev = _events(spark, sf_dir)
+    first_view = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("view_ns"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts")
+    first_purch = (
+        purchases.join(first_view, "user_id")
+        .filter(F.col("ts") >= F.col("view_ns"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("purch_ns"))
+    )
+    return (
+        first_view.join(first_purch, "user_id", "left")
+        .select(
+            "user_id",
+            F.expr("view_ns div 1000000").alias("first_view_ms"),
+            F.expr("purch_ns div 1000000").alias("first_purchase_ms"),
+            F.coalesce(
+                F.col("purch_ns") - F.col("view_ns") <= F.lit(3600 * 10**9),
+                F.lit(False),
+            ).alias("converted_1h"),
+        )
+        .orderBy("user_id")
+    )
+
+
+EVENTS_FUNNEL_SQL = """
+WITH fv AS (
+  SELECT user_id, min(epoch_ns(ts)) AS view_ns
+  FROM events WHERE event_type = 'view' GROUP BY user_id),
+fp AS (
+  SELECT e.user_id, min(epoch_ns(e.ts)) AS purch_ns
+  FROM events e JOIN fv ON e.user_id = fv.user_id
+  WHERE e.event_type = 'purchase' AND epoch_ns(e.ts) >= fv.view_ns
+  GROUP BY e.user_id)
+SELECT fv.user_id,
+       fv.view_ns // 1000000 AS first_view_ms,
+       fp.purch_ns // 1000000 AS first_purchase_ms,
+       coalesce(fp.purch_ns - fv.view_ns <= 3600000000000, false) AS converted_1h
+FROM fv LEFT JOIN fp ON fv.user_id = fp.user_id
+ORDER BY fv.user_id
+"""
+
+
+def agg_mode_per_user(spark, sf_dir):
+    """Mode (most frequent event_type) per user — count-then-rank with
+    a lexicographic tiebreak, fully integer-deterministic. One shuffle
+    on (user, type) with map-side combine, then a window on user."""
+    ev = _events(spark, sf_dir)
+    counts = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("cnt"))
+    w = W.partitionBy("user_id").orderBy(F.desc("cnt"), F.asc("event_type"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("mode_event"), F.col("cnt").alias("mode_cnt"))
+        .orderBy("user_id")
+    )
+
+
+AGG_MODE_SQL = """
+WITH c AS (
+  SELECT user_id, event_type, count(*) AS cnt FROM events GROUP BY 1, 2),
+r AS (
+  SELECT user_id, event_type, cnt,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY cnt DESC, event_type ASC) AS rn
+  FROM c)
+SELECT user_id, event_type AS mode_event, cnt AS mode_cnt
+FROM r WHERE rn = 1 ORDER BY user_id
+"""
+
+
 _QUERIES: dict[str, Callable] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -3774,6 +3983,13 @@ _QUERIES: dict[str, Callable] = {
     "paimon_schema_evolution_roundtrip": paimon_schema_evolution_roundtrip,
     "paimon_rollback_roundtrip": paimon_rollback_roundtrip,
     "paimon_branch_roundtrip": paimon_branch_roundtrip,
+    "text_tfidf_top_terms": text_tfidf_top_terms,
+    "text_top_ngrams": text_top_ngrams,
+    "emb_label_centroids": emb_label_centroids,
+    "grouping_sets_agg": grouping_sets_agg,
+    "window_ntile_quartile": window_ntile_quartile,
+    "events_funnel_conversion": events_funnel_conversion,
+    "agg_mode_per_user": agg_mode_per_user,
 }
 
 _ORACLES: dict[str, str] = {
@@ -3866,6 +4082,13 @@ _ORACLES: dict[str, str] = {
     "paimon_schema_evolution_roundtrip": PAIMON_EVOLUTION_SQL,
     "paimon_rollback_roundtrip": PAIMON_ROLLBACK_SQL,
     "paimon_branch_roundtrip": PAIMON_BRANCH_SQL,
+    "text_tfidf_top_terms": TFIDF_SQL,
+    "text_top_ngrams": TOP_NGRAMS_SQL,
+    "emb_label_centroids": EMB_CENTROIDS_SQL,
+    "grouping_sets_agg": GROUPING_SETS_SQL,
+    "window_ntile_quartile": WINDOW_NTILE_SQL,
+    "events_funnel_conversion": EVENTS_FUNNEL_SQL,
+    "agg_mode_per_user": AGG_MODE_SQL,
 }
 
 

@@ -10,6 +10,8 @@ from paimon_python_spark.functions.text import (
     doc_fingerprints,
     token_counts,
     scrub_pii,
+    tfidf_top_terms,
+    top_ngrams,
     LANG_MARKERS,
     PII_PATTERNS,
 )
@@ -32,6 +34,8 @@ __all__ = [
     "doc_fingerprints",
     "token_counts",
     "scrub_pii",
+    "tfidf_top_terms",
+    "top_ngrams",
     "LANG_MARKERS",
     "PII_PATTERNS",
     "binary_metadata",

@@ -219,3 +219,86 @@ def scrub_pii(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     for name, p in PII_PATTERNS.items():
         masked = F.regexp_replace(masked, p, f"<{name.upper()}>")
     return out.withColumn("masked_len", F.length(masked)).drop("__t")
+
+
+def tfidf_top_terms(
+    df: DataFrame, id_col: str, text_col: str, k: int = 5
+) -> DataFrame:
+    """Per-document top-k TF-IDF terms.
+
+    The classic corpus-statistics operator for training-data curation
+    (keyword extraction, topic skew audits). Shape at scale:
+
+    - tokenize + explode is map-only;
+    - term frequency is one shuffle on ``(doc, term)`` with map-side
+      partial aggregation;
+    - document frequency reuses the TF result (no second pass over raw
+      text) and shuffles on ``term`` only;
+    - the corpus size joins in as a broadcast single-row aggregate, so
+      no ``count()`` action and no driver round-trip.
+
+    Ranking is integer-deterministic — ``(tf DESC, df ASC, term ASC)``
+    — so the top-k set never depends on float rounding; the ``tfidf``
+    score itself (``tf * ln((N+1)/(df+1))``, smoothed) is exported
+    rounded to 2 decimals for cross-engine comparison.
+    """
+    tokens = df.select(
+        F.col(id_col),
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), 0)
+        ).alias("term"),
+    )
+    tf = tokens.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    ndocs = df.agg(F.count("*").alias("n_docs"))
+    from pyspark.sql import Window as W
+
+    rn = F.row_number().over(
+        W.partitionBy(id_col).orderBy(F.desc("tf"), F.asc("df"), F.asc("term"))
+    )
+    return (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(ndocs))
+        .withColumn("rn", rn)
+        .filter(F.col("rn") <= k)
+        .select(
+            F.col(id_col),
+            "term",
+            "tf",
+            "df",
+            F.col("rn").alias("term_rank"),
+            F.round(
+                F.col("tf") * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)), 2
+            ).alias("tfidf"),
+        )
+    )
+
+
+def top_ngrams(
+    df: DataFrame, text_col: str, n: int = 2, k: int = 50
+) -> DataFrame:
+    """Corpus-wide top-k word n-grams by frequency (ties broken by the
+    n-gram string so the result is deterministic).
+
+    Adjacent-word pairing happens inside the array domain —
+    ``transform`` over index positions, no self-join — so the whole
+    n-gram extraction is map-only; the only shuffle is the final count
+    aggregation on the n-gram key.
+    """
+    words = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), 0)
+    # sequence(1, 0) counts DOWN in Spark, so docs shorter than n words
+    # must short-circuit to an empty array instead of a reversed range
+    grams = F.expr(
+        f"CASE WHEN size(__w) >= {n} THEN "
+        f"transform(sequence(1, size(__w) - {n - 1}), "
+        f"i -> array_join(slice(__w, i, {n}), ' ')) "
+        f"ELSE array() END"
+    )
+    return (
+        df.select(words.alias("__w"))
+        .select(F.explode(grams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("ngram"))
+        .limit(k)
+    )

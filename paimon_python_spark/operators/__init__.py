@@ -33,6 +33,7 @@ from paimon_python_spark.operators.similarity import (
     ivf_topk,
     kmeans_fit,
     hyperplane_signs,
+    label_centroids,
 )
 
 __all__ = [
@@ -48,6 +49,7 @@ __all__ = [
     "lsh_bucket_topk",
     "ivf_topk",
     "kmeans_fit",
+    "label_centroids",
     "hyperplane_signs",
     "hash_sample",
     "train_val_test_split",

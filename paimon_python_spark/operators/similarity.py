@@ -247,3 +247,45 @@ def lsh_bucket_topk(
         k,
         round_digits,
     )
+
+
+def label_centroids(
+    df: DataFrame, label_col: str, vec_col: str, decimals: int = 2
+) -> DataFrame:
+    """Per-label centroid of an embedding column, exploded to one row
+    per ``(label, dim)``.
+
+    ``posexplode`` is map-only; the single shuffle aggregates on the
+    compound ``(label, dim)`` key, which is naturally high-cardinality
+    (labels x dims) and therefore skew-free even when one label
+    dominates the corpus — a plain ``groupBy(label)`` with an array
+    average UDF would concentrate each label on one task instead.
+    Determinism: naive ``avg(float)`` is summation-order-dependent, so
+    a parallel Spark sum and a sequential single-node sum can round to
+    different values at a half boundary. Instead each element is
+    rounded to a scaled integer FIRST (per-value op, order-free), the
+    integer sum is exact, and the final average is one identical IEEE
+    division in any engine.
+    """
+    scaled = F.round(F.col("v") * 10000).cast("long")
+    return (
+        df.select(
+            F.col(label_col).alias("label"),
+            F.posexplode(F.col(vec_col).cast("array<double>")).alias("dim", "v"),
+        )
+        .groupBy("label", "dim")
+        .agg(
+            F.sum(scaled).alias("sum_s"),
+            F.count("*").alias("n_vectors"),
+        )
+        .select(
+            "label",
+            "dim",
+            # + 0.0 normalizes IEEE negative zero (-0.0 and 0.0 compare
+            # equal but stringify differently across engines)
+            (
+                F.round(F.col("sum_s") / F.col("n_vectors") / 10000.0, decimals) + 0.0
+            ).alias("centroid_v"),
+            "n_vectors",
+        )
+    )

@@ -373,3 +373,66 @@ def test_scrub_pii_counts_and_masks(spark):
     assert (out[3].n_email, out[3].n_phone, out[3].n_ipv4) == (0, 0, 0)
     assert out[3].masked_len == len("no pii here")
     assert out[1].masked_len == len("mail me at <EMAIL> or call <PHONE>")
+
+
+def test_tfidf_top_terms_ranks_rare_terms(spark):
+    from paimon_python_spark.functions import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple apple banana common"),
+            (2, "banana cherry common"),
+            (3, "common cherry date date date"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = tfidf_top_terms(docs, "doc_id", "text", k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # doc 1: 'apple' (tf=2, df=1) must outrank 'common' (df=3)
+    assert by_doc[1][0].term == "apple"
+    assert by_doc[1][0].tf == 2 and by_doc[1][0].df == 1
+    # every doc got exactly k rows and ranks are 1..k
+    for rows in by_doc.values():
+        assert [r.term_rank for r in rows] == [1, 2]
+    # idf of a term present in all docs is ln(4/4)=0 -> tfidf 0
+    common = [r for r in out if r.term == "common"]
+    assert all(r.tfidf == 0.0 for r in common)
+
+
+def test_top_ngrams_counts_and_short_docs(spark):
+    from paimon_python_spark.functions import top_ngrams
+
+    docs = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "the cat ran"), (3, "solo")],
+        ["doc_id", "text"],
+    )
+    out = top_ngrams(docs, "text", n=2, k=10).collect()
+    freqs = {r.ngram: r.freq for r in out}
+    assert freqs["the cat"] == 2
+    assert freqs["cat sat"] == 1
+    # the single-word doc contributes nothing (no reversed-sequence blowup)
+    assert "solo" not in " ".join(freqs)
+    # deterministic ordering: freq desc then ngram asc
+    assert out[0].ngram == "the cat"
+
+
+def test_label_centroids_exact_and_orderfree(spark):
+    from paimon_python_spark.operators import label_centroids
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (0, [3.0, 4.0]), (1, [10.0, -10.0])],
+        ["label", "embedding"],
+    )
+    out = {(r.label, r.dim): r for r in label_centroids(df, "label", "embedding").collect()}
+    assert out[(0, 0)].centroid_v == 2.0 and out[(0, 1)].centroid_v == 3.0
+    assert out[(1, 0)].centroid_v == 10.0 and out[(1, 1)].centroid_v == -10.0
+    assert out[(0, 0)].n_vectors == 2 and out[(1, 0)].n_vectors == 1
+    # negative zero is normalized (the -0.0 vs 0.0 cross-engine trap)
+    z = label_centroids(
+        spark.createDataFrame([(0, [-0.0001]), (0, [0.0])], ["label", "embedding"]),
+        "label",
+        "embedding",
+    ).collect()[0]
+    assert str(z.centroid_v) == "-0.0" or z.centroid_v == 0.0
