@@ -44,12 +44,30 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.ts is parquet TIMESTAMP(NANOS); Spark reads it as a long of
-    epoch-nanos under ``nanosAsLong`` (DuckDB keeps full ns precision, so
-    all event-time logic below is computed on the ns value — no
-    truncation mismatch). Millis for output = ``ts div 1_000_000``."""
+    """Load events with ``ts`` normalized to **epoch-nanos int64**,
+    whatever the fixture's parquet physical type is:
+
+    - TIMESTAMP(NANOS): read as a long of epoch-nanos via ``nanosAsLong``
+      (passthrough — full ns precision preserved);
+    - timestamp[us] (read as TIMESTAMP_NTZ or TIMESTAMP): converted with
+      ``unix_micros(ts) * 1000``. Session timezone is pinned to UTC so the
+      NTZ→TIMESTAMP cast is shift-free and matches DuckDB's ``epoch_ns``
+      (which treats naive timestamps as UTC).
+
+    All event-time logic downstream computes on the ns value; millis for
+    output = ``ts div 1_000_000``. Event-time ops parity:
+    reference delegates time ops to DuckDB (pypaimon reads → duckdb SQL);
+    here they are native Spark plans over this normalized column."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return spark.read.parquet(f"{sf_dir}/events.parquet")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ts_type = ev.schema["ts"].dataType.simpleString()
+    if ts_type != "bigint":
+        ev = ev.withColumn(
+            "ts",
+            (F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)).cast("long"),
+        )
+    return ev
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -554,15 +572,42 @@ FROM (
 def sketch_approx_distinct(spark, sf_dir):
     """Per-flag HLL++ distinct order count (rsd 5%): mergeable ~KB
     sketch state per group instead of a distinct-set shuffle — the
-    100 TB path for COUNT(DISTINCT). Genuinely approximate, so no SQL
-    oracle; the driver records the weaker rows-only check and unit
-    tests pin the rsd envelope against exact counts."""
+    100 TB path for COUNT(DISTINCT).
+
+    Checkable contract (closes the former ``no_oracle`` hole): output is
+    the **exact** distinct count (cross-engine comparable) plus a boolean
+    asserting the HLL estimate landed within its 3·rsd envelope — for a
+    fixed dataset + rsd the HLL value is deterministic, so the boolean is
+    stable and the DuckDB oracle asserts TRUE."""
     from paimon_python_spark.functions import group_distinct_sketch
 
     li = _t(spark, sf_dir, "lineitem")
-    return group_distinct_sketch(li, ["l_returnflag"], "l_orderkey", 0.05).orderBy(
-        "l_returnflag"
+    approx = group_distinct_sketch(li, ["l_returnflag"], "l_orderkey", 0.05)
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("n_exact")
     )
+    return (
+        exact.join(approx, "l_returnflag")
+        .select(
+            "l_returnflag",
+            "n_exact",
+            (
+                F.abs(F.col("approx_distinct") - F.col("n_exact"))
+                <= 3 * 0.05 * F.col("n_exact")
+            ).alias("approx_within_3rsd"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# the oracle computes the exact side and asserts the envelope boolean —
+# Spark's HLL++ value is deterministic for fixed input+rsd, so a TRUE
+# assertion is a stable, hashable contract
+SKETCH_APPROX_SQL = """
+SELECT l_returnflag, count(DISTINCT l_orderkey) AS n_exact,
+       TRUE AS approx_within_3rsd
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
 
 
 def sample_split_assign(spark, sf_dir):
@@ -583,7 +628,7 @@ def sample_split_assign(spark, sf_dir):
 
 # thresholds: round(0.8*65536)=52429=0xcccd, round(0.9*65536)=58982=0xe666
 SAMPLE_SPLIT_SQL = """
-SELECT split, count(*) AS n_docs, sum(n_chars) AS total_chars
+SELECT split, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
 FROM (
   SELECT CASE WHEN substr(md5(CAST(doc_id AS varchar)), 1, 4) < 'cccd' THEN 'train'
               WHEN substr(md5(CAST(doc_id AS varchar)), 1, 4) < 'e666' THEN 'val'
@@ -712,7 +757,7 @@ def scalar_json_funcs(spark, sf_dir):
 
 
 SCALAR_JSON_SQL = """
-SELECT event_type, sum(k) AS sum_k, min(k) AS min_k, max(k) AS max_k
+SELECT event_type, CAST(sum(k) AS BIGINT) AS sum_k, min(k) AS min_k, max(k) AS max_k
 FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events) t
 GROUP BY event_type ORDER BY event_type
 """
@@ -3312,10 +3357,10 @@ def q12_shipping_lag(spark, sf_dir):
 Q12_SQL = """
 SELECT CASE WHEN date_diff('day', o_orderdate, l_shipdate) <= 30
             THEN 'FAST' ELSE 'SLOW' END AS lag_bucket,
-       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
-         AS high_line_count,
-       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END)
-         AS low_line_count
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+         AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END)
+         AS BIGINT) AS low_line_count
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 WHERE year(l_shipdate) = 1997
 GROUP BY 1
@@ -4028,6 +4073,7 @@ _ORACLES: dict[str, str] = {
     "agg_conditional": AGG_CONDITIONAL_SQL,
     "sketch_quantile_summary": SKETCH_QUANTILE_SQL,
     "sketch_histogram": SKETCH_HISTOGRAM_SQL,
+    "sketch_approx_distinct": SKETCH_APPROX_SQL,
     "sample_split_assign": SAMPLE_SPLIT_SQL,
     "sample_stratified": SAMPLE_STRATIFIED_SQL,
     "scalar_string_funcs": SCALAR_STRING_SQL,

@@ -115,33 +115,41 @@ def main():
     # one-time JVM JIT + whole-stage-codegen compilation (measured 3-9x
     # the steady-state cost at sf0.1); the minimum reflects engine
     # throughput, which is what scales to a long-lived cluster session
+    # fail-soft: one broken query must not zero the whole bench — record
+    # the error string, keep timing the rest, always emit the JSON line
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
-        fn = qs[name]
+        fn = qs.get(name)
+        if fn is None:
+            errors[name] = "not registered"
+            continue
         best = float("inf")
-        for _ in range(2):
-            t0 = time.time()
-            df = fn(spark, sf_dir)
-            df.write.mode("overwrite").format("noop").save()
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
+        try:
+            for _ in range(2):
+                t0 = time.time()
+                df = fn(spark, sf_dir)
+                df.write.mode("overwrite").format("noop").save()
+                best = min(best, time.time() - t0)
+            timings[name] = round(best, 3)
+        except Exception as exc:  # noqa: BLE001 — benchmark must survive
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
 
     sf = sf_dir.rstrip("/").split("sf")[-1]
     try:
         sf_val = float(sf)
     except ValueError:
         sf_val = sf
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_val,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total_runtime",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
