@@ -27,6 +27,7 @@ from paimon_python_spark.operators.sampling import (
     split_column,
 )
 from paimon_python_spark.operators.similarity import (
+    assign_cells,
     cosine_similarity_col,
     brute_force_topk,
     lsh_bucket_topk,
@@ -44,6 +45,7 @@ __all__ = [
     "embedding_cosine_pairs",
     "connected_components",
     "fuzzy_dedup_survivors",
+    "assign_cells",
     "cosine_similarity_col",
     "brute_force_topk",
     "lsh_bucket_topk",

@@ -113,6 +113,74 @@ def ivf_dots_expr(vec_col: str, centroids: list[list[float]]) -> str:
     return f"array({dots})"
 
 
+# above this many k*dims values, centroids stop being inlined as literal
+# expressions (plan size O(k*dims) — megabytes at k=4096*dims=768) and
+# ride a broadcast join instead
+CENTROID_LITERAL_LIMIT = 4096
+
+
+def assign_cells(
+    df: DataFrame,
+    vec_col: str,
+    centroids: list[list[float]],
+    l2: bool = False,
+    out_col: str = "cell",
+) -> DataFrame:
+    """Add ``out_col`` = 1-based index of the best centroid (argmax of
+    the dot product; with ``l2`` the argmax of ``x·c − ‖c‖²/2``, i.e.
+    squared-L2 argmin). Ties break to the smallest index.
+
+    Two physically different plans with identical semantics:
+
+    - small ``k·dims``: centroids inline as literal expressions — zero
+      joins, whole plan in one projection;
+    - large ``k·dims``: centroids become a one-row DataFrame holding a
+      cell-ordered ``array<struct>``, attached by a **broadcast** cross
+      join (single row — no row multiplication, no shuffle), and the
+      argmax runs over that array column. Plan size is O(1) in k·dims;
+      the data never reshuffles. Same left-fold double arithmetic, same
+      first-max tie-break (``array_position`` of the max), so results
+      are bit-identical to the literal path.
+    """
+    if sum(len(c) for c in centroids) <= CENTROID_LITERAL_LIMIT:
+        if l2:
+            scores = ", ".join(
+                f"({dot_expr(vec_col, 'array(' + ', '.join(f'CAST({v!r} AS DOUBLE)' for v in c) + ')')})"
+                f" - CAST({sum(float(v) * float(v) for v in c) / 2.0!r} AS DOUBLE)"
+                for c in centroids
+            )
+            score_arr = f"array({scores})"
+        else:
+            score_arr = ivf_dots_expr(vec_col, centroids)
+        return (
+            df.withColumn("__ds", F.expr(score_arr))
+            .withColumn(out_col, F.expr("array_position(__ds, array_max(__ds))"))
+            .drop("__ds")
+        )
+
+    spark = df.sparkSession
+    rows = [
+        (i + 1, [float(v) for v in c], sum(float(v) * float(v) for v in c) / 2.0)
+        for i, c in enumerate(centroids)
+    ]
+    packed = (
+        spark.createDataFrame(rows, "cell int, cvec array<double>, half_sq double")
+        # struct sort key leads with cell, so position i+1 holds cell i+1
+        # and array_position over the scores IS the cell id
+        .agg(F.array_sort(F.collect_list(F.struct("cell", "cvec", "half_sq"))).alias("__cents"))
+    )
+    adj = " - c.half_sq" if l2 else ""
+    score_arr = (
+        f"transform(__cents, c -> ({dot_expr(vec_col, 'c.cvec')}){adj})"
+    )
+    return (
+        df.crossJoin(F.broadcast(packed))
+        .withColumn("__ds", F.expr(score_arr))
+        .withColumn(out_col, F.expr("array_position(__ds, array_max(__ds))"))
+        .drop("__ds", "__cents")
+    )
+
+
 def ivf_topk(
     df: DataFrame,
     id_col: str,
@@ -145,12 +213,9 @@ def ivf_topk(
     probe_cells = [i + 1 for i in probe]  # 1-based, matching array_position
     # cell id: 1-based index of the max dot product; ties break to the
     # smallest index via first-occurrence array_position — engine-
-    # independent because the folds are bit-identical sequential doubles
-    celled = (
-        df.withColumn("__ds", F.expr(ivf_dots_expr(vec_col, centroids)))
-        .withColumn("cell", F.expr("array_position(__ds, array_max(__ds))"))
-        .drop("__ds")
-    )
+    # independent because the folds are bit-identical sequential doubles.
+    # Large centroid sets ride a broadcast join instead of plan literals.
+    celled = assign_cells(df, vec_col, centroids)
     return brute_force_topk(
         celled.filter(F.col("cell").isin(probe_cells)),
         id_col,
@@ -202,15 +267,9 @@ def kmeans_fit(
         F.avg(F.element_at(F.col(vec_col), d + 1)).alias(f"d{d}") for d in range(dims)
     ]
     for _ in range(iters):
-        # score_i = x·c_i − ‖c_i‖²/2; argmax == nearest centroid in L2
-        scores = ", ".join(
-            f"({dot_expr(vec_col, 'array(' + ', '.join(f'CAST({v!r} AS DOUBLE)' for v in c) + ')')})"
-            f" - CAST({sum(v * v for v in c) / 2.0!r} AS DOUBLE)"
-            for c in centroids
-        )
-        assigned = df.withColumn("__s", F.expr(f"array({scores})")).withColumn(
-            "cell", F.expr("array_position(__s, array_max(__s))")
-        )
+        # score_i = x·c_i − ‖c_i‖²/2; argmax == nearest centroid in L2;
+        # literal centroids at small k·dims, broadcast join at large
+        assigned = assign_cells(df, vec_col, centroids, l2=True)
         rows = assigned.groupBy("cell").agg(*avg_cols).collect()
         new = list(centroids)
         for r in rows:

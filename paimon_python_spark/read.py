@@ -74,6 +74,43 @@ def _read_avro_df(spark, paths: List[str], physical: T.StructType) -> DataFrame:
     return binary.mapInPandas(decode, physical)
 
 
+def projection_columns(paths: List[List[str]]) -> List:
+    """Build the select list for a normalized projection (list of
+    paths, see ``ReadBuilder.with_projection``).
+
+    A path like ``["s", "x"]`` prunes struct ``s`` down to subfield
+    ``x`` — the struct is REBUILT containing only the projected leaves
+    (nested projection semantics, reference read_builder.py:36-38), and
+    Catalyst's nested-schema pruning narrows the parquet ``ReadSchema``
+    to those leaves. Multiple paths into one struct merge in path order;
+    a bare name takes the whole subtree."""
+    FULL = None  # marker: take everything below this node
+    tree: dict = {}
+    order: List[str] = []
+
+    def insert(node: dict, path: List[str]) -> None:
+        head, rest = path[0], path[1:]
+        if head in node and node[head] is FULL:
+            return  # already taking the whole subtree
+        if not rest:
+            node[head] = FULL
+        else:
+            insert(node.setdefault(head, {}), rest)
+
+    for path in paths:
+        if path[0] not in order:
+            order.append(path[0])
+        insert(tree, path)
+
+    def build(prefix: List[str], name: str, sub):
+        full = prefix + [name]
+        if sub is FULL:
+            return F.col(".".join(f"`{p}`" for p in full))
+        return F.struct(*[build(full, k, v).alias(k) for k, v in sub.items()])
+
+    return [build([], name, tree[name]).alias(name) for name in order]
+
+
 #: merge-engine option values (Paimon table-format semantics; the
 #: reference SDK only ever reads deduplicate tables, but the format
 #: defines all four — paimon docs "merge-engine").
@@ -365,7 +402,7 @@ class TableRead:
             df = df.filter(pred.to_column())
         proj = self.read_builder._projection
         if proj is not None:
-            df = df.select(*proj)
+            df = df.select(*projection_columns(proj))
         return df
 
     # ---- driver materialization (reference API parity) ----
@@ -393,9 +430,16 @@ class TableRead:
 
         paths = [p for s in splits for p in s.file_paths()]
         proj = self.read_builder._projection
+        if proj is not None and any(len(p) > 1 for p in proj):
+            # nested projection: route through the Spark recipe (struct
+            # rebuild + Catalyst nested-schema pruning) instead of the
+            # flat pyarrow column list
+            return self._df_to_arrow(self.to_df(splits))
         pred = self.read_builder._predicate
         pa_schema = spark_schema_to_pa(self.schema.spark_schema)
-        cols = proj if proj is not None else self.schema.field_names
+        cols = (
+            [p[0] for p in proj] if proj is not None else self.schema.field_names
+        )
         if not paths:
             return pa.table(
                 {c: pa.array([], pa_schema.field(c).type) for c in cols}

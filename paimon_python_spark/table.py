@@ -36,7 +36,14 @@ class Table:
                 raise TypeError(
                     "Doesn't support writing dynamic bucket or cross partition table."
                 )
-            if not self.schema.trimmed_primary_keys:
+            if not self.schema.trimmed_primary_keys or any(
+                p not in self.schema.primary_keys
+                for p in self.schema.partition_keys
+            ):
+                # partition keys not contained in the primary key means an
+                # update can move a key across partitions (CROSS_PARTITION
+                # bucket mode) — fixed-bucket merge-on-read is partition-
+                # local and cannot express it, same as the reference
                 raise TypeError(
                     "Doesn't support writing dynamic bucket or cross partition table."
                 )
@@ -293,13 +300,35 @@ class ReadBuilder:
         self._predicate = predicate
         return self
 
-    def with_projection(self, projection: List[str]) -> "ReadBuilder":
-        """Name-list projection; reordering allowed; empty list → empty
-        frame (test_write_and_read.py:458-518)."""
-        for name in projection:
-            if name not in self.table.schema.field_names:
-                raise ValueError(f"Field {name} not in table schema")
-        self._projection = projection
+    def with_projection(self, projection: List) -> "ReadBuilder":
+        """Name-list or nested-path projection; reordering allowed; empty
+        list → empty frame (test_write_and_read.py:458-518).
+
+        Entries are top-level names (``"a"``) or struct paths
+        (``["s", "x"]`` — "push nested projection" per the reference ABC,
+        read_builder.py:36-38). A path prunes the struct to just the
+        named subfields (Catalyst's nested-schema pruning then narrows
+        the parquet read schema to those leaves); multiple paths into one
+        struct merge. Stored normalized as a list of paths."""
+        from pyspark.sql import types as T
+
+        spark_schema = self.table.schema.spark_schema
+        paths: List[List[str]] = []
+        for entry in projection:
+            path = [entry] if isinstance(entry, str) else list(entry)
+            if not path or not all(isinstance(p, str) for p in path):
+                raise ValueError(f"Invalid projection entry: {entry!r}")
+            if path[0] not in self.table.schema.field_names:
+                raise ValueError(f"Field {path[0]} not in table schema")
+            dtype = spark_schema[path[0]].dataType
+            for step in path[1:]:
+                if not isinstance(dtype, T.StructType) or step not in dtype.fieldNames():
+                    raise ValueError(
+                        f"Field {'.'.join(path)} not in table schema"
+                    )
+                dtype = dtype[step].dataType
+            paths.append(path)
+        self._projection = paths
         return self
 
     def with_limit(self, limit: int) -> "ReadBuilder":
@@ -363,4 +392,8 @@ class ReadBuilder:
         projection, test_object_metadata.py:36-47)."""
         if self._projection is None:
             return self.table.schema.field_names
-        return list(self._projection)
+        names: list[str] = []
+        for path in self._projection:
+            if path[0] not in names:
+                names.append(path[0])
+        return names

@@ -32,11 +32,16 @@ Spark-first design decisions:
 Sequence-number layout (int64): ``(snapshot_id+1) << 45 | call_idx << 40
 | row``. The arrow/pandas ingestion path stamps dense row numbers before
 the data reaches Spark (exact input order, like the reference's
-per-record sequencing); the distributed ``write_dataframe`` path uses
-``monotonically_increasing_id`` (≤128 input partitions per call — at
-larger parallelism repartition first, or accept that intra-call
-duplicate-key ordering follows partition layout, which Spark cannot
-observe anyway).
+per-record sequencing). The distributed ``write_dataframe`` path stamps
+``row`` AFTER the bucket co-location shuffle, as the per-task row
+counter of ``monotonically_increasing_id`` (its low 33 bits): every row
+of a given key lives in exactly one post-shuffle task, so the counter
+alone disambiguates same-key rows — merge order only ever compares
+sequence numbers *within* a key (merge/compaction/DV windows all
+partition by key). No partition-count cap at any cluster size; the only
+envelope is 2^33 rows per bucket-task per call. Same-key rows arriving
+in one call have no observable input order on a distributed write, so
+counter order within the task is as meaningful as any.
 """
 
 from __future__ import annotations
@@ -313,11 +318,10 @@ class BatchTableWrite:
             T.StructType([df.schema[c] for c in data_cols]),
         )
         if self.schema.is_primary_key_table():
-            base = self._seq_base + (self._call_idx << _SEQ_CALL_SHIFT)
-            df = df.withColumn(
-                SEQ_COL, (F.lit(base) + F.monotonically_increasing_id()).cast("long")
-            ).withColumn(KIND_COL, kind)
-            df = df.select(*data_cols, SEQ_COL, KIND_COL)
+            # sequence numbers are stamped inside _write_physical, after
+            # the bucket shuffle (see module docstring) — scale-safe at
+            # any input partition count
+            df = df.withColumn(KIND_COL, kind).select(*data_cols, KIND_COL)
         else:
             df = df.select(*data_cols)
         self._write_physical(df)
@@ -353,6 +357,26 @@ class BatchTableWrite:
             # per call (the LSM "sorted run" analogue); at scale this is
             # the shuffle that makes merge-on-read partition-local.
             df = df.repartition(*[F.col(c) for c in layout_cols])
+            if SEQ_COL not in df.columns:
+                # distributed write path: stamp post-shuffle, where a
+                # key's rows are all in one task — the task-local counter
+                # (mono-id low 33 bits) disambiguates same-key rows with
+                # no partition-count cap. Hash-partitioning by bucket is
+                # exact (AQE may coalesce but never splits hash
+                # partitions), so key co-location is guaranteed.
+                base = self._seq_base + (self._call_idx << _SEQ_CALL_SHIFT)
+                data_cols = [
+                    c for c in df.columns if c not in (KIND_COL, *layout_cols)
+                ]
+                df = df.withColumn(
+                    SEQ_COL,
+                    (
+                        F.lit(base)
+                        + F.monotonically_increasing_id().bitwiseAND(
+                            F.lit((1 << 33) - 1)
+                        )
+                    ).cast("long"),
+                ).select(*data_cols, SEQ_COL, KIND_COL, *layout_cols)
 
         # optional write clustering: sorting within each task makes the
         # per-file min/max stats tight on the sort columns, so the scan

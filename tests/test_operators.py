@@ -436,3 +436,52 @@ def test_label_centroids_exact_and_orderfree(spark):
         "embedding",
     ).collect()[0]
     assert str(z.centroid_v) == "-0.0" or z.centroid_v == 0.0
+
+
+def test_assign_cells_broadcast_matches_literal_path(spark, monkeypatch):
+    """At large k*dims, centroid assignment must switch from plan
+    literals (O(k*dims) plan size) to a broadcast join (O(1) plan size)
+    with bit-identical results."""
+    import paimon_python_spark.operators.similarity as sim
+
+    # 200 vectors, 256 centroids, dims 32 -> k*dims = 8192 > default limit
+    dims, k = 32, 256
+    vecs = [
+        (i, [float((i * 31 + d * 7) % 17) - 8.0 for d in range(dims)])
+        for i in range(200)
+    ]
+    cents = [[float((c * 13 + d * 3) % 19) - 9.0 for d in range(dims)] for c in range(k)]
+    df = spark.createDataFrame(vecs, "id long, vec array<double>")
+
+    monkeypatch.setattr(sim, "CENTROID_LITERAL_LIMIT", 10**9)
+    lit = sim.assign_cells(df, "vec", cents, l2=True)
+    lit_plan = lit._jdf.queryExecution().executedPlan().toString()
+    lit_rows = {r["id"]: r["cell"] for r in lit.select("id", "cell").collect()}
+
+    monkeypatch.setattr(sim, "CENTROID_LITERAL_LIMIT", 0)
+    bc = sim.assign_cells(df, "vec", cents, l2=True)
+    bc_plan = bc._jdf.queryExecution().executedPlan().toString()
+    bc_rows = {r["id"]: r["cell"] for r in bc.select("id", "cell").collect()}
+
+    assert bc_rows == lit_rows
+    assert "Broadcast" in bc_plan  # centroids ride a broadcast join
+    assert "Broadcast" not in lit_plan
+    # the broadcast plan must not embed the centroid matrix as literals
+    assert len(bc_plan) < len(lit_plan) / 4
+
+
+def test_ivf_topk_large_k_uses_broadcast(spark, emb, monkeypatch):
+    """End-to-end: ivf_topk at k over the literal limit plans a
+    broadcast join and still returns a valid ranked top-k."""
+    import paimon_python_spark.operators.similarity as sim
+
+    monkeypatch.setattr(sim, "CENTROID_LITERAL_LIMIT", 0)
+    df = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    q = [float(v) for v in df.select("v").first()[0]]
+    cents = [[1.0 if d == c % 64 else 0.0 for d in range(64)] for c in range(8)]
+    out = sim.ivf_topk(df, "vec_id", "v", q, cents, k=5, nprobe=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Broadcast" in plan
+    rows = out.collect()
+    assert len(rows) == 5
+    assert rows[0].cos_sim >= rows[-1].cos_sim

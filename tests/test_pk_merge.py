@@ -638,3 +638,78 @@ def test_aggregation_product_function(catalog):
         t.new_read_builder().new_read().to_pandas().sort_values("k").reset_index(drop=True)
     )
     assert out["factor"].tolist() == [24.0, 5.0]
+
+
+def test_write_dataframe_many_partitions_last_write_wins(catalog):
+    """Scale regression: sequence stamping must stay correct when the
+    input DataFrame has far more than 128 partitions (the old
+    monotonically_increasing_id scheme's documented cap). Two
+    write_dataframe calls at 200 input partitions each; the second must
+    win for every key and no key may duplicate or drop."""
+    from pyspark.sql import functions as F
+
+    from paimon_python_spark.session import get_spark
+
+    spark = get_spark()
+    schema = pa.schema([("k", pa.int64()), ("v", pa.int64())])
+    catalog.create_table(
+        "default.manyparts",
+        Schema(schema, primary_keys=["k"], options={"bucket": "4"}),
+        False,
+    )
+    t = catalog.get_table("default.manyparts")
+
+    def write_call(value_offset):
+        df = (
+            spark.range(1000)
+            .repartition(200)
+            .select(F.col("id").alias("k"), (F.col("id") + value_offset).alias("v"))
+        )
+        wb = t.new_batch_write_builder()
+        w, c = wb.new_write(), wb.new_commit()
+        w.write_dataframe(df)
+        c.commit(w.prepare_commit())
+        w.close()
+        c.close()
+
+    write_call(0)
+    write_call(1_000_000)
+    out = t.new_read_builder().new_read().to_pandas().sort_values("k")
+    assert len(out) == 1000  # no dup, no drop
+    assert out["k"].tolist() == list(range(1000))
+    assert out["v"].tolist() == [k + 1_000_000 for k in range(1000)]
+
+
+def test_write_dataframe_duplicate_keys_one_call_distinct_seq(catalog):
+    """Within one distributed write call, duplicate keys must receive
+    distinct sequence numbers (merge picks exactly one survivor — no
+    nondeterministic double-emit from tied sequences)."""
+    from pyspark.sql import functions as F
+
+    from paimon_python_spark.session import get_spark
+
+    spark = get_spark()
+    schema = pa.schema([("k", pa.int64()), ("v", pa.int64())])
+    catalog.create_table(
+        "default.dupseq",
+        Schema(schema, primary_keys=["k"], options={"bucket": "2"}),
+        False,
+    )
+    t = catalog.get_table("default.dupseq")
+    # 5 copies of each of 100 keys, spread over 150 partitions
+    df = (
+        spark.range(500)
+        .repartition(150)
+        .select((F.col("id") % 100).alias("k"), F.col("id").alias("v"))
+    )
+    wb = t.new_batch_write_builder()
+    w, c = wb.new_write(), wb.new_commit()
+    w.write_dataframe(df)
+    c.commit(w.prepare_commit())
+    w.close()
+    c.close()
+    out = t.new_read_builder().new_read().to_pandas()
+    assert len(out) == 100  # exactly one survivor per key
+    assert sorted(out["k"].tolist()) == list(range(100))
+    # each survivor must be one of that key's actual inputs
+    assert ((out["v"] % 100) == out["k"]).all()

@@ -367,3 +367,113 @@ def test_long_string_stats_truncated_but_sound(catalog):
     assert rb.new_read().to_pandas()["k"].tolist() == [2]
     rb2 = t.new_read_builder().with_filter(pb.greater_than("body", "zz"))
     assert rb2.new_read().to_pandas()["k"].tolist() == [2]
+
+
+def test_cannot_write_cross_partition_pk(catalog):
+    """PK not containing the partition key → CROSS_PARTITION bucket
+    mode; rejected at builder creation like the reference
+    (java_utils.py:56-61)."""
+    schema = Schema(
+        pa.schema([("id", pa.int32()), ("dt", pa.string()), ("v", pa.string())]),
+        partition_keys=["dt"],
+        primary_keys=["id"],  # does not contain 'dt'
+        options={"bucket": "2"},
+    )
+    catalog.create_table("default.crosspart", schema, False)
+    t = catalog.get_table("default.crosspart")
+    with pytest.raises(TypeError) as e:
+        t.new_batch_write_builder()
+    assert str(e.value) == "Doesn't support writing dynamic bucket or cross partition table."
+
+
+def test_compat_options_accepted(catalog):
+    """Reference accepts 'max-workers' (catalog) and 'sort-engine'
+    (table) options (java_implementation.py:314-320); they are physical
+    no-ops here (Spark owns parallelism and sorting) but must be
+    accepted for config-file compatibility."""
+    from paimon_python_spark import Catalog
+
+    cat = Catalog.create({"warehouse": catalog.warehouse, "max-workers": "4"})
+    schema = Schema(
+        SIMPLE,
+        primary_keys=["f0"],
+        options={"bucket": "1", "sort-engine": "loser-tree"},
+    )
+    cat.create_database("default", True)
+    cat.create_table("default.compat_opts", schema, False)
+    t = cat.get_table("default.compat_opts")
+    wb = t.new_batch_write_builder()
+    w, c = wb.new_write(), wb.new_commit()
+    w.write_pandas(pd.DataFrame({"f0": [1, 2], "f1": ["a", "b"]}))
+    c.commit(w.prepare_commit())
+    w.close()
+    c.close()
+    out = t.new_read_builder().new_read().to_pandas()
+    assert len(out) == 2
+
+
+def test_nested_projection_struct(catalog):
+    """Nested projection (reference read_builder.py:36-38): a path into
+    a struct prunes the struct to the named subfields; mixed flat +
+    nested entries and multi-path merges both work."""
+    schema = Schema(
+        pa.schema(
+            [
+                ("id", pa.int64()),
+                ("s", pa.struct([("x", pa.int64()), ("y", pa.string()), ("z", pa.float64())])),
+                ("tag", pa.string()),
+            ]
+        ),
+        options={"extended-types": "true"},
+    )
+    catalog.create_table("default.nested", schema, False)
+    t = catalog.get_table("default.nested")
+    w = t.new_batch_write_builder()
+    wr, c = w.new_write(), w.new_commit()
+    wr.write_arrow(
+        pa.table(
+            {
+                "id": pa.array([1, 2], pa.int64()),
+                "s": pa.array(
+                    [{"x": 10, "y": "a", "z": 1.5}, {"x": 20, "y": "b", "z": 2.5}],
+                    pa.struct([("x", pa.int64()), ("y", pa.string()), ("z", pa.float64())]),
+                ),
+                "tag": pa.array(["t1", "t2"]),
+            }
+        )
+    )
+    c.commit(wr.prepare_commit())
+    wr.close()
+    c.close()
+
+    # single nested path: struct pruned to one subfield
+    rb = t.new_read_builder().with_projection([["s", "x"]])
+    out = rb.new_read().to_df()
+    assert out.columns == ["s"]
+    assert out.schema["s"].dataType.fieldNames() == ["x"]
+    assert sorted(r["s"]["x"] for r in out.collect()) == [10, 20]
+    assert rb.read_type() == ["s"]
+
+    # mixed flat + two paths into the same struct (merged, path order)
+    rb = t.new_read_builder().with_projection(["id", ["s", "y"], ["s", "x"]])
+    out = rb.new_read().to_df()
+    assert out.columns == ["id", "s"]
+    assert out.schema["s"].dataType.fieldNames() == ["y", "x"]
+    rows = {r["id"]: (r["s"]["y"], r["s"]["x"]) for r in out.collect()}
+    assert rows == {1: ("a", 10), 2: ("b", 20)}
+
+    # whole-struct entry still takes every subfield; arrow path agrees
+    rb = t.new_read_builder().with_projection(["s", "id"])
+    arrow = rb.new_read().to_arrow()
+    assert arrow.column_names == ["s", "id"]
+    # nested path through the arrow adapter too
+    rb = t.new_read_builder().with_projection([["s", "z"], "tag"])
+    arrow = rb.new_read().to_arrow()
+    assert arrow.column_names == ["s", "tag"]
+    assert arrow.schema.field("s").type.num_fields == 1
+
+    # bad paths rejected
+    with pytest.raises(ValueError):
+        t.new_read_builder().with_projection([["s", "nope"]])
+    with pytest.raises(ValueError):
+        t.new_read_builder().with_projection([["id", "x"]])
