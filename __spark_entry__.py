@@ -1320,6 +1320,75 @@ ORDER BY doc_id
 """
 
 
+def text_repetition_stats(spark, sf_dir):
+    """Within-doc duplicate word-3-gram fraction (the Gopher-style
+    repetition quality rule) — map-only array math, scaled-integer
+    ratio."""
+    from paimon_python_spark.functions import repetition_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return repetition_stats(docs, "doc_id", "text", n=3).orderBy("doc_id")
+
+
+TEXT_REPETITION_SQL = """
+SELECT doc_id,
+       len(g) AS n_grams,
+       len(g) - len(list_distinct(g)) AS n_dup_grams,
+       CAST(CASE WHEN len(g) > 0
+                 THEN floor((len(g) - len(list_distinct(g))) * 10000 / len(g))
+                 ELSE 0 END AS BIGINT) AS dup_ratio_x10000
+FROM (
+  SELECT doc_id,
+         CASE WHEN len(w) >= 3 THEN
+           list_transform(generate_series(1, len(w) - 2),
+                          i -> array_to_string(list_slice(w, i, i + 2), ' '))
+         ELSE [] END AS g
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) t0
+) t
+ORDER BY doc_id
+"""
+
+
+def text_quality_filter(spark, sf_dir):
+    """Composite keep/drop rule bundle with a reasons bitmask (see
+    functions.text QF_* constants) — one narrow scan-side pass, zero
+    shuffle, auditable drop reasons."""
+    from paimon_python_spark.functions import composite_quality_filter
+
+    docs = _t(spark, sf_dir, "documents")
+    return composite_quality_filter(docs, "doc_id", "text").orderBy("doc_id")
+
+
+TEXT_QUALITY_FILTER_SQL = r"""
+SELECT doc_id,
+       CAST(
+         CASE WHEN n_words < 10 THEN 1 ELSE 0 END
+         + CASE WHEN n_chars < 100 OR n_chars > 20000 THEN 2 ELSE 0 END
+         + CASE WHEN (n_chars - (n_words - 1)) < 2 * n_words
+                  OR (n_chars - (n_words - 1)) > 12 * n_words THEN 4 ELSE 0 END
+         + CASE WHEN n_stop = 0 THEN 8 ELSE 0 END
+         + CASE WHEN 5 * n_punct > n_chars THEN 16 ELSE 0 END
+       AS INT) AS reasons,
+       (CASE WHEN n_words < 10 THEN 1 ELSE 0 END
+        + CASE WHEN n_chars < 100 OR n_chars > 20000 THEN 2 ELSE 0 END
+        + CASE WHEN (n_chars - (n_words - 1)) < 2 * n_words
+                 OR (n_chars - (n_words - 1)) > 12 * n_words THEN 4 ELSE 0 END
+        + CASE WHEN n_stop = 0 THEN 8 ELSE 0 END
+        + CASE WHEN 5 * n_punct > n_chars THEN 16 ELSE 0 END) = 0 AS keep
+FROM (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         len(string_split(text, ' ')) AS n_words,
+         length(text) - length(regexp_replace(text, '[.,;:!?''"()\[\]{}-]', '', 'g'))
+           AS n_punct,
+         len(list_filter(string_split(text, ' '),
+             x -> lower(x) IN ('the','a','an','and','or','of','to','in','is','it')))
+           AS n_stop
+  FROM documents) t
+ORDER BY doc_id
+"""
+
+
 def text_chunking(spark, sf_dir):
     """Fixed-size word chunks with overlap (100/20) — the pre-embedding
     chunking stage of an LLM pipeline, as a narrow map-only explode."""
@@ -3930,6 +3999,152 @@ FROM r WHERE rn = 1 ORDER BY user_id
 """
 
 
+def events_sessionize_stateful(spark, sf_dir):
+    """Custom stateful streaming operator (``applyInPandasWithState``):
+    per-user session state machine over Structured Streaming, emitting
+    one row per CLOSED session (>30 min silence). Runs the events table
+    through a real streaming query (file source → state store → memory
+    sink, availableNow trigger), then returns the emitted sessions.
+
+    Exact SQL oracle: with all data in one batch, the closed sessions
+    are precisely the batch sessionization minus each user's final
+    (still-open) session."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from paimon_python_spark.streaming.stateful import sessionize_stateful
+
+    src_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    tmp = tempfile.mkdtemp(prefix="sess_stream_")
+    name = "sess_closed_" + uuid.uuid4().hex[:8]
+    try:
+        shutil.copy(f"{sf_dir}/events.parquet", tmp)
+        stream = spark.readStream.schema(src_schema).parquet(tmp)
+        ts_type = src_schema["ts"].dataType.simpleString()
+        if ts_type != "bigint":
+            stream = stream.withColumn(
+                "ts",
+                (F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)).cast(
+                    "long"
+                ),
+            )
+        ev = stream.select("user_id", F.col("ts").alias("ts_ns"))
+        q = (
+            sessionize_stateful(ev, "user_id", "ts_ns", gap_ns=1800 * 10**9)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.table(name).orderBy("user_id", "session_start")
+
+
+EVENTS_SESSIONIZE_STATEFUL_SQL = """
+WITH e AS (SELECT user_id, epoch_ns(ts) AS ns FROM events),
+s AS (
+  SELECT user_id, ns,
+         CASE WHEN lag(ns) OVER w IS NULL
+              OR ns - lag(ns) OVER w > 1800000000000 THEN 1 ELSE 0 END AS new_s
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ns)),
+s2 AS (
+  SELECT user_id, ns,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ns
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM s),
+agg AS (
+  SELECT user_id, sid, min(ns) AS session_start, max(ns) AS session_end,
+         count(*) AS n_events
+  FROM s2 GROUP BY 1, 2),
+mx AS (SELECT user_id, max(sid) AS last_sid FROM agg GROUP BY 1)
+SELECT agg.user_id, session_start, session_end, n_events
+FROM agg JOIN mx ON agg.user_id = mx.user_id AND agg.sid < mx.last_sid
+ORDER BY agg.user_id, session_start
+"""
+
+
+def events_retention_cohorts(spark, sf_dir):
+    """Weekly cohort retention: users grouped by the epoch-week of their
+    first event; for each (cohort, week-offset), how many of the
+    cohort's users were active. The classic product-analytics rollup.
+
+    Scale shape: one distinct on (user, week) — map-side partial dedup,
+    shuffle keyed on the compound pair — then a tiny broadcast-joinable
+    per-user min, then a count agg whose output is O(weeks²). All
+    event-time math on integer epoch-nanos (day 86400e9, week = day/7)."""
+    ev = _events(spark, sf_dir)
+    user_weeks = (
+        ev.select("user_id", F.expr("ts div 604800000000000").alias("week"))
+        .distinct()
+    )
+    cohorts = user_weeks.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        user_weeks.join(cohorts, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .agg(F.count("*").alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+EVENTS_RETENTION_SQL = """
+WITH uw AS (
+  SELECT DISTINCT user_id, epoch_ns(ts) // 604800000000000 AS week FROM events),
+c AS (
+  SELECT user_id, min(week) AS cohort_week FROM uw GROUP BY user_id)
+SELECT c.cohort_week, uw.week - c.cohort_week AS week_offset,
+       count(*) AS n_users
+FROM uw JOIN c ON uw.user_id = c.user_id
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def ann_range_cosine(spark, sf_dir):
+    """Range similarity search: every vector within a cosine threshold
+    of the query (the filter twin of top-k). Pure scan-side projection +
+    filter — zero shuffle, trivially partition-parallel at any scale."""
+    from paimon_python_spark.operators.similarity import dot_expr
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = [float((7 * i) % 13) - 6.0 for i in range(64)]
+    lit = "array(" + ", ".join(f"CAST({v!r} AS DOUBLE)" for v in q) + ")"
+    cos = (
+        f"({dot_expr('CAST(embedding AS array<double>)', lit)}) / "
+        f"(sqrt({dot_expr('CAST(embedding AS array<double>)', 'CAST(embedding AS array<double>)')}) * "
+        f"sqrt({dot_expr(lit, lit)}))"
+    )
+    return (
+        emb.select("vec_id", F.round(F.expr(cos), 6).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= 0.15)
+        .orderBy("vec_id")
+    )
+
+
+_ANN_RANGE_QVEC = "[" + ", ".join(
+    f"CAST({float((7 * i) % 13) - 6.0!r} AS DOUBLE)" for i in range(64)
+) + "]"
+
+ANN_RANGE_SQL = f"""
+SELECT vec_id, cos_sim FROM (
+  SELECT vec_id,
+         round(
+           list_sum(list_transform(generate_series(1, 64),
+             i -> CAST(embedding[i] AS DOUBLE) * q.qv[i]))
+           / (sqrt(list_sum(list_transform(generate_series(1, 64),
+                i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))
+              * sqrt(list_sum(list_transform(generate_series(1, 64),
+                  i -> q.qv[i] * q.qv[i])))), 6) AS cos_sim
+  FROM embeddings, (SELECT {_ANN_RANGE_QVEC} AS qv) q
+) WHERE cos_sim >= 0.15 ORDER BY vec_id
+"""
+
+
 _QUERIES: dict[str, Callable] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -3990,6 +4205,11 @@ _QUERIES: dict[str, Callable] = {
     "ann_ivf_trained": ann_ivf_trained,
     "text_quality_stats": text_quality_stats,
     "text_punct_stopword": text_punct_stopword,
+    "text_repetition_stats": text_repetition_stats,
+    "text_quality_filter": text_quality_filter,
+    "events_retention_cohorts": events_retention_cohorts,
+    "events_sessionize_stateful": events_sessionize_stateful,
+    "ann_range_cosine": ann_range_cosine,
     "text_chunking": text_chunking,
     "paimon_datasource_roundtrip": paimon_datasource_roundtrip,
     "paimon_datasource_write_roundtrip": paimon_datasource_write_roundtrip,
@@ -4091,6 +4311,11 @@ _ORACLES: dict[str, str] = {
     "ann_topk_cosine": ANN_TOPK_SQL,
     "text_quality_stats": TEXT_STATS_SQL,
     "text_punct_stopword": TEXT_PUNCT_STOPWORD_SQL,
+    "text_repetition_stats": TEXT_REPETITION_SQL,
+    "text_quality_filter": TEXT_QUALITY_FILTER_SQL,
+    "events_retention_cohorts": EVENTS_RETENTION_SQL,
+    "events_sessionize_stateful": EVENTS_SESSIONIZE_STATEFUL_SQL,
+    "ann_range_cosine": ANN_RANGE_SQL,
     "text_chunking": TEXT_CHUNKING_SQL,
     "paimon_datasource_roundtrip": PAIMON_DATASOURCE_SQL,
     "paimon_datasource_write_roundtrip": PAIMON_DS_WRITE_SQL,

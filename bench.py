@@ -44,6 +44,9 @@ HEADLINE = [
     "text_quality_stats",
     "text_lang_id",
     "text_fingerprint",
+    "text_repetition_stats",
+    "text_quality_filter",
+    "events_retention_cohorts",
     "ann_topk_cosine",
     "ann_lsh_bucket",
     "sketch_quantile_summary",

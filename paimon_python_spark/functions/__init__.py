@@ -12,6 +12,13 @@ from paimon_python_spark.functions.text import (
     scrub_pii,
     tfidf_top_terms,
     top_ngrams,
+    repetition_stats,
+    composite_quality_filter,
+    QF_TOO_FEW_WORDS,
+    QF_BAD_LENGTH,
+    QF_BAD_WORD_LEN,
+    QF_NO_STOPWORDS,
+    QF_TOO_MUCH_PUNCT,
     LANG_MARKERS,
     PII_PATTERNS,
 )
@@ -36,6 +43,13 @@ __all__ = [
     "scrub_pii",
     "tfidf_top_terms",
     "top_ngrams",
+    "repetition_stats",
+    "composite_quality_filter",
+    "QF_TOO_FEW_WORDS",
+    "QF_BAD_LENGTH",
+    "QF_BAD_WORD_LEN",
+    "QF_NO_STOPWORDS",
+    "QF_TOO_MUCH_PUNCT",
     "LANG_MARKERS",
     "PII_PATTERNS",
     "binary_metadata",

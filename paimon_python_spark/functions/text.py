@@ -302,3 +302,86 @@ def top_ngrams(
         .orderBy(F.desc("freq"), F.asc("ngram"))
         .limit(k)
     )
+
+
+def repetition_stats(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """Within-document repetition detector (the Gopher-style
+    duplicate-n-gram quality rule): fraction of word n-grams that are
+    repeats of an earlier n-gram in the same document. High values mark
+    degenerate/boilerplate text that poisons LM training data.
+
+    Map-only: the n-gram window runs inside the array domain (transform
+    over index positions — no explode, no join, no shuffle at all), and
+    the ratio is a scaled integer so any engine agrees exactly. Docs
+    with fewer than ``n`` words report zero grams and ratio 0.
+    """
+    w = F.split(F.col(text_col), " ")
+    grams = F.expr(
+        f"CASE WHEN size(__w) >= {n} THEN "
+        f"transform(sequence(1, size(__w) - {n - 1}), "
+        f"i -> array_join(slice(__w, i, {n}), ' ')) "
+        f"ELSE array() END"
+    )
+    total = F.size("__g")
+    distinct = F.size(F.array_distinct(F.col("__g")))
+    return (
+        df.select(F.col(id_col), w.alias("__w"))
+        .select(F.col(id_col), grams.alias("__g"))
+        .select(
+            F.col(id_col),
+            total.alias("n_grams"),
+            (total - distinct).alias("n_dup_grams"),
+            F.when(total > 0, F.floor((total - distinct) * 10000 / total))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("dup_ratio_x10000"),
+        )
+    )
+
+
+#: composite-quality-filter reason bits (Gopher/C4-style rule bundle)
+QF_TOO_FEW_WORDS = 1  # < 10 words
+QF_BAD_LENGTH = 2  # < 100 or > 20000 chars
+QF_BAD_WORD_LEN = 4  # mean word length outside [2, 12]
+QF_NO_STOPWORDS = 8  # zero stopwords: likely non-prose
+QF_TOO_MUCH_PUNCT = 16  # punctuation > 20% of chars
+
+
+def composite_quality_filter(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """The classic web-corpus keep/drop rule bundle as ONE narrow pass:
+    every rule is integer math over built-ins, and the output carries a
+    ``reasons`` bitmask (see QF_* constants) so downstream can audit WHY
+    a document was dropped — at 100 TB you never get to re-run the
+    filter just to find out.
+
+    keep == (reasons = 0). No shuffle, no UDF; the whole filter inlines
+    into the scan projection."""
+    w = F.split(F.col(text_col), " ")
+    n_words = F.size(F.col("__w"))
+    n_chars = F.length(F.col(text_col))
+    sum_word_len = n_chars - (n_words - 1)  # single-space-separated text
+    sw_list = ", ".join(f"'{s}'" for s in STOPWORDS)
+    n_stop = F.size(F.expr(f"filter(__w, x -> lower(x) IN ({sw_list}))"))
+    n_punct = n_chars - F.length(
+        F.regexp_replace(F.col(text_col), r"[.,;:!?'\"()\[\]{}-]", "")
+    )
+    reasons = (
+        F.when(n_words < 10, QF_TOO_FEW_WORDS).otherwise(0)
+        + F.when((n_chars < 100) | (n_chars > 20000), QF_BAD_LENGTH).otherwise(0)
+        + F.when(
+            (sum_word_len < 2 * n_words) | (sum_word_len > 12 * n_words),
+            QF_BAD_WORD_LEN,
+        ).otherwise(0)
+        + F.when(n_stop == 0, QF_NO_STOPWORDS).otherwise(0)
+        + F.when(5 * n_punct > n_chars, QF_TOO_MUCH_PUNCT).otherwise(0)
+    )
+    return (
+        df.select(F.col(id_col), F.col(text_col), w.alias("__w"))
+        .select(
+            F.col(id_col),
+            reasons.cast("int").alias("reasons"),
+            (reasons == 0).alias("keep"),
+        )
+    )

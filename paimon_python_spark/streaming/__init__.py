@@ -28,7 +28,7 @@ from paimon_python_spark.streaming.windows import (
     streaming_dedup,
     stream_stream_interval_join,
 )
-from paimon_python_spark.streaming.stateful import running_totals
+from paimon_python_spark.streaming.stateful import running_totals, sessionize_stateful
 from paimon_python_spark.streaming.sink import StreamingTableSink, stream_upsert
 
 __all__ = [
@@ -42,4 +42,5 @@ __all__ = [
     "streaming_dedup",
     "stream_stream_interval_join",
     "running_totals",
+    "sessionize_stateful",
 ]

@@ -56,3 +56,67 @@ def running_totals(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def sessionize_stateful(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts_ns",
+    gap_ns: int = 1800 * 10**9,
+) -> DataFrame:
+    """Per-key session state machine over an epoch-nanos event-time
+    column: an event more than ``gap_ns`` after the previous one CLOSES
+    the running session (emitting one row per closed session) and opens
+    a new one. The open session survives in the state store across
+    micro-batches — bounded to three numbers per key, however long the
+    stream runs.
+
+    This is the custom-stateful-operator shape the built-in
+    ``session_window`` aggregation can't express: arbitrary per-session
+    outputs (start/end/count here; a full state machine in general)
+    emitted exactly once, when the session closes. Events are processed
+    in event-time order within each batch; cross-batch disorder beyond
+    the gap is the caller's watermarking responsibility (same contract
+    as Paimon/Flink session windows).
+    """
+
+    def update(
+        key: Tuple[Any, ...],
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            start, last, n = state.get
+        else:
+            start = last = None
+            n = 0
+        closed = []
+        ts_all = []
+        for pdf in pdfs:
+            ts_all.extend(int(v) for v in pdf[ts_col])
+        for t in sorted(ts_all):
+            if start is None:
+                start = last = t
+                n = 1
+            elif t - last > gap_ns:
+                closed.append((key[0], start, last, n))
+                start = last = t
+                n = 1
+            else:
+                last = t
+                n += 1
+        state.update((start, last, n))
+        if closed:
+            yield pd.DataFrame(
+                closed, columns=[key_col, "session_start", "session_end", "n_events"]
+            )
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=(
+            f"{key_col} long, session_start long, session_end long, n_events long"
+        ),
+        stateStructType="session_start long, session_end long, n_events long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -485,3 +485,48 @@ def test_ivf_topk_large_k_uses_broadcast(spark, emb, monkeypatch):
     rows = out.collect()
     assert len(rows) == 5
     assert rows[0].cos_sim >= rows[-1].cos_sim
+
+
+def test_repetition_stats_detects_loops(spark):
+    from paimon_python_spark.functions import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam spam"),     # one distinct 3-gram
+            (2, "all words here are fully distinct"), # no repeats
+            (3, "a b"),                                # shorter than n
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in repetition_stats(df, "doc_id", "text").collect()}
+    assert out[1]["n_grams"] == 4 and out[1]["n_dup_grams"] == 3
+    assert out[1]["dup_ratio_x10000"] == 7500
+    assert out[2]["n_dup_grams"] == 0 and out[2]["dup_ratio_x10000"] == 0
+    assert out[3]["n_grams"] == 0 and out[3]["dup_ratio_x10000"] == 0
+
+
+def test_composite_quality_filter_reason_bits(spark):
+    from paimon_python_spark.functions import (
+        QF_BAD_LENGTH,
+        QF_NO_STOPWORDS,
+        QF_TOO_FEW_WORDS,
+        composite_quality_filter,
+    )
+
+    good = (
+        "the quick brown fox jumps over a lazy dog and then runs to the "
+        "green hills in the morning light while birds sing softly above"
+    )
+    df = spark.createDataFrame(
+        [
+            (1, good),  # passes every rule
+            (2, "x y z"),  # too few words + too short + no stopwords
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in composite_quality_filter(df, "doc_id", "text").collect()}
+    assert out[1]["keep"] is True and out[1]["reasons"] == 0
+    assert out[2]["keep"] is False
+    assert out[2]["reasons"] & QF_TOO_FEW_WORDS
+    assert out[2]["reasons"] & QF_BAD_LENGTH
+    assert out[2]["reasons"] & QF_NO_STOPWORDS

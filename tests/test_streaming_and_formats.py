@@ -561,3 +561,45 @@ def test_stream_stream_interval_join(spark, tmp_path):
     finally:
         q.stop()
     assert [r.ad_id for r in res] == [1, 2]
+
+
+def test_stateful_sessionize(spark, tmp_path):
+    """applyInPandasWithState session machine: a gap inside batch 2
+    closes the session opened in batch 1; the open session stays in
+    state (no emission) until a later gap closes it."""
+    from paimon_python_spark.streaming.stateful import sessionize_stateful
+
+    src = str(tmp_path / "sess_src")
+    G = 10**9  # 1s in ns
+    batch1 = spark.createDataFrame(
+        [(1, 0 * G), (1, 60 * G), (2, 0 * G)], "user_id long, ts_ns long"
+    )
+    batch1.write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(batch1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = sessionize_stateful(stream, "user_id", "ts_ns", gap_ns=1800 * G)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sess_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # user 1: 5000s is > 1800s after 60s -> closes session [0, 60]
+        batch2 = spark.createDataFrame(
+            [(1, 5000 * G), (1, 5020 * G)], "user_id long, ts_ns long"
+        )
+        batch2.write.mode("append").parquet(src)
+        q.processAllAvailable()
+        rows = spark.sql(
+            "SELECT user_id, session_start, session_end, n_events FROM sess_out"
+        ).collect()
+    finally:
+        q.stop()
+    sessions = {(r.user_id, r.session_start): (r.session_end, r.n_events) for r in rows}
+    # exactly one closed session: user 1's [0s, 60s] with 2 events
+    assert sessions == {(1, 0): (60 * G, 2)}
