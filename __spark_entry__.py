@@ -4145,6 +4145,222 @@ SELECT vec_id, cos_sim FROM (
 """
 
 
+def text_contamination(spark, sf_dir):
+    """Benchmark decontamination screening: share of each doc's distinct
+    word-5-grams that appear anywhere in the eval set (here: the 'src0'
+    slice). The benchmark gram set is broadcast — map-side join, no
+    shuffle of the corpus side."""
+    from paimon_python_spark.functions import contamination_check
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("source") == "src0")
+    return contamination_check(docs, bench, "doc_id", "text", n=5).orderBy("doc_id")
+
+
+TEXT_CONTAMINATION_SQL = """
+WITH g AS (
+  SELECT doc_id, source,
+         CASE WHEN len(w) >= 5 THEN
+           list_distinct(list_transform(generate_series(1, len(w) - 4),
+                         i -> array_to_string(list_slice(w, i, i + 4), ' ')))
+         ELSE [] END AS g
+  FROM (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents) t0),
+bench AS (SELECT DISTINCT unnest(g) AS gram FROM g WHERE source = 'src0'),
+exploded AS (
+  SELECT doc_id, len(g) AS n_grams,
+         unnest(CASE WHEN len(g) = 0 THEN [CAST(NULL AS VARCHAR)] ELSE g END) AS gram
+  FROM g),
+hits AS (
+  SELECT e.doc_id, any_value(e.n_grams) AS n_grams, count(b.gram) AS n_contaminated
+  FROM exploded e LEFT JOIN bench b USING (gram) GROUP BY e.doc_id)
+SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+       CAST(n_contaminated AS BIGINT) AS n_contaminated,
+       CAST(CASE WHEN n_grams > 0
+                 THEN floor(n_contaminated * 10000 / n_grams) ELSE 0 END AS BIGINT)
+         AS contamination_x10000
+FROM hits ORDER BY doc_id
+"""
+
+
+def pack_sequences(spark, sf_dir):
+    """Concat-and-chunk sequence packing: per-source token stream in
+    doc_id order, sliced into 256-token training chunks. Window prefix
+    sum + integer math; streams pack in parallel."""
+    from paimon_python_spark.operators import pack_concat_chunks
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "source", F.size(F.split(F.col("text"), " ")).alias("n_tok")
+    )
+    return pack_concat_chunks(toks, "doc_id", "n_tok", 256, "source").orderBy(
+        "doc_id"
+    )
+
+
+PACK_SEQUENCES_SQL = """
+SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(off AS BIGINT) AS offset,
+       CAST(off // 256 AS BIGINT) AS first_chunk,
+       CAST((off + n_tokens - 1) // 256 AS BIGINT) AS last_chunk,
+       CAST((off + n_tokens - 1) // 256 - off // 256 + 1 AS BIGINT)
+         AS n_chunks_spanned
+FROM (
+  SELECT doc_id, source, n_tokens,
+         COALESCE(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+  FROM (SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens
+        FROM documents) t0) t1
+ORDER BY doc_id
+"""
+
+
+def sample_corpus_mix(spark, sf_dir):
+    """Weighted corpus mixing: per-source keep rates (src0 100%, src1
+    75%, src2 50%, src3 25%, rest 10%) via md5-prefix thresholds —
+    deterministic across engines/partitionings, pure scan-side."""
+    from paimon_python_spark.operators import weighted_mix_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    rates = {"src0": 1.0, "src1": 0.75, "src2": 0.5, "src3": 0.25}
+    mixed = weighted_mix_sample(docs, "doc_id", "source", rates, default_rate=0.1)
+    return (
+        mixed.groupBy("source")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.sum(F.col("keep").cast("int")).cast("long").alias("n_kept"),
+        )
+        .orderBy("source")
+    )
+
+
+# thresholds: 1.0->'g' (all), 0.75->0xc000, 0.5->0x8000, 0.25->0x4000, 0.1->0x199a
+SAMPLE_MIX_SQL = """
+SELECT source, count(*) AS n_total,
+       CAST(sum(CASE WHEN substr(md5(CAST(doc_id AS varchar)), 1, 4) <
+                CASE source WHEN 'src0' THEN 'g' WHEN 'src1' THEN 'c000'
+                            WHEN 'src2' THEN '8000' WHEN 'src3' THEN '4000'
+                            ELSE '199a' END
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM documents GROUP BY source ORDER BY source
+"""
+
+
+def events_anomaly_zscore(spark, sf_dir):
+    """Trailing-window anomaly detection: hourly per-type counts flagged
+    as spikes when (cnt - mean12) > 3*std12 over the previous 12 observed
+    buckets. Integer-exact via cross-multiplication:
+    (12*cnt - S)^2 > 9*(12*Q - S^2) with S=Σcnt, Q=Σcnt² — no float, so
+    the flag hashes identically in any engine."""
+    ev = _events(spark, sf_dir)
+    hourly = (
+        ev.withColumn("bucket", F.expr("ts div 3600000000000"))
+        .groupBy("event_type", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = W.partitionBy("event_type").orderBy("bucket").rowsBetween(-12, -1)
+    stats = (
+        hourly.withColumn("n_prev", F.count("cnt").over(w))
+        .withColumn("s_prev", F.sum("cnt").over(w))
+        .withColumn("q_prev", F.sum(F.col("cnt") * F.col("cnt")).over(w))
+        .filter(F.col("n_prev") == 12)
+    )
+    dev = 12 * F.col("cnt") - F.col("s_prev")
+    var144 = 12 * F.col("q_prev") - F.col("s_prev") * F.col("s_prev")
+    return stats.select(
+        "event_type",
+        (F.col("bucket") * 3600000).cast("long").alias("bucket_start_ms"),
+        F.col("cnt").cast("long").alias("cnt"),
+        F.col("s_prev").cast("long").alias("trailing_sum"),
+        ((dev > 0) & (dev * dev > 9 * var144)).alias("is_spike"),
+    ).orderBy("event_type", "bucket_start_ms")
+
+
+EVENTS_ANOMALY_SQL = """
+WITH hourly AS (
+  SELECT event_type, epoch_ns(ts) // 3600000000000 AS bucket, count(*) AS cnt
+  FROM events GROUP BY 1, 2),
+stats AS (
+  SELECT event_type, bucket, cnt,
+         count(cnt) OVER w AS n_prev,
+         sum(cnt) OVER w AS s_prev,
+         sum(cnt * cnt) OVER w AS q_prev
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY bucket
+               ROWS BETWEEN 12 PRECEDING AND 1 PRECEDING))
+SELECT event_type, CAST(bucket * 3600000 AS BIGINT) AS bucket_start_ms,
+       CAST(cnt AS BIGINT) AS cnt, CAST(s_prev AS BIGINT) AS trailing_sum,
+       (12 * cnt - s_prev > 0 AND
+        (12 * cnt - s_prev) * (12 * cnt - s_prev)
+          > 9 * (12 * q_prev - s_prev * s_prev)) AS is_spike
+FROM stats WHERE n_prev = 12
+ORDER BY event_type, bucket_start_ms
+"""
+
+
+def dedup_containment(spark, sf_dir):
+    """Containment near-dup pairs (|A∩B| / min(|A|,|B|) >= 0.8) on
+    MinHash-LSH candidates: collision-scaled candidate generation, exact
+    array_intersect verification on just the candidates — the 100 TB
+    path (the exact inverted-index variant is dedup_containment_exact)."""
+    from paimon_python_spark.operators import minhash_containment_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_containment_pairs(
+        docs, "doc_id", "text", num_hashes=16, bands=4, shingle_n=3,
+        containment_num=4, containment_den=5,
+    ).orderBy("doc_a", "doc_b")
+
+
+def _containment_oracle() -> str:
+    # LSH candidate CTEs from the minhash oracle + containment verify
+    cand_body = _minhash_oracle().split("SELECT doc_a, doc_b,", 1)[0]
+    return f"""{cand_body}
+SELECT doc_a, doc_b,
+       CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS intersect_size,
+       CAST(least(len(sa.sh), len(sb.sh)) AS BIGINT) AS min_size,
+       CAST(floor(len(list_intersect(sa.sh, sb.sh)) * 10000
+                  / least(len(sa.sh), len(sb.sh))) AS BIGINT) AS containment_x10000
+FROM cand JOIN sh sa ON sa.doc_id = doc_a JOIN sh sb ON sb.doc_id = doc_b
+WHERE len(list_intersect(sa.sh, sb.sh)) * 5 >= least(len(sa.sh), len(sb.sh)) * 4
+ORDER BY doc_a, doc_b
+"""
+
+
+def dedup_containment_exact(spark, sf_dir):
+    """Exact all-pairs containment via the shingle inverted index —
+    the correctness baseline for dedup_containment (quadratic on hot
+    shingles; run the LSH variant at scale)."""
+    from paimon_python_spark.operators import ngram_containment_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_containment_pairs(
+        docs, "doc_id", "text", shingle_n=3, containment_num=4, containment_den=5
+    ).orderBy("doc_a", "doc_b")
+
+
+DEDUP_CONTAINMENT_EXACT_SQL = f"""
+WITH sh AS ({_SH_SQL}),
+inv AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS intersect_size
+  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+sizes AS (SELECT doc_id, len(sh) AS n_sh FROM sh)
+SELECT doc_a, doc_b, CAST(intersect_size AS BIGINT) AS intersect_size,
+       CAST(least(sa.n_sh, sb.n_sh) AS BIGINT) AS min_size,
+       CAST(floor(intersect_size * 10000 / least(sa.n_sh, sb.n_sh)) AS BIGINT)
+         AS containment_x10000
+FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+WHERE intersect_size * 5 >= least(sa.n_sh, sb.n_sh) * 4
+ORDER BY doc_a, doc_b
+"""
+
+
+# Registration order is deliberate: the driver's correctness gate checks the
+# FIRST 50 entries, so the first 50 span every operator family (TPC-H,
+# joins/aggs/windows, sketches, sampling/mixing, event-time, dedup, ANN,
+# text/packing, multimodal, table-format roundtrip); the tail repeats
+# families with deeper variants, all covered by tools/check_oracle.py.
 _QUERIES: dict[str, Callable] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -4170,22 +4386,14 @@ _QUERIES: dict[str, Callable] = {
     "q22_global_sales": q22_global_sales,
     "join_semi_exists": join_semi_exists,
     "join_anti_not_exists": join_anti_not_exists,
-    "window_topk_per_group": window_topk_per_group,
-    "window_running_sum": window_running_sum,
     "rollup_agg": rollup_agg,
-    "cube_agg": cube_agg,
-    "pivot_agg": pivot_agg,
     "setop_except": setop_except,
-    "setop_intersect": setop_intersect,
     "agg_count_distinct": agg_count_distinct,
-    "agg_conditional": agg_conditional,
     "sketch_quantile_summary": sketch_quantile_summary,
-    "sketch_histogram": sketch_histogram,
     "sketch_approx_distinct": sketch_approx_distinct,
     "sample_split_assign": sample_split_assign,
-    "sample_stratified": sample_stratified,
+    "sample_corpus_mix": sample_corpus_mix,
     "scalar_string_funcs": scalar_string_funcs,
-    "scalar_date_funcs": scalar_date_funcs,
     "scalar_json_funcs": scalar_json_funcs,
     "mor_latest_by_key": mor_latest_by_key,
     "events_tumbling_window": events_tumbling_window,
@@ -4193,17 +4401,33 @@ _QUERIES: dict[str, Callable] = {
     "events_asof_join": events_asof_join,
     "events_sliding_window": events_sliding_window,
     "events_interval_join": events_interval_join,
+    "events_anomaly_zscore": events_anomaly_zscore,
     "dedup_exact": dedup_exact,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_cluster_reps": dedup_cluster_reps,
+    "dedup_containment": dedup_containment,
+    "ann_topk_cosine": ann_topk_cosine,
+    "text_quality_stats": text_quality_stats,
+    "text_contamination": text_contamination,
+    "pack_sequences": pack_sequences,
+    "mm_binary_meta": mm_binary_meta,
+    "paimon_pk_upsert_roundtrip": paimon_pk_upsert_roundtrip,
+    "window_topk_per_group": window_topk_per_group,
+    "window_running_sum": window_running_sum,
+    "cube_agg": cube_agg,
+    "pivot_agg": pivot_agg,
+    "setop_intersect": setop_intersect,
+    "agg_conditional": agg_conditional,
+    "sketch_histogram": sketch_histogram,
+    "sample_stratified": sample_stratified,
+    "scalar_date_funcs": scalar_date_funcs,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_containment_exact": dedup_containment_exact,
     "dedup_simhash": dedup_simhash,
     "dedup_embedding_cosine": dedup_embedding_cosine,
-    "ann_topk_cosine": ann_topk_cosine,
     "ann_lsh_bucket": ann_lsh_bucket,
     "ann_ivf_cell": ann_ivf_cell,
     "ann_ivf_trained": ann_ivf_trained,
-    "text_quality_stats": text_quality_stats,
     "text_punct_stopword": text_punct_stopword,
     "text_repetition_stats": text_repetition_stats,
     "text_quality_filter": text_quality_filter,
@@ -4219,10 +4443,8 @@ _QUERIES: dict[str, Callable] = {
     "text_pii_scrub": text_pii_scrub,
     "window_lead_lag": window_lead_lag,
     "scalar_array_funcs": scalar_array_funcs,
-    "mm_binary_meta": mm_binary_meta,
     "mm_image_features": mm_image_features,
     "mm_frame_sample": mm_frame_sample,
-    "paimon_pk_upsert_roundtrip": paimon_pk_upsert_roundtrip,
     "paimon_scan_pushdown_roundtrip": paimon_scan_pushdown_roundtrip,
     "paimon_partition_overwrite_roundtrip": paimon_partition_overwrite_roundtrip,
     "paimon_time_travel_roundtrip": paimon_time_travel_roundtrip,
@@ -4360,6 +4582,11 @@ _ORACLES: dict[str, str] = {
     "window_ntile_quartile": WINDOW_NTILE_SQL,
     "events_funnel_conversion": EVENTS_FUNNEL_SQL,
     "agg_mode_per_user": AGG_MODE_SQL,
+    "text_contamination": TEXT_CONTAMINATION_SQL,
+    "pack_sequences": PACK_SEQUENCES_SQL,
+    "sample_corpus_mix": SAMPLE_MIX_SQL,
+    "events_anomaly_zscore": EVENTS_ANOMALY_SQL,
+    "dedup_containment_exact": DEDUP_CONTAINMENT_EXACT_SQL,
 }
 
 
@@ -4372,6 +4599,7 @@ def oracle_sql() -> dict[str, str]:
     out["dedup_minhash_lsh"] = _minhash_oracle()
     out["dedup_cluster_reps"] = _dedup_cluster_oracle()
     out["dedup_simhash"] = _simhash_oracle()
+    out["dedup_containment"] = _containment_oracle()
     out["text_lang_id"] = _lang_id_oracle()
     out["ann_lsh_bucket"] = _ann_lsh_oracle("/root/testdata/sf0.01")
     out["ann_ivf_cell"] = _ann_ivf_oracle("/root/testdata/sf0.01")

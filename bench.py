@@ -54,6 +54,11 @@ HEADLINE = [
     "sketch_approx_distinct",
     "sample_split_assign",
     "sample_stratified",
+    "sample_corpus_mix",
+    "text_contamination",
+    "pack_sequences",
+    "events_anomaly_zscore",
+    "dedup_containment",
 ]
 
 

@@ -14,6 +14,7 @@ from paimon_python_spark.functions.text import (
     top_ngrams,
     repetition_stats,
     composite_quality_filter,
+    contamination_check,
     QF_TOO_FEW_WORDS,
     QF_BAD_LENGTH,
     QF_BAD_WORD_LEN,
@@ -45,6 +46,7 @@ __all__ = [
     "top_ngrams",
     "repetition_stats",
     "composite_quality_filter",
+    "contamination_check",
     "QF_TOO_FEW_WORDS",
     "QF_BAD_LENGTH",
     "QF_BAD_WORD_LEN",

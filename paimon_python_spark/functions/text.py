@@ -385,3 +385,65 @@ def composite_quality_filter(df: DataFrame, id_col: str, text_col: str) -> DataF
             (reasons == 0).alias("keep"),
         )
     )
+
+
+def contamination_check(
+    df: DataFrame,
+    bench_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+) -> DataFrame:
+    """Benchmark-contamination screening: for every document, the share
+    of its distinct word-``n``-grams that also occur anywhere in the
+    benchmark (eval-set) corpus ``bench_df`` — the standard decontamination
+    pass run before training on web data.
+
+    Scale shape: the benchmark n-gram set is small (eval suites are KBs
+    to MBs), so it is ``broadcast()`` and the whole op is a map-side
+    join over the exploded training corpus — no shuffle of the 100 TB
+    side. Output per doc: ``n_grams``, ``n_contaminated`` and a scaled
+    integer ratio (exact, engine-portable).
+
+    Parity note: the reference has no corpus ops (delegates analytics to
+    DuckDB, pypaimon/api/table_read.py:47-56); this extends SURVEY §2.5.
+    """
+    from paimon_python_spark.operators.dedup import _shingle_expr
+
+    def grams(frame: DataFrame) -> DataFrame:
+        # guard short docs: sequence(1, size-n+1) on size<n would count DOWN
+        return frame.select(
+            F.col(id_col), F.split(F.col(text_col), " ").alias("w")
+        ).select(
+            F.col(id_col),
+            F.when(F.size("w") >= n, F.expr(_shingle_expr(text_col, n)))
+            .otherwise(F.array().cast("array<string>"))
+            .alias("g"),
+        )
+
+    doc_g = grams(df)
+    bench_grams = grams(bench_df).select(F.explode("g").alias("gram")).distinct()
+    exploded = doc_g.select(
+        F.col(id_col),
+        F.size("g").alias("n_grams"),
+        F.explode_outer("g").alias("gram"),
+    )
+    hits = exploded.join(
+        F.broadcast(bench_grams.withColumn("__hit", F.lit(1))), "gram", "left"
+    )
+    return (
+        hits.groupBy(id_col)
+        .agg(
+            F.max("n_grams").cast("long").alias("n_grams"),
+            F.count("__hit").cast("long").alias("n_contaminated"),
+        )
+        .withColumn(
+            "contamination_x10000",
+            F.when(
+                F.col("n_grams") > 0,
+                F.floor(F.col("n_contaminated") * 10000 / F.col("n_grams")),
+            )
+            .otherwise(F.lit(0))
+            .cast("long"),
+        )
+    )

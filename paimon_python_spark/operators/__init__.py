@@ -15,6 +15,8 @@ from paimon_python_spark.operators.dedup import (
     exact_dedup,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
+    ngram_containment_pairs,
+    minhash_containment_pairs,
     simhash_fingerprints,
     embedding_cosine_pairs,
     connected_components,
@@ -25,7 +27,9 @@ from paimon_python_spark.operators.sampling import (
     train_val_test_split,
     stratified_hash_sample,
     split_column,
+    weighted_mix_sample,
 )
+from paimon_python_spark.operators.packing import pack_concat_chunks
 from paimon_python_spark.operators.similarity import (
     assign_cells,
     cosine_similarity_col,
@@ -57,4 +61,8 @@ __all__ = [
     "train_val_test_split",
     "stratified_hash_sample",
     "split_column",
+    "weighted_mix_sample",
+    "pack_concat_chunks",
+    "ngram_containment_pairs",
+    "minhash_containment_pairs",
 ]

@@ -96,6 +96,32 @@ def minhash_signature_expr(num_hashes: int) -> str:
     )
 
 
+def _lsh_candidates(sh: DataFrame, id_col: str, bands: int, band_key) -> DataFrame:
+    """Distinct (doc_a, doc_b) band-collision candidates from a shingled
+    frame carrying a ``sig`` minhash column. The self-join is keyed on
+    (band, band_key) — the only shuffle; cost scales with collisions."""
+    banded = (
+        sh.select(id_col, "sig")
+        .withColumn("band", F.explode(F.sequence(F.lit(0), F.lit(bands - 1))))
+        .withColumn("band_key", band_key)
+        .select(id_col, "band", "band_key")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -134,26 +160,7 @@ def minhash_lsh_pairs(
             for k in range(rows_per_band)
         ],
     )
-    banded = (
-        sh.select(id_col, "sig")
-        .withColumn("band", F.explode(F.sequence(F.lit(0), F.lit(bands - 1))))
-        .withColumn("band_key", band_key)
-        .select(id_col, "band", "band_key")
-    )
-    a = banded.alias("a")
-    b = banded.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
-        )
-        .distinct()
-    )
+    cand = _lsh_candidates(sh, id_col, bands, band_key)
     sets = sh.select(F.col(id_col), F.col("sh"))
     return (
         cand.join(sets.withColumnsRenamed({id_col: "doc_a", "sh": "sh_a"}), "doc_a")
@@ -363,4 +370,101 @@ def fuzzy_dedup_survivors(
     in_pairs = comps.select(F.col("node").alias(id_col))
     return df.join(in_pairs, id_col, "left_anti").unionByName(
         df.join(keep, id_col, "left_semi")
+    )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    containment_num: int = 4,
+    containment_den: int = 5,
+) -> DataFrame:
+    """Containment near-dup pairs: |A∩B| / min(|A|,|B|) ≥ threshold.
+
+    Catches subset duplicates Jaccard misses — a page embedded inside a
+    larger page scores low Jaccard (union is big) but full containment.
+    Same inverted-index shape as ``ngram_jaccard_pairs`` (shuffle on
+    shingle, fan-out only on shared shingles), integer cross-multiplied
+    threshold; at 100 TB run it on LSH candidates, not the full corpus."""
+    sh = with_shingles(df.select(id_col, text_col), text_col, shingle_n)
+    sizes = sh.select(F.col(id_col), F.size("sh").alias("n_sh"))
+    inv = sh.select(F.col(id_col), F.explode("sh").alias("shingle"))
+    a = inv.alias("a")
+    b = inv.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .agg(F.count("*").alias("intersect_size"))
+    )
+    return (
+        inter.join(sizes.withColumnsRenamed({id_col: "doc_a", "n_sh": "n_a"}), "doc_a")
+        .join(sizes.withColumnsRenamed({id_col: "doc_b", "n_sh": "n_b"}), "doc_b")
+        .withColumn("min_size", F.least("n_a", "n_b").cast("long"))
+        .filter(
+            F.col("intersect_size") * containment_den
+            >= F.col("min_size") * containment_num
+        )
+        .withColumn(
+            "containment_x10000",
+            F.floor(F.col("intersect_size") * 10000 / F.col("min_size")).cast("long"),
+        )
+        .select("doc_a", "doc_b", "intersect_size", "min_size", "containment_x10000")
+    )
+
+
+def minhash_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    containment_num: int = 4,
+    containment_den: int = 5,
+) -> DataFrame:
+    """Scale-path containment dedup: MinHash-LSH candidate pairs verified
+    with EXACT containment |A∩B| / min(|A|,|B|).
+
+    Candidate generation is the banded LSH self-join (collision-scaled,
+    never |docs|²); verification is an array_intersect over just the
+    candidate pairs. Note the recall caveat: LSH collisions track
+    *Jaccard*, so a tiny doc buried in a huge one (high containment, low
+    Jaccard) may not collide — for that regime run
+    ``ngram_containment_pairs`` on a pre-blocked subset instead."""
+    rows_per_band = num_hashes // bands
+    sh = with_shingles(df.select(id_col, text_col), text_col, shingle_n).withColumn(
+        "sig", F.expr(minhash_signature_expr(num_hashes))
+    )
+    sh = sh.persist()
+    band_key = F.concat_ws(
+        "-",
+        *[
+            F.element_at("sig", F.col("band") * rows_per_band + F.lit(k + 1))
+            for k in range(rows_per_band)
+        ],
+    )
+    cand = _lsh_candidates(sh, id_col, bands, band_key)
+    sets = sh.select(F.col(id_col), F.col("sh"))
+    return (
+        cand.join(sets.withColumnsRenamed({id_col: "doc_a", "sh": "sh_a"}), "doc_a")
+        .join(sets.withColumnsRenamed({id_col: "doc_b", "sh": "sh_b"}), "doc_b")
+        .withColumn("intersect_size", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn("min_size", F.least(F.size("sh_a"), F.size("sh_b")).cast("long"))
+        .filter(
+            F.col("intersect_size") * containment_den
+            >= F.col("min_size") * containment_num
+        )
+        .withColumn(
+            "containment_x10000",
+            F.floor(F.col("intersect_size") * 10000 / F.col("min_size")).cast("long"),
+        )
+        .select("doc_a", "doc_b", "intersect_size", "min_size", "containment_x10000")
     )

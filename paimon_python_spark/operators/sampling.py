@@ -96,3 +96,25 @@ def stratified_hash_sample(
         thr = F.when(s == val, lit) if thr is None else thr.when(s == val, lit)
     thr = thr.otherwise(F.lit("0000")) if thr is not None else F.lit("0000")
     return df.filter(_hash_prefix(id_col) < thr)
+
+
+def weighted_mix_sample(
+    df: DataFrame, id_col: str, group_col: str, rates: dict, default_rate: float = 0.0
+) -> DataFrame:
+    """Corpus mixing: tag each row with a deterministic keep/drop flag
+    at its group's sampling rate (``rates`` maps group value → fraction;
+    unlisted groups get ``default_rate``).
+
+    This is the "mix web at 10%, books at 70%, wiki at 100%" step of
+    training-corpus assembly. Pure scan-side projection: the rate lookup
+    is a literal CASE and membership is an md5-prefix threshold, so the
+    mix is reproducible across engines, runs, and repartitions, and a
+    row's fate never changes as the corpus grows."""
+    g = F.col(group_col)
+    thr = None
+    for val, frac in sorted(rates.items()):
+        lit = F.lit(_hex_threshold(frac))
+        thr = F.when(g == val, lit) if thr is None else thr.when(g == val, lit)
+    default_lit = F.lit(_hex_threshold(default_rate))
+    thr = thr.otherwise(default_lit) if thr is not None else default_lit
+    return df.withColumn("keep", _hash_prefix(id_col) < thr)

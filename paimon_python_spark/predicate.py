@@ -358,6 +358,10 @@ class PredicateBuilder:
     snake_case API)."""
 
     def __init__(self, field_names: Optional[list[str]] = None):
+        # accept a pyarrow.Schema (the reference builds from a row type —
+        # pypaimon/api/predicate.py:29) or a plain name list
+        if field_names is not None and hasattr(field_names, "names"):
+            field_names = list(field_names.names)
         self.field_names = field_names
 
     def _check(self, field: str) -> str:

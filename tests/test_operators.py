@@ -530,3 +530,109 @@ def test_composite_quality_filter_reason_bits(spark):
     assert out[2]["reasons"] & QF_TOO_FEW_WORDS
     assert out[2]["reasons"] & QF_BAD_LENGTH
     assert out[2]["reasons"] & QF_NO_STOPWORDS
+
+
+def test_contamination_check_overlap_and_short_docs(spark):
+    from paimon_python_spark.functions import contamination_check
+
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta")], "doc_id long, text string"
+    )
+    docs = spark.createDataFrame(
+        [
+            # contains the benchmark's first 5-gram exactly
+            (1, "alpha beta gamma delta epsilon other words here"),
+            # no overlap
+            (2, "one two three four five six seven"),
+            # too short for any 5-gram
+            (3, "tiny doc"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in contamination_check(docs, bench, "doc_id", "text", n=5).collect()
+    }
+    assert out[1].n_contaminated == 1 and out[1].n_grams == 4
+    assert out[1].contamination_x10000 == 2500
+    assert out[2].n_contaminated == 0
+    assert out[3].n_grams == 0 and out[3].contamination_x10000 == 0
+
+
+def test_pack_concat_chunks_offsets_and_spans(spark):
+    from paimon_python_spark.operators import pack_concat_chunks
+
+    df = spark.createDataFrame(
+        [(1, "a", 100), (2, "a", 100), (3, "a", 100), (10, "b", 600)],
+        "id long, stream string, toks int",
+    )
+    out = {
+        r.id: r
+        for r in pack_concat_chunks(df, "id", "toks", 256, "stream").collect()
+    }
+    # stream a: offsets 0,100,200; doc 2 crosses no boundary, doc 3 does
+    assert (out[1].offset, out[1].first_chunk, out[1].last_chunk) == (0, 0, 0)
+    assert (out[2].offset, out[2].first_chunk, out[2].last_chunk) == (100, 0, 0)
+    assert (out[3].offset, out[3].first_chunk, out[3].last_chunk) == (200, 0, 1)
+    assert out[3].n_chunks_spanned == 2
+    # stream b independent; 600 tokens span chunks 0..2
+    assert (out[10].offset, out[10].first_chunk, out[10].last_chunk) == (0, 0, 2)
+
+
+def test_weighted_mix_sample_rates_and_determinism(spark):
+    from paimon_python_spark.operators import weighted_mix_sample
+
+    rows = [(i, "hi" if i % 2 == 0 else "lo") for i in range(400)]
+    df = spark.createDataFrame(rows, "id long, grp string")
+    out = weighted_mix_sample(df, "id", "grp", {"hi": 1.0, "lo": 0.0}, 0.5)
+    got = out.groupBy("grp").agg(F.sum(F.col("keep").cast("int")).alias("k")).collect()
+    k = {r.grp: r.k for r in got}
+    assert k["hi"] == 200  # rate 1.0 keeps everything
+    assert k["lo"] == 0  # rate 0.0 keeps nothing
+    # determinism under repartition
+    again = weighted_mix_sample(
+        df.repartition(7), "id", "grp", {"hi": 1.0, "lo": 0.0}, 0.5
+    )
+    assert again.filter("keep").count() == 200
+
+
+def test_ngram_containment_pairs_subset_doc(spark):
+    from paimon_python_spark.operators import ngram_containment_pairs
+
+    big = " ".join(f"w{i}" for i in range(30))
+    subset = " ".join(f"w{i}" for i in range(10))  # fully contained in big
+    other = "totally different words about engines and pipelines again ok"
+    df = spark.createDataFrame(
+        [(1, big), (2, subset), (3, other)], "doc_id long, text string"
+    )
+    out = ngram_containment_pairs(
+        df, "doc_id", "text", shingle_n=3, containment_num=4, containment_den=5
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.doc_a, r.doc_b) == (1, 2)
+    assert r.containment_x10000 == 10000  # full containment
+
+
+def test_minhash_containment_matches_exact_on_near_dups(spark):
+    from paimon_python_spark.operators import (
+        minhash_containment_pairs,
+        ngram_containment_pairs,
+    )
+
+    base = " ".join(f"w{i}" for i in range(40))
+    near = base.replace("w39", "changed")  # high Jaccard -> LSH collides
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, "unrelated words entirely here ok now")],
+        "doc_id long, text string",
+    )
+    lsh = minhash_containment_pairs(
+        df, "doc_id", "text", containment_num=4, containment_den=5
+    ).collect()
+    exact = ngram_containment_pairs(
+        df, "doc_id", "text", containment_num=4, containment_den=5
+    ).collect()
+    assert {(r.doc_a, r.doc_b) for r in lsh} == {(1, 2)}
+    got = {(r.doc_a, r.doc_b, r.intersect_size, r.min_size, r.containment_x10000) for r in lsh}
+    want = {(r.doc_a, r.doc_b, r.intersect_size, r.min_size, r.containment_x10000) for r in exact}
+    assert got == want
