@@ -4297,6 +4297,116 @@ ORDER BY event_type, bucket_start_ms
 """
 
 
+def ann_pq_adc(spark, sf_dir):
+    """Product-quantization ANN: vectors → M=8 subspace codes (nearest
+    of 16 data-seeded codebook entries each), query ranks by ADC — an
+    8-lookup table sum instead of a 64-dim fold. The codes column is
+    ~1% of the embedding bytes: the memory-compression scale path."""
+    from paimon_python_spark.operators import pq_adc_topk, pq_codebooks_from_rows
+
+    emb = _t(spark, sf_dir, "embeddings")
+    seeds = [
+        [float(x) for x in r[0]]
+        for r in emb.filter(F.col("vec_id").between(1, 16))
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    ]
+    books = pq_codebooks_from_rows(seeds, 8)
+    return pq_adc_topk(
+        emb.filter(F.col("vec_id") != 0),
+        "vec_id",
+        "embedding",
+        _query_vec(spark, sf_dir),
+        books,
+        k=10,
+    )
+
+
+def _ann_pq_oracle(sf_dir: str) -> str:
+    """Mirror of ann_pq_adc: same data-derived codebook/LUT literals
+    (identical Python float math on the same parquet values), same
+    first-occurrence argmin, same fixed-order 8-term ADC sum."""
+    import duckdb
+
+    from paimon_python_spark.operators import pq_codebooks_from_rows
+
+    rows = duckdb.sql(
+        f"SELECT vec_id, embedding FROM read_parquet('{sf_dir}/embeddings.parquet') "
+        "WHERE vec_id BETWEEN 1 AND 16 ORDER BY vec_id"
+    ).fetchall()
+    seeds = [[float(x) for x in r[1]] for r in rows]
+    q = duckdb.sql(
+        f"SELECT embedding FROM read_parquet('{sf_dir}/embeddings.parquet') WHERE vec_id = 0"
+    ).fetchone()[0]
+    qv = [float(x) for x in q]
+    books = pq_codebooks_from_rows(seeds, 8)
+    sub = len(books[0][0])
+    lut = [
+        [
+            sum((qv[s * sub + i] - e[i]) * (qv[s * sub + i] - e[i]) for i in range(sub))
+            for e in book
+        ]
+        for s, book in enumerate(books)
+    ]
+
+    def dist(s: int, entry: list[float]) -> str:
+        lit = "[" + ", ".join(repr(v) for v in entry) + "]"
+        return (
+            f"list_sum(list_transform(generate_series(1, {sub}), "
+            f"i -> (embedding[{s * sub} + i]::DOUBLE - ({lit})[i]::DOUBLE)"
+            f" * (embedding[{s * sub} + i]::DOUBLE - ({lit})[i]::DOUBLE)))"
+        )
+
+    codes = []
+    for s, book in enumerate(books):
+        arr = "[" + ", ".join(dist(s, e) for e in book) + "]"
+        codes.append(f"list_position({arr}, list_aggregate({arr}, 'min'))")
+    terms = " + ".join(
+        "(["
+        + ", ".join(repr(v) for v in lut[s])
+        + f"])[c{s}]"
+        for s in range(len(books))
+    )
+    code_cols = ", ".join(f"{c} AS c{s}" for s, c in enumerate(codes))
+    return f"""
+WITH coded AS (
+  SELECT vec_id, {code_cols}
+  FROM embeddings WHERE vec_id <> 0),
+scored AS (SELECT vec_id, round({terms}, 6) AS adc_dist FROM coded)
+SELECT vec_id, rank, adc_dist FROM (
+  SELECT vec_id, adc_dist,
+         row_number() OVER (ORDER BY adc_dist ASC, vec_id) AS rank
+  FROM scored) t
+WHERE rank <= 10 ORDER BY rank
+"""
+
+
+def text_unigram_surprisal(spark, sf_dir):
+    """Perplexity-proxy quality score: mean integer unigram surprisal
+    (floor log2 of inverse corpus frequency) per doc — the CCNet-style
+    LM filter without an external model, in exact 64-bit integer math."""
+    from paimon_python_spark.functions import unigram_surprisal
+
+    docs = _t(spark, sf_dir, "documents")
+    return unigram_surprisal(docs, "doc_id", "text").orderBy("doc_id")
+
+
+TEXT_SURPRISAL_SQL = """
+WITH words AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word FROM documents),
+vocab AS (SELECT word, count(*) AS n_w FROM words GROUP BY word),
+tot AS (SELECT CAST(sum(n_w) AS BIGINT) AS corpus_n FROM vocab),
+scored AS (
+  SELECT w.doc_id, length(bin(t.corpus_n // v.n_w)) - 1 AS s
+  FROM words w JOIN vocab v USING (word) CROSS JOIN tot t)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(s) AS BIGINT) AS total_surprisal,
+       CAST(floor(sum(s) * 100 / count(*)) AS BIGINT) AS avg_surprisal_x100
+FROM scored GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def dedup_containment(spark, sf_dir):
     """Containment near-dup pairs (|A∩B| / min(|A|,|B|) >= 0.8) on
     MinHash-LSH candidates: collision-scaled candidate generation, exact
@@ -4428,8 +4538,10 @@ _QUERIES: dict[str, Callable] = {
     "ann_lsh_bucket": ann_lsh_bucket,
     "ann_ivf_cell": ann_ivf_cell,
     "ann_ivf_trained": ann_ivf_trained,
+    "ann_pq_adc": ann_pq_adc,
     "text_punct_stopword": text_punct_stopword,
     "text_repetition_stats": text_repetition_stats,
+    "text_unigram_surprisal": text_unigram_surprisal,
     "text_quality_filter": text_quality_filter,
     "events_retention_cohorts": events_retention_cohorts,
     "events_sessionize_stateful": events_sessionize_stateful,
@@ -4587,6 +4699,7 @@ _ORACLES: dict[str, str] = {
     "sample_corpus_mix": SAMPLE_MIX_SQL,
     "events_anomaly_zscore": EVENTS_ANOMALY_SQL,
     "dedup_containment_exact": DEDUP_CONTAINMENT_EXACT_SQL,
+    "text_unigram_surprisal": TEXT_SURPRISAL_SQL,
 }
 
 
@@ -4603,4 +4716,5 @@ def oracle_sql() -> dict[str, str]:
     out["text_lang_id"] = _lang_id_oracle()
     out["ann_lsh_bucket"] = _ann_lsh_oracle("/root/testdata/sf0.01")
     out["ann_ivf_cell"] = _ann_ivf_oracle("/root/testdata/sf0.01")
+    out["ann_pq_adc"] = _ann_pq_oracle("/root/testdata/sf0.01")
     return out

@@ -447,3 +447,47 @@ def contamination_check(
             .cast("long"),
         )
     )
+
+
+def unigram_surprisal(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Perplexity-proxy quality score without an external LM: the mean
+    unigram surprisal of each document against the corpus's own unigram
+    distribution (the CCNet-style "does this read like the corpus"
+    filter).
+
+    Per-word surprisal is the INTEGER floor(log2(N / n_w)) — computed as
+    ``length(bin(N div n_w)) - 1``, pure 64-bit integer ops both here and
+    in any SQL engine — so scores hash identically everywhere (no ln()
+    ulp drift). Gibberish/rare-token docs score high; boilerplate scores
+    low.
+
+    Scale shape: one hash-agg over words for the vocabulary, one shuffle
+    join words→vocab (word-partitioned, skew handled by AQE), one
+    hash-agg back to docs. The corpus total N is a 1-row broadcast cross
+    join. No UDF, no driver state.
+    """
+    words = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("word"),
+    )
+    vocab = words.groupBy("word").agg(F.count("*").alias("n_w"))
+    total = vocab.agg(F.sum("n_w").alias("corpus_n"))
+    scored = (
+        words.join(vocab, "word")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "s",
+            (F.length(F.bin(F.expr("corpus_n div n_w"))) - 1).cast("long"),
+        )
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.sum("s").cast("long").alias("total_surprisal"),
+        )
+        .withColumn(
+            "avg_surprisal_x100",
+            F.floor(F.col("total_surprisal") * 100 / F.col("n_words")).cast("long"),
+        )
+    )

@@ -39,6 +39,9 @@ from paimon_python_spark.operators.similarity import (
     kmeans_fit,
     hyperplane_signs,
     label_centroids,
+    pq_codebooks_from_rows,
+    pq_encode,
+    pq_adc_topk,
 )
 
 __all__ = [
@@ -57,6 +60,9 @@ __all__ = [
     "kmeans_fit",
     "label_centroids",
     "hyperplane_signs",
+    "pq_codebooks_from_rows",
+    "pq_encode",
+    "pq_adc_topk",
     "hash_sample",
     "train_val_test_split",
     "stratified_hash_sample",

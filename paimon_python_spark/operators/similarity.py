@@ -348,3 +348,123 @@ def label_centroids(
             "n_vectors",
         )
     )
+
+
+# --- Product quantization (PQ) -------------------------------------------
+#
+# The memory-compression ANN path: each vector is split into M subspaces
+# and every subvector is replaced by the id of its nearest codebook
+# entry — 64 floats become M small ints. Search uses asymmetric distance
+# computation (ADC): the query precomputes an M×K lookup table of
+# subspace distances, and a row's approximate distance is M table
+# lookups + a fixed-order sum. At 100 TB the codes column is ~1% of the
+# vector column and scans/ranks without touching the raw embeddings.
+
+
+def pq_codebooks_from_rows(vectors: list[list[float]], m: int) -> list[list[list[float]]]:
+    """Split ``len(vectors)`` seed vectors into ``m`` equal subspaces:
+    codebooks[s][j] = subvector of seed j in subspace s. Deterministic,
+    data-driven seeds (production would train with k-means per
+    subspace — same shape, same consumers)."""
+    dims = len(vectors[0])
+    if dims % m:
+        raise ValueError(f"dims {dims} not divisible by m {m}")
+    sub = dims // m
+    return [
+        [[float(v) for v in vec[s * sub : (s + 1) * sub]] for vec in vectors]
+        for s in range(m)
+    ]
+
+
+def _sub_l2_expr(vec_col: str, start: int, entry: list[float]) -> str:
+    """Sequential-fold squared L2 between vec[start:start+len] and a
+    literal codebook entry (1-based slice start)."""
+    lit = "array(" + ", ".join(f"CAST({v!r} AS DOUBLE)" for v in entry) + ")"
+    return (
+        f"aggregate(zip_with(slice({vec_col}, {start}, {len(entry)}), {lit}, "
+        "(x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def pq_encode(
+    df: DataFrame,
+    vec_col: str,
+    codebooks: list[list[list[float]]],
+    out_col: str = "pq_codes",
+) -> DataFrame:
+    """Add ``out_col``: array of 1-based nearest-codebook-entry ids, one
+    per subspace (squared-L2 argmin, first-occurrence tie-break). All
+    literal expressions inside whole-stage codegen; at K·dims beyond the
+    literal budget the codebooks would ride a broadcast like
+    assign_cells.
+
+    The per-subspace distance arrays are materialized once behind a
+    Generate barrier (``inline(array(named_struct(...)))`` — the same
+    CollapseProject guard as functions.text.lang_id) so the argmin's two
+    references don't re-run the M·K fold expressions."""
+    sub = len(codebooks[0][0])
+    struct_fields = ", ".join(
+        f"'__pq{s}', array("
+        + ", ".join(_sub_l2_expr(vec_col, s * sub + 1, e) for e in book)
+        + ")"
+        for s, book in enumerate(codebooks)
+    )
+    arred = df.select(
+        "*", F.expr(f"inline(array(named_struct({struct_fields})))")
+    )
+    codes = ", ".join(
+        f"array_position(__pq{s}, array_min(__pq{s}))" for s in range(len(codebooks))
+    )
+    return arred.withColumn(out_col, F.expr(f"array({codes})")).drop(
+        *[f"__pq{s}" for s in range(len(codebooks))]
+    )
+
+
+def pq_adc_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_vec: list[float],
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    round_digits: int = 6,
+) -> DataFrame:
+    """ADC top-k over PQ codes: driver precomputes the M×K table of
+    subspace distances to the query (plain-Python doubles any engine
+    reproduces), each row sums M ``element_at`` lookups in fixed
+    subspace order, global top-k via TakeOrderedAndProject. Ordering key
+    is (rounded dist asc, id) — engine-independent."""
+    sub = len(codebooks[0][0])
+    lut = [
+        [
+            sum(
+                (float(q) - float(c)) * (float(q) - float(c))
+                for q, c in zip(query_vec[s * sub : (s + 1) * sub], entry)
+            )
+            for entry in book
+        ]
+        for s, book in enumerate(codebooks)
+    ]
+    encoded = pq_encode(df, vec_col, codebooks)
+    terms = [
+        "element_at(array("
+        + ", ".join(f"CAST({v!r} AS DOUBLE)" for v in lut[s])
+        + f"), CAST(element_at(pq_codes, {s + 1}) AS INT))"
+        for s in range(len(codebooks))
+    ]
+    scored = encoded.select(
+        F.col(id_col),
+        F.round(F.expr(" + ".join(terms)), round_digits).alias("adc_dist"),
+    )
+    return (
+        scored.orderBy(F.col("adc_dist").asc(), F.col(id_col))
+        .limit(k)
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.col("adc_dist").asc(), F.col(id_col))
+            ),
+        )
+        .select(F.col(id_col), "rank", "adc_dist")
+    )

@@ -636,3 +636,71 @@ def test_minhash_containment_matches_exact_on_near_dups(spark):
     got = {(r.doc_a, r.doc_b, r.intersect_size, r.min_size, r.containment_x10000) for r in lsh}
     want = {(r.doc_a, r.doc_b, r.intersect_size, r.min_size, r.containment_x10000) for r in exact}
     assert got == want
+
+
+def test_unigram_surprisal_rare_words_score_higher(spark):
+    from paimon_python_spark.functions import unigram_surprisal
+
+    # 'common' appears 8x in the corpus, 'rare' once
+    df = spark.createDataFrame(
+        [
+            (1, "common common common common"),
+            (2, "common common common rare"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in unigram_surprisal(df, "doc_id", "text").collect()}
+    # corpus_n=8, n_common=7, n_rare=1
+    # surprisal(common) = floor(log2(8//7)) = 0; surprisal(rare) = log2(8) = 3
+    assert out[1].total_surprisal == 0
+    assert out[2].total_surprisal == 3
+    assert out[2].avg_surprisal_x100 == 75  # 3*100/4
+    assert out[1].n_words == 4 and out[2].n_words == 4
+
+
+def test_pq_encode_codes_and_self_seeding(spark, emb):
+    from paimon_python_spark.operators import pq_codebooks_from_rows, pq_encode
+
+    seeds = [
+        [float(x) for x in r.embedding]
+        for r in emb.filter("vec_id between 1 and 16").orderBy("vec_id").collect()
+    ]
+    books = pq_codebooks_from_rows(seeds, 8)
+    assert len(books) == 8 and len(books[0]) == 16 and len(books[0][0]) == 8
+    coded = pq_encode(
+        emb.select("vec_id", "embedding"), "embedding", books
+    )
+    rows = {r.vec_id: list(r.pq_codes) for r in coded.collect()}
+    # every code is a valid 1-based entry id
+    assert all(1 <= c <= 16 for codes in rows.values() for c in codes)
+    # a seed vector encodes to itself in every subspace (distance 0)
+    assert rows[1] == [1] * 8
+    assert rows[16] == [16] * 8
+
+
+def test_pq_adc_topk_ranks_close_vectors_first(spark, emb):
+    from paimon_python_spark.operators import (
+        brute_force_topk,
+        pq_adc_topk,
+        pq_codebooks_from_rows,
+    )
+
+    seeds = [
+        [float(x) for x in r.embedding]
+        for r in emb.filter("vec_id between 1 and 16").orderBy("vec_id").collect()
+    ]
+    books = pq_codebooks_from_rows(seeds, 8)
+    q = [float(x) for x in emb.filter("vec_id = 0").first().embedding]
+    adc = pq_adc_topk(
+        emb.filter("vec_id <> 0"), "vec_id", "embedding", q, books, k=10
+    ).collect()
+    assert len(adc) == 10
+    assert [r.rank for r in adc] == list(range(1, 11))
+    # distances ascend and are non-negative
+    d = [r.adc_dist for r in adc]
+    assert d == sorted(d) and d[0] >= 0
+    # quantized ranking overlaps the exact top-10 (coarse codebooks →
+    # moderate recall; determinism is the hard contract, checked above)
+    exact = {r.vec_id for r in brute_force_topk(
+        emb.filter("vec_id <> 0"), "vec_id", "embedding", q, k=10).collect()}
+    assert len(exact & {r.vec_id for r in adc}) >= 1
