@@ -4297,6 +4297,67 @@ ORDER BY event_type, bucket_start_ms
 """
 
 
+def sample_split_leakage_safe(spark, sf_dir):
+    """Leakage-safe train/val/test split: the md5 split key is the doc's
+    near-dup CLUSTER representative (MinHash-LSH + connected components),
+    so near-duplicates always land in the same split — the eval-
+    contamination guard a plain per-doc split lacks. Singletons key on
+    their own id; output is per-split counts + a doc_id checksum."""
+    from paimon_python_spark.operators import (
+        connected_components,
+        minhash_lsh_pairs,
+        split_column,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, "doc_id", "text", num_hashes=16, bands=4, jaccard_num=1, jaccard_den=2
+    )
+    clusters = connected_components(pairs, "doc_a", "doc_b").withColumnRenamed(
+        "node", "doc_id"
+    )
+    keyed = docs.join(clusters, "doc_id", "left").withColumn(
+        "split_key", F.coalesce("cluster", F.col("doc_id"))
+    )
+    assigned = keyed.withColumn(
+        "split", split_column("split_key", (0.8, 0.1, 0.1), ("train", "val", "test"))
+    )
+    return (
+        assigned.groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count("cluster").alias("n_dup_docs"),
+            F.sum("doc_id").alias("doc_id_sum"),
+        )
+        .orderBy("split")
+    )
+
+
+def _leakage_split_oracle() -> str:
+    # reuse the recursive connected-components CTEs of the cluster oracle,
+    # then apply the identical md5-prefix split thresholds to the cluster key
+    body = _dedup_cluster_oracle().rsplit("SELECT a AS doc_id", 1)[0].rstrip()
+    assert body.endswith(")"), body[-80:]
+    return (
+        body
+        + """,
+clusters AS (SELECT a AS doc_id, least(a, mn) AS cluster FROM best),
+keyed AS (
+  SELECT d.doc_id, c.cluster, COALESCE(c.cluster, d.doc_id) AS split_key
+  FROM documents d LEFT JOIN clusters c USING (doc_id)),
+assigned AS (
+  SELECT doc_id, cluster,
+         CASE WHEN substr(md5(CAST(split_key AS varchar)), 1, 4) < 'cccd' THEN 'train'
+              WHEN substr(md5(CAST(split_key AS varchar)), 1, 4) < 'e666' THEN 'val'
+              ELSE 'test' END AS split
+  FROM keyed)
+SELECT split, count(*) AS n_docs, CAST(count(cluster) AS BIGINT) AS n_dup_docs,
+       CAST(sum(doc_id) AS BIGINT) AS doc_id_sum
+FROM assigned GROUP BY split ORDER BY split
+"""
+    )
+
+
 def ann_pq_adc(spark, sf_dir):
     """Product-quantization ANN: vectors → M=8 subspace codes (nearest
     of 16 data-seeded codebook entries each), query ranks by ADC — an
@@ -4530,6 +4591,7 @@ _QUERIES: dict[str, Callable] = {
     "agg_conditional": agg_conditional,
     "sketch_histogram": sketch_histogram,
     "sample_stratified": sample_stratified,
+    "sample_split_leakage_safe": sample_split_leakage_safe,
     "scalar_date_funcs": scalar_date_funcs,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_containment_exact": dedup_containment_exact,
@@ -4713,6 +4775,7 @@ def oracle_sql() -> dict[str, str]:
     out["dedup_cluster_reps"] = _dedup_cluster_oracle()
     out["dedup_simhash"] = _simhash_oracle()
     out["dedup_containment"] = _containment_oracle()
+    out["sample_split_leakage_safe"] = _leakage_split_oracle()
     out["text_lang_id"] = _lang_id_oracle()
     out["ann_lsh_bucket"] = _ann_lsh_oracle("/root/testdata/sf0.01")
     out["ann_ivf_cell"] = _ann_ivf_oracle("/root/testdata/sf0.01")

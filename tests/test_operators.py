@@ -704,3 +704,31 @@ def test_pq_adc_topk_ranks_close_vectors_first(spark, emb):
     exact = {r.vec_id for r in brute_force_topk(
         emb.filter("vec_id <> 0"), "vec_id", "embedding", q, k=10).collect()}
     assert len(exact & {r.vec_id for r in adc}) >= 1
+
+
+def test_leakage_safe_split_keeps_near_dups_together(spark):
+    from paimon_python_spark.operators import (
+        connected_components,
+        minhash_lsh_pairs,
+        split_column,
+    )
+
+    base = " ".join(f"w{i}" for i in range(40))
+    rows = [(i, base.replace("w39", f"v{i}")) for i in range(1, 6)]  # near-dup family
+    rows += [(100 + i, f"unique doc number {i} " + " ".join(f"u{i}{j}" for j in range(30))) for i in range(5)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text", jaccard_num=1, jaccard_den=2)
+    clusters = connected_components(pairs, "doc_a", "doc_b").withColumnRenamed(
+        "node", "doc_id"
+    )
+    assigned = (
+        docs.join(clusters, "doc_id", "left")
+        .withColumn("split_key", F.coalesce("cluster", F.col("doc_id")))
+        .withColumn(
+            "split", split_column("split_key", (0.8, 0.1, 0.1), ("train", "val", "test"))
+        )
+    )
+    got = {r.doc_id: r.split for r in assigned.collect()}
+    # the whole near-dup family shares one split — no eval leakage
+    family = {got[i] for i in range(1, 6)}
+    assert len(family) == 1, got

@@ -67,6 +67,20 @@ def test_write_read_all_apis(catalog):
     con = read.to_duckdb(splits, table_name="duckdb_table")
     assert con.execute("SELECT count(*) FROM duckdb_table WHERE f0 < 4").fetchone()[0] == 3
 
+    # to_ray: optional dependency exactly as in the reference
+    # (java_implementation.py:255-258) — with ray installed it returns a
+    # ray Dataset of the same rows; without, the import error surfaces
+    try:
+        import ray  # noqa: F401
+
+        ds = read.to_ray(splits)
+        assert ds.count() == 5
+    except ImportError:
+        import pytest
+
+        with pytest.raises(ImportError):
+            read.to_ray(splits)
+
 
 def test_multi_commit_parallel_read(catalog):
     catalog.create_table("default.t", Schema(SIMPLE), False)
