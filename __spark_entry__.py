@@ -4297,6 +4297,112 @@ ORDER BY event_type, bucket_start_ms
 """
 
 
+def text_length_band_filter(spark, sf_dir):
+    """Group-relative distributional filtering: keep docs inside the
+    (5%, 95%] length band OF THEIR OWN LANGUAGE — absolute length cuts
+    misfire across languages (zh chars ≠ en chars). Integer rank math
+    (100·rank vs pct·count cross-multiplication), no percentile
+    interpolation to disagree on across engines. One window over lang —
+    a single shuffle keyed on the group column."""
+    docs = _t(spark, sf_dir, "documents")
+    wl = W.partitionBy("lang")
+    ranked = (
+        docs.select("doc_id", "lang", "n_chars")
+        .withColumn(
+            "r", F.row_number().over(wl.orderBy("n_chars", "doc_id"))
+        )
+        .withColumn("n", F.count("*").over(wl))
+    )
+    return (
+        ranked.withColumn(
+            "keep", (100 * F.col("r") > 5 * F.col("n")) & (100 * F.col("r") <= 95 * F.col("n"))
+        )
+        .select("doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars"), "keep")
+        .orderBy("doc_id")
+    )
+
+
+TEXT_LENGTH_BAND_SQL = """
+SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+       (100 * r > 5 * n AND 100 * r <= 95 * n) AS keep
+FROM (
+  SELECT doc_id, lang, n_chars,
+         row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS r,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM documents) t
+ORDER BY doc_id
+"""
+
+
+def paimon_incremental_dedup_roundtrip(spark, sf_dir):
+    """Streaming-corpus maintenance: a PK fingerprint table holds the
+    corpus seen so far (md5 of normalized text as primary key); a new
+    batch deduplicates against it with a broadcast-able anti-join on the
+    PK read, then commits its survivors — the arrival-order-deterministic
+    incremental dedup loop of a live ingest pipeline. Returns per-source
+    counts of the second batch's survivors."""
+    from paimon_python_spark import Catalog, Schema
+    from paimon_python_spark.functions import doc_fingerprints
+
+    wh = _fresh_warehouse("incdedup")
+    cat = Catalog.create({"warehouse": wh})
+    cat.create_database("default", True)
+
+    docs = _t(spark, sf_dir, "documents")
+    fps = doc_fingerprints(docs, "doc_id", "text").join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    batch1 = fps.filter(F.col("doc_id") % 2 == 0).select(
+        "fingerprint", F.col("doc_id").alias("first_doc_id"), "source"
+    )
+    batch2 = fps.filter(F.col("doc_id") % 2 == 1).select(
+        "fingerprint", F.col("doc_id").alias("first_doc_id"), "source"
+    )
+
+    cat.create_table(
+        "default.corpus_fp",
+        Schema(batch1.schema, primary_keys=["fingerprint"], options={"bucket": "4"}),
+        False,
+    )
+    t = cat.get_table("default.corpus_fp")
+    wb = t.new_batch_write_builder()
+    w, c = wb.new_write(), wb.new_commit()
+    w.write_dataframe(batch1)
+    c.commit(w.prepare_commit())
+    w.close()
+    c.close()
+
+    seen = t.new_read_builder().new_read().to_df().select("fingerprint")
+    survivors = batch2.join(seen, "fingerprint", "left_anti")
+    wb = t.new_batch_write_builder()
+    w, c = wb.new_write(), wb.new_commit()
+    w.write_dataframe(survivors)
+    c.commit(w.prepare_commit())
+    w.close()
+    c.close()
+
+    return (
+        survivors.groupBy("source")
+        .agg(F.count("*").alias("n_new_docs"))
+        .orderBy("source")
+    )
+
+
+# batch-2 docs whose normalized-text fingerprint is absent from batch 1
+PAIMON_INC_DEDUP_SQL = """
+WITH fp AS (
+  SELECT doc_id, source,
+         md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fingerprint
+  FROM documents)
+SELECT source, count(*) AS n_new_docs
+FROM fp b2
+WHERE doc_id % 2 = 1
+  AND NOT EXISTS (SELECT 1 FROM fp b1 WHERE doc_id % 2 = 0
+                  AND b1.fingerprint = b2.fingerprint)
+GROUP BY source ORDER BY source
+"""
+
+
 def sample_split_leakage_safe(spark, sf_dir):
     """Leakage-safe train/val/test split: the md5 split key is the doc's
     near-dup CLUSTER representative (MinHash-LSH + connected components),
@@ -4592,6 +4698,8 @@ _QUERIES: dict[str, Callable] = {
     "sketch_histogram": sketch_histogram,
     "sample_stratified": sample_stratified,
     "sample_split_leakage_safe": sample_split_leakage_safe,
+    "text_length_band_filter": text_length_band_filter,
+    "paimon_incremental_dedup_roundtrip": paimon_incremental_dedup_roundtrip,
     "scalar_date_funcs": scalar_date_funcs,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_containment_exact": dedup_containment_exact,
@@ -4762,6 +4870,8 @@ _ORACLES: dict[str, str] = {
     "events_anomaly_zscore": EVENTS_ANOMALY_SQL,
     "dedup_containment_exact": DEDUP_CONTAINMENT_EXACT_SQL,
     "text_unigram_surprisal": TEXT_SURPRISAL_SQL,
+    "text_length_band_filter": TEXT_LENGTH_BAND_SQL,
+    "paimon_incremental_dedup_roundtrip": PAIMON_INC_DEDUP_SQL,
 }
 
 

@@ -732,3 +732,39 @@ def test_leakage_safe_split_keeps_near_dups_together(spark):
     # the whole near-dup family shares one split — no eval leakage
     family = {got[i] for i in range(1, 6)}
     assert len(family) == 1, got
+
+
+def test_incremental_dedup_anti_join_removes_seen_fingerprints(spark, tmp_path):
+    from paimon_python_spark import Catalog, Schema
+    from paimon_python_spark.functions import doc_fingerprints
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma"),
+            (2, "delta epsilon zeta"),
+            (3, "Alpha  beta   GAMMA"),  # normalizes to doc 1's fingerprint
+            (4, "brand new content here"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = doc_fingerprints(docs, "doc_id", "text")
+    cat = Catalog.create({"warehouse": str(tmp_path / "wh")})
+    cat.create_database("default", True)
+    b1 = fps.filter("doc_id <= 2").select("fingerprint", "doc_id")
+    cat.create_table(
+        "default.fp",
+        Schema(b1.schema, primary_keys=["fingerprint"], options={"bucket": "2"}),
+        False,
+    )
+    t = cat.get_table("default.fp")
+    wb = t.new_batch_write_builder()
+    w, c = wb.new_write(), wb.new_commit()
+    w.write_dataframe(b1)
+    c.commit(w.prepare_commit())
+    w.close(); c.close()
+
+    seen = t.new_read_builder().new_read().to_df().select("fingerprint")
+    b2 = fps.filter("doc_id >= 3").select("fingerprint", "doc_id")
+    survivors = b2.join(seen, "fingerprint", "left_anti")
+    got = [r.doc_id for r in survivors.collect()]
+    assert got == [4], got  # doc 3 is a normalized duplicate of doc 1
