@@ -4015,6 +4015,11 @@ def events_sessionize_stateful(spark, sf_dir):
 
     from paimon_python_spark.streaming.stateful import sessionize_stateful
 
+    # pin the same confs _events() sets: nanosAsLong so a TIMESTAMP(NANOS)
+    # fixture reads at all, UTC so the NTZ→timestamp cast is shift-free —
+    # this query must not depend on an earlier events_* query having run
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     src_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     tmp = tempfile.mkdtemp(prefix="sess_stream_")
     name = "sess_closed_" + uuid.uuid4().hex[:8]
@@ -4309,7 +4314,8 @@ def text_length_band_filter(spark, sf_dir):
     ranked = (
         docs.select("doc_id", "lang", "n_chars")
         .withColumn(
-            "r", F.row_number().over(wl.orderBy("n_chars", "doc_id"))
+            # long: 100*r would wrap int32 past ~21M docs per language
+            "r", F.row_number().over(wl.orderBy("n_chars", "doc_id")).cast("long")
         )
         .withColumn("n", F.count("*").over(wl))
     )

@@ -30,9 +30,12 @@ def group_distinct_sketch(
 ) -> DataFrame:
     """Per-group approximate distinct count (HLL++, relative error rsd).
 
-    Output: keys..., approx_distinct (long). Genuinely approximate —
-    there is no cross-engine oracle; the exactness contract is covered
-    by unit tests against exact countDistinct at small scale.
+    Output: keys..., approx_distinct (long). Genuinely approximate, but
+    deterministic for fixed input+rsd: the sketch_approx_distinct gate
+    asserts the estimate lands inside a 3·rsd envelope of the exact
+    count (SKETCH_APPROX_SQL), and unit tests compare against exact
+    countDistinct at small scale — changing rsd or the HLL internals can
+    fail that oracle.
     """
     return df.groupBy(*keys).agg(
         F.approx_count_distinct(col, rsd).alias("approx_distinct")

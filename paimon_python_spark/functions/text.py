@@ -324,8 +324,10 @@ def repetition_stats(
         f"i -> array_join(slice(__w, i, {n}), ' ')) "
         f"ELSE array() END"
     )
-    total = F.size("__g")
-    distinct = F.size(F.array_distinct(F.col("__g")))
+    # long arithmetic: at 100 TB a boilerplate doc can carry >2^31/10000
+    # duplicate grams, which would wrap the scaled int32 product
+    total = F.size("__g").cast("long")
+    distinct = F.size(F.array_distinct(F.col("__g"))).cast("long")
     return (
         df.select(F.col(id_col), w.alias("__w"))
         .select(F.col(id_col), grams.alias("__g"))

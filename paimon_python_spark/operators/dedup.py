@@ -96,6 +96,30 @@ def minhash_signature_expr(num_hashes: int) -> str:
     )
 
 
+def _minhash_candidates(
+    df: DataFrame, id_col: str, text_col: str, num_hashes: int, bands: int, shingle_n: int
+) -> tuple[DataFrame, DataFrame]:
+    """Shared LSH front half: shingle → minhash signature → banded
+    candidate pairs. Returns ``(sh, cand)``: the PERSISTED shingled
+    frame (signatures feed both the band explosion and the verification
+    join — at scale, write them to a table and reuse across dedup
+    rounds) and the distinct (doc_a, doc_b) band-collision pairs.
+    Both verification metrics (Jaccard, containment) build on this."""
+    rows_per_band = num_hashes // bands
+    sh = with_shingles(df.select(id_col, text_col), text_col, shingle_n).withColumn(
+        "sig", F.expr(minhash_signature_expr(num_hashes))
+    )
+    sh = sh.persist()
+    band_key = F.concat_ws(
+        "-",
+        *[
+            F.element_at("sig", F.col("band") * rows_per_band + F.lit(k + 1))
+            for k in range(rows_per_band)
+        ],
+    )
+    return sh, _lsh_candidates(sh, id_col, bands, band_key)
+
+
 def _lsh_candidates(sh: DataFrame, id_col: str, bands: int, band_key) -> DataFrame:
     """Distinct (doc_a, doc_b) band-collision candidates from a shingled
     frame carrying a ``sig`` minhash column. The self-join is keyed on
@@ -145,22 +169,7 @@ def minhash_lsh_pairs(
 
     Returns (doc_a, doc_b, intersect_size, union_size), doc_a < doc_b.
     """
-    rows_per_band = num_hashes // bands
-    sh = with_shingles(df.select(id_col, text_col), text_col, shingle_n).withColumn(
-        "sig", F.expr(minhash_signature_expr(num_hashes))
-    )
-    # signatures feed both the band explosion and the verification join;
-    # persist so the md5 stage runs once (at scale: write signatures to a
-    # table and reuse across dedup rounds)
-    sh = sh.persist()
-    band_key = F.concat_ws(
-        "-",
-        *[
-            F.element_at("sig", F.col("band") * rows_per_band + F.lit(k + 1))
-            for k in range(rows_per_band)
-        ],
-    )
-    cand = _lsh_candidates(sh, id_col, bands, band_key)
+    sh, cand = _minhash_candidates(df, id_col, text_col, num_hashes, bands, shingle_n)
     sets = sh.select(F.col(id_col), F.col("sh"))
     return (
         cand.join(sets.withColumnsRenamed({id_col: "doc_a", "sh": "sh_a"}), "doc_a")
@@ -439,24 +448,16 @@ def minhash_containment_pairs(
     *Jaccard*, so a tiny doc buried in a huge one (high containment, low
     Jaccard) may not collide — for that regime run
     ``ngram_containment_pairs`` on a pre-blocked subset instead."""
-    rows_per_band = num_hashes // bands
-    sh = with_shingles(df.select(id_col, text_col), text_col, shingle_n).withColumn(
-        "sig", F.expr(minhash_signature_expr(num_hashes))
-    )
-    sh = sh.persist()
-    band_key = F.concat_ws(
-        "-",
-        *[
-            F.element_at("sig", F.col("band") * rows_per_band + F.lit(k + 1))
-            for k in range(rows_per_band)
-        ],
-    )
-    cand = _lsh_candidates(sh, id_col, bands, band_key)
+    sh, cand = _minhash_candidates(df, id_col, text_col, num_hashes, bands, shingle_n)
     sets = sh.select(F.col(id_col), F.col("sh"))
     return (
         cand.join(sets.withColumnsRenamed({id_col: "doc_a", "sh": "sh_a"}), "doc_a")
         .join(sets.withColumnsRenamed({id_col: "doc_b", "sh": "sh_b"}), "doc_b")
-        .withColumn("intersect_size", F.size(F.array_intersect("sh_a", "sh_b")))
+        # long: the ×10000 scaled ratio would wrap int32 past ~214k
+        # shared shingles — exactly the huge-near-dup regime this op is for
+        .withColumn(
+            "intersect_size", F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
+        )
         .withColumn("min_size", F.least(F.size("sh_a"), F.size("sh_b")).cast("long"))
         .filter(
             F.col("intersect_size") * containment_den

@@ -103,7 +103,11 @@ def sessionize_stateful(
                 start = last = t
                 n = 1
             else:
-                last = t
+                # within-gap disorder across micro-batches: the session
+                # bounds only widen (an earlier event must not drag the
+                # end backwards)
+                start = min(start, t)
+                last = max(last, t)
                 n += 1
         state.update((start, last, n))
         if closed:
@@ -111,10 +115,11 @@ def sessionize_stateful(
                 closed, columns=[key_col, "session_start", "session_end", "n_events"]
             )
 
+    key_type = df.schema[key_col].dataType.simpleString()
     return df.groupBy(key_col).applyInPandasWithState(
         update,
         outputStructType=(
-            f"{key_col} long, session_start long, session_end long, n_events long"
+            f"{key_col} {key_type}, session_start long, session_end long, n_events long"
         ),
         stateStructType="session_start long, session_end long, n_events long",
         outputMode="append",

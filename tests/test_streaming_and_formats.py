@@ -574,7 +574,10 @@ def test_stateful_sessionize(spark, tmp_path):
     batch1 = spark.createDataFrame(
         [(1, 0 * G), (1, 60 * G), (2, 0 * G)], "user_id long, ts_ns long"
     )
-    batch1.write.mode("overwrite").parquet(src)
+    # one file per batch: with maxFilesPerTrigger=1 each parquet part
+    # becomes its own micro-batch, and multi-part writes would feed the
+    # state machine in nondeterministic file order
+    batch1.coalesce(1).write.mode("overwrite").parquet(src)
     stream = (
         spark.readStream.schema(batch1.schema)
         .option("maxFilesPerTrigger", 1)
@@ -593,7 +596,7 @@ def test_stateful_sessionize(spark, tmp_path):
         batch2 = spark.createDataFrame(
             [(1, 5000 * G), (1, 5020 * G)], "user_id long, ts_ns long"
         )
-        batch2.write.mode("append").parquet(src)
+        batch2.coalesce(1).write.mode("append").parquet(src)
         q.processAllAvailable()
         rows = spark.sql(
             "SELECT user_id, session_start, session_end, n_events FROM sess_out"
