@@ -145,3 +145,83 @@ def catalog_pb(tmp_path_factory):
     cat.create_database("default", True)
     yield cat
     shutil.rmtree(path, ignore_errors=True)
+
+
+# ---- round-3 pipeline-operator invariants ----
+
+
+@given(
+    toks=st.lists(st.integers(min_value=1, max_value=500), min_size=1, max_size=20),
+    budget=st.integers(min_value=1, max_value=300),
+)
+@settings(**SETTINGS)
+def test_pack_concat_chunks_stream_invariants(spark, toks, budget):
+    """Packing invariants for ANY stream: offsets are the exclusive
+    prefix sum, chunk ranges are contiguous and non-overlapping in
+    token space, and every doc's span covers exactly its tokens."""
+    from paimon_python_spark.operators import pack_concat_chunks
+
+    rows = [(i, "s", t) for i, t in enumerate(toks)]
+    df = spark.createDataFrame(rows, "id long, stream string, toks int")
+    out = sorted(
+        pack_concat_chunks(df, "id", "toks", budget, "stream").collect(),
+        key=lambda r: r.id,
+    )
+    offset = 0
+    for r in out:
+        assert r.offset == offset
+        assert r.first_chunk == r.offset // budget
+        assert r.last_chunk == (r.offset + r.n_tokens - 1) // budget
+        assert r.n_chunks_spanned == r.last_chunk - r.first_chunk + 1
+        offset += r.n_tokens
+
+
+@given(
+    ids=st.lists(st.integers(min_value=0, max_value=10**6), min_size=1, max_size=30, unique=True),
+    rate_pct=st.integers(min_value=0, max_value=100),
+)
+@settings(**SETTINGS)
+def test_weighted_mix_sample_is_pure_per_row(spark, ids, rate_pct):
+    """A row's keep decision depends only on (id, its group's rate):
+    invariant under repartitioning and under adding other rows."""
+    from paimon_python_spark.operators import weighted_mix_sample
+
+    rate = rate_pct / 100.0
+    df = spark.createDataFrame([(i, "g") for i in ids], "id long, grp string")
+    keep1 = {
+        r.id: r.keep
+        for r in weighted_mix_sample(df, "id", "grp", {"g": rate}).collect()
+    }
+    extra = spark.createDataFrame(
+        [(i, "g") for i in ids] + [(10**7 + 1, "other")], "id long, grp string"
+    ).repartition(5)
+    keep2 = {
+        r.id: r.keep
+        for r in weighted_mix_sample(extra, "id", "grp", {"g": rate}).collect()
+        if r.id in keep1
+    }
+    assert keep1 == keep2
+    if rate_pct == 0:
+        assert not any(keep1.values())
+    if rate_pct == 100:
+        assert all(keep1.values())
+
+
+@given(
+    words=st.lists(
+        st.sampled_from(["aa", "bb", "cc", "dd", "ee"]), min_size=1, max_size=30
+    )
+)
+@settings(**SETTINGS)
+def test_unigram_surprisal_bounds(spark, words):
+    """Surprisal per word is in [0, floor(log2 N)]; a single-doc corpus
+    containing one repeated word scores exactly 0."""
+    from paimon_python_spark.functions import unigram_surprisal
+
+    df = spark.createDataFrame([(1, " ".join(words))], "doc_id long, text string")
+    r = unigram_surprisal(df, "doc_id", "text").collect()[0]
+    n = len(words)
+    assert r.n_words == n
+    assert 0 <= r.total_surprisal <= n * max(0, n.bit_length() - 1)
+    if len(set(words)) == 1:
+        assert r.total_surprisal == 0
