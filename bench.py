@@ -70,9 +70,20 @@ def main():
 
     from paimon_python_spark.session import configure_builder, set_spark
 
+    # Shuffle partitions track DATA VOLUME, not core count — the same
+    # ~64MB-per-reduce-task rule you'd apply on a cluster. At sf0.1
+    # (~100MB input) 32 reduce tasks are pure scheduling overhead
+    # (measured 19% of shuffle-query wall time); at sf10+ the rule gives
+    # back cpus partitions and AQE handles the rest.
+    total_mb = sum(
+        os.path.getsize(os.path.join(sf_dir, f))
+        for f in os.listdir(sf_dir)
+        if f.endswith(".parquet")
+    ) // (1024 * 1024)
+    shuffle_parts = max(8, min(int(cpus), int(total_mb) // 64))
     spark = configure_builder(
         SparkSession.builder.master(f"local[{cpus}]").appName("paimon_spark_bench"),
-        shuffle_partitions=int(cpus),
+        shuffle_partitions=shuffle_parts,
     ).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     set_spark(spark)
