@@ -1867,7 +1867,12 @@ def paimon_pk_upsert_roundtrip(spark, sf_dir):
     exactly the upserts. Covers: catalog, PK writes with sequence
     numbers, bucketing (4 buckets), window-dedup merge."""
     from paimon_python_spark import Catalog, Schema
+    from paimon_python_spark.session import set_spark
 
+    # pin the harness session explicitly: the write/commit paths resolve
+    # get_spark(), and this query must not rely on thread-local
+    # active-session lookup in whatever harness runs it
+    set_spark(spark)
     wh = _fresh_warehouse("pk")
     cat = Catalog.create({"warehouse": wh})
     cat.create_database("default", True)
