@@ -4585,6 +4585,54 @@ FROM scored GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def sketch_hll_union_sliding(spark, sf_dir):
+    """Sliding 6-hour distinct users per event type via MERGEABLE HLL
+    sketches (hll_sketch_agg per hour, hll_union_agg per window) — the
+    scale path for overlapping-window distinct, where exact counting
+    re-shuffles every raw id once per covering window.
+
+    Checkable contract (same shape as sketch_approx_distinct): output is
+    the EXACT distinct count per window plus a boolean asserting the
+    sketch-union estimate landed within 5% + 5 of it — deterministic for
+    fixed input, so the DuckDB oracle asserts TRUE."""
+    from paimon_python_spark.functions import sliding_distinct_hll
+
+    ev = _events(spark, sf_dir).withColumn("bucket", F.expr("ts div 3600000000000"))
+    approx = sliding_distinct_hll(ev, ["event_type"], "bucket", "user_id", 6)
+    exact = (
+        ev.withColumn(
+            "win_end", F.explode(F.sequence(F.col("bucket"), F.col("bucket") + 5))
+        )
+        .groupBy("event_type", "win_end")
+        .agg(F.countDistinct("user_id").alias("n_exact"))
+    )
+    return (
+        exact.join(approx, ["event_type", "win_end"])
+        .select(
+            "event_type",
+            (F.col("win_end") * 3600000).cast("long").alias("win_end_ms"),
+            "n_exact",
+            (
+                F.abs(F.col("approx_distinct") - F.col("n_exact"))
+                <= 0.05 * F.col("n_exact") + 5
+            ).alias("approx_ok"),
+        )
+        .orderBy("event_type", "win_end_ms")
+    )
+
+
+SKETCH_HLL_SLIDING_SQL = """
+WITH e AS (
+  SELECT event_type, epoch_ns(ts) // 3600000000000 AS bucket, user_id FROM events),
+w AS (
+  SELECT event_type, unnest(generate_series(bucket, bucket + 5)) AS win_end, user_id
+  FROM e)
+SELECT event_type, CAST(win_end * 3600000 AS BIGINT) AS win_end_ms,
+       count(DISTINCT user_id) AS n_exact, TRUE AS approx_ok
+FROM w GROUP BY event_type, win_end ORDER BY event_type, win_end_ms
+"""
+
+
 def dedup_containment(spark, sf_dir):
     """Containment near-dup pairs (|A∩B| / min(|A|,|B|) >= 0.8) on
     MinHash-LSH candidates: collision-scaled candidate generation, exact
@@ -4710,6 +4758,7 @@ _QUERIES: dict[str, Callable] = {
     "sample_stratified": sample_stratified,
     "sample_split_leakage_safe": sample_split_leakage_safe,
     "text_length_band_filter": text_length_band_filter,
+    "sketch_hll_union_sliding": sketch_hll_union_sliding,
     "paimon_incremental_dedup_roundtrip": paimon_incremental_dedup_roundtrip,
     "scalar_date_funcs": scalar_date_funcs,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -4882,6 +4931,7 @@ _ORACLES: dict[str, str] = {
     "dedup_containment_exact": DEDUP_CONTAINMENT_EXACT_SQL,
     "text_unigram_surprisal": TEXT_SURPRISAL_SQL,
     "text_length_band_filter": TEXT_LENGTH_BAND_SQL,
+    "sketch_hll_union_sliding": SKETCH_HLL_SLIDING_SQL,
     "paimon_incremental_dedup_roundtrip": PAIMON_INC_DEDUP_SQL,
 }
 

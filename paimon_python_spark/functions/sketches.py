@@ -80,3 +80,50 @@ def numeric_histogram(
         .withColumn("lo", F.round(F.lit(lo) + F.col("bucket") * w, 2))
         .select("bucket", "lo", "n")
     )
+
+
+def sliding_distinct_hll(
+    df: DataFrame,
+    keys: List[str],
+    bucket_col: str,
+    id_col: str,
+    window_buckets: int,
+) -> DataFrame:
+    """Sliding-window distinct counts via MERGEABLE HLL sketches: one
+    sketch per (keys, bucket), then each window unions its
+    ``window_buckets`` member sketches — never re-touching raw rows.
+
+    This is THE 100 TB pattern for sliding distinct: an exact
+    countDistinct per overlapping window re-shuffles every raw id once
+    per window it belongs to (w× data amplification), while sketches
+    shrink the shuffle to KB-sized state per bucket and windows merge
+    downstream — the same mergeability contract Paimon's aggregation
+    merge engine relies on for HLL columns.
+
+    Output: keys..., ``win_end`` (bucket id of the window's last
+    bucket), ``n_buckets`` present, ``approx_distinct`` (the unioned
+    estimate, deterministic for fixed input). Windows at the stream's
+    start cover fewer buckets (standard sliding-window edge).
+    """
+    hourly = df.groupBy(*keys, bucket_col).agg(
+        F.hll_sketch_agg(id_col).alias("__sk")
+    )
+    contrib = hourly.withColumn(
+        "win_end",
+        F.explode(
+            F.sequence(
+                F.col(bucket_col), F.col(bucket_col) + (window_buckets - 1)
+            )
+        ),
+    )
+    return (
+        contrib.groupBy(*keys, "win_end")
+        .agg(
+            F.hll_union_agg("__sk").alias("__merged"),
+            F.count("*").alias("n_buckets"),
+        )
+        .withColumn(
+            "approx_distinct", F.hll_sketch_estimate("__merged").cast("long")
+        )
+        .drop("__merged")
+    )

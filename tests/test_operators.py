@@ -768,3 +768,22 @@ def test_incremental_dedup_anti_join_removes_seen_fingerprints(spark, tmp_path):
     survivors = b2.join(seen, "fingerprint", "left_anti")
     got = [r.doc_id for r in survivors.collect()]
     assert got == [4], got  # doc 3 is a normalized duplicate of doc 1
+
+
+def test_sliding_distinct_hll_windows_and_accuracy(spark):
+    from paimon_python_spark.functions import sliding_distinct_hll
+
+    # 3 buckets, ids overlap across buckets; window of 2
+    rows = [(0, i) for i in range(50)] + [(1, i) for i in range(25, 75)] + [(2, 0)]
+    df = spark.createDataFrame([("t", b, i) for b, i in rows], "k string, bucket long, id long")
+    out = {
+        r.win_end: (r.n_buckets, r.approx_distinct)
+        for r in sliding_distinct_hll(df, ["k"], "bucket", "id", 2).collect()
+    }
+    # window ending at 1 covers buckets 0..1: ids 0..74 -> 75 distinct
+    exact = {0: (1, 50), 1: (2, 75), 2: (2, 51), 3: (1, 1)}
+    assert set(out) == set(exact)
+    for w, (nb, n) in exact.items():
+        got_nb, got_est = out[w]
+        assert got_nb == nb
+        assert abs(got_est - n) <= 0.05 * n + 2, (w, got_est, n)
