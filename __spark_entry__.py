@@ -1728,6 +1728,40 @@ FROM documents ORDER BY doc_id
 """
 
 
+def mm_audio_features(spark, sf_dir):
+    """Multimodal audio plumbing: the waveform twin of
+    mm_image_features — mapInPandas over a binary payload emitting
+    integer sample-rate/duration/loudness features
+    (functions/multimodal.py:decode_audio_stub). Pure integer fake
+    decode keeps the pipeline oracle-gated."""
+    from paimon_python_spark.functions import decode_audio_stub
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    return (
+        decode_audio_stub(docs, "doc_id", "payload")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    )
+
+
+# ASCII corpus: codepoint == byte value, so ord() recomputes byte stats
+MM_AUDIO_FEATURES_SQL = """
+SELECT doc_id,
+       length(text) AS n_bytes,
+       8000 + (ord(substring(text, 1, 1)) % 3) * 4000 AS sample_rate,
+       CAST(length(text) // 2 AS BIGINT) AS n_samples,
+       CAST((length(text) // 2) * 1000
+            // (8000 + (ord(substring(text, 1, 1)) % 3) * 4000) AS BIGINT)
+         AS duration_ms,
+       CAST(list_sum(list_transform(range(1, least(length(text), 64) + 1),
+                                    i -> ord(substring(text, i, 1)))) * 1000
+            // (least(length(text), 64) * 255) AS BIGINT) AS rms_x1000
+FROM documents ORDER BY doc_id
+"""
+
+
 def mm_frame_sample(spark, sf_dir):
     """Multimodal 1:N fan-out plumbing: frame sampling from a 'video'
     binary via mapInPandas (functions/multimodal.py:frame_sample_stub) —
@@ -4787,6 +4821,7 @@ _QUERIES: dict[str, Callable] = {
     "scalar_array_funcs": scalar_array_funcs,
     "mm_image_features": mm_image_features,
     "mm_frame_sample": mm_frame_sample,
+    "mm_audio_features": mm_audio_features,
     "paimon_scan_pushdown_roundtrip": paimon_scan_pushdown_roundtrip,
     "paimon_partition_overwrite_roundtrip": paimon_partition_overwrite_roundtrip,
     "paimon_time_travel_roundtrip": paimon_time_travel_roundtrip,
@@ -4891,6 +4926,7 @@ _ORACLES: dict[str, str] = {
     "mm_binary_meta": MM_BINARY_META_SQL,
     "mm_image_features": MM_IMAGE_FEATURES_SQL,
     "mm_frame_sample": MM_FRAME_SAMPLE_SQL,
+    "mm_audio_features": MM_AUDIO_FEATURES_SQL,
     "paimon_pk_upsert_roundtrip": PAIMON_PK_UPSERT_SQL,
     "paimon_scan_pushdown_roundtrip": PAIMON_SCAN_SQL,
     "paimon_partition_overwrite_roundtrip": PAIMON_OVERWRITE_SQL,

@@ -114,3 +114,51 @@ def frame_sample_stub(
             )
 
     return df.select(id_col, bin_col).mapInPandas(sample, schema)
+
+
+# schema for decoded audio features produced by decode_audio_stub
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("n_bytes", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("rms_x1000", T.LongType()),
+    ]
+)
+
+
+def decode_audio_stub(df: DataFrame, id_col: str, bin_col: str) -> DataFrame:
+    """'Decode' audio via mapInPandas — the waveform twin of
+    decode_image_stub, completing the image/audio/video triad.
+
+    STUB: sample rate, duration, and an RMS-style loudness proxy are
+    derived deterministically from the bytes in pure integer math (a
+    real impl would call soundfile/torchaudio here). Integer-only output
+    keeps the whole binary→mapInPandas→features pipeline hashable by a
+    SQL oracle; swapping in a real decoder changes nothing upstream or
+    downstream.
+    """
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = pdf[bin_col]
+            n_bytes = blobs.map(len)
+            first = blobs.map(lambda b: b[0] if len(b) else 0)
+            sample_rate = 8000 + (first % 3) * 4000  # 8k / 12k / 16k
+            n_samples = n_bytes // 2  # fake 16-bit mono PCM
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col],
+                    "n_bytes": n_bytes.astype("int32"),
+                    "sample_rate": sample_rate.astype("int32"),
+                    "n_samples": n_samples.astype("int64"),
+                    "duration_ms": (n_samples * 1000 // sample_rate).astype("int64"),
+                    "rms_x1000": blobs.map(
+                        lambda b: sum(b[:64]) * 1000 // (max(1, len(b[:64])) * 255)
+                    ).astype("int64"),
+                }
+            )
+
+    return df.select(id_col, bin_col).mapInPandas(decode, AUDIO_FEATURES_SCHEMA)

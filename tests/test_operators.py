@@ -787,3 +787,19 @@ def test_sliding_distinct_hll_windows_and_accuracy(spark):
         got_nb, got_est = out[w]
         assert got_nb == nb
         assert abs(got_est - n) <= 0.05 * n + 2, (w, got_est, n)
+
+
+def test_decode_audio_stub_integer_features(spark):
+    from paimon_python_spark.functions import decode_audio_stub
+
+    df = spark.createDataFrame(
+        [(1, bytearray([65] * 200)), (2, bytearray([66] * 33))],
+        "id long, payload binary",
+    )
+    out = {r.id: r for r in decode_audio_stub(df, "id", "payload").collect()}
+    # id 1: first=65 -> 65%3=2 -> 16000 Hz; 100 samples -> 6 ms
+    assert (out[1].sample_rate, out[1].n_samples, out[1].duration_ms) == (16000, 100, 6)
+    assert out[1].rms_x1000 == 65 * 1000 // 255  # constant bytes
+    # id 2: first=66 -> 0 -> 8000 Hz; 16 samples -> 2 ms; 33 bytes < 64 window
+    assert (out[2].sample_rate, out[2].n_samples, out[2].duration_ms) == (8000, 16, 2)
+    assert out[2].rms_x1000 == 66 * 1000 // 255
