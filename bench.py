@@ -59,6 +59,10 @@ HEADLINE = [
     "pack_sequences",
     "events_anomaly_zscore",
     "dedup_containment",
+    "text_unigram_surprisal",
+    "text_length_band_filter",
+    "sketch_hll_union_sliding",
+    "mm_audio_features",
 ]
 
 
