@@ -118,11 +118,43 @@ class Snapshot:
         )
 
 
+class SnapshotConflictError(RuntimeError):
+    """Another committer published this snapshot id first. Recompute the
+    commit against the new latest snapshot and retry."""
+
+
 def _atomic_write(path: str, text: str) -> None:
     tmp = f"{path}.tmp-{uuid.uuid4().hex}"
     with open(tmp, "w") as f:
         f.write(text)
     os.replace(tmp, path)
+
+
+def _exclusive_write(path: str, text: str) -> None:
+    """Atomic create-if-absent: write a temp file, hardlink it to the
+    final name (fails if the name exists — the filesystem CAS), unlink
+    the temp. On filesystems without hardlinks, O_EXCL open is the
+    fallback."""
+    tmp = f"{path}.tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        f.write(text)
+    try:
+        os.link(tmp, path)
+    except FileExistsError:
+        raise SnapshotConflictError(f"snapshot already exists: {path}")
+    except OSError:
+        # no hardlink support: O_EXCL create, then replace content
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            raise SnapshotConflictError(f"snapshot already exists: {path}")
+        with os.fdopen(fd, "w") as f:
+            f.write(text)
+    finally:
+        try:
+            os.unlink(tmp)
+        except FileNotFoundError:
+            pass
 
 
 class MetadataStore:
@@ -156,12 +188,37 @@ class MetadataStore:
         sid = self.latest_snapshot_id()
         return None if sid is None else self.read_snapshot(sid)
 
+    def max_snapshot_id_scan(self) -> Optional[int]:
+        """Authoritative latest id by scanning snapshot files — O(commits),
+        used only on the commit-conflict retry path where the LATEST
+        pointer may be momentarily stale."""
+        best: Optional[int] = None
+        for name in os.listdir(self.snapshot_dir):
+            if name.startswith("snapshot-") and name.endswith(".json"):
+                try:
+                    sid = int(name[len("snapshot-") : -len(".json")])
+                except ValueError:
+                    continue
+                best = sid if best is None else max(best, sid)
+        return best
+
     def write_snapshot(self, snapshot: Snapshot) -> None:
-        _atomic_write(
+        """Publish a snapshot with compare-and-swap semantics: creating
+        ``snapshot-<id>.json`` is EXCLUSIVE (hardlink-from-temp fails if
+        the id is taken), so two committers racing for the same id cannot
+        silently overwrite each other — the loser gets
+        :class:`SnapshotConflictError` and must recompute against the
+        winner's snapshot (optimistic concurrency, the same protocol as
+        Paimon/Iceberg/Delta). The LATEST pointer is a monotonic cache:
+        it only moves forward, and readers fall back to a directory scan
+        on the retry path."""
+        _exclusive_write(
             os.path.join(self.snapshot_dir, f"snapshot-{snapshot.id}.json"),
             json.dumps(snapshot.to_dict(), indent=2),
         )
-        _atomic_write(os.path.join(self.snapshot_dir, "LATEST"), str(snapshot.id))
+        cur = self.latest_snapshot_id()
+        if cur is None or cur < snapshot.id:
+            _atomic_write(os.path.join(self.snapshot_dir, "LATEST"), str(snapshot.id))
 
     # -- manifests --
 

@@ -517,7 +517,30 @@ class BatchTableCommit:
         if not new_files and not self._overwrite:
             return
 
+        # optimistic concurrency: recompute against the fresh latest
+        # snapshot and retry when another committer wins the id race
+        # (SnapshotConflictError from the store's exclusive publish).
+        # Manifests written by losing attempts become orphans, which
+        # maintenance.remove_orphan_files reclaims.
+        from paimon_python_spark.metadata import SnapshotConflictError
+
+        last_err: Optional[Exception] = None
+        for _attempt in range(5):
+            try:
+                self._commit_once(new_files)
+                return
+            except SnapshotConflictError as err:
+                last_err = err
+        raise RuntimeError(
+            f"commit failed after 5 conflict retries: {last_err}"
+        )
+
+    def _commit_once(self, new_files: List[DataFileMeta]) -> None:
         prev = self.store.latest_snapshot()
+        scan_max = self.store.max_snapshot_id_scan()
+        if scan_max is not None and (prev is None or prev.id < scan_max):
+            # LATEST pointer lagging a just-published snapshot
+            prev = self.store.read_snapshot(scan_max)
         prev_total = prev.total_record_count if prev else 0
         entries = [ManifestEntry("ADD", f) for f in new_files]
         commit_kind = "APPEND"

@@ -491,3 +491,78 @@ def test_nested_projection_struct(catalog):
         t.new_read_builder().with_projection([["s", "nope"]])
     with pytest.raises(ValueError):
         t.new_read_builder().with_projection([["id", "x"]])
+
+
+def test_snapshot_publish_is_compare_and_swap(catalog):
+    from paimon_python_spark.metadata import (
+        MetadataStore,
+        Snapshot,
+        SnapshotConflictError,
+    )
+
+    catalog.create_table("default.cas", Schema(SIMPLE), False)
+    t = catalog.get_table("default.cas")
+    store = MetadataStore(t.table_path)
+    snap = Snapshot(
+        id=1, schema_id=0, commit_kind="APPEND", manifests=[],
+        total_record_count=0, delta_record_count=0, time_millis=0,
+    )
+    store.write_snapshot(snap)
+    with pytest.raises(SnapshotConflictError):
+        store.write_snapshot(snap)
+    # the winner's snapshot is intact and LATEST points at it
+    assert store.latest_snapshot_id() == 1
+
+
+def test_commit_retries_past_concurrent_snapshot(catalog):
+    """Optimistic concurrency: a commit that loses the id race must
+    recompute against the winner's snapshot and publish the NEXT id,
+    preserving both commits' rows."""
+    from paimon_python_spark.metadata import MetadataStore
+
+    catalog.create_table("default.race", Schema(SIMPLE), False)
+    t = catalog.get_table("default.race")
+
+    wb = t.new_batch_write_builder()
+    w, c = wb.new_write(), wb.new_commit()
+    w.write_pandas(pd.DataFrame({"f0": pd.array([1], dtype="int32"), "f1": ["a"]}))
+    msgs = w.prepare_commit()
+
+    # interleave: a second writer commits AFTER this writer prepared but
+    # BEFORE it commits — exactly the race the retry loop must survive
+    wb2 = t.new_batch_write_builder()
+    w2, c2 = wb2.new_write(), wb2.new_commit()
+    w2.write_pandas(pd.DataFrame({"f0": pd.array([2], dtype="int32"), "f1": ["b"]}))
+    # sabotage the first committer's view: freeze a stale latest_snapshot
+    # (None) so its first publish targets id 1 and collides
+    stale = {"n": 0}
+    real_latest = c._commit_once.__self__.store.latest_snapshot
+    store = c.store
+
+    def flaky_latest():
+        stale["n"] += 1
+        if stale["n"] == 1:
+            return None  # stale read: pretend no snapshot exists yet
+        return real_latest()
+
+    c2.commit(w2.prepare_commit())  # winner takes snapshot-1
+    w2.close(); c2.close()
+
+    store.latest_snapshot = flaky_latest
+    # also stale the scan fallback once so the collision actually happens
+    real_scan = store.max_snapshot_id_scan
+    scan_calls = {"n": 0}
+
+    def flaky_scan():
+        scan_calls["n"] += 1
+        if scan_calls["n"] == 1:
+            return None
+        return real_scan()
+
+    store.max_snapshot_id_scan = flaky_scan
+    c.commit(msgs)  # loses the race for id 1, retries, lands id 2
+    w.close(); c.close()
+
+    got = sorted(t.new_read_builder().new_read().to_pandas()["f1"])
+    assert got == ["a", "b"]
+    assert MetadataStore(t.table_path).latest_snapshot_id() == 2
