@@ -4,6 +4,7 @@ and the snapshot-offset streaming source."""
 import pandas as pd
 import pyarrow as pa
 import pytest
+from pyspark.sql import functions as F
 
 from paimon_python_spark import Schema
 
@@ -155,3 +156,62 @@ def test_datasource_write_rejects_pk_table(catalog, spark):
         df.write.format("paimon_spark").option("path", t.table_path).mode(
             "append"
         ).save()
+
+
+def test_stream_table_to_table_etl(catalog, spark, tmp_path):
+    """Capstone streaming ETL: readStream from one table (snapshots as
+    micro-batches via the datasource) into an aggregation-merge-engine
+    PK table — the table itself maintains the running counts, the
+    Paimon pattern for streaming rollups. Target must equal a batch
+    recompute from the source after new commits flow through."""
+    import pyarrow as pa
+
+    from paimon_python_spark.streaming.sink import StreamingTableSink
+
+    catalog.create_table("default.etl_src", Schema(SIMPLE), False)
+    src = catalog.get_table("default.etl_src")
+    _write(src, pd.DataFrame({"f0": [1, 2], "f1": ["a", "b"]}))
+
+    catalog.create_table(
+        "default.etl_dst",
+        Schema(
+            pa.schema([("f1", pa.string()), ("cnt", pa.int64())]),
+            primary_keys=["f1"],
+            options={
+                "bucket": "1",
+                "merge-engine": "aggregation",
+                "fields.cnt.aggregate-function": "sum",
+            },
+        ),
+        False,
+    )
+    dst = catalog.get_table("default.etl_dst")
+
+    stream = (
+        spark.readStream.format("paimon_spark")
+        .option("path", src.table_path)
+        .load()
+        .select("f1", F.lit(1).cast("long").alias("cnt"))
+    )
+    q = StreamingTableSink(dst, stream_id="etl").attach(
+        stream, checkpoint=str(tmp_path / "etl_ckpt")
+    )
+    try:
+        q.processAllAvailable()
+        _write(src, pd.DataFrame({"f0": [3, 4], "f1": ["a", "a"]}))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = (
+        dst.new_read_builder().new_read().to_pandas().sort_values("f1")
+        .reset_index(drop=True)
+    )
+    # batch recompute from the source
+    want = (
+        src.new_read_builder().new_read().to_pandas()
+        .groupby("f1").size().rename("cnt").reset_index()
+        .sort_values("f1").reset_index(drop=True)
+    )
+    assert got["f1"].tolist() == want["f1"].tolist()
+    assert got["cnt"].astype(int).tolist() == want["cnt"].astype(int).tolist()
