@@ -4726,6 +4726,244 @@ ORDER BY doc_a, doc_b
 """
 
 
+def dedup_semantic(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): k-means cells restrict the
+    all-pairs cosine comparison — cost Σ|cell|² not n². Centroids are
+    vectors 1..8 (deterministic seeds; production trains offline —
+    same plan shape). Threshold 0.4 on the round-6 cosine."""
+    from paimon_python_spark.operators import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = [
+        [float(x) for x in r[0]]
+        for r in (
+            emb.filter(F.col("vec_id").between(1, 8))
+            .orderBy("vec_id")
+            .select("embedding")
+            .collect()
+        )
+    ]
+    return semantic_dedup(emb, "vec_id", "embedding", centroids, threshold=0.4)
+
+
+def _dedup_semantic_oracle(sf_dir: str) -> str:
+    """Same centroid literals, same argmax cell assignment, same
+    within-cell pair comparison — mirrored into DuckDB list functions
+    (the fold order matches Spark's sequential-double aggregate)."""
+    import duckdb
+
+    rows = duckdb.sql(
+        f"SELECT vec_id, embedding FROM read_parquet('{sf_dir}/embeddings.parquet') "
+        "WHERE vec_id BETWEEN 1 AND 8 ORDER BY vec_id"
+    ).fetchall()
+    centroids = [[float(x) for x in r[1]] for r in rows]
+    dots = ", ".join(
+        "list_sum(list_transform(generate_series(1, 64), "
+        f"i -> embedding[i]::DOUBLE * ([{', '.join(repr(v) for v in c)}])[i]::DOUBLE))"
+        for c in centroids
+    )
+    assign = f"list_position([{dots}], list_aggregate([{dots}], 'max'))"
+    return f"""
+WITH celled AS (
+  SELECT vec_id, embedding, {assign} AS cell FROM embeddings),
+pairs AS (
+  SELECT a.cell AS cell, a.vec_id AS id_a, b.vec_id AS id_b,
+         round(({_DOT64.format(a='a.embedding', b='b.embedding')}) /
+               (sqrt({_DOT64.format(a='a.embedding', b='a.embedding')}) *
+                sqrt({_DOT64.format(a='b.embedding', b='b.embedding')})), 6) AS cos_sim
+  FROM celled a JOIN celled b ON a.cell = b.cell AND a.vec_id < b.vec_id)
+SELECT id_b AS vec_id, CAST(min(cell) AS BIGINT) AS cell, min(id_a) AS dup_of,
+       max(cos_sim) AS max_cos
+FROM pairs WHERE cos_sim >= 0.4
+GROUP BY id_b ORDER BY vec_id
+"""
+
+
+def emb_vector_quality(spark, sf_dir):
+    """Embedding data-quality audit per label: counts, dim bounds,
+    zero-norm vectors, norm min/avg/max — the pre-flight check before
+    any ANN/dedup pass at corpus scale."""
+    from paimon_python_spark.operators import vector_quality_audit
+
+    return vector_quality_audit(
+        _t(spark, sf_dir, "embeddings"), "label", "embedding"
+    )
+
+
+EMB_VECTOR_QUALITY_SQL = f"""
+WITH t AS (
+  SELECT label, len(embedding) AS d,
+         sqrt({_DOT64.format(a='embedding', b='embedding')}) AS n
+  FROM embeddings)
+SELECT label,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(min(d) AS BIGINT) AS min_dims,
+       CAST(max(d) AS BIGINT) AS max_dims,
+       CAST(sum(CASE WHEN n < 1e-12 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_norm,
+       round(min(n), 4) AS min_norm,
+       round(max(n), 4) AS max_norm,
+       round(CAST(sum(CAST(round(n * 10000) AS BIGINT)) AS DOUBLE)
+             / count(*) / 10000.0, 4) + 0.0 AS avg_norm
+FROM t GROUP BY label ORDER BY label
+"""
+
+
+def dedup_url_normalized(spark, sf_dir):
+    """URL-level dedup (the C4/CommonCrawl first pass). The fixture has
+    no URL column, so one is synthesized deterministically from
+    (source, doc_id) — scheme/WWW/query-string noise included — and the
+    normalizer must strip all of it to find the duplicate groups."""
+    from paimon_python_spark.functions import url_dedup
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("HTTPS://www."),
+            F.col("source"),
+            F.lit(".example.com/p/"),
+            (F.col("doc_id") % 40).cast("string"),
+            F.lit("/?utm_source=feed"),
+        ).alias("url"),
+    )
+    return url_dedup(docs, "doc_id", "url").orderBy("url_key")
+
+
+DEDUP_URL_SQL = r"""
+WITH urls AS (
+  SELECT doc_id,
+         'HTTPS://www.' || source || '.example.com/p/'
+           || CAST(doc_id % 40 AS VARCHAR) || '/?utm_source=feed' AS url
+  FROM documents),
+norm AS (
+  SELECT doc_id,
+         regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+           lower(url), '^https?://', ''), '^www\.', ''), '[?#].*$', ''),
+           '/$', '') AS url_key
+  FROM urls)
+SELECT url_key, min(doc_id) AS keeper_id, CAST(count(*) AS BIGINT) AS n_docs
+FROM norm GROUP BY url_key ORDER BY url_key
+"""
+
+
+def events_topk_per_window(spark, sf_dir):
+    """Top-3 event types per 5-minute tumbling window by total value.
+    Ranking key is a scaled-integer sum (order-free — a float sum's
+    round could flip near-equal ranks between engines). The window
+    agg partial-aggregates map-side; the rank window partitions by
+    bucket, so no single-partition bottleneck at scale."""
+    ev = _events(spark, sf_dir)
+    agg = (
+        ev.withColumn("bucket", F.expr("ts div 300000000000"))
+        .groupBy("bucket", "event_type")
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_value_x100"),
+            F.count("*").alias("n"),
+        )
+    )
+    w = W.partitionBy("bucket").orderBy(
+        F.col("sum_value_x100").desc(), F.col("event_type")
+    )
+    return (
+        agg.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("bucket", "rnk", "event_type", "sum_value_x100", "n")
+        .orderBy("bucket", "rnk")
+    )
+
+
+EVENTS_TOPK_WINDOW_SQL = """
+WITH agg AS (
+  SELECT epoch_ns(ts) // 300000000000 AS bucket, event_type,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_x100,
+         count(*) AS n
+  FROM events GROUP BY bucket, event_type)
+SELECT bucket, rnk, event_type, sum_value_x100, n FROM (
+  SELECT bucket, event_type, sum_value_x100, n,
+         row_number() OVER (PARTITION BY bucket
+                            ORDER BY sum_value_x100 DESC, event_type) AS rnk
+  FROM agg) t
+WHERE rnk <= 3 ORDER BY bucket, rnk
+"""
+
+
+def pipeline_quality_dedup_tokens(spark, sf_dir):
+    """End-to-end training-data pipeline showcase: quality-filter →
+    fingerprint-dedup → token-count → per-language corpus totals, all
+    composed from the package operators.
+
+    Scale shape: the filter and fingerprint are scan-side projections;
+    the dedup is one window shuffle on ``fingerprint``; the id joins
+    re-use the doc_id partitioning and Catalyst prunes each side to
+    the joined columns only; the final agg is 5 groups. At 100 TB you
+    would persist intermediate stages as tables between runs — the
+    plan per stage is unchanged."""
+    from paimon_python_spark.functions import (
+        composite_quality_filter,
+        doc_fingerprints,
+        token_counts,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    keep_ids = (
+        composite_quality_filter(docs, "doc_id", "text")
+        .filter("keep")
+        .select("doc_id")
+    )
+    kept = docs.join(keep_ids, "doc_id")
+    fp = doc_fingerprints(kept, "doc_id", "text").select("doc_id", "fingerprint")
+    w = W.partitionBy("fingerprint").orderBy("doc_id")
+    rep_ids = (
+        fp.withColumn("rn", F.row_number().over(w)).filter("rn = 1").select("doc_id")
+    )
+    surv = kept.join(rep_ids, "doc_id")
+    toks = token_counts(surv, "doc_id", "text")
+    return (
+        surv.select("doc_id", "lang")
+        .join(toks, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_ws_tokens").cast("long").alias("total_ws_tokens"),
+            F.sum("n_re_tokens").cast("long").alias("total_re_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+PIPELINE_QDT_SQL = r"""
+WITH q AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         len(string_split(text, ' ')) AS n_words,
+         length(text) - length(regexp_replace(text, '[.,;:!?''"()\[\]{}-]', '', 'g'))
+           AS n_punct,
+         len(list_filter(string_split(text, ' '),
+             x -> lower(x) IN ('the','a','an','and','or','of','to','in','is','it')))
+           AS n_stop
+  FROM documents),
+kept AS (
+  SELECT d.doc_id, d.lang, d.text
+  FROM documents d JOIN q ON q.doc_id = d.doc_id
+  WHERE q.n_words >= 10 AND q.n_chars BETWEEN 100 AND 20000
+    AND (q.n_chars - (q.n_words - 1)) BETWEEN 2 * q.n_words AND 12 * q.n_words
+    AND q.n_stop > 0 AND 5 * q.n_punct <= q.n_chars),
+surv AS (
+  SELECT doc_id, lang, text FROM (
+    SELECT doc_id, lang, text,
+           row_number() OVER (
+             PARTITION BY md5(lower(regexp_replace(text, '\s+', ' ', 'g')))
+             ORDER BY doc_id) AS rn
+    FROM kept) t
+  WHERE rn = 1)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len(regexp_split_to_array(text, '\s+'))) AS BIGINT) AS total_ws_tokens,
+       CAST(sum(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')))
+         AS BIGINT) AS total_re_tokens
+FROM surv GROUP BY lang ORDER BY lang
+"""
+
+
 # Registration order is deliberate: the driver's correctness gate checks the
 # FIRST 50 entries, so the first 50 span every operator family (TPC-H,
 # joins/aggs/windows, sketches, sampling/mixing, event-time, dedup, ANN,
@@ -4854,6 +5092,11 @@ _QUERIES: dict[str, Callable] = {
     "window_ntile_quartile": window_ntile_quartile,
     "events_funnel_conversion": events_funnel_conversion,
     "agg_mode_per_user": agg_mode_per_user,
+    "dedup_semantic": dedup_semantic,
+    "emb_vector_quality": emb_vector_quality,
+    "dedup_url_normalized": dedup_url_normalized,
+    "events_topk_per_window": events_topk_per_window,
+    "pipeline_quality_dedup_tokens": pipeline_quality_dedup_tokens,
 }
 
 _ORACLES: dict[str, str] = {
@@ -4969,6 +5212,10 @@ _ORACLES: dict[str, str] = {
     "text_length_band_filter": TEXT_LENGTH_BAND_SQL,
     "sketch_hll_union_sliding": SKETCH_HLL_SLIDING_SQL,
     "paimon_incremental_dedup_roundtrip": PAIMON_INC_DEDUP_SQL,
+    "emb_vector_quality": EMB_VECTOR_QUALITY_SQL,
+    "dedup_url_normalized": DEDUP_URL_SQL,
+    "events_topk_per_window": EVENTS_TOPK_WINDOW_SQL,
+    "pipeline_quality_dedup_tokens": PIPELINE_QDT_SQL,
 }
 
 
@@ -4987,4 +5234,5 @@ def oracle_sql() -> dict[str, str]:
     out["ann_lsh_bucket"] = _ann_lsh_oracle("/root/testdata/sf0.01")
     out["ann_ivf_cell"] = _ann_ivf_oracle("/root/testdata/sf0.01")
     out["ann_pq_adc"] = _ann_pq_oracle("/root/testdata/sf0.01")
+    out["dedup_semantic"] = _dedup_semantic_oracle("/root/testdata/sf0.01")
     return out

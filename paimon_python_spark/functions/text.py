@@ -451,6 +451,39 @@ def contamination_check(
     )
 
 
+def normalize_url_col(col) -> "F.Column":
+    """Canonical URL key: lowercase, strip scheme (``http://`` /
+    ``https://``), a leading ``www.``, everything from the first ``?``
+    or ``#`` (query/fragment — the tracking-parameter tail), and a
+    trailing slash. Anchored regexes, so Spark's replace-all and
+    other engines' replace-first semantics agree."""
+    c = F.lower(col)
+    c = F.regexp_replace(c, r"^https?://", "")
+    c = F.regexp_replace(c, r"^www\.", "")
+    c = F.regexp_replace(c, r"[?#].*$", "")
+    return F.regexp_replace(c, r"/$", "")
+
+
+def url_dedup(df: DataFrame, id_col: str, url_col: str) -> DataFrame:
+    """URL-level deduplication (the C4/CommonCrawl first pass): group
+    documents by normalized URL, keep the smallest id per key.
+
+    One projection (the normalization inlines into the scan) + one
+    hash-aggregate on the key — map-side combine makes the shuffle
+    carry one row per distinct URL, not per document. Output:
+    ``(url_key, keeper_id, n_docs)``."""
+    return (
+        df.select(
+            F.col(id_col), normalize_url_col(F.col(url_col)).alias("url_key")
+        )
+        .groupBy("url_key")
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count("*").cast("long").alias("n_docs"),
+        )
+    )
+
+
 def unigram_surprisal(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Perplexity-proxy quality score without an external LM: the mean
     unigram surprisal of each document against the corpus's own unigram

@@ -42,6 +42,8 @@ from paimon_python_spark.operators.similarity import (
     pq_codebooks_from_rows,
     pq_encode,
     pq_adc_topk,
+    semantic_dedup,
+    vector_quality_audit,
 )
 
 __all__ = [
@@ -63,6 +65,8 @@ __all__ = [
     "pq_codebooks_from_rows",
     "pq_encode",
     "pq_adc_topk",
+    "semantic_dedup",
+    "vector_quality_audit",
     "hash_sample",
     "train_val_test_split",
     "stratified_hash_sample",

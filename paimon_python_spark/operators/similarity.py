@@ -308,6 +308,106 @@ def lsh_bucket_topk(
     )
 
 
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: list[list[float]],
+    threshold: float,
+    round_digits: int = 6,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication: assign every embedding to
+    its nearest centroid cell, then compare pairs **within a cell only**
+    and report the documents that would be dropped (the higher id of
+    each pair with cosine ≥ ``threshold``).
+
+    The 100 TB shape: the all-pairs comparison is restricted to cells,
+    so cost is Σ|cell|² instead of n² — with k balanced cells that is a
+    k× reduction, and k grows with the corpus (SemDeDup uses k≈10⁵ for
+    web scale). The cell id is the same partition-prunable column the
+    IVF path persists, the self-join shuffles both sides on ``cell``
+    (co-partitioned equi-join, no broadcast of the big side), and
+    centroids inline or ride a broadcast exactly as in
+    :func:`assign_cells`.
+
+    Output per dropped doc: ``(id, cell, dup_of = smallest same-cell
+    near-dup id, max_cos)`` — deterministic under any partitioning
+    because the fold arithmetic is sequential doubles and ties
+    aggregate through min/max.
+    """
+    celled = assign_cells(df.select(id_col, vec_col), vec_col, centroids)
+    a = celled.select(
+        "cell", F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va")
+    )
+    b = celled.select(
+        "cell", F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb")
+    )
+    pairs = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "cell",
+            "id_a",
+            "id_b",
+            F.round(
+                F.expr(
+                    f"({dot_expr('__va', '__vb')}) / "
+                    f"(sqrt({dot_expr('__va', '__va')}) * sqrt({dot_expr('__vb', '__vb')}))"
+                ),
+                round_digits,
+            ).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+    return (
+        pairs.groupBy(F.col("id_b").alias(id_col))
+        .agg(
+            F.min("cell").cast("long").alias("cell"),
+            F.min("id_a").alias("dup_of"),
+            F.max("cos_sim").alias("max_cos"),
+        )
+        .orderBy(id_col)
+    )
+
+
+def vector_quality_audit(
+    df: DataFrame, label_col: str, vec_col: str, zero_eps: float = 1e-12
+) -> DataFrame:
+    """Embedding-column data-quality audit, grouped by label: vector
+    counts, dimension min/max (catches ragged arrays), zero-norm
+    vectors (dead embeddings), and norm min/avg/max.
+
+    One narrow scan + one hash-aggregate on ``label`` — sketch-sized
+    state per group, map-side combined, no data shuffle. Determinism:
+    min/max of doubles are order-free; the average uses the
+    scaled-integer-sum trick (see :func:`label_centroids`) so the one
+    float division is identical in any engine."""
+    norm = F.sqrt(F.expr(dot_expr(vec_col, vec_col)))
+    return (
+        df.select(
+            F.col(label_col).alias("label"),
+            F.size(vec_col).alias("__d"),
+            norm.alias("__n"),
+            F.round(norm * 10000).cast("long").alias("__s"),
+        )
+        .groupBy("label")
+        .agg(
+            F.count("*").cast("long").alias("n_vecs"),
+            F.min("__d").cast("long").alias("min_dims"),
+            F.max("__d").cast("long").alias("max_dims"),
+            F.sum(F.when(F.col("__n") < zero_eps, 1).otherwise(0))
+            .cast("long")
+            .alias("n_zero_norm"),
+            F.round(F.min("__n"), 4).alias("min_norm"),
+            F.round(F.max("__n"), 4).alias("max_norm"),
+            (F.round(F.sum("__s") / F.count("*") / 10000.0, 4) + 0.0).alias(
+                "avg_norm"
+            ),
+        )
+        .orderBy("label")
+    )
+
+
 def label_centroids(
     df: DataFrame, label_col: str, vec_col: str, decimals: int = 2
 ) -> DataFrame:

@@ -803,3 +803,79 @@ def test_decode_audio_stub_integer_features(spark):
     # id 2: first=66 -> 0 -> 8000 Hz; 16 samples -> 2 ms; 33 bytes < 64 window
     assert (out[2].sample_rate, out[2].n_samples, out[2].duration_ms) == (8000, 16, 2)
     assert out[2].rms_x1000 == 66 * 1000 // 255
+
+
+def test_semantic_dedup_within_cell_only(spark):
+    from paimon_python_spark.operators import semantic_dedup
+
+    # two well-separated cells; near-dup pair inside cell 1, a
+    # cross-cell pair with high cosine must NOT be compared
+    c1, c2 = [1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),      # cell 1
+        (2, [0.99, 0.01, 0.0, 0.0]),    # cell 1, near-dup of 1
+        (3, [0.0, 1.0, 0.0, 0.0]),      # cell 2
+        (4, [0.05, 0.9, 0.0, 0.0]),     # cell 2, near 3 but < threshold? cos≈0.9988 → dup
+        (5, [0.0, 0.0, 1.0, 0.0]),      # cell 1 or 2 by tie → argmax first-max = cell 1 (dots 0,0)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semantic_dedup(df, "vec_id", "embedding", [c1, c2], threshold=0.99)
+    got = {r.vec_id: (r.cell, r.dup_of) for r in out.collect()}
+    assert got[2] == (1, 1)
+    assert got[4] == (2, 3)
+    # 5 has zero cosine to everything in its cell → never dropped
+    assert 5 not in got
+
+
+def test_semantic_dedup_partitioning_invariant(spark, emb):
+    from paimon_python_spark.operators import semantic_dedup
+
+    cents = [
+        [float(x) for x in r[0]]
+        for r in emb.filter(F.col("vec_id").between(1, 4))
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    ]
+    a = semantic_dedup(emb, "vec_id", "embedding", cents, threshold=0.35)
+    b = semantic_dedup(
+        emb.repartition(13), "vec_id", "embedding", cents, threshold=0.35
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_vector_quality_audit_zero_and_ragged(spark):
+    from paimon_python_spark.operators import vector_quality_audit
+
+    rows = [
+        (0, [3.0, 4.0]),        # norm 5
+        (0, [0.0, 0.0]),        # zero vector
+        (1, [1.0, 0.0, 0.0]),   # ragged dims (3)
+        (1, [0.0, 2.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "label int, embedding array<double>")
+    out = {r.label: r for r in vector_quality_audit(df, "label", "embedding").collect()}
+    assert out[0].n_vecs == 2 and out[0].n_zero_norm == 1
+    assert (out[0].min_dims, out[0].max_dims) == (2, 2)
+    assert out[0].max_norm == 5.0 and out[0].avg_norm == 2.5
+    assert (out[1].min_dims, out[1].max_dims) == (3, 3)
+    assert out[1].n_zero_norm == 0
+    assert (out[1].min_norm, out[1].max_norm, out[1].avg_norm) == (1.0, 2.0, 1.5)
+
+
+def test_url_dedup_normalization_groups(spark):
+    from paimon_python_spark.functions import url_dedup
+
+    rows = [
+        (1, "https://www.Example.com/a/?utm=1"),
+        (2, "HTTP://example.com/a"),
+        (3, "example.com/a/"),
+        (4, "https://example.com/a#frag"),
+        (5, "https://example.com/b"),
+        (6, "https://sub.example.com/a"),  # subdomain ≠ host: own key
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    out = {r.url_key: (r.keeper_id, r.n_docs) for r in url_dedup(df, "doc_id", "url").collect()}
+    assert out["example.com/a"] == (1, 4)
+    assert out["example.com/b"] == (5, 1)
+    assert out["sub.example.com/a"] == (6, 1)
