@@ -63,6 +63,11 @@ HEADLINE = [
     "text_length_band_filter",
     "sketch_hll_union_sliding",
     "mm_audio_features",
+    "dedup_semantic",
+    "emb_vector_quality",
+    "dedup_url_normalized",
+    "events_topk_per_window",
+    "pipeline_quality_dedup_tokens",
 ]
 
 

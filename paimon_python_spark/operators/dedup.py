@@ -285,17 +285,27 @@ def embedding_cosine_pairs(
     is a sequential left-fold in double precision, rounded before the
     threshold so engines agree at the boundary.
     """
-    from paimon_python_spark.operators.similarity import cosine_similarity_col
+    from paimon_python_spark.operators.similarity import dot_expr
 
-    a = df.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+    # one norm fold per VECTOR (n folds), not per pair (n^2 folds);
+    # sqrt(a.a)*sqrt(b.b) over precomputed values is bit-identical
+    normed = df.select(
+        F.col(id_col),
+        F.col(vec_col).alias("__v"),
+        F.sqrt(F.expr(dot_expr(vec_col, vec_col))).alias("__n"),
     )
-    b = df.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
+    a = normed.select(
+        F.col(id_col).alias("id_a"), F.col("__v").alias("va"), F.col("__n").alias("na")
+    )
+    b = normed.select(
+        F.col(id_col).alias("id_b"), F.col("__v").alias("vb"), F.col("__n").alias("nb")
     )
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("cos_sim", F.round(cosine_similarity_col("va", "vb"), round_digits))
+        .withColumn(
+            "cos_sim",
+            F.round(F.expr(f"({dot_expr('va', 'vb')}) / (na * nb)"), round_digits),
+        )
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )

@@ -335,12 +335,24 @@ def semantic_dedup(
     because the fold arithmetic is sequential doubles and ties
     aggregate through min/max.
     """
-    celled = assign_cells(df.select(id_col, vec_col), vec_col, centroids)
+    # norms are precomputed ONCE per vector before the self-join — the
+    # pairwise stage then does a single dot fold per pair instead of
+    # three (measured 3x less expression work; sqrt(a·a)*sqrt(b·b) on
+    # precomputed values is bit-identical to computing them inline)
+    celled = assign_cells(df.select(id_col, vec_col), vec_col, centroids).withColumn(
+        "__norm", F.sqrt(F.expr(dot_expr(vec_col, vec_col)))
+    )
     a = celled.select(
-        "cell", F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va")
+        "cell",
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("__va"),
+        F.col("__norm").alias("__na"),
     )
     b = celled.select(
-        "cell", F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb")
+        "cell",
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("__vb"),
+        F.col("__norm").alias("__nb"),
     )
     pairs = (
         a.join(b, "cell")
@@ -350,10 +362,7 @@ def semantic_dedup(
             "id_a",
             "id_b",
             F.round(
-                F.expr(
-                    f"({dot_expr('__va', '__vb')}) / "
-                    f"(sqrt({dot_expr('__va', '__va')}) * sqrt({dot_expr('__vb', '__vb')}))"
-                ),
+                F.expr(f"({dot_expr('__va', '__vb')}) / (__na * __nb)"),
                 round_digits,
             ).alias("cos_sim"),
         )
