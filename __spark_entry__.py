@@ -4964,6 +4964,68 @@ FROM surv GROUP BY lang ORDER BY lang
 """
 
 
+def join_salted_skew(spark, sf_dir):
+    """Skew-salted join: ~75% of lineitem rows land on one synthetic
+    key; the salted join spreads that key over 16 tasks by replicating
+    the 25-row nation dim 16x. Salting must be semantically invisible —
+    the oracle is the PLAIN join."""
+    from paimon_python_spark.operators import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_extendedprice",
+        F.when(F.col("l_orderkey") % 4 < 3, F.lit(0))
+        .otherwise(F.col("l_orderkey") % 25)
+        .cast("long")
+        .alias("skew_key"),
+    )
+    dim = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("skew_key"), "n_name"
+    )
+    joined = salted_join(li, dim, on=["skew_key"], salt_n=16)
+    return (
+        joined.groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+                "revenue_x100"
+            ),
+        )
+        .orderBy("n_name")
+    )
+
+
+JOIN_SALTED_SQL = """
+WITH li AS (
+  SELECT l_orderkey, l_extendedprice,
+         CASE WHEN l_orderkey % 4 < 3 THEN 0 ELSE l_orderkey % 25 END AS skew_key
+  FROM lineitem),
+dim AS (SELECT n_nationkey AS skew_key, n_name FROM nation)
+SELECT n_name, count(*) AS n_items,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_x100
+FROM li JOIN dim USING (skew_key)
+GROUP BY n_name ORDER BY n_name
+"""
+
+
+def agg_distinct_skew_free(spark, sf_dir):
+    """Exact per-key distinct via the two-stage compound-key shuffle
+    (skew-free by construction) — counts distinct customers per order
+    priority. Oracle is the naive COUNT(DISTINCT ...)."""
+    from paimon_python_spark.operators import exact_distinct_per_key
+
+    orders = _t(spark, sf_dir, "orders")
+    return exact_distinct_per_key(
+        orders, ["o_orderpriority"], "o_custkey", out_col="n_custs"
+    ).orderBy("o_orderpriority")
+
+
+AGG_DISTINCT_SKEW_SQL = """
+SELECT o_orderpriority, CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_custs
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
 # Registration order is deliberate: the driver's correctness gate checks the
 # FIRST 50 entries, so the first 50 span every operator family (TPC-H,
 # joins/aggs/windows, sketches, sampling/mixing, event-time, dedup, ANN,
@@ -5097,6 +5159,8 @@ _QUERIES: dict[str, Callable] = {
     "dedup_url_normalized": dedup_url_normalized,
     "events_topk_per_window": events_topk_per_window,
     "pipeline_quality_dedup_tokens": pipeline_quality_dedup_tokens,
+    "join_salted_skew": join_salted_skew,
+    "agg_distinct_skew_free": agg_distinct_skew_free,
 }
 
 _ORACLES: dict[str, str] = {
@@ -5216,6 +5280,8 @@ _ORACLES: dict[str, str] = {
     "dedup_url_normalized": DEDUP_URL_SQL,
     "events_topk_per_window": EVENTS_TOPK_WINDOW_SQL,
     "pipeline_quality_dedup_tokens": PIPELINE_QDT_SQL,
+    "join_salted_skew": JOIN_SALTED_SQL,
+    "agg_distinct_skew_free": AGG_DISTINCT_SKEW_SQL,
 }
 
 

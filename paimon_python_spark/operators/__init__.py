@@ -30,6 +30,11 @@ from paimon_python_spark.operators.sampling import (
     weighted_mix_sample,
 )
 from paimon_python_spark.operators.packing import pack_concat_chunks
+from paimon_python_spark.operators.skew import (
+    with_salt,
+    salted_join,
+    exact_distinct_per_key,
+)
 from paimon_python_spark.operators.similarity import (
     assign_cells,
     cosine_similarity_col,
@@ -75,4 +80,7 @@ __all__ = [
     "pack_concat_chunks",
     "ngram_containment_pairs",
     "minhash_containment_pairs",
+    "with_salt",
+    "salted_join",
+    "exact_distinct_per_key",
 ]

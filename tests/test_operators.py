@@ -879,3 +879,53 @@ def test_url_dedup_normalization_groups(spark):
     assert out["example.com/a"] == (1, 4)
     assert out["example.com/b"] == (5, 1)
     assert out["sub.example.com/a"] == (6, 1)
+
+
+def test_salted_join_matches_plain_join(spark):
+    from paimon_python_spark.operators import salted_join
+
+    big = spark.createDataFrame(
+        [(k, i) for i in range(200) for k in ([0] * 3 + [i % 5])],
+        "k long, payload long",
+    )
+    small = spark.createDataFrame([(i, f"v{i}") for i in range(5)], "k long, v string")
+    plain = big.join(small, "k").select("k", "payload", "v")
+    salted = salted_join(big, small, on=["k"], salt_n=8).select("k", "payload", "v")
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+    # left join keeps unmatched big rows exactly once
+    big2 = big.union(spark.createDataFrame([(99, 1)], "k long, payload long"))
+    left = salted_join(big2, small, on=["k"], salt_n=4, how="left")
+    assert left.filter("k = 99").count() == 1
+    assert left.filter("k = 99").select("v").first()[0] is None
+
+
+def test_salted_join_rejects_right_and_missing_salt_cols(spark):
+    import pytest as _pytest
+
+    from paimon_python_spark.operators import salted_join
+
+    df = spark.createDataFrame([(1, 2)], "k long, x long")
+    dim = spark.createDataFrame([(1, "a")], "k long, v string")
+    with _pytest.raises(ValueError):
+        salted_join(df, dim, on=["k"], how="right")
+    with _pytest.raises(ValueError):
+        salted_join(df.select("k"), dim, on=["k"])
+
+
+def test_with_salt_deterministic_and_bounded(spark):
+    from paimon_python_spark.operators import with_salt
+
+    df = spark.createDataFrame([(i,) for i in range(100)], "id long")
+    a = with_salt(df, 7).collect()
+    b = with_salt(df.repartition(9), 7).collect()
+    assert {r.id: r["__salt"] for r in a} == {r.id: r["__salt"] for r in b}
+    assert all(0 <= r["__salt"] < 7 for r in a)
+
+
+def test_exact_distinct_per_key(spark):
+    from paimon_python_spark.operators import exact_distinct_per_key
+
+    rows = [("a", 1), ("a", 1), ("a", 2), ("b", 5)] * 10 + [("b", 6)]
+    df = spark.createDataFrame(rows, "k string, v long")
+    out = {r.k: r.n_distinct for r in exact_distinct_per_key(df, ["k"], "v").collect()}
+    assert out == {"a": 2, "b": 2}
