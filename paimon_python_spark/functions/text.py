@@ -451,6 +451,53 @@ def contamination_check(
     )
 
 
+def line_filter(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_words: int = 3,
+    sep: str = "\n",
+) -> DataFrame:
+    """C4-style line-level cleaning: drop lines with fewer than
+    ``min_words`` words, keep the rest in order. Pure higher-order
+    array functions — no explode, no shuffle; the whole op inlines
+    into the scan projection at any scale.
+
+    Output: ``(id, n_lines, n_kept_lines, cleaned_text)``."""
+    lines = F.split(F.col(text_col), sep)
+    kept = F.filter(
+        lines, lambda x: F.size(F.split(x, " ")) >= F.lit(min_words)
+    )
+    return df.select(
+        F.col(id_col),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept_lines"),
+        F.array_join(kept, sep).alias("cleaned_text"),
+    )
+
+
+def paragraph_stats(
+    df: DataFrame, id_col: str, text_col: str, sep: str = "\n"
+) -> DataFrame:
+    """Paragraph-granular exact dedup (the cheap approximation of
+    exact-substring dedup, Lee et al. 2022): explode paragraphs, hash
+    each, and aggregate occurrence counts — downstream keeps the
+    paragraph only in ``keeper_id``.
+
+    Scale shape: explode is map-side; the single agg keys on the
+    paragraph hash (high-cardinality) and every aggregate is algebraic,
+    so hot boilerplate paragraphs partial-aggregate before the shuffle.
+    Output: ``(para_hash, n_occurrences, n_docs, keeper_id)``."""
+    paras = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), sep)).alias("__p")
+    ).filter(F.length("__p") > 0)
+    return paras.groupBy(F.md5(F.col("__p").cast("binary")).alias("para_hash")).agg(
+        F.count("*").cast("long").alias("n_occurrences"),
+        F.countDistinct(id_col).cast("long").alias("n_docs"),
+        F.min(id_col).alias("keeper_id"),
+    )
+
+
 def normalize_url_col(col) -> "F.Column":
     """Canonical URL key: lowercase, strip scheme (``http://`` /
     ``https://``), a leading ``www.``, everything from the first ``?``

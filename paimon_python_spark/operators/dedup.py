@@ -97,7 +97,13 @@ def minhash_signature_expr(num_hashes: int) -> str:
 
 
 def _minhash_candidates(
-    df: DataFrame, id_col: str, text_col: str, num_hashes: int, bands: int, shingle_n: int
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int,
+    bands: int,
+    shingle_n: int,
+    max_bucket: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Shared LSH front half: shingle → minhash signature → banded
     candidate pairs. Returns ``(sh, cand)``: the PERSISTED shingled
@@ -117,19 +123,38 @@ def _minhash_candidates(
             for k in range(rows_per_band)
         ],
     )
-    return sh, _lsh_candidates(sh, id_col, bands, band_key)
+    return sh, _lsh_candidates(sh, id_col, bands, band_key, max_bucket)
 
 
-def _lsh_candidates(sh: DataFrame, id_col: str, bands: int, band_key) -> DataFrame:
+def _lsh_candidates(
+    sh: DataFrame, id_col: str, bands: int, band_key, max_bucket: int | None = None
+) -> DataFrame:
     """Distinct (doc_a, doc_b) band-collision candidates from a shingled
     frame carrying a ``sig`` minhash column. The self-join is keyed on
-    (band, band_key) — the only shuffle; cost scales with collisions."""
+    (band, band_key) — the only shuffle; cost scales with collisions.
+
+    ``max_bucket`` drops buckets wider than the cap BEFORE the
+    self-join (one cheap algebraic agg). A bucket of width w yields
+    w(w-1)/2 candidate pairs, so one boilerplate-heavy bucket can turn
+    the whole pass quadratic — the scale sweep measured e=1.25 (super-
+    linear) on a small-vocabulary corpus without the cap. Capping is
+    the standard production guard (oversized buckets are spam/
+    boilerplate, not near-duplicate content); None keeps exact
+    reference semantics for the oracle-checked path."""
     banded = (
         sh.select(id_col, "sig")
         .withColumn("band", F.explode(F.sequence(F.lit(0), F.lit(bands - 1))))
         .withColumn("band_key", band_key)
         .select(id_col, "band", "band_key")
     )
+    if max_bucket is not None:
+        widths = banded.groupBy("band", "band_key").agg(
+            F.count("*").alias("__w")
+        )
+        banded = banded.join(
+            widths.filter(F.col("__w") <= max_bucket).drop("__w"),
+            ["band", "band_key"],
+        )
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -155,6 +180,7 @@ def minhash_lsh_pairs(
     shingle_n: int = 3,
     jaccard_num: int = 1,
     jaccard_den: int = 2,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """MinHash + LSH near-duplicate pairs, verified by exact Jaccard.
 
@@ -169,7 +195,9 @@ def minhash_lsh_pairs(
 
     Returns (doc_a, doc_b, intersect_size, union_size), doc_a < doc_b.
     """
-    sh, cand = _minhash_candidates(df, id_col, text_col, num_hashes, bands, shingle_n)
+    sh, cand = _minhash_candidates(
+        df, id_col, text_col, num_hashes, bands, shingle_n, max_bucket
+    )
     sets = sh.select(F.col(id_col), F.col("sh"))
     return (
         cand.join(sets.withColumnsRenamed({id_col: "doc_a", "sh": "sh_a"}), "doc_a")

@@ -929,3 +929,54 @@ def test_exact_distinct_per_key(spark):
     df = spark.createDataFrame(rows, "k string, v long")
     out = {r.k: r.n_distinct for r in exact_distinct_per_key(df, ["k"], "v").collect()}
     assert out == {"a": 2, "b": 2}
+
+
+def test_line_filter_keeps_order_and_counts(spark):
+    from paimon_python_spark.functions import line_filter
+
+    df = spark.createDataFrame(
+        [(1, "one two three\nshort\nfour five six seven\nx y")],
+        "id long, text string",
+    )
+    r = line_filter(df, "id", "text", min_words=3).first()
+    assert (r.n_lines, r.n_kept_lines) == (4, 2)
+    assert r.cleaned_text == "one two three\nfour five six seven"
+
+
+def test_paragraph_stats_counts_and_keeper(spark):
+    from paimon_python_spark.functions import paragraph_stats
+
+    df = spark.createDataFrame(
+        [
+            (5, "dup para\nunique one"),
+            (2, "dup para\ndup para"),
+            (9, "other\n\ndup para"),
+        ],
+        "id long, text string",
+    )
+    out = paragraph_stats(df, "id", "text")
+    # 3 distinct non-empty paragraphs; the \n\n empty one is dropped
+    assert out.count() == 3
+    dup = out.filter("n_occurrences > 1").collect()
+    assert len(dup) == 1
+    assert (dup[0].n_occurrences, dup[0].n_docs, dup[0].keeper_id) == (4, 3, 2)
+
+
+def test_minhash_max_bucket_caps_hot_buckets(spark):
+    from paimon_python_spark.operators import minhash_lsh_pairs
+
+    # 12 identical docs -> one hot bucket per band (width 12);
+    # cap at 8 removes every candidate pair from those buckets
+    base = " ".join(f"w{i}" for i in range(30))
+    docs = [(i, base) for i in range(12)] + [
+        (100, base.replace("w29", "changed")),
+        (200, "totally different content about engines and planners here now"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    uncapped = minhash_lsh_pairs(df, "doc_id", "text")
+    capped = minhash_lsh_pairs(df, "doc_id", "text", max_bucket=8)
+    assert uncapped.count() >= 66  # 12*11/2 clone pairs at least
+    # clones' buckets exceed the cap -> their pairs vanish
+    assert capped.filter("doc_a < 12 AND doc_b < 12").count() == 0
+    # cap must not affect buckets under the width limit
+    assert capped.count() <= uncapped.count()

@@ -1,0 +1,184 @@
+#!/usr/bin/env python
+"""Scale sweep: measure how each representative query's wall time grows
+across three decades of data (sf0.01 → sf0.1 → sf1) and write
+SCALING.md with fitted per-decade scaling exponents.
+
+sf1 does not exist in /root/testdata, so it is synthesized ONCE into
+/tmp/sparkgraft_sf1_synth: every table is the sf0.1 table replicated
+10× with entity ids shifted per replica (fact keys shift together so
+joins stay consistent; doc/vec ids shift and texts are perturbed so
+dedup does not degenerate to one giant group). Dimension tables
+(region/nation/customer/part/supplier) keep their original rows —
+exactly how a real 10× fact growth behaves against stable dimensions.
+
+Exponent: slope of log10(time) between consecutive decades —
+e = log10(t_big / t_small). e ≈ 1 is perfectly linear scaling; e < 1
+means fixed overhead still dominates (expected at these toy sizes);
+e > 1 flags a super-linear operator that would NOT survive 100 TB.
+
+Usage: python tools/scale_sweep.py [--force-synth]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+SYNTH_DIR = "/tmp/sparkgraft_sf1_synth"
+SRC = "/root/testdata/sf0.1"
+REPLICAS = 10
+
+# (table, id columns to shift per replica, text column to perturb)
+FACT_TABLES = {
+    "lineitem": (["l_orderkey"], None),
+    "orders": (["o_orderkey"], None),
+    "events": (["event_id", "user_id"], None),
+    "documents": (["doc_id"], "text"),
+    "embeddings": (["vec_id"], None),
+}
+DIM_TABLES = ["region", "nation", "customer", "supplier", "part"]
+
+# representative operator families (name → why it's in the sweep)
+SWEEP = [
+    ("q1_pricing_summary", "scan + hash agg"),
+    ("q3_shipping_priority", "3-way join + agg + topk"),
+    ("q18_large_orders", "join + having subquery"),
+    ("mor_latest_by_key", "window group-limit (merge-on-read shape)"),
+    ("events_sessionize", "session windows (lag + running sum)"),
+    ("events_topk_per_window", "windowed agg + rank"),
+    ("dedup_exact", "exact dedup hash agg"),
+    ("dedup_minhash_lsh", "MinHash LSH banded self-join"),
+    ("text_quality_stats", "pure projection pipeline"),
+    ("text_contamination", "explode + broadcast semi-join"),
+    ("ann_topk_cosine", "brute-force vector topk"),
+    ("ann_lsh_bucket", "LSH-bucketed vector topk"),
+    ("sample_split_assign", "hash-threshold sampling (no shuffle)"),
+    ("join_salted_skew", "salted skew join"),
+    ("pipeline_quality_dedup_tokens", "multi-stage pipeline"),
+]
+
+
+def synthesize(spark) -> None:
+    from pyspark.sql import functions as F
+
+    os.makedirs(SYNTH_DIR, exist_ok=True)
+    for t in DIM_TABLES:
+        # dims: copy through (stable dimensions under 10x fact growth)
+        spark.read.parquet(f"{SRC}/{t}.parquet").write.mode("overwrite").parquet(
+            f"{SYNTH_DIR}/{t}.parquet"
+        )
+    for t, (id_cols, text_col) in FACT_TABLES.items():
+        df = spark.read.parquet(f"{SRC}/{t}.parquet")
+        offsets = {c: df.agg(F.max(F.col(c))).first()[0] + 1 for c in id_cols}
+        rep = df.withColumn(
+            "__r", F.explode(F.sequence(F.lit(0), F.lit(REPLICAS - 1)))
+        )
+        for c in id_cols:
+            rep = rep.withColumn(c, F.col(c) + F.col("__r") * F.lit(offsets[c]))
+        if text_col:
+            # perturb replicas so exact/fuzzy dedup keeps realistic group
+            # sizes instead of collapsing to 10-row clones
+            rep = rep.withColumn(
+                text_col,
+                F.when(F.col("__r") == 0, F.col(text_col)).otherwise(
+                    F.concat(
+                        F.col(text_col),
+                        F.lit(" replica "),
+                        F.col("__r").cast("string"),
+                    )
+                ),
+            )
+        rep.drop("__r").write.mode("overwrite").parquet(f"{SYNTH_DIR}/{t}.parquet")
+    print(f"synthesized {SYNTH_DIR} ({REPLICAS}x facts, stable dims)")
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+
+    from paimon_python_spark.session import configure_builder, set_spark
+
+    spark = (
+        configure_builder(
+            SparkSession.builder.master("local[32]").appName("scale_sweep"),
+            shuffle_partitions=32,
+        )
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    set_spark(spark)
+
+    if "--force-synth" in sys.argv and os.path.exists(SYNTH_DIR):
+        shutil.rmtree(SYNTH_DIR)
+    if not os.path.exists(f"{SYNTH_DIR}/lineitem.parquet"):
+        synthesize(spark)
+
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    tiers = [("sf0.01", "/root/testdata/sf0.01"), ("sf0.1", SRC), ("sf1*", SYNTH_DIR)]
+
+    # warm the JVM/codegen once
+    spark.read.parquet(f"{SRC}/lineitem.parquet").limit(1000).write.mode(
+        "overwrite"
+    ).format("noop").save()
+
+    results: dict[str, dict[str, float]] = {}
+    for name, _why in SWEEP:
+        fn = qs[name]
+        results[name] = {}
+        for tier, d in tiers:
+            best = math.inf
+            for _ in range(2):
+                t0 = time.time()
+                fn(spark, d).write.mode("overwrite").format("noop").save()
+                best = min(best, time.time() - t0)
+            results[name][tier] = best
+            print(f"{name:34s} {tier:7s} {best:7.3f}s", flush=True)
+
+    lines = [
+        "# SCALING — wall time across three decades of data (local[32])",
+        "",
+        "Generated by `tools/scale_sweep.py`. sf1* is sf0.1 with facts",
+        "replicated 10× (ids shifted per replica, dims stable — see the",
+        "tool docstring). `e` = log10 time ratio per decade: ~1.0 linear,",
+        "<1 overhead-dominated, >1 super-linear (a 100 TB red flag).",
+        "",
+        "| query | family | sf0.01 | sf0.1 | sf1* | e(0.01→0.1) | e(0.1→1) | verdict |",
+        "|---|---|---|---|---|---|---|---|",
+    ]
+    worst = []
+    for name, why in SWEEP:
+        r = results[name]
+        t0, t1, t2 = r["sf0.01"], r["sf0.1"], r["sf1*"]
+        e1 = math.log10(t1 / t0) if t0 > 0 else float("nan")
+        e2 = math.log10(t2 / t1) if t1 > 0 else float("nan")
+        verdict = "OK" if e2 <= 1.15 else "SUPER-LINEAR"
+        if e2 > 1.15:
+            worst.append(name)
+        lines.append(
+            f"| {name} | {why} | {t0:.3f}s | {t1:.3f}s | {t2:.3f}s "
+            f"| {e1:.2f} | {e2:.2f} | {verdict} |"
+        )
+    lines += [
+        "",
+        f"Super-linear at the top decade: {worst if worst else 'none'}.",
+        "",
+        "Reading: at these sizes sub-second queries are floor-bound by",
+        "per-job overhead (~0.2 s), so e < 1 is expected; the signal is",
+        "the top decade, where data cost finally exceeds the floor. An",
+        "operator whose e(0.1→1) stays ≤ ~1 grows with data, not with",
+        "plan pathology — the property that survives the jump to a",
+        "1000-executor cluster.",
+    ]
+    with open("/root/repo/SCALING.md", "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print("wrote SCALING.md")
+
+
+if __name__ == "__main__":
+    main()
