@@ -1,0 +1,90 @@
+"""Physical-plan regression tests: the scale-critical plan properties
+(filter pushdown, broadcast joins, no accidental cartesian products)
+are asserted here so a recipe change that silently degrades the plan
+fails CI — sf0.1 timings would never show a 100 TB plan regression.
+
+tools/plan_audit.py produces the human-readable PLANS.md over every
+headline query; this file pins the same properties for a representative
+subset so they run on every `pytest tests/`.
+"""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+# queries that filter a parquet scan — PushedFilters must be non-empty
+PUSHED = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q6_forecast_revenue",
+    "q19_discounted_revenue",
+]
+# queries joining a small dim — must broadcast, not shuffle, that side
+BROADCAST = [
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "q9_product_profit",
+    "join_salted_skew",
+    "dedup_semantic",
+]
+# broadcast-scalar cross joins that are deliberate (one-row side)
+CARTESIAN_OK: set[str] = set()
+
+
+def _plan(spark, name: str) -> str:
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()[name](spark, SF)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.mark.parametrize("name", PUSHED)
+def test_filters_reach_the_scan(spark, name):
+    plan = _plan(spark, name)
+    assert "PushedFilters: [" in plan
+    pushed_lines = [
+        ln for ln in plan.splitlines() if "PushedFilters" in ln and "[]" not in ln
+    ]
+    assert pushed_lines, f"{name}: no non-empty PushedFilters in plan"
+
+
+@pytest.mark.parametrize("name", BROADCAST)
+def test_small_sides_broadcast(spark, name):
+    plan = _plan(spark, name)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, (
+        f"{name}: expected a broadcast join in the plan"
+    )
+
+
+@pytest.mark.parametrize("name", PUSHED + BROADCAST)
+def test_no_accidental_cartesian(spark, name):
+    if name in CARTESIAN_OK:
+        pytest.skip("deliberate broadcast-scalar cross join")
+    plan = _plan(spark, name)
+    assert "CartesianProduct" not in plan, f"{name}: cartesian product in plan"
+
+
+def test_projection_prunes_scan_columns(spark):
+    """A 2-column projection must not read the whole lineitem schema —
+    column pruning reaching ReadSchema is what keeps a 100 TB scan
+    from reading 16 columns for a 2-column query."""
+    df = (
+        spark.read.parquet(f"{SF}/lineitem.parquet")
+        .select("l_orderkey", "l_quantity")
+        .filter("l_quantity > 40")
+    )
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read_schema and "l_extendedprice" not in read_schema[0]
+    assert "l_orderkey" in read_schema[0] and "l_quantity" in read_schema[0]
