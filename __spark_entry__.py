@@ -5100,6 +5100,47 @@ FROM agg WHERE n_occurrences > 1 ORDER BY para_hash
 """
 
 
+def profile_table_columns(spark, sf_dir):
+    """Column-level data profile of orders (nulls, distincts, min/max)
+    — the pre-ingest data-quality report. One scan, one agg job;
+    exact distincts here, HLL at 100 TB (exact_distinct=False)."""
+    from paimon_python_spark.functions import profile_columns
+
+    return profile_columns(
+        _t(spark, sf_dir, "orders"),
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"],
+    )
+
+
+PROFILE_COLUMNS_SQL = """
+SELECT * FROM (
+  SELECT 'o_orderkey' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(count(*) - count(o_orderkey) AS BIGINT) AS n_nulls,
+         CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+         CAST(min(o_orderkey) AS VARCHAR) AS min_value,
+         CAST(max(o_orderkey) AS VARCHAR) AS max_value FROM orders
+  UNION ALL
+  SELECT 'o_custkey', CAST(count(*) AS BIGINT),
+         CAST(count(*) - count(o_custkey) AS BIGINT),
+         CAST(count(DISTINCT o_custkey) AS BIGINT),
+         CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR)
+  FROM orders
+  UNION ALL
+  SELECT 'o_orderstatus', CAST(count(*) AS BIGINT),
+         CAST(count(*) - count(o_orderstatus) AS BIGINT),
+         CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+         CAST(min(o_orderstatus) AS VARCHAR), CAST(max(o_orderstatus) AS VARCHAR)
+  FROM orders
+  UNION ALL
+  SELECT 'o_orderpriority', CAST(count(*) AS BIGINT),
+         CAST(count(*) - count(o_orderpriority) AS BIGINT),
+         CAST(count(DISTINCT o_orderpriority) AS BIGINT),
+         CAST(min(o_orderpriority) AS VARCHAR), CAST(max(o_orderpriority) AS VARCHAR)
+  FROM orders) t
+ORDER BY "column"
+"""
+
+
 # Registration order is deliberate: the driver's correctness gate checks the
 # FIRST 50 entries, so the first 50 span every operator family (TPC-H,
 # joins/aggs/windows, sketches, sampling/mixing, event-time, dedup, ANN,
@@ -5237,6 +5278,7 @@ _QUERIES: dict[str, Callable] = {
     "agg_distinct_skew_free": agg_distinct_skew_free,
     "text_line_filter": text_line_filter,
     "dedup_paragraph_exact": dedup_paragraph_exact,
+    "profile_table_columns": profile_table_columns,
 }
 
 _ORACLES: dict[str, str] = {
@@ -5360,6 +5402,7 @@ _ORACLES: dict[str, str] = {
     "agg_distinct_skew_free": AGG_DISTINCT_SKEW_SQL,
     "text_line_filter": TEXT_LINE_FILTER_SQL,
     "dedup_paragraph_exact": DEDUP_PARAGRAPH_SQL,
+    "profile_table_columns": PROFILE_COLUMNS_SQL,
 }
 
 

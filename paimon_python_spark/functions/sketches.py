@@ -127,3 +127,39 @@ def sliding_distinct_hll(
         )
         .drop("__merged")
     )
+
+
+def profile_columns(
+    df: DataFrame, cols: Sequence[str], exact_distinct: bool = True
+) -> DataFrame:
+    """Column-level data profile — one output row per column with
+    ``(column, n_rows, n_nulls, n_distinct, min_value, max_value)``;
+    min/max are stringified so heterogeneous column types share one
+    schema (the standard profiling-table shape).
+
+    One aggregate job over a single scan. ``exact_distinct`` uses
+    ``countDistinct`` (Spark expands the plan per distinct column —
+    exact, fine up to a handful of columns); at 100 TB set it False
+    for ``approx_count_distinct`` (HLL — one pass, sketch-sized state,
+    no expand)."""
+    distinct = F.countDistinct if exact_distinct else F.approx_count_distinct
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
+            distinct(c).cast("long").alias(f"{c}__nd"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        ]
+    row = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', `{c}__n`, `{c}__nulls`, `{c}__nd`, `{c}__min`, `{c}__max`"
+        for c in cols
+    )
+    return row.select(
+        F.expr(
+            f"stack({len(cols)}, {stack_args}) AS "
+            "(column, n_rows, n_nulls, n_distinct, min_value, max_value)"
+        )
+    ).orderBy("column")

@@ -980,3 +980,21 @@ def test_minhash_max_bucket_caps_hot_buckets(spark):
     assert capped.filter("doc_a < 12 AND doc_b < 12").count() == 0
     # cap must not affect buckets under the width limit
     assert capped.count() <= uncapped.count()
+
+
+def test_profile_columns_nulls_and_approx(spark):
+    from paimon_python_spark.functions import profile_columns
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (2, "b"), (None, "b")], "k long, s string"
+    )
+    out = {r.column: r for r in profile_columns(df, ["k", "s"]).collect()}
+    assert (out["k"].n_rows, out["k"].n_nulls, out["k"].n_distinct) == (4, 1, 2)
+    assert (out["k"].min_value, out["k"].max_value) == ("1", "2")
+    assert (out["s"].n_nulls, out["s"].n_distinct) == (1, 2)
+    # approx path: same shape, estimate within HLL tolerance
+    approx = {
+        r.column: r
+        for r in profile_columns(df, ["k"], exact_distinct=False).collect()
+    }
+    assert abs(approx["k"].n_distinct - 2) <= 1
