@@ -1864,6 +1864,43 @@ def events_interval_join(spark, sf_dir):
     )
 
 
+def events_interval_join_binned(spark, sf_dir):
+    """The SAME interval join, rewritten through the time-binned
+    equi-join (operators/joins.py) — the 100 TB formulation where a hot
+    user cannot make one task quadratic. Oracle: the identical plain
+    interval-join SQL; the rewrite must be semantically invisible."""
+    from paimon_python_spark.operators import binned_interval_join
+
+    ev = _events(spark, sf_dir)
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("event_id").alias("error_id"),
+        F.col("ts").alias("e_ts"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    lookback = 600 * 10**9
+    # c_ts in (e_ts - lookback, e_ts]  ==  [e_ts - lookback + 1, e_ts]
+    joined = binned_interval_join(
+        errors,
+        clicks,
+        on=["user_id"],
+        left_ts="e_ts",
+        right_ts="c_ts",
+        lower=-(lookback - 1),
+        upper=0,
+    )
+    return joined.select(
+        "user_id",
+        "error_id",
+        "click_id",
+        ((F.col("e_ts") - F.col("c_ts")) / F.lit(10**6)).cast("long").alias("lag_ms"),
+    ).orderBy("user_id", "error_id", "click_id")
+
+
 EVENTS_INTERVAL_SQL = """
 SELECT e.user_id AS user_id, e.event_id AS error_id, c.event_id AS click_id,
        (epoch_ns(e.ts) - epoch_ns(c.ts)) // 1000000 AS lag_ms
@@ -5279,6 +5316,7 @@ _QUERIES: dict[str, Callable] = {
     "text_line_filter": text_line_filter,
     "dedup_paragraph_exact": dedup_paragraph_exact,
     "profile_table_columns": profile_table_columns,
+    "events_interval_join_binned": events_interval_join_binned,
 }
 
 _ORACLES: dict[str, str] = {
@@ -5403,6 +5441,7 @@ _ORACLES: dict[str, str] = {
     "text_line_filter": TEXT_LINE_FILTER_SQL,
     "dedup_paragraph_exact": DEDUP_PARAGRAPH_SQL,
     "profile_table_columns": PROFILE_COLUMNS_SQL,
+    "events_interval_join_binned": EVENTS_INTERVAL_SQL,
 }
 
 

@@ -35,6 +35,7 @@ from paimon_python_spark.operators.skew import (
     salted_join,
     exact_distinct_per_key,
 )
+from paimon_python_spark.operators.joins import binned_interval_join
 from paimon_python_spark.operators.similarity import (
     assign_cells,
     cosine_similarity_col,
@@ -83,4 +84,5 @@ __all__ = [
     "with_salt",
     "salted_join",
     "exact_distinct_per_key",
+    "binned_interval_join",
 ]

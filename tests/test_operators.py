@@ -998,3 +998,43 @@ def test_profile_columns_nulls_and_approx(spark):
         for r in profile_columns(df, ["k"], exact_distinct=False).collect()
     }
     assert abs(approx["k"].n_distinct - 2) <= 1
+
+
+def test_binned_interval_join_matches_plain(spark):
+    from paimon_python_spark.operators import binned_interval_join
+
+    import random
+
+    rng = random.Random(7)
+    left = spark.createDataFrame(
+        [(i % 3, i, rng.randrange(0, 1000)) for i in range(80)],
+        "k long, lid long, lts long",
+    )
+    right = spark.createDataFrame(
+        [(i % 3, 1000 + i, rng.randrange(0, 1000)) for i in range(80)],
+        "k long, rid long, rts long",
+    )
+    for lo, hi in [(-50, 0), (-30, 30), (0, 100), (7, 7)]:
+        plain = left.join(
+            right,
+            (left.k == right.k)
+            & (right.rts >= left.lts + lo)
+            & (right.rts <= left.lts + hi),
+        ).select(left.k, "lid", "rid")
+        binned = binned_interval_join(
+            left, right, on=["k"], left_ts="lts", right_ts="rts", lower=lo, upper=hi
+        ).select("k", "lid", "rid")
+        assert sorted(map(tuple, plain.collect())) == sorted(
+            map(tuple, binned.collect())
+        ), (lo, hi)
+
+
+def test_binned_interval_join_rejects_empty_interval(spark):
+    import pytest as _pytest
+
+    from paimon_python_spark.operators import binned_interval_join
+
+    df = spark.createDataFrame([(1, 1, 1)], "k long, i long, t long")
+    with _pytest.raises(ValueError):
+        binned_interval_join(df, df, on=["k"], left_ts="t", right_ts="t",
+                             lower=5, upper=4)

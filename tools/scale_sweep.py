@@ -97,6 +97,53 @@ def synthesize(spark) -> None:
     print(f"synthesized {SYNTH_DIR} ({REPLICAS}x facts, stable dims)")
 
 
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def _duckdb_times(
+    entrymod, tiers: list[tuple[str, str]], timeout_s: float = 60.0
+) -> dict[str, dict[str, float | None]]:
+    """Best-of-2 DuckDB wall time for each sweep query's oracle SQL at
+    each tier; None = no oracle or exceeded the interrupt guard."""
+    import threading
+
+    import duckdb
+
+    oracles = entrymod.oracle_sql()
+    out: dict[str, dict[str, float | None]] = {n: {} for n, _ in SWEEP}
+    for tier, d in tiers:
+        con = duckdb.connect()
+        for t in TABLES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{d}/{t}.parquet')"
+            )
+        for name, _why in SWEEP:
+            sql = oracles.get(name)
+            if sql is None:
+                out[name][tier] = None
+                continue
+            best: float | None = math.inf
+            for _ in range(2):
+                timer = threading.Timer(timeout_s, con.interrupt)
+                timer.start()
+                t0 = time.time()
+                try:
+                    con.execute(sql).fetchall()
+                    best = min(best, time.time() - t0)  # type: ignore[arg-type]
+                except duckdb.Error:
+                    best = None
+                    break
+                finally:
+                    timer.cancel()
+            out[name][tier] = best
+            shown = f"{best:7.3f}s" if best is not None else "  >60s/err"
+            print(f"duckdb {name:27s} {tier:7s} {shown}", flush=True)
+        con.close()
+    return out
+
+
 def main() -> None:
     from pyspark.sql import SparkSession
 
@@ -140,6 +187,12 @@ def main() -> None:
             results[name][tier] = best
             print(f"{name:34s} {tier:7s} {best:7.3f}s", flush=True)
 
+    # DuckDB single-node comparison on the same parquet at each tier —
+    # the reference delegates its relational work to DuckDB, so this IS
+    # the baseline. 60s interrupt guard per query (a super-linear
+    # oracle at sf1* would otherwise wall the sweep).
+    duck = _duckdb_times(entrymod, tiers)
+
     lines = [
         "# SCALING — wall time across three decades of data (local[32])",
         "",
@@ -147,22 +200,35 @@ def main() -> None:
         "replicated 10× (ids shifted per replica, dims stable — see the",
         "tool docstring). `e` = log10 time ratio per decade: ~1.0 linear,",
         "<1 overhead-dominated, >1 super-linear (a 100 TB red flag).",
+        "`duck` columns run the SAME query's DuckDB oracle on the same",
+        "parquet (the reference's actual execution engine); `×` is",
+        "spark/duck at that tier — watch it fall as data grows and",
+        "Spark's per-job floor amortizes.",
         "",
-        "| query | family | sf0.01 | sf0.1 | sf1* | e(0.01→0.1) | e(0.1→1) | verdict |",
-        "|---|---|---|---|---|---|---|---|",
+        "| query | family | sf0.01 | sf0.1 | sf1* | e(0.1→1) "
+        "| duck sf0.1 | × | duck sf1* | × | verdict |",
+        "|---|---|---|---|---|---|---|---|---|---|---|",
     ]
     worst = []
     for name, why in SWEEP:
         r = results[name]
         t0, t1, t2 = r["sf0.01"], r["sf0.1"], r["sf1*"]
-        e1 = math.log10(t1 / t0) if t0 > 0 else float("nan")
         e2 = math.log10(t2 / t1) if t1 > 0 else float("nan")
         verdict = "OK" if e2 <= 1.15 else "SUPER-LINEAR"
         if e2 > 1.15:
             worst.append(name)
+        d1, d2 = duck[name].get("sf0.1"), duck[name].get("sf1*")
+
+        def _fmt(d, s):
+            if d is None:
+                return "—", "—"
+            return f"{d:.3f}s", f"{s / d:.1f}"
+
+        d1s, x1 = _fmt(d1, t1)
+        d2s, x2 = _fmt(d2, t2)
         lines.append(
             f"| {name} | {why} | {t0:.3f}s | {t1:.3f}s | {t2:.3f}s "
-            f"| {e1:.2f} | {e2:.2f} | {verdict} |"
+            f"| {e2:.2f} | {d1s} | {x1} | {d2s} | {x2} | {verdict} |"
         )
     lines += [
         "",
