@@ -5178,6 +5178,67 @@ ORDER BY "column"
 """
 
 
+def events_moving_window_agg(spark, sf_dir):
+    """Per-user trailing 1-hour moving aggregate (RANGE frame on the
+    event-time axis, not ROWS — gaps and bursts handled correctly).
+    The frame sum uses scaled integers so incremental frame updates
+    round identically in any engine."""
+    ev = _events(spark, sf_dir)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts")
+        .rangeBetween(-3600 * 10**9, 0)
+    )
+    scaled = F.round(F.col("value") * 100).cast("long")
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            (F.col("ts") / F.lit(10**6)).cast("long").alias("ts_ms"),
+            F.sum(scaled).over(w).alias("win_sum_x100"),
+            F.count("*").over(w).cast("long").alias("win_n"),
+        )
+        .orderBy("user_id", "ts_ms", "event_id")
+    )
+
+
+EVENTS_MOVING_WINDOW_SQL = """
+SELECT user_id, event_id,
+       epoch_ns(ts) // 1000000 AS ts_ms,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT) AS win_sum_x100,
+       CAST(count(*) OVER w AS BIGINT) AS win_n
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts)
+             RANGE BETWEEN 3600000000000 PRECEDING AND CURRENT ROW)
+ORDER BY user_id, ts_ms, event_id
+"""
+
+
+def sql_entry_point(spark, sf_dir):
+    """The SQL front door: tables registered as temp views, the query
+    written in plain Spark SQL (Catalyst compiles it to the same plan
+    as the DataFrame recipe — q6's predicate pushdown included)."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("sql_lineitem")
+    return spark.sql(
+        """
+        SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+               count(*) AS n_items
+        FROM sql_lineitem
+        WHERE l_shipdate >= '1994-01-01' AND l_shipdate < '1995-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+        """
+    )
+
+
+SQL_ENTRY_SQL = """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= '1994-01-01' AND l_shipdate < '1995-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+"""
+
+
 # Registration order is deliberate: the driver's correctness gate checks the
 # FIRST 50 entries, so the first 50 span every operator family (TPC-H,
 # joins/aggs/windows, sketches, sampling/mixing, event-time, dedup, ANN,
@@ -5317,6 +5378,8 @@ _QUERIES: dict[str, Callable] = {
     "dedup_paragraph_exact": dedup_paragraph_exact,
     "profile_table_columns": profile_table_columns,
     "events_interval_join_binned": events_interval_join_binned,
+    "events_moving_window_agg": events_moving_window_agg,
+    "sql_entry_point": sql_entry_point,
 }
 
 _ORACLES: dict[str, str] = {
@@ -5442,6 +5505,8 @@ _ORACLES: dict[str, str] = {
     "dedup_paragraph_exact": DEDUP_PARAGRAPH_SQL,
     "profile_table_columns": PROFILE_COLUMNS_SQL,
     "events_interval_join_binned": EVENTS_INTERVAL_SQL,
+    "events_moving_window_agg": EVENTS_MOVING_WINDOW_SQL,
+    "sql_entry_point": SQL_ENTRY_SQL,
 }
 
 

@@ -116,8 +116,11 @@ def _duckdb_times(
     for tier, d in tiers:
         con = duckdb.connect()
         for t in TABLES:
+            # Spark-synthesized tiers are directories of part files
+            p = f"{d}/{t}.parquet"
+            pat = f"{p}/*.parquet" if os.path.isdir(p) else p
             con.execute(
-                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{d}/{t}.parquet')"
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{pat}')"
             )
         for name, _why in SWEEP:
             sql = oracles.get(name)
