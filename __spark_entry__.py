@@ -5178,6 +5178,62 @@ ORDER BY "column"
 """
 
 
+def paimon_stream_source_roundtrip(spark, sf_dir):
+    """readStream.format('paimon_spark'): the commit log as a
+    Structured Streaming source. Two commits land in an append table;
+    the stream replays them as micro-batches (offsets are snapshot
+    ids) into a memory sink; the aggregated sink contents must equal a
+    plain GROUP BY over everything committed — exactly-once replay of
+    the table's history."""
+    import tempfile
+
+    from paimon_python_spark import Catalog, Schema
+    from paimon_python_spark.datasource import register
+
+    register(spark)
+    wh = _fresh_warehouse("ssrc")
+    cat = Catalog.create({"warehouse": wh})
+    cat.create_database("default", True)
+    nation = _t(spark, sf_dir, "nation")
+    cat.create_table("default.nat_app", Schema(nation.schema), False)
+    t = cat.get_table("default.nat_app")
+    for part in (F.col("n_nationkey") % 2 == 0, F.col("n_nationkey") % 2 == 1):
+        wb = t.new_batch_write_builder()
+        w, c = wb.new_write(), wb.new_commit()
+        w.write_dataframe(nation.filter(part))
+        c.commit(w.prepare_commit())
+        w.close()
+        c.close()
+
+    stream = (
+        spark.readStream.format("paimon_spark")
+        .option("path", t.table_path)
+        .load()
+        .groupBy("n_regionkey")
+        .agg(F.count("*").cast("long").alias("n_nations"))
+    )
+    q = (
+        stream.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("ssrc_out")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ssrc_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(
+        "SELECT n_regionkey, n_nations FROM ssrc_out ORDER BY n_regionkey"
+    )
+
+
+PAIMON_STREAM_SOURCE_SQL = """
+SELECT n_regionkey, CAST(count(*) AS BIGINT) AS n_nations
+FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
+"""
+
+
 def events_moving_window_agg(spark, sf_dir):
     """Per-user trailing 1-hour moving aggregate (RANGE frame on the
     event-time axis, not ROWS — gaps and bursts handled correctly).
@@ -5380,6 +5436,7 @@ _QUERIES: dict[str, Callable] = {
     "events_interval_join_binned": events_interval_join_binned,
     "events_moving_window_agg": events_moving_window_agg,
     "sql_entry_point": sql_entry_point,
+    "paimon_stream_source_roundtrip": paimon_stream_source_roundtrip,
 }
 
 _ORACLES: dict[str, str] = {
@@ -5507,6 +5564,7 @@ _ORACLES: dict[str, str] = {
     "events_interval_join_binned": EVENTS_INTERVAL_SQL,
     "events_moving_window_agg": EVENTS_MOVING_WINDOW_SQL,
     "sql_entry_point": SQL_ENTRY_SQL,
+    "paimon_stream_source_roundtrip": PAIMON_STREAM_SOURCE_SQL,
 }
 
 
