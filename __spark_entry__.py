@@ -4572,10 +4572,12 @@ def ann_pq_adc(spark, sf_dir):
     )
 
 
-def _ann_pq_oracle(sf_dir: str) -> str:
-    """Mirror of ann_pq_adc: same data-derived codebook/LUT literals
-    (identical Python float math on the same parquet values), same
-    first-occurrence argmin, same fixed-order 8-term ADC sum."""
+def _pq_sql_parts(sf_dir: str) -> tuple[str, str]:
+    """Shared PQ oracle fragments: ``(code_cols, terms)`` — the
+    per-subspace code expressions and the fixed-order ADC sum, built
+    from the same data-derived codebook/LUT literals (identical Python
+    float math on the same parquet values) with the same
+    first-occurrence argmin as the Spark path."""
     import duckdb
 
     from paimon_python_spark.operators import pq_codebooks_from_rows
@@ -4618,6 +4620,12 @@ def _ann_pq_oracle(sf_dir: str) -> str:
         for s in range(len(books))
     )
     code_cols = ", ".join(f"{c} AS c{s}" for s, c in enumerate(codes))
+    return code_cols, terms
+
+
+def _ann_pq_oracle(sf_dir: str) -> str:
+    """Mirror of ann_pq_adc (see _pq_sql_parts for the shared math)."""
+    code_cols, terms = _pq_sql_parts(sf_dir)
     return f"""
 WITH coded AS (
   SELECT vec_id, {code_cols}
@@ -4629,6 +4637,62 @@ SELECT vec_id, rank, adc_dist FROM (
   FROM scored) t
 WHERE rank <= 10 ORDER BY rank
 """
+
+
+def _ann_pq_rerank_oracle(sf_dir: str) -> str:
+    """Mirror of ann_pq_rerank: the same ADC shortlist (k·oversample =
+    40), then the exact rounded cosine re-rank over the shortlist."""
+    code_cols, terms = _pq_sql_parts(sf_dir)
+    return f"""
+WITH coded AS (
+  SELECT vec_id, {code_cols}
+  FROM embeddings WHERE vec_id <> 0),
+scored AS (SELECT vec_id, round({terms}, 6) AS adc_dist FROM coded),
+short AS (
+  SELECT vec_id FROM (
+    SELECT vec_id, row_number() OVER (ORDER BY adc_dist ASC, vec_id) AS r
+    FROM scored) t
+  WHERE r <= 40),
+q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+rer AS (
+  SELECT e.vec_id,
+         round(({_DOT64.format(a='e.embedding', b='qe')}) /
+               (sqrt({_DOT64.format(a='e.embedding', b='e.embedding')}) *
+                sqrt({_DOT64.format(a='qe', b='qe')})), 6) AS cos_sim
+  FROM embeddings e JOIN short USING (vec_id), q)
+SELECT vec_id, rank, cos_sim FROM (
+  SELECT vec_id, cos_sim,
+         row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS rank
+  FROM rer) t
+WHERE rank <= 10 ORDER BY rank
+"""
+
+
+def ann_pq_rerank(spark, sf_dir):
+    """Two-stage retrieval: ADC over PQ codes shortlists 40 candidates
+    (scans the ~1%-sized codes column), exact cosine re-ranks only the
+    shortlist (broadcast semi-join — the raw-vector side never
+    shuffles). The production ANN query shape."""
+    from paimon_python_spark.operators import pq_codebooks_from_rows, pq_rerank_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    seeds = [
+        [float(x) for x in r[0]]
+        for r in emb.filter(F.col("vec_id").between(1, 16))
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    ]
+    books = pq_codebooks_from_rows(seeds, 8)
+    return pq_rerank_topk(
+        emb.filter(F.col("vec_id") != 0),
+        "vec_id",
+        "embedding",
+        _query_vec(spark, sf_dir),
+        books,
+        k=10,
+        oversample=4,
+    )
 
 
 def text_unigram_surprisal(spark, sf_dir):
@@ -5437,6 +5501,7 @@ _QUERIES: dict[str, Callable] = {
     "events_moving_window_agg": events_moving_window_agg,
     "sql_entry_point": sql_entry_point,
     "paimon_stream_source_roundtrip": paimon_stream_source_roundtrip,
+    "ann_pq_rerank": ann_pq_rerank,
 }
 
 _ORACLES: dict[str, str] = {
@@ -5583,5 +5648,6 @@ def oracle_sql() -> dict[str, str]:
     out["ann_lsh_bucket"] = _ann_lsh_oracle("/root/testdata/sf0.01")
     out["ann_ivf_cell"] = _ann_ivf_oracle("/root/testdata/sf0.01")
     out["ann_pq_adc"] = _ann_pq_oracle("/root/testdata/sf0.01")
+    out["ann_pq_rerank"] = _ann_pq_rerank_oracle("/root/testdata/sf0.01")
     out["dedup_semantic"] = _dedup_semantic_oracle("/root/testdata/sf0.01")
     return out

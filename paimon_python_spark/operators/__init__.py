@@ -48,6 +48,7 @@ from paimon_python_spark.operators.similarity import (
     pq_codebooks_from_rows,
     pq_encode,
     pq_adc_topk,
+    pq_rerank_topk,
     semantic_dedup,
     vector_quality_audit,
 )
@@ -71,6 +72,7 @@ __all__ = [
     "pq_codebooks_from_rows",
     "pq_encode",
     "pq_adc_topk",
+    "pq_rerank_topk",
     "semantic_dedup",
     "vector_quality_audit",
     "hash_sample",

@@ -308,6 +308,34 @@ def lsh_bucket_topk(
     )
 
 
+def pq_rerank_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_vec: list[float],
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    oversample: int = 4,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Two-stage retrieval — the standard production ANN shape: the
+    cheap ADC pass over compressed codes shortlists ``k·oversample``
+    candidates, then the exact cosine re-ranks ONLY the shortlist
+    against the raw vectors.
+
+    At 100 TB the first stage scans the ~1%-sized codes column and the
+    second touches raw embeddings for a few dozen rows (shortlist ids
+    broadcast into a semi-join, so the big side never shuffles).
+    Recall ≥ single-stage ADC at the same k because the exact metric
+    gets the final say."""
+    shortlist = pq_adc_topk(
+        df, id_col, vec_col, query_vec, codebooks, k=k * oversample,
+        round_digits=round_digits,
+    ).select(id_col)
+    cands = df.join(F.broadcast(shortlist), id_col)
+    return brute_force_topk(cands, id_col, vec_col, query_vec, k, round_digits)
+
+
 def semantic_dedup(
     df: DataFrame,
     id_col: str,

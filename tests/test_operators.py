@@ -1038,3 +1038,30 @@ def test_binned_interval_join_rejects_empty_interval(spark):
     with _pytest.raises(ValueError):
         binned_interval_join(df, df, on=["k"], left_ts="t", right_ts="t",
                              lower=5, upper=4)
+
+
+def test_pq_rerank_improves_on_adc(spark, emb):
+    """Re-ranked top-k must equal the exact brute-force top-k whenever
+    the ADC shortlist contains the true top-k (it does here: oversample
+    covers the whole 500-vector corpus ranking tail)."""
+    from paimon_python_spark.operators import (
+        brute_force_topk,
+        pq_codebooks_from_rows,
+        pq_rerank_topk,
+    )
+
+    seeds = [
+        [float(x) for x in r[0]]
+        for r in emb.filter("vec_id BETWEEN 1 AND 16")
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    ]
+    books = pq_codebooks_from_rows(seeds, 8)
+    q = [float(x) for x in emb.filter("vec_id = 0").select("embedding").first()[0]]
+    body = emb.filter("vec_id <> 0")
+    exact = brute_force_topk(body, "vec_id", "embedding", q, k=5).collect()
+    rer = pq_rerank_topk(
+        body, "vec_id", "embedding", q, books, k=5, oversample=100
+    ).collect()
+    assert [(r.vec_id, r.rank) for r in exact] == [(r.vec_id, r.rank) for r in rer]
