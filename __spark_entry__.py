@@ -5359,6 +5359,55 @@ WHERE l_shipdate >= '1994-01-01' AND l_shipdate < '1995-01-01'
 """
 
 
+def mm_image_resize(spark, sf_dir):
+    """Multimodal resize plumbing: binary in, binary out through
+    mapInPandas (functions/multimodal.py:resize_image_stub). The gate
+    hashes the resized blob's sha256 — the full binary round trip
+    through Arrow batches is what's under test."""
+    from paimon_python_spark.functions import resize_image_stub
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    return (
+        resize_image_stub(docs, "doc_id", "payload", target_w=128, target_h=96)
+        .select(
+            F.col("id").alias("doc_id"),
+            "in_w",
+            "in_h",
+            "out_w",
+            "out_h",
+            F.octet_length("resized").alias("n_bytes_out"),
+            F.sha2("resized", 256).alias("out_sha"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# same ASCII corpus trick as MM_IMAGE_FEATURES_SQL: codepoint == byte,
+# so DuckDB recomputes the stub's integer resize math with ord()/substring
+MM_IMAGE_RESIZE_SQL = """
+WITH dims AS (
+  SELECT doc_id, text,
+         64 + (ord(substring(text, 1, 1)) % 64) AS in_w,
+         64 + (length(text) % 64) AS in_h
+  FROM documents),
+scaled AS (
+  SELECT doc_id, text, in_w, in_h,
+         least(128 * 1000 // in_w, 96 * 1000 // in_h) AS s
+  FROM dims),
+outd AS (
+  SELECT doc_id, text, in_w, in_h,
+         in_w * s // 1000 AS out_w, in_h * s // 1000 AS out_h
+  FROM scaled)
+SELECT doc_id, in_w, in_h, out_w, out_h,
+       least(length(text), out_w * out_h // 16) AS n_bytes_out,
+       sha256(substring(text, 1, least(length(text), out_w * out_h // 16)))
+         AS out_sha
+FROM outd ORDER BY doc_id
+"""
+
+
 # Registration order is deliberate: the driver's correctness gate checks the
 # FIRST 50 entries, so the first 50 span every operator family (TPC-H,
 # joins/aggs/windows, sketches, sampling/mixing, event-time, dedup, ANN,
@@ -5502,6 +5551,7 @@ _QUERIES: dict[str, Callable] = {
     "sql_entry_point": sql_entry_point,
     "paimon_stream_source_roundtrip": paimon_stream_source_roundtrip,
     "ann_pq_rerank": ann_pq_rerank,
+    "mm_image_resize": mm_image_resize,
 }
 
 _ORACLES: dict[str, str] = {
@@ -5628,6 +5678,7 @@ _ORACLES: dict[str, str] = {
     "profile_table_columns": PROFILE_COLUMNS_SQL,
     "events_interval_join_binned": EVENTS_INTERVAL_SQL,
     "events_moving_window_agg": EVENTS_MOVING_WINDOW_SQL,
+    "mm_image_resize": MM_IMAGE_RESIZE_SQL,
     "sql_entry_point": SQL_ENTRY_SQL,
     "paimon_stream_source_roundtrip": PAIMON_STREAM_SOURCE_SQL,
 }

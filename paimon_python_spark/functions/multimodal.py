@@ -116,6 +116,65 @@ def frame_sample_stub(
     return df.select(id_col, bin_col).mapInPandas(sample, schema)
 
 
+# schema for resize_image_stub: binary in → binary out (plus dims)
+RESIZED_IMAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("in_w", T.IntegerType()),
+        T.StructField("in_h", T.IntegerType()),
+        T.StructField("out_w", T.IntegerType()),
+        T.StructField("out_h", T.IntegerType()),
+        T.StructField("resized", T.BinaryType()),
+    ]
+)
+
+
+def resize_image_stub(
+    df: DataFrame, id_col: str, bin_col: str, target_w: int = 128, target_h: int = 96
+) -> DataFrame:
+    """'Resize' images via mapInPandas — the binary→binary transform
+    shape (decode → scale → re-encode), aspect-ratio-preserving fit
+    into ``target_w × target_h``.
+
+    STUB: input dims come from the same fake decode as
+    decode_image_stub; the scale factor is integer-exact
+    (``min(tw·1000//w, th·1000//h) / 1000``); the 're-encoded' blob is
+    a deterministic byte-prefix whose length tracks the output pixel
+    count. A real impl swaps in PIL's ``resize`` + ``save`` and keeps
+    every signature: binary in, binary out, executor-local, no driver
+    involvement — the blob never leaves the Arrow batch."""
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, iw, ih, ow, oh, blobs = [], [], [], [], [], []
+            for _id, blob in zip(pdf[id_col], pdf[bin_col]):
+                n = len(blob)
+                first = blob[0] if n else 0
+                w = 64 + first % 64
+                h = 64 + n % 64
+                s = min(target_w * 1000 // w, target_h * 1000 // h)
+                w2, h2 = w * s // 1000, h * s // 1000
+                k = min(n, w2 * h2 // 16)
+                ids.append(_id)
+                iw.append(w)
+                ih.append(h)
+                ow.append(w2)
+                oh.append(h2)
+                blobs.append(bytes(blob[:k]))
+            yield pd.DataFrame(
+                {
+                    "id": ids,
+                    "in_w": pd.array(iw, dtype="int32"),
+                    "in_h": pd.array(ih, dtype="int32"),
+                    "out_w": pd.array(ow, dtype="int32"),
+                    "out_h": pd.array(oh, dtype="int32"),
+                    "resized": blobs,
+                }
+            )
+
+    return df.select(id_col, bin_col).mapInPandas(resize, RESIZED_IMAGE_SCHEMA)
+
+
 # schema for decoded audio features produced by decode_audio_stub
 AUDIO_FEATURES_SCHEMA = T.StructType(
     [
