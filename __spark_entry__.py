@@ -941,7 +941,7 @@ def dedup_minhash_lsh(spark, sf_dir):
     ).orderBy("doc_a", "doc_b")
 
 
-def _minhash_oracle() -> str:
+def _minhash_oracle(max_bucket: int | None = None) -> str:
     # same affine hash family as minhash_signature_expr: one md5 per
     # shingle, x = first 7 hex chars as int, h_j = (a_j*x + b_j) mod p
     from paimon_python_spark.operators.dedup import MINHASH_P, minhash_coeffs
@@ -951,6 +951,15 @@ def _minhash_oracle() -> str:
         for a, b in minhash_coeffs(16)
     ]
     sig_list = ",\n    ".join(sig_elems)
+    cap = (
+        f"""widths AS (
+  SELECT b, band_key, count(*) AS w FROM bands GROUP BY 1, 2),
+kept AS (
+  SELECT bands.* FROM bands JOIN widths USING (b, band_key)
+  WHERE w <= {max_bucket}),"""
+        if max_bucket is not None
+        else "kept AS (SELECT * FROM bands),"
+    )
     return f"""
 WITH sh AS ({_SH_SQL}),
 hashed AS (SELECT doc_id, sh,
@@ -961,9 +970,10 @@ bands AS (
     sig[b*4+1]::VARCHAR || '-' || sig[b*4+2]::VARCHAR || '-' ||
     sig[b*4+3]::VARCHAR || '-' || sig[b*4+4]::VARCHAR AS band_key
   FROM sig, generate_series(0, 3) t(b)),
+{cap}
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
-  FROM bands a JOIN bands b2 ON a.b = b2.b AND a.band_key = b2.band_key
+  FROM kept a JOIN kept b2 ON a.b = b2.b AND a.band_key = b2.band_key
    AND a.doc_id < b2.doc_id)
 SELECT doc_a, doc_b,
        len(list_intersect(sa.sh, sb.sh)) AS intersect_size,
@@ -972,6 +982,19 @@ FROM cand JOIN sh sa ON sa.doc_id = doc_a JOIN sh sb ON sb.doc_id = doc_b
 WHERE len(list_intersect(sa.sh, sb.sh)) * 2 >= (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) * 1
 ORDER BY doc_a, doc_b
 """
+
+
+def dedup_minhash_lsh_capped(spark, sf_dir):
+    """The production-guarded MinHash-LSH: buckets wider than 2 docs
+    are dropped before the self-join (boilerplate guard — see
+    SCALING.md). Oracle applies the identical width filter, so the
+    cap's exact semantics are gate-checked, not just its speed."""
+    from paimon_python_spark.operators import minhash_lsh_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(
+        docs, "doc_id", "text", jaccard_num=1, jaccard_den=2, max_bucket=2
+    ).orderBy("doc_a", "doc_b")
 
 
 def dedup_cluster_reps(spark, sf_dir):
@@ -5552,6 +5575,7 @@ _QUERIES: dict[str, Callable] = {
     "paimon_stream_source_roundtrip": paimon_stream_source_roundtrip,
     "ann_pq_rerank": ann_pq_rerank,
     "mm_image_resize": mm_image_resize,
+    "dedup_minhash_lsh_capped": dedup_minhash_lsh_capped,
 }
 
 _ORACLES: dict[str, str] = {
@@ -5691,6 +5715,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     out = dict(_ORACLES)
     out["dedup_minhash_lsh"] = _minhash_oracle()
+    out["dedup_minhash_lsh_capped"] = _minhash_oracle(max_bucket=2)
     out["dedup_cluster_reps"] = _dedup_cluster_oracle()
     out["dedup_simhash"] = _simhash_oracle()
     out["dedup_containment"] = _containment_oracle()
