@@ -27,6 +27,7 @@ from paimon_python_spark.predicate import Predicate, PredicateBuilder
 from paimon_python_spark.table import Table
 from paimon_python_spark.session import get_spark, set_spark
 from paimon_python_spark.maintenance import (
+    compact_manifests,
     expire_snapshots,
     remove_orphan_files,
     rollback_to,
@@ -54,6 +55,7 @@ __all__ = [
     "PredicateBuilder",
     "get_spark",
     "set_spark",
+    "compact_manifests",
     "expire_snapshots",
     "remove_orphan_files",
     "rollback_to",

@@ -164,3 +164,44 @@ def remove_orphan_files(table, older_than_seconds: float = 3600.0) -> dict:
             os.remove(full)
             n += 1
     return {"orphans_deleted": n, "bytes_reclaimed": reclaimed}
+
+
+def compact_manifests(table) -> "int | None":
+    """Roll every manifest the latest snapshot references into ONE base
+    manifest holding the folded live-file set (in ADD/commit order, so
+    append-table read order is unchanged).
+
+    Why it matters at scale: each commit appends a delta manifest and
+    every scan folds the whole chain on the driver — after 100k commits
+    planning reads 100k JSON files before a single Spark task runs.
+    Manifest compaction resets the chain to length 1 (Paimon's
+    full-compaction of the manifest list); commit growth restarts from
+    there, and `expire_snapshots` reclaims the superseded manifests
+    once no kept snapshot references them.
+
+    The snapshot is `commit_kind="COMPACT"`, which streaming/
+    incremental readers already skip — no consumer sees replayed rows.
+    Returns the new snapshot id, or None when the chain is already
+    minimal."""
+    import time
+
+    from paimon_python_spark.metadata import ManifestEntry, Snapshot
+
+    store = MetadataStore(table.table_path)
+    prev = store.latest_snapshot()
+    if prev is None or len(prev.manifests) <= 1:
+        return None
+    live = store.live_files(prev)  # folded, ADD-order preserved
+    base = store.write_manifest([ManifestEntry("ADD", f) for f in live])
+    snapshot = Snapshot(
+        id=prev.id + 1,
+        schema_id=prev.schema_id,
+        commit_kind="COMPACT",
+        manifests=[base],
+        total_record_count=prev.total_record_count,
+        delta_record_count=0,
+        time_millis=int(time.time() * 1000),
+        dv_index=prev.dv_index,
+    )
+    store.write_snapshot(snapshot)
+    return snapshot.id

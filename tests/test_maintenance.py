@@ -395,3 +395,72 @@ def test_remove_orphan_files(catalog):
     # committed data untouched
     out = t.new_read_builder().new_read().to_pandas()
     assert sorted(out.k) == [1, 2, 3]
+
+
+def test_compact_manifests_resets_chain_and_preserves_reads(catalog):
+    """Manifest compaction: N commits -> N manifests; after compaction
+    the latest snapshot references ONE manifest, reads are identical
+    (including PK merge + commit order), incremental readers skip the
+    COMPACT snapshot, and time travel to pre-compaction snapshots still
+    works."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from paimon_python_spark import Schema, compact_manifests
+    from paimon_python_spark.metadata import MetadataStore
+    from paimon_python_spark.streaming import read_incremental
+
+    schema = Schema(
+        pa.schema([("k", pa.int64()), ("v", pa.string())]),
+        primary_keys=["k"],
+        options={"bucket": "2"},
+    )
+    catalog.create_table("default.mc", schema, False)
+    t = catalog.get_table("default.mc")
+    for i in range(3):
+        wb = t.new_batch_write_builder()
+        w, c = wb.new_write(), wb.new_commit()
+        w.write_pandas(pd.DataFrame({"k": [1, 2, 10 + i], "v": [f"a{i}", f"b{i}", "x"]}))
+        c.commit(w.prepare_commit())
+        w.close()
+        c.close()
+
+    store = MetadataStore(t.table_path)
+    before = store.latest_snapshot()
+    assert len(before.manifests) == 3
+    expected = t.new_read_builder().new_read().to_pandas().sort_values("k")
+
+    sid = compact_manifests(t)
+    assert sid == before.id + 1
+    after = store.latest_snapshot()
+    assert len(after.manifests) == 1
+    assert after.total_record_count == before.total_record_count
+
+    got = t.new_read_builder().new_read().to_pandas().sort_values("k")
+    assert got.values.tolist() == expected.values.tolist()
+
+    # second call is a no-op
+    assert compact_manifests(t) is None
+
+    # incremental read across the COMPACT snapshot sees no rows
+    assert read_incremental(t, before.id, sid).count() == 0
+
+    # time travel to the pre-compaction snapshot still resolves
+    tt = (
+        t.new_read_builder()
+        .with_snapshot(before.id)
+        .new_read()
+        .to_pandas()
+        .sort_values("k")
+    )
+    assert tt.values.tolist() == expected.values.tolist()
+
+    # a fresh commit appends a single delta on top of the base
+    wb = t.new_batch_write_builder()
+    w, c = wb.new_write(), wb.new_commit()
+    w.write_pandas(pd.DataFrame({"k": [99], "v": ["new"]}))
+    c.commit(w.prepare_commit())
+    w.close()
+    c.close()
+    assert len(store.latest_snapshot().manifests) == 2
+    assert 99 in set(t.new_read_builder().new_read().to_pandas()["k"])
