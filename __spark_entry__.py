@@ -1182,9 +1182,10 @@ def ann_ivf_cell(spark, sf_dir):
 def ann_ivf_trained(spark, sf_dir):
     """IVF with TRAINED centroids: distributed Lloyd's k-means (one
     scan + one k·dims-sized shuffle per iteration), then the probe
-    scans nprobe of nlist cells. Iterative — no SQL oracle; the driver
-    records the rows-only check and unit tests pin convergence and
-    partitioning-independence."""
+    scans nprobe of nlist cells. The training is fully oracle-checked:
+    centroid updates are order-free scaled-integer sums, so
+    kmeans_fit_mirror (plain Python over the same parquet) reproduces
+    them bit-for-bit and the oracle probes with identical literals."""
     from paimon_python_spark.operators import ivf_topk, kmeans_fit
 
     emb = _t(spark, sf_dir, "embeddings").select(
@@ -1212,6 +1213,32 @@ def _ann_ivf_oracle(sf_dir: str) -> str:
         "WHERE vec_id BETWEEN 1 AND 8 ORDER BY vec_id"
     ).fetchall()
     centroids = [[float(x) for x in r[1]] for r in rows]
+    return _ivf_probe_sql(sf_dir, centroids)
+
+
+def _ann_ivf_trained_oracle(sf_dir: str) -> str:
+    """Oracle for the ITERATIVE path: kmeans_fit_mirror reproduces the
+    distributed training bit-for-bit (md5 seeding, sequential-double
+    assignment scores, order-free scaled-integer centroid updates —
+    verified identical in tests), then the probe SQL is the same as
+    the fixed-centroid oracle with the trained literals."""
+    import duckdb
+
+    from paimon_python_spark.operators import kmeans_fit_mirror
+
+    rows = duckdb.sql(
+        f"SELECT vec_id, embedding FROM read_parquet('{sf_dir}/embeddings.parquet') "
+        "ORDER BY vec_id"
+    ).fetchall()
+    vectors = [(int(r[0]), [float(x) for x in r[1]]) for r in rows]
+    cents = kmeans_fit_mirror(vectors, k=8, iters=3)
+    return _ivf_probe_sql(sf_dir, cents)
+
+
+def _ivf_probe_sql(sf_dir: str, centroids: list[list[float]]) -> str:
+    """nprobe=2 IVF probe SQL over the given centroid literals."""
+    import duckdb
+
     q = duckdb.sql(
         f"SELECT embedding FROM read_parquet('{sf_dir}/embeddings.parquet') WHERE vec_id = 0"
     ).fetchone()[0]
@@ -5725,5 +5752,6 @@ def oracle_sql() -> dict[str, str]:
     out["ann_ivf_cell"] = _ann_ivf_oracle("/root/testdata/sf0.01")
     out["ann_pq_adc"] = _ann_pq_oracle("/root/testdata/sf0.01")
     out["ann_pq_rerank"] = _ann_pq_rerank_oracle("/root/testdata/sf0.01")
+    out["ann_ivf_trained"] = _ann_ivf_trained_oracle("/root/testdata/sf0.01")
     out["dedup_semantic"] = _dedup_semantic_oracle("/root/testdata/sf0.01")
     return out

@@ -43,6 +43,7 @@ from paimon_python_spark.operators.similarity import (
     lsh_bucket_topk,
     ivf_topk,
     kmeans_fit,
+    kmeans_fit_mirror,
     hyperplane_signs,
     label_centroids,
     pq_codebooks_from_rows,
@@ -67,6 +68,7 @@ __all__ = [
     "lsh_bucket_topk",
     "ivf_topk",
     "kmeans_fit",
+    "kmeans_fit_mirror",
     "label_centroids",
     "hyperplane_signs",
     "pq_codebooks_from_rows",

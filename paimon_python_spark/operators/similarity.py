@@ -226,6 +226,60 @@ def ivf_topk(
     )
 
 
+# centroid-update quantization: elements become round(x * SCALE) longs
+# before summing, making the distributed sum order-free and exactly
+# mirrorable by plain Python (kmeans_mirror_update)
+KMEANS_SCALE = 10_000_000
+
+
+def kmeans_round(x: float) -> int:
+    """Python mirror of Spark's round-half-away-from-zero on doubles
+    (Python's built-in round is banker's — would disagree on .5)."""
+    import math
+
+    return int(math.copysign(math.floor(abs(x * KMEANS_SCALE) + 0.5), x))
+
+
+def kmeans_fit_mirror(
+    vectors: list[tuple[int, list[float]]], k: int, iters: int = 5
+) -> list[list[float]]:
+    """Plain-Python replica of :func:`kmeans_fit` over the same rows:
+    identical md5 seeding, identical sequential-double assignment
+    scores, identical scaled-integer sums and driver-side divisions —
+    so the trained centroids match the distributed run bit-for-bit.
+    Exists so an external oracle (DuckDB + this) can check the
+    iterative path; also pins kmeans_fit in tests."""
+    import hashlib
+
+    seeds = sorted(
+        vectors,
+        key=lambda r: (hashlib.md5(str(int(r[0])).encode()).hexdigest(), r[0]),
+    )[:k]
+    cents = [[float(v) for v in vec] for _id, vec in seeds]
+    for _ in range(iters):
+        half = [sum(c * c for c in cent) / 2.0 for cent in cents]
+        sums = [[0] * len(cents[0]) for _ in range(k)]
+        counts = [0] * k
+        for _id, vec in vectors:
+            scores = []
+            for ci, cent in enumerate(cents):
+                acc = 0.0
+                for x, c in zip(vec, cent):
+                    acc += float(x) * c
+                scores.append(acc - half[ci])
+            best = scores.index(max(scores))  # first-max, like array_position
+            counts[best] += 1
+            row = sums[best]
+            for d, x in enumerate(vec):
+                row[d] += kmeans_round(float(x))
+        new = [list(c) for c in cents]
+        for ci in range(k):
+            if counts[ci]:
+                new[ci] = [s / KMEANS_SCALE / counts[ci] for s in sums[ci]]
+        cents = new
+    return cents
+
+
 def kmeans_fit(
     df: DataFrame,
     id_col: str,
@@ -248,6 +302,15 @@ def kmeans_fit(
     ``md5(id)`` — order-independent, partitioning-independent, and
     reproducible across engines (no seed to disagree on). Empty cells
     keep their previous centroid.
+
+    The centroid update is ORDER-FREE: each element is quantized to a
+    scaled integer first (``round(x·10⁷)``, a per-value op), the
+    integer sums are exact under any partitioning/summation order, and
+    the one float division per (cell, dim) happens driver-side — so an
+    external mirror (plain Python over the same parquet values)
+    reproduces the trained centroids bit-for-bit, which is what lets
+    the iterative path be oracle-checked at all. The 1e-7 quantization
+    is far below embedding noise.
     """
     first = df.select(F.size(vec_col)).first()
     if first is None:
@@ -263,17 +326,23 @@ def kmeans_fit(
     if len(centroids) < k:
         raise ValueError(f"kmeans_fit: need >= {k} rows, have {len(centroids)}")
 
-    avg_cols = [
-        F.avg(F.element_at(F.col(vec_col), d + 1)).alias(f"d{d}") for d in range(dims)
-    ]
+    sum_cols = [
+        F.sum(
+            F.round(F.element_at(F.col(vec_col), d + 1) * KMEANS_SCALE).cast("long")
+        ).alias(f"s{d}")
+        for d in range(dims)
+    ] + [F.count("*").alias("n")]
     for _ in range(iters):
         # score_i = x·c_i − ‖c_i‖²/2; argmax == nearest centroid in L2;
         # literal centroids at small k·dims, broadcast join at large
         assigned = assign_cells(df, vec_col, centroids, l2=True)
-        rows = assigned.groupBy("cell").agg(*avg_cols).collect()
+        rows = assigned.groupBy("cell").agg(*sum_cols).collect()
         new = list(centroids)
         for r in rows:
-            new[int(r["cell"]) - 1] = [float(r[f"d{d}"]) for d in range(dims)]
+            n = int(r["n"])
+            new[int(r["cell"]) - 1] = [
+                int(r[f"s{d}"]) / KMEANS_SCALE / n for d in range(dims)
+            ]
         centroids = new
     return centroids
 

@@ -1065,3 +1065,17 @@ def test_pq_rerank_improves_on_adc(spark, emb):
         body, "vec_id", "embedding", q, books, k=5, oversample=100
     ).collect()
     assert [(r.vec_id, r.rank) for r in exact] == [(r.vec_id, r.rank) for r in rer]
+
+
+def test_kmeans_mirror_bit_identical(spark, emb):
+    """The plain-Python training mirror must reproduce the distributed
+    k-means exactly — this is what makes ann_ivf_trained oracle-able."""
+    from pyspark.sql import functions as F
+
+    from paimon_python_spark.operators import kmeans_fit, kmeans_fit_mirror
+
+    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    dist = kmeans_fit(e, "vec_id", "embedding", k=4, iters=2)
+    rows = [(int(r[0]), [float(x) for x in r[1]]) for r in e.orderBy("vec_id").collect()]
+    mirror = kmeans_fit_mirror(rows, k=4, iters=2)
+    assert dist == mirror
