@@ -5492,27 +5492,27 @@ _QUERIES: dict[str, Callable] = {
     "setop_except": setop_except,
     "agg_count_distinct": agg_count_distinct,
     "sketch_quantile_summary": sketch_quantile_summary,
-    "sketch_approx_distinct": sketch_approx_distinct,
     "sample_split_assign": sample_split_assign,
-    "sample_corpus_mix": sample_corpus_mix,
     "scalar_string_funcs": scalar_string_funcs,
-    "scalar_json_funcs": scalar_json_funcs,
     "mor_latest_by_key": mor_latest_by_key,
     "events_tumbling_window": events_tumbling_window,
     "events_sessionize": events_sessionize,
     "events_asof_join": events_asof_join,
-    "events_sliding_window": events_sliding_window,
-    "events_interval_join": events_interval_join,
-    "events_anomaly_zscore": events_anomaly_zscore,
     "dedup_exact": dedup_exact,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_cluster_reps": dedup_cluster_reps,
-    "dedup_containment": dedup_containment,
     "ann_topk_cosine": ann_topk_cosine,
     "text_quality_stats": text_quality_stats,
     "text_contamination": text_contamination,
     "pack_sequences": pack_sequences,
     "mm_binary_meta": mm_binary_meta,
+    "dedup_semantic": dedup_semantic,
+    "join_salted_skew": join_salted_skew,
+    "events_interval_join_binned": events_interval_join_binned,
+    "pipeline_quality_dedup_tokens": pipeline_quality_dedup_tokens,
+    "dedup_paragraph_exact": dedup_paragraph_exact,
+    "profile_table_columns": profile_table_columns,
+    "ann_pq_rerank": ann_pq_rerank,
     "paimon_pk_upsert_roundtrip": paimon_pk_upsert_roundtrip,
     "window_topk_per_group": window_topk_per_group,
     "window_running_sum": window_running_sum,
@@ -5586,23 +5586,23 @@ _QUERIES: dict[str, Callable] = {
     "window_ntile_quartile": window_ntile_quartile,
     "events_funnel_conversion": events_funnel_conversion,
     "agg_mode_per_user": agg_mode_per_user,
-    "dedup_semantic": dedup_semantic,
     "emb_vector_quality": emb_vector_quality,
     "dedup_url_normalized": dedup_url_normalized,
     "events_topk_per_window": events_topk_per_window,
-    "pipeline_quality_dedup_tokens": pipeline_quality_dedup_tokens,
-    "join_salted_skew": join_salted_skew,
     "agg_distinct_skew_free": agg_distinct_skew_free,
     "text_line_filter": text_line_filter,
-    "dedup_paragraph_exact": dedup_paragraph_exact,
-    "profile_table_columns": profile_table_columns,
-    "events_interval_join_binned": events_interval_join_binned,
     "events_moving_window_agg": events_moving_window_agg,
     "sql_entry_point": sql_entry_point,
     "paimon_stream_source_roundtrip": paimon_stream_source_roundtrip,
-    "ann_pq_rerank": ann_pq_rerank,
     "mm_image_resize": mm_image_resize,
     "dedup_minhash_lsh_capped": dedup_minhash_lsh_capped,
+    "events_anomaly_zscore": events_anomaly_zscore,
+    "dedup_containment": dedup_containment,
+    "sketch_approx_distinct": sketch_approx_distinct,
+    "sample_corpus_mix": sample_corpus_mix,
+    "scalar_json_funcs": scalar_json_funcs,
+    "events_sliding_window": events_sliding_window,
+    "events_interval_join": events_interval_join,
 }
 
 _ORACLES: dict[str, str] = {
