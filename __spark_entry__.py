@@ -5458,6 +5458,50 @@ FROM outd ORDER BY doc_id
 """
 
 
+def sample_token_budget_mix(spark, sf_dir):
+    """Budgeted corpus assembly: per-language token budgets (en 20k,
+    zh 8k, rest 5k chars as the token proxy), documents admitted in a
+    deterministic md5 shuffle order until each budget fills. Output is
+    the per-language summary of the assembled mix."""
+    from paimon_python_spark.operators import token_budget_mix
+
+    docs = _t(spark, sf_dir, "documents")
+    mixed = token_budget_mix(
+        docs,
+        "doc_id",
+        "lang",
+        "n_chars",
+        budgets={"en": 20000, "zh": 8000},
+        default_budget=5000,
+    )
+    return (
+        mixed.filter("keep")
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs_kept"),
+            F.sum("n_chars").cast("long").alias("tokens_kept"),
+        )
+        .orderBy("lang")
+    )
+
+
+SAMPLE_TOKEN_BUDGET_SQL = """
+WITH ranked AS (
+  SELECT doc_id, lang, n_chars,
+         sum(n_chars) OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM documents)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs_kept,
+       CAST(sum(n_chars) AS BIGINT) AS tokens_kept
+FROM ranked
+WHERE (cum - n_chars) <
+      CASE lang WHEN 'en' THEN 20000 WHEN 'zh' THEN 8000 ELSE 5000 END
+GROUP BY lang ORDER BY lang
+"""
+
+
 # Registration order is deliberate: the driver's correctness gate checks the
 # FIRST 50 entries, so the first 50 span every operator family (TPC-H,
 # joins/aggs/windows, sketches, sampling/mixing, event-time, dedup, ANN,
@@ -5603,6 +5647,7 @@ _QUERIES: dict[str, Callable] = {
     "scalar_json_funcs": scalar_json_funcs,
     "events_sliding_window": events_sliding_window,
     "events_interval_join": events_interval_join,
+    "sample_token_budget_mix": sample_token_budget_mix,
 }
 
 _ORACLES: dict[str, str] = {
@@ -5730,6 +5775,7 @@ _ORACLES: dict[str, str] = {
     "events_interval_join_binned": EVENTS_INTERVAL_SQL,
     "events_moving_window_agg": EVENTS_MOVING_WINDOW_SQL,
     "mm_image_resize": MM_IMAGE_RESIZE_SQL,
+    "sample_token_budget_mix": SAMPLE_TOKEN_BUDGET_SQL,
     "sql_entry_point": SQL_ENTRY_SQL,
     "paimon_stream_source_roundtrip": PAIMON_STREAM_SOURCE_SQL,
 }

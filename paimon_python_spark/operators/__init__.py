@@ -28,6 +28,7 @@ from paimon_python_spark.operators.sampling import (
     stratified_hash_sample,
     split_column,
     weighted_mix_sample,
+    token_budget_mix,
 )
 from paimon_python_spark.operators.packing import pack_concat_chunks
 from paimon_python_spark.operators.skew import (
@@ -82,6 +83,7 @@ __all__ = [
     "stratified_hash_sample",
     "split_column",
     "weighted_mix_sample",
+    "token_budget_mix",
     "pack_concat_chunks",
     "ngram_containment_pairs",
     "minhash_containment_pairs",

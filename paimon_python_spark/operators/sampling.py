@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from typing import List, Sequence
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 _SPACE = 1 << 16  # 4 hex chars of the md5 digest
 
@@ -118,3 +118,47 @@ def weighted_mix_sample(
     default_lit = F.lit(_hex_threshold(default_rate))
     thr = thr.otherwise(default_lit) if thr is not None else default_lit
     return df.withColumn("keep", _hash_prefix(id_col) < thr)
+
+
+def token_budget_mix(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    token_col: str,
+    budgets: dict,
+    default_budget: int = 0,
+) -> DataFrame:
+    """Budgeted corpus assembly: from each group, keep documents (in a
+    deterministic md5 shuffle order) until the group's cumulative token
+    count reaches its budget — the "2B web tokens, 500M books tokens"
+    step of building a training mix to a target size.
+
+    One window per group: rows sorted by md5(id) (a reproducible
+    shuffle — no RNG, no run-to-run drift), running token sum, keep
+    while the PRE-document cumulative is under budget, so the document
+    that crosses the line is still included (budgets are floors, like
+    sampling-with-carryover in practice). Single shuffle on the group
+    key; at heavy skew split the hot group with `with_salt` and
+    per-salt sub-budgets."""
+    g = F.col(group_col)
+    budget = None
+    for val, b in sorted(budgets.items()):
+        budget = (
+            F.when(g == val, F.lit(int(b)))
+            if budget is None
+            else budget.when(g == val, F.lit(int(b)))
+        )
+    budget = (
+        budget.otherwise(F.lit(int(default_budget)))
+        if budget is not None
+        else F.lit(int(default_budget))
+    )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(F.md5(F.col(id_col).cast("string").cast("binary")), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(F.col(token_col)).over(w)
+    return df.withColumn(
+        "keep", (cum - F.col(token_col)) < budget
+    ).withColumn("cum_tokens", cum.cast("long"))

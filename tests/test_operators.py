@@ -1079,3 +1079,24 @@ def test_kmeans_mirror_bit_identical(spark, emb):
     rows = [(int(r[0]), [float(x) for x in r[1]]) for r in e.orderBy("vec_id").collect()]
     mirror = kmeans_fit_mirror(rows, k=4, iters=2)
     assert dist == mirror
+
+
+def test_token_budget_mix_floors_and_determinism(spark):
+    from paimon_python_spark.operators import token_budget_mix
+
+    rows = [(i, "a", 10) for i in range(10)] + [(100 + i, "b", 10) for i in range(3)]
+    df = spark.createDataFrame(rows, "id long, src string, toks long")
+    out = token_budget_mix(df, "id", "src", "toks", budgets={"a": 25}, default_budget=1000)
+    kept = out.filter("keep")
+    a = kept.filter("src = 'a'")
+    # budget 25 with 10-token docs: 2 fit fully, the 3rd crosses the
+    # line and is still included (budget is a floor) -> 3 docs
+    assert a.count() == 3
+    assert a.agg({"toks": "sum"}).first()[0] == 30
+    # group under default budget keeps everything
+    assert kept.filter("src = 'b'").count() == 3
+    # deterministic under repartition
+    again = token_budget_mix(
+        df.repartition(7), "id", "src", "toks", budgets={"a": 25}, default_budget=1000
+    ).filter("keep")
+    assert sorted(r.id for r in again.collect()) == sorted(r.id for r in kept.collect())
