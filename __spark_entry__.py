@@ -1031,6 +1031,42 @@ SELECT a AS doc_id, least(a, mn) AS cluster FROM best ORDER BY doc_id
 """
 
 
+def dedup_fuzzy_survivors(spark, sf_dir):
+    """The full fuzzy-dedup pipeline end-to-end: MinHash-LSH pairs →
+    connected components → survivor selection (unpaired docs + each
+    cluster's min id), summarized per language. This is the query a
+    corpus owner actually runs; the stages above gate its pieces."""
+    from paimon_python_spark.operators import fuzzy_dedup_survivors, minhash_lsh_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, "doc_id", "text", num_hashes=16, bands=4, jaccard_num=1, jaccard_den=2
+    )
+    surv = fuzzy_dedup_survivors(docs, pairs, "doc_id")
+    return (
+        surv.groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_survivors"),
+            F.sum("doc_id").cast("long").alias("survivor_id_sum"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _dedup_survivors_oracle() -> str:
+    comps_body = _dedup_cluster_oracle().rsplit("ORDER BY", 1)[0]
+    return f"""
+WITH comps AS ({comps_body}),
+keep AS (
+  SELECT d.doc_id, d.lang FROM documents d
+  LEFT JOIN comps c ON c.doc_id = d.doc_id
+  WHERE c.doc_id IS NULL OR c.cluster = d.doc_id)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_survivors,
+       CAST(sum(doc_id) AS BIGINT) AS survivor_id_sum
+FROM keep GROUP BY lang ORDER BY lang
+"""
+
+
 def dedup_ngram_jaccard(spark, sf_dir):
     from paimon_python_spark.operators import ngram_jaccard_pairs
 
@@ -5648,6 +5684,7 @@ _QUERIES: dict[str, Callable] = {
     "events_sliding_window": events_sliding_window,
     "events_interval_join": events_interval_join,
     "sample_token_budget_mix": sample_token_budget_mix,
+    "dedup_fuzzy_survivors": dedup_fuzzy_survivors,
 }
 
 _ORACLES: dict[str, str] = {
@@ -5790,6 +5827,7 @@ def oracle_sql() -> dict[str, str]:
     out["dedup_minhash_lsh"] = _minhash_oracle()
     out["dedup_minhash_lsh_capped"] = _minhash_oracle(max_bucket=2)
     out["dedup_cluster_reps"] = _dedup_cluster_oracle()
+    out["dedup_fuzzy_survivors"] = _dedup_survivors_oracle()
     out["dedup_simhash"] = _simhash_oracle()
     out["dedup_containment"] = _containment_oracle()
     out["sample_split_leakage_safe"] = _leakage_split_oracle()
