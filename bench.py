@@ -68,6 +68,16 @@ HEADLINE = [
     "dedup_url_normalized",
     "events_topk_per_window",
     "pipeline_quality_dedup_tokens",
+    "join_salted_skew",
+    "events_interval_join_binned",
+    "events_moving_window_agg",
+    "text_line_filter",
+    "dedup_paragraph_exact",
+    "profile_table_columns",
+    "sample_token_budget_mix",
+    "dedup_fuzzy_survivors",
+    "ann_pq_rerank",
+    "mm_image_resize",
 ]
 
 

@@ -108,12 +108,24 @@ class _SplitPartition(InputPartition):
 
 
 class PaimonBatchReader(DataSourceReader):
-    def __init__(self, table_path: str, schema):
+    def __init__(self, table_path: str, schema, claim_filters: bool = True):
         self.table_path = table_path
         self.table_schema = schema
         self._predicate = None
+        # Spark 4.1 reuses ONE reader instance for all queries over a
+        # temp view and only calls pushFilters when the query has
+        # filters — so any pushdown state from query A leaks into
+        # query B. Views therefore register with claim_filters=False:
+        # every filter is yielded back (Spark applies it row-level) and
+        # no pruning state is kept. Fresh .load() relations keep the
+        # full pushdown path.
+        self._claim_filters = claim_filters
 
     def pushFilters(self, filters):
+        self._predicate = None
+        if not self._claim_filters:
+            yield from filters
+            return
         supported, unsupported = _filters_to_predicate(
             filters, self.table_schema.field_names
         )
@@ -162,6 +174,15 @@ class PaimonBatchReader(DataSourceReader):
         else:
             physical = logical_pa
 
+        # residual ROW-level filter: pushFilters claimed these filters
+        # for append tables (Spark will not re-apply them), so stats
+        # file-pruning alone is not enough — a file whose min/max span
+        # the predicate still contains non-matching rows
+        residual = (
+            self._predicate.to_arrow()
+            if (self._predicate is not None and not is_pk)
+            else None
+        )
         if partition.fmt == "avro":
             from paimon_python_spark.avro_codec import read_avro_table
 
@@ -186,10 +207,12 @@ class PaimonBatchReader(DataSourceReader):
                     )
                 )
             tbl = pa.concat_tables(frames)
+            if residual is not None:
+                tbl = ds.dataset(tbl).to_table(filter=residual)
         else:
             tbl = ds.dataset(
                 partition.paths, format=partition.fmt, schema=physical
-            ).to_table()
+            ).to_table(filter=residual)
 
         if is_pk:
             # executor-local merge: this partition IS one (partition,
@@ -391,6 +414,12 @@ class PaimonSparkDataSource(DataSource):
         path = self.options.get("path")
         if not path:
             raise ValueError("paimon_spark requires .option('path', <table dir>)")
+        # SQL `CREATE TABLE ... USING paimon_spark OPTIONS(path ...)`
+        # hands the catalog-qualified location through as a file: URI
+        if path.startswith("file:"):
+            from urllib.parse import urlparse
+
+            path = urlparse(path).path
         return path
 
     def schema(self):
@@ -398,7 +427,8 @@ class PaimonSparkDataSource(DataSource):
 
     def reader(self, schema: T.StructType) -> PaimonBatchReader:
         path = self._table_path()
-        return PaimonBatchReader(path, _load_schema(path))
+        claim = self.options.get("claim-filters", "true").lower() != "false"
+        return PaimonBatchReader(path, _load_schema(path), claim_filters=claim)
 
     def simpleStreamReader(self, schema) -> PaimonStreamReader:
         path = self._table_path()
@@ -407,6 +437,30 @@ class PaimonSparkDataSource(DataSource):
     def writer(self, schema: T.StructType, overwrite: bool) -> PaimonBatchWriter:
         path = self._table_path()
         return PaimonBatchWriter(path, _load_schema(path), overwrite)
+
+
+def register_sql_view(spark, table, name: str) -> None:
+    """Expose an engine table to plain Spark SQL as a named view:
+    ``register_sql_view(spark, t, "orders")`` then
+    ``spark.sql("SELECT ... FROM orders")``.
+
+    Reads route through the registered Python Data Source (pushed
+    filters, executor-local PK merge). This is the supported SQL front
+    door: ``CREATE TABLE ... USING paimon_spark OPTIONS(path ...)``
+    parses, but Spark does not forward storage options to Python
+    data-source readers for catalog tables (verified against PySpark
+    4.1), so catalog-table reads cannot resolve the path."""
+    register(spark)
+    (
+        spark.read.format("paimon_spark")
+        .option("path", table.table_path)
+        # a view shares one reader across queries; claiming filters
+        # would leak one query's pushdown into the next (see
+        # PaimonBatchReader) — Spark applies all filters itself here
+        .option("claim-filters", "false")
+        .load()
+        .createOrReplaceTempView(name)
+    )
 
 
 def register(spark) -> None:

@@ -215,3 +215,40 @@ def test_stream_table_to_table_etl(catalog, spark, tmp_path):
     )
     assert got["f1"].tolist() == want["f1"].tolist()
     assert got["cnt"].astype(int).tolist() == want["cnt"].astype(int).tolist()
+
+
+def test_sql_view_over_engine_table(catalog, spark):
+    """SQL front door: register_sql_view exposes an engine table to
+    spark.sql with pushdown via the Python Data Source. (CREATE TABLE
+    USING paimon_spark is not usable: Spark drops storage options on
+    the read path for Python data sources — documented in the helper.)"""
+    from paimon_python_spark.datasource import register_sql_view
+
+    catalog.create_table("default.ds_sql", Schema(SIMPLE), False)
+    t = catalog.get_table("default.ds_sql")
+    _write(t, pd.DataFrame({"f0": [1, 2, 3], "f1": ["x", "y", "z"]}))
+    register_sql_view(spark, t, "sql_paimon_t")
+    got = spark.sql(
+        "SELECT f0, f1 FROM sql_paimon_t WHERE f0 >= 2 ORDER BY f0"
+    ).collect()
+    assert [(r.f0, r.f1) for r in got] == [(2, "y"), (3, "z")]
+    assert spark.sql("SELECT count(*) AS n FROM sql_paimon_t").first().n == 3
+    spark.catalog.dropTempView("sql_paimon_t")
+
+
+def test_filter_inside_file_range_applies_row_level(catalog, spark):
+    """Regression: a claimed filter whose bounds fall INSIDE one file's
+    min/max must filter rows, not just files — stats pruning alone
+    would return the whole file."""
+    catalog.create_table("default.ds_resid", Schema(SIMPLE), False)
+    t = catalog.get_table("default.ds_resid")
+    _write(t, pd.DataFrame({"f0": [1, 2, 3, 4], "f1": ["a", "b", "c", "d"]}))
+    out = (
+        spark.read.format("paimon_spark")
+        .option("path", t.table_path)
+        .load()
+        .filter("f0 >= 3")
+        .toPandas()
+        .sort_values("f0")
+    )
+    assert out["f0"].tolist() == [3, 4]
