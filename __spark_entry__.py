@@ -5538,6 +5538,47 @@ GROUP BY lang ORDER BY lang
 """
 
 
+def paimon_datasource_filter_roundtrip(spark, sf_dir):
+    """Append table read through the Python Data Source with a filter
+    whose bounds fall INSIDE one file's min/max — regression gate for
+    the residual row-level filter (stats pruning alone would return
+    the whole file)."""
+    from paimon_python_spark import Catalog, Schema
+    from paimon_python_spark.datasource import register
+
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    register(spark)
+    wh = _fresh_warehouse("dsf")
+    cat = Catalog.create({"warehouse": wh})
+    cat.create_database("default", True)
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    cat.create_table("default.cust_app", Schema(cust.schema), False)
+    t = cat.get_table("default.cust_app")
+    wb = t.new_batch_write_builder()
+    w, c = wb.new_write(), wb.new_commit()
+    w.write_dataframe(cust)
+    c.commit(w.prepare_commit())
+    w.close()
+    c.close()
+    return (
+        spark.read.format("paimon_spark")
+        .option("path", t.table_path)
+        .load()
+        .filter((F.col("c_custkey") % 10 == 3) & (F.col("c_acctbal") > 0))
+        .select("c_custkey", "c_name", F.round("c_acctbal", 2).alias("acctbal"))
+        .orderBy("c_custkey")
+    )
+
+
+PAIMON_DS_FILTER_SQL = """
+SELECT c_custkey, c_name, round(c_acctbal, 2) AS acctbal
+FROM customer WHERE c_custkey % 10 = 3 AND c_acctbal > 0
+ORDER BY c_custkey
+"""
+
+
 # Registration order is deliberate: the driver's correctness gate checks the
 # FIRST 50 entries, so the first 50 span every operator family (TPC-H,
 # joins/aggs/windows, sketches, sampling/mixing, event-time, dedup, ANN,
@@ -5685,6 +5726,7 @@ _QUERIES: dict[str, Callable] = {
     "events_interval_join": events_interval_join,
     "sample_token_budget_mix": sample_token_budget_mix,
     "dedup_fuzzy_survivors": dedup_fuzzy_survivors,
+    "paimon_datasource_filter_roundtrip": paimon_datasource_filter_roundtrip,
 }
 
 _ORACLES: dict[str, str] = {
@@ -5813,6 +5855,7 @@ _ORACLES: dict[str, str] = {
     "events_moving_window_agg": EVENTS_MOVING_WINDOW_SQL,
     "mm_image_resize": MM_IMAGE_RESIZE_SQL,
     "sample_token_budget_mix": SAMPLE_TOKEN_BUDGET_SQL,
+    "paimon_datasource_filter_roundtrip": PAIMON_DS_FILTER_SQL,
     "sql_entry_point": SQL_ENTRY_SQL,
     "paimon_stream_source_roundtrip": PAIMON_STREAM_SOURCE_SQL,
 }
