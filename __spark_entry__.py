@@ -5579,6 +5579,63 @@ ORDER BY c_custkey
 """
 
 
+def events_gap_fill(spark, sf_dir):
+    """Time-series gap filling: materialize EVERY (event_type, 5-min
+    bucket) cell over the observed time range, zero-filled where no
+    events occurred — the densify step before windowed models.
+
+    Scale shape: the grid is generated, not stored — one broadcast of
+    the 2-value bounds row, sequence+explode per type (|types| x
+    |buckets| rows, independent of event count), left join against the
+    already-aggregated counts."""
+    ev = _events(spark, sf_dir)
+    bucketed = ev.withColumn("bucket", F.expr("ts div 300000000000"))
+    counts = bucketed.groupBy("event_type", "bucket").agg(
+        F.count("*").alias("n_events")
+    )
+    bounds = bucketed.agg(
+        F.min("bucket").alias("lo"), F.max("bucket").alias("hi")
+    )
+    grid = (
+        bucketed.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("bucket"),
+        )
+    )
+    return (
+        grid.join(counts, ["event_type", "bucket"], "left")
+        .select(
+            "event_type",
+            "bucket",
+            F.coalesce(F.col("n_events"), F.lit(0)).cast("long").alias("n_events"),
+            F.col("n_events").isNull().alias("is_gap"),
+        )
+        .orderBy("event_type", "bucket")
+    )
+
+
+EVENTS_GAP_FILL_SQL = """
+WITH b AS (
+  SELECT event_type, epoch_ns(ts) // 300000000000 AS bucket FROM events),
+counts AS (
+  SELECT event_type, bucket, count(*) AS n FROM b GROUP BY 1, 2),
+bounds AS (SELECT min(bucket) AS lo, max(bucket) AS hi FROM b),
+grid AS (
+  SELECT t.event_type, bounds.lo + r.n AS bucket
+  FROM (SELECT DISTINCT event_type FROM b) t, bounds,
+       (SELECT unnest(range(0, (SELECT hi - lo + 1 FROM bounds))) AS n) r)
+SELECT g.event_type, g.bucket,
+       CAST(coalesce(c.n, 0) AS BIGINT) AS n_events,
+       c.n IS NULL AS is_gap
+FROM grid g LEFT JOIN counts c
+  ON c.event_type = g.event_type AND c.bucket = g.bucket
+ORDER BY g.event_type, g.bucket
+"""
+
+
 # Registration order is deliberate: the driver's correctness gate checks the
 # FIRST 50 entries, so the first 50 span every operator family (TPC-H,
 # joins/aggs/windows, sketches, sampling/mixing, event-time, dedup, ANN,
@@ -5727,6 +5784,7 @@ _QUERIES: dict[str, Callable] = {
     "sample_token_budget_mix": sample_token_budget_mix,
     "dedup_fuzzy_survivors": dedup_fuzzy_survivors,
     "paimon_datasource_filter_roundtrip": paimon_datasource_filter_roundtrip,
+    "events_gap_fill": events_gap_fill,
 }
 
 _ORACLES: dict[str, str] = {
@@ -5856,6 +5914,7 @@ _ORACLES: dict[str, str] = {
     "mm_image_resize": MM_IMAGE_RESIZE_SQL,
     "sample_token_budget_mix": SAMPLE_TOKEN_BUDGET_SQL,
     "paimon_datasource_filter_roundtrip": PAIMON_DS_FILTER_SQL,
+    "events_gap_fill": EVENTS_GAP_FILL_SQL,
     "sql_entry_point": SQL_ENTRY_SQL,
     "paimon_stream_source_roundtrip": PAIMON_STREAM_SOURCE_SQL,
 }
