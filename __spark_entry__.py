@@ -5636,6 +5636,70 @@ ORDER BY g.event_type, g.bucket
 """
 
 
+def events_window_deltas(spark, sf_dir):
+    """Rate-of-change over the DENSIFIED grid: per event type, the
+    delta between consecutive 5-min windows (gap cells count 0, so a
+    burst after silence shows its true jump). Composes events_gap_fill
+    → lag window; one extra shuffle on event_type."""
+    filled = events_gap_fill(spark, sf_dir)
+    w = W.partitionBy("event_type").orderBy("bucket")
+    return (
+        filled.withColumn("prev_n", F.lag("n_events").over(w))
+        .filter(F.col("prev_n").isNotNull())
+        .select(
+            "event_type",
+            "bucket",
+            "n_events",
+            (F.col("n_events") - F.col("prev_n")).cast("long").alias("delta"),
+        )
+        .orderBy("event_type", "bucket")
+    )
+
+
+EVENTS_WINDOW_DELTAS_SQL = f"""
+WITH filled AS ({{GAP_FILL_BODY}})
+SELECT event_type, bucket, n_events,
+       CAST(n_events - lag(n_events) OVER (PARTITION BY event_type
+                                           ORDER BY bucket) AS BIGINT) AS delta
+FROM filled
+QUALIFY lag(n_events) OVER (PARTITION BY event_type ORDER BY bucket) IS NOT NULL
+ORDER BY event_type, bucket
+"""
+
+
+def dedup_cluster_size_hist(spark, sf_dir):
+    """Dedup reporting: the distribution of near-dup cluster sizes
+    (how much mass the dedup pass removes at each multiplicity) — one
+    groupBy over the component labels, the number every corpus-dedup
+    report leads with."""
+    from paimon_python_spark.operators import connected_components, minhash_lsh_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, "doc_id", "text", num_hashes=16, bands=4, jaccard_num=1, jaccard_den=2
+    )
+    comps = connected_components(pairs, "doc_a", "doc_b")
+    return (
+        comps.groupBy("cluster")
+        .agg(F.count("*").alias("sz"))
+        .groupBy("sz")
+        .agg(F.count("*").cast("long").alias("n_clusters"))
+        .select(F.col("sz").cast("long").alias("cluster_size"), "n_clusters")
+        .orderBy("cluster_size")
+    )
+
+
+def _dedup_cluster_hist_oracle() -> str:
+    comps_body = _dedup_cluster_oracle().rsplit("ORDER BY", 1)[0]
+    return f"""
+WITH comps AS ({comps_body})
+SELECT CAST(sz AS BIGINT) AS cluster_size,
+       CAST(count(*) AS BIGINT) AS n_clusters
+FROM (SELECT cluster, count(*) AS sz FROM comps GROUP BY cluster) t
+GROUP BY sz ORDER BY cluster_size
+"""
+
+
 # Registration order is deliberate: the driver's correctness gate checks the
 # FIRST 50 entries, so the first 50 span every operator family (TPC-H,
 # joins/aggs/windows, sketches, sampling/mixing, event-time, dedup, ANN,
@@ -5785,6 +5849,8 @@ _QUERIES: dict[str, Callable] = {
     "dedup_fuzzy_survivors": dedup_fuzzy_survivors,
     "paimon_datasource_filter_roundtrip": paimon_datasource_filter_roundtrip,
     "events_gap_fill": events_gap_fill,
+    "events_window_deltas": events_window_deltas,
+    "dedup_cluster_size_hist": dedup_cluster_size_hist,
 }
 
 _ORACLES: dict[str, str] = {
@@ -5915,6 +5981,11 @@ _ORACLES: dict[str, str] = {
     "sample_token_budget_mix": SAMPLE_TOKEN_BUDGET_SQL,
     "paimon_datasource_filter_roundtrip": PAIMON_DS_FILTER_SQL,
     "events_gap_fill": EVENTS_GAP_FILL_SQL,
+    "events_window_deltas": EVENTS_WINDOW_DELTAS_SQL.format(
+        GAP_FILL_BODY=EVENTS_GAP_FILL_SQL.replace(
+            'ORDER BY g.event_type, g.bucket', ''
+        )
+    ),
     "sql_entry_point": SQL_ENTRY_SQL,
     "paimon_stream_source_roundtrip": PAIMON_STREAM_SOURCE_SQL,
 }
@@ -5930,6 +6001,7 @@ def oracle_sql() -> dict[str, str]:
     out["dedup_minhash_lsh_capped"] = _minhash_oracle(max_bucket=2)
     out["dedup_cluster_reps"] = _dedup_cluster_oracle()
     out["dedup_fuzzy_survivors"] = _dedup_survivors_oracle()
+    out["dedup_cluster_size_hist"] = _dedup_cluster_hist_oracle()
     out["dedup_simhash"] = _simhash_oracle()
     out["dedup_containment"] = _containment_oracle()
     out["sample_split_leakage_safe"] = _leakage_split_oracle()
