@@ -29,6 +29,7 @@ from paimon_python_spark.operators.sampling import (
     split_column,
     weighted_mix_sample,
     token_budget_mix,
+    topn_per_group,
 )
 from paimon_python_spark.operators.packing import pack_concat_chunks
 from paimon_python_spark.operators.skew import (
@@ -53,6 +54,7 @@ from paimon_python_spark.operators.similarity import (
     pq_rerank_topk,
     semantic_dedup,
     vector_quality_audit,
+    prototypicality,
 )
 
 __all__ = [
@@ -78,12 +80,14 @@ __all__ = [
     "pq_rerank_topk",
     "semantic_dedup",
     "vector_quality_audit",
+    "prototypicality",
     "hash_sample",
     "train_val_test_split",
     "stratified_hash_sample",
     "split_column",
     "weighted_mix_sample",
     "token_budget_mix",
+    "topn_per_group",
     "pack_concat_chunks",
     "ngram_containment_pairs",
     "minhash_containment_pairs",

@@ -162,3 +162,23 @@ def token_budget_mix(
     return df.withColumn(
         "keep", (cum - F.col(token_col)) < budget
     ).withColumn("cum_tokens", cum.cast("long"))
+
+
+def topn_per_group(
+    df: DataFrame, id_col: str, group_col: str, n: int
+) -> DataFrame:
+    """Deterministic fixed-n class balancing: keep exactly
+    ``min(n, |group|)`` rows per group, chosen by the md5 shuffle order
+    (reproducible; no RNG, no run-to-run drift). The count-capped twin
+    of rate-based (`weighted_mix_sample`) and budget-based
+    (`token_budget_mix`) selection. Compiles to a rank window per
+    group — WindowGroupLimit pushes the top-n below the shuffle, so
+    the exchange carries ~n rows per group, not the group."""
+    w = Window.partitionBy(group_col).orderBy(
+        F.md5(F.col(id_col).cast("string").cast("binary")), F.col(id_col)
+    )
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= n)
+        .drop("__rk")
+    )

@@ -674,3 +674,44 @@ def pq_adc_topk(
         )
         .select(F.col(id_col), "rank", "adc_dist")
     )
+
+
+def prototypicality(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: list[list[float]],
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-vector prototypicality: cosine to the centroid of the cell
+    the vector is assigned to (dot-argmax assignment, as everywhere in
+    the IVF/SemDeDup family). Low scores mark outliers — vectors far
+    from every prototype — the SemDeDup-style pruning signal for
+    removing unrepresentative or noisy embeddings.
+
+    One projection: the dot array is computed once, the cell indexes
+    into it, the centroid norms are Python-float literals any engine
+    reproduces. Output adds ``cell`` and ``proto`` (rounded)."""
+    import math
+
+    dots = ivf_dots_expr(vec_col, centroids)
+    cnorms = "array(" + ", ".join(
+        f"CAST({math.sqrt(sum(float(v) * float(v) for v in c))!r} AS DOUBLE)"
+        for c in centroids
+    ) + ")"
+    return (
+        df.withColumn("__ds", F.expr(dots))
+        .withColumn("cell", F.expr("array_position(__ds, array_max(__ds))"))
+        .withColumn(
+            "proto",
+            F.round(
+                F.expr(
+                    f"element_at(__ds, CAST(cell AS INT)) / "
+                    f"(sqrt({dot_expr(vec_col, vec_col)}) * "
+                    f"element_at({cnorms}, CAST(cell AS INT)))"
+                ),
+                round_digits,
+            ),
+        )
+        .drop("__ds")
+    )

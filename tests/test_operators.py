@@ -1100,3 +1100,20 @@ def test_token_budget_mix_floors_and_determinism(spark):
         df.repartition(7), "id", "src", "toks", budgets={"a": 25}, default_budget=1000
     ).filter("keep")
     assert sorted(r.id for r in again.collect()) == sorted(r.id for r in kept.collect())
+
+
+def test_prototypicality_scores_and_cells(spark):
+    from paimon_python_spark.operators import prototypicality
+
+    c1, c2 = [1.0, 0.0], [0.0, 2.0]  # distinct norms on purpose
+    rows = [
+        (1, [2.0, 0.0]),   # cell 1, cos = 1.0
+        (2, [0.0, 5.0]),   # cell 2 (dot 10 > 0), cos = 1.0
+        (3, [1.0, 1.0]),   # dot c1 = 1, dot c2 = 2 -> cell 2, cos = sqrt(.5)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r.vec_id: (r.cell, r.proto) for r in
+           prototypicality(df, "vec_id", "embedding", [c1, c2]).collect()}
+    assert out[1] == (1, 1.0)
+    assert out[2] == (2, 1.0)
+    assert out[3][0] == 2 and abs(out[3][1] - 0.707107) < 1e-6
