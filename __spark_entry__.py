@@ -5800,6 +5800,66 @@ FROM scored GROUP BY cell ORDER BY cell
 """
 
 
+def setop_except_all(spark, sf_dir):
+    """EXCEPT ALL / INTERSECT ALL — the multiset variants (per-row
+    multiplicity arithmetic, not set membership). Summarized to
+    (custkey, multiplicity) so the multiset semantics are what the
+    hash actually checks."""
+    orders = _t(spark, sf_dir, "orders")
+    a = orders.filter(
+        (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1996-01-01")
+    ).select("o_custkey")
+    b = orders.filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    ).select("o_custkey")
+    return (
+        a.exceptAll(b)
+        .groupBy("o_custkey")
+        .agg(F.count("*").cast("long").alias("multiplicity"))
+        .orderBy("o_custkey")
+    )
+
+
+SETOP_EXCEPT_ALL_SQL = """
+WITH d AS (
+  SELECT o_custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'
+  EXCEPT ALL
+  SELECT o_custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01')
+SELECT o_custkey, CAST(count(*) AS BIGINT) AS multiplicity
+FROM d GROUP BY o_custkey ORDER BY o_custkey
+"""
+
+
+def setop_intersect_all(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    a = orders.filter(
+        (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1996-01-01")
+    ).select("o_custkey")
+    b = orders.filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    ).select("o_custkey")
+    return (
+        a.intersectAll(b)
+        .groupBy("o_custkey")
+        .agg(F.count("*").cast("long").alias("multiplicity"))
+        .orderBy("o_custkey")
+    )
+
+
+SETOP_INTERSECT_ALL_SQL = """
+WITH d AS (
+  SELECT o_custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'
+  INTERSECT ALL
+  SELECT o_custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01')
+SELECT o_custkey, CAST(count(*) AS BIGINT) AS multiplicity
+FROM d GROUP BY o_custkey ORDER BY o_custkey
+"""
+
+
 # Registration order is deliberate: the driver's correctness gate checks the
 # FIRST 50 entries, so the first 50 span every operator family (TPC-H,
 # joins/aggs/windows, sketches, sampling/mixing, event-time, dedup, ANN,
@@ -5953,6 +6013,8 @@ _QUERIES: dict[str, Callable] = {
     "dedup_cluster_size_hist": dedup_cluster_size_hist,
     "sample_topn_per_group": sample_topn_per_group,
     "emb_outlier_prototypicality": emb_outlier_prototypicality,
+    "setop_except_all": setop_except_all,
+    "setop_intersect_all": setop_intersect_all,
 }
 
 _ORACLES: dict[str, str] = {
@@ -6084,6 +6146,8 @@ _ORACLES: dict[str, str] = {
     "paimon_datasource_filter_roundtrip": PAIMON_DS_FILTER_SQL,
     "events_gap_fill": EVENTS_GAP_FILL_SQL,
     "sample_topn_per_group": SAMPLE_TOPN_SQL,
+    "setop_except_all": SETOP_EXCEPT_ALL_SQL,
+    "setop_intersect_all": SETOP_INTERSECT_ALL_SQL,
     "events_window_deltas": EVENTS_WINDOW_DELTAS_SQL.format(
         GAP_FILL_BODY=EVENTS_GAP_FILL_SQL.replace(
             'ORDER BY g.event_type, g.bucket', ''
