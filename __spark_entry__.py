@@ -5860,6 +5860,63 @@ FROM d GROUP BY o_custkey ORDER BY o_custkey
 """
 
 
+def scalar_regex_funcs(spark, sf_dir):
+    """Regex scalar family parity: capture-group extract, match count,
+    boolean match — on part names (ASCII corpus, RE2/Java regex
+    agree)."""
+    part = _t(spark, sf_dir, "part")
+    return (
+        part.select(
+            "p_partkey",
+            F.regexp_extract("p_name", r"^(\w+)", 1).alias("first_word"),
+            F.size(F.regexp_extract_all("p_name", F.lit(r"[aeiou]"), 0))
+            .cast("long")
+            .alias("n_vowels"),
+            F.col("p_name").rlike("red|blue").alias("has_color"),
+        )
+        .filter(F.col("p_partkey") <= 500)
+        .orderBy("p_partkey")
+    )
+
+
+SCALAR_REGEX_SQL = r"""
+SELECT p_partkey,
+       regexp_extract(p_name, '^(\w+)', 1) AS first_word,
+       CAST(len(regexp_extract_all(p_name, '[aeiou]')) AS BIGINT) AS n_vowels,
+       regexp_matches(p_name, 'red|blue') AS has_color
+FROM part WHERE p_partkey <= 500 ORDER BY p_partkey
+"""
+
+
+def window_percent_rank(spark, sf_dir):
+    """percent_rank + cume_dist parity: both engines compute
+    (rank-1)/(n-1) and n_le/n in identical IEEE doubles."""
+    cust = _t(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return (
+        cust.select(
+            "c_mktsegment",
+            "c_custkey",
+            F.percent_rank().over(w).alias("pct_rank"),
+            F.cume_dist().over(w).alias("cume"),
+        )
+        .filter(F.col("c_custkey") <= 300)
+        .orderBy("c_mktsegment", "c_custkey")
+    )
+
+
+WINDOW_PERCENT_RANK_SQL = """
+SELECT c_mktsegment, c_custkey, pct_rank, cume FROM (
+  SELECT c_mktsegment, c_custkey,
+         percent_rank() OVER (PARTITION BY c_mktsegment
+                              ORDER BY c_acctbal, c_custkey) AS pct_rank,
+         cume_dist() OVER (PARTITION BY c_mktsegment
+                           ORDER BY c_acctbal, c_custkey) AS cume
+  FROM customer) t
+WHERE c_custkey <= 300 ORDER BY c_mktsegment, c_custkey
+"""
+
+
 # Registration order is deliberate: the driver's correctness gate checks the
 # FIRST 50 entries, so the first 50 span every operator family (TPC-H,
 # joins/aggs/windows, sketches, sampling/mixing, event-time, dedup, ANN,
@@ -6015,6 +6072,8 @@ _QUERIES: dict[str, Callable] = {
     "emb_outlier_prototypicality": emb_outlier_prototypicality,
     "setop_except_all": setop_except_all,
     "setop_intersect_all": setop_intersect_all,
+    "scalar_regex_funcs": scalar_regex_funcs,
+    "window_percent_rank": window_percent_rank,
 }
 
 _ORACLES: dict[str, str] = {
@@ -6148,6 +6207,8 @@ _ORACLES: dict[str, str] = {
     "sample_topn_per_group": SAMPLE_TOPN_SQL,
     "setop_except_all": SETOP_EXCEPT_ALL_SQL,
     "setop_intersect_all": SETOP_INTERSECT_ALL_SQL,
+    "scalar_regex_funcs": SCALAR_REGEX_SQL,
+    "window_percent_rank": WINDOW_PERCENT_RANK_SQL,
     "events_window_deltas": EVENTS_WINDOW_DELTAS_SQL.format(
         GAP_FILL_BODY=EVENTS_GAP_FILL_SQL.replace(
             'ORDER BY g.event_type, g.bucket', ''
