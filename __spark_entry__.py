@@ -5917,6 +5917,59 @@ WHERE c_custkey <= 300 ORDER BY c_mktsegment, c_custkey
 """
 
 
+def events_asof_join_forward(spark, sf_dir):
+    """FORWARD as-of: for each purchase, the EARLIEST view at-or-after
+    it by the same user (the attribution twin of the backward as-of).
+    Same union-and-window recipe, reversed scan direction — still one
+    shuffle, no row explosion. Oracle: plain window SQL (DuckDB's
+    native ASOF is backward-only)."""
+    ev = _events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("ns"), "event_id", F.lit(1).alias("is_p")
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("ns"), "event_id", F.lit(0).alias("is_p")
+    )
+    merged = purchases.unionByName(views)
+    # descending scan: views at the same instant sort AFTER purchases
+    # (is_p desc), so at-or-after includes same-timestamp views
+    w = W.partitionBy("user_id").orderBy(
+        F.col("ns").desc(), F.col("is_p").desc()
+    ).rowsBetween(W.unboundedPreceding, W.currentRow)
+    nextview = F.last(
+        F.when(F.col("is_p") == 0, F.col("ns")), ignorenulls=True
+    ).over(w)
+    return (
+        merged.withColumn("next_view_ns", nextview)
+        .filter(F.col("is_p") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("purchase_id"),
+            F.expr("ns div 1000000").alias("purchase_ms"),
+            F.expr("next_view_ns div 1000000").alias("next_view_ms"),
+        )
+        .orderBy("user_id", "purchase_id")
+    )
+
+
+EVENTS_ASOF_FORWARD_SQL = """
+WITH merged AS (
+  SELECT user_id, epoch_ns(ts) AS ns, event_id,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p
+  FROM events WHERE event_type IN ('purchase', 'view')),
+scanned AS (
+  SELECT user_id, ns, event_id, is_p,
+         last_value(CASE WHEN is_p = 0 THEN ns END IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ns DESC, is_p DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS next_view_ns
+  FROM merged)
+SELECT user_id, event_id AS purchase_id,
+       ns // 1000000 AS purchase_ms,
+       next_view_ns // 1000000 AS next_view_ms
+FROM scanned WHERE is_p = 1 ORDER BY user_id, purchase_id
+"""
+
+
 # Registration order is deliberate: the driver's correctness gate checks the
 # FIRST 50 entries, so the first 50 span every operator family (TPC-H,
 # joins/aggs/windows, sketches, sampling/mixing, event-time, dedup, ANN,
@@ -6074,6 +6127,7 @@ _QUERIES: dict[str, Callable] = {
     "setop_intersect_all": setop_intersect_all,
     "scalar_regex_funcs": scalar_regex_funcs,
     "window_percent_rank": window_percent_rank,
+    "events_asof_join_forward": events_asof_join_forward,
 }
 
 _ORACLES: dict[str, str] = {
@@ -6209,6 +6263,7 @@ _ORACLES: dict[str, str] = {
     "setop_intersect_all": SETOP_INTERSECT_ALL_SQL,
     "scalar_regex_funcs": SCALAR_REGEX_SQL,
     "window_percent_rank": WINDOW_PERCENT_RANK_SQL,
+    "events_asof_join_forward": EVENTS_ASOF_FORWARD_SQL,
     "events_window_deltas": EVENTS_WINDOW_DELTAS_SQL.format(
         GAP_FILL_BODY=EVENTS_GAP_FILL_SQL.replace(
             'ORDER BY g.event_type, g.bucket', ''
