@@ -5970,6 +5970,60 @@ FROM scanned WHERE is_p = 1 ORDER BY user_id, purchase_id
 """
 
 
+def emb_dim_variance(spark, sf_dir):
+    """Per-dimension mean/variance of the embedding space — the
+    collapsed-feature check (a dimension with ~zero variance carries
+    no information; a huge-variance one dominates distances).
+    posexplode → (dim) agg: skew-free by construction, exact
+    scaled-integer sums so the single division is engine-identical.
+    Top-8 lowest-variance dims reported."""
+    emb = _t(spark, sf_dir, "embeddings")
+    scaled = F.round(F.col("v") * 10000).cast("long")
+    per_dim = (
+        emb.select(F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "v"))
+        .groupBy("dim")
+        .agg(
+            F.sum(scaled).alias("s1"),
+            F.sum(scaled * scaled).alias("s2"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            "dim",
+            (F.round(F.col("s1") / F.col("n") / 10000.0, 6) + 0.0).alias("mean_v"),
+            (
+                F.round(
+                    (F.col("s2") / F.col("n") - (F.col("s1") / F.col("n")) * (F.col("s1") / F.col("n")))
+                    / 100000000.0,
+                    6,
+                )
+                + 0.0
+            ).alias("var_v"),
+        )
+    )
+    return per_dim.orderBy(F.col("var_v").asc(), F.col("dim")).limit(8)
+
+
+EMB_DIM_VARIANCE_SQL = """
+WITH e AS (
+  SELECT unnest(embedding) AS v,
+         generate_subscripts(embedding, 1) - 1 AS dim
+  FROM embeddings),
+agg AS (
+  SELECT dim,
+         sum(CAST(round(v::DOUBLE * 10000) AS BIGINT)) AS s1,
+         sum(CAST(round(v::DOUBLE * 10000) AS BIGINT)
+             * CAST(round(v::DOUBLE * 10000) AS BIGINT)) AS s2,
+         count(*) AS n
+  FROM e GROUP BY dim)
+SELECT dim,
+       round(CAST(s1 AS DOUBLE) / n / 10000.0, 6) + 0.0 AS mean_v,
+       round((CAST(s2 AS DOUBLE) / n
+              - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+             / 100000000.0, 6) + 0.0 AS var_v
+FROM agg ORDER BY var_v ASC, dim LIMIT 8
+"""
+
+
 # Registration order is deliberate: the driver's correctness gate checks the
 # FIRST 50 entries, so the first 50 span every operator family (TPC-H,
 # joins/aggs/windows, sketches, sampling/mixing, event-time, dedup, ANN,
@@ -6128,6 +6182,7 @@ _QUERIES: dict[str, Callable] = {
     "scalar_regex_funcs": scalar_regex_funcs,
     "window_percent_rank": window_percent_rank,
     "events_asof_join_forward": events_asof_join_forward,
+    "emb_dim_variance": emb_dim_variance,
 }
 
 _ORACLES: dict[str, str] = {
@@ -6264,6 +6319,7 @@ _ORACLES: dict[str, str] = {
     "scalar_regex_funcs": SCALAR_REGEX_SQL,
     "window_percent_rank": WINDOW_PERCENT_RANK_SQL,
     "events_asof_join_forward": EVENTS_ASOF_FORWARD_SQL,
+    "emb_dim_variance": EMB_DIM_VARIANCE_SQL,
     "events_window_deltas": EVENTS_WINDOW_DELTAS_SQL.format(
         GAP_FILL_BODY=EVENTS_GAP_FILL_SQL.replace(
             'ORDER BY g.event_type, g.bucket', ''
