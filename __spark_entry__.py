@@ -6024,6 +6024,34 @@ FROM agg ORDER BY var_v ASC, dim LIMIT 8
 """
 
 
+def text_lang_id_confusion(spark, sf_dir):
+    """Classifier evaluation as a query: confusion matrix of the
+    marker-word language ID against the labeled ``lang`` column — the
+    eval loop a pipeline runs after any heuristic/model filter. One
+    projection + one (label, pred) agg."""
+    from paimon_python_spark.functions import lang_id
+
+    docs = _t(spark, sf_dir, "documents")
+    pred = lang_id(docs, "doc_id", "text").select("doc_id", "lang_pred")
+    return (
+        docs.select("doc_id", "lang")
+        .join(pred, "doc_id")
+        .groupBy("lang", "lang_pred")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        .orderBy("lang", "lang_pred")
+    )
+
+
+def _lang_confusion_oracle() -> str:
+    pred_body = _lang_id_oracle().rsplit("ORDER BY", 1)[0]
+    return f"""
+WITH pred AS ({pred_body})
+SELECT d.lang, p.lang_pred, CAST(count(*) AS BIGINT) AS n_docs
+FROM documents d JOIN pred p ON p.doc_id = d.doc_id
+GROUP BY d.lang, p.lang_pred ORDER BY d.lang, p.lang_pred
+"""
+
+
 # Registration order is deliberate: the driver's correctness gate checks the
 # FIRST 50 entries, so the first 50 span every operator family (TPC-H,
 # joins/aggs/windows, sketches, sampling/mixing, event-time, dedup, ANN,
@@ -6183,6 +6211,7 @@ _QUERIES: dict[str, Callable] = {
     "window_percent_rank": window_percent_rank,
     "events_asof_join_forward": events_asof_join_forward,
     "emb_dim_variance": emb_dim_variance,
+    "text_lang_id_confusion": text_lang_id_confusion,
 }
 
 _ORACLES: dict[str, str] = {
@@ -6346,6 +6375,7 @@ def oracle_sql() -> dict[str, str]:
     out["dedup_containment"] = _containment_oracle()
     out["sample_split_leakage_safe"] = _leakage_split_oracle()
     out["text_lang_id"] = _lang_id_oracle()
+    out["text_lang_id_confusion"] = _lang_confusion_oracle()
     out["ann_lsh_bucket"] = _ann_lsh_oracle("/root/testdata/sf0.01")
     out["ann_ivf_cell"] = _ann_ivf_oracle("/root/testdata/sf0.01")
     out["ann_pq_adc"] = _ann_pq_oracle("/root/testdata/sf0.01")
