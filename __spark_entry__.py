@@ -6052,6 +6052,50 @@ GROUP BY d.lang, p.lang_pred ORDER BY d.lang, p.lang_pred
 """
 
 
+def text_quality_model_score(spark, sf_dir):
+    """Model-based quality filter plumbing: linear model over exact
+    integer text features with literal weights (deterministic stand-in
+    for a trained classifier; same scan-side plan shape). Decision =
+    logit > 0 — no sigmoid, so no cross-libm exp drift."""
+    from paimon_python_spark.functions import quality_model_score
+
+    docs = _t(spark, sf_dir, "documents")
+    return quality_model_score(docs, "doc_id", "text").orderBy("doc_id")
+
+
+def _quality_model_oracle() -> str:
+    from paimon_python_spark.functions import QUALITY_MODEL_WEIGHTS as W
+
+    return f"""
+WITH feats AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(len(list_filter(string_split(text, ' '),
+              x -> lower(x) IN ('the','a','an','and','or','of','to','in','is','it')))
+           AS BIGINT) AS n_stop,
+         CAST(length(text) - length(regexp_replace(text,
+              '[.,;:!?''"()\[\]{{}}-]', '', 'g')) AS BIGINT) AS n_punct
+  FROM documents),
+scaled AS (
+  SELECT doc_id, n_words,
+         CAST(n_stop * 1000 // n_words AS BIGINT) AS stop_ratio_x1000,
+         CAST(n_punct * 1000 // n_chars AS BIGINT) AS punct_ratio_x1000,
+         CAST(n_chars * 10 // n_words AS BIGINT) AS mean_word_len_x10
+  FROM feats)
+SELECT doc_id, n_words, stop_ratio_x1000, punct_ratio_x1000, mean_word_len_x10,
+       round({W['bias']!r} + n_words * {W['n_words']!r}
+             + stop_ratio_x1000 * {W['stop_ratio_x1000']!r}
+             + punct_ratio_x1000 * {W['punct_ratio_x1000']!r}
+             + mean_word_len_x10 * {W['mean_word_len_x10']!r}, 6) AS quality_logit,
+       ({W['bias']!r} + n_words * {W['n_words']!r}
+        + stop_ratio_x1000 * {W['stop_ratio_x1000']!r}
+        + punct_ratio_x1000 * {W['punct_ratio_x1000']!r}
+        + mean_word_len_x10 * {W['mean_word_len_x10']!r}) > 0 AS keep
+FROM scaled ORDER BY doc_id
+"""
+
+
 # Registration order is deliberate: the driver's correctness gate checks the
 # FIRST 50 entries, so the first 50 span every operator family (TPC-H,
 # joins/aggs/windows, sketches, sampling/mixing, event-time, dedup, ANN,
@@ -6212,6 +6256,7 @@ _QUERIES: dict[str, Callable] = {
     "events_asof_join_forward": events_asof_join_forward,
     "emb_dim_variance": emb_dim_variance,
     "text_lang_id_confusion": text_lang_id_confusion,
+    "text_quality_model_score": text_quality_model_score,
 }
 
 _ORACLES: dict[str, str] = {
@@ -6376,6 +6421,7 @@ def oracle_sql() -> dict[str, str]:
     out["sample_split_leakage_safe"] = _leakage_split_oracle()
     out["text_lang_id"] = _lang_id_oracle()
     out["text_lang_id_confusion"] = _lang_confusion_oracle()
+    out["text_quality_model_score"] = _quality_model_oracle()
     out["ann_lsh_bucket"] = _ann_lsh_oracle("/root/testdata/sf0.01")
     out["ann_ivf_cell"] = _ann_ivf_oracle("/root/testdata/sf0.01")
     out["ann_pq_adc"] = _ann_pq_oracle("/root/testdata/sf0.01")

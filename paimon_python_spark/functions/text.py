@@ -573,3 +573,56 @@ def unigram_surprisal(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             F.floor(F.col("total_surprisal") * 100 / F.col("n_words")).cast("long"),
         )
     )
+
+
+#: stand-in weights for the quality model (a real deployment drops in
+#: trained weights; the pipeline shape — integer features x literal
+#: weights, scan-side — is identical)
+QUALITY_MODEL_WEIGHTS = {
+    "bias": -2.0,
+    "n_words": 0.012,
+    "stop_ratio_x1000": 0.018,
+    "punct_ratio_x1000": -0.025,
+    "mean_word_len_x10": 0.005,
+}
+
+
+def quality_model_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Model-based quality scoring: a linear model over cheap integer
+    text features (the fasttext-classifier-filter shape with a
+    deterministic stand-in model). Features are exact integers; the
+    logit is a fixed-order double dot product with literal weights, so
+    any engine reproduces it bit-for-bit (no sigmoid — thresholding
+    the logit at 0 is the same decision and avoids cross-libm exp).
+
+    Scan-side projection only; at 100 TB this filter runs inside the
+    ingest scan with zero extra passes."""
+    w = QUALITY_MODEL_WEIGHTS
+    words = F.split(F.col(text_col), " ")
+    n_words = F.size(words).cast("long")
+    n_chars = F.length(F.col(text_col)).cast("long")
+    sw_list = ", ".join(f"'{s}'" for s in STOPWORDS)
+    n_stop = F.size(F.expr(f"filter(split({text_col}, ' '), x -> lower(x) IN ({sw_list}))")).cast("long")
+    n_punct = (
+        n_chars
+        - F.length(F.regexp_replace(F.col(text_col), r"[.,;:!?'\"()\[\]{}-]", ""))
+    ).cast("long")
+    f_stop = F.floor(n_stop * 1000 / n_words).cast("long")
+    f_punct = F.floor(n_punct * 1000 / n_chars).cast("long")
+    f_mwl = F.floor(n_chars * 10 / n_words).cast("long")
+    logit = (
+        F.lit(w["bias"])
+        + n_words * F.lit(w["n_words"])
+        + f_stop * F.lit(w["stop_ratio_x1000"])
+        + f_punct * F.lit(w["punct_ratio_x1000"])
+        + f_mwl * F.lit(w["mean_word_len_x10"])
+    )
+    return df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        f_stop.alias("stop_ratio_x1000"),
+        f_punct.alias("punct_ratio_x1000"),
+        f_mwl.alias("mean_word_len_x10"),
+        F.round(logit, 6).alias("quality_logit"),
+        (logit > 0).alias("keep"),
+    )
