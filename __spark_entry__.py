@@ -6096,6 +6096,59 @@ FROM scaled ORDER BY doc_id
 """
 
 
+def paimon_consumer_resume_roundtrip(spark, sf_dir):
+    """Durable consumer offsets: three commits consumed as 2 batches +
+    a restart that resumes exactly where the stored offset points —
+    the union of both consumptions must equal one exactly-once pass
+    over everything committed (oracle: plain GROUP BY on the input)."""
+    from paimon_python_spark import Catalog, Schema
+    from paimon_python_spark.session import set_spark
+    from paimon_python_spark.streaming import stream_snapshots
+
+    set_spark(spark)
+    wh = _fresh_warehouse("consumer")
+    cat = Catalog.create({"warehouse": wh})
+    cat.create_database("default", True)
+    nation = _t(spark, sf_dir, "nation")
+    cat.create_table("default.nat_consumer", Schema(nation.schema), False)
+    t = cat.get_table("default.nat_consumer")
+    for part in (
+        F.col("n_nationkey") % 3 == 0,
+        F.col("n_nationkey") % 3 == 1,
+        F.col("n_nationkey") % 3 == 2,
+    ):
+        wb = t.new_batch_write_builder()
+        w, c = wb.new_write(), wb.new_commit()
+        w.write_dataframe(nation.filter(part))
+        c.commit(w.prepare_commit())
+        w.close()
+        c.close()
+
+    batches = [df for _, df in stream_snapshots(t, consumer_id="gate", max_batches=2)]
+    # "restart": a fresh iterator with the same consumer id resumes at
+    # the stored offset; exactly one snapshot remains (the poll loop
+    # blocks if asked for more batches than commits exist)
+    batches += [df for _, df in stream_snapshots(t, consumer_id="gate", max_batches=1)]
+    union = batches[0]
+    for b in batches[1:]:
+        union = union.unionByName(b)
+    return (
+        union.groupBy("n_regionkey")
+        .agg(
+            F.count("*").cast("long").alias("n_nations"),
+            F.sum("n_nationkey").cast("long").alias("key_sum"),
+        )
+        .orderBy("n_regionkey")
+    )
+
+
+PAIMON_CONSUMER_SQL = """
+SELECT n_regionkey, CAST(count(*) AS BIGINT) AS n_nations,
+       CAST(sum(n_nationkey) AS BIGINT) AS key_sum
+FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
+"""
+
+
 # Registration order is deliberate: the driver's correctness gate checks the
 # FIRST 50 entries, so the first 50 span every operator family (TPC-H,
 # joins/aggs/windows, sketches, sampling/mixing, event-time, dedup, ANN,
@@ -6257,6 +6310,7 @@ _QUERIES: dict[str, Callable] = {
     "emb_dim_variance": emb_dim_variance,
     "text_lang_id_confusion": text_lang_id_confusion,
     "text_quality_model_score": text_quality_model_score,
+    "paimon_consumer_resume_roundtrip": paimon_consumer_resume_roundtrip,
 }
 
 _ORACLES: dict[str, str] = {
@@ -6393,6 +6447,7 @@ _ORACLES: dict[str, str] = {
     "scalar_regex_funcs": SCALAR_REGEX_SQL,
     "window_percent_rank": WINDOW_PERCENT_RANK_SQL,
     "events_asof_join_forward": EVENTS_ASOF_FORWARD_SQL,
+    "paimon_consumer_resume_roundtrip": PAIMON_CONSUMER_SQL,
     "emb_dim_variance": EMB_DIM_VARIANCE_SQL,
     "events_window_deltas": EVENTS_WINDOW_DELTAS_SQL.format(
         GAP_FILL_BODY=EVENTS_GAP_FILL_SQL.replace(
