@@ -6149,6 +6149,88 @@ FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
 """
 
 
+def agg_copurchase_pairs(spark, sf_dir):
+    """Frequent co-purchase pairs (association mining): distinct brand
+    pairs within an order, counted across orders, top-20. Scale shape:
+    the per-order distinct-brand set is small (orders have a handful of
+    items), so the orderkey self-join fans out ~|brands-per-order|²
+    per order — bounded fan-out, not a corpus cross product; the pair
+    agg partial-aggregates map-side."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    a = ob.select(F.col("l_orderkey"), F.col("p_brand").alias("brand_a"))
+    b = ob.select(F.col("l_orderkey"), F.col("p_brand").alias("brand_b"))
+    return (
+        a.join(b, "l_orderkey")
+        .filter(F.col("brand_a") < F.col("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count("*").cast("long").alias("n_orders"))
+        .orderBy(F.col("n_orders").desc(), "brand_a", "brand_b")
+        .limit(20)
+    )
+
+
+AGG_COPURCHASE_SQL = """
+WITH ob AS (
+  SELECT DISTINCT l.l_orderkey, p.p_brand
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey)
+SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM ob a JOIN ob b ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+GROUP BY brand_a, brand_b
+ORDER BY n_orders DESC, brand_a, brand_b
+LIMIT 20
+"""
+
+
+def paimon_system_tables_roundtrip(spark, sf_dir):
+    """snapshots() system table gated: two commits of known row counts
+    must surface as two APPEND snapshots whose delta/total record
+    counts the oracle derives from the raw input."""
+    from paimon_python_spark import Catalog, Schema
+    from paimon_python_spark.session import set_spark
+
+    set_spark(spark)
+    wh = _fresh_warehouse("systab")
+    cat = Catalog.create({"warehouse": wh})
+    cat.create_database("default", True)
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cat.create_table("default.orders_sys", Schema(orders.schema), False)
+    t = cat.get_table("default.orders_sys")
+    for part in (F.col("o_orderkey") % 2 == 0, F.col("o_orderkey") % 2 == 1):
+        wb = t.new_batch_write_builder()
+        w, c = wb.new_write(), wb.new_commit()
+        w.write_dataframe(orders.filter(part))
+        c.commit(w.prepare_commit())
+        w.close()
+        c.close()
+    return t.snapshots().select(
+        F.col("snapshot_id").cast("long").alias("snapshot_id"),
+        "commit_kind",
+        F.col("delta_record_count").cast("long").alias("delta_records"),
+        F.col("total_record_count").cast("long").alias("total_records"),
+    ).orderBy("snapshot_id")
+
+
+PAIMON_SYSTEM_TABLES_SQL = """
+WITH c AS (
+  SELECT sum(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END) AS ev,
+         sum(CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END) AS od
+  FROM orders)
+SELECT 1 AS snapshot_id, 'APPEND' AS commit_kind,
+       CAST(ev AS BIGINT) AS delta_records, CAST(ev AS BIGINT) AS total_records
+FROM c
+UNION ALL
+SELECT 2, 'APPEND', CAST(od AS BIGINT), CAST(ev + od AS BIGINT) FROM c
+ORDER BY snapshot_id
+"""
+
+
 # Registration order is deliberate: the driver's correctness gate checks the
 # FIRST 50 entries, so the first 50 span every operator family (TPC-H,
 # joins/aggs/windows, sketches, sampling/mixing, event-time, dedup, ANN,
@@ -6311,6 +6393,8 @@ _QUERIES: dict[str, Callable] = {
     "text_lang_id_confusion": text_lang_id_confusion,
     "text_quality_model_score": text_quality_model_score,
     "paimon_consumer_resume_roundtrip": paimon_consumer_resume_roundtrip,
+    "agg_copurchase_pairs": agg_copurchase_pairs,
+    "paimon_system_tables_roundtrip": paimon_system_tables_roundtrip,
 }
 
 _ORACLES: dict[str, str] = {
@@ -6448,6 +6532,8 @@ _ORACLES: dict[str, str] = {
     "window_percent_rank": WINDOW_PERCENT_RANK_SQL,
     "events_asof_join_forward": EVENTS_ASOF_FORWARD_SQL,
     "paimon_consumer_resume_roundtrip": PAIMON_CONSUMER_SQL,
+    "agg_copurchase_pairs": AGG_COPURCHASE_SQL,
+    "paimon_system_tables_roundtrip": PAIMON_SYSTEM_TABLES_SQL,
     "emb_dim_variance": EMB_DIM_VARIANCE_SQL,
     "events_window_deltas": EVENTS_WINDOW_DELTAS_SQL.format(
         GAP_FILL_BODY=EVENTS_GAP_FILL_SQL.replace(
