@@ -606,3 +606,43 @@ def test_stateful_sessionize(spark, tmp_path):
     sessions = {(r.user_id, r.session_start): (r.session_end, r.n_events) for r in rows}
     # exactly one closed session: user 1's [0s, 60s] with 2 events
     assert sessions == {(1, 0): (60 * G, 2)}
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """Streaming dedup primitive: dropDuplicatesWithinWatermark keeps
+    one row per key across micro-batches while the watermark bounds
+    state — the streaming twin of the exact-dedup operator."""
+    import pandas as pd
+
+    src = str(tmp_path / "sdedup_src")
+    batch1 = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00"), (2, "2024-01-01 00:00:10")],
+        "k long, ts_s string",
+    ).selectExpr("k", "CAST(ts_s AS TIMESTAMP) AS ts")
+    batch1.write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(batch1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["k"])
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sdedup_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # duplicate key 1 (inside the watermark) + a new key 3
+        batch2 = spark.createDataFrame(
+            [(1, "2024-01-01 00:00:20"), (3, "2024-01-01 00:00:30")],
+            "k long, ts_s string",
+        ).selectExpr("k", "CAST(ts_s AS TIMESTAMP) AS ts")
+        batch2.write.mode("append").parquet(src)
+        q.processAllAvailable()
+        res = sorted(r.k for r in spark.sql("SELECT k FROM sdedup_out").collect())
+    finally:
+        q.stop()
+    assert res == [1, 2, 3]  # the duplicate k=1 emitted exactly once
