@@ -142,24 +142,41 @@ def profile_columns(
     exact, fine up to a handful of columns); at 100 TB set it False
     for ``approx_count_distinct`` (HLL — one pass, sketch-sized state,
     no expand)."""
-    distinct = F.countDistinct if exact_distinct else F.approx_count_distinct
+    # basic stats: one agg, no distinct — cheap at any width
     aggs = []
     for c in cols:
         aggs += [
             F.count(F.lit(1)).alias(f"{c}__n"),
             F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
-            distinct(c).cast("long").alias(f"{c}__nd"),
             F.min(c).cast("string").alias(f"{c}__min"),
             F.max(c).cast("string").alias(f"{c}__max"),
         ]
     row = df.agg(*aggs)
     stack_args = ", ".join(
-        f"'{c}', `{c}__n`, `{c}__nulls`, `{c}__nd`, `{c}__min`, `{c}__max`"
-        for c in cols
+        f"'{c}', `{c}__n`, `{c}__nulls`, `{c}__min`, `{c}__max`" for c in cols
     )
-    return row.select(
+    basics = row.select(
         F.expr(
             f"stack({len(cols)}, {stack_args}) AS "
-            "(column, n_rows, n_nulls, n_distinct, min_value, max_value)"
+            "(column, n_rows, n_nulls, min_value, max_value)"
         )
-    ).orderBy("column")
+    )
+    # distincts: N distinct-aggregates in ONE agg would trigger Spark's
+    # Expand (N-fold row duplication — measured 112x slower than DuckDB
+    # at 1.5M rows x 4 columns). Instead stack the columns into narrow
+    # (column, value) rows and run a SINGLE countDistinct per group —
+    # the planner's two-stage distinct, no Expand. Values stringify for
+    # one schema; distinct-on-string == distinct-on-native per column.
+    val_args = ", ".join(f"'{c}', CAST(`{c}` AS STRING)" for c in cols)
+    stacked = df.select(
+        F.expr(f"stack({len(cols)}, {val_args}) AS (column, value)")
+    )
+    distinct = F.countDistinct if exact_distinct else F.approx_count_distinct
+    nd = stacked.groupBy("column").agg(
+        distinct("value").cast("long").alias("n_distinct")
+    )
+    return (
+        basics.join(nd, "column")
+        .select("column", "n_rows", "n_nulls", "n_distinct", "min_value", "max_value")
+        .orderBy("column")
+    )

@@ -60,6 +60,10 @@ SWEEP = [
     ("sample_split_assign", "hash-threshold sampling (no shuffle)"),
     ("join_salted_skew", "salted skew join"),
     ("pipeline_quality_dedup_tokens", "multi-stage pipeline"),
+    ("events_moving_window_agg", "RANGE-frame moving aggregate"),
+    ("events_interval_join_binned", "binned interval join"),
+    ("sample_token_budget_mix", "token-budget corpus mix"),
+    ("profile_table_columns", "column profiling (multi-distinct agg)"),
 ]
 
 
