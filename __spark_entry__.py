@@ -5931,10 +5931,12 @@ def events_asof_join_forward(spark, sf_dir):
         "user_id", F.col("ts").alias("ns"), "event_id", F.lit(0).alias("is_p")
     )
     merged = purchases.unionByName(views)
-    # descending scan: views at the same instant sort AFTER purchases
-    # (is_p desc), so at-or-after includes same-timestamp views
+    # descending scan: views at the same instant must come BEFORE the
+    # purchase in scan order (is_p asc ⇒ views first at equal ns) so
+    # the [unboundedPreceding, currentRow] frame includes them —
+    # at-or-after semantics, mirroring the backward as-of convention
     w = W.partitionBy("user_id").orderBy(
-        F.col("ns").desc(), F.col("is_p").desc()
+        F.col("ns").desc(), F.col("is_p").asc()
     ).rowsBetween(W.unboundedPreceding, W.currentRow)
     nextview = F.last(
         F.when(F.col("is_p") == 0, F.col("ns")), ignorenulls=True
@@ -5960,7 +5962,7 @@ WITH merged AS (
 scanned AS (
   SELECT user_id, ns, event_id, is_p,
          last_value(CASE WHEN is_p = 0 THEN ns END IGNORE NULLS) OVER (
-           PARTITION BY user_id ORDER BY ns DESC, is_p DESC
+           PARTITION BY user_id ORDER BY ns DESC, is_p ASC
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS next_view_ns
   FROM merged)
 SELECT user_id, event_id AS purchase_id,

@@ -102,9 +102,13 @@ def _filters_to_predicate(filters, field_names):
 
 
 class _SplitPartition(InputPartition):
-    def __init__(self, paths: List[str], fmt: str):
+    def __init__(self, paths: List[str], fmt: str, predicate=None):
         self.paths = paths
         self.fmt = fmt
+        # the residual row-level predicate travels WITH the partition
+        # (not on the reader): partitions are created fresh per query,
+        # so a reused reader instance can never apply a stale filter
+        self.predicate = predicate
 
 
 class PaimonBatchReader(DataSourceReader):
@@ -113,12 +117,16 @@ class PaimonBatchReader(DataSourceReader):
         self.table_schema = schema
         self._predicate = None
         # Spark 4.1 reuses ONE reader instance for all queries over a
-        # temp view and only calls pushFilters when the query has
-        # filters — so any pushdown state from query A leaks into
-        # query B. Views therefore register with claim_filters=False:
-        # every filter is yielded back (Spark applies it row-level) and
-        # no pruning state is kept. Fresh .load() relations keep the
-        # full pushdown path.
+        # temp view (and for a .load() DataFrame reused across
+        # actions) and only calls pushFilters when the query has
+        # filters — pushdown state from query A could leak into
+        # query B. Two defenses: (1) partitions() CONSUMES the pushed
+        # predicate — it moves into the per-query partition objects
+        # and self._predicate resets to None, so a later filterless
+        # query can at worst lose pruning, never rows; (2) views
+        # additionally register with claim_filters=False (every filter
+        # yielded back; Spark applies it row-level) so even the pruning
+        # in a concurrently-planned query cannot misfire.
         self._claim_filters = claim_filters
 
     def pushFilters(self, filters):
@@ -146,13 +154,14 @@ class PaimonBatchReader(DataSourceReader):
 
         table = Table("ds", self.table_path, self.table_schema)
         rb = table.new_read_builder()
-        if self._predicate is not None:
-            rb = rb.with_filter(self._predicate)
+        predicate, self._predicate = self._predicate, None  # consume
+        if predicate is not None:
+            rb = rb.with_filter(predicate)
         splits = rb.new_scan().plan().splits()
         fmt = self.table_schema.file_format()
-        return [_SplitPartition(s.file_paths(), fmt) for s in splits] or [
-            _SplitPartition([], fmt)
-        ]
+        return [
+            _SplitPartition(s.file_paths(), fmt, predicate) for s in splits
+        ] or [_SplitPartition([], fmt, predicate)]
 
     def read(self, partition: _SplitPartition) -> Iterator:
         import pyarrow as pa
@@ -179,8 +188,8 @@ class PaimonBatchReader(DataSourceReader):
         # file-pruning alone is not enough — a file whose min/max span
         # the predicate still contains non-matching rows
         residual = (
-            self._predicate.to_arrow()
-            if (self._predicate is not None and not is_pk)
+            partition.predicate.to_arrow()
+            if (partition.predicate is not None and not is_pk)
             else None
         )
         if partition.fmt == "avro":

@@ -142,6 +142,15 @@ def profile_columns(
     exact, fine up to a handful of columns); at 100 TB set it False
     for ``approx_count_distinct`` (HLL — one pass, sketch-sized state,
     no expand)."""
+    # column names are interpolated into stack()/CAST SQL below —
+    # reject names that would escape the quoting rather than emit
+    # broken (or injectable) SQL
+    for c in cols:
+        if "`" in c or "'" in c:
+            raise ValueError(
+                f"profile_columns: column name {c!r} contains a quote "
+                "character; rename the column first"
+            )
     # basic stats: one agg, no distinct — cheap at any width
     aggs = []
     for c in cols:
@@ -175,8 +184,20 @@ def profile_columns(
     nd = stacked.groupBy("column").agg(
         distinct("value").cast("long").alias("n_distinct")
     )
+    # LEFT join: on an empty table the stacked frame has zero rows so
+    # nd is empty, but every column must still surface (n_rows=0,
+    # n_distinct=0) — an inner join would return an empty profile
     return (
-        basics.join(nd, "column")
-        .select("column", "n_rows", "n_nulls", "n_distinct", "min_value", "max_value")
+        basics.join(nd, "column", "left")
+        .select(
+            "column",
+            "n_rows",
+            "n_nulls",
+            F.coalesce(F.col("n_distinct"), F.lit(0).cast("long")).alias(
+                "n_distinct"
+            ),
+            "min_value",
+            "max_value",
+        )
         .orderBy("column")
     )

@@ -182,26 +182,49 @@ def compact_manifests(table) -> "int | None":
     The snapshot is `commit_kind="COMPACT"`, which streaming/
     incremental readers already skip — no consumer sees replayed rows.
     Returns the new snapshot id, or None when the chain is already
-    minimal."""
+    minimal.
+
+    Concurrency mirrors ``BatchTableCommit``: ``prev`` consults
+    ``max_snapshot_id_scan()`` (the LATEST pointer can lag a
+    just-published snapshot) and a losing id race
+    (``SnapshotConflictError``) recomputes the live set against the
+    new latest and retries — up to 5 attempts, like data commits.
+    Losing attempts leave orphan manifests, which
+    ``remove_orphan_files`` reclaims."""
     import time
 
-    from paimon_python_spark.metadata import ManifestEntry, Snapshot
+    from paimon_python_spark.metadata import (
+        ManifestEntry,
+        Snapshot,
+        SnapshotConflictError,
+    )
 
     store = MetadataStore(table.table_path)
-    prev = store.latest_snapshot()
-    if prev is None or len(prev.manifests) <= 1:
-        return None
-    live = store.live_files(prev)  # folded, ADD-order preserved
-    base = store.write_manifest([ManifestEntry("ADD", f) for f in live])
-    snapshot = Snapshot(
-        id=prev.id + 1,
-        schema_id=prev.schema_id,
-        commit_kind="COMPACT",
-        manifests=[base],
-        total_record_count=prev.total_record_count,
-        delta_record_count=0,
-        time_millis=int(time.time() * 1000),
-        dv_index=prev.dv_index,
+    last_err = None
+    for _attempt in range(5):
+        prev = store.latest_snapshot()
+        scan_max = store.max_snapshot_id_scan()
+        if scan_max is not None and (prev is None or prev.id < scan_max):
+            prev = store.read_snapshot(scan_max)
+        if prev is None or len(prev.manifests) <= 1:
+            return None
+        live = store.live_files(prev)  # folded, ADD-order preserved
+        base = store.write_manifest([ManifestEntry("ADD", f) for f in live])
+        snapshot = Snapshot(
+            id=prev.id + 1,
+            schema_id=prev.schema_id,
+            commit_kind="COMPACT",
+            manifests=[base],
+            total_record_count=prev.total_record_count,
+            delta_record_count=0,
+            time_millis=int(time.time() * 1000),
+            dv_index=prev.dv_index,
+        )
+        try:
+            store.write_snapshot(snapshot)
+            return snapshot.id
+        except SnapshotConflictError as err:
+            last_err = err  # recompute against the new latest and retry
+    raise RuntimeError(
+        f"compact_manifests failed after 5 conflict retries: {last_err}"
     )
-    store.write_snapshot(snapshot)
-    return snapshot.id

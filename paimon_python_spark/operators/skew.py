@@ -92,10 +92,16 @@ def exact_distinct_per_key(
     holds most rows — and the second stage counts per key, where each
     key now contributes only its distinct values. The naive
     ``groupBy(keys).agg(countDistinct)`` ships every raw row of a
-    heavy key to one task first."""
+    heavy key to one task first.
+
+    NULL handling matches ``countDistinct`` exactly: the distinct
+    stage may keep one ``(key, NULL)`` row per key, but the second
+    stage counts ``value_col`` itself (``count(col)`` skips NULLs),
+    so NULL never counts as a distinct value and an all-NULL key
+    still surfaces with ``out_col = 0``."""
     return (
         df.select(*keys, value_col)
         .distinct()
         .groupBy(*keys)
-        .agg(F.count("*").cast("long").alias(out_col))
+        .agg(F.count(F.col(value_col)).cast("long").alias(out_col))
     )
