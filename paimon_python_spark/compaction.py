@@ -121,14 +121,12 @@ def compact_table(table, small_file_threshold: int = 2) -> Optional[int]:
     # deletion vectors: compaction rewrites files to their merged state,
     # so marks on the rewritten files die with them; marks on untouched
     # files stay valid and carry over.
-    from paimon_python_spark.deletion_vectors import prune_dv, read_dv, write_dv
+    from paimon_python_spark.deletion_vectors import prune_dv_df, write_dv_df
 
-    dv_index = None
     gone = {f.path for f in old_files}
     kept_live = [f for f in live if f.path not in gone] + new_files
-    dv = prune_dv(read_dv(table.table_path, prev), kept_live)
-    if dv:
-        dv_index = write_dv(table.table_path, prev.id + 1, dv)
+    dv_df = prune_dv_df(table, prev, kept_live)
+    dv_index = write_dv_df(table.table_path, prev.id + 1, dv_df)
 
     snapshot = Snapshot(
         id=prev.id + 1,

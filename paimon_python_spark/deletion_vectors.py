@@ -4,42 +4,57 @@ Table option ``deletion-vectors.enabled = true`` (requires the
 ``deduplicate`` merge engine and parquet data files). Instead of leaving
 merge-on-read to discover superseded row versions with a key-window at
 EVERY read, the committer marks them once, at write time, in a per-file
-position index stored under ``index/dv-<snapshot_id>.json``. A read is
-then a narrow scan: load live files with ``_metadata.row_index``,
-anti-join the (tiny, broadcast) position index, drop ``-D`` rows — no
-shuffle, no window. Paimon's deletion-vectors mode has exactly this
-read/write trade (its bitmaps are produced by the writer's lookup /
+position index stored under ``index/dv-<snapshot_id>-<uuid>/`` — a
+parquet dataset with one row per marked data file:
+``(file string, positions array<long>)``, positions sorted (parquet's
+delta/RLE encoding compresses the sorted runs, the columnar stand-in
+for Paimon's roaring bitmaps). A read is then a narrow scan: load live
+files with ``_metadata.row_index``, anti-join the position index, drop
+``-D`` rows — no key window. Paimon's deletion-vectors mode has exactly
+this read/write trade (its bitmaps are produced by the writer's lookup /
 compaction, see the format it layers under the readers the reference SDK
 consumes, e.g. pypaimon/pynative/reader/sort_merge_reader.py:198-259 —
 with DVs that whole merge pipeline degenerates to a filter).
 
-Scale design:
+Scale design — the index NEVER materializes on the driver:
 - Commit cost: one column-pruned scan of the buckets touched by the
   commit plus a window over ONLY the affected keys (semi-join against
-  the new keys first, broadcast). Untouched buckets are never opened —
-  a key's bucket is deterministic (bucketing.py), so files in other
-  buckets cannot contain an overwritten version.
-- Read cost: scan + broadcast anti-join on (file, position). The index
-  is O(superseded rows), orders of magnitude smaller than the data;
-  at 100 TB you would swap the JSON int lists for roaring bitmaps and
-  the driver collect for a distributed index write — the (file,
-  sorted-positions) contract is unchanged.
+  the new commit's key set first, broadcast). Untouched buckets are
+  never opened — a key's bucket is deterministic (bucketing.py), so
+  files in other buckets cannot contain an overwritten version. The
+  stale positions stay a DataFrame end-to-end: merged with the previous
+  index (itself read as a parquet DataFrame) and written back by a
+  distributed parquet write. The driver sees only file names and footer
+  row counts.
+- Read cost: scan + anti-join on (file, position). Below
+  ``deletion-vectors.index-broadcast-bytes`` (default 64 MB) the index
+  side is broadcast — a map-side filter, no exchange of the data. Above
+  it (billions of marked positions) the join degrades gracefully to a
+  shuffled anti-join instead of a driver OOM.
 - Index entries for files dropped by overwrite/compaction are pruned at
-  every commit, so the index never outlives its files.
+  every commit (a broadcast semi-join against the kept file list), so
+  the index never outlives its files.
+
+Legacy: indexes written before this design were single JSON dicts
+(``dv-*.json``); they are still readable (loaded driver-side — they
+were driver-sized by construction) but never written.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import shutil
 from typing import List, Optional
 
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql import Window
 
-from paimon_python_spark.metadata import DataFileMeta, MetadataStore, Snapshot
+from paimon_python_spark.metadata import DataFileMeta, Snapshot
 
 INDEX_DIR = "index"
+DV_SCHEMA = "file string, positions array<long>"
+DEFAULT_BROADCAST_BYTES = 64 << 20
 
 
 def dv_enabled(schema) -> bool:
@@ -64,70 +79,123 @@ def check_dv_options(schema) -> None:
         )
 
 
-# ---- index IO (driver-side, same atomic-rename discipline as snapshots) ----
-
-
 def _index_dir(table_path: str) -> str:
     return os.path.join(table_path, INDEX_DIR)
+
+
+def _broadcast_threshold(schema) -> int:
+    return int(
+        schema.options.get(
+            "deletion-vectors.index-broadcast-bytes", str(DEFAULT_BROADCAST_BYTES)
+        )
+    )
 
 
 def dv_file_name(snapshot_id: int) -> str:
     import uuid
 
     # uuid suffix: branches share the main table's index dir (immutable
-    # files, branch-local snapshot chains), so names must not collide
+    # datasets, branch-local snapshot chains), so names must not collide
     # across chains that reuse snapshot ids.
-    return f"dv-{snapshot_id}-{uuid.uuid4().hex[:8]}.json"
+    return f"dv-{snapshot_id}-{uuid.uuid4().hex[:8]}"
 
 
-def read_dv(table_path: str, snapshot: Optional[Snapshot]) -> dict[str, list[int]]:
-    """Load the deletion vector index a snapshot points at ({} if none)."""
+def dv_index_bytes(table_path: str, name: str) -> int:
+    """On-disk size of an index — the broadcast-or-shuffle decision."""
+    path = os.path.join(_index_dir(table_path), name)
+    if os.path.isfile(path):
+        return os.path.getsize(path)
+    total = 0
+    for dirpath, _dirs, files in os.walk(path):
+        total += sum(os.path.getsize(os.path.join(dirpath, f)) for f in files)
+    return total
+
+
+# ---- index IO ----
+
+
+def read_dv_df(spark, table_path: str, snapshot: Optional[Snapshot]) -> Optional[DataFrame]:
+    """The deletion-vector index a snapshot points at, as a DataFrame
+    ``(file, positions)`` — parquet-backed (distributed scan), or
+    ``None`` when the snapshot carries no index."""
     name = getattr(snapshot, "dv_index", None) if snapshot else None
     if not name:
-        return {}
-    with open(os.path.join(_index_dir(table_path), name)) as f:
-        return json.load(f)
+        return None
+    path = os.path.join(_index_dir(table_path), name)
+    if name.endswith(".json"):
+        # legacy driver-written dict (bounded size by construction)
+        with open(path) as f:
+            d = json.load(f)
+        if not d:
+            return None
+        rows = [(k, [int(p) for p in v]) for k, v in sorted(d.items())]
+        return spark.createDataFrame(rows, DV_SCHEMA)
+    return spark.read.schema(DV_SCHEMA).parquet(path)
 
 
-def write_dv(table_path: str, snapshot_id: int, dv: dict[str, list[int]]) -> str:
+def write_dv_df(table_path: str, snapshot_id: int, dv_df: Optional[DataFrame]) -> Optional[str]:
+    """Publish an index DataFrame as a parquet dataset under ``index/``
+    via a distributed write; returns its name, or ``None`` when the
+    index is empty (the dataset is removed — a snapshot with no marks
+    carries no index). Emptiness is checked from the written parquet
+    footers (driver-side stat, no second job). Visibility is governed
+    by the snapshot pointer, so the write needs no rename dance."""
+    if dv_df is None:
+        return None
     os.makedirs(_index_dir(table_path), exist_ok=True)
     name = dv_file_name(snapshot_id)
     path = os.path.join(_index_dir(table_path), name)
-    tmp = path + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump({k: sorted(v) for k, v in sorted(dv.items())}, f)
-    os.replace(tmp, path)
+    (
+        dv_df.repartitionByRange("file")
+        .sortWithinPartitions("file")
+        .write.mode("error")
+        .parquet(path)
+    )
+    import pyarrow.parquet as pq
+
+    n_rows = 0
+    for dirpath, _dirs, files in os.walk(path):
+        for fn in files:
+            if fn.endswith(".parquet"):
+                n_rows += pq.ParquetFile(os.path.join(dirpath, fn)).metadata.num_rows
+    if n_rows == 0:
+        shutil.rmtree(path)
+        return None
     return name
 
 
 # ---- commit-time maintenance ----
 
 
-def build_commit_dv(
+def _kept_paths_df(spark, files: List[DataFileMeta]) -> DataFrame:
+    return spark.createDataFrame(
+        [(f.path,) for f in files] or [], "file string"
+    )
+
+
+def build_commit_dv_df(
     table,
     new_files: List[DataFileMeta],
     kept_files: List[DataFileMeta],
-    prev_dv: dict[str, list[int]],
-) -> dict[str, list[int]]:
-    """Compute the index for a new snapshot: previous marks on files that
-    survive this commit, plus a mark on every non-latest version of each
-    key the commit touches.
+    prev: Optional[Snapshot],
+) -> DataFrame:
+    """Compute the index for a new snapshot as a DataFrame: previous
+    marks on files that survive this commit, plus a mark on every
+    non-latest version of each key the commit touches.
 
     One windowed pass over the affected keys only: rows of touched
     buckets are semi-joined (broadcast) against the new commit's key
-    set before the window, so the sort never sees untouched keys.
+    set before the window, so the sort never sees untouched keys. The
+    result never leaves the cluster — no ``collect`` anywhere.
     """
     from paimon_python_spark.session import get_spark
     from paimon_python_spark.write import SEQ_COL
 
+    spark = get_spark()
     schema = table.schema
     merge_keys = list(
         dict.fromkeys(schema.partition_keys + schema.trimmed_primary_keys)
     )
-    kept_paths = {f.path for f in kept_files} | {f.path for f in new_files}
-    merged: dict[str, set[int]] = {
-        p: set(pos) for p, pos in prev_dv.items() if p in kept_paths
-    }
 
     touched_buckets = {f.bucket for f in new_files}
     touched_parts = {tuple(sorted(f.partition.items())) for f in new_files}
@@ -138,7 +206,6 @@ def build_commit_dv(
         and tuple(sorted(f.partition.items())) in touched_parts
     ]
 
-    spark = get_spark()
     physical = _physical_schema(schema)
     prefix = "file:" + table.table_path + "/"
 
@@ -160,45 +227,77 @@ def build_commit_dv(
     stale = (
         versions.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") > 1)
-        .select("__fp", "__pos")
+        .select(
+            # relativize executor-side: every scanned path starts with
+            # the table prefix, so a plain substring is exact
+            F.expr(f"substring(__fp, {len(prefix) + 1})").alias("file"),
+            F.col("__pos").cast("long").alias("pos"),
+        )
     )
-    for row in stale.collect():
-        rel = row["__fp"]
-        if rel.startswith(prefix):
-            rel = rel[len(prefix) :]
-        merged.setdefault(rel, set()).add(row["__pos"])
-    return {p: sorted(s) for p, s in merged.items() if s}
+
+    prev_df = read_dv_df(spark, table.table_path, prev)
+    if prev_df is not None:
+        kept = _kept_paths_df(spark, list(kept_files) + list(new_files))
+        prev_pairs = prev_df.join(F.broadcast(kept), "file", "left_semi").select(
+            "file", F.explode("positions").alias("pos")
+        )
+        # the window re-derives marks already present in prev (older
+        # versions of a re-touched key rank > 1 again) — distinct folds
+        # the overlap
+        pairs = prev_pairs.unionByName(stale).distinct()
+    else:
+        pairs = stale  # row_number > 1 is already duplicate-free
+    return pairs.groupBy("file").agg(
+        F.sort_array(F.collect_list("pos")).alias("positions")
+    )
 
 
-def prune_dv(
-    prev_dv: dict[str, list[int]], kept_files: List[DataFileMeta]
-) -> dict[str, list[int]]:
+def prune_dv_df(
+    table, prev: Optional[Snapshot], kept_files: List[DataFileMeta]
+) -> Optional[DataFrame]:
     """Drop index entries whose files left the live set (compaction /
-    overwrite rewrote them)."""
-    kept = {f.path for f in kept_files}
-    return {p: pos for p, pos in prev_dv.items() if p in kept and pos}
+    overwrite rewrote them) — broadcast semi-join against the kept
+    file list; positions on surviving files stay valid verbatim."""
+    from paimon_python_spark.session import get_spark
+
+    spark = get_spark()
+    prev_df = read_dv_df(spark, table.table_path, prev)
+    if prev_df is None:
+        return None
+    kept = _kept_paths_df(spark, kept_files)
+    return prev_df.join(F.broadcast(kept), "file", "left_semi")
 
 
 # ---- read-time application ----
 
 
-def apply_dv(df, table_path: str, dv: dict[str, list[int]]):
+def apply_dv(df: DataFrame, table, snapshot: Optional[Snapshot]) -> DataFrame:
     """Filter DV-marked positions out of a scan that carries
-    ``__fp``/``__pos`` metadata columns. Broadcast anti-join: the index
-    is tiny relative to the data, so this stays a narrow map-side
-    filter at any scale."""
-    if not dv:
+    ``__fp``/``__pos`` metadata columns. Anti-join on (file, position):
+    the index side is broadcast while its on-disk size is under
+    ``deletion-vectors.index-broadcast-bytes`` (a map-side filter, the
+    data never exchanges); past that it degrades to a shuffled
+    anti-join — slower, but no driver materialization at any size."""
+    name = getattr(snapshot, "dv_index", None) if snapshot else None
+    if not name:
         return df.drop("__fp", "__pos")
     spark = df.sparkSession
-    rows = [
-        ("file:" + os.path.join(table_path, rel), int(pos))
-        for rel, positions in dv.items()
-        for pos in positions
-    ]
-    dv_df = spark.createDataFrame(rows, "__dvfp string, __dvpos long")
+    dv_df = read_dv_df(spark, table.table_path, snapshot)
+    prefix = "file:" + table.table_path + "/"
+    pairs = dv_df.select(
+        F.concat(F.lit(prefix), F.col("file")).alias("__dvfp"),
+        F.explode("positions").alias("__dvpos"),
+    )
+    if dv_index_bytes(table.table_path, name) <= _broadcast_threshold(table.schema):
+        pairs = F.broadcast(pairs)
+    else:
+        # past the threshold a broadcast would OOM the driver/executors;
+        # pin a shuffled hash join (hints survive AQE re-planning, which
+        # would otherwise demote the "small-looking" side to broadcast)
+        pairs = pairs.hint("shuffle_hash")
     return df.join(
-        F.broadcast(dv_df),
-        (df["__fp"] == dv_df["__dvfp"]) & (df["__pos"] == dv_df["__dvpos"]),
+        pairs,
+        (F.col("__fp") == F.col("__dvfp")) & (F.col("__pos") == F.col("__dvpos")),
         "left_anti",
     ).drop("__fp", "__pos")
 

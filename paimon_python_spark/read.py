@@ -376,20 +376,19 @@ class TableRead:
         anti-join on (file, position) → drop ``-D`` rows — a narrow,
         whole-stage-codegen plan that scales linearly with the data and
         never exchanges it."""
-        from paimon_python_spark.deletion_vectors import apply_dv, read_dv
+        from paimon_python_spark.deletion_vectors import apply_dv
         from paimon_python_spark.metadata import MetadataStore
 
         schema = self.schema
         store = MetadataStore(self.table.table_path)
         sid = self.read_builder._snapshot_id
         snap = store.read_snapshot(sid) if sid is not None else store.latest_snapshot()
-        dv = read_dv(self.table.table_path, snap)
         df = df.select(
             "*",
             F.col("_metadata.file_path").alias("__fp"),
             F.col("_metadata.row_index").alias("__pos"),
         )
-        df = apply_dv(df, self.table.table_path, dv)
+        df = apply_dv(df, self.table, snap)
         out_cols = [f.name for f in schema.spark_schema.fields]
         return df.filter(F.col(KIND_COL).isin(*ADD_KINDS)).select(*out_cols)
 

@@ -57,7 +57,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from paimon_python_spark.bloom import build_hex
-from paimon_python_spark.deletion_vectors import check_dv_options, dv_enabled, read_dv
+from paimon_python_spark.deletion_vectors import check_dv_options, dv_enabled
 from paimon_python_spark.metadata import (
     DataFileMeta,
     ManifestEntry,
@@ -572,20 +572,24 @@ class BatchTableCommit:
             manifests = (prev.manifests if prev else []) + [manifest]
 
         dv_index = None
-        if dv_enabled(self.table.schema) and new_files:
-            from paimon_python_spark.deletion_vectors import build_commit_dv, write_dv
+        if dv_enabled(self.table.schema) and (new_files or self._overwrite):
+            from paimon_python_spark.deletion_vectors import (
+                build_commit_dv_df,
+                prune_dv_df,
+                write_dv_df,
+            )
 
             if kept_files is None:
                 kept_files = self.store.live_files(prev) if prev else []
-            dv = build_commit_dv(
-                self.table,
-                new_files,
-                kept_files,
-                read_dv(self.table.table_path, prev),
-            )
-            if dv:
-                sid = (prev.id + 1) if prev else 1
-                dv_index = write_dv(self.table.table_path, sid, dv)
+            if new_files:
+                dv_df = build_commit_dv_df(self.table, new_files, kept_files, prev)
+            else:
+                # overwrite that only removed files: carry forward the
+                # marks on surviving files (dropping the index here
+                # would resurrect their stale row versions)
+                dv_df = prune_dv_df(self.table, prev, kept_files)
+            sid = (prev.id + 1) if prev else 1
+            dv_index = write_dv_df(self.table.table_path, sid, dv_df)
 
         added_rows = sum(f.row_count for f in new_files)
         snapshot = Snapshot(

@@ -9,6 +9,7 @@ state, different physical strategy)."""
 import pandas as pd
 import pyarrow as pa
 import pytest
+from pyspark.sql import functions as F
 
 from paimon_python_spark import Catalog, Schema
 
@@ -161,6 +162,67 @@ def test_dv_invalid_option_combinations(catalog, schema_kwargs, options):
     t = catalog.get_table("default.bad")
     with pytest.raises(ValueError):
         t.new_batch_write_builder()
+
+
+def test_dv_index_is_distributed_at_100k_positions(catalog, spark):
+    """The index never materializes on the driver: 100k+ stale
+    positions are computed, stored (parquet index dataset), and applied
+    without a single collect — the read plan's DV side is a parquet
+    scan, not a LocalTableScan of driver rows."""
+    import numpy as np
+
+    n = 120_000
+    df = pd.DataFrame({"k": np.arange(n, dtype="int64"), "v": np.arange(n)})
+    catalog.create_table(
+        "default.big",
+        Schema(
+            pa.Schema.from_pandas(df),
+            primary_keys=["k"],
+            options={"bucket": "4", "deletion-vectors.enabled": "true"},
+        ),
+        False,
+    )
+    t = catalog.get_table("default.big")
+    _commit(t, df)
+    _commit(t, df.assign(v=df.v + 1))  # every key superseded once
+
+    from paimon_python_spark.metadata import MetadataStore
+
+    store = MetadataStore(t.table_path)
+    snap = store.latest_snapshot()
+    assert snap.dv_index and not snap.dv_index.endswith(".json")
+
+    from paimon_python_spark.deletion_vectors import read_dv_df
+
+    marked = (
+        read_dv_df(spark, t.table_path, snap)
+        .select(F.explode("positions"))
+        .count()
+    )
+    assert marked == n
+
+    out = t.new_read_builder().new_read().to_df()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "LocalTableScan" not in plan  # no createDataFrame of DV rows
+    assert out.count() == n
+    assert out.agg({"v": "sum"}).collect()[0][0] == df.v.sum() + n
+
+
+def test_dv_over_threshold_degrades_to_shuffled_anti_join(catalog):
+    """Past deletion-vectors.index-broadcast-bytes the index is joined
+    without a broadcast (shuffled anti-join) — same rows, no driver- or
+    broadcast-sized ceiling on the index."""
+    t, _ = _dv_table(
+        catalog,
+        name="default.nb",
+        extra={"deletion-vectors.index-broadcast-bytes": "1"},
+    )
+    _commit(t, pd.DataFrame({"k": [2, 4], "v": ["B", "D"]}))
+    out_df = t.new_read_builder().new_read().to_df()
+    plan = out_df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in plan
+    out = out_df.toPandas().sort_values("k")
+    assert list(out.v) == ["a", "B", "c", "D", "e", "f"]
 
 
 def test_dv_value_predicate_skips_files(catalog):
