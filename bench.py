@@ -78,6 +78,9 @@ HEADLINE = [
     "dedup_fuzzy_survivors",
     "ann_pq_rerank",
     "mm_image_resize",
+    "dedup_embedding_cosine_lsh",
+    "dedup_ngram_jaccard_capped",
+    "paimon_dv_roundtrip",
 ]
 
 

@@ -19,6 +19,7 @@ from paimon_python_spark.operators.dedup import (
     minhash_containment_pairs,
     simhash_fingerprints,
     embedding_cosine_pairs,
+    embedding_cosine_pairs_lsh,
     connected_components,
     fuzzy_dedup_survivors,
 )
@@ -63,6 +64,7 @@ __all__ = [
     "ngram_jaccard_pairs",
     "simhash_fingerprints",
     "embedding_cosine_pairs",
+    "embedding_cosine_pairs_lsh",
     "connected_components",
     "fuzzy_dedup_survivors",
     "assign_cells",

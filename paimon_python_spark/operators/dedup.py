@@ -213,6 +213,23 @@ def minhash_lsh_pairs(
     )
 
 
+def _cap_hot_shingles(inv: DataFrame, max_doc_freq: int) -> DataFrame:
+    """Drop shingles shared by more than ``max_doc_freq`` docs BEFORE an
+    inverted-index self-join — the production guard against quadratic
+    fan-out on ubiquitous shingles (a shingle in w docs contributes
+    w·(w−1)/2 joined rows; a boilerplate phrase across a web corpus is
+    the whole job's runtime). The hot set is tiny by construction
+    (count-bounded), so it broadcasts into an anti-join — the index
+    itself never reshuffles. Mirrors ``max_bucket`` on the LSH path."""
+    hot = (
+        inv.groupBy("shingle")
+        .agg(F.count("*").alias("__df"))
+        .filter(F.col("__df") > max_doc_freq)
+        .select("shingle")
+    )
+    return inv.join(F.broadcast(hot), "shingle", "left_anti")
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -220,14 +237,27 @@ def ngram_jaccard_pairs(
     shingle_n: int = 3,
     jaccard_num: int = 3,
     jaccard_den: int = 5,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard pairs via inverted index (explode + shuffle on
     shingle). Exact but heavier than MinHash-LSH: the shuffle carries one
     row per (doc, shingle) and the join fans out per shared shingle —
-    use for moderate corpora or post-LSH verification at scale."""
+    use for moderate corpora or post-LSH verification at scale.
+
+    ``max_doc_freq`` caps the fan-out: shingles in more than that many
+    docs are removed from the index AND the per-doc sizes, so the result
+    is the exact Jaccard over the df-capped shingle space (the IDF
+    intuition — ubiquitous shingles carry no dedup signal). With the cap
+    above the corpus' true max document frequency the output is
+    bit-identical to the uncapped op; this is the required guard for a
+    raw web corpus."""
     sh = with_shingles(df.select(id_col, text_col), text_col, shingle_n)
-    sizes = sh.select(F.col(id_col), F.size("sh").alias("n_sh"))
     inv = sh.select(F.col(id_col), F.explode("sh").alias("shingle"))
+    if max_doc_freq is not None:
+        inv = _cap_hot_shingles(inv, max_doc_freq)
+        sizes = inv.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    else:
+        sizes = sh.select(F.col(id_col), F.size("sh").alias("n_sh"))
     a = inv.alias("a")
     b = inv.alias("b")
     inter = (
@@ -339,6 +369,103 @@ def embedding_cosine_pairs(
     )
 
 
+def embedding_cosine_pairs_lsh(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    dims: int,
+    planes: int = 8,
+    tables: int = 8,
+    round_digits: int = 6,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Embedding near-duplicate pairs: hyperplane-LSH candidates →
+    EXACT cosine verify. This is the scale path (the headline) —
+    ``embedding_cosine_pairs`` is the all-pairs oracle-building helper.
+
+    Candidate generation: ``tables`` independent sign-LSH tables, each
+    hashing a vector to a ``planes``-bit bucket (deterministic
+    md5-derived ±1 hyperplanes, so any engine reproduces the exact
+    buckets). Vectors meeting in a (table, bucket) become candidates —
+    a self-join keyed on (table, bucket), so the shuffle carries
+    (id, bucket) rows, never vectors, and the join fans out per
+    collision (≈ n²/2^planes per table for unrelated vectors), not n².
+    Recall for genuinely-similar pairs follows the standard
+    (1 − (θ/π))^planes per-table collision bound, amortized across
+    tables. ``max_bucket`` drops over-wide buckets (degenerate
+    embedding regions) before the join, like the MinHash guard.
+
+    Verification: candidates (distinct) rejoin the vectors and the
+    exact rounded cosine is thresholded — no false positives ever;
+    misses only pairs LSH never proposed. Output matches the all-pairs
+    op's schema (id_a, id_b, cos_sim).
+    """
+    from paimon_python_spark.operators.similarity import (
+        bucket_expr,
+        dot_expr,
+        hyperplane_signs,
+    )
+
+    all_signs = hyperplane_signs(tables * planes, dims)
+    bucket_cols = F.array(
+        *[
+            F.expr(bucket_expr(vec_col, all_signs[t * planes : (t + 1) * planes]))
+            for t in range(tables)
+        ]
+    )
+    ex = df.select(F.col(id_col), F.posexplode(bucket_cols).alias("tbl", "bucket"))
+    if max_bucket is not None:
+        widths = ex.groupBy("tbl", "bucket").agg(F.count("*").alias("__w"))
+        ex = ex.join(
+            F.broadcast(widths.filter(F.col("__w") <= max_bucket).drop("__w")),
+            ["tbl", "bucket"],
+        )
+    a = ex.alias("a")
+    b = ex.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    normed = df.select(
+        F.col(id_col),
+        F.col(vec_col).alias("__v"),
+        F.sqrt(F.expr(dot_expr(vec_col, vec_col))).alias("__n"),
+    )
+    return (
+        cand.join(
+            normed.select(
+                F.col(id_col).alias("id_a"),
+                F.col("__v").alias("va"),
+                F.col("__n").alias("na"),
+            ),
+            "id_a",
+        )
+        .join(
+            normed.select(
+                F.col(id_col).alias("id_b"),
+                F.col("__v").alias("vb"),
+                F.col("__n").alias("nb"),
+            ),
+            "id_b",
+        )
+        .withColumn(
+            "cos_sim",
+            F.round(F.expr(f"({dot_expr('va', 'vb')}) / (na * nb)"), round_digits),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )
+
+
 def connected_components(
     pairs: DataFrame, a_col: str, b_col: str, max_iter: int = 25
 ) -> DataFrame:
@@ -354,9 +481,12 @@ def connected_components(
     Scale shape: per iteration one join + one hash aggregate, both
     keyed on node id; rounds needed = component diameter, which for
     near-dup clusters is tiny (dups of a doc link to each other). The
-    driver sees only the one-row convergence count per round. For
-    adversarially long chain graphs swap in large-star/small-star
-    (alternating min over 2-hop neighborhoods) — same operator shape.
+    convergence check rides INSIDE the label update (a ``__changed``
+    flag aggregated over the freshly-cached labels) — no separate
+    old-vs-new join job per round; the driver sees only the one-row
+    sum. For adversarially long chain graphs swap in
+    large-star/small-star (alternating min over 2-hop neighborhoods) —
+    same operator shape.
     """
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
@@ -386,15 +516,16 @@ def connected_components(
                     F.least(
                         F.col("cluster"), F.coalesce("nbr_min", F.col("cluster"))
                     ).alias("cluster"),
+                    # label shrank ⇔ some neighbor min was strictly smaller
+                    (F.coalesce(F.col("nbr_min"), F.col("cluster")) < F.col("cluster"))
+                    .cast("long")
+                    .alias("__changed"),
                 )
                 .persist()
             )
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "node")
-                .filter("n.cluster <> o.cluster")
-                .count()
-            )
+            # one action: materializes the new labels into cache AND
+            # returns the convergence sum — no old-vs-new join job
+            changed = new_labels.agg(F.sum("__changed")).collect()[0][0] or 0
             labels.unpersist()
             labels = new_labels
             if changed == 0:
@@ -427,6 +558,7 @@ def ngram_containment_pairs(
     shingle_n: int = 3,
     containment_num: int = 4,
     containment_den: int = 5,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Containment near-dup pairs: |A∩B| / min(|A|,|B|) ≥ threshold.
 
@@ -434,10 +566,16 @@ def ngram_containment_pairs(
     larger page scores low Jaccard (union is big) but full containment.
     Same inverted-index shape as ``ngram_jaccard_pairs`` (shuffle on
     shingle, fan-out only on shared shingles), integer cross-multiplied
-    threshold; at 100 TB run it on LSH candidates, not the full corpus."""
+    threshold, same ``max_doc_freq`` hot-shingle guard (containment is
+    then exact over the df-capped shingle space); at 100 TB set the cap
+    or run it on LSH candidates, never raw on a web corpus."""
     sh = with_shingles(df.select(id_col, text_col), text_col, shingle_n)
-    sizes = sh.select(F.col(id_col), F.size("sh").alias("n_sh"))
     inv = sh.select(F.col(id_col), F.explode("sh").alias("shingle"))
+    if max_doc_freq is not None:
+        inv = _cap_hot_shingles(inv, max_doc_freq)
+        sizes = inv.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    else:
+        sizes = sh.select(F.col(id_col), F.size("sh").alias("n_sh"))
     a = inv.alias("a")
     b = inv.alias("b")
     inter = (

@@ -52,7 +52,7 @@ def _read_avro_df(spark, paths: List[str], physical: T.StructType) -> DataFrame:
     and schema-checked at the tool-call layer."""
     import pandas as pd
 
-    from paimon_python_spark.avro_codec import read_avro_table
+    from paimon_python_spark.avro_codec import read_avro_columns
 
     names = [f.name for f in physical.fields]
 
@@ -60,13 +60,19 @@ def _read_avro_df(spark, paths: List[str], physical: T.StructType) -> DataFrame:
         for pdf in batches:
             frames = []
             for content in pdf["content"]:
-                fnames, rows = read_avro_table(bytes(content))
-                frame = pd.DataFrame(rows, columns=fnames)
-                # schema evolution: fill columns the old file lacks
-                for n in names:
-                    if n not in frame.columns:
-                        frame[n] = None
-                frames.append(frame[names])
+                # columnar decode (numpy-vectorized for numeric blocks)
+                # straight into the frame — no row-tuple detour
+                fnames, cols = read_avro_columns(bytes(content))
+                by_name = dict(zip(fnames, cols))
+                n_rows = len(cols[0]) if cols else 0
+                frame = pd.DataFrame(
+                    {
+                        # schema evolution: fill columns the old file lacks
+                        n: by_name.get(n, [None] * n_rows)
+                        for n in names
+                    }
+                )
+                frames.append(frame)
             if frames:
                 yield pd.concat(frames, ignore_index=True)
 
