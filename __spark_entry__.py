@@ -2213,6 +2213,86 @@ FROM orders ORDER BY o_orderkey
 """
 
 
+def paimon_import_roundtrip(spark, sf_dir):
+    """REAL-Paimon-warehouse import: a spec-format Paimon table (JSON
+    schema/snapshot, avro manifests with nested records, BinaryRow
+    partition values — paimon_import.write_paimon_table_fixture) built
+    from orders rows, partitioned by priority with one partition's file
+    DELETEd in the manifest chain, is imported through
+    paimon_import.import_paimon_table and read back via this engine's
+    read builder. The oracle is plain SQL over the same source rows —
+    the gate proves manifest folding, BinaryRow decode, and the adopt-
+    files commit end to end."""
+    import pyarrow as pa
+
+    from paimon_python_spark import Catalog
+    from paimon_python_spark.paimon_import import (
+        import_paimon_table,
+        write_paimon_table_fixture,
+    )
+    from paimon_python_spark.session import set_spark
+
+    set_spark(spark)
+    src = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") <= 4000)
+        .select("o_orderpriority", "o_orderkey", "o_custkey", "o_totalprice")
+    )
+    pdf = src.toPandas().sort_values("o_orderkey")
+    fixture = _fresh_warehouse("imp") + "/orders_paimon"
+    pa_schema = pa.schema(
+        [
+            ("o_orderpriority", pa.string()),
+            ("o_orderkey", pa.int64()),
+            ("o_custkey", pa.int64()),
+            ("o_totalprice", pa.float64()),
+        ]
+    )
+    files = []
+    dropped = None
+    for prio, grp in pdf.groupby("o_orderpriority", sort=True):
+        tbl = pa.Table.from_pandas(grp, schema=pa_schema, preserve_index=False)
+        files.append((0, {"o_orderpriority": prio}, 0, tbl))
+        if dropped is None:
+            dropped = (prio, tbl)
+    # manifest-chain DELETE: the first priority's file is folded away,
+    # so import must NOT see those rows
+    files.append((1, {"o_orderpriority": dropped[0]}, 0, dropped[1]))
+    write_paimon_table_fixture(
+        fixture,
+        [
+            ("o_orderpriority", "STRING NOT NULL"),
+            ("o_orderkey", "BIGINT"),
+            ("o_custkey", "BIGINT"),
+            ("o_totalprice", "DOUBLE"),
+        ],
+        ["o_orderpriority"],
+        [],
+        files,
+    )
+    wh = _fresh_warehouse("impdst")
+    cat = Catalog.create({"warehouse": wh})
+    cat.create_database("default", True)
+    t = import_paimon_table(fixture, cat, "default.orders_imported")
+    return (
+        t.new_read_builder()
+        .new_read()
+        .to_df()
+        .orderBy("o_orderkey")
+        .select("o_orderpriority", "o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+PAIMON_IMPORT_SQL = """
+SELECT o_orderpriority, o_orderkey, o_custkey, o_totalprice
+FROM orders
+WHERE o_orderkey <= 4000
+  AND o_orderpriority <> (SELECT min(o_orderpriority) FROM orders
+                          WHERE o_orderkey <= 4000)
+ORDER BY o_orderkey
+"""
+
+
 def paimon_scan_pushdown_roundtrip(spark, sf_dir):
     """Append table: write lineitem subset, read back through the
     engine's predicate/projection pushdown (PredicateBuilder surface +
@@ -6538,6 +6618,7 @@ _QUERIES: dict[str, Callable] = {
     "agg_copurchase_pairs": agg_copurchase_pairs,
     "paimon_system_tables_roundtrip": paimon_system_tables_roundtrip,
     "dedup_containment_capped": dedup_containment_capped,
+    "paimon_import_roundtrip": paimon_import_roundtrip,
 }
 
 _ORACLES: dict[str, str] = {
@@ -6687,6 +6768,7 @@ _ORACLES: dict[str, str] = {
     ),
     "sql_entry_point": SQL_ENTRY_SQL,
     "paimon_stream_source_roundtrip": PAIMON_STREAM_SOURCE_SQL,
+    "paimon_import_roundtrip": PAIMON_IMPORT_SQL,
 }
 
 

@@ -307,6 +307,229 @@ def _vector_decode_block(block, field_types, n_records, cols) -> bool:
     return True
 
 
+# ---- generic schema-driven codec (nested records / arrays / maps /
+# unions) ----
+#
+# The flat columnar decoder above is the TABLE-DATA path. Paimon
+# METADATA files (manifest lists, manifests) are avro with nested
+# record fields (e.g. _FILE is a record holding stats records and
+# arrays), so the warehouse importer needs a general reader — and the
+# spec-format fixture builder a general writer. Metadata files are
+# small (KBs), so these run row-wise on the driver; the vectorized
+# paths above stay reserved for data.
+
+
+def _resolve_names(sch, names=None):
+    """Replace avro named-type REFERENCES (a record/enum/fixed reused by
+    its name, as Paimon's stats records are) with the defining dict, so
+    the codec walks one uniform tree."""
+    if names is None:
+        names = {}
+    if isinstance(sch, list):
+        return [_resolve_names(s, names) for s in sch]
+    if isinstance(sch, dict):
+        t = sch["type"]
+        if t == "record":
+            resolved = dict(sch)
+            names[sch["name"]] = resolved
+            resolved["fields"] = [
+                {**f, "type": _resolve_names(f["type"], names)}
+                for f in sch["fields"]
+            ]
+            return resolved
+        if t in ("enum", "fixed"):
+            names[sch["name"]] = sch
+            return sch
+        if t == "array":
+            return {**sch, "items": _resolve_names(sch["items"], names)}
+        if t == "map":
+            return {**sch, "values": _resolve_names(sch["values"], names)}
+        return {**sch, "type": _resolve_names(t, names)}
+    if isinstance(sch, str) and sch in names:
+        return names[sch]
+    return sch
+
+
+def _read_generic(buf: io.BytesIO, sch) -> Any:
+    if isinstance(sch, dict):
+        t = sch["type"]
+        if t == "record":
+            return {
+                f["name"]: _read_generic(buf, f["type"]) for f in sch["fields"]
+            }
+        if t == "array":
+            out = []
+            n = _zigzag_decode(buf)
+            while n != 0:
+                if n < 0:
+                    _zigzag_decode(buf)  # byte size of block — unused
+                    n = -n
+                for _ in range(n):
+                    out.append(_read_generic(buf, sch["items"]))
+                n = _zigzag_decode(buf)
+            return out
+        if t == "map":
+            out = {}
+            n = _zigzag_decode(buf)
+            while n != 0:
+                if n < 0:
+                    _zigzag_decode(buf)
+                    n = -n
+                for _ in range(n):
+                    klen = _zigzag_decode(buf)
+                    k = buf.read(klen).decode()
+                    out[k] = _read_generic(buf, sch["values"])
+                n = _zigzag_decode(buf)
+            return out
+        if t == "enum":
+            return sch["symbols"][_zigzag_decode(buf)]
+        if t == "fixed":
+            return buf.read(sch["size"])
+        return _read_generic(buf, t)  # logicalType wrapper on a primitive
+    if isinstance(sch, list):  # union
+        return _read_generic(buf, sch[_zigzag_decode(buf)])
+    if sch in ("long", "int"):
+        return _zigzag_decode(buf)
+    if sch == "double":
+        return struct.unpack("<d", buf.read(8))[0]
+    if sch == "float":
+        return struct.unpack("<f", buf.read(4))[0]
+    if sch == "string":
+        n = _zigzag_decode(buf)
+        return buf.read(n).decode("utf-8")
+    if sch == "bytes":
+        n = _zigzag_decode(buf)
+        return buf.read(n)
+    if sch == "boolean":
+        return buf.read(1) == b"\x01"
+    if sch == "null":
+        return None
+    raise ValueError(f"avro codec: unsupported schema node {sch!r}")
+
+
+def _write_generic(val: Any, sch, out: bytearray) -> None:
+    if isinstance(sch, dict):
+        t = sch["type"]
+        if t == "record":
+            for f in sch["fields"]:
+                _write_generic(val[f["name"]], f["type"], out)
+            return
+        if t == "array":
+            if val:
+                out += _zigzag_encode(len(val))
+                for item in val:
+                    _write_generic(item, sch["items"], out)
+            out += _zigzag_encode(0)
+            return
+        if t == "map":
+            if val:
+                out += _zigzag_encode(len(val))
+                for k, v in val.items():
+                    kb = k.encode()
+                    out += _zigzag_encode(len(kb))
+                    out += kb
+                    _write_generic(v, sch["values"], out)
+            out += _zigzag_encode(0)
+            return
+        if t == "enum":
+            out += _zigzag_encode(sch["symbols"].index(val))
+            return
+        if t == "fixed":
+            out += bytes(val)
+            return
+        _write_generic(val, t, out)
+        return
+    if isinstance(sch, list):  # union: first matching branch
+        for i, branch in enumerate(sch):
+            bt = branch["type"] if isinstance(branch, dict) else branch
+            if val is None and branch == "null":
+                out += _zigzag_encode(i)
+                return
+            if val is not None and branch != "null":
+                out += _zigzag_encode(i)
+                _write_generic(val, branch, out)
+                return
+        raise ValueError(f"no union branch for {val!r} in {sch!r}")
+    if sch == "null":
+        return
+    _encode_value(val, sch, out)
+
+
+def read_avro_records(data: bytes) -> tuple[dict, List[dict]]:
+    """Read any OCF into (writer schema, list of record dicts) — the
+    general path used for Paimon metadata avro files."""
+    buf = io.BytesIO(data)
+    if buf.read(4) != MAGIC:
+        raise ValueError("not an Avro object container file")
+    n_meta = _zigzag_decode(buf)
+    meta = {}
+    while n_meta != 0:
+        if n_meta < 0:
+            buf.read(abs(_zigzag_decode(buf)))
+            n_meta = abs(n_meta)
+        for _ in range(n_meta):
+            klen = _zigzag_decode(buf)
+            k = buf.read(klen).decode()
+            vlen = _zigzag_decode(buf)
+            meta[k] = buf.read(vlen)
+        n_meta = _zigzag_decode(buf)
+    codec = (meta.get("avro.codec", b"null") or b"null").decode()
+    if codec not in CODECS:
+        raise ValueError(f"unsupported avro codec {codec!r}")
+    schema = _resolve_names(json.loads(meta["avro.schema"]))
+    sync = buf.read(16)
+    records: List[dict] = []
+    while True:
+        head = buf.read(1)
+        if not head:
+            break
+        buf.seek(-1, os.SEEK_CUR)
+        n_records = _zigzag_decode(buf)
+        block_bytes = _zigzag_decode(buf)
+        block = buf.read(block_bytes)
+        if codec == "deflate":
+            block = zlib.decompress(block, -15)
+        bbuf = io.BytesIO(block)
+        for _ in range(n_records):
+            records.append(_read_generic(bbuf, schema))
+        if buf.read(16) != sync:
+            raise ValueError("sync marker mismatch — corrupt avro block")
+    return schema, records
+
+
+def write_avro_records(path: str, schema: dict, records: List[dict]) -> None:
+    """Write record dicts as one OCF under the given (nested) schema —
+    the fixture/metadata twin of :func:`read_avro_records`."""
+    resolved = _resolve_names(schema)
+    body = bytearray()
+    for rec in records:
+        _write_generic(rec, resolved, body)
+    sync = uuid.uuid5(uuid.NAMESPACE_OID, os.path.basename(path)).bytes
+    out = bytearray(MAGIC)
+    meta = {
+        "avro.schema": json.dumps(schema, separators=(",", ":")).encode(),
+        "avro.codec": b"null",
+    }
+    out += _zigzag_encode(len(meta))
+    for k, v in meta.items():
+        kb = k.encode()
+        out += _zigzag_encode(len(kb))
+        out += kb
+        out += _zigzag_encode(len(v))
+        out += v
+    out += _zigzag_encode(0)
+    out += sync
+    if records:
+        out += _zigzag_encode(len(records))
+        out += _zigzag_encode(len(body))
+        out += bytes(body)
+        out += sync
+    tmp = f"{path}.tmp-{uuid.uuid4().hex}"
+    with open(tmp, "wb") as f:
+        f.write(bytes(out))
+    os.replace(tmp, path)
+
+
 def read_avro_columns(data: bytes) -> tuple[List[str], List[list]]:
     """Decode an OCF into COLUMNS (list per field, None for nulls) —
     the layout Arrow/pandas consume directly, skipping row tuples."""

@@ -1,0 +1,673 @@
+"""Import a REAL Apache Paimon warehouse table into this engine.
+
+The reference SDK reads genuine Paimon tables by delegating metadata
+planning to a JVM (reference
+pypaimon/py4j/java_implementation.py:154-205 — TableScan.plan runs in
+Java over avro manifest lists, and partition values cross the bridge as
+serialized BinaryRows decoded by
+paimon-python-java-bridge/.../ParallelBytesReader.java). This engine
+defines its own JSON metadata (metadata.py), so a user with an existing
+Flink/Spark-written Paimon lake needs a bridge. This module is that
+bridge, built from the PUBLISHED format spec
+(https://paimon.apache.org/docs/master/concepts/spec/) with no JVM:
+
+- ``schema/schema-<i>``   JSON table schema (typed field list, partition
+  keys, primary keys, options);
+- ``snapshot/snapshot-<i>`` + ``snapshot/LATEST`` hint — JSON snapshots
+  pointing at base/delta manifest LISTS;
+- ``manifest/manifest-list-*`` and ``manifest/*`` — avro files of
+  nested records (read with the engine codec's generic reader);
+- BinaryRow-encoded partition values / stats (8-byte-aligned null
+  bitset with header byte, 8-byte fixed slots, offset+length or
+  inline-compact var-length fields — Flink's BinaryRowData layout that
+  Paimon inherits), length-prefixed with the 4-byte arity the
+  ``SerializationUtils.serializeBinaryRow`` wire form uses.
+
+``plan_paimon_files`` folds the manifest chain into the live file set
+(driver-side metadata walk, same cost shape as the engine's own
+planner). ``import_paimon_table`` materializes the table through this
+engine's commit protocol: append tables copy data files verbatim
+(parquet/orc are already the engine's formats) and commit them with
+harvested stats; primary-key tables read the key-value files (columns
+``_KEY_<k>``, ``_SEQUENCE_NUMBER``, ``_VALUE_KIND``, values) through a
+distributed Spark scan, resolve the merge, and commit the merged state
+— state-identical to what the JVM readers produce, with history
+flattened to one snapshot (documented trade).
+
+Container caveat, stated plainly: no Paimon JVM exists in this
+environment, so the test fixture is BUILT TO THE SPEC by
+``tests/test_paimon_import.py`` rather than written by Flink itself.
+Byte-level conventions asserted there (bitset width, inline-string
+compaction, arity prefix endianness) are exactly the documented
+BinaryRow layout; validating against a Flink-written lake is the first
+thing to run where one exists.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import struct
+from dataclasses import dataclass, field
+from typing import Any, List, Optional
+
+from pyspark.sql import types as T
+
+# ---- type strings ----
+
+_SIMPLE_TYPES = {
+    "BOOLEAN": T.BooleanType(),
+    "TINYINT": T.ByteType(),
+    "SMALLINT": T.ShortType(),
+    "INT": T.IntegerType(),
+    "INTEGER": T.IntegerType(),
+    "BIGINT": T.LongType(),
+    "FLOAT": T.FloatType(),
+    "DOUBLE": T.DoubleType(),
+    "STRING": T.StringType(),
+    "BYTES": T.BinaryType(),
+    "DATE": T.DateType(),
+}
+
+
+def parse_paimon_type(s: str) -> tuple[T.DataType, bool]:
+    """Parse a Paimon schema-file type string ('INT NOT NULL',
+    'VARCHAR(10)', 'TIMESTAMP(3)', 'DECIMAL(10, 2)') into a Spark type
+    + nullability."""
+    s = s.strip()
+    nullable = True
+    if s.upper().endswith("NOT NULL"):
+        nullable = False
+        s = s[: -len("NOT NULL")].strip()
+    u = s.upper()
+    if u in _SIMPLE_TYPES:
+        return _SIMPLE_TYPES[u], nullable
+    m = re.fullmatch(r"(VARCHAR|CHAR)\((\d+)\)", u)
+    if m:
+        return T.StringType(), nullable
+    m = re.fullmatch(r"(VARBINARY|BINARY)\((\d+)\)", u)
+    if m:
+        return T.BinaryType(), nullable
+    m = re.fullmatch(r"DECIMAL\((\d+)\s*,\s*(\d+)\)", u)
+    if m:
+        return T.DecimalType(int(m.group(1)), int(m.group(2))), nullable
+    m = re.fullmatch(r"TIMESTAMP(?:\((\d+)\))?", u)
+    if m:
+        return T.TimestampNTZType(), nullable
+    m = re.fullmatch(r"TIMESTAMP(?:\((\d+)\))? WITH LOCAL TIME ZONE", u)
+    if m:
+        return T.TimestampType(), nullable
+    raise ValueError(f"paimon_import: unsupported Paimon type string {s!r}")
+
+
+# ---- schema / snapshot files ----
+
+
+@dataclass
+class PaimonSchemaInfo:
+    id: int
+    spark_schema: T.StructType
+    partition_keys: List[str]
+    primary_keys: List[str]
+    options: dict = field(default_factory=dict)
+
+
+def read_paimon_schema(table_path: str, schema_id: Optional[int] = None) -> PaimonSchemaInfo:
+    sdir = os.path.join(table_path, "schema")
+    if schema_id is None:
+        ids = [
+            int(n.split("-")[1])
+            for n in os.listdir(sdir)
+            if n.startswith("schema-")
+        ]
+        schema_id = max(ids)
+    with open(os.path.join(sdir, f"schema-{schema_id}")) as f:
+        d = json.load(f)
+    fields = []
+    for fld in d["fields"]:
+        dt, nullable = parse_paimon_type(fld["type"])
+        fields.append(T.StructField(fld["name"], dt, nullable))
+    return PaimonSchemaInfo(
+        id=int(d.get("id", schema_id)),
+        spark_schema=T.StructType(fields),
+        partition_keys=list(d.get("partitionKeys", [])),
+        primary_keys=list(d.get("primaryKeys", [])),
+        options=dict(d.get("options", {})),
+    )
+
+
+def latest_paimon_snapshot_id(table_path: str) -> int:
+    hint = os.path.join(table_path, "snapshot", "LATEST")
+    if os.path.exists(hint):
+        with open(hint) as f:
+            return int(f.read().strip())
+    ids = [
+        int(n.split("-")[1])
+        for n in os.listdir(os.path.join(table_path, "snapshot"))
+        if n.startswith("snapshot-")
+    ]
+    if not ids:
+        raise FileNotFoundError(f"no snapshots in {table_path}")
+    return max(ids)
+
+
+def read_paimon_snapshot(table_path: str, snapshot_id: Optional[int] = None) -> dict:
+    if snapshot_id is None:
+        snapshot_id = latest_paimon_snapshot_id(table_path)
+    with open(os.path.join(table_path, "snapshot", f"snapshot-{snapshot_id}")) as f:
+        return json.load(f)
+
+
+# ---- BinaryRow ----
+#
+# Layout (Flink BinaryRowData, inherited by Paimon's BinaryRow):
+#   [ null bitset: ((arity + 64 + 7) // 64) * 8 bytes, bit 0-7 = header
+#     (row kind), bit (8+i) = field i null flag ]
+#   [ arity × 8-byte slots ]  [ variable-length region ]
+# Fixed-width values sit little-endian in their slot. Var-length values
+# store (offset << 32 | length) where offset counts from the row start
+# — unless the value is ≤ 7 bytes, which is stored INLINE: highest bit
+# of the slot's 8th byte set, 7th byte's low bits = length, data in the
+# slot's first bytes ("compact string" optimization).
+# The manifest wire form prefixes the row bytes with a 4-byte arity
+# (SerializationUtils.serializeBinaryRow), little-endian like the
+# MemorySegment accessors that write it.
+
+_INLINE_MARK = 0x80
+
+
+def _bitset_bytes(arity: int) -> int:
+    return ((arity + 63 + 8) // 64) * 8
+
+
+def decode_binary_row(data: bytes, types: List[T.DataType]) -> List[Any]:
+    arity = struct.unpack("<i", data[:4])[0]
+    if arity != len(types):
+        raise ValueError(
+            f"binary row arity {arity} != expected {len(types)} fields"
+        )
+    row = data[4:]
+    nb = _bitset_bytes(arity)
+    out: List[Any] = []
+    for i, dt in enumerate(types):
+        bit = 8 + i
+        if row[bit >> 3] & (1 << (bit & 7)):
+            out.append(None)
+            continue
+        slot = nb + i * 8
+        if isinstance(dt, (T.IntegerType, T.DateType)):
+            out.append(struct.unpack_from("<i", row, slot)[0])
+        elif isinstance(dt, T.LongType):
+            out.append(struct.unpack_from("<q", row, slot)[0])
+        elif isinstance(dt, T.ShortType):
+            out.append(struct.unpack_from("<h", row, slot)[0])
+        elif isinstance(dt, T.ByteType):
+            out.append(struct.unpack_from("<b", row, slot)[0])
+        elif isinstance(dt, T.BooleanType):
+            out.append(row[slot] != 0)
+        elif isinstance(dt, T.FloatType):
+            out.append(struct.unpack_from("<f", row, slot)[0])
+        elif isinstance(dt, T.DoubleType):
+            out.append(struct.unpack_from("<d", row, slot)[0])
+        elif isinstance(dt, (T.StringType, T.BinaryType)):
+            if row[slot + 7] & _INLINE_MARK:
+                ln = row[slot + 7] & 0x7F
+                raw = row[slot : slot + ln]
+            else:
+                offset_len = struct.unpack_from("<q", row, slot)[0]
+                ln = offset_len & 0xFFFFFFFF
+                off = offset_len >> 32
+                raw = row[off : off + ln]
+            out.append(raw.decode() if isinstance(dt, T.StringType) else bytes(raw))
+        else:
+            raise ValueError(f"binary row: unsupported partition type {dt}")
+    return out
+
+
+def encode_binary_row(values: List[Any], types: List[T.DataType]) -> bytes:
+    """Spec-conformant encoder — used by the fixture builder and kept
+    next to the decoder so the two byte-level conventions cannot
+    drift."""
+    arity = len(types)
+    nb = _bitset_bytes(arity)
+    fixed = bytearray(nb + arity * 8)
+    var = bytearray()
+    for i, (v, dt) in enumerate(zip(values, types)):
+        slot = nb + i * 8
+        if v is None:
+            bit = 8 + i
+            fixed[bit >> 3] |= 1 << (bit & 7)
+            continue
+        if isinstance(dt, (T.IntegerType, T.DateType)):
+            struct.pack_into("<i", fixed, slot, int(v))
+        elif isinstance(dt, T.LongType):
+            struct.pack_into("<q", fixed, slot, int(v))
+        elif isinstance(dt, T.ShortType):
+            struct.pack_into("<h", fixed, slot, int(v))
+        elif isinstance(dt, T.ByteType):
+            struct.pack_into("<b", fixed, slot, int(v))
+        elif isinstance(dt, T.BooleanType):
+            fixed[slot] = 1 if v else 0
+        elif isinstance(dt, T.FloatType):
+            struct.pack_into("<f", fixed, slot, float(v))
+        elif isinstance(dt, T.DoubleType):
+            struct.pack_into("<d", fixed, slot, float(v))
+        elif isinstance(dt, (T.StringType, T.BinaryType)):
+            raw = v.encode() if isinstance(v, str) else bytes(v)
+            if len(raw) <= 7:
+                fixed[slot : slot + len(raw)] = raw
+                fixed[slot + 7] = _INLINE_MARK | len(raw)
+            else:
+                off = nb + arity * 8 + len(var)
+                struct.pack_into("<q", fixed, slot, (off << 32) | len(raw))
+                var += raw
+        else:
+            raise ValueError(f"binary row: unsupported partition type {dt}")
+    return struct.pack("<i", arity) + bytes(fixed) + bytes(var)
+
+
+# ---- manifests ----
+
+
+@dataclass
+class PaimonFileEntry:
+    kind: int  # 0 = ADD, 1 = DELETE
+    partition: dict
+    bucket: int
+    file_name: str
+    file_size: int
+    row_count: int
+    level: int
+
+    def rel_path(self, partition_keys: List[str]) -> str:
+        parts = [
+            f"{k}={'null' if self.partition[k] is None else self.partition[k]}"
+            for k in partition_keys
+        ]
+        return os.path.join(*parts, f"bucket-{self.bucket}", self.file_name) if parts else os.path.join(f"bucket-{self.bucket}", self.file_name)
+
+
+def read_manifest_list(table_path: str, name: str) -> List[str]:
+    from paimon_python_spark.avro_codec import read_avro_records
+
+    with open(os.path.join(table_path, "manifest", name), "rb") as f:
+        _schema, recs = read_avro_records(f.read())
+    return [r["_FILE_NAME"] for r in recs]
+
+
+def read_manifest(
+    table_path: str, name: str, part_types: List[T.DataType], part_keys: List[str]
+) -> List[PaimonFileEntry]:
+    from paimon_python_spark.avro_codec import read_avro_records
+
+    with open(os.path.join(table_path, "manifest", name), "rb") as f:
+        _schema, recs = read_avro_records(f.read())
+    out = []
+    for r in recs:
+        fmeta = r["_FILE"]
+        pvalues = (
+            decode_binary_row(bytes(r["_PARTITION"]), part_types)
+            if part_keys
+            else []
+        )
+        out.append(
+            PaimonFileEntry(
+                kind=int(r["_KIND"]),
+                partition=dict(zip(part_keys, pvalues)),
+                bucket=int(r["_BUCKET"]),
+                file_name=fmeta["_FILE_NAME"],
+                file_size=int(fmeta["_FILE_SIZE"]),
+                row_count=int(fmeta["_ROW_COUNT"]),
+                level=int(fmeta.get("_LEVEL", 0)),
+            )
+        )
+    return out
+
+
+def plan_paimon_files(
+    table_path: str, snapshot_id: Optional[int] = None
+) -> List[PaimonFileEntry]:
+    """Fold base + delta manifest lists of a snapshot into the live
+    file set (ADD entries minus later DELETEs) — the same fold the
+    reference's JVM TableScan.plan performs."""
+    info = read_paimon_schema(table_path)
+    snap = read_paimon_snapshot(table_path, snapshot_id)
+    part_types = [
+        info.spark_schema[k].dataType for k in info.partition_keys
+    ]
+    names: List[str] = []
+    for lst in (snap.get("baseManifestList"), snap.get("deltaManifestList")):
+        if lst:
+            names.extend(read_manifest_list(table_path, lst))
+    live: dict[tuple, PaimonFileEntry] = {}
+    for mname in names:
+        for e in read_manifest(table_path, mname, part_types, info.partition_keys):
+            key = (tuple(sorted(e.partition.items())), e.bucket, e.file_name)
+            if e.kind == 0:
+                live[key] = e
+            else:
+                live.pop(key, None)
+    return list(live.values())
+
+
+# ---- spec-format writing (export / fixtures) ----
+
+SIMPLE_STATS_SCHEMA = {
+    "type": "record",
+    "name": "SimpleStats",
+    "fields": [
+        {"name": "_MIN_VALUES", "type": "bytes"},
+        {"name": "_MAX_VALUES", "type": "bytes"},
+        {"name": "_NULL_COUNTS", "type": ["null", {"type": "array", "items": "long"}]},
+    ],
+}
+
+MANIFEST_LIST_SCHEMA = {
+    "type": "record",
+    "name": "manifest_file",
+    "fields": [
+        {"name": "_VERSION", "type": "int"},
+        {"name": "_FILE_NAME", "type": "string"},
+        {"name": "_FILE_SIZE", "type": "long"},
+        {"name": "_NUM_ADDED_FILES", "type": "long"},
+        {"name": "_NUM_DELETED_FILES", "type": "long"},
+        {"name": "_PARTITION_STATS", "type": SIMPLE_STATS_SCHEMA},
+        {"name": "_SCHEMA_ID", "type": "long"},
+    ],
+}
+
+MANIFEST_SCHEMA = {
+    "type": "record",
+    "name": "manifest_entry",
+    "fields": [
+        {"name": "_VERSION", "type": "int"},
+        {"name": "_KIND", "type": "int"},
+        {"name": "_PARTITION", "type": "bytes"},
+        {"name": "_BUCKET", "type": "int"},
+        {"name": "_TOTAL_BUCKETS", "type": "int"},
+        {
+            "name": "_FILE",
+            "type": {
+                "type": "record",
+                "name": "DataFileMeta",
+                "fields": [
+                    {"name": "_FILE_NAME", "type": "string"},
+                    {"name": "_FILE_SIZE", "type": "long"},
+                    {"name": "_ROW_COUNT", "type": "long"},
+                    {"name": "_MIN_KEY", "type": "bytes"},
+                    {"name": "_MAX_KEY", "type": "bytes"},
+                    # first occurrence DEFINES the named record, later
+                    # ones refer by name — the convention real Paimon
+                    # schemas use
+                    {"name": "_KEY_STATS", "type": SIMPLE_STATS_SCHEMA},
+                    {"name": "_VALUE_STATS", "type": "SimpleStats"},
+                    {"name": "_MIN_SEQUENCE_NUMBER", "type": "long"},
+                    {"name": "_MAX_SEQUENCE_NUMBER", "type": "long"},
+                    {"name": "_SCHEMA_ID", "type": "long"},
+                    {"name": "_LEVEL", "type": "int"},
+                    {"name": "_EXTRA_FILES", "type": {"type": "array", "items": "string"}},
+                    {"name": "_CREATION_TIME", "type": ["null", "long"]},
+                    {"name": "_DELETE_ROW_COUNT", "type": ["null", "long"]},
+                    {"name": "_EMBEDDED_FILE_INDEX", "type": ["null", "bytes"]},
+                    {"name": "_FILE_SOURCE", "type": ["null", "int"]},
+                ],
+            },
+        },
+    ],
+}
+
+_EMPTY_STATS = {"_MIN_VALUES": b"", "_MAX_VALUES": b"", "_NULL_COUNTS": None}
+
+
+def _spec_file_meta(name: str, size: int, rows: int) -> dict:
+    return {
+        "_FILE_NAME": name,
+        "_FILE_SIZE": size,
+        "_ROW_COUNT": rows,
+        "_MIN_KEY": b"",
+        "_MAX_KEY": b"",
+        "_KEY_STATS": _EMPTY_STATS,
+        "_VALUE_STATS": _EMPTY_STATS,
+        "_MIN_SEQUENCE_NUMBER": 0,
+        "_MAX_SEQUENCE_NUMBER": rows,
+        "_SCHEMA_ID": 0,
+        "_LEVEL": 0,
+        "_EXTRA_FILES": [],
+        "_CREATION_TIME": None,
+        "_DELETE_ROW_COUNT": None,
+        "_EMBEDDED_FILE_INDEX": None,
+        "_FILE_SOURCE": None,
+    }
+
+
+def write_paimon_table_fixture(
+    path: str,
+    schema_fields: List[tuple],
+    partition_keys: List[str],
+    primary_keys: List[str],
+    files: List[tuple],
+    options: Optional[dict] = None,
+) -> None:
+    """Write a spec-format Paimon table: JSON schema/snapshot, avro
+    manifest list + manifest (nested records), BinaryRow partition
+    values, hive-style ``<part>/bucket-N/`` data dirs.
+
+    ``schema_fields``: [(name, paimon type string)];
+    ``files``: [(kind 0=ADD/1=DELETE, partition dict, bucket,
+    pyarrow.Table)] in commit order (a DELETE must follow the ADD of
+    the same table object — it references that file).
+
+    This is the importer's test double (no Paimon JVM in this
+    container) and doubles as a minimal export path: a table written
+    here is laid out exactly as the published spec describes, one
+    snapshot deep.
+    """
+    import pyarrow.parquet as pq
+
+    from paimon_python_spark.avro_codec import write_avro_records
+
+    os.makedirs(os.path.join(path, "schema"))
+    os.makedirs(os.path.join(path, "snapshot"))
+    os.makedirs(os.path.join(path, "manifest"))
+    with open(os.path.join(path, "schema", "schema-0"), "w") as f:
+        json.dump(
+            {
+                "version": 3,
+                "id": 0,
+                "fields": [
+                    {"id": i, "name": n, "type": t}
+                    for i, (n, t) in enumerate(schema_fields)
+                ],
+                "highestFieldId": len(schema_fields) - 1,
+                "partitionKeys": partition_keys,
+                "primaryKeys": primary_keys,
+                "options": options or {},
+                "timeMillis": 0,
+            },
+            f,
+        )
+
+    info = read_paimon_schema(path)
+    part_types = [info.spark_schema[k].dataType for k in partition_keys]
+
+    entries = []
+    added: dict = {}  # (table id, partition, bucket) -> file name at ADD
+    for i, (kind, pvals, bucket, table) in enumerate(files):
+        parts = [f"{k}={pvals[k]}" for k in partition_keys]
+        ddir = os.path.join(path, *parts, f"bucket-{bucket}")
+        os.makedirs(ddir, exist_ok=True)
+        fkey = (id(table), tuple(sorted(pvals.items())), bucket)
+        if kind == 0:
+            fname = f"data-fixture-{i}.parquet"
+            added[fkey] = fname
+            pq.write_table(table, os.path.join(ddir, fname))
+        else:  # DELETE references the file its ADD created
+            fname = added[fkey]
+        fpath = os.path.join(ddir, fname)
+        size = os.path.getsize(fpath) if os.path.exists(fpath) else 0
+        entries.append(
+            {
+                "_VERSION": 2,
+                "_KIND": kind,
+                "_PARTITION": encode_binary_row(
+                    [pvals[k] for k in partition_keys], part_types
+                ),
+                "_BUCKET": bucket,
+                "_TOTAL_BUCKETS": 1,
+                "_FILE": _spec_file_meta(fname, size, table.num_rows),
+            }
+        )
+
+    mname = "manifest-fixture-0.avro"
+    write_avro_records(os.path.join(path, "manifest", mname), MANIFEST_SCHEMA, entries)
+    blname = "manifest-list-fixture-base.avro"
+    dlname = "manifest-list-fixture-delta.avro"
+    write_avro_records(
+        os.path.join(path, "manifest", blname), MANIFEST_LIST_SCHEMA, []
+    )
+    write_avro_records(
+        os.path.join(path, "manifest", dlname),
+        MANIFEST_LIST_SCHEMA,
+        [
+            {
+                "_VERSION": 2,
+                "_FILE_NAME": mname,
+                "_FILE_SIZE": os.path.getsize(os.path.join(path, "manifest", mname)),
+                "_NUM_ADDED_FILES": sum(1 for e in entries if e["_KIND"] == 0),
+                "_NUM_DELETED_FILES": sum(1 for e in entries if e["_KIND"] == 1),
+                "_PARTITION_STATS": _EMPTY_STATS,
+                "_SCHEMA_ID": 0,
+            }
+        ],
+    )
+    n_rows = sum(t.num_rows for k, _p, _b, t in files if k == 0)
+    with open(os.path.join(path, "snapshot", "snapshot-1"), "w") as f:
+        json.dump(
+            {
+                "version": 3,
+                "id": 1,
+                "schemaId": 0,
+                "baseManifestList": blname,
+                "deltaManifestList": dlname,
+                "changelogManifestList": None,
+                "commitUser": "fixture",
+                "commitIdentifier": 1,
+                "commitKind": "APPEND",
+                "timeMillis": 0,
+                "logOffsets": {},
+                "totalRecordCount": n_rows,
+                "deltaRecordCount": n_rows,
+                "changelogRecordCount": 0,
+                "watermark": -9223372036854775808,
+            },
+            f,
+        )
+    with open(os.path.join(path, "snapshot", "LATEST"), "w") as f:
+        f.write("1")
+
+
+# ---- import ----
+
+
+def import_paimon_table(
+    paimon_table_path: str,
+    catalog,
+    identifier: str,
+    snapshot_id: Optional[int] = None,
+) -> "Table":
+    """Convert a real Paimon table into this engine's format under
+    ``identifier`` and return the new table. Append tables copy data
+    files verbatim and commit them with harvested stats (one snapshot,
+    original row order per file). Primary-key tables read the
+    key-value files distributed (Spark scan over every live file),
+    resolve the Paimon merge (max ``_SEQUENCE_NUMBER`` per key, drop
+    ``-D``/``-U`` kinds), and write the merged state — identical
+    visible rows, history flattened (this engine then owns the
+    table's future history)."""
+    import shutil
+
+    from paimon_python_spark.schema import Schema
+    from paimon_python_spark.session import get_spark
+    from paimon_python_spark.write import KIND_COL, SEQ_COL
+
+    info = read_paimon_schema(paimon_table_path)
+    entries = plan_paimon_files(paimon_table_path, snapshot_id)
+    fmt = info.options.get("file.format", "parquet")
+
+    options = {"file.format": fmt}
+    if info.primary_keys:
+        options["bucket"] = info.options.get("bucket", "1")
+    catalog.create_table(
+        identifier,
+        Schema(
+            info.spark_schema,
+            partition_keys=info.partition_keys,
+            primary_keys=info.primary_keys,
+            options=options,
+        ),
+        False,
+    )
+    table = catalog.get_table(identifier)
+    src = lambda e: os.path.join(  # noqa: E731
+        paimon_table_path, e.rel_path(info.partition_keys)
+    )
+
+    if not info.primary_keys:
+        # append table: files are plain columnar — adopt them verbatim
+        from paimon_python_spark.write import (
+            BatchTableCommit,
+            CommitMessage,
+            DataFileHarvester,
+            PART_PREFIX,
+        )
+
+        harvester = DataFileHarvester(table)
+        files = []
+        for e in entries:
+            subdir = os.path.join(table.table_path, "data")
+            for k in info.partition_keys:
+                v = e.partition[k]
+                sval = "__HIVE_DEFAULT_PARTITION__" if v is None else str(v)
+                subdir = os.path.join(subdir, f"{PART_PREFIX}{k}={sval}")
+            os.makedirs(subdir, exist_ok=True)
+            dest = os.path.join(subdir, e.file_name)
+            shutil.copy2(src(e), dest)
+            files.append(harvester.file_meta(dest))
+        commit = BatchTableCommit(table, overwrite=False, static_partition=None)
+        commit.commit([CommitMessage(files)])
+        return table
+
+    # primary-key table: distributed merge of the key-value files
+    spark = get_spark()
+    paths = [src(e) for e in entries]
+    if paths:
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        raw = spark.read.format(fmt).load(paths)
+        value_cols = [f.name for f in info.spark_schema.fields]
+        merge_keys = list(
+            dict.fromkeys(info.partition_keys + info.primary_keys)
+        )
+        w = Window.partitionBy(*merge_keys).orderBy(F.col(SEQ_COL).desc())
+        merged = (
+            raw.select(*value_cols, SEQ_COL, KIND_COL)
+            .withColumn("__rn", F.row_number().over(w))
+            .filter("__rn = 1")
+            .filter(F.col(KIND_COL).isin(0, 2))  # +I / +U survive
+            .select(
+                # align physical widths with the declared schema
+                *[
+                    F.col(f.name).cast(f.dataType).alias(f.name)
+                    for f in info.spark_schema.fields
+                ]
+            )
+        )
+        wb = table.new_batch_write_builder()
+        writer, committer = wb.new_write(), wb.new_commit()
+        writer.write_dataframe(merged)
+        committer.commit(writer.prepare_commit())
+        writer.close()
+        committer.close()
+    return table

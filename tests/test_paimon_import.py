@@ -1,0 +1,199 @@
+"""Real-Paimon-warehouse import (paimon_import.py).
+
+The fixture tables here are written TO THE PUBLISHED FORMAT SPEC
+(https://paimon.apache.org/docs/master/concepts/spec/): JSON
+schema/snapshot files, avro manifest lists + manifests with nested
+records, BinaryRow-encoded partition values with the 4-byte arity
+prefix. No Paimon JVM exists in this container, so the fixtures stand
+in for a Flink-written lake; every byte-level convention the importer
+assumes (bitset width incl. header bits, inline ≤7-byte var-length
+compaction, little-endian slots) is exercised round-trip here.
+"""
+
+import json
+import os
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import types as T
+
+from paimon_python_spark.paimon_import import (
+    decode_binary_row,
+    encode_binary_row,
+    import_paimon_table,
+    parse_paimon_type,
+    plan_paimon_files,
+    write_paimon_table_fixture as write_paimon_fixture,
+)
+
+# ---- unit: type strings / BinaryRow ----
+
+
+def test_parse_paimon_type_strings():
+    cases = {
+        "INT": T.IntegerType(),
+        "INT NOT NULL": T.IntegerType(),
+        "BIGINT": T.LongType(),
+        "STRING": T.StringType(),
+        "VARCHAR(10)": T.StringType(),
+        "CHAR(3)": T.StringType(),
+        "DOUBLE": T.DoubleType(),
+        "DECIMAL(10, 2)": T.DecimalType(10, 2),
+        "TIMESTAMP(3)": T.TimestampNTZType(),
+        "DATE": T.DateType(),
+        "BYTES": T.BinaryType(),
+        "BOOLEAN": T.BooleanType(),
+    }
+    for s, expect in cases.items():
+        dt, nullable = parse_paimon_type(s)
+        assert dt == expect, s
+        assert nullable == ("NOT NULL" not in s)
+    with pytest.raises(ValueError):
+        parse_paimon_type("INTERVAL DAY")
+
+
+def test_binary_row_roundtrip_all_types():
+    types = [
+        T.IntegerType(),
+        T.LongType(),
+        T.StringType(),   # inline (<= 7 bytes)
+        T.StringType(),   # spilled (> 7 bytes)
+        T.DoubleType(),
+        T.BooleanType(),
+        T.ShortType(),
+        T.ByteType(),
+        T.FloatType(),
+        T.DateType(),
+        T.BinaryType(),
+    ]
+    values = [
+        -42,
+        1 << 40,
+        "abc",
+        "a longer partition value",
+        2.5,
+        True,
+        -7,
+        3,
+        1.5,
+        19000,
+        b"\x00\xff1234567890",
+    ]
+    enc = encode_binary_row(values, types)
+    assert decode_binary_row(enc, types) == values
+
+
+def test_binary_row_nulls_and_wide_rows():
+    # arity 60 > 56 exercises the second null-bitset word
+    types = [T.IntegerType()] * 60
+    values = [i if i % 3 else None for i in range(60)]
+    enc = encode_binary_row(values, types)
+    assert decode_binary_row(enc, types) == values
+    # bitset width: ((60 + 63 + 8) // 64) * 8 = 16 bytes + 60*8 slots
+    assert len(enc) == 4 + 16 + 480
+
+
+def test_binary_row_inline_boundary():
+    types = [T.StringType(), T.StringType()]
+    for a, b in [("", "1234567"), ("12345678", "x")]:
+        enc = encode_binary_row([a, b], types)
+        assert decode_binary_row(enc, types) == [a, b]
+
+
+# ---- fixture plan / import ----
+
+
+@pytest.fixture()
+def append_fixture(tmp_path):
+    p = str(tmp_path / "paimon_append")
+    sch = pa.schema([("dt", pa.string()), ("k", pa.int32()), ("v", pa.string())])
+    t1 = pa.table({"dt": ["a", "a"], "k": [1, 2], "v": ["x", "y"]}, schema=sch)
+    t2 = pa.table({"dt": ["b"], "k": [3], "v": ["z"]}, schema=sch)
+    t3 = pa.table({"dt": ["a"], "k": [9], "v": ["dead"]}, schema=sch)
+    write_paimon_fixture(
+        p,
+        [("dt", "STRING NOT NULL"), ("k", "INT"), ("v", "STRING")],
+        ["dt"],
+        [],
+        [
+            (0, {"dt": "a"}, 0, t1),
+            (0, {"dt": "b"}, 0, t2),
+            (0, {"dt": "a"}, 0, t3),
+            (1, {"dt": "a"}, 0, t3),  # DELETE folds the third file away
+        ],
+    )
+    return p
+
+
+def test_plan_paimon_files_folds_deletes(append_fixture):
+    entries = plan_paimon_files(append_fixture)
+    names = sorted(e.file_name for e in entries)
+    assert names == ["data-fixture-0.parquet", "data-fixture-1.parquet"]
+    by_name = {e.file_name: e for e in entries}
+    assert by_name["data-fixture-0.parquet"].partition == {"dt": "a"}
+    assert by_name["data-fixture-1.parquet"].partition == {"dt": "b"}
+    assert by_name["data-fixture-0.parquet"].row_count == 2
+
+
+def test_import_append_table(append_fixture, catalog):
+    t = import_paimon_table(append_fixture, catalog, "default.imported_append")
+    out = (
+        t.new_read_builder().new_read().to_pandas().sort_values("k")
+    )
+    assert list(out.dt) == ["a", "a", "b"]
+    assert list(out.k) == [1, 2, 3]
+    assert list(out.v) == ["x", "y", "z"]
+    # partition pruning works on the imported table
+    pb = t.new_read_builder().new_predicate_builder()
+    rb = t.new_read_builder().with_filter(pb.equal("dt", "b"))
+    assert (
+        sum(len(s.file_paths()) for s in rb.new_scan().plan().splits()) == 1
+    )
+
+
+def test_import_pk_table(tmp_path, catalog):
+    p = str(tmp_path / "paimon_pk")
+    # key-value layout: _KEY_<pk>, _SEQUENCE_NUMBER, _VALUE_KIND, values
+    kv_schema = pa.schema(
+        [
+            ("_KEY_k", pa.int32()),
+            ("_SEQUENCE_NUMBER", pa.int64()),
+            ("_VALUE_KIND", pa.int32()),
+            ("k", pa.int32()),
+            ("v", pa.string()),
+        ]
+    )
+    f1 = pa.table(
+        {
+            "_KEY_k": [1, 2, 3],
+            "_SEQUENCE_NUMBER": [0, 1, 2],
+            "_VALUE_KIND": [0, 0, 0],
+            "k": [1, 2, 3],
+            "v": ["a", "b", "c"],
+        },
+        schema=kv_schema,
+    )
+    f2 = pa.table(
+        {
+            "_KEY_k": [2, 3, 4],
+            "_SEQUENCE_NUMBER": [3, 4, 5],
+            "_VALUE_KIND": [0, 3, 0],  # upsert k=2, DELETE k=3, insert k=4
+            "k": [2, 3, 4],
+            "v": ["B", "c", "d"],
+        },
+        schema=kv_schema,
+    )
+    write_paimon_fixture(
+        p,
+        [("k", "INT NOT NULL"), ("v", "STRING")],
+        [],
+        ["k"],
+        [(0, {}, 0, f1), (0, {}, 0, f2)],
+        options={"bucket": "1"},
+    )
+    t = import_paimon_table(p, catalog, "default.imported_pk")
+    out = t.new_read_builder().new_read().to_pandas().sort_values("k")
+    assert list(out.k) == [1, 2, 4]
+    assert list(out.v) == ["a", "B", "d"]
