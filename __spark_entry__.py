@@ -1913,71 +1913,90 @@ FROM documents ORDER BY doc_id
 
 
 def mm_image_features(spark, sf_dir):
-    """Multimodal decode plumbing: Arrow-batched mapInPandas over a
-    binary payload column producing fixed-width image features
-    (functions/multimodal.py:decode_image_stub). The deterministic fake
-    decode (dims/intensity from byte stats) is SQL-expressible, so the
-    whole binary→mapInPandas→features pipeline is oracle-gated; a real
-    PIL decoder swaps into the same contract."""
-    from paimon_python_spark.functions import decode_image_stub
+    """REAL image decode: per doc a BMP test pattern is synthesized
+    executor-side (pixel = integer function of (doc_id, x, y, c) —
+    multimodal.synth_image_payloads), then image_features DECODES the
+    actual bytes (header parse, bottom-up BGR rows, padding) and emits
+    dimensions + exact intensity sums. The oracle computes the expected
+    features ANALYTICALLY from the pattern formula — if the decoder
+    misreads one padding byte or channel order, the sums diverge."""
+    from paimon_python_spark.functions import image_features, synth_image_payloads
 
-    docs = _t(spark, sf_dir, "documents").select(
-        "doc_id", F.encode("text", "UTF-8").alias("payload")
-    )
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    payloads = synth_image_payloads(docs, "doc_id")
     return (
-        decode_image_stub(docs, "doc_id", "payload")
+        image_features(payloads, "doc_id", "payload")
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")
     )
 
 
-# ASCII corpus (verified): per-char codepoint == byte value, so DuckDB
-# can recompute the stub's byte stats with ord(); single IEEE division
-# (integer sum / integer count) is bit-exact across engines.
+# analytic mirror of the test pattern: w=16+id%16, h=12+id%8, BMP size
+# adds the 54-byte header + row padding to 4 bytes; pixel sums expand
+# the (id*7 + y*5 + x*3 + c*11) % 256 formula; mean is ONE IEEE
+# division of exact integers — bit-identical across engines.
 MM_IMAGE_FEATURES_SQL = """
+WITH dims AS (
+  SELECT doc_id, 16 + doc_id % 16 AS w, 12 + doc_id % 8 AS h
+  FROM documents),
+sums AS (
+  SELECT doc_id, w, h,
+         list_sum(flatten(list_transform(range(0, h), y ->
+           list_transform(range(0, w * 3), i ->
+             (doc_id * 7 + y * 5 + (i // 3) * 3 + (i % 3) * 11) % 256))))
+           AS s
+  FROM dims)
 SELECT doc_id,
-       length(text) AS n_bytes,
-       64 + (ord(substring(text, 1, 1)) % 64) AS width,
-       64 + (length(text) % 64) AS height,
+       CAST(54 + h * (w * 3 + (4 - (w * 3) % 4) % 4) AS INT) AS n_bytes,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
        3 AS channels,
-       list_sum(list_transform(range(1, least(length(text), 64) + 1),
-                               i -> ord(substring(text, i, 1))))
-         / least(length(text), 64) AS mean_intensity
-FROM documents ORDER BY doc_id
+       CAST(s AS BIGINT) AS sum_intensity,
+       CAST(s AS DOUBLE) / (w * h * 3) AS mean_intensity
+FROM sums ORDER BY doc_id
 """
 
 
 def mm_audio_features(spark, sf_dir):
-    """Multimodal audio plumbing: the waveform twin of
-    mm_image_features — mapInPandas over a binary payload emitting
-    integer sample-rate/duration/loudness features
-    (functions/multimodal.py:decode_audio_stub). Pure integer fake
-    decode keeps the pipeline oracle-gated."""
-    from paimon_python_spark.functions import decode_audio_stub
+    """REAL audio decode: per doc a PCM16 WAV is synthesized
+    executor-side (sample = integer function of (doc_id, i) —
+    multimodal.synth_audio_payloads), then audio_features DECODES the
+    actual RIFF/fmt/data chunks (stdlib wave) and emits rate, counts,
+    duration, and an exact integer loudness. The oracle mirrors the
+    waveform formula analytically — a mis-parsed header or byte order
+    breaks the gate."""
+    from paimon_python_spark.functions import audio_features, synth_audio_payloads
 
-    docs = _t(spark, sf_dir, "documents").select(
-        "doc_id", F.encode("text", "UTF-8").alias("payload")
-    )
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    payloads = synth_audio_payloads(docs, "doc_id")
     return (
-        decode_audio_stub(docs, "doc_id", "payload")
+        audio_features(payloads, "doc_id", "payload")
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")
     )
 
 
-# ASCII corpus: codepoint == byte value, so ord() recomputes byte stats
+# analytic mirror: rate = 8000 + (id%3)*4000, n = 500 + id%500,
+# sample(i) = ((id*31 + i*17) % 2048) - 1024; WAV adds the 44-byte
+# RIFF/fmt/data header to 2 bytes per sample.
 MM_AUDIO_FEATURES_SQL = """
+WITH spec AS (
+  SELECT doc_id,
+         8000 + (doc_id % 3) * 4000 AS rate,
+         500 + doc_id % 500 AS n
+  FROM documents),
+loud AS (
+  SELECT doc_id, rate, n,
+         list_sum(list_transform(range(0, n), i ->
+           abs(((doc_id * 31 + i * 17) % 2048) - 1024))) AS sum_abs
+  FROM spec)
 SELECT doc_id,
-       length(text) AS n_bytes,
-       8000 + (ord(substring(text, 1, 1)) % 3) * 4000 AS sample_rate,
-       CAST(length(text) // 2 AS BIGINT) AS n_samples,
-       CAST((length(text) // 2) * 1000
-            // (8000 + (ord(substring(text, 1, 1)) % 3) * 4000) AS BIGINT)
-         AS duration_ms,
-       CAST(list_sum(list_transform(range(1, least(length(text), 64) + 1),
-                                    i -> ord(substring(text, i, 1)))) * 1000
-            // (least(length(text), 64) * 255) AS BIGINT) AS rms_x1000
-FROM documents ORDER BY doc_id
+       CAST(44 + 2 * n AS INT) AS n_bytes,
+       CAST(rate AS INT) AS sample_rate,
+       CAST(n AS BIGINT) AS n_samples,
+       CAST(n * 1000 // rate AS BIGINT) AS duration_ms,
+       CAST(sum_abs * 1000 // n AS BIGINT) AS mean_abs_x1000
+FROM loud ORDER BY doc_id
 """
 
 
@@ -5659,17 +5678,19 @@ WHERE l_shipdate >= '1994-01-01' AND l_shipdate < '1995-01-01'
 
 
 def mm_image_resize(spark, sf_dir):
-    """Multimodal resize plumbing: binary in, binary out through
-    mapInPandas (functions/multimodal.py:resize_image_stub). The gate
-    hashes the resized blob's sha256 — the full binary round trip
-    through Arrow batches is what's under test."""
-    from paimon_python_spark.functions import resize_image_stub
+    """REAL resize: synthesized BMPs are DECODED, nearest-neighbor
+    resampled at integer coordinates into a 32×24 aspect-fit box, and
+    RE-ENCODED as BMP (multimodal.resize_image) — binary in, binary out
+    through Arrow batches. The gate checks output dimensions, the
+    re-encoded file's exact byte length, and the resampled pixel sum —
+    all computed analytically by the oracle from the pattern formula +
+    the same NN sampling (src = out_idx · src_dim // out_dim)."""
+    from paimon_python_spark.functions import resize_image, synth_image_payloads
 
-    docs = _t(spark, sf_dir, "documents").select(
-        "doc_id", F.encode("text", "UTF-8").alias("payload")
-    )
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    payloads = synth_image_payloads(docs, "doc_id")
     return (
-        resize_image_stub(docs, "doc_id", "payload", target_w=128, target_h=96)
+        resize_image(payloads, "doc_id", "payload", target_w=32, target_h=24)
         .select(
             F.col("id").alias("doc_id"),
             "in_w",
@@ -5677,33 +5698,40 @@ def mm_image_resize(spark, sf_dir):
             "out_w",
             "out_h",
             F.octet_length("resized").alias("n_bytes_out"),
-            F.sha2("resized", 256).alias("out_sha"),
+            "out_sum",
         )
         .orderBy("doc_id")
     )
 
 
-# same ASCII corpus trick as MM_IMAGE_FEATURES_SQL: codepoint == byte,
-# so DuckDB recomputes the stub's integer resize math with ord()/substring
+# analytic mirror: same test-pattern formula sampled at the NN
+# coordinates; BMP size re-derives the 54-byte header + row padding
 MM_IMAGE_RESIZE_SQL = """
 WITH dims AS (
-  SELECT doc_id, text,
-         64 + (ord(substring(text, 1, 1)) % 64) AS in_w,
-         64 + (length(text) % 64) AS in_h
+  SELECT doc_id, 16 + doc_id % 16 AS w, 12 + doc_id % 8 AS h
   FROM documents),
 scaled AS (
-  SELECT doc_id, text, in_w, in_h,
-         least(128 * 1000 // in_w, 96 * 1000 // in_h) AS s
+  SELECT doc_id, w, h,
+         least(32 * 1000 // w, 24 * 1000 // h) AS s
   FROM dims),
 outd AS (
-  SELECT doc_id, text, in_w, in_h,
-         in_w * s // 1000 AS out_w, in_h * s // 1000 AS out_h
-  FROM scaled)
-SELECT doc_id, in_w, in_h, out_w, out_h,
-       least(length(text), out_w * out_h // 16) AS n_bytes_out,
-       sha256(substring(text, 1, least(length(text), out_w * out_h // 16)))
-         AS out_sha
-FROM outd ORDER BY doc_id
+  SELECT doc_id, w, h,
+         greatest(1, w * s // 1000) AS w2, greatest(1, h * s // 1000) AS h2
+  FROM scaled),
+sums AS (
+  SELECT doc_id, w, h, w2, h2,
+         list_sum(flatten(list_transform(range(0, h2), j ->
+           list_transform(range(0, w2 * 3), t ->
+             (doc_id * 7 + ((j * h) // h2) * 5
+              + (((t // 3) * w) // w2) * 3 + (t % 3) * 11) % 256))))
+           AS s
+  FROM outd)
+SELECT doc_id,
+       CAST(w AS INT) AS in_w, CAST(h AS INT) AS in_h,
+       CAST(w2 AS INT) AS out_w, CAST(h2 AS INT) AS out_h,
+       CAST(54 + h2 * (w2 * 3 + (4 - (w2 * 3) % 4) % 4) AS INT) AS n_bytes_out,
+       CAST(s AS BIGINT) AS out_sum
+FROM sums ORDER BY doc_id
 """
 
 

@@ -1,34 +1,232 @@
-"""Multimodal (binary) column plumbing.
+"""Multimodal (binary) column processing.
 
 Images/audio/video are opaque ``binary`` columns with typed metadata
-alongside. The Spark-side machinery — schemas, partitioning, Arrow batch
-shapes, mapInPandas signatures — is real and tested; the actual
-decode/resize/feature steps are STUBBED (Pillow/ffmpeg/torchaudio are
-not in this container) behind deterministic fakes so the pipeline shape
-can be exercised end-to-end. Swapping the stub body for a real decoder
-changes nothing upstream or downstream.
+alongside. The decode/resize/feature steps are REAL for the formats a
+container without Pillow/ffmpeg can honestly support, implemented in
+pure Python + numpy:
+
+- BMP: 24-bit uncompressed BI_RGB (encoder + decoder);
+- PNG: 8-bit gray / gray+alpha / RGB / RGBA, all five scanline filters
+  (None/Sub/Up/Average/Paeth), zlib IDAT (encoder writes filter 0);
+- WAV: PCM16 via the stdlib ``wave`` module;
+- resize: deterministic nearest-neighbor (integer source sampling), so
+  any engine can reproduce the output bytes bit-for-bit.
+
+JPEG and real video demuxing need codecs this container does not have:
+``decode_image_bytes`` raises ``NotImplementedError`` on a JPEG magic
+(clearly marked, per the design rule), and ``frame_sample_stub``
+remains the one declared stub — the 1:N row-explosion shape of frame
+extraction with a deterministic fake demux.
+
+Everything runs inside ``mapInPandas`` — Arrow-batched, executor-local,
+no driver involvement; blobs never leave their batch. At 100 TB the
+decode cost is embarrassingly parallel and the feature outputs are
+fixed-width rows, so the operators scale like any map-only stage.
 """
 
 from __future__ import annotations
 
+import io
+import struct
+import zlib
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-# schema for decoded image features produced by decode_image_stub
-IMAGE_FEATURES_SCHEMA = T.StructType(
-    [
-        T.StructField("id", T.LongType()),
-        T.StructField("n_bytes", T.IntegerType()),
-        T.StructField("width", T.IntegerType()),
-        T.StructField("height", T.IntegerType()),
-        T.StructField("channels", T.IntegerType()),
-        T.StructField("mean_intensity", T.DoubleType()),
-    ]
-)
+# ---- BMP (24-bit BI_RGB) ----
+
+
+def encode_bmp(arr: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB → 24-bit uncompressed BMP (bottom-up rows,
+    BGR byte order, rows padded to 4 bytes — the classic layout)."""
+    h, w, ch = arr.shape
+    if ch != 3:
+        raise ValueError("encode_bmp expects (h, w, 3) RGB")
+    pad = (4 - (w * 3) % 4) % 4
+    row_bytes = w * 3 + pad
+    img_size = row_bytes * h
+    header = struct.pack("<2sIHHI", b"BM", 54 + img_size, 0, 0, 54)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0)
+    bgr = arr[::-1, :, ::-1]  # bottom-up, RGB→BGR
+    if pad:
+        padded = np.zeros((h, row_bytes), np.uint8)
+        padded[:, : w * 3] = bgr.reshape(h, w * 3)
+        body = padded.tobytes()
+    else:
+        body = bgr.tobytes()
+    return header + dib + body
+
+
+def decode_bmp(data: bytes) -> np.ndarray:
+    """24-bit uncompressed BMP → (h, w, 3) uint8 RGB."""
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP")
+    offset = struct.unpack_from("<I", data, 10)[0]
+    size, w, h, _planes, bpp, comp = struct.unpack_from("<IiiHHI", data, 14)
+    if bpp != 24 or comp != 0:
+        raise NotImplementedError(f"BMP bpp={bpp} compression={comp} unsupported")
+    flip = h > 0
+    h = abs(h)
+    pad = (4 - (w * 3) % 4) % 4
+    row_bytes = w * 3 + pad
+    raw = np.frombuffer(data, np.uint8, count=row_bytes * h, offset=offset)
+    rows = raw.reshape(h, row_bytes)[:, : w * 3].reshape(h, w, 3)
+    rgb = rows[:, :, ::-1]
+    return rgb[::-1] if flip else rgb
+
+
+# ---- PNG (8-bit depth) ----
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # color type → channels
+
+
+def encode_png(arr: np.ndarray) -> bytes:
+    """(h, w) or (h, w, {1,2,3,4}) uint8 → PNG (filter 0 scanlines)."""
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, ch = arr.shape
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+
+    def chunk(tag: bytes, payload: bytes) -> bytes:
+        body = tag + payload
+        return struct.pack(">I", len(payload)) + body + struct.pack(
+            ">I", zlib.crc32(body)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    lines = np.concatenate(
+        [np.zeros((h, 1), np.uint8), arr.reshape(h, w * ch)], axis=1
+    )  # filter byte 0 per scanline
+    return (
+        _PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(lines.tobytes(), 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """8-bit non-interlaced PNG → (h, w, channels) uint8. Implements
+    all five scanline filters per the spec."""
+    if data[: len(_PNG_MAGIC)] != _PNG_MAGIC:
+        raise ValueError("not a PNG")
+    pos = len(_PNG_MAGIC)
+    w = h = None
+    channels = 0
+    idat = bytearray()
+    while pos < len(data):
+        (ln,) = struct.unpack_from(">I", data, pos)
+        tag = data[pos + 4 : pos + 8]
+        payload = data[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln
+        if tag == b"IHDR":
+            w, h, depth, color_type, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", payload
+            )
+            if depth != 8 or interlace != 0 or color_type not in _PNG_CHANNELS:
+                raise NotImplementedError(
+                    f"PNG depth={depth} color={color_type} interlace={interlace}"
+                )
+            channels = _PNG_CHANNELS[color_type]
+        elif tag == b"IDAT":
+            idat += payload
+        elif tag == b"IEND":
+            break
+    raw = zlib.decompress(bytes(idat))
+    stride = w * channels
+    bpp = channels
+    out = np.zeros((h, stride), np.uint8)
+    prev = bytearray(stride)
+    p = 0
+    for y in range(h):
+        ftype = raw[p]
+        line = bytearray(raw[p + 1 : p + 1 + stride])
+        p += 1 + stride
+        if ftype == 1:  # Sub
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                left = line[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                left = line[i - bpp] if i >= bpp else 0
+                ul = prev[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + _paeth(left, prev[i], ul)) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"PNG filter {ftype}")
+        out[y] = line
+        prev = line
+    return out.reshape(h, w, channels)
+
+
+# ---- WAV (PCM16) ----
+
+
+def encode_wav_pcm16(sample_rate: int, samples: np.ndarray) -> bytes:
+    import wave
+
+    bio = io.BytesIO()
+    with wave.open(bio, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(sample_rate)
+        wf.writeframes(np.asarray(samples, np.int16).tobytes())
+    return bio.getvalue()
+
+
+def decode_wav(data: bytes) -> tuple[int, np.ndarray]:
+    import wave
+
+    with wave.open(io.BytesIO(data), "rb") as wf:
+        if wf.getsampwidth() != 2:
+            raise NotImplementedError("only PCM16 WAV supported")
+        rate = wf.getframerate()
+        frames = wf.readframes(wf.getnframes())
+        arr = np.frombuffer(frames, np.int16)
+        if wf.getnchannels() > 1:
+            arr = arr.reshape(-1, wf.getnchannels())
+    return rate, arr
+
+
+# ---- dispatch ----
+
+
+def decode_image_bytes(data: bytes) -> np.ndarray:
+    """Magic-sniffed decode → (h, w, channels) uint8.
+
+    JPEG needs a DCT codec this container does not ship — clearly
+    marked unsupported rather than faked."""
+    if data[:2] == b"BM":
+        return decode_bmp(data)
+    if data[: len(_PNG_MAGIC)] == _PNG_MAGIC:
+        return decode_png(data)
+    if data[:2] == b"\xff\xd8":
+        raise NotImplementedError(
+            "JPEG decode requires a DCT codec (Pillow/libjpeg) not present "
+            "in this environment"
+        )
+    raise ValueError("unrecognized image format")
+
+
+# ---- metadata (pure built-ins, no decode) ----
 
 
 def binary_metadata(df: DataFrame, id_col: str, bin_col: str) -> DataFrame:
@@ -45,39 +243,157 @@ def binary_metadata(df: DataFrame, id_col: str, bin_col: str) -> DataFrame:
     )
 
 
-def decode_image_stub(
-    df: DataFrame, id_col: str, bin_col: str, batch_size_hint: int = 1024
-) -> DataFrame:
-    """'Decode' images via mapInPandas — Arrow-batched, partition-local,
-    the exact shape a real decoder plugs into.
+# ---- operators (mapInPandas, real decoders) ----
 
-    STUB: produces deterministic fake dimensions/intensity from the
-    bytes (a real impl would call ``PIL.Image.open`` here and raise
-    ``NotImplementedError`` on unsupported codecs). The distributed
-    contract — binary in, fixed-width features out, no driver
-    involvement — is the part under test.
-    """
+IMAGE_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("n_bytes", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("sum_intensity", T.LongType()),
+        T.StructField("mean_intensity", T.DoubleType()),
+    ]
+)
+
+
+def image_features(df: DataFrame, id_col: str, bin_col: str) -> DataFrame:
+    """REAL image decode via mapInPandas: BMP/PNG bytes → dimensions +
+    integer-exact intensity stats (sum over all samples; mean as one
+    IEEE division, so a SQL oracle reproduces it bit-for-bit)."""
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            blobs = pdf[bin_col]
-            n_bytes = blobs.map(len)
-            # deterministic fake decode: dimensions derived from content
-            first = blobs.map(lambda b: b[0] if len(b) else 0)
+            ids, nb, ws, hs, cs, sums, means = [], [], [], [], [], [], []
+            for _id, blob in zip(pdf[id_col], pdf[bin_col]):
+                arr = decode_image_bytes(bytes(blob))
+                h, w, ch = arr.shape
+                s = int(arr.sum(dtype=np.int64))
+                ids.append(_id)
+                nb.append(len(blob))
+                ws.append(w)
+                hs.append(h)
+                cs.append(ch)
+                sums.append(s)
+                means.append(s / (h * w * ch))
             yield pd.DataFrame(
                 {
-                    "id": pdf[id_col],
-                    "n_bytes": n_bytes.astype("int32"),
-                    "width": (64 + (first % 64)).astype("int32"),
-                    "height": (64 + (n_bytes % 64)).astype("int32"),
-                    "channels": 3,
-                    "mean_intensity": (
-                        blobs.map(lambda b: (sum(b[:64]) / max(1, len(b[:64]))))
-                    ).astype("float64"),
+                    "id": ids,
+                    "n_bytes": pd.array(nb, dtype="int32"),
+                    "width": pd.array(ws, dtype="int32"),
+                    "height": pd.array(hs, dtype="int32"),
+                    "channels": pd.array(cs, dtype="int32"),
+                    "sum_intensity": pd.array(sums, dtype="int64"),
+                    "mean_intensity": pd.array(means, dtype="float64"),
                 }
             )
 
     return df.select(id_col, bin_col).mapInPandas(decode, IMAGE_FEATURES_SCHEMA)
+
+
+RESIZED_IMAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("in_w", T.IntegerType()),
+        T.StructField("in_h", T.IntegerType()),
+        T.StructField("out_w", T.IntegerType()),
+        T.StructField("out_h", T.IntegerType()),
+        T.StructField("out_sum", T.LongType()),
+        T.StructField("resized", T.BinaryType()),
+    ]
+)
+
+
+def resize_image(
+    df: DataFrame, id_col: str, bin_col: str, target_w: int = 128, target_h: int = 96
+) -> DataFrame:
+    """REAL aspect-fit resize: decode (BMP/PNG) → nearest-neighbor
+    sample at integer coordinates (``src = out_idx * src_dim //
+    out_dim`` — deterministic, engine-reproducible) → re-encode BMP.
+    Scale factor is integer-exact (``min(tw·1000//w, th·1000//h) /
+    1000``), matching what a SQL oracle can recompute."""
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, iw, ih, ow, oh, sums, blobs = [], [], [], [], [], [], []
+            for _id, blob in zip(pdf[id_col], pdf[bin_col]):
+                arr = decode_image_bytes(bytes(blob))
+                if arr.shape[2] == 1:
+                    arr = np.repeat(arr, 3, axis=2)
+                elif arr.shape[2] == 4:
+                    arr = arr[:, :, :3]
+                h, w, _ = arr.shape
+                s = min(target_w * 1000 // w, target_h * 1000 // h)
+                w2, h2 = max(1, w * s // 1000), max(1, h * s // 1000)
+                ys = (np.arange(h2) * h) // h2
+                xs = (np.arange(w2) * w) // w2
+                out = arr[ys][:, xs]
+                ids.append(_id)
+                iw.append(w)
+                ih.append(h)
+                ow.append(w2)
+                oh.append(h2)
+                sums.append(int(out.sum(dtype=np.int64)))
+                blobs.append(encode_bmp(out))
+            yield pd.DataFrame(
+                {
+                    "id": ids,
+                    "in_w": pd.array(iw, dtype="int32"),
+                    "in_h": pd.array(ih, dtype="int32"),
+                    "out_w": pd.array(ow, dtype="int32"),
+                    "out_h": pd.array(oh, dtype="int32"),
+                    "out_sum": pd.array(sums, dtype="int64"),
+                    "resized": blobs,
+                }
+            )
+
+    return df.select(id_col, bin_col).mapInPandas(resize, RESIZED_IMAGE_SCHEMA)
+
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("n_bytes", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("mean_abs_x1000", T.LongType()),
+    ]
+)
+
+
+def audio_features(df: DataFrame, id_col: str, bin_col: str) -> DataFrame:
+    """REAL audio decode via mapInPandas: PCM16 WAV → sample rate,
+    sample count, duration, and an integer loudness proxy
+    (``sum(|sample|)·1000 // n`` — exact, so SQL oracles agree)."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, nb, rates, ns, durs, loud = [], [], [], [], [], []
+            for _id, blob in zip(pdf[id_col], pdf[bin_col]):
+                rate, samples = decode_wav(bytes(blob))
+                n = int(samples.shape[0])
+                ids.append(_id)
+                nb.append(len(blob))
+                rates.append(rate)
+                ns.append(n)
+                durs.append(n * 1000 // rate)
+                loud.append(
+                    int(np.abs(samples.astype(np.int64)).sum()) * 1000 // max(1, n)
+                )
+            yield pd.DataFrame(
+                {
+                    "id": ids,
+                    "n_bytes": pd.array(nb, dtype="int32"),
+                    "sample_rate": pd.array(rates, dtype="int32"),
+                    "n_samples": pd.array(ns, dtype="int64"),
+                    "duration_ms": pd.array(durs, dtype="int64"),
+                    "mean_abs_x1000": pd.array(loud, dtype="int64"),
+                }
+            )
+
+    return df.select(id_col, bin_col).mapInPandas(decode, AUDIO_FEATURES_SCHEMA)
 
 
 def frame_sample_stub(
@@ -85,8 +401,8 @@ def frame_sample_stub(
 ) -> DataFrame:
     """'Sample frames' from a video binary: one output row per sampled
     frame (1:N fan-out through mapInPandas — the row-explosion shape of
-    real frame extraction). STUB: frame count is derived from byte
-    length; a real impl would demux with ffmpeg."""
+    real frame extraction). STUB — the one that remains: real demuxing
+    needs ffmpeg, absent here; frame count derives from byte length."""
 
     schema = T.StructType(
         [
@@ -116,108 +432,57 @@ def frame_sample_stub(
     return df.select(id_col, bin_col).mapInPandas(sample, schema)
 
 
-# schema for resize_image_stub: binary in → binary out (plus dims)
-RESIZED_IMAGE_SCHEMA = T.StructType(
-    [
-        T.StructField("id", T.LongType()),
-        T.StructField("in_w", T.IntegerType()),
-        T.StructField("in_h", T.IntegerType()),
-        T.StructField("out_w", T.IntegerType()),
-        T.StructField("out_h", T.IntegerType()),
-        T.StructField("resized", T.BinaryType()),
-    ]
-)
+# ---- deterministic test-pattern generators ----
+#
+# The testdata tables carry no real image/audio payloads, so gated
+# queries SYNTHESIZE them: pixel/sample values are pure integer
+# functions of (id, coordinate), which means a SQL oracle can compute
+# the expected decoded features analytically — the decode is real, the
+# expectation is closed-form.
 
 
-def resize_image_stub(
-    df: DataFrame, id_col: str, bin_col: str, target_w: int = 128, target_h: int = 96
-) -> DataFrame:
-    """'Resize' images via mapInPandas — the binary→binary transform
-    shape (decode → scale → re-encode), aspect-ratio-preserving fit
-    into ``target_w × target_h``.
+def synth_image_payloads(df: DataFrame, id_col: str) -> DataFrame:
+    """Per id: a (12 + id%8) × (16 + id%16) RGB test pattern with
+    pixel(y, x, c) = (id·7 + y·5 + x·3 + c·11) mod 256, encoded BMP."""
+    schema = T.StructType(
+        [T.StructField(id_col, T.LongType()), T.StructField("payload", T.BinaryType())]
+    )
 
-    STUB: input dims come from the same fake decode as
-    decode_image_stub; the scale factor is integer-exact
-    (``min(tw·1000//w, th·1000//h) / 1000``); the 're-encoded' blob is
-    a deterministic byte-prefix whose length tracks the output pixel
-    count. A real impl swaps in PIL's ``resize`` + ``save`` and keeps
-    every signature: binary in, binary out, executor-local, no driver
-    involvement — the blob never leaves the Arrow batch."""
-
-    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, iw, ih, ow, oh, blobs = [], [], [], [], [], []
-            for _id, blob in zip(pdf[id_col], pdf[bin_col]):
-                n = len(blob)
-                first = blob[0] if n else 0
-                w = 64 + first % 64
-                h = 64 + n % 64
-                s = min(target_w * 1000 // w, target_h * 1000 // h)
-                w2, h2 = w * s // 1000, h * s // 1000
-                k = min(n, w2 * h2 // 16)
+            ids, blobs = [], []
+            for _id in pdf[id_col]:
+                _id = int(_id)
+                w, h = 16 + _id % 16, 12 + _id % 8
+                y = np.arange(h)[:, None, None]
+                x = np.arange(w)[None, :, None]
+                c = np.arange(3)[None, None, :]
+                arr = ((_id * 7 + y * 5 + x * 3 + c * 11) % 256).astype(np.uint8)
                 ids.append(_id)
-                iw.append(w)
-                ih.append(h)
-                ow.append(w2)
-                oh.append(h2)
-                blobs.append(bytes(blob[:k]))
-            yield pd.DataFrame(
-                {
-                    "id": ids,
-                    "in_w": pd.array(iw, dtype="int32"),
-                    "in_h": pd.array(ih, dtype="int32"),
-                    "out_w": pd.array(ow, dtype="int32"),
-                    "out_h": pd.array(oh, dtype="int32"),
-                    "resized": blobs,
-                }
-            )
+                blobs.append(encode_bmp(arr))
+            yield pd.DataFrame({id_col: ids, "payload": blobs})
 
-    return df.select(id_col, bin_col).mapInPandas(resize, RESIZED_IMAGE_SCHEMA)
+    return df.select(id_col).mapInPandas(gen, schema)
 
 
-# schema for decoded audio features produced by decode_audio_stub
-AUDIO_FEATURES_SCHEMA = T.StructType(
-    [
-        T.StructField("id", T.LongType()),
-        T.StructField("n_bytes", T.IntegerType()),
-        T.StructField("sample_rate", T.IntegerType()),
-        T.StructField("n_samples", T.LongType()),
-        T.StructField("duration_ms", T.LongType()),
-        T.StructField("rms_x1000", T.LongType()),
-    ]
-)
+def synth_audio_payloads(df: DataFrame, id_col: str) -> DataFrame:
+    """Per id: (500 + id%500) PCM16 samples at 8/12/16 kHz with
+    sample(i) = ((id·31 + i·17) mod 2048) − 1024, encoded WAV."""
+    schema = T.StructType(
+        [T.StructField(id_col, T.LongType()), T.StructField("payload", T.BinaryType())]
+    )
 
-
-def decode_audio_stub(df: DataFrame, id_col: str, bin_col: str) -> DataFrame:
-    """'Decode' audio via mapInPandas — the waveform twin of
-    decode_image_stub, completing the image/audio/video triad.
-
-    STUB: sample rate, duration, and an RMS-style loudness proxy are
-    derived deterministically from the bytes in pure integer math (a
-    real impl would call soundfile/torchaudio here). Integer-only output
-    keeps the whole binary→mapInPandas→features pipeline hashable by a
-    SQL oracle; swapping in a real decoder changes nothing upstream or
-    downstream.
-    """
-
-    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            blobs = pdf[bin_col]
-            n_bytes = blobs.map(len)
-            first = blobs.map(lambda b: b[0] if len(b) else 0)
-            sample_rate = 8000 + (first % 3) * 4000  # 8k / 12k / 16k
-            n_samples = n_bytes // 2  # fake 16-bit mono PCM
-            yield pd.DataFrame(
-                {
-                    "id": pdf[id_col],
-                    "n_bytes": n_bytes.astype("int32"),
-                    "sample_rate": sample_rate.astype("int32"),
-                    "n_samples": n_samples.astype("int64"),
-                    "duration_ms": (n_samples * 1000 // sample_rate).astype("int64"),
-                    "rms_x1000": blobs.map(
-                        lambda b: sum(b[:64]) * 1000 // (max(1, len(b[:64])) * 255)
-                    ).astype("int64"),
-                }
-            )
+            ids, blobs = [], []
+            for _id in pdf[id_col]:
+                _id = int(_id)
+                rate = 8000 + (_id % 3) * 4000
+                n = 500 + _id % 500
+                i = np.arange(n, dtype=np.int64)
+                samples = ((_id * 31 + i * 17) % 2048) - 1024
+                ids.append(_id)
+                blobs.append(encode_wav_pcm16(rate, samples))
+            yield pd.DataFrame({id_col: ids, "payload": blobs})
 
-    return df.select(id_col, bin_col).mapInPandas(decode, AUDIO_FEATURES_SCHEMA)
+    return df.select(id_col).mapInPandas(gen, schema)

@@ -150,20 +150,66 @@ def test_binary_metadata_and_sniff(spark):
     assert len(out[2].sha256) == 64
 
 
-def test_decode_image_stub_plumbing(spark, docs):
-    """The mapInPandas decode path: binary in → fixed-width features out,
-    deterministic, partition-local (no oracle possible — the decode is a
-    stub; the distributed contract is what's under test)."""
-    from paimon_python_spark.functions import decode_image_stub
+def test_image_features_real_decode(spark):
+    """REAL decode through the distributed path: encode known pixel
+    arrays (BMP and PNG), run the mapInPandas decoder, and check the
+    features against the arrays themselves."""
+    import numpy as np
 
-    binary = docs.select("doc_id", F.encode("text", "UTF-8").alias("img"))
-    out = decode_image_stub(binary, "doc_id", "img")
-    rows = out.collect()
-    assert len(rows) == docs.count()
-    assert all(64 <= r.width < 128 and 64 <= r.height < 128 for r in rows)
-    # deterministic across runs
-    again = decode_image_stub(binary, "doc_id", "img").collect()
-    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+    from paimon_python_spark.functions import (
+        encode_bmp,
+        encode_png,
+        image_features,
+    )
+
+    rng = np.random.RandomState(3)
+    a1 = rng.randint(0, 256, (10, 7, 3)).astype(np.uint8)   # BMP, padded rows
+    a2 = rng.randint(0, 256, (5, 8, 3)).astype(np.uint8)    # PNG RGB
+    a3 = rng.randint(0, 256, (6, 6, 1)).astype(np.uint8)    # PNG gray
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(encode_bmp(a1))),
+            (2, bytearray(encode_png(a2))),
+            (3, bytearray(encode_png(a3))),
+        ],
+        "id long, img binary",
+    )
+    out = {r.id: r for r in image_features(df, "id", "img").collect()}
+    for i, arr in ((1, a1), (2, a2), (3, a3)):
+        h, w, ch = arr.shape
+        assert (out[i].width, out[i].height, out[i].channels) == (w, h, ch)
+        assert out[i].sum_intensity == int(arr.sum())
+        assert abs(out[i].mean_intensity - arr.mean()) < 1e-9
+
+
+def test_resize_image_real_nearest_neighbor(spark):
+    """Resize output must equal the numpy NN reference exactly, and the
+    re-encoded BMP must decode back to those pixels."""
+    import numpy as np
+
+    from paimon_python_spark.functions import decode_bmp, encode_bmp, resize_image
+
+    rng = np.random.RandomState(4)
+    arr = rng.randint(0, 256, (40, 60, 3)).astype(np.uint8)
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_bmp(arr)))], "id long, img binary"
+    )
+    row = resize_image(df, "id", "img", target_w=30, target_h=20).collect()[0]
+    s = min(30 * 1000 // 60, 20 * 1000 // 40)
+    w2, h2 = 60 * s // 1000, 40 * s // 1000
+    assert (row.in_w, row.in_h, row.out_w, row.out_h) == (60, 40, w2, h2)
+    ys = (np.arange(h2) * 40) // h2
+    xs = (np.arange(w2) * 60) // w2
+    expect = arr[ys][:, xs]
+    assert row.out_sum == int(expect.sum())
+    assert (decode_bmp(bytes(row.resized)) == expect).all()
+
+
+def test_decode_image_jpeg_clearly_unsupported(spark):
+    from paimon_python_spark.functions import decode_image_bytes
+
+    with pytest.raises(NotImplementedError, match="JPEG"):
+        decode_image_bytes(b"\xff\xd8\xff\xe0notajpeg")
 
 
 def test_frame_sample_stub_fanout(spark):
@@ -789,20 +835,27 @@ def test_sliding_distinct_hll_windows_and_accuracy(spark):
         assert abs(got_est - n) <= 0.05 * n + 2, (w, got_est, n)
 
 
-def test_decode_audio_stub_integer_features(spark):
-    from paimon_python_spark.functions import decode_audio_stub
+def test_audio_features_real_wav_decode(spark):
+    import numpy as np
 
+    from paimon_python_spark.functions import audio_features, encode_wav_pcm16
+
+    s1 = np.array([100, -200, 300, -400, 0, 50], np.int16)
+    s2 = (np.arange(1000) % 512 - 256).astype(np.int16)
     df = spark.createDataFrame(
-        [(1, bytearray([65] * 200)), (2, bytearray([66] * 33))],
+        [
+            (1, bytearray(encode_wav_pcm16(16000, s1))),
+            (2, bytearray(encode_wav_pcm16(8000, s2))),
+        ],
         "id long, payload binary",
     )
-    out = {r.id: r for r in decode_audio_stub(df, "id", "payload").collect()}
-    # id 1: first=65 -> 65%3=2 -> 16000 Hz; 100 samples -> 6 ms
-    assert (out[1].sample_rate, out[1].n_samples, out[1].duration_ms) == (16000, 100, 6)
-    assert out[1].rms_x1000 == 65 * 1000 // 255  # constant bytes
-    # id 2: first=66 -> 0 -> 8000 Hz; 16 samples -> 2 ms; 33 bytes < 64 window
-    assert (out[2].sample_rate, out[2].n_samples, out[2].duration_ms) == (8000, 16, 2)
-    assert out[2].rms_x1000 == 66 * 1000 // 255
+    out = {r.id: r for r in audio_features(df, "id", "payload").collect()}
+    assert (out[1].sample_rate, out[1].n_samples, out[1].duration_ms) == (16000, 6, 0)
+    assert out[1].mean_abs_x1000 == int(np.abs(s1.astype(np.int64)).sum()) * 1000 // 6
+    assert (out[2].sample_rate, out[2].n_samples) == (8000, 1000)
+    assert out[2].duration_ms == 125
+    assert out[2].mean_abs_x1000 == int(np.abs(s2.astype(np.int64)).sum()) * 1000 // 1000
+    assert out[2].n_bytes == 44 + 2000  # RIFF header + PCM16 payload
 
 
 def test_semantic_dedup_within_cell_only(spark):
