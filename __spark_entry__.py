@@ -2312,6 +2312,91 @@ ORDER BY o_orderkey
 """
 
 
+def paimon_inplace_read_roundtrip(spark, sf_dir):
+    """IN-PLACE read of a real Paimon warehouse (paimon_lake.py — no
+    copy, no import): a spec-format partitioned table gets TWO
+    successive commits; each read re-plans live metadata, so read 'c1'
+    sees only commit 1 and read 'c2' sees both — the reference's usage
+    model (py4j java_implementation.py:154-205 plans per scan). Read
+    'c3' adds a partition-pruning predicate (files of other priorities
+    are never opened) whose residual keeps it row-exact. The oracle is
+    plain SQL over the same source rows, tagged per read."""
+    import pyarrow as pa
+
+    from paimon_python_spark.paimon_import import (
+        append_paimon_fixture_snapshot,
+        write_paimon_table_fixture,
+    )
+    from paimon_python_spark.paimon_lake import PaimonLakeTable
+    from paimon_python_spark.session import set_spark
+
+    set_spark(spark)
+    cols = ["o_orderpriority", "o_orderkey", "o_custkey", "o_totalprice"]
+    src = _t(spark, sf_dir, "orders").select(*cols)
+    pa_schema = pa.schema(
+        [
+            ("o_orderpriority", pa.string()),
+            ("o_orderkey", pa.int64()),
+            ("o_custkey", pa.int64()),
+            ("o_totalprice", pa.float64()),
+        ]
+    )
+
+    def files_for(lo, hi):
+        pdf = (
+            src.filter((F.col("o_orderkey") > lo) & (F.col("o_orderkey") <= hi))
+            .toPandas()
+            .sort_values("o_orderkey")
+        )
+        return [
+            (0, {"o_orderpriority": prio}, 0,
+             pa.Table.from_pandas(grp, schema=pa_schema, preserve_index=False))
+            for prio, grp in pdf.groupby("o_orderpriority", sort=True)
+        ]
+
+    fixture = _fresh_warehouse("lake") + "/orders_lake"
+    write_paimon_table_fixture(
+        fixture,
+        [
+            ("o_orderpriority", "STRING NOT NULL"),
+            ("o_orderkey", "BIGINT"),
+            ("o_custkey", "BIGINT"),
+            ("o_totalprice", "DOUBLE"),
+        ],
+        ["o_orderpriority"],
+        [],
+        files_for(-1, 3000),  # testdata includes an o_orderkey=0 row
+    )
+    t = PaimonLakeTable(fixture)
+    r1 = t.new_read_builder().new_read().to_df().select(F.lit("c1").alias("tag"), *cols)
+    # the read above must PLAN before commit 2 lands; force it now
+    r1 = spark.createDataFrame(r1.toPandas(), schema=r1.schema)
+    append_paimon_fixture_snapshot(fixture, files_for(3000, 6000))
+    r2 = t.new_read_builder().new_read().to_df().select(F.lit("c2").alias("tag"), *cols)
+    rb3 = t.new_read_builder()
+    pb = rb3.new_predicate_builder()
+    r3 = (
+        rb3.with_filter(pb.equal("o_orderpriority", "1-URGENT"))
+        .new_read()
+        .to_df()
+        .select(F.lit("c3").alias("tag"), *cols)
+    )
+    return r1.unionByName(r2).unionByName(r3)
+
+
+PAIMON_INPLACE_SQL = """
+WITH src AS (
+  SELECT o_orderpriority, o_orderkey, o_custkey, o_totalprice FROM orders
+)
+SELECT 'c1' AS tag, * FROM src WHERE o_orderkey <= 3000
+UNION ALL
+SELECT 'c2' AS tag, * FROM src WHERE o_orderkey <= 6000
+UNION ALL
+SELECT 'c3' AS tag, * FROM src
+WHERE o_orderkey <= 6000 AND o_orderpriority = '1-URGENT'
+"""
+
+
 def paimon_scan_pushdown_roundtrip(spark, sf_dir):
     """Append table: write lineitem subset, read back through the
     engine's predicate/projection pushdown (PredicateBuilder surface +
@@ -6532,6 +6617,11 @@ _QUERIES: dict[str, Callable] = {
     "paimon_consumer_resume_roundtrip": paimon_consumer_resume_roundtrip,
     "paimon_incremental_dedup_roundtrip": paimon_incremental_dedup_roundtrip,
     "paimon_partition_overwrite_roundtrip": paimon_partition_overwrite_roundtrip,
+    # r5 rotation: the real-warehouse importer + in-place lake read move
+    # into the driver-gated first 50; time-travel/changelog/datasource
+    # (driver-green in r4, pytest-covered) rotate to the local-only set
+    "paimon_import_roundtrip": paimon_import_roundtrip,
+    "paimon_inplace_read_roundtrip": paimon_inplace_read_roundtrip,
     "paimon_time_travel_roundtrip": paimon_time_travel_roundtrip,
     "paimon_changelog_diff_roundtrip": paimon_changelog_diff_roundtrip,
     "paimon_datasource_filter_roundtrip": paimon_datasource_filter_roundtrip,
@@ -6646,7 +6736,6 @@ _QUERIES: dict[str, Callable] = {
     "agg_copurchase_pairs": agg_copurchase_pairs,
     "paimon_system_tables_roundtrip": paimon_system_tables_roundtrip,
     "dedup_containment_capped": dedup_containment_capped,
-    "paimon_import_roundtrip": paimon_import_roundtrip,
 }
 
 _ORACLES: dict[str, str] = {
@@ -6797,6 +6886,7 @@ _ORACLES: dict[str, str] = {
     "sql_entry_point": SQL_ENTRY_SQL,
     "paimon_stream_source_roundtrip": PAIMON_STREAM_SOURCE_SQL,
     "paimon_import_roundtrip": PAIMON_IMPORT_SQL,
+    "paimon_inplace_read_roundtrip": PAIMON_INPLACE_SQL,
 }
 
 

@@ -158,6 +158,8 @@ def main():
     # throughput, which is what scales to a long-lived cluster session
     # fail-soft: one broken query must not zero the whole bench — record
     # the error string, keep timing the rest, always emit the JSON line
+    from paimon_python_spark.operators._cache import release_cached
+
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in HEADLINE:
@@ -172,24 +174,47 @@ def main():
                 df = fn(spark, sf_dir)
                 df.write.mode("overwrite").format("noop").save()
                 best = min(best, time.time() - t0)
+                release_cached()  # free operator-scoped persisted frames
             timings[name] = round(best, 3)
         except Exception as exc:  # noqa: BLE001 — benchmark must survive
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            release_cached()
 
     sf = sf_dir.rstrip("/").split("sf")[-1]
     try:
         sf_val = float(sf)
     except ValueError:
         sf_val = sf
+    # stdout stays COMPACT so the driver's tail capture never truncates
+    # the JSON line's head (r4 lesson: 64 per-query entries overflowed it
+    # and the gate read nothing). Top-10 timings inline; the full
+    # per-query dict + errors go to bench_details.json next to this file.
+    top10 = dict(
+        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:10]
+    )
     out = {
         "metric": "headline_queries_total_runtime",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
+        "queries": top10,
+        "n_queries": len(timings),
+        "n_errors": len(errors),
+        "sf": sf_val,
+        "details": "bench_details.json",
+    }
+    detail = {
+        "metric": "headline_queries_total_runtime",
+        "value": out["value"],
+        "unit": "sec",
         "queries": timings,
+        "errors": errors,
         "sf": sf_val,
     }
-    if errors:
-        out["errors"] = errors
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_details.json"),
+        "w",
+    ) as f:
+        json.dump(detail, f, indent=1)
     print(json.dumps(out))
 
 

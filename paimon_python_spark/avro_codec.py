@@ -465,7 +465,10 @@ def read_avro_records(data: bytes) -> tuple[dict, List[dict]]:
     meta = {}
     while n_meta != 0:
         if n_meta < 0:
-            buf.read(abs(_zigzag_decode(buf)))
+            # spec: a negative count is followed by the block's byte SIZE
+            # (a plain long to decode and ignore); the |n| key/value
+            # items still follow and must be parsed normally
+            _zigzag_decode(buf)
             n_meta = abs(n_meta)
         for _ in range(n_meta):
             klen = _zigzag_decode(buf)
@@ -539,8 +542,10 @@ def read_avro_columns(data: bytes) -> tuple[List[str], List[list]]:
     n_meta = _zigzag_decode(buf)
     meta = {}
     while n_meta != 0:
-        if n_meta < 0:  # spec: negative count precedes a byte size
-            buf.read(abs(_zigzag_decode(buf)))
+        if n_meta < 0:
+            # spec: negative count → decode+discard the byte-size long;
+            # the |n| items themselves still follow
+            _zigzag_decode(buf)
             n_meta = abs(n_meta)
         for _ in range(n_meta):
             klen = _zigzag_decode(buf)

@@ -52,6 +52,11 @@ from pyspark.sql import functions as F
 
 from paimon_python_spark.metadata import DataFileMeta, Snapshot
 
+
+def _sql_str(s: str) -> str:
+    """SQL single-quoted string literal (escape embedded quotes/backslashes)."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
 INDEX_DIR = "index"
 DV_SCHEMA = "file string, positions array<long>"
 DEFAULT_BROADCAST_BYTES = 64 << 20
@@ -228,9 +233,21 @@ def build_commit_dv_df(
         versions.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") > 1)
         .select(
-            # relativize executor-side: every scanned path starts with
-            # the table prefix, so a plain substring is exact
-            F.expr(f"substring(__fp, {len(prefix) + 1})").alias("file"),
+            # relativize executor-side. Guarded: if _metadata.file_path is
+            # rendered under a different URI scheme than the expected
+            # 'file:<table_path>/' prefix (file://, s3a://, hdfs://...),
+            # a blind substring would silently corrupt every mark name
+            # and the read-time anti-join would stop filtering deleted
+            # rows — so a prefix mismatch fails the job loudly instead.
+            F.expr(
+                f"CASE WHEN startswith(__fp, {_sql_str(prefix)}) "
+                f"THEN substring(__fp, {len(prefix) + 1}) "
+                f"ELSE raise_error(concat("
+                f"'deletion_vectors: scanned file path ', __fp, "
+                f"' does not start with expected table prefix ', "
+                f"{_sql_str(prefix)}, "
+                f"' — URI scheme mismatch would corrupt DV marks')) END"
+            ).alias("file"),
             F.col("__pos").cast("long").alias("pos"),
         )
     )

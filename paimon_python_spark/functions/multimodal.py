@@ -148,32 +148,60 @@ def decode_png(data: bytes) -> np.ndarray:
     raw = zlib.decompress(bytes(idat))
     stride = w * channels
     bpp = channels
+    # vectorized filter reconstruction (numpy, no per-byte Python loops):
+    # None is a copy; Up is one vectorized add against the prior row; Sub
+    # is exactly a per-channel cumulative sum along the pixel axis
+    # (line[i] += line[i-bpp] unrolled); Average/Paeth carry a true
+    # sequential left-dependence, so they walk PIXELS (w steps) with all
+    # channels updated per step — w·h/bpp scalar steps worst-case instead
+    # of w·h·bpp, and zero Python work for the common None/Up/Sub lines.
+    lines = np.frombuffer(raw, np.uint8, count=h * (1 + stride)).reshape(
+        h, 1 + stride
+    )
+    ftypes = lines[:, 0]
+    if not np.all(ftypes <= 4):
+        raise ValueError(f"PNG filter {int(ftypes.max())}")
+    data = lines[:, 1:]
     out = np.zeros((h, stride), np.uint8)
-    prev = bytearray(stride)
-    p = 0
+    prev = np.zeros(stride, np.uint8)
     for y in range(h):
-        ftype = raw[p]
-        line = bytearray(raw[p + 1 : p + 1 + stride])
-        p += 1 + stride
-        if ftype == 1:  # Sub
-            for i in range(bpp, stride):
-                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        ftype = int(ftypes[y])
+        line = data[y]
+        if ftype == 0:  # None
+            cur = line.copy()
+        elif ftype == 1:  # Sub: cumsum per channel over the pixel axis
+            cur = (
+                np.cumsum(line.reshape(-1, bpp), axis=0, dtype=np.uint32)
+                .astype(np.uint8)
+                .reshape(stride)
+            )
         elif ftype == 2:  # Up
-            for i in range(stride):
-                line[i] = (line[i] + prev[i]) & 0xFF
+            cur = line + prev  # uint8 wraps mod 256
         elif ftype == 3:  # Average
-            for i in range(stride):
-                left = line[i - bpp] if i >= bpp else 0
-                line[i] = (line[i] + ((left + prev[i]) >> 1)) & 0xFF
-        elif ftype == 4:  # Paeth
-            for i in range(stride):
-                left = line[i - bpp] if i >= bpp else 0
-                ul = prev[i - bpp] if i >= bpp else 0
-                line[i] = (line[i] + _paeth(left, prev[i], ul)) & 0xFF
-        elif ftype != 0:
-            raise ValueError(f"PNG filter {ftype}")
-        out[y] = line
-        prev = line
+            cur = np.empty(stride, np.uint8)
+            cur[:bpp] = line[:bpp] + (prev[:bpp].astype(np.uint16) >> 1)
+            pv = prev.astype(np.uint16)
+            for i in range(bpp, stride, bpp):
+                left = cur[i - bpp : i].astype(np.uint16)
+                cur[i : i + bpp] = line[i : i + bpp] + (
+                    (left + pv[i : i + bpp]) >> 1
+                ).astype(np.uint8)
+        else:  # Paeth
+            cur = np.empty(stride, np.uint8)
+            cur[:bpp] = line[:bpp] + prev[:bpp]  # left=ul=0 → predictor=up
+            pv = prev.astype(np.int16)
+            for i in range(bpp, stride, bpp):
+                a = cur[i - bpp : i].astype(np.int16)  # left
+                b = pv[i : i + bpp]  # up
+                c = pv[i - bpp : i]  # upper-left
+                p_ = a + b - c
+                pa, pb, pc = np.abs(p_ - a), np.abs(p_ - b), np.abs(p_ - c)
+                pred = np.where(
+                    (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c)
+                )
+                cur[i : i + bpp] = line[i : i + bpp] + pred.astype(np.uint8)
+        out[y] = cur
+        prev = cur
     return out.reshape(h, w, channels)
 
 

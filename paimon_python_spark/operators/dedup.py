@@ -17,6 +17,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from paimon_python_spark.operators._cache import register, release_cached, shared
+
+__all_cache__ = (shared, register, release_cached)  # re-exported for callers
+
+
+class ConvergenceError(RuntimeError):
+    """Raised by :func:`connected_components` in strict mode when label
+    propagation exhausts ``max_iter`` without converging."""
+
 
 def exact_dedup(df: DataFrame, on: list[str], id_col: str) -> DataFrame:
     """Exact dedup: one survivor (min id) per duplicate group.
@@ -115,7 +124,9 @@ def _minhash_candidates(
     sh = with_shingles(df.select(id_col, text_col), text_col, shingle_n).withColumn(
         "sig", F.expr(minhash_signature_expr(num_hashes))
     )
-    sh = sh.persist()
+    # persisted + eagerly materialized: signatures feed the band explosion
+    # AND both verification-join sides; released via release_cached()
+    sh = shared(sh)
     band_key = F.concat_ws(
         "-",
         *[
@@ -230,6 +241,36 @@ def _cap_hot_shingles(inv: DataFrame, max_doc_freq: int) -> DataFrame:
     return inv.join(F.broadcast(hot), "shingle", "left_anti")
 
 
+def _shingle_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int,
+    max_doc_freq: int | None,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared front half of the exact n-gram pair ops: the (doc, shingle)
+    inverted index plus per-doc shingle counts, df-capped if asked.
+
+    The split+shingle+explode pipeline feeds FOUR plan branches (hot-
+    shingle agg, per-doc sizes, and both self-join sides), so the frame
+    is persisted and eagerly materialized once — without it the
+    shingling recomputes per branch (~4× the whole op's cost, measured).
+    Capped: the raw index is the cached frame and the cheap broadcast
+    anti-join re-derives the capped view per branch from cache.
+    Uncapped: sizes come straight off the shingle arrays, so the index
+    itself is cached. Release via ``release_cached()``."""
+    sh = with_shingles(df.select(id_col, text_col), text_col, shingle_n)
+    if max_doc_freq is not None:
+        inv0 = shared(sh.select(F.col(id_col), F.explode("sh").alias("shingle")))
+        inv = _cap_hot_shingles(inv0, max_doc_freq)
+        sizes = inv.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    else:
+        sh = shared(sh)
+        inv = sh.select(F.col(id_col), F.explode("sh").alias("shingle"))
+        sizes = sh.select(F.col(id_col), F.size("sh").alias("n_sh"))
+    return inv, sizes
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -251,13 +292,7 @@ def ngram_jaccard_pairs(
     above the corpus' true max document frequency the output is
     bit-identical to the uncapped op; this is the required guard for a
     raw web corpus."""
-    sh = with_shingles(df.select(id_col, text_col), text_col, shingle_n)
-    inv = sh.select(F.col(id_col), F.explode("sh").alias("shingle"))
-    if max_doc_freq is not None:
-        inv = _cap_hot_shingles(inv, max_doc_freq)
-        sizes = inv.groupBy(id_col).agg(F.count("*").alias("n_sh"))
-    else:
-        sizes = sh.select(F.col(id_col), F.size("sh").alias("n_sh"))
+    inv, sizes = _shingle_index(df, id_col, text_col, shingle_n, max_doc_freq)
     a = inv.alias("a")
     b = inv.alias("b")
     inter = (
@@ -414,7 +449,13 @@ def embedding_cosine_pairs_lsh(
             for t in range(tables)
         ]
     )
-    ex = df.select(F.col(id_col), F.posexplode(bucket_cols).alias("tbl", "bucket"))
+    # persisted + eager: the 64 hyperplane dot-products per vector feed
+    # the widths agg AND both self-join sides — without the cache they
+    # recompute ~4× (measured; was the 4 s bench line). release_cached()
+    # frees it.
+    ex = shared(
+        df.select(F.col(id_col), F.posexplode(bucket_cols).alias("tbl", "bucket"))
+    )
     if max_bucket is not None:
         widths = ex.groupBy("tbl", "bucket").agg(F.count("*").alias("__w"))
         ex = ex.join(
@@ -467,7 +508,11 @@ def embedding_cosine_pairs_lsh(
 
 
 def connected_components(
-    pairs: DataFrame, a_col: str, b_col: str, max_iter: int = 25
+    pairs: DataFrame,
+    a_col: str,
+    b_col: str,
+    max_iter: int = 25,
+    strict: bool = False,
 ) -> DataFrame:
     """Connected components over a pair list: (node, cluster) where
     ``cluster`` is the smallest node id reachable from ``node`` —
@@ -487,7 +532,14 @@ def connected_components(
     sum. For adversarially long chain graphs swap in
     large-star/small-star (alternating min over 2-hop neighborhoods) —
     same operator shape.
+
+    Non-convergence is never silent: exhausting ``max_iter`` raises
+    :class:`ConvergenceError` when ``strict`` is set, else logs a
+    warning (partial labels can under-merge transitive clusters). The
+    returned labels read from a localCheckpoint (freed by the
+    ContextCleaner once the frame is unreferenced).
     """
+    import warnings
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .unionByName(
@@ -502,6 +554,7 @@ def connected_components(
         .withColumn("cluster", F.col("node"))
         .persist()
     )
+    converged = False
     try:
         for _ in range(max_iter):
             nbr_min = (
@@ -509,6 +562,16 @@ def connected_components(
                 .groupBy("src")
                 .agg(F.min("cluster").alias("nbr_min"))
             )
+            # localCheckpoint (lazy) instead of persist: the update plan
+            # references `labels` TWICE (join + nbr_min), so without
+            # lineage truncation the logical plan doubles per round —
+            # exponential analysis cost that OOMs the driver on
+            # high-diameter graphs. Checkpoint materializes into executor
+            # storage at the same action below and cuts the lineage to a
+            # leaf; old rounds' blocks are freed by the ContextCleaner
+            # when their frames go out of scope. (On a cluster with
+            # dynamic allocation, swap for reliable checkpoint() to a
+            # fault-tolerant dir — same shape.)
             new_labels = (
                 labels.join(nbr_min, labels.node == nbr_min.src, "left")
                 .select(
@@ -521,15 +584,25 @@ def connected_components(
                     .cast("long")
                     .alias("__changed"),
                 )
-                .persist()
+                .localCheckpoint(eager=False)
             )
-            # one action: materializes the new labels into cache AND
-            # returns the convergence sum — no old-vs-new join job
+            # one action: materializes the checkpoint AND returns the
+            # convergence sum — no old-vs-new join job
             changed = new_labels.agg(F.sum("__changed")).collect()[0][0] or 0
             labels.unpersist()
             labels = new_labels
             if changed == 0:
+                converged = True
                 break
+        if not converged:
+            msg = (
+                f"connected_components did not converge in {max_iter} "
+                "iterations; labels may under-merge transitive clusters "
+                "(raise max_iter, or use large-star/small-star for long chains)"
+            )
+            if strict:
+                raise ConvergenceError(msg)
+            warnings.warn(msg, RuntimeWarning, stacklevel=2)
         return labels.select("node", "cluster")
     finally:
         edges.unpersist()
@@ -569,13 +642,7 @@ def ngram_containment_pairs(
     threshold, same ``max_doc_freq`` hot-shingle guard (containment is
     then exact over the df-capped shingle space); at 100 TB set the cap
     or run it on LSH candidates, never raw on a web corpus."""
-    sh = with_shingles(df.select(id_col, text_col), text_col, shingle_n)
-    inv = sh.select(F.col(id_col), F.explode("sh").alias("shingle"))
-    if max_doc_freq is not None:
-        inv = _cap_hot_shingles(inv, max_doc_freq)
-        sizes = inv.groupBy(id_col).agg(F.count("*").alias("n_sh"))
-    else:
-        sizes = sh.select(F.col(id_col), F.size("sh").alias("n_sh"))
+    inv, sizes = _shingle_index(df, id_col, text_col, shingle_n, max_doc_freq)
     a = inv.alias("a")
     b = inv.alias("b")
     inter = (

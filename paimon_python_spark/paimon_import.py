@@ -270,6 +270,27 @@ def encode_binary_row(values: List[Any], types: List[T.DataType]) -> bytes:
 # ---- manifests ----
 
 
+#: Paimon's directory name for a NULL partition value unless the table
+#: sets ``partition.default-name`` (spec: partition.default-name option)
+DEFAULT_PARTITION_NAME = "__DEFAULT_PARTITION__"
+
+
+def format_partition_segment(value: Any, dt: T.DataType, default_name: str) -> str:
+    """Render one partition value the way Paimon names its directories:
+    NULL → the table's ``partition.default-name`` (default
+    ``__DEFAULT_PARTITION__``); DATE → ISO ``yyyy-MM-dd`` (the decoded
+    BinaryRow carries raw epoch-day ints); everything else via str()."""
+    if value is None:
+        return default_name
+    if isinstance(dt, T.DateType) and isinstance(value, int):
+        import datetime
+
+        return (datetime.date(1970, 1, 1) + datetime.timedelta(days=value)).isoformat()
+    if isinstance(value, bool):
+        return "true" if value else "false"
+    return str(value)
+
+
 @dataclass
 class PaimonFileEntry:
     kind: int  # 0 = ADD, 1 = DELETE
@@ -280,11 +301,21 @@ class PaimonFileEntry:
     row_count: int
     level: int
 
-    def rel_path(self, partition_keys: List[str]) -> str:
+    def rel_path(
+        self,
+        partition_keys: List[str],
+        part_types: Optional[List[T.DataType]] = None,
+        default_name: str = DEFAULT_PARTITION_NAME,
+    ) -> str:
         parts = [
-            f"{k}={'null' if self.partition[k] is None else self.partition[k]}"
-            for k in partition_keys
+            format_partition_segment(
+                self.partition[k],
+                part_types[i] if part_types else T.StringType(),
+                default_name,
+            )
+            for i, k in enumerate(partition_keys)
         ]
+        parts = [f"{k}={p}" for k, p in zip(partition_keys, parts)]
         return os.path.join(*parts, f"bucket-{self.bucket}", self.file_name) if parts else os.path.join(f"bucket-{self.bucket}", self.file_name)
 
 
@@ -330,9 +361,24 @@ def plan_paimon_files(
 ) -> List[PaimonFileEntry]:
     """Fold base + delta manifest lists of a snapshot into the live
     file set (ADD entries minus later DELETEs) — the same fold the
-    reference's JVM TableScan.plan performs."""
+    reference's JVM TableScan.plan performs.
+
+    Deletion-vector tables are REJECTED loudly: a snapshot carrying an
+    ``indexManifest`` (or the ``deletion-vectors.enabled`` option) keeps
+    deletions as DV bitmaps the seq-number merge never sees — importing
+    one would silently resurrect deleted rows."""
     info = read_paimon_schema(table_path)
     snap = read_paimon_snapshot(table_path, snapshot_id)
+    if snap.get("indexManifest") or info.options.get(
+        "deletion-vectors.enabled", "false"
+    ).lower() == "true":
+        raise NotImplementedError(
+            "paimon_import: unsupported: this Paimon table uses deletion "
+            "vectors (snapshot.indexManifest / deletion-vectors.enabled); "
+            "importing without folding the DV bitmaps would resurrect "
+            "deleted rows. Compact the table fully in Paimon first, or "
+            "wait for DV index import support."
+        )
     part_types = [
         info.spark_schema[k].dataType for k in info.partition_keys
     ]
@@ -491,10 +537,16 @@ def write_paimon_table_fixture(
     info = read_paimon_schema(path)
     part_types = [info.spark_schema[k].dataType for k in partition_keys]
 
+    default_name = (options or {}).get(
+        "partition.default-name", DEFAULT_PARTITION_NAME
+    )
     entries = []
     added: dict = {}  # (table id, partition, bucket) -> file name at ADD
     for i, (kind, pvals, bucket, table) in enumerate(files):
-        parts = [f"{k}={pvals[k]}" for k in partition_keys]
+        parts = [
+            f"{k}={format_partition_segment(pvals[k], pt, default_name)}"
+            for k, pt in zip(partition_keys, part_types)
+        ]
         ddir = os.path.join(path, *parts, f"bucket-{bucket}")
         os.makedirs(ddir, exist_ok=True)
         fkey = (id(table), tuple(sorted(pvals.items())), bucket)
@@ -567,6 +619,197 @@ def write_paimon_table_fixture(
         f.write("1")
 
 
+def append_paimon_fixture_snapshot(
+    path: str, files: List[tuple], tag: str = "c2"
+) -> int:
+    """Add a successive commit to a spec-format fixture table: new data
+    files + manifest + delta manifest list, and snapshot N+1 whose BASE
+    manifest list folds every manifest of snapshot N (exactly how real
+    Paimon carries prior state forward). Returns the new snapshot id.
+
+    ``files`` uses the fixture writer's tuple shape; lets tests and
+    gates model a concurrently-written lake (write → read → write →
+    read with no re-import)."""
+    import pyarrow.parquet as pq
+
+    from paimon_python_spark.avro_codec import write_avro_records
+
+    info = read_paimon_schema(path)
+    part_types = [info.spark_schema[k].dataType for k in info.partition_keys]
+    default_name = info.options.get("partition.default-name", DEFAULT_PARTITION_NAME)
+    prev_id = latest_paimon_snapshot_id(path)
+    prev = read_paimon_snapshot(path, prev_id)
+    prior: List[str] = []
+    for lst in (prev.get("baseManifestList"), prev.get("deltaManifestList")):
+        if lst:
+            prior.extend(read_manifest_list(path, lst))
+
+    entries = []
+    for i, (kind, pvals, bucket, table) in enumerate(files):
+        parts = [
+            f"{k}={format_partition_segment(pvals[k], pt, default_name)}"
+            for k, pt in zip(info.partition_keys, part_types)
+        ]
+        ddir = os.path.join(path, *parts, f"bucket-{bucket}")
+        os.makedirs(ddir, exist_ok=True)
+        fname = f"data-fixture-{tag}-{i}.parquet"
+        fpath = os.path.join(ddir, fname)
+        if kind == 0:
+            pq.write_table(table, fpath)
+        size = os.path.getsize(fpath) if os.path.exists(fpath) else 0
+        entries.append(
+            {
+                "_VERSION": 2,
+                "_KIND": kind,
+                "_PARTITION": encode_binary_row(
+                    [pvals[k] for k in info.partition_keys], part_types
+                ),
+                "_BUCKET": bucket,
+                "_TOTAL_BUCKETS": 1,
+                "_FILE": _spec_file_meta(fname, size, table.num_rows),
+            }
+        )
+
+    mname = f"manifest-fixture-{tag}.avro"
+    write_avro_records(os.path.join(path, "manifest", mname), MANIFEST_SCHEMA, entries)
+
+    def _list_entry(name: str) -> dict:
+        return {
+            "_VERSION": 2,
+            "_FILE_NAME": name,
+            "_FILE_SIZE": os.path.getsize(os.path.join(path, "manifest", name)),
+            "_NUM_ADDED_FILES": 0,
+            "_NUM_DELETED_FILES": 0,
+            "_PARTITION_STATS": _EMPTY_STATS,
+            "_SCHEMA_ID": 0,
+        }
+
+    blname = f"manifest-list-fixture-{tag}-base.avro"
+    dlname = f"manifest-list-fixture-{tag}-delta.avro"
+    write_avro_records(
+        os.path.join(path, "manifest", blname),
+        MANIFEST_LIST_SCHEMA,
+        [_list_entry(n) for n in prior],
+    )
+    write_avro_records(
+        os.path.join(path, "manifest", dlname),
+        MANIFEST_LIST_SCHEMA,
+        [_list_entry(mname)],
+    )
+    new_id = prev_id + 1
+    n_rows = sum(t.num_rows for k, _p, _b, t in files if k == 0)
+    with open(os.path.join(path, "snapshot", f"snapshot-{new_id}"), "w") as f:
+        json.dump(
+            {
+                "version": 3,
+                "id": new_id,
+                "schemaId": 0,
+                "baseManifestList": blname,
+                "deltaManifestList": dlname,
+                "changelogManifestList": None,
+                "commitUser": "fixture",
+                "commitIdentifier": new_id,
+                "commitKind": "APPEND",
+                "timeMillis": 0,
+                "logOffsets": {},
+                "totalRecordCount": int(prev.get("totalRecordCount", 0)) + n_rows,
+                "deltaRecordCount": n_rows,
+                "changelogRecordCount": 0,
+                "watermark": -9223372036854775808,
+            },
+            f,
+        )
+    with open(os.path.join(path, "snapshot", "LATEST"), "w") as f:
+        f.write(str(new_id))
+    return new_id
+
+
+# ---- shared read recipes (import + in-place lake read) ----
+
+
+def merge_paimon_pk_entries(spark, info: PaimonSchemaInfo, entries, src, fmt: str):
+    """Distributed merge of a PK table's key-value files into the
+    visible rows: max ``_SEQUENCE_NUMBER`` per (partition, key) wins,
+    ties broken deterministically by LSM level (0 = newest) then
+    manifest entry order (later commit wins — the reference's
+    sort-merge input-order convention); ``-D``/``-U`` kinds dropped.
+
+    ``src`` maps a :class:`PaimonFileEntry` to its absolute path.
+    Returns a DataFrame with exactly the declared schema columns."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from paimon_python_spark.write import KIND_COL, SEQ_COL
+
+    paths = [src(e) for e in entries]
+    if not paths:
+        return spark.createDataFrame([], info.spark_schema)
+    raw = spark.read.format(fmt).load(paths)
+    value_cols = [f.name for f in info.spark_schema.fields]
+    merge_keys = list(dict.fromkeys(info.partition_keys + info.primary_keys))
+    # file names are UUID-unique within a Paimon table, so a broadcast
+    # (file_name → entry order, level) lookup rides next to every row
+    order_rows = [(e.file_name, i, e.level) for i, e in enumerate(entries)]
+    order_df = F.broadcast(
+        spark.createDataFrame(
+            order_rows, "__file_name string, __entry_idx int, __level int"
+        )
+    )
+    raw = raw.withColumn(
+        "__file_name", F.element_at(F.split(F.input_file_name(), "/"), -1)
+    ).join(order_df, "__file_name")
+    w = Window.partitionBy(*merge_keys).orderBy(
+        F.col(SEQ_COL).desc(), F.col("__level").asc(), F.col("__entry_idx").desc()
+    )
+    return (
+        raw.select(*value_cols, SEQ_COL, KIND_COL, "__level", "__entry_idx")
+        .withColumn("__rn", F.row_number().over(w))
+        .filter("__rn = 1")
+        .filter(F.col(KIND_COL).isin(0, 2))  # +I / +U survive
+        .select(
+            # align physical widths with the declared schema
+            *[
+                F.col(f.name).cast(f.dataType).alias(f.name)
+                for f in info.spark_schema.fields
+            ]
+        )
+    )
+
+
+def read_paimon_append_entries(spark, info: PaimonSchemaInfo, entries, src, fmt: str):
+    """Read an append table's live files in place. Partition columns
+    that are not physically present in the data files (hive-style
+    layouts) are injected per partition group from the decoded manifest
+    BinaryRow values; files that do carry them load in one scan."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    if not entries:
+        return spark.createDataFrame([], info.spark_schema)
+    cast_cols = [
+        F.col(f.name).cast(f.dataType).alias(f.name)
+        for f in info.spark_schema.fields
+    ]
+    sample_cols = set(
+        spark.read.format(fmt).load(src(entries[0])).schema.fieldNames()
+    )
+    missing = [k for k in info.partition_keys if k not in sample_cols]
+    if not missing:
+        return spark.read.format(fmt).load([src(e) for e in entries]).select(*cast_cols)
+    groups: dict[tuple, list] = {}
+    for e in entries:
+        groups.setdefault(tuple(sorted(e.partition.items())), []).append(e)
+    parts = []
+    for pkey, es in groups.items():
+        pvals = dict(pkey)
+        df = spark.read.format(fmt).load([src(e) for e in es])
+        for k in missing:
+            df = df.withColumn(k, F.lit(pvals[k]))
+        parts.append(df.select(*cast_cols))
+    return reduce(lambda a, b: a.unionByName(b), parts)
+
+
 # ---- import ----
 
 
@@ -609,9 +852,23 @@ def import_paimon_table(
         False,
     )
     table = catalog.get_table(identifier)
-    src = lambda e: os.path.join(  # noqa: E731
-        paimon_table_path, e.rel_path(info.partition_keys)
-    )
+    part_types = [info.spark_schema[k].dataType for k in info.partition_keys]
+    default_name = info.options.get("partition.default-name", DEFAULT_PARTITION_NAME)
+
+    def src(e: PaimonFileEntry) -> str:
+        p = os.path.join(
+            paimon_table_path,
+            e.rel_path(info.partition_keys, part_types, default_name),
+        )
+        if not os.path.exists(p):
+            raise FileNotFoundError(
+                f"paimon_import: planned data file not found at {p!r} — the "
+                "partition directory naming (partition.default-name, "
+                "date/timestamp formatting) may not match this table's "
+                "layout; inspect the table's data directories and report "
+                "the convention"
+            )
+        return p
 
     if not info.primary_keys:
         # append table: files are plain columnar — adopt them verbatim
@@ -640,30 +897,8 @@ def import_paimon_table(
 
     # primary-key table: distributed merge of the key-value files
     spark = get_spark()
-    paths = [src(e) for e in entries]
-    if paths:
-        from pyspark.sql import Window
-        from pyspark.sql import functions as F
-
-        raw = spark.read.format(fmt).load(paths)
-        value_cols = [f.name for f in info.spark_schema.fields]
-        merge_keys = list(
-            dict.fromkeys(info.partition_keys + info.primary_keys)
-        )
-        w = Window.partitionBy(*merge_keys).orderBy(F.col(SEQ_COL).desc())
-        merged = (
-            raw.select(*value_cols, SEQ_COL, KIND_COL)
-            .withColumn("__rn", F.row_number().over(w))
-            .filter("__rn = 1")
-            .filter(F.col(KIND_COL).isin(0, 2))  # +I / +U survive
-            .select(
-                # align physical widths with the declared schema
-                *[
-                    F.col(f.name).cast(f.dataType).alias(f.name)
-                    for f in info.spark_schema.fields
-                ]
-            )
-        )
+    if entries:
+        merged = merge_paimon_pk_entries(spark, info, entries, src, fmt)
         wb = table.new_batch_write_builder()
         writer, committer = wb.new_write(), wb.new_commit()
         writer.write_dataframe(merged)

@@ -1,0 +1,160 @@
+"""Read a REAL Apache Paimon warehouse table IN PLACE — no copy.
+
+``paimon_import.import_paimon_table`` materializes a one-shot copy
+through this engine's commit protocol; this module is the other usage
+model the reference serves (reference
+pypaimon/py4j/java_implementation.py:154-205 — ``TableScan.plan`` runs
+against LIVE Paimon metadata on every scan): a Flink/Spark job may
+still be writing the lake, so every read re-plans from the current
+snapshot and streams the Paimon data files where they stand.
+
+Surface mirrors the engine's own builder chain so a user can swap a
+catalog table for a lake path without touching query code::
+
+    t = PaimonLakeTable("/lake/db.db/orders")
+    pb = t.new_read_builder().new_predicate_builder()
+    df = (t.new_read_builder()
+            .with_filter(pb.equal("o_orderpriority", "1-URGENT"))
+            .with_projection(["o_orderkey", "o_totalprice"])
+            .new_read().to_df())
+
+Scale shape: planning is a driver-side metadata walk (manifest avro,
+KB-sized — same cost class as the reference's JVM plan call); the data
+read is a plain distributed Spark scan over the planned files, with
+partition pruning BEFORE the scan (predicate evaluated against each
+entry's decoded BinaryRow partition) and the full residual filter after
+it, so Catalyst still sees a declarative plan (parquet pushdown +
+column pruning apply per file). PK tables run the same distributed
+merge recipe as the importer (``merge_paimon_pk_entries`` — window
+dedup on max sequence number with the deterministic level/entry-order
+tie-break), which shuffles once on (partition, key).
+
+Deletion-vector tables are rejected loudly at plan time (see
+``plan_paimon_files``) — silently resurrecting DV-deleted rows is the
+one failure mode this adapter must never have.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+from paimon_python_spark.paimon_import import (
+    PaimonFileEntry,
+    PaimonSchemaInfo,
+    merge_paimon_pk_entries,
+    plan_paimon_files,
+    read_paimon_append_entries,
+    read_paimon_schema,
+)
+from paimon_python_spark.predicate import Predicate, PredicateBuilder
+
+
+class PaimonLakeTable:
+    """Read-only handle on a real Paimon table path. Stateless: schema
+    and snapshot are re-read at plan time so concurrent commits by the
+    lake's owner (a running Flink job) are visible to the next query."""
+
+    def __init__(self, table_path: str):
+        self.table_path = table_path
+
+    def schema_info(self) -> PaimonSchemaInfo:
+        return read_paimon_schema(self.table_path)
+
+    def new_read_builder(self) -> "PaimonLakeReadBuilder":
+        return PaimonLakeReadBuilder(self)
+
+
+class PaimonLakeReadBuilder:
+    """Accumulates pushdowns against a lake table (mirrors the engine's
+    ReadBuilder surface: with_filter / with_projection / with_snapshot)."""
+
+    def __init__(self, table: PaimonLakeTable):
+        self.table = table
+        self._predicate: Optional[Predicate] = None
+        self._projection: Optional[List[str]] = None
+        self._snapshot_id: Optional[int] = None
+
+    def new_predicate_builder(self) -> PredicateBuilder:
+        return PredicateBuilder(
+            [f.name for f in self.table.schema_info().spark_schema.fields]
+        )
+
+    def with_filter(self, predicate: Predicate) -> "PaimonLakeReadBuilder":
+        self._predicate = predicate
+        return self
+
+    def with_projection(self, projection: List[str]) -> "PaimonLakeReadBuilder":
+        names = [f.name for f in self.table.schema_info().spark_schema.fields]
+        for p in projection:
+            if p not in names:
+                raise ValueError(f"Field {p} not in table schema")
+        self._projection = list(projection)
+        return self
+
+    def with_snapshot(self, snapshot_id: int) -> "PaimonLakeReadBuilder":
+        self._snapshot_id = snapshot_id
+        return self
+
+    def new_read(self) -> "PaimonLakeRead":
+        return PaimonLakeRead(self)
+
+
+class PaimonLakeRead:
+    def __init__(self, builder: PaimonLakeReadBuilder):
+        self.builder = builder
+
+    def to_df(self):
+        """Fresh plan + distributed in-place read. Partition pruning
+        happens here on the decoded manifest partition values (files of
+        pruned partitions are never opened); the predicate is then
+        applied IN FULL as a residual on the scan/merge output, so the
+        result is row-exact regardless of how much pruning helped."""
+        import os
+
+        from paimon_python_spark.session import get_spark
+
+        spark = get_spark()
+        b = self.builder
+        table_path = b.table.table_path
+        info = read_paimon_schema(table_path)
+        entries = plan_paimon_files(table_path, b._snapshot_id)
+        if b._predicate is not None and info.partition_keys:
+            part_pred = b._predicate.keep_only_fields(set(info.partition_keys))
+            if part_pred is not None:
+                entries = [
+                    e for e in entries if part_pred.test_by_value(e.partition)
+                ]
+        fmt = info.options.get("file.format", "parquet")
+        part_types = [info.spark_schema[k].dataType for k in info.partition_keys]
+        default_name = info.options.get("partition.default-name", None)
+
+        def src(e: PaimonFileEntry) -> str:
+            kw = {"default_name": default_name} if default_name else {}
+            p = os.path.join(
+                table_path, e.rel_path(info.partition_keys, part_types, **kw)
+            )
+            if not os.path.exists(p):
+                raise FileNotFoundError(
+                    f"paimon_lake: planned data file not found at {p!r} — "
+                    "partition directory naming may not match this table's "
+                    "layout (partition.default-name / date formatting)"
+                )
+            return p
+
+        if info.primary_keys:
+            df = merge_paimon_pk_entries(spark, info, entries, src, fmt)
+        else:
+            df = read_paimon_append_entries(spark, info, entries, src, fmt)
+        if b._predicate is not None:
+            df = df.filter(b._predicate.to_column())
+        if b._projection is not None:
+            df = df.select(*b._projection)
+        return df
+
+    def to_pandas(self):
+        return self.to_df().toPandas()
+
+    def to_arrow(self):
+        import pyarrow as pa
+
+        return pa.Table.from_pandas(self.to_pandas(), preserve_index=False)

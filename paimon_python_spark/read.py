@@ -183,6 +183,28 @@ def merge_on_read(
 
     if engine == "deduplicate" or engine == "first-row":
         order = F.col(seq_col).asc() if engine == "first-row" else F.col(seq_col).desc()
+        # skew-aware two-phase merge (``bucket-shuffle.salt`` = S > 1):
+        # a pathologically hot key (one counter row hammered with
+        # millions of versions, or a bad user key choice collapsing a
+        # bucket) lands every version on ONE reduce task in the plain
+        # window. Phase 1 salts the shuffle with hash(seq) % S so each
+        # key's versions spread over S tasks and reduce to ≤ S
+        # candidate rows; phase 2 runs the ordinary window over that
+        # constant-per-key remainder. Latest/earliest-per-key is
+        # associative, so the result is hash-identical to the unsalted
+        # plan; cost is one extra (tiny) exchange, which is why it is
+        # opt-in rather than default.
+        salt = int(schema.options.get("bucket-shuffle.salt", "0"))
+        if salt > 1:
+            w1 = Window.partitionBy(*merge_keys, "__salt").orderBy(order)
+            df = (
+                df.withColumn(
+                    "__salt", F.pmod(F.xxhash64(F.col(seq_col)), F.lit(salt))
+                )
+                .withColumn("__rn1", F.row_number().over(w1))
+                .filter(F.col("__rn1") == 1)
+                .drop("__salt", "__rn1")
+            )
         w = Window.partitionBy(*merge_keys).orderBy(order)
         return (
             df.withColumn("__rn", F.row_number().over(w))

@@ -385,6 +385,42 @@ def test_connected_components_chain_and_clique(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
 
 
+def test_connected_components_nonconvergence_raises_and_warns(spark):
+    from paimon_python_spark.operators import connected_components
+    from paimon_python_spark.operators.dedup import ConvergenceError
+
+    # 30-node chain: diameter 29, so max_iter=5 cannot converge
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 30)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(ConvergenceError, match="did not converge"):
+        connected_components(chain, "doc_a", "doc_b", max_iter=5, strict=True)
+    with pytest.warns(RuntimeWarning, match="did not converge"):
+        connected_components(chain, "doc_a", "doc_b", max_iter=5).collect()
+    # enough rounds (diameter 29) converges and labels are exact
+    got = {
+        r.node: r.cluster
+        for r in connected_components(chain, "doc_a", "doc_b", max_iter=40).collect()
+    }
+    assert got == {i: 1 for i in range(1, 31)}
+
+
+def test_release_cached_empties_persistent_rdds(spark, docs):
+    from paimon_python_spark.operators import minhash_lsh_pairs, ngram_jaccard_pairs
+    from paimon_python_spark.operators._cache import release_cached
+
+    release_cached()  # clean slate from earlier tests
+    # assert on the DataFrame CacheManager (localCheckpoint blocks from
+    # other tests live outside it and are GC'd asynchronously)
+    cache_mgr = spark._jsparkSession.sharedState().cacheManager()
+    assert cache_mgr.isEmpty()
+    minhash_lsh_pairs(docs, "doc_id", "text").count()
+    ngram_jaccard_pairs(docs.limit(50), "doc_id", "text", max_doc_freq=40).count()
+    assert not cache_mgr.isEmpty()
+    assert release_cached() >= 2
+    assert cache_mgr.isEmpty()
+
+
 def test_fuzzy_dedup_survivors(spark):
     from paimon_python_spark.operators import fuzzy_dedup_survivors
 
@@ -1170,3 +1206,72 @@ def test_prototypicality_scores_and_cells(spark):
     assert out[1] == (1, 1.0)
     assert out[2] == (2, 1.0)
     assert out[3][0] == 2 and abs(out[3][1] - 0.707107) < 1e-6
+
+
+def test_png_all_filters_roundtrip_vectorized():
+    """Property check of the vectorized PNG filter reconstruction: an
+    INDEPENDENT scalar reference encoder filters rows with every type
+    (None/Sub/Up/Average/Paeth, cycling) across all four channel
+    layouts; decode must reproduce the pixels bit-exactly."""
+    import binascii
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from paimon_python_spark.functions.multimodal import _PNG_MAGIC, decode_png
+
+    def chunk(tag, payload):
+        body = tag + payload
+        return (
+            struct.pack(">I", len(payload))
+            + body
+            + struct.pack(">I", binascii.crc32(body) & 0xFFFFFFFF)
+        )
+
+    def encode_with_filters(arr, ftypes):
+        h, w, ch = arr.shape
+        color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+        stride = w * ch
+        flat = arr.reshape(h, stride).astype(np.int16)
+        prev = np.zeros(stride, np.int16)
+        out = bytearray()
+        for y in range(h):
+            f = ftypes[y % len(ftypes)]
+            line = flat[y]
+            enc = np.zeros(stride, np.int16)
+            for i in range(stride):
+                left = line[i - ch] if i >= ch else 0
+                up = prev[i]
+                ul = prev[i - ch] if i >= ch else 0
+                if f == 0:
+                    pred = 0
+                elif f == 1:
+                    pred = left
+                elif f == 2:
+                    pred = up
+                elif f == 3:
+                    pred = (left + up) >> 1
+                else:
+                    p = left + up - ul
+                    pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                    pred = (
+                        left if (pa <= pb and pa <= pc) else (up if pb <= pc else ul)
+                    )
+                enc[i] = (line[i] - pred) & 0xFF
+            out += bytes([f]) + bytes(enc.astype(np.uint8))
+            prev = line
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+        return (
+            _PNG_MAGIC
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(out)))
+            + chunk(b"IEND", b"")
+        )
+
+    rng = np.random.RandomState(42)
+    for ch in (1, 2, 3, 4):
+        h, w = int(rng.randint(3, 20)), int(rng.randint(3, 20))
+        arr = rng.randint(0, 256, (h, w, ch)).astype(np.uint8)
+        got = decode_png(encode_with_filters(arr, [0, 1, 2, 3, 4]))
+        assert np.array_equal(got, arr)

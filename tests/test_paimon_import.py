@@ -197,3 +197,203 @@ def test_import_pk_table(tmp_path, catalog):
     out = t.new_read_builder().new_read().to_pandas().sort_values("k")
     assert list(out.k) == [1, 2, 4]
     assert list(out.v) == ["a", "B", "d"]
+
+
+# ---- ADVICE-driven hardening: DV rejection, partition naming, tie-break ----
+
+
+def test_import_rejects_dv_tables(append_fixture):
+    snap_path = os.path.join(append_fixture, "snapshot", "snapshot-1")
+    with open(snap_path) as f:
+        snap = json.load(f)
+    snap["indexManifest"] = "index-manifest-0"
+    with open(snap_path, "w") as f:
+        json.dump(snap, f)
+    with pytest.raises(NotImplementedError, match="deletion "):
+        plan_paimon_files(append_fixture)
+
+
+def test_import_rejects_dv_option(tmp_path):
+    p = str(tmp_path / "paimon_dvopt")
+    t1 = pa.table({"k": pa.array([1], pa.int32())})
+    write_paimon_fixture(
+        p,
+        [("k", "INT")],
+        [],
+        [],
+        [(0, {}, 0, t1)],
+        options={"deletion-vectors.enabled": "true"},
+    )
+    with pytest.raises(NotImplementedError, match="deletion"):
+        plan_paimon_files(p)
+
+
+def test_partition_segment_formatting():
+    from paimon_python_spark.paimon_import import (
+        DEFAULT_PARTITION_NAME,
+        format_partition_segment,
+    )
+
+    assert (
+        format_partition_segment(None, T.StringType(), DEFAULT_PARTITION_NAME)
+        == "__DEFAULT_PARTITION__"
+    )
+    assert format_partition_segment(None, T.DateType(), "mydefault") == "mydefault"
+    # 19737 epoch days = 2024-01-15 (raw int out of decode_binary_row)
+    assert format_partition_segment(19737, T.DateType(), "x") == "2024-01-15"
+    assert format_partition_segment(True, T.BooleanType(), "x") == "true"
+    assert format_partition_segment(7, T.IntegerType(), "x") == "7"
+
+
+def test_import_date_partitioned(tmp_path, catalog):
+    p = str(tmp_path / "paimon_datepart")
+    sch = pa.schema([("dt", pa.int32()), ("k", pa.int32())])
+    t1 = pa.table({"dt": [19737, 19737], "k": [1, 2]}, schema=sch)
+    write_paimon_fixture(
+        p,
+        [("dt", "DATE NOT NULL"), ("k", "INT")],
+        ["dt"],
+        [],
+        [(0, {"dt": 19737}, 0, t1)],
+    )
+    # directory must be the ISO-formatted date, not the raw day int
+    assert os.path.isdir(os.path.join(p, "dt=2024-01-15", "bucket-0"))
+    entries = plan_paimon_files(p)
+    assert entries[0].partition == {"dt": 19737}
+    t = import_paimon_table(p, catalog, "default.imported_datepart")
+    out = t.new_read_builder().new_read().to_pandas().sort_values("k")
+    assert list(out.k) == [1, 2]
+
+
+def test_import_missing_file_fails_loudly(append_fixture, catalog):
+    os.remove(
+        os.path.join(append_fixture, "dt=b", "bucket-0", "data-fixture-1.parquet")
+    )
+    with pytest.raises(FileNotFoundError, match="partition directory naming"):
+        import_paimon_table(append_fixture, catalog, "default.imported_broken")
+
+
+def test_import_pk_equal_seq_deterministic_tiebreak(tmp_path, catalog):
+    """Equal sequence numbers (user sequence.field) must resolve by
+    manifest entry order — the later commit's value wins, every run."""
+    kv_schema = pa.schema(
+        [
+            ("_KEY_k", pa.int32()),
+            ("_SEQUENCE_NUMBER", pa.int64()),
+            ("_VALUE_KIND", pa.int32()),
+            ("k", pa.int32()),
+            ("v", pa.string()),
+        ]
+    )
+    f1 = pa.table(
+        {"_KEY_k": [1], "_SEQUENCE_NUMBER": [7], "_VALUE_KIND": [0], "k": [1], "v": ["old"]},
+        schema=kv_schema,
+    )
+    f2 = pa.table(
+        {"_KEY_k": [1], "_SEQUENCE_NUMBER": [7], "_VALUE_KIND": [0], "k": [1], "v": ["new"]},
+        schema=kv_schema,
+    )
+    p = str(tmp_path / "paimon_pk_tie")
+    write_paimon_fixture(
+        p,
+        [("k", "INT NOT NULL"), ("v", "STRING")],
+        [],
+        ["k"],
+        [(0, {}, 0, f1), (0, {}, 0, f2)],
+        options={"bucket": "1"},
+    )
+    t = import_paimon_table(p, catalog, "default.imported_pk_tie")
+    out = t.new_read_builder().new_read().to_pandas()
+    assert list(out.k) == [1]
+    assert list(out.v) == ["new"]
+
+
+# ---- in-place lake read (no copy) ----
+
+
+def test_lake_read_append_two_commits(append_fixture, spark):
+    """Two successive Paimon commits; each read re-plans fresh metadata
+    — a concurrently-written lake stays current with no re-import."""
+    from paimon_python_spark.paimon_import import append_paimon_fixture_snapshot
+    from paimon_python_spark.paimon_lake import PaimonLakeTable
+    from paimon_python_spark.session import set_spark
+
+    set_spark(spark)
+    t = PaimonLakeTable(append_fixture)
+    out1 = t.new_read_builder().new_read().to_pandas().sort_values("k")
+    assert list(out1.k) == [1, 2, 3]
+    # second commit lands while the handle is open
+    sch = pa.schema([("dt", pa.string()), ("k", pa.int32()), ("v", pa.string())])
+    t4 = pa.table({"dt": ["c", "c"], "k": [7, 8], "v": ["p", "q"]}, schema=sch)
+    append_paimon_fixture_snapshot(append_fixture, [(0, {"dt": "c"}, 0, t4)])
+    out2 = t.new_read_builder().new_read().to_pandas().sort_values("k")
+    assert list(out2.k) == [1, 2, 3, 7, 8]
+    assert list(out2.dt) == ["a", "a", "b", "c", "c"]
+    # time travel back to snapshot 1
+    old = t.new_read_builder().with_snapshot(1).new_read().to_pandas()
+    assert sorted(old.k) == [1, 2, 3]
+
+
+def test_lake_read_partition_pruning_and_residual(append_fixture, spark):
+    from paimon_python_spark.paimon_lake import PaimonLakeTable
+    from paimon_python_spark.session import set_spark
+
+    set_spark(spark)
+    t = PaimonLakeTable(append_fixture)
+    rb = t.new_read_builder()
+    pb = rb.new_predicate_builder()
+    out = (
+        rb.with_filter(pb.and_predicates([pb.equal("dt", "a"), pb.greater_than("k", 1)]))
+        .with_projection(["k", "v"])
+        .new_read()
+        .to_pandas()
+    )
+    assert list(out.columns) == ["k", "v"]
+    assert list(out.k) == [2]
+    with pytest.raises(ValueError, match="not in table schema"):
+        t.new_read_builder().with_projection(["nope"])
+
+
+def test_lake_read_pk_merge(tmp_path, spark):
+    """PK lake table read in place: merge resolves upserts and deletes
+    across two snapshots without materializing anything."""
+    from paimon_python_spark.paimon_import import append_paimon_fixture_snapshot
+    from paimon_python_spark.paimon_lake import PaimonLakeTable
+    from paimon_python_spark.session import set_spark
+
+    set_spark(spark)
+    kv_schema = pa.schema(
+        [
+            ("_KEY_k", pa.int32()),
+            ("_SEQUENCE_NUMBER", pa.int64()),
+            ("_VALUE_KIND", pa.int32()),
+            ("k", pa.int32()),
+            ("v", pa.string()),
+        ]
+    )
+    f1 = pa.table(
+        {"_KEY_k": [1, 2, 3], "_SEQUENCE_NUMBER": [0, 1, 2], "_VALUE_KIND": [0, 0, 0],
+         "k": [1, 2, 3], "v": ["a", "b", "c"]},
+        schema=kv_schema,
+    )
+    p = str(tmp_path / "paimon_pk_lake")
+    write_paimon_fixture(
+        p,
+        [("k", "INT NOT NULL"), ("v", "STRING")],
+        [],
+        ["k"],
+        [(0, {}, 0, f1)],
+        options={"bucket": "1"},
+    )
+    t = PaimonLakeTable(p)
+    out1 = t.new_read_builder().new_read().to_pandas().sort_values("k")
+    assert list(out1.v) == ["a", "b", "c"]
+    f2 = pa.table(
+        {"_KEY_k": [2, 3], "_SEQUENCE_NUMBER": [3, 4], "_VALUE_KIND": [0, 3],
+         "k": [2, 3], "v": ["B", "c"]},
+        schema=kv_schema,
+    )
+    append_paimon_fixture_snapshot(p, [(0, {}, 0, f2)])
+    out2 = t.new_read_builder().new_read().to_pandas().sort_values("k")
+    assert list(out2.k) == [1, 2]
+    assert list(out2.v) == ["a", "B"]

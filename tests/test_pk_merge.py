@@ -713,3 +713,49 @@ def test_write_dataframe_duplicate_keys_one_call_distinct_seq(catalog):
     assert sorted(out["k"].tolist()) == list(range(100))
     # each survivor must be one of that key's actual inputs
     assert ((out["v"] % 100) == out["k"]).all()
+
+
+def test_skew_salted_merge_hash_identical(catalog, spark):
+    """``bucket-shuffle.salt`` two-phase merge: a 1-bucket table with a
+    pathologically hot key (2000 versions of k=1) must produce rows
+    hash-identical to the unsalted plan, with the salted pre-reduce
+    visible in the physical plan (phase-1 window keyed on __salt) so a
+    hot key's versions spread over >1 task before the per-key window."""
+    import pandas as pd
+
+    from paimon_python_spark import Schema
+
+    base = pd.DataFrame(
+        {
+            "k": [1] * 2000 + [2, 3],
+            "v": list(range(2000)) + [100, 200],
+        }
+    )
+    sdf = spark.createDataFrame(base)
+    for name, opts in (
+        ("skew_plain", {"bucket": "1"}),
+        ("skew_salted", {"bucket": "1", "bucket-shuffle.salt": "8"}),
+    ):
+        catalog.create_table(
+            f"default.{name}", Schema(sdf.schema, primary_keys=["k"], options=opts), False
+        )
+        t = catalog.get_table(f"default.{name}")
+        # two commits so versions of k=1 genuinely span sequence numbers
+        for half in (base.iloc[:1000], base.iloc[1000:]):
+            wb = t.new_batch_write_builder()
+            w, c = wb.new_write(), wb.new_commit()
+            w.write_pandas(half)
+            c.commit(w.prepare_commit())
+            w.close()
+            c.close()
+    plain = catalog.get_table("default.skew_plain")
+    salted = catalog.get_table("default.skew_salted")
+    df_plain = plain.new_read_builder().new_read().to_df()
+    df_salted = salted.new_read_builder().new_read().to_df()
+    assert "__salt" in df_salted._jdf.queryExecution().executedPlan().toString()
+    assert "__salt" not in df_plain._jdf.queryExecution().executedPlan().toString()
+    rows_p = sorted((r.k, r.v) for r in df_plain.collect())
+    rows_s = sorted((r.k, r.v) for r in df_salted.collect())
+    assert rows_p == rows_s
+    assert [k for k, _ in rows_s] == [1, 2, 3]
+    assert dict(rows_s)[1] == 1999  # latest version of the hot key wins

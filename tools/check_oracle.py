@@ -69,6 +69,8 @@ def main():
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
 
+    from paimon_python_spark.operators._cache import release_cached
+
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = []
@@ -82,6 +84,8 @@ def main():
             failures.append(name)
             print(f"FAIL {name}: spark error: {e}")
             continue
+        finally:
+            release_cached()
         if name not in oracles:
             print(f"rows-only {name}: {len(sdf)} rows ({time.time()-t0:.1f}s)")
             continue

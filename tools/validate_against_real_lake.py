@@ -1,0 +1,109 @@
+#!/usr/bin/env python
+"""One-command closure for the BinaryRow/Avro codec's self-roundtrip
+caveat: every fixture in this repo is built TO THE SPEC by our own
+encoder (no Paimon JVM exists in this container), so a systematic
+misreading of the published format would pass its own roundtrip. The
+moment a REAL (Flink/Spark-written) Paimon warehouse is reachable, run:
+
+    python tools/validate_against_real_lake.py /path/to/warehouse/db.db/table
+
+It exercises, against genuinely foreign bytes:
+  1. schema parse (JSON type strings → Spark schema);
+  2. snapshot + manifest-list + manifest Avro decode (generic reader,
+     nested records, negative block counts);
+  3. BinaryRow partition decode (bitset header, inline compaction,
+     little-endian slots) — verified by checking every planned file
+     path actually exists on disk (a mis-decoded partition value
+     produces a directory name that doesn't);
+  4. an in-place read (paimon_lake.py) of up to --limit rows, with the
+     PK merge if the table has primary keys;
+  5. row-count reconciliation against the snapshot's totalRecordCount
+     (append tables only — PK visible rows legitimately differ).
+
+Exit 0 = every check passed on a lake this repo did not write.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("table_path", help="path to <warehouse>/<db>.db/<table>")
+    ap.add_argument("--limit", type=int, default=10000, help="max rows to read")
+    ap.add_argument("--snapshot", type=int, default=None, help="snapshot id")
+    args = ap.parse_args()
+
+    from paimon_python_spark.paimon_import import (
+        plan_paimon_files,
+        read_paimon_schema,
+        read_paimon_snapshot,
+    )
+
+    info = read_paimon_schema(args.table_path)
+    print(f"[1/5] schema OK: {len(info.spark_schema.fields)} fields, "
+          f"partition={info.partition_keys}, pk={info.primary_keys}")
+
+    snap = read_paimon_snapshot(args.table_path, args.snapshot)
+    entries = plan_paimon_files(args.table_path, args.snapshot)
+    print(f"[2/5] metadata OK: snapshot {snap['id']}, {len(entries)} live files")
+
+    part_types = [info.spark_schema[k].dataType for k in info.partition_keys]
+    default_name = info.options.get(
+        "partition.default-name", "__DEFAULT_PARTITION__"
+    )
+    missing = []
+    for e in entries:
+        p = os.path.join(
+            args.table_path,
+            e.rel_path(info.partition_keys, part_types, default_name),
+        )
+        if not os.path.exists(p):
+            missing.append(p)
+    if missing:
+        print(f"[3/5] FAIL: {len(missing)} planned paths missing, e.g. {missing[0]!r}")
+        print("      → BinaryRow partition decode or directory naming mismatch")
+        return 1
+    print(f"[3/5] BinaryRow partition decode OK: all {len(entries)} planned paths exist")
+
+    from pyspark.sql import SparkSession
+
+    from paimon_python_spark.paimon_lake import PaimonLakeTable
+    from paimon_python_spark.session import configure_builder, set_spark
+
+    spark = configure_builder(
+        SparkSession.builder.master("local[4]").appName("validate_real_lake")
+    ).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    set_spark(spark)
+    df = (
+        PaimonLakeTable(args.table_path)
+        .new_read_builder()
+        .with_snapshot(snap["id"])
+        .new_read()
+        .to_df()
+    )
+    sample = df.limit(args.limit).collect()
+    print(f"[4/5] in-place read OK: {len(sample)} rows sampled "
+          f"({'PK merge' if info.primary_keys else 'append scan'})")
+
+    if not info.primary_keys and snap.get("totalRecordCount") is not None:
+        total = df.count()
+        expect = int(snap["totalRecordCount"])
+        if total != expect:
+            print(f"[5/5] FAIL: read {total} rows, snapshot says {expect}")
+            return 1
+        print(f"[5/5] row count reconciles with snapshot: {total}")
+    else:
+        print("[5/5] skipped (PK table: visible rows != totalRecordCount by design)")
+    print("ALL CHECKS PASSED against a foreign-written lake")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
