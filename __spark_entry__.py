@@ -2397,6 +2397,101 @@ WHERE o_orderkey <= 6000 AND o_orderpriority = '1-URGENT'
 """
 
 
+def paimon_lake_pk_roundtrip(spark, sf_dir):
+    """In-place PK lake read: a spec-format key-value table (``_KEY_*``
+    system columns) gets a base commit of customer rows and a second
+    commit that upserts every even key with a flagged name and DELETEs
+    keys divisible by 5 — the lake read must resolve the merge
+    (max sequence per key, -D drops) with no import. Oracle replays the
+    same rule in SQL."""
+    import pyarrow as pa
+
+    from paimon_python_spark.paimon_import import (
+        append_paimon_fixture_snapshot,
+        write_paimon_table_fixture,
+    )
+    from paimon_python_spark.paimon_lake import PaimonLakeTable
+    from paimon_python_spark.session import set_spark
+
+    set_spark(spark)
+    pdf = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 1500)
+        .select("c_custkey", "c_name", "c_acctbal")
+        .toPandas()
+        .sort_values("c_custkey")
+    )
+
+    def kv_table(keys, names, seqs, kinds, bals):
+        return pa.table(
+            {
+                "_KEY_c_custkey": pa.array(keys, pa.int64()),
+                "_SEQUENCE_NUMBER": pa.array(seqs, pa.int64()),
+                "_VALUE_KIND": pa.array(kinds, pa.int32()),
+                "c_custkey": pa.array(keys, pa.int64()),
+                "c_name": pa.array(names, pa.string()),
+                "c_acctbal": pa.array(bals, pa.float64()),
+            }
+        )
+
+    keys = [int(k) for k in pdf.c_custkey]
+    base = kv_table(
+        keys,
+        list(pdf.c_name),
+        list(range(len(keys))),
+        [0] * len(keys),
+        [float(b) for b in pdf.c_acctbal],
+    )
+    fixture = _fresh_warehouse("lakepk") + "/customer_kv"
+    write_paimon_table_fixture(
+        fixture,
+        [
+            ("c_custkey", "BIGINT NOT NULL"),
+            ("c_name", "STRING"),
+            ("c_acctbal", "DOUBLE"),
+        ],
+        [],
+        ["c_custkey"],
+        [(0, {}, 0, base)],
+        options={"bucket": "1"},
+    )
+    evens = [k for k in keys if k % 2 == 0]
+    upd = kv_table(
+        evens,
+        [f"UPDATED-{k}" for k in evens],
+        list(range(len(keys), len(keys) + len(evens))),
+        [0] * len(evens),
+        [0.0] * len(evens),
+    )
+    fives = [k for k in keys if k % 5 == 0]
+    dels = kv_table(
+        fives,
+        ["x"] * len(fives),
+        list(range(len(keys) + len(evens), len(keys) + len(evens) + len(fives))),
+        [3] * len(fives),  # -D
+        [0.0] * len(fives),
+    )
+    append_paimon_fixture_snapshot(fixture, [(0, {}, 0, upd), (0, {}, 0, dels)])
+    return (
+        PaimonLakeTable(fixture)
+        .new_read_builder()
+        .new_read()
+        .to_df()
+        .orderBy("c_custkey")
+    )
+
+
+PAIMON_LAKE_PK_SQL = """
+SELECT c_custkey,
+       CASE WHEN c_custkey % 2 = 0 THEN 'UPDATED-' || CAST(c_custkey AS VARCHAR)
+            ELSE c_name END AS c_name,
+       CASE WHEN c_custkey % 2 = 0 THEN 0.0 ELSE c_acctbal END AS c_acctbal
+FROM customer
+WHERE c_custkey <= 1500 AND c_custkey % 5 <> 0
+ORDER BY c_custkey
+"""
+
+
 def paimon_scan_pushdown_roundtrip(spark, sf_dir):
     """Append table: write lineitem subset, read back through the
     engine's predicate/projection pushdown (PredicateBuilder surface +
@@ -6736,6 +6831,7 @@ _QUERIES: dict[str, Callable] = {
     "agg_copurchase_pairs": agg_copurchase_pairs,
     "paimon_system_tables_roundtrip": paimon_system_tables_roundtrip,
     "dedup_containment_capped": dedup_containment_capped,
+    "paimon_lake_pk_roundtrip": paimon_lake_pk_roundtrip,
 }
 
 _ORACLES: dict[str, str] = {
@@ -6887,6 +6983,7 @@ _ORACLES: dict[str, str] = {
     "paimon_stream_source_roundtrip": PAIMON_STREAM_SOURCE_SQL,
     "paimon_import_roundtrip": PAIMON_IMPORT_SQL,
     "paimon_inplace_read_roundtrip": PAIMON_INPLACE_SQL,
+    "paimon_lake_pk_roundtrip": PAIMON_LAKE_PK_SQL,
 }
 
 

@@ -46,8 +46,10 @@ from paimon_python_spark.branches import (
     list_branches,
 )
 from paimon_python_spark.tags import create_tag, delete_tag, list_tags
+from paimon_python_spark.paimon_lake import PaimonLakeTable
 
 __all__ = [
+    "PaimonLakeTable",
     "Catalog",
     "Schema",
     "Table",

@@ -476,10 +476,14 @@ def embedding_cosine_pairs_lsh(
         )
         .distinct()
     )
-    normed = df.select(
-        F.col(id_col),
-        F.col(vec_col).alias("__v"),
-        F.sqrt(F.expr(dot_expr(vec_col, vec_col))).alias("__n"),
+    # also shared: the (vector, norm) frame feeds BOTH verification-join
+    # sides — one scan + one norm fold instead of two
+    normed = shared(
+        df.select(
+            F.col(id_col),
+            F.col(vec_col).alias("__v"),
+            F.sqrt(F.expr(dot_expr(vec_col, vec_col))).alias("__n"),
+        )
     )
     return (
         cand.join(

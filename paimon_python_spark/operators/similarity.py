@@ -432,12 +432,18 @@ def semantic_dedup(
     because the fold arithmetic is sequential doubles and ties
     aggregate through min/max.
     """
+    from paimon_python_spark.operators._cache import shared
+
     # norms are precomputed ONCE per vector before the self-join — the
     # pairwise stage then does a single dot fold per pair instead of
     # three (measured 3x less expression work; sqrt(a·a)*sqrt(b·b) on
-    # precomputed values is bit-identical to computing them inline)
-    celled = assign_cells(df.select(id_col, vec_col), vec_col, centroids).withColumn(
-        "__norm", F.sqrt(F.expr(dot_expr(vec_col, vec_col)))
+    # precomputed values is bit-identical to computing them inline).
+    # Persisted (scoped cache): the k centroid dot-products per vector
+    # feed BOTH self-join sides — unpersisted they compute twice.
+    celled = shared(
+        assign_cells(df.select(id_col, vec_col), vec_col, centroids).withColumn(
+            "__norm", F.sqrt(F.expr(dot_expr(vec_col, vec_col)))
+        )
     )
     a = celled.select(
         "cell",

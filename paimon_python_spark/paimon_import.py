@@ -487,6 +487,41 @@ def _spec_file_meta(name: str, size: int, rows: int) -> dict:
     }
 
 
+_AVRO_PRIM = {
+    "IntegerType()": "int",
+    "LongType()": "long",
+    "FloatType()": "float",
+    "DoubleType()": "double",
+    "StringType()": "string",
+    "BooleanType()": "boolean",
+    "BinaryType()": "bytes",
+    "DateType()": "int",
+}
+
+
+def _write_fixture_data_file(table, fpath: str, fmt: str) -> None:
+    """Write one fixture data file as parquet or avro (avro via the
+    engine codec — nullable-union fields, like real Paimon writes)."""
+    if fmt == "parquet":
+        import pyarrow.parquet as pq
+
+        pq.write_table(table, fpath)
+        return
+    if fmt != "avro":
+        raise ValueError(f"fixture format {fmt!r} unsupported")
+    from paimon_python_spark.avro_codec import write_avro_records
+    from paimon_python_spark.types import pa_type_to_spark
+
+    fields = []
+    for f in table.schema:
+        st = repr(pa_type_to_spark(f.type))
+        if st not in _AVRO_PRIM:
+            raise ValueError(f"avro fixture: unsupported type {st}")
+        fields.append({"name": f.name, "type": ["null", _AVRO_PRIM[st]]})
+    schema = {"type": "record", "name": "paimon_row", "fields": fields}
+    write_avro_records(fpath, schema, table.to_pylist())
+
+
 def write_paimon_table_fixture(
     path: str,
     schema_fields: List[tuple],
@@ -507,10 +542,9 @@ def write_paimon_table_fixture(
     This is the importer's test double (no Paimon JVM in this
     container) and doubles as a minimal export path: a table written
     here is laid out exactly as the published spec describes, one
-    snapshot deep.
+    snapshot deep. ``options={"file.format": "avro"}`` writes avro data
+    files (nullable-union fields) instead of parquet.
     """
-    import pyarrow.parquet as pq
-
     from paimon_python_spark.avro_codec import write_avro_records
 
     os.makedirs(os.path.join(path, "schema"))
@@ -540,6 +574,7 @@ def write_paimon_table_fixture(
     default_name = (options or {}).get(
         "partition.default-name", DEFAULT_PARTITION_NAME
     )
+    fmt = (options or {}).get("file.format", "parquet")
     entries = []
     added: dict = {}  # (table id, partition, bucket) -> file name at ADD
     for i, (kind, pvals, bucket, table) in enumerate(files):
@@ -551,9 +586,9 @@ def write_paimon_table_fixture(
         os.makedirs(ddir, exist_ok=True)
         fkey = (id(table), tuple(sorted(pvals.items())), bucket)
         if kind == 0:
-            fname = f"data-fixture-{i}.parquet"
+            fname = f"data-fixture-{i}.{fmt}"
             added[fkey] = fname
-            pq.write_table(table, os.path.join(ddir, fname))
+            _write_fixture_data_file(table, os.path.join(ddir, fname), fmt)
         else:  # DELETE references the file its ADD created
             fname = added[fkey]
         fpath = os.path.join(ddir, fname)
@@ -630,8 +665,6 @@ def append_paimon_fixture_snapshot(
     ``files`` uses the fixture writer's tuple shape; lets tests and
     gates model a concurrently-written lake (write → read → write →
     read with no re-import)."""
-    import pyarrow.parquet as pq
-
     from paimon_python_spark.avro_codec import write_avro_records
 
     info = read_paimon_schema(path)
@@ -652,10 +685,11 @@ def append_paimon_fixture_snapshot(
         ]
         ddir = os.path.join(path, *parts, f"bucket-{bucket}")
         os.makedirs(ddir, exist_ok=True)
-        fname = f"data-fixture-{tag}-{i}.parquet"
+        fmt = info.options.get("file.format", "parquet")
+        fname = f"data-fixture-{tag}-{i}.{fmt}"
         fpath = os.path.join(ddir, fname)
         if kind == 0:
-            pq.write_table(table, fpath)
+            _write_fixture_data_file(table, fpath, fmt)
         size = os.path.getsize(fpath) if os.path.exists(fpath) else 0
         entries.append(
             {
@@ -727,6 +761,39 @@ def append_paimon_fixture_snapshot(
 # ---- shared read recipes (import + in-place lake read) ----
 
 
+def paimon_kv_schema(info: PaimonSchemaInfo) -> T.StructType:
+    """Physical schema of a Paimon PK table's key-value data files:
+    ``_KEY_<k>`` for each trimmed primary key (PK minus partition keys —
+    Paimon trims them), ``_SEQUENCE_NUMBER``, ``_VALUE_KIND``, then all
+    value fields."""
+    trimmed = [k for k in info.primary_keys if k not in info.partition_keys]
+    fields = [
+        T.StructField(f"_KEY_{k}", info.spark_schema[k].dataType) for k in trimmed
+    ]
+    fields.append(T.StructField("_SEQUENCE_NUMBER", T.LongType()))
+    fields.append(T.StructField("_VALUE_KIND", T.IntegerType()))
+    fields.extend(T.StructField(f.name, f.dataType) for f in info.spark_schema.fields)
+    return T.StructType(fields)
+
+
+def _load_lake_files(spark, paths: List[str], fmt: str, physical: T.StructType):
+    """Load Paimon data files of any supported format as one DataFrame.
+
+    parquet/orc use Spark's native vectorized readers with
+    ``mergeSchema`` so files written under older schema versions surface
+    missing columns as NULL (Paimon's schema-evolution read contract)
+    instead of failing; avro goes through the engine's distributed codec
+    (``binaryFile`` + mapInPandas — no spark-avro dependency), which
+    needs the explicit physical schema."""
+    if fmt == "avro":
+        from paimon_python_spark.read import _read_avro_df
+
+        return _read_avro_df(spark, paths, physical)
+    return (
+        spark.read.format(fmt).option("mergeSchema", "true").load(paths)
+    )
+
+
 def merge_paimon_pk_entries(spark, info: PaimonSchemaInfo, entries, src, fmt: str):
     """Distributed merge of a PK table's key-value files into the
     visible rows: max ``_SEQUENCE_NUMBER`` per (partition, key) wins,
@@ -744,7 +811,7 @@ def merge_paimon_pk_entries(spark, info: PaimonSchemaInfo, entries, src, fmt: st
     paths = [src(e) for e in entries]
     if not paths:
         return spark.createDataFrame([], info.spark_schema)
-    raw = spark.read.format(fmt).load(paths)
+    raw = _load_lake_files(spark, paths, fmt, paimon_kv_schema(info))
     value_cols = [f.name for f in info.spark_schema.fields]
     merge_keys = list(dict.fromkeys(info.partition_keys + info.primary_keys))
     # file names are UUID-unique within a Paimon table, so a broadcast

@@ -44,22 +44,38 @@ from paimon_python_spark.write import (
 )
 
 
-def _read_avro_df(spark, paths: List[str], physical: T.StructType) -> DataFrame:
+def _read_avro_df(
+    spark,
+    paths: List[str],
+    physical: T.StructType,
+    file_name_col: str | None = None,
+) -> DataFrame:
     """Distributed Avro scan without the spark-avro DataSource: the
     ``binaryFile`` source parallelizes over files, each task decodes its
     files with the engine codec and emits Arrow batches via
     ``mapInPandas``. Not vectorized like parquet, but fully distributed
-    and schema-checked at the tool-call layer."""
+    and schema-checked at the tool-call layer.
+
+    ``file_name_col`` appends each row's source FILE NAME (last path
+    segment) — mapInPandas severs ``input_file_name()`` provenance, and
+    merge tie-breaking needs it."""
+    import os as _os
+
     import pandas as pd
 
     from paimon_python_spark.avro_codec import read_avro_columns
 
     names = [f.name for f in physical.fields]
+    out_schema = physical
+    if file_name_col:
+        out_schema = T.StructType(
+            [*physical.fields, T.StructField(file_name_col, T.StringType())]
+        )
 
     def decode(batches):
         for pdf in batches:
             frames = []
-            for content in pdf["content"]:
+            for path, content in zip(pdf["path"], pdf["content"]):
                 # columnar decode (numpy-vectorized for numeric blocks)
                 # straight into the frame — no row-tuple detour
                 fnames, cols = read_avro_columns(bytes(content))
@@ -72,12 +88,14 @@ def _read_avro_df(spark, paths: List[str], physical: T.StructType) -> DataFrame:
                         for n in names
                     }
                 )
+                if file_name_col:
+                    frame[file_name_col] = _os.path.basename(str(path))
                 frames.append(frame)
             if frames:
                 yield pd.concat(frames, ignore_index=True)
 
-    binary = spark.read.format("binaryFile").load(paths).select("content")
-    return binary.mapInPandas(decode, physical)
+    binary = spark.read.format("binaryFile").load(paths).select("path", "content")
+    return binary.mapInPandas(decode, out_schema)
 
 
 def projection_columns(paths: List[List[str]]) -> List:

@@ -397,3 +397,50 @@ def test_lake_read_pk_merge(tmp_path, spark):
     out2 = t.new_read_builder().new_read().to_pandas().sort_values("k")
     assert list(out2.k) == [1, 2]
     assert list(out2.v) == ["a", "B"]
+
+
+def test_lake_read_avro_format(tmp_path, spark):
+    """Avro-format lake (file.format=avro): data files written by the
+    engine codec, read in place through the distributed binaryFile +
+    mapInPandas path — including the PK merge whose tie-break needs
+    file provenance that mapInPandas severs (carried explicitly)."""
+    from paimon_python_spark.paimon_import import append_paimon_fixture_snapshot
+    from paimon_python_spark.paimon_lake import PaimonLakeTable
+    from paimon_python_spark.session import set_spark
+
+    set_spark(spark)
+    kv_schema = pa.schema(
+        [
+            ("_KEY_k", pa.int32()),
+            ("_SEQUENCE_NUMBER", pa.int64()),
+            ("_VALUE_KIND", pa.int32()),
+            ("k", pa.int32()),
+            ("v", pa.string()),
+        ]
+    )
+    f1 = pa.table(
+        {"_KEY_k": [1, 2], "_SEQUENCE_NUMBER": [0, 1], "_VALUE_KIND": [0, 0],
+         "k": [1, 2], "v": ["a", "b"]},
+        schema=kv_schema,
+    )
+    f2 = pa.table(
+        {"_KEY_k": [2], "_SEQUENCE_NUMBER": [2], "_VALUE_KIND": [0],
+         "k": [2], "v": ["B"]},
+        schema=kv_schema,
+    )
+    p = str(tmp_path / "paimon_avro_lake")
+    write_paimon_fixture(
+        p,
+        [("k", "INT NOT NULL"), ("v", "STRING")],
+        [],
+        ["k"],
+        [(0, {}, 0, f1)],
+        options={"bucket": "1", "file.format": "avro"},
+    )
+    assert os.path.exists(os.path.join(p, "bucket-0", "data-fixture-0.avro"))
+    t = PaimonLakeTable(p)
+    out1 = t.new_read_builder().new_read().to_pandas().sort_values("k")
+    assert list(out1.v) == ["a", "b"]
+    append_paimon_fixture_snapshot(p, [(0, {}, 0, f2)])
+    out2 = t.new_read_builder().new_read().to_pandas().sort_values("k")
+    assert list(out2.v) == ["a", "B"]

@@ -64,6 +64,11 @@ SWEEP = [
     ("events_interval_join_binned", "binned interval join"),
     ("sample_token_budget_mix", "token-budget corpus mix"),
     ("profile_table_columns", "column profiling (multi-distinct agg)"),
+    # r5 additions: the new headliners + table-format roundtrips
+    ("dedup_ngram_jaccard_capped", "df-capped exact n-gram Jaccard (persisted index)"),
+    ("dedup_embedding_cosine_lsh", "hyperplane-LSH embedding dedup (persisted buckets)"),
+    ("paimon_pk_upsert_roundtrip", "PK table write+merge-on-read roundtrip"),
+    ("paimon_dv_roundtrip", "deletion-vector write+index+read roundtrip"),
 ]
 
 
@@ -181,6 +186,8 @@ def main() -> None:
         "overwrite"
     ).format("noop").save()
 
+    from paimon_python_spark.operators._cache import release_cached
+
     results: dict[str, dict[str, float]] = {}
     for name, _why in SWEEP:
         fn = qs[name]
@@ -191,6 +198,7 @@ def main() -> None:
                 t0 = time.time()
                 fn(spark, d).write.mode("overwrite").format("noop").save()
                 best = min(best, time.time() - t0)
+                release_cached()
             results[name][tier] = best
             print(f"{name:34s} {tier:7s} {best:7.3f}s", flush=True)
 
