@@ -95,8 +95,86 @@ class PaimonLakeReadBuilder:
         self._snapshot_id = snapshot_id
         return self
 
+    def new_scan(self) -> "PaimonLakeScan":
+        return PaimonLakeScan(self)
+
     def new_read(self) -> "PaimonLakeRead":
         return PaimonLakeRead(self)
+
+
+class PaimonLakeScan:
+    """Planning-only view (reference TableScan parity): fold the live
+    manifest chain into splits — one split per (partition, bucket),
+    the grouping Paimon itself scans by — with partition pruning
+    applied. Pure driver-side metadata; no data files are opened."""
+
+    def __init__(self, builder: PaimonLakeReadBuilder):
+        self.builder = builder
+
+    def plan(self) -> "PaimonLakePlan":
+        import os
+        from collections import defaultdict
+
+        b = self.builder
+        info = read_paimon_schema(b.table.table_path)
+        entries = _pruned_entries(b.table.table_path, info, b)
+        part_types = [info.spark_schema[k].dataType for k in info.partition_keys]
+        default_name = info.options.get("partition.default-name", None)
+        groups = defaultdict(list)
+        for e in entries:
+            groups[(tuple(sorted(e.partition.items())), e.bucket)].append(e)
+        splits = []
+        for (_pkey, _bucket), es in sorted(groups.items(), key=lambda kv: str(kv[0])):
+            kw = {"default_name": default_name} if default_name else {}
+            splits.append(
+                PaimonLakeSplit(
+                    row_count=sum(e.row_count for e in es),
+                    file_size=sum(e.file_size for e in es),
+                    _paths=[
+                        os.path.join(
+                            b.table.table_path,
+                            e.rel_path(info.partition_keys, part_types, **kw),
+                        )
+                        for e in es
+                    ],
+                )
+            )
+        return PaimonLakePlan(splits)
+
+
+class PaimonLakeSplit:
+    def __init__(self, row_count: int, file_size: int, _paths: List[str]):
+        self._row_count = row_count
+        self._file_size = file_size
+        self._paths = _paths
+
+    def row_count(self) -> int:
+        return self._row_count
+
+    def file_size(self) -> int:
+        return self._file_size
+
+    def file_paths(self) -> List[str]:
+        return list(self._paths)
+
+
+class PaimonLakePlan:
+    def __init__(self, splits: List[PaimonLakeSplit]):
+        self._splits = splits
+
+    def splits(self) -> List[PaimonLakeSplit]:
+        return list(self._splits)
+
+
+def _pruned_entries(table_path: str, info: PaimonSchemaInfo, b: "PaimonLakeReadBuilder"):
+    """Plan the live file set and drop partitions the predicate rules
+    out (evaluated on decoded BinaryRow values)."""
+    entries = plan_paimon_files(table_path, b._snapshot_id)
+    if b._predicate is not None and info.partition_keys:
+        part_pred = b._predicate.keep_only_fields(set(info.partition_keys))
+        if part_pred is not None:
+            entries = [e for e in entries if part_pred.test_by_value(e.partition)]
+    return entries
 
 
 class PaimonLakeRead:
@@ -117,13 +195,7 @@ class PaimonLakeRead:
         b = self.builder
         table_path = b.table.table_path
         info = read_paimon_schema(table_path)
-        entries = plan_paimon_files(table_path, b._snapshot_id)
-        if b._predicate is not None and info.partition_keys:
-            part_pred = b._predicate.keep_only_fields(set(info.partition_keys))
-            if part_pred is not None:
-                entries = [
-                    e for e in entries if part_pred.test_by_value(e.partition)
-                ]
+        entries = _pruned_entries(table_path, info, b)
         fmt = info.options.get("file.format", "parquet")
         part_types = [info.spark_schema[k].dataType for k in info.partition_keys]
         default_name = info.options.get("partition.default-name", None)

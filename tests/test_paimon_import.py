@@ -444,3 +444,47 @@ def test_lake_read_avro_format(tmp_path, spark):
     append_paimon_fixture_snapshot(p, [(0, {}, 0, f2)])
     out2 = t.new_read_builder().new_read().to_pandas().sort_values("k")
     assert list(out2.v) == ["a", "B"]
+
+
+def test_lake_scan_plan_splits(append_fixture, spark):
+    """TableScan parity on the lake adapter: one split per (partition,
+    bucket), manifest stats, partition pruning at plan time."""
+    from paimon_python_spark.paimon_lake import PaimonLakeTable
+    from paimon_python_spark.session import set_spark
+
+    set_spark(spark)
+    t = PaimonLakeTable(append_fixture)
+    splits = t.new_read_builder().new_scan().plan().splits()
+    assert len(splits) == 2  # dt=a and dt=b (third file DELETEd)
+    assert sum(s.row_count() for s in splits) == 3
+    assert all(s.file_size() > 0 for s in splits)
+    rb = t.new_read_builder()
+    pb = rb.new_predicate_builder()
+    pruned = rb.with_filter(pb.equal("dt", "b")).new_scan().plan().splits()
+    assert len(pruned) == 1
+    assert pruned[0].row_count() == 1
+    assert pruned[0].file_paths()[0].endswith("data-fixture-1.parquet")
+
+
+def test_lake_read_residual_filter_pushes_to_scan(append_fixture, spark):
+    """The lake read is declarative: the residual predicate must reach
+    the parquet scan as a PushedFilter (Catalyst sees a plain filter
+    over a file scan — no pushdown-blocking opacity in the adapter)."""
+    import io
+    from contextlib import redirect_stdout
+
+    from paimon_python_spark.paimon_lake import PaimonLakeTable
+    from paimon_python_spark.session import set_spark
+
+    set_spark(spark)
+    rb = PaimonLakeTable(append_fixture).new_read_builder()
+    pb = rb.new_predicate_builder()
+    df = rb.with_filter(pb.greater_than("k", 1)).new_read().to_df()
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    pushed = [
+        ln for ln in plan.splitlines() if "PushedFilters" in ln and "[]" not in ln
+    ]
+    assert pushed, f"no non-empty PushedFilters in lake-read plan:\n{plan}"
