@@ -291,6 +291,25 @@ def format_partition_segment(value: Any, dt: T.DataType, default_name: str) -> s
     return str(value)
 
 
+def logical_partition_values(info: "PaimonSchemaInfo", partition: dict) -> dict:
+    """Decoded BinaryRow partition values → logical Python values.
+
+    BinaryRow stores DATE as raw epoch-day ints (the repo's own fixture
+    test asserts ``partition == {'dt': 19737}``); anything comparing or
+    injecting partition values at the logical level (predicate pruning,
+    hive-style column injection) must see ``datetime.date`` instead —
+    the same rendering ``format_partition_segment`` uses for paths."""
+    import datetime
+
+    out = {}
+    for k, v in partition.items():
+        dt = info.spark_schema[k].dataType
+        if isinstance(dt, T.DateType) and isinstance(v, int):
+            v = datetime.date(1970, 1, 1) + datetime.timedelta(days=v)
+        out[k] = v
+    return out
+
+
 @dataclass
 class PaimonFileEntry:
     kind: int  # 0 = ADD, 1 = DELETE
@@ -677,6 +696,25 @@ def append_paimon_fixture_snapshot(
         if lst:
             prior.extend(read_manifest_list(path, lst))
 
+    # DELETE entries must reference a REAL prior ADD's file name — the
+    # plan fold pops by (partition, bucket, file_name), so a fresh name
+    # would be a silent no-op (mirrors write_paimon_table_fixture, which
+    # reuses the ADD's name). Resolve against the prior snapshot's
+    # manifests: a str in the tuple's table slot names the file to
+    # delete; a non-str deletes the latest prior ADD in that
+    # (partition, bucket).
+    prior_adds: List[PaimonFileEntry] = []
+    if any(f[0] != 0 for f in files):
+        seen: dict[tuple, PaimonFileEntry] = {}
+        for mn in prior:
+            for e in read_manifest(path, mn, part_types, info.partition_keys):
+                key = (tuple(sorted(e.partition.items())), e.bucket, e.file_name)
+                if e.kind == 0:
+                    seen[key] = e
+                else:
+                    seen.pop(key, None)
+        prior_adds = list(seen.values())
+
     entries = []
     for i, (kind, pvals, bucket, table) in enumerate(files):
         parts = [
@@ -686,18 +724,54 @@ def append_paimon_fixture_snapshot(
         ddir = os.path.join(path, *parts, f"bucket-{bucket}")
         os.makedirs(ddir, exist_ok=True)
         fmt = info.options.get("file.format", "parquet")
+        raw_part = encode_binary_row(
+            [pvals[k] for k in info.partition_keys], part_types
+        )
+        if kind != 0:
+            canon = tuple(
+                sorted(
+                    zip(
+                        info.partition_keys,
+                        decode_binary_row(bytes(raw_part), part_types),
+                    )
+                )
+            )
+            cands = [
+                e
+                for e in prior_adds
+                if e.bucket == bucket and tuple(sorted(e.partition.items())) == canon
+            ]
+            if isinstance(table, str):
+                cands = [e for e in cands if e.file_name == table]
+            if not cands:
+                raise ValueError(
+                    f"append_paimon_fixture_snapshot: DELETE entry {i} matches "
+                    f"no live prior ADD in partition={dict(canon)} bucket={bucket}"
+                    + (f" name={table!r}" if isinstance(table, str) else "")
+                )
+            target = cands[-1]
+            entries.append(
+                {
+                    "_VERSION": 2,
+                    "_KIND": kind,
+                    "_PARTITION": raw_part,
+                    "_BUCKET": bucket,
+                    "_TOTAL_BUCKETS": 1,
+                    "_FILE": _spec_file_meta(
+                        target.file_name, target.file_size, target.row_count
+                    ),
+                }
+            )
+            continue
         fname = f"data-fixture-{tag}-{i}.{fmt}"
         fpath = os.path.join(ddir, fname)
-        if kind == 0:
-            _write_fixture_data_file(table, fpath, fmt)
+        _write_fixture_data_file(table, fpath, fmt)
         size = os.path.getsize(fpath) if os.path.exists(fpath) else 0
         entries.append(
             {
                 "_VERSION": 2,
                 "_KIND": kind,
-                "_PARTITION": encode_binary_row(
-                    [pvals[k] for k in info.partition_keys], part_types
-                ),
+                "_PARTITION": raw_part,
                 "_BUCKET": bucket,
                 "_TOTAL_BUCKETS": 1,
                 "_FILE": _spec_file_meta(fname, size, table.num_rows),
@@ -776,7 +850,13 @@ def paimon_kv_schema(info: PaimonSchemaInfo) -> T.StructType:
     return T.StructType(fields)
 
 
-def _load_lake_files(spark, paths: List[str], fmt: str, physical: T.StructType):
+def _load_lake_files(
+    spark,
+    paths: List[str],
+    fmt: str,
+    physical: T.StructType,
+    file_name_col: "str | None" = None,
+):
     """Load Paimon data files of any supported format as one DataFrame.
 
     parquet/orc use Spark's native vectorized readers with
@@ -784,14 +864,25 @@ def _load_lake_files(spark, paths: List[str], fmt: str, physical: T.StructType):
     missing columns as NULL (Paimon's schema-evolution read contract)
     instead of failing; avro goes through the engine's distributed codec
     (``binaryFile`` + mapInPandas — no spark-avro dependency), which
-    needs the explicit physical schema."""
+    needs the explicit physical schema.
+
+    ``file_name_col`` appends each row's source file name. The avro
+    path tags rows inside the codec — ``input_file_name()`` on top of
+    ``mapInPandas`` misattributes provenance when one task decodes
+    several files into a concatenated batch, so callers that need
+    per-file tie-breaking must request the column here."""
+    from pyspark.sql import functions as F
+
     if fmt == "avro":
         from paimon_python_spark.read import _read_avro_df
 
-        return _read_avro_df(spark, paths, physical)
-    return (
-        spark.read.format(fmt).option("mergeSchema", "true").load(paths)
-    )
+        return _read_avro_df(spark, paths, physical, file_name_col=file_name_col)
+    df = spark.read.format(fmt).option("mergeSchema", "true").load(paths)
+    if file_name_col:
+        df = df.withColumn(
+            file_name_col, F.element_at(F.split(F.input_file_name(), "/"), -1)
+        )
+    return df
 
 
 def merge_paimon_pk_entries(spark, info: PaimonSchemaInfo, entries, src, fmt: str):
@@ -811,7 +902,9 @@ def merge_paimon_pk_entries(spark, info: PaimonSchemaInfo, entries, src, fmt: st
     paths = [src(e) for e in entries]
     if not paths:
         return spark.createDataFrame([], info.spark_schema)
-    raw = _load_lake_files(spark, paths, fmt, paimon_kv_schema(info))
+    raw = _load_lake_files(
+        spark, paths, fmt, paimon_kv_schema(info), file_name_col="__file_name"
+    )
     value_cols = [f.name for f in info.spark_schema.fields]
     merge_keys = list(dict.fromkeys(info.partition_keys + info.primary_keys))
     # file names are UUID-unique within a Paimon table, so a broadcast
@@ -822,9 +915,7 @@ def merge_paimon_pk_entries(spark, info: PaimonSchemaInfo, entries, src, fmt: st
             order_rows, "__file_name string, __entry_idx int, __level int"
         )
     )
-    raw = raw.withColumn(
-        "__file_name", F.element_at(F.split(F.input_file_name(), "/"), -1)
-    ).join(order_df, "__file_name")
+    raw = raw.join(order_df, "__file_name")
     w = Window.partitionBy(*merge_keys).orderBy(
         F.col(SEQ_COL).desc(), F.col("__level").asc(), F.col("__entry_idx").desc()
     )
@@ -847,7 +938,12 @@ def read_paimon_append_entries(spark, info: PaimonSchemaInfo, entries, src, fmt:
     """Read an append table's live files in place. Partition columns
     that are not physically present in the data files (hive-style
     layouts) are injected per partition group from the decoded manifest
-    BinaryRow values; files that do carry them load in one scan."""
+    BinaryRow values; files that do carry them load in one scan.
+
+    All loads route through :func:`_load_lake_files` so the codec-based
+    avro path (no spark-avro dependency) and the ``mergeSchema``
+    schema-evolution contract (old files missing newer columns surface
+    NULL) apply to append tables exactly as they do to PK tables."""
     from functools import reduce
 
     from pyspark.sql import functions as F
@@ -858,19 +954,31 @@ def read_paimon_append_entries(spark, info: PaimonSchemaInfo, entries, src, fmt:
         F.col(f.name).cast(f.dataType).alias(f.name)
         for f in info.spark_schema.fields
     ]
-    sample_cols = set(
-        spark.read.format(fmt).load(src(entries[0])).schema.fieldNames()
-    )
+    first = src(entries[0])
+    if fmt == "avro":
+        from paimon_python_spark.avro_codec import read_avro_columns
+
+        with open(first, "rb") as f:
+            sample_cols = set(read_avro_columns(f.read())[0])
+    else:
+        sample_cols = set(
+            spark.read.format(fmt).load(first).schema.fieldNames()
+        )
     missing = [k for k in info.partition_keys if k not in sample_cols]
     if not missing:
-        return spark.read.format(fmt).load([src(e) for e in entries]).select(*cast_cols)
+        return _load_lake_files(
+            spark, [src(e) for e in entries], fmt, info.spark_schema
+        ).select(*cast_cols)
+    physical = T.StructType(
+        [f for f in info.spark_schema.fields if f.name not in missing]
+    )
     groups: dict[tuple, list] = {}
     for e in entries:
         groups.setdefault(tuple(sorted(e.partition.items())), []).append(e)
     parts = []
     for pkey, es in groups.items():
-        pvals = dict(pkey)
-        df = spark.read.format(fmt).load([src(e) for e in es])
+        pvals = logical_partition_values(info, dict(pkey))
+        df = _load_lake_files(spark, [src(e) for e in es], fmt, physical)
         for k in missing:
             df = df.withColumn(k, F.lit(pvals[k]))
         parts.append(df.select(*cast_cols))

@@ -41,6 +41,7 @@ from typing import List, Optional
 from paimon_python_spark.paimon_import import (
     PaimonFileEntry,
     PaimonSchemaInfo,
+    logical_partition_values as _logical_partition_values,
     merge_paimon_pk_entries,
     plan_paimon_files,
     read_paimon_append_entries,
@@ -166,14 +167,56 @@ class PaimonLakePlan:
         return list(self._splits)
 
 
+def _coerce_partition_literals(pred: Predicate, info: PaimonSchemaInfo) -> Predicate:
+    """Coerce predicate literals on DATE partition fields so any common
+    user representation (``datetime.date``/``datetime``, ISO string,
+    epoch-day int) compares correctly against the normalized partition
+    values. Non-DATE fields pass through untouched."""
+    import datetime
+
+    from pyspark.sql import types as T
+
+    if pred.method in ("and", "or"):
+        return Predicate(
+            pred.method,
+            children=[_coerce_partition_literals(c, info) for c in pred.children],
+        )
+    if pred.field is None or not pred.literals:
+        return pred
+    if not isinstance(info.spark_schema[pred.field].dataType, T.DateType):
+        return pred
+
+    def cv(x):
+        if isinstance(x, datetime.datetime):
+            return x.date()
+        if isinstance(x, datetime.date):
+            return x
+        if isinstance(x, int):
+            return datetime.date(1970, 1, 1) + datetime.timedelta(days=x)
+        if isinstance(x, str):
+            try:
+                return datetime.date.fromisoformat(x)
+            except ValueError:
+                return x
+        return x
+
+    return Predicate(pred.method, field=pred.field, literals=[cv(x) for x in pred.literals])
+
+
 def _pruned_entries(table_path: str, info: PaimonSchemaInfo, b: "PaimonLakeReadBuilder"):
     """Plan the live file set and drop partitions the predicate rules
-    out (evaluated on decoded BinaryRow values)."""
+    out (evaluated on decoded BinaryRow values normalized to logical
+    types — DATE partitions are epoch-day ints on disk)."""
     entries = plan_paimon_files(table_path, b._snapshot_id)
     if b._predicate is not None and info.partition_keys:
         part_pred = b._predicate.keep_only_fields(set(info.partition_keys))
         if part_pred is not None:
-            entries = [e for e in entries if part_pred.test_by_value(e.partition)]
+            part_pred = _coerce_partition_literals(part_pred, info)
+            entries = [
+                e
+                for e in entries
+                if part_pred.test_by_value(_logical_partition_values(info, e.partition))
+            ]
     return entries
 
 
