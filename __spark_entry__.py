@@ -2492,6 +2492,107 @@ ORDER BY c_custkey
 """
 
 
+def paimon_lake_dv_roundtrip(spark, sf_dir):
+    """DELETION-VECTOR lake read (reference reads DV tables
+    transparently via the JVM plan, py4j java_implementation.py:154-205;
+    here the snapshot's index manifest + spec-format roaring bitmaps
+    decode distributed and anti-join by (file, position)): a PK lake
+    gets a base commit, an upsert commit, and a DV index that marks
+    BOTH the superseded even-key versions in the base file (what
+    Paimon's lookup compaction writes) AND a row-level delete of every
+    key divisible by 7 in whichever file holds its latest version.
+    Oracle replays the same rules in SQL."""
+    import pyarrow as pa
+
+    from paimon_python_spark.paimon_import import (
+        append_paimon_fixture_snapshot,
+        attach_paimon_dv_fixture,
+        write_paimon_table_fixture,
+    )
+    from paimon_python_spark.paimon_lake import PaimonLakeTable
+    from paimon_python_spark.session import set_spark
+
+    set_spark(spark)
+    pdf = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 1500)
+        .select("c_custkey", "c_name", "c_acctbal")
+        .toPandas()
+        .sort_values("c_custkey")
+    )
+
+    def kv_table(keys, names, seqs, kinds, bals):
+        return pa.table(
+            {
+                "_KEY_c_custkey": pa.array(keys, pa.int64()),
+                "_SEQUENCE_NUMBER": pa.array(seqs, pa.int64()),
+                "_VALUE_KIND": pa.array(kinds, pa.int32()),
+                "c_custkey": pa.array(keys, pa.int64()),
+                "c_name": pa.array(names, pa.string()),
+                "c_acctbal": pa.array(bals, pa.float64()),
+            }
+        )
+
+    keys = [int(k) for k in pdf.c_custkey]
+    base = kv_table(
+        keys,
+        list(pdf.c_name),
+        list(range(len(keys))),
+        [0] * len(keys),
+        [float(b) for b in pdf.c_acctbal],
+    )
+    fixture = _fresh_warehouse("lakedv") + "/customer_dv"
+    write_paimon_table_fixture(
+        fixture,
+        [
+            ("c_custkey", "BIGINT NOT NULL"),
+            ("c_name", "STRING"),
+            ("c_acctbal", "DOUBLE"),
+        ],
+        [],
+        ["c_custkey"],
+        [(0, {}, 0, base)],
+        options={"bucket": "1", "deletion-vectors.enabled": "true"},
+    )
+    evens = [k for k in keys if k % 2 == 0]
+    upd = kv_table(
+        evens,
+        [f"UPDATED-{k}" for k in evens],
+        list(range(len(keys), len(keys) + len(evens))),
+        [0] * len(evens),
+        [0.0] * len(evens),
+    )
+    append_paimon_fixture_snapshot(fixture, [(0, {}, 0, upd)])
+    pos0 = {k: i for i, k in enumerate(keys)}
+    pos1 = {k: i for i, k in enumerate(evens)}
+    dv0 = sorted(
+        {pos0[k] for k in evens} | {pos0[k] for k in keys if k % 7 == 0 and k % 2}
+    )
+    dv1 = sorted(pos1[k] for k in evens if k % 7 == 0)
+    attach_paimon_dv_fixture(
+        fixture,
+        {"data-fixture-0.parquet": dv0, "data-fixture-c2-0.parquet": dv1},
+    )
+    return (
+        PaimonLakeTable(fixture)
+        .new_read_builder()
+        .new_read()
+        .to_df()
+        .orderBy("c_custkey")
+    )
+
+
+PAIMON_LAKE_DV_SQL = """
+SELECT c_custkey,
+       CASE WHEN c_custkey % 2 = 0 THEN 'UPDATED-' || CAST(c_custkey AS VARCHAR)
+            ELSE c_name END AS c_name,
+       CASE WHEN c_custkey % 2 = 0 THEN 0.0 ELSE c_acctbal END AS c_acctbal
+FROM customer
+WHERE c_custkey <= 1500 AND c_custkey % 7 <> 0
+ORDER BY c_custkey
+"""
+
+
 def paimon_scan_pushdown_roundtrip(spark, sf_dir):
     """Append table: write lineitem subset, read back through the
     engine's predicate/projection pushdown (PredicateBuilder surface +
@@ -6671,24 +6772,31 @@ _QUERIES: dict[str, Callable] = {
     "q6_forecast_revenue": q6_forecast_revenue,
     "q10_returned_items": q10_returned_items,
     "q18_large_orders": q18_large_orders,
-    "q2_min_cost_supplier": q2_min_cost_supplier,
-    "q4_order_priority": q4_order_priority,
-    "q7_volume_shipping": q7_volume_shipping,
-    "q9_product_profit": q9_product_profit,
-    "q15_top_supplier": q15_top_supplier,
-    "q19_discounted_revenue": q19_discounted_revenue,
-    "join_semi_exists": join_semi_exists,
-    "join_anti_not_exists": join_anti_not_exists,
-    "rollup_agg": rollup_agg,
-    "setop_except": setop_except,
-    "agg_count_distinct": agg_count_distinct,
+    # r6 rotation: 16 never-gated (or r2-red, since fixed) queries move
+    # into the driver-gated first 50 — the four r2 failures re-sample,
+    # the capped dedup guards, the ANN family, multimodal, and the
+    # lake PK/DV reads all get first-ever hard-gate rows; 16 multi-round
+    # driver-green TPC-H/join/agg/scalar entries rotate to the
+    # local-only tail (all still covered by tools/check_oracle.py)
+    "paimon_lake_dv_roundtrip": paimon_lake_dv_roundtrip,
+    "paimon_lake_pk_roundtrip": paimon_lake_pk_roundtrip,
+    "dedup_containment_capped": dedup_containment_capped,
+    "dedup_minhash_lsh_capped": dedup_minhash_lsh_capped,
+    "ann_lsh_bucket": ann_lsh_bucket,
+    "ann_ivf_trained": ann_ivf_trained,
+    "ann_pq_adc": ann_pq_adc,
+    "mm_image_features": mm_image_features,
+    "mm_image_resize": mm_image_resize,
+    "events_sliding_window": events_sliding_window,
+    "scalar_json_funcs": scalar_json_funcs,
+    "sketch_approx_distinct": sketch_approx_distinct,
+    "events_interval_join": events_interval_join,
+    "paimon_schema_evolution_roundtrip": paimon_schema_evolution_roundtrip,
+    "text_lang_id": text_lang_id,
+    "sample_corpus_mix": sample_corpus_mix,
     "window_topk_per_group": window_topk_per_group,
-    "scalar_string_funcs": scalar_string_funcs,
     "mor_latest_by_key": mor_latest_by_key,
-    "sketch_quantile_summary": sketch_quantile_summary,
-    "sample_split_assign": sample_split_assign,
     "profile_table_columns": profile_table_columns,
-    "events_tumbling_window": events_tumbling_window,
     "events_sessionize": events_sessionize,
     "events_asof_join": events_asof_join,
     "events_interval_join_binned": events_interval_join_binned,
@@ -6747,10 +6855,7 @@ _QUERIES: dict[str, Callable] = {
     "dedup_containment_exact": dedup_containment_exact,
     "dedup_simhash": dedup_simhash,
     "dedup_embedding_cosine": dedup_embedding_cosine,
-    "ann_lsh_bucket": ann_lsh_bucket,
     "ann_ivf_cell": ann_ivf_cell,
-    "ann_ivf_trained": ann_ivf_trained,
-    "ann_pq_adc": ann_pq_adc,
     "text_punct_stopword": text_punct_stopword,
     "text_repetition_stats": text_repetition_stats,
     "text_unigram_surprisal": text_unigram_surprisal,
@@ -6761,13 +6866,11 @@ _QUERIES: dict[str, Callable] = {
     "text_chunking": text_chunking,
     "paimon_datasource_roundtrip": paimon_datasource_roundtrip,
     "paimon_datasource_write_roundtrip": paimon_datasource_write_roundtrip,
-    "text_lang_id": text_lang_id,
     "text_token_counts": text_token_counts,
     "text_fingerprint": text_fingerprint,
     "text_pii_scrub": text_pii_scrub,
     "window_lead_lag": window_lead_lag,
     "scalar_array_funcs": scalar_array_funcs,
-    "mm_image_features": mm_image_features,
     "mm_frame_sample": mm_frame_sample,
     "mm_audio_features": mm_audio_features,
     "paimon_scan_pushdown_roundtrip": paimon_scan_pushdown_roundtrip,
@@ -6786,7 +6889,6 @@ _QUERIES: dict[str, Callable] = {
     "paimon_merge_into_roundtrip": paimon_merge_into_roundtrip,
     "paimon_compact_roundtrip": paimon_compact_roundtrip,
     "paimon_sort_compact_roundtrip": paimon_sort_compact_roundtrip,
-    "paimon_schema_evolution_roundtrip": paimon_schema_evolution_roundtrip,
     "paimon_rollback_roundtrip": paimon_rollback_roundtrip,
     "paimon_branch_roundtrip": paimon_branch_roundtrip,
     "text_tfidf_top_terms": text_tfidf_top_terms,
@@ -6804,15 +6906,8 @@ _QUERIES: dict[str, Callable] = {
     "events_moving_window_agg": events_moving_window_agg,
     "sql_entry_point": sql_entry_point,
     "paimon_stream_source_roundtrip": paimon_stream_source_roundtrip,
-    "mm_image_resize": mm_image_resize,
-    "dedup_minhash_lsh_capped": dedup_minhash_lsh_capped,
     "events_anomaly_zscore": events_anomaly_zscore,
     "dedup_containment": dedup_containment,
-    "sketch_approx_distinct": sketch_approx_distinct,
-    "sample_corpus_mix": sample_corpus_mix,
-    "scalar_json_funcs": scalar_json_funcs,
-    "events_sliding_window": events_sliding_window,
-    "events_interval_join": events_interval_join,
     "sample_token_budget_mix": sample_token_budget_mix,
     "dedup_fuzzy_survivors": dedup_fuzzy_survivors,
     "events_gap_fill": events_gap_fill,
@@ -6830,8 +6925,21 @@ _QUERIES: dict[str, Callable] = {
     "text_quality_model_score": text_quality_model_score,
     "agg_copurchase_pairs": agg_copurchase_pairs,
     "paimon_system_tables_roundtrip": paimon_system_tables_roundtrip,
-    "dedup_containment_capped": dedup_containment_capped,
-    "paimon_lake_pk_roundtrip": paimon_lake_pk_roundtrip,
+    "q2_min_cost_supplier": q2_min_cost_supplier,
+    "q4_order_priority": q4_order_priority,
+    "q7_volume_shipping": q7_volume_shipping,
+    "q9_product_profit": q9_product_profit,
+    "q15_top_supplier": q15_top_supplier,
+    "q19_discounted_revenue": q19_discounted_revenue,
+    "join_semi_exists": join_semi_exists,
+    "join_anti_not_exists": join_anti_not_exists,
+    "rollup_agg": rollup_agg,
+    "setop_except": setop_except,
+    "agg_count_distinct": agg_count_distinct,
+    "scalar_string_funcs": scalar_string_funcs,
+    "sketch_quantile_summary": sketch_quantile_summary,
+    "sample_split_assign": sample_split_assign,
+    "events_tumbling_window": events_tumbling_window,
 }
 
 _ORACLES: dict[str, str] = {
@@ -6984,6 +7092,7 @@ _ORACLES: dict[str, str] = {
     "paimon_import_roundtrip": PAIMON_IMPORT_SQL,
     "paimon_inplace_read_roundtrip": PAIMON_INPLACE_SQL,
     "paimon_lake_pk_roundtrip": PAIMON_LAKE_PK_SQL,
+    "paimon_lake_dv_roundtrip": PAIMON_LAKE_DV_SQL,
 }
 
 

@@ -382,22 +382,11 @@ def plan_paimon_files(
     file set (ADD entries minus later DELETEs) — the same fold the
     reference's JVM TableScan.plan performs.
 
-    Deletion-vector tables are REJECTED loudly: a snapshot carrying an
-    ``indexManifest`` (or the ``deletion-vectors.enabled`` option) keeps
-    deletions as DV bitmaps the seq-number merge never sees — importing
-    one would silently resurrect deleted rows."""
+    Deletion-vector tables plan the same way; read paths must ALSO call
+    :func:`plan_paimon_dv` and anti-join the marked (file, position)
+    pairs — the lake reader and importer both do."""
     info = read_paimon_schema(table_path)
     snap = read_paimon_snapshot(table_path, snapshot_id)
-    if snap.get("indexManifest") or info.options.get(
-        "deletion-vectors.enabled", "false"
-    ).lower() == "true":
-        raise NotImplementedError(
-            "paimon_import: unsupported: this Paimon table uses deletion "
-            "vectors (snapshot.indexManifest / deletion-vectors.enabled); "
-            "importing without folding the DV bitmaps would resurrect "
-            "deleted rows. Compact the table fully in Paimon first, or "
-            "wait for DV index import support."
-        )
     part_types = [
         info.spark_schema[k].dataType for k in info.partition_keys
     ]
@@ -414,6 +403,280 @@ def plan_paimon_files(
             else:
                 live.pop(key, None)
     return list(live.values())
+
+
+# ---- deletion vectors (spec format) ----
+#
+# Paimon's deletion-vectors mode keeps row-level deletes as per-data-file
+# roaring bitmaps in index files under ``<table>/index/``, referenced by
+# the snapshot's ``indexManifest`` (spec:
+# https://paimon.apache.org/docs/master/concepts/spec/tableindex/).
+# Index file layout (DeletionVectorsIndexFile V1, all control ints
+# BIG-endian — Java DataOutputStream — while the roaring payload itself
+# is the little-endian portable format):
+#   byte  version (1)
+#   per vector: int32 size | data | int32 crc32(data)
+#   where data = int32 magic 1581511376 | portable roaring bitmap
+# The index manifest entry's ranges map data-file-name -> (offset of the
+# size int, size). The reference reads these transparently via the JVM
+# (py4j java_implementation.py plans DV tables); here the decode is a
+# distributed mapInPandas over the ranges and the application is a
+# (file, position) anti-join — below 64 MB of index the positions side
+# broadcasts, so the data never shuffles.
+
+DV_MAGIC = 1581511376
+DV_INDEX_VERSION = 1
+DELETION_VECTORS_INDEX = "DELETION_VECTORS"
+DV_BROADCAST_BYTES = 64 << 20
+
+INDEX_MANIFEST_SCHEMA = {
+    "type": "record",
+    "name": "index_manifest_entry",
+    "fields": [
+        {"name": "_VERSION", "type": "int"},
+        {"name": "_KIND", "type": "int"},
+        {"name": "_PARTITION", "type": "bytes"},
+        {"name": "_BUCKET", "type": "int"},
+        {"name": "_INDEX_TYPE", "type": "string"},
+        {"name": "_FILE_NAME", "type": "string"},
+        {"name": "_FILE_SIZE", "type": "long"},
+        {"name": "_ROW_COUNT", "type": "long"},
+        {
+            "name": "_DELETIONS_VECTORS_RANGES",
+            "type": [
+                "null",
+                {
+                    "type": "array",
+                    "items": {
+                        "type": "record",
+                        "name": "deletion_vector_meta",
+                        "fields": [
+                            {"name": "f0", "type": "string"},
+                            {"name": "f1", "type": "int"},
+                            {"name": "f2", "type": "int"},
+                        ],
+                    },
+                },
+            ],
+            "default": None,
+        },
+    ],
+}
+
+
+@dataclass
+class PaimonDvRange:
+    """One deletion vector's location: ``data_file_name``'s marked
+    positions live at ``[offset, offset+4+length+4)`` in ``index_path``."""
+
+    index_path: str
+    data_file_name: str
+    offset: int
+    length: int
+
+
+def write_dv_index_file(path: str, dv_map: dict) -> dict:
+    """Write a spec-format V1 deletion vectors index file.
+    ``dv_map``: {data_file_name: iterable of positions}. Returns
+    {data_file_name: (offset, length)} for the index manifest entry."""
+    import struct
+    import zlib
+
+    from paimon_python_spark.roaring import serialize_roaring32
+
+    ranges = {}
+    with open(path, "wb") as f:
+        f.write(bytes([DV_INDEX_VERSION]))
+        pos = 1
+        for name, positions in dv_map.items():
+            data = struct.pack(">i", DV_MAGIC) + serialize_roaring32(positions)
+            ranges[name] = (pos, len(data))
+            f.write(struct.pack(">i", len(data)))
+            f.write(data)
+            f.write(struct.pack(">I", zlib.crc32(data) & 0xFFFFFFFF))
+            pos += 4 + len(data) + 4
+    return ranges
+
+
+def read_dv_index_entry(index_path: str, offset: int, length: int):
+    """Decode one deletion vector from an index file into a sorted
+    numpy position array (CRC- and magic-checked)."""
+    import struct
+    import zlib
+
+    from paimon_python_spark.roaring import deserialize_roaring32
+
+    with open(index_path, "rb") as f:
+        version = f.read(1)[0]
+        if version != DV_INDEX_VERSION:
+            raise NotImplementedError(
+                f"deletion vectors index version {version} at {index_path!r} "
+                f"(only V{DV_INDEX_VERSION} supported)"
+            )
+        f.seek(offset)
+        (size,) = struct.unpack(">i", f.read(4))
+        if size != length:
+            raise ValueError(
+                f"DV size mismatch at {index_path!r}+{offset}: "
+                f"file says {size}, manifest says {length}"
+            )
+        data = f.read(size)
+        (crc,) = struct.unpack(">I", f.read(4))
+    if zlib.crc32(data) & 0xFFFFFFFF != crc:
+        raise ValueError(f"DV checksum mismatch at {index_path!r}+{offset}")
+    (magic,) = struct.unpack(">i", data[:4])
+    if magic != DV_MAGIC:
+        raise ValueError(f"bad DV magic {magic} at {index_path!r}+{offset}")
+    return deserialize_roaring32(data[4:])
+
+
+def plan_paimon_dv(
+    table_path: str, snapshot_id: Optional[int] = None
+) -> List[PaimonDvRange]:
+    """Driver-side metadata walk of the snapshot's index manifest:
+    fold ADD/DELETE index entries, keep DELETION_VECTORS types, return
+    every (index file, data file, offset, length) range. Empty list if
+    the snapshot carries no index manifest. Lenient on the two range
+    field spellings real Paimon versions use."""
+    from paimon_python_spark.avro_codec import read_avro_records
+
+    snap = read_paimon_snapshot(table_path, snapshot_id)
+    im = snap.get("indexManifest")
+    if not im:
+        return []
+    with open(os.path.join(table_path, "manifest", im), "rb") as f:
+        _schema, recs = read_avro_records(f.read())
+    live: dict = {}
+    for r in recs:
+        if r.get("_INDEX_TYPE") != DELETION_VECTORS_INDEX:
+            continue
+        key = (
+            bytes(r.get("_PARTITION") or b""),
+            int(r.get("_BUCKET") or 0),
+            r["_FILE_NAME"],
+        )
+        if int(r.get("_KIND") or 0) == 0:
+            live[key] = r
+        else:
+            live.pop(key, None)
+    out: List[PaimonDvRange] = []
+    for (_pb, _bk, fname), r in live.items():
+        ranges = (
+            r.get("_DELETIONS_VECTORS_RANGES")
+            or r.get("_DELETION_VECTORS_RANGES")
+            or []
+        )
+        for item in ranges:
+            data_file = item.get("f0", item.get("dataFileName"))
+            off = item.get("f1", item.get("offset"))
+            ln = item.get("f2", item.get("length"))
+            out.append(
+                PaimonDvRange(
+                    os.path.join(table_path, "index", fname),
+                    str(data_file),
+                    int(off),
+                    int(ln),
+                )
+            )
+    return out
+
+
+def apply_lake_dv(
+    spark,
+    df,
+    ranges: List[PaimonDvRange],
+    file_name_col: str = "__file_name",
+    pos_col: str = "__row_pos",
+):
+    """Drop DV-marked rows: decode the bitmaps DISTRIBUTED (mapInPandas
+    over the range list — the driver only ever sees metadata) and
+    anti-join on (file name, row position). Below 64 MB of total index
+    the positions side broadcasts (map-side filter, the data frame never
+    shuffles); above it the anti-join degrades to a shuffle instead of
+    a driver OOM."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    if not ranges:
+        return df
+    rows = [(r.index_path, r.data_file_name, r.offset, r.length) for r in ranges]
+    rdf = spark.createDataFrame(rows, "idx string, fname string, off long, len long")
+    out_schema = f"{file_name_col} string, {pos_col} long"
+
+    def decode(batches):
+        for pdf in batches:
+            names, poss = [], []
+            for idx, fn, off, ln in zip(
+                pdf["idx"], pdf["fname"], pdf["off"], pdf["len"]
+            ):
+                pos = read_dv_index_entry(str(idx), int(off), int(ln))
+                if len(pos):
+                    names.append(np.full(len(pos), fn, dtype=object))
+                    poss.append(pos.astype(np.int64))
+            if names:
+                yield pd.DataFrame(
+                    {
+                        file_name_col: np.concatenate(names),
+                        pos_col: np.concatenate(poss),
+                    }
+                )
+
+    n_parts = max(1, min(len(rows), int(spark.sparkContext.defaultParallelism)))
+    pos_df = rdf.repartition(n_parts).mapInPandas(decode, out_schema)
+    if sum(r.length for r in ranges) <= DV_BROADCAST_BYTES:
+        pos_df = F.broadcast(pos_df)
+    return df.join(pos_df, [file_name_col, pos_col], "left_anti")
+
+
+def attach_paimon_dv_fixture(
+    table_path: str,
+    dv_map: dict,
+    partition: Optional[dict] = None,
+    bucket: int = 0,
+    tag: str = "dv",
+) -> None:
+    """Fixture/export helper: write a spec-format DV index file +
+    index manifest for ``dv_map`` ({data_file_name: positions}) and
+    point the LATEST snapshot's ``indexManifest`` at it — producing
+    exactly the layout a real DV-enabled Paimon writer leaves behind."""
+    from paimon_python_spark.avro_codec import write_avro_records
+
+    info = read_paimon_schema(table_path)
+    part_types = [info.spark_schema[k].dataType for k in info.partition_keys]
+    pvals = partition or {}
+    os.makedirs(os.path.join(table_path, "index"), exist_ok=True)
+    idx_name = f"index-{tag}"
+    idx_path = os.path.join(table_path, "index", idx_name)
+    ranges = write_dv_index_file(idx_path, dv_map)
+    entry = {
+        "_VERSION": 1,
+        "_KIND": 0,
+        "_PARTITION": encode_binary_row(
+            [pvals[k] for k in info.partition_keys], part_types
+        ),
+        "_BUCKET": bucket,
+        "_INDEX_TYPE": DELETION_VECTORS_INDEX,
+        "_FILE_NAME": idx_name,
+        "_FILE_SIZE": os.path.getsize(idx_path),
+        "_ROW_COUNT": sum(len(list(v)) for v in dv_map.values()),
+        "_DELETIONS_VECTORS_RANGES": [
+            {"f0": n, "f1": o, "f2": ln} for n, (o, ln) in ranges.items()
+        ],
+    }
+    im_name = f"index-manifest-{tag}.avro"
+    write_avro_records(
+        os.path.join(table_path, "manifest", im_name),
+        INDEX_MANIFEST_SCHEMA,
+        [entry],
+    )
+    sid = latest_paimon_snapshot_id(table_path)
+    spath = os.path.join(table_path, "snapshot", f"snapshot-{sid}")
+    with open(spath) as f:
+        snap = json.load(f)
+    snap["indexManifest"] = im_name
+    with open(spath, "w") as f:
+        json.dump(snap, f)
 
 
 # ---- spec-format writing (export / fixtures) ----
@@ -856,6 +1119,7 @@ def _load_lake_files(
     fmt: str,
     physical: T.StructType,
     file_name_col: "str | None" = None,
+    row_pos_col: "str | None" = None,
 ):
     """Load Paimon data files of any supported format as one DataFrame.
 
@@ -870,14 +1134,33 @@ def _load_lake_files(
     path tags rows inside the codec — ``input_file_name()`` on top of
     ``mapInPandas`` misattributes provenance when one task decodes
     several files into a concatenated batch, so callers that need
-    per-file tie-breaking must request the column here."""
+    per-file tie-breaking must request the column here.
+
+    ``row_pos_col`` appends the row's 0-based position within its file
+    (deletion vectors mark (file, position) pairs): parquet via the
+    ``_metadata.row_index`` metadata column, avro via the codec; orc
+    has no row-index metadata column in Spark, so DV reads over orc
+    raise rather than guess."""
     from pyspark.sql import functions as F
 
     if fmt == "avro":
         from paimon_python_spark.read import _read_avro_df
 
-        return _read_avro_df(spark, paths, physical, file_name_col=file_name_col)
+        return _read_avro_df(
+            spark,
+            paths,
+            physical,
+            file_name_col=file_name_col,
+            row_pos_col=row_pos_col,
+        )
     df = spark.read.format(fmt).option("mergeSchema", "true").load(paths)
+    if row_pos_col:
+        if fmt != "parquet":
+            raise NotImplementedError(
+                "deletion-vector reads need per-row file positions; Spark "
+                f"exposes _metadata.row_index for parquet only, not {fmt!r}"
+            )
+        df = df.withColumn(row_pos_col, F.col("_metadata.row_index"))
     if file_name_col:
         df = df.withColumn(
             file_name_col, F.element_at(F.split(F.input_file_name(), "/"), -1)
@@ -885,12 +1168,20 @@ def _load_lake_files(
     return df
 
 
-def merge_paimon_pk_entries(spark, info: PaimonSchemaInfo, entries, src, fmt: str):
+def merge_paimon_pk_entries(
+    spark, info: PaimonSchemaInfo, entries, src, fmt: str, dv_ranges=None
+):
     """Distributed merge of a PK table's key-value files into the
     visible rows: max ``_SEQUENCE_NUMBER`` per (partition, key) wins,
     ties broken deterministically by LSM level (0 = newest) then
     manifest entry order (later commit wins — the reference's
     sort-merge input-order convention); ``-D``/``-U`` kinds dropped.
+
+    ``dv_ranges`` (deletion-vector tables): marked (file, position)
+    pairs are anti-joined out BEFORE the merge window — DV mode's
+    whole point is that superseded versions are already marked, but
+    running the merge afterwards anyway is idempotent and keeps the
+    result exact even on partially-marked lakes.
 
     ``src`` maps a :class:`PaimonFileEntry` to its absolute path.
     Returns a DataFrame with exactly the declared schema columns."""
@@ -902,9 +1193,17 @@ def merge_paimon_pk_entries(spark, info: PaimonSchemaInfo, entries, src, fmt: st
     paths = [src(e) for e in entries]
     if not paths:
         return spark.createDataFrame([], info.spark_schema)
+    dv_ranges = _relevant_dv(dv_ranges, entries)
     raw = _load_lake_files(
-        spark, paths, fmt, paimon_kv_schema(info), file_name_col="__file_name"
+        spark,
+        paths,
+        fmt,
+        paimon_kv_schema(info),
+        file_name_col="__file_name",
+        row_pos_col="__row_pos" if dv_ranges else None,
     )
+    if dv_ranges:
+        raw = apply_lake_dv(spark, raw, dv_ranges, "__file_name", "__row_pos")
     value_cols = [f.name for f in info.spark_schema.fields]
     merge_keys = list(dict.fromkeys(info.partition_keys + info.primary_keys))
     # file names are UUID-unique within a Paimon table, so a broadcast
@@ -934,7 +1233,18 @@ def merge_paimon_pk_entries(spark, info: PaimonSchemaInfo, entries, src, fmt: st
     )
 
 
-def read_paimon_append_entries(spark, info: PaimonSchemaInfo, entries, src, fmt: str):
+def _relevant_dv(dv_ranges, entries):
+    """Keep only DV ranges that target a planned entry's file (pruned
+    partitions' vectors never decode)."""
+    if not dv_ranges:
+        return []
+    names = {e.file_name for e in entries}
+    return [r for r in dv_ranges if r.data_file_name in names]
+
+
+def read_paimon_append_entries(
+    spark, info: PaimonSchemaInfo, entries, src, fmt: str, dv_ranges=None
+):
     """Read an append table's live files in place. Partition columns
     that are not physically present in the data files (hive-style
     layouts) are injected per partition group from the decoded manifest
@@ -943,13 +1253,24 @@ def read_paimon_append_entries(spark, info: PaimonSchemaInfo, entries, src, fmt:
     All loads route through :func:`_load_lake_files` so the codec-based
     avro path (no spark-avro dependency) and the ``mergeSchema``
     schema-evolution contract (old files missing newer columns surface
-    NULL) apply to append tables exactly as they do to PK tables."""
+    NULL) apply to append tables exactly as they do to PK tables.
+    ``dv_ranges``: row-level deletes on append tables (Paimon's
+    DELETE-FROM support) anti-join out by (file, position)."""
     from functools import reduce
 
     from pyspark.sql import functions as F
 
     if not entries:
         return spark.createDataFrame([], info.spark_schema)
+    dv_ranges = _relevant_dv(dv_ranges, entries)
+    fn_col = "__file_name" if dv_ranges else None
+    pos_col = "__row_pos" if dv_ranges else None
+
+    def finish(df):
+        if dv_ranges:
+            df = apply_lake_dv(spark, df, dv_ranges, fn_col, pos_col)
+        return df
+
     cast_cols = [
         F.col(f.name).cast(f.dataType).alias(f.name)
         for f in info.spark_schema.fields
@@ -966,8 +1287,15 @@ def read_paimon_append_entries(spark, info: PaimonSchemaInfo, entries, src, fmt:
         )
     missing = [k for k in info.partition_keys if k not in sample_cols]
     if not missing:
-        return _load_lake_files(
-            spark, [src(e) for e in entries], fmt, info.spark_schema
+        return finish(
+            _load_lake_files(
+                spark,
+                [src(e) for e in entries],
+                fmt,
+                info.spark_schema,
+                file_name_col=fn_col,
+                row_pos_col=pos_col,
+            )
         ).select(*cast_cols)
     physical = T.StructType(
         [f for f in info.spark_schema.fields if f.name not in missing]
@@ -978,7 +1306,15 @@ def read_paimon_append_entries(spark, info: PaimonSchemaInfo, entries, src, fmt:
     parts = []
     for pkey, es in groups.items():
         pvals = logical_partition_values(info, dict(pkey))
-        df = _load_lake_files(spark, [src(e) for e in es], fmt, physical)
+        df = _load_lake_files(
+            spark,
+            [src(e) for e in es],
+            fmt,
+            physical,
+            file_name_col=fn_col,
+            row_pos_col=pos_col,
+        )
+        df = finish(df)
         for k in missing:
             df = df.withColumn(k, F.lit(pvals[k]))
         parts.append(df.select(*cast_cols))
@@ -1011,6 +1347,7 @@ def import_paimon_table(
 
     info = read_paimon_schema(paimon_table_path)
     entries = plan_paimon_files(paimon_table_path, snapshot_id)
+    dv = _relevant_dv(plan_paimon_dv(paimon_table_path, snapshot_id), entries)
     fmt = info.options.get("file.format", "parquet")
 
     options = {"file.format": fmt}
@@ -1045,6 +1382,21 @@ def import_paimon_table(
             )
         return p
 
+    if not info.primary_keys and dv:
+        # append table WITH row-level deletes: a verbatim file copy
+        # would resurrect DV-marked rows — materialize the filtered
+        # rows through the engine write path instead
+        spark = get_spark()
+        filtered = read_paimon_append_entries(
+            spark, info, entries, src, fmt, dv_ranges=dv
+        )
+        wb = table.new_batch_write_builder()
+        writer, committer = wb.new_write(), wb.new_commit()
+        writer.write_dataframe(filtered)
+        committer.commit(writer.prepare_commit())
+        writer.close()
+        return table
+
     if not info.primary_keys:
         # append table: files are plain columnar — adopt them verbatim
         from paimon_python_spark.write import (
@@ -1073,7 +1425,7 @@ def import_paimon_table(
     # primary-key table: distributed merge of the key-value files
     spark = get_spark()
     if entries:
-        merged = merge_paimon_pk_entries(spark, info, entries, src, fmt)
+        merged = merge_paimon_pk_entries(spark, info, entries, src, fmt, dv_ranges=dv)
         wb = table.new_batch_write_builder()
         writer, committer = wb.new_write(), wb.new_commit()
         writer.write_dataframe(merged)

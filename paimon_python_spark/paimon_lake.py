@@ -29,9 +29,12 @@ merge recipe as the importer (``merge_paimon_pk_entries`` — window
 dedup on max sequence number with the deterministic level/entry-order
 tie-break), which shuffles once on (partition, key).
 
-Deletion-vector tables are rejected loudly at plan time (see
-``plan_paimon_files``) — silently resurrecting DV-deleted rows is the
-one failure mode this adapter must never have.
+Deletion-vector tables read transparently: the snapshot's index
+manifest is planned driver-side (``plan_paimon_dv`` — KB-scale
+metadata), the roaring bitmaps decode DISTRIBUTED (mapInPandas over
+the range list), and marked (file, position) pairs anti-join out of
+the scan — broadcast below 64 MB of index, so the data never shuffles
+for the delete filter.
 """
 
 from __future__ import annotations
@@ -43,6 +46,7 @@ from paimon_python_spark.paimon_import import (
     PaimonSchemaInfo,
     logical_partition_values as _logical_partition_values,
     merge_paimon_pk_entries,
+    plan_paimon_dv,
     plan_paimon_files,
     read_paimon_append_entries,
     read_paimon_schema,
@@ -256,10 +260,13 @@ class PaimonLakeRead:
                 )
             return p
 
+        dv = plan_paimon_dv(table_path, b._snapshot_id)
         if info.primary_keys:
-            df = merge_paimon_pk_entries(spark, info, entries, src, fmt)
+            df = merge_paimon_pk_entries(spark, info, entries, src, fmt, dv_ranges=dv)
         else:
-            df = read_paimon_append_entries(spark, info, entries, src, fmt)
+            df = read_paimon_append_entries(
+                spark, info, entries, src, fmt, dv_ranges=dv
+            )
         if b._predicate is not None:
             df = df.filter(b._predicate.to_column())
         if b._projection is not None:

@@ -49,6 +49,7 @@ def _read_avro_df(
     paths: List[str],
     physical: T.StructType,
     file_name_col: str | None = None,
+    row_pos_col: str | None = None,
 ) -> DataFrame:
     """Distributed Avro scan without the spark-avro DataSource: the
     ``binaryFile`` source parallelizes over files, each task decodes its
@@ -58,7 +59,10 @@ def _read_avro_df(
 
     ``file_name_col`` appends each row's source FILE NAME (last path
     segment) — mapInPandas severs ``input_file_name()`` provenance, and
-    merge tie-breaking needs it."""
+    merge tie-breaking needs it. ``row_pos_col`` appends the row's
+    0-based position within its file (the avro analogue of parquet's
+    ``_metadata.row_index``) — deletion vectors mark (file, position)
+    pairs."""
     import os as _os
 
     import pandas as pd
@@ -66,13 +70,16 @@ def _read_avro_df(
     from paimon_python_spark.avro_codec import read_avro_columns
 
     names = [f.name for f in physical.fields]
-    out_schema = physical
+    extra = []
     if file_name_col:
-        out_schema = T.StructType(
-            [*physical.fields, T.StructField(file_name_col, T.StringType())]
-        )
+        extra.append(T.StructField(file_name_col, T.StringType()))
+    if row_pos_col:
+        extra.append(T.StructField(row_pos_col, T.LongType()))
+    out_schema = T.StructType([*physical.fields, *extra]) if extra else physical
 
     def decode(batches):
+        import numpy as _np
+
         for pdf in batches:
             frames = []
             for path, content in zip(pdf["path"], pdf["content"]):
@@ -90,6 +97,8 @@ def _read_avro_df(
                 )
                 if file_name_col:
                     frame[file_name_col] = _os.path.basename(str(path))
+                if row_pos_col:
+                    frame[row_pos_col] = _np.arange(n_rows, dtype=_np.int64)
                 frames.append(frame)
             if frames:
                 yield pd.concat(frames, ignore_index=True)

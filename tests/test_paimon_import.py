@@ -202,18 +202,31 @@ def test_import_pk_table(tmp_path, catalog):
 # ---- ADVICE-driven hardening: DV rejection, partition naming, tie-break ----
 
 
-def test_import_rejects_dv_tables(append_fixture):
+def test_dv_tables_plan_normally(append_fixture):
+    """DV tables are no longer rejected at plan time (r5 verdict task
+    1); a dangling indexManifest surfaces as a loud file error from the
+    DV planner, never a silent skip."""
+    from paimon_python_spark.paimon_import import plan_paimon_dv
+
     snap_path = os.path.join(append_fixture, "snapshot", "snapshot-1")
     with open(snap_path) as f:
         snap = json.load(f)
     snap["indexManifest"] = "index-manifest-0"
     with open(snap_path, "w") as f:
         json.dump(snap, f)
-    with pytest.raises(NotImplementedError, match="deletion "):
-        plan_paimon_files(append_fixture)
+    assert len(plan_paimon_files(append_fixture)) > 0
+    with pytest.raises(FileNotFoundError):
+        plan_paimon_dv(append_fixture)
 
 
-def test_import_rejects_dv_option(tmp_path):
+def test_dv_option_without_index_reads_all_rows(tmp_path, spark):
+    """deletion-vectors.enabled with no index manifest yet (no deletes
+    have happened): plan is empty, read sees every row."""
+    from paimon_python_spark.paimon_import import plan_paimon_dv
+    from paimon_python_spark.paimon_lake import PaimonLakeTable
+    from paimon_python_spark.session import set_spark
+
+    set_spark(spark)
     p = str(tmp_path / "paimon_dvopt")
     t1 = pa.table({"k": pa.array([1], pa.int32())})
     write_paimon_fixture(
@@ -224,8 +237,10 @@ def test_import_rejects_dv_option(tmp_path):
         [(0, {}, 0, t1)],
         options={"deletion-vectors.enabled": "true"},
     )
-    with pytest.raises(NotImplementedError, match="deletion"):
-        plan_paimon_files(p)
+    assert plan_paimon_files(p)
+    assert plan_paimon_dv(p) == []
+    out = PaimonLakeTable(p).new_read_builder().new_read().to_pandas()
+    assert list(out.k) == [1]
 
 
 def test_partition_segment_formatting():
@@ -651,3 +666,113 @@ def test_append_fixture_snapshot_delete_references_prior_add(tmp_path, spark):
     # a DELETE that matches nothing must raise, not silently no-op
     with pytest.raises(ValueError):
         append_paimon_fixture_snapshot(p, [(1, {"dt": "zz"}, 0, t1)], tag="bad")
+
+
+def test_lake_read_dv_pk_table(tmp_path, spark):
+    """DV-enabled PK lake (r5 verdict task 1): the snapshot's index
+    manifest references spec-format roaring bitmaps; the read must
+    anti-join marked (file, position) pairs instead of rejecting."""
+    from paimon_python_spark.paimon_import import (
+        attach_paimon_dv_fixture,
+        plan_paimon_dv,
+    )
+    from paimon_python_spark.paimon_lake import PaimonLakeTable
+    from paimon_python_spark.session import set_spark
+
+    set_spark(spark)
+    kv = pa.schema(
+        [
+            ("_KEY_k", pa.int32()),
+            ("_SEQUENCE_NUMBER", pa.int64()),
+            ("_VALUE_KIND", pa.int32()),
+            ("k", pa.int32()),
+            ("v", pa.string()),
+        ]
+    )
+    f1 = pa.table(
+        {"_KEY_k": [1, 2, 3], "_SEQUENCE_NUMBER": [0, 1, 2],
+         "_VALUE_KIND": [0, 0, 0], "k": [1, 2, 3], "v": ["a", "b", "c"]},
+        schema=kv,
+    )
+    f2 = pa.table(
+        {"_KEY_k": [2], "_SEQUENCE_NUMBER": [3], "_VALUE_KIND": [0],
+         "k": [2], "v": ["B"]},
+        schema=kv,
+    )
+    p = str(tmp_path / "dv_pk")
+    write_paimon_fixture(
+        p,
+        [("k", "INT NOT NULL"), ("v", "STRING")],
+        [],
+        ["k"],
+        [(0, {}, 0, f1), (0, {}, 0, f2)],
+        options={"bucket": "1", "deletion-vectors.enabled": "true"},
+    )
+    # DV marks: position 1 of file 0 (the stale k=2 version) and
+    # position 2 (k=3 -- a true row-level delete)
+    attach_paimon_dv_fixture(p, {"data-fixture-0.parquet": [1, 2]})
+    assert len(plan_paimon_dv(p)) == 1
+    out = (
+        PaimonLakeTable(p).new_read_builder().new_read().to_pandas().sort_values("k")
+    )
+    assert list(out.k) == [1, 2]
+    assert list(out.v) == ["a", "B"]
+
+
+def test_lake_read_dv_append_table_and_import(tmp_path, spark):
+    """Row-level deletes on an APPEND lake (Paimon DELETE FROM):
+    in-place read skips marked positions; import must materialize the
+    filtered rows, never copy marked files verbatim."""
+    from paimon_python_spark.catalog import Catalog
+    from paimon_python_spark.paimon_import import attach_paimon_dv_fixture
+    from paimon_python_spark.paimon_lake import PaimonLakeTable
+    from paimon_python_spark.session import set_spark
+
+    set_spark(spark)
+    p = str(tmp_path / "dv_append")
+    write_paimon_fixture(
+        p,
+        [("k", "INT NOT NULL"), ("v", "STRING")],
+        [],
+        [],
+        [
+            (0, {}, 0,
+             pa.table({"k": pa.array([1, 2, 3, 4], pa.int32()),
+                       "v": pa.array(["a", "b", "c", "d"], pa.string())})),
+        ],
+    )
+    attach_paimon_dv_fixture(p, {"data-fixture-0.parquet": [0, 2]})
+    out = (
+        PaimonLakeTable(p).new_read_builder().new_read().to_pandas().sort_values("k")
+    )
+    assert list(out.k) == [2, 4]
+    cat = Catalog.create({"warehouse": str(tmp_path / "wh")})
+    cat.create_database("db", False)
+    t = import_paimon_table(p, cat, "db.imp")
+    got = t.new_read_builder().new_read().to_pandas().sort_values("k")
+    assert list(got.k) == [2, 4]
+    assert list(got.v) == ["b", "d"]
+
+
+def test_dv_index_file_roundtrip(tmp_path):
+    """Spec-format DV index file: BIG-endian control ints, CRC32,
+    magic, little-endian portable roaring payload."""
+    from paimon_python_spark.paimon_import import (
+        read_dv_index_entry,
+        write_dv_index_file,
+    )
+
+    p = str(tmp_path / "idx")
+    dv = {"f1.parquet": [5, 6, 100000], "f2.parquet": list(range(5000))}
+    ranges = write_dv_index_file(p, dv)
+    for name, (off, ln) in ranges.items():
+        got = read_dv_index_entry(p, off, ln)
+        assert list(got) == sorted(dv[name]), name
+    # corrupted payload must fail loudly, not return wrong positions
+    raw = bytearray(open(p, "rb").read())
+    off, ln = ranges["f1.parquet"]
+    raw[off + 4 + 8] ^= 0xFF
+    bad = str(tmp_path / "bad")
+    open(bad, "wb").write(bytes(raw))
+    with pytest.raises(ValueError):
+        read_dv_index_entry(bad, off, ln)
