@@ -39,6 +39,11 @@ from paimon_python_spark.operators.skew import (
     exact_distinct_per_key,
 )
 from paimon_python_spark.operators.joins import binned_interval_join
+from paimon_python_spark.operators._cache import (
+    cache_scope,
+    release_cached,
+    shared,
+)
 from paimon_python_spark.operators.similarity import (
     assign_cells,
     cosine_similarity_col,
@@ -97,4 +102,7 @@ __all__ = [
     "salted_join",
     "exact_distinct_per_key",
     "binned_interval_join",
+    "cache_scope",
+    "release_cached",
+    "shared",
 ]

@@ -17,9 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from paimon_python_spark.operators._cache import register, release_cached, shared
-
-__all_cache__ = (shared, register, release_cached)  # re-exported for callers
+from paimon_python_spark.operators._cache import register, release_cached, shared  # noqa: F401  (release_cached re-exported via operators.__init__)
 
 
 class ConvergenceError(RuntimeError):
@@ -126,7 +124,7 @@ def _minhash_candidates(
     )
     # persisted + eagerly materialized: signatures feed the band explosion
     # AND both verification-join sides; released via release_cached()
-    sh = shared(sh)
+    sh = shared(sh, eager=True)
     band_key = F.concat_ws(
         "-",
         *[
@@ -261,11 +259,14 @@ def _shingle_index(
     itself is cached. Release via ``release_cached()``."""
     sh = with_shingles(df.select(id_col, text_col), text_col, shingle_n)
     if max_doc_freq is not None:
-        inv0 = shared(sh.select(F.col(id_col), F.explode("sh").alias("shingle")))
+        inv0 = shared(
+            sh.select(F.col(id_col), F.explode("sh").alias("shingle")),
+            eager=True,
+        )
         inv = _cap_hot_shingles(inv0, max_doc_freq)
         sizes = inv.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     else:
-        sh = shared(sh)
+        sh = shared(sh, eager=True)
         inv = sh.select(F.col(id_col), F.explode("sh").alias("shingle"))
         sizes = sh.select(F.col(id_col), F.size("sh").alias("n_sh"))
     return inv, sizes
@@ -454,7 +455,8 @@ def embedding_cosine_pairs_lsh(
     # recompute ~4× (measured; was the 4 s bench line). release_cached()
     # frees it.
     ex = shared(
-        df.select(F.col(id_col), F.posexplode(bucket_cols).alias("tbl", "bucket"))
+        df.select(F.col(id_col), F.posexplode(bucket_cols).alias("tbl", "bucket")),
+        eager=True,
     )
     if max_bucket is not None:
         widths = ex.groupBy("tbl", "bucket").agg(F.count("*").alias("__w"))

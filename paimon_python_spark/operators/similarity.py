@@ -443,7 +443,8 @@ def semantic_dedup(
     celled = shared(
         assign_cells(df.select(id_col, vec_col), vec_col, centroids).withColumn(
             "__norm", F.sqrt(F.expr(dot_expr(vec_col, vec_col)))
-        )
+        ),
+        eager=True,
     )
     a = celled.select(
         "cell",

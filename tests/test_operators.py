@@ -421,6 +421,31 @@ def test_release_cached_empties_persistent_rdds(spark, docs):
     assert cache_mgr.isEmpty()
 
 
+def test_cache_scope_isolates_interleaved_pipelines(spark, docs):
+    """r5 advisor: two interleaved pipelines must not release each
+    other's persisted frames. A scope releases ONLY what was registered
+    inside it; the outer pipeline's frame stays cached and its result
+    is still correct afterwards."""
+    from paimon_python_spark.operators import cache_scope, minhash_lsh_pairs
+    from paimon_python_spark.operators._cache import _current, release_cached
+
+    release_cached()  # clean slate from earlier tests
+    outer = minhash_lsh_pairs(docs, "doc_id", "text")
+    outer_frames = list(_current())
+    assert outer_frames
+    outer_n = outer.count()  # populate outer's cache
+    with cache_scope():
+        inner = minhash_lsh_pairs(docs.limit(40), "doc_id", "text")
+        inner.count()
+        assert _current() and _current() is not outer_frames
+    # inner scope exit released inner frames only
+    assert all(f.storageLevel.useMemory or f.storageLevel.useDisk for f in outer_frames)
+    assert outer.count() == outer_n
+    assert release_cached() >= 1
+    cache_mgr = spark._jsparkSession.sharedState().cacheManager()
+    assert cache_mgr.isEmpty()
+
+
 def test_fuzzy_dedup_survivors(spark):
     from paimon_python_spark.operators import fuzzy_dedup_survivors
 
