@@ -2593,6 +2593,77 @@ ORDER BY c_custkey
 """
 
 
+def paimon_lake_evolution_roundtrip(spark, sf_dir):
+    """FIELD-ID schema evolution on an in-place lake read (reference:
+    index_mapping, data_file_record_reader.py:86-98): commit 1 writes
+    under schema-0 whose value column is named p_price; the lake owner
+    then ALTERs — rename p_price→p_retailprice (same field id 1) and
+    add p_brand (new id 2) — and commit 2 writes under schema-1. The
+    read must surface OLD files' p_price data under the NEW name (a
+    by-name mergeSchema would silently NULL it) and NULL-fill p_brand
+    for old files."""
+    import pyarrow as pa
+
+    from paimon_python_spark.paimon_import import (
+        add_paimon_fixture_schema,
+        append_paimon_fixture_snapshot,
+        write_paimon_table_fixture,
+    )
+    from paimon_python_spark.paimon_lake import PaimonLakeTable
+    from paimon_python_spark.session import set_spark
+
+    set_spark(spark)
+    pdf = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") <= 1200)
+        .select("p_partkey", "p_retailprice", "p_brand")
+        .toPandas()
+        .sort_values("p_partkey")
+    )
+    ev = pdf[pdf.p_partkey % 2 == 0]
+    od = pdf[pdf.p_partkey % 2 == 1]
+    fixture = _fresh_warehouse("lakeevo") + "/part_evo"
+    write_paimon_table_fixture(
+        fixture,
+        [("p_partkey", "BIGINT NOT NULL"), ("p_price", "DOUBLE")],
+        [],
+        [],
+        [(0, {}, 0,
+          pa.table({"p_partkey": pa.array(ev.p_partkey, pa.int64()),
+                    "p_price": pa.array(ev.p_retailprice, pa.float64())}))],
+    )
+    add_paimon_fixture_schema(
+        fixture,
+        [
+            (0, "p_partkey", "BIGINT NOT NULL"),
+            (1, "p_retailprice", "DOUBLE"),
+            (2, "p_brand", "STRING"),
+        ],
+    )
+    append_paimon_fixture_snapshot(
+        fixture,
+        [(0, {}, 0,
+          pa.table({"p_partkey": pa.array(od.p_partkey, pa.int64()),
+                    "p_retailprice": pa.array(od.p_retailprice, pa.float64()),
+                    "p_brand": pa.array(od.p_brand, pa.string())}))],
+        schema_id=1,
+    )
+    return (
+        PaimonLakeTable(fixture)
+        .new_read_builder()
+        .new_read()
+        .to_df()
+        .orderBy("p_partkey")
+    )
+
+
+PAIMON_LAKE_EVOLUTION_SQL = """
+SELECT p_partkey, p_retailprice,
+       CASE WHEN p_partkey % 2 = 1 THEN p_brand ELSE NULL END AS p_brand
+FROM part WHERE p_partkey <= 1200 ORDER BY p_partkey
+"""
+
+
 def paimon_scan_pushdown_roundtrip(spark, sf_dir):
     """Append table: write lineitem subset, read back through the
     engine's predicate/projection pushdown (PredicateBuilder surface +
@@ -6794,9 +6865,9 @@ _QUERIES: dict[str, Callable] = {
     "paimon_schema_evolution_roundtrip": paimon_schema_evolution_roundtrip,
     "text_lang_id": text_lang_id,
     "sample_corpus_mix": sample_corpus_mix,
+    "paimon_lake_evolution_roundtrip": paimon_lake_evolution_roundtrip,
     "window_topk_per_group": window_topk_per_group,
     "mor_latest_by_key": mor_latest_by_key,
-    "profile_table_columns": profile_table_columns,
     "events_sessionize": events_sessionize,
     "events_asof_join": events_asof_join,
     "events_interval_join_binned": events_interval_join_binned,
@@ -6940,6 +7011,7 @@ _QUERIES: dict[str, Callable] = {
     "sketch_quantile_summary": sketch_quantile_summary,
     "sample_split_assign": sample_split_assign,
     "events_tumbling_window": events_tumbling_window,
+    "profile_table_columns": profile_table_columns,
 }
 
 _ORACLES: dict[str, str] = {
@@ -7093,6 +7165,7 @@ _ORACLES: dict[str, str] = {
     "paimon_inplace_read_roundtrip": PAIMON_INPLACE_SQL,
     "paimon_lake_pk_roundtrip": PAIMON_LAKE_PK_SQL,
     "paimon_lake_dv_roundtrip": PAIMON_LAKE_DV_SQL,
+    "paimon_lake_evolution_roundtrip": PAIMON_LAKE_EVOLUTION_SQL,
 }
 
 

@@ -111,6 +111,10 @@ class PaimonSchemaInfo:
     partition_keys: List[str]
     primary_keys: List[str]
     options: dict = field(default_factory=dict)
+    #: Paimon field ids parallel to ``spark_schema.fields`` — the
+    #: stable identity rename/reorder evolution maps by (reference
+    #: data_file_record_reader.py:86-98 builds the same index mapping)
+    field_ids: List[int] = field(default_factory=list)
 
 
 def read_paimon_schema(table_path: str, schema_id: Optional[int] = None) -> PaimonSchemaInfo:
@@ -125,15 +129,18 @@ def read_paimon_schema(table_path: str, schema_id: Optional[int] = None) -> Paim
     with open(os.path.join(sdir, f"schema-{schema_id}")) as f:
         d = json.load(f)
     fields = []
-    for fld in d["fields"]:
+    fids = []
+    for i, fld in enumerate(d["fields"]):
         dt, nullable = parse_paimon_type(fld["type"])
         fields.append(T.StructField(fld["name"], dt, nullable))
+        fids.append(int(fld.get("id", i)))
     return PaimonSchemaInfo(
         id=int(d.get("id", schema_id)),
         spark_schema=T.StructType(fields),
         partition_keys=list(d.get("partitionKeys", [])),
         primary_keys=list(d.get("primaryKeys", [])),
         options=dict(d.get("options", {})),
+        field_ids=fids,
     )
 
 
@@ -319,6 +326,8 @@ class PaimonFileEntry:
     file_size: int
     row_count: int
     level: int
+    #: schema the data file was written under (manifest ``_SCHEMA_ID``)
+    schema_id: int = 0
 
     def rel_path(
         self,
@@ -370,6 +379,7 @@ def read_manifest(
                 file_size=int(fmeta["_FILE_SIZE"]),
                 row_count=int(fmeta["_ROW_COUNT"]),
                 level=int(fmeta.get("_LEVEL", 0)),
+                schema_id=int(fmeta.get("_SCHEMA_ID") or 0),
             )
         )
     return out
@@ -748,7 +758,7 @@ MANIFEST_SCHEMA = {
 _EMPTY_STATS = {"_MIN_VALUES": b"", "_MAX_VALUES": b"", "_NULL_COUNTS": None}
 
 
-def _spec_file_meta(name: str, size: int, rows: int) -> dict:
+def _spec_file_meta(name: str, size: int, rows: int, schema_id: int = 0) -> dict:
     return {
         "_FILE_NAME": name,
         "_FILE_SIZE": size,
@@ -759,7 +769,7 @@ def _spec_file_meta(name: str, size: int, rows: int) -> dict:
         "_VALUE_STATS": _EMPTY_STATS,
         "_MIN_SEQUENCE_NUMBER": 0,
         "_MAX_SEQUENCE_NUMBER": rows,
-        "_SCHEMA_ID": 0,
+        "_SCHEMA_ID": schema_id,
         "_LEVEL": 0,
         "_EXTRA_FILES": [],
         "_CREATION_TIME": None,
@@ -936,8 +946,47 @@ def write_paimon_table_fixture(
         f.write("1")
 
 
+def add_paimon_fixture_schema(
+    path: str,
+    schema_fields: List[tuple],
+    partition_keys: Optional[List[str]] = None,
+    primary_keys: Optional[List[str]] = None,
+    options: Optional[dict] = None,
+) -> int:
+    """Write ``schema-(N+1)`` for a fixture table — models an ALTER
+    TABLE by the lake's owner. ``schema_fields``: [(field_id, name,
+    paimon type string)] with EXPLICIT field ids, so renames keep the
+    id and adds take a fresh one (the identity field-id evolution maps
+    by). Partition/primary keys and options default to the current
+    schema's. Returns the new schema id."""
+    cur = read_paimon_schema(path)
+    new_id = cur.id + 1
+    with open(os.path.join(path, "schema", f"schema-{new_id}"), "w") as f:
+        json.dump(
+            {
+                "version": 3,
+                "id": new_id,
+                "fields": [
+                    {"id": fid, "name": n, "type": ty}
+                    for fid, n, ty in schema_fields
+                ],
+                "highestFieldId": max(fid for fid, _n, _t in schema_fields),
+                "partitionKeys": (
+                    cur.partition_keys if partition_keys is None else partition_keys
+                ),
+                "primaryKeys": (
+                    cur.primary_keys if primary_keys is None else primary_keys
+                ),
+                "options": cur.options if options is None else options,
+                "timeMillis": 0,
+            },
+            f,
+        )
+    return new_id
+
+
 def append_paimon_fixture_snapshot(
-    path: str, files: List[tuple], tag: str = "c2"
+    path: str, files: List[tuple], tag: str = "c2", schema_id: Optional[int] = None
 ) -> int:
     """Add a successive commit to a spec-format fixture table: new data
     files + manifest + delta manifest list, and snapshot N+1 whose BASE
@@ -950,6 +999,10 @@ def append_paimon_fixture_snapshot(
     from paimon_python_spark.avro_codec import write_avro_records
 
     info = read_paimon_schema(path)
+    if schema_id is None:
+        schema_id = info.id
+    elif schema_id != info.id:
+        info = read_paimon_schema(path, schema_id)
     part_types = [info.spark_schema[k].dataType for k in info.partition_keys]
     default_name = info.options.get("partition.default-name", DEFAULT_PARTITION_NAME)
     prev_id = latest_paimon_snapshot_id(path)
@@ -1021,7 +1074,10 @@ def append_paimon_fixture_snapshot(
                     "_BUCKET": bucket,
                     "_TOTAL_BUCKETS": 1,
                     "_FILE": _spec_file_meta(
-                        target.file_name, target.file_size, target.row_count
+                        target.file_name,
+                        target.file_size,
+                        target.row_count,
+                        schema_id=schema_id,
                     ),
                 }
             )
@@ -1037,7 +1093,7 @@ def append_paimon_fixture_snapshot(
                 "_PARTITION": raw_part,
                 "_BUCKET": bucket,
                 "_TOTAL_BUCKETS": 1,
-                "_FILE": _spec_file_meta(fname, size, table.num_rows),
+                "_FILE": _spec_file_meta(fname, size, table.num_rows, schema_id=schema_id),
             }
         )
 
@@ -1074,7 +1130,7 @@ def append_paimon_fixture_snapshot(
             {
                 "version": 3,
                 "id": new_id,
-                "schemaId": 0,
+                "schemaId": schema_id,
                 "baseManifestList": blname,
                 "deltaManifestList": dlname,
                 "changelogManifestList": None,
@@ -1168,8 +1224,110 @@ def _load_lake_files(
     return df
 
 
+def _mapped_select(oinfo: PaimonSchemaInfo, info: PaimonSchemaInfo, kv: bool, skip=()):
+    """Select list projecting a file group written under ``oinfo`` to
+    the CURRENT schema ``info``, matched BY FIELD ID — the identity
+    that survives rename/reorder evolution (reference builds the same
+    index mapping per file, data_file_record_reader.py:86-98). A
+    current field whose id is absent from the old schema surfaces NULL;
+    an old field whose id was dropped simply isn't selected. PK and
+    partition columns map by name (Paimon forbids renaming them), as do
+    the ``_KEY_*``/sequence/kind system columns on kv files. Falls back
+    to by-name matching when the old schema carries no field ids
+    (legacy fixtures)."""
+    from pyspark.sql import functions as F
+
+    from paimon_python_spark.write import KIND_COL, SEQ_COL
+
+    old_by_id = {
+        fid: f.name
+        for fid, f in zip(oinfo.field_ids, oinfo.spark_schema.fields)
+    }
+    old_names = {f.name for f in oinfo.spark_schema.fields}
+    cols = []
+    if kv:
+        trimmed = [k for k in info.primary_keys if k not in info.partition_keys]
+        cols += [F.col(f"_KEY_{k}") for k in trimmed]
+        cols += [F.col(SEQ_COL), F.col(KIND_COL)]
+    cur_ids = info.field_ids or list(range(len(info.spark_schema.fields)))
+    for fid, f in zip(cur_ids, info.spark_schema.fields):
+        if f.name in skip:
+            continue
+        if oinfo.field_ids:
+            src_name = old_by_id.get(fid)
+        else:
+            src_name = f.name if f.name in old_names else None
+        if src_name is None:
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+        else:
+            cols.append(F.col(src_name).cast(f.dataType).alias(f.name))
+    return cols
+
+
+def _load_lake_entries(
+    spark,
+    info: PaimonSchemaInfo,
+    entries,
+    src,
+    fmt: str,
+    kv: bool,
+    table_path: "str | None" = None,
+    file_name_col: "str | None" = None,
+    row_pos_col: "str | None" = None,
+    skip_cols=(),
+):
+    """Load planned entries honoring FIELD-ID schema evolution: files
+    group by the ``_SCHEMA_ID`` they were written under, each group
+    loads with its own physical schema, projects to the current schema
+    via :func:`_mapped_select`, and the groups union by name. By-name
+    ``mergeSchema`` alone silently misreads renamed/reordered columns
+    (a renamed column would surface NULL); the id mapping is exact."""
+    from functools import reduce
+
+    groups: dict[int, list] = {}
+    for e in entries:
+        groups.setdefault(e.schema_id, []).append(e)
+    parts = []
+    for sid in sorted(groups):
+        es = groups[sid]
+        if sid == info.id:
+            oinfo = info
+        elif table_path is None:
+            raise ValueError(
+                f"lake read: entries were written under schema-{sid} but no "
+                "table_path was provided to load it for field-id mapping"
+            )
+        else:
+            oinfo = read_paimon_schema(table_path, sid)
+        physical = (
+            paimon_kv_schema(oinfo)
+            if kv
+            else T.StructType(
+                [f for f in oinfo.spark_schema.fields if f.name not in skip_cols]
+            )
+        )
+        df = _load_lake_files(
+            spark,
+            [src(e) for e in es],
+            fmt,
+            physical,
+            file_name_col=file_name_col,
+            row_pos_col=row_pos_col,
+        )
+        sel = _mapped_select(oinfo, info, kv=kv, skip=skip_cols)
+        extra = [c for c in (file_name_col, row_pos_col) if c]
+        parts.append(df.select(*sel, *extra))
+    return reduce(lambda a, b: a.unionByName(b), parts)
+
+
 def merge_paimon_pk_entries(
-    spark, info: PaimonSchemaInfo, entries, src, fmt: str, dv_ranges=None
+    spark,
+    info: PaimonSchemaInfo,
+    entries,
+    src,
+    fmt: str,
+    dv_ranges=None,
+    table_path: "str | None" = None,
 ):
     """Distributed merge of a PK table's key-value files into the
     visible rows: max ``_SEQUENCE_NUMBER`` per (partition, key) wins,
@@ -1190,15 +1348,17 @@ def merge_paimon_pk_entries(
 
     from paimon_python_spark.write import KIND_COL, SEQ_COL
 
-    paths = [src(e) for e in entries]
-    if not paths:
+    if not entries:
         return spark.createDataFrame([], info.spark_schema)
     dv_ranges = _relevant_dv(dv_ranges, entries)
-    raw = _load_lake_files(
+    raw = _load_lake_entries(
         spark,
-        paths,
+        info,
+        entries,
+        src,
         fmt,
-        paimon_kv_schema(info),
+        kv=True,
+        table_path=table_path,
         file_name_col="__file_name",
         row_pos_col="__row_pos" if dv_ranges else None,
     )
@@ -1243,17 +1403,23 @@ def _relevant_dv(dv_ranges, entries):
 
 
 def read_paimon_append_entries(
-    spark, info: PaimonSchemaInfo, entries, src, fmt: str, dv_ranges=None
+    spark,
+    info: PaimonSchemaInfo,
+    entries,
+    src,
+    fmt: str,
+    dv_ranges=None,
+    table_path: "str | None" = None,
 ):
     """Read an append table's live files in place. Partition columns
     that are not physically present in the data files (hive-style
     layouts) are injected per partition group from the decoded manifest
     BinaryRow values; files that do carry them load in one scan.
 
-    All loads route through :func:`_load_lake_files` so the codec-based
-    avro path (no spark-avro dependency) and the ``mergeSchema``
-    schema-evolution contract (old files missing newer columns surface
-    NULL) apply to append tables exactly as they do to PK tables.
+    All loads route through :func:`_load_lake_entries` so the
+    codec-based avro path (no spark-avro dependency) and FIELD-ID
+    schema evolution (rename/reorder, added columns NULL-filled) apply
+    to append tables exactly as they do to PK tables.
     ``dv_ranges``: row-level deletes on append tables (Paimon's
     DELETE-FROM support) anti-join out by (file, position)."""
     from functools import reduce
@@ -1288,31 +1454,35 @@ def read_paimon_append_entries(
     missing = [k for k in info.partition_keys if k not in sample_cols]
     if not missing:
         return finish(
-            _load_lake_files(
+            _load_lake_entries(
                 spark,
-                [src(e) for e in entries],
+                info,
+                entries,
+                src,
                 fmt,
-                info.spark_schema,
+                kv=False,
+                table_path=table_path,
                 file_name_col=fn_col,
                 row_pos_col=pos_col,
             )
         ).select(*cast_cols)
-    physical = T.StructType(
-        [f for f in info.spark_schema.fields if f.name not in missing]
-    )
     groups: dict[tuple, list] = {}
     for e in entries:
         groups.setdefault(tuple(sorted(e.partition.items())), []).append(e)
     parts = []
     for pkey, es in groups.items():
         pvals = logical_partition_values(info, dict(pkey))
-        df = _load_lake_files(
+        df = _load_lake_entries(
             spark,
-            [src(e) for e in es],
+            info,
+            es,
+            src,
             fmt,
-            physical,
+            kv=False,
+            table_path=table_path,
             file_name_col=fn_col,
             row_pos_col=pos_col,
+            skip_cols=tuple(missing),
         )
         df = finish(df)
         for k in missing:
@@ -1388,7 +1558,8 @@ def import_paimon_table(
         # rows through the engine write path instead
         spark = get_spark()
         filtered = read_paimon_append_entries(
-            spark, info, entries, src, fmt, dv_ranges=dv
+            spark, info, entries, src, fmt, dv_ranges=dv,
+            table_path=paimon_table_path,
         )
         wb = table.new_batch_write_builder()
         writer, committer = wb.new_write(), wb.new_commit()
@@ -1425,7 +1596,10 @@ def import_paimon_table(
     # primary-key table: distributed merge of the key-value files
     spark = get_spark()
     if entries:
-        merged = merge_paimon_pk_entries(spark, info, entries, src, fmt, dv_ranges=dv)
+        merged = merge_paimon_pk_entries(
+            spark, info, entries, src, fmt, dv_ranges=dv,
+            table_path=paimon_table_path,
+        )
         wb = table.new_batch_write_builder()
         writer, committer = wb.new_write(), wb.new_commit()
         writer.write_dataframe(merged)

@@ -262,10 +262,12 @@ class PaimonLakeRead:
 
         dv = plan_paimon_dv(table_path, b._snapshot_id)
         if info.primary_keys:
-            df = merge_paimon_pk_entries(spark, info, entries, src, fmt, dv_ranges=dv)
+            df = merge_paimon_pk_entries(
+                spark, info, entries, src, fmt, dv_ranges=dv, table_path=table_path
+            )
         else:
             df = read_paimon_append_entries(
-                spark, info, entries, src, fmt, dv_ranges=dv
+                spark, info, entries, src, fmt, dv_ranges=dv, table_path=table_path
             )
         if b._predicate is not None:
             df = df.filter(b._predicate.to_column())

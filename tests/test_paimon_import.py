@@ -776,3 +776,107 @@ def test_dv_index_file_roundtrip(tmp_path):
     open(bad, "wb").write(bytes(raw))
     with pytest.raises(ValueError):
         read_dv_index_entry(bad, off, ln)
+
+
+def test_lake_field_id_rename_evolution(tmp_path, spark):
+    """r5 verdict task 2: a real lake whose second snapshot RENAMES a
+    column (same field id) must read old files' data under the new
+    name — by-name mergeSchema would silently surface NULLs. Also
+    covers add (new id -> NULL-filled) and reorder in the same ALTER."""
+    from paimon_python_spark.paimon_import import (
+        add_paimon_fixture_schema,
+        append_paimon_fixture_snapshot,
+    )
+    from paimon_python_spark.paimon_lake import PaimonLakeTable
+    from paimon_python_spark.session import set_spark
+
+    set_spark(spark)
+    p = str(tmp_path / "evo_lake")
+    # schema-0: (0: k INT, 1: val STRING)
+    write_paimon_fixture(
+        p,
+        [("k", "INT NOT NULL"), ("val", "STRING")],
+        [],
+        [],
+        [(0, {}, 0,
+          pa.table({"k": pa.array([1, 2], pa.int32()),
+                    "val": pa.array(["a", "b"], pa.string())}))],
+    )
+    # ALTER: rename val->renamed (keeps id 1), add extra (id 2),
+    # and reorder so renamed comes first
+    add_paimon_fixture_schema(
+        p,
+        [(1, "renamed", "STRING"), (0, "k", "INT NOT NULL"), (2, "extra", "BIGINT")],
+    )
+    append_paimon_fixture_snapshot(
+        p,
+        [(0, {}, 0,
+          pa.table({"renamed": pa.array(["c"], pa.string()),
+                    "k": pa.array([3], pa.int32()),
+                    "extra": pa.array([30], pa.int64())}))],
+        schema_id=1,
+    )
+    out = (
+        PaimonLakeTable(p)
+        .new_read_builder()
+        .new_read()
+        .to_pandas()
+        .sort_values("k")
+    )
+    assert list(out.columns) == ["renamed", "k", "extra"]
+    assert list(out.k) == [1, 2, 3]
+    # old files' val data must appear under the NEW name (field id 1)
+    assert list(out.renamed) == ["a", "b", "c"]
+    assert out.extra.tolist()[:2] == [None, None] or out.extra.isna().tolist()[:2] == [True, True]
+    assert out.extra.tolist()[2] == 30
+
+
+def test_lake_field_id_rename_evolution_pk(tmp_path, spark):
+    """Same rename-by-id contract through the PK merge path: value
+    column renamed between commits, keys merge across schema versions."""
+    from paimon_python_spark.paimon_import import (
+        add_paimon_fixture_schema,
+        append_paimon_fixture_snapshot,
+    )
+    from paimon_python_spark.paimon_lake import PaimonLakeTable
+    from paimon_python_spark.session import set_spark
+
+    set_spark(spark)
+    p = str(tmp_path / "evo_pk")
+
+    def kv(names_col, ks, seqs, vs):
+        return pa.table(
+            {
+                "_KEY_k": pa.array(ks, pa.int32()),
+                "_SEQUENCE_NUMBER": pa.array(seqs, pa.int64()),
+                "_VALUE_KIND": pa.array([0] * len(ks), pa.int32()),
+                "k": pa.array(ks, pa.int32()),
+                names_col: pa.array(vs, pa.string()),
+            }
+        )
+
+    write_paimon_fixture(
+        p,
+        [("k", "INT NOT NULL"), ("val", "STRING")],
+        [],
+        ["k"],
+        [(0, {}, 0, kv("val", [1, 2], [0, 1], ["a", "b"]))],
+        options={"bucket": "1"},
+    )
+    add_paimon_fixture_schema(
+        p, [(0, "k", "INT NOT NULL"), (1, "renamed", "STRING")]
+    )
+    append_paimon_fixture_snapshot(
+        p,
+        [(0, {}, 0, kv("renamed", [2, 3], [2, 3], ["B", "c"]))],
+        schema_id=1,
+    )
+    out = (
+        PaimonLakeTable(p)
+        .new_read_builder()
+        .new_read()
+        .to_pandas()
+        .sort_values("k")
+    )
+    assert list(out.k) == [1, 2, 3]
+    assert list(out.renamed) == ["a", "B", "c"]
