@@ -78,6 +78,7 @@ class PaimonLakeReadBuilder:
         self._predicate: Optional[Predicate] = None
         self._projection: Optional[List[str]] = None
         self._snapshot_id: Optional[int] = None
+        self._limit: Optional[int] = None
 
     def new_predicate_builder(self) -> PredicateBuilder:
         return PredicateBuilder(
@@ -98,6 +99,15 @@ class PaimonLakeReadBuilder:
 
     def with_snapshot(self, snapshot_id: int) -> "PaimonLakeReadBuilder":
         self._snapshot_id = snapshot_id
+        return self
+
+    def with_limit(self, limit: int) -> "PaimonLakeReadBuilder":
+        """Split-granular limit (engine/reference ReadBuilder parity,
+        scan.py:120-127): planning stops adding splits once the
+        accumulated manifest row count reaches ``limit``, so a limited
+        read of a huge lake opens only the first few files; the row
+        cutoff itself is applied to the read output."""
+        self._limit = limit
         return self
 
     def new_scan(self) -> "PaimonLakeScan":
@@ -129,7 +139,10 @@ class PaimonLakeScan:
         for e in entries:
             groups[(tuple(sorted(e.partition.items())), e.bucket)].append(e)
         splits = []
+        total = 0
         for (_pkey, _bucket), es in sorted(groups.items(), key=lambda kv: str(kv[0])):
+            if b._limit is not None and total >= b._limit:
+                break
             kw = {"default_name": default_name} if default_name else {}
             splits.append(
                 PaimonLakeSplit(
@@ -144,6 +157,7 @@ class PaimonLakeScan:
                     ],
                 )
             )
+            total += splits[-1].row_count()
         return PaimonLakePlan(splits)
 
 
@@ -207,6 +221,27 @@ def _coerce_partition_literals(pred: Predicate, info: PaimonSchemaInfo) -> Predi
     return Predicate(pred.method, field=pred.field, literals=[cv(x) for x in pred.literals])
 
 
+def _limited_entries(entries, limit: "int | None"):
+    """Trim (partition, bucket) groups once their manifest row counts
+    reach ``limit`` — whole groups are kept, so a PK merge inside a
+    retained bucket still sees every version of its keys (same
+    guarantee as the engine's split-granular limit, scan.py:120-127)."""
+    if limit is None:
+        return entries
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for e in entries:
+        groups[(tuple(sorted(e.partition.items())), e.bucket)].append(e)
+    out, total = [], 0
+    for key in sorted(groups, key=str):
+        if total >= limit:
+            break
+        out.extend(groups[key])
+        total += sum(e.row_count for e in groups[key])
+    return out
+
+
 def _pruned_entries(table_path: str, info: PaimonSchemaInfo, b: "PaimonLakeReadBuilder"):
     """Plan the live file set and drop partitions the predicate rules
     out (evaluated on decoded BinaryRow values normalized to logical
@@ -242,7 +277,7 @@ class PaimonLakeRead:
         b = self.builder
         table_path = b.table.table_path
         info = read_paimon_schema(table_path)
-        entries = _pruned_entries(table_path, info, b)
+        entries = _limited_entries(_pruned_entries(table_path, info, b), b._limit)
         fmt = info.options.get("file.format", "parquet")
         part_types = [info.spark_schema[k].dataType for k in info.partition_keys]
         default_name = info.options.get("partition.default-name", None)
@@ -273,6 +308,8 @@ class PaimonLakeRead:
             df = df.filter(b._predicate.to_column())
         if b._projection is not None:
             df = df.select(*b._projection)
+        if b._limit is not None:
+            df = df.limit(b._limit)
         return df
 
     def to_pandas(self):
