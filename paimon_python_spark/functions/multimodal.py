@@ -40,6 +40,15 @@ from pyspark.sql import types as T
 # ---- BMP (24-bit BI_RGB) ----
 
 
+def _bmp_header(w: int, h: int) -> bytes:
+    """54-byte BMP file+DIB header for a 24-bit (h, w) image."""
+    pad = (4 - (w * 3) % 4) % 4
+    img_size = (w * 3 + pad) * h
+    return struct.pack("<2sIHHI", b"BM", 54 + img_size, 0, 0, 54) + struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0
+    )
+
+
 def encode_bmp(arr: np.ndarray) -> bytes:
     """(h, w, 3) uint8 RGB → 24-bit uncompressed BMP (bottom-up rows,
     BGR byte order, rows padded to 4 bytes — the classic layout)."""
@@ -48,9 +57,6 @@ def encode_bmp(arr: np.ndarray) -> bytes:
         raise ValueError("encode_bmp expects (h, w, 3) RGB")
     pad = (4 - (w * 3) % 4) % 4
     row_bytes = w * 3 + pad
-    img_size = row_bytes * h
-    header = struct.pack("<2sIHHI", b"BM", 54 + img_size, 0, 0, 54)
-    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0)
     bgr = arr[::-1, :, ::-1]  # bottom-up, RGB→BGR
     if pad:
         padded = np.zeros((h, row_bytes), np.uint8)
@@ -58,7 +64,7 @@ def encode_bmp(arr: np.ndarray) -> bytes:
         body = padded.tobytes()
     else:
         body = bgr.tobytes()
-    return header + dib + body
+    return _bmp_header(w, h) + body
 
 
 def decode_bmp(data: bytes) -> np.ndarray:
@@ -344,26 +350,47 @@ def resize_image(
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            # decode per row (cheap frombuffer views), then VECTORIZE the
+            # resample/sum/pad per (h, w) group: same-dimension images
+            # stack into one (n, h, w, 3) fancy-index + one axis-sum
+            # instead of n separate Python iterations — images in a
+            # corpus cluster into few dimension classes, so the Python
+            # loop runs per CLASS, not per image
             ids, iw, ih, ow, oh, sums, blobs = [], [], [], [], [], [], []
+            groups: dict = {}
             for _id, blob in zip(pdf[id_col], pdf[bin_col]):
                 arr = decode_image_bytes(bytes(blob))
                 if arr.shape[2] == 1:
                     arr = np.repeat(arr, 3, axis=2)
                 elif arr.shape[2] == 4:
                     arr = arr[:, :, :3]
-                h, w, _ = arr.shape
+                groups.setdefault(arr.shape[:2], ([], []))
+                groups[arr.shape[:2]][0].append(_id)
+                groups[arr.shape[:2]][1].append(arr)
+            for (h, w), (gids, arrs) in groups.items():
                 s = min(target_w * 1000 // w, target_h * 1000 // h)
                 w2, h2 = max(1, w * s // 1000), max(1, h * s // 1000)
                 ys = (np.arange(h2) * h) // h2
                 xs = (np.arange(w2) * w) // w2
-                out = arr[ys][:, xs]
-                ids.append(_id)
-                iw.append(w)
-                ih.append(h)
-                ow.append(w2)
-                oh.append(h2)
-                sums.append(int(out.sum(dtype=np.int64)))
-                blobs.append(encode_bmp(out))
+                stack = np.stack(arrs)  # (n, h, w, 3)
+                out = stack[:, ys][:, :, xs]  # (n, h2, w2, 3)
+                n = len(gids)
+                pad = (4 - (w2 * 3) % 4) % 4
+                row_bytes = w2 * 3 + pad
+                header = _bmp_header(w2, h2)
+                bgr = out[:, ::-1, :, ::-1].reshape(n, h2, w2 * 3)
+                if pad:
+                    padded = np.zeros((n, h2, row_bytes), np.uint8)
+                    padded[:, :, : w2 * 3] = bgr
+                else:
+                    padded = bgr
+                ids.extend(gids)
+                iw.extend([w] * n)
+                ih.extend([h] * n)
+                ow.extend([w2] * n)
+                oh.extend([h2] * n)
+                sums.extend(out.sum(axis=(1, 2, 3), dtype=np.int64).tolist())
+                blobs.extend(header + padded[i].tobytes() for i in range(n))
             yield pd.DataFrame(
                 {
                     "id": ids,
@@ -478,16 +505,34 @@ def synth_image_payloads(df: DataFrame, id_col: str) -> DataFrame:
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            # vectorized per (w, h) class: ids sharing dimensions render
+            # as ONE broadcasted (n, h, w, 3) modular expression and one
+            # padded reshape — the Python loop runs per class (≤128),
+            # not per image
+            all_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            ws = 16 + all_ids % 16
+            hs = 12 + all_ids % 8
             ids, blobs = [], []
-            for _id in pdf[id_col]:
-                _id = int(_id)
-                w, h = 16 + _id % 16, 12 + _id % 8
-                y = np.arange(h)[:, None, None]
-                x = np.arange(w)[None, :, None]
-                c = np.arange(3)[None, None, :]
-                arr = ((_id * 7 + y * 5 + x * 3 + c * 11) % 256).astype(np.uint8)
-                ids.append(_id)
-                blobs.append(encode_bmp(arr))
+            for key in {(int(w), int(h)) for w, h in zip(ws, hs)}:
+                w, h = key
+                gids = all_ids[(ws == w) & (hs == h)]
+                n = len(gids)
+                idv = gids[:, None, None, None]
+                y = np.arange(h)[None, :, None, None]
+                x = np.arange(w)[None, None, :, None]
+                c = np.arange(3)[None, None, None, :]
+                arr = ((idv * 7 + y * 5 + x * 3 + c * 11) % 256).astype(np.uint8)
+                pad = (4 - (w * 3) % 4) % 4
+                row_bytes = w * 3 + pad
+                header = _bmp_header(w, h)
+                bgr = arr[:, ::-1, :, ::-1].reshape(n, h, w * 3)
+                if pad:
+                    padded = np.zeros((n, h, row_bytes), np.uint8)
+                    padded[:, :, : w * 3] = bgr
+                else:
+                    padded = bgr
+                ids.extend(gids.tolist())
+                blobs.extend(header + padded[i].tobytes() for i in range(n))
             yield pd.DataFrame({id_col: ids, "payload": blobs})
 
     return df.select(id_col).mapInPandas(gen, schema)
