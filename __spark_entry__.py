@@ -2664,6 +2664,118 @@ FROM part WHERE p_partkey <= 1200 ORDER BY p_partkey
 """
 
 
+def paimon_import_history_roundtrip(spark, sf_dir):
+    """HISTORY-PRESERVING import (import_paimon_table
+    preserve_history=True): a two-snapshot PK lake — base commit of
+    supplier rows, second commit that upserts every third key and
+    DELETEs every tenth — replays snapshot-by-snapshot into the
+    engine, so time travel reaches the PRE-IMPORT state. The result
+    unions engine-snapshot-1 (lake state before commit 2) and the
+    latest read, tagged; the oracle replays both states in SQL."""
+    import pyarrow as pa
+
+    from paimon_python_spark import Catalog
+    from paimon_python_spark.paimon_import import (
+        append_paimon_fixture_snapshot,
+        import_paimon_table,
+        write_paimon_table_fixture,
+    )
+    from paimon_python_spark.session import set_spark
+
+    set_spark(spark)
+    pdf = (
+        _t(spark, sf_dir, "supplier")
+        .select("s_suppkey", "s_name", "s_acctbal")
+        .toPandas()
+        .sort_values("s_suppkey")
+    )
+
+    def kv_table(keys, names, seqs, kinds, bals):
+        return pa.table(
+            {
+                "_KEY_s_suppkey": pa.array(keys, pa.int64()),
+                "_SEQUENCE_NUMBER": pa.array(seqs, pa.int64()),
+                "_VALUE_KIND": pa.array(kinds, pa.int32()),
+                "s_suppkey": pa.array(keys, pa.int64()),
+                "s_name": pa.array(names, pa.string()),
+                "s_acctbal": pa.array(bals, pa.float64()),
+            }
+        )
+
+    keys = [int(k) for k in pdf.s_suppkey]
+    base = kv_table(
+        keys,
+        list(pdf.s_name),
+        list(range(len(keys))),
+        [0] * len(keys),
+        [float(b) for b in pdf.s_acctbal],
+    )
+    fixture = _fresh_warehouse("lakehist") + "/supplier_kv"
+    write_paimon_table_fixture(
+        fixture,
+        [
+            ("s_suppkey", "BIGINT NOT NULL"),
+            ("s_name", "STRING"),
+            ("s_acctbal", "DOUBLE"),
+        ],
+        [],
+        ["s_suppkey"],
+        [(0, {}, 0, base)],
+        options={"bucket": "1"},
+    )
+    thirds = [k for k in keys if k % 3 == 0]
+    tenths = [k for k in keys if k % 10 == 0]
+    seq0 = len(keys)
+    upd = kv_table(
+        thirds,
+        [f"UPD-{k}" for k in thirds],
+        list(range(seq0, seq0 + len(thirds))),
+        [0] * len(thirds),
+        [1.0] * len(thirds),
+    )
+    dels = kv_table(
+        tenths,
+        ["x"] * len(tenths),
+        list(range(seq0 + len(thirds), seq0 + len(thirds) + len(tenths))),
+        [3] * len(tenths),
+        [0.0] * len(tenths),
+    )
+    append_paimon_fixture_snapshot(fixture, [(0, {}, 0, upd), (0, {}, 0, dels)])
+    wh = _fresh_warehouse("histimp")
+    cat = Catalog.create({"warehouse": wh})
+    cat.create_database("default", True)
+    t = import_paimon_table(
+        fixture, cat, "default.supplier_hist", preserve_history=True
+    )
+    cols = ["s_suppkey", "s_name", "s_acctbal"]
+    old = (
+        t.new_read_builder()
+        .with_snapshot(1)
+        .new_read()
+        .to_df()
+        .select(F.lit("s1").alias("tag"), *cols)
+    )
+    new = (
+        t.new_read_builder()
+        .new_read()
+        .to_df()
+        .select(F.lit("latest").alias("tag"), *cols)
+    )
+    return old.unionByName(new).orderBy("tag", "s_suppkey")
+
+
+PAIMON_IMPORT_HISTORY_SQL = """
+SELECT 's1' AS tag, s_suppkey, s_name, s_acctbal FROM supplier
+UNION ALL
+SELECT 'latest' AS tag, s_suppkey,
+       CASE WHEN s_suppkey % 3 = 0 THEN 'UPD-' || CAST(s_suppkey AS VARCHAR)
+            ELSE s_name END AS s_name,
+       CASE WHEN s_suppkey % 3 = 0 THEN 1.0 ELSE s_acctbal END AS s_acctbal
+FROM supplier WHERE s_suppkey % 10 <> 0
+ORDER BY tag, s_suppkey
+"""
+
+
 def paimon_scan_pushdown_roundtrip(spark, sf_dir):
     """Append table: write lineitem subset, read back through the
     engine's predicate/projection pushdown (PredicateBuilder surface +
@@ -6866,8 +6978,8 @@ _QUERIES: dict[str, Callable] = {
     "text_lang_id": text_lang_id,
     "sample_corpus_mix": sample_corpus_mix,
     "paimon_lake_evolution_roundtrip": paimon_lake_evolution_roundtrip,
+    "paimon_import_history_roundtrip": paimon_import_history_roundtrip,
     "window_topk_per_group": window_topk_per_group,
-    "mor_latest_by_key": mor_latest_by_key,
     "events_sessionize": events_sessionize,
     "events_asof_join": events_asof_join,
     "events_interval_join_binned": events_interval_join_binned,
@@ -7012,6 +7124,7 @@ _QUERIES: dict[str, Callable] = {
     "sample_split_assign": sample_split_assign,
     "events_tumbling_window": events_tumbling_window,
     "profile_table_columns": profile_table_columns,
+    "mor_latest_by_key": mor_latest_by_key,
 }
 
 _ORACLES: dict[str, str] = {
@@ -7166,6 +7279,7 @@ _ORACLES: dict[str, str] = {
     "paimon_lake_pk_roundtrip": PAIMON_LAKE_PK_SQL,
     "paimon_lake_dv_roundtrip": PAIMON_LAKE_DV_SQL,
     "paimon_lake_evolution_roundtrip": PAIMON_LAKE_EVOLUTION_SQL,
+    "paimon_import_history_roundtrip": PAIMON_IMPORT_HISTORY_SQL,
 }
 
 

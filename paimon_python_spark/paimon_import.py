@@ -1494,11 +1494,92 @@ def read_paimon_append_entries(
 # ---- import ----
 
 
+def plan_paimon_delta(table_path: str, snapshot_id: int) -> List[PaimonFileEntry]:
+    """ADD entries of ONE snapshot's delta manifest list — the files
+    that commit introduced (used by snapshot-by-snapshot history
+    replay; compaction rewrites carry DELETE entries and are skipped
+    upstream by commitKind)."""
+    info = read_paimon_schema(table_path)
+    snap = read_paimon_snapshot(table_path, snapshot_id)
+    part_types = [info.spark_schema[k].dataType for k in info.partition_keys]
+    out: List[PaimonFileEntry] = []
+    lst = snap.get("deltaManifestList")
+    if lst:
+        for mname in read_manifest_list(table_path, lst):
+            for e in read_manifest(table_path, mname, part_types, info.partition_keys):
+                if e.kind == 0:
+                    out.append(e)
+    return out
+
+
+def _import_with_history(
+    paimon_table_path: str, table, info, src, fmt: str, last_snapshot_id: int
+) -> None:
+    """Replay each Paimon snapshot as one engine commit, oldest first,
+    so time travel on the imported table reaches states that predate
+    the import. APPEND-kind commits replay their delta files (PK
+    tables keep per-row RowKind so -D/-U history is faithful; rows
+    write in original sequence order). COMPACT commits are logical
+    no-ops and are skipped. OVERWRITE commits are rejected loudly —
+    replaying partition replacement faithfully needs the engine's
+    overwrite planner; use the default flat import for such tables."""
+    from paimon_python_spark.session import get_spark
+    from paimon_python_spark.write import KIND_COL, SEQ_COL
+
+    spark = get_spark()
+    from pyspark.sql import functions as F
+
+    for sid in range(1, last_snapshot_id + 1):
+        try:
+            snap = read_paimon_snapshot(paimon_table_path, sid)
+        except FileNotFoundError:
+            continue  # expired snapshot — history starts later
+        kind = str(snap.get("commitKind", "APPEND")).upper()
+        if kind == "COMPACT":
+            continue
+        if kind not in ("APPEND",):
+            raise NotImplementedError(
+                f"preserve_history: snapshot {sid} has commitKind={kind}; "
+                "only APPEND/COMPACT chains replay — import without "
+                "preserve_history to flatten"
+            )
+        delta = plan_paimon_delta(paimon_table_path, sid)
+        if not delta:
+            continue
+        wb = table.new_batch_write_builder()
+        writer, committer = wb.new_write(), wb.new_commit()
+        if info.primary_keys:
+            raw = _load_lake_entries(
+                spark,
+                info,
+                delta,
+                src,
+                fmt,
+                kv=True,
+                table_path=paimon_table_path,
+            )
+            value_cols = [f.name for f in info.spark_schema.fields]
+            # original sequence order keeps intra-commit version order
+            writer.write_dataframe(
+                raw.orderBy(F.col(SEQ_COL).asc()).select(*value_cols, KIND_COL),
+                row_kind_col=KIND_COL,
+            )
+        else:
+            writer.write_dataframe(
+                read_paimon_append_entries(
+                    spark, info, delta, src, fmt, table_path=paimon_table_path
+                )
+            )
+        committer.commit(writer.prepare_commit())
+        writer.close()
+
+
 def import_paimon_table(
     paimon_table_path: str,
     catalog,
     identifier: str,
     snapshot_id: Optional[int] = None,
+    preserve_history: bool = False,
 ) -> "Table":
     """Convert a real Paimon table into this engine's format under
     ``identifier`` and return the new table. Append tables copy data
@@ -1508,7 +1589,14 @@ def import_paimon_table(
     resolve the Paimon merge (max ``_SEQUENCE_NUMBER`` per key, drop
     ``-D``/``-U`` kinds), and write the merged state — identical
     visible rows, history flattened (this engine then owns the
-    table's future history)."""
+    table's future history).
+
+    ``preserve_history=True`` instead replays each Paimon snapshot as
+    one engine commit (APPEND/COMPACT chains; deltas in original
+    sequence order, PK RowKinds kept), so time travel on the imported
+    table reaches pre-import states. Deletion-vector tables flatten
+    only (a DV index rewrites visibility retroactively — per-snapshot
+    replay would need each snapshot's own index; rejected loudly)."""
     import shutil
 
     from paimon_python_spark.schema import Schema
@@ -1551,6 +1639,21 @@ def import_paimon_table(
                 "the convention"
             )
         return p
+
+    if preserve_history:
+        if dv:
+            raise NotImplementedError(
+                "preserve_history: deletion-vector tables flatten only — "
+                "a DV index rewrites visibility retroactively, so "
+                "per-snapshot replay would need each snapshot's own index"
+            )
+        last = (
+            snapshot_id
+            if snapshot_id is not None
+            else latest_paimon_snapshot_id(paimon_table_path)
+        )
+        _import_with_history(paimon_table_path, table, info, src, fmt, last)
+        return table
 
     if not info.primary_keys and dv:
         # append table WITH row-level deletes: a verbatim file copy

@@ -902,3 +902,78 @@ def test_lake_with_limit_trims_planned_splits(append_fixture, spark):
     assert set(out.dt) == {"a"}
     # limit larger than the table keeps everything
     assert len(t.new_read_builder().with_limit(99).new_read().to_pandas()) == 3
+
+
+def test_import_preserve_history_time_travel(tmp_path, catalog, spark):
+    """r5 verdict task 9: preserve_history replays each Paimon snapshot
+    as one engine commit — reading engine snapshot 1 of a two-snapshot
+    import shows the lake's state BEFORE its second commit."""
+    from paimon_python_spark.paimon_import import append_paimon_fixture_snapshot
+    from paimon_python_spark.session import set_spark
+
+    set_spark(spark)
+    kv_schema = pa.schema(
+        [
+            ("_KEY_k", pa.int32()),
+            ("_SEQUENCE_NUMBER", pa.int64()),
+            ("_VALUE_KIND", pa.int32()),
+            ("k", pa.int32()),
+            ("v", pa.string()),
+        ]
+    )
+    f1 = pa.table(
+        {"_KEY_k": [1, 2], "_SEQUENCE_NUMBER": [0, 1], "_VALUE_KIND": [0, 0],
+         "k": [1, 2], "v": ["a", "b"]},
+        schema=kv_schema,
+    )
+    f2 = pa.table(
+        {"_KEY_k": [2, 3], "_SEQUENCE_NUMBER": [2, 3], "_VALUE_KIND": [3, 0],
+         "k": [2, 3], "v": ["b", "c"]},  # DELETE k=2, insert k=3
+        schema=kv_schema,
+    )
+    p = str(tmp_path / "hist_pk")
+    write_paimon_fixture(
+        p,
+        [("k", "INT NOT NULL"), ("v", "STRING")],
+        [],
+        ["k"],
+        [(0, {}, 0, f1)],
+        options={"bucket": "1"},
+    )
+    append_paimon_fixture_snapshot(p, [(0, {}, 0, f2)])
+    t = import_paimon_table(p, catalog, "default.hist_pk", preserve_history=True)
+    latest = t.new_read_builder().new_read().to_pandas().sort_values("k")
+    assert list(latest.k) == [1, 3]
+    assert list(latest.v) == ["a", "c"]
+    # time travel to engine snapshot 1 = paimon snapshot 1
+    old = (
+        t.new_read_builder()
+        .with_snapshot(1)
+        .new_read()
+        .to_pandas()
+        .sort_values("k")
+    )
+    assert list(old.k) == [1, 2]
+    assert list(old.v) == ["a", "b"]
+
+
+def test_import_preserve_history_append(tmp_path, catalog, spark):
+    from paimon_python_spark.paimon_import import append_paimon_fixture_snapshot
+    from paimon_python_spark.session import set_spark
+
+    set_spark(spark)
+    p = str(tmp_path / "hist_app")
+    write_paimon_fixture(
+        p,
+        [("k", "INT NOT NULL")],
+        [],
+        [],
+        [(0, {}, 0, pa.table({"k": pa.array([1, 2], pa.int32())}))],
+    )
+    append_paimon_fixture_snapshot(
+        p, [(0, {}, 0, pa.table({"k": pa.array([3], pa.int32())}))]
+    )
+    t = import_paimon_table(p, catalog, "default.hist_app", preserve_history=True)
+    assert sorted(t.new_read_builder().new_read().to_pandas().k) == [1, 2, 3]
+    old = t.new_read_builder().with_snapshot(1).new_read().to_pandas()
+    assert sorted(old.k) == [1, 2]
