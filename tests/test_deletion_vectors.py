@@ -258,3 +258,46 @@ def test_dv_value_predicate_skips_files(catalog):
     rb = dv_t.new_read_builder().with_filter(pb.between("v", 50, 200))
     out = rb.new_read().to_df(rb.new_scan().plan().splits()).toPandas()
     assert sorted(out.v) == [100, 101, 102]
+
+
+# ---- spec-format roaring codec (real-lake DV read path) ----
+
+
+def test_roaring_property_roundtrip():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from paimon_python_spark.roaring import (
+        deserialize_roaring32,
+        serialize_roaring32,
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(
+            st.integers(min_value=0, max_value=0xFFFFFFFF),
+            max_size=300,
+        )
+    )
+    def check(vals):
+        got = deserialize_roaring32(serialize_roaring32(vals))
+        assert list(got) == sorted(set(vals))
+
+    check()
+
+
+def test_roaring_dense_container_boundary():
+    """4096 is the array/bitmap container switch point — both sides of
+    the boundary and a full 65536 container must roundtrip."""
+    from paimon_python_spark.roaring import (
+        deserialize_roaring32,
+        serialize_roaring32,
+    )
+
+    for vals in (
+        list(range(4096)),
+        list(range(4097)),
+        list(range(65536)),
+        [v * 2 for v in range(5000)],  # dense-ish bitmap, gaps
+    ):
+        assert list(deserialize_roaring32(serialize_roaring32(vals))) == vals
