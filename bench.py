@@ -81,6 +81,10 @@ HEADLINE = [
     "dedup_embedding_cosine_lsh",
     "dedup_ngram_jaccard_capped",
     "paimon_dv_roundtrip",
+    # r6 additions: the new lake read paths
+    "paimon_lake_dv_roundtrip",
+    "paimon_lake_evolution_roundtrip",
+    "paimon_import_history_roundtrip",
 ]
 
 
