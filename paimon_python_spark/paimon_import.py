@@ -639,6 +639,117 @@ def apply_lake_dv(
     return df.join(pos_df, [file_name_col, pos_col], "left_anti")
 
 
+def paimon_type_string(field: "T.StructField") -> str:
+    """Spark field → Paimon schema-file type string (reverse of
+    :func:`parse_paimon_type`)."""
+    dt = field.dataType
+    if isinstance(dt, T.DecimalType):
+        s = f"DECIMAL({dt.precision}, {dt.scale})"
+    elif isinstance(dt, T.TimestampNTZType):
+        s = "TIMESTAMP(6)"
+    elif isinstance(dt, T.TimestampType):
+        s = "TIMESTAMP(6) WITH LOCAL TIME ZONE"
+    else:
+        rev = {
+            "BooleanType()": "BOOLEAN",
+            "ByteType()": "TINYINT",
+            "ShortType()": "SMALLINT",
+            "IntegerType()": "INT",
+            "LongType()": "BIGINT",
+            "FloatType()": "FLOAT",
+            "DoubleType()": "DOUBLE",
+            "StringType()": "STRING",
+            "BinaryType()": "BYTES",
+            "DateType()": "DATE",
+        }
+        key = repr(dt)
+        if key not in rev:
+            raise ValueError(f"export: unsupported Spark type {dt!r}")
+        s = rev[key]
+    return s if field.nullable else f"{s} NOT NULL"
+
+
+def export_paimon_table(table, dest_path: str, file_format: str = "parquet") -> None:
+    """REVERSE bridge: write an engine table's current visible state as
+    a spec-format Apache Paimon table at ``dest_path`` (JSON
+    schema/snapshot, avro manifests, BinaryRow partition values) — the
+    layout a Flink/Spark Paimon reader consumes, so a user can leave
+    this engine as freely as they joined it. One snapshot; PK tables
+    export key-value files (``_KEY_*``, sequence, kind) sorted by key
+    in a single bucket.
+
+    Driver-materializing by design (same cost class as the reference's
+    ``to_pandas`` adapters): export is an interchange operation for
+    driver-sized extracts, not a data path — for TB-scale handoff keep
+    the data in this engine or copy its parquet files directly."""
+    import datetime
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    schema = table.schema
+    fields = schema.spark_schema.fields
+    schema_fields = [(f.name, paimon_type_string(f)) for f in fields]
+    part_keys = list(schema.partition_keys)
+    pks = list(schema.primary_keys)
+    pdf = table.new_read_builder().new_read().to_pandas()
+
+    def py_part_value(v, dt):
+        if isinstance(dt, T.DateType) and isinstance(v, datetime.date):
+            return (v - datetime.date(1970, 1, 1)).days
+        if isinstance(v, np.generic):
+            return v.item()
+        return v
+
+    def pa_value_table(g: "pd.DataFrame") -> "pa.Table":
+        from paimon_python_spark.types import spark_type_to_pa
+
+        cols, names = [], []
+        for f in fields:
+            names.append(f.name)
+            cols.append(pa.array(g[f.name], type=spark_type_to_pa(f.dataType)))
+        return pa.table(dict(zip(names, cols)))
+
+    files = []
+    groups = (
+        [((), pdf)]
+        if not part_keys
+        else [
+            (k if isinstance(k, tuple) else (k,), g)
+            for k, g in pdf.groupby(part_keys, sort=True, dropna=False)
+        ]
+    )
+    for kvals, g in groups:
+        pvals = {
+            k: py_part_value(v, schema.spark_schema[k].dataType)
+            for k, v in zip(part_keys, kvals)
+        }
+        pvals = {k: (None if pd.isna(v) else v) for k, v in pvals.items()}
+        if pks:
+            trimmed = [k for k in pks if k not in part_keys]
+            g = g.sort_values(trimmed, kind="mergesort").reset_index(drop=True)
+            vt = pa_value_table(g)
+            n = len(g)
+            arrays = {}
+            for k in trimmed:
+                arrays[f"_KEY_{k}"] = vt[k].combine_chunks()
+            arrays["_SEQUENCE_NUMBER"] = pa.array(range(n), pa.int64())
+            arrays["_VALUE_KIND"] = pa.array([0] * n, pa.int32())
+            for name in vt.column_names:
+                arrays[name] = vt[name].combine_chunks()
+            files.append((0, pvals, 0, pa.table(arrays)))
+        else:
+            files.append((0, pvals, 0, pa_value_table(g)))
+
+    options = {"file.format": file_format}
+    if pks:
+        options["bucket"] = "1"
+    write_paimon_table_fixture(
+        dest_path, schema_fields, part_keys, pks, files, options=options
+    )
+
+
 def attach_paimon_dv_fixture(
     table_path: str,
     dv_map: dict,

@@ -977,3 +977,82 @@ def test_import_preserve_history_append(tmp_path, catalog, spark):
     assert sorted(t.new_read_builder().new_read().to_pandas().k) == [1, 2, 3]
     old = t.new_read_builder().with_snapshot(1).new_read().to_pandas()
     assert sorted(old.k) == [1, 2]
+
+
+def test_export_paimon_table_roundtrip(tmp_path, catalog, spark):
+    """REVERSE bridge: an engine table exports to a spec-format Paimon
+    layout that this repo's own lake reader (and importer) consume —
+    engine -> spec -> engine closes byte-level loop for both directions."""
+    from paimon_python_spark import Schema
+    from paimon_python_spark.paimon_import import export_paimon_table
+    from paimon_python_spark.paimon_lake import PaimonLakeTable
+    from paimon_python_spark.session import set_spark
+
+    set_spark(spark)
+    src = spark.createDataFrame(
+        [("a", 1, "x"), ("a", 2, "y"), ("b", 3, "z")], "dt string, k int, v string"
+    )
+    catalog.create_table(
+        "default.exp_src",
+        Schema(src.schema, partition_keys=["dt"], primary_keys=["dt", "k"],
+               options={"bucket": "1"}),
+        False,
+    )
+    t = catalog.get_table("default.exp_src")
+    wb = t.new_batch_write_builder()
+    w, c = wb.new_write(), wb.new_commit()
+    w.write_dataframe(src)
+    c.commit(w.prepare_commit())
+    w.close()
+    # upsert one key so the export carries MERGED state, not raw history
+    wb2 = t.new_batch_write_builder()
+    w2, c2 = wb2.new_write(), wb2.new_commit()
+    w2.write_dataframe(
+        spark.createDataFrame([("a", 2, "Y2")], "dt string, k int, v string")
+    )
+    c2.commit(w2.prepare_commit())
+    w2.close()
+
+    dest = str(tmp_path / "exported_lake")
+    export_paimon_table(t, dest)
+    out = (
+        PaimonLakeTable(dest)
+        .new_read_builder()
+        .new_read()
+        .to_pandas()
+        .sort_values(["dt", "k"])
+    )
+    assert list(out.dt) == ["a", "a", "b"]
+    assert list(out.k) == [1, 2, 3]
+    assert list(out.v) == ["x", "Y2", "z"]
+    # and back through the importer
+    t2 = import_paimon_table(dest, catalog, "default.exp_back")
+    back = t2.new_read_builder().new_read().to_pandas().sort_values(["dt", "k"])
+    assert list(back.v) == ["x", "Y2", "z"]
+
+
+def test_export_paimon_table_append_unpartitioned(tmp_path, catalog, spark):
+    from paimon_python_spark import Schema
+    from paimon_python_spark.paimon_import import export_paimon_table
+    from paimon_python_spark.paimon_lake import PaimonLakeTable
+    from paimon_python_spark.session import set_spark
+    import datetime
+
+    set_spark(spark)
+    src = spark.createDataFrame(
+        [(1, 2.5, datetime.date(2024, 1, 15)), (2, None, None)],
+        "k bigint, x double, d date",
+    )
+    catalog.create_table("default.exp_app", Schema(src.schema), False)
+    t = catalog.get_table("default.exp_app")
+    wb = t.new_batch_write_builder()
+    w, c = wb.new_write(), wb.new_commit()
+    w.write_dataframe(src)
+    c.commit(w.prepare_commit())
+    w.close()
+    dest = str(tmp_path / "exp_app_lake")
+    export_paimon_table(t, dest)
+    out = PaimonLakeTable(dest).new_read_builder().new_read().to_pandas().sort_values("k")
+    assert list(out.k) == [1, 2]
+    assert out.x.tolist()[0] == 2.5
+    assert out.d.tolist()[0] == datetime.date(2024, 1, 15)
