@@ -2776,6 +2776,62 @@ ORDER BY tag, s_suppkey
 """
 
 
+def paimon_export_roundtrip(spark, sf_dir):
+    """REVERSE bridge gate (export_paimon_table): nation rows committed
+    to an engine PK table (with one upsert commit so the export carries
+    MERGED state), exported to a SPEC-FORMAT Paimon layout, and read
+    back IN PLACE through the lake reader — engine → spec → read, the
+    inverse direction of paimon_import_roundtrip. Oracle replays the
+    upsert in SQL."""
+    from paimon_python_spark import Catalog, Schema
+    from paimon_python_spark.paimon_import import export_paimon_table
+    from paimon_python_spark.paimon_lake import PaimonLakeTable
+    from paimon_python_spark.session import set_spark
+
+    set_spark(spark)
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    wh = _fresh_warehouse("export")
+    cat = Catalog.create({"warehouse": wh})
+    cat.create_database("default", True)
+    cat.create_table(
+        "default.nation_exp",
+        Schema(nation.schema, primary_keys=["n_nationkey"], options={"bucket": "1"}),
+        False,
+    )
+    t = cat.get_table("default.nation_exp")
+    wb = t.new_batch_write_builder()
+    w, c = wb.new_write(), wb.new_commit()
+    w.write_dataframe(nation)
+    c.commit(w.prepare_commit())
+    w.close()
+    wb2 = t.new_batch_write_builder()
+    w2, c2 = wb2.new_write(), wb2.new_commit()
+    w2.write_dataframe(
+        nation.filter(F.col("n_nationkey") % 2 == 0).withColumn(
+            "n_name", F.concat(F.lit("X-"), F.col("n_name"))
+        )
+    )
+    c2.commit(w2.prepare_commit())
+    w2.close()
+    dest = _fresh_warehouse("exportlake") + "/nation_lake"
+    export_paimon_table(t, dest)
+    return (
+        PaimonLakeTable(dest)
+        .new_read_builder()
+        .new_read()
+        .to_df()
+        .orderBy("n_nationkey")
+    )
+
+
+PAIMON_EXPORT_SQL = """
+SELECT n_nationkey,
+       CASE WHEN n_nationkey % 2 = 0 THEN 'X-' || n_name ELSE n_name END AS n_name,
+       n_regionkey
+FROM nation ORDER BY n_nationkey
+"""
+
+
 def paimon_scan_pushdown_roundtrip(spark, sf_dir):
     """Append table: write lineitem subset, read back through the
     engine's predicate/projection pushdown (PredicateBuilder surface +
@@ -6979,8 +7035,8 @@ _QUERIES: dict[str, Callable] = {
     "sample_corpus_mix": sample_corpus_mix,
     "paimon_lake_evolution_roundtrip": paimon_lake_evolution_roundtrip,
     "paimon_import_history_roundtrip": paimon_import_history_roundtrip,
+    "paimon_export_roundtrip": paimon_export_roundtrip,
     "window_topk_per_group": window_topk_per_group,
-    "events_sessionize": events_sessionize,
     "events_asof_join": events_asof_join,
     "events_interval_join_binned": events_interval_join_binned,
     "dedup_exact": dedup_exact,
@@ -7125,6 +7181,7 @@ _QUERIES: dict[str, Callable] = {
     "events_tumbling_window": events_tumbling_window,
     "profile_table_columns": profile_table_columns,
     "mor_latest_by_key": mor_latest_by_key,
+    "events_sessionize": events_sessionize,
 }
 
 _ORACLES: dict[str, str] = {
@@ -7280,6 +7337,7 @@ _ORACLES: dict[str, str] = {
     "paimon_lake_dv_roundtrip": PAIMON_LAKE_DV_SQL,
     "paimon_lake_evolution_roundtrip": PAIMON_LAKE_EVOLUTION_SQL,
     "paimon_import_history_roundtrip": PAIMON_IMPORT_HISTORY_SQL,
+    "paimon_export_roundtrip": PAIMON_EXPORT_SQL,
 }
 
 
