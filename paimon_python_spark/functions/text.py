@@ -415,10 +415,11 @@ def contamination_check(
     def grams(frame: DataFrame) -> DataFrame:
         # guard short docs: sequence(1, size-n+1) on size<n would count DOWN
         return frame.select(
-            F.col(id_col), F.split(F.col(text_col), " ").alias("w")
-        ).select(
             F.col(id_col),
-            F.when(F.size("w") >= n, F.expr(_shingle_expr(text_col, n)))
+            F.when(
+                F.size(F.split(F.col(text_col), " ")) >= n,
+                F.expr(_shingle_expr(text_col, n)),
+            )
             .otherwise(F.array().cast("array<string>"))
             .alias("g"),
         )

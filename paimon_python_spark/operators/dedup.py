@@ -43,11 +43,19 @@ def _shingle_expr(text_col: str, n: int) -> str:
 
     1-based element_at keeps the expression line-for-line portable to
     DuckDB list indexing (the oracle uses w[i]||' '||w[i+1]...).
-    """
+
+    The word array is BOUND AS A LAMBDA VARIABLE (``transform(array(
+    split(...)), w -> ...)[0]``) rather than a projected column:
+    Catalyst's CollapseProject inlines a ``withColumn`` alias into
+    every reference, so the column form re-ran ``split`` once per
+    ``element_at`` — ~3·n_shingles evaluations per row, measured 9×
+    the whole shingling cost at sf0.1. A lambda binding evaluates the
+    split exactly once per row and cannot be inlined apart."""
     parts = ", ".join(f"element_at(w, i + {k})" for k in range(n))
     return (
+        f"transform(array(split({text_col}, ' ')), w -> "
         f"array_distinct(transform(sequence(1, size(w) - {n - 1}), "
-        f"i -> concat_ws(' ', {parts})))"
+        f"i -> concat_ws(' ', {parts}))))[0]"
     )
 
 
@@ -56,12 +64,9 @@ def with_shingles(
 ) -> DataFrame:
     """Add ``sh``: the distinct word n-gram shingle set of ``text_col``."""
     min_words = n if min_words is None else min_words
-    return (
-        df.withColumn("w", F.split(F.col(text_col), " "))
-        .filter(F.size("w") >= min_words)
-        .withColumn("sh", F.expr(_shingle_expr(text_col, n)))
-        .drop("w")
-    )
+    return df.filter(
+        F.size(F.split(F.col(text_col), " ")) >= min_words
+    ).withColumn("sh", F.expr(_shingle_expr(text_col, n)))
 
 
 #: modulus for the affine MinHash family (prime, < 2^30)
