@@ -2832,6 +2832,67 @@ FROM nation ORDER BY n_nationkey
 """
 
 
+def paimon_lake_incremental_roundtrip(spark, sf_dir):
+    """Incremental (from, to] read on a REAL lake
+    (paimon_lake.read_lake_incremental — the lake analogue of the
+    engine's streaming incremental scan): three append commits of
+    customer rows; the (1, 3] read must return exactly commits 2+3,
+    and the (2, 3] read commit 3 — tagged and unioned. Oracle slices
+    the same key ranges in SQL."""
+    import pyarrow as pa
+
+    from paimon_python_spark.paimon_import import (
+        append_paimon_fixture_snapshot,
+        write_paimon_table_fixture,
+    )
+    from paimon_python_spark.paimon_lake import read_lake_incremental
+    from paimon_python_spark.session import set_spark
+
+    set_spark(spark)
+    pdf = (
+        _t(spark, sf_dir, "customer")
+        .select("c_custkey", "c_acctbal")
+        .toPandas()
+        .sort_values("c_custkey")
+    )
+
+    def slab(lo, hi):
+        g = pdf[(pdf.c_custkey > lo) & (pdf.c_custkey <= hi)]
+        return pa.table(
+            {
+                "c_custkey": pa.array(g.c_custkey, pa.int64()),
+                "c_acctbal": pa.array(g.c_acctbal, pa.float64()),
+            }
+        )
+
+    fixture = _fresh_warehouse("lakeinc") + "/customer_inc"
+    write_paimon_table_fixture(
+        fixture,
+        [("c_custkey", "BIGINT NOT NULL"), ("c_acctbal", "DOUBLE")],
+        [],
+        [],
+        [(0, {}, 0, slab(-1, 500))],
+    )
+    append_paimon_fixture_snapshot(fixture, [(0, {}, 0, slab(500, 1000))], tag="c2")
+    append_paimon_fixture_snapshot(
+        fixture, [(0, {}, 0, slab(1000, 10_000_000))], tag="c3"
+    )
+    cols = ["c_custkey", "c_acctbal"]
+    r1 = read_lake_incremental(fixture, 1, 3).select(
+        F.lit("d13").alias("tag"), *cols
+    )
+    r2 = read_lake_incremental(fixture, 2).select(F.lit("d23").alias("tag"), *cols)
+    return r1.unionByName(r2).orderBy("tag", "c_custkey")
+
+
+PAIMON_LAKE_INCREMENTAL_SQL = """
+SELECT 'd13' AS tag, c_custkey, c_acctbal FROM customer WHERE c_custkey > 500
+UNION ALL
+SELECT 'd23' AS tag, c_custkey, c_acctbal FROM customer WHERE c_custkey > 1000
+ORDER BY tag, c_custkey
+"""
+
+
 def paimon_scan_pushdown_roundtrip(spark, sf_dir):
     """Append table: write lineitem subset, read back through the
     engine's predicate/projection pushdown (PredicateBuilder surface +
@@ -7036,8 +7097,8 @@ _QUERIES: dict[str, Callable] = {
     "paimon_lake_evolution_roundtrip": paimon_lake_evolution_roundtrip,
     "paimon_import_history_roundtrip": paimon_import_history_roundtrip,
     "paimon_export_roundtrip": paimon_export_roundtrip,
+    "paimon_lake_incremental_roundtrip": paimon_lake_incremental_roundtrip,
     "window_topk_per_group": window_topk_per_group,
-    "events_asof_join": events_asof_join,
     "events_interval_join_binned": events_interval_join_binned,
     "dedup_exact": dedup_exact,
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -7182,6 +7243,7 @@ _QUERIES: dict[str, Callable] = {
     "profile_table_columns": profile_table_columns,
     "mor_latest_by_key": mor_latest_by_key,
     "events_sessionize": events_sessionize,
+    "events_asof_join": events_asof_join,
 }
 
 _ORACLES: dict[str, str] = {
@@ -7338,6 +7400,7 @@ _ORACLES: dict[str, str] = {
     "paimon_lake_evolution_roundtrip": PAIMON_LAKE_EVOLUTION_SQL,
     "paimon_import_history_roundtrip": PAIMON_IMPORT_HISTORY_SQL,
     "paimon_export_roundtrip": PAIMON_EXPORT_SQL,
+    "paimon_lake_incremental_roundtrip": PAIMON_LAKE_INCREMENTAL_SQL,
 }
 
 

@@ -1056,3 +1056,51 @@ def test_export_paimon_table_append_unpartitioned(tmp_path, catalog, spark):
     assert list(out.k) == [1, 2]
     assert out.x.tolist()[0] == 2.5
     assert out.d.tolist()[0] == datetime.date(2024, 1, 15)
+
+
+def test_lake_incremental_read(tmp_path, spark):
+    """Incremental (from, to] read on a real lake: append tables return
+    the appended rows; PK tables the raw changelog rows with _row_kind."""
+    from paimon_python_spark.paimon_import import append_paimon_fixture_snapshot
+    from paimon_python_spark.paimon_lake import read_lake_incremental
+    from paimon_python_spark.session import set_spark
+
+    set_spark(spark)
+    # append table
+    p = str(tmp_path / "inc_app")
+    write_paimon_fixture(
+        p, [("k", "INT NOT NULL")], [], [],
+        [(0, {}, 0, pa.table({"k": pa.array([1, 2], pa.int32())}))],
+    )
+    append_paimon_fixture_snapshot(
+        p, [(0, {}, 0, pa.table({"k": pa.array([3], pa.int32())}))], tag="c2"
+    )
+    append_paimon_fixture_snapshot(
+        p, [(0, {}, 0, pa.table({"k": pa.array([4], pa.int32())}))], tag="c3"
+    )
+    assert sorted(read_lake_incremental(p, 1, 3).toPandas().k) == [3, 4]
+    assert sorted(read_lake_incremental(p, 2).toPandas().k) == [4]
+    assert len(read_lake_incremental(p, 3).toPandas()) == 0
+
+    # PK table changelog
+    kv = pa.schema(
+        [("_KEY_k", pa.int32()), ("_SEQUENCE_NUMBER", pa.int64()),
+         ("_VALUE_KIND", pa.int32()), ("k", pa.int32()), ("v", pa.string())]
+    )
+    p2 = str(tmp_path / "inc_pk")
+    write_paimon_fixture(
+        p2, [("k", "INT NOT NULL"), ("v", "STRING")], [], ["k"],
+        [(0, {}, 0, pa.table(
+            {"_KEY_k": [1], "_SEQUENCE_NUMBER": [0], "_VALUE_KIND": [0],
+             "k": [1], "v": ["a"]}, schema=kv))],
+        options={"bucket": "1"},
+    )
+    append_paimon_fixture_snapshot(
+        p2,
+        [(0, {}, 0, pa.table(
+            {"_KEY_k": [1, 2], "_SEQUENCE_NUMBER": [1, 2], "_VALUE_KIND": [3, 0],
+             "k": [1, 2], "v": ["a", "b"]}, schema=kv))],
+    )
+    out = read_lake_incremental(p2, 1).toPandas().sort_values("_SEQUENCE_NUMBER")
+    assert list(out.k) == [1, 2]
+    assert list(out._row_kind) == ["-D", "+I"]
