@@ -88,3 +88,52 @@ def test_projection_prunes_scan_columns(spark):
     read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
     assert read_schema and "l_extendedprice" not in read_schema[0]
     assert "l_orderkey" in read_schema[0] and "l_quantity" in read_schema[0]
+
+
+def test_lake_pk_read_prunes_unprojected_columns(tmp_path, spark):
+    """The lake PK merge is declarative end-to-end: projecting two of
+    three value columns must narrow the parquet ReadSchema through the
+    merge window (a pruning-blocking barrier here would read every
+    column of a wide table at 100 TB)."""
+    import io
+    from contextlib import redirect_stdout
+
+    import pyarrow as pa
+
+    from paimon_python_spark.paimon_import import write_paimon_table_fixture
+    from paimon_python_spark.paimon_lake import PaimonLakeTable
+    from paimon_python_spark.session import set_spark
+
+    set_spark(spark)
+    kv = pa.table(
+        {
+            "_KEY_k": pa.array([1, 2], pa.int32()),
+            "_SEQUENCE_NUMBER": pa.array([0, 1], pa.int64()),
+            "_VALUE_KIND": pa.array([0, 0], pa.int32()),
+            "k": pa.array([1, 2], pa.int32()),
+            "v": pa.array(["a", "b"], pa.string()),
+            "wide": pa.array(["x", "y"], pa.string()),
+        }
+    )
+    p = str(tmp_path / "prune_lake")
+    write_paimon_table_fixture(
+        p,
+        [("k", "INT NOT NULL"), ("v", "STRING"), ("wide", "STRING")],
+        [],
+        ["k"],
+        [(0, {}, 0, kv)],
+        options={"bucket": "1"},
+    )
+    df = (
+        PaimonLakeTable(p)
+        .new_read_builder()
+        .with_projection(["k", "v"])
+        .new_read()
+        .to_df()
+    )
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    schemas = [ln for ln in buf.getvalue().splitlines() if "ReadSchema" in ln]
+    assert schemas, "no ReadSchema in plan"
+    assert all("wide" not in ln for ln in schemas), schemas
