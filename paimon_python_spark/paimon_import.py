@@ -1543,9 +1543,12 @@ def read_paimon_append_entries(
     fn_col = "__file_name" if dv_ranges else None
     pos_col = "__row_pos" if dv_ranges else None
 
-    def finish(df):
-        if dv_ranges:
-            df = apply_lake_dv(spark, df, dv_ranges, fn_col, pos_col)
+    def finish(df, es=None):
+        # per-group calls pass their own entries so each hive-partition
+        # group decodes only ITS files' bitmaps, not the whole index
+        rel = _relevant_dv(dv_ranges, es) if es is not None else dv_ranges
+        if rel:
+            df = apply_lake_dv(spark, df, rel, fn_col, pos_col)
         return df
 
     cast_cols = [
@@ -1595,7 +1598,7 @@ def read_paimon_append_entries(
             row_pos_col=pos_col,
             skip_cols=tuple(missing),
         )
-        df = finish(df)
+        df = finish(df, es)
         for k in missing:
             df = df.withColumn(k, F.lit(pvals[k]))
         parts.append(df.select(*cast_cols))

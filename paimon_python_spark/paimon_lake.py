@@ -404,3 +404,67 @@ def read_lake_incremental(
         kind_name.alias("_row_kind"),
         F.col(SEQ_COL),
     )
+
+
+def stream_lake_snapshots(
+    table_path: str,
+    poll_interval_s: float = 1.0,
+    from_snapshot: int = 0,
+    max_batches: "Optional[int]" = None,
+    consumer_id: "Optional[str]" = None,
+    consumer_dir: "Optional[str]" = None,
+):
+    """Driver-side poll loop over a REAL lake: yield (snapshot_id,
+    delta DataFrame) as the lake's owner commits — the micro-batch
+    source a scheduler or ``foreachBatch`` consumes (lake analogue of
+    the engine's ``stream_snapshots``; each batch is
+    :func:`read_lake_incremental` of one snapshot, so PK tables stream
+    changelog rows with ``_row_kind``).
+
+    ``consumer_id`` gives durable at-least-once progress. The offset
+    file lives under ``consumer_dir`` (REQUIRED with consumer_id):
+    unlike the engine's own tables, a real lake may be read-only to
+    this process and is owned by the writing job — progress state
+    belongs to the consumer, not the lake."""
+    import json
+    import os
+    import re as _re
+    import time
+
+    from paimon_python_spark.paimon_import import latest_paimon_snapshot_id
+
+    offset_path = None
+    if consumer_id is not None:
+        if consumer_dir is None:
+            raise ValueError(
+                "stream_lake_snapshots: consumer_id needs consumer_dir — "
+                "offsets are consumer state, not lake state"
+            )
+        if not _re.match(r"^[A-Za-z0-9][A-Za-z0-9._-]*$", consumer_id):
+            raise ValueError(f"invalid consumer id {consumer_id!r}")
+        offset_path = os.path.join(consumer_dir, f"consumer-{consumer_id}.json")
+
+    current = from_snapshot
+    if offset_path and os.path.exists(offset_path):
+        try:
+            with open(offset_path) as f:
+                current = max(current, int(json.load(f)["next_snapshot"]))
+        except (KeyError, ValueError):
+            pass
+    emitted = 0
+    while max_batches is None or emitted < max_batches:
+        latest = latest_paimon_snapshot_id(table_path)
+        while current < latest:
+            nxt = current + 1
+            yield nxt, read_lake_incremental(table_path, current, nxt)
+            if offset_path:
+                os.makedirs(os.path.dirname(offset_path), exist_ok=True)
+                tmp = f"{offset_path}.tmp"
+                with open(tmp, "w") as f:
+                    json.dump({"next_snapshot": nxt}, f)
+                os.replace(tmp, offset_path)
+            current = nxt
+            emitted += 1
+            if max_batches is not None and emitted >= max_batches:
+                return
+        time.sleep(poll_interval_s)

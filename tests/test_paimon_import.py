@@ -1104,3 +1104,44 @@ def test_lake_incremental_read(tmp_path, spark):
     out = read_lake_incremental(p2, 1).toPandas().sort_values("_SEQUENCE_NUMBER")
     assert list(out.k) == [1, 2]
     assert list(out._row_kind) == ["-D", "+I"]
+
+
+def test_stream_lake_snapshots_resume(tmp_path, spark):
+    """Streaming a real lake: batches arrive per snapshot; a restarted
+    consumer with the same consumer_id resumes after the last finished
+    batch (offsets live in the CONSUMER's dir — the lake may be
+    read-only)."""
+    from paimon_python_spark.paimon_import import append_paimon_fixture_snapshot
+    from paimon_python_spark.paimon_lake import stream_lake_snapshots
+    from paimon_python_spark.session import set_spark
+
+    set_spark(spark)
+    p = str(tmp_path / "stream_lake")
+    cdir = str(tmp_path / "consumer_state")
+    write_paimon_fixture(
+        p, [("k", "INT NOT NULL")], [], [],
+        [(0, {}, 0, pa.table({"k": pa.array([1], pa.int32())}))],
+    )
+    append_paimon_fixture_snapshot(
+        p, [(0, {}, 0, pa.table({"k": pa.array([2], pa.int32())}))], tag="c2"
+    )
+    got = [
+        (sid, sorted(df.toPandas().k))
+        for sid, df in stream_lake_snapshots(
+            p, max_batches=2, consumer_id="ci", consumer_dir=cdir
+        )
+    ]
+    assert got == [(1, [1]), (2, [2])]
+    # third commit lands; a NEW loop with the same consumer resumes at 3
+    append_paimon_fixture_snapshot(
+        p, [(0, {}, 0, pa.table({"k": pa.array([3], pa.int32())}))], tag="c3"
+    )
+    got2 = [
+        (sid, sorted(df.toPandas().k))
+        for sid, df in stream_lake_snapshots(
+            p, max_batches=1, consumer_id="ci", consumer_dir=cdir
+        )
+    ]
+    assert got2 == [(3, [3])]
+    with pytest.raises(ValueError):
+        next(stream_lake_snapshots(p, consumer_id="ci"))
