@@ -68,6 +68,21 @@ class PaimonLakeTable:
     def new_read_builder(self) -> "PaimonLakeReadBuilder":
         return PaimonLakeReadBuilder(self)
 
+    # -- system tables (Paimon's table$snapshots / $files / $schemas /
+    # $partitions), driver-built from the same metadata a scan plans --
+
+    def snapshots(self):
+        return _lake_system_snapshots(self.table_path)
+
+    def files(self, snapshot_id: "Optional[int]" = None):
+        return _lake_system_files(self.table_path, snapshot_id)
+
+    def schemas(self):
+        return _lake_system_schemas(self.table_path)
+
+    def partitions(self, snapshot_id: "Optional[int]" = None):
+        return _lake_system_partitions(self.table_path, snapshot_id)
+
 
 class PaimonLakeReadBuilder:
     """Accumulates pushdowns against a lake table (mirrors the engine's
@@ -468,3 +483,154 @@ def stream_lake_snapshots(
             if max_batches is not None and emitted >= max_batches:
                 return
         time.sleep(poll_interval_s)
+
+
+def _lake_system_snapshots(table_path: str):
+    """Snapshot history of a real lake as a DataFrame — Paimon's
+    ``table$snapshots`` system table, driver-built (metadata-sized)."""
+    import os
+
+    from pyspark.sql import types as T
+
+    from paimon_python_spark.paimon_import import (
+        latest_paimon_snapshot_id,
+        read_paimon_snapshot,
+    )
+    from paimon_python_spark.session import get_spark
+
+    rows = []
+    latest = latest_paimon_snapshot_id(table_path)
+    for sid in range(1, latest + 1):
+        if not os.path.exists(
+            os.path.join(table_path, "snapshot", f"snapshot-{sid}")
+        ):
+            continue  # expired
+        s = read_paimon_snapshot(table_path, sid)
+        rows.append(
+            (
+                int(s["id"]),
+                int(s.get("schemaId", 0)),
+                str(s.get("commitKind", "APPEND")),
+                str(s.get("commitUser", "")),
+                int(s.get("timeMillis", 0)),
+                int(s.get("totalRecordCount") or 0),
+                int(s.get("deltaRecordCount") or 0),
+            )
+        )
+    schema = T.StructType(
+        [
+            T.StructField("snapshot_id", T.LongType(), False),
+            T.StructField("schema_id", T.LongType(), False),
+            T.StructField("commit_kind", T.StringType(), False),
+            T.StructField("commit_user", T.StringType(), False),
+            T.StructField("commit_time", T.LongType(), False),
+            T.StructField("total_record_count", T.LongType(), False),
+            T.StructField("delta_record_count", T.LongType(), False),
+        ]
+    )
+    return get_spark().createDataFrame(rows, schema)
+
+
+def _lake_system_files(table_path: str, snapshot_id: "Optional[int]" = None):
+    """Live data files — Paimon's ``table$files``."""
+    from pyspark.sql import types as T
+
+    from paimon_python_spark.session import get_spark
+
+    info = read_paimon_schema(table_path)
+    part_types = [info.spark_schema[k].dataType for k in info.partition_keys]
+    default_name = info.options.get(
+        "partition.default-name", "__DEFAULT_PARTITION__"
+    )
+    rows = []
+    for e in plan_paimon_files(table_path, snapshot_id):
+        rows.append(
+            (
+                e.rel_path(info.partition_keys, part_types, default_name),
+                str(dict(_logical_partition_values(info, e.partition))),
+                e.bucket,
+                e.file_name,
+                e.file_size,
+                e.row_count,
+                e.level,
+                e.schema_id,
+            )
+        )
+    schema = T.StructType(
+        [
+            T.StructField("file_path", T.StringType(), False),
+            T.StructField("partition", T.StringType(), False),
+            T.StructField("bucket", T.IntegerType(), False),
+            T.StructField("file_name", T.StringType(), False),
+            T.StructField("file_size_in_bytes", T.LongType(), False),
+            T.StructField("record_count", T.LongType(), False),
+            T.StructField("level", T.IntegerType(), False),
+            T.StructField("schema_id", T.LongType(), False),
+        ]
+    )
+    return get_spark().createDataFrame(rows, schema)
+
+
+def _lake_system_schemas(table_path: str):
+    """Schema history — Paimon's ``table$schemas``."""
+    import os
+
+    from pyspark.sql import types as T
+
+    from paimon_python_spark.session import get_spark
+
+    rows = []
+    sdir = os.path.join(table_path, "schema")
+    for name in sorted(os.listdir(sdir)):
+        if not name.startswith("schema-"):
+            continue
+        sid = int(name.split("-")[1])
+        info = read_paimon_schema(table_path, sid)
+        rows.append(
+            (
+                sid,
+                ", ".join(
+                    f"{fid}:{f.name}:{f.dataType.simpleString()}"
+                    for fid, f in zip(info.field_ids, info.spark_schema.fields)
+                ),
+                ",".join(info.partition_keys),
+                ",".join(info.primary_keys),
+                str(dict(sorted(info.options.items()))),
+            )
+        )
+    schema = T.StructType(
+        [
+            T.StructField("schema_id", T.LongType(), False),
+            T.StructField("fields", T.StringType(), False),
+            T.StructField("partition_keys", T.StringType(), False),
+            T.StructField("primary_keys", T.StringType(), False),
+            T.StructField("options", T.StringType(), False),
+        ]
+    )
+    return get_spark().createDataFrame(rows, schema)
+
+
+def _lake_system_partitions(table_path: str, snapshot_id: "Optional[int]" = None):
+    """Per-partition file/row totals — Paimon's ``table$partitions``."""
+    from pyspark.sql import types as T
+
+    from paimon_python_spark.session import get_spark
+
+    info = read_paimon_schema(table_path)
+    agg: dict = {}
+    for e in plan_paimon_files(table_path, snapshot_id):
+        key = str(dict(_logical_partition_values(info, e.partition)))
+        rec = agg.setdefault(key, [0, 0, 0])
+        rec[0] += e.row_count
+        rec[1] += e.file_size
+        rec[2] += 1
+    rows = [(k, v[0], v[1], v[2]) for k, v in sorted(agg.items())]
+    schema = T.StructType(
+        [
+            T.StructField("partition", T.StringType(), False),
+            T.StructField("record_count", T.LongType(), False),
+            T.StructField("file_size_in_bytes", T.LongType(), False),
+            T.StructField("file_count", T.LongType(), False),
+        ]
+    )
+    return get_spark().createDataFrame(rows, schema)

@@ -1145,3 +1145,49 @@ def test_stream_lake_snapshots_resume(tmp_path, spark):
     assert got2 == [(3, [3])]
     with pytest.raises(ValueError):
         next(stream_lake_snapshots(p, consumer_id="ci"))
+
+
+def test_lake_system_tables(tmp_path, spark):
+    """Paimon's $snapshots/$files/$schemas/$partitions system tables on
+    a real lake handle."""
+    from paimon_python_spark.paimon_import import (
+        add_paimon_fixture_schema,
+        append_paimon_fixture_snapshot,
+    )
+    from paimon_python_spark.paimon_lake import PaimonLakeTable
+    from paimon_python_spark.session import set_spark
+
+    set_spark(spark)
+    p = str(tmp_path / "sys_lake")
+    write_paimon_fixture(
+        p, [("dt", "STRING NOT NULL"), ("k", "INT")], ["dt"], [],
+        [
+            (0, {"dt": "a"}, 0, pa.table({"k": pa.array([1, 2], pa.int32())})),
+            (0, {"dt": "b"}, 0, pa.table({"k": pa.array([3], pa.int32())})),
+        ],
+    )
+    add_paimon_fixture_schema(
+        p, [(0, "dt", "STRING NOT NULL"), (1, "k", "INT"), (2, "x", "BIGINT")]
+    )
+    append_paimon_fixture_snapshot(
+        p,
+        [(0, {"dt": "a"}, 0,
+          pa.table({"k": pa.array([4], pa.int32()),
+                    "x": pa.array([40], pa.int64())}))],
+        schema_id=1,
+    )
+    t = PaimonLakeTable(p)
+    snaps = t.snapshots().toPandas()
+    assert list(snaps.snapshot_id) == [1, 2]
+    assert list(snaps.schema_id) == [0, 1]
+    files = t.files().toPandas()
+    assert len(files) == 3
+    assert set(files.schema_id) == {0, 1}
+    schemas = t.schemas().toPandas()
+    assert list(schemas.schema_id) == [0, 1]
+    assert "2:x:bigint" in schemas.fields[1]
+    parts = t.partitions().toPandas().sort_values("partition")
+    assert list(parts.record_count) == [3, 1]  # dt=a (2+1), dt=b (1)
+    assert list(parts.file_count) == [2, 1]
+    # time travel on the system view
+    assert len(t.files(snapshot_id=1).toPandas()) == 2
