@@ -2893,6 +2893,57 @@ ORDER BY tag, c_custkey
 """
 
 
+def paimon_lake_write_roundtrip(spark, sf_dir):
+    """Engine as lake PARTICIPANT (paimon_lake.write_lake_append): a
+    fixture lake holds region rows; a DISTRIBUTED Spark write commits
+    the nation rows as APPEND snapshot 2 (hive-partitioned by
+    n_regionkey, BinaryRow manifest entries, O_EXCL snapshot commit);
+    the in-place lake read then returns the union. Oracle unions the
+    same two sources in SQL."""
+    import pyarrow as pa
+
+    from paimon_python_spark.paimon_import import write_paimon_table_fixture
+    from paimon_python_spark.paimon_lake import PaimonLakeTable, write_lake_append
+    from paimon_python_spark.session import set_spark
+
+    set_spark(spark)
+    rpdf = _t(spark, sf_dir, "region").select("r_regionkey", "r_name").toPandas()
+    fixture = _fresh_warehouse("lakewrite") + "/names_lake"
+    write_paimon_table_fixture(
+        fixture,
+        [("src_key", "BIGINT NOT NULL"), ("name", "STRING"), ("src", "STRING")],
+        ["src"],
+        [],
+        [(0, {"src": "region"}, 0,
+          pa.table({"src_key": pa.array(rpdf.r_regionkey, pa.int64()),
+                    "name": pa.array(rpdf.r_name, pa.string())}))],
+    )
+    nation = (
+        _t(spark, sf_dir, "nation")
+        .select(
+            F.col("n_nationkey").cast("bigint").alias("src_key"),
+            F.col("n_name").alias("name"),
+            F.lit("nation").alias("src"),
+        )
+    )
+    write_lake_append(fixture, nation)
+    return (
+        PaimonLakeTable(fixture)
+        .new_read_builder()
+        .new_read()
+        .to_df()
+        .orderBy("src", "src_key")
+    )
+
+
+PAIMON_LAKE_WRITE_SQL = """
+SELECT n_nationkey AS src_key, n_name AS name, 'nation' AS src FROM nation
+UNION ALL
+SELECT r_regionkey AS src_key, r_name AS name, 'region' AS src FROM region
+ORDER BY src, src_key
+"""
+
+
 def paimon_scan_pushdown_roundtrip(spark, sf_dir):
     """Append table: write lineitem subset, read back through the
     engine's predicate/projection pushdown (PredicateBuilder surface +
@@ -7098,8 +7149,8 @@ _QUERIES: dict[str, Callable] = {
     "paimon_import_history_roundtrip": paimon_import_history_roundtrip,
     "paimon_export_roundtrip": paimon_export_roundtrip,
     "paimon_lake_incremental_roundtrip": paimon_lake_incremental_roundtrip,
+    "paimon_lake_write_roundtrip": paimon_lake_write_roundtrip,
     "window_topk_per_group": window_topk_per_group,
-    "events_interval_join_binned": events_interval_join_binned,
     "dedup_exact": dedup_exact,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_cluster_reps": dedup_cluster_reps,
@@ -7244,6 +7295,7 @@ _QUERIES: dict[str, Callable] = {
     "mor_latest_by_key": mor_latest_by_key,
     "events_sessionize": events_sessionize,
     "events_asof_join": events_asof_join,
+    "events_interval_join_binned": events_interval_join_binned,
 }
 
 _ORACLES: dict[str, str] = {
@@ -7401,6 +7453,7 @@ _ORACLES: dict[str, str] = {
     "paimon_import_history_roundtrip": PAIMON_IMPORT_HISTORY_SQL,
     "paimon_export_roundtrip": PAIMON_EXPORT_SQL,
     "paimon_lake_incremental_roundtrip": PAIMON_LAKE_INCREMENTAL_SQL,
+    "paimon_lake_write_roundtrip": PAIMON_LAKE_WRITE_SQL,
 }
 
 

@@ -335,6 +335,24 @@ class PaimonLakeRead:
 
         return pa.Table.from_pandas(self.to_pandas(), preserve_index=False)
 
+    def to_arrow_batch_reader(self, batch_size: int = 1024):
+        import pyarrow as pa
+
+        table = self.to_arrow()
+        return pa.RecordBatchReader.from_batches(
+            table.schema, table.to_batches(max_chunksize=batch_size)
+        )
+
+    def to_duckdb(self, table_name: str = "table", connection=None):
+        """Register the materialized lake read in DuckDB (engine/
+        reference adapter parity). For SQL at scale use
+        ``to_df().createOrReplaceTempView`` + ``spark.sql`` instead."""
+        import duckdb
+
+        con = connection or duckdb.connect(database=":memory:")
+        con.register(table_name, self.to_arrow())
+        return con
+
 
 def read_lake_incremental(
     table_path: str,
@@ -634,3 +652,223 @@ def _lake_system_partitions(table_path: str, snapshot_id: "Optional[int]" = None
         ]
     )
     return get_spark().createDataFrame(rows, schema)
+
+
+def write_lake_append(table_path: str, df) -> int:
+    """Commit an APPEND to a REAL Paimon lake — this engine as a lake
+    PARTICIPANT, not just a reader: data files are written DISTRIBUTED
+    by Spark (hive-style ``partitionBy`` into a staging dir, then moved
+    into the lake's ``<k>=<v>/bucket-0/`` layout), and the spec-format
+    metadata commit (manifest avro + manifest lists + snapshot N+1,
+    BinaryRow partition values) is a driver-side metadata write, the
+    same cost class as any Paimon committer. Returns the new snapshot
+    id.
+
+    Scope, stated plainly: append tables only (PK tables route writes
+    through Paimon's bucket hash + LSM, which this engine must not
+    guess at — refused loudly); parquet/orc lake formats (avro data
+    files refused). Concurrency: the snapshot file is created with
+    O_EXCL, so a concurrent committer loses exactly one of the two —
+    retry on ``FileExistsError`` (real Paimon's rename-based commit has
+    the same winner-takes-the-id semantics)."""
+    import datetime
+    import json
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    import pyarrow.parquet as _pq
+
+    from pyspark.sql import functions as F
+
+    from paimon_python_spark.paimon_import import (
+        DEFAULT_PARTITION_NAME,
+        MANIFEST_LIST_SCHEMA,
+        MANIFEST_SCHEMA,
+        _EMPTY_STATS,
+        _spec_file_meta,
+        encode_binary_row,
+        latest_paimon_snapshot_id,
+        read_manifest_list,
+        read_paimon_snapshot,
+    )
+    from paimon_python_spark.avro_codec import write_avro_records
+
+    info = read_paimon_schema(table_path)
+    if info.primary_keys:
+        raise NotImplementedError(
+            "write_lake_append: primary-key lakes need Paimon's bucket "
+            "hash + LSM write path — append tables only; import the "
+            "table to write through this engine's own PK format"
+        )
+    fmt = info.options.get("file.format", "parquet")
+    if fmt not in ("parquet", "orc"):
+        raise NotImplementedError(
+            f"write_lake_append: file.format={fmt!r} not supported (parquet/orc)"
+        )
+    part_keys = info.partition_keys
+    part_types = [info.spark_schema[k].dataType for k in part_keys]
+    default_name = info.options.get("partition.default-name", DEFAULT_PARTITION_NAME)
+
+    # schema check + cast to the table's declared types
+    df = df.select(
+        *[
+            F.col(f.name).cast(f.dataType).alias(f.name)
+            for f in info.spark_schema.fields
+        ]
+    )
+
+    stage = tempfile.mkdtemp(prefix="lake_append_")
+    try:
+        writer = df.write.mode("overwrite").format(fmt)
+        if part_keys:
+            writer = writer.partitionBy(*part_keys)
+        writer.save(stage)
+
+        def parse_part(dirname: str, dt):
+            from pyspark.sql import types as T
+
+            k, _, raw = dirname.partition("=")
+            if raw == "__HIVE_DEFAULT_PARTITION__":
+                return None
+            if isinstance(dt, T.DateType):
+                return (
+                    datetime.date.fromisoformat(raw) - datetime.date(1970, 1, 1)
+                ).days
+            if isinstance(dt, (T.IntegerType, T.LongType, T.ShortType, T.ByteType)):
+                return int(raw)
+            if isinstance(dt, T.BooleanType):
+                return raw == "true"
+            return raw
+
+        entries = []
+
+        def adopt(src_dir: str, pvals: dict, rel_parts: list):
+            for name in sorted(os.listdir(src_dir)):
+                if not name.endswith(f".{fmt}"):
+                    continue
+                src_f = os.path.join(src_dir, name)
+                new_name = f"data-{uuid.uuid4()}-0.{fmt}"
+                ddir = os.path.join(table_path, *rel_parts, "bucket-0")
+                os.makedirs(ddir, exist_ok=True)
+                shutil.move(src_f, os.path.join(ddir, new_name))
+                dest = os.path.join(ddir, new_name)
+                if fmt == "parquet":
+                    rows = _pq.ParquetFile(dest).metadata.num_rows
+                else:
+                    from pyspark.sql import SparkSession
+
+                    from paimon_python_spark.session import get_spark
+
+                    rows = get_spark().read.format(fmt).load(dest).count()
+                entries.append(
+                    {
+                        "_VERSION": 2,
+                        "_KIND": 0,
+                        "_PARTITION": encode_binary_row(
+                            [pvals[k] for k in part_keys], part_types
+                        ),
+                        "_BUCKET": 0,
+                        "_TOTAL_BUCKETS": 1,
+                        "_FILE": _spec_file_meta(
+                            new_name,
+                            os.path.getsize(dest),
+                            rows,
+                            schema_id=info.id,
+                        ),
+                    }
+                )
+
+        def walk(cur: str, keys_left: list, pvals: dict, rel_parts: list):
+            if not keys_left:
+                adopt(cur, pvals, rel_parts)
+                return
+            k, dt = keys_left[0], part_types[len(pvals)]
+            for d in sorted(os.listdir(cur)):
+                if not d.startswith(f"{k}="):
+                    continue
+                v = parse_part(d, dt)
+                from paimon_python_spark.paimon_import import (
+                    format_partition_segment,
+                )
+
+                seg = f"{k}={format_partition_segment(v, dt, default_name)}"
+                walk(
+                    os.path.join(cur, d),
+                    keys_left[1:],
+                    {**pvals, k: v},
+                    rel_parts + [seg],
+                )
+
+        walk(stage, list(part_keys), {}, [])
+        if not entries:
+            raise ValueError("write_lake_append: empty input — nothing to commit")
+
+        prev_id = latest_paimon_snapshot_id(table_path)
+        prev = read_paimon_snapshot(table_path, prev_id)
+        prior: list = []
+        for lst in (prev.get("baseManifestList"), prev.get("deltaManifestList")):
+            if lst:
+                prior.extend(read_manifest_list(table_path, lst))
+        tag = uuid.uuid4().hex[:12]
+        mname = f"manifest-{tag}-0.avro"
+        write_avro_records(
+            os.path.join(table_path, "manifest", mname), MANIFEST_SCHEMA, entries
+        )
+
+        def list_entry(name: str) -> dict:
+            return {
+                "_VERSION": 2,
+                "_FILE_NAME": name,
+                "_FILE_SIZE": os.path.getsize(
+                    os.path.join(table_path, "manifest", name)
+                ),
+                "_NUM_ADDED_FILES": 0,
+                "_NUM_DELETED_FILES": 0,
+                "_PARTITION_STATS": _EMPTY_STATS,
+                "_SCHEMA_ID": info.id,
+            }
+
+        blname = f"manifest-list-{tag}-base.avro"
+        dlname = f"manifest-list-{tag}-delta.avro"
+        write_avro_records(
+            os.path.join(table_path, "manifest", blname),
+            MANIFEST_LIST_SCHEMA,
+            [list_entry(n) for n in prior],
+        )
+        write_avro_records(
+            os.path.join(table_path, "manifest", dlname),
+            MANIFEST_LIST_SCHEMA,
+            [list_entry(mname)],
+        )
+        n_rows = sum(e["_FILE"]["_ROW_COUNT"] for e in entries)
+        new_id = prev_id + 1
+        snap = {
+            "version": 3,
+            "id": new_id,
+            "schemaId": info.id,
+            "baseManifestList": blname,
+            "deltaManifestList": dlname,
+            "changelogManifestList": None,
+            "commitUser": "paimon_python_spark",
+            "commitIdentifier": new_id,
+            "commitKind": "APPEND",
+            "timeMillis": 0,
+            "logOffsets": {},
+            "totalRecordCount": int(prev.get("totalRecordCount") or 0) + n_rows,
+            "deltaRecordCount": n_rows,
+            "changelogRecordCount": 0,
+            "watermark": -9223372036854775808,
+        }
+        spath = os.path.join(table_path, "snapshot", f"snapshot-{new_id}")
+        # O_EXCL: a concurrent committer racing for the same id fails
+        # loudly here instead of silently overwriting its snapshot
+        fd = os.open(spath, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
+        with os.fdopen(fd, "w") as f:
+            json.dump(snap, f)
+        with open(os.path.join(table_path, "snapshot", "LATEST"), "w") as f:
+            f.write(str(new_id))
+        return new_id
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)

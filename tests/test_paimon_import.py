@@ -1191,3 +1191,63 @@ def test_lake_system_tables(tmp_path, spark):
     assert list(parts.file_count) == [2, 1]
     # time travel on the system view
     assert len(t.files(snapshot_id=1).toPandas()) == 2
+
+
+def test_write_lake_append_roundtrip(tmp_path, spark):
+    """Engine as lake PARTICIPANT: a distributed Spark write commits an
+    APPEND snapshot to a real (fixture) lake; the lake reader sees the
+    union, incremental sees exactly the new commit, and partition
+    pruning still plans correctly over the adopted files."""
+    from paimon_python_spark.paimon_lake import (
+        PaimonLakeTable,
+        read_lake_incremental,
+        write_lake_append,
+    )
+    from paimon_python_spark.session import set_spark
+
+    set_spark(spark)
+    p = str(tmp_path / "writable_lake")
+    write_paimon_fixture(
+        p,
+        [("dt", "STRING NOT NULL"), ("k", "INT"), ("v", "STRING")],
+        ["dt"],
+        [],
+        [(0, {"dt": "a"}, 0,
+          pa.table({"k": pa.array([1], pa.int32()),
+                    "v": pa.array(["x"], pa.string())}))],
+    )
+    new = spark.createDataFrame(
+        [("a", 2, "y"), ("b", 3, "z")], "dt string, k int, v string"
+    )
+    sid = write_lake_append(p, new)
+    assert sid == 2
+    t = PaimonLakeTable(p)
+    out = t.new_read_builder().new_read().to_pandas().sort_values("k")
+    assert list(out.k) == [1, 2, 3]
+    assert list(out.dt) == ["a", "a", "b"]
+    inc = read_lake_incremental(p, 1).toPandas().sort_values("k")
+    assert list(inc.k) == [2, 3]
+    # partition pruning over mixed fixture+engine-written files
+    rb = t.new_read_builder()
+    pb = rb.new_predicate_builder()
+    pruned = rb.with_filter(pb.equal("dt", "b")).new_scan().plan().splits()
+    assert len(pruned) == 1 and pruned[0].row_count() == 1
+    # snapshot chain is well-formed for the system tables too
+    snaps = t.snapshots().toPandas()
+    assert list(snaps.snapshot_id) == [1, 2]
+    assert snaps.total_record_count.tolist() == [1, 3]
+    # PK lakes refuse loudly
+    p2 = str(tmp_path / "pk_lake")
+    kv = pa.schema(
+        [("_KEY_k", pa.int32()), ("_SEQUENCE_NUMBER", pa.int64()),
+         ("_VALUE_KIND", pa.int32()), ("k", pa.int32())]
+    )
+    write_paimon_fixture(
+        p2, [("k", "INT NOT NULL")], [], ["k"],
+        [(0, {}, 0, pa.table(
+            {"_KEY_k": [1], "_SEQUENCE_NUMBER": [0], "_VALUE_KIND": [0],
+             "k": [1]}, schema=kv))],
+        options={"bucket": "1"},
+    )
+    with pytest.raises(NotImplementedError, match="bucket hash"):
+        write_lake_append(p2, new.select("k"))
