@@ -727,11 +727,16 @@ def write_lake_append(table_path: str, df) -> int:
         writer.save(stage)
 
         def parse_part(dirname: str, dt):
+            from urllib.parse import unquote
+
             from pyspark.sql import types as T
 
             k, _, raw = dirname.partition("=")
             if raw == "__HIVE_DEFAULT_PARTITION__":
                 return None
+            # Spark hive-escapes special chars in partition dir names
+            # (space -> %20 etc.); decode back to the logical value
+            raw = unquote(raw)
             if isinstance(dt, T.DateType):
                 return (
                     datetime.date.fromisoformat(raw) - datetime.date(1970, 1, 1)
