@@ -910,6 +910,11 @@ def _write_fixture_data_file(table, fpath: str, fmt: str) -> None:
 
         pq.write_table(table, fpath)
         return
+    if fmt == "orc":
+        import pyarrow.orc as po
+
+        po.write_table(table, fpath)
+        return
     if fmt != "avro":
         raise ValueError(f"fixture format {fmt!r} unsupported")
     from paimon_python_spark.avro_codec import write_avro_records
@@ -1320,13 +1325,21 @@ def _load_lake_files(
             file_name_col=file_name_col,
             row_pos_col=row_pos_col,
         )
+    if fmt == "orc" and row_pos_col:
+        # Spark's native orc reader has no _metadata.row_index — DV
+        # reads over orc route through the pyarrow.orc codec path,
+        # which numbers rows per file like the avro codec does
+        from paimon_python_spark.read import _read_orc_df
+
+        return _read_orc_df(
+            spark,
+            paths,
+            physical,
+            file_name_col=file_name_col,
+            row_pos_col=row_pos_col,
+        )
     df = spark.read.format(fmt).option("mergeSchema", "true").load(paths)
     if row_pos_col:
-        if fmt != "parquet":
-            raise NotImplementedError(
-                "deletion-vector reads need per-row file positions; Spark "
-                f"exposes _metadata.row_index for parquet only, not {fmt!r}"
-            )
         df = df.withColumn(row_pos_col, F.col("_metadata.row_index"))
     if file_name_col:
         df = df.withColumn(

@@ -107,6 +107,60 @@ def _read_avro_df(
     return binary.mapInPandas(decode, out_schema)
 
 
+def _read_orc_df(
+    spark,
+    paths: List[str],
+    physical: T.StructType,
+    file_name_col: str | None = None,
+    row_pos_col: str | None = None,
+) -> DataFrame:
+    """Distributed ORC scan through the binaryFile + mapInPandas codec
+    path (pyarrow.orc). Exists ONLY for reads that need per-row file
+    positions (deletion vectors) — Spark's native orc reader has no
+    ``_metadata.row_index``; plain orc reads keep the native vectorized
+    reader."""
+    import os as _os
+
+    import pandas as pd
+
+    names = [f.name for f in physical.fields]
+    extra = []
+    if file_name_col:
+        extra.append(T.StructField(file_name_col, T.StringType()))
+    if row_pos_col:
+        extra.append(T.StructField(row_pos_col, T.LongType()))
+    out_schema = T.StructType([*physical.fields, *extra]) if extra else physical
+
+    def decode(batches):
+        import numpy as _np
+        import pyarrow as _pa
+        import pyarrow.orc as _po
+
+        for pdf in batches:
+            frames = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                tbl = _po.ORCFile(_pa.BufferReader(bytes(content))).read()
+                n_rows = tbl.num_rows
+                cols = {}
+                for n in names:
+                    # schema evolution: fill columns the old file lacks
+                    if n in tbl.column_names:
+                        cols[n] = tbl[n].to_pandas()
+                    else:
+                        cols[n] = pd.Series([None] * n_rows)
+                frame = pd.DataFrame(cols)
+                if file_name_col:
+                    frame[file_name_col] = _os.path.basename(str(path))
+                if row_pos_col:
+                    frame[row_pos_col] = _np.arange(n_rows, dtype=_np.int64)
+                frames.append(frame)
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    binary = spark.read.format("binaryFile").load(paths).select("path", "content")
+    return binary.mapInPandas(decode, out_schema)
+
+
 def projection_columns(paths: List[List[str]]) -> List:
     """Build the select list for a normalized projection (list of
     paths, see ``ReadBuilder.with_projection``).

@@ -1251,3 +1251,28 @@ def test_write_lake_append_roundtrip(tmp_path, spark):
     )
     with pytest.raises(NotImplementedError, match="bucket hash"):
         write_lake_append(p2, new.select("k"))
+
+
+def test_lake_read_dv_orc_table(tmp_path, spark):
+    """DV reads over ORC lakes route through the pyarrow.orc codec path
+    (Spark's orc reader exposes no row index)."""
+    from paimon_python_spark.paimon_import import attach_paimon_dv_fixture
+    from paimon_python_spark.paimon_lake import PaimonLakeTable
+    from paimon_python_spark.session import set_spark
+
+    set_spark(spark)
+    p = str(tmp_path / "dv_orc")
+    write_paimon_fixture(
+        p,
+        [("k", "INT NOT NULL"), ("v", "STRING")],
+        [],
+        [],
+        [(0, {}, 0,
+          pa.table({"k": pa.array([1, 2, 3], pa.int32()),
+                    "v": pa.array(["a", "b", "c"], pa.string())}))],
+        options={"file.format": "orc"},
+    )
+    attach_paimon_dv_fixture(p, {"data-fixture-0.orc": [1]})
+    out = PaimonLakeTable(p).new_read_builder().new_read().to_pandas().sort_values("k")
+    assert list(out.k) == [1, 3]
+    assert list(out.v) == ["a", "c"]
