@@ -1310,9 +1310,9 @@ def _load_lake_files(
 
     ``row_pos_col`` appends the row's 0-based position within its file
     (deletion vectors mark (file, position) pairs): parquet via the
-    ``_metadata.row_index`` metadata column, avro via the codec; orc
-    has no row-index metadata column in Spark, so DV reads over orc
-    raise rather than guess."""
+    ``_metadata.row_index`` metadata column, avro via the engine codec,
+    orc via the pyarrow.orc codec path (Spark's native orc reader has
+    no row-index metadata column)."""
     from pyspark.sql import functions as F
 
     if fmt == "avro":
