@@ -385,18 +385,29 @@ def read_manifest(
     return out
 
 
+def read_paimon_tag(table_path: str, name: str) -> dict:
+    """A tag is a FULL COPY of its snapshot JSON under
+    ``<table>/tag/tag-<name>`` (spec) — it stays readable after the
+    snapshot itself expires."""
+    with open(os.path.join(table_path, "tag", f"tag-{name}")) as f:
+        return json.load(f)
+
+
 def plan_paimon_files(
-    table_path: str, snapshot_id: Optional[int] = None
+    table_path: str,
+    snapshot_id: Optional[int] = None,
+    snapshot: Optional[dict] = None,
 ) -> List[PaimonFileEntry]:
     """Fold base + delta manifest lists of a snapshot into the live
     file set (ADD entries minus later DELETEs) — the same fold the
-    reference's JVM TableScan.plan performs.
+    reference's JVM TableScan.plan performs. ``snapshot`` (a parsed
+    snapshot/tag dict) takes precedence over ``snapshot_id``.
 
     Deletion-vector tables plan the same way; read paths must ALSO call
     :func:`plan_paimon_dv` and anti-join the marked (file, position)
     pairs — the lake reader and importer both do."""
     info = read_paimon_schema(table_path)
-    snap = read_paimon_snapshot(table_path, snapshot_id)
+    snap = snapshot if snapshot is not None else read_paimon_snapshot(table_path, snapshot_id)
     part_types = [
         info.spark_schema[k].dataType for k in info.partition_keys
     ]
@@ -541,7 +552,9 @@ def read_dv_index_entry(index_path: str, offset: int, length: int):
 
 
 def plan_paimon_dv(
-    table_path: str, snapshot_id: Optional[int] = None
+    table_path: str,
+    snapshot_id: Optional[int] = None,
+    snapshot: Optional[dict] = None,
 ) -> List[PaimonDvRange]:
     """Driver-side metadata walk of the snapshot's index manifest:
     fold ADD/DELETE index entries, keep DELETION_VECTORS types, return
@@ -550,7 +563,7 @@ def plan_paimon_dv(
     field spellings real Paimon versions use."""
     from paimon_python_spark.avro_codec import read_avro_records
 
-    snap = read_paimon_snapshot(table_path, snapshot_id)
+    snap = snapshot if snapshot is not None else read_paimon_snapshot(table_path, snapshot_id)
     im = snap.get("indexManifest")
     if not im:
         return []

@@ -93,6 +93,7 @@ class PaimonLakeReadBuilder:
         self._predicate: Optional[Predicate] = None
         self._projection: Optional[List[str]] = None
         self._snapshot_id: Optional[int] = None
+        self._tag: Optional[str] = None
         self._limit: Optional[int] = None
 
     def new_predicate_builder(self) -> PredicateBuilder:
@@ -115,6 +116,20 @@ class PaimonLakeReadBuilder:
     def with_snapshot(self, snapshot_id: int) -> "PaimonLakeReadBuilder":
         self._snapshot_id = snapshot_id
         return self
+
+    def with_tag(self, name: str) -> "PaimonLakeReadBuilder":
+        """Read the snapshot a real-lake TAG pins (``tag/tag-<name>``,
+        a full snapshot copy — readable even after the snapshot itself
+        expired from ``snapshot/``)."""
+        self._tag = name
+        return self
+
+    def _snapshot_dict(self):
+        from paimon_python_spark.paimon_import import read_paimon_tag
+
+        if self._tag is not None:
+            return read_paimon_tag(self.table.table_path, self._tag)
+        return None
 
     def with_limit(self, limit: int) -> "PaimonLakeReadBuilder":
         """Split-granular limit (engine/reference ReadBuilder parity,
@@ -261,7 +276,7 @@ def _pruned_entries(table_path: str, info: PaimonSchemaInfo, b: "PaimonLakeReadB
     """Plan the live file set and drop partitions the predicate rules
     out (evaluated on decoded BinaryRow values normalized to logical
     types — DATE partitions are epoch-day ints on disk)."""
-    entries = plan_paimon_files(table_path, b._snapshot_id)
+    entries = plan_paimon_files(table_path, b._snapshot_id, snapshot=b._snapshot_dict())
     if b._predicate is not None and info.partition_keys:
         part_pred = b._predicate.keep_only_fields(set(info.partition_keys))
         if part_pred is not None:
@@ -310,7 +325,7 @@ class PaimonLakeRead:
                 )
             return p
 
-        dv = plan_paimon_dv(table_path, b._snapshot_id)
+        dv = plan_paimon_dv(table_path, b._snapshot_id, snapshot=b._snapshot_dict())
         if info.primary_keys:
             df = merge_paimon_pk_entries(
                 spark, info, entries, src, fmt, dv_ranges=dv, table_path=table_path

@@ -1276,3 +1276,37 @@ def test_lake_read_dv_orc_table(tmp_path, spark):
     out = PaimonLakeTable(p).new_read_builder().new_read().to_pandas().sort_values("k")
     assert list(out.k) == [1, 3]
     assert list(out.v) == ["a", "c"]
+
+
+def test_lake_tag_read_survives_snapshot_expiry(tmp_path, spark):
+    """A real-lake TAG is a full snapshot copy under tag/tag-<name> —
+    with_tag reads it even after the snapshot file itself expired."""
+    import shutil
+
+    from paimon_python_spark.paimon_import import append_paimon_fixture_snapshot
+    from paimon_python_spark.paimon_lake import PaimonLakeTable
+    from paimon_python_spark.session import set_spark
+
+    set_spark(spark)
+    p = str(tmp_path / "tag_lake")
+    write_paimon_fixture(
+        p, [("k", "INT NOT NULL")], [], [],
+        [(0, {}, 0, pa.table({"k": pa.array([1], pa.int32())}))],
+    )
+    # tag snapshot 1 the way real Paimon does: copy the snapshot JSON
+    os.makedirs(os.path.join(p, "tag"))
+    shutil.copyfile(
+        os.path.join(p, "snapshot", "snapshot-1"),
+        os.path.join(p, "tag", "tag-v1"),
+    )
+    append_paimon_fixture_snapshot(
+        p, [(0, {}, 0, pa.table({"k": pa.array([2], pa.int32())}))]
+    )
+    t = PaimonLakeTable(p)
+    assert sorted(t.new_read_builder().new_read().to_pandas().k) == [1, 2]
+    tagged = t.new_read_builder().with_tag("v1").new_read().to_pandas()
+    assert sorted(tagged.k) == [1]
+    # expire snapshot 1: the tag read must still work
+    os.remove(os.path.join(p, "snapshot", "snapshot-1"))
+    tagged2 = t.new_read_builder().with_tag("v1").new_read().to_pandas()
+    assert sorted(tagged2.k) == [1]
