@@ -157,10 +157,13 @@ def decode_png(data: bytes) -> np.ndarray:
     # vectorized filter reconstruction (numpy, no per-byte Python loops):
     # None is a copy; Up is one vectorized add against the prior row; Sub
     # is exactly a per-channel cumulative sum along the pixel axis
-    # (line[i] += line[i-bpp] unrolled); Average/Paeth carry a true
-    # sequential left-dependence, so they walk PIXELS (w steps) with all
-    # channels updated per step — w·h/bpp scalar steps worst-case instead
-    # of w·h·bpp, and zero Python work for the common None/Up/Sub lines.
+    # (line[i] += line[i-bpp] unrolled); Average/Paeth walk PIXELS
+    # (w steps, all channels per step). They cannot vectorize further:
+    # cur[y, i] depends on BOTH cur[y, i-bpp] (left, same row) and
+    # cur[y-1, i] (up, prior row) — a 2D recurrence, so neither a
+    # row-sweep nor a column-sweep has independent lanes. Encoders that
+    # matter here (our own, filter-0-only) never emit them; the loops
+    # exist for spec-complete decode of foreign PNGs.
     lines = np.frombuffer(raw, np.uint8, count=h * (1 + stride)).reshape(
         h, 1 + stride
     )
