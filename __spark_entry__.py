@@ -5276,6 +5276,43 @@ FROM documents GROUP BY source ORDER BY source
 """
 
 
+def sample_temperature_mix(spark, sf_dir):
+    """TEMPERATURE corpus mixing (multilingual-LLM standard: sample
+    group g with probability ∝ n_g^alpha): per-source rates
+    (n_min/n_g)^(1-alpha) derived IN-PLAN from exact counts, membership
+    by the shared md5-prefix threshold. Oracle recomputes the identical
+    double-math rates and thresholds in SQL."""
+    from paimon_python_spark.operators import temperature_mix_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    mixed = temperature_mix_sample(docs, "doc_id", "source", alpha=0.5)
+    return (
+        mixed.groupBy("source")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.sum(F.col("keep").cast("int")).cast("long").alias("n_kept"),
+        )
+        .orderBy("source")
+    )
+
+
+SAMPLE_TEMPERATURE_SQL = """
+WITH counts AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+m AS (SELECT min(n) AS n_min FROM counts),
+thr AS (
+  SELECT source, pow(CAST(n_min AS DOUBLE) / n, 0.5) AS rate,
+         lower(printf('%04x',
+               CAST(round(pow(CAST(n_min AS DOUBLE) / n, 0.5) * 65536) AS INT))) AS t
+  FROM counts, m)
+SELECT d.source, count(*) AS n_total,
+       CAST(sum(CASE WHEN r.rate >= 1
+                     OR substr(md5(CAST(d.doc_id AS varchar)), 1, 4) < r.t
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM documents d JOIN thr r ON d.source = r.source
+GROUP BY d.source ORDER BY d.source
+"""
+
+
 def events_anomaly_zscore(spark, sf_dir):
     """Trailing-window anomaly detection: hourly per-type counts flagged
     as spikes when (cnt - mean12) > 3*std12 over the previous 12 observed
@@ -7260,6 +7297,7 @@ _QUERIES: dict[str, Callable] = {
     "events_anomaly_zscore": events_anomaly_zscore,
     "dedup_containment": dedup_containment,
     "sample_token_budget_mix": sample_token_budget_mix,
+    "sample_temperature_mix": sample_temperature_mix,
     "dedup_fuzzy_survivors": dedup_fuzzy_survivors,
     "events_gap_fill": events_gap_fill,
     "events_window_deltas": events_window_deltas,
@@ -7426,6 +7464,7 @@ _ORACLES: dict[str, str] = {
     "events_moving_window_agg": EVENTS_MOVING_WINDOW_SQL,
     "mm_image_resize": MM_IMAGE_RESIZE_SQL,
     "sample_token_budget_mix": SAMPLE_TOKEN_BUDGET_SQL,
+    "sample_temperature_mix": SAMPLE_TEMPERATURE_SQL,
     "paimon_datasource_filter_roundtrip": PAIMON_DS_FILTER_SQL,
     "events_gap_fill": EVENTS_GAP_FILL_SQL,
     "sample_topn_per_group": SAMPLE_TOPN_SQL,

@@ -30,6 +30,8 @@ from paimon_python_spark.operators.sampling import (
     split_column,
     weighted_mix_sample,
     token_budget_mix,
+    temperature_mix_rates,
+    temperature_mix_sample,
     topn_per_group,
 )
 from paimon_python_spark.operators.packing import pack_concat_chunks
@@ -94,6 +96,8 @@ __all__ = [
     "split_column",
     "weighted_mix_sample",
     "token_budget_mix",
+    "temperature_mix_rates",
+    "temperature_mix_sample",
     "topn_per_group",
     "pack_concat_chunks",
     "ngram_containment_pairs",

@@ -182,3 +182,55 @@ def topn_per_group(
         .filter(F.col("__rk") <= n)
         .drop("__rk")
     )
+
+
+def temperature_mix_rates(
+    df: DataFrame, group_col: str, alpha: float = 0.5
+) -> DataFrame:
+    """Per-group TEMPERATURE sampling rates — the standard multilingual
+    flattening (sample group g with probability ∝ n_g^alpha, alpha<1
+    up-weights small languages; alpha=1 is natural, alpha=0 uniform).
+    rate_g = (n_min / n_g)^(1-alpha), so the smallest group keeps
+    everything and larger groups downsample toward the flattened mix.
+
+    One hash aggregate + a broadcast of the single-row min — rates are
+    derived IN-PLAN (no driver collect), exact double math any engine
+    reproduces."""
+    counts = df.groupBy(group_col).agg(F.count("*").alias("n_docs"))
+    n_min = counts.agg(F.min("n_docs").alias("__n_min"))
+    return (
+        counts.crossJoin(F.broadcast(n_min))
+        .withColumn(
+            "rate",
+            F.pow(F.col("__n_min") / F.col("n_docs"), F.lit(1.0 - alpha)),
+        )
+        .drop("__n_min")
+    )
+
+
+def temperature_mix_sample(
+    df: DataFrame, id_col: str, group_col: str, alpha: float = 0.5
+) -> DataFrame:
+    """Tag each row with a deterministic temperature-mix keep flag:
+    group rates from :func:`temperature_mix_rates`, membership by the
+    same md5-prefix threshold every sampler here uses (reproducible
+    across engines/runs/repartitions; a row's fate never changes as
+    unrelated groups grow). Broadcast join of the tiny rate table —
+    scan-side projection, no shuffle of the data."""
+    rates = temperature_mix_rates(df, group_col, alpha)
+    thr = F.lower(
+        F.lpad(
+            F.conv(
+                F.round(F.col("rate") * _SPACE).cast("long").cast("string"),
+                10,
+                16,
+            ),
+            4,
+            "0",
+        )
+    )
+    tagged = rates.withColumn("__thr", thr)
+    return df.join(F.broadcast(tagged), group_col).withColumn(
+        "keep",
+        (F.col("rate") >= 1.0) | (_hash_prefix(id_col) < F.col("__thr")),
+    ).drop("__thr")

@@ -1300,3 +1300,28 @@ def test_png_all_filters_roundtrip_vectorized():
         arr = rng.randint(0, 256, (h, w, ch)).astype(np.uint8)
         got = decode_png(encode_with_filters(arr, [0, 1, 2, 3, 4]))
         assert np.array_equal(got, arr)
+
+
+def test_temperature_mix_sample(spark, docs):
+    """Temperature flattening: the smallest group keeps everything
+    (rate 1); larger groups downsample at (n_min/n)^(1-alpha); alpha=1
+    is the natural distribution (all kept)."""
+    from paimon_python_spark.operators import (
+        temperature_mix_rates,
+        temperature_mix_sample,
+    )
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(
+        [(i, "big" if i < 90 else "small") for i in range(100)], "id long, g string"
+    )
+    rates = {r.g: r.rate for r in temperature_mix_rates(df, "g", alpha=0.5).collect()}
+    assert rates["small"] == 1.0
+    assert abs(rates["big"] - (10 / 90) ** 0.5) < 1e-12
+    out = temperature_mix_sample(df, "id", "g", alpha=0.5)
+    kept = {r.g: r.n for r in out.filter("keep").groupBy("g").agg(F.count("*").alias("n")).collect()}
+    assert kept["small"] == 10  # rate 1 keeps all
+    assert 0 < kept.get("big", 0) < 90
+    # alpha=1: natural -> every rate 1, everything kept
+    allkept = temperature_mix_sample(df, "id", "g", alpha=1.0)
+    assert allkept.filter("NOT keep").count() == 0
