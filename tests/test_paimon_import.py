@@ -1310,3 +1310,46 @@ def test_lake_tag_read_survives_snapshot_expiry(tmp_path, spark):
     os.remove(os.path.join(p, "snapshot", "snapshot-1"))
     tagged2 = t.new_read_builder().with_tag("v1").new_read().to_pandas()
     assert sorted(tagged2.k) == [1]
+
+
+def test_lake_dv_with_schema_evolution_combined(tmp_path, spark):
+    """A real lake can carry BOTH: files under an old schema (rename by
+    field id) AND deletion vectors marking rows in them — the mapped
+    select must carry the provenance columns through so the anti-join
+    still hits."""
+    from paimon_python_spark.paimon_import import (
+        add_paimon_fixture_schema,
+        append_paimon_fixture_snapshot,
+        attach_paimon_dv_fixture,
+    )
+    from paimon_python_spark.paimon_lake import PaimonLakeTable
+    from paimon_python_spark.session import set_spark
+
+    set_spark(spark)
+    p = str(tmp_path / "dv_evo")
+    write_paimon_fixture(
+        p,
+        [("k", "INT NOT NULL"), ("val", "STRING")],
+        [],
+        [],
+        [(0, {}, 0,
+          pa.table({"k": pa.array([1, 2, 3], pa.int32()),
+                    "val": pa.array(["a", "b", "c"], pa.string())}))],
+    )
+    add_paimon_fixture_schema(
+        p, [(0, "k", "INT NOT NULL"), (1, "renamed", "STRING")]
+    )
+    append_paimon_fixture_snapshot(
+        p,
+        [(0, {}, 0,
+          pa.table({"k": pa.array([4], pa.int32()),
+                    "renamed": pa.array(["d"], pa.string())}))],
+        schema_id=1,
+    )
+    # DV marks row 1 (k=2) of the OLD-schema file
+    attach_paimon_dv_fixture(p, {"data-fixture-0.parquet": [1]})
+    out = (
+        PaimonLakeTable(p).new_read_builder().new_read().to_pandas().sort_values("k")
+    )
+    assert list(out.k) == [1, 3, 4]
+    assert list(out.renamed) == ["a", "c", "d"]
