@@ -1263,6 +1263,7 @@ def append_paimon_fixture_snapshot(
                 "baseManifestList": blname,
                 "deltaManifestList": dlname,
                 "changelogManifestList": None,
+                "indexManifest": prev.get("indexManifest"),
                 "commitUser": "fixture",
                 "commitIdentifier": new_id,
                 "commitKind": "APPEND",

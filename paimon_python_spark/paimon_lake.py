@@ -871,6 +871,10 @@ def write_lake_append(table_path: str, df) -> int:
             "baseManifestList": blname,
             "deltaManifestList": dlname,
             "changelogManifestList": None,
+            # CARRY THE DV INDEX FORWARD: an append does not touch the
+            # deletion vectors, but a snapshot without indexManifest
+            # would silently resurrect every DV-deleted row
+            "indexManifest": prev.get("indexManifest"),
             "commitUser": "paimon_python_spark",
             "commitIdentifier": new_id,
             "commitKind": "APPEND",

@@ -1353,3 +1353,41 @@ def test_lake_dv_with_schema_evolution_combined(tmp_path, spark):
     )
     assert list(out.k) == [1, 3, 4]
     assert list(out.renamed) == ["a", "c", "d"]
+
+
+def test_append_carries_dv_index_forward(tmp_path, spark):
+    """Regression: a snapshot committed AFTER deletion vectors exist
+    must carry the indexManifest forward — dropping it would silently
+    resurrect every DV-deleted row."""
+    from paimon_python_spark.paimon_import import (
+        append_paimon_fixture_snapshot,
+        attach_paimon_dv_fixture,
+    )
+    from paimon_python_spark.paimon_lake import (
+        PaimonLakeTable,
+        write_lake_append,
+    )
+    from paimon_python_spark.session import set_spark
+
+    set_spark(spark)
+    p = str(tmp_path / "dv_carry")
+    write_paimon_fixture(
+        p, [("k", "INT NOT NULL")], [], [],
+        [(0, {}, 0, pa.table({"k": pa.array([1, 2, 3], pa.int32())}))],
+    )
+    attach_paimon_dv_fixture(p, {"data-fixture-0.parquet": [1]})  # delete k=2
+    assert sorted(
+        PaimonLakeTable(p).new_read_builder().new_read().to_pandas().k
+    ) == [1, 3]
+    # fixture append carries the index
+    append_paimon_fixture_snapshot(
+        p, [(0, {}, 0, pa.table({"k": pa.array([4], pa.int32())}))], tag="c2"
+    )
+    assert sorted(
+        PaimonLakeTable(p).new_read_builder().new_read().to_pandas().k
+    ) == [1, 3, 4]
+    # engine lake-append carries it too
+    write_lake_append(p, spark.createDataFrame([(5,)], "k int"))
+    assert sorted(
+        PaimonLakeTable(p).new_read_builder().new_read().to_pandas().k
+    ) == [1, 3, 4, 5]
