@@ -55,6 +55,7 @@ from paimon_python_spark.operators.similarity import (
     kmeans_fit,
     kmeans_fit_mirror,
     hyperplane_signs,
+    hyperplane_buckets_matmul,
     label_centroids,
     pq_codebooks_from_rows,
     pq_encode,
@@ -83,6 +84,7 @@ __all__ = [
     "kmeans_fit_mirror",
     "label_centroids",
     "hyperplane_signs",
+    "hyperplane_buckets_matmul",
     "pq_codebooks_from_rows",
     "pq_encode",
     "pq_adc_topk",

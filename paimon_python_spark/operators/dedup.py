@@ -430,10 +430,19 @@ def embedding_cosine_pairs_lsh(
     tables: int = 8,
     round_digits: int = 6,
     max_bucket: int | None = None,
+    bucket_method: str = "expr",
 ) -> DataFrame:
     """Embedding near-duplicate pairs: hyperplane-LSH candidates →
     EXACT cosine verify. This is the scale path (the headline) —
     ``embedding_cosine_pairs`` is the all-pairs oracle-building helper.
+
+    ``bucket_method``: "expr" (default — sequential SQL folds, bit-
+    identical to the DuckDB oracle) or "matmul" (Arrow-batched numpy
+    matmul, ~dims× less interpreter overhead for billion-vector runs;
+    a projection exactly at 0.0 could bucket differently — see
+    ``hyperplane_buckets_matmul``). Verification is exact either way,
+    so false positives are impossible; the methods can differ only in
+    LSH recall at the floating-point boundary.
 
     Candidate generation: ``tables`` independent sign-LSH tables, each
     hashing a vector to a ``planes``-bit bucket (deterministic
@@ -455,24 +464,28 @@ def embedding_cosine_pairs_lsh(
     from paimon_python_spark.operators.similarity import (
         bucket_expr,
         dot_expr,
+        hyperplane_buckets_matmul,
         hyperplane_signs,
     )
 
     all_signs = hyperplane_signs(tables * planes, dims)
-    bucket_cols = F.array(
-        *[
-            F.expr(bucket_expr(vec_col, all_signs[t * planes : (t + 1) * planes]))
-            for t in range(tables)
-        ]
-    )
-    # persisted + eager: the 64 hyperplane dot-products per vector feed
+    if bucket_method == "matmul":
+        ex = hyperplane_buckets_matmul(df, id_col, vec_col, all_signs, planes)
+    elif bucket_method == "expr":
+        bucket_cols = F.array(
+            *[
+                F.expr(bucket_expr(vec_col, all_signs[t * planes : (t + 1) * planes]))
+                for t in range(tables)
+            ]
+        )
+        ex = df.select(F.col(id_col), F.posexplode(bucket_cols).alias("tbl", "bucket"))
+    else:
+        raise ValueError(f"bucket_method {bucket_method!r} (expr|matmul)")
+    # persisted + eager: the hyperplane dot-products per vector feed
     # the widths agg AND both self-join sides — without the cache they
     # recompute ~4× (measured; was the 4 s bench line). release_cached()
     # frees it.
-    ex = shared(
-        df.select(F.col(id_col), F.posexplode(bucket_cols).alias("tbl", "bucket")),
-        eager=True,
-    )
+    ex = shared(ex, eager=True)
     if max_bucket is not None:
         widths = ex.groupBy("tbl", "bucket").agg(F.count("*").alias("__w"))
         ex = ex.join(

@@ -1325,3 +1325,21 @@ def test_temperature_mix_sample(spark, docs):
     # alpha=1: natural -> every rate 1, everything kept
     allkept = temperature_mix_sample(df, "id", "g", alpha=1.0)
     assert allkept.filter("NOT keep").count() == 0
+
+
+def test_embedding_lsh_matmul_matches_expr(spark, emb):
+    """The Arrow-matmul bucket scale path must produce the same
+    verified pairs as the oracle-gated expression path on real data
+    (they can differ only on projections exactly at 0.0)."""
+    from paimon_python_spark.operators import embedding_cosine_pairs_lsh
+
+    kw = dict(threshold=0.9, dims=64, planes=8, tables=8)
+    a = embedding_cosine_pairs_lsh(
+        emb, "vec_id", "embedding", bucket_method="expr", **kw
+    )
+    b = embedding_cosine_pairs_lsh(
+        emb, "vec_id", "embedding", bucket_method="matmul", **kw
+    )
+    pa_ = {(r.id_a, r.id_b, r.cos_sim) for r in a.collect()}
+    pb_ = {(r.id_a, r.id_b, r.cos_sim) for r in b.collect()}
+    assert pa_ == pb_
