@@ -15,10 +15,16 @@ It exercises, against genuinely foreign bytes:
      little-endian slots) — verified by checking every planned file
      path actually exists on disk (a mis-decoded partition value
      produces a directory name that doesn't);
-  4. an in-place read (paimon_lake.py) of up to --limit rows, with the
+  4. deletion-vector index decode (index manifest + roaring bitmaps,
+     CRC/magic-checked) when the snapshot carries one, and per-schema
+     file-group reporting (field-id evolution);
+  5. an in-place read (paimon_lake.py) of up to --limit rows, with the
      PK merge if the table has primary keys;
-  5. row-count reconciliation against the snapshot's totalRecordCount
-     (append tables only — PK visible rows legitimately differ).
+  6. row-count reconciliation against the snapshot's totalRecordCount
+     minus DV-marked rows (append tables only — PK visible rows
+     legitimately differ);
+  7. incremental read of the latest snapshot reconciled against its
+     deltaRecordCount (append tables).
 
 Exit 0 = every check passed on a lake this repo did not write.
 """
@@ -69,7 +75,27 @@ def main() -> int:
         print(f"[3/5] FAIL: {len(missing)} planned paths missing, e.g. {missing[0]!r}")
         print("      → BinaryRow partition decode or directory naming mismatch")
         return 1
-    print(f"[3/5] BinaryRow partition decode OK: all {len(entries)} planned paths exist")
+    print(f"[3/7] BinaryRow partition decode OK: all {len(entries)} planned paths exist")
+
+    from collections import Counter
+
+    from paimon_python_spark.paimon_import import (
+        plan_paimon_dv,
+        read_dv_index_entry,
+    )
+
+    by_schema = Counter(e.schema_id for e in entries)
+    if len(by_schema) > 1:
+        print(f"      field-id evolution active: files per schema {dict(by_schema)}")
+    dv = plan_paimon_dv(args.table_path, args.snapshot)
+    dv_marked = 0
+    for r in dv:
+        dv_marked += len(read_dv_index_entry(r.index_path, r.offset, r.length))
+    if dv:
+        print(f"[4/7] deletion vectors OK: {len(dv)} bitmaps decode "
+              f"(CRC+magic), {dv_marked} marked positions")
+    else:
+        print("[4/7] no deletion-vector index in this snapshot")
 
     from pyspark.sql import SparkSession
 
@@ -89,18 +115,34 @@ def main() -> int:
         .to_df()
     )
     sample = df.limit(args.limit).collect()
-    print(f"[4/5] in-place read OK: {len(sample)} rows sampled "
+    print(f"[5/7] in-place read OK: {len(sample)} rows sampled "
           f"({'PK merge' if info.primary_keys else 'append scan'})")
 
     if not info.primary_keys and snap.get("totalRecordCount") is not None:
         total = df.count()
-        expect = int(snap["totalRecordCount"])
+        expect = int(snap["totalRecordCount"]) - dv_marked
         if total != expect:
-            print(f"[5/5] FAIL: read {total} rows, snapshot says {expect}")
+            print(f"[6/7] FAIL: read {total} rows, snapshot implies {expect} "
+                  f"(totalRecordCount {snap['totalRecordCount']} - {dv_marked} DV marks)")
             return 1
-        print(f"[5/5] row count reconciles with snapshot: {total}")
+        print(f"[6/7] row count reconciles with snapshot: {total}")
     else:
-        print("[5/5] skipped (PK table: visible rows != totalRecordCount by design)")
+        print("[6/7] skipped (PK table: visible rows != totalRecordCount by design)")
+
+    if not info.primary_keys and snap.get("deltaRecordCount") is not None and snap["id"] > 1:
+        from paimon_python_spark.paimon_lake import read_lake_incremental
+
+        inc = read_lake_incremental(
+            args.table_path, snap["id"] - 1, snap["id"]
+        ).count()
+        expect = int(snap["deltaRecordCount"])
+        if inc != expect:
+            print(f"[7/7] FAIL: incremental read {inc} rows, "
+                  f"snapshot deltaRecordCount {expect}")
+            return 1
+        print(f"[7/7] incremental read reconciles with deltaRecordCount: {inc}")
+    else:
+        print("[7/7] skipped (single snapshot or PK table)")
     print("ALL CHECKS PASSED against a foreign-written lake")
     return 0
 
