@@ -643,15 +643,44 @@ def connected_components(
 
 
 def fuzzy_dedup_survivors(
-    df: DataFrame, pairs: DataFrame, id_col: str, a_col: str = "doc_a", b_col: str = "doc_b"
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    priority_col: str | None = None,
 ) -> DataFrame:
     """Rows of ``df`` that survive near-dup removal: docs in no pair,
-    plus each cluster's minimum id. One anti-join + one semi-join
-    against the (tiny relative to the corpus) component labels."""
+    plus ONE survivor per near-dup cluster. One anti-join + one
+    semi-join against the (tiny relative to the corpus) component
+    labels.
+
+    Default survivor: the cluster's minimum id (deterministic, no extra
+    data access). ``priority_col`` instead keeps the cluster's
+    HIGHEST-priority row (ties broken by min id) — the production
+    policy "keep the best-quality copy, not the first-crawled one";
+    costs one extra broadcast-sized join + window over cluster labels
+    only, never over the corpus."""
     comps = connected_components(pairs, a_col, b_col)
-    keep = comps.filter(F.col("node") == F.col("cluster")).select(
-        F.col("node").alias(id_col)
-    )
+    if priority_col is None:
+        keep = comps.filter(F.col("node") == F.col("cluster")).select(
+            F.col("node").alias(id_col)
+        )
+    else:
+        from pyspark.sql import Window
+
+        labeled = comps.join(
+            df.select(F.col(id_col).alias("node"), F.col(priority_col)),
+            "node",
+        )
+        w = Window.partitionBy("cluster").orderBy(
+            F.col(priority_col).desc(), F.col("node").asc()
+        )
+        keep = (
+            labeled.withColumn("__rn", F.row_number().over(w))
+            .filter("__rn = 1")
+            .select(F.col("node").alias(id_col))
+        )
     in_pairs = comps.select(F.col("node").alias(id_col))
     return df.join(in_pairs, id_col, "left_anti").unionByName(
         df.join(keep, id_col, "left_semi")

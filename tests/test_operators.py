@@ -1343,3 +1343,28 @@ def test_embedding_lsh_matmul_matches_expr(spark, emb):
     pa_ = {(r.id_a, r.id_b, r.cos_sim) for r in a.collect()}
     pb_ = {(r.id_a, r.id_b, r.cos_sim) for r in b.collect()}
     assert pa_ == pb_
+
+
+def test_fuzzy_dedup_survivors_priority(spark):
+    """priority_col keeps the best-quality copy per cluster instead of
+    the minimum id (ties -> min id)."""
+    from paimon_python_spark.operators import fuzzy_dedup_survivors
+
+    df = spark.createDataFrame(
+        [(1, 10), (2, 99), (3, 99), (4, 5), (9, 1)],
+        "doc_id long, quality long",
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "doc_a long, doc_b long")
+    # default: min id survives
+    got = sorted(
+        r.doc_id for r in fuzzy_dedup_survivors(df, pairs, "doc_id").collect()
+    )
+    assert got == [1, 4, 9]
+    # priority: doc 2 (quality 99, min id among the 99-tie) survives
+    got2 = sorted(
+        r.doc_id
+        for r in fuzzy_dedup_survivors(
+            df, pairs, "doc_id", priority_col="quality"
+        ).collect()
+    )
+    assert got2 == [2, 4, 9]
