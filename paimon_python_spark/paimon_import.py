@@ -189,6 +189,8 @@ def _bitset_bytes(arity: int) -> int:
 
 
 def decode_binary_row(data: bytes, types: List[T.DataType]) -> List[Any]:
+    if len(data) < 4:
+        raise ValueError("truncated binary row: missing arity prefix")
     arity = struct.unpack("<i", data[:4])[0]
     if arity != len(types):
         raise ValueError(
@@ -196,6 +198,11 @@ def decode_binary_row(data: bytes, types: List[T.DataType]) -> List[Any]:
         )
     row = data[4:]
     nb = _bitset_bytes(arity)
+    if len(row) < nb + arity * 8:
+        raise ValueError(
+            f"truncated binary row: {len(row)} bytes < fixed region "
+            f"{nb + arity * 8} (bitset {nb} + {arity}×8 slots)"
+        )
     out: List[Any] = []
     for i, dt in enumerate(types):
         bit = 8 + i
@@ -225,6 +232,11 @@ def decode_binary_row(data: bytes, types: List[T.DataType]) -> List[Any]:
                 offset_len = struct.unpack_from("<q", row, slot)[0]
                 ln = offset_len & 0xFFFFFFFF
                 off = offset_len >> 32
+                if off + ln > len(row):
+                    raise ValueError(
+                        f"truncated binary row: var-length field {i} points "
+                        f"past the buffer ({off}+{ln} > {len(row)})"
+                    )
                 raw = row[off : off + ln]
             out.append(raw.decode() if isinstance(dt, T.StringType) else bytes(raw))
         else:

@@ -1391,3 +1391,14 @@ def test_append_carries_dv_index_forward(tmp_path, spark):
     assert sorted(
         PaimonLakeTable(p).new_read_builder().new_read().to_pandas().k
     ) == [1, 3, 4, 5]
+
+
+def test_binary_row_truncation_raises_cleanly():
+    """Foreign corrupt/truncated BinaryRows must raise ValueError with
+    a diagnosis, never IndexError/struct.error or silent short data."""
+    enc = encode_binary_row(
+        [5, "hello world long string"], [T.IntegerType(), T.StringType()]
+    )
+    for cut in (0, 2, 4, 8, 12, len(enc) - 1):
+        with pytest.raises(ValueError):
+            decode_binary_row(enc[:cut], [T.IntegerType(), T.StringType()])
