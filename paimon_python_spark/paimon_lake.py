@@ -896,3 +896,15 @@ def write_lake_append(table_path: str, df) -> int:
         return new_id
     finally:
         shutil.rmtree(stage, ignore_errors=True)
+
+
+def register_lake_sql_view(spark, table_path: str, name: str):
+    """Expose a REAL lake table to plain Spark SQL as a named view:
+    ``register_lake_sql_view(spark, "/lake/db.db/orders", "orders")``
+    then ``spark.sql("SELECT ... FROM orders")``. The view wraps the
+    in-place lake read (fresh metadata plan at registration; re-register
+    to pick up newer snapshots), so Catalyst sees the same declarative
+    plan — filters/pruning reach the file scans."""
+    df = PaimonLakeTable(table_path).new_read_builder().new_read().to_df()
+    df.createOrReplaceTempView(name)
+    return df

@@ -1402,3 +1402,15 @@ def test_binary_row_truncation_raises_cleanly():
     for cut in (0, 2, 4, 8, 12, len(enc) - 1):
         with pytest.raises(ValueError):
             decode_binary_row(enc[:cut], [T.IntegerType(), T.StringType()])
+
+
+def test_register_lake_sql_view(append_fixture, spark):
+    from paimon_python_spark.paimon_lake import register_lake_sql_view
+    from paimon_python_spark.session import set_spark
+
+    set_spark(spark)
+    register_lake_sql_view(spark, append_fixture, "lake_view")
+    out = spark.sql(
+        "SELECT dt, count(*) AS n FROM lake_view GROUP BY dt ORDER BY dt"
+    ).collect()
+    assert [(r.dt, r.n) for r in out] == [("a", 2), ("b", 1)]
