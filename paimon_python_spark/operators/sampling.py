@@ -217,6 +217,12 @@ def temperature_mix_sample(
     across engines/runs/repartitions; a row's fate never changes as
     unrelated groups grow). Broadcast join of the tiny rate table —
     scan-side projection, no shuffle of the data."""
+    clash = {"n_docs", "rate", "keep"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"temperature_mix_sample: input already has column(s) {sorted(clash)} "
+            "which the op outputs — rename them first"
+        )
     rates = temperature_mix_rates(df, group_col, alpha)
     thr = F.lower(
         F.lpad(
