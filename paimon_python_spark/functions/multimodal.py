@@ -454,6 +454,69 @@ def audio_features(df: DataFrame, id_col: str, bin_col: str) -> DataFrame:
     return df.select(id_col, bin_col).mapInPandas(decode, AUDIO_FEATURES_SCHEMA)
 
 
+AUDIO_SPECTRAL_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("dominant_hz", T.DoubleType()),
+        T.StructField("centroid_hz", T.DoubleType()),
+        T.StructField("low_band_ratio_x1000", T.LongType()),
+    ]
+)
+
+
+def audio_spectral_features(
+    df: DataFrame, id_col: str, bin_col: str, n_fft: int = 512
+) -> DataFrame:
+    """REAL spectral features via numpy rfft over the first ``n_fft``
+    samples (zero-padded): dominant-bin frequency, magnitude-weighted
+    spectral centroid, and the energy share below sample_rate/8 —
+    the classic cheap audio-quality signals. All computation is
+    vectorized per batch (one stacked rfft per equal-rate group); no
+    SQL oracle exists for an FFT, so correctness is pinned by pytest
+    against analytic sinusoids instead of the DuckDB gate."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, rates, clips = [], [], []
+            for _id, blob in zip(pdf[id_col], pdf[bin_col]):
+                rate, samples = decode_wav(bytes(blob))
+                clip = np.zeros(n_fft, np.float64)
+                n = min(n_fft, samples.shape[0])
+                clip[:n] = samples[:n]
+                ids.append(_id)
+                rates.append(rate)
+                clips.append(clip)
+            if not ids:
+                continue
+            stack = np.stack(clips)  # (n_rows, n_fft)
+            mag = np.abs(np.fft.rfft(stack, axis=1))
+            mag[:, 0] = 0.0  # ignore DC for dominance/centroid
+            freqs_per_rate = {
+                r: np.fft.rfftfreq(n_fft, d=1.0 / r) for r in set(rates)
+            }
+            dom, cent, low = [], [], []
+            for i, r in enumerate(rates):
+                freqs = freqs_per_rate[r]
+                m = mag[i]
+                tot = m.sum()
+                dom.append(float(freqs[int(m.argmax())]))
+                cent.append(float((m * freqs).sum() / tot) if tot > 0 else 0.0)
+                lo = m[freqs < r / 8.0].sum()
+                low.append(int(round(lo * 1000 / tot)) if tot > 0 else 0)
+            yield pd.DataFrame(
+                {
+                    "id": ids,
+                    "sample_rate": pd.array(rates, dtype="int32"),
+                    "dominant_hz": dom,
+                    "centroid_hz": cent,
+                    "low_band_ratio_x1000": pd.array(low, dtype="int64"),
+                }
+            )
+
+    return df.select(id_col, bin_col).mapInPandas(decode, AUDIO_SPECTRAL_SCHEMA)
+
+
 def frame_sample_stub(
     df: DataFrame, id_col: str, bin_col: str, every_nth: int = 10
 ) -> DataFrame:

@@ -1368,3 +1368,34 @@ def test_fuzzy_dedup_survivors_priority(spark):
         ).collect()
     )
     assert got2 == [2, 4, 9]
+
+
+def test_audio_spectral_features_sinusoid(spark):
+    """FFT features verified against analytic sinusoids: the dominant
+    frequency must land on the tone's bin, low-band share ~1 for a
+    low tone and ~0 for a high tone."""
+    import numpy as np
+
+    from paimon_python_spark.functions import (
+        audio_spectral_features,
+        encode_wav_pcm16,
+    )
+
+    rate, n = 8000, 2048
+    t = np.arange(n)
+    low = (3000 * np.sin(2 * np.pi * 250 * t / rate)).astype(np.int64)   # 250 Hz
+    high = (3000 * np.sin(2 * np.pi * 3000 * t / rate)).astype(np.int64)  # 3 kHz
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(encode_wav_pcm16(rate, low))),
+            (2, bytearray(encode_wav_pcm16(rate, high))),
+        ],
+        "id long, wav binary",
+    )
+    out = {r.id: r for r in audio_spectral_features(df, "id", "wav", n_fft=512).collect()}
+    bin_hz = rate / 512  # 15.625 Hz per bin
+    assert abs(out[1].dominant_hz - 250) <= bin_hz
+    assert abs(out[2].dominant_hz - 3000) <= bin_hz
+    assert out[1].low_band_ratio_x1000 > 900   # 250 Hz < 1 kHz band
+    assert out[2].low_band_ratio_x1000 < 100   # 3 kHz above it
+    assert out[1].centroid_hz < out[2].centroid_hz
