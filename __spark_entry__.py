@@ -5276,6 +5276,32 @@ FROM documents GROUP BY source ORDER BY source
 """
 
 
+def mm_audio_spectral(spark, sf_dir):
+    """FFT spectral features over the synthesized WAV corpus (dominant
+    frequency, magnitude centroid, low-band energy share). No SQL
+    oracle can express an FFT, so this entry takes the rows-only gate
+    path; semantics are pinned by pytest against analytic sinusoids
+    (test_audio_spectral_features_sinusoid)."""
+    from paimon_python_spark.functions import (
+        audio_spectral_features,
+        synth_audio_payloads,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id").limit(500)
+    payloads = synth_audio_payloads(docs, "doc_id")
+    return (
+        audio_spectral_features(payloads, "doc_id", "payload")
+        .select(
+            F.col("id").alias("doc_id"),
+            "sample_rate",
+            F.round("dominant_hz", 3).alias("dominant_hz"),
+            F.round("centroid_hz", 3).alias("centroid_hz"),
+            "low_band_ratio_x1000",
+        )
+        .orderBy("doc_id")
+    )
+
+
 def sample_temperature_mix(spark, sf_dir):
     """TEMPERATURE corpus mixing (multilingual-LLM standard: sample
     group g with probability ∝ n_g^alpha): per-source rates
@@ -7261,6 +7287,7 @@ _QUERIES: dict[str, Callable] = {
     "scalar_array_funcs": scalar_array_funcs,
     "mm_frame_sample": mm_frame_sample,
     "mm_audio_features": mm_audio_features,
+    "mm_audio_spectral": mm_audio_spectral,
     "paimon_scan_pushdown_roundtrip": paimon_scan_pushdown_roundtrip,
     "paimon_tag_read_roundtrip": paimon_tag_read_roundtrip,
     "paimon_bloom_index_roundtrip": paimon_bloom_index_roundtrip,
