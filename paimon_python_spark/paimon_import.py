@@ -1127,7 +1127,11 @@ def add_paimon_fixture_schema(
 
 
 def append_paimon_fixture_snapshot(
-    path: str, files: List[tuple], tag: str = "c2", schema_id: Optional[int] = None
+    path: str,
+    files: List[tuple],
+    tag: str = "c2",
+    schema_id: Optional[int] = None,
+    changelog_files: Optional[List[tuple]] = None,
 ) -> int:
     """Add a successive commit to a spec-format fixture table: new data
     files + manifest + delta manifest list, and snapshot N+1 whose BASE
@@ -1252,6 +1256,43 @@ def append_paimon_fixture_snapshot(
             "_SCHEMA_ID": 0,
         }
 
+    clname = None
+    if changelog_files:
+        cl_entries = []
+        for i, (pvals, bucket, table) in enumerate(changelog_files):
+            parts = [
+                f"{k}={format_partition_segment(pvals[k], pt, default_name)}"
+                for k, pt in zip(info.partition_keys, part_types)
+            ]
+            ddir = os.path.join(path, *parts, f"bucket-{bucket}")
+            os.makedirs(ddir, exist_ok=True)
+            fmt = info.options.get("file.format", "parquet")
+            fname = f"changelog-fixture-{tag}-{i}.{fmt}"
+            fpath = os.path.join(ddir, fname)
+            _write_fixture_data_file(table, fpath, fmt)
+            cl_entries.append(
+                {
+                    "_VERSION": 2,
+                    "_KIND": 0,
+                    "_PARTITION": encode_binary_row(
+                        [pvals[k] for k in info.partition_keys], part_types
+                    ),
+                    "_BUCKET": bucket,
+                    "_TOTAL_BUCKETS": 1,
+                    "_FILE": _spec_file_meta(
+                        fname,
+                        os.path.getsize(fpath),
+                        table.num_rows,
+                        schema_id=schema_id,
+                    ),
+                }
+            )
+        cmname = f"manifest-changelog-{tag}.avro"
+        write_avro_records(
+            os.path.join(path, "manifest", cmname), MANIFEST_SCHEMA, cl_entries
+        )
+        clname = f"manifest-list-fixture-{tag}-changelog.avro"
+
     blname = f"manifest-list-fixture-{tag}-base.avro"
     dlname = f"manifest-list-fixture-{tag}-delta.avro"
     write_avro_records(
@@ -1264,6 +1305,12 @@ def append_paimon_fixture_snapshot(
         MANIFEST_LIST_SCHEMA,
         [_list_entry(mname)],
     )
+    if clname:
+        write_avro_records(
+            os.path.join(path, "manifest", clname),
+            MANIFEST_LIST_SCHEMA,
+            [_list_entry(cmname)],
+        )
     new_id = prev_id + 1
     n_rows = sum(t.num_rows for k, _p, _b, t in files if k == 0)
     with open(os.path.join(path, "snapshot", f"snapshot-{new_id}"), "w") as f:
@@ -1274,7 +1321,7 @@ def append_paimon_fixture_snapshot(
                 "schemaId": schema_id,
                 "baseManifestList": blname,
                 "deltaManifestList": dlname,
-                "changelogManifestList": None,
+                "changelogManifestList": clname,
                 "indexManifest": prev.get("indexManifest"),
                 "commitUser": "fixture",
                 "commitIdentifier": new_id,
@@ -1657,6 +1704,24 @@ def plan_paimon_delta(table_path: str, snapshot_id: int) -> List[PaimonFileEntry
     part_types = [info.spark_schema[k].dataType for k in info.partition_keys]
     out: List[PaimonFileEntry] = []
     lst = snap.get("deltaManifestList")
+    if lst:
+        for mname in read_manifest_list(table_path, lst):
+            for e in read_manifest(table_path, mname, part_types, info.partition_keys):
+                if e.kind == 0:
+                    out.append(e)
+    return out
+
+
+def plan_paimon_changelog(table_path: str, snapshot_id: int) -> List[PaimonFileEntry]:
+    """ADD entries of one snapshot's CHANGELOG manifest list — present
+    when the lake's writer runs with a changelog-producer; these files
+    carry the -U/+U row pairs a streaming consumer wants, which the
+    delta files alone cannot reconstruct for updates."""
+    info = read_paimon_schema(table_path)
+    snap = read_paimon_snapshot(table_path, snapshot_id)
+    part_types = [info.spark_schema[k].dataType for k in info.partition_keys]
+    out: List[PaimonFileEntry] = []
+    lst = snap.get("changelogManifestList")
     if lst:
         for mname in read_manifest_list(table_path, lst):
             for e in read_manifest(table_path, mname, part_types, info.partition_keys):

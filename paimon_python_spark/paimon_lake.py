@@ -373,6 +373,7 @@ def read_lake_incremental(
     table_path: str,
     from_snapshot: int,
     to_snapshot: "Optional[int]" = None,
+    use_changelog: bool = False,
 ):
     """Rows written to a REAL Paimon lake between two snapshots
     (exclusive, inclusive] — the lake analogue of the engine's
@@ -385,7 +386,13 @@ def read_lake_incremental(
     ``_row_kind`` ('+I', '-U', '+U', '-D') and ``_SEQUENCE_NUMBER`` —
     the consumer applies its own merge, exactly like a Flink streaming
     read of the format. Append tables return the appended rows.
-    Field-id schema evolution applies per delta file group."""
+    Field-id schema evolution applies per delta file group.
+
+    ``use_changelog=True`` reads each snapshot's CHANGELOG manifests
+    instead of its deltas when present (a lake written with a
+    changelog-producer stores the -U/+U pairs of updates there, which
+    deltas alone cannot reconstruct); snapshots without a changelog
+    fall back to their delta files."""
     import os
 
     from pyspark.sql import functions as F
@@ -393,6 +400,7 @@ def read_lake_incremental(
     from paimon_python_spark.paimon_import import (
         _load_lake_entries,
         latest_paimon_snapshot_id,
+        plan_paimon_changelog,
         plan_paimon_delta,
         read_paimon_append_entries,
         read_paimon_snapshot,
@@ -409,7 +417,10 @@ def read_lake_incremental(
         snap = read_paimon_snapshot(table_path, sid)
         if str(snap.get("commitKind", "APPEND")).upper() == "COMPACT":
             continue
-        entries.extend(plan_paimon_delta(table_path, sid))
+        cl = (
+            plan_paimon_changelog(table_path, sid) if use_changelog else []
+        )
+        entries.extend(cl if cl else plan_paimon_delta(table_path, sid))
     fmt = info.options.get("file.format", "parquet")
     part_types = [info.spark_schema[k].dataType for k in info.partition_keys]
     default_name = info.options.get("partition.default-name", None)

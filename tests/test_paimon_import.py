@@ -1414,3 +1414,45 @@ def test_register_lake_sql_view(append_fixture, spark):
         "SELECT dt, count(*) AS n FROM lake_view GROUP BY dt ORDER BY dt"
     ).collect()
     assert [(r.dt, r.n) for r in out] == [("a", 2), ("b", 1)]
+
+
+def test_lake_incremental_changelog_manifests(tmp_path, spark):
+    """A lake written with a changelog-producer stores -U/+U pairs in
+    CHANGELOG manifests; use_changelog=True must read those instead of
+    the delta files (which only carry the new +U version)."""
+    from paimon_python_spark.paimon_import import append_paimon_fixture_snapshot
+    from paimon_python_spark.paimon_lake import read_lake_incremental
+    from paimon_python_spark.session import set_spark
+
+    set_spark(spark)
+    kv = pa.schema(
+        [("_KEY_k", pa.int32()), ("_SEQUENCE_NUMBER", pa.int64()),
+         ("_VALUE_KIND", pa.int32()), ("k", pa.int32()), ("v", pa.string())]
+    )
+
+    def kvt(ks, seqs, kinds, vs):
+        return pa.table(
+            {"_KEY_k": ks, "_SEQUENCE_NUMBER": seqs, "_VALUE_KIND": kinds,
+             "k": ks, "v": vs}, schema=kv)
+
+    p = str(tmp_path / "cl_lake")
+    write_paimon_fixture(
+        p, [("k", "INT NOT NULL"), ("v", "STRING")], [], ["k"],
+        [(0, {}, 0, kvt([1], [0], [0], ["a"]))],
+        options={"bucket": "1", "changelog-producer": "input"},
+    )
+    # commit 2: delta has the new version; changelog has the -U/+U pair
+    append_paimon_fixture_snapshot(
+        p,
+        [(0, {}, 0, kvt([1], [1], [2], ["A2"]))],
+        changelog_files=[({}, 0, kvt([1, 1], [0, 1], [1, 2], ["a", "A2"]))],
+    )
+    delta = read_lake_incremental(p, 1).toPandas()
+    assert list(delta._row_kind) == ["+U"]
+    cl = (
+        read_lake_incremental(p, 1, use_changelog=True)
+        .toPandas()
+        .sort_values("_SEQUENCE_NUMBER")
+    )
+    assert list(cl._row_kind) == ["-U", "+U"]
+    assert list(cl.v) == ["a", "A2"]
