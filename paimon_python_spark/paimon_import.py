@@ -340,6 +340,9 @@ class PaimonFileEntry:
     level: int
     #: schema the data file was written under (manifest ``_SCHEMA_ID``)
     schema_id: int = 0
+    #: raw ``_VALUE_STATS`` (min row bytes, max row bytes, null counts)
+    #: — decoded lazily at prune time under the entry's own schema
+    stats_raw: Optional[tuple] = None
 
     def rel_path(
         self,
@@ -392,6 +395,7 @@ def read_manifest(
                 row_count=int(fmeta["_ROW_COUNT"]),
                 level=int(fmeta.get("_LEVEL", 0)),
                 schema_id=int(fmeta.get("_SCHEMA_ID") or 0),
+                stats_raw=_stats_raw(fmeta.get("_VALUE_STATS")),
             )
         )
     return out
@@ -403,6 +407,69 @@ def read_paimon_tag(table_path: str, name: str) -> dict:
     snapshot itself expires."""
     with open(os.path.join(table_path, "tag", f"tag-{name}")) as f:
         return json.load(f)
+
+
+def _stats_raw(vs) -> Optional[tuple]:
+    """Keep a manifest entry's ``_VALUE_STATS`` as raw bytes when it
+    carries real min/max rows (fixtures historically wrote empty
+    bytes); decode happens at prune time under the file's own schema."""
+    if not vs:
+        return None
+    mn = bytes(vs.get("_MIN_VALUES") or b"")
+    mx = bytes(vs.get("_MAX_VALUES") or b"")
+    if not mn or not mx:
+        return None
+    nc = vs.get("_NULL_COUNTS")
+    return (mn, mx, list(nc) if nc is not None else None)
+
+
+def decode_entry_stats(
+    entry: "PaimonFileEntry", oinfo: "PaimonSchemaInfo", info: "PaimonSchemaInfo"
+) -> Optional[dict]:
+    """Decode one file's min/max stats rows (written under ``oinfo``)
+    into the ``test_by_stats`` dict KEYED BY CURRENT field names (field
+    ids map old→new, like the data read itself). DATE values normalize
+    to ``datetime.date``. Any decode trouble → None (keep the file —
+    pruning must stay conservative)."""
+    if entry.stats_raw is None:
+        return None
+    mn_b, mx_b, nulls = entry.stats_raw
+    types = [f.dataType for f in oinfo.spark_schema.fields]
+    try:
+        mins = decode_binary_row(mn_b, types)
+        maxs = decode_binary_row(mx_b, types)
+    except Exception:
+        return None
+    old_names = [f.name for f in oinfo.spark_schema.fields]
+    vals = {
+        n: (mn, mx, nulls[i] if nulls is not None and i < len(nulls) else None)
+        for i, (n, mn, mx) in enumerate(zip(old_names, mins, maxs))
+    }
+    # map to current names by field id (PK/partition names immutable)
+    out = {}
+    old_by_id = dict(zip(oinfo.field_ids, old_names))
+    cur_ids = info.field_ids or list(range(len(info.spark_schema.fields)))
+    for fid, f in zip(cur_ids, info.spark_schema.fields):
+        src = old_by_id.get(fid) if oinfo.field_ids else f.name
+        if src is None or src not in vals:
+            continue
+        mn, mx, nc = vals[src]
+        if isinstance(f.dataType, T.DateType):
+            import datetime
+
+            conv = lambda v: (
+                datetime.date(1970, 1, 1) + datetime.timedelta(days=v)
+                if isinstance(v, int)
+                else v
+            )
+            mn, mx = conv(mn), conv(mx)
+        out[f.name] = {
+            "min": mn,
+            "max": mx,
+            "null_count": nc,
+            "row_count": entry.row_count,
+        }
+    return out
 
 
 def plan_paimon_files(
@@ -894,7 +961,56 @@ MANIFEST_SCHEMA = {
 _EMPTY_STATS = {"_MIN_VALUES": b"", "_MAX_VALUES": b"", "_NULL_COUNTS": None}
 
 
-def _spec_file_meta(name: str, size: int, rows: int, schema_id: int = 0) -> dict:
+def _value_stats_for(table, info: "PaimonSchemaInfo") -> dict:
+    """REAL ``_VALUE_STATS`` for a fixture data file: per-schema-field
+    min/max encoded as BinaryRows + null counts, computed from the
+    pyarrow table — so stats-based file skipping is exercised by
+    fixtures exactly as a Flink-written lake would exercise it."""
+    import pyarrow.compute as pc
+
+    mins, maxs, nulls = [], [], []
+    types = [f.dataType for f in info.spark_schema.fields]
+    for f in info.spark_schema.fields:
+        if f.name not in table.column_names:
+            mins.append(None)
+            maxs.append(None)
+            nulls.append(table.num_rows)
+            continue
+        col = table[f.name]
+        nulls.append(int(col.null_count))
+        if col.length() == col.null_count:
+            mins.append(None)
+            maxs.append(None)
+            continue
+        try:
+            mm = pc.min_max(col)
+            mn, mx = mm["min"].as_py(), mm["max"].as_py()
+        except Exception:
+            mn = mx = None
+        if isinstance(types[len(mins)], T.DateType):
+            import datetime
+
+            conv = lambda v: (
+                (v - datetime.date(1970, 1, 1)).days
+                if isinstance(v, datetime.date)
+                else v
+            )
+            mn, mx = conv(mn), conv(mx)
+        mins.append(mn)
+        maxs.append(mx)
+    try:
+        return {
+            "_MIN_VALUES": encode_binary_row(mins, types),
+            "_MAX_VALUES": encode_binary_row(maxs, types),
+            "_NULL_COUNTS": nulls,
+        }
+    except Exception:
+        return dict(_EMPTY_STATS)
+
+
+def _spec_file_meta(
+    name: str, size: int, rows: int, schema_id: int = 0, value_stats=None
+) -> dict:
     return {
         "_FILE_NAME": name,
         "_FILE_SIZE": size,
@@ -902,7 +1018,7 @@ def _spec_file_meta(name: str, size: int, rows: int, schema_id: int = 0) -> dict
         "_MIN_KEY": b"",
         "_MAX_KEY": b"",
         "_KEY_STATS": _EMPTY_STATS,
-        "_VALUE_STATS": _EMPTY_STATS,
+        "_VALUE_STATS": value_stats if value_stats is not None else _EMPTY_STATS,
         "_MIN_SEQUENCE_NUMBER": 0,
         "_MAX_SEQUENCE_NUMBER": rows,
         "_SCHEMA_ID": schema_id,
@@ -1035,7 +1151,10 @@ def write_paimon_table_fixture(
                 ),
                 "_BUCKET": bucket,
                 "_TOTAL_BUCKETS": 1,
-                "_FILE": _spec_file_meta(fname, size, table.num_rows),
+                "_FILE": _spec_file_meta(
+                    fname, size, table.num_rows,
+                    value_stats=_value_stats_for(table, info),
+                ),
             }
         )
 
@@ -1238,7 +1357,10 @@ def append_paimon_fixture_snapshot(
                 "_PARTITION": raw_part,
                 "_BUCKET": bucket,
                 "_TOTAL_BUCKETS": 1,
-                "_FILE": _spec_file_meta(fname, size, table.num_rows, schema_id=schema_id),
+                "_FILE": _spec_file_meta(
+                    fname, size, table.num_rows, schema_id=schema_id,
+                    value_stats=_value_stats_for(table, info),
+                ),
             }
         )
 

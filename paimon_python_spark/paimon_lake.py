@@ -273,11 +273,17 @@ def _limited_entries(entries, limit: "int | None"):
 
 
 def _pruned_entries(table_path: str, info: PaimonSchemaInfo, b: "PaimonLakeReadBuilder"):
-    """Plan the live file set and drop partitions the predicate rules
-    out (evaluated on decoded BinaryRow values normalized to logical
-    types — DATE partitions are epoch-day ints on disk)."""
+    """Plan the live file set, drop partitions the predicate rules out
+    (decoded BinaryRow values normalized to logical types — DATE
+    partitions are epoch-day ints on disk), then skip files whose
+    manifest min/max stats cannot satisfy it — the JVM planner's
+    two-level pruning, driver-side, metadata only."""
+    from paimon_python_spark.paimon_import import decode_entry_stats
+
     entries = plan_paimon_files(table_path, b._snapshot_id, snapshot=b._snapshot_dict())
-    if b._predicate is not None and info.partition_keys:
+    if b._predicate is None:
+        return entries
+    if info.partition_keys:
         part_pred = b._predicate.keep_only_fields(set(info.partition_keys))
         if part_pred is not None:
             part_pred = _coerce_partition_literals(part_pred, info)
@@ -286,6 +292,36 @@ def _pruned_entries(table_path: str, info: PaimonSchemaInfo, b: "PaimonLakeReadB
                 for e in entries
                 if part_pred.test_by_value(_logical_partition_values(info, e.partition))
             ]
+    if any(e.stats_raw for e in entries):
+        # stats rows decode under the schema each file was written with.
+        # PK tables may prune only on KEY fields (the engine's
+        # filter-placement rule, scan.py:80-116): a value predicate
+        # could drop the file holding a key's LATEST version and let an
+        # older version resurrect through the merge.
+        pred = _coerce_partition_literals(b._predicate, info)  # date literals
+        # partition fields are handled by partition pruning above, and
+        # hive-style files don't physically carry them (their stats
+        # would read as all-NULL and mis-prune) — keep them out here
+        allowed = {
+            f.name for f in info.spark_schema.fields
+        } - set(info.partition_keys)
+        if info.primary_keys:
+            # PK filter-placement rule: only key fields prune below the merge
+            allowed &= set(info.primary_keys) | set(info.partition_keys)
+        pred = pred.keep_only_fields(allowed)
+        if pred is None:
+            return entries
+        infos = {info.id: info}
+        kept = []
+        for e in entries:
+            oinfo = infos.get(e.schema_id)
+            if oinfo is None:
+                oinfo = read_paimon_schema(table_path, e.schema_id)
+                infos[e.schema_id] = oinfo
+            stats = decode_entry_stats(e, oinfo, info)
+            if stats is None or pred.test_by_stats(stats):
+                kept.append(e)
+        entries = kept
     return entries
 
 

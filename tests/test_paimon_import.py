@@ -1456,3 +1456,71 @@ def test_lake_incremental_changelog_manifests(tmp_path, spark):
     )
     assert list(cl._row_kind) == ["-U", "+U"]
     assert list(cl.v) == ["a", "A2"]
+
+
+def test_lake_stats_file_skipping(tmp_path, spark):
+    """Manifest min/max stats prune FILES at plan time (the JVM
+    planner's second pruning level): disjoint key ranges -> a range
+    predicate plans only the matching file; on PK tables only KEY-field
+    predicates prune (value predicates must not drop a key's latest
+    version)."""
+    from paimon_python_spark.paimon_lake import PaimonLakeTable
+    from paimon_python_spark.session import set_spark
+
+    set_spark(spark)
+    p = str(tmp_path / "stats_lake")
+    write_paimon_fixture(
+        p,
+        [("k", "INT NOT NULL"), ("v", "STRING")],
+        [],
+        [],
+        [
+            (0, {}, 0, pa.table({"k": pa.array([1, 2, 3], pa.int32()),
+                                 "v": pa.array(["a", "b", "c"], pa.string())})),
+            (0, {}, 0, pa.table({"k": pa.array([100, 200], pa.int32()),
+                                 "v": pa.array(["x", "y"], pa.string())})),
+        ],
+    )
+    t = PaimonLakeTable(p)
+    rb = t.new_read_builder()
+    pb = rb.new_predicate_builder()
+    rb = rb.with_filter(pb.greater_than("k", 50))
+    splits = rb.new_scan().plan().splits()
+    assert sum(len(s.file_paths()) for s in splits) == 1
+    out = rb.new_read().to_pandas()
+    assert sorted(out.k) == [100, 200]
+    # string stats prune too
+    rb2 = t.new_read_builder()
+    pb2 = rb2.new_predicate_builder()
+    rb2 = rb2.with_filter(pb2.equal("v", "b"))
+    assert sum(len(s.file_paths()) for s in rb2.new_scan().plan().splits()) == 1
+
+    # PK table: a VALUE predicate must NOT file-prune (latest version of
+    # k=1 lives in file 2; pruning file 2 by v would resurrect 'old')
+    kv = pa.schema(
+        [("_KEY_k", pa.int32()), ("_SEQUENCE_NUMBER", pa.int64()),
+         ("_VALUE_KIND", pa.int32()), ("k", pa.int32()), ("v", pa.string())]
+    )
+    p2 = str(tmp_path / "stats_pk")
+    write_paimon_fixture(
+        p2, [("k", "INT NOT NULL"), ("v", "STRING")], [], ["k"],
+        [
+            (0, {}, 0, pa.table(
+                {"_KEY_k": [1], "_SEQUENCE_NUMBER": [0], "_VALUE_KIND": [0],
+                 "k": [1], "v": ["old"]}, schema=kv)),
+            (0, {}, 0, pa.table(
+                {"_KEY_k": [1], "_SEQUENCE_NUMBER": [1], "_VALUE_KIND": [0],
+                 "k": [1], "v": ["new"]}, schema=kv)),
+        ],
+        options={"bucket": "1"},
+    )
+    t2 = PaimonLakeTable(p2)
+    rb3 = t2.new_read_builder()
+    pb3 = rb3.new_predicate_builder()
+    out2 = rb3.with_filter(pb3.equal("v", "old")).new_read().to_pandas()
+    assert len(out2) == 0  # latest is 'new'; residual drops it — NOT 'old'
+    # but a KEY predicate does prune PK files
+    rb4 = t2.new_read_builder()
+    pb4 = rb4.new_predicate_builder()
+    rb4 = rb4.with_filter(pb4.greater_than("k", 1000))
+    assert sum(len(s.file_paths()) for s in rb4.new_scan().plan().splits()) == 0
