@@ -872,75 +872,98 @@ def write_lake_append(table_path: str, df) -> int:
         if not entries:
             raise ValueError("write_lake_append: empty input — nothing to commit")
 
-        prev_id = latest_paimon_snapshot_id(table_path)
-        prev = read_paimon_snapshot(table_path, prev_id)
-        prior: list = []
-        for lst in (prev.get("baseManifestList"), prev.get("deltaManifestList")):
-            if lst:
-                prior.extend(read_manifest_list(table_path, lst))
-        tag = uuid.uuid4().hex[:12]
-        mname = f"manifest-{tag}-0.avro"
-        write_avro_records(
-            os.path.join(table_path, "manifest", mname), MANIFEST_SCHEMA, entries
-        )
-
-        def list_entry(name: str) -> dict:
-            return {
-                "_VERSION": 2,
-                "_FILE_NAME": name,
-                "_FILE_SIZE": os.path.getsize(
-                    os.path.join(table_path, "manifest", name)
-                ),
-                "_NUM_ADDED_FILES": 0,
-                "_NUM_DELETED_FILES": 0,
-                "_PARTITION_STATS": _EMPTY_STATS,
-                "_SCHEMA_ID": info.id,
-            }
-
-        blname = f"manifest-list-{tag}-base.avro"
-        dlname = f"manifest-list-{tag}-delta.avro"
-        write_avro_records(
-            os.path.join(table_path, "manifest", blname),
-            MANIFEST_LIST_SCHEMA,
-            [list_entry(n) for n in prior],
-        )
-        write_avro_records(
-            os.path.join(table_path, "manifest", dlname),
-            MANIFEST_LIST_SCHEMA,
-            [list_entry(mname)],
-        )
         n_rows = sum(e["_FILE"]["_ROW_COUNT"] for e in entries)
-        new_id = prev_id + 1
-        snap = {
-            "version": 3,
-            "id": new_id,
-            "schemaId": info.id,
-            "baseManifestList": blname,
-            "deltaManifestList": dlname,
-            "changelogManifestList": None,
-            # CARRY THE DV INDEX FORWARD: an append does not touch the
-            # deletion vectors, but a snapshot without indexManifest
-            # would silently resurrect every DV-deleted row
-            "indexManifest": prev.get("indexManifest"),
-            "commitUser": "paimon_python_spark",
-            "commitIdentifier": new_id,
-            "commitKind": "APPEND",
-            "timeMillis": 0,
-            "logOffsets": {},
-            "totalRecordCount": int(prev.get("totalRecordCount") or 0) + n_rows,
-            "deltaRecordCount": n_rows,
-            "changelogRecordCount": 0,
-            "watermark": -9223372036854775808,
-        }
-        spath = os.path.join(table_path, "snapshot", f"snapshot-{new_id}")
-        # O_EXCL: a concurrent committer racing for the same id fails
-        # loudly here instead of silently overwriting its snapshot
-        fd = os.open(spath, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
-        with os.fdopen(fd, "w") as f:
-            json.dump(snap, f)
-        with open(os.path.join(table_path, "snapshot", "LATEST"), "w") as f:
-            f.write(str(new_id))
-        return new_id
+        # metadata commit with CAS-style retry: the data files are
+        # already adopted (uuid names — no collisions); on a lost race
+        # for the snapshot id only the KB-scale manifest metadata is
+        # rebuilt against the new head, like real Paimon's committer
+        for attempt in range(5):
+            # the LATEST hint can lag a concurrent committer (it is
+            # written after the snapshot file) — trust the directory
+            sdir = os.path.join(table_path, "snapshot")
+            ids = [
+                int(n.split("-")[1])
+                for n in os.listdir(sdir)
+                if n.startswith("snapshot-")
+            ]
+            prev_id = max(
+                latest_paimon_snapshot_id(table_path), max(ids) if ids else 0
+            )
+            prev = read_paimon_snapshot(table_path, prev_id)
+            prior: list = []
+            for lst in (prev.get("baseManifestList"), prev.get("deltaManifestList")):
+                if lst:
+                    prior.extend(read_manifest_list(table_path, lst))
+            tag = uuid.uuid4().hex[:12]
+            mname = f"manifest-{tag}-0.avro"
+            write_avro_records(
+                os.path.join(table_path, "manifest", mname), MANIFEST_SCHEMA, entries
+            )
+
+            def list_entry(name: str) -> dict:
+                return {
+                    "_VERSION": 2,
+                    "_FILE_NAME": name,
+                    "_FILE_SIZE": os.path.getsize(
+                        os.path.join(table_path, "manifest", name)
+                    ),
+                    "_NUM_ADDED_FILES": 0,
+                    "_NUM_DELETED_FILES": 0,
+                    "_PARTITION_STATS": _EMPTY_STATS,
+                    "_SCHEMA_ID": info.id,
+                }
+
+            blname = f"manifest-list-{tag}-base.avro"
+            dlname = f"manifest-list-{tag}-delta.avro"
+            write_avro_records(
+                os.path.join(table_path, "manifest", blname),
+                MANIFEST_LIST_SCHEMA,
+                [list_entry(n) for n in prior],
+            )
+            write_avro_records(
+                os.path.join(table_path, "manifest", dlname),
+                MANIFEST_LIST_SCHEMA,
+                [list_entry(mname)],
+            )
+            new_id = prev_id + 1
+            snap = {
+                "version": 3,
+                "id": new_id,
+                "schemaId": info.id,
+                "baseManifestList": blname,
+                "deltaManifestList": dlname,
+                "changelogManifestList": None,
+                # CARRY THE DV INDEX FORWARD: an append does not touch
+                # the deletion vectors, but a snapshot without
+                # indexManifest would silently resurrect every
+                # DV-deleted row
+                "indexManifest": prev.get("indexManifest"),
+                "commitUser": "paimon_python_spark",
+                "commitIdentifier": new_id,
+                "commitKind": "APPEND",
+                "timeMillis": 0,
+                "logOffsets": {},
+                "totalRecordCount": int(prev.get("totalRecordCount") or 0) + n_rows,
+                "deltaRecordCount": n_rows,
+                "changelogRecordCount": 0,
+                "watermark": -9223372036854775808,
+            }
+            spath = os.path.join(table_path, "snapshot", f"snapshot-{new_id}")
+            try:
+                # O_EXCL: a concurrent committer racing for the same id
+                # loses exactly one of the two — loser re-plans above
+                fd = os.open(spath, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
+            except FileExistsError:
+                continue
+            with os.fdopen(fd, "w") as f:
+                json.dump(snap, f)
+            with open(os.path.join(table_path, "snapshot", "LATEST"), "w") as f:
+                f.write(str(new_id))
+            return new_id
+        raise RuntimeError(
+            "write_lake_append: lost the snapshot race 5 times — "
+            "another committer is writing faster than we can re-plan"
+        )
     finally:
         shutil.rmtree(stage, ignore_errors=True)
 

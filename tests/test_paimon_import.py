@@ -1524,3 +1524,34 @@ def test_lake_stats_file_skipping(tmp_path, spark):
     pb4 = rb4.new_predicate_builder()
     rb4 = rb4.with_filter(pb4.greater_than("k", 1000))
     assert sum(len(s.file_paths()) for s in rb4.new_scan().plan().splits()) == 0
+
+
+def test_write_lake_append_retries_snapshot_race(tmp_path, spark):
+    """A concurrent committer stealing the next snapshot id mid-commit
+    must trigger a metadata-only re-plan, not a failure or overwrite."""
+    import os as _os
+
+    from paimon_python_spark.paimon_lake import PaimonLakeTable, write_lake_append
+    from paimon_python_spark.session import set_spark
+
+    set_spark(spark)
+    p = str(tmp_path / "race_lake")
+    write_paimon_fixture(
+        p, [("k", "INT NOT NULL")], [], [],
+        [(0, {}, 0, pa.table({"k": pa.array([1], pa.int32())}))],
+    )
+    # simulate the race: snapshot-2 appears before our commit grabs it
+    import json as _json
+
+    with open(_os.path.join(p, "snapshot", "snapshot-1")) as f:
+        s1 = _json.load(f)
+    s2 = dict(s1, id=2, deltaRecordCount=0, commitUser="rival")
+    with open(_os.path.join(p, "snapshot", "snapshot-2"), "w") as f:
+        _json.dump(s2, f)
+    # note: LATEST still says 1 — exactly the mid-race state
+    sid = write_lake_append(p, spark.createDataFrame([(9,)], "k int"))
+    assert sid == 3  # lost id 2, re-planned, won id 3
+    out = PaimonLakeTable(p).new_read_builder().new_read().to_pandas()
+    # rival snapshot re-listed s1's manifests; the plan fold dedupes by
+    # (partition, bucket, file) so the base file appears once
+    assert sorted(out.k) == [1, 9]
