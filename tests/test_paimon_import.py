@@ -1555,3 +1555,49 @@ def test_write_lake_append_retries_snapshot_race(tmp_path, spark):
     # rival snapshot re-listed s1's manifests; the plan fold dedupes by
     # (partition, bucket, file) so the base file appears once
     assert sorted(out.k) == [1, 9]
+
+
+def test_import_preserve_history_with_rename_evolution(tmp_path, catalog, spark):
+    """History replay across a schema rename: commit 1 under schema-0
+    (val), ALTER renames to 'renamed' (same field id), commit 2 under
+    schema-1 — the replayed engine table carries the CURRENT schema and
+    maps old deltas by field id."""
+    from paimon_python_spark.paimon_import import (
+        add_paimon_fixture_schema,
+        append_paimon_fixture_snapshot,
+    )
+    from paimon_python_spark.session import set_spark
+
+    set_spark(spark)
+    kv = pa.schema(
+        [("_KEY_k", pa.int32()), ("_SEQUENCE_NUMBER", pa.int64()),
+         ("_VALUE_KIND", pa.int32()), ("k", pa.int32()), ("val", pa.string())]
+    )
+    p = str(tmp_path / "hist_evo")
+    write_paimon_fixture(
+        p, [("k", "INT NOT NULL"), ("val", "STRING")], [], ["k"],
+        [(0, {}, 0, pa.table(
+            {"_KEY_k": [1], "_SEQUENCE_NUMBER": [0], "_VALUE_KIND": [0],
+             "k": [1], "val": ["a"]}, schema=kv))],
+        options={"bucket": "1"},
+    )
+    add_paimon_fixture_schema(
+        p, [(0, "k", "INT NOT NULL"), (1, "renamed", "STRING")]
+    )
+    kv2 = pa.schema(
+        [("_KEY_k", pa.int32()), ("_SEQUENCE_NUMBER", pa.int64()),
+         ("_VALUE_KIND", pa.int32()), ("k", pa.int32()), ("renamed", pa.string())]
+    )
+    append_paimon_fixture_snapshot(
+        p,
+        [(0, {}, 0, pa.table(
+            {"_KEY_k": [2], "_SEQUENCE_NUMBER": [1], "_VALUE_KIND": [0],
+             "k": [2], "renamed": ["b"]}, schema=kv2))],
+        schema_id=1,
+    )
+    t = import_paimon_table(p, catalog, "default.hist_evo", preserve_history=True)
+    latest = t.new_read_builder().new_read().to_pandas().sort_values("k")
+    assert list(latest.k) == [1, 2]
+    assert list(latest.renamed) == ["a", "b"]  # old 'val' data under new name
+    old = t.new_read_builder().with_snapshot(1).new_read().to_pandas()
+    assert list(old.k) == [1] and list(old.renamed) == ["a"]
