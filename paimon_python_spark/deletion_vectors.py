@@ -151,7 +151,11 @@ def write_dv_df(table_path: str, snapshot_id: int, dv_df: Optional[DataFrame]) -
     name = dv_file_name(snapshot_id)
     path = os.path.join(_index_dir(table_path), name)
     (
-        dv_df.repartitionByRange("file")
+        # hash repartition, not repartitionByRange: range partitioning
+        # runs a SAMPLING JOB first, a whole extra pass for an index
+        # that is one row per marked file; co-locating equal file names
+        # is all the read-side anti-join benefits from
+        dv_df.repartition("file")
         .sortWithinPartitions("file")
         .write.mode("error")
         .parquet(path)
