@@ -387,13 +387,36 @@ class ReadBuilder:
 
         return TableRead(self)
 
-    def read_type(self) -> list[str]:
-        """The projected field names (mirrors read_type() reflecting the
-        projection, test_object_metadata.py:36-47)."""
+    def read_type(self) -> "ReadType":
+        """The projected row type (mirrors read_type() reflecting the
+        projection, test_object_metadata.py:36-47). Behaves as the list
+        of projected field names AND serves the reference's
+        ``read_type().as_arrow()`` (a pyarrow schema of the projected
+        top-level fields)."""
         if self._projection is None:
-            return self.table.schema.field_names
-        names: list[str] = []
-        for path in self._projection:
-            if path[0] not in names:
-                names.append(path[0])
-        return names
+            names = list(self.table.schema.field_names)
+        else:
+            names = []
+            for path in self._projection:
+                if path[0] not in names:
+                    names.append(path[0])
+        return ReadType(names, self.table.schema.spark_schema)
+
+
+class ReadType(list):
+    """Projected row type: a list of field names (engine-historic
+    behavior) that also answers ``as_arrow()`` like the reference's
+    RowType wrapper."""
+
+    def __init__(self, names, spark_schema):
+        super().__init__(names)
+        self._spark_schema = spark_schema
+
+    def as_arrow(self):
+        from pyspark.sql import types as T
+
+        from paimon_python_spark.types import spark_schema_to_pa
+
+        return spark_schema_to_pa(
+            T.StructType([self._spark_schema[n] for n in self])
+        )

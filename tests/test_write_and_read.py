@@ -566,3 +566,22 @@ def test_commit_retries_past_concurrent_snapshot(catalog):
     got = sorted(t.new_read_builder().new_read().to_pandas()["f1"])
     assert got == ["a", "b"]
     assert MetadataStore(t.table_path).latest_snapshot_id() == 2
+
+
+def test_read_type_as_arrow(catalog):
+    """Reference parity (test_object_metadata.py:36-47):
+    read_type().as_arrow() yields the projected pyarrow schema while
+    the object still compares as the name list."""
+    import pyarrow as pa
+
+    from paimon_python_spark import Schema
+
+    pa_schema = pa.schema([("f0", pa.int32()), ("f1", pa.string())])
+    catalog.create_table("default.rt_meta", Schema(pa_schema), False)
+    t = catalog.get_table("default.rt_meta")
+    rb = t.new_read_builder().with_projection(["f1"])
+    rt = rb.read_type()
+    assert rt == ["f1"]
+    arrow = rt.as_arrow()
+    assert arrow.names == ["f1"]
+    assert arrow.field("f1").type == pa.string()
