@@ -56,6 +56,7 @@ from paimon_python_spark.operators.similarity import (
     kmeans_fit_mirror,
     hyperplane_signs,
     hyperplane_buckets_matmul,
+    assign_cells_matmul,
     label_centroids,
     pq_codebooks_from_rows,
     pq_encode,
@@ -85,6 +86,7 @@ __all__ = [
     "label_centroids",
     "hyperplane_signs",
     "hyperplane_buckets_matmul",
+    "assign_cells_matmul",
     "pq_codebooks_from_rows",
     "pq_encode",
     "pq_adc_topk",

@@ -767,3 +767,38 @@ def hyperplane_buckets_matmul(
             yield pd.DataFrame({id_col: ids, "tbl": tbls, "bucket": buckets})
 
     return df.select(id_col, vec_col).mapInPandas(assign, out_schema)
+
+
+def assign_cells_matmul(
+    df,
+    id_col: str,
+    vec_col: str,
+    centroids: list,
+    l2: bool = False,
+    out_col: str = "cell",
+):
+    """SCALE-PATH IVF cell assignment: one Arrow-batched numpy matmul
+    per batch ((n, dims) @ (dims, k)) with the same argmax/tie-break as
+    :func:`assign_cells` — ~k× less interpreter overhead than the
+    expression folds at billion-vector scale. Same float caveat as
+    :func:`hyperplane_buckets_matmul`: numpy sums in a different order,
+    so a vector EXACTLY equidistant between two centroids could pick
+    the other one; the expression path stays the oracle default."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    C = np.asarray(centroids, dtype=np.float64)  # (k, dims)
+    bias = -0.5 * (C * C).sum(axis=1) if l2 else 0.0
+    out_schema = T.StructType(
+        [df.schema[id_col], T.StructField(out_col, T.IntegerType())]
+    )
+
+    def assign(batches):
+        for pdf in batches:
+            vecs = np.stack(pdf[vec_col].to_numpy())
+            scores = vecs @ C.T + bias
+            cells = scores.argmax(axis=1).astype(np.int32) + 1  # 1-based
+            yield pd.DataFrame({id_col: pdf[id_col].to_numpy(), out_col: cells})
+
+    return df.select(id_col, vec_col).mapInPandas(assign, out_schema)

@@ -1399,3 +1399,24 @@ def test_audio_spectral_features_sinusoid(spark):
     assert out[1].low_band_ratio_x1000 > 900   # 250 Hz < 1 kHz band
     assert out[2].low_band_ratio_x1000 < 100   # 3 kHz above it
     assert out[1].centroid_hz < out[2].centroid_hz
+
+
+def test_assign_cells_matmul_matches_expr(spark, emb):
+    """The matmul IVF scale path must assign the same cells as the
+    oracle-gated expression path on real data (both tie-break to the
+    first max)."""
+    from paimon_python_spark.operators import assign_cells_matmul, kmeans_fit
+    from paimon_python_spark.operators.similarity import assign_cells
+
+    cents = kmeans_fit(emb, "vec_id", "embedding", k=8, iters=3)
+    a = {
+        r.vec_id: r.cell
+        for r in assign_cells(
+            emb.select("vec_id", "embedding"), "embedding", cents
+        ).collect()
+    }
+    b = {
+        r.vec_id: r.cell
+        for r in assign_cells_matmul(emb, "vec_id", "embedding", cents).collect()
+    }
+    assert a == b
