@@ -389,20 +389,22 @@ def test_connected_components_nonconvergence_raises_and_warns(spark):
     from paimon_python_spark.operators import connected_components
     from paimon_python_spark.operators.dedup import ConvergenceError
 
-    # 30-node chain: diameter 29, so max_iter=5 cannot converge
+    # pointer jumping covers ~2^r nodes in r rounds, so a 400-node
+    # chain (diameter 399) cannot converge in 2 rounds...
     chain = spark.createDataFrame(
-        [(i, i + 1) for i in range(1, 30)], "doc_a long, doc_b long"
+        [(i, i + 1) for i in range(1, 400)], "doc_a long, doc_b long"
     )
     with pytest.raises(ConvergenceError, match="did not converge"):
-        connected_components(chain, "doc_a", "doc_b", max_iter=5, strict=True)
+        connected_components(chain, "doc_a", "doc_b", max_iter=2, strict=True)
     with pytest.warns(RuntimeWarning, match="did not converge"):
-        connected_components(chain, "doc_a", "doc_b", max_iter=5).collect()
-    # enough rounds (diameter 29) converges and labels are exact
+        connected_components(chain, "doc_a", "doc_b", max_iter=2).collect()
+    # ...but converges EXACTLY in O(log D) rounds — 12 suffice for
+    # diameter 399 (min-label alone would need 399)
     got = {
         r.node: r.cluster
-        for r in connected_components(chain, "doc_a", "doc_b", max_iter=40).collect()
+        for r in connected_components(chain, "doc_a", "doc_b", max_iter=12).collect()
     }
-    assert got == {i: 1 for i in range(1, 31)}
+    assert got == {i: 1 for i in range(1, 401)}
 
 
 def test_release_cached_empties_persistent_rdds(spark, docs):
