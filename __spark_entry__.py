@@ -1053,6 +1053,57 @@ def dedup_fuzzy_survivors(spark, sf_dir):
     )
 
 
+def dedup_fuzzy_survivors_priority(spark, sf_dir):
+    """Survivor selection by QUALITY instead of min id: each near-dup
+    cluster keeps its longest document (ties -> min id) — the
+    keep-the-best-copy production policy. Same LSH/CC front as
+    dedup_fuzzy_survivors; the oracle replays the priority window over
+    the recursive-SQL components."""
+    from paimon_python_spark.operators import (
+        fuzzy_dedup_survivors,
+        minhash_lsh_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "__prio", F.length("text")
+    )
+    pairs = minhash_lsh_pairs(
+        docs, "doc_id", "text", num_hashes=16, bands=4, jaccard_num=1, jaccard_den=2
+    )
+    surv = fuzzy_dedup_survivors(docs, pairs, "doc_id", priority_col="__prio")
+    return (
+        surv.groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_survivors"),
+            F.sum("doc_id").cast("long").alias("survivor_id_sum"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _dedup_survivors_priority_oracle() -> str:
+    comps_body = _dedup_cluster_oracle().rsplit("ORDER BY", 1)[0]
+    return f"""
+WITH comps AS ({comps_body}),
+labeled AS (
+  SELECT c.doc_id, c.cluster, length(d.text) AS prio
+  FROM comps c JOIN documents d ON d.doc_id = c.doc_id),
+keepers AS (
+  SELECT doc_id FROM (
+    SELECT doc_id,
+           row_number() OVER (PARTITION BY cluster
+                              ORDER BY prio DESC, doc_id ASC) AS rn
+    FROM labeled) WHERE rn = 1),
+keep AS (
+  SELECT d.doc_id, d.lang FROM documents d
+  LEFT JOIN comps c ON c.doc_id = d.doc_id
+  WHERE c.doc_id IS NULL OR d.doc_id IN (SELECT doc_id FROM keepers))
+SELECT lang, CAST(count(*) AS BIGINT) AS n_survivors,
+       CAST(sum(doc_id) AS BIGINT) AS survivor_id_sum
+FROM keep GROUP BY lang ORDER BY lang
+"""
+
+
 def _dedup_survivors_oracle() -> str:
     comps_body = _dedup_cluster_oracle().rsplit("ORDER BY", 1)[0]
     return f"""
@@ -7326,6 +7377,7 @@ _QUERIES: dict[str, Callable] = {
     "sample_token_budget_mix": sample_token_budget_mix,
     "sample_temperature_mix": sample_temperature_mix,
     "dedup_fuzzy_survivors": dedup_fuzzy_survivors,
+    "dedup_fuzzy_survivors_priority": dedup_fuzzy_survivors_priority,
     "events_gap_fill": events_gap_fill,
     "events_window_deltas": events_window_deltas,
     "dedup_cluster_size_hist": dedup_cluster_size_hist,
@@ -7533,6 +7585,7 @@ def oracle_sql() -> dict[str, str]:
     out["dedup_minhash_lsh_capped"] = _minhash_oracle(max_bucket=2)
     out["dedup_cluster_reps"] = _dedup_cluster_oracle()
     out["dedup_fuzzy_survivors"] = _dedup_survivors_oracle()
+    out["dedup_fuzzy_survivors_priority"] = _dedup_survivors_priority_oracle()
     out["dedup_cluster_size_hist"] = _dedup_cluster_hist_oracle()
     out["emb_outlier_prototypicality"] = _emb_outlier_oracle("/root/testdata/sf0.01")
     out["dedup_simhash"] = _simhash_oracle()
