@@ -558,14 +558,14 @@ def connected_components(
     order-independent), so a recursive-SQL oracle agrees exactly.
 
     Scale shape: per iteration one join + one hash aggregate, both
-    keyed on node id; rounds needed = component diameter, which for
-    near-dup clusters is tiny (dups of a doc link to each other). The
-    convergence check rides INSIDE the label update (a ``__changed``
-    flag aggregated over the freshly-cached labels) — no separate
-    old-vs-new join job per round; the driver sees only the one-row
-    sum. For adversarially long chain graphs swap in
-    large-star/small-star (alternating min over 2-hop neighborhoods) —
-    same operator shape.
+    keyed on node id; near-dup clusters are dense, so the common case
+    converges in 2-3 rounds. From round 4, ADAPTIVE POINTER JUMPING
+    (path halving: also follow cluster → that node's own cluster) kicks
+    in, bounding adversarial chain graphs at O(log diameter) rounds
+    instead of O(diameter). The convergence check rides INSIDE the
+    label update (a ``__changed`` flag aggregated over the
+    freshly-cached labels) — no separate old-vs-new join job per round;
+    the driver sees only the one-row sum.
 
     Non-convergence is never silent: exhausting ``max_iter`` raises
     :class:`ConvergenceError` when ``strict`` is set, else logs a
