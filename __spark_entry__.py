@@ -1277,6 +1277,22 @@ ORDER BY id_a, id_b
 """
 
 
+def dedup_embedding_cosine_lsh_matmul(spark, sf_dir):
+    """The Arrow-MATMUL bucket scale path of the embedding-dedup
+    headline, gated against the SAME oracle as the expression path: on
+    this deterministic corpus no hyperplane projection lands exactly on
+    0.0, so the two bucket methods propose identical candidates and the
+    exact-cosine verification makes the outputs equal — the gate proves
+    the billion-vector fast path is drop-in."""
+    from paimon_python_spark.operators import embedding_cosine_pairs_lsh
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_cosine_pairs_lsh(
+        emb, "vec_id", "embedding", threshold=0.45, dims=64, planes=8, tables=8,
+        bucket_method="matmul",
+    ).orderBy("id_a", "id_b")
+
+
 def dedup_embedding_cosine_lsh(spark, sf_dir):
     """HEADLINE embedding dedup: hyperplane-LSH candidate pairs (8
     tables × 8-bit sign buckets, deterministic md5 hyperplanes) →
@@ -7270,6 +7286,7 @@ _QUERIES: dict[str, Callable] = {
     "dedup_cluster_reps": dedup_cluster_reps,
     "dedup_semantic": dedup_semantic,
     "dedup_embedding_cosine_lsh": dedup_embedding_cosine_lsh,
+    "dedup_embedding_cosine_lsh_matmul": dedup_embedding_cosine_lsh_matmul,
     "dedup_ngram_jaccard_capped": dedup_ngram_jaccard_capped,
     "ann_topk_cosine": ann_topk_cosine,
     "ann_pq_rerank": ann_pq_rerank,
@@ -7601,4 +7618,5 @@ def oracle_sql() -> dict[str, str]:
     out["ann_ivf_trained"] = _ann_ivf_trained_oracle("/root/testdata/sf0.01")
     out["dedup_semantic"] = _dedup_semantic_oracle("/root/testdata/sf0.01")
     out["dedup_embedding_cosine_lsh"] = _emb_lsh_pairs_oracle()
+    out["dedup_embedding_cosine_lsh_matmul"] = _emb_lsh_pairs_oracle()
     return out
