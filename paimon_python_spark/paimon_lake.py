@@ -978,3 +978,231 @@ def register_lake_sql_view(spark, table_path: str, name: str):
     df = PaimonLakeTable(table_path).new_read_builder().new_read().to_df()
     df.createOrReplaceTempView(name)
     return df
+
+
+def delete_lake_rows(table_path: str, predicate: Predicate) -> int:
+    """Row-level DELETE FROM a real APPEND lake, committed as
+    spec-format deletion vectors: matching rows' (file, position) pairs
+    become roaring bitmaps in a new index file + index manifest, and
+    snapshot N+1 carries the SAME data manifests with the new index —
+    no data file is rewritten, which is exactly Paimon's DV delete
+    shape. Existing marks merge in (a second delete unions with the
+    first). Returns the new snapshot id.
+
+    Scope: append tables (PK deletes belong to the LSM write path of
+    the lake's owner). The marked positions pass through the driver to
+    assemble the per-file bitmaps — DV deletes are selective by nature;
+    for rewrite-scale deletions use a filtered copy instead."""
+    import json
+    import os
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from paimon_python_spark.paimon_import import (
+        DELETION_VECTORS_INDEX,
+        INDEX_MANIFEST_SCHEMA,
+        _load_lake_entries,
+        _relevant_dv,
+        encode_binary_row,
+        latest_paimon_snapshot_id,
+        plan_paimon_dv,
+        plan_paimon_files,
+        read_dv_index_entry,
+        read_paimon_snapshot,
+        write_dv_index_file,
+    )
+    from paimon_python_spark.avro_codec import write_avro_records
+    from paimon_python_spark.session import get_spark
+
+    spark = get_spark()
+    info = read_paimon_schema(table_path)
+    if info.primary_keys:
+        raise NotImplementedError(
+            "delete_lake_rows: PK lakes delete through their owner's LSM "
+            "writers (-D records); DV deletes here serve append tables"
+        )
+    entries = plan_paimon_files(table_path)
+    fmt = info.options.get("file.format", "parquet")
+    part_types = [info.spark_schema[k].dataType for k in info.partition_keys]
+    default_name = info.options.get("partition.default-name", None)
+
+    def src(e: PaimonFileEntry) -> str:
+        kw = {"default_name": default_name} if default_name else {}
+        return os.path.join(
+            table_path, e.rel_path(info.partition_keys, part_types, **kw)
+        )
+
+    prev_dv = _relevant_dv(plan_paimon_dv(table_path), entries)
+    # hive-style partition columns aren't in the files; evaluate the
+    # partition part of the predicate per entry and the residual on rows
+    part_pred = (
+        predicate.keep_only_fields(set(info.partition_keys))
+        if info.partition_keys
+        else None
+    )
+    cand = entries
+    if part_pred is not None:
+        part_pred = _coerce_partition_literals(part_pred, info)
+        cand = [
+            e
+            for e in entries
+            if part_pred.test_by_value(_logical_partition_values(info, e.partition))
+        ]
+    marked: dict = {}
+    if cand:
+        # hive-style layouts don't physically carry partition columns:
+        # detect once (like the append reader) and inject them from a
+        # broadcast (file -> partition values) map so the FULL predicate
+        # evaluates on rows
+        if fmt == "avro":
+            from paimon_python_spark.avro_codec import read_avro_columns
+
+            with open(src(cand[0]), "rb") as f:
+                sample_cols = set(read_avro_columns(f.read())[0])
+        else:
+            sample_cols = set(
+                spark.read.format(fmt).load(src(cand[0])).schema.fieldNames()
+            )
+        missing = [k for k in info.partition_keys if k not in sample_cols]
+        raw = _load_lake_entries(
+            spark,
+            info,
+            cand,
+            src,
+            fmt,
+            kv=False,
+            table_path=table_path,
+            file_name_col="__file_name",
+            row_pos_col="__row_pos",
+            skip_cols=tuple(missing),
+        )
+        if missing:
+            from pyspark.sql import types as T
+
+            rows = [
+                (
+                    e.file_name,
+                    *[
+                        _logical_partition_values(info, e.partition)[k]
+                        for k in missing
+                    ],
+                )
+                for e in cand
+            ]
+            pschema = T.StructType(
+                [T.StructField("__file_name", T.StringType())]
+                + [
+                    T.StructField(k, info.spark_schema[k].dataType)
+                    for k in missing
+                ]
+            )
+            pmap = F.broadcast(spark.createDataFrame(rows, pschema))
+            raw = raw.join(pmap, "__file_name")
+        pending = raw.filter(predicate.to_column())
+        pdf = pending.select("__file_name", "__row_pos").toPandas()
+        for fn, pos in zip(pdf["__file_name"], pdf["__row_pos"]):
+            marked.setdefault(str(fn), set()).add(int(pos))
+    if not marked:
+        raise ValueError("delete_lake_rows: predicate matched no rows")
+    # merge existing marks forward
+    for r in prev_dv:
+        marked.setdefault(r.data_file_name, set()).update(
+            int(p) for p in read_dv_index_entry(r.index_path, r.offset, r.length)
+        )
+
+    os.makedirs(os.path.join(table_path, "index"), exist_ok=True)
+    tag = uuid.uuid4().hex[:12]
+    idx_name = f"index-{tag}"
+    ranges = write_dv_index_file(
+        os.path.join(table_path, "index", idx_name),
+        {k: sorted(v) for k, v in sorted(marked.items())},
+    )
+    entry = {
+        "_VERSION": 1,
+        "_KIND": 0,
+        "_PARTITION": encode_binary_row([], []),
+        "_BUCKET": 0,
+        "_INDEX_TYPE": DELETION_VECTORS_INDEX,
+        "_FILE_NAME": idx_name,
+        "_FILE_SIZE": os.path.getsize(os.path.join(table_path, "index", idx_name)),
+        "_ROW_COUNT": sum(len(v) for v in marked.values()),
+        "_DELETIONS_VECTORS_RANGES": [
+            {"f0": n, "f1": o, "f2": ln} for n, (o, ln) in ranges.items()
+        ],
+    }
+    im_name = f"index-manifest-{tag}.avro"
+    write_avro_records(
+        os.path.join(table_path, "manifest", im_name),
+        INDEX_MANIFEST_SCHEMA,
+        [entry],
+    )
+    from paimon_python_spark.paimon_import import (
+        MANIFEST_LIST_SCHEMA,
+        _EMPTY_STATS,
+        read_manifest_list,
+    )
+
+    for attempt in range(5):
+        sdir = os.path.join(table_path, "snapshot")
+        ids = [
+            int(n.split("-")[1]) for n in os.listdir(sdir) if n.startswith("snapshot-")
+        ]
+        prev_id = max(latest_paimon_snapshot_id(table_path), max(ids) if ids else 0)
+        prev = read_paimon_snapshot(table_path, prev_id)
+        new_id = prev_id + 1
+        # a DV-only commit changes NO data files: fold prev's manifests
+        # into the base list and publish an EMPTY delta, so incremental
+        # consumers of (prev, new] correctly see zero new rows
+        prior: list = []
+        for lst in (prev.get("baseManifestList"), prev.get("deltaManifestList")):
+            if lst:
+                prior.extend(read_manifest_list(table_path, lst))
+
+        def _list_entry(name: str) -> dict:
+            return {
+                "_VERSION": 2,
+                "_FILE_NAME": name,
+                "_FILE_SIZE": os.path.getsize(
+                    os.path.join(table_path, "manifest", name)
+                ),
+                "_NUM_ADDED_FILES": 0,
+                "_NUM_DELETED_FILES": 0,
+                "_PARTITION_STATS": _EMPTY_STATS,
+                "_SCHEMA_ID": info.id,
+            }
+
+        blname = f"manifest-list-{tag}-{attempt}-base.avro"
+        dlname = f"manifest-list-{tag}-{attempt}-delta.avro"
+        write_avro_records(
+            os.path.join(table_path, "manifest", blname),
+            MANIFEST_LIST_SCHEMA,
+            [_list_entry(n) for n in prior],
+        )
+        write_avro_records(
+            os.path.join(table_path, "manifest", dlname),
+            MANIFEST_LIST_SCHEMA,
+            [],
+        )
+        snap = dict(
+            prev,
+            id=new_id,
+            baseManifestList=blname,
+            deltaManifestList=dlname,
+            indexManifest=im_name,
+            commitUser="paimon_python_spark",
+            commitIdentifier=new_id,
+            deltaRecordCount=0,
+            changelogManifestList=None,
+        )
+        spath = os.path.join(sdir, f"snapshot-{new_id}")
+        try:
+            fd = os.open(spath, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
+        except FileExistsError:
+            continue
+        with os.fdopen(fd, "w") as f:
+            json.dump(snap, f)
+        with open(os.path.join(sdir, "LATEST"), "w") as f:
+            f.write(str(new_id))
+        return new_id
+    raise RuntimeError("delete_lake_rows: lost the snapshot race 5 times")

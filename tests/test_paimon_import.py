@@ -1601,3 +1601,56 @@ def test_import_preserve_history_with_rename_evolution(tmp_path, catalog, spark)
     assert list(latest.renamed) == ["a", "b"]  # old 'val' data under new name
     old = t.new_read_builder().with_snapshot(1).new_read().to_pandas()
     assert list(old.k) == [1] and list(old.renamed) == ["a"]
+
+
+def test_delete_lake_rows_dv_commit(tmp_path, spark):
+    """DELETE FROM a real append lake as a spec DV commit: no data file
+    rewrites, marks merge with existing DVs, incremental sees no new
+    rows, and the deletes survive a later append."""
+    from paimon_python_spark.paimon_lake import (
+        PaimonLakeTable,
+        delete_lake_rows,
+        read_lake_incremental,
+        write_lake_append,
+    )
+    from paimon_python_spark.session import set_spark
+
+    set_spark(spark)
+    p = str(tmp_path / "del_lake")
+    write_paimon_fixture(
+        p,
+        [("dt", "STRING NOT NULL"), ("k", "INT"), ("v", "STRING")],
+        ["dt"],
+        [
+            # note: files physically lack dt (hive-style)
+        ] and [],
+        [
+            (0, {"dt": "a"}, 0,
+             pa.table({"k": pa.array([1, 2, 3], pa.int32()),
+                       "v": pa.array(["x", "y", "z"], pa.string())})),
+            (0, {"dt": "b"}, 0,
+             pa.table({"k": pa.array([4], pa.int32()),
+                       "v": pa.array(["w"], pa.string())})),
+        ],
+    )
+    t = PaimonLakeTable(p)
+    pb = t.new_read_builder().new_predicate_builder()
+    # delete k=2 in dt=a plus everything in dt=b
+    sid = delete_lake_rows(
+        p, pb.or_predicates([pb.equal("k", 2), pb.equal("dt", "b")])
+    )
+    assert sid == 2
+    out = t.new_read_builder().new_read().to_pandas().sort_values("k")
+    assert list(out.k) == [1, 3]
+    # no new data rows for incremental consumers
+    assert len(read_lake_incremental(p, 1).toPandas()) == 0
+    # a second delete merges with the first
+    delete_lake_rows(p, pb.equal("k", 3))
+    out2 = t.new_read_builder().new_read().to_pandas()
+    assert list(out2.k) == [1]
+    # appends carry the DV index forward
+    write_lake_append(p, spark.createDataFrame([("a", 9, "q")], "dt string, k int, v string"))
+    out3 = t.new_read_builder().new_read().to_pandas().sort_values("k")
+    assert list(out3.k) == [1, 9]
+    with pytest.raises(ValueError, match="matched no rows"):
+        delete_lake_rows(p, pb.equal("k", 12345))
