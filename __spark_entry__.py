@@ -2899,6 +2899,82 @@ FROM nation ORDER BY n_nationkey
 """
 
 
+def paimon_lake_delete_roundtrip(spark, sf_dir):
+    """Row-level DELETE on a real lake committed as spec deletion
+    vectors (paimon_lake.delete_lake_rows): customer rows in a fixture
+    lake, delete every third key and one whole segment partition, read
+    the union of the before/after states tagged. The oracle replays
+    both states with plain SQL filters — the gate proves no surviving
+    row is lost and no deleted row resurrects, with zero data-file
+    rewrites."""
+    import pyarrow as pa
+
+    from paimon_python_spark.paimon_import import write_paimon_table_fixture
+    from paimon_python_spark.paimon_lake import PaimonLakeTable, delete_lake_rows
+    from paimon_python_spark.session import set_spark
+
+    set_spark(spark)
+    pdf = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 1200)
+        .select("c_mktsegment", "c_custkey", "c_acctbal")
+        .toPandas()
+        .sort_values("c_custkey")
+    )
+    fixture = _fresh_warehouse("lakedel") + "/customer_del"
+    files = [
+        (0, {"c_mktsegment": seg}, 0,
+         pa.table({"c_custkey": pa.array(g.c_custkey, pa.int64()),
+                   "c_acctbal": pa.array(g.c_acctbal, pa.float64())}))
+        for seg, g in pdf.groupby("c_mktsegment", sort=True)
+    ]
+    write_paimon_table_fixture(
+        fixture,
+        [("c_mktsegment", "STRING NOT NULL"),
+         ("c_custkey", "BIGINT"),
+         ("c_acctbal", "DOUBLE")],
+        ["c_mktsegment"],
+        [],
+        files,
+    )
+    t = PaimonLakeTable(fixture)
+    cols = ["c_mktsegment", "c_custkey", "c_acctbal"]
+    before = (
+        t.new_read_builder().new_read().to_df()
+        .select(F.lit("before").alias("tag"), *cols)
+    )
+    before = spark.createDataFrame(before.toPandas(), schema=before.schema)
+    pb = t.new_read_builder().new_predicate_builder()
+    delete_lake_rows(
+        fixture,
+        pb.or_predicates(
+            [
+                pb.equal("c_mktsegment", "BUILDING"),
+                # every third key
+                pb.is_in(
+                    "c_custkey", [int(k) for k in pdf.c_custkey if k % 3 == 0]
+                ),
+            ]
+        ),
+    )
+    after = (
+        t.new_read_builder().new_read().to_df()
+        .select(F.lit("after").alias("tag"), *cols)
+    )
+    return before.unionByName(after).orderBy("tag", "c_custkey")
+
+
+PAIMON_LAKE_DELETE_SQL = """
+WITH src AS (
+  SELECT c_mktsegment, c_custkey, c_acctbal FROM customer WHERE c_custkey <= 1200)
+SELECT 'before' AS tag, * FROM src
+UNION ALL
+SELECT 'after' AS tag, * FROM src
+WHERE c_mktsegment <> 'BUILDING' AND c_custkey % 3 <> 0
+ORDER BY tag, c_custkey
+"""
+
+
 def paimon_lake_incremental_roundtrip(spark, sf_dir):
     """Incremental (from, to] read on a REAL lake
     (paimon_lake.read_lake_incremental — the lake analogue of the
@@ -7280,6 +7356,7 @@ _QUERIES: dict[str, Callable] = {
     "paimon_export_roundtrip": paimon_export_roundtrip,
     "paimon_lake_incremental_roundtrip": paimon_lake_incremental_roundtrip,
     "paimon_lake_write_roundtrip": paimon_lake_write_roundtrip,
+    "paimon_lake_delete_roundtrip": paimon_lake_delete_roundtrip,
     "window_topk_per_group": window_topk_per_group,
     "dedup_exact": dedup_exact,
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -7589,6 +7666,7 @@ _ORACLES: dict[str, str] = {
     "paimon_export_roundtrip": PAIMON_EXPORT_SQL,
     "paimon_lake_incremental_roundtrip": PAIMON_LAKE_INCREMENTAL_SQL,
     "paimon_lake_write_roundtrip": PAIMON_LAKE_WRITE_SQL,
+    "paimon_lake_delete_roundtrip": PAIMON_LAKE_DELETE_SQL,
 }
 
 
