@@ -7374,11 +7374,9 @@ _QUERIES: dict[str, Callable] = {
     "join_salted_skew": join_salted_skew,
     "paimon_pk_upsert_roundtrip": paimon_pk_upsert_roundtrip,
     "paimon_dv_roundtrip": paimon_dv_roundtrip,
-    "paimon_orc_roundtrip": paimon_orc_roundtrip,
     "paimon_avro_roundtrip": paimon_avro_roundtrip,
     "paimon_consumer_resume_roundtrip": paimon_consumer_resume_roundtrip,
     "paimon_incremental_dedup_roundtrip": paimon_incremental_dedup_roundtrip,
-    "paimon_partition_overwrite_roundtrip": paimon_partition_overwrite_roundtrip,
     # r5 rotation: the real-warehouse importer + in-place lake read move
     # into the driver-gated first 50; time-travel/changelog/datasource
     # (driver-green in r4, pytest-covered) rotate to the local-only set
@@ -7504,6 +7502,8 @@ _QUERIES: dict[str, Callable] = {
     "events_tumbling_window": events_tumbling_window,
     "profile_table_columns": profile_table_columns,
     "mor_latest_by_key": mor_latest_by_key,
+    "paimon_partition_overwrite_roundtrip": paimon_partition_overwrite_roundtrip,
+    "paimon_orc_roundtrip": paimon_orc_roundtrip,
     "events_sessionize": events_sessionize,
     "events_asof_join": events_asof_join,
     "events_interval_join_binned": events_interval_join_binned,
