@@ -46,10 +46,28 @@ from paimon_python_spark.branches import (
     list_branches,
 )
 from paimon_python_spark.tags import create_tag, delete_tag, list_tags
-from paimon_python_spark.paimon_lake import PaimonLakeTable
+from paimon_python_spark.paimon_lake import (
+    PaimonLakeTable,
+    delete_lake_rows,
+    read_lake_incremental,
+    register_lake_sql_view,
+    stream_lake_snapshots,
+    write_lake_append,
+)
+from paimon_python_spark.paimon_import import (
+    export_paimon_table,
+    import_paimon_table,
+)
 
 __all__ = [
     "PaimonLakeTable",
+    "delete_lake_rows",
+    "read_lake_incremental",
+    "register_lake_sql_view",
+    "stream_lake_snapshots",
+    "write_lake_append",
+    "export_paimon_table",
+    "import_paimon_table",
     "Catalog",
     "Schema",
     "Table",
