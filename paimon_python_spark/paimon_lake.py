@@ -508,6 +508,7 @@ def stream_lake_snapshots(
     max_batches: "Optional[int]" = None,
     consumer_id: "Optional[str]" = None,
     consumer_dir: "Optional[str]" = None,
+    use_changelog: bool = False,
 ):
     """Driver-side poll loop over a REAL lake: yield (snapshot_id,
     delta DataFrame) as the lake's owner commits — the micro-batch
@@ -551,7 +552,9 @@ def stream_lake_snapshots(
         latest = latest_paimon_snapshot_id(table_path)
         while current < latest:
             nxt = current + 1
-            yield nxt, read_lake_incremental(table_path, current, nxt)
+            yield nxt, read_lake_incremental(
+                table_path, current, nxt, use_changelog=use_changelog
+            )
             if offset_path:
                 os.makedirs(os.path.dirname(offset_path), exist_ok=True)
                 tmp = f"{offset_path}.tmp"
