@@ -766,7 +766,11 @@ def hyperplane_buckets_matmul(
             ]
             yield pd.DataFrame({id_col: ids, "tbl": tbls, "bucket": buckets})
 
-    return df.select(id_col, vec_col).mapInPandas(assign, out_schema)
+    return (
+        df.select(id_col, vec_col)
+        .filter(F.col(vec_col).isNotNull())
+        .mapInPandas(assign, out_schema)
+    )
 
 
 def assign_cells_matmul(
@@ -801,4 +805,8 @@ def assign_cells_matmul(
             cells = scores.argmax(axis=1).astype(np.int32) + 1  # 1-based
             yield pd.DataFrame({id_col: pdf[id_col].to_numpy(), out_col: cells})
 
-    return df.select(id_col, vec_col).mapInPandas(assign, out_schema)
+    return (
+        df.select(id_col, vec_col)
+        .filter(F.col(vec_col).isNotNull())
+        .mapInPandas(assign, out_schema)
+    )
