@@ -1422,3 +1422,29 @@ def test_assign_cells_matmul_matches_expr(spark, emb):
         for r in assign_cells_matmul(emb, "vec_id", "embedding", cents).collect()
     }
     assert a == b
+
+
+def test_cache_scopes_are_per_thread(spark, docs):
+    """The scope stack is threading.local: two driver threads composing
+    operators never see each other's registries."""
+    import threading
+
+    from paimon_python_spark.operators import minhash_lsh_pairs
+    from paimon_python_spark.operators._cache import _current, release_cached
+
+    release_cached()
+    results = {}
+
+    def work(name, n):
+        minhash_lsh_pairs(docs.limit(n), "doc_id", "text").count()
+        results[name] = len(_current())
+        release_cached()
+        results[name + "_after"] = len(_current())
+
+    t1 = threading.Thread(target=work, args=("a", 30))
+    t2 = threading.Thread(target=work, args=("b", 40))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert results["a"] >= 1 and results["b"] >= 1
+    assert results["a_after"] == 0 and results["b_after"] == 0
+    # the main thread's scope never saw either worker's frames
+    assert len(_current()) == 0
