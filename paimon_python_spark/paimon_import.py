@@ -281,9 +281,53 @@ def encode_binary_row(values: List[Any], types: List[T.DataType]) -> bytes:
                 off = nb + arity * 8 + len(var)
                 struct.pack_into("<q", fixed, slot, (off << 32) | len(raw))
                 var += raw
+                # real writers word-align every var-length region
+                # (BinaryRowWriter.roundNumberOfBytesToNearestWord), so
+                # sizeInBytes is always a multiple of 8 — required for
+                # the word-wise hashCode the bucket extractor uses, and
+                # byte-exact with what a JVM writer would emit
+                if len(raw) % 8:
+                    var += b"\x00" * (8 - len(raw) % 8)
         else:
             raise ValueError(f"binary row: unsupported partition type {dt}")
     return struct.pack("<i", arity) + bytes(fixed) + bytes(var)
+
+
+def murmur_hash_words(data: bytes, seed: int = 42) -> int:
+    """Murmur3-32 over little-endian 4-byte words, Paimon flavor: the
+    public ``MurmurHashUtils.hashBytesByWords`` (seed 42, no tail
+    handling — BinaryRow bytes are always word-aligned). Returns the
+    SIGNED Java int, because ``BinaryRow.hashCode()`` is this value and
+    the bucket math depends on its sign convention."""
+    if len(data) % 4:
+        raise ValueError(f"hashBytesByWords needs 4-byte alignment, got {len(data)}")
+    h1 = seed
+    for i in range(0, len(data), 4):
+        k1 = int.from_bytes(data[i : i + 4], "little")
+        k1 = (k1 * 0xCC9E2D51) & 0xFFFFFFFF
+        k1 = ((k1 << 15) | (k1 >> 17)) & 0xFFFFFFFF
+        k1 = (k1 * 0x1B873593) & 0xFFFFFFFF
+        h1 ^= k1
+        h1 = ((h1 << 13) | (h1 >> 19)) & 0xFFFFFFFF
+        h1 = (h1 * 5 + 0xE6546B64) & 0xFFFFFFFF
+    h1 ^= len(data)
+    h1 ^= h1 >> 16
+    h1 = (h1 * 0x85EBCA6B) & 0xFFFFFFFF
+    h1 ^= h1 >> 13
+    h1 = (h1 * 0xC2B2AE35) & 0xFFFFFFFF
+    h1 ^= h1 >> 16
+    return h1 - 0x100000000 if h1 >= 0x80000000 else h1
+
+
+def fixed_bucket(values: List[Any], types: List[T.DataType], num_buckets: int) -> int:
+    """Paimon's fixed-bucket assignment for one row's bucket key:
+    ``Math.abs(bucketKey.hashCode() % numBuckets)`` where the hashCode
+    is the word-wise murmur over the bucket key's BinaryRow bytes
+    (public ``FixedBucketRowKeyExtractor`` → ``KeyAndBucketExtractor
+    .bucket(bucketKeyHashCode(...), numBuckets)``). The 4-byte arity
+    prefix is our manifest wire envelope, not part of the row — it is
+    excluded from the hash."""
+    return abs(murmur_hash_words(encode_binary_row(values, types)[4:])) % num_buckets
 
 
 # ---- manifests ----
@@ -343,6 +387,9 @@ class PaimonFileEntry:
     #: raw ``_VALUE_STATS`` (min row bytes, max row bytes, null counts)
     #: — decoded lazily at prune time under the entry's own schema
     stats_raw: Optional[tuple] = None
+    #: manifest ``_MAX_SEQUENCE_NUMBER`` — a PK-lake writer seeds its
+    #: new commit's sequence range past every live file's max
+    max_seq: int = 0
 
     def rel_path(
         self,
@@ -396,6 +443,7 @@ def read_manifest(
                 level=int(fmeta.get("_LEVEL", 0)),
                 schema_id=int(fmeta.get("_SCHEMA_ID") or 0),
                 stats_raw=_stats_raw(fmeta.get("_VALUE_STATS")),
+                max_seq=int(fmeta.get("_MAX_SEQUENCE_NUMBER") or 0),
             )
         )
     return out
@@ -1009,20 +1057,29 @@ def _value_stats_for(table, info: "PaimonSchemaInfo") -> dict:
 
 
 def _spec_file_meta(
-    name: str, size: int, rows: int, schema_id: int = 0, value_stats=None
+    name: str,
+    size: int,
+    rows: int,
+    schema_id: int = 0,
+    value_stats=None,
+    min_key: bytes = b"",
+    max_key: bytes = b"",
+    min_seq: int = 0,
+    max_seq: Optional[int] = None,
+    level: int = 0,
 ) -> dict:
     return {
         "_FILE_NAME": name,
         "_FILE_SIZE": size,
         "_ROW_COUNT": rows,
-        "_MIN_KEY": b"",
-        "_MAX_KEY": b"",
+        "_MIN_KEY": min_key,
+        "_MAX_KEY": max_key,
         "_KEY_STATS": _EMPTY_STATS,
         "_VALUE_STATS": value_stats if value_stats is not None else _EMPTY_STATS,
-        "_MIN_SEQUENCE_NUMBER": 0,
-        "_MAX_SEQUENCE_NUMBER": rows,
+        "_MIN_SEQUENCE_NUMBER": min_seq,
+        "_MAX_SEQUENCE_NUMBER": rows if max_seq is None else max_seq,
         "_SCHEMA_ID": schema_id,
-        "_LEVEL": 0,
+        "_LEVEL": level,
         "_EXTRA_FILES": [],
         "_CREATION_TIME": None,
         "_DELETE_ROW_COUNT": None,

@@ -729,10 +729,10 @@ def write_lake_append(table_path: str, df) -> int:
     same cost class as any Paimon committer. Returns the new snapshot
     id.
 
-    Scope, stated plainly: append tables only (PK tables route writes
-    through Paimon's bucket hash + LSM, which this engine must not
-    guess at — refused loudly); parquet/orc lake formats (avro data
-    files refused). Concurrency: the snapshot file is created with
+    PK lakes dispatch to :func:`write_lake_pk_append` (fixed-bucket
+    hash + level-0 key-value files); avro lakes write through the
+    engine's own codec executor-side. Concurrency: the snapshot file is
+    created with
     O_EXCL, so a concurrent committer loses exactly one of the two —
     retry on ``FileExistsError`` (real Paimon's rename-based commit has
     the same winner-takes-the-id semantics)."""
@@ -762,15 +762,22 @@ def write_lake_append(table_path: str, df) -> int:
 
     info = read_paimon_schema(table_path)
     if info.primary_keys:
-        raise NotImplementedError(
-            "write_lake_append: primary-key lakes need Paimon's bucket "
-            "hash + LSM write path — append tables only; import the "
-            "table to write through this engine's own PK format"
-        )
+        # PK lakes route through Paimon's fixed-bucket hash + level-0
+        # key-value files — same public API, dedicated write path
+        return write_lake_pk_append(table_path, df)
     fmt = info.options.get("file.format", "parquet")
+    if fmt == "avro":
+        # no spark-avro in this stack: the engine codec writes avro
+        # executor-side through the shared distributed group writer
+        man_entries, n_rows = _distributed_lake_write(
+            table_path, info, df, fmt, kv=False
+        )
+        if not man_entries:
+            raise ValueError("write_lake_append: empty input — nothing to commit")
+        return _commit_lake_snapshot(table_path, info, man_entries, n_rows)
     if fmt not in ("parquet", "orc"):
         raise NotImplementedError(
-            f"write_lake_append: file.format={fmt!r} not supported (parquet/orc)"
+            f"write_lake_append: file.format={fmt!r} not supported"
         )
     part_keys = info.partition_keys
     part_types = [info.spark_schema[k].dataType for k in part_keys]
@@ -876,10 +883,37 @@ def write_lake_append(table_path: str, df) -> int:
             raise ValueError("write_lake_append: empty input — nothing to commit")
 
         n_rows = sum(e["_FILE"]["_ROW_COUNT"] for e in entries)
-        # metadata commit with CAS-style retry: the data files are
-        # already adopted (uuid names — no collisions); on a lost race
-        # for the snapshot id only the KB-scale manifest metadata is
-        # rebuilt against the new head, like real Paimon's committer
+        return _commit_lake_snapshot(table_path, info, entries, n_rows)
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
+
+def _commit_lake_snapshot(
+    table_path: str, info, entries: list, n_rows: int
+) -> int:
+    """Driver-side spec-format metadata commit of ``entries`` (new
+    manifest ADD records, data files already in place under uuid
+    names) as snapshot N+1 with CAS-style retry: the snapshot file is
+    created O_EXCL, so a concurrent committer loses exactly one of the
+    two and the loser re-plans only the KB-scale manifest metadata
+    against the new head — the same winner-takes-the-id semantics as
+    real Paimon's rename-based commit. Shared by the append and PK
+    write paths. Returns the new snapshot id."""
+    import json
+    import os
+    import uuid
+
+    from paimon_python_spark.avro_codec import write_avro_records
+    from paimon_python_spark.paimon_import import (
+        MANIFEST_LIST_SCHEMA,
+        MANIFEST_SCHEMA,
+        _EMPTY_STATS,
+        latest_paimon_snapshot_id,
+        read_manifest_list,
+        read_paimon_snapshot,
+    )
+
+    if True:
         for attempt in range(5):
             # the LATEST hint can lag a concurrent committer (it is
             # written after the snapshot file) — trust the directory
@@ -964,11 +998,305 @@ def write_lake_append(table_path: str, df) -> int:
                 f.write(str(new_id))
             return new_id
         raise RuntimeError(
-            "write_lake_append: lost the snapshot race 5 times — "
+            "lake commit: lost the snapshot race 5 times — "
             "another committer is writing faster than we can re-plan"
         )
-    finally:
-        shutil.rmtree(stage, ignore_errors=True)
+
+
+def _distributed_lake_write(
+    table_path: str,
+    info,
+    df,
+    fmt: str,
+    kv: bool,
+    num_buckets: int = 1,
+    bucket_cols: Optional[List[str]] = None,
+    seq_base: int = 0,
+    row_kind_col: Optional[str] = None,
+):
+    """EXECUTOR-SIDE data-file write into a real lake's final layout,
+    one file per (partition, bucket) group via ``applyInPandas`` —
+    Arrow-batched, no driver materialization, no staging-dir move.
+    ``kv=True`` writes Paimon key-value files (``_KEY_*`` system
+    columns, per-row ``_SEQUENCE_NUMBER`` from ``seq_base``, sorted by
+    trimmed key — the level-0 LSM shape); ``kv=False`` groups by
+    (partition, input task) and writes plain value files into
+    ``bucket-0`` (append tables have no bucket routing). Only KB-scale
+    per-file metadata returns to the driver. Returns (manifest ADD
+    entries, total rows)."""
+    import json as _json
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from paimon_python_spark.paimon_import import (
+        DEFAULT_PARTITION_NAME,
+        _spec_file_meta,
+        encode_binary_row,
+    )
+
+    part_keys = list(info.partition_keys)
+    part_types = [info.spark_schema[k].dataType for k in part_keys]
+    trimmed = [k for k in info.primary_keys if k not in part_keys] if kv else []
+    trimmed_types = [info.spark_schema[k].dataType for k in trimmed]
+    default_name = info.options.get("partition.default-name", DEFAULT_PARTITION_NAME)
+    value_fields = info.spark_schema
+    schema_id = info.id
+
+    cast_cols = [
+        F.col(f.name).cast(f.dataType).alias(f.name) for f in info.spark_schema.fields
+    ]
+    sdf = df.select(
+        *cast_cols,
+        *([F.col(row_kind_col).cast("int").alias("__row_kind")] if row_kind_col else []),
+    )
+    if kv:
+        bcols = list(bucket_cols or trimmed)
+        key_types = [info.spark_schema[c].dataType for c in bcols]
+
+        def _bucket_fn(*cols):
+            # Paimon's FixedBucketRowKeyExtractor, row at a time over
+            # the Arrow batch: murmur(BinaryRow(bucket key)) % buckets
+            import datetime
+
+            from paimon_python_spark.paimon_import import fixed_bucket
+
+            epoch = datetime.date(1970, 1, 1)
+            out = []
+            for vals in zip(*cols):
+                row = []
+                for v in vals:
+                    if v is None or (not isinstance(v, (bytes, str)) and pd.isna(v)):
+                        row.append(None)
+                        continue
+                    if hasattr(v, "item"):
+                        v = v.item()
+                    if isinstance(v, datetime.datetime):
+                        v = v.date()
+                    if isinstance(v, datetime.date):
+                        v = (v - epoch).days
+                    row.append(v)
+                out.append(fixed_bucket(row, key_types, num_buckets))
+            return pd.Series(out, dtype="int32")
+
+        # no type hints on _bucket_fn: the module's postponed
+        # annotations would reach pandas_udf as unresolvable strings
+        _bucket_of = F.pandas_udf(_bucket_fn, "int")
+        sdf = sdf.withColumn("__bucket", _bucket_of(*[F.col(c) for c in bcols]))
+        gcols = part_keys + ["__bucket"]
+    else:
+        # no bucket routing on append tables: keep the input task
+        # parallelism, one output file per (partition, task)
+        sdf = sdf.withColumn("__task", F.spark_partition_id())
+        gcols = part_keys + ["__task"]
+
+    meta_schema = T.StructType(
+        [
+            T.StructField("file_name", T.StringType()),
+            T.StructField("part_json", T.StringType()),
+            T.StructField("bucket", T.IntegerType()),
+            T.StructField("rows", T.LongType()),
+            T.StructField("size", T.LongType()),
+            T.StructField("min_seq", T.LongType()),
+            T.StructField("max_seq", T.LongType()),
+            T.StructField("min_key", T.BinaryType()),
+            T.StructField("max_key", T.BinaryType()),
+            T.StructField("stats_min", T.BinaryType()),
+            T.StructField("stats_max", T.BinaryType()),
+            T.StructField("null_counts", T.ArrayType(T.LongType())),
+        ]
+    )
+    schema_info = info
+
+    def _write_group(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import datetime
+        import os
+        import uuid
+
+        import pyarrow as pa
+        from pyspark.sql import types as T
+
+        from paimon_python_spark.paimon_import import (
+            _value_stats_for,
+            _write_fixture_data_file,
+            encode_binary_row,
+            format_partition_segment,
+        )
+        from paimon_python_spark.types import spark_type_to_pa
+
+        epoch = datetime.date(1970, 1, 1)
+
+        def logical(v, dt):
+            if v is None or (not isinstance(v, (bytes, str)) and pd.isna(v)):
+                return None
+            if hasattr(v, "item"):
+                v = v.item()
+            if isinstance(dt, T.DateType):
+                if isinstance(v, datetime.datetime):
+                    v = v.date()
+                if isinstance(v, datetime.date):
+                    return (v - epoch).days
+            return v
+
+        bucket = int(pdf["__bucket"].iloc[0]) if kv else 0
+        pvals = {
+            k: logical(pdf[k].iloc[0], dt) for k, dt in zip(part_keys, part_types)
+        }
+        if trimmed:
+            pdf = pdf.sort_values(trimmed, kind="mergesort")
+        pdf = pdf.reset_index(drop=True)
+        n = len(pdf)
+        arrays = {}
+        if kv:
+            for k, t in zip(trimmed, trimmed_types):
+                arrays[f"_KEY_{k}"] = pa.array(pdf[k], type=spark_type_to_pa(t))
+            arrays["_SEQUENCE_NUMBER"] = pa.array(
+                range(seq_base, seq_base + n), pa.int64()
+            )
+            arrays["_VALUE_KIND"] = pa.array(
+                [int(x) for x in pdf["__row_kind"]]
+                if "__row_kind" in pdf.columns
+                else [0] * n,
+                pa.int32(),
+            )
+        for f in value_fields.fields:
+            arrays[f.name] = pa.array(pdf[f.name], type=spark_type_to_pa(f.dataType))
+        table = pa.table(arrays)
+        rel = [
+            f"{k}={format_partition_segment(pvals[k], dt, default_name)}"
+            for k, dt in zip(part_keys, part_types)
+        ]
+        ddir = os.path.join(table_path, *rel, f"bucket-{bucket}")
+        os.makedirs(ddir, exist_ok=True)
+        name = f"data-{uuid.uuid4()}-0.{fmt}"
+        fpath = os.path.join(ddir, name)
+        _write_fixture_data_file(table, fpath, fmt)
+        if trimmed:
+            kmin = encode_binary_row(
+                [logical(pdf[k].iloc[0], t) for k, t in zip(trimmed, trimmed_types)],
+                trimmed_types,
+            )
+            kmax = encode_binary_row(
+                [logical(pdf[k].iloc[-1], t) for k, t in zip(trimmed, trimmed_types)],
+                trimmed_types,
+            )
+        else:
+            kmin = kmax = b""
+        stats = _value_stats_for(table, schema_info)
+        return pd.DataFrame(
+            [
+                {
+                    "file_name": name,
+                    "part_json": _json.dumps(pvals),
+                    "bucket": bucket,
+                    "rows": n,
+                    "size": os.path.getsize(fpath),
+                    "min_seq": seq_base if kv else 0,
+                    "max_seq": (seq_base + n - 1) if kv else n,
+                    "min_key": kmin,
+                    "max_key": kmax,
+                    "stats_min": stats["_MIN_VALUES"],
+                    "stats_max": stats["_MAX_VALUES"],
+                    "null_counts": stats["_NULL_COUNTS"],
+                }
+            ]
+        )
+
+    meta = sdf.groupBy(*gcols).applyInPandas(_write_group, meta_schema).collect()
+    man_entries = []
+    for r in meta:
+        pj = _json.loads(r["part_json"])
+        man_entries.append(
+            {
+                "_VERSION": 2,
+                "_KIND": 0,
+                "_PARTITION": encode_binary_row(
+                    [pj[k] for k in part_keys], part_types
+                ),
+                "_BUCKET": int(r["bucket"]),
+                "_TOTAL_BUCKETS": num_buckets,
+                "_FILE": _spec_file_meta(
+                    r["file_name"],
+                    int(r["size"]),
+                    int(r["rows"]),
+                    schema_id=schema_id,
+                    value_stats={
+                        "_MIN_VALUES": bytes(r["stats_min"] or b""),
+                        "_MAX_VALUES": bytes(r["stats_max"] or b""),
+                        "_NULL_COUNTS": (
+                            list(r["null_counts"])
+                            if r["null_counts"] is not None
+                            else None
+                        ),
+                    },
+                    min_key=bytes(r["min_key"] or b""),
+                    max_key=bytes(r["max_key"] or b""),
+                    min_seq=int(r["min_seq"]),
+                    max_seq=int(r["max_seq"]),
+                    level=0,
+                ),
+            }
+        )
+    return man_entries, sum(int(r["rows"]) for r in meta)
+
+
+def write_lake_pk_append(
+    table_path: str, df, row_kind_col: Optional[str] = None
+) -> int:
+    """Commit an upsert into a REAL fixed-bucket PRIMARY-KEY Paimon
+    lake — the engine as a CDC participant: each row routes to
+    ``abs(murmur(BinaryRow(bucket key))) % num_buckets`` (Paimon's
+    public ``FixedBucketRowKeyExtractor``), each (partition, bucket)
+    group writes one sorted level-0 key-value file (``_KEY_*`` columns,
+    fresh ``_SEQUENCE_NUMBER`` range past every live file's max, per-row
+    ``_VALUE_KIND``), and the snapshot commit is the same CAS-retry
+    metadata write as the append path. The lake's own readers resolve
+    the merge: max sequence per key wins, ``-D`` drops.
+
+    ``row_kind_col``: optional int column (0=+I, 1=-U, 2=+U, 3=-D) for
+    changelog-style writes; omitted means all +I. Dynamic-bucket lakes
+    are refused exactly like the reference
+    (py4j/util/java_utils.py:56-61, ``check_batch_write``). Returns the
+    new snapshot id."""
+    from paimon_python_spark.paimon_import import plan_paimon_files
+
+    info = read_paimon_schema(table_path)
+    if not info.primary_keys:
+        raise ValueError(
+            "write_lake_pk_append: table has no primary keys — "
+            "use write_lake_append"
+        )
+    num_buckets = int(info.options.get("bucket", "-1"))
+    if num_buckets < 1:
+        raise TypeError(
+            "Doesn't support writing dynamic bucket or cross partition table."
+        )
+    fmt = info.options.get("file.format", "parquet")
+    if fmt not in ("parquet", "orc", "avro"):
+        raise NotImplementedError(
+            f"write_lake_pk_append: file.format={fmt!r} not supported"
+        )
+    bucket_cols = [
+        c.strip()
+        for c in info.options.get("bucket-key", "").split(",")
+        if c.strip()
+    ] or None
+    seq_base = max((e.max_seq for e in plan_paimon_files(table_path)), default=-1) + 1
+    man_entries, n_rows = _distributed_lake_write(
+        table_path,
+        info,
+        df,
+        fmt,
+        kv=True,
+        num_buckets=num_buckets,
+        bucket_cols=bucket_cols,
+        seq_base=seq_base,
+        row_kind_col=row_kind_col,
+    )
+    if not man_entries:
+        raise ValueError("write_lake_pk_append: empty input — nothing to commit")
+    return _commit_lake_snapshot(table_path, info, man_entries, n_rows)
 
 
 def register_lake_sql_view(spark, table_path: str, name: str):
@@ -992,10 +1320,11 @@ def delete_lake_rows(table_path: str, predicate: Predicate) -> int:
     shape. Existing marks merge in (a second delete unions with the
     first). Returns the new snapshot id.
 
-    Scope: append tables (PK deletes belong to the LSM write path of
-    the lake's owner). The marked positions pass through the driver to
-    assemble the per-file bitmaps — DV deletes are selective by nature;
-    for rewrite-scale deletions use a filtered copy instead."""
+    PK lakes instead commit the matched keys as ``-D`` kind records in
+    a level-0 key-value file (the LSM delete shape every Paimon reader
+    resolves); append tables take the DV path below. DV deletes are
+    selective by nature; for rewrite-scale deletions use a filtered
+    copy instead."""
     import json
     import os
     import uuid
@@ -1021,9 +1350,26 @@ def delete_lake_rows(table_path: str, predicate: Predicate) -> int:
     spark = get_spark()
     info = read_paimon_schema(table_path)
     if info.primary_keys:
-        raise NotImplementedError(
-            "delete_lake_rows: PK lakes delete through their owner's LSM "
-            "writers (-D records); DV deletes here serve append tables"
+        # PK lakes delete the way their owners do: the matched VISIBLE
+        # rows are re-written as -D kind records in a level-0 commit,
+        # and every reader's merge (max sequence per key, -D drops)
+        # removes the keys — no data rewrite, no deletion vectors
+        # (row_kind.py:22-57 semantics in the reference)
+        from pyspark.sql import functions as F
+
+        matched = (
+            PaimonLakeTable(table_path)
+            .new_read_builder()
+            .with_filter(predicate)
+            .new_read()
+            .to_df()
+        )
+        if matched.limit(1).count() == 0:
+            raise ValueError("delete_lake_rows: predicate matched no rows")
+        return write_lake_pk_append(
+            table_path,
+            matched.withColumn("__kind", F.lit(3)),
+            row_kind_col="__kind",
         )
     entries = plan_paimon_files(table_path)
     fmt = info.options.get("file.format", "parquet")
@@ -1103,42 +1449,96 @@ def delete_lake_rows(table_path: str, predicate: Predicate) -> int:
             pmap = F.broadcast(spark.createDataFrame(rows, pschema))
             raw = raw.join(pmap, "__file_name")
         pending = raw.filter(predicate.to_column())
-        pdf = pending.select("__file_name", "__row_pos").toPandas()
-        for fn, pos in zip(pdf["__file_name"], pdf["__row_pos"]):
-            marked.setdefault(str(fn), set()).add(int(pos))
+        # EXECUTOR-SIDE bitmap build: each matched file's positions
+        # collapse to one serialized roaring bitmap inside its task, so
+        # only KB-scale blobs (bounded by file count, not row count)
+        # reach the driver — a delete matching 10^9 rows stays flat
+        import pandas as _pd
+
+        def _bm(pdf: "_pd.DataFrame") -> "_pd.DataFrame":
+            from paimon_python_spark.roaring import serialize_roaring32
+
+            return _pd.DataFrame(
+                [
+                    {
+                        "file_name": str(pdf["__file_name"].iloc[0]),
+                        "bitmap": serialize_roaring32(
+                            pdf["__row_pos"].to_numpy()
+                        ),
+                    }
+                ]
+            )
+
+        bm_rows = (
+            pending.select("__file_name", "__row_pos")
+            .groupBy("__file_name")
+            .applyInPandas(_bm, "file_name string, bitmap binary")
+            .collect()
+        )
+        from paimon_python_spark.roaring import deserialize_roaring32
+
+        for r in bm_rows:
+            marked[r["file_name"]] = deserialize_roaring32(bytes(r["bitmap"]))
     if not marked:
         raise ValueError("delete_lake_rows: predicate matched no rows")
-    # merge existing marks forward
+    # merge existing marks forward (per-file union, transient arrays)
+    import numpy as _np
+
     for r in prev_dv:
-        marked.setdefault(r.data_file_name, set()).update(
-            int(p) for p in read_dv_index_entry(r.index_path, r.offset, r.length)
+        prev_pos = read_dv_index_entry(r.index_path, r.offset, r.length)
+        cur = marked.get(r.data_file_name)
+        marked[r.data_file_name] = (
+            _np.union1d(cur, prev_pos) if cur is not None else prev_pos
         )
 
+    # one index file + manifest entry per (partition, bucket), carrying
+    # the REAL BinaryRow partition — a JVM Paimon reader decodes entry
+    # partitions with the table's partition row type, so a single
+    # empty-partition entry would break interop on partitioned lakes
+    by_file = {e.file_name: e for e in entries}
+    groups: dict = {}
+    for fname in sorted(marked):
+        e = by_file.get(fname)
+        gkey = (
+            (tuple(sorted(e.partition.items())), e.bucket)
+            if e is not None
+            else ((), 0)
+        )
+        groups.setdefault(gkey, []).append(fname)
     os.makedirs(os.path.join(table_path, "index"), exist_ok=True)
     tag = uuid.uuid4().hex[:12]
-    idx_name = f"index-{tag}"
-    ranges = write_dv_index_file(
-        os.path.join(table_path, "index", idx_name),
-        {k: sorted(v) for k, v in sorted(marked.items())},
-    )
-    entry = {
-        "_VERSION": 1,
-        "_KIND": 0,
-        "_PARTITION": encode_binary_row([], []),
-        "_BUCKET": 0,
-        "_INDEX_TYPE": DELETION_VECTORS_INDEX,
-        "_FILE_NAME": idx_name,
-        "_FILE_SIZE": os.path.getsize(os.path.join(table_path, "index", idx_name)),
-        "_ROW_COUNT": sum(len(v) for v in marked.values()),
-        "_DELETIONS_VECTORS_RANGES": [
-            {"f0": n, "f1": o, "f2": ln} for n, (o, ln) in ranges.items()
-        ],
-    }
+    index_entries = []
+    for gi, ((pitems, bucket), fnames) in enumerate(sorted(groups.items())):
+        idx_name = f"index-{tag}-{gi}"
+        ranges = write_dv_index_file(
+            os.path.join(table_path, "index", idx_name),
+            {n: marked[n] for n in fnames},
+        )
+        pdict = dict(pitems)
+        index_entries.append(
+            {
+                "_VERSION": 1,
+                "_KIND": 0,
+                "_PARTITION": encode_binary_row(
+                    [pdict.get(k) for k in info.partition_keys], part_types
+                ),
+                "_BUCKET": int(bucket),
+                "_INDEX_TYPE": DELETION_VECTORS_INDEX,
+                "_FILE_NAME": idx_name,
+                "_FILE_SIZE": os.path.getsize(
+                    os.path.join(table_path, "index", idx_name)
+                ),
+                "_ROW_COUNT": int(sum(len(marked[n]) for n in fnames)),
+                "_DELETIONS_VECTORS_RANGES": [
+                    {"f0": n, "f1": o, "f2": ln} for n, (o, ln) in ranges.items()
+                ],
+            }
+        )
     im_name = f"index-manifest-{tag}.avro"
     write_avro_records(
         os.path.join(table_path, "manifest", im_name),
         INDEX_MANIFEST_SCHEMA,
-        [entry],
+        index_entries,
     )
     from paimon_python_spark.paimon_import import (
         MANIFEST_LIST_SCHEMA,
@@ -1195,7 +1595,11 @@ def delete_lake_rows(table_path: str, predicate: Predicate) -> int:
             indexManifest=im_name,
             commitUser="paimon_python_spark",
             commitIdentifier=new_id,
+            # explicit: dict(prev, ...) would inherit whatever kind the
+            # previous committer used (e.g. COMPACT / OVERWRITE)
+            commitKind="APPEND",
             deltaRecordCount=0,
+            changelogRecordCount=0,
             changelogManifestList=None,
         )
         spath = os.path.join(sdir, f"snapshot-{new_id}")

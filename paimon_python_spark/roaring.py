@@ -42,9 +42,12 @@ _NO_OFFSET_THRESHOLD = 4
 def serialize_roaring32(values) -> bytes:
     """Serialize a sorted iterable of uint32 positions to the portable
     no-run-container layout."""
-    vals = np.asarray(sorted(set(int(v) for v in values)), dtype=np.uint32)
-    if vals.size and (vals.min() < 0 or vals.max() > 0xFFFFFFFF):
+    ordered = sorted(set(int(v) for v in values))
+    # validate BEFORE the uint32 conversion: numpy 1.x silently wraps
+    # out-of-range ints, which would mark the wrong row deleted
+    if ordered and (ordered[0] < 0 or ordered[-1] > 0xFFFFFFFF):
         raise ValueError("roaring32 positions must fit in uint32")
+    vals = np.asarray(ordered, dtype=np.uint32)
     keys = (vals >> 16).astype(np.uint16)
     lows = (vals & 0xFFFF).astype(np.uint16)
     uniq_keys, starts = np.unique(keys, return_index=True)

@@ -1236,21 +1236,57 @@ def test_write_lake_append_roundtrip(tmp_path, spark):
     snaps = t.snapshots().toPandas()
     assert list(snaps.snapshot_id) == [1, 2]
     assert snaps.total_record_count.tolist() == [1, 3]
-    # PK lakes refuse loudly
+    # PK lakes dispatch to the fixed-bucket key-value write path
     p2 = str(tmp_path / "pk_lake")
     kv = pa.schema(
-        [("_KEY_k", pa.int32()), ("_SEQUENCE_NUMBER", pa.int64()),
-         ("_VALUE_KIND", pa.int32()), ("k", pa.int32())]
+        [("_KEY_k", pa.int64()), ("_SEQUENCE_NUMBER", pa.int64()),
+         ("_VALUE_KIND", pa.int32()), ("k", pa.int64()), ("v", pa.string())]
     )
     write_paimon_fixture(
-        p2, [("k", "INT NOT NULL")], [], ["k"],
+        p2, [("k", "BIGINT NOT NULL"), ("v", "STRING")], [], ["k"],
         [(0, {}, 0, pa.table(
-            {"_KEY_k": [1], "_SEQUENCE_NUMBER": [0], "_VALUE_KIND": [0],
-             "k": [1]}, schema=kv))],
-        options={"bucket": "1"},
+            {"_KEY_k": [1, 2, 3], "_SEQUENCE_NUMBER": [0, 1, 2],
+             "_VALUE_KIND": [0, 0, 0], "k": [1, 2, 3],
+             "v": ["a", "b", "c"]}, schema=kv))],
+        options={"bucket": "2"},
     )
-    with pytest.raises(NotImplementedError, match="bucket hash"):
-        write_lake_append(p2, new.select("k"))
+    upserts = spark.createDataFrame(
+        [(2, "B"), (7, "new")], "k bigint, v string"
+    )
+    assert write_lake_append(p2, upserts) == 2
+    out2 = (
+        PaimonLakeTable(p2).new_read_builder().new_read().to_pandas()
+        .sort_values("k")
+    )
+    assert list(out2.k) == [1, 2, 3, 7]
+    assert list(out2.v) == ["a", "B", "c", "new"]
+    # rows landed in the bucket the public extractor assigns
+    import os
+
+    from paimon_python_spark.paimon_import import fixed_bucket
+
+    for key in (2, 7):
+        b = fixed_bucket([key], [T.LongType()], 2)
+        bdir = os.path.join(p2, f"bucket-{b}")
+        found = any(
+            spark.read.parquet(os.path.join(bdir, f))
+            .filter(f"_KEY_k = {key}").count() > 0
+            for f in os.listdir(bdir) if f.endswith(".parquet")
+        )
+        assert found, f"key {key} not in expected bucket-{b}"
+    # dynamic-bucket lakes refuse exactly like the reference
+    # (py4j/util/java_utils.py:56-61)
+    p3 = str(tmp_path / "dyn_lake")
+    write_paimon_fixture(
+        p3, [("k", "BIGINT NOT NULL"), ("v", "STRING")], [], ["k"],
+        [(0, {}, 0, pa.table(
+            {"_KEY_k": [1], "_SEQUENCE_NUMBER": [0],
+             "_VALUE_KIND": [0], "k": [1], "v": ["a"]},
+            schema=kv))],
+        options={"bucket": "-1"},
+    )
+    with pytest.raises(TypeError, match="dynamic bucket"):
+        write_lake_append(p3, upserts)
 
 
 def test_lake_read_dv_orc_table(tmp_path, spark):
@@ -1654,3 +1690,129 @@ def test_delete_lake_rows_dv_commit(tmp_path, spark):
     assert list(out3.k) == [1, 9]
     with pytest.raises(ValueError, match="matched no rows"):
         delete_lake_rows(p, pb.equal("k", 12345))
+    # spec interop: the index manifest carries one entry per
+    # (partition, bucket) with the REAL BinaryRow partition — a JVM
+    # reader decodes entry partitions with the table's partition row
+    # type, so empty-partition entries would break on partitioned lakes
+    from paimon_python_spark.avro_codec import read_avro_records
+    from paimon_python_spark.paimon_import import (
+        decode_binary_row,
+        read_paimon_snapshot,
+    )
+
+    snap = read_paimon_snapshot(p, 4)
+    with open(os.path.join(p, "manifest", snap["indexManifest"]), "rb") as f:
+        _s, recs = read_avro_records(f.read())
+    parts = sorted(
+        decode_binary_row(bytes(r["_PARTITION"]), [T.StringType()])[0]
+        for r in recs
+    )
+    assert parts == ["a", "b"]
+
+
+def test_pk_lake_delete_minus_d(tmp_path, spark):
+    """DELETE FROM a real PK lake commits the matched keys as -D kind
+    records in a level-0 key-value file: merged reads drop the keys,
+    incremental shows the -D rows, no DV index appears."""
+    from paimon_python_spark.paimon_lake import (
+        PaimonLakeTable,
+        delete_lake_rows,
+        read_lake_incremental,
+    )
+    from paimon_python_spark.paimon_import import read_paimon_snapshot
+    from paimon_python_spark.session import set_spark
+
+    set_spark(spark)
+    p = str(tmp_path / "pk_del_lake")
+    kv = pa.schema(
+        [("_KEY_k", pa.int64()), ("_SEQUENCE_NUMBER", pa.int64()),
+         ("_VALUE_KIND", pa.int32()), ("k", pa.int64()), ("v", pa.string())]
+    )
+    write_paimon_fixture(
+        p, [("k", "BIGINT NOT NULL"), ("v", "STRING")], [], ["k"],
+        [(0, {}, 0, pa.table(
+            {"_KEY_k": [1, 2, 3, 4], "_SEQUENCE_NUMBER": [0, 1, 2, 3],
+             "_VALUE_KIND": [0, 0, 0, 0], "k": [1, 2, 3, 4],
+             "v": ["a", "b", "c", "d"]}, schema=kv))],
+        options={"bucket": "2"},
+    )
+    t = PaimonLakeTable(p)
+    pb = t.new_read_builder().new_predicate_builder()
+    sid = delete_lake_rows(p, pb.is_in("k", [2, 4]))
+    assert sid == 2
+    out = t.new_read_builder().new_read().to_pandas().sort_values("k")
+    assert list(out.k) == [1, 3]
+    inc = read_lake_incremental(p, 1).toPandas().sort_values("k")
+    assert list(inc.k) == [2, 4]
+    assert set(inc._row_kind) == {"-D"}
+    # LSM delete, not a DV delete: no index manifest on the new snapshot
+    assert not read_paimon_snapshot(p, 2).get("indexManifest")
+
+
+def test_lake_avro_append_roundtrip(tmp_path, spark):
+    """Appending to an avro-format lake writes data files through the
+    engine's own avro codec executor-side."""
+    from paimon_python_spark.paimon_lake import (
+        PaimonLakeTable,
+        write_lake_append,
+    )
+    from paimon_python_spark.session import set_spark
+
+    set_spark(spark)
+    p = str(tmp_path / "avro_lake")
+    write_paimon_fixture(
+        p,
+        [("k", "INT"), ("v", "STRING")],
+        [],
+        [],
+        [(0, {}, 0,
+          pa.table({"k": pa.array([1], pa.int32()),
+                    "v": pa.array(["x"], pa.string())}))],
+        options={"file.format": "avro"},
+    )
+    sid = write_lake_append(
+        p, spark.createDataFrame([(2, "y"), (3, None)], "k int, v string")
+    )
+    assert sid == 2
+    out = (
+        PaimonLakeTable(p).new_read_builder().new_read().to_pandas()
+        .sort_values("k")
+    )
+    assert list(out.k) == [1, 2, 3]
+    assert list(out.v)[:2] == ["x", "y"] and pd.isna(out.v.iloc[2])
+    # the adopted files really are avro (engine codec container header)
+    import glob
+
+    for f in glob.glob(os.path.join(p, "bucket-0", "*.avro")):
+        with open(f, "rb") as fh:
+            assert fh.read(4) == b"Obj\x01"
+
+
+def test_delete_lake_rows_large_stays_bounded(tmp_path, spark):
+    """A delete matching a million rows builds its bitmaps executor-side
+    — only per-file serialized blobs reach the driver — and the result
+    is exact."""
+    from paimon_python_spark.paimon_lake import (
+        PaimonLakeTable,
+        delete_lake_rows,
+    )
+    from paimon_python_spark.session import set_spark
+
+    set_spark(spark)
+    n = 1_000_000
+    p = str(tmp_path / "big_del_lake")
+    write_paimon_fixture(
+        p, [("k", "BIGINT NOT NULL")], [], [],
+        [(0, {}, 0, pa.table({"k": pa.array(range(n), pa.int64())}))],
+    )
+    t = PaimonLakeTable(p)
+    pb = t.new_read_builder().new_predicate_builder()
+    delete_lake_rows(p, pb.less_than("k", n // 2))
+    out = t.new_read_builder().new_read().to_df()
+    assert out.count() == n - n // 2
+    assert out.agg({"k": "min"}).collect()[0][0] == n // 2
+    # the index file on disk is KB-scale (a dense bitmap run), proving
+    # positions were not shipped row-at-a-time through the metadata
+    idx = os.listdir(os.path.join(p, "index"))
+    assert len(idx) == 1
+    assert os.path.getsize(os.path.join(p, "index", idx[0])) < 200_000
