@@ -2843,6 +2843,98 @@ ORDER BY tag, s_suppkey
 """
 
 
+def paimon_lake_dv_history_roundtrip(spark, sf_dir):
+    """HISTORY-PRESERVING import of a DELETION-VECTOR lake: snapshot 1
+    appends order rows, snapshot 2 is a DV delete (roaring marks, no
+    data rewrite — committed by the engine's own delete_lake_rows),
+    snapshot 3 appends more rows carrying the index forward. A DV index
+    rewrites visibility retroactively, so the replay materializes the
+    DV-changing snapshot as a whole-table overwrite of its exact
+    visible rows; engine snapshot k then reads with lake snapshot k's
+    own visibility — asserted here by returning all three states
+    tagged. Oracle replays the three states in SQL."""
+    import pyarrow as pa
+
+    from paimon_python_spark import Catalog
+    from paimon_python_spark.paimon_import import (
+        import_paimon_table,
+        write_paimon_table_fixture,
+    )
+    from paimon_python_spark.paimon_lake import (
+        PaimonLakeTable,
+        delete_lake_rows,
+        write_lake_append,
+    )
+    from paimon_python_spark.session import set_spark
+
+    set_spark(spark)
+    pdf = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") <= 2000)
+        .select("o_orderkey", "o_totalprice")
+        .toPandas()
+        .sort_values("o_orderkey")
+    )
+    fixture = _fresh_warehouse("lakedvhist") + "/orders_dv"
+    write_paimon_table_fixture(
+        fixture,
+        [("o_orderkey", "BIGINT NOT NULL"), ("o_totalprice", "DOUBLE")],
+        [],
+        [],
+        [(0, {}, 0,
+          pa.table({"o_orderkey": pa.array(pdf.o_orderkey, pa.int64()),
+                    "o_totalprice": pa.array(pdf.o_totalprice, pa.float64())}))],
+    )
+    t = PaimonLakeTable(fixture)
+    pb = t.new_read_builder().new_predicate_builder()
+    delete_lake_rows(fixture, pb.less_than("o_totalprice", 100000.0))
+    extra = (
+        _t(spark, sf_dir, "orders")
+        .filter((F.col("o_orderkey") > 2000) & (F.col("o_orderkey") <= 3000))
+        .select(F.col("o_orderkey").cast("bigint"), "o_totalprice")
+    )
+    write_lake_append(fixture, extra)
+    wh = _fresh_warehouse("dvhistimp")
+    cat = Catalog.create({"warehouse": wh})
+    cat.create_database("default", True)
+    et = import_paimon_table(
+        fixture, cat, "default.orders_dv_hist", preserve_history=True
+    )
+    cols = ["o_orderkey", "o_totalprice"]
+
+    def state(sid, tag):
+        rb = et.new_read_builder()
+        if sid is not None:
+            rb = rb.with_snapshot(sid)
+        return rb.new_read().to_df().select(F.lit(tag).alias("tag"), *cols)
+
+    return (
+        state(1, "s1")
+        .unionByName(state(2, "s2"))
+        .unionByName(state(None, "latest"))
+        .orderBy("tag", "o_orderkey")
+    )
+
+
+PAIMON_LAKE_DV_HISTORY_SQL = """
+WITH base AS (
+  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey <= 2000
+),
+kept AS (
+  SELECT * FROM base WHERE o_totalprice >= 100000.0
+)
+SELECT 's1' AS tag, o_orderkey, o_totalprice FROM base
+UNION ALL
+SELECT 's2', o_orderkey, o_totalprice FROM kept
+UNION ALL
+SELECT 'latest', o_orderkey, o_totalprice FROM kept
+UNION ALL
+SELECT 'latest', o_orderkey, o_totalprice FROM orders
+WHERE o_orderkey > 2000 AND o_orderkey <= 3000
+ORDER BY tag, o_orderkey
+"""
+
+
 def paimon_export_roundtrip(spark, sf_dir):
     """REVERSE bridge gate (export_paimon_table): nation rows committed
     to an engine PK table (with one upsert commit so the export carries
@@ -3083,6 +3175,196 @@ PAIMON_LAKE_WRITE_SQL = """
 SELECT n_nationkey AS src_key, n_name AS name, 'nation' AS src FROM nation
 UNION ALL
 SELECT r_regionkey AS src_key, r_name AS name, 'region' AS src FROM region
+ORDER BY src, src_key
+"""
+
+
+def _pk_lake_fixture(spark, sf_dir, name, num_buckets=4, limit=1200):
+    """Spec-format fixed-bucket PK lake seeded from customer rows, base
+    rows PLACED BY THE PUBLIC EXTRACTOR (abs(murmur3(BinaryRow(key))) %
+    buckets) — the layout a JVM Paimon writer leaves behind, so
+    engine-written level-0 files must land in the same buckets to merge
+    per key."""
+    import pyarrow as pa
+
+    from pyspark.sql import types as T
+
+    from paimon_python_spark.paimon_import import (
+        fixed_bucket,
+        write_paimon_table_fixture,
+    )
+
+    pdf = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= limit)
+        .select("c_custkey", "c_name", "c_acctbal")
+        .toPandas()
+        .sort_values("c_custkey")
+    )
+    pdf["__b"] = [
+        fixed_bucket([int(k)], [T.LongType()], num_buckets) for k in pdf.c_custkey
+    ]
+    files = []
+    for b, g in pdf.groupby("__b", sort=True):
+        g = g.reset_index(drop=True)
+        files.append(
+            (0, {}, int(b),
+             pa.table({
+                 "_KEY_c_custkey": pa.array(g.c_custkey, pa.int64()),
+                 "_SEQUENCE_NUMBER": pa.array(range(len(g)), pa.int64()),
+                 "_VALUE_KIND": pa.array([0] * len(g), pa.int32()),
+                 "c_custkey": pa.array(g.c_custkey, pa.int64()),
+                 "c_name": pa.array(g.c_name, pa.string()),
+                 "c_acctbal": pa.array(g.c_acctbal, pa.float64()),
+             })))
+    fixture = _fresh_warehouse(name) + "/customer_kv"
+    write_paimon_table_fixture(
+        fixture,
+        [("c_custkey", "BIGINT NOT NULL"), ("c_name", "STRING"),
+         ("c_acctbal", "DOUBLE")],
+        [],
+        ["c_custkey"],
+        files,
+        options={"bucket": str(num_buckets)},
+    )
+    return fixture
+
+
+def paimon_lake_pk_write_roundtrip(spark, sf_dir):
+    """Engine as CDC PARTICIPANT in a real PRIMARY-KEY lake
+    (paimon_lake.write_lake_pk_append): a fixed-bucket (4) kv fixture
+    holds customer rows placed by Paimon's public bucket extractor; the
+    engine then upserts every even key (flagged name, zeroed balance)
+    as a DISTRIBUTED level-0 key-value commit — murmur bucket routing,
+    fresh sequence range, CAS snapshot — and the in-place merged read
+    resolves max-sequence-per-key across fixture and engine files.
+    Oracle replays the upsert rule in SQL. Reference parity:
+    BytesWriter.java:38-79 writes fixed-bucket PK tables through the
+    JVM; dynamic-bucket refusal mirrors java_utils.py:56-61."""
+    from paimon_python_spark.paimon_lake import (
+        PaimonLakeTable,
+        write_lake_pk_append,
+    )
+    from paimon_python_spark.session import set_spark
+
+    set_spark(spark)
+    fixture = _pk_lake_fixture(spark, sf_dir, "lakepkw")
+    upserts = (
+        PaimonLakeTable(fixture)
+        .new_read_builder()
+        .new_read()
+        .to_df()
+        .filter(F.col("c_custkey") % 2 == 0)
+        .select(
+            "c_custkey",
+            F.concat(F.lit("UPSERT-"), F.col("c_custkey")).alias("c_name"),
+            F.lit(0.0).alias("c_acctbal"),
+        )
+    )
+    write_lake_pk_append(fixture, upserts)
+    return (
+        PaimonLakeTable(fixture)
+        .new_read_builder()
+        .new_read()
+        .to_df()
+        .orderBy("c_custkey")
+    )
+
+
+PAIMON_LAKE_PK_WRITE_SQL = """
+SELECT c_custkey,
+       CASE WHEN c_custkey % 2 = 0 THEN 'UPSERT-' || CAST(c_custkey AS VARCHAR)
+            ELSE c_name END AS c_name,
+       CASE WHEN c_custkey % 2 = 0 THEN 0.0 ELSE c_acctbal END AS c_acctbal
+FROM customer
+WHERE c_custkey <= 1200
+ORDER BY c_custkey
+"""
+
+
+def paimon_lake_pk_delete_roundtrip(spark, sf_dir):
+    """DELETE FROM a real PK lake: matched keys commit as -D kind
+    records in a level-0 key-value file (the LSM delete every Paimon
+    reader resolves — row_kind.py:22-57 semantics), no deletion
+    vectors, no data rewrite; the merged read drops the keys and the
+    incremental read of the delete snapshot shows exactly the -D rows
+    (asserted here by count before returning the merged state)."""
+    from paimon_python_spark.paimon_lake import (
+        PaimonLakeTable,
+        delete_lake_rows,
+        read_lake_incremental,
+    )
+    from paimon_python_spark.session import set_spark
+
+    set_spark(spark)
+    fixture = _pk_lake_fixture(spark, sf_dir, "lakepkd")
+    t = PaimonLakeTable(fixture)
+    pb = t.new_read_builder().new_predicate_builder()
+    sid = delete_lake_rows(t.table_path, pb.less_than("c_acctbal", 0.0))
+    inc = read_lake_incremental(t.table_path, sid - 1, sid)
+    n_deleted = inc.filter(F.col("_row_kind") == "-D").count()
+    assert n_deleted == inc.count() and n_deleted > 0
+    return (
+        t.new_read_builder().new_read().to_df().orderBy("c_custkey")
+    )
+
+
+PAIMON_LAKE_PK_DELETE_SQL = """
+SELECT c_custkey, c_name, c_acctbal
+FROM customer
+WHERE c_custkey <= 1200 AND c_acctbal >= 0.0
+ORDER BY c_custkey
+"""
+
+
+def paimon_lake_avro_write_roundtrip(spark, sf_dir):
+    """APPEND to an avro-format lake: data files write through the
+    engine's own avro codec (stdlib container writer, Avro 1.11 spec)
+    EXECUTOR-SIDE via the shared distributed group writer — no
+    spark-avro dependency, no staging-dir move — and the in-place read
+    decodes them back through the same codec."""
+    import pyarrow as pa
+
+    from paimon_python_spark.paimon_import import write_paimon_table_fixture
+    from paimon_python_spark.paimon_lake import PaimonLakeTable, write_lake_append
+    from paimon_python_spark.session import set_spark
+
+    set_spark(spark)
+    rpdf = _t(spark, sf_dir, "region").select("r_regionkey", "r_name").toPandas()
+    fixture = _fresh_warehouse("lakeavro") + "/names_avro"
+    write_paimon_table_fixture(
+        fixture,
+        [("src_key", "BIGINT NOT NULL"), ("name", "STRING"), ("src", "STRING")],
+        [],
+        [],
+        [(0, {}, 0,
+          pa.table({"src_key": pa.array(rpdf.r_regionkey, pa.int64()),
+                    "name": pa.array(rpdf.r_name, pa.string()),
+                    "src": pa.array(["region"] * len(rpdf), pa.string())}))],
+        options={"file.format": "avro"},
+    )
+    supplier = (
+        _t(spark, sf_dir, "supplier")
+        .select(
+            F.col("s_suppkey").cast("bigint").alias("src_key"),
+            F.col("s_name").alias("name"),
+            F.lit("supplier").alias("src"),
+        )
+    )
+    write_lake_append(fixture, supplier)
+    return (
+        PaimonLakeTable(fixture)
+        .new_read_builder()
+        .new_read()
+        .to_df()
+        .orderBy("src", "src_key")
+    )
+
+
+PAIMON_LAKE_AVRO_WRITE_SQL = """
+SELECT r_regionkey AS src_key, r_name AS name, 'region' AS src FROM region
+UNION ALL
+SELECT s_suppkey AS src_key, s_name AS name, 'supplier' AS src FROM supplier
 ORDER BY src, src_key
 """
 
@@ -5067,17 +5349,29 @@ GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
 
 
 def window_ntile_quartile(spark, sf_dir):
-    """NTILE bucketing + percent_rank over a globally-ordered window.
-    The order key includes the unique c_custkey so ranks are total and
-    both engines agree exactly; percent_rank is then an exact integer
-    ratio (identical IEEE division in both engines)."""
+    """NTILE bucketing + percent_rank over a globally-ordered window —
+    computed by ``scalable_rank`` (range-bucketed local windows +
+    broadcast offsets), NOT a bare ``ORDER BY`` window, so no stage
+    moves the whole table to a single partition. Order includes the
+    unique c_custkey so ranks are total and both engines agree exactly;
+    percent_rank is then an exact integer ratio (identical IEEE
+    division in both engines)."""
+    from paimon_python_spark.operators.ranking import scalable_rank
+
     cust = _t(spark, sf_dir, "customer")
-    w = W.orderBy("c_acctbal", "c_custkey")
-    return cust.select(
+    ranked = scalable_rank(
+        cust,
+        ["c_acctbal", "c_custkey"],
+        row_number_col=None,
+        percent_rank_col="__pr",
+        ntile=4,
+        ntile_col="quartile",
+    )
+    return ranked.select(
         "c_custkey",
         "c_acctbal",
-        F.ntile(4).over(w).alias("quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        "quartile",
+        F.round(F.col("__pr"), 6).alias("pct_rank"),
     ).orderBy("c_custkey")
 
 
@@ -6969,16 +7263,24 @@ FROM part WHERE p_partkey <= 500 ORDER BY p_partkey
 
 def window_percent_rank(spark, sf_dir):
     """percent_rank + cume_dist parity: both engines compute
-    (rank-1)/(n-1) and n_le/n in identical IEEE doubles."""
+    (rank-1)/(n-1) and n_le/n in identical IEEE doubles. Partitioned by
+    only 5 market segments — hot-key shaped at 100 TB — so the ranks
+    come from ``scalable_rank``, which sub-buckets each segment by
+    acctbal range and stitches exact ranks via broadcast offsets (the
+    tie-free (acctbal, custkey) order makes cume_dist = rn/n)."""
+    from paimon_python_spark.operators.ranking import scalable_rank
+
     cust = _t(spark, sf_dir, "customer")
-    w = W.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    ranked = scalable_rank(
+        cust,
+        ["c_acctbal", "c_custkey"],
+        ["c_mktsegment"],
+        row_number_col=None,
+        percent_rank_col="pct_rank",
+        cume_dist_col="cume",
+    )
     return (
-        cust.select(
-            "c_mktsegment",
-            "c_custkey",
-            F.percent_rank().over(w).alias("pct_rank"),
-            F.cume_dist().over(w).alias("cume"),
-        )
+        ranked.select("c_mktsegment", "c_custkey", "pct_rank", "cume")
         .filter(F.col("c_custkey") <= 300)
         .orderBy("c_mktsegment", "c_custkey")
     )
@@ -7356,6 +7658,10 @@ _QUERIES: dict[str, Callable] = {
     "paimon_export_roundtrip": paimon_export_roundtrip,
     "paimon_lake_incremental_roundtrip": paimon_lake_incremental_roundtrip,
     "paimon_lake_write_roundtrip": paimon_lake_write_roundtrip,
+    "paimon_lake_pk_write_roundtrip": paimon_lake_pk_write_roundtrip,
+    "paimon_lake_pk_delete_roundtrip": paimon_lake_pk_delete_roundtrip,
+    "paimon_lake_avro_write_roundtrip": paimon_lake_avro_write_roundtrip,
+    "paimon_lake_dv_history_roundtrip": paimon_lake_dv_history_roundtrip,
     "paimon_lake_delete_roundtrip": paimon_lake_delete_roundtrip,
     "window_topk_per_group": window_topk_per_group,
     "dedup_exact": dedup_exact,
@@ -7666,6 +7972,10 @@ _ORACLES: dict[str, str] = {
     "paimon_export_roundtrip": PAIMON_EXPORT_SQL,
     "paimon_lake_incremental_roundtrip": PAIMON_LAKE_INCREMENTAL_SQL,
     "paimon_lake_write_roundtrip": PAIMON_LAKE_WRITE_SQL,
+    "paimon_lake_pk_write_roundtrip": PAIMON_LAKE_PK_WRITE_SQL,
+    "paimon_lake_pk_delete_roundtrip": PAIMON_LAKE_PK_DELETE_SQL,
+    "paimon_lake_avro_write_roundtrip": PAIMON_LAKE_AVRO_WRITE_SQL,
+    "paimon_lake_dv_history_roundtrip": PAIMON_LAKE_DV_HISTORY_SQL,
     "paimon_lake_delete_roundtrip": PAIMON_LAKE_DELETE_SQL,
 }
 

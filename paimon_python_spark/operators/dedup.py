@@ -38,6 +38,22 @@ def exact_dedup(df: DataFrame, on: list[str], id_col: str) -> DataFrame:
     )
 
 
+def _widen(df: DataFrame) -> DataFrame:
+    """Spread heavy per-row compute (shingling, signatures) across the
+    session's full parallelism when the input arrives NARROW — a single
+    small parquet file plans as one partition, so the shingle stage ran
+    on 1 of 32 cores (measured 2× on the sf0.1 minhash/containment
+    gates). At lake scale inputs arrive in hundreds of splits and this
+    is a no-op; the partition-count check is plan metadata, no job."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    try:
+        cur = df.rdd.getNumPartitions()
+    except Exception:
+        return df
+    return df.repartition(target) if cur < max(2, target // 2) else df
+
+
 def _shingle_expr(text_col: str, n: int) -> str:
     """SQL expr producing the DISTINCT word-``n``-gram shingle set.
 
@@ -133,13 +149,15 @@ def _minhash_candidates(
         f"sh -> struct(sh AS sh, {minhash_signature_expr(num_hashes)} AS sig)))"
     )
     sh = (
-        df.select(id_col, text_col)
+        _widen(df.select(id_col, text_col))
         .filter(F.size(F.split(F.col(text_col), " ")) >= shingle_n)
         .select(F.col(id_col), F.expr(combo))
     )
-    # persisted + eagerly materialized: signatures feed the band explosion
-    # AND both verification-join sides; released via release_cached()
-    sh = shared(sh, eager=True)
+    # persisted LAZILY — the first consuming action populates the cache
+    # while doing useful work (eager=True paid a full extra pass). The
+    # r7 bisect of the 2.3× gate regression: narrow input partitioning
+    # (_widen) was the dominant cost, the eager pass the rest.
+    sh = shared(sh)
     band_key = F.concat_ws(
         "-",
         *[
@@ -266,22 +284,20 @@ def _shingle_index(
 
     The split+shingle+explode pipeline feeds FOUR plan branches (hot-
     shingle agg, per-doc sizes, and both self-join sides), so the frame
-    is persisted and eagerly materialized once — without it the
-    shingling recomputes per branch (~4× the whole op's cost, measured).
+    is persisted once (lazily — the first action populates it).
     Capped: the raw index is the cached frame and the cheap broadcast
     anti-join re-derives the capped view per branch from cache.
     Uncapped: sizes come straight off the shingle arrays, so the index
     itself is cached. Release via ``release_cached()``."""
-    sh = with_shingles(df.select(id_col, text_col), text_col, shingle_n)
+    sh = with_shingles(_widen(df.select(id_col, text_col)), text_col, shingle_n)
     if max_doc_freq is not None:
         inv0 = shared(
             sh.select(F.col(id_col), F.explode("sh").alias("shingle")),
-            eager=True,
         )
         inv = _cap_hot_shingles(inv0, max_doc_freq)
         sizes = inv.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     else:
-        sh = shared(sh, eager=True)
+        sh = shared(sh)
         inv = sh.select(F.col(id_col), F.explode("sh").alias("shingle"))
         sizes = sh.select(F.col(id_col), F.size("sh").alias("n_sh"))
     return inv, sizes
@@ -360,7 +376,9 @@ def simhash_fingerprints(
     ``minhash_lsh_pairs``."""
     if bits > 16:
         raise ValueError("simhash_fingerprints supports at most 16 bits")
-    ex = df.select(id_col, F.explode(F.split(text_col, " ")).alias("s")).select(
+    ex = _widen(df.select(id_col, F.col(text_col))).select(
+        id_col, F.explode(F.split(text_col, " ")).alias("s")
+    ).select(
         id_col,
         F.expr("CAST(conv(substring(md5(s), 1, 8), 16, 10) AS BIGINT)").alias("h1"),
         F.expr("CAST(conv(substring(md5(s), 9, 8), 16, 10) AS BIGINT)").alias("h2"),

@@ -224,10 +224,18 @@ def temperature_mix_sample(
             "which the op outputs — rename them first"
         )
     rates = temperature_mix_rates(df, group_col, alpha)
+    # clamp the rounded threshold to _SPACE-1 BEFORE the 4-char lpad: a
+    # rate that rounds to _SPACE while still < 1.0 would render '10000'
+    # and lpad TRUNCATES it to '1000' — silently keeping ~6% of a group
+    # that should keep ~100%. (rate >= 1.0 itself bypasses via the
+    # keep-all guard below, mirroring _hex_threshold's 'g' sentinel.)
     thr = F.lower(
         F.lpad(
             F.conv(
-                F.round(F.col("rate") * _SPACE).cast("long").cast("string"),
+                F.least(
+                    F.round(F.col("rate") * _SPACE).cast("long"),
+                    F.lit(_SPACE - 1),
+                ).cast("string"),
                 10,
                 16,
             ),

@@ -575,7 +575,10 @@ def plan_paimon_files(
 DV_MAGIC = 1581511376
 DV_INDEX_VERSION = 1
 DELETION_VECTORS_INDEX = "DELETION_VECTORS"
-DV_BROADCAST_BYTES = 64 << 20
+#: broadcast the decoded (file, position) side below this many marked
+#: rows (~64 MB of hashed-relation at ~32 B/row); above it the
+#: anti-join degrades to a shuffle instead of an executor OOM
+DV_BROADCAST_ROWS = 2_000_000
 
 INDEX_MANIFEST_SCHEMA = {
     "type": "record",
@@ -621,6 +624,13 @@ class PaimonDvRange:
     data_file_name: str
     offset: int
     length: int
+    #: estimated DECODED positions in this range (the owning index
+    #: manifest entry's ``_ROW_COUNT`` split across its ranges; None
+    #: when the entry omitted it). Broadcast decisions must use this,
+    #: not ``length``: roaring bitmap containers expand up to 8
+    #: positions per byte and run containers far more, so a 64 MB
+    #: compressed index can decode to >500M rows.
+    est_rows: Optional[float] = None
 
 
 def write_dv_index_file(path: str, dv_map: dict) -> dict:
@@ -716,6 +726,12 @@ def plan_paimon_dv(
             or r.get("_DELETION_VECTORS_RANGES")
             or []
         )
+        entry_rows = r.get("_ROW_COUNT")
+        per_range = (
+            float(entry_rows) / len(ranges)
+            if entry_rows is not None and ranges
+            else None
+        )
         for item in ranges:
             data_file = item.get("f0", item.get("dataFileName"))
             off = item.get("f1", item.get("offset"))
@@ -726,6 +742,7 @@ def plan_paimon_dv(
                     str(data_file),
                     int(off),
                     int(ln),
+                    est_rows=per_range,
                 )
             )
     return out
@@ -774,7 +791,14 @@ def apply_lake_dv(
 
     n_parts = max(1, min(len(rows), int(spark.sparkContext.defaultParallelism)))
     pos_df = rdf.repartition(n_parts).mapInPandas(decode, out_schema)
-    if sum(r.length for r in ranges) <= DV_BROADCAST_BYTES:
+    # broadcast by DECODED cardinality (index manifest _ROW_COUNT), not
+    # compressed bytes: bitmap containers expand 8 positions/byte and
+    # run containers far more, so byte-sized thresholds OOM executors.
+    # Entries lacking _ROW_COUNT count as worst-case bitmap expansion.
+    est_total = sum(
+        r.est_rows if r.est_rows is not None else 8.0 * r.length for r in ranges
+    )
+    if est_total <= DV_BROADCAST_ROWS:
         pos_df = F.broadcast(pos_df)
     return df.join(pos_df, [file_name_col, pos_col], "left_anti")
 
@@ -1919,13 +1943,24 @@ def _import_with_history(
     write in original sequence order). COMPACT commits are logical
     no-ops and are skipped. OVERWRITE commits are rejected loudly —
     replaying partition replacement faithfully needs the engine's
-    overwrite planner; use the default flat import for such tables."""
+    overwrite planner; use the default flat import for such tables.
+
+    DELETION-VECTOR lakes replay too: a DV index rewrites visibility
+    RETROACTIVELY, so a snapshot whose index manifest changed cannot be
+    an append — it replays as a whole-table OVERWRITE of that
+    snapshot's exact visible rows (files minus marks), and unchanged-
+    index snapshots stay cheap delta appends. Each engine snapshot k
+    therefore reads back with lake snapshot k's own visibility. Cost is
+    one full visible-state write per DV-changing snapshot — DV deletes
+    are metadata-sized in the lake but row-sized to replay; flat import
+    remains the cheap path when history is not needed."""
     from paimon_python_spark.session import get_spark
     from paimon_python_spark.write import KIND_COL, SEQ_COL
 
     spark = get_spark()
     from pyspark.sql import functions as F
 
+    prev_dv_sig: set = set()
     for sid in range(1, last_snapshot_id + 1):
         try:
             snap = read_paimon_snapshot(paimon_table_path, sid)
@@ -1940,6 +1975,30 @@ def _import_with_history(
                 "only APPEND/COMPACT chains replay — import without "
                 "preserve_history to flatten"
             )
+        dv_s = plan_paimon_dv(paimon_table_path, snapshot=snap)
+        dv_sig = {(r.index_path, r.data_file_name, r.offset, r.length) for r in dv_s}
+        if dv_sig != prev_dv_sig:
+            if info.primary_keys:
+                raise NotImplementedError(
+                    "preserve_history: deletion vectors on a PK lake — "
+                    "import without preserve_history to flatten"
+                )
+            prev_dv_sig = dv_sig
+            visible = read_paimon_append_entries(
+                spark,
+                info,
+                plan_paimon_files(paimon_table_path, snapshot=snap),
+                src,
+                fmt,
+                dv_ranges=dv_s,
+                table_path=paimon_table_path,
+            )
+            wb = table.new_batch_write_builder().overwrite()
+            writer, committer = wb.new_write(), wb.new_commit()
+            writer.write_dataframe(visible)
+            committer.commit(writer.prepare_commit())
+            writer.close()
+            continue
         delta = plan_paimon_delta(paimon_table_path, sid)
         if not delta:
             continue
@@ -2038,12 +2097,6 @@ def import_paimon_table(
         return p
 
     if preserve_history:
-        if dv:
-            raise NotImplementedError(
-                "preserve_history: deletion-vector tables flatten only — "
-                "a DV index rewrites visibility retroactively, so "
-                "per-snapshot replay would need each snapshot's own index"
-            )
         last = (
             snapshot_id
             if snapshot_id is not None

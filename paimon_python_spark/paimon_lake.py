@@ -33,7 +33,8 @@ Deletion-vector tables read transparently: the snapshot's index
 manifest is planned driver-side (``plan_paimon_dv`` — KB-scale
 metadata), the roaring bitmaps decode DISTRIBUTED (mapInPandas over
 the range list), and marked (file, position) pairs anti-join out of
-the scan — broadcast below 64 MB of index, so the data never shuffles
+the scan — broadcast below ~2M decoded marks (cardinality from the
+index manifest, never compressed bytes), so the data never shuffles
 for the delete filter.
 """
 
@@ -165,6 +166,16 @@ class PaimonLakeScan:
         entries = _pruned_entries(b.table.table_path, info, b)
         part_types = [info.spark_schema[k].dataType for k in info.partition_keys]
         default_name = info.options.get("partition.default-name", None)
+        # DV marks ride on the splits they cover, so a raw-path consumer
+        # (reference-style scan -> own read) can honor row deletes
+        # instead of silently resurrecting them
+        dv_by_file: dict = {}
+        for r in plan_paimon_dv(
+            b.table.table_path,
+            snapshot_id=b._snapshot_id,
+            snapshot=b._snapshot_dict(),
+        ):
+            dv_by_file.setdefault(r.data_file_name, []).append(r)
         groups = defaultdict(list)
         for e in entries:
             groups[(tuple(sorted(e.partition.items())), e.bucket)].append(e)
@@ -185,6 +196,9 @@ class PaimonLakeScan:
                         )
                         for e in es
                     ],
+                    _dv_ranges=[
+                        r for e in es for r in dv_by_file.get(e.file_name, [])
+                    ],
                 )
             )
             total += splits[-1].row_count()
@@ -192,10 +206,17 @@ class PaimonLakeScan:
 
 
 class PaimonLakeSplit:
-    def __init__(self, row_count: int, file_size: int, _paths: List[str]):
+    def __init__(
+        self,
+        row_count: int,
+        file_size: int,
+        _paths: List[str],
+        _dv_ranges: Optional[list] = None,
+    ):
         self._row_count = row_count
         self._file_size = file_size
         self._paths = _paths
+        self._dv_ranges = _dv_ranges or []
 
     def row_count(self) -> int:
         return self._row_count
@@ -204,7 +225,20 @@ class PaimonLakeSplit:
         return self._file_size
 
     def file_paths(self) -> List[str]:
+        """Raw data-file paths. On a deletion-vector table these alone
+        RESURRECT deleted rows — check :meth:`has_deletion_vectors` and
+        apply :meth:`deletion_vectors` (or read via ``new_read()``,
+        which anti-joins the marks for you)."""
         return list(self._paths)
+
+    def has_deletion_vectors(self) -> bool:
+        return bool(self._dv_ranges)
+
+    def deletion_vectors(self) -> list:
+        """The ``PaimonDvRange`` marks covering this split's files —
+        decode via ``paimon_import.read_dv_index_entry`` for raw-path
+        consumers that bypass ``new_read()``."""
+        return list(self._dv_ranges)
 
 
 class PaimonLakePlan:

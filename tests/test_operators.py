@@ -997,6 +997,70 @@ def test_url_dedup_normalization_groups(spark):
     assert out["sub.example.com/a"] == (6, 1)
 
 
+def test_scalable_rank_matches_window(spark):
+    """scalable_rank must agree bit-for-bit with Spark's own window
+    functions on a tie-heavy frame (unique tiebreak key), both global
+    and partitioned — while never planning a single-partition window."""
+    from pyspark.sql import Window as W
+
+    from paimon_python_spark.operators.ranking import scalable_rank
+
+    df = spark.range(1000).select(
+        F.col("id"),
+        (F.col("id") % 7).alias("g"),
+        (F.col("id") % 37).cast("double").alias("v"),  # heavy ties in v
+    )
+    # global: order (v, id) is total
+    w = W.orderBy("v", "id")
+    want = df.select(
+        "id",
+        F.row_number().over(w).alias("rn"),
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+        F.ntile(4).over(w).alias("q"),
+    )
+    got = scalable_rank(
+        df,
+        ["v", "id"],
+        num_buckets=8,
+        row_number_col="rn",
+        percent_rank_col="pr",
+        cume_dist_col="cd",
+        ntile=4,
+        ntile_col="q",
+    ).select("id", "rn", "pr", "cd", "q")
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+    assert "SinglePartition" not in got._jdf.queryExecution().executedPlan().toString()
+    # partitioned by g
+    wp = W.partitionBy("g").orderBy("v", "id")
+    wantp = df.select(
+        "id",
+        F.row_number().over(wp).alias("rn"),
+        F.percent_rank().over(wp).alias("pr"),
+        F.ntile(3).over(wp).alias("q"),
+    )
+    gotp = scalable_rank(
+        df,
+        ["v", "id"],
+        ["g"],
+        num_buckets=4,
+        row_number_col="rn",
+        percent_rank_col="pr",
+        ntile=3,
+        ntile_col="q",
+    ).select("id", "rn", "pr", "q")
+    assert gotp.exceptAll(wantp).count() == 0 and wantp.exceptAll(gotp).count() == 0
+    # n < tiles edge: every tile has 0 or 1 rows
+    tiny = spark.range(3).select(F.col("id"), F.col("id").cast("double").alias("v"))
+    q = {
+        r.id: r.ntile
+        for r in scalable_rank(
+            tiny, ["v", "id"], num_buckets=2, ntile=5, row_number_col=None
+        ).collect()
+    }
+    assert q == {0: 1, 1: 2, 2: 3}
+
+
 def test_salted_join_matches_plain_join(spark):
     from paimon_python_spark.operators import salted_join
 
@@ -1327,6 +1391,20 @@ def test_temperature_mix_sample(spark, docs):
     # alpha=1: natural -> every rate 1, everything kept
     allkept = temperature_mix_sample(df, "id", "g", alpha=1.0)
     assert allkept.filter("NOT keep").count() == 0
+    # a rate that rounds to 65536 while still < 1.0 must keep ~all rows
+    # — regression: the in-plan hex threshold used to lpad-TRUNCATE
+    # '10000' to '1000', silently keeping ~6% of such a group
+    near = spark.range(200_001).select(
+        F.col("id"),
+        F.when(F.col("id") < 100_000, "a").otherwise("b").alias("g"),
+    )
+    out2 = temperature_mix_sample(near, "id", "g", alpha=0.5)
+    kept2 = {
+        r.g: r.n
+        for r in out2.filter("keep").groupBy("g").agg(F.count("*").alias("n")).collect()
+    }
+    assert kept2["a"] == 100_000  # rate exactly 1.0
+    assert kept2["b"] > 99_000  # rate 0.9999975 — was ~6,200 with the bug
 
 
 def test_embedding_lsh_matmul_matches_expr(spark, emb):

@@ -979,6 +979,42 @@ def test_import_preserve_history_append(tmp_path, catalog, spark):
     assert sorted(old.k) == [1, 2]
 
 
+def test_import_preserve_history_dv(tmp_path, catalog, spark):
+    """DV-lake history replay: the DV-changing snapshot materializes as
+    a whole-table overwrite of its exact visible rows, so engine
+    snapshot k reads with lake snapshot k's own visibility — including
+    retroactive deletes of snapshot-1 rows."""
+    from paimon_python_spark.paimon_lake import (
+        PaimonLakeTable,
+        delete_lake_rows,
+        write_lake_append,
+    )
+    from paimon_python_spark.session import set_spark
+
+    set_spark(spark)
+    p = str(tmp_path / "hist_dv")
+    write_paimon_fixture(
+        p,
+        [("k", "INT NOT NULL")],
+        [],
+        [],
+        [(0, {}, 0, pa.table({"k": pa.array([1, 2, 3, 4], pa.int32())}))],
+    )
+    pb = PaimonLakeTable(p).new_read_builder().new_predicate_builder()
+    delete_lake_rows(p, pb.is_in("k", [2, 4]))  # snapshot 2: DV only
+    write_lake_append(
+        p, spark.createDataFrame([(5,)], "k int")
+    )  # snapshot 3: append, index carried forward
+    t = import_paimon_table(p, catalog, "default.hist_dv", preserve_history=True)
+    assert sorted(
+        t.new_read_builder().with_snapshot(1).new_read().to_pandas().k
+    ) == [1, 2, 3, 4]
+    assert sorted(
+        t.new_read_builder().with_snapshot(2).new_read().to_pandas().k
+    ) == [1, 3]
+    assert sorted(t.new_read_builder().new_read().to_pandas().k) == [1, 3, 5]
+
+
 def test_export_paimon_table_roundtrip(tmp_path, catalog, spark):
     """REVERSE bridge: an engine table exports to a spec-format Paimon
     layout that this repo's own lake reader (and importer) consume —
@@ -1312,6 +1348,15 @@ def test_lake_read_dv_orc_table(tmp_path, spark):
     out = PaimonLakeTable(p).new_read_builder().new_read().to_pandas().sort_values("k")
     assert list(out.k) == [1, 3]
     assert list(out.v) == ["a", "c"]
+    # raw-path consumers see the DV marks on the split itself — file
+    # paths alone would silently resurrect the deleted row
+    sp = PaimonLakeTable(p).new_read_builder().new_scan().plan().splits()
+    assert sp[0].has_deletion_vectors()
+    dvr = sp[0].deletion_vectors()
+    assert dvr[0].data_file_name == "data-fixture-0.orc"
+    from paimon_python_spark.paimon_import import read_dv_index_entry
+
+    assert list(read_dv_index_entry(dvr[0].index_path, dvr[0].offset, dvr[0].length)) == [1]
 
 
 def test_lake_tag_read_survives_snapshot_expiry(tmp_path, spark):
@@ -1435,9 +1480,16 @@ def test_binary_row_truncation_raises_cleanly():
     enc = encode_binary_row(
         [5, "hello world long string"], [T.IntegerType(), T.StringType()]
     )
-    for cut in (0, 2, 4, 8, 12, len(enc) - 1):
+    # len-2 cuts into the string payload itself; len-1 would only shave
+    # the word-alignment pad, which decodes fine by design
+    for cut in (0, 2, 4, 8, 12, len(enc) - 2):
         with pytest.raises(ValueError):
             decode_binary_row(enc[:cut], [T.IntegerType(), T.StringType()])
+    # padded encoding still decodes exactly
+    assert decode_binary_row(enc, [T.IntegerType(), T.StringType()]) == [
+        5,
+        "hello world long string",
+    ]
 
 
 def test_register_lake_sql_view(append_fixture, spark):
