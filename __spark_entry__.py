@@ -6818,12 +6818,15 @@ def mm_image_resize(spark, sf_dir):
     all computed analytically by the oracle from the pattern formula +
     the same NN sampling (src = out_idx · src_dim // out_dim)."""
     from paimon_python_spark.functions import resize_image, synth_image_payloads
+    from paimon_python_spark.operators._cache import shared
 
     docs = _t(spark, sf_dir, "documents").select("doc_id")
     payloads = synth_image_payloads(docs, "doc_id")
-    return (
-        resize_image(payloads, "doc_id", "payload", target_w=32, target_h=24)
-        .select(
+    # the tiny scalar output is shared(): the global sort's range-
+    # boundary sampling job would otherwise RE-EXECUTE the whole
+    # synth+decode+resize pipeline a second time
+    out = shared(
+        resize_image(payloads, "doc_id", "payload", target_w=32, target_h=24).select(
             F.col("id").alias("doc_id"),
             "in_w",
             "in_h",
@@ -6832,8 +6835,8 @@ def mm_image_resize(spark, sf_dir):
             F.octet_length("resized").alias("n_bytes_out"),
             "out_sum",
         )
-        .orderBy("doc_id")
     )
+    return out.orderBy("doc_id")
 
 
 # analytic mirror: same test-pattern formula sampled at the NN

@@ -569,6 +569,12 @@ def synth_image_payloads(df: DataFrame, id_col: str) -> DataFrame:
         [T.StructField(id_col, T.LongType()), T.StructField("payload", T.BinaryType())]
     )
 
+    from paimon_python_spark.operators._util import widen
+
+    # cap at 8: blob synth/decode is overhead-bound per python-runner
+    # task at gate scale; real corpora arrive wide and skip the clamp
+    df = widen(df.select(id_col), max_parts=8)
+
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             # vectorized per (w, h) class: ids sharing dimensions render
@@ -610,6 +616,11 @@ def synth_audio_payloads(df: DataFrame, id_col: str) -> DataFrame:
     schema = T.StructType(
         [T.StructField(id_col, T.LongType()), T.StructField("payload", T.BinaryType())]
     )
+    from paimon_python_spark.operators._util import widen
+
+    # cap at 8: blob synth/decode is overhead-bound per python-runner
+    # task at gate scale; real corpora arrive wide and skip the clamp
+    df = widen(df.select(id_col), max_parts=8)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

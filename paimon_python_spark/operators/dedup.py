@@ -38,20 +38,7 @@ def exact_dedup(df: DataFrame, on: list[str], id_col: str) -> DataFrame:
     )
 
 
-def _widen(df: DataFrame) -> DataFrame:
-    """Spread heavy per-row compute (shingling, signatures) across the
-    session's full parallelism when the input arrives NARROW — a single
-    small parquet file plans as one partition, so the shingle stage ran
-    on 1 of 32 cores (measured 2× on the sf0.1 minhash/containment
-    gates). At lake scale inputs arrive in hundreds of splits and this
-    is a no-op; the partition-count check is plan metadata, no job."""
-    sc = df.sparkSession.sparkContext
-    target = sc.defaultParallelism
-    try:
-        cur = df.rdd.getNumPartitions()
-    except Exception:
-        return df
-    return df.repartition(target) if cur < max(2, target // 2) else df
+from paimon_python_spark.operators._util import widen as _widen  # noqa: E402
 
 
 def _shingle_expr(text_col: str, n: int) -> str:
@@ -241,7 +228,7 @@ def minhash_lsh_pairs(
         df, id_col, text_col, num_hashes, bands, shingle_n, max_bucket
     )
     sets = sh.select(F.col(id_col), F.col("sh"))
-    return (
+    out = (
         cand.join(sets.withColumnsRenamed({id_col: "doc_a", "sh": "sh_a"}), "doc_a")
         .join(sets.withColumnsRenamed({id_col: "doc_b", "sh": "sh_b"}), "doc_b")
         .withColumn("intersect_size", F.size(F.array_intersect("sh_a", "sh_b")))
@@ -253,6 +240,11 @@ def minhash_lsh_pairs(
         )
         .select("doc_a", "doc_b", "intersect_size", "union_size")
     )
+    # the verified-pair set is SMALL by construction (near-dups, not
+    # candidates) and every consumer re-traverses it — an orderBy's
+    # range-sampling job, CC iterations in fuzzy_survivors — so persist
+    # it; the first action populates while doing useful work
+    return shared(out)
 
 
 def _cap_hot_shingles(inv: DataFrame, max_doc_freq: int) -> DataFrame:
@@ -803,7 +795,7 @@ def minhash_containment_pairs(
     ``ngram_containment_pairs`` on a pre-blocked subset instead."""
     sh, cand = _minhash_candidates(df, id_col, text_col, num_hashes, bands, shingle_n)
     sets = sh.select(F.col(id_col), F.col("sh"))
-    return (
+    out = (
         cand.join(sets.withColumnsRenamed({id_col: "doc_a", "sh": "sh_a"}), "doc_a")
         .join(sets.withColumnsRenamed({id_col: "doc_b", "sh": "sh_b"}), "doc_b")
         # long: the ×10000 scaled ratio would wrap int32 past ~214k
@@ -822,3 +814,6 @@ def minhash_containment_pairs(
         )
         .select("doc_a", "doc_b", "intersect_size", "min_size", "containment_x10000")
     )
+    # small verified-pair output; persist so a downstream orderBy's
+    # range-sampling pass reads the cache instead of re-joining
+    return shared(out)
