@@ -3369,6 +3369,113 @@ ORDER BY src, src_key
 """
 
 
+def paimon_lake_compact_roundtrip(spark, sf_dir):
+    """FULL lake compaction as a spec COMPACT commit (compact_lake):
+    a PK lake accumulates a fixture commit, an engine upsert, and a
+    -D delete; compaction materializes the LSM merge into one
+    max-level key-value file per bucket (marked rows physically gone,
+    sequence range monotonic), and a post-compact upsert still wins
+    the merge. Invariants (commitKind, level, file fold) assert inside;
+    the gate verifies the final merged rows against the SQL replay."""
+    import pyarrow as pa
+
+    from paimon_python_spark.paimon_import import (
+        plan_paimon_files,
+        write_paimon_table_fixture,
+    )
+    from paimon_python_spark.paimon_lake import (
+        PaimonLakeTable,
+        compact_lake,
+        delete_lake_rows,
+        write_lake_append,
+    )
+    from paimon_python_spark.session import set_spark
+
+    set_spark(spark)
+    base = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 800)
+        .select("c_custkey", "c_acctbal")
+        .toPandas()
+        .sort_values("c_custkey")
+    )
+    fixture = _fresh_warehouse("lakecompact") + "/cust_pk"
+    kv = pa.schema(
+        [("_KEY_c_custkey", pa.int64()), ("_SEQUENCE_NUMBER", pa.int64()),
+         ("_VALUE_KIND", pa.int32()), ("c_custkey", pa.int64()),
+         ("c_acctbal", pa.float64())]
+    )
+    n = len(base)
+    write_paimon_table_fixture(
+        fixture,
+        [("c_custkey", "BIGINT NOT NULL"), ("c_acctbal", "DOUBLE")],
+        [],
+        ["c_custkey"],
+        [(0, {}, 0, pa.table(
+            {"_KEY_c_custkey": pa.array(base.c_custkey, pa.int64()),
+             "_SEQUENCE_NUMBER": pa.array(range(n), pa.int64()),
+             "_VALUE_KIND": pa.array([0] * n, pa.int32()),
+             "c_custkey": pa.array(base.c_custkey, pa.int64()),
+             "c_acctbal": pa.array(base.c_acctbal, pa.float64())},
+            schema=kv))],
+        options={"bucket": "4"},
+    )
+    # engine upsert: zero the balance of keys 1..200
+    write_lake_append(
+        fixture,
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 200)
+        .select(
+            F.col("c_custkey").cast("bigint"),
+            F.lit(0.0).alias("c_acctbal"),
+        ),
+    )
+    # -D delete of negative balances (as of the upserted state)
+    pb = PaimonLakeTable(fixture).new_read_builder().new_predicate_builder()
+    delete_lake_rows(fixture, pb.less_than("c_acctbal", 0.0))
+    files_before = plan_paimon_files(fixture)
+    sid = compact_lake(fixture)
+    files_after = plan_paimon_files(fixture)
+    # invariants: files folded to <= bucket count, all at max level,
+    # COMPACT commit kind recorded in the snapshot chain
+    assert len(files_after) <= 4 < len(files_before)
+    assert all(e.level == 5 for e in files_after)
+    import json as _json
+    import os as _os
+
+    snap = _json.load(
+        open(_os.path.join(fixture, "snapshot", f"snapshot-{sid}"))
+    )
+    assert snap["commitKind"] == "COMPACT"
+    # post-compact level-0 upsert must still win against max level
+    write_lake_append(
+        fixture,
+        spark.createDataFrame([(1, 111.0)], "c_custkey bigint, c_acctbal double"),
+    )
+    return (
+        PaimonLakeTable(fixture)
+        .new_read_builder()
+        .new_read()
+        .to_df()
+        .orderBy("c_custkey")
+    )
+
+
+PAIMON_LAKE_COMPACT_SQL = """
+WITH upserted AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey <= 200 THEN 0.0 ELSE c_acctbal END AS c_acctbal
+  FROM customer WHERE c_custkey <= 800
+),
+kept AS (
+  SELECT * FROM upserted WHERE c_acctbal >= 0.0
+)
+SELECT c_custkey,
+       CASE WHEN c_custkey = 1 THEN 111.0 ELSE c_acctbal END AS c_acctbal
+FROM kept ORDER BY c_custkey
+"""
+
+
 def paimon_scan_pushdown_roundtrip(spark, sf_dir):
     """Append table: write lineitem subset, read back through the
     engine's predicate/projection pushdown (PredicateBuilder surface +
@@ -7665,6 +7772,7 @@ _QUERIES: dict[str, Callable] = {
     "paimon_lake_pk_delete_roundtrip": paimon_lake_pk_delete_roundtrip,
     "paimon_lake_avro_write_roundtrip": paimon_lake_avro_write_roundtrip,
     "paimon_lake_dv_history_roundtrip": paimon_lake_dv_history_roundtrip,
+    "paimon_lake_compact_roundtrip": paimon_lake_compact_roundtrip,
     "paimon_lake_delete_roundtrip": paimon_lake_delete_roundtrip,
     "window_topk_per_group": window_topk_per_group,
     "dedup_exact": dedup_exact,
@@ -7979,6 +8087,7 @@ _ORACLES: dict[str, str] = {
     "paimon_lake_pk_delete_roundtrip": PAIMON_LAKE_PK_DELETE_SQL,
     "paimon_lake_avro_write_roundtrip": PAIMON_LAKE_AVRO_WRITE_SQL,
     "paimon_lake_dv_history_roundtrip": PAIMON_LAKE_DV_HISTORY_SQL,
+    "paimon_lake_compact_roundtrip": PAIMON_LAKE_COMPACT_SQL,
     "paimon_lake_delete_roundtrip": PAIMON_LAKE_DELETE_SQL,
 }
 
@@ -7997,6 +8106,7 @@ _GATE_HEAD = [
     "paimon_lake_pk_delete_roundtrip",
     "paimon_lake_avro_write_roundtrip",
     "paimon_lake_dv_history_roundtrip",
+    "paimon_lake_compact_roundtrip",
     "window_ntile_quartile",
     "window_percent_rank",
     # never-gated after r6, verified locally 2026-08-14

@@ -85,6 +85,10 @@ HEADLINE = [
     "paimon_lake_dv_roundtrip",
     "paimon_lake_evolution_roundtrip",
     "paimon_import_history_roundtrip",
+    # r7 additions: the engine-as-lake-participant write surface
+    "paimon_lake_pk_write_roundtrip",
+    "paimon_lake_compact_roundtrip",
+    "window_ntile_quartile",
 ]
 
 

@@ -922,17 +922,33 @@ def write_lake_append(table_path: str, df) -> int:
         shutil.rmtree(stage, ignore_errors=True)
 
 
+#: sentinel: carry the previous snapshot's indexManifest forward
+_INHERIT_INDEX = object()
+
+
 def _commit_lake_snapshot(
-    table_path: str, info, entries: list, n_rows: int
+    table_path: str,
+    info,
+    entries: list,
+    n_rows: int,
+    commit_kind: str = "APPEND",
+    index_manifest=_INHERIT_INDEX,
+    total_record_count: Optional[int] = None,
 ) -> int:
     """Driver-side spec-format metadata commit of ``entries`` (new
-    manifest ADD records, data files already in place under uuid
-    names) as snapshot N+1 with CAS-style retry: the snapshot file is
-    created O_EXCL, so a concurrent committer loses exactly one of the
-    two and the loser re-plans only the KB-scale manifest metadata
-    against the new head — the same winner-takes-the-id semantics as
-    real Paimon's rename-based commit. Shared by the append and PK
-    write paths. Returns the new snapshot id."""
+    manifest records — ADD ``_KIND=0`` and, for COMPACT commits,
+    DELETE ``_KIND=1`` for the rewritten-away inputs; data files
+    already in place under uuid names) as snapshot N+1 with CAS-style
+    retry: the snapshot file is created O_EXCL, so a concurrent
+    committer loses exactly one of the two and the loser re-plans only
+    the KB-scale manifest metadata against the new head — the same
+    winner-takes-the-id semantics as real Paimon's rename-based
+    commit. Shared by the append, PK-write, and compaction paths.
+    ``index_manifest``: default inherits the previous snapshot's DV
+    index; pass ``None`` to drop it (compaction physically applied the
+    marks). ``total_record_count``: explicit new total (compaction
+    rewrites the world); default adds ``n_rows`` to the previous
+    total. Returns the new snapshot id."""
     import json
     import os
     import uuid
@@ -1004,17 +1020,26 @@ def _commit_lake_snapshot(
                 "baseManifestList": blname,
                 "deltaManifestList": dlname,
                 "changelogManifestList": None,
-                # CARRY THE DV INDEX FORWARD: an append does not touch
-                # the deletion vectors, but a snapshot without
+                # CARRY THE DV INDEX FORWARD by default: an append does
+                # not touch the deletion vectors, but a snapshot without
                 # indexManifest would silently resurrect every
-                # DV-deleted row
-                "indexManifest": prev.get("indexManifest"),
+                # DV-deleted row. Compaction passes None — the marks
+                # were physically applied to the rewritten files.
+                "indexManifest": (
+                    prev.get("indexManifest")
+                    if index_manifest is _INHERIT_INDEX
+                    else index_manifest
+                ),
                 "commitUser": "paimon_python_spark",
                 "commitIdentifier": new_id,
-                "commitKind": "APPEND",
+                "commitKind": commit_kind,
                 "timeMillis": 0,
                 "logOffsets": {},
-                "totalRecordCount": int(prev.get("totalRecordCount") or 0) + n_rows,
+                "totalRecordCount": (
+                    total_record_count
+                    if total_record_count is not None
+                    else int(prev.get("totalRecordCount") or 0) + n_rows
+                ),
                 "deltaRecordCount": n_rows,
                 "changelogRecordCount": 0,
                 "watermark": -9223372036854775808,
@@ -1047,6 +1072,8 @@ def _distributed_lake_write(
     bucket_cols: Optional[List[str]] = None,
     seq_base: int = 0,
     row_kind_col: Optional[str] = None,
+    level: int = 0,
+    single_file_per_group: bool = False,
 ):
     """EXECUTOR-SIDE data-file write into a real lake's final layout,
     one file per (partition, bucket) group via ``applyInPandas`` —
@@ -1121,8 +1148,13 @@ def _distributed_lake_write(
         gcols = part_keys + ["__bucket"]
     else:
         # no bucket routing on append tables: keep the input task
-        # parallelism, one output file per (partition, task)
-        sdf = sdf.withColumn("__task", F.spark_partition_id())
+        # parallelism, one output file per (partition, task) — except
+        # compaction, whose whole point is folding a partition's files
+        # into one
+        sdf = sdf.withColumn(
+            "__task",
+            F.lit(0) if single_file_per_group else F.spark_partition_id(),
+        )
         gcols = part_keys + ["__task"]
 
     meta_schema = T.StructType(
@@ -1268,7 +1300,7 @@ def _distributed_lake_write(
                     max_key=bytes(r["max_key"] or b""),
                     min_seq=int(r["min_seq"]),
                     max_seq=int(r["max_seq"]),
-                    level=0,
+                    level=level,
                 ),
             }
         )
@@ -1331,6 +1363,115 @@ def write_lake_pk_append(
     if not man_entries:
         raise ValueError("write_lake_pk_append: empty input — nothing to commit")
     return _commit_lake_snapshot(table_path, info, man_entries, n_rows)
+
+
+def compact_lake(table_path: str) -> int:
+    """FULL compaction of a REAL Paimon lake as a spec COMPACT commit —
+    the third leg of the engine-as-lake-participant story (append,
+    delete, compact). Semantics mirror Paimon's full-compaction action
+    (the reference triggers it JVM-side via ``write-only=false`` /
+    dedicated compact jobs; pypaimon itself has no python compactor —
+    this is a genuine capability the bridge adds):
+
+    - **append lake**: every live data file per (partition, bucket) is
+      folded into one file per group, with DELETION VECTORS physically
+      applied (marked rows gone from the bytes) and the snapshot's
+      ``indexManifest`` dropped;
+    - **PK lake**: the LSM merge is materialized — max sequence per key
+      wins, ``-D`` rows drop — and each (partition, bucket) writes one
+      max-level key-value file with a fresh sequence range past every
+      prior file's max, so later level-0 appends still win the merge;
+    - both: the delta manifest carries ``_KIND=1`` DELETE records for
+      every compacted-away input plus ``_KIND=0`` ADDs for the outputs,
+      ``commitKind=COMPACT`` (time travel to earlier snapshots still
+      reads the old files — nothing is unlinked), and
+      ``totalRecordCount`` is the rewritten world's exact row count.
+
+    The read side is the engine's distributed lake scan (DV anti-join,
+    field-id schema evolution to the LATEST schema — compaction
+    upgrades old-schema files, as Paimon's does) and the write side is
+    the executor-side group writer; only KB-scale per-file metadata
+    crosses the driver. A concurrent APPEND that wins the snapshot race
+    survives (its files are not in our DELETE set); its rows are simply
+    not compacted this round. Returns the new snapshot id."""
+    from paimon_python_spark.paimon_import import (
+        _spec_file_meta,
+        encode_binary_row,
+        plan_paimon_files,
+    )
+
+    info = read_paimon_schema(table_path)
+    before = plan_paimon_files(table_path)
+    if not before:
+        raise ValueError("compact_lake: table has no live data files")
+    fmt = info.options.get("file.format", "parquet")
+    if fmt not in ("parquet", "orc", "avro"):
+        raise NotImplementedError(f"compact_lake: file.format={fmt!r} not supported")
+    part_keys = list(info.partition_keys)
+    part_types = [info.spark_schema[k].dataType for k in part_keys]
+
+    # merged logical view: PK merge resolved, DV marks applied,
+    # old-schema files mapped to the latest schema
+    df = PaimonLakeTable(table_path).new_read_builder().new_read().to_df()
+
+    if info.primary_keys:
+        num_buckets = int(info.options.get("bucket", "-1"))
+        if num_buckets < 1:
+            raise TypeError(
+                "Doesn't support writing dynamic bucket or cross partition table."
+            )
+        bucket_cols = [
+            c.strip()
+            for c in info.options.get("bucket-key", "").split(",")
+            if c.strip()
+        ] or None
+        max_level = int(info.options.get("num-levels", "6")) - 1
+        seq_base = max((e.max_seq for e in before), default=-1) + 1
+        add_entries, n_rows = _distributed_lake_write(
+            table_path,
+            info,
+            df,
+            fmt,
+            kv=True,
+            num_buckets=num_buckets,
+            bucket_cols=bucket_cols,
+            seq_base=seq_base,
+            level=max_level,
+        )
+    else:
+        add_entries, n_rows = _distributed_lake_write(
+            table_path, info, df, fmt, kv=False, single_file_per_group=True
+        )
+
+    delete_entries = [
+        {
+            "_VERSION": 2,
+            "_KIND": 1,
+            "_PARTITION": encode_binary_row(
+                [e.partition[k] for k in part_keys], part_types
+            ),
+            "_BUCKET": e.bucket,
+            "_TOTAL_BUCKETS": int(info.options.get("bucket", "1")),
+            "_FILE": _spec_file_meta(
+                e.file_name,
+                e.file_size,
+                e.row_count,
+                schema_id=e.schema_id,
+                max_seq=e.max_seq,
+                level=e.level,
+            ),
+        }
+        for e in before
+    ]
+    return _commit_lake_snapshot(
+        table_path,
+        info,
+        delete_entries + add_entries,
+        n_rows,
+        commit_kind="COMPACT",
+        index_manifest=None,
+        total_record_count=n_rows,
+    )
 
 
 def register_lake_sql_view(spark, table_path: str, name: str):

@@ -1614,6 +1614,119 @@ def test_lake_stats_file_skipping(tmp_path, spark):
     assert sum(len(s.file_paths()) for s in rb4.new_scan().plan().splits()) == 0
 
 
+def test_compact_lake_append_table(tmp_path, spark):
+    """Full compaction of an append lake: many small files + DV marks
+    fold into one file per (partition, bucket), the DV index manifest
+    drops (marks physically applied), commitKind=COMPACT, incremental
+    readers see no rows for the compact snapshot, and time travel to
+    pre-compact snapshots still reads the old files."""
+    import os
+
+    from paimon_python_spark.paimon_import import plan_paimon_files
+    from paimon_python_spark.paimon_lake import (
+        PaimonLakeTable,
+        compact_lake,
+        delete_lake_rows,
+        read_lake_incremental,
+        write_lake_append,
+    )
+    from paimon_python_spark.session import set_spark
+
+    set_spark(spark)
+    p = str(tmp_path / "compactable")
+    write_paimon_fixture(
+        p,
+        [("dt", "STRING NOT NULL"), ("k", "INT"), ("v", "STRING")],
+        ["dt"],
+        [],
+        [(0, {"dt": "a"}, 0,
+          pa.table({"k": pa.array([1, 2], pa.int32()),
+                    "v": pa.array(["x", "y"], pa.string())}))],
+    )
+    write_lake_append(
+        p, spark.createDataFrame([("a", 3, "z"), ("b", 4, "w")],
+                                 "dt string, k int, v string")
+    )
+    t = PaimonLakeTable(p)
+    pb = t.new_read_builder().new_predicate_builder()
+    delete_lake_rows(p, pb.equal("k", 2))  # snapshot 3: DV marks
+    assert len(plan_paimon_files(p)) == 3  # fixture + 2 engine files
+    sid = compact_lake(p)
+    assert sid == 4
+    # one file per live (partition, bucket); DV rows physically gone
+    after = plan_paimon_files(p)
+    assert len(after) == 2 and sorted(e.row_count for e in after) == [1, 2]
+    out = PaimonLakeTable(p).new_read_builder().new_read().to_pandas()
+    assert sorted(out.k) == [1, 3, 4]
+    snap = json.load(open(os.path.join(p, "snapshot", f"snapshot-{sid}")))
+    assert snap["commitKind"] == "COMPACT"
+    assert snap["indexManifest"] is None
+    assert snap["totalRecordCount"] == 3
+    # incremental stream: the compact snapshot is a logical no-op
+    assert read_lake_incremental(p, 3).count() == 0
+    # time travel: pre-compact snapshot still reads the old files
+    old = (
+        PaimonLakeTable(p).new_read_builder().with_snapshot(2)
+        .new_read().to_pandas()
+    )
+    assert sorted(old.k) == [1, 2, 3, 4]
+
+
+def test_compact_lake_pk_table(tmp_path, spark):
+    """PK-lake compaction materializes the LSM merge (max seq per key
+    wins, -D drops) into one max-level file per bucket — and a LATER
+    level-0 upsert still wins the merge (sequence range monotonic)."""
+    from paimon_python_spark.paimon_import import plan_paimon_files
+    from paimon_python_spark.paimon_lake import (
+        PaimonLakeTable,
+        compact_lake,
+        delete_lake_rows,
+        write_lake_append,
+    )
+    from paimon_python_spark.session import set_spark
+
+    set_spark(spark)
+    p = str(tmp_path / "pk_compact")
+    kv = pa.schema(
+        [("_KEY_k", pa.int64()), ("_SEQUENCE_NUMBER", pa.int64()),
+         ("_VALUE_KIND", pa.int32()), ("k", pa.int64()), ("v", pa.string())]
+    )
+    write_paimon_fixture(
+        p, [("k", "BIGINT NOT NULL"), ("v", "STRING")], [], ["k"],
+        [(0, {}, 0, pa.table(
+            {"_KEY_k": [1, 2, 3], "_SEQUENCE_NUMBER": [0, 1, 2],
+             "_VALUE_KIND": [0, 0, 0], "k": [1, 2, 3],
+             "v": ["a", "b", "c"]}, schema=kv))],
+        options={"bucket": "2"},
+    )
+    write_lake_append(p, spark.createDataFrame([(2, "B"), (7, "g")],
+                                               "k bigint, v string"))
+    pb = PaimonLakeTable(p).new_read_builder().new_predicate_builder()
+    delete_lake_rows(p, pb.equal("k", 3))  # -D record commit
+    pre = (
+        PaimonLakeTable(p).new_read_builder().new_read().to_pandas()
+        .sort_values("k")
+    )
+    assert list(pre.k) == [1, 2, 7] and list(pre.v) == ["a", "B", "g"]
+    sid = compact_lake(p)
+    after = plan_paimon_files(p)
+    # one max-level file per non-empty bucket, merge materialized
+    assert all(e.level == 5 for e in after)
+    assert sum(e.row_count for e in after) == 3
+    post = (
+        PaimonLakeTable(p).new_read_builder().new_read().to_pandas()
+        .sort_values("k")
+    )
+    assert list(post.k) == [1, 2, 7] and list(post.v) == ["a", "B", "g"]
+    # a post-compact level-0 upsert still wins against the compacted file
+    write_lake_append(p, spark.createDataFrame([(2, "B2")], "k bigint, v string"))
+    final = (
+        PaimonLakeTable(p).new_read_builder().new_read().to_pandas()
+        .sort_values("k")
+    )
+    assert list(final.v) == ["a", "B2", "g"]
+
+
 def test_write_lake_append_retries_snapshot_race(tmp_path, spark):
     """A concurrent committer stealing the next snapshot id mid-commit
     must trigger a metadata-only re-plan, not a failure or overwrite."""
