@@ -3476,6 +3476,86 @@ FROM kept ORDER BY c_custkey
 """
 
 
+def paimon_lake_maintenance_roundtrip(spark, sf_dir):
+    """Lake MAINTENANCE trio on a real lake: snapshots 1-4 accumulate
+    nation batches, a TAG pins snapshot 2, rollback_lake(3) deletes
+    snapshot 4 and the file only it reached, expire_lake_snapshots(1)
+    drops snapshots 1-2's metadata while the tag keeps its rows
+    readable. Invariants (file reclaim counts, expired-read failure)
+    assert inside; the gate verifies head-state + tag-state rows."""
+    import pyarrow as pa
+
+    from paimon_python_spark.paimon_import import write_paimon_table_fixture
+    from paimon_python_spark.paimon_lake import (
+        PaimonLakeTable,
+        create_lake_tag,
+        expire_lake_snapshots,
+        rollback_lake,
+        write_lake_append,
+    )
+    from paimon_python_spark.session import set_spark
+
+    set_spark(spark)
+    nat = (
+        _t(spark, sf_dir, "nation")
+        .select("n_nationkey", "n_name")
+        .toPandas()
+        .sort_values("n_nationkey")
+    )
+    fixture = _fresh_warehouse("lakemaint") + "/nation_lake"
+    first = nat[nat.n_nationkey < 7]
+    write_paimon_table_fixture(
+        fixture,
+        [("n_nationkey", "BIGINT NOT NULL"), ("n_name", "STRING")],
+        [],
+        [],
+        [(0, {}, 0,
+          pa.table({"n_nationkey": pa.array(first.n_nationkey, pa.int64()),
+                    "n_name": pa.array(first.n_name, pa.string())}))],
+    )
+    nation = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("bigint"), "n_name"
+    )
+    for lo, hi in [(7, 14), (14, 21), (21, 25)]:
+        write_lake_append(
+            fixture,
+            nation.filter(
+                (F.col("n_nationkey") >= lo) & (F.col("n_nationkey") < hi)
+            ),
+        )
+    create_lake_tag(fixture, "v2", 2)
+    out = rollback_lake(fixture, 3)
+    assert out["snapshots_deleted"] == 1 and out["data_files_deleted"] >= 1
+    out2 = expire_lake_snapshots(fixture, 1)
+    assert out2["snapshots_deleted"] == 2
+    assert out2["data_files_deleted"] == 0  # the tag pins older files
+    try:
+        PaimonLakeTable(fixture).new_read_builder().with_snapshot(1).new_read().to_df()
+        raise AssertionError("expired snapshot must not read")
+    except AssertionError:
+        raise
+    except Exception:
+        pass  # like real Paimon: expired ids fail to plan
+    head = (
+        PaimonLakeTable(fixture).new_read_builder().new_read().to_df()
+        .select(F.lit("head").alias("state"), "n_nationkey", "n_name")
+    )
+    tagged = (
+        PaimonLakeTable(fixture).new_read_builder().with_tag("v2").new_read()
+        .to_df()
+        .select(F.lit("tag_v2").alias("state"), "n_nationkey", "n_name")
+    )
+    return head.unionByName(tagged).orderBy("state", "n_nationkey")
+
+
+PAIMON_LAKE_MAINTENANCE_SQL = """
+SELECT 'head' AS state, n_nationkey, n_name FROM nation WHERE n_nationkey < 21
+UNION ALL
+SELECT 'tag_v2', n_nationkey, n_name FROM nation WHERE n_nationkey < 14
+ORDER BY state, n_nationkey
+"""
+
+
 def paimon_scan_pushdown_roundtrip(spark, sf_dir):
     """Append table: write lineitem subset, read back through the
     engine's predicate/projection pushdown (PredicateBuilder surface +
@@ -7773,6 +7853,7 @@ _QUERIES: dict[str, Callable] = {
     "paimon_lake_avro_write_roundtrip": paimon_lake_avro_write_roundtrip,
     "paimon_lake_dv_history_roundtrip": paimon_lake_dv_history_roundtrip,
     "paimon_lake_compact_roundtrip": paimon_lake_compact_roundtrip,
+    "paimon_lake_maintenance_roundtrip": paimon_lake_maintenance_roundtrip,
     "paimon_lake_delete_roundtrip": paimon_lake_delete_roundtrip,
     "window_topk_per_group": window_topk_per_group,
     "dedup_exact": dedup_exact,
@@ -8088,6 +8169,7 @@ _ORACLES: dict[str, str] = {
     "paimon_lake_avro_write_roundtrip": PAIMON_LAKE_AVRO_WRITE_SQL,
     "paimon_lake_dv_history_roundtrip": PAIMON_LAKE_DV_HISTORY_SQL,
     "paimon_lake_compact_roundtrip": PAIMON_LAKE_COMPACT_SQL,
+    "paimon_lake_maintenance_roundtrip": PAIMON_LAKE_MAINTENANCE_SQL,
     "paimon_lake_delete_roundtrip": PAIMON_LAKE_DELETE_SQL,
 }
 
@@ -8107,6 +8189,7 @@ _GATE_HEAD = [
     "paimon_lake_avro_write_roundtrip",
     "paimon_lake_dv_history_roundtrip",
     "paimon_lake_compact_roundtrip",
+    "paimon_lake_maintenance_roundtrip",
     "window_ntile_quartile",
     "window_percent_rank",
     # never-gated after r6, verified locally 2026-08-14

@@ -860,19 +860,22 @@ def write_lake_append(table_path: str, df) -> int:
                 if not name.endswith(f".{fmt}"):
                     continue
                 src_f = os.path.join(src_dir, name)
+                if fmt == "parquet":
+                    rows = _pq.ParquetFile(src_f).metadata.num_rows
+                else:
+                    from paimon_python_spark.session import get_spark
+
+                    rows = get_spark().read.format(fmt).load(src_f).count()
+                if rows == 0:
+                    # Spark writes an empty part file per idle task;
+                    # adopting it would pad the manifest with 0-row
+                    # entries every scan must still plan
+                    continue
                 new_name = f"data-{uuid.uuid4()}-0.{fmt}"
                 ddir = os.path.join(table_path, *rel_parts, "bucket-0")
                 os.makedirs(ddir, exist_ok=True)
                 shutil.move(src_f, os.path.join(ddir, new_name))
                 dest = os.path.join(ddir, new_name)
-                if fmt == "parquet":
-                    rows = _pq.ParquetFile(dest).metadata.num_rows
-                else:
-                    from pyspark.sql import SparkSession
-
-                    from paimon_python_spark.session import get_spark
-
-                    rows = get_spark().read.format(fmt).load(dest).count()
                 entries.append(
                     {
                         "_VERSION": 2,
@@ -1363,6 +1366,205 @@ def write_lake_pk_append(
     if not man_entries:
         raise ValueError("write_lake_pk_append: empty input — nothing to commit")
     return _commit_lake_snapshot(table_path, info, man_entries, n_rows)
+
+
+def create_lake_tag(
+    table_path: str, name: str, snapshot_id: Optional[int] = None
+) -> int:
+    """Pin a snapshot of a REAL lake as a TAG — per the spec a tag file
+    is a full snapshot copy under ``tag/tag-<name>`` that stays
+    readable after the snapshot itself expires from ``snapshot/``
+    (mirrors the engine table's ``create_tag``, ``tags.py:33``).
+    Returns the pinned snapshot id."""
+    import json
+    import os
+    import shutil
+
+    from paimon_python_spark.paimon_import import latest_paimon_snapshot_id
+
+    sid = snapshot_id if snapshot_id is not None else latest_paimon_snapshot_id(
+        table_path
+    )
+    spath = os.path.join(table_path, "snapshot", f"snapshot-{sid}")
+    if not os.path.exists(spath):
+        raise ValueError(f"create_lake_tag: snapshot {sid} does not exist")
+    tdir = os.path.join(table_path, "tag")
+    os.makedirs(tdir, exist_ok=True)
+    tpath = os.path.join(tdir, f"tag-{name}")
+    if os.path.exists(tpath):
+        raise ValueError(f"create_lake_tag: tag {name!r} already exists")
+    shutil.copyfile(spath, tpath)
+    return sid
+
+
+def _lake_snapshot_footprint(table_path: str, snap: dict):
+    """(manifest-lists, manifests, live rel data paths, index files) a
+    snapshot reaches — KB-scale metadata walk, the unit of accounting
+    for rollback/expiry."""
+    import os
+
+    from paimon_python_spark.paimon_import import (
+        plan_paimon_dv,
+        plan_paimon_files,
+        read_manifest_list,
+        read_paimon_schema,
+    )
+
+    info = read_paimon_schema(table_path)
+    part_types = [info.spark_schema[k].dataType for k in info.partition_keys]
+    lists, manifests = set(), set()
+    for lst in (snap.get("baseManifestList"), snap.get("deltaManifestList"),
+                snap.get("changelogManifestList")):
+        if lst:
+            lists.add(lst)
+            manifests.update(read_manifest_list(table_path, lst))
+    live = {
+        e.rel_path(info.partition_keys, part_types)
+        for e in plan_paimon_files(table_path, snapshot=snap)
+    }
+    idx = set()
+    im = snap.get("indexManifest")
+    if im:
+        lists.add(im)
+        for r in plan_paimon_dv(table_path, snapshot=snap):
+            idx.add(os.path.relpath(r.index_path, table_path))
+    return lists, manifests, live, idx
+
+
+def _lake_tag_snapshots(table_path: str):
+    import json
+    import os
+
+    tdir = os.path.join(table_path, "tag")
+    out = []
+    if os.path.isdir(tdir):
+        for n in sorted(os.listdir(tdir)):
+            if n.startswith("tag-"):
+                with open(os.path.join(tdir, n)) as f:
+                    out.append(json.load(f))
+    return out
+
+
+def _delete_lake_metadata(table_path: str, snaps: list, kept: list) -> dict:
+    """Remove the snapshot files in ``snaps`` plus every manifest /
+    manifest list / data file / DV index file REACHABLE ONLY from them
+    (``kept`` snapshots — including tags — pin everything they
+    reach). Shared by rollback and expiry; returns deletion counts."""
+    import os
+
+    k_lists, k_mans, k_live, k_idx = set(), set(), set(), set()
+    for s in kept:
+        ls, ms, lv, ix = _lake_snapshot_footprint(table_path, s)
+        k_lists |= ls
+        k_mans |= ms
+        k_live |= lv
+        k_idx |= ix
+    d_lists, d_mans, d_live, d_idx = set(), set(), set(), set()
+    for s in snaps:
+        ls, ms, lv, ix = _lake_snapshot_footprint(table_path, s)
+        d_lists |= ls
+        d_mans |= ms
+        d_live |= lv
+        d_idx |= ix
+
+    def rm(path):
+        if os.path.exists(path):
+            os.remove(path)
+            return 1
+        return 0
+
+    n_files = sum(
+        rm(os.path.join(table_path, rel)) for rel in d_live - k_live
+    )
+    n_files += sum(
+        rm(os.path.join(table_path, rel)) for rel in d_idx - k_idx
+    )
+    n_mans = sum(
+        rm(os.path.join(table_path, "manifest", m))
+        for m in (d_mans - k_mans) | (d_lists - k_lists)
+    )
+    n_snaps = sum(
+        rm(os.path.join(table_path, "snapshot", f"snapshot-{s['id']}"))
+        for s in snaps
+    )
+    return {
+        "snapshots_deleted": n_snaps,
+        "manifests_deleted": n_mans,
+        "data_files_deleted": n_files,
+    }
+
+
+def rollback_lake(table_path: str, snapshot_id: int) -> dict:
+    """Roll a REAL lake back to ``snapshot_id``: snapshots AFTER it are
+    deleted along with every data file / manifest / DV index reachable
+    only from them (tagged snapshots pin their files), and the LATEST
+    hint rewinds — Paimon's ``rollback-to`` semantics. Driver-side
+    KB-scale metadata work. Returns deletion counts."""
+    import json
+    import os
+
+    from paimon_python_spark.paimon_import import (
+        latest_paimon_snapshot_id,
+        read_paimon_snapshot,
+    )
+
+    latest = latest_paimon_snapshot_id(table_path)
+    if not os.path.exists(
+        os.path.join(table_path, "snapshot", f"snapshot-{snapshot_id}")
+    ):
+        raise ValueError(f"rollback_lake: snapshot {snapshot_id} does not exist")
+    doomed = [
+        read_paimon_snapshot(table_path, sid)
+        for sid in range(snapshot_id + 1, latest + 1)
+        if os.path.exists(os.path.join(table_path, "snapshot", f"snapshot-{sid}"))
+    ]
+    kept = [
+        read_paimon_snapshot(table_path, sid)
+        for sid in range(1, snapshot_id + 1)
+        if os.path.exists(os.path.join(table_path, "snapshot", f"snapshot-{sid}"))
+    ] + _lake_tag_snapshots(table_path)
+    out = _delete_lake_metadata(table_path, doomed, kept)
+    with open(os.path.join(table_path, "snapshot", "LATEST"), "w") as f:
+        f.write(str(snapshot_id))
+    return out
+
+
+def expire_lake_snapshots(table_path: str, keep_last_n: int) -> dict:
+    """Expire all but the newest ``keep_last_n`` snapshots of a REAL
+    lake (Paimon's ``snapshot.num-retained.max`` maintenance): old
+    snapshot files go away along with manifests / data files / DV
+    indexes no kept-or-tagged snapshot reaches. Time travel to an
+    expired id then fails exactly like real Paimon; tags pin their
+    snapshot's files forever. Returns deletion counts."""
+    import os
+
+    from paimon_python_spark.paimon_import import (
+        latest_paimon_snapshot_id,
+        read_paimon_snapshot,
+    )
+
+    if keep_last_n < 1:
+        raise ValueError("keep_last_n must be >= 1")
+    latest = latest_paimon_snapshot_id(table_path)
+    cutoff = latest - keep_last_n + 1
+    sdir = os.path.join(table_path, "snapshot")
+    doomed = [
+        read_paimon_snapshot(table_path, sid)
+        for sid in range(1, cutoff)
+        if os.path.exists(os.path.join(sdir, f"snapshot-{sid}"))
+    ]
+    if not doomed:
+        return {
+            "snapshots_deleted": 0,
+            "manifests_deleted": 0,
+            "data_files_deleted": 0,
+        }
+    kept = [
+        read_paimon_snapshot(table_path, sid)
+        for sid in range(cutoff, latest + 1)
+        if os.path.exists(os.path.join(sdir, f"snapshot-{sid}"))
+    ] + _lake_tag_snapshots(table_path)
+    return _delete_lake_metadata(table_path, doomed, kept)
 
 
 def compact_lake(table_path: str) -> int:

@@ -1727,6 +1727,107 @@ def test_compact_lake_pk_table(tmp_path, spark):
     assert list(final.v) == ["a", "B2", "g"]
 
 
+def test_lake_maintenance_tag_rollback_expire(tmp_path, spark):
+    """Lake maintenance trio: create_lake_tag pins a snapshot copy,
+    rollback_lake deletes newer snapshots AND the files only they
+    reach, expire_lake_snapshots drops old snapshots while tagged ones
+    keep their files readable."""
+    import os
+
+    from paimon_python_spark.paimon_lake import (
+        PaimonLakeTable,
+        create_lake_tag,
+        expire_lake_snapshots,
+        rollback_lake,
+        write_lake_append,
+    )
+    from paimon_python_spark.session import set_spark
+
+    set_spark(spark)
+    p = str(tmp_path / "maint_lake")
+    write_paimon_fixture(
+        p,
+        [("k", "INT"), ("v", "STRING")],
+        [],
+        [],
+        [(0, {}, 0, pa.table({"k": pa.array([1], pa.int32()),
+                              "v": pa.array(["a"], pa.string())}))],
+    )
+    for i, (k, v) in enumerate([(2, "b"), (3, "c"), (4, "d")], start=2):
+        assert write_lake_append(
+            p, spark.createDataFrame([(k, v)], "k int, v string")
+        ) == i
+    # tag snapshot 2, then roll back to 3: snapshot 4's file dies
+    assert create_lake_tag(p, "two", 2) == 2
+    n_data_before = sum(len(fs) for _, _, fs in os.walk(os.path.join(p, "bucket-0")))
+    out = rollback_lake(p, 3)
+    assert out["snapshots_deleted"] == 1 and out["data_files_deleted"] == 1
+    t = PaimonLakeTable(p)
+    assert sorted(t.new_read_builder().new_read().to_pandas().k) == [1, 2, 3]
+    n_data_after = sum(len(fs) for _, _, fs in os.walk(os.path.join(p, "bucket-0")))
+    assert n_data_after == n_data_before - 1
+    # expire to the newest snapshot only: snapshots 1-2 go, but the
+    # tag pins snapshot 2's files — all three rows still read via tag?
+    # no: tag-2 pins snapshots 1+2's DATA (its live set), so only
+    # metadata for 1-2 dies
+    out2 = expire_lake_snapshots(p, 1)
+    assert out2["snapshots_deleted"] == 2
+    assert out2["data_files_deleted"] == 0  # tag pins every older file
+    assert sorted(t.new_read_builder().new_read().to_pandas().k) == [1, 2, 3]
+    tagged = (
+        PaimonLakeTable(p).new_read_builder().with_tag("two")
+        .new_read().to_pandas()
+    )
+    assert sorted(tagged.k) == [1, 2]
+    # time travel to an expired snapshot fails like real Paimon
+    with pytest.raises(Exception):
+        PaimonLakeTable(p).new_read_builder().with_snapshot(1).new_read().to_df()
+    # idempotent second expire
+    assert expire_lake_snapshots(p, 1)["snapshots_deleted"] == 0
+    # duplicate tag refuses
+    with pytest.raises(ValueError, match="already exists"):
+        create_lake_tag(p, "two", 3)
+
+
+def test_expire_lake_unpinned_files_die(tmp_path, spark):
+    """Without a tag, expiry reclaims data files only expired snapshots
+    reach — rewritten-away compaction inputs actually free space."""
+    import os
+
+    from paimon_python_spark.paimon_lake import (
+        compact_lake,
+        expire_lake_snapshots,
+        PaimonLakeTable,
+        write_lake_append,
+    )
+    from paimon_python_spark.session import set_spark
+
+    set_spark(spark)
+    p = str(tmp_path / "reclaim_lake")
+    write_paimon_fixture(
+        p,
+        [("k", "INT")],
+        [],
+        [],
+        [(0, {}, 0, pa.table({"k": pa.array([1, 2], pa.int32())}))],
+    )
+    write_lake_append(p, spark.createDataFrame([(3,)], "k int"))
+    compact_lake(p)  # snapshot 3: old two files now unreachable-if-expired
+    def ndata():
+        return sum(
+            1 for _, _, fs in os.walk(p)
+            for f in fs if f.startswith("data-") or f.endswith(".parquet")
+        )
+    before = ndata()
+    out = expire_lake_snapshots(p, 1)
+    assert out["snapshots_deleted"] == 2
+    assert out["data_files_deleted"] == 2  # both pre-compaction files
+    assert ndata() == before - 2
+    assert sorted(
+        PaimonLakeTable(p).new_read_builder().new_read().to_pandas().k
+    ) == [1, 2, 3]
+
+
 def test_write_lake_append_retries_snapshot_race(tmp_path, spark):
     """A concurrent committer stealing the next snapshot id mid-commit
     must trigger a metadata-only re-plan, not a failure or overwrite."""
