@@ -4107,6 +4107,95 @@ FROM supplier ORDER BY s_suppkey
 """
 
 
+def paimon_lake_stream_sink_roundtrip(spark, sf_dir):
+    """Streaming ingestion INTO A REAL LAKE (StreamingLakeSink): a
+    Structured Streaming file source of supplier rows upserts a
+    fixture PK lake via foreachBatch -> write_lake_pk_append (one spec
+    APPEND snapshot per micro-batch, fixed-bucket key-value files);
+    a -D retraction batch then deletes the low-balance keys. The lake's
+    own merged read must equal the SQL replay."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+
+    from paimon_python_spark.paimon_import import write_paimon_table_fixture
+    from paimon_python_spark.paimon_lake import PaimonLakeTable
+    from paimon_python_spark.session import set_spark
+    from paimon_python_spark.streaming import StreamingLakeSink
+
+    set_spark(spark)
+    sup = (
+        _t(spark, sf_dir, "supplier")
+        .select("s_suppkey", "s_acctbal")
+        .toPandas()
+        .sort_values("s_suppkey")
+    )
+    half = sup[sup.s_suppkey % 2 == 0]
+    fixture = _fresh_warehouse("lakestream") + "/supp_pk"
+    kv = pa.schema(
+        [("_KEY_s_suppkey", pa.int64()), ("_SEQUENCE_NUMBER", pa.int64()),
+         ("_VALUE_KIND", pa.int32()), ("s_suppkey", pa.int64()),
+         ("s_acctbal", pa.float64())]
+    )
+    n = len(half)
+    write_paimon_table_fixture(
+        fixture,
+        [("s_suppkey", "BIGINT NOT NULL"), ("s_acctbal", "DOUBLE")],
+        [],
+        ["s_suppkey"],
+        [(0, {}, 0, pa.table(
+            {"_KEY_s_suppkey": pa.array(half.s_suppkey, pa.int64()),
+             "_SEQUENCE_NUMBER": pa.array(range(n), pa.int64()),
+             "_VALUE_KIND": pa.array([0] * n, pa.int32()),
+             "s_suppkey": pa.array(half.s_suppkey, pa.int64()),
+             "s_acctbal": pa.array(half.s_acctbal, pa.float64())},
+            schema=kv))],
+        options={"bucket": "2"},
+    )
+    # stream source: every supplier row with balance DOUBLED — odd keys
+    # insert, even keys upsert over the fixture
+    src_dir = tempfile.mkdtemp(prefix="lakestream_src")
+    stage = (
+        _t(spark, sf_dir, "supplier")
+        .select(
+            F.col("s_suppkey").cast("bigint"),
+            (F.col("s_acctbal") * 2).alias("s_acctbal"),
+        )
+    )
+    stage.write.mode("overwrite").parquet(src_dir)
+    sink = StreamingLakeSink(fixture, stream_id="gate")
+    q = sink.attach(
+        spark.readStream.schema(stage.schema).parquet(src_dir),
+        checkpoint=tempfile.mkdtemp(prefix="lakestream_ckpt"),
+        trigger_once=True,
+    )
+    q.awaitTermination(120)
+    # CDC retraction batch: -D the negative-balance keys
+    retract = (
+        PaimonLakeTable(fixture).new_read_builder().new_read().to_df()
+        .filter(F.col("s_acctbal") < 0.0)
+        .select("s_suppkey", "s_acctbal", F.lit(3).alias("rk"))
+    )
+    StreamingLakeSink(fixture, stream_id="gate_cdc", row_kind_col="rk").write_batch(
+        retract, batch_id=0
+    )
+    return (
+        PaimonLakeTable(fixture)
+        .new_read_builder()
+        .new_read()
+        .to_df()
+        .orderBy("s_suppkey")
+    )
+
+
+PAIMON_LAKE_STREAM_SINK_SQL = """
+SELECT s_suppkey, s_acctbal * 2 AS s_acctbal
+FROM supplier WHERE s_acctbal * 2 >= 0.0
+ORDER BY s_suppkey
+"""
+
+
 def paimon_stream_sink_roundtrip(spark, sf_dir):
     """Streaming ingestion: events flow through a Structured Streaming
     file source into a PK table via the foreachBatch sink (one atomic
@@ -7854,6 +7943,7 @@ _QUERIES: dict[str, Callable] = {
     "paimon_lake_dv_history_roundtrip": paimon_lake_dv_history_roundtrip,
     "paimon_lake_compact_roundtrip": paimon_lake_compact_roundtrip,
     "paimon_lake_maintenance_roundtrip": paimon_lake_maintenance_roundtrip,
+    "paimon_lake_stream_sink_roundtrip": paimon_lake_stream_sink_roundtrip,
     "paimon_lake_delete_roundtrip": paimon_lake_delete_roundtrip,
     "window_topk_per_group": window_topk_per_group,
     "dedup_exact": dedup_exact,
@@ -8170,6 +8260,7 @@ _ORACLES: dict[str, str] = {
     "paimon_lake_dv_history_roundtrip": PAIMON_LAKE_DV_HISTORY_SQL,
     "paimon_lake_compact_roundtrip": PAIMON_LAKE_COMPACT_SQL,
     "paimon_lake_maintenance_roundtrip": PAIMON_LAKE_MAINTENANCE_SQL,
+    "paimon_lake_stream_sink_roundtrip": PAIMON_LAKE_STREAM_SINK_SQL,
     "paimon_lake_delete_roundtrip": PAIMON_LAKE_DELETE_SQL,
 }
 
@@ -8190,6 +8281,7 @@ _GATE_HEAD = [
     "paimon_lake_dv_history_roundtrip",
     "paimon_lake_compact_roundtrip",
     "paimon_lake_maintenance_roundtrip",
+    "paimon_lake_stream_sink_roundtrip",
     "window_ntile_quartile",
     "window_percent_rank",
     # never-gated after r6, verified locally 2026-08-14

@@ -29,10 +29,17 @@ from paimon_python_spark.streaming.windows import (
     stream_stream_interval_join,
 )
 from paimon_python_spark.streaming.stateful import running_totals, sessionize_stateful
-from paimon_python_spark.streaming.sink import StreamingTableSink, stream_upsert
+from paimon_python_spark.streaming.sink import (
+    StreamingLakeSink,
+    StreamingTableSink,
+    stream_into_lake,
+    stream_upsert,
+)
 
 __all__ = [
+    "StreamingLakeSink",
     "StreamingTableSink",
+    "stream_into_lake",
     "stream_upsert",
     "read_incremental",
     "changelog_diff",

@@ -109,3 +109,67 @@ def stream_upsert(table, stream_df: DataFrame, stream_id: str = "default", **kw)
     """Convenience: attach ``stream_df`` as a continuous upsert into a
     PK table (or append into an append table); returns the query."""
     return StreamingTableSink(table, stream_id=stream_id).attach(stream_df, **kw)
+
+
+class StreamingLakeSink(StreamingTableSink):
+    """Continuous ingestion INTO A REAL PAIMON LAKE — the streaming
+    face of ``write_lake_append``: each micro-batch commits one spec
+    APPEND snapshot (PK lakes route through the fixed-bucket key-value
+    path, so the stream is a CDC upsert the lake's own readers
+    resolve), deduplicated by batch id exactly like the engine sink.
+
+    The idempotence marker lives under ``<lake>/streaming/`` — a
+    directory foreign to the spec that JVM readers never touch
+    (pass ``marker_dir`` to keep the lake pristine, e.g. next to the
+    checkpoint). ``row_kind_col`` streams retractions: a ``-D`` row in
+    a micro-batch deletes its key in the lake.
+    """
+
+    def __init__(
+        self,
+        table_path: str,
+        stream_id: str = "default",
+        row_kind_col: Optional[str] = None,
+        marker_dir: Optional[str] = None,
+    ):
+        self.table_path = table_path
+        self.stream_id = stream_id
+        self.row_kind_col = row_kind_col
+        self._marker_dir = marker_dir or os.path.join(table_path, "streaming")
+
+    def _marker_path(self) -> str:
+        return os.path.join(self._marker_dir, f"offsets-{self.stream_id}.json")
+
+    def write_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id <= self.last_committed_batch():
+            return
+        if batch_df.isEmpty():
+            self._record_batch(batch_id)
+            return
+        from paimon_python_spark.paimon_import import read_paimon_schema
+        from paimon_python_spark.paimon_lake import (
+            write_lake_append,
+            write_lake_pk_append,
+        )
+
+        if self.row_kind_col:
+            info = read_paimon_schema(self.table_path)
+            if not info.primary_keys:
+                raise ValueError(
+                    "StreamingLakeSink: row_kind_col needs a PK lake "
+                    "(append lakes cannot retract rows)"
+                )
+            write_lake_pk_append(
+                self.table_path, batch_df, row_kind_col=self.row_kind_col
+            )
+        else:
+            write_lake_append(self.table_path, batch_df)
+        self._record_batch(batch_id)
+
+
+def stream_into_lake(
+    table_path: str, stream_df: DataFrame, stream_id: str = "default", **kw
+):
+    """Convenience: attach ``stream_df`` as continuous ingestion into a
+    real Paimon lake (upsert on PK lakes); returns the query."""
+    return StreamingLakeSink(table_path, stream_id=stream_id).attach(stream_df, **kw)

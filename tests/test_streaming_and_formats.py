@@ -480,6 +480,63 @@ def test_streaming_sink_upsert(catalog, spark, tmp_path):
     assert 9 not in out["k"].tolist()
 
 
+def test_streaming_lake_sink(spark, tmp_path):
+    """Streaming INTO a real lake: micro-batches commit spec APPEND
+    snapshots (PK lake → CDC upserts the lake's own readers resolve);
+    batch ids replay idempotently; -D retraction rows delete keys."""
+    import pyarrow as pa
+
+    from paimon_python_spark.paimon_import import (
+        latest_paimon_snapshot_id,
+        write_paimon_table_fixture,
+    )
+    from paimon_python_spark.paimon_lake import PaimonLakeTable
+    from paimon_python_spark.session import set_spark
+    from paimon_python_spark.streaming import StreamingLakeSink
+
+    set_spark(spark)
+    p = str(tmp_path / "stream_lake")
+    kv = pa.schema(
+        [("_KEY_k", pa.int64()), ("_SEQUENCE_NUMBER", pa.int64()),
+         ("_VALUE_KIND", pa.int32()), ("k", pa.int64()), ("v", pa.string())]
+    )
+    write_paimon_table_fixture(
+        p, [("k", "BIGINT NOT NULL"), ("v", "STRING")], [], ["k"],
+        [(0, {}, 0, pa.table(
+            {"_KEY_k": [1, 2], "_SEQUENCE_NUMBER": [0, 1],
+             "_VALUE_KIND": [0, 0], "k": [1, 2], "v": ["a", "b"]},
+            schema=kv))],
+        options={"bucket": "2"},
+    )
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    base = spark.createDataFrame([(2, "B"), (3, "c")], "k long, v string")
+    base.write.parquet(src)
+    sink = StreamingLakeSink(p, stream_id="s1")
+    q = sink.attach(
+        spark.readStream.schema(base.schema).parquet(src),
+        checkpoint=ckpt,
+        trigger_once=True,
+    )
+    q.awaitTermination(120)
+    out = PaimonLakeTable(p).new_read_builder().new_read().to_pandas().sort_values("k")
+    assert list(out.v) == ["a", "B", "c"]
+    assert latest_paimon_snapshot_id(p) == 2  # one spec commit per batch
+    # replayed batch id is a no-op
+    sink.write_batch(
+        spark.createDataFrame([(9, "z")], "k long, v string"),
+        batch_id=sink.last_committed_batch(),
+    )
+    assert 9 not in PaimonLakeTable(p).new_read_builder().new_read().to_pandas().k.tolist()
+    # -D retraction stream deletes its key
+    sink_cdc = StreamingLakeSink(p, stream_id="s2", row_kind_col="rk")
+    sink_cdc.write_batch(
+        spark.createDataFrame([(3, "c", 3)], "k long, v string, rk int"),
+        batch_id=0,
+    )
+    out2 = PaimonLakeTable(p).new_read_builder().new_read().to_pandas().sort_values("k")
+    assert list(out2.k) == [1, 2] and list(out2.v) == ["a", "B"]
+
+
 def test_consumer_offsets_resume(catalog):
     from paimon_python_spark.streaming import stream_snapshots
     from paimon_python_spark.streaming.incremental import read_consumer_offset
