@@ -1978,21 +1978,32 @@ def _import_with_history(
         dv_s = plan_paimon_dv(paimon_table_path, snapshot=snap)
         dv_sig = {(r.index_path, r.data_file_name, r.offset, r.length) for r in dv_s}
         if dv_sig != prev_dv_sig:
-            if info.primary_keys:
-                raise NotImplementedError(
-                    "preserve_history: deletion vectors on a PK lake — "
-                    "import without preserve_history to flatten"
-                )
             prev_dv_sig = dv_sig
-            visible = read_paimon_append_entries(
-                spark,
-                info,
-                plan_paimon_files(paimon_table_path, snapshot=snap),
-                src,
-                fmt,
-                dv_ranges=dv_s,
-                table_path=paimon_table_path,
-            )
+            all_entries = plan_paimon_files(paimon_table_path, snapshot=snap)
+            if info.primary_keys:
+                # PK lake: the snapshot's visible state is the LSM
+                # merge with the new index's marks applied — replay it
+                # as a whole-table overwrite (the engine's later delta
+                # appends upsert against this base)
+                visible = merge_paimon_pk_entries(
+                    spark,
+                    info,
+                    all_entries,
+                    src,
+                    fmt,
+                    dv_ranges=dv_s,
+                    table_path=paimon_table_path,
+                )
+            else:
+                visible = read_paimon_append_entries(
+                    spark,
+                    info,
+                    all_entries,
+                    src,
+                    fmt,
+                    dv_ranges=dv_s,
+                    table_path=paimon_table_path,
+                )
             wb = table.new_batch_write_builder().overwrite()
             writer, committer = wb.new_write(), wb.new_commit()
             writer.write_dataframe(visible)
@@ -2050,9 +2061,12 @@ def import_paimon_table(
     ``preserve_history=True`` instead replays each Paimon snapshot as
     one engine commit (APPEND/COMPACT chains; deltas in original
     sequence order, PK RowKinds kept), so time travel on the imported
-    table reaches pre-import states. Deletion-vector tables flatten
-    only (a DV index rewrites visibility retroactively — per-snapshot
-    replay would need each snapshot's own index; rejected loudly)."""
+    table reaches pre-import states. Deletion-vector snapshots replay
+    too (r7): a DV index rewrites visibility retroactively, so an
+    index-changing snapshot materializes as a whole-table overwrite of
+    its exact visible rows — append lakes replay the visible file
+    rows, PK lakes the merged LSM state with the marks applied —
+    and unchanged-index snapshots stay cheap delta appends."""
     import shutil
 
     from paimon_python_spark.schema import Schema

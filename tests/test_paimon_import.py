@@ -1015,6 +1015,53 @@ def test_import_preserve_history_dv(tmp_path, catalog, spark):
     assert sorted(t.new_read_builder().new_read().to_pandas().k) == [1, 3, 5]
 
 
+def test_import_preserve_history_pk_dv(tmp_path, catalog, spark):
+    """PK lake with a REAL DV INDEX (the JVM writer's
+    deletion-vectors.enabled layout, not -D records): the DV-carrying
+    snapshot replays as an overwrite of the MERGED visible state (LSM
+    merge + marks), and later upsert snapshots keep working against
+    that base."""
+    from paimon_python_spark.paimon_import import attach_paimon_dv_fixture
+    from paimon_python_spark.paimon_lake import PaimonLakeTable, write_lake_append
+    from paimon_python_spark.session import set_spark
+
+    set_spark(spark)
+    p = str(tmp_path / "hist_pk_dv")
+    kv = pa.schema(
+        [("_KEY_k", pa.int64()), ("_SEQUENCE_NUMBER", pa.int64()),
+         ("_VALUE_KIND", pa.int32()), ("k", pa.int64()), ("v", pa.string())]
+    )
+    write_paimon_fixture(
+        p, [("k", "BIGINT NOT NULL"), ("v", "STRING")], [], ["k"],
+        [(0, {}, 0, pa.table(
+            {"_KEY_k": [1, 2, 3], "_SEQUENCE_NUMBER": [0, 1, 2],
+             "_VALUE_KIND": [0, 0, 0], "k": [1, 2, 3],
+             "v": ["a", "b", "c"]}, schema=kv))],
+        options={"bucket": "1", "deletion-vectors.enabled": "true"},
+    )
+    write_lake_append(
+        p, spark.createDataFrame([(3, "C")], "k bigint, v string")
+    )  # snapshot 2: upsert...
+    # ...whose index also MARKS row 1 (key 2) of the fixture file —
+    # the shape a DV-enabled JVM writer leaves behind
+    attach_paimon_dv_fixture(p, {"data-fixture-0.parquet": [1]})
+    write_lake_append(
+        p, spark.createDataFrame([(4, "d")], "k bigint, v string")
+    )  # snapshot 3: plain upsert, index carried forward
+    t = import_paimon_table(p, catalog, "default.hist_pk_dv", preserve_history=True)
+
+    def ks(sid=None):
+        rb = t.new_read_builder()
+        if sid is not None:
+            rb = rb.with_snapshot(sid)
+        out = rb.new_read().to_pandas().sort_values("k")
+        return list(zip(out.k, out.v))
+
+    assert ks(1) == [(1, "a"), (2, "b"), (3, "c")]
+    assert ks(2) == [(1, "a"), (3, "C")]
+    assert ks() == [(1, "a"), (3, "C"), (4, "d")]
+
+
 def test_export_paimon_table_roundtrip(tmp_path, catalog, spark):
     """REVERSE bridge: an engine table exports to a spec-format Paimon
     layout that this repo's own lake reader (and importer) consume —
