@@ -4196,6 +4196,72 @@ ORDER BY s_suppkey
 """
 
 
+def paimon_lake_merge_engine_roundtrip(spark, sf_dir):
+    """A REAL lake declaring merge-engine=aggregation reads with the
+    FOLD, not last-row-wins: order line-counts per customer accumulate
+    across a fixture commit and an engine upsert commit; the lake's
+    merged read must equal the plain GROUP BY. (Reading such a lake as
+    deduplicate would silently return one commit's count.)"""
+    import pyarrow as pa
+
+    from paimon_python_spark.paimon_import import write_paimon_table_fixture
+    from paimon_python_spark.paimon_lake import PaimonLakeTable, write_lake_append
+    from paimon_python_spark.session import set_spark
+
+    set_spark(spark)
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 300)
+    first = (
+        orders.filter(F.col("o_orderkey") % 2 == 0)
+        .groupBy("o_custkey")
+        .agg(F.count("*").cast("bigint").alias("n_orders"))
+        .toPandas()
+        .sort_values("o_custkey")
+    )
+    fixture = _fresh_warehouse("lakemerge") + "/cust_counts"
+    kv = pa.schema(
+        [("_KEY_o_custkey", pa.int64()), ("_SEQUENCE_NUMBER", pa.int64()),
+         ("_VALUE_KIND", pa.int32()), ("o_custkey", pa.int64()),
+         ("n_orders", pa.int64())]
+    )
+    n = len(first)
+    write_paimon_table_fixture(
+        fixture,
+        [("o_custkey", "BIGINT NOT NULL"), ("n_orders", "BIGINT")],
+        [],
+        ["o_custkey"],
+        [(0, {}, 0, pa.table(
+            {"_KEY_o_custkey": pa.array(first.o_custkey, pa.int64()),
+             "_SEQUENCE_NUMBER": pa.array(range(n), pa.int64()),
+             "_VALUE_KIND": pa.array([0] * n, pa.int32()),
+             "o_custkey": pa.array(first.o_custkey, pa.int64()),
+             "n_orders": pa.array(first.n_orders, pa.int64())},
+            schema=kv))],
+        options={"bucket": "2", "merge-engine": "aggregation",
+                 "fields.n_orders.aggregate-function": "sum"},
+    )
+    second = (
+        orders.filter(F.col("o_orderkey") % 2 == 1)
+        .groupBy("o_custkey")
+        .agg(F.count("*").cast("bigint").alias("n_orders"))
+        .select(F.col("o_custkey").cast("bigint"), "n_orders")
+    )
+    write_lake_append(fixture, second)
+    return (
+        PaimonLakeTable(fixture)
+        .new_read_builder()
+        .new_read()
+        .to_df()
+        .orderBy("o_custkey")
+    )
+
+
+PAIMON_LAKE_MERGE_ENGINE_SQL = """
+SELECT o_custkey, count(*) AS n_orders
+FROM orders WHERE o_custkey <= 300
+GROUP BY o_custkey ORDER BY o_custkey
+"""
+
+
 def paimon_stream_sink_roundtrip(spark, sf_dir):
     """Streaming ingestion: events flow through a Structured Streaming
     file source into a PK table via the foreachBatch sink (one atomic
@@ -7944,6 +8010,7 @@ _QUERIES: dict[str, Callable] = {
     "paimon_lake_compact_roundtrip": paimon_lake_compact_roundtrip,
     "paimon_lake_maintenance_roundtrip": paimon_lake_maintenance_roundtrip,
     "paimon_lake_stream_sink_roundtrip": paimon_lake_stream_sink_roundtrip,
+    "paimon_lake_merge_engine_roundtrip": paimon_lake_merge_engine_roundtrip,
     "paimon_lake_delete_roundtrip": paimon_lake_delete_roundtrip,
     "window_topk_per_group": window_topk_per_group,
     "dedup_exact": dedup_exact,
@@ -8261,6 +8328,7 @@ _ORACLES: dict[str, str] = {
     "paimon_lake_compact_roundtrip": PAIMON_LAKE_COMPACT_SQL,
     "paimon_lake_maintenance_roundtrip": PAIMON_LAKE_MAINTENANCE_SQL,
     "paimon_lake_stream_sink_roundtrip": PAIMON_LAKE_STREAM_SINK_SQL,
+    "paimon_lake_merge_engine_roundtrip": PAIMON_LAKE_MERGE_ENGINE_SQL,
     "paimon_lake_delete_roundtrip": PAIMON_LAKE_DELETE_SQL,
 }
 
@@ -8282,6 +8350,7 @@ _GATE_HEAD = [
     "paimon_lake_compact_roundtrip",
     "paimon_lake_maintenance_roundtrip",
     "paimon_lake_stream_sink_roundtrip",
+    "paimon_lake_merge_engine_roundtrip",
     "window_ntile_quartile",
     "window_percent_rank",
     # never-gated after r6, verified locally 2026-08-14

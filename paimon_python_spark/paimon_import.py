@@ -1765,6 +1765,28 @@ def merge_paimon_pk_entries(
     if dv_ranges:
         raw = apply_lake_dv(spark, raw, dv_ranges, "__file_name", "__row_pos")
     value_cols = [f.name for f in info.spark_schema.fields]
+    engine = info.options.get("merge-engine", "deduplicate")
+    if engine != "deduplicate":
+        # a lake declaring first-row / partial-update / aggregation
+        # carries the SAME options vocabulary as the engine's own
+        # tables, so the shared merge_on_read resolves it (hash
+        # aggregates for partial-update/aggregation — map-side combine,
+        # not a window); reading such a lake as deduplicate would be a
+        # silently wrong answer
+        from paimon_python_spark.read import merge_on_read
+
+        merged = merge_on_read(
+            raw.select(*value_cols, SEQ_COL, KIND_COL),
+            info,
+            seq_col=SEQ_COL,
+            kind_col=KIND_COL,
+        )
+        return merged.select(
+            *[
+                F.col(f.name).cast(f.dataType).alias(f.name)
+                for f in info.spark_schema.fields
+            ]
+        )
     merge_keys = list(dict.fromkeys(info.partition_keys + info.primary_keys))
     # file names are UUID-unique within a Paimon table, so a broadcast
     # (file_name → entry order, level) lookup rides next to every row

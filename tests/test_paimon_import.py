@@ -1015,6 +1015,63 @@ def test_import_preserve_history_dv(tmp_path, catalog, spark):
     assert sorted(t.new_read_builder().new_read().to_pandas().k) == [1, 3, 5]
 
 
+def test_lake_read_merge_engines(tmp_path, spark):
+    """A real lake declaring a non-default merge-engine reads with THAT
+    engine's semantics (reading aggregation/partial-update lakes as
+    deduplicate would silently return the last row instead of the
+    fold)."""
+    from paimon_python_spark.paimon_lake import PaimonLakeTable, write_lake_append
+    from paimon_python_spark.session import set_spark
+
+    set_spark(spark)
+    kv = pa.schema(
+        [("_KEY_k", pa.int64()), ("_SEQUENCE_NUMBER", pa.int64()),
+         ("_VALUE_KIND", pa.int32()), ("k", pa.int64()), ("v", pa.int64())]
+    )
+
+    def mk(name, options):
+        p = str(tmp_path / name)
+        write_paimon_fixture(
+            p, [("k", "BIGINT NOT NULL"), ("v", "BIGINT")], [], ["k"],
+            [(0, {}, 0, pa.table(
+                {"_KEY_k": [1, 1, 2], "_SEQUENCE_NUMBER": [0, 1, 2],
+                 "_VALUE_KIND": [0, 0, 0], "k": [1, 1, 2],
+                 "v": [10, 20, 5]}, schema=kv))],
+            options={"bucket": "1", **options},
+        )
+        return p
+
+    # aggregation: sum folds all versions
+    p = mk("agg_lake", {"merge-engine": "aggregation",
+                        "fields.v.aggregate-function": "sum"})
+    write_lake_append(p, spark.createDataFrame([(2, 7)], "k bigint, v bigint"))
+    out = PaimonLakeTable(p).new_read_builder().new_read().to_pandas().sort_values("k")
+    assert list(out.v) == [30, 12]
+    # first-row: earliest version wins
+    p2 = mk("fr_lake", {"merge-engine": "first-row"})
+    write_lake_append(p2, spark.createDataFrame([(1, 99)], "k bigint, v bigint"))
+    out2 = PaimonLakeTable(p2).new_read_builder().new_read().to_pandas().sort_values("k")
+    assert list(out2.v) == [10, 5]
+    # partial-update: latest NON-NULL per column
+    kv2 = pa.schema(
+        [("_KEY_k", pa.int64()), ("_SEQUENCE_NUMBER", pa.int64()),
+         ("_VALUE_KIND", pa.int32()), ("k", pa.int64()),
+         ("a", pa.int64()), ("b", pa.int64())]
+    )
+    p3 = str(tmp_path / "pu_lake")
+    write_paimon_fixture(
+        p3, [("k", "BIGINT NOT NULL"), ("a", "BIGINT"), ("b", "BIGINT")],
+        [], ["k"],
+        [(0, {}, 0, pa.table(
+            {"_KEY_k": [1, 1], "_SEQUENCE_NUMBER": [0, 1],
+             "_VALUE_KIND": [0, 0], "k": [1, 1],
+             "a": [7, None], "b": [None, 8]}, schema=kv2))],
+        options={"bucket": "1", "merge-engine": "partial-update"},
+    )
+    out3 = PaimonLakeTable(p3).new_read_builder().new_read().to_pandas()
+    assert out3.a.tolist() == [7] and out3.b.tolist() == [8]
+
+
 def test_import_preserve_history_pk_dv(tmp_path, catalog, spark):
     """PK lake with a REAL DV INDEX (the JVM writer's
     deletion-vectors.enabled layout, not -D records): the DV-carrying
