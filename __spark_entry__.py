@@ -3420,17 +3420,19 @@ def paimon_lake_compact_roundtrip(spark, sf_dir):
             schema=kv))],
         options={"bucket": "4"},
     )
-    # engine upsert: zero the balance of keys 1..200
+    # engine upsert: keys 1..200 marked with a sentinel NEGATIVE
+    # balance (guaranteed present at every SF — custkeys start at 1)
     write_lake_append(
         fixture,
         _t(spark, sf_dir, "customer")
         .filter(F.col("c_custkey") <= 200)
         .select(
             F.col("c_custkey").cast("bigint"),
-            F.lit(0.0).alias("c_acctbal"),
+            F.lit(-1.0).alias("c_acctbal"),
         ),
     )
-    # -D delete of negative balances (as of the upserted state)
+    # -D delete of negative balances: the marked keys plus any
+    # originally-negative survivors
     pb = PaimonLakeTable(fixture).new_read_builder().new_predicate_builder()
     delete_lake_rows(fixture, pb.less_than("c_acctbal", 0.0))
     files_before = plan_paimon_files(fixture)
@@ -3464,15 +3466,16 @@ def paimon_lake_compact_roundtrip(spark, sf_dir):
 PAIMON_LAKE_COMPACT_SQL = """
 WITH upserted AS (
   SELECT c_custkey,
-         CASE WHEN c_custkey <= 200 THEN 0.0 ELSE c_acctbal END AS c_acctbal
+         CASE WHEN c_custkey <= 200 THEN -1.0 ELSE c_acctbal END AS c_acctbal
   FROM customer WHERE c_custkey <= 800
 ),
 kept AS (
   SELECT * FROM upserted WHERE c_acctbal >= 0.0
 )
-SELECT c_custkey,
-       CASE WHEN c_custkey = 1 THEN 111.0 ELSE c_acctbal END AS c_acctbal
-FROM kept ORDER BY c_custkey
+SELECT c_custkey, c_acctbal FROM kept
+UNION ALL
+SELECT 1 AS c_custkey, 111.0 AS c_acctbal
+ORDER BY c_custkey
 """
 
 
