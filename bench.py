@@ -85,9 +85,13 @@ HEADLINE = [
     "paimon_lake_dv_roundtrip",
     "paimon_lake_evolution_roundtrip",
     "paimon_import_history_roundtrip",
-    # r7 additions: the engine-as-lake-participant write surface
+    # r7 additions: the engine-as-lake-participant write surface.
+    # (compact/stream-sink roundtrips are correctness-gated but sit out
+    # of the bench: their cost is 5 snapshot commits of protocol
+    # latency, not query throughput — the maintenance roundtrip is the
+    # representative multi-commit lake write here)
     "paimon_lake_pk_write_roundtrip",
-    "paimon_lake_compact_roundtrip",
+    "paimon_lake_maintenance_roundtrip",
     "window_ntile_quartile",
 ]
 

@@ -1991,11 +1991,39 @@ def _import_with_history(
         kind = str(snap.get("commitKind", "APPEND")).upper()
         if kind == "COMPACT":
             continue
+        if kind == "OVERWRITE":
+            # partition replacement rewrites visibility like a DV index
+            # does: replay as a whole-table overwrite of the snapshot's
+            # exact visible rows (coarser than per-partition replay but
+            # row-identical per snapshot; cost is one full-state write
+            # per OVERWRITE commit, same trade as the DV branch below)
+            prev_dv_sig = {
+                (r.index_path, r.data_file_name, r.offset, r.length)
+                for r in plan_paimon_dv(paimon_table_path, snapshot=snap)
+            }
+            ov_entries = plan_paimon_files(paimon_table_path, snapshot=snap)
+            dv_ov = plan_paimon_dv(paimon_table_path, snapshot=snap)
+            if info.primary_keys:
+                visible = merge_paimon_pk_entries(
+                    spark, info, ov_entries, src, fmt,
+                    dv_ranges=dv_ov, table_path=paimon_table_path,
+                )
+            else:
+                visible = read_paimon_append_entries(
+                    spark, info, ov_entries, src, fmt,
+                    dv_ranges=dv_ov, table_path=paimon_table_path,
+                )
+            wb = table.new_batch_write_builder().overwrite()
+            writer, committer = wb.new_write(), wb.new_commit()
+            writer.write_dataframe(visible)
+            committer.commit(writer.prepare_commit())
+            writer.close()
+            continue
         if kind not in ("APPEND",):
             raise NotImplementedError(
                 f"preserve_history: snapshot {sid} has commitKind={kind}; "
-                "only APPEND/COMPACT chains replay — import without "
-                "preserve_history to flatten"
+                "only APPEND/COMPACT/OVERWRITE chains replay — import "
+                "without preserve_history to flatten"
             )
         dv_s = plan_paimon_dv(paimon_table_path, snapshot=snap)
         dv_sig = {(r.index_path, r.data_file_name, r.offset, r.length) for r in dv_s}

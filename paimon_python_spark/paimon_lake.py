@@ -1676,6 +1676,85 @@ def compact_lake(table_path: str) -> int:
     )
 
 
+def overwrite_lake(table_path: str, df) -> int:
+    """INSERT OVERWRITE a REAL Paimon lake: replace the whole visible
+    table with ``df`` in one spec OVERWRITE commit — the delta manifest
+    DELETEs every live file and ADDs the new ones, the DV index drops
+    (nothing it marked survives), and time travel to prior snapshots
+    still reads the replaced files. PK lakes write fixed-bucket
+    key-value files with a fresh sequence range (an overwrite is still
+    an LSM table — later appends must win); append lakes write one file
+    per (partition, task). Returns the new snapshot id."""
+    from paimon_python_spark.paimon_import import (
+        _spec_file_meta,
+        encode_binary_row,
+        plan_paimon_files,
+    )
+
+    info = read_paimon_schema(table_path)
+    fmt = info.options.get("file.format", "parquet")
+    if fmt not in ("parquet", "orc", "avro"):
+        raise NotImplementedError(f"overwrite_lake: file.format={fmt!r} not supported")
+    before = plan_paimon_files(table_path)
+    part_keys = list(info.partition_keys)
+    part_types = [info.spark_schema[k].dataType for k in part_keys]
+    if info.primary_keys:
+        num_buckets = int(info.options.get("bucket", "-1"))
+        if num_buckets < 1:
+            raise TypeError(
+                "Doesn't support writing dynamic bucket or cross partition table."
+            )
+        bucket_cols = [
+            c.strip()
+            for c in info.options.get("bucket-key", "").split(",")
+            if c.strip()
+        ] or None
+        seq_base = max((e.max_seq for e in before), default=-1) + 1
+        add_entries, n_rows = _distributed_lake_write(
+            table_path,
+            info,
+            df,
+            fmt,
+            kv=True,
+            num_buckets=num_buckets,
+            bucket_cols=bucket_cols,
+            seq_base=seq_base,
+        )
+    else:
+        add_entries, n_rows = _distributed_lake_write(
+            table_path, info, df, fmt, kv=False
+        )
+    delete_entries = [
+        {
+            "_VERSION": 2,
+            "_KIND": 1,
+            "_PARTITION": encode_binary_row(
+                [e.partition[k] for k in part_keys], part_types
+            ),
+            "_BUCKET": e.bucket,
+            "_TOTAL_BUCKETS": int(info.options.get("bucket", "1")),
+            "_FILE": _spec_file_meta(
+                e.file_name,
+                e.file_size,
+                e.row_count,
+                schema_id=e.schema_id,
+                max_seq=e.max_seq,
+                level=e.level,
+            ),
+        }
+        for e in before
+    ]
+    return _commit_lake_snapshot(
+        table_path,
+        info,
+        delete_entries + add_entries,
+        n_rows,
+        commit_kind="OVERWRITE",
+        index_manifest=None,
+        total_record_count=n_rows,
+    )
+
+
 def register_lake_sql_view(spark, table_path: str, name: str):
     """Expose a REAL lake table to plain Spark SQL as a named view:
     ``register_lake_sql_view(spark, "/lake/db.db/orders", "orders")``
@@ -1734,20 +1813,26 @@ def delete_lake_rows(table_path: str, predicate: Predicate) -> int:
         # (row_kind.py:22-57 semantics in the reference)
         from pyspark.sql import functions as F
 
-        matched = (
-            PaimonLakeTable(table_path)
-            .new_read_builder()
-            .with_filter(predicate)
-            .new_read()
-            .to_df()
-        )
-        if matched.limit(1).count() == 0:
-            raise ValueError("delete_lake_rows: predicate matched no rows")
-        return write_lake_pk_append(
-            table_path,
-            matched.withColumn("__kind", F.lit(3)),
-            row_kind_col="__kind",
-        )
+        from paimon_python_spark.operators._cache import cache_scope, shared
+
+        # persisted in a nested scope (released on exit, caller caches
+        # untouched): the emptiness check would otherwise run the whole
+        # PK merge-window read once, and the -D write a second time
+        with cache_scope():
+            matched = shared(
+                PaimonLakeTable(table_path)
+                .new_read_builder()
+                .with_filter(predicate)
+                .new_read()
+                .to_df()
+            )
+            if matched.limit(1).count() == 0:
+                raise ValueError("delete_lake_rows: predicate matched no rows")
+            return write_lake_pk_append(
+                table_path,
+                matched.withColumn("__kind", F.lit(3)),
+                row_kind_col="__kind",
+            )
     entries = plan_paimon_files(table_path)
     fmt = info.options.get("file.format", "parquet")
     part_types = [info.spark_schema[k].dataType for k in info.partition_keys]

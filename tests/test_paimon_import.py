@@ -1119,6 +1119,69 @@ def test_import_preserve_history_pk_dv(tmp_path, catalog, spark):
     assert ks() == [(1, "a"), (3, "C"), (4, "d")]
 
 
+def test_overwrite_lake_and_history_replay(tmp_path, catalog, spark):
+    """INSERT OVERWRITE on a real lake commits a spec OVERWRITE
+    snapshot (whole visible table replaced, old snapshots still
+    time-travel), and preserve_history replays the chain — the
+    OVERWRITE snapshot materializes as an engine overwrite."""
+    import json as _json
+    import os
+
+    from paimon_python_spark.paimon_lake import (
+        PaimonLakeTable,
+        overwrite_lake,
+        write_lake_append,
+    )
+    from paimon_python_spark.session import set_spark
+
+    set_spark(spark)
+    p = str(tmp_path / "ow_lake")
+    write_paimon_fixture(
+        p, [("k", "INT"), ("v", "STRING")], [], [],
+        [(0, {}, 0, pa.table({"k": pa.array([1, 2], pa.int32()),
+                              "v": pa.array(["a", "b"], pa.string())}))],
+    )
+    sid = overwrite_lake(p, spark.createDataFrame([(7, "x"), (8, "y")],
+                                                  "k int, v string"))
+    assert sid == 2
+    snap = _json.load(open(os.path.join(p, "snapshot", "snapshot-2")))
+    assert snap["commitKind"] == "OVERWRITE"
+    assert snap["totalRecordCount"] == 2
+    write_lake_append(p, spark.createDataFrame([(9, "z")], "k int, v string"))
+    t = PaimonLakeTable(p)
+    assert sorted(t.new_read_builder().new_read().to_pandas().k) == [7, 8, 9]
+    # time travel: pre-overwrite snapshot still reads the replaced rows
+    old = t.new_read_builder().with_snapshot(1).new_read().to_pandas()
+    assert sorted(old.k) == [1, 2]
+    # history-preserving import replays all three states
+    et = import_paimon_table(p, catalog, "default.ow_hist", preserve_history=True)
+    assert sorted(
+        et.new_read_builder().with_snapshot(1).new_read().to_pandas().k
+    ) == [1, 2]
+    assert sorted(
+        et.new_read_builder().with_snapshot(2).new_read().to_pandas().k
+    ) == [7, 8]
+    assert sorted(et.new_read_builder().new_read().to_pandas().k) == [7, 8, 9]
+    # PK lake overwrite: fresh sequence range, later upsert wins
+    kv = pa.schema(
+        [("_KEY_k", pa.int64()), ("_SEQUENCE_NUMBER", pa.int64()),
+         ("_VALUE_KIND", pa.int32()), ("k", pa.int64()), ("v", pa.string())]
+    )
+    p2 = str(tmp_path / "ow_pk")
+    write_paimon_fixture(
+        p2, [("k", "BIGINT NOT NULL"), ("v", "STRING")], [], ["k"],
+        [(0, {}, 0, pa.table(
+            {"_KEY_k": [1, 2], "_SEQUENCE_NUMBER": [0, 1],
+             "_VALUE_KIND": [0, 0], "k": [1, 2], "v": ["a", "b"]},
+            schema=kv))],
+        options={"bucket": "2"},
+    )
+    overwrite_lake(p2, spark.createDataFrame([(5, "e")], "k bigint, v string"))
+    write_lake_append(p2, spark.createDataFrame([(5, "E")], "k bigint, v string"))
+    out = PaimonLakeTable(p2).new_read_builder().new_read().to_pandas()
+    assert list(out.k) == [5] and list(out.v) == ["E"]
+
+
 def test_export_paimon_table_roundtrip(tmp_path, catalog, spark):
     """REVERSE bridge: an engine table exports to a spec-format Paimon
     layout that this repo's own lake reader (and importer) consume —

@@ -69,6 +69,10 @@ SWEEP = [
     ("dedup_embedding_cosine_lsh", "hyperplane-LSH embedding dedup (persisted buckets)"),
     ("paimon_pk_upsert_roundtrip", "PK table write+merge-on-read roundtrip"),
     ("paimon_dv_roundtrip", "deletion-vector write+index+read roundtrip"),
+    # r7 additions: distributed exact ranking + lake-participant writes
+    ("window_ntile_quartile", "scalable_rank global ntile (no single-partition window)"),
+    ("paimon_lake_pk_write_roundtrip", "fixed-bucket PK write into a real lake"),
+    ("paimon_lake_maintenance_roundtrip", "lake tag+rollback+expiry (multi-commit maintenance)"),
 ]
 
 
