@@ -4265,6 +4265,90 @@ GROUP BY o_custkey ORDER BY o_custkey
 """
 
 
+def paimon_lake_alter_merge_roundtrip(spark, sf_dir):
+    """Lake DDL + DML in one flow: ALTER a real PK lake (add a column
+    with a fresh field id — alter_lake_schema), then MERGE INTO it
+    (update matched balances, delete negative ones, insert unmatched —
+    merge_into_lake), one spec commit of changelog rows. Old rows
+    NULL-fill the added column; the lake's merged read must equal the
+    SQL replay."""
+    import pyarrow as pa
+
+    from paimon_python_spark.merge import merge_into_lake
+    from paimon_python_spark.paimon_import import write_paimon_table_fixture
+    from paimon_python_spark.paimon_lake import PaimonLakeTable, alter_lake_schema
+    from paimon_python_spark.session import set_spark
+
+    set_spark(spark)
+    nat = (
+        _t(spark, sf_dir, "nation")
+        .select("n_nationkey", "n_regionkey")
+        .toPandas()
+        .sort_values("n_nationkey")
+    )
+    fixture = _fresh_warehouse("lakealter") + "/nation_pk"
+    kv = pa.schema(
+        [("_KEY_n_nationkey", pa.int64()), ("_SEQUENCE_NUMBER", pa.int64()),
+         ("_VALUE_KIND", pa.int32()), ("n_nationkey", pa.int64()),
+         ("n_regionkey", pa.int64())]
+    )
+    n = len(nat)
+    write_paimon_table_fixture(
+        fixture,
+        [("n_nationkey", "BIGINT NOT NULL"), ("n_regionkey", "BIGINT")],
+        [],
+        ["n_nationkey"],
+        [(0, {}, 0, pa.table(
+            {"_KEY_n_nationkey": pa.array(nat.n_nationkey, pa.int64()),
+             "_SEQUENCE_NUMBER": pa.array(range(n), pa.int64()),
+             "_VALUE_KIND": pa.array([0] * n, pa.int32()),
+             "n_nationkey": pa.array(nat.n_nationkey, pa.int64()),
+             "n_regionkey": pa.array(nat.n_regionkey, pa.int64())},
+            schema=kv))],
+        options={"bucket": "2"},
+    )
+    alter_lake_schema(fixture, add_columns=[("flag", "STRING")])
+    src = (
+        _t(spark, sf_dir, "nation")
+        .select(
+            F.col("n_nationkey").cast("bigint"),
+            F.col("n_regionkey").cast("bigint"),
+            F.when(F.col("n_nationkey") % 3 == 0, "drop")
+            .otherwise("keep")
+            .alias("flag"),
+        )
+        .unionByName(
+            spark.createDataFrame([(99, 9, "keep")],
+                                  "n_nationkey bigint, n_regionkey bigint, flag string")
+        )
+    )
+    merge_into_lake(
+        fixture,
+        src,
+        matched_update={
+            "n_regionkey": "tgt.n_regionkey + 100",
+            "flag": "src.flag",
+        },
+        matched_delete_condition="src.flag = 'drop'",
+    )
+    return (
+        PaimonLakeTable(fixture)
+        .new_read_builder()
+        .new_read()
+        .to_df()
+        .orderBy("n_nationkey")
+    )
+
+
+PAIMON_LAKE_ALTER_MERGE_SQL = """
+SELECT n_nationkey, n_regionkey + 100 AS n_regionkey, 'keep' AS flag
+FROM nation WHERE n_nationkey % 3 <> 0
+UNION ALL
+SELECT 99 AS n_nationkey, 9 AS n_regionkey, 'keep' AS flag
+ORDER BY n_nationkey
+"""
+
+
 def paimon_stream_sink_roundtrip(spark, sf_dir):
     """Streaming ingestion: events flow through a Structured Streaming
     file source into a PK table via the foreachBatch sink (one atomic
@@ -8014,6 +8098,7 @@ _QUERIES: dict[str, Callable] = {
     "paimon_lake_maintenance_roundtrip": paimon_lake_maintenance_roundtrip,
     "paimon_lake_stream_sink_roundtrip": paimon_lake_stream_sink_roundtrip,
     "paimon_lake_merge_engine_roundtrip": paimon_lake_merge_engine_roundtrip,
+    "paimon_lake_alter_merge_roundtrip": paimon_lake_alter_merge_roundtrip,
     "paimon_lake_delete_roundtrip": paimon_lake_delete_roundtrip,
     "window_topk_per_group": window_topk_per_group,
     "dedup_exact": dedup_exact,
@@ -8332,6 +8417,7 @@ _ORACLES: dict[str, str] = {
     "paimon_lake_maintenance_roundtrip": PAIMON_LAKE_MAINTENANCE_SQL,
     "paimon_lake_stream_sink_roundtrip": PAIMON_LAKE_STREAM_SINK_SQL,
     "paimon_lake_merge_engine_roundtrip": PAIMON_LAKE_MERGE_ENGINE_SQL,
+    "paimon_lake_alter_merge_roundtrip": PAIMON_LAKE_ALTER_MERGE_SQL,
     "paimon_lake_delete_roundtrip": PAIMON_LAKE_DELETE_SQL,
 }
 
@@ -8354,6 +8440,7 @@ _GATE_HEAD = [
     "paimon_lake_maintenance_roundtrip",
     "paimon_lake_stream_sink_roundtrip",
     "paimon_lake_merge_engine_roundtrip",
+    "paimon_lake_alter_merge_roundtrip",
     "window_ntile_quartile",
     "window_percent_rank",
     # never-gated after r6, verified locally 2026-08-14

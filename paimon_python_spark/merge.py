@@ -34,42 +34,23 @@ from paimon_python_spark.write import (
 _RK = "_merge_row_kind"
 
 
-def merge_into(
-    table,
+def _merge_changelog(
+    target: DataFrame,
     source: DataFrame,
-    on: Optional[List[str]] = None,
-    matched_update: Optional[Dict[str, str]] = None,
-    matched_update_condition: Optional[str] = None,
-    matched_delete_condition: Optional[str] = None,
-    insert_not_matched: bool = True,
-) -> None:
-    """Apply a MERGE of ``source`` into ``table`` as one commit.
-
-    - ``on``: join keys (default: the table's primary keys).
-    - matched + ``matched_delete_condition`` → row deleted.
-    - matched + ``matched_update_condition`` (default: any remaining
-      match) → row updated per ``matched_update`` (columns not listed
-      keep the target value). Delete wins over update on overlap.
-    - not matched → inserted from source when ``insert_not_matched``.
-    - matched rows meeting no condition are left untouched (nothing is
-      written for them).
-    """
-    schema = table.schema
-    if not schema.is_primary_key_table():
-        raise ValueError("merge_into requires a primary-key table")
-    keys = list(on or schema.primary_keys)
-    cols = schema.field_names
-    if matched_update:
-        unknown = set(matched_update) - set(cols)
-        if unknown:
-            raise ValueError(f"merge_into: unknown update columns {sorted(unknown)}")
-        if set(matched_update) & set(keys):
-            raise ValueError("merge_into: cannot update join-key columns")
-
-    target = table.new_read_builder().new_read().to_df().alias("tgt")
+    keys: List[str],
+    cols: List[str],
+    matched_update: Optional[Dict[str, str]],
+    matched_update_condition: Optional[str],
+    matched_delete_condition: Optional[str],
+    insert_not_matched: bool,
+) -> DataFrame:
+    """The MERGE join + action selection, shared by the engine-table
+    and real-lake variants: returns the (+U / +I / -D) changelog rows
+    with the kind in ``_RK``."""
+    tgt = target.alias("tgt")
     src = source.alias("src")
     cond = [F.expr(f"src.{k} <=> tgt.{k}") for k in keys]
-    joined = src.join(target, on=cond, how="left")
+    joined = src.join(tgt, on=cond, how="left")
     matched = joined.filter(F.expr(f"tgt.{keys[0]}").isNotNull())
 
     actions = []
@@ -106,6 +87,100 @@ def merge_into(
     out = actions[0]
     for a in actions[1:]:
         out = out.unionByName(a)
+    return out
+
+
+def merge_into_lake(
+    table_path: str,
+    source: DataFrame,
+    on: Optional[List[str]] = None,
+    matched_update: Optional[Dict[str, str]] = None,
+    matched_update_condition: Optional[str] = None,
+    matched_delete_condition: Optional[str] = None,
+    insert_not_matched: bool = True,
+) -> int:
+    """MERGE INTO a REAL fixed-bucket PK Paimon lake: one bounded read
+    of the lake's merged state, one key-shuffled join against the
+    source, and ONE spec APPEND commit of the resulting changelog rows
+    (+U / +I / -D as level-0 key-value records) that every Paimon
+    reader's merge resolves. Same condition/expression surface as
+    :func:`merge_into`. Returns the new snapshot id."""
+    from paimon_python_spark.paimon_import import read_paimon_schema
+    from paimon_python_spark.paimon_lake import (
+        PaimonLakeTable,
+        write_lake_pk_append,
+    )
+
+    info = read_paimon_schema(table_path)
+    if not info.primary_keys:
+        raise ValueError("merge_into_lake requires a primary-key lake")
+    keys = list(on or info.primary_keys)
+    cols = [f.name for f in info.spark_schema.fields]
+    if matched_update:
+        unknown = set(matched_update) - set(cols)
+        if unknown:
+            raise ValueError(
+                f"merge_into_lake: unknown update columns {sorted(unknown)}"
+            )
+        if set(matched_update) & set(keys):
+            raise ValueError("merge_into_lake: cannot update join-key columns")
+    target = PaimonLakeTable(table_path).new_read_builder().new_read().to_df()
+    out = _merge_changelog(
+        target,
+        source,
+        keys,
+        cols,
+        matched_update,
+        matched_update_condition,
+        matched_delete_condition,
+        insert_not_matched,
+    )
+    return write_lake_pk_append(table_path, out, row_kind_col=_RK)
+
+
+def merge_into(
+    table,
+    source: DataFrame,
+    on: Optional[List[str]] = None,
+    matched_update: Optional[Dict[str, str]] = None,
+    matched_update_condition: Optional[str] = None,
+    matched_delete_condition: Optional[str] = None,
+    insert_not_matched: bool = True,
+) -> None:
+    """Apply a MERGE of ``source`` into ``table`` as one commit.
+
+    - ``on``: join keys (default: the table's primary keys).
+    - matched + ``matched_delete_condition`` → row deleted.
+    - matched + ``matched_update_condition`` (default: any remaining
+      match) → row updated per ``matched_update`` (columns not listed
+      keep the target value). Delete wins over update on overlap.
+    - not matched → inserted from source when ``insert_not_matched``.
+    - matched rows meeting no condition are left untouched (nothing is
+      written for them).
+    """
+    schema = table.schema
+    if not schema.is_primary_key_table():
+        raise ValueError("merge_into requires a primary-key table")
+    keys = list(on or schema.primary_keys)
+    cols = schema.field_names
+    if matched_update:
+        unknown = set(matched_update) - set(cols)
+        if unknown:
+            raise ValueError(f"merge_into: unknown update columns {sorted(unknown)}")
+        if set(matched_update) & set(keys):
+            raise ValueError("merge_into: cannot update join-key columns")
+
+    target = table.new_read_builder().new_read().to_df()
+    out = _merge_changelog(
+        target,
+        source,
+        keys,
+        cols,
+        matched_update,
+        matched_update_condition,
+        matched_delete_condition,
+        insert_not_matched,
+    )
 
     wb = table.new_batch_write_builder()
     w, c = wb.new_write(), wb.new_commit()

@@ -1368,6 +1368,76 @@ def write_lake_pk_append(
     return _commit_lake_snapshot(table_path, info, man_entries, n_rows)
 
 
+def alter_lake_schema(
+    table_path: str,
+    add_columns: Optional[List[tuple]] = None,
+    rename_columns: Optional[dict] = None,
+    drop_columns: Optional[List[str]] = None,
+) -> int:
+    """ALTER TABLE on a REAL lake: write ``schema-(N+1)`` with proper
+    FIELD-ID bookkeeping — adds take fresh ids past ``highestFieldId``,
+    renames keep their id (so old data files keep reading under the
+    new name via the field-id mapping), drops remove the field while
+    old files simply stop projecting it. Data files are untouched;
+    subsequent engine appends write under the new schema id, exactly
+    how a JVM owner evolves a lake.
+
+    ``add_columns``: [(name, paimon type string)], e.g.
+    ``[("note", "STRING")]``. ``rename_columns``: {old: new}.
+    ``drop_columns``: [name]; partition/primary-key columns refuse.
+    Returns the new schema id."""
+    import json
+    import os
+
+    sdir = os.path.join(table_path, "schema")
+    cur_id = max(
+        int(n.split("-")[1]) for n in os.listdir(sdir) if n.startswith("schema-")
+    )
+    with open(os.path.join(sdir, f"schema-{cur_id}")) as f:
+        raw = json.load(f)
+    protected = set(raw.get("partitionKeys") or []) | set(
+        raw.get("primaryKeys") or []
+    )
+    fields = [dict(fd) for fd in raw["fields"]]
+    names = {fd["name"] for fd in fields}
+    for old, new in (rename_columns or {}).items():
+        if old in protected:
+            raise ValueError(f"alter_lake_schema: cannot rename key column {old!r}")
+        if old not in names:
+            raise ValueError(f"alter_lake_schema: no column {old!r}")
+        if new in names:
+            raise ValueError(f"alter_lake_schema: column {new!r} already exists")
+        for fd in fields:
+            if fd["name"] == old:
+                fd["name"] = new
+        names = {fd["name"] for fd in fields}
+    for col in drop_columns or []:
+        if col in protected:
+            raise ValueError(f"alter_lake_schema: cannot drop key column {col!r}")
+        if col not in names:
+            raise ValueError(f"alter_lake_schema: no column {col!r}")
+        fields = [fd for fd in fields if fd["name"] != col]
+        names = {fd["name"] for fd in fields}
+    next_id = int(raw.get("highestFieldId", max(fd["id"] for fd in fields))) + 1
+    for name, ptype in add_columns or []:
+        if name in names:
+            raise ValueError(f"alter_lake_schema: column {name!r} already exists")
+        fields.append({"id": next_id, "name": name, "type": ptype})
+        names.add(name)
+        next_id += 1
+    new_schema = dict(
+        raw,
+        id=cur_id + 1,
+        fields=fields,
+        highestFieldId=max(
+            [int(raw.get("highestFieldId", 0))] + [fd["id"] for fd in fields]
+        ),
+    )
+    with open(os.path.join(sdir, f"schema-{cur_id + 1}"), "w") as f:
+        json.dump(new_schema, f)
+    return cur_id + 1
+
+
 def create_lake_tag(
     table_path: str, name: str, snapshot_id: Optional[int] = None
 ) -> int:

@@ -1119,6 +1119,99 @@ def test_import_preserve_history_pk_dv(tmp_path, catalog, spark):
     assert ks() == [(1, "a"), (3, "C"), (4, "d")]
 
 
+def test_merge_into_lake(tmp_path, spark):
+    """MERGE INTO a real PK lake: update matched, delete per condition,
+    insert unmatched — one spec commit of changelog rows the lake's
+    own merge resolves."""
+    from paimon_python_spark.merge import merge_into_lake
+    from paimon_python_spark.paimon_lake import PaimonLakeTable
+    from paimon_python_spark.session import set_spark
+
+    set_spark(spark)
+    p = str(tmp_path / "merge_lake")
+    kv = pa.schema(
+        [("_KEY_k", pa.int64()), ("_SEQUENCE_NUMBER", pa.int64()),
+         ("_VALUE_KIND", pa.int32()), ("k", pa.int64()), ("bal", pa.int64())]
+    )
+    write_paimon_fixture(
+        p, [("k", "BIGINT NOT NULL"), ("bal", "BIGINT")], [], ["k"],
+        [(0, {}, 0, pa.table(
+            {"_KEY_k": [1, 2, 3], "_SEQUENCE_NUMBER": [0, 1, 2],
+             "_VALUE_KIND": [0, 0, 0], "k": [1, 2, 3],
+             "bal": [10, 20, 30]}, schema=kv))],
+        options={"bucket": "2"},
+    )
+    src = spark.createDataFrame(
+        [(1, 5, "U"), (2, 0, "D"), (9, 90, "U")], "k bigint, bal bigint, op string"
+    )
+    sid = merge_into_lake(
+        p,
+        src,
+        matched_update={"bal": "tgt.bal + src.bal"},
+        matched_delete_condition="src.op = 'D'",
+    )
+    assert sid == 2
+    out = PaimonLakeTable(p).new_read_builder().new_read().to_pandas().sort_values("k")
+    assert list(zip(out.k, out.bal)) == [(1, 15), (3, 30), (9, 90)]
+
+
+def test_alter_lake_schema_roundtrip(tmp_path, spark):
+    """Engine-side ALTER on a real lake: adds take fresh field ids,
+    renames keep theirs (old files read under the new name via the
+    field-id mapping), drops stop projecting — and appends after the
+    ALTER write under the new schema id."""
+    from paimon_python_spark.paimon_lake import (
+        PaimonLakeTable,
+        alter_lake_schema,
+        write_lake_append,
+    )
+    from paimon_python_spark.session import set_spark
+
+    set_spark(spark)
+    p = str(tmp_path / "alter_lake")
+    write_paimon_fixture(
+        p, [("k", "INT"), ("v", "STRING"), ("junk", "INT")], [], [],
+        [(0, {}, 0, pa.table({"k": pa.array([1], pa.int32()),
+                              "v": pa.array(["a"], pa.string()),
+                              "junk": pa.array([9], pa.int32())}))],
+    )
+    sid = alter_lake_schema(
+        p,
+        add_columns=[("note", "STRING")],
+        rename_columns={"v": "val"},
+        drop_columns=["junk"],
+    )
+    assert sid == 1
+    write_lake_append(
+        p, spark.createDataFrame([(2, "b", "fresh")], "k int, val string, note string")
+    )
+    out = (
+        PaimonLakeTable(p).new_read_builder().new_read().to_pandas()
+        .sort_values("k")
+    )
+    assert list(out.columns) == ["k", "val", "note"]
+    assert list(out.val) == ["a", "b"]  # renamed col maps old data by id
+    assert out.note.tolist() == [None, "fresh"]  # add NULL-fills old files
+    assert "junk" not in out.columns
+    # key columns refuse
+    import pytest as _pytest
+
+    kv = pa.schema(
+        [("_KEY_k", pa.int64()), ("_SEQUENCE_NUMBER", pa.int64()),
+         ("_VALUE_KIND", pa.int32()), ("k", pa.int64()), ("v", pa.string())]
+    )
+    p2 = str(tmp_path / "alter_pk")
+    write_paimon_fixture(
+        p2, [("k", "BIGINT NOT NULL"), ("v", "STRING")], [], ["k"],
+        [(0, {}, 0, pa.table(
+            {"_KEY_k": [1], "_SEQUENCE_NUMBER": [0], "_VALUE_KIND": [0],
+             "k": [1], "v": ["a"]}, schema=kv))],
+        options={"bucket": "1"},
+    )
+    with _pytest.raises(ValueError, match="key column"):
+        alter_lake_schema(p2, drop_columns=["k"])
+
+
 def test_overwrite_lake_and_history_replay(tmp_path, catalog, spark):
     """INSERT OVERWRITE on a real lake commits a spec OVERWRITE
     snapshot (whole visible table replaced, old snapshots still
