@@ -1557,6 +1557,16 @@ def _delete_lake_metadata(table_path: str, snaps: list, kept: list) -> dict:
         rm(os.path.join(table_path, "snapshot", f"snapshot-{s['id']}"))
         for s in snaps
     )
+    # maintain the EARLIEST hint real Paimon readers scan from
+    sdir = os.path.join(table_path, "snapshot")
+    remaining = [
+        int(n.split("-")[1])
+        for n in os.listdir(sdir)
+        if n.startswith("snapshot-")
+    ]
+    if remaining:
+        with open(os.path.join(sdir, "EARLIEST"), "w") as f:
+            f.write(str(min(remaining)))
     return {
         "snapshots_deleted": n_snaps,
         "manifests_deleted": n_mans,
