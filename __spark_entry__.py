@@ -4265,6 +4265,58 @@ GROUP BY o_custkey ORDER BY o_custkey
 """
 
 
+def paimon_lake_bootstrap_roundtrip(spark, sf_dir):
+    """Bootstrap a spec-format lake FROM SCRATCH (PaimonLakeCatalog +
+    create_lake_table): schema-0 written per the published spec, the
+    first append commits snapshot-1 against the empty prior state,
+    an upsert and a -D delete follow, and the final merged read must
+    equal the SQL replay — the engine as lake CREATOR, not just
+    participant."""
+    from pyspark.sql import types as T
+
+    from paimon_python_spark.paimon_lake import (
+        PaimonLakeCatalog,
+        delete_lake_rows,
+        write_lake_append,
+    )
+    from paimon_python_spark.session import set_spark
+
+    set_spark(spark)
+    cat = PaimonLakeCatalog.create({"warehouse": _fresh_warehouse("lakeboot")})
+    cat.create_database("prod")
+    sch = T.StructType(
+        [
+            T.StructField("p_partkey", T.LongType()),
+            T.StructField("p_retailprice", T.DoubleType()),
+        ]
+    )
+    t = cat.create_table(
+        "prod.parts", sch, primary_keys=["p_partkey"], options={"bucket": "4"}
+    )
+    part = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").cast("bigint"), "p_retailprice"
+    )
+    write_lake_append(t.table_path, part)  # snapshot 1: bootstrap
+    write_lake_append(  # snapshot 2: upsert a 10% discount on even keys
+        t.table_path,
+        part.filter(F.col("p_partkey") % 2 == 0).select(
+            "p_partkey", (F.col("p_retailprice") * 0.5).alias("p_retailprice")
+        ),
+    )
+    pb = t.new_read_builder().new_predicate_builder()
+    delete_lake_rows(t.table_path, pb.less_than("p_partkey", 100))
+    return t.new_read_builder().new_read().to_df().orderBy("p_partkey")
+
+
+PAIMON_LAKE_BOOTSTRAP_SQL = """
+SELECT p_partkey,
+       CASE WHEN p_partkey % 2 = 0 THEN p_retailprice * 0.5
+            ELSE p_retailprice END AS p_retailprice
+FROM part WHERE p_partkey >= 100
+ORDER BY p_partkey
+"""
+
+
 def paimon_lake_alter_merge_roundtrip(spark, sf_dir):
     """Lake DDL + DML in one flow: ALTER a real PK lake (add a column
     with a fresh field id — alter_lake_schema), then MERGE INTO it
@@ -8099,6 +8151,7 @@ _QUERIES: dict[str, Callable] = {
     "paimon_lake_stream_sink_roundtrip": paimon_lake_stream_sink_roundtrip,
     "paimon_lake_merge_engine_roundtrip": paimon_lake_merge_engine_roundtrip,
     "paimon_lake_alter_merge_roundtrip": paimon_lake_alter_merge_roundtrip,
+    "paimon_lake_bootstrap_roundtrip": paimon_lake_bootstrap_roundtrip,
     "paimon_lake_delete_roundtrip": paimon_lake_delete_roundtrip,
     "window_topk_per_group": window_topk_per_group,
     "dedup_exact": dedup_exact,
@@ -8418,6 +8471,7 @@ _ORACLES: dict[str, str] = {
     "paimon_lake_stream_sink_roundtrip": PAIMON_LAKE_STREAM_SINK_SQL,
     "paimon_lake_merge_engine_roundtrip": PAIMON_LAKE_MERGE_ENGINE_SQL,
     "paimon_lake_alter_merge_roundtrip": PAIMON_LAKE_ALTER_MERGE_SQL,
+    "paimon_lake_bootstrap_roundtrip": PAIMON_LAKE_BOOTSTRAP_SQL,
     "paimon_lake_delete_roundtrip": PAIMON_LAKE_DELETE_SQL,
 }
 
@@ -8441,6 +8495,7 @@ _GATE_HEAD = [
     "paimon_lake_stream_sink_roundtrip",
     "paimon_lake_merge_engine_roundtrip",
     "paimon_lake_alter_merge_roundtrip",
+    "paimon_lake_bootstrap_roundtrip",
     "window_ntile_quartile",
     "window_percent_rank",
     # never-gated after r6, verified locally 2026-08-14

@@ -532,8 +532,17 @@ def plan_paimon_files(
 
     Deletion-vector tables plan the same way; read paths must ALSO call
     :func:`plan_paimon_dv` and anti-join the marked (file, position)
-    pairs — the lake reader and importer both do."""
+    pairs — the lake reader and importer both do.
+
+    A freshly-created lake (schema only, no commits yet) plans as the
+    empty file set; an EXPLICIT snapshot id that does not exist still
+    raises (time travel to a missing snapshot is an error)."""
     info = read_paimon_schema(table_path)
+    if snapshot is None and snapshot_id is None:
+        try:
+            snapshot = read_paimon_snapshot(table_path)
+        except FileNotFoundError:
+            return []
     snap = snapshot if snapshot is not None else read_paimon_snapshot(table_path, snapshot_id)
     part_types = [
         info.spark_schema[k].dataType for k in info.partition_keys
@@ -700,6 +709,11 @@ def plan_paimon_dv(
     field spellings real Paimon versions use."""
     from paimon_python_spark.avro_codec import read_avro_records
 
+    if snapshot is None and snapshot_id is None:
+        try:
+            snapshot = read_paimon_snapshot(table_path)
+        except FileNotFoundError:
+            return []  # freshly-created lake: no commits, no marks
     snap = snapshot if snapshot is not None else read_paimon_snapshot(table_path, snapshot_id)
     im = snap.get("indexManifest")
     if not im:

@@ -971,15 +971,19 @@ def _commit_lake_snapshot(
             # the LATEST hint can lag a concurrent committer (it is
             # written after the snapshot file) — trust the directory
             sdir = os.path.join(table_path, "snapshot")
+            os.makedirs(sdir, exist_ok=True)
             ids = [
                 int(n.split("-")[1])
                 for n in os.listdir(sdir)
                 if n.startswith("snapshot-")
             ]
-            prev_id = max(
-                latest_paimon_snapshot_id(table_path), max(ids) if ids else 0
-            )
-            prev = read_paimon_snapshot(table_path, prev_id)
+            if ids:
+                prev_id = max(latest_paimon_snapshot_id(table_path), max(ids))
+                prev = read_paimon_snapshot(table_path, prev_id)
+            else:
+                # bootstrapping a freshly-created lake: this commit
+                # writes snapshot-1 against an empty prior state
+                prev_id, prev = 0, {}
             prior: list = []
             for lst in (prev.get("baseManifestList"), prev.get("deltaManifestList")):
                 if lst:
@@ -1366,6 +1370,182 @@ def write_lake_pk_append(
     if not man_entries:
         raise ValueError("write_lake_pk_append: empty input — nothing to commit")
     return _commit_lake_snapshot(table_path, info, man_entries, n_rows)
+
+
+def create_lake_table(
+    table_path: str,
+    schema,
+    partition_keys: Optional[List[str]] = None,
+    primary_keys: Optional[List[str]] = None,
+    options: Optional[dict] = None,
+) -> str:
+    """CREATE a spec-format Paimon table from scratch — the engine can
+    BOOTSTRAP a lake, not just participate in one: ``schema-0`` is
+    written exactly as the published spec describes (typed field list
+    with ids 0..n-1, partition/primary keys, options) and the first
+    ``write_lake_append`` commits ``snapshot-1`` against the empty
+    prior state. A JVM Paimon reader (or this engine) consumes the
+    result as any other lake.
+
+    ``schema``: a Spark ``StructType`` (types map via the export
+    bridge's type table; primary-key fields are forced NOT NULL, as
+    real Paimon requires) or a pre-built ``[(name, paimon type
+    string)]`` list. Returns ``table_path``."""
+    import json
+    import os
+
+    from pyspark.sql import types as T
+
+    from paimon_python_spark.paimon_import import paimon_type_string
+
+    if os.path.exists(os.path.join(table_path, "schema")):
+        raise ValueError(f"create_lake_table: {table_path!r} already exists")
+    pks = list(primary_keys or [])
+    parts = list(partition_keys or [])
+    if isinstance(schema, T.StructType):
+        fields = []
+        for f in schema.fields:
+            if f.name in pks and f.nullable:
+                f = T.StructField(f.name, f.dataType, nullable=False)
+            fields.append((f.name, paimon_type_string(f)))
+    else:
+        fields = list(schema)
+    names = [n for n, _ in fields]
+    for k in pks + parts:
+        if k not in names:
+            raise ValueError(f"create_lake_table: key column {k!r} not in schema")
+    if pks and int((options or {}).get("bucket", "-1")) < 1:
+        raise TypeError(
+            "Doesn't support writing dynamic bucket or cross partition table."
+        )
+    os.makedirs(os.path.join(table_path, "schema"))
+    os.makedirs(os.path.join(table_path, "snapshot"), exist_ok=True)
+    os.makedirs(os.path.join(table_path, "manifest"), exist_ok=True)
+    with open(os.path.join(table_path, "schema", "schema-0"), "w") as f:
+        json.dump(
+            {
+                "version": 3,
+                "id": 0,
+                "fields": [
+                    {"id": i, "name": n, "type": t}
+                    for i, (n, t) in enumerate(fields)
+                ],
+                "highestFieldId": len(fields) - 1,
+                "partitionKeys": parts,
+                "primaryKeys": pks,
+                "options": options or {},
+                "timeMillis": 0,
+            },
+            f,
+        )
+    return table_path
+
+
+class PaimonLakeCatalog:
+    """Reference-parity catalog UX over a warehouse of REAL spec-format
+    Paimon tables (``<warehouse>/<db>.db/<table>``): the same
+    create/get/list surface as the reference's filesystem catalog
+    (pypaimon/api/catalog.py:24-45), but every handle is a
+    :class:`PaimonLakeTable` — in-place reads of live lakes, and
+    creates that a JVM reader consumes. ``Catalog`` (the engine's own
+    format) and this class are the two ends of the bridge."""
+
+    def __init__(self, warehouse: str):
+        self.warehouse = warehouse
+
+    @staticmethod
+    def create(options: dict) -> "PaimonLakeCatalog":
+        import os
+
+        wh = options["warehouse"]
+        os.makedirs(wh, exist_ok=True)
+        return PaimonLakeCatalog(wh)
+
+    def _db_dir(self, name: str) -> str:
+        import os
+
+        return os.path.join(self.warehouse, f"{name}.db")
+
+    def create_database(self, name: str, ignore_if_exists: bool = False) -> None:
+        import os
+
+        d = self._db_dir(name)
+        if os.path.exists(d):
+            if ignore_if_exists:
+                return
+            raise ValueError(f"database {name!r} already exists")
+        os.makedirs(d)
+
+    def list_databases(self) -> List[str]:
+        import os
+
+        return sorted(
+            n[: -len(".db")]
+            for n in os.listdir(self.warehouse)
+            if n.endswith(".db")
+            and os.path.isdir(os.path.join(self.warehouse, n))
+        )
+
+    def list_tables(self, database: str) -> List[str]:
+        import os
+
+        d = self._db_dir(database)
+        return sorted(
+            n
+            for n in os.listdir(d)
+            if os.path.isdir(os.path.join(d, n, "schema"))
+        )
+
+    def _split(self, identifier: str):
+        db, _, tbl = identifier.partition(".")
+        if not tbl:
+            raise ValueError(f"identifier {identifier!r} must be 'db.table'")
+        return db, tbl
+
+    def create_table(
+        self,
+        identifier: str,
+        schema,
+        partition_keys: Optional[List[str]] = None,
+        primary_keys: Optional[List[str]] = None,
+        options: Optional[dict] = None,
+        ignore_if_exists: bool = False,
+    ) -> "PaimonLakeTable":
+        import os
+
+        db, tbl = self._split(identifier)
+        path = os.path.join(self._db_dir(db), tbl)
+        if os.path.exists(os.path.join(path, "schema")):
+            if ignore_if_exists:
+                return PaimonLakeTable(path)
+            raise ValueError(f"table {identifier!r} already exists")
+        create_lake_table(
+            path,
+            schema,
+            partition_keys=partition_keys,
+            primary_keys=primary_keys,
+            options=options,
+        )
+        return PaimonLakeTable(path)
+
+    def get_table(self, identifier: str) -> "PaimonLakeTable":
+        import os
+
+        db, tbl = self._split(identifier)
+        path = os.path.join(self._db_dir(db), tbl)
+        if not os.path.exists(os.path.join(path, "schema")):
+            raise ValueError(f"table {identifier!r} does not exist")
+        return PaimonLakeTable(path)
+
+    def drop_table(self, identifier: str) -> None:
+        import os
+        import shutil
+
+        db, tbl = self._split(identifier)
+        path = os.path.join(self._db_dir(db), tbl)
+        if not os.path.exists(path):
+            raise ValueError(f"table {identifier!r} does not exist")
+        shutil.rmtree(path)
 
 
 def alter_lake_schema(

@@ -1119,6 +1119,64 @@ def test_import_preserve_history_pk_dv(tmp_path, catalog, spark):
     assert ks() == [(1, "a"), (3, "C"), (4, "d")]
 
 
+def test_lake_catalog_full_lifecycle(tmp_path, spark):
+    """Bootstrap a spec-format lake FROM SCRATCH through the catalog
+    facade: create_database/create_table write schema-0 per spec, the
+    first append commits snapshot-1 against the empty prior state, PK
+    tables upsert, and the importer (the spec-reader path) consumes
+    the result — proving the created layout is a real lake."""
+    from pyspark.sql import types as T
+
+    from paimon_python_spark.paimon_lake import (
+        PaimonLakeCatalog,
+        delete_lake_rows,
+        write_lake_append,
+    )
+    from paimon_python_spark.session import set_spark
+
+    set_spark(spark)
+    cat = PaimonLakeCatalog.create({"warehouse": str(tmp_path / "lakewh")})
+    cat.create_database("prod")
+    assert cat.list_databases() == ["prod"]
+    sch = T.StructType(
+        [T.StructField("k", T.LongType()), T.StructField("v", T.StringType())]
+    )
+    t = cat.create_table("prod.kv", sch, primary_keys=["k"],
+                         options={"bucket": "2"})
+    assert cat.list_tables("prod") == ["kv"]
+    # empty lake reads as empty with the declared schema
+    empty = t.new_read_builder().new_read().to_df()
+    assert empty.count() == 0 and [f.name for f in empty.schema.fields] == ["k", "v"]
+    # first commit bootstraps snapshot-1
+    assert write_lake_append(t.table_path,
+                             spark.createDataFrame([(1, "a"), (2, "b")],
+                                                   "k long, v string")) == 1
+    write_lake_append(t.table_path,
+                      spark.createDataFrame([(2, "B")], "k long, v string"))
+    out = t.new_read_builder().new_read().to_pandas().sort_values("k")
+    assert list(out.v) == ["a", "B"]
+    pb = t.new_read_builder().new_predicate_builder()
+    delete_lake_rows(t.table_path, pb.equal("k", 1))
+    assert t.new_read_builder().new_read().to_pandas().k.tolist() == [2]
+    # the spec-reader path (importer) consumes the created layout
+    from paimon_python_spark import Catalog
+
+    ecat = Catalog.create({"warehouse": str(tmp_path / "enginewh")})
+    ecat.create_database("default", True)
+    et = import_paimon_table(t.table_path, ecat, "default.kv_imported")
+    assert et.new_read_builder().new_read().to_pandas().k.tolist() == [2]
+    # duplicate create refuses; dynamic-bucket PK create refuses
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="already exists"):
+        cat.create_table("prod.kv", sch, primary_keys=["k"],
+                         options={"bucket": "2"})
+    with _pytest.raises(TypeError, match="dynamic bucket"):
+        cat.create_table("prod.kv2", sch, primary_keys=["k"])
+    cat.drop_table("prod.kv")
+    assert cat.list_tables("prod") == []
+
+
 def test_merge_into_lake(tmp_path, spark):
     """MERGE INTO a real PK lake: update matched, delete per condition,
     insert unmatched — one spec commit of changelog rows the lake's
