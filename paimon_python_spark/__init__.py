@@ -47,21 +47,39 @@ from paimon_python_spark.branches import (
 )
 from paimon_python_spark.tags import create_tag, delete_tag, list_tags
 from paimon_python_spark.paimon_lake import (
+    PaimonLakeCatalog,
     PaimonLakeTable,
+    alter_lake_schema,
+    compact_lake,
+    create_lake_table,
+    create_lake_tag,
     delete_lake_rows,
+    expire_lake_snapshots,
+    overwrite_lake,
     read_lake_incremental,
     register_lake_sql_view,
+    rollback_lake,
     stream_lake_snapshots,
     write_lake_append,
 )
+from paimon_python_spark.merge import merge_into_lake
 from paimon_python_spark.paimon_import import (
     export_paimon_table,
     import_paimon_table,
 )
 
 __all__ = [
+    "PaimonLakeCatalog",
     "PaimonLakeTable",
+    "alter_lake_schema",
+    "compact_lake",
+    "create_lake_table",
+    "create_lake_tag",
     "delete_lake_rows",
+    "expire_lake_snapshots",
+    "merge_into_lake",
+    "overwrite_lake",
+    "rollback_lake",
     "read_lake_incremental",
     "register_lake_sql_view",
     "stream_lake_snapshots",

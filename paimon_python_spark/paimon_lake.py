@@ -125,6 +125,37 @@ class PaimonLakeReadBuilder:
         self._tag = name
         return self
 
+    def with_timestamp(self, millis: int) -> "PaimonLakeReadBuilder":
+        """Timestamp time travel (Paimon's ``scan.timestamp-millis``):
+        read the NEWEST snapshot whose commit ``timeMillis`` is at or
+        before ``millis``. Driver-side walk of the KB-scale snapshot
+        chain; raises if every snapshot is newer."""
+        import json
+        import os
+
+        from paimon_python_spark.paimon_import import (
+            latest_paimon_snapshot_id,
+        )
+
+        sdir = os.path.join(self.table.table_path, "snapshot")
+        best = None
+        for n in os.listdir(sdir):
+            if not n.startswith("snapshot-"):
+                continue
+            with open(os.path.join(sdir, n)) as f:
+                s = json.load(f)
+            if int(s.get("timeMillis") or 0) <= millis and (
+                best is None or s["id"] > best
+            ):
+                best = s["id"]
+        if best is None:
+            raise ValueError(
+                f"with_timestamp: no snapshot at or before {millis} "
+                f"(earliest available is newer)"
+            )
+        self._snapshot_id = best
+        return self
+
     def _snapshot_dict(self):
         from paimon_python_spark.paimon_import import read_paimon_tag
 
@@ -1040,7 +1071,10 @@ def _commit_lake_snapshot(
                 "commitUser": "paimon_python_spark",
                 "commitIdentifier": new_id,
                 "commitKind": commit_kind,
-                "timeMillis": 0,
+                # real wall-clock commit time: JVM readers time-travel
+                # by timeMillis (scan.timestamp-millis); writing 0
+                # would break that interop
+                "timeMillis": int(__import__("time").time() * 1000),
                 "logOffsets": {},
                 "totalRecordCount": (
                     total_record_count

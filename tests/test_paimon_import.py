@@ -1119,6 +1119,38 @@ def test_import_preserve_history_pk_dv(tmp_path, catalog, spark):
     assert ks() == [(1, "a"), (3, "C"), (4, "d")]
 
 
+def test_lake_timestamp_time_travel(tmp_path, spark):
+    """Engine commits carry real wall-clock timeMillis (JVM readers
+    time-travel by it) and with_timestamp picks the newest snapshot at
+    or before the given instant."""
+    import json
+    import os
+    import time
+
+    from paimon_python_spark.paimon_lake import PaimonLakeTable, write_lake_append
+    from paimon_python_spark.session import set_spark
+
+    set_spark(spark)
+    p = str(tmp_path / "ts_lake")
+    write_paimon_fixture(
+        p, [("k", "INT")], [], [],
+        [(0, {}, 0, pa.table({"k": pa.array([1], pa.int32())}))],
+    )
+    write_lake_append(p, spark.createDataFrame([(2,)], "k int"))
+    t2 = json.load(open(os.path.join(p, "snapshot", "snapshot-2")))["timeMillis"]
+    assert abs(t2 - time.time() * 1000) < 60_000  # real clock, not 0
+    time.sleep(0.05)
+    mid = int(time.time() * 1000)
+    time.sleep(0.05)
+    write_lake_append(p, spark.createDataFrame([(3,)], "k int"))
+    rb = PaimonLakeTable(p).new_read_builder().with_timestamp(mid)
+    assert sorted(rb.new_read().to_pandas().k) == [1, 2]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no snapshot at or before"):
+        PaimonLakeTable(p).new_read_builder().with_timestamp(-1)
+
+
 def test_lake_catalog_full_lifecycle(tmp_path, spark):
     """Bootstrap a spec-format lake FROM SCRATCH through the catalog
     facade: create_database/create_table write schema-0 per spec, the
