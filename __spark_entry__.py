@@ -2868,9 +2868,11 @@ def paimon_lake_dv_history_roundtrip(spark, sf_dir):
     from paimon_python_spark.session import set_spark
 
     set_spark(spark)
+    # modulo split, not absolute ranges: both commits must be
+    # non-empty at EVERY sf (sf0.001 tops out at o_orderkey 1499)
     pdf = (
         _t(spark, sf_dir, "orders")
-        .filter(F.col("o_orderkey") <= 2000)
+        .filter((F.col("o_orderkey") <= 3000) & (F.col("o_orderkey") % 3 != 0))
         .select("o_orderkey", "o_totalprice")
         .toPandas()
         .sort_values("o_orderkey")
@@ -2890,7 +2892,7 @@ def paimon_lake_dv_history_roundtrip(spark, sf_dir):
     delete_lake_rows(fixture, pb.less_than("o_totalprice", 100000.0))
     extra = (
         _t(spark, sf_dir, "orders")
-        .filter((F.col("o_orderkey") > 2000) & (F.col("o_orderkey") <= 3000))
+        .filter((F.col("o_orderkey") <= 3000) & (F.col("o_orderkey") % 3 == 0))
         .select(F.col("o_orderkey").cast("bigint"), "o_totalprice")
     )
     write_lake_append(fixture, extra)
@@ -2918,7 +2920,8 @@ def paimon_lake_dv_history_roundtrip(spark, sf_dir):
 
 PAIMON_LAKE_DV_HISTORY_SQL = """
 WITH base AS (
-  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey <= 2000
+  SELECT o_orderkey, o_totalprice FROM orders
+  WHERE o_orderkey <= 3000 AND o_orderkey % 3 <> 0
 ),
 kept AS (
   SELECT * FROM base WHERE o_totalprice >= 100000.0
@@ -2930,7 +2933,7 @@ UNION ALL
 SELECT 'latest', o_orderkey, o_totalprice FROM kept
 UNION ALL
 SELECT 'latest', o_orderkey, o_totalprice FROM orders
-WHERE o_orderkey > 2000 AND o_orderkey <= 3000
+WHERE o_orderkey <= 3000 AND o_orderkey % 3 = 0
 ORDER BY tag, o_orderkey
 """
 
