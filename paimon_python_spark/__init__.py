@@ -60,6 +60,7 @@ from paimon_python_spark.paimon_lake import (
     register_lake_sql_view,
     rollback_lake,
     stream_lake_snapshots,
+    update_lake_rows,
     write_lake_append,
 )
 from paimon_python_spark.merge import merge_into_lake
@@ -80,6 +81,7 @@ __all__ = [
     "merge_into_lake",
     "overwrite_lake",
     "rollback_lake",
+    "update_lake_rows",
     "read_lake_incremental",
     "register_lake_sql_view",
     "stream_lake_snapshots",

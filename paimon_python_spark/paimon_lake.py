@@ -84,6 +84,48 @@ class PaimonLakeTable:
     def partitions(self, snapshot_id: "Optional[int]" = None):
         return _lake_system_partitions(self.table_path, snapshot_id)
 
+    def tags(self):
+        """Tags system table: (tag_name, snapshot_id) from the lake's
+        ``tag/`` directory."""
+        import json
+        import os
+
+        from pyspark.sql import types as T
+
+        from paimon_python_spark.session import get_spark
+
+        rows = []
+        tdir = os.path.join(self.table_path, "tag")
+        if os.path.isdir(tdir):
+            for n in sorted(os.listdir(tdir)):
+                if n.startswith("tag-"):
+                    with open(os.path.join(tdir, n)) as f:
+                        rows.append((n[len("tag-"):], int(json.load(f)["id"])))
+        schema = T.StructType(
+            [
+                T.StructField("tag_name", T.StringType(), False),
+                T.StructField("snapshot_id", T.LongType(), False),
+            ]
+        )
+        return get_spark().createDataFrame(rows, schema)
+
+    def options(self):
+        """Options system table: (key, value) from the current schema."""
+        from pyspark.sql import types as T
+
+        from paimon_python_spark.session import get_spark
+
+        info = read_paimon_schema(self.table_path)
+        schema = T.StructType(
+            [
+                T.StructField("key", T.StringType(), False),
+                T.StructField("value", T.StringType(), False),
+            ]
+        )
+        return get_spark().createDataFrame(
+            sorted((k, str(v)) for k, v in info.options.items()), schema
+        )
+
 
 class PaimonLakeReadBuilder:
     """Accumulates pushdowns against a lake table (mirrors the engine's
@@ -2059,6 +2101,49 @@ def register_lake_sql_view(spark, table_path: str, name: str):
     df = PaimonLakeTable(table_path).new_read_builder().new_read().to_df()
     df.createOrReplaceTempView(name)
     return df
+
+
+def update_lake_rows(
+    table_path: str, predicate: Predicate, assignments: dict
+) -> int:
+    """UPDATE rows of a real PK lake: the matched VISIBLE rows are
+    re-written with ``assignments`` applied as ``+U`` level-0 records
+    in ONE spec commit — every Paimon reader's merge then surfaces the
+    new values (the LSM update shape; the engine-table twin is
+    ``Table.update_rows``). ``assignments``: {column: SQL expression
+    over the current row}, e.g. ``{"bal": "bal * 1.1"}``. Key columns
+    refuse. Append lakes refuse (Paimon updates them via
+    copy-on-write rewrites — use ``overwrite_lake`` with the rewritten
+    frame). Returns the new snapshot id."""
+    from pyspark.sql import functions as F
+
+    from paimon_python_spark.operators._cache import cache_scope, shared
+
+    info = read_paimon_schema(table_path)
+    if not info.primary_keys:
+        raise ValueError(
+            "update_lake_rows: append lake — rewrite via overwrite_lake"
+        )
+    bad = set(assignments) & set(info.primary_keys + list(info.partition_keys))
+    if bad:
+        raise ValueError(f"update_lake_rows: cannot update key columns {sorted(bad)}")
+    unknown = set(assignments) - {f.name for f in info.spark_schema.fields}
+    if unknown:
+        raise ValueError(f"update_lake_rows: unknown columns {sorted(unknown)}")
+    with cache_scope():
+        matched = shared(
+            PaimonLakeTable(table_path)
+            .new_read_builder()
+            .with_filter(predicate)
+            .new_read()
+            .to_df()
+        )
+        if matched.limit(1).count() == 0:
+            raise ValueError("update_lake_rows: predicate matched no rows")
+        updated = matched.withColumns(
+            {c: F.expr(e) for c, e in assignments.items()}
+        ).withColumn("__kind", F.lit(2))
+        return write_lake_pk_append(table_path, updated, row_kind_col="__kind")
 
 
 def delete_lake_rows(table_path: str, predicate: Predicate) -> int:

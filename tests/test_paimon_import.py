@@ -1119,6 +1119,46 @@ def test_import_preserve_history_pk_dv(tmp_path, catalog, spark):
     assert ks() == [(1, "a"), (3, "C"), (4, "d")]
 
 
+def test_update_lake_rows_and_system_views(tmp_path, spark):
+    """UPDATE on a PK lake commits +U records the merge resolves; the
+    $tags/$options lake system views list the tag dir and schema
+    options."""
+    from paimon_python_spark.paimon_lake import (
+        PaimonLakeTable,
+        create_lake_tag,
+        update_lake_rows,
+    )
+    from paimon_python_spark.session import set_spark
+
+    set_spark(spark)
+    p = str(tmp_path / "upd_lake")
+    kv = pa.schema(
+        [("_KEY_k", pa.int64()), ("_SEQUENCE_NUMBER", pa.int64()),
+         ("_VALUE_KIND", pa.int32()), ("k", pa.int64()), ("bal", pa.int64())]
+    )
+    write_paimon_fixture(
+        p, [("k", "BIGINT NOT NULL"), ("bal", "BIGINT")], [], ["k"],
+        [(0, {}, 0, pa.table(
+            {"_KEY_k": [1, 2, 3], "_SEQUENCE_NUMBER": [0, 1, 2],
+             "_VALUE_KIND": [0, 0, 0], "k": [1, 2, 3],
+             "bal": [10, 20, 30]}, schema=kv))],
+        options={"bucket": "2"},
+    )
+    t = PaimonLakeTable(p)
+    pb = t.new_read_builder().new_predicate_builder()
+    sid = update_lake_rows(p, pb.greater_than("bal", 15), {"bal": "bal + 100"})
+    assert sid == 2
+    out = t.new_read_builder().new_read().to_pandas().sort_values("k")
+    assert list(out.bal) == [10, 120, 130]
+    with pytest.raises(ValueError, match="key columns"):
+        update_lake_rows(p, pb.greater_than("bal", 0), {"k": "k + 1"})
+    create_lake_tag(p, "v2")
+    tags = {r.tag_name: r.snapshot_id for r in t.tags().collect()}
+    assert tags == {"v2": 2}
+    opts = {r.key: r.value for r in t.options().collect()}
+    assert opts.get("bucket") == "2"
+
+
 def test_lake_timestamp_time_travel(tmp_path, spark):
     """Engine commits carry real wall-clock timeMillis (JVM readers
     time-travel by it) and with_timestamp picks the newest snapshot at
