@@ -1903,7 +1903,9 @@ def expire_lake_snapshots(table_path: str, keep_last_n: int) -> dict:
     return _delete_lake_metadata(table_path, doomed, kept)
 
 
-def compact_lake(table_path: str) -> int:
+def compact_lake(
+    table_path: str, partition_filter: Optional[Predicate] = None
+) -> int:
     """FULL compaction of a REAL Paimon lake as a spec COMPACT commit —
     the third leg of the engine-as-lake-participant story (append,
     delete, compact). Semantics mirror Paimon's full-compaction action
@@ -1931,11 +1933,20 @@ def compact_lake(table_path: str) -> int:
     the executor-side group writer; only KB-scale per-file metadata
     crosses the driver. A concurrent APPEND that wins the snapshot race
     survives (its files are not in our DELETE set); its rows are simply
-    not compacted this round. Returns the new snapshot id."""
+    not compacted this round. Returns the new snapshot id.
+
+    ``partition_filter`` (a partition-column predicate) scopes the
+    rewrite — the 100 TB production form: only matching partitions'
+    files fold; untouched files keep their manifest entries AND their
+    deletion-vector marks (the surviving marks re-commit in a fresh
+    index manifest; only rewritten files' marks drop, since those rows
+    are physically gone)."""
     from paimon_python_spark.paimon_import import (
         _spec_file_meta,
         encode_binary_row,
+        plan_paimon_dv,
         plan_paimon_files,
+        read_dv_index_entry,
     )
 
     info = read_paimon_schema(table_path)
@@ -1948,9 +1959,30 @@ def compact_lake(table_path: str) -> int:
     part_keys = list(info.partition_keys)
     part_types = [info.spark_schema[k].dataType for k in part_keys]
 
+    if partition_filter is not None:
+        ppred = partition_filter.keep_only_fields(set(part_keys))
+        if ppred is None:
+            raise ValueError(
+                "compact_lake: partition_filter references no partition column"
+            )
+        ppred = _coerce_partition_literals(ppred, info)
+        before = [
+            e
+            for e in before
+            if ppred.test_by_value(_logical_partition_values(info, e.partition))
+        ]
+        if not before:
+            raise ValueError("compact_lake: partition_filter matched no files")
+
     # merged logical view: PK merge resolved, DV marks applied,
-    # old-schema files mapped to the latest schema
-    df = PaimonLakeTable(table_path).new_read_builder().new_read().to_df()
+    # old-schema files mapped to the latest schema. A partition filter
+    # prunes the scan to the selected partitions (the partition-only
+    # predicate is row-exact there) — and the merge stays closed, since
+    # fixed-bucket keys never cross partitions.
+    rb = PaimonLakeTable(table_path).new_read_builder()
+    if partition_filter is not None:
+        rb = rb.with_filter(partition_filter)
+    df = rb.new_read().to_df()
 
     if info.primary_keys:
         num_buckets = int(info.options.get("bucket", "-1"))
@@ -2001,14 +2033,43 @@ def compact_lake(table_path: str) -> int:
         }
         for e in before
     ]
+    # DV marks on UNTOUCHED files must survive a scoped compaction:
+    # re-commit them in a fresh index manifest (rewritten files' marks
+    # drop — those rows are physically gone from the new bytes)
+    rewritten = {e.file_name for e in before}
+    surviving: dict = {}
+    for r in plan_paimon_dv(table_path):
+        if r.data_file_name not in rewritten:
+            import numpy as _np
+
+            pos = read_dv_index_entry(r.index_path, r.offset, r.length)
+            cur = surviving.get(r.data_file_name)
+            surviving[r.data_file_name] = (
+                _np.union1d(cur, pos) if cur is not None else pos
+            )
+    im_name = (
+        _write_dv_index_manifest(
+            table_path,
+            info,
+            surviving,
+            plan_paimon_files(table_path),
+        )
+        if surviving
+        else None
+    )
+    from paimon_python_spark.paimon_import import read_paimon_snapshot
+
+    prev_total = int(
+        read_paimon_snapshot(table_path).get("totalRecordCount") or 0
+    )
     return _commit_lake_snapshot(
         table_path,
         info,
         delete_entries + add_entries,
         n_rows,
         commit_kind="COMPACT",
-        index_manifest=None,
-        total_record_count=n_rows,
+        index_manifest=im_name,
+        total_record_count=prev_total - sum(e.row_count for e in before) + n_rows,
     )
 
 
@@ -2101,6 +2162,76 @@ def register_lake_sql_view(spark, table_path: str, name: str):
     df = PaimonLakeTable(table_path).new_read_builder().new_read().to_df()
     df.createOrReplaceTempView(name)
     return df
+
+
+def _write_dv_index_manifest(
+    table_path: str, info, marked: dict, entries
+) -> str:
+    """Write the deletion-vector index file(s) + index manifest for
+    ``marked`` ({data_file_name: sorted positions}) — one index file +
+    manifest entry per (partition, bucket), carrying the REAL BinaryRow
+    partition (a JVM Paimon reader decodes entry partitions with the
+    table's partition row type, so a single empty-partition entry would
+    break interop on partitioned lakes). ``entries`` maps file names to
+    their (partition, bucket). Returns the manifest file name."""
+    import os
+    import uuid
+
+    from paimon_python_spark.avro_codec import write_avro_records
+    from paimon_python_spark.paimon_import import (
+        DELETION_VECTORS_INDEX,
+        INDEX_MANIFEST_SCHEMA,
+        encode_binary_row,
+        write_dv_index_file,
+    )
+
+    part_types = [info.spark_schema[k].dataType for k in info.partition_keys]
+    by_file = {e.file_name: e for e in entries}
+    groups: dict = {}
+    for fname in sorted(marked):
+        e = by_file.get(fname)
+        gkey = (
+            (tuple(sorted(e.partition.items())), e.bucket)
+            if e is not None
+            else ((), 0)
+        )
+        groups.setdefault(gkey, []).append(fname)
+    os.makedirs(os.path.join(table_path, "index"), exist_ok=True)
+    tag = uuid.uuid4().hex[:12]
+    index_entries = []
+    for gi, ((pitems, bucket), fnames) in enumerate(sorted(groups.items())):
+        idx_name = f"index-{tag}-{gi}"
+        ranges = write_dv_index_file(
+            os.path.join(table_path, "index", idx_name),
+            {n: marked[n] for n in fnames},
+        )
+        pdict = dict(pitems)
+        index_entries.append(
+            {
+                "_VERSION": 1,
+                "_KIND": 0,
+                "_PARTITION": encode_binary_row(
+                    [pdict.get(k) for k in info.partition_keys], part_types
+                ),
+                "_BUCKET": int(bucket),
+                "_INDEX_TYPE": DELETION_VECTORS_INDEX,
+                "_FILE_NAME": idx_name,
+                "_FILE_SIZE": os.path.getsize(
+                    os.path.join(table_path, "index", idx_name)
+                ),
+                "_ROW_COUNT": int(sum(len(marked[n]) for n in fnames)),
+                "_DELETIONS_VECTORS_RANGES": [
+                    {"f0": n, "f1": o, "f2": ln} for n, (o, ln) in ranges.items()
+                ],
+            }
+        )
+    im_name = f"index-manifest-{tag}.avro"
+    write_avro_records(
+        os.path.join(table_path, "manifest", im_name),
+        INDEX_MANIFEST_SCHEMA,
+        index_entries,
+    )
+    return im_name
 
 
 def update_lake_rows(
@@ -2332,55 +2463,8 @@ def delete_lake_rows(table_path: str, predicate: Predicate) -> int:
             _np.union1d(cur, prev_pos) if cur is not None else prev_pos
         )
 
-    # one index file + manifest entry per (partition, bucket), carrying
-    # the REAL BinaryRow partition — a JVM Paimon reader decodes entry
-    # partitions with the table's partition row type, so a single
-    # empty-partition entry would break interop on partitioned lakes
-    by_file = {e.file_name: e for e in entries}
-    groups: dict = {}
-    for fname in sorted(marked):
-        e = by_file.get(fname)
-        gkey = (
-            (tuple(sorted(e.partition.items())), e.bucket)
-            if e is not None
-            else ((), 0)
-        )
-        groups.setdefault(gkey, []).append(fname)
-    os.makedirs(os.path.join(table_path, "index"), exist_ok=True)
+    im_name = _write_dv_index_manifest(table_path, info, marked, entries)
     tag = uuid.uuid4().hex[:12]
-    index_entries = []
-    for gi, ((pitems, bucket), fnames) in enumerate(sorted(groups.items())):
-        idx_name = f"index-{tag}-{gi}"
-        ranges = write_dv_index_file(
-            os.path.join(table_path, "index", idx_name),
-            {n: marked[n] for n in fnames},
-        )
-        pdict = dict(pitems)
-        index_entries.append(
-            {
-                "_VERSION": 1,
-                "_KIND": 0,
-                "_PARTITION": encode_binary_row(
-                    [pdict.get(k) for k in info.partition_keys], part_types
-                ),
-                "_BUCKET": int(bucket),
-                "_INDEX_TYPE": DELETION_VECTORS_INDEX,
-                "_FILE_NAME": idx_name,
-                "_FILE_SIZE": os.path.getsize(
-                    os.path.join(table_path, "index", idx_name)
-                ),
-                "_ROW_COUNT": int(sum(len(marked[n]) for n in fnames)),
-                "_DELETIONS_VECTORS_RANGES": [
-                    {"f0": n, "f1": o, "f2": ln} for n, (o, ln) in ranges.items()
-                ],
-            }
-        )
-    im_name = f"index-manifest-{tag}.avro"
-    write_avro_records(
-        os.path.join(table_path, "manifest", im_name),
-        INDEX_MANIFEST_SCHEMA,
-        index_entries,
-    )
     from paimon_python_spark.paimon_import import (
         MANIFEST_LIST_SCHEMA,
         _EMPTY_STATS,

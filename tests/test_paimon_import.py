@@ -2062,6 +2062,55 @@ def test_compact_lake_append_table(tmp_path, spark):
     assert sorted(old.k) == [1, 2, 3, 4]
 
 
+def test_compact_lake_partition_scoped(tmp_path, spark):
+    """Partition-scoped compaction (the 100 TB production form): only
+    the matching partition's files fold; untouched partitions keep
+    their files AND their deletion-vector marks."""
+    from paimon_python_spark.paimon_import import plan_paimon_files
+    from paimon_python_spark.paimon_lake import (
+        PaimonLakeTable,
+        compact_lake,
+        delete_lake_rows,
+        write_lake_append,
+    )
+    from paimon_python_spark.session import set_spark
+
+    set_spark(spark)
+    p = str(tmp_path / "scoped_compact")
+    write_paimon_fixture(
+        p,
+        [("dt", "STRING NOT NULL"), ("k", "INT")],
+        ["dt"],
+        [],
+        [(0, {"dt": "a"}, 0, pa.table({"k": pa.array([1, 2], pa.int32())})),
+         (0, {"dt": "b"}, 0, pa.table({"k": pa.array([10, 11], pa.int32())}))],
+    )
+    write_lake_append(
+        p, spark.createDataFrame([("a", 3), ("b", 12)], "dt string, k int")
+    )
+    t = PaimonLakeTable(p)
+    pb = t.new_read_builder().new_predicate_builder()
+    delete_lake_rows(p, pb.is_in("k", [2, 11]))  # one mark per partition
+    files_b_before = {
+        e.file_name for e in plan_paimon_files(p) if e.partition["dt"] == "b"
+    }
+    compact_lake(p, partition_filter=pb.equal("dt", "a"))
+    after = plan_paimon_files(p)
+    # dt=a folded to one mark-free file; dt=b files untouched
+    a_files = [e for e in after if e.partition["dt"] == "a"]
+    b_files = {e.file_name for e in after if e.partition["dt"] == "b"}
+    assert len(a_files) == 1 and a_files[0].row_count == 2  # k=2 gone
+    assert b_files == files_b_before
+    # dt=b's DV mark SURVIVED: k=11 still invisible
+    out = t.new_read_builder().new_read().to_pandas()
+    assert sorted(out.k) == [1, 3, 10, 12]
+    # filter matching nothing refuses; non-partition filter refuses
+    with pytest.raises(ValueError, match="matched no files"):
+        compact_lake(p, partition_filter=pb.equal("dt", "zzz"))
+    with pytest.raises(ValueError, match="no partition column"):
+        compact_lake(p, partition_filter=pb.equal("k", 1))
+
+
 def test_compact_lake_pk_table(tmp_path, spark):
     """PK-lake compaction materializes the LSM merge (max seq per key
     wins, -D drops) into one max-level file per bucket — and a LATER
