@@ -138,6 +138,7 @@ class PaimonLakeReadBuilder:
         self._snapshot_id: Optional[int] = None
         self._tag: Optional[str] = None
         self._limit: Optional[int] = None
+        self._read_optimized: bool = False
 
     def new_predicate_builder(self) -> PredicateBuilder:
         return PredicateBuilder(
@@ -212,6 +213,16 @@ class PaimonLakeReadBuilder:
         read of a huge lake opens only the first few files; the row
         cutoff itself is applied to the read output."""
         self._limit = limit
+        return self
+
+    def read_optimized(self) -> "PaimonLakeReadBuilder":
+        """Paimon's ``$ro`` (read-optimized) scan: PK lakes read ONLY
+        max-level files — the latest full-compaction result — with no
+        merge window at all (level-0 upserts committed since the last
+        compaction are NOT visible; that staleness-for-speed trade is
+        the feature's contract). Deletion vectors still anti-join.
+        Append lakes are unaffected."""
+        self._read_optimized = True
         return self
 
     def new_scan(self) -> "PaimonLakeScan":
@@ -469,7 +480,37 @@ class PaimonLakeRead:
             return p
 
         dv = plan_paimon_dv(table_path, b._snapshot_id, snapshot=b._snapshot_dict())
-        if info.primary_keys:
+        if info.primary_keys and b._read_optimized:
+            # $ro scan: only max-level files (the last full compaction's
+            # output — non-overlapping by construction), no merge window;
+            # DV marks still anti-join out
+            from paimon_python_spark.paimon_import import (
+                _load_lake_entries,
+                _relevant_dv,
+                apply_lake_dv,
+            )
+
+            max_level = int(info.options.get("num-levels", "6")) - 1
+            ro_entries = [e for e in entries if e.level == max_level]
+            if not ro_entries:
+                df = spark.createDataFrame([], info.spark_schema)
+            else:
+                rodv = _relevant_dv(dv, ro_entries)
+                df = _load_lake_entries(
+                    spark,
+                    info,
+                    ro_entries,
+                    src,
+                    fmt,
+                    kv=True,
+                    table_path=table_path,
+                    file_name_col="__file_name" if rodv else None,
+                    row_pos_col="__row_pos" if rodv else None,
+                )
+                if rodv:
+                    df = apply_lake_dv(spark, df, rodv, "__file_name", "__row_pos")
+                df = df.select(*[f.name for f in info.spark_schema.fields])
+        elif info.primary_keys:
             df = merge_paimon_pk_entries(
                 spark, info, entries, src, fmt, dv_ranges=dv, table_path=table_path
             )

@@ -2062,6 +2062,45 @@ def test_compact_lake_append_table(tmp_path, spark):
     assert sorted(old.k) == [1, 2, 3, 4]
 
 
+def test_lake_read_optimized(tmp_path, spark):
+    """$ro scan parity: after compaction the read-optimized scan sees
+    the compacted state merge-free; level-0 upserts committed since
+    are invisible to $ro but visible to the normal merged read."""
+    from paimon_python_spark.paimon_lake import (
+        PaimonLakeTable,
+        compact_lake,
+        write_lake_append,
+    )
+    from paimon_python_spark.session import set_spark
+
+    set_spark(spark)
+    p = str(tmp_path / "ro_lake")
+    kv = pa.schema(
+        [("_KEY_k", pa.int64()), ("_SEQUENCE_NUMBER", pa.int64()),
+         ("_VALUE_KIND", pa.int32()), ("k", pa.int64()), ("v", pa.string())]
+    )
+    write_paimon_fixture(
+        p, [("k", "BIGINT NOT NULL"), ("v", "STRING")], [], ["k"],
+        [(0, {}, 0, pa.table(
+            {"_KEY_k": [1, 2], "_SEQUENCE_NUMBER": [0, 1],
+             "_VALUE_KIND": [0, 0], "k": [1, 2], "v": ["a", "b"]},
+            schema=kv))],
+        options={"bucket": "1"},
+    )
+    # pre-compaction: no max-level files -> $ro is empty
+    t = PaimonLakeTable(p)
+    assert t.new_read_builder().read_optimized().new_read().to_df().count() == 0
+    compact_lake(p)
+    ro = t.new_read_builder().read_optimized().new_read().to_pandas().sort_values("k")
+    assert list(ro.v) == ["a", "b"]
+    # a post-compaction level-0 upsert: invisible to $ro, visible merged
+    write_lake_append(p, spark.createDataFrame([(2, "B")], "k bigint, v string"))
+    ro2 = t.new_read_builder().read_optimized().new_read().to_pandas().sort_values("k")
+    assert list(ro2.v) == ["a", "b"]  # stale by contract
+    merged = t.new_read_builder().new_read().to_pandas().sort_values("k")
+    assert list(merged.v) == ["a", "B"]
+
+
 def test_compact_lake_partition_scoped(tmp_path, spark):
     """Partition-scoped compaction (the 100 TB production form): only
     the matching partition's files fold; untouched partitions keep
