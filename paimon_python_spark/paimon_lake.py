@@ -225,6 +225,20 @@ class PaimonLakeReadBuilder:
         self._read_optimized = True
         return self
 
+    def read_type(self):
+        """Projected row type (reference ``read_builder.py:57``):
+        behaves as the list of projected field names and answers
+        ``as_arrow()`` — same contract as the engine builder's."""
+        from paimon_python_spark.table import ReadType
+
+        info = self.table.schema_info()
+        names = (
+            list(self._projection)
+            if self._projection is not None
+            else [f.name for f in info.spark_schema.fields]
+        )
+        return ReadType(names, info.spark_schema)
+
     def new_scan(self) -> "PaimonLakeScan":
         return PaimonLakeScan(self)
 
