@@ -566,6 +566,20 @@ class PaimonLakeRead:
         con.register(table_name, self.to_arrow())
         return con
 
+    def to_ray(self):
+        """Ray dataset adapter (reference ``java_implementation.py:
+        255-258`` parity; optional dependency, as there)."""
+        import ray  # optional dependency, as in the reference
+
+        return ray.data.from_arrow(self.to_arrow())
+
+    def to_record_generator(self):
+        """Row-at-a-time generator over the lake read (reference
+        ``to_record_generator`` parity) — driver-sized extracts only."""
+        for batch in self.to_arrow_batch_reader():
+            for row in batch.to_pylist():
+                yield row
+
 
 def read_lake_incremental(
     table_path: str,
