@@ -86,11 +86,17 @@ def scalable_rank(
     ).first()
     bounds = sorted(set(row["b"] or []))
     if bounds:
-        barr = F.array(*[F.lit(b) for b in bounds])
-        bucket = F.size(F.filter(barr, lambda b: b <= F.col(lead)))
+        # plain CASE-WHEN sum, not a higher-order filter() — a lambda
+        # capturing the outer column hit a nondeterministic Catalyst
+        # binding error under AQE broadcast reordering; this form stays
+        # inside whole-stage codegen and has no capture at all
+        bucket = sum(
+            (F.when(F.col(lead) >= F.lit(b), 1).otherwise(0) for b in bounds),
+            F.lit(0),
+        )
     else:
         bucket = F.lit(0)
-    bucketed = df.withColumn("__rk_bucket", bucket)
+    bucketed = df.withColumn("__rk_bucket", bucket.cast("int"))
 
     # 2. bucket-local row numbers — the one (well-keyed) shuffle
     w = W.partitionBy(*pcols, "__rk_bucket").orderBy(*order_cols)

@@ -225,3 +225,48 @@ def test_unigram_surprisal_bounds(spark, words):
     assert 0 <= r.total_surprisal <= n * max(0, n.bit_length() - 1)
     if len(set(words)) == 1:
         assert r.total_surprisal == 0
+
+
+@given(
+    vals=st.lists(st.integers(min_value=-50, max_value=50), min_size=1, max_size=40),
+    tiles=st.integers(min_value=1, max_value=7),
+    buckets=st.integers(min_value=2, max_value=6),
+)
+@settings(**SETTINGS)
+def test_scalable_rank_matches_window_property(spark, vals, tiles, buckets):
+    """For ANY value multiset, bucket count, and tile count, the
+    distributed scalable_rank must agree exactly with Spark's own
+    single-partition window functions (tie-free order via the unique
+    id tiebreak)."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from paimon_python_spark.operators.ranking import scalable_rank
+
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "id long, v long")
+    w = W.orderBy("v", "id")
+    want = {
+        r.id: (r.rn, r.pr, r.cd, r.q)
+        for r in df.select(
+            "id",
+            F.row_number().over(w).alias("rn"),
+            F.percent_rank().over(w).alias("pr"),
+            F.cume_dist().over(w).alias("cd"),
+            F.ntile(tiles).over(w).alias("q"),
+        ).collect()
+    }
+    got = {
+        r.id: (r.rn, r.pr, r.cd, r.q)
+        for r in scalable_rank(
+            df,
+            ["v", "id"],
+            num_buckets=buckets,
+            row_number_col="rn",
+            percent_rank_col="pr",
+            cume_dist_col="cd",
+            ntile=tiles,
+            ntile_col="q",
+        ).collect()
+    }
+    assert got == want
