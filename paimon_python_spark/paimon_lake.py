@@ -2367,17 +2367,13 @@ def delete_lake_rows(table_path: str, predicate: Predicate) -> int:
     from pyspark.sql import functions as F
 
     from paimon_python_spark.paimon_import import (
-        DELETION_VECTORS_INDEX,
-        INDEX_MANIFEST_SCHEMA,
         _load_lake_entries,
         _relevant_dv,
-        encode_binary_row,
         latest_paimon_snapshot_id,
         plan_paimon_dv,
         plan_paimon_files,
         read_dv_index_entry,
         read_paimon_snapshot,
-        write_dv_index_file,
     )
     from paimon_python_spark.avro_codec import write_avro_records
     from paimon_python_spark.session import get_spark
