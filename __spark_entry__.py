@@ -4268,6 +4268,69 @@ GROUP BY o_custkey ORDER BY o_custkey
 """
 
 
+def dedup_substring_spans(spark, sf_dir):
+    """SPAN-level exact-duplicate detection (ExactSubstr-style, Lee et
+    al.): winnowing anchors (md5-prefix-selected word positions)
+    fingerprint k-word windows; fingerprints seen in ≥2 documents mark
+    duplicated spans, merged per doc by interval union. One fingerprint
+    hash-shuffle, no pairwise compare — the span-level complement of
+    the doc-level fingerprint/minhash family."""
+    from paimon_python_spark.operators import duplicated_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        duplicated_spans(docs, "doc_id", "text", k=8, anchor_hex="0")
+        .orderBy("doc_id", "span_start")
+    )
+
+
+DEDUP_SUBSTRING_SPANS_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         string_split(trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')
+           AS words
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, words,
+         unnest(words) AS w,
+         generate_subscripts(words, 1) AS p
+  FROM toks
+),
+anch AS (
+  SELECT doc_id, p,
+         md5(array_to_string(words[p : p + 7], ' ')) AS fp
+  FROM pos
+  WHERE substring(md5(w), 1, 1) = '0' AND p + 7 <= len(words)
+),
+dup AS (
+  SELECT fp FROM anch GROUP BY fp HAVING count(DISTINCT doc_id) >= 2
+),
+hits AS (
+  SELECT a.doc_id, a.p FROM anch a JOIN dup USING (fp)
+),
+grouped AS (
+  SELECT doc_id, p,
+         CASE WHEN lag(p + 8) OVER w IS NULL OR p > lag(p + 8) OVER w
+              THEN 1 ELSE 0 END AS newgrp
+  FROM hits
+  WINDOW w AS (PARTITION BY doc_id ORDER BY p)
+),
+spans AS (
+  SELECT doc_id, p,
+         sum(newgrp) OVER (PARTITION BY doc_id ORDER BY p
+                           ROWS UNBOUNDED PRECEDING) AS grp
+  FROM grouped
+)
+SELECT doc_id,
+       CAST(min(p) AS BIGINT) AS span_start,
+       CAST(max(p) + 8 AS BIGINT) AS span_end,
+       count(*) AS n_anchors
+FROM spans GROUP BY doc_id, grp
+ORDER BY doc_id, span_start
+"""
+
+
 def paimon_lake_bootstrap_roundtrip(spark, sf_dir):
     """Bootstrap a spec-format lake FROM SCRATCH (PaimonLakeCatalog +
     create_lake_table): schema-0 written per the published spec, the
@@ -8155,6 +8218,7 @@ _QUERIES: dict[str, Callable] = {
     "paimon_lake_merge_engine_roundtrip": paimon_lake_merge_engine_roundtrip,
     "paimon_lake_alter_merge_roundtrip": paimon_lake_alter_merge_roundtrip,
     "paimon_lake_bootstrap_roundtrip": paimon_lake_bootstrap_roundtrip,
+    "dedup_substring_spans": dedup_substring_spans,
     "paimon_lake_delete_roundtrip": paimon_lake_delete_roundtrip,
     "window_topk_per_group": window_topk_per_group,
     "dedup_exact": dedup_exact,
@@ -8475,6 +8539,7 @@ _ORACLES: dict[str, str] = {
     "paimon_lake_merge_engine_roundtrip": PAIMON_LAKE_MERGE_ENGINE_SQL,
     "paimon_lake_alter_merge_roundtrip": PAIMON_LAKE_ALTER_MERGE_SQL,
     "paimon_lake_bootstrap_roundtrip": PAIMON_LAKE_BOOTSTRAP_SQL,
+    "dedup_substring_spans": DEDUP_SUBSTRING_SPANS_SQL,
     "paimon_lake_delete_roundtrip": PAIMON_LAKE_DELETE_SQL,
 }
 
@@ -8499,6 +8564,7 @@ _GATE_HEAD = [
     "paimon_lake_merge_engine_roundtrip",
     "paimon_lake_alter_merge_roundtrip",
     "paimon_lake_bootstrap_roundtrip",
+    "dedup_substring_spans",
     "window_ntile_quartile",
     "window_percent_rank",
     # never-gated after r6, verified locally 2026-08-14

@@ -21,6 +21,7 @@ from paimon_python_spark.operators.dedup import (
     embedding_cosine_pairs,
     embedding_cosine_pairs_lsh,
     connected_components,
+    duplicated_spans,
     fuzzy_dedup_survivors,
 )
 from paimon_python_spark.operators.sampling import (

@@ -817,3 +817,94 @@ def minhash_containment_pairs(
     # small verified-pair output; persist so a downstream orderBy's
     # range-sampling pass reads the cache instead of re-joining
     return shared(out)
+
+
+def duplicated_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    anchor_hex: str = "0",
+    max_anchor_df: "int | None" = None,
+    min_anchors: int = 1,
+) -> DataFrame:
+    """SPAN-level exact duplicate detection — the ExactSubstr-style
+    operator (Lee et al., "Deduplicating Training Data Makes Language
+    Models Better"): find the word ranges of each document whose text
+    also appears verbatim in ANOTHER document, without comparing
+    documents pairwise.
+
+    Content-defined anchoring makes copies align regardless of offset
+    (the winnowing/MOSS trick, Schleimer et al.): a word position is an
+    ANCHOR iff ``md5(word)`` starts with ``anchor_hex`` (≈1/16 of
+    positions, deterministic in any engine); each anchor fingerprints
+    the ``k``-word window starting there. Two verbatim copies of a
+    span share its anchors and therefore its window fingerprints.
+
+    Shape at scale: tokenize (narrow explode) → anchor filter (keeps
+    ~1/16) → ONE hash-shuffle on the window fingerprint to find
+    cross-document duplicates → per-doc interval merge (one window
+    over each doc's few hits). ``max_anchor_df`` drops fingerprints
+    shared by more than that many anchor sites BEFORE the join-back —
+    the boilerplate guard (a footer shared by a million pages is the
+    whole job otherwise); the hot set is count-bounded and broadcasts
+    into an anti-join, mirroring ``_cap_hot_shingles``.
+
+    Returns (id, span_start, span_end, n_anchors): 1-based word
+    positions, ``span_end`` exclusive, spans merged when their
+    anchor windows touch or overlap. ``min_anchors`` filters weak
+    single-anchor evidence.
+    """
+    from pyspark.sql import Window
+
+    norm = F.trim(F.lower(F.regexp_replace(F.col(text_col), "\\s+", " ")))
+    base = _widen(df.select(id_col, text_col)).select(
+        F.col(id_col), F.split(norm, " ").alias("__w")
+    )
+    tok = base.select(
+        F.col(id_col),
+        F.col("__w"),
+        F.posexplode("__w").alias("__p0", "__word"),
+    ).select(
+        F.col(id_col),
+        (F.col("__p0") + 1).alias("pos"),  # 1-based
+        F.col("__word"),
+        F.col("__w"),
+    )
+    anchors = tok.filter(
+        (F.substring(F.md5("__word"), 1, len(anchor_hex)) == anchor_hex)
+        & (F.col("pos") + k - 1 <= F.size("__w"))
+    ).select(
+        F.col(id_col),
+        F.col("pos"),
+        F.md5(F.concat_ws(" ", F.slice(F.col("__w"), F.col("pos"), k))).alias("__fp"),
+    )
+    anchors = shared(anchors)
+    dup = anchors.groupBy("__fp").agg(
+        F.countDistinct(id_col).alias("__ndocs"), F.count("*").alias("__df")
+    )
+    dup = dup.filter(F.col("__ndocs") >= 2)
+    if max_anchor_df is not None:
+        dup = dup.filter(F.col("__df") <= max_anchor_df)
+    hits = anchors.join(dup.select("__fp"), "__fp")
+    # interval merge: window ends are monotone in pos (fixed k), so a
+    # hit starts a new span iff it begins past the previous hit's end
+    w = Window.partitionBy(id_col).orderBy("pos")
+    grouped = hits.withColumn(
+        "__new",
+        F.when(
+            F.lag(F.col("pos") + k).over(w).isNull()
+            | (F.col("pos") > F.lag(F.col("pos") + k).over(w)),
+            1,
+        ).otherwise(0),
+    ).withColumn("__grp", F.sum("__new").over(w))
+    return (
+        grouped.groupBy(id_col, "__grp")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + k).cast("long").alias("span_end"),
+            F.count("*").alias("n_anchors"),
+        )
+        .filter(F.col("n_anchors") >= min_anchors)
+        .select(id_col, "span_start", "span_end", "n_anchors")
+    )

@@ -997,6 +997,36 @@ def test_url_dedup_normalization_groups(spark):
     assert out["sub.example.com/a"] == (6, 1)
 
 
+def test_duplicated_spans(spark):
+    """Span-level exact-dup detection: shared verbatim spans surface at
+    the right word ranges in BOTH docs regardless of offset; unrelated
+    docs stay clean; the anchor-df cap drops boilerplate fingerprints."""
+    from paimon_python_spark.operators import duplicated_spans
+
+    shared_span = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, shared_span + " unique one"),
+        (2, "prefix words " + shared_span + " trailing"),
+        (3, "totally different content with no overlap at all whatsoever here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # anchor_hex="" makes EVERY position an anchor: exhaustive mode
+    out = {
+        r.doc_id: (r.span_start, r.span_end)
+        for r in duplicated_spans(df, "doc_id", "text", k=4, anchor_hex="").collect()
+    }
+    assert out[1] == (1, 11)  # words 1-10, end exclusive
+    assert out[2] == (3, 13)  # same 10 words, shifted by the 2-word prefix
+    assert 3 not in out
+    # boilerplate cap: a fingerprint at >max_anchor_df sites is dropped
+    many = [(i, shared_span) for i in range(10, 20)]
+    df2 = spark.createDataFrame(rows + many, "doc_id long, text string")
+    capped = duplicated_spans(
+        df2, "doc_id", "text", k=4, anchor_hex="", max_anchor_df=5
+    )
+    assert capped.count() == 0  # every window now exceeds the cap
+
+
 def test_scalable_rank_matches_window(spark):
     """scalable_rank must agree bit-for-bit with Spark's own window
     functions on a tie-heavy frame (unique tiebreak key), both global
