@@ -4331,6 +4331,70 @@ ORDER BY doc_id, span_start
 """
 
 
+def dedup_contaminated_spans(spark, sf_dir):
+    """SPAN-level benchmark decontamination: the word ranges of each
+    non-benchmark doc that appear verbatim in the eval slice ('src0'),
+    so the pipeline can EXCISE the span instead of dropping the doc.
+    The bench side's window fingerprints broadcast into a semi-join —
+    the corpus never reshuffles (contrast text_contamination, which
+    scores whole docs)."""
+    from paimon_python_spark.operators import contaminated_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("source") != "src0")
+    bench = docs.filter(F.col("source") == "src0")
+    return contaminated_spans(
+        corpus, "doc_id", "text", bench, "doc_id", "text", k=8, anchor_hex="0"
+    ).orderBy("doc_id", "span_start")
+
+
+DEDUP_CONTAMINATED_SPANS_SQL = """
+WITH toks AS (
+  SELECT doc_id, source,
+         string_split(trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')
+           AS words
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, source, words,
+         unnest(words) AS w,
+         generate_subscripts(words, 1) AS p
+  FROM toks
+),
+anch AS (
+  SELECT doc_id, source, p,
+         md5(array_to_string(words[p : p + 7], ' ')) AS fp
+  FROM pos
+  WHERE substring(md5(w), 1, 1) = '0' AND p + 7 <= len(words)
+),
+bench AS (SELECT DISTINCT fp FROM anch WHERE source = 'src0'),
+hits AS (
+  SELECT a.doc_id, a.p
+  FROM anch a JOIN bench USING (fp)
+  WHERE a.source <> 'src0'
+),
+grouped AS (
+  SELECT doc_id, p,
+         CASE WHEN lag(p + 8) OVER w IS NULL OR p > lag(p + 8) OVER w
+              THEN 1 ELSE 0 END AS newgrp
+  FROM hits
+  WINDOW w AS (PARTITION BY doc_id ORDER BY p)
+),
+spans AS (
+  SELECT doc_id, p,
+         sum(newgrp) OVER (PARTITION BY doc_id ORDER BY p
+                           ROWS UNBOUNDED PRECEDING) AS grp
+  FROM grouped
+)
+SELECT doc_id,
+       CAST(min(p) AS BIGINT) AS span_start,
+       CAST(max(p) + 8 AS BIGINT) AS span_end,
+       count(*) AS n_anchors
+FROM spans GROUP BY doc_id, grp
+ORDER BY doc_id, span_start
+"""
+
+
 def paimon_lake_bootstrap_roundtrip(spark, sf_dir):
     """Bootstrap a spec-format lake FROM SCRATCH (PaimonLakeCatalog +
     create_lake_table): schema-0 written per the published spec, the
@@ -8219,6 +8283,7 @@ _QUERIES: dict[str, Callable] = {
     "paimon_lake_alter_merge_roundtrip": paimon_lake_alter_merge_roundtrip,
     "paimon_lake_bootstrap_roundtrip": paimon_lake_bootstrap_roundtrip,
     "dedup_substring_spans": dedup_substring_spans,
+    "dedup_contaminated_spans": dedup_contaminated_spans,
     "paimon_lake_delete_roundtrip": paimon_lake_delete_roundtrip,
     "window_topk_per_group": window_topk_per_group,
     "dedup_exact": dedup_exact,
@@ -8540,6 +8605,7 @@ _ORACLES: dict[str, str] = {
     "paimon_lake_alter_merge_roundtrip": PAIMON_LAKE_ALTER_MERGE_SQL,
     "paimon_lake_bootstrap_roundtrip": PAIMON_LAKE_BOOTSTRAP_SQL,
     "dedup_substring_spans": DEDUP_SUBSTRING_SPANS_SQL,
+    "dedup_contaminated_spans": DEDUP_CONTAMINATED_SPANS_SQL,
     "paimon_lake_delete_roundtrip": PAIMON_LAKE_DELETE_SQL,
 }
 
@@ -8565,6 +8631,7 @@ _GATE_HEAD = [
     "paimon_lake_alter_merge_roundtrip",
     "paimon_lake_bootstrap_roundtrip",
     "dedup_substring_spans",
+    "dedup_contaminated_spans",
     "window_ntile_quartile",
     "window_percent_rank",
     # never-gated after r6, verified locally 2026-08-14

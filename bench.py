@@ -93,6 +93,8 @@ HEADLINE = [
     "paimon_lake_pk_write_roundtrip",
     "paimon_lake_maintenance_roundtrip",
     "window_ntile_quartile",
+    "dedup_substring_spans",
+    "dedup_contaminated_spans",
 ]
 
 

@@ -22,6 +22,7 @@ from paimon_python_spark.operators.dedup import (
     embedding_cosine_pairs_lsh,
     connected_components,
     duplicated_spans,
+    contaminated_spans,
     fuzzy_dedup_survivors,
 )
 from paimon_python_spark.operators.sampling import (
@@ -76,6 +77,8 @@ __all__ = [
     "embedding_cosine_pairs",
     "embedding_cosine_pairs_lsh",
     "connected_components",
+    "duplicated_spans",
+    "contaminated_spans",
     "fuzzy_dedup_survivors",
     "assign_cells",
     "cosine_similarity_col",

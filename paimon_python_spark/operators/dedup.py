@@ -857,29 +857,7 @@ def duplicated_spans(
     """
     from pyspark.sql import Window
 
-    norm = F.trim(F.lower(F.regexp_replace(F.col(text_col), "\\s+", " ")))
-    base = _widen(df.select(id_col, text_col)).select(
-        F.col(id_col), F.split(norm, " ").alias("__w")
-    )
-    tok = base.select(
-        F.col(id_col),
-        F.col("__w"),
-        F.posexplode("__w").alias("__p0", "__word"),
-    ).select(
-        F.col(id_col),
-        (F.col("__p0") + 1).alias("pos"),  # 1-based
-        F.col("__word"),
-        F.col("__w"),
-    )
-    anchors = tok.filter(
-        (F.substring(F.md5("__word"), 1, len(anchor_hex)) == anchor_hex)
-        & (F.col("pos") + k - 1 <= F.size("__w"))
-    ).select(
-        F.col(id_col),
-        F.col("pos"),
-        F.md5(F.concat_ws(" ", F.slice(F.col("__w"), F.col("pos"), k))).alias("__fp"),
-    )
-    anchors = shared(anchors)
+    anchors = shared(_anchor_fingerprints(df, id_col, text_col, k, anchor_hex))
     dup = anchors.groupBy("__fp").agg(
         F.countDistinct(id_col).alias("__ndocs"), F.count("*").alias("__df")
     )
@@ -889,6 +867,105 @@ def duplicated_spans(
     hits = anchors.join(dup.select("__fp"), "__fp")
     # interval merge: window ends are monotone in pos (fixed k), so a
     # hit starts a new span iff it begins past the previous hit's end
+    w = Window.partitionBy(id_col).orderBy("pos")
+    grouped = hits.withColumn(
+        "__new",
+        F.when(
+            F.lag(F.col("pos") + k).over(w).isNull()
+            | (F.col("pos") > F.lag(F.col("pos") + k).over(w)),
+            1,
+        ).otherwise(0),
+    ).withColumn("__grp", F.sum("__new").over(w))
+    return (
+        grouped.groupBy(id_col, "__grp")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + k).cast("long").alias("span_end"),
+            F.count("*").alias("n_anchors"),
+        )
+        .filter(F.col("n_anchors") >= min_anchors)
+        .select(id_col, "span_start", "span_end", "n_anchors")
+    )
+
+
+def _anchor_fingerprints(
+    df: DataFrame, id_col: str, text_col: str, k: int, anchor_hex: str
+) -> DataFrame:
+    """(id, pos, __fp): content-defined anchor positions (md5(word)
+    prefix match — the winnowing trick that aligns copies regardless
+    of offset) with the md5 fingerprint of the k-word window starting
+    there. Shared front half of span-level dedup and span-level
+    decontamination.
+
+    Shape note: anchor selection and window hashing happen INSIDE the
+    per-doc word array (``transform`` + ``filter``) and only the
+    surviving (pos, fp) structs explode. The naive
+    posexplode-then-slice formulation carries the whole word array on
+    every exploded row — O(words²) bytes through the generate, which
+    at 100 TB is the job. This one moves O(words·k) compute and
+    O(words/16) rows."""
+    norm = F.trim(F.lower(F.regexp_replace(F.col(text_col), "\\s+", " ")))
+    base = _widen(df.select(id_col, text_col)).select(
+        F.col(id_col), F.split(norm, " ").alias("__w")
+    )
+    n_hex = len(anchor_hex)
+    # sequence(a, b) DESCENDS when b < a — guard short docs to empty
+    starts = F.when(
+        F.size("__w") >= k, F.sequence(F.lit(1), F.size("__w") - k + 1)
+    ).otherwise(F.array().cast("array<int>"))
+    # anchor-select FIRST on the cheap single-word hash, THEN build the
+    # expensive k-word window hash only at the ~1/16 surviving anchors
+    anchors_only = F.filter(
+        starts,
+        lambda p: F.substring(F.md5(F.element_at(F.col("__w"), p)), 1, n_hex)
+        == anchor_hex,
+    )
+    anch = F.transform(
+        anchors_only,
+        lambda p: F.struct(
+            p.cast("int").alias("pos"),  # 1-based
+            F.md5(F.concat_ws(" ", F.slice(F.col("__w"), p, F.lit(k)))).alias("__fp"),
+        ),
+    )
+    return base.select(F.col(id_col), F.explode(anch).alias("__s")).select(
+        F.col(id_col),
+        F.col("__s.pos").alias("pos"),
+        F.col("__s.__fp").alias("__fp"),
+    )
+
+
+def contaminated_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bench_df: DataFrame,
+    bench_id_col: str,
+    bench_text_col: str,
+    k: int = 8,
+    anchor_hex: str = "",
+    min_anchors: int = 1,
+) -> DataFrame:
+    """SPAN-level benchmark decontamination: the word ranges of each
+    corpus document that appear VERBATIM in a benchmark/eval set — so
+    the pipeline can EXCISE the contaminated span instead of dropping
+    the whole document (the doc-level variant is
+    ``functions.text.contamination_check``).
+
+    The benchmark side is small by definition: its window fingerprints
+    (same content-defined anchoring as :func:`duplicated_spans`;
+    ``anchor_hex=""`` anchors every position for exhaustive recall on
+    the small side) BROADCAST into a semi-join against the corpus
+    anchors — the corpus never reshuffles. Returns (id, span_start,
+    span_end, n_anchors), 1-based word positions, end exclusive."""
+    from pyspark.sql import Window
+
+    corpus = _anchor_fingerprints(df, id_col, text_col, k, anchor_hex)
+    bench_fps = F.broadcast(
+        _anchor_fingerprints(bench_df, bench_id_col, bench_text_col, k, anchor_hex)
+        .select("__fp")
+        .distinct()
+    )
+    hits = corpus.join(bench_fps, "__fp", "left_semi")
     w = Window.partitionBy(id_col).orderBy("pos")
     grouped = hits.withColumn(
         "__new",

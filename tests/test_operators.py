@@ -1027,6 +1027,36 @@ def test_duplicated_spans(spark):
     assert capped.count() == 0  # every window now exceeds the cap
 
 
+def test_contaminated_spans(spark):
+    """Span-level decontamination: only the benchmark-verbatim range of
+    a corpus doc is flagged (so it can be excised), clean docs return
+    nothing, and spans align regardless of offset."""
+    from paimon_python_spark.operators import contaminated_spans
+
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta"
+    corpus_rows = [
+        (1, "intro words here " + bench_text + " outro tail words"),
+        (2, bench_text),  # full doc is the benchmark string
+        (3, "completely unrelated prose with no benchmark overlap at all"),
+    ]
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(100, bench_text + " with its own continuation")], "bid long, btext string"
+    )
+    out = {
+        r.doc_id: (r.span_start, r.span_end, r.n_anchors)
+        for r in contaminated_spans(
+            corpus, "doc_id", "text", bench, "bid", "btext", k=4
+        ).collect()
+    }
+    # doc 1: the 8 bench words start at word 4 -> windows 4..8 (k=4),
+    # merged span [4, 12) (end exclusive), 5 anchors
+    assert out[1] == (4, 12, 5)
+    # doc 2: same words at offset 0 -> [1, 9)
+    assert out[2] == (1, 9, 5)
+    assert 3 not in out
+
+
 def test_scalable_rank_matches_window(spark):
     """scalable_rank must agree bit-for-bit with Spark's own window
     functions on a tie-heavy frame (unique tiebreak key), both global
