@@ -4395,6 +4395,93 @@ ORDER BY doc_id, span_start
 """
 
 
+def dedup_excise_contaminated(spark, sf_dir):
+    """End-to-end span decontamination: detect benchmark-verbatim word
+    ranges (contaminated_spans vs the 'src0' eval slice) and EXCISE
+    them — the rebuilt doc keeps everything else. Detection is a
+    broadcast fingerprint semi-join; excision is a narrow id-join plus
+    a per-row array filter inside codegen — the corpus shuffles once,
+    on its own id."""
+    from paimon_python_spark.operators import contaminated_spans, excise_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("source") != "src0")
+    bench = docs.filter(F.col("source") == "src0")
+    spans = contaminated_spans(
+        corpus, "doc_id", "text", bench, "doc_id", "text", k=8, anchor_hex="0"
+    )
+    return excise_spans(corpus, spans, "doc_id", "text").orderBy("doc_id")
+
+
+DEDUP_EXCISE_CONTAMINATED_SQL = """
+WITH toks AS (
+  SELECT doc_id, source,
+         string_split(trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')
+           AS words
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, source, words,
+         unnest(words) AS w,
+         generate_subscripts(words, 1) AS p
+  FROM toks
+),
+anch AS (
+  SELECT doc_id, source, p,
+         md5(array_to_string(words[p : p + 7], ' ')) AS fp
+  FROM pos
+  WHERE substring(md5(w), 1, 1) = '0' AND p + 7 <= len(words)
+),
+bench AS (SELECT DISTINCT fp FROM anch WHERE source = 'src0'),
+hits AS (
+  SELECT a.doc_id, a.p
+  FROM anch a JOIN bench USING (fp)
+  WHERE a.source <> 'src0'
+),
+grouped AS (
+  SELECT doc_id, p,
+         CASE WHEN lag(p + 8) OVER w IS NULL OR p > lag(p + 8) OVER w
+              THEN 1 ELSE 0 END AS newgrp
+  FROM hits
+  WINDOW w AS (PARTITION BY doc_id ORDER BY p)
+),
+spanpos AS (
+  SELECT doc_id, p,
+         sum(newgrp) OVER (PARTITION BY doc_id ORDER BY p
+                           ROWS UNBOUNDED PRECEDING) AS grp
+  FROM grouped
+),
+spans AS (
+  SELECT doc_id, min(p) AS span_start, max(p) + 8 AS span_end
+  FROM spanpos GROUP BY doc_id, grp
+),
+kept AS (
+  SELECT t.doc_id, t.p, t.w
+  FROM pos t
+  WHERE t.source <> 'src0'
+    AND t.doc_id IN (SELECT doc_id FROM spans)
+    AND NOT EXISTS (SELECT 1 FROM spans s
+                    WHERE s.doc_id = t.doc_id
+                      AND t.p >= s.span_start AND t.p < s.span_end)
+),
+agg AS (
+  SELECT doc_id,
+         string_agg(w, ' ' ORDER BY p) AS text_clean,
+         count(*) AS words_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(a.text_clean, '') AS text_clean,
+       CAST(coalesce(a.words_kept, 0) AS BIGINT) AS words_kept,
+       CAST(len(t.words) - coalesce(a.words_kept, 0) AS BIGINT)
+         AS words_removed
+FROM (SELECT DISTINCT doc_id FROM spans) d
+JOIN toks t USING (doc_id)
+LEFT JOIN agg a USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
 def paimon_lake_bootstrap_roundtrip(spark, sf_dir):
     """Bootstrap a spec-format lake FROM SCRATCH (PaimonLakeCatalog +
     create_lake_table): schema-0 written per the published spec, the
@@ -8284,6 +8371,7 @@ _QUERIES: dict[str, Callable] = {
     "paimon_lake_bootstrap_roundtrip": paimon_lake_bootstrap_roundtrip,
     "dedup_substring_spans": dedup_substring_spans,
     "dedup_contaminated_spans": dedup_contaminated_spans,
+    "dedup_excise_contaminated": dedup_excise_contaminated,
     "paimon_lake_delete_roundtrip": paimon_lake_delete_roundtrip,
     "window_topk_per_group": window_topk_per_group,
     "dedup_exact": dedup_exact,
@@ -8606,6 +8694,7 @@ _ORACLES: dict[str, str] = {
     "paimon_lake_bootstrap_roundtrip": PAIMON_LAKE_BOOTSTRAP_SQL,
     "dedup_substring_spans": DEDUP_SUBSTRING_SPANS_SQL,
     "dedup_contaminated_spans": DEDUP_CONTAMINATED_SPANS_SQL,
+    "dedup_excise_contaminated": DEDUP_EXCISE_CONTAMINATED_SQL,
     "paimon_lake_delete_roundtrip": PAIMON_LAKE_DELETE_SQL,
 }
 
@@ -8632,6 +8721,7 @@ _GATE_HEAD = [
     "paimon_lake_bootstrap_roundtrip",
     "dedup_substring_spans",
     "dedup_contaminated_spans",
+    "dedup_excise_contaminated",
     "window_ntile_quartile",
     "window_percent_rank",
     # never-gated after r6, verified locally 2026-08-14

@@ -95,6 +95,7 @@ HEADLINE = [
     "window_ntile_quartile",
     "dedup_substring_spans",
     "dedup_contaminated_spans",
+    "dedup_excise_contaminated",
 ]
 
 

@@ -23,6 +23,7 @@ from paimon_python_spark.operators.dedup import (
     connected_components,
     duplicated_spans,
     contaminated_spans,
+    excise_spans,
     fuzzy_dedup_survivors,
 )
 from paimon_python_spark.operators.sampling import (
@@ -79,6 +80,7 @@ __all__ = [
     "connected_components",
     "duplicated_spans",
     "contaminated_spans",
+    "excise_spans",
     "fuzzy_dedup_survivors",
     "assign_cells",
     "cosine_similarity_col",

@@ -985,3 +985,56 @@ def contaminated_spans(
         .filter(F.col("n_anchors") >= min_anchors)
         .select(id_col, "span_start", "span_end", "n_anchors")
     )
+
+
+def excise_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    id_col: str,
+    text_col: str,
+    out_col: str = "text_clean",
+) -> DataFrame:
+    """Rewrite documents with the given WORD RANGES removed — the fix
+    step that :func:`contaminated_spans` / :func:`duplicated_spans`
+    feed: excise the contaminated span, keep the document.
+
+    ``spans`` is (id, span_start, span_end): 1-based positions over the
+    normalized tokenization (whitespace-collapsed lowercase — the same
+    coordinate space the span detectors emit), ``span_end`` exclusive.
+    Returns one row per document that HAS spans: (id, out_col,
+    words_kept, words_removed); the rebuilt text is the kept words
+    joined by single spaces (fully-excised docs yield '').
+
+    Shape at scale: spans collapse to one small array per doc (a doc
+    has few spans by construction) and join the corpus on its id — a
+    narrow equi-join, then a per-row array filter inside codegen. No
+    explode of the corpus, no shuffle beyond the join.
+    """
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(
+            F.struct(
+                F.col("span_start").cast("long").alias("s"),
+                F.col("span_end").cast("long").alias("e"),
+            )
+        ).alias("__spans")
+    )
+    norm = F.trim(F.lower(F.regexp_replace(F.col(text_col), "\\s+", " ")))
+    base = _widen(df.select(id_col, text_col)).select(
+        F.col(id_col), F.split(norm, " ").alias("__w")
+    )
+    j = base.join(per_doc, id_col)  # inner: only docs with spans change
+    kept = F.filter(
+        F.transform(
+            F.col("__w"),
+            lambda w, i: F.struct((i + 1).cast("long").alias("p"), w.alias("w")),
+        ),
+        lambda s: ~F.exists(
+            F.col("__spans"), lambda sp: (s["p"] >= sp["s"]) & (s["p"] < sp["e"])
+        ),
+    )
+    return j.select(
+        F.col(id_col),
+        F.array_join(F.transform(kept, lambda s: s["w"]), " ").alias(out_col),
+        F.size(kept).cast("long").alias("words_kept"),
+        (F.size("__w") - F.size(kept)).cast("long").alias("words_removed"),
+    )

@@ -1057,6 +1057,33 @@ def test_contaminated_spans(spark):
     assert 3 not in out
 
 
+def test_excise_spans(spark):
+    """Span excision rewrites only the flagged word ranges, handles
+    multiple spans per doc, full excision, and leaves span-free docs
+    out of the result (they are unchanged by contract)."""
+    from paimon_python_spark.operators import excise_spans
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h"),
+            (2, "one two three"),
+            (3, "untouched words stay"),
+        ],
+        "doc_id long, text string",
+    )
+    spans = spark.createDataFrame(
+        [(1, 2, 4), (1, 6, 8), (2, 1, 4)],  # doc1: drop b,c and f,g; doc2: all
+        "doc_id long, span_start long, span_end long",
+    )
+    out = {
+        r.doc_id: (r.text_clean, r.words_kept, r.words_removed)
+        for r in excise_spans(docs, spans, "doc_id", "text").collect()
+    }
+    assert out[1] == ("a d e h", 4, 4)
+    assert out[2] == ("", 0, 3)
+    assert 3 not in out
+
+
 def test_scalable_rank_matches_window(spark):
     """scalable_rank must agree bit-for-bit with Spark's own window
     functions on a tie-heavy frame (unique tiebreak key), both global
