@@ -3070,6 +3070,87 @@ ORDER BY tag, c_custkey
 """
 
 
+def paimon_lake_count_roundtrip(spark, sf_dir):
+    """Metadata-only count(*) pushdown on a real lake
+    (PaimonLakeReadBuilder.row_count): total and partition-pruned
+    counts come from the manifest row counts with NO data file opened
+    and NO Spark job; after a DV delete the decoded bitmap
+    cardinalities subtract; snapshot time travel counts the old state.
+    At 100 TB this is a driver manifest walk where a scan would be the
+    whole job. The oracle recomputes every count with plain SQL."""
+    import pyarrow as pa
+
+    from paimon_python_spark.paimon_import import write_paimon_table_fixture
+    from paimon_python_spark.paimon_lake import PaimonLakeTable, delete_lake_rows
+    from paimon_python_spark.session import set_spark
+
+    set_spark(spark)
+    pdf = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 1200)
+        .select("c_mktsegment", "c_custkey")
+        .toPandas()
+        .sort_values("c_custkey")
+    )
+    fixture = _fresh_warehouse("lakecnt") + "/customer_cnt"
+    files = [
+        (0, {"c_mktsegment": seg}, 0,
+         pa.table({"c_custkey": pa.array(g.c_custkey, pa.int64())}))
+        for seg, g in pdf.groupby("c_mktsegment", sort=True)
+    ]
+    write_paimon_table_fixture(
+        fixture,
+        [("c_mktsegment", "STRING NOT NULL"), ("c_custkey", "BIGINT")],
+        ["c_mktsegment"],
+        [],
+        files,
+    )
+    t = PaimonLakeTable(fixture)
+    rows = [("total_before", t.row_count())]
+    pb = t.new_read_builder().new_predicate_builder()
+    rows.append((
+        "building_before",
+        t.new_read_builder()
+        .with_filter(pb.equal("c_mktsegment", "BUILDING"))
+        .row_count(),
+    ))
+    delete_lake_rows(
+        fixture,
+        pb.is_in("c_custkey", [int(k) for k in pdf.c_custkey if k % 3 == 0]),
+    )
+    rows.append(("total_after", t.row_count()))
+    rows.append((
+        "building_after",
+        t.new_read_builder()
+        .with_filter(pb.equal("c_mktsegment", "BUILDING"))
+        .row_count(),
+    ))
+    rows.append(
+        ("total_snapshot1", t.new_read_builder().with_snapshot(1).row_count())
+    )
+    return spark.createDataFrame(
+        [(label, int(n)) for label, n in rows], "label string, n bigint"
+    ).orderBy("label")
+
+
+PAIMON_LAKE_COUNT_SQL = """
+WITH src AS (
+  SELECT c_mktsegment, c_custkey FROM customer WHERE c_custkey <= 1200)
+SELECT 'building_after' AS label,
+       count(*) AS n FROM src
+       WHERE c_mktsegment = 'BUILDING' AND c_custkey % 3 <> 0
+UNION ALL
+SELECT 'building_before', count(*) FROM src WHERE c_mktsegment = 'BUILDING'
+UNION ALL
+SELECT 'total_after', count(*) FROM src WHERE c_custkey % 3 <> 0
+UNION ALL
+SELECT 'total_before', count(*) FROM src
+UNION ALL
+SELECT 'total_snapshot1', count(*) FROM src
+ORDER BY label
+"""
+
+
 def paimon_lake_incremental_roundtrip(spark, sf_dir):
     """Incremental (from, to] read on a REAL lake
     (paimon_lake.read_lake_incremental — the lake analogue of the
@@ -8373,6 +8454,7 @@ _QUERIES: dict[str, Callable] = {
     "dedup_contaminated_spans": dedup_contaminated_spans,
     "dedup_excise_contaminated": dedup_excise_contaminated,
     "paimon_lake_delete_roundtrip": paimon_lake_delete_roundtrip,
+    "paimon_lake_count_roundtrip": paimon_lake_count_roundtrip,
     "window_topk_per_group": window_topk_per_group,
     "dedup_exact": dedup_exact,
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -8696,6 +8778,7 @@ _ORACLES: dict[str, str] = {
     "dedup_contaminated_spans": DEDUP_CONTAMINATED_SPANS_SQL,
     "dedup_excise_contaminated": DEDUP_EXCISE_CONTAMINATED_SQL,
     "paimon_lake_delete_roundtrip": PAIMON_LAKE_DELETE_SQL,
+    "paimon_lake_count_roundtrip": PAIMON_LAKE_COUNT_SQL,
 }
 
 
@@ -8722,6 +8805,7 @@ _GATE_HEAD = [
     "dedup_substring_spans",
     "dedup_contaminated_spans",
     "dedup_excise_contaminated",
+    "paimon_lake_count_roundtrip",
     "window_ntile_quartile",
     "window_percent_rank",
     # never-gated after r6, verified locally 2026-08-14

@@ -69,6 +69,11 @@ class PaimonLakeTable:
     def new_read_builder(self) -> "PaimonLakeReadBuilder":
         return PaimonLakeReadBuilder(self)
 
+    def row_count(self) -> int:
+        """Exact table row count — metadata-only on append lakes (see
+        :meth:`PaimonLakeReadBuilder.row_count`)."""
+        return self.new_read_builder().row_count()
+
     # -- system tables (Paimon's table$snapshots / $files / $schemas /
     # $partitions), driver-built from the same metadata a scan plans --
 
@@ -238,6 +243,42 @@ class PaimonLakeReadBuilder:
             else [f.name for f in info.spark_schema.fields]
         )
         return ReadType(names, info.spark_schema)
+
+    def row_count(self) -> int:
+        """Exact row count of this read. METADATA-ONLY (no data file is
+        opened, no Spark job runs) when the table is append-only and
+        the predicate — if any — touches only partition keys: manifest
+        row counts of the partition-pruned live file set, minus decoded
+        deletion-vector cardinalities (index files are KB-scale, read
+        driver-side). At lake scale that's a driver manifest walk
+        instead of a full-table scan — the count(*) pushdown the JVM
+        planners do from the same stats.
+
+        PK tables and residual (non-partition) predicates fall back to
+        counting the merged read: their visible row set depends on
+        merge semantics a manifest cannot express (L0 upserts may be
+        unmarked even in DV mode), so a metadata count could disagree
+        with ``to_df()``. The fallback is always row-exact."""
+        info = read_paimon_schema(self.table.table_path)
+        residual = self._predicate is not None and not (
+            self._predicate.fields() <= set(info.partition_keys)
+        )
+        if info.primary_keys or residual:
+            n = self.new_read().to_df().count()
+            return n if self._limit is None else min(n, self._limit)
+        from paimon_python_spark.paimon_import import read_dv_index_entry
+
+        entries = _pruned_entries(self.table.table_path, info, self)
+        total = sum(e.row_count for e in entries)
+        live = {e.file_name for e in entries}
+        for r in plan_paimon_dv(
+            self.table.table_path, self._snapshot_id, snapshot=self._snapshot_dict()
+        ):
+            if r.data_file_name in live:
+                total -= int(
+                    read_dv_index_entry(r.index_path, r.offset, r.length).size
+                )
+        return total if self._limit is None else min(total, self._limit)
 
     def new_scan(self) -> "PaimonLakeScan":
         return PaimonLakeScan(self)

@@ -2560,3 +2560,80 @@ def test_delete_lake_rows_large_stays_bounded(tmp_path, spark):
     idx = os.listdir(os.path.join(p, "index"))
     assert len(idx) == 1
     assert os.path.getsize(os.path.join(p, "index", idx[0])) < 200_000
+
+
+def test_lake_row_count_metadata_only(tmp_path, spark):
+    """row_count(): metadata-only on append lakes (to_df must NOT run),
+    exact under partition predicates and deletion vectors; PK lakes
+    fall back to the merged read's count."""
+    from paimon_python_spark import predicate as P
+    from paimon_python_spark.paimon_import import attach_paimon_dv_fixture
+    from paimon_python_spark.paimon_lake import PaimonLakeRead, PaimonLakeTable
+    from paimon_python_spark.session import set_spark
+
+    set_spark(spark)
+    p = str(tmp_path / "cnt_append")
+    sch = pa.schema([("dt", pa.string()), ("k", pa.int32())])
+    write_paimon_fixture(
+        p,
+        [("dt", "STRING NOT NULL"), ("k", "INT")],
+        ["dt"],
+        [],
+        [
+            (0, {"dt": "a"}, 0, pa.table({"dt": ["a"] * 4, "k": [1, 2, 3, 4]}, schema=sch)),
+            (0, {"dt": "b"}, 0, pa.table({"dt": ["b"] * 2, "k": [5, 6]}, schema=sch)),
+        ],
+    )
+    t = PaimonLakeTable(p)
+    # append path must never materialize a read
+    orig = PaimonLakeRead.to_df
+    PaimonLakeRead.to_df = lambda self: (_ for _ in ()).throw(
+        AssertionError("metadata-only count ran a read")
+    )
+    try:
+        assert t.row_count() == 6
+        rb = t.new_read_builder()
+        pred = rb.new_predicate_builder().equal("dt", "a")
+        assert rb.with_filter(pred).row_count() == 4
+    finally:
+        PaimonLakeRead.to_df = orig
+    # deletion vectors subtract decoded cardinality (driver-side)
+    attach_paimon_dv_fixture(
+        p, {"data-fixture-0.parquet": [0, 2]}, partition={"dt": "a"}
+    )
+    assert t.row_count() == 4  # k=1, k=3 marked deleted
+    assert t.row_count() == t.new_read_builder().new_read().to_df().count()
+    # residual (non-partition) predicate: falls back, stays exact
+    rb2 = t.new_read_builder()
+    pred2 = rb2.new_predicate_builder().greater_than("k", 3)
+    assert rb2.with_filter(pred2).row_count() == 3  # k=4,5,6
+    # PK lake: merged count (upsert collapses to the latest version —
+    # raw manifest counts would say 4)
+    pk = str(tmp_path / "cnt_pk")
+    kv = pa.schema(
+        [
+            ("_KEY_k", pa.int32()),
+            ("_SEQUENCE_NUMBER", pa.int64()),
+            ("_VALUE_KIND", pa.int32()),
+            ("k", pa.int32()),
+            ("v", pa.string()),
+        ]
+    )
+    write_paimon_fixture(
+        pk,
+        [("k", "INT NOT NULL"), ("v", "STRING")],
+        [],
+        ["k"],
+        [
+            (0, {}, 0, pa.table(
+                {"_KEY_k": [1, 2], "_SEQUENCE_NUMBER": [0, 1],
+                 "_VALUE_KIND": [0, 0], "k": [1, 2], "v": ["a", "b"]},
+                schema=kv)),
+            (0, {}, 0, pa.table(
+                {"_KEY_k": [2, 3], "_SEQUENCE_NUMBER": [2, 3],
+                 "_VALUE_KIND": [0, 0], "k": [2, 3], "v": ["b2", "c"]},
+                schema=kv)),
+        ],
+        options={"bucket": "1"},
+    )
+    assert PaimonLakeTable(pk).row_count() == 3
