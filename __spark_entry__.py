@@ -3151,6 +3151,95 @@ ORDER BY label
 """
 
 
+def paimon_lake_stats_agg_roundtrip(spark, sf_dir):
+    """min/max aggregate pushdown from lake manifest stats
+    (PaimonLakeReadBuilder.min_max): whole-table and partition-pruned
+    extrema fold the same manifest min/max the planner prunes by — no
+    data file opened; after a DV delete the metadata path correctly
+    YIELDS to the exact scan aggregate (a mark could have removed the
+    extremal row). Oracle recomputes every row with plain SQL."""
+    import pyarrow as pa
+
+    from paimon_python_spark.paimon_import import write_paimon_table_fixture
+    from paimon_python_spark.paimon_lake import PaimonLakeTable, delete_lake_rows
+    from paimon_python_spark.session import set_spark
+
+    set_spark(spark)
+    pdf = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 1200)
+        .select("c_mktsegment", "c_custkey", "c_acctbal")
+        .toPandas()
+        .sort_values("c_custkey")
+    )
+    fixture = _fresh_warehouse("lakestats") + "/customer_stats"
+    files = [
+        (0, {"c_mktsegment": seg}, 0,
+         pa.table({"c_custkey": pa.array(g.c_custkey, pa.int64()),
+                   "c_acctbal": pa.array(g.c_acctbal, pa.float64())}))
+        for seg, g in pdf.groupby("c_mktsegment", sort=True)
+    ]
+    write_paimon_table_fixture(
+        fixture,
+        [("c_mktsegment", "STRING NOT NULL"),
+         ("c_custkey", "BIGINT"),
+         ("c_acctbal", "DOUBLE")],
+        ["c_mktsegment"],
+        [],
+        files,
+    )
+    t = PaimonLakeTable(fixture)
+
+    def stats_row(tag, rb):
+        mm = rb.min_max(["c_custkey", "c_acctbal"])
+        n = rb.row_count()
+        return (
+            tag,
+            int(mm["c_custkey"][0]), int(mm["c_custkey"][1]),
+            float(mm["c_acctbal"][0]), float(mm["c_acctbal"][1]),
+            int(n),
+        )
+
+    rows = [stats_row("all", t.new_read_builder())]
+    pb = t.new_read_builder().new_predicate_builder()
+    rows.append(
+        stats_row(
+            "building",
+            t.new_read_builder().with_filter(pb.equal("c_mktsegment", "BUILDING")),
+        )
+    )
+    delete_lake_rows(
+        fixture,
+        pb.is_in("c_custkey", [int(k) for k in pdf.c_custkey if k % 3 == 0]),
+    )
+    rows.append(stats_row("after_delete", t.new_read_builder()))
+    return spark.createDataFrame(
+        rows,
+        "tag string, mn_key bigint, mx_key bigint, "
+        "mn_bal double, mx_bal double, n bigint",
+    ).orderBy("tag")
+
+
+PAIMON_LAKE_STATS_AGG_SQL = """
+WITH src AS (
+  SELECT c_mktsegment, c_custkey, c_acctbal FROM customer
+  WHERE c_custkey <= 1200)
+SELECT 'after_delete' AS tag,
+       min(c_custkey) AS mn_key, max(c_custkey) AS mx_key,
+       min(c_acctbal) AS mn_bal, max(c_acctbal) AS mx_bal,
+       count(*) AS n
+FROM src WHERE c_custkey % 3 <> 0
+UNION ALL
+SELECT 'all', min(c_custkey), max(c_custkey),
+       min(c_acctbal), max(c_acctbal), count(*) FROM src
+UNION ALL
+SELECT 'building', min(c_custkey), max(c_custkey),
+       min(c_acctbal), max(c_acctbal), count(*)
+FROM src WHERE c_mktsegment = 'BUILDING'
+ORDER BY tag
+"""
+
+
 def paimon_lake_incremental_roundtrip(spark, sf_dir):
     """Incremental (from, to] read on a REAL lake
     (paimon_lake.read_lake_incremental — the lake analogue of the
@@ -8455,6 +8544,7 @@ _QUERIES: dict[str, Callable] = {
     "dedup_excise_contaminated": dedup_excise_contaminated,
     "paimon_lake_delete_roundtrip": paimon_lake_delete_roundtrip,
     "paimon_lake_count_roundtrip": paimon_lake_count_roundtrip,
+    "paimon_lake_stats_agg_roundtrip": paimon_lake_stats_agg_roundtrip,
     "window_topk_per_group": window_topk_per_group,
     "dedup_exact": dedup_exact,
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -8779,6 +8869,7 @@ _ORACLES: dict[str, str] = {
     "dedup_excise_contaminated": DEDUP_EXCISE_CONTAMINATED_SQL,
     "paimon_lake_delete_roundtrip": PAIMON_LAKE_DELETE_SQL,
     "paimon_lake_count_roundtrip": PAIMON_LAKE_COUNT_SQL,
+    "paimon_lake_stats_agg_roundtrip": PAIMON_LAKE_STATS_AGG_SQL,
 }
 
 
@@ -8806,6 +8897,7 @@ _GATE_HEAD = [
     "dedup_contaminated_spans",
     "dedup_excise_contaminated",
     "paimon_lake_count_roundtrip",
+    "paimon_lake_stats_agg_roundtrip",
     "window_ntile_quartile",
     "window_percent_rank",
     # never-gated after r6, verified locally 2026-08-14

@@ -280,6 +280,89 @@ class PaimonLakeReadBuilder:
                 )
         return total if self._limit is None else min(total, self._limit)
 
+    def min_max(self, cols: List[str]) -> dict:
+        """Per-column (min, max) of this read, SQL semantics (NULLs
+        ignored; all-NULL → (None, None)). METADATA-ONLY when the
+        table is append-only with NO deletion vectors (a DV could have
+        removed the extremal row), no limit, the predicate touches
+        only partition keys, and every live file carries decodable
+        stats for the column — the same manifest min/max the planner
+        prunes by, folded instead of scanned. Partition columns fold
+        their decoded partition values (hive-layout files don't carry
+        them in stats). Any gap — PK merge semantics, DVs, residual
+        predicate, missing/undecodable stats — falls back to a
+        distributed aggregate over the exact read."""
+        info = read_paimon_schema(self.table.table_path)
+        names = {f.name for f in info.spark_schema.fields}
+        for c in cols:
+            if c not in names:
+                raise ValueError(f"Field {c} not in table schema")
+
+        def _scan_agg() -> dict:
+            from pyspark.sql import functions as F
+
+            row = (
+                self.new_read()
+                .to_df()
+                .agg(
+                    *[F.min(c).alias(f"__mn_{i}") for i, c in enumerate(cols)],
+                    *[F.max(c).alias(f"__mx_{i}") for i, c in enumerate(cols)],
+                )
+                .first()
+            )
+            return {c: (row[i], row[len(cols) + i]) for i, c in enumerate(cols)}
+
+        residual = self._predicate is not None and not (
+            self._predicate.fields() <= set(info.partition_keys)
+        )
+        dv = plan_paimon_dv(
+            self.table.table_path, self._snapshot_id, snapshot=self._snapshot_dict()
+        )
+        if info.primary_keys or residual or dv or self._limit is not None:
+            return _scan_agg()
+        from paimon_python_spark.paimon_import import decode_entry_stats
+
+        entries = _pruned_entries(self.table.table_path, info, self)
+        acc: dict = {c: (None, None) for c in cols}
+        infos = {info.id: info}
+        for e in entries:
+            oinfo = infos.get(e.schema_id)
+            if oinfo is None:
+                oinfo = read_paimon_schema(self.table.table_path, e.schema_id)
+                infos[e.schema_id] = oinfo
+            stats = (
+                decode_entry_stats(e, oinfo, info)
+                if any(c not in info.partition_keys for c in cols)
+                else {}
+            )
+            pvals = (
+                _logical_partition_values(info, e.partition)
+                if any(c in info.partition_keys for c in cols)
+                else {}
+            )
+            for c in cols:
+                if c in info.partition_keys:
+                    v = pvals.get(c)
+                    if v is None:
+                        continue  # default/NULL partition value
+                    mn = mx = v
+                else:
+                    st = (stats or {}).get(c)
+                    if st is None:
+                        return _scan_agg()  # stats missing: stay exact
+                    nc = st["null_count"]
+                    if st["min"] is None or st["max"] is None:
+                        if nc is not None and int(nc) == e.row_count:
+                            continue  # all-NULL file contributes nothing
+                        return _scan_agg()  # undecodable extremum
+                    mn, mx = st["min"], st["max"]
+                cur = acc[c]
+                acc[c] = (
+                    mn if cur[0] is None or mn < cur[0] else cur[0],
+                    mx if cur[1] is None or mx > cur[1] else cur[1],
+                )
+        return acc
+
     def new_scan(self) -> "PaimonLakeScan":
         return PaimonLakeScan(self)
 

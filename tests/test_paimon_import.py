@@ -2637,3 +2637,54 @@ def test_lake_row_count_metadata_only(tmp_path, spark):
         options={"bucket": "1"},
     )
     assert PaimonLakeTable(pk).row_count() == 3
+
+
+def test_lake_min_max_metadata_only(tmp_path, spark):
+    """min_max(): folds manifest stats (+ decoded partition values)
+    with no read; NULLs ignored, all-NULL files contribute nothing;
+    DV attach forces the exact fallback."""
+    from paimon_python_spark.paimon_import import attach_paimon_dv_fixture
+    from paimon_python_spark.paimon_lake import PaimonLakeRead, PaimonLakeTable
+    from paimon_python_spark.session import set_spark
+
+    set_spark(spark)
+    p = str(tmp_path / "mm_append")
+    sch = pa.schema([("dt", pa.string()), ("k", pa.int32()), ("v", pa.string())])
+    write_paimon_fixture(
+        p,
+        [("dt", "STRING NOT NULL"), ("k", "INT"), ("v", "STRING")],
+        ["dt"],
+        [],
+        [
+            (0, {"dt": "a"}, 0, pa.table(
+                {"dt": ["a"] * 3, "k": [7, 2, 9], "v": ["x", None, "m"]},
+                schema=sch)),
+            (0, {"dt": "b"}, 0, pa.table(
+                {"dt": ["b"] * 2, "k": [1, 5],
+                 "v": pa.array([None, None], pa.string())}, schema=sch)),
+        ],
+    )
+    t = PaimonLakeTable(p)
+    orig = PaimonLakeRead.to_df
+    PaimonLakeRead.to_df = lambda self: (_ for _ in ()).throw(
+        AssertionError("metadata-only min_max ran a read")
+    )
+    try:
+        rb = t.new_read_builder()
+        got = rb.min_max(["k", "v", "dt"])
+        assert got["k"] == (1, 9)
+        assert got["v"] == ("m", "x")  # NULLs ignored; all-NULL file skipped
+        assert got["dt"] == ("a", "b")
+        rb2 = t.new_read_builder()
+        pred = rb2.new_predicate_builder().equal("dt", "b")
+        got_b = rb2.with_filter(pred).min_max(["k", "v"])
+        assert got_b["k"] == (1, 5)
+        assert got_b["v"] == (None, None)  # partition b is all-NULL in v
+    finally:
+        PaimonLakeRead.to_df = orig
+    # DVs can delete the extremal row -> metadata path must yield
+    attach_paimon_dv_fixture(
+        p, {"data-fixture-0.parquet": [2]}, partition={"dt": "a"}
+    )  # deletes k=9
+    got_dv = t.new_read_builder().min_max(["k"])
+    assert got_dv["k"] == (1, 7)

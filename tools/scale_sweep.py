@@ -73,6 +73,9 @@ SWEEP = [
     ("window_ntile_quartile", "scalable_rank global ntile (no single-partition window)"),
     ("paimon_lake_pk_write_roundtrip", "fixed-bucket PK write into a real lake"),
     ("paimon_lake_maintenance_roundtrip", "lake tag+rollback+expiry (multi-commit maintenance)"),
+    # late-r7 additions: span-level dedup family
+    ("dedup_substring_spans", "ExactSubstr span dedup (anchor fingerprint shuffle)"),
+    ("dedup_excise_contaminated", "span decontamination detect+excise end-to-end"),
 ]
 
 
