@@ -57,6 +57,7 @@ from paimon_python_spark.paimon_lake import (
     expire_lake_snapshots,
     overwrite_lake,
     read_lake_incremental,
+    remove_lake_orphan_files,
     register_lake_sql_view,
     rollback_lake,
     stream_lake_snapshots,
@@ -80,6 +81,7 @@ __all__ = [
     "expire_lake_snapshots",
     "merge_into_lake",
     "overwrite_lake",
+    "remove_lake_orphan_files",
     "rollback_lake",
     "update_lake_rows",
     "read_lake_incremental",

@@ -2058,6 +2058,109 @@ def rollback_lake(table_path: str, snapshot_id: int) -> dict:
     return out
 
 
+def remove_lake_orphan_files(
+    table_path: str, older_than_seconds: float = 3600.0
+) -> dict:
+    """Delete files in a REAL lake that NO snapshot or tag references —
+    debris from failed/abandoned writer jobs whose commit never landed
+    (Paimon's ``remove_orphan_files`` procedure; the engine-table twin
+    is ``maintenance.remove_orphan_files``).
+
+    A grace period protects files an in-flight writer just produced.
+
+    The KNOWN set is every file any snapshot/tag's manifest chain
+    MENTIONS (ADD or DELETE entries, base + delta + changelog lists —
+    a file DELETE'd later is still pinned by the snapshot that added
+    it), every index file any index manifest references, and the
+    manifest/list files themselves. Unknown files under the data
+    directories, ``manifest/`` and ``index/`` whose mtime is older
+    than ``older_than_seconds`` (grace for in-flight writers) are
+    removed. Driver-side metadata walk — at object-store scale this is
+    a LIST plus the same mtime filter. Returns deletion counts."""
+    import json
+    import os
+    import time as _time
+
+    from paimon_python_spark.paimon_import import (
+        read_manifest,
+        read_manifest_list,
+    )
+
+    info = read_paimon_schema(table_path)
+    part_types = [info.spark_schema[k].dataType for k in info.partition_keys]
+    sdir = os.path.join(table_path, "snapshot")
+    snaps = []
+    if os.path.isdir(sdir):
+        for n in sorted(os.listdir(sdir)):
+            if n.startswith("snapshot-"):
+                with open(os.path.join(sdir, n)) as f:
+                    snaps.append(json.load(f))
+    snaps += _lake_tag_snapshots(table_path)
+    known_manifests: set = set()
+    known_rel: set = set()
+    for s in snaps:
+        for lst in (
+            s.get("baseManifestList"),
+            s.get("deltaManifestList"),
+            s.get("changelogManifestList"),
+        ):
+            if not lst:
+                continue
+            known_manifests.add(lst)
+            for m in read_manifest_list(table_path, lst):
+                known_manifests.add(m)
+                for e in read_manifest(
+                    table_path, m, part_types, info.partition_keys
+                ):
+                    known_rel.add(e.rel_path(info.partition_keys, part_types))
+        im = s.get("indexManifest")
+        if im:
+            known_manifests.add(im)
+            for r in plan_paimon_dv(table_path, snapshot=s):
+                known_rel.add(os.path.relpath(r.index_path, table_path))
+
+    now = _time.time()
+    deleted = {"data_files": 0, "manifests": 0, "index_files": 0}
+    reclaimed = 0
+
+    def rm_if_orphan(full: str, kind: str, known: bool) -> int:
+        nonlocal reclaimed
+        if known:
+            return 0
+        st = os.stat(full)
+        if now - st.st_mtime < older_than_seconds:
+            return 0
+        os.remove(full)
+        reclaimed += st.st_size
+        deleted[kind] += 1
+        return 1
+
+    mdir = os.path.join(table_path, "manifest")
+    if os.path.isdir(mdir):
+        for n in sorted(os.listdir(mdir)):
+            if not n.startswith(("_", ".")):
+                rm_if_orphan(os.path.join(mdir, n), "manifests", n in known_manifests)
+    idir = os.path.join(table_path, "index")
+    if os.path.isdir(idir):
+        for n in sorted(os.listdir(idir)):
+            if not n.startswith(("_", ".")):
+                rel = os.path.join("index", n)
+                rm_if_orphan(os.path.join(idir, n), "index_files", rel in known_rel)
+    skip_top = {"snapshot", "schema", "tag", "manifest", "index", "branch", "consumer"}
+    for dirpath, dirnames, filenames in os.walk(table_path):
+        if dirpath == table_path:
+            dirnames[:] = [d for d in dirnames if d not in skip_top]
+            continue  # no data files live at the table root
+        for n in filenames:
+            if n.startswith(("_", ".")):
+                continue
+            full = os.path.join(dirpath, n)
+            rel = os.path.relpath(full, table_path)
+            rm_if_orphan(full, "data_files", rel in known_rel)
+    deleted["bytes_reclaimed"] = reclaimed
+    return deleted
+
+
 def expire_lake_snapshots(table_path: str, keep_last_n: int) -> dict:
     """Expire all but the newest ``keep_last_n`` snapshots of a REAL
     lake (Paimon's ``snapshot.num-retained.max`` maintenance): old

@@ -2688,3 +2688,66 @@ def test_lake_min_max_metadata_only(tmp_path, spark):
     )  # deletes k=9
     got_dv = t.new_read_builder().min_max(["k"])
     assert got_dv["k"] == (1, 7)
+
+
+def test_remove_lake_orphan_files(tmp_path, spark):
+    """Lake orphan cleanup: unreferenced data/manifest/index debris
+    older than the grace dies; everything any snapshot, tag, or DV
+    index reaches survives, as does a fresh (in-flight) orphan."""
+    import time
+
+    from paimon_python_spark.paimon_import import (
+        append_paimon_fixture_snapshot,
+        attach_paimon_dv_fixture,
+    )
+    from paimon_python_spark.paimon_lake import (
+        PaimonLakeTable,
+        create_lake_tag,
+        remove_lake_orphan_files,
+    )
+    from paimon_python_spark.session import set_spark
+
+    set_spark(spark)
+    p = str(tmp_path / "orphans")
+    sch = pa.schema([("k", pa.int32()), ("v", pa.string())])
+    write_paimon_fixture(
+        p,
+        [("k", "INT NOT NULL"), ("v", "STRING")],
+        [],
+        [],
+        [(0, {}, 0, pa.table({"k": [1, 2], "v": ["a", "b"]}, schema=sch))],
+    )
+    append_paimon_fixture_snapshot(
+        p, [(0, {}, 0, pa.table({"k": [3], "v": ["c"]}, schema=sch))]
+    )
+    create_lake_tag(p, "pin", snapshot_id=1)
+    attach_paimon_dv_fixture(p, {"data-fixture-0.parquet": [0]})
+    # plant orphans: data file, manifest, index file (old mtimes)
+    old = time.time() - 7200
+    orphan_data = os.path.join(p, "bucket-0", "data-deadbeef-0.parquet")
+    open(orphan_data, "wb").write(b"junk")
+    orphan_man = os.path.join(p, "manifest", "manifest-deadbeef.avro")
+    open(orphan_man, "wb").write(b"junk")
+    orphan_idx = os.path.join(p, "index", "index-deadbeef")
+    open(orphan_idx, "wb").write(b"junk")
+    for f in (orphan_data, orphan_man, orphan_idx):
+        os.utime(f, (old, old))
+    fresh = os.path.join(p, "bucket-0", "data-inflight-0.parquet")
+    open(fresh, "wb").write(b"junk")  # mtime now: grace-protected
+
+    before = PaimonLakeTable(p).new_read_builder().new_read().to_pandas()
+    out = remove_lake_orphan_files(p, older_than_seconds=60)
+    assert out["data_files"] == 1 and out["manifests"] == 1
+    assert out["index_files"] == 1 and out["bytes_reclaimed"] == 12
+    assert not os.path.exists(orphan_data) and os.path.exists(fresh)
+    after = PaimonLakeTable(p).new_read_builder().new_read().to_pandas()
+    assert sorted(after.k) == sorted(before.k) == [2, 3]
+    # tag-pinned snapshot 1 still reads in full
+    tagged = (
+        PaimonLakeTable(p).new_read_builder().with_tag("pin")
+        .new_read().to_pandas()
+    )
+    assert sorted(tagged.k) == [1, 2]
+    # idempotent second run removes nothing
+    again = remove_lake_orphan_files(p, older_than_seconds=60)
+    assert again["data_files"] == again["manifests"] == again["index_files"] == 0
