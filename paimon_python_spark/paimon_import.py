@@ -1632,9 +1632,12 @@ def _load_lake_files(
     if row_pos_col:
         df = df.withColumn(row_pos_col, F.col("_metadata.row_index"))
     if file_name_col:
-        df = df.withColumn(
-            file_name_col, F.element_at(F.split(F.input_file_name(), "/"), -1)
-        )
+        # _metadata.file_name, NOT input_file_name(): the metadata
+        # struct resolves AT the scan, so data-column predicates above
+        # it still push into the parquet reader — a projection over the
+        # non-deterministic input_file_name() blocks PushedFilters
+        # entirely (caught by test_lake_read_residual_filter_pushes_to_scan)
+        df = df.withColumn(file_name_col, F.col("_metadata.file_name"))
     return df
 
 
@@ -1865,69 +1868,68 @@ def read_paimon_append_entries(
     if not entries:
         return spark.createDataFrame([], info.spark_schema)
     dv_ranges = _relevant_dv(dv_ranges, entries)
-    fn_col = "__file_name" if dv_ranges else None
     pos_col = "__row_pos" if dv_ranges else None
-
-    def finish(df, es=None):
-        # per-group calls pass their own entries so each hive-partition
-        # group decodes only ITS files' bitmaps, not the whole index
-        rel = _relevant_dv(dv_ranges, es) if es is not None else dv_ranges
-        if rel:
-            df = apply_lake_dv(spark, df, rel, fn_col, pos_col)
-        return df
-
     cast_cols = [
         F.col(f.name).cast(f.dataType).alias(f.name)
         for f in info.spark_schema.fields
     ]
-    first = src(entries[0])
-    if fmt == "avro":
-        from paimon_python_spark.avro_codec import read_avro_columns
-
-        with open(first, "rb") as f:
-            sample_cols = set(read_avro_columns(f.read())[0])
-    else:
-        sample_cols = set(
-            spark.read.format(fmt).load(first).schema.fieldNames()
-        )
-    missing = [k for k in info.partition_keys if k not in sample_cols]
-    if not missing:
-        return finish(
-            _load_lake_entries(
-                spark,
-                info,
-                entries,
-                src,
-                fmt,
-                kv=False,
-                table_path=table_path,
-                file_name_col=fn_col,
-                row_pos_col=pos_col,
-            )
-        ).select(*cast_cols)
-    groups: dict[tuple, list] = {}
-    for e in entries:
-        groups.setdefault(tuple(sorted(e.partition.items())), []).append(e)
-    parts = []
-    for pkey, es in groups.items():
-        pvals = logical_partition_values(info, dict(pkey))
+    if not info.partition_keys:
         df = _load_lake_entries(
             spark,
             info,
-            es,
+            entries,
             src,
             fmt,
             kv=False,
             table_path=table_path,
-            file_name_col=fn_col,
+            file_name_col="__file_name" if dv_ranges else None,
             row_pos_col=pos_col,
-            skip_cols=tuple(missing),
         )
-        df = finish(df, es)
-        for k in missing:
-            df = df.withColumn(k, F.lit(pvals[k]))
-        parts.append(df.select(*cast_cols))
-    return reduce(lambda a, b: a.unionByName(b), parts)
+        if dv_ranges:
+            df = apply_lake_dv(spark, df, dv_ranges, "__file_name", pos_col)
+        return df.select(*cast_cols)
+    # Partition values come AUTHORITATIVELY from the manifest entry's
+    # BinaryRow, never from the file bytes: hive-style files don't carry
+    # the columns at all, and a mixed-provenance lake (fixture/JVM files
+    # that do + engine appends that don't) used to silently NULL-fill
+    # whichever layout a single sampled file didn't match. ONE scan with
+    # the partition columns skipped, then a broadcast (file -> partition
+    # values) map joins them back — no per-partition union (a
+    # 10k-partition lake would otherwise plan a 10k-way union), no
+    # sample file open at plan time.
+    fn = "__file_name"
+    df = _load_lake_entries(
+        spark,
+        info,
+        entries,
+        src,
+        fmt,
+        kv=False,
+        table_path=table_path,
+        file_name_col=fn,
+        row_pos_col=pos_col,
+        skip_cols=tuple(info.partition_keys),
+    )
+    if dv_ranges:
+        df = apply_lake_dv(spark, df, dv_ranges, fn, pos_col)
+    rows, seen = [], set()
+    for e in entries:
+        if e.file_name in seen:
+            continue
+        seen.add(e.file_name)
+        pv = logical_partition_values(info, e.partition)
+        rows.append((e.file_name, *[pv[k] for k in info.partition_keys]))
+    pmap = spark.createDataFrame(
+        rows,
+        T.StructType(
+            [T.StructField(fn, T.StringType(), False)]
+            + [
+                T.StructField(k, info.spark_schema[k].dataType, True)
+                for k in info.partition_keys
+            ]
+        ),
+    )
+    return df.join(F.broadcast(pmap), fn).select(*cast_cols)
 
 
 # ---- import ----
