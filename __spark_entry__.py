@@ -3240,6 +3240,89 @@ ORDER BY tag
 """
 
 
+def paimon_lake_branch_roundtrip(spark, sf_dir):
+    """Branches on a REAL lake (create_lake_branch /
+    fast_forward_lake_branch — Paimon's CREATE BRANCH + fast_forward
+    under the spec's branch/branch-<name>/ layout): branch from the
+    current snapshot, append to the branch (including a partition that
+    exists ONLY on the branch), main stays untouched, fast-forward
+    publishes the branch head and adopts the branch-local partition
+    dir. The oracle replays all three states with SQL filters."""
+    import pyarrow as pa
+
+    from paimon_python_spark.paimon_import import write_paimon_table_fixture
+    from paimon_python_spark.paimon_lake import (
+        PaimonLakeTable,
+        create_lake_branch,
+        fast_forward_lake_branch,
+        write_lake_append,
+    )
+    from paimon_python_spark.session import set_spark
+
+    set_spark(spark)
+    pdf = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 100)
+        .select("c_mktsegment", "c_custkey")
+        .toPandas()
+        .sort_values("c_custkey")
+    )
+    fixture = _fresh_warehouse("lakebr") + "/customer_br"
+    files = [
+        (0, {"c_mktsegment": seg}, 0,
+         pa.table({"c_custkey": pa.array(g.c_custkey, pa.int64())}))
+        for seg, g in pdf.groupby("c_mktsegment", sort=True)
+    ]
+    write_paimon_table_fixture(
+        fixture,
+        [("c_mktsegment", "STRING NOT NULL"), ("c_custkey", "BIGINT")],
+        ["c_mktsegment"],
+        [],
+        files,
+    )
+    t = PaimonLakeTable(fixture)
+    bp = create_lake_branch(fixture, "exp")
+    extra = (
+        _t(spark, sf_dir, "customer")
+        .filter((F.col("c_custkey") > 100) & (F.col("c_custkey") <= 140))
+        .select(F.lit("EXPSEG").alias("c_mktsegment"),
+                F.col("c_custkey").cast("long"))
+    )
+    write_lake_append(bp, extra)
+    cols = ["c_mktsegment", "c_custkey"]
+
+    def tagged(tag, df):
+        out = df.select(F.lit(tag).alias("tag"), *cols)
+        return spark.createDataFrame(out.toPandas(), schema=out.schema)
+
+    parts = [
+        tagged("main_before", t.new_read_builder().new_read().to_df()),
+        tagged("branch", t.branch("exp").new_read_builder().new_read().to_df()),
+    ]
+    fast_forward_lake_branch(fixture, "exp")
+    parts.append(tagged("main_after", t.new_read_builder().new_read().to_df()))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("tag", "c_custkey")
+
+
+PAIMON_LAKE_BRANCH_SQL = """
+WITH src AS (
+  SELECT c_mktsegment, c_custkey FROM customer WHERE c_custkey <= 100),
+ext AS (
+  SELECT 'EXPSEG' AS c_mktsegment, c_custkey FROM customer
+  WHERE c_custkey > 100 AND c_custkey <= 140),
+branch AS (SELECT * FROM src UNION ALL SELECT * FROM ext)
+SELECT 'branch' AS tag, * FROM branch
+UNION ALL
+SELECT 'main_after', * FROM branch
+UNION ALL
+SELECT 'main_before', * FROM src
+ORDER BY tag, c_custkey
+"""
+
+
 def paimon_lake_incremental_roundtrip(spark, sf_dir):
     """Incremental (from, to] read on a REAL lake
     (paimon_lake.read_lake_incremental — the lake analogue of the
@@ -8545,6 +8628,7 @@ _QUERIES: dict[str, Callable] = {
     "paimon_lake_delete_roundtrip": paimon_lake_delete_roundtrip,
     "paimon_lake_count_roundtrip": paimon_lake_count_roundtrip,
     "paimon_lake_stats_agg_roundtrip": paimon_lake_stats_agg_roundtrip,
+    "paimon_lake_branch_roundtrip": paimon_lake_branch_roundtrip,
     "window_topk_per_group": window_topk_per_group,
     "dedup_exact": dedup_exact,
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -8870,6 +8954,7 @@ _ORACLES: dict[str, str] = {
     "paimon_lake_delete_roundtrip": PAIMON_LAKE_DELETE_SQL,
     "paimon_lake_count_roundtrip": PAIMON_LAKE_COUNT_SQL,
     "paimon_lake_stats_agg_roundtrip": PAIMON_LAKE_STATS_AGG_SQL,
+    "paimon_lake_branch_roundtrip": PAIMON_LAKE_BRANCH_SQL,
 }
 
 
@@ -8898,6 +8983,7 @@ _GATE_HEAD = [
     "dedup_excise_contaminated",
     "paimon_lake_count_roundtrip",
     "paimon_lake_stats_agg_roundtrip",
+    "paimon_lake_branch_roundtrip",
     "window_ntile_quartile",
     "window_percent_rank",
     # never-gated after r6, verified locally 2026-08-14

@@ -51,10 +51,14 @@ from paimon_python_spark.paimon_lake import (
     PaimonLakeTable,
     alter_lake_schema,
     compact_lake,
+    create_lake_branch,
     create_lake_table,
     create_lake_tag,
+    delete_lake_branch,
     delete_lake_rows,
     expire_lake_snapshots,
+    fast_forward_lake_branch,
+    list_lake_branches,
     overwrite_lake,
     read_lake_incremental,
     remove_lake_orphan_files,
@@ -75,11 +79,15 @@ __all__ = [
     "PaimonLakeTable",
     "alter_lake_schema",
     "compact_lake",
+    "create_lake_branch",
     "create_lake_table",
     "create_lake_tag",
+    "delete_lake_branch",
     "delete_lake_rows",
     "expire_lake_snapshots",
+    "fast_forward_lake_branch",
     "merge_into_lake",
+    "list_lake_branches",
     "overwrite_lake",
     "remove_lake_orphan_files",
     "rollback_lake",

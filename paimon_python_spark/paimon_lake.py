@@ -74,6 +74,20 @@ class PaimonLakeTable:
         :meth:`PaimonLakeReadBuilder.row_count`)."""
         return self.new_read_builder().row_count()
 
+    def branch(self, name: str) -> "PaimonLakeTable":
+        """Handle on branch ``name`` (Paimon's ``table$branch_<name>``):
+        a full lake table over the branch's own snapshot chain and the
+        shared file pool."""
+        import os
+
+        bp = _lake_branch_path(self.table_path, name)
+        if not os.path.isdir(bp):
+            raise ValueError(f"Branch {name!r} does not exist.")
+        return PaimonLakeTable(bp)
+
+    def branches(self) -> "List[str]":
+        return list_lake_branches(self.table_path)
+
     # -- system tables (Paimon's table$snapshots / $files / $schemas /
     # $partitions), driver-built from the same metadata a scan plans --
 
@@ -2051,7 +2065,7 @@ def rollback_lake(table_path: str, snapshot_id: int) -> dict:
         read_paimon_snapshot(table_path, sid)
         for sid in range(1, snapshot_id + 1)
         if os.path.exists(os.path.join(table_path, "snapshot", f"snapshot-{sid}"))
-    ] + _lake_tag_snapshots(table_path)
+    ] + _lake_tag_snapshots(table_path) + _lake_branch_snapshots(table_path)
     out = _delete_lake_metadata(table_path, doomed, kept)
     with open(os.path.join(table_path, "snapshot", "LATEST"), "w") as f:
         f.write(str(snapshot_id))
@@ -2095,7 +2109,7 @@ def remove_lake_orphan_files(
             if n.startswith("snapshot-"):
                 with open(os.path.join(sdir, n)) as f:
                     snaps.append(json.load(f))
-    snaps += _lake_tag_snapshots(table_path)
+    snaps += _lake_tag_snapshots(table_path) + _lake_branch_snapshots(table_path)
     known_manifests: set = set()
     known_rel: set = set()
     for s in snaps:
@@ -2161,6 +2175,200 @@ def remove_lake_orphan_files(
     return deleted
 
 
+_LAKE_RESERVED_DIRS = {
+    "snapshot",
+    "schema",
+    "manifest",
+    "index",
+    "tag",
+    "branch",
+    "consumer",
+}
+
+
+def _lake_branch_path(table_path: str, name: str) -> str:
+    import os
+
+    return os.path.join(table_path, "branch", f"branch-{name}")
+
+
+def _lake_branch_snapshots(table_path: str) -> list:
+    """Every snapshot (and branch tag) any branch's chain holds —
+    pinned by expiry/rollback/orphan-cleanup exactly like main tags:
+    branch metadata references the SHARED manifest/data pool."""
+    import json
+    import os
+
+    out = []
+    broot = os.path.join(table_path, "branch")
+    if not os.path.isdir(broot):
+        return out
+    for b in sorted(os.listdir(broot)):
+        sdir = os.path.join(broot, b, "snapshot")
+        if os.path.isdir(sdir):
+            for n in sorted(os.listdir(sdir)):
+                if n.startswith("snapshot-"):
+                    with open(os.path.join(sdir, n)) as f:
+                        out.append(json.load(f))
+        out += _lake_tag_snapshots(os.path.join(broot, b))
+    return out
+
+
+def create_lake_branch(
+    table_path: str,
+    name: str,
+    snapshot_id: Optional[int] = None,
+    tag: Optional[str] = None,
+) -> str:
+    """Create branch ``name`` of a REAL lake from a snapshot (default
+    latest) or a tag — Paimon's ``CREATE BRANCH`` under the spec's
+    ``branch/branch-<name>/`` layout: the branch owns its snapshot
+    chain (and tags, and schema evolution), while manifests, DV
+    indexes, and the existing data directories are the SHARED
+    immutable pool (relative symlinks; on an object store these become
+    prefix indirection — same layout contract as the engine-table
+    branches, branches.py:57). O(1) metadata: one snapshot copy, zero
+    data movement. The returned branch path is a full lake table —
+    ``PaimonLakeTable(path)``, ``write_lake_append``,
+    ``delete_lake_rows``, ``create_lake_tag`` all operate on it
+    unmodified, isolated from main."""
+    import json
+    import os
+    import shutil
+
+    from paimon_python_spark.paimon_import import (
+        latest_paimon_snapshot_id,
+        read_paimon_snapshot,
+        read_paimon_tag,
+    )
+
+    bp = _lake_branch_path(table_path, name)
+    if os.path.isdir(bp):
+        raise ValueError(f"Branch {name!r} already exists.")
+    if tag is not None:
+        snap = read_paimon_tag(table_path, tag)
+    else:
+        sid = snapshot_id or latest_paimon_snapshot_id(table_path)
+        if not sid:
+            raise ValueError("cannot branch an empty lake (no snapshots)")
+        snap = read_paimon_snapshot(table_path, sid)
+    os.makedirs(os.path.join(bp, "snapshot"))
+    # schemas COPY (branch-side ALTERs stay branch-local until
+    # fast-forward); manifest/index pools and data dirs are shared
+    shutil.copytree(
+        os.path.join(table_path, "schema"), os.path.join(bp, "schema")
+    )
+    for d in ("manifest", "index"):
+        os.makedirs(os.path.join(table_path, d), exist_ok=True)
+        os.symlink(os.path.join("..", "..", d), os.path.join(bp, d))
+    for d in sorted(os.listdir(table_path)):
+        if d in _LAKE_RESERVED_DIRS or d.startswith((".", "_")):
+            continue
+        if os.path.isdir(os.path.join(table_path, d)):
+            os.symlink(os.path.join("..", "..", d), os.path.join(bp, d))
+    with open(os.path.join(bp, "snapshot", f"snapshot-{snap['id']}"), "w") as f:
+        json.dump(snap, f)
+    for hint in ("LATEST", "EARLIEST"):
+        with open(os.path.join(bp, "snapshot", hint), "w") as f:
+            f.write(str(snap["id"]))
+    return bp
+
+
+def list_lake_branches(table_path: str) -> List[str]:
+    import os
+
+    broot = os.path.join(table_path, "branch")
+    if not os.path.isdir(broot):
+        return []
+    return sorted(
+        n[len("branch-"):]
+        for n in os.listdir(broot)
+        if n.startswith("branch-") and os.path.isdir(os.path.join(broot, n))
+    )
+
+
+def delete_lake_branch(table_path: str, name: str) -> None:
+    import os
+    import shutil
+
+    bp = _lake_branch_path(table_path, name)
+    if not os.path.isdir(bp):
+        raise ValueError(f"Branch {name!r} does not exist.")
+    # shared dirs are symlinks: rmtree unlinks them, never the targets
+    shutil.rmtree(bp)
+
+
+def fast_forward_lake_branch(table_path: str, name: str) -> int:
+    """Publish branch ``name``'s head to main as main's next snapshot
+    (Paimon's ``fast_forward`` procedure). The branch chain is already
+    expressed against the shared manifest/data pool, so the publish is
+    a metadata commit of the head's manifest lists; the only physical
+    work is adopting branch-LOCAL artifacts main cannot reach —
+    partition directories first created on the branch (moved into
+    main; file names are uuid-unique) and schema versions added by
+    branch-side ALTERs. Main keeps its own history (time travel to
+    pre-publish main snapshots still works). Returns the new id."""
+    import json
+    import os
+    import shutil
+    import time as _time
+
+    from paimon_python_spark.paimon_import import (
+        latest_paimon_snapshot_id,
+        read_paimon_snapshot,
+    )
+
+    bp = _lake_branch_path(table_path, name)
+    if not os.path.isdir(bp):
+        raise ValueError(f"Branch {name!r} does not exist.")
+    head = read_paimon_snapshot(bp, latest_paimon_snapshot_id(bp))
+    # adopt branch-local data dirs / schema versions into main
+    for d in sorted(os.listdir(bp)):
+        full = os.path.join(bp, d)
+        if d in ("snapshot", "tag", "manifest", "index") or os.path.islink(full):
+            continue
+        if d == "schema":
+            for n in sorted(os.listdir(full)):
+                dst = os.path.join(table_path, "schema", n)
+                if n.startswith("schema-") and not os.path.exists(dst):
+                    shutil.copy2(os.path.join(full, n), dst)
+            continue
+        if not os.path.isdir(full):
+            continue
+        for dirpath, _dn, filenames in os.walk(full):
+            rel = os.path.relpath(dirpath, bp)
+            dst_dir = os.path.join(table_path, rel)
+            os.makedirs(dst_dir, exist_ok=True)
+            for fn in filenames:
+                dst = os.path.join(dst_dir, fn)
+                if not os.path.exists(dst):
+                    shutil.move(os.path.join(dirpath, fn), dst)
+        shutil.rmtree(full)
+        os.symlink(os.path.join("..", "..", d), full)  # rejoin the pool
+    latest = latest_paimon_snapshot_id(table_path)
+    prev_total = (
+        int(read_paimon_snapshot(table_path, latest).get("totalRecordCount") or 0)
+        if latest
+        else 0
+    )
+    new_id = (latest or 0) + 1
+    snap = dict(head)
+    snap["id"] = new_id
+    snap["commitKind"] = "APPEND"
+    snap["commitUser"] = f"fast_forward:{name}"
+    snap["timeMillis"] = int(_time.time() * 1000)
+    snap["deltaRecordCount"] = (
+        int(head.get("totalRecordCount") or 0) - prev_total
+    )
+    spath = os.path.join(table_path, "snapshot", f"snapshot-{new_id}")
+    fd = os.open(spath, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
+    with os.fdopen(fd, "w") as f:
+        json.dump(snap, f)
+    with open(os.path.join(table_path, "snapshot", "LATEST"), "w") as f:
+        f.write(str(new_id))
+    return new_id
+
+
 def expire_lake_snapshots(table_path: str, keep_last_n: int) -> dict:
     """Expire all but the newest ``keep_last_n`` snapshots of a REAL
     lake (Paimon's ``snapshot.num-retained.max`` maintenance): old
@@ -2195,7 +2403,7 @@ def expire_lake_snapshots(table_path: str, keep_last_n: int) -> dict:
         read_paimon_snapshot(table_path, sid)
         for sid in range(cutoff, latest + 1)
         if os.path.exists(os.path.join(sdir, f"snapshot-{sid}"))
-    ] + _lake_tag_snapshots(table_path)
+    ] + _lake_tag_snapshots(table_path) + _lake_branch_snapshots(table_path)
     return _delete_lake_metadata(table_path, doomed, kept)
 
 

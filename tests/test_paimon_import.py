@@ -2751,3 +2751,60 @@ def test_remove_lake_orphan_files(tmp_path, spark):
     # idempotent second run removes nothing
     again = remove_lake_orphan_files(p, older_than_seconds=60)
     assert again["data_files"] == again["manifests"] == again["index_files"] == 0
+
+
+def test_lake_branches_roundtrip(tmp_path, spark):
+    """Real-lake branches: create from snapshot, isolated branch
+    appends (incl. a NEW partition -> branch-local dir), main unmoved,
+    fast-forward publishes the branch head and adopts the new
+    partition dir, delete_branch leaves the shared pool intact."""
+    from paimon_python_spark.paimon_lake import (
+        PaimonLakeTable,
+        create_lake_branch,
+        delete_lake_branch,
+        fast_forward_lake_branch,
+        list_lake_branches,
+        remove_lake_orphan_files,
+        write_lake_append,
+    )
+    from paimon_python_spark.session import set_spark
+
+    set_spark(spark)
+    p = str(tmp_path / "branched")
+    sch = pa.schema([("dt", pa.string()), ("k", pa.int32())])
+    write_paimon_fixture(
+        p,
+        [("dt", "STRING NOT NULL"), ("k", "INT")],
+        ["dt"],
+        [],
+        [(0, {"dt": "a"}, 0, pa.table({"dt": ["a"] * 2, "k": [1, 2]}, schema=sch))],
+    )
+    t = PaimonLakeTable(p)
+    bp = create_lake_branch(p, "exp")
+    assert list_lake_branches(p) == ["exp"]
+    b = t.branch("exp")
+    assert sorted(b.new_read_builder().new_read().to_pandas().k) == [1, 2]
+    # branch append: existing partition (shared dir) + NEW partition
+    write_lake_append(
+        bp,
+        spark.createDataFrame([("a", 3), ("c", 9)], "dt string, k int"),
+    )
+    assert sorted(b.new_read_builder().new_read().to_pandas().k) == [1, 2, 3, 9]
+    # main is isolated
+    assert sorted(t.new_read_builder().new_read().to_pandas().k) == [1, 2]
+    # branch files survive orphan cleanup (branch chain pins them)
+    out = remove_lake_orphan_files(p, older_than_seconds=0)
+    assert out["data_files"] == 0 and out["manifests"] == 0
+    # publish
+    new_id = fast_forward_lake_branch(p, "exp")
+    main_rows = t.new_read_builder().new_read().to_pandas()
+    assert sorted(main_rows.k) == [1, 2, 3, 9]
+    assert sorted(set(main_rows.dt)) == ["a", "c"]
+    # metadata-only count agrees post-publish
+    assert t.row_count() == 4
+    # pre-publish main state still time-travels
+    old = t.new_read_builder().with_snapshot(new_id - 1).new_read().to_pandas()
+    assert sorted(old.k) == [1, 2]
+    delete_lake_branch(p, "exp")
+    assert list_lake_branches(p) == []
+    assert sorted(t.new_read_builder().new_read().to_pandas().k) == [1, 2, 3, 9]
