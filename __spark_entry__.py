@@ -3735,6 +3735,108 @@ ORDER BY c_custkey
 """
 
 
+def paimon_lake_sort_compact_roundtrip(spark, sf_dir):
+    """SORT COMPACTION on a real append lake (sort_compact_lake —
+    Paimon's dedicated-compaction ``--order_strategy zorder
+    --order_by p_size,p_retailprice``): the fixture commits four
+    interleaved part slices, so EVERY file spans the full range of
+    both columns and the manifest min/max skipper can prune nothing;
+    the z-order rewrite re-clusters rows into curve-contiguous files
+    (one ``repartitionByRange`` shuffle — the floor for a global
+    re-cluster), after which range predicates on EITHER ordered
+    column skip files. Skipping + COMPACT-commit invariants assert
+    inside; the gate verifies the post-compact filtered read against
+    the SQL replay."""
+    import pyarrow as pa
+
+    from paimon_python_spark.paimon_import import (
+        plan_paimon_files,
+        read_paimon_snapshot,
+        write_paimon_table_fixture,
+    )
+    from paimon_python_spark.paimon_lake import (
+        PaimonLakeTable,
+        sort_compact_lake,
+    )
+    from paimon_python_spark.session import set_spark
+
+    set_spark(spark)
+    base = (
+        _t(spark, sf_dir, "part")
+        .select("p_partkey", "p_size", "p_retailprice")
+        .toPandas()
+        .sort_values("p_partkey")
+    )
+    fixture = _fresh_warehouse("lakesortcompact") + "/part_z"
+    # four interleaved slices (p_partkey % 4): every file covers the
+    # whole (p_size, p_retailprice) plane -> zero skipping up front
+    write_paimon_table_fixture(
+        fixture,
+        [
+            ("p_partkey", "BIGINT NOT NULL"),
+            ("p_size", "INT"),
+            ("p_retailprice", "DOUBLE"),
+        ],
+        [],
+        [],
+        [
+            (
+                0,
+                {},
+                0,
+                pa.table(
+                    {
+                        "p_partkey": pa.array(sl.p_partkey, pa.int64()),
+                        "p_size": pa.array(sl.p_size, pa.int32()),
+                        "p_retailprice": pa.array(
+                            sl.p_retailprice, pa.float64()
+                        ),
+                    }
+                ),
+            )
+            for sl in (base[base.p_partkey % 4 == r] for r in range(4))
+        ],
+    )
+    t = PaimonLakeTable(fixture)
+
+    def _files_hit(col, bound):
+        rb = t.new_read_builder()
+        rb = rb.with_filter(rb.new_predicate_builder().less_than(col, bound))
+        return sum(len(s.file_paths()) for s in rb.new_scan().plan().splits())
+
+    n = len(base)
+    assert _files_hit("p_size", 6) == 4  # interleaved: nothing skips
+    sid = sort_compact_lake(
+        fixture,
+        ["p_size", "p_retailprice"],
+        strategy="zorder",
+        target_file_rows=max(64, n // 8),
+    )
+    snap = read_paimon_snapshot(fixture)
+    assert int(snap["id"]) == sid and snap["commitKind"] == "COMPACT"
+    live = plan_paimon_files(fixture)
+    # post-cluster: a narrow range on EITHER ordered column prunes
+    # files via the same manifest min/max stats that saw nothing before
+    if len(live) > 2:
+        assert _files_hit("p_size", 6) < len(live)
+        assert _files_hit("p_retailprice", 950.0) < len(live)
+    return (
+        t.new_read_builder()
+        .new_read()
+        .to_df()
+        .filter(F.col("p_size") <= 10)
+        .orderBy("p_partkey")
+    )
+
+
+PAIMON_LAKE_SORT_COMPACT_SQL = """
+SELECT p_partkey, p_size, p_retailprice
+FROM part
+WHERE p_size <= 10
+ORDER BY p_partkey
+"""
+
+
 def paimon_lake_maintenance_roundtrip(spark, sf_dir):
     """Lake MAINTENANCE trio on a real lake: snapshots 1-4 accumulate
     nation batches, a TAG pins snapshot 2, rollback_lake(3) deletes
@@ -8617,6 +8719,7 @@ _QUERIES: dict[str, Callable] = {
     "paimon_lake_avro_write_roundtrip": paimon_lake_avro_write_roundtrip,
     "paimon_lake_dv_history_roundtrip": paimon_lake_dv_history_roundtrip,
     "paimon_lake_compact_roundtrip": paimon_lake_compact_roundtrip,
+    "paimon_lake_sort_compact_roundtrip": paimon_lake_sort_compact_roundtrip,
     "paimon_lake_maintenance_roundtrip": paimon_lake_maintenance_roundtrip,
     "paimon_lake_stream_sink_roundtrip": paimon_lake_stream_sink_roundtrip,
     "paimon_lake_merge_engine_roundtrip": paimon_lake_merge_engine_roundtrip,
@@ -8943,6 +9046,7 @@ _ORACLES: dict[str, str] = {
     "paimon_lake_avro_write_roundtrip": PAIMON_LAKE_AVRO_WRITE_SQL,
     "paimon_lake_dv_history_roundtrip": PAIMON_LAKE_DV_HISTORY_SQL,
     "paimon_lake_compact_roundtrip": PAIMON_LAKE_COMPACT_SQL,
+    "paimon_lake_sort_compact_roundtrip": PAIMON_LAKE_SORT_COMPACT_SQL,
     "paimon_lake_maintenance_roundtrip": PAIMON_LAKE_MAINTENANCE_SQL,
     "paimon_lake_stream_sink_roundtrip": PAIMON_LAKE_STREAM_SINK_SQL,
     "paimon_lake_merge_engine_roundtrip": PAIMON_LAKE_MERGE_ENGINE_SQL,
@@ -8973,6 +9077,7 @@ _GATE_HEAD = [
     "paimon_lake_avro_write_roundtrip",
     "paimon_lake_dv_history_roundtrip",
     "paimon_lake_compact_roundtrip",
+    "paimon_lake_sort_compact_roundtrip",
     "paimon_lake_maintenance_roundtrip",
     "paimon_lake_stream_sink_roundtrip",
     "paimon_lake_merge_engine_roundtrip",

@@ -64,6 +64,7 @@ from paimon_python_spark.paimon_lake import (
     remove_lake_orphan_files,
     register_lake_sql_view,
     rollback_lake,
+    sort_compact_lake,
     stream_lake_snapshots,
     update_lake_rows,
     write_lake_append,
@@ -91,6 +92,7 @@ __all__ = [
     "overwrite_lake",
     "remove_lake_orphan_files",
     "rollback_lake",
+    "sort_compact_lake",
     "update_lake_rows",
     "read_lake_incremental",
     "register_lake_sql_view",

@@ -1364,6 +1364,7 @@ def _distributed_lake_write(
     row_kind_col: Optional[str] = None,
     level: int = 0,
     single_file_per_group: bool = False,
+    sort_cols: Optional[List[str]] = None,
 ):
     """EXECUTOR-SIDE data-file write into a real lake's final layout,
     one file per (partition, bucket) group via ``applyInPandas`` —
@@ -1398,9 +1399,12 @@ def _distributed_lake_write(
     cast_cols = [
         F.col(f.name).cast(f.dataType).alias(f.name) for f in info.spark_schema.fields
     ]
+    schema_names = {f.name for f in info.spark_schema.fields}
+    extra_sort = [c for c in (sort_cols or []) if c not in schema_names]
     sdf = df.select(
         *cast_cols,
         *([F.col(row_kind_col).cast("int").alias("__row_kind")] if row_kind_col else []),
+        *[F.col(c) for c in extra_sort],
     )
     if kv:
         bcols = list(bucket_cols or trimmed)
@@ -1501,6 +1505,10 @@ def _distributed_lake_write(
         }
         if trimmed:
             pdf = pdf.sort_values(trimmed, kind="mergesort")
+        elif sort_cols:
+            # intra-file clustering order (sort compaction): file-level
+            # min/max don't care, but parquet page stats do
+            pdf = pdf.sort_values(sort_cols, kind="mergesort")
         pdf = pdf.reset_index(drop=True)
         n = len(pdf)
         arrays = {}
@@ -2408,7 +2416,11 @@ def expire_lake_snapshots(table_path: str, keep_last_n: int) -> dict:
 
 
 def compact_lake(
-    table_path: str, partition_filter: Optional[Predicate] = None
+    table_path: str,
+    partition_filter: Optional[Predicate] = None,
+    order_by: Optional[List[str]] = None,
+    strategy: str = "zorder",
+    target_file_rows: int = 1_000_000,
 ) -> int:
     """FULL compaction of a REAL Paimon lake as a spec COMPACT commit —
     the third leg of the engine-as-lake-participant story (append,
@@ -2444,7 +2456,21 @@ def compact_lake(
     files fold; untouched files keep their manifest entries AND their
     deletion-vector marks (the surviving marks re-commit in a fresh
     index manifest; only rewritten files' marks drop, since those rows
-    are physically gone)."""
+    are physically gone).
+
+    ``order_by`` turns the rewrite into Paimon's SORT COMPACTION
+    (``--order_strategy order|zorder|hilbert --order_by a,b`` on the
+    dedicated-compaction action — append tables only, as in Paimon):
+    instead of folding each partition into ONE file, the data is
+    re-clustered along the chosen curve and split into
+    ``ceil(rows / target_file_rows)`` files, each owning a contiguous
+    curve segment. Every ordered column's per-file min/max range is
+    then narrow, so the manifest stats skipper prunes files for
+    predicates on ANY ordered column — the point of z-ordering at
+    100 TB. The cluster key is computed in-plan + one Arrow-batched
+    bit-interleave (operators/clustering.py); the only full-data cost
+    is the one ``repartitionByRange`` shuffle a global re-cluster
+    fundamentally requires."""
     from paimon_python_spark.paimon_import import (
         _spec_file_meta,
         encode_binary_row,
@@ -2454,6 +2480,18 @@ def compact_lake(
     )
 
     info = read_paimon_schema(table_path)
+    if order_by:
+        if info.primary_keys:
+            # Paimon's restriction too: sort compaction applies to
+            # append tables (PK tables derive order from the LSM key)
+            raise NotImplementedError(
+                "sort compaction is append-table-only (the table has primary keys)"
+            )
+        if strategy not in ("order", "zorder", "hilbert"):
+            raise ValueError(f"unknown sort-compaction strategy {strategy!r}")
+        unknown = [c for c in order_by if c not in info.spark_schema.names]
+        if unknown:
+            raise ValueError(f"order_by references unknown columns {unknown}")
     before = plan_paimon_files(table_path)
     if not before:
         raise ValueError("compact_lake: table has no live data files")
@@ -2511,6 +2549,32 @@ def compact_lake(
             bucket_cols=bucket_cols,
             seq_base=seq_base,
             level=max_level,
+        )
+    elif order_by:
+        from pyspark.sql import functions as F
+
+        if strategy == "order":
+            key_cols = list(order_by)
+        else:
+            from paimon_python_spark.operators.clustering import _add_curve_key
+
+            df = _add_curve_key(df, order_by, "__cluster_key", strategy)
+            key_cols = ["__cluster_key"]
+        # file-count sizing from manifest row counts (upper bound: DV
+        # marks still counted) — no extra pass over the data
+        est_rows = sum(e.row_count for e in before)
+        n_files = max(1, -(-est_rows // max(1, int(target_file_rows))))
+        part_keys_cols = [F.col(k) for k in info.partition_keys]
+        df = df.repartitionByRange(
+            int(n_files), *part_keys_cols, *[F.col(c) for c in key_cols]
+        )
+        add_entries, n_rows = _distributed_lake_write(
+            table_path,
+            info,
+            df,
+            fmt,
+            kv=False,
+            sort_cols=key_cols,
         )
     else:
         add_entries, n_rows = _distributed_lake_write(
@@ -2574,6 +2638,29 @@ def compact_lake(
         commit_kind="COMPACT",
         index_manifest=im_name,
         total_record_count=prev_total - sum(e.row_count for e in before) + n_rows,
+    )
+
+
+def sort_compact_lake(
+    table_path: str,
+    order_by: List[str],
+    strategy: str = "zorder",
+    partition_filter: Optional[Predicate] = None,
+    target_file_rows: int = 1_000_000,
+) -> int:
+    """Paimon's SORT COMPACTION as a spec COMPACT commit: re-cluster an
+    append lake's files along ``order_by`` using ``strategy``
+    (``order`` | ``zorder`` | ``hilbert``) so manifest min/max stats
+    skip files for predicates on any ordered column. Thin naming
+    wrapper over :func:`compact_lake` — see there for semantics."""
+    if not order_by:
+        raise ValueError("sort_compact_lake needs at least one order_by column")
+    return compact_lake(
+        table_path,
+        partition_filter=partition_filter,
+        order_by=list(order_by),
+        strategy=strategy,
+        target_file_rows=target_file_rows,
     )
 
 

@@ -2808,3 +2808,117 @@ def test_lake_branches_roundtrip(tmp_path, spark):
     delete_lake_branch(p, "exp")
     assert list_lake_branches(p) == []
     assert sorted(t.new_read_builder().new_read().to_pandas().k) == [1, 2, 3, 9]
+
+
+def test_sort_compact_lake(tmp_path, spark):
+    """Sort compaction (Paimon --order_strategy zorder/order/hilbert):
+    rewrites an append lake clustered along the curve so manifest
+    min/max stats skip files on EVERY ordered column — including the
+    trailing one, which plain lexicographic files can't skip on."""
+    import itertools
+
+    from paimon_python_spark.paimon_lake import (
+        PaimonLakeTable,
+        sort_compact_lake,
+    )
+    from paimon_python_spark.paimon_import import (
+        attach_paimon_dv_fixture,
+        plan_paimon_files,
+        read_paimon_snapshot,
+    )
+    from paimon_python_spark.session import set_spark
+
+    set_spark(spark)
+    p = str(tmp_path / "zlake")
+    grid = list(itertools.product(range(32), repeat=2))
+    rng = __import__("random").Random(7)
+    rng.shuffle(grid)
+    quarters = [grid[i::4] for i in range(4)]
+    write_paimon_fixture(
+        p,
+        [("a", "INT NOT NULL"), ("b", "INT NOT NULL"), ("v", "STRING")],
+        [],
+        [],
+        [
+            (0, {}, 0, pa.table({
+                "a": pa.array([x for x, _ in q], pa.int32()),
+                "b": pa.array([y for _, y in q], pa.int32()),
+                "v": pa.array([f"{x}:{y}" for x, y in q], pa.string()),
+            }))
+            for q in quarters
+        ],
+    )
+    t = PaimonLakeTable(p)
+    # shuffled quarters: every file spans the full a/b range -> a range
+    # predicate cannot skip anything before the sort compaction
+    rb0 = t.new_read_builder()
+    pred0 = rb0.new_predicate_builder().less_than("b", 4)
+    rb0 = rb0.with_filter(pred0)
+    assert sum(len(s.file_paths()) for s in rb0.new_scan().plan().splits()) == 4
+
+    snap_id = sort_compact_lake(p, ["a", "b"], strategy="zorder", target_file_rows=128)
+    snap = read_paimon_snapshot(p)
+    assert int(snap["id"]) == snap_id and snap["commitKind"] == "COMPACT"
+    live = plan_paimon_files(p)
+    assert 7 <= len(live) <= 8  # ceil(1024/128) range partitions
+    out = t.new_read_builder().new_read().to_pandas()
+    assert len(out) == 1024
+    assert sorted(zip(out.a, out.b)) == sorted(itertools.product(range(32), repeat=2))
+
+    # z-order skipping works on BOTH columns now
+    for col in ("a", "b"):
+        rb = t.new_read_builder()
+        rb = rb.with_filter(rb.new_predicate_builder().less_than(col, 4))
+        n = sum(len(s.file_paths()) for s in rb.new_scan().plan().splits())
+        assert n < len(live), f"no skipping on {col}"
+        got = rb.new_read().to_pandas()
+        assert len(got) == 4 * 32 and got[col].max() == 3
+
+    # time travel to the pre-compact snapshot still reads old files
+    old = t.new_read_builder().with_snapshot(snap_id - 1).new_read().to_pandas()
+    assert len(old) == 1024
+
+    # 'order' strategy: lexicographic -> leading column skips
+    p2 = str(tmp_path / "olake")
+    write_paimon_fixture(
+        p2,
+        [("a", "INT NOT NULL"), ("b", "INT NOT NULL")],
+        [],
+        [],
+        [(0, {}, 0, pa.table({
+            "a": pa.array([x for x, _ in grid], pa.int32()),
+            "b": pa.array([y for _, y in grid], pa.int32()),
+        }))],
+    )
+    sort_compact_lake(p2, ["a", "b"], strategy="order", target_file_rows=128)
+    t2 = PaimonLakeTable(p2)
+    rb = t2.new_read_builder()
+    rb = rb.with_filter(rb.new_predicate_builder().less_than("a", 2))
+    assert sum(len(s.file_paths()) for s in rb.new_scan().plan().splits()) <= 2
+    assert len(t2.new_read_builder().new_read().to_pandas()) == 1024
+
+    # hilbert: content-preserving, DV marks physically applied
+    p3 = str(tmp_path / "hlake")
+    write_paimon_fixture(
+        p3,
+        [("a", "INT NOT NULL"), ("b", "INT NOT NULL")],
+        [],
+        [],
+        [(0, {}, 0, pa.table({
+            "a": pa.array([x for x, _ in grid], pa.int32()),
+            "b": pa.array([y for _, y in grid], pa.int32()),
+        }))],
+    )
+    fname = plan_paimon_files(p3)[0].file_name
+    attach_paimon_dv_fixture(p3, {fname: [0, 1, 2]})
+    sort_compact_lake(p3, ["a", "b"], strategy="hilbert", target_file_rows=512)
+    t3 = PaimonLakeTable(p3)
+    out3 = t3.new_read_builder().new_read().to_pandas()
+    assert len(out3) == 1021  # 3 DV-marked rows physically gone
+    assert read_paimon_snapshot(p3).get("indexManifest") in (None, "")
+
+    # guards: PK lakes refuse; unknown strategy/column raise
+    with pytest.raises(ValueError):
+        sort_compact_lake(p2, ["a"], strategy="bogus")
+    with pytest.raises(ValueError):
+        sort_compact_lake(p2, ["nope"])
