@@ -2922,3 +2922,78 @@ def test_sort_compact_lake(tmp_path, spark):
         sort_compact_lake(p2, ["a"], strategy="bogus")
     with pytest.raises(ValueError):
         sort_compact_lake(p2, ["nope"])
+
+
+def test_sort_compact_lake_partition_scoped(tmp_path, spark):
+    """Sort compaction scoped to one partition of a partitioned lake:
+    only the matching partition's files rewrite (clustered, skippable);
+    the other partition's files and row set stay untouched."""
+    import itertools
+
+    from paimon_python_spark.paimon_import import plan_paimon_files
+    from paimon_python_spark.paimon_lake import (
+        PaimonLakeTable,
+        sort_compact_lake,
+    )
+    from paimon_python_spark.session import set_spark
+
+    set_spark(spark)
+    p = str(tmp_path / "pzlake")
+    grid = list(itertools.product(range(16), repeat=2))
+    rng = __import__("random").Random(3)
+    rng.shuffle(grid)
+    halves = [grid[i::2] for i in range(2)]
+
+    def _tbl(region, half):
+        return pa.table({
+            "region": pa.array([region] * len(half), pa.string()),
+            "a": pa.array([x for x, _ in half], pa.int32()),
+            "b": pa.array([y for _, y in half], pa.int32()),
+        })
+
+    write_paimon_fixture(
+        p,
+        [("region", "STRING NOT NULL"), ("a", "INT NOT NULL"), ("b", "INT NOT NULL")],
+        ["region"],
+        [],
+        [
+            (0, {"region": r}, 0, _tbl(r, h))
+            for r in ("eu", "us")
+            for h in halves
+        ],
+    )
+    t = PaimonLakeTable(p)
+    before = plan_paimon_files(p)
+    us_before = {e.file_name for e in before if e.partition.get("region") == "us"}
+    assert len(before) == 4 and len(us_before) == 2
+
+    pb = t.new_read_builder().new_predicate_builder()
+    sort_compact_lake(
+        p,
+        ["a", "b"],
+        strategy="zorder",
+        partition_filter=pb.equal("region", "eu"),
+        target_file_rows=64,
+    )
+    after = plan_paimon_files(p)
+    us_after = {e.file_name for e in after if e.partition.get("region") == "us"}
+    eu_after = [e for e in after if e.partition.get("region") == "eu"]
+    assert us_after == us_before  # untouched partition keeps its files
+    assert len(eu_after) == 4  # ceil(256/64) clustered files
+    # both ordered columns now skip inside the compacted partition
+    for col in ("a", "b"):
+        rb = t.new_read_builder()
+        pb2 = rb.new_predicate_builder()
+        rb = rb.with_filter(
+            pb2.and_predicates(
+                [pb2.equal("region", "eu"), pb2.less_than(col, 4)]
+            )
+        )
+        hit = sum(len(s.file_paths()) for s in rb.new_scan().plan().splits())
+        assert hit < len(eu_after), f"no skipping on {col}"
+    # full read: same logical content, both partitions
+    out = t.new_read_builder().new_read().to_pandas()
+    assert len(out) == 512
+    for r in ("eu", "us"):
+        sub = out[out.region == r]
+        assert sorted(zip(sub.a, sub.b)) == sorted(itertools.product(range(16), repeat=2))
