@@ -3384,6 +3384,115 @@ ORDER BY tag, c_custkey
 """
 
 
+def paimon_lake_consumer_roundtrip(spark, sf_dir):
+    """Lake CONSUMERS (Paimon's consumer-id): a streaming loop over a
+    3-commit lake records its progress IN the lake as the spec
+    ``consumer/consumer-<id>`` file (``{"nextSnapshot": N}`` — the
+    exact JSON real Paimon's Consumer writes, so JVM jobs interop); a
+    restarted loop resumes from it, a lagging second consumer HOLDS
+    snapshot expiry back (keep_last_n=1 may only expire snapshot 1),
+    and $consumers reports both. Spec-shape + protection invariants
+    assert inside; the gate verifies the streamed batches against the
+    SQL slab replay."""
+    import json as _json
+    import os as _os
+
+    import pyarrow as pa
+
+    from paimon_python_spark.paimon_import import (
+        append_paimon_fixture_snapshot,
+        write_paimon_table_fixture,
+    )
+    from paimon_python_spark.paimon_lake import (
+        PaimonLakeTable,
+        expire_lake_snapshots,
+        read_lake_consumer,
+        stream_lake_snapshots,
+        write_lake_consumer,
+    )
+    from paimon_python_spark.session import set_spark
+
+    set_spark(spark)
+    pdf = (
+        _t(spark, sf_dir, "customer")
+        .select("c_custkey", "c_acctbal")
+        .toPandas()
+        .sort_values("c_custkey")
+    )
+
+    def slab(lo, hi):
+        g = pdf[(pdf.c_custkey > lo) & (pdf.c_custkey <= hi)]
+        return pa.table(
+            {
+                "c_custkey": pa.array(g.c_custkey, pa.int64()),
+                "c_acctbal": pa.array(g.c_acctbal, pa.float64()),
+            }
+        )
+
+    fixture = _fresh_warehouse("lakeconsumer") + "/customer_stream"
+    write_paimon_table_fixture(
+        fixture,
+        [("c_custkey", "BIGINT NOT NULL"), ("c_acctbal", "DOUBLE")],
+        [],
+        [],
+        [(0, {}, 0, slab(-1, 500))],
+    )
+    append_paimon_fixture_snapshot(fixture, [(0, {}, 0, slab(500, 1000))], tag="c2")
+    append_paimon_fixture_snapshot(
+        fixture, [(0, {}, 0, slab(1000, 10_000_000))], tag="c3"
+    )
+    # first run: two batches, progress committed into the lake
+    batches = {
+        sid: df
+        for sid, df in stream_lake_snapshots(
+            fixture, max_batches=2, consumer_id="etl"
+        )
+    }
+    with open(_os.path.join(fixture, "consumer", "consumer-etl")) as f:
+        assert _json.load(f) == {"nextSnapshot": 3}  # spec shape exactly
+    # restart: same consumer_id resumes at snapshot 3, nothing replays
+    batches.update(
+        {
+            sid: df
+            for sid, df in stream_lake_snapshots(
+                fixture, max_batches=1, consumer_id="etl"
+            )
+        }
+    )
+    assert sorted(batches) == [1, 2, 3]
+    assert read_lake_consumer(fixture, "etl") == 4
+    # a lagging consumer still needs snapshot 2: expiry may drop ONLY
+    # snapshot 1's metadata (its data files live on in the append chain)
+    write_lake_consumer(fixture, "audit", 2)
+    res = expire_lake_snapshots(fixture, keep_last_n=1)
+    assert res["snapshots_deleted"] == 1
+    sdir = _os.path.join(fixture, "snapshot")
+    assert not _os.path.exists(_os.path.join(sdir, "snapshot-1"))
+    assert _os.path.exists(_os.path.join(sdir, "snapshot-2"))
+    cons = {
+        r.consumer_id: r.next_snapshot
+        for r in PaimonLakeTable(fixture).consumers().collect()
+    }
+    assert cons == {"audit": 2, "etl": 4}
+    out = None
+    for sid in (1, 2, 3):
+        tagged = batches[sid].select(
+            F.lit(f"b{sid}").alias("batch"), "c_custkey", "c_acctbal"
+        )
+        out = tagged if out is None else out.unionByName(tagged)
+    return out.orderBy("batch", "c_custkey")
+
+
+PAIMON_LAKE_CONSUMER_SQL = """
+SELECT CASE WHEN c_custkey <= 500 THEN 'b1'
+            WHEN c_custkey <= 1000 THEN 'b2'
+            ELSE 'b3' END AS batch,
+       c_custkey, c_acctbal
+FROM customer
+ORDER BY batch, c_custkey
+"""
+
+
 def paimon_lake_write_roundtrip(spark, sf_dir):
     """Engine as lake PARTICIPANT (paimon_lake.write_lake_append): a
     fixture lake holds region rows; a DISTRIBUTED Spark write commits
@@ -8720,6 +8829,7 @@ _QUERIES: dict[str, Callable] = {
     "paimon_lake_dv_history_roundtrip": paimon_lake_dv_history_roundtrip,
     "paimon_lake_compact_roundtrip": paimon_lake_compact_roundtrip,
     "paimon_lake_sort_compact_roundtrip": paimon_lake_sort_compact_roundtrip,
+    "paimon_lake_consumer_roundtrip": paimon_lake_consumer_roundtrip,
     "paimon_lake_maintenance_roundtrip": paimon_lake_maintenance_roundtrip,
     "paimon_lake_stream_sink_roundtrip": paimon_lake_stream_sink_roundtrip,
     "paimon_lake_merge_engine_roundtrip": paimon_lake_merge_engine_roundtrip,
@@ -9047,6 +9157,7 @@ _ORACLES: dict[str, str] = {
     "paimon_lake_dv_history_roundtrip": PAIMON_LAKE_DV_HISTORY_SQL,
     "paimon_lake_compact_roundtrip": PAIMON_LAKE_COMPACT_SQL,
     "paimon_lake_sort_compact_roundtrip": PAIMON_LAKE_SORT_COMPACT_SQL,
+    "paimon_lake_consumer_roundtrip": PAIMON_LAKE_CONSUMER_SQL,
     "paimon_lake_maintenance_roundtrip": PAIMON_LAKE_MAINTENANCE_SQL,
     "paimon_lake_stream_sink_roundtrip": PAIMON_LAKE_STREAM_SINK_SQL,
     "paimon_lake_merge_engine_roundtrip": PAIMON_LAKE_MERGE_ENGINE_SQL,
@@ -9078,6 +9189,7 @@ _GATE_HEAD = [
     "paimon_lake_dv_history_roundtrip",
     "paimon_lake_compact_roundtrip",
     "paimon_lake_sort_compact_roundtrip",
+    "paimon_lake_consumer_roundtrip",
     "paimon_lake_maintenance_roundtrip",
     "paimon_lake_stream_sink_roundtrip",
     "paimon_lake_merge_engine_roundtrip",

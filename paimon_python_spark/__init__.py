@@ -50,6 +50,7 @@ from paimon_python_spark.paimon_lake import (
     PaimonLakeCatalog,
     PaimonLakeTable,
     alter_lake_schema,
+    clear_lake_consumer,
     compact_lake,
     create_lake_branch,
     create_lake_table,
@@ -59,6 +60,9 @@ from paimon_python_spark.paimon_lake import (
     expire_lake_snapshots,
     fast_forward_lake_branch,
     list_lake_branches,
+    list_lake_consumers,
+    read_lake_consumer,
+    write_lake_consumer,
     overwrite_lake,
     read_lake_incremental,
     remove_lake_orphan_files,
@@ -79,6 +83,7 @@ __all__ = [
     "PaimonLakeCatalog",
     "PaimonLakeTable",
     "alter_lake_schema",
+    "clear_lake_consumer",
     "compact_lake",
     "create_lake_branch",
     "create_lake_table",
@@ -89,6 +94,9 @@ __all__ = [
     "fast_forward_lake_branch",
     "merge_into_lake",
     "list_lake_branches",
+    "list_lake_consumers",
+    "read_lake_consumer",
+    "write_lake_consumer",
     "overwrite_lake",
     "remove_lake_orphan_files",
     "rollback_lake",

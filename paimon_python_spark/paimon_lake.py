@@ -128,6 +128,24 @@ class PaimonLakeTable:
         )
         return get_spark().createDataFrame(rows, schema)
 
+    def consumers(self):
+        """Consumers system table (Paimon's ``table$consumers``):
+        (consumer_id, next_snapshot) from the lake's ``consumer/``
+        directory."""
+        from pyspark.sql import types as T
+
+        from paimon_python_spark.session import get_spark
+
+        schema = T.StructType(
+            [
+                T.StructField("consumer_id", T.StringType(), False),
+                T.StructField("next_snapshot", T.LongType(), False),
+            ]
+        )
+        return get_spark().createDataFrame(
+            sorted(list_lake_consumers(self.table_path).items()), schema
+        )
+
     def options(self):
         """Options system table: (key, value) from the current schema."""
         from pyspark.sql import types as T
@@ -831,11 +849,14 @@ def stream_lake_snapshots(
     :func:`read_lake_incremental` of one snapshot, so PK tables stream
     changelog rows with ``_row_kind``).
 
-    ``consumer_id`` gives durable at-least-once progress. The offset
-    file lives under ``consumer_dir`` (REQUIRED with consumer_id):
-    unlike the engine's own tables, a real lake may be read-only to
-    this process and is owned by the writing job — progress state
-    belongs to the consumer, not the lake."""
+    ``consumer_id`` gives durable at-least-once progress. By default
+    (``consumer_dir=None``) progress lives IN the lake as a spec
+    consumer file (``consumer/consumer-<id>``, the shape real Paimon
+    writes) — interoperable with JVM consumers, and visible to
+    :func:`expire_lake_snapshots`, which then refuses to expire the
+    consumer's next batch. Pass ``consumer_dir`` for a lake this
+    process may not write to: the offset file goes there instead and
+    the lake stays untouched (no expiry protection, by construction)."""
     import json
     import os
     import re as _re
@@ -844,18 +865,25 @@ def stream_lake_snapshots(
     from paimon_python_spark.paimon_import import latest_paimon_snapshot_id
 
     offset_path = None
+    in_lake = False
     if consumer_id is not None:
-        if consumer_dir is None:
-            raise ValueError(
-                "stream_lake_snapshots: consumer_id needs consumer_dir — "
-                "offsets are consumer state, not lake state"
-            )
-        if not _re.match(r"^[A-Za-z0-9][A-Za-z0-9._-]*$", consumer_id):
+        if not _re.match(_CONSUMER_ID_RE, consumer_id):
             raise ValueError(f"invalid consumer id {consumer_id!r}")
-        offset_path = os.path.join(consumer_dir, f"consumer-{consumer_id}.json")
+        if consumer_dir is None:
+            in_lake = True
+        else:
+            offset_path = os.path.join(
+                consumer_dir, f"consumer-{consumer_id}.json"
+            )
 
     current = from_snapshot
-    if offset_path and os.path.exists(offset_path):
+    if in_lake:
+        persisted = read_lake_consumer(table_path, consumer_id)
+        if persisted is not None:
+            # nextSnapshot N = "N is the next to READ": the incremental
+            # window below starts AFTER `current`, so resume at N-1
+            current = max(current, persisted - 1)
+    elif offset_path and os.path.exists(offset_path):
         try:
             with open(offset_path) as f:
                 current = max(current, int(json.load(f)["next_snapshot"]))
@@ -869,7 +897,9 @@ def stream_lake_snapshots(
             yield nxt, read_lake_incremental(
                 table_path, current, nxt, use_changelog=use_changelog
             )
-            if offset_path:
+            if in_lake:
+                write_lake_consumer(table_path, consumer_id, nxt + 1)
+            elif offset_path:
                 os.makedirs(os.path.dirname(offset_path), exist_ok=True)
                 tmp = f"{offset_path}.tmp"
                 with open(tmp, "w") as f:
@@ -1938,6 +1968,91 @@ def create_lake_tag(
     return sid
 
 
+_CONSUMER_ID_RE = r"^[A-Za-z0-9][A-Za-z0-9._-]*$"
+
+
+def write_lake_consumer(
+    table_path: str, consumer_id: str, next_snapshot: int
+) -> None:
+    """Record a consumer's progress IN the lake — the spec shape real
+    Paimon writes (``<table>/consumer/consumer-<id>`` holding
+    ``{"nextSnapshot": N}``, org.apache.paimon.consumer.Consumer), so a
+    JVM streaming job resumes where this engine left off and vice
+    versa, and snapshot expiration can protect unconsumed snapshots.
+    Atomic replace; monotonicity is the caller's contract (Paimon's
+    resetConsumer action moves a consumer backwards on purpose)."""
+    import json
+    import os
+    import re as _re
+
+    if not _re.match(_CONSUMER_ID_RE, consumer_id):
+        raise ValueError(f"invalid consumer id {consumer_id!r}")
+    if next_snapshot < 1:
+        raise ValueError("next_snapshot must be >= 1")
+    cdir = os.path.join(table_path, "consumer")
+    os.makedirs(cdir, exist_ok=True)
+    path = os.path.join(cdir, f"consumer-{consumer_id}")
+    tmp = f"{path}.tmp"
+    with open(tmp, "w") as f:
+        json.dump({"nextSnapshot": int(next_snapshot)}, f)
+    os.replace(tmp, path)
+
+
+def read_lake_consumer(table_path: str, consumer_id: str) -> Optional[int]:
+    """The consumer's next-snapshot-to-read, or None if unregistered.
+    Tolerates real-Paimon files with extra fields (only
+    ``nextSnapshot`` is read)."""
+    import json
+    import os
+
+    path = os.path.join(table_path, "consumer", f"consumer-{consumer_id}")
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return int(json.load(f)["nextSnapshot"])
+
+
+def list_lake_consumers(table_path: str) -> dict:
+    """All registered consumers: {consumer_id: next_snapshot}."""
+    import json
+    import os
+
+    cdir = os.path.join(table_path, "consumer")
+    out = {}
+    if os.path.isdir(cdir):
+        for n in sorted(os.listdir(cdir)):
+            if n.startswith("consumer-") and not n.endswith(".tmp"):
+                with open(os.path.join(cdir, n)) as f:
+                    out[n[len("consumer-"):]] = int(json.load(f)["nextSnapshot"])
+    return out
+
+
+def clear_lake_consumer(
+    table_path: str, consumer_id: Optional[str] = None
+) -> int:
+    """Drop one consumer (Paimon's resetConsumer without a new id) or,
+    with ``consumer_id=None``, every consumer (the clear_consumers
+    procedure). Returns how many were removed. Clearing releases the
+    expiry protection those consumers held."""
+    import os
+
+    cdir = os.path.join(table_path, "consumer")
+    if not os.path.isdir(cdir):
+        return 0
+    names = (
+        [f"consumer-{consumer_id}"]
+        if consumer_id is not None
+        else [n for n in os.listdir(cdir) if n.startswith("consumer-")]
+    )
+    removed = 0
+    for n in names:
+        p = os.path.join(cdir, n)
+        if os.path.exists(p) and not n.endswith(".tmp"):
+            os.remove(p)
+            removed += 1
+    return removed
+
+
 def _lake_snapshot_footprint(table_path: str, snap: dict):
     """(manifest-lists, manifests, live rel data paths, index files) a
     snapshot reaches — KB-scale metadata walk, the unit of accounting
@@ -2383,7 +2498,11 @@ def expire_lake_snapshots(table_path: str, keep_last_n: int) -> dict:
     snapshot files go away along with manifests / data files / DV
     indexes no kept-or-tagged snapshot reaches. Time travel to an
     expired id then fails exactly like real Paimon; tags pin their
-    snapshot's files forever. Returns deletion counts."""
+    snapshot's files forever, and registered CONSUMERS hold expiry
+    back (as Paimon's expiration does): no snapshot at or past the
+    slowest consumer's ``nextSnapshot`` expires, so a lagging
+    streaming reader never loses its next batch. Returns deletion
+    counts."""
     import os
 
     from paimon_python_spark.paimon_import import (
@@ -2395,6 +2514,9 @@ def expire_lake_snapshots(table_path: str, keep_last_n: int) -> dict:
         raise ValueError("keep_last_n must be >= 1")
     latest = latest_paimon_snapshot_id(table_path)
     cutoff = latest - keep_last_n + 1
+    consumers = list_lake_consumers(table_path)
+    if consumers:
+        cutoff = min(cutoff, min(consumers.values()))
     sdir = os.path.join(table_path, "snapshot")
     doomed = [
         read_paimon_snapshot(table_path, sid)

@@ -1569,8 +1569,90 @@ def test_stream_lake_snapshots_resume(tmp_path, spark):
         )
     ]
     assert got2 == [(3, [3])]
+    # external-dir mode never touches the lake
+    assert not os.path.isdir(os.path.join(p, "consumer"))
     with pytest.raises(ValueError):
-        next(stream_lake_snapshots(p, consumer_id="ci"))
+        next(stream_lake_snapshots(p, consumer_id="../escape", consumer_dir=cdir))
+
+
+def test_lake_consumers(tmp_path, spark):
+    """In-lake consumers (Paimon's consumer-id): spec-shaped
+    ``consumer/consumer-<id>`` files, stream resume from them, expiry
+    protection of unconsumed snapshots, the $consumers system table,
+    and reset/clear."""
+    import json
+
+    from paimon_python_spark.paimon_import import (
+        append_paimon_fixture_snapshot,
+        latest_paimon_snapshot_id,
+    )
+    from paimon_python_spark.paimon_lake import (
+        PaimonLakeTable,
+        clear_lake_consumer,
+        expire_lake_snapshots,
+        list_lake_consumers,
+        read_lake_consumer,
+        stream_lake_snapshots,
+        write_lake_consumer,
+    )
+    from paimon_python_spark.session import set_spark
+
+    set_spark(spark)
+    p = str(tmp_path / "consumer_lake")
+    write_paimon_fixture(
+        p, [("k", "INT NOT NULL")], [], [],
+        [(0, {}, 0, pa.table({"k": pa.array([1], pa.int32())}))],
+    )
+    for i in (2, 3, 4):
+        append_paimon_fixture_snapshot(
+            p, [(0, {}, 0, pa.table({"k": pa.array([i], pa.int32())}))],
+            tag=f"c{i}",
+        )
+    # stream two batches with an IN-LAKE consumer (no consumer_dir)
+    got = [
+        (sid, sorted(df.toPandas().k))
+        for sid, df in stream_lake_snapshots(p, max_batches=2, consumer_id="job1")
+    ]
+    assert got == [(1, [1]), (2, [2])]
+    # the consumer file is the exact spec shape real Paimon writes
+    with open(os.path.join(p, "consumer", "consumer-job1")) as f:
+        assert json.load(f) == {"nextSnapshot": 3}
+    assert read_lake_consumer(p, "job1") == 3
+    # a restarted loop resumes at snapshot 3
+    got2 = [
+        (sid, sorted(df.toPandas().k))
+        for sid, df in stream_lake_snapshots(p, max_batches=2, consumer_id="job1")
+    ]
+    assert got2 == [(3, [3]), (4, [4])]
+    # expiry protection: job2 still needs snapshot 2, so keep_last_n=1
+    # cannot expire snapshots 2+ — only snapshot 1 goes
+    write_lake_consumer(p, "job2", 2)
+    res = expire_lake_snapshots(p, keep_last_n=1)
+    assert res["snapshots_deleted"] == 1
+    sdir = os.path.join(p, "snapshot")
+    assert not os.path.exists(os.path.join(sdir, "snapshot-1"))
+    assert os.path.exists(os.path.join(sdir, "snapshot-2"))
+    # $consumers system table
+    t = PaimonLakeTable(p)
+    cons = {r.consumer_id: r.next_snapshot for r in t.consumers().collect()}
+    assert cons == {"job1": 5, "job2": 2}
+    # reset job2 forward -> expiry proceeds past its old hold
+    write_lake_consumer(p, "job2", 5)
+    res2 = expire_lake_snapshots(p, keep_last_n=1)
+    assert res2["snapshots_deleted"] == 2
+    assert os.path.exists(os.path.join(sdir, "snapshot-4"))
+    # clear: drop one, then all
+    assert clear_lake_consumer(p, "job2") == 1
+    assert list_lake_consumers(p) == {"job1": 5}
+    assert clear_lake_consumer(p) == 1
+    assert list_lake_consumers(p) == {}
+    # guards
+    with pytest.raises(ValueError):
+        write_lake_consumer(p, "../escape", 1)
+    with pytest.raises(ValueError):
+        write_lake_consumer(p, "ok", 0)
+    assert read_lake_consumer(p, "missing") is None
+    assert latest_paimon_snapshot_id(p) == 4
 
 
 def test_lake_system_tables(tmp_path, spark):
