@@ -3544,7 +3544,9 @@ ORDER BY src, src_key
 """
 
 
-def _pk_lake_fixture(spark, sf_dir, name, num_buckets=4, limit=1200):
+def _pk_lake_fixture(
+    spark, sf_dir, name, num_buckets=4, limit=1200, extra_options=None
+):
     """Spec-format fixed-bucket PK lake seeded from customer rows, base
     rows PLACED BY THE PUBLIC EXTRACTOR (abs(murmur3(BinaryRow(key))) %
     buckets) — the layout a JVM Paimon writer leaves behind, so
@@ -3590,9 +3592,67 @@ def _pk_lake_fixture(spark, sf_dir, name, num_buckets=4, limit=1200):
         [],
         ["c_custkey"],
         files,
-        options={"bucket": str(num_buckets)},
+        options={"bucket": str(num_buckets), **(extra_options or {})},
     )
     return fixture
+
+
+def paimon_lake_changelog_write_roundtrip(spark, sf_dir):
+    """changelog-producer=input on the ENGINE'S OWN PK-lake commits:
+    upserting into a lake declared with the option writes the commit's
+    input rows AGAIN as separate changelog-* files referenced from the
+    snapshot's changelogManifestList — real Paimon's cheapest changelog
+    producer (no lookup, no full-compaction diff), and the only way a
+    streaming reader still sees intermediate records after compaction
+    folds level-0 data files. Returns the changelog read of the upsert
+    snapshot; the oracle replays the upsert batch in SQL. Reference
+    parity: the fixture changelog shape in
+    pypaimon's snapshot fields (snapshot.py CHANGELOG_MANIFEST_LIST)."""
+    import json
+    import os
+
+    from paimon_python_spark.paimon_lake import (
+        read_lake_incremental,
+        write_lake_pk_append,
+    )
+    from paimon_python_spark.session import set_spark
+
+    set_spark(spark)
+    fixture = _pk_lake_fixture(
+        spark, sf_dir, "lakeclw",
+        extra_options={"changelog-producer": "input"},
+    )
+    upserts = (
+        _t(spark, sf_dir, "customer")
+        .filter((F.col("c_custkey") <= 1200) & (F.col("c_custkey") % 2 == 0))
+        .select(
+            "c_custkey",
+            F.concat(F.lit("UPSERT-"), F.col("c_custkey")).alias("c_name"),
+            F.lit(0.0).alias("c_acctbal"),
+            F.lit(2).alias("__kind"),
+        )
+    )
+    sid = write_lake_pk_append(fixture, upserts, row_kind_col="__kind")
+    with open(os.path.join(fixture, "snapshot", f"snapshot-{sid}")) as f:
+        snap = json.load(f)
+    assert snap["changelogManifestList"], "commit must write a changelog list"
+    assert snap["changelogRecordCount"] > 0
+    return (
+        read_lake_incremental(fixture, sid - 1, sid, use_changelog=True)
+        .select("c_custkey", "c_name", "c_acctbal", "_row_kind")
+        .orderBy("c_custkey")
+    )
+
+
+PAIMON_LAKE_CHANGELOG_WRITE_SQL = """
+SELECT c_custkey,
+       'UPSERT-' || CAST(c_custkey AS VARCHAR) AS c_name,
+       0.0 AS c_acctbal,
+       '+U' AS _row_kind
+FROM customer
+WHERE c_custkey <= 1200 AND c_custkey % 2 = 0
+ORDER BY c_custkey
+"""
 
 
 def paimon_lake_pk_write_roundtrip(spark, sf_dir):
@@ -3925,10 +3985,14 @@ def paimon_lake_sort_compact_roundtrip(spark, sf_dir):
     assert int(snap["id"]) == sid and snap["commitKind"] == "COMPACT"
     live = plan_paimon_files(fixture)
     # post-cluster: a narrow range on EITHER ordered column prunes
-    # files via the same manifest min/max stats that saw nothing before
+    # files via the same manifest min/max stats that saw nothing before.
+    # Bounds are DATA-DERIVED quantiles — at sf0.001 the whole
+    # p_retailprice column sits under 950, so a fixed bound would ask
+    # for an impossible prune.
     if len(live) > 2:
         assert _files_hit("p_size", 6) < len(live)
-        assert _files_hit("p_retailprice", 950.0) < len(live)
+        price_q = float(base.p_retailprice.quantile(0.25))
+        assert _files_hit("p_retailprice", price_q) < len(live)
     return (
         t.new_read_builder()
         .new_read()
@@ -8824,6 +8888,7 @@ _QUERIES: dict[str, Callable] = {
     "paimon_lake_incremental_roundtrip": paimon_lake_incremental_roundtrip,
     "paimon_lake_write_roundtrip": paimon_lake_write_roundtrip,
     "paimon_lake_pk_write_roundtrip": paimon_lake_pk_write_roundtrip,
+    "paimon_lake_changelog_write_roundtrip": paimon_lake_changelog_write_roundtrip,
     "paimon_lake_pk_delete_roundtrip": paimon_lake_pk_delete_roundtrip,
     "paimon_lake_avro_write_roundtrip": paimon_lake_avro_write_roundtrip,
     "paimon_lake_dv_history_roundtrip": paimon_lake_dv_history_roundtrip,
@@ -9152,6 +9217,7 @@ _ORACLES: dict[str, str] = {
     "paimon_lake_incremental_roundtrip": PAIMON_LAKE_INCREMENTAL_SQL,
     "paimon_lake_write_roundtrip": PAIMON_LAKE_WRITE_SQL,
     "paimon_lake_pk_write_roundtrip": PAIMON_LAKE_PK_WRITE_SQL,
+    "paimon_lake_changelog_write_roundtrip": PAIMON_LAKE_CHANGELOG_WRITE_SQL,
     "paimon_lake_pk_delete_roundtrip": PAIMON_LAKE_PK_DELETE_SQL,
     "paimon_lake_avro_write_roundtrip": PAIMON_LAKE_AVRO_WRITE_SQL,
     "paimon_lake_dv_history_roundtrip": PAIMON_LAKE_DV_HISTORY_SQL,
@@ -9184,6 +9250,7 @@ _ORACLES: dict[str, str] = {
 _GATE_HEAD = [
     # round-7 additions (first-ever by construction)
     "paimon_lake_pk_write_roundtrip",
+    "paimon_lake_changelog_write_roundtrip",
     "paimon_lake_pk_delete_roundtrip",
     "paimon_lake_avro_write_roundtrip",
     "paimon_lake_dv_history_roundtrip",

@@ -1247,6 +1247,7 @@ def _commit_lake_snapshot(
     commit_kind: str = "APPEND",
     index_manifest=_INHERIT_INDEX,
     total_record_count: Optional[int] = None,
+    changelog_entries: Optional[list] = None,
 ) -> int:
     """Driver-side spec-format metadata commit of ``entries`` (new
     manifest records — ADD ``_KIND=0`` and, for COMPACT commits,
@@ -1261,7 +1262,11 @@ def _commit_lake_snapshot(
     index; pass ``None`` to drop it (compaction physically applied the
     marks). ``total_record_count``: explicit new total (compaction
     rewrites the world); default adds ``n_rows`` to the previous
-    total. Returns the new snapshot id."""
+    total. ``changelog_entries``: ADD records for this commit's
+    changelog files (changelog-producer=input) — written as their own
+    manifest + manifest list and referenced from the snapshot's
+    ``changelogManifestList``, the shape streaming readers scan.
+    Returns the new snapshot id."""
     import json
     import os
     import uuid
@@ -1329,6 +1334,24 @@ def _commit_lake_snapshot(
                 MANIFEST_LIST_SCHEMA,
                 [list_entry(mname)],
             )
+            clname = None
+            cl_rows = 0
+            if changelog_entries:
+                cmname = f"manifest-{tag}-cl.avro"
+                write_avro_records(
+                    os.path.join(table_path, "manifest", cmname),
+                    MANIFEST_SCHEMA,
+                    changelog_entries,
+                )
+                clname = f"manifest-list-{tag}-changelog.avro"
+                write_avro_records(
+                    os.path.join(table_path, "manifest", clname),
+                    MANIFEST_LIST_SCHEMA,
+                    [list_entry(cmname)],
+                )
+                cl_rows = sum(
+                    int(e["_FILE"]["_ROW_COUNT"]) for e in changelog_entries
+                )
             new_id = prev_id + 1
             snap = {
                 "version": 3,
@@ -1336,7 +1359,7 @@ def _commit_lake_snapshot(
                 "schemaId": info.id,
                 "baseManifestList": blname,
                 "deltaManifestList": dlname,
-                "changelogManifestList": None,
+                "changelogManifestList": clname,
                 # CARRY THE DV INDEX FORWARD by default: an append does
                 # not touch the deletion vectors, but a snapshot without
                 # indexManifest would silently resurrect every
@@ -1361,7 +1384,7 @@ def _commit_lake_snapshot(
                     else int(prev.get("totalRecordCount") or 0) + n_rows
                 ),
                 "deltaRecordCount": n_rows,
-                "changelogRecordCount": 0,
+                "changelogRecordCount": cl_rows,
                 "watermark": -9223372036854775808,
             }
             spath = os.path.join(table_path, "snapshot", f"snapshot-{new_id}")
@@ -1395,6 +1418,7 @@ def _distributed_lake_write(
     level: int = 0,
     single_file_per_group: bool = False,
     sort_cols: Optional[List[str]] = None,
+    changelog: bool = False,
 ):
     """EXECUTOR-SIDE data-file write into a real lake's final layout,
     one file per (partition, bucket) group via ``applyInPandas`` —
@@ -1495,6 +1519,8 @@ def _distributed_lake_write(
             T.StructField("stats_min", T.BinaryType()),
             T.StructField("stats_max", T.BinaryType()),
             T.StructField("null_counts", T.ArrayType(T.LongType())),
+            T.StructField("cl_name", T.StringType()),
+            T.StructField("cl_size", T.LongType()),
         ]
     )
     schema_info = info
@@ -1566,6 +1592,18 @@ def _distributed_lake_write(
         name = f"data-{uuid.uuid4()}-0.{fmt}"
         fpath = os.path.join(ddir, name)
         _write_fixture_data_file(table, fpath, fmt)
+        cl_name, cl_size = None, 0
+        if changelog:
+            # changelog-producer=input: the commit's input rows double
+            # as the changelog; a SEPARATE physical file (real Paimon's
+            # shape) so compaction can fold the data file while the
+            # changelog stays for streaming readers. Executor-local
+            # byte copy — same task, no extra pass over the data.
+            import shutil as _shutil
+
+            cl_name = f"changelog-{uuid.uuid4()}-0.{fmt}"
+            _shutil.copyfile(fpath, os.path.join(ddir, cl_name))
+            cl_size = os.path.getsize(os.path.join(ddir, cl_name))
         if trimmed:
             kmin = encode_binary_row(
                 [logical(pdf[k].iloc[0], t) for k, t in zip(trimmed, trimmed_types)],
@@ -1593,46 +1631,56 @@ def _distributed_lake_write(
                     "stats_min": stats["_MIN_VALUES"],
                     "stats_max": stats["_MAX_VALUES"],
                     "null_counts": stats["_NULL_COUNTS"],
+                    "cl_name": cl_name,
+                    "cl_size": cl_size,
                 }
             ]
         )
 
     meta = sdf.groupBy(*gcols).applyInPandas(_write_group, meta_schema).collect()
-    man_entries = []
-    for r in meta:
+
+    def _entry(r, file_name, file_size):
         pj = _json.loads(r["part_json"])
-        man_entries.append(
-            {
-                "_VERSION": 2,
-                "_KIND": 0,
-                "_PARTITION": encode_binary_row(
-                    [pj[k] for k in part_keys], part_types
-                ),
-                "_BUCKET": int(r["bucket"]),
-                "_TOTAL_BUCKETS": num_buckets,
-                "_FILE": _spec_file_meta(
-                    r["file_name"],
-                    int(r["size"]),
-                    int(r["rows"]),
-                    schema_id=schema_id,
-                    value_stats={
-                        "_MIN_VALUES": bytes(r["stats_min"] or b""),
-                        "_MAX_VALUES": bytes(r["stats_max"] or b""),
-                        "_NULL_COUNTS": (
-                            list(r["null_counts"])
-                            if r["null_counts"] is not None
-                            else None
-                        ),
-                    },
-                    min_key=bytes(r["min_key"] or b""),
-                    max_key=bytes(r["max_key"] or b""),
-                    min_seq=int(r["min_seq"]),
-                    max_seq=int(r["max_seq"]),
-                    level=level,
-                ),
-            }
-        )
-    return man_entries, sum(int(r["rows"]) for r in meta)
+        return {
+            "_VERSION": 2,
+            "_KIND": 0,
+            "_PARTITION": encode_binary_row(
+                [pj[k] for k in part_keys], part_types
+            ),
+            "_BUCKET": int(r["bucket"]),
+            "_TOTAL_BUCKETS": num_buckets,
+            "_FILE": _spec_file_meta(
+                file_name,
+                int(file_size),
+                int(r["rows"]),
+                schema_id=schema_id,
+                value_stats={
+                    "_MIN_VALUES": bytes(r["stats_min"] or b""),
+                    "_MAX_VALUES": bytes(r["stats_max"] or b""),
+                    "_NULL_COUNTS": (
+                        list(r["null_counts"])
+                        if r["null_counts"] is not None
+                        else None
+                    ),
+                },
+                min_key=bytes(r["min_key"] or b""),
+                max_key=bytes(r["max_key"] or b""),
+                min_seq=int(r["min_seq"]),
+                max_seq=int(r["max_seq"]),
+                level=level,
+            ),
+        }
+
+    man_entries = [_entry(r, r["file_name"], r["size"]) for r in meta]
+    n_rows = sum(int(r["rows"]) for r in meta)
+    if changelog:
+        cl_entries = [
+            _entry(r, r["cl_name"], r["cl_size"])
+            for r in meta
+            if r["cl_name"] is not None
+        ]
+        return man_entries, n_rows, cl_entries
+    return man_entries, n_rows
 
 
 def write_lake_pk_append(
@@ -1677,7 +1725,13 @@ def write_lake_pk_append(
         if c.strip()
     ] or None
     seq_base = max((e.max_seq for e in plan_paimon_files(table_path)), default=-1) + 1
-    man_entries, n_rows = _distributed_lake_write(
+    # changelog-producer=input: the commit's input doubles as its
+    # changelog (real Paimon's cheapest producer — no lookup, no
+    # full-compaction diff), written as SEPARATE changelog-* files so
+    # compaction can fold level-0 data files while streaming readers
+    # still see every intermediate record.
+    produce_cl = info.options.get("changelog-producer", "none") == "input"
+    result = _distributed_lake_write(
         table_path,
         info,
         df,
@@ -1687,10 +1741,18 @@ def write_lake_pk_append(
         bucket_cols=bucket_cols,
         seq_base=seq_base,
         row_kind_col=row_kind_col,
+        changelog=produce_cl,
     )
+    if produce_cl:
+        man_entries, n_rows, cl_entries = result
+    else:
+        man_entries, n_rows = result
+        cl_entries = None
     if not man_entries:
         raise ValueError("write_lake_pk_append: empty input — nothing to commit")
-    return _commit_lake_snapshot(table_path, info, man_entries, n_rows)
+    return _commit_lake_snapshot(
+        table_path, info, man_entries, n_rows, changelog_entries=cl_entries
+    )
 
 
 def create_lake_table(

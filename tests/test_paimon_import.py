@@ -1976,6 +1976,70 @@ def test_register_lake_sql_view(append_fixture, spark):
     assert [(r.dt, r.n) for r in out] == [("a", 2), ("b", 1)]
 
 
+def test_pk_write_produces_input_changelog(tmp_path, spark):
+    """changelog-producer=input: the ENGINE's own PK-lake commits must
+    write separate changelog files + a changelogManifestList so
+    streaming readers see every intermediate record even after
+    compaction folds the level-0 data files. Real Paimon's cheapest
+    producer: the commit input doubles as the changelog."""
+    import glob
+    import json
+    import os
+
+    from paimon_python_spark.paimon_lake import (
+        create_lake_table,
+        read_lake_incremental,
+        write_lake_pk_append,
+    )
+    from paimon_python_spark.session import set_spark
+
+    set_spark(spark)
+    p = str(tmp_path / "clw_lake")
+    create_lake_table(
+        p,
+        [("k", "INT NOT NULL"), ("v", "STRING")],
+        primary_keys=["k"],
+        options={"bucket": "1", "changelog-producer": "input"},
+    )
+    write_lake_pk_append(p, spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string"))
+    # batch 2: update k=1, delete k=2 — kinds must survive into the changelog
+    write_lake_pk_append(
+        p,
+        spark.createDataFrame([(1, "A2", 2), (2, "b", 3)], "k int, v string, __kind int"),
+        row_kind_col="__kind",
+    )
+    with open(os.path.join(p, "snapshot", "snapshot-2")) as f:
+        snap = json.load(f)
+    assert snap["changelogManifestList"], "commit must reference a changelog list"
+    assert snap["changelogRecordCount"] == 2
+    assert glob.glob(os.path.join(p, "bucket-*", "changelog-*")), (
+        "changelog rows must live in SEPARATE files from the data files"
+    )
+    cl = (
+        read_lake_incremental(p, 1, use_changelog=True)
+        .toPandas()
+        .sort_values("k")
+    )
+    assert list(cl._row_kind) == ["+U", "-D"]
+    assert list(cl.v) == ["A2", "b"]
+    # merged read resolves the upsert + delete
+    from paimon_python_spark.paimon_lake import PaimonLakeTable
+
+    out = PaimonLakeTable(p).new_read_builder().new_read().to_pandas()
+    assert list(out.k) == [1] and list(out.v) == ["A2"]
+    # a lake WITHOUT the option must not grow changelog metadata
+    p2 = str(tmp_path / "plain_lake")
+    create_lake_table(
+        p2, [("k", "INT NOT NULL"), ("v", "STRING")],
+        primary_keys=["k"], options={"bucket": "1"},
+    )
+    write_lake_pk_append(p2, spark.createDataFrame([(1, "a")], "k int, v string"))
+    with open(os.path.join(p2, "snapshot", "snapshot-1")) as f:
+        snap2 = json.load(f)
+    assert snap2["changelogManifestList"] is None
+    assert not glob.glob(os.path.join(p2, "bucket-*", "changelog-*"))
+
+
 def test_lake_incremental_changelog_manifests(tmp_path, spark):
     """A lake written with a changelog-producer stores -U/+U pairs in
     CHANGELOG manifests; use_changelog=True must read those instead of
