@@ -3597,6 +3597,100 @@ def _pk_lake_fixture(
     return fixture
 
 
+def paimon_lake_partition_expire_roundtrip(spark, sf_dir):
+    """PARTITION EXPIRATION on a real lake (Paimon's
+    ``partition.expiration-time`` maintenance): a year-partitioned
+    orders lake expires every partition older than 4 years relative to
+    an injected clock — ONE metadata-only OVERWRITE commit
+    (`drop_lake_partitions` shape: files DELETE from the manifest
+    chain, zero data bytes touched, zero shuffles — the O(manifest)
+    cost that makes expiration viable on a 100 TB lake), after which
+    the merged read sees only the young partitions and time travel
+    still reaches the dropped years. Oracle replays the year filter."""
+    import datetime as dt
+
+    import pyarrow as pa
+
+    from paimon_python_spark.paimon_import import (
+        read_paimon_snapshot,
+        write_paimon_table_fixture,
+    )
+    from paimon_python_spark.paimon_lake import (
+        PaimonLakeTable,
+        expire_lake_partitions,
+    )
+    from paimon_python_spark.session import set_spark
+
+    set_spark(spark)
+    pdf = (
+        _t(spark, sf_dir, "orders")
+        .select(
+            F.date_format("o_orderdate", "yyyy").alias("yr"),
+            "o_orderkey",
+            "o_totalprice",
+        )
+        .toPandas()
+        .sort_values("o_orderkey")
+    )
+    fixture = _fresh_warehouse("lakepartexp") + "/orders_by_year"
+    write_paimon_table_fixture(
+        fixture,
+        [
+            ("yr", "STRING NOT NULL"),
+            ("o_orderkey", "BIGINT NOT NULL"),
+            ("o_totalprice", "DOUBLE"),
+        ],
+        ["yr"],
+        [],
+        [
+            (0, {"yr": yr}, 0,
+             pa.table({
+                 "yr": pa.array(g.yr, pa.string()),
+                 "o_orderkey": pa.array(g.o_orderkey, pa.int64()),
+                 "o_totalprice": pa.array(g.o_totalprice, pa.float64()),
+             }))
+            for yr, g in pdf.groupby("yr", sort=True)
+        ],
+        options={"partition.timestamp-formatter": "yyyy"},
+    )
+    res = expire_lake_partitions(
+        fixture, "1460 d", now=dt.datetime(2001, 12, 31)
+    )
+    assert res["partitions_dropped"] >= 1
+    snap = read_paimon_snapshot(fixture)
+    assert snap["commitKind"] == "OVERWRITE"
+    # the drop is metadata-only: every dropped partition's bytes remain
+    # readable one snapshot back
+    old_years = (
+        PaimonLakeTable(fixture)
+        .new_read_builder()
+        .with_snapshot(res["snapshot_id"] - 1)
+        .new_read()
+        .to_df()
+        .select("yr")
+        .distinct()
+        .count()
+    )
+    out = (
+        PaimonLakeTable(fixture)
+        .new_read_builder()
+        .new_read()
+        .to_df()
+    )
+    assert old_years == (
+        out.select("yr").distinct().count() + res["partitions_dropped"]
+    )
+    return out.orderBy("o_orderkey")
+
+
+PAIMON_LAKE_PARTITION_EXPIRE_SQL = """
+SELECT strftime(o_orderdate, '%Y') AS yr, o_orderkey, o_totalprice
+FROM orders
+WHERE year(o_orderdate) >= 1998
+ORDER BY o_orderkey
+"""
+
+
 def paimon_lake_changelog_write_roundtrip(spark, sf_dir):
     """changelog-producer=input on the ENGINE'S OWN PK-lake commits:
     upserting into a lake declared with the option writes the commit's
@@ -3652,6 +3746,66 @@ SELECT c_custkey,
 FROM customer
 WHERE c_custkey <= 1200 AND c_custkey % 2 = 0
 ORDER BY c_custkey
+"""
+
+
+def paimon_lake_fullcompact_changelog_roundtrip(spark, sf_dir):
+    """changelog-producer=full-compaction: COMPACT commits on the lake
+    carry the per-key diff against the PREVIOUS compaction's merged
+    state as spec changelog files — the batch-visible changelog real
+    Paimon derives during full compactions (first compaction emits all
+    +I; later ones emit (-U, +U) pairs / +I / -D). The diff is ONE
+    full-outer join keyed on the PK with a when/array/explode emitting
+    0-2 rows per key — no per-kind re-execution, no driver collect.
+    The gate compacts a baseline, upserts every even key, compacts
+    again, and returns the second compaction's changelog; the oracle
+    replays the (-U old, +U new) pairs in SQL."""
+    from paimon_python_spark.paimon_lake import (
+        compact_lake,
+        read_lake_incremental,
+        write_lake_pk_append,
+    )
+    from paimon_python_spark.session import set_spark
+
+    set_spark(spark)
+    fixture = _pk_lake_fixture(
+        spark, sf_dir, "lakefccl",
+        extra_options={"changelog-producer": "full-compaction"},
+    )
+    c1 = compact_lake(fixture)
+    base_cl = read_lake_incremental(fixture, c1 - 1, c1, use_changelog=True)
+    assert base_cl.filter(F.col("_row_kind") != "+I").count() == 0
+    upserts = (
+        _t(spark, sf_dir, "customer")
+        .filter((F.col("c_custkey") <= 1200) & (F.col("c_custkey") % 2 == 0))
+        .select(
+            "c_custkey",
+            F.concat(F.lit("UPSERT-"), F.col("c_custkey")).alias("c_name"),
+            F.lit(0.0).alias("c_acctbal"),
+        )
+    )
+    write_lake_pk_append(fixture, upserts)
+    c2 = compact_lake(fixture)
+    return (
+        read_lake_incremental(fixture, c2 - 1, c2, use_changelog=True)
+        .select("c_custkey", "c_name", "c_acctbal", "_row_kind")
+        .orderBy("c_custkey", "_row_kind")
+    )
+
+
+PAIMON_LAKE_FULLCOMPACT_CHANGELOG_SQL = """
+WITH evens AS (
+  SELECT c_custkey, c_name, c_acctbal FROM customer
+  WHERE c_custkey <= 1200 AND c_custkey % 2 = 0
+)
+SELECT c_custkey, c_name, c_acctbal, '-U' AS _row_kind FROM evens
+UNION ALL
+SELECT c_custkey,
+       'UPSERT-' || CAST(c_custkey AS VARCHAR) AS c_name,
+       0.0 AS c_acctbal,
+       '+U' AS _row_kind
+FROM evens
+ORDER BY c_custkey, _row_kind
 """
 
 
@@ -8889,6 +9043,8 @@ _QUERIES: dict[str, Callable] = {
     "paimon_lake_write_roundtrip": paimon_lake_write_roundtrip,
     "paimon_lake_pk_write_roundtrip": paimon_lake_pk_write_roundtrip,
     "paimon_lake_changelog_write_roundtrip": paimon_lake_changelog_write_roundtrip,
+    "paimon_lake_partition_expire_roundtrip": paimon_lake_partition_expire_roundtrip,
+    "paimon_lake_fullcompact_changelog_roundtrip": paimon_lake_fullcompact_changelog_roundtrip,
     "paimon_lake_pk_delete_roundtrip": paimon_lake_pk_delete_roundtrip,
     "paimon_lake_avro_write_roundtrip": paimon_lake_avro_write_roundtrip,
     "paimon_lake_dv_history_roundtrip": paimon_lake_dv_history_roundtrip,
@@ -9218,6 +9374,8 @@ _ORACLES: dict[str, str] = {
     "paimon_lake_write_roundtrip": PAIMON_LAKE_WRITE_SQL,
     "paimon_lake_pk_write_roundtrip": PAIMON_LAKE_PK_WRITE_SQL,
     "paimon_lake_changelog_write_roundtrip": PAIMON_LAKE_CHANGELOG_WRITE_SQL,
+    "paimon_lake_partition_expire_roundtrip": PAIMON_LAKE_PARTITION_EXPIRE_SQL,
+    "paimon_lake_fullcompact_changelog_roundtrip": PAIMON_LAKE_FULLCOMPACT_CHANGELOG_SQL,
     "paimon_lake_pk_delete_roundtrip": PAIMON_LAKE_PK_DELETE_SQL,
     "paimon_lake_avro_write_roundtrip": PAIMON_LAKE_AVRO_WRITE_SQL,
     "paimon_lake_dv_history_roundtrip": PAIMON_LAKE_DV_HISTORY_SQL,
@@ -9251,6 +9409,8 @@ _GATE_HEAD = [
     # round-7 additions (first-ever by construction)
     "paimon_lake_pk_write_roundtrip",
     "paimon_lake_changelog_write_roundtrip",
+    "paimon_lake_partition_expire_roundtrip",
+    "paimon_lake_fullcompact_changelog_roundtrip",
     "paimon_lake_pk_delete_roundtrip",
     "paimon_lake_avro_write_roundtrip",
     "paimon_lake_dv_history_roundtrip",

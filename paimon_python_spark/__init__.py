@@ -57,6 +57,8 @@ from paimon_python_spark.paimon_lake import (
     create_lake_tag,
     delete_lake_branch,
     delete_lake_rows,
+    drop_lake_partitions,
+    expire_lake_partitions,
     expire_lake_snapshots,
     fast_forward_lake_branch,
     list_lake_branches,
@@ -90,6 +92,8 @@ __all__ = [
     "create_lake_tag",
     "delete_lake_branch",
     "delete_lake_rows",
+    "drop_lake_partitions",
+    "expire_lake_partitions",
     "expire_lake_snapshots",
     "fast_forward_lake_branch",
     "merge_into_lake",

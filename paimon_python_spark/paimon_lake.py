@@ -783,11 +783,16 @@ def read_lake_incremental(
     entries = []
     for sid in range(from_snapshot + 1, to_snapshot + 1):
         snap = read_paimon_snapshot(table_path, sid)
-        if str(snap.get("commitKind", "APPEND")).upper() == "COMPACT":
-            continue
         cl = (
             plan_paimon_changelog(table_path, sid) if use_changelog else []
         )
+        if str(snap.get("commitKind", "APPEND")).upper() == "COMPACT":
+            # a COMPACT rewrite carries no new rows — EXCEPT its
+            # changelog manifests under changelog-producer=
+            # full-compaction, which are exactly what a changelog
+            # consumer is here for
+            entries.extend(cl)
+            continue
         entries.extend(cl if cl else plan_paimon_delta(table_path, sid))
     fmt = info.options.get("file.format", "parquet")
     part_types = [info.spark_schema[k].dataType for k in info.partition_keys]
@@ -1419,6 +1424,7 @@ def _distributed_lake_write(
     single_file_per_group: bool = False,
     sort_cols: Optional[List[str]] = None,
     changelog: bool = False,
+    file_prefix: str = "data",
 ):
     """EXECUTOR-SIDE data-file write into a real lake's final layout,
     one file per (partition, bucket) group via ``applyInPandas`` —
@@ -1560,7 +1566,12 @@ def _distributed_lake_write(
             k: logical(pdf[k].iloc[0], dt) for k, dt in zip(part_keys, part_types)
         }
         if trimmed:
-            pdf = pdf.sort_values(trimmed, kind="mergesort")
+            # secondary sort on row kind where present: a full-
+            # compaction changelog carries (-U, +U) pairs per key and
+            # the -U (kind 1) must precede the +U (kind 2) in sequence
+            # order for streaming consumers
+            ks = trimmed + (["__row_kind"] if "__row_kind" in pdf.columns else [])
+            pdf = pdf.sort_values(ks, kind="mergesort")
         elif sort_cols:
             # intra-file clustering order (sort compaction): file-level
             # min/max don't care, but parquet page stats do
@@ -1589,7 +1600,7 @@ def _distributed_lake_write(
         ]
         ddir = os.path.join(table_path, *rel, f"bucket-{bucket}")
         os.makedirs(ddir, exist_ok=True)
-        name = f"data-{uuid.uuid4()}-0.{fmt}"
+        name = f"{file_prefix}-{uuid.uuid4()}-0.{fmt}"
         fpath = os.path.join(ddir, name)
         _write_fixture_data_file(table, fpath, fmt)
         cl_name, cl_size = None, 0
@@ -2599,6 +2610,213 @@ def expire_lake_snapshots(table_path: str, keep_last_n: int) -> dict:
     return _delete_lake_metadata(table_path, doomed, kept)
 
 
+def drop_lake_partitions(table_path: str, predicate: Predicate) -> dict:
+    """ALTER TABLE ... DROP PARTITION on a REAL lake (also the commit
+    shape of Paimon's partition expiration): every live file whose
+    partition matches ``predicate`` (partition columns only) DELETEs in
+    ONE spec OVERWRITE snapshot — a pure metadata commit, no data
+    rewrite, no shuffle; the bytes stay on disk for time travel until
+    snapshot expiry reclaims them, exactly like real Paimon. DV marks
+    on dropped files drop with them; marks on kept files re-commit in
+    a fresh index manifest. Returns ``{"snapshot_id", "partitions_
+    dropped", "files_dropped", "rows_dropped"}`` (snapshot_id None when
+    nothing matched — real Paimon's drop of a missing partition is a
+    no-op, not an error)."""
+    from paimon_python_spark.paimon_import import (
+        _spec_file_meta,
+        encode_binary_row,
+        plan_paimon_files,
+        read_dv_index_entry,
+        read_paimon_snapshot,
+    )
+
+    info = read_paimon_schema(table_path)
+    part_keys = list(info.partition_keys)
+    if not part_keys:
+        raise ValueError("drop_lake_partitions: table has no partition keys")
+    ppred = predicate.keep_only_fields(set(part_keys))
+    if ppred is None:
+        raise ValueError(
+            "drop_lake_partitions: predicate references no partition column"
+        )
+    ppred = _coerce_partition_literals(ppred, info)
+    before = plan_paimon_files(table_path)
+    doomed = [
+        e
+        for e in before
+        if ppred.test_by_value(_logical_partition_values(info, e.partition))
+    ]
+    if not doomed:
+        return {
+            "snapshot_id": None,
+            "partitions_dropped": 0,
+            "files_dropped": 0,
+            "rows_dropped": 0,
+        }
+    part_types = [info.spark_schema[k].dataType for k in part_keys]
+    delete_entries = [
+        {
+            "_VERSION": 2,
+            "_KIND": 1,
+            "_PARTITION": encode_binary_row(
+                [e.partition[k] for k in part_keys], part_types
+            ),
+            "_BUCKET": e.bucket,
+            "_TOTAL_BUCKETS": int(info.options.get("bucket", "1")),
+            "_FILE": _spec_file_meta(
+                e.file_name,
+                e.file_size,
+                e.row_count,
+                schema_id=e.schema_id,
+                max_seq=e.max_seq,
+                level=e.level,
+            ),
+        }
+        for e in doomed
+    ]
+    # DV marks on surviving files re-commit; dropped files' marks go
+    # (same survival rule as partition-scoped compaction)
+    dropped_names = {e.file_name for e in doomed}
+    surviving: dict = {}
+    for r in plan_paimon_dv(table_path):
+        if r.data_file_name not in dropped_names:
+            import numpy as _np
+
+            pos = read_dv_index_entry(r.index_path, r.offset, r.length)
+            cur = surviving.get(r.data_file_name)
+            surviving[r.data_file_name] = (
+                _np.union1d(cur, pos) if cur is not None else pos
+            )
+    im_name = (
+        _write_dv_index_manifest(table_path, info, surviving, before)
+        if surviving
+        else None
+    )
+    rows_dropped = sum(e.row_count for e in doomed)
+    prev_total = int(read_paimon_snapshot(table_path).get("totalRecordCount") or 0)
+    sid = _commit_lake_snapshot(
+        table_path,
+        info,
+        delete_entries,
+        0,
+        commit_kind="OVERWRITE",
+        index_manifest=im_name,
+        total_record_count=prev_total - rows_dropped,
+    )
+    return {
+        "snapshot_id": sid,
+        "partitions_dropped": len(
+            {tuple(sorted(e.partition.items())) for e in doomed}
+        ),
+        "files_dropped": len(doomed),
+        "rows_dropped": rows_dropped,
+    }
+
+
+def _java_time_format_to_python(fmt: str) -> str:
+    """Map the Java DateTimeFormatter patterns Paimon's
+    ``partition.timestamp-formatter`` documents onto strptime tokens.
+    Longest-token-first so ``yyyy`` wins over ``yy``."""
+    out, i = [], 0
+    table = [
+        ("yyyy", "%Y"), ("yy", "%y"), ("MM", "%m"), ("dd", "%d"),
+        ("HH", "%H"), ("mm", "%M"), ("ss", "%S"),
+    ]
+    while i < len(fmt):
+        for tok, py in table:
+            if fmt.startswith(tok, i):
+                out.append(py)
+                i += len(tok)
+                break
+        else:
+            out.append(fmt[i])
+            i += 1
+    return "".join(out)
+
+
+def expire_lake_partitions(
+    table_path: str,
+    expiration_time=None,
+    timestamp_formatter: Optional[str] = None,
+    now=None,
+) -> dict:
+    """Paimon PARTITION EXPIRATION on a real lake: partitions whose
+    time value (the FIRST partition key, parsed with
+    ``partition.timestamp-formatter``) is older than ``now -
+    expiration_time`` drop in one metadata-only OVERWRITE commit via
+    :func:`drop_lake_partitions`. Arguments default to the table
+    options real Paimon uses (``partition.expiration-time``,
+    ``partition.timestamp-formatter``); ``expiration_time`` accepts a
+    ``datetime.timedelta`` or a Paimon duration string (``'7 d'``,
+    ``'24 h'``, ``'30 m'``). ``now`` is injectable for deterministic
+    maintenance jobs/tests; default wall clock. The 100 TB shape: the
+    commit is O(live manifest entries) on the driver and touches no
+    data bytes."""
+    import datetime as _dt
+
+    info = read_paimon_schema(table_path)
+    part_keys = list(info.partition_keys)
+    if not part_keys:
+        raise ValueError("expire_lake_partitions: table has no partition keys")
+    if expiration_time is None:
+        expiration_time = info.options.get("partition.expiration-time")
+        if expiration_time is None:
+            raise ValueError(
+                "expire_lake_partitions: no expiration_time given and the "
+                "table sets no partition.expiration-time option"
+            )
+    if isinstance(expiration_time, str):
+        num, _, unit = expiration_time.strip().partition(" ")
+        unit = (unit or "d").strip().lower()
+        secs = {"d": 86400, "h": 3600, "m": 60, "s": 1}
+        if unit not in secs:
+            raise ValueError(
+                f"expire_lake_partitions: bad duration {expiration_time!r}"
+            )
+        expiration_time = _dt.timedelta(seconds=float(num) * secs[unit])
+    fmt = timestamp_formatter or info.options.get(
+        "partition.timestamp-formatter", "yyyy-MM-dd"
+    )
+    pyfmt = _java_time_format_to_python(fmt)
+    if now is None:
+        now = _dt.datetime.now()
+    cutoff = now - expiration_time
+    key = part_keys[0]
+    key_type = info.spark_schema[key].dataType
+    from pyspark.sql import types as T
+
+    from paimon_python_spark.paimon_import import plan_paimon_files
+    from paimon_python_spark.predicate import PredicateBuilder
+
+    expired_values = []
+    for e in plan_paimon_files(table_path):
+        v = _logical_partition_values(info, e.partition).get(key)
+        if v is None:
+            continue
+        if isinstance(key_type, (T.DateType, T.TimestampType, T.TimestampNTZType)):
+            ts = (
+                _dt.datetime.combine(v, _dt.time())
+                if isinstance(v, _dt.date) and not isinstance(v, _dt.datetime)
+                else v
+            )
+        else:
+            try:
+                ts = _dt.datetime.strptime(str(v), pyfmt)
+            except ValueError:
+                continue  # unparseable partition value: never expires
+        if ts < cutoff and v not in expired_values:
+            expired_values.append(v)
+    if not expired_values:
+        return {
+            "snapshot_id": None,
+            "partitions_dropped": 0,
+            "files_dropped": 0,
+            "rows_dropped": 0,
+        }
+    pb = PredicateBuilder(info.spark_schema)
+    return drop_lake_partitions(table_path, pb.is_in(key, expired_values))
+
+
 def compact_lake(
     table_path: str,
     partition_filter: Optional[Predicate] = None,
@@ -2710,6 +2928,7 @@ def compact_lake(
         rb = rb.with_filter(partition_filter)
     df = rb.new_read().to_df()
 
+    cl_entries = None
     if info.primary_keys:
         num_buckets = int(info.options.get("bucket", "-1"))
         if num_buckets < 1:
@@ -2723,6 +2942,39 @@ def compact_lake(
         ] or None
         max_level = int(info.options.get("num-levels", "6")) - 1
         seq_base = max((e.max_seq for e in before), default=-1) + 1
+        # changelog-producer=full-compaction: diff the merged state
+        # against the LAST full compaction's (or all-+I when none) and
+        # write the -U/+U/+I/-D rows as changelog files on this COMPACT
+        # commit — the batch-job-visible changelog real Paimon derives
+        # during full compactions. Both reads see PRE-compact state;
+        # the rewrite and the diff commit atomically together.
+        if info.options.get("changelog-producer") == "full-compaction":
+            prev_cid = _last_compact_snapshot_id(table_path)
+            old_df = None
+            if prev_cid is not None:
+                orb = (
+                    PaimonLakeTable(table_path)
+                    .new_read_builder()
+                    .with_snapshot(prev_cid)
+                )
+                if partition_filter is not None:
+                    orb = orb.with_filter(partition_filter)
+                old_df = orb.new_read().to_df()
+            diff = _full_compaction_changelog_diff(
+                old_df, df, list(info.primary_keys)
+            )
+            cl_entries, _ = _distributed_lake_write(
+                table_path,
+                info,
+                diff,
+                fmt,
+                kv=True,
+                num_buckets=num_buckets,
+                bucket_cols=bucket_cols,
+                seq_base=seq_base,
+                row_kind_col="__kind",
+                file_prefix="changelog",
+            )
         add_entries, n_rows = _distributed_lake_write(
             table_path,
             info,
@@ -2822,7 +3074,75 @@ def compact_lake(
         commit_kind="COMPACT",
         index_manifest=im_name,
         total_record_count=prev_total - sum(e.row_count for e in before) + n_rows,
+        changelog_entries=cl_entries,
     )
+
+
+def _last_compact_snapshot_id(table_path: str) -> Optional[int]:
+    """Newest snapshot with commitKind COMPACT, or None — the baseline
+    a full-compaction changelog diffs against. Walks snapshot JSONs
+    newest-first; O(snapshots since last compaction) driver-side."""
+    import os
+
+    from paimon_python_spark.paimon_import import (
+        latest_paimon_snapshot_id,
+        read_paimon_snapshot,
+    )
+
+    sdir = os.path.join(table_path, "snapshot")
+    for sid in range(latest_paimon_snapshot_id(table_path), 0, -1):
+        if not os.path.exists(os.path.join(sdir, f"snapshot-{sid}")):
+            break  # expired below here
+        if str(read_paimon_snapshot(table_path, sid).get("commitKind")) == "COMPACT":
+            return sid
+    return None
+
+
+def _full_compaction_changelog_diff(old_df, new_df, keys: List[str]):
+    """Changelog rows for Paimon's ``changelog-producer=
+    full-compaction``: the per-key diff between the PREVIOUS full
+    compaction's merged state and the current one — +I for new keys,
+    -D (old values) for vanished keys, a (-U, +U) pair for changed
+    values. ``old_df`` None means no prior compaction: everything is
+    +I, exactly like real Paimon's first full compaction.
+
+    Single-pass shape: ONE full-outer join keyed on the PK (the only
+    shuffle), NULL-safe value comparison in codegen, and a
+    when/array/explode that emits 0-2 changelog rows per key without
+    re-executing the join per row kind. Returns the new frame plus an
+    int ``__kind`` column (0=+I, 1=-U, 2=+U, 3=-D)."""
+    from pyspark.sql import functions as F
+
+    vals = [c for c in new_df.columns if c not in keys]
+    if old_df is None:
+        return new_df.withColumn("__kind", F.lit(0))
+    o = old_df.select(
+        *keys,
+        *[F.col(c).alias(f"__o_{c}") for c in vals],
+        F.lit(True).alias("__in_o"),
+    )
+    n = new_df.select(
+        *keys,
+        *[F.col(c).alias(f"__n_{c}") for c in vals],
+        F.lit(True).alias("__in_n"),
+    )
+    j = o.join(n, keys, "full_outer")
+    changed = F.lit(False)
+    for c in vals:
+        changed = changed | ~F.expr(f"__o_{c} <=> __n_{c}")
+
+    def _mk(prefix: str, kind: int):
+        return F.struct(
+            *[F.col(f"__{prefix}_{c}").alias(c) for c in vals],
+            F.lit(kind).alias("__kind"),
+        )
+
+    rows = (
+        F.when(F.col("__in_o").isNull(), F.array(_mk("n", 0)))
+        .when(F.col("__in_n").isNull(), F.array(_mk("o", 3)))
+        .when(changed, F.array(_mk("o", 1), _mk("n", 2)))
+    )  # unchanged keys: NULL array -> explode emits nothing
+    return j.select(*keys, F.explode(rows).alias("__r")).select(*keys, "__r.*")
 
 
 def sort_compact_lake(

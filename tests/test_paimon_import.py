@@ -1976,6 +1976,124 @@ def test_register_lake_sql_view(append_fixture, spark):
     assert [(r.dt, r.n) for r in out] == [("a", 2), ("b", 1)]
 
 
+def _dated_lake(tmp_path, spark, name="dated_lake", options=None):
+    p = str(tmp_path / name)
+    sch = pa.schema([("dt", pa.string()), ("k", pa.int32())])
+    write_paimon_fixture(
+        p,
+        [("dt", "STRING NOT NULL"), ("k", "INT")],
+        ["dt"],
+        [],
+        [
+            (0, {"dt": d}, 0,
+             pa.table({"dt": [d] * n, "k": list(range(n))}, schema=sch))
+            for d, n in (("2026-01-01", 3), ("2026-06-01", 2), ("2026-08-10", 4))
+        ],
+        options=options,
+    )
+    return p
+
+
+def test_drop_lake_partitions(tmp_path, spark):
+    """DROP PARTITION is a METADATA-ONLY OVERWRITE commit: matched
+    partitions' files DELETE from the manifest chain, the bytes stay
+    for time travel, totals adjust, and a re-drop of the same value is
+    a no-op (real Paimon drops of missing partitions don't error)."""
+    from paimon_python_spark.paimon_import import read_paimon_snapshot
+    from paimon_python_spark.paimon_lake import (
+        PaimonLakeTable,
+        drop_lake_partitions,
+    )
+    from paimon_python_spark.session import set_spark
+
+    set_spark(spark)
+    p = _dated_lake(tmp_path, spark)
+    t = PaimonLakeTable(p)
+    pb = t.new_read_builder().new_predicate_builder()
+    res = drop_lake_partitions(p, pb.equal("dt", "2026-01-01"))
+    assert res["partitions_dropped"] == 1 and res["rows_dropped"] == 3
+    snap = read_paimon_snapshot(p)
+    assert snap["commitKind"] == "OVERWRITE"
+    assert int(snap["totalRecordCount"]) == 6
+    out = PaimonLakeTable(p).new_read_builder().new_read().to_pandas()
+    assert sorted(out.dt.unique()) == ["2026-06-01", "2026-08-10"]
+    # time travel still reads the dropped partition's bytes
+    old = (
+        PaimonLakeTable(p)
+        .new_read_builder()
+        .with_snapshot(res["snapshot_id"] - 1)
+        .new_read()
+        .to_pandas()
+    )
+    assert sorted(old.dt.unique())[0] == "2026-01-01"
+    # idempotent no-op
+    res2 = drop_lake_partitions(p, pb.equal("dt", "2026-01-01"))
+    assert res2["snapshot_id"] is None and res2["files_dropped"] == 0
+    # predicate must hit a partition column
+    with pytest.raises(ValueError):
+        drop_lake_partitions(p, pb.equal("k", 1))
+
+
+def test_expire_lake_partitions(tmp_path, spark):
+    """Partition expiration: values older than now-expiration drop in
+    one commit; arguments default to the table's own
+    partition.expiration-time / timestamp-formatter options."""
+    import datetime as dt
+
+    from paimon_python_spark.paimon_lake import (
+        PaimonLakeTable,
+        expire_lake_partitions,
+    )
+    from paimon_python_spark.session import set_spark
+
+    set_spark(spark)
+    now = dt.datetime(2026, 8, 15)
+    p = _dated_lake(tmp_path, spark)
+    res = expire_lake_partitions(p, "30 d", now=now)
+    assert res["partitions_dropped"] == 2 and res["rows_dropped"] == 5
+    out = PaimonLakeTable(p).new_read_builder().new_read().to_pandas()
+    assert sorted(out.dt.unique()) == ["2026-08-10"]
+    # option-driven defaults (the shape a real Paimon maintenance job reads)
+    p2 = _dated_lake(
+        tmp_path, spark, name="dated_lake_opt",
+        options={
+            "partition.expiration-time": "90 d",
+            "partition.timestamp-formatter": "yyyy-MM-dd",
+        },
+    )
+    res2 = expire_lake_partitions(p2, now=now)
+    assert res2["partitions_dropped"] == 1 and res2["rows_dropped"] == 3
+    # nothing old enough -> no commit
+    res3 = expire_lake_partitions(p2, "365 d", now=now)
+    assert res3["snapshot_id"] is None
+
+
+def test_drop_lake_partitions_keeps_other_dv_marks(tmp_path, spark):
+    """DV marks on partitions that SURVIVE a drop must re-commit (the
+    same survival rule as scoped compaction); marks on dropped files
+    vanish with the files."""
+    from paimon_python_spark.paimon_import import attach_paimon_dv_fixture
+    from paimon_python_spark.paimon_lake import (
+        PaimonLakeTable,
+        drop_lake_partitions,
+    )
+    from paimon_python_spark.session import set_spark
+
+    set_spark(spark)
+    p = _dated_lake(tmp_path, spark)
+    # mark k=0 deleted in the 2026-08-10 file (kept) and k=0 in the
+    # 2026-01-01 file (dropped)
+    attach_paimon_dv_fixture(
+        p, {"data-fixture-2.parquet": [0]}, partition={"dt": "2026-08-10"}
+    )
+    t = PaimonLakeTable(p)
+    pb = t.new_read_builder().new_predicate_builder()
+    drop_lake_partitions(p, pb.equal("dt", "2026-01-01"))
+    out = PaimonLakeTable(p).new_read_builder().new_read().to_pandas()
+    kept = out[out.dt == "2026-08-10"]
+    assert sorted(kept.k) == [1, 2, 3]  # k=0 still DV-deleted after the drop
+
+
 def test_pk_write_produces_input_changelog(tmp_path, spark):
     """changelog-producer=input: the ENGINE's own PK-lake commits must
     write separate changelog files + a changelogManifestList so
@@ -2038,6 +2156,74 @@ def test_pk_write_produces_input_changelog(tmp_path, spark):
         snap2 = json.load(f)
     assert snap2["changelogManifestList"] is None
     assert not glob.glob(os.path.join(p2, "bucket-*", "changelog-*"))
+
+
+def test_full_compaction_changelog_producer(tmp_path, spark):
+    """changelog-producer=full-compaction: each COMPACT commit carries
+    the per-key diff against the PREVIOUS compaction's merged state —
+    +I for new keys, -D for vanished ones, (-U, +U) pairs for changed
+    values (the -U sequenced first). The batch commits themselves stay
+    changelog-free (that's the input producer's job)."""
+    import json
+    import os
+
+    from paimon_python_spark.paimon_lake import (
+        PaimonLakeTable,
+        compact_lake,
+        create_lake_table,
+        read_lake_incremental,
+        write_lake_pk_append,
+    )
+    from paimon_python_spark.session import set_spark
+
+    set_spark(spark)
+    p = str(tmp_path / "fc_lake")
+    create_lake_table(
+        p,
+        [("k", "INT NOT NULL"), ("v", "STRING")],
+        primary_keys=["k"],
+        options={"bucket": "1", "changelog-producer": "full-compaction"},
+    )
+    sid1 = write_lake_pk_append(
+        p, spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    )
+    with open(os.path.join(p, "snapshot", f"snapshot-{sid1}")) as f:
+        assert json.load(f)["changelogManifestList"] is None  # input-producer off
+    c1 = compact_lake(p)
+    cl1 = read_lake_incremental(p, c1 - 1, c1, use_changelog=True).toPandas()
+    assert sorted(cl1._row_kind) == ["+I", "+I"]  # first compaction: all insert
+    # batch 2: update k=1, delete k=2, insert k=3
+    write_lake_pk_append(
+        p,
+        spark.createDataFrame(
+            [(1, "A2", 2), (2, "b", 3), (3, "c", 0)], "k int, v string, __kind int"
+        ),
+        row_kind_col="__kind",
+    )
+    c2 = compact_lake(p)
+    with open(os.path.join(p, "snapshot", f"snapshot-{c2}")) as f:
+        snap = json.load(f)
+    assert snap["commitKind"] == "COMPACT"
+    assert snap["changelogRecordCount"] == 4
+    cl2 = (
+        read_lake_incremental(p, c2 - 1, c2, use_changelog=True)
+        .toPandas()
+        .sort_values(["k", "_SEQUENCE_NUMBER"])
+    )
+    assert list(zip(cl2.k, cl2._row_kind, cl2.v)) == [
+        (1, "-U", "a"),
+        (1, "+U", "A2"),
+        (2, "-D", "b"),
+        (3, "+I", "c"),
+    ]
+    # an unchanged table compacts with an EMPTY changelog
+    c3 = compact_lake(p)
+    with open(os.path.join(p, "snapshot", f"snapshot-{c3}")) as f:
+        snap3 = json.load(f)
+    assert snap3["changelogManifestList"] is None
+    # merged state unaffected throughout
+    out = PaimonLakeTable(p).new_read_builder().new_read().to_pandas()
+    assert sorted(zip(out.k, out.v)) == [(1, "A2"), (3, "c")]
 
 
 def test_lake_incremental_changelog_manifests(tmp_path, spark):
