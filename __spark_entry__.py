@@ -3809,6 +3809,61 @@ ORDER BY c_custkey, _row_kind
 """
 
 
+def paimon_lake_lookup_changelog_roundtrip(spark, sf_dir):
+    """changelog-producer=lookup: each PK commit derives its FULL-IMAGE
+    changelog at write time — the engine semi-joins the merged state on
+    the batch's keys (Paimon's per-record LSM lookup, expressed as the
+    one keyed join Spark needs; AQE broadcasts a small batch's key set)
+    and emits (-U old, +U new) pairs for existing keys, +I for fresh
+    ones, -D carrying the OLD values for deletes. Unlike the input
+    producer, consumers get correct retraction images immediately —
+    unlike full-compaction, without waiting for a compaction. The gate
+    upserts every even customer key into a lookup-producing lake and
+    returns that commit's changelog; the oracle replays the pairs."""
+    from paimon_python_spark.paimon_lake import (
+        read_lake_incremental,
+        write_lake_pk_append,
+    )
+    from paimon_python_spark.session import set_spark
+
+    set_spark(spark)
+    fixture = _pk_lake_fixture(
+        spark, sf_dir, "lakelkcl",
+        extra_options={"changelog-producer": "lookup"},
+    )
+    upserts = (
+        _t(spark, sf_dir, "customer")
+        .filter((F.col("c_custkey") <= 1200) & (F.col("c_custkey") % 2 == 0))
+        .select(
+            "c_custkey",
+            F.concat(F.lit("UPSERT-"), F.col("c_custkey")).alias("c_name"),
+            F.lit(0.0).alias("c_acctbal"),
+        )
+    )
+    sid = write_lake_pk_append(fixture, upserts)
+    return (
+        read_lake_incremental(fixture, sid - 1, sid, use_changelog=True)
+        .select("c_custkey", "c_name", "c_acctbal", "_row_kind")
+        .orderBy("c_custkey", "_row_kind")
+    )
+
+
+PAIMON_LAKE_LOOKUP_CHANGELOG_SQL = """
+WITH evens AS (
+  SELECT c_custkey, c_name, c_acctbal FROM customer
+  WHERE c_custkey <= 1200 AND c_custkey % 2 = 0
+)
+SELECT c_custkey, c_name, c_acctbal, '-U' AS _row_kind FROM evens
+UNION ALL
+SELECT c_custkey,
+       'UPSERT-' || CAST(c_custkey AS VARCHAR) AS c_name,
+       0.0 AS c_acctbal,
+       '+U' AS _row_kind
+FROM evens
+ORDER BY c_custkey, _row_kind
+"""
+
+
 def paimon_lake_pk_write_roundtrip(spark, sf_dir):
     """Engine as CDC PARTICIPANT in a real PRIMARY-KEY lake
     (paimon_lake.write_lake_pk_append): a fixed-bucket (4) kv fixture
@@ -9045,6 +9100,7 @@ _QUERIES: dict[str, Callable] = {
     "paimon_lake_changelog_write_roundtrip": paimon_lake_changelog_write_roundtrip,
     "paimon_lake_partition_expire_roundtrip": paimon_lake_partition_expire_roundtrip,
     "paimon_lake_fullcompact_changelog_roundtrip": paimon_lake_fullcompact_changelog_roundtrip,
+    "paimon_lake_lookup_changelog_roundtrip": paimon_lake_lookup_changelog_roundtrip,
     "paimon_lake_pk_delete_roundtrip": paimon_lake_pk_delete_roundtrip,
     "paimon_lake_avro_write_roundtrip": paimon_lake_avro_write_roundtrip,
     "paimon_lake_dv_history_roundtrip": paimon_lake_dv_history_roundtrip,
@@ -9376,6 +9432,7 @@ _ORACLES: dict[str, str] = {
     "paimon_lake_changelog_write_roundtrip": PAIMON_LAKE_CHANGELOG_WRITE_SQL,
     "paimon_lake_partition_expire_roundtrip": PAIMON_LAKE_PARTITION_EXPIRE_SQL,
     "paimon_lake_fullcompact_changelog_roundtrip": PAIMON_LAKE_FULLCOMPACT_CHANGELOG_SQL,
+    "paimon_lake_lookup_changelog_roundtrip": PAIMON_LAKE_LOOKUP_CHANGELOG_SQL,
     "paimon_lake_pk_delete_roundtrip": PAIMON_LAKE_PK_DELETE_SQL,
     "paimon_lake_avro_write_roundtrip": PAIMON_LAKE_AVRO_WRITE_SQL,
     "paimon_lake_dv_history_roundtrip": PAIMON_LAKE_DV_HISTORY_SQL,
@@ -9411,6 +9468,7 @@ _GATE_HEAD = [
     "paimon_lake_changelog_write_roundtrip",
     "paimon_lake_partition_expire_roundtrip",
     "paimon_lake_fullcompact_changelog_roundtrip",
+    "paimon_lake_lookup_changelog_roundtrip",
     "paimon_lake_pk_delete_roundtrip",
     "paimon_lake_avro_write_roundtrip",
     "paimon_lake_dv_history_roundtrip",

@@ -69,6 +69,7 @@ from paimon_python_spark.paimon_lake import (
     read_lake_incremental,
     remove_lake_orphan_files,
     register_lake_sql_view,
+    rescale_lake_bucket,
     rollback_lake,
     sort_compact_lake,
     stream_lake_snapshots,
@@ -103,6 +104,7 @@ __all__ = [
     "write_lake_consumer",
     "overwrite_lake",
     "remove_lake_orphan_files",
+    "rescale_lake_bucket",
     "rollback_lake",
     "sort_compact_lake",
     "update_lake_rows",

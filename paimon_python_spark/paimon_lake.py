@@ -1710,8 +1710,14 @@ def write_lake_pk_append(
     ``row_kind_col``: optional int column (0=+I, 1=-U, 2=+U, 3=-D) for
     changelog-style writes; omitted means all +I. Dynamic-bucket lakes
     are refused exactly like the reference
-    (py4j/util/java_utils.py:56-61, ``check_batch_write``). Returns the
-    new snapshot id."""
+    (py4j/util/java_utils.py:56-61, ``check_batch_write``).
+
+    Changelog producers honored per the table's ``changelog-producer``
+    option: ``input`` re-emits the commit's input as changelog files;
+    ``lookup`` derives the full-image changelog ((-U old, +U new)
+    pairs, -D with old values) by semi-joining the merged state on the
+    batch's keys at commit time; ``full-compaction`` defers to
+    :func:`compact_lake`. Returns the new snapshot id."""
     from paimon_python_spark.paimon_import import plan_paimon_files
 
     info = read_paimon_schema(table_path)
@@ -1741,7 +1747,62 @@ def write_lake_pk_append(
     # full-compaction diff), written as SEPARATE changelog-* files so
     # compaction can fold level-0 data files while streaming readers
     # still see every intermediate record.
-    produce_cl = info.options.get("changelog-producer", "none") == "input"
+    producer = info.options.get("changelog-producer", "none")
+    produce_cl = producer == "input"
+    # changelog-producer=lookup: derive the FULL-IMAGE changelog at
+    # commit time by looking up each incoming key's previous merged
+    # value — existing keys emit (-U old, +U new), fresh keys +I,
+    # deletes -D with the old values. Spark shape: a left-semi join of
+    # the merged state against the batch's distinct keys (the analogue
+    # of Paimon's per-record LSM lookup), then the same net-effect
+    # diff as full compaction. The changelog is the commit's NET
+    # per-key effect (a value-identical upsert emits nothing);
+    # batches are assumed key-unique, the CDC upsert shape.
+    lookup_entries = None
+    if producer == "lookup":
+        from pyspark.sql import functions as F
+
+        batch = df
+        if row_kind_col is not None:
+            # -U rows are the retraction half of an update — the +U
+            # generates the pair; deletes handle via absence from new
+            batch = df.filter(F.col(row_kind_col).cast("int") != 1)
+        keys = list(info.primary_keys)
+        val_cols = [f.name for f in info.spark_schema.fields]
+        new_sub = (
+            batch.filter(F.col(row_kind_col).cast("int") != 3)
+            if row_kind_col is not None
+            else batch
+        ).select(*val_cols)
+        batch_keys = batch.select(*keys).distinct()
+        old_sub = None
+        try:
+            # semi-join restricts the lookup to touched keys; AQE
+            # broadcasts the key set when it is small (the common CDC
+            # batch) and falls back to a shuffled join when it is not
+            # — never force-broadcast an unbounded batch
+            old_sub = (
+                PaimonLakeTable(table_path)
+                .new_read_builder()
+                .new_read()
+                .to_df()
+                .join(batch_keys, keys, "left_semi")
+            )
+        except FileNotFoundError:
+            pass  # no snapshot yet: every key is fresh, all +I
+        cl_df = _full_compaction_changelog_diff(old_sub, new_sub, keys)
+        lookup_entries, _ = _distributed_lake_write(
+            table_path,
+            info,
+            cl_df,
+            fmt,
+            kv=True,
+            num_buckets=num_buckets,
+            bucket_cols=bucket_cols,
+            seq_base=seq_base,
+            row_kind_col="__kind",
+            file_prefix="changelog",
+        )
     result = _distributed_lake_write(
         table_path,
         info,
@@ -1758,7 +1819,7 @@ def write_lake_pk_append(
         man_entries, n_rows, cl_entries = result
     else:
         man_entries, n_rows = result
-        cl_entries = None
+        cl_entries = lookup_entries
     if not man_entries:
         raise ValueError("write_lake_pk_append: empty input — nothing to commit")
     return _commit_lake_snapshot(
@@ -2010,6 +2071,53 @@ def alter_lake_schema(
     with open(os.path.join(sdir, f"schema-{cur_id + 1}"), "w") as f:
         json.dump(new_schema, f)
     return cur_id + 1
+
+
+def rescale_lake_bucket(table_path: str, num_buckets: int) -> int:
+    """OFFLINE BUCKET RESCALING of a real fixed-bucket PK lake —
+    Paimon's documented procedure when a table outgrows (or
+    over-provisioned) its bucket count: write ``schema-(N+1)`` with the
+    new ``bucket`` option, then rewrite the merged state routed by the
+    NEW bucket hash as one OVERWRITE commit (every old file DELETEs,
+    time travel still reads them). Readers need no coordination: each
+    manifest entry carries its own ``_TOTAL_BUCKETS``, so pre-rescale
+    snapshots keep their geometry. Subsequent engine upserts route by
+    the new count. The rewrite cost is the one full-data pass a rescale
+    fundamentally requires — same shape as the engine-table
+    ``rescale_bucket`` (maintenance.py). Returns the new snapshot id."""
+    import json
+    import os
+
+    info = read_paimon_schema(table_path)
+    if not info.primary_keys:
+        raise ValueError(
+            "rescale_lake_bucket: append tables have no bucket routing"
+        )
+    if int(info.options.get("bucket", "-1")) < 1:
+        raise TypeError(
+            "Doesn't support writing dynamic bucket or cross partition table."
+        )
+    if num_buckets < 1:
+        raise ValueError("rescale_lake_bucket: num_buckets must be >= 1")
+    # plan the merged read BEFORE the schema bump (columns are
+    # unchanged, only options move, so the lazy plan stays valid)
+    df = PaimonLakeTable(table_path).new_read_builder().new_read().to_df()
+    sdir = os.path.join(table_path, "schema")
+    cur_id = max(
+        int(n.split("-")[1]) for n in os.listdir(sdir) if n.startswith("schema-")
+    )
+    with open(os.path.join(sdir, f"schema-{cur_id}")) as f:
+        raw = json.load(f)
+    new_schema = dict(
+        raw,
+        id=cur_id + 1,
+        options=dict(raw.get("options") or {}, bucket=str(num_buckets)),
+    )
+    with open(os.path.join(sdir, f"schema-{cur_id + 1}"), "w") as f:
+        json.dump(new_schema, f)
+    # overwrite_lake re-reads the schema, picks up the new bucket
+    # count, and commits DELETE-everything + ADD-rerouted in one snap
+    return overwrite_lake(table_path, df)
 
 
 def create_lake_tag(

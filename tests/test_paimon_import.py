@@ -2226,6 +2226,112 @@ def test_full_compaction_changelog_producer(tmp_path, spark):
     assert sorted(zip(out.k, out.v)) == [(1, "A2"), (3, "c")]
 
 
+def test_rescale_lake_bucket(tmp_path, spark):
+    """Offline bucket rescale on a real PK lake: schema-(N+1) carries
+    the new bucket option, the merged state rewrites routed by the new
+    hash in ONE OVERWRITE commit, old snapshots keep their geometry
+    (entry-level _TOTAL_BUCKETS), and subsequent upserts route by the
+    new count and still merge per key."""
+    import json
+    import os
+
+    from paimon_python_spark.paimon_lake import (
+        PaimonLakeTable,
+        create_lake_table,
+        rescale_lake_bucket,
+        write_lake_pk_append,
+    )
+    from paimon_python_spark.session import set_spark
+
+    set_spark(spark)
+    p = str(tmp_path / "rescale_lake")
+    create_lake_table(
+        p, [("k", "INT NOT NULL"), ("v", "STRING")],
+        primary_keys=["k"], options={"bucket": "1"},
+    )
+    rows = [(i, f"v{i}") for i in range(40)]
+    write_lake_pk_append(p, spark.createDataFrame(rows, "k int, v string"))
+    sid = rescale_lake_bucket(p, 4)
+    with open(os.path.join(p, "snapshot", f"snapshot-{sid}")) as f:
+        snap = json.load(f)
+    assert snap["commitKind"] == "OVERWRITE" and snap["schemaId"] == 1
+    with open(os.path.join(p, "schema", "schema-1")) as f:
+        assert json.load(f)["options"]["bucket"] == "4"
+    # the rewrite landed in >1 bucket dir
+    buckets = [d for d in os.listdir(p) if d.startswith("bucket-")]
+    assert len(buckets) > 1
+    out = PaimonLakeTable(p).new_read_builder().new_read().to_pandas()
+    assert sorted(out.k) == list(range(40))
+    # time travel to the pre-rescale snapshot keeps the old geometry
+    old = (
+        PaimonLakeTable(p).new_read_builder().with_snapshot(sid - 1)
+        .new_read().to_pandas()
+    )
+    assert sorted(old.k) == list(range(40))
+    # a post-rescale upsert routes by the NEW count and merges per key
+    write_lake_pk_append(
+        p, spark.createDataFrame([(7, "UP7"), (99, "new")], "k int, v string")
+    )
+    out2 = PaimonLakeTable(p).new_read_builder().new_read().to_pandas()
+    assert dict(zip(out2.k, out2.v))[7] == "UP7" and len(out2) == 41
+    # append tables refuse
+    p2 = str(tmp_path / "rescale_append")
+    create_lake_table(p2, [("k", "INT NOT NULL")])
+    with pytest.raises(ValueError):
+        rescale_lake_bucket(p2, 4)
+
+
+def test_lookup_changelog_producer(tmp_path, spark):
+    """changelog-producer=lookup: every PK commit derives its
+    FULL-IMAGE changelog at write time — existing keys emit (-U old,
+    +U new), fresh keys +I, deletes -D with the OLD values (which the
+    input producer cannot know), and value-identical upserts emit
+    nothing (net-effect semantics)."""
+    from paimon_python_spark.paimon_lake import (
+        create_lake_table,
+        read_lake_incremental,
+        write_lake_pk_append,
+    )
+    from paimon_python_spark.session import set_spark
+
+    set_spark(spark)
+    p = str(tmp_path / "lookup_lake")
+    create_lake_table(
+        p,
+        [("k", "INT NOT NULL"), ("v", "STRING")],
+        primary_keys=["k"],
+        options={"bucket": "1", "changelog-producer": "lookup"},
+    )
+    sid1 = write_lake_pk_append(
+        p, spark.createDataFrame([(1, "a"), (2, "b"), (4, "d")], "k int, v string")
+    )
+    cl1 = read_lake_incremental(p, sid1 - 1, sid1, use_changelog=True).toPandas()
+    assert sorted(cl1._row_kind) == ["+I", "+I", "+I"]  # empty lake: all fresh
+    # update k=1, delete k=2, insert k=3, IDENTICAL upsert k=4
+    sid2 = write_lake_pk_append(
+        p,
+        spark.createDataFrame(
+            [(1, "A2", 2), (2, "b", 3), (3, "c", 0), (4, "d", 0)],
+            "k int, v string, __kind int",
+        ),
+        row_kind_col="__kind",
+    )
+    cl2 = (
+        read_lake_incremental(p, sid2 - 1, sid2, use_changelog=True)
+        .toPandas()
+        .sort_values(["k", "_SEQUENCE_NUMBER"])
+    )
+    assert list(zip(cl2.k, cl2._row_kind, cl2.v)) == [
+        (1, "-U", "a"),
+        (1, "+U", "A2"),
+        (2, "-D", "b"),
+        (3, "+I", "c"),
+    ]
+    # the delta (non-changelog) read still shows the raw commit input
+    delta = read_lake_incremental(p, sid2 - 1, sid2).toPandas()
+    assert len(delta) == 4
+
+
 def test_lake_incremental_changelog_manifests(tmp_path, spark):
     """A lake written with a changelog-producer stores -U/+U pairs in
     CHANGELOG manifests; use_changelog=True must read those instead of
