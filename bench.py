@@ -92,6 +92,13 @@ HEADLINE = [
     # representative multi-commit lake write here)
     "paimon_lake_pk_write_roundtrip",
     "paimon_lake_maintenance_roundtrip",
+    # lookup-producer write (one commit + keyed semi-join changelog
+    # derivation) and metadata-only partition expiration — the two new
+    # write paths with interesting throughput shapes; the input/
+    # full-compaction changelog gates sit out (byte-copy / compaction
+    # protocol latency, same rationale as compact above)
+    "paimon_lake_lookup_changelog_roundtrip",
+    "paimon_lake_partition_expire_roundtrip",
     "window_ntile_quartile",
     "dedup_substring_spans",
     "dedup_contaminated_spans",
