@@ -1439,6 +1439,75 @@ def ann_ivf_trained(spark, sf_dir):
     )
 
 
+def ann_ivf_partitioned_roundtrip(spark, sf_dir):
+    """The 100 TB ANN shape END-TO-END: the IVF cell id is PERSISTED as
+    a PARTITION column of an engine table, so a probe is literal
+    partition pruning — the scan plans only nprobe/nlist of the data
+    (asserted on the split plan here, not just claimed), and the
+    brute-force re-rank runs inside the probed cells alone. This is the
+    'write the index once, prune on every query' pattern the in-plan
+    ann_ivf_cell documents; same centroids, same probe, same answer, so
+    the same SQL oracle checks it."""
+    from paimon_python_spark import Catalog, Schema
+    from paimon_python_spark.operators.similarity import (
+        assign_cells,
+        brute_force_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+    centroids = [
+        [float(x) for x in r[0]]
+        for r in (
+            _t(spark, sf_dir, "embeddings")
+            .filter(F.col("vec_id").between(1, 8))
+            .orderBy("vec_id")
+            .select("embedding")
+            .collect()
+        )
+    ]
+    qv = _query_vec(spark, sf_dir)
+    probe = sorted(
+        range(len(centroids)),
+        key=lambda i: (
+            -sum(float(a) * float(b) for a, b in zip(centroids[i], qv)),
+            i,
+        ),
+    )[:2]
+    probe_cells = [i + 1 for i in probe]
+    celled = assign_cells(emb, "embedding", centroids)
+    wh = _fresh_warehouse("ivfpart")
+    cat = Catalog.create({"warehouse": wh})
+    cat.create_database("default", True)
+    cat.create_table(
+        "default.emb_ivf",
+        Schema(celled.schema, partition_keys=["cell"]),
+        False,
+    )
+    t = cat.get_table("default.emb_ivf")
+    wb = t.new_batch_write_builder()
+    w, c = wb.new_write(), wb.new_commit()
+    w.write_dataframe(celled)
+    c.commit(w.prepare_commit())
+    w.close()
+    c.close()
+    rb = t.new_read_builder()
+    pb = rb.new_predicate_builder()
+    pruned = rb.with_filter(pb.is_in("cell", probe_cells))
+    n_all = sum(
+        len(s.file_paths())
+        for s in t.new_read_builder().new_scan().plan().splits()
+    )
+    n_probed = sum(
+        len(s.file_paths()) for s in pruned.new_scan().plan().splits()
+    )
+    # the probe must PLAN fewer files than the table holds — partition
+    # pruning at the metadata level, the entire point of the layout
+    assert 0 < n_probed < n_all, (n_probed, n_all)
+    return brute_force_topk(
+        pruned.new_read().to_df(), "vec_id", "embedding", qv, k=10
+    )
+
+
 def _ann_ivf_oracle(sf_dir: str) -> str:
     """Same centroid literals, same assignment expression, same probe
     cells (computed with the identical left-fold double arithmetic)."""
@@ -9175,6 +9244,7 @@ _QUERIES: dict[str, Callable] = {
     "dedup_simhash": dedup_simhash,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "ann_ivf_cell": ann_ivf_cell,
+    "ann_ivf_partitioned_roundtrip": ann_ivf_partitioned_roundtrip,
     "text_punct_stopword": text_punct_stopword,
     "text_repetition_stats": text_repetition_stats,
     "text_unigram_surprisal": text_unigram_surprisal,
@@ -9497,6 +9567,7 @@ _GATE_HEAD = [
     "dedup_simhash",
     "dedup_embedding_cosine",
     "ann_ivf_cell",
+    "ann_ivf_partitioned_roundtrip",
     "text_punct_stopword",
     "text_repetition_stats",
     "text_unigram_surprisal",
@@ -9595,6 +9666,7 @@ def oracle_sql() -> dict[str, str]:
     out["text_quality_model_score"] = _quality_model_oracle()
     out["ann_lsh_bucket"] = _ann_lsh_oracle("/root/testdata/sf0.01")
     out["ann_ivf_cell"] = _ann_ivf_oracle("/root/testdata/sf0.01")
+    out["ann_ivf_partitioned_roundtrip"] = _ann_ivf_oracle("/root/testdata/sf0.01")
     out["ann_pq_adc"] = _ann_pq_oracle("/root/testdata/sf0.01")
     out["ann_pq_rerank"] = _ann_pq_rerank_oracle("/root/testdata/sf0.01")
     out["ann_ivf_trained"] = _ann_ivf_trained_oracle("/root/testdata/sf0.01")
