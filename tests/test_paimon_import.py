@@ -2226,6 +2226,47 @@ def test_full_compaction_changelog_producer(tmp_path, spark):
     assert sorted(zip(out.k, out.v)) == [(1, "A2"), (3, "c")]
 
 
+def test_dynamic_bucket_lake_read(tmp_path, spark):
+    """Dynamic-bucket (bucket=-1) PK lakes READ fine — bucket numbers
+    come from each manifest entry, not the option, and the PK merge is
+    bucket-agnostic. WRITES refuse with the reference's exact error
+    (java_utils.py:56-61), since bucket assignment lives in the lake
+    owner's hash index."""
+    from paimon_python_spark.paimon_lake import (
+        PaimonLakeTable,
+        write_lake_pk_append,
+    )
+    from paimon_python_spark.session import set_spark
+
+    set_spark(spark)
+    kv = pa.schema(
+        [("_KEY_k", pa.int32()), ("_SEQUENCE_NUMBER", pa.int64()),
+         ("_VALUE_KIND", pa.int32()), ("k", pa.int32()), ("v", pa.string())]
+    )
+
+    def kvt(ks, seqs, vs):
+        return pa.table(
+            {"_KEY_k": ks, "_SEQUENCE_NUMBER": seqs,
+             "_VALUE_KIND": [0] * len(ks), "k": ks, "v": vs}, schema=kv)
+
+    p = str(tmp_path / "dyn_lake")
+    write_paimon_fixture(
+        p, [("k", "INT NOT NULL"), ("v", "STRING")], [], ["k"],
+        [
+            (0, {}, 0, kvt([1, 3], [0, 1], ["a", "c"])),
+            (0, {}, 1, kvt([2], [2], ["b"])),      # a second dynamic bucket
+            (0, {}, 0, kvt([1], [3], ["A2"])),     # newer version of k=1
+        ],
+        options={"bucket": "-1"},
+    )
+    out = PaimonLakeTable(p).new_read_builder().new_read().to_pandas().sort_values("k")
+    assert list(zip(out.k, out.v)) == [(1, "A2"), (2, "b"), (3, "c")]
+    with pytest.raises(TypeError, match="dynamic bucket"):
+        write_lake_pk_append(
+            p, spark.createDataFrame([(9, "z")], "k int, v string")
+        )
+
+
 def test_rescale_lake_bucket(tmp_path, spark):
     """Offline bucket rescale on a real PK lake: schema-(N+1) carries
     the new bucket option, the merged state rewrites routed by the new

@@ -537,6 +537,46 @@ def test_streaming_lake_sink(spark, tmp_path):
     assert list(out2.k) == [1, 2] and list(out2.v) == ["a", "B"]
 
 
+def test_streaming_sink_inherits_changelog_producer(spark, tmp_path):
+    """A micro-batch into a lookup-producing lake commits WITH its
+    full-image changelog — the sink routes through write_lake_pk_append
+    so the producer matrix needs no streaming-specific code."""
+    import json
+    import os
+
+    from paimon_python_spark.paimon_lake import (
+        create_lake_table,
+        read_lake_incremental,
+        write_lake_pk_append,
+    )
+    from paimon_python_spark.session import set_spark
+    from paimon_python_spark.streaming import StreamingLakeSink
+
+    set_spark(spark)
+    p = str(tmp_path / "cl_stream_lake")
+    create_lake_table(
+        p, [("k", "INT NOT NULL"), ("v", "STRING")],
+        primary_keys=["k"],
+        options={"bucket": "1", "changelog-producer": "lookup"},
+    )
+    write_lake_pk_append(p, spark.createDataFrame([(1, "a")], "k int, v string"))
+    sink = StreamingLakeSink(p, stream_id="s1")
+    sink.write_batch(
+        spark.createDataFrame([(1, "A2"), (2, "b")], "k int, v string"), batch_id=0
+    )
+    with open(os.path.join(p, "snapshot", "snapshot-2")) as f:
+        snap = json.load(f)
+    assert snap["changelogManifestList"] and snap["changelogRecordCount"] == 3
+    cl = (
+        read_lake_incremental(p, 1, 2, use_changelog=True)
+        .toPandas()
+        .sort_values(["k", "_SEQUENCE_NUMBER"])
+    )
+    assert list(zip(cl.k, cl._row_kind, cl.v)) == [
+        (1, "-U", "a"), (1, "+U", "A2"), (2, "+I", "b"),
+    ]
+
+
 def test_consumer_offsets_resume(catalog):
     from paimon_python_spark.streaming import stream_snapshots
     from paimon_python_spark.streaming.incremental import read_consumer_offset
