@@ -1425,6 +1425,7 @@ def _distributed_lake_write(
     sort_cols: Optional[List[str]] = None,
     changelog: bool = False,
     file_prefix: str = "data",
+    sequence_field: Optional[str] = None,
 ):
     """EXECUTOR-SIDE data-file write into a real lake's final layout,
     one file per (partition, bucket) group via ``applyInPandas`` —
@@ -1582,9 +1583,24 @@ def _distributed_lake_write(
         if kv:
             for k, t in zip(trimmed, trimmed_types):
                 arrays[f"_KEY_{k}"] = pa.array(pdf[k], type=spark_type_to_pa(t))
-            arrays["_SEQUENCE_NUMBER"] = pa.array(
-                range(seq_base, seq_base + n), pa.int64()
-            )
+            if sequence_field is not None:
+                # Paimon's sequence.field: a USER column drives the
+                # sequence, so out-of-order CDC events merge by event
+                # time instead of arrival order (a stale update loses
+                # to the newer row already in the lake)
+                import datetime as _sdt
+
+                sv = pdf[sequence_field]
+                if len(sv) and isinstance(
+                    sv.iloc[0], (_sdt.datetime, pd.Timestamp)
+                ):
+                    seqs = [int(pd.Timestamp(x).value // 1_000_000) for x in sv]
+                else:
+                    seqs = [int(x) for x in sv]
+                arrays["_SEQUENCE_NUMBER"] = pa.array(seqs, pa.int64())
+            else:
+                seqs = list(range(seq_base, seq_base + n))
+                arrays["_SEQUENCE_NUMBER"] = pa.array(seqs, pa.int64())
             arrays["_VALUE_KIND"] = pa.array(
                 [int(x) for x in pdf["__row_kind"]]
                 if "__row_kind" in pdf.columns
@@ -1635,8 +1651,8 @@ def _distributed_lake_write(
                     "bucket": bucket,
                     "rows": n,
                     "size": os.path.getsize(fpath),
-                    "min_seq": seq_base if kv else 0,
-                    "max_seq": (seq_base + n - 1) if kv else n,
+                    "min_seq": (min(seqs) if n else seq_base) if kv else 0,
+                    "max_seq": (max(seqs) if n else seq_base) if kv else n,
                     "min_key": kmin,
                     "max_key": kmax,
                     "stats_min": stats["_MIN_VALUES"],
@@ -1717,7 +1733,13 @@ def write_lake_pk_append(
     ``lookup`` derives the full-image changelog ((-U old, +U new)
     pairs, -D with old values) by semi-joining the merged state on the
     batch's keys at commit time; ``full-compaction`` defers to
-    :func:`compact_lake`. Returns the new snapshot id."""
+    :func:`compact_lake`.
+
+    A declared ``sequence.field`` option makes that USER column drive
+    ``_SEQUENCE_NUMBER`` (timestamps as epoch-millis), so out-of-order
+    CDC events merge by event time: a stale update arriving late loses
+    to the newer row already in the lake, exactly like real Paimon.
+    Returns the new snapshot id."""
     from paimon_python_spark.paimon_import import plan_paimon_files
 
     info = read_paimon_schema(table_path)
@@ -1803,6 +1825,11 @@ def write_lake_pk_append(
             row_kind_col="__kind",
             file_prefix="changelog",
         )
+    seq_field = info.options.get("sequence.field") or None
+    if seq_field is not None and seq_field not in info.spark_schema.names:
+        raise ValueError(
+            f"write_lake_pk_append: sequence.field {seq_field!r} not in schema"
+        )
     result = _distributed_lake_write(
         table_path,
         info,
@@ -1814,6 +1841,7 @@ def write_lake_pk_append(
         seq_base=seq_base,
         row_kind_col=row_kind_col,
         changelog=produce_cl,
+        sequence_field=seq_field,
     )
     if produce_cl:
         man_entries, n_rows, cl_entries = result

@@ -2226,6 +2226,60 @@ def test_full_compaction_changelog_producer(tmp_path, spark):
     assert sorted(zip(out.k, out.v)) == [(1, "A2"), (3, "c")]
 
 
+def test_sequence_field_write(tmp_path, spark):
+    """sequence.field: a user column drives _SEQUENCE_NUMBER, so a
+    STALE update arriving in a later commit loses to the newer row
+    already in the lake — event-time merge, real Paimon's answer to
+    out-of-order CDC."""
+    from paimon_python_spark.paimon_lake import (
+        PaimonLakeTable,
+        create_lake_table,
+        write_lake_pk_append,
+    )
+    from paimon_python_spark.session import set_spark
+
+    set_spark(spark)
+    p = str(tmp_path / "seqfield_lake")
+    create_lake_table(
+        p,
+        [("k", "INT NOT NULL"), ("v", "STRING"), ("ts", "BIGINT")],
+        primary_keys=["k"],
+        options={"bucket": "1", "sequence.field": "ts"},
+    )
+    write_lake_pk_append(
+        p,
+        spark.createDataFrame(
+            [(1, "newer", 2000), (2, "b", 500)], "k int, v string, ts long"
+        ),
+    )
+    # commit 2 arrives LATER but carries OLDER event times for k=1
+    write_lake_pk_append(
+        p,
+        spark.createDataFrame(
+            [(1, "stale", 1000), (2, "B2", 900)], "k int, v string, ts long"
+        ),
+    )
+    out = (
+        PaimonLakeTable(p).new_read_builder().new_read().to_pandas()
+        .sort_values("k")
+    )
+    # k=1 keeps the NEWER event-time row despite the later commit;
+    # k=2 takes the update (900 > 500)
+    assert list(zip(out.k, out.v)) == [(1, "newer"), (2, "B2")]
+    # file metadata carries the real event-time sequence range
+    from paimon_python_spark.paimon_import import plan_paimon_files
+
+    assert max(e.max_seq for e in plan_paimon_files(p)) == 2000
+    # unknown sequence column refuses
+    p2 = str(tmp_path / "seqfield_bad")
+    create_lake_table(
+        p2, [("k", "INT NOT NULL")], primary_keys=["k"],
+        options={"bucket": "1", "sequence.field": "nope"},
+    )
+    with pytest.raises(ValueError, match="sequence.field"):
+        write_lake_pk_append(p2, spark.createDataFrame([(1,)], "k int"))
+
+
 def test_dynamic_bucket_lake_read(tmp_path, spark):
     """Dynamic-bucket (bucket=-1) PK lakes READ fine — bucket numbers
     come from each manifest entry, not the option, and the PK merge is
