@@ -8965,7 +8965,7 @@ WITH feats AS (
               x -> lower(x) IN ('the','a','an','and','or','of','to','in','is','it')))
            AS BIGINT) AS n_stop,
          CAST(length(text) - length(regexp_replace(text,
-              '[.,;:!?''"()\[\]{{}}-]', '', 'g')) AS BIGINT) AS n_punct
+              '[.,;:!?''"()\\[\\]{{}}-]', '', 'g')) AS BIGINT) AS n_punct
   FROM documents),
 scaled AS (
   SELECT doc_id, n_words,
@@ -9533,58 +9533,13 @@ _ORACLES: dict[str, str] = {
 # same 50. Entries 51+ keep registry order; tools/check_oracle.py
 # still sweeps the whole surface locally.
 _GATE_HEAD = [
-    # round-7 additions (first-ever by construction)
-    "paimon_lake_pk_write_roundtrip",
-    "paimon_lake_changelog_write_roundtrip",
-    "paimon_lake_partition_expire_roundtrip",
-    "paimon_lake_fullcompact_changelog_roundtrip",
-    "paimon_lake_lookup_changelog_roundtrip",
-    "paimon_lake_pk_delete_roundtrip",
-    "paimon_lake_avro_write_roundtrip",
-    "paimon_lake_dv_history_roundtrip",
-    "paimon_lake_compact_roundtrip",
-    "paimon_lake_sort_compact_roundtrip",
-    "paimon_lake_consumer_roundtrip",
-    "paimon_lake_maintenance_roundtrip",
-    "paimon_lake_stream_sink_roundtrip",
-    "paimon_lake_merge_engine_roundtrip",
-    "paimon_lake_alter_merge_roundtrip",
-    "paimon_lake_bootstrap_roundtrip",
-    "dedup_substring_spans",
-    "dedup_contaminated_spans",
-    "dedup_excise_contaminated",
-    "paimon_lake_count_roundtrip",
-    "paimon_lake_stats_agg_roundtrip",
-    "paimon_lake_branch_roundtrip",
-    "window_ntile_quartile",
-    "window_percent_rank",
-    # never-gated after r6, verified locally 2026-08-14
-    "sample_split_leakage_safe",
-    "text_length_band_filter",
-    "sketch_hll_union_sliding",
-    "dedup_ngram_jaccard",
-    "dedup_containment_exact",
-    "dedup_simhash",
-    "dedup_embedding_cosine",
-    "ann_ivf_cell",
-    "ann_ivf_partitioned_roundtrip",
-    "text_punct_stopword",
-    "text_repetition_stats",
-    "text_unigram_surprisal",
-    "text_quality_filter",
-    "events_retention_cohorts",
-    "events_sessionize_stateful",
-    "ann_range_cosine",
-    "text_chunking",
-    "paimon_datasource_roundtrip",
-    "paimon_datasource_write_roundtrip",
-    "text_token_counts",
-    "text_fingerprint",
-    "text_pii_scrub",
-    "window_lead_lag",
-    "scalar_array_funcs",
-    "mm_frame_sample",
-    "mm_audio_features",
+    # round-8 rotation: the 53 queries with no CORRECTNESS row in any of
+    # rounds 1-7 (registered-minus-union computed from the r1-r7 files).
+    # Every name re-verified green against the DuckDB oracle via
+    # tools/check_oracle.py on 2026-08-15 before promotion
+    # (mm_audio_spectral rows-only by design: FFT has no SQL oracle).
+    # Positions 1-50 close the gate this round; 51-53 (three trivial,
+    # judge-sample-verified queries) queue for round 9.
     "paimon_scan_pushdown_roundtrip",
     "paimon_tag_read_roundtrip",
     "paimon_bloom_index_roundtrip",
@@ -9604,16 +9559,13 @@ _GATE_HEAD = [
     "paimon_rollback_roundtrip",
     "paimon_branch_roundtrip",
     "paimon_system_tables_roundtrip",
+    "paimon_stream_source_roundtrip",
     "text_tfidf_top_terms",
     "text_top_ngrams",
     "emb_label_centroids",
     "grouping_sets_agg",
     "events_funnel_conversion",
     "sql_entry_point",
-    # positions 51+: the rest of the never-gated pool queues here for
-    # the round-8 rotation, ahead of the already-gated registry tail
-    "dedup_fuzzy_survivors",
-    "sample_temperature_mix",
     "agg_mode_per_user",
     "emb_vector_quality",
     "dedup_url_normalized",
@@ -9621,18 +9573,16 @@ _GATE_HEAD = [
     "agg_distinct_skew_free",
     "text_line_filter",
     "events_moving_window_agg",
-    "paimon_stream_source_roundtrip",
     "events_anomaly_zscore",
     "sample_token_budget_mix",
+    "sample_temperature_mix",
+    "dedup_fuzzy_survivors",
     "dedup_fuzzy_survivors_priority",
     "events_gap_fill",
     "events_window_deltas",
     "dedup_cluster_size_hist",
     "sample_topn_per_group",
     "emb_outlier_prototypicality",
-    "setop_except_all",
-    "setop_intersect_all",
-    "scalar_regex_funcs",
     "events_asof_join_forward",
     "emb_dim_variance",
     "text_lang_id_confusion",
@@ -9640,6 +9590,11 @@ _GATE_HEAD = [
     "agg_copurchase_pairs",
     "dedup_containment",
     "mm_audio_spectral",
+    # positions 51+: final never-gated stragglers + new r8 queries queue
+    # here for the round-9 rotation, ahead of the already-gated tail
+    "setop_except_all",
+    "setop_intersect_all",
+    "scalar_regex_funcs",
 ]
 
 
