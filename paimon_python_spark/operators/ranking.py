@@ -109,8 +109,14 @@ def scalable_rank(
         .collect()
     )
     by_group: dict = {}
+    # None-safe ordering: partition columns may hold NULLs, and Python
+    # can't compare None against non-None — NULL groups sort first
     for r in sorted(
-        counts, key=lambda r: ([r[c] for c in pcols], r["__rk_bucket"])
+        counts,
+        key=lambda r: (
+            [(r[c] is not None, r[c]) for c in pcols],
+            r["__rk_bucket"],
+        ),
     ):
         key = tuple(r[c] for c in pcols)
         by_group.setdefault(key, []).append((r["__rk_bucket"], r["__rk_cnt"]))
@@ -130,9 +136,19 @@ def scalable_rank(
             T.StructField("__rk_n", T.LongType()),
         ]
     )
-    offsets = F.broadcast(spark.createDataFrame(off_rows, off_schema))
+    offsets = F.broadcast(
+        spark.createDataFrame(off_rows, off_schema).alias("__rk_offs")
+    )
 
-    out = local.join(offsets, pcols + ["__rk_bucket"])
+    # eqNullSafe on the partition columns: a name-list join uses
+    # null-UNSAFE equality and would silently drop NULL groups
+    left = local.alias("__rk_loc")
+    cond = F.col("__rk_loc.__rk_bucket") == F.col("__rk_offs.__rk_bucket")
+    for c in pcols:
+        cond = cond & F.col(f"__rk_loc.{c}").eqNullSafe(F.col(f"__rk_offs.{c}"))
+    out = left.join(offsets, cond).select(
+        "__rk_loc.*", "__rk_offs.__rk_off", "__rk_offs.__rk_n"
+    )
     rn = F.col("__rk_off") + F.col("__rk_local")
     n = F.col("__rk_n")
     if row_number_col:

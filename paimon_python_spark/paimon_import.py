@@ -1082,8 +1082,16 @@ def _value_stats_for(table, info: "PaimonSchemaInfo") -> dict:
                 else v
             )
             mn, mx = conv(mn), conv(mx)
-        mins.append(mn)
-        maxs.append(mx)
+        # sound-bound truncation for strings (prefix min / incremented-
+        # prefix max, same rule as the engine tables' write.py): without
+        # it a documents-style lake embeds whole documents in every
+        # manifest BinaryRow — metadata amplification that breaks
+        # planning at 100 TB. min_max() knows string stats are bounds,
+        # not values, and never folds them as exact.
+        from paimon_python_spark.write import _truncate_max, _truncate_min
+
+        mins.append(_truncate_min(mn))
+        maxs.append(_truncate_max(mx))
     try:
         return {
             "_MIN_VALUES": encode_binary_row(mins, types),
@@ -1343,7 +1351,7 @@ def add_paimon_fixture_schema(
 def append_paimon_fixture_snapshot(
     path: str,
     files: List[tuple],
-    tag: str = "c2",
+    tag: Optional[str] = None,
     schema_id: Optional[int] = None,
     changelog_files: Optional[List[tuple]] = None,
 ) -> int:
@@ -1365,6 +1373,10 @@ def append_paimon_fixture_snapshot(
     part_types = [info.spark_schema[k].dataType for k in info.partition_keys]
     default_name = info.options.get("partition.default-name", DEFAULT_PARTITION_NAME)
     prev_id = latest_paimon_snapshot_id(path)
+    if tag is None:
+        # unique per commit: the old fixed default ("c2") made two
+        # tag-less appends silently overwrite each other's data files
+        tag = f"c{prev_id + 1}"
     prev = read_paimon_snapshot(path, prev_id)
     prior: List[str] = []
     for lst in (prev.get("baseManifestList"), prev.get("deltaManifestList")):

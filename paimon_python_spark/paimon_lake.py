@@ -176,6 +176,19 @@ class PaimonLakeReadBuilder:
         self._tag: Optional[str] = None
         self._limit: Optional[int] = None
         self._read_optimized: bool = False
+        self._bucket_groups: Optional[set] = None
+
+    def with_bucket_groups(self, groups: set) -> "PaimonLakeReadBuilder":
+        """Restrict planning to an explicit set of (partition-values
+        tuple, bucket) groups — partition values as LOGICAL Python
+        values in partition-key order. The merge unit of a fixed-bucket
+        PK lake is the (partition, bucket) group, so a reader that only
+        needs some groups' merged state (the lookup changelog producer,
+        point-lookup services) plans 1/num_buckets of the lake instead
+        of all of it. Internal surface: callers must compute buckets
+        with the SAME fixed_bucket hash the writer used."""
+        self._bucket_groups = set(groups)
+        return self
 
     def new_predicate_builder(self) -> PredicateBuilder:
         return PredicateBuilder(
@@ -350,7 +363,30 @@ class PaimonLakeReadBuilder:
         dv = plan_paimon_dv(
             self.table.table_path, self._snapshot_id, snapshot=self._snapshot_dict()
         )
-        if info.primary_keys or residual or dv or self._limit is not None:
+        # Manifest string/binary min/max are TRUNCATED BOUNDS, not
+        # values: the engine writer truncates at 64 chars with an
+        # incremented upper bound (write.py _truncate_max) and JVM
+        # writers default to metadata.stats-mode=truncate(16) — sound
+        # for pruning, but folding them as exact extrema could return a
+        # "max" that does not exist in the table. Non-partition string
+        # columns therefore always take the distributed aggregate;
+        # partition values are decoded exactly from the layout.
+        from pyspark.sql import types as T
+
+        truncated_stats = any(
+            c not in info.partition_keys
+            and isinstance(
+                info.spark_schema[c].dataType, (T.StringType, T.BinaryType)
+            )
+            for c in cols
+        )
+        if (
+            info.primary_keys
+            or residual
+            or dv
+            or truncated_stats
+            or self._limit is not None
+        ):
             return _scan_agg()
         from paimon_python_spark.paimon_import import decode_entry_stats
 
@@ -560,15 +596,94 @@ def _limited_entries(entries, limit: "int | None"):
     return out
 
 
+def _lake_bucket_key_logical(v, dt):
+    """Normalize one bucket-key literal to the logical value the lake
+    writer hashed (DATE → epoch days, numpy scalars unwrapped) —
+    mirrors the lake bucket router's conversions."""
+    import datetime
+
+    from pyspark.sql import types as T
+
+    if hasattr(v, "item"):
+        v = v.item()
+    if isinstance(v, datetime.datetime):
+        v = v.date()
+    if isinstance(dt, T.DateType) and isinstance(v, datetime.date):
+        return (v - datetime.date(1970, 1, 1)).days
+    return v
+
+
+def _lake_candidate_buckets(predicate, info: PaimonSchemaInfo) -> Optional[set]:
+    """Buckets an equality/IN predicate pinning the FULL bucket key can
+    live in, or None when pruning can't fire: not a fixed-bucket PK
+    lake, some bucket-key field unpinned, or the combination count
+    explodes. Same rule as the engine planner (scan.py
+    _candidate_buckets) and the JVM planner the reference inherits
+    (java_implementation.py:159-184) — but with Paimon's spec
+    fixed_bucket hash, the one the lake writer routes by: a point
+    lookup on a 16-bucket lake opens 1/16 of the surviving files."""
+    if predicate is None or not info.primary_keys:
+        return None
+    nb = int(info.options.get("bucket", "-1"))
+    if nb < 1:
+        return None
+    bcols = [
+        c.strip()
+        for c in info.options.get("bucket-key", "").split(",")
+        if c.strip()
+    ] or [k for k in info.primary_keys if k not in info.partition_keys]
+    if not bcols:
+        return None
+    eq = predicate.equality_sets()
+    if not all(k in eq and eq[k] for k in bcols):
+        return None
+    combos = 1
+    for k in bcols:
+        combos *= len(eq[k])
+        if combos > 256:
+            return None
+    from itertools import product
+
+    from paimon_python_spark.paimon_import import fixed_bucket
+
+    types = [info.spark_schema[k].dataType for k in bcols]
+    try:
+        return {
+            fixed_bucket(
+                [_lake_bucket_key_logical(v, t) for v, t in zip(vals, types)],
+                types,
+                nb,
+            )
+            for vals in product(*[sorted(eq[k], key=repr) for k in bcols])
+        }
+    except Exception:
+        return None  # unhashable key shape: skip pruning, stay exact
+
+
 def _pruned_entries(table_path: str, info: PaimonSchemaInfo, b: "PaimonLakeReadBuilder"):
-    """Plan the live file set, drop partitions the predicate rules out
+    """Plan the live file set, apply explicit bucket-group scoping
+    (with_bucket_groups), drop partitions the predicate rules out
     (decoded BinaryRow values normalized to logical types — DATE
-    partitions are epoch-day ints on disk), then skip files whose
-    manifest min/max stats cannot satisfy it — the JVM planner's
-    two-level pruning, driver-side, metadata only."""
+    partitions are epoch-day ints on disk), skip files whose manifest
+    min/max stats cannot satisfy it, then prune buckets a full-key
+    equality predicate pins — the JVM planner's pruning stack,
+    driver-side, metadata only."""
     from paimon_python_spark.paimon_import import decode_entry_stats
 
     entries = plan_paimon_files(table_path, b._snapshot_id, snapshot=b._snapshot_dict())
+    if b._bucket_groups is not None:
+        pk = list(info.partition_keys)
+        entries = [
+            e
+            for e in entries
+            if (
+                tuple(
+                    _logical_partition_values(info, e.partition).get(k) for k in pk
+                ),
+                e.bucket,
+            )
+            in b._bucket_groups
+        ]
     if b._predicate is None:
         return entries
     if info.partition_keys:
@@ -610,6 +725,9 @@ def _pruned_entries(table_path: str, info: PaimonSchemaInfo, b: "PaimonLakeReadB
             if stats is None or pred.test_by_stats(stats):
                 kept.append(e)
         entries = kept
+    buckets = _lake_candidate_buckets(b._predicate, info)
+    if buckets is not None:
+        entries = [e for e in entries if e.bucket in buckets]
     return entries
 
 
@@ -846,6 +964,8 @@ def stream_lake_snapshots(
     consumer_id: "Optional[str]" = None,
     consumer_dir: "Optional[str]" = None,
     use_changelog: bool = False,
+    starting_timestamp: "Optional[int]" = None,
+    scan_mode: "Optional[str]" = None,
 ):
     """Driver-side poll loop over a REAL lake: yield (snapshot_id,
     delta DataFrame) as the lake's owner commits — the micro-batch
@@ -861,7 +981,20 @@ def stream_lake_snapshots(
     :func:`expire_lake_snapshots`, which then refuses to expire the
     consumer's next batch. Pass ``consumer_dir`` for a lake this
     process may not write to: the offset file goes there instead and
-    the lake stays untouched (no expiry protection, by construction)."""
+    the lake stays untouched (no expiry protection, by construction).
+
+    START MODES (Paimon's ``scan.mode`` family, reference: JVM scan
+    options inherited through java_implementation.py):
+    ``from_snapshot=N`` (scan.snapshot-id, from-snapshot: first batch
+    is snapshot N+1's delta); ``starting_timestamp=millis``
+    (scan.timestamp-millis, from-timestamp: stream changes committed
+    AFTER that wall-clock instant — the backfill-job start);
+    ``scan_mode='latest'`` (only commits after subscription);
+    ``scan_mode='latest-full'`` (first batch = the CURRENT full table
+    state at the latest snapshot, then per-commit deltas — Flink's
+    default lake bootstrap). A persisted consumer offset still wins
+    over any start mode, exactly like real Paimon (consumer-id takes
+    precedence over scan.mode)."""
     import json
     import os
     import re as _re
@@ -881,7 +1014,37 @@ def stream_lake_snapshots(
                 consumer_dir, f"consumer-{consumer_id}.json"
             )
 
+    if scan_mode not in (None, "latest", "latest-full"):
+        raise ValueError(
+            f"stream_lake_snapshots: unknown scan_mode {scan_mode!r} "
+            "(use from_snapshot=/starting_timestamp= for the "
+            "from-snapshot/from-timestamp modes)"
+        )
     current = from_snapshot
+    if starting_timestamp is not None:
+        # from-timestamp: newest snapshot committed at or before the
+        # instant is the baseline; batches start with the next commit
+        sdir = os.path.join(table_path, "snapshot")
+        baseline = 0
+        if os.path.isdir(sdir):
+            for n in os.listdir(sdir):
+                if not n.startswith("snapshot-"):
+                    continue
+                with open(os.path.join(sdir, n)) as f:
+                    s = json.load(f)
+                tm = s.get("timeMillis")
+                if not tm:
+                    continue  # undated snapshot (missing or fixture 0):
+                    # can't place it before the instant, so never
+                    # advance the baseline past it
+                if int(tm) <= starting_timestamp and s["id"] > baseline:
+                    baseline = s["id"]
+        current = max(current, baseline)
+    if scan_mode in ("latest", "latest-full"):
+        try:
+            current = max(current, latest_paimon_snapshot_id(table_path))
+        except FileNotFoundError:
+            pass
     if in_lake:
         persisted = read_lake_consumer(table_path, consumer_id)
         if persisted is not None:
@@ -894,27 +1057,57 @@ def stream_lake_snapshots(
                 current = max(current, int(json.load(f)["next_snapshot"]))
         except (KeyError, ValueError):
             pass
-    emitted = 0
-    while max_batches is None or emitted < max_batches:
-        latest = latest_paimon_snapshot_id(table_path)
-        while current < latest:
-            nxt = current + 1
-            yield nxt, read_lake_incremental(
-                table_path, current, nxt, use_changelog=use_changelog
+
+    # the start position above resolves EAGERLY at CALL time — a
+    # 'latest' subscription pins the head as of the subscribe call, not
+    # as of the consumer's first pull (a slow consumer must not skip
+    # commits that landed between subscribe and first read)
+    def _iter(current):
+        emitted = 0
+        if (
+            scan_mode == "latest-full"
+            and current >= 1
+            and (max_batches is None or max_batches > 0)
+        ):
+            # bootstrap batch: the full current state, tagged with the
+            # snapshot it reflects; per-commit deltas follow
+            full = (
+                PaimonLakeTable(table_path)
+                .new_read_builder()
+                .with_snapshot(current)
+                .new_read()
+                .to_df()
             )
-            if in_lake:
-                write_lake_consumer(table_path, consumer_id, nxt + 1)
-            elif offset_path:
-                os.makedirs(os.path.dirname(offset_path), exist_ok=True)
-                tmp = f"{offset_path}.tmp"
-                with open(tmp, "w") as f:
-                    json.dump({"next_snapshot": nxt}, f)
-                os.replace(tmp, offset_path)
-            current = nxt
+            if use_changelog:
+                from pyspark.sql import functions as F
+
+                full = full.withColumn("_row_kind", F.lit("+I"))
+            yield current, full
             emitted += 1
-            if max_batches is not None and emitted >= max_batches:
-                return
-        time.sleep(poll_interval_s)
+            if in_lake:
+                write_lake_consumer(table_path, consumer_id, current + 1)
+        while max_batches is None or emitted < max_batches:
+            latest = latest_paimon_snapshot_id(table_path)
+            while current < latest:
+                nxt = current + 1
+                yield nxt, read_lake_incremental(
+                    table_path, current, nxt, use_changelog=use_changelog
+                )
+                if in_lake:
+                    write_lake_consumer(table_path, consumer_id, nxt + 1)
+                elif offset_path:
+                    os.makedirs(os.path.dirname(offset_path), exist_ok=True)
+                    tmp = f"{offset_path}.tmp"
+                    with open(tmp, "w") as f:
+                        json.dump({"next_snapshot": nxt}, f)
+                    os.replace(tmp, offset_path)
+                current = nxt
+                emitted += 1
+                if max_batches is not None and emitted >= max_batches:
+                    return
+            time.sleep(poll_interval_s)
+
+    return _iter(current)
 
 
 def _lake_system_snapshots(table_path: str):
@@ -1410,6 +1603,214 @@ def _commit_lake_snapshot(
         )
 
 
+def _make_lake_bucket_fn(key_types, num_buckets: int):
+    """Batch bucket assignment for Paimon's fixed-bucket routing:
+    ``abs(murmur(BinaryRow(bucket key))) % num_buckets`` over a pandas
+    batch (``FixedBucketRowKeyExtractor`` semantics, paimon_import.py
+    fixed_bucket). VECTORIZED: the BinaryRow bytes of the whole batch
+    are built column-wise into numpy matrices (fixed-width fields are
+    byte views; string/binary payloads scatter through a flattened
+    buffer), rows grouped by encoded length, and the word-wise murmur
+    runs as W numpy passes over N rows instead of N Python-loop rows —
+    at 100-TB ingest the router is on every written row, so per-row
+    Python here was the write bottleneck. Falls back to the scalar
+    ``fixed_bucket`` (the property-test oracle) on any shape the
+    vector path doesn't cover."""
+
+    def fn(*cols):
+        import pandas as pd
+
+        try:
+            return pd.Series(
+                _vectorized_fixed_buckets(cols, key_types, num_buckets)
+            )
+        except Exception:
+            import datetime
+
+            from paimon_python_spark.paimon_import import fixed_bucket
+
+            epoch = datetime.date(1970, 1, 1)
+            out = []
+            for vals in zip(*cols):
+                row = []
+                for v in vals:
+                    if v is None or (
+                        not isinstance(v, (bytes, str)) and pd.isna(v)
+                    ):
+                        row.append(None)
+                        continue
+                    if hasattr(v, "item"):
+                        v = v.item()
+                    if isinstance(v, datetime.datetime):
+                        v = v.date()
+                    if isinstance(v, datetime.date):
+                        v = (v - epoch).days
+                    row.append(v)
+                out.append(fixed_bucket(row, key_types, num_buckets))
+            return pd.Series(out, dtype="int32")
+
+    return fn
+
+
+def _murmur_words_batch(words, num_buckets: int):
+    """Paimon's hashBytesByWords (murmur3-32, seed 42, no tail) over an
+    (N, W) uint32 word matrix — W vector passes over all N rows — then
+    ``abs(h) % num_buckets`` with Python abs semantics (parity with the
+    scalar fixed_bucket oracle)."""
+    import numpy as np
+
+    n, w = words.shape
+    h1 = np.full(n, 42, np.uint32)
+    for j in range(w):
+        k1 = words[:, j] * np.uint32(0xCC9E2D51)
+        k1 = (k1 << np.uint32(15)) | (k1 >> np.uint32(17))
+        k1 = k1 * np.uint32(0x1B873593)
+        h1 = h1 ^ k1
+        h1 = (h1 << np.uint32(13)) | (h1 >> np.uint32(19))
+        h1 = h1 * np.uint32(5) + np.uint32(0xE6546B64)
+    h1 = h1 ^ np.uint32(4 * w)
+    h1 = h1 ^ (h1 >> np.uint32(16))
+    h1 = h1 * np.uint32(0x85EBCA6B)
+    h1 = h1 ^ (h1 >> np.uint32(13))
+    h1 = h1 * np.uint32(0xC2B2AE35)
+    h1 = h1 ^ (h1 >> np.uint32(16))
+    signed = h1.astype(np.int32).astype(np.int64)
+    return (np.abs(signed) % num_buckets).astype(np.int32)
+
+
+def _vectorized_fixed_buckets(cols, key_types, num_buckets: int):
+    """Column-wise BinaryRow encode + batched murmur for a pandas
+    batch. Returns an int32 numpy array of bucket ids. Raises on key
+    shapes outside the fast path (caller falls back to the scalar
+    oracle). Byte-exact with encode_binary_row: same bitset header,
+    little-endian slots, ≤7-byte inline strings, word-aligned var
+    region."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from paimon_python_spark.paimon_import import (
+        _INLINE_MARK,
+        _bitset_bytes,
+    )
+
+    n = len(cols[0])
+    arity = len(key_types)
+    nb = _bitset_bytes(arity)
+    fixed_w = nb + arity * 8
+    fixed = np.zeros((n, fixed_w), np.uint8)
+
+    # per-string-field encoded payloads (None for fixed-width fields)
+    enc: list = [None] * arity
+    var_pad = np.zeros(n, np.int64)  # per-row var-region bytes so far
+
+    for i, (col, dt) in enumerate(zip(cols, key_types)):
+        slot = nb + i * 8
+        null = col.isna().to_numpy()
+        if null.any():
+            bit = 8 + i
+            fixed[null, bit >> 3] |= np.uint8(1 << (bit & 7))
+        if isinstance(dt, (T.IntegerType, T.LongType, T.ShortType, T.ByteType)):
+            w, code = {
+                T.IntegerType: (4, "<i4"),
+                T.LongType: (8, "<i8"),
+                T.ShortType: (2, "<i2"),
+                T.ByteType: (1, "i1"),
+            }[type(dt)]
+            if col.dtype == object:
+                # exact int path: going through float64 would corrupt
+                # longs past 2^53
+                vals = (
+                    pd.array(col, dtype="Int64")
+                    .to_numpy(dtype="int64", na_value=0)
+                    .astype(code)
+                )
+            else:
+                vals = col.fillna(0).to_numpy().astype(code)
+            fixed[:, slot : slot + w] = vals.view(np.uint8).reshape(n, w)
+        elif isinstance(dt, T.DateType):
+            days = (
+                pd.to_datetime(col, errors="raise")
+                .fillna(pd.Timestamp(0))
+                .to_numpy()
+                .astype("datetime64[D]")
+                .astype("<i4")
+            )
+            fixed[:, slot : slot + 4] = days.view(np.uint8).reshape(n, 4)
+        elif isinstance(dt, T.BooleanType):
+            fixed[:, slot] = col.fillna(False).to_numpy().astype(np.uint8)
+        elif isinstance(dt, T.FloatType):
+            vals = col.fillna(0.0).to_numpy().astype("<f4")
+            fixed[:, slot : slot + 4] = vals.view(np.uint8).reshape(n, 4)
+        elif isinstance(dt, T.DoubleType):
+            vals = col.fillna(0.0).to_numpy().astype("<f8")
+            fixed[:, slot : slot + 8] = vals.view(np.uint8).reshape(n, 8)
+        elif isinstance(dt, (T.StringType, T.BinaryType)):
+            if isinstance(dt, T.StringType):
+                b = col.fillna("").str.encode("utf-8")
+            else:
+                b = col.fillna(b"")
+            lens = b.str.len().to_numpy().astype(np.int64)
+            lens[null] = 0
+            inline = lens <= 7
+            # inline marker byte now; payload bytes scatter below
+            marker = np.where(
+                inline & ~null, _INLINE_MARK | lens.astype(np.int64), 0
+            ).astype(np.uint8)
+            fixed[:, slot + 7] = np.where(
+                null, fixed[:, slot + 7], marker
+            )
+            # long strings: (offset << 32) | len in the slot; offset is
+            # relative to the row start (bitset), past fixed + prior var
+            long = ~inline & ~null
+            if long.any():
+                off = fixed_w + var_pad
+                packed = np.where(long, (off << 32) | lens, 0).astype("<i8")
+                slot_bytes = packed.view(np.uint8).reshape(n, 8)
+                fixed[long, slot : slot + 8] = slot_bytes[long]
+                var_pad = var_pad + np.where(long, ((lens + 7) // 8) * 8, 0)
+            enc[i] = (b, lens, inline, null)
+        else:
+            raise ValueError(f"vector bucket: unsupported key type {dt}")
+
+    total = fixed_w + var_pad  # per-row encoded length (multiple of 8)
+    out = np.zeros(n, np.int32)
+    for L in np.unique(total):
+        rows = np.flatnonzero(total == L)
+        m = np.zeros((len(rows), int(L)), np.uint8)
+        m[:, :fixed_w] = fixed[rows]
+        if enc and any(e is not None for e in enc):
+            var_cursor = np.full(len(rows), fixed_w, np.int64)
+            for i, e in enumerate(enc):
+                if e is None:
+                    continue
+                b, lens, inline, null = e
+                slot = nb + i * 8
+                gl = lens[rows]
+                ginline = inline[rows] & ~null[rows]
+                glong = ~inline[rows] & ~null[rows]
+                payload = b"".join(b.iloc[rows])
+                flat = np.frombuffer(payload, np.uint8)
+                if flat.size:
+                    starts = np.concatenate(([0], np.cumsum(gl)[:-1]))
+                    # fuse row base + in-row destination into ONE flat
+                    # scatter: two repeats + one arange total
+                    dest_start = np.where(ginline, slot, var_cursor)
+                    base = np.repeat(
+                        np.arange(len(rows), dtype=np.int64) * int(L)
+                        + dest_start
+                        - starts,
+                        gl,
+                    )
+                    m.ravel()[base + np.arange(flat.size)] = flat
+                var_cursor = var_cursor + np.where(
+                    glong, ((gl + 7) // 8) * 8, 0
+                )
+        words = m.view("<u4").reshape(len(rows), int(L) // 4)
+        out[rows] = _murmur_words_batch(words, num_buckets)
+    return out
+
+
 def _distributed_lake_write(
     table_path: str,
     info,
@@ -1426,6 +1827,7 @@ def _distributed_lake_write(
     changelog: bool = False,
     file_prefix: str = "data",
     sequence_field: Optional[str] = None,
+    arrival_order: bool = True,
 ):
     """EXECUTOR-SIDE data-file write into a real lake's final layout,
     one file per (partition, bucket) group via ``applyInPandas`` —
@@ -1467,38 +1869,26 @@ def _distributed_lake_write(
         *([F.col(row_kind_col).cast("int").alias("__row_kind")] if row_kind_col else []),
         *[F.col(c) for c in extra_sort],
     )
+    if kv and arrival_order:
+        # Arrival-order sequencing (real Paimon's SequenceGenerator):
+        # same-key events in one commit must get sequence numbers in the
+        # order they ARRIVED, not by RowKind value — a delete-then-
+        # reinsert batch nets to the re-insert. The monotonic id is
+        # captured BEFORE the (partition, bucket) shuffle, so each
+        # group's pandas frame can be restored to input order even
+        # though applyInPandas delivers rows in shuffle order.
+        # Changelog-diff writers pass arrival_order=False: their input
+        # has at most one logical event per key and the (-U, +U) pair
+        # order is the kind order.
+        sdf = sdf.withColumn("__input_order", F.monotonically_increasing_id())
     if kv:
         bcols = list(bucket_cols or trimmed)
         key_types = [info.spark_schema[c].dataType for c in bcols]
-
-        def _bucket_fn(*cols):
-            # Paimon's FixedBucketRowKeyExtractor, row at a time over
-            # the Arrow batch: murmur(BinaryRow(bucket key)) % buckets
-            import datetime
-
-            from paimon_python_spark.paimon_import import fixed_bucket
-
-            epoch = datetime.date(1970, 1, 1)
-            out = []
-            for vals in zip(*cols):
-                row = []
-                for v in vals:
-                    if v is None or (not isinstance(v, (bytes, str)) and pd.isna(v)):
-                        row.append(None)
-                        continue
-                    if hasattr(v, "item"):
-                        v = v.item()
-                    if isinstance(v, datetime.datetime):
-                        v = v.date()
-                    if isinstance(v, datetime.date):
-                        v = (v - epoch).days
-                    row.append(v)
-                out.append(fixed_bucket(row, key_types, num_buckets))
-            return pd.Series(out, dtype="int32")
-
-        # no type hints on _bucket_fn: the module's postponed
+        # no type hints on the bucket fn: the module's postponed
         # annotations would reach pandas_udf as unresolvable strings
-        _bucket_of = F.pandas_udf(_bucket_fn, "int")
+        _bucket_of = F.pandas_udf(
+            _make_lake_bucket_fn(key_types, num_buckets), "int"
+        )
         sdf = sdf.withColumn("__bucket", _bucket_of(*[F.col(c) for c in bcols]))
         gcols = part_keys + ["__bucket"]
     else:
@@ -1567,11 +1957,18 @@ def _distributed_lake_write(
             k: logical(pdf[k].iloc[0], dt) for k, dt in zip(part_keys, part_types)
         }
         if trimmed:
-            # secondary sort on row kind where present: a full-
-            # compaction changelog carries (-U, +U) pairs per key and
-            # the -U (kind 1) must precede the +U (kind 2) in sequence
-            # order for streaming consumers
-            ks = trimmed + (["__row_kind"] if "__row_kind" in pdf.columns else [])
+            if "__input_order" in pdf.columns:
+                # same-key events sequence in ARRIVAL order (see the
+                # __input_order comment above)
+                ks = trimmed + ["__input_order"]
+            else:
+                # changelog-diff writers: one logical event per key; a
+                # full-compaction changelog carries (-U, +U) pairs and
+                # the -U (kind 1) must precede the +U (kind 2) in
+                # sequence order for streaming consumers
+                ks = trimmed + (
+                    ["__row_kind"] if "__row_kind" in pdf.columns else []
+                )
             pdf = pdf.sort_values(ks, kind="mergesort")
         elif sort_cols:
             # intra-file clustering order (sort compaction): file-level
@@ -1799,13 +2196,42 @@ def write_lake_pk_append(
         batch_keys = batch.select(*keys).distinct()
         old_sub = None
         try:
-            # semi-join restricts the lookup to touched keys; AQE
-            # broadcasts the key set when it is small (the common CDC
-            # batch) and falls back to a shuffled join when it is not
-            # — never force-broadcast an unbounded batch
+            # BUCKET-SCOPED lookup (the analogue of real Paimon's
+            # per-bucket LSM point lookups): the merge unit is the
+            # (partition, bucket) group, so the old state of buckets
+            # this batch doesn't touch is irrelevant. Route the batch's
+            # rows through the writer's own fixed_bucket hash, collect
+            # the DISTINCT touched groups (bounded by the number of
+            # files this commit writes, never by batch size), and plan
+            # only those file groups — a 10-row CDC commit into a
+            # 100-TB lake merges a handful of buckets, not the lake.
+            part_keys_l = list(info.partition_keys)
+            bcols_l = list(bucket_cols or [
+                k for k in info.primary_keys if k not in part_keys_l
+            ])
+            key_types_l = [info.spark_schema[c].dataType for c in bcols_l]
+            bfn = F.pandas_udf(
+                _make_lake_bucket_fn(key_types_l, num_buckets), "int"
+            )
+            touched_rows = (
+                batch.select(*part_keys_l, *bcols_l)
+                .withColumn("__b", bfn(*[F.col(c) for c in bcols_l]))
+                .select(*part_keys_l, "__b")
+                .distinct()
+                .collect()
+            )
+            touched = {
+                (tuple(r[k] for k in part_keys_l), int(r["__b"]))
+                for r in touched_rows
+            }
+            # the semi-join then restricts the merged groups to touched
+            # KEYS; AQE broadcasts the key set when it is small (the
+            # common CDC batch) — never force-broadcast an unbounded
+            # batch
             old_sub = (
                 PaimonLakeTable(table_path)
                 .new_read_builder()
+                .with_bucket_groups(touched)
                 .new_read()
                 .to_df()
                 .join(batch_keys, keys, "left_semi")
@@ -1824,6 +2250,7 @@ def write_lake_pk_append(
             seq_base=seq_base,
             row_kind_col="__kind",
             file_prefix="changelog",
+            arrival_order=False,
         )
     seq_field = info.options.get("sequence.field") or None
     if seq_field is not None and seq_field not in info.spark_schema.names:
@@ -2492,7 +2919,14 @@ def remove_lake_orphan_files(
             if not n.startswith(("_", ".")):
                 rel = os.path.join("index", n)
                 rm_if_orphan(os.path.join(idir, n), "index_files", rel in known_rel)
-    skip_top = {"snapshot", "schema", "tag", "manifest", "index", "branch", "consumer"}
+    # "streaming" holds StreamingLakeSink idempotence markers
+    # (offsets-<id>.json, sink.py) — never data files, so the walker must
+    # not reap them: deleting one resets last_committed_batch() to -1 and a
+    # checkpoint-replayed micro-batch would double-commit.
+    skip_top = {
+        "snapshot", "schema", "tag", "manifest", "index", "branch",
+        "consumer", "streaming",
+    }
     for dirpath, dirnames, filenames in os.walk(table_path):
         if dirpath == table_path:
             dirnames[:] = [d for d in dirnames if d not in skip_top]
@@ -2515,6 +2949,7 @@ _LAKE_RESERVED_DIRS = {
     "tag",
     "branch",
     "consumer",
+    "streaming",
 }
 
 
@@ -2874,15 +3309,20 @@ def expire_lake_partitions(
     table_path: str,
     expiration_time=None,
     timestamp_formatter: Optional[str] = None,
+    timestamp_pattern: Optional[str] = None,
     now=None,
 ) -> dict:
     """Paimon PARTITION EXPIRATION on a real lake: partitions whose
-    time value (the FIRST partition key, parsed with
-    ``partition.timestamp-formatter``) is older than ``now -
-    expiration_time`` drop in one metadata-only OVERWRITE commit via
-    :func:`drop_lake_partitions`. Arguments default to the table
-    options real Paimon uses (``partition.expiration-time``,
-    ``partition.timestamp-formatter``); ``expiration_time`` accepts a
+    time value is older than ``now - expiration_time`` drop in one
+    metadata-only OVERWRITE commit via :func:`drop_lake_partitions`.
+    The time value comes from ``partition.timestamp-pattern`` —
+    ``$key`` placeholders composed over ANY number of partition keys,
+    e.g. ``'$dt $hour:00:00'`` for (dt, hour) tables — parsed with
+    ``partition.timestamp-formatter``; with no pattern, the FIRST
+    partition key's value (real Paimon's default). Arguments default
+    to the table options real Paimon uses (``partition.
+    expiration-time``, ``partition.timestamp-formatter``, ``partition.
+    timestamp-pattern``); ``expiration_time`` accepts a
     ``datetime.timedelta`` or a Paimon duration string (``'7 d'``,
     ``'24 h'``, ``'30 m'``). ``now`` is injectable for deterministic
     maintenance jobs/tests; default wall clock. The 100 TB shape: the
@@ -2914,6 +3354,9 @@ def expire_lake_partitions(
         "partition.timestamp-formatter", "yyyy-MM-dd"
     )
     pyfmt = _java_time_format_to_python(fmt)
+    pattern = timestamp_pattern or info.options.get(
+        "partition.timestamp-pattern"
+    )
     if now is None:
         now = _dt.datetime.now()
     cutoff = now - expiration_time
@@ -2924,9 +3367,31 @@ def expire_lake_partitions(
     from paimon_python_spark.paimon_import import plan_paimon_files
     from paimon_python_spark.predicate import PredicateBuilder
 
-    expired_values = []
+    expired_values = []  # first-key values (default, pattern-less path)
+    expired_tuples = []  # full partition tuples (pattern path)
+    seen = set()
     for e in plan_paimon_files(table_path):
-        v = _logical_partition_values(info, e.partition).get(key)
+        pvals = _logical_partition_values(info, e.partition)
+        tup = tuple(pvals.get(k) for k in part_keys)
+        if tup in seen:
+            continue
+        seen.add(tup)
+        if pattern is not None:
+            # compose the timestamp over ALL named keys — Paimon's
+            # partition.timestamp-pattern ('$dt $hour:00:00' style)
+            if any(pvals.get(k) is None for k in part_keys if f"${k}" in pattern):
+                continue  # default/NULL partition: never expires
+            s = pattern
+            for k in sorted(part_keys, key=len, reverse=True):
+                s = s.replace(f"${k}", str(pvals.get(k)))
+            try:
+                ts = _dt.datetime.strptime(s, pyfmt)
+            except ValueError:
+                continue  # unparseable composite: never expires
+            if ts < cutoff:
+                expired_tuples.append(tup)
+            continue
+        v = pvals.get(key)
         if v is None:
             continue
         if isinstance(key_type, (T.DateType, T.TimestampType, T.TimestampNTZType)):
@@ -2942,7 +3407,7 @@ def expire_lake_partitions(
                 continue  # unparseable partition value: never expires
         if ts < cutoff and v not in expired_values:
             expired_values.append(v)
-    if not expired_values:
+    if not expired_values and not expired_tuples:
         return {
             "snapshot_id": None,
             "partitions_dropped": 0,
@@ -2950,6 +3415,16 @@ def expire_lake_partitions(
             "rows_dropped": 0,
         }
     pb = PredicateBuilder(info.spark_schema)
+    if expired_tuples:
+        pred = pb.or_predicates(
+            [
+                pb.and_predicates(
+                    [pb.equal(k, v) for k, v in zip(part_keys, tup)]
+                )
+                for tup in expired_tuples
+            ]
+        )
+        return drop_lake_partitions(table_path, pred)
     return drop_lake_partitions(table_path, pb.is_in(key, expired_values))
 
 
@@ -3110,6 +3585,7 @@ def compact_lake(
                 seq_base=seq_base,
                 row_kind_col="__kind",
                 file_prefix="changelog",
+                arrival_order=False,
             )
         add_entries, n_rows = _distributed_lake_write(
             table_path,

@@ -1613,3 +1613,36 @@ def test_cache_scopes_are_per_thread(spark, docs):
     assert results["a_after"] == 0 and results["b_after"] == 0
     # the main thread's scope never saw either worker's frames
     assert len(_current()) == 0
+
+
+def test_scalable_rank_null_partition_values(spark):
+    """NULL partition columns must not crash the bounded offset
+    collect (Python can't order None vs int) — NULL groups rank
+    independently, matching Spark's own window semantics."""
+    from pyspark.sql import Window as W
+
+    from paimon_python_spark.operators.ranking import scalable_rank
+
+    df = spark.range(300).select(
+        F.col("id"),
+        F.when(F.col("id") % 3 == 0, None)
+        .otherwise(F.col("id") % 3)
+        .alias("g"),
+        (F.col("id") % 17).cast("double").alias("v"),
+    )
+    wp = W.partitionBy("g").orderBy("v", "id")
+    want = df.select(
+        "id",
+        F.row_number().over(wp).alias("rn"),
+        F.percent_rank().over(wp).alias("pr"),
+    )
+    got = scalable_rank(
+        df,
+        ["v", "id"],
+        ["g"],
+        num_buckets=4,
+        row_number_col="rn",
+        percent_rank_col="pr",
+    ).select("id", "rn", "pr")
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0

@@ -2702,12 +2702,22 @@ def test_compact_lake_pk_table(tmp_path, spark):
         [("_KEY_k", pa.int64()), ("_SEQUENCE_NUMBER", pa.int64()),
          ("_VALUE_KIND", pa.int32()), ("k", pa.int64()), ("v", pa.string())]
     )
+    # keys placed in their SPEC buckets (fixed_bucket: 1,2 → 0; 3 → 1)
+    # — a real fixed-bucket lake always routes by the hash, and the
+    # planner's bucket pruning on PK equality is sound only because of
+    # that invariant
     write_paimon_fixture(
         p, [("k", "BIGINT NOT NULL"), ("v", "STRING")], [], ["k"],
-        [(0, {}, 0, pa.table(
-            {"_KEY_k": [1, 2, 3], "_SEQUENCE_NUMBER": [0, 1, 2],
-             "_VALUE_KIND": [0, 0, 0], "k": [1, 2, 3],
-             "v": ["a", "b", "c"]}, schema=kv))],
+        [
+            (0, {}, 0, pa.table(
+                {"_KEY_k": [1, 2], "_SEQUENCE_NUMBER": [0, 1],
+                 "_VALUE_KIND": [0, 0], "k": [1, 2],
+                 "v": ["a", "b"]}, schema=kv)),
+            (0, {}, 1, pa.table(
+                {"_KEY_k": [3], "_SEQUENCE_NUMBER": [2],
+                 "_VALUE_KIND": [0], "k": [3],
+                 "v": ["c"]}, schema=kv)),
+        ],
         options={"bucket": "2"},
     )
     write_lake_append(p, spark.createDataFrame([(2, "B"), (7, "g")],
@@ -3174,8 +3184,10 @@ def test_lake_row_count_metadata_only(tmp_path, spark):
 
 def test_lake_min_max_metadata_only(tmp_path, spark):
     """min_max(): folds manifest stats (+ decoded partition values)
-    with no read; NULLs ignored, all-NULL files contribute nothing;
-    DV attach forces the exact fallback."""
+    with no read for numeric and partition columns; non-partition
+    STRING columns always take the exact fallback (manifest string
+    stats are truncated bounds, not values); NULLs ignored, all-NULL
+    files contribute nothing; DV attach forces the exact fallback."""
     from paimon_python_spark.paimon_import import attach_paimon_dv_fixture
     from paimon_python_spark.paimon_lake import PaimonLakeRead, PaimonLakeTable
     from paimon_python_spark.session import set_spark
@@ -3204,17 +3216,22 @@ def test_lake_min_max_metadata_only(tmp_path, spark):
     )
     try:
         rb = t.new_read_builder()
-        got = rb.min_max(["k", "v", "dt"])
+        got = rb.min_max(["k", "dt"])
         assert got["k"] == (1, 9)
-        assert got["v"] == ("m", "x")  # NULLs ignored; all-NULL file skipped
-        assert got["dt"] == ("a", "b")
+        assert got["dt"] == ("a", "b")  # partition strings decode exactly
         rb2 = t.new_read_builder()
         pred = rb2.new_predicate_builder().equal("dt", "b")
-        got_b = rb2.with_filter(pred).min_max(["k", "v"])
+        got_b = rb2.with_filter(pred).min_max(["k"])
         assert got_b["k"] == (1, 5)
-        assert got_b["v"] == (None, None)  # partition b is all-NULL in v
     finally:
         PaimonLakeRead.to_df = orig
+    # non-partition strings: manifest stats are truncated bounds, so the
+    # exact (distributed) path answers — values still correct
+    got_s = t.new_read_builder().min_max(["v"])
+    assert got_s["v"] == ("m", "x")  # NULLs ignored; all-NULL file skipped
+    rb3 = t.new_read_builder()
+    pred3 = rb3.new_predicate_builder().equal("dt", "b")
+    assert rb3.with_filter(pred3).min_max(["v"])["v"] == (None, None)
     # DVs can delete the extremal row -> metadata path must yield
     attach_paimon_dv_fixture(
         p, {"data-fixture-0.parquet": [2]}, partition={"dt": "a"}
@@ -3530,3 +3547,378 @@ def test_sort_compact_lake_partition_scoped(tmp_path, spark):
     for r in ("eu", "us"):
         sub = out[out.region == r]
         assert sorted(zip(sub.a, sub.b)) == sorted(itertools.product(range(16), repeat=2))
+
+
+def test_lake_pk_arrival_order_sequencing(tmp_path, spark):
+    """Same-key events in ONE commit take sequence numbers in ARRIVAL
+    order, not RowKind-value order (real Paimon's SequenceGenerator):
+    delete-then-reinsert nets to the re-insert, insert-then-delete nets
+    to deleted."""
+    from paimon_python_spark.paimon_lake import (
+        PaimonLakeTable,
+        create_lake_table,
+        write_lake_pk_append,
+    )
+    from paimon_python_spark.session import set_spark
+
+    set_spark(spark)
+    p = str(tmp_path / "arrival_lake")
+    create_lake_table(
+        p,
+        [("k", "INT NOT NULL"), ("v", "STRING")],
+        primary_keys=["k"],
+        options={"bucket": "1"},
+    )
+    write_lake_pk_append(
+        p, spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k int, v string")
+    )
+    # one batch, arrival order: -D k=1 then +I k=1 (re-insert wins);
+    # +I k=2 then -D k=2 (delete wins); plain update k=3
+    batch = spark.createDataFrame(
+        [
+            (1, "dead", 3),
+            (1, "alive", 0),
+            (2, "reborn", 0),
+            (2, "gone", 3),
+            (3, "c2", 2),
+        ],
+        "k int, v string, __kind int",
+    ).coalesce(1)  # single input partition: list order IS arrival order
+    write_lake_pk_append(p, batch, row_kind_col="__kind")
+    out = PaimonLakeTable(p).new_read_builder().new_read().to_pandas()
+    got = dict(zip(out.k, out.v))
+    assert got == {1: "alive", 3: "c2"}, got
+    # same-key duplicate +I rows in one batch: LAST arrival wins
+    write_lake_pk_append(
+        p,
+        spark.createDataFrame(
+            [(7, "first"), (7, "second"), (7, "third")], "k int, v string"
+        ).coalesce(1),
+    )
+    out2 = PaimonLakeTable(p).new_read_builder().new_read().to_pandas()
+    assert dict(zip(out2.k, out2.v))[7] == "third"
+
+
+def test_orphan_cleanup_spares_streaming_markers(tmp_path, spark):
+    """StreamingLakeSink idempotence markers (<lake>/streaming/
+    offsets-<id>.json) are metadata, not data files: orphan cleanup
+    must never reap them, however old — deleting one would reset
+    last_committed_batch() and let a checkpoint-replayed micro-batch
+    double-commit."""
+    import time
+
+    from paimon_python_spark.paimon_lake import remove_lake_orphan_files
+    from paimon_python_spark.session import set_spark
+
+    set_spark(spark)
+    p = str(tmp_path / "stream_marker_lake")
+    sch = pa.schema([("k", pa.int32()), ("v", pa.string())])
+    write_paimon_fixture(
+        p,
+        [("k", "INT NOT NULL"), ("v", "STRING")],
+        [],
+        [],
+        [(0, {}, 0, pa.table({"k": [1], "v": ["a"]}, schema=sch))],
+    )
+    mdir = os.path.join(p, "streaming")
+    os.makedirs(mdir)
+    marker = os.path.join(mdir, "offsets-q1.json")
+    with open(marker, "w") as f:
+        json.dump({"batch_id": 41}, f)
+    old = time.time() - 7200
+    os.utime(marker, (old, old))
+    out = remove_lake_orphan_files(p, older_than_seconds=60)
+    assert os.path.exists(marker), "streaming marker must survive cleanup"
+    assert out["data_files"] == 0
+
+
+def test_lake_manifest_string_stats_truncated(tmp_path, spark):
+    """Lake manifest string min/max are SOUND TRUNCATED BOUNDS (prefix
+    min, incremented-prefix max, 64-char cap — same rule as engine
+    tables): a documents-style lake must not embed whole documents in
+    every manifest BinaryRow. Pruning on the column stays row-exact."""
+    from paimon_python_spark.paimon_import import decode_entry_stats
+    from paimon_python_spark.paimon_lake import (
+        PaimonLakeTable,
+        create_lake_table,
+        write_lake_append,
+    )
+    from paimon_python_spark.paimon_lake import read_paimon_schema
+    from paimon_python_spark.session import set_spark
+
+    set_spark(spark)
+    p = str(tmp_path / "trunc_lake")
+    # avro append routes through _distributed_lake_write, the writer
+    # that embeds _value_stats_for output in every manifest entry
+    create_lake_table(
+        p,
+        [("k", "INT NOT NULL"), ("doc", "STRING")],
+        options={"file.format": "avro"},
+    )
+    long_lo = "a" * 300
+    long_hi = "z" * 300 + "tail"
+    write_lake_append(
+        p,
+        spark.createDataFrame([(1, long_lo), (2, long_hi)], "k int, doc string")
+        .coalesce(1),
+    )
+    info = read_paimon_schema(p)
+    entries = plan_paimon_files(p)
+    assert entries
+    st = decode_entry_stats(entries[0], info, info)["doc"]
+    assert len(st["min"]) <= 64 and len(st["max"]) <= 65
+    assert st["min"] <= long_lo and st["max"] >= long_hi  # sound bounds
+    # pruning on the truncated column keeps the row (no false skip)
+    rb = PaimonLakeTable(p).new_read_builder()
+    pred = rb.new_predicate_builder().equal("doc", long_hi)
+    out = rb.with_filter(pred).new_read().to_pandas()
+    assert list(out.k) == [2]
+    # min_max() must NOT fold the truncated bounds as exact values
+    mm = PaimonLakeTable(p).new_read_builder().min_max(["doc"])
+    assert mm["doc"] == (long_lo, long_hi)
+
+
+def test_lake_pk_bucket_pruning_point_read(tmp_path, spark):
+    """Bucket pruning on lake PK point reads: an equality predicate on
+    the full bucket key pins the writer's fixed_bucket hash, so a point
+    lookup on a 16-bucket lake plans only that bucket's files (1/16) —
+    same rule as the engine planner and the JVM planner the reference
+    inherits. IN predicates prune to the union; a partial-key or
+    value-column predicate never bucket-prunes."""
+    from paimon_python_spark.paimon_import import fixed_bucket
+    from paimon_python_spark.paimon_lake import (
+        PaimonLakeTable,
+        _pruned_entries,
+        create_lake_table,
+        read_paimon_schema,
+        write_lake_pk_append,
+    )
+    from paimon_python_spark.session import set_spark
+
+    set_spark(spark)
+    p = str(tmp_path / "bucket_prune_lake")
+    create_lake_table(
+        p,
+        [("k", "INT NOT NULL"), ("v", "STRING")],
+        primary_keys=["k"],
+        options={"bucket": "16"},
+    )
+    write_lake_pk_append(
+        p,
+        spark.createDataFrame([(i, f"v{i}") for i in range(2000)], "k int, v string"),
+    )
+    info = read_paimon_schema(p)
+    t = PaimonLakeTable(p)
+    all_entries = _pruned_entries(p, info, t.new_read_builder())
+    assert len(all_entries) == 16  # one level-0 file per bucket
+
+    rb = t.new_read_builder()
+    rb.with_filter(rb.new_predicate_builder().equal("k", 42))
+    ents = _pruned_entries(p, info, rb)
+    want_bucket = fixed_bucket([42], [T.IntegerType()], 16)
+    assert {e.bucket for e in ents} == {want_bucket}
+    assert len(ents) <= len(all_entries) // 16 + 1
+    out = rb.new_read().to_pandas()
+    assert list(out.k) == [42] and list(out.v) == ["v42"]
+
+    # IN → union of candidate buckets; still a strict subset
+    rb2 = t.new_read_builder()
+    rb2.with_filter(rb2.new_predicate_builder().is_in("k", [1, 2, 3]))
+    ents2 = _pruned_entries(p, info, rb2)
+    want2 = {fixed_bucket([i], [T.IntegerType()], 16) for i in [1, 2, 3]}
+    assert {e.bucket for e in ents2} <= want2
+    assert sorted(rb2.new_read().to_pandas().k) == [1, 2, 3]
+
+    # value-column predicate must NOT bucket-prune (it doesn't pin k)
+    rb3 = t.new_read_builder()
+    rb3.with_filter(rb3.new_predicate_builder().equal("v", "v42"))
+    assert len(_pruned_entries(p, info, rb3)) == 16
+
+
+def test_lake_lookup_changelog_bucket_scoped(tmp_path, spark, monkeypatch):
+    """changelog-producer=lookup plans ONLY the touched (partition,
+    bucket) groups for its old-state read — a small CDC commit into a
+    many-bucket lake must not scan the whole merged lake (real Paimon
+    does per-bucket LSM point lookups). Output parity: the full-image
+    changelog still carries the same -U/+U/+I/-D rows."""
+    import paimon_python_spark.paimon_lake as pl
+    from paimon_python_spark.paimon_lake import (
+        create_lake_table,
+        read_lake_incremental,
+        write_lake_pk_append,
+    )
+    from paimon_python_spark.session import set_spark
+
+    set_spark(spark)
+    p = str(tmp_path / "lookup_scope_lake")
+    create_lake_table(
+        p,
+        [("k", "INT NOT NULL"), ("v", "STRING")],
+        primary_keys=["k"],
+        options={"bucket": "8", "changelog-producer": "lookup"},
+    )
+    write_lake_pk_append(
+        p,
+        spark.createDataFrame([(i, f"v{i}") for i in range(400)], "k int, v string"),
+    )
+    scoped_calls = []
+    orig = pl._pruned_entries
+
+    def spy(tp, info, b):
+        out = orig(tp, info, b)
+        if b._bucket_groups is not None:
+            scoped_calls.append((set(b._bucket_groups), len(out)))
+        return out
+
+    monkeypatch.setattr(pl, "_pruned_entries", spy)
+    # CDC batch touching 2 keys → at most 2 of the 8 buckets
+    write_lake_pk_append(
+        p,
+        spark.createDataFrame(
+            [(7, "V7", 2), (398, None, 3)], "k int, v string, __kind int"
+        ),
+        row_kind_col="__kind",
+    )
+    assert scoped_calls, "lookup old-state read must be bucket-scoped"
+    groups, planned = scoped_calls[0]
+    assert len(groups) <= 2
+    assert planned <= 2, f"planned {planned} files, expected touched buckets only"
+    # changelog parity: -U/+U for the update, -D for the delete
+    cl = read_lake_incremental(p, 1, 2, use_changelog=True).toPandas()
+    assert sorted(zip(cl.k, cl._row_kind)) == [
+        (7, "+U"),
+        (7, "-U"),
+        (398, "-D"),
+    ]
+
+
+def test_expire_lake_partitions_multi_key(tmp_path, spark):
+    """Multi-key partition expiration: partition.timestamp-pattern
+    composes the time value over SEVERAL partition keys ('$dt
+    $hour:00:00' over (dt, hour)) — hours inside the same day expire
+    independently, and the unexpired hours of a partially-old day
+    survive."""
+    import datetime as dt
+
+    from paimon_python_spark.paimon_lake import (
+        PaimonLakeTable,
+        create_lake_table,
+        expire_lake_partitions,
+        write_lake_append,
+    )
+    from paimon_python_spark.session import set_spark
+
+    set_spark(spark)
+    p = str(tmp_path / "hourly_lake")
+    create_lake_table(
+        p,
+        [("dt", "STRING NOT NULL"), ("hour", "INT NOT NULL"), ("v", "INT")],
+        partition_keys=["dt", "hour"],
+        options={
+            "partition.expiration-time": "24 h",
+            "partition.timestamp-formatter": "yyyy-MM-dd HH:mm:ss",
+            "partition.timestamp-pattern": "$dt $hour:00:00",
+        },
+    )
+    rows = [
+        ("2026-08-13", 22, 1),  # > 24h old → expires
+        ("2026-08-14", 9, 2),   # > 24h old → expires
+        ("2026-08-14", 23, 3),  # 11h old → survives (same dt as above!)
+        ("2026-08-15", 8, 4),   # 2h old → survives
+    ]
+    write_lake_append(
+        p, spark.createDataFrame(rows, "dt string, hour int, v int")
+    )
+    now = dt.datetime(2026, 8, 15, 10, 0, 0)
+    res = expire_lake_partitions(p, now=now)
+    assert res["partitions_dropped"] == 2 and res["rows_dropped"] == 2
+    out = PaimonLakeTable(p).new_read_builder().new_read().to_pandas()
+    assert sorted(zip(out.dt, out.hour)) == [
+        ("2026-08-14", 23),
+        ("2026-08-15", 8),
+    ]
+
+
+def test_stream_lake_snapshots_start_modes(tmp_path, spark):
+    """Streaming start modes (Paimon scan.mode family): from-timestamp
+    starts after the newest commit at/before the instant; latest skips
+    history entirely; latest-full bootstraps with the current full
+    state then streams deltas; a persisted consumer offset still wins
+    over any start mode."""
+    import json as _json
+    import os as _os
+
+    from paimon_python_spark.paimon_import import append_paimon_fixture_snapshot
+    from paimon_python_spark.paimon_lake import stream_lake_snapshots
+    from paimon_python_spark.session import set_spark
+
+    set_spark(spark)
+    p = str(tmp_path / "start_modes_lake")
+    write_paimon_fixture(
+        p, [("k", "INT NOT NULL")], [], [],
+        [(0, {}, 0, pa.table({"k": pa.array([1], pa.int32())}))],
+    )
+    append_paimon_fixture_snapshot(
+        p, [(0, {}, 0, pa.table({"k": pa.array([2], pa.int32())}))]
+    )
+    append_paimon_fixture_snapshot(
+        p, [(0, {}, 0, pa.table({"k": pa.array([3], pa.int32())}))]
+    )
+    # pin per-snapshot commit times: 1000/2000/3000 ms
+    for sid, ms in ((1, 1000), (2, 2000), (3, 3000)):
+        sp = _os.path.join(p, "snapshot", f"snapshot-{sid}")
+        with open(sp) as f:
+            s = _json.load(f)
+        s["timeMillis"] = ms
+        with open(sp, "w") as f:
+            _json.dump(s, f)
+
+    # from-timestamp: baseline = newest commit at/before 2500 ms
+    # (snapshot 2) → first batch is snapshot 3's delta
+    got = [
+        (sid, sorted(df.toPandas().k))
+        for sid, df in stream_lake_snapshots(
+            p, max_batches=1, starting_timestamp=2500
+        )
+    ]
+    assert got == [(3, [3])]
+
+    # latest: nothing yielded until a NEW commit lands
+    gen = stream_lake_snapshots(
+        p, max_batches=1, scan_mode="latest", poll_interval_s=0.05
+    )
+    append_paimon_fixture_snapshot(
+        p, [(0, {}, 0, pa.table({"k": pa.array([4], pa.int32())}))]
+    )
+    sid, df = next(gen)
+    assert (sid, sorted(df.toPandas().k)) == (4, [4])
+
+    # latest-full: bootstrap batch = FULL current state at snapshot 4,
+    # then the next commit's delta
+    gen2 = stream_lake_snapshots(
+        p, max_batches=2, scan_mode="latest-full", poll_interval_s=0.05
+    )
+    sid0, full = next(gen2)
+    assert sid0 == 4 and sorted(full.toPandas().k) == [1, 2, 3, 4]
+    append_paimon_fixture_snapshot(
+        p, [(0, {}, 0, pa.table({"k": pa.array([5], pa.int32())}))]
+    )
+    sid1, delta = next(gen2)
+    assert (sid1, sorted(delta.toPandas().k)) == (5, [5])
+
+    # consumer offset beats the start mode (real Paimon precedence)
+    cdir = str(tmp_path / "cstate")
+    _os.makedirs(cdir)
+    with open(_os.path.join(cdir, "consumer-ci.json"), "w") as f:
+        _json.dump({"next_snapshot": 4}, f)
+    got3 = [
+        (sid, sorted(df.toPandas().k))
+        for sid, df in stream_lake_snapshots(
+            p,
+            max_batches=1,
+            starting_timestamp=1500,
+            consumer_id="ci",
+            consumer_dir=cdir,
+        )
+    ]
+    assert got3 == [(5, [5])]

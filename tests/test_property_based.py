@@ -270,3 +270,36 @@ def test_scalable_rank_matches_window_property(spark, vals, tiles, buckets):
         ).collect()
     }
     assert got == want
+
+
+@given(
+    keys=st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.integers(min_value=-(2**63), max_value=2**63 - 1)),
+            st.one_of(st.none(), st.text(max_size=30)),
+        ),
+        min_size=1,
+        max_size=200,
+    ),
+    nb=st.sampled_from([1, 2, 8, 16, 97]),
+)
+@settings(**SETTINGS)
+def test_vectorized_bucket_matches_scalar_oracle(keys, nb):
+    """The numpy-vectorized lake bucket router must agree with the
+    scalar spec implementation (fixed_bucket over encode_binary_row)
+    for ANY key values — ints incl. negatives, unicode strings of every
+    inline/var length, NULLs — so a vectorization bug can never route a
+    row to the wrong bucket."""
+    from pyspark.sql import types as T
+
+    from paimon_python_spark.paimon_import import fixed_bucket
+    from paimon_python_spark.paimon_lake import _vectorized_fixed_buckets
+
+    types = [T.LongType(), T.StringType()]
+    cols = (
+        pd.Series([k[0] for k in keys], dtype="object"),
+        pd.Series([k[1] for k in keys], dtype="object"),
+    )
+    got = list(_vectorized_fixed_buckets(cols, types, nb))
+    want = [fixed_bucket(list(k), types, nb) for k in keys]
+    assert got == want
