@@ -3760,6 +3760,259 @@ ORDER BY o_orderkey
 """
 
 
+def paimon_lake_multikey_expire_roundtrip(spark, sf_dir):
+    """Multi-key PARTITION EXPIRATION: a (dt, hr)-partitioned orders
+    lake composes its time value over BOTH keys via Paimon's
+    ``partition.timestamp-pattern`` ('$dt $hr:00:00') — hours expire
+    independently, so the young hours of a partially-old day survive
+    (the shape real hourly ingestion pipelines need; single-key
+    expiration would drop whole days). One metadata-only OVERWRITE
+    commit; oracle replays the same cutoff in SQL."""
+    import datetime as dt
+
+    import pyarrow as pa
+
+    from paimon_python_spark.paimon_import import write_paimon_table_fixture
+    from paimon_python_spark.paimon_lake import (
+        PaimonLakeTable,
+        expire_lake_partitions,
+    )
+    from paimon_python_spark.session import set_spark
+
+    set_spark(spark)
+    pdf = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") <= 4000)
+        .select(
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("dt2"),
+            (F.col("o_orderkey") % 24).cast("int").alias("hr"),
+            "o_orderkey",
+            "o_totalprice",
+        )
+        .toPandas()
+    )
+    # two synthetic days x the key-derived hour: deterministic and
+    # independent of the order dates' actual spread
+    pdf["dt2"] = ["2026-08-14" if k % 2 == 0 else "2026-08-15" for k in pdf.o_orderkey]
+    fixture = _fresh_warehouse("lakemkexp") + "/orders_by_hour"
+    write_paimon_table_fixture(
+        fixture,
+        [
+            ("dt2", "STRING NOT NULL"),
+            ("hr", "INT NOT NULL"),
+            ("o_orderkey", "BIGINT NOT NULL"),
+            ("o_totalprice", "DOUBLE"),
+        ],
+        ["dt2", "hr"],
+        [],
+        [
+            (0, {"dt2": d, "hr": int(h)}, 0,
+             pa.table({
+                 "dt2": pa.array(g.dt2, pa.string()),
+                 "hr": pa.array(g.hr, pa.int32()),
+                 "o_orderkey": pa.array(g.o_orderkey, pa.int64()),
+                 "o_totalprice": pa.array(g.o_totalprice, pa.float64()),
+             }))
+            for (d, h), g in pdf.groupby(["dt2", "hr"], sort=True)
+        ],
+        options={
+            "partition.timestamp-formatter": "yyyy-MM-dd HH:mm:ss",
+            "partition.timestamp-pattern": "$dt2 $hr:00:00",
+        },
+    )
+    res = expire_lake_partitions(
+        fixture, "24 h", now=dt.datetime(2026, 8, 15, 12, 0, 0)
+    )
+    assert res["partitions_dropped"] >= 1
+    return (
+        PaimonLakeTable(fixture)
+        .new_read_builder()
+        .new_read()
+        .to_df()
+        .orderBy("o_orderkey")
+    )
+
+
+# cutoff 2026-08-15 12:00 - 24h = 2026-08-14 12:00: day 2026-08-14
+# (even keys) keeps hours >= 12, day 2026-08-15 (odd keys) keeps all
+PAIMON_LAKE_MULTIKEY_EXPIRE_SQL = """
+SELECT CASE WHEN o_orderkey % 2 = 0 THEN '2026-08-14' ELSE '2026-08-15' END AS dt2,
+       CAST(o_orderkey % 24 AS INT) AS hr, o_orderkey, o_totalprice
+FROM orders
+WHERE o_orderkey <= 4000
+  AND NOT (o_orderkey % 2 = 0 AND o_orderkey % 24 < 12)
+ORDER BY o_orderkey
+"""
+
+
+def paimon_lake_bucket_pruned_point_read(spark, sf_dir):
+    """PK point lookup with BUCKET PRUNING on a real 16-bucket lake:
+    equality on the full bucket key pins the writer's
+    abs(murmur(BinaryRow)) % 16 bucket, so the planner opens 1/16 of
+    the live files (asserted on the planned entry set — the same rule
+    the JVM planner applies, mirrored from the engine's scan.py). IN
+    predicates prune to the candidate union. Returns the looked-up
+    rows; oracle replays the key filter on the source table."""
+    from paimon_python_spark.paimon_lake import (
+        PaimonLakeTable,
+        _pruned_entries,
+        read_paimon_schema,
+    )
+    from paimon_python_spark.session import set_spark
+
+    set_spark(spark)
+    fixture = _pk_lake_fixture(spark, sf_dir, "lakebprune", num_buckets=16)
+    info = read_paimon_schema(fixture)
+    t = PaimonLakeTable(fixture)
+    total = len(_pruned_entries(fixture, info, t.new_read_builder()))
+    rb = t.new_read_builder()
+    pred = rb.new_predicate_builder().is_in(
+        "c_custkey", [42, 733, 1101]
+    )
+    rb.with_filter(pred)
+    planned = _pruned_entries(fixture, info, rb)
+    assert len(planned) <= max(3, total * 3 // 16 + 1), (
+        f"bucket pruning failed: planned {len(planned)} of {total}"
+    )
+    return rb.new_read().to_df().orderBy("c_custkey")
+
+
+PAIMON_LAKE_BUCKET_PRUNE_SQL = """
+SELECT c_custkey, c_name, c_acctbal
+FROM customer
+WHERE c_custkey IN (42, 733, 1101)
+ORDER BY c_custkey
+"""
+
+
+def paimon_lake_stream_start_modes_roundtrip(spark, sf_dir):
+    """Streaming START MODES on a real lake (Paimon's scan.mode
+    family): three timestamped commits; a from-timestamp subscription
+    (scan.timestamp-millis) starts AFTER the newest commit at/before
+    the instant — the backfill-job shape — and a latest-full
+    subscription bootstraps with the full current state. Returns the
+    from-timestamp batches' union; oracle replays the key split."""
+    import json
+    import os
+
+    import pyarrow as pa
+
+    from paimon_python_spark.paimon_import import (
+        append_paimon_fixture_snapshot,
+        write_paimon_table_fixture,
+    )
+    from paimon_python_spark.paimon_lake import stream_lake_snapshots
+    from paimon_python_spark.session import set_spark
+
+    set_spark(spark)
+    pdf = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 900)
+        .select("c_custkey", "c_acctbal")
+        .toPandas()
+        .sort_values("c_custkey")
+        .reset_index(drop=True)
+    )
+    thirds = [pdf.iloc[:300], pdf.iloc[300:600], pdf.iloc[600:]]
+
+    def tbl(g):
+        return pa.table({
+            "c_custkey": pa.array(g.c_custkey, pa.int64()),
+            "c_acctbal": pa.array(g.c_acctbal, pa.float64()),
+        })
+
+    fixture = _fresh_warehouse("lakestart") + "/customer_commits"
+    write_paimon_table_fixture(
+        fixture,
+        [("c_custkey", "BIGINT NOT NULL"), ("c_acctbal", "DOUBLE")],
+        [], [],
+        [(0, {}, 0, tbl(thirds[0]))],
+    )
+    for g in thirds[1:]:
+        append_paimon_fixture_snapshot(fixture, [(0, {}, 0, tbl(g))])
+    for sid, ms in ((1, 1000), (2, 2000), (3, 3000)):
+        sp = os.path.join(fixture, "snapshot", f"snapshot-{sid}")
+        with open(sp) as f:
+            s = json.load(f)
+        s["timeMillis"] = ms
+        with open(sp, "w") as f:
+            json.dump(s, f)
+    # from-timestamp 1500: baseline snapshot 1 → batches 2 and 3
+    batches = [
+        df
+        for _, df in stream_lake_snapshots(
+            fixture, max_batches=2, starting_timestamp=1500
+        )
+    ]
+    assert len(batches) == 2
+    # latest-full: bootstrap = full state at snapshot 3
+    boot = next(
+        iter(stream_lake_snapshots(fixture, max_batches=1, scan_mode="latest-full"))
+    )
+    assert boot[0] == 3 and boot[1].count() == len(pdf)
+    out = batches[0].unionByName(batches[1])
+    return out.orderBy("c_custkey")
+
+
+PAIMON_LAKE_START_MODES_SQL = """
+SELECT c_custkey, c_acctbal
+FROM (SELECT c_custkey, c_acctbal,
+             row_number() OVER (ORDER BY c_custkey) AS rn
+      FROM customer WHERE c_custkey <= 900)
+WHERE rn > 300
+ORDER BY c_custkey
+"""
+
+
+def paimon_lake_append_stats_prune_roundtrip(spark, sf_dir):
+    """Parquet-append lakes get manifest _VALUE_STATS harvested from
+    the parquet footers the adopter already opens — so a filtered read
+    of an append-only lake SKIPS files by min/max exactly like a
+    JVM-written lake (asserted on the planned entry count: the
+    low-key commit's file never plans). At 100 TB, manifest stats ARE
+    the planner's file skipping; a stats-less manifest means every
+    scan opens every file. Oracle replays the filter on the source."""
+    from paimon_python_spark.paimon_lake import (
+        PaimonLakeTable,
+        _pruned_entries,
+        create_lake_table,
+        read_paimon_schema,
+        write_lake_append,
+    )
+    from paimon_python_spark.session import set_spark
+
+    set_spark(spark)
+    fixture = _fresh_warehouse("lakepqstats") + "/orders_appends"
+    create_lake_table(
+        fixture,
+        [("o_orderkey", "BIGINT NOT NULL"), ("o_totalprice", "DOUBLE")],
+    )
+    src = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    write_lake_append(
+        fixture, src.filter(F.col("o_orderkey") <= 2000).coalesce(1)
+    )
+    write_lake_append(
+        fixture, src.filter(F.col("o_orderkey") > 2000).coalesce(1)
+    )
+    info = read_paimon_schema(fixture)
+    t = PaimonLakeTable(fixture)
+    rb = t.new_read_builder()
+    rb.with_filter(rb.new_predicate_builder().less_or_equal("o_orderkey", 1500))
+    planned = _pruned_entries(fixture, info, rb)
+    assert len(planned) == 1, (
+        f"footer stats must prune the high-range file, planned {len(planned)}"
+    )
+    return rb.new_read().to_df().orderBy("o_orderkey")
+
+
+PAIMON_LAKE_APPEND_STATS_SQL = """
+SELECT o_orderkey, o_totalprice
+FROM orders
+WHERE o_orderkey <= 1500
+ORDER BY o_orderkey
+"""
+
+
 def paimon_lake_changelog_write_roundtrip(spark, sf_dir):
     """changelog-producer=input on the ENGINE'S OWN PK-lake commits:
     upserting into a lake declared with the option writes the commit's
@@ -9168,6 +9421,10 @@ _QUERIES: dict[str, Callable] = {
     "paimon_lake_pk_write_roundtrip": paimon_lake_pk_write_roundtrip,
     "paimon_lake_changelog_write_roundtrip": paimon_lake_changelog_write_roundtrip,
     "paimon_lake_partition_expire_roundtrip": paimon_lake_partition_expire_roundtrip,
+    "paimon_lake_multikey_expire_roundtrip": paimon_lake_multikey_expire_roundtrip,
+    "paimon_lake_bucket_pruned_point_read": paimon_lake_bucket_pruned_point_read,
+    "paimon_lake_stream_start_modes_roundtrip": paimon_lake_stream_start_modes_roundtrip,
+    "paimon_lake_append_stats_prune_roundtrip": paimon_lake_append_stats_prune_roundtrip,
     "paimon_lake_fullcompact_changelog_roundtrip": paimon_lake_fullcompact_changelog_roundtrip,
     "paimon_lake_lookup_changelog_roundtrip": paimon_lake_lookup_changelog_roundtrip,
     "paimon_lake_pk_delete_roundtrip": paimon_lake_pk_delete_roundtrip,
@@ -9501,6 +9758,10 @@ _ORACLES: dict[str, str] = {
     "paimon_lake_pk_write_roundtrip": PAIMON_LAKE_PK_WRITE_SQL,
     "paimon_lake_changelog_write_roundtrip": PAIMON_LAKE_CHANGELOG_WRITE_SQL,
     "paimon_lake_partition_expire_roundtrip": PAIMON_LAKE_PARTITION_EXPIRE_SQL,
+    "paimon_lake_multikey_expire_roundtrip": PAIMON_LAKE_MULTIKEY_EXPIRE_SQL,
+    "paimon_lake_bucket_pruned_point_read": PAIMON_LAKE_BUCKET_PRUNE_SQL,
+    "paimon_lake_stream_start_modes_roundtrip": PAIMON_LAKE_START_MODES_SQL,
+    "paimon_lake_append_stats_prune_roundtrip": PAIMON_LAKE_APPEND_STATS_SQL,
     "paimon_lake_fullcompact_changelog_roundtrip": PAIMON_LAKE_FULLCOMPACT_CHANGELOG_SQL,
     "paimon_lake_lookup_changelog_roundtrip": PAIMON_LAKE_LOOKUP_CHANGELOG_SQL,
     "paimon_lake_pk_delete_roundtrip": PAIMON_LAKE_PK_DELETE_SQL,
@@ -9595,6 +9856,10 @@ _GATE_HEAD = [
     "setop_except_all",
     "setop_intersect_all",
     "scalar_regex_funcs",
+    "paimon_lake_multikey_expire_roundtrip",
+    "paimon_lake_bucket_pruned_point_read",
+    "paimon_lake_stream_start_modes_roundtrip",
+    "paimon_lake_append_stats_prune_roundtrip",
 ]
 
 

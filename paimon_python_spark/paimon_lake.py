@@ -1261,6 +1261,91 @@ def _lake_system_partitions(table_path: str, snapshot_id: "Optional[int]" = None
     return get_spark().createDataFrame(rows, schema)
 
 
+def _parquet_footer_value_stats(md, info):
+    """Manifest ``_VALUE_STATS`` from a parquet footer — ZERO extra IO:
+    the adopter already reads the footer for ``num_rows``. Column-chunk
+    min/max fold across row groups; strings truncate to sound bounds
+    (prefix min / incremented-prefix max, the repo-wide rule); columns
+    with absent, non-foldable, or non-encodable stats contribute NULL
+    min/max (test_by_stats then never prunes on them). Returns None —
+    empty stats, no pruning — when any null count is unknown, because a
+    wrong null count could mis-prune. Before this, plain parquet
+    appends committed stats-less manifests and every scan planned every
+    file; at 100 TB the manifest min/max IS the planner's file skipping."""
+    import datetime
+    import math
+
+    from pyspark.sql import types as T
+
+    from paimon_python_spark.paimon_import import encode_binary_row
+    from paimon_python_spark.write import _truncate_max, _truncate_min
+
+    ncols = md.num_columns
+    names = {md.schema.column(i).name: i for i in range(ncols)}
+    types = [f.dataType for f in info.spark_schema.fields]
+    encodable = (
+        T.IntegerType, T.LongType, T.ShortType, T.ByteType, T.BooleanType,
+        T.FloatType, T.DoubleType, T.DateType, T.StringType,
+    )
+    mins, maxs, nulls = [], [], []
+    for f in info.spark_schema.fields:
+        ci = names.get(f.name)
+        if ci is None:
+            # partition column: hive-layout files don't carry it
+            mins.append(None)
+            maxs.append(None)
+            nulls.append(md.num_rows)
+            continue
+        mn = mx = None
+        nc = 0
+        bounded = True
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(ci).statistics
+            if st is None or st.null_count is None:
+                return None  # unknown null count: stats could mis-prune
+            nc += st.null_count
+            n_vals = st.num_values
+            if n_vals is not None and n_vals == 0:
+                continue  # all-NULL chunk bounds nothing
+            if not st.has_min_max:
+                bounded = False  # values exist but no bounds: unprunable
+                continue
+            try:
+                lo, hi = st.min, st.max
+            except Exception:
+                bounded = False
+                continue
+            mn = lo if mn is None or lo < mn else mn
+            mx = hi if mx is None or hi > mx else mx
+        if not bounded or not isinstance(f.dataType, encodable):
+            mn = mx = None
+        if isinstance(f.dataType, T.DateType):
+            epoch = datetime.date(1970, 1, 1)
+            mn = (mn - epoch).days if isinstance(mn, datetime.date) else mn
+            mx = (mx - epoch).days if isinstance(mx, datetime.date) else mx
+        if isinstance(f.dataType, T.StringType):
+            if isinstance(mn, bytes) or isinstance(mx, bytes):
+                try:
+                    mn = mn.decode() if mn is not None else None
+                    mx = mx.decode() if mx is not None else None
+                except UnicodeDecodeError:
+                    mn = mx = None
+            mn, mx = _truncate_min(mn), _truncate_max(mx)
+        if isinstance(mn, float) and (math.isnan(mn) or math.isnan(mx)):
+            mn = mx = None  # parquet NaN stats are unreliable bounds
+        mins.append(mn)
+        maxs.append(mx)
+        nulls.append(int(nc))
+    try:
+        return {
+            "_MIN_VALUES": encode_binary_row(mins, types),
+            "_MAX_VALUES": encode_binary_row(maxs, types),
+            "_NULL_COUNTS": nulls,
+        }
+    except Exception:
+        return None
+
+
 def write_lake_append(table_path: str, df) -> int:
     """Commit an APPEND to a REAL Paimon lake — this engine as a lake
     PARTICIPANT, not just a reader: data files are written DISTRIBUTED
@@ -1368,8 +1453,11 @@ def write_lake_append(table_path: str, df) -> int:
                 if not name.endswith(f".{fmt}"):
                     continue
                 src_f = os.path.join(src_dir, name)
+                vstats = None
                 if fmt == "parquet":
-                    rows = _pq.ParquetFile(src_f).metadata.num_rows
+                    md = _pq.ParquetFile(src_f).metadata
+                    rows = md.num_rows
+                    vstats = _parquet_footer_value_stats(md, info)
                 else:
                     from paimon_python_spark.session import get_spark
 
@@ -1398,6 +1486,7 @@ def write_lake_append(table_path: str, df) -> int:
                             os.path.getsize(dest),
                             rows,
                             schema_id=info.id,
+                            value_stats=vstats,
                         ),
                     }
                 )

@@ -3922,3 +3922,57 @@ def test_stream_lake_snapshots_start_modes(tmp_path, spark):
         )
     ]
     assert got3 == [(5, [5])]
+
+
+def test_lake_parquet_append_writes_footer_stats(tmp_path, spark):
+    """Plain parquet appends harvest manifest _VALUE_STATS from the
+    parquet footers the adopter already opens — so stats-based file
+    skipping works on append-only lakes this engine writes (before,
+    those manifests were stats-less and every scan planned every
+    file). String bounds truncate; pruning is sound and effective."""
+    from paimon_python_spark.paimon_import import decode_entry_stats
+    from paimon_python_spark.paimon_lake import (
+        PaimonLakeTable,
+        _pruned_entries,
+        create_lake_table,
+        read_paimon_schema,
+        write_lake_append,
+    )
+    from paimon_python_spark.session import set_spark
+
+    set_spark(spark)
+    p = str(tmp_path / "pq_stats_lake")
+    create_lake_table(
+        p, [("k", "INT NOT NULL"), ("s", "STRING"), ("d", "DOUBLE")]
+    )
+    # two commits with disjoint k ranges → two files, prunable apart
+    write_lake_append(
+        p,
+        spark.createDataFrame(
+            [(i, f"s{i:03d}", float(i)) for i in range(100)],
+            "k int, s string, d double",
+        ).coalesce(1),
+    )
+    write_lake_append(
+        p,
+        spark.createDataFrame(
+            [(i, f"s{i:03d}", float(i)) for i in range(1000, 1100)],
+            "k int, s string, d double",
+        ).coalesce(1),
+    )
+    info = read_paimon_schema(p)
+    entries = plan_paimon_files(p)
+    assert len(entries) == 2
+    for e in entries:
+        st = decode_entry_stats(e, info, info)
+        assert st is not None and st["k"]["min"] is not None
+        assert st["s"]["min"].startswith("s")
+    t = PaimonLakeTable(p)
+    rb = t.new_read_builder()
+    rb.with_filter(rb.new_predicate_builder().greater_than("k", 999))
+    pruned = _pruned_entries(p, info, rb)
+    assert len(pruned) == 1, "stats must skip the low-range file"
+    assert sorted(rb.new_read().to_pandas().k) == list(range(1000, 1100))
+    # metadata-only min_max over the numeric columns still exact
+    mm = t.new_read_builder().min_max(["k", "d"])
+    assert mm["k"] == (0, 1099) and mm["d"] == (0.0, 1099.0)
