@@ -4013,6 +4013,73 @@ ORDER BY o_orderkey
 """
 
 
+def paimon_lake_between_tags_roundtrip(spark, sf_dir):
+    """Paimon's ``incremental-between`` over TAG names — the scheduled-
+    batch shape ("everything since yesterday's tag"): three tagged
+    commits; the window (d0, d2] returns exactly commits 2+3, and the
+    answer survives the window's snapshots EXPIRING because tags are
+    full snapshot copies (append lakes then diff the two tags' file
+    sets — Paimon's diff scan mode). Oracle replays the key split."""
+    import pyarrow as pa
+
+    from paimon_python_spark.paimon_import import (
+        append_paimon_fixture_snapshot,
+        write_paimon_table_fixture,
+    )
+    from paimon_python_spark.paimon_lake import (
+        create_lake_tag,
+        expire_lake_snapshots,
+        read_lake_incremental_between_tags,
+    )
+    from paimon_python_spark.session import set_spark
+
+    set_spark(spark)
+    pdf = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 900)
+        .select("c_custkey", "c_acctbal")
+        .toPandas()
+        .sort_values("c_custkey")
+        .reset_index(drop=True)
+    )
+    thirds = [pdf.iloc[:300], pdf.iloc[300:600], pdf.iloc[600:]]
+
+    def tbl(g):
+        return pa.table({
+            "c_custkey": pa.array(g.c_custkey, pa.int64()),
+            "c_acctbal": pa.array(g.c_acctbal, pa.float64()),
+        })
+
+    fixture = _fresh_warehouse("lakebtags") + "/customer_tagged"
+    write_paimon_table_fixture(
+        fixture,
+        [("c_custkey", "BIGINT NOT NULL"), ("c_acctbal", "DOUBLE")],
+        [], [],
+        [(0, {}, 0, tbl(thirds[0]))],
+    )
+    create_lake_tag(fixture, "d0", snapshot_id=1)
+    for g in thirds[1:]:
+        append_paimon_fixture_snapshot(fixture, [(0, {}, 0, tbl(g))])
+    create_lake_tag(fixture, "d2", snapshot_id=3)
+    live = read_lake_incremental_between_tags(fixture, "d0", "d2")
+    n_live = live.count()
+    # expire the window: the tag copies alone must still answer
+    expire_lake_snapshots(fixture, keep_last_n=1)
+    out = read_lake_incremental_between_tags(fixture, "d0", "d2")
+    assert out.count() == n_live
+    return out.orderBy("c_custkey")
+
+
+PAIMON_LAKE_BETWEEN_TAGS_SQL = """
+SELECT c_custkey, c_acctbal
+FROM (SELECT c_custkey, c_acctbal,
+             row_number() OVER (ORDER BY c_custkey) AS rn
+      FROM customer WHERE c_custkey <= 900)
+WHERE rn > 300
+ORDER BY c_custkey
+"""
+
+
 def paimon_lake_changelog_write_roundtrip(spark, sf_dir):
     """changelog-producer=input on the ENGINE'S OWN PK-lake commits:
     upserting into a lake declared with the option writes the commit's
@@ -9425,6 +9492,7 @@ _QUERIES: dict[str, Callable] = {
     "paimon_lake_bucket_pruned_point_read": paimon_lake_bucket_pruned_point_read,
     "paimon_lake_stream_start_modes_roundtrip": paimon_lake_stream_start_modes_roundtrip,
     "paimon_lake_append_stats_prune_roundtrip": paimon_lake_append_stats_prune_roundtrip,
+    "paimon_lake_between_tags_roundtrip": paimon_lake_between_tags_roundtrip,
     "paimon_lake_fullcompact_changelog_roundtrip": paimon_lake_fullcompact_changelog_roundtrip,
     "paimon_lake_lookup_changelog_roundtrip": paimon_lake_lookup_changelog_roundtrip,
     "paimon_lake_pk_delete_roundtrip": paimon_lake_pk_delete_roundtrip,
@@ -9762,6 +9830,7 @@ _ORACLES: dict[str, str] = {
     "paimon_lake_bucket_pruned_point_read": PAIMON_LAKE_BUCKET_PRUNE_SQL,
     "paimon_lake_stream_start_modes_roundtrip": PAIMON_LAKE_START_MODES_SQL,
     "paimon_lake_append_stats_prune_roundtrip": PAIMON_LAKE_APPEND_STATS_SQL,
+    "paimon_lake_between_tags_roundtrip": PAIMON_LAKE_BETWEEN_TAGS_SQL,
     "paimon_lake_fullcompact_changelog_roundtrip": PAIMON_LAKE_FULLCOMPACT_CHANGELOG_SQL,
     "paimon_lake_lookup_changelog_roundtrip": PAIMON_LAKE_LOOKUP_CHANGELOG_SQL,
     "paimon_lake_pk_delete_roundtrip": PAIMON_LAKE_PK_DELETE_SQL,
@@ -9860,6 +9929,7 @@ _GATE_HEAD = [
     "paimon_lake_bucket_pruned_point_read",
     "paimon_lake_stream_start_modes_roundtrip",
     "paimon_lake_append_stats_prune_roundtrip",
+    "paimon_lake_between_tags_roundtrip",
 ]
 
 

@@ -3976,3 +3976,43 @@ def test_lake_parquet_append_writes_footer_stats(tmp_path, spark):
     # metadata-only min_max over the numeric columns still exact
     mm = t.new_read_builder().min_max(["k", "d"])
     assert mm["k"] == (0, 1099) and mm["d"] == (0.0, 1099.0)
+
+
+def test_lake_incremental_between_tags(tmp_path, spark):
+    """incremental-between over TAG names: resolves the pinned snapshot
+    window while snapshots are retained; after the window's snapshots
+    EXPIRE, append lakes fall back to the exact file-set diff of the
+    two tag copies (Paimon's diff scan mode) and PK lakes refuse."""
+    from paimon_python_spark.paimon_import import append_paimon_fixture_snapshot
+    from paimon_python_spark.paimon_lake import (
+        create_lake_tag,
+        expire_lake_snapshots,
+        read_lake_incremental_between_tags,
+    )
+    from paimon_python_spark.session import set_spark
+
+    set_spark(spark)
+    p = str(tmp_path / "between_tags")
+    sch = pa.schema([("k", pa.int32())])
+    write_paimon_fixture(
+        p, [("k", "INT NOT NULL")], [], [],
+        [(0, {}, 0, pa.table({"k": pa.array([1], pa.int32())}, schema=sch))],
+    )
+    create_lake_tag(p, "d0", snapshot_id=1)
+    for v in (2, 3, 4):
+        append_paimon_fixture_snapshot(
+            p, [(0, {}, 0, pa.table({"k": pa.array([v], pa.int32())}, schema=sch))]
+        )
+    create_lake_tag(p, "d1", snapshot_id=4)
+    out = read_lake_incremental_between_tags(p, "d0", "d1").toPandas()
+    assert sorted(out.k) == [2, 3, 4]
+    with pytest.raises(ValueError):
+        read_lake_incremental_between_tags(p, "d1", "d0")
+    # expire the window's snapshots: tags alone must still answer
+    append_paimon_fixture_snapshot(
+        p, [(0, {}, 0, pa.table({"k": pa.array([5], pa.int32())}, schema=sch))]
+    )
+    expire_lake_snapshots(p, keep_last_n=1)
+    assert not os.path.exists(os.path.join(p, "snapshot", "snapshot-2"))
+    out2 = read_lake_incremental_between_tags(p, "d0", "d1").toPandas()
+    assert sorted(out2.k) == [2, 3, 4]
