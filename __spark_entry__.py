@@ -3988,16 +3988,21 @@ def paimon_lake_append_stats_prune_roundtrip(spark, sf_dir):
         [("o_orderkey", "BIGINT NOT NULL"), ("o_totalprice", "DOUBLE")],
     )
     src = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    # data-dependent split so the roundtrip works at every SF: two
+    # commits with disjoint key ranges, filter strictly inside the low one
+    lo, hi = src.agg(F.min("o_orderkey"), F.max("o_orderkey")).first()
+    mid = (int(lo) + int(hi)) // 2
+    thr = int(lo) + (mid - int(lo)) // 2
     write_lake_append(
-        fixture, src.filter(F.col("o_orderkey") <= 2000).coalesce(1)
+        fixture, src.filter(F.col("o_orderkey") <= mid).coalesce(1)
     )
     write_lake_append(
-        fixture, src.filter(F.col("o_orderkey") > 2000).coalesce(1)
+        fixture, src.filter(F.col("o_orderkey") > mid).coalesce(1)
     )
     info = read_paimon_schema(fixture)
     t = PaimonLakeTable(fixture)
     rb = t.new_read_builder()
-    rb.with_filter(rb.new_predicate_builder().less_or_equal("o_orderkey", 1500))
+    rb.with_filter(rb.new_predicate_builder().less_or_equal("o_orderkey", thr))
     planned = _pruned_entries(fixture, info, rb)
     assert len(planned) == 1, (
         f"footer stats must prune the high-range file, planned {len(planned)}"
@@ -4006,9 +4011,10 @@ def paimon_lake_append_stats_prune_roundtrip(spark, sf_dir):
 
 
 PAIMON_LAKE_APPEND_STATS_SQL = """
+WITH b AS (SELECT min(o_orderkey) AS lo, max(o_orderkey) AS hi FROM orders)
 SELECT o_orderkey, o_totalprice
-FROM orders
-WHERE o_orderkey <= 1500
+FROM orders, b
+WHERE o_orderkey <= b.lo + (((b.lo + b.hi) // 2) - b.lo) // 2
 ORDER BY o_orderkey
 """
 
@@ -4076,6 +4082,69 @@ FROM (SELECT c_custkey, c_acctbal,
              row_number() OVER (ORDER BY c_custkey) AS rn
       FROM customer WHERE c_custkey <= 900)
 WHERE rn > 300
+ORDER BY c_custkey
+"""
+
+
+def paimon_lake_auto_compact_roundtrip(spark, sf_dir):
+    """TRIGGER-BASED compaction (Paimon's num-sorted-run.compaction-
+    trigger, the continuous-maintenance cadence): five upsert commits
+    stack five level-0 sorted runs per bucket; compact_lake_auto
+    rewrites ONLY the groups at the trigger — one group-scoped COMPACT
+    commit, cold groups byte-untouched (the only viable shape at
+    100 TB: rewrite hot buckets, never the lake) — and a second run is
+    a no-op. The merged read stays exact; oracle replays the
+    last-write-wins upserts in SQL."""
+    from paimon_python_spark.paimon_import import plan_paimon_files
+    from paimon_python_spark.paimon_lake import (
+        PaimonLakeTable,
+        compact_lake_auto,
+        create_lake_table,
+        write_lake_pk_append,
+    )
+    from paimon_python_spark.session import set_spark
+
+    set_spark(spark)
+    fixture = _fresh_warehouse("lakeautoc") + "/customer_runs"
+    create_lake_table(
+        fixture,
+        [("c_custkey", "BIGINT NOT NULL"), ("c_acctbal", "DOUBLE")],
+        primary_keys=["c_custkey"],
+        options={"bucket": "4", "num-sorted-run.compaction-trigger": "5"},
+    )
+    src = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 1000)
+        .select("c_custkey", "c_acctbal")
+    )
+    write_lake_pk_append(fixture, src)
+    for i in range(1, 5):
+        write_lake_pk_append(
+            fixture,
+            src.filter(F.col("c_custkey") % 5 == i).withColumn(
+                "c_acctbal", F.round(F.col("c_acctbal") + i, 2)
+            ),
+        )
+    sid = compact_lake_auto(fixture)
+    assert sid is not None
+    post = plan_paimon_files(fixture)
+    assert all(e.level == 5 for e in post), "all hot groups folded"
+    assert compact_lake_auto(fixture) is None  # nothing at trigger now
+    return (
+        PaimonLakeTable(fixture)
+        .new_read_builder()
+        .new_read()
+        .to_df()
+        .orderBy("c_custkey")
+    )
+
+
+PAIMON_LAKE_AUTO_COMPACT_SQL = """
+SELECT c_custkey,
+       CASE WHEN c_custkey % 5 = 0 THEN c_acctbal
+            ELSE round(c_acctbal + (c_custkey % 5), 2) END AS c_acctbal
+FROM customer
+WHERE c_custkey <= 1000
 ORDER BY c_custkey
 """
 
@@ -9493,6 +9562,7 @@ _QUERIES: dict[str, Callable] = {
     "paimon_lake_stream_start_modes_roundtrip": paimon_lake_stream_start_modes_roundtrip,
     "paimon_lake_append_stats_prune_roundtrip": paimon_lake_append_stats_prune_roundtrip,
     "paimon_lake_between_tags_roundtrip": paimon_lake_between_tags_roundtrip,
+    "paimon_lake_auto_compact_roundtrip": paimon_lake_auto_compact_roundtrip,
     "paimon_lake_fullcompact_changelog_roundtrip": paimon_lake_fullcompact_changelog_roundtrip,
     "paimon_lake_lookup_changelog_roundtrip": paimon_lake_lookup_changelog_roundtrip,
     "paimon_lake_pk_delete_roundtrip": paimon_lake_pk_delete_roundtrip,
@@ -9831,6 +9901,7 @@ _ORACLES: dict[str, str] = {
     "paimon_lake_stream_start_modes_roundtrip": PAIMON_LAKE_START_MODES_SQL,
     "paimon_lake_append_stats_prune_roundtrip": PAIMON_LAKE_APPEND_STATS_SQL,
     "paimon_lake_between_tags_roundtrip": PAIMON_LAKE_BETWEEN_TAGS_SQL,
+    "paimon_lake_auto_compact_roundtrip": PAIMON_LAKE_AUTO_COMPACT_SQL,
     "paimon_lake_fullcompact_changelog_roundtrip": PAIMON_LAKE_FULLCOMPACT_CHANGELOG_SQL,
     "paimon_lake_lookup_changelog_roundtrip": PAIMON_LAKE_LOOKUP_CHANGELOG_SQL,
     "paimon_lake_pk_delete_roundtrip": PAIMON_LAKE_PK_DELETE_SQL,
@@ -9930,6 +10001,7 @@ _GATE_HEAD = [
     "paimon_lake_stream_start_modes_roundtrip",
     "paimon_lake_append_stats_prune_roundtrip",
     "paimon_lake_between_tags_roundtrip",
+    "paimon_lake_auto_compact_roundtrip",
 ]
 
 

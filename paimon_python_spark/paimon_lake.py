@@ -3594,12 +3594,56 @@ def expire_lake_partitions(
     return drop_lake_partitions(table_path, pb.is_in(key, expired_values))
 
 
+def compact_lake_auto(
+    table_path: str,
+    trigger: Optional[int] = None,
+    min_file_num: Optional[int] = None,
+) -> Optional[int]:
+    """TRIGGER-BASED compaction — Paimon's continuous-maintenance shape
+    (the JVM writer's ``num-sorted-run.compaction-trigger``, default 5;
+    append tables' ``compaction.min.file-num``, default 5): only the
+    (partition, bucket) groups whose file count reaches the trigger are
+    rewritten, in ONE group-scoped COMPACT commit; every other group's
+    files (and their DV marks) are untouched. Each level-0 file of a
+    PK group is one sorted run and the max-level file one more, so the
+    file count IS the run count for the fixed-bucket layout this engine
+    writes. At 100 TB this is the only viable compaction cadence: the
+    maintenance job rewrites the hot buckets, never the lake. Returns
+    the COMPACT snapshot id, or None when nothing triggers (real
+    Paimon's no-op, not an error)."""
+    info = read_paimon_schema(table_path)
+    before = plan_paimon_files(table_path)
+    pkeys = list(info.partition_keys)
+    groups: dict = {}
+    for e in before:
+        lv = _logical_partition_values(info, e.partition)
+        key = (tuple(lv.get(k) for k in pkeys), e.bucket)
+        groups.setdefault(key, []).append(e)
+    if info.primary_keys:
+        thr = int(
+            trigger
+            if trigger is not None
+            else info.options.get("num-sorted-run.compaction-trigger", "5")
+        )
+    else:
+        thr = int(
+            min_file_num
+            if min_file_num is not None
+            else info.options.get("compaction.min.file-num", "5")
+        )
+    selected = {g for g, es in groups.items() if len(es) >= thr}
+    if not selected:
+        return None
+    return compact_lake(table_path, _bucket_groups=selected)
+
+
 def compact_lake(
     table_path: str,
     partition_filter: Optional[Predicate] = None,
     order_by: Optional[List[str]] = None,
     strategy: str = "zorder",
     target_file_rows: int = 1_000_000,
+    _bucket_groups: Optional[set] = None,
 ) -> int:
     """FULL compaction of a REAL Paimon lake as a spec COMPACT commit —
     the third leg of the engine-as-lake-participant story (append,
@@ -3695,6 +3739,18 @@ def compact_lake(
         if not before:
             raise ValueError("compact_lake: partition_filter matched no files")
 
+    if _bucket_groups is not None:
+        # group-scoped rewrite (compact_lake_auto): only the selected
+        # (partition, bucket) groups' files fold; the merge is closed
+        # per group, so untouched groups are irrelevant to it
+        def _grp(e):
+            lv = _logical_partition_values(info, e.partition)
+            return (tuple(lv.get(k) for k in part_keys), e.bucket)
+
+        before = [e for e in before if _grp(e) in _bucket_groups]
+        if not before:
+            raise ValueError("compact_lake: no files in the selected bucket groups")
+
     # merged logical view: PK merge resolved, DV marks applied,
     # old-schema files mapped to the latest schema. A partition filter
     # prunes the scan to the selected partitions (the partition-only
@@ -3703,6 +3759,8 @@ def compact_lake(
     rb = PaimonLakeTable(table_path).new_read_builder()
     if partition_filter is not None:
         rb = rb.with_filter(partition_filter)
+    if _bucket_groups is not None:
+        rb = rb.with_bucket_groups(_bucket_groups)
     df = rb.new_read().to_df()
 
     cl_entries = None
@@ -3736,6 +3794,8 @@ def compact_lake(
                 )
                 if partition_filter is not None:
                     orb = orb.with_filter(partition_filter)
+                if _bucket_groups is not None:
+                    orb = orb.with_bucket_groups(_bucket_groups)
                 old_df = orb.new_read().to_df()
             diff = _full_compaction_changelog_diff(
                 old_df, df, list(info.primary_keys)

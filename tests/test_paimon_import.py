@@ -4016,3 +4016,66 @@ def test_lake_incremental_between_tags(tmp_path, spark):
     assert not os.path.exists(os.path.join(p, "snapshot", "snapshot-2"))
     out2 = read_lake_incremental_between_tags(p, "d0", "d1").toPandas()
     assert sorted(out2.k) == [2, 3, 4]
+
+
+def test_compact_lake_auto_trigger(tmp_path, spark):
+    """Trigger-based compaction (num-sorted-run.compaction-trigger):
+    only (partition, bucket) groups at/over the trigger rewrite — cold
+    buckets keep their level-0 files byte-identical; a lake with no
+    group at the trigger is a no-op (None, no commit); merged reads
+    stay exact throughout."""
+    from paimon_python_spark.paimon_import import (
+        fixed_bucket,
+        plan_paimon_files,
+    )
+    from paimon_python_spark.paimon_lake import (
+        PaimonLakeTable,
+        compact_lake_auto,
+        create_lake_table,
+        write_lake_pk_append,
+    )
+    from paimon_python_spark.session import set_spark
+
+    set_spark(spark)
+    p = str(tmp_path / "auto_compact")
+    create_lake_table(
+        p,
+        [("k", "INT NOT NULL"), ("v", "STRING")],
+        primary_keys=["k"],
+        options={"bucket": "2", "num-sorted-run.compaction-trigger": "4"},
+    )
+    # keys routing to bucket 0 vs 1 (fixed_bucket with INT key)
+    b0 = [k for k in range(40) if fixed_bucket([k], [T.IntegerType()], 2) == 0]
+    b1 = [k for k in range(40) if fixed_bucket([k], [T.IntegerType()], 2) == 1]
+    # 4 commits hitting bucket 0, only 2 hitting bucket 1
+    for i in range(4):
+        write_lake_pk_append(
+            p,
+            spark.createDataFrame(
+                [(k, f"r{i}") for k in b0[: 5 + i]], "k int, v string"
+            ),
+        )
+    for i in range(2):
+        write_lake_pk_append(
+            p,
+            spark.createDataFrame(
+                [(k, f"s{i}") for k in b1[:5]], "k int, v string"
+            ),
+        )
+    pre = {e.file_name: e for e in plan_paimon_files(p)}
+    pre_b1 = sorted(n for n, e in pre.items() if e.bucket == 1)
+    assert sum(1 for e in pre.values() if e.bucket == 0) == 4
+    sid = compact_lake_auto(p)
+    assert sid is not None
+    post = {e.file_name: e for e in plan_paimon_files(p)}
+    post_b0 = [e for e in post.values() if e.bucket == 0]
+    post_b1 = sorted(n for n, e in post.items() if e.bucket == 1)
+    assert len(post_b0) == 1 and post_b0[0].level == 5  # folded to max level
+    assert post_b1 == pre_b1  # cold bucket untouched, files identical
+    out = PaimonLakeTable(p).new_read_builder().new_read().to_pandas()
+    want = {k: "r3" if k in b0[:8] else None for k in b0[:8]}
+    got = dict(zip(out.k, out.v))
+    assert all(got[k] == "r3" for k in b0[:5])  # last commit wins merge
+    assert all(got[k] == "s1" for k in b1[:5])
+    # second run: nothing at trigger anymore -> no-op
+    assert compact_lake_auto(p) is None
