@@ -4149,6 +4149,66 @@ ORDER BY c_custkey
 """
 
 
+def paimon_lake_bloom_index_roundtrip(spark, sf_dir):
+    """Lake BLOOM FILE INDEX (file-index.bloom-filter.columns):
+    per-file bloom bitmaps built executor-side and embedded in each
+    manifest entry's _EMBEDDED_FILE_INDEX slot prune EQUALITY point
+    probes that min/max cannot — two commits with interleaved customer
+    names mean both files span the whole name range, yet the point
+    lookup plans ONE file (asserted). The 100-TB case: a point lookup
+    on a high-cardinality unsorted column opens only the files whose
+    bloom admits the key. Oracle replays the name filter."""
+    from paimon_python_spark.paimon_lake import (
+        PaimonLakeTable,
+        _pruned_entries,
+        create_lake_table,
+        read_paimon_schema,
+        write_lake_append,
+    )
+    from paimon_python_spark.session import set_spark
+
+    set_spark(spark)
+    fixture = _fresh_warehouse("lakebloom") + "/customer_bloom"
+    create_lake_table(
+        fixture,
+        [("c_custkey", "BIGINT NOT NULL"), ("c_name", "STRING")],
+        options={
+            "file.format": "avro",
+            "file-index.bloom-filter.columns": "c_name",
+        },
+    )
+    src = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 1000)
+        .select("c_custkey", "c_name")
+    )
+    write_lake_append(
+        fixture, src.filter(F.col("c_custkey") % 2 == 0).coalesce(1)
+    )
+    write_lake_append(
+        fixture, src.filter(F.col("c_custkey") % 2 == 1).coalesce(1)
+    )
+    probe = src.filter(F.col("c_custkey") == 777).first()["c_name"]
+    info = read_paimon_schema(fixture)
+    t = PaimonLakeTable(fixture)
+    rb = t.new_read_builder()
+    rb.with_filter(rb.new_predicate_builder().equal("c_name", probe))
+    planned = _pruned_entries(fixture, info, rb)
+    assert len(planned) == 1, (
+        f"bloom must prune the even-keys file, planned {len(planned)}"
+    )
+    return rb.new_read().to_df().orderBy("c_custkey")
+
+
+PAIMON_LAKE_BLOOM_SQL = """
+SELECT c_custkey, c_name
+FROM customer
+WHERE c_custkey <= 1000
+  AND c_name = (SELECT c_name FROM customer WHERE c_custkey = 777)
+ORDER BY c_custkey
+"""
+
+
 def paimon_lake_changelog_write_roundtrip(spark, sf_dir):
     """changelog-producer=input on the ENGINE'S OWN PK-lake commits:
     upserting into a lake declared with the option writes the commit's
@@ -9563,6 +9623,7 @@ _QUERIES: dict[str, Callable] = {
     "paimon_lake_append_stats_prune_roundtrip": paimon_lake_append_stats_prune_roundtrip,
     "paimon_lake_between_tags_roundtrip": paimon_lake_between_tags_roundtrip,
     "paimon_lake_auto_compact_roundtrip": paimon_lake_auto_compact_roundtrip,
+    "paimon_lake_bloom_index_roundtrip": paimon_lake_bloom_index_roundtrip,
     "paimon_lake_fullcompact_changelog_roundtrip": paimon_lake_fullcompact_changelog_roundtrip,
     "paimon_lake_lookup_changelog_roundtrip": paimon_lake_lookup_changelog_roundtrip,
     "paimon_lake_pk_delete_roundtrip": paimon_lake_pk_delete_roundtrip,
@@ -9902,6 +9963,7 @@ _ORACLES: dict[str, str] = {
     "paimon_lake_append_stats_prune_roundtrip": PAIMON_LAKE_APPEND_STATS_SQL,
     "paimon_lake_between_tags_roundtrip": PAIMON_LAKE_BETWEEN_TAGS_SQL,
     "paimon_lake_auto_compact_roundtrip": PAIMON_LAKE_AUTO_COMPACT_SQL,
+    "paimon_lake_bloom_index_roundtrip": PAIMON_LAKE_BLOOM_SQL,
     "paimon_lake_fullcompact_changelog_roundtrip": PAIMON_LAKE_FULLCOMPACT_CHANGELOG_SQL,
     "paimon_lake_lookup_changelog_roundtrip": PAIMON_LAKE_LOOKUP_CHANGELOG_SQL,
     "paimon_lake_pk_delete_roundtrip": PAIMON_LAKE_PK_DELETE_SQL,
@@ -10002,6 +10064,7 @@ _GATE_HEAD = [
     "paimon_lake_append_stats_prune_roundtrip",
     "paimon_lake_between_tags_roundtrip",
     "paimon_lake_auto_compact_roundtrip",
+    "paimon_lake_bloom_index_roundtrip",
 ]
 
 

@@ -390,6 +390,9 @@ class PaimonFileEntry:
     #: manifest ``_MAX_SEQUENCE_NUMBER`` — a PK-lake writer seeds its
     #: new commit's sequence range past every live file's max
     max_seq: int = 0
+    #: manifest ``_EMBEDDED_FILE_INDEX`` bytes (this engine writes its
+    #: own bloom payload there; see paimon_lake._decode_embedded_blooms)
+    embedded_index: Optional[bytes] = None
 
     def rel_path(
         self,
@@ -444,6 +447,11 @@ def read_manifest(
                 schema_id=int(fmeta.get("_SCHEMA_ID") or 0),
                 stats_raw=_stats_raw(fmeta.get("_VALUE_STATS")),
                 max_seq=int(fmeta.get("_MAX_SEQUENCE_NUMBER") or 0),
+                embedded_index=(
+                    bytes(fmeta["_EMBEDDED_FILE_INDEX"])
+                    if fmeta.get("_EMBEDDED_FILE_INDEX")
+                    else None
+                ),
             )
         )
     return out
@@ -1113,6 +1121,7 @@ def _spec_file_meta(
     min_seq: int = 0,
     max_seq: Optional[int] = None,
     level: int = 0,
+    embedded_index: Optional[bytes] = None,
 ) -> dict:
     return {
         "_FILE_NAME": name,
@@ -1129,7 +1138,7 @@ def _spec_file_meta(
         "_EXTRA_FILES": [],
         "_CREATION_TIME": None,
         "_DELETE_ROW_COUNT": None,
-        "_EMBEDDED_FILE_INDEX": None,
+        "_EMBEDDED_FILE_INDEX": embedded_index,
         "_FILE_SOURCE": None,
     }
 

@@ -660,6 +660,33 @@ def _lake_candidate_buckets(predicate, info: PaimonSchemaInfo) -> Optional[set]:
         return None  # unhashable key shape: skip pruning, stay exact
 
 
+#: engine payload carried in the spec's _EMBEDDED_FILE_INDEX slot:
+#: utf-8 JSON {"format": <tag>, "columns": {col: bloom-hex}} using the
+#: engine's bloom serialization (bloom.py). The SLOT is spec (Paimon
+#: manifests embed small file indexes inline); the PAYLOAD is this
+#: engine's — a JVM reader that asks for file-index on such a lake
+#: would not parse it, so the tag makes the divergence explicit and
+#: unknown payloads are ignored (never unsound: blooms only PRUNE).
+_EMB_BLOOM_FORMAT = "sparkgraft-bloom-v1"
+
+
+def _decode_embedded_blooms(entry) -> Optional[dict]:
+    """{column: bloom-hex} from an entry's embedded file index, or None
+    for absent/foreign payloads."""
+    if not getattr(entry, "embedded_index", None):
+        return None
+    import json
+
+    try:
+        doc = json.loads(entry.embedded_index.decode("utf-8"))
+    except (UnicodeDecodeError, ValueError):
+        return None  # foreign (e.g. JVM-format) index payload: ignore
+    if doc.get("format") != _EMB_BLOOM_FORMAT:
+        return None
+    cols = doc.get("columns")
+    return cols if isinstance(cols, dict) and cols else None
+
+
 def _pruned_entries(table_path: str, info: PaimonSchemaInfo, b: "PaimonLakeReadBuilder"):
     """Plan the live file set, apply explicit bucket-group scoping
     (with_bucket_groups), drop partitions the predicate rules out
@@ -695,7 +722,7 @@ def _pruned_entries(table_path: str, info: PaimonSchemaInfo, b: "PaimonLakeReadB
                 for e in entries
                 if part_pred.test_by_value(_logical_partition_values(info, e.partition))
             ]
-    if any(e.stats_raw for e in entries):
+    if any(e.stats_raw or e.embedded_index for e in entries):
         # stats rows decode under the schema each file was written with.
         # PK tables may prune only on KEY fields (the engine's
         # filter-placement rule, scan.py:80-116): a value predicate
@@ -722,6 +749,17 @@ def _pruned_entries(table_path: str, info: PaimonSchemaInfo, b: "PaimonLakeReadB
                 oinfo = read_paimon_schema(table_path, e.schema_id)
                 infos[e.schema_id] = oinfo
             stats = decode_entry_stats(e, oinfo, info)
+            blooms = _decode_embedded_blooms(e)
+            if blooms and stats:
+                # merge per-file blooms into the stats dict so
+                # test_by_stats' equal/in branches consult them — the
+                # min/max-can't-prune point-lookup case
+                stats = dict(stats)
+                for c, hx in blooms.items():
+                    if c in stats:
+                        ent = dict(stats[c])
+                        ent["bloom"] = hx
+                        stats[c] = ent
             if stats is None or pred.test_by_stats(stats):
                 kept.append(e)
         entries = kept
@@ -2024,6 +2062,15 @@ def _distributed_lake_write(
     default_name = info.options.get("partition.default-name", DEFAULT_PARTITION_NAME)
     value_fields = info.spark_schema
     schema_id = info.id
+    # file-index.bloom-filter.columns: per-file bloom bitmaps for
+    # equality file skipping, built EXECUTOR-SIDE over each group's
+    # batch and carried in the manifest entry's _EMBEDDED_FILE_INDEX
+    # slot (engine payload format — see _decode_embedded_blooms)
+    bloom_cols = [
+        c.strip()
+        for c in info.options.get("file-index.bloom-filter.columns", "").split(",")
+        if c.strip() and c.strip() in {f.name for f in info.spark_schema.fields}
+    ]
 
     cast_cols = [
         F.col(f.name).cast(f.dataType).alias(f.name) for f in info.spark_schema.fields
@@ -2084,6 +2131,7 @@ def _distributed_lake_write(
             T.StructField("null_counts", T.ArrayType(T.LongType())),
             T.StructField("cl_name", T.StringType()),
             T.StructField("cl_size", T.LongType()),
+            T.StructField("emb_idx", T.BinaryType()),
         ]
     )
     schema_info = info
@@ -2206,6 +2254,20 @@ def _distributed_lake_write(
         else:
             kmin = kmax = b""
         stats = _value_stats_for(table, schema_info)
+        emb = None
+        if bloom_cols:
+            from paimon_python_spark.bloom import build_hex
+
+            blooms = {}
+            for c in bloom_cols:
+                if c in pdf.columns:
+                    hx = build_hex(pdf[c])
+                    if hx:
+                        blooms[c] = hx
+            if blooms:
+                emb = _json.dumps(
+                    {"format": _EMB_BLOOM_FORMAT, "columns": blooms}
+                ).encode("utf-8")
         return pd.DataFrame(
             [
                 {
@@ -2223,6 +2285,7 @@ def _distributed_lake_write(
                     "null_counts": stats["_NULL_COUNTS"],
                     "cl_name": cl_name,
                     "cl_size": cl_size,
+                    "emb_idx": emb,
                 }
             ]
         )
@@ -2258,6 +2321,9 @@ def _distributed_lake_write(
                 min_seq=int(r["min_seq"]),
                 max_seq=int(r["max_seq"]),
                 level=level,
+                embedded_index=(
+                    bytes(r["emb_idx"]) if r["emb_idx"] is not None else None
+                ),
             ),
         }
 

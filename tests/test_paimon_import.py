@@ -4079,3 +4079,59 @@ def test_compact_lake_auto_trigger(tmp_path, spark):
     assert all(got[k] == "s1" for k in b1[:5])
     # second run: nothing at trigger anymore -> no-op
     assert compact_lake_auto(p) is None
+
+
+def test_lake_bloom_file_index(tmp_path, spark):
+    """file-index.bloom-filter.columns on a lake: per-file bloom
+    bitmaps built executor-side and embedded in the manifest's
+    _EMBEDDED_FILE_INDEX slot prune EQUALITY probes that min/max can't
+    (interleaved ranges: both files span the key space). Foreign/absent
+    payloads are ignored — pruning only, never unsound."""
+    from paimon_python_spark.paimon_import import plan_paimon_files
+    from paimon_python_spark.paimon_lake import (
+        PaimonLakeTable,
+        _pruned_entries,
+        create_lake_table,
+        read_paimon_schema,
+        write_lake_append,
+    )
+    from paimon_python_spark.session import set_spark
+
+    set_spark(spark)
+    p = str(tmp_path / "bloom_lake")
+    create_lake_table(
+        p,
+        [("k", "INT NOT NULL"), ("u", "STRING")],
+        options={
+            "file.format": "avro",  # routes through the group writer
+            "file-index.bloom-filter.columns": "u",
+        },
+    )
+    # interleaved u values: min/max of both files span u000..u399
+    write_lake_append(
+        p,
+        spark.createDataFrame(
+            [(i, f"u{i:03d}") for i in range(0, 400, 2)], "k int, u string"
+        ).coalesce(1),
+    )
+    write_lake_append(
+        p,
+        spark.createDataFrame(
+            [(i, f"u{i:03d}") for i in range(1, 400, 2)], "k int, u string"
+        ).coalesce(1),
+    )
+    entries = plan_paimon_files(p)
+    assert len(entries) == 2 and all(e.embedded_index for e in entries)
+    info = read_paimon_schema(p)
+    t = PaimonLakeTable(p)
+    rb = t.new_read_builder()
+    rb.with_filter(rb.new_predicate_builder().equal("u", "u137"))  # odd file
+    planned = _pruned_entries(p, info, rb)
+    assert len(planned) == 1, "bloom must prune the even-only file"
+    out = rb.new_read().to_pandas()
+    assert list(out.k) == [137]
+    # range predicates ignore blooms; both files plan, result row-exact
+    rb2 = t.new_read_builder()
+    rb2.with_filter(rb2.new_predicate_builder().between("u", "u100", "u103"))
+    assert len(_pruned_entries(p, info, rb2)) == 2
+    assert sorted(rb2.new_read().to_pandas().k) == [100, 101, 102, 103]
