@@ -393,6 +393,10 @@ class PaimonFileEntry:
     #: manifest ``_EMBEDDED_FILE_INDEX`` bytes (this engine writes its
     #: own bloom payload there; see paimon_lake._decode_embedded_blooms)
     embedded_index: Optional[bytes] = None
+    #: manifest ``_TOTAL_BUCKETS`` — the bucket-count geometry this
+    #: entry was routed under; pre-rescale snapshots keep their old
+    #: value, so bucket pruning must only fire on matching geometry
+    total_buckets: Optional[int] = None
 
     def rel_path(
         self,
@@ -450,6 +454,11 @@ def read_manifest(
                 embedded_index=(
                     bytes(fmeta["_EMBEDDED_FILE_INDEX"])
                     if fmeta.get("_EMBEDDED_FILE_INDEX")
+                    else None
+                ),
+                total_buckets=(
+                    int(r["_TOTAL_BUCKETS"])
+                    if r.get("_TOTAL_BUCKETS") is not None
                     else None
                 ),
             )
@@ -1208,6 +1217,9 @@ def write_paimon_table_fixture(
     """
     from paimon_python_spark.avro_codec import write_avro_records
 
+    # entry-level geometry (spec _TOTAL_BUCKETS): the table's declared
+    # bucket count — bucket pruning only fires on matching geometry
+    _total_buckets = max(1, int((options or {}).get("bucket", "1")))
     os.makedirs(os.path.join(path, "schema"))
     os.makedirs(os.path.join(path, "snapshot"))
     os.makedirs(os.path.join(path, "manifest"))
@@ -1262,7 +1274,7 @@ def write_paimon_table_fixture(
                     [pvals[k] for k in partition_keys], part_types
                 ),
                 "_BUCKET": bucket,
-                "_TOTAL_BUCKETS": 1,
+                "_TOTAL_BUCKETS": _total_buckets,
                 "_FILE": _spec_file_meta(
                     fname, size, table.num_rows,
                     value_stats=_value_stats_for(table, info),
@@ -1381,6 +1393,7 @@ def append_paimon_fixture_snapshot(
         info = read_paimon_schema(path, schema_id)
     part_types = [info.spark_schema[k].dataType for k in info.partition_keys]
     default_name = info.options.get("partition.default-name", DEFAULT_PARTITION_NAME)
+    _total_buckets = max(1, int(info.options.get("bucket", "1")))
     prev_id = latest_paimon_snapshot_id(path)
     if tag is None:
         # unique per commit: the old fixed default ("c2") made two
@@ -1452,7 +1465,7 @@ def append_paimon_fixture_snapshot(
                     "_KIND": kind,
                     "_PARTITION": raw_part,
                     "_BUCKET": bucket,
-                    "_TOTAL_BUCKETS": 1,
+                    "_TOTAL_BUCKETS": _total_buckets,
                     "_FILE": _spec_file_meta(
                         target.file_name,
                         target.file_size,
@@ -1472,7 +1485,7 @@ def append_paimon_fixture_snapshot(
                 "_KIND": kind,
                 "_PARTITION": raw_part,
                 "_BUCKET": bucket,
-                "_TOTAL_BUCKETS": 1,
+                "_TOTAL_BUCKETS": _total_buckets,
                 "_FILE": _spec_file_meta(
                     fname, size, table.num_rows, schema_id=schema_id,
                     value_stats=_value_stats_for(table, info),
@@ -1516,7 +1529,7 @@ def append_paimon_fixture_snapshot(
                         [pvals[k] for k in info.partition_keys], part_types
                     ),
                     "_BUCKET": bucket,
-                    "_TOTAL_BUCKETS": 1,
+                    "_TOTAL_BUCKETS": _total_buckets,
                     "_FILE": _spec_file_meta(
                         fname,
                         os.path.getsize(fpath),

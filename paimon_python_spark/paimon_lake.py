@@ -750,22 +750,41 @@ def _pruned_entries(table_path: str, info: PaimonSchemaInfo, b: "PaimonLakeReadB
                 infos[e.schema_id] = oinfo
             stats = decode_entry_stats(e, oinfo, info)
             blooms = _decode_embedded_blooms(e)
-            if blooms and stats:
+            if blooms:
                 # merge per-file blooms into the stats dict so
                 # test_by_stats' equal/in branches consult them — the
-                # min/max-can't-prune point-lookup case
-                stats = dict(stats)
+                # min/max-can't-prune point-lookup case. Bloom-only
+                # entries (no decodable value stats) still prune:
+                # test_by_stats probes blooms before its bounds check.
+                stats = dict(stats or {})
                 for c, hx in blooms.items():
-                    if c in stats:
-                        ent = dict(stats[c])
-                        ent["bloom"] = hx
-                        stats[c] = ent
+                    ent = dict(
+                        stats.get(c)
+                        or {
+                            "min": None,
+                            "max": None,
+                            "null_count": None,
+                            "row_count": e.row_count,
+                        }
+                    )
+                    ent["bloom"] = hx
+                    stats[c] = ent
             if stats is None or pred.test_by_stats(stats):
                 kept.append(e)
         entries = kept
     buckets = _lake_candidate_buckets(b._predicate, info)
     if buckets is not None:
-        entries = [e for e in entries if e.bucket in buckets]
+        nb = int(info.options.get("bucket", "-1"))
+        # geometry guard: pre-rescale snapshots' entries were routed
+        # under a DIFFERENT bucket count (entry-level _TOTAL_BUCKETS);
+        # pruning with the latest modulus would drop matching files on
+        # time-travel reads — only same-geometry entries prune
+        entries = [
+            e
+            for e in entries
+            if (e.total_buckets is not None and e.total_buckets != nb)
+            or e.bucket in buckets
+        ]
     return entries
 
 
@@ -929,10 +948,14 @@ def read_lake_incremental_between_tags(
             table_path, a, b, use_changelog=use_changelog
         )
     # window snapshots EXPIRED: the tags are full snapshot copies, so
-    # diff their live file sets (Paimon's diff scan mode) — files in
-    # `to` that `from` lacked are the increment. Exact for append
-    # lakes; PK lakes refuse (a data-file diff cannot reconstruct
-    # per-key changelog rows once the deltas are gone).
+    # diff their CONTENTS (Paimon's diff scan mode) — an exact
+    # multiset EXCEPT ALL of the two tag reads. A raw file-set diff
+    # would be wrong here: a COMPACT inside the window rewrites old
+    # rows into new files and the whole table would re-surface as
+    # "incremental". The except-all costs one shuffle of both tag
+    # states — the fallback price of having let the window expire.
+    # PK lakes refuse: the visible-state diff cannot reconstruct
+    # per-key -U/-D changelog rows once the deltas are gone.
     info = read_paimon_schema(table_path)
     if info.primary_keys:
         raise ValueError(
@@ -940,34 +963,10 @@ def read_lake_incremental_between_tags(
             "the table has primary keys — per-key increments are no "
             "longer reconstructible (tag earlier, or retain snapshots)"
         )
-    from paimon_python_spark.paimon_import import (
-        plan_paimon_files,
-        read_paimon_append_entries,
-    )
-    from paimon_python_spark.session import get_spark
-
-    old = {
-        (tuple(sorted(e.partition.items())), e.bucket, e.file_name)
-        for e in plan_paimon_files(table_path, snapshot=ta)
-    }
-    new_entries = [
-        e
-        for e in plan_paimon_files(table_path, snapshot=tb)
-        if (tuple(sorted(e.partition.items())), e.bucket, e.file_name) not in old
-    ]
-    part_types = [info.spark_schema[k].dataType for k in info.partition_keys]
-    default_name = info.options.get("partition.default-name", None)
-
-    def src(e):
-        kw = {"default_name": default_name} if default_name else {}
-        return os.path.join(
-            table_path, e.rel_path(info.partition_keys, part_types, **kw)
-        )
-
-    fmt = info.options.get("file.format", "parquet")
-    return read_paimon_append_entries(
-        get_spark(), info, new_entries, src, fmt, table_path=table_path
-    )
+    t = PaimonLakeTable(table_path)
+    new_df = t.new_read_builder().with_tag(to_tag).new_read().to_df()
+    old_df = t.new_read_builder().with_tag(from_tag).new_read().to_df()
+    return new_df.exceptAll(old_df)
 
 
 def read_lake_incremental(
@@ -1135,43 +1134,53 @@ def stream_lake_snapshots(
             "(use from_snapshot=/starting_timestamp= for the "
             "from-snapshot/from-timestamp modes)"
         )
-    current = from_snapshot
-    if starting_timestamp is not None:
-        # from-timestamp: newest snapshot committed at or before the
-        # instant is the baseline; batches start with the next commit
-        sdir = os.path.join(table_path, "snapshot")
-        baseline = 0
-        if os.path.isdir(sdir):
-            for n in os.listdir(sdir):
-                if not n.startswith("snapshot-"):
-                    continue
-                with open(os.path.join(sdir, n)) as f:
-                    s = json.load(f)
-                tm = s.get("timeMillis")
-                if not tm:
-                    continue  # undated snapshot (missing or fixture 0):
-                    # can't place it before the instant, so never
-                    # advance the baseline past it
-                if int(tm) <= starting_timestamp and s["id"] > baseline:
-                    baseline = s["id"]
-        current = max(current, baseline)
-    if scan_mode in ("latest", "latest-full"):
-        try:
-            current = max(current, latest_paimon_snapshot_id(table_path))
-        except FileNotFoundError:
-            pass
+    # a PERSISTED consumer offset takes precedence over every start
+    # mode (real Paimon: consumer-id wins over scan.mode) — a lagging
+    # consumer must resume where it stopped, never jump to 'latest'
+    # (which would silently skip its unconsumed snapshots), and a
+    # resumed 'latest-full' subscription must not re-emit the bootstrap
+    consumer_pos = None
     if in_lake:
         persisted = read_lake_consumer(table_path, consumer_id)
         if persisted is not None:
             # nextSnapshot N = "N is the next to READ": the incremental
             # window below starts AFTER `current`, so resume at N-1
-            current = max(current, persisted - 1)
+            consumer_pos = persisted - 1
     elif offset_path and os.path.exists(offset_path):
         try:
             with open(offset_path) as f:
-                current = max(current, int(json.load(f)["next_snapshot"]))
+                consumer_pos = int(json.load(f)["next_snapshot"])
         except (KeyError, ValueError):
             pass
+
+    current = from_snapshot
+    if consumer_pos is not None:
+        current = max(current, consumer_pos)
+    else:
+        if starting_timestamp is not None:
+            # from-timestamp: newest snapshot committed at or before the
+            # instant is the baseline; batches start with the next commit
+            sdir = os.path.join(table_path, "snapshot")
+            baseline = 0
+            if os.path.isdir(sdir):
+                for n in os.listdir(sdir):
+                    if not n.startswith("snapshot-"):
+                        continue
+                    with open(os.path.join(sdir, n)) as f:
+                        s = json.load(f)
+                    tm = s.get("timeMillis")
+                    if not tm:
+                        continue  # undated snapshot (missing or fixture
+                        # 0): can't place it before the instant, so
+                        # never advance the baseline past it
+                    if int(tm) <= starting_timestamp and s["id"] > baseline:
+                        baseline = s["id"]
+            current = max(current, baseline)
+        if scan_mode in ("latest", "latest-full"):
+            try:
+                current = max(current, latest_paimon_snapshot_id(table_path))
+            except FileNotFoundError:
+                pass
 
     # the start position above resolves EAGERLY at CALL time — a
     # 'latest' subscription pins the head as of the subscribe call, not
@@ -1181,6 +1190,7 @@ def stream_lake_snapshots(
         emitted = 0
         if (
             scan_mode == "latest-full"
+            and consumer_pos is None  # resumed consumers skip bootstrap
             and current >= 1
             and (max_batches is None or max_batches > 0)
         ):
@@ -1196,7 +1206,16 @@ def stream_lake_snapshots(
             if use_changelog:
                 from pyspark.sql import functions as F
 
-                full = full.withColumn("_row_kind", F.lit("+I"))
+                # schema parity with the delta batches that follow:
+                # PK-lake changelog deltas carry _row_kind AND
+                # _SEQUENCE_NUMBER; append-lake deltas carry neither
+                info = read_paimon_schema(table_path)
+                if info.primary_keys:
+                    full = full.withColumn(
+                        "_row_kind", F.lit("+I")
+                    ).withColumn(
+                        "_SEQUENCE_NUMBER", F.lit(0).cast("long")
+                    )
             yield current, full
             emitted += 1
             if in_lake:
@@ -1829,27 +1848,19 @@ def _make_lake_bucket_fn(key_types, num_buckets: int):
                 _vectorized_fixed_buckets(cols, key_types, num_buckets)
             )
         except Exception:
-            import datetime
-
             from paimon_python_spark.paimon_import import fixed_bucket
 
-            epoch = datetime.date(1970, 1, 1)
             out = []
             for vals in zip(*cols):
-                row = []
-                for v in vals:
-                    if v is None or (
-                        not isinstance(v, (bytes, str)) and pd.isna(v)
-                    ):
-                        row.append(None)
-                        continue
-                    if hasattr(v, "item"):
-                        v = v.item()
-                    if isinstance(v, datetime.datetime):
-                        v = v.date()
-                    if isinstance(v, datetime.date):
-                        v = (v - epoch).days
-                    row.append(v)
+                row = [
+                    None
+                    if (
+                        v is None
+                        or (not isinstance(v, (bytes, str)) and pd.isna(v))
+                    )
+                    else _lake_bucket_key_logical(v, t)
+                    for v, t in zip(vals, key_types)
+                ]
                 out.append(fixed_bucket(row, key_types, num_buckets))
             return pd.Series(out, dtype="int32")
 
@@ -2445,8 +2456,17 @@ def write_lake_pk_append(
             bfn = F.pandas_udf(
                 _make_lake_bucket_fn(key_types_l, num_buckets), "int"
             )
+            # cast to the DECLARED types first — the write path casts
+            # before routing, and the collected partition values must
+            # compare equal to the decoded logical manifest values
+            # (e.g. a timestamp-typed dt in the batch vs DATE partition)
             touched_rows = (
-                batch.select(*part_keys_l, *bcols_l)
+                batch.select(
+                    *[
+                        F.col(c).cast(info.spark_schema[c].dataType).alias(c)
+                        for c in part_keys_l + bcols_l
+                    ]
+                )
                 .withColumn("__b", bfn(*[F.col(c) for c in bcols_l]))
                 .select(*part_keys_l, "__b")
                 .distinct()
@@ -3648,10 +3668,15 @@ def expire_lake_partitions(
         }
     pb = PredicateBuilder(info.spark_schema)
     if expired_tuples:
+        # NULL partition values (keys not referenced in the pattern)
+        # need is_null — equal(k, None) matches nothing in SQL
         pred = pb.or_predicates(
             [
                 pb.and_predicates(
-                    [pb.equal(k, v) for k, v in zip(part_keys, tup)]
+                    [
+                        pb.is_null(k) if v is None else pb.equal(k, v)
+                        for k, v in zip(part_keys, tup)
+                    ]
                 )
                 for tup in expired_tuples
             ]

@@ -170,18 +170,27 @@ class Predicate:
             return nulls is None or nulls > 0
         if m == "isNotNull":
             return nulls is None or rows is None or nulls < rows
+        # bloom probe BEFORE the missing-min/max early return: an entry
+        # may carry a bloom but no usable bounds (bloom-only file index)
+        # and equality can still prune on it. NULL literals can't probe
+        # (and can't match an equality anyway).
+        bloom = s.get("bloom")
+        if bloom is not None and m in ("equal", "in"):
+            non_null = [v for v in lits if v is not None]
+            if non_null and not any(
+                _bloom_might_contain(bloom, v) for v in non_null
+            ):
+                return False
         if mn is None or mx is None:
             # all-NULL file (or no stats): non-null-comparisons can't match
             # only when we know every row is NULL.
             if nulls is not None and rows is not None and nulls == rows:
                 return False
             return True
-        bloom = s.get("bloom")
         try:
             if m == "equal":
-                if not mn <= lits[0] <= mx:
-                    return False
-                return bloom is None or _bloom_might_contain(bloom, lits[0])
+                # bloom already consulted above
+                return bool(mn <= lits[0] <= mx)
             if m == "notEqual":
                 return not (mn == mx == lits[0] and (nulls or 0) == 0)
             if m == "lessThan":

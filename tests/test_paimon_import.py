@@ -4135,3 +4135,223 @@ def test_lake_bloom_file_index(tmp_path, spark):
     rb2.with_filter(rb2.new_predicate_builder().between("u", "u100", "u103"))
     assert len(_pruned_entries(p, info, rb2)) == 2
     assert sorted(rb2.new_read().to_pandas().k) == [100, 101, 102, 103]
+
+
+def test_stream_consumer_precedence_and_no_rebootstrap(tmp_path, spark):
+    """A persisted consumer offset WINS over scan_mode='latest'/
+    'latest-full' (a lagging consumer resumes where it stopped instead
+    of skipping to the head) and a resumed latest-full subscription
+    does not re-emit the full bootstrap batch."""
+    import json as _json
+
+    from paimon_python_spark.paimon_import import append_paimon_fixture_snapshot
+    from paimon_python_spark.paimon_lake import stream_lake_snapshots
+    from paimon_python_spark.session import set_spark
+
+    set_spark(spark)
+    p = str(tmp_path / "prec_lake")
+    write_paimon_fixture(
+        p, [("k", "INT NOT NULL")], [], [],
+        [(0, {}, 0, pa.table({"k": pa.array([1], pa.int32())}))],
+    )
+    for v in (2, 3, 4, 5):
+        append_paimon_fixture_snapshot(
+            p, [(0, {}, 0, pa.table({"k": pa.array([v], pa.int32())}))]
+        )
+    cdir = str(tmp_path / "cstate")
+    os.makedirs(cdir)
+    with open(os.path.join(cdir, "consumer-lag.json"), "w") as f:
+        _json.dump({"next_snapshot": 2}, f)  # consumer stopped after 2
+    got = [
+        (sid, sorted(df.toPandas().k))
+        for sid, df in stream_lake_snapshots(
+            p,
+            max_batches=3,
+            scan_mode="latest",  # must NOT skip the consumer to 5
+            consumer_id="lag",
+            consumer_dir=cdir,
+        )
+    ]
+    assert got == [(3, [3]), (4, [4]), (5, [5])], got
+    # latest-full with a resumed offset: deltas only, no bootstrap
+    with open(os.path.join(cdir, "consumer-lf.json"), "w") as f:
+        _json.dump({"next_snapshot": 4}, f)
+    got2 = [
+        (sid, sorted(df.toPandas().k))
+        for sid, df in stream_lake_snapshots(
+            p,
+            max_batches=1,
+            scan_mode="latest-full",
+            consumer_id="lf",
+            consumer_dir=cdir,
+        )
+    ]
+    assert got2 == [(5, [5])], got2
+
+
+def test_between_tags_diff_survives_compaction(tmp_path, spark):
+    """The expired-window between-tags fallback must not report COMPACT
+    rewrites as incremental rows: a compaction inside the window
+    rewrites every old row into new files, but the content diff still
+    returns only the rows that actually arrived in the window."""
+    from paimon_python_spark.paimon_lake import (
+        compact_lake,
+        create_lake_table,
+        create_lake_tag,
+        expire_lake_snapshots,
+        read_lake_incremental_between_tags,
+        write_lake_append,
+    )
+    from paimon_python_spark.session import set_spark
+
+    set_spark(spark)
+    p = str(tmp_path / "bt_compact")
+    create_lake_table(p, [("k", "INT NOT NULL")])
+    write_lake_append(p, spark.createDataFrame([(1,), (2,)], "k int"))
+    create_lake_tag(p, "d0", snapshot_id=1)
+    write_lake_append(p, spark.createDataFrame([(3,)], "k int"))
+    compact_lake(p)  # folds rows 1-3 into a NEW file inside the window
+    create_lake_tag(p, "d1")
+    write_lake_append(p, spark.createDataFrame([(9,)], "k int"))
+    expire_lake_snapshots(p, keep_last_n=1)
+    assert not os.path.exists(os.path.join(p, "snapshot", "snapshot-2"))
+    out = read_lake_incremental_between_tags(p, "d0", "d1").toPandas()
+    assert sorted(out.k) == [3], "compacted old rows must not resurface"
+
+
+def test_bucket_pruning_geometry_guard_after_rescale(tmp_path, spark):
+    """Time-travel point reads of PRE-RESCALE snapshots must not prune
+    with the new bucket count: entries carry their own _TOTAL_BUCKETS
+    geometry, and pruning only fires on matching geometry."""
+    from paimon_python_spark.paimon_lake import (
+        PaimonLakeTable,
+        create_lake_table,
+        rescale_lake_bucket,
+        write_lake_pk_append,
+    )
+    from paimon_python_spark.session import set_spark
+
+    set_spark(spark)
+    p = str(tmp_path / "rescale_tt")
+    create_lake_table(
+        p,
+        [("k", "INT NOT NULL"), ("v", "STRING")],
+        primary_keys=["k"],
+        options={"bucket": "2"},
+    )
+    write_lake_pk_append(
+        p, spark.createDataFrame([(i, f"v{i}") for i in range(64)], "k int, v string")
+    )
+    pre_sid = 1
+    rescale_lake_bucket(p, 8)
+    t = PaimonLakeTable(p)
+    # every key must still point-read correctly at BOTH snapshots
+    for k in (0, 17, 42, 63):
+        rb = t.new_read_builder().with_snapshot(pre_sid)
+        rb.with_filter(rb.new_predicate_builder().equal("k", k))
+        got = rb.new_read().to_pandas()
+        assert list(got.k) == [k], f"pre-rescale point read lost k={k}"
+        rb2 = t.new_read_builder()
+        rb2.with_filter(rb2.new_predicate_builder().equal("k", k))
+        assert list(rb2.new_read().to_pandas().k) == [k]
+
+
+def test_lookup_changelog_castable_partition_batch(tmp_path, spark):
+    """A CDC batch whose partition column needs a CAST (timestamp →
+    DATE) still bucket-scopes the lookup to its own groups — the
+    touched-group values are compared AFTER casting to the declared
+    types, so the old state is found and updates emit -U/+U, not +I."""
+    import datetime as dt
+
+    from paimon_python_spark.paimon_lake import (
+        create_lake_table,
+        read_lake_incremental,
+        write_lake_pk_append,
+    )
+    from paimon_python_spark.session import set_spark
+
+    set_spark(spark)
+    p = str(tmp_path / "lookup_cast")
+    create_lake_table(
+        p,
+        [("dt", "DATE NOT NULL"), ("k", "INT NOT NULL"), ("v", "STRING")],
+        partition_keys=["dt"],
+        primary_keys=["dt", "k"],
+        options={"bucket": "2", "changelog-producer": "lookup"},
+    )
+    d = dt.date(2026, 8, 15)
+    write_lake_pk_append(
+        p,
+        spark.createDataFrame(
+            [(d, 1, "a"), (d, 2, "b")], "dt date, k int, v string"
+        ),
+    )
+    # batch arrives with dt as TIMESTAMP (castable to the declared DATE)
+    write_lake_pk_append(
+        p,
+        spark.createDataFrame(
+            [(dt.datetime(2026, 8, 15, 0, 0, 0), 1, "A")],
+            "dt timestamp, k int, v string",
+        ),
+    )
+    cl = read_lake_incremental(p, 1, 2, use_changelog=True).toPandas()
+    kinds = sorted(cl._row_kind)
+    assert kinds == ["+U", "-U"], (
+        f"update must emit a retraction pair, got {list(cl._row_kind)}"
+    )
+
+
+def test_multikey_expire_null_partition_key(tmp_path, spark):
+    """A NULL value in a partition key NOT referenced by the
+    timestamp-pattern still drops (is_null predicate, not the
+    never-matching equal(k, None))."""
+    import datetime as dt
+
+    from paimon_python_spark.paimon_lake import (
+        PaimonLakeTable,
+        create_lake_table,
+        expire_lake_partitions,
+        write_lake_append,
+    )
+    from paimon_python_spark.session import set_spark
+
+    set_spark(spark)
+    p = str(tmp_path / "null_expire")
+    create_lake_table(
+        p,
+        [("dt", "STRING NOT NULL"), ("region", "STRING"), ("v", "INT")],
+        partition_keys=["dt", "region"],
+        options={
+            "partition.expiration-time": "24 h",
+            "partition.timestamp-formatter": "yyyy-MM-dd HH:mm:ss",
+            "partition.timestamp-pattern": "$dt 00:00:00",
+        },
+    )
+    write_lake_append(
+        p,
+        spark.createDataFrame(
+            [("2020-01-01", None, 1), ("2026-08-15", "eu", 2)],
+            "dt string, region string, v int",
+        ),
+    )
+    res = expire_lake_partitions(p, now=dt.datetime(2026, 8, 15, 12))
+    assert res["partitions_dropped"] == 1 and res["rows_dropped"] == 1
+    out = PaimonLakeTable(p).new_read_builder().new_read().to_pandas()
+    assert list(out.v) == [2]
+
+
+def test_bloom_only_stats_prune():
+    """test_by_stats prunes equality on a bloom-only entry (no usable
+    min/max) — and stays conservative for range predicates there."""
+    from paimon_python_spark.bloom import build_hex
+    from paimon_python_spark.predicate import PredicateBuilder
+
+    pb = PredicateBuilder(["u"])
+    hx = build_hex(["a", "b", "c"])
+    st = {"u": {"min": None, "max": None, "null_count": None,
+                "row_count": 3, "bloom": hx}}
+    assert pb.equal("u", "a").test_by_stats(st) is True
+    assert pb.equal("u", "zzz").test_by_stats(st) is False
+    assert pb.is_in("u", ["zzz", "qqq"]).test_by_stats(st) is False
+    assert pb.is_in("u", ["zzz", "b"]).test_by_stats(st) is True
+    assert pb.greater_than("u", "a").test_by_stats(st) is True  # no bounds
