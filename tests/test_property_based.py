@@ -303,3 +303,33 @@ def test_vectorized_bucket_matches_scalar_oracle(keys, nb):
     got = list(_vectorized_fixed_buckets(cols, types, nb))
     want = [fixed_bucket(list(k), types, nb) for k in keys]
     assert got == want
+
+
+@given(
+    values=st.lists(
+        st.one_of(
+            st.integers(min_value=-(2**40), max_value=2**40),
+            st.text(max_size=40),
+            st.floats(allow_nan=False, allow_infinity=False, width=32),
+            st.booleans(),
+        ),
+        min_size=1,
+        max_size=300,
+    ),
+)
+@settings(**SETTINGS)
+def test_bloom_never_false_negative(values):
+    """A bloom index may only PRUNE: every value that went into the
+    bitmap must probe positive (a false negative would silently drop
+    matching files from a plan), for any mix of value types."""
+    from paimon_python_spark.bloom import build_hex
+    from paimon_python_spark.predicate import PredicateBuilder
+
+    hx = build_hex(values)
+    assert hx is not None
+    st_ = {"u": {"min": None, "max": None, "null_count": 0,
+                 "row_count": len(values), "bloom": hx}}
+    pb = PredicateBuilder(["u"])
+    for v in values:
+        assert pb.equal("u", v).test_by_stats(st_) is True
+    assert pb.is_in("u", list(values)[:5]).test_by_stats(st_) is True
