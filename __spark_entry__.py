@@ -4149,6 +4149,74 @@ ORDER BY c_custkey
 """
 
 
+def dedup_minhash_incremental_lake(spark, sf_dir):
+    """Incremental MinHash dedup against a PERSISTED lake index — the
+    production ingest shape: the corpus's (doc_id, band, band_key) LSH
+    index is written ONCE to a real Paimon lake; each incoming batch is
+    banded (narrow compute over the batch only) and joined against the
+    lake read — the corpus is never re-shingled and never self-joined,
+    so a small batch against a 100 TB corpus costs one index scan (AQE
+    broadcasts the batch side). Candidates = distinct (doc_new,
+    doc_ref) band collisions; oracle replays both sides' band keys in
+    SQL."""
+    from paimon_python_spark.operators import (
+        minhash_band_index,
+        minhash_incremental_candidates,
+    )
+    from paimon_python_spark.paimon_lake import (
+        PaimonLakeTable,
+        create_lake_table,
+        write_lake_append,
+    )
+    from paimon_python_spark.session import set_spark
+
+    set_spark(spark)
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 4 != 0)
+    batch = docs.filter(F.col("doc_id") % 4 == 0)
+    fixture = _fresh_warehouse("mhinc") + "/minhash_index"
+    create_lake_table(
+        fixture,
+        [
+            ("doc_id", "BIGINT NOT NULL"),
+            ("band", "INT NOT NULL"),
+            ("band_key", "STRING NOT NULL"),
+        ],
+    )
+    write_lake_append(
+        fixture, minhash_band_index(corpus, "doc_id", "text")
+    )
+    index = PaimonLakeTable(fixture).new_read_builder().new_read().to_df()
+    return minhash_incremental_candidates(
+        index, batch, "doc_id", "text"
+    ).orderBy("doc_new", "doc_ref")
+
+
+def _minhash_incremental_oracle() -> str:
+    from paimon_python_spark.operators.dedup import MINHASH_P, minhash_coeffs
+
+    sig_elems = [
+        f"list_min(list_transform(hs, x -> ({a} * x + {b}) % {MINHASH_P}))"
+        for a, b in minhash_coeffs(16)
+    ]
+    sig_list = ",\n    ".join(sig_elems)
+    return f"""
+WITH sh AS ({_SH_SQL}),
+hashed AS (SELECT doc_id, sh,
+  list_transform(sh, s -> ('0x' || substr(md5(s), 1, 7))::BIGINT) AS hs FROM sh),
+sig AS (SELECT doc_id, [{sig_list}] AS sig FROM hashed),
+bands AS (
+  SELECT doc_id, b,
+    sig[b*4+1]::VARCHAR || '-' || sig[b*4+2]::VARCHAR || '-' ||
+    sig[b*4+3]::VARCHAR || '-' || sig[b*4+4]::VARCHAR AS band_key
+  FROM sig, generate_series(0, 3) t(b))
+SELECT DISTINCT n.doc_id AS doc_new, r.doc_id AS doc_ref
+FROM bands n JOIN bands r ON n.b = r.b AND n.band_key = r.band_key
+WHERE n.doc_id % 4 = 0 AND r.doc_id % 4 != 0
+ORDER BY doc_new, doc_ref
+"""
+
+
 def paimon_lake_bloom_index_roundtrip(spark, sf_dir):
     """Lake BLOOM FILE INDEX (file-index.bloom-filter.columns):
     per-file bloom bitmaps built executor-side and embedded in each
@@ -9624,6 +9692,7 @@ _QUERIES: dict[str, Callable] = {
     "paimon_lake_between_tags_roundtrip": paimon_lake_between_tags_roundtrip,
     "paimon_lake_auto_compact_roundtrip": paimon_lake_auto_compact_roundtrip,
     "paimon_lake_bloom_index_roundtrip": paimon_lake_bloom_index_roundtrip,
+    "dedup_minhash_incremental_lake": dedup_minhash_incremental_lake,
     "paimon_lake_fullcompact_changelog_roundtrip": paimon_lake_fullcompact_changelog_roundtrip,
     "paimon_lake_lookup_changelog_roundtrip": paimon_lake_lookup_changelog_roundtrip,
     "paimon_lake_pk_delete_roundtrip": paimon_lake_pk_delete_roundtrip,
@@ -10065,6 +10134,7 @@ _GATE_HEAD = [
     "paimon_lake_between_tags_roundtrip",
     "paimon_lake_auto_compact_roundtrip",
     "paimon_lake_bloom_index_roundtrip",
+    "dedup_minhash_incremental_lake",
 ]
 
 
@@ -10077,6 +10147,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     out = dict(_ORACLES)
     out["dedup_minhash_lsh"] = _minhash_oracle()
+    out["dedup_minhash_incremental_lake"] = _minhash_incremental_oracle()
     out["dedup_minhash_lsh_capped"] = _minhash_oracle(max_bucket=2)
     out["dedup_cluster_reps"] = _dedup_cluster_oracle()
     out["dedup_fuzzy_survivors"] = _dedup_survivors_oracle()

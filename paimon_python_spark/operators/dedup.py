@@ -247,6 +247,75 @@ def minhash_lsh_pairs(
     return shared(out)
 
 
+def minhash_band_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """The PERSISTABLE half of MinHash-LSH dedup: one (id, band,
+    band_key) row per document per band — the index a production
+    pipeline writes to a table ONCE and reuses for every incoming
+    batch, instead of re-shingling the corpus per dedup round. Pure
+    narrow compute (shingle → signature → band keys), no shuffle."""
+    rows_per_band = num_hashes // bands
+    sig = (
+        df.select(id_col, text_col)
+        .filter(F.size(F.split(F.col(text_col), " ")) >= shingle_n)
+        .select(
+            F.col(id_col),
+            F.expr(
+                f"transform(array({_shingle_expr(text_col, shingle_n)}), "
+                f"sh -> {minhash_signature_expr(num_hashes)})[0]"
+            ).alias("sig"),
+        )
+    )
+    band_key = F.concat_ws(
+        "-",
+        *[
+            F.element_at("sig", F.col("band") * rows_per_band + F.lit(k + 1))
+            for k in range(rows_per_band)
+        ],
+    )
+    return (
+        sig.withColumn("band", F.explode(F.sequence(F.lit(0), F.lit(bands - 1))))
+        .withColumn("band_key", band_key)
+        .select(id_col, "band", "band_key")
+    )
+
+
+def minhash_incremental_candidates(
+    index: DataFrame,
+    batch: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Incremental near-dup detection — the production ingest shape: a
+    NEW batch of documents is banded (narrow compute over the batch
+    only) and joined against a PRE-BUILT corpus band index (see
+    :func:`minhash_band_index`, typically persisted in a lake table).
+    The corpus is never re-shingled and never self-joined; the join is
+    keyed on (band, band_key) and AQE broadcasts the batch side when it
+    is small (the common ingest case), so a 1k-doc batch against a
+    100 TB corpus index costs one index scan. Returns distinct
+    (doc_new, doc_ref) candidate pairs."""
+    new_bands = minhash_band_index(
+        batch, id_col, text_col, num_hashes, bands, shingle_n
+    ).withColumnsRenamed({id_col: "doc_new"})
+    ref = index.withColumnsRenamed({id_col: "doc_ref"})
+    return (
+        new_bands.join(ref, ["band", "band_key"])
+        .filter(F.col("doc_new") != F.col("doc_ref"))
+        .select("doc_new", "doc_ref")
+        .distinct()
+    )
+
+
 def _cap_hot_shingles(inv: DataFrame, max_doc_freq: int) -> DataFrame:
     """Drop shingles shared by more than ``max_doc_freq`` docs BEFORE an
     inverted-index self-join — the production guard against quadratic
