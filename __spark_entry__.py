@@ -1508,6 +1508,77 @@ def ann_ivf_partitioned_roundtrip(spark, sf_dir):
     )
 
 
+def ann_ivf_incremental_ingest(spark, sf_dir):
+    """INCREMENTAL ANN ingest into the persisted-IVF layout — the
+    production vector-pipeline shape: the corpus is written once
+    partitioned by IVF cell; a NEW batch of embeddings is assigned to
+    the SAME frozen centroids (narrow compute over the batch only) and
+    appended as a second commit — no index rebuild, no corpus rewrite.
+    A probe after the ingest still plans only the probed cells'
+    files (asserted) and must return the identical top-k the one-shot
+    build returns — so the one-shot query's SQL oracle checks this
+    path bit-for-bit."""
+    from paimon_python_spark import Catalog, Schema
+    from paimon_python_spark.operators.similarity import (
+        assign_cells,
+        brute_force_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+    corpus = emb.filter(F.col("vec_id") % 5 != 0)
+    batch = emb.filter(F.col("vec_id") % 5 == 0)
+    centroids = [
+        [float(x) for x in r[0]]
+        for r in (
+            _t(spark, sf_dir, "embeddings")
+            .filter(F.col("vec_id").between(1, 8))
+            .orderBy("vec_id")
+            .select("embedding")
+            .collect()
+        )
+    ]
+    qv = _query_vec(spark, sf_dir)
+    probe = sorted(
+        range(len(centroids)),
+        key=lambda i: (
+            -sum(float(a) * float(b) for a, b in zip(centroids[i], qv)),
+            i,
+        ),
+    )[:2]
+    probe_cells = [i + 1 for i in probe]
+    wh = _fresh_warehouse("ivfinc")
+    cat = Catalog.create({"warehouse": wh})
+    cat.create_database("default", True)
+    celled_corpus = assign_cells(corpus, "embedding", centroids)
+    cat.create_table(
+        "default.emb_ivf",
+        Schema(celled_corpus.schema, partition_keys=["cell"]),
+        False,
+    )
+    t = cat.get_table("default.emb_ivf")
+    for df in (celled_corpus, assign_cells(batch, "embedding", centroids)):
+        wb = t.new_batch_write_builder()
+        w, c = wb.new_write(), wb.new_commit()
+        w.write_dataframe(df)
+        c.commit(w.prepare_commit())
+        w.close()
+        c.close()
+    rb = t.new_read_builder()
+    pb = rb.new_predicate_builder()
+    pruned = rb.with_filter(pb.is_in("cell", probe_cells))
+    n_all = sum(
+        len(s.file_paths())
+        for s in t.new_read_builder().new_scan().plan().splits()
+    )
+    n_probed = sum(
+        len(s.file_paths()) for s in pruned.new_scan().plan().splits()
+    )
+    assert 0 < n_probed < n_all, (n_probed, n_all)
+    return brute_force_topk(
+        pruned.new_read().to_df(), "vec_id", "embedding", qv, k=10
+    )
+
+
 def _ann_ivf_oracle(sf_dir: str) -> str:
     """Same centroid literals, same assignment expression, same probe
     cells (computed with the identical left-fold double arithmetic)."""
@@ -9693,6 +9764,7 @@ _QUERIES: dict[str, Callable] = {
     "paimon_lake_auto_compact_roundtrip": paimon_lake_auto_compact_roundtrip,
     "paimon_lake_bloom_index_roundtrip": paimon_lake_bloom_index_roundtrip,
     "dedup_minhash_incremental_lake": dedup_minhash_incremental_lake,
+    "ann_ivf_incremental_ingest": ann_ivf_incremental_ingest,
     "paimon_lake_fullcompact_changelog_roundtrip": paimon_lake_fullcompact_changelog_roundtrip,
     "paimon_lake_lookup_changelog_roundtrip": paimon_lake_lookup_changelog_roundtrip,
     "paimon_lake_pk_delete_roundtrip": paimon_lake_pk_delete_roundtrip,
@@ -10135,6 +10207,7 @@ _GATE_HEAD = [
     "paimon_lake_auto_compact_roundtrip",
     "paimon_lake_bloom_index_roundtrip",
     "dedup_minhash_incremental_lake",
+    "ann_ivf_incremental_ingest",
 ]
 
 
@@ -10163,6 +10236,7 @@ def oracle_sql() -> dict[str, str]:
     out["ann_lsh_bucket"] = _ann_lsh_oracle("/root/testdata/sf0.01")
     out["ann_ivf_cell"] = _ann_ivf_oracle("/root/testdata/sf0.01")
     out["ann_ivf_partitioned_roundtrip"] = _ann_ivf_oracle("/root/testdata/sf0.01")
+    out["ann_ivf_incremental_ingest"] = _ann_ivf_oracle("/root/testdata/sf0.01")
     out["ann_pq_adc"] = _ann_pq_oracle("/root/testdata/sf0.01")
     out["ann_pq_rerank"] = _ann_pq_rerank_oracle("/root/testdata/sf0.01")
     out["ann_ivf_trained"] = _ann_ivf_trained_oracle("/root/testdata/sf0.01")

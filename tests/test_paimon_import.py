@@ -4355,3 +4355,51 @@ def test_bloom_only_stats_prune():
     assert pb.is_in("u", ["zzz", "qqq"]).test_by_stats(st) is False
     assert pb.is_in("u", ["zzz", "b"]).test_by_stats(st) is True
     assert pb.greater_than("u", "a").test_by_stats(st) is True  # no bounds
+
+
+def test_compact_lake_auto_with_fullcompaction_changelog(tmp_path, spark):
+    """compact_lake_auto on a changelog-producer=full-compaction lake:
+    the group-scoped rewrite still derives the -U/+U/+I changelog for
+    the compacted groups (diffed against the last compaction baseline
+    scoped to the SAME groups), and cold groups contribute nothing."""
+    from paimon_python_spark.paimon_import import fixed_bucket
+    from paimon_python_spark.paimon_lake import (
+        compact_lake_auto,
+        create_lake_table,
+        read_lake_incremental,
+        write_lake_pk_append,
+    )
+    from paimon_python_spark.session import set_spark
+
+    set_spark(spark)
+    p = str(tmp_path / "auto_clog")
+    create_lake_table(
+        p,
+        [("k", "INT NOT NULL"), ("v", "STRING")],
+        primary_keys=["k"],
+        options={
+            "bucket": "2",
+            "num-sorted-run.compaction-trigger": "3",
+            "changelog-producer": "full-compaction",
+        },
+    )
+    b0 = [k for k in range(40) if fixed_bucket([k], [T.IntegerType()], 2) == 0]
+    b1 = [k for k in range(40) if fixed_bucket([k], [T.IntegerType()], 2) == 1]
+    # 3 commits into bucket 0 (hot), 1 into bucket 1 (cold)
+    for i in range(3):
+        write_lake_pk_append(
+            p,
+            spark.createDataFrame(
+                [(k, f"r{i}") for k in b0[:4]], "k int, v string"
+            ),
+        )
+    write_lake_pk_append(
+        p, spark.createDataFrame([(k, "cold") for k in b1[:3]], "k int, v string")
+    )
+    sid = compact_lake_auto(p)
+    assert sid is not None
+    cl = read_lake_incremental(p, sid - 1, sid, use_changelog=True).toPandas()
+    # changelog covers ONLY the hot (compacted) group's keys, all +I
+    # (first compaction: no baseline), never the cold bucket's
+    assert set(cl.k) == set(b0[:4])
+    assert set(cl._row_kind) == {"+I"}
