@@ -4327,7 +4327,14 @@ def paimon_lake_bloom_index_roundtrip(spark, sf_dir):
     write_lake_append(
         fixture, src.filter(F.col("c_custkey") % 2 == 1).coalesce(1)
     )
-    probe = src.filter(F.col("c_custkey") == 777).first()["c_name"]
+    # data-dependent probe key so the roundtrip works at every SF:
+    # the largest ODD key present (odd keys live in the second file)
+    probe_key = (
+        src.filter(F.col("c_custkey") % 2 == 1)
+        .agg(F.max("c_custkey"))
+        .first()[0]
+    )
+    probe = src.filter(F.col("c_custkey") == probe_key).first()["c_name"]
     info = read_paimon_schema(fixture)
     t = PaimonLakeTable(fixture)
     rb = t.new_read_builder()
@@ -4343,7 +4350,9 @@ PAIMON_LAKE_BLOOM_SQL = """
 SELECT c_custkey, c_name
 FROM customer
 WHERE c_custkey <= 1000
-  AND c_name = (SELECT c_name FROM customer WHERE c_custkey = 777)
+  AND c_name = (SELECT c_name FROM customer
+                WHERE c_custkey = (SELECT max(c_custkey) FROM customer
+                                   WHERE c_custkey <= 1000 AND c_custkey % 2 = 1))
 ORDER BY c_custkey
 """
 

@@ -103,6 +103,15 @@ HEADLINE = [
     "dedup_substring_spans",
     "dedup_contaminated_spans",
     "dedup_excise_contaminated",
+    # r8 additions: bucket pruning, footer-stats pruning, tag-window
+    # incrementals, and the persisted-index incremental dedup — the
+    # point-lookup / ingest shapes whose throughput the round targets.
+    # (auto-compact and the stream start modes are correctness-gated
+    # but sit out: their cost is multi-commit protocol latency.)
+    "paimon_lake_bucket_pruned_point_read",
+    "paimon_lake_append_stats_prune_roundtrip",
+    "paimon_lake_between_tags_roundtrip",
+    "dedup_minhash_incremental_lake",
 ]
 
 

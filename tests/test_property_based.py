@@ -333,3 +333,29 @@ def test_bloom_never_false_negative(values):
     for v in values:
         assert pb.equal("u", v).test_by_stats(st_) is True
     assert pb.is_in("u", list(values)[:5]).test_by_stats(st_) is True
+
+
+def test_bucket_router_scalar_fallback(monkeypatch):
+    """When the vectorized path raises (unsupported key shape), the
+    router must fall back to the scalar spec oracle and produce the
+    identical routing."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    import paimon_python_spark.paimon_lake as pl
+    from paimon_python_spark.paimon_import import fixed_bucket
+
+    keys = pd.Series([1, None, 7, 42, -9])
+    types = [T.LongType()]
+    want = [
+        fixed_bucket([None if pd.isna(v) else int(v)], types, 8) for v in keys
+    ]
+    fn = pl._make_lake_bucket_fn(types, 8)
+    assert list(fn(keys)) == want  # vector path
+
+    def boom(*a, **k):
+        raise RuntimeError("forced")
+
+    monkeypatch.setattr(pl, "_vectorized_fixed_buckets", boom)
+    fn2 = pl._make_lake_bucket_fn(types, 8)
+    assert list(fn2(keys)) == want  # scalar fallback, same routing
