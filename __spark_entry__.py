@@ -8271,6 +8271,38 @@ FROM scored GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def text_bigram_surprisal(spark, sf_dir):
+    """Bigram-LM quality score: mean integer surprisal of each doc's
+    word TRANSITIONS against the corpus's own bigram distribution —
+    catches fluent-word-salad that unigram surprisal misses. Exact
+    64-bit integer math (floor log2 via bit length), so the score
+    hashes identically in any engine."""
+    from paimon_python_spark.functions import bigram_surprisal
+
+    docs = _t(spark, sf_dir, "documents")
+    return bigram_surprisal(docs, "doc_id", "text").orderBy("doc_id")
+
+
+TEXT_BIGRAM_SURPRISAL_SQL = """
+WITH docs2 AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+pairs AS (
+  SELECT doc_id, w[i - 1] AS w1, w[i] AS w2
+  FROM docs2, unnest(CASE WHEN len(w) >= 2
+                          THEN generate_series(2, len(w))
+                          ELSE [] END) t(i)),
+c2 AS (SELECT w1, w2, count(*) AS c2 FROM pairs GROUP BY w1, w2),
+c1 AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY w1),
+scored AS (
+  SELECT p.doc_id, length(bin(c1.c1 // c2.c2)) - 1 AS s
+  FROM pairs p JOIN c2 USING (w1, w2) JOIN c1 USING (w1))
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(s) AS BIGINT) AS total_surprisal,
+       CAST(floor(sum(s) * 100 / count(*)) AS BIGINT) AS avg_surprisal_x100
+FROM scored GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def sketch_hll_union_sliding(spark, sf_dir):
     """Sliding 6-hour distinct users per event type via MERGEABLE HLL
     sketches (hll_sketch_agg per hour, hll_union_agg per window) — the
@@ -9854,6 +9886,7 @@ _QUERIES: dict[str, Callable] = {
     "text_punct_stopword": text_punct_stopword,
     "text_repetition_stats": text_repetition_stats,
     "text_unigram_surprisal": text_unigram_surprisal,
+    "text_bigram_surprisal": text_bigram_surprisal,
     "text_quality_filter": text_quality_filter,
     "events_retention_cohorts": events_retention_cohorts,
     "events_sessionize_stateful": events_sessionize_stateful,
@@ -10059,6 +10092,7 @@ _ORACLES: dict[str, str] = {
     "events_anomaly_zscore": EVENTS_ANOMALY_SQL,
     "dedup_containment_exact": DEDUP_CONTAINMENT_EXACT_SQL,
     "text_unigram_surprisal": TEXT_SURPRISAL_SQL,
+    "text_bigram_surprisal": TEXT_BIGRAM_SURPRISAL_SQL,
     "text_length_band_filter": TEXT_LENGTH_BAND_SQL,
     "sketch_hll_union_sliding": SKETCH_HLL_SLIDING_SQL,
     "paimon_incremental_dedup_roundtrip": PAIMON_INC_DEDUP_SQL,
@@ -10217,6 +10251,7 @@ _GATE_HEAD = [
     "paimon_lake_bloom_index_roundtrip",
     "dedup_minhash_incremental_lake",
     "ann_ivf_incremental_ingest",
+    "text_bigram_surprisal",
 ]
 
 

@@ -576,6 +576,66 @@ def unigram_surprisal(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def bigram_surprisal(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Perplexity-proxy quality score against the corpus's own BIGRAM
+    distribution — a sharper "does this read like the corpus" signal
+    than :func:`unigram_surprisal` (word salad with common words scores
+    low on unigrams but high here, because its TRANSITIONS are rare).
+
+    Per-bigram surprisal is the integer ``floor(log2(c1 / c2))`` where
+    ``c2`` counts the (prev, word) pair corpus-wide and ``c1`` counts
+    ``prev`` as a predecessor (so c2 ≤ c1 always and the conditional
+    p(word|prev) = c2/c1 needs no smoothing for observed pairs) —
+    computed as ``length(bin(c1 div c2)) - 1``, pure 64-bit integer ops
+    identical in every SQL engine, so scores hash-match the oracle.
+
+    Scale shape: one hash-agg over bigrams for the pair counts (the
+    predecessor counts fold from it with a second small agg), one
+    word-partitioned shuffle join back, one hash-agg to docs. No UDF,
+    no driver state; single-word docs drop (no transitions to score).
+    """
+    # ONE split evaluation per row: the lambda binding in
+    # inline(transform(array(split), w -> ...)) holds the word array as
+    # a variable, so CollapseProject can't inline (and re-evaluate) it
+    # into every reference — the same trick as the minhash shingler.
+    # The size guard lives INSIDE the lambda because Spark's
+    # sequence(2, 1) counts DOWN rather than producing empty.
+    split_expr = f"split(lower({text_col}), ' ')"
+    gen = (
+        f"inline(transform(array({split_expr}), w -> struct("
+        "CASE WHEN size(w) >= 2 THEN transform(sequence(2, size(w)), "
+        "i -> struct(w[i - 2] AS w1, w[i - 1] AS w2)) "
+        "ELSE array() END AS bgs)))"
+    )
+    pairs = (
+        df.select(F.col(id_col), F.expr(gen))
+        .select(F.col(id_col), F.explode("bgs").alias("bg"))
+        .select(id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    )
+    c2 = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    scored = (
+        pairs.join(c2, ["w1", "w2"])
+        .join(c1, "w1")
+        .withColumn(
+            "s", (F.length(F.bin(F.expr("c1 div c2"))) - 1).cast("long")
+        )
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.sum("s").cast("long").alias("total_surprisal"),
+        )
+        .withColumn(
+            "avg_surprisal_x100",
+            F.floor(F.col("total_surprisal") * 100 / F.col("n_bigrams")).cast(
+                "long"
+            ),
+        )
+    )
+
+
 #: stand-in weights for the quality model (a real deployment drops in
 #: trained weights; the pipeline shape — integer features x literal
 #: weights, scan-side — is identical)
