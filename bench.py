@@ -112,6 +112,7 @@ HEADLINE = [
     "paimon_lake_append_stats_prune_roundtrip",
     "paimon_lake_between_tags_roundtrip",
     "dedup_minhash_incremental_lake",
+    "paimon_lake_bucket_local_merge_roundtrip",
 ]
 
 

@@ -1119,6 +1119,24 @@ def _value_stats_for(table, info: "PaimonSchemaInfo") -> dict:
         return dict(_EMPTY_STATS)
 
 
+def _kv_seq_range(table) -> "tuple[Optional[int], Optional[int]]":
+    """(min, max) of a kv fixture table's ``_SEQUENCE_NUMBER`` column,
+    or (None, None) for value-only tables. The manifest MUST record the
+    true in-file range: later commits seed their sequence base past
+    every live file's max, and an understated max (the old rows-count
+    default) lets fresh -D/upsert records LOSE the merge to older
+    rows."""
+    if "_SEQUENCE_NUMBER" not in getattr(table, "column_names", ()):
+        return None, None
+    col = table["_SEQUENCE_NUMBER"]
+    if col.length() == 0:
+        return None, None
+    import pyarrow.compute as pc
+
+    mm = pc.min_max(col)
+    return mm["min"].as_py(), mm["max"].as_py()
+
+
 def _spec_file_meta(
     name: str,
     size: int,
@@ -1190,6 +1208,41 @@ def _write_fixture_data_file(table, fpath: str, fmt: str) -> None:
         fields.append({"name": f.name, "type": ["null", _AVRO_PRIM[st]]})
     schema = {"type": "record", "name": "paimon_row", "fields": fields}
     write_avro_records(fpath, schema, table.to_pylist())
+
+
+def route_kv_fixture_files(
+    table,
+    key_cols: List[str],
+    key_types: List[T.DataType],
+    n_buckets: int,
+    partition: "Optional[dict]" = None,
+) -> List[tuple]:
+    """Split one key-value pyarrow table into the fixture writer's
+    ``[(0, partition, bucket, subtable)]`` tuples with every row routed
+    by the PUBLIC extractor (``abs(murmur(BinaryRow(key))) % n``) — the
+    only layout a real fixed-bucket writer produces. Hand-placing all
+    rows in bucket 0 of a multi-bucket table builds a spec-INVALID lake
+    where bucket pruning and bucket-closed merges are unsound by
+    construction (a JVM reader would mis-prune it identically)."""
+    import datetime
+
+    buckets: dict[int, list[int]] = {}
+    cols = [table[f"_KEY_{k}"].to_pylist() for k in key_cols]
+    epoch = datetime.date(1970, 1, 1)
+    for row_i, vals in enumerate(zip(*cols)):
+        logical = []
+        for v, dt in zip(vals, key_types):
+            if isinstance(v, datetime.datetime):
+                v = v.date()
+            if isinstance(dt, T.DateType) and isinstance(v, datetime.date):
+                v = (v - epoch).days
+            logical.append(v)
+        b = fixed_bucket(logical, key_types, n_buckets)
+        buckets.setdefault(b, []).append(row_i)
+    return [
+        (0, dict(partition or {}), b, table.take(rows))
+        for b, rows in sorted(buckets.items())
+    ]
 
 
 def write_paimon_table_fixture(
@@ -1278,6 +1331,8 @@ def write_paimon_table_fixture(
                 "_FILE": _spec_file_meta(
                     fname, size, table.num_rows,
                     value_stats=_value_stats_for(table, info),
+                    min_seq=_kv_seq_range(table)[0] or 0,
+                    max_seq=_kv_seq_range(table)[1],
                 ),
             }
         )
@@ -1489,6 +1544,8 @@ def append_paimon_fixture_snapshot(
                 "_FILE": _spec_file_meta(
                     fname, size, table.num_rows, schema_id=schema_id,
                     value_stats=_value_stats_for(table, info),
+                    min_seq=_kv_seq_range(table)[0] or 0,
+                    max_seq=_kv_seq_range(table)[1],
                 ),
             }
         )
@@ -1771,6 +1828,162 @@ def _load_lake_entries(
     return reduce(lambda a, b: a.unionByName(b), parts)
 
 
+#: value dtypes the bucket-local merge keeps exact through the
+#: arrow→pandas→arrow roundtrip (others fall back to the window path)
+_BUCKET_LOCAL_TYPES = (
+    T.IntegerType, T.LongType, T.ShortType, T.ByteType, T.BooleanType,
+    T.FloatType, T.DoubleType, T.StringType, T.DateType,
+)
+
+
+def _bucket_local_merge_ok(info: PaimonSchemaInfo, entries, fmt: str, dv_ranges) -> bool:
+    """Eligibility for the NO-SHUFFLE bucket-local PK merge: fixed
+    bucket geometry consistent across entries, single schema version
+    (no field-id remap needed in the task), parquet files, deduplicate
+    engine without sequence.field, no deletion vectors, and value
+    dtypes the pandas roundtrip keeps exact."""
+    if fmt != "parquet" or dv_ranges:
+        return False
+    if info.options.get("merge-engine", "deduplicate") != "deduplicate":
+        return False
+    if info.options.get("sequence.field"):
+        return False
+    nb = int(info.options.get("bucket", "-1"))
+    if nb < 1:
+        return False
+    if any(e.schema_id != info.id for e in entries):
+        return False
+    if any(e.total_buckets not in (None, nb) for e in entries):
+        return False  # mixed geometry (pre-rescale history): stay exact
+    return all(
+        isinstance(f.dataType, _BUCKET_LOCAL_TYPES)
+        for f in info.spark_schema.fields
+    )
+
+
+def merge_pk_entries_bucket_local(
+    spark, info: PaimonSchemaInfo, entries, src, needed_cols=None
+):
+    """NO-SHUFFLE merge of a fixed-bucket PK lake — real Paimon's own
+    execution shape: a key lives in exactly ONE (partition, bucket)
+    group, so the merge is closed per group and needs no cross-task
+    key clustering. One task per group reads its files with pyarrow
+    (column-complete, Arrow-batched), resolves max-sequence-per-key
+    (level asc, then entry order desc as tie-breaks, ``-D``/``-U``
+    dropped) in-memory, and emits the group's visible rows. The
+    window-function path this replaces shuffles EVERY scanned byte by
+    key — at 100 TB that exchange is the dominant cost of every PK
+    read, while per-group state is bounded by bucket sizing exactly as
+    in Paimon's own per-bucket merge. Plan shape: scan → mapInPandas,
+    zero Exchange nodes (asserted by the gated roundtrip)."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    part_keys = list(info.partition_keys)
+    trimmed = [k for k in info.primary_keys if k not in part_keys]
+    # COLUMN PRUNING pushed into the per-group pyarrow reads — the
+    # bucket-local path has no Catalyst scan to prune for it, so the
+    # caller passes projection ∪ predicate columns (keys always read:
+    # the merge needs them)
+    if needed_cols is not None:
+        keep = set(needed_cols) | set(info.primary_keys) | set(part_keys)
+        value_fields = [f for f in info.spark_schema.fields if f.name in keep]
+    else:
+        value_fields = list(info.spark_schema.fields)
+    groups: dict = {}
+    for i, e in enumerate(entries):
+        key = (tuple(sorted(e.partition.items())), e.bucket)
+        groups.setdefault(key, []).append((i, e))
+    specs = []
+    for (_, _bkt), es in sorted(groups.items()):
+        e0 = es[0][1]
+        pvals = {}
+        for k in part_keys:
+            v = e0.partition.get(k)
+            # JSON-safe transport; DateType partition values are epoch
+            # days on disk and datetime.date after logical decode
+            if hasattr(v, "isoformat"):
+                v = v.isoformat()
+            pvals[k] = v
+        specs.append(
+            (
+                _json.dumps(
+                    {
+                        "files": [[i, src(e), e.level] for i, e in es],
+                        "partition": pvals,
+                    }
+                ),
+            )
+        )
+    schema = T.StructType(value_fields)
+    kv_value_names = [f.name for f in value_fields if f.name not in part_keys]
+    key_cols = [f"_KEY_{k}" for k in trimmed]
+    read_cols = key_cols + ["_SEQUENCE_NUMBER", "_VALUE_KIND"] + kv_value_names
+
+    def _merge_groups(batches):
+        import datetime
+        import json
+
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        for pdf_in in batches:
+            for spec_s in pdf_in["spec"]:
+                spec = json.loads(spec_s)
+                frames = []
+                for idx, path, level in spec["files"]:
+                    t = pq.read_table(path, columns=read_cols)
+                    # ArrowDtype keeps null ints/big longs EXACT through
+                    # the pandas merge (classic to_pandas would promote
+                    # nullable ints to float64 and corrupt > 2^53)
+                    f = t.to_pandas(types_mapper=pd.ArrowDtype)
+                    f["__lvl"] = level
+                    f["__idx"] = idx
+                    frames.append(f)
+                g = pd.concat(frames, ignore_index=True)
+                # max seq wins; ties: lower level (newer run), then
+                # later commit — mergesort keeps determinism
+                g = g.sort_values(
+                    key_cols + ["_SEQUENCE_NUMBER", "__lvl", "__idx"],
+                    ascending=[True] * len(key_cols) + [False, True, False],
+                    kind="mergesort",
+                )
+                g = g.drop_duplicates(subset=key_cols, keep="first")
+                g = g[g["_VALUE_KIND"].isin((0, 2))]
+                out = pd.DataFrame(index=g.index)
+                for f in value_fields:
+                    if f.name in part_keys:
+                        v = spec["partition"].get(f.name)
+                        if v is not None and isinstance(f.dataType, T.DateType):
+                            if isinstance(v, int):
+                                v = datetime.date(1970, 1, 1) + datetime.timedelta(days=v)
+                            else:
+                                v = datetime.date.fromisoformat(v)
+                        out[f.name] = pd.Series(
+                            [v] * len(g), index=g.index, dtype=object
+                        )
+                    else:
+                        col = g[f.name]
+                        # plain-object output: Spark's arrow serializer
+                        # rejects chunk-backed ArrowDtype columns, and
+                        # object scalars stay EXACT (null ints never
+                        # detour through float64)
+                        out[f.name] = col.astype(object).where(
+                            col.notna(), None
+                        )
+                yield out
+
+    # one spec row per task partition via parallelize(numSlices=n): each
+    # group merges alone and the plan carries ZERO Exchange nodes — the
+    # spec strings are the only driver→executor payload (KB-scale)
+    n = max(1, len(specs))
+    plan_df = spark.createDataFrame(
+        spark.sparkContext.parallelize(specs, numSlices=n), "spec string"
+    )
+    return plan_df.mapInPandas(_merge_groups, schema)
+
+
 def merge_paimon_pk_entries(
     spark,
     info: PaimonSchemaInfo,
@@ -1779,6 +1992,7 @@ def merge_paimon_pk_entries(
     fmt: str,
     dv_ranges=None,
     table_path: "str | None" = None,
+    needed_cols=None,
 ):
     """Distributed merge of a PK table's key-value files into the
     visible rows: max ``_SEQUENCE_NUMBER`` per (partition, key) wins,
@@ -1802,6 +2016,14 @@ def merge_paimon_pk_entries(
     if not entries:
         return spark.createDataFrame([], info.spark_schema)
     dv_ranges = _relevant_dv(dv_ranges, entries)
+    if _bucket_local_merge_ok(info, entries, fmt, dv_ranges):
+        # fixed-bucket geometry makes the merge closed per (partition,
+        # bucket) group: take the NO-SHUFFLE per-group path (real
+        # Paimon's own execution shape) instead of the key-window
+        # exchange below
+        return merge_pk_entries_bucket_local(
+            spark, info, entries, src, needed_cols=needed_cols
+        )
     raw = _load_lake_entries(
         spark,
         info,

@@ -856,8 +856,26 @@ class PaimonLakeRead:
                     df = apply_lake_dv(spark, df, rodv, "__file_name", "__row_pos")
                 df = df.select(*[f.name for f in info.spark_schema.fields])
         elif info.primary_keys:
+            needed = None
+            if b._projection is not None:
+                # projection ∪ residual-predicate columns: the bucket-
+                # local merge prunes its pyarrow reads to these (the
+                # window path lets Catalyst prune the same set)
+                needed = list(
+                    dict.fromkeys(
+                        list(b._projection)
+                        + (sorted(b._predicate.fields()) if b._predicate else [])
+                    )
+                )
             df = merge_paimon_pk_entries(
-                spark, info, entries, src, fmt, dv_ranges=dv, table_path=table_path
+                spark,
+                info,
+                entries,
+                src,
+                fmt,
+                dv_ranges=dv,
+                table_path=table_path,
+                needed_cols=needed,
             )
         else:
             df = read_paimon_append_entries(

@@ -28,6 +28,20 @@ from paimon_python_spark.paimon_import import (
     write_paimon_table_fixture as write_paimon_fixture,
 )
 
+
+
+def _route_kv2(table, n_buckets):
+    """Route a single-bigint-key kv fixture table into its spec buckets
+    (hand-placed buckets make bucket pruning/bucket-local merges
+    unsound — a real fixed-bucket writer always routes by the hash)."""
+    from pyspark.sql import types as T
+
+    from paimon_python_spark.paimon_import import route_kv_fixture_files
+
+    key = [c[len("_KEY_"):] for c in table.column_names if c.startswith("_KEY_")]
+    return route_kv_fixture_files(table, key, [T.LongType()] * len(key), n_buckets)
+
+
 # ---- unit: type strings / BinaryRow ----
 
 
@@ -1090,10 +1104,10 @@ def test_import_preserve_history_pk_dv(tmp_path, catalog, spark):
     )
     write_paimon_fixture(
         p, [("k", "BIGINT NOT NULL"), ("v", "STRING")], [], ["k"],
-        [(0, {}, 0, pa.table(
+        _route_kv2(pa.table(
             {"_KEY_k": [1, 2, 3], "_SEQUENCE_NUMBER": [0, 1, 2],
              "_VALUE_KIND": [0, 0, 0], "k": [1, 2, 3],
-             "v": ["a", "b", "c"]}, schema=kv))],
+             "v": ["a", "b", "c"]}, schema=kv), 2),
         options={"bucket": "1", "deletion-vectors.enabled": "true"},
     )
     write_lake_append(
@@ -1138,10 +1152,10 @@ def test_update_lake_rows_and_system_views(tmp_path, spark):
     )
     write_paimon_fixture(
         p, [("k", "BIGINT NOT NULL"), ("bal", "BIGINT")], [], ["k"],
-        [(0, {}, 0, pa.table(
+        _route_kv2(pa.table(
             {"_KEY_k": [1, 2, 3], "_SEQUENCE_NUMBER": [0, 1, 2],
              "_VALUE_KIND": [0, 0, 0], "k": [1, 2, 3],
-             "bal": [10, 20, 30]}, schema=kv))],
+             "bal": [10, 20, 30]}, schema=kv), 2),
         options={"bucket": "2"},
     )
     t = PaimonLakeTable(p)
@@ -1265,10 +1279,10 @@ def test_merge_into_lake(tmp_path, spark):
     )
     write_paimon_fixture(
         p, [("k", "BIGINT NOT NULL"), ("bal", "BIGINT")], [], ["k"],
-        [(0, {}, 0, pa.table(
+        _route_kv2(pa.table(
             {"_KEY_k": [1, 2, 3], "_SEQUENCE_NUMBER": [0, 1, 2],
              "_VALUE_KIND": [0, 0, 0], "k": [1, 2, 3],
-             "bal": [10, 20, 30]}, schema=kv))],
+             "bal": [10, 20, 30]}, schema=kv), 2),
         options={"bucket": "2"},
     )
     src = spark.createDataFrame(
@@ -1393,10 +1407,10 @@ def test_overwrite_lake_and_history_replay(tmp_path, catalog, spark):
     p2 = str(tmp_path / "ow_pk")
     write_paimon_fixture(
         p2, [("k", "BIGINT NOT NULL"), ("v", "STRING")], [], ["k"],
-        [(0, {}, 0, pa.table(
+        _route_kv2(pa.table(
             {"_KEY_k": [1, 2], "_SEQUENCE_NUMBER": [0, 1],
              "_VALUE_KIND": [0, 0], "k": [1, 2], "v": ["a", "b"]},
-            schema=kv))],
+            schema=kv), 2),
         options={"bucket": "2"},
     )
     overwrite_lake(p2, spark.createDataFrame([(5, "e")], "k bigint, v string"))
@@ -1752,10 +1766,10 @@ def test_write_lake_append_roundtrip(tmp_path, spark):
     )
     write_paimon_fixture(
         p2, [("k", "BIGINT NOT NULL"), ("v", "STRING")], [], ["k"],
-        [(0, {}, 0, pa.table(
+        _route_kv2(pa.table(
             {"_KEY_k": [1, 2, 3], "_SEQUENCE_NUMBER": [0, 1, 2],
              "_VALUE_KIND": [0, 0, 0], "k": [1, 2, 3],
-             "v": ["a", "b", "c"]}, schema=kv))],
+             "v": ["a", "b", "c"]}, schema=kv), 2),
         options={"bucket": "2"},
     )
     upserts = spark.createDataFrame(
@@ -2614,10 +2628,10 @@ def test_lake_read_optimized(tmp_path, spark):
     )
     write_paimon_fixture(
         p, [("k", "BIGINT NOT NULL"), ("v", "STRING")], [], ["k"],
-        [(0, {}, 0, pa.table(
+        _route_kv2(pa.table(
             {"_KEY_k": [1, 2], "_SEQUENCE_NUMBER": [0, 1],
              "_VALUE_KIND": [0, 0], "k": [1, 2], "v": ["a", "b"]},
-            schema=kv))],
+            schema=kv), 2),
         options={"bucket": "1"},
     )
     # pre-compaction: no max-level files -> $ro is empty
@@ -3017,10 +3031,10 @@ def test_pk_lake_delete_minus_d(tmp_path, spark):
     )
     write_paimon_fixture(
         p, [("k", "BIGINT NOT NULL"), ("v", "STRING")], [], ["k"],
-        [(0, {}, 0, pa.table(
+        _route_kv2(pa.table(
             {"_KEY_k": [1, 2, 3, 4], "_SEQUENCE_NUMBER": [0, 1, 2, 3],
              "_VALUE_KIND": [0, 0, 0, 0], "k": [1, 2, 3, 4],
-             "v": ["a", "b", "c", "d"]}, schema=kv))],
+             "v": ["a", "b", "c", "d"]}, schema=kv), 2),
         options={"bucket": "2"},
     )
     t = PaimonLakeTable(p)
@@ -4403,3 +4417,53 @@ def test_compact_lake_auto_with_fullcompaction_changelog(tmp_path, spark):
     # (first compaction: no baseline), never the cold bucket's
     assert set(cl.k) == set(b0[:4])
     assert set(cl._row_kind) == {"+I"}
+
+
+def test_bucket_local_merge_no_shuffle(tmp_path, spark):
+    """Eligible PK-lake reads take the bucket-closed merge: ZERO
+    Exchange in the physical plan (the key-window path shuffles every
+    scanned byte — the dominant 100 TB read cost); ineligible shapes
+    (DVs attached) fall back to the exact window path; results match
+    the window path bit-for-bit either way."""
+    from paimon_python_spark.paimon_import import attach_paimon_dv_fixture
+    from paimon_python_spark.paimon_lake import (
+        PaimonLakeTable,
+        create_lake_table,
+        write_lake_pk_append,
+    )
+    from paimon_python_spark.session import set_spark
+
+    set_spark(spark)
+    p = str(tmp_path / "nshuffle_lake")
+    create_lake_table(
+        p,
+        [("k", "INT NOT NULL"), ("v", "STRING")],
+        primary_keys=["k"],
+        options={"bucket": "4"},
+    )
+    write_lake_pk_append(
+        p, spark.createDataFrame([(i, f"a{i}") for i in range(200)], "k int, v string")
+    )
+    write_lake_pk_append(
+        p,
+        spark.createDataFrame(
+            [(i, f"b{i}") for i in range(0, 200, 3)], "k int, v string"
+        ),
+    )
+    df = PaimonLakeTable(p).new_read_builder().new_read().to_df()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, f"bucket-local merge must not shuffle:\n{plan[:800]}"
+    got = {r["k"]: r["v"] for r in df.collect()}
+    assert len(got) == 200
+    assert got[3] == "b3" and got[1] == "a1" and got[199] == "a199"
+    # DV attach → ineligible → exact window fallback, same answer
+    from paimon_python_spark.paimon_import import plan_paimon_files
+
+    victim = next(
+        e for e in plan_paimon_files(p) if e.bucket == 0
+    )
+    attach_paimon_dv_fixture(
+        p, {victim.file_name: [0]}
+    )  # mark one row deleted
+    df2 = PaimonLakeTable(p).new_read_builder().new_read().to_df()
+    assert df2.count() == 199
