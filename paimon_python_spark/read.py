@@ -219,6 +219,107 @@ AGG_FUNCTIONS = (
 )
 
 
+#: value dtypes the engine bucket-local merge keeps exact through the
+#: pandas roundtrip (mirrors the lake path's gate)
+_BL_TYPES = (
+    T.IntegerType, T.LongType, T.ShortType, T.ByteType, T.BooleanType,
+    T.FloatType, T.DoubleType, T.StringType, T.DateType,
+)
+
+
+def _engine_bucket_local_ok(schema, splits) -> bool:
+    """Eligibility for the NO-SHUFFLE engine PK merge: parquet files,
+    plain deduplicate engine (no salt, no ignore-delete rewrite needed
+    — handled in-task anyway), and exact-roundtrip value dtypes. PK
+    splits are already one (partition, bucket) group each (scan._group),
+    which is what closes the merge per task."""
+    if schema.file_format() != "parquet":
+        return False
+    if schema.options.get("merge-engine", "deduplicate") != "deduplicate":
+        return False
+    if int(schema.options.get("bucket-shuffle.salt", "0")) > 1:
+        return False
+    return all(
+        isinstance(f.dataType, _BL_TYPES) for f in schema.spark_schema.fields
+    )
+
+
+def merge_on_read_bucket_local(
+    spark, schema, splits, needed_cols=None
+) -> DataFrame:
+    """NO-SHUFFLE merge-on-read for fixed-bucket engine PK tables —
+    the same execution shape as the lake path
+    (paimon_import.merge_pk_entries_bucket_local): each planned split
+    is one merge-closed (partition, bucket) group, so one task reads
+    the group's files with pyarrow (pruned to projection ∪ predicate
+    columns + keys) and resolves latest-per-key in memory. The window
+    formulation this replaces exchanges every scanned byte on the
+    merge key — the dominant PK-read cost at 100 TB. ``ignore-delete``
+    and ``-D`` drops apply in-task; ties beyond the sequence number
+    break by manifest file order then in-file position (a superset of
+    the window path's seq-only contract, fully deterministic)."""
+    import json as _json
+
+    merge_keys = list(dict.fromkeys(schema.partition_keys + schema.primary_keys))
+    fields = list(schema.spark_schema.fields)
+    if needed_cols is not None:
+        keep = set(needed_cols) | set(merge_keys)
+        fields = [f for f in fields if f.name in keep]
+    out_schema = T.StructType(fields)
+    read_cols = list(
+        dict.fromkeys([*merge_keys, *[f.name for f in fields], SEQ_COL, KIND_COL])
+    )
+    ignore_delete = (
+        schema.options.get("ignore-delete", "false").lower() == "true"
+    )
+    out_names = [f.name for f in fields]
+    specs = [
+        (_json.dumps({"files": list(s.file_paths())}),) for s in splits
+    ]
+
+    def _merge(batches):
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        for pdf_in in batches:
+            for spec_s in pdf_in["spec"]:
+                spec = _json.loads(spec_s)
+                frames = []
+                for fi, path in enumerate(spec["files"]):
+                    pf = pq.ParquetFile(path)
+                    have = [c for c in read_cols if c in pf.schema_arrow.names]
+                    f = pf.read(columns=have).to_pandas(
+                        types_mapper=pd.ArrowDtype
+                    )
+                    for c in read_cols:
+                        if c not in f.columns:
+                            f[c] = None  # pre-ALTER file: NULL-fill
+                    f["__fi"] = fi
+                    frames.append(f)
+                g = pd.concat(frames, ignore_index=True)
+                if ignore_delete:
+                    g = g[g[KIND_COL].isin(ADD_KINDS)]
+                g["__pos"] = range(len(g))
+                g = g.sort_values(
+                    merge_keys + [SEQ_COL, "__fi", "__pos"],
+                    ascending=[True] * len(merge_keys) + [False, False, False],
+                    kind="mergesort",
+                )
+                g = g.drop_duplicates(subset=merge_keys, keep="first")
+                g = g[g[KIND_COL].isin(ADD_KINDS)]
+                out = pd.DataFrame(index=g.index)
+                for name in out_names:
+                    col = g[name]
+                    out[name] = col.astype(object).where(col.notna(), None)
+                yield out
+
+    n = max(1, len(specs))
+    plan_df = spark.createDataFrame(
+        spark.sparkContext.parallelize(specs, numSlices=n), "spec string"
+    )
+    return plan_df.mapInPandas(_merge, out_schema)
+
+
 def merge_on_read(
     df: DataFrame, schema, seq_col: str = None, kind_col: str = None
 ) -> DataFrame:
@@ -454,6 +555,32 @@ class TableRead:
             df = spark.createDataFrame([], schema.spark_schema)
             return self._finish(df)
 
+        from paimon_python_spark.deletion_vectors import dv_enabled
+
+        if (
+            is_pk
+            and not dv_enabled(schema)
+            and _engine_bucket_local_ok(schema, splits)
+        ):
+            # merge-closed per split: the zero-Exchange per-group merge
+            proj = self.read_builder._projection
+            pred = self.read_builder._predicate
+            needed = None
+            if proj is not None:
+                # engine projections normalize to PATH lists (nested
+                # projection); eligible tables have no struct columns,
+                # so the top-level name is the whole path
+                tops = [p[0] if isinstance(p, (list, tuple)) else p for p in proj]
+                needed = list(
+                    dict.fromkeys(
+                        tops + (sorted(pred.fields()) if pred else [])
+                    )
+                )
+            df = merge_on_read_bucket_local(
+                spark, schema, splits, needed_cols=needed
+            )
+            return self._finish(df)
+
         physical = T.StructType(list(schema.spark_schema.fields))
         if is_pk:
             physical = T.StructType(
@@ -470,8 +597,6 @@ class TableRead:
             df = spark.read.schema(physical).format(fmt).load(paths)
 
         if is_pk:
-            from paimon_python_spark.deletion_vectors import dv_enabled
-
             if dv_enabled(schema):
                 df = self._dv_read(df)
             else:

@@ -759,3 +759,42 @@ def test_skew_salted_merge_hash_identical(catalog, spark):
     assert rows_p == rows_s
     assert [k for k, _ in rows_s] == [1, 2, 3]
     assert dict(rows_s)[1] == 1999  # latest version of the hot key wins
+
+
+def test_engine_bucket_local_merge_no_shuffle(catalog, spark):
+    """Eligible engine PK reads take the bucket-closed merge: ZERO
+    Exchange in the physical plan; results identical to the window
+    path; projection prunes the per-group reads."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from paimon_python_spark import Schema
+
+    schema = pa.schema([("k", pa.int64()), ("v", pa.string()), ("w", pa.int64())])
+    catalog.create_table(
+        "default.blm_engine",
+        Schema(schema, primary_keys=["k"], options={"bucket": "4"}),
+        False,
+    )
+    t = catalog.get_table("default.blm_engine")
+    for batch in (
+        {"k": list(range(100)), "v": [f"a{i}" for i in range(100)],
+         "w": list(range(100))},
+        {"k": list(range(0, 100, 3)), "v": [f"b{i}" for i in range(0, 100, 3)],
+         "w": [i * 10 for i in range(0, 100, 3)]},
+    ):
+        wb = t.new_batch_write_builder()
+        w, c = wb.new_write(), wb.new_commit()
+        w.write_pandas(pd.DataFrame(batch))
+        c.commit(w.prepare_commit())
+    rb = t.new_read_builder()
+    df = rb.new_read().to_df(rb.new_scan().plan().splits())
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan[:600]
+    got = {r["k"]: r["v"] for r in df.collect()}
+    assert len(got) == 100 and got[3] == "b3" and got[1] == "a1"
+    # projection prunes the per-group reads AND the output schema
+    rb2 = t.new_read_builder().with_projection(["k", "v"])
+    df2 = rb2.new_read().to_df(rb2.new_scan().plan().splits())
+    assert [f.name for f in df2.schema.fields] == ["k", "v"]
+    assert sorted(df2.toPandas().k) == list(range(100))
