@@ -1842,7 +1842,7 @@ def _bucket_local_merge_ok(info: PaimonSchemaInfo, entries, fmt: str, dv_ranges)
     (no field-id remap needed in the task), parquet files, deduplicate
     engine without sequence.field, no deletion vectors, and value
     dtypes the pandas roundtrip keeps exact."""
-    if fmt != "parquet" or dv_ranges:
+    if fmt not in ("parquet", "orc") or dv_ranges:
         return False
     if info.options.get("merge-engine", "deduplicate") != "deduplicate":
         return False
@@ -1862,7 +1862,7 @@ def _bucket_local_merge_ok(info: PaimonSchemaInfo, entries, fmt: str, dv_ranges)
 
 
 def merge_pk_entries_bucket_local(
-    spark, info: PaimonSchemaInfo, entries, src, needed_cols=None
+    spark, info: PaimonSchemaInfo, entries, src, needed_cols=None, fmt="parquet"
 ):
     """NO-SHUFFLE merge of a fixed-bucket PK lake — real Paimon's own
     execution shape: a key lives in exactly ONE (partition, bucket)
@@ -1933,7 +1933,12 @@ def merge_pk_entries_bucket_local(
                 spec = json.loads(spec_s)
                 frames = []
                 for idx, path, level in spec["files"]:
-                    t = pq.read_table(path, columns=read_cols)
+                    if fmt == "orc":
+                        import pyarrow.orc as po
+
+                        t = po.ORCFile(path).read(columns=read_cols)
+                    else:
+                        t = pq.read_table(path, columns=read_cols)
                     # ArrowDtype keeps null ints/big longs EXACT through
                     # the pandas merge (classic to_pandas would promote
                     # nullable ints to float64 and corrupt > 2^53)
@@ -2022,7 +2027,7 @@ def merge_paimon_pk_entries(
         # Paimon's own execution shape) instead of the key-window
         # exchange below
         return merge_pk_entries_bucket_local(
-            spark, info, entries, src, needed_cols=needed_cols
+            spark, info, entries, src, needed_cols=needed_cols, fmt=fmt
         )
     raw = _load_lake_entries(
         spark,

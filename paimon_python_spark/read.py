@@ -233,7 +233,7 @@ def _engine_bucket_local_ok(schema, splits) -> bool:
     — handled in-task anyway), and exact-roundtrip value dtypes. PK
     splits are already one (partition, bucket) group each (scan._group),
     which is what closes the merge per task."""
-    if schema.file_format() != "parquet":
+    if schema.file_format() not in ("parquet", "orc"):
         return False
     if schema.options.get("merge-engine", "deduplicate") != "deduplicate":
         return False
@@ -273,6 +273,7 @@ def merge_on_read_bucket_local(
         schema.options.get("ignore-delete", "false").lower() == "true"
     )
     out_names = [f.name for f in fields]
+    fmt = schema.file_format()
     specs = [
         (_json.dumps({"files": list(s.file_paths())}),) for s in splits
     ]
@@ -286,8 +287,15 @@ def merge_on_read_bucket_local(
                 spec = _json.loads(spec_s)
                 frames = []
                 for fi, path in enumerate(spec["files"]):
-                    pf = pq.ParquetFile(path)
-                    have = [c for c in read_cols if c in pf.schema_arrow.names]
+                    if fmt == "orc":
+                        import pyarrow.orc as po
+
+                        pf = po.ORCFile(path)
+                        names = pf.schema.names
+                    else:
+                        pf = pq.ParquetFile(path)
+                        names = pf.schema_arrow.names
+                    have = [c for c in read_cols if c in names]
                     f = pf.read(columns=have).to_pandas(
                         types_mapper=pd.ArrowDtype
                     )
