@@ -4286,6 +4286,67 @@ ORDER BY c_custkey
 """
 
 
+def paimon_lake_format_roundtrip(spark, sf_dir):
+    """``spark.read.format('paimon_lake')`` — the Spark-4 Python Data
+    Source front door onto a REAL lake: a PK lake reads through the
+    format API with one InputPartition per (partition, bucket) group
+    (executor-local merge, no shuffle), and a pushed key filter
+    bucket-prunes the partition list before any task launches
+    (asserted). Returns the filtered read; oracle replays in SQL."""
+    from paimon_python_spark.lake_datasource import (
+        PaimonLakeBatchReader,
+        register_lake,
+    )
+    from paimon_python_spark.paimon_lake import (
+        create_lake_table,
+        write_lake_pk_append,
+    )
+    from paimon_python_spark.session import set_spark
+
+    set_spark(spark)
+    register_lake(spark)
+    fixture = _fresh_warehouse("lakefmt") + "/customer_fmt"
+    create_lake_table(
+        fixture,
+        [("c_custkey", "BIGINT NOT NULL"), ("c_acctbal", "DOUBLE")],
+        primary_keys=["c_custkey"],
+        options={"bucket": "8"},
+    )
+    src = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 1000)
+        .select("c_custkey", "c_acctbal")
+    )
+    write_lake_pk_append(fixture, src)
+    write_lake_pk_append(
+        fixture,
+        src.filter(F.col("c_custkey") % 4 == 0).withColumn(
+            "c_acctbal", F.round(F.col("c_acctbal") * 2, 2)
+        ),
+    )
+    # pushed key filter bucket-prunes partitions before tasks launch
+    from paimon_python_spark.predicate import PredicateBuilder
+
+    rdr = PaimonLakeBatchReader(fixture)
+    n_all = len(rdr.partitions())
+    rdr._predicate = PredicateBuilder(["c_custkey", "c_acctbal"]).is_in(
+        "c_custkey", [8, 12]
+    )
+    assert len(rdr.partitions()) < n_all
+    df = spark.read.format("paimon_lake").option("path", fixture).load()
+    return df.filter(df.c_custkey <= 600).orderBy("c_custkey")
+
+
+PAIMON_LAKE_FORMAT_SQL = """
+SELECT c_custkey,
+       CASE WHEN c_custkey % 4 = 0 THEN round(c_acctbal * 2, 2)
+            ELSE c_acctbal END AS c_acctbal
+FROM customer
+WHERE c_custkey <= 600
+ORDER BY c_custkey
+"""
+
+
 def dedup_minhash_incremental_lake(spark, sf_dir):
     """Incremental MinHash dedup against a PERSISTED lake index — the
     production ingest shape: the corpus's (doc_id, band, band_key) LSH
@@ -9887,6 +9948,7 @@ _QUERIES: dict[str, Callable] = {
     "paimon_lake_bloom_index_roundtrip": paimon_lake_bloom_index_roundtrip,
     "dedup_minhash_incremental_lake": dedup_minhash_incremental_lake,
     "paimon_lake_bucket_local_merge_roundtrip": paimon_lake_bucket_local_merge_roundtrip,
+    "paimon_lake_format_roundtrip": paimon_lake_format_roundtrip,
     "ann_ivf_incremental_ingest": ann_ivf_incremental_ingest,
     "paimon_lake_fullcompact_changelog_roundtrip": paimon_lake_fullcompact_changelog_roundtrip,
     "paimon_lake_lookup_changelog_roundtrip": paimon_lake_lookup_changelog_roundtrip,
@@ -10231,6 +10293,7 @@ _ORACLES: dict[str, str] = {
     "paimon_lake_auto_compact_roundtrip": PAIMON_LAKE_AUTO_COMPACT_SQL,
     "paimon_lake_bloom_index_roundtrip": PAIMON_LAKE_BLOOM_SQL,
     "paimon_lake_bucket_local_merge_roundtrip": PAIMON_LAKE_BUCKET_LOCAL_MERGE_SQL,
+    "paimon_lake_format_roundtrip": PAIMON_LAKE_FORMAT_SQL,
     "paimon_lake_fullcompact_changelog_roundtrip": PAIMON_LAKE_FULLCOMPACT_CHANGELOG_SQL,
     "paimon_lake_lookup_changelog_roundtrip": PAIMON_LAKE_LOOKUP_CHANGELOG_SQL,
     "paimon_lake_pk_delete_roundtrip": PAIMON_LAKE_PK_DELETE_SQL,
@@ -10336,6 +10399,7 @@ _GATE_HEAD = [
     "ann_ivf_incremental_ingest",
     "text_bigram_surprisal",
     "paimon_lake_bucket_local_merge_roundtrip",
+    "paimon_lake_format_roundtrip",
 ]
 
 

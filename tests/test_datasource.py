@@ -252,3 +252,110 @@ def test_filter_inside_file_range_applies_row_level(catalog, spark):
         .sort_values("f0")
     )
     assert out["f0"].tolist() == [3, 4]
+
+
+def test_lake_datasource_batch_and_pushdown(tmp_path, spark):
+    """spark.read.format('paimon_lake'): PK lakes merge per-partition
+    (one InputPartition per bucket group), pushed key filters bucket-
+    prune the partition list, append lakes re-apply claimed filters
+    row-exactly, and partition values inject from the layout."""
+    from paimon_python_spark.lake_datasource import (
+        PaimonLakeBatchReader,
+        register_lake,
+    )
+    from paimon_python_spark.paimon_lake import (
+        create_lake_table,
+        write_lake_append,
+        write_lake_pk_append,
+    )
+    from paimon_python_spark.session import set_spark
+
+    set_spark(spark)
+    register_lake(spark)
+    p = str(tmp_path / "ds_pk_lake")
+    create_lake_table(
+        p,
+        [("k", "INT NOT NULL"), ("v", "STRING")],
+        primary_keys=["k"],
+        options={"bucket": "8"},
+    )
+    write_lake_pk_append(
+        p, spark.createDataFrame([(i, f"a{i}") for i in range(200)], "k int, v string")
+    )
+    write_lake_pk_append(
+        p,
+        spark.createDataFrame(
+            [(i, f"b{i}") for i in range(0, 200, 5)], "k int, v string"
+        ),
+    )
+    df = spark.read.format("paimon_lake").option("path", p).load()
+    got = {r["k"]: r["v"] for r in df.collect()}
+    assert len(got) == 200 and got[5] == "b5" and got[1] == "a1"
+    # key-equality pushdown bucket-prunes the partitions
+    out = df.filter(df.k == 42).collect()
+    assert [(r["k"], r["v"]) for r in out] == [(42, "a42")]
+    rdr = PaimonLakeBatchReader(p)
+    n_all = len(rdr.partitions())
+    list(rdr.pushFilters([]))  # no-op
+    from paimon_python_spark.predicate import PredicateBuilder
+
+    rdr._predicate = PredicateBuilder(["k", "v"]).equal("k", 42)
+    assert len(rdr.partitions()) < n_all
+
+    # partitioned APPEND lake: claimed filter applied row-exact,
+    # partition column injected
+    p2 = str(tmp_path / "ds_app_lake")
+    create_lake_table(
+        p2,
+        [("dt", "STRING NOT NULL"), ("x", "INT")],
+        partition_keys=["dt"],
+    )
+    write_lake_append(
+        p2,
+        spark.createDataFrame(
+            [("a", 1), ("a", 5), ("b", 9)], "dt string, x int"
+        ),
+    )
+    df2 = spark.read.format("paimon_lake").option("path", p2).load()
+    assert sorted((r["dt"], r["x"]) for r in df2.filter("x > 1").collect()) == [
+        ("a", 5),
+        ("b", 9),
+    ]
+
+
+def test_lake_datasource_streaming(tmp_path, spark):
+    """readStream.format('paimon_lake'): snapshot-id offsets replay an
+    append lake's commit history into a memory sink exactly once."""
+    import tempfile
+
+    from paimon_python_spark.lake_datasource import register_lake
+    from paimon_python_spark.paimon_lake import (
+        create_lake_table,
+        write_lake_append,
+    )
+    from paimon_python_spark.session import set_spark
+
+    set_spark(spark)
+    register_lake(spark)
+    p = str(tmp_path / "ds_stream_lake")
+    create_lake_table(p, [("k", "INT NOT NULL"), ("v", "STRING")])
+    write_lake_append(
+        p, spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    )
+    write_lake_append(p, spark.createDataFrame([(3, "c")], "k int, v string"))
+    stream = (
+        spark.readStream.format("paimon_lake").option("path", p).load()
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("lake_ds_out")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="lds_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.sql("SELECT k, v FROM lake_ds_out ORDER BY k").collect()
+    assert [(r["k"], r["v"]) for r in out] == [(1, "a"), (2, "b"), (3, "c")]
