@@ -133,6 +133,29 @@ class PaimonLakeBatchReader(DataSourceReader):
         fmt = info.options.get("file.format", "parquet")
         parts: List[_LakeGroupPartition] = []
         if info.primary_keys:
+            from paimon_python_spark.paimon_import import (
+                _BUCKET_LOCAL_MAX_GROUP_BYTES,
+                max_group_bytes,
+            )
+
+            budget = int(
+                info.options.get(
+                    "bucket-local.max-group-bytes",
+                    _BUCKET_LOCAL_MAX_GROUP_BYTES,
+                )
+            )
+            if max_group_bytes(entries) > budget:
+                # one (partition, bucket) group would merge in a single
+                # task's memory — same scale guard as the builder path,
+                # which falls back to its exact key-window merge; the
+                # data source has no window plan to fall back to, so it
+                # refuses rather than OOM a task
+                raise NotImplementedError(
+                    "paimon_lake data source: a (partition, bucket) group "
+                    f"exceeds bucket-local.max-group-bytes={budget} on disk; "
+                    "read via PaimonLakeTable(path).new_read_builder() "
+                    "(exact key-window merge, spills instead of OOMing)"
+                )
             groups: dict = {}
             for i, e in enumerate(entries):
                 key = (tuple(sorted(e.partition.items())), e.bucket)

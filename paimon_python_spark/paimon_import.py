@@ -1835,13 +1835,37 @@ _BUCKET_LOCAL_TYPES = (
     T.FloatType, T.DoubleType, T.StringType, T.DateType,
 )
 
+#: default per-(partition, bucket) on-disk byte budget for the
+#: bucket-local merge. The merge materializes one whole group in a
+#: single task's pandas memory, so a misconfigured lake (bucket=1, or
+#: a skewed bucket key) must NOT take this path: above the budget the
+#: caller falls back to the exact key-window merge, whose shuffle
+#: spills instead of OOMing. 1 GiB on disk ≈ a few GiB decoded —
+#: comfortably inside one executor task at default sizing. Override
+#: per table with option ``bucket-local.max-group-bytes``.
+_BUCKET_LOCAL_MAX_GROUP_BYTES = 1 << 30
+
+
+def max_group_bytes(entries) -> int:
+    """Largest per-(partition, bucket) sum of on-disk file sizes —
+    the single-task memory proxy the bucket-local merge is gated on."""
+    sizes: dict = {}
+    for e in entries:
+        key = (tuple(sorted(e.partition.items())), e.bucket)
+        sizes[key] = sizes.get(key, 0) + int(e.file_size or 0)
+    return max(sizes.values(), default=0)
+
 
 def _bucket_local_merge_ok(info: PaimonSchemaInfo, entries, fmt: str, dv_ranges) -> bool:
     """Eligibility for the NO-SHUFFLE bucket-local PK merge: fixed
     bucket geometry consistent across entries, single schema version
     (no field-id remap needed in the task), parquet files, deduplicate
-    engine without sequence.field, no deletion vectors, and value
-    dtypes the pandas roundtrip keeps exact."""
+    engine without sequence.field, no deletion vectors, value dtypes
+    the pandas roundtrip keeps exact, and — the scale guard — no
+    (partition, bucket) group larger than ``bucket-local.max-group-bytes``
+    on disk (a whole group merges in ONE task's memory; an oversized
+    group falls back to the exact key-window path, which shuffles but
+    spills instead of OOMing)."""
     if fmt not in ("parquet", "orc") or dv_ranges:
         return False
     if info.options.get("merge-engine", "deduplicate") != "deduplicate":
@@ -1855,6 +1879,13 @@ def _bucket_local_merge_ok(info: PaimonSchemaInfo, entries, fmt: str, dv_ranges)
         return False
     if any(e.total_buckets not in (None, nb) for e in entries):
         return False  # mixed geometry (pre-rescale history): stay exact
+    budget = int(
+        info.options.get(
+            "bucket-local.max-group-bytes", _BUCKET_LOCAL_MAX_GROUP_BYTES
+        )
+    )
+    if max_group_bytes(entries) > budget:
+        return False  # one task would hold the whole group: stay exact
     return all(
         isinstance(f.dataType, _BUCKET_LOCAL_TYPES)
         for f in info.spark_schema.fields

@@ -227,18 +227,32 @@ _BL_TYPES = (
 )
 
 
+#: default single-task on-disk byte budget for the engine bucket-local
+#: merge (mirrors paimon_import._BUCKET_LOCAL_MAX_GROUP_BYTES): one
+#: split merges in one task's pandas memory, so an oversized split —
+#: bucket=1, or a skewed bucket key — must fall back to the exact
+#: key-window path, whose shuffle spills instead of OOMing.
+_BL_MAX_GROUP_BYTES = 1 << 30
+
+
 def _engine_bucket_local_ok(schema, splits) -> bool:
     """Eligibility for the NO-SHUFFLE engine PK merge: parquet files,
     plain deduplicate engine (no salt, no ignore-delete rewrite needed
-    — handled in-task anyway), and exact-roundtrip value dtypes. PK
-    splits are already one (partition, bucket) group each (scan._group),
-    which is what closes the merge per task."""
+    — handled in-task anyway), exact-roundtrip value dtypes, and — the
+    scale guard — no split larger than ``bucket-local.max-group-bytes``
+    on disk. PK splits are already one (partition, bucket) group each
+    (scan._group), which is what closes the merge per task."""
     if schema.file_format() not in ("parquet", "orc"):
         return False
     if schema.options.get("merge-engine", "deduplicate") != "deduplicate":
         return False
     if int(schema.options.get("bucket-shuffle.salt", "0")) > 1:
         return False
+    budget = int(
+        schema.options.get("bucket-local.max-group-bytes", _BL_MAX_GROUP_BYTES)
+    )
+    if any(s.file_size() > budget for s in splits):
+        return False  # one task would hold the whole group: stay exact
     return all(
         isinstance(f.dataType, _BL_TYPES) for f in schema.spark_schema.fields
     )

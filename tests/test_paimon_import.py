@@ -4467,3 +4467,70 @@ def test_bucket_local_merge_no_shuffle(tmp_path, spark):
     )  # mark one row deleted
     df2 = PaimonLakeTable(p).new_read_builder().new_read().to_df()
     assert df2.count() == 199
+
+
+def test_bucket_local_merge_size_guard(tmp_path, spark):
+    """SCALE GUARD: a (partition, bucket) group bigger than
+    ``bucket-local.max-group-bytes`` on disk must NOT merge in one
+    task's pandas memory — the read falls back to the exact key-window
+    path (Exchange present, shuffle spills instead of OOMing) with
+    bit-identical results. Simulates the misconfigured-lake shape
+    (bucket=1 holding the whole table) by dropping the budget to 1."""
+    from paimon_python_spark.paimon_lake import (
+        PaimonLakeTable,
+        create_lake_table,
+        write_lake_pk_append,
+    )
+    from paimon_python_spark.session import set_spark
+
+    set_spark(spark)
+    p = str(tmp_path / "guard_lake")
+    create_lake_table(
+        p,
+        [("k", "INT NOT NULL"), ("v", "STRING")],
+        primary_keys=["k"],
+        options={"bucket": "1", "bucket-local.max-group-bytes": "1"},
+    )
+    write_lake_pk_append(
+        p, spark.createDataFrame([(i, f"a{i}") for i in range(50)], "k int, v string")
+    )
+    write_lake_pk_append(
+        p,
+        spark.createDataFrame(
+            [(i, f"b{i}") for i in range(0, 50, 5)], "k int, v string"
+        ),
+    )
+    df = PaimonLakeTable(p).new_read_builder().new_read().to_df()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" in plan, f"oversized group must take the window path:\n{plan[:800]}"
+    got = {r["k"]: r["v"] for r in df.collect()}
+    assert len(got) == 50 and got[5] == "b5" and got[1] == "a1"
+
+
+def test_lake_datasource_size_guard(tmp_path, spark):
+    """The ``format('paimon_lake')`` front door refuses an oversized
+    (partition, bucket) group with a pointer to the builder path (it
+    has no window plan to fall back to), instead of OOMing a task."""
+    import pytest
+
+    from paimon_python_spark.lake_datasource import PaimonLakeBatchReader
+    from paimon_python_spark.paimon_lake import (
+        create_lake_table,
+        write_lake_pk_append,
+    )
+    from paimon_python_spark.session import set_spark
+
+    set_spark(spark)
+    p = str(tmp_path / "guard_ds_lake")
+    create_lake_table(
+        p,
+        [("k", "INT NOT NULL"), ("v", "STRING")],
+        primary_keys=["k"],
+        options={"bucket": "1", "bucket-local.max-group-bytes": "1"},
+    )
+    write_lake_pk_append(
+        p, spark.createDataFrame([(i, f"a{i}") for i in range(20)], "k int, v string")
+    )
+    reader = PaimonLakeBatchReader(p)
+    with pytest.raises(NotImplementedError, match="max-group-bytes"):
+        reader.partitions()

@@ -798,3 +798,38 @@ def test_engine_bucket_local_merge_no_shuffle(catalog, spark):
     df2 = rb2.new_read().to_df(rb2.new_scan().plan().splits())
     assert [f.name for f in df2.schema.fields] == ["k", "v"]
     assert sorted(df2.toPandas().k) == list(range(100))
+
+
+def test_engine_bucket_local_size_guard(catalog, spark):
+    """SCALE GUARD (engine twin): a split bigger than
+    ``bucket-local.max-group-bytes`` falls back to the exact key-window
+    merge — Exchange present, identical results."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from paimon_python_spark import Schema
+
+    schema = pa.schema([("k", pa.int64()), ("v", pa.string())])
+    catalog.create_table(
+        "default.blm_guard",
+        Schema(
+            schema,
+            primary_keys=["k"],
+            options={"bucket": "1", "bucket-local.max-group-bytes": "1"},
+        ),
+        False,
+    )
+    t = catalog.get_table("default.blm_guard")
+    for vals in ("a", "b"):
+        wb = t.new_batch_write_builder()
+        w, c = wb.new_write(), wb.new_commit()
+        w.write_pandas(
+            pd.DataFrame({"k": list(range(30)), "v": [f"{vals}{i}" for i in range(30)]})
+        )
+        c.commit(w.prepare_commit())
+    rb = t.new_read_builder()
+    df = rb.new_read().to_df(rb.new_scan().plan().splits())
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" in plan, plan[:600]
+    got = {r["k"]: r["v"] for r in df.collect()}
+    assert len(got) == 30 and got[7] == "b7"
