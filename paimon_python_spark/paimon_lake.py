@@ -669,6 +669,13 @@ def _lake_candidate_buckets(predicate, info: PaimonSchemaInfo) -> Optional[set]:
 #: unknown payloads are ignored (never unsound: blooms only PRUNE).
 _EMB_BLOOM_FORMAT = "sparkgraft-bloom-v1"
 
+#: max distinct batch keys the lookup changelog producer collects to
+#: build its point-lookup IN predicate (footer-stats + bloom file
+#: pruning inside touched buckets). Above the cap a commit is bulk,
+#: not CDC — whole-bucket merge is the right plan and the driver
+#: never holds an unbounded key set.
+_LOOKUP_POINT_KEY_CAP = 1024
+
 
 def _decode_embedded_blooms(entry) -> Optional[dict]:
     """{column: bloom-hex} from an entry's embedded file index, or None
@@ -2494,17 +2501,61 @@ def write_lake_pk_append(
                 (tuple(r[k] for k in part_keys_l), int(r["__b"]))
                 for r in touched_rows
             }
+            # POINT LOOKUP inside touched buckets (the analogue of real
+            # Paimon's bloom-assisted LSM point lookup): for a small
+            # CDC batch, an IN predicate over the batch's key values
+            # lets footer min/max stats and the bloom file index drop
+            # files that provably hold none of the keys — a 10-row
+            # commit into a bucket of many files opens only the
+            # surviving ones instead of re-merging the whole bucket.
+            # Sound by the PK filter-placement rule (key predicates
+            # prune below the merge); per-column IN is a superset of
+            # the batch's key tuples, and the exact semi-join below
+            # restores tuple precision. Skipped above the cap, where
+            # the whole-bucket merge is the right plan anyway.
+            key_pred = None
+            typed_keys = (
+                batch.select(
+                    *[
+                        F.col(k).cast(info.spark_schema[k].dataType).alias(k)
+                        for k in keys
+                    ]
+                )
+                .distinct()
+                .limit(_LOOKUP_POINT_KEY_CAP + 1)
+                .collect()
+            )
+            if 0 < len(typed_keys) <= _LOOKUP_POINT_KEY_CAP:
+                pb_l = PredicateBuilder(
+                    [f.name for f in info.spark_schema.fields]
+                )
+                col_preds = []
+                for k in keys:
+                    vals = sorted(
+                        {r[k] for r in typed_keys if r[k] is not None},
+                        key=repr,
+                    )
+                    if vals:
+                        col_preds.append(pb_l.is_in(k, vals))
+                if col_preds:
+                    key_pred = (
+                        pb_l.and_predicates(col_preds)
+                        if len(col_preds) > 1
+                        else col_preds[0]
+                    )
             # the semi-join then restricts the merged groups to touched
             # KEYS; AQE broadcasts the key set when it is small (the
             # common CDC batch) — never force-broadcast an unbounded
             # batch
-            old_sub = (
+            old_rb = (
                 PaimonLakeTable(table_path)
                 .new_read_builder()
                 .with_bucket_groups(touched)
-                .new_read()
-                .to_df()
-                .join(batch_keys, keys, "left_semi")
+            )
+            if key_pred is not None:
+                old_rb = old_rb.with_filter(key_pred)
+            old_sub = (
+                old_rb.new_read().to_df().join(batch_keys, keys, "left_semi")
             )
         except FileNotFoundError:
             pass  # no snapshot yet: every key is fresh, all +I

@@ -4534,3 +4534,62 @@ def test_lake_datasource_size_guard(tmp_path, spark):
     reader = PaimonLakeBatchReader(p)
     with pytest.raises(NotImplementedError, match="max-group-bytes"):
         reader.partitions()
+
+
+def test_lake_lookup_changelog_point_file_pruning(tmp_path, spark, monkeypatch):
+    """changelog-producer=lookup POINT-LOOKS-UP inside touched buckets:
+    a small CDC commit into a bucket holding many files plans only the
+    files whose footer min/max stats (+ bloom index) admit the batch's
+    keys — the analogue of real Paimon's bloom-assisted LSM lookup —
+    instead of re-merging the whole bucket. Changelog output parity
+    asserted alongside."""
+    import paimon_python_spark.paimon_lake as pl
+    from paimon_python_spark.paimon_lake import (
+        create_lake_table,
+        read_lake_incremental,
+        write_lake_pk_append,
+    )
+    from paimon_python_spark.session import set_spark
+
+    set_spark(spark)
+    p = str(tmp_path / "lookup_point_lake")
+    create_lake_table(
+        p,
+        [("k", "INT NOT NULL"), ("v", "STRING")],
+        primary_keys=["k"],
+        options={
+            "bucket": "1",
+            "changelog-producer": "lookup",
+            "file-index.bloom-filter.columns": "k",
+        },
+    )
+    # three key-disjoint commits → bucket 0 holds 3 files whose k
+    # ranges are provably disjoint in footer stats
+    for base in (0, 1000, 2000):
+        write_lake_pk_append(
+            p,
+            spark.createDataFrame(
+                [(base + i, f"v{base + i}") for i in range(50)], "k int, v string"
+            ),
+        )
+    scoped_calls = []
+    orig = pl._pruned_entries
+
+    def spy(tp, info, b):
+        out = orig(tp, info, b)
+        if b._bucket_groups is not None:
+            scoped_calls.append((b._predicate is not None, len(out)))
+        return out
+
+    monkeypatch.setattr(pl, "_pruned_entries", spy)
+    write_lake_pk_append(
+        p,
+        spark.createDataFrame([(2010, "UPDATED")], "k int, v string"),
+    )
+    assert scoped_calls, "lookup old-state read must be bucket-scoped"
+    has_pred, planned = scoped_calls[0]
+    assert has_pred, "point-lookup IN predicate must reach the planner"
+    assert planned == 1, f"planned {planned} files; stats admit only 1 of 3"
+    cl = read_lake_incremental(p, 3, 4, use_changelog=True).toPandas()
+    assert sorted(zip(cl.k, cl._row_kind)) == [(2010, "+U"), (2010, "-U")]
+    assert set(cl[cl._row_kind == "-U"].v) == {"v2010"}
