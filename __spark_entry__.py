@@ -4347,6 +4347,74 @@ ORDER BY c_custkey
 """
 
 
+def paimon_lake_format_dv_roundtrip(spark, sf_dir):
+    """``format('paimon_lake')`` over a DV-MARKED, SCHEMA-EVOLVED PK
+    lake — the reference's flagship transparent read path through the
+    Spark-4 data source front door: files written before an ALTER
+    (rename c_acctbal→bal, add note) remap by FIELD ID inside each
+    InputPartition, and the deletion-vector bitmap decodes
+    executor-side, dropping marked positions before the per-group
+    merge. The lake writes one key-sorted file per commit (bucket=1),
+    so DV positions 1-2 of the seed file deterministically kill keys
+    1 and 2 (keys start at 0 and are contiguous in the synthetic
+    customer table); the oracle replays rename/add/update/delete."""
+    from paimon_python_spark.lake_datasource import register_lake
+    from paimon_python_spark.paimon_import import (
+        attach_paimon_dv_fixture,
+        plan_paimon_files,
+    )
+    from paimon_python_spark.paimon_lake import (
+        alter_lake_schema,
+        create_lake_table,
+        write_lake_pk_append,
+    )
+    from paimon_python_spark.session import set_spark
+
+    set_spark(spark)
+    register_lake(spark)
+    fixture = _fresh_warehouse("lakefmtdv") + "/customer_fmt_dv"
+    create_lake_table(
+        fixture,
+        [("c_custkey", "BIGINT NOT NULL"), ("c_acctbal", "DOUBLE")],
+        primary_keys=["c_custkey"],
+        options={"bucket": "1"},
+    )
+    src = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 120)
+        .select("c_custkey", "c_acctbal")
+    )
+    write_lake_pk_append(fixture, src)
+    alter_lake_schema(
+        fixture,
+        add_columns=[("note", "STRING")],
+        rename_columns={"c_acctbal": "bal"},
+    )
+    write_lake_pk_append(
+        fixture,
+        src.filter(F.col("c_custkey") % 5 == 0).select(
+            "c_custkey",
+            F.round(F.col("c_acctbal") * 2, 2).alias("bal"),
+            F.lit("u").alias("note"),
+        ),
+    )
+    seed = max(plan_paimon_files(fixture), key=lambda e: e.row_count)
+    attach_paimon_dv_fixture(fixture, {seed.file_name: [1, 2]}, bucket=seed.bucket)
+    df = spark.read.format("paimon_lake").option("path", fixture).load()
+    return df.orderBy("c_custkey")
+
+
+PAIMON_LAKE_FORMAT_DV_SQL = """
+SELECT c_custkey,
+       CASE WHEN c_custkey % 5 = 0 THEN round(c_acctbal * 2, 2)
+            ELSE c_acctbal END AS bal,
+       CASE WHEN c_custkey % 5 = 0 THEN 'u' END AS note
+FROM customer
+WHERE c_custkey <= 120 AND c_custkey NOT IN (1, 2)
+ORDER BY c_custkey
+"""
+
+
 def dedup_minhash_incremental_lake(spark, sf_dir):
     """Incremental MinHash dedup against a PERSISTED lake index — the
     production ingest shape: the corpus's (doc_id, band, band_key) LSH
@@ -9949,6 +10017,7 @@ _QUERIES: dict[str, Callable] = {
     "dedup_minhash_incremental_lake": dedup_minhash_incremental_lake,
     "paimon_lake_bucket_local_merge_roundtrip": paimon_lake_bucket_local_merge_roundtrip,
     "paimon_lake_format_roundtrip": paimon_lake_format_roundtrip,
+    "paimon_lake_format_dv_roundtrip": paimon_lake_format_dv_roundtrip,
     "ann_ivf_incremental_ingest": ann_ivf_incremental_ingest,
     "paimon_lake_fullcompact_changelog_roundtrip": paimon_lake_fullcompact_changelog_roundtrip,
     "paimon_lake_lookup_changelog_roundtrip": paimon_lake_lookup_changelog_roundtrip,
@@ -10294,6 +10363,7 @@ _ORACLES: dict[str, str] = {
     "paimon_lake_bloom_index_roundtrip": PAIMON_LAKE_BLOOM_SQL,
     "paimon_lake_bucket_local_merge_roundtrip": PAIMON_LAKE_BUCKET_LOCAL_MERGE_SQL,
     "paimon_lake_format_roundtrip": PAIMON_LAKE_FORMAT_SQL,
+    "paimon_lake_format_dv_roundtrip": PAIMON_LAKE_FORMAT_DV_SQL,
     "paimon_lake_fullcompact_changelog_roundtrip": PAIMON_LAKE_FULLCOMPACT_CHANGELOG_SQL,
     "paimon_lake_lookup_changelog_roundtrip": PAIMON_LAKE_LOOKUP_CHANGELOG_SQL,
     "paimon_lake_pk_delete_roundtrip": PAIMON_LAKE_PK_DELETE_SQL,
@@ -10350,6 +10420,7 @@ _GATE_HEAD = [
     "paimon_lake_bucket_local_merge_roundtrip",
     "paimon_lake_format_roundtrip",
     # --- round-9-new queries are inserted here as they land ---
+    "paimon_lake_format_dv_roundtrip",
     # --- r8 head below: all earned green rows in CORRECTNESS_r08 ---
     "paimon_scan_pushdown_roundtrip",
     "paimon_tag_read_roundtrip",

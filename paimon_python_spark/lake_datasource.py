@@ -16,11 +16,19 @@ on the same driver-side planner every lake read uses.
   — right-sized for CDC-rate commits, not bulk backfill (use
   ``read_lake_incremental`` for that).
 
-Scope guards (clear refusals, not wrong answers): deletion-vector
-lakes and multi-schema (field-id evolution) file sets refuse with a
-pointer to ``PaimonLakeTable`` reads, which handle both; PK-lake
-streaming points at ``stream_lake_snapshots`` (changelog semantics
-don't fit a plain row stream).
+Deletion-vector lakes read transparently: each file's (index, offset,
+length) triple rides its partition spec and the executor decodes the
+roaring bitmap and drops marked positions before the merge. Field-id
+schema evolution reads transparently too: pre-evolution files read by
+their own column names (precomputed per-schema column maps ride the
+specs) and remap to the current schema, NULL-filling dropped ids.
+
+Scope guards (clear refusals, not wrong answers): a (partition,
+bucket) group over ``bucket-local.max-group-bytes`` refuses with a
+pointer to ``PaimonLakeTable`` reads (exact key-window merge — the
+data source has no shuffle plan to fall back to); PK-lake streaming
+points at ``stream_lake_snapshots`` (changelog semantics don't fit a
+plain row stream).
 
 Reference parity: the reference exposes lakes only through its own
 builder API (java_implementation.py); a native Spark ``format(...)``
@@ -98,6 +106,35 @@ class PaimonLakeBatchReader(DataSourceReader):
                 yield from (f for f, _ in supported)
         yield from unsupported
 
+    def _colmap(self, schema_id: int):
+        """{current value-column name: source column name or None} for a
+        file written under ``schema_id`` — matched BY FIELD ID, the
+        identity that survives rename/reorder evolution (same rule as
+        paimon_import._mapped_select; PK/partition/system columns map
+        by name, Paimon forbids renaming them). None when the file is
+        current-schema (no remap needed)."""
+        info = self.info
+        if schema_id == info.id:
+            return None
+        from paimon_python_spark.paimon_lake import read_paimon_schema
+
+        oinfo = read_paimon_schema(self.table_path, schema_id)
+        old_by_id = {
+            fid: f.name
+            for fid, f in zip(oinfo.field_ids, oinfo.spark_schema.fields)
+        }
+        old_names = {f.name for f in oinfo.spark_schema.fields}
+        cur_ids = info.field_ids or list(range(len(info.spark_schema.fields)))
+        out = {}
+        for fid, f in zip(cur_ids, info.spark_schema.fields):
+            if f.name in info.partition_keys:
+                continue
+            if oinfo.field_ids:
+                out[f.name] = old_by_id.get(fid)
+            else:
+                out[f.name] = f.name if f.name in old_names else None
+        return out
+
     def partitions(self):
         from paimon_python_spark.paimon_import import plan_paimon_dv
         from paimon_python_spark.paimon_lake import (
@@ -106,21 +143,19 @@ class PaimonLakeBatchReader(DataSourceReader):
         )
 
         info = self.info
-        if plan_paimon_dv(self.table_path):
-            raise NotImplementedError(
-                "paimon_lake data source: deletion-vector lakes are read "
-                "via PaimonLakeTable(path).new_read_builder() (DV anti-join)"
-            )
+        # DV lakes: per-file (index file, offset, length) triples ride
+        # the partition specs; executors decode the roaring bitmaps and
+        # drop marked positions BEFORE the merge (the builder path's
+        # contract — apply_lake_dv — without its driver-side join plan)
+        dv_by_file = {
+            r.data_file_name: [r.index_path, r.offset, r.length]
+            for r in plan_paimon_dv(self.table_path)
+        }
         b = PaimonLakeTable(self.table_path).new_read_builder()
         predicate, self._predicate = self._predicate, None  # consume
         if predicate is not None:
             b = b.with_filter(predicate)
         entries = _pruned_entries(self.table_path, info, b)
-        if any(e.schema_id != info.id for e in entries):
-            raise NotImplementedError(
-                "paimon_lake data source: multi-schema (field-id "
-                "evolution) file sets are read via PaimonLakeTable reads"
-            )
         part_types = [info.spark_schema[k].dataType for k in info.partition_keys]
         default_name = info.options.get("partition.default-name", None)
 
@@ -167,7 +202,16 @@ class PaimonLakeBatchReader(DataSourceReader):
                             {
                                 "kv": True,
                                 "fmt": fmt,
-                                "files": [[i, src(e), e.level] for i, e in es],
+                                "files": [
+                                    [
+                                        i,
+                                        src(e),
+                                        e.level,
+                                        self._colmap(e.schema_id),
+                                        dv_by_file.get(e.file_name),
+                                    ]
+                                    for i, e in es
+                                ],
                                 "partition": _json_safe_part(info, es[0][1].partition),
                             }
                         ),
@@ -182,7 +226,15 @@ class PaimonLakeBatchReader(DataSourceReader):
                             {
                                 "kv": False,
                                 "fmt": fmt,
-                                "files": [[0, src(e), e.level]],
+                                "files": [
+                                    [
+                                        0,
+                                        src(e),
+                                        e.level,
+                                        self._colmap(e.schema_id),
+                                        dv_by_file.get(e.file_name),
+                                    ]
+                                ],
                                 "partition": _json_safe_part(info, e.partition),
                             }
                         ),
@@ -236,16 +288,48 @@ class PaimonLakeBatchReader(DataSourceReader):
             f.name for f in info.spark_schema.fields if f.name not in part_keys
         ]
         key_cols = [f"_KEY_{k}" for k in trimmed]
-        cols = (
-            key_cols + ["_SEQUENCE_NUMBER", "_VALUE_KIND"] + value_names
-            if spec["kv"]
-            else value_names
+        sys_cols = (
+            key_cols + ["_SEQUENCE_NUMBER", "_VALUE_KIND"] if spec["kv"] else []
         )
+        cols = sys_cols + value_names
         frames = []
-        for idx, path, level in spec["files"]:
-            f = self._read_file(path, spec["fmt"], cols).to_pandas(
+        for idx, path, level, colmap, dv in spec["files"]:
+            # field-id schema evolution: read a pre-evolution file by
+            # its OWN column names, then rename to the current schema
+            # (renamed columns follow their field id; dropped ids
+            # NULL-fill) — the pyarrow twin of _mapped_select
+            if colmap:
+                src_cols = sys_cols + [
+                    colmap[c] for c in value_names if colmap.get(c)
+                ]
+            else:
+                src_cols = cols
+            f = self._read_file(path, spec["fmt"], src_cols).to_pandas(
                 types_mapper=pd.ArrowDtype
             )
+            if dv:
+                # deletion vector: drop this file's marked row positions
+                # BEFORE the merge (builder-path contract; the merge
+                # after the drop stays exact — DV marks superseded rows)
+                import numpy as np
+
+                from paimon_python_spark.paimon_import import (
+                    read_dv_index_entry,
+                )
+
+                pos = read_dv_index_entry(str(dv[0]), int(dv[1]), int(dv[2]))
+                keep = np.setdiff1d(
+                    np.arange(len(f), dtype=np.int64), pos.astype(np.int64)
+                )
+                f = f.iloc[keep].reset_index(drop=True)
+            if colmap:
+                f = f.rename(
+                    columns={
+                        colmap[c]: c
+                        for c in value_names
+                        if colmap.get(c) and colmap[c] != c
+                    }
+                )
             for c in cols:
                 if c not in f.columns:
                     f[c] = None

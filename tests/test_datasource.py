@@ -359,3 +359,82 @@ def test_lake_datasource_streaming(tmp_path, spark):
         q.stop()
     out = spark.sql("SELECT k, v FROM lake_ds_out ORDER BY k").collect()
     assert [(r["k"], r["v"]) for r in out] == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_lake_datasource_dv_and_evolution(tmp_path, spark):
+    """format('paimon_lake') reads DV-marked and schema-evolved lakes
+    transparently (refusals lifted): per-file roaring bitmaps decode
+    executor-side and drop marked positions before the merge; files
+    written under older schema ids remap by FIELD ID (renames follow
+    their id, adds NULL-fill). Results match the builder path
+    bit-for-bit on the same lake."""
+    from paimon_python_spark.lake_datasource import register_lake
+    from paimon_python_spark.paimon_import import (
+        attach_paimon_dv_fixture,
+        plan_paimon_files,
+    )
+    from paimon_python_spark.paimon_lake import (
+        PaimonLakeTable,
+        alter_lake_schema,
+        create_lake_table,
+        write_lake_append,
+        write_lake_pk_append,
+    )
+    from paimon_python_spark.session import set_spark
+
+    set_spark(spark)
+    register_lake(spark)
+
+    # PK lake: evolve (rename v→val, add note), then DV-mark one row
+    p = str(tmp_path / "ds_dv_evo_pk")
+    create_lake_table(
+        p,
+        [("k", "INT NOT NULL"), ("v", "STRING")],
+        primary_keys=["k"],
+        options={"bucket": "2"},
+    )
+    write_lake_pk_append(
+        p, spark.createDataFrame([(i, f"a{i}") for i in range(20)], "k int, v string")
+    )
+    alter_lake_schema(p, add_columns=[("note", "STRING")], rename_columns={"v": "val"})
+    write_lake_pk_append(
+        p,
+        spark.createDataFrame(
+            [(i, f"b{i}", f"n{i}") for i in range(20, 30)],
+            "k int, val string, note string",
+        ),
+    )
+    victim = next(e for e in plan_paimon_files(p) if e.bucket == 0)
+    attach_paimon_dv_fixture(p, {victim.file_name: [0]}, bucket=victim.bucket)
+
+    ds = spark.read.format("paimon_lake").option("path", p).load()
+    builder = PaimonLakeTable(p).new_read_builder().new_read().to_df()
+    got = sorted((r["k"], r["val"], r["note"]) for r in ds.collect())
+    want = sorted((r["k"], r["val"], r["note"]) for r in builder.collect())
+    assert got == want
+    assert len(got) == 29  # one DV-marked row gone
+    by_k = dict((k, (v, n)) for k, v, n in got)
+    assert by_k[25] == ("b25", "n25")  # post-evolution file
+    old_k = next(k for k in by_k if k < 20)  # any surviving pre-evolution row
+    assert by_k[old_k][0] == f"a{old_k}" and by_k[old_k][1] is None  # remap + NULL-fill
+
+    # APPEND lake with DV marks reads transparently too
+    p2 = str(tmp_path / "ds_dv_app")
+    create_lake_table(p2, [("x", "INT"), ("s", "STRING")])
+    write_lake_append(
+        p2,
+        spark.createDataFrame(
+            [(i, f"s{i}") for i in range(10)], "x int, s string"
+        ).coalesce(1),
+    )
+    e0 = plan_paimon_files(p2)[0]
+    attach_paimon_dv_fixture(p2, {e0.file_name: [2, 5]})
+    ds2 = sorted(
+        (r["x"], r["s"])
+        for r in spark.read.format("paimon_lake").option("path", p2).load().collect()
+    )
+    want2 = sorted(
+        (r["x"], r["s"])
+        for r in PaimonLakeTable(p2).new_read_builder().new_read().to_df().collect()
+    )
+    assert ds2 == want2 and len(ds2) == 8
