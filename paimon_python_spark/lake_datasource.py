@@ -10,11 +10,12 @@ on the same driver-side planner every lake read uses.
   for append lakes; pushed filters re-enter the engine predicate tree
   so partition pruning, manifest-stats skipping, bloom probes, and PK
   bucket pruning all fire before partitions exist.
-- streaming: snapshot-id offsets; each micro-batch is one-or-more
-  commits' delta files (COMPACT rewrites skipped — the engine
-  incremental contract), read driver-side (SimpleDataSourceStreamReader)
-  — right-sized for CDC-rate commits, not bulk backfill (use
-  ``read_lake_incremental`` for that).
+- streaming: snapshot-id offsets; each micro-batch plans one
+  ``InputPartition`` per delta file of the commits in ``(start, end]``
+  (COMPACT rewrites skipped — the engine incremental contract) and
+  executors read the files directly (``DataSourceStreamReader`` —
+  micro-batch rows never pass through the driver, so a high-rate
+  source scales with the cluster, not the driver).
 
 Deletion-vector lakes read transparently: each file's (index, offset,
 length) triple rides its partition spec and the executor decodes the
@@ -45,8 +46,8 @@ from pyspark.sql import types as T
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     InputPartition,
-    SimpleDataSourceStreamReader,
 )
 
 
@@ -368,11 +369,16 @@ class PaimonLakeBatchReader(DataSourceReader):
         yield from tbl.to_batches(max_chunksize=4096)
 
 
-class PaimonLakeStreamReader(SimpleDataSourceStreamReader):
-    """Snapshot-id offsets over a live lake: each micro-batch is the
-    delta files of the commits in ``(start, end]`` (COMPACT rewrites
-    skipped). Append lakes only — PK changelog streams are served by
-    ``stream_lake_snapshots`` with ``_row_kind`` semantics."""
+class PaimonLakeStreamReader(DataSourceStreamReader):
+    """PARTITION-PLANNED streaming over a live lake (the scale-correct
+    ``DataSourceStreamReader`` shape — micro-batch rows never pass
+    through the driver): snapshot-id offsets; ``partitions(start, end)``
+    plans one ``InputPartition`` per delta file of the commits in
+    ``(start, end]`` (COMPACT rewrites skipped — the engine incremental
+    contract) and executors read the files directly, field-id-remapping
+    pre-evolution files exactly like the batch reader. Append lakes
+    only — PK changelog streams are served by ``stream_lake_snapshots``
+    with ``_row_kind`` semantics."""
 
     def __init__(self, table_path: str):
         from paimon_python_spark.paimon_lake import read_paimon_schema
@@ -388,17 +394,39 @@ class PaimonLakeStreamReader(SimpleDataSourceStreamReader):
     def initialOffset(self) -> dict:
         return {"snapshot": 0}
 
-    def _latest(self) -> int:
+    def latestOffset(self) -> dict:
         from paimon_python_spark.paimon_import import latest_paimon_snapshot_id
 
         try:
-            return latest_paimon_snapshot_id(self.table_path)
+            return {"snapshot": latest_paimon_snapshot_id(self.table_path)}
         except FileNotFoundError:
-            return 0
+            return {"snapshot": 0}
 
-    def _rows_between(self, start: int, end: int):
+    def _colmap(self, schema_id: int):
+        info = self.info
+        if schema_id == info.id:
+            return None
+        from paimon_python_spark.paimon_lake import read_paimon_schema
+
+        oinfo = read_paimon_schema(self.table_path, schema_id)
+        old_by_id = {
+            fid: f.name
+            for fid, f in zip(oinfo.field_ids, oinfo.spark_schema.fields)
+        }
+        old_names = {f.name for f in oinfo.spark_schema.fields}
+        cur_ids = info.field_ids or list(range(len(info.spark_schema.fields)))
+        out = {}
+        for fid, f in zip(cur_ids, info.spark_schema.fields):
+            if f.name in info.partition_keys:
+                continue
+            if oinfo.field_ids:
+                out[f.name] = old_by_id.get(fid)
+            else:
+                out[f.name] = f.name if f.name in old_names else None
+        return out
+
+    def partitions(self, start: dict, end: dict):
         from paimon_python_spark.paimon_import import (
-            logical_partition_values,
             plan_paimon_delta,
             read_paimon_snapshot,
         )
@@ -407,45 +435,66 @@ class PaimonLakeStreamReader(SimpleDataSourceStreamReader):
         part_keys = list(info.partition_keys)
         part_types = [info.spark_schema[k].dataType for k in part_keys]
         default_name = info.options.get("partition.default-name", None)
-        names = [f.name for f in info.spark_schema.fields]
         fmt = info.options.get("file.format", "parquet")
-        out = []
-        for sid in range(start + 1, end + 1):
+        parts: List[_LakeGroupPartition] = []
+        for sid in range(start["snapshot"] + 1, end["snapshot"] + 1):
             snap = read_paimon_snapshot(self.table_path, sid)
             if str(snap.get("commitKind", "APPEND")).upper() == "COMPACT":
                 continue
             for e in plan_paimon_delta(self.table_path, sid):
                 kw = {"default_name": default_name} if default_name else {}
                 path = os.path.join(
-                    self.table_path,
-                    e.rel_path(part_keys, part_types, **kw),
+                    self.table_path, e.rel_path(part_keys, part_types, **kw)
                 )
-                pvals = logical_partition_values(info, e.partition)
-                tbl = _read_one(path, fmt, [n for n in names if n not in part_keys])
-                cols = {}
-                for n in names:
-                    if n in part_keys:
-                        cols[n] = [pvals.get(n)] * tbl.num_rows
-                    else:
-                        cols[n] = (
-                            tbl.column(n).to_pylist()
-                            if n in tbl.column_names
-                            else [None] * tbl.num_rows
+                parts.append(
+                    _LakeGroupPartition(
+                        json.dumps(
+                            {
+                                "fmt": fmt,
+                                "path": path,
+                                "colmap": self._colmap(e.schema_id),
+                                "partition": _json_safe_part(info, e.partition),
+                            }
                         )
-                out.extend(zip(*[cols[n] for n in names]))
-        return out
+                    )
+                )
+        # Spark requires ≥1 partition per batch even when every commit
+        # in the range was a COMPACT rewrite (no new rows)
+        return parts or [
+            _LakeGroupPartition(json.dumps({"fmt": fmt, "path": None}))
+        ]
 
-    def read(self, start: dict):
-        end = self._latest()
-        if end <= start["snapshot"]:
-            return iter([]), start
-        return (
-            iter(self._rows_between(start["snapshot"], end)),
-            {"snapshot": end},
-        )
+    def read(self, partition: _LakeGroupPartition):
+        spec = json.loads(partition.spec)
+        if not spec["path"]:
+            return
+        info = self.info
+        part_keys = list(info.partition_keys)
+        names = [f.name for f in info.spark_schema.fields]
+        value_names = [n for n in names if n not in part_keys]
+        colmap = spec.get("colmap")
+        if colmap:
+            src_cols = [colmap[c] for c in value_names if colmap.get(c)]
+        else:
+            src_cols = value_names
+        tbl = _read_one(spec["path"], spec["fmt"], src_cols)
+        cols = {}
+        for n in names:
+            if n in part_keys:
+                cols[n] = [
+                    _part_value(info, n, spec["partition"].get(n))
+                ] * tbl.num_rows
+            else:
+                src = colmap.get(n) if colmap else n
+                cols[n] = (
+                    tbl.column(src).to_pylist()
+                    if src and src in tbl.column_names
+                    else [None] * tbl.num_rows
+                )
+        yield from zip(*[cols[n] for n in names])
 
-    def readBetweenOffsets(self, start: dict, end: dict):
-        return iter(self._rows_between(start["snapshot"], end["snapshot"]))
+    def commit(self, end: dict) -> None:
+        pass  # snapshot files are immutable; nothing to release
 
 
 def _read_one(path: str, fmt: str, cols):
@@ -497,7 +546,7 @@ class PaimonLakeDataSource(DataSource):
         claim = self.options.get("claim-filters", "true").lower() != "false"
         return PaimonLakeBatchReader(self._table_path(), claim_filters=claim)
 
-    def simpleStreamReader(self, schema) -> PaimonLakeStreamReader:
+    def streamReader(self, schema) -> PaimonLakeStreamReader:
         return PaimonLakeStreamReader(self._table_path())
 
 

@@ -438,3 +438,84 @@ def test_lake_datasource_dv_and_evolution(tmp_path, spark):
         for r in PaimonLakeTable(p2).new_read_builder().new_read().to_df().collect()
     )
     assert ds2 == want2 and len(ds2) == 8
+
+
+def test_lake_datasource_streaming_partition_planned(tmp_path, spark):
+    """The streaming source is the partition-planned
+    DataSourceStreamReader (NOT the driver-side simple reader): a
+    multi-file snapshot plans one InputPartition per delta file, rows
+    land executor-side, partition values inject from the layout, and
+    post-evolution batches remap pre-evolution columns by field id."""
+    import json as _json
+    import tempfile
+
+    from pyspark.sql.datasource import (
+        DataSourceStreamReader,
+        SimpleDataSourceStreamReader,
+    )
+
+    from paimon_python_spark.lake_datasource import (
+        PaimonLakeStreamReader,
+        register_lake,
+    )
+    from paimon_python_spark.paimon_lake import (
+        alter_lake_schema,
+        create_lake_table,
+        write_lake_append,
+    )
+    from paimon_python_spark.session import set_spark
+
+    set_spark(spark)
+    register_lake(spark)
+    assert issubclass(PaimonLakeStreamReader, DataSourceStreamReader)
+    assert not issubclass(PaimonLakeStreamReader, SimpleDataSourceStreamReader)
+
+    p = str(tmp_path / "ds_stream_part_lake")
+    create_lake_table(
+        p,
+        [("dt", "STRING NOT NULL"), ("k", "INT NOT NULL"), ("v", "STRING")],
+        partition_keys=["dt"],
+    )
+    # multi-file commit: two partitions → ≥2 delta files in snapshot 1
+    write_lake_append(
+        p,
+        spark.createDataFrame(
+            [("a", 1, "x"), ("a", 2, "y"), ("b", 3, "z")], "dt string, k int, v string"
+        ),
+    )
+    alter_lake_schema(p, rename_columns={"v": "val"})
+    write_lake_append(
+        p, spark.createDataFrame([("b", 4, "w")], "dt string, k int, val string")
+    )
+    rdr = PaimonLakeStreamReader(p)
+    parts = rdr.partitions({"snapshot": 0}, {"snapshot": 1})
+    assert len(parts) >= 2, "one InputPartition per delta file"
+    spec0 = _json.loads(parts[0].spec)
+    assert spec0["path"], "partition spec must carry the file path"
+    # pre-evolution files carry a field-id colmap remapping v→val
+    both = [
+        _json.loads(pt.spec).get("colmap")
+        for pt in rdr.partitions({"snapshot": 0}, {"snapshot": 2})
+    ]
+    assert any(cm and cm.get("val") == "v" for cm in both)
+    assert all(cm in (None, {"k": "k", "val": "v"}) for cm in both)
+
+    stream = spark.readStream.format("paimon_lake").option("path", p).load()
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("lake_ds_part_out")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ldsp_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.sql("SELECT dt, k, val FROM lake_ds_part_out ORDER BY k").collect()
+    assert [(r["dt"], r["k"], r["val"]) for r in out] == [
+        ("a", 1, "x"),
+        ("a", 2, "y"),
+        ("b", 3, "z"),
+        ("b", 4, "w"),
+    ]
