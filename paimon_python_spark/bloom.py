@@ -65,8 +65,13 @@ def build_hex(values: Iterable) -> Optional[str]:
     return format(bits, f"0{m // 4}x")
 
 
-def might_contain(hex_bitmap: str, value) -> bool:
-    """False only when the value is definitely absent from the file."""
+def might_contain(hex_bitmap, value) -> bool:
+    """False only when the value is definitely absent from the file.
+    Accepts either the engine's hex bitmap or any probe object exposing
+    ``might_contain`` (e.g. a spec-format ``fileindex_codec.SpecBloom``
+    decoded from a JVM-written lake)."""
+    if hasattr(hex_bitmap, "might_contain"):
+        return hex_bitmap.might_contain(value)
     c = canonical(value)
     if c is None:
         return True  # nulls are tracked by null_count, not the bloom

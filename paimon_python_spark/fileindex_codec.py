@@ -1,0 +1,305 @@
+"""Spec-format Paimon FILE INDEX reader/writer (bloom-filter type).
+
+Real Paimon serializes per-file indexes in its own container format —
+either embedded in the manifest entry's ``_EMBEDDED_FILE_INDEX`` slot
+(below ``file-index.in-manifest-threshold``) or as a standalone
+``*.index`` file listed in ``_EXTRA_FILES``. This module implements
+that format from the PUBLIC spec
+(paimon.apache.org/docs/master/concepts/spec/fileindex) so lakes
+written by JVM Paimon prune on their own bloom indexes here, and
+spec-built fixtures round-trip:
+
+Container (all integers BIG-endian, names in Java ``writeUTF`` form —
+2-byte length + UTF-8 bytes)::
+
+    magic (8B long = 1493475289347502) | version (int, V1 = 1)
+    head length (int)                  | column number (int)
+    per column: name (UTF) | index number (int)
+        per index: index type (UTF) | start pos (int) | length (int)
+    redundant length (int, 0 in V1)    | redundant bytes
+    BODY: concatenated index payloads (start pos is absolute)
+
+Bloom-filter payload (index type ``bloom-filter``)::
+
+    numHashFunctions (int BE) | bit-set bytes
+
+Probe semantics mirror the JVM classes the spec page describes
+(``BloomFilter64`` + ``FastHash``): a 64-bit value hash — Thomas
+Wang's 64-bit mix for numeric values, XXH64 for byte-typed values —
+split into two 32-bit halves combined per hash function, bit layout
+byte-addressed little-endian (``bytes[i >> 3] & 1 << (i & 7)``).
+
+CONFIDENCE NOTE: the container layout and payload shape follow the
+published spec page; the hash constants are implemented from the
+publicly documented algorithms (Wang 64-bit mix; XXH64 seed 0) and
+validated against spec-built fixtures in this repo — byte-level
+validation against a genuinely JVM-written index is pending a real
+lake (tools/validate_against_real_lake.py checks bloom-pruning parity
+when one is reachable). Blooms only PRUNE, and only via this module's
+own probe, so engine results stay exact regardless.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Dict, Optional
+
+MAGIC = 1493475289347502
+VERSION_1 = 1
+BLOOM_INDEX_TYPE = "bloom-filter"
+
+#: seed for XXH64 over byte-typed values (publicly documented default
+#: of the airlift-lineage XxHash64 implementations the JVM side uses)
+XXH64_SEED = 0
+
+_M64 = (1 << 64) - 1
+
+
+def _wang64(key: int) -> int:
+    """Thomas Wang's 64-bit mix hash — the spec page's 'specified
+    number hash (H64)' for numeric values."""
+    key &= _M64
+    key = (~key + (key << 21)) & _M64
+    key ^= key >> 24
+    key = (key + (key << 3) + (key << 8)) & _M64
+    key ^= key >> 14
+    key = (key + (key << 2) + (key << 4)) & _M64
+    key ^= key >> 28
+    key = (key + (key << 31)) & _M64
+    return key
+
+
+# ---- XXH64 (public algorithm, Cyan4973/xxHash spec) ----
+
+_P1 = 0x9E3779B185EBCA87
+_P2 = 0xC2B2AE3D27D4EB4F
+_P3 = 0x165667B19E3779F9
+_P4 = 0x85EBCA77C2B2AE63
+_P5 = 0x27D4EB2F165667C5
+
+
+def _rotl(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M64
+
+
+def _round(acc: int, inp: int) -> int:
+    acc = (acc + inp * _P2) & _M64
+    return (_rotl(acc, 31) * _P1) & _M64
+
+
+def _merge_round(acc: int, val: int) -> int:
+    acc ^= _round(0, val)
+    return (acc * _P1 + _P4) & _M64
+
+
+def xxh64(data: bytes, seed: int = XXH64_SEED) -> int:
+    n = len(data)
+    if n >= 32:
+        v1 = (seed + _P1 + _P2) & _M64
+        v2 = (seed + _P2) & _M64
+        v3 = seed
+        v4 = (seed - _P1) & _M64
+        i = 0
+        for i in range(0, n - 31, 32):
+            a, b, c, d = struct.unpack_from("<QQQQ", data, i)
+            v1, v2, v3, v4 = (
+                _round(v1, a),
+                _round(v2, b),
+                _round(v3, c),
+                _round(v4, d),
+            )
+        i += 32
+        h = (_rotl(v1, 1) + _rotl(v2, 7) + _rotl(v3, 12) + _rotl(v4, 18)) & _M64
+        for v in (v1, v2, v3, v4):
+            h = _merge_round(h, v)
+    else:
+        i = 0
+        h = (seed + _P5) & _M64
+    h = (h + n) & _M64
+    while i + 8 <= n:
+        (k,) = struct.unpack_from("<Q", data, i)
+        h ^= _round(0, k)
+        h = (_rotl(h, 27) * _P1 + _P4) & _M64
+        i += 8
+    if i + 4 <= n:
+        (k,) = struct.unpack_from("<I", data, i)
+        h ^= (k * _P1) & _M64
+        h = (_rotl(h, 23) * _P2 + _P3) & _M64
+        i += 4
+    while i < n:
+        h ^= (data[i] * _P5) & _M64
+        h = (_rotl(h, 11) * _P1) & _M64
+        i += 1
+    h ^= h >> 33
+    h = (h * _P2) & _M64
+    h ^= h >> 29
+    h = (h * _P3) & _M64
+    h ^= h >> 32
+    return h
+
+
+def value_hash64(value) -> Optional[int]:
+    """FastHash dispatch: numeric → Wang mix over the long form
+    (floats via their IEEE-754 bit pattern, the JVM's
+    ``doubleToLongBits``); strings/bytes → XXH64 over the UTF-8/raw
+    bytes. None for NULL (nulls never probe)."""
+    import datetime
+
+    if value is None:
+        return None
+    if isinstance(value, bool):
+        return _wang64(1 if value else 0)
+    if isinstance(value, int):
+        return _wang64(value)
+    if isinstance(value, float):
+        (bits,) = struct.unpack("<q", struct.pack("<d", value))
+        return _wang64(bits)
+    if isinstance(value, datetime.date) and not isinstance(value, datetime.datetime):
+        return _wang64((value - datetime.date(1970, 1, 1)).days)
+    if isinstance(value, str):
+        return xxh64(value.encode("utf-8"))
+    if isinstance(value, (bytes, bytearray)):
+        return xxh64(bytes(value))
+    return None  # unhashable shape: caller must not prune
+
+
+class SpecBloom:
+    """Decoded ``bloom-filter`` payload: test-only probe with the
+    JVM's two-half combination and byte-addressed bit layout."""
+
+    __slots__ = ("num_hash", "bits")
+
+    def __init__(self, num_hash: int, bits: bytes):
+        self.num_hash = num_hash
+        self.bits = bits
+
+    @classmethod
+    def decode(cls, payload: bytes) -> "SpecBloom":
+        (k,) = struct.unpack_from(">i", payload, 0)
+        return cls(k, payload[4:])
+
+    def encode(self) -> bytes:
+        return struct.pack(">i", self.num_hash) + self.bits
+
+    def _positions(self, hash64: int):
+        num_bits = len(self.bits) * 8
+        h1 = hash64 & 0xFFFFFFFF
+        if h1 >= 1 << 31:
+            h1 -= 1 << 32  # signed int32, the JVM's (int) cast
+        h2 = hash64 >> 32
+        if h2 >= 1 << 31:
+            h2 -= 1 << 32
+        for i in range(1, self.num_hash + 1):
+            combined = (h1 + i * h2) & 0xFFFFFFFF
+            if combined >= 1 << 31:
+                combined = ~(combined - (1 << 32)) & 0xFFFFFFFF
+            yield combined % num_bits
+
+    def add_hash(self, hash64: int) -> None:
+        b = bytearray(self.bits)
+        for pos in self._positions(hash64):
+            b[pos >> 3] |= 1 << (pos & 7)
+        self.bits = bytes(b)
+
+    def test_hash(self, hash64: int) -> bool:
+        return all(
+            self.bits[pos >> 3] >> (pos & 7) & 1 for pos in self._positions(hash64)
+        )
+
+    def might_contain(self, value) -> bool:
+        """False only when the value is provably absent — the probe
+        contract Predicate.test_by_stats expects (shared with the
+        engine's hex blooms via duck typing)."""
+        h = value_hash64(value)
+        if h is None:
+            return True
+        return self.test_hash(h)
+
+
+def build_spec_bloom(values, items: Optional[int] = None, fpp: float = 0.1) -> SpecBloom:
+    """Fixture/interop writer: size per the JVM formula (bits =
+    -n·ln(fpp)/ln²2 rounded up to a whole number of longs, k =
+    bits/n·ln2) and add every non-null value's hash."""
+    import math
+
+    vals = [v for v in values if v is not None]
+    n = max(1, items if items is not None else len(vals))
+    nb = int(-n * math.log(fpp) / (math.log(2) ** 2))
+    num_bits = nb + (64 - nb % 64)
+    k = max(1, round(num_bits / n * math.log(2)))
+    bloom = SpecBloom(k, bytes(num_bits // 8))
+    for v in vals:
+        h = value_hash64(v)
+        if h is not None:
+            bloom.add_hash(h)
+    return bloom
+
+
+# ---- container ----
+
+
+def _read_utf(buf: bytes, pos: int):
+    (ln,) = struct.unpack_from(">H", buf, pos)
+    s = buf[pos + 2 : pos + 2 + ln].decode("utf-8")
+    return s, pos + 2 + ln
+
+
+def _write_utf(s: str) -> bytes:
+    b = s.encode("utf-8")
+    return struct.pack(">H", len(b)) + b
+
+
+def is_spec_file_index(data: bytes) -> bool:
+    return len(data) >= 8 and struct.unpack_from(">q", data, 0)[0] == MAGIC
+
+
+def read_file_index(data: bytes) -> Dict[str, Dict[str, bytes]]:
+    """{column: {index type: payload bytes}} from a spec container.
+    Raises ValueError on a non-spec or future-version payload."""
+    if not is_spec_file_index(data):
+        raise ValueError("not a spec file-index payload (bad magic)")
+    (version,) = struct.unpack_from(">i", data, 8)
+    if version != VERSION_1:
+        raise ValueError(f"unsupported file-index version {version}")
+    pos = 12 + 4  # skip head length
+    (n_cols,) = struct.unpack_from(">i", data, 12 + 4)
+    pos += 4
+    out: Dict[str, Dict[str, bytes]] = {}
+    for _ in range(n_cols):
+        col, pos = _read_utf(data, pos)
+        (n_idx,) = struct.unpack_from(">i", data, pos)
+        pos += 4
+        per_col = out.setdefault(col, {})
+        for _ in range(n_idx):
+            itype, pos = _read_utf(data, pos)
+            start, length = struct.unpack_from(">ii", data, pos)
+            pos += 8
+            per_col[itype] = data[start : start + length]
+    return out
+
+
+def write_file_index(indexes: Dict[str, Dict[str, bytes]]) -> bytes:
+    """Spec container for {column: {index type: payload bytes}} —
+    used by fixtures and available for spec-interop writes."""
+    head = bytearray()
+    head += struct.pack(">i", len(indexes))
+    # two passes: header size depends on itself via absolute offsets,
+    # so lay out names first with placeholder offsets, then patch
+    entries = []  # (patch_pos_in_head, payload)
+    for col, per_col in indexes.items():
+        head += _write_utf(col)
+        head += struct.pack(">i", len(per_col))
+        for itype, payload in per_col.items():
+            head += _write_utf(itype)
+            entries.append((len(head), payload))
+            head += struct.pack(">ii", 0, 0)
+    head += struct.pack(">i", 0)  # redundant length (V1: zero)
+    prefix = struct.pack(">qii", MAGIC, VERSION_1, 16 + len(head))
+    body_start = len(prefix) + len(head)
+    body = bytearray()
+    for patch_pos, payload in entries:
+        struct.pack_into(
+            ">ii", head, patch_pos, body_start + len(body), len(payload)
+        )
+        body += payload
+    return bytes(prefix + head + body)

@@ -397,6 +397,10 @@ class PaimonFileEntry:
     #: entry was routed under; pre-rescale snapshots keep their old
     #: value, so bucket pruning must only fire on matching geometry
     total_buckets: Optional[int] = None
+    #: manifest ``_EXTRA_FILES`` — JVM Paimon lists standalone
+    #: ``*.index`` file-index files here (indexes above the
+    #: in-manifest threshold); read at prune time
+    extra_files: Optional[list] = None
 
     def rel_path(
         self,
@@ -461,6 +465,7 @@ def read_manifest(
                     if r.get("_TOTAL_BUCKETS") is not None
                     else None
                 ),
+                extra_files=list(fmeta.get("_EXTRA_FILES") or []) or None,
             )
         )
     return out

@@ -678,20 +678,79 @@ _LOOKUP_POINT_KEY_CAP = 1024
 
 
 def _decode_embedded_blooms(entry) -> Optional[dict]:
-    """{column: bloom-hex} from an entry's embedded file index, or None
-    for absent/foreign payloads."""
+    """{column: probe} from an entry's embedded file index — the
+    engine's JSON payload yields bloom-hex strings, a JVM spec-format
+    container (fileindex_codec) yields ``SpecBloom`` probe objects
+    (both duck-type into ``Predicate.test_by_stats`` via
+    ``bloom.might_contain``). None for absent/unknown payloads."""
     if not getattr(entry, "embedded_index", None):
         return None
     import json
 
+    from paimon_python_spark import fileindex_codec as fic
+
+    raw = entry.embedded_index
+    if fic.is_spec_file_index(raw):
+        # JVM-written lake: its own file-index container in the
+        # embedded slot — decode the bloom-filter payloads
+        try:
+            doc = fic.read_file_index(raw)
+        except ValueError:
+            return None  # future version: ignore, blooms only prune
+        cols = {
+            col: fic.SpecBloom.decode(per[fic.BLOOM_INDEX_TYPE])
+            for col, per in doc.items()
+            if fic.BLOOM_INDEX_TYPE in per
+        }
+        return cols or None
     try:
-        doc = json.loads(entry.embedded_index.decode("utf-8"))
+        doc = json.loads(raw.decode("utf-8"))
     except (UnicodeDecodeError, ValueError):
-        return None  # foreign (e.g. JVM-format) index payload: ignore
+        return None  # foreign index payload: ignore
     if doc.get("format") != _EMB_BLOOM_FORMAT:
         return None
     cols = doc.get("columns")
     return cols if isinstance(cols, dict) and cols else None
+
+
+def _standalone_index_blooms(table_path: str, info, entry) -> Optional[dict]:
+    """{column: SpecBloom} from an entry's standalone ``*.index``
+    extra files (JVM Paimon writes indexes above the in-manifest
+    threshold as separate files next to the data file). None when the
+    entry lists none or they don't parse. IO is one small file per
+    planned entry, driver-side at prune time — the same metadata walk
+    the JVM planner does."""
+    import os
+
+    from paimon_python_spark import fileindex_codec as fic
+
+    names = [
+        n for n in (entry.extra_files or []) if str(n).endswith(".index")
+    ]
+    if not names:
+        return None
+    part_types = [info.spark_schema[k].dataType for k in info.partition_keys]
+    default_name = info.options.get("partition.default-name", None)
+    kw = {"default_name": default_name} if default_name else {}
+    data_rel = entry.rel_path(info.partition_keys, part_types, **kw)
+    base = os.path.dirname(os.path.join(table_path, data_rel))
+    cols: dict = {}
+    for name in names:
+        path = os.path.join(base, name)
+        if not os.path.exists(path):
+            continue
+        with open(path, "rb") as f:
+            raw = f.read()
+        if not fic.is_spec_file_index(raw):
+            continue
+        try:
+            doc = fic.read_file_index(raw)
+        except ValueError:
+            continue
+        for col, per in doc.items():
+            if fic.BLOOM_INDEX_TYPE in per:
+                cols[col] = fic.SpecBloom.decode(per[fic.BLOOM_INDEX_TYPE])
+    return cols or None
 
 
 def _pruned_entries(table_path: str, info: PaimonSchemaInfo, b: "PaimonLakeReadBuilder"):
@@ -729,7 +788,7 @@ def _pruned_entries(table_path: str, info: PaimonSchemaInfo, b: "PaimonLakeReadB
                 for e in entries
                 if part_pred.test_by_value(_logical_partition_values(info, e.partition))
             ]
-    if any(e.stats_raw or e.embedded_index for e in entries):
+    if any(e.stats_raw or e.embedded_index or e.extra_files for e in entries):
         # stats rows decode under the schema each file was written with.
         # PK tables may prune only on KEY fields (the engine's
         # filter-placement rule, scan.py:80-116): a value predicate
@@ -756,7 +815,9 @@ def _pruned_entries(table_path: str, info: PaimonSchemaInfo, b: "PaimonLakeReadB
                 oinfo = read_paimon_schema(table_path, e.schema_id)
                 infos[e.schema_id] = oinfo
             stats = decode_entry_stats(e, oinfo, info)
-            blooms = _decode_embedded_blooms(e)
+            blooms = _decode_embedded_blooms(e) or _standalone_index_blooms(
+                table_path, info, e
+            )
             if blooms:
                 # merge per-file blooms into the stats dict so
                 # test_by_stats' equal/in branches consult them — the

@@ -1,0 +1,166 @@
+"""Spec-format file-index (fileindex_codec): container round trip,
+hash vectors, and JVM-layout bloom pruning through the lake planner."""
+
+import os
+
+import pytest
+
+from paimon_python_spark.fileindex_codec import (
+    BLOOM_INDEX_TYPE,
+    MAGIC,
+    SpecBloom,
+    build_spec_bloom,
+    is_spec_file_index,
+    read_file_index,
+    value_hash64,
+    write_file_index,
+    xxh64,
+)
+
+
+def test_xxh64_reference_vectors():
+    """Public xxHash reference vectors (XXH64, seed 0) — the byte-type
+    hash the spec page names for bloom indexes."""
+    assert xxh64(b"", 0) == 0xEF46DB3751D8E999
+    assert xxh64(b"a", 0) == 0xD24EC4F1A98C6E5B
+    assert xxh64(b"abc", 0) == 0x44BC2CF5AD770999
+    # all length branches: 4-7, 8-31, >=32 bytes
+    assert xxh64(b"12345", 0) != xxh64(b"12346", 0)
+    assert xxh64(b"0123456789abcdef", 0) != 0
+    assert xxh64(b"x" * 100, 0) != xxh64(b"x" * 101, 0)
+    assert xxh64(b"abc", 42) != xxh64(b"abc", 0)
+
+
+def test_value_hash_dispatch():
+    import datetime
+
+    assert value_hash64(None) is None
+    assert value_hash64(5) == value_hash64(5)
+    assert value_hash64(5) != value_hash64(6)
+    assert value_hash64("s") == xxh64(b"s")
+    assert value_hash64(b"s") == xxh64(b"s")
+    assert value_hash64(datetime.date(1970, 1, 2)) == value_hash64(1)
+    assert value_hash64(1.5) != value_hash64(1)
+
+
+def test_container_roundtrip_and_probe():
+    bloom_k = build_spec_bloom(range(100), items=200)
+    bloom_u = build_spec_bloom([f"u{i}" for i in range(50)], items=100)
+    data = write_file_index(
+        {
+            "k": {BLOOM_INDEX_TYPE: bloom_k.encode()},
+            "u": {BLOOM_INDEX_TYPE: bloom_u.encode()},
+        }
+    )
+    assert is_spec_file_index(data)
+    assert int.from_bytes(data[:8], "big") == MAGIC
+    back = read_file_index(data)
+    assert set(back) == {"k", "u"}
+    pk = SpecBloom.decode(back["k"][BLOOM_INDEX_TYPE])
+    pu = SpecBloom.decode(back["u"][BLOOM_INDEX_TYPE])
+    assert all(pk.might_contain(i) for i in range(100))
+    assert all(pu.might_contain(f"u{i}") for i in range(50))
+    # false-positive rate sane: absent probes mostly refused
+    misses = sum(not pk.might_contain(i) for i in range(10_000, 10_500))
+    assert misses > 400
+    assert pu.might_contain(None)  # NULLs never prune via blooms
+
+
+def test_container_rejects_foreign():
+    with pytest.raises(ValueError):
+        read_file_index(b"\x00" * 32)
+    assert not is_spec_file_index(b"sparkgraft-bloom-v1 json payload")
+
+
+def _patch_lake_with_spec_indexes(p):
+    """Rewrite an engine lake's manifests the way JVM Paimon lays out
+    bloom file indexes: file A gets the spec container EMBEDDED in the
+    manifest slot, file B gets a standalone ``*.index`` EXTRA file."""
+    import pyarrow.parquet as pq
+
+    from paimon_python_spark.avro_codec import read_avro_records, write_avro_records
+
+    mdir = os.path.join(p, "manifest")
+    patched = 0
+    for name in sorted(os.listdir(mdir)):
+        path = os.path.join(mdir, name)
+        with open(path, "rb") as f:
+            schema, recs = read_avro_records(f.read())
+        if not recs or "_FILE" not in recs[0]:
+            continue
+        changed = False
+        for r in recs:
+            fmeta = r["_FILE"]
+            dpath = os.path.join(p, "bucket-0", fmeta["_FILE_NAME"])
+            if not os.path.exists(dpath):
+                continue
+            vals = pq.read_table(dpath, columns=["u"]).column("u").to_pylist()
+            payload = write_file_index(
+                {"u": {BLOOM_INDEX_TYPE: build_spec_bloom(vals, items=500).encode()}}
+            )
+            if patched % 2 == 0:
+                fmeta["_EMBEDDED_FILE_INDEX"] = payload
+            else:
+                iname = fmeta["_FILE_NAME"] + ".index"
+                with open(os.path.join(p, "bucket-0", iname), "wb") as f:
+                    f.write(payload)
+                fmeta["_EXTRA_FILES"] = [iname]
+            patched += 1
+            changed = True
+        if changed:
+            write_avro_records(path, schema, recs)
+    return patched
+
+
+def test_jvm_layout_bloom_prunes_lake_reads(tmp_path, spark):
+    """A lake carrying SPEC-format bloom file indexes (one embedded in
+    the manifest slot, one as a standalone ``*.index`` extra file —
+    both JVM layouts) prunes equality probes through the ordinary
+    planner, and results stay row-exact."""
+    from paimon_python_spark.paimon_import import plan_paimon_files
+    from paimon_python_spark.paimon_lake import (
+        PaimonLakeTable,
+        _pruned_entries,
+        create_lake_table,
+        read_paimon_schema,
+        write_lake_append,
+    )
+    from paimon_python_spark.session import set_spark
+
+    set_spark(spark)
+    p = str(tmp_path / "spec_bloom_lake")
+    create_lake_table(p, [("k", "INT NOT NULL"), ("u", "STRING")])
+    # interleaved u values: min/max of both files span the key space
+    write_lake_append(
+        p,
+        spark.createDataFrame(
+            [(i, f"u{i:03d}") for i in range(0, 400, 2)], "k int, u string"
+        ).coalesce(1),
+    )
+    write_lake_append(
+        p,
+        spark.createDataFrame(
+            [(i, f"u{i:03d}") for i in range(1, 400, 2)], "k int, u string"
+        ).coalesce(1),
+    )
+    assert _patch_lake_with_spec_indexes(p) == 2
+    entries = plan_paimon_files(p)
+    assert len(entries) == 2
+    assert sum(1 for e in entries if e.embedded_index) == 1
+    assert sum(1 for e in entries if e.extra_files) == 1
+    info = read_paimon_schema(p)
+    t = PaimonLakeTable(p)
+    rb = t.new_read_builder()
+    rb.with_filter(rb.new_predicate_builder().equal("u", "u137"))  # odd file
+    planned = _pruned_entries(p, info, rb)
+    assert len(planned) == 1, "spec bloom must prune the even-only file"
+    out = rb.new_read().to_pandas()
+    assert list(out.k) == [137]
+    rb2 = t.new_read_builder()
+    rb2.with_filter(rb2.new_predicate_builder().equal("u", "u138"))  # even file
+    assert len(_pruned_entries(p, info, rb2)) == 1
+    # range predicates ignore blooms; both files plan, rows exact
+    rb3 = t.new_read_builder()
+    rb3.with_filter(rb3.new_predicate_builder().between("u", "u100", "u103"))
+    assert len(_pruned_entries(p, info, rb3)) == 2
+    assert sorted(rb3.new_read().to_pandas().k) == [100, 101, 102, 103]

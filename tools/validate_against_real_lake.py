@@ -143,6 +143,50 @@ def main() -> int:
         print(f"[7/7] incremental read reconciles with deltaRecordCount: {inc}")
     else:
         print("[7/7] skipped (single snapshot or PK table)")
+
+    # [8] bloom file-index parity: if the lake carries spec-format
+    # bloom indexes (embedded or standalone *.index), every probe of a
+    # value KNOWN to be in a file must pass that file's bloom — a
+    # false negative here means fileindex_codec's hash constants
+    # diverge from the JVM writer's and pruning would be unsound.
+    from paimon_python_spark.paimon_lake import (
+        _decode_embedded_blooms,
+        _standalone_index_blooms,
+    )
+
+    probed = 0
+    for e in entries:
+        blooms = _decode_embedded_blooms(e) or _standalone_index_blooms(
+            args.table_path, info, e
+        )
+        if not blooms or not any(hasattr(b, "test_hash") for b in blooms.values()):
+            continue
+        import pyarrow.parquet as pq
+
+        dpath = os.path.join(
+            args.table_path,
+            e.rel_path(
+                info.partition_keys,
+                [info.spark_schema[k].dataType for k in info.partition_keys],
+            ),
+        )
+        for col, probe in blooms.items():
+            if not hasattr(probe, "test_hash"):
+                continue
+            vals = pq.read_table(dpath, columns=[col]).column(col).to_pylist()
+            for v in vals[:200]:
+                if v is None:
+                    continue
+                probed += 1
+                if not probe.might_contain(v):
+                    print(f"[8] FAIL: bloom false negative on {col}={v!r} "
+                          f"in {e.file_name} — JVM hash divergence")
+                    return 1
+    if probed:
+        print(f"[8] spec bloom parity OK: {probed} known-present probes, "
+              "0 false negatives")
+    else:
+        print("[8] skipped (no spec-format bloom indexes in this snapshot)")
     print("ALL CHECKS PASSED against a foreign-written lake")
     return 0
 
