@@ -8026,27 +8026,92 @@ FROM documents GROUP BY source ORDER BY source
 
 def mm_audio_spectral(spark, sf_dir):
     """FFT spectral features over the synthesized WAV corpus (dominant
-    frequency, magnitude centroid, low-band energy share). No SQL
-    oracle can express an FFT, so this entry takes the rows-only gate
-    path; semantics are pinned by pytest against analytic sinusoids
+    frequency, magnitude centroid, low-band energy share). SQL cannot
+    express an FFT, so the oracle is a NUMPY MIRROR (same shape as the
+    kmeans_fit_mirror pattern): _mm_audio_spectral_oracle replays the
+    identical synth + rfft math per doc_id and inlines the expected
+    rows as a VALUES table. Features surface as floor(milli-Hz) longs
+    so the compare is integer-exact (floor is stable where HALF_UP
+    rounding would straddle representation midpoints); semantics are
+    additionally pinned by pytest against analytic sinusoids
     (test_audio_spectral_features_sinusoid)."""
     from paimon_python_spark.functions import (
         audio_spectral_features,
         synth_audio_payloads,
     )
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id").limit(500)
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") < 500)
+    )
     payloads = synth_audio_payloads(docs, "doc_id")
     return (
         audio_spectral_features(payloads, "doc_id", "payload")
         .select(
             F.col("id").alias("doc_id"),
             "sample_rate",
-            F.round("dominant_hz", 3).alias("dominant_hz"),
-            F.round("centroid_hz", 3).alias("centroid_hz"),
+            F.floor(F.col("dominant_hz") * 1000).cast("long").alias("dominant_mhz"),
+            F.floor(F.col("centroid_hz") * 1000).cast("long").alias("centroid_mhz"),
             "low_band_ratio_x1000",
         )
         .orderBy("doc_id")
+    )
+
+
+def _mm_audio_spectral_oracle(sf_dir: str) -> str:
+    """NumPy mirror of mm_audio_spectral: identical synth
+    (synth_audio_payloads' integer formula) and identical rfft feature
+    math (audio_spectral_features), emitted as a VALUES table — the
+    FFT analogue of the kmeans-mirror oracle."""
+    import math
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    ids = sorted(
+        int(i)
+        for i in pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+        .column("doc_id")
+        .to_pylist()
+        if i < 500
+    )
+    n_fft = 512
+    rows = []
+    for _id in ids:
+        rate = 8000 + (_id % 3) * 4000
+        n = 500 + _id % 500
+        i = np.arange(n, dtype=np.int64)
+        samples = ((_id * 31 + i * 17) % 2048) - 1024
+        clip = np.zeros(n_fft, np.float64)
+        m = min(n_fft, n)
+        clip[:m] = samples[:m]
+        mag = np.abs(np.fft.rfft(clip))
+        mag[0] = 0.0
+        freqs = np.fft.rfftfreq(n_fft, d=1.0 / rate)
+        tot = mag.sum()
+        dom = float(freqs[int(mag.argmax())])
+        cent = float((mag * freqs).sum() / tot) if tot > 0 else 0.0
+        low = int(round(mag[freqs < rate / 8.0].sum() * 1000 / tot)) if tot > 0 else 0
+        rows.append(
+            (
+                _id,
+                rate,
+                math.floor(dom * 1000),
+                math.floor(cent * 1000),
+                low,
+            )
+        )
+    values = ",\n".join(f"({a}, {b}, {c}, {d}, {e})" for a, b, c, d, e in rows)
+    return (
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id,\n"
+        "       CAST(sample_rate AS INT) AS sample_rate,\n"
+        "       CAST(dominant_mhz AS BIGINT) AS dominant_mhz,\n"
+        "       CAST(centroid_mhz AS BIGINT) AS centroid_mhz,\n"
+        "       CAST(low_band_ratio_x1000 AS BIGINT) AS low_band_ratio_x1000\n"
+        f"FROM (VALUES {values}) AS t(doc_id, sample_rate, dominant_mhz, "
+        "centroid_mhz, low_band_ratio_x1000)\n"
+        "ORDER BY doc_id"
     )
 
 
@@ -10421,6 +10486,7 @@ _GATE_HEAD = [
     "paimon_lake_format_roundtrip",
     # --- round-9-new queries are inserted here as they land ---
     "paimon_lake_format_dv_roundtrip",
+    "mm_audio_spectral",
     # --- r8 head below: all earned green rows in CORRECTNESS_r08 ---
     "paimon_scan_pushdown_roundtrip",
     "paimon_tag_read_roundtrip",
@@ -10471,7 +10537,6 @@ _GATE_HEAD = [
     "text_quality_model_score",
     "agg_copurchase_pairs",
     "dedup_containment",
-    "mm_audio_spectral",
 ]
 
 
@@ -10507,4 +10572,5 @@ def oracle_sql() -> dict[str, str]:
     out["dedup_semantic"] = _dedup_semantic_oracle("/root/testdata/sf0.01")
     out["dedup_embedding_cosine_lsh"] = _emb_lsh_pairs_oracle()
     out["dedup_embedding_cosine_lsh_matmul"] = _emb_lsh_pairs_oracle()
+    out["mm_audio_spectral"] = _mm_audio_spectral_oracle("/root/testdata/sf0.01")
     return out
