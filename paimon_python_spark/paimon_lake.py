@@ -801,8 +801,17 @@ def _pruned_entries(table_path: str, info: PaimonSchemaInfo, b: "PaimonLakeReadB
         allowed = {
             f.name for f in info.spark_schema.fields
         } - set(info.partition_keys)
-        if info.primary_keys:
-            # PK filter-placement rule: only key fields prune below the merge
+        if info.primary_keys and (
+            info.options.get("deletion-vectors.enabled", "false").lower()
+            != "true"
+        ):
+            # PK filter-placement rule: only key fields prune below the
+            # merge. EXCEPT in declared DV mode (same exception as the
+            # engine planner, scan.py:95): the merge was resolved at
+            # commit time, every visible row comes verbatim from one
+            # file, so value predicates prune like append tables. Gated
+            # on the OPTION, not mere index presence — a partially
+            # marked fixture lake must stay on the conservative rule.
             allowed &= set(info.primary_keys) | set(info.partition_keys)
         pred = pred.keep_only_fields(allowed)
         if pred is None:

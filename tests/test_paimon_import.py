@@ -4593,3 +4593,60 @@ def test_lake_lookup_changelog_point_file_pruning(tmp_path, spark, monkeypatch):
     cl = read_lake_incremental(p, 3, 4, use_changelog=True).toPandas()
     assert sorted(zip(cl.k, cl._row_kind)) == [(2010, "+U"), (2010, "-U")]
     assert set(cl[cl._row_kind == "-U"].v) == {"v2010"}
+
+
+def test_lake_dv_mode_value_predicate_prunes_files(tmp_path, spark):
+    """Declared DV mode (deletion-vectors.enabled=true) lifts the PK
+    filter-placement rule in the lake planner — value predicates prune
+    files exactly like append tables (engine twin: scan.py:95), since
+    the merge was resolved at commit time. Non-DV PK lakes keep the
+    conservative key-only rule."""
+    import pyarrow as pa
+
+    from paimon_python_spark.paimon_lake import (
+        PaimonLakeTable,
+        _pruned_entries,
+        read_paimon_schema,
+    )
+    from paimon_python_spark.session import set_spark
+
+    set_spark(spark)
+    kv = pa.schema(
+        [("_KEY_k", pa.int64()), ("_SEQUENCE_NUMBER", pa.int64()),
+         ("_VALUE_KIND", pa.int32()), ("k", pa.int64()), ("v", pa.int64())]
+    )
+
+    def mk(path, options):
+        write_paimon_fixture(
+            path, [("k", "BIGINT NOT NULL"), ("v", "BIGINT")], [], ["k"],
+            [
+                (0, {}, 0, pa.table(
+                    {"_KEY_k": [1, 2], "_SEQUENCE_NUMBER": [0, 1],
+                     "_VALUE_KIND": [0, 0], "k": [1, 2], "v": [10, 20]},
+                    schema=kv)),
+                (0, {}, 0, pa.table(
+                    {"_KEY_k": [3, 4], "_SEQUENCE_NUMBER": [2, 3],
+                     "_VALUE_KIND": [0, 0], "k": [3, 4], "v": [30, 40]},
+                    schema=kv)),
+            ],
+            options=options,
+        )
+
+    p_dv = str(tmp_path / "dvmode_lake")
+    mk(p_dv, {"bucket": "1", "deletion-vectors.enabled": "true"})
+    info = read_paimon_schema(p_dv)
+    t = PaimonLakeTable(p_dv)
+    rb = t.new_read_builder()
+    rb.with_filter(rb.new_predicate_builder().equal("v", 30))  # VALUE predicate
+    assert len(_pruned_entries(p_dv, info, rb)) == 1, "DV mode: value stats prune"
+    out = rb.new_read().to_pandas()
+    assert list(out.k) == [3] and list(out.v) == [30]
+
+    p_plain = str(tmp_path / "plain_pk_lake")
+    mk(p_plain, {"bucket": "1"})
+    info2 = read_paimon_schema(p_plain)
+    rb2 = PaimonLakeTable(p_plain).new_read_builder()
+    rb2.with_filter(rb2.new_predicate_builder().equal("v", 30))
+    assert len(_pruned_entries(p_plain, info2, rb2)) == 2, (
+        "non-DV PK lake: value predicates must NOT prune below the merge"
+    )
