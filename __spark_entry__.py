@@ -4415,6 +4415,64 @@ ORDER BY c_custkey
 """
 
 
+def paimon_lake_format_write_roundtrip(spark, sf_dir):
+    """``df.write.format('paimon_lake').mode('append')`` — the Spark
+    write front door onto a real lake: executors write spec-named
+    parquet files straight into the partitioned lake layout (one per
+    task-partition group), the driver commits one spec snapshot with
+    footer stats, and the same format() reader serves the rows back
+    with partition values injected from the directory layout. Two
+    saves → two snapshots; the oracle replays the union in SQL."""
+    from paimon_python_spark.lake_datasource import register_lake
+    from paimon_python_spark.paimon_lake import create_lake_table
+    from paimon_python_spark.session import set_spark
+
+    set_spark(spark)
+    register_lake(spark)
+    fixture = _fresh_warehouse("lakefmtw") + "/orders_fmt_w"
+    create_lake_table(
+        fixture,
+        [
+            ("o_orderpriority", "STRING NOT NULL"),
+            ("o_orderkey", "BIGINT NOT NULL"),
+            ("o_totalprice", "DOUBLE"),
+        ],
+        partition_keys=["o_orderpriority"],
+    )
+    src = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_orderkey", "o_totalprice"
+    )
+    src.filter(F.col("o_orderkey") % 7 == 0).write.format("paimon_lake").option(
+        "path", fixture
+    ).mode("append").save()
+    src.filter(F.col("o_orderkey") % 7 == 3).write.format("paimon_lake").option(
+        "path", fixture
+    ).mode("append").save()
+    df = spark.read.format("paimon_lake").option("path", fixture).load()
+    return (
+        df.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            # decimal sum: order-independent (a double sum's low bits
+            # vary with task count and fail the strict value hash)
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("sum_price"),
+            F.min("o_orderkey").alias("min_key"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+PAIMON_LAKE_FORMAT_WRITE_SQL = """
+SELECT o_orderpriority, count(*) AS n,
+       sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_price,
+       min(o_orderkey) AS min_key
+FROM orders
+WHERE o_orderkey % 7 IN (0, 3)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
 def dedup_minhash_incremental_lake(spark, sf_dir):
     """Incremental MinHash dedup against a PERSISTED lake index — the
     production ingest shape: the corpus's (doc_id, band, band_key) LSH
@@ -10083,6 +10141,7 @@ _QUERIES: dict[str, Callable] = {
     "paimon_lake_bucket_local_merge_roundtrip": paimon_lake_bucket_local_merge_roundtrip,
     "paimon_lake_format_roundtrip": paimon_lake_format_roundtrip,
     "paimon_lake_format_dv_roundtrip": paimon_lake_format_dv_roundtrip,
+    "paimon_lake_format_write_roundtrip": paimon_lake_format_write_roundtrip,
     "ann_ivf_incremental_ingest": ann_ivf_incremental_ingest,
     "paimon_lake_fullcompact_changelog_roundtrip": paimon_lake_fullcompact_changelog_roundtrip,
     "paimon_lake_lookup_changelog_roundtrip": paimon_lake_lookup_changelog_roundtrip,
@@ -10429,6 +10488,7 @@ _ORACLES: dict[str, str] = {
     "paimon_lake_bucket_local_merge_roundtrip": PAIMON_LAKE_BUCKET_LOCAL_MERGE_SQL,
     "paimon_lake_format_roundtrip": PAIMON_LAKE_FORMAT_SQL,
     "paimon_lake_format_dv_roundtrip": PAIMON_LAKE_FORMAT_DV_SQL,
+    "paimon_lake_format_write_roundtrip": PAIMON_LAKE_FORMAT_WRITE_SQL,
     "paimon_lake_fullcompact_changelog_roundtrip": PAIMON_LAKE_FULLCOMPACT_CHANGELOG_SQL,
     "paimon_lake_lookup_changelog_roundtrip": PAIMON_LAKE_LOOKUP_CHANGELOG_SQL,
     "paimon_lake_pk_delete_roundtrip": PAIMON_LAKE_PK_DELETE_SQL,
@@ -10486,6 +10546,7 @@ _GATE_HEAD = [
     "paimon_lake_format_roundtrip",
     # --- round-9-new queries are inserted here as they land ---
     "paimon_lake_format_dv_roundtrip",
+    "paimon_lake_format_write_roundtrip",
     "mm_audio_spectral",
     # --- r8 head below: all earned green rows in CORRECTNESS_r08 ---
     "paimon_scan_pushdown_roundtrip",

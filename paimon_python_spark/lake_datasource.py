@@ -47,7 +47,9 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceWriter,
     InputPartition,
+    WriterCommitMessage,
 )
 
 
@@ -519,6 +521,179 @@ def _read_one(path: str, fmt: str, cols):
     return pf.read(columns=[c for c in cols if c in pf.schema_arrow.names])
 
 
+class _LakeWrittenFiles(WriterCommitMessage):
+    def __init__(self, files):
+        #: [(relative path, {partition key: logical value}, row count)]
+        self.files = files
+
+
+class PaimonLakeBatchWriter(DataSourceWriter):
+    """``df.write.format("paimon_lake").mode("append")`` for APPEND
+    lakes — the engine as a lake participant through the Spark-native
+    front door.
+
+    Executor side (``write``): each task groups its rows by partition
+    values and writes one spec-named parquet data file per group
+    directly into the lake's ``<k>=<v>/bucket-0/`` layout (partition
+    columns live in the directory, not the file — the hive layout real
+    Paimon writes). Driver side (``commit``): only when every task
+    succeeded, footer stats are harvested and one spec snapshot
+    (manifest avro + manifest lists + snapshot N+1, BinaryRow partition
+    values) commits atomically; ``abort`` removes the orphan files —
+    readers only ever see committed snapshots either way.
+
+    PK lakes need bucket routing + sequence numbers (a distributed
+    concern write_lake_pk_append handles as DataFrame ops) and
+    OVERWRITE needs visible-file replacement (overwrite_lake) — both
+    refuse with pointers rather than half-support."""
+
+    def __init__(self, table_path: str, overwrite: bool):
+        from paimon_python_spark.paimon_lake import read_paimon_schema
+
+        self.table_path = table_path
+        self.info = read_paimon_schema(table_path)
+        if self.info.primary_keys:
+            raise ValueError(
+                "paimon_lake writer supports append lakes; use "
+                "write_lake_pk_append() for primary-key lakes"
+            )
+        if overwrite:
+            raise ValueError(
+                "paimon_lake writer supports mode('append'); use "
+                "overwrite_lake() for INSERT OVERWRITE semantics"
+            )
+        fmt = self.info.options.get("file.format", "parquet")
+        if fmt != "parquet":
+            raise NotImplementedError(
+                f"paimon_lake writer: file.format={fmt!r} — use "
+                "write_lake_append(), which routes avro/orc through the "
+                "engine codecs"
+            )
+
+    def write(self, iterator) -> _LakeWrittenFiles:
+        import datetime
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from paimon_python_spark.paimon_import import (
+            DEFAULT_PARTITION_NAME,
+            format_partition_segment,
+        )
+        from paimon_python_spark.types import spark_schema_to_pa
+
+        info = self.info
+        part_keys = list(info.partition_keys)
+        part_types = [info.spark_schema[k].dataType for k in part_keys]
+        default_name = info.options.get(
+            "partition.default-name", DEFAULT_PARTITION_NAME
+        )
+        value_fields = [
+            f for f in info.spark_schema.fields if f.name not in part_keys
+        ]
+        pa_schema = spark_schema_to_pa(T.StructType(value_fields))
+
+        def logical(v, dt):
+            # on-disk logical form: DATE → epoch days (BinaryRow + dirs)
+            if v is not None and isinstance(dt, T.DateType):
+                if isinstance(v, datetime.datetime):
+                    v = v.date()
+                return (v - datetime.date(1970, 1, 1)).days
+            return v
+
+        groups: dict = {}
+        for row in iterator:
+            key = tuple(
+                logical(row[k], dt) for k, dt in zip(part_keys, part_types)
+            )
+            groups.setdefault(key, []).append(
+                tuple(row[f.name] for f in value_fields)
+            )
+        written = []
+        for key, rows in groups.items():
+            rel_parts = [
+                f"{k}={format_partition_segment(v, dt, default_name)}"
+                for k, v, dt in zip(part_keys, key, part_types)
+            ]
+            ddir = os.path.join(self.table_path, *rel_parts, "bucket-0")
+            os.makedirs(ddir, exist_ok=True)
+            name = f"data-{uuid.uuid4()}-0.parquet"
+            cols = list(zip(*rows)) if rows else [[] for _ in value_fields]
+            table = pa.Table.from_arrays(
+                [pa.array(c, type=f.type) for c, f in zip(cols, pa_schema)],
+                schema=pa_schema,
+            )
+            pq.write_table(table, os.path.join(ddir, name))
+            written.append(
+                (
+                    os.path.join(*rel_parts, "bucket-0", name)
+                    if rel_parts
+                    else os.path.join("bucket-0", name),
+                    dict(zip(part_keys, key)),
+                    len(rows),
+                )
+            )
+        return _LakeWrittenFiles(written)
+
+    def commit(self, messages) -> None:
+        import pyarrow.parquet as pq
+
+        from paimon_python_spark.paimon_import import (
+            _spec_file_meta,
+            encode_binary_row,
+        )
+        from paimon_python_spark.paimon_lake import (
+            _commit_lake_snapshot,
+            _parquet_footer_value_stats,
+        )
+
+        info = self.info
+        part_keys = list(info.partition_keys)
+        part_types = [info.spark_schema[k].dataType for k in part_keys]
+        entries = []
+        n_rows = 0
+        for m in messages:
+            if m is None:
+                continue
+            for rel, pvals, rows in m.files:
+                if rows == 0:
+                    continue
+                dest = os.path.join(self.table_path, rel)
+                md = pq.ParquetFile(dest).metadata
+                entries.append(
+                    {
+                        "_VERSION": 2,
+                        "_KIND": 0,
+                        "_PARTITION": encode_binary_row(
+                            [pvals[k] for k in part_keys], part_types
+                        ),
+                        "_BUCKET": 0,
+                        "_TOTAL_BUCKETS": 1,
+                        "_FILE": _spec_file_meta(
+                            os.path.basename(rel),
+                            os.path.getsize(dest),
+                            rows,
+                            schema_id=info.id,
+                            value_stats=_parquet_footer_value_stats(md, info),
+                        ),
+                    }
+                )
+                n_rows += rows
+        if not entries:
+            raise ValueError("paimon_lake writer: empty input — nothing to commit")
+        _commit_lake_snapshot(self.table_path, info, entries, n_rows)
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if m is None:
+                continue
+            for rel, _pvals, _rows in m.files:
+                p = os.path.join(self.table_path, rel)
+                if os.path.exists(p):
+                    os.remove(p)
+
+
 class PaimonLakeDataSource(DataSource):
     """``spark.dataSource.register(PaimonLakeDataSource)`` then
     ``spark.read.format("paimon_lake").option("path", lake_dir)``."""
@@ -548,6 +723,9 @@ class PaimonLakeDataSource(DataSource):
 
     def streamReader(self, schema) -> PaimonLakeStreamReader:
         return PaimonLakeStreamReader(self._table_path())
+
+    def writer(self, schema, overwrite: bool) -> PaimonLakeBatchWriter:
+        return PaimonLakeBatchWriter(self._table_path(), overwrite)
 
 
 def register_lake(spark) -> None:

@@ -519,3 +519,71 @@ def test_lake_datasource_streaming_partition_planned(tmp_path, spark):
         ("b", 3, "z"),
         ("b", 4, "w"),
     ]
+
+
+def test_lake_datasource_write_append(tmp_path, spark):
+    """df.write.format('paimon_lake').mode('append'): executors write
+    spec-named parquet files straight into the lake layout, the driver
+    commits one spec snapshot with footer stats — builder reads, the
+    format() reader, and incremental reads all see the rows; PK /
+    overwrite refuse with pointers."""
+    from paimon_python_spark.lake_datasource import register_lake
+    from paimon_python_spark.paimon_import import plan_paimon_files
+    from paimon_python_spark.paimon_lake import (
+        PaimonLakeTable,
+        _pruned_entries,
+        create_lake_table,
+        read_lake_incremental,
+        read_paimon_schema,
+    )
+    from paimon_python_spark.session import set_spark
+
+    set_spark(spark)
+    register_lake(spark)
+    p = str(tmp_path / "ds_write_lake")
+    create_lake_table(
+        p,
+        [("dt", "STRING NOT NULL"), ("k", "INT NOT NULL"), ("v", "STRING")],
+        partition_keys=["dt"],
+    )
+    df = spark.createDataFrame(
+        [("a", 1, "x"), ("a", 2, "y"), ("b", 3, "z")], "dt string, k int, v string"
+    )
+    df.write.format("paimon_lake").option("path", p).mode("append").save()
+    spark.createDataFrame([("b", 4, "w")], "dt string, k int, v string").write.format(
+        "paimon_lake"
+    ).option("path", p).mode("append").save()
+
+    out = PaimonLakeTable(p).new_read_builder().new_read().to_pandas()
+    assert sorted(zip(out.dt, out.k, out.v)) == [
+        ("a", 1, "x"), ("a", 2, "y"), ("b", 3, "z"), ("b", 4, "w"),
+    ]
+    # format() reader round trip + partition injection
+    rt = spark.read.format("paimon_lake").option("path", p).load()
+    assert sorted((r["dt"], r["k"]) for r in rt.collect()) == [
+        ("a", 1), ("a", 2), ("b", 3), ("b", 4),
+    ]
+    # snapshot-per-save: incremental sees only the second commit
+    inc = read_lake_incremental(p, 1, 2).toPandas()
+    assert list(zip(inc.dt, inc.k)) == [("b", 4)]
+    # footer stats committed: a k filter prunes files
+    info = read_paimon_schema(p)
+    assert all(e.stats_raw for e in plan_paimon_files(p))
+    rb = PaimonLakeTable(p).new_read_builder()
+    rb.with_filter(rb.new_predicate_builder().equal("k", 4))
+    assert len(_pruned_entries(p, info, rb)) == 1
+
+    # refusals: PK lakes and overwrite mode
+    import pytest as _pytest
+
+    p2 = str(tmp_path / "ds_write_pk")
+    create_lake_table(
+        p2, [("k", "INT NOT NULL"), ("v", "STRING")],
+        primary_keys=["k"], options={"bucket": "2"},
+    )
+    with _pytest.raises(Exception, match="write_lake_pk_append"):
+        df.select("k", "v").write.format("paimon_lake").option("path", p2).mode(
+            "append"
+        ).save()
+    with _pytest.raises(Exception, match="overwrite_lake"):
+        df.write.format("paimon_lake").option("path", p).mode("overwrite").save()
