@@ -113,6 +113,10 @@ HEADLINE = [
     "paimon_lake_between_tags_roundtrip",
     "dedup_minhash_incremental_lake",
     "paimon_lake_bucket_local_merge_roundtrip",
+    "paimon_lake_format_roundtrip",
+    "paimon_lake_format_dv_roundtrip",
+    "paimon_lake_format_write_roundtrip",
+    "mm_audio_spectral",
 ]
 
 

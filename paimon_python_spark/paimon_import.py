@@ -1898,7 +1898,13 @@ def _bucket_local_merge_ok(info: PaimonSchemaInfo, entries, fmt: str, dv_ranges)
 
 
 def merge_pk_entries_bucket_local(
-    spark, info: PaimonSchemaInfo, entries, src, needed_cols=None, fmt="parquet"
+    spark,
+    info: PaimonSchemaInfo,
+    entries,
+    src,
+    needed_cols=None,
+    fmt="parquet",
+    key_predicate=None,
 ):
     """NO-SHUFFLE merge of a fixed-bucket PK lake — real Paimon's own
     execution shape: a key lives in exactly ONE (partition, bucket)
@@ -1964,6 +1970,19 @@ def merge_pk_entries_bucket_local(
         import pandas as pd
         import pyarrow.parquet as pq
 
+        # KEY-predicate pushdown into the per-group reads (parquet
+        # only): every version of a key shares its _KEY_* values, so
+        # filtering kv rows on a key predicate BEFORE the merge keeps
+        # max-seq resolution exact for the surviving keys — a point
+        # lookup reads only the row groups whose stats admit the key
+        # instead of the whole surviving file. Built once per task;
+        # an inexpressible op falls back to unfiltered reads.
+        arrow_filter = None
+        if key_predicate is not None and fmt == "parquet":
+            try:
+                arrow_filter = key_predicate.to_arrow()
+            except Exception:
+                arrow_filter = None
         for pdf_in in batches:
             for spec_s in pdf_in["spec"]:
                 spec = json.loads(spec_s)
@@ -1973,6 +1992,10 @@ def merge_pk_entries_bucket_local(
                         import pyarrow.orc as po
 
                         t = po.ORCFile(path).read(columns=read_cols)
+                    elif arrow_filter is not None:
+                        t = pq.read_table(
+                            path, columns=read_cols, filters=arrow_filter
+                        )
                     else:
                         t = pq.read_table(path, columns=read_cols)
                     # ArrowDtype keeps null ints/big longs EXACT through
@@ -2034,6 +2057,7 @@ def merge_paimon_pk_entries(
     dv_ranges=None,
     table_path: "str | None" = None,
     needed_cols=None,
+    key_predicate=None,
 ):
     """Distributed merge of a PK table's key-value files into the
     visible rows: max ``_SEQUENCE_NUMBER`` per (partition, key) wins,
@@ -2063,7 +2087,13 @@ def merge_paimon_pk_entries(
         # Paimon's own execution shape) instead of the key-window
         # exchange below
         return merge_pk_entries_bucket_local(
-            spark, info, entries, src, needed_cols=needed_cols, fmt=fmt
+            spark,
+            info,
+            entries,
+            src,
+            needed_cols=needed_cols,
+            fmt=fmt,
+            key_predicate=key_predicate,
         )
     raw = _load_lake_entries(
         spark,

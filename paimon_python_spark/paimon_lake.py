@@ -944,6 +944,18 @@ class PaimonLakeRead:
                         + (sorted(b._predicate.fields()) if b._predicate else [])
                     )
                 )
+            # KEY sub-predicate pushed below the merge (sound: all
+            # versions of a key share its key values) — renamed to the
+            # kv files' _KEY_* system columns so the bucket-local reads
+            # skip row groups on point lookups
+            key_pred = None
+            if b._predicate is not None:
+                trimmed_pk = {
+                    k for k in info.primary_keys if k not in info.partition_keys
+                }
+                kp = b._predicate.keep_only_fields(trimmed_pk)
+                if kp is not None:
+                    key_pred = kp.map_fields(lambda f: f"_KEY_{f}")
             df = merge_paimon_pk_entries(
                 spark,
                 info,
@@ -953,6 +965,7 @@ class PaimonLakeRead:
                 dv_ranges=dv,
                 table_path=table_path,
                 needed_cols=needed,
+                key_predicate=key_pred,
             )
         else:
             df = read_paimon_append_entries(

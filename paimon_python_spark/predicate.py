@@ -270,6 +270,16 @@ class Predicate:
             return Predicate("or", children=kept)
         return self if self.field in allowed else None
 
+    def map_fields(self, fn) -> "Predicate":
+        """New tree with every leaf's field renamed by ``fn`` — e.g.
+        ``k`` → ``_KEY_k`` to probe key-value files' system key columns
+        (the merge readers' column naming, write.py KeyValueWrapper)."""
+        if self.method in ("and", "or"):
+            return Predicate(
+                self.method, children=[c.map_fields(fn) for c in self.children]
+            )
+        return Predicate(self.method, fn(self.field), self.literals)
+
     # ---- pyarrow dataset expression (driver-side to_arrow fast path) ----
 
     def to_arrow(self):

@@ -259,7 +259,7 @@ def _engine_bucket_local_ok(schema, splits) -> bool:
 
 
 def merge_on_read_bucket_local(
-    spark, schema, splits, needed_cols=None
+    spark, schema, splits, needed_cols=None, key_predicate=None
 ) -> DataFrame:
     """NO-SHUFFLE merge-on-read for fixed-bucket engine PK tables —
     the same execution shape as the lake path
@@ -296,6 +296,16 @@ def merge_on_read_bucket_local(
         import pandas as pd
         import pyarrow.parquet as pq
 
+        # KEY-predicate pushdown (parquet): kv rows filter on key
+        # columns BEFORE the merge — sound, every version of a key
+        # shares them — so point lookups read only the row groups
+        # whose stats admit the key
+        arrow_filter = None
+        if key_predicate is not None and fmt == "parquet":
+            try:
+                arrow_filter = key_predicate.to_arrow()
+            except Exception:
+                arrow_filter = None
         for pdf_in in batches:
             for spec_s in pdf_in["spec"]:
                 spec = _json.loads(spec_s)
@@ -310,9 +320,17 @@ def merge_on_read_bucket_local(
                         pf = pq.ParquetFile(path)
                         names = pf.schema_arrow.names
                     have = [c for c in read_cols if c in names]
-                    f = pf.read(columns=have).to_pandas(
-                        types_mapper=pd.ArrowDtype
-                    )
+                    if arrow_filter is not None and fmt == "parquet" and all(
+                        c in names
+                        for c in key_predicate.fields()
+                    ):
+                        f = pq.read_table(
+                            path, columns=have, filters=arrow_filter
+                        ).to_pandas(types_mapper=pd.ArrowDtype)
+                    else:
+                        f = pf.read(columns=have).to_pandas(
+                            types_mapper=pd.ArrowDtype
+                        )
                     for c in read_cols:
                         if c not in f.columns:
                             f[c] = None  # pre-ALTER file: NULL-fill
@@ -598,8 +616,15 @@ class TableRead:
                         tops + (sorted(pred.fields()) if pred else [])
                     )
                 )
+            # KEY sub-predicate pushed below the merge (sound: every
+            # version of a key shares its key values) — engine kv files
+            # carry keys under their ORIGINAL column names
+            key_pred = None
+            if pred is not None:
+                merge_keys = set(schema.partition_keys) | set(schema.primary_keys)
+                key_pred = pred.keep_only_fields(merge_keys)
             df = merge_on_read_bucket_local(
-                spark, schema, splits, needed_cols=needed
+                spark, schema, splits, needed_cols=needed, key_predicate=key_pred
             )
             return self._finish(df)
 
