@@ -833,3 +833,51 @@ def test_engine_bucket_local_size_guard(catalog, spark):
     assert "Exchange" in plan, plan[:600]
     got = {r["k"]: r["v"] for r in df.collect()}
     assert len(got) == 30 and got[7] == "b7"
+
+
+def test_bucket_local_key_predicate_pushdown_exact(catalog, spark):
+    """Key predicates pushed below the bucket-local merge stay EXACT
+    across versions: a key updated in a later commit must resolve to
+    its newest value when point-read, and a range key predicate must
+    return the merged rows only (no resurrected old versions)."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from paimon_python_spark import Schema
+
+    schema = pa.schema([("k", pa.int64()), ("v", pa.string())])
+    catalog.create_table(
+        "default.blm_kpred",
+        Schema(schema, primary_keys=["k"], options={"bucket": "2"}),
+        False,
+    )
+    t = catalog.get_table("default.blm_kpred")
+    for tag in ("a", "b", "c"):
+        wb = t.new_batch_write_builder()
+        w, c = wb.new_write(), wb.new_commit()
+        w.write_pandas(
+            pd.DataFrame({"k": list(range(200)), "v": [f"{tag}{i}" for i in range(200)]})
+        )
+        c.commit(w.prepare_commit())
+    pb = t.new_read_builder().new_predicate_builder()
+    rb = t.new_read_builder().with_filter(pb.equal("k", 137))
+    df = rb.new_read().to_df(rb.new_scan().plan().splits())
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # still the bucket-local path
+    assert [(r["k"], r["v"]) for r in df.collect()] == [(137, "c137")]
+    rb2 = t.new_read_builder().with_filter(pb.between("k", 10, 13))
+    out = sorted(
+        (r["k"], r["v"])
+        for r in rb2.new_read().to_df(rb2.new_scan().plan().splits()).collect()
+    )
+    assert out == [(10, "c10"), (11, "c11"), (12, "c12"), (13, "c13")]
+    # IN + a VALUE predicate: value part re-applies after the merge,
+    # key part pushes below it
+    rb3 = t.new_read_builder().with_filter(
+        pb.and_predicates([pb.is_in("k", [5, 6, 7]), pb.equal("v", "c6")])
+    )
+    out3 = [
+        (r["k"], r["v"])
+        for r in rb3.new_read().to_df(rb3.new_scan().plan().splits()).collect()
+    ]
+    assert out3 == [(6, "c6")]
