@@ -2568,54 +2568,48 @@ def write_lake_pk_append(
             # before routing, and the collected partition values must
             # compare equal to the decoded logical manifest values
             # (e.g. a timestamp-typed dt in the batch vs DATE partition)
-            touched_rows = (
+            # ONE JOB serves both the touched-group set AND the
+            # point-lookup keys: collect up to CAP+1 distinct
+            # (partition, key, bucket) rows. CDC-sized commits (≤ cap,
+            # the common case) pay a single collect — the same job
+            # count as the groups-only r8 shape; only bulk commits run
+            # the groups-only distinct as a second job.
+            probe_cols = list(dict.fromkeys(part_keys_l + keys + bcols_l))
+            typed = (
                 batch.select(
                     *[
                         F.col(c).cast(info.spark_schema[c].dataType).alias(c)
-                        for c in part_keys_l + bcols_l
+                        for c in probe_cols
                     ]
                 )
                 .withColumn("__b", bfn(*[F.col(c) for c in bcols_l]))
-                .select(*part_keys_l, "__b")
-                .distinct()
-                .collect()
-            )
-            touched = {
-                (tuple(r[k] for k in part_keys_l), int(r["__b"]))
-                for r in touched_rows
-            }
-            # POINT LOOKUP inside touched buckets (the analogue of real
-            # Paimon's bloom-assisted LSM point lookup): for a small
-            # CDC batch, an IN predicate over the batch's key values
-            # lets footer min/max stats and the bloom file index drop
-            # files that provably hold none of the keys — a 10-row
-            # commit into a bucket of many files opens only the
-            # surviving ones instead of re-merging the whole bucket.
-            # Sound by the PK filter-placement rule (key predicates
-            # prune below the merge); per-column IN is a superset of
-            # the batch's key tuples, and the exact semi-join below
-            # restores tuple precision. Skipped above the cap, where
-            # the whole-bucket merge is the right plan anyway.
-            key_pred = None
-            typed_keys = (
-                batch.select(
-                    *[
-                        F.col(k).cast(info.spark_schema[k].dataType).alias(k)
-                        for k in keys
-                    ]
-                )
                 .distinct()
                 .limit(_LOOKUP_POINT_KEY_CAP + 1)
                 .collect()
             )
-            if 0 < len(typed_keys) <= _LOOKUP_POINT_KEY_CAP:
+            key_pred = None
+            if 0 < len(typed) <= _LOOKUP_POINT_KEY_CAP:
+                touched = {
+                    (tuple(r[k] for k in part_keys_l), int(r["__b"]))
+                    for r in typed
+                }
+                # POINT LOOKUP inside touched buckets (the analogue of
+                # real Paimon's bloom-assisted LSM point lookup): an IN
+                # predicate over the batch's key values lets footer
+                # min/max stats and the bloom file index drop files
+                # that provably hold none of the keys — a 10-row commit
+                # into a bucket of many files opens only the surviving
+                # ones instead of re-merging the whole bucket. Sound by
+                # the PK filter-placement rule; per-column IN is a
+                # superset of the batch's key tuples, and the exact
+                # semi-join below restores tuple precision.
                 pb_l = PredicateBuilder(
                     [f.name for f in info.spark_schema.fields]
                 )
                 col_preds = []
                 for k in keys:
                     vals = sorted(
-                        {r[k] for r in typed_keys if r[k] is not None},
+                        {r[k] for r in typed if r[k] is not None},
                         key=repr,
                     )
                     if vals:
@@ -2626,6 +2620,26 @@ def write_lake_pk_append(
                         if len(col_preds) > 1
                         else col_preds[0]
                     )
+            else:
+                # bulk commit: above the cap the whole-bucket merge is
+                # the right plan — collect only the touched groups
+                # (bounded by partitions × buckets, never batch size)
+                touched_rows = (
+                    batch.select(
+                        *[
+                            F.col(c).cast(info.spark_schema[c].dataType).alias(c)
+                            for c in part_keys_l + bcols_l
+                        ]
+                    )
+                    .withColumn("__b", bfn(*[F.col(c) for c in bcols_l]))
+                    .select(*part_keys_l, "__b")
+                    .distinct()
+                    .collect()
+                )
+                touched = {
+                    (tuple(r[k] for k in part_keys_l), int(r["__b"]))
+                    for r in touched_rows
+                }
             # the semi-join then restricts the merged groups to touched
             # KEYS; AQE broadcasts the key set when it is small (the
             # common CDC batch) — never force-broadcast an unbounded
