@@ -2108,6 +2108,13 @@ def merge_paimon_pk_entries(
     )
     if dv_ranges:
         raw = apply_lake_dv(spark, raw, dv_ranges, "__file_name", "__row_pos")
+    if key_predicate is not None:
+        # key predicates are version-invariant (every version of a key
+        # shares its _KEY_* values), so filtering BEFORE the merge
+        # window is exact — and Catalyst pushes the filter into the
+        # parquet scan, so the exchange feeding the window carries only
+        # matching keys' versions
+        raw = raw.filter(key_predicate.to_column())
     value_cols = [f.name for f in info.spark_schema.fields]
     engine = info.options.get("merge-engine", "deduplicate")
     if engine != "deduplicate":

@@ -647,6 +647,17 @@ class TableRead:
             if dv_enabled(schema):
                 df = self._dv_read(df)
             else:
+                pred = self.read_builder._predicate
+                if pred is not None:
+                    # key predicates are version-invariant, so filtering
+                    # BEFORE the merge window is exact — Catalyst pushes
+                    # the filter into the scan and the key-window
+                    # exchange carries only matching keys' versions
+                    kp = pred.keep_only_fields(
+                        set(schema.partition_keys) | set(schema.primary_keys)
+                    )
+                    if kp is not None:
+                        df = df.filter(kp.to_column())
                 df = merge_on_read(df, schema)
         return self._finish(df)
 

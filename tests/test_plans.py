@@ -147,3 +147,42 @@ def test_lake_pk_read_prunes_unprojected_columns(tmp_path, spark):
         assert "MapInPandas" in plan, plan[:600]
         assert "wide" not in [f.name for f in df.schema.fields]
     assert sorted(df.toPandas().v) == ["a", "b"]
+
+
+def test_pk_window_merge_pushes_key_filter_to_scan(catalog, spark):
+    """On the key-window merge path (bucket-local ineligible via salt),
+    a key predicate must reach the parquet scan as a PushedFilter —
+    the exchange feeding the window then carries only matching keys'
+    versions. Version-invariance of key columns makes this exact."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from paimon_python_spark import Schema
+
+    schema = pa.schema([("k", pa.int64()), ("v", pa.string())])
+    catalog.create_table(
+        "default.plan_kpush",
+        Schema(
+            schema,
+            primary_keys=["k"],
+            options={"bucket": "2", "bucket-shuffle.salt": "4"},
+        ),
+        False,
+    )
+    t = catalog.get_table("default.plan_kpush")
+    for tag in ("a", "b"):
+        wb = t.new_batch_write_builder()
+        w, c = wb.new_write(), wb.new_commit()
+        w.write_pandas(
+            pd.DataFrame({"k": list(range(50)), "v": [f"{tag}{i}" for i in range(50)]})
+        )
+        c.commit(w.prepare_commit())
+    pb = t.new_read_builder().new_predicate_builder()
+    rb = t.new_read_builder().with_filter(pb.equal("k", 7))
+    df = rb.new_read().to_df(rb.new_scan().plan().splits())
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" in plan  # salted: the window path, not bucket-local
+    assert "PushedFilters:" in plan and "EqualTo(k,7)" in plan.replace(" ", ""), (
+        plan[:1200]
+    )
+    assert [(r["k"], r["v"]) for r in df.collect()] == [(7, "b7")]
