@@ -428,6 +428,75 @@ def read_manifest_list(table_path: str, name: str) -> List[str]:
     return [r["_FILE_NAME"] for r in recs]
 
 
+def read_manifest_list_entries(table_path: str, name: str) -> List[dict]:
+    """Full manifest-list records (name, size, counts, partition
+    stats) — the committer carries prior entries forward verbatim so
+    their ``_PARTITION_STATS`` survive re-listing, and the planner
+    skips whole manifests on them."""
+    from paimon_python_spark.avro_codec import read_avro_records
+
+    with open(os.path.join(table_path, "manifest", name), "rb") as f:
+        _schema, recs = read_avro_records(f.read())
+    return list(recs)
+
+
+def _manifest_partition_stats(rec: dict, info, part_types) -> Optional[dict]:
+    """test_by_stats dict (keyed by partition field name, LOGICAL
+    values — DATE epoch days become dates) from one manifest-list
+    record's ``_PARTITION_STATS``, or None when absent/undecodable
+    (no skip — conservative)."""
+    st = rec.get("_PARTITION_STATS") or {}
+    mn_b, mx_b = st.get("_MIN_VALUES"), st.get("_MAX_VALUES")
+    if not mn_b or not mx_b:
+        return None
+    try:
+        mins = decode_binary_row(bytes(mn_b), part_types)
+        maxs = decode_binary_row(bytes(mx_b), part_types)
+    except Exception:
+        return None
+    nulls = st.get("_NULL_COUNTS")
+    lmin = logical_partition_values(info, dict(zip(info.partition_keys, mins)))
+    lmax = logical_partition_values(info, dict(zip(info.partition_keys, maxs)))
+    return {
+        k: {
+            "min": lmin.get(k),
+            "max": lmax.get(k),
+            "null_count": nulls[i] if nulls is not None and i < len(nulls) else None,
+            "row_count": None,
+        }
+        for i, k in enumerate(info.partition_keys)
+    }
+
+
+def partition_stats_for_entries(entries: List[dict], part_types) -> dict:
+    """Spec ``_PARTITION_STATS`` for one manifest's entry dicts:
+    per-partition-field min/max encoded as BinaryRows + null counts —
+    what lets a planner skip the whole manifest when a partition
+    predicate excludes its range (real Paimon writes these on every
+    manifest-list entry)."""
+    if not part_types or not entries:
+        return dict(_EMPTY_STATS)
+    try:
+        rows = [
+            decode_binary_row(bytes(e["_PARTITION"]), part_types)
+            for e in entries
+        ]
+        mins, maxs, nulls = [], [], []
+        for i in range(len(part_types)):
+            vals = [r[i] for r in rows]
+            non_null = [v for v in vals if v is not None]
+            mins.append(min(non_null) if non_null else None)
+            maxs.append(max(non_null) if non_null else None)
+            nulls.append(len(vals) - len(non_null))
+        return {
+            "_MIN_VALUES": encode_binary_row(mins, part_types),
+            "_MAX_VALUES": encode_binary_row(maxs, part_types),
+            "_NULL_COUNTS": nulls,
+        }
+    except Exception:
+        return dict(_EMPTY_STATS)  # unencodable: stats absent, no skip
+
+
 def read_manifest(
     table_path: str, name: str, part_types: List[T.DataType], part_keys: List[str]
 ) -> List[PaimonFileEntry]:
@@ -546,6 +615,7 @@ def plan_paimon_files(
     table_path: str,
     snapshot_id: Optional[int] = None,
     snapshot: Optional[dict] = None,
+    partition_predicate=None,
 ) -> List[PaimonFileEntry]:
     """Fold base + delta manifest lists of a snapshot into the live
     file set (ADD entries minus later DELETEs) — the same fold the
@@ -558,7 +628,17 @@ def plan_paimon_files(
 
     A freshly-created lake (schema only, no commits yet) plans as the
     empty file set; an EXPLICIT snapshot id that does not exist still
-    raises (time travel to a missing snapshot is an error)."""
+    raises (time travel to a missing snapshot is an error).
+
+    ``partition_predicate`` (coerced to logical partition literals):
+    MANIFEST-LEVEL skipping — a manifest whose ``_PARTITION_STATS``
+    range provably excludes the predicate is never opened (at 100 TB
+    the planner reads a handful of manifests instead of thousands —
+    real Paimon's manifest skipping). Sound under the ADD/DELETE fold
+    because every entry in a skipped manifest belongs to an excluded
+    partition, and the CALLER prunes surviving entries with the same
+    predicate — the visible set over matching partitions is identical.
+    Only pass it from a caller that partition-prunes the result."""
     info = read_paimon_schema(table_path)
     if snapshot is None and snapshot_id is None:
         try:
@@ -570,9 +650,18 @@ def plan_paimon_files(
         info.spark_schema[k].dataType for k in info.partition_keys
     ]
     names: List[str] = []
-    for lst in (snap.get("baseManifestList"), snap.get("deltaManifestList")):
-        if lst:
-            names.extend(read_manifest_list(table_path, lst))
+    if partition_predicate is not None and info.partition_keys:
+        for lst in (snap.get("baseManifestList"), snap.get("deltaManifestList")):
+            if not lst:
+                continue
+            for rec in read_manifest_list_entries(table_path, lst):
+                stats = _manifest_partition_stats(rec, info, part_types)
+                if stats is None or partition_predicate.test_by_stats(stats):
+                    names.append(rec["_FILE_NAME"])
+    else:
+        for lst in (snap.get("baseManifestList"), snap.get("deltaManifestList")):
+            if lst:
+                names.extend(read_manifest_list(table_path, lst))
     live: dict[tuple, PaimonFileEntry] = {}
     for mname in names:
         for e in read_manifest(table_path, mname, part_types, info.partition_keys):

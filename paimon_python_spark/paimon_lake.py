@@ -763,7 +763,21 @@ def _pruned_entries(table_path: str, info: PaimonSchemaInfo, b: "PaimonLakeReadB
     driver-side, metadata only."""
     from paimon_python_spark.paimon_import import decode_entry_stats
 
-    entries = plan_paimon_files(table_path, b._snapshot_id, snapshot=b._snapshot_dict())
+    # the partition sub-predicate computes FIRST so the planner can
+    # skip whole manifests on their _PARTITION_STATS before opening
+    # them (the later per-entry partition filter applies the same
+    # predicate, which is what makes manifest skipping sound)
+    part_pred = None
+    if b._predicate is not None and info.partition_keys:
+        part_pred = b._predicate.keep_only_fields(set(info.partition_keys))
+        if part_pred is not None:
+            part_pred = _coerce_partition_literals(part_pred, info)
+    entries = plan_paimon_files(
+        table_path,
+        b._snapshot_id,
+        snapshot=b._snapshot_dict(),
+        partition_predicate=part_pred,
+    )
     if b._bucket_groups is not None:
         pk = list(info.partition_keys)
         entries = [
@@ -779,15 +793,12 @@ def _pruned_entries(table_path: str, info: PaimonSchemaInfo, b: "PaimonLakeReadB
         ]
     if b._predicate is None:
         return entries
-    if info.partition_keys:
-        part_pred = b._predicate.keep_only_fields(set(info.partition_keys))
-        if part_pred is not None:
-            part_pred = _coerce_partition_literals(part_pred, info)
-            entries = [
-                e
-                for e in entries
-                if part_pred.test_by_value(_logical_partition_values(info, e.partition))
-            ]
+    if part_pred is not None:
+        entries = [
+            e
+            for e in entries
+            if part_pred.test_by_value(_logical_partition_values(info, e.partition))
+        ]
     if any(e.stats_raw or e.embedded_index or e.extra_files for e in entries):
         # stats rows decode under the schema each file was written with.
         # PK tables may prune only on KEY fields (the engine's
@@ -1806,10 +1817,12 @@ def _commit_lake_snapshot(
         MANIFEST_SCHEMA,
         _EMPTY_STATS,
         latest_paimon_snapshot_id,
-        read_manifest_list,
+        partition_stats_for_entries,
+        read_manifest_list_entries,
         read_paimon_snapshot,
     )
 
+    part_types_c = [info.spark_schema[k].dataType for k in info.partition_keys]
     if True:
         for attempt in range(5):
             # the LATEST hint can lag a concurrent committer (it is
@@ -1828,17 +1841,21 @@ def _commit_lake_snapshot(
                 # bootstrapping a freshly-created lake: this commit
                 # writes snapshot-1 against an empty prior state
                 prev_id, prev = 0, {}
+            # prior manifests carry forward with their ORIGINAL list
+            # records — partition stats written by any committer (this
+            # engine or a JVM) survive re-listing, so manifest-level
+            # skipping keeps working as history accretes
             prior: list = []
             for lst in (prev.get("baseManifestList"), prev.get("deltaManifestList")):
                 if lst:
-                    prior.extend(read_manifest_list(table_path, lst))
+                    prior.extend(read_manifest_list_entries(table_path, lst))
             tag = uuid.uuid4().hex[:12]
             mname = f"manifest-{tag}-0.avro"
             write_avro_records(
                 os.path.join(table_path, "manifest", mname), MANIFEST_SCHEMA, entries
             )
 
-            def list_entry(name: str) -> dict:
+            def list_entry(name: str, stats=None) -> dict:
                 return {
                     "_VERSION": 2,
                     "_FILE_NAME": name,
@@ -1847,7 +1864,7 @@ def _commit_lake_snapshot(
                     ),
                     "_NUM_ADDED_FILES": 0,
                     "_NUM_DELETED_FILES": 0,
-                    "_PARTITION_STATS": _EMPTY_STATS,
+                    "_PARTITION_STATS": stats or _EMPTY_STATS,
                     "_SCHEMA_ID": info.id,
                 }
 
@@ -1856,12 +1873,16 @@ def _commit_lake_snapshot(
             write_avro_records(
                 os.path.join(table_path, "manifest", blname),
                 MANIFEST_LIST_SCHEMA,
-                [list_entry(n) for n in prior],
+                prior,
             )
             write_avro_records(
                 os.path.join(table_path, "manifest", dlname),
                 MANIFEST_LIST_SCHEMA,
-                [list_entry(mname)],
+                [
+                    list_entry(
+                        mname, partition_stats_for_entries(entries, part_types_c)
+                    )
+                ],
             )
             clname = None
             cl_rows = 0
@@ -4653,8 +4674,7 @@ def delete_lake_rows(table_path: str, predicate: Predicate) -> int:
     tag = uuid.uuid4().hex[:12]
     from paimon_python_spark.paimon_import import (
         MANIFEST_LIST_SCHEMA,
-        _EMPTY_STATS,
-        read_manifest_list,
+        read_manifest_list_entries,
     )
 
     for attempt in range(5):
@@ -4666,32 +4686,20 @@ def delete_lake_rows(table_path: str, predicate: Predicate) -> int:
         prev = read_paimon_snapshot(table_path, prev_id)
         new_id = prev_id + 1
         # a DV-only commit changes NO data files: fold prev's manifests
-        # into the base list and publish an EMPTY delta, so incremental
-        # consumers of (prev, new] correctly see zero new rows
+        # into the base list (ORIGINAL records — partition stats
+        # survive) and publish an EMPTY delta, so incremental consumers
+        # of (prev, new] correctly see zero new rows
         prior: list = []
         for lst in (prev.get("baseManifestList"), prev.get("deltaManifestList")):
             if lst:
-                prior.extend(read_manifest_list(table_path, lst))
-
-        def _list_entry(name: str) -> dict:
-            return {
-                "_VERSION": 2,
-                "_FILE_NAME": name,
-                "_FILE_SIZE": os.path.getsize(
-                    os.path.join(table_path, "manifest", name)
-                ),
-                "_NUM_ADDED_FILES": 0,
-                "_NUM_DELETED_FILES": 0,
-                "_PARTITION_STATS": _EMPTY_STATS,
-                "_SCHEMA_ID": info.id,
-            }
+                prior.extend(read_manifest_list_entries(table_path, lst))
 
         blname = f"manifest-list-{tag}-{attempt}-base.avro"
         dlname = f"manifest-list-{tag}-{attempt}-delta.avro"
         write_avro_records(
             os.path.join(table_path, "manifest", blname),
             MANIFEST_LIST_SCHEMA,
-            [_list_entry(n) for n in prior],
+            prior,
         )
         write_avro_records(
             os.path.join(table_path, "manifest", dlname),

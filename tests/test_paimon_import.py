@@ -4650,3 +4650,66 @@ def test_lake_dv_mode_value_predicate_prunes_files(tmp_path, spark):
     assert len(_pruned_entries(p_plain, info2, rb2)) == 2, (
         "non-DV PK lake: value predicates must NOT prune below the merge"
     )
+
+
+def test_manifest_level_partition_skipping(tmp_path, spark, monkeypatch):
+    """MANIFEST-LEVEL skipping: the committer writes real
+    _PARTITION_STATS on every delta manifest-list entry (and carries
+    prior entries' stats forward verbatim), and the planner never OPENS
+    a manifest whose partition range provably excludes the predicate —
+    at 100 TB the planner reads a handful of manifests, not thousands.
+    Results stay exact."""
+    import paimon_python_spark.paimon_import as pi
+    from paimon_python_spark.paimon_import import (
+        read_manifest_list_entries,
+        read_paimon_snapshot,
+    )
+    from paimon_python_spark.paimon_lake import (
+        PaimonLakeTable,
+        create_lake_table,
+        write_lake_append,
+    )
+    from paimon_python_spark.session import set_spark
+
+    set_spark(spark)
+    p = str(tmp_path / "mskip_lake")
+    create_lake_table(
+        p,
+        [("dt", "STRING NOT NULL"), ("k", "INT"), ("v", "STRING")],
+        partition_keys=["dt"],
+    )
+    # three commits, partition-disjoint manifests
+    for dt, base in (("2024-01-01", 0), ("2024-02-01", 100), ("2024-03-01", 200)):
+        write_lake_append(
+            p,
+            spark.createDataFrame(
+                [(dt, base + i, f"v{base + i}") for i in range(5)],
+                "dt string, k int, v string",
+            ).coalesce(1),
+        )
+    snap = read_paimon_snapshot(p)
+    delta = read_manifest_list_entries(p, snap["deltaManifestList"])
+    assert delta and delta[0]["_PARTITION_STATS"]["_MIN_VALUES"], (
+        "delta manifest-list entry must carry real partition stats"
+    )
+    base_entries = read_manifest_list_entries(p, snap["baseManifestList"])
+    assert all(e["_PARTITION_STATS"]["_MIN_VALUES"] for e in base_entries), (
+        "prior entries' stats must survive re-listing"
+    )
+
+    opened = []
+    orig = pi.read_manifest
+
+    def spy(table_path, name, part_types, part_keys):
+        opened.append(name)
+        return orig(table_path, name, part_types, part_keys)
+
+    monkeypatch.setattr(pi, "read_manifest", spy)
+    t = PaimonLakeTable(p)
+    rb = t.new_read_builder()
+    rb.with_filter(rb.new_predicate_builder().equal("dt", "2024-02-01"))
+    out = rb.new_read().to_pandas()
+    assert sorted(out.k) == list(range(100, 105))
+    assert len(set(opened)) == 1, (
+        f"planner must open only the matching manifest, opened {set(opened)}"
+    )
