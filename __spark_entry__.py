@@ -4473,6 +4473,78 @@ ORDER BY o_orderpriority
 """
 
 
+def paimon_lake_manifest_skip_roundtrip(spark, sf_dir):
+    """MANIFEST-LEVEL partition skipping on a real lake: three commits
+    land three partition-disjoint manifests with real _PARTITION_STATS
+    on their manifest-list entries; a partition-filtered read must plan
+    by OPENING ONLY the matching manifest (asserted via a read_manifest
+    spy — at 100 TB the planner reads a handful of manifests, not
+    thousands) and return exactly that partition's rows. Oracle replays
+    the partition filter in SQL."""
+    import paimon_python_spark.paimon_import as _pi
+    from paimon_python_spark.paimon_lake import (
+        PaimonLakeTable,
+        create_lake_table,
+        write_lake_append,
+    )
+    from paimon_python_spark.session import set_spark
+
+    set_spark(spark)
+    fixture = _fresh_warehouse("mskip") + "/orders_mskip"
+    create_lake_table(
+        fixture,
+        [
+            ("o_orderpriority", "STRING NOT NULL"),
+            ("o_orderkey", "BIGINT NOT NULL"),
+            ("o_totalprice", "DOUBLE"),
+        ],
+        partition_keys=["o_orderpriority"],
+    )
+    src = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_orderkey", "o_totalprice"
+    )
+    for prio in ("1-URGENT", "2-HIGH", "3-MEDIUM"):
+        write_lake_append(
+            fixture, src.filter(F.col("o_orderpriority") == prio).coalesce(1)
+        )
+    opened = []
+    orig = _pi.read_manifest
+
+    def spy(table_path, name, part_types, part_keys):
+        opened.append(name)
+        return orig(table_path, name, part_types, part_keys)
+
+    _pi.read_manifest = spy
+    try:
+        rb = PaimonLakeTable(fixture).new_read_builder()
+        rb.with_filter(rb.new_predicate_builder().equal("o_orderpriority", "2-HIGH"))
+        df = rb.new_read().to_df()
+        out = (
+            df.groupBy("o_orderpriority")
+            .agg(
+                F.count("*").alias("n"),
+                F.min("o_orderkey").alias("min_key"),
+                F.max("o_orderkey").alias("max_key"),
+            )
+            .orderBy("o_orderpriority")
+        )
+        rows = out.collect()
+    finally:
+        _pi.read_manifest = orig
+    assert len(set(opened)) == 1, f"manifest skipping must open 1, saw {set(opened)}"
+    return spark.createDataFrame(rows, out.schema)
+
+
+PAIMON_LAKE_MANIFEST_SKIP_SQL = """
+SELECT o_orderpriority, count(*) AS n, min(o_orderkey) AS min_key,
+       max(o_orderkey) AS max_key
+FROM orders
+WHERE o_orderpriority = '2-HIGH'
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
 def dedup_minhash_incremental_lake(spark, sf_dir):
     """Incremental MinHash dedup against a PERSISTED lake index — the
     production ingest shape: the corpus's (doc_id, band, band_key) LSH
@@ -10142,6 +10214,7 @@ _QUERIES: dict[str, Callable] = {
     "paimon_lake_format_roundtrip": paimon_lake_format_roundtrip,
     "paimon_lake_format_dv_roundtrip": paimon_lake_format_dv_roundtrip,
     "paimon_lake_format_write_roundtrip": paimon_lake_format_write_roundtrip,
+    "paimon_lake_manifest_skip_roundtrip": paimon_lake_manifest_skip_roundtrip,
     "ann_ivf_incremental_ingest": ann_ivf_incremental_ingest,
     "paimon_lake_fullcompact_changelog_roundtrip": paimon_lake_fullcompact_changelog_roundtrip,
     "paimon_lake_lookup_changelog_roundtrip": paimon_lake_lookup_changelog_roundtrip,
@@ -10489,6 +10562,7 @@ _ORACLES: dict[str, str] = {
     "paimon_lake_format_roundtrip": PAIMON_LAKE_FORMAT_SQL,
     "paimon_lake_format_dv_roundtrip": PAIMON_LAKE_FORMAT_DV_SQL,
     "paimon_lake_format_write_roundtrip": PAIMON_LAKE_FORMAT_WRITE_SQL,
+    "paimon_lake_manifest_skip_roundtrip": PAIMON_LAKE_MANIFEST_SKIP_SQL,
     "paimon_lake_fullcompact_changelog_roundtrip": PAIMON_LAKE_FULLCOMPACT_CHANGELOG_SQL,
     "paimon_lake_lookup_changelog_roundtrip": PAIMON_LAKE_LOOKUP_CHANGELOG_SQL,
     "paimon_lake_pk_delete_roundtrip": PAIMON_LAKE_PK_DELETE_SQL,
@@ -10547,6 +10621,7 @@ _GATE_HEAD = [
     # --- round-9-new queries are inserted here as they land ---
     "paimon_lake_format_dv_roundtrip",
     "paimon_lake_format_write_roundtrip",
+    "paimon_lake_manifest_skip_roundtrip",
     "mm_audio_spectral",
     # --- r8 head below: all earned green rows in CORRECTNESS_r08 ---
     "paimon_scan_pushdown_roundtrip",

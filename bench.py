@@ -116,6 +116,7 @@ HEADLINE = [
     "paimon_lake_format_roundtrip",
     "paimon_lake_format_dv_roundtrip",
     "paimon_lake_format_write_roundtrip",
+    "paimon_lake_manifest_skip_roundtrip",
     "mm_audio_spectral",
 ]
 
