@@ -1778,6 +1778,68 @@ def write_lake_append(table_path: str, df) -> int:
 #: sentinel: carry the previous snapshot's indexManifest forward
 _INHERIT_INDEX = object()
 
+#: target live entries per consolidated manifest (proxy for Paimon's
+#: manifest.target-file-size — entry records are ~KB-scale, so 4096
+#: entries ≈ a few MB of avro, the size real manifests converge to)
+_MANIFEST_MERGE_CHUNK = 4096
+
+
+def _merge_manifests(table_path: str, info, prior: list, tag: str) -> list:
+    """Fold the prior manifests' raw records into the live ADD set and
+    rewrite it as few partition-clustered manifests. Returns the new
+    manifest-list records (with real partition stats per output).
+    Raw records pass through untouched — footer stats, embedded file
+    indexes, and geometry fields all survive the rewrite. The old
+    manifest FILES stay on disk for the older snapshots that reference
+    them (orphan cleanup removes them when those expire)."""
+    import os
+
+    from paimon_python_spark.avro_codec import read_avro_records, write_avro_records
+    from paimon_python_spark.paimon_import import (
+        MANIFEST_LIST_SCHEMA,
+        MANIFEST_SCHEMA,
+        partition_stats_for_entries,
+    )
+
+    live: dict = {}
+    for rec_l in prior:
+        with open(
+            os.path.join(table_path, "manifest", rec_l["_FILE_NAME"]), "rb"
+        ) as f:
+            _schema, recs = read_avro_records(f.read())
+        for r in recs:
+            key = (
+                bytes(r["_PARTITION"] or b""),
+                int(r["_BUCKET"]),
+                r["_FILE"]["_FILE_NAME"],
+            )
+            if int(r["_KIND"]) == 0:
+                live[key] = r
+            else:
+                live.pop(key, None)
+    # partition-clustered chunks → tight per-manifest partition stats,
+    # which is what makes manifest-level skipping effective afterwards
+    ordered = [live[k] for k in sorted(live, key=lambda k: (k[0], k[1], k[2]))]
+    part_types = [info.spark_schema[k].dataType for k in info.partition_keys]
+    out: list = []
+    for i in range(0, len(ordered), _MANIFEST_MERGE_CHUNK):
+        chunk = ordered[i : i + _MANIFEST_MERGE_CHUNK]
+        mname = f"manifest-{tag}-merged-{i // _MANIFEST_MERGE_CHUNK}.avro"
+        mpath = os.path.join(table_path, "manifest", mname)
+        write_avro_records(mpath, MANIFEST_SCHEMA, chunk)
+        out.append(
+            {
+                "_VERSION": 2,
+                "_FILE_NAME": mname,
+                "_FILE_SIZE": os.path.getsize(mpath),
+                "_NUM_ADDED_FILES": len(chunk),
+                "_NUM_DELETED_FILES": 0,
+                "_PARTITION_STATS": partition_stats_for_entries(chunk, part_types),
+                "_SCHEMA_ID": info.id,
+            }
+        )
+    return out
+
 
 def _commit_lake_snapshot(
     table_path: str,
@@ -1850,6 +1912,18 @@ def _commit_lake_snapshot(
                 if lst:
                     prior.extend(read_manifest_list_entries(table_path, lst))
             tag = uuid.uuid4().hex[:12]
+            # MANIFEST MERGE (Paimon manifest.merge-min-count, default
+            # 30): without it the base list grows one manifest per
+            # commit FOREVER and every plan opens thousands of tiny
+            # manifests at 100 TB. Above the threshold, fold the prior
+            # manifests' raw records into their live ADD set and
+            # rewrite it as few partition-clustered manifests (tight
+            # _PARTITION_STATS), leaving the new commit's entries in
+            # the delta as usual. Old snapshots keep their old lists —
+            # time travel and incremental reads are untouched.
+            merge_min = int(info.options.get("manifest.merge-min-count", "30"))
+            if len(prior) >= merge_min:
+                prior = _merge_manifests(table_path, info, prior, tag)
             mname = f"manifest-{tag}-0.avro"
             write_avro_records(
                 os.path.join(table_path, "manifest", mname), MANIFEST_SCHEMA, entries

@@ -4713,3 +4713,56 @@ def test_manifest_level_partition_skipping(tmp_path, spark, monkeypatch):
     assert len(set(opened)) == 1, (
         f"planner must open only the matching manifest, opened {set(opened)}"
     )
+
+
+def test_manifest_merge_bounds_base_list(tmp_path, spark):
+    """MANIFEST MERGE (manifest.merge-min-count): the base manifest
+    list must not grow one entry per commit forever — above the
+    threshold the committer folds prior manifests into few
+    partition-clustered ones (real stats attached), while old
+    snapshots keep their old lists (time travel + incremental exact)."""
+    from paimon_python_spark.paimon_import import (
+        read_manifest_list_entries,
+        read_paimon_snapshot,
+    )
+    from paimon_python_spark.paimon_lake import (
+        PaimonLakeTable,
+        create_lake_table,
+        read_lake_incremental,
+        write_lake_append,
+    )
+    from paimon_python_spark.session import set_spark
+
+    set_spark(spark)
+    p = str(tmp_path / "mmerge_lake")
+    create_lake_table(
+        p,
+        [("dt", "STRING NOT NULL"), ("k", "INT")],
+        partition_keys=["dt"],
+        options={"manifest.merge-min-count": "4"},
+    )
+    for i in range(8):
+        write_lake_append(
+            p,
+            spark.createDataFrame(
+                [(f"d{i % 2}", i * 10 + j) for j in range(3)], "dt string, k int"
+            ).coalesce(1),
+        )
+    snap = read_paimon_snapshot(p)
+    base = read_manifest_list_entries(p, snap["baseManifestList"])
+    assert len(base) <= 3, f"base list must stay bounded, got {len(base)}"
+    assert all(e["_PARTITION_STATS"]["_MIN_VALUES"] for e in base)
+    # head read exact
+    out = PaimonLakeTable(p).new_read_builder().new_read().to_pandas()
+    assert len(out) == 24 and sorted(out.k)[:3] == [0, 1, 2]
+    # time travel to a pre-merge snapshot still reads its old lists
+    rb = PaimonLakeTable(p).new_read_builder().with_snapshot(3)
+    assert len(rb.new_read().to_pandas()) == 9
+    # incremental windows unaffected by base consolidation
+    inc = read_lake_incremental(p, 7, 8).toPandas()
+    assert sorted(inc.k) == [70, 71, 72]
+    # partition filter on the merged lake still plans + reads exact
+    rb2 = PaimonLakeTable(p).new_read_builder()
+    rb2.with_filter(rb2.new_predicate_builder().equal("dt", "d1"))
+    out2 = rb2.new_read().to_pandas()
+    assert len(out2) == 12 and set(out2.dt) == {"d1"}
