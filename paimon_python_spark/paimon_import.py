@@ -1448,7 +1448,9 @@ def write_paimon_table_fixture(
                 "_FILE_SIZE": os.path.getsize(os.path.join(path, "manifest", mname)),
                 "_NUM_ADDED_FILES": sum(1 for e in entries if e["_KIND"] == 0),
                 "_NUM_DELETED_FILES": sum(1 for e in entries if e["_KIND"] == 1),
-                "_PARTITION_STATS": _EMPTY_STATS,
+                # real stats, exactly like a JVM writer — fixtures
+                # exercise manifest-level skipping with foreign bytes
+                "_PARTITION_STATS": partition_stats_for_entries(entries, part_types),
                 "_SCHEMA_ID": 0,
             }
         ],
@@ -1647,14 +1649,14 @@ def append_paimon_fixture_snapshot(
     mname = f"manifest-fixture-{tag}.avro"
     write_avro_records(os.path.join(path, "manifest", mname), MANIFEST_SCHEMA, entries)
 
-    def _list_entry(name: str) -> dict:
+    def _list_entry(name: str, stats=None) -> dict:
         return {
             "_VERSION": 2,
             "_FILE_NAME": name,
             "_FILE_SIZE": os.path.getsize(os.path.join(path, "manifest", name)),
             "_NUM_ADDED_FILES": 0,
             "_NUM_DELETED_FILES": 0,
-            "_PARTITION_STATS": _EMPTY_STATS,
+            "_PARTITION_STATS": stats or _EMPTY_STATS,
             "_SCHEMA_ID": 0,
         }
 
@@ -1705,7 +1707,7 @@ def append_paimon_fixture_snapshot(
     write_avro_records(
         os.path.join(path, "manifest", dlname),
         MANIFEST_LIST_SCHEMA,
-        [_list_entry(mname)],
+        [_list_entry(mname, partition_stats_for_entries(entries, part_types))],
     )
     if clname:
         write_avro_records(
