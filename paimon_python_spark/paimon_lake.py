@@ -2022,6 +2022,18 @@ def _commit_lake_snapshot(
                 json.dump(snap, f)
             with open(os.path.join(table_path, "snapshot", "LATEST"), "w") as f:
                 f.write(str(new_id))
+            # INLINE EXPIRATION (Paimon expires on commit when
+            # snapshot.num-retained.max is set): without it a
+            # continuously-written lake accretes snapshots + manifests
+            # forever. Option-gated — absent means keep everything, as
+            # every test/time-travel fixture expects. Tags and
+            # consumers still pin files (expire_lake_snapshots rules).
+            retain = info.options.get("snapshot.num-retained.max")
+            if retain is not None and new_id > int(retain):
+                try:
+                    expire_lake_snapshots(table_path, int(retain))
+                except Exception:
+                    pass  # expiry is maintenance: never fail the commit
             return new_id
         raise RuntimeError(
             "lake commit: lost the snapshot race 5 times — "

@@ -4766,3 +4766,35 @@ def test_manifest_merge_bounds_base_list(tmp_path, spark):
     rb2.with_filter(rb2.new_predicate_builder().equal("dt", "d1"))
     out2 = rb2.new_read().to_pandas()
     assert len(out2) == 12 and set(out2.dt) == {"d1"}
+
+
+def test_inline_snapshot_expiration_on_commit(tmp_path, spark):
+    """snapshot.num-retained.max expires INLINE on commit (Paimon's
+    own behavior): a continuously-written lake keeps only the newest N
+    snapshots without a maintenance job; unset means keep everything."""
+    import os
+
+    from paimon_python_spark.paimon_lake import (
+        PaimonLakeTable,
+        create_lake_table,
+        write_lake_append,
+    )
+    from paimon_python_spark.session import set_spark
+
+    set_spark(spark)
+    p = str(tmp_path / "autoexp_lake")
+    create_lake_table(
+        p, [("k", "INT")], options={"snapshot.num-retained.max": "3"}
+    )
+    for i in range(6):
+        write_lake_append(
+            p, spark.createDataFrame([(i,)], "k int").coalesce(1)
+        )
+    snaps = sorted(
+        int(n.split("-")[1])
+        for n in os.listdir(os.path.join(p, "snapshot"))
+        if n.startswith("snapshot-")
+    )
+    assert snaps == [4, 5, 6], snaps
+    out = PaimonLakeTable(p).new_read_builder().new_read().to_pandas()
+    assert sorted(out.k) == [0, 1, 2, 3, 4, 5]  # data intact, history trimmed
