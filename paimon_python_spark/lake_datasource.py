@@ -16,6 +16,10 @@ on the same driver-side planner every lake read uses.
   executors read the files directly (``DataSourceStreamReader`` —
   micro-batch rows never pass through the driver, so a high-rate
   source scales with the cluster, not the driver).
+- write: ``df.write.format("paimon_lake").mode("append")`` on append
+  lakes — executors write spec-named parquet files straight into the
+  partitioned lake layout, the driver commits one spec snapshot with
+  footer stats (``PaimonLakeBatchWriter``).
 
 Deletion-vector lakes read transparently: each file's (index, offset,
 length) triple rides its partition spec and the executor decodes the
