@@ -432,12 +432,19 @@ def read_manifest_list_entries(table_path: str, name: str) -> List[dict]:
     """Full manifest-list records (name, size, counts, partition
     stats) — the committer carries prior entries forward verbatim so
     their ``_PARTITION_STATS`` survive re-listing, and the planner
-    skips whole manifests on them."""
+    skips whole manifests on them. Cached like manifests (immutable
+    files; (path, size, mtime) key)."""
     from paimon_python_spark.avro_codec import read_avro_records
 
-    with open(os.path.join(table_path, "manifest", name), "rb") as f:
+    path = os.path.join(table_path, "manifest", name)
+    key, cached = _manifest_cache_get(path)
+    if cached is not None:
+        return list(cached)
+    with open(path, "rb") as f:
         _schema, recs = read_avro_records(f.read())
-    return list(recs)
+    out = list(recs)
+    _manifest_cache_put(key, out)
+    return list(out)
 
 
 def _manifest_partition_stats(rec: dict, info, part_types) -> Optional[dict]:
@@ -497,12 +504,47 @@ def partition_stats_for_entries(entries: List[dict], part_types) -> dict:
         return dict(_EMPTY_STATS)  # unencodable: stats absent, no skip
 
 
+#: driver-side manifest parse cache. Manifest files are IMMUTABLE once
+#: written (uuid names; a rewrite is a new name), so caching decoded
+#: entries by (path, size, mtime) is safe — the key invalidates on the
+#: impossible-in-spec overwrite anyway. Entries are never mutated after
+#: construction (grep-verified), so cached objects share safely; the
+#: returned list is fresh per call. Bounded LRU: repeated planning of
+#: hot tables (every PK read, every bench iteration, every streaming
+#: micro-batch) skips the avro decode entirely.
+_MANIFEST_CACHE: "dict[tuple, list]" = {}
+_MANIFEST_CACHE_MAX = 512
+
+
+def _manifest_cache_get(path: str):
+    try:
+        st = os.stat(path)
+    except OSError:
+        return None, None
+    key = (path, st.st_size, st.st_mtime_ns)
+    return key, _MANIFEST_CACHE.get(key)
+
+
+def _manifest_cache_put(key, value) -> None:
+    if key is None:
+        return
+    if len(_MANIFEST_CACHE) >= _MANIFEST_CACHE_MAX:
+        # simple generational eviction: drop the oldest half
+        for k in list(_MANIFEST_CACHE)[: _MANIFEST_CACHE_MAX // 2]:
+            _MANIFEST_CACHE.pop(k, None)
+    _MANIFEST_CACHE[key] = value
+
+
 def read_manifest(
     table_path: str, name: str, part_types: List[T.DataType], part_keys: List[str]
 ) -> List[PaimonFileEntry]:
     from paimon_python_spark.avro_codec import read_avro_records
 
-    with open(os.path.join(table_path, "manifest", name), "rb") as f:
+    path = os.path.join(table_path, "manifest", name)
+    key, cached = _manifest_cache_get(path)
+    if cached is not None:
+        return list(cached)
+    with open(path, "rb") as f:
         _schema, recs = read_avro_records(f.read())
     out = []
     for r in recs:
@@ -537,7 +579,8 @@ def read_manifest(
                 extra_files=list(fmeta.get("_EXTRA_FILES") or []) or None,
             )
         )
-    return out
+    _manifest_cache_put(key, out)
+    return list(out)
 
 
 def read_paimon_tag(table_path: str, name: str) -> dict:
