@@ -2675,24 +2675,33 @@ def write_lake_pk_append(
             # before routing, and the collected partition values must
             # compare equal to the decoded logical manifest values
             # (e.g. a timestamp-typed dt in the batch vs DATE partition)
-            # ONE JOB serves both the touched-group set AND the
-            # point-lookup keys: collect up to CAP+1 distinct
-            # (partition, key, bucket) rows. CDC-sized commits (≤ cap,
-            # the common case) pay a single collect — the same job
-            # count as the groups-only r8 shape; only bulk commits run
-            # the groups-only distinct as a second job.
+            # ROUTE BY BATCH SIZE first with a narrow limit-count (no
+            # shuffle — scans at most cap+1 rows): CDC batches are
+            # key-unique by contract, so row count bounds distinct
+            # keys. Small batches take ONE wide distinct-collect that
+            # serves both the touched-group set and the point-lookup
+            # keys; bulk batches keep the r8 groups-only distinct and
+            # NEVER pay a full-width distinct shuffle of the batch.
+            small = (
+                batch.limit(_LOOKUP_POINT_KEY_CAP + 1).count()
+                <= _LOOKUP_POINT_KEY_CAP
+            )
             probe_cols = list(dict.fromkeys(part_keys_l + keys + bcols_l))
             typed = (
-                batch.select(
-                    *[
-                        F.col(c).cast(info.spark_schema[c].dataType).alias(c)
-                        for c in probe_cols
-                    ]
+                (
+                    batch.select(
+                        *[
+                            F.col(c).cast(info.spark_schema[c].dataType).alias(c)
+                            for c in probe_cols
+                        ]
+                    )
+                    .withColumn("__b", bfn(*[F.col(c) for c in bcols_l]))
+                    .distinct()
+                    .limit(_LOOKUP_POINT_KEY_CAP + 1)
+                    .collect()
                 )
-                .withColumn("__b", bfn(*[F.col(c) for c in bcols_l]))
-                .distinct()
-                .limit(_LOOKUP_POINT_KEY_CAP + 1)
-                .collect()
+                if small
+                else []
             )
             key_pred = None
             if 0 < len(typed) <= _LOOKUP_POINT_KEY_CAP:
