@@ -138,11 +138,19 @@ def xxh64(data: bytes, seed: int = XXH64_SEED) -> int:
     return h
 
 
-def value_hash64(value) -> Optional[int]:
-    """FastHash dispatch: numeric → Wang mix over the long form
-    (floats via their IEEE-754 bit pattern, the JVM's
-    ``doubleToLongBits``); strings/bytes → XXH64 over the UTF-8/raw
-    bytes. None for NULL (nulls never probe)."""
+def value_hash64(value, dtype: Optional[str] = None) -> Optional[int]:
+    """FastHash dispatch: numeric → Wang mix over the long form;
+    strings/bytes → XXH64 over the UTF-8/raw bytes. None for NULL
+    (nulls never probe) and for any shape the dispatch cannot place —
+    callers must NOT prune on None.
+
+    ``dtype`` is the COLUMN's declared type kind (``"float"`` for a
+    32-bit FLOAT column, anything else for the default widths): the
+    JVM hashes FLOAT via ``Float.floatToIntBits`` (sign-extended to
+    long) but DOUBLE via ``doubleToLongBits``, and a bare python float
+    cannot distinguish the two — probing a FLOAT column's bloom with
+    the double bit pattern would FALSE-NEGATIVE present values and
+    prune files unsoundly. Decode sites attach the column type."""
     import datetime
 
     if value is None:
@@ -152,8 +160,13 @@ def value_hash64(value) -> Optional[int]:
     if isinstance(value, int):
         return _wang64(value)
     if isinstance(value, float):
-        (bits,) = struct.unpack("<q", struct.pack("<d", value))
-        return _wang64(bits)
+        if dtype == "float":
+            try:
+                (bits,) = struct.unpack("<i", struct.pack("<f", value))
+            except (OverflowError, struct.error):
+                return None  # unrepresentable as float32: no prune
+            return _wang64(bits)  # signed 32-bit sign-extends in _wang64
+        return _wang64(struct.unpack("<q", struct.pack("<d", value))[0])
     if isinstance(value, datetime.date) and not isinstance(value, datetime.datetime):
         return _wang64((value - datetime.date(1970, 1, 1)).days)
     if isinstance(value, str):
@@ -165,18 +178,22 @@ def value_hash64(value) -> Optional[int]:
 
 class SpecBloom:
     """Decoded ``bloom-filter`` payload: test-only probe with the
-    JVM's two-half combination and byte-addressed bit layout."""
+    JVM's two-half combination and byte-addressed bit layout.
+    ``dtype`` is the column's type kind (``"float"`` switches the
+    value hash to the 32-bit ``floatToIntBits`` form — see
+    value_hash64); decode sites set it from the table schema."""
 
-    __slots__ = ("num_hash", "bits")
+    __slots__ = ("num_hash", "bits", "dtype")
 
-    def __init__(self, num_hash: int, bits: bytes):
+    def __init__(self, num_hash: int, bits: bytes, dtype: Optional[str] = None):
         self.num_hash = num_hash
         self.bits = bits
+        self.dtype = dtype
 
     @classmethod
-    def decode(cls, payload: bytes) -> "SpecBloom":
+    def decode(cls, payload: bytes, dtype: Optional[str] = None) -> "SpecBloom":
         (k,) = struct.unpack_from(">i", payload, 0)
-        return cls(k, payload[4:])
+        return cls(k, payload[4:], dtype)
 
     def encode(self) -> bytes:
         return struct.pack(">i", self.num_hash) + self.bits
@@ -210,16 +227,19 @@ class SpecBloom:
         """False only when the value is provably absent — the probe
         contract Predicate.test_by_stats expects (shared with the
         engine's hex blooms via duck typing)."""
-        h = value_hash64(value)
+        h = value_hash64(value, self.dtype)
         if h is None:
             return True
         return self.test_hash(h)
 
 
-def build_spec_bloom(values, items: Optional[int] = None, fpp: float = 0.1) -> SpecBloom:
+def build_spec_bloom(
+    values, items: Optional[int] = None, fpp: float = 0.1, dtype: Optional[str] = None
+) -> SpecBloom:
     """Fixture/interop writer: size per the JVM formula (bits =
     -n·ln(fpp)/ln²2 rounded up to a whole number of longs, k =
-    bits/n·ln2) and add every non-null value's hash."""
+    bits/n·ln2) and add every non-null value's hash (``dtype`` as in
+    value_hash64 — pass "float" when indexing a 32-bit FLOAT column)."""
     import math
 
     vals = [v for v in values if v is not None]
@@ -227,9 +247,9 @@ def build_spec_bloom(values, items: Optional[int] = None, fpp: float = 0.1) -> S
     nb = int(-n * math.log(fpp) / (math.log(2) ** 2))
     num_bits = nb + (64 - nb % 64)
     k = max(1, round(num_bits / n * math.log(2)))
-    bloom = SpecBloom(k, bytes(num_bits // 8))
+    bloom = SpecBloom(k, bytes(num_bits // 8), dtype)
     for v in vals:
-        h = value_hash64(v)
+        h = value_hash64(v, dtype)
         if h is not None:
             bloom.add_hash(h)
     return bloom

@@ -114,33 +114,9 @@ class PaimonLakeBatchReader(DataSourceReader):
         yield from unsupported
 
     def _colmap(self, schema_id: int):
-        """{current value-column name: source column name or None} for a
-        file written under ``schema_id`` — matched BY FIELD ID, the
-        identity that survives rename/reorder evolution (same rule as
-        paimon_import._mapped_select; PK/partition/system columns map
-        by name, Paimon forbids renaming them). None when the file is
-        current-schema (no remap needed)."""
-        info = self.info
-        if schema_id == info.id:
-            return None
-        from paimon_python_spark.paimon_lake import read_paimon_schema
+        from paimon_python_spark.paimon_import import field_id_colmap
 
-        oinfo = read_paimon_schema(self.table_path, schema_id)
-        old_by_id = {
-            fid: f.name
-            for fid, f in zip(oinfo.field_ids, oinfo.spark_schema.fields)
-        }
-        old_names = {f.name for f in oinfo.spark_schema.fields}
-        cur_ids = info.field_ids or list(range(len(info.spark_schema.fields)))
-        out = {}
-        for fid, f in zip(cur_ids, info.spark_schema.fields):
-            if f.name in info.partition_keys:
-                continue
-            if oinfo.field_ids:
-                out[f.name] = old_by_id.get(fid)
-            else:
-                out[f.name] = f.name if f.name in old_names else None
-        return out
+        return field_id_colmap(self.table_path, self.info, schema_id)
 
     def partitions(self):
         from paimon_python_spark.paimon_import import plan_paimon_dv
@@ -397,7 +373,30 @@ class PaimonLakeStreamReader(DataSourceStreamReader):
                 "— use stream_lake_snapshots(path, use_changelog=True)"
             )
 
+    def _earliest(self) -> int:
+        """Earliest snapshot still on disk, or 0 when the lake has no
+        commits yet. Inline expiration (snapshot.num-retained.max) can
+        trim history, so a fresh stream must not assume snapshot 1
+        exists."""
+        sdir = os.path.join(self.table_path, "snapshot")
+        try:
+            ids = [
+                int(n.split("-")[1])
+                for n in os.listdir(sdir)
+                if n.startswith("snapshot-")
+            ]
+        except FileNotFoundError:
+            return 0
+        return min(ids) if ids else 0
+
     def initialOffset(self) -> dict:
+        earliest = self._earliest()
+        if earliest > 1:
+            # expired history: bootstrap with the earliest surviving
+            # snapshot's FULL state (its base manifests still hold every
+            # live file from the expired commits), then stream deltas —
+            # a delta-only replay from 0 would silently lose those rows
+            return {"snapshot": earliest, "bootstrap": earliest}
         return {"snapshot": 0}
 
     def latestOffset(self) -> dict:
@@ -409,31 +408,14 @@ class PaimonLakeStreamReader(DataSourceStreamReader):
             return {"snapshot": 0}
 
     def _colmap(self, schema_id: int):
-        info = self.info
-        if schema_id == info.id:
-            return None
-        from paimon_python_spark.paimon_lake import read_paimon_schema
+        from paimon_python_spark.paimon_import import field_id_colmap
 
-        oinfo = read_paimon_schema(self.table_path, schema_id)
-        old_by_id = {
-            fid: f.name
-            for fid, f in zip(oinfo.field_ids, oinfo.spark_schema.fields)
-        }
-        old_names = {f.name for f in oinfo.spark_schema.fields}
-        cur_ids = info.field_ids or list(range(len(info.spark_schema.fields)))
-        out = {}
-        for fid, f in zip(cur_ids, info.spark_schema.fields):
-            if f.name in info.partition_keys:
-                continue
-            if oinfo.field_ids:
-                out[f.name] = old_by_id.get(fid)
-            else:
-                out[f.name] = f.name if f.name in old_names else None
-        return out
+        return field_id_colmap(self.table_path, self.info, schema_id)
 
     def partitions(self, start: dict, end: dict):
         from paimon_python_spark.paimon_import import (
             plan_paimon_delta,
+            plan_paimon_files,
             read_paimon_snapshot,
         )
 
@@ -443,27 +425,51 @@ class PaimonLakeStreamReader(DataSourceStreamReader):
         default_name = info.options.get("partition.default-name", None)
         fmt = info.options.get("file.format", "parquet")
         parts: List[_LakeGroupPartition] = []
-        for sid in range(start["snapshot"] + 1, end["snapshot"] + 1):
+        bootstrap = start.get("bootstrap")
+        delta_from = start["snapshot"]
+        entries: list = []
+        if bootstrap is not None:
+            # first batch after expired history: the earliest surviving
+            # snapshot's FULL live file set, then deltas after it
+            entries.extend(
+                (e, None)
+                for e in plan_paimon_files(self.table_path, int(bootstrap))
+            )
+            delta_from = int(bootstrap)
+        elif start["snapshot"] + 1 < self._earliest():
+            # a restarted stream whose checkpoint fell behind the
+            # retention window cannot replay the expired deltas —
+            # fail loudly instead of silently dropping rows
+            raise RuntimeError(
+                "paimon_lake streaming source: offset "
+                f"{start['snapshot']} predates the earliest surviving "
+                f"snapshot {self._earliest()} (history expired under "
+                "snapshot.num-retained.max). Restart the stream with a "
+                "fresh checkpoint, or register a consumer / raise "
+                "retention to hold expiry back."
+            )
+        for sid in range(delta_from + 1, end["snapshot"] + 1):
             snap = read_paimon_snapshot(self.table_path, sid)
             if str(snap.get("commitKind", "APPEND")).upper() == "COMPACT":
                 continue
-            for e in plan_paimon_delta(self.table_path, sid):
-                kw = {"default_name": default_name} if default_name else {}
-                path = os.path.join(
-                    self.table_path, e.rel_path(part_keys, part_types, **kw)
-                )
-                parts.append(
-                    _LakeGroupPartition(
-                        json.dumps(
-                            {
-                                "fmt": fmt,
-                                "path": path,
-                                "colmap": self._colmap(e.schema_id),
-                                "partition": _json_safe_part(info, e.partition),
-                            }
-                        )
+            entries.extend((e, sid) for e in plan_paimon_delta(self.table_path, sid))
+        for e, _sid in entries:
+            kw = {"default_name": default_name} if default_name else {}
+            path = os.path.join(
+                self.table_path, e.rel_path(part_keys, part_types, **kw)
+            )
+            parts.append(
+                _LakeGroupPartition(
+                    json.dumps(
+                        {
+                            "fmt": fmt,
+                            "path": path,
+                            "colmap": self._colmap(e.schema_id),
+                            "partition": _json_safe_part(info, e.partition),
+                        }
                     )
                 )
+            )
         # Spark requires ≥1 partition per batch even when every commit
         # in the range was a COMPACT rewrite (no new rows)
         return parts or [
@@ -685,7 +691,8 @@ class PaimonLakeBatchWriter(DataSourceWriter):
                 )
                 n_rows += rows
         if not entries:
-            raise ValueError("paimon_lake writer: empty input — nothing to commit")
+            return  # empty append is a successful no-op, like every
+            # standard Spark sink (parquet/JDBC) — no snapshot commits
         _commit_lake_snapshot(self.table_path, info, entries, n_rows)
 
     def abort(self, messages) -> None:

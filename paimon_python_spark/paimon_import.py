@@ -421,11 +421,9 @@ class PaimonFileEntry:
 
 
 def read_manifest_list(table_path: str, name: str) -> List[str]:
-    from paimon_python_spark.avro_codec import read_avro_records
-
-    with open(os.path.join(table_path, "manifest", name), "rb") as f:
-        _schema, recs = read_avro_records(f.read())
-    return [r["_FILE_NAME"] for r in recs]
+    return [
+        r["_FILE_NAME"] for r in read_manifest_list_entries(table_path, name)
+    ]
 
 
 def read_manifest_list_entries(table_path: str, name: str) -> List[dict]:
@@ -1869,6 +1867,45 @@ def _load_lake_files(
         # entirely (caught by test_lake_read_residual_filter_pushes_to_scan)
         df = df.withColumn(file_name_col, F.col("_metadata.file_name"))
     return df
+
+
+#: (table_path, old schema id, current schema id) → colmap; schema
+#: files are immutable per id, so entries never invalidate
+_COLMAP_CACHE: "dict[tuple, Optional[dict]]" = {}
+
+
+def field_id_colmap(table_path: str, info, schema_id: int) -> Optional[dict]:
+    """{current value-column name: source column name or None} for a
+    file written under ``schema_id`` — matched BY FIELD ID, the
+    identity that survives rename/reorder evolution (the pyarrow-read
+    twin of :func:`_mapped_select`; PK/partition/system columns map by
+    name, Paimon forbids renaming them). None when the file is
+    current-schema (no remap needed). Memoized per (table, old, new)
+    schema-id pair — planning a large evolved lake must not re-parse
+    the same schema JSON once per entry."""
+    if schema_id == info.id:
+        return None
+    key = (table_path, schema_id, info.id)
+    if key in _COLMAP_CACHE:
+        return _COLMAP_CACHE[key]
+    oinfo = read_paimon_schema(table_path, schema_id)
+    old_by_id = {
+        fid: f.name for fid, f in zip(oinfo.field_ids, oinfo.spark_schema.fields)
+    }
+    old_names = {f.name for f in oinfo.spark_schema.fields}
+    cur_ids = info.field_ids or list(range(len(info.spark_schema.fields)))
+    out: dict = {}
+    for fid, f in zip(cur_ids, info.spark_schema.fields):
+        if f.name in info.partition_keys:
+            continue
+        if oinfo.field_ids:
+            out[f.name] = old_by_id.get(fid)
+        else:
+            out[f.name] = f.name if f.name in old_names else None
+    if len(_COLMAP_CACHE) > 1024:
+        _COLMAP_CACHE.clear()
+    _COLMAP_CACHE[key] = out
+    return out
 
 
 def _mapped_select(oinfo: PaimonSchemaInfo, info: PaimonSchemaInfo, kv: bool, skip=()):

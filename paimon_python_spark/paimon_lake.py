@@ -692,17 +692,12 @@ def _decode_embedded_blooms(entry) -> Optional[dict]:
     raw = entry.embedded_index
     if fic.is_spec_file_index(raw):
         # JVM-written lake: its own file-index container in the
-        # embedded slot — decode the bloom-filter payloads
-        try:
-            doc = fic.read_file_index(raw)
-        except ValueError:
-            return None  # future version: ignore, blooms only prune
-        cols = {
-            col: fic.SpecBloom.decode(per[fic.BLOOM_INDEX_TYPE])
-            for col, per in doc.items()
-            if fic.BLOOM_INDEX_TYPE in per
-        }
-        return cols or None
+        # embedded slot — decode the bloom-filter payloads. The probe
+        # must know FLOAT columns (32-bit floatToIntBits hash, not the
+        # double form), so decode needs the table schema — callers with
+        # one use _spec_blooms_typed; without it, skip (never prune on
+        # a possibly-wrong hash).
+        return None
     try:
         doc = json.loads(raw.decode("utf-8"))
     except (UnicodeDecodeError, ValueError):
@@ -711,6 +706,37 @@ def _decode_embedded_blooms(entry) -> Optional[dict]:
         return None
     cols = doc.get("columns")
     return cols if isinstance(cols, dict) and cols else None
+
+
+def _bloom_dtype(info, col: str) -> "str | None":
+    """Column type kind for the spec bloom probe (``"float"`` flips
+    the value hash to the 32-bit floatToIntBits form)."""
+    from pyspark.sql import types as T
+
+    try:
+        dt = info.spark_schema[col].dataType
+    except Exception:
+        return None
+    return "float" if isinstance(dt, T.FloatType) else None
+
+
+def _spec_blooms_typed(info, raw: bytes) -> Optional[dict]:
+    """{column: SpecBloom} from a spec file-index container, probes
+    typed from the CURRENT table schema. None for non-spec payloads."""
+    from paimon_python_spark import fileindex_codec as fic
+
+    if not fic.is_spec_file_index(raw):
+        return None
+    try:
+        doc = fic.read_file_index(raw)
+    except ValueError:
+        return None  # future version: ignore, blooms only prune
+    cols = {
+        col: fic.SpecBloom.decode(per[fic.BLOOM_INDEX_TYPE], _bloom_dtype(info, col))
+        for col, per in doc.items()
+        if fic.BLOOM_INDEX_TYPE in per
+    }
+    return cols or None
 
 
 def _standalone_index_blooms(table_path: str, info, entry) -> Optional[dict]:
@@ -741,15 +767,9 @@ def _standalone_index_blooms(table_path: str, info, entry) -> Optional[dict]:
             continue
         with open(path, "rb") as f:
             raw = f.read()
-        if not fic.is_spec_file_index(raw):
-            continue
-        try:
-            doc = fic.read_file_index(raw)
-        except ValueError:
-            continue
-        for col, per in doc.items():
-            if fic.BLOOM_INDEX_TYPE in per:
-                cols[col] = fic.SpecBloom.decode(per[fic.BLOOM_INDEX_TYPE])
+        typed = _spec_blooms_typed(info, raw)
+        if typed:
+            cols.update(typed)
     return cols or None
 
 
@@ -835,8 +855,14 @@ def _pruned_entries(table_path: str, info: PaimonSchemaInfo, b: "PaimonLakeReadB
                 oinfo = read_paimon_schema(table_path, e.schema_id)
                 infos[e.schema_id] = oinfo
             stats = decode_entry_stats(e, oinfo, info)
-            blooms = _decode_embedded_blooms(e) or _standalone_index_blooms(
-                table_path, info, e
+            blooms = (
+                _decode_embedded_blooms(e)
+                or (
+                    _spec_blooms_typed(info, e.embedded_index)
+                    if e.embedded_index
+                    else None
+                )
+                or _standalone_index_blooms(table_path, info, e)
             )
             if blooms:
                 # merge per-file blooms into the stats dict so
@@ -1788,25 +1814,33 @@ def _merge_manifests(table_path: str, info, prior: list, tag: str) -> list:
     """Fold the prior manifests' raw records into the live ADD set and
     rewrite it as few partition-clustered manifests. Returns the new
     manifest-list records (with real partition stats per output).
-    Raw records pass through untouched — footer stats, embedded file
-    indexes, and geometry fields all survive the rewrite. The old
-    manifest FILES stay on disk for the older snapshots that reference
-    them (orphan cleanup removes them when those expire)."""
+    Raw records pass through untouched — each record rewrites under
+    its SOURCE file's avro schema, so footer stats, embedded file
+    indexes, geometry fields, and any JVM-only fields all survive the
+    rewrite byte-faithfully. The old manifest FILES stay on disk for
+    the older snapshots that reference them (orphan cleanup removes
+    them when those expire)."""
+    import json as _json
     import os
 
     from paimon_python_spark.avro_codec import read_avro_records, write_avro_records
-    from paimon_python_spark.paimon_import import (
-        MANIFEST_LIST_SCHEMA,
-        MANIFEST_SCHEMA,
-        partition_stats_for_entries,
-    )
+    from paimon_python_spark.paimon_import import partition_stats_for_entries
 
+    # the ADD/DELETE fold runs over ALL prior manifests in list order
+    # (a DELETE may cancel an ADD from a different writer's manifest),
+    # but each surviving record remembers its SOURCE avro schema —
+    # rewriting a JVM record through the engine's narrower schema would
+    # silently drop fields the engine doesn't model (e.g. per-column
+    # stats scoping) and corrupt the shared lake for JVM readers.
     live: dict = {}
+    schemas: dict = {}  # schema key → parsed avro schema
     for rec_l in prior:
         with open(
             os.path.join(table_path, "manifest", rec_l["_FILE_NAME"]), "rb"
         ) as f:
-            _schema, recs = read_avro_records(f.read())
+            schema, recs = read_avro_records(f.read())
+        skey = _json.dumps(schema, sort_keys=True)
+        schemas[skey] = schema
         for r in recs:
             key = (
                 bytes(r["_PARTITION"] or b""),
@@ -1814,30 +1848,38 @@ def _merge_manifests(table_path: str, info, prior: list, tag: str) -> list:
                 r["_FILE"]["_FILE_NAME"],
             )
             if int(r["_KIND"]) == 0:
-                live[key] = r
+                live[key] = (skey, r)
             else:
                 live.pop(key, None)
-    # partition-clustered chunks → tight per-manifest partition stats,
-    # which is what makes manifest-level skipping effective afterwards
-    ordered = [live[k] for k in sorted(live, key=lambda k: (k[0], k[1], k[2]))]
+    # partition-clustered chunks per SOURCE SCHEMA → records round-trip
+    # byte-faithfully and per-manifest partition stats stay tight
     part_types = [info.spark_schema[k].dataType for k in info.partition_keys]
+    by_schema: dict = {}
+    for key in sorted(live, key=lambda k: (k[0], k[1], k[2])):
+        skey, r = live[key]
+        by_schema.setdefault(skey, []).append(r)
     out: list = []
-    for i in range(0, len(ordered), _MANIFEST_MERGE_CHUNK):
-        chunk = ordered[i : i + _MANIFEST_MERGE_CHUNK]
-        mname = f"manifest-{tag}-merged-{i // _MANIFEST_MERGE_CHUNK}.avro"
-        mpath = os.path.join(table_path, "manifest", mname)
-        write_avro_records(mpath, MANIFEST_SCHEMA, chunk)
-        out.append(
-            {
-                "_VERSION": 2,
-                "_FILE_NAME": mname,
-                "_FILE_SIZE": os.path.getsize(mpath),
-                "_NUM_ADDED_FILES": len(chunk),
-                "_NUM_DELETED_FILES": 0,
-                "_PARTITION_STATS": partition_stats_for_entries(chunk, part_types),
-                "_SCHEMA_ID": info.id,
-            }
-        )
+    n_out = 0
+    for skey, ordered in by_schema.items():
+        for i in range(0, len(ordered), _MANIFEST_MERGE_CHUNK):
+            chunk = ordered[i : i + _MANIFEST_MERGE_CHUNK]
+            mname = f"manifest-{tag}-merged-{n_out}.avro"
+            n_out += 1
+            mpath = os.path.join(table_path, "manifest", mname)
+            write_avro_records(mpath, schemas[skey], chunk)
+            out.append(
+                {
+                    "_VERSION": 2,
+                    "_FILE_NAME": mname,
+                    "_FILE_SIZE": os.path.getsize(mpath),
+                    "_NUM_ADDED_FILES": len(chunk),
+                    "_NUM_DELETED_FILES": 0,
+                    "_PARTITION_STATS": partition_stats_for_entries(
+                        chunk, part_types
+                    ),
+                    "_SCHEMA_ID": info.id,
+                }
+            )
     return out
 
 

@@ -587,3 +587,59 @@ def test_lake_datasource_write_append(tmp_path, spark):
         ).save()
     with _pytest.raises(Exception, match="overwrite_lake"):
         df.write.format("paimon_lake").option("path", p).mode("overwrite").save()
+
+
+def test_lake_datasource_write_empty_append_is_noop(tmp_path, spark):
+    """An empty append through the writer succeeds without committing a
+    snapshot — standard Spark sink behavior (parquet/JDBC), not an
+    error a caller must pre-count to avoid."""
+    from paimon_python_spark.lake_datasource import register_lake
+    from paimon_python_spark.paimon_import import latest_paimon_snapshot_id
+    from paimon_python_spark.paimon_lake import (
+        create_lake_table,
+        write_lake_append,
+    )
+    from paimon_python_spark.session import set_spark
+
+    set_spark(spark)
+    register_lake(spark)
+    p = str(tmp_path / "ds_empty_append")
+    create_lake_table(p, [("k", "INT"), ("v", "STRING")])
+    write_lake_append(p, spark.createDataFrame([(1, "a")], "k int, v string"))
+    df = spark.createDataFrame([], "k int, v string")
+    df.write.format("paimon_lake").option("path", p).mode("append").save()
+    assert latest_paimon_snapshot_id(p) == 1  # no empty snapshot
+
+
+def test_lake_datasource_streaming_survives_expired_history(tmp_path, spark):
+    """Inline expiration trims old snapshots; a FRESH stream bootstraps
+    from the earliest surviving snapshot's FULL state (no silent data
+    loss), and a restarted stream whose offset fell behind retention
+    fails loudly instead of dropping rows."""
+    import pytest as _pytest
+
+    from paimon_python_spark.lake_datasource import PaimonLakeStreamReader
+    from paimon_python_spark.paimon_lake import (
+        create_lake_table,
+        write_lake_append,
+    )
+    from paimon_python_spark.session import set_spark
+
+    set_spark(spark)
+    p = str(tmp_path / "ds_stream_expired")
+    create_lake_table(
+        p, [("k", "INT")], options={"snapshot.num-retained.max": "2"}
+    )
+    for i in range(5):
+        write_lake_append(
+            p, spark.createDataFrame([(i,)], "k int").coalesce(1)
+        )
+    rdr = PaimonLakeStreamReader(p)
+    start = rdr.initialOffset()
+    assert start.get("bootstrap") == 4  # earliest surviving snapshot
+    end = rdr.latestOffset()
+    parts = rdr.partitions(start, end)
+    rows = sorted(r[0] for pt in parts for r in rdr.read(pt))
+    assert rows == [0, 1, 2, 3, 4]  # full earliest state + delta — nothing lost
+    with _pytest.raises(RuntimeError, match="expired"):
+        rdr.partitions({"snapshot": 0}, end)

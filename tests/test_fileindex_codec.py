@@ -164,3 +164,44 @@ def test_jvm_layout_bloom_prunes_lake_reads(tmp_path, spark):
     rb3.with_filter(rb3.new_predicate_builder().between("u", "u100", "u103"))
     assert len(_pruned_entries(p, info, rb3)) == 2
     assert sorted(rb3.new_read().to_pandas().k) == [100, 101, 102, 103]
+
+
+def test_float_column_blooms_typed():
+    """FLOAT columns hash via floatToIntBits (32-bit, sign-extended),
+    not the double bit pattern — probing a FLOAT bloom with the double
+    form would false-negative present values and prune unsoundly."""
+    from paimon_python_spark.fileindex_codec import value_hash64
+
+    f_bloom = build_spec_bloom([1.5, 2.5, -3.25], items=50, dtype="float")
+    assert f_bloom.might_contain(1.5) and f_bloom.might_contain(-3.25)
+    assert not f_bloom.might_contain(99.75)
+    # the two hash forms genuinely differ — the dtype tag is load-bearing
+    assert value_hash64(1.5, "float") != value_hash64(1.5)
+    d_bloom = build_spec_bloom([1.5], items=10)  # double form
+    assert d_bloom.might_contain(1.5)
+
+
+def test_spec_blooms_typed_attaches_float_kind(tmp_path, spark):
+    """_spec_blooms_typed tags FloatType columns so their probes use
+    the 32-bit hash; other columns keep the default dispatch."""
+    from paimon_python_spark.paimon_lake import (
+        _spec_blooms_typed,
+        create_lake_table,
+        read_paimon_schema,
+    )
+    from paimon_python_spark.session import set_spark
+
+    set_spark(spark)
+    p = str(tmp_path / "typed_bloom_lake")
+    create_lake_table(p, [("x", "FLOAT"), ("y", "DOUBLE"), ("s", "STRING")])
+    info = read_paimon_schema(p)
+    payload = write_file_index(
+        {
+            "x": {BLOOM_INDEX_TYPE: build_spec_bloom([1.5], items=10, dtype="float").encode()},
+            "y": {BLOOM_INDEX_TYPE: build_spec_bloom([2.5], items=10).encode()},
+        }
+    )
+    blooms = _spec_blooms_typed(info, payload)
+    assert blooms["x"].dtype == "float" and blooms["y"].dtype is None
+    assert blooms["x"].might_contain(1.5)
+    assert blooms["y"].might_contain(2.5)

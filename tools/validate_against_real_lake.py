@@ -150,15 +150,17 @@ def main() -> int:
     # false negative here means fileindex_codec's hash constants
     # diverge from the JVM writer's and pruning would be unsound.
     from paimon_python_spark.paimon_lake import (
-        _decode_embedded_blooms,
+        _spec_blooms_typed,
         _standalone_index_blooms,
     )
 
     probed = 0
     for e in entries:
-        blooms = _decode_embedded_blooms(e) or _standalone_index_blooms(
-            args.table_path, info, e
-        )
+        blooms = (
+            _spec_blooms_typed(info, e.embedded_index)
+            if e.embedded_index
+            else None
+        ) or _standalone_index_blooms(args.table_path, info, e)
         if not blooms or not any(hasattr(b, "test_hash") for b in blooms.values()):
             continue
         import pyarrow.parquet as pq
