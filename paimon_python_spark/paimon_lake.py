@@ -2339,6 +2339,10 @@ def _distributed_lake_write(
         for c in info.options.get("file-index.bloom-filter.columns", "").split(",")
         if c.strip() and c.strip() in {f.name for f in info.spark_schema.fields}
     ]
+    #: opt-in spec-format file-index container (JVM-parsable) instead
+    #: of the engine-tagged JSON payload
+    bloom_spec = info.options.get("file-index.format", "").lower() == "spec"
+    bloom_dtypes = {c: _bloom_dtype(info, c) for c in bloom_cols}
 
     cast_cols = [
         F.col(f.name).cast(f.dataType).alias(f.name) for f in info.spark_schema.fields
@@ -2524,18 +2528,44 @@ def _distributed_lake_write(
         stats = _value_stats_for(table, schema_info)
         emb = None
         if bloom_cols:
-            from paimon_python_spark.bloom import build_hex
+            if bloom_spec:
+                # OPT-IN spec-format container (file-index.format=spec):
+                # JVM readers asking for file-index on this lake parse
+                # the container and probe with their own FastHash —
+                # byte-interop rests on fileindex_codec's hash constants
+                # (validated against public vectors; JVM-byte validation
+                # pending a real lake, see validate_against_real_lake).
+                # Default stays the engine-tagged JSON, which foreign
+                # readers safely ignore.
+                from paimon_python_spark import fileindex_codec as fic
 
-            blooms = {}
-            for c in bloom_cols:
-                if c in pdf.columns:
-                    hx = build_hex(pdf[c])
-                    if hx:
-                        blooms[c] = hx
-            if blooms:
-                emb = _json.dumps(
-                    {"format": _EMB_BLOOM_FORMAT, "columns": blooms}
-                ).encode("utf-8")
+                idx = {}
+                for c in bloom_cols:
+                    if c in pdf.columns:
+                        vals = [v for v in pdf[c].tolist() if v is not None]
+                        if vals:
+                            idx[c] = {
+                                fic.BLOOM_INDEX_TYPE: fic.build_spec_bloom(
+                                    vals,
+                                    items=max(64, len(set(map(repr, vals)))),
+                                    dtype=bloom_dtypes.get(c),
+                                ).encode()
+                            }
+                if idx:
+                    emb = fic.write_file_index(idx)
+            else:
+                from paimon_python_spark.bloom import build_hex
+
+                blooms = {}
+                for c in bloom_cols:
+                    if c in pdf.columns:
+                        hx = build_hex(pdf[c])
+                        if hx:
+                            blooms[c] = hx
+                if blooms:
+                    emb = _json.dumps(
+                        {"format": _EMB_BLOOM_FORMAT, "columns": blooms}
+                    ).encode("utf-8")
         return pd.DataFrame(
             [
                 {

@@ -205,3 +205,59 @@ def test_spec_blooms_typed_attaches_float_kind(tmp_path, spark):
     assert blooms["x"].dtype == "float" and blooms["y"].dtype is None
     assert blooms["x"].might_contain(1.5)
     assert blooms["y"].might_contain(2.5)
+
+
+def test_spec_format_bloom_write_roundtrip(tmp_path, spark):
+    """Opt-in file-index.format=spec: the engine writes JVM-parsable
+    spec containers into the embedded slot (typed hashes — FLOAT via
+    floatToIntBits) and its own planner prunes on them end-to-end;
+    the default engine-tagged JSON path is untouched."""
+    from paimon_python_spark.paimon_import import plan_paimon_files
+    from paimon_python_spark.paimon_lake import (
+        PaimonLakeTable,
+        _pruned_entries,
+        create_lake_table,
+        read_paimon_schema,
+        write_lake_append,
+    )
+    from paimon_python_spark.session import set_spark
+
+    set_spark(spark)
+    p = str(tmp_path / "spec_write_lake")
+    create_lake_table(
+        p,
+        [("k", "INT NOT NULL"), ("u", "STRING"), ("f", "FLOAT")],
+        options={
+            "file.format": "avro",  # group writer path
+            "file-index.bloom-filter.columns": "u,f",
+            "file-index.format": "spec",
+        },
+    )
+    write_lake_append(
+        p,
+        spark.createDataFrame(
+            [(i, f"u{i:03d}", float(i) + 0.5) for i in range(0, 200, 2)],
+            "k int, u string, f float",
+        ).coalesce(1),
+    )
+    write_lake_append(
+        p,
+        spark.createDataFrame(
+            [(i, f"u{i:03d}", float(i) + 0.5) for i in range(1, 200, 2)],
+            "k int, u string, f float",
+        ).coalesce(1),
+    )
+    entries = plan_paimon_files(p)
+    assert len(entries) == 2
+    assert all(e.embedded_index and is_spec_file_index(e.embedded_index) for e in entries)
+    info = read_paimon_schema(p)
+    t = PaimonLakeTable(p)
+    rb = t.new_read_builder()
+    rb.with_filter(rb.new_predicate_builder().equal("u", "u137"))  # odd file
+    assert len(_pruned_entries(p, info, rb)) == 1
+    assert list(rb.new_read().to_pandas().k) == [137]
+    # FLOAT probe: typed 32-bit hash both at write and probe time
+    rb2 = t.new_read_builder()
+    rb2.with_filter(rb2.new_predicate_builder().equal("f", 42.5))  # even file
+    assert len(_pruned_entries(p, info, rb2)) == 1
+    assert list(rb2.new_read().to_pandas().k) == [42]
