@@ -2726,6 +2726,14 @@ def write_lake_pk_append(
         batch_keys = batch.select(*keys).distinct()
         old_sub = None
         try:
+            # the FIRST commit of a fresh lake has no old state at all
+            # — check before launching any collect job, so the seed
+            # commit pays zero lookup overhead (every key is +I)
+            from paimon_python_spark.paimon_import import (
+                latest_paimon_snapshot_id as _latest_sid,
+            )
+
+            _latest_sid(table_path)  # raises FileNotFoundError if none
             # BUCKET-SCOPED lookup (the analogue of real Paimon's
             # per-bucket LSM point lookups): the merge unit is the
             # (partition, bucket) group, so the old state of buckets
