@@ -4588,6 +4588,106 @@ def dedup_minhash_incremental_lake(spark, sf_dir):
     ).orderBy("doc_new", "doc_ref")
 
 
+def pipeline_incremental_ingest(spark, sf_dir):
+    """CAPSTONE production ingest loop over real lakes: a new batch of
+    documents is quality-filtered (cheap SQL predicate first — never
+    shingle what you won't keep), near-dup-checked INCREMENTALLY
+    against a persisted MinHash band index (the corpus is never
+    re-shingled, never self-joined; one index scan per batch), and the
+    survivors land in a curated lake WHILE their bands append to the
+    index lake so the next batch dedups against them too. This is the
+    shape a 100 TB training-data pipeline runs on every arrival; all
+    three legs (filter, dedup, lake upkeep) are the engine's own
+    operators. Returns per-source counts of the curated lake; the
+    oracle replays quality + banding + anti-join in SQL."""
+    from paimon_python_spark.operators import (
+        minhash_band_index,
+        minhash_incremental_candidates,
+    )
+    from paimon_python_spark.paimon_lake import (
+        PaimonLakeTable,
+        create_lake_table,
+        write_lake_append,
+    )
+    from paimon_python_spark.session import set_spark
+
+    set_spark(spark)
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 4 != 0)
+    batch = docs.filter(F.col("doc_id") % 4 == 0)
+    wh = _fresh_warehouse("ingest")
+    index_lake = wh + "/minhash_index"
+    curated_lake = wh + "/curated"
+    create_lake_table(
+        index_lake,
+        [
+            ("doc_id", "BIGINT NOT NULL"),
+            ("band", "INT NOT NULL"),
+            ("band_key", "STRING NOT NULL"),
+        ],
+    )
+    create_lake_table(
+        curated_lake,
+        [("doc_id", "BIGINT NOT NULL"), ("source", "STRING")],
+    )
+    write_lake_append(index_lake, minhash_band_index(corpus, "doc_id", "text"))
+
+    filtered = batch.filter(F.length("text") >= 100)
+    index = PaimonLakeTable(index_lake).new_read_builder().new_read().to_df()
+    cands = minhash_incremental_candidates(index, filtered, "doc_id", "text")
+    survivors = filtered.join(
+        cands.select(F.col("doc_new").alias("doc_id")).distinct(),
+        "doc_id",
+        "left_anti",
+    )
+    write_lake_append(curated_lake, survivors.select("doc_id", "source"))
+    # index upkeep: the NEXT batch must dedup against these survivors
+    write_lake_append(
+        index_lake, minhash_band_index(survivors, "doc_id", "text")
+    )
+    curated = PaimonLakeTable(curated_lake).new_read_builder().new_read().to_df()
+    return (
+        curated.groupBy("source")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+        .orderBy("source")
+    )
+
+
+def _pipeline_ingest_oracle() -> str:
+    from paimon_python_spark.operators.dedup import MINHASH_P, minhash_coeffs
+
+    sig_elems = [
+        f"list_min(list_transform(hs, x -> ({a} * x + {b}) % {MINHASH_P}))"
+        for a, b in minhash_coeffs(16)
+    ]
+    sig_list = ",\n    ".join(sig_elems)
+    return f"""
+WITH sh AS ({_SH_SQL}),
+hashed AS (SELECT doc_id, sh,
+  list_transform(sh, s -> ('0x' || substr(md5(s), 1, 7))::BIGINT) AS hs FROM sh),
+sig AS (SELECT doc_id, [{sig_list}] AS sig FROM hashed),
+bands AS (
+  SELECT doc_id, b,
+    sig[b*4+1]::VARCHAR || '-' || sig[b*4+2]::VARCHAR || '-' ||
+    sig[b*4+3]::VARCHAR || '-' || sig[b*4+4]::VARCHAR AS band_key
+  FROM sig, generate_series(0, 3) t(b)),
+cand AS (
+  SELECT DISTINCT n.doc_id AS doc_new
+  FROM bands n JOIN bands r ON n.b = r.b AND n.band_key = r.band_key
+  WHERE n.doc_id % 4 = 0 AND r.doc_id % 4 != 0)
+SELECT source, count(*) AS n, min(doc_id) AS min_id, max(doc_id) AS max_id
+FROM documents
+WHERE doc_id % 4 = 0 AND length(text) >= 100
+  AND doc_id NOT IN (SELECT doc_new FROM cand)
+GROUP BY source
+ORDER BY source
+"""
+
+
 def _minhash_incremental_oracle() -> str:
     from paimon_python_spark.operators.dedup import MINHASH_P, minhash_coeffs
 
@@ -10210,6 +10310,7 @@ _QUERIES: dict[str, Callable] = {
     "paimon_lake_auto_compact_roundtrip": paimon_lake_auto_compact_roundtrip,
     "paimon_lake_bloom_index_roundtrip": paimon_lake_bloom_index_roundtrip,
     "dedup_minhash_incremental_lake": dedup_minhash_incremental_lake,
+    "pipeline_incremental_ingest": pipeline_incremental_ingest,
     "paimon_lake_bucket_local_merge_roundtrip": paimon_lake_bucket_local_merge_roundtrip,
     "paimon_lake_format_roundtrip": paimon_lake_format_roundtrip,
     "paimon_lake_format_dv_roundtrip": paimon_lake_format_dv_roundtrip,
@@ -10622,6 +10723,7 @@ _GATE_HEAD = [
     "paimon_lake_format_dv_roundtrip",
     "paimon_lake_format_write_roundtrip",
     "paimon_lake_manifest_skip_roundtrip",
+    "pipeline_incremental_ingest",
     "mm_audio_spectral",
     # --- r8 head below: all earned green rows in CORRECTNESS_r08 ---
     "paimon_scan_pushdown_roundtrip",
@@ -10686,6 +10788,7 @@ def oracle_sql() -> dict[str, str]:
     out = dict(_ORACLES)
     out["dedup_minhash_lsh"] = _minhash_oracle()
     out["dedup_minhash_incremental_lake"] = _minhash_incremental_oracle()
+    out["pipeline_incremental_ingest"] = _pipeline_ingest_oracle()
     out["dedup_minhash_lsh_capped"] = _minhash_oracle(max_bucket=2)
     out["dedup_cluster_reps"] = _dedup_cluster_oracle()
     out["dedup_fuzzy_survivors"] = _dedup_survivors_oracle()

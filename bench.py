@@ -117,6 +117,7 @@ HEADLINE = [
     "paimon_lake_format_dv_roundtrip",
     "paimon_lake_format_write_roundtrip",
     "paimon_lake_manifest_skip_roundtrip",
+    "pipeline_incremental_ingest",
     "mm_audio_spectral",
 ]
 

@@ -76,6 +76,11 @@ SWEEP = [
     # late-r7 additions: span-level dedup family
     ("dedup_substring_spans", "ExactSubstr span dedup (anchor fingerprint shuffle)"),
     ("dedup_excise_contaminated", "span decontamination detect+excise end-to-end"),
+    # r9 additions: the new lake surfaces whose plans must survive scale
+    ("paimon_lake_lookup_changelog_roundtrip", "lookup-producer CDC commit (point-lookup file pruning)"),
+    ("paimon_lake_manifest_skip_roundtrip", "manifest-level partition skipping (planner metadata cost)"),
+    ("paimon_lake_format_write_roundtrip", "format() append write + read (Python DataSource)"),
+    ("paimon_lake_bucket_local_merge_roundtrip", "no-shuffle bucket-closed PK merge read"),
 ]
 
 
