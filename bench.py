@@ -119,6 +119,10 @@ HEADLINE = [
     "paimon_lake_manifest_skip_roundtrip",
     "pipeline_incremental_ingest",
     "mm_audio_spectral",
+    # r9: dynamic-bucket PK writes (hash-index routing — the mode the
+    # reference refuses; its cost shape is the index join + capacity
+    # assignment, worth tracking per-round)
+    "paimon_dynamic_bucket_roundtrip",
 ]
 
 

@@ -1,0 +1,606 @@
+"""DYNAMIC-BUCKET (``'bucket' = '-1'``) primary-key lake writes — the
+capability the reference refuses outright (py4j/util/java_utils.py:56-61
+raises on ``BucketMode.HASH_DYNAMIC``): every PK write through the
+reference requires a pre-chosen fixed bucket count. Real Paimon's
+default PK mode is dynamic — a ``HashBucketAssigner`` routes each NEW
+key to a bucket with room (``dynamic-bucket.target-row-num`` rows,
+default 2,000,000) and records the key's int32 hashcode in a per-bucket
+HASH index file under ``index/`` so every later write routes the key to
+the SAME bucket (paimon.apache.org/docs/master/primary-key-table/
+data-distribution + concepts/spec/tableindex "Hash Index"). This module
+is that assigner, Spark-shaped:
+
+- the key hashcode is the same word-wise murmur over the key's
+  BinaryRow bytes the fixed router uses (``bucketKeyHashCode``) — the
+  vectorized encoder is shared with ``_make_lake_bucket_fn``;
+- existing keys resolve their bucket by a DataFrame JOIN against the
+  decoded hash index (index files decode EXECUTOR-SIDE via
+  ``mapInPandas`` — the index of a 100-TB lake never lands on the
+  driver), pruned to the partitions the batch actually touches;
+- new keys take a deterministic rank per partition (row_number over
+  the distinct new hashcodes) and fill buckets by remaining capacity —
+  existing buckets with room first, then fresh buckets of
+  ``target-row-num`` each. Deterministic, so Spark can recompute the
+  assignment across actions without divergence;
+- index maintenance is one ``applyInPandas`` over the NEW (partition,
+  bucket, hash) triples — each touched bucket's index file is rewritten
+  executor-side as old hashes ++ new hashes, and only KB-scale file
+  metadata returns to the driver for the index-manifest commit.
+
+Index file format: the spec's Hash Index payload — a plain sequence of
+big-endian int32 key hashcodes (concepts/spec/tableindex). Entries ride
+the same avro ``IndexManifestEntry`` manifest the deletion vectors use,
+with ``indexType = "HASH"``.
+
+Two Paimon behaviors are intentionally simplified, documented here so
+the parity line is honest: ``dynamic-bucket.initial-buckets`` pre-opens
+that many empty buckets on a partition's FIRST write (capacity-filled
+sequentially, not round-robin across parallel assigners — this engine
+commits one writer at a time), and ``dynamic-bucket.assigner-parallelism``
+is a no-op (same reason). Hash collisions behave exactly like real
+Paimon: two keys sharing an int32 hashcode land in the same bucket —
+correct, merely uneven.
+
+CROSS_PARTITION mode (PK not containing the partition keys, needing a
+global cross-partition index) keeps the reference's refusal.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from typing import List, Optional
+
+__all__ = [
+    "DynamicBucketAssigner",
+    "read_hash_index_file",
+    "write_hash_index_file",
+    "write_merged_index_manifest",
+]
+
+#: default rows per dynamic bucket (Paimon's dynamic-bucket.target-row-num)
+TARGET_ROW_NUM_DEFAULT = 2_000_000
+
+
+def read_hash_index_file(path: str):
+    """Decode one spec Hash Index file: a sequence of big-endian int32
+    key hashcodes."""
+    import numpy as np
+
+    with open(path, "rb") as f:
+        data = f.read()
+    if len(data) % 4:
+        raise ValueError(f"hash index {path!r}: length {len(data)} not int32-aligned")
+    return np.frombuffer(data, dtype=">i4").astype(np.int32)
+
+
+def write_hash_index_file(path: str, hashes) -> int:
+    """Write hashcodes as the spec Hash Index payload (big-endian
+    int32 sequence). Returns the file size in bytes."""
+    import numpy as np
+
+    arr = np.asarray(hashes, dtype=np.int32).astype(">i4")
+    with open(path, "wb") as f:
+        f.write(arr.tobytes())
+    return os.path.getsize(path)
+
+
+def _make_key_hash_fn(key_types):
+    """Batch key-hashcode function (signed int32 murmur over the key's
+    BinaryRow bytes) for a pandas UDF — the raw-hash sibling of
+    ``_make_lake_bucket_fn``, same vectorized encoder, same scalar
+    oracle fallback."""
+
+    def fn(*cols):
+        import pandas as pd
+
+        from paimon_python_spark.paimon_lake import (
+            _lake_bucket_key_logical,
+            _vectorized_fixed_buckets,
+        )
+
+        try:
+            return pd.Series(_vectorized_fixed_buckets(cols, key_types, None))
+        except Exception:
+            from paimon_python_spark.paimon_import import (
+                encode_binary_row,
+                murmur_hash_words,
+            )
+
+            out = []
+            for vals in zip(*cols):
+                row = [
+                    None
+                    if (v is None or (not isinstance(v, (bytes, str)) and pd.isna(v)))
+                    else _lake_bucket_key_logical(v, t)
+                    for v, t in zip(vals, key_types)
+                ]
+                out.append(
+                    murmur_hash_words(encode_binary_row(row, key_types)[4:])
+                )
+            return pd.Series(out, dtype="int32")
+
+    return fn
+
+
+def _part_json_of(pvals: dict, part_keys: List[str]) -> str:
+    """Canonical partition-group id — identical construction to
+    ``_distributed_lake_write``'s ``_write_group`` meta rows (logical
+    values: DATE as epoch days), so index metas and data metas key the
+    same way."""
+    return json.dumps({k: pvals[k] for k in part_keys})
+
+
+class DynamicBucketAssigner:
+    """One write's view of a dynamic-bucket lake's hash index: the
+    snapshot's live HASH entries overlaid with ``pending`` metas staged
+    by earlier writes of the SAME commit (a lookup-changelog write
+    routes new keys before the data write — the overlay keeps both
+    assignments identical)."""
+
+    def __init__(
+        self,
+        table_path: str,
+        info,
+        bcols: List[str],
+        pending: list,
+        fresh: bool = False,
+    ):
+        from paimon_python_spark.paimon_import import (
+            decode_binary_row,
+            plan_paimon_hash_index,
+        )
+
+        self.table_path = table_path
+        self.info = info
+        self.bcols = list(bcols)
+        self.key_types = [info.spark_schema[c].dataType for c in self.bcols]
+        self.part_keys = list(info.partition_keys)
+        self.part_types = [info.spark_schema[k].dataType for k in self.part_keys]
+        self.target = int(
+            info.options.get("dynamic-bucket.target-row-num", TARGET_ROW_NUM_DEFAULT)
+        )
+        if self.target < 1:
+            raise ValueError("dynamic-bucket.target-row-num must be >= 1")
+        self.initial = int(info.options.get("dynamic-bucket.initial-buckets", "0") or 0)
+        # state: {part_json: {bucket: {"file": name|None, "rows": int,
+        #                              "part_values": [...]}}}
+        self.state: dict = {}
+        try:
+            # fresh=True: an OVERWRITE replaces the table's visible
+            # state, so the index restarts from the overwrite's own
+            # keys (pending only) — old routing is snapshot history
+            entries = [] if fresh else plan_paimon_hash_index(table_path)
+        except FileNotFoundError:
+            entries = []
+        for r in entries:
+            pvals_list = decode_binary_row(
+                bytes(r.get("_PARTITION") or b""), self.part_types
+            )
+            pvals = dict(zip(self.part_keys, pvals_list))
+            pj = _part_json_of(pvals, self.part_keys)
+            self.state.setdefault(pj, {})[int(r["_BUCKET"])] = {
+                "file": r["_FILE_NAME"],
+                "rows": int(r.get("_ROW_COUNT") or 0),
+                "part_values": pvals_list,
+            }
+        for m in pending:  # staged earlier in this commit: overlay wins
+            self.state.setdefault(m["part_json"], {})[int(m["bucket"])] = {
+                "file": m["file"],
+                "rows": int(m["rows"]),
+                "part_values": list(m["part_values"]),
+            }
+
+    # -- index as a DataFrame ------------------------------------------------
+
+    def _index_df(self, spark, part_jsons: Optional[set] = None):
+        """The live hash index as (partition cols…, __h_idx, __b_idx),
+        decoded executor-side — one input row per index file fans out
+        via ``mapInPandas``. ``part_jsons`` prunes to the partitions the
+        batch touches (None = no pruning)."""
+        import pandas as pd
+        from pyspark.sql import types as T
+
+        from paimon_python_spark.paimon_import import logical_partition_values
+
+        rows = []
+        for pj, buckets in self.state.items():
+            if part_jsons is not None and pj not in part_jsons:
+                continue
+            for b, m in buckets.items():
+                logical = logical_partition_values(
+                    self.info, dict(zip(self.part_keys, m["part_values"]))
+                )
+                rows.append(
+                    tuple(logical[k] for k in self.part_keys)
+                    + (
+                        os.path.join(self.table_path, "index", m["file"]),
+                        int(b),
+                    )
+                )
+        schema = T.StructType(
+            [self.info.spark_schema[k] for k in self.part_keys]
+            + [
+                T.StructField("__idx_path", T.StringType()),
+                T.StructField("__b_idx", T.IntegerType()),
+            ]
+        )
+        out_schema = T.StructType(
+            [self.info.spark_schema[k] for k in self.part_keys]
+            + [
+                T.StructField("__h_idx", T.IntegerType()),
+                T.StructField("__b_idx", T.IntegerType()),
+            ]
+        )
+        files_df = spark.createDataFrame(rows, schema)
+
+        part_keys = self.part_keys
+
+        def _expand(batches):
+            for pdf in batches:
+                for _, row in pdf.iterrows():
+                    hashes = read_hash_index_file(row["__idx_path"])
+                    out = pd.DataFrame({"__h_idx": hashes})
+                    for k in part_keys:
+                        out[k] = row[k]
+                    out["__b_idx"] = row["__b_idx"]
+                    yield out[[*part_keys, "__h_idx", "__b_idx"]]
+
+        return files_df.mapInPandas(_expand, out_schema)
+
+    def _capacity_plans(self):
+        """Per-partition bucket-fill plan for NEW keys: existing
+        buckets' remaining capacity first (ordered by bucket id), then
+        fresh buckets of ``target`` rows each starting past the highest
+        existing id. A fresh partition honors ``initial-buckets`` by
+        pre-opening that many empty buckets. Returns
+        {part_json: (cum_hi list, bucket list, total_free, base)} —
+        rank r (0-based) maps to the first cum_hi > r, overflowing to
+        ``base + (r - total_free) // target``."""
+        plans = {}
+        for pj, buckets in self.state.items():
+            frees, ids = [], []
+            for b in sorted(buckets):
+                free = self.target - int(buckets[b]["rows"])
+                if free > 0:
+                    ids.append(b)
+                    frees.append(free)
+            cum, acc = [], 0
+            for f in frees:
+                acc += f
+                cum.append(acc)
+            plans[pj] = (cum, ids, acc, (max(buckets) + 1) if buckets else 0)
+        return plans
+
+    def _fresh_plan(self):
+        """Plan for partitions with no index yet."""
+        k = max(0, self.initial)
+        cum = [self.target * (i + 1) for i in range(k)]
+        return (cum, list(range(k)), self.target * k, k)
+
+    # -- assignment ------------------------------------------------------------
+
+    def attach(self, sdf):
+        """Return ``sdf`` with ``__h`` (key hashcode), ``__bucket``
+        (the routed bucket) and ``__kn`` (1 for keys new to the index).
+
+        Shape: the index join resolves EXISTING keys; new keys take a
+        deterministic per-partition rank (row_number over the distinct
+        new hashcodes — recomputations assign identically) and map to
+        buckets through a BROADCAST plan join: capacity segments of
+        existing buckets first, then a pure-codegen overflow formula
+        opening fresh buckets of ``target`` rows each. No
+        driver-side or single-task materialization of the batch; the
+        per-partition window sort of new DISTINCT keys is the same
+        serial allocation point a single Paimon assigner has (and
+        spills rather than OOMs on bulk loads)."""
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+
+        spark = sdf.sparkSession
+        hash_udf = F.pandas_udf(_make_key_hash_fn(self.key_types), "int")
+        sdf = sdf.withColumn("__h", hash_udf(*[F.col(c) for c in self.bcols]))
+
+        part_keys = self.part_keys
+        # the batch's partitions — bounded by the table's partition
+        # count, never batch size; drives both index pruning and the
+        # capacity plan (fresh partitions get the fresh plan)
+        if part_keys:
+            batch_parts = sdf.select(*part_keys).distinct().collect()
+        else:
+            batch_parts = [None]
+        pj_of = lambda r: _part_json_of(
+            {
+                k: _logical_value(r[k], self.info.spark_schema[k].dataType)
+                for k in part_keys
+            },
+            part_keys,
+        )
+        if self.state:
+            part_jsons = (
+                {pj_of(r) for r in batch_parts} if part_keys else None
+            )
+            idx = self._index_df(spark, part_jsons)
+            cond = (sdf["__h"] == idx["__h_idx"]) & _part_cond(sdf, idx, part_keys)
+            joined = sdf.join(idx, cond, "left").select(sdf["*"], idx["__b_idx"])
+        else:
+            joined = sdf.withColumn("__b_idx", F.lit(None).cast("int"))
+
+        # deterministic rank of each NEW distinct hashcode inside its
+        # partition: recomputations of this plan assign identically
+        news = (
+            joined.filter(F.col("__b_idx").isNull())
+            .select(*part_keys, "__h")
+            .distinct()
+        )
+        w = Window.partitionBy(*[F.col(k) for k in part_keys]).orderBy("__h")
+        ranked = news.withColumn("__rk", F.row_number().over(w) - 1)
+
+        plans = self._capacity_plans()
+        fresh = self._fresh_plan()
+        seg_rows, ovf_rows = [], []
+        for r in batch_parts:
+            pv = tuple(r[k] for k in part_keys) if part_keys else ()
+            pj = pj_of(r) if part_keys else _part_json_of({}, [])
+            cum, ids, total_free, base = plans.get(pj, fresh)
+            lo = 0
+            for hi, b in zip(cum, ids):
+                seg_rows.append(pv + (lo, hi, int(b)))
+                lo = hi
+            ovf_rows.append(pv + (int(total_free), int(base)))
+        part_fields = [self.info.spark_schema[k] for k in part_keys]
+        seg_schema = T.StructType(
+            part_fields
+            + [
+                T.StructField("__lo", T.LongType()),
+                T.StructField("__hi", T.LongType()),
+                T.StructField("__b_seg", T.IntegerType()),
+            ]
+        )
+        ovf_schema = T.StructType(
+            part_fields
+            + [
+                T.StructField("__free", T.LongType()),
+                T.StructField("__base", T.IntegerType()),
+            ]
+        )
+        segs = spark.createDataFrame(seg_rows, seg_schema)
+        ovf = spark.createDataFrame(ovf_rows, ovf_schema)
+        a = ranked.join(
+            F.broadcast(segs),
+            (ranked["__rk"] >= segs["__lo"])
+            & (ranked["__rk"] < segs["__hi"])
+            & _part_cond(ranked, segs, part_keys),
+            "left",
+        ).select(ranked["*"], segs["__b_seg"])
+        a2 = a.join(F.broadcast(ovf), _part_cond(a, ovf, part_keys), "left")
+        assigned_new = a2.select(
+            *[a[k] for k in part_keys],
+            a["__h"],
+            F.coalesce(
+                a["__b_seg"],
+                (
+                    ovf["__base"]
+                    + F.floor(
+                        (a["__rk"] - ovf["__free"]) / F.lit(self.target)
+                    )
+                ).cast("int"),
+            ).alias("__b_new"),
+        )
+
+        cond2 = (joined["__h"] == assigned_new["__h"]) & _part_cond(
+            joined, assigned_new, part_keys
+        )
+        res = (
+            joined.join(assigned_new, cond2, "left")
+            .select(joined["*"], assigned_new["__b_new"])
+            .withColumn("__bucket", F.coalesce(F.col("__b_idx"), F.col("__b_new")))
+            .withColumn("__kn", F.col("__b_idx").isNull().cast("int"))
+            .drop("__b_idx", "__b_new")
+        )
+        return res
+
+    # -- index maintenance -------------------------------------------------------
+
+    def update_index(self, assigned_sdf) -> list:
+        """Rewrite the index file of every bucket that received NEW
+        keys (old hashes ++ new hashes, executor-side) and return the
+        staged metas [{part_json, part_values, bucket, file, size,
+        rows}] for the commit's merged index manifest."""
+        import pandas as pd
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+
+        part_keys = self.part_keys
+        part_types = self.part_types
+        table_path = self.table_path
+        info = self.info
+        old_files = {
+            (pj, b): os.path.join(self.table_path, "index", m["file"])
+            for pj, buckets in self.state.items()
+            for b, m in buckets.items()
+            if m["file"]
+        }
+
+        new_keys = (
+            assigned_sdf.filter(F.col("__kn") == 1)
+            .select(*part_keys, "__h", "__bucket")
+            .distinct()
+        )
+        meta_schema = T.StructType(
+            [
+                T.StructField("part_json", T.StringType()),
+                T.StructField("bucket", T.IntegerType()),
+                T.StructField("file", T.StringType()),
+                T.StructField("size", T.LongType()),
+                T.StructField("rows", T.LongType()),
+            ]
+        )
+
+        def _rewrite(pdf: "pd.DataFrame") -> "pd.DataFrame":
+            import numpy as np
+
+            bucket = int(pdf["__bucket"].iloc[0])
+            pvals = {
+                k: _logical_value(pdf[k].iloc[0], info.spark_schema[k].dataType)
+                for k in part_keys
+            }
+            pj = _part_json_of(pvals, part_keys)
+            new = np.sort(pdf["__h"].to_numpy(dtype=np.int32))
+            old_path = old_files.get((pj, bucket))
+            if old_path is not None:
+                old = read_hash_index_file(old_path)
+                # a hash already present stays where it is (collision
+                # with an existing key routes here by design)
+                new = np.setdiff1d(new, old)
+                merged = np.concatenate([old, new])
+            else:
+                merged = new
+            name = f"index-{uuid.uuid4().hex}-0"
+            os.makedirs(os.path.join(table_path, "index"), exist_ok=True)
+            size = write_hash_index_file(
+                os.path.join(table_path, "index", name), merged
+            )
+            return pd.DataFrame(
+                [
+                    {
+                        "part_json": pj,
+                        "bucket": bucket,
+                        "file": name,
+                        "size": size,
+                        "rows": len(merged),
+                    }
+                ]
+            )
+
+        metas = (
+            new_keys.groupBy(*part_keys, "__bucket")
+            .applyInPandas(_rewrite, meta_schema)
+            .collect()
+        )
+        out = []
+        for r in metas:
+            pj = r["part_json"]
+            pvals = json.loads(pj)
+            out.append(
+                {
+                    "part_json": pj,
+                    "part_values": [pvals[k] for k in part_keys],
+                    "bucket": int(r["bucket"]),
+                    "file": r["file"],
+                    "size": int(r["size"]),
+                    "rows": int(r["rows"]),
+                }
+            )
+        return out
+
+
+def _part_cond(left, right, part_keys):
+    from pyspark.sql import functions as F
+
+    cond = F.lit(True)
+    for k in part_keys:
+        cond = cond & left[k].eqNullSafe(right[k])
+    return cond
+
+
+def _logical_value(v, dt):
+    """Pandas/Row value → the logical value ``encode_binary_row``
+    expects (identical to ``_write_group``'s ``logical``: DATE as epoch
+    days, numpy scalars unboxed)."""
+    import datetime
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    if v is None or (not isinstance(v, (bytes, str)) and pd.isna(v)):
+        return None
+    if hasattr(v, "item"):
+        v = v.item()
+    if isinstance(dt, T.DateType):
+        if isinstance(v, datetime.datetime):
+            v = v.date()
+        if isinstance(v, datetime.date):
+            return (v - datetime.date(1970, 1, 1)).days
+    return v
+
+
+def pending_to_entries(info, pending: list):
+    """Staged assigner metas → spec ``IndexManifestEntry`` dicts. The
+    LAST meta wins per (partition, bucket) — a lookup-changelog write
+    and the data write of one commit may both touch a bucket. Returns
+    (entries, replaced) where ``replaced`` is the set of
+    (partition_bytes, bucket) groups the entries supersede."""
+    from paimon_python_spark.paimon_import import HASH_INDEX, encode_binary_row
+
+    part_types = [info.spark_schema[k].dataType for k in info.partition_keys]
+    latest: dict = {}
+    for m in pending:
+        latest[(m["part_json"], int(m["bucket"]))] = m
+    entries, replaced = [], set()
+    for (pj, bucket), m in sorted(latest.items()):
+        part_bytes = encode_binary_row(m["part_values"], part_types)
+        replaced.add((part_bytes, bucket))
+        entries.append(
+            {
+                "_VERSION": 1,
+                "_KIND": 0,
+                "_PARTITION": part_bytes,
+                "_BUCKET": bucket,
+                "_INDEX_TYPE": HASH_INDEX,
+                "_FILE_NAME": m["file"],
+                "_FILE_SIZE": int(m["size"]),
+                "_ROW_COUNT": int(m["rows"]),
+                "_DELETIONS_VECTORS_RANGES": None,
+            }
+        )
+    return entries, replaced
+
+
+def write_index_manifest(table_path: str, entries: list) -> str:
+    """Write ``entries`` as one avro index manifest under
+    ``manifest/``; returns the file name."""
+    from paimon_python_spark.avro_codec import write_avro_records
+    from paimon_python_spark.paimon_import import INDEX_MANIFEST_SCHEMA
+
+    name = f"index-manifest-{uuid.uuid4().hex[:12]}.avro"
+    write_avro_records(
+        os.path.join(table_path, "manifest", name),
+        INDEX_MANIFEST_SCHEMA,
+        entries,
+    )
+    return name
+
+
+def write_merged_index_manifest(table_path: str, info, pending: list) -> Optional[str]:
+    """Write the commit's FULL index manifest: every index entry live
+    in the previous snapshot (deletion vectors included) carried
+    forward verbatim, minus the HASH entries of buckets ``pending``
+    replaces, plus the new HASH entries. Returns the manifest file
+    name, or None when there is nothing to change (caller inherits the
+    previous manifest)."""
+    if not pending:
+        return None
+
+    from paimon_python_spark.paimon_import import HASH_INDEX, live_index_entries
+
+    new_entries, replaced = pending_to_entries(info, pending)
+    try:
+        prev = live_index_entries(table_path)
+    except FileNotFoundError:
+        prev = []
+    carried = [
+        r
+        for r in prev
+        if not (
+            r.get("_INDEX_TYPE") == HASH_INDEX
+            and (
+                bytes(r.get("_PARTITION") or b""),
+                int(r.get("_BUCKET") or 0),
+            )
+            in replaced
+        )
+    ]
+    return write_index_manifest(table_path, carried + new_entries)

@@ -736,6 +736,10 @@ def plan_paimon_files(
 DV_MAGIC = 1581511376
 DV_INDEX_VERSION = 1
 DELETION_VECTORS_INDEX = "DELETION_VECTORS"
+#: spec index type of the dynamic-bucket key-hash index (tableindex
+#: spec "Hash Index": the index file stores the int32 hashcodes of
+#: every primary key routed into its bucket)
+HASH_INDEX = "HASH"
 #: broadcast the decoded (file, position) side below this many marked
 #: rows (~64 MB of hashed-relation at ~32 B/row); above it the
 #: anti-join degrades to a shuffle instead of an executor OOM
@@ -849,16 +853,18 @@ def read_dv_index_entry(index_path: str, offset: int, length: int):
     return deserialize_roaring32(data[4:])
 
 
-def plan_paimon_dv(
+def live_index_entries(
     table_path: str,
     snapshot_id: Optional[int] = None,
     snapshot: Optional[dict] = None,
-) -> List[PaimonDvRange]:
+    index_type: Optional[str] = None,
+) -> List[dict]:
     """Driver-side metadata walk of the snapshot's index manifest:
-    fold ADD/DELETE index entries, keep DELETION_VECTORS types, return
-    every (index file, data file, offset, length) range. Empty list if
-    the snapshot carries no index manifest. Lenient on the two range
-    field spellings real Paimon versions use."""
+    fold ADD/DELETE (``_KIND`` 0/1) entries into the LIVE set, across
+    every index type real Paimon records there (``DELETION_VECTORS``
+    deletion vectors, ``HASH`` dynamic-bucket key indexes — spec
+    ``IndexManifestEntry``). ``index_type`` filters to one type. Empty
+    list when the snapshot carries no index manifest."""
     from paimon_python_spark.avro_codec import read_avro_records
 
     if snapshot is None and snapshot_id is None:
@@ -874,9 +880,10 @@ def plan_paimon_dv(
         _schema, recs = read_avro_records(f.read())
     live: dict = {}
     for r in recs:
-        if r.get("_INDEX_TYPE") != DELETION_VECTORS_INDEX:
+        if index_type is not None and r.get("_INDEX_TYPE") != index_type:
             continue
         key = (
+            r.get("_INDEX_TYPE"),
             bytes(r.get("_PARTITION") or b""),
             int(r.get("_BUCKET") or 0),
             r["_FILE_NAME"],
@@ -885,6 +892,38 @@ def plan_paimon_dv(
             live[key] = r
         else:
             live.pop(key, None)
+    return list(live.values())
+
+
+def plan_paimon_hash_index(
+    table_path: str,
+    snapshot_id: Optional[int] = None,
+    snapshot: Optional[dict] = None,
+) -> List[dict]:
+    """Live ``HASH`` (dynamic-bucket) index entries of a snapshot —
+    one per (partition, bucket), each naming the ``index/`` file that
+    holds the bucket's key hashcodes (spec tableindex: Hash Index)."""
+    return live_index_entries(
+        table_path, snapshot_id, snapshot, index_type=HASH_INDEX
+    )
+
+
+def plan_paimon_dv(
+    table_path: str,
+    snapshot_id: Optional[int] = None,
+    snapshot: Optional[dict] = None,
+) -> List[PaimonDvRange]:
+    """Driver-side metadata walk of the snapshot's index manifest:
+    fold ADD/DELETE index entries, keep DELETION_VECTORS types, return
+    every (index file, data file, offset, length) range. Empty list if
+    the snapshot carries no index manifest. Lenient on the two range
+    field spellings real Paimon versions use."""
+    live = {
+        (bytes(r.get("_PARTITION") or b""), int(r.get("_BUCKET") or 0), r["_FILE_NAME"]): r
+        for r in live_index_entries(
+            table_path, snapshot_id, snapshot, index_type=DELETION_VECTORS_INDEX
+        )
+    }
     out: List[PaimonDvRange] = []
     for (_pb, _bk, fname), r in live.items():
         ranges = (
@@ -2050,7 +2089,14 @@ def _bucket_local_merge_ok(info: PaimonSchemaInfo, entries, fmt: str, dv_ranges)
         return False
     nb = int(info.options.get("bucket", "-1"))
     if nb < 1:
-        return False
+        # DYNAMIC (HASH_DYNAMIC) lakes are bucket-closed too: the hash
+        # index pins every key to exactly one bucket, so the per-group
+        # merge stays exact. CROSS_PARTITION (PK without the partition
+        # keys) has no such pin — stay on the exact key-window path.
+        if info.partition_keys and not (
+            set(info.partition_keys) <= set(info.primary_keys)
+        ):
+            return False
     if any(e.schema_id != info.id for e in entries):
         return False
     if any(e.total_buckets not in (None, nb) for e in entries):

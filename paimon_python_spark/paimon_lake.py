@@ -2131,6 +2131,16 @@ def _murmur_words_batch(words, num_buckets: int):
     scalar fixed_bucket oracle)."""
     import numpy as np
 
+    signed = _murmur_words_hash(words).astype(np.int64)
+    return (np.abs(signed) % num_buckets).astype(np.int32)
+
+
+def _murmur_words_hash(words):
+    """The signed int32 key hashcode itself (``bucketKeyHashCode``) —
+    what the fixed router mods by N and what the DYNAMIC-bucket hash
+    index records verbatim (spec tableindex: Hash Index)."""
+    import numpy as np
+
     n, w = words.shape
     h1 = np.full(n, 42, np.uint32)
     for j in range(w):
@@ -2146,17 +2156,17 @@ def _murmur_words_batch(words, num_buckets: int):
     h1 = h1 ^ (h1 >> np.uint32(13))
     h1 = h1 * np.uint32(0xC2B2AE35)
     h1 = h1 ^ (h1 >> np.uint32(16))
-    signed = h1.astype(np.int32).astype(np.int64)
-    return (np.abs(signed) % num_buckets).astype(np.int32)
+    return h1.astype(np.int32)
 
 
-def _vectorized_fixed_buckets(cols, key_types, num_buckets: int):
+def _vectorized_fixed_buckets(cols, key_types, num_buckets: Optional[int] = None):
     """Column-wise BinaryRow encode + batched murmur for a pandas
-    batch. Returns an int32 numpy array of bucket ids. Raises on key
-    shapes outside the fast path (caller falls back to the scalar
-    oracle). Byte-exact with encode_binary_row: same bitset header,
-    little-endian slots, ≤7-byte inline strings, word-aligned var
-    region."""
+    batch. Returns an int32 numpy array of bucket ids — or, with
+    ``num_buckets=None``, the RAW signed int32 key hashcodes (the
+    dynamic-bucket assigner's currency). Raises on key shapes outside
+    the fast path (caller falls back to the scalar oracle). Byte-exact
+    with encode_binary_row: same bitset header, little-endian slots,
+    ≤7-byte inline strings, word-aligned var region."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
@@ -2279,7 +2289,11 @@ def _vectorized_fixed_buckets(cols, key_types, num_buckets: int):
                     glong, ((gl + 7) // 8) * 8, 0
                 )
         words = m.view("<u4").reshape(len(rows), int(L) // 4)
-        out[rows] = _murmur_words_batch(words, num_buckets)
+        out[rows] = (
+            _murmur_words_hash(words)
+            if num_buckets is None
+            else _murmur_words_batch(words, num_buckets)
+        )
     return out
 
 
@@ -2300,6 +2314,8 @@ def _distributed_lake_write(
     file_prefix: str = "data",
     sequence_field: Optional[str] = None,
     arrival_order: bool = True,
+    dyn_index_out: Optional[list] = None,
+    dyn_fresh: bool = False,
 ):
     """EXECUTOR-SIDE data-file write into a real lake's final layout,
     one file per (partition, bucket) group via ``applyInPandas`` —
@@ -2369,12 +2385,34 @@ def _distributed_lake_write(
     if kv:
         bcols = list(bucket_cols or trimmed)
         key_types = [info.spark_schema[c].dataType for c in bcols]
-        # no type hints on the bucket fn: the module's postponed
-        # annotations would reach pandas_udf as unresolvable strings
-        _bucket_of = F.pandas_udf(
-            _make_lake_bucket_fn(key_types, num_buckets), "int"
-        )
-        sdf = sdf.withColumn("__bucket", _bucket_of(*[F.col(c) for c in bcols]))
+        if num_buckets < 1:
+            # DYNAMIC bucket mode ('bucket' = '-1'): routing is decided
+            # by the lake's HASH index, not a modulus — existing keys
+            # join their recorded bucket, new keys capacity-fill, and
+            # the touched buckets' index files rewrite executor-side.
+            # Callers stage the new index metas via dyn_index_out and
+            # commit them in the merged index manifest; a caller that
+            # doesn't pass it keeps the reference's refusal.
+            if dyn_index_out is None:
+                raise TypeError(
+                    "Doesn't support writing dynamic bucket or cross partition table."
+                )
+            from paimon_python_spark.dynamic_bucket import DynamicBucketAssigner
+
+            _assigner = DynamicBucketAssigner(
+                table_path, info, bcols, dyn_index_out, fresh=dyn_fresh
+            )
+            sdf = _assigner.attach(sdf)
+            dyn_index_out.extend(_assigner.update_index(sdf))
+        else:
+            # no type hints on the bucket fn: the module's postponed
+            # annotations would reach pandas_udf as unresolvable strings
+            _bucket_of = F.pandas_udf(
+                _make_lake_bucket_fn(key_types, num_buckets), "int"
+            )
+            sdf = sdf.withColumn(
+                "__bucket", _bucket_of(*[F.col(c) for c in bcols])
+            )
         gcols = part_keys + ["__bucket"]
     else:
         # no bucket routing on append tables: keep the input task
@@ -2676,15 +2714,40 @@ def write_lake_pk_append(
             "use write_lake_append"
         )
     num_buckets = int(info.options.get("bucket", "-1"))
-    if num_buckets < 1:
+    dynamic = num_buckets < 1
+    if dynamic and info.partition_keys and not (
+        set(info.partition_keys) <= set(info.primary_keys)
+    ):
+        # CROSS_PARTITION mode (an update can move a key across
+        # partitions, needing a global index) keeps the reference's
+        # refusal; HASH_DYNAMIC ('bucket' = '-1' with PK ⊇ partition
+        # keys) is supported via the hash-index assigner
         raise TypeError(
             "Doesn't support writing dynamic bucket or cross partition table."
         )
+    dyn_out: Optional[list] = [] if dynamic else None
     fmt = info.options.get("file.format", "parquet")
     if fmt not in ("parquet", "orc", "avro"):
         raise NotImplementedError(
             f"write_lake_pk_append: file.format={fmt!r} not supported"
         )
+    if dynamic:
+        # SOUNDNESS GUARD: a dynamic lake with data but no HASH index
+        # (hand-built fixture, torn import) can't route existing keys
+        # to their buckets — a blind write could put a key's new
+        # version in a different bucket and break the merge. A real
+        # Paimon writer always leaves the index; compact_lake() rebuilds
+        # it here (the rewrite re-routes and re-indexes every key).
+        from paimon_python_spark.paimon_import import plan_paimon_hash_index
+
+        if not plan_paimon_hash_index(table_path) and plan_paimon_files(
+            table_path
+        ):
+            raise ValueError(
+                "write_lake_pk_append: dynamic-bucket lake has data files "
+                "but no HASH index — key routing would be unsound; run "
+                "compact_lake() to rebuild the index from the merged state"
+            )
     bucket_cols = [
         c.strip()
         for c in info.options.get("bucket-key", "").split(",")
@@ -2748,9 +2811,6 @@ def write_lake_pk_append(
                 k for k in info.primary_keys if k not in part_keys_l
             ])
             key_types_l = [info.spark_schema[c].dataType for c in bcols_l]
-            bfn = F.pandas_udf(
-                _make_lake_bucket_fn(key_types_l, num_buckets), "int"
-            )
             # cast to the DECLARED types first — the write path casts
             # before routing, and the collected partition values must
             # compare equal to the decoded logical manifest values
@@ -2767,27 +2827,48 @@ def write_lake_pk_append(
                 <= _LOOKUP_POINT_KEY_CAP
             )
             probe_cols = list(dict.fromkeys(part_keys_l + keys + bcols_l))
-            typed = (
-                (
-                    batch.select(
-                        *[
-                            F.col(c).cast(info.spark_schema[c].dataType).alias(c)
-                            for c in probe_cols
-                        ]
-                    )
-                    .withColumn("__b", bfn(*[F.col(c) for c in bcols_l]))
-                    .distinct()
-                    .limit(_LOOKUP_POINT_KEY_CAP + 1)
-                    .collect()
+            bfn = (
+                None
+                if dynamic
+                else F.pandas_udf(
+                    _make_lake_bucket_fn(key_types_l, num_buckets), "int"
                 )
-                if small
-                else []
             )
+            typed = []
+            if small:
+                typed_keys = batch.select(
+                    *[
+                        F.col(c).cast(info.spark_schema[c].dataType).alias(c)
+                        for c in probe_cols
+                    ]
+                ).distinct()
+                if dynamic:
+                    # DYNAMIC lake: routing is index-recorded, not a
+                    # modulus — join the batch's keys against the HASH
+                    # index. Only keys ALREADY indexed (__kn = 0) have
+                    # old state to look up; fresh keys are +I.
+                    from paimon_python_spark.dynamic_bucket import (
+                        DynamicBucketAssigner,
+                    )
+
+                    typed_keys = (
+                        DynamicBucketAssigner(
+                            table_path, info, bcols_l, dyn_out
+                        )
+                        .attach(typed_keys)
+                        .withColumnRenamed("__bucket", "__b")
+                    )
+                else:
+                    typed_keys = typed_keys.withColumn(
+                        "__b", bfn(*[F.col(c) for c in bcols_l])
+                    ).withColumn("__kn", F.lit(0))
+                typed = typed_keys.limit(_LOOKUP_POINT_KEY_CAP + 1).collect()
             key_pred = None
             if 0 < len(typed) <= _LOOKUP_POINT_KEY_CAP:
                 touched = {
                     (tuple(r[k] for k in part_keys_l), int(r["__b"]))
                     for r in typed
+                    if not r["__kn"]  # fresh keys have no old state
                 }
                 # POINT LOOKUP inside touched buckets (the analogue of
                 # real Paimon's bloom-assisted LSM point lookup): an IN
@@ -2819,18 +2900,34 @@ def write_lake_pk_append(
             else:
                 # bulk commit: above the cap the whole-bucket merge is
                 # the right plan — collect only the touched groups
-                # (bounded by partitions × buckets, never batch size)
-                touched_rows = (
-                    batch.select(
-                        *[
-                            F.col(c).cast(info.spark_schema[c].dataType).alias(c)
-                            for c in part_keys_l + bcols_l
-                        ]
+                # (bounded by partitions × buckets, never batch size),
+                # from a NARROW (partition + bucket-key) distinct, never
+                # a full-width distinct of the batch
+                narrow = batch.select(
+                    *[
+                        F.col(c).cast(info.spark_schema[c].dataType).alias(c)
+                        for c in list(dict.fromkeys(part_keys_l + bcols_l))
+                    ]
+                ).distinct()
+                if dynamic:
+                    from paimon_python_spark.dynamic_bucket import (
+                        DynamicBucketAssigner,
                     )
-                    .withColumn("__b", bfn(*[F.col(c) for c in bcols_l]))
-                    .select(*part_keys_l, "__b")
-                    .distinct()
-                    .collect()
+
+                    routed = (
+                        DynamicBucketAssigner(
+                            table_path, info, bcols_l, dyn_out
+                        )
+                        .attach(narrow)
+                        .filter(F.col("__kn") == 0)
+                        .withColumnRenamed("__bucket", "__b")
+                    )
+                else:
+                    routed = narrow.withColumn(
+                        "__b", bfn(*[F.col(c) for c in bcols_l])
+                    )
+                touched_rows = (
+                    routed.select(*part_keys_l, "__b").distinct().collect()
                 )
                 touched = {
                     (tuple(r[k] for k in part_keys_l), int(r["__b"]))
@@ -2865,6 +2962,7 @@ def write_lake_pk_append(
             row_kind_col="__kind",
             file_prefix="changelog",
             arrival_order=False,
+            dyn_index_out=dyn_out,
         )
     seq_field = info.options.get("sequence.field") or None
     if seq_field is not None and seq_field not in info.spark_schema.names:
@@ -2883,6 +2981,7 @@ def write_lake_pk_append(
         row_kind_col=row_kind_col,
         changelog=produce_cl,
         sequence_field=seq_field,
+        dyn_index_out=dyn_out,
     )
     if produce_cl:
         man_entries, n_rows, cl_entries = result
@@ -2891,8 +2990,25 @@ def write_lake_pk_append(
         cl_entries = lookup_entries
     if not man_entries:
         raise ValueError("write_lake_pk_append: empty input — nothing to commit")
+    index_manifest = _INHERIT_INDEX
+    if dyn_out:
+        # dynamic-bucket commit: new key→bucket assignments become the
+        # commit's merged index manifest (previous HASH + DV entries
+        # carried forward, touched HASH buckets replaced)
+        from paimon_python_spark.dynamic_bucket import (
+            write_merged_index_manifest,
+        )
+
+        name = write_merged_index_manifest(table_path, info, dyn_out)
+        if name is not None:
+            index_manifest = name
     return _commit_lake_snapshot(
-        table_path, info, man_entries, n_rows, changelog_entries=cl_entries
+        table_path,
+        info,
+        man_entries,
+        n_rows,
+        changelog_entries=cl_entries,
+        index_manifest=index_manifest,
     )
 
 
@@ -2938,7 +3054,16 @@ def create_lake_table(
     for k in pks + parts:
         if k not in names:
             raise ValueError(f"create_lake_table: key column {k!r} not in schema")
-    if pks and int((options or {}).get("bucket", "-1")) < 1:
+    if (
+        pks
+        and int((options or {}).get("bucket", "-1")) < 1
+        and parts
+        and not set(parts) <= set(pks)
+    ):
+        # CROSS_PARTITION (PK without the partition keys needs a global
+        # index) keeps the reference's refusal; plain dynamic bucket
+        # ('bucket' = '-1', real Paimon's default PK mode) is supported
+        # via the HASH-index assigner (dynamic_bucket.py)
         raise TypeError(
             "Doesn't support writing dynamic bucket or cross partition table."
         )
@@ -3164,7 +3289,9 @@ def rescale_lake_bucket(table_path: str, num_buckets: int) -> int:
         )
     if int(info.options.get("bucket", "-1")) < 1:
         raise TypeError(
-            "Doesn't support writing dynamic bucket or cross partition table."
+            "rescale_lake_bucket: dynamic-bucket tables scale themselves "
+            "(the hash-index assigner opens buckets as target-row-num "
+            "fills) — rescale applies to fixed-bucket tables"
         )
     if num_buckets < 1:
         raise ValueError("rescale_lake_bucket: num_buckets must be >= 1")
@@ -3332,8 +3459,12 @@ def _lake_snapshot_footprint(table_path: str, snap: dict):
     im = snap.get("indexManifest")
     if im:
         lists.add(im)
-        for r in plan_paimon_dv(table_path, snapshot=snap):
-            idx.add(os.path.relpath(r.index_path, table_path))
+        from paimon_python_spark.paimon_import import live_index_entries
+
+        # EVERY index type is live state: deletion vectors AND the
+        # dynamic-bucket HASH key indexes
+        for r in live_index_entries(table_path, snapshot=snap):
+            idx.add(os.path.join("index", r["_FILE_NAME"]))
     return lists, manifests, live, idx
 
 
@@ -3503,8 +3634,11 @@ def remove_lake_orphan_files(
         im = s.get("indexManifest")
         if im:
             known_manifests.add(im)
-            for r in plan_paimon_dv(table_path, snapshot=s):
-                known_rel.add(os.path.relpath(r.index_path, table_path))
+            from paimon_python_spark.paimon_import import live_index_entries
+
+            # deletion vectors AND dynamic-bucket HASH key indexes
+            for r in live_index_entries(table_path, snapshot=s):
+                known_rel.add(os.path.join("index", r["_FILE_NAME"]))
 
     now = _time.time()
     deleted = {"data_files": 0, "manifests": 0, "index_files": 0}
@@ -4217,12 +4351,13 @@ def compact_lake(
     df = rb.new_read().to_df()
 
     cl_entries = None
+    dyn_out: Optional[list] = None
     if info.primary_keys:
         num_buckets = int(info.options.get("bucket", "-1"))
-        if num_buckets < 1:
-            raise TypeError(
-                "Doesn't support writing dynamic bucket or cross partition table."
-            )
+        # dynamic-bucket lakes compact per recorded bucket: every live
+        # key is already in the HASH index, so the assigner routes each
+        # merged row straight back to its own bucket (no new entries)
+        dyn_out = [] if num_buckets < 1 else None
         bucket_cols = [
             c.strip()
             for c in info.options.get("bucket-key", "").split(",")
@@ -4265,6 +4400,7 @@ def compact_lake(
                 row_kind_col="__kind",
                 file_prefix="changelog",
                 arrival_order=False,
+                dyn_index_out=dyn_out,
             )
         add_entries, n_rows = _distributed_lake_write(
             table_path,
@@ -4276,6 +4412,7 @@ def compact_lake(
             bucket_cols=bucket_cols,
             seq_base=seq_base,
             level=max_level,
+            dyn_index_out=dyn_out,
         )
     elif order_by:
         from pyspark.sql import functions as F
@@ -4352,6 +4489,32 @@ def compact_lake(
         if surviving
         else None
     )
+    if im_name is None:
+        # dynamic-bucket lakes: the HASH key index must survive the
+        # compaction even when every DV folded away (plus any self-heal
+        # assignments the rewrite staged in dyn_out)
+        from paimon_python_spark.dynamic_bucket import (
+            pending_to_entries,
+            write_index_manifest,
+        )
+        from paimon_python_spark.paimon_import import (
+            HASH_INDEX,
+            live_index_entries,
+        )
+
+        new_hash, replaced = pending_to_entries(info, dyn_out or [])
+        hash_keep = [
+            r
+            for r in live_index_entries(table_path)
+            if r.get("_INDEX_TYPE") == HASH_INDEX
+            and (
+                bytes(r.get("_PARTITION") or b""),
+                int(r.get("_BUCKET") or 0),
+            )
+            not in replaced
+        ] + new_hash
+        if hash_keep:
+            im_name = write_index_manifest(table_path, hash_keep)
     from paimon_python_spark.paimon_import import read_paimon_snapshot
 
     prev_total = int(
@@ -4481,12 +4644,13 @@ def overwrite_lake(table_path: str, df) -> int:
     before = plan_paimon_files(table_path)
     part_keys = list(info.partition_keys)
     part_types = [info.spark_schema[k].dataType for k in part_keys]
+    dyn_out: Optional[list] = None
     if info.primary_keys:
         num_buckets = int(info.options.get("bucket", "-1"))
-        if num_buckets < 1:
-            raise TypeError(
-                "Doesn't support writing dynamic bucket or cross partition table."
-            )
+        # dynamic-bucket overwrite: the index RESTARTS from the new
+        # data's own keys (fresh=True) — the replaced state's routing
+        # belongs to the replaced snapshots
+        dyn_out = [] if num_buckets < 1 else None
         bucket_cols = [
             c.strip()
             for c in info.options.get("bucket-key", "").split(",")
@@ -4502,6 +4666,8 @@ def overwrite_lake(table_path: str, df) -> int:
             num_buckets=num_buckets,
             bucket_cols=bucket_cols,
             seq_base=seq_base,
+            dyn_index_out=dyn_out,
+            dyn_fresh=True,
         )
     else:
         add_entries, n_rows = _distributed_lake_write(
@@ -4527,13 +4693,24 @@ def overwrite_lake(table_path: str, df) -> int:
         }
         for e in before
     ]
+    index_manifest = None
+    if dyn_out:
+        # the overwrite's own key→bucket assignments are the entire
+        # index now (DV entries drop with the replaced files)
+        from paimon_python_spark.dynamic_bucket import (
+            pending_to_entries,
+            write_index_manifest,
+        )
+
+        ents, _replaced = pending_to_entries(info, dyn_out)
+        index_manifest = write_index_manifest(table_path, ents)
     return _commit_lake_snapshot(
         table_path,
         info,
         delete_entries + add_entries,
         n_rows,
         commit_kind="OVERWRITE",
-        index_manifest=None,
+        index_manifest=index_manifest,
         total_record_count=n_rows,
     )
 
@@ -4611,6 +4788,18 @@ def _write_dv_index_manifest(
                 ],
             }
         )
+    # a dynamic-bucket lake's HASH key index is live state too — carry
+    # it forward verbatim (this manifest REPLACES the previous one)
+    from paimon_python_spark.paimon_import import (
+        HASH_INDEX,
+        live_index_entries,
+    )
+
+    index_entries.extend(
+        r
+        for r in live_index_entries(table_path)
+        if r.get("_INDEX_TYPE") == HASH_INDEX
+    )
     im_name = f"index-manifest-{tag}.avro"
     write_avro_records(
         os.path.join(table_path, "manifest", im_name),

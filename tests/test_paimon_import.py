@@ -1251,15 +1251,20 @@ def test_lake_catalog_full_lifecycle(tmp_path, spark):
     ecat.create_database("default", True)
     et = import_paimon_table(t.table_path, ecat, "default.kv_imported")
     assert et.new_read_builder().new_read().to_pandas().k.tolist() == [2]
-    # duplicate create refuses; dynamic-bucket PK create refuses
+    # duplicate create refuses; dynamic-bucket PK create now WORKS
+    # (bucket unset defaults to -1 = HASH_DYNAMIC, real Paimon's
+    # default PK mode — see test_dynamic_bucket.py for the full surface)
     import pytest as _pytest
 
     with _pytest.raises(ValueError, match="already exists"):
         cat.create_table("prod.kv", sch, primary_keys=["k"],
                          options={"bucket": "2"})
-    with _pytest.raises(TypeError, match="dynamic bucket"):
-        cat.create_table("prod.kv2", sch, primary_keys=["k"])
+    t2 = cat.create_table("prod.kv2", sch, primary_keys=["k"])
+    write_lake_append(t2.table_path,
+                      spark.createDataFrame([(7, "dyn")], "k long, v string"))
+    assert t2.new_read_builder().new_read().to_pandas().v.tolist() == ["dyn"]
     cat.drop_table("prod.kv")
+    cat.drop_table("prod.kv2")
     assert cat.list_tables("prod") == []
 
 
@@ -1796,8 +1801,10 @@ def test_write_lake_append_roundtrip(tmp_path, spark):
             for f in os.listdir(bdir) if f.endswith(".parquet")
         )
         assert found, f"key {key} not in expected bucket-{b}"
-    # dynamic-bucket lakes refuse exactly like the reference
-    # (py4j/util/java_utils.py:56-61)
+    # dynamic-bucket lakes with data but NO hash index refuse — blind
+    # routing could split a key across buckets (the reference refuses
+    # dynamic outright, py4j/util/java_utils.py:56-61; the engine
+    # supports indexed dynamic lakes, test_dynamic_bucket.py)
     p3 = str(tmp_path / "dyn_lake")
     write_paimon_fixture(
         p3, [("k", "BIGINT NOT NULL"), ("v", "STRING")], [], ["k"],
@@ -1807,7 +1814,7 @@ def test_write_lake_append_roundtrip(tmp_path, spark):
             schema=kv))],
         options={"bucket": "-1"},
     )
-    with pytest.raises(TypeError, match="dynamic bucket"):
+    with pytest.raises(ValueError, match="no HASH index"):
         write_lake_append(p3, upserts)
 
 
@@ -2329,10 +2336,25 @@ def test_dynamic_bucket_lake_read(tmp_path, spark):
     )
     out = PaimonLakeTable(p).new_read_builder().new_read().to_pandas().sort_values("k")
     assert list(zip(out.k, out.v)) == [(1, "A2"), (2, "b"), (3, "c")]
-    with pytest.raises(TypeError, match="dynamic bucket"):
+    # no hash index in the fixture → writes refuse (unsound routing);
+    # compact_lake REBUILDS the index from the merged state, after
+    # which dynamic upserts flow (test_dynamic_bucket.py has the rest)
+    with pytest.raises(ValueError, match="no HASH index"):
         write_lake_pk_append(
             p, spark.createDataFrame([(9, "z")], "k int, v string")
         )
+    from paimon_python_spark.paimon_import import plan_paimon_hash_index
+    from paimon_python_spark.paimon_lake import compact_lake
+
+    compact_lake(p)
+    assert plan_paimon_hash_index(p)  # index rebuilt by the rewrite
+    write_lake_pk_append(
+        p, spark.createDataFrame([(9, "z"), (1, "A3")], "k int, v string")
+    )
+    out2 = (
+        PaimonLakeTable(p).new_read_builder().new_read().to_pandas().sort_values("k")
+    )
+    assert list(zip(out2.k, out2.v)) == [(1, "A3"), (2, "b"), (3, "c"), (9, "z")]
 
 
 def test_rescale_lake_bucket(tmp_path, spark):
