@@ -22,24 +22,29 @@ is that assigner, Spark-shaped:
   existing buckets with room first, then fresh buckets of
   ``target-row-num`` each. Deterministic, so Spark can recompute the
   assignment across actions without divergence;
-- index maintenance is one ``applyInPandas`` over the NEW (partition,
-  bucket, hash) triples — each touched bucket's index file is rewritten
-  executor-side as old hashes ++ new hashes, and only KB-scale file
-  metadata returns to the driver for the index-manifest commit.
+- index maintenance FUSES into the data write: each (partition, bucket)
+  group's write task rewrites its own index file (old hashes ++ its
+  rows' new hashes) alongside its data file, and only KB-scale file
+  metadata returns to the driver for the index-manifest commit — no
+  second pass over the routed batch. ``update_index`` remains as the
+  standalone (unfused) form of the same rewrite.
 
 Index file format: the spec's Hash Index payload — a plain sequence of
 big-endian int32 key hashcodes (concepts/spec/tableindex). Entries ride
 the same avro ``IndexManifestEntry`` manifest the deletion vectors use,
 with ``indexType = "HASH"``.
 
-Two Paimon behaviors are intentionally simplified, documented here so
-the parity line is honest: ``dynamic-bucket.initial-buckets`` pre-opens
-that many empty buckets on a partition's FIRST write (capacity-filled
-sequentially, not round-robin across parallel assigners — this engine
-commits one writer at a time), and ``dynamic-bucket.assigner-parallelism``
-is a no-op (same reason). Hash collisions behave exactly like real
-Paimon: two keys sharing an int32 hashcode land in the same bucket —
-correct, merely uneven.
+``dynamic-bucket.assigner-parallelism`` keeps real Paimon's meaning at
+the PLAN level: P parallel assigners each own the bucket ids ≡ their
+index (mod P) and route the new keys whose hashcode ≡ that class, so
+the new-key ranking window partitions by (partition, class) instead of
+serializing every new key of a partition through one task — the knob
+that keeps a bulk load of fresh keys distributed. Default 1 (one
+serial assigner per partition, real Paimon's single-writer shape).
+``dynamic-bucket.initial-buckets`` pre-opens that many empty buckets
+on a partition's FIRST write, split across the classes that own them.
+Hash collisions behave exactly like real Paimon: two keys sharing an
+int32 hashcode land in the same bucket — correct, merely uneven.
 
 CROSS_PARTITION mode (PK not containing the partition keys, needing a
 global cross-partition index) keeps the reference's refusal.
@@ -164,6 +169,16 @@ class DynamicBucketAssigner:
         if self.target < 1:
             raise ValueError("dynamic-bucket.target-row-num must be >= 1")
         self.initial = int(info.options.get("dynamic-bucket.initial-buckets", "0") or 0)
+        self.par = max(
+            1,
+            int(
+                info.options.get("dynamic-bucket.assigner-parallelism", "1")
+                or 1
+            ),
+        )
+        #: plan fragments attach() persisted — release() after the
+        #: write's actions so the routed batch isn't recomputed N times
+        self._cached: list = []
         # state: {part_json: {bucket: {"file": name|None, "rows": int,
         #                              "part_values": [...]}}}
         self.state: dict = {}
@@ -249,35 +264,47 @@ class DynamicBucketAssigner:
 
         return files_df.mapInPandas(_expand, out_schema)
 
-    def _capacity_plans(self):
-        """Per-partition bucket-fill plan for NEW keys: existing
-        buckets' remaining capacity first (ordered by bucket id), then
-        fresh buckets of ``target`` rows each starting past the highest
-        existing id. A fresh partition honors ``initial-buckets`` by
-        pre-opening that many empty buckets. Returns
-        {part_json: (cum_hi list, bucket list, total_free, base)} —
-        rank r (0-based) maps to the first cum_hi > r, overflowing to
-        ``base + (r - total_free) // target``."""
+    def _class_plans(self):
+        """Per-(partition, class) bucket-fill plan for NEW keys, where
+        class c ∈ [0, P) owns the bucket ids ≡ c (mod P) and the new
+        hashcodes with pmod(h, P) == c — the ownership rule that lets P
+        assigners allocate without contending on a bucket. Within a
+        class: existing buckets' remaining capacity first (ordered by
+        id), then fresh buckets of ``target`` rows each at ids
+        c + P*j for j ≥ j0 (past the class's highest existing id).
+        Returns {(part_json, c): (cum_hi list, bucket list, total_free,
+        j0)} — class-local rank r (0-based) maps to the first
+        cum_hi > r, overflowing to ``c + P*(j0 + (r - total_free) //
+        target)``. With P=1 this is exactly the single serial
+        assigner."""
+        P = self.par
         plans = {}
         for pj, buckets in self.state.items():
-            frees, ids = [], []
-            for b in sorted(buckets):
-                free = self.target - int(buckets[b]["rows"])
-                if free > 0:
-                    ids.append(b)
-                    frees.append(free)
-            cum, acc = [], 0
-            for f in frees:
-                acc += f
-                cum.append(acc)
-            plans[pj] = (cum, ids, acc, (max(buckets) + 1) if buckets else 0)
+            for c in range(P):
+                own = sorted(b for b in buckets if b % P == c)
+                frees, ids = [], []
+                for b in own:
+                    free = self.target - int(buckets[b]["rows"])
+                    if free > 0:
+                        ids.append(b)
+                        frees.append(free)
+                cum, acc = [], 0
+                for f in frees:
+                    acc += f
+                    cum.append(acc)
+                j0 = (max(own) // P + 1) if own else 0
+                plans[(pj, c)] = (cum, ids, acc, j0)
         return plans
 
-    def _fresh_plan(self):
-        """Plan for partitions with no index yet."""
-        k = max(0, self.initial)
-        cum = [self.target * (i + 1) for i in range(k)]
-        return (cum, list(range(k)), self.target * k, k)
+    def _fresh_class_plan(self, c: int):
+        """Class c's plan for a partition with no index yet:
+        ``initial-buckets`` pre-opens ids 0..k-1, of which c owns those
+        ≡ c (mod P)."""
+        P = self.par
+        own = [b for b in range(max(0, self.initial)) if b % P == c]
+        cum = [self.target * (i + 1) for i in range(len(own))]
+        j0 = (max(own) // P + 1) if own else 0
+        return (cum, own, self.target * len(own), j0)
 
     # -- assignment ------------------------------------------------------------
 
@@ -286,20 +313,27 @@ class DynamicBucketAssigner:
         (the routed bucket) and ``__kn`` (1 for keys new to the index).
 
         Shape: the index join resolves EXISTING keys; new keys take a
-        deterministic per-partition rank (row_number over the distinct
-        new hashcodes — recomputations assign identically) and map to
-        buckets through a BROADCAST plan join: capacity segments of
-        existing buckets first, then a pure-codegen overflow formula
-        opening fresh buckets of ``target`` rows each. No
-        driver-side or single-task materialization of the batch; the
-        per-partition window sort of new DISTINCT keys is the same
-        serial allocation point a single Paimon assigner has (and
-        spills rather than OOMs on bulk loads)."""
+        deterministic rank per (partition, assigner class) —
+        row_number over the distinct new hashcodes, class =
+        pmod(h, P) — and map to buckets through a BROADCAST plan join:
+        capacity segments of the class's existing buckets first, then
+        a pure-codegen overflow formula opening fresh buckets of
+        ``target`` rows each at ids ≡ class (mod P). Recomputations
+        assign identically (rank and formula are pure functions of the
+        data), and the routed batch is PERSISTED (memory-and-disk, one
+        commit's data — the same bound as a Paimon writer's sort
+        buffer) because the index rewrite and the data write both act
+        on it; callers release() when the write's actions are done.
+        ``assigner-parallelism`` P > 1 splits a bulk load's new-key
+        ranking across P class windows per partition instead of one
+        serial sort."""
+        from pyspark import StorageLevel
         from pyspark.sql import Window
         from pyspark.sql import functions as F
         from pyspark.sql import types as T
 
         spark = sdf.sparkSession
+        P = self.par
         hash_udf = F.pandas_udf(_make_key_hash_fn(self.key_types), "int")
         sdf = sdf.withColumn("__h", hash_udf(*[F.col(c) for c in self.bcols]))
 
@@ -327,33 +361,43 @@ class DynamicBucketAssigner:
             joined = sdf.join(idx, cond, "left").select(sdf["*"], idx["__b_idx"])
         else:
             joined = sdf.withColumn("__b_idx", F.lit(None).cast("int"))
+        # the index rewrite and the data write both act on this plan —
+        # pay the hash UDF + index join ONCE
+        joined = joined.persist(StorageLevel.MEMORY_AND_DISK)
+        self._cached.append(joined)
 
         # deterministic rank of each NEW distinct hashcode inside its
-        # partition: recomputations of this plan assign identically
+        # (partition, class) window: recomputations assign identically
         news = (
             joined.filter(F.col("__b_idx").isNull())
             .select(*part_keys, "__h")
             .distinct()
+            .withColumn("__cls", F.pmod(F.col("__h"), F.lit(P)).cast("int"))
         )
-        w = Window.partitionBy(*[F.col(k) for k in part_keys]).orderBy("__h")
+        w = Window.partitionBy(
+            *[F.col(k) for k in part_keys], F.col("__cls")
+        ).orderBy("__h")
         ranked = news.withColumn("__rk", F.row_number().over(w) - 1)
 
-        plans = self._capacity_plans()
-        fresh = self._fresh_plan()
+        plans = self._class_plans()
         seg_rows, ovf_rows = [], []
         for r in batch_parts:
             pv = tuple(r[k] for k in part_keys) if part_keys else ()
             pj = pj_of(r) if part_keys else _part_json_of({}, [])
-            cum, ids, total_free, base = plans.get(pj, fresh)
-            lo = 0
-            for hi, b in zip(cum, ids):
-                seg_rows.append(pv + (lo, hi, int(b)))
-                lo = hi
-            ovf_rows.append(pv + (int(total_free), int(base)))
+            for c in range(P):
+                cum, ids, total_free, j0 = plans.get(
+                    (pj, c), None
+                ) or self._fresh_class_plan(c)
+                lo = 0
+                for hi, b in zip(cum, ids):
+                    seg_rows.append(pv + (c, lo, hi, int(b)))
+                    lo = hi
+                ovf_rows.append(pv + (c, int(total_free), int(j0)))
         part_fields = [self.info.spark_schema[k] for k in part_keys]
         seg_schema = T.StructType(
             part_fields
             + [
+                T.StructField("__cls_s", T.IntegerType()),
                 T.StructField("__lo", T.LongType()),
                 T.StructField("__hi", T.LongType()),
                 T.StructField("__b_seg", T.IntegerType()),
@@ -362,8 +406,9 @@ class DynamicBucketAssigner:
         ovf_schema = T.StructType(
             part_fields
             + [
+                T.StructField("__cls_o", T.IntegerType()),
                 T.StructField("__free", T.LongType()),
-                T.StructField("__base", T.IntegerType()),
+                T.StructField("__j0", T.IntegerType()),
             ]
         )
         segs = spark.createDataFrame(seg_rows, seg_schema)
@@ -372,23 +417,37 @@ class DynamicBucketAssigner:
             F.broadcast(segs),
             (ranked["__rk"] >= segs["__lo"])
             & (ranked["__rk"] < segs["__hi"])
+            & (ranked["__cls"] == segs["__cls_s"])
             & _part_cond(ranked, segs, part_keys),
             "left",
         ).select(ranked["*"], segs["__b_seg"])
-        a2 = a.join(F.broadcast(ovf), _part_cond(a, ovf, part_keys), "left")
+        a2 = a.join(
+            F.broadcast(ovf),
+            (a["__cls"] == ovf["__cls_o"]) & _part_cond(a, ovf, part_keys),
+            "left",
+        )
         assigned_new = a2.select(
             *[a[k] for k in part_keys],
             a["__h"],
             F.coalesce(
                 a["__b_seg"],
                 (
-                    ovf["__base"]
-                    + F.floor(
-                        (a["__rk"] - ovf["__free"]) / F.lit(self.target)
+                    a["__cls"]
+                    + F.lit(P)
+                    * (
+                        ovf["__j0"]
+                        + F.floor(
+                            (a["__rk"] - ovf["__free"]) / F.lit(self.target)
+                        )
                     )
                 ).cast("int"),
             ).alias("__b_new"),
-        )
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        self._cached.append(assigned_new)
+        # update_index() acts on exactly this (part, hash → bucket) set
+        # — keep it so the index rewrite doesn't re-derive it from the
+        # full batch (filter + distinct = two more shuffles)
+        self._assigned_new = assigned_new
 
         cond2 = (joined["__h"] == assigned_new["__h"]) & _part_cond(
             joined, assigned_new, part_keys
@@ -402,13 +461,26 @@ class DynamicBucketAssigner:
         )
         return res
 
+    def release(self):
+        """Unpersist the plan fragments attach() cached. Call once the
+        write's actions (index rewrite, data write) are done."""
+        for df in self._cached:
+            try:
+                df.unpersist(False)
+            except Exception:
+                pass
+        self._cached.clear()
+
     # -- index maintenance -------------------------------------------------------
 
     def update_index(self, assigned_sdf) -> list:
         """Rewrite the index file of every bucket that received NEW
         keys (old hashes ++ new hashes, executor-side) and return the
         staged metas [{part_json, part_values, bucket, file, size,
-        rows}] for the commit's merged index manifest."""
+        rows}] for the commit's merged index manifest. Runs off the
+        PERSISTED (part, hash → bucket) fragment attach() cached when
+        ``assigned_sdf`` came from this assigner's attach(); falls back
+        to deriving the set from ``assigned_sdf`` otherwise."""
         import pandas as pd
         from pyspark.sql import functions as F
         from pyspark.sql import types as T
@@ -424,11 +496,15 @@ class DynamicBucketAssigner:
             if m["file"]
         }
 
-        new_keys = (
-            assigned_sdf.filter(F.col("__kn") == 1)
-            .select(*part_keys, "__h", "__bucket")
-            .distinct()
-        )
+        cached = getattr(self, "_assigned_new", None)
+        if cached is not None:
+            new_keys = cached.withColumnRenamed("__b_new", "__bucket")
+        else:
+            new_keys = (
+                assigned_sdf.filter(F.col("__kn") == 1)
+                .select(*part_keys, "__h", "__bucket")
+                .distinct()
+            )
         meta_schema = T.StructType(
             [
                 T.StructField("part_json", T.StringType()),

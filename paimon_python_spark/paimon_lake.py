@@ -2382,6 +2382,8 @@ def _distributed_lake_write(
         # has at most one logical event per key and the (-U, +U) pair
         # order is the kind order.
         sdf = sdf.withColumn("__input_order", F.monotonically_increasing_id())
+    dyn_assigner = None
+    dyn_old_files = None  # non-None = fuse index rewrite into the write task
     if kv:
         bcols = list(bucket_cols or trimmed)
         key_types = [info.spark_schema[c].dataType for c in bcols]
@@ -2399,11 +2401,21 @@ def _distributed_lake_write(
                 )
             from paimon_python_spark.dynamic_bucket import DynamicBucketAssigner
 
-            _assigner = DynamicBucketAssigner(
+            dyn_assigner = DynamicBucketAssigner(
                 table_path, info, bcols, dyn_index_out, fresh=dyn_fresh
             )
-            sdf = _assigner.attach(sdf)
-            dyn_index_out.extend(_assigner.update_index(sdf))
+            sdf = dyn_assigner.attach(sdf)
+            # index maintenance FUSES into the data-write task below:
+            # each (partition, bucket) group rewrites its own index
+            # file (old hashes ++ its rows' new hashes) alongside its
+            # data file — one action instead of a second pass over the
+            # routed batch. The group only needs the OLD file map.
+            dyn_old_files = {
+                (pj, b): m["file"]
+                for pj, bs in dyn_assigner.state.items()
+                for b, m in bs.items()
+                if m["file"]
+            }
         else:
             # no type hints on the bucket fn: the module's postponed
             # annotations would reach pandas_udf as unresolvable strings
@@ -2442,6 +2454,12 @@ def _distributed_lake_write(
             T.StructField("cl_name", T.StringType()),
             T.StructField("cl_size", T.LongType()),
             T.StructField("emb_idx", T.BinaryType()),
+            # dynamic-bucket lakes: the group's rewritten HASH index
+            # file (None on fixed-bucket/append writes and on groups
+            # with no new keys)
+            T.StructField("idx_file", T.StringType()),
+            T.StructField("idx_size", T.LongType()),
+            T.StructField("idx_rows", T.LongType()),
         ]
     )
     schema_info = info
@@ -2604,6 +2622,36 @@ def _distributed_lake_write(
                     emb = _json.dumps(
                         {"format": _EMB_BLOOM_FORMAT, "columns": blooms}
                     ).encode("utf-8")
+        idx_file, idx_size, idx_rows = None, 0, 0
+        if dyn_old_files is not None and "__kn" in pdf.columns:
+            # dynamic-bucket index upkeep, fused into the write task:
+            # this group's NEW key hashcodes extend its bucket's index
+            # file (a hash already present stays — a collision with an
+            # existing key routes here by design, same as real Paimon)
+            import numpy as np
+
+            from paimon_python_spark.dynamic_bucket import (
+                read_hash_index_file,
+                write_hash_index_file,
+            )
+
+            newh = pdf.loc[pdf["__kn"] == 1, "__h"]
+            if len(newh):
+                new = np.unique(newh.to_numpy(dtype=np.int32))
+                old_name = dyn_old_files.get((_json.dumps(pvals), bucket))
+                if old_name is not None:
+                    old = read_hash_index_file(
+                        os.path.join(table_path, "index", old_name)
+                    )
+                    merged = np.concatenate([old, np.setdiff1d(new, old)])
+                else:
+                    merged = new
+                idx_file = f"index-{uuid.uuid4().hex}-0"
+                os.makedirs(os.path.join(table_path, "index"), exist_ok=True)
+                idx_size = write_hash_index_file(
+                    os.path.join(table_path, "index", idx_file), merged
+                )
+                idx_rows = len(merged)
         return pd.DataFrame(
             [
                 {
@@ -2622,11 +2670,29 @@ def _distributed_lake_write(
                     "cl_name": cl_name,
                     "cl_size": cl_size,
                     "emb_idx": emb,
+                    "idx_file": idx_file,
+                    "idx_size": idx_size,
+                    "idx_rows": idx_rows,
                 }
             ]
         )
 
     meta = sdf.groupBy(*gcols).applyInPandas(_write_group, meta_schema).collect()
+    if dyn_assigner is not None:
+        dyn_assigner.release()
+        for r in meta:
+            if r["idx_file"]:
+                pv = _json.loads(r["part_json"])
+                dyn_index_out.append(
+                    {
+                        "part_json": r["part_json"],
+                        "part_values": [pv[k] for k in part_keys],
+                        "bucket": int(r["bucket"]),
+                        "file": r["idx_file"],
+                        "size": int(r["idx_size"]),
+                        "rows": int(r["idx_rows"]),
+                    }
+                )
 
     def _entry(r, file_name, file_size):
         pj = _json.loads(r["part_json"])
@@ -2851,18 +2917,20 @@ def write_lake_pk_append(
                         DynamicBucketAssigner,
                     )
 
-                    typed_keys = (
-                        DynamicBucketAssigner(
-                            table_path, info, bcols_l, dyn_out
-                        )
-                        .attach(typed_keys)
-                        .withColumnRenamed("__bucket", "__b")
+                    probe_assigner = DynamicBucketAssigner(
+                        table_path, info, bcols_l, dyn_out
                     )
+                    typed_keys = probe_assigner.attach(
+                        typed_keys
+                    ).withColumnRenamed("__bucket", "__b")
                 else:
+                    probe_assigner = None
                     typed_keys = typed_keys.withColumn(
                         "__b", bfn(*[F.col(c) for c in bcols_l])
                     ).withColumn("__kn", F.lit(0))
                 typed = typed_keys.limit(_LOOKUP_POINT_KEY_CAP + 1).collect()
+                if probe_assigner is not None:
+                    probe_assigner.release()
             key_pred = None
             if 0 < len(typed) <= _LOOKUP_POINT_KEY_CAP:
                 touched = {
@@ -2914,21 +2982,24 @@ def write_lake_pk_append(
                         DynamicBucketAssigner,
                     )
 
+                    probe_assigner = DynamicBucketAssigner(
+                        table_path, info, bcols_l, dyn_out
+                    )
                     routed = (
-                        DynamicBucketAssigner(
-                            table_path, info, bcols_l, dyn_out
-                        )
-                        .attach(narrow)
+                        probe_assigner.attach(narrow)
                         .filter(F.col("__kn") == 0)
                         .withColumnRenamed("__bucket", "__b")
                     )
                 else:
+                    probe_assigner = None
                     routed = narrow.withColumn(
                         "__b", bfn(*[F.col(c) for c in bcols_l])
                     )
                 touched_rows = (
                     routed.select(*part_keys_l, "__b").distinct().collect()
                 )
+                if probe_assigner is not None:
+                    probe_assigner.release()
                 touched = {
                     (tuple(r[k] for k in part_keys_l), int(r["__b"]))
                     for r in touched_rows

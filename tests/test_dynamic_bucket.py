@@ -296,3 +296,45 @@ def test_dynamic_initial_buckets_pre_open(tmp_path, spark):
     # land in buckets 0 (100) and 1 (50)
     got = {e["_BUCKET"]: e["_ROW_COUNT"] for e in ents}
     assert got == {0: 100, 1: 50}
+
+
+def test_dynamic_assigner_parallelism(tmp_path, spark):
+    """``dynamic-bucket.assigner-parallelism = 4``: class c (pmod of
+    the key hashcode by 4) owns the bucket ids ≡ c (mod 4), so a bulk
+    load's new-key ranking distributes across 4 windows per partition
+    instead of one serial sort — and every index invariant still
+    holds: one bucket per key, per-bucket capacity, stable pins."""
+    tp = _mk(
+        tmp_path,
+        options={
+            "dynamic-bucket.target-row-num": "20",
+            "dynamic-bucket.assigner-parallelism": "4",
+        },
+    )
+    df = spark.createDataFrame([(i, f"a{i}") for i in range(300)], _schema())
+    write_lake_pk_append(tp, df)
+    ents = plan_paimon_hash_index(tp)
+    assert sum(e["_ROW_COUNT"] for e in ents) == 300
+    classes = set()
+    seen = set()
+    for e in ents:
+        b = int(e["_BUCKET"])
+        h = read_hash_index_file(os.path.join(tp, "index", e["_FILE_NAME"]))
+        assert len(h) == e["_ROW_COUNT"] <= 20
+        # ownership rule: a bucket only holds hashes of ITS class
+        assert all(int(x) % 4 == b % 4 for x in h.tolist())
+        assert seen.isdisjoint(h.tolist())
+        seen.update(h.tolist())
+        classes.add(b % 4)
+    assert len(classes) == 4, "300 murmur hashes must hit all 4 classes"
+    # pins stay stable: upsert EVERY key — no growth, routed back
+    write_lake_pk_append(
+        tp, spark.createDataFrame([(i, "u") for i in range(300)], _schema())
+    )
+    ents2 = plan_paimon_hash_index(tp)
+    assert sum(e["_ROW_COUNT"] for e in ents2) == 300
+    assert sorted(
+        (int(e["_BUCKET"]), e["_ROW_COUNT"]) for e in ents2
+    ) == sorted((int(e["_BUCKET"]), e["_ROW_COUNT"]) for e in ents)
+    rows = _state(tp)
+    assert len(rows) == 300 and set(rows.values()) == {"u"}
