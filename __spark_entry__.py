@@ -5140,6 +5140,98 @@ ORDER BY c_custkey
 """
 
 
+def paimon_cross_partition_roundtrip(spark, sf_dir):
+    """CROSS_PARTITION PK lake end-to-end — 'bucket' = '-1' with the
+    primary key NOT containing the partition key, the second mode the
+    reference refuses outright (py4j/util/java_utils.py:56-61). The
+    engine's CrossPartitionRouter (dynamic_bucket.py) mirrors real
+    Paimon's GlobalIndexAssigner semantics Spark-shaped: an upsert
+    whose partition value changed MOVES the key — a -D retraction row
+    lands in the OLD partition (keyed join against the lake's own
+    merged state, IN-pruned for small batches) so per-(partition,
+    bucket) merges stay closed, and the new version routes through the
+    new partition's hash-index assigner. Seed customers <= 900 into
+    parity partitions, then one CDC commit moves every 5th key to a
+    'hot' partition (updated name) and inserts fresh keys into a 'new'
+    partition. Inline asserts pin the invariant a cross-partition lake
+    lives by: every key in exactly ONE partition."""
+    from pyspark.sql import types as T
+
+    from paimon_python_spark.paimon_lake import (
+        PaimonLakeTable,
+        create_lake_table,
+        write_lake_pk_append,
+    )
+    from paimon_python_spark.session import set_spark
+
+    set_spark(spark)
+    lake = _fresh_warehouse("lakexp") + "/customer_xp"
+    schema = T.StructType(
+        [
+            T.StructField("c_custkey", T.LongType(), False),
+            T.StructField("seg", T.StringType(), False),
+            T.StructField("c_name", T.StringType()),
+        ]
+    )
+    create_lake_table(
+        lake,
+        schema,
+        partition_keys=["seg"],
+        primary_keys=["c_custkey"],
+        options={"bucket": "-1", "dynamic-bucket.target-row-num": "200"},
+    )
+    base = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 900)
+        .select(
+            "c_custkey",
+            F.when(F.col("c_custkey") % 2 == 0, F.lit("even"))
+            .otherwise(F.lit("odd"))
+            .alias("seg"),
+            "c_name",
+        )
+    )
+    write_lake_pk_append(lake, base)
+    moves = base.filter(F.col("c_custkey") % 5 == 0).select(
+        "c_custkey",
+        F.lit("hot").alias("seg"),
+        F.concat(F.lit("MV-"), F.col("c_custkey")).alias("c_name"),
+    )
+    fresh = base.filter(F.col("c_custkey") <= 40).select(
+        (F.col("c_custkey") + F.lit(100000)).alias("c_custkey"),
+        F.lit("new").alias("seg"),
+        F.concat(F.lit("N-"), F.col("c_custkey")).alias("c_name"),
+    )
+    write_lake_pk_append(lake, moves.unionByName(fresh))
+    out = PaimonLakeTable(lake).new_read_builder().new_read().to_df()
+    n_total = out.count()
+    n_keys = out.select("c_custkey").distinct().count()
+    assert n_total == n_keys, "a key must live in exactly ONE partition"
+    n_hot = out.filter(F.col("seg") == "hot").count()
+    assert n_hot == base.filter(F.col("c_custkey") % 5 == 0).count()
+    return out.select("c_custkey", "seg", "c_name").orderBy("c_custkey")
+
+
+PAIMON_CROSS_PARTITION_SQL = """
+SELECT c_custkey, seg, c_name FROM (
+    SELECT c_custkey,
+           CASE WHEN c_custkey % 5 = 0 THEN 'hot'
+                WHEN c_custkey % 2 = 0 THEN 'even'
+                ELSE 'odd' END AS seg,
+           CASE WHEN c_custkey % 5 = 0
+                THEN 'MV-' || CAST(c_custkey AS VARCHAR)
+                ELSE c_name END AS c_name
+    FROM customer WHERE c_custkey <= 900
+    UNION ALL
+    SELECT c_custkey + 100000 AS c_custkey,
+           'new' AS seg,
+           'N-' || CAST(c_custkey AS VARCHAR) AS c_name
+    FROM customer WHERE c_custkey <= 40
+)
+ORDER BY c_custkey
+"""
+
+
 def paimon_lake_avro_write_roundtrip(spark, sf_dir):
     """APPEND to an avro-format lake: data files write through the
     engine's own avro codec (stdlib container writer, Avro 1.11 spec)
@@ -10419,6 +10511,7 @@ _QUERIES: dict[str, Callable] = {
     "paimon_lake_lookup_changelog_roundtrip": paimon_lake_lookup_changelog_roundtrip,
     "paimon_lake_pk_delete_roundtrip": paimon_lake_pk_delete_roundtrip,
     "paimon_dynamic_bucket_roundtrip": paimon_dynamic_bucket_roundtrip,
+    "paimon_cross_partition_roundtrip": paimon_cross_partition_roundtrip,
     "paimon_lake_avro_write_roundtrip": paimon_lake_avro_write_roundtrip,
     "paimon_lake_dv_history_roundtrip": paimon_lake_dv_history_roundtrip,
     "paimon_lake_compact_roundtrip": paimon_lake_compact_roundtrip,
@@ -10767,6 +10860,7 @@ _ORACLES: dict[str, str] = {
     "paimon_lake_lookup_changelog_roundtrip": PAIMON_LAKE_LOOKUP_CHANGELOG_SQL,
     "paimon_lake_pk_delete_roundtrip": PAIMON_LAKE_PK_DELETE_SQL,
     "paimon_dynamic_bucket_roundtrip": PAIMON_DYNAMIC_BUCKET_SQL,
+    "paimon_cross_partition_roundtrip": PAIMON_CROSS_PARTITION_SQL,
     "paimon_lake_avro_write_roundtrip": PAIMON_LAKE_AVRO_WRITE_SQL,
     "paimon_lake_dv_history_roundtrip": PAIMON_LAKE_DV_HISTORY_SQL,
     "paimon_lake_compact_roundtrip": PAIMON_LAKE_COMPACT_SQL,

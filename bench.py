@@ -119,10 +119,12 @@ HEADLINE = [
     "paimon_lake_manifest_skip_roundtrip",
     "pipeline_incremental_ingest",
     "mm_audio_spectral",
-    # r9: dynamic-bucket PK writes (hash-index routing — the mode the
-    # reference refuses; its cost shape is the index join + capacity
-    # assignment, worth tracking per-round)
+    # r9: dynamic-bucket and cross-partition PK writes (hash-index
+    # routing / retraction-emitting moves — the two modes the reference
+    # refuses; their cost shape is the index join + capacity assignment
+    # + state lookup, worth tracking per-round)
     "paimon_dynamic_bucket_roundtrip",
+    "paimon_cross_partition_roundtrip",
 ]
 
 

@@ -46,8 +46,13 @@ on a partition's FIRST write, split across the classes that own them.
 Hash collisions behave exactly like real Paimon: two keys sharing an
 int32 hashcode land in the same bucket — correct, merely uneven.
 
-CROSS_PARTITION mode (PK not containing the partition keys, needing a
-global cross-partition index) keeps the reference's refusal.
+CROSS_PARTITION mode (PK not containing the partition keys) is
+supported too, via :class:`CrossPartitionRouter`: real Paimon keeps a
+global RocksDB key→location index and emits retractions when a key's
+partition changes; the Spark shape is a key-projected join against the
+lake's own merged state that emits a ``-D`` retraction row into the
+OLD partition, so per-(partition, bucket) merges stay closed and no
+reader ever needs cross-partition resolution.
 """
 
 from __future__ import annotations
@@ -58,11 +63,19 @@ import uuid
 from typing import List, Optional
 
 __all__ = [
+    "CrossPartitionRouter",
     "DynamicBucketAssigner",
     "read_hash_index_file",
     "write_hash_index_file",
     "write_merged_index_manifest",
 ]
+
+#: batches with at most this many distinct keys prune the cross-
+#: partition state read with per-column IN predicates (footer stats +
+#: bloom file skipping below the merge); larger batches pay one
+#: key-projected scan — the bootstrap cost real Paimon's global index
+#: assigner also pays
+CROSS_POINT_KEY_CAP = 1024
 
 #: default rows per dynamic bucket (Paimon's dynamic-bucket.target-row-num)
 TARGET_ROW_NUM_DEFAULT = 2_000_000
@@ -680,3 +693,189 @@ def write_merged_index_manifest(table_path: str, info, pending: list) -> Optiona
         )
     ]
     return write_index_manifest(table_path, carried + new_entries)
+
+
+def arrival_dedup(sdf, keys: List[str], kind_col: Optional[str] = None):
+    """Net a batch to its LAST row per key, in arrival order — the
+    same arrival-order stance as the engine's per-commit sequencer
+    (``__input_order`` in the group writer). Cross-partition writes
+    need this BEFORE routing: two versions of one key in one batch
+    could land in two partitions, and per-partition merges could never
+    reconcile them. Returns (deduped, kind_col_name) with the kind
+    column normalized to ``__kind`` (0 = +I when absent)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    if kind_col is not None and kind_col != "__kind":
+        sdf = sdf.withColumn("__kind", F.col(kind_col).cast("int")).drop(
+            kind_col
+        )
+    elif kind_col is None:
+        sdf = sdf.withColumn("__kind", F.lit(0))
+    w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(
+        F.col("__xp_ord").desc()
+    )
+    return (
+        sdf.withColumn("__xp_ord", F.monotonically_increasing_id())
+        .withColumn("__xp_rn", F.row_number().over(w))
+        .filter(F.col("__xp_rn") == 1)
+        .drop("__xp_rn", "__xp_ord")
+    )
+
+
+class CrossPartitionRouter:
+    """CROSS_PARTITION (``'bucket' = '-1'`` with PK ⊉ partition keys)
+    upsert routing — the mode the reference refuses outright
+    (py4j/util/java_utils.py:56-61) and real Paimon serves with a
+    global RocksDB key→location index (its ``GlobalIndexAssigner``
+    bootstraps by scanning the table). The Spark shape keeps the same
+    contract with no driver-side index:
+
+    - the batch arrival-dedups per key (LAST row wins — one commit
+      nets to at most one version per key, matching the net effect a
+      streaming global assigner produces);
+    - a column-pruned merged read (pk + partition keys only) left-joins
+      the batch; a key whose stored partition differs from the incoming
+      row's emits a ``-D`` RETRACTION row into the OLD partition —
+      per-(partition, bucket) merges stay closed, so no reader ever
+      needs cross-partition resolution;
+    - the union (retractions + upserts) routes through the ordinary
+      partition-local hash-index assigner: a retraction hits its old
+      partition's index (exact — within a partition a hashcode maps to
+      ONE bucket), a moved key registers as new in its new partition.
+      The old partition's index keeps the departed key's hash, exactly
+      like real Paimon's append-optimistic hash index: a later
+      move-back re-pins to the original bucket.
+
+    Batches of ≤ ``CROSS_POINT_KEY_CAP`` distinct keys prune the state
+    read with per-column IN predicates (a superset of the batch's key
+    tuples — footer min/max and bloom file indexes skip files below
+    the merge); the join then restores tuple precision."""
+
+    def __init__(self, table_path: str, info, pending: list):
+        self.table_path = table_path
+        self.info = info
+        self.pending = pending
+        self._assigner: Optional[DynamicBucketAssigner] = None
+        self._cached: list = []
+
+    def attach(self, sdf, row_kind_col: Optional[str] = None):
+        """Return the routed union (original columns + ``__kind`` +
+        ``__h``/``__bucket``/``__kn``) ready for the group writer.
+        Callers pass ``row_kind_col="__kind"`` downstream and
+        release() when the write's actions are done."""
+        from pyspark import StorageLevel
+        from pyspark.sql import functions as F
+
+        info = self.info
+        pks = list(info.primary_keys)
+        part_keys = list(info.partition_keys)
+        val_cols = [f.name for f in info.spark_schema.fields]
+        casted = sdf.select(
+            *[
+                F.col(c).cast(info.spark_schema[c].dataType).alias(c)
+                for c in val_cols
+            ],
+            *([F.col(row_kind_col)] if row_kind_col else []),
+        )
+        # PERSIST after the arrival dedup: monotonically_increasing_id
+        # is stable only within one materialization — every later
+        # action (key probe, index rewrite, data write) must see the
+        # same dedup choice
+        casted = arrival_dedup(casted, pks, kind_col=row_kind_col).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        self._cached.append(casted)
+
+        old = self._old_locations(casted, pks, part_keys)
+        if old is not None:
+            joined = casted.join(old, pks, "left")
+            diff = F.lit(False)
+            for k in part_keys:
+                diff = diff | ~F.col(k).eqNullSafe(F.col(f"__old_{k}"))
+            retr = joined.filter(
+                (F.col("__old_present") == 1) & diff
+            ).select(
+                *[
+                    F.col(c)
+                    if c in pks
+                    else (
+                        F.col(f"__old_{c}").alias(c)
+                        if c in part_keys
+                        else F.lit(None)
+                        .cast(info.spark_schema[c].dataType)
+                        .alias(c)
+                    )
+                    for c in val_cols
+                ],
+                F.lit(3).alias("__kind"),
+            )
+            routed_input = casted.unionByName(retr)
+        else:
+            routed_input = casted
+        bcols = [
+            c.strip()
+            for c in info.options.get("bucket-key", "").split(",")
+            if c.strip()
+        ] or [k for k in pks if k not in part_keys]
+        self._assigner = DynamicBucketAssigner(
+            self.table_path, info, bcols, self.pending
+        )
+        return self._assigner.attach(routed_input)
+
+    def _old_locations(self, casted, pks, part_keys):
+        """The merged state's (pk → partition) projection as
+        ``(*pks, __old_<part>…, __old_present)``, or None when the lake
+        has no snapshot yet (seed commits pay zero lookup). Small
+        batches prune the read with IN predicates over the batch's
+        keys."""
+        from pyspark.sql import functions as F
+
+        from paimon_python_spark.paimon_import import (
+            latest_paimon_snapshot_id,
+        )
+
+        try:
+            latest_paimon_snapshot_id(self.table_path)
+        except FileNotFoundError:
+            return None
+        from paimon_python_spark.paimon_lake import PaimonLakeTable
+        from paimon_python_spark.predicate import PredicateBuilder
+
+        rb = PaimonLakeTable(self.table_path).new_read_builder()
+        rb = rb.with_projection(list(dict.fromkeys(pks + part_keys)))
+        probe = (
+            casted.select(*pks)
+            .distinct()
+            .limit(CROSS_POINT_KEY_CAP + 1)
+            .collect()
+        )
+        if 0 < len(probe) <= CROSS_POINT_KEY_CAP:
+            pb = PredicateBuilder([f.name for f in self.info.spark_schema.fields])
+            preds = []
+            for k in pks:
+                vals = sorted(
+                    {r[k] for r in probe if r[k] is not None}, key=repr
+                )
+                if vals:
+                    preds.append(pb.is_in(k, vals))
+            if preds:
+                rb = rb.with_filter(
+                    pb.and_predicates(preds) if len(preds) > 1 else preds[0]
+                )
+        state = rb.new_read().to_df()
+        return state.select(
+            *pks,
+            *[F.col(k).alias(f"__old_{k}") for k in part_keys],
+            F.lit(1).alias("__old_present"),
+        )
+
+    def release(self):
+        if self._assigner is not None:
+            self._assigner.release()
+        for df in self._cached:
+            try:
+                df.unpersist(False)
+            except Exception:
+                pass
+        self._cached.clear()

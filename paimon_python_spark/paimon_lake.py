@@ -2401,21 +2401,38 @@ def _distributed_lake_write(
                 )
             from paimon_python_spark.dynamic_bucket import DynamicBucketAssigner
 
-            dyn_assigner = DynamicBucketAssigner(
-                table_path, info, bcols, dyn_index_out, fresh=dyn_fresh
-            )
-            sdf = dyn_assigner.attach(sdf)
-            # index maintenance FUSES into the data-write task below:
-            # each (partition, bucket) group rewrites its own index
-            # file (old hashes ++ its rows' new hashes) alongside its
-            # data file — one action instead of a second pass over the
-            # routed batch. The group only needs the OLD file map.
-            dyn_old_files = {
-                (pj, b): m["file"]
-                for pj, bs in dyn_assigner.state.items()
-                for b, m in bs.items()
-                if m["file"]
-            }
+            if "__bucket" in sdf.columns:
+                # pre-routed (CrossPartitionRouter): __h/__bucket/__kn
+                # are already attached — only the old-index file map is
+                # needed for the fused index rewrite below. The helper
+                # assigner is metadata-only (no attach, nothing to
+                # release).
+                _map_helper = DynamicBucketAssigner(
+                    table_path, info, bcols, dyn_index_out, fresh=dyn_fresh
+                )
+                dyn_old_files = {
+                    (pj, b): m["file"]
+                    for pj, bs in _map_helper.state.items()
+                    for b, m in bs.items()
+                    if m["file"]
+                }
+            else:
+                dyn_assigner = DynamicBucketAssigner(
+                    table_path, info, bcols, dyn_index_out, fresh=dyn_fresh
+                )
+                sdf = dyn_assigner.attach(sdf)
+                # index maintenance FUSES into the data-write task
+                # below: each (partition, bucket) group rewrites its
+                # own index file (old hashes ++ its rows' new hashes)
+                # alongside its data file — one action instead of a
+                # second pass over the routed batch. The group only
+                # needs the OLD file map.
+                dyn_old_files = {
+                    (pj, b): m["file"]
+                    for pj, bs in dyn_assigner.state.items()
+                    for b, m in bs.items()
+                    if m["file"]
+                }
         else:
             # no type hints on the bucket fn: the module's postponed
             # annotations would reach pandas_udf as unresolvable strings
@@ -2680,6 +2697,7 @@ def _distributed_lake_write(
     meta = sdf.groupBy(*gcols).applyInPandas(_write_group, meta_schema).collect()
     if dyn_assigner is not None:
         dyn_assigner.release()
+    if dyn_old_files is not None:
         for r in meta:
             if r["idx_file"]:
                 pv = _json.loads(r["part_json"])
@@ -2781,16 +2799,14 @@ def write_lake_pk_append(
         )
     num_buckets = int(info.options.get("bucket", "-1"))
     dynamic = num_buckets < 1
-    if dynamic and info.partition_keys and not (
+    # CROSS_PARTITION ('bucket' = '-1' with PK ⊉ partition keys): an
+    # update can move a key across partitions — routed below via
+    # CrossPartitionRouter (retraction into the old partition +
+    # partition-local hash-index assignment). The reference refuses
+    # both this and plain dynamic mode (py4j/util/java_utils.py:56-61).
+    cross = dynamic and bool(info.partition_keys) and not (
         set(info.partition_keys) <= set(info.primary_keys)
-    ):
-        # CROSS_PARTITION mode (an update can move a key across
-        # partitions, needing a global index) keeps the reference's
-        # refusal; HASH_DYNAMIC ('bucket' = '-1' with PK ⊇ partition
-        # keys) is supported via the hash-index assigner
-        raise TypeError(
-            "Doesn't support writing dynamic bucket or cross partition table."
-        )
+    )
     dyn_out: Optional[list] = [] if dynamic else None
     fmt = info.options.get("file.format", "parquet")
     if fmt not in ("parquet", "orc", "avro"):
@@ -2827,6 +2843,29 @@ def write_lake_pk_append(
     # still see every intermediate record.
     producer = info.options.get("changelog-producer", "none")
     produce_cl = producer == "input"
+    xp_router = None
+    if cross:
+        if producer == "lookup":
+            raise NotImplementedError(
+                "write_lake_pk_append: changelog-producer=lookup is not "
+                "supported on CROSS_PARTITION lakes yet — use 'input' "
+                "(retraction rows are part of the commit's input) or "
+                "'full-compaction'"
+            )
+        if info.options.get("sequence.field"):
+            # a retraction row carries NULL values — it cannot take its
+            # sequence from a user column; arrival order is the only
+            # sound sequencing for cross-partition moves
+            raise NotImplementedError(
+                "write_lake_pk_append: sequence.field is not supported "
+                "on CROSS_PARTITION lakes (retraction rows have no user "
+                "sequence value)"
+            )
+        from paimon_python_spark.dynamic_bucket import CrossPartitionRouter
+
+        xp_router = CrossPartitionRouter(table_path, info, dyn_out)
+        df = xp_router.attach(df, row_kind_col=row_kind_col)
+        row_kind_col = "__kind"
     # changelog-producer=lookup: derive the FULL-IMAGE changelog at
     # commit time by looking up each incoming key's previous merged
     # value — existing keys emit (-U old, +U new), fresh keys +I,
@@ -3054,6 +3093,8 @@ def write_lake_pk_append(
         sequence_field=seq_field,
         dyn_index_out=dyn_out,
     )
+    if xp_router is not None:
+        xp_router.release()
     if produce_cl:
         man_entries, n_rows, cl_entries = result
     else:
@@ -3125,19 +3166,12 @@ def create_lake_table(
     for k in pks + parts:
         if k not in names:
             raise ValueError(f"create_lake_table: key column {k!r} not in schema")
-    if (
-        pks
-        and int((options or {}).get("bucket", "-1")) < 1
-        and parts
-        and not set(parts) <= set(pks)
-    ):
-        # CROSS_PARTITION (PK without the partition keys needs a global
-        # index) keeps the reference's refusal; plain dynamic bucket
-        # ('bucket' = '-1', real Paimon's default PK mode) is supported
-        # via the HASH-index assigner (dynamic_bucket.py)
-        raise TypeError(
-            "Doesn't support writing dynamic bucket or cross partition table."
-        )
+    # both dynamic-bucket ('bucket' = '-1', real Paimon's default PK
+    # mode) and CROSS_PARTITION (PK ⊉ partition keys) lakes are
+    # creatable: the HASH-index assigner routes the former, the
+    # retraction-emitting CrossPartitionRouter the latter
+    # (dynamic_bucket.py) — the reference refuses both at write time
+    # (py4j/util/java_utils.py:56-61)
     os.makedirs(os.path.join(table_path, "schema"))
     os.makedirs(os.path.join(table_path, "snapshot"), exist_ok=True)
     os.makedirs(os.path.join(table_path, "manifest"), exist_ok=True)
@@ -4722,6 +4756,17 @@ def overwrite_lake(table_path: str, df) -> int:
         # data's own keys (fresh=True) — the replaced state's routing
         # belongs to the replaced snapshots
         dyn_out = [] if num_buckets < 1 else None
+        if (
+            dyn_out is not None
+            and part_keys
+            and not set(part_keys) <= set(info.primary_keys)
+        ):
+            # CROSS_PARTITION overwrite: the batch itself must not
+            # leave one key in two partitions — net to the LAST arrival
+            # per key (no retractions needed; the old state is replaced)
+            from paimon_python_spark.dynamic_bucket import arrival_dedup
+
+            df = arrival_dedup(df, list(info.primary_keys)).drop("__kind")
         bucket_cols = [
             c.strip()
             for c in info.options.get("bucket-key", "").split(",")

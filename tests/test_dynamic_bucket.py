@@ -146,21 +146,29 @@ def test_dynamic_partitioned_independent_bucket_spaces(tmp_path, spark):
     assert got[("d1", 3)] == "patched" and got[("d2", 3)] == "d2-3"
 
 
-def test_dynamic_cross_partition_still_refused(tmp_path, spark):
+def test_dynamic_cross_partition_now_creatable(tmp_path, spark):
+    """CROSS_PARTITION (PK ⊉ partition keys) lakes create and write —
+    the full surface lives in the test_cross_partition_* cases below;
+    the reference refuses this mode outright (java_utils.py:56-61)."""
     schema = T.StructType(
         [
             T.StructField("dt", T.StringType(), False),
             T.StructField("id", T.LongType(), False),
         ]
     )
-    with pytest.raises(TypeError, match="cross partition"):
-        create_lake_table(
-            str(tmp_path / "x.db" / "cp"),
-            schema,
-            partition_keys=["dt"],
-            primary_keys=["id"],  # PK does not contain the partition key
-            options={"bucket": "-1"},
-        )
+    tp = str(tmp_path / "x.db" / "cp")
+    create_lake_table(
+        tp,
+        schema,
+        partition_keys=["dt"],
+        primary_keys=["id"],  # PK does not contain the partition key
+        options={"bucket": "-1"},
+    )
+    write_lake_pk_append(
+        tp, spark.createDataFrame([("d1", 1), ("d2", 2)], schema)
+    )
+    out = PaimonLakeTable(tp).new_read_builder().new_read().to_pandas()
+    assert sorted(zip(out.dt, out.id)) == [("d1", 1), ("d2", 2)]
 
 
 def test_dynamic_delete_update_compact(tmp_path, spark):
@@ -338,3 +346,175 @@ def test_dynamic_assigner_parallelism(tmp_path, spark):
     ) == sorted((int(e["_BUCKET"]), e["_ROW_COUNT"]) for e in ents)
     rows = _state(tp)
     assert len(rows) == 300 and set(rows.values()) == {"u"}
+
+
+def _xp_schema():
+    return T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("seg", T.StringType(), False),
+            T.StructField("v", T.StringType()),
+        ]
+    )
+
+
+def _mk_xp(tmp_path, options=None, name="xp"):
+    tp = str(tmp_path / "db.db" / name)
+    opts = {"bucket": "-1", "dynamic-bucket.target-row-num": "10"}
+    opts.update(options or {})
+    create_lake_table(
+        tp,
+        _xp_schema(),
+        partition_keys=["seg"],
+        primary_keys=["id"],
+        options=opts,
+    )
+    return tp
+
+
+def _xp_state(tp):
+    out = (
+        PaimonLakeTable(tp)
+        .new_read_builder()
+        .new_read()
+        .to_pandas()
+        .sort_values("id")
+    )
+    assert out.id.duplicated().sum() == 0, "a key must live in ONE partition"
+    return {r.id: (r.seg, r.v) for r in out.itertuples()}
+
+
+def test_cross_partition_move_and_back(tmp_path, spark):
+    """CROSS_PARTITION upserts: a key whose partition value changes
+    MOVES — the old partition nets it away via the retraction row, the
+    new partition holds the new version; a later move-back re-pins to
+    the original bucket (the old index keeps the hash)."""
+    tp = _mk_xp(tmp_path)
+    write_lake_pk_append(
+        tp,
+        spark.createDataFrame(
+            [(i, "even" if i % 2 == 0 else "odd", f"a{i}") for i in range(30)],
+            _xp_schema(),
+        ),
+    )
+    write_lake_pk_append(
+        tp,
+        spark.createDataFrame(
+            [(i, "hot", f"m{i}") for i in range(10)], _xp_schema()
+        ),
+    )
+    st = _xp_state(tp)
+    assert len(st) == 30
+    assert all(st[i] == ("hot", f"m{i}") for i in range(10))
+    assert st[11] == ("odd", "a11") and st[28] == ("even", "a28")
+    # move back — and the retractions are visible to incremental readers
+    write_lake_pk_append(
+        tp,
+        spark.createDataFrame(
+            [(i, "even" if i % 2 == 0 else "odd", f"b{i}") for i in range(4)],
+            _xp_schema(),
+        ),
+    )
+    st = _xp_state(tp)
+    assert len(st) == 30 and st[0] == ("even", "b0") and st[3] == ("odd", "b3")
+    from paimon_python_spark.paimon_lake import read_lake_incremental
+
+    inc = read_lake_incremental(tp, 2, 3).toPandas()
+    kinds = inc.groupby("_row_kind").size().to_dict()
+    # 4 moved rows: 4 retractions (-D, null values) in 'hot' + 4 adds
+    assert kinds == {"+I": 4, "-D": 4}
+    assert set(inc[inc._row_kind == "-D"].seg) == {"hot"}
+
+
+def test_cross_partition_same_batch_dup_last_wins(tmp_path, spark):
+    """One batch carrying the SAME key in two partitions nets to the
+    LAST arrival — per-partition merges could never reconcile a key
+    written twice, so the router arrival-dedups first."""
+    tp = _mk_xp(tmp_path)
+    write_lake_pk_append(
+        tp,
+        spark.createDataFrame(
+            [(1, "odd", "first"), (1, "even", "mid"), (1, "odd", "last")],
+            _xp_schema(),
+        ),
+    )
+    assert _xp_state(tp) == {1: ("odd", "last")}
+
+
+def test_cross_partition_delete_moved_key(tmp_path, spark):
+    """delete_lake_rows on a cross-partition lake: matched rows carry
+    their TRUE partition from the read, so the -D lands where the key
+    lives — including keys that moved since their first write."""
+    from paimon_python_spark.paimon_lake import delete_lake_rows
+    from paimon_python_spark.predicate import PredicateBuilder
+
+    tp = _mk_xp(tmp_path)
+    write_lake_pk_append(
+        tp,
+        spark.createDataFrame(
+            [(i, "odd", f"a{i}") for i in range(6)], _xp_schema()
+        ),
+    )
+    write_lake_pk_append(
+        tp, spark.createDataFrame([(2, "even", "moved")], _xp_schema())
+    )
+    pb = PredicateBuilder(["id", "seg", "v"])
+    delete_lake_rows(tp, pb.is_in("id", [2, 3]))
+    st = _xp_state(tp)
+    assert set(st) == {0, 1, 4, 5}
+
+
+def test_cross_partition_overwrite_dedups(tmp_path, spark):
+    """An OVERWRITE's own batch must not leave one key in two
+    partitions: last arrival wins, index restarts fresh."""
+    from paimon_python_spark.paimon_lake import overwrite_lake
+
+    tp = _mk_xp(tmp_path)
+    write_lake_pk_append(
+        tp, spark.createDataFrame([(9, "odd", "old")], _xp_schema())
+    )
+    overwrite_lake(
+        tp,
+        spark.createDataFrame(
+            [(1, "odd", "x"), (1, "even", "y"), (2, "even", "z")],
+            _xp_schema(),
+        ),
+    )
+    st = _xp_state(tp)
+    assert st == {1: ("even", "y"), 2: ("even", "z")}
+    ents = plan_paimon_hash_index(tp)
+    assert sum(e["_ROW_COUNT"] for e in ents) == 2  # fresh index
+
+
+def test_cross_partition_compact_and_lookup_refusal(tmp_path, spark):
+    """Compaction folds the retraction history away per partition; the
+    lookup changelog producer (needs old values for keys that moved)
+    refuses clearly."""
+    from paimon_python_spark.paimon_lake import compact_lake
+
+    tp = _mk_xp(tmp_path)
+    write_lake_pk_append(
+        tp,
+        spark.createDataFrame(
+            [(i, "odd", f"a{i}") for i in range(8)], _xp_schema()
+        ),
+    )
+    write_lake_pk_append(
+        tp,
+        spark.createDataFrame(
+            [(i, "even", f"m{i}") for i in range(4)], _xp_schema()
+        ),
+    )
+    compact_lake(tp)
+    st = _xp_state(tp)
+    assert len(st) == 8 and st[2] == ("even", "m2") and st[6] == ("odd", "a6")
+    # still writable after compact (index survived the rewrite)
+    write_lake_pk_append(
+        tp, spark.createDataFrame([(2, "odd", "back")], _xp_schema())
+    )
+    assert _xp_state(tp)[2] == ("odd", "back")
+    tp2 = _mk_xp(tmp_path, options={"changelog-producer": "lookup"}, name="xp2")
+    with pytest.raises(NotImplementedError, match="CROSS_PARTITION"):
+        write_lake_pk_append(
+            tp2, spark.createDataFrame([(1, "odd", "x")], _xp_schema())
+        )
