@@ -10914,6 +10914,8 @@ _GATE_HEAD = [
     "paimon_lake_bucket_local_merge_roundtrip",
     "paimon_lake_format_roundtrip",
     # --- round-9-new queries are inserted here as they land ---
+    "paimon_dynamic_bucket_roundtrip",
+    "paimon_cross_partition_roundtrip",
     "paimon_lake_format_dv_roundtrip",
     "paimon_lake_format_write_roundtrip",
     "paimon_lake_manifest_skip_roundtrip",

@@ -810,7 +810,14 @@ class CrossPartitionRouter:
                 ],
                 F.lit(3).alias("__kind"),
             )
-            routed_input = casted.unionByName(retr)
+            # PERSIST the union: the retraction branch embeds the state
+            # read (a merged read of the lake) — without the cache every
+            # downstream action (partition probe, index rewrite, data
+            # write) would re-run that read
+            routed_input = casted.unionByName(retr).persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
+            self._cached.append(routed_input)
         else:
             routed_input = casted
         bcols = [

@@ -2365,10 +2365,17 @@ def _distributed_lake_write(
     ]
     schema_names = {f.name for f in info.spark_schema.fields}
     extra_sort = [c for c in (sort_cols or []) if c not in schema_names]
+    # a pre-routed input (CrossPartitionRouter) already carries
+    # __h/__bucket/__kn — keep them through the cast so the dynamic
+    # branch below takes the no-reroute path
+    pre_routed = [
+        c for c in ("__h", "__bucket", "__kn") if c in df.columns
+    ]
     sdf = df.select(
         *cast_cols,
         *([F.col(row_kind_col).cast("int").alias("__row_kind")] if row_kind_col else []),
         *[F.col(c) for c in extra_sort],
+        *[F.col(c) for c in pre_routed],
     )
     if kv and arrival_order:
         # Arrival-order sequencing (real Paimon's SequenceGenerator):
@@ -2401,7 +2408,7 @@ def _distributed_lake_write(
                 )
             from paimon_python_spark.dynamic_bucket import DynamicBucketAssigner
 
-            if "__bucket" in sdf.columns:
+            if {"__h", "__bucket", "__kn"} <= set(sdf.columns):
                 # pre-routed (CrossPartitionRouter): __h/__bucket/__kn
                 # are already attached — only the old-index file map is
                 # needed for the fused index rewrite below. The helper

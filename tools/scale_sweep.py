@@ -81,6 +81,9 @@ SWEEP = [
     ("paimon_lake_manifest_skip_roundtrip", "manifest-level partition skipping (planner metadata cost)"),
     ("paimon_lake_format_write_roundtrip", "format() append write + read (Python DataSource)"),
     ("paimon_lake_bucket_local_merge_roundtrip", "no-shuffle bucket-closed PK merge read"),
+    # late-r9 additions: the two write modes the reference refuses
+    ("paimon_dynamic_bucket_roundtrip", "dynamic-bucket PK writes (hash-index routing + capacity fill)"),
+    ("paimon_cross_partition_roundtrip", "cross-partition PK moves (state join + retractions)"),
 ]
 
 
