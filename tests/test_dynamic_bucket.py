@@ -518,3 +518,40 @@ def test_cross_partition_compact_and_lookup_refusal(tmp_path, spark):
         write_lake_pk_append(
             tp2, spark.createDataFrame([(1, "odd", "x")], _xp_schema())
         )
+
+
+def test_dynamic_and_cross_lakes_read_via_format(tmp_path, spark):
+    """The Spark-native front door reads dynamic-bucket and
+    cross-partition lakes transparently: their (partition, bucket)
+    groups are ordinary PK merge units (retractions are co-located
+    with their victims by construction)."""
+    from paimon_python_spark.lake_datasource import register_lake
+
+    register_lake(spark)
+    tp = _mk(tmp_path)
+    write_lake_pk_append(
+        tp, spark.createDataFrame([(i, f"a{i}") for i in range(25)], _schema())
+    )
+    write_lake_pk_append(
+        tp, spark.createDataFrame([(3, "u3"), (30, "n30")], _schema())
+    )
+    out = (
+        spark.read.format("paimon_lake")
+        .load(tp)
+        .toPandas()
+        .sort_values("id")
+    )
+    assert len(out) == 26 and out[out.id == 3].v.iloc[0] == "u3"
+    xp = _mk_xp(tmp_path)
+    write_lake_pk_append(
+        xp,
+        spark.createDataFrame(
+            [(i, "odd", f"a{i}") for i in range(6)], _xp_schema()
+        ),
+    )
+    write_lake_pk_append(
+        xp, spark.createDataFrame([(2, "even", "moved")], _xp_schema())
+    )
+    out = spark.read.format("paimon_lake").load(xp).toPandas()
+    assert len(out) == 6 and out.id.duplicated().sum() == 0
+    assert out[out.id == 2].seg.iloc[0] == "even"
