@@ -55,6 +55,11 @@ from paimon_python_spark.paimon_import import (
 from paimon_python_spark.predicate import Predicate, PredicateBuilder
 
 
+class _CrossLookupDone(Exception):
+    """Control-flow marker: the cross-partition branch of the lookup
+    changelog computed ``old_sub`` and skips the bucket-scoped path."""
+
+
 class PaimonLakeTable:
     """Read-only handle on a real Paimon table path. Stateless: schema
     and snapshot are re-read at plan time so concurrent commits by the
@@ -2852,13 +2857,6 @@ def write_lake_pk_append(
     produce_cl = producer == "input"
     xp_router = None
     if cross:
-        if producer == "lookup":
-            raise NotImplementedError(
-                "write_lake_pk_append: changelog-producer=lookup is not "
-                "supported on CROSS_PARTITION lakes yet — use 'input' "
-                "(retraction rows are part of the commit's input) or "
-                "'full-compaction'"
-            )
         if info.options.get("sequence.field"):
             # a retraction row carries NULL values — it cannot take its
             # sequence from a user column; arrival order is the only
@@ -2909,6 +2907,40 @@ def write_lake_pk_append(
             )
 
             _latest_sid(table_path)  # raises FileNotFoundError if none
+            if cross:
+                # CROSS_PARTITION lookup: a key's old version may live
+                # in ANY partition, so bucket scoping doesn't apply —
+                # prune the merged read with IN predicates over the
+                # batch's keys instead (footer stats + bloom skipping
+                # below the merge), falling back to the key-semi-joined
+                # full scan for bulk batches (the bootstrap cost real
+                # Paimon's global index assigner also pays).
+                probe = batch_keys.limit(_LOOKUP_POINT_KEY_CAP + 1).collect()
+                old_rb = PaimonLakeTable(table_path).new_read_builder()
+                if 0 < len(probe) <= _LOOKUP_POINT_KEY_CAP:
+                    pb_x = PredicateBuilder(
+                        [f.name for f in info.spark_schema.fields]
+                    )
+                    x_preds = []
+                    for k in keys:
+                        vals = sorted(
+                            {r[k] for r in probe if r[k] is not None},
+                            key=repr,
+                        )
+                        if vals:
+                            x_preds.append(pb_x.is_in(k, vals))
+                    if x_preds:
+                        old_rb = old_rb.with_filter(
+                            pb_x.and_predicates(x_preds)
+                            if len(x_preds) > 1
+                            else x_preds[0]
+                        )
+                old_sub = (
+                    old_rb.new_read()
+                    .to_df()
+                    .join(batch_keys, keys, "left_semi")
+                )
+                raise _CrossLookupDone()
             # BUCKET-SCOPED lookup (the analogue of real Paimon's
             # per-bucket LSM point lookups): the merge unit is the
             # (partition, bucket) group, so the old state of buckets
@@ -3066,6 +3098,8 @@ def write_lake_pk_append(
             )
         except FileNotFoundError:
             pass  # no snapshot yet: every key is fresh, all +I
+        except _CrossLookupDone:
+            pass  # cross-partition old_sub computed above
         cl_df = _full_compaction_changelog_diff(old_sub, new_sub, keys)
         lookup_entries, _ = _distributed_lake_write(
             table_path,

@@ -513,11 +513,31 @@ def test_cross_partition_compact_and_lookup_refusal(tmp_path, spark):
         tp, spark.createDataFrame([(2, "odd", "back")], _xp_schema())
     )
     assert _xp_state(tp)[2] == ("odd", "back")
+    # lookup changelog on a cross lake: full-image pairs — a MOVE shows
+    # -U with the OLD partition and +U with the NEW one
+    from paimon_python_spark.paimon_lake import read_lake_incremental
+
     tp2 = _mk_xp(tmp_path, options={"changelog-producer": "lookup"}, name="xp2")
-    with pytest.raises(NotImplementedError, match="CROSS_PARTITION"):
-        write_lake_pk_append(
-            tp2, spark.createDataFrame([(1, "odd", "x")], _xp_schema())
-        )
+    write_lake_pk_append(
+        tp2,
+        spark.createDataFrame(
+            [(1, "odd", "x"), (2, "even", "y")], _xp_schema()
+        ),
+    )
+    write_lake_pk_append(
+        tp2,
+        spark.createDataFrame(
+            [(1, "even", "moved"), (3, "odd", "fresh")], _xp_schema()
+        ),
+    )
+    cl = read_lake_incremental(tp2, 1, 2, use_changelog=True).toPandas()
+    got = sorted(zip(cl._row_kind, cl.id, cl.seg, cl.v))
+    assert got == [
+        ("+I", 3, "odd", "fresh"),
+        ("+U", 1, "even", "moved"),
+        ("-U", 1, "odd", "x"),
+    ]
+    assert _xp_state(tp2) == {1: ("even", "moved"), 2: ("even", "y"), 3: ("odd", "fresh")}
 
 
 def test_dynamic_and_cross_lakes_read_via_format(tmp_path, spark):
