@@ -575,3 +575,96 @@ def test_dynamic_and_cross_lakes_read_via_format(tmp_path, spark):
     out = spark.read.format("paimon_lake").load(xp).toPandas()
     assert len(out) == 6 and out.id.duplicated().sum() == 0
     assert out[out.id == 2].seg.iloc[0] == "even"
+
+
+def test_class_plan_formula_matches_greedy_oracle():
+    """Property: the broadcast-join capacity formula (segments of
+    existing buckets, then the pure-codegen overflow expression) must
+    assign ranks exactly like a greedy sequential fill — for any
+    existing bucket occupancy, target, parallelism and initial-buckets.
+    Pure arithmetic, no Spark."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @st.composite
+    def cases(draw):
+        P = draw(st.integers(min_value=1, max_value=5))
+        target = draw(st.integers(min_value=1, max_value=50))
+        nb = draw(st.integers(min_value=0, max_value=8))
+        buckets = {
+            b: draw(st.integers(min_value=0, max_value=target))
+            for b in draw(
+                st.lists(
+                    st.integers(min_value=0, max_value=20),
+                    min_size=nb,
+                    max_size=nb,
+                    unique=True,
+                )
+            )
+        }
+        initial = draw(st.integers(min_value=0, max_value=6))
+        n_ranks = draw(st.integers(min_value=0, max_value=200))
+        return P, target, buckets, initial, n_ranks
+
+    class _FakeAssigner:
+        # borrow the real plan methods with a minimal state shape
+        _class_plans = None
+
+    from paimon_python_spark.dynamic_bucket import DynamicBucketAssigner
+
+    @given(cases())
+    @settings(max_examples=60, deadline=None)
+    def run(case):
+        P, target, buckets, initial, n_ranks = case
+        fake = _FakeAssigner()
+        fake.par = P
+        fake.target = target
+        fake.initial = initial
+        fake.state = (
+            {"pj": {b: {"rows": r, "file": None, "part_values": []} for b, r in buckets.items()}}
+            if buckets
+            else {}
+        )
+        if buckets:
+            plans = {
+                c: DynamicBucketAssigner._class_plans(fake)[("pj", c)]
+                for c in range(P)
+            }
+        else:
+            plans = {
+                c: DynamicBucketAssigner._fresh_class_plan(fake, c)
+                for c in range(P)
+            }
+        for c in range(P):
+            cum, ids, free, j0 = plans[c]
+            # greedy oracle: own existing buckets in id order take their
+            # remaining capacity, then fresh ids c+P*j take target each
+            own = sorted(b for b in buckets if b % P == c) if buckets else [
+                b for b in range(initial) if b % P == c
+            ]
+            slots = []
+            for b in own:
+                occ = buckets.get(b, 0) if buckets else 0
+                slots.extend([b] * (target - occ))
+            expected_j0 = (max(own) // P + 1) if own else 0
+            assert j0 == expected_j0
+
+            def formula(r):
+                lo = 0
+                for hi, b in zip(cum, ids):
+                    if lo <= r < hi:
+                        return b
+                    lo = hi
+                return c + P * (j0 + (r - free) // target)
+
+            for r in range(n_ranks):
+                want = (
+                    slots[r]
+                    if r < len(slots)
+                    else c + P * (expected_j0 + (r - len(slots)) // target)
+                )
+                got = formula(r)
+                assert got == want, (case, c, r, got, want)
+                assert got % P == c % P
+
+    run()
