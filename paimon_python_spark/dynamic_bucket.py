@@ -870,6 +870,33 @@ class CrossPartitionRouter:
                 rb = rb.with_filter(
                     pb.and_predicates(preds) if len(preds) > 1 else preds[0]
                 )
+        elif len(probe) > CROSS_POINT_KEY_CAP:
+            # BULK batch: the IN cap is off the table, but a BETWEEN on
+            # each key column's batch min/max still skips files whose
+            # footer stats can't overlap — autoincrement-style CDC keys
+            # cluster tightly, so this often prunes most of the lake.
+            bounds = casted.select(
+                *[
+                    f
+                    for k in pks
+                    for f in (
+                        F.min(F.col(k)).alias(f"__lo_{k}"),
+                        F.max(F.col(k)).alias(f"__hi_{k}"),
+                    )
+                ]
+            ).first()
+            pb = PredicateBuilder(
+                [f.name for f in self.info.spark_schema.fields]
+            )
+            preds = [
+                pb.between(k, bounds[f"__lo_{k}"], bounds[f"__hi_{k}"])
+                for k in pks
+                if bounds[f"__lo_{k}"] is not None
+            ]
+            if preds:
+                rb = rb.with_filter(
+                    pb.and_predicates(preds) if len(preds) > 1 else preds[0]
+                )
         state = rb.new_read().to_df()
         return state.select(
             *pks,

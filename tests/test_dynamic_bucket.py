@@ -668,3 +668,37 @@ def test_class_plan_formula_matches_greedy_oracle():
                 assert got % P == c % P
 
     run()
+
+
+def test_cross_partition_bulk_batch_range_pruned(tmp_path, spark):
+    """A batch above CROSS_POINT_KEY_CAP distinct keys takes the BULK
+    state-read path (BETWEEN range predicates from the batch's key
+    min/max instead of an IN list) and still moves keys exactly."""
+    tp = _mk_xp(
+        tmp_path, options={"dynamic-bucket.target-row-num": "500"}
+    )
+    n = 1100  # > CROSS_POINT_KEY_CAP = 1024
+    write_lake_pk_append(
+        tp,
+        spark.range(n).select(
+            F.col("id"),
+            F.when(F.col("id") % 2 == 0, F.lit("even"))
+            .otherwise(F.lit("odd"))
+            .alias("seg"),
+            F.concat(F.lit("a"), F.col("id")).alias("v"),
+        ),
+    )
+    # bulk second commit: move every key to 'hot'
+    write_lake_pk_append(
+        tp,
+        spark.range(n).select(
+            F.col("id"),
+            F.lit("hot").alias("seg"),
+            F.concat(F.lit("m"), F.col("id")).alias("v"),
+        ),
+    )
+    out = (
+        PaimonLakeTable(tp).new_read_builder().new_read().to_pandas()
+    )
+    assert len(out) == n and out.id.duplicated().sum() == 0
+    assert set(out.seg) == {"hot"} and out.v.str.startswith("m").all()
