@@ -702,3 +702,44 @@ def test_cross_partition_bulk_batch_range_pruned(tmp_path, spark):
     )
     assert len(out) == n and out.id.duplicated().sum() == 0
     assert set(out.seg) == {"hot"} and out.v.str.startswith("m").all()
+
+
+def test_streaming_sink_into_dynamic_and_cross_lakes(tmp_path, spark):
+    """Structured Streaming micro-batches commit into dynamic-bucket
+    and cross-partition lakes through the same sink — each batch is one
+    write_lake_pk_append commit, so routing/index/retraction semantics
+    hold under streaming ingest too."""
+    from paimon_python_spark.session import set_spark
+    from paimon_python_spark.streaming import StreamingLakeSink
+
+    set_spark(spark)
+    tp = _mk(tmp_path)
+    write_lake_pk_append(
+        tp, spark.createDataFrame([(1, "a"), (2, "b")], _schema())
+    )
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    batch = spark.createDataFrame([(2, "B"), (3, "c")], _schema())
+    batch.write.parquet(src)
+    q = StreamingLakeSink(tp, stream_id="dyn1").attach(
+        spark.readStream.schema(batch.schema).parquet(src),
+        checkpoint=ckpt,
+        trigger_once=True,
+    )
+    q.awaitTermination(120)
+    assert _state(tp) == {1: "a", 2: "B", 3: "c"}
+    assert sum(e["_ROW_COUNT"] for e in plan_paimon_hash_index(tp)) == 3
+
+    xp = _mk_xp(tmp_path)
+    write_lake_pk_append(
+        xp, spark.createDataFrame([(1, "odd", "x")], _xp_schema())
+    )
+    src2, ckpt2 = str(tmp_path / "src2"), str(tmp_path / "ckpt2")
+    mv = spark.createDataFrame([(1, "even", "moved")], _xp_schema())
+    mv.write.parquet(src2)
+    q2 = StreamingLakeSink(xp, stream_id="xp1").attach(
+        spark.readStream.schema(mv.schema).parquet(src2),
+        checkpoint=ckpt2,
+        trigger_once=True,
+    )
+    q2.awaitTermination(120)
+    assert _xp_state(xp) == {1: ("even", "moved")}
