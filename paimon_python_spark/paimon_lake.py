@@ -4975,7 +4975,10 @@ def update_lake_rows(
     new values (the LSM update shape; the engine-table twin is
     ``Table.update_rows``). ``assignments``: {column: SQL expression
     over the current row}, e.g. ``{"bal": "bal * 1.1"}``. Key columns
-    refuse. Append lakes refuse (Paimon updates them via
+    refuse — except partition columns on a CROSS_PARTITION lake, where
+    the PK alone is the row's identity and updating a partition value
+    is a MOVE (the write path emits the ``-D`` retraction into the old
+    partition). Append lakes refuse (Paimon updates them via
     copy-on-write rewrites — use ``overwrite_lake`` with the rewritten
     frame). Returns the new snapshot id."""
     from pyspark.sql import functions as F
@@ -4987,7 +4990,15 @@ def update_lake_rows(
         raise ValueError(
             "update_lake_rows: append lake — rewrite via overwrite_lake"
         )
-    bad = set(assignments) & set(info.primary_keys + list(info.partition_keys))
+    cross = (
+        int(info.options.get("bucket", "-1")) < 1
+        and info.partition_keys
+        and not set(info.partition_keys) <= set(info.primary_keys)
+    )
+    frozen = set(info.primary_keys) | (
+        set() if cross else set(info.partition_keys)
+    )
+    bad = set(assignments) & frozen
     if bad:
         raise ValueError(f"update_lake_rows: cannot update key columns {sorted(bad)}")
     unknown = set(assignments) - {f.name for f in info.spark_schema.fields}

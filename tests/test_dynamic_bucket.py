@@ -743,3 +743,32 @@ def test_streaming_sink_into_dynamic_and_cross_lakes(tmp_path, spark):
     )
     q2.awaitTermination(120)
     assert _xp_state(xp) == {1: ("even", "moved")}
+
+
+def test_cross_partition_update_moves_partition(tmp_path, spark):
+    """UPDATE setting a partition column on a cross lake is a MOVE:
+    the PK alone is the row's identity, so the write path retracts
+    from the old partition and lands the +U in the new one."""
+    from paimon_python_spark.paimon_lake import update_lake_rows
+    from paimon_python_spark.predicate import PredicateBuilder
+
+    tp = _mk_xp(tmp_path)
+    write_lake_pk_append(
+        tp,
+        spark.createDataFrame(
+            [(i, "odd", f"a{i}") for i in range(6)], _xp_schema()
+        ),
+    )
+    pb = PredicateBuilder(["id", "seg", "v"])
+    update_lake_rows(tp, pb.less_than("id", 3), {"seg": "'hot'"})
+    st = _xp_state(tp)
+    assert len(st) == 6
+    assert all(st[i][0] == "hot" for i in range(3))
+    assert all(st[i] == ("odd", f"a{i}") for i in range(3, 6))
+    # fixed/dynamic lakes still refuse partition-column updates
+    tp2 = _mk(tmp_path)
+    write_lake_pk_append(
+        tp2, spark.createDataFrame([(1, "x")], _schema())
+    )
+    with pytest.raises(ValueError, match="cannot update key columns"):
+        update_lake_rows(tp2, pb.less_than("id", 3), {"id": "id + 1"})
