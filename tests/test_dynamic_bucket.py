@@ -772,3 +772,32 @@ def test_cross_partition_update_moves_partition(tmp_path, spark):
     )
     with pytest.raises(ValueError, match="cannot update key columns"):
         update_lake_rows(tp2, pb.less_than("id", 3), {"id": "id + 1"})
+
+
+def test_cross_partition_merge_into(tmp_path, spark):
+    """MERGE INTO a cross lake: a matched update that sets the
+    partition column MOVES the key; unmatched source rows insert into
+    their own partitions."""
+    from paimon_python_spark.merge import merge_into_lake
+
+    tp = _mk_xp(tmp_path)
+    write_lake_pk_append(
+        tp,
+        spark.createDataFrame(
+            [(1, "odd", "x"), (2, "even", "y")], _xp_schema()
+        ),
+    )
+    src = spark.createDataFrame(
+        [(1, "hot", "merged"), (9, "new", "fresh")], _xp_schema()
+    )
+    merge_into_lake(
+        tp,
+        src,
+        on=["id"],
+        matched_update={"seg": "src.seg", "v": "src.v"},
+    )
+    assert _xp_state(tp) == {
+        1: ("hot", "merged"),
+        2: ("even", "y"),
+        9: ("new", "fresh"),
+    }
