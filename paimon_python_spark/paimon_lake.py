@@ -133,6 +133,66 @@ class PaimonLakeTable:
         )
         return get_spark().createDataFrame(rows, schema)
 
+    def indexes(self, snapshot_id: "Optional[int]" = None):
+        """Indexes system table: the snapshot's LIVE table-index
+        entries — deletion vectors and dynamic-bucket HASH key indexes
+        — one row per (index_type, partition, bucket, file). Columns:
+        (index_type, partition, bucket, file_name, file_size,
+        row_count). The driver-side metadata walk mirrors real Paimon's
+        index manifest fold (spec ``IndexManifestEntry``)."""
+        from pyspark.sql import types as T
+
+        from paimon_python_spark.paimon_import import (
+            decode_binary_row,
+            live_index_entries,
+            read_paimon_schema,
+        )
+        from paimon_python_spark.session import get_spark
+
+        info = read_paimon_schema(self.table_path)
+        part_types = [
+            info.spark_schema[k].dataType for k in info.partition_keys
+        ]
+        try:
+            entries = live_index_entries(
+                self.table_path, snapshot_id=snapshot_id
+            )
+        except FileNotFoundError:
+            entries = []
+        rows = []
+        for r in entries:
+            pvals = decode_binary_row(
+                bytes(r.get("_PARTITION") or b""), part_types
+            )
+            rows.append(
+                (
+                    r.get("_INDEX_TYPE"),
+                    {
+                        k: str(v)
+                        for k, v in zip(info.partition_keys, pvals)
+                    },
+                    int(r.get("_BUCKET") or 0),
+                    r["_FILE_NAME"],
+                    int(r.get("_FILE_SIZE") or 0),
+                    int(r.get("_ROW_COUNT") or 0),
+                )
+            )
+        schema = T.StructType(
+            [
+                T.StructField("index_type", T.StringType(), False),
+                T.StructField(
+                    "partition",
+                    T.MapType(T.StringType(), T.StringType()),
+                    False,
+                ),
+                T.StructField("bucket", T.IntegerType(), False),
+                T.StructField("file_name", T.StringType(), False),
+                T.StructField("file_size", T.LongType(), False),
+                T.StructField("row_count", T.LongType(), False),
+            ]
+        )
+        return get_spark().createDataFrame(rows, schema)
+
     def consumers(self):
         """Consumers system table (Paimon's ``table$consumers``):
         (consumer_id, next_snapshot) from the lake's ``consumer/``

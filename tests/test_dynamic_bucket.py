@@ -801,3 +801,23 @@ def test_cross_partition_merge_into(tmp_path, spark):
         2: ("even", "y"),
         9: ("new", "fresh"),
     }
+
+
+def test_indexes_system_table(tmp_path, spark):
+    """$indexes system view: live HASH entries (and DVs when present)
+    with partition/bucket/file/row_count columns."""
+    tp = _mk_xp(tmp_path)
+    write_lake_pk_append(
+        tp,
+        spark.createDataFrame(
+            [(i, "odd" if i % 2 else "even", f"a{i}") for i in range(8)],
+            _xp_schema(),
+        ),
+    )
+    idx = PaimonLakeTable(tp).indexes().toPandas()
+    assert set(idx.index_type) == {"HASH"}
+    assert idx.row_count.sum() == 8
+    assert {p["seg"] for p in idx.partition} == {"odd", "even"}
+    for _, r in idx.iterrows():
+        h = read_hash_index_file(os.path.join(tp, "index", r.file_name))
+        assert len(h) == r.row_count and r.file_size == 4 * r.row_count
