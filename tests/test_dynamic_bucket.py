@@ -821,3 +821,24 @@ def test_indexes_system_table(tmp_path, spark):
     for _, r in idx.iterrows():
         h = read_hash_index_file(os.path.join(tp, "index", r.file_name))
         assert len(h) == r.row_count and r.file_size == 4 * r.row_count
+
+
+def test_cross_partition_stale_partition_delete(tmp_path, spark):
+    """A -D row naming the key's OLD (stale) partition still deletes
+    the moved key: the router's state join finds the true location and
+    the retraction lands there; the stale-located -D is a no-op."""
+    tp = _mk_xp(tmp_path)
+    write_lake_pk_append(
+        tp,
+        spark.createDataFrame(
+            [(5, "odd", "x"), (6, "even", "y")], _xp_schema()
+        ),
+    )
+    write_lake_pk_append(
+        tp, spark.createDataFrame([(5, "hot", "moved")], _xp_schema())
+    )
+    d = spark.createDataFrame([(5, "odd", None)], _xp_schema()).withColumn(
+        "__kind", F.lit(3)
+    )
+    write_lake_pk_append(tp, d, row_kind_col="__kind")
+    assert _xp_state(tp) == {6: ("even", "y")}
