@@ -876,8 +876,17 @@ def live_index_entries(
     im = snap.get("indexManifest")
     if not im:
         return []
-    with open(os.path.join(table_path, "manifest", im), "rb") as f:
-        _schema, recs = read_avro_records(f.read())
+    # index manifests are immutable like data manifests — same
+    # (path, size, mtime) parse cache; a dynamic-bucket write plans
+    # the index several times per commit (router, probes, old-file map)
+    path = os.path.join(table_path, "manifest", im)
+    key, cached = _manifest_cache_get(path)
+    if cached is not None:
+        recs = cached
+    else:
+        with open(path, "rb") as f:
+            _schema, recs = read_avro_records(f.read())
+        _manifest_cache_put(key, recs)
     live: dict = {}
     for r in recs:
         if index_type is not None and r.get("_INDEX_TYPE") != index_type:
