@@ -842,3 +842,24 @@ def test_cross_partition_stale_partition_delete(tmp_path, spark):
     )
     write_lake_pk_append(tp, d, row_kind_col="__kind")
     assert _xp_state(tp) == {6: ("even", "y")}
+
+
+def test_dynamic_avro_format_lake(tmp_path, spark):
+    """file.format=avro + 'bucket' = '-1': the hash-index routing is
+    format-agnostic — data files write through the engine's avro codec
+    while index files keep the spec int32 payload."""
+    tp = _mk(tmp_path, options={"file.format": "avro"})
+    write_lake_pk_append(
+        tp, spark.createDataFrame([(i, f"a{i}") for i in range(12)], _schema())
+    )
+    write_lake_pk_append(
+        tp, spark.createDataFrame([(3, "u"), (20, "n")], _schema())
+    )
+    st = _state(tp)
+    assert len(st) == 13 and st[3] == "u" and st[20] == "n"
+    assert sum(e["_ROW_COUNT"] for e in plan_paimon_hash_index(tp)) == 13
+    import glob
+
+    assert glob.glob(os.path.join(tp, "bucket-*", "*.avro")) or glob.glob(
+        os.path.join(tp, "**", "bucket-*", "*.avro"), recursive=True
+    )
