@@ -1896,7 +1896,6 @@ def paimon_datasource_roundtrip(spark, sf_dir):
     from paimon_python_spark import Catalog, Schema
     from paimon_python_spark.datasource import register
 
-    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     register(spark)
     wh = _fresh_warehouse("ds")
     cat = Catalog.create({"warehouse": wh})
@@ -9750,7 +9749,6 @@ def paimon_datasource_filter_roundtrip(spark, sf_dir):
     from paimon_python_spark import Catalog, Schema
     from paimon_python_spark.datasource import register
 
-    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     register(spark)
     wh = _fresh_warehouse("dsf")
     cat = Catalog.create({"warehouse": wh})

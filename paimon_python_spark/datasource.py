@@ -473,4 +473,7 @@ def register_sql_view(spark, table, name: str) -> None:
 
 
 def register(spark) -> None:
+    # Required for pushFilters() sources on Spark 4 (see
+    # lake_datasource.register_lake); runtime-settable.
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(PaimonSparkDataSource)

@@ -255,6 +255,25 @@ class PaimonLakeBatchReader(DataSourceReader):
         have = [c for c in cols if c in pf.schema_arrow.names]
         return pf.read(columns=have)
 
+    def _filler_pa_type(self, info, col: str):
+        """Arrow type for a NULL-filled column (dropped field id in a
+        pre-evolution file): value/key columns follow the current table
+        schema; the two sequence system columns are fixed by the writer
+        (paimon_lake._write_kv_files: int64 / int32)."""
+        import pyarrow as pa
+
+        from paimon_python_spark.types import spark_type_to_pa
+
+        if col == "_SEQUENCE_NUMBER":
+            return pa.int64()
+        if col == "_VALUE_KIND":
+            return pa.int32()
+        base = col[5:] if col.startswith("_KEY_") else col
+        for f in info.spark_schema.fields:
+            if f.name == base:
+                return spark_type_to_pa(f.dataType)
+        return pa.null()
+
     def read(self, partition: _LakeGroupPartition) -> Iterator:
         import pandas as pd
         import pyarrow as pa
@@ -315,7 +334,14 @@ class PaimonLakeBatchReader(DataSourceReader):
                 )
             for c in cols:
                 if c not in f.columns:
-                    f[c] = None
+                    # dtype-explicit filler: an object all-NA column would
+                    # make pd.concat's result dtype depend on pandas
+                    # version (FutureWarning today, dtype shift tomorrow)
+                    f[c] = pd.Series(
+                        pd.NA,
+                        index=f.index,
+                        dtype=pd.ArrowDtype(self._filler_pa_type(info, c)),
+                    )
             f["__lvl"] = level
             f["__idx"] = idx
             frames.append(f)
@@ -740,4 +766,9 @@ class PaimonLakeDataSource(DataSource):
 
 
 def register_lake(spark) -> None:
+    # Spark 4 hard-errors (DATA_SOURCE_PUSHDOWN_DISABLED) at plan time
+    # when a Python data source implements pushFilters() but the session
+    # conf is off; it is runtime-settable, so flip it here so the source
+    # works in ANY session, not just ones built via session.get_spark().
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(PaimonLakeDataSource)
