@@ -13,9 +13,10 @@ Source API) on top of the same planner the builder API uses:
 - pushed filters (EqualTo/In/comparisons/IsNull) re-enter the engine's
   predicate tree, so partition pruning, stats file-skipping, and PK
   bucket pruning all fire before partitions are even created;
-- streaming: a ``SimpleDataSourceStreamReader`` whose offsets are
-  snapshot ids — each micro-batch is the delta manifests between two
-  snapshots (exact replay on recovery), turning the commit log into a
+- streaming: a partition-planned ``DataSourceStreamReader`` whose
+  offsets are snapshot ids — each micro-batch plans one InputPartition
+  per delta file between two snapshots (exact replay on recovery, rows
+  never pass through the driver), turning the commit log into a
   first-class Structured Streaming source.
 
 The DataFrame-composition path (``table.new_read_builder()...to_df()``)
@@ -33,9 +34,9 @@ from typing import Iterator, List
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     DataSourceWriter,
     InputPartition,
-    SimpleDataSourceStreamReader,
     WriterCommitMessage,
 )
 from pyspark.sql import types as T
@@ -243,65 +244,103 @@ class PaimonBatchReader(DataSourceReader):
         yield from tbl.to_batches(max_chunksize=4096)
 
 
-class PaimonStreamReader(SimpleDataSourceStreamReader):
-    """Snapshot-id offsets: each micro-batch is the rows ADDed between
-    two snapshots (APPEND/OVERWRITE deltas; COMPACT rewrites skipped,
-    as in the engine's incremental reader)."""
+class PaimonStreamReader(DataSourceStreamReader):
+    """PARTITION-PLANNED streaming over an engine table (the
+    scale-correct ``DataSourceStreamReader`` shape — micro-batch rows
+    never pass through the driver): snapshot-id offsets;
+    ``partitions(start, end)`` plans one ``InputPartition`` per file
+    ADDed by the commits in ``(start, end]`` (APPEND/OVERWRITE deltas;
+    COMPACT rewrites skipped, as in the engine's incremental reader)
+    and executors read the files directly. Mirrors
+    lake_datasource.PaimonLakeStreamReader, including the
+    expired-history bootstrap."""
 
     def __init__(self, table_path: str, schema):
         self.table_path = table_path
         self.table_schema = schema
 
+    def _earliest(self) -> int:
+        """Earliest snapshot still on disk (snapshot expiry can trim
+        history), or 0 for an empty table."""
+        sdir = os.path.join(self.table_path, "snapshot")
+        try:
+            ids = [
+                int(n[len("snapshot-") : -len(".json")])
+                for n in os.listdir(sdir)
+                if n.startswith("snapshot-") and n.endswith(".json")
+            ]
+        except (FileNotFoundError, ValueError):
+            return 0
+        return min(ids) if ids else 0
+
     def initialOffset(self) -> dict:
+        earliest = self._earliest()
+        if earliest > 1:
+            # expired history: bootstrap with the earliest surviving
+            # snapshot's FULL live state, then stream deltas — a
+            # delta-only replay from 0 would lose the expired commits
+            return {"snapshot": earliest, "bootstrap": earliest}
         return {"snapshot": 0}
 
-    def _latest(self) -> int:
+    def latestOffset(self) -> dict:
         from paimon_python_spark.metadata import MetadataStore
 
-        return MetadataStore(self.table_path).latest_snapshot_id() or 0
+        return {
+            "snapshot": MetadataStore(self.table_path).latest_snapshot_id()
+            or 0
+        }
 
-    def _rows_between(self, start: int, end: int):
-        import pyarrow.dataset as ds
-
+    def partitions(self, start: dict, end: dict):
         from paimon_python_spark.metadata import MetadataStore
         from paimon_python_spark.streaming.incremental import _delta_files
-        from paimon_python_spark.types import spark_schema_to_pa
 
         store = MetadataStore(self.table_path)
-        files = _delta_files(store, start, end)
-        if not files:
-            return []
-        schema = self.table_schema
-        paths = [os.path.join(self.table_path, f.path) for f in files]
-        logical_pa = spark_schema_to_pa(schema.spark_schema)
-        fmt = schema.file_format()
-        if fmt == "avro":
-            from paimon_python_spark.avro_codec import read_avro_table
+        fmt = self.table_schema.file_format()
+        files = []
+        delta_from = start["snapshot"]
+        bootstrap = start.get("bootstrap")
+        if bootstrap is not None:
+            files.extend(store.live_files(store.read_snapshot(int(bootstrap))))
+            delta_from = int(bootstrap)
+        elif start["snapshot"] + 1 < self._earliest():
+            raise RuntimeError(
+                "paimon_spark streaming source: offset "
+                f"{start['snapshot']} predates the earliest surviving "
+                f"snapshot {self._earliest()} (history expired). Restart "
+                "the stream with a fresh checkpoint, or raise snapshot "
+                "retention to hold expiry back."
+            )
+        files.extend(_delta_files(store, delta_from, end["snapshot"]))
+        parts = [
+            _SplitPartition([os.path.join(self.table_path, f.path)], fmt)
+            for f in files
+        ]
+        # Spark requires ≥1 partition per batch even when every commit
+        # in the range was a COMPACT rewrite (no new rows)
+        return parts or [_SplitPartition([], fmt)]
 
-            out = []
-            names = schema.field_names
-            for p in paths:
+    def read(self, partition: _SplitPartition):
+        schema = self.table_schema
+        names = schema.field_names
+        for p in partition.paths:
+            if schema.file_format() == "avro":
+                from paimon_python_spark.avro_codec import read_avro_table
+
                 with open(p, "rb") as f:
                     fnames, rows = read_avro_table(f.read())
                 idx = [fnames.index(n) for n in names]
-                out.extend(tuple(r[i] for i in idx) for r in rows)
-            return out
-        tbl = ds.dataset(paths, format=fmt).to_table(
-            columns=schema.field_names
-        )
-        cols = [tbl.column(c).to_pylist() for c in schema.field_names]
-        return [tuple(r) for r in zip(*cols)]
+                yield from (tuple(r[i] for i in idx) for r in rows)
+            else:
+                import pyarrow.dataset as ds
 
-    def read(self, start: dict):
-        end = self._latest()
-        if end <= start["snapshot"]:
-            return iter([]), start
-        # list iterator: the harness copy.copy()s cached iterators, which
-        # plain generators don't support
-        return iter(self._rows_between(start["snapshot"], end)), {"snapshot": end}
+                tbl = ds.dataset(
+                    [p], format=schema.file_format()
+                ).to_table(columns=names)
+                cols = [tbl.column(c).to_pylist() for c in names]
+                yield from zip(*cols)
 
-    def readBetweenOffsets(self, start: dict, end: dict):
-        return iter(self._rows_between(start["snapshot"], end["snapshot"]))
+    def commit(self, end: dict) -> None:
+        pass  # snapshot files are immutable; nothing to release
 
 
 class _WrittenFiles(WriterCommitMessage):
@@ -439,7 +478,7 @@ class PaimonSparkDataSource(DataSource):
         claim = self.options.get("claim-filters", "true").lower() != "false"
         return PaimonBatchReader(path, _load_schema(path), claim_filters=claim)
 
-    def simpleStreamReader(self, schema) -> PaimonStreamReader:
+    def streamReader(self, schema) -> PaimonStreamReader:
         path = self._table_path()
         return PaimonStreamReader(path, _load_schema(path))
 

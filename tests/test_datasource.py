@@ -643,3 +643,59 @@ def test_lake_datasource_streaming_survives_expired_history(tmp_path, spark):
     assert rows == [0, 1, 2, 3, 4]  # full earliest state + delta — nothing lost
     with _pytest.raises(RuntimeError, match="expired"):
         rdr.partitions({"snapshot": 0}, end)
+
+
+def test_engine_datasource_streaming_partition_planned(catalog, spark):
+    """The ENGINE streaming source is also the partition-planned
+    DataSourceStreamReader (NOT the driver-side simple reader): a
+    multi-file commit plans one InputPartition per delta file and rows
+    land executor-side; replay through a memory sink stays exact."""
+    from pyspark.sql.datasource import (
+        DataSourceStreamReader,
+        SimpleDataSourceStreamReader,
+    )
+
+    from paimon_python_spark.datasource import PaimonStreamReader
+
+    assert issubclass(PaimonStreamReader, DataSourceStreamReader)
+    assert not issubclass(PaimonStreamReader, SimpleDataSourceStreamReader)
+
+    catalog.create_table(
+        "default.ds_part_stream",
+        Schema(SIMPLE, partition_keys=["f1"]),
+        False,
+    )
+    t = catalog.get_table("default.ds_part_stream")
+    # one commit, two partition values → ≥2 delta files in snapshot 1
+    _write(t, pd.DataFrame({"f0": [1, 2, 3], "f1": ["a", "a", "b"]}))
+    _write(t, pd.DataFrame({"f0": [4], "f1": ["b"]}))
+
+    rdr = PaimonStreamReader(t.table_path, t.schema)
+    parts = rdr.partitions({"snapshot": 0}, {"snapshot": 1})
+    assert len(parts) >= 2, "one InputPartition per delta file"
+    assert all(len(pt.paths) == 1 and pt.paths[0] for pt in parts)
+    rows = sorted(r[0] for pt in parts for r in rdr.read(pt))
+    assert rows == [1, 2, 3]
+
+    q = (
+        spark.readStream.format("paimon_spark")
+        .option("path", t.table_path)
+        .load()
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ds_part_stream_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        res = spark.sql(
+            "SELECT f0, f1 FROM ds_part_stream_out ORDER BY f0"
+        ).collect()
+    finally:
+        q.stop()
+    assert [(r.f0, r.f1) for r in res] == [
+        (1, "a"),
+        (2, "a"),
+        (3, "b"),
+        (4, "b"),
+    ]
