@@ -4472,6 +4472,103 @@ ORDER BY o_orderpriority
 """
 
 
+def paimon_lake_format_pk_write_roundtrip(spark, sf_dir):
+    """``df.write.format('paimon_lake')`` onto a PRIMARY-KEY lake plus
+    ``mode('overwrite')`` — the front door now covers the write modes
+    the builder API gates (write_lake_pk_append / overwrite_lake):
+    executors route each row to ``abs(murmur(BinaryRow(key))) %
+    buckets`` (the same FixedBucketRowKeyExtractor hash), write sorted
+    level-0 key-value files with a fresh sequence range, and two
+    overlapping commits merge newest-wins on read ('merged' stage);
+    a third save with mode('overwrite') replaces the whole visible
+    table in one OVERWRITE snapshot while time travel still reads the
+    merged state ('final' stage reads the overwrite, the 'merged'
+    stage reads snapshot 2). Oracle replays both stages in SQL."""
+    from paimon_python_spark.lake_datasource import register_lake
+    from paimon_python_spark.paimon_lake import (
+        PaimonLakeTable,
+        create_lake_table,
+    )
+    from paimon_python_spark.session import set_spark
+
+    set_spark(spark)
+    register_lake(spark)
+    fixture = _fresh_warehouse("lakefmtpkw") + "/cust_fmt_pkw"
+    create_lake_table(
+        fixture,
+        [
+            ("c_mktsegment", "STRING NOT NULL"),
+            ("c_custkey", "BIGINT NOT NULL"),
+            ("c_acctbal", "DOUBLE"),
+        ],
+        partition_keys=["c_mktsegment"],
+        primary_keys=["c_mktsegment", "c_custkey"],
+        options={"bucket": "4"},
+    )
+    src = _t(spark, sf_dir, "customer").select(
+        "c_mktsegment", "c_custkey", "c_acctbal"
+    )
+    # commit 1: every %3 key; commit 2 UPSERTS the %6 subset (+1000)
+    src.filter(F.col("c_custkey") % 3 == 0).write.format("paimon_lake").option(
+        "path", fixture
+    ).mode("append").save()
+    src.filter(F.col("c_custkey") % 6 == 0).withColumn(
+        "c_acctbal", F.col("c_acctbal") + 1000
+    ).write.format("paimon_lake").option("path", fixture).mode("append").save()
+    # commit 3: whole-table INSERT OVERWRITE with the %5 keys
+    src.filter(F.col("c_custkey") % 5 == 0).write.format("paimon_lake").option(
+        "path", fixture
+    ).mode("overwrite").save()
+
+    def agg(df, stage):
+        return (
+            df.groupBy("c_mktsegment")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.col("c_acctbal").cast("decimal(18,2)")).alias("sum_bal"),
+                F.min("c_custkey").alias("min_key"),
+            )
+            .select(F.lit(stage).alias("stage"), "*")
+        )
+
+    merged = (
+        PaimonLakeTable(fixture)
+        .new_read_builder()
+        .with_snapshot(2)
+        .new_read()
+        .to_df()
+    )
+    final = spark.read.format("paimon_lake").option("path", fixture).load()
+    return (
+        agg(merged, "merged")
+        .unionAll(agg(final, "final"))
+        .orderBy("stage", "c_mktsegment")
+    )
+
+
+PAIMON_LAKE_FORMAT_PK_WRITE_SQL = """
+WITH merged AS (
+  SELECT c_mktsegment, c_custkey,
+         CASE WHEN c_custkey % 6 = 0 THEN c_acctbal + 1000
+              ELSE c_acctbal END AS bal
+  FROM customer WHERE c_custkey % 3 = 0
+), final AS (
+  SELECT c_mktsegment, c_custkey, c_acctbal AS bal
+  FROM customer WHERE c_custkey % 5 = 0
+), stages AS (
+  SELECT 'merged' AS stage, c_mktsegment, count(*) AS n,
+         sum(CAST(bal AS DECIMAL(18,2))) AS sum_bal,
+         min(c_custkey) AS min_key
+  FROM merged GROUP BY c_mktsegment
+  UNION ALL
+  SELECT 'final', c_mktsegment, count(*),
+         sum(CAST(bal AS DECIMAL(18,2))), min(c_custkey)
+  FROM final GROUP BY c_mktsegment
+)
+SELECT * FROM stages ORDER BY stage, c_mktsegment
+"""
+
+
 def paimon_lake_manifest_skip_roundtrip(spark, sf_dir):
     """MANIFEST-LEVEL partition skipping on a real lake: three commits
     land three partition-disjoint manifests with real _PARTITION_STATS
@@ -10503,6 +10600,7 @@ _QUERIES: dict[str, Callable] = {
     "paimon_lake_format_roundtrip": paimon_lake_format_roundtrip,
     "paimon_lake_format_dv_roundtrip": paimon_lake_format_dv_roundtrip,
     "paimon_lake_format_write_roundtrip": paimon_lake_format_write_roundtrip,
+    "paimon_lake_format_pk_write_roundtrip": paimon_lake_format_pk_write_roundtrip,
     "paimon_lake_manifest_skip_roundtrip": paimon_lake_manifest_skip_roundtrip,
     "ann_ivf_incremental_ingest": ann_ivf_incremental_ingest,
     "paimon_lake_fullcompact_changelog_roundtrip": paimon_lake_fullcompact_changelog_roundtrip,
@@ -10853,6 +10951,7 @@ _ORACLES: dict[str, str] = {
     "paimon_lake_format_roundtrip": PAIMON_LAKE_FORMAT_SQL,
     "paimon_lake_format_dv_roundtrip": PAIMON_LAKE_FORMAT_DV_SQL,
     "paimon_lake_format_write_roundtrip": PAIMON_LAKE_FORMAT_WRITE_SQL,
+    "paimon_lake_format_pk_write_roundtrip": PAIMON_LAKE_FORMAT_PK_WRITE_SQL,
     "paimon_lake_manifest_skip_roundtrip": PAIMON_LAKE_MANIFEST_SKIP_SQL,
     "paimon_lake_fullcompact_changelog_roundtrip": PAIMON_LAKE_FULLCOMPACT_CHANGELOG_SQL,
     "paimon_lake_lookup_changelog_roundtrip": PAIMON_LAKE_LOOKUP_CHANGELOG_SQL,

@@ -16,10 +16,14 @@ on the same driver-side planner every lake read uses.
   executors read the files directly (``DataSourceStreamReader`` —
   micro-batch rows never pass through the driver, so a high-rate
   source scales with the cluster, not the driver).
-- write: ``df.write.format("paimon_lake").mode("append")`` on append
-  lakes — executors write spec-named parquet files straight into the
-  partitioned lake layout, the driver commits one spec snapshot with
-  footer stats (``PaimonLakeBatchWriter``).
+- write: ``df.write.format("paimon_lake")`` on append lakes AND
+  fixed-bucket PK lakes, ``mode("append")`` / ``mode("overwrite")`` —
+  executors route rows (PK: the same murmur bucket hash the builder
+  uses) and write spec-named data files straight into the partitioned
+  lake layout; the driver commits one spec snapshot with stats (an
+  OVERWRITE commit DELETEs every previously-visible file, like
+  overwrite_lake). See ``PaimonLakeBatchWriter`` for the refusals
+  (dynamic-bucket routing, changelog-producing PK appends).
 
 Deletion-vector lakes read transparently: each file's (index, offset,
 length) triple rides its partition spec and the executor decodes the
@@ -564,49 +568,256 @@ class _LakeWrittenFiles(WriterCommitMessage):
 
 
 class PaimonLakeBatchWriter(DataSourceWriter):
-    """``df.write.format("paimon_lake").mode("append")`` for APPEND
-    lakes — the engine as a lake participant through the Spark-native
-    front door.
+    """``df.write.format("paimon_lake")`` — the engine as a lake
+    participant through the Spark-native front door: APPEND lakes and
+    fixed-bucket PRIMARY-KEY lakes, ``mode("append")`` and
+    ``mode("overwrite")`` (whole-table INSERT OVERWRITE, like
+    overwrite_lake).
 
     Executor side (``write``): each task groups its rows by partition
-    values and writes one spec-named parquet data file per group
-    directly into the lake's ``<k>=<v>/bucket-0/`` layout (partition
-    columns live in the directory, not the file — the hive layout real
-    Paimon writes). Driver side (``commit``): only when every task
-    succeeded, footer stats are harvested and one spec snapshot
-    (manifest avro + manifest lists + snapshot N+1, BinaryRow partition
-    values) commits atomically; ``abort`` removes the orphan files —
-    readers only ever see committed snapshots either way.
+    values (PK lakes additionally by ``abs(murmur(BinaryRow(bucket
+    key))) % num_buckets`` — the same FixedBucketRowKeyExtractor
+    routing write_lake_pk_append uses) and writes one spec-named data
+    file per group directly into the lake's ``<k>=<v>/bucket-<b>/``
+    layout. PK groups write key-value files: ``_KEY_*`` columns, a
+    fresh ``_SEQUENCE_NUMBER`` range past every live file's max
+    (``sequence.field`` honored when declared), sorted by trimmed key —
+    plus per-file value stats and the table's configured bloom file
+    index, so front-door files prune exactly like builder-written ones.
+    Driver side (``commit``): only when every task succeeded, one spec
+    snapshot commits atomically (OVERWRITE commits DELETE entries for
+    every previously-visible file and drop the DV index, exactly like
+    overwrite_lake); ``abort`` removes the orphan files — readers only
+    ever see committed snapshots either way.
 
-    PK lakes need bucket routing + sequence numbers (a distributed
-    concern write_lake_pk_append handles as DataFrame ops) and
-    OVERWRITE needs visible-file replacement (overwrite_lake) — both
-    refuse with pointers rather than half-support."""
+    Refusals (with pointers, not half-support): dynamic-bucket /
+    cross-partition PK lakes (routing lives in the lake's HASH index —
+    write_lake_pk_append / overwrite_lake) and changelog-producing PK
+    appends (changelog derivation is a driver-side DataFrame concern —
+    write_lake_pk_append)."""
 
     def __init__(self, table_path: str, overwrite: bool):
+        from paimon_python_spark.paimon_import import plan_paimon_files
         from paimon_python_spark.paimon_lake import read_paimon_schema
 
         self.table_path = table_path
         self.info = read_paimon_schema(table_path)
-        if self.info.primary_keys:
-            raise ValueError(
-                "paimon_lake writer supports append lakes; use "
-                "write_lake_pk_append() for primary-key lakes"
-            )
-        if overwrite:
-            raise ValueError(
-                "paimon_lake writer supports mode('append'); use "
-                "overwrite_lake() for INSERT OVERWRITE semantics"
-            )
-        fmt = self.info.options.get("file.format", "parquet")
+        self.overwrite = overwrite
+        info = self.info
+        self.is_pk = bool(info.primary_keys)
+        fmt = info.options.get("file.format", "parquet")
         if fmt != "parquet":
             raise NotImplementedError(
                 f"paimon_lake writer: file.format={fmt!r} — use "
-                "write_lake_append(), which routes avro/orc through the "
-                "engine codecs"
+                "write_lake_append()/write_lake_pk_append(), which route "
+                "avro/orc through the engine codecs"
             )
+        self.num_buckets = 1
+        self.bucket_cols = None
+        if self.is_pk:
+            self.num_buckets = int(info.options.get("bucket", "-1"))
+            if self.num_buckets < 1:
+                raise ValueError(
+                    "paimon_lake writer: dynamic-bucket / cross-partition "
+                    "PK lakes route through the lake's HASH index — use "
+                    "write_lake_pk_append() / overwrite_lake()"
+                )
+            producer = info.options.get("changelog-producer", "none")
+            if producer != "none" and not overwrite:
+                raise ValueError(
+                    f"paimon_lake writer: changelog-producer={producer!r} "
+                    "PK appends derive changelog at commit time — use "
+                    "write_lake_pk_append()"
+                )
+            self.bucket_cols = [
+                c.strip()
+                for c in info.options.get("bucket-key", "").split(",")
+                if c.strip()
+            ] or None
+        # plan-time (driver-side) state carried to tasks/commit:
+        before = plan_paimon_files(table_path)
+        self.seq_base = max((e.max_seq for e in before), default=-1) + 1
+        #: overwrite replaces the WHOLE visible table — DELETE entries
+        #: for every file live at plan time (same race window as
+        #: overwrite_lake, which plans at call time)
+        self.before = (
+            [
+                {
+                    "partition": dict(e.partition),
+                    "bucket": e.bucket,
+                    "file_name": e.file_name,
+                    "file_size": e.file_size,
+                    "row_count": e.row_count,
+                    "schema_id": e.schema_id,
+                    "max_seq": e.max_seq,
+                    "level": e.level,
+                }
+                for e in before
+            ]
+            if overwrite
+            else None
+        )
+
+    def _write_pk(self, iterator) -> _LakeWrittenFiles:
+        """Executor-side PK task write: route rows to (partition,
+        bucket) with the writer's murmur hash, one sorted level-0
+        key-value file per group (mirrors the shape
+        paimon_lake._distributed_lake_write's task writes). Parallel
+        tasks share the plan-time sequence base — same-key collisions
+        across tasks tie-break by file order at read, exactly like real
+        Paimon's per-writer sequence generators."""
+        import datetime
+        import os
+        import uuid
+
+        import pandas as pd
+        import pyarrow as pa
+
+        from paimon_python_spark.paimon_import import (
+            DEFAULT_PARTITION_NAME,
+            _value_stats_for,
+            _write_fixture_data_file,
+            encode_binary_row,
+            format_partition_segment,
+        )
+        from paimon_python_spark.paimon_lake import (
+            _bloom_option_cols,
+            _embedded_index_payload,
+            _make_lake_bucket_fn,
+        )
+        from paimon_python_spark.types import spark_type_to_pa
+
+        info = self.info
+        part_keys = list(info.partition_keys)
+        part_types = [info.spark_schema[k].dataType for k in part_keys]
+        trimmed = [k for k in info.primary_keys if k not in part_keys]
+        trimmed_types = [info.spark_schema[k].dataType for k in trimmed]
+        names = [f.name for f in info.spark_schema.fields]
+        default_name = info.options.get(
+            "partition.default-name", DEFAULT_PARTITION_NAME
+        )
+        seq_field = info.options.get("sequence.field") or None
+        bloom_cols, bloom_spec, bloom_dtypes = _bloom_option_cols(info)
+        rows = [tuple(row[n] for n in names) for row in iterator]
+        if not rows:
+            return _LakeWrittenFiles([])
+        pdf = pd.DataFrame(rows, columns=names)
+        bcols = list(self.bucket_cols or trimmed)
+        key_types = [info.spark_schema[c].dataType for c in bcols]
+        bfn = _make_lake_bucket_fn(key_types, self.num_buckets)
+        # typed key series (object-dtype columns from row tuples would
+        # push the router onto its per-row scalar fallback)
+        buckets = bfn(
+            *[
+                pa.array(
+                    pdf[c], type=spark_type_to_pa(info.spark_schema[c].dataType)
+                ).to_pandas()
+                for c in bcols
+            ]
+        ).tolist()
+
+        epoch = datetime.date(1970, 1, 1)
+
+        def logical(v, dt):
+            if v is None or (not isinstance(v, (bytes, str)) and pd.isna(v)):
+                return None
+            if hasattr(v, "item"):
+                v = v.item()
+            if isinstance(dt, T.DateType):
+                if isinstance(v, datetime.datetime):
+                    v = v.date()
+                if isinstance(v, datetime.date):
+                    return (v - epoch).days
+            return v
+
+        part_cols = [pdf[k].tolist() for k in part_keys]
+        groups: dict = {}
+        for i in range(len(pdf)):
+            key = (
+                tuple(
+                    logical(c[i], t) for c, t in zip(part_cols, part_types)
+                ),
+                int(buckets[i]),
+            )
+            groups.setdefault(key, []).append(i)
+        written = []
+        for (pvals_t, bucket), idxs in groups.items():
+            # ascending row indices preserve arrival order; the stable
+            # sort then sequences same-key rows in arrival order
+            sub = pdf.iloc[idxs]
+            if trimmed:
+                sub = sub.sort_values(trimmed, kind="mergesort")
+            sub = sub.reset_index(drop=True)
+            n = len(sub)
+            arrays = {}
+            for k, t in zip(trimmed, trimmed_types):
+                arrays[f"_KEY_{k}"] = pa.array(sub[k], type=spark_type_to_pa(t))
+            if seq_field is not None:
+                sv = sub[seq_field]
+                if len(sv) and isinstance(
+                    sv.iloc[0], (datetime.datetime, pd.Timestamp)
+                ):
+                    seqs = [int(pd.Timestamp(x).value // 1_000_000) for x in sv]
+                else:
+                    seqs = [int(x) for x in sv]
+            else:
+                seqs = list(range(self.seq_base, self.seq_base + n))
+            arrays["_SEQUENCE_NUMBER"] = pa.array(seqs, pa.int64())
+            arrays["_VALUE_KIND"] = pa.array([0] * n, pa.int32())
+            for f in info.spark_schema.fields:
+                arrays[f.name] = pa.array(
+                    sub[f.name], type=spark_type_to_pa(f.dataType)
+                )
+            table = pa.table(arrays)
+            pvals = dict(zip(part_keys, pvals_t))
+            rel_parts = [
+                f"{k}={format_partition_segment(pvals[k], dt, default_name)}"
+                for k, dt in zip(part_keys, part_types)
+            ]
+            ddir = os.path.join(self.table_path, *rel_parts, f"bucket-{bucket}")
+            os.makedirs(ddir, exist_ok=True)
+            name = f"data-{uuid.uuid4()}-0.parquet"
+            fpath = os.path.join(ddir, name)
+            _write_fixture_data_file(table, fpath, "parquet")
+            kmin = encode_binary_row(
+                [
+                    logical(sub[k].iloc[0], t)
+                    for k, t in zip(trimmed, trimmed_types)
+                ],
+                trimmed_types,
+            )
+            kmax = encode_binary_row(
+                [
+                    logical(sub[k].iloc[-1], t)
+                    for k, t in zip(trimmed, trimmed_types)
+                ],
+                trimmed_types,
+            )
+            stats = _value_stats_for(table, info)
+            written.append(
+                {
+                    "rel": os.path.join(*rel_parts, f"bucket-{bucket}", name)
+                    if rel_parts
+                    else os.path.join(f"bucket-{bucket}", name),
+                    "pvals": pvals,
+                    "bucket": bucket,
+                    "rows": n,
+                    "size": os.path.getsize(fpath),
+                    "min_seq": min(seqs) if n else self.seq_base,
+                    "max_seq": max(seqs) if n else self.seq_base,
+                    "min_key": kmin,
+                    "max_key": kmax,
+                    "stats": stats,
+                    "emb": _embedded_index_payload(
+                        sub, bloom_cols, bloom_spec, bloom_dtypes
+                    ),
+                }
+            )
+        return _LakeWrittenFiles(written)
 
     def write(self, iterator) -> _LakeWrittenFiles:
+        if self.is_pk:
+            return self._write_pk(iterator)
         import datetime
         import uuid
 
@@ -692,7 +903,37 @@ class PaimonLakeBatchWriter(DataSourceWriter):
         for m in messages:
             if m is None:
                 continue
-            for rel, pvals, rows in m.files:
+            for f in m.files:
+                if self.is_pk:
+                    if f["rows"] == 0:
+                        continue
+                    entries.append(
+                        {
+                            "_VERSION": 2,
+                            "_KIND": 0,
+                            "_PARTITION": encode_binary_row(
+                                [f["pvals"][k] for k in part_keys], part_types
+                            ),
+                            "_BUCKET": int(f["bucket"]),
+                            "_TOTAL_BUCKETS": self.num_buckets,
+                            "_FILE": _spec_file_meta(
+                                os.path.basename(f["rel"]),
+                                int(f["size"]),
+                                int(f["rows"]),
+                                schema_id=info.id,
+                                value_stats=f["stats"],
+                                min_key=f["min_key"],
+                                max_key=f["max_key"],
+                                min_seq=int(f["min_seq"]),
+                                max_seq=int(f["max_seq"]),
+                                level=0,
+                                embedded_index=f["emb"],
+                            ),
+                        }
+                    )
+                    n_rows += int(f["rows"])
+                    continue
+                rel, pvals, rows = f
                 if rows == 0:
                     continue
                 dest = os.path.join(self.table_path, rel)
@@ -716,6 +957,41 @@ class PaimonLakeBatchWriter(DataSourceWriter):
                     }
                 )
                 n_rows += rows
+        if self.overwrite:
+            # whole-table INSERT OVERWRITE (overwrite_lake semantics):
+            # DELETE every file visible at plan time, drop the DV index
+            # (nothing it marked survives), explicit new total — even an
+            # empty df commits (it replaces the table with nothing)
+            delete_entries = [
+                {
+                    "_VERSION": 2,
+                    "_KIND": 1,
+                    "_PARTITION": encode_binary_row(
+                        [e["partition"][k] for k in part_keys], part_types
+                    ),
+                    "_BUCKET": e["bucket"],
+                    "_TOTAL_BUCKETS": int(info.options.get("bucket", "1")),
+                    "_FILE": _spec_file_meta(
+                        e["file_name"],
+                        e["file_size"],
+                        e["row_count"],
+                        schema_id=e["schema_id"],
+                        max_seq=e["max_seq"],
+                        level=e["level"],
+                    ),
+                }
+                for e in self.before
+            ]
+            _commit_lake_snapshot(
+                self.table_path,
+                info,
+                delete_entries + entries,
+                n_rows,
+                commit_kind="OVERWRITE",
+                index_manifest=None,
+                total_record_count=n_rows,
+            )
+            return
         if not entries:
             return  # empty append is a successful no-op, like every
             # standard Spark sink (parquet/JDBC) — no snapshot commits
@@ -725,7 +1001,8 @@ class PaimonLakeBatchWriter(DataSourceWriter):
         for m in messages:
             if m is None:
                 continue
-            for rel, _pvals, _rows in m.files:
+            for f in m.files:
+                rel = f["rel"] if self.is_pk else f[0]
                 p = os.path.join(self.table_path, rel)
                 if os.path.exists(p):
                     os.remove(p)

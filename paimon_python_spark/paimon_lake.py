@@ -2148,6 +2148,63 @@ def _commit_lake_snapshot(
         )
 
 
+def _bloom_option_cols(info) -> tuple:
+    """(bloom_cols, bloom_spec, bloom_dtypes) from a lake's
+    file-index options — shared by every writer that builds per-file
+    embedded bloom payloads."""
+    bloom_cols = [
+        c.strip()
+        for c in info.options.get("file-index.bloom-filter.columns", "").split(",")
+        if c.strip() and c.strip() in {f.name for f in info.spark_schema.fields}
+    ]
+    bloom_spec = info.options.get("file-index.format", "").lower() == "spec"
+    return bloom_cols, bloom_spec, {c: _bloom_dtype(info, c) for c in bloom_cols}
+
+
+def _embedded_index_payload(pdf, bloom_cols, bloom_spec, bloom_dtypes):
+    """Per-file embedded file-index payload (bloom) over a written
+    group's pandas batch; returns bytes or None.
+
+    file-index.format=spec opts into the spec-format container (JVM
+    readers parse it and probe with their own FastHash — byte-interop
+    rests on fileindex_codec's hash constants, validated against public
+    vectors; JVM-byte validation pending a real lake). Default stays the
+    engine-tagged JSON, which foreign readers safely ignore."""
+    import json as _json
+
+    if not bloom_cols:
+        return None
+    if bloom_spec:
+        from paimon_python_spark import fileindex_codec as fic
+
+        idx = {}
+        for c in bloom_cols:
+            if c in pdf.columns:
+                vals = [v for v in pdf[c].tolist() if v is not None]
+                if vals:
+                    idx[c] = {
+                        fic.BLOOM_INDEX_TYPE: fic.build_spec_bloom(
+                            vals,
+                            items=max(64, len(set(map(repr, vals)))),
+                            dtype=bloom_dtypes.get(c),
+                        ).encode()
+                    }
+        return fic.write_file_index(idx) if idx else None
+    from paimon_python_spark.bloom import build_hex
+
+    blooms = {}
+    for c in bloom_cols:
+        if c in pdf.columns:
+            hx = build_hex(pdf[c])
+            if hx:
+                blooms[c] = hx
+    if not blooms:
+        return None
+    return _json.dumps({"format": _EMB_BLOOM_FORMAT, "columns": blooms}).encode(
+        "utf-8"
+    )
+
+
 def _make_lake_bucket_fn(key_types, num_buckets: int):
     """Batch bucket assignment for Paimon's fixed-bucket routing:
     ``abs(murmur(BinaryRow(bucket key))) % num_buckets`` over a pandas
@@ -2415,15 +2472,7 @@ def _distributed_lake_write(
     # equality file skipping, built EXECUTOR-SIDE over each group's
     # batch and carried in the manifest entry's _EMBEDDED_FILE_INDEX
     # slot (engine payload format — see _decode_embedded_blooms)
-    bloom_cols = [
-        c.strip()
-        for c in info.options.get("file-index.bloom-filter.columns", "").split(",")
-        if c.strip() and c.strip() in {f.name for f in info.spark_schema.fields}
-    ]
-    #: opt-in spec-format file-index container (JVM-parsable) instead
-    #: of the engine-tagged JSON payload
-    bloom_spec = info.options.get("file-index.format", "").lower() == "spec"
-    bloom_dtypes = {c: _bloom_dtype(info, c) for c in bloom_cols}
+    bloom_cols, bloom_spec, bloom_dtypes = _bloom_option_cols(info)
 
     cast_cols = [
         F.col(f.name).cast(f.dataType).alias(f.name) for f in info.spark_schema.fields
@@ -2671,46 +2720,7 @@ def _distributed_lake_write(
         else:
             kmin = kmax = b""
         stats = _value_stats_for(table, schema_info)
-        emb = None
-        if bloom_cols:
-            if bloom_spec:
-                # OPT-IN spec-format container (file-index.format=spec):
-                # JVM readers asking for file-index on this lake parse
-                # the container and probe with their own FastHash —
-                # byte-interop rests on fileindex_codec's hash constants
-                # (validated against public vectors; JVM-byte validation
-                # pending a real lake, see validate_against_real_lake).
-                # Default stays the engine-tagged JSON, which foreign
-                # readers safely ignore.
-                from paimon_python_spark import fileindex_codec as fic
-
-                idx = {}
-                for c in bloom_cols:
-                    if c in pdf.columns:
-                        vals = [v for v in pdf[c].tolist() if v is not None]
-                        if vals:
-                            idx[c] = {
-                                fic.BLOOM_INDEX_TYPE: fic.build_spec_bloom(
-                                    vals,
-                                    items=max(64, len(set(map(repr, vals)))),
-                                    dtype=bloom_dtypes.get(c),
-                                ).encode()
-                            }
-                if idx:
-                    emb = fic.write_file_index(idx)
-            else:
-                from paimon_python_spark.bloom import build_hex
-
-                blooms = {}
-                for c in bloom_cols:
-                    if c in pdf.columns:
-                        hx = build_hex(pdf[c])
-                        if hx:
-                            blooms[c] = hx
-                if blooms:
-                    emb = _json.dumps(
-                        {"format": _EMB_BLOOM_FORMAT, "columns": blooms}
-                    ).encode("utf-8")
+        emb = _embedded_index_payload(pdf, bloom_cols, bloom_spec, bloom_dtypes)
         idx_file, idx_size, idx_rows = None, 0, 0
         if dyn_old_files is not None and "__kn" in pdf.columns:
             # dynamic-bucket index upkeep, fused into the write task:

@@ -573,20 +573,18 @@ def test_lake_datasource_write_append(tmp_path, spark):
     rb.with_filter(rb.new_predicate_builder().equal("k", 4))
     assert len(_pruned_entries(p, info, rb)) == 1
 
-    # refusals: PK lakes and overwrite mode
+    # refusal: non-parquet formats route through the builder codecs
     import pytest as _pytest
 
-    p2 = str(tmp_path / "ds_write_pk")
+    p2 = str(tmp_path / "ds_write_avro")
     create_lake_table(
         p2, [("k", "INT NOT NULL"), ("v", "STRING")],
-        primary_keys=["k"], options={"bucket": "2"},
+        options={"file.format": "avro"},
     )
-    with _pytest.raises(Exception, match="write_lake_pk_append"):
+    with _pytest.raises(Exception, match="write_lake_append"):
         df.select("k", "v").write.format("paimon_lake").option("path", p2).mode(
             "append"
         ).save()
-    with _pytest.raises(Exception, match="overwrite_lake"):
-        df.write.format("paimon_lake").option("path", p).mode("overwrite").save()
 
 
 def test_lake_datasource_write_empty_append_is_noop(tmp_path, spark):
@@ -699,3 +697,84 @@ def test_engine_datasource_streaming_partition_planned(catalog, spark):
         (3, "b"),
         (4, "b"),
     ]
+
+
+def test_lake_datasource_write_pk_and_overwrite(tmp_path, spark):
+    """format('paimon_lake') PK writes + mode('overwrite'): front-door
+    commits route through the same murmur bucket hash the builder uses
+    (files interleave with write_lake_pk_append commits and merge
+    newest-wins), overwrite replaces the whole visible table in one
+    OVERWRITE snapshot with time travel intact, and dynamic-bucket /
+    changelog-producing lakes refuse with pointers."""
+    from paimon_python_spark.lake_datasource import register_lake
+    from paimon_python_spark.paimon_lake import (
+        PaimonLakeTable,
+        create_lake_table,
+        write_lake_pk_append,
+    )
+    from paimon_python_spark.session import set_spark
+
+    set_spark(spark)
+    register_lake(spark)
+    p = str(tmp_path / "ds_pk_write")
+    create_lake_table(
+        p,
+        [("dt", "STRING NOT NULL"), ("k", "INT NOT NULL"), ("v", "STRING")],
+        partition_keys=["dt"],
+        primary_keys=["dt", "k"],
+        options={"bucket": "4"},
+    )
+
+    def fmt_write(rows, mode):
+        spark.createDataFrame(rows, "dt string, k int, v string").write.format(
+            "paimon_lake"
+        ).option("path", p).mode(mode).save()
+
+    fmt_write([("a", 1, "x"), ("a", 2, "y"), ("b", 3, "z")], "append")
+    fmt_write([("a", 2, "Y2"), ("b", 4, "w")], "append")  # upsert
+    got = sorted(
+        (r.dt, r.k, r.v)
+        for r in spark.read.format("paimon_lake").option("path", p).load().collect()
+    )
+    assert got == [("a", 1, "x"), ("a", 2, "Y2"), ("b", 3, "z"), ("b", 4, "w")]
+    # builder writes interleave: same bucket routing, newer sequence wins
+    write_lake_pk_append(
+        p, spark.createDataFrame([("b", 3, "Z3")], "dt string, k int, v string")
+    )
+    got = sorted(
+        (r.dt, r.k, r.v)
+        for r in PaimonLakeTable(p).new_read_builder().new_read().to_df().collect()
+    )
+    assert got == [("a", 1, "x"), ("a", 2, "Y2"), ("b", 3, "Z3"), ("b", 4, "w")]
+
+    fmt_write([("c", 7, "q")], "overwrite")
+    got = sorted(
+        (r.dt, r.k, r.v)
+        for r in spark.read.format("paimon_lake").option("path", p).load().collect()
+    )
+    assert got == [("c", 7, "q")]
+    # time travel still reads the replaced state
+    rb = PaimonLakeTable(p).new_read_builder().with_snapshot(3)
+    got = sorted((r.dt, r.k, r.v) for r in rb.new_read().to_df().collect())
+    assert got == [("a", 1, "x"), ("a", 2, "Y2"), ("b", 3, "Z3"), ("b", 4, "w")]
+
+    # refusals point at the builder API
+    pdyn = str(tmp_path / "ds_pk_dyn")
+    create_lake_table(
+        pdyn, [("k", "INT NOT NULL"), ("v", "STRING")],
+        primary_keys=["k"], options={"bucket": "-1"},
+    )
+    with pytest.raises(Exception, match="HASH index"):
+        spark.createDataFrame([(1, "a")], "k int, v string").write.format(
+            "paimon_lake"
+        ).option("path", pdyn).mode("append").save()
+    pcl = str(tmp_path / "ds_pk_cl")
+    create_lake_table(
+        pcl, [("k", "INT NOT NULL"), ("v", "STRING")],
+        primary_keys=["k"],
+        options={"bucket": "2", "changelog-producer": "input"},
+    )
+    with pytest.raises(Exception, match="write_lake_pk_append"):
+        spark.createDataFrame([(1, "a")], "k int, v string").write.format(
+            "paimon_lake"
+        ).option("path", pcl).mode("append").save()
