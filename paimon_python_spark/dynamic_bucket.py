@@ -26,8 +26,7 @@ is that assigner, Spark-shaped:
   group's write task rewrites its own index file (old hashes ++ its
   rows' new hashes) alongside its data file, and only KB-scale file
   metadata returns to the driver for the index-manifest commit — no
-  second pass over the routed batch. ``update_index`` remains as the
-  standalone (unfused) form of the same rewrite.
+  second pass over the routed batch.
 
 Index file format: the spec's Hash Index payload — a plain sequence of
 big-endian int32 key hashcodes (concepts/spec/tableindex). Entries ride
@@ -457,10 +456,6 @@ class DynamicBucketAssigner:
             ).alias("__b_new"),
         ).persist(StorageLevel.MEMORY_AND_DISK)
         self._cached.append(assigned_new)
-        # update_index() acts on exactly this (part, hash → bucket) set
-        # — keep it so the index rewrite doesn't re-derive it from the
-        # full batch (filter + distinct = two more shuffles)
-        self._assigned_new = assigned_new
 
         cond2 = (joined["__h"] == assigned_new["__h"]) & _part_cond(
             joined, assigned_new, part_keys
@@ -483,107 +478,6 @@ class DynamicBucketAssigner:
             except Exception:
                 pass
         self._cached.clear()
-
-    # -- index maintenance -------------------------------------------------------
-
-    def update_index(self, assigned_sdf) -> list:
-        """Rewrite the index file of every bucket that received NEW
-        keys (old hashes ++ new hashes, executor-side) and return the
-        staged metas [{part_json, part_values, bucket, file, size,
-        rows}] for the commit's merged index manifest. Runs off the
-        PERSISTED (part, hash → bucket) fragment attach() cached when
-        ``assigned_sdf`` came from this assigner's attach(); falls back
-        to deriving the set from ``assigned_sdf`` otherwise."""
-        import pandas as pd
-        from pyspark.sql import functions as F
-        from pyspark.sql import types as T
-
-        part_keys = self.part_keys
-        part_types = self.part_types
-        table_path = self.table_path
-        info = self.info
-        old_files = {
-            (pj, b): os.path.join(self.table_path, "index", m["file"])
-            for pj, buckets in self.state.items()
-            for b, m in buckets.items()
-            if m["file"]
-        }
-
-        cached = getattr(self, "_assigned_new", None)
-        if cached is not None:
-            new_keys = cached.withColumnRenamed("__b_new", "__bucket")
-        else:
-            new_keys = (
-                assigned_sdf.filter(F.col("__kn") == 1)
-                .select(*part_keys, "__h", "__bucket")
-                .distinct()
-            )
-        meta_schema = T.StructType(
-            [
-                T.StructField("part_json", T.StringType()),
-                T.StructField("bucket", T.IntegerType()),
-                T.StructField("file", T.StringType()),
-                T.StructField("size", T.LongType()),
-                T.StructField("rows", T.LongType()),
-            ]
-        )
-
-        def _rewrite(pdf: "pd.DataFrame") -> "pd.DataFrame":
-            import numpy as np
-
-            bucket = int(pdf["__bucket"].iloc[0])
-            pvals = {
-                k: _logical_value(pdf[k].iloc[0], info.spark_schema[k].dataType)
-                for k in part_keys
-            }
-            pj = _part_json_of(pvals, part_keys)
-            new = np.sort(pdf["__h"].to_numpy(dtype=np.int32))
-            old_path = old_files.get((pj, bucket))
-            if old_path is not None:
-                old = read_hash_index_file(old_path)
-                # a hash already present stays where it is (collision
-                # with an existing key routes here by design)
-                new = np.setdiff1d(new, old)
-                merged = np.concatenate([old, new])
-            else:
-                merged = new
-            name = f"index-{uuid.uuid4().hex}-0"
-            os.makedirs(os.path.join(table_path, "index"), exist_ok=True)
-            size = write_hash_index_file(
-                os.path.join(table_path, "index", name), merged
-            )
-            return pd.DataFrame(
-                [
-                    {
-                        "part_json": pj,
-                        "bucket": bucket,
-                        "file": name,
-                        "size": size,
-                        "rows": len(merged),
-                    }
-                ]
-            )
-
-        metas = (
-            new_keys.groupBy(*part_keys, "__bucket")
-            .applyInPandas(_rewrite, meta_schema)
-            .collect()
-        )
-        out = []
-        for r in metas:
-            pj = r["part_json"]
-            pvals = json.loads(pj)
-            out.append(
-                {
-                    "part_json": pj,
-                    "part_values": [pvals[k] for k in part_keys],
-                    "bucket": int(r["bucket"]),
-                    "file": r["file"],
-                    "size": int(r["size"]),
-                    "rows": int(r["rows"]),
-                }
-            )
-        return out
 
 
 def _part_cond(left, right, part_keys):
@@ -778,12 +672,18 @@ class CrossPartitionRouter:
             ],
             *([F.col(row_kind_col)] if row_kind_col else []),
         )
-        # PERSIST after the arrival dedup: monotonically_increasing_id
-        # is stable only within one materialization — every later
-        # action (key probe, index rewrite, data write) must see the
-        # same dedup choice
-        casted = arrival_dedup(casted, pks, kind_col=row_kind_col).persist(
-            StorageLevel.MEMORY_AND_DISK
+        # LOCAL-CHECKPOINT after the arrival dedup (not a plain
+        # persist): monotonically_increasing_id is stable only within
+        # one materialization, and every later action (key probe, index
+        # rewrite, data write) must see the SAME dedup choice. A persist
+        # would silently RECOMPUTE on cached-block loss (executor
+        # failure mid-commit) and could pick a different last-arrival
+        # row between the index rewrite and the data write — diverging
+        # index and data. localCheckpoint truncates the lineage, so a
+        # lost block fails the job loudly instead; the commit never
+        # publishes, which is the sound outcome.
+        casted = arrival_dedup(casted, pks, kind_col=row_kind_col).localCheckpoint(
+            eager=False
         )
         self._cached.append(casted)
 

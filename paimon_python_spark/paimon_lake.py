@@ -3171,6 +3171,27 @@ def write_lake_pk_append(
         except _CrossLookupDone:
             pass  # cross-partition old_sub computed above
         cl_df = _full_compaction_changelog_diff(old_sub, new_sub, keys)
+        if xp_router is not None:
+            # CROSS_PARTITION: route the changelog rows from the
+            # ROUTER'S persisted assignments instead of a second
+            # assigner — both writes of this commit must see ONE
+            # new-key ranking. The router ranked the DATA batch, which
+            # can contain rows that produce no changelog row (e.g. a
+            # -D of an absent key); a fresh ranking over the
+            # changelog's own new keys can shift ranks across a
+            # capacity-segment boundary and pin one hashcode in two
+            # buckets of a partition (every later write's index join
+            # would then match both and multiply rows). (pk, partition)
+            # is unique in the routed union by construction
+            # (arrival_dedup + one retraction per moved key, in its
+            # OLD partition), so the join fans out nothing; every
+            # changelog row has a routed twin: ±U/-D old-image rows
+            # match the retraction (moved keys) or the in-place input
+            # row, +I/+U new-image rows match the input row.
+            jk = keys + list(info.partition_keys)
+            cl_df = cl_df.join(
+                df.select(*jk, "__h", "__bucket", "__kn"), jk, "left"
+            )
         lookup_entries, _ = _distributed_lake_write(
             table_path,
             info,
@@ -4701,6 +4722,7 @@ def compact_lake(
             info,
             surviving,
             plan_paimon_files(table_path),
+            pending=dyn_out,
         )
         if surviving
         else None
@@ -4955,7 +4977,7 @@ def register_lake_sql_view(spark, table_path: str, name: str):
 
 
 def _write_dv_index_manifest(
-    table_path: str, info, marked: dict, entries
+    table_path: str, info, marked: dict, entries, pending: Optional[list] = None
 ) -> str:
     """Write the deletion-vector index file(s) + index manifest for
     ``marked`` ({data_file_name: sorted positions}) — one index file +
@@ -4963,7 +4985,11 @@ def _write_dv_index_manifest(
     partition (a JVM Paimon reader decodes entry partitions with the
     table's partition row type, so a single empty-partition entry would
     break interop on partitioned lakes). ``entries`` maps file names to
-    their (partition, bucket). Returns the manifest file name."""
+    their (partition, bucket). ``pending``: dynamic-bucket index metas
+    staged by the caller's own write (a compaction rewrite / self-heal)
+    — they replace the carried-forward HASH entries of their buckets,
+    exactly like write_merged_index_manifest. Returns the manifest file
+    name."""
     import os
     import uuid
 
@@ -5016,17 +5042,28 @@ def _write_dv_index_manifest(
             }
         )
     # a dynamic-bucket lake's HASH key index is live state too — carry
-    # it forward verbatim (this manifest REPLACES the previous one)
+    # it forward (this manifest REPLACES the previous one), with any
+    # ``pending`` staged assignments superseding their buckets' old
+    # entries (dropping them would discard a compaction's re-route /
+    # self-heal and leave the lake's routing stale or unsound)
+    from paimon_python_spark.dynamic_bucket import pending_to_entries
     from paimon_python_spark.paimon_import import (
         HASH_INDEX,
         live_index_entries,
     )
 
+    new_hash, replaced = pending_to_entries(info, pending or [])
     index_entries.extend(
         r
         for r in live_index_entries(table_path)
         if r.get("_INDEX_TYPE") == HASH_INDEX
+        and (
+            bytes(r.get("_PARTITION") or b""),
+            int(r.get("_BUCKET") or 0),
+        )
+        not in replaced
     )
+    index_entries.extend(new_hash)
     im_name = f"index-manifest-{tag}.avro"
     write_avro_records(
         os.path.join(table_path, "manifest", im_name),

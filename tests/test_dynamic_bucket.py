@@ -863,3 +863,156 @@ def test_dynamic_avro_format_lake(tmp_path, spark):
     assert glob.glob(os.path.join(tp, "bucket-*", "*.avro")) or glob.glob(
         os.path.join(tp, "**", "bucket-*", "*.avro"), recursive=True
     )
+
+
+def test_cross_lookup_one_ranking_no_double_pin(tmp_path, spark):
+    """CROSS_PARTITION + changelog-producer=lookup: the data write and
+    the lookup-changelog write must see ONE new-key ranking. A batch
+    row producing no changelog row (a -D of an absent key) is in the
+    router's ranking but not the changelog's — before the fix the two
+    assigners ranked different sets, a rank shift crossed a
+    capacity-segment boundary, and one hashcode was pinned in TWO
+    buckets of a partition (later index joins match both → row
+    multiplication). Asserts the one-hash-one-bucket invariant and an
+    exact merged state after a follow-up update."""
+    from paimon_python_spark.paimon_import import (
+        HASH_INDEX,
+        decode_binary_row,
+        encode_binary_row,
+        live_index_entries,
+        murmur_hash_words,
+    )
+
+    def h(k):
+        return murmur_hash_words(encode_binary_row([k], [T.IntegerType()])[4:])
+
+    # absent-delete key whose hash sorts FIRST among the batch's new
+    # keys: shifts every fresh key's router rank by one vs the
+    # changelog's own ranking
+    cands = sorted(range(20, 200), key=h)
+    dk, fresh = cands[0], cands[1:4]
+    tp = str(tmp_path / "db.db" / "xlook")
+    create_lake_table(
+        tp,
+        [("dt", "STRING NOT NULL"), ("k", "INT NOT NULL"), ("v", "STRING")],
+        partition_keys=["dt"],
+        primary_keys=["k"],
+        options={
+            "bucket": "-1",
+            "changelog-producer": "lookup",
+            "dynamic-bucket.target-row-num": "2",
+        },
+    )
+    write_lake_pk_append(
+        tp,
+        spark.createDataFrame(
+            [("a", k, "s") for k in (10, 11, 12, 13)],
+            "dt string, k int, v string",
+        ),
+    )
+    rows = [("a", dk, None, 3)] + [("a", k, "x", 0) for k in fresh]
+    write_lake_pk_append(
+        tp,
+        spark.createDataFrame(rows, "dt string, k int, v string, kind int"),
+        row_kind_col="kind",
+    )
+    part_types = [T.StringType()]
+    seen = {}
+    for e in live_index_entries(tp):
+        if e.get("_INDEX_TYPE") != HASH_INDEX:
+            continue
+        pv = tuple(decode_binary_row(bytes(e["_PARTITION"]), part_types))
+        for hh in read_hash_index_file(
+            os.path.join(tp, "index", e["_FILE_NAME"])
+        ):
+            key = (pv, int(hh))
+            assert seen.get(key, e["_BUCKET"]) == e["_BUCKET"], (
+                f"hash {key} pinned in buckets {seen[key]} and {e['_BUCKET']}"
+            )
+            seen[key] = e["_BUCKET"]
+    # follow-up update of the affected keys must not multiply rows
+    write_lake_pk_append(
+        tp,
+        spark.createDataFrame(
+            [("a", k, "y") for k in fresh], "dt string, k int, v string"
+        ),
+    )
+    got = sorted(
+        (r.k, r.v)
+        for r in PaimonLakeTable(tp)
+        .new_read_builder()
+        .new_read()
+        .to_df()
+        .collect()
+    )
+    assert got == sorted(
+        [(k, "s") for k in (10, 11, 12, 13)] + [(k, "y") for k in fresh]
+    )
+
+
+def test_dv_index_manifest_applies_pending_hash(tmp_path, spark):
+    """_write_dv_index_manifest (the surviving-DV compaction path) must
+    apply staged dynamic-bucket assignments, not carry the old HASH
+    entries verbatim — dropping them would discard a scoped
+    compaction's re-route / self-heal and leave the lake's routing
+    stale while the commit claims success."""
+    from paimon_python_spark.avro_codec import read_avro_records
+    from paimon_python_spark.dynamic_bucket import write_hash_index_file
+    from paimon_python_spark.paimon_import import (
+        DELETION_VECTORS_INDEX,
+        HASH_INDEX,
+        live_index_entries,
+    )
+    from paimon_python_spark.paimon_lake import (
+        _write_dv_index_manifest,
+        read_paimon_schema,
+    )
+
+    tp = _mk(tmp_path)
+    write_lake_pk_append(
+        tp,
+        spark.createDataFrame(
+            [(i, "x") for i in range(25)], schema=_schema()
+        ),
+    )
+    info = read_paimon_schema(tp)
+    before = {
+        int(e["_BUCKET"]): e["_FILE_NAME"]
+        for e in live_index_entries(tp)
+        if e.get("_INDEX_TYPE") == HASH_INDEX
+    }
+    assert len(before) >= 2  # target-row-num=10 → ≥3 buckets for 25 keys
+    # stage a replacement for bucket 0 (a compact rewrite's meta)
+    os.makedirs(os.path.join(tp, "index"), exist_ok=True)
+    size = write_hash_index_file(
+        os.path.join(tp, "index", "index-selfheal-0"), [1, 2, 3]
+    )
+    pending = [
+        {
+            "part_json": "{}",
+            "part_values": [],
+            "bucket": 0,
+            "file": "index-selfheal-0",
+            "size": size,
+            "rows": 3,
+        }
+    ]
+    files = plan_paimon_files(tp)
+    im = _write_dv_index_manifest(
+        tp, info, {files[0].file_name: [0]}, files, pending=pending
+    )
+    with open(os.path.join(tp, "manifest", im), "rb") as f:
+        _, entries = read_avro_records(f.read())
+    hash_by_bucket = {
+        int(e["_BUCKET"]): e["_FILE_NAME"]
+        for e in entries
+        if e.get("_INDEX_TYPE") == HASH_INDEX
+    }
+    # pending replaced bucket 0; the other buckets carried forward
+    assert hash_by_bucket[0] == "index-selfheal-0"
+    for b, name in before.items():
+        if b != 0:
+            assert hash_by_bucket[b] == name
+    assert any(
+        e.get("_INDEX_TYPE") == DELETION_VECTORS_INDEX for e in entries
+    )
