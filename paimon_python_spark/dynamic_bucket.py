@@ -62,6 +62,7 @@ import uuid
 from typing import List, Optional
 
 __all__ = [
+    "CrossLocationCache",
     "CrossPartitionRouter",
     "DynamicBucketAssigner",
     "read_hash_index_file",
@@ -617,6 +618,98 @@ def arrival_dedup(sdf, keys: List[str], kind_col: Optional[str] = None):
     )
 
 
+class CrossLocationCache:
+    """Amortizes CROSS_PARTITION state reads across the commits of one
+    writer (a streaming sink's micro-batches): the merged state's
+    (pk → partition) projection bootstraps ONCE as a pk-partitioned,
+    locally-checkpointed DataFrame — the bootstrap real Paimon's
+    GlobalIndexAssigner also pays, once per writer — then maintains
+    itself from each commit's own net batch instead of re-reading the
+    merged state per commit. Keyed on snapshot id: a FOREIGN commit
+    landing between batches makes the cached id stale and the next
+    write re-bootstraps, so correctness never depends on being the only
+    writer. Pass one instance to consecutive ``write_lake_pk_append``
+    calls via ``xp_location_cache``."""
+
+    def __init__(self, table_path: str):
+        self.table_path = table_path
+        self.snapshot_id: Optional[int] = None
+        self.df = None
+        #: diagnostic: how many full-state bootstraps this cache paid
+        self.bootstraps = 0
+
+    def locations(self, info):
+        """The (pk → partition) projection at the lake's CURRENT
+        snapshot (pk-partitioned, lineage-truncated), or None when the
+        lake has no snapshot yet."""
+        from pyspark.sql import functions as F
+
+        from paimon_python_spark.paimon_import import (
+            latest_paimon_snapshot_id,
+        )
+
+        try:
+            sid = latest_paimon_snapshot_id(self.table_path)
+        except FileNotFoundError:
+            self._swap(None)
+            self.snapshot_id = None
+            return None
+        if self.df is not None and self.snapshot_id == sid:
+            return self.df
+        from paimon_python_spark.paimon_lake import PaimonLakeTable
+
+        pks = list(info.primary_keys)
+        part_keys = list(info.partition_keys)
+        rb = PaimonLakeTable(self.table_path).new_read_builder()
+        rb = rb.with_projection(list(dict.fromkeys(pks + part_keys)))
+        state = (
+            rb.new_read()
+            .to_df()
+            .repartition(*[F.col(k) for k in pks])
+            .localCheckpoint(eager=True)
+        )
+        self._swap(state)
+        self.snapshot_id = sid
+        self.bootstraps += 1
+        return self.df
+
+    def update(self, info, net_batch, new_snapshot_id: int) -> None:
+        """Apply one just-committed batch's net effect (one row per
+        key; ``__kind`` 3 deletes the key, anything else sets its
+        partition) and re-key the cache to the new snapshot id. The
+        anti-join runs co-partitioned against the cached state — no
+        full-state re-read, no merged-scan."""
+        from pyspark.sql import functions as F
+
+        pks = list(info.primary_keys)
+        part_keys = list(info.partition_keys)
+        upd = net_batch.select(*pks, *part_keys, "__kind")
+        ins = upd.filter(F.col("__kind") != 3).select(*pks, *part_keys)
+        if self.df is None:
+            base = ins
+        else:
+            base = self.df.join(upd.select(*pks), pks, "left_anti").unionByName(
+                ins
+            )
+        new_df = base.repartition(*[F.col(k) for k in pks]).localCheckpoint(
+            eager=True
+        )
+        self._swap(new_df)
+        self.snapshot_id = int(new_snapshot_id)
+
+    def _swap(self, new_df) -> None:
+        old, self.df = self.df, new_df
+        if old is not None:
+            try:
+                old.unpersist(False)
+            except Exception:
+                pass
+
+    def release(self) -> None:
+        self._swap(None)
+        self.snapshot_id = None
+
+
 class CrossPartitionRouter:
     """CROSS_PARTITION (``'bucket' = '-1'`` with PK ⊉ partition keys)
     upsert routing — the mode the reference refuses outright
@@ -646,10 +739,21 @@ class CrossPartitionRouter:
     tuples — footer min/max and bloom file indexes skip files below
     the merge); the join then restores tuple precision."""
 
-    def __init__(self, table_path: str, info, pending: list):
+    def __init__(
+        self,
+        table_path: str,
+        info,
+        pending: list,
+        location_cache: Optional[CrossLocationCache] = None,
+    ):
         self.table_path = table_path
         self.info = info
         self.pending = pending
+        self.location_cache = location_cache
+        #: the arrival-deduped batch (one row per key, __kind) — the
+        #: commit's net effect, what a location cache applies after the
+        #: snapshot lands
+        self.net_batch = None
         self._assigner: Optional[DynamicBucketAssigner] = None
         self._cached: list = []
 
@@ -686,6 +790,7 @@ class CrossPartitionRouter:
             eager=False
         )
         self._cached.append(casted)
+        self.net_batch = casted
 
         old = self._old_locations(casted, pks, part_keys)
         if old is not None:
@@ -735,13 +840,23 @@ class CrossPartitionRouter:
         ``(*pks, __old_<part>…, __old_present)``, or None when the lake
         has no snapshot yet (seed commits pay zero lookup). Small
         batches prune the read with IN predicates over the batch's
-        keys."""
+        keys; a ``CrossLocationCache`` (streaming sinks) replaces the
+        read entirely with the delta-maintained projection."""
         from pyspark.sql import functions as F
 
         from paimon_python_spark.paimon_import import (
             latest_paimon_snapshot_id,
         )
 
+        if self.location_cache is not None:
+            state = self.location_cache.locations(self.info)
+            if state is None:
+                return None
+            return state.select(
+                *pks,
+                *[F.col(k).alias(f"__old_{k}") for k in part_keys],
+                F.lit(1).alias("__old_present"),
+            )
         try:
             latest_paimon_snapshot_id(self.table_path)
         except FileNotFoundError:

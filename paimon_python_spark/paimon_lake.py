@@ -2842,7 +2842,10 @@ def _distributed_lake_write(
 
 
 def write_lake_pk_append(
-    table_path: str, df, row_kind_col: Optional[str] = None
+    table_path: str,
+    df,
+    row_kind_col: Optional[str] = None,
+    xp_location_cache=None,
 ) -> int:
     """Commit an upsert into a REAL fixed-bucket PRIMARY-KEY Paimon
     lake — the engine as a CDC participant: each row routes to
@@ -2870,6 +2873,12 @@ def write_lake_pk_append(
     ``_SEQUENCE_NUMBER`` (timestamps as epoch-millis), so out-of-order
     CDC events merge by event time: a stale update arriving late loses
     to the newer row already in the lake, exactly like real Paimon.
+
+    ``xp_location_cache``: a :class:`~paimon_python_spark.
+    dynamic_bucket.CrossLocationCache` shared across consecutive
+    commits (a streaming sink's micro-batches) replaces the per-commit
+    CROSS_PARTITION merged-state read with a delta-maintained
+    (pk → partition) projection — bootstrap once, then O(batch) upkeep.
     Returns the new snapshot id."""
     from paimon_python_spark.paimon_import import plan_paimon_files
 
@@ -2938,7 +2947,9 @@ def write_lake_pk_append(
             )
         from paimon_python_spark.dynamic_bucket import CrossPartitionRouter
 
-        xp_router = CrossPartitionRouter(table_path, info, dyn_out)
+        xp_router = CrossPartitionRouter(
+            table_path, info, dyn_out, location_cache=xp_location_cache
+        )
         df = xp_router.attach(df, row_kind_col=row_kind_col)
         row_kind_col = "__kind"
     # changelog-producer=lookup: derive the FULL-IMAGE changelog at
@@ -3225,35 +3236,45 @@ def write_lake_pk_append(
         sequence_field=seq_field,
         dyn_index_out=dyn_out,
     )
-    if xp_router is not None:
-        xp_router.release()
-    if produce_cl:
-        man_entries, n_rows, cl_entries = result
-    else:
-        man_entries, n_rows = result
-        cl_entries = lookup_entries
-    if not man_entries:
-        raise ValueError("write_lake_pk_append: empty input — nothing to commit")
-    index_manifest = _INHERIT_INDEX
-    if dyn_out:
-        # dynamic-bucket commit: new key→bucket assignments become the
-        # commit's merged index manifest (previous HASH + DV entries
-        # carried forward, touched HASH buckets replaced)
-        from paimon_python_spark.dynamic_bucket import (
-            write_merged_index_manifest,
-        )
+    try:
+        if produce_cl:
+            man_entries, n_rows, cl_entries = result
+        else:
+            man_entries, n_rows = result
+            cl_entries = lookup_entries
+        if not man_entries:
+            raise ValueError(
+                "write_lake_pk_append: empty input — nothing to commit"
+            )
+        index_manifest = _INHERIT_INDEX
+        if dyn_out:
+            # dynamic-bucket commit: new key→bucket assignments become the
+            # commit's merged index manifest (previous HASH + DV entries
+            # carried forward, touched HASH buckets replaced)
+            from paimon_python_spark.dynamic_bucket import (
+                write_merged_index_manifest,
+            )
 
-        name = write_merged_index_manifest(table_path, info, dyn_out)
-        if name is not None:
-            index_manifest = name
-    return _commit_lake_snapshot(
-        table_path,
-        info,
-        man_entries,
-        n_rows,
-        changelog_entries=cl_entries,
-        index_manifest=index_manifest,
-    )
+            name = write_merged_index_manifest(table_path, info, dyn_out)
+            if name is not None:
+                index_manifest = name
+        sid = _commit_lake_snapshot(
+            table_path,
+            info,
+            man_entries,
+            n_rows,
+            changelog_entries=cl_entries,
+            index_manifest=index_manifest,
+        )
+        if xp_router is not None and xp_location_cache is not None:
+            # the snapshot is published: fold this commit's net batch
+            # into the cached (pk → partition) projection, BEFORE
+            # release() drops the checkpointed batch
+            xp_location_cache.update(info, xp_router.net_batch, sid)
+        return sid
+    finally:
+        if xp_router is not None:
+            xp_router.release()
 
 
 def create_lake_table(

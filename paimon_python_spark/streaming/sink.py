@@ -136,6 +136,10 @@ class StreamingLakeSink(StreamingTableSink):
         self.stream_id = stream_id
         self.row_kind_col = row_kind_col
         self._marker_dir = marker_dir or os.path.join(table_path, "streaming")
+        #: CROSS_PARTITION lakes: one (pk → partition) projection cache
+        #: for the whole run — bootstrap once, delta-maintained per
+        #: commit instead of a merged-state read per micro-batch
+        self.xp_cache = None
 
     def _marker_path(self) -> str:
         return os.path.join(self._marker_dir, f"offsets-{self.stream_id}.json")
@@ -152,15 +156,29 @@ class StreamingLakeSink(StreamingTableSink):
             write_lake_pk_append,
         )
 
-        if self.row_kind_col:
-            info = read_paimon_schema(self.table_path)
-            if not info.primary_keys:
-                raise ValueError(
-                    "StreamingLakeSink: row_kind_col needs a PK lake "
-                    "(append lakes cannot retract rows)"
+        info = read_paimon_schema(self.table_path)
+        if self.row_kind_col and not info.primary_keys:
+            raise ValueError(
+                "StreamingLakeSink: row_kind_col needs a PK lake "
+                "(append lakes cannot retract rows)"
+            )
+        if info.primary_keys:
+            cross = (
+                int(info.options.get("bucket", "-1")) < 1
+                and bool(info.partition_keys)
+                and not set(info.partition_keys) <= set(info.primary_keys)
+            )
+            if cross and self.xp_cache is None:
+                from paimon_python_spark.dynamic_bucket import (
+                    CrossLocationCache,
                 )
+
+                self.xp_cache = CrossLocationCache(self.table_path)
             write_lake_pk_append(
-                self.table_path, batch_df, row_kind_col=self.row_kind_col
+                self.table_path,
+                batch_df,
+                row_kind_col=self.row_kind_col,
+                xp_location_cache=self.xp_cache,
             )
         else:
             write_lake_append(self.table_path, batch_df)

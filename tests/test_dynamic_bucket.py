@@ -1016,3 +1016,68 @@ def test_dv_index_manifest_applies_pending_hash(tmp_path, spark):
     assert any(
         e.get("_INDEX_TYPE") == DELETION_VECTORS_INDEX for e in entries
     )
+
+
+def test_cross_location_cache_amortizes_streaming_state_reads(tmp_path, spark):
+    """A streaming run into a CROSS_PARTITION lake must pay the merged
+    state read ONCE (the bootstrap real Paimon's GlobalIndexAssigner
+    also pays) and maintain the (pk → partition) projection from each
+    commit's own net batch: N micro-batches → 1 bootstrap. Moves and
+    deletes stay exact across the cached batches, and a FOREIGN commit
+    between batches invalidates the cache (snapshot-id keying) instead
+    of routing against stale locations."""
+    from paimon_python_spark.dynamic_bucket import CrossLocationCache
+    from paimon_python_spark.paimon_import import read_paimon_schema
+
+    tp = _mk_xp(tmp_path, name="xpcache")
+    write_lake_pk_append(
+        tp,
+        spark.createDataFrame(
+            [(i, "odd" if i % 2 else "even", f"a{i}") for i in range(10)],
+            _xp_schema(),
+        ),
+    )
+    info = read_paimon_schema(tp)
+    cache = CrossLocationCache(tp)
+    # batch 1: move key 1 odd→even; batch 2: delete key 2, update key 1
+    # in place; batch 3: fresh key 100 + move key 1 back
+    batches = [
+        [(1, "even", "m1", 0)],
+        [(2, "even", None, 3), (1, "even", "m2", 0)],
+        [(100, "odd", "new", 0), (1, "odd", "back", 0)],
+    ]
+    for rows in batches:
+        write_lake_pk_append(
+            tp,
+            spark.createDataFrame(rows, "id long, seg string, v string, k int"),
+            row_kind_col="k",
+            xp_location_cache=cache,
+        )
+    assert cache.bootstraps == 1, "state read must run once, not per batch"
+    want = {
+        i: ("odd" if i % 2 else "even", f"a{i}") for i in range(10) if i > 2
+    }
+    want[0] = ("even", "a0")
+    want[1] = ("odd", "back")
+    want[100] = ("odd", "new")
+    assert _xp_state(tp) == want
+    # the cache's projection IS the merged state's (pk → partition)
+    got_proj = {
+        r["id"]: r["seg"] for r in cache.locations(info).collect()
+    }
+    assert got_proj == {k: seg for k, (seg, _) in want.items()}
+    assert cache.bootstraps == 1  # the check above reused the cache too
+
+    # a FOREIGN commit (no cache) stales the snapshot id → re-bootstrap
+    write_lake_pk_append(
+        tp, spark.createDataFrame([(200, "even", "f")], _xp_schema())
+    )
+    write_lake_pk_append(
+        tp,
+        spark.createDataFrame([(200, "odd", "f2", 0)], "id long, seg string, v string, k int"),
+        row_kind_col="k",
+        xp_location_cache=cache,
+    )
+    assert cache.bootstraps == 2
+    st = _xp_state(tp)
+    assert st[200] == ("odd", "f2")
