@@ -4878,6 +4878,85 @@ ORDER BY c_custkey
 """
 
 
+def paimon_lake_bitmap_index_roundtrip(spark, sf_dir):
+    """Lake BITMAP FILE INDEX (file-index.bitmap.columns, spec
+    fileindex payload): each file's manifest entry embeds a spec-format
+    container with an EXACT value-dictionary bitmap index — equality
+    probes prune to exactly the files holding the value (a bloom could
+    false-positive; the dictionary cannot), asserted both ways: the
+    present-value probe plans ONE file, an absent value inside both
+    files' min/max ranges plans ZERO. JVM-parsable container, same
+    layout real Paimon's BitmapFileIndex writes. Oracle replays the
+    name filter."""
+    from paimon_python_spark import fileindex_codec as fic
+    from paimon_python_spark.paimon_import import plan_paimon_files
+    from paimon_python_spark.paimon_lake import (
+        PaimonLakeTable,
+        _pruned_entries,
+        create_lake_table,
+        read_paimon_schema,
+        write_lake_append,
+    )
+    from paimon_python_spark.session import set_spark
+
+    set_spark(spark)
+    fixture = _fresh_warehouse("lakebitmap") + "/customer_bitmap"
+    create_lake_table(
+        fixture,
+        [("c_custkey", "BIGINT NOT NULL"), ("c_name", "STRING")],
+        options={"file-index.bitmap.columns": "c_name"},
+    )
+    src = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 1000)
+        .select("c_custkey", "c_name")
+    )
+    write_lake_append(
+        fixture, src.filter(F.col("c_custkey") % 2 == 0).coalesce(1)
+    )
+    write_lake_append(
+        fixture, src.filter(F.col("c_custkey") % 2 == 1).coalesce(1)
+    )
+    entries = plan_paimon_files(fixture)
+    assert all(
+        e.embedded_index and fic.is_spec_file_index(e.embedded_index)
+        for e in entries
+    ), "bitmap columns must write the spec container"
+    probe_key = (
+        src.filter(F.col("c_custkey") % 2 == 1)
+        .agg(F.max("c_custkey"))
+        .first()[0]
+    )
+    probe = src.filter(F.col("c_custkey") == probe_key).first()["c_name"]
+    info = read_paimon_schema(fixture)
+    t = PaimonLakeTable(fixture)
+    rb = t.new_read_builder()
+    rb.with_filter(rb.new_predicate_builder().equal("c_name", probe))
+    planned = _pruned_entries(fixture, info, rb)
+    assert len(planned) == 1, (
+        f"bitmap must prune the even-keys file, planned {len(planned)}"
+    )
+    rb2 = t.new_read_builder()
+    rb2.with_filter(
+        rb2.new_predicate_builder().equal("c_name", probe + "-absent")
+    )
+    assert len(_pruned_entries(fixture, info, rb2)) == 0, (
+        "an absent value must plan ZERO files (exact dictionary)"
+    )
+    return rb.new_read().to_df().orderBy("c_custkey")
+
+
+PAIMON_LAKE_BITMAP_SQL = """
+SELECT c_custkey, c_name
+FROM customer
+WHERE c_custkey <= 1000
+  AND c_name = (SELECT c_name FROM customer
+                WHERE c_custkey = (SELECT max(c_custkey) FROM customer
+                                   WHERE c_custkey <= 1000 AND c_custkey % 2 = 1))
+ORDER BY c_custkey
+"""
+
+
 def paimon_lake_changelog_write_roundtrip(spark, sf_dir):
     """changelog-producer=input on the ENGINE'S OWN PK-lake commits:
     upserting into a lake declared with the option writes the commit's
@@ -10594,6 +10673,7 @@ _QUERIES: dict[str, Callable] = {
     "paimon_lake_between_tags_roundtrip": paimon_lake_between_tags_roundtrip,
     "paimon_lake_auto_compact_roundtrip": paimon_lake_auto_compact_roundtrip,
     "paimon_lake_bloom_index_roundtrip": paimon_lake_bloom_index_roundtrip,
+    "paimon_lake_bitmap_index_roundtrip": paimon_lake_bitmap_index_roundtrip,
     "dedup_minhash_incremental_lake": dedup_minhash_incremental_lake,
     "pipeline_incremental_ingest": pipeline_incremental_ingest,
     "paimon_lake_bucket_local_merge_roundtrip": paimon_lake_bucket_local_merge_roundtrip,
@@ -10947,6 +11027,7 @@ _ORACLES: dict[str, str] = {
     "paimon_lake_between_tags_roundtrip": PAIMON_LAKE_BETWEEN_TAGS_SQL,
     "paimon_lake_auto_compact_roundtrip": PAIMON_LAKE_AUTO_COMPACT_SQL,
     "paimon_lake_bloom_index_roundtrip": PAIMON_LAKE_BLOOM_SQL,
+    "paimon_lake_bitmap_index_roundtrip": PAIMON_LAKE_BITMAP_SQL,
     "paimon_lake_bucket_local_merge_roundtrip": PAIMON_LAKE_BUCKET_LOCAL_MERGE_SQL,
     "paimon_lake_format_roundtrip": PAIMON_LAKE_FORMAT_SQL,
     "paimon_lake_format_dv_roundtrip": PAIMON_LAKE_FORMAT_DV_SQL,

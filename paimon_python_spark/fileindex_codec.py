@@ -1,4 +1,5 @@
-"""Spec-format Paimon FILE INDEX reader/writer (bloom-filter type).
+"""Spec-format Paimon FILE INDEX reader/writer (bloom-filter and
+bitmap types).
 
 Real Paimon serializes per-file indexes in its own container format —
 either embedded in the manifest entry's ``_EMBEDDED_FILE_INDEX`` slot
@@ -22,6 +23,18 @@ Container (all integers BIG-endian, names in Java ``writeUTF`` form —
 Bloom-filter payload (index type ``bloom-filter``)::
 
     numHashFunctions (int BE) | bit-set bytes
+
+Bitmap payload (index type ``bitmap``, V1 — BitmapFileIndex)::
+
+    version (1 byte = 1) | row count (int) | value count (int)
+    has null (1 byte) [| null offset (int)]
+    per value: serialized value | offset (int)   ← the HEAD dictionary
+    BODY: portable-format roaring bitmaps (offset-addressed; a
+    NEGATIVE offset inlines a single row as -1 - rowId)
+
+Values serialize DataOutput-style (fixed-width big-endian primitives;
+strings/bytes as int length + raw bytes). The probe reads only the
+head — exact membership, no roaring decode.
 
 Probe semantics mirror the JVM classes the spec page describes
 (``BloomFilter64`` + ``FastHash``): a 64-bit value hash — Thomas
@@ -253,6 +266,181 @@ def build_spec_bloom(
         if h is not None:
             bloom.add_hash(h)
     return bloom
+
+
+# ---- bitmap index (index type "bitmap") ----
+
+BITMAP_INDEX_TYPE = "bitmap"
+
+
+def _bitmap_value_bytes(value, kind: Optional[str]) -> Optional[bytes]:
+    """DataOutput-form bytes of one value for the bitmap head's value
+    dictionary (Java's per-type serializer: fixed-width big-endian
+    primitives; strings/bytes as int length + raw bytes). None for
+    shapes the kind can't place — callers must NOT prune on None."""
+    import datetime
+
+    try:
+        if kind == "boolean":
+            return struct.pack(">b", 1 if value else 0)
+        if kind == "tinyint":
+            return struct.pack(">b", int(value))
+        if kind == "smallint":
+            return struct.pack(">h", int(value))
+        if kind in ("int", "date"):
+            if isinstance(value, datetime.date) and not isinstance(
+                value, datetime.datetime
+            ):
+                value = (value - datetime.date(1970, 1, 1)).days
+            return struct.pack(">i", int(value))
+        if kind == "bigint":
+            return struct.pack(">q", int(value))
+        if kind == "float":
+            return struct.pack(">f", float(value))
+        if kind == "double":
+            return struct.pack(">d", float(value))
+        if kind == "timestamp":
+            if isinstance(value, datetime.datetime):
+                epoch = datetime.datetime(
+                    1970, 1, 1, tzinfo=value.tzinfo
+                )
+                value = int((value - epoch).total_seconds() * 1000)
+            b = struct.pack(">q", int(value))
+            return b
+        if kind == "string":
+            raw = str(value).encode("utf-8")
+            return struct.pack(">i", len(raw)) + raw
+        if kind == "binary":
+            raw = bytes(value)
+            return struct.pack(">i", len(raw)) + raw
+    except (ValueError, TypeError, OverflowError, struct.error):
+        return None
+    return None
+
+
+def _bitmap_value_width(kind: Optional[str]):
+    """Fixed byte width of a kind's serialized value, or None for
+    length-prefixed kinds (string/binary)."""
+    return {
+        "boolean": 1,
+        "tinyint": 1,
+        "smallint": 2,
+        "int": 4,
+        "date": 4,
+        "float": 4,
+        "bigint": 8,
+        "double": 8,
+        "timestamp": 8,
+    }.get(kind)
+
+
+class SpecBitmap:
+    """Decoded ``bitmap`` payload HEAD (spec fileindex page /
+    BitmapFileIndex V1): version byte, row count, the non-null value
+    dictionary (serialized value → body offset; a NEGATIVE offset means
+    a single row at position ``-1 - offset``), and the null slot. The
+    probe needs only the head — per-value roaring bitmaps in the body
+    stay unread, and ``might_contain`` is EXACT (a value dictionary,
+    not a probabilistic filter): False prunes soundly, no false
+    positives either.
+
+    Same confidence note as SpecBloom: layout follows the published
+    spec page; byte-level validation against a genuinely JVM-written
+    index is pending a real lake. V2+ payloads raise at decode and the
+    planner treats the file as unprunable (correct, merely unskipped)."""
+
+    __slots__ = ("row_count", "values", "has_null", "kind")
+
+    def __init__(self, row_count: int, values: dict, has_null: bool, kind):
+        self.row_count = row_count
+        self.values = values  # {value bytes: offset int}
+        self.has_null = has_null
+        self.kind = kind
+
+    @classmethod
+    def decode(cls, payload: bytes, kind: Optional[str]) -> "SpecBitmap":
+        version = payload[0]
+        if version != 1:
+            raise ValueError(f"unsupported bitmap index version {version}")
+        row_count, n_vals = struct.unpack_from(">ii", payload, 1)
+        pos = 9
+        has_null = payload[pos] != 0
+        pos += 1
+        if has_null:
+            pos += 4  # null bitmap offset — presence is all the probe needs
+        width = _bitmap_value_width(kind)
+        values: dict = {}
+        for _ in range(n_vals):
+            if width is not None:
+                vb = payload[pos : pos + width]
+                pos += width
+            else:
+                (ln,) = struct.unpack_from(">i", payload, pos)
+                vb = payload[pos : pos + 4 + ln]
+                pos += 4 + ln
+            (off,) = struct.unpack_from(">i", payload, pos)
+            pos += 4
+            values[bytes(vb)] = off
+        return cls(row_count, values, has_null, kind)
+
+    def encode(self, null_offset: Optional[int] = None) -> bytes:
+        head = bytearray()
+        head.append(1)
+        head += struct.pack(">ii", self.row_count, len(self.values))
+        head.append(1 if self.has_null else 0)
+        if self.has_null:
+            head += struct.pack(">i", null_offset or 0)
+        for vb, off in self.values.items():
+            head += vb + struct.pack(">i", off)
+        return bytes(head)
+
+    def might_contain(self, value) -> bool:
+        """EXACT membership: False means no row holds the value. Only
+        None (NULL probe / unencodable shape) answers True
+        conservatively without a lookup."""
+        if value is None:
+            return True
+        vb = _bitmap_value_bytes(value, self.kind)
+        if vb is None:
+            return True
+        return vb in self.values
+
+
+def build_spec_bitmap(values, kind: Optional[str]) -> bytes:
+    """Fixture/interop writer: the full V1 payload (head + roaring
+    bodies) for a column's values in row order. Single-occurrence
+    values take the negative-offset inline form (offset = -1 - row);
+    multi-row values serialize a portable-format roaring bitmap of
+    their row positions (the DV codec's RoaringFormatSpec writer)."""
+    from paimon_python_spark.roaring import serialize_roaring32
+
+    rows_by_value: dict = {}
+    null_rows = []
+    for i, v in enumerate(values):
+        if v is None:
+            null_rows.append(i)
+            continue
+        vb = _bitmap_value_bytes(v, kind)
+        if vb is None:
+            raise ValueError(f"bitmap index: cannot serialize {v!r} as {kind}")
+        rows_by_value.setdefault(vb, []).append(i)
+    body = bytearray()
+    offsets: dict = {}
+    for vb, rows in rows_by_value.items():
+        if len(rows) == 1:
+            offsets[vb] = -1 - rows[0]
+        else:
+            offsets[vb] = len(body)
+            body += serialize_roaring32(rows)
+    null_offset = None
+    if null_rows:
+        if len(null_rows) == 1:
+            null_offset = -1 - null_rows[0]
+        else:
+            null_offset = len(body)
+            body += serialize_roaring32(null_rows)
+    meta = SpecBitmap(len(list(values)), offsets, bool(null_rows), kind)
+    return meta.encode(null_offset) + bytes(body)
 
 
 # ---- container ----

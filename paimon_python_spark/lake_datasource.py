@@ -697,7 +697,9 @@ class PaimonLakeBatchWriter(DataSourceWriter):
             "partition.default-name", DEFAULT_PARTITION_NAME
         )
         seq_field = info.options.get("sequence.field") or None
-        bloom_cols, bloom_spec, bloom_dtypes = _bloom_option_cols(info)
+        bloom_cols, bloom_spec, bloom_dtypes, bitmap_cols, bitmap_kinds = (
+            _bloom_option_cols(info)
+        )
         rows = [tuple(row[n] for n in names) for row in iterator]
         if not rows:
             return _LakeWrittenFiles([])
@@ -809,7 +811,12 @@ class PaimonLakeBatchWriter(DataSourceWriter):
                     "max_key": kmax,
                     "stats": stats,
                     "emb": _embedded_index_payload(
-                        sub, bloom_cols, bloom_spec, bloom_dtypes
+                        sub,
+                        bloom_cols,
+                        bloom_spec,
+                        bloom_dtypes,
+                        bitmap_cols,
+                        bitmap_kinds,
                     ),
                 }
             )
@@ -872,6 +879,21 @@ class PaimonLakeBatchWriter(DataSourceWriter):
                 schema=pa_schema,
             )
             pq.write_table(table, os.path.join(ddir, name))
+            emb = None
+            if rows:
+                # honor the table's declared file indexes (bloom/bitmap
+                # columns) — front-door files must prune like
+                # builder-written ones
+                from paimon_python_spark.paimon_lake import (
+                    _bloom_option_cols,
+                    _embedded_index_payload,
+                )
+
+                opts = _bloom_option_cols(info)
+                if opts[0] or opts[3]:
+                    emb = _embedded_index_payload(
+                        table.to_pandas(), *opts
+                    )
             written.append(
                 (
                     os.path.join(*rel_parts, "bucket-0", name)
@@ -879,6 +901,7 @@ class PaimonLakeBatchWriter(DataSourceWriter):
                     else os.path.join("bucket-0", name),
                     dict(zip(part_keys, key)),
                     len(rows),
+                    emb,
                 )
             )
         return _LakeWrittenFiles(written)
@@ -933,7 +956,7 @@ class PaimonLakeBatchWriter(DataSourceWriter):
                     )
                     n_rows += int(f["rows"])
                     continue
-                rel, pvals, rows = f
+                rel, pvals, rows, emb = f
                 if rows == 0:
                     continue
                 dest = os.path.join(self.table_path, rel)
@@ -953,6 +976,7 @@ class PaimonLakeBatchWriter(DataSourceWriter):
                             rows,
                             schema_id=info.id,
                             value_stats=_parquet_footer_value_stats(md, info),
+                            embedded_index=emb,
                         ),
                     }
                 )

@@ -40,6 +40,7 @@ for the delete filter.
 
 from __future__ import annotations
 
+import struct
 from typing import List, Optional
 
 from paimon_python_spark.paimon_import import (
@@ -785,9 +786,38 @@ def _bloom_dtype(info, col: str) -> "str | None":
     return "float" if isinstance(dt, T.FloatType) else None
 
 
+def _bitmap_kind(info, col: str) -> "str | None":
+    """Column type kind for the spec BITMAP value dictionary (the
+    per-type DataOutput serializer). None = unprobeable type (the
+    planner then never prunes on that column's bitmap)."""
+    from pyspark.sql import types as T
+
+    try:
+        dt = info.spark_schema[col].dataType
+    except Exception:
+        return None
+    return {
+        T.BooleanType: "boolean",
+        T.ByteType: "tinyint",
+        T.ShortType: "smallint",
+        T.IntegerType: "int",
+        T.LongType: "bigint",
+        T.FloatType: "float",
+        T.DoubleType: "double",
+        T.StringType: "string",
+        T.BinaryType: "binary",
+        T.DateType: "date",
+        T.TimestampType: "timestamp",
+    }.get(type(dt))
+
+
 def _spec_blooms_typed(info, raw: bytes) -> Optional[dict]:
-    """{column: SpecBloom} from a spec file-index container, probes
-    typed from the CURRENT table schema. None for non-spec payloads."""
+    """{column: probe} from a spec file-index container, probes typed
+    from the CURRENT table schema. A column carrying BOTH indexes
+    probes through the BITMAP (exact membership beats a probabilistic
+    filter); a bitmap that fails to decode (V2+, torn bytes) falls back
+    to the bloom — pruning-only either way. None for non-spec
+    payloads."""
     from paimon_python_spark import fileindex_codec as fic
 
     if not fic.is_spec_file_index(raw):
@@ -795,12 +825,23 @@ def _spec_blooms_typed(info, raw: bytes) -> Optional[dict]:
     try:
         doc = fic.read_file_index(raw)
     except ValueError:
-        return None  # future version: ignore, blooms only prune
-    cols = {
-        col: fic.SpecBloom.decode(per[fic.BLOOM_INDEX_TYPE], _bloom_dtype(info, col))
-        for col, per in doc.items()
-        if fic.BLOOM_INDEX_TYPE in per
-    }
+        return None  # future version: ignore, indexes only prune
+    cols: dict = {}
+    for col, per in doc.items():
+        if fic.BITMAP_INDEX_TYPE in per:
+            kind = _bitmap_kind(info, col)
+            if kind is not None:
+                try:
+                    cols[col] = fic.SpecBitmap.decode(
+                        per[fic.BITMAP_INDEX_TYPE], kind
+                    )
+                    continue
+                except (ValueError, IndexError, struct.error):
+                    pass  # fall through to the bloom, if any
+        if fic.BLOOM_INDEX_TYPE in per:
+            cols[col] = fic.SpecBloom.decode(
+                per[fic.BLOOM_INDEX_TYPE], _bloom_dtype(info, col)
+            )
     return cols or None
 
 
@@ -1737,9 +1778,14 @@ def write_lake_append(table_path: str, df) -> int:
         # key-value files — same public API, dedicated write path
         return write_lake_pk_append(table_path, df)
     fmt = info.options.get("file.format", "parquet")
-    if fmt == "avro":
-        # no spark-avro in this stack: the engine codec writes avro
-        # executor-side through the shared distributed group writer
+    bloom_cols, _spec, _dt, bitmap_cols, _bk = _bloom_option_cols(info)
+    if fmt == "avro" or bloom_cols or bitmap_cols:
+        # avro: no spark-avro in this stack — the engine codec writes
+        # executor-side through the shared distributed group writer.
+        # Declared file indexes (bloom/bitmap columns) route the same
+        # way: the group writer builds each file's index payload
+        # EXECUTOR-side over the batch it just wrote; the staging-adopt
+        # path below never sees the rows, so it cannot index them.
         man_entries, n_rows = _distributed_lake_write(
             table_path, info, df, fmt, kv=False
         )
@@ -2149,30 +2195,51 @@ def _commit_lake_snapshot(
 
 
 def _bloom_option_cols(info) -> tuple:
-    """(bloom_cols, bloom_spec, bloom_dtypes) from a lake's
-    file-index options — shared by every writer that builds per-file
-    embedded bloom payloads."""
+    """(bloom_cols, bloom_spec, bloom_dtypes, bitmap_cols,
+    bitmap_kinds) from a lake's file-index options — shared by every
+    writer that builds per-file embedded index payloads.
+    ``file-index.bitmap.columns`` columns get an EXACT value-dictionary
+    bitmap index (spec payload); declaring any forces the spec
+    container, since the bitmap type exists only there."""
+    names = {f.name for f in info.spark_schema.fields}
     bloom_cols = [
         c.strip()
         for c in info.options.get("file-index.bloom-filter.columns", "").split(",")
-        if c.strip() and c.strip() in {f.name for f in info.spark_schema.fields}
+        if c.strip() and c.strip() in names
     ]
-    bloom_spec = info.options.get("file-index.format", "").lower() == "spec"
-    return bloom_cols, bloom_spec, {c: _bloom_dtype(info, c) for c in bloom_cols}
+    bitmap_cols = [
+        c.strip()
+        for c in info.options.get("file-index.bitmap.columns", "").split(",")
+        if c.strip() and c.strip() in names and _bitmap_kind(info, c.strip())
+    ]
+    bloom_spec = (
+        info.options.get("file-index.format", "").lower() == "spec"
+        or bool(bitmap_cols)
+    )
+    return (
+        bloom_cols,
+        bloom_spec,
+        {c: _bloom_dtype(info, c) for c in bloom_cols},
+        bitmap_cols,
+        {c: _bitmap_kind(info, c) for c in bitmap_cols},
+    )
 
 
-def _embedded_index_payload(pdf, bloom_cols, bloom_spec, bloom_dtypes):
-    """Per-file embedded file-index payload (bloom) over a written
-    group's pandas batch; returns bytes or None.
+def _embedded_index_payload(
+    pdf, bloom_cols, bloom_spec, bloom_dtypes, bitmap_cols=(), bitmap_kinds=None
+):
+    """Per-file embedded file-index payload (bloom and/or bitmap) over
+    a written group's pandas batch; returns bytes or None.
 
-    file-index.format=spec opts into the spec-format container (JVM
-    readers parse it and probe with their own FastHash — byte-interop
-    rests on fileindex_codec's hash constants, validated against public
-    vectors; JVM-byte validation pending a real lake). Default stays the
-    engine-tagged JSON, which foreign readers safely ignore."""
+    file-index.format=spec (or any bitmap column) opts into the
+    spec-format container (JVM readers parse it and probe with their
+    own FastHash — byte-interop rests on fileindex_codec's hash
+    constants, validated against public vectors; JVM-byte validation
+    pending a real lake). Default stays the engine-tagged JSON, which
+    foreign readers safely ignore."""
     import json as _json
 
-    if not bloom_cols:
+    if not bloom_cols and not bitmap_cols:
         return None
     if bloom_spec:
         from paimon_python_spark import fileindex_codec as fic
@@ -2182,13 +2249,27 @@ def _embedded_index_payload(pdf, bloom_cols, bloom_spec, bloom_dtypes):
             if c in pdf.columns:
                 vals = [v for v in pdf[c].tolist() if v is not None]
                 if vals:
-                    idx[c] = {
-                        fic.BLOOM_INDEX_TYPE: fic.build_spec_bloom(
+                    idx.setdefault(c, {})[fic.BLOOM_INDEX_TYPE] = (
+                        fic.build_spec_bloom(
                             vals,
                             items=max(64, len(set(map(repr, vals)))),
                             dtype=bloom_dtypes.get(c),
                         ).encode()
-                    }
+                    )
+        for c in bitmap_cols:
+            if c in pdf.columns:
+                try:
+                    idx.setdefault(c, {})[fic.BITMAP_INDEX_TYPE] = (
+                        fic.build_spec_bitmap(
+                            [
+                                None if _pd_isna(v) else v
+                                for v in pdf[c].tolist()
+                            ],
+                            (bitmap_kinds or {}).get(c),
+                        )
+                    )
+                except ValueError:
+                    pass  # unencodable shape: no index, never wrong
         return fic.write_file_index(idx) if idx else None
     from paimon_python_spark.bloom import build_hex
 
@@ -2203,6 +2284,12 @@ def _embedded_index_payload(pdf, bloom_cols, bloom_spec, bloom_dtypes):
     return _json.dumps({"format": _EMB_BLOOM_FORMAT, "columns": blooms}).encode(
         "utf-8"
     )
+
+
+def _pd_isna(v) -> bool:
+    import pandas as pd
+
+    return v is None or (not isinstance(v, (bytes, str)) and pd.isna(v))
 
 
 def _make_lake_bucket_fn(key_types, num_buckets: int):
@@ -2472,7 +2559,9 @@ def _distributed_lake_write(
     # equality file skipping, built EXECUTOR-SIDE over each group's
     # batch and carried in the manifest entry's _EMBEDDED_FILE_INDEX
     # slot (engine payload format — see _decode_embedded_blooms)
-    bloom_cols, bloom_spec, bloom_dtypes = _bloom_option_cols(info)
+    bloom_cols, bloom_spec, bloom_dtypes, bitmap_cols, bitmap_kinds = (
+        _bloom_option_cols(info)
+    )
 
     cast_cols = [
         F.col(f.name).cast(f.dataType).alias(f.name) for f in info.spark_schema.fields
@@ -2720,7 +2809,9 @@ def _distributed_lake_write(
         else:
             kmin = kmax = b""
         stats = _value_stats_for(table, schema_info)
-        emb = _embedded_index_payload(pdf, bloom_cols, bloom_spec, bloom_dtypes)
+        emb = _embedded_index_payload(
+            pdf, bloom_cols, bloom_spec, bloom_dtypes, bitmap_cols, bitmap_kinds
+        )
         idx_file, idx_size, idx_rows = None, 0, 0
         if dyn_old_files is not None and "__kn" in pdf.columns:
             # dynamic-bucket index upkeep, fused into the write task:

@@ -261,3 +261,125 @@ def test_spec_format_bloom_write_roundtrip(tmp_path, spark):
     rb2.with_filter(rb2.new_predicate_builder().equal("f", 42.5))  # even file
     assert len(_pruned_entries(p, info, rb2)) == 1
     assert list(rb2.new_read().to_pandas().k) == [42]
+
+
+def test_bitmap_payload_roundtrip_and_probe():
+    """Spec bitmap payload (BitmapFileIndex V1): per-type value
+    dictionary round-trips, probes are EXACT membership, single
+    occurrences take the negative-offset inline form, multi-row values
+    carry portable roaring bitmaps, V2+ refuses at decode."""
+    import datetime
+    import struct
+
+    import pytest as _pytest
+
+    from paimon_python_spark import fileindex_codec as fic
+    from paimon_python_spark.roaring import deserialize_roaring32
+
+    cases = [
+        ("int", [1, 5, 5, None, 9], [5, 1, 9], [2, 7]),
+        ("bigint", [10**12, -3], [10**12, -3], [7]),
+        ("string", ["a", "bb", "a", None], ["a", "bb"], ["c", ""]),
+        ("double", [1.5, -2.25, 1.5], [1.5, -2.25], [3.14]),
+        ("float", [1.5, 2.5], [1.5, 2.5], [3.5]),
+        ("boolean", [True, False], [True, False], []),
+        (
+            "date",
+            [datetime.date(2020, 1, 1)],
+            [datetime.date(2020, 1, 1)],
+            [datetime.date(1999, 1, 1)],
+        ),
+        ("binary", [b"\x00\x01", b"zz"], [b"zz"], [b"no"]),
+        ("smallint", [1, 2], [2], [3]),
+        ("tinyint", [1, 2], [2], [3]),
+    ]
+    for kind, vals, present, absent in cases:
+        bm = fic.SpecBitmap.decode(fic.build_spec_bitmap(vals, kind), kind)
+        assert bm.row_count == len(vals)
+        for v in present:
+            assert bm.might_contain(v), (kind, v)
+        for v in absent:
+            assert not bm.might_contain(v), (kind, v)
+        assert bm.might_contain(None)  # NULL probes never prune
+
+    payload = fic.build_spec_bitmap([7, 8, 7, 9, 7], "int")
+    bm = fic.SpecBitmap.decode(payload, "int")
+    head_len = len(bm.encode(None))
+    off = bm.values[fic._bitmap_value_bytes(7, "int")]
+    assert list(deserialize_roaring32(payload[head_len + off:])) == [0, 2, 4]
+    assert bm.values[fic._bitmap_value_bytes(8, "int")] == -1 - 1
+
+    with _pytest.raises(ValueError, match="version"):
+        fic.SpecBitmap.decode(b"\x02" + b"\x00" * 20, "int")
+
+    # container carries bloom + bitmap side by side
+    blob = fic.write_file_index(
+        {
+            "c": {
+                fic.BLOOM_INDEX_TYPE: fic.build_spec_bloom([1, 2]).encode(),
+                fic.BITMAP_INDEX_TYPE: fic.build_spec_bitmap([1, 2], "int"),
+            }
+        }
+    )
+    doc = fic.read_file_index(blob)
+    assert set(doc["c"]) == {fic.BLOOM_INDEX_TYPE, fic.BITMAP_INDEX_TYPE}
+
+
+def test_bitmap_index_prunes_lake_reads(tmp_path, spark):
+    """file-index.bitmap.columns on an engine-written lake: each file
+    carries the spec bitmap payload (spec container — JVM-parsable),
+    equality reads prune to exactly the files holding the value, and
+    the EXACT dictionary prunes even where a bloom could false-positive
+    (value between the file's min/max but absent)."""
+    from paimon_python_spark import fileindex_codec as fic
+    from paimon_python_spark.paimon_import import plan_paimon_files
+    from paimon_python_spark.paimon_lake import (
+        PaimonLakeTable,
+        _pruned_entries,
+        create_lake_table,
+        read_paimon_schema,
+        write_lake_append,
+    )
+    from paimon_python_spark.session import set_spark
+
+    set_spark(spark)
+    p = str(tmp_path / "bitmap_lake")
+    create_lake_table(
+        p,
+        [("k", "INT NOT NULL"), ("u", "STRING")],
+        options={"file-index.bitmap.columns": "u"},
+    )
+    write_lake_append(
+        p,
+        spark.createDataFrame(
+            [(i, f"u{i:03d}") for i in range(0, 400, 2)], "k int, u string"
+        ).coalesce(1),
+    )
+    write_lake_append(
+        p,
+        spark.createDataFrame(
+            [(i, f"u{i:03d}") for i in range(1, 400, 2)], "k int, u string"
+        ).coalesce(1),
+    )
+    entries = plan_paimon_files(p)
+    assert len(entries) == 2
+    assert all(
+        e.embedded_index and fic.is_spec_file_index(e.embedded_index)
+        for e in entries
+    ), "bitmap columns force the spec container"
+    info = read_paimon_schema(p)
+    t = PaimonLakeTable(p)
+    rb = t.new_read_builder()
+    rb.with_filter(rb.new_predicate_builder().equal("u", "u137"))
+    assert len(_pruned_entries(p, info, rb)) == 1
+    assert list(rb.new_read().to_pandas().k) == [137]
+    # EXACT pruning: a value inside both files' min/max ranges but
+    # present in NEITHER plans zero files
+    rb2 = t.new_read_builder()
+    rb2.with_filter(rb2.new_predicate_builder().equal("u", "u137x"))
+    assert len(_pruned_entries(p, info, rb2)) == 0
+    assert rb2.new_read().to_pandas().empty
+    # range predicates ignore the dictionary; rows stay exact
+    rb3 = t.new_read_builder()
+    rb3.with_filter(rb3.new_predicate_builder().between("u", "u100", "u103"))
+    assert sorted(rb3.new_read().to_pandas().k) == [100, 101, 102, 103]

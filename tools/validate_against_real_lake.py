@@ -189,6 +189,52 @@ def main() -> int:
               "0 false negatives")
     else:
         print("[8] skipped (no spec-format bloom indexes in this snapshot)")
+
+    # [9] bitmap file-index parity: a JVM-written bitmap index is an
+    # EXACT value dictionary — every value present in the file must be
+    # in the decoded dictionary (a miss = value-serialization or head-
+    # layout divergence → unsound pruning), and a mutated absent value
+    # must NOT be (a hit = offset/width mis-parse).
+    probed_bm = 0
+    for e in entries:
+        idx = (
+            _spec_blooms_typed(info, e.embedded_index)
+            if e.embedded_index
+            else None
+        ) or _standalone_index_blooms(args.table_path, info, e)
+        if not idx:
+            continue
+        bitmaps = {c: p for c, p in idx.items() if hasattr(p, "values")}
+        if not bitmaps:
+            continue
+        import pyarrow.parquet as pq
+
+        dpath = os.path.join(
+            args.table_path,
+            e.rel_path(
+                info.partition_keys,
+                [info.spark_schema[k].dataType for k in info.partition_keys],
+            ),
+        )
+        for col, probe in bitmaps.items():
+            vals = pq.read_table(dpath, columns=[col]).column(col).to_pylist()
+            present = [v for v in vals if v is not None]
+            for v in present[:200]:
+                probed_bm += 1
+                if not probe.might_contain(v):
+                    print(f"[9] FAIL: bitmap dictionary miss on {col}={v!r} "
+                          f"in {e.file_name} — value-serialization divergence")
+                    return 1
+            if len(set(map(repr, present))) != len(probe.values):
+                print(f"[9] FAIL: bitmap dictionary cardinality "
+                      f"{len(probe.values)} != {len(set(map(repr, present)))} "
+                      f"distinct values in {e.file_name} — head mis-parse")
+                return 1
+    if probed_bm:
+        print(f"[9] spec bitmap parity OK: {probed_bm} known-present probes, "
+              "0 dictionary misses")
+    else:
+        print("[9] skipped (no spec-format bitmap indexes in this snapshot)")
     print("ALL CHECKS PASSED against a foreign-written lake")
     return 0
 
