@@ -125,7 +125,20 @@ HEADLINE = [
     # + state lookup, worth tracking per-round)
     "paimon_dynamic_bucket_roundtrip",
     "paimon_cross_partition_roundtrip",
+    # r10: the PK/overwrite front-door writes (lake + engine) and the
+    # exact bitmap file index — new prune/route shapes worth tracking
+    "paimon_lake_format_pk_write_roundtrip",
+    "paimon_lake_bitmap_index_roundtrip",
+    "paimon_datasource_pk_write_roundtrip",
 ]
+
+#: executions per query; the reported time is the MEDIAN. Run 1 pays
+#: one-time JIT + codegen (measured 3-9x steady state), machine-load
+#: wobble moves any single run by ±10% (PLANS.md: 76.5-84.5 s observed
+#: over two hours for the same 85 queries) — the median of 3 discards
+#: the JIT run AND the loaded outlier, so per-round regression triage
+#: compares signal, not load.
+RUNS = 3
 
 
 def main():
@@ -196,12 +209,11 @@ def main():
     finally:
         shutil.rmtree(_wh, ignore_errors=True)
 
-    # best-of-2 per query: the first execution of each distinct plan pays
-    # one-time JVM JIT + whole-stage-codegen compilation (measured 3-9x
-    # the steady-state cost at sf0.1); the minimum reflects engine
-    # throughput, which is what scales to a long-lived cluster session
+    # median-of-RUNS per query (see the RUNS note above).
     # fail-soft: one broken query must not zero the whole bench — record
     # the error string, keep timing the rest, always emit the JSON line
+    import statistics
+
     from paimon_python_spark.operators._cache import release_cached
 
     timings: dict[str, float] = {}
@@ -211,15 +223,15 @@ def main():
         if fn is None:
             errors[name] = "not registered"
             continue
-        best = float("inf")
+        runs: list[float] = []
         try:
-            for _ in range(2):
+            for _ in range(RUNS):
                 t0 = time.time()
                 df = fn(spark, sf_dir)
                 df.write.mode("overwrite").format("noop").save()
-                best = min(best, time.time() - t0)
+                runs.append(time.time() - t0)
                 release_cached()  # free operator-scoped persisted frames
-            timings[name] = round(best, 3)
+            timings[name] = round(statistics.median(runs), 3)
         except Exception as exc:  # noqa: BLE001 — benchmark must survive
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
             release_cached()
@@ -243,6 +255,8 @@ def main():
         "queries": top10,
         "n_queries": len(timings),
         "n_errors": len(errors),
+        "runs_per_query": RUNS,
+        "stat": "median",
         "sf": sf_val,
         "details": "bench_details.json",
     }
@@ -252,6 +266,8 @@ def main():
         "unit": "sec",
         "queries": timings,
         "errors": errors,
+        "runs_per_query": RUNS,
+        "stat": "median",
         "sf": sf_val,
     }
     with open(

@@ -349,35 +349,51 @@ class _WrittenFiles(WriterCommitMessage):
 
 
 class PaimonBatchWriter(DataSourceWriter):
-    """``df.write.format("paimon_spark")`` for APPEND tables.
+    """``df.write.format("paimon_spark")`` for APPEND and PRIMARY-KEY
+    tables.
 
     Executor side (``write``): each task buffers its rows and writes
-    one parquet file per partition-value group, hive-style, directly
-    into the table's data dir — the same layout the engine writer
-    produces — and reports the relative paths as its commit message.
+    one parquet file per layout group directly into the table's data
+    dir — APPEND tables group by partition values; PK tables
+    additionally route each row to ``pmod(hash(trimmed key), buckets)``
+    with the engine's verified Python replica of Spark's Murmur3
+    ``F.hash`` (bucketing.bucket_of — property-tested against F.hash,
+    so front-door files land in the SAME buckets the builder's shuffle
+    assigns) and stamp ``_SEQUENCE_NUMBER``/``_VALUE_KIND`` columns, a
+    fresh sequence range past the table's snapshots with the task's
+    partition id in the high bits (same-key rows in different tasks
+    never tie). The hive layout (``__pt_<k>=<v>/__bucket=<b>/``) is
+    byte-identical to the builder writer's.
 
     Driver side (``commit``): only when EVERY task succeeded, the
-    reported files are described (footer stats for pruning) and
-    committed through the engine's snapshot protocol — one atomic
-    snapshot, exactly like the builder API's commit. ``abort`` removes
-    the orphan files, so a failed job leaves no visible state (readers
-    only ever see committed snapshots either way).
-
-    PK tables need bucket assignment + sequence numbers, which are a
-    distributed concern (the engine's write_dataframe does them as
-    DataFrame ops); they are rejected here rather than half-supported.
+    reported files are described (footer stats + configured blooms,
+    via the same DataFileHarvester the builder uses) and committed
+    through the engine's snapshot protocol — one atomic snapshot.
+    ``abort`` removes the orphan files, so a failed job leaves no
+    visible state (readers only ever see committed snapshots either
+    way).
     """
 
     def __init__(self, table_path: str, schema, overwrite: bool):
         self.table_path = table_path
         self.schema = schema
         self.overwrite = overwrite
-        if schema.is_primary_key_table():
-            raise ValueError(
-                "paimon_spark writer supports append tables; use "
-                "table.new_batch_write_builder().new_write().write_dataframe() "
-                "for primary-key tables"
+        if schema.file_format() != "parquet":
+            raise NotImplementedError(
+                f"paimon_spark writer: file.format={schema.file_format()!r} "
+                "— use write_dataframe(), which routes avro through the "
+                "engine codec"
             )
+        self.is_pk = schema.is_primary_key_table()
+        self.seq_base = 0
+        if self.is_pk:
+            from paimon_python_spark.metadata import MetadataStore
+            from paimon_python_spark.write import _SEQ_COMMIT_SHIFT
+
+            base_snapshot = (
+                MetadataStore(table_path).latest_snapshot_id() or 0
+            )
+            self.seq_base = (base_snapshot + 1) << _SEQ_COMMIT_SHIFT
 
     def write(self, iterator) -> _WrittenFiles:
         import uuid
@@ -386,35 +402,73 @@ class PaimonBatchWriter(DataSourceWriter):
         import pyarrow.parquet as pq
 
         from paimon_python_spark.types import spark_schema_to_pa
+        from paimon_python_spark.write import (
+            KIND_COL,
+            PART_PREFIX,
+            ROWKIND_INSERT,
+            SEQ_COL,
+        )
 
+        schema = self.schema
         # partition values shape the directory layout but the columns
         # stay IN the file too (the engine's writer keeps them and uses
         # shadow __pt_ dirs purely for pruning)
-        part_keys = list(self.schema.partition_keys)
-        data_cols = [f.name for f in self.schema.spark_schema.fields]
-        pa_schema = spark_schema_to_pa(self.schema.spark_schema)
+        part_keys = list(schema.partition_keys)
+        data_cols = [f.name for f in schema.spark_schema.fields]
+        pa_schema = spark_schema_to_pa(schema.spark_schema)
+        if self.is_pk:
+            from paimon_python_spark.bucketing import bucket_of
+
+            trimmed = schema.trimmed_primary_keys
+            key_types = [schema.spark_schema[k].dataType for k in trimmed]
+            nb = schema.num_buckets()
         groups: dict = {}
         for row in iterator:
             key = tuple(row[k] for k in part_keys)
+            if self.is_pk:
+                key = (
+                    key,
+                    bucket_of([row[k] for k in trimmed], key_types, nb),
+                )
             groups.setdefault(key, []).append(tuple(row[c] for c in data_cols))
 
-        from paimon_python_spark.write import PART_PREFIX
+        # same-key rows in two tasks must not tie on sequence: the
+        # task's partition id rides the high bits (mirrors the builder's
+        # post-shuffle monotonic id, whose high bits are the partition)
+        pid = 0
+        if self.is_pk:
+            from pyspark import TaskContext
+
+            ctx = TaskContext.get()
+            pid = (ctx.partitionId() if ctx is not None else 0) & 0xFFF
 
         data_dir = os.path.join(self.table_path, "data")
         written: List[str] = []
+        seq = self.seq_base + (pid << 33)
         for key, rows in groups.items():
+            pvals, bucket = (key, None) if not self.is_pk else key
             subdir = data_dir
-            for k, v in zip(part_keys, key):
+            for k, v in zip(part_keys, pvals):
                 sval = "__HIVE_DEFAULT_PARTITION__" if v is None else str(v)
                 subdir = os.path.join(subdir, f"{PART_PREFIX}{k}={sval}")
+            if bucket is not None:
+                subdir = os.path.join(subdir, f"__bucket={bucket}")
             os.makedirs(subdir, exist_ok=True)
             fname = f"part-{uuid.uuid4().hex}-py.parquet"
             path = os.path.join(subdir, fname)
             cols = list(zip(*rows)) if rows else [[] for _ in data_cols]
-            table = pa.Table.from_arrays(
-                [pa.array(c, type=f.type) for c, f in zip(cols, pa_schema)],
-                schema=pa_schema,
-            )
+            arrays = [
+                pa.array(c, type=f.type) for c, f in zip(cols, pa_schema)
+            ]
+            fields = list(pa_schema)
+            if self.is_pk:
+                n = len(rows)
+                arrays.append(pa.array(range(seq, seq + n), pa.int64()))
+                fields.append(pa.field(SEQ_COL, pa.int64(), False))
+                arrays.append(pa.array([ROWKIND_INSERT] * n, pa.int32()))
+                fields.append(pa.field(KIND_COL, pa.int32(), False))
+                seq += n
+            table = pa.Table.from_arrays(arrays, schema=pa.schema(fields))
             pq.write_table(table, path)
             written.append(os.path.relpath(path, self.table_path))
         return _WrittenFiles(written)

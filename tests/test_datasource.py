@@ -144,18 +144,58 @@ def test_datasource_write_append_and_overwrite(catalog, spark):
     assert out["f0"].tolist() == [2, 9]  # partition x replaced, y kept
 
 
-def test_datasource_write_rejects_pk_table(catalog, spark):
+def test_datasource_write_pk_table(catalog, spark):
+    """format('paimon_spark') PK writes: front-door commits route rows
+    with the verified Python replica of Spark's F.hash bucket function
+    (files interleave with builder write_dataframe commits and merge
+    newest-wins), sequence ranges advance past the table's snapshots,
+    and full-key point reads still bucket-prune (routing parity)."""
+    import pyarrow as pa
+
+    S = pa.schema([("dt", pa.string()), ("k", pa.int64()), ("v", pa.string())])
     catalog.create_table(
         "default.ds_wr_pk",
-        Schema(SIMPLE, primary_keys=["f0"], options={"bucket": "1"}),
+        Schema(
+            S,
+            partition_keys=["dt"],
+            primary_keys=["dt", "k"],
+            options={"bucket": "4"},
+        ),
         False,
     )
     t = catalog.get_table("default.ds_wr_pk")
-    df = spark.createDataFrame([(1, "a")], "f0 long, f1 string")
-    with pytest.raises(Exception, match="append tables"):
-        df.write.format("paimon_spark").option("path", t.table_path).mode(
-            "append"
-        ).save()
+
+    def fmt_write(rows):
+        spark.createDataFrame(rows, "dt string, k long, v string").write.format(
+            "paimon_spark"
+        ).option("path", t.table_path).mode("append").save()
+
+    fmt_write([("a", 1, "x"), ("a", 2, "y"), ("b", 3, "z")])
+    fmt_write([("a", 2, "Y2"), ("b", 4, "w")])  # upsert
+    rb = t.new_read_builder()
+    got = sorted((r.dt, r.k, r.v) for r in rb.new_read().to_df().collect())
+    assert got == [("a", 1, "x"), ("a", 2, "Y2"), ("b", 3, "z"), ("b", 4, "w")]
+    # builder write interleaves: identical bucket routing, newer seq wins
+    _write(t, pd.DataFrame({"dt": ["b"], "k": [3], "v": ["Z3"]}))
+    rb = t.new_read_builder()
+    got = sorted((r.dt, r.k, r.v) for r in rb.new_read().to_df().collect())
+    assert got == [("a", 1, "x"), ("a", 2, "Y2"), ("b", 3, "Z3"), ("b", 4, "w")]
+    # format() reader agrees (executor-local merge per split)
+    ds = sorted(
+        (r.dt, r.k, r.v)
+        for r in spark.read.format("paimon_spark")
+        .option("path", t.table_path)
+        .load()
+        .collect()
+    )
+    assert ds == got
+    # full-key point read bucket-prunes through the shared hash
+    rb2 = t.new_read_builder()
+    pb = rb2.new_predicate_builder()
+    rb2.with_filter(pb.and_predicates([pb.equal("dt", "b"), pb.equal("k", 4)]))
+    assert [(r.dt, r.k, r.v) for r in rb2.new_read().to_df().collect()] == [
+        ("b", 4, "w")
+    ]
 
 
 def test_stream_table_to_table_etl(catalog, spark, tmp_path):
