@@ -9812,6 +9812,87 @@ FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
 """
 
 
+def paimon_stream_changelog_roundtrip(spark, sf_dir):
+    """readStream.format('paimon_spark').option('changelog','true') on
+    a PRIMARY-KEY table: the commit log streams as CHANGELOG rows with
+    a _row_kind column (+I/-U/+U/-D) — a plain PK readStream refuses,
+    because a raw -D would resurrect the delete downstream. Two commits
+    (a seed, then a kind-tagged CDC batch) replay through a memory
+    sink; the per-kind aggregate must equal the SQL reconstruction of
+    exactly those changelog rows."""
+    import tempfile
+
+    from paimon_python_spark import Catalog, Schema
+    from paimon_python_spark.datasource import register
+
+    register(spark)
+    wh = _fresh_warehouse("sclr")
+    cat = Catalog.create({"warehouse": wh})
+    cat.create_database("default", True)
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal"
+    )
+    cat.create_table(
+        "default.cust_cl",
+        Schema(cust.schema, primary_keys=["c_custkey"], options={"bucket": "2"}),
+        False,
+    )
+    t = cat.get_table("default.cust_cl")
+    wb = t.new_batch_write_builder()
+    w, c = wb.new_write(), wb.new_commit()
+    w.write_dataframe(cust.filter(F.col("c_custkey") % 3 == 0))
+    c.commit(w.prepare_commit())
+    w.close()
+    c.close()
+    cdc = cust.filter(F.col("c_custkey") % 3 == 0).withColumn(
+        "rk",
+        F.when(F.col("c_custkey") % 9 == 0, F.lit(3)).otherwise(F.lit(2)),
+    ).filter((F.col("c_custkey") % 9 == 0) | (F.col("c_custkey") % 6 == 0))
+    wb = t.new_batch_write_builder()
+    w, c = wb.new_write(), wb.new_commit()
+    w.write_dataframe(cdc, row_kind_col="rk")
+    c.commit(w.prepare_commit())
+    w.close()
+    c.close()
+
+    stream = (
+        spark.readStream.format("paimon_spark")
+        .option("path", t.table_path)
+        .option("changelog", "true")
+        .load()
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sclr_out")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="sclr_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(
+        """SELECT _row_kind AS rk, CAST(count(*) AS BIGINT) AS n,
+                  sum(c_custkey) AS sum_key
+           FROM sclr_out GROUP BY _row_kind ORDER BY rk"""
+    )
+
+
+PAIMON_STREAM_CHANGELOG_SQL = """
+WITH cl AS (
+  SELECT '+I' AS rk, c_custkey FROM customer WHERE c_custkey % 3 = 0
+  UNION ALL
+  SELECT '-D', c_custkey FROM customer WHERE c_custkey % 9 = 0
+  UNION ALL
+  SELECT '+U', c_custkey FROM customer
+  WHERE c_custkey % 6 = 0 AND c_custkey % 9 <> 0
+)
+SELECT rk, count(*) AS n, sum(c_custkey) AS sum_key
+FROM cl GROUP BY rk ORDER BY rk
+"""
+
+
 def events_moving_window_agg(spark, sf_dir):
     """Per-user trailing 1-hour moving aggregate (RANGE frame on the
     event-time axis, not ROWS — gaps and bursts handled correctly).
@@ -10876,6 +10957,7 @@ _QUERIES: dict[str, Callable] = {
     "events_moving_window_agg": events_moving_window_agg,
     "sql_entry_point": sql_entry_point,
     "paimon_stream_source_roundtrip": paimon_stream_source_roundtrip,
+    "paimon_stream_changelog_roundtrip": paimon_stream_changelog_roundtrip,
     "events_anomaly_zscore": events_anomaly_zscore,
     "dedup_containment": dedup_containment,
     "sample_token_budget_mix": sample_token_budget_mix,
@@ -11071,6 +11153,7 @@ _ORACLES: dict[str, str] = {
     ),
     "sql_entry_point": SQL_ENTRY_SQL,
     "paimon_stream_source_roundtrip": PAIMON_STREAM_SOURCE_SQL,
+    "paimon_stream_changelog_roundtrip": PAIMON_STREAM_CHANGELOG_SQL,
     "paimon_import_roundtrip": PAIMON_IMPORT_SQL,
     "paimon_inplace_read_roundtrip": PAIMON_INPLACE_SQL,
     "paimon_lake_pk_roundtrip": PAIMON_LAKE_PK_SQL,
@@ -11142,6 +11225,7 @@ _GATE_HEAD = [
     "paimon_lake_format_pk_write_roundtrip",
     "paimon_lake_bitmap_index_roundtrip",
     "paimon_datasource_pk_write_roundtrip",
+    "paimon_stream_changelog_roundtrip",
     "paimon_lake_format_roundtrip",
     "paimon_lake_format_dv_roundtrip",
     "paimon_lake_format_write_roundtrip",

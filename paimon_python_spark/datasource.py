@@ -17,7 +17,10 @@ Source API) on top of the same planner the builder API uses:
   offsets are snapshot ids — each micro-batch plans one InputPartition
   per delta file between two snapshots (exact replay on recovery, rows
   never pass through the driver), turning the commit log into a
-  first-class Structured Streaming source.
+  first-class Structured Streaming source. PK tables stream as
+  CHANGELOG rows: ``.option("changelog", "true")`` appends a
+  ``_row_kind`` column (+I/-U/+U/-D); without it a PK stream refuses,
+  since a raw ``-D`` row would resurrect the delete downstream.
 
 The DataFrame-composition path (``table.new_read_builder()...to_df()``)
 remains the throughput path (vectorized parquet, codegen); this source
@@ -255,9 +258,19 @@ class PaimonStreamReader(DataSourceStreamReader):
     lake_datasource.PaimonLakeStreamReader, including the
     expired-history bootstrap."""
 
-    def __init__(self, table_path: str, schema):
+    def __init__(self, table_path: str, schema, changelog: bool = False):
         self.table_path = table_path
         self.table_schema = schema
+        self.changelog = changelog
+        if schema.is_primary_key_table() and not changelog:
+            # raw delta rows of a PK table carry no RowKind — a -D would
+            # stream as a plain row and resurrect the delete downstream
+            raise ValueError(
+                "paimon_spark streaming source: PK tables stream "
+                "changelog rows — add .option('changelog', 'true') "
+                "(adds a _row_kind column: +I/-U/+U/-D), or use "
+                "read_incremental() for batch windows"
+            )
 
     def _earliest(self) -> int:
         """Earliest snapshot still on disk (snapshot expiry can trim
@@ -276,6 +289,17 @@ class PaimonStreamReader(DataSourceStreamReader):
     def initialOffset(self) -> dict:
         earliest = self._earliest()
         if earliest > 1:
+            if self.table_schema.is_primary_key_table():
+                # a changelog replay must see every commit's kinds in
+                # order; the earliest surviving FULL state interleaves
+                # superseded versions with no commit boundary — refuse
+                # rather than emit an ambiguous bootstrap batch
+                raise RuntimeError(
+                    "paimon_spark streaming source: PK changelog stream "
+                    f"cannot bootstrap from expired history (earliest "
+                    f"surviving snapshot {earliest}); raise snapshot "
+                    "retention or seed the consumer from a batch read"
+                )
             # expired history: bootstrap with the earliest surviving
             # snapshot's FULL live state, then stream deltas — a
             # delta-only replay from 0 would lose the expired commits
@@ -320,6 +344,9 @@ class PaimonStreamReader(DataSourceStreamReader):
         return parts or [_SplitPartition([], fmt)]
 
     def read(self, partition: _SplitPartition):
+        from paimon_python_spark.streaming.incremental import ROWKIND_NAMES
+        from paimon_python_spark.write import KIND_COL
+
         schema = self.table_schema
         names = schema.field_names
         for p in partition.paths:
@@ -329,15 +356,41 @@ class PaimonStreamReader(DataSourceStreamReader):
                 with open(p, "rb") as f:
                     fnames, rows = read_avro_table(f.read())
                 idx = [fnames.index(n) for n in names]
-                yield from (tuple(r[i] for i in idx) for r in rows)
+                if self.changelog:
+                    ki = fnames.index(KIND_COL) if KIND_COL in fnames else None
+                    yield from (
+                        tuple(r[i] for i in idx)
+                        + (
+                            ROWKIND_NAMES.get(
+                                int(r[ki]) if ki is not None else 0, "+I"
+                            ),
+                        )
+                        for r in rows
+                    )
+                else:
+                    yield from (tuple(r[i] for i in idx) for r in rows)
             else:
                 import pyarrow.dataset as ds
 
-                tbl = ds.dataset(
-                    [p], format=schema.file_format()
-                ).to_table(columns=names)
-                cols = [tbl.column(c).to_pylist() for c in names]
-                yield from zip(*cols)
+                dset = ds.dataset([p], format=schema.file_format())
+                if self.changelog:
+                    have_kind = KIND_COL in dset.schema.names
+                    cols_in = names + ([KIND_COL] if have_kind else [])
+                    tbl = dset.to_table(columns=cols_in)
+                    kinds = (
+                        [
+                            ROWKIND_NAMES.get(int(k), "+I")
+                            for k in tbl.column(KIND_COL).to_pylist()
+                        ]
+                        if have_kind
+                        else ["+I"] * tbl.num_rows
+                    )
+                    cols = [tbl.column(c).to_pylist() for c in names]
+                    yield from zip(*cols, kinds)
+                else:
+                    tbl = dset.to_table(columns=names)
+                    cols = [tbl.column(c).to_pylist() for c in names]
+                    yield from zip(*cols)
 
     def commit(self, end: dict) -> None:
         pass  # snapshot files are immutable; nothing to release
@@ -524,17 +577,34 @@ class PaimonSparkDataSource(DataSource):
             path = urlparse(path).path
         return path
 
+    def _changelog(self) -> bool:
+        return self.options.get("changelog", "false").lower() == "true"
+
     def schema(self):
-        return _load_schema(self._table_path()).spark_schema
+        spark_schema = _load_schema(self._table_path()).spark_schema
+        if self._changelog():
+            # streaming changelog mode: rows carry their RowKind
+            return T.StructType(
+                list(spark_schema.fields)
+                + [T.StructField("_row_kind", T.StringType(), False)]
+            )
+        return spark_schema
 
     def reader(self, schema: T.StructType) -> PaimonBatchReader:
+        if self._changelog():
+            raise ValueError(
+                "paimon_spark: option('changelog') applies to readStream; "
+                "batch changelog windows come from read_incremental()"
+            )
         path = self._table_path()
         claim = self.options.get("claim-filters", "true").lower() != "false"
         return PaimonBatchReader(path, _load_schema(path), claim_filters=claim)
 
     def streamReader(self, schema) -> PaimonStreamReader:
         path = self._table_path()
-        return PaimonStreamReader(path, _load_schema(path))
+        return PaimonStreamReader(
+            path, _load_schema(path), changelog=self._changelog()
+        )
 
     def writer(self, schema: T.StructType, overwrite: bool) -> PaimonBatchWriter:
         path = self._table_path()

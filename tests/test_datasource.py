@@ -818,3 +818,85 @@ def test_lake_datasource_write_pk_and_overwrite(tmp_path, spark):
         spark.createDataFrame([(1, "a")], "k int, v string").write.format(
             "paimon_lake"
         ).option("path", pcl).mode("append").save()
+
+
+def test_engine_datasource_pk_changelog_stream(catalog, spark, tmp_path):
+    """PK tables stream as CHANGELOG rows: plain readStream refuses (a
+    raw -D would resurrect the delete as an insert downstream);
+    .option('changelog', 'true') appends a _row_kind column and emits
+    every commit's kinds (+I/-U/+U/-D) per delta file."""
+    import pyarrow as pa
+
+    catalog.create_table(
+        "default.ds_pk_cl",
+        Schema(
+            pa.schema([("k", pa.int64()), ("v", pa.string())]),
+            primary_keys=["k"],
+            options={"bucket": "2"},
+        ),
+        False,
+    )
+    t = catalog.get_table("default.ds_pk_cl")
+    _write(t, pd.DataFrame({"k": [1, 2], "v": ["a", "b"]}))
+    wb = t.new_batch_write_builder()
+    w, c = wb.new_write(), wb.new_commit()
+    w.write_dataframe(
+        spark.createDataFrame([(2, "B", 2), (1, None, 3)], "k long, v string, rk int"),
+        row_kind_col="rk",
+    )
+    c.commit(w.prepare_commit())
+    w.close()
+    c.close()
+
+    # refusal without the option, at stream start
+    q = (
+        spark.readStream.format("paimon_spark")
+        .option("path", t.table_path)
+        .load()
+        .writeStream.format("memory")
+        .queryName("ds_pk_cl_refuse")
+        .option("checkpointLocation", str(tmp_path / "ck0"))
+        .start()
+    )
+    with pytest.raises(Exception, match="changelog"):
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    stream = (
+        spark.readStream.format("paimon_spark")
+        .option("path", t.table_path)
+        .option("changelog", "true")
+        .load()
+    )
+    assert "_row_kind" in stream.columns
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ds_pk_cl_out")
+        .option("checkpointLocation", str(tmp_path / "ck1"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = sorted(
+        (
+            (r.k, r.v, r._row_kind)
+            for r in spark.sql("SELECT * FROM ds_pk_cl_out").collect()
+        ),
+        key=lambda t: (t[0], t[2]),
+    )
+    assert rows == [
+        (1, "a", "+I"),
+        (1, None, "-D"),
+        (2, "b", "+I"),
+        (2, "B", "+U"),
+    ]
+    # batch reads refuse the streaming-only option
+    with pytest.raises(Exception, match="readStream"):
+        spark.read.format("paimon_spark").option("path", t.table_path).option(
+            "changelog", "true"
+        ).load().collect()
