@@ -4630,6 +4630,80 @@ SELECT * FROM stages ORDER BY stage, c_mktsegment
 """
 
 
+def paimon_lake_stream_changelog_roundtrip(spark, sf_dir):
+    """readStream.format('paimon_lake').option('changelog','true') on
+    a PRIMARY-KEY lake with changelog-producer=lookup: micro-batches
+    plan each commit's CHANGELOG manifests (the full-image -U/+U pairs
+    the producer derived at commit time) and emit _row_kind-tagged rows
+    executor-side — the Flink-streaming-read contract through the Spark
+    front door. Seed commit (+I per key), then an upsert commit whose
+    changelog must be exactly (-U old, +U new) per touched key; the
+    per-kind aggregate must equal the SQL reconstruction."""
+    import tempfile
+
+    from paimon_python_spark.lake_datasource import register_lake
+    from paimon_python_spark.paimon_lake import (
+        create_lake_table,
+        write_lake_pk_append,
+    )
+    from paimon_python_spark.session import set_spark
+
+    set_spark(spark)
+    register_lake(spark)
+    fixture = _fresh_warehouse("lakeclstream") + "/cust_cl_stream"
+    create_lake_table(
+        fixture,
+        [("c_custkey", "BIGINT NOT NULL"), ("c_acctbal", "DOUBLE")],
+        primary_keys=["c_custkey"],
+        options={"bucket": "2", "changelog-producer": "lookup"},
+    )
+    src = _t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    write_lake_pk_append(fixture, src.filter(F.col("c_custkey") % 3 == 0))
+    write_lake_pk_append(
+        fixture,
+        src.filter(F.col("c_custkey") % 6 == 0).withColumn(
+            "c_acctbal", F.col("c_acctbal") + 1000
+        ),
+    )
+    stream = (
+        spark.readStream.format("paimon_lake")
+        .option("path", fixture)
+        .option("changelog", "true")
+        .load()
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("lake_cl_stream_out")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="lcls_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(
+        """SELECT _row_kind AS rk, CAST(count(*) AS BIGINT) AS n,
+                  sum(c_custkey) AS sum_key,
+                  sum(CAST(c_acctbal AS DECIMAL(18,2))) AS sum_bal
+           FROM lake_cl_stream_out GROUP BY _row_kind ORDER BY rk"""
+    )
+
+
+PAIMON_LAKE_STREAM_CHANGELOG_SQL = """
+WITH cl AS (
+  SELECT '+I' AS rk, c_custkey, c_acctbal FROM customer WHERE c_custkey % 3 = 0
+  UNION ALL
+  SELECT '-U', c_custkey, c_acctbal FROM customer WHERE c_custkey % 6 = 0
+  UNION ALL
+  SELECT '+U', c_custkey, c_acctbal + 1000 FROM customer WHERE c_custkey % 6 = 0
+)
+SELECT rk, count(*) AS n, sum(c_custkey) AS sum_key,
+       sum(CAST(c_acctbal AS DECIMAL(18,2))) AS sum_bal
+FROM cl GROUP BY rk ORDER BY rk
+"""
+
+
 def paimon_lake_manifest_skip_roundtrip(spark, sf_dir):
     """MANIFEST-LEVEL partition skipping on a real lake: three commits
     land three partition-disjoint manifests with real _PARTITION_STATS
@@ -10823,6 +10897,7 @@ _QUERIES: dict[str, Callable] = {
     "paimon_lake_format_dv_roundtrip": paimon_lake_format_dv_roundtrip,
     "paimon_lake_format_write_roundtrip": paimon_lake_format_write_roundtrip,
     "paimon_lake_format_pk_write_roundtrip": paimon_lake_format_pk_write_roundtrip,
+    "paimon_lake_stream_changelog_roundtrip": paimon_lake_stream_changelog_roundtrip,
     "paimon_lake_manifest_skip_roundtrip": paimon_lake_manifest_skip_roundtrip,
     "ann_ivf_incremental_ingest": ann_ivf_incremental_ingest,
     "paimon_lake_fullcompact_changelog_roundtrip": paimon_lake_fullcompact_changelog_roundtrip,
@@ -11179,6 +11254,7 @@ _ORACLES: dict[str, str] = {
     "paimon_lake_format_dv_roundtrip": PAIMON_LAKE_FORMAT_DV_SQL,
     "paimon_lake_format_write_roundtrip": PAIMON_LAKE_FORMAT_WRITE_SQL,
     "paimon_lake_format_pk_write_roundtrip": PAIMON_LAKE_FORMAT_PK_WRITE_SQL,
+    "paimon_lake_stream_changelog_roundtrip": PAIMON_LAKE_STREAM_CHANGELOG_SQL,
     "paimon_lake_manifest_skip_roundtrip": PAIMON_LAKE_MANIFEST_SKIP_SQL,
     "paimon_lake_fullcompact_changelog_roundtrip": PAIMON_LAKE_FULLCOMPACT_CHANGELOG_SQL,
     "paimon_lake_lookup_changelog_roundtrip": PAIMON_LAKE_LOOKUP_CHANGELOG_SQL,
@@ -11226,6 +11302,7 @@ _GATE_HEAD = [
     "paimon_lake_bitmap_index_roundtrip",
     "paimon_datasource_pk_write_roundtrip",
     "paimon_stream_changelog_roundtrip",
+    "paimon_lake_stream_changelog_roundtrip",
     "paimon_lake_format_roundtrip",
     "paimon_lake_format_dv_roundtrip",
     "paimon_lake_format_write_roundtrip",

@@ -388,19 +388,29 @@ class PaimonLakeStreamReader(DataSourceStreamReader):
     plans one ``InputPartition`` per delta file of the commits in
     ``(start, end]`` (COMPACT rewrites skipped — the engine incremental
     contract) and executors read the files directly, field-id-remapping
-    pre-evolution files exactly like the batch reader. Append lakes
-    only — PK changelog streams are served by ``stream_lake_snapshots``
-    with ``_row_kind`` semantics."""
+    pre-evolution files exactly like the batch reader.
 
-    def __init__(self, table_path: str):
+    PK lakes stream as CHANGELOG rows: ``.option("changelog", "true")``
+    appends a ``_row_kind`` column (+I/-U/+U/-D from each file's
+    ``_VALUE_KIND``) and plans each commit's CHANGELOG manifests when a
+    changelog-producer wrote them (the -U/+U pairs deltas alone cannot
+    reconstruct), falling back to the commit's delta kv files —
+    exactly ``read_lake_incremental(use_changelog=True)`` semantics,
+    micro-batched. Without the option a PK lake stream refuses (a raw
+    -D would resurrect the delete downstream)."""
+
+    def __init__(self, table_path: str, changelog: bool = False):
         from paimon_python_spark.paimon_lake import read_paimon_schema
 
         self.table_path = table_path
+        self.changelog = changelog
         self.info = read_paimon_schema(table_path)
-        if self.info.primary_keys:
+        if self.info.primary_keys and not changelog:
             raise NotImplementedError(
                 "paimon_lake streaming source: PK lakes stream changelogs "
-                "— use stream_lake_snapshots(path, use_changelog=True)"
+                "— add .option('changelog', 'true') (emits a _row_kind "
+                "column), or use stream_lake_snapshots(path, "
+                "use_changelog=True)"
             )
 
     def _earliest(self) -> int:
@@ -422,6 +432,17 @@ class PaimonLakeStreamReader(DataSourceStreamReader):
     def initialOffset(self) -> dict:
         earliest = self._earliest()
         if earliest > 1:
+            if self.info.primary_keys:
+                # a changelog replay must see every commit's kinds in
+                # order; the earliest surviving FULL state interleaves
+                # superseded versions with no commit boundary — refuse
+                # rather than emit an ambiguous bootstrap batch
+                raise RuntimeError(
+                    "paimon_lake streaming source: PK changelog stream "
+                    f"cannot bootstrap from expired history (earliest "
+                    f"surviving snapshot {earliest}); raise snapshot "
+                    "retention or seed the consumer from a batch read"
+                )
             # expired history: bootstrap with the earliest surviving
             # snapshot's FULL state (its base manifests still hold every
             # live file from the expired commits), then stream deltas —
@@ -444,6 +465,7 @@ class PaimonLakeStreamReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict):
         from paimon_python_spark.paimon_import import (
+            plan_paimon_changelog,
             plan_paimon_delta,
             plan_paimon_files,
             read_paimon_snapshot,
@@ -480,9 +502,22 @@ class PaimonLakeStreamReader(DataSourceStreamReader):
             )
         for sid in range(delta_from + 1, end["snapshot"] + 1):
             snap = read_paimon_snapshot(self.table_path, sid)
+            cl = (
+                plan_paimon_changelog(self.table_path, sid)
+                if self.changelog
+                else []
+            )
             if str(snap.get("commitKind", "APPEND")).upper() == "COMPACT":
+                # a COMPACT rewrite carries no new rows — EXCEPT its
+                # changelog manifests under full-compaction producers,
+                # which are exactly what a changelog consumer wants
+                entries.extend((e, sid) for e in cl)
                 continue
-            entries.extend((e, sid) for e in plan_paimon_delta(self.table_path, sid))
+            entries.extend(
+                (e, sid)
+                for e in (cl if cl else plan_paimon_delta(self.table_path, sid))
+            )
+        kv = bool(info.primary_keys)
         for e, _sid in entries:
             kw = {"default_name": default_name} if default_name else {}
             path = os.path.join(
@@ -494,6 +529,7 @@ class PaimonLakeStreamReader(DataSourceStreamReader):
                         {
                             "fmt": fmt,
                             "path": path,
+                            "kv": kv,
                             "colmap": self._colmap(e.schema_id),
                             "partition": _json_safe_part(info, e.partition),
                         }
@@ -518,7 +554,10 @@ class PaimonLakeStreamReader(DataSourceStreamReader):
         if colmap:
             src_cols = [colmap[c] for c in value_names if colmap.get(c)]
         else:
-            src_cols = value_names
+            src_cols = list(value_names)
+        kv = bool(spec.get("kv")) and self.changelog
+        if kv:
+            src_cols = src_cols + ["_VALUE_KIND"]
         tbl = _read_one(spec["path"], spec["fmt"], src_cols)
         cols = {}
         for n in names:
@@ -533,7 +572,19 @@ class PaimonLakeStreamReader(DataSourceStreamReader):
                     if src and src in tbl.column_names
                     else [None] * tbl.num_rows
                 )
-        yield from zip(*[cols[n] for n in names])
+        out = [cols[n] for n in names]
+        if self.changelog:
+            kind_names = {0: "+I", 1: "-U", 2: "+U", 3: "-D"}
+            kinds = (
+                [
+                    kind_names.get(int(k), "+I")
+                    for k in tbl.column("_VALUE_KIND").to_pylist()
+                ]
+                if kv and "_VALUE_KIND" in tbl.column_names
+                else ["+I"] * tbl.num_rows
+            )
+            out = out + [kinds]
+        yield from zip(*out)
 
     def commit(self, end: dict) -> None:
         pass  # snapshot files are immutable; nothing to release
@@ -1050,17 +1101,34 @@ class PaimonLakeDataSource(DataSource):
             path = urlparse(path).path
         return path
 
+    def _changelog(self) -> bool:
+        return self.options.get("changelog", "false").lower() == "true"
+
     def schema(self):
         from paimon_python_spark.paimon_lake import read_paimon_schema
 
-        return read_paimon_schema(self._table_path()).spark_schema
+        spark_schema = read_paimon_schema(self._table_path()).spark_schema
+        if self._changelog():
+            # streaming changelog mode: rows carry their RowKind
+            return T.StructType(
+                list(spark_schema.fields)
+                + [T.StructField("_row_kind", T.StringType(), False)]
+            )
+        return spark_schema
 
     def reader(self, schema: T.StructType) -> PaimonLakeBatchReader:
+        if self._changelog():
+            raise ValueError(
+                "paimon_lake: option('changelog') applies to readStream; "
+                "batch changelog windows come from read_lake_incremental()"
+            )
         claim = self.options.get("claim-filters", "true").lower() != "false"
         return PaimonLakeBatchReader(self._table_path(), claim_filters=claim)
 
     def streamReader(self, schema) -> PaimonLakeStreamReader:
-        return PaimonLakeStreamReader(self._table_path())
+        return PaimonLakeStreamReader(
+            self._table_path(), changelog=self._changelog()
+        )
 
     def writer(self, schema, overwrite: bool) -> PaimonLakeBatchWriter:
         return PaimonLakeBatchWriter(self._table_path(), overwrite)

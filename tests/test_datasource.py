@@ -900,3 +900,85 @@ def test_engine_datasource_pk_changelog_stream(catalog, spark, tmp_path):
         spark.read.format("paimon_spark").option("path", t.table_path).option(
             "changelog", "true"
         ).load().collect()
+
+
+def test_lake_datasource_pk_changelog_stream(tmp_path, spark):
+    """format('paimon_lake') PK streaming: plain readStream refuses (a
+    raw -D would resurrect the delete); .option('changelog','true')
+    appends _row_kind and plans each commit's CHANGELOG manifests when
+    a producer wrote them (full-image -U/+U pairs from lookup),
+    falling back to delta kv files."""
+    from paimon_python_spark.lake_datasource import (
+        PaimonLakeStreamReader,
+        register_lake,
+    )
+    from paimon_python_spark.paimon_lake import (
+        create_lake_table,
+        write_lake_pk_append,
+    )
+    from paimon_python_spark.session import set_spark
+
+    set_spark(spark)
+    register_lake(spark)
+    p = str(tmp_path / "lake_pk_cl")
+    create_lake_table(
+        p,
+        [("k", "INT NOT NULL"), ("v", "STRING")],
+        primary_keys=["k"],
+        options={"bucket": "2", "changelog-producer": "lookup"},
+    )
+    write_lake_pk_append(
+        p, spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    )
+    write_lake_pk_append(
+        p, spark.createDataFrame([(2, "B"), (3, "c")], "k int, v string")
+    )
+    write_lake_pk_append(
+        p,
+        spark.createDataFrame([(1, None, 3)], "k int, v string, rk int"),
+        row_kind_col="rk",
+    )
+
+    with pytest.raises(Exception, match="changelog"):
+        PaimonLakeStreamReader(p)
+
+    stream = (
+        spark.readStream.format("paimon_lake")
+        .option("path", p)
+        .option("changelog", "true")
+        .load()
+    )
+    assert "_row_kind" in stream.columns
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("lake_pk_cl_out")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = sorted(
+        (
+            (r.k, r.v, r._row_kind)
+            for r in spark.sql("SELECT * FROM lake_pk_cl_out").collect()
+        ),
+        key=lambda t: (t[0], t[2]),
+    )
+    # lookup producer: full-image pairs for the update, -D with old
+    # values for the delete, +I for fresh keys
+    assert rows == [
+        (1, "a", "+I"),
+        (1, "a", "-D"),
+        (2, "b", "+I"),
+        (2, "B", "+U"),
+        (2, "b", "-U"),
+        (3, "c", "+I"),
+    ]
+    # batch reads refuse the streaming-only option
+    with pytest.raises(Exception, match="readStream"):
+        spark.read.format("paimon_lake").option("path", p).option(
+            "changelog", "true"
+        ).load().collect()
