@@ -425,6 +425,12 @@ class PaimonBatchWriter(DataSourceWriter):
     ``abort`` removes the orphan files, so a failed job leaves no
     visible state (readers only ever see committed snapshots either
     way).
+
+    Scale note: each task writes one file per layout group it SEES — a
+    wide unpartitioned input can emit tasks×groups small files per
+    commit. Pre-``df.repartition(partition cols)`` to bound file
+    counts, or use ``write_dataframe``, whose bucket shuffle lands
+    exactly one file per group.
     """
 
     def __init__(self, table_path: str, schema, overwrite: bool):

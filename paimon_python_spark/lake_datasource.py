@@ -645,7 +645,13 @@ class PaimonLakeBatchWriter(DataSourceWriter):
     cross-partition PK lakes (routing lives in the lake's HASH index —
     write_lake_pk_append / overwrite_lake) and changelog-producing PK
     appends (changelog derivation is a driver-side DataFrame concern —
-    write_lake_pk_append)."""
+    write_lake_pk_append).
+
+    Scale note: each task writes one file per (partition, bucket) it
+    SEES — a wide unpartitioned input can emit tasks×groups small
+    level-0 files per commit. Pre-``df.repartition(partition cols)``
+    to bound file counts, or use ``write_lake_pk_append``, whose
+    routing shuffle lands exactly one file per group."""
 
     def __init__(self, table_path: str, overwrite: bool):
         from paimon_python_spark.paimon_import import plan_paimon_files
