@@ -288,9 +288,9 @@ def _bitmap_value_bytes(value, kind: Optional[str]) -> Optional[bytes]:
         if kind == "smallint":
             return struct.pack(">h", int(value))
         if kind in ("int", "date"):
-            if isinstance(value, datetime.date) and not isinstance(
-                value, datetime.datetime
-            ):
+            if isinstance(value, datetime.datetime):
+                value = value.date()  # pandas hands dates as Timestamps
+            if isinstance(value, datetime.date):
                 value = (value - datetime.date(1970, 1, 1)).days
             return struct.pack(">i", int(value))
         if kind == "bigint":

@@ -289,6 +289,12 @@ def test_bitmap_payload_roundtrip_and_probe():
             [datetime.date(2020, 1, 1)],
             [datetime.date(1999, 1, 1)],
         ),
+        (  # pandas hands DATE columns as Timestamps (writer path)
+            "date",
+            [__import__("pandas").Timestamp("2020-01-01")],
+            [datetime.date(2020, 1, 1)],
+            [datetime.date(1999, 1, 1)],
+        ),
         ("binary", [b"\x00\x01", b"zz"], [b"zz"], [b"no"]),
         ("smallint", [1, 2], [2], [3]),
         ("tinyint", [1, 2], [2], [3]),
