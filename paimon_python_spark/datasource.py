@@ -274,16 +274,21 @@ class PaimonStreamReader(DataSourceStreamReader):
 
     def _earliest(self) -> int:
         """Earliest snapshot still on disk (snapshot expiry can trim
-        history), or 0 for an empty table."""
+        history), or 0 for an empty table. Non-numeric snapshot-*.json
+        strays parse per-file — one bad name must not silently disable
+        the expired-history guard."""
         sdir = os.path.join(self.table_path, "snapshot")
+        ids = []
         try:
-            ids = [
-                int(n[len("snapshot-") : -len(".json")])
-                for n in os.listdir(sdir)
-                if n.startswith("snapshot-") and n.endswith(".json")
-            ]
-        except (FileNotFoundError, ValueError):
+            names = os.listdir(sdir)
+        except FileNotFoundError:
             return 0
+        for n in names:
+            if n.startswith("snapshot-") and n.endswith(".json"):
+                try:
+                    ids.append(int(n[len("snapshot-") : -len(".json")]))
+                except ValueError:
+                    continue
         return min(ids) if ids else 0
 
     def initialOffset(self) -> dict:
@@ -493,13 +498,23 @@ class PaimonBatchWriter(DataSourceWriter):
 
         # same-key rows in two tasks must not tie on sequence: the
         # task's partition id rides the high bits (mirrors the builder's
-        # post-shuffle monotonic id, whose high bits are the partition)
+        # post-shuffle monotonic id, whose high bits are the partition).
+        # The seq layout fits 12 pid bits (33..45, below the commit
+        # shift) — beyond 4096 tasks ties would silently return, so
+        # refuse loudly instead.
         pid = 0
         if self.is_pk:
             from pyspark import TaskContext
 
             ctx = TaskContext.get()
-            pid = (ctx.partitionId() if ctx is not None else 0) & 0xFFF
+            pid = ctx.partitionId() if ctx is not None else 0
+            if pid >= 4096:
+                raise ValueError(
+                    "paimon_spark PK writer: input has >= 4096 "
+                    "partitions — sequence high bits would collide and "
+                    "same-key rows could tie; repartition the input "
+                    "below 4096 tasks or use write_dataframe()"
+                )
 
         data_dir = os.path.join(self.table_path, "data")
         written: List[str] = []

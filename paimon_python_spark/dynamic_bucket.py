@@ -678,13 +678,24 @@ class CrossLocationCache:
         key; ``__kind`` 3 deletes the key, anything else sets its
         partition) and re-key the cache to the new snapshot id. The
         anti-join runs co-partitioned against the cached state — no
-        full-state re-read, no merged-scan."""
+        full-state re-read, no merged-scan.
+
+        If the new snapshot is NOT the immediate successor of the
+        cached one, a FOREIGN commit interleaved between this writer's
+        state read and its commit — its moves are invisible to the net
+        batch, so the cache DROPS (next write re-bootstraps) instead of
+        absorbing a stale projection."""
         from pyspark.sql import functions as F
 
+        if int(new_snapshot_id) != (self.snapshot_id or 0) + 1:
+            self.release()
+            return
         pks = list(info.primary_keys)
-        part_keys = list(info.partition_keys)
-        upd = net_batch.select(*pks, *part_keys, "__kind")
-        ins = upd.filter(F.col("__kind") != 3).select(*pks, *part_keys)
+        # pk ∩ partition overlap is legal in cross mode — dedup the
+        # projection columns or the selects turn ambiguous
+        cols = list(dict.fromkeys(pks + list(info.partition_keys)))
+        upd = net_batch.select(*cols, "__kind")
+        ins = upd.filter(F.col("__kind") != 3).select(*cols)
         if self.df is None:
             base = ins
         else:

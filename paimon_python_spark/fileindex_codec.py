@@ -304,9 +304,13 @@ def _bitmap_value_bytes(value, kind: Optional[str]) -> Optional[bytes]:
                 epoch = datetime.datetime(
                     1970, 1, 1, tzinfo=value.tzinfo
                 )
-                value = int((value - epoch).total_seconds() * 1000)
-            b = struct.pack(">q", int(value))
-            return b
+                # integer arithmetic: float total_seconds()*1000 carries
+                # up to ~1ms truncation error at current epoch millis —
+                # fatal for an EXACT-membership index
+                value = (value - epoch) // datetime.timedelta(
+                    milliseconds=1
+                )
+            return struct.pack(">q", int(value))
         if kind == "string":
             raw = str(value).encode("utf-8")
             return struct.pack(">i", len(raw)) + raw
@@ -416,7 +420,10 @@ def build_spec_bitmap(values, kind: Optional[str]) -> bytes:
 
     rows_by_value: dict = {}
     null_rows = []
+    n_rows = 0
     for i, v in enumerate(values):
+        n_rows = i + 1  # count in the loop: a generator input is
+        # consumed here, so len(values) after it would read 0
         if v is None:
             null_rows.append(i)
             continue
@@ -439,7 +446,7 @@ def build_spec_bitmap(values, kind: Optional[str]) -> bytes:
         else:
             null_offset = len(body)
             body += serialize_roaring32(null_rows)
-    meta = SpecBitmap(len(list(values)), offsets, bool(null_rows), kind)
+    meta = SpecBitmap(n_rows, offsets, bool(null_rows), kind)
     return meta.encode(null_offset) + bytes(body)
 
 

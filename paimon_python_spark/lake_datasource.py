@@ -419,14 +419,18 @@ class PaimonLakeStreamReader(DataSourceStreamReader):
         trim history, so a fresh stream must not assume snapshot 1
         exists."""
         sdir = os.path.join(self.table_path, "snapshot")
+        ids = []
         try:
-            ids = [
-                int(n.split("-")[1])
-                for n in os.listdir(sdir)
-                if n.startswith("snapshot-")
-            ]
+            names = os.listdir(sdir)
         except FileNotFoundError:
             return 0
+        for n in names:
+            if n.startswith("snapshot-"):
+                try:
+                    ids.append(int(n.split("-")[1]))
+                except ValueError:
+                    continue  # stray non-numeric name must not break
+                    # (or silently disable) the expiry guard
         return min(ids) if ids else 0
 
     def initialOffset(self) -> dict:
@@ -691,29 +695,33 @@ class PaimonLakeBatchWriter(DataSourceWriter):
                 for c in info.options.get("bucket-key", "").split(",")
                 if c.strip()
             ] or None
-        # plan-time (driver-side) state carried to tasks/commit:
-        before = plan_paimon_files(table_path)
-        self.seq_base = max((e.max_seq for e in before), default=-1) + 1
-        #: overwrite replaces the WHOLE visible table — DELETE entries
-        #: for every file live at plan time (same race window as
-        #: overwrite_lake, which plans at call time)
-        self.before = (
-            [
-                {
-                    "partition": dict(e.partition),
-                    "bucket": e.bucket,
-                    "file_name": e.file_name,
-                    "file_size": e.file_size,
-                    "row_count": e.row_count,
-                    "schema_id": e.schema_id,
-                    "max_seq": e.max_seq,
-                    "level": e.level,
-                }
-                for e in before
-            ]
-            if overwrite
-            else None
-        )
+        # plan-time (driver-side) state carried to tasks/commit — only
+        # the modes that need it pay the manifest plan (a plain append
+        # uses neither the sequence base nor the before-set)
+        self.seq_base = 0
+        self.before = None
+        if self.is_pk or overwrite:
+            before = plan_paimon_files(table_path)
+            self.seq_base = (
+                max((e.max_seq for e in before), default=-1) + 1
+            )
+            if overwrite:
+                #: overwrite replaces the WHOLE visible table — DELETE
+                #: entries for every file live at plan time (same race
+                #: window as overwrite_lake, which plans at call time)
+                self.before = [
+                    {
+                        "partition": dict(e.partition),
+                        "bucket": e.bucket,
+                        "file_name": e.file_name,
+                        "file_size": e.file_size,
+                        "row_count": e.row_count,
+                        "schema_id": e.schema_id,
+                        "max_seq": e.max_seq,
+                        "level": e.level,
+                    }
+                    for e in before
+                ]
 
     def _write_pk(self, iterator) -> _LakeWrittenFiles:
         """Executor-side PK task write: route rows to (partition,

@@ -3290,7 +3290,8 @@ def write_lake_pk_append(
             # changelog row has a routed twin: ±U/-D old-image rows
             # match the retraction (moved keys) or the in-place input
             # row, +I/+U new-image rows match the input row.
-            jk = keys + list(info.partition_keys)
+            # dedup: pk ∩ partition overlap is legal in cross mode
+            jk = list(dict.fromkeys(keys + list(info.partition_keys)))
             cl_df = cl_df.join(
                 df.select(*jk, "__h", "__bucket", "__kn"), jk, "left"
             )

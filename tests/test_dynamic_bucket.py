@@ -1081,3 +1081,67 @@ def test_cross_location_cache_amortizes_streaming_state_reads(tmp_path, spark):
     assert cache.bootstraps == 2
     st = _xp_state(tp)
     assert st[200] == ("odd", "f2")
+
+
+def test_cross_overlap_pk_partition_lookup_and_cache(tmp_path, spark):
+    """pk ∩ partition OVERLAP is legal in cross mode (partitions ⊄ pk):
+    the lookup-changelog routing join and the CrossLocationCache must
+    dedup the shared column or every select turns ambiguous. Also
+    asserts the cache DROPS when a commit is not the immediate
+    successor of its cached snapshot (a foreign commit interleaved
+    inside the batch window — its moves are invisible to the net
+    batch, so absorbing it would leave the projection stale)."""
+    from paimon_python_spark.dynamic_bucket import CrossLocationCache
+    from paimon_python_spark.paimon_import import read_paimon_schema
+
+    tp = str(tmp_path / "db.db" / "xpoverlap")
+    create_lake_table(
+        tp,
+        [
+            ("region", "STRING NOT NULL"),
+            ("day", "STRING NOT NULL"),
+            ("id", "BIGINT NOT NULL"),
+            ("v", "STRING"),
+        ],
+        partition_keys=["region", "day"],
+        primary_keys=["region", "id"],
+        options={
+            "bucket": "-1",
+            "changelog-producer": "lookup",
+            "dynamic-bucket.target-row-num": "10",
+        },
+    )
+    info = read_paimon_schema(tp)
+    cache = CrossLocationCache(tp)
+    sch = "region string, day string, id long, v string"
+    write_lake_pk_append(
+        tp,
+        spark.createDataFrame([("eu", "d1", 1, "a"), ("eu", "d1", 2, "b")], sch),
+        xp_location_cache=cache,
+    )
+    # key 2 moves d1 → d2 (same region: the overlap column is in both
+    # the join keys and the partition); lookup changelog derives pairs
+    write_lake_pk_append(
+        tp,
+        spark.createDataFrame([("eu", "d2", 2, "B")], sch),
+        xp_location_cache=cache,
+    )
+    got = {
+        (r.region, r.id): (r.day, r.v)
+        for r in PaimonLakeTable(tp).new_read_builder().new_read().to_df().collect()
+    }
+    assert got == {("eu", 1): ("d1", "a"), ("eu", 2): ("d2", "B")}
+    proj = {
+        (r["region"], r["id"]): r["day"]
+        for r in cache.locations(info).collect()
+    }
+    assert proj == {("eu", 1): "d1", ("eu", 2): "d2"}
+
+    # non-successor commit id → the cache must DROP, not absorb
+    sid = cache.snapshot_id
+    cache.snapshot_id = sid - 1  # simulate a foreign commit in the window
+    net = spark.createDataFrame(
+        [("eu", "d1", 3, "c", 0)], sch + ", __kind int"
+    )
+    cache.update(info, net, sid + 1)
+    assert cache.df is None and cache.snapshot_id is None
