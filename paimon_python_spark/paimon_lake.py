@@ -2039,7 +2039,17 @@ def _commit_lake_snapshot(
 
     part_types_c = [info.spark_schema[k].dataType for k in info.partition_keys]
     if True:
-        for attempt in range(5):
+        for attempt in range(20):
+            if attempt:
+                # jittered backoff: N committers retrying in lockstep
+                # re-collide; the re-plan itself is KB-scale metadata,
+                # so waiting beats burning attempts (20 losses deep the
+                # lake has 20 NEW snapshots — we're making progress
+                # system-wide either way)
+                import random as _random
+                import time as _time
+
+                _time.sleep(_random.uniform(0, 0.02 * attempt))
             # the LATEST hint can lag a concurrent committer (it is
             # written after the snapshot file) — trust the directory
             sdir = os.path.join(table_path, "snapshot")
@@ -2189,7 +2199,7 @@ def _commit_lake_snapshot(
                     pass  # expiry is maintenance: never fail the commit
             return new_id
         raise RuntimeError(
-            "lake commit: lost the snapshot race 5 times — "
+            "lake commit: lost the snapshot race 20 times — "
             "another committer is writing faster than we can re-plan"
         )
 
@@ -5429,7 +5439,12 @@ def delete_lake_rows(table_path: str, predicate: Predicate) -> int:
         read_manifest_list_entries,
     )
 
-    for attempt in range(5):
+    for attempt in range(20):
+        if attempt:
+            import random as _random
+            import time as _time
+
+            _time.sleep(_random.uniform(0, 0.02 * attempt))
         sdir = os.path.join(table_path, "snapshot")
         ids = [
             int(n.split("-")[1]) for n in os.listdir(sdir) if n.startswith("snapshot-")
@@ -5483,4 +5498,4 @@ def delete_lake_rows(table_path: str, predicate: Predicate) -> int:
         with open(os.path.join(sdir, "LATEST"), "w") as f:
             f.write(str(new_id))
         return new_id
-    raise RuntimeError("delete_lake_rows: lost the snapshot race 5 times")
+    raise RuntimeError("delete_lake_rows: lost the snapshot race 20 times")

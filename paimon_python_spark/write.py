@@ -525,14 +525,21 @@ class BatchTableCommit:
         from paimon_python_spark.metadata import SnapshotConflictError
 
         last_err: Optional[Exception] = None
-        for _attempt in range(5):
+        for _attempt in range(20):
+            if _attempt:
+                # jittered backoff: lockstep retries under many-writer
+                # contention re-collide; the re-plan is KB-scale
+                import random as _random
+                import time as _time
+
+                _time.sleep(_random.uniform(0, 0.02 * _attempt))
             try:
                 self._commit_once(new_files)
                 return
             except SnapshotConflictError as err:
                 last_err = err
         raise RuntimeError(
-            f"commit failed after 5 conflict retries: {last_err}"
+            f"commit failed after 20 conflict retries: {last_err}"
         )
 
     def _commit_once(self, new_files: List[DataFileMeta]) -> None:

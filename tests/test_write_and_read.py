@@ -633,6 +633,10 @@ def test_many_concurrent_committers_one_lake(tmp_path, spark):
         t.start()
     for t in threads:
         t.join(timeout=600)
+    assert not any(t.is_alive() for t in threads), (
+        "committer threads still running after 600s — machine overload, "
+        "not a commit-protocol failure"
+    )
     assert not errors, errors
     # gapless snapshot chain — losers retried, nobody overwrote
     latest = latest_paimon_snapshot_id(p)
