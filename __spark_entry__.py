@@ -5054,9 +5054,10 @@ def paimon_lake_bitmap_index_roundtrip(spark, sf_dir):
     )
     entries = plan_paimon_files(fixture)
     assert all(
-        e.embedded_index and fic.is_spec_file_index(e.embedded_index)
+        (e.embedded_index and fic.is_spec_file_index(e.embedded_index))
+        or any(str(n).endswith(".index") for n in (e.extra_files or []))
         for e in entries
-    ), "bitmap columns must write the spec container"
+    ), "bitmap columns must write the spec container (embedded or standalone)"
     probe_key = (
         src.filter(F.col("c_custkey") % 2 == 1)
         .agg(F.max("c_custkey"))
@@ -5088,6 +5089,101 @@ WHERE c_custkey <= 1000
   AND c_name = (SELECT c_name FROM customer
                 WHERE c_custkey = (SELECT max(c_custkey) FROM customer
                                    WHERE c_custkey <= 1000 AND c_custkey % 2 = 1))
+ORDER BY c_custkey
+"""
+
+
+def paimon_lake_bsi_index_roundtrip(spark, sf_dir):
+    """Lake BSI FILE INDEX (file-index.bsi.columns, spec fileindex
+    payload): each file's manifest entry embeds a spec container with
+    an EXACT bit-sliced range index (sign-split roaring slices, O'Neil
+    EQ walk) — equality probes prune to exactly the files holding the
+    value, asserted both ways: the present-value probe plans ONE file;
+    a value strictly INSIDE both files' [min, max] that no row holds
+    plans ZERO (manifest min/max stats cannot prune it, and a bloom
+    could false-positive). Balance column is c_custkey*10 so every +5
+    offset is a guaranteed in-range gap. Same numeric index type real
+    Paimon's BitSliceIndexBitmapFileIndex declares; oracle replays the
+    balance filter."""
+    from paimon_python_spark import fileindex_codec as fic
+    from paimon_python_spark.paimon_import import plan_paimon_files
+    from paimon_python_spark.paimon_lake import (
+        PaimonLakeTable,
+        _pruned_entries,
+        create_lake_table,
+        read_paimon_schema,
+        write_lake_append,
+    )
+    from paimon_python_spark.session import set_spark
+
+    set_spark(spark)
+    fixture = _fresh_warehouse("lakebsi") + "/customer_bsi"
+    create_lake_table(
+        fixture,
+        [("c_custkey", "BIGINT NOT NULL"), ("c_balance", "BIGINT")],
+        options={"file-index.bsi.columns": "c_balance"},
+    )
+    src = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 1000)
+        .select(
+            "c_custkey", (F.col("c_custkey") * 10).alias("c_balance")
+        )
+    )
+    write_lake_append(
+        fixture, src.filter(F.col("c_custkey") % 2 == 0).coalesce(1)
+    )
+    write_lake_append(
+        fixture, src.filter(F.col("c_custkey") % 2 == 1).coalesce(1)
+    )
+    entries = plan_paimon_files(fixture)
+
+    def _spec_raw(e):
+        import os as _os
+
+        if e.embedded_index:
+            return e.embedded_index
+        xs = [n for n in (e.extra_files or []) if str(n).endswith(".index")]
+        assert xs, "index must be embedded or standalone"
+        with open(
+            _os.path.join(
+                fixture, _os.path.dirname(e.rel_path([], [])), xs[0]
+            ),
+            "rb",
+        ) as f:
+            return f.read()
+
+    assert all(
+        fic.BSI_INDEX_TYPE in fic.read_file_index(_spec_raw(e))["c_balance"]
+        for e in entries
+    ), "bsi columns must write the spec container with a bsi payload"
+    probe_key = (
+        src.filter(F.col("c_custkey") % 2 == 1)
+        .agg(F.max("c_custkey"))
+        .first()[0]
+    )
+    probe = probe_key * 10
+    info = read_paimon_schema(fixture)
+    t = PaimonLakeTable(fixture)
+    rb = t.new_read_builder()
+    rb.with_filter(rb.new_predicate_builder().equal("c_balance", probe))
+    planned = _pruned_entries(fixture, info, rb)
+    assert len(planned) == 1, (
+        f"bsi must prune the even-keys file, planned {len(planned)}"
+    )
+    rb2 = t.new_read_builder()
+    rb2.with_filter(rb2.new_predicate_builder().equal("c_balance", probe - 5))
+    assert len(_pruned_entries(fixture, info, rb2)) == 0, (
+        "an in-range absent value must plan ZERO files (exact bit-sliced walk)"
+    )
+    return rb.new_read().to_df().orderBy("c_custkey")
+
+
+PAIMON_LAKE_BSI_SQL = """
+SELECT c_custkey, c_custkey * 10 AS c_balance
+FROM customer
+WHERE c_custkey = (SELECT max(c_custkey) FROM customer
+                   WHERE c_custkey <= 1000 AND c_custkey % 2 = 1)
 ORDER BY c_custkey
 """
 
@@ -10890,6 +10986,7 @@ _QUERIES: dict[str, Callable] = {
     "paimon_lake_auto_compact_roundtrip": paimon_lake_auto_compact_roundtrip,
     "paimon_lake_bloom_index_roundtrip": paimon_lake_bloom_index_roundtrip,
     "paimon_lake_bitmap_index_roundtrip": paimon_lake_bitmap_index_roundtrip,
+    "paimon_lake_bsi_index_roundtrip": paimon_lake_bsi_index_roundtrip,
     "dedup_minhash_incremental_lake": dedup_minhash_incremental_lake,
     "pipeline_incremental_ingest": pipeline_incremental_ingest,
     "paimon_lake_bucket_local_merge_roundtrip": paimon_lake_bucket_local_merge_roundtrip,
@@ -11249,6 +11346,7 @@ _ORACLES: dict[str, str] = {
     "paimon_lake_auto_compact_roundtrip": PAIMON_LAKE_AUTO_COMPACT_SQL,
     "paimon_lake_bloom_index_roundtrip": PAIMON_LAKE_BLOOM_SQL,
     "paimon_lake_bitmap_index_roundtrip": PAIMON_LAKE_BITMAP_SQL,
+    "paimon_lake_bsi_index_roundtrip": PAIMON_LAKE_BSI_SQL,
     "paimon_lake_bucket_local_merge_roundtrip": PAIMON_LAKE_BUCKET_LOCAL_MERGE_SQL,
     "paimon_lake_format_roundtrip": PAIMON_LAKE_FORMAT_SQL,
     "paimon_lake_format_dv_roundtrip": PAIMON_LAKE_FORMAT_DV_SQL,
@@ -11300,6 +11398,7 @@ _GATE_HEAD = [
     # covers every registered query).
     "paimon_lake_format_pk_write_roundtrip",
     "paimon_lake_bitmap_index_roundtrip",
+    "paimon_lake_bsi_index_roundtrip",
     "paimon_datasource_pk_write_roundtrip",
     "paimon_stream_changelog_roundtrip",
     "paimon_lake_stream_changelog_roundtrip",

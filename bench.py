@@ -129,6 +129,7 @@ HEADLINE = [
     # exact bitmap file index — new prune/route shapes worth tracking
     "paimon_lake_format_pk_write_roundtrip",
     "paimon_lake_bitmap_index_roundtrip",
+    "paimon_lake_bsi_index_roundtrip",
     "paimon_datasource_pk_write_roundtrip",
 ]
 

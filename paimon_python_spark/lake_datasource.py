@@ -749,6 +749,7 @@ class PaimonLakeBatchWriter(DataSourceWriter):
             _bloom_option_cols,
             _embedded_index_payload,
             _make_lake_bucket_fn,
+            _split_standalone_index,
         )
         from paimon_python_spark.types import spark_type_to_pa
 
@@ -762,9 +763,15 @@ class PaimonLakeBatchWriter(DataSourceWriter):
             "partition.default-name", DEFAULT_PARTITION_NAME
         )
         seq_field = info.options.get("sequence.field") or None
-        bloom_cols, bloom_spec, bloom_dtypes, bitmap_cols, bitmap_kinds = (
-            _bloom_option_cols(info)
-        )
+        (
+            bloom_cols,
+            bloom_spec,
+            bloom_dtypes,
+            bitmap_cols,
+            bitmap_kinds,
+            bsi_cols,
+            bsi_kinds,
+        ) = _bloom_option_cols(info)
         rows = [tuple(row[n] for n in names) for row in iterator]
         if not rows:
             return _LakeWrittenFiles([])
@@ -861,6 +868,17 @@ class PaimonLakeBatchWriter(DataSourceWriter):
                 trimmed_types,
             )
             stats = _value_stats_for(table, info)
+            emb = _embedded_index_payload(
+                sub,
+                bloom_cols,
+                bloom_spec,
+                bloom_dtypes,
+                bitmap_cols,
+                bitmap_kinds,
+                bsi_cols,
+                bsi_kinds,
+            )
+            emb, extra = _split_standalone_index(emb, info, ddir, name)
             written.append(
                 {
                     "rel": os.path.join(*rel_parts, f"bucket-{bucket}", name)
@@ -875,14 +893,8 @@ class PaimonLakeBatchWriter(DataSourceWriter):
                     "min_key": kmin,
                     "max_key": kmax,
                     "stats": stats,
-                    "emb": _embedded_index_payload(
-                        sub,
-                        bloom_cols,
-                        bloom_spec,
-                        bloom_dtypes,
-                        bitmap_cols,
-                        bitmap_kinds,
-                    ),
+                    "emb": emb,
+                    "extra": extra,
                 }
             )
         return _LakeWrittenFiles(written)
@@ -944,20 +956,24 @@ class PaimonLakeBatchWriter(DataSourceWriter):
                 schema=pa_schema,
             )
             pq.write_table(table, os.path.join(ddir, name))
-            emb = None
+            emb, extra = None, None
             if rows:
                 # honor the table's declared file indexes (bloom/bitmap
-                # columns) — front-door files must prune like
+                # /bsi columns) — front-door files must prune like
                 # builder-written ones
                 from paimon_python_spark.paimon_lake import (
                     _bloom_option_cols,
                     _embedded_index_payload,
+                    _split_standalone_index,
                 )
 
                 opts = _bloom_option_cols(info)
-                if opts[0] or opts[3]:
+                if opts[0] or opts[3] or opts[5]:
                     emb = _embedded_index_payload(
                         table.to_pandas(), *opts
+                    )
+                    emb, extra = _split_standalone_index(
+                        emb, info, ddir, name
                     )
             written.append(
                 (
@@ -967,6 +983,7 @@ class PaimonLakeBatchWriter(DataSourceWriter):
                     dict(zip(part_keys, key)),
                     len(rows),
                     emb,
+                    extra,
                 )
             )
         return _LakeWrittenFiles(written)
@@ -1016,12 +1033,15 @@ class PaimonLakeBatchWriter(DataSourceWriter):
                                 max_seq=int(f["max_seq"]),
                                 level=0,
                                 embedded_index=f["emb"],
+                                extra_files=(
+                                    [f["extra"]] if f.get("extra") else None
+                                ),
                             ),
                         }
                     )
                     n_rows += int(f["rows"])
                     continue
-                rel, pvals, rows, emb = f
+                rel, pvals, rows, emb, extra = f
                 if rows == 0:
                     continue
                 dest = os.path.join(self.table_path, rel)
@@ -1042,6 +1062,7 @@ class PaimonLakeBatchWriter(DataSourceWriter):
                             schema_id=info.id,
                             value_stats=_parquet_footer_value_stats(md, info),
                             embedded_index=emb,
+                            extra_files=[extra] if extra else None,
                         ),
                     }
                 )
@@ -1095,6 +1116,11 @@ class PaimonLakeBatchWriter(DataSourceWriter):
                 p = os.path.join(self.table_path, rel)
                 if os.path.exists(p):
                     os.remove(p)
+                extra = f.get("extra") if self.is_pk else f[4]
+                if extra:
+                    xp = os.path.join(os.path.dirname(p), extra)
+                    if os.path.exists(xp):
+                        os.remove(xp)
 
 
 class PaimonLakeDataSource(DataSource):

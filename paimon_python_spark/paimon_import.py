@@ -1332,6 +1332,7 @@ def _spec_file_meta(
     max_seq: Optional[int] = None,
     level: int = 0,
     embedded_index: Optional[bytes] = None,
+    extra_files: Optional[list] = None,
 ) -> dict:
     return {
         "_FILE_NAME": name,
@@ -1345,7 +1346,7 @@ def _spec_file_meta(
         "_MAX_SEQUENCE_NUMBER": rows if max_seq is None else max_seq,
         "_SCHEMA_ID": schema_id,
         "_LEVEL": level,
-        "_EXTRA_FILES": [],
+        "_EXTRA_FILES": list(extra_files or []),
         "_CREATION_TIME": None,
         "_DELETE_ROW_COUNT": None,
         "_EMBEDDED_FILE_INDEX": embedded_index,

@@ -811,6 +811,15 @@ def _bitmap_kind(info, col: str) -> "str | None":
     }.get(type(dt))
 
 
+def _bsi_kind(info, col: str) -> "str | None":
+    """Column type kind for the spec BSI value mapper — BSI is a
+    NUMERIC index, so only integral-representable kinds qualify. None
+    = unindexable (option declaring such a column is ignored, and the
+    planner never prunes on it)."""
+    k = _bitmap_kind(info, col)
+    return k if k in ("tinyint", "smallint", "int", "bigint", "date", "timestamp") else None
+
+
 def _spec_blooms_typed(info, raw: bytes) -> Optional[dict]:
     """{column: probe} from a spec file-index container, probes typed
     from the CURRENT table schema. A column carrying BOTH indexes
@@ -834,6 +843,19 @@ def _spec_blooms_typed(info, raw: bytes) -> Optional[dict]:
                 try:
                     cols[col] = fic.SpecBitmap.decode(
                         per[fic.BITMAP_INDEX_TYPE], kind
+                    )
+                    continue
+                except (ValueError, IndexError, struct.error):
+                    pass  # fall through to bsi/bloom, if any
+        if fic.BSI_INDEX_TYPE in per:
+            # exact like the bitmap (O'Neil EQ walk), second in
+            # preference only because its probe decodes roaring slices
+            # where the bitmap probe is a head dictionary lookup
+            kind = _bsi_kind(info, col)
+            if kind is not None:
+                try:
+                    cols[col] = fic.SpecBSI.decode(
+                        per[fic.BSI_INDEX_TYPE], kind
                     )
                     continue
                 except (ValueError, IndexError, struct.error):
@@ -1778,8 +1800,8 @@ def write_lake_append(table_path: str, df) -> int:
         # key-value files — same public API, dedicated write path
         return write_lake_pk_append(table_path, df)
     fmt = info.options.get("file.format", "parquet")
-    bloom_cols, _spec, _dt, bitmap_cols, _bk = _bloom_option_cols(info)
-    if fmt == "avro" or bloom_cols or bitmap_cols:
+    bloom_cols, _spec, _dt, bitmap_cols, _bk, bsi_cols, _bsk = _bloom_option_cols(info)
+    if fmt == "avro" or bloom_cols or bitmap_cols or bsi_cols:
         # avro: no spark-avro in this stack — the engine codec writes
         # executor-side through the shared distributed group writer.
         # Declared file indexes (bloom/bitmap columns) route the same
@@ -2206,11 +2228,13 @@ def _commit_lake_snapshot(
 
 def _bloom_option_cols(info) -> tuple:
     """(bloom_cols, bloom_spec, bloom_dtypes, bitmap_cols,
-    bitmap_kinds) from a lake's file-index options — shared by every
-    writer that builds per-file embedded index payloads.
-    ``file-index.bitmap.columns`` columns get an EXACT value-dictionary
-    bitmap index (spec payload); declaring any forces the spec
-    container, since the bitmap type exists only there."""
+    bitmap_kinds, bsi_cols, bsi_kinds) from a lake's file-index
+    options — shared by every writer that builds per-file embedded
+    index payloads. ``file-index.bitmap.columns`` columns get an EXACT
+    value-dictionary bitmap index; ``file-index.bsi.columns`` (numeric
+    columns only) get an exact bit-sliced range index. Declaring
+    either forces the spec container, since those types exist only
+    there."""
     names = {f.name for f in info.spark_schema.fields}
     bloom_cols = [
         c.strip()
@@ -2222,9 +2246,15 @@ def _bloom_option_cols(info) -> tuple:
         for c in info.options.get("file-index.bitmap.columns", "").split(",")
         if c.strip() and c.strip() in names and _bitmap_kind(info, c.strip())
     ]
+    bsi_cols = [
+        c.strip()
+        for c in info.options.get("file-index.bsi.columns", "").split(",")
+        if c.strip() and c.strip() in names and _bsi_kind(info, c.strip())
+    ]
     bloom_spec = (
         info.options.get("file-index.format", "").lower() == "spec"
         or bool(bitmap_cols)
+        or bool(bsi_cols)
     )
     return (
         bloom_cols,
@@ -2232,13 +2262,78 @@ def _bloom_option_cols(info) -> tuple:
         {c: _bloom_dtype(info, c) for c in bloom_cols},
         bitmap_cols,
         {c: _bitmap_kind(info, c) for c in bitmap_cols},
+        bsi_cols,
+        {c: _bsi_kind(info, c) for c in bsi_cols},
     )
 
 
+def _index_in_manifest_threshold(info) -> int:
+    """``file-index.in-manifest-threshold`` in bytes (default 500 B,
+    real Paimon's default): spec index payloads at or under it embed
+    in the manifest entry; larger ones write a standalone ``*.index``
+    file next to the data file, listed in ``_EXTRA_FILES`` — at scale
+    a multi-KB bitmap/BSI payload per file would otherwise bloat every
+    manifest the planner must read."""
+    import re
+
+    raw = str(
+        info.options.get("file-index.in-manifest-threshold", "500 B")
+    ).strip().lower()
+    m = re.fullmatch(r"(\d+)\s*([a-z]*)", raw)
+    if not m:
+        return 500
+    mult = {
+        "": 1,
+        "b": 1,
+        "bytes": 1,
+        "k": 1024,
+        "kb": 1024,
+        "kibibytes": 1024,
+        "m": 1024**2,
+        "mb": 1024**2,
+        "mebibytes": 1024**2,
+        "g": 1024**3,
+        "gb": 1024**3,
+        "gibibytes": 1024**3,
+    }.get(m.group(2))
+    if mult is None:
+        return 500
+    return int(m.group(1)) * mult
+
+
+def _split_standalone_index(emb, info, ddir, data_name):
+    """Apply ``file-index.in-manifest-threshold`` to a just-built index
+    payload: returns ``(embedded, extra_name)``. Spec payloads above
+    the threshold are written as ``<data-stem>.index`` beside the data
+    file (the JVM shape — manifest lists the name in ``_EXTRA_FILES``);
+    engine JSON payloads always embed (no standalone reader contract).
+    Runs INSIDE the write task, so the index file lands in the same
+    executor-local pass as the data file."""
+    import os
+
+    if emb is None or len(emb) <= _index_in_manifest_threshold(info):
+        return emb, None
+    from paimon_python_spark import fileindex_codec as fic
+
+    if not fic.is_spec_file_index(emb):
+        return emb, None
+    extra = data_name.rsplit(".", 1)[0] + ".index"
+    with open(os.path.join(ddir, extra), "wb") as xf:
+        xf.write(emb)
+    return None, extra
+
+
 def _embedded_index_payload(
-    pdf, bloom_cols, bloom_spec, bloom_dtypes, bitmap_cols=(), bitmap_kinds=None
+    pdf,
+    bloom_cols,
+    bloom_spec,
+    bloom_dtypes,
+    bitmap_cols=(),
+    bitmap_kinds=None,
+    bsi_cols=(),
+    bsi_kinds=None,
 ):
-    """Per-file embedded file-index payload (bloom and/or bitmap) over
+    """Per-file embedded file-index payload (bloom/bitmap/bsi) over
     a written group's pandas batch; returns bytes or None.
 
     file-index.format=spec (or any bitmap column) opts into the
@@ -2249,7 +2344,7 @@ def _embedded_index_payload(
     foreign readers safely ignore."""
     import json as _json
 
-    if not bloom_cols and not bitmap_cols:
+    if not bloom_cols and not bitmap_cols and not bsi_cols:
         return None
     if bloom_spec:
         from paimon_python_spark import fileindex_codec as fic
@@ -2280,6 +2375,20 @@ def _embedded_index_payload(
                     )
                 except ValueError:
                     pass  # unencodable shape: no index, never wrong
+        for c in bsi_cols:
+            if c in pdf.columns:
+                try:
+                    idx.setdefault(c, {})[fic.BSI_INDEX_TYPE] = (
+                        fic.build_spec_bsi(
+                            [
+                                None if _pd_isna(v) else v
+                                for v in pdf[c].tolist()
+                            ],
+                            (bsi_kinds or {}).get(c),
+                        )
+                    )
+                except ValueError:
+                    pass  # unmappable shape: no index, never wrong
         return fic.write_file_index(idx) if idx else None
     from paimon_python_spark.bloom import build_hex
 
@@ -2569,9 +2678,15 @@ def _distributed_lake_write(
     # equality file skipping, built EXECUTOR-SIDE over each group's
     # batch and carried in the manifest entry's _EMBEDDED_FILE_INDEX
     # slot (engine payload format — see _decode_embedded_blooms)
-    bloom_cols, bloom_spec, bloom_dtypes, bitmap_cols, bitmap_kinds = (
-        _bloom_option_cols(info)
-    )
+    (
+        bloom_cols,
+        bloom_spec,
+        bloom_dtypes,
+        bitmap_cols,
+        bitmap_kinds,
+        bsi_cols,
+        bsi_kinds,
+    ) = _bloom_option_cols(info)
 
     cast_cols = [
         F.col(f.name).cast(f.dataType).alias(f.name) for f in info.spark_schema.fields
@@ -2691,6 +2806,10 @@ def _distributed_lake_write(
             T.StructField("cl_name", T.StringType()),
             T.StructField("cl_size", T.LongType()),
             T.StructField("emb_idx", T.BinaryType()),
+            # spec index payload above file-index.in-manifest-threshold:
+            # written as a standalone <data-stem>.index beside the data
+            # file (JVM shape), manifest lists it in _EXTRA_FILES
+            T.StructField("extra_idx", T.StringType()),
             # dynamic-bucket lakes: the group's rewritten HASH index
             # file (None on fixed-bucket/append writes and on groups
             # with no new keys)
@@ -2820,8 +2939,16 @@ def _distributed_lake_write(
             kmin = kmax = b""
         stats = _value_stats_for(table, schema_info)
         emb = _embedded_index_payload(
-            pdf, bloom_cols, bloom_spec, bloom_dtypes, bitmap_cols, bitmap_kinds
+            pdf,
+            bloom_cols,
+            bloom_spec,
+            bloom_dtypes,
+            bitmap_cols,
+            bitmap_kinds,
+            bsi_cols,
+            bsi_kinds,
         )
+        emb, extra_idx = _split_standalone_index(emb, schema_info, ddir, name)
         idx_file, idx_size, idx_rows = None, 0, 0
         if dyn_old_files is not None and "__kn" in pdf.columns:
             # dynamic-bucket index upkeep, fused into the write task:
@@ -2870,6 +2997,7 @@ def _distributed_lake_write(
                     "cl_name": cl_name,
                     "cl_size": cl_size,
                     "emb_idx": emb,
+                    "extra_idx": extra_idx,
                     "idx_file": idx_file,
                     "idx_size": idx_size,
                     "idx_rows": idx_rows,
@@ -2895,7 +3023,7 @@ def _distributed_lake_write(
                     }
                 )
 
-    def _entry(r, file_name, file_size):
+    def _entry(r, file_name, file_size, with_extra=False):
         pj = _json.loads(r["part_json"])
         return {
             "_VERSION": 2,
@@ -2927,10 +3055,17 @@ def _distributed_lake_write(
                 embedded_index=(
                     bytes(r["emb_idx"]) if r["emb_idx"] is not None else None
                 ),
+                extra_files=(
+                    [r["extra_idx"]]
+                    if with_extra and r["extra_idx"] is not None
+                    else None
+                ),
             ),
         }
 
-    man_entries = [_entry(r, r["file_name"], r["size"]) for r in meta]
+    man_entries = [
+        _entry(r, r["file_name"], r["size"], with_extra=True) for r in meta
+    ]
     n_rows = sum(int(r["rows"]) for r in meta)
     if changelog:
         cl_entries = [
@@ -3990,7 +4125,13 @@ def remove_lake_orphan_files(
                 for e in read_manifest(
                     table_path, m, part_types, info.partition_keys
                 ):
-                    known_rel.add(e.rel_path(info.partition_keys, part_types))
+                    rel = e.rel_path(info.partition_keys, part_types)
+                    known_rel.add(rel)
+                    # standalone file-index extras live beside the data
+                    # file and are pinned for exactly as long as any
+                    # manifest mentions their data file
+                    for x in e.extra_files or []:
+                        known_rel.add(os.path.join(os.path.dirname(rel), x))
         im = s.get("indexManifest")
         if im:
             known_manifests.add(im)

@@ -80,7 +80,15 @@ def serialize_roaring32(values) -> bytes:
 
 def deserialize_roaring32(data: bytes) -> np.ndarray:
     """Deserialize a portable-format stream into a sorted uint32 array."""
-    buf = memoryview(data)
+    return deserialize_roaring32_sized(data)[0]
+
+
+def deserialize_roaring32_sized(data: bytes, offset: int = 0):
+    """Deserialize one portable-format stream starting at ``offset``
+    and ALSO return the end position — for payloads that concatenate
+    several bitmaps back-to-back (the spec BSI index's slice array),
+    where the caller must know where the next one starts."""
+    buf = memoryview(data)[offset:]
     (cookie32,) = struct.unpack_from("<i", buf, 0)
     cookie = cookie32 & 0xFFFF
     pos = 4
@@ -137,5 +145,5 @@ def deserialize_roaring32(data: bytes) -> np.ndarray:
             lo = np.nonzero(bits)[0].astype(np.uint32)
         parts.append(base + lo)
     if not parts:
-        return np.empty(0, dtype=np.uint32)
-    return np.concatenate(parts)
+        return np.empty(0, dtype=np.uint32), offset + pos
+    return np.concatenate(parts), offset + pos

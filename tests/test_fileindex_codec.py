@@ -369,10 +369,13 @@ def test_bitmap_index_prunes_lake_reads(tmp_path, spark):
     )
     entries = plan_paimon_files(p)
     assert len(entries) == 2
+    # ~2.4 KB payloads exceed the 500 B in-manifest default, so the
+    # spec container lands as a standalone .index extra (JVM shape)
     assert all(
-        e.embedded_index and fic.is_spec_file_index(e.embedded_index)
+        (e.embedded_index and fic.is_spec_file_index(e.embedded_index))
+        or any(str(n).endswith(".index") for n in (e.extra_files or []))
         for e in entries
-    ), "bitmap columns force the spec container"
+    ), "bitmap columns force the spec container (embedded or standalone)"
     info = read_paimon_schema(p)
     t = PaimonLakeTable(p)
     rb = t.new_read_builder()
@@ -389,3 +392,379 @@ def test_bitmap_index_prunes_lake_reads(tmp_path, spark):
     rb3 = t.new_read_builder()
     rb3.with_filter(rb3.new_predicate_builder().between("u", "u100", "u103"))
     assert sorted(rb3.new_read().to_pandas().k) == [100, 101, 102, 103]
+
+
+def test_bsi_payload_roundtrip_and_probe():
+    """Spec BSI payload (BitSliceIndexBitmapFileIndex V1): sign-split
+    bit-sliced roaring slices, EXACT membership via the O'Neil EQ walk
+    across positive/negative/absent values, per-kind value mapping
+    (date → epoch days, timestamp → epoch millis), generator-safe row
+    counts, V2+ refuses at decode."""
+    import datetime
+    import random
+
+    from paimon_python_spark import fileindex_codec as fic
+
+    random.seed(11)
+    vals = [random.randint(-300, 300) for _ in range(1500)] + [None] * 9
+    bsi = fic.SpecBSI.decode(fic.build_spec_bsi(vals, "int"), "int")
+    assert bsi.row_count == 1509
+    present = {v for v in vals if v is not None}
+    for v in range(-350, 351):
+        assert bsi.might_contain(v) == (v in present), v
+    assert bsi.might_contain(None) is True  # NULL probe: conservative
+
+    # sign edges: zero, all-negative part, absent positive part
+    b2 = fic.SpecBSI.decode(fic.build_spec_bsi([-42, -7, 0], "int"), "int")
+    assert b2.might_contain(0) and b2.might_contain(-42) and b2.might_contain(-7)
+    assert not b2.might_contain(-41) and not b2.might_contain(7)
+    b3 = fic.SpecBSI.decode(fic.build_spec_bsi([-5, -5], "int"), "int")
+    assert b3.positive is None and not b3.might_contain(5)
+
+    # constant column → zero slices, eq only on the constant
+    b4 = fic.SpecBSI.decode(fic.build_spec_bsi([9, 9, 9], "bigint"), "bigint")
+    assert b4.might_contain(9) and not b4.might_contain(8) and not b4.might_contain(10)
+
+    # typed kinds
+    d = datetime.date(2024, 3, 1)
+    b5 = fic.SpecBSI.decode(fic.build_spec_bsi([d], "date"), "date")
+    assert b5.might_contain(d) and not b5.might_contain(datetime.date(2024, 3, 2))
+    t = datetime.datetime(2024, 3, 1, 12, 0, 0, 123000)
+    b6 = fic.SpecBSI.decode(fic.build_spec_bsi([t], "timestamp"), "timestamp")
+    assert b6.might_contain(t)
+    assert not b6.might_contain(t + datetime.timedelta(milliseconds=1))
+
+    # generator input still records the true row count
+    b7 = fic.SpecBSI.decode(
+        fic.build_spec_bsi((v for v in [1, None, 3]), "int"), "int"
+    )
+    assert b7.row_count == 3 and b7.might_contain(3)
+
+    # all-NULL file: empty parts, everything provably absent
+    b8 = fic.SpecBSI.decode(fic.build_spec_bsi([None, None], "int"), "int")
+    assert not b8.might_contain(0) and b8.row_count == 2
+
+    # future version refuses (planner then treats the file unprunable)
+    import pytest
+
+    with pytest.raises(ValueError):
+        fic.SpecBSI.decode(b"\x02" + b"\x00" * 16, "int")
+
+    # unmappable kind probes conservatively
+    b9 = fic.SpecBSI.decode(fic.build_spec_bsi([1, 2], "int"), None)
+    assert b9.might_contain("x") is True
+
+
+def test_bsi_index_prunes_lake_reads(tmp_path, spark):
+    """file-index.bsi.columns on an engine-written lake: each file
+    carries a spec-container BSI payload, equality reads prune to
+    exactly the files holding the value, and the EXACT bit-sliced walk
+    prunes a value inside a file's min/max but absent — where manifest
+    stats alone cannot."""
+    from paimon_python_spark import fileindex_codec as fic
+    from paimon_python_spark.paimon_import import plan_paimon_files
+    from paimon_python_spark.paimon_lake import (
+        PaimonLakeTable,
+        _pruned_entries,
+        create_lake_table,
+        read_paimon_schema,
+        write_lake_append,
+    )
+    from paimon_python_spark.session import set_spark
+
+    set_spark(spark)
+    p = str(tmp_path / "bsi_lake")
+    create_lake_table(
+        p,
+        [("k", "INT NOT NULL"), ("amt", "BIGINT")],
+        options={"file-index.bsi.columns": "amt"},
+    )
+    # file 1: even amounts 0..798; file 2: odd amounts 1..799 — every
+    # probe value sits inside BOTH files' [min, max]
+    write_lake_append(
+        p,
+        spark.createDataFrame(
+            [(i, i * 2) for i in range(400)], "k int, amt bigint"
+        ).coalesce(1),
+    )
+    write_lake_append(
+        p,
+        spark.createDataFrame(
+            [(i + 400, i * 2 + 1) for i in range(400)], "k int, amt bigint"
+        ).coalesce(1),
+    )
+    entries = plan_paimon_files(p)
+    assert len(entries) == 2
+
+    def _raw(e):
+        if e.embedded_index:
+            return e.embedded_index
+        (xn,) = [n for n in (e.extra_files or []) if str(n).endswith(".index")]
+        import os
+
+        with open(
+            os.path.join(p, os.path.dirname(e.rel_path([], [])), xn), "rb"
+        ) as f:
+            return f.read()
+
+    payloads = []
+    for e in entries:
+        raw = _raw(e)
+        assert fic.is_spec_file_index(raw), (
+            "bsi columns force the spec container (embedded or standalone)"
+        )
+        payloads.append(fic.read_file_index(raw)["amt"])
+    assert all(fic.BSI_INDEX_TYPE in d for d in payloads)
+    info = read_paimon_schema(p)
+    t = PaimonLakeTable(p)
+    rb = t.new_read_builder()
+    rb.with_filter(rb.new_predicate_builder().equal("amt", 274))
+    assert len(_pruned_entries(p, info, rb)) == 1
+    assert list(rb.new_read().to_pandas().k) == [137]
+    # EXACT: odd file only for an odd value
+    rb2 = t.new_read_builder()
+    rb2.with_filter(rb2.new_predicate_builder().equal("amt", 275))
+    assert len(_pruned_entries(p, info, rb2)) == 1
+    assert list(rb2.new_read().to_pandas().k) == [537]
+    # IN with only-absent values plans zero files even though every
+    # literal is inside both min/max ranges (800 < nothing here; use
+    # in-range absent: BSI stores every parity, so probe out-of-set
+    # values by exceeding max while staying in stats range is not
+    # possible — instead check an IN that hits one parity)
+    rb3 = t.new_read_builder()
+    rb3.with_filter(rb3.new_predicate_builder().is_in("amt", [12, 34]))
+    assert len(_pruned_entries(p, info, rb3)) == 1
+    assert sorted(rb3.new_read().to_pandas().k) == [6, 17]
+    # range predicates fall back to stats; rows stay exact
+    rb4 = t.new_read_builder()
+    rb4.with_filter(rb4.new_predicate_builder().between("amt", 100, 103))
+    assert sorted(rb4.new_read().to_pandas().k) == [50, 51, 450, 451]
+
+
+def test_bsi_index_prunes_absent_values_in_gaps(tmp_path, spark):
+    """The case stats + bloom can miss: a value strictly inside a
+    file's [min, max] that NO row holds — BSI's exact walk plans zero
+    files (a bloom could false-positive here)."""
+    from paimon_python_spark.paimon_lake import (
+        PaimonLakeTable,
+        _pruned_entries,
+        create_lake_table,
+        read_paimon_schema,
+        write_lake_append,
+    )
+    from paimon_python_spark.session import set_spark
+
+    set_spark(spark)
+    p = str(tmp_path / "bsi_gap_lake")
+    create_lake_table(
+        p,
+        [("k", "INT NOT NULL"), ("v", "INT")],
+        options={"file-index.bsi.columns": "v"},
+    )
+    write_lake_append(
+        p,
+        spark.createDataFrame(
+            [(i, i * 10) for i in range(100)], "k int, v int"
+        ).coalesce(1),
+    )
+    info = read_paimon_schema(p)
+    t = PaimonLakeTable(p)
+    rb = t.new_read_builder()
+    rb.with_filter(rb.new_predicate_builder().equal("v", 505))  # in (500, 510)
+    assert len(_pruned_entries(p, info, rb)) == 0
+    assert rb.new_read().to_pandas().empty
+
+
+def test_index_in_manifest_threshold_parse():
+    """Memory-size parsing for file-index.in-manifest-threshold: JVM
+    MemorySize forms (unit suffixes, spacing, case), bare bytes, and
+    the 500 B default on absence or garbage."""
+    from paimon_python_spark.paimon_lake import _index_in_manifest_threshold
+
+    class _I:
+        def __init__(self, **opts):
+            self.options = opts
+
+    assert _index_in_manifest_threshold(_I()) == 500
+    t = "file-index.in-manifest-threshold"
+    assert _index_in_manifest_threshold(_I(**{t: "200 B"})) == 200
+    assert _index_in_manifest_threshold(_I(**{t: "200"})) == 200
+    assert _index_in_manifest_threshold(_I(**{t: "2 KB"})) == 2048
+    assert _index_in_manifest_threshold(_I(**{t: "1kb"})) == 1024
+    assert _index_in_manifest_threshold(_I(**{t: "3 MB"})) == 3 * 1024**2
+    assert _index_in_manifest_threshold(_I(**{t: "1 gb"})) == 1024**3
+    assert _index_in_manifest_threshold(_I(**{t: "weird"})) == 500
+    assert _index_in_manifest_threshold(_I(**{t: "5 parsecs"})) == 500
+
+
+def test_standalone_index_files_above_threshold(tmp_path, spark):
+    """file-index.in-manifest-threshold: a spec index payload above it
+    is written as a standalone <data-stem>.index file beside the data
+    file and listed in _EXTRA_FILES (the JVM shape — manifests stay
+    KB-scale however big the index grows); the planner prunes through
+    it exactly as it does through embedded payloads, and orphan
+    cleanup pins it for as long as its data file is referenced."""
+    import os
+
+    from paimon_python_spark import fileindex_codec as fic
+    from paimon_python_spark.paimon_import import plan_paimon_files
+    from paimon_python_spark.paimon_lake import (
+        PaimonLakeTable,
+        _pruned_entries,
+        create_lake_table,
+        read_paimon_schema,
+        remove_lake_orphan_files,
+        write_lake_append,
+    )
+    from paimon_python_spark.session import set_spark
+
+    set_spark(spark)
+    p = str(tmp_path / "standalone_idx_lake")
+    create_lake_table(
+        p,
+        [("k", "INT NOT NULL"), ("u", "STRING")],
+        options={
+            "file-index.bitmap.columns": "u",
+            "file-index.in-manifest-threshold": "1 B",
+        },
+    )
+    write_lake_append(
+        p,
+        spark.createDataFrame(
+            [(i, f"u{i:03d}") for i in range(0, 300, 2)], "k int, u string"
+        ).coalesce(1),
+    )
+    write_lake_append(
+        p,
+        spark.createDataFrame(
+            [(i, f"u{i:03d}") for i in range(1, 300, 2)], "k int, u string"
+        ).coalesce(1),
+    )
+    entries = plan_paimon_files(p)
+    assert len(entries) == 2
+    info = read_paimon_schema(p)
+    part_types = []
+    for e in entries:
+        assert e.embedded_index is None, "above threshold: nothing embeds"
+        assert e.extra_files and e.extra_files[0].endswith(".index")
+        xp = os.path.join(
+            p,
+            os.path.dirname(e.rel_path([], part_types)),
+            e.extra_files[0],
+        )
+        assert os.path.exists(xp)
+        with open(xp, "rb") as f:
+            assert fic.is_spec_file_index(f.read())
+    # pruning still exact through the standalone file
+    t = PaimonLakeTable(p)
+    rb = t.new_read_builder()
+    rb.with_filter(rb.new_predicate_builder().equal("u", "u131"))
+    assert len(_pruned_entries(p, info, rb)) == 1
+    assert list(rb.new_read().to_pandas().k) == [131]
+    rb2 = t.new_read_builder()
+    rb2.with_filter(rb2.new_predicate_builder().equal("u", "u131x"))
+    assert len(_pruned_entries(p, info, rb2)) == 0
+    # orphan cleanup pins referenced .index extras, removes strays
+    stray = os.path.join(p, "bucket-0", "stray-deadbeef.index")
+    with open(stray, "wb") as f:
+        f.write(b"junk")
+    os.utime(stray, (1, 1))  # well past any grace period
+    for e in entries:  # age the real files too: cleanup must still keep them
+        xp = os.path.join(
+            p, os.path.dirname(e.rel_path([], part_types)), e.extra_files[0]
+        )
+        os.utime(xp, (1, 1))
+    res = remove_lake_orphan_files(p, older_than_seconds=0.0)
+    assert not os.path.exists(stray), res
+    for e in entries:
+        xp = os.path.join(
+            p, os.path.dirname(e.rel_path([], part_types)), e.extra_files[0]
+        )
+        assert os.path.exists(xp), "referenced index extra must survive"
+    # reads still good after cleanup
+    rb3 = t.new_read_builder()
+    rb3.with_filter(rb3.new_predicate_builder().equal("u", "u131"))
+    assert list(rb3.new_read().to_pandas().k) == [131]
+
+
+def test_small_index_payload_stays_embedded(tmp_path, spark):
+    """At the 500 B default, a tiny spec payload embeds in the
+    manifest entry — no standalone file appears."""
+    import glob
+    import os
+
+    from paimon_python_spark.paimon_import import plan_paimon_files
+    from paimon_python_spark.paimon_lake import (
+        create_lake_table,
+        write_lake_append,
+    )
+    from paimon_python_spark.session import set_spark
+
+    set_spark(spark)
+    p = str(tmp_path / "embedded_idx_lake")
+    create_lake_table(
+        p,
+        [("k", "INT NOT NULL"), ("v", "INT")],
+        options={"file-index.bsi.columns": "v"},
+    )
+    write_lake_append(
+        p,
+        spark.createDataFrame([(1, 10), (2, 20)], "k int, v int").coalesce(1),
+    )
+    (e,) = plan_paimon_files(p)
+    assert e.embedded_index is not None and not e.extra_files
+    assert not glob.glob(os.path.join(p, "**", "*.index"), recursive=True)
+
+
+def test_front_door_write_standalone_index(tmp_path, spark):
+    """df.write.format("paimon_lake") on an index-declaring lake with a
+    low in-manifest threshold: the executor task writes the standalone
+    .index beside its data file; reads through the front door prune on
+    it (batch read stays hash-identical to the builder path)."""
+    import os
+
+    from paimon_python_spark.lake_datasource import register_lake
+    from paimon_python_spark.paimon_import import plan_paimon_files
+    from paimon_python_spark.paimon_lake import (
+        PaimonLakeTable,
+        _pruned_entries,
+        create_lake_table,
+        read_paimon_schema,
+    )
+    from paimon_python_spark.session import set_spark
+
+    set_spark(spark)
+    register_lake(spark)
+    p = str(tmp_path / "fd_standalone_lake")
+    create_lake_table(
+        p,
+        [("k", "INT NOT NULL"), ("u", "STRING")],
+        options={
+            "file-index.bitmap.columns": "u",
+            "file-index.in-manifest-threshold": "1 B",
+        },
+    )
+    df = spark.createDataFrame(
+        [(i, f"u{i:03d}") for i in range(200)], "k int, u string"
+    ).coalesce(1)
+    df.write.format("paimon_lake").option("path", p).mode("append").save()
+    entries = plan_paimon_files(p)
+    assert entries and all(
+        e.embedded_index is None and e.extra_files for e in entries
+    )
+    for e in entries:
+        xp = os.path.join(
+            p, os.path.dirname(e.rel_path([], [])), e.extra_files[0]
+        )
+        assert os.path.exists(xp)
+    info = read_paimon_schema(p)
+    t = PaimonLakeTable(p)
+    rb = t.new_read_builder()
+    rb.with_filter(rb.new_predicate_builder().equal("u", "u042"))
+    assert len(_pruned_entries(p, info, rb)) == 1
+    assert list(rb.new_read().to_pandas().k) == [42]
+    back = (
+        spark.read.format("paimon_lake").option("path", p).load()
+        .filter("u = 'u042'")
+    )
+    assert [r.k for r in back.collect()] == [42]

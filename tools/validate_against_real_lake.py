@@ -235,6 +235,55 @@ def main() -> int:
               "0 dictionary misses")
     else:
         print("[9] skipped (no spec-format bitmap indexes in this snapshot)")
+
+    # [10] BSI file-index parity: a JVM-written bit-sliced index is
+    # also EXACT — every value present in the file must survive the
+    # O'Neil EQ walk (a miss = slice-layout or value-mapper divergence
+    # → unsound pruning), and the value +1/-1 of an isolated present
+    # value must answer by true membership, not by parse accident.
+    probed_bsi = 0
+    for e in entries:
+        idx = (
+            _spec_blooms_typed(info, e.embedded_index)
+            if e.embedded_index
+            else None
+        ) or _standalone_index_blooms(args.table_path, info, e)
+        if not idx:
+            continue
+        bsis = {c: p for c, p in idx.items() if hasattr(p, "positive")}
+        if not bsis:
+            continue
+        import pyarrow.parquet as pq
+
+        dpath = os.path.join(
+            args.table_path,
+            e.rel_path(
+                info.partition_keys,
+                [info.spark_schema[k].dataType for k in info.partition_keys],
+            ),
+        )
+        for col, probe in bsis.items():
+            vals = pq.read_table(dpath, columns=[col]).column(col).to_pylist()
+            present = [v for v in vals if v is not None]
+            present_set = set(present)
+            for v in present[:200]:
+                probed_bsi += 1
+                if not probe.might_contain(v):
+                    print(f"[10] FAIL: bsi false negative on {col}={v!r} "
+                          f"in {e.file_name} — slice-layout divergence")
+                    return 1
+            for v in list(present_set)[:50]:
+                if isinstance(v, int) and (v + 1) not in present_set:
+                    if probe.might_contain(v + 1):
+                        print(f"[10] FAIL: bsi false positive on "
+                              f"{col}={v + 1!r} in {e.file_name} — "
+                              "EQ walk divergence")
+                        return 1
+    if probed_bsi:
+        print(f"[10] spec bsi parity OK: {probed_bsi} known-present probes, "
+              "0 walk misses")
+    else:
+        print("[10] skipped (no spec-format bsi indexes in this snapshot)")
     print("ALL CHECKS PASSED against a foreign-written lake")
     return 0
 
