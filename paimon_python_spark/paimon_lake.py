@@ -820,13 +820,15 @@ def _bsi_kind(info, col: str) -> "str | None":
     return k if k in ("tinyint", "smallint", "int", "bigint", "date", "timestamp") else None
 
 
-def _spec_blooms_typed(info, raw: bytes) -> Optional[dict]:
+def _spec_blooms_typed(info, raw: bytes, fields=None) -> Optional[dict]:
     """{column: probe} from a spec file-index container, probes typed
     from the CURRENT table schema. A column carrying BOTH indexes
     probes through the BITMAP (exact membership beats a probabilistic
     filter); a bitmap that fails to decode (V2+, torn bytes) falls back
-    to the bloom — pruning-only either way. None for non-spec
-    payloads."""
+    to bsi/bloom — pruning-only either way. None for non-spec
+    payloads. ``fields`` restricts decoding to the columns the
+    predicate can actually probe (equal/IN leaves) — payload decode is
+    per-column work the planner shouldn't pay for unprobed columns."""
     from paimon_python_spark import fileindex_codec as fic
 
     if not fic.is_spec_file_index(raw):
@@ -837,6 +839,8 @@ def _spec_blooms_typed(info, raw: bytes) -> Optional[dict]:
         return None  # future version: ignore, indexes only prune
     cols: dict = {}
     for col, per in doc.items():
+        if fields is not None and col not in fields:
+            continue
         if fic.BITMAP_INDEX_TYPE in per:
             kind = _bitmap_kind(info, col)
             if kind is not None:
@@ -867,7 +871,9 @@ def _spec_blooms_typed(info, raw: bytes) -> Optional[dict]:
     return cols or None
 
 
-def _standalone_index_blooms(table_path: str, info, entry) -> Optional[dict]:
+def _standalone_index_blooms(
+    table_path: str, info, entry, fields=None
+) -> Optional[dict]:
     """{column: SpecBloom} from an entry's standalone ``*.index``
     extra files (JVM Paimon writes indexes above the in-manifest
     threshold as separate files next to the data file). None when the
@@ -895,7 +901,7 @@ def _standalone_index_blooms(table_path: str, info, entry) -> Optional[dict]:
             continue
         with open(path, "rb") as f:
             raw = f.read()
-        typed = _spec_blooms_typed(info, raw)
+        typed = _spec_blooms_typed(info, raw, fields=fields)
         if typed:
             cols.update(typed)
     return cols or None
@@ -975,6 +981,10 @@ def _pruned_entries(table_path: str, info: PaimonSchemaInfo, b: "PaimonLakeReadB
         pred = pred.keep_only_fields(allowed)
         if pred is None:
             return entries
+        # file indexes only serve equal/IN leaves: for range-only
+        # predicates skip ALL index IO/decode — at 100k planned files a
+        # standalone .index read per entry would be pure driver waste
+        eq_fields = pred.equality_fields()
         infos = {info.id: info}
         kept = []
         for e in entries:
@@ -983,15 +993,21 @@ def _pruned_entries(table_path: str, info: PaimonSchemaInfo, b: "PaimonLakeReadB
                 oinfo = read_paimon_schema(table_path, e.schema_id)
                 infos[e.schema_id] = oinfo
             stats = decode_entry_stats(e, oinfo, info)
-            blooms = (
-                _decode_embedded_blooms(e)
-                or (
-                    _spec_blooms_typed(info, e.embedded_index)
-                    if e.embedded_index
-                    else None
+            blooms = None
+            if eq_fields:
+                blooms = (
+                    _decode_embedded_blooms(e)
+                    or (
+                        _spec_blooms_typed(
+                            info, e.embedded_index, fields=eq_fields
+                        )
+                        if e.embedded_index
+                        else None
+                    )
+                    or _standalone_index_blooms(
+                        table_path, info, e, fields=eq_fields
+                    )
                 )
-                or _standalone_index_blooms(table_path, info, e)
-            )
             if blooms:
                 # merge per-file blooms into the stats dict so
                 # test_by_stats' equal/in branches consult them — the

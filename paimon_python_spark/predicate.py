@@ -146,6 +146,19 @@ class Predicate:
             return lits[0] <= v <= lits[1]
         raise ValueError(f"unknown predicate method {m}")
 
+    def equality_fields(self) -> set:
+        """Fields probed by equal/in leaves anywhere in the tree — the
+        only predicate shapes a file index (bloom/bitmap/bsi) can prune
+        on. Planners use this to skip index IO/decode entirely for
+        range-only scans: at 100k planned files, reading a standalone
+        .index per entry that no leaf can consult is pure waste."""
+        if self.method in ("and", "or"):
+            out: set = set()
+            for c in self.children:
+                out |= c.equality_fields()
+            return out
+        return {self.field} if self.method in ("equal", "in") else set()
+
     # ---- file-stats pruning (min/max/null_count per column) ----
 
     def test_by_stats(self, stats: dict) -> bool:

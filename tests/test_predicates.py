@@ -165,3 +165,37 @@ def test_stats_file_skipping(catalog):
     splits = rb.new_scan().plan().splits()
     assert len(splits) == 1
     assert list(rb.new_read().to_pandas(splits)["f0"]) == [101]
+
+
+def test_equality_fields_collection():
+    """equality_fields(): only equal/in leaves — the shapes a file
+    index can prune — are collected, through and/or trees."""
+    from paimon_python_spark.predicate import PredicateBuilder
+    from pyspark.sql.types import (
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    pb = PredicateBuilder(
+        StructType(
+            [
+                StructField("a", IntegerType()),
+                StructField("b", StringType()),
+                StructField("c", IntegerType()),
+            ]
+        )
+    )
+    p = pb.and_predicates(
+        [
+            pb.equal("a", 1),
+            pb.or_predicates(
+                [pb.is_in("b", ["x", "y"]), pb.greater_than("c", 5)]
+            ),
+        ]
+    )
+    assert p.equality_fields() == {"a", "b"}
+    assert pb.between("c", 1, 2).equality_fields() == set()
+    assert pb.less_than("a", 9).equality_fields() == set()
+    assert pb.is_in("c", [1]).equality_fields() == {"c"}
