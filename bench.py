@@ -130,6 +130,7 @@ HEADLINE = [
     "paimon_lake_format_pk_write_roundtrip",
     "paimon_lake_bitmap_index_roundtrip",
     "paimon_lake_bsi_index_roundtrip",
+    "paimon_engine_exact_index_roundtrip",
     "paimon_datasource_pk_write_roundtrip",
 ]
 

@@ -62,6 +62,12 @@ def expire_snapshots(table, keep_last_n: int = 1) -> dict:
         for entry in store.read_manifest(mname):
             if entry.kind == "ADD" and entry.file.path not in live_paths:
                 dead_paths.add(entry.file.path)
+                # a dead data file takes its standalone index extras
+                # with it (they are unreadable without the data file)
+                for x in entry.file.extra_files or []:
+                    dead_paths.add(
+                        os.path.join(os.path.dirname(entry.file.path), x)
+                    )
 
     n_files = 0
     for rel in dead_paths:

@@ -42,9 +42,15 @@ class DataFileMeta:
     min_seq: Optional[int] = None
     max_seq: Optional[int] = None
     stats: dict[str, dict] = field(default_factory=dict)  # col -> {min,max,null_count,row_count}
+    # spec file-index container (bitmap/bsi exact indexes): inline
+    # base64 at or under file-index.in-manifest-threshold, else a
+    # standalone <data-stem>.index beside the data file (extra_files).
+    # Old manifests lack both keys — from_dict defaults cover them.
+    file_index_b64: Optional[str] = None
+    extra_files: Optional[list] = None
 
     def to_dict(self) -> dict:
-        return {
+        d = {
             "path": self.path,
             "row_count": self.row_count,
             "file_size": self.file_size,
@@ -54,6 +60,13 @@ class DataFileMeta:
             "max_seq": self.max_seq,
             "stats": self.stats,
         }
+        # only when set: keeps index-free manifests byte-stable with
+        # every pre-r10 reader/fixture
+        if self.file_index_b64 is not None:
+            d["file_index_b64"] = self.file_index_b64
+        if self.extra_files:
+            d["extra_files"] = self.extra_files
+        return d
 
     @classmethod
     def from_dict(cls, d: dict) -> "DataFileMeta":
@@ -265,4 +278,10 @@ class MetadataStore:
             if name.startswith("manifest-"):
                 for entry in self.read_manifest(name):
                     known.add(entry.file.path)
+                    # standalone file-index extras live beside the data
+                    # file and are pinned exactly as long as it is
+                    for x in entry.file.extra_files or []:
+                        known.add(
+                            os.path.join(os.path.dirname(entry.file.path), x)
+                        )
         return known

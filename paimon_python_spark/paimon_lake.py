@@ -3962,10 +3962,13 @@ def _lake_snapshot_footprint(table_path: str, snap: dict):
         if lst:
             lists.add(lst)
             manifests.update(read_manifest_list(table_path, lst))
-    live = {
-        e.rel_path(info.partition_keys, part_types)
-        for e in plan_paimon_files(table_path, snapshot=snap)
-    }
+    live = set()
+    for e in plan_paimon_files(table_path, snapshot=snap):
+        rel = e.rel_path(info.partition_keys, part_types)
+        live.add(rel)
+        # standalone file-index extras live and die with their data file
+        for x in e.extra_files or []:
+            live.add(os.path.join(os.path.dirname(rel), x))
     idx = set()
     im = snap.get("indexManifest")
     if im:

@@ -99,12 +99,40 @@ class TableScan:
             else:
                 stats_pred = predicate
 
+            # exact file indexes (bitmap/bsi spec containers) only serve
+            # equal/IN leaves — decode them lazily and only for probed
+            # columns, same gate as the lake planner
+            eq_fields = (
+                stats_pred.equality_fields() if stats_pred is not None else set()
+            )
+
             kept = []
             for f in files:
                 if part_pred is not None and not part_pred.test_by_value(f.partition):
                     continue
-                if stats_pred is not None and not stats_pred.test_by_stats(f.stats):
-                    continue
+                if stats_pred is not None:
+                    st = f.stats
+                    probes = (
+                        self._file_index_probes(f, schema, eq_fields)
+                        if eq_fields
+                        else None
+                    )
+                    if probes:
+                        st = dict(st or {})
+                        for c, pr in probes.items():
+                            ent = dict(
+                                st.get(c)
+                                or {
+                                    "min": None,
+                                    "max": None,
+                                    "null_count": None,
+                                    "row_count": f.row_count,
+                                }
+                            )
+                            ent["bloom"] = pr  # duck-typed probe slot
+                            st[c] = ent
+                    if not stats_pred.test_by_stats(st):
+                        continue
                 kept.append(f)
             files = kept
 
@@ -127,6 +155,38 @@ class TableScan:
             splits = trimmed
 
         return Plan(splits)
+
+    def _file_index_probes(self, f, schema, fields):
+        """{column: probe} from a data file's spec index container
+        (bitmap/bsi exact indexes written by DataFileHarvester) —
+        inline base64 or a standalone .index beside the data file.
+        None when the file carries none; decode failures leave the
+        file unprunable (correct, merely unskipped)."""
+        import base64
+        import os
+
+        raw = None
+        if getattr(f, "file_index_b64", None):
+            try:
+                raw = base64.b64decode(f.file_index_b64)
+            except Exception:
+                return None
+        elif getattr(f, "extra_files", None):
+            for n in f.extra_files:
+                if not str(n).endswith(".index"):
+                    continue
+                p = os.path.join(
+                    self.table.table_path, os.path.dirname(f.path), n
+                )
+                if os.path.exists(p):
+                    with open(p, "rb") as xf:
+                        raw = xf.read()
+                    break
+        if raw is None:
+            return None
+        from paimon_python_spark.paimon_lake import _spec_blooms_typed
+
+        return _spec_blooms_typed(schema, raw, fields=fields)
 
     @staticmethod
     def _candidate_buckets(predicate, schema) -> Optional[set]:

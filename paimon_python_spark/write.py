@@ -196,6 +196,7 @@ class DataFileHarvester:
                 bloom_hex = build_hex(vals)
                 if bloom_hex:
                     stats.setdefault(col, {})["bloom"] = bloom_hex
+        fi_b64, extra_files = self._exact_indexes(path)
         return DataFileMeta(
             path=rel,
             row_count=rows,
@@ -205,6 +206,8 @@ class DataFileHarvester:
             min_seq=min_seq,
             max_seq=max_seq,
             stats=stats,
+            file_index_b64=fi_b64,
+            extra_files=extra_files,
         )
 
     def _bloom_columns(self) -> List[str]:
@@ -218,6 +221,76 @@ class DataFileHarvester:
             ).split(",")
             if c.strip()
         ]
+
+    def _exact_indexes(self, path: str):
+        """file-index.bitmap.columns / file-index.bsi.columns on ENGINE
+        tables: one spec-format container per data file with an EXACT
+        value-dictionary bitmap and/or bit-sliced index per declared
+        column — equality on an absent value plans ZERO files where a
+        bloom could false-positive. Returns (inline_b64, extra_files):
+        inline base64 in the JSON manifest at or under
+        file-index.in-manifest-threshold, standalone <data-stem>.index
+        beside the data file above it (same shape the lake writers
+        use). Unindexable column types are skipped — never wrong, the
+        planner just can't prune on them."""
+        import base64
+        import os
+
+        from paimon_python_spark.paimon_lake import (
+            _bitmap_kind,
+            _bsi_kind,
+            _index_in_manifest_threshold,
+        )
+
+        def _cols(opt: str) -> List[str]:
+            return [
+                c.strip()
+                for c in self.schema.options.get(opt, "").split(",")
+                if c.strip()
+            ]
+
+        bitmap_cols = _cols("file-index.bitmap.columns")
+        bsi_cols = _cols("file-index.bsi.columns")
+        if not bitmap_cols and not bsi_cols:
+            return None, None
+        from paimon_python_spark import fileindex_codec as fic
+
+        idx: dict = {}
+        for col in bitmap_cols:
+            kind = _bitmap_kind(self.schema, col)
+            if kind is None:
+                continue
+            vals = _column_values(path, col)
+            if vals is None:
+                continue
+            try:
+                idx.setdefault(col, {})[fic.BITMAP_INDEX_TYPE] = (
+                    fic.build_spec_bitmap(vals, kind)
+                )
+            except ValueError:
+                pass
+        for col in bsi_cols:
+            kind = _bsi_kind(self.schema, col)
+            if kind is None:
+                continue
+            vals = _column_values(path, col)
+            if vals is None:
+                continue
+            try:
+                idx.setdefault(col, {})[fic.BSI_INDEX_TYPE] = (
+                    fic.build_spec_bsi(vals, kind)
+                )
+            except ValueError:
+                pass
+        if not idx:
+            return None, None
+        raw = fic.write_file_index(idx)
+        if len(raw) <= _index_in_manifest_threshold(self.schema):
+            return base64.b64encode(raw).decode("ascii"), None
+        name = os.path.basename(path).rsplit(".", 1)[0] + ".index"
+        with open(os.path.join(os.path.dirname(path), name), "wb") as xf:
+            xf.write(raw)
+        return None, [name]
 
     def _parse_partition(self, path: str) -> dict:
         spec = {}
