@@ -109,6 +109,15 @@ class PaimonLakeTable:
     def partitions(self, snapshot_id: "Optional[int]" = None):
         return _lake_system_partitions(self.table_path, snapshot_id)
 
+    def manifests(self, snapshot_id: "Optional[int]" = None):
+        """Manifest inventory — Paimon's ``table$manifests``."""
+        return _lake_system_manifests(self.table_path, snapshot_id)
+
+    def buckets(self, snapshot_id: "Optional[int]" = None):
+        """Per-(partition, bucket) totals — Paimon's ``table$buckets``
+        (the skew / rescale diagnostic)."""
+        return _lake_system_buckets(self.table_path, snapshot_id)
+
     def tags(self):
         """Tags system table: (tag_name, snapshot_id) from the lake's
         ``tag/`` directory."""
@@ -1676,6 +1685,95 @@ def _lake_system_partitions(table_path: str, snapshot_id: "Optional[int]" = None
     schema = T.StructType(
         [
             T.StructField("partition", T.StringType(), False),
+            T.StructField("record_count", T.LongType(), False),
+            T.StructField("file_size_in_bytes", T.LongType(), False),
+            T.StructField("file_count", T.LongType(), False),
+        ]
+    )
+    return get_spark().createDataFrame(rows, schema)
+
+
+def _lake_system_manifests(table_path: str, snapshot_id: "Optional[int]" = None):
+    """Manifest inventory of one snapshot — Paimon's
+    ``table$manifests`` (file name, size, added/deleted entry counts,
+    schema id, which list referenced it). Driver-built, metadata-sized."""
+    import os
+
+    from pyspark.sql import types as T
+
+    from paimon_python_spark.paimon_import import (
+        latest_paimon_snapshot_id,
+        read_manifest_list_entries,
+        read_paimon_snapshot,
+    )
+    from paimon_python_spark.session import get_spark
+
+    sid = snapshot_id or latest_paimon_snapshot_id(table_path)
+    snap = read_paimon_snapshot(table_path, sid)
+    rows = []
+    for source, key in (
+        ("base", "baseManifestList"),
+        ("delta", "deltaManifestList"),
+        ("changelog", "changelogManifestList"),
+    ):
+        lst = snap.get(key)
+        if not lst:
+            continue
+        for r in read_manifest_list_entries(table_path, lst):
+            name = r["_FILE_NAME"]
+            full = os.path.join(table_path, "manifest", name)
+            rows.append(
+                (
+                    name,
+                    int(
+                        r.get("_FILE_SIZE")
+                        or (os.path.getsize(full) if os.path.exists(full) else 0)
+                    ),
+                    int(r.get("_NUM_ADDED_FILES") or 0),
+                    int(r.get("_NUM_DELETED_FILES") or 0),
+                    int(r.get("_SCHEMA_ID") or 0),
+                    source,
+                )
+            )
+    schema = T.StructType(
+        [
+            T.StructField("file_name", T.StringType(), False),
+            T.StructField("file_size", T.LongType(), False),
+            T.StructField("num_added_files", T.LongType(), False),
+            T.StructField("num_deleted_files", T.LongType(), False),
+            T.StructField("schema_id", T.LongType(), False),
+            T.StructField("source", T.StringType(), False),
+        ]
+    )
+    return get_spark().createDataFrame(rows, schema)
+
+
+def _lake_system_buckets(table_path: str, snapshot_id: "Optional[int]" = None):
+    """Per-(partition, bucket) file/row totals — Paimon's
+    ``table$buckets`` (the skew / rescale diagnostic: which bucket
+    holds how much)."""
+    from pyspark.sql import types as T
+
+    from paimon_python_spark.session import get_spark
+
+    info = read_paimon_schema(table_path)
+    agg: dict = {}
+    for e in plan_paimon_files(table_path, snapshot_id):
+        key = (
+            str(dict(_logical_partition_values(info, e.partition))),
+            e.bucket,
+        )
+        rec = agg.setdefault(key, [0, 0, 0])
+        rec[0] += e.row_count
+        rec[1] += e.file_size
+        rec[2] += 1
+    rows = [
+        (k[0], k[1], v[0], v[1], v[2]) for k, v in sorted(agg.items())
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("partition", T.StringType(), False),
+            T.StructField("bucket", T.IntegerType(), False),
             T.StructField("record_count", T.LongType(), False),
             T.StructField("file_size_in_bytes", T.LongType(), False),
             T.StructField("file_count", T.LongType(), False),

@@ -1718,6 +1718,17 @@ def test_lake_system_tables(tmp_path, spark):
     assert list(parts.file_count) == [2, 1]
     # time travel on the system view
     assert len(t.files(snapshot_id=1).toPandas()) == 2
+    # $manifests: snapshot 2 lists base (carried) + delta (new) sources
+    mans = t.manifests().toPandas()
+    assert set(mans.source) <= {"base", "delta", "changelog"}
+    assert "delta" in set(mans.source)
+    assert (mans.num_added_files >= 0).all()
+    assert t.manifests(snapshot_id=1).count() >= 1
+    # $buckets: per-(partition, bucket) totals reconcile with $files
+    bks = t.buckets().toPandas()
+    assert int(bks.record_count.sum()) == int(files.record_count.sum())
+    assert int(bks.file_count.sum()) == 3
+    assert set(bks.bucket) == {0}
 
 
 def test_write_lake_append_roundtrip(tmp_path, spark):
