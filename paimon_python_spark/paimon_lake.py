@@ -2370,10 +2370,31 @@ def _bloom_option_cols(info) -> tuple:
         or bool(bitmap_cols)
         or bool(bsi_cols)
     )
+    def _bloom_params(c: str) -> dict:
+        # per-column sizing, real Paimon's option names: fpp bounds the
+        # false-positive rate, items overrides the distinct estimate
+        # (use it when batches undercount a column's true cardinality)
+        fpp, items = 0.1, None
+        try:
+            v = float(info.options.get(f"file-index.bloom-filter.{c}.fpp", 0.1))
+            if 0.0 < v < 1.0:
+                fpp = v
+        except (TypeError, ValueError):
+            pass
+        raw = info.options.get(f"file-index.bloom-filter.{c}.items")
+        if raw is not None:
+            try:
+                items = int(raw)
+            except (TypeError, ValueError):
+                items = None
+            if items is not None and items <= 0:
+                items = None  # nonsense estimate: fall back to batch count
+        return {"dtype": _bloom_dtype(info, c), "fpp": fpp, "items": items}
+
     return (
         bloom_cols,
         bloom_spec,
-        {c: _bloom_dtype(info, c) for c in bloom_cols},
+        {c: _bloom_params(c) for c in bloom_cols},
         bitmap_cols,
         {c: _bitmap_kind(info, c) for c in bitmap_cols},
         bsi_cols,
@@ -2468,11 +2489,16 @@ def _embedded_index_payload(
             if c in pdf.columns:
                 vals = [v for v in pdf[c].tolist() if v is not None]
                 if vals:
+                    params = bloom_dtypes.get(c) or {}
+                    if not isinstance(params, dict):
+                        params = {"dtype": params}  # legacy dtype-only form
                     idx.setdefault(c, {})[fic.BLOOM_INDEX_TYPE] = (
                         fic.build_spec_bloom(
                             vals,
-                            items=max(64, len(set(map(repr, vals)))),
-                            dtype=bloom_dtypes.get(c),
+                            items=params.get("items")
+                            or max(64, len(set(map(repr, vals)))),
+                            fpp=params.get("fpp", 0.1),
+                            dtype=params.get("dtype"),
                         ).encode()
                     )
         for c in bitmap_cols:

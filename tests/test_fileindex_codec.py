@@ -768,3 +768,58 @@ def test_front_door_write_standalone_index(tmp_path, spark):
         .filter("u = 'u042'")
     )
     assert [r.k for r in back.collect()] == [42]
+
+
+def test_bloom_fpp_items_options(tmp_path, spark):
+    """Per-column spec bloom sizing options (real Paimon's
+    file-index.bloom-filter.<col>.fpp / .items): a tighter fpp and a
+    larger items estimate produce a larger bit set for the same data;
+    probes stay correct; garbage option values fall back to defaults."""
+    from paimon_python_spark import fileindex_codec as fic
+    from paimon_python_spark.paimon_import import plan_paimon_files
+    from paimon_python_spark.paimon_lake import (
+        create_lake_table,
+        write_lake_append,
+    )
+    from paimon_python_spark.session import set_spark
+
+    set_spark(spark)
+
+    def _bloom_len(opts, tag):
+        p = str(tmp_path / f"bl_{tag}")
+        create_lake_table(
+            p,
+            [("k", "INT NOT NULL"), ("u", "STRING")],
+            options={
+                "file-index.bloom-filter.columns": "u",
+                "file-index.format": "spec",
+                "file-index.in-manifest-threshold": "1 MB",
+                **opts,
+            },
+        )
+        write_lake_append(
+            p,
+            spark.createDataFrame(
+                [(i, f"u{i:04d}") for i in range(500)], "k int, u string"
+            ).coalesce(1),
+        )
+        (e,) = plan_paimon_files(p)
+        doc = fic.read_file_index(e.embedded_index)
+        bloom = fic.SpecBloom.decode(doc["u"][fic.BLOOM_INDEX_TYPE])
+        # correctness regardless of sizing
+        assert bloom.might_contain("u0123")
+        return len(bloom.bits)
+
+    base = _bloom_len({}, "base")
+    tight = _bloom_len({"file-index.bloom-filter.u.fpp": "0.001"}, "tight")
+    big = _bloom_len({"file-index.bloom-filter.u.items": "100000"}, "big")
+    junk = _bloom_len(
+        {
+            "file-index.bloom-filter.u.fpp": "zero",
+            "file-index.bloom-filter.u.items": "-3",
+        },
+        "junk",
+    )
+    assert tight > base, (tight, base)
+    assert big > base, (big, base)
+    assert junk == base, (junk, base)
