@@ -84,6 +84,11 @@ SWEEP = [
     # late-r9 additions: the two write modes the reference refuses
     ("paimon_dynamic_bucket_roundtrip", "dynamic-bucket PK writes (hash-index routing + capacity fill)"),
     ("paimon_cross_partition_roundtrip", "cross-partition PK moves (state join + retractions)"),
+    # r10 additions: front-door PK writes + exact file indexes
+    ("paimon_lake_format_pk_write_roundtrip", "format() PK write (executor murmur routing)"),
+    ("paimon_lake_bitmap_index_roundtrip", "exact bitmap file index write + pruned read"),
+    ("paimon_lake_bsi_index_roundtrip", "exact bit-sliced index write + pruned read"),
+    ("paimon_engine_exact_index_roundtrip", "engine-table exact indexes (zero-split plan)"),
 ]
 
 
