@@ -1004,19 +1004,52 @@ def _pruned_entries(table_path: str, info: PaimonSchemaInfo, b: "PaimonLakeReadB
             stats = decode_entry_stats(e, oinfo, info)
             blooms = None
             if eq_fields:
-                blooms = (
-                    _decode_embedded_blooms(e)
-                    or (
-                        _spec_blooms_typed(
-                            info, e.embedded_index, fields=eq_fields
+                # index payloads are keyed and TYPED by the WRITING
+                # schema: decode under the entry's own schema and re-key
+                # to current names by field id. Probing with current
+                # names/kinds would silently disable pruning after an
+                # int→bigint widening (dictionary bytes have the old
+                # width) and could prune WRONGLY after a rename swap.
+                probe_fields, rekey = eq_fields, None
+                if e.schema_id != info.id and oinfo.field_ids and info.field_ids:
+                    cur_id = {
+                        f.name: fid
+                        for fid, f in zip(
+                            info.field_ids, info.spark_schema.fields
                         )
-                        if e.embedded_index
-                        else None
+                    }
+                    old_name = {
+                        fid: f.name
+                        for fid, f in zip(
+                            oinfo.field_ids, oinfo.spark_schema.fields
+                        )
+                    }
+                    rekey, probe_fields = {}, set()
+                    for cur in eq_fields:
+                        old = old_name.get(cur_id.get(cur))
+                        if old is not None:
+                            probe_fields.add(old)
+                            rekey[old] = cur
+                if probe_fields:
+                    blooms = (
+                        _decode_embedded_blooms(e)
+                        or (
+                            _spec_blooms_typed(
+                                oinfo, e.embedded_index, fields=probe_fields
+                            )
+                            if e.embedded_index
+                            else None
+                        )
+                        or _standalone_index_blooms(
+                            table_path, oinfo, e, fields=probe_fields
+                        )
                     )
-                    or _standalone_index_blooms(
-                        table_path, info, e, fields=eq_fields
-                    )
-                )
+                    if blooms and rekey is not None:
+                        blooms = {
+                            rekey[c]: p
+                            for c, p in blooms.items()
+                            if c in rekey
+                        }
             if blooms:
                 # merge per-file blooms into the stats dict so
                 # test_by_stats' equal/in branches consult them — the

@@ -823,3 +823,101 @@ def test_bloom_fpp_items_options(tmp_path, spark):
     assert tight > base, (tight, base)
     assert big > base, (big, base)
     assert junk == base, (junk, base)
+
+
+def test_exact_index_probes_under_writing_schema(tmp_path, spark):
+    """Index payloads are keyed and TYPED by the schema that wrote the
+    file. After an int→bigint widening, probing with the CURRENT kind
+    would encode 8-byte dictionary keys against a 4-byte dictionary —
+    silently disabling the index at best, wrongly pruning at worst;
+    after a rename SWAP, probing by current name would consult the
+    wrong column's dictionary and prune files that match. The planner
+    maps predicate fields to the file schema by FIELD ID and types the
+    probes from it."""
+    from paimon_python_spark.paimon_import import add_paimon_fixture_schema
+    from paimon_python_spark.paimon_lake import (
+        PaimonLakeTable,
+        _pruned_entries,
+        create_lake_table,
+        read_paimon_schema,
+        write_lake_append,
+    )
+    from paimon_python_spark.session import set_spark
+
+    set_spark(spark)
+
+    # --- int → bigint widening ---
+    p = str(tmp_path / "widen_lake")
+    create_lake_table(
+        p,
+        [("k", "INT NOT NULL"), ("v", "INT")],
+        options={
+            "file-index.bitmap.columns": "v",
+            "file-index.in-manifest-threshold": "1 MB",
+        },
+    )
+    # even values only: every odd value is an in-range gap
+    write_lake_append(
+        p,
+        spark.createDataFrame(
+            [(i, 100 + 2 * i) for i in range(50)], "k int, v int"
+        ).coalesce(1),
+    )
+    add_paimon_fixture_schema(
+        p,
+        [(0, "k", "INT NOT NULL"), (1, "v", "BIGINT")],
+        options={
+            "file-index.bitmap.columns": "v",
+            "file-index.in-manifest-threshold": "1 MB",
+        },
+    )
+    info = read_paimon_schema(p)
+    t = PaimonLakeTable(p)
+    rb = t.new_read_builder()
+    rb.with_filter(rb.new_predicate_builder().equal("v", 150))  # present
+    assert len(_pruned_entries(p, info, rb)) == 1
+    assert list(rb.new_read().to_pandas().k) == [25]
+    # in-range GAP value: only the exact index can prune this to zero —
+    # proves the bitmap is ACTIVE (typed right) after the widening
+    rb2 = t.new_read_builder()
+    rb2.with_filter(rb2.new_predicate_builder().equal("v", 151))
+    assert len(_pruned_entries(p, info, rb2)) == 0
+
+    # --- rename swap: a <-> b ---
+    p2 = str(tmp_path / "swap_lake")
+    create_lake_table(
+        p2,
+        [("a", "INT"), ("b", "INT")],
+        options={
+            "file-index.bitmap.columns": "a,b",
+            "file-index.in-manifest-threshold": "1 MB",
+        },
+    )
+    # a holds 1000-range evens, b holds 2000-range evens
+    write_lake_append(
+        p2,
+        spark.createDataFrame(
+            [(1000 + 2 * i, 2000 + 2 * i) for i in range(50)], "a int, b int"
+        ).coalesce(1),
+    )
+    add_paimon_fixture_schema(
+        p2,
+        [(0, "b", "INT"), (1, "a", "INT")],  # ids keep, names swap
+        options={
+            "file-index.bitmap.columns": "a,b",
+            "file-index.in-manifest-threshold": "1 MB",
+        },
+    )
+    info2 = read_paimon_schema(p2)
+    t2 = PaimonLakeTable(p2)
+    # current "b" is field id 0 = the old "a" data (1000-range)
+    rb3 = t2.new_read_builder()
+    rb3.with_filter(rb3.new_predicate_builder().equal("b", 1010))
+    assert len(_pruned_entries(p2, info2, rb3)) == 1, (
+        "swap: current-name probe must consult the OLD column's index"
+    )
+    rb4 = t2.new_read_builder()
+    rb4.with_filter(rb4.new_predicate_builder().equal("b", 2010))  # old b's data
+    assert len(_pruned_entries(p2, info2, rb4)) == 0, (
+        "swap: value from the OTHER column must prune (exact dictionary)"
+    )
