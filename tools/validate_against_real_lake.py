@@ -152,15 +152,25 @@ def main() -> int:
     from paimon_python_spark.paimon_lake import (
         _spec_blooms_typed,
         _standalone_index_blooms,
+        read_paimon_schema as _rps,
     )
+
+    # index payloads are keyed/typed by the WRITING schema — probe each
+    # entry under its own schema id (same rule as the planner)
+    _schemas = {info.id: info}
+
+    def _einfo(e):
+        if e.schema_id not in _schemas:
+            _schemas[e.schema_id] = _rps(args.table_path, e.schema_id)
+        return _schemas[e.schema_id]
 
     probed = 0
     for e in entries:
         blooms = (
-            _spec_blooms_typed(info, e.embedded_index)
+            _spec_blooms_typed(_einfo(e), e.embedded_index)
             if e.embedded_index
             else None
-        ) or _standalone_index_blooms(args.table_path, info, e)
+        ) or _standalone_index_blooms(args.table_path, _einfo(e), e)
         if not blooms or not any(hasattr(b, "test_hash") for b in blooms.values()):
             continue
         import pyarrow.parquet as pq
@@ -198,10 +208,10 @@ def main() -> int:
     probed_bm = 0
     for e in entries:
         idx = (
-            _spec_blooms_typed(info, e.embedded_index)
+            _spec_blooms_typed(_einfo(e), e.embedded_index)
             if e.embedded_index
             else None
-        ) or _standalone_index_blooms(args.table_path, info, e)
+        ) or _standalone_index_blooms(args.table_path, _einfo(e), e)
         if not idx:
             continue
         bitmaps = {c: p for c, p in idx.items() if hasattr(p, "values")}
@@ -244,10 +254,10 @@ def main() -> int:
     probed_bsi = 0
     for e in entries:
         idx = (
-            _spec_blooms_typed(info, e.embedded_index)
+            _spec_blooms_typed(_einfo(e), e.embedded_index)
             if e.embedded_index
             else None
-        ) or _standalone_index_blooms(args.table_path, info, e)
+        ) or _standalone_index_blooms(args.table_path, _einfo(e), e)
         if not idx:
             continue
         bsis = {c: p for c, p in idx.items() if hasattr(p, "positive")}
