@@ -249,6 +249,81 @@ class Table:
         )
         return get_spark().createDataFrame(rows, schema)
 
+    def manifests(self, snapshot_id: Optional[int] = None):
+        """Manifests system table — Paimon's ``table$manifests``:
+        (file_name, file_size, num_entries, num_added, num_deleted)
+        for the manifests one snapshot references."""
+        import os
+
+        from pyspark.sql import types as T
+
+        from paimon_python_spark.metadata import MetadataStore
+        from paimon_python_spark.session import get_spark
+
+        store = MetadataStore(self.table_path)
+        snap = store.read_snapshot(
+            snapshot_id or store.latest_snapshot_id() or 0
+        )
+        rows = []
+        for name in snap.manifests:
+            entries = store.read_manifest(name)
+            rows.append(
+                (
+                    name,
+                    os.path.getsize(os.path.join(store.manifest_dir, name)),
+                    len(entries),
+                    sum(1 for e in entries if e.kind == "ADD"),
+                    sum(1 for e in entries if e.kind == "DELETE"),
+                )
+            )
+        schema = T.StructType(
+            [
+                T.StructField("file_name", T.StringType(), False),
+                T.StructField("file_size", T.LongType(), False),
+                T.StructField("num_entries", T.LongType(), False),
+                T.StructField("num_added_files", T.LongType(), False),
+                T.StructField("num_deleted_files", T.LongType(), False),
+            ]
+        )
+        return get_spark().createDataFrame(rows, schema)
+
+    def buckets(self):
+        """Buckets system table — Paimon's ``table$buckets``: per
+        (partition, bucket) record/file/byte totals (the skew and
+        rescale diagnostic), metadata-only like ``partitions()``."""
+        from pyspark.sql import types as T
+
+        from paimon_python_spark.metadata import MetadataStore
+        from paimon_python_spark.session import get_spark
+
+        store = MetadataStore(self.table_path)
+        agg: dict = {}
+        for f in store.live_files():
+            key = (
+                tuple(sorted((k, str(v)) for k, v in f.partition.items())),
+                f.bucket,
+            )
+            cur = agg.setdefault(key, [0, 0, 0])
+            cur[0] += f.row_count
+            cur[1] += 1
+            cur[2] += f.file_size
+        rows = [
+            (dict(k[0]), k[1], rc, fc, fs)
+            for k, (rc, fc, fs) in sorted(agg.items())
+        ]
+        schema = T.StructType(
+            [
+                T.StructField(
+                    "partition", T.MapType(T.StringType(), T.StringType()), True
+                ),
+                T.StructField("bucket", T.IntegerType(), False),
+                T.StructField("record_count", T.LongType(), False),
+                T.StructField("file_count", T.LongType(), False),
+                T.StructField("total_size", T.LongType(), False),
+            ]
+        )
+        return get_spark().createDataFrame(rows, schema)
+
     # -- tags (durable named snapshots, survive expiration) --
 
     def create_tag(self, name: str, snapshot_id: Optional[int] = None) -> int:

@@ -389,6 +389,15 @@ def test_system_tables(catalog):
     assert (files["row_count"] == 1).all()
     old = t.files(snapshot_id=1).toPandas()
     assert len(old) == 1
+    # $manifests: snapshot 2 references both commits' manifests
+    mans = t.manifests().toPandas()
+    assert (mans.num_entries >= 1).all()
+    assert int(mans.num_added_files.sum()) == 2
+    assert t.manifests(snapshot_id=1).toPandas().num_added_files.sum() == 1
+    # $buckets reconciles with $files
+    bks = t.buckets().toPandas()
+    assert int(bks.record_count.sum()) == 2
+    assert int(bks.file_count.sum()) == 2
 
 
 def test_bucket_pruning_point_lookup(catalog):
