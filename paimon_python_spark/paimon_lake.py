@@ -2435,21 +2435,16 @@ def _bloom_option_cols(info) -> tuple:
     )
 
 
-def _index_in_manifest_threshold(info) -> int:
-    """``file-index.in-manifest-threshold`` in bytes (default 500 B,
-    real Paimon's default): spec index payloads at or under it embed
-    in the manifest entry; larger ones write a standalone ``*.index``
-    file next to the data file, listed in ``_EXTRA_FILES`` — at scale
-    a multi-KB bitmap/BSI payload per file would otherwise bloat every
-    manifest the planner must read."""
+def _parse_memory_size(raw, default: int) -> int:
+    """JVM MemorySize forms ("500 B", "2 KB", "128 mb", bare bytes) to
+    bytes; ``default`` on absence or garbage."""
     import re
 
-    raw = str(
-        info.options.get("file-index.in-manifest-threshold", "500 B")
-    ).strip().lower()
-    m = re.fullmatch(r"(\d+)\s*([a-z]*)", raw)
+    if raw is None:
+        return default
+    m = re.fullmatch(r"(\d+)\s*([a-z]*)", str(raw).strip().lower())
     if not m:
-        return 500
+        return default
     mult = {
         "": 1,
         "b": 1,
@@ -2465,8 +2460,33 @@ def _index_in_manifest_threshold(info) -> int:
         "gibibytes": 1024**3,
     }.get(m.group(2))
     if mult is None:
-        return 500
+        return default
     return int(m.group(1)) * mult
+
+
+def _index_in_manifest_threshold(info) -> int:
+    """``file-index.in-manifest-threshold`` in bytes (default 500 B,
+    real Paimon's default): spec index payloads at or under it embed
+    in the manifest entry; larger ones write a standalone ``*.index``
+    file next to the data file, listed in ``_EXTRA_FILES`` — at scale
+    a multi-KB bitmap/BSI payload per file would otherwise bloat every
+    manifest the planner must read."""
+    return _parse_memory_size(
+        info.options.get("file-index.in-manifest-threshold", "500 B"), 500
+    )
+
+
+def _target_file_size(info) -> int:
+    """``target-file-size`` in bytes (real Paimon's rolling threshold,
+    default 128 MB): a write-task group whose in-memory batch exceeds
+    it rolls into multiple data files — one partition's compaction at
+    100 TB must not produce one multi-GB file. Size is estimated from
+    the Arrow batch (uncompressed), so on-disk files come out smaller
+    than the target — rolling errs toward more, smaller files, never
+    toward a giant one."""
+    return _parse_memory_size(
+        info.options.get("target-file-size"), 128 * 1024 * 1024
+    )
 
 
 def _split_standalone_index(emb, info, ddir, data_name):
@@ -2860,6 +2880,7 @@ def _distributed_lake_write(
         bsi_cols,
         bsi_kinds,
     ) = _bloom_option_cols(info)
+    target_bytes = _target_file_size(info)
 
     cast_cols = [
         F.col(f.name).cast(f.dataType).alias(f.name) for f in info.spark_schema.fields
@@ -3084,44 +3105,6 @@ def _distributed_lake_write(
         ]
         ddir = os.path.join(table_path, *rel, f"bucket-{bucket}")
         os.makedirs(ddir, exist_ok=True)
-        name = f"{file_prefix}-{uuid.uuid4()}-0.{fmt}"
-        fpath = os.path.join(ddir, name)
-        _write_fixture_data_file(table, fpath, fmt)
-        cl_name, cl_size = None, 0
-        if changelog:
-            # changelog-producer=input: the commit's input rows double
-            # as the changelog; a SEPARATE physical file (real Paimon's
-            # shape) so compaction can fold the data file while the
-            # changelog stays for streaming readers. Executor-local
-            # byte copy — same task, no extra pass over the data.
-            import shutil as _shutil
-
-            cl_name = f"changelog-{uuid.uuid4()}-0.{fmt}"
-            _shutil.copyfile(fpath, os.path.join(ddir, cl_name))
-            cl_size = os.path.getsize(os.path.join(ddir, cl_name))
-        if trimmed:
-            kmin = encode_binary_row(
-                [logical(pdf[k].iloc[0], t) for k, t in zip(trimmed, trimmed_types)],
-                trimmed_types,
-            )
-            kmax = encode_binary_row(
-                [logical(pdf[k].iloc[-1], t) for k, t in zip(trimmed, trimmed_types)],
-                trimmed_types,
-            )
-        else:
-            kmin = kmax = b""
-        stats = _value_stats_for(table, schema_info)
-        emb = _embedded_index_payload(
-            pdf,
-            bloom_cols,
-            bloom_spec,
-            bloom_dtypes,
-            bitmap_cols,
-            bitmap_kinds,
-            bsi_cols,
-            bsi_kinds,
-        )
-        emb, extra_idx = _split_standalone_index(emb, schema_info, ddir, name)
         idx_file, idx_size, idx_rows = None, 0, 0
         if dyn_old_files is not None and "__kn" in pdf.columns:
             # dynamic-bucket index upkeep, fused into the write task:
@@ -3152,16 +3135,91 @@ def _distributed_lake_write(
                     os.path.join(table_path, "index", idx_file), merged
                 )
                 idx_rows = len(merged)
-        return pd.DataFrame(
-            [
+
+        if n == 0:
+            return pd.DataFrame(
+                columns=[f.name for f in meta_schema.fields]
+            )
+        # target-file-size ROLLING (real Paimon's rolling writer): a
+        # group whose Arrow batch exceeds the target splits into
+        # consecutive row chunks, one data file each — a partition's
+        # compaction at scale must not fold into one multi-GB file.
+        # Chunks preserve the sort above, so per-file key ranges stay
+        # disjoint and per-file min/max stats stay tight.
+        n_files = 1
+        if n > 1 and target_bytes and table.nbytes > target_bytes:
+            n_files = min(n, -(-table.nbytes // target_bytes))
+        rows_per = -(-n // n_files)
+        out_rows = []
+        for ci in range(n_files):
+            lo = ci * rows_per
+            hi = min(n, lo + rows_per)
+            if lo >= hi:
+                continue
+            sub_tbl = table.slice(lo, hi - lo)
+            sub_pdf = pdf.iloc[lo:hi]
+            name = f"{file_prefix}-{uuid.uuid4()}-{ci}.{fmt}"
+            fpath = os.path.join(ddir, name)
+            _write_fixture_data_file(sub_tbl, fpath, fmt)
+            cl_name, cl_size = None, 0
+            if changelog:
+                # changelog-producer=input: the commit's input rows
+                # double as the changelog; a SEPARATE physical file
+                # (real Paimon's shape) so compaction can fold the data
+                # file while the changelog stays for streaming readers.
+                # Executor-local byte copy — same task, no extra pass.
+                import shutil as _shutil
+
+                cl_name = f"changelog-{uuid.uuid4()}-{ci}.{fmt}"
+                _shutil.copyfile(fpath, os.path.join(ddir, cl_name))
+                cl_size = os.path.getsize(os.path.join(ddir, cl_name))
+            if trimmed:
+                kmin = encode_binary_row(
+                    [
+                        logical(sub_pdf[k].iloc[0], t)
+                        for k, t in zip(trimmed, trimmed_types)
+                    ],
+                    trimmed_types,
+                )
+                kmax = encode_binary_row(
+                    [
+                        logical(sub_pdf[k].iloc[-1], t)
+                        for k, t in zip(trimmed, trimmed_types)
+                    ],
+                    trimmed_types,
+                )
+            else:
+                kmin = kmax = b""
+            stats = _value_stats_for(sub_tbl, schema_info)
+            emb = _embedded_index_payload(
+                sub_pdf,
+                bloom_cols,
+                bloom_spec,
+                bloom_dtypes,
+                bitmap_cols,
+                bitmap_kinds,
+                bsi_cols,
+                bsi_kinds,
+            )
+            emb, extra_idx = _split_standalone_index(
+                emb, schema_info, ddir, name
+            )
+            sub_seqs = seqs[lo:hi] if kv else None
+            out_rows.append(
                 {
                     "file_name": name,
                     "part_json": _json.dumps(pvals),
                     "bucket": bucket,
-                    "rows": n,
+                    "rows": hi - lo,
                     "size": os.path.getsize(fpath),
-                    "min_seq": (min(seqs) if n else seq_base) if kv else 0,
-                    "max_seq": (max(seqs) if n else seq_base) if kv else n,
+                    "min_seq": (
+                        (min(sub_seqs) if sub_seqs else seq_base) if kv else 0
+                    ),
+                    "max_seq": (
+                        (max(sub_seqs) if sub_seqs else seq_base)
+                        if kv
+                        else hi - lo
+                    ),
                     "min_key": kmin,
                     "max_key": kmax,
                     "stats_min": stats["_MIN_VALUES"],
@@ -3171,12 +3229,14 @@ def _distributed_lake_write(
                     "cl_size": cl_size,
                     "emb_idx": emb,
                     "extra_idx": extra_idx,
-                    "idx_file": idx_file,
-                    "idx_size": idx_size,
-                    "idx_rows": idx_rows,
+                    # the group's rewritten HASH index rides the first
+                    # chunk's row (one index file per group, not per file)
+                    "idx_file": idx_file if ci == 0 else None,
+                    "idx_size": idx_size if ci == 0 else 0,
+                    "idx_rows": idx_rows if ci == 0 else 0,
                 }
-            ]
-        )
+            )
+        return pd.DataFrame(out_rows)
 
     meta = sdf.groupBy(*gcols).applyInPandas(_write_group, meta_schema).collect()
     if dyn_assigner is not None:

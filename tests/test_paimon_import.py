@@ -4831,3 +4831,92 @@ def test_inline_snapshot_expiration_on_commit(tmp_path, spark):
     assert snaps == [4, 5, 6], snaps
     out = PaimonLakeTable(p).new_read_builder().new_read().to_pandas()
     assert sorted(out.k) == [0, 1, 2, 3, 4, 5]  # data intact, history trimmed
+
+
+def test_target_file_size_rolls_group_writes(tmp_path, spark):
+    """target-file-size (real Paimon's rolling writer, 128 MB default):
+    an oversized write-task group rolls into multiple data files with
+    disjoint key ranges — a partition compaction at scale must not fold
+    into one multi-GB file. PK merge reads stay exact over the rolled
+    level-0 chunks, point reads prune chunks on their key stats, and a
+    scoped compaction itself re-rolls."""
+    from paimon_python_spark.paimon_import import plan_paimon_files
+    from paimon_python_spark.paimon_lake import (
+        PaimonLakeTable,
+        _pruned_entries,
+        compact_lake,
+        create_lake_table,
+        read_paimon_schema,
+        write_lake_pk_append,
+    )
+    from paimon_python_spark.session import set_spark
+
+    set_spark(spark)
+    p = str(tmp_path / "roll_pk_lake")
+    create_lake_table(
+        p,
+        [("k", "INT NOT NULL"), ("payload", "STRING")],
+        primary_keys=["k"],
+        options={"bucket": "1", "target-file-size": "64 KB"},
+    )
+    write_lake_pk_append(
+        p,
+        spark.createDataFrame(
+            [(i, "x" * 200) for i in range(3000)], "k int, payload string"
+        ),
+    )
+    entries = plan_paimon_files(p)
+    assert len(entries) > 1, "64 KB target must roll the bucket group"
+    assert sum(e.row_count for e in entries) == 3000
+    # disjoint chunk key ranges: a full-key point read plans ONE file
+    info = read_paimon_schema(p)
+    t = PaimonLakeTable(p)
+    rb = t.new_read_builder()
+    rb.with_filter(rb.new_predicate_builder().equal("k", 1500))
+    assert len(_pruned_entries(p, info, rb)) == 1
+    assert rb.new_read().to_pandas().payload.iloc[0] == "x" * 200
+    # merge read over all rolled chunks stays exact
+    out = t.new_read_builder().new_read().to_pandas()
+    assert len(out) == 3000 and sorted(out.k) == list(range(3000))
+    # upsert half the keys, then compact: outputs re-roll, rows exact
+    write_lake_pk_append(
+        p,
+        spark.createDataFrame(
+            [(i, "y" * 200) for i in range(0, 3000, 2)],
+            "k int, payload string",
+        ),
+    )
+    compact_lake(p)
+    entries2 = plan_paimon_files(p)
+    assert len(entries2) > 1, "compaction must respect target-file-size"
+    out2 = PaimonLakeTable(p).new_read_builder().new_read().to_pandas()
+    assert len(out2) == 3000
+    assert out2[out2.k == 10].payload.iloc[0] == "y" * 200
+    assert out2[out2.k == 11].payload.iloc[0] == "x" * 200
+
+
+def test_target_file_size_default_keeps_single_file(tmp_path, spark):
+    """At the 128 MB default, small groups keep writing one file — no
+    behavior change for ordinary commits."""
+    from paimon_python_spark.paimon_import import plan_paimon_files
+    from paimon_python_spark.paimon_lake import (
+        create_lake_table,
+        write_lake_pk_append,
+    )
+    from paimon_python_spark.session import set_spark
+
+    set_spark(spark)
+    p = str(tmp_path / "noroll_lake")
+    create_lake_table(
+        p,
+        [("k", "INT NOT NULL"), ("v", "STRING")],
+        primary_keys=["k"],
+        options={"bucket": "1"},
+    )
+    write_lake_pk_append(
+        p,
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(5000)], "k int, v string"
+        ),
+    )
+    assert len(plan_paimon_files(p)) == 1
