@@ -772,6 +772,9 @@ class PaimonLakeBatchWriter(DataSourceWriter):
             bsi_cols,
             bsi_kinds,
         ) = _bloom_option_cols(info)
+        from paimon_python_spark.paimon_lake import _target_file_size
+
+        target_bytes = _target_file_size(info)
         rows = [tuple(row[n] for n in names) for row in iterator]
         if not rows:
             return _LakeWrittenFiles([])
@@ -850,53 +853,69 @@ class PaimonLakeBatchWriter(DataSourceWriter):
             ]
             ddir = os.path.join(self.table_path, *rel_parts, f"bucket-{bucket}")
             os.makedirs(ddir, exist_ok=True)
-            name = f"data-{uuid.uuid4()}-0.parquet"
-            fpath = os.path.join(ddir, name)
-            _write_fixture_data_file(table, fpath, "parquet")
-            kmin = encode_binary_row(
-                [
-                    logical(sub[k].iloc[0], t)
-                    for k, t in zip(trimmed, trimmed_types)
-                ],
-                trimmed_types,
-            )
-            kmax = encode_binary_row(
-                [
-                    logical(sub[k].iloc[-1], t)
-                    for k, t in zip(trimmed, trimmed_types)
-                ],
-                trimmed_types,
-            )
-            stats = _value_stats_for(table, info)
-            emb = _embedded_index_payload(
-                sub,
-                bloom_cols,
-                bloom_spec,
-                bloom_dtypes,
-                bitmap_cols,
-                bitmap_kinds,
-                bsi_cols,
-                bsi_kinds,
-            )
-            emb, extra = _split_standalone_index(emb, info, ddir, name)
-            written.append(
-                {
-                    "rel": os.path.join(*rel_parts, f"bucket-{bucket}", name)
-                    if rel_parts
-                    else os.path.join(f"bucket-{bucket}", name),
-                    "pvals": pvals,
-                    "bucket": bucket,
-                    "rows": n,
-                    "size": os.path.getsize(fpath),
-                    "min_seq": min(seqs) if n else self.seq_base,
-                    "max_seq": max(seqs) if n else self.seq_base,
-                    "min_key": kmin,
-                    "max_key": kmax,
-                    "stats": stats,
-                    "emb": emb,
-                    "extra": extra,
-                }
-            )
+            # target-file-size rolling, same rule as the group writer:
+            # sorted chunks keep per-file key ranges disjoint
+            n_files = 1
+            if n > 1 and target_bytes and table.nbytes > target_bytes:
+                n_files = min(n, -(-table.nbytes // target_bytes))
+            rows_per = -(-n // n_files)
+            for ci in range(n_files):
+                lo = ci * rows_per
+                hi = min(n, lo + rows_per)
+                if lo >= hi:
+                    continue
+                sub_tbl = table.slice(lo, hi - lo)
+                sub_pdf = sub.iloc[lo:hi]
+                sub_seqs = seqs[lo:hi]
+                name = f"data-{uuid.uuid4()}-{ci}.parquet"
+                fpath = os.path.join(ddir, name)
+                _write_fixture_data_file(sub_tbl, fpath, "parquet")
+                kmin = encode_binary_row(
+                    [
+                        logical(sub_pdf[k].iloc[0], t)
+                        for k, t in zip(trimmed, trimmed_types)
+                    ],
+                    trimmed_types,
+                )
+                kmax = encode_binary_row(
+                    [
+                        logical(sub_pdf[k].iloc[-1], t)
+                        for k, t in zip(trimmed, trimmed_types)
+                    ],
+                    trimmed_types,
+                )
+                stats = _value_stats_for(sub_tbl, info)
+                emb = _embedded_index_payload(
+                    sub_pdf,
+                    bloom_cols,
+                    bloom_spec,
+                    bloom_dtypes,
+                    bitmap_cols,
+                    bitmap_kinds,
+                    bsi_cols,
+                    bsi_kinds,
+                )
+                emb, extra = _split_standalone_index(emb, info, ddir, name)
+                written.append(
+                    {
+                        "rel": os.path.join(
+                            *rel_parts, f"bucket-{bucket}", name
+                        )
+                        if rel_parts
+                        else os.path.join(f"bucket-{bucket}", name),
+                        "pvals": pvals,
+                        "bucket": bucket,
+                        "rows": hi - lo,
+                        "size": os.path.getsize(fpath),
+                        "min_seq": min(sub_seqs) if sub_seqs else self.seq_base,
+                        "max_seq": max(sub_seqs) if sub_seqs else self.seq_base,
+                        "min_key": kmin,
+                        "max_key": kmax,
+                        "stats": stats,
+                        "emb": emb,
+                        "extra": extra,
+                    }
+                )
         return _LakeWrittenFiles(written)
 
     def write(self, iterator) -> _LakeWrittenFiles:

@@ -982,3 +982,43 @@ def test_lake_datasource_pk_changelog_stream(tmp_path, spark):
         spark.read.format("paimon_lake").option("path", p).option(
             "changelog", "true"
         ).load().collect()
+
+
+def test_front_door_pk_write_rolls_at_target_size(tmp_path, spark):
+    """df.write.format("paimon_lake") on a PK lake with a small
+    target-file-size: each executor task rolls its (partition, bucket)
+    group into multiple sorted kv chunks; the merged read stays exact
+    and a full-key point read prunes to one chunk."""
+    from paimon_python_spark.lake_datasource import register_lake
+    from paimon_python_spark.paimon_import import plan_paimon_files
+    from paimon_python_spark.paimon_lake import (
+        PaimonLakeTable,
+        _pruned_entries,
+        create_lake_table,
+        read_paimon_schema,
+    )
+    from paimon_python_spark.session import set_spark
+
+    set_spark(spark)
+    register_lake(spark)
+    p = str(tmp_path / "fd_roll_pk")
+    create_lake_table(
+        p,
+        [("k", "INT NOT NULL"), ("payload", "STRING")],
+        primary_keys=["k"],
+        options={"bucket": "1", "target-file-size": "64 KB"},
+    )
+    df = spark.createDataFrame(
+        [(i, "x" * 200) for i in range(3000)], "k int, payload string"
+    ).coalesce(1)
+    df.write.format("paimon_lake").option("path", p).mode("append").save()
+    entries = plan_paimon_files(p)
+    assert len(entries) > 1, "front-door PK write must roll at 64 KB"
+    assert sum(e.row_count for e in entries) == 3000
+    info = read_paimon_schema(p)
+    t = PaimonLakeTable(p)
+    rb = t.new_read_builder()
+    rb.with_filter(rb.new_predicate_builder().equal("k", 1500))
+    assert len(_pruned_entries(p, info, rb)) == 1
+    out = t.new_read_builder().new_read().to_pandas()
+    assert len(out) == 3000 and sorted(out.k) == list(range(3000))
