@@ -174,152 +174,180 @@ class DataFileHarvester:
         current = self.scan_data_dir()
         new_paths = sorted(current - self._known_files)
         self._known_files = current
+        # index-declaring tables pay a full column scan per file (bloom
+        # hashes, bitmap/bsi payloads) — DISTRIBUTE that over the
+        # executors when there's real fan-out, instead of serializing
+        # every write behind a driver loop. Footer-stats-only harvests
+        # stay on the driver (they read KBs per file).
+        heavy = bool(self._bloom_columns()) or any(
+            self.schema.options.get(o, "").strip()
+            for o in ("file-index.bitmap.columns", "file-index.bsi.columns")
+        )
+        if heavy and len(new_paths) > 4:
+            try:
+                from paimon_python_spark.session import get_spark
+
+                spark = get_spark()
+            except Exception:
+                spark = None
+            if spark is not None:
+                tp, sch = self.table.table_path, self.schema
+                metas = (
+                    spark.sparkContext.parallelize(
+                        new_paths, min(len(new_paths), 64)
+                    )
+                    .map(lambda p: _harvest_file_meta(tp, sch, p))
+                    .collect()
+                )
+                # deterministic manifest order regardless of task order
+                return sorted(metas, key=lambda m: m.path)
         return [self.file_meta(path) for path in new_paths]
 
     def file_meta(self, path: str) -> DataFileMeta:
-        rel = os.path.relpath(path, self.table.table_path)
-        partition = self._parse_partition(path)
-        bucket = self._parse_bucket(path)
-        size = os.path.getsize(path)
-        rows, stats = (
-            _collect_parquet_stats(path)
-            if path.endswith(".parquet")
-            else _collect_generic_stats(path, self.schema)
-        )
-        min_seq = max_seq = None
-        if SEQ_COL in stats:
-            min_seq = stats[SEQ_COL].get("min")
-            max_seq = stats[SEQ_COL].get("max")
-        for col in self._bloom_columns():
-            vals = _column_values(path, col)
-            if vals is not None:
-                bloom_hex = build_hex(vals)
-                if bloom_hex:
-                    stats.setdefault(col, {})["bloom"] = bloom_hex
-        fi_b64, extra_files = self._exact_indexes(path)
-        return DataFileMeta(
-            path=rel,
-            row_count=rows,
-            file_size=size,
-            partition=partition,
-            bucket=bucket,
-            min_seq=min_seq,
-            max_seq=max_seq,
-            stats=stats,
-            file_index_b64=fi_b64,
-            extra_files=extra_files,
-        )
+        return _harvest_file_meta(self.table.table_path, self.schema, path)
 
     def _bloom_columns(self) -> List[str]:
-        """file-index.bloom-filter.columns: per-file bloom bitmaps for
-        equality file skipping (the min/max-can't-prune case: point
-        lookups on high-cardinality unsorted columns)."""
-        return [
-            c.strip()
-            for c in self.schema.options.get(
-                "file-index.bloom-filter.columns", ""
-            ).split(",")
-            if c.strip()
-        ]
+        return _index_option_cols(self.schema, "file-index.bloom-filter.columns")
 
-    def _exact_indexes(self, path: str):
-        """file-index.bitmap.columns / file-index.bsi.columns on ENGINE
-        tables: one spec-format container per data file with an EXACT
-        value-dictionary bitmap and/or bit-sliced index per declared
-        column — equality on an absent value plans ZERO files where a
-        bloom could false-positive. Returns (inline_b64, extra_files):
-        inline base64 in the JSON manifest at or under
-        file-index.in-manifest-threshold, standalone <data-stem>.index
-        beside the data file above it (same shape the lake writers
-        use). Unindexable column types are skipped — never wrong, the
-        planner just can't prune on them."""
-        import base64
-        import os
 
-        from paimon_python_spark.paimon_lake import (
-            _bitmap_kind,
-            _bsi_kind,
-            _index_in_manifest_threshold,
-        )
+def _index_option_cols(schema, opt: str) -> List[str]:
+    return [
+        c.strip() for c in schema.options.get(opt, "").split(",") if c.strip()
+    ]
 
-        def _cols(opt: str) -> List[str]:
-            return [
-                c.strip()
-                for c in self.schema.options.get(opt, "").split(",")
-                if c.strip()
-            ]
 
-        bitmap_cols = _cols("file-index.bitmap.columns")
-        bsi_cols = _cols("file-index.bsi.columns")
-        if not bitmap_cols and not bsi_cols:
-            return None, None
-        from paimon_python_spark import fileindex_codec as fic
+def _harvest_file_meta(table_path: str, schema, path: str) -> DataFileMeta:
+    """One file's manifest metadata: footer stats, bloom hashes
+    (file-index.bloom-filter.columns — the min/max-can't-prune point
+    lookups), exact index payloads. Module-level and closed over only
+    (table_path, schema) so index-heavy harvests can run as a Spark
+    job over the file list instead of a driver loop."""
+    rel = os.path.relpath(path, table_path)
+    partition = _parse_partition_path(schema, path)
+    bucket = _parse_bucket_path(path)
+    size = os.path.getsize(path)
+    rows, stats = (
+        _collect_parquet_stats(path)
+        if path.endswith(".parquet")
+        else _collect_generic_stats(path, schema)
+    )
+    min_seq = max_seq = None
+    if SEQ_COL in stats:
+        min_seq = stats[SEQ_COL].get("min")
+        max_seq = stats[SEQ_COL].get("max")
+    for col in _index_option_cols(schema, "file-index.bloom-filter.columns"):
+        vals = _column_values(path, col)
+        if vals is not None:
+            bloom_hex = build_hex(vals)
+            if bloom_hex:
+                stats.setdefault(col, {})["bloom"] = bloom_hex
+    fi_b64, extra_files = _exact_index_payloads(schema, path)
+    return DataFileMeta(
+        path=rel,
+        row_count=rows,
+        file_size=size,
+        partition=partition,
+        bucket=bucket,
+        min_seq=min_seq,
+        max_seq=max_seq,
+        stats=stats,
+        file_index_b64=fi_b64,
+        extra_files=extra_files,
+    )
 
-        idx: dict = {}
-        for col in bitmap_cols:
-            kind = _bitmap_kind(self.schema, col)
-            if kind is None:
+
+def _exact_index_payloads(schema, path: str):
+    """file-index.bitmap.columns / file-index.bsi.columns on ENGINE
+    tables: one spec-format container per data file with an EXACT
+    value-dictionary bitmap and/or bit-sliced index per declared
+    column — equality on an absent value plans ZERO files where a
+    bloom could false-positive. Returns (inline_b64, extra_files):
+    inline base64 in the JSON manifest at or under
+    file-index.in-manifest-threshold, standalone <data-stem>.index
+    beside the data file above it (same shape the lake writers
+    use). Unindexable column types are skipped — never wrong, the
+    planner just can't prune on them."""
+    import base64
+    import os
+
+    from paimon_python_spark.paimon_lake import (
+        _bitmap_kind,
+        _bsi_kind,
+        _index_in_manifest_threshold,
+    )
+
+    bitmap_cols = _index_option_cols(schema, "file-index.bitmap.columns")
+    bsi_cols = _index_option_cols(schema, "file-index.bsi.columns")
+    if not bitmap_cols and not bsi_cols:
+        return None, None
+    from paimon_python_spark import fileindex_codec as fic
+
+    idx: dict = {}
+    for col in bitmap_cols:
+        kind = _bitmap_kind(schema, col)
+        if kind is None:
+            continue
+        vals = _column_values(path, col)
+        if vals is None:
+            continue
+        try:
+            idx.setdefault(col, {})[fic.BITMAP_INDEX_TYPE] = (
+                fic.build_spec_bitmap(vals, kind)
+            )
+        except ValueError:
+            pass
+    for col in bsi_cols:
+        kind = _bsi_kind(schema, col)
+        if kind is None:
+            continue
+        vals = _column_values(path, col)
+        if vals is None:
+            continue
+        try:
+            idx.setdefault(col, {})[fic.BSI_INDEX_TYPE] = (
+                fic.build_spec_bsi(vals, kind)
+            )
+        except ValueError:
+            pass
+    if not idx:
+        return None, None
+    raw = fic.write_file_index(idx)
+    if len(raw) <= _index_in_manifest_threshold(schema):
+        return base64.b64encode(raw).decode("ascii"), None
+    name = os.path.basename(path).rsplit(".", 1)[0] + ".index"
+    with open(os.path.join(os.path.dirname(path), name), "wb") as xf:
+        xf.write(raw)
+    return None, [name]
+
+
+def _parse_partition_path(schema, path: str) -> dict:
+    spec = {}
+    spark_types = {f.name: f.dataType for f in schema.spark_schema.fields}
+    for seg in path.split(os.sep):
+        if seg.startswith(PART_PREFIX) and "=" in seg:
+            k, v = seg.split("=", 1)
+            name = k[len(PART_PREFIX):]
+            value = urllib.parse.unquote(v)
+            if value == "__HIVE_DEFAULT_PARTITION__":
+                spec[name] = None
                 continue
-            vals = _column_values(path, col)
-            if vals is None:
-                continue
-            try:
-                idx.setdefault(col, {})[fic.BITMAP_INDEX_TYPE] = (
-                    fic.build_spec_bitmap(vals, kind)
-                )
-            except ValueError:
-                pass
-        for col in bsi_cols:
-            kind = _bsi_kind(self.schema, col)
-            if kind is None:
-                continue
-            vals = _column_values(path, col)
-            if vals is None:
-                continue
-            try:
-                idx.setdefault(col, {})[fic.BSI_INDEX_TYPE] = (
-                    fic.build_spec_bsi(vals, kind)
-                )
-            except ValueError:
-                pass
-        if not idx:
-            return None, None
-        raw = fic.write_file_index(idx)
-        if len(raw) <= _index_in_manifest_threshold(self.schema):
-            return base64.b64encode(raw).decode("ascii"), None
-        name = os.path.basename(path).rsplit(".", 1)[0] + ".index"
-        with open(os.path.join(os.path.dirname(path), name), "wb") as xf:
-            xf.write(raw)
-        return None, [name]
+            dt = spark_types.get(name)
+            if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+                spec[name] = int(value)
+            elif isinstance(dt, (T.FloatType, T.DoubleType)):
+                spec[name] = float(value)
+            elif isinstance(dt, T.BooleanType):
+                spec[name] = value.lower() == "true"
+            else:
+                spec[name] = value
+    return spec
 
-    def _parse_partition(self, path: str) -> dict:
-        spec = {}
-        spark_types = {f.name: f.dataType for f in self.schema.spark_schema.fields}
-        for seg in path.split(os.sep):
-            if seg.startswith(PART_PREFIX) and "=" in seg:
-                k, v = seg.split("=", 1)
-                name = k[len(PART_PREFIX):]
-                value = urllib.parse.unquote(v)
-                if value == "__HIVE_DEFAULT_PARTITION__":
-                    spec[name] = None
-                    continue
-                dt = spark_types.get(name)
-                if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
-                    spec[name] = int(value)
-                elif isinstance(dt, (T.FloatType, T.DoubleType)):
-                    spec[name] = float(value)
-                elif isinstance(dt, T.BooleanType):
-                    spec[name] = value.lower() == "true"
-                else:
-                    spec[name] = value
-        return spec
 
-    @staticmethod
-    def _parse_bucket(path: str) -> int:
-        for seg in path.split(os.sep):
-            if seg.startswith(BUCKET_COL + "="):
-                return int(seg.split("=", 1)[1])
-        return 0
+def _parse_bucket_path(path: str) -> int:
+    for seg in path.split(os.sep):
+        if seg.startswith(BUCKET_COL + "="):
+            return int(seg.split("=", 1)[1])
+    return 0
 
 
 class BatchTableWrite:

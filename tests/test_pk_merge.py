@@ -1008,3 +1008,41 @@ def test_bsi_file_index_engine_exact_prune(catalog):
     # IN mixing present+absent keeps the file, rows exact
     rb4 = t.new_read_builder().with_filter(pb.is_in("amt", [505, 430]))
     assert rb4.new_read().to_pandas()["id"].tolist() == [43]
+
+
+def test_index_harvest_distributes_over_executors(catalog):
+    """An index-declaring ENGINE write with real fan-out harvests its
+    per-file column scans as a Spark job (not a driver loop): every
+    file still gets its exact-index payload, manifest order stays
+    deterministic, and pruning works."""
+    from paimon_python_spark.metadata import MetadataStore
+    from paimon_python_spark.session import get_spark
+
+    schema = pa.schema([("k", pa.int64()), ("ref", pa.string())])
+    catalog.create_table(
+        "default.t_dist_harvest",
+        Schema(
+            schema.with_metadata(None),
+            options={"file-index.bitmap.columns": "ref"},
+        ),
+        False,
+    )
+    t = catalog.get_table("default.t_dist_harvest")
+    df = get_spark().createDataFrame(
+        [(i, f"r{i:05d}") for i in range(3000)], "k long, ref string"
+    ).repartition(8)
+    wb = t.new_batch_write_builder()
+    w, c = wb.new_write(), wb.new_commit()
+    w.write_dataframe(df)
+    c.commit(w.prepare_commit())
+    w.close()
+    c.close()
+    files = MetadataStore(t.table_path).live_files()
+    assert len(files) > 4
+    assert all(f.file_index_b64 or f.extra_files for f in files)
+    assert [f.path for f in files] == sorted(f.path for f in files)
+    pb = t.new_read_builder().new_predicate_builder()
+    rb = t.new_read_builder().with_filter(pb.equal("ref", "r01234"))
+    assert rb.new_read().to_pandas()["k"].tolist() == [1234]
+    rb2 = t.new_read_builder().with_filter(pb.equal("ref", "r01234x"))
+    assert rb2.new_scan().plan().splits() == []
