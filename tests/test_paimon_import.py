@@ -4920,3 +4920,40 @@ def test_target_file_size_default_keeps_single_file(tmp_path, spark):
         ),
     )
     assert len(plan_paimon_files(p)) == 1
+
+
+def test_target_file_size_rolls_changelog_files_too(tmp_path, spark):
+    """changelog-producer=input + target-file-size rolling: each rolled
+    data chunk gets its own changelog-* twin, and the changelog read of
+    the commit still returns every input row exactly once."""
+    from paimon_python_spark.paimon_import import plan_paimon_files
+    from paimon_python_spark.paimon_lake import (
+        create_lake_table,
+        read_lake_incremental,
+        write_lake_pk_append,
+    )
+    from paimon_python_spark.session import set_spark
+
+    set_spark(spark)
+    p = str(tmp_path / "roll_cl_lake")
+    create_lake_table(
+        p,
+        [("k", "INT NOT NULL"), ("payload", "STRING")],
+        primary_keys=["k"],
+        options={
+            "bucket": "1",
+            "target-file-size": "64 KB",
+            "changelog-producer": "input",
+        },
+    )
+    write_lake_pk_append(
+        p,
+        spark.createDataFrame(
+            [(i, "x" * 200) for i in range(2000)], "k int, payload string"
+        ),
+    )
+    assert len(plan_paimon_files(p)) > 1, "data files must roll"
+    cl = read_lake_incremental(p, 0, 1, use_changelog=True).toPandas()
+    assert len(cl) == 2000
+    assert sorted(cl.k) == list(range(2000))
+    assert set(cl._row_kind) == {"+I"}
