@@ -1,0 +1,362 @@
+"""Aggregation merge-engine field functions — full Paimon parity.
+
+Paimon's aggregation merge engine resolves each value column with a
+per-field aggregate declared via ``fields.<name>.aggregate-function``
+(paimon.apache.org docs, "Aggregation" merge engine; the reference SDK
+delegates the whole engine to its bundled JVM writer,
+pypaimon/api/table_write.py:27-48, so the function surface here is the
+table-format spec, not reference code).
+
+Spark-first shape: ONE hash aggregate per read keyed on the merge key
+(map-side partial aggregation halves shuffle volume vs any window
+formulation — the reason this module never uses a window):
+
+- plain scalar functions (sum/min/max/bool/first/last/listagg/product/
+  count) are built-in JVM aggregates;
+- order-sensitive container functions (``collect``, ``merge_map``,
+  ``nested_update``) collect ``(seq, kind, value)`` structs and fold
+  them in sequence order with HIGHER-ORDER functions (``aggregate`` /
+  ``filter`` / ``exists``) — still whole-stage JVM, no Python in the
+  loop, and the fold happens per merged key, post-shuffle, so state is
+  bounded by one key's version count;
+- sketch unions: ``hll_sketch`` is Spark's native ``hll_union_agg``
+  (both Spark and Paimon serialize Apache DataSketches HLL, so bytes
+  interoperate); ``rbm32``/``rbm64`` union portable-spec Roaring
+  bitmaps (roaring.py codec) in ONE vectorized pandas UDF applied
+  AFTER the hash aggregate — Arrow-batched, one call per merged key,
+  never per version.
+
+Retraction (``-U``/``-D`` rows): Paimon supports retraction only for
+sum, product, count, collect, merge_map, nested_update, last_value and
+last_non_null_value, and hard-errors elsewhere unless
+``fields.<name>.ignore-retract = true``. This module mirrors that:
+retractable functions subtract / remove the retracted contribution;
+non-retractable fields RAISE on a non-null retracted value unless
+ignore-retract is set (the raise is a guarded ``raise_error`` branch in
+the field's own projection, so it costs one tiny extra aggregate and
+only for fields that can trip it). ``last_value`` /
+``last_non_null_value`` accept retract rows but resolve from the add
+rows only — Paimon's accumulator keeps the standing value, which for a
+full-state merge-on-read is the same answer.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from paimon_python_spark.write import (
+    ADD_KINDS,
+    ROWKIND_DELETE,
+    ROWKIND_UPDATE_BEFORE,
+)
+
+#: every fields.<name>.aggregate-function value this engine accepts
+#: (the Paimon aggregation merge-engine function list; theta_sketch is
+#: the one omission — Spark ships no theta builtin and the DataSketches
+#: theta wire format is not re-implemented here).
+AGG_FUNCTIONS = (
+    "sum",
+    "min",
+    "max",
+    "last_value",
+    "last_non_null_value",
+    "first_value",
+    "first_non_null_value",
+    "bool_and",
+    "bool_or",
+    "listagg",
+    "product",
+    "count",
+    "collect",
+    "merge_map",
+    "nested_update",
+    "rbm32",
+    "rbm64",
+    "hll_sketch",
+)
+
+#: functions whose retract path is implemented (matches Paimon's
+#: retraction-support list minus the last_value pair, handled above)
+RETRACTABLE = frozenset(
+    {"sum", "product", "count", "collect", "merge_map", "nested_update"}
+)
+
+#: functions that tolerate retract rows without implementing them
+_RETRACT_TOLERANT = frozenset({"last_value", "last_non_null_value"})
+
+RETRACT_KINDS = (ROWKIND_UPDATE_BEFORE, ROWKIND_DELETE)
+
+_ADD_SQL = "(" + ",".join(str(k) for k in ADD_KINDS) + ")"
+
+
+def _seq_sorted_rows(c: str, seq_col: str, kind_col: str) -> str:
+    """SQL for this column's (seq, kind, value) structs in commit order.
+
+    ``array_sort`` takes the comparator form because map-typed values
+    are not orderable — the lambda compares the sequence number only,
+    which is unique per stored row."""
+    return (
+        f"array_sort(collect_list(struct(`{seq_col}` as s, `{kind_col}` as k, "
+        f"`{c}` as v)), (l, r) -> case when l.s < r.s then -1 "
+        f"when l.s > r.s then 1 else 0 end)"
+    )
+
+
+def _collect_expr(c, ddl, distinct, ignore_ret, seq_col, kind_col) -> str:
+    """``collect``: ARRAY field; adds concatenate elements, retracts
+    remove one occurrence per retracted element (set semantics under
+    ``fields.<c>.distinct = true``), all in sequence order."""
+    empty = f"cast(array() as {ddl})"
+    rows = _seq_sorted_rows(c, seq_col, kind_col)
+    add_branch = f"concat(acc, coalesce(r.v, {empty}))"
+    if distinct:
+        add_branch = f"array_distinct({add_branch})"
+        ret_branch = (
+            f"filter(acc, e -> not array_contains(coalesce(r.v, {empty}), e))"
+        )
+    else:
+        # remove ONE occurrence of each retracted element: fold the
+        # retracted array over the accumulator, slicing out the first
+        # match (slice clamps at the end, so pos+1 past the tail is [])
+        ret_branch = (
+            f"aggregate(coalesce(r.v, {empty}), acc, (a, x) -> "
+            f"case when array_position(a, x) > 0 then concat("
+            f"slice(a, 1, cast(array_position(a, x) as int) - 1), "
+            f"slice(a, cast(array_position(a, x) as int) + 1, size(a))) "
+            f"else a end)"
+        )
+    if ignore_ret:
+        body = f"(acc, r) -> case when r.k in {_ADD_SQL} then {add_branch} else acc end"
+    else:
+        body = (
+            f"(acc, r) -> case when r.k in {_ADD_SQL} then {add_branch} "
+            f"else {ret_branch} end"
+        )
+    return f"aggregate({rows}, {empty}, {body})"
+
+
+def _merge_map_expr(c, ddl, ignore_ret, seq_col, kind_col) -> str:
+    """``merge_map``: MAP field; adds merge entries newest-wins,
+    retracts remove the retracted keys — a sequence-ordered fold, so an
+    add AFTER a retract of the same key survives."""
+    empty = f"cast(map() as {ddl})"
+    rows = _seq_sorted_rows(c, seq_col, kind_col)
+    rv = f"coalesce(r.v, {empty})"
+    add_branch = (
+        f"map_concat(map_filter(acc, (mk, mv) -> "
+        f"not map_contains_key({rv}, mk)), {rv})"
+    )
+    ret_branch = f"map_filter(acc, (mk, mv) -> not map_contains_key({rv}, mk))"
+    if ignore_ret:
+        body = f"(acc, r) -> case when r.k in {_ADD_SQL} then {add_branch} else acc end"
+    else:
+        body = (
+            f"(acc, r) -> case when r.k in {_ADD_SQL} then {add_branch} "
+            f"else {ret_branch} end"
+        )
+    return f"aggregate({rows}, {empty}, {body})"
+
+
+def _nested_update_expr(c, ddl, keys, ignore_ret, seq_col, kind_col) -> str:
+    """``nested_update``: ARRAY<STRUCT> field with
+    ``fields.<c>.nested-key = k1,k2``; each input array upserts rows by
+    nested key, retracts delete by nested key."""
+    empty = f"cast(array() as {ddl})"
+    rows = _seq_sorted_rows(c, seq_col, kind_col)
+    rv = f"coalesce(r.v, {empty})"
+    match = " and ".join(f"x.`{k}` <=> e.`{k}`" for k in keys)
+    drop_matching = f"filter(acc, e -> not exists({rv}, x -> {match}))"
+    add_branch = f"concat({drop_matching}, {rv})"
+    if ignore_ret:
+        body = f"(acc, r) -> case when r.k in {_ADD_SQL} then {add_branch} else acc end"
+    else:
+        body = (
+            f"(acc, r) -> case when r.k in {_ADD_SQL} then {add_branch} "
+            f"else {drop_matching} end"
+        )
+    return f"aggregate({rows}, {empty}, {body})"
+
+
+def _union_rbm_udf(bits: int):
+    """Vectorized union of portable-spec roaring bitmaps: one Arrow
+    batch of per-key binary lists in, one unioned binary out."""
+    from paimon_python_spark import roaring
+
+    if bits == 32:
+        ser, de = roaring.serialize_roaring32, roaring.deserialize_roaring32
+    else:
+        ser, de = roaring.serialize_roaring64, roaring.deserialize_roaring64
+
+    @F.pandas_udf("binary")
+    def _union(lists: pd.Series) -> pd.Series:
+        import numpy as np
+
+        out = []
+        for lst in lists:
+            if lst is None or len(lst) == 0:
+                out.append(None)
+                continue
+            arrays = [de(bytes(b)) for b in lst if b is not None]
+            if not arrays:
+                out.append(None)
+                continue
+            merged = arrays[0] if len(arrays) == 1 else np.unique(
+                np.concatenate(arrays)
+            )
+            out.append(ser(merged))
+        return pd.Series(out, dtype=object)
+
+    return _union
+
+
+def field_agg_plan(schema, value_cols, seq_col, kind_col):
+    """Build the aggregation merge engine's single hash aggregate.
+
+    Returns ``(agg_exprs, post)``: ``agg_exprs`` go into one
+    ``groupBy(keys).agg(...)`` (plus the caller's ``__has_add`` guard);
+    ``post`` maps column name → callable applied to that column in the
+    post-aggregation projection (sketch unions and the declared-dtype
+    cast happen there)."""
+    add_k = F.col(kind_col).isin(*ADD_KINDS)
+    ret_k = F.col(kind_col).isin(*RETRACT_KINDS)
+    dtypes = {f.name: f.dataType for f in schema.spark_schema.fields}
+
+    aggs, post = [], {}
+    for c in value_cols:
+        fn = schema.options.get(
+            f"fields.{c}.aggregate-function", "last_non_null_value"
+        )
+        if fn not in AGG_FUNCTIONS:
+            raise ValueError(
+                f"unknown aggregate-function {fn!r} for field {c!r}; "
+                f"one of {AGG_FUNCTIONS}"
+            )
+        ignore_ret = (
+            schema.options.get(f"fields.{c}.ignore-retract", "false").lower()
+            == "true"
+        )
+        col = F.col(c)
+        dtype = dtypes[c]
+        ddl = dtype.simpleString()
+        addcol = F.when(add_k, col)
+
+        if fn == "sum":
+            expr = (
+                F.sum(addcol)
+                if ignore_ret
+                else F.sum(F.when(add_k, col).when(ret_k, -col))
+            )
+        elif fn == "product":
+            p_add = F.product(addcol)
+            if ignore_ret:
+                expr = p_add
+            else:
+                # Paimon's FieldProductAgg retracts by division
+                expr = p_add / F.coalesce(
+                    F.product(F.when(ret_k, col)), F.lit(1.0)
+                )
+        elif fn == "count":
+            branch = F.when(add_k & col.isNotNull(), F.lit(1))
+            if not ignore_ret:
+                branch = branch.when(ret_k & col.isNotNull(), F.lit(-1))
+            expr = F.coalesce(F.sum(branch.otherwise(F.lit(0))), F.lit(0))
+        elif fn == "min":
+            expr = F.min(addcol)
+        elif fn == "max":
+            expr = F.max(addcol)
+        elif fn == "last_value":
+            expr = F.max_by(col, F.when(add_k, F.col(seq_col)))
+        elif fn == "last_non_null_value":
+            expr = F.max_by(
+                col, F.when(add_k & col.isNotNull(), F.col(seq_col))
+            )
+        elif fn == "first_value":
+            expr = F.min_by(col, F.when(add_k, F.col(seq_col)))
+        elif fn == "first_non_null_value":
+            expr = F.min_by(
+                col, F.when(add_k & col.isNotNull(), F.col(seq_col))
+            )
+        elif fn == "bool_and":
+            expr = F.min(addcol.cast("boolean"))
+        elif fn == "bool_or":
+            expr = F.max(addcol.cast("boolean"))
+        elif fn == "listagg":
+            delim = schema.options.get(f"fields.{c}.list-agg-delimiter", ",")
+            expr = F.concat_ws(
+                delim,
+                F.array_sort(
+                    F.collect_list(F.when(add_k, F.struct(seq_col, c)))
+                ).getField(c),
+            )
+        elif fn == "collect":
+            distinct = (
+                schema.options.get(f"fields.{c}.distinct", "false").lower()
+                == "true"
+            )
+            expr = F.expr(
+                _collect_expr(c, ddl, distinct, ignore_ret, seq_col, kind_col)
+            )
+        elif fn == "merge_map":
+            expr = F.expr(_merge_map_expr(c, ddl, ignore_ret, seq_col, kind_col))
+        elif fn == "nested_update":
+            keys_opt = schema.options.get(f"fields.{c}.nested-key", "")
+            keys = [k.strip() for k in keys_opt.split(",") if k.strip()]
+            if not keys:
+                raise ValueError(
+                    f"nested_update field {c!r} requires fields.{c}.nested-key"
+                )
+            elem = dtype.elementType
+            missing = [k for k in keys if k not in elem.fieldNames()]
+            if missing:
+                raise ValueError(
+                    f"nested-key columns {missing} not in element type of {c!r}"
+                )
+            expr = F.expr(
+                _nested_update_expr(c, ddl, keys, ignore_ret, seq_col, kind_col)
+            )
+        elif fn == "hll_sketch":
+            # Spark and Paimon both serialize DataSketches HLL, so the
+            # union is the native JVM aggregate — no Python at all
+            expr = F.hll_union_agg(addcol, True)
+        elif fn in ("rbm32", "rbm64"):
+            expr = F.collect_list(addcol)
+            post[c] = _union_rbm_udf(32 if fn == "rbm32" else 64)
+
+        # non-retractable fields raise on a live (non-null) retracted
+        # value, as Paimon does, unless ignore-retract opted out —
+        # the raise_error branch is only evaluated when tripped
+        needs_guard = (
+            fn not in RETRACTABLE
+            and fn not in _RETRACT_TOLERANT
+            and not ignore_ret
+        )
+
+        def _guarded(e, cast_to):
+            viol = F.max(
+                F.when(ret_k & col.isNotNull(), F.lit(1)).otherwise(F.lit(0))
+            )
+            return F.when(
+                viol == 1,
+                F.raise_error(
+                    F.lit(
+                        f"aggregate function {fn!r} for field {c!r} does not "
+                        f"support retraction; set fields.{c}.ignore-retract "
+                        f"= true to drop -U/-D rows"
+                    )
+                ).cast(cast_to),
+            ).otherwise(e)
+
+        if c in post:
+            # sketch columns stay in their pre-union intermediate type
+            # (array<binary>); the declared dtype lands after the union
+            if needs_guard:
+                expr = _guarded(expr, f"array<{ddl}>")
+        else:
+            # pin the declared field dtype (sum(int) would widen to
+            # bigint otherwise and drift the table schema)
+            expr = expr.cast(dtype)
+            if needs_guard:
+                expr = _guarded(expr, ddl)
+        aggs.append(expr.alias(c))
+    return aggs, post

@@ -204,19 +204,9 @@ def projection_columns(paths: List[List[str]]) -> List:
 MERGE_ENGINES = ("deduplicate", "first-row", "partial-update", "aggregation")
 
 #: supported fields.<name>.aggregate-function values for the
-#: aggregation merge engine.
-AGG_FUNCTIONS = (
-    "sum",
-    "min",
-    "max",
-    "last_value",
-    "last_non_null_value",
-    "first_value",
-    "bool_and",
-    "bool_or",
-    "listagg",
-    "product",
-)
+#: aggregation merge engine (re-exported; the implementation moved to
+#: agg_merge.py when the surface grew to the full Paimon function list)
+from paimon_python_spark.agg_merge import AGG_FUNCTIONS  # noqa: E402,F401
 
 
 #: value dtypes the engine bucket-local merge keeps exact through the
@@ -472,49 +462,24 @@ def merge_on_read(
             .select(*out_cols)
         )
 
-    # aggregation: one hash aggregate; retractions (-U/-D) are not
-    # retractable per-field, so they are excluded before aggregating
-    # (Paimon likewise requires aggregate functions to opt into retract).
-    aggs = []
-    for c in value_cols:
-        fn = schema.options.get(f"fields.{c}.aggregate-function", "last_non_null_value")
-        if fn not in AGG_FUNCTIONS:
-            raise ValueError(
-                f"unknown aggregate-function {fn!r} for field {c!r}; "
-                f"one of {AGG_FUNCTIONS}"
-            )
-        col = F.col(c)
-        if fn == "sum":
-            aggs.append(F.sum(col).alias(c))
-        elif fn == "min":
-            aggs.append(F.min(col).alias(c))
-        elif fn == "max":
-            aggs.append(F.max(col).alias(c))
-        elif fn == "last_value":
-            aggs.append(F.max_by(col, F.col(seq_col)).alias(c))
-        elif fn == "last_non_null_value":
-            aggs.append(
-                F.max_by(col, F.when(col.isNotNull(), F.col(seq_col))).alias(c)
-            )
-        elif fn == "first_value":
-            aggs.append(F.min_by(col, F.col(seq_col)).alias(c))
-        elif fn == "bool_and":
-            aggs.append(F.min(col.cast("boolean")).alias(c))
-        elif fn == "bool_or":
-            aggs.append(F.max(col.cast("boolean")).alias(c))
-        elif fn == "listagg":
-            aggs.append(
-                F.concat_ws(
-                    ",", F.array_sort(F.collect_list(F.struct(seq_col, c))).getField(c)
-                ).alias(c)
-            )
-        elif fn == "product":
-            aggs.append(F.product(col).alias(c))
-    return (
-        df.filter(F.col(kind_col).isin(*ADD_KINDS))
-        .groupBy(*merge_keys)
-        .agg(*aggs)
-        .select(*out_cols)
+    # aggregation: ONE hash aggregate; the full Paimon function surface
+    # (incl. retraction semantics, container folds, sketch unions)
+    # lives in agg_merge.field_agg_plan. A key survives as long as it
+    # has at least one add row — a key whose rows are ALL retractions
+    # merges to nothing, same as the pre-retraction formulation.
+    from paimon_python_spark.agg_merge import field_agg_plan
+
+    aggs, post = field_agg_plan(schema, value_cols, seq_col, kind_col)
+    has_add = F.max(
+        F.when(F.col(kind_col).isin(*ADD_KINDS), F.lit(1)).otherwise(F.lit(0))
+    ).alias("__has_add")
+    merged = (
+        df.groupBy(*merge_keys)
+        .agg(has_add, *aggs)
+        .filter(F.col("__has_add") == 1)
+    )
+    return merged.select(
+        *[post[c](F.col(c)).alias(c) if c in post else F.col(c) for c in out_cols]
     )
 
 

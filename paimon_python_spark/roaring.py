@@ -1,4 +1,4 @@
-"""32-bit Roaring bitmap codec — the PUBLIC portable serialization
+"""Roaring bitmap codec (32-bit + portable 64-bit) — the PUBLIC portable serialization
 format (https://github.com/RoaringBitmap/RoaringFormatSpec), which is
 what Apache Paimon's ``BitmapDeletionVector`` embeds in its deletion
 vector index files (Java ``org.roaringbitmap.RoaringBitmap.serialize``,
@@ -76,6 +76,40 @@ def serialize_roaring32(values) -> bytes:
     for p in payloads:
         out += p
     return bytes(out)
+
+
+def serialize_roaring64(values) -> bytes:
+    """Serialize sorted uint64 values in the spec's portable 64-bit
+    layout (RoaringFormatSpec "extension for 64-bit implementations"):
+    uint64 LE bucket count, then per bucket a uint32 LE high key
+    followed by that bucket's 32-bit portable stream."""
+    ordered = sorted(set(int(v) for v in values))
+    if ordered and (ordered[0] < 0 or ordered[-1] > 0xFFFFFFFFFFFFFFFF):
+        raise ValueError("roaring64 positions must fit in uint64")
+    vals = np.asarray(ordered, dtype=np.uint64)
+    highs = (vals >> np.uint64(32)).astype(np.uint32)
+    lows = (vals & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    uniq, starts = np.unique(highs, return_index=True)
+    bounds = list(starts) + [vals.size]
+    out = bytearray(struct.pack("<Q", len(uniq)))
+    for i in range(len(uniq)):
+        out += struct.pack("<I", int(uniq[i]))
+        out += serialize_roaring32(lows[bounds[i] : bounds[i + 1]])
+    return bytes(out)
+
+
+def deserialize_roaring64(data: bytes) -> np.ndarray:
+    """Deserialize a portable 64-bit stream into a sorted uint64 array."""
+    (n_buckets,) = struct.unpack_from("<Q", data, 0)
+    pos = 8
+    parts = []
+    for _ in range(n_buckets):
+        (high,) = struct.unpack_from("<I", data, pos)
+        lows, pos = deserialize_roaring32_sized(data, pos + 4)
+        parts.append((np.uint64(high) << np.uint64(32)) + lows.astype(np.uint64))
+    if not parts:
+        return np.empty(0, dtype=np.uint64)
+    return np.concatenate(parts)
 
 
 def deserialize_roaring32(data: bytes) -> np.ndarray:
