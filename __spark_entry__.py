@@ -6424,6 +6424,254 @@ FROM orders GROUP BY o_custkey ORDER BY o_custkey
 """
 
 
+def paimon_agg_retract_roundtrip(spark, sf_dir):
+    """Aggregation merge engine RETRACTION — the CDC shape Paimon only
+    allows on its retractable function list: -D rows SUBTRACT their
+    contribution per field instead of deleting the key. All orders land
+    as +I, then a second commit retracts the 'F' orders; the merged
+    read must equal the non-F totals exactly, so money is summed in
+    integer cents (a double sum(all)-sum(F) differs from sum(non-F) in
+    the last ulp). Keys whose orders are ALL 'F' stay, netted to zero.
+    Scale shape: still ONE hash aggregate with map-side combine — the
+    retract arithmetic is a per-row sign, not an extra pass."""
+    from paimon_python_spark import Catalog, Schema
+
+    wh = _fresh_warehouse("aggret")
+    cat = Catalog.create({"warehouse": wh})
+    cat.create_database("default", True)
+
+    def _rows(df):
+        return df.select(
+            "o_custkey",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+            F.col("o_orderkey").cast("long").alias("n_orders"),
+        )
+
+    orders = _t(spark, sf_dir, "orders")
+    adds = _rows(orders).withColumn("_k", F.lit(0))
+    rets = _rows(orders.filter(F.col("o_orderstatus") == "F")).withColumn(
+        "_k", F.lit(3)
+    )
+    cat.create_table(
+        "default.cust_net",
+        Schema(
+            adds.drop("_k").schema,
+            primary_keys=["o_custkey"],
+            options={
+                "bucket": "4",
+                "merge-engine": "aggregation",
+                "fields.cents.aggregate-function": "sum",
+                "fields.n_orders.aggregate-function": "count",
+            },
+        ),
+        False,
+    )
+    t = cat.get_table("default.cust_net")
+    for batch in (adds, rets):
+        wb = t.new_batch_write_builder()
+        w, c = wb.new_write(), wb.new_commit()
+        w.write_dataframe(batch, row_kind_col="_k")
+        c.commit(w.prepare_commit())
+        w.close()
+        c.close()
+    return (
+        t.new_read_builder()
+        .new_read()
+        .to_df()
+        .select("o_custkey", "cents", "n_orders")
+        .orderBy("o_custkey")
+    )
+
+
+PAIMON_AGG_RETRACT_SQL = """
+SELECT o_custkey,
+       sum(CASE WHEN o_orderstatus <> 'F'
+                THEN cast(round(o_totalprice * 100) AS BIGINT) ELSE 0 END) AS cents,
+       count(CASE WHEN o_orderstatus <> 'F' THEN 1 END) AS n_orders
+FROM orders GROUP BY o_custkey ORDER BY o_custkey
+"""
+
+
+def paimon_agg_container_roundtrip(spark, sf_dir):
+    """Container aggregate functions — collect(distinct) / merge_map /
+    nested_update — resolved as sequence-ordered HIGHER-ORDER folds
+    inside one hash aggregate (no Python, no window). Each order row
+    contributes one-element containers; a second commit re-upserts the
+    URGENT orders with a changed payload, so nested_update must replace
+    by nested key (no duplicates) while collect-distinct and merge_map
+    stay idempotent."""
+    from paimon_python_spark import Catalog, Schema
+
+    wh = _fresh_warehouse("aggcont")
+    cat = Catalog.create({"warehouse": wh})
+    cat.create_database("default", True)
+    orders = _t(spark, sf_dir, "orders")
+
+    def _rows(df, tag):
+        return df.select(
+            "o_custkey",
+            F.array("o_orderstatus").alias("statuses"),
+            F.create_map(F.col("o_orderpriority"), F.lit(1)).alias("prios"),
+            F.array(
+                F.struct(
+                    F.col("o_orderkey").cast("long").alias("id"),
+                    F.lit(tag).alias("st"),
+                )
+            ).alias("det"),
+        )
+
+    first = _rows(orders, "A")
+    cat.create_table(
+        "default.cust_containers",
+        Schema(
+            first.schema,
+            primary_keys=["o_custkey"],
+            options={
+                "bucket": "4",
+                "merge-engine": "aggregation",
+                "fields.statuses.aggregate-function": "collect",
+                "fields.statuses.distinct": "true",
+                "fields.prios.aggregate-function": "merge_map",
+                "fields.det.aggregate-function": "nested_update",
+                "fields.det.nested-key": "id",
+            },
+        ),
+        False,
+    )
+    t = cat.get_table("default.cust_containers")
+    second = _rows(orders.filter(F.col("o_orderpriority") == "1-URGENT"), "R")
+    for batch in (first, second):
+        wb = t.new_batch_write_builder()
+        w, c = wb.new_write(), wb.new_commit()
+        w.write_dataframe(batch)
+        c.commit(w.prepare_commit())
+        w.close()
+        c.close()
+    return (
+        t.new_read_builder()
+        .new_read()
+        .to_df()
+        .select(
+            "o_custkey",
+            F.concat_ws(",", F.array_sort("statuses")).alias("statuses_s"),
+            F.concat_ws(",", F.array_sort(F.map_keys("prios"))).alias("prio_s"),
+            F.size("det").cast("long").alias("n_det"),
+            F.size(F.filter("det", lambda e: e["st"] == "R"))
+            .cast("long")
+            .alias("n_upd"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+PAIMON_AGG_CONTAINER_SQL = """
+SELECT o_custkey,
+       array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',') AS statuses_s,
+       array_to_string(list_sort(list(DISTINCT o_orderpriority)), ',') AS prio_s,
+       count(DISTINCT o_orderkey) AS n_det,
+       count(DISTINCT CASE WHEN o_orderpriority = '1-URGENT'
+                           THEN o_orderkey END) AS n_upd
+FROM orders GROUP BY o_custkey ORDER BY o_custkey
+"""
+
+
+def paimon_agg_sketch_roundtrip(spark, sf_dir):
+    """Sketch-union aggregate functions: rbm32 (portable-spec Roaring
+    bitmaps, EXACT distinct sets) and hll_sketch (DataSketches HLL via
+    Spark's native hll_union_agg — both engines serialize the same
+    format, so the union never leaves the JVM). The 100 TB ingest
+    shape: executors pre-sketch shards, the agg table merges shards per
+    key, and distinct-count reads are metadata-sized. The rbm
+    cardinality must equal DuckDB's exact count(DISTINCT); the HLL
+    estimate must land within 5% of it (lgK=12 ⇒ ~1.6% expected)."""
+    import pandas as pd
+
+    from paimon_python_spark import Catalog, Schema
+    from paimon_python_spark.roaring import (
+        deserialize_roaring32,
+        serialize_roaring32,
+    )
+
+    wh = _fresh_warehouse("aggsk")
+    cat = Catalog.create({"warehouse": wh})
+    cat.create_database("default", True)
+    orders = _t(spark, sf_dir, "orders")
+
+    # no type hints: the module's future-annotations turns them into
+    # strings the UDF inferencer can't resolve; explicit SCALAR form
+    _ser32 = F.pandas_udf(
+        lambda sets: pd.Series(
+            [serialize_roaring32(sorted(int(v) for v in s)) for s in sets],
+            dtype=object,
+        ),
+        "binary",
+    )
+    _card32 = F.pandas_udf(
+        lambda bufs: pd.Series(
+            [len(deserialize_roaring32(bytes(b))) for b in bufs], dtype="int64"
+        ),
+        "long",
+    )
+
+    shards = (
+        orders.groupBy(
+            "o_orderpriority", (F.col("o_custkey") % 8).alias("__sh")
+        )
+        .agg(
+            F.collect_set("o_custkey").alias("cks"),
+            F.hll_sketch_agg("o_custkey").alias("hll"),
+        )
+        .select("o_orderpriority", _ser32("cks").alias("rbm"), "hll")
+    )
+    cat.create_table(
+        "default.prio_sketch",
+        Schema(
+            shards.schema,
+            primary_keys=["o_orderpriority"],
+            options={
+                "bucket": "2",
+                "merge-engine": "aggregation",
+                "fields.rbm.aggregate-function": "rbm32",
+                "fields.hll.aggregate-function": "hll_sketch",
+            },
+        ),
+        False,
+    )
+    t = cat.get_table("default.prio_sketch")
+    wb = t.new_batch_write_builder()
+    w, c = wb.new_write(), wb.new_commit()
+    w.write_dataframe(shards)
+    c.commit(w.prepare_commit())
+    w.close()
+    c.close()
+    return (
+        t.new_read_builder()
+        .new_read()
+        .to_df()
+        .select(
+            "o_orderpriority",
+            _card32("rbm").alias("n_cust"),
+            F.hll_sketch_estimate("hll").alias("__est"),
+        )
+        .select(
+            "o_orderpriority",
+            "n_cust",
+            (
+                F.abs(F.col("__est") - F.col("n_cust"))
+                / F.col("n_cust")
+                <= 0.05
+            ).alias("hll_ok"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+PAIMON_AGG_SKETCH_SQL = """
+SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_cust, TRUE AS hll_ok
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
 def paimon_avro_roundtrip(spark, sf_dir):
     """file.format=avro: distributed write through mapInPandas + the
     engine's pure-Python Avro codec (no spark-avro jar in this env),
@@ -11179,6 +11427,9 @@ _QUERIES: dict[str, Callable] = {
     "paimon_bloom_index_roundtrip": paimon_bloom_index_roundtrip,
     "paimon_incremental_read_roundtrip": paimon_incremental_read_roundtrip,
     "paimon_agg_merge_roundtrip": paimon_agg_merge_roundtrip,
+    "paimon_agg_retract_roundtrip": paimon_agg_retract_roundtrip,
+    "paimon_agg_container_roundtrip": paimon_agg_container_roundtrip,
+    "paimon_agg_sketch_roundtrip": paimon_agg_sketch_roundtrip,
     "paimon_delete_rows_roundtrip": paimon_delete_rows_roundtrip,
     "paimon_audit_log_roundtrip": paimon_audit_log_roundtrip,
     "paimon_rescale_roundtrip": paimon_rescale_roundtrip,
@@ -11336,6 +11587,9 @@ _ORACLES: dict[str, str] = {
     "paimon_incremental_read_roundtrip": PAIMON_INCREMENTAL_SQL,
     "paimon_changelog_diff_roundtrip": PAIMON_CHANGELOG_SQL,
     "paimon_agg_merge_roundtrip": PAIMON_AGG_MERGE_SQL,
+    "paimon_agg_retract_roundtrip": PAIMON_AGG_RETRACT_SQL,
+    "paimon_agg_container_roundtrip": PAIMON_AGG_CONTAINER_SQL,
+    "paimon_agg_sketch_roundtrip": PAIMON_AGG_SKETCH_SQL,
     "paimon_delete_rows_roundtrip": PAIMON_DELETE_SQL,
     "paimon_audit_log_roundtrip": PAIMON_AUDIT_LOG_SQL,
     "paimon_rescale_roundtrip": PAIMON_RESCALE_SQL,
@@ -11467,6 +11721,12 @@ _ORACLES: dict[str, str] = {
 # same 50. Entries 51+ keep registry order; tools/check_oracle.py
 # still sweeps the whole surface locally.
 _GATE_HEAD = [
+    # late-r10 additions: the aggregation merge-engine extension
+    # (retraction, container folds, sketch unions) — verified green via
+    # tools/check_oracle.py before promotion
+    "paimon_agg_retract_roundtrip",
+    "paimon_agg_container_roundtrip",
+    "paimon_agg_sketch_roundtrip",
     # round-10 rotation: positions 1-2 are the round-10-NEW queries
     # (verified green via tools/check_oracle.py before promotion);
     # positions 3-5 are the three format("paimon_lake") queries that

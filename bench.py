@@ -132,6 +132,10 @@ HEADLINE = [
     "paimon_lake_bsi_index_roundtrip",
     "paimon_engine_exact_index_roundtrip",
     "paimon_datasource_pk_write_roundtrip",
+    # late-r10: aggregation merge-engine extension (retraction math,
+    # sketch-union fields) — the CDC rollup + pre-sketched-shard shapes
+    "paimon_agg_retract_roundtrip",
+    "paimon_agg_sketch_roundtrip",
 ]
 
 #: executions per query; the reported time is the MEDIAN. Run 1 pays

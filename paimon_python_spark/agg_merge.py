@@ -352,6 +352,12 @@ def field_agg_plan(schema, value_cols, seq_col, kind_col):
             # (array<binary>); the declared dtype lands after the union
             if needs_guard:
                 expr = _guarded(expr, f"array<{ddl}>")
+        elif fn in ("collect", "merge_map", "nested_update"):
+            # the fold's init value already pins the container type;
+            # an outer cast can FAIL on nullability (e.g. the declared
+            # map has valueContainsNull=false but map_concat yields
+            # nullable values — Spark refuses that cast outright)
+            pass
         else:
             # pin the declared field dtype (sum(int) would widen to
             # bigint otherwise and drift the table schema)
