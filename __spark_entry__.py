@@ -10118,6 +10118,69 @@ GROUP BY n_name ORDER BY n_name
 """
 
 
+def join_lookup_enrich(spark, sf_dir):
+    """LOOKUP JOIN — Paimon's dim-table enrichment (Flink
+    `FOR SYSTEM_TIME AS OF`; the reference delegates joins downstream):
+    facts join the CURRENT MERGED state of a PK dim table. The dim here
+    is a customer PK table whose second commit upserts a third of the
+    segments, so the join must see post-merge values, not the base
+    load. The dim side is projected to on ∪ select before moving and
+    broadcast because its PLANNED split bytes (table metadata, no
+    sampling) are under budget — the 100 TB default for a dim that
+    fits, with an automatic shuffle-join fallback when it doesn't."""
+    from paimon_python_spark import Catalog, Schema
+    from paimon_python_spark.operators.joins import lookup_join
+
+    wh = _fresh_warehouse("lkj")
+    cat = Catalog.create({"warehouse": wh})
+    cat.create_database("default", True)
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    cat.create_table(
+        "default.cust_dim",
+        Schema(cust.schema, primary_keys=["c_custkey"], options={"bucket": "4"}),
+        False,
+    )
+    t = cat.get_table("default.cust_dim")
+    upserts = cust.filter(F.col("c_custkey") % 3 == 0).withColumn(
+        "c_mktsegment", F.lit("VIP")
+    )
+    for batch in (cust, upserts):
+        wb = t.new_batch_write_builder()
+        w, c = wb.new_write(), wb.new_commit()
+        w.write_dataframe(batch)
+        c.commit(w.prepare_commit())
+        w.close()
+        c.close()
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    enriched = lookup_join(
+        orders, t, on={"o_custkey": "c_custkey"}, select=["c_mktsegment"]
+    )
+    return (
+        enriched.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "spend_x100"
+            ),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+JOIN_LOOKUP_SQL = """
+WITH dim AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 3 = 0 THEN 'VIP' ELSE c_mktsegment END AS c_mktsegment
+  FROM customer)
+SELECT c_mktsegment, count(*) AS n_orders,
+       sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS spend_x100
+FROM orders LEFT JOIN dim ON o_custkey = c_custkey
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
 def agg_distinct_skew_free(spark, sf_dir):
     """Exact per-key distinct via the two-stage compound-key shuffle
     (skew-free by construction) — counts distinct customers per order
@@ -11360,6 +11423,7 @@ _QUERIES: dict[str, Callable] = {
     "pack_sequences": pack_sequences,
     "mm_binary_meta": mm_binary_meta,
     "join_salted_skew": join_salted_skew,
+    "join_lookup_enrich": join_lookup_enrich,
     "paimon_pk_upsert_roundtrip": paimon_pk_upsert_roundtrip,
     "paimon_dv_roundtrip": paimon_dv_roundtrip,
     "paimon_avro_roundtrip": paimon_avro_roundtrip,
@@ -11629,6 +11693,7 @@ _ORACLES: dict[str, str] = {
     "events_topk_per_window": EVENTS_TOPK_WINDOW_SQL,
     "pipeline_quality_dedup_tokens": PIPELINE_QDT_SQL,
     "join_salted_skew": JOIN_SALTED_SQL,
+    "join_lookup_enrich": JOIN_LOOKUP_SQL,
     "agg_distinct_skew_free": AGG_DISTINCT_SKEW_SQL,
     "text_line_filter": TEXT_LINE_FILTER_SQL,
     "dedup_paragraph_exact": DEDUP_PARAGRAPH_SQL,
@@ -11727,6 +11792,7 @@ _GATE_HEAD = [
     "paimon_agg_retract_roundtrip",
     "paimon_agg_container_roundtrip",
     "paimon_agg_sketch_roundtrip",
+    "join_lookup_enrich",
     # round-10 rotation: positions 1-2 are the round-10-NEW queries
     # (verified green via tools/check_oracle.py before promotion);
     # positions 3-5 are the three format("paimon_lake") queries that

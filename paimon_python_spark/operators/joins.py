@@ -61,3 +61,177 @@ def binned_interval_join(
         )
         .drop("__bin")
     )
+
+
+#: default dim-side size (planned bytes on disk) under which the
+#: lookup join broadcasts — 64 MB compressed parquet is comfortably
+#: inside executor broadcast budgets at 1000 executors, and far above
+#: Spark's conservative 10 MB autoBroadcastJoinThreshold because WE
+#: know the side is a merged dim snapshot, not an arbitrary subquery
+_LOOKUP_BROADCAST_BYTES = 64 << 20
+
+
+def _dim_snapshot_frame(dim, cols):
+    """Resolve the dim argument (engine ``Table``, ``PaimonLakeTable``,
+    or plain DataFrame) to (projection df, planned bytes or None,
+    snapshot id or None)."""
+    if hasattr(dim, "new_read_builder"):
+        rb = dim.new_read_builder()
+        if cols is not None:
+            rb = rb.with_projection(list(cols))
+        splits = rb.new_scan().plan().splits()
+        est = sum(s.file_size() for s in splits)
+        sid = None
+        try:
+            from paimon_python_spark.paimon_lake import PaimonLakeTable
+
+            if isinstance(dim, PaimonLakeTable):
+                from paimon_python_spark.paimon_import import (
+                    latest_paimon_snapshot_id,
+                )
+
+                sid = latest_paimon_snapshot_id(dim.table_path)
+            else:
+                from paimon_python_spark.metadata import MetadataStore
+
+                sid = MetadataStore(dim.table_path).latest_snapshot_id()
+        except Exception:
+            sid = None
+        return rb.new_read().to_df(splits), est, sid
+    df = dim
+    if cols is not None:
+        df = df.select(*cols)
+    return df, None, None
+
+
+def lookup_join(
+    facts: DataFrame,
+    dim,
+    on,
+    select: List[str] = None,
+    how: str = "left",
+    broadcast_bytes: int = _LOOKUP_BROADCAST_BYTES,
+) -> DataFrame:
+    """Enrich ``facts`` with the CURRENT merged state of a primary-key
+    dim table — Paimon's lookup join (its Flink connector's
+    ``FOR SYSTEM_TIME AS OF`` dim join; the reference SDK has no join
+    surface at all, it delegates relational work downstream).
+
+    Spark-first shape: the dim side is a merged PK read PROJECTED to
+    ``on ∪ select`` before anything moves (column pruning reaches the
+    dim's parquet scan), then joined with an explicit ``broadcast()``
+    hint when the PLANNED split bytes — known exactly from the table's
+    own metadata, no sampling — are under ``broadcast_bytes``. A big
+    dim falls back to a plain shuffle hash join; at 100 TB that is the
+    correct default because a multi-GB broadcast stalls every executor.
+
+    ``on`` is either a list of shared column names or a
+    ``{fact_col: dim_col}`` mapping (the dim columns keep the DIM
+    names in the output; a fact/dim name collision outside the join
+    keys raises — rename first, as with any join)."""
+    if isinstance(on, dict):
+        fact_keys, dim_keys = list(on.keys()), list(on.values())
+    else:
+        fact_keys = dim_keys = list(on)
+    cols = None
+    if select is not None:
+        cols = list(dict.fromkeys([*dim_keys, *select]))
+    dim_df, est, _sid = _dim_snapshot_frame(dim, cols)
+
+    value_cols = [c for c in dim_df.columns if c not in dim_keys]
+    clash = [
+        c for c in value_cols if c in facts.columns
+    ]
+    if clash:
+        raise ValueError(
+            f"dim value columns {clash} collide with fact columns; "
+            f"pass select=/rename to disambiguate"
+        )
+    if est is not None and est <= broadcast_bytes:
+        dim_df = F.broadcast(dim_df)
+    if isinstance(on, dict):
+        cond = None
+        for fk, dk in zip(fact_keys, dim_keys):
+            c = facts[fk] == dim_df[dk]
+            cond = c if cond is None else (cond & c)
+        joined = facts.join(dim_df, cond, how)
+        return joined.drop(*[dim_df[dk] for dk in dim_keys])
+    return facts.join(dim_df, fact_keys, how)
+
+
+class SnapshotCachedLookup:
+    """Reusable lookup-join side for STREAMING enrichment: the dim
+    projection is rebuilt only when the dim table's latest snapshot id
+    advances — Flink's lookup-cache TTL replaced by snapshot-exact
+    invalidation (a cache can never serve a state the table never
+    had). Use inside ``foreachBatch``::
+
+        lk = SnapshotCachedLookup(dim_table, on={"o_custkey": "c_custkey"},
+                                  select=["c_mktsegment"])
+        def enrich(batch_df, batch_id):
+            lk.join(batch_df).write...
+
+    The cached frame is ``persist()``-ed so successive micro-batches
+    re-broadcast from cluster memory, not from a re-planned scan."""
+
+    def __init__(self, dim, on, select=None, broadcast_bytes=_LOOKUP_BROADCAST_BYTES):
+        self.dim = dim
+        self.on = on
+        self.select = select
+        self.broadcast_bytes = broadcast_bytes
+        self._sid = None
+        self._df = None
+        self._est = None
+        self.rebuilds = 0
+
+    def _current_sid(self):
+        try:
+            from paimon_python_spark.paimon_lake import PaimonLakeTable
+
+            if isinstance(self.dim, PaimonLakeTable):
+                from paimon_python_spark.paimon_import import (
+                    latest_paimon_snapshot_id,
+                )
+
+                return latest_paimon_snapshot_id(self.dim.table_path)
+            from paimon_python_spark.metadata import MetadataStore
+
+            return MetadataStore(self.dim.table_path).latest_snapshot_id()
+        except Exception:
+            return None
+
+    def _refresh(self):
+        dim_keys = (
+            list(self.on.values()) if isinstance(self.on, dict) else list(self.on)
+        )
+        cols = None
+        if self.select is not None:
+            cols = list(dict.fromkeys([*dim_keys, *self.select]))
+        df, est, sid = _dim_snapshot_frame(self.dim, cols)
+        if self._df is not None:
+            self._df.unpersist()
+        self._df = df.persist()
+        self._est = est
+        self._sid = sid
+        self.rebuilds += 1
+
+    def join(self, facts: DataFrame, how: str = "left") -> DataFrame:
+        sid = self._current_sid()
+        if self._df is None or sid is None or sid != self._sid:
+            self._refresh()
+            if sid is None:
+                self._sid = None
+        return lookup_join(
+            facts,
+            self._df
+            if self._est is None or self._est > self.broadcast_bytes
+            else F.broadcast(self._df),
+            self.on,
+            select=None,
+            how=how,
+        )
+
+    def close(self):
+        if self._df is not None:
+            self._df.unpersist()
+            self._df = None
