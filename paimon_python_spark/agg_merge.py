@@ -210,6 +210,103 @@ def _union_rbm_udf(bits: int):
     return _union
 
 
+#: the scalar subset usable as per-field aggregates inside the
+#: partial-update merge engine's sequence groups (Paimon: declaring
+#: fields.<c>.aggregate-function on a partial-update table switches
+#: that column from last-non-null to the aggregate; container/sketch
+#: functions are aggregation-engine-only there, same as the JVM)
+SCALAR_AGG_FUNCTIONS = frozenset(
+    {
+        "sum",
+        "product",
+        "count",
+        "min",
+        "max",
+        "last_value",
+        "last_non_null_value",
+        "first_value",
+        "first_non_null_value",
+        "bool_and",
+        "bool_or",
+        "listagg",
+    }
+)
+
+
+def _scalar_expr(schema, c, fn, order, add_k, ret_k, ignore_ret):
+    """One scalar aggregate expression; ``order`` is the Column that
+    defines last/first/listagg ordering (the sequence number, or a
+    (group-seq, seq) struct inside a partial-update sequence group)."""
+    col = F.col(c)
+    addcol = F.when(add_k, col)
+    if fn == "sum":
+        return (
+            F.sum(addcol)
+            if ignore_ret
+            else F.sum(F.when(add_k, col).when(ret_k, -col))
+        )
+    if fn == "product":
+        p_add = F.product(addcol)
+        if ignore_ret:
+            return p_add
+        # Paimon's FieldProductAgg retracts by division
+        return p_add / F.coalesce(F.product(F.when(ret_k, col)), F.lit(1.0))
+    if fn == "count":
+        branch = F.when(add_k & col.isNotNull(), F.lit(1))
+        if not ignore_ret:
+            branch = branch.when(ret_k & col.isNotNull(), F.lit(-1))
+        return F.coalesce(F.sum(branch.otherwise(F.lit(0))), F.lit(0))
+    if fn == "min":
+        return F.min(addcol)
+    if fn == "max":
+        return F.max(addcol)
+    if fn == "last_value":
+        return F.max_by(col, F.when(add_k, order))
+    if fn == "last_non_null_value":
+        return F.max_by(col, F.when(add_k & col.isNotNull(), order))
+    if fn == "first_value":
+        return F.min_by(col, F.when(add_k, order))
+    if fn == "first_non_null_value":
+        return F.min_by(col, F.when(add_k & col.isNotNull(), order))
+    if fn == "bool_and":
+        return F.min(addcol.cast("boolean"))
+    if fn == "bool_or":
+        return F.max(addcol.cast("boolean"))
+    if fn == "listagg":
+        delim = schema.options.get(f"fields.{c}.list-agg-delimiter", ",")
+        return F.concat_ws(
+            delim,
+            F.array_sort(
+                F.collect_list(
+                    F.when(add_k, F.struct(order.alias("o"), col.alias("v")))
+                )
+            ).getField("v"),
+        )
+    raise ValueError(f"not a scalar aggregate function: {fn!r}")
+
+
+def partial_update_agg_expr(schema, c, fn, order, seq_col, kind_col):
+    """Aggregate expression for a partial-update column that declares
+    ``fields.<c>.aggregate-function`` (Paimon's sequence-group
+    aggregation): the column folds with the aggregate instead of
+    last-non-null. Only the scalar function set applies here."""
+    if fn not in SCALAR_AGG_FUNCTIONS:
+        raise ValueError(
+            f"aggregate-function {fn!r} for field {c!r} is not usable with "
+            f"merge-engine partial-update; one of {sorted(SCALAR_AGG_FUNCTIONS)}"
+        )
+    add_k = F.col(kind_col).isin(*ADD_KINDS)
+    ret_k = F.col(kind_col).isin(*RETRACT_KINDS)
+    ignore_ret = (
+        schema.options.get(f"fields.{c}.ignore-retract", "false").lower()
+        == "true"
+    )
+    dtype = {f.name: f.dataType for f in schema.spark_schema.fields}[c]
+    return _scalar_expr(schema, c, fn, order, add_k, ret_k, ignore_ret).cast(
+        dtype
+    )
+
+
 def field_agg_plan(schema, value_cols, seq_col, kind_col):
     """Build the aggregation merge engine's single hash aggregate.
 
@@ -241,53 +338,9 @@ def field_agg_plan(schema, value_cols, seq_col, kind_col):
         ddl = dtype.simpleString()
         addcol = F.when(add_k, col)
 
-        if fn == "sum":
-            expr = (
-                F.sum(addcol)
-                if ignore_ret
-                else F.sum(F.when(add_k, col).when(ret_k, -col))
-            )
-        elif fn == "product":
-            p_add = F.product(addcol)
-            if ignore_ret:
-                expr = p_add
-            else:
-                # Paimon's FieldProductAgg retracts by division
-                expr = p_add / F.coalesce(
-                    F.product(F.when(ret_k, col)), F.lit(1.0)
-                )
-        elif fn == "count":
-            branch = F.when(add_k & col.isNotNull(), F.lit(1))
-            if not ignore_ret:
-                branch = branch.when(ret_k & col.isNotNull(), F.lit(-1))
-            expr = F.coalesce(F.sum(branch.otherwise(F.lit(0))), F.lit(0))
-        elif fn == "min":
-            expr = F.min(addcol)
-        elif fn == "max":
-            expr = F.max(addcol)
-        elif fn == "last_value":
-            expr = F.max_by(col, F.when(add_k, F.col(seq_col)))
-        elif fn == "last_non_null_value":
-            expr = F.max_by(
-                col, F.when(add_k & col.isNotNull(), F.col(seq_col))
-            )
-        elif fn == "first_value":
-            expr = F.min_by(col, F.when(add_k, F.col(seq_col)))
-        elif fn == "first_non_null_value":
-            expr = F.min_by(
-                col, F.when(add_k & col.isNotNull(), F.col(seq_col))
-            )
-        elif fn == "bool_and":
-            expr = F.min(addcol.cast("boolean"))
-        elif fn == "bool_or":
-            expr = F.max(addcol.cast("boolean"))
-        elif fn == "listagg":
-            delim = schema.options.get(f"fields.{c}.list-agg-delimiter", ",")
-            expr = F.concat_ws(
-                delim,
-                F.array_sort(
-                    F.collect_list(F.when(add_k, F.struct(seq_col, c)))
-                ).getField(c),
+        if fn in SCALAR_AGG_FUNCTIONS:
+            expr = _scalar_expr(
+                schema, c, fn, F.col(seq_col), add_k, ret_k, ignore_ret
             )
         elif fn == "collect":
             distinct = (

@@ -370,7 +370,10 @@ def merge_on_read(
       where both the column and ``g`` are non-null, so a stale patch
       (lower ``g``) cannot clobber a newer value even if it commits
       later. Paimon's sequence-group contract; the reference delegates
-      it to the Java writer (pypaimon/api/table_write.py:27-48).
+      it to the Java writer (pypaimon/api/table_write.py:27-48). A value
+      column that ALSO declares ``fields.<c>.aggregate-function`` folds
+      with that aggregate instead of last-non-null (Paimon's
+      sequence-group aggregation; scalar functions only).
     - ``aggregation``: per-field aggregate configured via
       ``fields.<name>.aggregate-function`` (default last_non_null_value)
       — a hash aggregate, which beats a window at scale because partial
@@ -441,10 +444,26 @@ def merge_on_read(
         col_group = {c: g for g, cols in groups.items() for c in cols}
 
         aggs = [F.max_by(F.col(kind_col), F.col(seq_col)).alias(kind_col)]
+        from paimon_python_spark.agg_merge import partial_update_agg_expr
+
         for c in value_cols:
             col = F.col(c)
+            fn = schema.options.get(f"fields.{c}.aggregate-function")
             if c in groups:  # a group's version field: highest version seen
                 aggs.append(F.max(col).alias(c))
+            elif fn is not None:
+                # Paimon's sequence-group aggregation: the column folds
+                # with its declared aggregate instead of last-non-null;
+                # order inside a group is (group seq, commit seq)
+                if c in col_group:
+                    order = F.struct(F.col(col_group[c]), F.col(seq_col))
+                else:
+                    order = F.col(seq_col)
+                aggs.append(
+                    partial_update_agg_expr(
+                        schema, c, fn, order, seq_col, kind_col
+                    ).alias(c)
+                )
             elif c in col_group:
                 g = F.col(col_group[c])
                 order = F.when(

@@ -320,3 +320,63 @@ def test_roaring64_codec_roundtrip():
     assert list(deserialize_roaring64(serialize_roaring64([]))) == []
     with pytest.raises(ValueError):
         serialize_roaring64([-1])
+
+
+def test_partial_update_sequence_group_aggregation(catalog):
+    """Paimon's sequence-group aggregation: a partial-update column
+    with fields.<c>.aggregate-function folds with the aggregate instead
+    of last-non-null; plain columns keep partial-update semantics."""
+    st = T.StructType(
+        [
+            T.StructField("k", T.IntegerType(), False),
+            T.StructField("total", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("g", T.IntegerType()),
+        ]
+    )
+    catalog.create_table(
+        "default.pu_agg",
+        Schema(
+            st,
+            primary_keys=["k"],
+            options={
+                "bucket": "1",
+                "merge-engine": "partial-update",
+                "fields.g.sequence-group": "total,name",
+                "fields.total.aggregate-function": "sum",
+            },
+        ),
+        False,
+    )
+    t = catalog.get_table("default.pu_agg")
+    _write(t, [(1, 10, "a", 1)], st)
+    _write(t, [(1, 5, None, 2)], st)   # total accumulates, name keeps 'a'
+    _write(t, [(1, None, "b", 3)], st)  # null adds nothing, name updates
+    row = _read(t).collect()[0]
+    assert row["total"] == 15 and row["name"] == "b"
+
+
+def test_partial_update_container_agg_rejected(catalog):
+    st = T.StructType(
+        [
+            T.StructField("k", T.IntegerType(), False),
+            T.StructField("v", T.ArrayType(T.IntegerType())),
+        ]
+    )
+    catalog.create_table(
+        "default.pu_bad",
+        Schema(
+            st,
+            primary_keys=["k"],
+            options={
+                "bucket": "1",
+                "merge-engine": "partial-update",
+                "fields.v.aggregate-function": "collect",
+            },
+        ),
+        False,
+    )
+    t = catalog.get_table("default.pu_bad")
+    _write(t, [(1, [1])], st)
+    with pytest.raises(ValueError, match="partial-update"):
+        _read(t).collect()

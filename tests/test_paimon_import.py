@@ -1086,6 +1086,36 @@ def test_lake_read_merge_engines(tmp_path, spark):
     assert out3.a.tolist() == [7] and out3.b.tolist() == [8]
 
 
+def test_lake_aggregation_retract(tmp_path, spark):
+    """A lake whose stored rows carry -D retractions folds them with
+    the retract math (sum subtracts, count decrements) — the lake read
+    dispatches into the same agg_merge plan as engine tables."""
+    from paimon_python_spark.paimon_lake import PaimonLakeTable
+    from paimon_python_spark.session import set_spark
+
+    set_spark(spark)
+    kv = pa.schema(
+        [("_KEY_k", pa.int64()), ("_SEQUENCE_NUMBER", pa.int64()),
+         ("_VALUE_KIND", pa.int32()), ("k", pa.int64()), ("v", pa.int64()),
+         ("n", pa.int64())]
+    )
+    p = str(tmp_path / "agg_ret_lake")
+    write_paimon_fixture(
+        p, [("k", "BIGINT NOT NULL"), ("v", "BIGINT"), ("n", "BIGINT")],
+        [], ["k"],
+        [(0, {}, 0, pa.table(
+            {"_KEY_k": [1, 1, 1, 2], "_SEQUENCE_NUMBER": [0, 1, 2, 3],
+             "_VALUE_KIND": [0, 0, 3, 0], "k": [1, 1, 1, 2],
+             "v": [10, 20, 20, 5], "n": [1, 1, 1, 9]}, schema=kv))],
+        options={"bucket": "1", "merge-engine": "aggregation",
+                 "fields.v.aggregate-function": "sum",
+                 "fields.n.aggregate-function": "count"},
+    )
+    out = PaimonLakeTable(p).new_read_builder().new_read().to_pandas().sort_values("k")
+    assert list(out.v) == [10, 5]   # 10 + 20 - 20
+    assert list(out.n) == [1, 1]    # 2 adds - 1 retract
+
+
 def test_import_preserve_history_pk_dv(tmp_path, catalog, spark):
     """PK lake with a REAL DV INDEX (the JVM writer's
     deletion-vectors.enabled layout, not -D records): the DV-carrying
