@@ -6672,6 +6672,87 @@ FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
 
 
+def paimon_theta_sketch_roundtrip(spark, sf_dir):
+    """theta_sketch — the 18th and last Paimon aggregate-function:
+    executors pre-sketch customer-key shards as DataSketches
+    compact-theta bytes (spec-faithful codec, theta_sketch.py; the
+    reference delegates this union to the JVM's FieldThetaSketchAgg),
+    the aggregation merge engine unions shards per market segment in
+    one post-aggregate Arrow batch, and the read estimates cardinality
+    from KB-sized sketch bytes. Below k=4096 distinct per key the
+    sketch never leaves exact mode, so the estimate must EQUAL DuckDB's
+    count(DISTINCT) — a strict oracle, not a tolerance check."""
+    import numpy as np
+    import pandas as pd
+
+    from paimon_python_spark import Catalog, Schema
+    from paimon_python_spark import theta_sketch as _ths
+
+    wh = _fresh_warehouse("aggtheta")
+    cat = Catalog.create({"warehouse": wh})
+    cat.create_database("default", True)
+    cust = _t(spark, sf_dir, "customer")
+
+    _sketch = F.pandas_udf(
+        lambda sets: pd.Series(
+            [
+                _ths.sketch_of_longs(np.asarray(sorted(s), dtype=np.int64))
+                for s in sets
+            ],
+            dtype=object,
+        ),
+        "binary",
+    )
+    _est = F.pandas_udf(
+        lambda bufs: pd.Series(
+            [_ths.estimate_theta(bytes(b)) for b in bufs], dtype="float64"
+        ),
+        "double",
+    )
+
+    shards = (
+        cust.groupBy("c_mktsegment", (F.col("c_custkey") % 8).alias("__sh"))
+        .agg(F.collect_set("c_custkey").alias("cks"))
+        .select("c_mktsegment", _sketch("cks").alias("th"))
+    )
+    cat.create_table(
+        "default.seg_theta",
+        Schema(
+            shards.schema,
+            primary_keys=["c_mktsegment"],
+            options={
+                "bucket": "2",
+                "merge-engine": "aggregation",
+                "fields.th.aggregate-function": "theta_sketch",
+            },
+        ),
+        False,
+    )
+    t = cat.get_table("default.seg_theta")
+    wb = t.new_batch_write_builder()
+    w, c = wb.new_write(), wb.new_commit()
+    w.write_dataframe(shards)
+    c.commit(w.prepare_commit())
+    w.close()
+    c.close()
+    return (
+        t.new_read_builder()
+        .new_read()
+        .to_df()
+        .select(
+            "c_mktsegment",
+            F.round(_est("th")).cast("long").alias("n_cust"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+PAIMON_THETA_SKETCH_SQL = """
+SELECT c_mktsegment, count(DISTINCT c_custkey) AS n_cust
+FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
 def paimon_avro_roundtrip(spark, sf_dir):
     """file.format=avro: distributed write through mapInPandas + the
     engine's pure-Python Avro codec (no spark-avro jar in this env),
@@ -11494,6 +11575,7 @@ _QUERIES: dict[str, Callable] = {
     "paimon_agg_retract_roundtrip": paimon_agg_retract_roundtrip,
     "paimon_agg_container_roundtrip": paimon_agg_container_roundtrip,
     "paimon_agg_sketch_roundtrip": paimon_agg_sketch_roundtrip,
+    "paimon_theta_sketch_roundtrip": paimon_theta_sketch_roundtrip,
     "paimon_delete_rows_roundtrip": paimon_delete_rows_roundtrip,
     "paimon_audit_log_roundtrip": paimon_audit_log_roundtrip,
     "paimon_rescale_roundtrip": paimon_rescale_roundtrip,
@@ -11654,6 +11736,7 @@ _ORACLES: dict[str, str] = {
     "paimon_agg_retract_roundtrip": PAIMON_AGG_RETRACT_SQL,
     "paimon_agg_container_roundtrip": PAIMON_AGG_CONTAINER_SQL,
     "paimon_agg_sketch_roundtrip": PAIMON_AGG_SKETCH_SQL,
+    "paimon_theta_sketch_roundtrip": PAIMON_THETA_SKETCH_SQL,
     "paimon_delete_rows_roundtrip": PAIMON_DELETE_SQL,
     "paimon_audit_log_roundtrip": PAIMON_AUDIT_LOG_SQL,
     "paimon_rescale_roundtrip": PAIMON_RESCALE_SQL,
@@ -11792,6 +11875,7 @@ _GATE_HEAD = [
     "paimon_agg_retract_roundtrip",
     "paimon_agg_container_roundtrip",
     "paimon_agg_sketch_roundtrip",
+    "paimon_theta_sketch_roundtrip",
     "join_lookup_enrich",
     # round-10 rotation: positions 1-2 are the round-10-NEW queries
     # (verified green via tools/check_oracle.py before promotion);

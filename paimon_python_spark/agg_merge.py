@@ -52,9 +52,9 @@ from paimon_python_spark.write import (
 )
 
 #: every fields.<name>.aggregate-function value this engine accepts
-#: (the Paimon aggregation merge-engine function list; theta_sketch is
-#: the one omission — Spark ships no theta builtin and the DataSketches
-#: theta wire format is not re-implemented here).
+#: — the complete Paimon aggregation merge-engine function list
+#: (theta_sketch unions DataSketches compact-theta bytes through the
+#: spec-faithful codec in theta_sketch.py).
 AGG_FUNCTIONS = (
     "sum",
     "min",
@@ -74,6 +74,7 @@ AGG_FUNCTIONS = (
     "rbm32",
     "rbm64",
     "hll_sketch",
+    "theta_sketch",
 )
 
 #: functions whose retract path is implemented (matches Paimon's
@@ -205,6 +206,27 @@ def _union_rbm_udf(bits: int):
                 np.concatenate(arrays)
             )
             out.append(ser(merged))
+        return pd.Series(out, dtype=object)
+
+    return _union
+
+
+def _union_theta_udf():
+    """Vectorized union of DataSketches compact theta sketches: one
+    Arrow batch of per-key binary lists in, one unioned compact-ordered
+    sketch out (theta_sketch.py codec; Paimon's FieldThetaSketchAgg
+    does the same union via the DataSketches library JVM-side)."""
+    from paimon_python_spark import theta_sketch as _ts
+
+    @F.pandas_udf("binary")
+    def _union(lists: pd.Series) -> pd.Series:
+        out = []
+        for lst in lists:
+            if lst is None or len(lst) == 0:
+                out.append(None)
+                continue
+            bufs = [b for b in lst if b is not None]
+            out.append(_ts.union_theta(bufs) if bufs else None)
         return pd.Series(out, dtype=object)
 
     return _union
@@ -375,6 +397,9 @@ def field_agg_plan(schema, value_cols, seq_col, kind_col):
         elif fn in ("rbm32", "rbm64"):
             expr = F.collect_list(addcol)
             post[c] = _union_rbm_udf(32 if fn == "rbm32" else 64)
+        elif fn == "theta_sketch":
+            expr = F.collect_list(addcol)
+            post[c] = _union_theta_udf()
 
         # non-retractable fields raise on a live (non-null) retracted
         # value, as Paimon does, unless ignore-retract opted out —

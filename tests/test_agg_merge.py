@@ -280,6 +280,33 @@ def test_hll_sketch_union(catalog, spark):
     assert abs(est - 1500) / 1500 < 0.05
 
 
+def test_theta_sketch_union(catalog):
+    """theta_sketch union through the merge engine: shard sketches stay
+    exact below k=4096, so the merged estimate equals the true distinct
+    count; overlap dedups through the union like the JVM's
+    FieldThetaSketchAgg (DataSketches set union)."""
+    import numpy as np
+
+    from paimon_python_spark import theta_sketch as ts
+
+    st = T.StructType(
+        [T.StructField("k", T.IntegerType(), False), T.StructField("th", T.BinaryType())]
+    )
+    t = _agg_table(
+        catalog, "agg_theta", st, {"fields.th.aggregate-function": "theta_sketch"}
+    )
+    _write(t, [(1, bytearray(ts.sketch_of_longs(np.arange(0, 700))))], st)
+    _write(t, [(1, bytearray(ts.sketch_of_longs(np.arange(500, 1200))))], st)
+    _write(t, [(2, bytearray(ts.sketch_of_longs(np.array([], dtype=np.int64))))], st)
+    rows = {r["k"]: r["th"] for r in _read(t).collect()}
+    assert ts.estimate_theta(bytes(rows[1])) == 1200.0
+    assert ts.estimate_theta(bytes(rows[2])) == 0.0
+    # theta is non-retractable in Paimon — the generic guard applies
+    _write(t, [(1, bytearray(ts.sketch_of_longs(np.arange(3))))], st, kinds=[3])
+    with pytest.raises(Exception, match="does not support retraction"):
+        _read(t).collect()
+
+
 def test_non_retractable_guard_and_ignore_retract(catalog):
     st = T.StructType(
         [T.StructField("k", T.IntegerType(), False), T.StructField("v", T.IntegerType())]
