@@ -24,7 +24,16 @@ PredicateBuilder, Predicate.
 from paimon_python_spark.catalog import Catalog
 from paimon_python_spark.schema import Schema
 from paimon_python_spark.predicate import Predicate, PredicateBuilder
-from paimon_python_spark.table import Table
+from paimon_python_spark.table import Table, ReadBuilder
+from paimon_python_spark.table import ReadType as RowType
+from paimon_python_spark.scan import Plan, Split, TableScan
+from paimon_python_spark.read import TableRead
+from paimon_python_spark.write import (
+    BatchTableCommit,
+    BatchTableWrite,
+    BatchWriteBuilder,
+    CommitMessage,
+)
 from paimon_python_spark.session import get_spark, set_spark
 from paimon_python_spark.maintenance import (
     compact_manifests,
@@ -119,6 +128,16 @@ __all__ = [
     "Table",
     "Predicate",
     "PredicateBuilder",
+    "ReadBuilder",
+    "RowType",
+    "Plan",
+    "Split",
+    "TableScan",
+    "TableRead",
+    "BatchTableCommit",
+    "BatchTableWrite",
+    "BatchWriteBuilder",
+    "CommitMessage",
     "get_spark",
     "set_spark",
     "compact_manifests",
