@@ -6753,6 +6753,57 @@ FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
 """
 
 
+def paimon_rowkind_field_roundtrip(spark, sf_dir):
+    """``rowkind.field`` CDC ingestion (Paimon's RowKindGenerator): the
+    declared USER column carries each row's kind (+I/-U/+U/-D), so a
+    raw CDC feed loads with plain writes — no side-channel kind column.
+    Commit 1 inserts every order (+I); commit 2 replays the URGENT
+    orders as -D deletes THROUGH THE SAME OPTION. The merged read must
+    equal the non-urgent orders exactly."""
+    from paimon_python_spark import Catalog, Schema
+
+    wh = _fresh_warehouse("rkfield")
+    cat = Catalog.create({"warehouse": wh})
+    cat.create_database("default", True)
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority"
+    )
+    first = orders.withColumn("rk", F.lit("+I"))
+    cat.create_table(
+        "default.orders_cdc",
+        Schema(
+            first.schema,
+            primary_keys=["o_orderkey"],
+            options={"bucket": "4", "rowkind.field": "rk"},
+        ),
+        False,
+    )
+    t = cat.get_table("default.orders_cdc")
+    deletes = orders.filter(F.col("o_orderpriority") == "1-URGENT").withColumn(
+        "rk", F.lit("-D")
+    )
+    for batch in (first, deletes):
+        wb = t.new_batch_write_builder()
+        w, c = wb.new_write(), wb.new_commit()
+        w.write_dataframe(batch)
+        c.commit(w.prepare_commit())
+        w.close()
+        c.close()
+    return (
+        t.new_read_builder()
+        .new_read()
+        .to_df()
+        .select("o_orderkey", "o_orderstatus")
+        .orderBy("o_orderkey")
+    )
+
+
+PAIMON_ROWKIND_FIELD_SQL = """
+SELECT o_orderkey, o_orderstatus FROM orders
+WHERE o_orderpriority <> '1-URGENT' ORDER BY o_orderkey
+"""
+
+
 def paimon_avro_roundtrip(spark, sf_dir):
     """file.format=avro: distributed write through mapInPandas + the
     engine's pure-Python Avro codec (no spark-avro jar in this env),
@@ -11576,6 +11627,7 @@ _QUERIES: dict[str, Callable] = {
     "paimon_agg_container_roundtrip": paimon_agg_container_roundtrip,
     "paimon_agg_sketch_roundtrip": paimon_agg_sketch_roundtrip,
     "paimon_theta_sketch_roundtrip": paimon_theta_sketch_roundtrip,
+    "paimon_rowkind_field_roundtrip": paimon_rowkind_field_roundtrip,
     "paimon_delete_rows_roundtrip": paimon_delete_rows_roundtrip,
     "paimon_audit_log_roundtrip": paimon_audit_log_roundtrip,
     "paimon_rescale_roundtrip": paimon_rescale_roundtrip,
@@ -11737,6 +11789,7 @@ _ORACLES: dict[str, str] = {
     "paimon_agg_container_roundtrip": PAIMON_AGG_CONTAINER_SQL,
     "paimon_agg_sketch_roundtrip": PAIMON_AGG_SKETCH_SQL,
     "paimon_theta_sketch_roundtrip": PAIMON_THETA_SKETCH_SQL,
+    "paimon_rowkind_field_roundtrip": PAIMON_ROWKIND_FIELD_SQL,
     "paimon_delete_rows_roundtrip": PAIMON_DELETE_SQL,
     "paimon_audit_log_roundtrip": PAIMON_AUDIT_LOG_SQL,
     "paimon_rescale_roundtrip": PAIMON_RESCALE_SQL,
@@ -11876,6 +11929,7 @@ _GATE_HEAD = [
     "paimon_agg_container_roundtrip",
     "paimon_agg_sketch_roundtrip",
     "paimon_theta_sketch_roundtrip",
+    "paimon_rowkind_field_roundtrip",
     "join_lookup_enrich",
     # round-10 rotation: positions 1-2 are the round-10-NEW queries
     # (verified green via tools/check_oracle.py before promotion);

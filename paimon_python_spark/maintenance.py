@@ -19,19 +19,106 @@ import os
 from paimon_python_spark.metadata import MetadataStore
 
 
-def expire_snapshots(table, keep_last_n: int = 1) -> dict:
-    """Expire all but the newest ``keep_last_n`` snapshots.
+def parse_paimon_duration(value) -> float:
+    """A Paimon/Flink duration option value → milliseconds.
+
+    Accepts ``'7 d'``/``'7d'``, ``'1 h'``, ``'30 min'``/``'30 m'``,
+    ``'45 s'``, ``'500 ms'``, a bare number (milliseconds, Flink's
+    TimeUtils default), or a ``datetime.timedelta``."""
+    import datetime as _dt
+    import re as _re
+
+    if isinstance(value, _dt.timedelta):
+        return value.total_seconds() * 1000.0
+    s = str(value).strip().lower()
+    m = _re.fullmatch(r"([0-9]*\.?[0-9]+)\s*([a-z]*)", s)
+    if not m:
+        raise ValueError(f"bad duration {value!r}")
+    num, unit = float(m.group(1)), m.group(2)
+    ms = {
+        "": 1,
+        "ms": 1,
+        "s": 1000,
+        "sec": 1000,
+        "m": 60_000,
+        "min": 60_000,
+        "h": 3_600_000,
+        "d": 86_400_000,
+    }.get(unit)
+    if ms is None:
+        raise ValueError(f"bad duration unit in {value!r}")
+    return num * ms
+
+
+def retention_cutoff(
+    latest: int,
+    snapshot_times,
+    num_retained_min: int,
+    num_retained_max,
+    time_retained_ms: float,
+    now_ms: float,
+) -> int:
+    """First snapshot id to KEEP under Paimon's retention triple
+    (ExpireSnapshotsImpl): never expire into the newest
+    ``num_retained_min``; force-expire beyond ``num_retained_max``;
+    otherwise expire snapshots whose commit time fell out of
+    ``time_retained_ms``. ``snapshot_times`` is ``{id: timeMillis}``
+    for existing snapshots (missing/0 times count as ancient)."""
+    guard = latest - max(1, int(num_retained_min)) + 1
+    count_cut = (
+        latest - int(num_retained_max) + 1
+        if num_retained_max is not None
+        else 1
+    )
+    boundary = now_ms - time_retained_ms
+    time_cut = 1
+    for sid in sorted(snapshot_times):
+        if float(snapshot_times[sid] or 0) >= boundary:
+            time_cut = sid
+            break
+        time_cut = sid + 1
+    return min(guard, max(count_cut, time_cut))
+
+
+def expire_snapshots(table, keep_last_n=None, now_ms=None) -> dict:
+    """Expire old snapshots. With ``keep_last_n`` set, all but the
+    newest N go. Without it, the table's own retention options drive
+    the policy exactly like real Paimon's ExpireSnapshotsImpl:
+    ``snapshot.num-retained.min`` (default 10) snapshots always stay,
+    anything beyond ``snapshot.num-retained.max`` goes, and in between
+    a snapshot expires once its commit time is older than
+    ``snapshot.time-retained`` (default 1 h).
 
     Returns ``{"snapshots_deleted": n, "manifests_deleted": n,
     "data_files_deleted": n}``.
     """
     from paimon_python_spark.tags import list_tags
 
-    if keep_last_n < 1:
-        raise ValueError("keep_last_n must be >= 1")
     store = MetadataStore(table.table_path)
     latest = store.latest_snapshot_id() or 0
-    cutoff = latest - keep_last_n + 1
+    if keep_last_n is not None:
+        if keep_last_n < 1:
+            raise ValueError("keep_last_n must be >= 1")
+        cutoff = latest - keep_last_n + 1
+    else:
+        opts = table.schema.options
+        import time as _time
+
+        times = {}
+        for sid in range(1, latest + 1):
+            if os.path.exists(
+                os.path.join(store.snapshot_dir, f"snapshot-{sid}.json")
+            ):
+                times[sid] = store.read_snapshot(sid).time_millis
+        nmax = opts.get("snapshot.num-retained.max")
+        cutoff = retention_cutoff(
+            latest,
+            times,
+            int(opts.get("snapshot.num-retained.min", "10")),
+            int(nmax) if nmax is not None else None,
+            parse_paimon_duration(opts.get("snapshot.time-retained", "1 h")),
+            now_ms if now_ms is not None else _time.time() * 1000,
+        )
     if cutoff <= 1:
         return {"snapshots_deleted": 0, "manifests_deleted": 0, "data_files_deleted": 0}
 

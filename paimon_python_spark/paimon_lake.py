@@ -3395,6 +3395,15 @@ def write_lake_pk_append(
         for c in info.options.get("bucket-key", "").split(",")
         if c.strip()
     ] or None
+    rk_field = info.options.get("rowkind.field")
+    if row_kind_col is None and rk_field:
+        # rowkind.field table option (Paimon's RowKindGenerator): the
+        # declared USER column carries the row kind (+I/-U/+U/-D
+        # strings or 0-3 bytes); it stays in the data like any column
+        from paimon_python_spark.write import rowkind_field_expr
+
+        df = df.withColumn("__rk_kind", rowkind_field_expr(df, rk_field))
+        row_kind_col = "__rk_kind"
     seq_base = max((e.max_seq for e in plan_paimon_files(table_path)), default=-1) + 1
     # changelog-producer=input: the commit's input doubles as its
     # changelog (real Paimon's cheapest producer — no lookup, no
@@ -4621,28 +4630,70 @@ def fast_forward_lake_branch(table_path: str, name: str) -> int:
     return new_id
 
 
-def expire_lake_snapshots(table_path: str, keep_last_n: int) -> dict:
-    """Expire all but the newest ``keep_last_n`` snapshots of a REAL
-    lake (Paimon's ``snapshot.num-retained.max`` maintenance): old
-    snapshot files go away along with manifests / data files / DV
-    indexes no kept-or-tagged snapshot reaches. Time travel to an
+def expire_lake_snapshots(
+    table_path: str, keep_last_n: Optional[int] = None, now_ms=None
+) -> dict:
+    """Expire old snapshots of a REAL lake: snapshot files go away
+    along with manifests / data files / DV indexes no kept-or-tagged
+    snapshot reaches. With ``keep_last_n`` set, all but the newest N
+    go; without it the table's own retention options drive the policy
+    like real Paimon's ExpireSnapshotsImpl (``snapshot.num-retained.min``
+    default 10 always stay, beyond ``snapshot.num-retained.max`` goes,
+    in between a snapshot expires once older than
+    ``snapshot.time-retained``, default 1 h). Time travel to an
     expired id then fails exactly like real Paimon; tags pin their
     snapshot's files forever, and registered CONSUMERS hold expiry
     back (as Paimon's expiration does): no snapshot at or past the
     slowest consumer's ``nextSnapshot`` expires, so a lagging
-    streaming reader never loses its next batch. Returns deletion
-    counts."""
+    streaming reader never loses its next batch — unless the consumer
+    itself expired under ``consumer.expiration-time`` (file unmodified
+    longer than the TTL), in which case it is DELETED first, exactly
+    like Paimon's ConsumerManager.expire. Returns deletion counts."""
     import os
+    import time as _time
 
+    from paimon_python_spark.maintenance import (
+        parse_paimon_duration,
+        retention_cutoff,
+    )
     from paimon_python_spark.paimon_import import (
         latest_paimon_snapshot_id,
         read_paimon_snapshot,
     )
 
-    if keep_last_n < 1:
-        raise ValueError("keep_last_n must be >= 1")
+    info = read_paimon_schema(table_path)
     latest = latest_paimon_snapshot_id(table_path)
-    cutoff = latest - keep_last_n + 1
+    wall_ms = now_ms if now_ms is not None else _time.time() * 1000
+    sdir_ = os.path.join(table_path, "snapshot")
+    if keep_last_n is not None:
+        if keep_last_n < 1:
+            raise ValueError("keep_last_n must be >= 1")
+        cutoff = latest - keep_last_n + 1
+    else:
+        times = {
+            sid: int(read_paimon_snapshot(table_path, sid).get("timeMillis") or 0)
+            for sid in range(1, latest + 1)
+            if os.path.exists(os.path.join(sdir_, f"snapshot-{sid}"))
+        }
+        nmax = info.options.get("snapshot.num-retained.max")
+        cutoff = retention_cutoff(
+            latest,
+            times,
+            int(info.options.get("snapshot.num-retained.min", "10")),
+            int(nmax) if nmax is not None else None,
+            parse_paimon_duration(
+                info.options.get("snapshot.time-retained", "1 h")
+            ),
+            wall_ms,
+        )
+    consumer_ttl = info.options.get("consumer.expiration-time")
+    if consumer_ttl is not None:
+        ttl_ms = parse_paimon_duration(consumer_ttl)
+        cdir = os.path.join(table_path, "consumer")
+        for cid in list(list_lake_consumers(table_path)):
+            cpath = os.path.join(cdir, f"consumer-{cid}")
+            if os.path.getmtime(cpath) * 1000 < wall_ms - ttl_ms:
+                os.remove(cpath)
     consumers = list_lake_consumers(table_path)
     if consumers:
         cutoff = min(cutoff, min(consumers.values()))
@@ -4922,6 +4973,7 @@ def compact_lake_auto(
     table_path: str,
     trigger: Optional[int] = None,
     min_file_num: Optional[int] = None,
+    full_compaction_delta_commits: Optional[int] = None,
 ) -> Optional[int]:
     """TRIGGER-BASED compaction — Paimon's continuous-maintenance shape
     (the JVM writer's ``num-sorted-run.compaction-trigger``, default 5;
@@ -4934,8 +4986,46 @@ def compact_lake_auto(
     writes. At 100 TB this is the only viable compaction cadence: the
     maintenance job rewrites the hot buckets, never the lake. Returns
     the COMPACT snapshot id, or None when nothing triggers (real
-    Paimon's no-op, not an error)."""
+    Paimon's no-op, not an error).
+
+    ``full-compaction.delta-commits`` (option or argument): once that
+    many commits have landed since the last COMPACT snapshot, a FULL
+    compaction of the whole lake runs regardless of per-group run
+    counts — Paimon's periodic-full-compaction cadence, the knob that
+    keeps ``changelog-producer=full-compaction`` lakes emitting their
+    changelog on a bounded schedule."""
+    import os as _os
+
+    from paimon_python_spark.paimon_import import (
+        latest_paimon_snapshot_id,
+        read_paimon_snapshot,
+    )
+
     info = read_paimon_schema(table_path)
+    fc_delta = (
+        full_compaction_delta_commits
+        if full_compaction_delta_commits is not None
+        else info.options.get("full-compaction.delta-commits")
+    )
+    if fc_delta is not None:
+        latest = latest_paimon_snapshot_id(table_path)
+        sdir = _os.path.join(table_path, "snapshot")
+        last_compact = 0
+        for sid in range(latest, 0, -1):
+            if not _os.path.exists(_os.path.join(sdir, f"snapshot-{sid}")):
+                break  # expired history: treat older ids as unknown
+            if (
+                str(
+                    read_paimon_snapshot(table_path, sid).get(
+                        "commitKind", "APPEND"
+                    )
+                ).upper()
+                == "COMPACT"
+            ):
+                last_compact = sid
+                break
+        if latest - last_compact >= int(fc_delta):
+            return compact_lake(table_path)
     before = plan_paimon_files(table_path)
     pkeys = list(info.partition_keys)
     groups: dict = {}

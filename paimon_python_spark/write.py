@@ -79,6 +79,48 @@ ROWKIND_UPDATE_AFTER = 2  # +U
 ROWKIND_DELETE = 3  # -D
 ADD_KINDS = (ROWKIND_INSERT, ROWKIND_UPDATE_AFTER)
 
+#: Paimon RowKind.shortString() → byte value (RowKind.java, public API)
+ROWKIND_SHORT_STRINGS = {"+I": 0, "-U": 1, "+U": 2, "-D": 3}
+
+
+def rowkind_field_expr(df: DataFrame, field: str):
+    """Row-kind Column derived from a USER column per the table option
+    ``rowkind.field`` (Paimon's RowKindGenerator): a STRING column
+    carries the short strings ``+I``/``-U``/``+U``/``-D``, an integer
+    column the byte values 0-3; null or any other value raises at
+    execution with the offending value, like the JVM generator. The
+    field is a regular table column — it stays in the written data."""
+    if field not in df.columns:
+        raise ValueError(
+            f"rowkind.field {field!r} is not a column of the input "
+            f"DataFrame ({df.columns})"
+        )
+    dt = df.schema[field].dataType
+    col = F.col(field)
+    if isinstance(dt, T.StringType):
+        expr = F.lit(None).cast("int")
+        for short, code in ROWKIND_SHORT_STRINGS.items():
+            expr = F.when(col == short, F.lit(code)).otherwise(expr)
+    elif isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        expr = F.when(col.cast("int").between(0, 3), col.cast("int"))
+    else:
+        raise ValueError(
+            f"rowkind.field {field!r} must be a string (+I/-U/+U/-D) or "
+            f"integer (0-3) column, got {dt.simpleString()}"
+        )
+    return F.coalesce(
+        expr,
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"rowkind.field {field!r}: invalid row kind "
+                    f"(expect +I/-U/+U/-D or 0-3), got: "
+                ),
+                F.coalesce(col.cast("string"), F.lit("NULL")),
+            )
+        ).cast("int"),
+    )
+
 
 def zorder_cluster(df: DataFrame, cols: List[str], bits: int = 6) -> DataFrame:
     """Multi-dimension clustering (write.zorder-columns, sort compaction):
@@ -396,6 +438,11 @@ class BatchTableWrite:
         df = spark.createDataFrame(
             table, schema=self._physical_schema() if self.schema.is_primary_key_table() else self.schema.spark_schema
         )
+        rk_field = self.schema.options.get("rowkind.field")
+        if rk_field and self.schema.is_primary_key_table():
+            # arrow/pandas ingestion honors rowkind.field too — the JVM
+            # writer derives kinds from the column regardless of API
+            df = df.withColumn(KIND_COL, rowkind_field_expr(df, rk_field))
         # driver-provided batch: keep one output file per partition/bucket
         # (the LSM "one sorted run per commit" analogue) instead of one
         # per default parallelism slice.
@@ -406,13 +453,24 @@ class BatchTableWrite:
 
         ``row_kind_col`` names an int column holding RowKind values
         (0/1/2/3) to support changelog ingestion (deletes/updates); rows
-        are inserts otherwise.
+        are inserts otherwise. Without it, a declared ``rowkind.field``
+        table option derives the kind from that USER column (Paimon's
+        RowKindGenerator: +I/-U/+U/-D strings or 0-3 byte values) —
+        the column is part of the table and stays in the data.
         """
-        kind = (
-            F.col(row_kind_col).cast("int")
-            if row_kind_col
-            else F.lit(ROWKIND_INSERT).cast("int")
+        rk_field = (
+            self.schema.options.get("rowkind.field")
+            if row_kind_col is None and self.schema.is_primary_key_table()
+            else None
         )
+        if rk_field:
+            kind = rowkind_field_expr(df, rk_field)
+        else:
+            kind = (
+                F.col(row_kind_col).cast("int")
+                if row_kind_col
+                else F.lit(ROWKIND_INSERT).cast("int")
+            )
         data_cols = [f.name for f in df.schema.fields if f.name != row_kind_col]
         check_write_schema_compatible(
             self.schema.spark_schema,
