@@ -296,13 +296,18 @@ def _scalar_expr(schema, c, fn, order, add_k, ret_k, ignore_ret):
         return F.max(addcol.cast("boolean"))
     if fn == "listagg":
         delim = schema.options.get(f"fields.{c}.list-agg-delimiter", ",")
-        return F.concat_ws(
+        joined = F.concat_ws(
             delim,
             F.array_sort(
                 F.collect_list(
                     F.when(add_k, F.struct(order.alias("o"), col.alias("v")))
                 )
             ).getField("v"),
+        )
+        # Paimon's FieldListaggAgg keeps a NULL accumulator until the
+        # first non-null value — all-null inputs merge to NULL, not ''
+        return F.when(
+            F.max(F.when(add_k & col.isNotNull(), F.lit(1))) == 1, joined
         )
     raise ValueError(f"not a scalar aggregate function: {fn!r}")
 
@@ -434,8 +439,14 @@ def field_agg_plan(schema, value_cols, seq_col, kind_col):
             # the fold's init value already pins the container type;
             # an outer cast can FAIL on nullability (e.g. the declared
             # map has valueContainsNull=false but map_concat yields
-            # nullable values — Spark refuses that cast outright)
-            pass
+            # nullable values — Spark refuses that cast outright).
+            # NULL-accumulator parity: Paimon's container aggs stay
+            # NULL until the first non-null input, so a key whose
+            # inputs are all NULL merges to NULL, not []/{} (the
+            # fold's init leaks otherwise)
+            expr = F.when(
+                F.max(F.when(col.isNotNull(), F.lit(1))) == 1, expr
+            )
         else:
             # pin the declared field dtype (sum(int) would widen to
             # bigint otherwise and drift the table schema)

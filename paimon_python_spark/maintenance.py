@@ -35,15 +35,31 @@ def parse_paimon_duration(value) -> float:
     if not m:
         raise ValueError(f"bad duration {value!r}")
     num, unit = float(m.group(1)), m.group(2)
+    # the full Flink TimeUtils unit vocabulary (singular/plural/long
+    # forms) — a real Paimon table may carry any of them
     ms = {
         "": 1,
         "ms": 1,
+        "milli": 1,
+        "millis": 1,
+        "millisecond": 1,
+        "milliseconds": 1,
         "s": 1000,
         "sec": 1000,
+        "secs": 1000,
+        "second": 1000,
+        "seconds": 1000,
         "m": 60_000,
         "min": 60_000,
+        "mins": 60_000,
+        "minute": 60_000,
+        "minutes": 60_000,
         "h": 3_600_000,
+        "hour": 3_600_000,
+        "hours": 3_600_000,
         "d": 86_400_000,
+        "day": 86_400_000,
+        "days": 86_400_000,
     }.get(unit)
     if ms is None:
         raise ValueError(f"bad duration unit in {value!r}")

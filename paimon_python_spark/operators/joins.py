@@ -71,32 +71,42 @@ def binned_interval_join(
 _LOOKUP_BROADCAST_BYTES = 64 << 20
 
 
+def _table_snapshot_id(dim):
+    """Latest snapshot id of an engine ``Table`` or ``PaimonLakeTable``
+    (None for plain DataFrames / on any metadata error) — the ONE
+    sid-resolution used by both the planner and the streaming cache,
+    so both always compare ids from the same scheme."""
+    try:
+        from paimon_python_spark.paimon_lake import PaimonLakeTable
+
+        if isinstance(dim, PaimonLakeTable):
+            from paimon_python_spark.paimon_import import (
+                latest_paimon_snapshot_id,
+            )
+
+            return latest_paimon_snapshot_id(dim.table_path)
+        from paimon_python_spark.metadata import MetadataStore
+
+        return MetadataStore(dim.table_path).latest_snapshot_id()
+    except Exception:
+        return None
+
+
 def _dim_snapshot_frame(dim, cols):
     """Resolve the dim argument (engine ``Table``, ``PaimonLakeTable``,
     or plain DataFrame) to (projection df, planned bytes or None,
     snapshot id or None)."""
     if hasattr(dim, "new_read_builder"):
+        # sid BEFORE planning: a commit landing between the two reads
+        # then tags NEWER data with an OLDER id, which the cache
+        # over-invalidates on the next join — never serves stale state
+        # (sid-after-plan would under-invalidate indefinitely)
+        sid = _table_snapshot_id(dim)
         rb = dim.new_read_builder()
         if cols is not None:
             rb = rb.with_projection(list(cols))
         splits = rb.new_scan().plan().splits()
         est = sum(s.file_size() for s in splits)
-        sid = None
-        try:
-            from paimon_python_spark.paimon_lake import PaimonLakeTable
-
-            if isinstance(dim, PaimonLakeTable):
-                from paimon_python_spark.paimon_import import (
-                    latest_paimon_snapshot_id,
-                )
-
-                sid = latest_paimon_snapshot_id(dim.table_path)
-            else:
-                from paimon_python_spark.metadata import MetadataStore
-
-                sid = MetadataStore(dim.table_path).latest_snapshot_id()
-        except Exception:
-            sid = None
         return rb.new_read().to_df(splits), est, sid
     df = dim
     if cols is not None:
@@ -185,20 +195,7 @@ class SnapshotCachedLookup:
         self.rebuilds = 0
 
     def _current_sid(self):
-        try:
-            from paimon_python_spark.paimon_lake import PaimonLakeTable
-
-            if isinstance(self.dim, PaimonLakeTable):
-                from paimon_python_spark.paimon_import import (
-                    latest_paimon_snapshot_id,
-                )
-
-                return latest_paimon_snapshot_id(self.dim.table_path)
-            from paimon_python_spark.metadata import MetadataStore
-
-            return MetadataStore(self.dim.table_path).latest_snapshot_id()
-        except Exception:
-            return None
+        return _table_snapshot_id(self.dim)
 
     def _refresh(self):
         dim_keys = (

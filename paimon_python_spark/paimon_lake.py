@@ -5009,21 +5009,31 @@ def compact_lake_auto(
     )
     if fc_delta is not None:
         latest = latest_paimon_snapshot_id(table_path)
-        sdir = _os.path.join(table_path, "snapshot")
-        last_compact = 0
-        for sid in range(latest, 0, -1):
-            if not _os.path.exists(_os.path.join(sdir, f"snapshot-{sid}")):
-                break  # expired history: treat older ids as unknown
-            if (
-                str(
-                    read_paimon_snapshot(table_path, sid).get(
-                        "commitKind", "APPEND"
-                    )
-                ).upper()
-                == "COMPACT"
-            ):
-                last_compact = sid
-                break
+        # the FULL-compaction marker is the cadence baseline — partial
+        # trigger-based compacts also commit COMPACT snapshots and must
+        # not reset the count (they would starve the periodic FULL).
+        # Markerless lakes (JVM-written, or pre-marker engine history)
+        # fall back to the newest COMPACT snapshot: conservative, and
+        # self-correcting after the first full compaction here.
+        last_compact = _read_full_compaction_marker(table_path)
+        if last_compact is None:
+            sdir = _os.path.join(table_path, "snapshot")
+            last_compact = 0
+            for sid in range(latest, 0, -1):
+                if not _os.path.exists(
+                    _os.path.join(sdir, f"snapshot-{sid}")
+                ):
+                    break  # expired history: treat older ids as unknown
+                if (
+                    str(
+                        read_paimon_snapshot(table_path, sid).get(
+                            "commitKind", "APPEND"
+                        )
+                    ).upper()
+                    == "COMPACT"
+                ):
+                    last_compact = sid
+                    break
         if latest - last_compact >= int(fc_delta):
             return compact_lake(table_path)
     before = plan_paimon_files(table_path)
@@ -5348,7 +5358,7 @@ def compact_lake(
     prev_total = int(
         read_paimon_snapshot(table_path).get("totalRecordCount") or 0
     )
-    return _commit_lake_snapshot(
+    sid = _commit_lake_snapshot(
         table_path,
         info,
         delete_entries + add_entries,
@@ -5358,6 +5368,41 @@ def compact_lake(
         total_record_count=prev_total - sum(e.row_count for e in before) + n_rows,
         changelog_entries=cl_entries,
     )
+    if partition_filter is None and _bucket_groups is None:
+        # whole-lake compaction: record the cadence baseline for
+        # full-compaction.delta-commits (partial/scoped compacts must
+        # NOT reset it — they'd starve the periodic FULL forever)
+        _write_full_compaction_marker(table_path, sid)
+    return sid
+
+
+def _write_full_compaction_marker(table_path: str, snapshot_id: int) -> None:
+    """Engine-private cadence marker: the snapshot id of the last FULL
+    compaction. Real Paimon tracks this inside writer state (the lake
+    format has no field for it — every compaction commits
+    ``commitKind=COMPACT``), so it lives in its own ``compaction/``
+    directory, which JVM readers ignore. Atomic replace."""
+    import json
+    import os
+
+    d = os.path.join(table_path, "compaction")
+    os.makedirs(d, exist_ok=True)
+    path = os.path.join(d, "LAST-FULL-COMPACTION")
+    tmp = f"{path}.tmp"
+    with open(tmp, "w") as f:
+        json.dump({"fullCompactionSnapshotId": int(snapshot_id)}, f)
+    os.replace(tmp, path)
+
+
+def _read_full_compaction_marker(table_path: str) -> Optional[int]:
+    import json
+    import os
+
+    path = os.path.join(table_path, "compaction", "LAST-FULL-COMPACTION")
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return int(json.load(f)["fullCompactionSnapshotId"])
 
 
 def _last_compact_snapshot_id(table_path: str) -> Optional[int]:

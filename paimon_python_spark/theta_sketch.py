@@ -57,6 +57,7 @@ _FLAG_READ_ONLY = 0x02
 _FLAG_EMPTY = 0x04
 _FLAG_COMPACT = 0x08
 _FLAG_ORDERED = 0x10
+_FLAG_SINGLEITEM = 0x20
 
 _C1 = np.uint64(0x87C37B91114253D5)
 _C2 = np.uint64(0x4CF5AD432745937F)
@@ -257,7 +258,23 @@ def deserialize_theta(buf: bytes, *, seed: int = DEFAULT_UPDATE_SEED):
             f"theta seed hash mismatch: sketch {seed_hash:#x} vs "
             f"seed {seed} → {expect:#x}"
         )
-    if flags & _FLAG_EMPTY or pre_longs == 1:
+    if flags & _FLAG_EMPTY:
+        return np.empty(0, dtype=np.uint64), _MAX_THETA, True
+    if pre_longs == 1:
+        # DataSketches SingleItemSketch: preLongs=1, SINGLEITEM flag
+        # (no EMPTY), the one 63-bit hash at byte 8 — a JVM writer's
+        # one-distinct-value compact form. Some historic serializers
+        # omit the flag, so any non-EMPTY preLongs-1 sketch with a
+        # hash long present reads as single-item rather than empty.
+        if len(buf) >= 16:
+            h = np.frombuffer(buf, dtype="<u8", count=1, offset=8).astype(
+                np.uint64
+            )
+            return h, _MAX_THETA, False
+        if flags & _FLAG_SINGLEITEM:
+            raise ValueError(
+                "single-item theta sketch truncated: no hash long"
+            )
         return np.empty(0, dtype=np.uint64), _MAX_THETA, True
     retained = struct.unpack_from("<i", buf, 8)[0]
     if pre_longs >= 3:

@@ -102,7 +102,10 @@ def rowkind_field_expr(df: DataFrame, field: str):
         for short, code in ROWKIND_SHORT_STRINGS.items():
             expr = F.when(col == short, F.lit(code)).otherwise(expr)
     elif isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
-        expr = F.when(col.cast("int").between(0, 3), col.cast("int"))
+        # validate BEFORE casting: a bigint outside int range must hit
+        # the descriptive raise below, not a cast overflow (or, worse,
+        # wrap to a valid kind on a non-ANSI session)
+        expr = F.when(col.between(F.lit(0), F.lit(3)), col.cast("int"))
     else:
         raise ValueError(
             f"rowkind.field {field!r} must be a string (+I/-U/+U/-D) or "

@@ -280,6 +280,38 @@ def test_hll_sketch_union(catalog, spark):
     assert abs(est - 1500) / 1500 < 0.05
 
 
+def test_all_null_inputs_merge_to_null_not_empty(catalog, spark):
+    """Paimon's container/listagg accumulators stay NULL until the
+    first non-null input: a key whose rows are all NULL for the column
+    merges to NULL, not []/{}/'' (the fold-init must not leak)."""
+    st = T.StructType(
+        [
+            T.StructField("k", T.IntegerType(), False),
+            T.StructField("arr", T.ArrayType(T.StringType())),
+            T.StructField("mp", T.MapType(T.StringType(), T.IntegerType())),
+            T.StructField("lg", T.StringType()),
+        ]
+    )
+    t = _agg_table(
+        catalog,
+        "agg_nulls",
+        st,
+        {
+            "fields.arr.aggregate-function": "collect",
+            "fields.mp.aggregate-function": "merge_map",
+            "fields.lg.aggregate-function": "listagg",
+        },
+    )
+    _write(t, [(1, None, None, None), (2, ["x"], {"a": 1}, "s")], st)
+    _write(t, [(1, None, None, None)], st)
+    rows = {r["k"]: r for r in _read(t).collect()}
+    assert rows[1]["arr"] is None
+    assert rows[1]["mp"] is None
+    assert rows[1]["lg"] is None
+    assert rows[2]["arr"] == ["x"] and rows[2]["mp"] == {"a": 1}
+    assert rows[2]["lg"] == "s"
+
+
 def test_theta_sketch_union(catalog):
     """theta_sketch union through the merge engine: shard sketches stay
     exact below k=4096, so the merged estimate equals the true distinct

@@ -25,6 +25,12 @@ HOUR = 3_600_000.0
 
 def test_parse_paimon_duration():
     assert parse_paimon_duration("1 h") == HOUR
+    # Flink TimeUtils long/plural forms a real Paimon table may carry
+    assert parse_paimon_duration("2 hours") == 2 * HOUR
+    assert parse_paimon_duration("7 days") == 7 * 86_400_000
+    assert parse_paimon_duration("1 minute") == 60_000
+    assert parse_paimon_duration("10 seconds") == 10_000
+    assert parse_paimon_duration("5 milliseconds") == 5
     assert parse_paimon_duration("7d") == 7 * 86_400_000
     assert parse_paimon_duration("30 min") == 30 * 60_000
     assert parse_paimon_duration("45 s") == 45_000
@@ -181,3 +187,45 @@ def test_full_compaction_delta_commits(tmp_path, spark):
     for i in range(3):
         write_lake_pk_append(p, spark.createDataFrame([(1, f"w{i}")], "k int, v string"))
     assert compact_lake_auto(p) is not None  # cadence fires again
+
+
+def test_partial_compacts_do_not_reset_full_cadence(tmp_path, spark):
+    """Trigger-based PARTIAL compactions also commit COMPACT snapshots;
+    the full-compaction.delta-commits cadence must count from the last
+    FULL compaction (the engine-private marker), or a busy lake would
+    starve the periodic full forever."""
+    from paimon_python_spark.paimon_import import read_paimon_snapshot
+    from paimon_python_spark.paimon_lake import (
+        _read_full_compaction_marker,
+        compact_lake,
+        compact_lake_auto,
+        create_lake_table,
+        write_lake_pk_append,
+    )
+    from paimon_python_spark.session import set_spark
+
+    set_spark(spark)
+    p = str(tmp_path / "fcdc_partial")
+    create_lake_table(
+        p,
+        [("k", "INT NOT NULL"), ("v", "STRING")],
+        primary_keys=["k"],
+        options={"bucket": "1", "full-compaction.delta-commits": "4"},
+    )
+    write_lake_pk_append(p, spark.createDataFrame([(1, "a")], "k int, v string"))
+    compact_lake(p)  # FULL at snapshot 2 → marker
+    assert _read_full_compaction_marker(p) == 2
+    for i in range(2):
+        write_lake_pk_append(p, spark.createDataFrame([(1, f"b{i}")], "k int, v string"))
+    # run-count trigger fires a PARTIAL compact (snapshot 5): COMPACT
+    # kind, but it must NOT move the cadence baseline
+    sid = compact_lake_auto(p, trigger=2)
+    assert sid is not None
+    assert read_paimon_snapshot(p, sid)["commitKind"] == "COMPACT"
+    assert _read_full_compaction_marker(p) == 2
+    write_lake_pk_append(p, spark.createDataFrame([(1, "c")], "k int, v string"))
+    # latest=6, marker=2 → 4 commits since the FULL → the cadence fires
+    # even with the run trigger out of reach
+    sid2 = compact_lake_auto(p, trigger=99)
+    assert sid2 is not None
+    assert _read_full_compaction_marker(p) == sid2

@@ -88,6 +88,12 @@ def test_invalid_and_null_rowkind_raise(catalog, spark):
     t2, st2 = _pk_table(catalog, "rkf_bad_int", rk_type=T.IntegerType())
     with pytest.raises(Exception, match="invalid row kind"):
         _commit(t2, spark.createDataFrame([(1, "a", 7)], st2))
+    # a bigint far outside int range must hit the SAME descriptive
+    # error (validation happens before any cast — no overflow, no
+    # silent wrap to a valid kind on non-ANSI sessions)
+    t3, st3 = _pk_table(catalog, "rkf_bad_big", rk_type=T.LongType())
+    with pytest.raises(Exception, match="invalid row kind"):
+        _commit(t3, spark.createDataFrame([(1, "a", 2**32)], st3))
 
 
 def test_explicit_row_kind_col_overrides_option(catalog, spark):

@@ -116,6 +116,29 @@ def test_sketch_of_items_strings_and_bytes():
     assert ts.sketch_of_items([]) == ts.sketch_of_longs(np.array([], dtype=np.int64))
 
 
+def test_jvm_single_item_sketch_layout_parses():
+    """DataSketches SingleItemSketch: preLongs=1, SINGLEITEM flag
+    (0x20, no EMPTY), the one hash at byte 8 — a JVM FieldThetaSketchAgg
+    stores one-distinct-value keys this way; it must NOT read as empty."""
+    h = int(ts.hash_longs(np.array([42], dtype=np.int64))[0]) >> 1
+    flags = 0x02 | 0x08 | 0x10 | 0x20  # RO|COMPACT|ORDERED|SINGLEITEM
+    buf = struct.pack("<BBBBBBH", 1, 3, 3, 0, 0, flags, ts.compute_seed_hash())
+    buf += struct.pack("<Q", h)
+    hashes, theta, empty = ts.deserialize_theta(buf)
+    assert not empty
+    assert list(hashes) == [h]
+    assert ts.estimate_theta(buf) == 1.0
+    # and it unions like any sketch
+    u = ts.union_theta([buf, ts.sketch_of_longs(np.array([42, 43]))])
+    assert ts.estimate_theta(u) == 2.0
+    # flag-less historic variant (preLongs=1, not EMPTY, hash present)
+    buf2 = struct.pack(
+        "<BBBBBBH", 1, 3, 3, 0, 0, 0x02 | 0x08 | 0x10, ts.compute_seed_hash()
+    ) + struct.pack("<Q", h)
+    hashes2, _, empty2 = ts.deserialize_theta(buf2)
+    assert not empty2 and list(hashes2) == [h]
+
+
 def test_seed_hash_mismatch_rejected():
     sk = ts.sketch_of_longs(np.arange(5), seed=9001)
     with pytest.raises(ValueError, match="seed hash mismatch"):
