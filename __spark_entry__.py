@@ -6804,6 +6804,64 @@ WHERE o_orderpriority <> '1-URGENT' ORDER BY o_orderkey
 """
 
 
+def paimon_lake_changelog_decouple_roundtrip(spark, sf_dir):
+    """Changelog lifecycle decoupling: with ``changelog.num-retained.*``
+    set, snapshot expiry rewrites each expiring snapshot's changelog as
+    a ``changelog/changelog-<id>`` entry (the Changelog JSON real
+    Paimon writes) whose manifests and files SURVIVE the snapshot's
+    deletion — so after expiring to the newest snapshot, a streaming
+    consumer still replays the FULL history. Three commits partition
+    the orders by status, the lake expires to keep_last_n=1, and the
+    changelog read of the whole (expired) range must equal every order
+    exactly, each as one +I row."""
+    from paimon_python_spark.paimon_lake import (
+        create_lake_table,
+        expire_lake_snapshots,
+        read_lake_incremental,
+        write_lake_pk_append,
+    )
+    from paimon_python_spark.session import set_spark
+
+    set_spark(spark)
+    fixture = _fresh_warehouse("cldecouple") + "/orders_cl"
+    create_lake_table(
+        fixture,
+        [
+            ("o_orderkey", "BIGINT NOT NULL"),
+            ("o_orderstatus", "STRING"),
+            ("o_totalprice", "DOUBLE"),
+        ],
+        primary_keys=["o_orderkey"],
+        options={
+            "bucket": "4",
+            "changelog-producer": "input",
+            "changelog.num-retained.min": "10",
+        },
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("long"),
+        "o_orderstatus",
+        F.col("o_totalprice").cast("double"),
+    )
+    for status in ("F", "O", "P"):
+        write_lake_pk_append(
+            fixture, orders.filter(F.col("o_orderstatus") == status)
+        )
+    res = expire_lake_snapshots(fixture, keep_last_n=1)
+    assert res["snapshots_deleted"] == 2, res
+    return (
+        read_lake_incremental(fixture, 0, 3, use_changelog=True)
+        .select("o_orderkey", "o_orderstatus", "_row_kind")
+        .orderBy("o_orderkey")
+    )
+
+
+PAIMON_LAKE_CHANGELOG_DECOUPLE_SQL = """
+SELECT o_orderkey, o_orderstatus, '+I' AS _row_kind
+FROM orders ORDER BY o_orderkey
+"""
+
+
 def paimon_avro_roundtrip(spark, sf_dir):
     """file.format=avro: distributed write through mapInPandas + the
     engine's pure-Python Avro codec (no spark-avro jar in this env),
@@ -11628,6 +11686,7 @@ _QUERIES: dict[str, Callable] = {
     "paimon_agg_sketch_roundtrip": paimon_agg_sketch_roundtrip,
     "paimon_theta_sketch_roundtrip": paimon_theta_sketch_roundtrip,
     "paimon_rowkind_field_roundtrip": paimon_rowkind_field_roundtrip,
+    "paimon_lake_changelog_decouple_roundtrip": paimon_lake_changelog_decouple_roundtrip,
     "paimon_delete_rows_roundtrip": paimon_delete_rows_roundtrip,
     "paimon_audit_log_roundtrip": paimon_audit_log_roundtrip,
     "paimon_rescale_roundtrip": paimon_rescale_roundtrip,
@@ -11790,6 +11849,7 @@ _ORACLES: dict[str, str] = {
     "paimon_agg_sketch_roundtrip": PAIMON_AGG_SKETCH_SQL,
     "paimon_theta_sketch_roundtrip": PAIMON_THETA_SKETCH_SQL,
     "paimon_rowkind_field_roundtrip": PAIMON_ROWKIND_FIELD_SQL,
+    "paimon_lake_changelog_decouple_roundtrip": PAIMON_LAKE_CHANGELOG_DECOUPLE_SQL,
     "paimon_delete_rows_roundtrip": PAIMON_DELETE_SQL,
     "paimon_audit_log_roundtrip": PAIMON_AUDIT_LOG_SQL,
     "paimon_rescale_roundtrip": PAIMON_RESCALE_SQL,
@@ -11930,6 +11990,7 @@ _GATE_HEAD = [
     "paimon_agg_sketch_roundtrip",
     "paimon_theta_sketch_roundtrip",
     "paimon_rowkind_field_roundtrip",
+    "paimon_lake_changelog_decouple_roundtrip",
     "join_lookup_enrich",
     # round-10 rotation: positions 1-2 are the round-10-NEW queries
     # (verified green via tools/check_oracle.py before promotion);

@@ -2514,13 +2514,18 @@ def plan_paimon_delta(table_path: str, snapshot_id: int) -> List[PaimonFileEntry
     return out
 
 
-def plan_paimon_changelog(table_path: str, snapshot_id: int) -> List[PaimonFileEntry]:
+def plan_paimon_changelog(
+    table_path: str, snapshot_id: int, snap: Optional[dict] = None
+) -> List[PaimonFileEntry]:
     """ADD entries of one snapshot's CHANGELOG manifest list — present
     when the lake's writer runs with a changelog-producer; these files
     carry the -U/+U row pairs a streaming consumer wants, which the
-    delta files alone cannot reconstruct for updates."""
+    delta files alone cannot reconstruct for updates. ``snap`` lets the
+    caller pass an already-loaded snapshot dict (e.g. a decoupled
+    ``changelog/changelog-N`` entry whose snapshot file is gone)."""
     info = read_paimon_schema(table_path)
-    snap = read_paimon_snapshot(table_path, snapshot_id)
+    if snap is None:
+        snap = read_paimon_snapshot(table_path, snapshot_id)
     part_types = [info.spark_schema[k].dataType for k in info.partition_keys]
     out: List[PaimonFileEntry] = []
     lst = snap.get("changelogManifestList")

@@ -1345,10 +1345,23 @@ def read_lake_incremental(
         to_snapshot = latest_paimon_snapshot_id(table_path)
     entries = []
     for sid in range(from_snapshot + 1, to_snapshot + 1):
-        snap = read_paimon_snapshot(table_path, sid)
+        snap, from_cl_dir = _read_snapshot_or_changelog(table_path, sid)
         cl = (
-            plan_paimon_changelog(table_path, sid) if use_changelog else []
+            plan_paimon_changelog(table_path, sid, snap=snap)
+            if use_changelog
+            else []
         )
+        if from_cl_dir:
+            # the snapshot expired; only its decoupled changelog
+            # survives (changelog lifecycle) — delta files are gone
+            if not use_changelog:
+                raise ValueError(
+                    f"snapshot {sid} has expired; its history survives "
+                    f"as a decoupled changelog entry — read with "
+                    f"use_changelog=True"
+                )
+            entries.extend(cl)
+            continue
         if str(snap.get("commitKind", "APPEND")).upper() == "COMPACT":
             # a COMPACT rewrite carries no new rows — EXCEPT its
             # changelog manifests under changelog-producer=
@@ -4195,6 +4208,10 @@ def _lake_snapshot_footprint(table_path: str, snap: dict):
         # standalone file-index extras live and die with their data file
         for x in e.extra_files or []:
             live.add(os.path.join(os.path.dirname(rel), x))
+    # changelog files live and die with the snapshot whose commit wrote
+    # them (unless changelog-lifecycle decoupling pins them — the
+    # expiry path handles that separately)
+    live |= _changelog_files_of(table_path, snap, info, part_types)
     idx = set()
     im = snap.get("indexManifest")
     if im:
@@ -4206,6 +4223,46 @@ def _lake_snapshot_footprint(table_path: str, snap: dict):
         for r in live_index_entries(table_path, snapshot=snap):
             idx.add(os.path.join("index", r["_FILE_NAME"]))
     return lists, manifests, live, idx
+
+
+def _changelog_files_of(table_path: str, snap: dict, info, part_types):
+    """Relative paths of the changelog data files one snapshot's
+    changelogManifestList reaches (empty set when it has none)."""
+    from paimon_python_spark.paimon_import import (
+        read_manifest,
+        read_manifest_list,
+    )
+
+    lst = snap.get("changelogManifestList")
+    files: set = set()
+    if lst:
+        for mname in read_manifest_list(table_path, lst):
+            for e in read_manifest(
+                table_path, mname, part_types, info.partition_keys
+            ):
+                if e.kind == 0:
+                    files.add(e.rel_path(info.partition_keys, part_types))
+    return files
+
+
+def _changelog_footprint(table_path: str, snap: dict):
+    """(manifest-lists, manifests, changelog rel paths) of one
+    snapshot's changelog — the unit pinned by lifecycle decoupling."""
+    from paimon_python_spark.paimon_import import (
+        read_manifest_list,
+        read_paimon_schema as _rps,
+    )
+
+    info = _rps(table_path)
+    part_types = [info.spark_schema[k].dataType for k in info.partition_keys]
+    lst = snap.get("changelogManifestList")
+    lists = {lst} if lst else set()
+    manifests = set()
+    if lst:
+        manifests.update(read_manifest_list(table_path, lst))
+    return lists, manifests, _changelog_files_of(
+        table_path, snap, info, part_types
+    )
 
 
 def _lake_tag_snapshots(table_path: str):
@@ -4222,13 +4279,24 @@ def _lake_tag_snapshots(table_path: str):
     return out
 
 
-def _delete_lake_metadata(table_path: str, snaps: list, kept: list) -> dict:
+def _delete_lake_metadata(
+    table_path: str, snaps: list, kept: list, pin_changelogs: list = ()
+) -> dict:
     """Remove the snapshot files in ``snaps`` plus every manifest /
     manifest list / data file / DV index file REACHABLE ONLY from them
     (``kept`` snapshots — including tags — pin everything they
-    reach). Shared by rollback and expiry; returns deletion counts."""
+    reach). ``pin_changelogs``: snapshots whose CHANGELOG manifests /
+    lists / files must survive the deletion (changelog lifecycle
+    decoupling — they were just rewritten as ``changelog/changelog-N``
+    entries). Shared by rollback and expiry; returns deletion counts."""
     import os
 
+    p_lists, p_mans, p_files = set(), set(), set()
+    for s in pin_changelogs:
+        ls, ms, fs = _changelog_footprint(table_path, s)
+        p_lists |= ls
+        p_mans |= ms
+        p_files |= fs
     k_lists, k_mans, k_live, k_idx = set(), set(), set(), set()
     for s in kept:
         ls, ms, lv, ix = _lake_snapshot_footprint(table_path, s)
@@ -4251,14 +4319,16 @@ def _delete_lake_metadata(table_path: str, snaps: list, kept: list) -> dict:
         return 0
 
     n_files = sum(
-        rm(os.path.join(table_path, rel)) for rel in d_live - k_live
+        rm(os.path.join(table_path, rel)) for rel in d_live - k_live - p_files
     )
     n_files += sum(
         rm(os.path.join(table_path, rel)) for rel in d_idx - k_idx
     )
     n_mans = sum(
         rm(os.path.join(table_path, "manifest", m))
-        for m in (d_mans - k_mans) | (d_lists - k_lists)
+        for m in ((d_mans - k_mans) | (d_lists - k_lists))
+        - p_mans
+        - p_lists
     )
     n_snaps = sum(
         rm(os.path.join(table_path, "snapshot", f"snapshot-{s['id']}"))
@@ -4354,6 +4424,13 @@ def remove_lake_orphan_files(
                 with open(os.path.join(sdir, n)) as f:
                     snaps.append(json.load(f))
     snaps += _lake_tag_snapshots(table_path) + _lake_branch_snapshots(table_path)
+    # decoupled changelog entries pin their changelog manifests/files
+    # exactly like snapshots (changelog lifecycle decoupling)
+    for _clsid in _list_changelog_ids(table_path):
+        with open(
+            os.path.join(table_path, "changelog", f"changelog-{_clsid}")
+        ) as _fcl:
+            snaps.append(json.load(_fcl))
     known_manifests: set = set()
     known_rel: set = set()
     for s in snaps:
@@ -4363,6 +4440,11 @@ def remove_lake_orphan_files(
             s.get("changelogManifestList"),
         ):
             if not lst:
+                continue
+            if not os.path.exists(os.path.join(table_path, "manifest", lst)):
+                # a decoupled changelog entry still references its dead
+                # snapshot's base/delta lists — expiry removed them and
+                # only the changelog list survives
                 continue
             known_manifests.add(lst)
             for m in read_manifest_list(table_path, lst):
@@ -4419,7 +4501,7 @@ def remove_lake_orphan_files(
     # checkpoint-replayed micro-batch would double-commit.
     skip_top = {
         "snapshot", "schema", "tag", "manifest", "index", "branch",
-        "consumer", "streaming",
+        "consumer", "streaming", "changelog", "compaction",
     }
     for dirpath, dirnames, filenames in os.walk(table_path):
         if dirpath == table_path:
@@ -4444,6 +4526,8 @@ _LAKE_RESERVED_DIRS = {
     "branch",
     "consumer",
     "streaming",
+    "changelog",  # decoupled changelog entries + hints
+    "compaction",  # engine-private full-compaction cadence marker
 }
 
 
@@ -4714,7 +4798,182 @@ def expire_lake_snapshots(
         for sid in range(cutoff, latest + 1)
         if os.path.exists(os.path.join(sdir, f"snapshot-{sid}"))
     ] + _lake_tag_snapshots(table_path) + _lake_branch_snapshots(table_path)
-    return _delete_lake_metadata(table_path, doomed, kept)
+    # CHANGELOG LIFECYCLE DECOUPLING (Paimon's changelog.num-retained.*/
+    # changelog.time-retained): when any changelog retention option is
+    # set, an expiring snapshot that carries a changelog is rewritten
+    # as <table>/changelog/changelog-<id> (the Changelog JSON IS the
+    # snapshot JSON, as in real Paimon) and its changelog manifests /
+    # files survive the snapshot's deletion — streaming consumers keep
+    # a longer replayable history than the table keeps snapshots.
+    decoupled = any(
+        k in info.options
+        for k in (
+            "changelog.num-retained.min",
+            "changelog.num-retained.max",
+            "changelog.time-retained",
+        )
+    )
+    pinned = []
+    if decoupled:
+        import json as _json
+
+        cdir_cl = os.path.join(table_path, "changelog")
+        for s in doomed:
+            if not s.get("changelogManifestList"):
+                continue
+            os.makedirs(cdir_cl, exist_ok=True)
+            path = os.path.join(cdir_cl, f"changelog-{s['id']}")
+            tmp = f"{path}.tmp"
+            with open(tmp, "w") as f:
+                _json.dump(s, f)
+            os.replace(tmp, path)
+            pinned.append(s)
+        if pinned:
+            _write_changelog_hints(table_path)
+    out = _delete_lake_metadata(table_path, doomed, kept, pin_changelogs=pinned)
+    if decoupled:
+        out.update(expire_lake_changelogs(table_path, now_ms=wall_ms))
+    return out
+
+
+def _write_changelog_hints(table_path: str) -> None:
+    """Maintain changelog/EARLIEST + LATEST hint files (real Paimon
+    keeps the same hints beside its Changelog entries)."""
+    import os
+
+    cdir = os.path.join(table_path, "changelog")
+    ids = _list_changelog_ids(table_path)
+    if not ids:
+        return
+    with open(os.path.join(cdir, "EARLIEST"), "w") as f:
+        f.write(str(min(ids)))
+    with open(os.path.join(cdir, "LATEST"), "w") as f:
+        f.write(str(max(ids)))
+
+
+def _list_changelog_ids(table_path: str) -> list:
+    import os
+
+    cdir = os.path.join(table_path, "changelog")
+    out = []
+    if os.path.isdir(cdir):
+        for n in os.listdir(cdir):
+            if n.startswith("changelog-") and not n.endswith(".tmp"):
+                try:
+                    out.append(int(n[len("changelog-"):]))
+                except ValueError:
+                    pass
+    return sorted(out)
+
+
+def _read_snapshot_or_changelog(table_path: str, snapshot_id: int):
+    """Snapshot JSON for ``snapshot_id`` → ``(snap, from_changelog)``.
+    Falls back to the decoupled ``changelog/changelog-<id>`` entry when
+    the snapshot itself has expired (changelog lifecycle decoupling)."""
+    import json
+    import os
+
+    from paimon_python_spark.paimon_import import read_paimon_snapshot
+
+    if os.path.exists(
+        os.path.join(table_path, "snapshot", f"snapshot-{snapshot_id}")
+    ):
+        return read_paimon_snapshot(table_path, snapshot_id), False
+    clp = os.path.join(table_path, "changelog", f"changelog-{snapshot_id}")
+    if os.path.exists(clp):
+        with open(clp) as f:
+            return json.load(f), True
+    raise FileNotFoundError(
+        f"snapshot {snapshot_id} of {table_path} has expired and no "
+        f"decoupled changelog entry survives (set changelog.num-retained.* "
+        f"to retain changelog history past snapshot expiry)"
+    )
+
+
+def expire_lake_changelogs(
+    table_path: str, keep_last_n: Optional[int] = None, now_ms=None
+) -> dict:
+    """Expire decoupled ``changelog/changelog-<id>`` entries — the
+    second half of Paimon's changelog lifecycle: changelogs outlive
+    snapshots but not forever. Policy mirrors snapshot expiry:
+    ``keep_last_n``, or the table's ``changelog.num-retained.min``
+    (default 10) / ``changelog.num-retained.max`` /
+    ``changelog.time-retained`` (default: no time bound). Deletes each
+    expired entry's changelog manifests, lists, and files. Returns
+    ``{"changelogs_deleted", "changelog_manifests_deleted",
+    "changelog_files_deleted"}``."""
+    import json
+    import os
+    import time as _time
+
+    from paimon_python_spark.maintenance import (
+        parse_paimon_duration,
+        retention_cutoff,
+    )
+
+    ids = _list_changelog_ids(table_path)
+    zero = {
+        "changelogs_deleted": 0,
+        "changelog_manifests_deleted": 0,
+        "changelog_files_deleted": 0,
+    }
+    if not ids:
+        return zero
+    info = read_paimon_schema(table_path)
+    latest = max(ids)
+    cdir = os.path.join(table_path, "changelog")
+
+    def _load(sid):
+        with open(os.path.join(cdir, f"changelog-{sid}")) as f:
+            return json.load(f)
+
+    if keep_last_n is not None:
+        if keep_last_n < 1:
+            raise ValueError("keep_last_n must be >= 1")
+        cutoff = latest - keep_last_n + 1
+    else:
+        tret = info.options.get("changelog.time-retained")
+        nmax = info.options.get("changelog.num-retained.max")
+        times = {sid: int(_load(sid).get("timeMillis") or 0) for sid in ids}
+        cutoff = retention_cutoff(
+            latest,
+            times,
+            int(info.options.get("changelog.num-retained.min", "10")),
+            int(nmax) if nmax is not None else None,
+            parse_paimon_duration(tret) if tret is not None else float("inf"),
+            now_ms if now_ms is not None else _time.time() * 1000,
+        )
+    doomed = [sid for sid in ids if sid < cutoff]
+    if not doomed:
+        return zero
+    kept_snaps = [_load(sid) for sid in ids if sid >= cutoff]
+    k_lists, k_mans, k_files = set(), set(), set()
+    for s in kept_snaps:
+        ls, ms, fs = _changelog_footprint(table_path, s)
+        k_lists |= ls
+        k_mans |= ms
+        k_files |= fs
+    n_m = n_f = 0
+    for sid in doomed:
+        s = _load(sid)
+        ls, ms, fs = _changelog_footprint(table_path, s)
+        for rel in fs - k_files:
+            p = os.path.join(table_path, rel)
+            if os.path.exists(p):
+                os.remove(p)
+                n_f += 1
+        for m in (ms - k_mans) | (ls - k_lists):
+            p = os.path.join(table_path, "manifest", m)
+            if os.path.exists(p):
+                os.remove(p)
+                n_m += 1
+        os.remove(os.path.join(cdir, f"changelog-{sid}"))
+    _write_changelog_hints(table_path)
+    return {
+        "changelogs_deleted": len(doomed),
+        "changelog_manifests_deleted": n_m,
+        "changelog_files_deleted": n_f,
+    }
 
 
 def drop_lake_partitions(table_path: str, predicate: Predicate) -> dict:
