@@ -433,10 +433,22 @@ class PaimonLakeStreamReader(DataSourceStreamReader):
                     # (or silently disable) the expiry guard
         return min(ids) if ids else 0
 
+    def _changelog_ids(self) -> list:
+        from paimon_python_spark.paimon_lake import _list_changelog_ids
+
+        return _list_changelog_ids(self.table_path)
+
     def initialOffset(self) -> dict:
         earliest = self._earliest()
         if earliest > 1:
             if self.info.primary_keys:
+                # CHANGELOG LIFECYCLE DECOUPLING: expired snapshots may
+                # survive as changelog/changelog-<id> entries — replay
+                # starts at the earliest one (ids missing from the dir
+                # carried no changelog, so the replay is complete)
+                cl_ids = self._changelog_ids() if self.changelog else []
+                if cl_ids and min(cl_ids) < earliest:
+                    return {"snapshot": min(cl_ids) - 1}
                 # a changelog replay must see every commit's kinds in
                 # order; the earliest surviving FULL state interleaves
                 # superseded versions with no commit boundary — refuse
@@ -445,7 +457,9 @@ class PaimonLakeStreamReader(DataSourceStreamReader):
                     "paimon_lake streaming source: PK changelog stream "
                     f"cannot bootstrap from expired history (earliest "
                     f"surviving snapshot {earliest}); raise snapshot "
-                    "retention or seed the consumer from a batch read"
+                    "retention, set changelog.num-retained.* to decouple "
+                    "changelog history, or seed the consumer from a "
+                    "batch read"
                 )
             # expired history: bootstrap with the earliest surviving
             # snapshot's FULL state (its base manifests still hold every
@@ -494,27 +508,49 @@ class PaimonLakeStreamReader(DataSourceStreamReader):
             delta_from = int(bootstrap)
         elif start["snapshot"] + 1 < self._earliest():
             # a restarted stream whose checkpoint fell behind the
-            # retention window cannot replay the expired deltas —
-            # fail loudly instead of silently dropping rows
-            raise RuntimeError(
-                "paimon_lake streaming source: offset "
-                f"{start['snapshot']} predates the earliest surviving "
-                f"snapshot {self._earliest()} (history expired under "
-                "snapshot.num-retained.max). Restart the stream with a "
-                "fresh checkpoint, or register a consumer / raise "
-                "retention to hold expiry back."
-            )
+            # retention window cannot replay the expired deltas — fail
+            # loudly instead of silently dropping rows. Exception:
+            # decoupled changelog entries still cover the gap.
+            cl_ids = self._changelog_ids() if self.changelog else []
+            if not cl_ids or start["snapshot"] + 1 < min(cl_ids):
+                raise RuntimeError(
+                    "paimon_lake streaming source: offset "
+                    f"{start['snapshot']} predates the earliest surviving "
+                    f"snapshot {self._earliest()} (history expired under "
+                    "snapshot.num-retained.max). Restart the stream with "
+                    "a fresh checkpoint, or register a consumer / raise "
+                    "retention / set changelog.num-retained.* to hold "
+                    "replayable history."
+                )
         for sid in range(delta_from + 1, end["snapshot"] + 1):
-            snap = read_paimon_snapshot(self.table_path, sid)
+            from paimon_python_spark.paimon_lake import (
+                _read_snapshot_or_changelog,
+            )
+
+            try:
+                snap, from_cl_dir = _read_snapshot_or_changelog(
+                    self.table_path, sid
+                )
+            except FileNotFoundError:
+                if self.changelog:
+                    # an expired id with no decoupled entry inside a
+                    # covered range carried no changelog — nothing to
+                    # replay for it
+                    continue
+                raise
             cl = (
-                plan_paimon_changelog(self.table_path, sid)
+                plan_paimon_changelog(self.table_path, sid, snap=snap)
                 if self.changelog
                 else []
             )
-            if str(snap.get("commitKind", "APPEND")).upper() == "COMPACT":
-                # a COMPACT rewrite carries no new rows — EXCEPT its
-                # changelog manifests under full-compaction producers,
-                # which are exactly what a changelog consumer wants
+            if from_cl_dir or str(
+                snap.get("commitKind", "APPEND")
+            ).upper() == "COMPACT":
+                # decoupled entries replay their changelog only (delta
+                # manifests died with the snapshot); a COMPACT rewrite
+                # carries no new rows — EXCEPT its changelog manifests
+                # under full-compaction producers, which are exactly
+                # what a changelog consumer wants
                 entries.extend((e, sid) for e in cl)
                 continue
             entries.extend(

@@ -105,6 +105,44 @@ def test_undecoupled_expiry_deletes_changelog_files(tmp_path, spark):
     assert n_after == 1  # only the kept snapshot's changelog remains
 
 
+def test_streaming_source_bootstraps_from_decoupled_changelog(tmp_path, spark):
+    """A fresh PK changelog stream over a lake whose early snapshots
+    expired must replay the decoupled changelog entries instead of
+    refusing — the decoupling exists exactly for this consumer."""
+    import tempfile
+
+    from paimon_python_spark.lake_datasource import register_lake
+
+    register_lake(spark)
+    p = _mk_lake(tmp_path, spark, "dcl_stream", {"changelog.num-retained.min": "10"})
+    expire_lake_snapshots(p, keep_last_n=1)
+    stream = (
+        spark.readStream.format("paimon_lake")
+        .option("path", p)
+        .option("changelog", "true")
+        .load()
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dcl_stream_out")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="dcl_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.sql(
+        "SELECT k, v, _row_kind FROM dcl_stream_out ORDER BY k"
+    ).collect()
+    assert [(r["k"], r["v"], r["_row_kind"]) for r in out] == [
+        (0, "v0", "+I"),
+        (1, "v1", "+I"),
+        (2, "v2", "+I"),
+    ]
+
+
 def test_time_based_changelog_expiry(tmp_path, spark):
     import time
 
