@@ -294,6 +294,53 @@ def main() -> int:
               "0 walk misses")
     else:
         print("[10] skipped (no spec-format bsi indexes in this snapshot)")
+
+    # [11] decoupled changelog entries: a JVM lake running changelog
+    # lifecycle decoupling keeps changelog/changelog-<id> JSONs whose
+    # manifests/files outlive their snapshots — parse each entry,
+    # decode its changelog manifests, and check every referenced file
+    # exists (BinaryRow partition decode again, on foreign bytes)
+    from paimon_python_spark.paimon_lake import _list_changelog_ids
+
+    cl_ids = _list_changelog_ids(args.table_path)
+    if cl_ids:
+        import json as _json
+
+        from paimon_python_spark.paimon_import import (
+            read_manifest,
+            read_manifest_list,
+        )
+
+        n_cl_files = 0
+        for sid in cl_ids:
+            with open(
+                os.path.join(args.table_path, "changelog", f"changelog-{sid}")
+            ) as f:
+                cs = _json.load(f)
+            lst = cs.get("changelogManifestList")
+            if not lst:
+                print(f"[11] FAIL: changelog-{sid} has no changelogManifestList")
+                return 1
+            for mname in read_manifest_list(args.table_path, lst):
+                for e in read_manifest(
+                    args.table_path, mname, part_types, info.partition_keys
+                ):
+                    if e.kind != 0:
+                        continue
+                    rel = e.rel_path(info.partition_keys, part_types)
+                    if not os.path.exists(os.path.join(args.table_path, rel)):
+                        print(
+                            f"[11] FAIL: changelog-{sid} references missing "
+                            f"file {rel} (partition decode or pinning bug)"
+                        )
+                        return 1
+                    n_cl_files += 1
+        print(
+            f"[11] decoupled changelog parity OK: {len(cl_ids)} entries, "
+            f"{n_cl_files} changelog files present"
+        )
+    else:
+        print("[11] skipped (no decoupled changelog entries)")
     print("ALL CHECKS PASSED against a foreign-written lake")
     return 0
 
