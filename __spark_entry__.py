@@ -4407,6 +4407,98 @@ ORDER BY c_custkey
 """
 
 
+def paimon_lake_format_timetravel_roundtrip(spark, sf_dir):
+    """TIME TRAVEL through the ``format('paimon_lake')`` front door —
+    Paimon's ``scan.snapshot-id`` / ``scan.tag-name`` /
+    ``scan.timestamp-millis`` as data source options (``snapshot-id`` /
+    ``tag`` / ``timestamp-millis``). Three commits: base load (tagged),
+    an upsert, then a DELETE — and the pinned reads must see NEITHER
+    later commit (the DV/delete plan follows the pinned snapshot, not
+    today's). Returns tag read ∪ latest read, labeled; the oracle
+    replays both versions in SQL. Builder twins: with_snapshot /
+    with_tag / with_timestamp (reference scan pins via
+    java_implementation.py:154-184 scan modes)."""
+    from paimon_python_spark.lake_datasource import register_lake
+    from paimon_python_spark.paimon_lake import (
+        PaimonLakeTable,
+        create_lake_tag,
+        create_lake_table,
+        delete_lake_rows,
+        write_lake_pk_append,
+    )
+    from paimon_python_spark.session import set_spark
+
+    set_spark(spark)
+    register_lake(spark)
+    fixture = _fresh_warehouse("lakett") + "/customer_tt"
+    create_lake_table(
+        fixture,
+        [("c_custkey", "BIGINT NOT NULL"), ("c_acctbal", "DOUBLE")],
+        primary_keys=["c_custkey"],
+        options={"bucket": "4"},
+    )
+    src = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 800)
+        .select("c_custkey", "c_acctbal")
+    )
+    write_lake_pk_append(fixture, src)  # snapshot 1
+    create_lake_tag(fixture, "base")
+    write_lake_pk_append(  # snapshot 2: upsert every 5th key
+        fixture,
+        src.filter(F.col("c_custkey") % 5 == 0).withColumn(
+            "c_acctbal", F.round(F.col("c_acctbal") + 500, 2)
+        ),
+    )
+    pb = PaimonLakeTable(fixture).new_read_builder().new_predicate_builder()
+    # snapshot 3: delete every 7th key (predicate trees have no modulo
+    # leaf; the fixture key space is bounded, so IN over 0,7,..,798)
+    delete_lake_rows(
+        fixture, pb.is_in("c_custkey", list(range(0, 801, 7)))
+    )
+
+    def rd(**opts):
+        r = spark.read.format("paimon_lake").option("path", fixture)
+        for k, v in opts.items():
+            r = r.option(k.replace("_", "-"), str(v))
+        return r.load()
+
+    # snapshot-id and tag pins agree bit-for-bit (same snapshot)
+    tagged = rd(tag="base")
+    pinned = rd(snapshot_id=1)
+    latest = rd()
+    return (
+        tagged.select(F.lit("tag").alias("version"), "c_custkey", "c_acctbal")
+        .unionByName(
+            pinned.select(
+                F.lit("snap1").alias("version"), "c_custkey", "c_acctbal"
+            )
+        )
+        .unionByName(
+            latest.select(
+                F.lit("latest").alias("version"), "c_custkey", "c_acctbal"
+            )
+        )
+        .orderBy("version", "c_custkey")
+    )
+
+
+PAIMON_LAKE_FORMAT_TIMETRAVEL_SQL = """
+WITH base AS (
+  SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey <= 800
+)
+SELECT 'latest' AS version, c_custkey,
+       CASE WHEN c_custkey % 5 = 0 THEN round(c_acctbal + 500, 2)
+            ELSE c_acctbal END AS c_acctbal
+FROM base WHERE c_custkey % 7 <> 0
+UNION ALL
+SELECT 'snap1' AS version, c_custkey, c_acctbal FROM base
+UNION ALL
+SELECT 'tag' AS version, c_custkey, c_acctbal FROM base
+ORDER BY version, c_custkey
+"""
+
+
 def paimon_lake_format_dv_roundtrip(spark, sf_dir):
     """``format('paimon_lake')`` over a DV-MARKED, SCHEMA-EVOLVED PK
     lake — the reference's flagship transparent read path through the
@@ -11573,6 +11665,7 @@ _QUERIES: dict[str, Callable] = {
     "paimon_lake_format_dv_roundtrip": paimon_lake_format_dv_roundtrip,
     "paimon_lake_format_write_roundtrip": paimon_lake_format_write_roundtrip,
     "paimon_lake_format_pk_write_roundtrip": paimon_lake_format_pk_write_roundtrip,
+    "paimon_lake_format_timetravel_roundtrip": paimon_lake_format_timetravel_roundtrip,
     "paimon_lake_stream_changelog_roundtrip": paimon_lake_stream_changelog_roundtrip,
     "paimon_lake_manifest_skip_roundtrip": paimon_lake_manifest_skip_roundtrip,
     "ann_ivf_incremental_ingest": ann_ivf_incremental_ingest,
@@ -11946,6 +12039,7 @@ _ORACLES: dict[str, str] = {
     "paimon_lake_format_dv_roundtrip": PAIMON_LAKE_FORMAT_DV_SQL,
     "paimon_lake_format_write_roundtrip": PAIMON_LAKE_FORMAT_WRITE_SQL,
     "paimon_lake_format_pk_write_roundtrip": PAIMON_LAKE_FORMAT_PK_WRITE_SQL,
+    "paimon_lake_format_timetravel_roundtrip": PAIMON_LAKE_FORMAT_TIMETRAVEL_SQL,
     "paimon_lake_stream_changelog_roundtrip": PAIMON_LAKE_STREAM_CHANGELOG_SQL,
     "paimon_lake_manifest_skip_roundtrip": PAIMON_LAKE_MANIFEST_SKIP_SQL,
     "paimon_lake_fullcompact_changelog_roundtrip": PAIMON_LAKE_FULLCOMPACT_CHANGELOG_SQL,
@@ -12001,6 +12095,7 @@ _GATE_HEAD = [
     # keeps the r9 head order (regression rows; union(r1..r9) already
     # covers every registered query).
     "paimon_lake_format_pk_write_roundtrip",
+    "paimon_lake_format_timetravel_roundtrip",
     "paimon_lake_bitmap_index_roundtrip",
     "paimon_lake_bsi_index_roundtrip",
     "paimon_engine_exact_index_roundtrip",

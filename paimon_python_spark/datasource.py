@@ -116,10 +116,23 @@ class _SplitPartition(InputPartition):
 
 
 class PaimonBatchReader(DataSourceReader):
-    def __init__(self, table_path: str, schema, claim_filters: bool = True):
+    def __init__(
+        self,
+        table_path: str,
+        schema,
+        claim_filters: bool = True,
+        snapshot_id=None,
+        tag=None,
+        timestamp_millis=None,
+    ):
         self.table_path = table_path
         self.table_schema = schema
         self._predicate = None
+        # time travel: resolved by the ReadBuilder at plan time
+        # (with_snapshot / with_tag / with_timestamp, table.py)
+        self._tt_snapshot = snapshot_id
+        self._tt_tag = tag
+        self._tt_timestamp = timestamp_millis
         # Spark 4.1 reuses ONE reader instance for all queries over a
         # temp view (and for a .load() DataFrame reused across
         # actions) and only calls pushFilters when the query has
@@ -158,6 +171,12 @@ class PaimonBatchReader(DataSourceReader):
 
         table = Table("ds", self.table_path, self.table_schema)
         rb = table.new_read_builder()
+        if self._tt_tag is not None:
+            rb = rb.with_tag(self._tt_tag)
+        if self._tt_snapshot is not None:
+            rb = rb.with_snapshot(self._tt_snapshot)
+        if self._tt_timestamp is not None:
+            rb = rb.with_timestamp(self._tt_timestamp)
         predicate, self._predicate = self._predicate, None  # consume
         if predicate is not None:
             rb = rb.with_filter(predicate)
@@ -601,6 +620,32 @@ class PaimonSparkDataSource(DataSource):
     def _changelog(self) -> bool:
         return self.options.get("changelog", "false").lower() == "true"
 
+    def _time_travel(self):
+        """``snapshot-id`` / ``tag`` / ``timestamp-millis`` batch read
+        options (at most one) — same surface as format('paimon_lake')."""
+        sid = self.options.get("snapshot-id")
+        tag = self.options.get("tag")
+        ts = self.options.get("timestamp-millis")
+        given = [
+            n
+            for n, v in (
+                ("snapshot-id", sid),
+                ("tag", tag),
+                ("timestamp-millis", ts),
+            )
+            if v is not None
+        ]
+        if len(given) > 1:
+            raise ValueError(
+                "paimon_spark: at most one time-travel option of "
+                f"snapshot-id / tag / timestamp-millis (got {given})"
+            )
+        return (
+            int(sid) if sid is not None else None,
+            tag,
+            int(ts) if ts is not None else None,
+        )
+
     def schema(self):
         spark_schema = _load_schema(self._table_path()).spark_schema
         if self._changelog():
@@ -619,15 +664,35 @@ class PaimonSparkDataSource(DataSource):
             )
         path = self._table_path()
         claim = self.options.get("claim-filters", "true").lower() != "false"
-        return PaimonBatchReader(path, _load_schema(path), claim_filters=claim)
+        sid, tag, ts = self._time_travel()
+        return PaimonBatchReader(
+            path,
+            _load_schema(path),
+            claim_filters=claim,
+            snapshot_id=sid,
+            tag=tag,
+            timestamp_millis=ts,
+        )
 
     def streamReader(self, schema) -> PaimonStreamReader:
+        if any(v is not None for v in self._time_travel()):
+            raise ValueError(
+                "paimon_spark: snapshot-id / tag / timestamp-millis are "
+                "batch read options; streaming start positions come from "
+                "stream_snapshots(...)"
+            )
         path = self._table_path()
         return PaimonStreamReader(
             path, _load_schema(path), changelog=self._changelog()
         )
 
     def writer(self, schema: T.StructType, overwrite: bool) -> PaimonBatchWriter:
+        if any(v is not None for v in self._time_travel()):
+            raise ValueError(
+                "paimon_spark: snapshot-id / tag / timestamp-millis are "
+                "read options — a write always commits past the latest "
+                "snapshot (rewind with rollback_to)"
+            )
         path = self._table_path()
         return PaimonBatchWriter(path, _load_schema(path), overwrite)
 

@@ -48,7 +48,7 @@ from __future__ import annotations
 
 import json
 import os
-from typing import Iterator, List
+from typing import Iterator, List, Optional
 
 from pyspark.sql import types as T
 from pyspark.sql.datasource import (
@@ -88,13 +88,28 @@ def _part_value(info, name, v):
 
 
 class PaimonLakeBatchReader(DataSourceReader):
-    def __init__(self, table_path: str, claim_filters: bool = True):
+    def __init__(
+        self,
+        table_path: str,
+        claim_filters: bool = True,
+        snapshot_id: "Optional[int]" = None,
+        tag: "Optional[str]" = None,
+        timestamp_millis: "Optional[int]" = None,
+    ):
         from paimon_python_spark.paimon_lake import read_paimon_schema
 
         self.table_path = table_path
         self.info = read_paimon_schema(table_path)
         self._predicate = None
         self._claim_filters = claim_filters
+        # time travel (Paimon's scan.snapshot-id / scan.tag-name /
+        # scan.timestamp-millis): resolved by the read builder at plan
+        # time; rows project to the CURRENT schema by field id, the
+        # builder-path contract (with_snapshot / with_tag /
+        # with_timestamp in paimon_lake.py)
+        self._tt_snapshot = snapshot_id
+        self._tt_tag = tag
+        self._tt_timestamp = timestamp_millis
 
     def pushFilters(self, filters):
         from paimon_python_spark.datasource import _filters_to_predicate
@@ -130,15 +145,25 @@ class PaimonLakeBatchReader(DataSourceReader):
         )
 
         info = self.info
+        b = PaimonLakeTable(self.table_path).new_read_builder()
+        if self._tt_tag is not None:
+            b = b.with_tag(self._tt_tag)
+        if self._tt_snapshot is not None:
+            b = b.with_snapshot(self._tt_snapshot)
+        if self._tt_timestamp is not None:
+            b = b.with_timestamp(self._tt_timestamp)
         # DV lakes: per-file (index file, offset, length) triples ride
         # the partition specs; executors decode the roaring bitmaps and
         # drop marked positions BEFORE the merge (the builder path's
-        # contract — apply_lake_dv — without its driver-side join plan)
+        # contract — apply_lake_dv — without its driver-side join plan).
+        # Planned under the SAME snapshot as the file set: a time-travel
+        # read must see that snapshot's marks, not today's.
         dv_by_file = {
             r.data_file_name: [r.index_path, r.offset, r.length]
-            for r in plan_paimon_dv(self.table_path)
+            for r in plan_paimon_dv(
+                self.table_path, b._snapshot_id, snapshot=b._snapshot_dict()
+            )
         }
-        b = PaimonLakeTable(self.table_path).new_read_builder()
         predicate, self._predicate = self._predicate, None  # consume
         if predicate is not None:
             b = b.with_filter(predicate)
@@ -1199,6 +1224,35 @@ class PaimonLakeDataSource(DataSource):
     def _changelog(self) -> bool:
         return self.options.get("changelog", "false").lower() == "true"
 
+    def _time_travel(self):
+        """Parse the batch time-travel options — ``snapshot-id`` /
+        ``tag`` / ``timestamp-millis`` (Paimon's scan.snapshot-id /
+        scan.tag-name / scan.timestamp-millis). At most one may be set.
+        Rows project to the CURRENT schema by field id (the builder
+        contract for with_snapshot/with_tag/with_timestamp)."""
+        sid = self.options.get("snapshot-id")
+        tag = self.options.get("tag")
+        ts = self.options.get("timestamp-millis")
+        given = [
+            n
+            for n, v in (
+                ("snapshot-id", sid),
+                ("tag", tag),
+                ("timestamp-millis", ts),
+            )
+            if v is not None
+        ]
+        if len(given) > 1:
+            raise ValueError(
+                "paimon_lake: at most one time-travel option of "
+                f"snapshot-id / tag / timestamp-millis (got {given})"
+            )
+        return (
+            int(sid) if sid is not None else None,
+            tag,
+            int(ts) if ts is not None else None,
+        )
+
     def schema(self):
         from paimon_python_spark.paimon_lake import read_paimon_schema
 
@@ -1218,14 +1272,33 @@ class PaimonLakeDataSource(DataSource):
                 "batch changelog windows come from read_lake_incremental()"
             )
         claim = self.options.get("claim-filters", "true").lower() != "false"
-        return PaimonLakeBatchReader(self._table_path(), claim_filters=claim)
+        sid, tag, ts = self._time_travel()
+        return PaimonLakeBatchReader(
+            self._table_path(),
+            claim_filters=claim,
+            snapshot_id=sid,
+            tag=tag,
+            timestamp_millis=ts,
+        )
 
     def streamReader(self, schema) -> PaimonLakeStreamReader:
+        if any(v is not None for v in self._time_travel()):
+            raise ValueError(
+                "paimon_lake: snapshot-id / tag / timestamp-millis are "
+                "batch read options; streaming start positions come from "
+                "stream_lake_snapshots(scan_mode=..., starting_timestamp=...)"
+            )
         return PaimonLakeStreamReader(
             self._table_path(), changelog=self._changelog()
         )
 
     def writer(self, schema, overwrite: bool) -> PaimonLakeBatchWriter:
+        if any(v is not None for v in self._time_travel()):
+            raise ValueError(
+                "paimon_lake: snapshot-id / tag / timestamp-millis are "
+                "read options — a write always commits past the latest "
+                "snapshot (rewind with rollback_lake)"
+            )
         return PaimonLakeBatchWriter(self._table_path(), overwrite)
 
 

@@ -1022,3 +1022,123 @@ def test_front_door_pk_write_rolls_at_target_size(tmp_path, spark):
     assert len(_pruned_entries(p, info, rb)) == 1
     out = t.new_read_builder().new_read().to_pandas()
     assert len(out) == 3000 and sorted(out.k) == list(range(3000))
+
+
+def test_lake_datasource_time_travel(tmp_path, spark):
+    """snapshot-id / tag / timestamp-millis batch read options on
+    format('paimon_lake') — resolved by the read builder at plan time,
+    and the DV plan follows the SAME snapshot (a delete committed after
+    the pinned snapshot must not leak into the time-travel read)."""
+    import json
+    import os
+
+    from paimon_python_spark.lake_datasource import register_lake
+    from paimon_python_spark.paimon_lake import (
+        PaimonLakeTable,
+        create_lake_table,
+        create_lake_tag,
+        delete_lake_rows,
+        write_lake_pk_append,
+    )
+
+    register_lake(spark)
+    d = str(tmp_path / "tt")
+    create_lake_table(
+        d,
+        [("k", "BIGINT NOT NULL"), ("v", "DOUBLE")],
+        primary_keys=["k"],
+        options={"bucket": "2"},
+    )
+    df1 = spark.range(10).select(
+        F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")
+    )
+    write_lake_pk_append(d, df1)  # snapshot 1
+    create_lake_tag(d, "v1")
+    write_lake_pk_append(
+        d,
+        spark.range(5).select(
+            F.col("id").alias("k"), (F.col("id") + 100.0).alias("v")
+        ),
+    )  # snapshot 2
+    pb = PaimonLakeTable(d).new_read_builder().new_predicate_builder()
+    delete_lake_rows(d, pb.equal("k", 7))  # snapshot 3: DV delete
+
+    def rows(df):
+        return sorted((r.k, r.v) for r in df.collect())
+
+    def base(**opts):
+        # DataFrameReader.option() mutates the reader — build fresh
+        r = spark.read.format("paimon_lake").option("path", d)
+        for k, v in opts.items():
+            r = r.option(k.replace("_", "-"), v)
+        return r
+
+    v1 = [(i, float(i)) for i in range(10)]
+    latest = [(i, float(i) + 100) for i in range(5)] + [
+        (i, float(i)) for i in (5, 6, 8, 9)
+    ]
+    assert rows(base().load()) == sorted(latest)
+    # snapshot 1 predates both the upsert AND the DV delete of k=7
+    assert rows(base(snapshot_id="1").load()) == v1
+    assert rows(base(tag="v1").load()) == v1
+    t1 = json.load(open(os.path.join(d, "snapshot", "snapshot-1")))[
+        "timeMillis"
+    ]
+    assert rows(base(timestamp_millis=str(t1)).load()) == v1
+    # snapshot 2 sees the upsert but not the delete
+    assert (7.0,) == tuple(
+        r.v
+        for r in base(snapshot_id="2").load().filter("k = 7").collect()
+    )
+    # pushed filters compose with the pinned snapshot
+    assert rows(base(snapshot_id="1").load().filter("k >= 8")) == [
+        (8, 8.0),
+        (9, 9.0),
+    ]
+    # at most one time-travel option
+    with pytest.raises(Exception, match="at most one"):
+        base(snapshot_id="1", tag="v1").load().count()
+    # write/stream refuse time-travel options
+    with pytest.raises(Exception, match="read option"):
+        (
+            spark.range(1)
+            .select(F.col("id").alias("k"), F.lit(0.0).alias("v"))
+            .write.format("paimon_lake")
+            .option("path", d)
+            .option("snapshot-id", "1")
+            .mode("append")
+            .save()
+        )
+
+
+def test_engine_datasource_time_travel(catalog, spark):
+    """Engine twin: the same three options on format('paimon_spark')."""
+    catalog.create_table(
+        "default.ds_tt",
+        Schema(SIMPLE, primary_keys=["f0"], options={"bucket": "2"}),
+        False,
+    )
+    t = catalog.get_table("default.ds_tt")
+    _write(t, pd.DataFrame({"f0": [1, 2, 3], "f1": ["a", "b", "c"]}))
+    t.create_tag("first")
+    _write(t, pd.DataFrame({"f0": [2, 4], "f1": ["B", "d"]}))
+
+    def base(**opts):
+        r = spark.read.format("paimon_spark").option("path", t.table_path)
+        for k, v in opts.items():
+            r = r.option(k.replace("_", "-"), v)
+        return r
+
+    def rows(df):
+        return sorted((r.f0, r.f1) for r in df.collect())
+
+    assert rows(base().load()) == [(1, "a"), (2, "B"), (3, "c"), (4, "d")]
+    old = [(1, "a"), (2, "b"), (3, "c")]
+    assert rows(base(snapshot_id="1").load()) == old
+    assert rows(base(tag="first").load()) == old
+    from paimon_python_spark.metadata import MetadataStore
+
+    t1 = MetadataStore(t.table_path).read_snapshot(1).time_millis
+    assert rows(base(timestamp_millis=str(t1)).load()) == old
+    with pytest.raises(Exception, match="at most one"):
+        base(tag="first", timestamp_millis="1").load().count()
