@@ -7091,6 +7091,84 @@ FROM supplier ORDER BY s_suppkey
 """
 
 
+def paimon_remove_record_on_delete_roundtrip(spark, sf_dir):
+    """``partial-update.remove-record-on-delete`` — Paimon's opt-in for
+    deletes on a partial-update table (the default REFUSES retract
+    records, matching PartialUpdateMergeFunction's contract, JVM-side
+    in the reference): a -D clears the ACCUMULATED record, and a later
+    patch rebuilds the row from scratch — pre-delete column values must
+    stay cleared, not resurface. Three commits: base customer rows,
+    -D for every 6th key, a name-only patch for every 4th key; a key
+    divisible by 12 is deleted THEN rebuilt, so its balance is NULL
+    while its patched name survives."""
+    from paimon_python_spark import Catalog, Schema
+
+    wh = _fresh_warehouse("rrod")
+    cat = Catalog.create({"warehouse": wh})
+    cat.create_database("default", True)
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 600)
+        .select("c_custkey", "c_name", "c_acctbal")
+    )
+    cat.create_table(
+        "default.cust_rrod",
+        Schema(
+            cust.schema,
+            primary_keys=["c_custkey"],
+            options={
+                "bucket": "2",
+                "merge-engine": "partial-update",
+                "partial-update.remove-record-on-delete": "true",
+            },
+        ),
+        False,
+    )
+    t = cat.get_table("default.cust_rrod")
+
+    def commit(df, row_kind_col=None):
+        wb = t.new_batch_write_builder()
+        w, c = wb.new_write(), wb.new_commit()
+        w.write_dataframe(df, row_kind_col=row_kind_col)
+        c.commit(w.prepare_commit())
+        w.close()
+        c.close()
+
+    commit(cust)
+    commit(  # -D clears every 6th key's record
+        cust.filter(F.col("c_custkey") % 6 == 0).select(
+            "c_custkey",
+            F.lit(None).cast("string").alias("c_name"),
+            F.lit(None).cast("double").alias("c_acctbal"),
+            F.lit(3).alias("_kind"),
+        ),
+        row_kind_col="_kind",
+    )
+    commit(  # name-only patch rebuilds every 4th key
+        cust.filter(F.col("c_custkey") % 4 == 0).select(
+            "c_custkey",
+            F.upper(F.col("c_name")).alias("c_name"),
+            F.lit(None).cast("double").alias("c_acctbal"),
+        )
+    )
+    return t.new_read_builder().new_read().to_df().orderBy("c_custkey")
+
+
+PAIMON_REMOVE_RECORD_ON_DELETE_SQL = """
+WITH base AS (
+  SELECT c_custkey, c_name, c_acctbal FROM customer WHERE c_custkey <= 600
+)
+SELECT c_custkey,
+       CASE WHEN c_custkey % 4 = 0 THEN upper(c_name) ELSE c_name END
+         AS c_name,
+       CASE WHEN c_custkey % 6 = 0 THEN NULL ELSE c_acctbal END
+         AS c_acctbal
+FROM base
+WHERE c_custkey % 6 <> 0 OR c_custkey % 12 = 0
+ORDER BY c_custkey
+"""
+
+
 def paimon_sequence_group_roundtrip(spark, sf_dir):
     """partial-update with a sequence-group: s_acctbal versions on
     bal_ver, not on commit order. A LATER commit carrying a LOWER
@@ -11666,6 +11744,7 @@ _QUERIES: dict[str, Callable] = {
     "paimon_lake_format_write_roundtrip": paimon_lake_format_write_roundtrip,
     "paimon_lake_format_pk_write_roundtrip": paimon_lake_format_pk_write_roundtrip,
     "paimon_lake_format_timetravel_roundtrip": paimon_lake_format_timetravel_roundtrip,
+    "paimon_remove_record_on_delete_roundtrip": paimon_remove_record_on_delete_roundtrip,
     "paimon_lake_stream_changelog_roundtrip": paimon_lake_stream_changelog_roundtrip,
     "paimon_lake_manifest_skip_roundtrip": paimon_lake_manifest_skip_roundtrip,
     "ann_ivf_incremental_ingest": ann_ivf_incremental_ingest,
@@ -12040,6 +12119,7 @@ _ORACLES: dict[str, str] = {
     "paimon_lake_format_write_roundtrip": PAIMON_LAKE_FORMAT_WRITE_SQL,
     "paimon_lake_format_pk_write_roundtrip": PAIMON_LAKE_FORMAT_PK_WRITE_SQL,
     "paimon_lake_format_timetravel_roundtrip": PAIMON_LAKE_FORMAT_TIMETRAVEL_SQL,
+    "paimon_remove_record_on_delete_roundtrip": PAIMON_REMOVE_RECORD_ON_DELETE_SQL,
     "paimon_lake_stream_changelog_roundtrip": PAIMON_LAKE_STREAM_CHANGELOG_SQL,
     "paimon_lake_manifest_skip_roundtrip": PAIMON_LAKE_MANIFEST_SKIP_SQL,
     "paimon_lake_fullcompact_changelog_roundtrip": PAIMON_LAKE_FULLCOMPACT_CHANGELOG_SQL,
@@ -12096,6 +12176,7 @@ _GATE_HEAD = [
     # covers every registered query).
     "paimon_lake_format_pk_write_roundtrip",
     "paimon_lake_format_timetravel_roundtrip",
+    "paimon_remove_record_on_delete_roundtrip",
     "paimon_lake_bitmap_index_roundtrip",
     "paimon_lake_bsi_index_roundtrip",
     "paimon_engine_exact_index_roundtrip",

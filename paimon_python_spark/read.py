@@ -40,6 +40,8 @@ from paimon_python_spark.session import get_spark
 from paimon_python_spark.write import (
     ADD_KINDS,
     KIND_COL,
+    ROWKIND_DELETE,
+    ROWKIND_UPDATE_BEFORE,
     SEQ_COL,
 )
 
@@ -443,6 +445,48 @@ def merge_on_read(
                 groups[g] = cols
         col_group = {c: g for g, cols in groups.items() for c in cols}
 
+        # Paimon's delete contract for partial-update: retract records
+        # (-U/-D) are REFUSED unless one of ignore-delete (rows already
+        # filtered above), partial-update.remove-record-on-delete (a -D
+        # clears the accumulated record — later adds rebuild it from
+        # scratch), or a declared sequence-group (group retraction)
+        # opts in. The refusal is a guarded in-plan raise_error, so it
+        # costs one tiny aggregate and only fires when tripped.
+        remove_on_delete = (
+            schema.options.get(
+                "partial-update.remove-record-on-delete", "false"
+            ).lower()
+            == "true"
+        )
+        has_fn_cols = any(
+            schema.options.get(f"fields.{c}.aggregate-function") is not None
+            for c in value_cols
+        )
+        if remove_on_delete and (groups or has_fn_cols):
+            raise ValueError(
+                "partial-update.remove-record-on-delete cannot combine "
+                "with sequence-groups or fields.<c>.aggregate-function "
+                "(their folds are not restartable after a delete); use "
+                "sequence-group retraction or ignore-delete instead"
+            )
+        is_add = F.col(kind_col).isin(*ADD_KINDS)
+        extra_aggs = []
+        if remove_on_delete:
+            # -U still has no defined meaning without a sequence-group
+            viol = F.max(
+                F.when(F.col(kind_col) == ROWKIND_UPDATE_BEFORE, 1).otherwise(0)
+            )
+            extra_aggs.append(
+                F.max(
+                    F.when(F.col(kind_col) == ROWKIND_DELETE, F.col(seq_col))
+                ).alias("__pu_del_seq")
+            )
+        else:
+            viol = F.max(F.when(~is_add, 1).otherwise(0))
+        accepts_retracts = bool(groups)
+        if not accepts_retracts:
+            extra_aggs.append(viol.alias("__pu_viol"))
+
         aggs = [F.max_by(F.col(kind_col), F.col(seq_col)).alias(kind_col)]
         from paimon_python_spark.agg_merge import partial_update_agg_expr
 
@@ -470,15 +514,51 @@ def merge_on_read(
                     col.isNotNull() & g.isNotNull(), F.struct(g, F.col(seq_col))
                 )
                 aggs.append(F.max_by(col, order).alias(c))
+            elif remove_on_delete:
+                # only ADD rows carry values, and a value older than the
+                # last -D was cleared by it — fold the latest non-null
+                # ADD value and its sequence, gate on the delete's
+                # sequence after the aggregate
+                sel = F.when(col.isNotNull() & is_add, F.col(seq_col))
+                aggs.append(F.max_by(col, sel).alias(c))
+                extra_aggs.append(F.max(sel).alias(f"__pu_s_{c}"))
             else:  # default: latest non-null by commit sequence
                 aggs.append(
                     F.max_by(col, F.when(col.isNotNull(), F.col(seq_col))).alias(c)
                 )
+        merged = df.groupBy(*merge_keys).agg(*aggs, *extra_aggs)
+        if not accepts_retracts:
+            what = "-U" if remove_on_delete else "retract (-U/-D)"
+            how = (
+                "declare a sequence-group for the retracted columns"
+                if remove_on_delete
+                else "set ignore-delete, "
+                "partial-update.remove-record-on-delete, or a "
+                "sequence-group"
+            )
+            merged = merged.withColumn(
+                kind_col,
+                F.when(
+                    F.col("__pu_viol") == 1,
+                    F.raise_error(
+                        F.lit(
+                            f"partial-update cannot accept {what} records: "
+                            f"{how}"
+                        )
+                    ).cast("int"),
+                ).otherwise(F.col(kind_col)),
+            )
+        if remove_on_delete:
+            d = F.col("__pu_del_seq")
+            for c in value_cols:
+                merged = merged.withColumn(
+                    c,
+                    F.when(
+                        d.isNull() | (F.col(f"__pu_s_{c}") > d), F.col(c)
+                    ),
+                )
         return (
-            df.groupBy(*merge_keys)
-            .agg(*aggs)
-            .filter(F.col(kind_col).isin(*ADD_KINDS))
-            .select(*out_cols)
+            merged.filter(F.col(kind_col).isin(*ADD_KINDS)).select(*out_cols)
         )
 
     # aggregation: ONE hash aggregate; the full Paimon function surface

@@ -1046,3 +1046,117 @@ def test_index_harvest_distributes_over_executors(catalog):
     assert rb.new_read().to_pandas()["k"].tolist() == [1234]
     rb2 = t.new_read_builder().with_filter(pb.equal("ref", "r01234x"))
     assert rb2.new_scan().plan().splits() == []
+
+
+def test_partial_update_refuses_delete_by_default(catalog):
+    """Paimon's contract: partial-update cannot accept retract records
+    unless ignore-delete / remove-record-on-delete / a sequence-group
+    opts in (PartialUpdateMergeFunction's refusal, JVM-side in the
+    reference)."""
+    t = _mk(catalog, "pu_noopt", {"merge-engine": "partial-update"})
+    _write(t, pd.DataFrame({"k": [1], "a": ["a1"], "b": ["b1"]}))
+    _write(
+        t,
+        pd.DataFrame({"k": [1], "a": [None], "b": [None], "_kind": [3]}),
+        row_kind_col="_kind",
+    )
+    with pytest.raises(Exception, match="cannot accept"):
+        t.new_read_builder().new_read().to_pandas()
+
+
+def test_partial_update_remove_record_on_delete(catalog):
+    """partial-update.remove-record-on-delete: a -D clears the
+    accumulated record; later adds rebuild it from scratch (values
+    patched BEFORE the delete stay cleared)."""
+    t = _mk(
+        catalog,
+        "pu_rrod",
+        {
+            "merge-engine": "partial-update",
+            "partial-update.remove-record-on-delete": "true",
+        },
+    )
+    _write(t, pd.DataFrame({"k": [1, 2, 3], "a": ["a1", "a2", "a3"], "b": ["b1", "b2", "b3"]}))
+    # delete k=1 and k=2; k=3 untouched
+    _write(
+        t,
+        pd.DataFrame({"k": [1, 2], "a": [None, None], "b": [None, None], "_kind": [3, 3]}),
+        row_kind_col="_kind",
+    )
+    # k=1 rebuilt from scratch: only column a patched — b must be NULL,
+    # NOT the pre-delete "b1"
+    _write(t, pd.DataFrame({"k": [1], "a": ["A1"], "b": [None]}))
+    out = (
+        t.new_read_builder()
+        .new_read()
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert out["k"].tolist() == [1, 3]  # k=2 stays deleted
+    assert out["a"].tolist() == ["A1", "a3"]
+    assert out["b"].tolist() == [None, "b3"]
+
+
+def test_partial_update_remove_record_on_delete_refuses_update_before(catalog):
+    t = _mk(
+        catalog,
+        "pu_rrod_u",
+        {
+            "merge-engine": "partial-update",
+            "partial-update.remove-record-on-delete": "true",
+        },
+    )
+    _write(t, pd.DataFrame({"k": [1], "a": ["a1"], "b": ["b1"]}))
+    _write(
+        t,
+        pd.DataFrame({"k": [1], "a": ["a1"], "b": ["b1"], "_kind": [1]}),
+        row_kind_col="_kind",
+    )
+    with pytest.raises(Exception, match="cannot accept -U"):
+        t.new_read_builder().new_read().to_pandas()
+
+
+def test_partial_update_remove_record_on_delete_refuses_groups(catalog):
+    with pytest.raises(ValueError, match="remove-record-on-delete"):
+        t = _mk(
+            catalog,
+            "pu_rrod_g",
+            {
+                "merge-engine": "partial-update",
+                "partial-update.remove-record-on-delete": "true",
+                "fields.b.sequence-group": "a",
+            },
+        )
+        _write(t, pd.DataFrame({"k": [1], "a": ["a1"], "b": ["9"]}))
+        t.new_read_builder().new_read().to_pandas()
+
+
+def test_partial_update_sequence_group_accepts_delete(catalog):
+    """With a sequence-group declared the merge keeps its lenient
+    pre-contract behavior (group retraction territory) — no raise."""
+    schema = pa.schema(
+        [("k", pa.int32()), ("a", pa.string()), ("b", pa.string()), ("ver", pa.int32())]
+    )
+    catalog.create_table(
+        "default.pu_sg_del",
+        Schema(
+            schema,
+            primary_keys=["k"],
+            options={
+                "bucket": "1",
+                "merge-engine": "partial-update",
+                "fields.ver.sequence-group": "a",
+            },
+        ),
+        False,
+    )
+    t = catalog.get_table("default.pu_sg_del")
+    _write(t, pd.DataFrame({"k": [1, 2], "a": ["a1", "a2"], "b": ["b1", "b2"], "ver": [1, 1]}))
+    _write(
+        t,
+        pd.DataFrame({"k": [2], "a": [None], "b": [None], "ver": [None], "_kind": [3]}),
+        row_kind_col="_kind",
+    )
+    out = t.new_read_builder().new_read().to_pandas().sort_values("k")
+    assert out["k"].tolist() == [1]  # latest record for k=2 is the -D
