@@ -115,6 +115,58 @@ class _SplitPartition(InputPartition):
         self.predicate = predicate
 
 
+def _check_ds_merge_supported(schema, fmt: str) -> None:
+    """Driver-side guard shared by both data sources: their PK merges
+    run as an in-task pandas fold, which expresses deduplicate,
+    first-row, and PLAIN partial-update (latest non-null per column).
+    Aggregation and the partial-update extras (sequence-groups,
+    per-field aggregate-function, remove-record-on-delete) need the
+    builder's full merge_on_read dispatch — refuse at plan time with a
+    pointer instead of silently merging with the wrong semantics."""
+    is_pk = (
+        schema.is_primary_key_table()
+        if hasattr(schema, "is_primary_key_table")
+        else bool(schema.primary_keys)
+    )
+    if not is_pk:
+        return
+    opts = schema.options
+    builder = (
+        "Table.new_read_builder()"
+        if fmt == "paimon_spark"
+        else "PaimonLakeTable.new_read_builder()"
+    )
+    engine = opts.get("merge-engine", "deduplicate")
+    if engine == "aggregation":
+        raise RuntimeError(
+            f"{fmt}: merge-engine=aggregation reads are not supported "
+            f"through the data source; use {builder} (full merge-engine "
+            f"dispatch)"
+        )
+    if engine == "partial-update":
+        extras = [
+            o
+            for o in opts
+            if o.startswith("fields.")
+            and (
+                o.endswith(".sequence-group")
+                or o.endswith(".aggregate-function")
+            )
+        ]
+        if (
+            extras
+            or opts.get(
+                "partial-update.remove-record-on-delete", "false"
+            ).lower()
+            == "true"
+        ):
+            raise RuntimeError(
+                f"{fmt}: partial-update with sequence-groups / "
+                f"aggregate-function fields / remove-record-on-delete is "
+                f"not supported through the data source; use {builder}"
+            )
+
+
 class PaimonBatchReader(DataSourceReader):
     def __init__(
         self,
@@ -170,6 +222,7 @@ class PaimonBatchReader(DataSourceReader):
         from paimon_python_spark.table import Table
 
         table = Table("ds", self.table_path, self.table_schema)
+        _check_ds_merge_supported(self.table_schema, "paimon_spark")
         rb = table.new_read_builder()
         if self._tt_tag is not None:
             rb = rb.with_tag(self._tt_tag)
@@ -248,16 +301,63 @@ class PaimonBatchReader(DataSourceReader):
 
         if is_pk:
             # executor-local merge: this partition IS one (partition,
-            # bucket) — all runs for these keys are in hand
+            # bucket) — all runs for these keys are in hand. Engine
+            # dispatch mirrors merge_on_read for the in-task-expressible
+            # engines (anything else was refused at plan time by
+            # _check_ds_merge_supported); a declared sequence.field
+            # (possibly multi-field) orders before the arrival sequence.
             pdf = tbl.to_pandas()
             keys = list(
                 dict.fromkeys(schema.partition_keys + schema.primary_keys)
             )
-            pdf = (
-                pdf.sort_values(SEQ_COL, ascending=False)
-                .drop_duplicates(subset=keys, keep="first")
-            )
-            pdf = pdf[pdf[KIND_COL].isin(ADD_KINDS)]
+            opts = schema.options
+            engine = opts.get("merge-engine", "deduplicate")
+            seq_fields = [
+                c.strip()
+                for c in opts.get("sequence.field", "").split(",")
+                if c.strip()
+            ]
+            order_cols = seq_fields + [SEQ_COL]
+            if opts.get("ignore-delete", "false").lower() == "true":
+                # drops retracts BEFORE the merge: a -D must not shadow
+                # the standing row (read.py's pre-merge filter)
+                pdf = pdf[pdf[KIND_COL].isin(ADD_KINDS)]
+            if engine == "first-row":
+                pdf = pdf.sort_values(
+                    order_cols,
+                    ascending=True,
+                    na_position="first",  # Spark asc = NULLS FIRST
+                    kind="mergesort",
+                ).drop_duplicates(subset=keys, keep="first")
+                pdf = pdf[pdf[KIND_COL].isin(ADD_KINDS)]
+            elif engine == "partial-update":
+                # plain form only (plan-time guard): latest non-null per
+                # column; retracts refuse exactly like merge_on_read
+                if not pdf[KIND_COL].isin(ADD_KINDS).all():
+                    raise ValueError(
+                        "partial-update cannot accept retract (-U/-D) "
+                        "records: set ignore-delete, partial-update."
+                        "remove-record-on-delete, or a sequence-group"
+                    )
+                pdf = pdf.sort_values(
+                    order_cols,
+                    ascending=True,
+                    na_position="first",
+                    kind="mergesort",
+                )
+                pdf = (
+                    pdf.groupby(keys, sort=False, dropna=False)
+                    .last()  # last NON-NULL per column in merge order
+                    .reset_index()
+                )
+            else:  # deduplicate
+                pdf = pdf.sort_values(
+                    order_cols,
+                    ascending=False,
+                    na_position="last",  # Spark desc = NULLS LAST
+                    kind="mergesort",
+                ).drop_duplicates(subset=keys, keep="first")
+                pdf = pdf[pdf[KIND_COL].isin(ADD_KINDS)]
             tbl = pa.Table.from_pandas(
                 pdf[[f.name for f in schema.spark_schema.fields]],
                 schema=logical_pa,
@@ -462,7 +562,7 @@ class PaimonBatchWriter(DataSourceWriter):
         self.schema = schema
         self.overwrite = overwrite
         if schema.file_format() != "parquet":
-            raise NotImplementedError(
+            raise RuntimeError(
                 f"paimon_spark writer: file.format={schema.file_format()!r} "
                 "— use write_dataframe(), which routes avro through the "
                 "engine codec"

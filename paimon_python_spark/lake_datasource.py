@@ -145,6 +145,9 @@ class PaimonLakeBatchReader(DataSourceReader):
         )
 
         info = self.info
+        from paimon_python_spark.datasource import _check_ds_merge_supported
+
+        _check_ds_merge_supported(info, "paimon_lake")
         b = PaimonLakeTable(self.table_path).new_read_builder()
         if self._tt_tag is not None:
             b = b.with_tag(self._tt_tag)
@@ -197,7 +200,7 @@ class PaimonLakeBatchReader(DataSourceReader):
                 # which falls back to its exact key-window merge; the
                 # data source has no window plan to fall back to, so it
                 # refuses rather than OOM a task
-                raise NotImplementedError(
+                raise RuntimeError(
                     "paimon_lake data source: a (partition, bucket) group "
                     f"exceeds bucket-local.max-group-bytes={budget} on disk; "
                     "read via PaimonLakeTable(path).new_read_builder() "
@@ -376,13 +379,50 @@ class PaimonLakeBatchReader(DataSourceReader):
             frames.append(f)
         g = pd.concat(frames, ignore_index=True)
         if spec["kv"]:
-            g = g.sort_values(
-                key_cols + ["_SEQUENCE_NUMBER", "__lvl", "__idx"],
-                ascending=[True] * len(key_cols) + [False, True, False],
-                kind="mergesort",
-            )
-            g = g.drop_duplicates(subset=key_cols, keep="first")
-            g = g[g["_VALUE_KIND"].isin((0, 2))]
+            # merge-engine dispatch for the in-task-expressible engines
+            # (others refused at plan time). Lake writers bake a declared
+            # sequence.field into _SEQUENCE_NUMBER, so the sequence sort
+            # already carries event-time order here.
+            engine = info.options.get("merge-engine", "deduplicate")
+            if info.options.get("ignore-delete", "false").lower() == "true":
+                # retracts drop BEFORE the merge — a -D must not shadow
+                # the standing row (merge_on_read's pre-merge filter)
+                g = g[g["_VALUE_KIND"].isin((0, 2))]
+            if engine == "first-row":
+                g = g.sort_values(
+                    key_cols + ["_SEQUENCE_NUMBER", "__lvl", "__idx"],
+                    ascending=[True] * len(key_cols) + [True, False, True],
+                    kind="mergesort",
+                )
+                g = g.drop_duplicates(subset=key_cols, keep="first")
+                g = g[g["_VALUE_KIND"].isin((0, 2))]
+            elif engine == "partial-update":
+                # plain form only (plan-time guard): latest non-null per
+                # column in merge order; retracts refuse like merge_on_read
+                if not g["_VALUE_KIND"].isin((0, 2)).all():
+                    raise ValueError(
+                        "partial-update cannot accept retract (-U/-D) "
+                        "records: set ignore-delete, partial-update."
+                        "remove-record-on-delete, or a sequence-group"
+                    )
+                g = g.sort_values(
+                    key_cols + ["_SEQUENCE_NUMBER", "__lvl", "__idx"],
+                    ascending=[True] * len(key_cols) + [True, False, True],
+                    kind="mergesort",
+                )
+                g = (
+                    g.groupby(key_cols, sort=False, dropna=False)
+                    .last()  # last NON-NULL per column in merge order
+                    .reset_index()
+                )
+            else:  # deduplicate
+                g = g.sort_values(
+                    key_cols + ["_SEQUENCE_NUMBER", "__lvl", "__idx"],
+                    ascending=[True] * len(key_cols) + [False, True, False],
+                    kind="mergesort",
+                )
+                g = g.drop_duplicates(subset=key_cols, keep="first")
+                g = g[g["_VALUE_KIND"].isin((0, 2))]
         out = pd.DataFrame(index=g.index)
         for f in info.spark_schema.fields:
             if f.name in part_keys:
@@ -431,7 +471,7 @@ class PaimonLakeStreamReader(DataSourceStreamReader):
         self.changelog = changelog
         self.info = read_paimon_schema(table_path)
         if self.info.primary_keys and not changelog:
-            raise NotImplementedError(
+            raise RuntimeError(
                 "paimon_lake streaming source: PK lakes stream changelogs "
                 "— add .option('changelog', 'true') (emits a _row_kind "
                 "column), or use stream_lake_snapshots(path, "
@@ -729,7 +769,7 @@ class PaimonLakeBatchWriter(DataSourceWriter):
         self.is_pk = bool(info.primary_keys)
         fmt = info.options.get("file.format", "parquet")
         if fmt != "parquet":
-            raise NotImplementedError(
+            raise RuntimeError(
                 f"paimon_lake writer: file.format={fmt!r} — use "
                 "write_lake_append()/write_lake_pk_append(), which route "
                 "avro/orc through the engine codecs"

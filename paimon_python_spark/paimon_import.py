@@ -2151,6 +2151,9 @@ def merge_pk_entries_bucket_local(
 
     part_keys = list(info.partition_keys)
     trimmed = [k for k in info.primary_keys if k not in part_keys]
+    ignore_delete = (
+        info.options.get("ignore-delete", "false").lower() == "true"
+    )
     # COLUMN PRUNING pushed into the per-group pyarrow reads — the
     # bucket-local path has no Catalyst scan to prune for it, so the
     # caller passes projection ∪ predicate columns (keys always read:
@@ -2233,6 +2236,11 @@ def merge_pk_entries_bucket_local(
                     f["__idx"] = idx
                     frames.append(f)
                 g = pd.concat(frames, ignore_index=True)
+                if ignore_delete:
+                    # ignore-delete: retracts drop BEFORE the merge so a
+                    # -D can never erase the standing row (read.py's
+                    # pre-merge filter, Paimon's CDC-replay option)
+                    g = g[g["_VALUE_KIND"].isin((0, 2))]
                 # max seq wins; ties: lower level (newer run), then
                 # later commit — mergesort keeps determinism
                 g = g.sort_values(
@@ -2375,6 +2383,10 @@ def merge_paimon_pk_entries(
         )
     )
     raw = raw.join(order_df, "__file_name")
+    if info.options.get("ignore-delete", "false").lower() == "true":
+        # ignore-delete: retracts drop BEFORE the merge so a -D can
+        # never erase the standing row (read.py's pre-merge filter)
+        raw = raw.filter(F.col(KIND_COL).isin(0, 2))
     w = Window.partitionBy(*merge_keys).orderBy(
         F.col(SEQ_COL).desc(), F.col("__level").asc(), F.col("__entry_idx").desc()
     )

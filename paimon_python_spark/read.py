@@ -238,6 +238,10 @@ def _engine_bucket_local_ok(schema, splits) -> bool:
         return False
     if schema.options.get("merge-engine", "deduplicate") != "deduplicate":
         return False
+    if schema.options.get("sequence.field"):
+        # read-side sequence ordering lives in merge_on_read; the
+        # in-task pandas merge sorts by _SEQUENCE_NUMBER only
+        return False
     if int(schema.options.get("bucket-shuffle.salt", "0")) > 1:
         return False
     budget = int(
@@ -391,6 +395,51 @@ def merge_on_read(
         f.name for f in schema.spark_schema.fields if f.name not in merge_keys
     ]
     out_cols = [f.name for f in schema.spark_schema.fields]
+
+    # sequence.field (possibly comma-separated, Paimon's multi-field
+    # form): user columns drive the merge order instead of commit
+    # arrival — a stale CDC update arriving late loses to the newer row
+    # already in the table. Read-side formulation: the ordering value
+    # becomes struct(seq_field..., _SEQUENCE_NUMBER), so the unique
+    # arrival sequence stays as the deterministic tie-break (real
+    # Paimon's UserDefinedSeqComparator falls back the same way). Lake
+    # writers instead bake a single declared field into
+    # _SEQUENCE_NUMBER at write time (paimon_lake.py); for those the
+    # struct is (v, v)-ordered — same order, so applying it here too
+    # is harmless.
+    seq_fields = [
+        c.strip()
+        for c in schema.options.get("sequence.field", "").split(",")
+        if c.strip()
+    ]
+    if seq_fields:
+        missing = [c for c in seq_fields if c not in value_cols]
+        if missing:
+            raise ValueError(
+                f"sequence.field: not value columns: {missing} "
+                f"(primary-key and partition columns cannot be sequence "
+                f"fields)"
+            )
+        if engine == "aggregation":
+            raise ValueError(
+                "sequence.field with merge-engine=aggregation is not "
+                "supported: aggregation folds in sequence order already; "
+                "order per-field with fields.<g>.sequence-group instead"
+            )
+        if engine == "partial-update" and any(
+            schema.options.get(f"fields.{c}.aggregate-function") is not None
+            for c in value_cols
+        ):
+            raise ValueError(
+                "sequence.field with fields.<c>.aggregate-function "
+                "columns is not supported; use fields.<g>.sequence-group "
+                "ordering instead"
+            )
+        df = df.withColumn(
+            "__seq_ord",
+            F.struct(*[F.col(c) for c in seq_fields], F.col(seq_col)),
+        )
+        seq_col = "__seq_ord"
 
     # ignore-delete: -D records are dropped BEFORE merging, so a delete
     # can never erase a key (Paimon's option for replaying CDC streams

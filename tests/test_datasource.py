@@ -1142,3 +1142,155 @@ def test_engine_datasource_time_travel(catalog, spark):
     assert rows(base(timestamp_millis=str(t1)).load()) == old
     with pytest.raises(Exception, match="at most one"):
         base(tag="first", timestamp_millis="1").load().count()
+
+
+def test_datasource_merge_engine_dispatch(catalog, spark, tmp_path):
+    """Both data sources dispatch PK merges by merge-engine in-task
+    (previously dedup-only — a partial-update table read through
+    format(...) silently LOST non-null values from older versions), and
+    refuse the engines the pandas fold cannot express with a pointer at
+    plan time (RuntimeError, not NotImplementedError — Spark treats NIE
+    from partitions() as 'no partitioning' and calls read(None))."""
+    import pandas as _pd
+    import pyarrow as _pa
+
+    from paimon_python_spark.lake_datasource import register_lake
+    from paimon_python_spark.paimon_lake import (
+        create_lake_table,
+        write_lake_pk_append,
+    )
+
+    register_lake(spark)
+    S3 = _pa.schema([("k", _pa.int32()), ("a", _pa.string()), ("b", _pa.string())])
+
+    def mk(name, opts, schema=S3):
+        catalog.create_table(
+            f"default.{name}",
+            Schema(schema, primary_keys=["k"], options={"bucket": "1", **opts}),
+            False,
+        )
+        return catalog.get_table(f"default.{name}")
+
+    def rd(t):
+        return (
+            spark.read.format("paimon_spark")
+            .option("path", t.table_path)
+            .load()
+            .toPandas()
+            .sort_values("k")
+            .values.tolist()
+        )
+
+    # engine partial-update: latest non-null per column
+    t = mk("ds_pu", {"merge-engine": "partial-update"})
+    _write(t, _pd.DataFrame({"k": [1], "a": ["a1"], "b": ["b1"]}))
+    _write(t, _pd.DataFrame({"k": [1], "a": [None], "b": ["B1"]}))
+    assert rd(t) == [[1, "a1", "B1"]]
+
+    # engine first-row: earliest wins
+    t2 = mk("ds_fr", {"merge-engine": "first-row"})
+    _write(t2, _pd.DataFrame({"k": [1], "a": ["first"], "b": ["x"]}))
+    _write(t2, _pd.DataFrame({"k": [1], "a": ["second"], "b": ["y"]}))
+    assert rd(t2) == [[1, "first", "x"]]
+
+    # engine ignore-delete: -D drops BEFORE merge, key survives
+    t3 = mk("ds_igd", {"ignore-delete": "true"})
+    _write(t3, _pd.DataFrame({"k": [1], "a": ["a"], "b": ["A"]}))
+    wb = t3.new_batch_write_builder()
+    w, c = wb.new_write(), wb.new_commit()
+    from pyspark.sql import types as T
+
+    sch = T.StructType(
+        list(t3.schema.spark_schema.fields)
+        + [T.StructField("_kind", T.IntegerType(), False)]
+    )
+    w.write_dataframe(
+        spark.createDataFrame(
+            _pd.DataFrame({"k": [1], "a": ["a"], "b": ["A"], "_kind": [3]}),
+            schema=sch,
+        ),
+        row_kind_col="_kind",
+    )
+    c.commit(w.prepare_commit())
+    w.close()
+    c.close()
+    assert rd(t3) == [[1, "a", "A"]]
+
+    # engine sequence.field: event-time order beats arrival order
+    S4 = _pa.schema([("k", _pa.int32()), ("v", _pa.string()), ("ts", _pa.int64())])
+    t4 = mk("ds_sf", {"sequence.field": "ts"}, S4)
+    _write(t4, _pd.DataFrame({"k": [1], "v": ["newer"], "ts": [2000]}))
+    _write(t4, _pd.DataFrame({"k": [1], "v": ["stale"], "ts": [1000]}))
+    assert rd(t4) == [[1, "newer", 2000]]
+
+    # engine aggregation refuses at plan time with the pointer
+    S5 = _pa.schema([("k", _pa.int32()), ("cnt", _pa.int64())])
+    t5 = mk(
+        "ds_agg",
+        {"merge-engine": "aggregation", "fields.cnt.aggregate-function": "sum"},
+        S5,
+    )
+    _write(t5, _pd.DataFrame({"k": [1], "cnt": [2]}))
+    with pytest.raises(Exception, match="merge-engine=aggregation"):
+        rd(t5)
+
+    # lake partial-update through format('paimon_lake')
+    d = str(tmp_path / "ds_pu_lake")
+    create_lake_table(
+        d,
+        [("k", "INT NOT NULL"), ("a", "STRING"), ("b", "STRING")],
+        primary_keys=["k"],
+        options={"bucket": "1", "merge-engine": "partial-update"},
+    )
+    write_lake_pk_append(
+        d, spark.createDataFrame([(1, "a1", "b1")], "k int, a string, b string")
+    )
+    write_lake_pk_append(
+        d, spark.createDataFrame([(1, None, "B1")], "k int, a string, b string")
+    )
+    assert (
+        spark.read.format("paimon_lake").option("path", d).load().toPandas()
+    ).values.tolist() == [[1, "a1", "B1"]]
+
+    # lake first-row through format('paimon_lake')
+    d2 = str(tmp_path / "ds_fr_lake")
+    create_lake_table(
+        d2,
+        [("k", "INT NOT NULL"), ("v", "STRING")],
+        primary_keys=["k"],
+        options={"bucket": "1", "merge-engine": "first-row"},
+    )
+    write_lake_pk_append(d2, spark.createDataFrame([(1, "first")], "k int, v string"))
+    write_lake_pk_append(d2, spark.createDataFrame([(1, "second")], "k int, v string"))
+    assert (
+        spark.read.format("paimon_lake").option("path", d2).load().toPandas()
+    ).values.tolist() == [[1, "first"]]
+
+
+def test_engine_sequence_field_merge(catalog, spark):
+    """sequence.field on ENGINE tables (read-side: ordering value is
+    struct(seq fields..., arrival seq), so arrival stays the
+    deterministic tie-break) — single field, multi field, and the
+    partial-update composition."""
+    import pyarrow as _pa
+
+    S = _pa.schema(
+        [("k", _pa.int32()), ("v", _pa.string()), ("ts", _pa.int64()), ("ver", _pa.int32())]
+    )
+    catalog.create_table(
+        "default.seqf",
+        Schema(S, primary_keys=["k"], options={"bucket": "2", "sequence.field": "ts,ver"}),
+        False,
+    )
+    t = catalog.get_table("default.seqf")
+    _write(t, pd.DataFrame({"k": [1, 2], "v": ["k1v2", "old"], "ts": [100, 10], "ver": [2, 1]}))
+    _write(t, pd.DataFrame({"k": [1], "v": ["k1v1"], "ts": [100], "ver": [1]}))  # same ts, lower ver
+    _write(t, pd.DataFrame({"k": [1, 2], "v": ["k1old", "new"], "ts": [50, 20], "ver": [9, 1]}))
+    out = (
+        t.new_read_builder().new_read().to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    assert out["v"].tolist() == ["k1v2", "new"]
+    # equal composite -> later arrival wins (deterministic tie-break)
+    _write(t, pd.DataFrame({"k": [2], "v": ["tie2"], "ts": [20], "ver": [1]}))
+    out = t.new_read_builder().new_read().to_pandas().sort_values("k")
+    assert out[out.k == 2]["v"].tolist() == ["tie2"]

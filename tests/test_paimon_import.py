@@ -4595,7 +4595,10 @@ def test_lake_datasource_size_guard(tmp_path, spark):
         p, spark.createDataFrame([(i, f"a{i}") for i in range(20)], "k int, v string")
     )
     reader = PaimonLakeBatchReader(p)
-    with pytest.raises(NotImplementedError, match="max-group-bytes"):
+    # RuntimeError, not NotImplementedError: Spark treats a
+    # NotImplementedError from partitions() as "no partitioning" and
+    # silently falls back to read(None), losing the refusal message
+    with pytest.raises(RuntimeError, match="max-group-bytes"):
         reader.partitions()
 
 
@@ -4987,3 +4990,48 @@ def test_target_file_size_rolls_changelog_files_too(tmp_path, spark):
     assert len(cl) == 2000
     assert sorted(cl.k) == list(range(2000))
     assert set(cl._row_kind) == {"+I"}
+
+
+def test_lake_ignore_delete_all_merge_paths(tmp_path, spark):
+    """``ignore-delete`` on LAKE reads: retracts drop BEFORE the merge
+    on all three execution paths — bucket-local in-task fold, exact
+    key-window merge, and the format('paimon_lake') data source — so a
+    -D record never erases the standing row (previously the option was
+    engine-table-only and a lake -D always deleted)."""
+    from paimon_python_spark.lake_datasource import register_lake
+    from paimon_python_spark.paimon_lake import (
+        PaimonLakeTable,
+        create_lake_table,
+        delete_lake_rows,
+        write_lake_pk_append,
+    )
+
+    register_lake(spark)
+
+    def build(name, opts):
+        d = str(tmp_path / name)
+        create_lake_table(
+            d,
+            [("k", "INT NOT NULL"), ("v", "STRING")],
+            primary_keys=["k"],
+            options={"bucket": "1", "ignore-delete": "true", **opts},
+        )
+        write_lake_pk_append(
+            d, spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+        )
+        pb = PaimonLakeTable(d).new_read_builder().new_predicate_builder()
+        delete_lake_rows(d, pb.equal("k", 1))
+        return d
+
+    d = build("igd_bl", {})  # bucket-local-eligible
+    out = PaimonLakeTable(d).new_read_builder().new_read().to_pandas()
+    assert sorted(out.k.tolist()) == [1, 2]
+    # window path (group-size guard forces the fallback)
+    d2 = build("igd_win", {"bucket-local.max-group-bytes": "1"})
+    out2 = PaimonLakeTable(d2).new_read_builder().new_read().to_pandas()
+    assert sorted(out2.k.tolist()) == [1, 2]
+    # data source in-task merge
+    ds = (
+        spark.read.format("paimon_lake").option("path", d).load().toPandas()
+    )
+    assert sorted(ds.k.tolist()) == [1, 2]
