@@ -7091,6 +7091,63 @@ FROM supplier ORDER BY s_suppkey
 """
 
 
+def paimon_sequence_field_roundtrip(spark, sf_dir):
+    """``sequence.field`` on an ENGINE table, multi-field form
+    (``'o_orderdate,o_orderkey'``): the merge orders by EVENT TIME, not
+    commit arrival — the composite (date, orderkey) is unique per key
+    group, so the expected survivor is exactly the arg-max row however
+    commits interleave. Rows land in two commits split by orderkey
+    parity (each key group's versions straddle the commit boundary),
+    so arrival order disagrees with event order for half the groups.
+    Read-side: ordering value struct(o_orderdate, o_orderkey,
+    _SEQUENCE_NUMBER); oracle is the SQL window arg-max."""
+    from paimon_python_spark import Catalog, Schema
+
+    wh = _fresh_warehouse("seqf")
+    cat = Catalog.create({"warehouse": wh})
+    cat.create_database("default", True)
+    src = _t(spark, sf_dir, "orders").select(
+        (F.col("o_orderkey") % 500).alias("k"),
+        "o_orderkey",
+        "o_orderdate",
+        "o_totalprice",
+    )
+    cat.create_table(
+        "default.orders_seqf",
+        Schema(
+            src.schema,
+            primary_keys=["k"],
+            options={
+                "bucket": "4",
+                "sequence.field": "o_orderdate,o_orderkey",
+            },
+        ),
+        False,
+    )
+    t = cat.get_table("default.orders_seqf")
+    for part in (0, 1):
+        wb = t.new_batch_write_builder()
+        w, c = wb.new_write(), wb.new_commit()
+        w.write_dataframe(src.filter(F.col("o_orderkey") % 2 == part))
+        c.commit(w.prepare_commit())
+        w.close()
+        c.close()
+    return t.new_read_builder().new_read().to_df().orderBy("k")
+
+
+PAIMON_SEQUENCE_FIELD_SQL = """
+SELECT k, o_orderkey, o_orderdate, o_totalprice FROM (
+  SELECT o_orderkey % 500 AS k, o_orderkey, o_orderdate, o_totalprice,
+         row_number() OVER (
+           PARTITION BY o_orderkey % 500
+           ORDER BY o_orderdate DESC, o_orderkey DESC
+         ) AS rn
+  FROM orders
+) WHERE rn = 1
+ORDER BY k
+"""
+
+
 def paimon_remove_record_on_delete_roundtrip(spark, sf_dir):
     """``partial-update.remove-record-on-delete`` — Paimon's opt-in for
     deletes on a partial-update table (the default REFUSES retract
@@ -11745,6 +11802,7 @@ _QUERIES: dict[str, Callable] = {
     "paimon_lake_format_pk_write_roundtrip": paimon_lake_format_pk_write_roundtrip,
     "paimon_lake_format_timetravel_roundtrip": paimon_lake_format_timetravel_roundtrip,
     "paimon_remove_record_on_delete_roundtrip": paimon_remove_record_on_delete_roundtrip,
+    "paimon_sequence_field_roundtrip": paimon_sequence_field_roundtrip,
     "paimon_lake_stream_changelog_roundtrip": paimon_lake_stream_changelog_roundtrip,
     "paimon_lake_manifest_skip_roundtrip": paimon_lake_manifest_skip_roundtrip,
     "ann_ivf_incremental_ingest": ann_ivf_incremental_ingest,
@@ -12120,6 +12178,7 @@ _ORACLES: dict[str, str] = {
     "paimon_lake_format_pk_write_roundtrip": PAIMON_LAKE_FORMAT_PK_WRITE_SQL,
     "paimon_lake_format_timetravel_roundtrip": PAIMON_LAKE_FORMAT_TIMETRAVEL_SQL,
     "paimon_remove_record_on_delete_roundtrip": PAIMON_REMOVE_RECORD_ON_DELETE_SQL,
+    "paimon_sequence_field_roundtrip": PAIMON_SEQUENCE_FIELD_SQL,
     "paimon_lake_stream_changelog_roundtrip": PAIMON_LAKE_STREAM_CHANGELOG_SQL,
     "paimon_lake_manifest_skip_roundtrip": PAIMON_LAKE_MANIFEST_SKIP_SQL,
     "paimon_lake_fullcompact_changelog_roundtrip": PAIMON_LAKE_FULLCOMPACT_CHANGELOG_SQL,
@@ -12177,6 +12236,7 @@ _GATE_HEAD = [
     "paimon_lake_format_pk_write_roundtrip",
     "paimon_lake_format_timetravel_roundtrip",
     "paimon_remove_record_on_delete_roundtrip",
+    "paimon_sequence_field_roundtrip",
     "paimon_lake_bitmap_index_roundtrip",
     "paimon_lake_bsi_index_roundtrip",
     "paimon_engine_exact_index_roundtrip",
