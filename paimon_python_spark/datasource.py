@@ -115,6 +115,46 @@ class _SplitPartition(InputPartition):
         self.predicate = predicate
 
 
+def _parse_scan_start(options):
+    """Streaming start options shared by both sources (Paimon's
+    scan.mode / scan.snapshot-id / scan.timestamp-millis). A bare
+    snapshot-id or timestamp implies its from-* mode, as in Paimon;
+    default (no options) replays from the earliest surviving history.
+    Returns (mode, snapshot_id, timestamp_millis) with mode one of
+    None / 'latest' / 'latest-full'."""
+    mode = options.get("scan.mode")
+    sid = options.get("scan.snapshot-id")
+    ts = options.get("scan.timestamp-millis")
+    if mode is not None and mode not in (
+        "earliest",
+        "latest",
+        "latest-full",
+        "from-snapshot",
+        "from-timestamp",
+    ):
+        raise ValueError(
+            f"scan.mode {mode!r}: one of earliest / latest / "
+            "latest-full / from-snapshot / from-timestamp"
+        )
+    if mode == "from-snapshot" and sid is None:
+        raise ValueError("scan.mode=from-snapshot needs scan.snapshot-id")
+    if mode == "from-timestamp" and ts is None:
+        raise ValueError("scan.mode=from-timestamp needs scan.timestamp-millis")
+    if sid is not None and ts is not None:
+        raise ValueError(
+            "scan.snapshot-id and scan.timestamp-millis are exclusive"
+        )
+    if mode in ("earliest", "from-snapshot", "from-timestamp"):
+        # earliest is the default; the from-* intents are carried by
+        # the positional option itself (bare option implies mode)
+        mode = None
+    return (
+        mode,
+        int(sid) if sid is not None else None,
+        int(ts) if ts is not None else None,
+    )
+
+
 def _check_ds_merge_supported(schema, fmt: str) -> None:
     """Driver-side guard shared by both data sources: their PK merges
     run as an in-task pandas fold, which expresses deduplicate,
@@ -377,7 +417,15 @@ class PaimonStreamReader(DataSourceStreamReader):
     lake_datasource.PaimonLakeStreamReader, including the
     expired-history bootstrap."""
 
-    def __init__(self, table_path: str, schema, changelog: bool = False):
+    def __init__(
+        self,
+        table_path: str,
+        schema,
+        changelog: bool = False,
+        scan_mode=None,
+        scan_snapshot=None,
+        scan_timestamp=None,
+    ):
         self.table_path = table_path
         self.table_schema = schema
         self.changelog = changelog
@@ -389,6 +437,19 @@ class PaimonStreamReader(DataSourceStreamReader):
                 "changelog rows — add .option('changelog', 'true') "
                 "(adds a _row_kind column: +I/-U/+U/-D), or use "
                 "read_incremental() for batch windows"
+            )
+        # start position (scan.mode / scan.snapshot-id /
+        # scan.timestamp-millis): resolved EAGERLY at subscribe time;
+        # restarts resume the checkpoint (see the lake twin)
+        self.scan_mode = scan_mode
+        self.scan_snapshot = scan_snapshot
+        self.scan_timestamp = scan_timestamp
+        if scan_mode == "latest-full" and schema.is_primary_key_table():
+            raise ValueError(
+                "paimon_spark streaming source: scan.mode=latest-full on "
+                "a PK table needs a MERGED full-state first batch, which "
+                "the per-file partition plan cannot express; use a batch "
+                "read + scan.mode=latest"
             )
 
     def _earliest(self) -> int:
@@ -410,7 +471,37 @@ class PaimonStreamReader(DataSourceStreamReader):
                     continue
         return min(ids) if ids else 0
 
+    def _resolved_start(self):
+        """Start-mode resolution (None = the default earliest replay)."""
+        from paimon_python_spark.metadata import MetadataStore
+
+        store = MetadataStore(self.table_path)
+        latest = store.latest_snapshot_id() or 0
+        if self.scan_mode == "latest":
+            return {"snapshot": latest}
+        if self.scan_mode == "latest-full":
+            if latest:
+                return {"snapshot": latest, "bootstrap": latest}
+            return {"snapshot": 0}
+        if self.scan_snapshot is not None:
+            return {"snapshot": max(0, int(self.scan_snapshot) - 1)}
+        if self.scan_timestamp is not None:
+            # offset = newest commit at-or-before ts; the first commit
+            # AFTER ts streams first
+            best = 0
+            for sid in range(1, latest + 1):
+                p = os.path.join(store.snapshot_dir, f"snapshot-{sid}.json")
+                if not os.path.exists(p):
+                    continue
+                if store.read_snapshot(sid).time_millis <= self.scan_timestamp:
+                    best = sid
+            return {"snapshot": best}
+        return None
+
     def initialOffset(self) -> dict:
+        start = self._resolved_start()
+        if start is not None:
+            return start
         earliest = self._earliest()
         if earliest > 1:
             if self.table_schema.is_primary_key_table():
@@ -778,12 +869,18 @@ class PaimonSparkDataSource(DataSource):
         if any(v is not None for v in self._time_travel()):
             raise ValueError(
                 "paimon_spark: snapshot-id / tag / timestamp-millis are "
-                "batch read options; streaming start positions come from "
-                "stream_snapshots(...)"
+                "batch read options; streaming start positions are "
+                "scan.mode / scan.snapshot-id / scan.timestamp-millis"
             )
+        mode, sid, ts = _parse_scan_start(self.options)
         path = self._table_path()
         return PaimonStreamReader(
-            path, _load_schema(path), changelog=self._changelog()
+            path,
+            _load_schema(path),
+            changelog=self._changelog(),
+            scan_mode=mode,
+            scan_snapshot=sid,
+            scan_timestamp=ts,
         )
 
     def writer(self, schema: T.StructType, overwrite: bool) -> PaimonBatchWriter:

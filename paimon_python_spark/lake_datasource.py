@@ -464,7 +464,14 @@ class PaimonLakeStreamReader(DataSourceStreamReader):
     micro-batched. Without the option a PK lake stream refuses (a raw
     -D would resurrect the delete downstream)."""
 
-    def __init__(self, table_path: str, changelog: bool = False):
+    def __init__(
+        self,
+        table_path: str,
+        changelog: bool = False,
+        scan_mode: "Optional[str]" = None,
+        scan_snapshot: "Optional[int]" = None,
+        scan_timestamp: "Optional[int]" = None,
+    ):
         from paimon_python_spark.paimon_lake import read_paimon_schema
 
         self.table_path = table_path
@@ -476,6 +483,21 @@ class PaimonLakeStreamReader(DataSourceStreamReader):
                 "— add .option('changelog', 'true') (emits a _row_kind "
                 "column), or use stream_lake_snapshots(path, "
                 "use_changelog=True)"
+            )
+        # start position (Paimon's scan.mode / scan.snapshot-id /
+        # scan.timestamp-millis): resolved EAGERLY at subscribe time
+        # (initialOffset); a restart resumes from the checkpoint and
+        # never re-resolves, exactly like the builder's
+        # stream_lake_snapshots start modes
+        self.scan_mode = scan_mode
+        self.scan_snapshot = scan_snapshot
+        self.scan_timestamp = scan_timestamp
+        if scan_mode == "latest-full" and self.info.primary_keys:
+            raise RuntimeError(
+                "paimon_lake streaming source: scan.mode=latest-full on a "
+                "PK lake needs a MERGED full-state first batch, which the "
+                "per-file partition plan cannot express; use "
+                "stream_lake_snapshots(scan_mode='latest-full')"
             )
 
     def _earliest(self) -> int:
@@ -503,7 +525,53 @@ class PaimonLakeStreamReader(DataSourceStreamReader):
 
         return _list_changelog_ids(self.table_path)
 
+    def _resolved_start(self) -> "Optional[dict]":
+        """Start-mode resolution (None = the default earliest replay).
+        Runs once at subscribe time; restarts resume the checkpoint."""
+        import json as _json
+
+        latest = self.latestOffset()["snapshot"]
+        if self.scan_mode == "latest":
+            # only commits AFTER subscribe stream
+            return {"snapshot": latest}
+        if self.scan_mode == "latest-full":
+            # first batch = the full current state, then deltas
+            # (append lakes only — the ctor refused PK)
+            if latest:
+                return {"snapshot": latest, "bootstrap": latest}
+            return {"snapshot": 0}
+        if self.scan_snapshot is not None:
+            # from-snapshot: streaming starts AT that commit
+            return {"snapshot": max(0, int(self.scan_snapshot) - 1)}
+        if self.scan_timestamp is not None:
+            # from-timestamp: first commit with timeMillis > ts streams
+            # first — the offset is the newest commit at-or-before ts
+            sdir = os.path.join(self.table_path, "snapshot")
+            best = 0
+            try:
+                names = os.listdir(sdir)
+            except FileNotFoundError:
+                names = []
+            for n in names:
+                if not n.startswith("snapshot-"):
+                    continue
+                try:
+                    with open(os.path.join(sdir, n)) as f:
+                        s = _json.load(f)
+                except (ValueError, OSError):
+                    continue
+                if (
+                    int(s.get("timeMillis") or 0) <= self.scan_timestamp
+                    and int(s["id"]) > best
+                ):
+                    best = int(s["id"])
+            return {"snapshot": best if best else 0}
+        return None
+
     def initialOffset(self) -> dict:
+        start = self._resolved_start()
+        if start is not None:
+            return start
         earliest = self._earliest()
         if earliest > 1:
             if self.info.primary_keys:
@@ -1325,12 +1393,22 @@ class PaimonLakeDataSource(DataSource):
         if any(v is not None for v in self._time_travel()):
             raise ValueError(
                 "paimon_lake: snapshot-id / tag / timestamp-millis are "
-                "batch read options; streaming start positions come from "
-                "stream_lake_snapshots(scan_mode=..., starting_timestamp=...)"
+                "batch read options; streaming start positions are "
+                "scan.mode / scan.snapshot-id / scan.timestamp-millis"
             )
+        mode, sid, ts = self._scan_start()
         return PaimonLakeStreamReader(
-            self._table_path(), changelog=self._changelog()
+            self._table_path(),
+            changelog=self._changelog(),
+            scan_mode=mode,
+            scan_snapshot=sid,
+            scan_timestamp=ts,
         )
+
+    def _scan_start(self):
+        from paimon_python_spark.datasource import _parse_scan_start
+
+        return _parse_scan_start(self.options)
 
     def writer(self, schema, overwrite: bool) -> PaimonLakeBatchWriter:
         if any(v is not None for v in self._time_travel()):

@@ -145,18 +145,40 @@ def read_paimon_schema(table_path: str, schema_id: Optional[int] = None) -> Paim
 
 
 def latest_paimon_snapshot_id(table_path: str) -> int:
+    # the LATEST hint is best-effort, exactly as in real Paimon: a
+    # concurrent committer may be mid-rewrite (empty/partial read) or
+    # the file may vanish between exists() and open() — any failure
+    # falls back to listing the snapshot dir, never raises
     hint = os.path.join(table_path, "snapshot", "LATEST")
-    if os.path.exists(hint):
+    try:
         with open(hint) as f:
             return int(f.read().strip())
+    except (FileNotFoundError, ValueError, OSError):
+        pass
     ids = [
         int(n.split("-")[1])
         for n in os.listdir(os.path.join(table_path, "snapshot"))
-        if n.startswith("snapshot-")
+        if n.startswith("snapshot-") and n.split("-")[1].isdigit()
     ]
     if not ids:
         raise FileNotFoundError(f"no snapshots in {table_path}")
     return max(ids)
+
+
+def write_hint_atomic(path: str, value) -> None:
+    """Write a snapshot-dir hint (LATEST/EARLIEST) atomically: plain
+    open(.., "w") truncates first, so a concurrent reader can observe an
+    EMPTY hint mid-rewrite (seen in practice under streaming commits).
+    Real Paimon's hints are rename-published too; readers additionally
+    treat them as best-effort (latest_paimon_snapshot_id falls back to
+    listing)."""
+    import tempfile as _tf
+
+    d = os.path.dirname(path)
+    fd, tmp = _tf.mkstemp(prefix=".hint-", dir=d)
+    with os.fdopen(fd, "w") as f:
+        f.write(str(value))
+    os.replace(tmp, path)
 
 
 def read_paimon_snapshot(table_path: str, snapshot_id: Optional[int] = None) -> dict:
@@ -1567,8 +1589,7 @@ def write_paimon_table_fixture(
             },
             f,
         )
-    with open(os.path.join(path, "snapshot", "LATEST"), "w") as f:
-        f.write("1")
+    write_hint_atomic(os.path.join(path, "snapshot", "LATEST"), 1)
 
 
 def add_paimon_fixture_schema(
@@ -1829,8 +1850,7 @@ def append_paimon_fixture_snapshot(
             },
             f,
         )
-    with open(os.path.join(path, "snapshot", "LATEST"), "w") as f:
-        f.write(str(new_id))
+    write_hint_atomic(os.path.join(path, "snapshot", "LATEST"), new_id)
     return new_id
 
 

@@ -52,6 +52,7 @@ from paimon_python_spark.paimon_import import (
     plan_paimon_files,
     read_paimon_append_entries,
     read_paimon_schema,
+    write_hint_atomic,
 )
 from paimon_python_spark.predicate import Predicate, PredicateBuilder
 
@@ -2365,8 +2366,9 @@ def _commit_lake_snapshot(
                 continue
             with os.fdopen(fd, "w") as f:
                 json.dump(snap, f)
-            with open(os.path.join(table_path, "snapshot", "LATEST"), "w") as f:
-                f.write(str(new_id))
+            write_hint_atomic(
+                os.path.join(table_path, "snapshot", "LATEST"), new_id
+            )
             # INLINE EXPIRATION (Paimon expires on commit when
             # snapshot.num-retained.max is set): without it a
             # continuously-written lake accretes snapshots + manifests
@@ -4342,8 +4344,7 @@ def _delete_lake_metadata(
         if n.startswith("snapshot-")
     ]
     if remaining:
-        with open(os.path.join(sdir, "EARLIEST"), "w") as f:
-            f.write(str(min(remaining)))
+        write_hint_atomic(os.path.join(sdir, "EARLIEST"), min(remaining))
     return {
         "snapshots_deleted": n_snaps,
         "manifests_deleted": n_mans,
@@ -4381,8 +4382,9 @@ def rollback_lake(table_path: str, snapshot_id: int) -> dict:
         if os.path.exists(os.path.join(table_path, "snapshot", f"snapshot-{sid}"))
     ] + _lake_tag_snapshots(table_path) + _lake_branch_snapshots(table_path)
     out = _delete_lake_metadata(table_path, doomed, kept)
-    with open(os.path.join(table_path, "snapshot", "LATEST"), "w") as f:
-        f.write(str(snapshot_id))
+    write_hint_atomic(
+        os.path.join(table_path, "snapshot", "LATEST"), snapshot_id
+    )
     return out
 
 
@@ -4709,8 +4711,7 @@ def fast_forward_lake_branch(table_path: str, name: str) -> int:
     fd = os.open(spath, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
     with os.fdopen(fd, "w") as f:
         json.dump(snap, f)
-    with open(os.path.join(table_path, "snapshot", "LATEST"), "w") as f:
-        f.write(str(new_id))
+    write_hint_atomic(os.path.join(table_path, "snapshot", "LATEST"), new_id)
     return new_id
 
 
@@ -4845,10 +4846,8 @@ def _write_changelog_hints(table_path: str) -> None:
     ids = _list_changelog_ids(table_path)
     if not ids:
         return
-    with open(os.path.join(cdir, "EARLIEST"), "w") as f:
-        f.write(str(min(ids)))
-    with open(os.path.join(cdir, "LATEST"), "w") as f:
-        f.write(str(max(ids)))
+    write_hint_atomic(os.path.join(cdir, "EARLIEST"), min(ids))
+    write_hint_atomic(os.path.join(cdir, "LATEST"), max(ids))
 
 
 def _list_changelog_ids(table_path: str) -> list:
@@ -6266,7 +6265,6 @@ def delete_lake_rows(table_path: str, predicate: Predicate) -> int:
             continue
         with os.fdopen(fd, "w") as f:
             json.dump(snap, f)
-        with open(os.path.join(sdir, "LATEST"), "w") as f:
-            f.write(str(new_id))
+        write_hint_atomic(os.path.join(sdir, "LATEST"), new_id)
         return new_id
     raise RuntimeError("delete_lake_rows: lost the snapshot race 20 times")

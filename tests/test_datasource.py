@@ -1294,3 +1294,114 @@ def test_engine_sequence_field_merge(catalog, spark):
     _write(t, pd.DataFrame({"k": [2], "v": ["tie2"], "ts": [20], "ver": [1]}))
     out = t.new_read_builder().new_read().to_pandas().sort_values("k")
     assert out[out.k == 2]["v"].tolist() == ["tie2"]
+
+
+def test_stream_start_mode_options(catalog, spark, tmp_path):
+    """Streaming START MODES through the readStream front doors —
+    Paimon's scan.mode / scan.snapshot-id / scan.timestamp-millis as
+    stream options, resolved EAGERLY at subscribe (restarts resume the
+    checkpoint): latest skips history, latest-full bootstraps the full
+    current state (append only), a bare snapshot-id / timestamp-millis
+    implies its from-* mode."""
+    import json
+    import os
+
+    from paimon_python_spark.lake_datasource import register_lake
+    from paimon_python_spark.paimon_lake import (
+        create_lake_table,
+        write_lake_append,
+    )
+
+    register_lake(spark)
+    d = str(tmp_path / "sm")
+    create_lake_table(
+        d, [("k", "INT NOT NULL"), ("v", "STRING")], primary_keys=[], options={}
+    )
+    for i in range(3):
+        write_lake_append(
+            d, spark.createDataFrame([(i, f"v{i}")], "k int, v string")
+        )
+
+    def run(name, **opts):
+        r = spark.readStream.format("paimon_lake").option("path", d)
+        for k, v in opts.items():
+            r = r.option(k, str(v))
+        q = (
+            r.load()
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            write_lake_append(
+                d, spark.createDataFrame([(99, "post")], "k int, v string")
+            )
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return sorted(r.k for r in spark.sql(f"SELECT k FROM {name}").collect())
+
+    assert run("sm_latest", **{"scan.mode": "latest"}) == [99]
+    lf = run("sm_lf", **{"scan.mode": "latest-full"})
+    assert {0, 1, 2}.issubset(set(lf)) and 99 in lf
+    fs = run("sm_fs", **{"scan.snapshot-id": 3})
+    assert 2 in fs and 0 not in fs and 1 not in fs
+    t2 = json.load(open(os.path.join(d, "snapshot", "snapshot-2")))["timeMillis"]
+    ft = run("sm_ft", **{"scan.timestamp-millis": t2})
+    assert 2 in ft and 1 not in ft and 0 not in ft
+    # invalid combos refuse
+    with pytest.raises(Exception, match="exclusive"):
+        run("sm_bad", **{"scan.snapshot-id": 1, "scan.timestamp-millis": 1})
+    with pytest.raises(Exception, match="scan.mode"):
+        run("sm_bad2", **{"scan.mode": "nonsense"})
+
+    # engine twin: latest skips the subscribe-time history
+    catalog.create_table("default.sm_eng", Schema(SIMPLE), False)
+    t = catalog.get_table("default.sm_eng")
+    _write(t, pd.DataFrame({"f0": [1], "f1": ["a"]}))
+    q = (
+        spark.readStream.format("paimon_spark")
+        .option("path", t.table_path)
+        .option("scan.mode", "latest")
+        .load()
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sm_eng_latest")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        _write(t, pd.DataFrame({"f0": [7], "f1": ["new"]}))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = sorted(r.f0 for r in spark.sql("SELECT f0 FROM sm_eng_latest").collect())
+    assert rows == [7]
+
+
+def test_latest_hint_read_is_best_effort(tmp_path, spark):
+    """The snapshot-dir LATEST hint is best-effort (real Paimon): a
+    concurrent committer mid-rewrite can expose an EMPTY hint — the
+    reader must fall back to listing, not crash (seen live under
+    streaming commits before hint writes were made atomic)."""
+    import os
+
+    from paimon_python_spark.paimon_import import latest_paimon_snapshot_id
+    from paimon_python_spark.paimon_lake import (
+        create_lake_table,
+        write_lake_append,
+    )
+
+    d = str(tmp_path / "hint")
+    create_lake_table(d, [("k", "INT NOT NULL")], primary_keys=[], options={})
+    write_lake_append(d, spark.createDataFrame([(1,)], "k int"))
+    write_lake_append(d, spark.createDataFrame([(2,)], "k int"))
+    hint = os.path.join(d, "snapshot", "LATEST")
+    with open(hint, "w") as f:
+        pass  # truncated mid-rewrite
+    assert latest_paimon_snapshot_id(d) == 2
+    with open(hint, "w") as f:
+        f.write("garbage")
+    assert latest_paimon_snapshot_id(d) == 2
