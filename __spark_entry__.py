@@ -11736,6 +11736,87 @@ ORDER BY snapshot_id
 """
 
 
+def paimon_format_system_tables_roundtrip(spark, sf_dir):
+    """SYSTEM TABLES through the ``format(...)`` front doors — Paimon's
+    ``$<name>`` path suffix (``spark.read.format("paimon_lake")
+    .load(f"{path}$snapshots")``), served by the SAME pure metadata
+    walk the builder methods wrap (lake_system_table_data /
+    engine_system_table_data), one partition, no SparkSession in the
+    plan worker. Fixture: a partitioned append lake, two commits + a
+    tag; the result stacks $snapshots, $partitions, and $tags rows as
+    (section, key, val) so one oracle derives all three from the raw
+    nation table."""
+    from paimon_python_spark.lake_datasource import register_lake
+    from paimon_python_spark.paimon_lake import (
+        create_lake_table,
+        create_lake_tag,
+        write_lake_append,
+    )
+    from paimon_python_spark.session import set_spark
+
+    set_spark(spark)
+    register_lake(spark)
+    fixture = _fresh_warehouse("lakesys") + "/nation_sys"
+    create_lake_table(
+        fixture,
+        [
+            ("n_nationkey", "BIGINT NOT NULL"),
+            ("n_name", "STRING"),
+            ("n_regionkey", "BIGINT"),
+        ],
+        partition_keys=["n_regionkey"],
+        options={},
+    )
+    src = _t(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    write_lake_append(fixture, src)  # snapshot 1
+    create_lake_tag(fixture, "base")
+    write_lake_append(fixture, src.filter(F.col("n_regionkey") == 0))  # 2
+
+    def rd(name):
+        return (
+            spark.read.format("paimon_lake").option("path", f"{fixture}${name}")
+        ).load()
+
+    snaps = rd("snapshots").select(
+        F.lit("snapshot").alias("section"),
+        F.col("snapshot_id").cast("string").alias("key"),
+        F.col("delta_record_count").cast("long").alias("val"),
+    )
+    parts = rd("partitions").select(
+        F.lit("partition").alias("section"),
+        F.col("partition").alias("key"),
+        F.col("record_count").cast("long").alias("val"),
+    )
+    tags = rd("tags").select(
+        F.lit("tag").alias("section"),
+        F.col("tag_name").alias("key"),
+        F.col("snapshot_id").cast("long").alias("val"),
+    )
+    return snaps.unionByName(parts).unionByName(tags).orderBy("section", "key")
+
+
+PAIMON_FORMAT_SYSTEM_TABLES_SQL = """
+WITH n AS (SELECT count(*) AS c FROM nation),
+     per AS (SELECT n_regionkey, count(*) AS c FROM nation GROUP BY 1),
+     r0 AS (SELECT c FROM per WHERE n_regionkey = 0)
+SELECT section, key, val FROM (
+  SELECT 'snapshot' AS section, '1' AS key, (SELECT c FROM n) AS val
+  UNION ALL
+  SELECT 'snapshot', '2', (SELECT c FROM r0)
+  UNION ALL
+  SELECT 'partition',
+         '{' || chr(39) || 'n_regionkey' || chr(39) || ': ' || n_regionkey
+             || '}',
+         c + CASE WHEN n_regionkey = 0 THEN c ELSE 0 END
+  FROM per
+  UNION ALL
+  SELECT 'tag', 'base', 1
+) ORDER BY section, key
+"""
+
+
 # Registration order is deliberate: the driver's correctness gate checks the
 # FIRST 50 entries, so the first 50 span every operator family — TPC-H,
 # joins/aggs/windows, sketches, sampling, event-time, dedup (incl. the
@@ -11803,6 +11884,7 @@ _QUERIES: dict[str, Callable] = {
     "paimon_lake_format_timetravel_roundtrip": paimon_lake_format_timetravel_roundtrip,
     "paimon_remove_record_on_delete_roundtrip": paimon_remove_record_on_delete_roundtrip,
     "paimon_sequence_field_roundtrip": paimon_sequence_field_roundtrip,
+    "paimon_format_system_tables_roundtrip": paimon_format_system_tables_roundtrip,
     "paimon_lake_stream_changelog_roundtrip": paimon_lake_stream_changelog_roundtrip,
     "paimon_lake_manifest_skip_roundtrip": paimon_lake_manifest_skip_roundtrip,
     "ann_ivf_incremental_ingest": ann_ivf_incremental_ingest,
@@ -12179,6 +12261,7 @@ _ORACLES: dict[str, str] = {
     "paimon_lake_format_timetravel_roundtrip": PAIMON_LAKE_FORMAT_TIMETRAVEL_SQL,
     "paimon_remove_record_on_delete_roundtrip": PAIMON_REMOVE_RECORD_ON_DELETE_SQL,
     "paimon_sequence_field_roundtrip": PAIMON_SEQUENCE_FIELD_SQL,
+    "paimon_format_system_tables_roundtrip": PAIMON_FORMAT_SYSTEM_TABLES_SQL,
     "paimon_lake_stream_changelog_roundtrip": PAIMON_LAKE_STREAM_CHANGELOG_SQL,
     "paimon_lake_manifest_skip_roundtrip": PAIMON_LAKE_MANIFEST_SKIP_SQL,
     "paimon_lake_fullcompact_changelog_roundtrip": PAIMON_LAKE_FULLCOMPACT_CHANGELOG_SQL,
@@ -12237,6 +12320,7 @@ _GATE_HEAD = [
     "paimon_lake_format_timetravel_roundtrip",
     "paimon_remove_record_on_delete_roundtrip",
     "paimon_sequence_field_roundtrip",
+    "paimon_format_system_tables_roundtrip",
     "paimon_lake_bitmap_index_roundtrip",
     "paimon_lake_bsi_index_roundtrip",
     "paimon_engine_exact_index_roundtrip",

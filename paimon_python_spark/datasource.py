@@ -788,15 +788,39 @@ class PaimonBatchWriter(DataSourceWriter):
                     os.remove(p)
 
 
+class PaimonSystemReader(DataSourceReader):
+    """Reader for ``.load("<table dir>$<system table>")`` — the engine
+    twin of lake_datasource.PaimonLakeSystemReader (same pure metadata
+    walk the Table methods wrap; metadata-sized, one partition)."""
+
+    def __init__(self, table_path: str, name: str, snapshot_id=None):
+        self.table_path = table_path
+        self.sys_name = name
+        self.snapshot_id = snapshot_id
+
+    def partitions(self):
+        return [InputPartition(0)]
+
+    def read(self, partition) -> Iterator:
+        from paimon_python_spark.table import engine_system_table_data
+
+        _, rows = engine_system_table_data(
+            self.table_path, self.sys_name, self.snapshot_id
+        )
+        yield from rows
+
+
 class PaimonSparkDataSource(DataSource):
     """``spark.dataSource.register(PaimonSparkDataSource)`` then
-    ``spark.read.format("paimon_spark").option("path", table_path)``."""
+    ``spark.read.format("paimon_spark").option("path", table_path)``.
+    A ``$<name>`` path suffix serves the system tables
+    (``.load(f"{table_path}$snapshots")`` etc.)."""
 
     @classmethod
     def name(cls) -> str:
         return "paimon_spark"
 
-    def _table_path(self) -> str:
+    def _split_path(self):
         path = self.options.get("path")
         if not path:
             raise ValueError("paimon_spark requires .option('path', <table dir>)")
@@ -806,7 +830,13 @@ class PaimonSparkDataSource(DataSource):
             from urllib.parse import urlparse
 
             path = urlparse(path).path
-        return path
+        if "$" in path:
+            base, sys_name = path.rsplit("$", 1)
+            return base, sys_name
+        return path, None
+
+    def _table_path(self) -> str:
+        return self._split_path()[0]
 
     def _changelog(self) -> bool:
         return self.options.get("changelog", "false").lower() == "true"
@@ -838,7 +868,12 @@ class PaimonSparkDataSource(DataSource):
         )
 
     def schema(self):
-        spark_schema = _load_schema(self._table_path()).spark_schema
+        path, sys_name = self._split_path()
+        if sys_name is not None:
+            from paimon_python_spark.table import engine_system_table_data
+
+            return engine_system_table_data(path, sys_name)[0]
+        spark_schema = _load_schema(path).spark_schema
         if self._changelog():
             # streaming changelog mode: rows carry their RowKind
             return T.StructType(
@@ -847,15 +882,22 @@ class PaimonSparkDataSource(DataSource):
             )
         return spark_schema
 
-    def reader(self, schema: T.StructType) -> PaimonBatchReader:
+    def reader(self, schema: T.StructType):
         if self._changelog():
             raise ValueError(
                 "paimon_spark: option('changelog') applies to readStream; "
                 "batch changelog windows come from read_incremental()"
             )
-        path = self._table_path()
-        claim = self.options.get("claim-filters", "true").lower() != "false"
+        path, sys_name = self._split_path()
         sid, tag, ts = self._time_travel()
+        if sys_name is not None:
+            if tag is not None or ts is not None:
+                raise ValueError(
+                    "paimon_spark system tables time-travel with "
+                    "snapshot-id only"
+                )
+            return PaimonSystemReader(path, sys_name, snapshot_id=sid)
+        claim = self.options.get("claim-filters", "true").lower() != "false"
         return PaimonBatchReader(
             path,
             _load_schema(path),
@@ -866,6 +908,11 @@ class PaimonSparkDataSource(DataSource):
         )
 
     def streamReader(self, schema) -> PaimonStreamReader:
+        if self._split_path()[1] is not None:
+            raise ValueError(
+                "paimon_spark: system tables ($snapshots, $files, ...) "
+                "are batch reads"
+            )
         if any(v is not None for v in self._time_travel()):
             raise ValueError(
                 "paimon_spark: snapshot-id / tag / timestamp-millis are "
@@ -884,6 +931,11 @@ class PaimonSparkDataSource(DataSource):
         )
 
     def writer(self, schema: T.StructType, overwrite: bool) -> PaimonBatchWriter:
+        if self._split_path()[1] is not None:
+            raise ValueError(
+                "paimon_spark: system tables ($snapshots, $files, ...) "
+                "are read-only"
+            )
         if any(v is not None for v in self._time_travel()):
             raise ValueError(
                 "paimon_spark: snapshot-id / tag / timestamp-millis are "

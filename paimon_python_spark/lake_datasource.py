@@ -1311,15 +1311,41 @@ class PaimonLakeBatchWriter(DataSourceWriter):
                         os.remove(xp)
 
 
+class PaimonLakeSystemReader(DataSourceReader):
+    """Reader for ``.load("<lake dir>$<system table>")`` — Paimon's
+    system-table suffix through the Spark-native front door. The rows
+    are the SAME pure metadata walk the builder methods wrap
+    (lake_system_table_data); metadata-sized, one partition."""
+
+    def __init__(self, table_path: str, name: str, snapshot_id=None):
+        self.table_path = table_path
+        self.sys_name = name
+        self.snapshot_id = snapshot_id
+
+    def partitions(self):
+        return [InputPartition(0)]
+
+    def read(self, partition) -> Iterator:
+        from paimon_python_spark.paimon_lake import lake_system_table_data
+
+        _, rows = lake_system_table_data(
+            self.table_path, self.sys_name, self.snapshot_id
+        )
+        yield from rows
+
+
 class PaimonLakeDataSource(DataSource):
     """``spark.dataSource.register(PaimonLakeDataSource)`` then
-    ``spark.read.format("paimon_lake").option("path", lake_dir)``."""
+    ``spark.read.format("paimon_lake").option("path", lake_dir)``.
+    A ``$<name>`` path suffix serves the system tables
+    (``.load(f"{lake_dir}$snapshots")`` etc.), like Paimon's own Spark
+    connector."""
 
     @classmethod
     def name(cls) -> str:
         return "paimon_lake"
 
-    def _table_path(self) -> str:
+    def _split_path(self):
         path = self.options.get("path")
         if not path:
             raise ValueError("paimon_lake requires .option('path', <lake dir>)")
@@ -1327,7 +1353,13 @@ class PaimonLakeDataSource(DataSource):
             from urllib.parse import urlparse
 
             path = urlparse(path).path
-        return path
+        if "$" in path:
+            base, sys_name = path.rsplit("$", 1)
+            return base, sys_name
+        return path, None
+
+    def _table_path(self) -> str:
+        return self._split_path()[0]
 
     def _changelog(self) -> bool:
         return self.options.get("changelog", "false").lower() == "true"
@@ -1362,9 +1394,15 @@ class PaimonLakeDataSource(DataSource):
         )
 
     def schema(self):
-        from paimon_python_spark.paimon_lake import read_paimon_schema
+        from paimon_python_spark.paimon_lake import (
+            lake_system_table_data,
+            read_paimon_schema,
+        )
 
-        spark_schema = read_paimon_schema(self._table_path()).spark_schema
+        path, sys_name = self._split_path()
+        if sys_name is not None:
+            return lake_system_table_data(path, sys_name)[0]
+        spark_schema = read_paimon_schema(path).spark_schema
         if self._changelog():
             # streaming changelog mode: rows carry their RowKind
             return T.StructType(
@@ -1373,16 +1411,24 @@ class PaimonLakeDataSource(DataSource):
             )
         return spark_schema
 
-    def reader(self, schema: T.StructType) -> PaimonLakeBatchReader:
+    def reader(self, schema: T.StructType):
         if self._changelog():
             raise ValueError(
                 "paimon_lake: option('changelog') applies to readStream; "
                 "batch changelog windows come from read_lake_incremental()"
             )
-        claim = self.options.get("claim-filters", "true").lower() != "false"
+        path, sys_name = self._split_path()
         sid, tag, ts = self._time_travel()
+        if sys_name is not None:
+            if tag is not None or ts is not None:
+                raise ValueError(
+                    "paimon_lake system tables time-travel with "
+                    "snapshot-id only"
+                )
+            return PaimonLakeSystemReader(path, sys_name, snapshot_id=sid)
+        claim = self.options.get("claim-filters", "true").lower() != "false"
         return PaimonLakeBatchReader(
-            self._table_path(),
+            path,
             claim_filters=claim,
             snapshot_id=sid,
             tag=tag,
@@ -1390,6 +1436,11 @@ class PaimonLakeDataSource(DataSource):
         )
 
     def streamReader(self, schema) -> PaimonLakeStreamReader:
+        if self._split_path()[1] is not None:
+            raise ValueError(
+                "paimon_lake: system tables ($snapshots, $files, ...) are "
+                "batch reads"
+            )
         if any(v is not None for v in self._time_travel()):
             raise ValueError(
                 "paimon_lake: snapshot-id / tag / timestamp-millis are "
@@ -1411,6 +1462,11 @@ class PaimonLakeDataSource(DataSource):
         return _parse_scan_start(self.options)
 
     def writer(self, schema, overwrite: bool) -> PaimonLakeBatchWriter:
+        if self._split_path()[1] is not None:
+            raise ValueError(
+                "paimon_lake: system tables ($snapshots, $files, ...) are "
+                "read-only"
+            )
         if any(v is not None for v in self._time_travel()):
             raise ValueError(
                 "paimon_lake: snapshot-id / tag / timestamp-millis are "

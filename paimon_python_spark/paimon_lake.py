@@ -122,122 +122,25 @@ class PaimonLakeTable:
     def tags(self):
         """Tags system table: (tag_name, snapshot_id) from the lake's
         ``tag/`` directory."""
-        import json
-        import os
-
-        from pyspark.sql import types as T
-
-        from paimon_python_spark.session import get_spark
-
-        rows = []
-        tdir = os.path.join(self.table_path, "tag")
-        if os.path.isdir(tdir):
-            for n in sorted(os.listdir(tdir)):
-                if n.startswith("tag-"):
-                    with open(os.path.join(tdir, n)) as f:
-                        rows.append((n[len("tag-"):], int(json.load(f)["id"])))
-        schema = T.StructType(
-            [
-                T.StructField("tag_name", T.StringType(), False),
-                T.StructField("snapshot_id", T.LongType(), False),
-            ]
-        )
-        return get_spark().createDataFrame(rows, schema)
+        return _lake_system_df(self.table_path, "tags")
 
     def indexes(self, snapshot_id: "Optional[int]" = None):
         """Indexes system table: the snapshot's LIVE table-index
         entries — deletion vectors and dynamic-bucket HASH key indexes
-        — one row per (index_type, partition, bucket, file). Columns:
-        (index_type, partition, bucket, file_name, file_size,
-        row_count). The driver-side metadata walk mirrors real Paimon's
-        index manifest fold (spec ``IndexManifestEntry``)."""
-        from pyspark.sql import types as T
-
-        from paimon_python_spark.paimon_import import (
-            decode_binary_row,
-            live_index_entries,
-            read_paimon_schema,
-        )
-        from paimon_python_spark.session import get_spark
-
-        info = read_paimon_schema(self.table_path)
-        part_types = [
-            info.spark_schema[k].dataType for k in info.partition_keys
-        ]
-        try:
-            entries = live_index_entries(
-                self.table_path, snapshot_id=snapshot_id
-            )
-        except FileNotFoundError:
-            entries = []
-        rows = []
-        for r in entries:
-            pvals = decode_binary_row(
-                bytes(r.get("_PARTITION") or b""), part_types
-            )
-            rows.append(
-                (
-                    r.get("_INDEX_TYPE"),
-                    {
-                        k: str(v)
-                        for k, v in zip(info.partition_keys, pvals)
-                    },
-                    int(r.get("_BUCKET") or 0),
-                    r["_FILE_NAME"],
-                    int(r.get("_FILE_SIZE") or 0),
-                    int(r.get("_ROW_COUNT") or 0),
-                )
-            )
-        schema = T.StructType(
-            [
-                T.StructField("index_type", T.StringType(), False),
-                T.StructField(
-                    "partition",
-                    T.MapType(T.StringType(), T.StringType()),
-                    False,
-                ),
-                T.StructField("bucket", T.IntegerType(), False),
-                T.StructField("file_name", T.StringType(), False),
-                T.StructField("file_size", T.LongType(), False),
-                T.StructField("row_count", T.LongType(), False),
-            ]
-        )
-        return get_spark().createDataFrame(rows, schema)
+        — one row per (index_type, partition, bucket, file). The
+        driver-side metadata walk mirrors real Paimon's index manifest
+        fold (spec ``IndexManifestEntry``)."""
+        return _lake_system_df(self.table_path, "indexes", snapshot_id)
 
     def consumers(self):
         """Consumers system table (Paimon's ``table$consumers``):
         (consumer_id, next_snapshot) from the lake's ``consumer/``
         directory."""
-        from pyspark.sql import types as T
-
-        from paimon_python_spark.session import get_spark
-
-        schema = T.StructType(
-            [
-                T.StructField("consumer_id", T.StringType(), False),
-                T.StructField("next_snapshot", T.LongType(), False),
-            ]
-        )
-        return get_spark().createDataFrame(
-            sorted(list_lake_consumers(self.table_path).items()), schema
-        )
+        return _lake_system_df(self.table_path, "consumers")
 
     def options(self):
         """Options system table: (key, value) from the current schema."""
-        from pyspark.sql import types as T
-
-        from paimon_python_spark.session import get_spark
-
-        info = read_paimon_schema(self.table_path)
-        schema = T.StructType(
-            [
-                T.StructField("key", T.StringType(), False),
-                T.StructField("value", T.StringType(), False),
-            ]
-        )
-        return get_spark().createDataFrame(
-            sorted((k, str(v)) for k, v in info.options.items()), schema
-        )
+        return _lake_system_df(self.table_path, "options")
 
 
 class PaimonLakeReadBuilder:
@@ -1589,9 +1492,15 @@ def stream_lake_snapshots(
     return _iter(current)
 
 
-def _lake_system_snapshots(table_path: str):
-    """Snapshot history of a real lake as a DataFrame — Paimon's
-    ``table$snapshots`` system table, driver-built (metadata-sized)."""
+def lake_system_table_data(
+    table_path: str, name: str, snapshot_id: "Optional[int]" = None
+):
+    """(StructType, rows) for a lake SYSTEM table — the pure metadata
+    walk behind Paimon's ``table$<name>`` views, with NO SparkSession
+    dependency so the format("paimon_lake") front door can serve
+    ``.load("<path>$<name>")`` from its plan-time worker (Python data
+    source workers have no session). The DataFrame builders and the
+    PaimonLakeTable methods wrap this with one createDataFrame."""
     import os
 
     from pyspark.sql import types as T
@@ -1600,233 +1509,332 @@ def _lake_system_snapshots(table_path: str):
         latest_paimon_snapshot_id,
         read_paimon_snapshot,
     )
+
+    if name == "snapshots":
+        rows = []
+        latest = latest_paimon_snapshot_id(table_path)
+        for sid in range(1, latest + 1):
+            if not os.path.exists(
+                os.path.join(table_path, "snapshot", f"snapshot-{sid}")
+            ):
+                continue  # expired
+            s = read_paimon_snapshot(table_path, sid)
+            rows.append(
+                (
+                    int(s["id"]),
+                    int(s.get("schemaId", 0)),
+                    str(s.get("commitKind", "APPEND")),
+                    str(s.get("commitUser", "")),
+                    int(s.get("timeMillis", 0)),
+                    int(s.get("totalRecordCount") or 0),
+                    int(s.get("deltaRecordCount") or 0),
+                )
+            )
+        schema = T.StructType(
+            [
+                T.StructField("snapshot_id", T.LongType(), False),
+                T.StructField("schema_id", T.LongType(), False),
+                T.StructField("commit_kind", T.StringType(), False),
+                T.StructField("commit_user", T.StringType(), False),
+                T.StructField("commit_time", T.LongType(), False),
+                T.StructField("total_record_count", T.LongType(), False),
+                T.StructField("delta_record_count", T.LongType(), False),
+            ]
+        )
+        return schema, rows
+
+    if name == "files":
+        info = read_paimon_schema(table_path)
+        part_types = [
+            info.spark_schema[k].dataType for k in info.partition_keys
+        ]
+        default_name = info.options.get(
+            "partition.default-name", "__DEFAULT_PARTITION__"
+        )
+        rows = []
+        for e in plan_paimon_files(table_path, snapshot_id):
+            rows.append(
+                (
+                    e.rel_path(info.partition_keys, part_types, default_name),
+                    str(dict(_logical_partition_values(info, e.partition))),
+                    e.bucket,
+                    e.file_name,
+                    e.file_size,
+                    e.row_count,
+                    e.level,
+                    e.schema_id,
+                )
+            )
+        schema = T.StructType(
+            [
+                T.StructField("file_path", T.StringType(), False),
+                T.StructField("partition", T.StringType(), False),
+                T.StructField("bucket", T.IntegerType(), False),
+                T.StructField("file_name", T.StringType(), False),
+                T.StructField("file_size_in_bytes", T.LongType(), False),
+                T.StructField("record_count", T.LongType(), False),
+                T.StructField("level", T.IntegerType(), False),
+                T.StructField("schema_id", T.LongType(), False),
+            ]
+        )
+        return schema, rows
+
+    if name == "schemas":
+        rows = []
+        sdir = os.path.join(table_path, "schema")
+        for fn in sorted(os.listdir(sdir)):
+            if not fn.startswith("schema-"):
+                continue
+            sid = int(fn.split("-")[1])
+            info = read_paimon_schema(table_path, sid)
+            rows.append(
+                (
+                    sid,
+                    ", ".join(
+                        f"{fid}:{f.name}:{f.dataType.simpleString()}"
+                        for fid, f in zip(
+                            info.field_ids, info.spark_schema.fields
+                        )
+                    ),
+                    ",".join(info.partition_keys),
+                    ",".join(info.primary_keys),
+                    str(dict(sorted(info.options.items()))),
+                )
+            )
+        schema = T.StructType(
+            [
+                T.StructField("schema_id", T.LongType(), False),
+                T.StructField("fields", T.StringType(), False),
+                T.StructField("partition_keys", T.StringType(), False),
+                T.StructField("primary_keys", T.StringType(), False),
+                T.StructField("options", T.StringType(), False),
+            ]
+        )
+        return schema, rows
+
+    if name == "partitions":
+        info = read_paimon_schema(table_path)
+        agg: dict = {}
+        for e in plan_paimon_files(table_path, snapshot_id):
+            key = str(dict(_logical_partition_values(info, e.partition)))
+            rec = agg.setdefault(key, [0, 0, 0])
+            rec[0] += e.row_count
+            rec[1] += e.file_size
+            rec[2] += 1
+        rows = [(k, v[0], v[1], v[2]) for k, v in sorted(agg.items())]
+        schema = T.StructType(
+            [
+                T.StructField("partition", T.StringType(), False),
+                T.StructField("record_count", T.LongType(), False),
+                T.StructField("file_size_in_bytes", T.LongType(), False),
+                T.StructField("file_count", T.LongType(), False),
+            ]
+        )
+        return schema, rows
+
+    if name == "manifests":
+        from paimon_python_spark.paimon_import import (
+            read_manifest_list_entries,
+        )
+
+        sid = snapshot_id or latest_paimon_snapshot_id(table_path)
+        snap = read_paimon_snapshot(table_path, sid)
+        rows = []
+        for source, key in (
+            ("base", "baseManifestList"),
+            ("delta", "deltaManifestList"),
+            ("changelog", "changelogManifestList"),
+        ):
+            lst = snap.get(key)
+            if not lst:
+                continue
+            for r in read_manifest_list_entries(table_path, lst):
+                mname = r["_FILE_NAME"]
+                full = os.path.join(table_path, "manifest", mname)
+                rows.append(
+                    (
+                        mname,
+                        int(
+                            r.get("_FILE_SIZE")
+                            or (
+                                os.path.getsize(full)
+                                if os.path.exists(full)
+                                else 0
+                            )
+                        ),
+                        int(r.get("_NUM_ADDED_FILES") or 0),
+                        int(r.get("_NUM_DELETED_FILES") or 0),
+                        int(r.get("_SCHEMA_ID") or 0),
+                        source,
+                    )
+                )
+        schema = T.StructType(
+            [
+                T.StructField("file_name", T.StringType(), False),
+                T.StructField("file_size", T.LongType(), False),
+                T.StructField("num_added_files", T.LongType(), False),
+                T.StructField("num_deleted_files", T.LongType(), False),
+                T.StructField("schema_id", T.LongType(), False),
+                T.StructField("source", T.StringType(), False),
+            ]
+        )
+        return schema, rows
+
+    if name == "buckets":
+        info = read_paimon_schema(table_path)
+        agg = {}
+        for e in plan_paimon_files(table_path, snapshot_id):
+            key = (
+                str(dict(_logical_partition_values(info, e.partition))),
+                e.bucket,
+            )
+            rec = agg.setdefault(key, [0, 0, 0])
+            rec[0] += e.row_count
+            rec[1] += e.file_size
+            rec[2] += 1
+        rows = [
+            (k[0], k[1], v[0], v[1], v[2]) for k, v in sorted(agg.items())
+        ]
+        schema = T.StructType(
+            [
+                T.StructField("partition", T.StringType(), False),
+                T.StructField("bucket", T.IntegerType(), False),
+                T.StructField("record_count", T.LongType(), False),
+                T.StructField("file_size_in_bytes", T.LongType(), False),
+                T.StructField("file_count", T.LongType(), False),
+            ]
+        )
+        return schema, rows
+
+    if name == "tags":
+        import json as _json
+
+        rows = []
+        tdir = os.path.join(table_path, "tag")
+        if os.path.isdir(tdir):
+            for n in sorted(os.listdir(tdir)):
+                if n.startswith("tag-"):
+                    with open(os.path.join(tdir, n)) as f:
+                        rows.append(
+                            (n[len("tag-") :], int(_json.load(f)["id"]))
+                        )
+        schema = T.StructType(
+            [
+                T.StructField("tag_name", T.StringType(), False),
+                T.StructField("snapshot_id", T.LongType(), False),
+            ]
+        )
+        return schema, rows
+
+    if name == "options":
+        info = read_paimon_schema(table_path)
+        schema = T.StructType(
+            [
+                T.StructField("key", T.StringType(), False),
+                T.StructField("value", T.StringType(), False),
+            ]
+        )
+        return schema, sorted((k, str(v)) for k, v in info.options.items())
+
+    if name == "consumers":
+        schema = T.StructType(
+            [
+                T.StructField("consumer_id", T.StringType(), False),
+                T.StructField("next_snapshot", T.LongType(), False),
+            ]
+        )
+        return schema, sorted(list_lake_consumers(table_path).items())
+
+    if name == "indexes":
+        from paimon_python_spark.paimon_import import (
+            decode_binary_row,
+            live_index_entries,
+        )
+
+        info = read_paimon_schema(table_path)
+        part_types = [
+            info.spark_schema[k].dataType for k in info.partition_keys
+        ]
+        try:
+            entries = live_index_entries(table_path, snapshot_id=snapshot_id)
+        except FileNotFoundError:
+            entries = []
+        rows = []
+        for r in entries:
+            pvals = decode_binary_row(
+                bytes(r.get("_PARTITION") or b""), part_types
+            )
+            rows.append(
+                (
+                    r.get("_INDEX_TYPE"),
+                    {
+                        k: str(v)
+                        for k, v in zip(info.partition_keys, pvals)
+                    },
+                    int(r.get("_BUCKET") or 0),
+                    r["_FILE_NAME"],
+                    int(r.get("_FILE_SIZE") or 0),
+                    int(r.get("_ROW_COUNT") or 0),
+                )
+            )
+        schema = T.StructType(
+            [
+                T.StructField("index_type", T.StringType(), False),
+                T.StructField(
+                    "partition",
+                    T.MapType(T.StringType(), T.StringType()),
+                    False,
+                ),
+                T.StructField("bucket", T.IntegerType(), False),
+                T.StructField("file_name", T.StringType(), False),
+                T.StructField("file_size", T.LongType(), False),
+                T.StructField("row_count", T.LongType(), False),
+            ]
+        )
+        return schema, rows
+
+    raise ValueError(
+        f"unknown system table {name!r}: one of snapshots / files / "
+        "schemas / partitions / manifests / buckets / tags / options / "
+        "consumers / indexes"
+    )
+
+
+def _lake_system_df(table_path, name, snapshot_id=None):
     from paimon_python_spark.session import get_spark
 
-    rows = []
-    latest = latest_paimon_snapshot_id(table_path)
-    for sid in range(1, latest + 1):
-        if not os.path.exists(
-            os.path.join(table_path, "snapshot", f"snapshot-{sid}")
-        ):
-            continue  # expired
-        s = read_paimon_snapshot(table_path, sid)
-        rows.append(
-            (
-                int(s["id"]),
-                int(s.get("schemaId", 0)),
-                str(s.get("commitKind", "APPEND")),
-                str(s.get("commitUser", "")),
-                int(s.get("timeMillis", 0)),
-                int(s.get("totalRecordCount") or 0),
-                int(s.get("deltaRecordCount") or 0),
-            )
-        )
-    schema = T.StructType(
-        [
-            T.StructField("snapshot_id", T.LongType(), False),
-            T.StructField("schema_id", T.LongType(), False),
-            T.StructField("commit_kind", T.StringType(), False),
-            T.StructField("commit_user", T.StringType(), False),
-            T.StructField("commit_time", T.LongType(), False),
-            T.StructField("total_record_count", T.LongType(), False),
-            T.StructField("delta_record_count", T.LongType(), False),
-        ]
-    )
+    schema, rows = lake_system_table_data(table_path, name, snapshot_id)
     return get_spark().createDataFrame(rows, schema)
+
+
+def _lake_system_snapshots(table_path: str):
+    """Snapshot history — Paimon's ``table$snapshots``."""
+    return _lake_system_df(table_path, "snapshots")
 
 
 def _lake_system_files(table_path: str, snapshot_id: "Optional[int]" = None):
     """Live data files — Paimon's ``table$files``."""
-    from pyspark.sql import types as T
-
-    from paimon_python_spark.session import get_spark
-
-    info = read_paimon_schema(table_path)
-    part_types = [info.spark_schema[k].dataType for k in info.partition_keys]
-    default_name = info.options.get(
-        "partition.default-name", "__DEFAULT_PARTITION__"
-    )
-    rows = []
-    for e in plan_paimon_files(table_path, snapshot_id):
-        rows.append(
-            (
-                e.rel_path(info.partition_keys, part_types, default_name),
-                str(dict(_logical_partition_values(info, e.partition))),
-                e.bucket,
-                e.file_name,
-                e.file_size,
-                e.row_count,
-                e.level,
-                e.schema_id,
-            )
-        )
-    schema = T.StructType(
-        [
-            T.StructField("file_path", T.StringType(), False),
-            T.StructField("partition", T.StringType(), False),
-            T.StructField("bucket", T.IntegerType(), False),
-            T.StructField("file_name", T.StringType(), False),
-            T.StructField("file_size_in_bytes", T.LongType(), False),
-            T.StructField("record_count", T.LongType(), False),
-            T.StructField("level", T.IntegerType(), False),
-            T.StructField("schema_id", T.LongType(), False),
-        ]
-    )
-    return get_spark().createDataFrame(rows, schema)
+    return _lake_system_df(table_path, "files", snapshot_id)
 
 
 def _lake_system_schemas(table_path: str):
     """Schema history — Paimon's ``table$schemas``."""
-    import os
-
-    from pyspark.sql import types as T
-
-    from paimon_python_spark.session import get_spark
-
-    rows = []
-    sdir = os.path.join(table_path, "schema")
-    for name in sorted(os.listdir(sdir)):
-        if not name.startswith("schema-"):
-            continue
-        sid = int(name.split("-")[1])
-        info = read_paimon_schema(table_path, sid)
-        rows.append(
-            (
-                sid,
-                ", ".join(
-                    f"{fid}:{f.name}:{f.dataType.simpleString()}"
-                    for fid, f in zip(info.field_ids, info.spark_schema.fields)
-                ),
-                ",".join(info.partition_keys),
-                ",".join(info.primary_keys),
-                str(dict(sorted(info.options.items()))),
-            )
-        )
-    schema = T.StructType(
-        [
-            T.StructField("schema_id", T.LongType(), False),
-            T.StructField("fields", T.StringType(), False),
-            T.StructField("partition_keys", T.StringType(), False),
-            T.StructField("primary_keys", T.StringType(), False),
-            T.StructField("options", T.StringType(), False),
-        ]
-    )
-    return get_spark().createDataFrame(rows, schema)
+    return _lake_system_df(table_path, "schemas")
 
 
 def _lake_system_partitions(table_path: str, snapshot_id: "Optional[int]" = None):
     """Per-partition file/row totals — Paimon's ``table$partitions``."""
-    from pyspark.sql import types as T
-
-    from paimon_python_spark.session import get_spark
-
-    info = read_paimon_schema(table_path)
-    agg: dict = {}
-    for e in plan_paimon_files(table_path, snapshot_id):
-        key = str(dict(_logical_partition_values(info, e.partition)))
-        rec = agg.setdefault(key, [0, 0, 0])
-        rec[0] += e.row_count
-        rec[1] += e.file_size
-        rec[2] += 1
-    rows = [(k, v[0], v[1], v[2]) for k, v in sorted(agg.items())]
-    schema = T.StructType(
-        [
-            T.StructField("partition", T.StringType(), False),
-            T.StructField("record_count", T.LongType(), False),
-            T.StructField("file_size_in_bytes", T.LongType(), False),
-            T.StructField("file_count", T.LongType(), False),
-        ]
-    )
-    return get_spark().createDataFrame(rows, schema)
+    return _lake_system_df(table_path, "partitions", snapshot_id)
 
 
 def _lake_system_manifests(table_path: str, snapshot_id: "Optional[int]" = None):
-    """Manifest inventory of one snapshot — Paimon's
-    ``table$manifests`` (file name, size, added/deleted entry counts,
-    schema id, which list referenced it). Driver-built, metadata-sized."""
-    import os
-
-    from pyspark.sql import types as T
-
-    from paimon_python_spark.paimon_import import (
-        latest_paimon_snapshot_id,
-        read_manifest_list_entries,
-        read_paimon_snapshot,
-    )
-    from paimon_python_spark.session import get_spark
-
-    sid = snapshot_id or latest_paimon_snapshot_id(table_path)
-    snap = read_paimon_snapshot(table_path, sid)
-    rows = []
-    for source, key in (
-        ("base", "baseManifestList"),
-        ("delta", "deltaManifestList"),
-        ("changelog", "changelogManifestList"),
-    ):
-        lst = snap.get(key)
-        if not lst:
-            continue
-        for r in read_manifest_list_entries(table_path, lst):
-            name = r["_FILE_NAME"]
-            full = os.path.join(table_path, "manifest", name)
-            rows.append(
-                (
-                    name,
-                    int(
-                        r.get("_FILE_SIZE")
-                        or (os.path.getsize(full) if os.path.exists(full) else 0)
-                    ),
-                    int(r.get("_NUM_ADDED_FILES") or 0),
-                    int(r.get("_NUM_DELETED_FILES") or 0),
-                    int(r.get("_SCHEMA_ID") or 0),
-                    source,
-                )
-            )
-    schema = T.StructType(
-        [
-            T.StructField("file_name", T.StringType(), False),
-            T.StructField("file_size", T.LongType(), False),
-            T.StructField("num_added_files", T.LongType(), False),
-            T.StructField("num_deleted_files", T.LongType(), False),
-            T.StructField("schema_id", T.LongType(), False),
-            T.StructField("source", T.StringType(), False),
-        ]
-    )
-    return get_spark().createDataFrame(rows, schema)
+    """Manifest inventory of one snapshot — Paimon's ``table$manifests``."""
+    return _lake_system_df(table_path, "manifests", snapshot_id)
 
 
 def _lake_system_buckets(table_path: str, snapshot_id: "Optional[int]" = None):
-    """Per-(partition, bucket) file/row totals — Paimon's
-    ``table$buckets`` (the skew / rescale diagnostic: which bucket
-    holds how much)."""
-    from pyspark.sql import types as T
-
-    from paimon_python_spark.session import get_spark
-
-    info = read_paimon_schema(table_path)
-    agg: dict = {}
-    for e in plan_paimon_files(table_path, snapshot_id):
-        key = (
-            str(dict(_logical_partition_values(info, e.partition))),
-            e.bucket,
-        )
-        rec = agg.setdefault(key, [0, 0, 0])
-        rec[0] += e.row_count
-        rec[1] += e.file_size
-        rec[2] += 1
-    rows = [
-        (k[0], k[1], v[0], v[1], v[2]) for k, v in sorted(agg.items())
-    ]
-    schema = T.StructType(
-        [
-            T.StructField("partition", T.StringType(), False),
-            T.StructField("bucket", T.IntegerType(), False),
-            T.StructField("record_count", T.LongType(), False),
-            T.StructField("file_size_in_bytes", T.LongType(), False),
-            T.StructField("file_count", T.LongType(), False),
-        ]
-    )
-    return get_spark().createDataFrame(rows, schema)
+    """Per-(partition, bucket) totals — Paimon's ``table$buckets``."""
+    return _lake_system_df(table_path, "buckets", snapshot_id)
 
 
 def _parquet_footer_value_stats(md, info):

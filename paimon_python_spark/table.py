@@ -113,78 +113,12 @@ class Table:
     def snapshots(self):
         """Snapshot history as a DataFrame (metadata-sized — built on
         the driver like Paimon's snapshots system table)."""
-        from pyspark.sql import types as T
-
-        from paimon_python_spark.metadata import MetadataStore
-        from paimon_python_spark.session import get_spark
-
-        import os
-
-        store = MetadataStore(self.table_path)
-        rows = []
-        latest = store.latest_snapshot_id() or 0
-        for sid in range(1, latest + 1):
-            if not os.path.exists(
-                os.path.join(store.snapshot_dir, f"snapshot-{sid}.json")
-            ):
-                continue  # expired
-            s = store.read_snapshot(sid)
-            rows.append(
-                (
-                    s.id,
-                    s.commit_kind,
-                    s.commit_user,
-                    s.time_millis,
-                    s.total_record_count,
-                    s.delta_record_count,
-                    len(s.manifests),
-                )
-            )
-        schema = T.StructType(
-            [
-                T.StructField("snapshot_id", T.LongType(), False),
-                T.StructField("commit_kind", T.StringType(), False),
-                T.StructField("commit_user", T.StringType(), False),
-                T.StructField("time_millis", T.LongType(), False),
-                T.StructField("total_record_count", T.LongType(), False),
-                T.StructField("delta_record_count", T.LongType(), False),
-                T.StructField("manifest_count", T.IntegerType(), False),
-            ]
-        )
-        return get_spark().createDataFrame(rows, schema)
+        return _engine_system_df(self.table_path, "snapshots")
 
     def files(self, snapshot_id: Optional[int] = None):
         """Live data files (with stats) as a DataFrame — the files
         system table; drives compaction decisions and debugging."""
-        from pyspark.sql import types as T
-
-        from paimon_python_spark.metadata import MetadataStore
-        from paimon_python_spark.session import get_spark
-
-        store = MetadataStore(self.table_path)
-        snap = store.read_snapshot(snapshot_id) if snapshot_id else None
-        rows = [
-            (
-                f.path,
-                {k: str(v) for k, v in f.partition.items()},
-                f.bucket,
-                f.row_count,
-                f.file_size,
-            )
-            for f in store.live_files(snap)
-        ]
-        schema = T.StructType(
-            [
-                T.StructField("file_path", T.StringType(), False),
-                T.StructField(
-                    "partition", T.MapType(T.StringType(), T.StringType()), True
-                ),
-                T.StructField("bucket", T.IntegerType(), False),
-                T.StructField("row_count", T.LongType(), False),
-                T.StructField("file_size", T.LongType(), False),
-            ]
-        )
-        return get_spark().createDataFrame(rows, schema)
+        return _engine_system_df(self.table_path, "files", snapshot_id)
 
     def audit_log(self, snapshot_id: Optional[int] = None):
         """Audit-log system table: every stored row (pre-merge) with a
@@ -197,18 +131,7 @@ class Table:
 
     def branches(self):
         """Branches system table: (branch_name, created_from_snapshot)."""
-        from pyspark.sql import types as T
-
-        from paimon_python_spark.branches import branch_info
-        from paimon_python_spark.session import get_spark
-
-        schema = T.StructType(
-            [
-                T.StructField("branch_name", T.StringType(), False),
-                T.StructField("created_from_snapshot", T.LongType(), True),
-            ]
-        )
-        return get_spark().createDataFrame(branch_info(self), schema)
+        return _engine_system_df(self.table_path, "branches")
 
     def merge_into(self, source, **kwargs) -> None:
         """MERGE source into this PK table (see
@@ -221,108 +144,17 @@ class Table:
         """Partitions system table: per-partition record/file/byte
         totals from the manifests (metadata-only — the planner's view,
         no data scan), like Paimon's ``table$partitions``."""
-        from pyspark.sql import types as T
-
-        from paimon_python_spark.metadata import MetadataStore
-        from paimon_python_spark.session import get_spark
-
-        store = MetadataStore(self.table_path)
-        agg: dict = {}
-        for f in store.live_files():
-            key = tuple(sorted((k, str(v)) for k, v in f.partition.items()))
-            cur = agg.setdefault(key, [0, 0, 0])
-            cur[0] += f.row_count
-            cur[1] += 1
-            cur[2] += f.file_size
-        rows = [
-            (dict(k), rc, fc, fs) for k, (rc, fc, fs) in sorted(agg.items())
-        ]
-        schema = T.StructType(
-            [
-                T.StructField(
-                    "partition", T.MapType(T.StringType(), T.StringType()), True
-                ),
-                T.StructField("record_count", T.LongType(), False),
-                T.StructField("file_count", T.LongType(), False),
-                T.StructField("total_size", T.LongType(), False),
-            ]
-        )
-        return get_spark().createDataFrame(rows, schema)
+        return _engine_system_df(self.table_path, "partitions")
 
     def manifests(self, snapshot_id: Optional[int] = None):
-        """Manifests system table — Paimon's ``table$manifests``:
-        (file_name, file_size, num_entries, num_added, num_deleted)
-        for the manifests one snapshot references."""
-        import os
-
-        from pyspark.sql import types as T
-
-        from paimon_python_spark.metadata import MetadataStore
-        from paimon_python_spark.session import get_spark
-
-        store = MetadataStore(self.table_path)
-        snap = store.read_snapshot(
-            snapshot_id or store.latest_snapshot_id() or 0
-        )
-        rows = []
-        for name in snap.manifests:
-            entries = store.read_manifest(name)
-            rows.append(
-                (
-                    name,
-                    os.path.getsize(os.path.join(store.manifest_dir, name)),
-                    len(entries),
-                    sum(1 for e in entries if e.kind == "ADD"),
-                    sum(1 for e in entries if e.kind == "DELETE"),
-                )
-            )
-        schema = T.StructType(
-            [
-                T.StructField("file_name", T.StringType(), False),
-                T.StructField("file_size", T.LongType(), False),
-                T.StructField("num_entries", T.LongType(), False),
-                T.StructField("num_added_files", T.LongType(), False),
-                T.StructField("num_deleted_files", T.LongType(), False),
-            ]
-        )
-        return get_spark().createDataFrame(rows, schema)
+        """Manifests system table — Paimon's ``table$manifests``."""
+        return _engine_system_df(self.table_path, "manifests", snapshot_id)
 
     def buckets(self):
         """Buckets system table — Paimon's ``table$buckets``: per
         (partition, bucket) record/file/byte totals (the skew and
         rescale diagnostic), metadata-only like ``partitions()``."""
-        from pyspark.sql import types as T
-
-        from paimon_python_spark.metadata import MetadataStore
-        from paimon_python_spark.session import get_spark
-
-        store = MetadataStore(self.table_path)
-        agg: dict = {}
-        for f in store.live_files():
-            key = (
-                tuple(sorted((k, str(v)) for k, v in f.partition.items())),
-                f.bucket,
-            )
-            cur = agg.setdefault(key, [0, 0, 0])
-            cur[0] += f.row_count
-            cur[1] += 1
-            cur[2] += f.file_size
-        rows = [
-            (dict(k[0]), k[1], rc, fc, fs)
-            for k, (rc, fc, fs) in sorted(agg.items())
-        ]
-        schema = T.StructType(
-            [
-                T.StructField(
-                    "partition", T.MapType(T.StringType(), T.StringType()), True
-                ),
-                T.StructField("bucket", T.IntegerType(), False),
-                T.StructField("record_count", T.LongType(), False),
-                T.StructField("file_count", T.LongType(), False),
-                T.StructField("total_size", T.LongType(), False),
-            ]
-        )
-        return get_spark().createDataFrame(rows, schema)
+        return _engine_system_df(self.table_path, "buckets")
 
     # -- tags (durable named snapshots, survive expiration) --
 
@@ -338,20 +170,11 @@ class Table:
 
     def tags(self):
         """Tags system table: (tag_name, snapshot_id)."""
-        from pyspark.sql import types as T
+        return _engine_system_df(self.table_path, "tags")
 
-        from paimon_python_spark.session import get_spark
-        from paimon_python_spark.tags import list_tags
-
-        schema = T.StructType(
-            [
-                T.StructField("tag_name", T.StringType(), False),
-                T.StructField("snapshot_id", T.LongType(), False),
-            ]
-        )
-        return get_spark().createDataFrame(
-            sorted(list_tags(self).items()), schema
-        )
+    def options(self):
+        """Options system table: (key, value) — Paimon's ``table$options``."""
+        return _engine_system_df(self.table_path, "options")
 
 
 class ReadBuilder:
@@ -495,3 +318,213 @@ class ReadType(list):
         return spark_schema_to_pa(
             T.StructType([self._spark_schema[n] for n in self])
         )
+
+
+def engine_system_table_data(
+    table_path: str, name: str, snapshot_id: "Optional[int]" = None
+):
+    """(StructType, rows) for an ENGINE-table SYSTEM table — the pure
+    metadata walk behind snapshots()/files()/manifests()/buckets()/
+    partitions()/branches()/tags()/options(), with NO SparkSession
+    dependency so format("paimon_spark") can serve
+    ``.load("<path>$<name>")`` from its plan-time worker. The Table
+    methods wrap this with one createDataFrame."""
+    import os
+
+    from pyspark.sql import types as T
+
+    from paimon_python_spark.metadata import MetadataStore
+
+    store = MetadataStore(table_path)
+
+    if name == "snapshots":
+        rows = []
+        latest = store.latest_snapshot_id() or 0
+        for sid in range(1, latest + 1):
+            if not os.path.exists(
+                os.path.join(store.snapshot_dir, f"snapshot-{sid}.json")
+            ):
+                continue  # expired
+            s = store.read_snapshot(sid)
+            rows.append(
+                (
+                    s.id,
+                    s.commit_kind,
+                    s.commit_user,
+                    s.time_millis,
+                    s.total_record_count,
+                    s.delta_record_count,
+                    len(s.manifests),
+                )
+            )
+        schema = T.StructType(
+            [
+                T.StructField("snapshot_id", T.LongType(), False),
+                T.StructField("commit_kind", T.StringType(), False),
+                T.StructField("commit_user", T.StringType(), False),
+                T.StructField("time_millis", T.LongType(), False),
+                T.StructField("total_record_count", T.LongType(), False),
+                T.StructField("delta_record_count", T.LongType(), False),
+                T.StructField("manifest_count", T.IntegerType(), False),
+            ]
+        )
+        return schema, rows
+
+    if name == "files":
+        snap = store.read_snapshot(snapshot_id) if snapshot_id else None
+        rows = [
+            (
+                f.path,
+                {k: str(v) for k, v in f.partition.items()},
+                f.bucket,
+                f.row_count,
+                f.file_size,
+            )
+            for f in store.live_files(snap)
+        ]
+        schema = T.StructType(
+            [
+                T.StructField("file_path", T.StringType(), False),
+                T.StructField(
+                    "partition", T.MapType(T.StringType(), T.StringType()), True
+                ),
+                T.StructField("bucket", T.IntegerType(), False),
+                T.StructField("row_count", T.LongType(), False),
+                T.StructField("file_size", T.LongType(), False),
+            ]
+        )
+        return schema, rows
+
+    if name == "partitions":
+        agg: dict = {}
+        for f in store.live_files():
+            key = tuple(sorted((k, str(v)) for k, v in f.partition.items()))
+            cur = agg.setdefault(key, [0, 0, 0])
+            cur[0] += f.row_count
+            cur[1] += 1
+            cur[2] += f.file_size
+        rows = [
+            (dict(k), rc, fc, fs) for k, (rc, fc, fs) in sorted(agg.items())
+        ]
+        schema = T.StructType(
+            [
+                T.StructField(
+                    "partition", T.MapType(T.StringType(), T.StringType()), True
+                ),
+                T.StructField("record_count", T.LongType(), False),
+                T.StructField("file_count", T.LongType(), False),
+                T.StructField("total_size", T.LongType(), False),
+            ]
+        )
+        return schema, rows
+
+    if name == "manifests":
+        snap = store.read_snapshot(
+            snapshot_id or store.latest_snapshot_id() or 0
+        )
+        rows = []
+        for mname in snap.manifests:
+            entries = store.read_manifest(mname)
+            rows.append(
+                (
+                    mname,
+                    os.path.getsize(os.path.join(store.manifest_dir, mname)),
+                    len(entries),
+                    sum(1 for e in entries if e.kind == "ADD"),
+                    sum(1 for e in entries if e.kind == "DELETE"),
+                )
+            )
+        schema = T.StructType(
+            [
+                T.StructField("file_name", T.StringType(), False),
+                T.StructField("file_size", T.LongType(), False),
+                T.StructField("num_entries", T.LongType(), False),
+                T.StructField("num_added_files", T.LongType(), False),
+                T.StructField("num_deleted_files", T.LongType(), False),
+            ]
+        )
+        return schema, rows
+
+    if name == "buckets":
+        agg = {}
+        for f in store.live_files():
+            key = (
+                tuple(sorted((k, str(v)) for k, v in f.partition.items())),
+                f.bucket,
+            )
+            cur = agg.setdefault(key, [0, 0, 0])
+            cur[0] += f.row_count
+            cur[1] += 1
+            cur[2] += f.file_size
+        rows = [
+            (dict(k[0]), k[1], rc, fc, fs)
+            for k, (rc, fc, fs) in sorted(agg.items())
+        ]
+        schema = T.StructType(
+            [
+                T.StructField(
+                    "partition", T.MapType(T.StringType(), T.StringType()), True
+                ),
+                T.StructField("bucket", T.IntegerType(), False),
+                T.StructField("record_count", T.LongType(), False),
+                T.StructField("file_count", T.LongType(), False),
+                T.StructField("total_size", T.LongType(), False),
+            ]
+        )
+        return schema, rows
+
+    # the remaining names need the Table wrapper (branch/tag helpers
+    # take a Table); construction is pure file IO
+    def _table():
+        from paimon_python_spark.datasource import _load_schema
+
+        return Table("system", table_path, _load_schema(table_path))
+
+    if name == "branches":
+        from paimon_python_spark.branches import branch_info
+
+        schema = T.StructType(
+            [
+                T.StructField("branch_name", T.StringType(), False),
+                T.StructField("created_from_snapshot", T.LongType(), True),
+            ]
+        )
+        return schema, branch_info(_table())
+
+    if name == "tags":
+        from paimon_python_spark.tags import list_tags
+
+        schema = T.StructType(
+            [
+                T.StructField("tag_name", T.StringType(), False),
+                T.StructField("snapshot_id", T.LongType(), False),
+            ]
+        )
+        return schema, sorted(list_tags(_table()).items())
+
+    if name == "options":
+        from paimon_python_spark.datasource import _load_schema
+
+        schema = T.StructType(
+            [
+                T.StructField("key", T.StringType(), False),
+                T.StructField("value", T.StringType(), False),
+            ]
+        )
+        return schema, sorted(
+            (k, str(v)) for k, v in _load_schema(table_path).options.items()
+        )
+
+    raise ValueError(
+        f"unknown system table {name!r}: one of snapshots / files / "
+        "partitions / manifests / buckets / branches / tags / options "
+        "(audit_log reads data files — use Table.audit_log())"
+    )
+
+
+def _engine_system_df(table_path, name, snapshot_id=None):
+    from paimon_python_spark.session import get_spark
+
+    schema, rows = engine_system_table_data(table_path, name, snapshot_id)
+    return get_spark().createDataFrame(rows, schema)
+

@@ -1405,3 +1405,108 @@ def test_latest_hint_read_is_best_effort(tmp_path, spark):
     with open(hint, "w") as f:
         f.write("garbage")
     assert latest_paimon_snapshot_id(d) == 2
+
+
+def test_system_tables_through_front_doors(catalog, spark, tmp_path):
+    """``$<name>`` path suffixes serve the system tables through BOTH
+    data sources (Paimon's own Spark connector shape), bit-identical to
+    the builder methods — the rows come from the same pure metadata
+    walk (lake_system_table_data / engine_system_table_data), which the
+    plan-time worker can run without a SparkSession."""
+    from paimon_python_spark.lake_datasource import register_lake
+    from paimon_python_spark.paimon_lake import (
+        PaimonLakeTable,
+        create_lake_table,
+        create_lake_tag,
+        write_lake_pk_append,
+    )
+
+    register_lake(spark)
+    d = str(tmp_path / "sys")
+    create_lake_table(
+        d,
+        [("k", "BIGINT NOT NULL"), ("v", "DOUBLE")],
+        primary_keys=["k"],
+        options={"bucket": "2"},
+    )
+    write_lake_pk_append(
+        d,
+        spark.range(10).select(
+            F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")
+        ),
+    )
+    create_lake_tag(d, "v1")
+    write_lake_pk_append(
+        d, spark.range(3).select(F.col("id").alias("k"), F.lit(9.0).alias("v"))
+    )
+    lt = PaimonLakeTable(d)
+    for name in (
+        "snapshots",
+        "files",
+        "schemas",
+        "partitions",
+        "manifests",
+        "buckets",
+        "tags",
+        "options",
+        "consumers",
+        "indexes",
+    ):
+        df = spark.read.format("paimon_lake").option("path", f"{d}${name}").load()
+        assert sorted(map(str, df.collect())) == sorted(
+            map(str, getattr(lt, name)().collect())
+        ), name
+    # snapshot-id time travel composes with $files
+    f1 = (
+        spark.read.format("paimon_lake")
+        .option("path", f"{d}$files")
+        .option("snapshot-id", "1")
+        .load()
+        .count()
+    )
+    assert f1 < spark.read.format("paimon_lake").option(
+        "path", f"{d}$files"
+    ).load().count()
+    # read-only + batch-only
+    with pytest.raises(Exception, match="read-only"):
+        (
+            spark.range(1)
+            .select(F.col("id").alias("k"), F.lit(0.0).alias("v"))
+            .write.format("paimon_lake")
+            .option("path", f"{d}$files")
+            .mode("append")
+            .save()
+        )
+
+    # engine twin
+    catalog.create_table(
+        "default.sys_eng",
+        Schema(SIMPLE, primary_keys=["f0"], options={"bucket": "2"}),
+        False,
+    )
+    t = catalog.get_table("default.sys_eng")
+    _write(t, pd.DataFrame({"f0": [1, 2], "f1": ["a", "b"]}))
+    t.create_tag("x")
+    _write(t, pd.DataFrame({"f0": [3], "f1": ["c"]}))
+    for name in (
+        "snapshots",
+        "files",
+        "partitions",
+        "manifests",
+        "buckets",
+        "branches",
+        "tags",
+        "options",
+    ):
+        df = (
+            spark.read.format("paimon_spark")
+            .option("path", f"{t.table_path}${name}")
+            .load()
+        )
+        assert sorted(map(str, df.collect())) == sorted(
+            map(str, getattr(t, name)().collect())
+        ), name
+    with pytest.raises(Exception, match="unknown system table"):
+        spark.read.format("paimon_spark").option(
+            "path", f"{t.table_path}$nope"
+        ).load().count()
