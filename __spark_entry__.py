@@ -11736,6 +11736,73 @@ ORDER BY snapshot_id
 """
 
 
+def paimon_lake_audit_log_roundtrip(spark, sf_dir):
+    """``$audit_log`` over a REAL lake through the ``format(...)``
+    front door — every STORED row, merge-free, leading rowkind: base
+    commit (+I), an upsert commit (+I new versions), then DELETE rows
+    (-D records carrying the matched VISIBLE values). Planned like a
+    normal read (one partition per bucket group) — audit is data-scale,
+    not a driver-built view. Builder twin PaimonLakeTable.audit_log
+    (engine twin: read.audit_log_df, reference RowKind model
+    row_kind.py:22-57)."""
+    from paimon_python_spark.lake_datasource import register_lake
+    from paimon_python_spark.paimon_lake import (
+        PaimonLakeTable,
+        create_lake_table,
+        delete_lake_rows,
+        write_lake_pk_append,
+    )
+    from paimon_python_spark.session import set_spark
+
+    set_spark(spark)
+    register_lake(spark)
+    fixture = _fresh_warehouse("lakeaud") + "/customer_aud"
+    create_lake_table(
+        fixture,
+        [("c_custkey", "BIGINT NOT NULL"), ("c_acctbal", "DOUBLE")],
+        primary_keys=["c_custkey"],
+        options={"bucket": "4"},
+    )
+    src = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 400)
+        .select("c_custkey", "c_acctbal")
+    )
+    write_lake_pk_append(fixture, src)
+    write_lake_pk_append(
+        fixture,
+        src.filter(F.col("c_custkey") % 3 == 0).withColumn(
+            "c_acctbal", F.round(F.col("c_acctbal") + 100, 2)
+        ),
+    )
+    pb = PaimonLakeTable(fixture).new_read_builder().new_predicate_builder()
+    delete_lake_rows(fixture, pb.is_in("c_custkey", list(range(0, 401, 5))))
+    return (
+        spark.read.format("paimon_lake")
+        .option("path", f"{fixture}$audit_log")
+        .load()
+        .orderBy("rowkind", "c_custkey", "c_acctbal")
+    )
+
+
+PAIMON_LAKE_AUDIT_LOG_SQL = """
+WITH base AS (
+  SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey <= 400
+)
+SELECT rowkind, c_custkey, c_acctbal FROM (
+  SELECT '+I' AS rowkind, c_custkey, c_acctbal FROM base
+  UNION ALL
+  SELECT '+I', c_custkey, round(c_acctbal + 100, 2)
+  FROM base WHERE c_custkey % 3 = 0
+  UNION ALL
+  SELECT '-D', c_custkey,
+         CASE WHEN c_custkey % 3 = 0 THEN round(c_acctbal + 100, 2)
+              ELSE c_acctbal END
+  FROM base WHERE c_custkey % 5 = 0
+) ORDER BY rowkind, c_custkey, c_acctbal
+"""
+
+
 def paimon_format_system_tables_roundtrip(spark, sf_dir):
     """SYSTEM TABLES through the ``format(...)`` front doors — Paimon's
     ``$<name>`` path suffix (``spark.read.format("paimon_lake")
@@ -11885,6 +11952,7 @@ _QUERIES: dict[str, Callable] = {
     "paimon_remove_record_on_delete_roundtrip": paimon_remove_record_on_delete_roundtrip,
     "paimon_sequence_field_roundtrip": paimon_sequence_field_roundtrip,
     "paimon_format_system_tables_roundtrip": paimon_format_system_tables_roundtrip,
+    "paimon_lake_audit_log_roundtrip": paimon_lake_audit_log_roundtrip,
     "paimon_lake_stream_changelog_roundtrip": paimon_lake_stream_changelog_roundtrip,
     "paimon_lake_manifest_skip_roundtrip": paimon_lake_manifest_skip_roundtrip,
     "ann_ivf_incremental_ingest": ann_ivf_incremental_ingest,
@@ -12262,6 +12330,7 @@ _ORACLES: dict[str, str] = {
     "paimon_remove_record_on_delete_roundtrip": PAIMON_REMOVE_RECORD_ON_DELETE_SQL,
     "paimon_sequence_field_roundtrip": PAIMON_SEQUENCE_FIELD_SQL,
     "paimon_format_system_tables_roundtrip": PAIMON_FORMAT_SYSTEM_TABLES_SQL,
+    "paimon_lake_audit_log_roundtrip": PAIMON_LAKE_AUDIT_LOG_SQL,
     "paimon_lake_stream_changelog_roundtrip": PAIMON_LAKE_STREAM_CHANGELOG_SQL,
     "paimon_lake_manifest_skip_roundtrip": PAIMON_LAKE_MANIFEST_SKIP_SQL,
     "paimon_lake_fullcompact_changelog_roundtrip": PAIMON_LAKE_FULLCOMPACT_CHANGELOG_SQL,
@@ -12321,6 +12390,7 @@ _GATE_HEAD = [
     "paimon_remove_record_on_delete_roundtrip",
     "paimon_sequence_field_roundtrip",
     "paimon_format_system_tables_roundtrip",
+    "paimon_lake_audit_log_roundtrip",
     "paimon_lake_bitmap_index_roundtrip",
     "paimon_lake_bsi_index_roundtrip",
     "paimon_engine_exact_index_roundtrip",

@@ -216,6 +216,7 @@ class PaimonBatchReader(DataSourceReader):
         snapshot_id=None,
         tag=None,
         timestamp_millis=None,
+        audit: bool = False,
     ):
         self.table_path = table_path
         self.table_schema = schema
@@ -225,6 +226,12 @@ class PaimonBatchReader(DataSourceReader):
         self._tt_snapshot = snapshot_id
         self._tt_tag = tag
         self._tt_timestamp = timestamp_millis
+        # $audit_log: every STORED row, merge-free, leading rowkind
+        # string. Filters are never claimed (the audit schema leads
+        # with rowkind; Spark applies everything row-level).
+        self._audit = audit
+        if audit:
+            claim_filters = False
         # Spark 4.1 reuses ONE reader instance for all queries over a
         # temp view (and for a .load() DataFrame reused across
         # actions) and only calls pushFilters when the query has
@@ -262,7 +269,8 @@ class PaimonBatchReader(DataSourceReader):
         from paimon_python_spark.table import Table
 
         table = Table("ds", self.table_path, self.table_schema)
-        _check_ds_merge_supported(self.table_schema, "paimon_spark")
+        if not self._audit:  # audit is merge-free: every engine reads
+            _check_ds_merge_supported(self.table_schema, "paimon_spark")
         rb = table.new_read_builder()
         if self._tt_tag is not None:
             rb = rb.with_tag(self._tt_tag)
@@ -338,6 +346,29 @@ class PaimonBatchReader(DataSourceReader):
             tbl = ds.dataset(
                 partition.paths, format=partition.fmt, schema=physical
             ).to_table(filter=residual)
+
+        if self._audit:
+            # $audit_log: every STORED row, merge-free, rowkind first
+            # (+I for append tables; PK rows decode KIND_COL)
+            pdf = tbl.to_pandas()
+            if is_pk:
+                pdf["rowkind"] = (
+                    pdf[KIND_COL]
+                    .map({0: "+I", 1: "-U", 2: "+U", 3: "-D"})
+                    .fillna("+I")
+                )
+            else:
+                pdf["rowkind"] = "+I"
+            out_pa = pa.schema(
+                [pa.field("rowkind", pa.string())] + list(logical_pa)
+            )
+            tbl = pa.Table.from_pandas(
+                pdf[["rowkind"] + [f.name for f in schema.spark_schema.fields]],
+                schema=out_pa,
+                preserve_index=False,
+            )
+            yield from tbl.to_batches(max_chunksize=4096)
+            return
 
         if is_pk:
             # executor-local merge: this partition IS one (partition,
@@ -869,6 +900,11 @@ class PaimonSparkDataSource(DataSource):
 
     def schema(self):
         path, sys_name = self._split_path()
+        if sys_name == "audit_log":
+            return T.StructType(
+                [T.StructField("rowkind", T.StringType(), False)]
+                + list(_load_schema(path).spark_schema.fields)
+            )
         if sys_name is not None:
             from paimon_python_spark.table import engine_system_table_data
 
@@ -890,6 +926,17 @@ class PaimonSparkDataSource(DataSource):
             )
         path, sys_name = self._split_path()
         sid, tag, ts = self._time_travel()
+        if sys_name == "audit_log":
+            # data-scale: planned like a normal read (one partition per
+            # split), merge-free with a leading rowkind column
+            return PaimonBatchReader(
+                path,
+                _load_schema(path),
+                snapshot_id=sid,
+                tag=tag,
+                timestamp_millis=ts,
+                audit=True,
+            )
         if sys_name is not None:
             if tag is not None or ts is not None:
                 raise ValueError(

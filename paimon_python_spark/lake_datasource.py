@@ -95,12 +95,19 @@ class PaimonLakeBatchReader(DataSourceReader):
         snapshot_id: "Optional[int]" = None,
         tag: "Optional[str]" = None,
         timestamp_millis: "Optional[int]" = None,
+        audit: bool = False,
     ):
         from paimon_python_spark.paimon_lake import read_paimon_schema
 
         self.table_path = table_path
         self.info = read_paimon_schema(table_path)
         self._predicate = None
+        # $audit_log: every STORED row, merge-free, leading rowkind;
+        # DV marks NOT applied; filters never claimed (audit schema
+        # leads with rowkind — Spark applies everything row-level)
+        self._audit = audit
+        if audit:
+            claim_filters = False
         self._claim_filters = claim_filters
         # time travel (Paimon's scan.snapshot-id / scan.tag-name /
         # scan.timestamp-millis): resolved by the read builder at plan
@@ -147,7 +154,8 @@ class PaimonLakeBatchReader(DataSourceReader):
         info = self.info
         from paimon_python_spark.datasource import _check_ds_merge_supported
 
-        _check_ds_merge_supported(info, "paimon_lake")
+        if not self._audit:  # audit is merge-free: every engine reads
+            _check_ds_merge_supported(info, "paimon_lake")
         b = PaimonLakeTable(self.table_path).new_read_builder()
         if self._tt_tag is not None:
             b = b.with_tag(self._tt_tag)
@@ -161,12 +169,16 @@ class PaimonLakeBatchReader(DataSourceReader):
         # contract — apply_lake_dv — without its driver-side join plan).
         # Planned under the SAME snapshot as the file set: a time-travel
         # read must see that snapshot's marks, not today's.
-        dv_by_file = {
-            r.data_file_name: [r.index_path, r.offset, r.length]
-            for r in plan_paimon_dv(
-                self.table_path, b._snapshot_id, snapshot=b._snapshot_dict()
-            )
-        }
+        dv_by_file = (
+            {}  # audit shows stored rows: DV marks are NOT applied
+            if self._audit
+            else {
+                r.data_file_name: [r.index_path, r.offset, r.length]
+                for r in plan_paimon_dv(
+                    self.table_path, b._snapshot_id, snapshot=b._snapshot_dict()
+                )
+            }
+        )
         predicate, self._predicate = self._predicate, None  # consume
         if predicate is not None:
             b = b.with_filter(predicate)
@@ -378,7 +390,14 @@ class PaimonLakeBatchReader(DataSourceReader):
             f["__idx"] = idx
             frames.append(f)
         g = pd.concat(frames, ignore_index=True)
-        if spec["kv"]:
+        if self._audit and spec["kv"]:
+            # $audit_log: merge-free, rowkind decoded from _VALUE_KIND
+            g["__rowkind"] = (
+                g["_VALUE_KIND"]
+                .astype("int64")
+                .map({0: "+I", 1: "-U", 2: "+U", 3: "-D"})
+            )
+        elif spec["kv"]:
             # merge-engine dispatch for the in-task-expressible engines
             # (others refused at plan time). Lake writers bake a declared
             # sequence.field into _SEQUENCE_NUMBER, so the sequence sort
@@ -424,6 +443,12 @@ class PaimonLakeBatchReader(DataSourceReader):
                 g = g.drop_duplicates(subset=key_cols, keep="first")
                 g = g[g["_VALUE_KIND"].isin((0, 2))]
         out = pd.DataFrame(index=g.index)
+        if self._audit:
+            out["rowkind"] = (
+                g["__rowkind"].astype(object)
+                if "__rowkind" in g.columns
+                else pd.Series(["+I"] * len(g), index=g.index, dtype=object)
+            )
         for f in info.spark_schema.fields:
             if f.name in part_keys:
                 v = _part_value(info, f.name, spec["partition"].get(f.name))
@@ -431,9 +456,15 @@ class PaimonLakeBatchReader(DataSourceReader):
             else:
                 col = g[f.name]
                 out[f.name] = col.astype(object).where(col.notna(), None)
+        out_schema = info.spark_schema
+        if self._audit:
+            out_schema = T.StructType(
+                [T.StructField("rowkind", T.StringType(), False)]
+                + list(info.spark_schema.fields)
+            )
         tbl = pa.Table.from_pandas(
             out,
-            schema=spark_schema_to_pa(info.spark_schema),
+            schema=spark_schema_to_pa(out_schema),
             preserve_index=False,
         )
         if partition.predicate is not None and not spec["kv"]:
@@ -1400,6 +1431,11 @@ class PaimonLakeDataSource(DataSource):
         )
 
         path, sys_name = self._split_path()
+        if sys_name == "audit_log":
+            return T.StructType(
+                [T.StructField("rowkind", T.StringType(), False)]
+                + list(read_paimon_schema(path).spark_schema.fields)
+            )
         if sys_name is not None:
             return lake_system_table_data(path, sys_name)[0]
         spark_schema = read_paimon_schema(path).spark_schema
@@ -1419,6 +1455,16 @@ class PaimonLakeDataSource(DataSource):
             )
         path, sys_name = self._split_path()
         sid, tag, ts = self._time_travel()
+        if sys_name == "audit_log":
+            # data-scale: planned like a normal read (one partition per
+            # bucket group), merge-free with a leading rowkind column
+            return PaimonLakeBatchReader(
+                path,
+                snapshot_id=sid,
+                tag=tag,
+                timestamp_millis=ts,
+                audit=True,
+            )
         if sys_name is not None:
             if tag is not None or ts is not None:
                 raise ValueError(

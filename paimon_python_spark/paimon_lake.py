@@ -142,6 +142,15 @@ class PaimonLakeTable:
         """Options system table: (key, value) from the current schema."""
         return _lake_system_df(self.table_path, "options")
 
+    def audit_log(self, snapshot_id: "Optional[int]" = None):
+        """Audit-log system table over a REAL lake — Paimon's
+        ``table$audit_log``: every STORED row (no merge, no
+        drop-delete; deletion-vector marks are NOT applied — audit
+        shows what the files hold) with a leading ``rowkind`` string
+        column. Append lakes are all ``+I``. Engine-table twin:
+        Table.audit_log (read.audit_log_df)."""
+        return _lake_audit_log(self.table_path, snapshot_id)
+
 
 class PaimonLakeReadBuilder:
     """Accumulates pushdowns against a lake table (mirrors the engine's
@@ -1805,6 +1814,69 @@ def _lake_system_df(table_path, name, snapshot_id=None):
 
     schema, rows = lake_system_table_data(table_path, name, snapshot_id)
     return get_spark().createDataFrame(rows, schema)
+
+
+def _lake_audit_log(table_path: str, snapshot_id: "Optional[int]" = None):
+    """Every STORED row of a lake with a leading ``rowkind`` string —
+    the merge-free scan behind ``table$audit_log`` (engine twin:
+    read.audit_log_df). PK lakes decode ``_VALUE_KIND`` (kv values
+    carry the FULL row, partition columns included, so no injection is
+    needed); append lakes are all ``+I``. Deletion-vector marks are NOT
+    applied: audit shows what the files hold."""
+    import os
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from paimon_python_spark.paimon_import import _load_lake_entries
+    from paimon_python_spark.session import get_spark
+
+    spark = get_spark()
+    info = read_paimon_schema(table_path)
+    entries = plan_paimon_files(table_path, snapshot_id)
+    part_types = [info.spark_schema[k].dataType for k in info.partition_keys]
+    default_name = info.options.get("partition.default-name", None)
+    fmt = info.options.get("file.format", "parquet")
+
+    def src(e):
+        kw = {"default_name": default_name} if default_name else {}
+        return os.path.join(
+            table_path, e.rel_path(info.partition_keys, part_types, **kw)
+        )
+
+    out_fields = [T.StructField("rowkind", T.StringType(), False)] + list(
+        info.spark_schema.fields
+    )
+    if not entries:
+        return spark.createDataFrame([], T.StructType(out_fields))
+    if not info.primary_keys:
+        from paimon_python_spark.paimon_import import (
+            read_paimon_append_entries,
+        )
+
+        df = read_paimon_append_entries(
+            spark, info, entries, src, fmt, table_path=table_path
+        )
+        cols = [f.name for f in info.spark_schema.fields]
+        return df.select(F.lit("+I").alias("rowkind"), *cols)
+    raw = _load_lake_entries(
+        spark, info, entries, src, fmt, kv=True, table_path=table_path
+    )
+    kind = F.col("_VALUE_KIND")
+    # RowKind int → short string (row_kind.py:22-57); +I is the 0/default
+    expr = (
+        F.when(kind == 1, "-U")
+        .when(kind == 2, "+U")
+        .when(kind == 3, "-D")
+        .otherwise("+I")
+    )
+    return raw.select(
+        expr.alias("rowkind"),
+        *[
+            F.col(f.name).cast(f.dataType).alias(f.name)
+            for f in info.spark_schema.fields
+        ],
+    )
 
 
 def _lake_system_snapshots(table_path: str):

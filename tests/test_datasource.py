@@ -1510,3 +1510,58 @@ def test_system_tables_through_front_doors(catalog, spark, tmp_path):
         spark.read.format("paimon_spark").option(
             "path", f"{t.table_path}$nope"
         ).load().count()
+
+
+def test_audit_log_through_front_doors(catalog, spark, tmp_path):
+    """``$audit_log`` through both data sources — data-scale (planned
+    like a normal read, one partition per group), merge-free, leading
+    rowkind; bit-identical to the builder audit_log. DV marks are NOT
+    applied (audit shows stored rows)."""
+    from paimon_python_spark.lake_datasource import register_lake
+    from paimon_python_spark.paimon_lake import (
+        PaimonLakeTable,
+        create_lake_table,
+        delete_lake_rows,
+        write_lake_pk_append,
+    )
+
+    register_lake(spark)
+    d = str(tmp_path / "aud")
+    create_lake_table(
+        d,
+        [("k", "INT NOT NULL"), ("v", "STRING")],
+        primary_keys=["k"],
+        options={"bucket": "2"},
+    )
+    write_lake_pk_append(
+        d, spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    )
+    write_lake_pk_append(d, spark.createDataFrame([(1, "A")], "k int, v string"))
+    pb = PaimonLakeTable(d).new_read_builder().new_predicate_builder()
+    delete_lake_rows(d, pb.equal("k", 2))
+
+    def rows(df):
+        return sorted((r.rowkind, r.k, r.v) for r in df.collect())
+
+    fd = spark.read.format("paimon_lake").option("path", f"{d}$audit_log").load()
+    assert rows(fd) == rows(PaimonLakeTable(d).audit_log())
+    assert ("-D", 2, "b") in rows(fd)
+    assert len(rows(fd)) == 4  # no merge: both k=1 versions present
+
+    # engine twin
+    catalog.create_table(
+        "default.aud_eng",
+        Schema(SIMPLE, primary_keys=["f0"], options={"bucket": "1"}),
+        False,
+    )
+    t = catalog.get_table("default.aud_eng")
+    _write(t, pd.DataFrame({"f0": [1, 2], "f1": ["a", "b"]}))
+    _write(t, pd.DataFrame({"f0": [1], "f1": ["A"]}))
+    ef = (
+        spark.read.format("paimon_spark")
+        .option("path", f"{t.table_path}$audit_log")
+        .load()
+    )
+    got = sorted((r.rowkind, r.f0, r.f1) for r in ef.collect())
+    want = sorted((r.rowkind, r.f0, r.f1) for r in t.audit_log().collect())
+    assert got == want and len(got) == 3
