@@ -11736,6 +11736,54 @@ ORDER BY snapshot_id
 """
 
 
+def paimon_format_incremental_roundtrip(spark, sf_dir):
+    """Batch ``incremental-between`` through the ``format(...)`` front
+    door — Paimon's incremental query as a read option ('1,2' snapshot
+    ids; tag names work too): rows of exactly the commits in
+    (start, end], planned with the STREAMING reader's per-delta-file
+    partitions (batch windows and micro-batches share one code path).
+    Three commits of disjoint customer slices; the window must return
+    the middle slice alone. Builder twin read_lake_incremental
+    (reference streams via JVM scan modes, SURVEY §2.1)."""
+    from paimon_python_spark.lake_datasource import register_lake
+    from paimon_python_spark.paimon_lake import (
+        create_lake_table,
+        write_lake_append,
+    )
+    from paimon_python_spark.session import set_spark
+
+    set_spark(spark)
+    register_lake(spark)
+    fixture = _fresh_warehouse("lakeinc") + "/customer_inc"
+    create_lake_table(
+        fixture,
+        [("c_custkey", "BIGINT NOT NULL"), ("c_acctbal", "DOUBLE")],
+        options={},
+    )
+    src = _t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    for lo, hi in ((0, 300), (300, 600), (600, 900)):
+        write_lake_append(
+            fixture,
+            src.filter(
+                (F.col("c_custkey") > lo) & (F.col("c_custkey") <= hi)
+            ),
+        )
+    return (
+        spark.read.format("paimon_lake")
+        .option("path", fixture)
+        .option("incremental-between", "1,2")
+        .load()
+        .orderBy("c_custkey")
+    )
+
+
+PAIMON_FORMAT_INCREMENTAL_SQL = """
+SELECT c_custkey, c_acctbal FROM customer
+WHERE c_custkey > 300 AND c_custkey <= 600
+ORDER BY c_custkey
+"""
+
+
 def paimon_lake_audit_log_roundtrip(spark, sf_dir):
     """``$audit_log`` over a REAL lake through the ``format(...)``
     front door — every STORED row, merge-free, leading rowkind: base
@@ -11953,6 +12001,7 @@ _QUERIES: dict[str, Callable] = {
     "paimon_sequence_field_roundtrip": paimon_sequence_field_roundtrip,
     "paimon_format_system_tables_roundtrip": paimon_format_system_tables_roundtrip,
     "paimon_lake_audit_log_roundtrip": paimon_lake_audit_log_roundtrip,
+    "paimon_format_incremental_roundtrip": paimon_format_incremental_roundtrip,
     "paimon_lake_stream_changelog_roundtrip": paimon_lake_stream_changelog_roundtrip,
     "paimon_lake_manifest_skip_roundtrip": paimon_lake_manifest_skip_roundtrip,
     "ann_ivf_incremental_ingest": ann_ivf_incremental_ingest,
@@ -12331,6 +12380,7 @@ _ORACLES: dict[str, str] = {
     "paimon_sequence_field_roundtrip": PAIMON_SEQUENCE_FIELD_SQL,
     "paimon_format_system_tables_roundtrip": PAIMON_FORMAT_SYSTEM_TABLES_SQL,
     "paimon_lake_audit_log_roundtrip": PAIMON_LAKE_AUDIT_LOG_SQL,
+    "paimon_format_incremental_roundtrip": PAIMON_FORMAT_INCREMENTAL_SQL,
     "paimon_lake_stream_changelog_roundtrip": PAIMON_LAKE_STREAM_CHANGELOG_SQL,
     "paimon_lake_manifest_skip_roundtrip": PAIMON_LAKE_MANIFEST_SKIP_SQL,
     "paimon_lake_fullcompact_changelog_roundtrip": PAIMON_LAKE_FULLCOMPACT_CHANGELOG_SQL,
@@ -12391,6 +12441,7 @@ _GATE_HEAD = [
     "paimon_sequence_field_roundtrip",
     "paimon_format_system_tables_roundtrip",
     "paimon_lake_audit_log_roundtrip",
+    "paimon_format_incremental_roundtrip",
     "paimon_lake_bitmap_index_roundtrip",
     "paimon_lake_bsi_index_roundtrip",
     "paimon_engine_exact_index_roundtrip",

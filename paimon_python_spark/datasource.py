@@ -841,6 +841,25 @@ class PaimonSystemReader(DataSourceReader):
         yield from rows
 
 
+class PaimonIncrementalReader(DataSourceReader):
+    """Batch ``incremental-between`` reads over an engine table — the
+    engine twin of lake_datasource.PaimonLakeIncrementalReader (same
+    reuse of the streaming reader's planning)."""
+
+    def __init__(self, table_path: str, schema, start_id, end_id, changelog):
+        self._sr = PaimonStreamReader(table_path, schema, changelog=changelog)
+        self.start_id = int(start_id)
+        self.end_id = int(end_id)
+
+    def partitions(self):
+        return self._sr.partitions(
+            {"snapshot": self.start_id}, {"snapshot": self.end_id}
+        )
+
+    def read(self, partition) -> Iterator:
+        return self._sr.read(partition)
+
+
 class PaimonSparkDataSource(DataSource):
     """``spark.dataSource.register(PaimonSparkDataSource)`` then
     ``spark.read.format("paimon_spark").option("path", table_path)``.
@@ -919,12 +938,48 @@ class PaimonSparkDataSource(DataSource):
         return spark_schema
 
     def reader(self, schema: T.StructType):
+        path, sys_name = self._split_path()
+        inc = self.options.get("incremental-between")
+        if inc is not None:
+            # batch incremental query: '3,7' or 'tagA,tagB' — rows of
+            # the commits in (start, end]
+            if sys_name is not None or any(
+                v is not None for v in self._time_travel()
+            ):
+                raise ValueError(
+                    "paimon_spark: incremental-between does not combine "
+                    "with system tables or time-travel options"
+                )
+            lo, _, hi = inc.partition(",")
+            if not hi:
+                raise ValueError(
+                    "incremental-between takes 'start,end' (snapshot ids "
+                    "or tag names)"
+                )
+
+            def bound(token):
+                token = token.strip()
+                if token.lstrip("-").isdigit():
+                    return int(token)
+                from paimon_python_spark.table import Table
+                from paimon_python_spark.tags import resolve_tag
+
+                return resolve_tag(
+                    Table("inc", path, _load_schema(path)), token
+                )
+
+            return PaimonIncrementalReader(
+                path,
+                _load_schema(path),
+                bound(lo),
+                bound(hi),
+                changelog=self._changelog(),
+            )
         if self._changelog():
             raise ValueError(
-                "paimon_spark: option('changelog') applies to readStream; "
-                "batch changelog windows come from read_incremental()"
+                "paimon_spark: option('changelog') applies to readStream "
+                "and incremental-between batch reads"
             )
-        path, sys_name = self._split_path()
         sid, tag, ts = self._time_travel()
         if sys_name == "audit_log":
             # data-scale: planned like a normal read (one partition per

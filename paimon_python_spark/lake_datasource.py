@@ -1365,6 +1365,41 @@ class PaimonLakeSystemReader(DataSourceReader):
         yield from rows
 
 
+class PaimonLakeIncrementalReader(DataSourceReader):
+    """Batch ``incremental-between`` reads (Paimon's incremental query:
+    rows of the commits in ``(start, end]``) — reuses the STREAMING
+    reader's per-delta-file partition planning and executor read
+    verbatim, so batch windows and micro-batches are the same code
+    path. PK lakes need ``.option("changelog", "true")`` (rows carry
+    ``_row_kind``), exactly like the stream."""
+
+    def __init__(
+        self, table_path: str, start_id: int, end_id: int, changelog: bool
+    ):
+        self._sr = PaimonLakeStreamReader(table_path, changelog=changelog)
+        self.start_id = int(start_id)
+        self.end_id = int(end_id)
+
+    def partitions(self):
+        return self._sr.partitions(
+            {"snapshot": self.start_id}, {"snapshot": self.end_id}
+        )
+
+    def read(self, partition) -> Iterator:
+        return self._sr.read(partition)
+
+
+def _resolve_inc_bound(table_path: str, token: str) -> int:
+    """A bound of ``incremental-between``: a snapshot id, or a TAG name
+    (Paimon accepts both)."""
+    token = token.strip()
+    if token.lstrip("-").isdigit():
+        return int(token)
+    from paimon_python_spark.paimon_import import read_paimon_tag
+
+    return int(read_paimon_tag(table_path, token)["id"])
+
+
 class PaimonLakeDataSource(DataSource):
     """``spark.dataSource.register(PaimonLakeDataSource)`` then
     ``spark.read.format("paimon_lake").option("path", lake_dir)``.
@@ -1448,12 +1483,35 @@ class PaimonLakeDataSource(DataSource):
         return spark_schema
 
     def reader(self, schema: T.StructType):
+        path, sys_name = self._split_path()
+        inc = self.options.get("incremental-between")
+        if inc is not None:
+            # batch incremental query (Paimon's incremental-between):
+            # '3,7' or 'tagA,tagB' — rows of the commits in (start, end]
+            if sys_name is not None or any(
+                v is not None for v in self._time_travel()
+            ):
+                raise ValueError(
+                    "paimon_lake: incremental-between does not combine "
+                    "with system tables or time-travel options"
+                )
+            lo, _, hi = inc.partition(",")
+            if not hi:
+                raise ValueError(
+                    "incremental-between takes 'start,end' (snapshot ids "
+                    "or tag names)"
+                )
+            return PaimonLakeIncrementalReader(
+                path,
+                _resolve_inc_bound(path, lo),
+                _resolve_inc_bound(path, hi),
+                changelog=self._changelog(),
+            )
         if self._changelog():
             raise ValueError(
-                "paimon_lake: option('changelog') applies to readStream; "
-                "batch changelog windows come from read_lake_incremental()"
+                "paimon_lake: option('changelog') applies to readStream "
+                "and incremental-between batch reads"
             )
-        path, sys_name = self._split_path()
         sid, tag, ts = self._time_travel()
         if sys_name == "audit_log":
             # data-scale: planned like a normal read (one partition per

@@ -1565,3 +1565,86 @@ def test_audit_log_through_front_doors(catalog, spark, tmp_path):
     got = sorted((r.rowkind, r.f0, r.f1) for r in ef.collect())
     want = sorted((r.rowkind, r.f0, r.f1) for r in t.audit_log().collect())
     assert got == want and len(got) == 3
+
+
+def test_incremental_between_batch_option(catalog, spark, tmp_path):
+    """Batch ``incremental-between`` reads through both front doors —
+    Paimon's incremental query ('3,7' snapshot ids or 'tagA,tagB'),
+    reusing the STREAMING readers' per-delta-file planning verbatim.
+    PK lakes need .option('changelog','true') (rows carry _row_kind),
+    same contract as the stream."""
+    from paimon_python_spark.lake_datasource import register_lake
+    from paimon_python_spark.paimon_lake import (
+        create_lake_table,
+        create_lake_tag,
+        write_lake_append,
+        write_lake_pk_append,
+    )
+
+    register_lake(spark)
+    d = str(tmp_path / "inc")
+    create_lake_table(d, [("k", "INT NOT NULL")], primary_keys=[], options={})
+    for i in range(4):
+        write_lake_append(d, spark.createDataFrame([(i,)], "k int"))
+        if i == 0:
+            create_lake_tag(d, "t0")
+        if i == 2:
+            create_lake_tag(d, "t2")
+
+    def rd(**opts):
+        r = spark.read.format("paimon_lake").option("path", d)
+        for k, v in opts.items():
+            r = r.option(k, str(v))
+        return sorted(x.k for x in r.load().collect())
+
+    assert rd(**{"incremental-between": "1,3"}) == [1, 2]
+    assert rd(**{"incremental-between": "t0,t2"}) == [1, 2]
+    with pytest.raises(Exception, match="start,end"):
+        rd(**{"incremental-between": "3"})
+    with pytest.raises(Exception, match="does not combine"):
+        rd(**{"incremental-between": "1,3", "snapshot-id": "1"})
+
+    # PK + changelog: full-image -U/+U from the lookup producer
+    d2 = str(tmp_path / "incpk")
+    create_lake_table(
+        d2,
+        [("k", "INT NOT NULL"), ("v", "STRING")],
+        primary_keys=["k"],
+        options={"bucket": "1", "changelog-producer": "lookup"},
+    )
+    write_lake_pk_append(
+        d2, spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    )
+    write_lake_pk_append(d2, spark.createDataFrame([(1, "A")], "k int, v string"))
+    rc = (
+        spark.read.format("paimon_lake")
+        .option("path", d2)
+        .option("incremental-between", "1,2")
+        .option("changelog", "true")
+        .load()
+    )
+    ks = sorted((x._row_kind, x.k, x.v) for x in rc.collect())
+    assert ("-U", 1, "a") in ks and ("+U", 1, "A") in ks
+    with pytest.raises(Exception):
+        (
+            spark.read.format("paimon_lake")
+            .option("path", d2)
+            .option("incremental-between", "1,2")
+            .load()
+            .count()
+        )
+
+    # engine twin, tag bounds
+    catalog.create_table("default.inc_eng", Schema(SIMPLE), False)
+    t = catalog.get_table("default.inc_eng")
+    for i in range(4):
+        _write(t, pd.DataFrame({"f0": [i], "f1": [str(i)]}))
+    t.create_tag("a", 1)
+    t.create_tag("b", 3)
+    re_ = (
+        spark.read.format("paimon_spark")
+        .option("path", t.table_path)
+        .option("incremental-between", "a,b")
+        .load()
+    )
+    assert sorted(x.f0 for x in re_.collect()) == [1, 2]
