@@ -115,6 +115,50 @@ class _SplitPartition(InputPartition):
         self.predicate = predicate
 
 
+def _split_ds_path(options, fmt: str):
+    """Shared path parsing for both sources: strip file: URIs, split a
+    ``$<system table>`` suffix."""
+    path = options.get("path")
+    if not path:
+        raise ValueError(f"{fmt} requires .option('path', <table dir>)")
+    if path.startswith("file:"):
+        from urllib.parse import urlparse
+
+        path = urlparse(path).path
+    if "$" in path:
+        base, sys_name = path.rsplit("$", 1)
+        return base, sys_name
+    return path, None
+
+
+def _parse_time_travel(options, fmt: str):
+    """Shared batch time-travel options — ``snapshot-id`` / ``tag`` /
+    ``timestamp-millis`` (Paimon's scan.snapshot-id / scan.tag-name /
+    scan.timestamp-millis). At most one may be set."""
+    sid = options.get("snapshot-id")
+    tag = options.get("tag")
+    ts = options.get("timestamp-millis")
+    given = [
+        n
+        for n, v in (
+            ("snapshot-id", sid),
+            ("tag", tag),
+            ("timestamp-millis", ts),
+        )
+        if v is not None
+    ]
+    if len(given) > 1:
+        raise ValueError(
+            f"{fmt}: at most one time-travel option of "
+            f"snapshot-id / tag / timestamp-millis (got {given})"
+        )
+    return (
+        int(sid) if sid is not None else None,
+        tag,
+        int(ts) if ts is not None else None,
+    )
+
+
 def _parse_scan_start(options):
     """Streaming start options shared by both sources (Paimon's
     scan.mode / scan.snapshot-id / scan.timestamp-millis). A bare
@@ -143,6 +187,15 @@ def _parse_scan_start(options):
     if sid is not None and ts is not None:
         raise ValueError(
             "scan.snapshot-id and scan.timestamp-millis are exclusive"
+        )
+    if mode in ("latest", "latest-full", "earliest") and (
+        sid is not None or ts is not None
+    ):
+        # real Paimon rejects conflicting scan options too — silently
+        # preferring one would skip (or replay) commits the user named
+        raise ValueError(
+            f"scan.mode={mode} conflicts with scan.snapshot-id / "
+            "scan.timestamp-millis"
         )
     if mode in ("earliest", "from-snapshot", "from-timestamp"):
         # earliest is the default; the from-* intents are carried by
@@ -177,6 +230,25 @@ def _check_ds_merge_supported(schema, fmt: str) -> None:
         else "PaimonLakeTable.new_read_builder()"
     )
     engine = opts.get("merge-engine", "deduplicate")
+    seq_fields = [
+        c.strip()
+        for c in opts.get("sequence.field", "").split(",")
+        if c.strip()
+    ]
+    if seq_fields:
+        # same validation merge_on_read performs — without it a missing
+        # column dies as an executor-side pandas KeyError mid-task
+        keys = set(schema.partition_keys) | set(schema.primary_keys)
+        value_cols = [
+            f.name for f in schema.spark_schema.fields if f.name not in keys
+        ]
+        missing = [c for c in seq_fields if c not in value_cols]
+        if missing:
+            raise ValueError(
+                f"sequence.field: not value columns: {missing} "
+                f"(primary-key and partition columns cannot be sequence "
+                f"fields)"
+            )
     if engine == "aggregation":
         raise RuntimeError(
             f"{fmt}: merge-engine=aggregation reads are not supported "
@@ -526,6 +598,11 @@ class PaimonStreamReader(DataSourceStreamReader):
                     continue
                 if store.read_snapshot(sid).time_millis <= self.scan_timestamp:
                     best = sid
+            if not best:
+                # predates every surviving snapshot: the default
+                # earliest replay (with its expired-history bootstrap)
+                # IS the complete answer — fall through to it
+                return None
             return {"snapshot": best}
         return None
 
@@ -871,19 +948,9 @@ class PaimonSparkDataSource(DataSource):
         return "paimon_spark"
 
     def _split_path(self):
-        path = self.options.get("path")
-        if not path:
-            raise ValueError("paimon_spark requires .option('path', <table dir>)")
         # SQL `CREATE TABLE ... USING paimon_spark OPTIONS(path ...)`
         # hands the catalog-qualified location through as a file: URI
-        if path.startswith("file:"):
-            from urllib.parse import urlparse
-
-            path = urlparse(path).path
-        if "$" in path:
-            base, sys_name = path.rsplit("$", 1)
-            return base, sys_name
-        return path, None
+        return _split_ds_path(self.options, "paimon_spark")
 
     def _table_path(self) -> str:
         return self._split_path()[0]
@@ -892,30 +959,7 @@ class PaimonSparkDataSource(DataSource):
         return self.options.get("changelog", "false").lower() == "true"
 
     def _time_travel(self):
-        """``snapshot-id`` / ``tag`` / ``timestamp-millis`` batch read
-        options (at most one) — same surface as format('paimon_lake')."""
-        sid = self.options.get("snapshot-id")
-        tag = self.options.get("tag")
-        ts = self.options.get("timestamp-millis")
-        given = [
-            n
-            for n, v in (
-                ("snapshot-id", sid),
-                ("tag", tag),
-                ("timestamp-millis", ts),
-            )
-            if v is not None
-        ]
-        if len(given) > 1:
-            raise ValueError(
-                "paimon_spark: at most one time-travel option of "
-                f"snapshot-id / tag / timestamp-millis (got {given})"
-            )
-        return (
-            int(sid) if sid is not None else None,
-            tag,
-            int(ts) if ts is not None else None,
-        )
+        return _parse_time_travel(self.options, "paimon_spark")
 
     def schema(self):
         path, sys_name = self._split_path()
@@ -925,9 +969,10 @@ class PaimonSparkDataSource(DataSource):
                 + list(_load_schema(path).spark_schema.fields)
             )
         if sys_name is not None:
-            from paimon_python_spark.table import engine_system_table_data
+            from paimon_python_spark.table import engine_system_table_schema
 
-            return engine_system_table_data(path, sys_name)[0]
+            # O(1): schema() must not walk manifests
+            return engine_system_table_schema(sys_name)
         spark_schema = _load_schema(path).spark_schema
         if self._changelog():
             # streaming changelog mode: rows carry their RowKind

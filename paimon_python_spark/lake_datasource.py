@@ -596,7 +596,14 @@ class PaimonLakeStreamReader(DataSourceStreamReader):
                     and int(s["id"]) > best
                 ):
                     best = int(s["id"])
-            return {"snapshot": best if best else 0}
+            if not best:
+                # the timestamp predates every surviving snapshot: the
+                # complete answer IS the default earliest replay (which
+                # bootstraps past trimmed history) — falling through
+                # instead of returning offset 0, which the expired-
+                # history guard would reject
+                return None
+            return {"snapshot": best}
         return None
 
     def initialOffset(self) -> dict:
@@ -1412,17 +1419,9 @@ class PaimonLakeDataSource(DataSource):
         return "paimon_lake"
 
     def _split_path(self):
-        path = self.options.get("path")
-        if not path:
-            raise ValueError("paimon_lake requires .option('path', <lake dir>)")
-        if path.startswith("file:"):
-            from urllib.parse import urlparse
+        from paimon_python_spark.datasource import _split_ds_path
 
-            path = urlparse(path).path
-        if "$" in path:
-            base, sys_name = path.rsplit("$", 1)
-            return base, sys_name
-        return path, None
+        return _split_ds_path(self.options, "paimon_lake")
 
     def _table_path(self) -> str:
         return self._split_path()[0]
@@ -1431,39 +1430,14 @@ class PaimonLakeDataSource(DataSource):
         return self.options.get("changelog", "false").lower() == "true"
 
     def _time_travel(self):
-        """Parse the batch time-travel options — ``snapshot-id`` /
-        ``tag`` / ``timestamp-millis`` (Paimon's scan.snapshot-id /
-        scan.tag-name / scan.timestamp-millis). At most one may be set.
-        Rows project to the CURRENT schema by field id (the builder
-        contract for with_snapshot/with_tag/with_timestamp)."""
-        sid = self.options.get("snapshot-id")
-        tag = self.options.get("tag")
-        ts = self.options.get("timestamp-millis")
-        given = [
-            n
-            for n, v in (
-                ("snapshot-id", sid),
-                ("tag", tag),
-                ("timestamp-millis", ts),
-            )
-            if v is not None
-        ]
-        if len(given) > 1:
-            raise ValueError(
-                "paimon_lake: at most one time-travel option of "
-                f"snapshot-id / tag / timestamp-millis (got {given})"
-            )
-        return (
-            int(sid) if sid is not None else None,
-            tag,
-            int(ts) if ts is not None else None,
-        )
+        """snapshot-id / tag / timestamp-millis batch read options
+        (at most one) — shared parser, see datasource._parse_time_travel."""
+        from paimon_python_spark.datasource import _parse_time_travel
+
+        return _parse_time_travel(self.options, "paimon_lake")
 
     def schema(self):
-        from paimon_python_spark.paimon_lake import (
-            lake_system_table_data,
-            read_paimon_schema,
-        )
+        from paimon_python_spark.paimon_lake import read_paimon_schema
 
         path, sys_name = self._split_path()
         if sys_name == "audit_log":
@@ -1472,7 +1446,13 @@ class PaimonLakeDataSource(DataSource):
                 + list(read_paimon_schema(path).spark_schema.fields)
             )
         if sys_name is not None:
-            return lake_system_table_data(path, sys_name)[0]
+            from paimon_python_spark.paimon_lake import (
+                lake_system_table_schema,
+            )
+
+            # O(1): schema() must not walk manifests (the rows walk
+            # runs once, in the reader)
+            return lake_system_table_schema(sys_name)
         spark_schema = read_paimon_schema(path).spark_schema
         if self._changelog():
             # streaming changelog mode: rows carry their RowKind

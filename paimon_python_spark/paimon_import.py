@@ -176,9 +176,22 @@ def write_hint_atomic(path: str, value) -> None:
 
     d = os.path.dirname(path)
     fd, tmp = _tf.mkstemp(prefix=".hint-", dir=d)
-    with os.fdopen(fd, "w") as f:
-        f.write(str(value))
-    os.replace(tmp, path)
+    try:
+        with os.fdopen(fd, "w") as f:
+            f.write(str(value))
+        # mkstemp creates 0600 — a shared-filesystem lake written by
+        # one user must stay readable by others (plain open honored
+        # the umask); restore umask-relative world-readable perms
+        cur = os.umask(0)
+        os.umask(cur)
+        os.chmod(tmp, 0o666 & ~cur)
+        os.replace(tmp, path)
+    except BaseException:
+        try:
+            os.remove(tmp)
+        except OSError:
+            pass
+        raise
 
 
 def read_paimon_snapshot(table_path: str, snapshot_id: Optional[int] = None) -> dict:

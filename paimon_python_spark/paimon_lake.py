@@ -1501,6 +1501,89 @@ def stream_lake_snapshots(
     return _iter(current)
 
 
+def lake_system_table_schema(name: str):
+    """StructType of ``table$<name>`` — static per name, O(1): the
+    data source's schema() call must not walk manifests just to learn
+    column types (the rows walk runs once, in the reader)."""
+    from pyspark.sql import types as T
+
+    defs = {
+        "snapshots": [
+            ("snapshot_id", T.LongType()),
+            ("schema_id", T.LongType()),
+            ("commit_kind", T.StringType()),
+            ("commit_user", T.StringType()),
+            ("commit_time", T.LongType()),
+            ("total_record_count", T.LongType()),
+            ("delta_record_count", T.LongType()),
+        ],
+        "files": [
+            ("file_path", T.StringType()),
+            ("partition", T.StringType()),
+            ("bucket", T.IntegerType()),
+            ("file_name", T.StringType()),
+            ("file_size_in_bytes", T.LongType()),
+            ("record_count", T.LongType()),
+            ("level", T.IntegerType()),
+            ("schema_id", T.LongType()),
+        ],
+        "schemas": [
+            ("schema_id", T.LongType()),
+            ("fields", T.StringType()),
+            ("partition_keys", T.StringType()),
+            ("primary_keys", T.StringType()),
+            ("options", T.StringType()),
+        ],
+        "partitions": [
+            ("partition", T.StringType()),
+            ("record_count", T.LongType()),
+            ("file_size_in_bytes", T.LongType()),
+            ("file_count", T.LongType()),
+        ],
+        "manifests": [
+            ("file_name", T.StringType()),
+            ("file_size", T.LongType()),
+            ("num_added_files", T.LongType()),
+            ("num_deleted_files", T.LongType()),
+            ("schema_id", T.LongType()),
+            ("source", T.StringType()),
+        ],
+        "buckets": [
+            ("partition", T.StringType()),
+            ("bucket", T.IntegerType()),
+            ("record_count", T.LongType()),
+            ("file_size_in_bytes", T.LongType()),
+            ("file_count", T.LongType()),
+        ],
+        "tags": [
+            ("tag_name", T.StringType()),
+            ("snapshot_id", T.LongType()),
+        ],
+        "options": [("key", T.StringType()), ("value", T.StringType())],
+        "consumers": [
+            ("consumer_id", T.StringType()),
+            ("next_snapshot", T.LongType()),
+        ],
+        "indexes": [
+            ("index_type", T.StringType()),
+            ("partition", T.MapType(T.StringType(), T.StringType())),
+            ("bucket", T.IntegerType()),
+            ("file_name", T.StringType()),
+            ("file_size", T.LongType()),
+            ("row_count", T.LongType()),
+        ],
+    }
+    if name not in defs:
+        raise ValueError(
+            f"unknown system table {name!r}: one of {sorted(defs)}"
+        )
+    from pyspark.sql import types as _T
+
+    return _T.StructType(
+        [_T.StructField(n, t, False) for n, t in defs[name]]
+    )
+
+
 def lake_system_table_data(
     table_path: str, name: str, snapshot_id: "Optional[int]" = None
 ):
@@ -1539,17 +1622,7 @@ def lake_system_table_data(
                     int(s.get("deltaRecordCount") or 0),
                 )
             )
-        schema = T.StructType(
-            [
-                T.StructField("snapshot_id", T.LongType(), False),
-                T.StructField("schema_id", T.LongType(), False),
-                T.StructField("commit_kind", T.StringType(), False),
-                T.StructField("commit_user", T.StringType(), False),
-                T.StructField("commit_time", T.LongType(), False),
-                T.StructField("total_record_count", T.LongType(), False),
-                T.StructField("delta_record_count", T.LongType(), False),
-            ]
-        )
+        schema = lake_system_table_schema(name)
         return schema, rows
 
     if name == "files":
@@ -1574,18 +1647,7 @@ def lake_system_table_data(
                     e.schema_id,
                 )
             )
-        schema = T.StructType(
-            [
-                T.StructField("file_path", T.StringType(), False),
-                T.StructField("partition", T.StringType(), False),
-                T.StructField("bucket", T.IntegerType(), False),
-                T.StructField("file_name", T.StringType(), False),
-                T.StructField("file_size_in_bytes", T.LongType(), False),
-                T.StructField("record_count", T.LongType(), False),
-                T.StructField("level", T.IntegerType(), False),
-                T.StructField("schema_id", T.LongType(), False),
-            ]
-        )
+        schema = lake_system_table_schema(name)
         return schema, rows
 
     if name == "schemas":
@@ -1610,15 +1672,7 @@ def lake_system_table_data(
                     str(dict(sorted(info.options.items()))),
                 )
             )
-        schema = T.StructType(
-            [
-                T.StructField("schema_id", T.LongType(), False),
-                T.StructField("fields", T.StringType(), False),
-                T.StructField("partition_keys", T.StringType(), False),
-                T.StructField("primary_keys", T.StringType(), False),
-                T.StructField("options", T.StringType(), False),
-            ]
-        )
+        schema = lake_system_table_schema(name)
         return schema, rows
 
     if name == "partitions":
@@ -1631,14 +1685,7 @@ def lake_system_table_data(
             rec[1] += e.file_size
             rec[2] += 1
         rows = [(k, v[0], v[1], v[2]) for k, v in sorted(agg.items())]
-        schema = T.StructType(
-            [
-                T.StructField("partition", T.StringType(), False),
-                T.StructField("record_count", T.LongType(), False),
-                T.StructField("file_size_in_bytes", T.LongType(), False),
-                T.StructField("file_count", T.LongType(), False),
-            ]
-        )
+        schema = lake_system_table_schema(name)
         return schema, rows
 
     if name == "manifests":
@@ -1677,16 +1724,7 @@ def lake_system_table_data(
                         source,
                     )
                 )
-        schema = T.StructType(
-            [
-                T.StructField("file_name", T.StringType(), False),
-                T.StructField("file_size", T.LongType(), False),
-                T.StructField("num_added_files", T.LongType(), False),
-                T.StructField("num_deleted_files", T.LongType(), False),
-                T.StructField("schema_id", T.LongType(), False),
-                T.StructField("source", T.StringType(), False),
-            ]
-        )
+        schema = lake_system_table_schema(name)
         return schema, rows
 
     if name == "buckets":
@@ -1704,15 +1742,7 @@ def lake_system_table_data(
         rows = [
             (k[0], k[1], v[0], v[1], v[2]) for k, v in sorted(agg.items())
         ]
-        schema = T.StructType(
-            [
-                T.StructField("partition", T.StringType(), False),
-                T.StructField("bucket", T.IntegerType(), False),
-                T.StructField("record_count", T.LongType(), False),
-                T.StructField("file_size_in_bytes", T.LongType(), False),
-                T.StructField("file_count", T.LongType(), False),
-            ]
-        )
+        schema = lake_system_table_schema(name)
         return schema, rows
 
     if name == "tags":
@@ -1727,31 +1757,16 @@ def lake_system_table_data(
                         rows.append(
                             (n[len("tag-") :], int(_json.load(f)["id"]))
                         )
-        schema = T.StructType(
-            [
-                T.StructField("tag_name", T.StringType(), False),
-                T.StructField("snapshot_id", T.LongType(), False),
-            ]
-        )
+        schema = lake_system_table_schema(name)
         return schema, rows
 
     if name == "options":
         info = read_paimon_schema(table_path)
-        schema = T.StructType(
-            [
-                T.StructField("key", T.StringType(), False),
-                T.StructField("value", T.StringType(), False),
-            ]
-        )
+        schema = lake_system_table_schema(name)
         return schema, sorted((k, str(v)) for k, v in info.options.items())
 
     if name == "consumers":
-        schema = T.StructType(
-            [
-                T.StructField("consumer_id", T.StringType(), False),
-                T.StructField("next_snapshot", T.LongType(), False),
-            ]
-        )
+        schema = lake_system_table_schema(name)
         return schema, sorted(list_lake_consumers(table_path).items())
 
     if name == "indexes":
@@ -1786,20 +1801,7 @@ def lake_system_table_data(
                     int(r.get("_ROW_COUNT") or 0),
                 )
             )
-        schema = T.StructType(
-            [
-                T.StructField("index_type", T.StringType(), False),
-                T.StructField(
-                    "partition",
-                    T.MapType(T.StringType(), T.StringType()),
-                    False,
-                ),
-                T.StructField("bucket", T.IntegerType(), False),
-                T.StructField("file_name", T.StringType(), False),
-                T.StructField("file_size", T.LongType(), False),
-                T.StructField("row_count", T.LongType(), False),
-            ]
-        )
+        schema = lake_system_table_schema(name)
         return schema, rows
 
     raise ValueError(

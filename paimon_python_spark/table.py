@@ -320,6 +320,70 @@ class ReadType(list):
         )
 
 
+def engine_system_table_schema(name: str):
+    """StructType of an engine system table — static per name, O(1)
+    (schema() must not walk manifests to learn column types)."""
+    from pyspark.sql import types as T
+
+    P = T.MapType(T.StringType(), T.StringType())
+    defs = {
+        "snapshots": [
+            ("snapshot_id", T.LongType(), False),
+            ("commit_kind", T.StringType(), False),
+            ("commit_user", T.StringType(), False),
+            ("time_millis", T.LongType(), False),
+            ("total_record_count", T.LongType(), False),
+            ("delta_record_count", T.LongType(), False),
+            ("manifest_count", T.IntegerType(), False),
+        ],
+        "files": [
+            ("file_path", T.StringType(), False),
+            ("partition", P, True),
+            ("bucket", T.IntegerType(), False),
+            ("row_count", T.LongType(), False),
+            ("file_size", T.LongType(), False),
+        ],
+        "partitions": [
+            ("partition", P, True),
+            ("record_count", T.LongType(), False),
+            ("file_count", T.LongType(), False),
+            ("total_size", T.LongType(), False),
+        ],
+        "manifests": [
+            ("file_name", T.StringType(), False),
+            ("file_size", T.LongType(), False),
+            ("num_entries", T.LongType(), False),
+            ("num_added_files", T.LongType(), False),
+            ("num_deleted_files", T.LongType(), False),
+        ],
+        "buckets": [
+            ("partition", P, True),
+            ("bucket", T.IntegerType(), False),
+            ("record_count", T.LongType(), False),
+            ("file_count", T.LongType(), False),
+            ("total_size", T.LongType(), False),
+        ],
+        "branches": [
+            ("branch_name", T.StringType(), False),
+            ("created_from_snapshot", T.LongType(), True),
+        ],
+        "tags": [
+            ("tag_name", T.StringType(), False),
+            ("snapshot_id", T.LongType(), False),
+        ],
+        "options": [
+            ("key", T.StringType(), False),
+            ("value", T.StringType(), False),
+        ],
+    }
+    if name not in defs:
+        raise ValueError(
+            f"unknown system table {name!r}: one of {sorted(defs)} "
+            "(audit_log reads data files — use Table.audit_log())"
+        )
+    return T.StructType([T.StructField(n, t, nl) for n, t, nl in defs[name]])
+
+
 def engine_system_table_data(
     table_path: str, name: str, snapshot_id: "Optional[int]" = None
 ):
@@ -357,17 +421,7 @@ def engine_system_table_data(
                     len(s.manifests),
                 )
             )
-        schema = T.StructType(
-            [
-                T.StructField("snapshot_id", T.LongType(), False),
-                T.StructField("commit_kind", T.StringType(), False),
-                T.StructField("commit_user", T.StringType(), False),
-                T.StructField("time_millis", T.LongType(), False),
-                T.StructField("total_record_count", T.LongType(), False),
-                T.StructField("delta_record_count", T.LongType(), False),
-                T.StructField("manifest_count", T.IntegerType(), False),
-            ]
-        )
+        schema = engine_system_table_schema(name)
         return schema, rows
 
     if name == "files":
@@ -382,22 +436,14 @@ def engine_system_table_data(
             )
             for f in store.live_files(snap)
         ]
-        schema = T.StructType(
-            [
-                T.StructField("file_path", T.StringType(), False),
-                T.StructField(
-                    "partition", T.MapType(T.StringType(), T.StringType()), True
-                ),
-                T.StructField("bucket", T.IntegerType(), False),
-                T.StructField("row_count", T.LongType(), False),
-                T.StructField("file_size", T.LongType(), False),
-            ]
-        )
+        schema = engine_system_table_schema(name)
         return schema, rows
+
+    _snap = store.read_snapshot(snapshot_id) if snapshot_id else None
 
     if name == "partitions":
         agg: dict = {}
-        for f in store.live_files():
+        for f in store.live_files(_snap):
             key = tuple(sorted((k, str(v)) for k, v in f.partition.items()))
             cur = agg.setdefault(key, [0, 0, 0])
             cur[0] += f.row_count
@@ -406,16 +452,7 @@ def engine_system_table_data(
         rows = [
             (dict(k), rc, fc, fs) for k, (rc, fc, fs) in sorted(agg.items())
         ]
-        schema = T.StructType(
-            [
-                T.StructField(
-                    "partition", T.MapType(T.StringType(), T.StringType()), True
-                ),
-                T.StructField("record_count", T.LongType(), False),
-                T.StructField("file_count", T.LongType(), False),
-                T.StructField("total_size", T.LongType(), False),
-            ]
-        )
+        schema = engine_system_table_schema(name)
         return schema, rows
 
     if name == "manifests":
@@ -434,20 +471,12 @@ def engine_system_table_data(
                     sum(1 for e in entries if e.kind == "DELETE"),
                 )
             )
-        schema = T.StructType(
-            [
-                T.StructField("file_name", T.StringType(), False),
-                T.StructField("file_size", T.LongType(), False),
-                T.StructField("num_entries", T.LongType(), False),
-                T.StructField("num_added_files", T.LongType(), False),
-                T.StructField("num_deleted_files", T.LongType(), False),
-            ]
-        )
+        schema = engine_system_table_schema(name)
         return schema, rows
 
     if name == "buckets":
         agg = {}
-        for f in store.live_files():
+        for f in store.live_files(_snap):
             key = (
                 tuple(sorted((k, str(v)) for k, v in f.partition.items())),
                 f.bucket,
@@ -460,17 +489,7 @@ def engine_system_table_data(
             (dict(k[0]), k[1], rc, fc, fs)
             for k, (rc, fc, fs) in sorted(agg.items())
         ]
-        schema = T.StructType(
-            [
-                T.StructField(
-                    "partition", T.MapType(T.StringType(), T.StringType()), True
-                ),
-                T.StructField("bucket", T.IntegerType(), False),
-                T.StructField("record_count", T.LongType(), False),
-                T.StructField("file_count", T.LongType(), False),
-                T.StructField("total_size", T.LongType(), False),
-            ]
-        )
+        schema = engine_system_table_schema(name)
         return schema, rows
 
     # the remaining names need the Table wrapper (branch/tag helpers
@@ -483,34 +502,19 @@ def engine_system_table_data(
     if name == "branches":
         from paimon_python_spark.branches import branch_info
 
-        schema = T.StructType(
-            [
-                T.StructField("branch_name", T.StringType(), False),
-                T.StructField("created_from_snapshot", T.LongType(), True),
-            ]
-        )
+        schema = engine_system_table_schema(name)
         return schema, branch_info(_table())
 
     if name == "tags":
         from paimon_python_spark.tags import list_tags
 
-        schema = T.StructType(
-            [
-                T.StructField("tag_name", T.StringType(), False),
-                T.StructField("snapshot_id", T.LongType(), False),
-            ]
-        )
+        schema = engine_system_table_schema(name)
         return schema, sorted(list_tags(_table()).items())
 
     if name == "options":
         from paimon_python_spark.datasource import _load_schema
 
-        schema = T.StructType(
-            [
-                T.StructField("key", T.StringType(), False),
-                T.StructField("value", T.StringType(), False),
-            ]
-        )
+        schema = engine_system_table_schema(name)
         return schema, sorted(
             (k, str(v)) for k, v in _load_schema(table_path).options.items()
         )

@@ -1648,3 +1648,92 @@ def test_incremental_between_batch_option(catalog, spark, tmp_path):
         .load()
     )
     assert sorted(x.f0 for x in re_.collect()) == [1, 2]
+
+
+def test_review_fixes_scan_options_and_system_snapshots(catalog, spark, tmp_path):
+    """Review-pass regressions: (a) engine $partitions/$buckets honor
+    snapshot-id; (b) conflicting scan options refuse instead of
+    silently preferring one; (c) a from-timestamp start predating every
+    surviving snapshot falls back to the default earliest replay
+    (bootstrap) instead of crashing on offset 0; (d) a bad
+    sequence.field refuses at PLAN time through the data source."""
+    import json
+    import os
+
+    from paimon_python_spark.datasource import _parse_scan_start
+    from paimon_python_spark.lake_datasource import register_lake
+    from paimon_python_spark.paimon_lake import (
+        create_lake_table,
+        expire_lake_snapshots,
+        write_lake_append,
+    )
+
+    register_lake(spark)
+    # (a)
+    catalog.create_table("default.rv_sys", Schema(SIMPLE), False)
+    t = catalog.get_table("default.rv_sys")
+    _write(t, pd.DataFrame({"f0": [1, 2], "f1": ["a", "b"]}))
+    _write(t, pd.DataFrame({"f0": [3], "f1": ["c"]}))
+    p1 = (
+        spark.read.format("paimon_spark")
+        .option("path", f"{t.table_path}$partitions")
+        .option("snapshot-id", "1")
+        .load()
+        .collect()
+    )
+    assert sum(r.record_count for r in p1) == 2
+    # (b)
+    with pytest.raises(ValueError, match="conflicts"):
+        _parse_scan_start({"scan.mode": "latest", "scan.snapshot-id": "5"})
+    with pytest.raises(ValueError, match="conflicts"):
+        _parse_scan_start(
+            {"scan.mode": "earliest", "scan.timestamp-millis": "5"}
+        )
+    # (c)
+    d = str(tmp_path / "exp")
+    create_lake_table(d, [("k", "INT NOT NULL")], primary_keys=[], options={})
+    for i in range(5):
+        write_lake_append(d, spark.createDataFrame([(i,)], "k int"))
+    t1 = json.load(open(os.path.join(d, "snapshot", "snapshot-1")))[
+        "timeMillis"
+    ]
+    expire_lake_snapshots(d, keep_last_n=2)
+    q = (
+        spark.readStream.format("paimon_lake")
+        .option("path", d)
+        .option("scan.timestamp-millis", str(t1 - 10_000))
+        .load()
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("rv_ts_exp")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert sorted(r.k for r in spark.sql("SELECT k FROM rv_ts_exp").collect()) == [
+        0,
+        1,
+        2,
+        3,
+        4,
+    ]
+    # (d)
+    import pyarrow as _pa
+
+    catalog.create_table(
+        "default.rv_sf",
+        Schema(
+            _pa.schema([("k", _pa.int32()), ("v", _pa.string())]),
+            primary_keys=["k"],
+            options={"bucket": "1", "sequence.field": "nope"},
+        ),
+        False,
+    )
+    t2 = catalog.get_table("default.rv_sf")
+    _write(t2, pd.DataFrame({"k": [1], "v": ["x"]}))
+    with pytest.raises(Exception, match="not value columns"):
+        spark.read.format("paimon_spark").option(
+            "path", t2.table_path
+        ).load().count()

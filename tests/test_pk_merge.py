@@ -1118,17 +1118,18 @@ def test_partial_update_remove_record_on_delete_refuses_update_before(catalog):
 
 
 def test_partial_update_remove_record_on_delete_refuses_groups(catalog):
+    # setup OUTSIDE pytest.raises: only the READ may raise the refusal
+    t = _mk(
+        catalog,
+        "pu_rrod_g",
+        {
+            "merge-engine": "partial-update",
+            "partial-update.remove-record-on-delete": "true",
+            "fields.b.sequence-group": "a",
+        },
+    )
+    _write(t, pd.DataFrame({"k": [1], "a": ["a1"], "b": ["9"]}))
     with pytest.raises(ValueError, match="remove-record-on-delete"):
-        t = _mk(
-            catalog,
-            "pu_rrod_g",
-            {
-                "merge-engine": "partial-update",
-                "partial-update.remove-record-on-delete": "true",
-                "fields.b.sequence-group": "a",
-            },
-        )
-        _write(t, pd.DataFrame({"k": [1], "a": ["a1"], "b": ["9"]}))
         t.new_read_builder().new_read().to_pandas()
 
 
