@@ -136,6 +136,11 @@ HEADLINE = [
     # sketch-union fields) — the CDC rollup + pre-sketched-shard shapes
     "paimon_agg_retract_roundtrip",
     "paimon_agg_sketch_roundtrip",
+    # third r10 session: event-time merge order, the data-scale audit
+    # scan, and the batch incremental window through the front door
+    "paimon_sequence_field_roundtrip",
+    "paimon_lake_audit_log_roundtrip",
+    "paimon_format_incremental_roundtrip",
 ]
 
 #: executions per query; the reported time is the MEDIAN. Run 1 pays

@@ -89,6 +89,10 @@ SWEEP = [
     ("paimon_lake_bitmap_index_roundtrip", "exact bitmap file index write + pruned read"),
     ("paimon_lake_bsi_index_roundtrip", "exact bit-sliced index write + pruned read"),
     ("paimon_engine_exact_index_roundtrip", "engine-table exact indexes (zero-split plan)"),
+    # third r10 session
+    ("paimon_sequence_field_roundtrip", "event-time merge order (struct-ordered dedup window)"),
+    ("paimon_lake_audit_log_roundtrip", "data-scale merge-free audit scan via format()"),
+    ("paimon_format_incremental_roundtrip", "batch incremental window (per-delta-file partitions)"),
 ]
 
 
