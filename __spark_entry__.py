@@ -11761,13 +11761,10 @@ def paimon_format_incremental_roundtrip(spark, sf_dir):
         options={},
     )
     src = _t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
-    for lo, hi in ((0, 300), (300, 600), (600, 900)):
-        write_lake_append(
-            fixture,
-            src.filter(
-                (F.col("c_custkey") > lo) & (F.col("c_custkey") <= hi)
-            ),
-        )
+    # residue-class slices: non-empty at EVERY scale factor (absolute
+    # key ranges were empty at the smoke harness's sf0.001)
+    for r in (0, 1, 2):
+        write_lake_append(fixture, src.filter(F.col("c_custkey") % 3 == r))
     return (
         spark.read.format("paimon_lake")
         .option("path", fixture)
@@ -11779,7 +11776,7 @@ def paimon_format_incremental_roundtrip(spark, sf_dir):
 
 PAIMON_FORMAT_INCREMENTAL_SQL = """
 SELECT c_custkey, c_acctbal FROM customer
-WHERE c_custkey > 300 AND c_custkey <= 600
+WHERE c_custkey % 3 = 1
 ORDER BY c_custkey
 """
 
