@@ -502,6 +502,7 @@ class PaimonLakeStreamReader(DataSourceStreamReader):
         scan_mode: "Optional[str]" = None,
         scan_snapshot: "Optional[int]" = None,
         scan_timestamp: "Optional[int]" = None,
+        consumer_id: "Optional[str]" = None,
     ):
         from paimon_python_spark.paimon_lake import read_paimon_schema
 
@@ -523,6 +524,20 @@ class PaimonLakeStreamReader(DataSourceStreamReader):
         self.scan_mode = scan_mode
         self.scan_snapshot = scan_snapshot
         self.scan_timestamp = scan_timestamp
+        # consumer-id (Paimon's in-lake durable progress, spec
+        # consumer/consumer-<id>): the registered offset takes
+        # PRECEDENCE over scan-start options — real Paimon's contract —
+        # and every checkpointed batch writes progress back, so a JVM
+        # streaming job can resume where this stream left off (and
+        # snapshot expiration protects unconsumed snapshots)
+        self.consumer_id = consumer_id
+        if consumer_id is not None:
+            import re as _re
+
+            from paimon_python_spark.paimon_lake import _CONSUMER_ID_RE
+
+            if not _re.match(_CONSUMER_ID_RE, consumer_id):
+                raise ValueError(f"invalid consumer id {consumer_id!r}")
         if scan_mode == "latest-full" and self.info.primary_keys:
             raise RuntimeError(
                 "paimon_lake streaming source: scan.mode=latest-full on a "
@@ -606,7 +621,27 @@ class PaimonLakeStreamReader(DataSourceStreamReader):
             return {"snapshot": best}
         return None
 
+    def commit(self, end: dict) -> None:
+        # a CHECKPOINTED batch publishes in-lake consumer progress
+        # (JVM-interoperable; expiry protection) — Structured
+        # Streaming's own checkpoint stays the source of truth for
+        # replay, the consumer file mirrors it for the rest of the
+        # ecosystem
+        if self.consumer_id is not None and end.get("snapshot", 0) >= 0:
+            from paimon_python_spark.paimon_lake import write_lake_consumer
+
+            nxt = int(end["snapshot"]) + 1
+            if nxt >= 1:
+                write_lake_consumer(self.table_path, self.consumer_id, nxt)
+
     def initialOffset(self) -> dict:
+        if self.consumer_id is not None:
+            from paimon_python_spark.paimon_lake import read_lake_consumer
+
+            nxt = read_lake_consumer(self.table_path, self.consumer_id)
+            if nxt is not None:
+                # registered progress wins over scan-start options
+                return {"snapshot": max(0, int(nxt) - 1)}
         start = self._resolved_start()
         if start is not None:
             return start
@@ -797,8 +832,7 @@ class PaimonLakeStreamReader(DataSourceStreamReader):
             out = out + [kinds]
         yield from zip(*out)
 
-    def commit(self, end: dict) -> None:
-        pass  # snapshot files are immutable; nothing to release
+
 
 
 def _read_one(path: str, fmt: str, cols):
@@ -1538,6 +1572,7 @@ class PaimonLakeDataSource(DataSource):
             scan_mode=mode,
             scan_snapshot=sid,
             scan_timestamp=ts,
+            consumer_id=self.options.get("consumer-id"),
         )
 
     def _scan_start(self):

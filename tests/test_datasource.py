@@ -1737,3 +1737,75 @@ def test_review_fixes_scan_options_and_system_snapshots(catalog, spark, tmp_path
         spark.read.format("paimon_spark").option(
             "path", t2.table_path
         ).load().count()
+
+
+def test_lake_stream_consumer_id_option(spark, tmp_path):
+    """``consumer-id`` on the lake streaming front door: every
+    CHECKPOINTED batch publishes in-lake consumer progress (spec
+    consumer/consumer-<id> — JVM-interoperable, expiry-protecting), and
+    a registered offset takes precedence over scan-start options, so a
+    FRESH-checkpoint restart resumes instead of replaying. commit()
+    lags one batch by the Structured Streaming contract (progress only
+    after a durable checkpoint), so an uncommitted tail batch replays —
+    at-least-once, never row loss."""
+    from paimon_python_spark.lake_datasource import register_lake
+    from paimon_python_spark.paimon_lake import (
+        create_lake_table,
+        read_lake_consumer,
+        write_lake_append,
+    )
+
+    register_lake(spark)
+    d = str(tmp_path / "cons")
+    create_lake_table(d, [("k", "INT NOT NULL")], primary_keys=[], options={})
+    for i in range(3):
+        write_lake_append(d, spark.createDataFrame([(i,)], "k int"))
+
+    def start(name):
+        return (
+            spark.readStream.format("paimon_lake")
+            .option("path", d)
+            .option("consumer-id", "jobA")
+            .load()
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", str(tmp_path / name))
+            .start()
+        )
+
+    q = start("cons_a")
+    try:
+        q.processAllAvailable()  # batch 1: snapshots 1-3
+        write_lake_append(d, spark.createDataFrame([(5,)], "k int"))
+        q.processAllAvailable()  # batch 2 -> commit(batch 1) publishes
+    finally:
+        q.stop()
+    assert read_lake_consumer(d, "jobA") == 4
+    # FRESH checkpoint: committed history (1-3) must not replay; the
+    # uncommitted batch-2 snapshot (k=5) must
+    write_lake_append(d, spark.createDataFrame([(9,)], "k int"))
+    q2 = start("cons_b")
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    assert sorted(r.k for r in spark.sql("SELECT k FROM cons_b").collect()) == [
+        5,
+        9,
+    ]
+    # invalid id refuses when the stream starts (load() is lazy)
+    q3 = (
+        spark.readStream.format("paimon_lake")
+        .option("path", d)
+        .option("consumer-id", "bad id!")
+        .load()
+        .writeStream.format("memory")
+        .queryName("cons_bad")
+        .start()
+    )
+    with pytest.raises(Exception, match="invalid consumer id"):
+        try:
+            q3.processAllAvailable()
+        finally:
+            q3.stop()
