@@ -115,6 +115,32 @@ class _SplitPartition(InputPartition):
         self.predicate = predicate
 
 
+_ROWKIND_BY_STR = {"+I": 0, "-U": 1, "+U": 2, "-D": 3}
+
+
+def _decode_rowkind(v):
+    """Scalar twin of write.rowkind_field_expr for the front-door
+    writers' task loops: +I/-U/+U/-D strings or 0-3 ints; null or any
+    other value raises with the offending value (the JVM
+    RowKindGenerator contract)."""
+    if isinstance(v, str):
+        code = _ROWKIND_BY_STR.get(v)
+        if code is not None:
+            return code
+    elif isinstance(v, bool):
+        pass  # booleans are ints in Python — refuse them explicitly
+    elif isinstance(v, int) and 0 <= v <= 3:
+        return v
+    elif hasattr(v, "item"):  # numpy scalar
+        iv = v.item()
+        if isinstance(iv, int) and not isinstance(iv, bool) and 0 <= iv <= 3:
+            return iv
+    raise ValueError(
+        f"rowkind.field: invalid RowKind value {v!r} "
+        "(one of +I/-U/+U/-D or 0-3)"
+    )
+
+
 def _split_ds_path(options, fmt: str):
     """Shared path parsing for both sources: strip file: URIs, split a
     ``$<system table>`` suffix."""
@@ -798,12 +824,23 @@ class PaimonBatchWriter(DataSourceWriter):
         part_keys = list(schema.partition_keys)
         data_cols = [f.name for f in schema.spark_schema.fields]
         pa_schema = spark_schema_to_pa(schema.spark_schema)
+        rk_idx = None
         if self.is_pk:
             from paimon_python_spark.bucketing import bucket_of
 
             trimmed = schema.trimmed_primary_keys
             key_types = [schema.spark_schema[k].dataType for k in trimmed]
             nb = schema.num_buckets()
+            # rowkind.field: kinds come from the USER column (the
+            # builder's write_dataframe contract) — ignoring it here
+            # would silently write a CDC frame's -D rows as inserts
+            rk_field = schema.options.get("rowkind.field")
+            if rk_field:
+                if rk_field not in data_cols:
+                    raise ValueError(
+                        f"rowkind.field {rk_field!r} is not a table column"
+                    )
+                rk_idx = data_cols.index(rk_field)
         groups: dict = {}
         for row in iterator:
             key = tuple(row[k] for k in part_keys)
@@ -857,7 +894,12 @@ class PaimonBatchWriter(DataSourceWriter):
                 n = len(rows)
                 arrays.append(pa.array(range(seq, seq + n), pa.int64()))
                 fields.append(pa.field(SEQ_COL, pa.int64(), False))
-                arrays.append(pa.array([ROWKIND_INSERT] * n, pa.int32()))
+                kinds = (
+                    [_decode_rowkind(r[rk_idx]) for r in rows]
+                    if rk_idx is not None
+                    else [ROWKIND_INSERT] * n
+                )
+                arrays.append(pa.array(kinds, pa.int32()))
                 fields.append(pa.field(KIND_COL, pa.int32(), False))
                 seq += n
             table = pa.Table.from_arrays(arrays, schema=pa.schema(fields))

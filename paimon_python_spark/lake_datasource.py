@@ -1081,7 +1081,20 @@ class PaimonLakeBatchWriter(DataSourceWriter):
             else:
                 seqs = list(range(self.seq_base, self.seq_base + n))
             arrays["_SEQUENCE_NUMBER"] = pa.array(seqs, pa.int64())
-            arrays["_VALUE_KIND"] = pa.array([0] * n, pa.int32())
+            # rowkind.field: kinds come from the USER column (the
+            # builder's contract) — all +I otherwise
+            rk_field = info.options.get("rowkind.field")
+            if rk_field:
+                from paimon_python_spark.datasource import _decode_rowkind
+
+                if rk_field not in sub.columns:
+                    raise ValueError(
+                        f"rowkind.field {rk_field!r} is not a table column"
+                    )
+                kinds = [_decode_rowkind(v) for v in sub[rk_field]]
+            else:
+                kinds = [0] * n
+            arrays["_VALUE_KIND"] = pa.array(kinds, pa.int32())
             for f in info.spark_schema.fields:
                 arrays[f.name] = pa.array(
                     sub[f.name], type=spark_type_to_pa(f.dataType)

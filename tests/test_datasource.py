@@ -1809,3 +1809,54 @@ def test_lake_stream_consumer_id_option(spark, tmp_path):
             q3.processAllAvailable()
         finally:
             q3.stop()
+
+
+def test_front_door_writes_honor_rowkind_field(catalog, spark, tmp_path):
+    """A declared ``rowkind.field`` drives row kinds through
+    df.write.format(...) on BOTH doors (previously IGNORED — a CDC
+    frame's -D rows were silently written as inserts); invalid kind
+    values raise with the offending value, the RowKindGenerator
+    contract."""
+    import pyarrow as _pa
+
+    from paimon_python_spark.lake_datasource import register_lake
+    from paimon_python_spark.paimon_lake import (
+        PaimonLakeTable,
+        create_lake_table,
+    )
+
+    register_lake(spark)
+    catalog.create_table(
+        "default.rkfd",
+        Schema(
+            _pa.schema([("k", _pa.int32()), ("v", _pa.string()), ("op", _pa.string())]),
+            primary_keys=["k"],
+            options={"bucket": "1", "rowkind.field": "op"},
+        ),
+        False,
+    )
+    t = catalog.get_table("default.rkfd")
+
+    def wr(rows, fmt, path):
+        spark.createDataFrame(rows, "k int, v string, op string").write.format(
+            fmt
+        ).option("path", path).mode("append").save()
+
+    wr([(1, "a", "+I"), (2, "b", "+I")], "paimon_spark", t.table_path)
+    wr([(1, None, "-D")], "paimon_spark", t.table_path)
+    assert t.new_read_builder().new_read().to_pandas().k.tolist() == [2]
+
+    d = str(tmp_path / "rk")
+    create_lake_table(
+        d,
+        [("k", "INT NOT NULL"), ("v", "STRING"), ("op", "STRING")],
+        primary_keys=["k"],
+        options={"bucket": "1", "rowkind.field": "op"},
+    )
+    wr([(1, "a", "+I"), (2, "b", "+I")], "paimon_lake", d)
+    wr([(1, None, "-D")], "paimon_lake", d)
+    assert PaimonLakeTable(d).new_read_builder().new_read().to_pandas()[
+        "k"
+    ].tolist() == [2]
+    with pytest.raises(Exception, match="invalid RowKind value"):
+        wr([(3, "c", "??")], "paimon_lake", d)
