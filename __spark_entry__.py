@@ -1932,7 +1932,9 @@ def paimon_datasource_pk_write_roundtrip(spark, sf_dir):
         .groupBy("c_mktsegment")
         .agg(
             F.count("*").alias("n"),
-            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).alias("sum_bal"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_bal"),
             F.min("c_custkey").alias("min_key"),
         )
         .orderBy("c_mktsegment")
@@ -1941,8 +1943,9 @@ def paimon_datasource_pk_write_roundtrip(spark, sf_dir):
 
 PAIMON_DS_PK_WRITE_SQL = """
 SELECT c_mktsegment, count(*) AS n,
-       sum(CAST(CASE WHEN c_custkey % 6 = 0 THEN c_acctbal + 1000
-                     ELSE c_acctbal END AS DECIMAL(18,2))) AS sum_bal,
+       CAST(sum(CAST(CASE WHEN c_custkey % 6 = 0 THEN c_acctbal + 1000
+                     ELSE c_acctbal END AS DECIMAL(18,2))) AS DOUBLE)
+         AS sum_bal,
        min(c_custkey) AS min_key
 FROM customer WHERE c_custkey % 3 = 0
 GROUP BY c_mktsegment ORDER BY c_mktsegment
@@ -4606,8 +4609,13 @@ def paimon_lake_format_write_roundtrip(spark, sf_dir):
         .agg(
             F.count("*").alias("n"),
             # decimal sum: order-independent (a double sum's low bits
-            # vary with task count and fail the strict value hash)
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("sum_price"),
+            # vary with task count); final cast to double so BOTH
+            # engines render the same pandas dtype — the driver's value
+            # hash is string-level (Decimal '213045467.40' vs duckdb
+            # float '213045467.4' was a red row in CORRECTNESS_r10)
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
             F.min("o_orderkey").alias("min_key"),
         )
         .orderBy("o_orderpriority")
@@ -4616,7 +4624,7 @@ def paimon_lake_format_write_roundtrip(spark, sf_dir):
 
 PAIMON_LAKE_FORMAT_WRITE_SQL = """
 SELECT o_orderpriority, count(*) AS n,
-       sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_price,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
        min(o_orderkey) AS min_key
 FROM orders
 WHERE o_orderkey % 7 IN (0, 3)
@@ -4678,7 +4686,11 @@ def paimon_lake_format_pk_write_roundtrip(spark, sf_dir):
             df.groupBy("c_mktsegment")
             .agg(
                 F.count("*").alias("n"),
-                F.sum(F.col("c_acctbal").cast("decimal(18,2)")).alias("sum_bal"),
+                # decimal sum for order-independence, double for a
+                # string-identical render vs the duckdb oracle
+                F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("sum_bal"),
                 F.min("c_custkey").alias("min_key"),
             )
             .select(F.lit(stage).alias("stage"), "*")
@@ -4710,12 +4722,12 @@ WITH merged AS (
   FROM customer WHERE c_custkey % 5 = 0
 ), stages AS (
   SELECT 'merged' AS stage, c_mktsegment, count(*) AS n,
-         sum(CAST(bal AS DECIMAL(18,2))) AS sum_bal,
+         CAST(sum(CAST(bal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal,
          min(c_custkey) AS min_key
   FROM merged GROUP BY c_mktsegment
   UNION ALL
   SELECT 'final', c_mktsegment, count(*),
-         sum(CAST(bal AS DECIMAL(18,2))), min(c_custkey)
+         CAST(sum(CAST(bal AS DECIMAL(18,2))) AS DOUBLE), min(c_custkey)
   FROM final GROUP BY c_mktsegment
 )
 SELECT * FROM stages ORDER BY stage, c_mktsegment
@@ -4777,7 +4789,8 @@ def paimon_lake_stream_changelog_roundtrip(spark, sf_dir):
     return spark.sql(
         """SELECT _row_kind AS rk, CAST(count(*) AS BIGINT) AS n,
                   sum(c_custkey) AS sum_key,
-                  sum(CAST(c_acctbal AS DECIMAL(18,2))) AS sum_bal
+                  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                    AS sum_bal
            FROM lake_cl_stream_out GROUP BY _row_kind ORDER BY rk"""
     )
 
@@ -4790,8 +4803,8 @@ WITH cl AS (
   UNION ALL
   SELECT '+U', c_custkey, c_acctbal + 1000 FROM customer WHERE c_custkey % 6 = 0
 )
-SELECT rk, count(*) AS n, sum(c_custkey) AS sum_key,
-       sum(CAST(c_acctbal AS DECIMAL(18,2))) AS sum_bal
+SELECT rk, count(*) AS n, CAST(sum(c_custkey) AS BIGINT) AS sum_key,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
 FROM cl GROUP BY rk ORDER BY rk
 """
 
@@ -6577,8 +6590,9 @@ def paimon_agg_retract_roundtrip(spark, sf_dir):
 
 PAIMON_AGG_RETRACT_SQL = """
 SELECT o_custkey,
-       sum(CASE WHEN o_orderstatus <> 'F'
-                THEN cast(round(o_totalprice * 100) AS BIGINT) ELSE 0 END) AS cents,
+       CAST(sum(CASE WHEN o_orderstatus <> 'F'
+                THEN cast(round(o_totalprice * 100) AS BIGINT) ELSE 0 END)
+            AS BIGINT) AS cents,
        count(CASE WHEN o_orderstatus <> 'F' THEN 1 END) AS n_orders
 FROM orders GROUP BY o_custkey ORDER BY o_custkey
 """
@@ -10592,7 +10606,8 @@ WITH dim AS (
          CASE WHEN c_custkey % 3 = 0 THEN 'VIP' ELSE c_mktsegment END AS c_mktsegment
   FROM customer)
 SELECT c_mktsegment, count(*) AS n_orders,
-       sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS spend_x100
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS spend_x100
 FROM orders LEFT JOIN dim ON o_custkey = c_custkey
 GROUP BY c_mktsegment ORDER BY c_mktsegment
 """
@@ -10863,7 +10878,7 @@ WITH cl AS (
   SELECT '+U', c_custkey FROM customer
   WHERE c_custkey % 6 = 0 AND c_custkey % 9 <> 0
 )
-SELECT rk, count(*) AS n, sum(c_custkey) AS sum_key
+SELECT rk, count(*) AS n, CAST(sum(c_custkey) AS BIGINT) AS sum_key
 FROM cl GROUP BY rk ORDER BY rk
 """
 
