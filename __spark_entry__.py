@@ -4734,6 +4734,111 @@ SELECT * FROM stages ORDER BY stage, c_mktsegment
 """
 
 
+def paimon_analyze_stats_roundtrip(spark, sf_dir):
+    """ANALYZE + ``$statistics`` — the spec's table-statistic surface
+    (paimon.apache.org spec "Statistic"; the reference SDK exposes no
+    analyze): two PK commits build a merged state, ``analyze_lake``
+    computes per-column stats in ONE Spark aggregate over the merged
+    read, writes the JSON statistic file and commits an ANALYZE
+    snapshot (empty delta, ``statistics`` field set); the system table
+    resolves it by walking the chain back. The gate explodes the
+    colstat JSON into typed per-column rows; the oracle recomputes
+    every stat from the merged state in SQL (fixed-width byte sizes
+    are the documented ``lake_statistics._FIXED_LEN`` contract).
+    Scale: exact NDV here for the oracle; ``exact=False`` (default)
+    swaps in HLL partials with no Expand for the 100 TB path."""
+    import json as _json
+
+    from paimon_python_spark.lake_statistics import analyze_lake
+    from paimon_python_spark.paimon_lake import (
+        PaimonLakeTable,
+        create_lake_table,
+        write_lake_pk_append,
+    )
+    from paimon_python_spark.session import set_spark
+
+    set_spark(spark)
+    fixture = _fresh_warehouse("anstat") + "/cust_an"
+    create_lake_table(
+        fixture,
+        [
+            ("c_custkey", "BIGINT NOT NULL"),
+            ("c_mktsegment", "STRING"),
+            ("c_acctbal", "DOUBLE"),
+        ],
+        primary_keys=["c_custkey"],
+        options={"bucket": "2"},
+    )
+    src = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    write_lake_pk_append(fixture, src.filter(F.col("c_custkey") % 3 == 0))
+    write_lake_pk_append(
+        fixture,
+        src.filter(F.col("c_custkey") % 6 == 0).withColumn(
+            "c_acctbal", F.col("c_acctbal") + 1000
+        ),
+    )
+    analyze_lake(fixture, exact=True)
+    srow = (
+        PaimonLakeTable(fixture).statistics().collect()[0]
+    )  # metadata: one row
+    col_stats = _json.loads(srow["colstat"])
+    rows = [
+        (
+            name,
+            int(cs["distinctCount"]),
+            int(cs["nullCount"]),
+            str(cs["min"]),
+            str(cs["max"]),
+            int(cs["maxLen"]),
+            int(srow["mergedRecordCount"]),
+            int(srow["snapshot_id"]),
+        )
+        for name, cs in sorted(col_stats.items())
+    ]
+    return spark.createDataFrame(
+        rows,
+        "col_name string, distinct_cnt bigint, null_cnt bigint, "
+        "min_s string, max_s string, max_len bigint, merged_cnt bigint, "
+        "stats_snapshot bigint",
+    ).orderBy("col_name")
+
+
+PAIMON_ANALYZE_STATS_SQL = """
+WITH merged AS (
+  SELECT c_custkey, c_mktsegment,
+         CASE WHEN c_custkey % 6 = 0 THEN c_acctbal + 1000
+              ELSE c_acctbal END AS c_acctbal
+  FROM customer WHERE c_custkey % 3 = 0
+), m AS (SELECT CAST(count(*) AS BIGINT) AS mc FROM merged)
+SELECT s.*, m.mc AS merged_cnt, CAST(2 AS BIGINT) AS stats_snapshot
+FROM (
+  SELECT 'c_acctbal' AS col_name,
+         CAST(count(DISTINCT c_acctbal) AS BIGINT) AS distinct_cnt,
+         CAST(sum(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS null_cnt,
+         CAST(min(c_acctbal) AS VARCHAR) AS min_s,
+         CAST(max(c_acctbal) AS VARCHAR) AS max_s,
+         CAST(8 AS BIGINT) AS max_len
+  FROM merged
+  UNION ALL
+  SELECT 'c_custkey', CAST(count(DISTINCT c_custkey) AS BIGINT),
+         CAST(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(min(c_custkey) AS VARCHAR), CAST(max(c_custkey) AS VARCHAR),
+         CAST(8 AS BIGINT)
+  FROM merged
+  UNION ALL
+  SELECT 'c_mktsegment', CAST(count(DISTINCT c_mktsegment) AS BIGINT),
+         CAST(sum(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         min(c_mktsegment), max(c_mktsegment),
+         CAST(max(length(c_mktsegment)) AS BIGINT)
+  FROM merged
+) s CROSS JOIN m
+ORDER BY col_name
+"""
+
+
 def paimon_lake_stream_changelog_roundtrip(spark, sf_dir):
     """readStream.format('paimon_lake').option('changelog','true') on
     a PRIMARY-KEY lake with changelog-producer=lookup: micro-batches
@@ -12008,6 +12113,7 @@ _QUERIES: dict[str, Callable] = {
     "paimon_lake_format_dv_roundtrip": paimon_lake_format_dv_roundtrip,
     "paimon_lake_format_write_roundtrip": paimon_lake_format_write_roundtrip,
     "paimon_lake_format_pk_write_roundtrip": paimon_lake_format_pk_write_roundtrip,
+    "paimon_analyze_stats_roundtrip": paimon_analyze_stats_roundtrip,
     "paimon_lake_format_timetravel_roundtrip": paimon_lake_format_timetravel_roundtrip,
     "paimon_remove_record_on_delete_roundtrip": paimon_remove_record_on_delete_roundtrip,
     "paimon_sequence_field_roundtrip": paimon_sequence_field_roundtrip,
@@ -12387,6 +12493,7 @@ _ORACLES: dict[str, str] = {
     "paimon_lake_format_dv_roundtrip": PAIMON_LAKE_FORMAT_DV_SQL,
     "paimon_lake_format_write_roundtrip": PAIMON_LAKE_FORMAT_WRITE_SQL,
     "paimon_lake_format_pk_write_roundtrip": PAIMON_LAKE_FORMAT_PK_WRITE_SQL,
+    "paimon_analyze_stats_roundtrip": PAIMON_ANALYZE_STATS_SQL,
     "paimon_lake_format_timetravel_roundtrip": PAIMON_LAKE_FORMAT_TIMETRAVEL_SQL,
     "paimon_remove_record_on_delete_roundtrip": PAIMON_REMOVE_RECORD_ON_DELETE_SQL,
     "paimon_sequence_field_roundtrip": PAIMON_SEQUENCE_FIELD_SQL,
@@ -12429,6 +12536,9 @@ _ORACLES: dict[str, str] = {
 # same 50. Entries 51+ keep registry order; tools/check_oracle.py
 # still sweeps the whole surface locally.
 _GATE_HEAD = [
+    # r11 additions (verified green via tools/hash_sweep.py — the
+    # STRICT str-level driver replica — before promotion)
+    "paimon_analyze_stats_roundtrip",
     # late-r10 additions: the aggregation merge-engine extension
     # (retraction, container folds, sketch unions) — verified green via
     # tools/check_oracle.py before promotion

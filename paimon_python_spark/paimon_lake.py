@@ -142,6 +142,15 @@ class PaimonLakeTable:
         """Options system table: (key, value) from the current schema."""
         return _lake_system_df(self.table_path, "options")
 
+    def statistics(self, snapshot_id: "Optional[int]" = None):
+        """Statistics system table — Paimon's ``table$statistics``: the
+        newest ANALYZE's table-level totals + per-column colstat JSON,
+        resolved by walking the snapshot chain back from ``snapshot_id``
+        (spec: ordinary commits carry a null ``statistics`` field).
+        Empty if the table was never analyzed; see
+        :func:`paimon_python_spark.lake_statistics.analyze_lake`."""
+        return _lake_system_df(self.table_path, "statistics", snapshot_id)
+
     def audit_log(self, snapshot_id: "Optional[int]" = None):
         """Audit-log system table over a REAL lake — Paimon's
         ``table$audit_log``: every STORED row (no merge, no
@@ -1572,6 +1581,15 @@ def lake_system_table_schema(name: str):
             ("file_size", T.LongType()),
             ("row_count", T.LongType()),
         ],
+        # Paimon's table$statistics shape: table-level totals + the
+        # per-column stats as one canonical-JSON string column
+        "statistics": [
+            ("snapshot_id", T.LongType()),
+            ("schema_id", T.LongType()),
+            ("mergedRecordCount", T.LongType()),
+            ("mergedRecordSize", T.LongType()),
+            ("colstat", T.StringType()),
+        ],
     }
     if name not in defs:
         raise ValueError(
@@ -1804,10 +1822,30 @@ def lake_system_table_data(
         schema = lake_system_table_schema(name)
         return schema, rows
 
+    if name == "statistics":
+        import json as _json
+
+        from paimon_python_spark.lake_statistics import read_lake_statistics
+
+        stats = read_lake_statistics(table_path, snapshot_id)
+        rows = []
+        if stats is not None:
+            rows.append(
+                (
+                    int(stats["snapshotId"]),
+                    int(stats["schemaId"]),
+                    int(stats["mergedRecordCount"]),
+                    int(stats["mergedRecordSize"]),
+                    _json.dumps(stats["colStats"], sort_keys=True),
+                )
+            )
+        schema = lake_system_table_schema(name)
+        return schema, rows
+
     raise ValueError(
         f"unknown system table {name!r}: one of snapshots / files / "
         "schemas / partitions / manifests / buckets / tags / options / "
-        "consumers / indexes"
+        "consumers / indexes / statistics"
     )
 
 
@@ -2268,6 +2306,7 @@ def _commit_lake_snapshot(
     index_manifest=_INHERIT_INDEX,
     total_record_count: Optional[int] = None,
     changelog_entries: Optional[list] = None,
+    statistics: Optional[str] = None,
 ) -> int:
     """Driver-side spec-format metadata commit of ``entries`` (new
     manifest records — ADD ``_KIND=0`` and, for COMPACT commits,
@@ -2430,6 +2469,10 @@ def _commit_lake_snapshot(
                 # would break that interop
                 "timeMillis": int(__import__("time").time() * 1000),
                 "logOffsets": {},
+                # spec: only an ANALYZE commit carries a statistics
+                # file name; ordinary commits leave it null and readers
+                # walk back (lake_statistics.read_lake_statistics)
+                "statistics": statistics,
                 "totalRecordCount": (
                     total_record_count
                     if total_record_count is not None

@@ -1,0 +1,157 @@
+"""Table statistics (ANALYZE) — spec statistic file + $statistics.
+
+Covers the surface the JVM writers expose via ANALYZE TABLE (the
+reference SDK has none): the statistic JSON file shape, the ANALYZE
+snapshot's ``statistics`` field (null on ordinary commits), the
+backwards walk that resolves the newest stats, exact vs approx NDV,
+and both front doors ($statistics through format("paimon_lake")).
+"""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture()
+def lake(spark, warehouse):
+    from paimon_python_spark.paimon_lake import (
+        create_lake_table,
+        write_lake_pk_append,
+    )
+
+    path = os.path.join(warehouse, "stats_t")
+    create_lake_table(
+        path,
+        [
+            ("k", "BIGINT NOT NULL"),
+            ("seg", "STRING"),
+            ("bal", "DOUBLE"),
+        ],
+        primary_keys=["k"],
+        options={"bucket": "2"},
+    )
+    src = spark.range(200).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 10 == 0, F.lit(None)).otherwise(
+            F.concat(F.lit("seg-"), (F.col("id") % 7).cast("string"))
+        ).alias("seg"),
+        (F.col("id") * 1.25).alias("bal"),
+    )
+    write_lake_pk_append(path, src)
+    # upsert half the keys so merged-state != stored rows
+    write_lake_pk_append(
+        path,
+        src.filter(F.col("k") % 2 == 0).withColumn(
+            "bal", F.col("bal") + 1000
+        ),
+    )
+    return path
+
+
+def test_analyze_writes_spec_stats_file(spark, lake):
+    from paimon_python_spark.lake_statistics import (
+        analyze_lake,
+        read_lake_statistics,
+    )
+    from paimon_python_spark.paimon_import import read_paimon_snapshot
+
+    sid = analyze_lake(lake, exact=True)
+    assert sid == 3
+    snap = read_paimon_snapshot(lake, sid)
+    assert snap["commitKind"] == "ANALYZE"
+    assert snap["deltaRecordCount"] == 0
+    name = snap["statistics"]
+    assert name and name.startswith("stats-")
+    with open(os.path.join(lake, "statistics", name)) as f:
+        on_disk = json.load(f)
+    stats = read_lake_statistics(lake)
+    assert stats == on_disk
+    # stats describe the MERGED state at the analyzed snapshot
+    assert stats["snapshotId"] == 2
+    assert stats["mergedRecordCount"] == 200
+    ks = stats["colStats"]["k"]
+    assert ks == {
+        "colId": 0,
+        "distinctCount": 200,
+        "min": 0,
+        "max": 199,
+        "nullCount": 0,
+        "avgLen": 8,
+        "maxLen": 8,
+    }
+    seg = stats["colStats"]["seg"]
+    assert seg["distinctCount"] == 7
+    assert seg["nullCount"] == 20
+    assert seg["min"] == "seg-0" and seg["max"] == "seg-6"
+    assert seg["maxLen"] == 5
+    assert abs(seg["avgLen"] - 5.0) < 1e-9
+    # merged values: evens were upserted to +1000
+    bal = stats["colStats"]["bal"]
+    assert bal["min"] == 1.25  # k=1 kept its original bal
+    assert bal["max"] == 1000 + 198 * 1.25
+
+
+def test_ordinary_commits_leave_statistics_null_and_walk_back(spark, lake):
+    from paimon_python_spark.lake_statistics import (
+        analyze_lake,
+        read_lake_statistics,
+    )
+    from paimon_python_spark.paimon_import import read_paimon_snapshot
+    from paimon_python_spark.paimon_lake import write_lake_pk_append
+
+    assert read_lake_statistics(lake) is None  # never analyzed
+    analyze_lake(lake, exact=True)
+    write_lake_pk_append(
+        lake,
+        spark.range(5).select(
+            F.col("id").alias("k"),
+            F.lit("new").alias("seg"),
+            F.lit(0.0).alias("bal"),
+        ),
+    )
+    assert read_paimon_snapshot(lake, 4).get("statistics") is None
+    # walk-back from the append still finds the ANALYZE's stats
+    stats = read_lake_statistics(lake)
+    assert stats is not None and stats["snapshotId"] == 2
+    # time-travel BELOW the analyze snapshot: nothing to resolve
+    assert read_lake_statistics(lake, snapshot_id=2) is None
+
+
+def test_column_subset_and_approx(spark, lake):
+    from paimon_python_spark.lake_statistics import (
+        analyze_lake,
+        read_lake_statistics,
+    )
+
+    with pytest.raises(ValueError, match="unknown columns"):
+        analyze_lake(lake, columns=["nope"])
+    analyze_lake(lake, columns=["k"], exact=False)
+    stats = read_lake_statistics(lake)
+    assert set(stats["colStats"]) == {"k"}
+    ndv = stats["colStats"]["k"]["distinctCount"]
+    # HLL estimate: within the default rsd of the true 200
+    assert 180 <= ndv <= 220
+
+
+def test_statistics_system_table_and_front_door(spark, lake):
+    from paimon_python_spark.lake_datasource import register_lake
+    from paimon_python_spark.lake_statistics import analyze_lake
+    from paimon_python_spark.paimon_lake import PaimonLakeTable
+
+    t = PaimonLakeTable(lake)
+    assert t.statistics().count() == 0  # never analyzed: empty
+    analyze_lake(lake, exact=True)
+    row = t.statistics().collect()[0]
+    assert row["snapshot_id"] == 2 and row["mergedRecordCount"] == 200
+    cs = json.loads(row["colstat"])
+    assert cs["k"]["distinctCount"] == 200
+    register_lake(spark)
+    fd = (
+        spark.read.format("paimon_lake")
+        .option("path", lake + "$statistics")
+        .load()
+        .collect()
+    )
+    assert [r.asDict() for r in fd] == [row.asDict()]
