@@ -4839,6 +4839,67 @@ ORDER BY col_name
 """
 
 
+def paimon_concurrent_commit_roundtrip(spark, sf_dir):
+    """OPTIMISTIC CONCURRENCY — four writers commit APPENDs to the SAME
+    partitioned lake simultaneously (real Paimon's multi-writer
+    contract: commits race on the rename/O_EXCL snapshot create, the
+    loser re-plans only KB-scale manifest metadata against the new
+    head and retries — ``_commit_lake_snapshot``'s CAS loop). The
+    driver gate proves no commit is lost and no row duplicated: four
+    disjoint order slices written from four threads must land as four
+    consecutive snapshots whose union reads back exactly once. At
+    1000 executors this is the everyday shape — many jobs appending to
+    one lake — so the protocol, not a table lock, is the arbiter.
+    Oracle replays the union in SQL."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from paimon_python_spark.paimon_lake import (
+        PaimonLakeTable,
+        create_lake_table,
+        write_lake_append,
+    )
+    from paimon_python_spark.session import set_spark
+
+    set_spark(spark)
+    fixture = _fresh_warehouse("ccw") + "/orders_cc"
+    create_lake_table(
+        fixture,
+        [
+            ("o_orderpriority", "STRING NOT NULL"),
+            ("o_orderkey", "BIGINT NOT NULL"),
+            ("o_totalprice", "DOUBLE"),
+        ],
+        partition_keys=["o_orderpriority"],
+    )
+    src = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_orderkey", "o_totalprice"
+    )
+    slices = [src.filter(F.col("o_orderkey") % 4 == i) for i in range(4)]
+    with ThreadPoolExecutor(4) as ex:
+        sids = list(ex.map(lambda d: write_lake_append(fixture, d), slices))
+    assert sorted(sids) == [1, 2, 3, 4], f"lost a commit: {sids}"
+    df = PaimonLakeTable(fixture).new_read_builder().new_read().to_df()
+    return (
+        df.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("o_orderkey").alias("n_keys"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+PAIMON_CONCURRENT_COMMIT_SQL = """
+SELECT o_orderpriority, count(*) AS n,
+       CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
 def paimon_lake_stream_changelog_roundtrip(spark, sf_dir):
     """readStream.format('paimon_lake').option('changelog','true') on
     a PRIMARY-KEY lake with changelog-producer=lookup: micro-batches
@@ -12114,6 +12175,7 @@ _QUERIES: dict[str, Callable] = {
     "paimon_lake_format_write_roundtrip": paimon_lake_format_write_roundtrip,
     "paimon_lake_format_pk_write_roundtrip": paimon_lake_format_pk_write_roundtrip,
     "paimon_analyze_stats_roundtrip": paimon_analyze_stats_roundtrip,
+    "paimon_concurrent_commit_roundtrip": paimon_concurrent_commit_roundtrip,
     "paimon_lake_format_timetravel_roundtrip": paimon_lake_format_timetravel_roundtrip,
     "paimon_remove_record_on_delete_roundtrip": paimon_remove_record_on_delete_roundtrip,
     "paimon_sequence_field_roundtrip": paimon_sequence_field_roundtrip,
@@ -12494,6 +12556,7 @@ _ORACLES: dict[str, str] = {
     "paimon_lake_format_write_roundtrip": PAIMON_LAKE_FORMAT_WRITE_SQL,
     "paimon_lake_format_pk_write_roundtrip": PAIMON_LAKE_FORMAT_PK_WRITE_SQL,
     "paimon_analyze_stats_roundtrip": PAIMON_ANALYZE_STATS_SQL,
+    "paimon_concurrent_commit_roundtrip": PAIMON_CONCURRENT_COMMIT_SQL,
     "paimon_lake_format_timetravel_roundtrip": PAIMON_LAKE_FORMAT_TIMETRAVEL_SQL,
     "paimon_remove_record_on_delete_roundtrip": PAIMON_REMOVE_RECORD_ON_DELETE_SQL,
     "paimon_sequence_field_roundtrip": PAIMON_SEQUENCE_FIELD_SQL,
@@ -12539,6 +12602,7 @@ _GATE_HEAD = [
     # r11 additions (verified green via tools/hash_sweep.py — the
     # STRICT str-level driver replica — before promotion)
     "paimon_analyze_stats_roundtrip",
+    "paimon_concurrent_commit_roundtrip",
     # late-r10 additions: the aggregation merge-engine extension
     # (retraction, container folds, sketch unions) — verified green via
     # tools/check_oracle.py before promotion
