@@ -9709,6 +9709,23 @@ FROM hits ORDER BY doc_id
 """
 
 
+def text_contamination_bloom(spark, sf_dir):
+    """Two-phase decontamination: bench grams fold into a broadcast
+    Bloom BITSET built JVM-side (~1.5 bytes/gram vs the full 5-gram
+    strings), corpus grams probe it with a vectorized numpy kernel
+    over k xxhash64 columns (no strings cross into Python), and only
+    bloom survivors enter the exact confirm-join — bit-identical to
+    text_contamination by construction, with the 100 TB broadcast and
+    join-input budgets. Same oracle as the one-phase operator."""
+    from paimon_python_spark.functions import contamination_check_bloom
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("source") == "src0")
+    return contamination_check_bloom(
+        docs, bench, "doc_id", "text", n=5, bitset_bits=1 << 16
+    ).orderBy("doc_id")
+
+
 def pack_sequences(spark, sf_dir):
     """Concat-and-chunk sequence packing: per-source token stream in
     doc_id order, sliced into 256-token training chunks. Window prefix
@@ -12219,6 +12236,7 @@ _QUERIES: dict[str, Callable] = {
     "ann_pq_rerank": ann_pq_rerank,
     "text_quality_stats": text_quality_stats,
     "text_contamination": text_contamination,
+    "text_contamination_bloom": text_contamination_bloom,
     "pack_sequences": pack_sequences,
     "mm_binary_meta": mm_binary_meta,
     "join_salted_skew": join_salted_skew,
@@ -12484,6 +12502,7 @@ _ORACLES: dict[str, str] = {
     "events_funnel_conversion": EVENTS_FUNNEL_SQL,
     "agg_mode_per_user": AGG_MODE_SQL,
     "text_contamination": TEXT_CONTAMINATION_SQL,
+    "text_contamination_bloom": TEXT_CONTAMINATION_SQL,
     "pack_sequences": PACK_SEQUENCES_SQL,
     "sample_corpus_mix": SAMPLE_MIX_SQL,
     "events_anomaly_zscore": EVENTS_ANOMALY_SQL,
@@ -12603,6 +12622,7 @@ _GATE_HEAD = [
     # STRICT str-level driver replica — before promotion)
     "paimon_analyze_stats_roundtrip",
     "paimon_concurrent_commit_roundtrip",
+    "text_contamination_bloom",
     # late-r10 additions: the aggregation merge-engine extension
     # (retraction, container folds, sketch unions) — verified green via
     # tools/check_oracle.py before promotion

@@ -389,6 +389,156 @@ def composite_quality_filter(df: DataFrame, id_col: str, text_col: str) -> DataF
     )
 
 
+def _doc_grams(frame: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(id, distinct word-n-gram array) — shared by the one-phase and
+    bloom decontamination operators so their semantics stay identical.
+    Short docs (< n words) get an empty array, not a countdown range."""
+    from paimon_python_spark.operators.dedup import _shingle_expr
+
+    return frame.select(
+        F.col(id_col),
+        F.when(
+            F.size(F.split(F.col(text_col), " ")) >= n,
+            F.expr(_shingle_expr(text_col, n)),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("g"),
+    )
+
+
+def contamination_check_bloom(
+    df: DataFrame,
+    bench_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    bits_per_gram: int = 12,
+    num_hashes: int = 5,
+    bitset_bits: int = 0,
+) -> DataFrame:
+    """Two-phase benchmark decontamination for LARGE eval sets — same
+    result as :func:`contamination_check`, different broadcast budget.
+    ``bitset_bits``: fix the bitset size up front (power of two) and
+    skip the bench-gram count job — one fewer action when the caller
+    already knows the eval-set scale; any size still yields exact
+    results (an undersized bitset only grows the confirm-join input).
+
+    ``contamination_check`` broadcasts the benchmark's distinct n-gram
+    STRINGS; at tens of millions of grams that broadcast is GBs. Here
+    phase 1 folds the bench grams into a Bloom bitset entirely
+    JVM-side (k ``xxhash64(gram, seed_i)`` columns -> bit positions ->
+    sparse ``(word, bit_or(mask))`` rows), so the driver collects and
+    broadcasts ``m/8`` bytes (~``bits_per_gram``/8 per gram, ~1.5 B at
+    the default 12 bits) instead of the strings. Phase 2 probes every
+    corpus gram with a VECTORIZED numpy kernel over the same k hash
+    columns — only int64 hashes cross the Arrow boundary, never
+    strings — and only the bloom SURVIVORS enter the exact broadcast
+    confirm-join. False positives are culled by that join and false
+    negatives are impossible, so the output is bit-identical to the
+    one-phase operator; the bloom only shrinks the join input (by
+    ~``(1-fpp)`` of the clean corpus) and the broadcast (by ~50x vs
+    5-gram strings).
+    """
+    from pyspark.sql import types as T
+
+    grams = _doc_grams(df, id_col, text_col, n)
+    bench_grams = (
+        _doc_grams(bench_df, id_col, text_col, n)
+        .select(F.explode("g").alias("gram"))
+        .distinct()
+    )
+    if bitset_bits:
+        if bitset_bits & (bitset_bits - 1):
+            raise ValueError("bitset_bits must be a power of two")
+        m = bitset_bits
+    else:
+        bench_n = bench_grams.count()  # small side: one sizing job
+        m = 1 << max(10, (max(1, bench_n) * bits_per_gram - 1).bit_length())
+    k = num_hashes
+
+    def hashed(frame):
+        return frame.select(
+            "*",
+            *[
+                F.xxhash64(F.col("gram"), F.lit(i)).alias(f"__h{i}")
+                for i in range(k)
+            ],
+        )
+
+    # phase 1: JVM-side sparse bitset build — one shuffle of long pairs
+    positions = hashed(bench_grams).select(
+        F.explode(
+            F.array(*[F.col(f"__h{i}").bitwiseAND(m - 1) for i in range(k)])
+        ).alias("p")
+    )
+    sparse = (
+        positions.select(
+            F.shiftright("p", 6).alias("word"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p & 63 AS INT))").alias(
+                "mask"
+            ),
+        )
+        .groupBy("word")
+        .agg(F.expr("bit_or(mask)").alias("mask"))
+        .collect()
+    )
+    import numpy as np
+
+    bitset = np.zeros(m // 64, dtype=np.int64)
+    for r in sparse:
+        bitset[r["word"]] = r["mask"]
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(bitset)
+
+    @F.pandas_udf(T.BooleanType())
+    def _might_contain(*hs):
+        import numpy as _np
+        import pandas as _pd
+
+        arr = bc.value
+        ok = _np.ones(len(hs[0]), dtype=bool)
+        for h in hs:
+            pos = h.to_numpy(dtype=_np.int64, na_value=0) & (m - 1)
+            ok &= (arr[pos >> 6] >> (pos & 63)).astype(_np.int64) & 1 == 1
+        return _pd.Series(ok)
+
+    exploded = hashed(
+        grams.select(
+            F.col(id_col),
+            F.size("g").alias("n_grams"),
+            F.explode_outer("g").alias("gram"),
+        )
+    )
+    survivors = exploded.filter(
+        F.col("gram").isNotNull()
+        & _might_contain(*[F.col(f"__h{i}") for i in range(k)])
+    )
+    confirmed = survivors.join(
+        F.broadcast(bench_grams.withColumn("__hit", F.lit(1))), "gram", "inner"
+    )
+    hit_counts = confirmed.groupBy(id_col).agg(
+        F.count("__hit").cast("long").alias("n_contaminated")
+    )
+    totals = grams.select(
+        F.col(id_col), F.size("g").cast("long").alias("n_grams")
+    )
+    return (
+        totals.join(hit_counts, id_col, "left")
+        .withColumn(
+            "n_contaminated", F.coalesce("n_contaminated", F.lit(0)).cast("long")
+        )
+        .withColumn(
+            "contamination_x10000",
+            F.when(
+                F.col("n_grams") > 0,
+                F.floor(F.col("n_contaminated") * 10000 / F.col("n_grams")),
+            )
+            .otherwise(F.lit(0))
+            .cast("long"),
+        )
+    )
+
+
 def contamination_check(
     df: DataFrame,
     bench_df: DataFrame,
@@ -410,22 +560,12 @@ def contamination_check(
     Parity note: the reference has no corpus ops (delegates analytics to
     DuckDB, pypaimon/api/table_read.py:47-56); this extends SURVEY §2.5.
     """
-    from paimon_python_spark.operators.dedup import _shingle_expr
-
-    def grams(frame: DataFrame) -> DataFrame:
-        # guard short docs: sequence(1, size-n+1) on size<n would count DOWN
-        return frame.select(
-            F.col(id_col),
-            F.when(
-                F.size(F.split(F.col(text_col), " ")) >= n,
-                F.expr(_shingle_expr(text_col, n)),
-            )
-            .otherwise(F.array().cast("array<string>"))
-            .alias("g"),
-        )
-
-    doc_g = grams(df)
-    bench_grams = grams(bench_df).select(F.explode("g").alias("gram")).distinct()
+    doc_g = _doc_grams(df, id_col, text_col, n)
+    bench_grams = (
+        _doc_grams(bench_df, id_col, text_col, n)
+        .select(F.explode("g").alias("gram"))
+        .distinct()
+    )
     exploded = doc_g.select(
         F.col(id_col),
         F.size("g").alias("n_grams"),

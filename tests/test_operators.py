@@ -668,6 +668,45 @@ def test_contamination_check_overlap_and_short_docs(spark):
     assert out[3].n_grams == 0 and out[3].contamination_x10000 == 0
 
 
+def test_contamination_bloom_bit_identical_even_with_tiny_bitset(spark):
+    """The two-phase bloom operator must equal the one-phase join
+    exactly: a deliberately TINY bitset (64 bits for dozens of grams)
+    makes nearly every probe a false positive, so this asserts the
+    confirm-join culls them all — exactness never depends on bloom
+    sizing, only the join-input volume does."""
+    from paimon_python_spark.functions import (
+        contamination_check,
+        contamination_check_bloom,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (i, " ".join(f"w{(i * 7 + j) % 23}" for j in range(12)))
+            for i in range(30)
+        ]
+        + [(98, "short doc"), (99, "")],
+        "doc_id long, text string",
+    )
+    bench = docs.filter("doc_id % 5 = 0")
+    base = sorted(
+        map(tuple, contamination_check(docs, bench, "doc_id", "text", n=5).collect())
+    )
+    for bits in (64, 1 << 14):
+        got = sorted(
+            map(
+                tuple,
+                contamination_check_bloom(
+                    docs, bench, "doc_id", "text", n=5, bitset_bits=bits
+                ).collect(),
+            )
+        )
+        assert got == base
+    with pytest.raises(ValueError, match="power of two"):
+        contamination_check_bloom(
+            docs, bench, "doc_id", "text", bitset_bits=100
+        )
+
+
 def test_pack_concat_chunks_offsets_and_spans(spark):
     from paimon_python_spark.operators import pack_concat_chunks
 
