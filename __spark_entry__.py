@@ -4780,29 +4780,58 @@ def paimon_analyze_stats_roundtrip(spark, sf_dir):
         ),
     )
     analyze_lake(fixture, exact=True)
-    srow = (
-        PaimonLakeTable(fixture).statistics().collect()[0]
-    )  # metadata: one row
-    col_stats = _json.loads(srow["colstat"])
-    rows = [
-        (
-            name,
-            int(cs["distinctCount"]),
-            int(cs["nullCount"]),
-            str(cs["min"]),
-            str(cs["max"]),
-            int(cs["maxLen"]),
-            int(srow["mergedRecordCount"]),
-            int(srow["snapshot_id"]),
-        )
-        for name, cs in sorted(col_stats.items())
-    ]
+
+    # ENGINE twin: same data, same upsert, Table.analyze() — both
+    # formats' statistic files must describe the same merged state
+    from paimon_python_spark import Catalog, Schema
+
+    cat = Catalog.create({"warehouse": _fresh_warehouse("anstat_e")})
+    cat.create_database("default", True)
+    cat.create_table(
+        "default.cust_an",
+        Schema(src.schema, primary_keys=["c_custkey"], options={"bucket": "2"}),
+        False,
+    )
+    et = cat.get_table("default.cust_an")
+    for batch in (
+        src.filter(F.col("c_custkey") % 3 == 0),
+        src.filter(F.col("c_custkey") % 6 == 0).withColumn(
+            "c_acctbal", F.col("c_acctbal") + 1000
+        ),
+    ):
+        wb = et.new_batch_write_builder()
+        w, c = wb.new_write(), wb.new_commit()
+        w.write_dataframe(batch)
+        c.commit(w.prepare_commit())
+        w.close()
+        c.close()
+    et.analyze(exact=True)
+
+    rows = []
+    for kind, srow in (
+        ("lake", PaimonLakeTable(fixture).statistics().collect()[0]),
+        ("engine", et.statistics().collect()[0]),
+    ):
+        for name, cs in sorted(_json.loads(srow["colstat"]).items()):
+            rows.append(
+                (
+                    kind,
+                    name,
+                    int(cs["distinctCount"]),
+                    int(cs["nullCount"]),
+                    str(cs["min"]),
+                    str(cs["max"]),
+                    int(cs["maxLen"]),
+                    int(srow["mergedRecordCount"]),
+                    int(srow["snapshot_id"]),
+                )
+            )
     return spark.createDataFrame(
         rows,
-        "col_name string, distinct_cnt bigint, null_cnt bigint, "
-        "min_s string, max_s string, max_len bigint, merged_cnt bigint, "
-        "stats_snapshot bigint",
-    ).orderBy("col_name")
+        "table_kind string, col_name string, distinct_cnt bigint, "
+        "null_cnt bigint, min_s string, max_s string, max_len bigint, "
+        "merged_cnt bigint, stats_snapshot bigint",
+    ).orderBy("table_kind", "col_name")
 
 
 PAIMON_ANALYZE_STATS_SQL = """
@@ -4812,7 +4841,8 @@ WITH merged AS (
               ELSE c_acctbal END AS c_acctbal
   FROM customer WHERE c_custkey % 3 = 0
 ), m AS (SELECT CAST(count(*) AS BIGINT) AS mc FROM merged)
-SELECT s.*, m.mc AS merged_cnt, CAST(2 AS BIGINT) AS stats_snapshot
+SELECT k.table_kind, s.*, m.mc AS merged_cnt,
+       CAST(2 AS BIGINT) AS stats_snapshot
 FROM (
   SELECT 'c_acctbal' AS col_name,
          CAST(count(DISTINCT c_acctbal) AS BIGINT) AS distinct_cnt,
@@ -4835,7 +4865,8 @@ FROM (
          CAST(max(length(c_mktsegment)) AS BIGINT)
   FROM merged
 ) s CROSS JOIN m
-ORDER BY col_name
+CROSS JOIN (SELECT unnest(['lake', 'engine']) AS table_kind) k
+ORDER BY table_kind, col_name
 """
 
 

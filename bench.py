@@ -141,6 +141,11 @@ HEADLINE = [
     "paimon_sequence_field_roundtrip",
     "paimon_lake_audit_log_roundtrip",
     "paimon_format_incremental_roundtrip",
+    # r11: ANALYZE statistics, the concurrent-commit protocol gate, and
+    # the bloom-prefiltered decontamination twin
+    "paimon_analyze_stats_roundtrip",
+    "paimon_concurrent_commit_roundtrip",
+    "text_contamination_bloom",
 ]
 
 #: executions per query; the reported time is the MEDIAN. Run 1 pays

@@ -68,52 +68,20 @@ def _json_scalar(v):
     return str(v)
 
 
-def analyze_lake(
-    table_path: str,
-    columns: Optional[list] = None,
-    exact: bool = False,
-) -> int:
-    """ANALYZE the lake's current merged state and commit the stats.
-
-    Computes table-level and per-column statistics in one Spark
-    aggregate over the merged read (PK lakes: post-merge rows, the
-    ``mergedRecordCount`` the spec names), writes the spec-shaped JSON
-    statistic file, and commits an ``ANALYZE`` snapshot referencing it.
-    Returns the new snapshot id.
-    """
-    from paimon_python_spark.paimon_import import (
-        latest_paimon_snapshot_id,
-        plan_paimon_files,
-        read_paimon_schema,
-    )
-    from paimon_python_spark.paimon_lake import (
-        PaimonLakeTable,
-        _commit_lake_snapshot,
-    )
-
-    info = read_paimon_schema(table_path)
-    spark_schema = info.spark_schema
-    if columns is None:
-        cols = [f.name for f in spark_schema.fields]
-    else:
-        unknown = [c for c in columns if c not in spark_schema.fieldNames()]
-        if unknown:
-            raise ValueError(f"analyze_lake: unknown columns {unknown}")
-        cols = list(columns)
-
-    base_snapshot = latest_paimon_snapshot_id(table_path)
-    rb = PaimonLakeTable(table_path).new_read_builder().with_projection(cols)
-    df = rb.new_read().to_df()
-
+def compute_column_stats(
+    df, spark_schema, field_ids: dict, cols: list, exact: bool
+) -> tuple:
+    """(merged_record_count, colStats dict) — ONE Spark aggregate over
+    ``df`` computing every requested column's stats (shared by the lake
+    and engine analyze paths so both formats' statistic files agree)."""
     distinct = F.countDistinct if exact else F.approx_count_distinct
     aggs = [F.count(F.lit(1)).alias("__n")]
-    per_col: dict = {}
+    orderable = {}
     for c in cols:
         dt = spark_schema[c].dataType
-        spec = {"orderable": _is_orderable(dt), "dt": dt}
-        per_col[c] = spec
+        orderable[c] = _is_orderable(dt)
         aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"__nul__{c}"))
-        if spec["orderable"]:
+        if orderable[c]:
             aggs.append(distinct(F.col(c)).alias(f"__dc__{c}"))
             aggs.append(F.min(c).alias(f"__min__{c}"))
             aggs.append(F.max(c).alias(f"__max__{c}"))
@@ -122,12 +90,9 @@ def analyze_lake(
             aggs.append(F.max(F.length(c)).alias(f"__maxl__{c}"))
     row = df.agg(*aggs).collect()[0].asDict()
 
-    field_ids = dict(
-        zip([f.name for f in spark_schema.fields], info.field_ids)
-    )
     col_stats = {}
     for c in cols:
-        dt = per_col[c]["dt"]
+        dt = spark_schema[c].dataType
         fixed = next(
             (sz for t, sz in _FIXED_LEN.items() if isinstance(dt, t)), None
         )
@@ -155,17 +120,12 @@ def analyze_lake(
                 )
             ),
         }
+    return int(row["__n"]), col_stats
 
-    merged_size = sum(
-        int(e.file_size) for e in plan_paimon_files(table_path, base_snapshot)
-    )
-    stats = {
-        "snapshotId": base_snapshot,
-        "schemaId": info.id,
-        "mergedRecordCount": int(row["__n"]),
-        "mergedRecordSize": merged_size,
-        "colStats": col_stats,
-    }
+
+def write_stats_file(table_path: str, stats: dict) -> str:
+    """Atomically write the statistic JSON under ``<table>/statistics``
+    and return its file name (shared lake/engine layout)."""
     sdir = os.path.join(table_path, "statistics")
     os.makedirs(sdir, exist_ok=True)
     name = f"stats-{uuid.uuid4().hex[:12]}-0"
@@ -173,7 +133,67 @@ def analyze_lake(
     with open(tmp, "w") as f:
         json.dump(stats, f, sort_keys=True)
     os.replace(tmp, os.path.join(sdir, name))
+    return name
 
+
+def _resolve_columns(spark_schema, columns) -> list:
+    if columns is None:
+        return [f.name for f in spark_schema.fields]
+    unknown = [c for c in columns if c not in spark_schema.fieldNames()]
+    if unknown:
+        raise ValueError(f"analyze: unknown columns {unknown}")
+    return list(columns)
+
+
+def analyze_lake(
+    table_path: str,
+    columns: Optional[list] = None,
+    exact: bool = False,
+) -> int:
+    """ANALYZE the lake's current merged state and commit the stats.
+
+    Computes table-level and per-column statistics in one Spark
+    aggregate over the merged read (PK lakes: post-merge rows, the
+    ``mergedRecordCount`` the spec names), writes the spec-shaped JSON
+    statistic file, and commits an ``ANALYZE`` snapshot referencing it.
+    Returns the new snapshot id.
+    """
+    from paimon_python_spark.paimon_import import (
+        latest_paimon_snapshot_id,
+        plan_paimon_files,
+        read_paimon_schema,
+    )
+    from paimon_python_spark.paimon_lake import (
+        PaimonLakeTable,
+        _commit_lake_snapshot,
+    )
+
+    info = read_paimon_schema(table_path)
+    cols = _resolve_columns(info.spark_schema, columns)
+
+    base_snapshot = latest_paimon_snapshot_id(table_path)
+    rb = PaimonLakeTable(table_path).new_read_builder().with_projection(cols)
+    df = rb.new_read().to_df()
+
+    field_ids = dict(
+        zip([f.name for f in info.spark_schema.fields], info.field_ids)
+    )
+    n, col_stats = compute_column_stats(
+        df, info.spark_schema, field_ids, cols, exact
+    )
+    merged_size = sum(
+        int(e.file_size) for e in plan_paimon_files(table_path, base_snapshot)
+    )
+    name = write_stats_file(
+        table_path,
+        {
+            "snapshotId": base_snapshot,
+            "schemaId": info.id,
+            "mergedRecordCount": n,
+            "mergedRecordSize": merged_size,
+            "colStats": col_stats,
+        },
+    )
     return _commit_lake_snapshot(
         table_path,
         info,
@@ -182,6 +202,96 @@ def analyze_lake(
         commit_kind="ANALYZE",
         statistics=name,
     )
+
+
+def analyze_table(table, columns: Optional[list] = None, exact: bool = False) -> int:
+    """ANALYZE an ENGINE table (the lake twin is :func:`analyze_lake`):
+    same one-pass aggregate over the merged read, same statistic-file
+    layout under ``<table>/statistics``, committed as an ANALYZE
+    snapshot that reuses the previous snapshot's manifests (empty
+    delta — incremental readers see nothing new). Engine schemas carry
+    no spec field ids, so ``colId`` is the field ordinal. Returns the
+    new snapshot id, retrying the CAS publish on a concurrent commit."""
+    from paimon_python_spark.metadata import (
+        MetadataStore,
+        Snapshot,
+        SnapshotConflictError,
+    )
+
+    store = MetadataStore(table.table_path)
+    analyzed = store.latest_snapshot_id()
+    if analyzed is None:
+        raise ValueError("analyze_table: table has no snapshots yet")
+    spark_schema = table.schema.spark_schema
+    cols = _resolve_columns(spark_schema, columns)
+    rb = table.new_read_builder().with_projection(cols)
+    scan_plan = rb.new_scan().plan()
+    df = rb.new_read().to_df(scan_plan.splits())
+    field_ids = {f.name: i for i, f in enumerate(spark_schema.fields)}
+    n, col_stats = compute_column_stats(df, spark_schema, field_ids, cols, exact)
+    merged_size = sum(s.file_size() for s in scan_plan.splits())
+
+    import time as _time
+
+    for attempt in range(20):
+        if attempt:
+            _time.sleep(0.002 * attempt)
+        base = store.max_snapshot_id_scan() if attempt else store.latest_snapshot_id()
+        prev = store.read_snapshot(base)
+        # snapshotId records what was SCANNED (a racing commit may have
+        # moved the head past it); the staleness is visible in the file
+        name = write_stats_file(
+            table.table_path,
+            {
+                "snapshotId": analyzed,
+                "schemaId": prev.schema_id,
+                "mergedRecordCount": n,
+                "mergedRecordSize": merged_size,
+                "colStats": col_stats,
+            },
+        )
+        try:
+            store.write_snapshot(
+                Snapshot(
+                    id=base + 1,
+                    schema_id=prev.schema_id,
+                    commit_kind="ANALYZE",
+                    manifests=list(prev.manifests),
+                    total_record_count=prev.total_record_count,
+                    delta_record_count=0,
+                    time_millis=int(_time.time() * 1000),
+                    dv_index=prev.dv_index,
+                    statistics=name,
+                )
+            )
+            return base + 1
+        except SnapshotConflictError:
+            os.remove(os.path.join(table.table_path, "statistics", name))
+            continue
+    raise RuntimeError("analyze_table: lost the snapshot race 20 times")
+
+
+def read_table_statistics(table_path: str, snapshot_id: Optional[int] = None):
+    """Engine twin of :func:`read_lake_statistics`: newest statistic
+    file at or below ``snapshot_id``, walking ordinary (null-field)
+    commits backwards."""
+    from paimon_python_spark.metadata import MetadataStore
+
+    store = MetadataStore(table_path)
+    latest = snapshot_id or store.latest_snapshot_id()
+    if latest is None:
+        return None
+    for sid in range(latest, 0, -1):
+        try:
+            snap = store.read_snapshot(sid)
+        except FileNotFoundError:
+            continue  # expired
+        if snap.statistics:
+            with open(
+                os.path.join(table_path, "statistics", snap.statistics)
+            ) as f:
+                return json.load(f)
+    return None
 
 
 def read_lake_statistics(

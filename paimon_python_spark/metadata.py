@@ -99,6 +99,10 @@ class Snapshot:
     # deletion-vector index file under index/ (None = no DVs at this
     # snapshot); see deletion_vectors.py
     dv_index: Optional[str] = None
+    # table-statistic file under statistics/ (only an ANALYZE commit
+    # carries one; ordinary commits leave it None and readers walk
+    # back — mirrors the lake/spec semantics in lake_statistics)
+    statistics: Optional[str] = None
 
     def to_dict(self) -> dict:
         d = {
@@ -114,6 +118,8 @@ class Snapshot:
         }
         if self.dv_index:
             d["dv_index"] = self.dv_index
+        if self.statistics:
+            d["statistics"] = self.statistics
         return d
 
     @classmethod
@@ -128,6 +134,7 @@ class Snapshot:
             commit_user=d.get("commit_user", ""),
             time_millis=d.get("time_millis", 0),
             dv_index=d.get("dv_index"),
+            statistics=d.get("statistics"),
         )
 
 

@@ -108,6 +108,21 @@ class Table:
             w.close()
             c.close()
 
+    def analyze(self, columns=None, exact: bool = False) -> int:
+        """ANALYZE this table: one-pass stats aggregate over the merged
+        read, statistic file under ``statistics/``, ANALYZE snapshot —
+        the engine twin of :func:`lake_statistics.analyze_lake`.
+        Returns the new snapshot id."""
+        from paimon_python_spark.lake_statistics import analyze_table
+
+        return analyze_table(self, columns=columns, exact=exact)
+
+    def statistics(self, snapshot_id=None):
+        """Statistics system table (``table$statistics``): newest
+        ANALYZE's totals + per-column colstat JSON, walking the chain
+        back from ``snapshot_id``. Empty if never analyzed."""
+        return _engine_system_df(self.table_path, "statistics", snapshot_id)
+
     # -- system tables (Paimon's table$snapshots / table$files) --
 
     def snapshots(self):
@@ -375,6 +390,14 @@ def engine_system_table_schema(name: str):
             ("key", T.StringType(), False),
             ("value", T.StringType(), False),
         ],
+        # lake twin: paimon_lake.lake_system_table_schema("statistics")
+        "statistics": [
+            ("snapshot_id", T.LongType(), False),
+            ("schema_id", T.LongType(), False),
+            ("mergedRecordCount", T.LongType(), False),
+            ("mergedRecordSize", T.LongType(), False),
+            ("colstat", T.StringType(), False),
+        ],
     }
     if name not in defs:
         raise ValueError(
@@ -519,10 +542,30 @@ def engine_system_table_data(
             (k, str(v)) for k, v in _load_schema(table_path).options.items()
         )
 
+    if name == "statistics":
+        import json as _json
+
+        from paimon_python_spark.lake_statistics import read_table_statistics
+
+        stats = read_table_statistics(table_path, snapshot_id)
+        rows = []
+        if stats is not None:
+            rows.append(
+                (
+                    int(stats["snapshotId"]),
+                    int(stats["schemaId"]),
+                    int(stats["mergedRecordCount"]),
+                    int(stats["mergedRecordSize"]),
+                    _json.dumps(stats["colStats"], sort_keys=True),
+                )
+            )
+        schema = engine_system_table_schema(name)
+        return schema, rows
+
     raise ValueError(
         f"unknown system table {name!r}: one of snapshots / files / "
-        "partitions / manifests / buckets / branches / tags / options "
-        "(audit_log reads data files — use Table.audit_log())"
+        "partitions / manifests / buckets / branches / tags / options / "
+        "statistics (audit_log reads data files — use Table.audit_log())"
     )
 
 

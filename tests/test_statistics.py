@@ -135,6 +135,61 @@ def test_column_subset_and_approx(spark, lake):
     assert 180 <= ndv <= 220
 
 
+def test_engine_analyze_twin(spark, catalog):
+    from paimon_python_spark import Schema
+    from paimon_python_spark.lake_statistics import read_table_statistics
+
+    df = spark.range(100).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 5).cast("string").alias("seg"),
+        (F.col("id") * 2.5).alias("bal"),
+    )
+    catalog.create_table(
+        "default.an_t",
+        Schema(df.schema, primary_keys=["k"], options={"bucket": "2"}),
+        False,
+    )
+    t = catalog.get_table("default.an_t")
+    for batch in (df, df.filter("k % 2 = 0").withColumn("bal", F.col("bal") + 7)):
+        wb = t.new_batch_write_builder()
+        w, c = wb.new_write(), wb.new_commit()
+        w.write_dataframe(batch)
+        c.commit(w.prepare_commit())
+        w.close()
+        c.close()
+    assert read_table_statistics(t.table_path) is None
+    sid = t.analyze(exact=True)
+    assert sid == 3
+    from paimon_python_spark.metadata import MetadataStore
+
+    store = MetadataStore(t.table_path)
+    snap = store.read_snapshot(3)
+    assert snap.commit_kind == "ANALYZE" and snap.statistics
+    assert snap.manifests == store.read_snapshot(2).manifests
+    stats = read_table_statistics(t.table_path)
+    assert stats["snapshotId"] == 2 and stats["mergedRecordCount"] == 100
+    assert stats["colStats"]["k"]["distinctCount"] == 100
+    assert stats["colStats"]["bal"]["max"] == 98 * 2.5 + 7  # k=98 upserted
+    assert stats["colStats"]["seg"]["maxLen"] == 1
+    # the system-table row and the engine front door agree
+    row = t.statistics().collect()[0]
+    assert row["mergedRecordCount"] == 100
+    from paimon_python_spark.datasource import register
+
+    register(spark)
+    fd = (
+        spark.read.format("paimon_spark")
+        .option("path", t.table_path + "$statistics")
+        .load()
+        .collect()
+    )
+    assert [r.asDict() for r in fd] == [row.asDict()]
+    # incremental readers see nothing from the ANALYZE snapshot
+    from paimon_python_spark.streaming.incremental import read_incremental
+
+    assert read_incremental(t, 2, 3).count() == 0
+
+
 def test_statistics_system_table_and_front_door(spark, lake):
     from paimon_python_spark.lake_datasource import register_lake
     from paimon_python_spark.lake_statistics import analyze_lake

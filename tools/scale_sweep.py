@@ -93,6 +93,9 @@ SWEEP = [
     ("paimon_sequence_field_roundtrip", "event-time merge order (struct-ordered dedup window)"),
     ("paimon_lake_audit_log_roundtrip", "data-scale merge-free audit scan via format()"),
     ("paimon_format_incremental_roundtrip", "batch incremental window (per-delta-file partitions)"),
+    ("paimon_analyze_stats_roundtrip", "ANALYZE one-pass stats agg + statistic file commit"),
+    ("paimon_concurrent_commit_roundtrip", "4-thread CAS-retry commit race"),
+    ("text_contamination_bloom", "bloom bitset prefilter + exact confirm-join"),
 ]
 
 
