@@ -272,6 +272,29 @@ def remove_orphan_files(table, older_than_seconds: float = 3600.0) -> dict:
             reclaimed += st.st_size
             os.remove(full)
             n += 1
+    # statistic files: pinned while ANY existing snapshot file (tagged
+    # snapshots keep theirs) names them in its `statistics` field;
+    # expired-ANALYZE leftovers and CAS-loser debris are reaped here
+    stdir = os.path.join(table.table_path, "statistics")
+    if os.path.isdir(stdir):
+        known_stats = set()
+        for name in os.listdir(store.snapshot_dir):
+            if name.startswith("snapshot-") and name.endswith(".json"):
+                s = store.read_snapshot(
+                    int(name[len("snapshot-") : -len(".json")])
+                )
+                if s.statistics:
+                    known_stats.add(s.statistics)
+        for fname in os.listdir(stdir):
+            if fname.startswith(("_", ".")) or fname in known_stats:
+                continue
+            full = os.path.join(stdir, fname)
+            st = os.stat(full)
+            if now - st.st_mtime < older_than_seconds:
+                continue
+            reclaimed += st.st_size
+            os.remove(full)
+            n += 1
     return {"orphans_deleted": n, "bytes_reclaimed": reclaimed}
 
 

@@ -4595,8 +4595,14 @@ def remove_lake_orphan_files(
             for r in live_index_entries(table_path, snapshot=s):
                 known_rel.add(os.path.join("index", r["_FILE_NAME"]))
 
+    # statistic files: pinned by the snapshot (or tag/branch/changelog
+    # copy) whose `statistics` field names them; an expired ANALYZE
+    # snapshot's file becomes reapable here (expiry itself leaves them)
+    known_stats = {s.get("statistics") for s in snaps if s.get("statistics")}
+
     now = _time.time()
-    deleted = {"data_files": 0, "manifests": 0, "index_files": 0}
+    deleted = {"data_files": 0, "manifests": 0, "index_files": 0,
+               "stats_files": 0}
     reclaimed = 0
 
     def rm_if_orphan(full: str, kind: str, known: bool) -> int:
@@ -4622,13 +4628,19 @@ def remove_lake_orphan_files(
             if not n.startswith(("_", ".")):
                 rel = os.path.join("index", n)
                 rm_if_orphan(os.path.join(idir, n), "index_files", rel in known_rel)
+    stdir = os.path.join(table_path, "statistics")
+    if os.path.isdir(stdir):
+        for n in sorted(os.listdir(stdir)):
+            if not n.startswith(("_", ".")):
+                rm_if_orphan(os.path.join(stdir, n), "stats_files", n in known_stats)
     # "streaming" holds StreamingLakeSink idempotence markers
     # (offsets-<id>.json, sink.py) — never data files, so the walker must
     # not reap them: deleting one resets last_committed_batch() to -1 and a
     # checkpoint-replayed micro-batch would double-commit.
+    # "statistics" got its own referenced-set pass above.
     skip_top = {
         "snapshot", "schema", "tag", "manifest", "index", "branch",
-        "consumer", "streaming", "changelog", "compaction",
+        "consumer", "streaming", "changelog", "compaction", "statistics",
     }
     for dirpath, dirnames, filenames in os.walk(table_path):
         if dirpath == table_path:

@@ -190,6 +190,58 @@ def test_engine_analyze_twin(spark, catalog):
     assert read_incremental(t, 2, 3).count() == 0
 
 
+def test_orphan_cleanup_pins_referenced_stats_and_reaps_dead_ones(spark, lake):
+    from paimon_python_spark.lake_statistics import (
+        analyze_lake,
+        read_lake_statistics,
+    )
+    from paimon_python_spark.paimon_import import read_paimon_snapshot
+    from paimon_python_spark.paimon_lake import remove_lake_orphan_files
+
+    analyze_lake(lake, exact=True)
+    live = read_paimon_snapshot(lake, 3)["statistics"]
+    # plant a dead stats file (a CAS-loser / expired-ANALYZE leftover)
+    dead = os.path.join(lake, "statistics", "stats-deadbeef-0")
+    with open(dead, "w") as f:
+        f.write("{}")
+    os.utime(dead, (1, 1))
+    old = os.path.join(lake, "statistics", live)
+    os.utime(old, (1, 1))  # well past any grace period
+    out = remove_lake_orphan_files(lake, older_than_seconds=60)
+    assert out["stats_files"] == 1
+    assert not os.path.exists(dead)
+    assert os.path.exists(old)  # referenced: pinned regardless of age
+    assert read_lake_statistics(lake)["mergedRecordCount"] == 200
+
+
+def test_engine_orphan_cleanup_reaps_dead_stats(spark, catalog):
+    from paimon_python_spark import Schema
+    from paimon_python_spark.lake_statistics import read_table_statistics
+    from paimon_python_spark.maintenance import remove_orphan_files
+
+    df = spark.range(10).select(F.col("id").alias("k"))
+    catalog.create_table("default.an_orph", Schema(df.schema), False)
+    t = catalog.get_table("default.an_orph")
+    wb = t.new_batch_write_builder()
+    w, c = wb.new_write(), wb.new_commit()
+    w.write_dataframe(df)
+    c.commit(w.prepare_commit())
+    w.close()
+    c.close()
+    t.analyze(exact=True)
+    from paimon_python_spark.metadata import MetadataStore
+
+    live = MetadataStore(t.table_path).read_snapshot(2).statistics
+    dead = os.path.join(t.table_path, "statistics", "stats-deadbeef-0")
+    with open(dead, "w") as f:
+        f.write("{}")
+    os.utime(dead, (1, 1))
+    os.utime(os.path.join(t.table_path, "statistics", live), (1, 1))
+    out = remove_orphan_files(t, older_than_seconds=60)
+    assert out["orphans_deleted"] == 1 and not os.path.exists(dead)
+    assert read_table_statistics(t.table_path)["mergedRecordCount"] == 10
+
+
 def test_statistics_system_table_and_front_door(spark, lake):
     from paimon_python_spark.lake_datasource import register_lake
     from paimon_python_spark.lake_statistics import analyze_lake
