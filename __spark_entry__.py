@@ -9757,6 +9757,47 @@ def text_contamination_bloom(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def text_corpus_overlap(spark, sf_dir):
+    """Pairwise source-overlap matrix (distinct shared 5-grams + exact
+    Jaccard per source pair) — the pre-mixing curation diagnostic. One
+    shuffle of distinct (gram, source); per-gram source sets fold to
+    pair combinations JVM-side (no gram-table self-join); pairs with
+    zero shared grams are omitted, matching the SQL join."""
+    from paimon_python_spark.functions import corpus_overlap
+
+    docs = _t(spark, sf_dir, "documents")
+    return corpus_overlap(docs, "source", "text", n=5).orderBy(
+        "src_a", "src_b"
+    )
+
+
+TEXT_CORPUS_OVERLAP_SQL = """
+WITH g AS (
+  SELECT DISTINCT source AS src, gram
+  FROM (
+    SELECT source,
+           unnest(CASE WHEN len(w) >= 5 THEN
+             list_transform(generate_series(1, len(w) - 4),
+                            i -> array_to_string(list_slice(w, i, i + 4), ' '))
+           ELSE [] END) AS gram
+    FROM (SELECT source, string_split(text, ' ') AS w FROM documents) t0) t1),
+totals AS (SELECT src, CAST(count(*) AS BIGINT) AS n_grams FROM g GROUP BY src),
+shared AS (
+  SELECT a.src AS src_a, b.src AS src_b, CAST(count(*) AS BIGINT) AS shared_grams
+  FROM g a JOIN g b ON a.gram = b.gram AND a.src < b.src
+  GROUP BY a.src, b.src)
+SELECT s.src_a, s.src_b, s.shared_grams,
+       ta.n_grams AS grams_a, tb.n_grams AS grams_b,
+       CAST(floor(s.shared_grams * 10000 /
+                  (ta.n_grams + tb.n_grams - s.shared_grams)) AS BIGINT)
+         AS jaccard_x10000
+FROM shared s
+JOIN totals ta ON ta.src = s.src_a
+JOIN totals tb ON tb.src = s.src_b
+ORDER BY src_a, src_b
+"""
+
+
 def pack_sequences(spark, sf_dir):
     """Concat-and-chunk sequence packing: per-source token stream in
     doc_id order, sliced into 256-token training chunks. Window prefix
@@ -12268,6 +12309,7 @@ _QUERIES: dict[str, Callable] = {
     "text_quality_stats": text_quality_stats,
     "text_contamination": text_contamination,
     "text_contamination_bloom": text_contamination_bloom,
+    "text_corpus_overlap": text_corpus_overlap,
     "pack_sequences": pack_sequences,
     "mm_binary_meta": mm_binary_meta,
     "join_salted_skew": join_salted_skew,
@@ -12534,6 +12576,7 @@ _ORACLES: dict[str, str] = {
     "agg_mode_per_user": AGG_MODE_SQL,
     "text_contamination": TEXT_CONTAMINATION_SQL,
     "text_contamination_bloom": TEXT_CONTAMINATION_SQL,
+    "text_corpus_overlap": TEXT_CORPUS_OVERLAP_SQL,
     "pack_sequences": PACK_SEQUENCES_SQL,
     "sample_corpus_mix": SAMPLE_MIX_SQL,
     "events_anomaly_zscore": EVENTS_ANOMALY_SQL,
@@ -12654,6 +12697,7 @@ _GATE_HEAD = [
     "paimon_analyze_stats_roundtrip",
     "paimon_concurrent_commit_roundtrip",
     "text_contamination_bloom",
+    "text_corpus_overlap",
     # late-r10 additions: the aggregation merge-engine extension
     # (retraction, container folds, sketch unions) — verified green via
     # tools/check_oracle.py before promotion

@@ -146,6 +146,7 @@ HEADLINE = [
     "paimon_analyze_stats_roundtrip",
     "paimon_concurrent_commit_roundtrip",
     "text_contamination_bloom",
+    "text_corpus_overlap",
 ]
 
 #: executions per query; the reported time is the MEDIAN. Run 1 pays

@@ -539,6 +539,86 @@ def contamination_check_bloom(
     )
 
 
+def corpus_overlap(
+    df: DataFrame,
+    source_col: str,
+    text_col: str,
+    n: int = 5,
+) -> DataFrame:
+    """Pairwise corpus-overlap matrix: for every pair of sources, how
+    many distinct word-n-grams they share and the exact Jaccard — the
+    dataset-curation diagnostic for "are these two crawls the same
+    data" before mixing weights are chosen.
+
+    Scale shape: ONE shuffle of distinct ``(gram, source)`` pairs; the
+    per-gram source set folds to sorted pair combinations JVM-side
+    (sources are few — the combination explosion is |S|² per gram max,
+    not corpus-sized), then a hash aggregate per pair. No self-join of
+    the gram table (an O(grams²/sources) blowup at 100 TB) and nothing
+    collects to the driver.
+    """
+    grams = (
+        _doc_grams(
+            df.select(F.col(source_col), F.col(text_col)),
+            source_col,
+            text_col,
+            n,
+        )
+        .select(F.col(source_col).alias("src"), F.explode("g").alias("gram"))
+        .distinct()
+    )
+    per_gram = grams.groupBy("gram").agg(
+        F.sort_array(F.collect_set("src")).alias("srcs")
+    )
+    pairs = per_gram.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "srcs",
+                    lambda a, i: F.transform(
+                        F.slice(
+                            F.col("srcs"), i + 2, F.size("srcs")
+                        ),
+                        lambda b: F.struct(
+                            a.alias("src_a"), b.alias("src_b")
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.src_a", "p.src_b")
+    shared = pairs.groupBy("src_a", "src_b").agg(
+        F.count(F.lit(1)).cast("long").alias("shared_grams")
+    )
+    totals = grams.groupBy("src").agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams")
+    )
+    return (
+        shared.join(
+            F.broadcast(totals.select(F.col("src").alias("src_a"),
+                                      F.col("n_grams").alias("grams_a"))),
+            "src_a",
+        )
+        .join(
+            F.broadcast(totals.select(F.col("src").alias("src_b"),
+                                      F.col("n_grams").alias("grams_b"))),
+            "src_b",
+        )
+        .withColumn(
+            "jaccard_x10000",
+            F.floor(
+                F.col("shared_grams")
+                * 10000
+                / (F.col("grams_a") + F.col("grams_b") - F.col("shared_grams"))
+            ).cast("long"),
+        )
+        .select(
+            "src_a", "src_b", "shared_grams", "grams_a", "grams_b",
+            "jaccard_x10000",
+        )
+    )
+
+
 def contamination_check(
     df: DataFrame,
     bench_df: DataFrame,

@@ -668,6 +668,29 @@ def test_contamination_check_overlap_and_short_docs(spark):
     assert out[3].n_grams == 0 and out[3].contamination_x10000 == 0
 
 
+def test_corpus_overlap_exact_jaccard(spark):
+    from paimon_python_spark.functions import corpus_overlap
+
+    docs = spark.createDataFrame(
+        [
+            ("a", "one two three four five six"),      # grams: 2
+            ("a", "alpha beta gamma delta epsilon"),   # grams: 1
+            ("b", "one two three four five"),          # shares 1 with a
+            ("b", "x y z w v u"),                      # grams: 2
+            ("c", "tiny"),                             # no 5-grams
+        ],
+        "source string, text string",
+    )
+    out = {
+        (r.src_a, r.src_b): r
+        for r in corpus_overlap(docs, "source", "text", n=5).collect()
+    }
+    assert set(out) == {("a", "b")}  # c has no grams; zero pairs omitted
+    r = out[("a", "b")]
+    assert r.shared_grams == 1 and r.grams_a == 3 and r.grams_b == 3
+    assert r.jaccard_x10000 == 2000  # 1 / (3 + 3 - 1)
+
+
 def test_contamination_bloom_bit_identical_even_with_tiny_bitset(spark):
     """The two-phase bloom operator must equal the one-phase join
     exactly: a deliberately TINY bitset (64 bits for dozens of grams)

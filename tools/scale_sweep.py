@@ -96,6 +96,7 @@ SWEEP = [
     ("paimon_analyze_stats_roundtrip", "ANALYZE one-pass stats agg + statistic file commit"),
     ("paimon_concurrent_commit_roundtrip", "4-thread CAS-retry commit race"),
     ("text_contamination_bloom", "bloom bitset prefilter + exact confirm-join"),
+    ("text_corpus_overlap", "per-gram source-set fold, no gram self-join"),
 ]
 
 
