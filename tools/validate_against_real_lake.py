@@ -341,6 +341,39 @@ def main() -> int:
         )
     else:
         print("[11] skipped (no decoupled changelog entries)")
+
+    # [12] statistics parity: if a JVM ANALYZE wrote a statistic file
+    # (snapshot `statistics` field, spec "Statistic"), it must decode
+    # with the expected shape, and the table-level counts must
+    # reconcile with the same merged read the engine serves.
+    from paimon_python_spark.lake_statistics import read_lake_statistics
+
+    stats = read_lake_statistics(args.table_path, snap["id"])
+    if stats is not None:
+        for key in ("snapshotId", "schemaId", "mergedRecordCount", "colStats"):
+            if key not in stats:
+                print(f"[12] FAIL: statistic file missing {key!r}")
+                return 1
+        bad_cols = [
+            c for c, cs in stats["colStats"].items()
+            if c not in info.spark_schema.fieldNames()
+        ]
+        if bad_cols:
+            print(f"[12] FAIL: colStats name unknown columns {bad_cols} "
+                  "(field-id mapping mismatch?)")
+            return 1
+        merged = df.count()
+        if int(stats["snapshotId"]) == snap["id"] and merged != int(
+            stats["mergedRecordCount"]
+        ):
+            print(f"[12] FAIL: mergedRecordCount {stats['mergedRecordCount']} "
+                  f"vs engine merged read {merged}")
+            return 1
+        print(f"[12] statistics OK: {len(stats['colStats'])} colStats, "
+              f"mergedRecordCount {stats['mergedRecordCount']} "
+              f"(analyzed at snapshot {stats['snapshotId']})")
+    else:
+        print("[12] skipped (no statistic file at or below this snapshot)")
     print("ALL CHECKS PASSED against a foreign-written lake")
     return 0
 
