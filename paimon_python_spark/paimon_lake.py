@@ -142,6 +142,14 @@ class PaimonLakeTable:
         """Options system table: (key, value) from the current schema."""
         return _lake_system_df(self.table_path, "options")
 
+    def analyze(self, columns=None, exact: bool = False) -> int:
+        """ANALYZE this lake (engine twin: ``Table.analyze``) — one-pass
+        stats aggregate over the merged read, spec statistic file,
+        ANALYZE snapshot. Returns the new snapshot id."""
+        from paimon_python_spark.lake_statistics import analyze_lake
+
+        return analyze_lake(self.table_path, columns=columns, exact=exact)
+
     def statistics(self, snapshot_id: "Optional[int]" = None):
         """Statistics system table — Paimon's ``table$statistics``: the
         newest ANALYZE's table-level totals + per-column colstat JSON,
