@@ -9757,6 +9757,59 @@ def text_contamination_bloom(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def paimon_auto_tag_roundtrip(spark, sf_dir):
+    """AUTOMATIC TAG CREATION (`tag.automatic-creation=process-time` +
+    `tag.creation-period=daily`) — the first commit of each period pins
+    itself as a period-named tag at commit time, Paimon's cheap "daily
+    snapshot" retention pattern. Two commits land; the EARLIEST auto
+    tag must point at snapshot 1 and read back exactly the first
+    commit's rows through `with_tag` (tag names are wall-clock-derived
+    and excluded from the gate; a midnight-straddling run just adds a
+    second tag without touching the asserted facts)."""
+    from paimon_python_spark.paimon_lake import (
+        PaimonLakeTable,
+        create_lake_table,
+        write_lake_append,
+    )
+    from paimon_python_spark.session import set_spark
+
+    set_spark(spark)
+    fixture = _fresh_warehouse("autotag") + "/cust_autotag"
+    create_lake_table(
+        fixture,
+        [("c_custkey", "BIGINT NOT NULL"), ("c_acctbal", "DOUBLE")],
+        options={
+            "tag.automatic-creation": "process-time",
+            "tag.creation-period": "daily",
+        },
+    )
+    src = _t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    write_lake_append(fixture, src.filter(F.col("c_custkey") % 3 == 0))
+    write_lake_append(fixture, src.filter(F.col("c_custkey") % 3 == 1))
+    t = PaimonLakeTable(fixture)
+    tags = {r.tag_name: r.snapshot_id for r in t.tags().collect()}
+    first = min(tags)
+    df = t.new_read_builder().with_tag(first).new_read().to_df()
+    return df.agg(
+        F.count("*").alias("n"),
+        F.min("c_custkey").alias("min_key"),
+        F.max("c_custkey").alias("max_key"),
+        F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_bal"),
+    ).select(
+        F.lit(int(tags[first])).cast("long").alias("tagged_snapshot"), "*"
+    )
+
+
+PAIMON_AUTO_TAG_SQL = """
+SELECT CAST(1 AS BIGINT) AS tagged_snapshot, count(*) AS n,
+       min(c_custkey) AS min_key, max(c_custkey) AS max_key,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+FROM customer WHERE c_custkey % 3 = 0
+"""
+
+
 def text_corpus_overlap(spark, sf_dir):
     """Pairwise source-overlap matrix (distinct shared 5-grams + exact
     Jaccard per source pair) — the pre-mixing curation diagnostic. One
@@ -12310,6 +12363,7 @@ _QUERIES: dict[str, Callable] = {
     "text_contamination": text_contamination,
     "text_contamination_bloom": text_contamination_bloom,
     "text_corpus_overlap": text_corpus_overlap,
+    "paimon_auto_tag_roundtrip": paimon_auto_tag_roundtrip,
     "pack_sequences": pack_sequences,
     "mm_binary_meta": mm_binary_meta,
     "join_salted_skew": join_salted_skew,
@@ -12577,6 +12631,7 @@ _ORACLES: dict[str, str] = {
     "text_contamination": TEXT_CONTAMINATION_SQL,
     "text_contamination_bloom": TEXT_CONTAMINATION_SQL,
     "text_corpus_overlap": TEXT_CORPUS_OVERLAP_SQL,
+    "paimon_auto_tag_roundtrip": PAIMON_AUTO_TAG_SQL,
     "pack_sequences": PACK_SEQUENCES_SQL,
     "sample_corpus_mix": SAMPLE_MIX_SQL,
     "events_anomaly_zscore": EVENTS_ANOMALY_SQL,
@@ -12698,6 +12753,7 @@ _GATE_HEAD = [
     "paimon_concurrent_commit_roundtrip",
     "text_contamination_bloom",
     "text_corpus_overlap",
+    "paimon_auto_tag_roundtrip",
     # late-r10 additions: the aggregation merge-engine extension
     # (retraction, container folds, sketch unions) — verified green via
     # tools/check_oracle.py before promotion

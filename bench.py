@@ -147,6 +147,7 @@ HEADLINE = [
     "paimon_concurrent_commit_roundtrip",
     "text_contamination_bloom",
     "text_corpus_overlap",
+    "paimon_auto_tag_roundtrip",
 ]
 
 #: executions per query; the reported time is the MEDIAN. Run 1 pays

@@ -2514,6 +2514,12 @@ def _commit_lake_snapshot(
                     expire_lake_snapshots(table_path, int(retain))
                 except Exception:
                     pass  # expiry is maintenance: never fail the commit
+            # AUTOMATIC TAG CREATION (Paimon tag.automatic-creation):
+            # the first commit of each period pins itself as a tag named
+            # for the period, and tag.num-retained-max reaps the oldest
+            # auto tags — the cheap "daily snapshot" retention pattern
+            if info.options.get("tag.automatic-creation"):
+                _auto_create_lake_tag(table_path, info, snap)
             return new_id
         raise RuntimeError(
             "lake commit: lost the snapshot race 20 times — "
@@ -4199,6 +4205,69 @@ def rescale_lake_bucket(table_path: str, num_buckets: int) -> int:
     # overwrite_lake re-reads the schema, picks up the new bucket
     # count, and commits DELETE-everything + ADD-rerouted in one snap
     return overwrite_lake(table_path, df)
+
+
+#: tag.creation-period → (strftime pattern, matching regex) — Paimon's
+#: default date-format names (daily 'yyyy-MM-dd', hourly 'yyyy-MM-dd HH')
+_AUTO_TAG_PERIODS = {
+    "daily": ("%Y-%m-%d", r"^\d{4}-\d{2}-\d{2}$"),
+    "hourly": ("%Y-%m-%d %H", r"^\d{4}-\d{2}-\d{2} \d{2}$"),
+}
+
+
+def _auto_create_lake_tag(table_path: str, info, snap: dict) -> None:
+    """Tag-on-commit for ``tag.automatic-creation=process-time``: if no
+    tag exists for the commit's period (derived from the snapshot's own
+    ``timeMillis`` — no extra clock), pin THIS snapshot under the
+    period's name; then apply ``tag.num-retained-max`` to the
+    AUTO-CREATED tags only (name-format match, Paimon's rule), oldest
+    first. Concurrent committers race idempotently on O_EXCL — the
+    period's first publisher wins. Watermark-based creation needs a
+    watermark-carrying writer and is refused."""
+    import json
+    import os
+    import re
+    from datetime import datetime, timezone
+
+    mode = info.options["tag.automatic-creation"]
+    if mode != "process-time":
+        raise ValueError(
+            f"tag.automatic-creation={mode!r}: only 'process-time' is "
+            "supported (watermark creation needs a watermark-carrying "
+            "writer)"
+        )
+    period = info.options.get("tag.creation-period", "daily")
+    if period not in _AUTO_TAG_PERIODS:
+        raise ValueError(
+            f"tag.creation-period={period!r}: one of {sorted(_AUTO_TAG_PERIODS)}"
+        )
+    fmt, pat = _AUTO_TAG_PERIODS[period]
+    name = datetime.fromtimestamp(
+        int(snap["timeMillis"]) / 1000.0, tz=timezone.utc
+    ).strftime(fmt)
+    tdir = os.path.join(table_path, "tag")
+    os.makedirs(tdir, exist_ok=True)
+    try:
+        fd = os.open(
+            os.path.join(tdir, f"tag-{name}"),
+            os.O_WRONLY | os.O_CREAT | os.O_EXCL,
+        )
+    except FileExistsError:
+        return  # this period already has its tag
+    with os.fdopen(fd, "w") as f:
+        json.dump(snap, f)
+    retain = info.options.get("tag.num-retained-max")
+    if retain is not None:
+        auto = sorted(
+            n[len("tag-") :]
+            for n in os.listdir(tdir)
+            if n.startswith("tag-") and re.match(pat, n[len("tag-") :])
+        )
+        for stale in auto[: max(0, len(auto) - int(retain))]:
+            try:
+                os.remove(os.path.join(tdir, f"tag-{stale}"))
+            except FileNotFoundError:
+                pass  # concurrent retention pass got it first
 
 
 def create_lake_tag(

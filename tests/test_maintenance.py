@@ -464,3 +464,66 @@ def test_compact_manifests_resets_chain_and_preserves_reads(catalog):
     c.close()
     assert len(store.latest_snapshot().manifests) == 2
     assert 99 in set(t.new_read_builder().new_read().to_pandas()["k"])
+
+
+def test_auto_tag_creation_and_retention(spark, warehouse):
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from paimon_python_spark.paimon_lake import (
+        PaimonLakeTable,
+        _auto_create_lake_tag,
+        create_lake_table,
+        write_lake_append,
+    )
+    from paimon_python_spark.paimon_import import read_paimon_schema
+
+    path = os.path.join(warehouse, "auto_tag_t")
+    create_lake_table(
+        path,
+        [("k", "BIGINT NOT NULL")],
+        options={
+            "tag.automatic-creation": "process-time",
+            "tag.creation-period": "daily",
+        },
+    )
+    write_lake_append(path, spark.range(5).select(F.col("id").alias("k")))
+    write_lake_append(path, spark.range(5, 8).select(F.col("id").alias("k")))
+    tags = {
+        r.tag_name: r.snapshot_id
+        for r in PaimonLakeTable(path).tags().collect()
+    }
+    # same-period commits share one tag pinned at the FIRST commit
+    # (two tags only if the run straddles a UTC midnight)
+    assert len(tags) in (1, 2)
+    assert tags[min(tags)] == 1
+    # the tag is a full snapshot copy readable via with_tag
+    rb = PaimonLakeTable(path).new_read_builder().with_tag(min(tags))
+    assert rb.new_read().to_df().count() == 5
+
+    # period + retention logic, driven directly with pinned clocks
+    info = read_paimon_schema(path)
+    info.options["tag.creation-period"] = "hourly"
+    info.options["tag.num-retained-max"] = "2"
+    day_ms = 1700000000000  # 2023-11-14 22:13:20 UTC
+    for i, sid in enumerate((10, 11, 12)):
+        snap = {"id": sid, "timeMillis": day_ms + i * 3600_000}
+        _auto_create_lake_tag(path, info, snap)
+    hourly = sorted(
+        n for n in os.listdir(os.path.join(path, "tag"))
+        if " " in n  # hourly names carry the hour suffix
+    )
+    assert len(hourly) == 2  # retention reaped the oldest hourly tag
+    with open(os.path.join(path, "tag", hourly[-1])) as f:
+        assert json.load(f)["id"] == 12
+    # the daily tag from the real commits is NOT counted by hourly retention
+    assert any(" " not in n for n in os.listdir(os.path.join(path, "tag")))
+
+    # unsupported modes refuse loudly
+    info.options["tag.automatic-creation"] = "watermark"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="process-time"):
+        _auto_create_lake_tag(path, info, {"id": 1, "timeMillis": day_ms})

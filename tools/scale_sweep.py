@@ -97,6 +97,7 @@ SWEEP = [
     ("paimon_concurrent_commit_roundtrip", "4-thread CAS-retry commit race"),
     ("text_contamination_bloom", "bloom bitset prefilter + exact confirm-join"),
     ("text_corpus_overlap", "per-gram source-set fold, no gram self-join"),
+    ("paimon_auto_tag_roundtrip", "tag-on-commit + with_tag read"),
 ]
 
 
