@@ -9789,24 +9789,67 @@ def paimon_auto_tag_roundtrip(spark, sf_dir):
     t = PaimonLakeTable(fixture)
     tags = {r.tag_name: r.snapshot_id for r in t.tags().collect()}
     first = min(tags)
-    df = t.new_read_builder().with_tag(first).new_read().to_df()
-    return df.agg(
-        F.count("*").alias("n"),
-        F.min("c_custkey").alias("min_key"),
-        F.max("c_custkey").alias("max_key"),
-        F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
-        .cast("double")
-        .alias("sum_bal"),
-    ).select(
-        F.lit(int(tags[first])).cast("long").alias("tagged_snapshot"), "*"
+    lake_df = t.new_read_builder().with_tag(first).new_read().to_df()
+
+    # ENGINE twin: same commits, same option set, tags.auto_create_tag
+    from paimon_python_spark import Catalog, Schema
+    from paimon_python_spark.tags import list_tags
+
+    cat = Catalog.create({"warehouse": _fresh_warehouse("autotag_e")})
+    cat.create_database("default", True)
+    cat.create_table(
+        "default.cust_autotag",
+        Schema(
+            src.schema,
+            options={
+                "tag.automatic-creation": "process-time",
+                "tag.creation-period": "daily",
+            },
+        ),
+        False,
+    )
+    et = cat.get_table("default.cust_autotag")
+    for pred in (F.col("c_custkey") % 3 == 0, F.col("c_custkey") % 3 == 1):
+        wb = et.new_batch_write_builder()
+        w, c = wb.new_write(), wb.new_commit()
+        w.write_dataframe(src.filter(pred))
+        c.commit(w.prepare_commit())
+        w.close()
+        c.close()
+    etags = list_tags(et)
+    erb = et.new_read_builder().with_tag(min(etags))
+    engine_df = erb.new_read().to_df(erb.new_scan().plan().splits())
+
+    def agg(df, kind, snap):
+        return df.agg(
+            F.count("*").alias("n"),
+            F.min("c_custkey").alias("min_key"),
+            F.max("c_custkey").alias("max_key"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_bal"),
+        ).select(
+            F.lit(kind).alias("table_kind"),
+            F.lit(int(snap)).cast("long").alias("tagged_snapshot"),
+            "*",
+        )
+
+    return (
+        agg(engine_df, "engine", etags[min(etags)])
+        .unionAll(agg(lake_df, "lake", tags[first]))
+        .orderBy("table_kind")
     )
 
 
 PAIMON_AUTO_TAG_SQL = """
-SELECT CAST(1 AS BIGINT) AS tagged_snapshot, count(*) AS n,
-       min(c_custkey) AS min_key, max(c_custkey) AS max_key,
+SELECT k.table_kind, CAST(1 AS BIGINT) AS tagged_snapshot,
+       count(*) AS n, min(c_custkey) AS min_key, max(c_custkey) AS max_key,
        CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
-FROM customer WHERE c_custkey % 3 = 0
+FROM customer
+CROSS JOIN (SELECT unnest(['engine', 'lake']) AS table_kind) k
+WHERE c_custkey % 3 = 0
+GROUP BY k.table_kind
+ORDER BY table_kind
 """
 
 

@@ -80,3 +80,66 @@ def resolve_tag(table, name: str) -> int:
     if name not in tags:
         raise ValueError(f"unknown tag {name!r}; have {sorted(tags)}")
     return tags[name]
+
+
+#: tag.creation-period → (strftime pattern, matching regex) — Paimon's
+#: default date-format names; shared with the lake twin
+#: (paimon_lake._auto_create_lake_tag imports this table)
+AUTO_TAG_PERIODS = {
+    "daily": ("%Y-%m-%d", r"^\d{4}-\d{2}-\d{2}$"),
+    "hourly": ("%Y-%m-%d %H", r"^\d{4}-\d{2}-\d{2} \d{2}$"),
+}
+
+
+def auto_create_tag(table, snapshot) -> None:
+    """Tag-on-commit for ENGINE tables (lake twin:
+    ``paimon_lake._auto_create_lake_tag``): if no tag exists for the
+    commit's period (named from the snapshot's own ``time_millis``),
+    pin THIS snapshot; ``tag.num-retained-max`` then reaps the oldest
+    AUTO tags (name-format match — manual tags untouched). Concurrent
+    committers race idempotently on O_EXCL."""
+    import re
+    from datetime import datetime, timezone
+
+    opts = table.schema.options
+    mode = opts["tag.automatic-creation"]
+    if mode != "process-time":
+        raise ValueError(
+            f"tag.automatic-creation={mode!r}: only 'process-time' is "
+            "supported (watermark creation needs a watermark-carrying "
+            "writer)"
+        )
+    period = opts.get("tag.creation-period", "daily")
+    if period not in AUTO_TAG_PERIODS:
+        raise ValueError(
+            f"tag.creation-period={period!r}: one of {sorted(AUTO_TAG_PERIODS)}"
+        )
+    fmt, pat = AUTO_TAG_PERIODS[period]
+    name = datetime.fromtimestamp(
+        snapshot.time_millis / 1000.0, tz=timezone.utc
+    ).strftime(fmt)
+    tdir = _tag_dir(table.table_path)
+    os.makedirs(tdir, exist_ok=True)
+    try:
+        fd = os.open(
+            _tag_path(table.table_path, name),
+            os.O_WRONLY | os.O_CREAT | os.O_EXCL,
+        )
+    except FileExistsError:
+        return  # this period already has its tag
+    with os.fdopen(fd, "w") as f:
+        f.write(json.dumps({"name": name, "snapshot_id": snapshot.id}))
+    retain = opts.get("tag.num-retained-max")
+    if retain is not None:
+        auto = sorted(
+            n[len("tag-") : -len(".json")]
+            for n in os.listdir(tdir)
+            if n.startswith("tag-")
+            and n.endswith(".json")
+            and re.match(pat, n[len("tag-") : -len(".json")])
+        )
+        for stale in auto[: max(0, len(auto) - int(retain))]:
+            try:
+                os.remove(_tag_path(table.table_path, stale))
+            except FileNotFoundError:
+                pass  # concurrent retention pass got it first

@@ -772,6 +772,11 @@ class BatchTableCommit:
             dv_index=dv_index,
         )
         self.store.write_snapshot(snapshot)
+        # AUTOMATIC TAG CREATION (lake twin does the same in its commit)
+        if self.table.schema.options.get("tag.automatic-creation"):
+            from paimon_python_spark.tags import auto_create_tag
+
+            auto_create_tag(self.table, snapshot)
 
     def _dynamic_overwrite(self) -> bool:
         # Paimon's dynamic-partition-overwrite defaults to true; F6 sets it

@@ -527,3 +527,54 @@ def test_auto_tag_creation_and_retention(spark, warehouse):
 
     with _pytest.raises(ValueError, match="process-time"):
         _auto_create_lake_tag(path, info, {"id": 1, "timeMillis": day_ms})
+
+
+def test_engine_auto_tag_creation_and_retention(spark, catalog):
+    from pyspark.sql import functions as F
+
+    from paimon_python_spark import Schema
+    from paimon_python_spark.metadata import MetadataStore
+    from paimon_python_spark.tags import auto_create_tag, list_tags
+
+    df = spark.range(5).select(F.col("id").alias("k"))
+    catalog.create_table(
+        "default.auto_tag_e",
+        Schema(
+            df.schema,
+            options={
+                "tag.automatic-creation": "process-time",
+                "tag.creation-period": "daily",
+            },
+        ),
+        False,
+    )
+    t = catalog.get_table("default.auto_tag_e")
+    for lo, hi in ((0, 5), (5, 8)):
+        wb = t.new_batch_write_builder()
+        w, c = wb.new_write(), wb.new_commit()
+        w.write_dataframe(
+            spark.range(lo, hi).select(F.col("id").alias("k"))
+        )
+        c.commit(w.prepare_commit())
+        w.close()
+        c.close()
+    tags = list_tags(t)
+    assert len(tags) in (1, 2) and tags[min(tags)] == 1
+
+    # retention over pinned clocks, hourly
+    t.schema.options["tag.creation-period"] = "hourly"
+    t.schema.options["tag.num-retained-max"] = "2"
+
+    class _Snap:
+        def __init__(self, sid, ms):
+            self.id, self.time_millis = sid, ms
+
+    base = 1700000000000
+    for i, sid in enumerate((10, 11, 12)):
+        auto_create_tag(t, _Snap(sid, base + i * 3600_000))
+    hourly = {n: s for n, s in list_tags(t).items() if " " in n}
+    assert len(hourly) == 2 and max(hourly.values()) == 12
+    # the daily tag survived hourly retention
+    assert any(" " not in n for n in list_tags(t))
+    store = MetadataStore(t.table_path)
+    assert store.latest_snapshot_id() == 2  # tags never move snapshots
