@@ -281,7 +281,15 @@ def read_table_statistics(table_path: str, snapshot_id: Optional[int] = None):
     latest = snapshot_id or store.latest_snapshot_id()
     if latest is None:
         return None
-    for sid in range(latest, 0, -1):
+    # one directory listing bounds the walk to retained ids (expiry
+    # removes snapshot files; don't attempt every expired id)
+    retained = [
+        int(n[len("snapshot-") : -len(".json")])
+        for n in os.listdir(store.snapshot_dir)
+        if n.startswith("snapshot-") and n.endswith(".json")
+    ]
+    floor = min(retained) if retained else 1
+    for sid in range(latest, floor - 1, -1):
         try:
             snap = store.read_snapshot(sid)
         except FileNotFoundError:
@@ -309,7 +317,17 @@ def read_lake_statistics(
     )
 
     latest = snapshot_id or latest_paimon_snapshot_id(table_path)
-    for sid in range(latest, 0, -1):
+    # bound the walk at the EARLIEST retained snapshot (hint is a cache;
+    # absent → 1): a 100k-commit lake walks its retention window, not
+    # every expired id
+    floor = 1
+    epath = os.path.join(table_path, "snapshot", "EARLIEST")
+    try:
+        with open(epath) as f:
+            floor = max(1, int(f.read().strip()))
+    except (FileNotFoundError, ValueError):
+        pass
+    for sid in range(latest, floor - 1, -1):
         spath = os.path.join(table_path, "snapshot", f"snapshot-{sid}")
         if not os.path.exists(spath):
             continue
