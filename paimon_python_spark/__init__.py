@@ -85,6 +85,10 @@ from paimon_python_spark.paimon_lake import (
     update_lake_rows,
     write_lake_append,
 )
+from paimon_python_spark.lake_statistics import (
+    analyze_lake,
+    read_lake_statistics,
+)
 from paimon_python_spark.merge import merge_into_lake
 from paimon_python_spark.paimon_import import (
     export_paimon_table,
@@ -95,6 +99,7 @@ __all__ = [
     "PaimonLakeCatalog",
     "PaimonLakeTable",
     "alter_lake_schema",
+    "analyze_lake",
     "clear_lake_consumer",
     "compact_lake",
     "create_lake_branch",
@@ -118,6 +123,7 @@ __all__ = [
     "sort_compact_lake",
     "update_lake_rows",
     "read_lake_incremental",
+    "read_lake_statistics",
     "register_lake_sql_view",
     "stream_lake_snapshots",
     "write_lake_append",
