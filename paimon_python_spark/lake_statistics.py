@@ -104,7 +104,8 @@ def compute_column_stats(
             ),
             "min": _json_scalar(row.get(f"__min__{c}")),
             "max": _json_scalar(row.get(f"__max__{c}")),
-            "nullCount": int(row[f"__nul__{c}"]),
+            # sum() over an EMPTY table is NULL, not 0
+            "nullCount": int(row[f"__nul__{c}"] or 0),
             "avgLen": (
                 fixed
                 if fixed is not None

@@ -135,6 +135,41 @@ def test_column_subset_and_approx(spark, lake):
     assert 180 <= ndv <= 220
 
 
+def test_analyze_empty_table(spark, warehouse):
+    from paimon_python_spark.lake_statistics import (
+        analyze_lake,
+        read_lake_statistics,
+    )
+    from paimon_python_spark.paimon_lake import (
+        create_lake_table,
+        write_lake_append,
+    )
+
+    from paimon_python_spark.paimon_lake import delete_lake_rows
+    from paimon_python_spark.predicate import PredicateBuilder
+
+    path = os.path.join(warehouse, "empty_t")
+    create_lake_table(
+        path,
+        [("k", "BIGINT NOT NULL"), ("v", "STRING")],
+        options={"deletion-vectors.enabled": "true"},
+    )
+    write_lake_append(
+        path, spark.range(3).selectExpr("id AS k", "CAST(id AS STRING) AS v")
+    )
+    # empty MERGED state: every row deletion-vectored away
+    pb = PredicateBuilder(
+        spark.range(1).selectExpr("id AS k", "CAST(id AS STRING) AS v").schema
+    )
+    delete_lake_rows(path, pb.greater_or_equal("k", 0))
+    analyze_lake(path, exact=True)
+    stats = read_lake_statistics(path)
+    assert stats["mergedRecordCount"] == 0
+    ks = stats["colStats"]["k"]
+    assert ks["nullCount"] == 0 and ks["min"] is None and ks["max"] is None
+    assert ks["distinctCount"] == 0
+
+
 def test_engine_analyze_twin(spark, catalog):
     from paimon_python_spark import Schema
     from paimon_python_spark.lake_statistics import read_table_statistics
