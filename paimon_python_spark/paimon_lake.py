@@ -1543,6 +1543,12 @@ def lake_system_table_schema(name: str):
             ("record_count", T.LongType()),
             ("level", T.IntegerType()),
             ("schema_id", T.LongType()),
+            # real Paimon's $files stats maps (stringified values,
+            # decoded from each entry's _VALUE_STATS under its own
+            # writing schema; empty map when the file carries none)
+            ("null_value_counts", T.MapType(T.StringType(), T.StringType())),
+            ("min_value_stats", T.MapType(T.StringType(), T.StringType())),
+            ("max_value_stats", T.MapType(T.StringType(), T.StringType())),
         ],
         "schemas": [
             ("schema_id", T.LongType()),
@@ -1652,6 +1658,8 @@ def lake_system_table_data(
         return schema, rows
 
     if name == "files":
+        from paimon_python_spark.paimon_import import decode_entry_stats
+
         info = read_paimon_schema(table_path)
         part_types = [
             info.spark_schema[k].dataType for k in info.partition_keys
@@ -1659,8 +1667,14 @@ def lake_system_table_data(
         default_name = info.options.get(
             "partition.default-name", "__DEFAULT_PARTITION__"
         )
+        schemas = {info.id: info}
         rows = []
         for e in plan_paimon_files(table_path, snapshot_id):
+            if e.schema_id not in schemas:
+                schemas[e.schema_id] = read_paimon_schema(
+                    table_path, e.schema_id
+                )
+            st = decode_entry_stats(e, schemas[e.schema_id], info) or {}
             rows.append(
                 (
                     e.rel_path(info.partition_keys, part_types, default_name),
@@ -1671,6 +1685,21 @@ def lake_system_table_data(
                     e.row_count,
                     e.level,
                     e.schema_id,
+                    {
+                        c: str(v["null_count"])
+                        for c, v in st.items()
+                        if v.get("null_count") is not None
+                    },
+                    {
+                        c: str(v["min"])
+                        for c, v in st.items()
+                        if v.get("min") is not None
+                    },
+                    {
+                        c: str(v["max"])
+                        for c, v in st.items()
+                        if v.get("max") is not None
+                    },
                 )
             )
         schema = lake_system_table_schema(name)

@@ -357,6 +357,10 @@ def engine_system_table_schema(name: str):
             ("bucket", T.IntegerType(), False),
             ("row_count", T.LongType(), False),
             ("file_size", T.LongType(), False),
+            # $files stats maps (lake twin mirrors real Paimon's shape)
+            ("null_value_counts", P, False),
+            ("min_value_stats", P, False),
+            ("max_value_stats", P, False),
         ],
         "partitions": [
             ("partition", P, True),
@@ -456,6 +460,21 @@ def engine_system_table_data(
                 f.bucket,
                 f.row_count,
                 f.file_size,
+                {
+                    c: str(s["null_count"])
+                    for c, s in (f.stats or {}).items()
+                    if s.get("null_count") is not None
+                },
+                {
+                    c: str(s["min"])
+                    for c, s in (f.stats or {}).items()
+                    if s.get("min") is not None
+                },
+                {
+                    c: str(s["max"])
+                    for c, s in (f.stats or {}).items()
+                    if s.get("max") is not None
+                },
             )
             for f in store.live_files(snap)
         ]
