@@ -64,7 +64,9 @@ def _json_scalar(v):
     if isinstance(v, bool):
         return v
     if isinstance(v, float):
-        return None if math.isnan(v) else v
+        # non-finite floats (NaN/±inf) would serialize as non-standard
+        # JSON tokens strict parsers (JVM Jackson) reject — null them
+        return v if math.isfinite(v) else None
     return str(v)
 
 
@@ -163,6 +165,7 @@ def analyze_lake(
         latest_paimon_snapshot_id,
         plan_paimon_files,
         read_paimon_schema,
+        read_paimon_snapshot,
     )
     from paimon_python_spark.paimon_lake import (
         PaimonLakeTable,
@@ -189,7 +192,12 @@ def analyze_lake(
         table_path,
         {
             "snapshotId": base_snapshot,
-            "schemaId": info.id,
+            # the ANALYZED snapshot's own schema id, not the schema
+            # read at call time — a racing schema commit must not
+            # relabel the stats (ADVICE r11, engine-twin parity)
+            "schemaId": int(
+                read_paimon_snapshot(table_path, base_snapshot)["schemaId"]
+            ),
             "mergedRecordCount": n,
             "mergedRecordSize": merged_size,
             "colStats": col_stats,
@@ -223,6 +231,10 @@ def analyze_table(table, columns: Optional[list] = None, exact: bool = False) ->
     analyzed = store.latest_snapshot_id()
     if analyzed is None:
         raise ValueError("analyze_table: table has no snapshots yet")
+    # pair colStats with the ANALYZED snapshot's schema, captured once
+    # before the CAS loop — a schema-changing commit racing the publish
+    # must not relabel the stats (ADVICE r11)
+    analyzed_schema_id = store.read_snapshot(analyzed).schema_id
     spark_schema = table.schema.spark_schema
     cols = _resolve_columns(spark_schema, columns)
     rb = table.new_read_builder().with_projection(cols)
@@ -245,7 +257,7 @@ def analyze_table(table, columns: Optional[list] = None, exact: bool = False) ->
             table.table_path,
             {
                 "snapshotId": analyzed,
-                "schemaId": prev.schema_id,
+                "schemaId": analyzed_schema_id,
                 "mergedRecordCount": n,
                 "mergedRecordSize": merged_size,
                 "colStats": col_stats,

@@ -3981,6 +3981,12 @@ def create_lake_table(
     for k in pks + parts:
         if k not in names:
             raise ValueError(f"create_lake_table: key column {k!r} not in schema")
+    if options:
+        from paimon_python_spark.tags import validate_auto_tag_options
+
+        # create time is where bad tag options may raise; the commit
+        # path skips unsupported modes (snapshot already durable)
+        validate_auto_tag_options(options)
     # both dynamic-bucket ('bucket' = '-1', real Paimon's default PK
     # mode) and CROSS_PARTITION (PK ⊉ partition keys) lakes are
     # creatable: the HASH-index assigner routes the former, the
@@ -4245,46 +4251,56 @@ _AUTO_TAG_PERIODS = {
 
 
 def _auto_create_lake_tag(table_path: str, info, snap: dict) -> None:
-    """Tag-on-commit for ``tag.automatic-creation=process-time``: if no
-    tag exists for the commit's period (derived from the snapshot's own
-    ``timeMillis`` — no extra clock), pin THIS snapshot under the
-    period's name; then apply ``tag.num-retained-max`` to the
-    AUTO-CREATED tags only (name-format match, Paimon's rule), oldest
-    first. Concurrent committers race idempotently on O_EXCL — the
-    period's first publisher wins. Watermark-based creation needs a
-    watermark-carrying writer and is refused."""
+    """Tag-on-commit for ``tag.automatic-creation``: if no tag exists
+    for the commit's period, pin THIS snapshot under the period's name;
+    then apply ``tag.num-retained-max`` to the AUTO-CREATED tags only
+    (name-format match, Paimon's rule), oldest first.
+    ``process-time`` derives the period from the snapshot's own
+    ``timeMillis``; ``watermark`` from the snapshot's ``watermark``
+    field (Long.MIN_VALUE sentinel = none yet → no tag, real Paimon's
+    TagAutoManager behavior). Unknown modes ('none', foreign values)
+    skip silently — the snapshot is already durably committed here, and
+    raising would make a retrying caller duplicate data (ADVICE r11);
+    validation happens at create time
+    (``tags.validate_auto_tag_options``). Concurrent committers race
+    idempotently on the hardlink CAS — the period's first publisher
+    wins."""
     import json
     import os
     import re
     from datetime import datetime, timezone
 
-    mode = info.options["tag.automatic-creation"]
-    if mode != "process-time":
-        raise ValueError(
-            f"tag.automatic-creation={mode!r}: only 'process-time' is "
-            "supported (watermark creation needs a watermark-carrying "
-            "writer)"
-        )
+    from paimon_python_spark.tags import (
+        AUTO_TAG_MODES,
+        NO_WATERMARK,
+        _publish_tag_exclusive,
+    )
+
+    mode = info.options.get("tag.automatic-creation") or "none"
     period = info.options.get("tag.creation-period", "daily")
-    if period not in _AUTO_TAG_PERIODS:
-        raise ValueError(
-            f"tag.creation-period={period!r}: one of {sorted(_AUTO_TAG_PERIODS)}"
-        )
+    if (
+        mode == "none"
+        or mode not in AUTO_TAG_MODES
+        or period not in _AUTO_TAG_PERIODS
+    ):
+        return
+    if mode == "watermark":
+        wm = snap.get("watermark")
+        if wm is None or int(wm) == NO_WATERMARK:
+            return  # no watermark progressed yet → no tag
+        t_millis = int(wm)
+    else:
+        t_millis = int(snap["timeMillis"])
     fmt, pat = _AUTO_TAG_PERIODS[period]
     name = datetime.fromtimestamp(
-        int(snap["timeMillis"]) / 1000.0, tz=timezone.utc
+        t_millis / 1000.0, tz=timezone.utc
     ).strftime(fmt)
     tdir = os.path.join(table_path, "tag")
     os.makedirs(tdir, exist_ok=True)
-    try:
-        fd = os.open(
-            os.path.join(tdir, f"tag-{name}"),
-            os.O_WRONLY | os.O_CREAT | os.O_EXCL,
-        )
-    except FileExistsError:
+    if not _publish_tag_exclusive(
+        os.path.join(tdir, f"tag-{name}"), json.dumps(snap)
+    ):
         return  # this period already has its tag
-    with os.fdopen(fd, "w") as f:
-        json.dump(snap, f)
     retain = info.options.get("tag.num-retained-max")
     if retain is not None:
         auto = sorted(

@@ -30,6 +30,14 @@ class Schema:
         comment: Optional[str] = None,
     ):
         self.options = dict(options or {})
+        if "tag.automatic-creation" in self.options or (
+            "tag.creation-period" in self.options
+        ):
+            # option-set time is where bad values may raise; commit
+            # time skips them (the snapshot is durable by then)
+            from paimon_python_spark.tags import validate_auto_tag_options
+
+            validate_auto_tag_options(self.options)
         allow_extended = self.options.get("extended-types", "false") == "true"
         if isinstance(pa_schema, T.StructType):
             self.spark_schema = pa_schema

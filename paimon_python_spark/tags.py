@@ -90,45 +90,91 @@ AUTO_TAG_PERIODS = {
     "hourly": ("%Y-%m-%d %H", r"^\d{4}-\d{2}-\d{2} \d{2}$"),
 }
 
+#: modes a table may DECLARE; commit-time never raises on others — the
+#: snapshot is already durable by then (real Paimon's 'none' default and
+#: foreign-lake values must not fail every commit; ADVICE r11)
+AUTO_TAG_MODES = {"none", "process-time", "watermark"}
 
-def auto_create_tag(table, snapshot) -> None:
+#: real Paimon's "no watermark yet" sentinel (Long.MIN_VALUE)
+NO_WATERMARK = -9223372036854775808
+
+
+def validate_auto_tag_options(options: dict) -> None:
+    """Validate ``tag.automatic-creation`` options at table-create /
+    option-set time — the only place a bad value may raise. Commit-time
+    (:func:`auto_create_tag`) skips anything it can't act on instead:
+    the snapshot is durably published by then and raising would make a
+    retrying caller write duplicate data."""
+    mode = options.get("tag.automatic-creation")
+    if mode is not None and mode not in AUTO_TAG_MODES:
+        raise ValueError(
+            f"tag.automatic-creation={mode!r}: one of {sorted(AUTO_TAG_MODES)}"
+        )
+    period = options.get("tag.creation-period")
+    if period is not None and period not in AUTO_TAG_PERIODS:
+        raise ValueError(
+            f"tag.creation-period={period!r}: one of {sorted(AUTO_TAG_PERIODS)}"
+        )
+
+
+def _publish_tag_exclusive(path: str, text: str) -> bool:
+    """Create-if-absent tag publish: temp file + hardlink CAS (O_EXCL
+    fallback), so a crash can never leave a permanently empty tag file
+    blocking the period (ADVICE r11). Returns False when the tag
+    already exists — the idempotent-loser case."""
+    from paimon_python_spark.metadata import (
+        SnapshotConflictError,
+        _exclusive_write,
+    )
+
+    try:
+        _exclusive_write(path, text)
+    except SnapshotConflictError:
+        return False
+    return True
+
+
+def auto_create_tag(table, snapshot, watermark: Optional[int] = None) -> None:
     """Tag-on-commit for ENGINE tables (lake twin:
     ``paimon_lake._auto_create_lake_tag``): if no tag exists for the
-    commit's period (named from the snapshot's own ``time_millis``),
-    pin THIS snapshot; ``tag.num-retained-max`` then reaps the oldest
-    AUTO tags (name-format match — manual tags untouched). Concurrent
-    committers race idempotently on O_EXCL."""
+    commit's period, pin THIS snapshot; ``tag.num-retained-max`` then
+    reaps the oldest AUTO tags (name-format match — manual tags
+    untouched). ``process-time`` names the period from the snapshot's
+    own ``time_millis``; ``watermark`` from the commit's watermark
+    (no watermark → no tag, real Paimon's TagAutoManager behavior).
+    Unknown modes/periods skip silently — the commit is already
+    durable; validation happens at create time
+    (:func:`validate_auto_tag_options`). Concurrent committers race
+    idempotently on the hardlink CAS."""
     import re
     from datetime import datetime, timezone
 
     opts = table.schema.options
-    mode = opts["tag.automatic-creation"]
-    if mode != "process-time":
-        raise ValueError(
-            f"tag.automatic-creation={mode!r}: only 'process-time' is "
-            "supported (watermark creation needs a watermark-carrying "
-            "writer)"
-        )
+    mode = opts.get("tag.automatic-creation") or "none"
     period = opts.get("tag.creation-period", "daily")
-    if period not in AUTO_TAG_PERIODS:
-        raise ValueError(
-            f"tag.creation-period={period!r}: one of {sorted(AUTO_TAG_PERIODS)}"
-        )
+    if (
+        mode == "none"
+        or mode not in AUTO_TAG_MODES
+        or period not in AUTO_TAG_PERIODS
+    ):
+        return
+    if mode == "watermark":
+        if watermark is None or watermark == NO_WATERMARK:
+            return  # no watermark progressed yet → no tag
+        t_millis = watermark
+    else:
+        t_millis = snapshot.time_millis
     fmt, pat = AUTO_TAG_PERIODS[period]
     name = datetime.fromtimestamp(
-        snapshot.time_millis / 1000.0, tz=timezone.utc
+        t_millis / 1000.0, tz=timezone.utc
     ).strftime(fmt)
     tdir = _tag_dir(table.table_path)
     os.makedirs(tdir, exist_ok=True)
-    try:
-        fd = os.open(
-            _tag_path(table.table_path, name),
-            os.O_WRONLY | os.O_CREAT | os.O_EXCL,
-        )
-    except FileExistsError:
+    if not _publish_tag_exclusive(
+        _tag_path(table.table_path, name),
+        json.dumps({"name": name, "snapshot_id": snapshot.id}),
+    ):
         return  # this period already has its tag
-    with os.fdopen(fd, "w") as f:
-        f.write(json.dumps({"name": name, "snapshot_id": snapshot.id}))
     retain = opts.get("tag.num-retained-max")
     if retain is not None:
         auto = sorted(

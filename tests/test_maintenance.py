@@ -521,12 +521,36 @@ def test_auto_tag_creation_and_retention(spark, warehouse):
     # the daily tag from the real commits is NOT counted by hourly retention
     assert any(" " not in n for n in os.listdir(os.path.join(path, "tag")))
 
-    # unsupported modes refuse loudly
+    # COMMIT time never raises (the snapshot is durable by then,
+    # ADVICE r11): watermark mode with no watermark, real Paimon's
+    # 'none' default, and foreign unknown modes all skip silently
+    before = set(os.listdir(os.path.join(path, "tag")))
     info.options["tag.automatic-creation"] = "watermark"
+    _auto_create_lake_tag(path, info, {"id": 1, "timeMillis": day_ms})
+    info.options["tag.automatic-creation"] = "none"
+    _auto_create_lake_tag(path, info, {"id": 1, "timeMillis": day_ms})
+    info.options["tag.automatic-creation"] = "some-foreign-mode"
+    _auto_create_lake_tag(path, info, {"id": 1, "timeMillis": day_ms})
+    assert set(os.listdir(os.path.join(path, "tag"))) == before
+
+    # watermark mode DOES tag when the snapshot carries a watermark
+    info.options["tag.automatic-creation"] = "watermark"
+    _auto_create_lake_tag(
+        path, info, {"id": 13, "timeMillis": day_ms, "watermark": day_ms + 4 * 3600_000}
+    )
+    assert len(set(os.listdir(os.path.join(path, "tag"))) - before) == 1
+
+    # CREATE time is where bad modes refuse
     import pytest as _pytest
 
-    with _pytest.raises(ValueError, match="process-time"):
-        _auto_create_lake_tag(path, info, {"id": 1, "timeMillis": day_ms})
+    from paimon_python_spark.paimon_lake import create_lake_table
+
+    with _pytest.raises(ValueError, match="tag.automatic-creation"):
+        create_lake_table(
+            os.path.join(os.path.dirname(path), "bad_tag_mode"),
+            [("k", "BIGINT")],
+            options={"tag.automatic-creation": "every-commit"},
+        )
 
 
 def test_engine_auto_tag_creation_and_retention(spark, catalog):

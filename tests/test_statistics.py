@@ -297,3 +297,54 @@ def test_statistics_system_table_and_front_door(spark, lake):
         .collect()
     )
     assert [r.asDict() for r in fd] == [row.asDict()]
+
+
+def test_json_scalar_nonfinite_and_schema_pairing():
+    """ADVICE r11: non-finite floats must serialize as null (strict JSON
+    parsers reject Infinity tokens), and bad tag options raise at
+    Schema-construction time, not commit time."""
+    import math
+
+    import pytest
+
+    from paimon_python_spark.lake_statistics import _json_scalar
+    from paimon_python_spark.schema import Schema
+    from pyspark.sql import types as T
+
+    assert _json_scalar(float("inf")) is None
+    assert _json_scalar(float("-inf")) is None
+    assert _json_scalar(float("nan")) is None
+    assert _json_scalar(1.5) == 1.5
+
+    st = T.StructType([T.StructField("k", T.LongType())])
+    with pytest.raises(ValueError, match="tag.automatic-creation"):
+        Schema(st, options={"tag.automatic-creation": "bogus"})
+    with pytest.raises(ValueError, match="tag.creation-period"):
+        Schema(st, options={
+            "tag.automatic-creation": "process-time",
+            "tag.creation-period": "weekly",
+        })
+    # valid declarations construct fine
+    Schema(st, options={"tag.automatic-creation": "watermark"})
+    Schema(st, options={"tag.automatic-creation": "none"})
+
+
+def test_empty_tag_file_crash_recovery(tmp_path):
+    """ADVICE r11: the old O_EXCL-then-write pattern could leave a
+    permanently empty tag file after a crash. The hardlink-CAS publish
+    never exposes a partial file: the name appears only with content."""
+    import json
+    import os
+
+    from paimon_python_spark.tags import _publish_tag_exclusive
+
+    p = str(tmp_path / "tag-2026-01-01")
+    assert _publish_tag_exclusive(p, json.dumps({"id": 1}))
+    with open(p) as f:
+        assert json.load(f)["id"] == 1
+    # second publisher loses idempotently, content untouched
+    assert not _publish_tag_exclusive(p, json.dumps({"id": 2}))
+    with open(p) as f:
+        assert json.load(f)["id"] == 1
+    # no temp litter
+    assert os.listdir(tmp_path) == ["tag-2026-01-01"]
