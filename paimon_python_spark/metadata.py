@@ -103,6 +103,10 @@ class Snapshot:
     # carries one; ordinary commits leave it None and readers walk
     # back — mirrors the lake/spec semantics in lake_statistics)
     statistics: Optional[str] = None
+    # event-time watermark (epoch millis) carried by this commit; None
+    # = never progressed. Monotone: commits fold max(prev, provided).
+    # Drives tag.automatic-creation=watermark (tags.auto_create_tag)
+    watermark: Optional[int] = None
 
     def to_dict(self) -> dict:
         d = {
@@ -120,6 +124,8 @@ class Snapshot:
             d["dv_index"] = self.dv_index
         if self.statistics:
             d["statistics"] = self.statistics
+        if self.watermark is not None:
+            d["watermark"] = self.watermark
         return d
 
     @classmethod
@@ -135,6 +141,7 @@ class Snapshot:
             time_millis=d.get("time_millis", 0),
             dv_index=d.get("dv_index"),
             statistics=d.get("statistics"),
+            watermark=d.get("watermark"),
         )
 
 

@@ -2071,7 +2071,25 @@ def _parquet_footer_value_stats(md, info):
         return None
 
 
-def write_lake_append(table_path: str, df) -> int:
+def _derive_lake_watermark(info, df, watermark) -> Optional[int]:
+    """Normalize an explicit commit watermark, else derive one from a
+    declared ``tag.watermark-column`` as a single-column max over the
+    INPUT batch (map-side-combined aggregate over data that is about to
+    be written anyway — bounded by batch size, not table size). None if
+    neither is available."""
+    from paimon_python_spark.tags import watermark_millis
+
+    if watermark is not None:
+        return watermark_millis(watermark)
+    wcol = info.options.get("tag.watermark-column")
+    if not wcol or wcol not in df.columns:
+        return None
+    from pyspark.sql import functions as F
+
+    return watermark_millis(df.agg(F.max(wcol)).first()[0])
+
+
+def write_lake_append(table_path: str, df, watermark=None) -> int:
     """Commit an APPEND to a REAL Paimon lake — this engine as a lake
     PARTICIPANT, not just a reader: data files are written DISTRIBUTED
     by Spark (hive-style ``partitionBy`` into a staging dir, then moved
@@ -2116,7 +2134,8 @@ def write_lake_append(table_path: str, df) -> int:
     if info.primary_keys:
         # PK lakes route through Paimon's fixed-bucket hash + level-0
         # key-value files — same public API, dedicated write path
-        return write_lake_pk_append(table_path, df)
+        return write_lake_pk_append(table_path, df, watermark=watermark)
+    watermark = _derive_lake_watermark(info, df, watermark)
     fmt = info.options.get("file.format", "parquet")
     bloom_cols, _spec, _dt, bitmap_cols, _bk, bsi_cols, _bsk = _bloom_option_cols(info)
     if fmt == "avro" or bloom_cols or bitmap_cols or bsi_cols:
@@ -2131,7 +2150,9 @@ def write_lake_append(table_path: str, df) -> int:
         )
         if not man_entries:
             raise ValueError("write_lake_append: empty input — nothing to commit")
-        return _commit_lake_snapshot(table_path, info, man_entries, n_rows)
+        return _commit_lake_snapshot(
+            table_path, info, man_entries, n_rows, watermark=watermark
+        )
     if fmt not in ("parquet", "orc"):
         raise NotImplementedError(
             f"write_lake_append: file.format={fmt!r} not supported"
@@ -2247,7 +2268,9 @@ def write_lake_append(table_path: str, df) -> int:
             raise ValueError("write_lake_append: empty input — nothing to commit")
 
         n_rows = sum(e["_FILE"]["_ROW_COUNT"] for e in entries)
-        return _commit_lake_snapshot(table_path, info, entries, n_rows)
+        return _commit_lake_snapshot(
+            table_path, info, entries, n_rows, watermark=watermark
+        )
     finally:
         shutil.rmtree(stage, ignore_errors=True)
 
@@ -2344,6 +2367,7 @@ def _commit_lake_snapshot(
     total_record_count: Optional[int] = None,
     changelog_entries: Optional[list] = None,
     statistics: Optional[str] = None,
+    watermark: Optional[int] = None,
 ) -> int:
     """Driver-side spec-format metadata commit of ``entries`` (new
     manifest records — ADD ``_KIND=0`` and, for COMPACT commits,
@@ -2517,7 +2541,15 @@ def _commit_lake_snapshot(
                 ),
                 "deltaRecordCount": n_rows,
                 "changelogRecordCount": cl_rows,
-                "watermark": -9223372036854775808,
+                # monotone event-time watermark: max(previous, this
+                # commit's); Long.MIN_VALUE = never progressed (the
+                # spec sentinel). Drives tag.automatic-creation=watermark
+                "watermark": max(
+                    int(prev.get("watermark") or -9223372036854775808)
+                    if prev
+                    else -9223372036854775808,
+                    watermark if watermark is not None else -9223372036854775808,
+                ),
             }
             spath = os.path.join(table_path, "snapshot", f"snapshot-{new_id}")
             try:
@@ -3498,6 +3530,7 @@ def write_lake_pk_append(
     df,
     row_kind_col: Optional[str] = None,
     xp_location_cache=None,
+    watermark=None,
 ) -> int:
     """Commit an upsert into a REAL fixed-bucket PRIMARY-KEY Paimon
     lake — the engine as a CDC participant: each row routes to
@@ -3535,6 +3568,7 @@ def write_lake_pk_append(
     from paimon_python_spark.paimon_import import plan_paimon_files
 
     info = read_paimon_schema(table_path)
+    watermark = _derive_lake_watermark(info, df, watermark)
     if not info.primary_keys:
         raise ValueError(
             "write_lake_pk_append: table has no primary keys — "
@@ -3927,6 +3961,7 @@ def write_lake_pk_append(
             n_rows,
             changelog_entries=cl_entries,
             index_manifest=index_manifest,
+            watermark=watermark,
         )
         if xp_router is not None and xp_location_cache is not None:
             # the snapshot is published: fold this commit's net batch

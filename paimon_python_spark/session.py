@@ -61,6 +61,9 @@ def configure_builder(builder: SparkSession.Builder, shuffle_partitions: int = 3
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.sql.parquet.mergeSchema", "false")
+        # INT96 timestamps carry no parquet stats (no row-group pruning,
+        # no stats-derived watermarks); MICROS is the interop encoding
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")

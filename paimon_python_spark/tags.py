@@ -117,6 +117,38 @@ def validate_auto_tag_options(options: dict) -> None:
         )
 
 
+def watermark_millis(v) -> Optional[int]:
+    """Normalize a user watermark value to epoch millis: int/float pass
+    through (already millis), datetime/date/ISO-string convert (naive
+    values read as UTC, matching the engine's session timezone). None
+    or unconvertible → None (no watermark)."""
+    import datetime as _dt
+
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return None
+    if isinstance(v, (int, float)):
+        return int(v)
+    if isinstance(v, str):
+        try:
+            v = _dt.datetime.fromisoformat(v)
+        except ValueError:
+            return None
+    if isinstance(v, _dt.datetime):
+        if v.tzinfo is None:
+            v = v.replace(tzinfo=_dt.timezone.utc)
+        return int(v.timestamp() * 1000)
+    if isinstance(v, _dt.date):
+        return int(
+            _dt.datetime(
+                v.year, v.month, v.day, tzinfo=_dt.timezone.utc
+            ).timestamp()
+            * 1000
+        )
+    return None
+
+
 def _publish_tag_exclusive(path: str, text: str) -> bool:
     """Create-if-absent tag publish: temp file + hardlink CAS (O_EXCL
     fallback), so a crash can never leave a permanently empty tag file
@@ -159,6 +191,8 @@ def auto_create_tag(table, snapshot, watermark: Optional[int] = None) -> None:
     ):
         return
     if mode == "watermark":
+        if watermark is None:
+            watermark = getattr(snapshot, "watermark", None)
         if watermark is None or watermark == NO_WATERMARK:
             return  # no watermark progressed yet → no tag
         t_millis = watermark

@@ -579,6 +579,13 @@ class BatchTableWrite:
         if fmt == "avro":
             self._write_avro_distributed(df, layout_cols, codec=compression or "null")
         else:
+            # INT96 (Spark's legacy default) writes NO footer stats for
+            # timestamps — killing row-group pruning and the
+            # tag.watermark-column derivation. MICROS is the modern
+            # interop encoding every reader row-group-prunes on.
+            df.sparkSession.conf.set(
+                "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
+            )
             writer = df.write.mode("append")
             if layout_cols:
                 writer = writer.partitionBy(*layout_cols)
@@ -669,6 +676,38 @@ class BatchTableCommit:
         self._overwrite = overwrite
         self._static_partition = static_partition
         self._closed = False
+        self._watermark: Optional[int] = None
+
+    def with_watermark(self, watermark) -> "BatchTableCommit":
+        """Stamp this commit's event-time watermark (epoch millis, or a
+        datetime/date/ISO string). The snapshot folds max(previous,
+        provided) — watermarks never regress — and
+        ``tag.automatic-creation=watermark`` tags the first commit of
+        each watermark period. Without an explicit value, a declared
+        ``tag.watermark-column`` option derives the watermark from the
+        commit's own file stats (max of that column — zero extra IO)."""
+        from paimon_python_spark.tags import watermark_millis
+
+        self._watermark = watermark_millis(watermark)
+        return self
+
+    def _effective_watermark(self, new_files) -> Optional[int]:
+        """Explicit watermark, else max(tag.watermark-column) across the
+        new files' harvested stats (no data reads)."""
+        if self._watermark is not None:
+            return self._watermark
+        wcol = self.table.schema.options.get("tag.watermark-column")
+        if not wcol:
+            return None
+        from paimon_python_spark.tags import watermark_millis
+
+        maxes = [
+            watermark_millis(f.stats[wcol].get("max"))
+            for f in new_files
+            if f.stats.get(wcol)
+        ]
+        maxes = [m for m in maxes if m is not None]
+        return max(maxes) if maxes else None
 
     def commit(self, commit_messages: List[CommitMessage]) -> None:
         if self._closed:
@@ -761,6 +800,15 @@ class BatchTableCommit:
             dv_index = write_dv_df(self.table.table_path, sid, dv_df)
 
         added_rows = sum(f.row_count for f in new_files)
+        # monotone watermark fold: max(previous, this commit's), never
+        # regressing on a commit that carries none
+        wm = self._effective_watermark(new_files)
+        prev_wm = prev.watermark if prev else None
+        snap_wm = (
+            max(v for v in (wm, prev_wm) if v is not None)
+            if (wm is not None or prev_wm is not None)
+            else None
+        )
         snapshot = Snapshot(
             id=(prev.id + 1) if prev else 1,
             schema_id=0,
@@ -770,6 +818,7 @@ class BatchTableCommit:
             delta_record_count=added_rows,
             time_millis=int(time.time() * 1000),
             dv_index=dv_index,
+            watermark=snap_wm,
         )
         self.store.write_snapshot(snapshot)
         # AUTOMATIC TAG CREATION (lake twin does the same in its commit)
@@ -819,9 +868,22 @@ class BatchTableCommit:
 
 
 def _json_safe(v):
+    import datetime
+
     if isinstance(v, (int, float, str, bool)) or v is None:
         return v
-    return None  # timestamps/binary: skip stats rather than mis-compare
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        # ISO strings: JSON-safe, string-sortable (fixed-width same-
+        # precision), and parseable back (tag.watermark-column
+        # derivation). Predicate literals stay datetime objects, so
+        # test_by_stats' mixed-type compare raises → conservative True,
+        # exactly the no-stats behavior these columns had before.
+        return (
+            v.isoformat(sep=" ")
+            if isinstance(v, datetime.datetime)
+            else v.isoformat()
+        )
+    return None  # binary/decimal: skip stats rather than mis-compare
 
 
 def _collect_parquet_stats(path: str) -> tuple[int, dict]:

@@ -602,3 +602,135 @@ def test_engine_auto_tag_creation_and_retention(spark, catalog):
     assert any(" " not in n for n in list_tags(t))
     store = MetadataStore(t.table_path)
     assert store.latest_snapshot_id() == 2  # tags never move snapshots
+
+
+def test_watermark_auto_tag_lake(spark, tmp_path):
+    """tag.automatic-creation=watermark on a REAL lake: the commit's
+    watermark (explicit or derived from tag.watermark-column's batch
+    max) names the period tag; watermarks fold monotonically and never
+    regress; no watermark → no tag."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from paimon_python_spark.paimon_import import read_paimon_snapshot
+    from paimon_python_spark.paimon_lake import (
+        create_lake_table,
+        write_lake_append,
+    )
+
+    path = str(tmp_path / "wm_lake")
+    create_lake_table(
+        path,
+        [("k", "BIGINT"), ("ts", "TIMESTAMP(6)")],
+        options={
+            "tag.automatic-creation": "watermark",
+            "tag.creation-period": "daily",
+            "tag.watermark-column": "ts",
+        },
+    )
+    day1 = "2026-03-01 10:00:00"
+    day2 = "2026-03-02 03:30:00"
+    df1 = spark.range(3).select(
+        F.col("id").alias("k"), F.lit(day1).cast("timestamp").alias("ts")
+    )
+    s1 = write_lake_append(path, df1)
+    tags = sorted(os.listdir(os.path.join(path, "tag")))
+    assert tags == ["tag-2026-03-01"]
+    with open(os.path.join(path, "tag", tags[0])) as f:
+        assert json.load(f)["id"] == s1
+
+    # batch straddling into day2: watermark = max(ts) → day2 tag
+    df2 = spark.range(3, 5).select(
+        F.col("id").alias("k"), F.lit(day2).cast("timestamp").alias("ts")
+    )
+    s2 = write_lake_append(path, df2)
+    tags = sorted(os.listdir(os.path.join(path, "tag")))
+    assert tags == ["tag-2026-03-01", "tag-2026-03-02"]
+    snap2 = read_paimon_snapshot(path, s2)
+    wm2 = int(snap2["watermark"])
+    assert wm2 > 0
+
+    # LATE batch (older ts): the snapshot watermark must NOT regress,
+    # and no new tag appears
+    df3 = spark.range(5, 6).select(
+        F.col("id").alias("k"), F.lit(day1).cast("timestamp").alias("ts")
+    )
+    s3 = write_lake_append(path, df3)
+    assert int(read_paimon_snapshot(path, s3)["watermark"]) == wm2
+    assert sorted(os.listdir(os.path.join(path, "tag"))) == tags
+
+    # explicit watermark= beats the column derivation
+    s4 = write_lake_append(
+        path,
+        spark.range(6, 7).select(
+            F.col("id").alias("k"), F.lit(day1).cast("timestamp").alias("ts")
+        ),
+        watermark="2026-03-05T00:00:00",
+    )
+    assert "tag-2026-03-05" in os.listdir(os.path.join(path, "tag"))
+    assert int(read_paimon_snapshot(path, s4)["watermark"]) > wm2
+
+
+def test_watermark_auto_tag_engine(spark, catalog):
+    """Engine twin: with_watermark() on the commit, or derivation from
+    tag.watermark-column via the harvested file stats (zero extra IO);
+    snapshot watermark folds monotonically."""
+    from pyspark.sql import functions as F
+
+    from paimon_python_spark import Schema
+    from paimon_python_spark.metadata import MetadataStore
+    from paimon_python_spark.tags import list_tags
+
+    df = spark.range(3).select(
+        F.col("id").alias("k"),
+        F.lit("2026-03-01 10:00:00").cast("timestamp").alias("ts"),
+    )
+    catalog.create_table(
+        "default.wm_tag_e",
+        Schema(
+            df.schema,
+            options={
+                "tag.automatic-creation": "watermark",
+                "tag.creation-period": "daily",
+                "tag.watermark-column": "ts",
+            },
+        ),
+        False,
+    )
+    t = catalog.get_table("default.wm_tag_e")
+
+    def commit(frame, watermark=None):
+        wb = t.new_batch_write_builder()
+        w, c = wb.new_write(), wb.new_commit()
+        if watermark is not None:
+            c.with_watermark(watermark)
+        w.write_dataframe(frame)
+        c.commit(w.prepare_commit())
+        w.close()
+
+    commit(df)
+    assert sorted(list_tags(t)) == ["2026-03-01"]
+    store = MetadataStore(t.table_path)
+    wm1 = store.latest_snapshot().watermark
+    assert wm1 is not None
+
+    # later event time advances the watermark and tags the new day
+    commit(
+        spark.range(3, 5).select(
+            F.col("id").alias("k"),
+            F.lit("2026-03-02 01:00:00").cast("timestamp").alias("ts"),
+        )
+    )
+    assert sorted(list_tags(t)) == ["2026-03-01", "2026-03-02"]
+    wm2 = store.latest_snapshot().watermark
+    assert wm2 > wm1
+
+    # late data never regresses the fold
+    commit(df.select("k", "ts"))
+    assert store.latest_snapshot().watermark == wm2
+
+    # explicit with_watermark wins over the column stats
+    commit(df, watermark="2026-03-07T00:00:00")
+    assert "2026-03-07" in list_tags(t)
