@@ -71,15 +71,91 @@ _SIMPLE_TYPES = {
 }
 
 
-def parse_paimon_type(s: str) -> tuple[T.DataType, bool]:
-    """Parse a Paimon schema-file type string ('INT NOT NULL',
-    'VARCHAR(10)', 'TIMESTAMP(3)', 'DECIMAL(10, 2)') into a Spark type
-    + nullability."""
+def _split_type_args(s: str) -> list:
+    """Split 'K, V' / row-field lists on top-level commas (angle
+    brackets and parens nest; backquoted names may contain commas)."""
+    parts, depth, buf, i = [], 0, [], 0
+    while i < len(s):
+        ch = s[i]
+        if ch == "`":
+            j = s.index("`", i + 1)
+            buf.append(s[i : j + 1])
+            i = j + 1
+            continue
+        if ch in "<(":
+            depth += 1
+        elif ch in ">)":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(buf).strip())
+            buf = []
+        else:
+            buf.append(ch)
+        i += 1
+    if buf:
+        parts.append("".join(buf).strip())
+    return parts
+
+
+def parse_paimon_type(s) -> tuple[T.DataType, bool]:
+    """Parse a Paimon schema-file type into a Spark type + nullability.
+
+    Accepts BOTH spec serializations: the string form ('INT NOT NULL',
+    'VARCHAR(10)', 'DECIMAL(10, 2)', nested 'ARRAY<INT>' /
+    'MAP<INT, STRING>' / 'ROW<`a` INT, `b` STRING>') and the JSON
+    object form real Paimon's DataTypeJsonParser writes for nested
+    types ({"type": "ARRAY", "element": ...}, {"type": "MAP", "key":
+    ..., "value": ...}, {"type": "ROW", "fields": [...]}, with
+    'ARRAY NOT NULL'-style container nullability)."""
+    if isinstance(s, dict):
+        t = str(s["type"]).strip()
+        nullable = True
+        if t.upper().endswith("NOT NULL"):
+            nullable = False
+            t = t[: -len("NOT NULL")].strip()
+        tu = t.upper()
+        if tu == "ARRAY":
+            et, en = parse_paimon_type(s["element"])
+            return T.ArrayType(et, containsNull=en), nullable
+        if tu == "MAP":
+            kt, _kn = parse_paimon_type(s["key"])
+            vt, vn = parse_paimon_type(s["value"])
+            return T.MapType(kt, vt, valueContainsNull=vn), nullable
+        if tu == "ROW":
+            fields = []
+            for fd in s["fields"]:
+                ft, fn = parse_paimon_type(fd["type"])
+                fields.append(T.StructField(fd["name"], ft, fn))
+            return T.StructType(fields), nullable
+        return parse_paimon_type(t if nullable else f"{t} NOT NULL")
     s = s.strip()
     nullable = True
     if s.upper().endswith("NOT NULL"):
         nullable = False
         s = s[: -len("NOT NULL")].strip()
+    m = re.fullmatch(r"(?is)ARRAY\s*<(.*)>", s)
+    if m:
+        et, en = parse_paimon_type(m.group(1))
+        return T.ArrayType(et, containsNull=en), nullable
+    m = re.fullmatch(r"(?is)MAP\s*<(.*)>", s)
+    if m:
+        args = _split_type_args(m.group(1))
+        if len(args) != 2:
+            raise ValueError(f"paimon_import: bad MAP type string {s!r}")
+        kt, _kn = parse_paimon_type(args[0])
+        vt, vn = parse_paimon_type(args[1])
+        return T.MapType(kt, vt, valueContainsNull=vn), nullable
+    m = re.fullmatch(r"(?is)ROW\s*<(.*)>", s)
+    if m:
+        fields = []
+        for part in _split_type_args(m.group(1)):
+            fm = re.match(r"\s*(?:`([^`]+)`|(\w+))\s+(.*)", part, re.DOTALL)
+            if not fm:
+                raise ValueError(f"paimon_import: bad ROW field {part!r}")
+            fname = fm.group(1) or fm.group(2)
+            ft, fn = parse_paimon_type(fm.group(3))
+            fields.append(T.StructField(fname, ft, fn))
+        return T.StructType(fields), nullable
     u = s.upper()
     if u in _SIMPLE_TYPES:
         return _SIMPLE_TYPES[u], nullable
@@ -1056,7 +1132,24 @@ def paimon_type_string(field: "T.StructField") -> str:
     """Spark field → Paimon schema-file type string (reverse of
     :func:`parse_paimon_type`)."""
     dt = field.dataType
-    if isinstance(dt, T.DecimalType):
+    if isinstance(dt, T.ArrayType):
+        inner = paimon_type_string(
+            T.StructField("e", dt.elementType, dt.containsNull)
+        )
+        s = f"ARRAY<{inner}>"
+    elif isinstance(dt, T.MapType):
+        # map keys are implicitly non-null in the spec — no marker
+        k = paimon_type_string(T.StructField("k", dt.keyType, True))
+        v = paimon_type_string(
+            T.StructField("v", dt.valueType, dt.valueContainsNull)
+        )
+        s = f"MAP<{k}, {v}>"
+    elif isinstance(dt, T.StructType):
+        parts = ", ".join(
+            f"`{f.name}` {paimon_type_string(f)}" for f in dt.fields
+        )
+        s = f"ROW<{parts}>"
+    elif isinstance(dt, T.DecimalType):
         s = f"DECIMAL({dt.precision}, {dt.scale})"
     elif isinstance(dt, T.TimestampNTZType):
         s = "TIMESTAMP(6)"
