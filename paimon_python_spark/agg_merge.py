@@ -455,3 +455,299 @@ def field_agg_plan(schema, value_cols, seq_col, kind_col):
                 expr = _guarded(expr, ddl)
         aggs.append(expr.alias(c))
     return aggs, post
+
+
+def hll_sketch_fields(schema, value_cols) -> list:
+    """Value columns declared ``fields.<c>.aggregate-function =
+    hll_sketch`` — the ONE function the in-task pandas fold cannot
+    express (the union is Spark's JVM ``hll_union_agg``; this engine
+    does not re-implement the DataSketches HLL wire merge in Python).
+    Data sources refuse tables with such fields at plan time and point
+    at the builder path."""
+    return [
+        c
+        for c in value_cols
+        if schema.options.get(f"fields.{c}.aggregate-function") == "hll_sketch"
+    ]
+
+
+def _is_null_value(v) -> bool:
+    """Scalar/container null test for values coming out of
+    pyarrow.to_pandas (None, NaN/NaT; containers are never NaN)."""
+    if v is None:
+        return True
+    if isinstance(v, (list, tuple, dict, set, bytes, bytearray)):
+        return False
+    try:
+        import numpy as np
+
+        if isinstance(v, np.ndarray):
+            return False
+        return bool(pd.isna(v))
+    except (TypeError, ValueError):
+        return False
+
+
+def _as_list(v) -> list:
+    """ARRAY value → python list (pyarrow hands numpy arrays)."""
+    if _is_null_value(v):
+        return []
+    return list(v)
+
+
+def _as_map_items(v) -> list:
+    """MAP value → list of (k, v) pairs in stored order (pyarrow hands
+    list-of-tuples)."""
+    if _is_null_value(v):
+        return []
+    if isinstance(v, dict):
+        return list(v.items())
+    return [tuple(kv) for kv in v]
+
+
+def pandas_agg_merge(
+    pdf: pd.DataFrame, schema, merge_keys, value_cols, seq_col, kind_col
+) -> pd.DataFrame:
+    """In-task pandas twin of :func:`field_agg_plan` — the aggregation
+    merge engine for the ``format(...)`` data sources, where one task
+    holds ALL runs of one (partition, bucket) and the fold is
+    executor-local (no Spark expressions available). Semantics are the
+    builder's, asserted equivalent by the pytest matrix
+    (tests/test_agg_merge.py) and the shared SQL oracle of the gated
+    format-agg roundtrip: keys with no add row drop; sum/product/count
+    subtract retractions; container functions fold (kind, value) in
+    sequence order; rbm/theta sketches union via the portable codecs;
+    non-retractable fields raise on a live retracted value unless
+    ``fields.<c>.ignore-retract``; every scalar keeps its declared
+    dtype via the caller's arrow-schema conversion. ``hll_sketch``
+    fields are refused at plan time (:func:`hll_sketch_fields`)."""
+    import numpy as np
+
+    opts = schema.options
+    bad = hll_sketch_fields(schema, value_cols)
+    if bad:
+        raise ValueError(
+            f"hll_sketch fields {bad} cannot merge in-task; "
+            f"use the read-builder path"
+        )
+
+    pdf = pdf.sort_values(seq_col, kind="mergesort").reset_index(drop=True)
+    add_mask = pdf[kind_col].isin(ADD_KINDS)
+    ret_mask = pdf[kind_col].isin(RETRACT_KINDS)
+
+    # surviving keys: at least one add row, in first-appearance order
+    keyed = pdf[merge_keys]
+    out = keyed[add_mask].drop_duplicates().reset_index(drop=True)
+    if out.empty:
+        return out.reindex(columns=merge_keys + list(value_cols))
+
+    def _grouped(frame, series):
+        """series aggregated per merge key → merged into ``out``."""
+        return frame.groupby(merge_keys, sort=False, dropna=False)[series]
+
+    def _attach(name, per_key):
+        nonlocal out
+        per_key = per_key.rename(name)
+        out = out.merge(per_key.reset_index(), on=merge_keys, how="left")
+
+    for c in value_cols:
+        fn = opts.get(f"fields.{c}.aggregate-function", "last_non_null_value")
+        if fn not in AGG_FUNCTIONS:
+            raise ValueError(
+                f"unknown aggregate-function {fn!r} for field {c!r}; "
+                f"one of {AGG_FUNCTIONS}"
+            )
+        ignore_ret = (
+            opts.get(f"fields.{c}.ignore-retract", "false").lower() == "true"
+        )
+        col = pdf[c]
+        nn = ~col.map(_is_null_value)
+
+        # Paimon's retraction contract: non-retractable fields raise on
+        # a live (non-null) retracted value unless ignore-retract
+        if (
+            fn not in RETRACTABLE
+            and fn not in _RETRACT_TOLERANT
+            and not ignore_ret
+            and bool((ret_mask & nn).any())
+        ):
+            raise ValueError(
+                f"aggregate function {fn!r} for field {c!r} does not "
+                f"support retraction; set fields.{c}.ignore-retract "
+                f"= true to drop -U/-D rows"
+            )
+
+        if fn == "sum":
+            num = pd.to_numeric(col.where(nn), errors="coerce")
+            if ignore_ret:
+                contrib = num.where(add_mask)
+            else:
+                contrib = num.where(add_mask, (-num).where(ret_mask))
+            _attach(c, _grouped(pdf.assign(__v=contrib), "__v").sum(min_count=1))
+        elif fn == "product":
+            num = pd.to_numeric(col.where(nn), errors="coerce").astype(float)
+            p_add = _grouped(pdf.assign(__v=num.where(add_mask)), "__v").prod(
+                min_count=1
+            )
+            if ignore_ret:
+                _attach(c, p_add)
+            else:
+                p_ret = _grouped(
+                    pdf.assign(__v=num.where(ret_mask)), "__v"
+                ).prod(min_count=1)
+                _attach(c, p_add / p_ret.fillna(1.0))
+        elif fn == "count":
+            ticks = add_mask.astype("int64").where(nn, 0)
+            if not ignore_ret:
+                ticks = ticks - (ret_mask & nn).astype("int64")
+            _attach(c, _grouped(pdf.assign(__v=ticks), "__v").sum())
+        elif fn in ("min", "max", "bool_and", "bool_or"):
+            vals = col.where(add_mask & nn)
+            if fn in ("bool_and", "bool_or"):
+                vals = vals.map(lambda v: None if _is_null_value(v) else bool(v))
+            g = _grouped(pdf.assign(__v=vals), "__v")
+            _attach(c, g.min() if fn in ("min", "bool_and") else g.max())
+        elif fn in (
+            "last_value",
+            "last_non_null_value",
+            "first_value",
+            "first_non_null_value",
+        ):
+            mask = add_mask if fn.endswith("_value") and "non_null" not in fn else (add_mask & nn)
+            rows = pdf[mask]
+            keep = "last" if fn.startswith("last") else "first"
+            picked = rows.drop_duplicates(subset=merge_keys, keep=keep)
+            _attach(
+                c,
+                picked.set_index(merge_keys)[c].rename(c),
+            )
+        elif fn == "listagg":
+            delim = opts.get(f"fields.{c}.list-agg-delimiter", ",")
+            rows = pdf[add_mask & nn]
+            joined = (
+                rows.groupby(merge_keys, sort=False, dropna=False)[c]
+                .apply(lambda s: delim.join(str(v) for v in s))
+            )
+            _attach(c, joined)
+        elif fn in ("collect", "merge_map", "nested_update"):
+            distinct = opts.get(f"fields.{c}.distinct", "false").lower() == "true"
+            nkeys = [
+                k.strip()
+                for k in opts.get(f"fields.{c}.nested-key", "").split(",")
+                if k.strip()
+            ]
+            if fn == "nested_update" and not nkeys:
+                raise ValueError(
+                    f"nested_update field {c!r} requires fields.{c}.nested-key"
+                )
+
+            def _fold(sub, _fn=fn, _distinct=distinct, _nkeys=nkeys):
+                # NULL-accumulator parity: stays NULL until any row
+                # (any kind) carries a non-null container
+                if not any(not _is_null_value(v) for v in sub[c]):
+                    return None
+                if _fn == "merge_map":
+                    acc = []
+                    for k_, v_ in zip(sub[kind_col], sub[c]):
+                        rv = _as_map_items(v_)
+                        rv_keys = {p[0] for p in rv}
+                        if k_ in ADD_KINDS:
+                            acc = [p for p in acc if p[0] not in rv_keys] + rv
+                        elif not ignore_ret:
+                            acc = [p for p in acc if p[0] not in rv_keys]
+                    return acc
+                if _fn == "nested_update":
+                    def _match(x, e):
+                        for k in _nkeys:
+                            xa, eb = x.get(k), e.get(k)
+                            if _is_null_value(xa) and _is_null_value(eb):
+                                continue
+                            if _is_null_value(xa) or _is_null_value(eb):
+                                return False
+                            if xa != eb:
+                                return False
+                        return True
+
+                    acc = []
+                    for k_, v_ in zip(sub[kind_col], sub[c]):
+                        rv = [dict(e) for e in _as_list(v_)]
+                        acc = [
+                            e
+                            for e in acc
+                            if not any(_match(x, e) for x in rv)
+                        ]
+                        if k_ in ADD_KINDS:
+                            acc = acc + rv
+                    return acc
+                # collect
+                acc = []
+                for k_, v_ in zip(sub[kind_col], sub[c]):
+                    rv = _as_list(v_)
+                    if k_ in ADD_KINDS:
+                        acc = acc + rv
+                        if _distinct:
+                            seen, ded = set(), []
+                            for e in acc:
+                                if e not in seen:
+                                    seen.add(e)
+                                    ded.append(e)
+                            acc = ded
+                    elif not ignore_ret:
+                        if _distinct:
+                            drop = set(rv)
+                            acc = [e for e in acc if e not in drop]
+                        else:
+                            for x in rv:
+                                if x in acc:
+                                    acc.remove(x)
+                return acc
+
+            folded = pdf.groupby(merge_keys, sort=False, dropna=False)[
+                [kind_col, c]
+            ].apply(_fold)
+            _attach(c, folded)
+        elif fn in ("rbm32", "rbm64", "theta_sketch"):
+            rows = pdf[add_mask & nn]
+
+            if fn == "theta_sketch":
+                from paimon_python_spark import theta_sketch as _ts
+
+                def _union(s):
+                    bufs = [bytes(b) for b in s]
+                    return _ts.union_theta(bufs) if bufs else None
+
+            else:
+                from paimon_python_spark import roaring
+
+                if fn == "rbm32":
+                    ser, de = (
+                        roaring.serialize_roaring32,
+                        roaring.deserialize_roaring32,
+                    )
+                else:
+                    ser, de = (
+                        roaring.serialize_roaring64,
+                        roaring.deserialize_roaring64,
+                    )
+
+                def _union(s):
+                    arrays = [de(bytes(b)) for b in s]
+                    if not arrays:
+                        return None
+                    merged = (
+                        arrays[0]
+                        if len(arrays) == 1
+                        else np.unique(np.concatenate(arrays))
+                    )
+                    return ser(merged)
+
+            _attach(
+                c,
+                rows.groupby(merge_keys, sort=False, dropna=False)[c].apply(
+                    _union
+                ),
+            )
+        else:  # pragma: no cover — AGG_FUNCTIONS is exhaustive above
+            raise AssertionError(fn)
+
+    return out[merge_keys + list(value_cols)]

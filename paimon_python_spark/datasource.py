@@ -276,11 +276,30 @@ def _check_ds_merge_supported(schema, fmt: str) -> None:
                 f"fields)"
             )
     if engine == "aggregation":
-        raise RuntimeError(
-            f"{fmt}: merge-engine=aggregation reads are not supported "
-            f"through the data source; use {builder} (full merge-engine "
-            f"dispatch)"
-        )
+        # full in-task dispatch via agg_merge.pandas_agg_merge — one
+        # task holds every run of its (partition, bucket), so the fold
+        # is executor-local. The ONE refusal left: hll_sketch fields
+        # (the union is Spark's JVM hll_union_agg; no Python re-impl
+        # of the DataSketches HLL wire merge).
+        from paimon_python_spark.agg_merge import hll_sketch_fields
+
+        if seq_fields:
+            raise ValueError(
+                "sequence.field with merge-engine=aggregation is not "
+                "supported: aggregation folds in sequence order already; "
+                "order per-field with fields.<g>.sequence-group instead"
+            )
+        keys = set(schema.partition_keys) | set(schema.primary_keys)
+        value_cols = [
+            f.name for f in schema.spark_schema.fields if f.name not in keys
+        ]
+        bad = hll_sketch_fields(schema, value_cols)
+        if bad:
+            raise RuntimeError(
+                f"{fmt}: merge-engine=aggregation with hll_sketch "
+                f"fields {bad} is not supported through the data source "
+                f"(the union is a JVM aggregate); use {builder}"
+            )
     if engine == "partial-update":
         extras = [
             o
@@ -518,6 +537,19 @@ class PaimonBatchReader(DataSourceReader):
                     pdf.groupby(keys, sort=False, dropna=False)
                     .last()  # last NON-NULL per column in merge order
                     .reset_index()
+                )
+            elif engine == "aggregation":
+                # executor-local twin of the builder's one-hash-
+                # aggregate fold (hll_sketch refused at plan time)
+                from paimon_python_spark.agg_merge import pandas_agg_merge
+
+                value_cols = [
+                    f.name
+                    for f in schema.spark_schema.fields
+                    if f.name not in keys
+                ]
+                pdf = pandas_agg_merge(
+                    pdf, schema, keys, value_cols, SEQ_COL, KIND_COL
                 )
             else:  # deduplicate
                 pdf = pdf.sort_values(

@@ -434,6 +434,33 @@ class PaimonLakeBatchReader(DataSourceReader):
                     .last()  # last NON-NULL per column in merge order
                     .reset_index()
                 )
+            elif engine == "aggregation":
+                # executor-local twin of the builder's one-hash-
+                # aggregate fold (agg_merge.pandas_agg_merge; hll_sketch
+                # fields refused at plan time). Lake seqs are unique per
+                # stored row; (lvl desc, idx asc) breaks any foreign-
+                # lake collision the same way the dedup sort does.
+                from paimon_python_spark.agg_merge import pandas_agg_merge
+
+                g = g.sort_values(
+                    ["_SEQUENCE_NUMBER", "__lvl", "__idx"],
+                    ascending=[True, False, True],
+                    kind="mergesort",
+                ).reset_index(drop=True)
+                g["__ord"] = range(len(g))
+                value_names_only = [
+                    f.name
+                    for f in info.spark_schema.fields
+                    if f.name not in part_keys and f.name not in key_cols
+                ]
+                g = pandas_agg_merge(
+                    g,
+                    info,
+                    key_cols,
+                    value_names_only,
+                    "__ord",
+                    "_VALUE_KIND",
+                )
             else:  # deduplicate
                 g = g.sort_values(
                     key_cols + ["_SEQUENCE_NUMBER", "__lvl", "__idx"],

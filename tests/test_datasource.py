@@ -1223,7 +1223,8 @@ def test_datasource_merge_engine_dispatch(catalog, spark, tmp_path):
     _write(t4, _pd.DataFrame({"k": [1], "v": ["stale"], "ts": [1000]}))
     assert rd(t4) == [[1, "newer", 2000]]
 
-    # engine aggregation refuses at plan time with the pointer
+    # engine aggregation now reads through the front door (r12:
+    # in-task pandas_agg_merge); ONLY hll_sketch fields still refuse
     S5 = _pa.schema([("k", _pa.int32()), ("cnt", _pa.int64())])
     t5 = mk(
         "ds_agg",
@@ -1231,8 +1232,20 @@ def test_datasource_merge_engine_dispatch(catalog, spark, tmp_path):
         S5,
     )
     _write(t5, _pd.DataFrame({"k": [1], "cnt": [2]}))
-    with pytest.raises(Exception, match="merge-engine=aggregation"):
-        rd(t5)
+    _write(t5, _pd.DataFrame({"k": [1], "cnt": [3]}))
+    assert rd(t5) == [[1, 5]]
+    S6 = _pa.schema([("k", _pa.int32()), ("h", _pa.binary())])
+    t6 = mk(
+        "ds_agg_hll",
+        {
+            "merge-engine": "aggregation",
+            "fields.h.aggregate-function": "hll_sketch",
+        },
+        S6,
+    )
+    _write(t6, _pd.DataFrame({"k": [1], "h": [None]}))
+    with pytest.raises(Exception, match="hll_sketch"):
+        rd(t6)
 
     # lake partial-update through format('paimon_lake')
     d = str(tmp_path / "ds_pu_lake")
@@ -1860,3 +1873,217 @@ def test_front_door_writes_honor_rowkind_field(catalog, spark, tmp_path):
     ].tolist() == [2]
     with pytest.raises(Exception, match="invalid RowKind value"):
         wr([(3, "c", "??")], "paimon_lake", d)
+
+
+def test_datasource_aggregation_matrix_vs_builder(catalog, spark, tmp_path):
+    """r12: merge-engine=aggregation reads through BOTH format(...)
+    front doors (in-task agg_merge.pandas_agg_merge). Equivalence
+    oracle: the builder's Spark-expression fold (field_agg_plan) on the
+    same tables, across the scalar + container + sketch function
+    surface with retractions in play."""
+    import pandas as _pd
+    import pyarrow as _pa
+    from pyspark.sql import types as T
+
+    from paimon_python_spark.lake_datasource import register_lake
+    from paimon_python_spark.roaring import (
+        deserialize_roaring32,
+        serialize_roaring32,
+    )
+
+    register_lake(spark)
+
+    st = T.StructType(
+        [
+            T.StructField("k", T.IntegerType(), False),
+            T.StructField("s", T.IntegerType()),
+            T.StructField("p", T.DoubleType()),
+            T.StructField("n", T.LongType()),
+            T.StructField("mn", T.IntegerType()),
+            T.StructField("mx", T.IntegerType()),
+            T.StructField("lv", T.StringType()),
+            T.StructField("lnn", T.StringType()),
+            T.StructField("fv", T.StringType()),
+            T.StructField("fnn", T.StringType()),
+            T.StructField("ba", T.BooleanType()),
+            T.StructField("bo", T.BooleanType()),
+            T.StructField("la", T.StringType()),
+            T.StructField("co", T.ArrayType(T.IntegerType())),
+            T.StructField("mm", T.MapType(T.StringType(), T.IntegerType())),
+            T.StructField("rb", T.BinaryType()),
+        ]
+    )
+    opts = {
+        "bucket": "1",
+        "merge-engine": "aggregation",
+        "fields.s.aggregate-function": "sum",
+        "fields.p.aggregate-function": "product",
+        "fields.n.aggregate-function": "count",
+        "fields.mn.aggregate-function": "min",
+        "fields.mx.aggregate-function": "max",
+        "fields.lv.aggregate-function": "last_value",
+        "fields.lnn.aggregate-function": "last_non_null_value",
+        "fields.fv.aggregate-function": "first_value",
+        "fields.fnn.aggregate-function": "first_non_null_value",
+        "fields.ba.aggregate-function": "bool_and",
+        "fields.bo.aggregate-function": "bool_or",
+        "fields.la.aggregate-function": "listagg",
+        "fields.la.list-agg-delimiter": "|",
+        "fields.la.ignore-retract": "true",
+        "fields.mn.ignore-retract": "true",
+        "fields.mx.ignore-retract": "true",
+        "fields.fv.ignore-retract": "true",
+        "fields.fnn.ignore-retract": "true",
+        "fields.ba.ignore-retract": "true",
+        "fields.bo.ignore-retract": "true",
+        "fields.co.aggregate-function": "collect",
+        "fields.mm.aggregate-function": "merge_map",
+        "fields.rb.aggregate-function": "rbm32",
+        "fields.rb.ignore-retract": "true",
+    }
+    catalog.create_table(
+        "default.ds_agg_matrix", Schema(st, primary_keys=["k"], options=opts), False
+    )
+    t = catalog.get_table("default.ds_agg_matrix")
+
+    def rbm(vals):
+        import numpy as np
+
+        return serialize_roaring32(np.array(vals, dtype=np.uint32))
+
+    def row(k, s, p, n, sc, la, co, mm, rb):
+        return (
+            k, s, p, n, sc, sc, str(sc) if sc is not None else None,
+            str(sc) if sc is not None else None,
+            str(sc) if sc is not None else None,
+            str(sc) if sc is not None else None,
+            bool(sc % 2) if sc is not None else None,
+            bool(sc % 2) if sc is not None else None,
+            la, co, mm, rb,
+        )
+
+    rows1 = [
+        row(1, 5, 2.0, 7, 3, "a", [1, 2], {"x": 1}, rbm([1, 2])),
+        row(1, 4, 3.0, None, 9, "b", [2, 3], {"x": 2, "y": 5}, rbm([2, 9])),
+        row(2, None, None, 1, None, None, None, None, None),
+    ]
+    rows2 = [
+        row(1, 4, 3.0, 7, 6, "c", [2], {"y": 5}, rbm([4])),  # retracted below
+        row(2, 10, 4.0, 2, 1, "d", [8], {"z": 3}, rbm([7])),
+    ]
+
+    def commit(rows, kinds=None):
+        wb = t.new_batch_write_builder()
+        w, c = wb.new_write(), wb.new_commit()
+        if kinds is None:
+            w.write_dataframe(spark.createDataFrame(rows, st))
+        else:
+            full = T.StructType(
+                list(st.fields) + [T.StructField("_kind", T.IntegerType(), False)]
+            )
+            w.write_dataframe(
+                spark.createDataFrame(
+                    [r + (kk,) for r, kk in zip(rows, kinds)], full
+                ),
+                row_kind_col="_kind",
+            )
+        c.commit(w.prepare_commit())
+        w.close()
+        c.close()
+
+    commit(rows1)
+    commit(rows2)
+    # retract one of k=1's earlier adds (sum/product/count/collect/
+    # merge_map see the retraction; ignore-retract fields drop it)
+    commit([rows2[0]], kinds=[3])
+
+    def norm(df):
+        pdf = df.toPandas().sort_values("k").reset_index(drop=True)
+        pdf["co"] = pdf["co"].map(
+            lambda v: None if v is None else sorted(list(v))
+        )
+        pdf["mm"] = pdf["mm"].map(
+            lambda v: None if v is None else sorted(dict(v).items())
+        )
+        pdf["rb"] = pdf["rb"].map(
+            lambda v: None if v is None else sorted(deserialize_roaring32(bytes(v)).tolist())
+        )
+        return pdf
+
+    builder = norm(t.new_read_builder().new_read().to_df())
+    front = norm(
+        spark.read.format("paimon_spark").option("path", t.table_path).load()
+    )
+    _pd.testing.assert_frame_equal(front, builder, check_dtype=False)
+    # sanity-pin a few values so both sides can't be wrong together:
+    # k=1 adds s 5+4+4 then retracts 4 → 9; count(7, None, 7) - 7 → 1;
+    # product 2*3*3/3 → 6; collect [1,2]+[2,3]+[2] minus one 2;
+    # merge_map folds to x→2,y→5 then retracts key y; rbm unions the
+    # adds only (ignore-retract)
+    r1 = builder[builder.k == 1].iloc[0]
+    assert r1["s"] == 9 and r1["n"] == 1 and r1["p"] == 6.0
+    assert r1["la"] == "a|b|c" and r1["co"] == [1, 2, 2, 3]
+    assert r1["lnn"] == "6" and r1["fnn"] == "3"
+    assert r1["rb"] == [1, 2, 4, 9]
+    assert sorted(dict(r1["mm"]).items()) == [("x", 2)]
+
+    # LAKE twin through format('paimon_lake'): same function matrix on
+    # a real lake written by the engine's PK writer
+    from paimon_python_spark.paimon_lake import (
+        create_lake_table,
+        write_lake_pk_append,
+    )
+
+    d = str(tmp_path / "ds_agg_lake")
+    create_lake_table(
+        d,
+        [
+            ("k", "INT NOT NULL"),
+            ("s", "INT"),
+            ("n", "BIGINT"),
+            ("la", "STRING"),
+            ("co", "ARRAY<INT>"),
+        ],
+        primary_keys=["k"],
+        options={
+            "bucket": "1",
+            "merge-engine": "aggregation",
+            "fields.s.aggregate-function": "sum",
+            "fields.n.aggregate-function": "count",
+            "fields.la.aggregate-function": "listagg",
+            "fields.la.ignore-retract": "true",
+            "fields.co.aggregate-function": "collect",
+        },
+    )
+    lsch = "k int, s int, n bigint, la string, co array<int>"
+    write_lake_pk_append(
+        d,
+        spark.createDataFrame(
+            [(1, 5, 7, "a", [1, 2]), (2, None, None, None, None)], lsch
+        ),
+    )
+    write_lake_pk_append(
+        d, spark.createDataFrame([(1, 4, 7, "b", [2, 3])], lsch)
+    )
+    # retract k=1's second add through the rowkind column
+    write_lake_pk_append(
+        d,
+        spark.createDataFrame(
+            [(1, 4, 7, "b", [2, 3], 3)], lsch + ", _kind int"
+        ),
+        row_kind_col="_kind",
+    )
+    from paimon_python_spark.paimon_lake import PaimonLakeTable
+
+    def lnorm(df):
+        pdf = df.toPandas().sort_values("k").reset_index(drop=True)
+        pdf["co"] = pdf["co"].map(
+            lambda v: None if v is None else sorted(list(v))
+        )
+        return pdf
+
+    lb = lnorm(PaimonLakeTable(d).new_read_builder().new_read().to_df())
+    lf = lnorm(spark.read.format("paimon_lake").option("path", d).load())
+    _pd.testing.assert_frame_equal(lf, lb, check_dtype=False)
+    lr1 = lb[lb.k == 1].iloc[0]
+    assert lr1["s"] == 5 and lr1["n"] == 1 and lr1["co"] == [1, 2]
