@@ -6726,6 +6726,102 @@ FROM orders GROUP BY o_custkey ORDER BY o_custkey
 """
 
 
+def paimon_lake_format_agg_roundtrip(spark, sf_dir):
+    """r12: merge-engine=aggregation reads through BOTH ``format(...)``
+    front doors — the read real Paimon's Spark connector does natively,
+    previously a refusal pointing at the builder. The in-task fold
+    (``agg_merge.pandas_agg_merge``) runs executor-local per (partition,
+    bucket); only hll_sketch fields still refuse. Same data and SQL
+    oracle as ``paimon_agg_merge_roundtrip``, read back via
+    ``spark.read.format("paimon_lake"/"paimon_spark")`` instead of the
+    builders, with a table_kind discriminator."""
+    from paimon_python_spark import Catalog, Schema
+    from paimon_python_spark.lake_datasource import register_lake
+    from paimon_python_spark.paimon_lake import (
+        create_lake_table,
+        write_lake_pk_append,
+    )
+    from paimon_python_spark.datasource import register
+    from paimon_python_spark.session import set_spark
+
+    set_spark(spark)
+    register_lake(spark)
+    register(spark)
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.col("o_totalprice").alias("spend"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("last_order"),
+    )
+    agg_opts = {
+        "bucket": "4",
+        "merge-engine": "aggregation",
+        "fields.spend.aggregate-function": "sum",
+        "fields.last_order.aggregate-function": "max",
+    }
+    halves = (
+        orders.filter(F.col("o_custkey") % 2 == 0),
+        orders.filter(F.col("o_custkey") % 2 == 1),
+    )
+
+    lake = _fresh_warehouse("aggfmt") + "/cust_rollup_lake"
+    create_lake_table(
+        lake,
+        [
+            ("o_custkey", "BIGINT NOT NULL"),
+            ("spend", "DOUBLE"),
+            ("last_order", "STRING"),
+        ],
+        primary_keys=["o_custkey"],
+        options=agg_opts,
+    )
+    for half in halves:
+        write_lake_pk_append(lake, half)
+    lake_df = spark.read.format("paimon_lake").option("path", lake).load()
+
+    cat = Catalog.create({"warehouse": _fresh_warehouse("aggfmt_e")})
+    cat.create_database("default", True)
+    cat.create_table(
+        "default.cust_rollup_fd",
+        Schema(orders.schema, primary_keys=["o_custkey"], options=agg_opts),
+        False,
+    )
+    t = cat.get_table("default.cust_rollup_fd")
+    for half in halves:
+        wb = t.new_batch_write_builder()
+        w, c = wb.new_write(), wb.new_commit()
+        w.write_dataframe(half)
+        c.commit(w.prepare_commit())
+        w.close()
+        c.close()
+    engine_df = (
+        spark.read.format("paimon_spark").option("path", t.table_path).load()
+    )
+
+    def shape(df, kind):
+        return df.select(
+            F.lit(kind).alias("table_kind"),
+            "o_custkey",
+            F.round("spend", 2).alias("spend"),
+            "last_order",
+        )
+
+    return (
+        shape(engine_df, "engine")
+        .unionAll(shape(lake_df, "lake"))
+        .orderBy("table_kind", "o_custkey")
+    )
+
+
+PAIMON_LAKE_FORMAT_AGG_SQL = """
+SELECT k.table_kind, o_custkey, round(sum(o_totalprice), 2) AS spend,
+       max(strftime(o_orderdate, '%Y-%m-%d')) AS last_order
+FROM orders
+CROSS JOIN (SELECT unnest(['engine', 'lake']) AS table_kind) k
+GROUP BY k.table_kind, o_custkey
+ORDER BY table_kind, o_custkey
+"""
+
+
 def paimon_agg_retract_roundtrip(spark, sf_dir):
     """Aggregation merge engine RETRACTION — the CDC shape Paimon only
     allows on its retractable function list: -D rows SUBTRACT their
@@ -9853,6 +9949,116 @@ ORDER BY table_kind
 """
 
 
+def paimon_watermark_tag_roundtrip(spark, sf_dir):
+    """WATERMARK-DRIVEN automatic tags (`tag.automatic-creation=
+    watermark` + `tag.watermark-column`) — real Paimon's TagAutoManager
+    event-time mode: each commit's watermark (max of the declared
+    column over the batch; engine derives it from harvested file stats,
+    the lake from a map-side-combined single-column max) names the
+    period tag, so tag names come from DATA, not wall clock — fully
+    deterministic. Commit 1 carries event-time 1995-01-01, commit 2
+    1995-01-02; the '1995-01-01' tag must read back exactly commit 1 on
+    both table kinds. Ref: paimon docs 'tag.automatic-creation'
+    (watermark mode); the reference SDK has no tag API at all
+    (pypaimon/api/table_commit.py:24-36)."""
+    from paimon_python_spark.paimon_lake import (
+        PaimonLakeTable,
+        create_lake_table,
+        write_lake_append,
+    )
+    from paimon_python_spark.session import set_spark
+
+    set_spark(spark)
+    wm_opts = {
+        "tag.automatic-creation": "watermark",
+        "tag.creation-period": "daily",
+        "tag.watermark-column": "ts",
+    }
+    day1, day2 = "1995-01-01 12:00:00", "1995-01-02 08:00:00"
+    src = _t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    batch1 = src.filter(F.col("c_custkey") % 3 == 0).withColumn(
+        "ts", F.lit(day1).cast("timestamp")
+    )
+    batch2 = src.filter(F.col("c_custkey") % 3 == 1).withColumn(
+        "ts", F.lit(day2).cast("timestamp")
+    )
+
+    fixture = _fresh_warehouse("wmtag") + "/cust_wmtag"
+    create_lake_table(
+        fixture,
+        [
+            ("c_custkey", "BIGINT NOT NULL"),
+            ("c_acctbal", "DOUBLE"),
+            ("ts", "TIMESTAMP(6)"),
+        ],
+        options=wm_opts,
+    )
+    write_lake_append(fixture, batch1)
+    write_lake_append(fixture, batch2)
+    t = PaimonLakeTable(fixture)
+    tags = {r.tag_name: r.snapshot_id for r in t.tags().collect()}
+    assert set(tags) == {"1995-01-01", "1995-01-02"}, tags
+    lake_df = (
+        t.new_read_builder().with_tag("1995-01-01").new_read().to_df()
+    )
+
+    # ENGINE twin: watermark derived from the files' harvested stats
+    from paimon_python_spark import Catalog, Schema
+    from paimon_python_spark.tags import list_tags
+
+    cat = Catalog.create({"warehouse": _fresh_warehouse("wmtag_e")})
+    cat.create_database("default", True)
+    cat.create_table(
+        "default.cust_wmtag", Schema(batch1.schema, options=wm_opts), False
+    )
+    et = cat.get_table("default.cust_wmtag")
+    for batch in (batch1, batch2):
+        wb = et.new_batch_write_builder()
+        w, c = wb.new_write(), wb.new_commit()
+        w.write_dataframe(batch)
+        c.commit(w.prepare_commit())
+        w.close()
+        c.close()
+    etags = list_tags(et)
+    assert set(etags) == {"1995-01-01", "1995-01-02"}, etags
+    erb = et.new_read_builder().with_tag("1995-01-01")
+    engine_df = erb.new_read().to_df(erb.new_scan().plan().splits())
+
+    def agg(df, kind, snap):
+        return df.agg(
+            F.count("*").alias("n"),
+            F.min("c_custkey").alias("min_key"),
+            F.max("c_custkey").alias("max_key"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_bal"),
+        ).select(
+            F.lit(kind).alias("table_kind"),
+            F.lit("1995-01-01").alias("tag_name"),
+            F.lit(int(snap)).cast("long").alias("tagged_snapshot"),
+            "*",
+        )
+
+    return (
+        agg(engine_df, "engine", etags["1995-01-01"])
+        .unionAll(agg(lake_df, "lake", tags["1995-01-01"]))
+        .orderBy("table_kind")
+    )
+
+
+PAIMON_WATERMARK_TAG_SQL = """
+SELECT k.table_kind, '1995-01-01' AS tag_name,
+       CAST(1 AS BIGINT) AS tagged_snapshot,
+       count(*) AS n, min(c_custkey) AS min_key, max(c_custkey) AS max_key,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+FROM customer
+CROSS JOIN (SELECT unnest(['engine', 'lake']) AS table_kind) k
+WHERE c_custkey % 3 = 0
+GROUP BY k.table_kind
+ORDER BY table_kind
+"""
+
+
 def text_corpus_overlap(spark, sf_dir):
     """Pairwise source-overlap matrix (distinct shared 5-grams + exact
     Jaccard per source pair) — the pre-mixing curation diagnostic. One
@@ -12407,6 +12613,8 @@ _QUERIES: dict[str, Callable] = {
     "text_contamination_bloom": text_contamination_bloom,
     "text_corpus_overlap": text_corpus_overlap,
     "paimon_auto_tag_roundtrip": paimon_auto_tag_roundtrip,
+    "paimon_watermark_tag_roundtrip": paimon_watermark_tag_roundtrip,
+    "paimon_lake_format_agg_roundtrip": paimon_lake_format_agg_roundtrip,
     "pack_sequences": pack_sequences,
     "mm_binary_meta": mm_binary_meta,
     "join_salted_skew": join_salted_skew,
@@ -12675,6 +12883,8 @@ _ORACLES: dict[str, str] = {
     "text_contamination_bloom": TEXT_CONTAMINATION_SQL,
     "text_corpus_overlap": TEXT_CORPUS_OVERLAP_SQL,
     "paimon_auto_tag_roundtrip": PAIMON_AUTO_TAG_SQL,
+    "paimon_watermark_tag_roundtrip": PAIMON_WATERMARK_TAG_SQL,
+    "paimon_lake_format_agg_roundtrip": PAIMON_LAKE_FORMAT_AGG_SQL,
     "pack_sequences": PACK_SEQUENCES_SQL,
     "sample_corpus_mix": SAMPLE_MIX_SQL,
     "events_anomaly_zscore": EVENTS_ANOMALY_SQL,
@@ -12790,117 +13000,65 @@ _ORACLES: dict[str, str] = {
 # same 50. Entries 51+ keep registry order; tools/check_oracle.py
 # still sweeps the whole surface locally.
 _GATE_HEAD = [
-    # r11 additions (verified green via tools/hash_sweep.py — the
-    # STRICT str-level driver replica — before promotion)
-    "paimon_analyze_stats_roundtrip",
-    "paimon_concurrent_commit_roundtrip",
-    "text_contamination_bloom",
-    "text_corpus_overlap",
-    "paimon_auto_tag_roundtrip",
-    # late-r10 additions: the aggregation merge-engine extension
-    # (retraction, container folds, sketch unions) — verified green via
-    # tools/check_oracle.py before promotion
-    "paimon_agg_retract_roundtrip",
-    "paimon_agg_container_roundtrip",
-    "paimon_agg_sketch_roundtrip",
-    "paimon_theta_sketch_roundtrip",
-    "paimon_rowkind_field_roundtrip",
-    "paimon_lake_changelog_decouple_roundtrip",
-    "join_lookup_enrich",
-    # round-10 rotation: positions 1-2 are the round-10-NEW queries
-    # (verified green via tools/check_oracle.py before promotion);
-    # positions 3-5 are the three format("paimon_lake") queries that
-    # were RED in CORRECTNESS_r09 only because the driver's session
-    # lacked spark.sql.python.filterPushdown.enabled — register_lake()
-    # now sets it itself, so these must flip green this round. The rest
-    # keeps the r9 head order (regression rows; union(r1..r9) already
-    # covers every registered query).
-    "paimon_lake_format_pk_write_roundtrip",
-    "paimon_lake_format_timetravel_roundtrip",
-    "paimon_remove_record_on_delete_roundtrip",
-    "paimon_sequence_field_roundtrip",
-    "paimon_format_system_tables_roundtrip",
-    "paimon_lake_audit_log_roundtrip",
-    "paimon_format_incremental_roundtrip",
-    "paimon_lake_bitmap_index_roundtrip",
-    "paimon_lake_bsi_index_roundtrip",
-    "paimon_engine_exact_index_roundtrip",
-    "paimon_datasource_pk_write_roundtrip",
-    "paimon_stream_changelog_roundtrip",
-    "paimon_lake_stream_changelog_roundtrip",
-    "paimon_lake_format_roundtrip",
-    "paimon_lake_format_dv_roundtrip",
-    "paimon_lake_format_write_roundtrip",
-    # --- r9 head below (all green in CORRECTNESS_r09) ---
-    "setop_except_all",
-    "setop_intersect_all",
-    "scalar_regex_funcs",
-    "paimon_lake_multikey_expire_roundtrip",
-    "paimon_lake_bucket_pruned_point_read",
-    "paimon_lake_stream_start_modes_roundtrip",
-    "paimon_lake_append_stats_prune_roundtrip",
-    "paimon_lake_between_tags_roundtrip",
-    "paimon_lake_auto_compact_roundtrip",
-    "paimon_lake_bloom_index_roundtrip",
-    "dedup_minhash_incremental_lake",
-    "ann_ivf_incremental_ingest",
-    "text_bigram_surprisal",
-    "paimon_lake_bucket_local_merge_roundtrip",
-    "paimon_dynamic_bucket_roundtrip",
-    "paimon_cross_partition_roundtrip",
-    "paimon_lake_manifest_skip_roundtrip",
-    "pipeline_incremental_ingest",
-    "mm_audio_spectral",
-    # --- r8 head below: all earned green rows in CORRECTNESS_r08 ---
-    "paimon_scan_pushdown_roundtrip",
-    "paimon_tag_read_roundtrip",
-    "paimon_bloom_index_roundtrip",
-    "paimon_incremental_read_roundtrip",
-    "paimon_agg_merge_roundtrip",
-    "paimon_delete_rows_roundtrip",
-    "paimon_audit_log_roundtrip",
-    "paimon_rescale_roundtrip",
-    "paimon_update_rows_roundtrip",
-    "paimon_first_row_roundtrip",
-    "paimon_partial_update_roundtrip",
-    "paimon_sequence_group_roundtrip",
-    "paimon_stream_sink_roundtrip",
-    "paimon_merge_into_roundtrip",
-    "paimon_compact_roundtrip",
-    "paimon_sort_compact_roundtrip",
-    "paimon_rollback_roundtrip",
-    "paimon_branch_roundtrip",
-    "paimon_system_tables_roundtrip",
-    "paimon_stream_source_roundtrip",
-    "text_tfidf_top_terms",
-    "text_top_ngrams",
-    "emb_label_centroids",
-    "grouping_sets_agg",
-    "events_funnel_conversion",
-    "sql_entry_point",
-    "agg_mode_per_user",
-    "emb_vector_quality",
-    "dedup_url_normalized",
-    "events_topk_per_window",
-    "agg_distinct_skew_free",
-    "text_line_filter",
-    "events_moving_window_agg",
-    "events_anomaly_zscore",
-    "sample_token_budget_mix",
-    "sample_temperature_mix",
-    "dedup_fuzzy_survivors",
-    "dedup_fuzzy_survivors_priority",
-    "events_gap_fill",
-    "events_window_deltas",
-    "dedup_cluster_size_hist",
-    "sample_topn_per_group",
-    "emb_outlier_prototypicality",
-    "events_asof_join_forward",
-    "emb_dim_variance",
-    "text_lang_id_confusion",
-    "text_quality_model_score",
-    "agg_copurchase_pairs",
-    "dedup_containment",
+    # r12 additions (verified green via tools/hash_sweep.py before
+    # promotion)
+    "paimon_watermark_tag_roundtrip",
+    "paimon_lake_format_agg_roundtrip",
+    # r12 STALE-TAIL ROTATION (VERDICT r11 task 2): the driver samples
+    # head-50 of queries(), so this head leads with the queries whose
+    # LATEST driver row is oldest (r2-r5, then r6) to re-green them;
+    # all were re-verified in the builder's full strict sweeps every
+    # round since, but the driver's own signal for them is stale.
+    "window_running_sum",
+    "cube_agg",
+    "pivot_agg",
+    "setop_intersect",
+    "agg_conditional",
+    "sketch_histogram",
+    "sample_stratified",
+    "scalar_date_funcs",
+    "q8_market_share",
+    "q11_important_stock",
+    "q12_shipping_lag",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q16_supplier_cnt",
+    "q17_small_quantity_revenue",
+    "q20_excess_suppliers",
+    "q21_waiting_suppliers",
+    "q22_global_sales",
+    "pipeline_quality_dedup_tokens",
+    "dedup_paragraph_exact",
+    "paimon_changelog_diff_roundtrip",
+    "paimon_datasource_filter_roundtrip",
+    "q2_min_cost_supplier",
+    "q4_order_priority",
+    "q7_volume_shipping",
+    "q9_product_profit",
+    "q15_top_supplier",
+    "q19_discounted_revenue",
+    "join_semi_exists",
+    "join_anti_not_exists",
+    "rollup_agg",
+    "setop_except",
+    "agg_count_distinct",
+    "sketch_quantile_summary",
+    "sample_split_assign",
+    "scalar_string_funcs",
+    "mor_latest_by_key",
+    "events_tumbling_window",
+    "events_sessionize",
+    "events_asof_join",
+    "events_interval_join_binned",
+    "profile_table_columns",
+    "paimon_orc_roundtrip",
+    "paimon_partition_overwrite_roundtrip",
+    "paimon_time_travel_roundtrip",
+    # r6 stragglers (fill to 50)
+    "paimon_lake_dv_roundtrip",
+    "paimon_lake_pk_roundtrip",
+    "paimon_import_roundtrip",
+    "paimon_inplace_read_roundtrip",
 ]
 
 
