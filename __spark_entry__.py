@@ -4633,6 +4633,127 @@ ORDER BY o_orderpriority
 """
 
 
+def paimon_lake_format_dynamic_write_roundtrip(spark, sf_dir):
+    """r12: ``df.write.format('paimon_lake')`` onto a DYNAMIC-BUCKET
+    (``'bucket' = '-1'``) PK lake — the mode the reference refuses
+    entirely (py4j/util/java_utils.py:56-61) and the front door
+    previously bounced to the builder. The builder seeds a capacity-
+    planned HASH index; front-door tasks then route EXISTING keys
+    against a plan-time index snapshot and assign NEW keys
+    deterministically, with the commit unioning new hashcodes into the
+    buckets' index files. The merged read (latest wins) must equal the
+    SQL replay of seed-then-upsert."""
+    from paimon_python_spark.lake_datasource import register_lake
+    from paimon_python_spark.paimon_lake import (
+        create_lake_table,
+        write_lake_pk_append,
+    )
+    from paimon_python_spark.session import set_spark
+
+    set_spark(spark)
+    register_lake(spark)
+    fixture = _fresh_warehouse("lakefmtdyn") + "/cust_dyn_fmt"
+    create_lake_table(
+        fixture,
+        [("c_custkey", "BIGINT NOT NULL"), ("bal", "DOUBLE")],
+        primary_keys=["c_custkey"],
+        options={"bucket": "-1", "dynamic-bucket.initial-buckets": "4"},
+    )
+    src = _t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    # builder seeds keys %4 ∈ {0,1} → real capacity-planned index
+    write_lake_pk_append(
+        fixture,
+        src.filter(F.col("c_custkey") % 4 <= 1).select(
+            "c_custkey", F.col("c_acctbal").alias("bal")
+        ),
+    )
+    # front door upserts %4 ∈ {1,2}: updates existing keys (%4=1, must
+    # land in their INDEXED bucket) + inserts new keys (%4=2)
+    src.filter((F.col("c_custkey") % 4).isin(1, 2)).select(
+        "c_custkey", (F.col("c_acctbal") + 1000.0).alias("bal")
+    ).write.format("paimon_lake").option("path", fixture).mode(
+        "append"
+    ).save()
+    df = spark.read.format("paimon_lake").option("path", fixture).load()
+    return df.select(
+        "c_custkey", F.round("bal", 2).alias("bal")
+    ).orderBy("c_custkey")
+
+
+PAIMON_LAKE_FORMAT_DYNAMIC_WRITE_SQL = """
+SELECT c_custkey,
+       round(CASE WHEN c_custkey % 4 IN (1, 2) THEN c_acctbal + 1000.0
+                  ELSE c_acctbal END, 2) AS bal
+FROM customer
+WHERE c_custkey % 4 IN (0, 1, 2)
+ORDER BY c_custkey
+"""
+
+
+def paimon_lake_format_avro_write_roundtrip(spark, sf_dir):
+    """r12: front-door writes onto an AVRO lake — the engine codec runs
+    in the writer's own task (no spark-avro in this stack), value stats
+    compute in-task over the batch, and both a plain APPEND lake and a
+    fixed-bucket PK lake (upsert semantics) serve identical rows back
+    through the builder and the format() reader."""
+    from paimon_python_spark.lake_datasource import register_lake
+    from paimon_python_spark.paimon_lake import (
+        PaimonLakeTable,
+        create_lake_table,
+    )
+    from paimon_python_spark.session import set_spark
+
+    set_spark(spark)
+    register_lake(spark)
+    base = _fresh_warehouse("lakefmtavro")
+    src = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+
+    ap = base + "/nation_avro_ap"
+    create_lake_table(
+        ap,
+        [("n_nationkey", "BIGINT NOT NULL"), ("n_name", "STRING")],
+        options={"file.format": "avro"},
+    )
+    src.write.format("paimon_lake").option("path", ap).mode("append").save()
+
+    pk = base + "/nation_avro_pk"
+    create_lake_table(
+        pk,
+        [("n_nationkey", "BIGINT NOT NULL"), ("n_name", "STRING")],
+        primary_keys=["n_nationkey"],
+        options={"file.format": "avro", "bucket": "2"},
+    )
+    src.write.format("paimon_lake").option("path", pk).mode("append").save()
+    # upsert half the keys with a suffixed name through the front door
+    src.filter(F.col("n_nationkey") % 2 == 0).select(
+        "n_nationkey", F.concat(F.col("n_name"), F.lit("_V2")).alias("n_name")
+    ).write.format("paimon_lake").option("path", pk).mode("append").save()
+
+    ap_df = spark.read.format("paimon_lake").option("path", ap).load()
+    pk_df = PaimonLakeTable(pk).new_read_builder().new_read().to_df()
+
+    def shape(df, kind):
+        return df.select(
+            F.lit(kind).alias("kind"), "n_nationkey", "n_name"
+        )
+
+    return (
+        shape(ap_df, "append")
+        .unionAll(shape(pk_df, "pk"))
+        .orderBy("kind", "n_nationkey")
+    )
+
+
+PAIMON_LAKE_FORMAT_AVRO_WRITE_SQL = """
+SELECT 'append' AS kind, n_nationkey, n_name FROM nation
+UNION ALL
+SELECT 'pk' AS kind, n_nationkey,
+       CASE WHEN n_nationkey % 2 = 0 THEN n_name || '_V2' ELSE n_name END
+FROM nation
+ORDER BY kind, n_nationkey
+"""
+
+
 def paimon_lake_format_pk_write_roundtrip(spark, sf_dir):
     """``df.write.format('paimon_lake')`` onto a PRIMARY-KEY lake plus
     ``mode('overwrite')`` — the front door now covers the write modes
@@ -12615,6 +12736,8 @@ _QUERIES: dict[str, Callable] = {
     "paimon_auto_tag_roundtrip": paimon_auto_tag_roundtrip,
     "paimon_watermark_tag_roundtrip": paimon_watermark_tag_roundtrip,
     "paimon_lake_format_agg_roundtrip": paimon_lake_format_agg_roundtrip,
+    "paimon_lake_format_dynamic_write_roundtrip": paimon_lake_format_dynamic_write_roundtrip,
+    "paimon_lake_format_avro_write_roundtrip": paimon_lake_format_avro_write_roundtrip,
     "pack_sequences": pack_sequences,
     "mm_binary_meta": mm_binary_meta,
     "join_salted_skew": join_salted_skew,
@@ -12885,6 +13008,8 @@ _ORACLES: dict[str, str] = {
     "paimon_auto_tag_roundtrip": PAIMON_AUTO_TAG_SQL,
     "paimon_watermark_tag_roundtrip": PAIMON_WATERMARK_TAG_SQL,
     "paimon_lake_format_agg_roundtrip": PAIMON_LAKE_FORMAT_AGG_SQL,
+    "paimon_lake_format_dynamic_write_roundtrip": PAIMON_LAKE_FORMAT_DYNAMIC_WRITE_SQL,
+    "paimon_lake_format_avro_write_roundtrip": PAIMON_LAKE_FORMAT_AVRO_WRITE_SQL,
     "pack_sequences": PACK_SEQUENCES_SQL,
     "sample_corpus_mix": SAMPLE_MIX_SQL,
     "events_anomaly_zscore": EVENTS_ANOMALY_SQL,
@@ -13004,6 +13129,8 @@ _GATE_HEAD = [
     # promotion)
     "paimon_watermark_tag_roundtrip",
     "paimon_lake_format_agg_roundtrip",
+    "paimon_lake_format_dynamic_write_roundtrip",
+    "paimon_lake_format_avro_write_roundtrip",
     # r12 STALE-TAIL ROTATION (VERDICT r11 task 2): the driver samples
     # head-50 of queries(), so this head leads with the queries whose
     # LATEST driver row is oldest (r2-r5, then r6) to re-green them;

@@ -234,6 +234,26 @@ def main():
 
     from paimon_python_spark.operators._cache import release_cached
 
+    # PER-QUERY warm pass at the smallest SF (r11 VERDICT: the tiny PK
+    # warm-up above misses the DV/commit/bitmap/analyze codegen paths —
+    # the FIRST heavy paimon_* query in a process paid ~10s of JIT that
+    # BENCH rounds then mis-read as regression). One untimed execution
+    # of every headline query at sf0.001 JITs each family's full
+    # pipeline for ~KB-scale data cost; timed runs below then compare
+    # engine, not JIT.
+    warm_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
+    if os.path.isdir(warm_dir):
+        for name in HEADLINE:
+            fn = qs.get(name)
+            if fn is None:
+                continue
+            try:
+                fn(spark, warm_dir).write.mode("overwrite").format("noop").save()
+            except Exception:  # noqa: BLE001 — warm-up must never break bench
+                pass
+            finally:
+                release_cached()
+
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in HEADLINE:

@@ -885,9 +885,12 @@ def _read_one(path: str, fmt: str, cols):
 
 
 class _LakeWrittenFiles(WriterCommitMessage):
-    def __init__(self, files):
+    def __init__(self, files, new_hashes=None):
         #: [(relative path, {partition key: logical value}, row count)]
         self.files = files
+        #: dynamic-bucket only: {(part_json, bucket): [new key hashcodes]}
+        #: — the commit unions them into the buckets' HASH index files
+        self.new_hashes = new_hashes
 
 
 class PaimonLakeBatchWriter(DataSourceWriter):
@@ -913,11 +916,20 @@ class PaimonLakeBatchWriter(DataSourceWriter):
     overwrite_lake); ``abort`` removes the orphan files — readers only
     ever see committed snapshots either way.
 
-    Refusals (with pointers, not half-support): dynamic-bucket /
-    cross-partition PK lakes (routing lives in the lake's HASH index —
-    write_lake_pk_append / overwrite_lake) and changelog-producing PK
-    appends (changelog derivation is a driver-side DataFrame concern —
-    write_lake_pk_append).
+    DYNAMIC-BUCKET lakes (``'bucket' = '-1'``) write through this door
+    too (r12): existing keys route against a size-capped plan-time copy
+    of the spec HASH index, new keys assign deterministically by
+    ``|hash| % dynamic-bucket.initial-buckets`` (unshuffled tasks agree
+    without coordination), and the commit unions the new hashcodes into
+    the touched buckets' index files (overwrite rebuilds the index from
+    the new data). avro/orc lakes write through the engine codecs with
+    in-task value stats.
+
+    Refusals (with pointers, not half-support): cross-partition PK
+    lakes (the retraction protocol is a driver-side DataFrame concern —
+    write_lake_pk_append / overwrite_lake), changelog-producing PK
+    appends (same pointer), and dynamic lakes whose HASH index exceeds
+    the serialized-copy cap.
 
     Scale note: each task writes one file per (partition, bucket) it
     SEES — a wide unpartitioned input can emit tasks×groups small
@@ -935,22 +947,38 @@ class PaimonLakeBatchWriter(DataSourceWriter):
         info = self.info
         self.is_pk = bool(info.primary_keys)
         fmt = info.options.get("file.format", "parquet")
-        if fmt != "parquet":
+        if fmt not in ("parquet", "orc", "avro"):
             raise RuntimeError(
-                f"paimon_lake writer: file.format={fmt!r} — use "
-                "write_lake_append()/write_lake_pk_append(), which route "
-                "avro/orc through the engine codecs"
+                f"paimon_lake writer: file.format={fmt!r} is not a "
+                "spec data-file format (parquet/orc/avro)"
             )
+        self.fmt = fmt
         self.num_buckets = 1
         self.bucket_cols = None
+        self.dynamic = False
         if self.is_pk:
             self.num_buckets = int(info.options.get("bucket", "-1"))
             if self.num_buckets < 1:
-                raise ValueError(
-                    "paimon_lake writer: dynamic-bucket / cross-partition "
-                    "PK lakes route through the lake's HASH index — use "
-                    "write_lake_pk_append() / overwrite_lake()"
-                )
+                # DYNAMIC BUCKET ('bucket' = '-1'): tasks route existing
+                # keys against a plan-time copy of the spec HASH index
+                # (size-capped — beyond it the distributed-join routing
+                # of write_lake_pk_append is the right tool); NEW keys
+                # assign deterministically by |hash| % initial-buckets,
+                # so unshuffled tasks seeing the same key agree without
+                # coordination; commit unions the new hashcodes into the
+                # touched buckets' index files. CROSS-PARTITION updates
+                # (PK ⊉ partition keys) still refuse: their retraction
+                # protocol is a driver-side DataFrame concern.
+                if bool(info.partition_keys) and not (
+                    set(info.partition_keys) <= set(info.primary_keys)
+                ):
+                    raise ValueError(
+                        "paimon_lake writer: CROSS-PARTITION update lakes "
+                        "need the retraction-emitting router — use "
+                        "write_lake_pk_append() / overwrite_lake()"
+                    )
+                self.dynamic = True
+                self._load_dyn_index()
             producer = info.options.get("changelog-producer", "none")
             if producer != "none" and not overwrite:
                 raise ValueError(
@@ -990,6 +1018,82 @@ class PaimonLakeBatchWriter(DataSourceWriter):
                     }
                     for e in before
                 ]
+
+    def _load_dyn_index(self) -> None:
+        """Driver-side snapshot of the lake's HASH index for executor
+        routing: per partition, hash-sorted (hashcodes, buckets) arrays
+        packed as bytes (compact to serialize into tasks), plus the old
+        index file name per (partition, bucket) for the commit-time
+        union. Size-capped: a serialized copy rides to every task, so
+        beyond the limit the front door refuses toward the builder's
+        distributed-join routing."""
+        import numpy as np
+
+        from paimon_python_spark.dynamic_bucket import (
+            _part_json_of,
+            read_hash_index_file,
+        )
+        from paimon_python_spark.paimon_import import (
+            decode_binary_row,
+            plan_paimon_hash_index,
+        )
+
+        info = self.info
+        part_keys = list(info.partition_keys)
+        part_types = [info.spark_schema[k].dataType for k in part_keys]
+        entries = plan_paimon_hash_index(self.table_path)
+        limit = int(
+            info.options.get(
+                "dynamic-bucket.frontdoor-index-limit-bytes", str(32 << 20)
+            )
+        )
+        total = sum(int(e.get("_FILE_SIZE") or 0) for e in entries)
+        if total > limit:
+            raise RuntimeError(
+                f"paimon_lake writer: dynamic-bucket HASH index is "
+                f"{total} bytes (limit {limit}) — front-door tasks route "
+                f"against a serialized copy; use write_lake_pk_append() "
+                f"(distributed-join routing) or raise "
+                f"'dynamic-bucket.frontdoor-index-limit-bytes'"
+            )
+        per: dict = {}
+        self._dyn_old_files: dict = {}
+        for e in entries:
+            pvals_list = (
+                decode_binary_row(bytes(e["_PARTITION"]), part_types)
+                if part_keys
+                else []
+            )
+            pj = _part_json_of(dict(zip(part_keys, pvals_list)), part_keys)
+            b = int(e["_BUCKET"])
+            h = read_hash_index_file(
+                os.path.join(self.table_path, "index", e["_FILE_NAME"])
+            )
+            per.setdefault(pj, []).append((h, b))
+            self._dyn_old_files[(pj, b)] = e["_FILE_NAME"]
+        packed: dict = {}
+        for pj, pairs in per.items():
+            hs = np.concatenate([p[0] for p in pairs])
+            bs = np.concatenate(
+                [np.full(len(p[0]), p[1], dtype=np.int32) for p in pairs]
+            )
+            order = np.argsort(hs, kind="stable")
+            hs, bs = hs[order], bs[order]
+            keep = np.ones(len(hs), dtype=bool)
+            keep[1:] = hs[1:] != hs[:-1]
+            hs, bs = hs[keep], bs[keep]
+            packed[pj] = (hs.tobytes(), bs.tobytes())
+        self._dyn_index = packed
+        # deterministic modulus for NEW keys: any consistent choice is
+        # valid (the index records it); initial-buckets/assigner-
+        # parallelism sizes the spread, the builder's capacity planner
+        # grows buckets on its own writes
+        init = (
+            info.options.get("dynamic-bucket.initial-buckets")
+            or info.options.get("dynamic-bucket.assigner-parallelism")
+            or "1"
+        )
+        self._dyn_mod = max(1, int(init))
 
     def _write_pk(self, iterator) -> _LakeWrittenFiles:
         """Executor-side PK task write: route rows to (partition,
@@ -1049,17 +1153,17 @@ class PaimonLakeBatchWriter(DataSourceWriter):
         pdf = pd.DataFrame(rows, columns=names)
         bcols = list(self.bucket_cols or trimmed)
         key_types = [info.spark_schema[c].dataType for c in bcols]
-        bfn = _make_lake_bucket_fn(key_types, self.num_buckets)
         # typed key series (object-dtype columns from row tuples would
         # push the router onto its per-row scalar fallback)
-        buckets = bfn(
-            *[
-                pa.array(
-                    pdf[c], type=spark_type_to_pa(info.spark_schema[c].dataType)
-                ).to_pandas()
-                for c in bcols
-            ]
-        ).tolist()
+        typed_keys = [
+            pa.array(
+                pdf[c], type=spark_type_to_pa(info.spark_schema[c].dataType)
+            ).to_pandas()
+            for c in bcols
+        ]
+        if not self.dynamic:
+            bfn = _make_lake_bucket_fn(key_types, self.num_buckets)
+            buckets = bfn(*typed_keys).tolist()
 
         epoch = datetime.date(1970, 1, 1)
 
@@ -1076,6 +1180,71 @@ class PaimonLakeBatchWriter(DataSourceWriter):
             return v
 
         part_cols = [pdf[k].tolist() for k in part_keys]
+        new_by_group: dict = {}
+        if self.dynamic:
+            # route against the plan-time HASH index snapshot: existing
+            # hashcodes keep their bucket (binary search per partition);
+            # new ones assign |hash| % initial-buckets — deterministic,
+            # so unshuffled tasks seeing the same key always agree
+            import json as _json
+
+            import numpy as np
+
+            from paimon_python_spark.dynamic_bucket import (
+                _make_key_hash_fn,
+            )
+
+            hashes = (
+                _make_key_hash_fn(key_types)(*typed_keys)
+                .to_numpy()
+                .astype(np.int32)
+            )
+            pjs = np.array(
+                [
+                    _json.dumps(
+                        {
+                            k: logical(c[i], t)
+                            for k, c, t in zip(part_keys, part_cols, part_types)
+                        }
+                    )
+                    for i in range(len(pdf))
+                ],
+                dtype=object,
+            )
+            buckets = np.empty(len(pdf), dtype=np.int64)
+            for pj in set(pjs.tolist()):
+                mask = pjs == pj
+                hs = hashes[mask]
+                hb, bb = self._dyn_index.get(pj, (b"", b""))
+                sorted_h = np.frombuffer(hb, dtype=np.int32)
+                bucket_of = np.frombuffer(bb, dtype=np.int32)
+                if len(sorted_h):
+                    pos = np.searchsorted(sorted_h, hs).clip(
+                        0, len(sorted_h) - 1
+                    )
+                    found = sorted_h[pos] == hs
+                    assigned = np.where(
+                        found,
+                        bucket_of[pos],
+                        np.abs(hs.astype(np.int64)) % self._dyn_mod,
+                    )
+                else:
+                    found = np.zeros(len(hs), dtype=bool)
+                    assigned = np.abs(hs.astype(np.int64)) % self._dyn_mod
+                buckets[mask] = assigned
+                # append: record NEW hashcodes for the commit's index
+                # union; overwrite: record EVERY hashcode — the commit
+                # rebuilds the index from scratch (old keys are gone)
+                rec = (
+                    np.ones(len(hs), dtype=bool) if self.overwrite else ~found
+                )
+                for b in np.unique(assigned[rec]):
+                    grp = new_by_group.setdefault((pj, int(b)), set())
+                    grp.update(
+                        int(x)
+                        for x in np.unique(hs[rec][assigned[rec] == b])
+                    )
+            buckets = buckets.tolist()
         groups: dict = {}
         for i in range(len(pdf)):
             key = (
@@ -1148,9 +1317,9 @@ class PaimonLakeBatchWriter(DataSourceWriter):
                 sub_tbl = table.slice(lo, hi - lo)
                 sub_pdf = sub.iloc[lo:hi]
                 sub_seqs = seqs[lo:hi]
-                name = f"data-{uuid.uuid4()}-{ci}.parquet"
+                name = f"data-{uuid.uuid4()}-{ci}.{self.fmt}"
                 fpath = os.path.join(ddir, name)
-                _write_fixture_data_file(sub_tbl, fpath, "parquet")
+                _write_fixture_data_file(sub_tbl, fpath, self.fmt)
                 kmin = encode_binary_row(
                     [
                         logical(sub_pdf[k].iloc[0], t)
@@ -1197,7 +1366,14 @@ class PaimonLakeBatchWriter(DataSourceWriter):
                         "extra": extra,
                     }
                 )
-        return _LakeWrittenFiles(written)
+        return _LakeWrittenFiles(
+            written,
+            new_hashes=(
+                {k: sorted(v) for k, v in new_by_group.items()}
+                if new_by_group
+                else None
+            ),
+        )
 
     def write(self, iterator) -> _LakeWrittenFiles:
         if self.is_pk:
@@ -1249,13 +1425,24 @@ class PaimonLakeBatchWriter(DataSourceWriter):
             ]
             ddir = os.path.join(self.table_path, *rel_parts, "bucket-0")
             os.makedirs(ddir, exist_ok=True)
-            name = f"data-{uuid.uuid4()}-0.parquet"
+            name = f"data-{uuid.uuid4()}-0.{self.fmt}"
             cols = list(zip(*rows)) if rows else [[] for _ in value_fields]
             table = pa.Table.from_arrays(
                 [pa.array(c, type=f.type) for c, f in zip(cols, pa_schema)],
                 schema=pa_schema,
             )
-            pq.write_table(table, os.path.join(ddir, name))
+            from paimon_python_spark.paimon_import import (
+                _value_stats_for,
+                _write_fixture_data_file,
+            )
+
+            _write_fixture_data_file(table, os.path.join(ddir, name), self.fmt)
+            # avro/orc carry no usable footer-at-commit path: compute
+            # value stats in-task over the batch (parquet keeps its
+            # zero-extra-IO footer fold at commit time)
+            stats = (
+                _value_stats_for(table, info) if self.fmt != "parquet" else None
+            )
             emb, extra = None, None
             if rows:
                 # honor the table's declared file indexes (bloom/bitmap
@@ -1284,6 +1471,7 @@ class PaimonLakeBatchWriter(DataSourceWriter):
                     len(rows),
                     emb,
                     extra,
+                    stats,
                 )
             )
         return _LakeWrittenFiles(written)
@@ -1305,9 +1493,13 @@ class PaimonLakeBatchWriter(DataSourceWriter):
         part_types = [info.spark_schema[k].dataType for k in part_keys]
         entries = []
         n_rows = 0
+        dyn_new: dict = {}
         for m in messages:
             if m is None:
                 continue
+            if getattr(m, "new_hashes", None):
+                for k, hs in m.new_hashes.items():
+                    dyn_new.setdefault(tuple(k), set()).update(hs)
             for f in m.files:
                 if self.is_pk:
                     if f["rows"] == 0:
@@ -1341,11 +1533,13 @@ class PaimonLakeBatchWriter(DataSourceWriter):
                     )
                     n_rows += int(f["rows"])
                     continue
-                rel, pvals, rows, emb, extra = f
+                rel, pvals, rows, emb, extra, stats = f
                 if rows == 0:
                     continue
                 dest = os.path.join(self.table_path, rel)
-                md = pq.ParquetFile(dest).metadata
+                if stats is None and rel.endswith(".parquet"):
+                    md = pq.ParquetFile(dest).metadata
+                    stats = _parquet_footer_value_stats(md, info)
                 entries.append(
                     {
                         "_VERSION": 2,
@@ -1360,7 +1554,7 @@ class PaimonLakeBatchWriter(DataSourceWriter):
                             os.path.getsize(dest),
                             rows,
                             schema_id=info.id,
-                            value_stats=_parquet_footer_value_stats(md, info),
+                            value_stats=stats,
                             embedded_index=emb,
                             extra_files=[extra] if extra else None,
                         ),
@@ -1392,20 +1586,122 @@ class PaimonLakeBatchWriter(DataSourceWriter):
                 }
                 for e in self.before
             ]
+            overwrite_index = None
+            if self.dynamic and dyn_new:
+                # dynamic overwrite REBUILDS the HASH index from the new
+                # data alone — dropping it would let a later write
+                # re-assign an existing key to a different bucket
+                # (key split across buckets = wrong merge); carrying the
+                # old entries would resurrect deleted keys' assignments
+                import json as _json
+                import uuid as _uuid
+
+                import numpy as np
+
+                from paimon_python_spark.dynamic_bucket import (
+                    pending_to_entries,
+                    write_hash_index_file,
+                    write_index_manifest,
+                )
+
+                os.makedirs(
+                    os.path.join(self.table_path, "index"), exist_ok=True
+                )
+                pending = []
+                for (pj, bucket), hs in sorted(dyn_new.items()):
+                    merged = np.array(sorted(hs), dtype=np.int32)
+                    idx_file = f"index-{_uuid.uuid4().hex}-0"
+                    size = write_hash_index_file(
+                        os.path.join(self.table_path, "index", idx_file),
+                        merged,
+                    )
+                    pvals = _json.loads(pj)
+                    pending.append(
+                        {
+                            "part_json": pj,
+                            "part_values": [pvals[k] for k in part_keys],
+                            "bucket": int(bucket),
+                            "file": idx_file,
+                            "size": size,
+                            "rows": len(merged),
+                        }
+                    )
+                fresh, _replaced = pending_to_entries(info, pending)
+                overwrite_index = write_index_manifest(
+                    self.table_path, fresh
+                )
             _commit_lake_snapshot(
                 self.table_path,
                 info,
                 delete_entries + entries,
                 n_rows,
                 commit_kind="OVERWRITE",
-                index_manifest=None,
+                index_manifest=overwrite_index,
                 total_record_count=n_rows,
             )
             return
         if not entries:
             return  # empty append is a successful no-op, like every
             # standard Spark sink (parquet/JDBC) — no snapshot commits
-        _commit_lake_snapshot(self.table_path, info, entries, n_rows)
+        from paimon_python_spark.paimon_lake import _INHERIT_INDEX
+
+        index_manifest = _INHERIT_INDEX
+        if self.dynamic and dyn_new:
+            # union each touched bucket's NEW key hashcodes into a fresh
+            # index file; the merged index manifest carries every other
+            # entry (DVs included) forward verbatim
+            import json as _json
+            import uuid as _uuid
+
+            import numpy as np
+
+            from paimon_python_spark.dynamic_bucket import (
+                read_hash_index_file,
+                write_hash_index_file,
+                write_merged_index_manifest,
+            )
+
+            os.makedirs(
+                os.path.join(self.table_path, "index"), exist_ok=True
+            )
+            pending = []
+            for (pj, bucket), hs in sorted(dyn_new.items()):
+                new = np.array(sorted(hs), dtype=np.int32)
+                old_name = self._dyn_old_files.get((pj, bucket))
+                if old_name is not None:
+                    old = read_hash_index_file(
+                        os.path.join(self.table_path, "index", old_name)
+                    )
+                    merged = np.concatenate([old, np.setdiff1d(new, old)])
+                else:
+                    merged = new
+                idx_file = f"index-{_uuid.uuid4().hex}-0"
+                size = write_hash_index_file(
+                    os.path.join(self.table_path, "index", idx_file), merged
+                )
+                pvals = _json.loads(pj)
+                pending.append(
+                    {
+                        "part_json": pj,
+                        "part_values": [pvals[k] for k in part_keys],
+                        "bucket": int(bucket),
+                        "file": idx_file,
+                        "size": size,
+                        "rows": len(merged),
+                    }
+                )
+            name = write_merged_index_manifest(
+                self.table_path, info, pending
+            )
+            if name is not None:
+                index_manifest = name
+        _commit_lake_snapshot(
+            self.table_path,
+            info,
+            entries,
+            n_rows,
+            index_manifest=index_manifest,
+        )
 
     def abort(self, messages) -> None:
         for m in messages:

@@ -2087,3 +2087,183 @@ def test_datasource_aggregation_matrix_vs_builder(catalog, spark, tmp_path):
     _pd.testing.assert_frame_equal(lf, lb, check_dtype=False)
     lr1 = lb[lb.k == 1].iloc[0]
     assert lr1["s"] == 5 and lr1["n"] == 1 and lr1["co"] == [1, 2]
+
+
+def test_lake_format_write_dynamic_bucket(spark, tmp_path):
+    """r12: df.write.format('paimon_lake') onto a dynamic-bucket
+    ('bucket' = '-1') PK lake — existing keys keep their HASH-index
+    bucket, new keys assign deterministically and land in the index, so
+    interleaved builder/front-door commits merge newest-wins and point
+    reads stay bucket-pruned."""
+    import json
+    import os
+
+    from paimon_python_spark.lake_datasource import register_lake
+    from paimon_python_spark.paimon_lake import (
+        PaimonLakeTable,
+        create_lake_table,
+        write_lake_pk_append,
+    )
+    from paimon_python_spark.paimon_import import plan_paimon_hash_index
+
+    register_lake(spark)
+    d = str(tmp_path / "dyn_front")
+    create_lake_table(
+        d,
+        [("k", "BIGINT NOT NULL"), ("v", "STRING")],
+        primary_keys=["k"],
+        options={"bucket": "-1", "dynamic-bucket.initial-buckets": "3"},
+    )
+    # seed through the BUILDER so a real capacity-planned index exists
+    write_lake_pk_append(
+        d, spark.createDataFrame([(i, f"seed{i}") for i in range(50)], "k bigint, v string")
+    )
+    idx_before = {
+        (bytes(e["_PARTITION"] or b""), int(e["_BUCKET"])): e["_ROW_COUNT"]
+        for e in plan_paimon_hash_index(d)
+    }
+    assert idx_before
+
+    # front door: update 20 existing keys + insert 30 new ones
+    upd = spark.createDataFrame(
+        [(i, f"upd{i}") for i in range(20)]
+        + [(i, f"new{i}") for i in range(100, 130)],
+        "k bigint, v string",
+    )
+    upd.write.format("paimon_lake").option("path", d).mode("append").save()
+
+    out = {
+        r.k: r.v
+        for r in PaimonLakeTable(d).new_read_builder().new_read().to_df().collect()
+    }
+    assert len(out) == 80
+    assert out[0] == "upd0" and out[19] == "upd19"
+    assert out[25] == "seed25" and out[100] == "new100"
+
+    # the index grew by exactly the new keys (existing hashes not re-added)
+    idx_after = plan_paimon_hash_index(d)
+    assert sum(e["_ROW_COUNT"] for e in idx_after) == sum(
+        idx_before.values()
+    ) + 30
+
+    # builder write AFTER the front-door one still merges consistently
+    write_lake_pk_append(
+        d, spark.createDataFrame([(100, "builder100")], "k bigint, v string")
+    )
+    out2 = {
+        r.k: r.v
+        for r in PaimonLakeTable(d).new_read_builder().new_read().to_df().collect()
+    }
+    assert out2[100] == "builder100" and len(out2) == 80
+
+    # front-door read agrees with the builder read
+    fd = {
+        r.k: r.v
+        for r in spark.read.format("paimon_lake").option("path", d).load().collect()
+    }
+    assert fd == out2
+
+    # cross-partition lakes still refuse with the pointer
+    d2 = str(tmp_path / "xp_front")
+    create_lake_table(
+        d2,
+        [("k", "BIGINT NOT NULL"), ("p", "INT NOT NULL"), ("v", "STRING")],
+        partition_keys=["p"],
+        primary_keys=["k"],
+        options={"bucket": "-1"},
+    )
+    with pytest.raises(Exception, match="CROSS-PARTITION"):
+        spark.createDataFrame([(1, 1, "a")], "k bigint, p int, v string").write.format(
+            "paimon_lake"
+        ).option("path", d2).mode("append").save()
+
+
+def test_lake_format_write_dynamic_overwrite_rebuilds_index(spark, tmp_path):
+    """Dynamic-bucket INSERT OVERWRITE through the front door rebuilds
+    the HASH index from the new data alone — a later write must not
+    re-assign a surviving key to a different bucket."""
+    from paimon_python_spark.lake_datasource import register_lake
+    from paimon_python_spark.paimon_lake import (
+        PaimonLakeTable,
+        create_lake_table,
+        write_lake_pk_append,
+    )
+    from paimon_python_spark.paimon_import import plan_paimon_hash_index
+
+    register_lake(spark)
+    d = str(tmp_path / "dyn_ow")
+    create_lake_table(
+        d,
+        [("k", "BIGINT NOT NULL"), ("v", "STRING")],
+        primary_keys=["k"],
+        options={"bucket": "-1", "dynamic-bucket.initial-buckets": "2"},
+    )
+    write_lake_pk_append(
+        d, spark.createDataFrame([(i, f"old{i}") for i in range(10)], "k bigint, v string")
+    )
+    ow = spark.createDataFrame(
+        [(i, f"ow{i}") for i in range(5, 15)], "k bigint, v string"
+    )
+    ow.write.format("paimon_lake").option("path", d).mode("overwrite").save()
+    assert sum(e["_ROW_COUNT"] for e in plan_paimon_hash_index(d)) == 10
+    # post-overwrite writes route consistently (same key, same bucket)
+    write_lake_pk_append(
+        d, spark.createDataFrame([(7, "after7")], "k bigint, v string")
+    )
+    out = {
+        r.k: r.v
+        for r in PaimonLakeTable(d).new_read_builder().new_read().to_df().collect()
+    }
+    assert len(out) == 10 and out[7] == "after7" and out[14] == "ow14"
+
+
+def test_lake_format_write_avro_and_orc(spark, tmp_path):
+    """r12: avro/orc lakes write through the front door via the engine
+    codecs (APPEND and fixed-bucket PK), with in-task value stats."""
+    from paimon_python_spark.lake_datasource import register_lake
+    from paimon_python_spark.paimon_lake import PaimonLakeTable, create_lake_table
+    from paimon_python_spark.paimon_import import plan_paimon_files
+
+    register_lake(spark)
+    for fmt in ("avro", "orc"):
+        d = str(tmp_path / f"fd_{fmt}")
+        create_lake_table(
+            d,
+            [("k", "BIGINT NOT NULL"), ("v", "STRING")],
+            options={"file.format": fmt},
+        )
+        df = spark.createDataFrame(
+            [(i, f"x{i}") for i in range(10)], "k bigint, v string"
+        )
+        df.write.format("paimon_lake").option("path", d).mode("append").save()
+        ents = plan_paimon_files(d)
+        assert ents and all(e.file_name.endswith(f".{fmt}") for e in ents)
+        out = sorted(
+            (r.k, r.v)
+            for r in PaimonLakeTable(d).new_read_builder().new_read().to_df().collect()
+        )
+        assert out == [(i, f"x{i}") for i in range(10)]
+        # front-door read agrees
+        fd = sorted(
+            (r.k, r.v)
+            for r in spark.read.format("paimon_lake").option("path", d).load().collect()
+        )
+        assert fd == out
+
+        # PK twin
+        dp = str(tmp_path / f"fd_{fmt}_pk")
+        create_lake_table(
+            dp,
+            [("k", "BIGINT NOT NULL"), ("v", "STRING")],
+            primary_keys=["k"],
+            options={"file.format": fmt, "bucket": "2"},
+        )
+        df.write.format("paimon_lake").option("path", dp).mode("append").save()
+        spark.createDataFrame([(3, "UP3")], "k bigint, v string").write.format(
+            "paimon_lake"
+        ).option("path", dp).mode("append").save()
+        pk_out = {
+            r.k: r.v
+            for r in PaimonLakeTable(dp).new_read_builder().new_read().to_df().collect()
+        }
+        assert len(pk_out) == 10 and pk_out[3] == "UP3"
