@@ -565,13 +565,12 @@ class PaimonLakeStreamReader(DataSourceStreamReader):
 
             if not _re.match(_CONSUMER_ID_RE, consumer_id):
                 raise ValueError(f"invalid consumer id {consumer_id!r}")
-        if scan_mode == "latest-full" and self.info.primary_keys:
-            raise RuntimeError(
-                "paimon_lake streaming source: scan.mode=latest-full on a "
-                "PK lake needs a MERGED full-state first batch, which the "
-                "per-file partition plan cannot express; use "
-                "stream_lake_snapshots(scan_mode='latest-full')"
-            )
+        # scan.mode=latest-full on a PK lake (r12): the first batch
+        # plans as MERGED (partition, bucket) GROUP partitions running
+        # the batch reader's in-task merge (DV marks applied, +I row
+        # kinds), then deltas stream as changelog — the same eligibility
+        # gate as the batch DS, so an oversized group refuses toward
+        # stream_lake_snapshots(scan_mode='latest-full').
 
     def _earliest(self) -> int:
         """Earliest snapshot still on disk, or 0 when the lake has no
@@ -608,8 +607,8 @@ class PaimonLakeStreamReader(DataSourceStreamReader):
             # only commits AFTER subscribe stream
             return {"snapshot": latest}
         if self.scan_mode == "latest-full":
-            # first batch = the full current state, then deltas
-            # (append lakes only — the ctor refused PK)
+            # first batch = the full current state, then deltas (PK
+            # lakes bootstrap as merged bucket groups, see partitions)
             if latest:
                 return {"snapshot": latest, "bootstrap": latest}
             return {"snapshot": 0}
@@ -731,7 +730,28 @@ class PaimonLakeStreamReader(DataSourceStreamReader):
         bootstrap = start.get("bootstrap")
         delta_from = start["snapshot"]
         entries: list = []
-        if bootstrap is not None:
+        if bootstrap is not None and info.primary_keys:
+            # merged full-state bootstrap (latest-full on a PK lake):
+            # the BATCH reader's group planner pins the bootstrap
+            # snapshot — (partition, bucket) groups, per-file colmaps,
+            # DV triples, the bucket-local size guard — and the stream
+            # read() delegates each group to its in-task merge, tagging
+            # rows +I
+            br = PaimonLakeBatchReader(
+                self.table_path,
+                claim_filters=False,
+                snapshot_id=int(bootstrap),
+            )
+            for p in br.partitions():
+                spec2 = json.loads(p.spec)
+                if spec2.get("files"):
+                    parts.append(
+                        _LakeGroupPartition(
+                            json.dumps(dict(spec2, bootstrap_full=True))
+                        )
+                    )
+            delta_from = int(bootstrap)
+        elif bootstrap is not None:
             # first batch after expired history: the earliest surviving
             # snapshot's FULL live file set, then deltas after it
             entries.extend(
@@ -817,6 +837,17 @@ class PaimonLakeStreamReader(DataSourceStreamReader):
 
     def read(self, partition: _LakeGroupPartition):
         spec = json.loads(partition.spec)
+        if spec.get("bootstrap_full"):
+            # latest-full PK bootstrap group: the batch reader's
+            # executor-local merge (engine dispatch, DV drops, schema
+            # evolution) produces the merged state; every row is an
+            # insert in changelog terms
+            br = PaimonLakeBatchReader(self.table_path, claim_filters=False)
+            names = [f.name for f in self.info.spark_schema.fields]
+            for b in br.read(partition):
+                for row in b.to_pylist():
+                    yield tuple(row[n] for n in names) + ("+I",)
+            return
         if not spec["path"]:
             return
         info = self.info

@@ -2267,3 +2267,74 @@ def test_lake_format_write_avro_and_orc(spark, tmp_path):
             for r in PaimonLakeTable(dp).new_read_builder().new_read().to_df().collect()
         }
         assert len(pk_out) == 10 and pk_out[3] == "UP3"
+
+
+def test_stream_latest_full_pk_bootstrap(spark, tmp_path):
+    """r12: scan.mode=latest-full on a PK lake through readStream — the
+    first batch is the MERGED full state (bucket-group partitions
+    running the batch reader's in-task merge, DV marks applied, +I
+    kinds), then deltas stream as changelog rows."""
+    from paimon_python_spark.lake_datasource import register_lake
+    from paimon_python_spark.paimon_lake import (
+        create_lake_table,
+        delete_lake_rows,
+        write_lake_pk_append,
+    )
+
+    register_lake(spark)
+    d = str(tmp_path / "lf_pk")
+    create_lake_table(
+        d,
+        [("k", "INT NOT NULL"), ("v", "STRING")],
+        primary_keys=["k"],
+        options={"bucket": "2"},
+    )
+    write_lake_pk_append(
+        d, spark.createDataFrame([(i, f"v{i}") for i in range(6)], "k int, v string")
+    )
+    # upsert k=1 and delete k=5: the merged bootstrap must show the
+    # newest value and drop the deleted key
+    write_lake_pk_append(
+        d, spark.createDataFrame([(1, "v1b")], "k int, v string")
+    )
+    from paimon_python_spark.paimon_lake import PaimonLakeTable
+
+    pb = PaimonLakeTable(d).new_read_builder().new_predicate_builder()
+    delete_lake_rows(d, pb.equal("k", 5))
+
+    q = (
+        spark.readStream.format("paimon_lake")
+        .option("path", d)
+        .option("changelog", "true")
+        .option("scan.mode", "latest-full")
+        .load()
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("lf_pk_boot")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        boot = {
+            (r.k, r.v, r._row_kind)
+            for r in spark.sql("SELECT * FROM lf_pk_boot").collect()
+        }
+        assert boot == {
+            (0, "v0", "+I"),
+            (1, "v1b", "+I"),
+            (2, "v2", "+I"),
+            (3, "v3", "+I"),
+            (4, "v4", "+I"),
+        }
+        # a post-subscribe commit streams as an ordinary delta
+        write_lake_pk_append(
+            d, spark.createDataFrame([(7, "post")], "k int, v string")
+        )
+        q.processAllAvailable()
+        rows = {
+            (r.k, r.v, r._row_kind)
+            for r in spark.sql("SELECT * FROM lf_pk_boot").collect()
+        }
+        assert (7, "post", "+I") in rows and len(rows) == 6
+    finally:
+        q.stop()
