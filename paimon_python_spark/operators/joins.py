@@ -92,6 +92,51 @@ def _table_snapshot_id(dim):
         return None
 
 
+def _stats_refined_estimate(dim, cols, splits, file_bytes):
+    """ANALYZE-informed broadcast sizing (r12): planned file bytes
+    measure COMPRESSED storage of WHOLE files — they overestimate a
+    narrow projection of a wide table (the pruned columns never move)
+    and understate in-memory width (a 64 MB parquet can hash-explode
+    10x). When the table carries a statistic file
+    (``analyze_table``/``analyze_lake``) whose colStats cover every
+    projected column, estimate ``rows x (Σ avgLen + 8)`` instead: the
+    row count is the CURRENT plan's (raw version count upper-bounds the
+    merged state — a stale ANALYZE can never understate it), only the
+    per-column widths come from the statistics. Falls back to file
+    bytes when stats are absent or incomplete — never less safe than
+    before."""
+    table_path = getattr(dim, "table_path", None)
+    if table_path is None:
+        return file_bytes
+    stats = None
+    for reader in ("read_table_statistics", "read_lake_statistics"):
+        try:
+            from paimon_python_spark import lake_statistics
+
+            stats = getattr(lake_statistics, reader)(table_path)
+        except Exception:
+            stats = None
+        if stats is not None:
+            break
+    col_stats = (stats or {}).get("colStats") or {}
+    if not col_stats:
+        return file_bytes
+    if cols is None:
+        schema = getattr(dim, "schema", None)
+        if schema is not None and hasattr(schema, "spark_schema"):
+            cols = [f.name for f in schema.spark_schema.fields]
+        else:
+            cols = list(col_stats)
+    width = 0.0
+    for c in cols:
+        cs = col_stats.get(c)
+        if not cs or cs.get("avgLen") is None:
+            return file_bytes  # incomplete stats: keep the safe basis
+        width += float(cs["avgLen"])
+    rows = sum(s.row_count() for s in splits)
+    return int(rows * (width + 8))
+
+
 def _dim_snapshot_frame(dim, cols):
     """Resolve the dim argument (engine ``Table``, ``PaimonLakeTable``,
     or plain DataFrame) to (projection df, planned bytes or None,
@@ -107,6 +152,7 @@ def _dim_snapshot_frame(dim, cols):
             rb = rb.with_projection(list(cols))
         splits = rb.new_scan().plan().splits()
         est = sum(s.file_size() for s in splits)
+        est = _stats_refined_estimate(dim, cols, splits, est)
         return rb.new_read().to_df(splits), est, sid
     df = dim
     if cols is not None:

@@ -93,3 +93,69 @@ def test_snapshot_cached_lookup_invalidates_on_commit(spark, catalog):
     second = {r["fid"]: r["seg"] for r in lk.join(_facts(spark)).collect()}
     assert second[11] == "B9" and lk.rebuilds == 2
     lk.close()
+
+
+def test_lookup_join_statistics_refine_broadcast(spark, catalog):
+    """r12: ANALYZE statistics feed the broadcast decision — a wide dim
+    whose FILE bytes exceed the budget (a fat payload column) still
+    broadcasts when the projected columns' rows x avgLen estimate fits:
+    file sizes alone would mis-decide a narrow projection."""
+    import pyarrow as pa
+
+    from paimon_python_spark import Schema
+    from paimon_python_spark.lake_statistics import analyze_table
+
+    schema = pa.schema(
+        [("id", pa.int64()), ("seg", pa.string()), ("fat", pa.string())]
+    )
+    catalog.create_table(
+        "default.dim_stats",
+        Schema(schema, primary_keys=["id"], options={"bucket": "1"}),
+        False,
+    )
+    t = catalog.get_table("default.dim_stats")
+    _write(
+        t,
+        pd.DataFrame(
+            {
+                "id": list(range(50)),
+                "seg": [f"s{i % 4}" for i in range(50)],
+                # incompressible ~20 KB per row (~1 MB on disk): unique
+                # random hex defeats parquet's dictionary/RLE encoding
+                "fat": [
+                    __import__("os").urandom(10_000).hex() for _ in range(50)
+                ],
+            }
+        ),
+    )
+    facts = spark.range(100).select(F.col("id").alias("id"))
+    budget = 64 * 1024  # 64 KB: file bytes (~1 MB) are over, the
+    # projected (id, seg) estimate (~50 x ~16 B) is far under
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        # WITHOUT statistics: file bytes are the only basis → no hint
+        before = lookup_join(
+            facts, t, on={"id": "id"}, select=["seg"], broadcast_bytes=budget
+        )
+        assert "BroadcastHashJoin" not in before._jdf.queryExecution().executedPlan().toString()
+
+        analyze_table(t)
+        after = lookup_join(
+            facts, t, on={"id": "id"}, select=["seg"], broadcast_bytes=budget
+        )
+        plan = after._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        # correctness unchanged
+        got = {r.id: r.seg for r in after.filter(F.col("id") < 50).collect()}
+        assert got == {i: f"s{i % 4}" for i in range(50)}
+
+        # a projection including the fat column stays un-broadcast:
+        # rows x avgLen(fat) blows the budget
+        fatp = lookup_join(
+            facts, t, on={"id": "id"}, select=["fat"], broadcast_bytes=budget
+        )
+        assert "BroadcastHashJoin" not in fatp._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
