@@ -13181,11 +13181,9 @@ _GATE_HEAD = [
     "paimon_orc_roundtrip",
     "paimon_partition_overwrite_roundtrip",
     "paimon_time_travel_roundtrip",
-    # r6 stragglers (fill to 50)
+    # r6 straggler (fills to exactly 50; the rest of the r6/r7 tail
+    # rotates in next round)
     "paimon_lake_dv_roundtrip",
-    "paimon_lake_pk_roundtrip",
-    "paimon_import_roundtrip",
-    "paimon_inplace_read_roundtrip",
 ]
 
 
