@@ -6943,6 +6943,112 @@ ORDER BY table_kind, o_custkey
 """
 
 
+def paimon_format_pu_extras_roundtrip(spark, sf_dir):
+    """r12: partial-update with SEQUENCE GROUPS + per-field aggregates
+    through BOTH ``format(...)`` front doors (previously refused toward
+    the builder). A stale patch (lower group version) arriving later
+    must NOT clobber its group's columns, while the sum-aggregate field
+    accumulates across both commits — the in-task
+    ``pandas_partial_update_merge`` twin of merge_on_read, pinned to
+    the same SQL oracle on both table kinds."""
+    from paimon_python_spark import Catalog, Schema
+    from paimon_python_spark.datasource import register
+    from paimon_python_spark.lake_datasource import register_lake
+    from paimon_python_spark.paimon_lake import (
+        create_lake_table,
+        write_lake_pk_append,
+    )
+    from paimon_python_spark.session import set_spark
+
+    set_spark(spark)
+    register(spark)
+    register_lake(spark)
+    pu_opts = {
+        "bucket": "2",
+        "merge-engine": "partial-update",
+        "fields.g.sequence-group": "seg",
+        "fields.spend.aggregate-function": "sum",
+        "fields.spend.ignore-retract": "true",
+    }
+    src = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    batch1 = src.select(
+        "c_custkey",
+        F.lit(2).cast("long").alias("g"),
+        F.col("c_mktsegment").alias("seg"),
+        F.col("c_acctbal").cast("double").alias("spend"),
+    )
+    # LATER commit with a STALE group version: seg must not clobber
+    batch2 = src.filter(F.col("c_custkey") % 2 == 0).select(
+        "c_custkey",
+        F.lit(1).cast("long").alias("g"),
+        F.lit("STALE").alias("seg"),
+        F.lit(100.0).alias("spend"),
+    )
+
+    lake = _fresh_warehouse("pufmt") + "/cust_pu_lake"
+    create_lake_table(
+        lake,
+        [
+            ("c_custkey", "BIGINT NOT NULL"),
+            ("g", "BIGINT"),
+            ("seg", "STRING"),
+            ("spend", "DOUBLE"),
+        ],
+        primary_keys=["c_custkey"],
+        options=pu_opts,
+    )
+    write_lake_pk_append(lake, batch1)
+    write_lake_pk_append(lake, batch2)
+    lake_df = spark.read.format("paimon_lake").option("path", lake).load()
+
+    cat = Catalog.create({"warehouse": _fresh_warehouse("pufmt_e")})
+    cat.create_database("default", True)
+    cat.create_table(
+        "default.cust_pu_fd",
+        Schema(batch1.schema, primary_keys=["c_custkey"], options=pu_opts),
+        False,
+    )
+    t = cat.get_table("default.cust_pu_fd")
+    for batch in (batch1, batch2):
+        wb = t.new_batch_write_builder()
+        w, c = wb.new_write(), wb.new_commit()
+        w.write_dataframe(batch)
+        c.commit(w.prepare_commit())
+        w.close()
+        c.close()
+    engine_df = (
+        spark.read.format("paimon_spark").option("path", t.table_path).load()
+    )
+
+    def shape(df, kind):
+        return df.select(
+            F.lit(kind).alias("table_kind"),
+            "c_custkey",
+            "g",
+            "seg",
+            F.round("spend", 2).alias("spend"),
+        )
+
+    return (
+        shape(engine_df, "engine")
+        .unionAll(shape(lake_df, "lake"))
+        .orderBy("table_kind", "c_custkey")
+    )
+
+
+PAIMON_FORMAT_PU_EXTRAS_SQL = """
+SELECT k.table_kind, c_custkey, CAST(2 AS BIGINT) AS g,
+       c_mktsegment AS seg,
+       round(c_acctbal + CASE WHEN c_custkey % 2 = 0 THEN 100.0 ELSE 0 END,
+             2) AS spend
+FROM customer
+CROSS JOIN (SELECT unnest(['engine', 'lake']) AS table_kind) k
+ORDER BY table_kind, c_custkey
+"""
+
+
 def paimon_agg_retract_roundtrip(spark, sf_dir):
     """Aggregation merge engine RETRACTION — the CDC shape Paimon only
     allows on its retractable function list: -D rows SUBTRACT their
@@ -12736,6 +12842,7 @@ _QUERIES: dict[str, Callable] = {
     "paimon_auto_tag_roundtrip": paimon_auto_tag_roundtrip,
     "paimon_watermark_tag_roundtrip": paimon_watermark_tag_roundtrip,
     "paimon_lake_format_agg_roundtrip": paimon_lake_format_agg_roundtrip,
+    "paimon_format_pu_extras_roundtrip": paimon_format_pu_extras_roundtrip,
     "paimon_lake_format_dynamic_write_roundtrip": paimon_lake_format_dynamic_write_roundtrip,
     "paimon_lake_format_avro_write_roundtrip": paimon_lake_format_avro_write_roundtrip,
     "pack_sequences": pack_sequences,
@@ -13008,6 +13115,7 @@ _ORACLES: dict[str, str] = {
     "paimon_auto_tag_roundtrip": PAIMON_AUTO_TAG_SQL,
     "paimon_watermark_tag_roundtrip": PAIMON_WATERMARK_TAG_SQL,
     "paimon_lake_format_agg_roundtrip": PAIMON_LAKE_FORMAT_AGG_SQL,
+    "paimon_format_pu_extras_roundtrip": PAIMON_FORMAT_PU_EXTRAS_SQL,
     "paimon_lake_format_dynamic_write_roundtrip": PAIMON_LAKE_FORMAT_DYNAMIC_WRITE_SQL,
     "paimon_lake_format_avro_write_roundtrip": PAIMON_LAKE_FORMAT_AVRO_WRITE_SQL,
     "pack_sequences": PACK_SEQUENCES_SQL,
@@ -13129,6 +13237,7 @@ _GATE_HEAD = [
     # promotion)
     "paimon_watermark_tag_roundtrip",
     "paimon_lake_format_agg_roundtrip",
+    "paimon_format_pu_extras_roundtrip",
     "paimon_lake_format_dynamic_write_roundtrip",
     "paimon_lake_format_avro_write_roundtrip",
     # r12 STALE-TAIL ROTATION (VERDICT r11 task 2): the driver samples
@@ -13181,9 +13290,6 @@ _GATE_HEAD = [
     "paimon_orc_roundtrip",
     "paimon_partition_overwrite_roundtrip",
     "paimon_time_travel_roundtrip",
-    # r6 straggler (fills to exactly 50; the rest of the r6/r7 tail
-    # rotates in next round)
-    "paimon_lake_dv_roundtrip",
 ]
 
 

@@ -751,3 +751,241 @@ def pandas_agg_merge(
             raise AssertionError(fn)
 
     return out[merge_keys + list(value_cols)]
+
+
+def _rank_series(pdf: pd.DataFrame, cols: list) -> pd.Series:
+    """Ascending order rank over ``cols`` (NULLS FIRST, Spark's asc
+    semantics; ties stable in current row order). Works for any
+    orderable dtype mix because it ranks via a stable sort."""
+    import numpy as np
+
+    idx = pdf.sort_values(
+        cols, kind="mergesort", na_position="first"
+    ).index
+    rank = pd.Series(np.empty(len(pdf), dtype=np.int64), index=pdf.index)
+    rank.loc[idx] = range(len(pdf))
+    return rank
+
+
+def _pandas_scalar_agg(
+    pdf, c, fn, rank, add_mask, ret_mask, ignore_ret, delim, merge_keys
+):
+    """Per-key pandas evaluation of one SCALAR_AGG_FUNCTIONS member —
+    the executor-side twin of ``_scalar_expr`` (same retraction
+    arithmetic, same null handling), with ``rank`` as the merge order
+    (commit sequence, or a (group-seq, seq) rank inside a
+    partial-update sequence group)."""
+    import numpy as np
+
+    col = pdf[c]
+    nn = col.notna()
+
+    def g(series):
+        return pdf.assign(__v=series).groupby(
+            merge_keys, sort=False, dropna=False
+        )["__v"]
+
+    if fn == "sum":
+        num = pd.to_numeric(col.where(nn), errors="coerce")
+        contrib = (
+            num.where(add_mask)
+            if ignore_ret
+            else num.where(add_mask, (-num).where(ret_mask))
+        )
+        return g(contrib).sum(min_count=1)
+    if fn == "product":
+        num = pd.to_numeric(col.where(nn), errors="coerce").astype(float)
+        p_add = g(num.where(add_mask)).prod(min_count=1)
+        if ignore_ret:
+            return p_add
+        p_ret = g(num.where(ret_mask)).prod(min_count=1)
+        return p_add / p_ret.fillna(1.0)
+    if fn == "count":
+        ticks = add_mask.astype("int64").where(nn, 0)
+        if not ignore_ret:
+            ticks = ticks - (ret_mask & nn).astype("int64")
+        return g(ticks).sum()
+    if fn in ("min", "max", "bool_and", "bool_or"):
+        vals = col.where(add_mask & nn)
+        if fn in ("bool_and", "bool_or"):
+            vals = vals.map(lambda v: None if pd.isna(v) else bool(v))
+        gr = g(vals)
+        return gr.min() if fn in ("min", "bool_and") else gr.max()
+    if fn in (
+        "last_value",
+        "last_non_null_value",
+        "first_value",
+        "first_non_null_value",
+    ):
+        mask = add_mask if "non_null" not in fn else (add_mask & nn)
+        rows = pdf.assign(__r=rank)[mask].sort_values("__r", kind="mergesort")
+        keep = "last" if fn.startswith("last") else "first"
+        picked = rows.drop_duplicates(subset=merge_keys, keep=keep)
+        return picked.set_index(merge_keys)[c]
+    if fn == "listagg":
+        rows = pdf.assign(__r=rank)[add_mask & nn].sort_values(
+            "__r", kind="mergesort"
+        )
+        return rows.groupby(merge_keys, sort=False, dropna=False)[c].apply(
+            lambda s: delim.join(str(v) for v in s)
+        )
+    raise ValueError(
+        f"aggregate-function {fn!r} is not usable with merge-engine "
+        f"partial-update; one of {sorted(SCALAR_AGG_FUNCTIONS)}"
+    )
+
+
+def pandas_partial_update_merge(
+    pdf: pd.DataFrame, schema, merge_keys, value_cols, seq_col, kind_col
+) -> pd.DataFrame:
+    """In-task pandas twin of the builder's FULL partial-update merge
+    (read.py merge_on_read): sequence groups (``fields.<g>.
+    sequence-group``), per-field scalar aggregates inside groups
+    (``fields.<c>.aggregate-function``), and
+    ``partial-update.remove-record-on-delete`` — the extras the
+    ``format(...)`` data sources previously refused toward the
+    builder. Semantics pinned by the equivalence pytest matrix
+    (front-door read vs builder read) and the shared SQL oracles.
+    The caller applies ignore-delete BEFORE this fold, exactly like
+    merge_on_read."""
+    opts = schema.options
+    groups: dict = {}
+    for opt, val in opts.items():
+        if opt.startswith("fields.") and opt.endswith(".sequence-group"):
+            gname = opt[len("fields.") : -len(".sequence-group")]
+            cols = [c.strip() for c in val.split(",") if c.strip()]
+            missing = [c for c in [gname, *cols] if c not in value_cols]
+            if missing:
+                raise ValueError(
+                    f"sequence-group {gname!r}: not value columns: {missing}"
+                )
+            groups[gname] = cols
+    col_group = {c: gname for gname, cs in groups.items() for c in cs}
+    remove_on_delete = (
+        opts.get("partial-update.remove-record-on-delete", "false").lower()
+        == "true"
+    )
+    has_fn = any(
+        opts.get(f"fields.{c}.aggregate-function") is not None
+        for c in value_cols
+    )
+    if remove_on_delete and (groups or has_fn):
+        raise ValueError(
+            "partial-update.remove-record-on-delete cannot combine "
+            "with sequence-groups or fields.<c>.aggregate-function "
+            "(their folds are not restartable after a delete); use "
+            "sequence-group retraction or ignore-delete instead"
+        )
+
+    pdf = pdf.sort_values(seq_col, kind="mergesort").reset_index(drop=True)
+    add_mask = pdf[kind_col].isin(ADD_KINDS)
+    ret_mask = pdf[kind_col].isin(RETRACT_KINDS)
+    if not groups:
+        if remove_on_delete:
+            if (pdf[kind_col] == ROWKIND_UPDATE_BEFORE).any():
+                raise ValueError(
+                    "partial-update cannot accept -U records: declare a "
+                    "sequence-group for the retracted columns"
+                )
+        elif bool(ret_mask.any()):
+            raise ValueError(
+                "partial-update cannot accept retract (-U/-D) records: "
+                "set ignore-delete, partial-update."
+                "remove-record-on-delete, or a sequence-group"
+            )
+
+    # the merged record's kind = the LAST row's kind per key; keys
+    # whose last row is a delete drop at the end
+    last_rows = pdf.drop_duplicates(subset=merge_keys, keep="last")
+    out = last_rows[merge_keys].reset_index(drop=True)
+    last_kind = last_rows.set_index(merge_keys)[kind_col]
+
+    seq_rank = _rank_series(pdf, [seq_col])
+
+    def _attach(name, per_key):
+        nonlocal out
+        out = out.merge(
+            per_key.rename(name).reset_index(), on=merge_keys, how="left"
+        )
+
+    del_seq = None
+    if remove_on_delete:
+        del_seq = (
+            pdf.assign(
+                __d=pdf[seq_col].where(pdf[kind_col] == ROWKIND_DELETE)
+            )
+            .groupby(merge_keys, sort=False, dropna=False)["__d"]
+            .max()
+        )
+
+    for c in value_cols:
+        fn = opts.get(f"fields.{c}.aggregate-function")
+        col = pdf[c]
+        nn = col.notna()
+        if c in groups:
+            # a group's version field: highest version seen, any kind
+            _attach(
+                c,
+                pdf.groupby(merge_keys, sort=False, dropna=False)[c].max(),
+            )
+        elif fn is not None:
+            if fn not in SCALAR_AGG_FUNCTIONS:
+                raise ValueError(
+                    f"aggregate-function {fn!r} for field {c!r} is not "
+                    f"usable with merge-engine partial-update; one of "
+                    f"{sorted(SCALAR_AGG_FUNCTIONS)}"
+                )
+            rank = (
+                _rank_series(pdf, [col_group[c], seq_col])
+                if c in col_group
+                else seq_rank
+            )
+            ignore_ret = (
+                opts.get(f"fields.{c}.ignore-retract", "false").lower()
+                == "true"
+            )
+            delim = opts.get(f"fields.{c}.list-agg-delimiter", ",")
+            _attach(
+                c,
+                _pandas_scalar_agg(
+                    pdf, c, fn, rank, add_mask, ret_mask, ignore_ret,
+                    delim, merge_keys,
+                ),
+            )
+        elif c in col_group:
+            # value from the row with the greatest (group seq, seq)
+            # among rows where BOTH the column and its group version
+            # are non-null — any row kind (group retraction semantics)
+            gcol = pdf[col_group[c]]
+            cond = nn & gcol.notna()
+            rank = _rank_series(pdf, [col_group[c], seq_col])
+            rows = pdf.assign(__r=rank)[cond].sort_values(
+                "__r", kind="mergesort"
+            )
+            picked = rows.drop_duplicates(subset=merge_keys, keep="last")
+            _attach(c, picked.set_index(merge_keys)[c])
+        elif remove_on_delete:
+            # latest non-null ADD value, cleared when an equal-or-later
+            # -D retracted the record
+            cond = nn & add_mask
+            rows = pdf[cond].drop_duplicates(subset=merge_keys, keep="last")
+            val = rows.set_index(merge_keys)[c]
+            sval = rows.set_index(merge_keys)[seq_col]
+            joined = pd.DataFrame({"__v": val, "__s": sval})
+            joined = joined.join(del_seq.rename("__d"), how="left")
+            keep = joined["__d"].isna() | (joined["__s"] > joined["__d"])
+            _attach(c, joined["__v"].where(keep))
+        else:
+            # default: latest non-null by commit sequence, any kind
+            rows = pdf[nn].drop_duplicates(subset=merge_keys, keep="last")
+            _attach(c, rows.set_index(merge_keys)[c])
+
+    survive = last_kind.isin(ADD_KINDS)
+    out = out[
+        survive.reindex(
+            pd.MultiIndex.from_frame(out[merge_keys])
+            if len(merge_keys) > 1
+            else pd.Index(out[merge_keys[0]])
+        ).to_numpy()
+    ].reset_index(drop=True)
+    return out[merge_keys + list(value_cols)]

@@ -275,6 +275,16 @@ def _check_ds_merge_supported(schema, fmt: str) -> None:
                 f"(primary-key and partition columns cannot be sequence "
                 f"fields)"
             )
+        if engine == "partial-update" and any(
+            opts.get(f"fields.{c}.aggregate-function") is not None
+            for c in value_cols
+        ):
+            # merge_on_read's contract, mirrored at plan time
+            raise ValueError(
+                "sequence.field with fields.<c>.aggregate-function "
+                "columns is not supported; use fields.<g>.sequence-group "
+                "ordering instead"
+            )
     if engine == "aggregation":
         # full in-task dispatch via agg_merge.pandas_agg_merge — one
         # task holds every run of its (partition, bucket), so the fold
@@ -300,28 +310,10 @@ def _check_ds_merge_supported(schema, fmt: str) -> None:
                 f"fields {bad} is not supported through the data source "
                 f"(the union is a JVM aggregate); use {builder}"
             )
-    if engine == "partial-update":
-        extras = [
-            o
-            for o in opts
-            if o.startswith("fields.")
-            and (
-                o.endswith(".sequence-group")
-                or o.endswith(".aggregate-function")
-            )
-        ]
-        if (
-            extras
-            or opts.get(
-                "partial-update.remove-record-on-delete", "false"
-            ).lower()
-            == "true"
-        ):
-            raise RuntimeError(
-                f"{fmt}: partial-update with sequence-groups / "
-                f"aggregate-function fields / remove-record-on-delete is "
-                f"not supported through the data source; use {builder}"
-            )
+    # partial-update reads fully in-task since r12 — sequence groups,
+    # per-field scalar aggregates, and remove-record-on-delete run in
+    # agg_merge.pandas_partial_update_merge (equivalence pinned against
+    # the builder's merge_on_read by the pytest matrix)
 
 
 class PaimonBatchReader(DataSourceReader):
@@ -519,24 +511,25 @@ class PaimonBatchReader(DataSourceReader):
                 ).drop_duplicates(subset=keys, keep="first")
                 pdf = pdf[pdf[KIND_COL].isin(ADD_KINDS)]
             elif engine == "partial-update":
-                # plain form only (plan-time guard): latest non-null per
-                # column; retracts refuse exactly like merge_on_read
-                if not pdf[KIND_COL].isin(ADD_KINDS).all():
-                    raise ValueError(
-                        "partial-update cannot accept retract (-U/-D) "
-                        "records: set ignore-delete, partial-update."
-                        "remove-record-on-delete, or a sequence-group"
-                    )
-                pdf = pdf.sort_values(
-                    order_cols,
-                    ascending=True,
-                    na_position="first",
-                    kind="mergesort",
+                # full partial-update surface in-task (r12): sequence
+                # groups, per-field scalar aggregates,
+                # remove-record-on-delete — the builder's semantics via
+                # the shared pandas twin. A declared sequence.field
+                # orders through a composite rank, arrival as tie-break.
+                from paimon_python_spark.agg_merge import (
+                    pandas_partial_update_merge,
+                    _rank_series,
                 )
-                pdf = (
-                    pdf.groupby(keys, sort=False, dropna=False)
-                    .last()  # last NON-NULL per column in merge order
-                    .reset_index()
+
+                value_cols = [
+                    f.name
+                    for f in schema.spark_schema.fields
+                    if f.name not in keys
+                ]
+                pdf = pdf.reset_index(drop=True)
+                pdf["__ord"] = _rank_series(pdf, order_cols)
+                pdf = pandas_partial_update_merge(
+                    pdf, schema, keys, value_cols, "__ord", KIND_COL
                 )
             elif engine == "aggregation":
                 # executor-local twin of the builder's one-hash-

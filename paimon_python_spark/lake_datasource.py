@@ -416,23 +416,33 @@ class PaimonLakeBatchReader(DataSourceReader):
                 g = g.drop_duplicates(subset=key_cols, keep="first")
                 g = g[g["_VALUE_KIND"].isin((0, 2))]
             elif engine == "partial-update":
-                # plain form only (plan-time guard): latest non-null per
-                # column in merge order; retracts refuse like merge_on_read
-                if not g["_VALUE_KIND"].isin((0, 2)).all():
-                    raise ValueError(
-                        "partial-update cannot accept retract (-U/-D) "
-                        "records: set ignore-delete, partial-update."
-                        "remove-record-on-delete, or a sequence-group"
-                    )
-                g = g.sort_values(
-                    key_cols + ["_SEQUENCE_NUMBER", "__lvl", "__idx"],
-                    ascending=[True] * len(key_cols) + [True, False, True],
-                    kind="mergesort",
+                # full partial-update surface in-task (r12): sequence
+                # groups, per-field scalar aggregates,
+                # remove-record-on-delete — the builder's semantics via
+                # the shared pandas twin (lake seqs unique per row;
+                # (lvl desc, idx asc) breaks foreign-lake collisions)
+                from paimon_python_spark.agg_merge import (
+                    pandas_partial_update_merge,
                 )
-                g = (
-                    g.groupby(key_cols, sort=False, dropna=False)
-                    .last()  # last NON-NULL per column in merge order
-                    .reset_index()
+
+                g = g.sort_values(
+                    ["_SEQUENCE_NUMBER", "__lvl", "__idx"],
+                    ascending=[True, False, True],
+                    kind="mergesort",
+                ).reset_index(drop=True)
+                g["__ord"] = range(len(g))
+                value_names_only = [
+                    f.name
+                    for f in info.spark_schema.fields
+                    if f.name not in part_keys and f.name not in key_cols
+                ]
+                g = pandas_partial_update_merge(
+                    g,
+                    info,
+                    key_cols,
+                    value_names_only,
+                    "__ord",
+                    "_VALUE_KIND",
                 )
             elif engine == "aggregation":
                 # executor-local twin of the builder's one-hash-

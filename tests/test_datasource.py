@@ -2338,3 +2338,187 @@ def test_stream_latest_full_pk_bootstrap(spark, tmp_path):
         assert (7, "post", "+I") in rows and len(rows) == 6
     finally:
         q.stop()
+
+
+def test_datasource_partial_update_extras_vs_builder(catalog, spark, tmp_path):
+    """r12: partial-update with sequence-groups / per-field aggregates /
+    remove-record-on-delete reads through BOTH format(...) front doors
+    (previously refused). Equivalence oracle: the builder's
+    merge_on_read on the same tables."""
+    import pandas as _pd
+    from pyspark.sql import types as T
+
+    from paimon_python_spark.lake_datasource import register_lake
+
+    register_lake(spark)
+
+    # --- sequence groups + per-field aggregate ---
+    st = T.StructType(
+        [
+            T.StructField("k", T.IntegerType(), False),
+            T.StructField("g1", T.LongType()),
+            T.StructField("a", T.StringType()),
+            T.StructField("b", T.StringType()),
+            T.StructField("tot", T.LongType()),
+            T.StructField("plain", T.StringType()),
+        ]
+    )
+    catalog.create_table(
+        "default.ds_pu_sg",
+        Schema(
+            st,
+            primary_keys=["k"],
+            options={
+                "bucket": "1",
+                "merge-engine": "partial-update",
+                "fields.g1.sequence-group": "a,b",
+                "fields.tot.aggregate-function": "sum",
+                "fields.tot.ignore-retract": "true",
+            },
+        ),
+        False,
+    )
+    t = catalog.get_table("default.ds_pu_sg")
+
+    def commit(rows, kinds=None):
+        wb = t.new_batch_write_builder()
+        w, c = wb.new_write(), wb.new_commit()
+        if kinds is None:
+            w.write_dataframe(spark.createDataFrame(rows, st))
+        else:
+            full = T.StructType(
+                list(st.fields)
+                + [T.StructField("_kind", T.IntegerType(), False)]
+            )
+            w.write_dataframe(
+                spark.createDataFrame(
+                    [r + (kk,) for r, kk in zip(rows, kinds)], full
+                ),
+                row_kind_col="_kind",
+            )
+        c.commit(w.prepare_commit())
+        w.close()
+        c.close()
+
+    # newer group version first; a STALE patch (lower g1) must not
+    # clobber a/b even though it commits later; sum accumulates; plain
+    # stays last-non-null
+    commit([(1, 20, "a20", "b20", 5, "p1"), (2, 1, "x", None, 3, None)])
+    commit([(1, 10, "aSTALE", None, 2, None), (2, 2, None, "y", 4, "q")])
+    # group retraction: -D with g1=2 retracts key 2's group-b value
+    commit([(2, 3, None, "GONE", 0, None)], kinds=[3])
+
+    builder = (
+        t.new_read_builder().new_read().to_df().toPandas()
+        .sort_values("k").reset_index(drop=True)
+    )
+    front = (
+        spark.read.format("paimon_spark").option("path", t.table_path)
+        .load().toPandas().sort_values("k").reset_index(drop=True)
+    )
+    _pd.testing.assert_frame_equal(front, builder, check_dtype=False)
+    r1 = builder[builder.k == 1].iloc[0]
+    assert r1["a"] == "a20" and r1["b"] == "b20" and r1["tot"] == 7
+    assert r1["plain"] == "p1"
+
+    # --- remove-record-on-delete ---
+    st2 = T.StructType(
+        [
+            T.StructField("k", T.IntegerType(), False),
+            T.StructField("a", T.StringType()),
+            T.StructField("b", T.StringType()),
+        ]
+    )
+    catalog.create_table(
+        "default.ds_pu_rod",
+        Schema(
+            st2,
+            primary_keys=["k"],
+            options={
+                "bucket": "1",
+                "merge-engine": "partial-update",
+                "partial-update.remove-record-on-delete": "true",
+            },
+        ),
+        False,
+    )
+    t2 = catalog.get_table("default.ds_pu_rod")
+
+    def commit2(rows, kinds=None):
+        wb = t2.new_batch_write_builder()
+        w, c = wb.new_write(), wb.new_commit()
+        if kinds is None:
+            w.write_dataframe(spark.createDataFrame(rows, st2))
+        else:
+            full = T.StructType(
+                list(st2.fields)
+                + [T.StructField("_kind", T.IntegerType(), False)]
+            )
+            w.write_dataframe(
+                spark.createDataFrame(
+                    [r + (kk,) for r, kk in zip(rows, kinds)], full
+                ),
+                row_kind_col="_kind",
+            )
+        c.commit(w.prepare_commit())
+        w.close()
+        c.close()
+
+    commit2([(1, "a1", "b1"), (2, "a2", None)])
+    commit2([(1, "a1", "b1")], kinds=[3])  # -D clears key 1's record
+    commit2([(1, "REBUILT", None), (2, None, "b2")])  # later adds rebuild
+
+    b2 = (
+        t2.new_read_builder().new_read().to_df().toPandas()
+        .sort_values("k").reset_index(drop=True)
+    )
+    f2 = (
+        spark.read.format("paimon_spark").option("path", t2.table_path)
+        .load().toPandas().sort_values("k").reset_index(drop=True)
+    )
+    _pd.testing.assert_frame_equal(f2, b2, check_dtype=False)
+    assert b2[b2.k == 1].iloc[0]["a"] == "REBUILT"
+    assert b2[b2.k == 1].iloc[0]["b"] is None  # pre-delete b1 stays cleared
+    assert b2[b2.k == 2].iloc[0]["a"] == "a2"
+    assert b2[b2.k == 2].iloc[0]["b"] == "b2"
+
+    # --- LAKE twin: sequence group through format('paimon_lake') ---
+    from paimon_python_spark.paimon_lake import (
+        PaimonLakeTable,
+        create_lake_table,
+        write_lake_pk_append,
+    )
+
+    d = str(tmp_path / "pu_sg_lake")
+    create_lake_table(
+        d,
+        [
+            ("k", "INT NOT NULL"),
+            ("g1", "BIGINT"),
+            ("a", "STRING"),
+            ("tot", "BIGINT"),
+        ],
+        primary_keys=["k"],
+        options={
+            "bucket": "1",
+            "merge-engine": "partial-update",
+            "fields.g1.sequence-group": "a",
+            "fields.tot.aggregate-function": "sum",
+            "fields.tot.ignore-retract": "true",
+        },
+    )
+    lsch = "k int, g1 bigint, a string, tot bigint"
+    write_lake_pk_append(d, spark.createDataFrame([(1, 20, "v20", 5)], lsch))
+    write_lake_pk_append(
+        d, spark.createDataFrame([(1, 10, "STALE", 2)], lsch)
+    )
+    lb = (
+        PaimonLakeTable(d).new_read_builder().new_read().to_df().toPandas()
+        .sort_values("k").reset_index(drop=True)
+    )
+    lf = (
+        spark.read.format("paimon_lake").option("path", d).load()
+        .toPandas().sort_values("k").reset_index(drop=True)
+    )
+    _pd.testing.assert_frame_equal(lf, lb, check_dtype=False)
+    assert lb.iloc[0]["a"] == "v20" and lb.iloc[0]["tot"] == 7
