@@ -374,6 +374,68 @@ def main() -> int:
               f"(analyzed at snapshot {stats['snapshotId']})")
     else:
         print("[12] skipped (no statistic file at or below this snapshot)")
+
+    # [13] (r12) watermark monotonicity: JVM streaming writers stamp the
+    # snapshot `watermark` field; the engine folds max(prev, provided),
+    # so a foreign lake's surviving chain must never regress (MIN_VALUE
+    # sentinel = never progressed, skipped).
+    import json as _json
+
+    NO_WM = -9223372036854775808
+    sdir = os.path.join(args.table_path, "snapshot")
+    chain = sorted(
+        int(n.split("-")[1])
+        for n in os.listdir(sdir)
+        if n.startswith("snapshot-")
+    )
+    prev_wm = None
+    wm_count = 0
+    for sid in chain:
+        with open(os.path.join(sdir, f"snapshot-{sid}")) as f:
+            wm = _json.load(f).get("watermark")
+        if wm is None or int(wm) == NO_WM:
+            continue
+        wm_count += 1
+        if prev_wm is not None and int(wm) < prev_wm:
+            print(f"[13] FAIL: watermark regressed at snapshot {sid}: "
+                  f"{wm} < {prev_wm}")
+            return 1
+        prev_wm = int(wm)
+    if wm_count:
+        print(f"[13] watermark chain OK: {wm_count} watermarked snapshots, "
+              f"monotone (latest {prev_wm})")
+    else:
+        print("[13] skipped (no watermarked snapshots)")
+
+    # [14] (r12) nested-type schema parity: every declared field type —
+    # including ARRAY/MAP/ROW in either spec serialization — must parse
+    # and round-trip through the engine's type bridge.
+    from paimon_python_spark.paimon_import import (
+        paimon_type_string,
+        parse_paimon_type,
+    )
+
+    with open(
+        os.path.join(args.table_path, "schema", f"schema-{info.id}")
+    ) as f:
+        raw_fields = _json.load(f)["fields"]
+    for fd in raw_fields:
+        try:
+            dt, nullable = parse_paimon_type(fd["type"])
+        except Exception as e:
+            print(f"[14] FAIL: field {fd['name']!r} type {fd['type']!r} "
+                  f"does not parse: {e}")
+            return 1
+        import pyspark.sql.types as T
+
+        s = paimon_type_string(T.StructField(fd["name"], dt, nullable))
+        dt2, n2 = parse_paimon_type(s)
+        if dt2 != dt or n2 != nullable:
+            print(f"[14] FAIL: type round-trip drift for {fd['name']!r}: "
+                  f"{fd['type']!r} -> {s!r}")
+            return 1
+    print(f"[14] schema type parity OK: {len(raw_fields)} fields "
+          "(nested forms included)")
     print("ALL CHECKS PASSED against a foreign-written lake")
     return 0
 
