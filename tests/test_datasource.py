@@ -613,18 +613,20 @@ def test_lake_datasource_write_append(tmp_path, spark):
     rb.with_filter(rb.new_predicate_builder().equal("k", 4))
     assert len(_pruned_entries(p, info, rb)) == 1
 
-    # refusal: non-parquet formats route through the builder codecs
-    import pytest as _pytest
-
+    # non-parquet formats write through the engine codecs since r12:
+    # the end-to-end avro/orc coverage lives in
+    # test_lake_format_write_avro_and_orc; here just pin that the old
+    # refusal is gone (an avro append through the front door succeeds)
     p2 = str(tmp_path / "ds_write_avro")
     create_lake_table(
         p2, [("k", "INT NOT NULL"), ("v", "STRING")],
         options={"file.format": "avro"},
     )
-    with _pytest.raises(Exception, match="write_lake_append"):
-        df.select("k", "v").write.format("paimon_lake").option("path", p2).mode(
-            "append"
-        ).save()
+    df.select("k", "v").write.format("paimon_lake").option("path", p2).mode(
+        "append"
+    ).save()
+    av = PaimonLakeTable(p2).new_read_builder().new_read().to_pandas()
+    assert sorted(zip(av.k, av.v)) == [(1, "x"), (2, "y"), (3, "z")]
 
 
 def test_lake_datasource_write_empty_append_is_noop(tmp_path, spark):
@@ -798,16 +800,19 @@ def test_lake_datasource_write_pk_and_overwrite(tmp_path, spark):
     got = sorted((r.dt, r.k, r.v) for r in rb.new_read().to_df().collect())
     assert got == [("a", 1, "x"), ("a", 2, "Y2"), ("b", 3, "Z3"), ("b", 4, "w")]
 
-    # refusals point at the builder API
+    # dynamic-bucket writes go through the front door since r12 (full
+    # coverage in test_lake_format_write_dynamic_bucket); pin here that
+    # the old "HASH index" refusal is gone for a fresh dynamic lake
     pdyn = str(tmp_path / "ds_pk_dyn")
     create_lake_table(
         pdyn, [("k", "INT NOT NULL"), ("v", "STRING")],
         primary_keys=["k"], options={"bucket": "-1"},
     )
-    with pytest.raises(Exception, match="HASH index"):
-        spark.createDataFrame([(1, "a")], "k int, v string").write.format(
-            "paimon_lake"
-        ).option("path", pdyn).mode("append").save()
+    spark.createDataFrame([(1, "a")], "k int, v string").write.format(
+        "paimon_lake"
+    ).option("path", pdyn).mode("append").save()
+    dyn = PaimonLakeTable(pdyn).new_read_builder().new_read().to_pandas()
+    assert sorted(zip(dyn.k, dyn.v)) == [(1, "a")]
     pcl = str(tmp_path / "ds_pk_cl")
     create_lake_table(
         pcl, [("k", "INT NOT NULL"), ("v", "STRING")],
