@@ -43,6 +43,15 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _rows_df(spark: SparkSession, rows, schema) -> DataFrame:
+    """Driver-built result rows as a right-sized DataFrame (one slice
+    per row, not defaultParallelism near-empty Python slices — see
+    paimon_python_spark/_localdf.py)."""
+    from paimon_python_spark._localdf import local_df
+
+    return local_df(spark, rows, schema)
+
+
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Load events with ``ts`` normalized to **epoch-nanos int64**,
     whatever the fixture's parquet physical type is:
@@ -3331,8 +3340,8 @@ def paimon_lake_count_roundtrip(spark, sf_dir):
     rows.append(
         ("total_snapshot1", t.new_read_builder().with_snapshot(1).row_count())
     )
-    return spark.createDataFrame(
-        [(label, int(n)) for label, n in rows], "label string, n bigint"
+    return _rows_df(
+        spark, [(label, int(n)) for label, n in rows], "label string, n bigint"
     ).orderBy("label")
 
 
@@ -3416,7 +3425,8 @@ def paimon_lake_stats_agg_roundtrip(spark, sf_dir):
         pb.is_in("c_custkey", [int(k) for k in pdf.c_custkey if k % 3 == 0]),
     )
     rows.append(stats_row("after_delete", t.new_read_builder()))
-    return spark.createDataFrame(
+    return _rows_df(
+        spark,
         rows,
         "tag string, mn_key bigint, mx_key bigint, "
         "mn_bal double, mx_bal double, n bigint",
@@ -4947,7 +4957,8 @@ def paimon_analyze_stats_roundtrip(spark, sf_dir):
                     int(srow["snapshot_id"]),
                 )
             )
-    return spark.createDataFrame(
+    return _rows_df(
+        spark,
         rows,
         "table_kind string, col_name string, distinct_cnt bigint, "
         "null_cnt bigint, min_s string, max_s string, max_len bigint, "
@@ -5186,7 +5197,7 @@ def paimon_lake_manifest_skip_roundtrip(spark, sf_dir):
     finally:
         _pi.read_manifest = orig
     assert len(set(opened)) == 1, f"manifest skipping must open 1, saw {set(opened)}"
-    return spark.createDataFrame(rows, out.schema)
+    return _rows_df(spark, rows, out.schema)
 
 
 PAIMON_LAKE_MANIFEST_SKIP_SQL = """
@@ -5931,7 +5942,12 @@ def paimon_dynamic_bucket_roundtrip(spark, sf_dir):
     )
     write_lake_pk_append(lake, upserts.unionByName(fresh))
     ents = plan_paimon_hash_index(lake)
-    n_keys = base.count() + fresh.count()
+    # n(base) + n(fresh) in ONE scan: fresh = base rows with key <= 60
+    crow = base.agg(
+        F.count("*").alias("nb"),
+        F.sum((F.col("c_custkey") <= 60).cast("long")).alias("nf"),
+    ).first()
+    n_keys = int(crow["nb"]) + int(crow["nf"] or 0)
     assert len(ents) > 1, "target-row-num 100 must open several buckets"
     assert sum(e["_ROW_COUNT"] for e in ents) == n_keys
     seen = set()
@@ -6032,12 +6048,22 @@ def paimon_cross_partition_roundtrip(spark, sf_dir):
         F.concat(F.lit("N-"), F.col("c_custkey")).alias("c_name"),
     )
     write_lake_pk_append(lake, moves.unionByName(fresh))
-    out = PaimonLakeTable(lake).new_read_builder().new_read().to_df()
-    n_total = out.count()
-    n_keys = out.select("c_custkey").distinct().count()
-    assert n_total == n_keys, "a key must live in exactly ONE partition"
-    n_hot = out.filter(F.col("seg") == "hot").count()
-    assert n_hot == base.filter(F.col("c_custkey") % 5 == 0).count()
+    from paimon_python_spark.operators._cache import shared
+
+    # one shared materialization feeds the invariant checks AND the
+    # returned frame; the checks fold into a single aggregate instead
+    # of three separate merged-read re-executions (r12 optimization:
+    # each count re-ran the whole dynamic-bucket merge)
+    out = shared(PaimonLakeTable(lake).new_read_builder().new_read().to_df())
+    stats = out.agg(
+        F.count("*").alias("n_total"),
+        F.countDistinct("c_custkey").alias("n_keys"),
+        F.sum((F.col("seg") == "hot").cast("long")).alias("n_hot"),
+    ).first()
+    assert stats["n_total"] == stats["n_keys"], (
+        "a key must live in exactly ONE partition"
+    )
+    assert stats["n_hot"] == base.filter(F.col("c_custkey") % 5 == 0).count()
     return out.select("c_custkey", "seg", "c_name").orderBy("c_custkey")
 
 

@@ -50,6 +50,7 @@ from typing import List, Optional
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from paimon_python_spark._localdf import local_df
 from paimon_python_spark.metadata import DataFileMeta, Snapshot
 
 
@@ -134,7 +135,7 @@ def read_dv_df(spark, table_path: str, snapshot: Optional[Snapshot]) -> Optional
         if not d:
             return None
         rows = [(k, [int(p) for p in v]) for k, v in sorted(d.items())]
-        return spark.createDataFrame(rows, DV_SCHEMA)
+        return local_df(spark, rows, DV_SCHEMA)
     return spark.read.schema(DV_SCHEMA).parquet(path)
 
 
@@ -151,12 +152,12 @@ def write_dv_df(table_path: str, snapshot_id: int, dv_df: Optional[DataFrame]) -
     name = dv_file_name(snapshot_id)
     path = os.path.join(_index_dir(table_path), name)
     (
-        # hash repartition, not repartitionByRange: range partitioning
-        # runs a SAMPLING JOB first, a whole extra pass for an index
-        # that is one row per marked file; co-locating equal file names
-        # is all the read-side anti-join benefits from
-        dv_df.repartition("file")
-        .sortWithinPartitions("file")
+        # no repartition: build_commit_dv_df / prune_dv_df emit ONE row
+        # per marked file (post-aggregate), so there is nothing to
+        # co-locate — a hash repartition here was a pure extra shuffle
+        # of the whole index per commit (r12 optimization; AQE already
+        # coalesces the upstream aggregate's partitions)
+        dv_df.sortWithinPartitions("file")
         .write.mode("error")
         .parquet(path)
     )
@@ -177,9 +178,7 @@ def write_dv_df(table_path: str, snapshot_id: int, dv_df: Optional[DataFrame]) -
 
 
 def _kept_paths_df(spark, files: List[DataFileMeta]) -> DataFrame:
-    return spark.createDataFrame(
-        [(f.path,) for f in files] or [], "file string"
-    )
+    return local_df(spark, [(f.path,) for f in files], "file string")
 
 
 def build_commit_dv_df(
@@ -222,14 +221,19 @@ def build_commit_dv_df(
         paths = [os.path.join(table.table_path, f.path) for f in files]
         return spark.read.schema(physical).parquet(*paths).select(*cols)
 
-    new_keys = _scan(new_files, merge_keys).distinct()
     pos_cols = [
         F.col("_metadata.file_path").alias("__fp"),
         F.col("_metadata.row_index").alias("__pos"),
     ]
-    versions = _scan(candidates + new_files, [*merge_keys, SEQ_COL, *pos_cols]).join(
-        F.broadcast(new_keys), merge_keys, "left_semi"
-    )
+    versions = _scan(candidates + new_files, [*merge_keys, SEQ_COL, *pos_cols])
+    if candidates:
+        # restrict the window to keys the commit touches; with no
+        # candidate files the scan IS the new files, every key is by
+        # definition in the commit's key set, and the semi-join (plus
+        # its distinct aggregate and broadcast build) is an identity —
+        # skip it (first commit of every DV table hits this)
+        new_keys = _scan(new_files, merge_keys).distinct()
+        versions = versions.join(F.broadcast(new_keys), merge_keys, "left_semi")
     w = Window.partitionBy(*merge_keys).orderBy(
         F.col(SEQ_COL).desc(), F.col("__fp").desc(), F.col("__pos").desc()
     )
@@ -259,15 +263,30 @@ def build_commit_dv_df(
     prev_df = read_dv_df(spark, table.table_path, prev)
     if prev_df is not None:
         kept = _kept_paths_df(spark, list(kept_files) + list(new_files))
-        prev_pairs = prev_df.join(F.broadcast(kept), "file", "left_semi").select(
-            "file", F.explode("positions").alias("pos")
-        )
+        prev_live = prev_df.join(F.broadcast(kept), "file", "left_semi")
+        # the window can only re-derive marks on files it scanned
+        # (candidates + new); prev marks on every OTHER live file pass
+        # through VERBATIM — their sorted position arrays never explode,
+        # never ride the distinct, never re-aggregate. At scale the
+        # untouched-bucket marks are the bulk of the index, so a commit
+        # no longer shuffles the whole previous index (guide §2.3).
+        touched = _kept_paths_df(spark, candidates + new_files)
+        prev_touched_pairs = prev_live.join(
+            F.broadcast(touched), "file", "left_semi"
+        ).select("file", F.explode("positions").alias("pos"))
+        untouched = prev_live.join(
+            F.broadcast(touched), "file", "left_anti"
+        ).select("file", "positions")
         # the window re-derives marks already present in prev (older
         # versions of a re-touched key rank > 1 again) — distinct folds
         # the overlap
-        pairs = prev_pairs.unionByName(stale).distinct()
-    else:
-        pairs = stale  # row_number > 1 is already duplicate-free
+        pairs = prev_touched_pairs.unionByName(stale).distinct()
+        return (
+            pairs.groupBy("file")
+            .agg(F.sort_array(F.collect_list("pos")).alias("positions"))
+            .unionByName(untouched)
+        )
+    pairs = stale  # row_number > 1 is already duplicate-free
     return pairs.groupBy("file").agg(
         F.sort_array(F.collect_list("pos")).alias("positions")
     )

@@ -261,7 +261,12 @@ class DynamicBucketAssigner:
                 T.StructField("__b_idx", T.IntegerType()),
             ]
         )
-        files_df = spark.createDataFrame(rows, schema)
+        from paimon_python_spark._localdf import local_df
+
+        # one slice per index file (NOT defaultParallelism): the
+        # expansion task count tracks the index's file count, so a
+        # 2-file index is 2 tasks instead of 32 near-empty Python tasks
+        files_df = local_df(spark, rows, schema)
 
         part_keys = self.part_keys
 
@@ -424,8 +429,10 @@ class DynamicBucketAssigner:
                 T.StructField("__j0", T.IntegerType()),
             ]
         )
-        segs = spark.createDataFrame(seg_rows, seg_schema)
-        ovf = spark.createDataFrame(ovf_rows, ovf_schema)
+        from paimon_python_spark._localdf import local_df
+
+        segs = local_df(spark, seg_rows, seg_schema, max_slices=1)
+        ovf = local_df(spark, ovf_rows, ovf_schema, max_slices=1)
         a = ranked.join(
             F.broadcast(segs),
             (ranked["__rk"] >= segs["__lo"])

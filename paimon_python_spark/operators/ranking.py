@@ -136,8 +136,10 @@ def scalable_rank(
             T.StructField("__rk_n", T.LongType()),
         ]
     )
+    from paimon_python_spark._localdf import local_df
+
     offsets = F.broadcast(
-        spark.createDataFrame(off_rows, off_schema).alias("__rk_offs")
+        local_df(spark, off_rows, off_schema, max_slices=1).alias("__rk_offs")
     )
 
     # eqNullSafe on the partition columns: a name-list join uses

@@ -163,8 +163,10 @@ def assign_cells(
         (i + 1, [float(v) for v in c], sum(float(v) * float(v) for v in c) / 2.0)
         for i, c in enumerate(centroids)
     ]
+    from paimon_python_spark._localdf import local_df
+
     packed = (
-        spark.createDataFrame(rows, "cell int, cvec array<double>, half_sq double")
+        local_df(spark, rows, "cell int, cvec array<double>, half_sq double", max_slices=1)
         # struct sort key leads with cell, so position i+1 holds cell i+1
         # and array_position over the scores IS the cell id
         .agg(F.array_sort(F.collect_list(F.struct("cell", "cvec", "half_sq"))).alias("__cents"))

@@ -54,6 +54,8 @@ from typing import Any, List, Optional
 
 from pyspark.sql import types as T
 
+from paimon_python_spark._localdf import local_df
+
 # ---- type strings ----
 
 _SIMPLE_TYPES = {
@@ -1093,7 +1095,8 @@ def apply_lake_dv(
     if not ranges:
         return df
     rows = [(r.index_path, r.data_file_name, r.offset, r.length) for r in ranges]
-    rdf = spark.createDataFrame(rows, "idx string, fname string, off long, len long")
+
+    rdf = local_df(spark, rows, "idx string, fname string, off long, len long")
     out_schema = f"{file_name_col} string, {pos_col} long"
 
     def decode(batches):
@@ -2440,7 +2443,7 @@ def merge_paimon_pk_entries(
     from paimon_python_spark.write import KIND_COL, SEQ_COL
 
     if not entries:
-        return spark.createDataFrame([], info.spark_schema)
+        return local_df(spark, [], info.spark_schema)
     dv_ranges = _relevant_dv(dv_ranges, entries)
     if _bucket_local_merge_ok(info, entries, fmt, dv_ranges):
         # fixed-bucket geometry makes the merge closed per (partition,
@@ -2503,9 +2506,13 @@ def merge_paimon_pk_entries(
     # file names are UUID-unique within a Paimon table, so a broadcast
     # (file_name → entry order, level) lookup rides next to every row
     order_rows = [(e.file_name, i, e.level) for i, e in enumerate(entries)]
+
     order_df = F.broadcast(
-        spark.createDataFrame(
-            order_rows, "__file_name string, __entry_idx int, __level int"
+        local_df(
+            spark,
+            order_rows,
+            "__file_name string, __entry_idx int, __level int",
+            max_slices=1,
         )
     )
     raw = raw.join(order_df, "__file_name")
@@ -2565,7 +2572,7 @@ def read_paimon_append_entries(
     from pyspark.sql import functions as F
 
     if not entries:
-        return spark.createDataFrame([], info.spark_schema)
+        return local_df(spark, [], info.spark_schema)
     dv_ranges = _relevant_dv(dv_ranges, entries)
     pos_col = "__row_pos" if dv_ranges else None
     cast_cols = [
@@ -2618,7 +2625,9 @@ def read_paimon_append_entries(
         seen.add(e.file_name)
         pv = logical_partition_values(info, e.partition)
         rows.append((e.file_name, *[pv[k] for k in info.partition_keys]))
-    pmap = spark.createDataFrame(
+
+    pmap = local_df(
+        spark,
         rows,
         T.StructType(
             [T.StructField(fn, T.StringType(), False)]
@@ -2627,6 +2636,7 @@ def read_paimon_append_entries(
                 for k in info.partition_keys
             ]
         ),
+        max_slices=1,
     )
     return df.join(F.broadcast(pmap), fn).select(*cast_cols)
 

@@ -43,6 +43,7 @@ from __future__ import annotations
 import struct
 from typing import List, Optional
 
+from paimon_python_spark._localdf import local_df
 from paimon_python_spark.paimon_import import (
     PaimonFileEntry,
     PaimonSchemaInfo,
@@ -1068,7 +1069,7 @@ class PaimonLakeRead:
             max_level = int(info.options.get("num-levels", "6")) - 1
             ro_entries = [e for e in entries if e.level == max_level]
             if not ro_entries:
-                df = spark.createDataFrame([], info.spark_schema)
+                df = local_df(spark, [], info.spark_schema)
             else:
                 rodv = _relevant_dv(dv, ro_entries)
                 df = _load_lake_entries(
@@ -1330,7 +1331,7 @@ def read_lake_incremental(
              T.StructField("_row_kind", T.StringType()),
              T.StructField(SEQ_COL, T.LongType())]
         )
-        return spark.createDataFrame([], empty)
+        return local_df(spark, [], empty)
     kind_name = (
         F.when(F.col(KIND_COL) == 0, "+I")
         .when(F.col(KIND_COL) == 1, "-U")
@@ -1890,7 +1891,7 @@ def _lake_system_df(table_path, name, snapshot_id=None):
     from paimon_python_spark.session import get_spark
 
     schema, rows = lake_system_table_data(table_path, name, snapshot_id)
-    return get_spark().createDataFrame(rows, schema)
+    return local_df(get_spark(), rows, schema)
 
 
 def _lake_audit_log(table_path: str, snapshot_id: "Optional[int]" = None):
@@ -1925,7 +1926,7 @@ def _lake_audit_log(table_path: str, snapshot_id: "Optional[int]" = None):
         info.spark_schema.fields
     )
     if not entries:
-        return spark.createDataFrame([], T.StructType(out_fields))
+        return local_df(spark, [], T.StructType(out_fields))
     if not info.primary_keys:
         from paimon_python_spark.paimon_import import (
             read_paimon_append_entries,
@@ -6451,7 +6452,8 @@ def delete_lake_rows(table_path: str, predicate: Predicate) -> int:
                     for k in missing
                 ]
             )
-            pmap = F.broadcast(spark.createDataFrame(rows, pschema))
+
+            pmap = F.broadcast(local_df(spark, rows, pschema, max_slices=1))
             raw = raw.join(pmap, "__file_name")
         pending = raw.filter(predicate.to_column())
         # EXECUTOR-SIDE bitmap build: each matched file's positions

@@ -30,6 +30,7 @@ from __future__ import annotations
 
 from typing import List, Optional
 
+from paimon_python_spark._localdf import local_df
 import pyarrow as pa
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -655,7 +656,7 @@ def audit_log_df(table, snapshot_id: Optional[int] = None) -> DataFrame:
         schema.spark_schema.fields
     )
     if not paths:
-        return spark.createDataFrame([], T.StructType(out_fields))
+        return local_df(spark, [], T.StructType(out_fields))
 
     is_pk = schema.is_primary_key_table()
     physical = T.StructType(list(schema.spark_schema.fields))
@@ -705,7 +706,7 @@ class TableRead:
         is_pk = schema.is_primary_key_table()
 
         if not paths:
-            df = spark.createDataFrame([], schema.spark_schema)
+            df = local_df(spark, [], schema.spark_schema)
             return self._finish(df)
 
         from paimon_python_spark.deletion_vectors import dv_enabled

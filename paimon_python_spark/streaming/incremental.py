@@ -10,6 +10,7 @@ data plane stays a lazy DataFrame per batch.
 
 from __future__ import annotations
 
+from paimon_python_spark._localdf import local_df
 import json
 import os
 import re
@@ -79,7 +80,7 @@ def read_incremental(
             ]
         )
     if not files:
-        out = spark.createDataFrame([], physical)
+        out = local_df(spark, [], physical)
     else:
         import os
 
@@ -125,7 +126,7 @@ def changelog_diff(table, from_snapshot: int, to_snapshot: int) -> DataFrame:
             ]
         )
         if not files:
-            df = spark.createDataFrame([], physical)
+            df = local_df(spark, [], physical)
         else:
             paths = [os.path.join(table.table_path, f.path) for f in files]
             df = spark.read.schema(physical).format(schema.file_format()).load(paths)

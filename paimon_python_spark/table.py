@@ -589,8 +589,9 @@ def engine_system_table_data(
 
 
 def _engine_system_df(table_path, name, snapshot_id=None):
+    from paimon_python_spark._localdf import local_df
     from paimon_python_spark.session import get_spark
 
     schema, rows = engine_system_table_data(table_path, name, snapshot_id)
-    return get_spark().createDataFrame(rows, schema)
+    return local_df(get_spark(), rows, schema)
 
