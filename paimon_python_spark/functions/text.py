@@ -441,7 +441,12 @@ def contamination_check_bloom(
     """
     from pyspark.sql import types as T
 
-    grams = _doc_grams(df, id_col, text_col, n)
+    from paimon_python_spark.operators._util import widen
+
+    # the corpus-side shingle expression is the heavy per-row stage; a
+    # single small parquet split would run it on 1 of N cores (twice:
+    # the probe path and the totals path both consume `grams`)
+    grams = _doc_grams(widen(df.select(id_col, text_col)), id_col, text_col, n)
     bench_grams = (
         _doc_grams(bench_df, id_col, text_col, n)
         .select(F.explode("g").alias("gram"))
@@ -557,9 +562,11 @@ def corpus_overlap(
     the gram table (an O(grams²/sources) blowup at 100 TB) and nothing
     collects to the driver.
     """
+    from paimon_python_spark.operators._util import widen
+
     grams = (
         _doc_grams(
-            df.select(F.col(source_col), F.col(text_col)),
+            widen(df.select(F.col(source_col), F.col(text_col))),
             source_col,
             text_col,
             n,
@@ -640,7 +647,9 @@ def contamination_check(
     Parity note: the reference has no corpus ops (delegates analytics to
     DuckDB, pypaimon/api/table_read.py:47-56); this extends SURVEY §2.5.
     """
-    doc_g = _doc_grams(df, id_col, text_col, n)
+    from paimon_python_spark.operators._util import widen
+
+    doc_g = _doc_grams(widen(df.select(id_col, text_col)), id_col, text_col, n)
     bench_grams = (
         _doc_grams(bench_df, id_col, text_col, n)
         .select(F.explode("g").alias("gram"))

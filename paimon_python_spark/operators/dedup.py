@@ -144,6 +144,14 @@ def _minhash_candidates(
     # while doing useful work (eager=True paid a full extra pass). The
     # r7 bisect of the 2.3× gate regression: narrow input partitioning
     # (_widen) was the dominant cost, the eager pass the rest.
+    # Re-adjudicated r12: AQE submits this plan's independent leaf
+    # exchanges concurrently and each recomputes the shingle pass when
+    # the cache is cold (4 parallel 2-task jobs in the event log), but
+    # the duplicates run fully OVERLAPPED on otherwise-idle cores —
+    # eager measured +0.3-0.5 s wall per query across the family (the
+    # extra count pass serializes in front). At cluster scale staggered
+    # task starts make later stages hit blocks the first stage already
+    # cached, so the transient duplication shrinks with partition count.
     sh = shared(sh)
     band_key = F.concat_ws(
         "-",
@@ -548,6 +556,10 @@ def embedding_cosine_pairs_lsh(
     )
 
     all_signs = hyperplane_signs(tables * planes, dims)
+    # widen: the tables×planes hyperplane dot folds and the norm folds
+    # below are the heavy per-row stages — a single-split input would
+    # run them on one core (and the eager populate pass serializes it)
+    df = _widen(df.select(id_col, vec_col))
     if bucket_method == "matmul":
         ex = hyperplane_buckets_matmul(df, id_col, vec_col, all_signs, planes)
     elif bucket_method == "expr":
@@ -759,9 +771,9 @@ def fuzzy_dedup_survivors(
     priority_col: str | None = None,
 ) -> DataFrame:
     """Rows of ``df`` that survive near-dup removal: docs in no pair,
-    plus ONE survivor per near-dup cluster. One anti-join + one
-    semi-join against the (tiny relative to the corpus) component
-    labels.
+    plus ONE survivor per near-dup cluster. ONE anti-join against the
+    (tiny relative to the corpus) losing cluster members — a single
+    pass over the corpus.
 
     Default survivor: the cluster's minimum id (deterministic, no extra
     data access). ``priority_col`` instead keeps the cluster's
@@ -770,8 +782,14 @@ def fuzzy_dedup_survivors(
     costs one extra broadcast-sized join + window over cluster labels
     only, never over the corpus."""
     comps = connected_components(pairs, a_col, b_col)
+    # ONE anti-join against the DROP set (cluster members that lost),
+    # instead of anti-join-vs-members ∪ semi-join-vs-winners — the
+    # union form scanned the 100 TB corpus TWICE; the drop set is the
+    # same size as the member set and the surviving row set is
+    # identical (docs in no pair are in neither set and pass the
+    # anti-join).
     if priority_col is None:
-        keep = comps.filter(F.col("node") == F.col("cluster")).select(
+        drops = comps.filter(F.col("node") != F.col("cluster")).select(
             F.col("node").alias(id_col)
         )
     else:
@@ -784,15 +802,12 @@ def fuzzy_dedup_survivors(
         w = Window.partitionBy("cluster").orderBy(
             F.col(priority_col).desc(), F.col("node").asc()
         )
-        keep = (
+        drops = (
             labeled.withColumn("__rn", F.row_number().over(w))
-            .filter("__rn = 1")
+            .filter("__rn > 1")
             .select(F.col("node").alias(id_col))
         )
-    in_pairs = comps.select(F.col("node").alias(id_col))
-    return df.join(in_pairs, id_col, "left_anti").unionByName(
-        df.join(keep, id_col, "left_semi")
-    )
+    return df.join(drops, id_col, "left_anti")
 
 
 def ngram_containment_pairs(

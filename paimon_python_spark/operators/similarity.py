@@ -435,6 +435,7 @@ def semantic_dedup(
     aggregate through min/max.
     """
     from paimon_python_spark.operators._cache import shared
+    from paimon_python_spark.operators._util import widen
 
     # norms are precomputed ONCE per vector before the self-join — the
     # pairwise stage then does a single dot fold per pair instead of
@@ -442,8 +443,11 @@ def semantic_dedup(
     # precomputed values is bit-identical to computing them inline).
     # Persisted (scoped cache): the k centroid dot-products per vector
     # feed BOTH self-join sides — unpersisted they compute twice.
+    # widen: the k-centroid assignment AND the broadcast within-cell
+    # pair compare both inherit the cached frame's partitioning — a
+    # single-split input would run both on one core.
     celled = shared(
-        assign_cells(df.select(id_col, vec_col), vec_col, centroids).withColumn(
+        assign_cells(widen(df.select(id_col, vec_col)), vec_col, centroids).withColumn(
             "__norm", F.sqrt(F.expr(dot_expr(vec_col, vec_col)))
         ),
         eager=True,

@@ -89,13 +89,45 @@ class Predicate:
         if m == "contains":
             return col.contains(lits[0])
         if m == "in":
-            return col.isin(lits)
+            return self._in_column(col, f, lits)
         if m == "notIn":
             # NOT IN is 3-valued too: NULL never matches.
-            return ~col.isin(lits)
+            return ~self._in_column(col, f, lits)
         if m == "between":
             return (col >= F.lit(lits[0])) & (col <= F.lit(lits[1]))
         raise ValueError(f"unknown predicate method {m}")
+
+    @staticmethod
+    def _in_column(col: Column, field: str, lits: List[Any]) -> Column:
+        """``col.isin(lits)`` — but for LARGE scalar lists compile the
+        whole IN through ONE parsed SQL expression. The classic-mode
+        ``isin`` round-trips one py4j call per literal (~0.7 ms each;
+        a 600-key bucket-pruned state read measured 0.46 s of pure
+        driver chatter building the filter). ``F.expr`` parses to the
+        same Catalyst ``In`` node, so parquet pushdown is unchanged."""
+        import math
+
+        def sql_ok(v):
+            if isinstance(v, (str, bool)):
+                return True
+            if isinstance(v, float):
+                return math.isfinite(v)
+            return isinstance(v, int) and -(2**63) <= v < 2**63
+
+        if len(lits) > 16 and all(sql_ok(v) for v in lits):
+            def sql_lit(v):
+                if isinstance(v, str):
+                    return "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+                if isinstance(v, bool):
+                    return "TRUE" if v else "FALSE"
+                if isinstance(v, float):
+                    return repr(v) + "D"  # exact double literal
+                # bare integer literal: INT when it fits, else BIGINT —
+                # the same typing F.lit(int) produces
+                return str(v)
+            quoted = "`" + field.replace("`", "``") + "`"
+            return F.expr(f"{quoted} IN ({', '.join(sql_lit(v) for v in lits)})")
+        return col.isin(lits)
 
     # ---- driver-side eval over a dict of values (partition pruning) ----
 

@@ -199,3 +199,42 @@ def test_equality_fields_collection():
     assert pb.between("c", 1, 2).equality_fields() == set()
     assert pb.less_than("a", 9).equality_fields() == set()
     assert pb.is_in("c", [1]).equality_fields() == {"c"}
+
+
+def test_large_in_list_single_expr(spark):
+    """IN lists past the SQL-compilation threshold (>16 scalars) produce
+    the same rows and the same Catalyst ``In`` node as ``Column.isin``
+    — including strings needing quote escaping — while costing ONE py4j
+    round-trip instead of one per literal."""
+    from paimon_python_spark.predicate import PredicateBuilder
+
+    df = spark.createDataFrame(
+        [(i, f"s{i}" if i % 3 else "o'q\\x") for i in range(40)], "f0 long, f1 string"
+    )
+    pb = PredicateBuilder(["f0", "f1"])
+
+    big_ints = pb.is_in("f0", list(range(2, 25)))
+    got = sorted(r.f0 for r in df.filter(big_ints.to_column()).collect())
+    assert got == list(range(2, 25))
+    # same Catalyst node as the isin form -> pushdown unchanged
+    plan = (
+        df.filter(big_ints.to_column())._jdf.queryExecution().optimizedPlan().toString()
+    )
+    ref_plan = (
+        df.filter(df.f0.isin(list(range(2, 25))))
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert plan == ref_plan
+
+    tricky = ["o'q\\x"] + [f"s{i}" for i in range(1, 20)]
+    big_strs = pb.is_in("f1", tricky)
+    got_s = {r.f0 for r in df.filter(big_strs.to_column()).collect()}
+    ref_s = {r.f0 for r in df.filter(df.f1.isin(tricky)).collect()}
+    assert got_s == ref_s and 0 in got_s  # the escaped-quote row matched
+
+    not_in = pb.is_not_in("f0", list(range(0, 30)))
+    assert sorted(r.f0 for r in df.filter(not_in.to_column()).collect()) == list(
+        range(30, 40)
+    )

@@ -87,9 +87,11 @@ def parse_event_log(app_id: str):
             kind = ev.get("Event")
             if kind == "SparkListenerJobStart":
                 jid = ev["Job ID"]
-                desc = ev.get("Properties", {}).get(
-                    "spark.job.description", ""
-                ) or ev.get("Properties", {}).get("callSite.short", "")
+                props = ev.get("Properties", {})
+                desc = props.get("spark.job.description", "")
+                call = props.get("callSite.short", "")
+                if call:
+                    desc = f"{desc} @{call}" if desc else call
                 jobs[jid] = {
                     "desc": desc,
                     "start": ev["Submission Time"],
