@@ -47,6 +47,37 @@ def serialize_roaring32(values) -> bytes:
     # out-of-range ints, which would mark the wrong row deleted
     if ordered and (ordered[0] < 0 or ordered[-1] > 0xFFFFFFFF):
         raise ValueError("roaring32 positions must fit in uint32")
+    # fast path: SMALL position sets (≤256) packed with pure struct —
+    # the overwhelmingly common shape for bitmap file indexes, which
+    # serialize one small bitmap PER DISTINCT VALUE (28k calls per file
+    # measured); the numpy/np.unique general path costs ~60 µs of fixed
+    # overhead per call that plain packing avoids. Every container here
+    # is an array container (≤256 < _ARRAY_MAX), so the layout is the
+    # byte-identical no-run form the general path emits.
+    if ordered and len(ordered) <= 256:
+        groups: list = []
+        cur_key, start = ordered[0] >> 16, 0
+        for i, v in enumerate(ordered):
+            k = v >> 16
+            if k != cur_key:
+                groups.append((cur_key, ordered[start:i]))
+                cur_key, start = k, i
+        groups.append((cur_key, ordered[start:]))
+        n = len(groups)
+        out = bytearray(struct.pack("<ii", SERIAL_COOKIE_NO_RUN, n))
+        payloads = []
+        for k, grp in groups:
+            out += struct.pack("<HH", k, len(grp) - 1)
+            payloads.append(
+                struct.pack(f"<{len(grp)}H", *(v & 0xFFFF for v in grp))
+            )
+        off = 8 + 8 * n  # cookie+count, desc header, offset header
+        for p in payloads:
+            out += struct.pack("<I", off)
+            off += len(p)
+        for p in payloads:
+            out += p
+        return bytes(out)
     vals = np.asarray(ordered, dtype=np.uint32)
     keys = (vals >> 16).astype(np.uint16)
     lows = (vals & 0xFFFF).astype(np.uint16)

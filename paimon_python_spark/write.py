@@ -228,7 +228,11 @@ class DataFileHarvester:
             self.schema.options.get(o, "").strip()
             for o in ("file-index.bitmap.columns", "file-index.bsi.columns")
         )
-        if heavy and len(new_paths) > 4:
+        # >1: even two index-heavy files are worth a job — each pays a
+        # full column scan + per-distinct-value bitmap build (~1.5 s/file
+        # measured on the exact-index gate), so serializing them behind
+        # the driver costs more than the ~100 ms job overhead
+        if heavy and len(new_paths) > 1:
             try:
                 from paimon_python_spark.session import get_spark
 
