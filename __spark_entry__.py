@@ -5300,10 +5300,19 @@ def pipeline_incremental_ingest(spark, sf_dir):
     filtered = batch.filter(F.length("text") >= 100)
     index = PaimonLakeTable(index_lake).new_read_builder().new_read().to_df()
     cands = minhash_incremental_candidates(index, filtered, "doc_id", "text")
-    survivors = filtered.join(
-        cands.select(F.col("doc_new").alias("doc_id")).distinct(),
-        "doc_id",
-        "left_anti",
+    # survivors feed TWO writes (curated rows + index upkeep bands);
+    # scoped-persist so the filter -> shingle -> candidate -> anti-join
+    # chain runs once, not once per consuming write (guide §5: persist
+    # when reused and recompute is expensive — here it's the whole
+    # batch dedup pass)
+    from paimon_python_spark.operators._cache import shared
+
+    survivors = shared(
+        filtered.join(
+            cands.select(F.col("doc_new").alias("doc_id")).distinct(),
+            "doc_id",
+            "left_anti",
+        )
     )
     write_lake_append(curated_lake, survivors.select("doc_id", "source"))
     # index upkeep: the NEXT batch must dedup against these survivors
