@@ -665,7 +665,13 @@ def pq_adc_topk(
         ]
         for s, book in enumerate(codebooks)
     ]
-    encoded = pq_encode(df, vec_col, codebooks)
+    from paimon_python_spark.operators._util import widen
+
+    # the ADC encode+score pass is heavy per-row JVM expression work
+    # (M subspace argmins over the vector array); a single-split input
+    # runs it one-task-wide — fan out by input bytes (no-op at lake
+    # scale where the codes column arrives in many splits)
+    encoded = pq_encode(widen(df.select(id_col, vec_col)), vec_col, codebooks)
     terms = [
         "element_at(array("
         + ", ".join(f"CAST({v!r} AS DOUBLE)" for v in lut[s])
