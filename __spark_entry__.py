@@ -4889,54 +4889,72 @@ def paimon_analyze_stats_roundtrip(spark, sf_dir):
     from paimon_python_spark.session import set_spark
 
     set_spark(spark)
-    fixture = _fresh_warehouse("anstat") + "/cust_an"
-    create_lake_table(
-        fixture,
-        [
-            ("c_custkey", "BIGINT NOT NULL"),
-            ("c_mktsegment", "STRING"),
-            ("c_acctbal", "DOUBLE"),
-        ],
-        primary_keys=["c_custkey"],
-        options={"bucket": "2"},
-    )
     src = _t(spark, sf_dir, "customer").select(
         "c_custkey", "c_mktsegment", "c_acctbal"
     )
-    write_lake_pk_append(fixture, src.filter(F.col("c_custkey") % 3 == 0))
-    write_lake_pk_append(
-        fixture,
-        src.filter(F.col("c_custkey") % 6 == 0).withColumn(
-            "c_acctbal", F.col("c_acctbal") + 1000
-        ),
-    )
-    analyze_lake(fixture, exact=True)
 
-    # ENGINE twin: same data, same upsert, Table.analyze() — both
-    # formats' statistic files must describe the same merged state
-    from paimon_python_spark import Catalog, Schema
+    def _build_lake():
+        fixture = _fresh_warehouse("anstat") + "/cust_an"
+        create_lake_table(
+            fixture,
+            [
+                ("c_custkey", "BIGINT NOT NULL"),
+                ("c_mktsegment", "STRING"),
+                ("c_acctbal", "DOUBLE"),
+            ],
+            primary_keys=["c_custkey"],
+            options={"bucket": "2"},
+        )
+        write_lake_pk_append(fixture, src.filter(F.col("c_custkey") % 3 == 0))
+        write_lake_pk_append(
+            fixture,
+            src.filter(F.col("c_custkey") % 6 == 0).withColumn(
+                "c_acctbal", F.col("c_acctbal") + 1000
+            ),
+        )
+        analyze_lake(fixture, exact=True)
+        return fixture
 
-    cat = Catalog.create({"warehouse": _fresh_warehouse("anstat_e")})
-    cat.create_database("default", True)
-    cat.create_table(
-        "default.cust_an",
-        Schema(src.schema, primary_keys=["c_custkey"], options={"bucket": "2"}),
-        False,
-    )
-    et = cat.get_table("default.cust_an")
-    for batch in (
-        src.filter(F.col("c_custkey") % 3 == 0),
-        src.filter(F.col("c_custkey") % 6 == 0).withColumn(
-            "c_acctbal", F.col("c_acctbal") + 1000
-        ),
-    ):
-        wb = et.new_batch_write_builder()
-        w, c = wb.new_write(), wb.new_commit()
-        w.write_dataframe(batch)
-        c.commit(w.prepare_commit())
-        w.close()
-        c.close()
-    et.analyze(exact=True)
+    def _build_engine():
+        # ENGINE twin: same data, same upsert, Table.analyze() — both
+        # formats' statistic files must describe the same merged state
+        from paimon_python_spark import Catalog, Schema
+
+        cat = Catalog.create({"warehouse": _fresh_warehouse("anstat_e")})
+        cat.create_database("default", True)
+        cat.create_table(
+            "default.cust_an",
+            Schema(
+                src.schema, primary_keys=["c_custkey"], options={"bucket": "2"}
+            ),
+            False,
+        )
+        et = cat.get_table("default.cust_an")
+        for batch in (
+            src.filter(F.col("c_custkey") % 3 == 0),
+            src.filter(F.col("c_custkey") % 6 == 0).withColumn(
+                "c_acctbal", F.col("c_acctbal") + 1000
+            ),
+        ):
+            wb = et.new_batch_write_builder()
+            w, c = wb.new_write(), wb.new_commit()
+            w.write_dataframe(batch)
+            c.commit(w.prepare_commit())
+            w.close()
+            c.close()
+        et.analyze(exact=True)
+        return et
+
+    # the two fixtures are INDEPENDENT table chains (own warehouses,
+    # own commit sequences): overlap them so the second chain's jobs
+    # back-fill the first's idle tail (guide §2.6) — results identical,
+    # both chains fully complete before the rows are assembled
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        lake_f = pool.submit(_build_lake)
+        engine_f = pool.submit(_build_engine)
+        fixture, et = lake_f.result(), engine_f.result()
 
     rows = []
     for kind, srow in (
