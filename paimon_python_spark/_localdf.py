@@ -1,29 +1,103 @@
-"""Single-slice driver-local DataFrames.
+"""Driver-local DataFrames without the Python boundary.
 
-``spark.createDataFrame(list_of_rows)`` splits the rows into
-``defaultParallelism`` slices (32 on local[32]) — so every KB-scale
-metadata frame (file plans, capacity plans, DV path lists, index
-expansions) fans out into 32 tasks, and any Python-evaluated stage
-downstream pays the Python-worker round-trip ~32 times for a handful
-of rows. Measured on the r12 profile harness: ~250 ms of task time per
-task, i.e. ~8 s of task time and 0.3-0.8 s of wall clock per such job,
-several times per lake commit (guide §2.4, §4.1).
+``spark.createDataFrame(list_of_rows)`` builds a pickled-row
+``ParallelCollectionRDD``: every evaluation of the frame (each AQE
+stage materialization, each broadcast build, each re-execution of a
+non-persisted plan) pays a Python-worker round-trip PER SLICE —
+measured ~250 ms of task time per slice, several times per lake
+commit (guide §4.1). Slicing fixes the width (r12 Finding 1) but not
+the boundary itself.
 
-``local_df`` pins the slice count to the ROW count (capped at the
-session's default parallelism), so a 4-row plan frame is 4 tasks and a
-2,000-file plan frame still fans out to the full cluster width. Use it
-for every driver-built list-of-rows frame; data-scale frames coming
-from real scans are unaffected.
+``local_df`` therefore builds the frame through Arrow
+(``spark.createDataFrame(pyarrow.Table)``): the rows are converted
+ONCE on the driver into Arrow record batches and handed to the JVM,
+so evaluating the frame is pure JVM work — no Python worker appears
+anywhere in its lineage. Measured on the r12 profile harness
+(12-row metadata frame, noop-evaluated, warm): classic 1-slice
+~286 ms median vs Arrow ~186 ms, with the ~90 ms job floor accounting
+for most of the remainder; at the default 32 slices the classic path
+costs 0.3-0.8 s of wall per evaluation.
+
+Callers whose downstream stage does real per-row work (mapInPandas
+reading one index file per row) pass ``fan_out=True`` to keep the
+classic sliced path: there the per-task fan-out IS the point, and the
+worker round-trip is amortized by the per-row I/O.
+
+Every input here is metadata-sized at ANY data scale (file lists,
+capacity plans, DV path lists, stats rows); data-scale frames come
+from real scans and never pass through this module.
 """
 
 from __future__ import annotations
 
 
-def local_df(spark, rows, schema, max_slices: int | None = None):
-    """``spark.createDataFrame(rows, schema)`` with slices = number of
-    rows (bounded by ``max_slices``, default the session's parallelism)
-    instead of unconditional ``defaultParallelism`` empty slices."""
+def _coerce(v, dt):
+    """Make a driver-side Python value Arrow-compatible for ``dt``
+    (Row/tuple structs -> dicts, dict maps -> item lists, bytearray ->
+    bytes), recursively through nested types."""
+    from pyspark.sql import types as T
+
+    if v is None:
+        return None
+    if isinstance(dt, T.StructType):
+        if isinstance(v, dict):
+            d = v
+        elif hasattr(v, "asDict"):
+            d = v.asDict()
+        else:
+            d = dict(zip([f.name for f in dt.fields], v))
+        return {f.name: _coerce(d.get(f.name), f.dataType) for f in dt.fields}
+    if isinstance(dt, T.ArrayType):
+        return [_coerce(x, dt.elementType) for x in v]
+    if isinstance(dt, T.MapType):
+        items = v.items() if isinstance(v, dict) else v
+        return [
+            (_coerce(k, dt.keyType), _coerce(val, dt.valueType))
+            for k, val in items
+        ]
+    if isinstance(dt, T.BinaryType) and isinstance(v, bytearray):
+        return bytes(v)
+    return v
+
+
+def _arrow_local_df(spark, rows, schema):
+    import pyarrow as pa
+    from pyspark.sql import types as T
+    from pyspark.sql.pandas.types import to_arrow_type
+
+    if isinstance(schema, str):
+        schema = T._parse_datatype_string(schema)
+    if not isinstance(schema, T.StructType):
+        raise TypeError("non-struct schema")
+    names, arrays = [], []
+    for i, f in enumerate(schema.fields):
+        at = to_arrow_type(f.dataType)
+        col = [
+            _coerce(r.get(f.name) if isinstance(r, dict) else r[i], f.dataType)
+            for r in rows
+        ]
+        arrays.append(pa.array(col, type=at))
+        names.append(f.name)
+    tbl = pa.Table.from_arrays(arrays, names=names)
+    return spark.createDataFrame(tbl, schema=schema)
+
+
+def local_df(spark, rows, schema, max_slices: int | None = None, fan_out: bool = False):
+    """Driver-built list-of-rows frame.
+
+    Default: Arrow construction (JVM-native lineage, one batch — no
+    Python worker on any evaluation). ``fan_out=True``: classic
+    pickled-row path with slices = row count (capped at ``max_slices``
+    or the session's parallelism) for callers whose downstream
+    per-row work is real I/O. Any Arrow conversion failure falls back
+    to the classic path, so behavior is never narrower than before.
+    """
     rows = rows if isinstance(rows, list) else list(rows)
+    if not fan_out:
+        try:
+            return _arrow_local_df(spark, rows, schema)
+        except Exception:
+            pass  # unconvertible type/value: classic path below
     if not rows:
         # one EMPTY slice, not defaultParallelism empty slices — a
         # 32-slice empty frame unioned/joined into a plan widens every

@@ -265,8 +265,10 @@ class DynamicBucketAssigner:
 
         # one slice per index file (NOT defaultParallelism): the
         # expansion task count tracks the index's file count, so a
-        # 2-file index is 2 tasks instead of 32 near-empty Python tasks
-        files_df = local_df(spark, rows, schema)
+        # 2-file index is 2 tasks instead of 32 near-empty Python
+        # tasks; fan_out because the mapInPandas below does real I/O
+        # (reads one index file per row)
+        files_df = local_df(spark, rows, schema, fan_out=True)
 
         part_keys = self.part_keys
 

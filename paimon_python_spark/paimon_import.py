@@ -1096,7 +1096,10 @@ def apply_lake_dv(
         return df
     rows = [(r.index_path, r.data_file_name, r.offset, r.length) for r in ranges]
 
-    rdf = local_df(spark, rows, "idx string, fname string, off long, len long")
+    # fan_out: the mapInPandas below reads one DV index slice per row
+    rdf = local_df(
+        spark, rows, "idx string, fname string, off long, len long", fan_out=True
+    )
     out_schema = f"{file_name_col} string, {pos_col} long"
 
     def decode(batches):
