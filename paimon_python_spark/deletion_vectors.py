@@ -283,12 +283,20 @@ def build_commit_dv_df(
             F.broadcast(touched), "file", "left_anti"
         ).select("file", "positions")
         # the window re-derives marks already present in prev (older
-        # versions of a re-touched key rank > 1 again) — distinct folds
-        # the overlap
-        pairs = prev_touched_pairs.unionByName(stale).distinct()
+        # versions of a re-touched key rank > 1 again). Fold the
+        # overlap INSIDE the groupBy (array_distinct over the collected
+        # positions) instead of a standalone .distinct(): that was a
+        # second full Exchange of every touched pair by (file, pos)
+        # right before the Exchange by file (guide §2.4) — same sorted
+        # de-duplicated position arrays, one shuffle fewer per commit.
+        pairs = prev_touched_pairs.unionByName(stale)
         return (
             pairs.groupBy("file")
-            .agg(F.sort_array(F.collect_list("pos")).alias("positions"))
+            .agg(
+                F.sort_array(F.array_distinct(F.collect_list("pos"))).alias(
+                    "positions"
+                )
+            )
             .unionByName(untouched)
         )
     pairs = stale  # row_number > 1 is already duplicate-free

@@ -606,6 +606,20 @@ def embedding_cosine_pairs_lsh(
             F.sqrt(F.expr(dot_expr(vec_col, vec_col))).alias("__n"),
         )
     )
+    # the exact-verify stage's cost tracks CANDIDATE COUNT (one
+    # dims-element dot fold per pair), not bytes — AQE's byte-based
+    # coalescing squeezes the tiny (id, id) shuffle to ONE partition
+    # and runs every dot product on one core (measured: two ~500 ms
+    # single-task jobs at sf0.1 while 31 cores idle; guide §2.5's
+    # "bytes are a bad cost proxy" case). An EXPLICIT partition count
+    # on the exchange feeding the compute-bearing join pins its width:
+    # AQE never coalesces user-specified repartitions. Width = the
+    # widened input's split count or the cluster's parallelism,
+    # whichever is larger — scale-adaptive, not a local constant.
+    verify_parts = max(
+        df.rdd.getNumPartitions(),
+        df.sparkSession.sparkContext.defaultParallelism,
+    )
     return (
         cand.join(
             normed.select(
@@ -615,6 +629,7 @@ def embedding_cosine_pairs_lsh(
             ),
             "id_a",
         )
+        .repartition(verify_parts, "id_b")
         .join(
             normed.select(
                 F.col(id_col).alias("id_b"),
