@@ -562,9 +562,15 @@ def corpus_overlap(
     the gram table (an O(grams²/sources) blowup at 100 TB) and nothing
     collects to the driver.
     """
+    from paimon_python_spark.operators._cache import shared
     from paimon_python_spark.operators._util import widen
 
-    grams = (
+    # shared: the distinct gram table feeds BOTH the per-gram source
+    # sets and the per-source totals — unpersisted, the whole widen →
+    # gram-explosion → distinct chain executed twice per run (two
+    # ~0.6 s single-task map jobs + twin distinct exchanges in the
+    # event log). One materialization, both aggregates read the cache.
+    grams = shared(
         _doc_grams(
             widen(df.select(F.col(source_col), F.col(text_col))),
             source_col,

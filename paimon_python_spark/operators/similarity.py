@@ -464,8 +464,35 @@ def semantic_dedup(
         F.col(vec_col).alias("__vb"),
         F.col("__norm").alias("__nb"),
     )
+    # Σ|cell|² pairwise work can only spread across min(k, partitions)
+    # tasks when keyed by cell alone — with few centroids (or one huge
+    # cell) most cores idle (guide §2.5 hot-key skew; AQE skew-join
+    # can't split a single key of a self-join whose cost is compute,
+    # not bytes). Deterministic sub-cell salt: the a-side carries
+    # salt = pmod(xxhash64(id), s), the b-side is replicated across
+    # all s salts, so each (a, b) pair still meets EXACTLY once and
+    # the pair set is unchanged. s = ceil(parallelism / k) — at web
+    # scale (k ≈ 10⁵ ≥ cores) s = 1 and the salt vanishes, so the
+    # b-side replication cost exists only where the skew does. The
+    # explicit repartition pins the exchange width (AQE's byte-based
+    # coalescing would otherwise serialize the dot folds — the
+    # embedding-LSH finding).
+    sc = df.sparkSession.sparkContext
+    k = max(1, len(centroids))
+    s = max(1, -(-sc.defaultParallelism // k))
+    if s > 1:
+        a = a.withColumn(
+            "__salt", F.pmod(F.xxhash64(F.col("id_a")), F.lit(s)).cast("int")
+        )
+        b = b.withColumn(
+            "__salt", F.explode(F.array(*[F.lit(i) for i in range(s)]))
+        )
+        join_keys = ["cell", "__salt"]
+    else:
+        join_keys = ["cell"]
+    a = a.repartition(sc.defaultParallelism, *join_keys)
     pairs = (
-        a.join(b, "cell")
+        a.join(b, join_keys)
         .filter(F.col("id_a") < F.col("id_b"))
         .select(
             "cell",
