@@ -31,6 +31,26 @@ from real scans and never pass through this module.
 from __future__ import annotations
 
 
+def pinned_width(spark) -> int:
+    """Explicit partition count for compute-bearing group stages
+    (``applyInPandas`` group writes, per-file bitmap folds) whose
+    shuffled BYTES are tiny but whose per-group work is real (a parquet
+    file write, a bitmap serialize). AQE's byte-based coalescing sees
+    KBs and folds the exchange to ONE partition, serializing every
+    group's work on one core (guide §2.5's "bytes are a bad cost proxy"
+    blind spot — r12 Finding 16 hit the same on the cosine verify).
+    An explicit ``repartition(n, keys)`` is never coalesced, so the
+    stage keeps its width. Scale-adaptive: the session's configured
+    shuffle width or the cluster parallelism, whichever is larger —
+    never a local constant. Empty partitions cost ~10 ms of warm
+    Python-worker round-trip each and run in parallel (measured)."""
+    try:
+        parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:
+        parts = 0
+    return max(parts, spark.sparkContext.defaultParallelism, 2)
+
+
 def _coerce(v, dt):
     """Make a driver-side Python value Arrow-compatible for ``dt``
     (Row/tuple structs -> dicts, dict maps -> item lists, bytearray ->

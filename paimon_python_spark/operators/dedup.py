@@ -153,14 +153,25 @@ def _minhash_candidates(
     # task starts make later stages hit blocks the first stage already
     # cached, so the transient duplication shrinks with partition count.
     sh = shared(sh)
-    band_key = F.concat_ws(
-        "-",
-        *[
-            F.element_at("sig", F.col("band") * rows_per_band + F.lit(k + 1))
-            for k in range(rows_per_band)
-        ],
+    return sh, _lsh_candidates(
+        sh, id_col, bands, _band_key_expr(rows_per_band), max_bucket
     )
-    return sh, _lsh_candidates(sh, id_col, bands, band_key, max_bucket)
+
+
+def _band_key_expr(rows_per_band: int):
+    """The per-band key — ``rows_per_band`` signature slots joined with
+    '-'. ONE parsed SQL expression instead of a listcomp of
+    ``F.element_at``/arithmetic Column ops: each Column operation is a
+    py4j round-trip, and this expression is rebuilt per consuming
+    query (~20 ms of driver latency per build, guide §5.3 / the
+    Finding-6 IN-list pattern). The parsed tree is identical to the
+    Column-built one (same element_at/+/* nodes), so plans and results
+    are unchanged."""
+    slots = ", ".join(
+        f"element_at(sig, band * {rows_per_band} + {k + 1})"
+        for k in range(rows_per_band)
+    )
+    return F.expr(f"concat_ws('-', {slots})")
 
 
 def _lsh_candidates(
@@ -280,16 +291,9 @@ def minhash_band_index(
             ).alias("sig"),
         )
     )
-    band_key = F.concat_ws(
-        "-",
-        *[
-            F.element_at("sig", F.col("band") * rows_per_band + F.lit(k + 1))
-            for k in range(rows_per_band)
-        ],
-    )
     return (
         sig.withColumn("band", F.explode(F.sequence(F.lit(0), F.lit(bands - 1))))
-        .withColumn("band_key", band_key)
+        .withColumn("band_key", _band_key_expr(rows_per_band))
         .select(id_col, "band", "band_key")
     )
 

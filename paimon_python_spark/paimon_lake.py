@@ -3454,6 +3454,17 @@ def _distributed_lake_write(
             )
         return pd.DataFrame(out_rows)
 
+    # pin the group-write's width: the routed rows shuffle only KBs at
+    # gate scale, so AQE's byte-coalescing would fold every (partition,
+    # bucket) group's file write onto ONE core (profiled: 1-task jobs of
+    # 150-250 ms per commit while 31 cores idled). An explicit
+    # repartition on the group keys is never coalesced and satisfies
+    # applyInPandas' ClusteredDistribution, so no second exchange.
+    from paimon_python_spark._localdf import pinned_width
+
+    _w = pinned_width(sdf.sparkSession)
+    if _w > 1:
+        sdf = sdf.repartition(_w, *gcols)
     meta = sdf.groupBy(*gcols).applyInPandas(_write_group, meta_schema).collect()
     if dyn_assigner is not None:
         dyn_assigner.release()
@@ -6476,8 +6487,15 @@ def delete_lake_rows(table_path: str, predicate: Predicate) -> int:
                 ]
             )
 
+        from paimon_python_spark._localdf import pinned_width
+
         bm_rows = (
             pending.select("__file_name", "__row_pos")
+            # pinned width: the (file, pos) pairs are byte-tiny but each
+            # group folds a full file's positions into a roaring bitmap
+            # — AQE would coalesce the exchange to one core (same fix
+            # as the group write above)
+            .repartition(pinned_width(pending.sparkSession), "__file_name")
             .groupBy("__file_name")
             .applyInPandas(_bm, "file_name string, bitmap binary")
             .collect()
