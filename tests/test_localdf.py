@@ -151,3 +151,65 @@ def test_fallback_on_unconvertible(spark):
 
         with pytest.raises(Exception):
             _classic(spark, [(Weird(),)], schema).collect()
+
+
+def test_pinned_width_tracks_session_confs(spark):
+    """pinned_width is scale-adaptive: the configured shuffle width or
+    the cluster parallelism, whichever is larger — never a hard-coded
+    local constant (r12: group-write stages pin this width so AQE's
+    byte-coalescing cannot serialize per-group file writes)."""
+    from paimon_python_spark._localdf import pinned_width
+
+    dp = spark.sparkContext.defaultParallelism
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", str(dp + 7))
+        assert pinned_width(spark) == dp + 7
+        spark.conf.set("spark.sql.shuffle.partitions", "2")
+        assert pinned_width(spark) == max(dp, 2)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def test_group_write_keeps_width(spark):
+    """The lake group writer's exchange is a user repartition on the
+    group keys, so AQE cannot coalesce the applyInPandas stage to one
+    task even when the shuffled bytes are tiny."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from paimon_python_spark.paimon_lake import (
+        PaimonLakeTable,
+        create_lake_table,
+        write_lake_pk_append,
+    )
+
+    wh = tempfile.mkdtemp(prefix="pinw_")
+    try:
+        path = wh + "/t"
+        create_lake_table(
+            path,
+            [("k", "BIGINT NOT NULL"), ("v", "DOUBLE")],
+            primary_keys=["k"],
+            options={"bucket": "4"},
+        )
+        src = spark.range(4000).select(
+            F.col("id").alias("k"), (F.col("id") * 1.5).alias("v")
+        )
+        write_lake_pk_append(path, src)
+        out = (
+            PaimonLakeTable(path).new_read_builder().new_read().to_df()
+        )
+        assert out.count() == 4000
+        # the data landed one file per bucket (the group invariant the
+        # pinned repartition must preserve)
+        import os
+
+        buckets = {
+            d for d in os.listdir(path) if d.startswith("bucket-")
+        }
+        assert buckets == {"bucket-0", "bucket-1", "bucket-2", "bucket-3"}
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)

@@ -1708,3 +1708,39 @@ def test_scalable_rank_null_partition_values(spark):
     ).select("id", "rn", "pr")
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+def test_band_key_expr_matches_column_form(spark):
+    """The SQL-compiled band key is the SAME Catalyst expression as the
+    per-slot Column construction it replaced (r12: one parsed
+    expression instead of one py4j round-trip per slot), so band
+    contents — and every minhash family result — are unchanged."""
+    from pyspark.sql import functions as F
+
+    from paimon_python_spark.operators.dedup import _band_key_expr
+
+    rows_per_band = 4
+    sig = spark.range(8).selectExpr(
+        "id",
+        "transform(sequence(1, 16), x -> cast(x * (id + 1) as int)) AS sig",
+        "cast(id % 2 as int) AS band",
+    )
+    ref_key = F.concat_ws(
+        "-",
+        *[
+            F.element_at("sig", F.col("band") * rows_per_band + F.lit(k + 1))
+            for k in range(rows_per_band)
+        ],
+    )
+    got = sig.select("id", _band_key_expr(rows_per_band).alias("bk"))
+    ref = sig.select("id", ref_key.alias("bk"))
+    import re
+
+    def norm(df):
+        # expression ids (#N) differ between otherwise-identical plans
+        return re.sub(
+            r"#\d+", "#", df._jdf.queryExecution().optimizedPlan().toString()
+        )
+
+    assert norm(got) == norm(ref)
+    assert got.collect() == ref.collect()
