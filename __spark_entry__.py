@@ -9982,7 +9982,7 @@ def events_sessionize_stateful(spark, sf_dir):
     # this query must not depend on an earlier events_* query having run
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    src_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    src_schema = _t(spark, sf_dir, "events").schema
     tmp = tempfile.mkdtemp(prefix="sess_stream_")
     name = "sess_closed_" + uuid.uuid4().hex[:8]
     try:
