@@ -31,7 +31,7 @@ from real scans and never pass through this module.
 from __future__ import annotations
 
 
-def pinned_width(spark) -> int:
+def pinned_width(spark, max_groups: int | None = None) -> int:
     """Explicit partition count for compute-bearing group stages
     (``applyInPandas`` group writes, per-file bitmap folds) whose
     shuffled BYTES are tiny but whose per-group work is real (a parquet
@@ -43,12 +43,32 @@ def pinned_width(spark) -> int:
     stage keeps its width. Scale-adaptive: the session's configured
     shuffle width or the cluster parallelism, whichever is larger —
     never a local constant. Empty partitions cost ~10 ms of warm
-    Python-worker round-trip each and run in parallel (measured)."""
+    Python-worker round-trip each and run in parallel (measured).
+
+    Two ceilings (r12 ADVICE: a tiny commit must not inherit an
+    arbitrarily large ``spark.sql.shuffle.partitions`` as hundreds of
+    mostly-empty Python tasks):
+
+    - 4x the cluster parallelism — past a few task waves per core
+      there is nothing left to parallelize, only empty-partition
+      round-trips to pay;
+    - 8x ``max_groups`` when the caller knows an upper bound on the
+      number of groups (e.g. an unpartitioned fixed-bucket table has
+      at most ``bucket`` groups). The 8x headroom keeps hash spreading
+      effective (guide §2.5: key count should comfortably exceed the
+      partition count is the concern in reverse here — with width ==
+      groups, birthday collisions serialize two groups on one task).
+    """
     try:
         parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     except Exception:
         parts = 0
-    return max(parts, spark.sparkContext.defaultParallelism, 2)
+    dp = spark.sparkContext.defaultParallelism
+    w = max(parts, dp, 2)
+    w = min(w, max(4 * dp, 2))
+    if max_groups is not None:
+        w = min(w, max(8 * max_groups, 2))
+    return w
 
 
 def _coerce(v, dt):

@@ -354,8 +354,22 @@ class DynamicBucketAssigner:
 
         spark = sdf.sparkSession
         P = self.par
-        hash_udf = F.pandas_udf(_make_key_hash_fn(self.key_types), "int")
-        sdf = sdf.withColumn("__h", hash_udf(*[F.col(c) for c in self.bcols]))
+        # JVM-native BinaryRow hash when the key types allow it — the
+        # pandas-UDF form put a Python-worker round trip in every
+        # routing stage's lineage (and each re-evaluation of a
+        # non-persisted fragment paid it again); the parsed expression
+        # keeps the stage whole-stage-codegen (guide §4.1). Fallback:
+        # the vectorized pandas UDF for unsupported key types.
+        from paimon_python_spark.paimon_import import binary_row_hash_expr
+
+        _hexpr = binary_row_hash_expr(self.bcols, self.key_types)
+        if _hexpr is not None:
+            sdf = sdf.withColumn("__h", F.expr(_hexpr))
+        else:
+            hash_udf = F.pandas_udf(_make_key_hash_fn(self.key_types), "int")
+            sdf = sdf.withColumn(
+                "__h", hash_udf(*[F.col(c) for c in self.bcols])
+            )
 
         part_keys = self.part_keys
         # the batch's partitions — bounded by the table's partition

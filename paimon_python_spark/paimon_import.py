@@ -443,6 +443,157 @@ def fixed_bucket(values: List[Any], types: List[T.DataType], num_buckets: int) -
     return abs(murmur_hash_words(encode_binary_row(values, types)[4:])) % num_buckets
 
 
+# ---- JVM-native BinaryRow hash (plan-time expression) ----
+#
+# Spark's built-in ``hash()`` over a BinaryType column IS Paimon's
+# ``MurmurHashUtils.hashBytesByWords`` for word-aligned input: both are
+# Murmur3-32 with seed 42, identical block mixing, and the same
+# ``h ^= length`` finalizer; BinaryRow bytes are always a multiple of 8
+# so Spark's byte-tail loop never runs (verified value-equal over
+# randomized word-aligned buffers AND encode_binary_row outputs in
+# tests/test_bucketing.py). So the per-row Python hash UDF on the lake
+# write path can be replaced by a pure-JVM expression that SYNTHESIZES
+# the BinaryRow bytes (hex-string assembly -> unhex -> hash):
+# every lake commit previously paid a Python-worker round trip in its
+# pre-shuffle map stage (~100-140 ms profiled per commit at any batch
+# size) just to route rows — with the expression the stage is
+# whole-stage-codegen JVM and the boundary disappears (guide §4.1).
+
+_BRH_SUPPORTED = (
+    T.LongType,
+    T.IntegerType,
+    T.ShortType,
+    T.ByteType,
+    T.BooleanType,
+    T.DateType,
+    T.StringType,
+    T.BinaryType,
+)
+
+
+def _le_hex(value_sql: str, n_bytes: int) -> str:
+    """SQL producing the little-endian ``n_bytes`` hex of a BIGINT-typed
+    SQL expression (two's complement, like struct.pack('<q'/'<i'/...))."""
+    width = 2 * n_bytes
+    if n_bytes == 8:
+        # hex(bigint) is already the full 16-char two's complement for
+        # negatives; masking with 2^64-1 would parse as DECIMAL(20,0)
+        h = f"lpad(hex({value_sql}), {width}, '0')"
+    else:
+        h = f"lpad(hex(({value_sql}) & {(1 << (8 * n_bytes)) - 1}L), {width}, '0')"
+    parts = [f"substr({h}, {i}, 2)" for i in range(width - 1, 0, -2)]
+    return "concat(" + ", ".join(parts) + ")" if len(parts) > 1 else parts[0]
+
+
+def binary_row_hash_expr(col_names, types) -> "str | None":
+    """SQL expression (a string for ``F.expr``) computing
+    ``murmur_hash_words(encode_binary_row(values)[4:])`` — the signed
+    int32 BinaryRow hashCode Paimon's bucket routing is built on —
+    entirely in JVM built-ins. Returns ``None`` when any key type is
+    outside the supported set (float/double/decimal/timestamp keys
+    fall back to the vectorized pandas UDF).
+
+    Byte layout reproduced (see encode_binary_row): 8-byte null bitset
+    (bit 8+i marks field i null), one 8-byte little-endian slot per
+    field (strings/binaries <= 7 bytes inline with a 0x80|len marker
+    byte; longer ones an (offset << 32 | len) word pointing into the
+    var region), then each var payload zero-padded to a word multiple.
+    """
+    arity = len(types)
+    if arity == 0 or arity > 55:  # bitset must fit one 8-byte word
+        return None
+    for dt in types:
+        if not isinstance(dt, _BRH_SUPPORTED):
+            return None
+
+    nb = 8  # _bitset_bytes(arity) for arity <= 55
+    q = [f"`{str(c).replace(chr(96), chr(96) * 2)}`" for c in col_names]
+
+    # null bitset word (little-endian hex of the OR of per-field bits)
+    bit_terms = [
+        f"CASE WHEN {q[i]} IS NULL THEN {1 << (8 + i)}L ELSE 0L END"
+        for i in range(arity)
+    ]
+    bitset_hex = _le_hex(" + ".join(bit_terms), 8)
+
+    # var-length fields: byte length / raw hex / padded size (in bytes)
+    raw_hex: dict = {}
+    blen: dict = {}
+    var_bytes_sql: dict = {}
+    for i, dt in enumerate(types):
+        if isinstance(dt, (T.StringType, T.BinaryType)):
+            raw = (
+                f"hex(encode({q[i]}, 'UTF-8'))"
+                if isinstance(dt, T.StringType)
+                else f"hex({q[i]})"
+            )
+            ln = (
+                f"octet_length({q[i]})"
+                if isinstance(dt, T.StringType)
+                else f"length({q[i]})"
+            )
+            raw_hex[i] = raw
+            blen[i] = ln
+            # bytes this field occupies in the var region (0 when
+            # null or inlined; else len rounded up to a word)
+            var_bytes_sql[i] = (
+                f"CASE WHEN {q[i]} IS NULL OR {ln} <= 7 THEN 0L "
+                f"ELSE cast(ceil(({ln}) / 8.0) * 8 as bigint) END"
+            )
+
+    def var_offset_sql(i: int) -> str:
+        """Byte offset of field i's var payload inside the row."""
+        prior = [var_bytes_sql[j] for j in sorted(var_bytes_sql) if j < i]
+        base = nb + arity * 8
+        return f"({base}L + {' + '.join(prior)})" if prior else f"{base}L"
+
+    slots = []
+    var_parts = []
+    for i, dt in enumerate(types):
+        null_slot = "'0000000000000000'"
+        if isinstance(dt, T.LongType):
+            body = _le_hex(q[i], 8)
+        elif isinstance(dt, (T.IntegerType,)):
+            body = f"concat({_le_hex(f'cast({q[i]} as bigint)', 4)}, '00000000')"
+        elif isinstance(dt, T.DateType):
+            body = f"concat({_le_hex(f'cast(unix_date({q[i]}) as bigint)', 4)}, '00000000')"
+        elif isinstance(dt, T.ShortType):
+            body = f"concat({_le_hex(f'cast({q[i]} as bigint)', 2)}, '000000000000')"
+        elif isinstance(dt, T.ByteType):
+            body = f"concat({_le_hex(f'cast({q[i]} as bigint)', 1)}, '00000000000000')"
+        elif isinstance(dt, T.BooleanType):
+            body = f"concat(CASE WHEN {q[i]} THEN '01' ELSE '00' END, '00000000000000')"
+        else:  # string/binary
+            inline = (
+                f"concat(rpad({raw_hex[i]}, 14, '0'), "
+                f"lpad(hex(128 + {blen[i]}), 2, '0'))"
+            )
+            pointer = _le_hex(
+                f"(cast({var_offset_sql(i)} as bigint) << 32) | cast({blen[i]} as bigint)",
+                8,
+            )
+            body = f"CASE WHEN {blen[i]} <= 7 THEN {inline} ELSE {pointer} END"
+            var_parts.append(
+                f"CASE WHEN {q[i]} IS NULL OR {blen[i]} <= 7 THEN '' "
+                f"ELSE rpad({raw_hex[i]}, cast(ceil(({blen[i]}) / 8.0) * 16 as int), '0') END"
+            )
+        slots.append(f"CASE WHEN {q[i]} IS NULL THEN {null_slot} ELSE {body} END")
+
+    row_hex = "concat(" + ", ".join([bitset_hex, *slots, *var_parts]) + ")"
+    return f"hash(unhex({row_hex}))"
+
+
+def binary_row_bucket_expr(col_names, types, num_buckets: int) -> "str | None":
+    """SQL expression for Paimon's fixed-bucket routing
+    (``abs(BinaryRow hashCode) % num_buckets``, Java abs semantics —
+    the bigint cast makes abs(INT_MIN) exact), or ``None`` when the
+    key types need the pandas-UDF fallback."""
+    h = binary_row_hash_expr(col_names, types)
+    if h is None:
+        return None
+    return f"cast(abs(cast({h} as bigint)) % {num_buckets} as int)"
+
+
 # ---- manifests ----
 
 

@@ -3179,14 +3179,28 @@ def _distributed_lake_write(
                     if m["file"]
                 }
         else:
-            # no type hints on the bucket fn: the module's postponed
-            # annotations would reach pandas_udf as unresolvable strings
-            _bucket_of = F.pandas_udf(
-                _make_lake_bucket_fn(key_types, num_buckets), "int"
+            # JVM-native routing when the key types allow it: the
+            # BinaryRow murmur as a single parsed expression keeps the
+            # pre-shuffle map stage whole-stage-codegen — the pandas-UDF
+            # form cost a Python-worker round trip (~100-140 ms profiled)
+            # in EVERY commit's map stage just to route rows (guide §4.1)
+            from paimon_python_spark.paimon_import import (
+                binary_row_bucket_expr,
             )
-            sdf = sdf.withColumn(
-                "__bucket", _bucket_of(*[F.col(c) for c in bcols])
-            )
+
+            _bexpr = binary_row_bucket_expr(bcols, key_types, num_buckets)
+            if _bexpr is not None:
+                sdf = sdf.withColumn("__bucket", F.expr(_bexpr))
+            else:
+                # no type hints on the bucket fn: the module's postponed
+                # annotations would reach pandas_udf as unresolvable
+                # strings
+                _bucket_of = F.pandas_udf(
+                    _make_lake_bucket_fn(key_types, num_buckets), "int"
+                )
+                sdf = sdf.withColumn(
+                    "__bucket", _bucket_of(*[F.col(c) for c in bcols])
+                )
         gcols = part_keys + ["__bucket"]
     else:
         # no bucket routing on append tables: keep the input task
@@ -3462,7 +3476,14 @@ def _distributed_lake_write(
     # applyInPandas' ClusteredDistribution, so no second exchange.
     from paimon_python_spark._localdf import pinned_width
 
-    _w = pinned_width(sdf.sparkSession)
+    # known group-count bound: an UNPARTITIONED fixed-bucket PK table
+    # has at most num_buckets groups — cap the pinned width so a tiny
+    # commit into a session with a huge configured shuffle width does
+    # not fan into hundreds of empty Python tasks (r12 ADVICE)
+    _bound = (
+        num_buckets if (kv and num_buckets >= 1 and not part_keys) else None
+    )
+    _w = pinned_width(sdf.sparkSession, max_groups=_bound)
     if _w > 1:
         sdf = sdf.repartition(_w, *gcols)
     meta = sdf.groupBy(*gcols).applyInPandas(_write_group, meta_schema).collect()
@@ -3759,13 +3780,26 @@ def write_lake_pk_append(
                 <= _LOOKUP_POINT_KEY_CAP
             )
             probe_cols = list(dict.fromkeys(part_keys_l + keys + bcols_l))
-            bfn = (
-                None
-                if dynamic
-                else F.pandas_udf(
-                    _make_lake_bucket_fn(key_types_l, num_buckets), "int"
+            if dynamic:
+                bfn = None
+            else:
+                # JVM-native bucket routing for the probe (same
+                # expression as the write path; pandas-UDF fallback
+                # only for unsupported key types)
+                from paimon_python_spark.paimon_import import (
+                    binary_row_bucket_expr,
                 )
-            )
+
+                _pexpr = binary_row_bucket_expr(
+                    bcols_l, key_types_l, num_buckets
+                )
+                if _pexpr is not None:
+                    _pcol = F.expr(_pexpr)
+                    bfn = lambda *_cols: _pcol  # noqa: E731
+                else:
+                    bfn = F.pandas_udf(
+                        _make_lake_bucket_fn(key_types_l, num_buckets), "int"
+                    )
             typed = []
             if small:
                 typed_keys = batch.select(
@@ -6495,7 +6529,11 @@ def delete_lake_rows(table_path: str, predicate: Predicate) -> int:
             # group folds a full file's positions into a roaring bitmap
             # — AQE would coalesce the exchange to one core (same fix
             # as the group write above)
-            .repartition(pinned_width(pending.sparkSession), "__file_name")
+            .repartition(
+                # at most len(cand) files can match — bound the width
+                pinned_width(pending.sparkSession, max_groups=len(cand)),
+                "__file_name",
+            )
             .groupBy("__file_name")
             .applyInPandas(_bm, "file_name string, bitmap binary")
             .collect()

@@ -164,9 +164,17 @@ def test_pinned_width_tracks_session_confs(spark):
     old = spark.conf.get("spark.sql.shuffle.partitions")
     try:
         spark.conf.set("spark.sql.shuffle.partitions", str(dp + 7))
-        assert pinned_width(spark) == dp + 7
+        assert pinned_width(spark) == min(dp + 7, 4 * dp)
         spark.conf.set("spark.sql.shuffle.partitions", "2")
         assert pinned_width(spark) == max(dp, 2)
+        # ceiling 1: an arbitrarily large configured shuffle width must
+        # not fan a tiny commit into hundreds of empty Python tasks
+        spark.conf.set("spark.sql.shuffle.partitions", str(100 * dp))
+        assert pinned_width(spark) == 4 * dp
+        # ceiling 2: a known group-count bound caps further (with 8x
+        # headroom so hash spreading keeps groups on separate tasks)
+        assert pinned_width(spark, max_groups=1) == min(4 * dp, 8)
+        assert pinned_width(spark, max_groups=dp) == min(8 * dp, 4 * dp)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
 
@@ -174,12 +182,18 @@ def test_pinned_width_tracks_session_confs(spark):
 def test_group_write_keeps_width(spark):
     """The lake group writer's exchange is a user repartition on the
     group keys, so AQE cannot coalesce the applyInPandas stage to one
-    task even when the shuffled bytes are tiny."""
+    task even when the shuffled bytes are tiny. The width is OBSERVED
+    via the status tracker (r12 ADVICE: row count + one-file-per-bucket
+    also pass with a single coalesced task, so they guard nothing):
+    the post-exchange stage must run exactly pinned_width tasks — a
+    width the input's own partitioning cannot produce by accident."""
     import shutil
     import tempfile
+    import time
 
     from pyspark.sql import functions as F
 
+    from paimon_python_spark._localdf import pinned_width
     from paimon_python_spark.paimon_lake import (
         PaimonLakeTable,
         create_lake_table,
@@ -187,7 +201,14 @@ def test_group_write_keeps_width(spark):
     )
 
     wh = tempfile.mkdtemp(prefix="pinw_")
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    sc = spark.sparkContext
     try:
+        # a shuffle width DISTINCT from the input's partition count and
+        # the parallelism, so only the pinned exchange can produce it
+        want = sc.defaultParallelism + 1
+        spark.conf.set("spark.sql.shuffle.partitions", str(want))
+        assert pinned_width(spark, max_groups=4) == want
         path = wh + "/t"
         create_lake_table(
             path,
@@ -198,7 +219,28 @@ def test_group_write_keeps_width(spark):
         src = spark.range(4000).select(
             F.col("id").alias("k"), (F.col("id") * 1.5).alias("v")
         )
-        write_lake_pk_append(path, src)
+        sc.setJobGroup("pinw", "group write width probe")
+        try:
+            write_lake_pk_append(path, src)
+        finally:
+            sc.setJobGroup(None, None)
+        tracker = sc.statusTracker()
+        widths = set()
+        deadline = time.time() + 10
+        while time.time() < deadline:
+            widths = {
+                tracker.getStageInfo(sid).numTasks
+                for jid in tracker.getJobIdsForGroup("pinw")
+                for sid in (tracker.getJobInfo(jid) or _NoJob()).stageIds
+                if tracker.getStageInfo(sid) is not None
+            }
+            if want in widths:
+                break
+            time.sleep(0.2)
+        assert want in widths, (
+            f"no stage ran at the pinned width {want} (saw {widths}) — "
+            "AQE coalesced the group-write exchange"
+        )
         out = (
             PaimonLakeTable(path).new_read_builder().new_read().to_df()
         )
@@ -212,4 +254,9 @@ def test_group_write_keeps_width(spark):
         }
         assert buckets == {"bucket-0", "bucket-1", "bucket-2", "bucket-3"}
     finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
         shutil.rmtree(wh, ignore_errors=True)
+
+
+class _NoJob:
+    stageIds: list = []
