@@ -19,149 +19,113 @@ Public API mirrors ``pypaimon.api`` (pypaimon/api/__init__.py):
 Catalog, Schema, Table, ReadBuilder, TableScan, Plan, Split, TableRead,
 BatchWriteBuilder, BatchTableWrite, BatchTableCommit, CommitMessage,
 PredicateBuilder, Predicate.
+
+LAZY EXPORTS (PEP 562): the package ``__init__`` used to import every
+submodule eagerly, pulling pandas + pyarrow + numpy (~0.5 s) into ANY
+process that merely unpickles one of our classes. Spark 4's Python
+data source protocol spawns a FRESH planner process per ``save()``
+(schema resolution, write planning, commit — ``PythonPlannerRunner``
+is never reused), and each of those paid the full package import just
+to reach ``lake_datasource``; every first-use pandas-UDF worker paid
+it too. With ``__getattr__``-resolved exports a planner worker now
+imports only the light modules it actually touches (json/os/struct-
+level); the public surface is unchanged — ``from paimon_python_spark
+import X`` works for every name in ``__all__`` exactly as before.
 """
 
-from paimon_python_spark.catalog import Catalog
-from paimon_python_spark.schema import Schema
-from paimon_python_spark.predicate import Predicate, PredicateBuilder
-from paimon_python_spark.table import Table, ReadBuilder
-from paimon_python_spark.table import ReadType as RowType
-from paimon_python_spark.scan import Plan, Split, TableScan
-from paimon_python_spark.read import TableRead
-from paimon_python_spark.write import (
-    BatchTableCommit,
-    BatchTableWrite,
-    BatchWriteBuilder,
-    CommitMessage,
-)
-from paimon_python_spark.session import get_spark, set_spark
-from paimon_python_spark.maintenance import (
-    compact_manifests,
-    expire_snapshots,
-    remove_orphan_files,
-    rollback_to,
-)
-from paimon_python_spark.compaction import (
-    compact_table,
-    rescale_bucket,
-    sort_compact_table,
-)
-from paimon_python_spark.branches import (
-    as_branch,
-    branch_info,
-    create_branch,
-    delete_branch,
-    fast_forward,
-    list_branches,
-)
-from paimon_python_spark.tags import create_tag, delete_tag, list_tags
-from paimon_python_spark.paimon_lake import (
-    PaimonLakeCatalog,
-    PaimonLakeTable,
-    alter_lake_schema,
-    clear_lake_consumer,
-    compact_lake,
-    create_lake_branch,
-    create_lake_table,
-    create_lake_tag,
-    delete_lake_branch,
-    delete_lake_rows,
-    drop_lake_partitions,
-    expire_lake_partitions,
-    expire_lake_snapshots,
-    fast_forward_lake_branch,
-    list_lake_branches,
-    list_lake_consumers,
-    read_lake_consumer,
-    write_lake_consumer,
-    overwrite_lake,
-    read_lake_incremental,
-    remove_lake_orphan_files,
-    register_lake_sql_view,
-    rescale_lake_bucket,
-    rollback_lake,
-    sort_compact_lake,
-    stream_lake_snapshots,
-    update_lake_rows,
-    write_lake_append,
-)
-from paimon_python_spark.lake_statistics import (
-    analyze_lake,
-    read_lake_statistics,
-)
-from paimon_python_spark.merge import merge_into_lake
-from paimon_python_spark.paimon_import import (
-    export_paimon_table,
-    import_paimon_table,
-)
+#: public name -> defining submodule; resolved on first attribute access
+_EXPORTS = {
+    "Catalog": "catalog",
+    "Schema": "schema",
+    "Predicate": "predicate",
+    "PredicateBuilder": "predicate",
+    "Table": "table",
+    "ReadBuilder": "table",
+    "RowType": "table",  # alias of table.ReadType, handled below
+    "Plan": "scan",
+    "Split": "scan",
+    "TableScan": "scan",
+    "TableRead": "read",
+    "BatchTableCommit": "write",
+    "BatchTableWrite": "write",
+    "BatchWriteBuilder": "write",
+    "CommitMessage": "write",
+    "get_spark": "session",
+    "set_spark": "session",
+    "compact_manifests": "maintenance",
+    "expire_snapshots": "maintenance",
+    "remove_orphan_files": "maintenance",
+    "rollback_to": "maintenance",
+    "compact_table": "compaction",
+    "rescale_bucket": "compaction",
+    "sort_compact_table": "compaction",
+    "as_branch": "branches",
+    "branch_info": "branches",
+    "create_branch": "branches",
+    "delete_branch": "branches",
+    "fast_forward": "branches",
+    "list_branches": "branches",
+    "create_tag": "tags",
+    "delete_tag": "tags",
+    "list_tags": "tags",
+    "PaimonLakeCatalog": "paimon_lake",
+    "PaimonLakeTable": "paimon_lake",
+    "alter_lake_schema": "paimon_lake",
+    "clear_lake_consumer": "paimon_lake",
+    "compact_lake": "paimon_lake",
+    "create_lake_branch": "paimon_lake",
+    "create_lake_table": "paimon_lake",
+    "create_lake_tag": "paimon_lake",
+    "delete_lake_branch": "paimon_lake",
+    "delete_lake_rows": "paimon_lake",
+    "drop_lake_partitions": "paimon_lake",
+    "expire_lake_partitions": "paimon_lake",
+    "expire_lake_snapshots": "paimon_lake",
+    "fast_forward_lake_branch": "paimon_lake",
+    "list_lake_branches": "paimon_lake",
+    "list_lake_consumers": "paimon_lake",
+    "read_lake_consumer": "paimon_lake",
+    "write_lake_consumer": "paimon_lake",
+    "overwrite_lake": "paimon_lake",
+    "read_lake_incremental": "paimon_lake",
+    "remove_lake_orphan_files": "paimon_lake",
+    "register_lake_sql_view": "paimon_lake",
+    "rescale_lake_bucket": "paimon_lake",
+    "rollback_lake": "paimon_lake",
+    "sort_compact_lake": "paimon_lake",
+    "stream_lake_snapshots": "paimon_lake",
+    "update_lake_rows": "paimon_lake",
+    "write_lake_append": "paimon_lake",
+    "analyze_lake": "lake_statistics",
+    "read_lake_statistics": "lake_statistics",
+    "merge_into_lake": "merge",
+    "export_paimon_table": "paimon_import",
+    "import_paimon_table": "paimon_import",
+}
 
-__all__ = [
-    "PaimonLakeCatalog",
-    "PaimonLakeTable",
-    "alter_lake_schema",
-    "analyze_lake",
-    "clear_lake_consumer",
-    "compact_lake",
-    "create_lake_branch",
-    "create_lake_table",
-    "create_lake_tag",
-    "delete_lake_branch",
-    "delete_lake_rows",
-    "drop_lake_partitions",
-    "expire_lake_partitions",
-    "expire_lake_snapshots",
-    "fast_forward_lake_branch",
-    "merge_into_lake",
-    "list_lake_branches",
-    "list_lake_consumers",
-    "read_lake_consumer",
-    "write_lake_consumer",
-    "overwrite_lake",
-    "remove_lake_orphan_files",
-    "rescale_lake_bucket",
-    "rollback_lake",
-    "sort_compact_lake",
-    "update_lake_rows",
-    "read_lake_incremental",
-    "read_lake_statistics",
-    "register_lake_sql_view",
-    "stream_lake_snapshots",
-    "write_lake_append",
-    "export_paimon_table",
-    "import_paimon_table",
-    "Catalog",
-    "Schema",
-    "Table",
-    "Predicate",
-    "PredicateBuilder",
-    "ReadBuilder",
-    "RowType",
-    "Plan",
-    "Split",
-    "TableScan",
-    "TableRead",
-    "BatchTableCommit",
-    "BatchTableWrite",
-    "BatchWriteBuilder",
-    "CommitMessage",
-    "get_spark",
-    "set_spark",
-    "compact_manifests",
-    "expire_snapshots",
-    "remove_orphan_files",
-    "rollback_to",
-    "compact_table",
-    "rescale_bucket",
-    "sort_compact_table",
-    "create_branch",
-    "as_branch",
-    "list_branches",
-    "branch_info",
-    "delete_branch",
-    "fast_forward",
-    "create_tag",
-    "delete_tag",
-    "list_tags",
-]
+__all__ = list(_EXPORTS)
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name: str):
+    import importlib
+
+    mod_name = _EXPORTS.get(name)
+    if mod_name is None:
+        # `pkg.submodule` attribute access without an explicit import
+        # (the eager __init__ used to bind its imported submodules)
+        try:
+            return importlib.import_module(f"{__name__}.{name}")
+        except ModuleNotFoundError:
+            raise AttributeError(
+                f"module {__name__!r} has no attribute {name!r}"
+            ) from None
+    mod = importlib.import_module(f"{__name__}.{mod_name}")
+    value = getattr(mod, "ReadType" if name == "RowType" else name)
+    globals()[name] = value  # cache: next access skips __getattr__
+    return value
+
+
+def __dir__():
+    return sorted(set(globals()) | set(__all__))

@@ -71,6 +71,27 @@ def pinned_width(spark, max_groups: int | None = None) -> int:
     return w
 
 
+def quote_ident(name: str) -> str:
+    """Backtick-quote a column name for a parsed SQL expression."""
+    return "`" + str(name).replace("`", "``") + "`"
+
+
+def cast_select_sql(fields) -> list:
+    """SQL select-list strings casting each field to its declared type.
+
+    The Column form (``F.col(c).cast(dt).alias(c)``) costs 3 py4j round
+    trips PER COLUMN at plan-construction time; a ``selectExpr`` over
+    these strings is ONE round trip for the whole list (the driver-
+    latency pattern r12 Findings 6/20 proved — guide §5.3-adjacent).
+    Plan-identical to the Column form: both analyze to the same cast,
+    and a same-type cast folds away identically."""
+    return [
+        f"CAST({quote_ident(f.name)} AS {f.dataType.simpleString()}) "
+        f"AS {quote_ident(f.name)}"
+        for f in fields
+    ]
+
+
 def _coerce(v, dt):
     """Make a driver-side Python value Arrow-compatible for ``dt``
     (Row/tuple structs -> dicts, dict maps -> item lists, bytearray ->

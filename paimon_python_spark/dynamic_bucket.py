@@ -328,9 +328,14 @@ class DynamicBucketAssigner:
 
     # -- assignment ------------------------------------------------------------
 
-    def attach(self, sdf):
+    def attach(self, sdf, batch_parts=None):
         """Return ``sdf`` with ``__h`` (key hashcode), ``__bucket``
         (the routed bucket) and ``__kn`` (1 for keys new to the index).
+
+        ``batch_parts``: optional pre-known partition set of the batch
+        (list of {partition col: Spark value} dicts, a SUPERSET is
+        sound) — skips the distinct-partitions collect job over
+        ``sdf``; None collects it here.
 
         Shape: the index join resolves EXISTING keys; new keys take a
         deterministic rank per (partition, assigner class) —
@@ -375,10 +380,10 @@ class DynamicBucketAssigner:
         # the batch's partitions — bounded by the table's partition
         # count, never batch size; drives both index pruning and the
         # capacity plan (fresh partitions get the fresh plan)
-        if part_keys:
-            batch_parts = sdf.select(*part_keys).distinct().collect()
-        else:
+        if not part_keys:
             batch_parts = [None]
+        elif batch_parts is None:
+            batch_parts = sdf.select(*part_keys).distinct().collect()
         pj_of = lambda r: _part_json_of(
             {
                 k: _logical_value(r[k], self.info.spark_schema[k].dataType)
@@ -790,6 +795,10 @@ class CrossPartitionRouter:
         self.net_batch = None
         self._assigner: Optional[DynamicBucketAssigner] = None
         self._cached: list = []
+        #: complete point-probe rows (pks + partition cols) — doubles as
+        #: the batch's partition set so attach() can skip the assigner's
+        #: distinct-partitions job over the routed union
+        self._probe_rows: Optional[list] = None
 
     def attach(self, sdf, row_kind_col: Optional[str] = None):
         """Return the routed union (original columns + ``__kind`` +
@@ -803,12 +812,13 @@ class CrossPartitionRouter:
         pks = list(info.primary_keys)
         part_keys = list(info.partition_keys)
         val_cols = [f.name for f in info.spark_schema.fields]
-        casted = sdf.select(
-            *[
-                F.col(c).cast(info.spark_schema[c].dataType).alias(c)
-                for c in val_cols
-            ],
-            *([F.col(row_kind_col)] if row_kind_col else []),
+        from paimon_python_spark._localdf import cast_select_sql, quote_ident
+
+        # single parsed select per commit instead of 3 py4j calls per
+        # column (guide §5.3 driver latency)
+        casted = sdf.selectExpr(
+            *cast_select_sql(info.spark_schema.fields),
+            *([quote_ident(row_kind_col)] if row_kind_col else []),
         )
         # LOCAL-CHECKPOINT after the arrival dedup (not a plain
         # persist): monotonically_increasing_id is stable only within
@@ -867,7 +877,50 @@ class CrossPartitionRouter:
         self._assigner = DynamicBucketAssigner(
             self.table_path, info, bcols, self.pending
         )
-        return self._assigner.attach(routed_input)
+        # PARTITION-SET HINT (one fewer action per commit): the
+        # assigner's own batch_parts job runs distinct(partition cols)
+        # over the routed UNION — whose retraction branch embeds the
+        # whole state-read join, so the hint saves a full
+        # materialization pass of that subtree. A sound SUPERSET is
+        # enough (extra partitions only add unused capacity-plan rows
+        # to a broadcast and widen the index-prune set):
+        #   parts(union) = parts(batch) ∪ parts(retractions)
+        # where parts(batch) rides the complete point probe (collected
+        # above anyway) and parts(retractions) ⊆ partitions holding a
+        # HASH index entry (a moved key's OLD partition indexed it when
+        # the key first landed there) = the assigner's state keys.
+        # Bulk batches (probe overflowed) keep the exact distinct job.
+        hint = None
+        if old is not None and self._probe_rows is not None and part_keys:
+            from paimon_python_spark.paimon_import import (
+                logical_partition_values,
+            )
+
+            hint, seen = [], set()
+            for r in self._probe_rows:
+                pv = {k: r[k] for k in part_keys}
+                pj = _part_json_of(
+                    {
+                        k: _logical_value(
+                            pv[k], info.spark_schema[k].dataType
+                        )
+                        for k in part_keys
+                    },
+                    part_keys,
+                )
+                if pj not in seen:
+                    seen.add(pj)
+                    hint.append(pv)
+            for pj, buckets in self._assigner.state.items():
+                if pj in seen or not buckets:
+                    continue
+                seen.add(pj)
+                m = next(iter(buckets.values()))
+                logical = logical_partition_values(
+                    info, dict(zip(part_keys, m["part_values"]))
+                )
+                hint.append({k: logical[k] for k in part_keys})
+        return self._assigner.attach(routed_input, batch_parts=hint)
 
     def _old_locations(self, casted, pks, part_keys):
         """The merged state's (pk → partition) projection as
@@ -900,13 +953,21 @@ class CrossPartitionRouter:
 
         rb = PaimonLakeTable(self.table_path).new_read_builder()
         rb = rb.with_projection(list(dict.fromkeys(pks + part_keys)))
+        # NO .distinct(): casted is arrival-deduped (exactly one row per
+        # key), so a distinct over the pk columns was a full extra
+        # Exchange + aggregation per commit that could never drop a row
+        # (guide §2.4 "a distinct on data that is already unique").
+        # Selecting the partition columns too lets a complete probe
+        # double as the batch's partition set — the assigner then skips
+        # its own distinct-partitions job over the routed union (which
+        # re-executed the state-read join subtree), see attach().
         probe = (
-            casted.select(*pks)
-            .distinct()
+            casted.select(*dict.fromkeys(pks + part_keys))
             .limit(CROSS_POINT_KEY_CAP + 1)
             .collect()
         )
         if 0 < len(probe) <= CROSS_POINT_KEY_CAP:
+            self._probe_rows = probe
             pb = PredicateBuilder([f.name for f in self.info.spark_schema.fields])
             preds = []
             for k in pks:

@@ -2241,18 +2241,19 @@ def field_id_colmap(table_path: str, info, schema_id: int) -> Optional[dict]:
 
 
 def _mapped_select(oinfo: PaimonSchemaInfo, info: PaimonSchemaInfo, kv: bool, skip=()):
-    """Select list projecting a file group written under ``oinfo`` to
-    the CURRENT schema ``info``, matched BY FIELD ID — the identity
-    that survives rename/reorder evolution (reference builds the same
-    index mapping per file, data_file_record_reader.py:86-98). A
-    current field whose id is absent from the old schema surfaces NULL;
-    an old field whose id was dropped simply isn't selected. PK and
-    partition columns map by name (Paimon forbids renaming them), as do
-    the ``_KEY_*``/sequence/kind system columns on kv files. Falls back
-    to by-name matching when the old schema carries no field ids
-    (legacy fixtures)."""
-    from pyspark.sql import functions as F
-
+    """Select list (SQL expression strings for ``selectExpr`` — one
+    py4j round trip for the whole list instead of 3 per column, this
+    runs per schema group on every planned read) projecting a file
+    group written under ``oinfo`` to the CURRENT schema ``info``,
+    matched BY FIELD ID — the identity that survives rename/reorder
+    evolution (reference builds the same index mapping per file,
+    data_file_record_reader.py:86-98). A current field whose id is
+    absent from the old schema surfaces NULL; an old field whose id was
+    dropped simply isn't selected. PK and partition columns map by name
+    (Paimon forbids renaming them), as do the ``_KEY_*``/sequence/kind
+    system columns on kv files. Falls back to by-name matching when the
+    old schema carries no field ids (legacy fixtures)."""
+    from paimon_python_spark._localdf import quote_ident
     from paimon_python_spark.write import KIND_COL, SEQ_COL
 
     old_by_id = {
@@ -2263,8 +2264,8 @@ def _mapped_select(oinfo: PaimonSchemaInfo, info: PaimonSchemaInfo, kv: bool, sk
     cols = []
     if kv:
         trimmed = [k for k in info.primary_keys if k not in info.partition_keys]
-        cols += [F.col(f"_KEY_{k}") for k in trimmed]
-        cols += [F.col(SEQ_COL), F.col(KIND_COL)]
+        cols += [quote_ident(f"_KEY_{k}") for k in trimmed]
+        cols += [quote_ident(SEQ_COL), quote_ident(KIND_COL)]
     cur_ids = info.field_ids or list(range(len(info.spark_schema.fields)))
     for fid, f in zip(cur_ids, info.spark_schema.fields):
         if f.name in skip:
@@ -2273,10 +2274,11 @@ def _mapped_select(oinfo: PaimonSchemaInfo, info: PaimonSchemaInfo, kv: bool, sk
             src_name = old_by_id.get(fid)
         else:
             src_name = f.name if f.name in old_names else None
-        if src_name is None:
-            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
-        else:
-            cols.append(F.col(src_name).cast(f.dataType).alias(f.name))
+        src = "NULL" if src_name is None else quote_ident(src_name)
+        cols.append(
+            f"CAST({src} AS {f.dataType.simpleString()}) "
+            f"AS {quote_ident(f.name)}"
+        )
     return cols
 
 
@@ -2331,8 +2333,10 @@ def _load_lake_entries(
             row_pos_col=row_pos_col,
         )
         sel = _mapped_select(oinfo, info, kv=kv, skip=skip_cols)
-        extra = [c for c in (file_name_col, row_pos_col) if c]
-        parts.append(df.select(*sel, *extra))
+        from paimon_python_spark._localdf import quote_ident
+
+        extra = [quote_ident(c) for c in (file_name_col, row_pos_col) if c]
+        parts.append(df.selectExpr(*sel, *extra))
     return reduce(lambda a, b: a.unionByName(b), parts)
 
 
@@ -2677,18 +2681,16 @@ def merge_paimon_pk_entries(
     w = Window.partitionBy(*merge_keys).orderBy(
         F.col(SEQ_COL).desc(), F.col("__level").asc(), F.col("__entry_idx").desc()
     )
+    from paimon_python_spark._localdf import cast_select_sql
+
     return (
         raw.select(*value_cols, SEQ_COL, KIND_COL, "__level", "__entry_idx")
         .withColumn("__rn", F.row_number().over(w))
         .filter("__rn = 1")
         .filter(F.col(KIND_COL).isin(0, 2))  # +I / +U survive
-        .select(
-            # align physical widths with the declared schema
-            *[
-                F.col(f.name).cast(f.dataType).alias(f.name)
-                for f in info.spark_schema.fields
-            ]
-        )
+        # align physical widths with the declared schema — one parsed
+        # select (single py4j round trip) per merged read (guide §5.3)
+        .selectExpr(*cast_select_sql(info.spark_schema.fields))
     )
 
 

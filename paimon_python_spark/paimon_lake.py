@@ -3098,9 +3098,8 @@ def _distributed_lake_write(
     ) = _bloom_option_cols(info)
     target_bytes = _target_file_size(info)
 
-    cast_cols = [
-        F.col(f.name).cast(f.dataType).alias(f.name) for f in info.spark_schema.fields
-    ]
+    from paimon_python_spark._localdf import cast_select_sql, quote_ident
+
     schema_names = {f.name for f in info.spark_schema.fields}
     extra_sort = [c for c in (sort_cols or []) if c not in schema_names]
     # a pre-routed input (CrossPartitionRouter) already carries
@@ -3109,11 +3108,17 @@ def _distributed_lake_write(
     pre_routed = [
         c for c in ("__h", "__bucket", "__kn") if c in df.columns
     ]
-    sdf = df.select(
-        *cast_cols,
-        *([F.col(row_kind_col).cast("int").alias("__row_kind")] if row_kind_col else []),
-        *[F.col(c) for c in extra_sort],
-        *[F.col(c) for c in pre_routed],
+    # single parsed select (one py4j round trip) instead of 3 calls per
+    # column — this runs on EVERY commit (guide §5.3 driver latency)
+    sdf = df.selectExpr(
+        *cast_select_sql(info.spark_schema.fields),
+        *(
+            [f"CAST({quote_ident(row_kind_col)} AS int) AS __row_kind"]
+            if row_kind_col
+            else []
+        ),
+        *[quote_ident(c) for c in extra_sort],
+        *[quote_ident(c) for c in pre_routed],
     )
     if kv and arrival_order:
         # Arrival-order sequencing (real Paimon's SequenceGenerator):

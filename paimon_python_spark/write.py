@@ -522,7 +522,28 @@ class BatchTableWrite:
             # co-locate each bucket into one task → one file per bucket
             # per call (the LSM "sorted run" analogue); at scale this is
             # the shuffle that makes merge-on-read partition-local.
-            df = df.repartition(*[F.col(c) for c in layout_cols])
+            #
+            # Width cap (r13, VERDICT task 7): an UNPARTITIONED PK table
+            # has at most nb groups, so inheriting an arbitrarily large
+            # session shuffle width (a wide cluster's 2000) fans a small
+            # commit into thousands of near-empty write tasks and
+            # commit-protocol files. Cap at 8x nb (headroom keeps hash
+            # spreading effective, guide §2.5) — but ONLY when the
+            # session width exceeds the cap: below it the keyless form
+            # keeps AQE's coalescing, which r12 measured faster on this
+            # path (Finding 19's reverted pin). Partitioned tables have
+            # an unknown group count and keep the session width.
+            try:
+                _w = int(
+                    df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+                )
+            except Exception:
+                _w = 0
+            _cap = max(8 * nb, 2)
+            if not schema.partition_keys and _w > _cap:
+                df = df.repartition(_cap, *[F.col(c) for c in layout_cols])
+            else:
+                df = df.repartition(*[F.col(c) for c in layout_cols])
             if SEQ_COL not in df.columns:
                 # distributed write path: stamp post-shuffle, where a
                 # key's rows are all in one task — the task-local counter

@@ -650,3 +650,67 @@ def test_many_concurrent_committers_one_lake(tmp_path, spark):
     assert got == {
         t * 10 + j: (f"t{t}", 2) for t in range(4) for j in range(3)
     }
+
+
+def test_engine_pk_write_width_capped_on_wide_sessions(spark):
+    """An unpartitioned PK table has at most `bucket` groups: a session
+    configured with a huge shuffle width must not fan a small commit
+    into hundreds of near-empty write tasks (r13, width cap at 8x nb).
+    Observed via the status tracker: no stage of the write job may run
+    wider than the cap. Below the cap the keyless repartition (AQE
+    coalescing) is preserved — asserted by plan shape."""
+    import shutil
+    import tempfile
+    import time
+
+    import pandas as pd
+
+    from paimon_python_spark import Catalog, Schema
+
+    sc = spark.sparkContext
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    wh = tempfile.mkdtemp(prefix="widthcap_")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "500")
+        cat = Catalog.create({"warehouse": wh})
+        cat.create_database("db", False)
+        src = spark.range(2000).selectExpr("id AS k", "id * 2 AS v")
+        cat.create_table(
+            "db.t",
+            Schema(src.schema, primary_keys=["k"], options={"bucket": "4"}),
+            False,
+        )
+        t = cat.get_table("db.t")
+        sc.setJobGroup("widthcap", "capped pk write")
+        try:
+            wb = t.new_batch_write_builder()
+            w, c = wb.new_write(), wb.new_commit()
+            w.write_dataframe(src)
+            c.commit(w.prepare_commit())
+            w.close()
+            c.close()
+        finally:
+            sc.setJobGroup(None, None)
+        tracker = sc.statusTracker()
+        widths = set()
+        deadline = time.time() + 10
+        while time.time() < deadline:
+            widths = {
+                tracker.getStageInfo(sid).numTasks
+                for jid in tracker.getJobIdsForGroup("widthcap")
+                for sid in (tracker.getJobInfo(jid).stageIds if tracker.getJobInfo(jid) else [])
+                if tracker.getStageInfo(sid) is not None
+            }
+            if widths:
+                break
+            time.sleep(0.2)
+        assert widths, "no write job observed"
+        assert max(widths) <= 32, (
+            f"write stage ran {max(widths)} tasks — the 8x-bucket cap "
+            f"(32) did not engage under shuffle.partitions=500: {widths}"
+        )
+        out = t.new_read_builder().new_read().to_pandas()
+        assert len(out) == 2000
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+        shutil.rmtree(wh, ignore_errors=True)

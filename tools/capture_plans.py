@@ -1,12 +1,12 @@
 #!/usr/bin/env python
-"""Capture .explain("formatted") for named queries into plans/r12/.
+"""Capture .explain("formatted") for named queries into plans/$PLANS_ROUND/ (default r13).
 
 Usage: python tools/capture_plans.py <suffix: before|after> query [query ...]
 
 Roundtrip queries execute their write/commit protocol while BUILDING
 the returned DataFrame, so the captured plan is the final read plan —
 the part the formatted explain can show. Plans land in
-plans/r12/<query>_<suffix>.txt.
+plans/<round>/<query>_<suffix>.txt.
 """
 
 from __future__ import annotations
@@ -45,7 +45,7 @@ def main():
 
     qs = entrymod.queries()
     out_dir = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r12"
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", os.environ.get("PLANS_ROUND", "r13")
     )
     os.makedirs(out_dir, exist_ok=True)
     for name in names:
